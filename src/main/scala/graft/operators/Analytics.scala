@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's analytical query surface as named, reusable operators
+  * (SURVEY.md §2.4–2.7). All are single-pass declarative plans: Catalyst
+  * plans top-k as TakeOrderedAndProject (no full sort at scale), the
+  * latest-per-group window as one shuffle on the group key, and grouped
+  * aggregates as partial+final hash aggregation.
+  */
+object Analytics {
+
+  /** Top-k rows by a column, descending, nulls last — pandas
+    * `df.nlargest(k, col)` (collect_earthquakes.py:55). Ties broken by
+    * `tieBreak` so results are deterministic for oracle testing.
+    * Catalyst plans orderBy+limit as TakeOrderedAndProject: each
+    * partition keeps a k-row heap, only k*numPartitions rows reach the
+    * driver — no global sort even at 100 TB.
+    */
+  def topK(df: DataFrame, by: Column, k: Int, tieBreak: Column*): DataFrame =
+    df.orderBy((by.desc_nulls_last +: tieBreak.map(_.asc)): _*).limit(k)
+
+  /** Latest row per group — pandas
+    * `df.loc[df.groupby(keys)[orderCol].idxmax()]`
+    * (collect_economic_indicators.py:55,65; multi_source_pipeline.py:114,120).
+    * pandas `idxmax` keeps the FIRST max on ties, so `row_number` (never
+    * `rank`) with a deterministic tie-break replicates it. One shuffle on
+    * the group keys; with AQE, skewed groups split automatically.
+    */
+  def latestPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderBy: Seq[Column]): DataFrame = {
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Frequency counts of a (possibly derived) column, descending —
+    * pandas `.value_counts().head(k)` (collect_earthquakes.py:64).
+    * Partial aggregation map-side, then a k-row top-k — the shuffle
+    * carries one row per distinct value, not per input row.
+    */
+  def facetCounts(df: DataFrame, facet: Column, k: Int = 10): DataFrame =
+    df.groupBy(facet.as("facet"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("facet").asc_nulls_last)
+      .limit(k)
+
+  /** Scalar summary stats over a numeric column: mean/median/max/sum
+    * (collect_earthquakes.py:71-73; validate_federal_awards.py:170-171).
+    * `median` is exact (sort-based) — NOT percentile_approx — because the
+    * oracle compares exact values; flagged as the scale-sensitive choice.
+    */
+  def summaryStats(df: DataFrame, c: Column): DataFrame =
+    df.agg(
+      avg(c).as("mean"),
+      median(c).as("median"),
+      max(c).as("max"),
+      sum(c.cast("double")).as("sum"),
+      count(c).as("count"))
+
+  /** Generic equi-join helper — the reference's only join op,
+    * `pd.merge(left, right, left_on, right_on, how)`
+    * (orchestrator.py:104-124). pandas keeps BOTH key columns when the
+    * names differ; we replicate that. Catalyst picks broadcast vs
+    * sort-merge from statistics; pass `broadcastRight = true` to force
+    * a broadcast of a known-small dimension.
+    */
+  def mergeResults(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      how: String = "inner",
+      broadcastRight: Boolean = false): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    if (leftOn == rightOn) left.join(r, Seq(leftOn), how)
+    else left.join(r, left(leftOn) === r(rightOn), how)
+  }
+
+  /** Orphan keys in a fact table — referential integrity via anti-join
+    * (star_schema.py:140-156). Distinct BEFORE the anti-join: the join
+    * then runs on deduplicated keys (tiny), not the raw fact table.
+    */
+  def orphanKeys(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String): DataFrame =
+    fact.select(col(factKey)).distinct()
+      .join(dim.select(col(dimKey).as(factKey)).distinct(),
+        Seq(factKey), "left_anti")
+
+  /** Union of heterogeneous frames by column name, missing columns →
+    * null — pandas `pd.concat(frames)` outer-column behavior
+    * (open_meteo.py:88; world_bank.py:81).
+    */
+  def unionAll(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+}
