@@ -118,14 +118,23 @@ final case class ValidationReport(
   def failCount: Int = results.count(!_.passed)
   def failures: Seq[RuleResult] = results.filterNot(_.passed)
 
+  /** Mirrors the reference report.py:52-73 to_dict layout exactly:
+    * counts nested under 'summary', per-result keys rule/severity.
+    */
   def toDict: Map[String, Any] = Map(
-    "dataset_name" -> datasetName,
-    "row_count" -> rowCount,
-    "column_count" -> columnCount,
+    "name" -> datasetName,
     "passed" -> passed,
-    "pass_count" -> passCount,
-    "fail_count" -> failCount,
-    "results" -> results.map(_.toDict))
+    "summary" -> Map(
+      "total_rules" -> results.size,
+      "passed" -> passCount,
+      "failed" -> failCount,
+      "rows_checked" -> rowCount,
+      "columns_checked" -> columnCount),
+    "results" -> results.map(r => Map(
+      "rule" -> r.ruleName,
+      "severity" -> r.severity,
+      "column" -> r.column,
+      "details" -> r.details)))
 
   def toJson: String = Json.render(toDict)
 

@@ -36,9 +36,12 @@ object Analytics {
     val w = Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(orderBy: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    // Collision-free temp name: an input column named __rn must survive.
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Frequency counts of a (possibly derived) column, descending —

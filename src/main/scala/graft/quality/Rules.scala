@@ -282,24 +282,26 @@ final class RuleSet(val name: String = "default") {
     * Results keep insertion order.
     */
   def evaluateFused(df: DataFrame): Seq[RuleResult] = {
-    val plan = rules.map(r => r -> r.aggExprs(df))
-    val fusable = plan.collect { case (r, Some(exprs)) => (r, exprs) }
-    val fusedResults: Map[String, RuleResult] =
+    val plan = rules.zipWithIndex.map { case (r, i) => (i, r, r.aggExprs(df)) }
+    // Keyed by position in `plan`, never by rule name — two rules may share
+    // a (default) name and must still report independently.
+    val fusable = plan.collect { case (i, r, Some(exprs)) => (i, r, exprs) }
+    val fusedResults: Map[Int, RuleResult] =
       if (fusable.isEmpty) Map.empty
       else {
-        val allExprs = fusable.flatMap(_._2)
+        val allExprs = fusable.flatMap(_._3)
         val row = df.agg(allExprs.head, allExprs.tail: _*).head()
         val values = Row.unapplySeq(row).get
         var offset = 0
-        fusable.map { case (r, exprs) =>
+        fusable.map { case (i, r, exprs) =>
           val slice = values.slice(offset, offset + exprs.size)
           offset += exprs.size
-          r.name -> r.interpret(slice)
+          i -> r.interpret(slice)
         }.toMap
       }
     plan.map {
-      case (r, Some(_)) => fusedResults(r.name)
-      case (r, None) => r.fallback(df)
+      case (i, _, Some(_)) => fusedResults(i)
+      case (_, r, None) => r.fallback(df)
     }
   }
 }

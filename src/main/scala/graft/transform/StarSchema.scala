@@ -86,10 +86,13 @@ final class StarSchemaBuilder(
             writer.partitionBy(cols: _*).parquet(path)
           case _ => writer.parquet(path)
         }
+        // Count what was actually written (footer-served, no recompute of
+        // the upstream plan — and correct for nondeterministic inputs).
+        val written = df.sparkSession.read.parquet(path).count()
         tables(name) = df
-        created += name
-        rows(name) = df.count()
+        rows(name) = written
         paths(name) = path
+        created += name
       } catch {
         case e: Exception => errors += s"$name: ${e.getMessage}"
       }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class AnalyticsSpec extends SparkSpec {
+
+  private val obs = df(
+    StructType(Seq(
+      StructField("country", StringType),
+      StructField("year", IntegerType),
+      StructField("value", DoubleType))),
+    Seq(
+      Row("US", 2021, 1.0), Row("US", 2023, 3.0), Row("US", 2022, 2.0),
+      Row("DE", 2023, 9.0), Row("DE", 2023, 8.0), // tie on year
+      Row("FR", 2020, 4.0)))
+
+  test("topK keeps k rows by column desc, deterministic tie-break") {
+    val out = Analytics.topK(obs, col("value"), 2, col("country"))
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(9.0, 8.0))
+  }
+
+  test("topK puts nulls last like pandas nlargest") {
+    val d = df(
+      StructType(Seq(StructField("v", DoubleType, nullable = true))),
+      Seq(Row(1.0), Row(null), Row(2.0)))
+    val out = Analytics.topK(d, col("v"), 3).collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(Some(2.0), Some(1.0), None))
+  }
+
+  test("latestPerGroup keeps one row per group, first-max on ties") {
+    val out = Analytics.latestPerGroup(obs, Seq("country"),
+      Seq(col("year").desc, col("value").desc))
+    assert(out.count() == 3)
+    val de = out.filter(col("country") === "DE").head()
+    assert(de.getAs[Double]("value") == 9.0)
+  }
+
+  test("latestPerGroup survives an input column named __rn (ADVICE r01)") {
+    val d = obs.withColumn("__rn", lit("keep-me"))
+    val out = Analytics.latestPerGroup(d, Seq("country"),
+      Seq(col("year").desc, col("value").desc))
+    assert(out.columns.contains("__rn"))
+    assert(out.select("__rn").head().getString(0) == "keep-me")
+  }
+
+  test("facetCounts orders by count desc") {
+    val out = Analytics.facetCounts(obs, col("country"), 10).collect()
+    assert(out.head.getString(0) == "US")
+    assert(out.head.getLong(1) == 3L)
+    assert(out.length == 3)
+  }
+
+  test("mergeResults keeps both key columns when names differ (pd.merge)") {
+    val left = df(
+      StructType(Seq(StructField("ck", StringType), StructField("a", IntegerType))),
+      Seq(Row("US", 1)))
+    val right = df(
+      StructType(Seq(StructField("code", StringType), StructField("b", IntegerType))),
+      Seq(Row("US", 2)))
+    val out = Analytics.mergeResults(left, right, "ck", "code")
+    assert(out.columns.toSeq == Seq("ck", "a", "code", "b"))
+    assert(out.count() == 1)
+  }
+
+  test("mergeResults joins on shared key name without duplication") {
+    val left = df(
+      StructType(Seq(StructField("k", StringType), StructField("a", IntegerType))),
+      Seq(Row("x", 1), Row("y", 2)))
+    val right = df(
+      StructType(Seq(StructField("k", StringType), StructField("b", IntegerType))),
+      Seq(Row("x", 3)))
+    val inner = Analytics.mergeResults(left, right, "k", "k")
+    assert(inner.columns.count(_ == "k") == 1)
+    assert(inner.count() == 1)
+    val outer = Analytics.mergeResults(left, right, "k", "k", how = "left")
+    assert(outer.count() == 2)
+  }
+
+  test("orphanKeys finds fact keys absent from the dimension") {
+    val fact = df(
+      StructType(Seq(StructField("fk", IntegerType))),
+      Seq(Row(1), Row(2), Row(2), Row(9)))
+    val dim = df(
+      StructType(Seq(StructField("dk", IntegerType))),
+      Seq(Row(1), Row(2), Row(3)))
+    val out = Analytics.orphanKeys(fact, dim, "fk", "dk")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("unionAll fills missing columns with null (pd.concat)") {
+    val a = df(
+      StructType(Seq(StructField("x", IntegerType), StructField("y", IntegerType))),
+      Seq(Row(1, 2)))
+    val b = df(
+      StructType(Seq(StructField("x", IntegerType))),
+      Seq(Row(3)))
+    val out = Analytics.unionAll(Seq(a, b)).orderBy("x")
+    assert(out.count() == 2)
+    assert(Option(out.collect()(1).get(1)).isEmpty)
+  }
+
+  test("summaryStats computes exact median") {
+    val d = df(
+      StructType(Seq(StructField("v", DoubleType))),
+      Seq(Row(1.0), Row(2.0), Row(3.0), Row(10.0)))
+    val r = Analytics.summaryStats(d, col("v")).head()
+    assert(r.getAs[Double]("median") == 2.5)
+    assert(r.getAs[Double]("mean") == 4.0)
+    assert(r.getAs[Double]("sum") == 16.0)
+    assert(r.getAs[Long]("count") == 4L)
+  }
+}

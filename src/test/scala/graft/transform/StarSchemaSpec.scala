@@ -1,0 +1,84 @@
+package graft.transform
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class StarSchemaSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_star").toString
+
+  private def dimCustomer = df(
+    StructType(Seq(
+      StructField("customer_id", IntegerType),
+      StructField("name", StringType))),
+    Seq(Row(1, "alice"), Row(2, "bob")))
+
+  private def factOrders = df(
+    StructType(Seq(
+      StructField("customer_id", IntegerType),
+      StructField("amount", DoubleType))),
+    Seq(Row(1, 10.0), Row(1, 20.0), Row(3, 5.0)))
+
+  test("build writes dims before facts, reports counts and paths") {
+    val out = tmpDir()
+    val b = new StarSchemaBuilder(out)
+      .addDimension(SchemaDefinition("dim_customer", "dimension",
+        naturalKeys = Seq("customer_id")))
+      .addFact(SchemaDefinition("fact_orders", "fact",
+        measures = Seq("amount")))
+    val res = b.build(Map(
+      "fact_orders" -> factOrders, "dim_customer" -> dimCustomer))
+    assert(res.success)
+    assert(res.tablesCreated == Seq("dim_customer", "fact_orders"))
+    assert(res.rowsByTable == Map("dim_customer" -> 2L, "fact_orders" -> 3L))
+    assert(res.totalRows == 5L)
+    // written parquet is readable with the same counts
+    assert(spark.read.parquet(res.outputPaths("dim_customer")).count() == 2)
+  }
+
+  test("build skips tables absent from the input map") {
+    val b = new StarSchemaBuilder(tmpDir())
+      .addDimension(SchemaDefinition("dim_customer", "dimension"))
+      .addFact(SchemaDefinition("fact_orders", "fact"))
+    val res = b.build(Map("dim_customer" -> dimCustomer))
+    assert(res.success)
+    assert(res.tablesCreated == Seq("dim_customer"))
+  }
+
+  test("withSurrogateKey appends a 12-char deterministic key") {
+    val defn = SchemaDefinition("dim_customer", "dimension",
+      naturalKeys = Seq("customer_id", "name"))
+    val b = new StarSchemaBuilder(tmpDir())
+    val keyed = b.withSurrogateKey(dimCustomer, defn, "customer_sk")
+    val keys = keyed.select("customer_sk").collect().map(_.getString(0))
+    assert(keys.forall(_.length == 12))
+    assert(keys.distinct.length == 2)
+  }
+
+  test("validateReferentialIntegrity counts orphan fact keys") {
+    val b = new StarSchemaBuilder(tmpDir())
+    val orphans = b.validateReferentialIntegrity(
+      factOrders, dimCustomer, "customer_id", "customer_id")
+    assert(orphans == 1L) // customer_id=3
+  }
+
+  test("partitionBy writes hive-partitioned output") {
+    val out = tmpDir()
+    val b = new StarSchemaBuilder(out)
+      .addFact(SchemaDefinition("fact_orders", "fact"))
+      .partitionBy("fact_orders", Seq("customer_id"))
+    val res = b.build(Map("fact_orders" -> factOrders))
+    assert(res.success)
+    val part = new java.io.File(s"$out/fact_orders/customer_id=1")
+    assert(part.exists)
+    assert(spark.read.parquet(s"$out/fact_orders").count() == 3)
+  }
+
+  test("SchemaDefinition rejects bad table types") {
+    intercept[IllegalArgumentException] {
+      SchemaDefinition("x", "cube")
+    }
+  }
+}
