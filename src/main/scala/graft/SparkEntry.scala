@@ -235,6 +235,253 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- //
+  // LLM-pipeline extension queries (SURVEY.md §7.1 step 8):           //
+  // text analysis, dedup, similarity search, multimodal plumbing      //
+  // ---------------------------------------------------------------- //
+
+  import graft.dedup.Dedup
+  import graft.multimodal.Multimodal
+  import graft.similarity.Similarity
+  import graft.text.TextAnalysis
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+
+  /** Text quality/token statistics per language. */
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(TextAnalysis.tokenCount(col("text")).cast("double")), 4)
+        .as("avg_tokens"),
+      round(avg(TextAnalysis.punctRatio(col("text"))), 4).as("avg_punct"),
+      round(avg(TextAnalysis.stopwordRatio(col("text"))), 4).as("avg_stop"),
+      round(avg(TextAnalysis.qualityScore(col("text"))), 4)
+        .as("avg_quality"))
+      .orderBy("lang")
+
+  /** Per-document quality scoring. */
+  private def docQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"),
+      round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  private def langIdFacets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** Whole-document + min-shingle-hash fingerprints. */
+  private def docFingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.minShingleHash(col("text"), 4).as("sketch"))
+      .orderBy("doc_id")
+
+  /** Exact dedup accounting over normalized-text fingerprints. */
+  private def exactDupStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupStats(docs(s, dir), "text")
+
+  /** Exact n-gram Jaccard near-dup pairs (inverted-index join). */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** MinHash-LSH near-dup pairs (signatures → bands → verify). */
+  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** TF-weighted 64-bit SimHash fingerprints. */
+  private def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text")
+      .select("doc_id", "simhash_hex")
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs, hamming ≤ 3, via exact 4-block banding. */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int")
+        .as("hamming"))
+      .orderBy("id_a", "id_b")
+
+  /** Embedding cosine near-duplicate pairs. */
+  private def embeddingNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-10 neighbors for the first 10 vectors. */
+  private def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(
+        e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF (bucketed) top-10 — the scale path for similarity search. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(
+        e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 10, stride = 50, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal plumbing over binary payloads (text bytes here; the
+    * same path carries image/audio blobs).
+    */
+  private def binaryFingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .select(
+        col("doc_id"),
+        Multimodal.sniffMime(col("bin")).as("mime"),
+        length(col("bin")).cast("long").as("byte_len"),
+        md5(col("bin")).as("fingerprint"),
+        Multimodal.chunkCount(col("bin"), 256).as("n_chunks"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- //
+  // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
+  // ---------------------------------------------------------------- //
+
+  /** Per-document text metric expressions shared by q18/q19. */
+  private val oracleWords = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val oracleStopList = TextAnalysis.stopwords
+    .map(w => s"'$w'").mkString(", ")
+  private val oracleMetricsCte =
+    s"""WITH m AS (
+       SELECT doc_id, lang,
+         len($oracleWords) AS tokens,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           / CAST(nullif(length(text), 0) AS DOUBLE) AS punct,
+         CAST(len(list_filter($oracleWords,
+             w -> w IN ($oracleStopList))) AS DOUBLE)
+           / CAST(nullif(len($oracleWords), 0) AS DOUBLE) AS stop
+       FROM documents),
+       q AS (
+       SELECT doc_id, lang, tokens, punct, stop,
+         least(CAST(1.0 AS DOUBLE), CAST(tokens AS DOUBLE) / 100.0) * 0.5
+           + (1.0 - least(CAST(1.0 AS DOUBLE), coalesce(punct, 0.0) * 5.0)) * 0.25
+           + least(CAST(1.0 AS DOUBLE), coalesce(stop, 0.0) * 5.0) * 0.25
+           AS quality
+       FROM m)"""
+
+  /** Distinct word-3-shingle CTE (q23/q24). */
+  private val oracleShingleCte =
+    s"""WITH sh AS (
+       SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM (
+           SELECT doc_id, $oracleWords AS ws FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+  /** Exact-Jaccard pair selection from the shingle CTE. */
+  private def oracleJaccardSelect(
+      candidateFilter: String, includeCommon: Boolean): String =
+    s"""common AS (
+       SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       $candidateFilter
+       GROUP BY 1, 2)
+       SELECT ida AS id_a, idb AS id_b,
+         ${if (includeCommon) "common," else ""}
+         round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = ida
+       JOIN sizes sb ON sb.doc_id = idb
+       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+       ORDER BY id_a, id_b"""
+
+  /** MinHash signature + band CTEs (16 hashes, 8 bands of 2). */
+  private val oracleMinhashCtes: String = {
+    val mins = (0 until 16)
+      .map(i => s"min(substr(md5('$i|' || shingle), 1, 16)) AS h$i")
+      .mkString(", ")
+    val bands = (0 until 8)
+      .map(b => s"SELECT doc_id, $b AS band, " +
+        s"md5(h${2 * b} || '|' || h${2 * b + 1}) AS sig FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       bands AS ($bands),
+       cands AS (
+         SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+  }
+
+  /** TF-weighted SimHash CTE: identical bit math to Dedup.simhash. */
+  private val oracleSimhashCte: String = {
+    def bit(i: Int) =
+      s"((CAST(('0x' || substr(h, ${i / 4 + 1}, 1)) AS BIGINT) >> ${3 - i % 4}) & 1)"
+    val sums = (0 until 64)
+      .map(i => s"sum(CASE WHEN ${bit(i)} = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val hexDigits = (0 until 16).map { j =>
+      val v = (0 until 4)
+        .map(k => s"(CASE WHEN s${j * 4 + k} > 0 THEN ${8 >> k} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', 1 + ($v), 1)"
+    }.mkString(" || ")
+    s"""WITH toks AS (
+       SELECT doc_id, unnest($oracleWords) AS token FROM documents),
+       th AS (SELECT doc_id, md5(token) AS h FROM toks),
+       sums AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+       sh AS (SELECT doc_id, $hexDigits AS simhash_hex FROM sums),
+       shp AS (
+         SELECT doc_id, simhash_hex,
+           CAST(('0x' || substr(simhash_hex, 1, 8)) AS BIGINT) AS hi,
+           CAST(('0x' || substr(simhash_hex, 9, 8)) AS BIGINT) AS lo
+         FROM sh)"""
+  }
+
+  /** Cosine in double precision over the embeddings arrays. */
+  private def oracleCos(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / nullif(" +
+      s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0), 4)"
+
+  private val oracleLangScores: String = {
+    val marker = TextAnalysis.langMarkers.map { case (lang, ws) =>
+      lang -> s"len(list_filter($oracleWords, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    }
+    s"""WITH s AS (
+       SELECT lang,
+         ${marker("en")} AS s_en, ${marker("de")} AS s_de,
+         ${marker("es")} AS s_es, ${marker("fr")} AS s_fr,
+         length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
+       FROM documents),
+       p AS (
+       SELECT lang,
+         CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+              WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+              WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+              ELSE 'fr' END AS predicted
+       FROM s)"""
+  }
+
+  // ---------------------------------------------------------------- //
   // Contract                                                          //
   // ---------------------------------------------------------------- //
 
@@ -256,6 +503,19 @@ object SparkEntry {
     "q15_events_hourly" -> (eventsHourly _),
     "q16_events_props_extract" -> (eventsPropsExtract _),
     "q17_union_high_low_orders" -> (unionHighLowOrders _),
+    "q18_text_stats" -> (textStats _),
+    "q19_doc_quality" -> (docQuality _),
+    "q20_lang_id_facets" -> (langIdFacets _),
+    "q21_doc_fingerprints" -> (docFingerprints _),
+    "q22_exact_dup_stats" -> (exactDupStats _),
+    "q23_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+    "q24_minhash_lsh_pairs" -> (minhashLshPairs _),
+    "q25_simhash_fingerprints" -> (simhashFingerprints _),
+    "q26_simhash_pairs" -> (simhashPairs _),
+    "q27_embedding_neardup" -> (embeddingNeardup _),
+    "q28_ann_bruteforce" -> (annBruteForce _),
+    "q29_ann_ivf" -> (annIvf _),
+    "q30_binary_fingerprints" -> (binaryFingerprints _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -382,5 +642,123 @@ object SparkEntry {
          SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) FROM orders
          WHERE o_totalprice < 1000
          ORDER BY o_orderkey""",
+    "q18_text_stats" ->
+      s"""$oracleMetricsCte
+         SELECT lang, count(*) AS n_docs,
+           round(avg(CAST(tokens AS DOUBLE)), 4) AS avg_tokens,
+           round(avg(punct), 4) AS avg_punct,
+           round(avg(stop), 4) AS avg_stop,
+           round(avg(quality), 4) AS avg_quality
+         FROM q GROUP BY lang ORDER BY lang""",
+    "q19_doc_quality" ->
+      s"""$oracleMetricsCte
+         SELECT doc_id, CAST(tokens AS BIGINT) AS n_tokens,
+           round(punct, 4) AS punct_ratio,
+           round(stop, 4) AS stop_ratio,
+           round(quality, 4) AS quality
+         FROM q ORDER BY doc_id""",
+    "q20_lang_id_facets" ->
+      s"""$oracleLangScores
+         SELECT lang, predicted, count(*) AS n
+         FROM p GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "q21_doc_fingerprints" ->
+      s"""WITH sh4 AS (
+           SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               AS shingle FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) t),
+         mh AS (SELECT doc_id, min(md5(shingle)) AS sketch
+                FROM sh4 GROUP BY doc_id)
+         SELECT d.doc_id,
+           md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+           mh.sketch AS sketch
+         FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "q22_exact_dup_stats" ->
+      """SELECT
+         CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+           AS duplicate_rows,
+         count(*) AS distinct_texts,
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS total_rows
+         FROM (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 AS fp, count(*) AS n
+               FROM documents GROUP BY 1)""",
+    "q23_ngram_jaccard_pairs" ->
+      s"""$oracleShingleCte,
+         ${oracleJaccardSelect("", includeCommon = true)}""",
+    "q24_minhash_lsh_pairs" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         ${oracleJaccardSelect(
+        "JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id",
+        includeCommon = false)}""",
+    "q25_simhash_fingerprints" ->
+      s"""$oracleSimhashCte
+         SELECT doc_id, simhash_hex FROM sh ORDER BY doc_id""",
+    "q26_simhash_pairs" ->
+      s"""$oracleSimhashCte
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             AS INT) AS hamming
+         FROM shp a JOIN shp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY id_a, id_b""",
+    "q27_embedding_neardup" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ${oracleCos("a.v", "b.v")} AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE ${oracleCos("a.v", "b.v")} >= 0.45
+         ORDER BY id_a, id_b""",
+    "q28_ann_bruteforce" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q29_ann_ivf" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   WHERE vec_id % 50 = 0),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 3),
+         s AS (
+           SELECT qid, a.vec_id AS nid, ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> qid),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q30_binary_fingerprints" ->
+      """SELECT doc_id,
+         'application/octet-stream' AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS fingerprint,
+         CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,273 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, and SimHash near-duplicate detection.
+  *
+  * Scale design (the 100 TB story):
+  *   - Exact dedup is a hash-groupBy — one shuffle on the fingerprint.
+  *   - Pairwise Jaccard NEVER cross-joins documents: it inverted-index
+  *     joins on shingles, so cost is Σ(docs-per-shingle²) not n². Hot
+  *     (stop) shingles are dropped by a document-frequency cap, which
+  *     bounds the worst key and removes join skew.
+  *   - MinHash signatures compute all k mins in ONE aggregation over the
+  *     exploded shingles (k agg expressions, map-side partial min), then
+  *     LSH banding turns near-dup detection into an equi-join on band
+  *     hashes — the only all-pairs work left is within tiny buckets.
+  *   - SimHash is one aggregation (64 bit-sums) + a 4-block banding join
+  *     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 blocks identical,
+  *     so the banding join is EXACT for distance ≤ 3, not approximate).
+  *
+  * All hashing is md5-based and engine-portable (hex strings / 32-bit
+  * hex→int), so results are reproducible across engines byte-for-byte.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- //
+  // Exact dedup                                                      //
+  // ---------------------------------------------------------------- //
+
+  /** Keep one row per distinct normalized-text fingerprint — the
+    * first by `tieBreak` (deterministic, unlike dropDuplicates).
+    * One shuffle on the 128-bit fingerprint.
+    */
+  def exactDedup(
+      df: DataFrame, textCol: String, tieBreak: Column): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fp).orderBy(tieBreak)
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1).drop(rn)
+  }
+
+  /** Duplicate accounting over the normalized fingerprint with pandas
+    * `duplicated(keep=False)` semantics (all members of a dup group
+    * count — SURVEY.md §2.4 A8).
+    */
+  def exactDupStats(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L))
+          .as("duplicate_rows"),
+        count(lit(1)).as("distinct_texts"),
+        coalesce(sum(col("__n")), lit(0L)).as("total_rows"))
+
+  // ---------------------------------------------------------------- //
+  // n-gram Jaccard (exact near-dup)                                  //
+  // ---------------------------------------------------------------- //
+
+  /** Exact pairwise Jaccard over word n-shingles via inverted-index
+    * self-join. Emits (id_a, id_b, common, jaccard) for pairs with
+    * jaccard ≥ threshold, id_a < id_b.
+    *
+    * @param maxShingleDf drop shingles appearing in more documents than
+    *   this (stop-shingles): they contribute little Jaccard mass but
+    *   quadratic join cost. Pairs sharing ONLY ultra-common shingles
+    *   fall below any useful threshold anyway.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+    val pruned = maxShingleDf match {
+      case Some(cap) =>
+        // document-frequency cap: one extra shuffle on shingle, removes
+        // the skewed keys that dominate Σ(df²) at scale
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val sizes = pruned.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
+    val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_shingles").as("na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_shingles").as("nb")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- //
+  // MinHash + LSH                                                    //
+  // ---------------------------------------------------------------- //
+
+  /** Engine-portable hash family: member i of the family maps a shingle
+    * to the first 16 hex chars of md5(i + "|" + shingle). Lexicographic
+    * MIN over uniformly-distributed fixed-length hex strings is a valid
+    * min-hash permutation, and both Spark and DuckDB produce identical
+    * lowercase md5 hex — reproducibility across engines for free.
+    */
+  def minhashExpr(i: Int): Column =
+    substring(md5(concat(lit(i.toString), lit("|"), col("shingle"))), 1, 16)
+
+  /** MinHash signatures: one row per document, columns h0..h(k-1).
+    * ALL k mins compute in a single aggregation over the exploded
+    * shingles — map-side partial min means the shuffle carries k
+    * hashes per (doc, partition), not per shingle.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i => min(minhashExpr(i)).as(s"h$i"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded signatures: band j is the md5 of
+    * the concatenated signature rows in that band; documents sharing
+    * any band hash become candidates. bands × rowsPerBand must equal
+    * numHashes. With r=2, b=8 the s-curve crosses ~0.55 — right for a
+    * 0.8 near-dup threshold.
+    */
+  def lshCandidates(
+      signatures: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { bIdx =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"h${bIdx * rowsPerBand + r}"))
+      struct(lit(bIdx).as("band"),
+        md5(concat_ws("|", parts: _*)).as("sig")).as(s"b$bIdx")
+    }
+    val banded = signatures
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands)
+        .map(i => col(s"b$i")): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    l.join(r, Seq("band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidate
+    * pairs → exact-Jaccard verification of ONLY the candidates.
+    * Deterministic end-to-end (md5 hash family), so identical across
+    * runs and engines.
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
+    // verify candidates with exact Jaccard: join candidate pairs to
+    // shingle sets; intersection via inverted-index join restricted to
+    // candidate pairs (broadcast the candidate list when small)
+    val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_shingles").as("na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_shingles").as("nb")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- //
+  // SimHash                                                          //
+  // ---------------------------------------------------------------- //
+
+  /** Bit i (0-based, MSB-first over the md5 hex string) of a token's
+    * hash: nibble = hex digit i/4 as an int; bit = (nibble >> (3-i%4))
+    * & 1 — pure integer arithmetic on hex digits, portable to any
+    * engine with substr + hex→int (no engine-specific hash function).
+    */
+  def tokenBit(h: Column, i: Int): Column = {
+    val nibble = conv(substring(h, i / 4 + 1, 1), 16, 10).cast("int")
+    floor(nibble / lit(math.pow(2, 3 - i % 4).toInt)).cast("int") % 2
+  }
+
+  /** 64-bit SimHash per document, term-frequency weighted (the classic
+    * Charikar construction): bit i of the fingerprint is 1 iff
+    * Σ_occurrences (2·bit_i(md5(token)) − 1) > 0 — summing ±1 per token
+    * OCCURRENCE is exactly TF weighting. Computed as 64 conditional-sum
+    * aggregates in ONE pass over the exploded tokens. Output: (id,
+    * simhash_hex: 16 hex chars, sim_hi / sim_lo: the two 32-bit halves
+    * as longs for cheap XOR + popcount distance).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol),
+      explode(TextAnalysis.words(col(textCol))).as("token"))
+      .withColumn("th", md5(col("token")))
+    val bitSums = (0 until 64).map { i =>
+      sum(tokenBit(col("th"), i) * 2 - 1).as(s"s$i")
+    }
+    val summed = tokens.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    // assemble hex: nibble j from bits 4j..4j+3
+    val hexDigits = (0 until 16).map { j =>
+      val v = (0 until 4).map { k =>
+        when(col(s"s${j * 4 + k}") > 0, lit(8 >> k)).otherwise(lit(0))
+      }.reduce(_ + _)
+      substring(lit("0123456789abcdef"), v + 1, lit(1))
+    }
+    summed.select(col(idCol),
+      concat(hexDigits: _*).as("simhash_hex"))
+      .withColumn("sim_hi",
+        conv(substring(col("simhash_hex"), 1, 8), 16, 10).cast("long"))
+      .withColumn("sim_lo",
+        conv(substring(col("simhash_hex"), 9, 8), 16, 10).cast("long"))
+  }
+
+  /** Hamming distance between two simhashes given as 32-bit halves. */
+  def hammingDist(aHi: Column, aLo: Column, bHi: Column, bLo: Column): Column =
+    bit_count(aHi.bitwiseXOR(bHi)) + bit_count(aLo.bitwiseXOR(bLo))
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxDist.
+    * Banding on 4 blocks of 16 bits: any pair within distance 3 shares
+    * at least one identical block (pigeonhole), so for maxDist ≤ 3 the
+    * candidate join is EXACT — no recall loss — while reducing the
+    * pair space from n² to per-block bucket joins.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-block banding is exact only for maxDist <= 3")
+    val sh = simhash(df, idCol, textCol)
+    val blocks = sh.select(col(idCol), col("sim_hi"), col("sim_lo"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          substring(col("simhash_hex"), b * 4 + 1, 4).as("val"))): _*))
+        .as("b"))
+      .select(col(idCol), col("sim_hi"), col("sim_lo"),
+        col("b.blk").as("blk"), col("b.val").as("val"))
+    val l = blocks.select(col(idCol).as("id_a"),
+      col("sim_hi").as("a_hi"), col("sim_lo").as("a_lo"),
+      col("blk"), col("val"))
+    val r = blocks.select(col(idCol).as("id_b"),
+      col("sim_hi").as("b_hi"), col("sim_lo").as("b_lo"),
+      col("blk"), col("val"))
+    l.join(r, Seq("blk", "val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        hammingDist(col("a_hi"), col("a_lo"), col("b_hi"), col("b_lo")))
+      .where(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built-in `Column` expressions (regexp/array
+  * higher-order functions) — no UDFs — so the whole module stays inside
+  * whole-stage codegen and scales linearly with executors; per-document
+  * work is embarrassingly parallel with zero shuffles.
+  *
+  * These extend the reference's analytics surface (SURVEY.md §2.8's
+  * regex/string functions) to the LLM-data-pipeline operators mandated
+  * by BASELINE.json.
+  */
+object TextAnalysis {
+
+  /** Lowercased alphanumeric word tokens. */
+  def words(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace-ish token count. */
+  def tokenCount(c: Column): Column = size(words(c))
+
+  /** BPE-ish rough tokenization: word pieces plus each punctuation mark
+    * as its own token (approximates byte-pair token counts within ~15%
+    * for latin text — good enough for corpus budgeting).
+    */
+  def roughTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Ratio of punctuation/symbol characters to all characters. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[a-zA-Z0-9\\s]", "")).cast("double") /
+      nullif(length(c), lit(0)).cast("double")
+
+  /** English stopword list used for quality scoring (small on purpose —
+    * a quality *signal*, not NLP).
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as")
+
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(c: Column): Column = {
+    val ws = words(c)
+    size(filter(ws, w => w.isInCollection(stopwords))).cast("double") /
+      nullif(size(ws), lit(0)).cast("double")
+  }
+
+  /** Composite document-quality score in [0, 1]:
+    * token volume (50%), low punctuation noise (25%), natural stopword
+    * density (25%). The formula is deliberately simple and documented —
+    * consumers needing a learned quality model plug their own column in.
+    */
+  def qualityScore(c: Column): Column = {
+    val tokens = tokenCount(c).cast("double")
+    val vol = least(lit(1.0), tokens / lit(100.0))
+    val punct = coalesce(punctRatio(c), lit(0.0))
+    val clean = lit(1.0) - least(lit(1.0), punct * lit(5.0))
+    val stop = least(lit(1.0),
+      coalesce(stopwordRatio(c), lit(0.0)) * lit(5.0))
+    vol * lit(0.5) + clean * lit(0.25) + stop * lit(0.25)
+  }
+
+  /** Language-marker word sets for the n-gram/stopword language-ID
+    * heuristic. CJK is detected by codepoint range instead.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for",
+      "it", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit",
+      "ein", "eine", "zu"),
+    "es" -> Seq("el", "los", "las", "de", "que", "y", "en", "un",
+      "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans",
+      "pour", "qui"))
+
+  /** Per-language marker-hit score columns (count of marker tokens). */
+  def langScores(c: Column): Map[String, Column] = {
+    val ws = words(c)
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(ws, w => w.isInCollection(markers)))
+    } + ("zh" -> length(regexp_replace(c, "[^\\u4e00-\\u9fff]", "")))
+  }
+
+  /** Heuristic language ID: argmax of marker scores with deterministic
+    * precedence zh > en > de > es > fr; all-zero → "unknown". A
+    * heuristic like this is the standard first-pass filter in corpus
+    * pipelines (fast, no model); precision on real text ≈ stopword
+    * coverage.
+    */
+  def langId(c: Column): Column = {
+    val s = langScores(c)
+    val best = greatest(s("en"), s("de"), s("es"), s("fr"), s("zh"))
+    when(best === 0, lit("unknown"))
+      .when(s("zh") === best, lit("zh"))
+      .when(s("en") === best, lit("en"))
+      .when(s("de") === best, lit("de"))
+      .when(s("es") === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Whole-document fingerprint: md5 of the whitespace-normalized,
+    * lowercased text. Identical-content detection robust to case and
+    * spacing differences.
+    */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** Rolling-hash document sketch: the minimum md5 over the document's
+    * word n-shingles (= a 1-permutation MinHash; cheap similarity-
+    * preserving fingerprint for blocking).
+    */
+  def minShingleHash(c: Column, n: Int = 4): Column =
+    array_min(transform(shingleArray(c, n), s => md5(s)))
+
+  /** Word n-shingles as an array column (distinct, in-order). */
+  def shingleArray(c: Column, n: Int): Column = {
+    val ws = words(c)
+    array_distinct(
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(ws) - lit(n)),
+          i => concat_ws(" ",
+            slice(ws, i + 1, lit(n))))))
+  }
+
+  /** Explode a document table into (id, shingle) rows — the input shape
+    * for inverted-index joins and MinHash. One row per DISTINCT shingle
+    * per document.
+    */
+  def explodeShingles(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingleArray(col(textCol), n)).as("shingle"))
+}

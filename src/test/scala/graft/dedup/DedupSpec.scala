@@ -1,0 +1,144 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Int, String)*) = df(
+    StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("text", StringType))),
+    rows.map { case (i, t) => Row(i, t) })
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat watches from the warm window sill nearby"
+
+  test("exactDedup keeps first row per normalized text") {
+    val d = docs(
+      (1, "Hello World"), (2, "hello   world"), (3, "different"))
+    val out = Dedup.exactDedup(d, "text", col("id").asc)
+    assert(out.count() == 2)
+    assert(out.orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
+  test("exactDupStats counts all members of dup groups") {
+    val d = docs((1, "aa"), (2, "AA"), (3, "bb"))
+    val r = Dedup.exactDupStats(d, "text").head()
+    assert(r.getAs[Long]("duplicate_rows") == 2L)
+    assert(r.getAs[Long]("distinct_texts") == 2L)
+    assert(r.getAs[Long]("total_rows") == 3L)
+  }
+
+  test("ngramJaccardPairs finds near-dups via inverted index") {
+    val d = docs(
+      (1, base),
+      (2, base.replace("lazy", "sleepy")), // near-dup of 1
+      (3, "completely unrelated words about spark catalyst optimizer"))
+    val out = Dedup.ngramJaccardPairs(d, "id", "text", n = 3,
+      threshold = 0.3)
+    val pairs = out.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(pairs == Seq((1, 2)))
+    val jac = out.head().getAs[Double]("jaccard")
+    assert(jac > 0.3 && jac < 1.0)
+  }
+
+  test("ngramJaccardPairs finds nothing among dissimilar docs") {
+    val d = docs(
+      (1, base),
+      (2, "catalyst turns logical plans into physical plans with rules"))
+    assert(Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.2).count() == 0)
+  }
+
+  test("ngramJaccardPairs identical docs have jaccard 1.0") {
+    val d = docs((1, base), (2, base))
+    val r = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.9).head()
+    assert(r.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("stop-shingle cap drops ultra-common shingles from the join") {
+    // every doc shares the hot shingle; cap=2 removes it → no pairs
+    val hot = "alpha beta gamma"
+    val d = docs(
+      (1, s"$hot one"), (2, s"$hot two"), (3, s"$hot three"))
+    val without = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.01)
+    val withCap = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.01,
+      maxShingleDf = Some(2))
+    assert(without.count() > 0)
+    assert(withCap.count() == 0)
+  }
+
+  test("minhashSignatures: identical docs get identical signatures") {
+    val d = docs((1, base), (2, base), (3, "something else entirely here"))
+    val sigs = Dedup.minhashSignatures(d, "id", "text", 3, 16)
+    assert(sigs.columns.toSeq ==
+      "id" +: (0 until 16).map(i => s"h$i"))
+    val rows = sigs.orderBy("id").collect()
+    val s1 = rows(0).toSeq.tail
+    val s2 = rows(1).toSeq.tail
+    val s3 = rows(2).toSeq.tail
+    assert(s1 == s2)
+    assert(s1 != s3)
+  }
+
+  test("minhashLshPairs finds the near-dup pair and verifies with exact jaccard") {
+    val d = docs(
+      (1, base),
+      (2, base.replace("lazy", "sleepy")),
+      (3, "spark shuffles data between stages when keys must co-locate"),
+      (4, "rdd lineage tracks transformations for fault tolerance"))
+    val out = Dedup.minhashLshPairs(d, "id", "text",
+      n = 3, numHashes = 16, bands = 8, threshold = 0.3)
+    val pairs = out.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(pairs == Seq((1, 2)))
+    // verified jaccard matches the exact computation
+    val exact = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.3)
+      .head().getAs[Double]("jaccard")
+    assert(out.head().getAs[Double]("jaccard") == exact)
+  }
+
+  test("tokenBit extracts md5 bits MSB-first") {
+    // md5("a") = 0cc175b9... first nibble 0x0 → bits 0..3 all 0;
+    // second nibble 0xc = 1100 → bits 4,5 = 1 and 6,7 = 0
+    val d = docs((1, "x")).select(md5(lit("a")).as("h"))
+    val bits = d.select((0 until 8).map(i =>
+      Dedup.tokenBit(col("h"), i).as(s"b$i")): _*).head()
+    assert((0 until 8).map(bits.getInt) == Seq(0, 0, 0, 0, 1, 1, 0, 0))
+  }
+
+  test("simhash: identical docs identical, hex/halves consistent") {
+    val d = docs((1, base), (2, base))
+    val out = Dedup.simhash(d, "id", "text").orderBy("id").collect()
+    assert(out(0).getAs[String]("simhash_hex") ==
+      out(1).getAs[String]("simhash_hex"))
+    val hex = out(0).getAs[String]("simhash_hex")
+    assert(hex.length == 16)
+    assert(java.lang.Long.parseLong(hex.substring(0, 8), 16) ==
+      out(0).getAs[Long]("sim_hi"))
+  }
+
+  test("simhashPairs finds docs with near-identical token frequencies") {
+    // TF-weighted SimHash: reordering preserves the fingerprint
+    // exactly; an unrelated doc lands far away.
+    val reordered = base.split(" ").reverse.mkString(" ")
+    val d = docs(
+      (1, base),
+      (2, reordered),
+      (3, "catalyst rules rewrite logical plans before physical planning"))
+    val out = Dedup.simhashPairs(d, "id", "text", maxDist = 3)
+    val pairs = out.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(pairs == Seq((1, 2)))
+    assert(out.head().getAs[Int]("hamming") == 0)
+  }
+
+  test("hammingDist counts differing bits across both halves") {
+    val d = spark.sql(
+      "SELECT CAST(11 AS BIGINT) a_hi, CAST(0 AS BIGINT) a_lo, " +
+        "CAST(8 AS BIGINT) b_hi, CAST(3 AS BIGINT) b_lo")
+    val h = d.select(Dedup.hammingDist(
+      col("a_hi"), col("a_lo"), col("b_hi"), col("b_lo"))).head().getInt(0)
+    assert(h == 4) // 1011 vs 1000 → 2 bits; 0000 vs 0011 → 2 bits
+  }
+}

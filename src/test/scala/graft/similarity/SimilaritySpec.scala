@@ -1,0 +1,88 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Int, Seq[Double])*) = df(
+    StructType(Seq(
+      StructField("vec_id", IntegerType),
+      StructField("embedding", ArrayType(DoubleType)))),
+    rows.map { case (i, v) => Row(i, v) })
+
+  test("dot, norm, cosine compute exactly in double") {
+    val d = vecs((1, Seq(1.0, 2.0, 3.0)))
+      .select(
+        Similarity.dot(col("embedding"), col("embedding")).as("dot"),
+        Similarity.norm(col("embedding")).as("norm"),
+        Similarity.cosine(col("embedding"), col("embedding")).as("cos"))
+      .head()
+    assert(d.getAs[Double]("dot") == 14.0)
+    assert(math.abs(d.getAs[Double]("norm") - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(d.getAs[Double]("cos") - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0, zero vector is null") {
+    val d = vecs((1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)), (3, Seq(0.0, 0.0)))
+    val a = d.where(col("vec_id") === 1).select(col("embedding").as("a"))
+    val b = d.where(col("vec_id") === 2).select(col("embedding").as("b"))
+    val r = a.crossJoin(b)
+      .select(Similarity.cosine(col("a"), col("b"))).head()
+    assert(r.getDouble(0) == 0.0)
+    val z = d.where(col("vec_id") === 3).select(col("embedding").as("z"))
+    val rz = a.crossJoin(z)
+      .select(Similarity.cosine(col("a"), col("z"))).head()
+    assert(rz.isNullAt(0))
+  }
+
+  // 2D unit-ish vectors at known angles around vector 0
+  private val corpus = vecs(
+    (0, Seq(1.0, 0.0)),
+    (1, Seq(math.cos(0.1), math.sin(0.1))), // closest to 0
+    (2, Seq(math.cos(0.5), math.sin(0.5))),
+    (3, Seq(math.cos(1.2), math.sin(1.2))),
+    (4, Seq(-1.0, 0.0))) // opposite
+
+  test("bruteForceTopK ranks by cosine, excludes self, keeps k") {
+    val q = corpus.where(col("vec_id") === 0)
+    val out = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding",
+      k = 3).orderBy("rank").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Int]("neighbor_id")).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(!out.map(_.getAs[Int]("neighbor_id")).contains(0))
+  }
+
+  test("ivfTopK with full probing matches brute force") {
+    val q = corpus.where(col("vec_id") === 0)
+    // stride 2 → centroids {0,2,4}; nprobe 3 probes all buckets → exact
+    val ivf = Similarity.ivfTopK(q, corpus, "vec_id", "embedding",
+      k = 3, stride = 2, nprobe = 3).orderBy("rank")
+      .select("neighbor_id", "sim").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val bf = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding",
+      k = 3).orderBy("rank")
+      .select("neighbor_id", "sim").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
+  test("assignToCentroids puts every vector in exactly one bucket") {
+    val cents = Similarity.strideCentroids(corpus, "vec_id", "embedding", 2)
+    val assigned = Similarity.assignToCentroids(
+      corpus, cents, "vec_id", "embedding")
+    assert(assigned.count() == 5)
+    assert(assigned.select("vec_id").distinct().count() == 5)
+    // a centroid is its own nearest centroid
+    val self = assigned.where(col("vec_id") === 0).head()
+    assert(self.getAs[Int]("centroid_id") == 0)
+  }
+
+  test("nearDupPairs finds pairs above threshold only") {
+    val out = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.99)
+    val pairs = out.collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    assert(pairs == Seq((0, 1))) // cos(0.1) ≈ 0.995
+  }
+}

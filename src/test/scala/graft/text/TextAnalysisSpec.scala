@@ -1,0 +1,103 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def textDf(texts: String*) = df(
+    StructType(Seq(StructField("text", StringType))),
+    texts.map(Row(_)))
+
+  private def one(text: String, c: org.apache.spark.sql.Column) =
+    textDf(text).select(c).head()
+
+  test("words lowercases and extracts alphanumeric runs") {
+    val r = one("Hello, World! 42 times", TextAnalysis.words(col("text")))
+    assert(r.getSeq[String](0) == Seq("hello", "world", "42", "times"))
+  }
+
+  test("tokenCount counts words") {
+    assert(one("one two three", TextAnalysis.tokenCount(col("text")))
+      .getInt(0) == 3)
+  }
+
+  test("roughTokens keeps punctuation as separate tokens") {
+    val r = one("Hi, there!", TextAnalysis.roughTokens(col("text")))
+    assert(r.getSeq[String](0) == Seq("hi", ",", "there", "!"))
+  }
+
+  test("punctRatio measures symbol density") {
+    val r = one("ab!?", TextAnalysis.punctRatio(col("text"))).getDouble(0)
+    assert(r == 0.5)
+  }
+
+  test("stopwordRatio measures stopword density") {
+    val r = one("the cat sat on the mat",
+      TextAnalysis.stopwordRatio(col("text"))).getDouble(0)
+    assert(math.abs(r - 3.0 / 6.0) < 1e-9) // the, on, the
+  }
+
+  test("qualityScore is in [0,1] and rewards clean prose") {
+    val clean = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away into the quiet green forest to rest for a while"
+    val noisy = "!!! ??? ### $$$ %%%"
+    val qc = one(clean, TextAnalysis.qualityScore(col("text"))).getDouble(0)
+    val qn = one(noisy, TextAnalysis.qualityScore(col("text"))).getDouble(0)
+    assert(qc > qn)
+    assert(qc >= 0.0 && qc <= 1.0 && qn >= 0.0 && qn <= 1.0)
+  }
+
+  test("langId identifies marker-bearing languages") {
+    val cases = Seq(
+      "the cat is on the mat and it is happy" -> "en",
+      "der hund ist nicht mit der katze und das ist gut" -> "de",
+      "le chat est dans la maison et les chiens aussi" -> "fr",
+      "el perro que duerme en la casa y los gatos" -> "es",
+      "这是一个中文句子" -> "zh",
+      "xyzzy qwerty plugh" -> "unknown")
+    cases.foreach { case (text, expected) =>
+      assert(one(text, TextAnalysis.langId(col("text"))).getString(0)
+        == expected, s"for: $text")
+    }
+  }
+
+  test("fingerprint is invariant to case and whitespace") {
+    val a = one("Hello   World", TextAnalysis.fingerprint(col("text")))
+    val b = one("hello world", TextAnalysis.fingerprint(col("text")))
+    val c = one("hello universe", TextAnalysis.fingerprint(col("text")))
+    assert(a.getString(0) == b.getString(0))
+    assert(a.getString(0) != c.getString(0))
+    assert(a.getString(0).length == 32)
+  }
+
+  test("shingleArray builds distinct in-order word n-grams") {
+    val r = one("a b c d a b c d",
+      TextAnalysis.shingleArray(col("text"), 3)).getSeq[String](0)
+    assert(r == Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("shingleArray of short text is empty") {
+    assert(one("a b", TextAnalysis.shingleArray(col("text"), 3))
+      .getSeq[String](0).isEmpty)
+  }
+
+  test("explodeShingles emits one row per distinct shingle") {
+    val d = df(
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("text", StringType))),
+      Seq(Row(1, "a b c d"), Row(2, "x y")))
+    val out = TextAnalysis.explodeShingles(d, "id", "text", 3)
+    assert(out.count() == 2) // doc 1: "a b c","b c d"; doc 2: none
+  }
+
+  test("minShingleHash is deterministic and shingle-order independent") {
+    val a = one("one two three four five",
+      TextAnalysis.minShingleHash(col("text"), 4)).getString(0)
+    val b = one("one two three four five",
+      TextAnalysis.minShingleHash(col("text"), 4)).getString(0)
+    assert(a == b && a.length == 32)
+  }
+}
