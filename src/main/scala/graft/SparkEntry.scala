@@ -273,9 +273,8 @@ object SparkEntry {
 
   /** Language-ID heuristic vs the labeled lang column. */
   private def langIdFacets(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .groupBy(col("lang"),
-        TextAnalysis.langId(col("text")).as("predicted"))
+    TextAnalysis.langIdStaged(docs(s, dir), "text")
+      .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
 
@@ -299,10 +298,14 @@ object SparkEntry {
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
-  /** MinHash-LSH near-dup pairs (signatures → bands → verify). */
+  /** MinHash-LSH near-dup pairs (signatures → bands → verify).
+    * r=4 rows/band: the s-curve crosses at (1/4)^(1/4) ≈ 0.71 — steep
+    * enough that sub-0.2-Jaccard noise pairs (the bulk at corpus scale)
+    * almost never become candidates, while 0.8+ pairs are near-certain.
+    */
   private def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-        n = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -413,14 +416,14 @@ object SparkEntry {
        WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
        ORDER BY id_a, id_b"""
 
-  /** MinHash signature + band CTEs (16 hashes, 8 bands of 2). */
+  /** MinHash signature + band CTEs (16 hashes, 4 bands of 4). */
   private val oracleMinhashCtes: String = {
     val mins = (0 until 16)
       .map(i => s"min(substr(md5('$i|' || shingle), 1, 16)) AS h$i")
       .mkString(", ")
-    val bands = (0 until 8)
+    val bands = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, " +
-        s"md5(h${2 * b} || '|' || h${2 * b + 1}) AS sig FROM sigs")
+        s"md5(${(0 until 4).map(r => s"h${4 * b + r}").mkString(" || '|' || ")}) AS sig FROM sigs")
       .mkString(" UNION ALL ")
     s"""sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        bands AS ($bands),

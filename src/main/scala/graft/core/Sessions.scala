@@ -19,7 +19,8 @@ object Sessions {
   def configure(
       b: SparkSession.Builder,
       shufflePartitions: Int = 32): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

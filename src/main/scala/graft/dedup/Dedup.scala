@@ -75,7 +75,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
+    // Persisted: shingling (regexp + array HOFs per document) feeds the
+    // size aggregate AND both legs of the inverted-index join — without
+    // persist it would run 3×. At warehouse scale: a shingle table.
     val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = maxShingleDf match {
       case Some(cap) =>
         // document-frequency cap: one extra shuffle on shingle, removes
@@ -121,11 +125,14 @@ object Dedup {
     * shingles — map-side partial min means the shuffle carries k
     * hashes per (doc, partition), not per shingle.
     */
+  private def minhashAggs(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => min(minhashExpr(i)).as(s"h$i"))
+
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
-    val aggs = (0 until numHashes).map(i => min(minhashExpr(i)).as(s"h$i"))
+    val aggs = minhashAggs(numHashes)
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -144,11 +151,17 @@ object Dedup {
       struct(lit(bIdx).as("band"),
         md5(concat_ws("|", parts: _*)).as("sig")).as(s"b$bIdx")
     }
+    // Persisted: both legs of the self-join read the banded table; the
+    // signature aggregation upstream is the expensive part and must not
+    // re-run per leg (differently-projected legs defeat exchange
+    // reuse). At warehouse scale this is "write signatures to a table,
+    // then join" — persist is the single-job equivalent.
     val banded = signatures
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands)
         .map(i => col(s"b$i")): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig"))
@@ -166,12 +179,23 @@ object Dedup {
       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // Persisted: shingling runs ONCE and feeds signatures + the verify
+    // join legs + the size aggregate (it would otherwise recompute per
+    // consumer). At warehouse scale: a materialized shingle table.
+    val shAll = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = shAll.groupBy(idCol).agg(
+      minhashAggs(numHashes).head, minhashAggs(numHashes).tail: _*)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
-    // verify candidates with exact Jaccard: join candidate pairs to
-    // shingle sets; intersection via inverted-index join restricted to
-    // candidate pairs (broadcast the candidate list when small)
-    val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify ONLY the candidates with exact Jaccard: the shingle join
+    // is first semi-joined down to candidate documents, so verification
+    // cost scales with the candidate set (tiny), not the corpus —
+    // without this the verify phase degenerates into the full
+    // inverted-index join LSH was meant to avoid.
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val sh = shAll.join(broadcast(candIds), Seq(idCol), "left_semi")
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -248,7 +272,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-block banding is exact only for maxDist <= 3")
+    // Persisted: the 64-bit-sum aggregation would otherwise re-run for
+    // each self-join leg (see lshCandidates). One row per document.
     val sh = simhash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sh.select(col(idCol), col("sim_hi"), col("sim_lo"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),

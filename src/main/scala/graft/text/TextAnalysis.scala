@@ -103,6 +103,33 @@ object TextAnalysis {
       .otherwise(lit("fr"))
   }
 
+  /** Language-ID staged through explicit projections: scores are
+    * materialized as columns BEFORE the argmax CASE references each of
+    * them several times. Semantically identical to [[langId]]; at scale
+    * this keeps the per-row work at 5 score evaluations instead of the
+    * ~30 a collapsed expression tree would pay (Catalyst keeps the
+    * stage because the aliased score expressions are non-cheap and
+    * multiply referenced).
+    */
+  def langIdStaged(
+      df: DataFrame, textCol: String,
+      outCol: String = "predicted"): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val s = langScores(col(textCol))
+    val scored = df.withColumns(
+      langs.map(l => s"__s_$l" -> s(l)).toMap)
+    val best = greatest(langs.map(l => col(s"__s_$l")): _*)
+    scored.withColumn("__best", best)
+      .withColumn(outCol,
+        when(col("__best") === 0, lit("unknown"))
+          .when(col("__s_zh") === col("__best"), lit("zh"))
+          .when(col("__s_en") === col("__best"), lit("en"))
+          .when(col("__s_de") === col("__best"), lit("de"))
+          .when(col("__s_es") === col("__best"), lit("es"))
+          .otherwise(lit("fr")))
+      .drop("__best" +: langs.map(l => s"__s_$l"): _*)
+  }
+
   /** Whole-document fingerprint: md5 of the whitespace-normalized,
     * lowercased text. Identical-content detection robust to case and
     * spacing differences.
