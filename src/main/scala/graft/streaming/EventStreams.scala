@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming operators over the `events` stream
+  * (`event_id long, ts timestamp, user_id long, event_type string,
+  * value double, props string`).
+  *
+  * The reference is batch-only (SURVEY.md §2.9) — these are the
+  * engine's streaming extension, defined so every transform works
+  * identically on a batch DataFrame (the batch twin `q15_events_hourly`
+  * is the correctness anchor) and on a `readStream` source.
+  *
+  * Late-data semantics are explicit: every stateful operator takes a
+  * watermark; events later than the watermark are dropped (documented
+  * choice — the reference has no late-data concept to replicate).
+  *
+  * Scale: tumbling/sliding aggregations shuffle once on (window, key);
+  * session windows and the custom state operator shuffle on the user
+  * key with state pruned by watermark/timeout, so state size tracks
+  * ACTIVE keys, not history.
+  */
+object EventStreams {
+
+  /** Hourly tumbling counts per event type — streaming twin of the
+    * batch `q15_events_hourly`. `approx_count_distinct` stands in for
+    * the batch exact distinct (exact distinct is unsupported in
+    * streaming aggregation; the sketch is the documented trade).
+    */
+  def hourlyCounts(
+      events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"),
+        approx_count_distinct("user_id").as("n_users_approx"))
+
+  /** Sliding-window rates: window length / slide interval per type. */
+  def slidingCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** Session windows per user: a session closes after `gap` of
+    * inactivity.
+    */
+  def sessionize(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"),
+        min("ts").as("first_event"),
+        max("ts").as("last_event"))
+
+  /** Streaming dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped; state is pruned as the watermark
+    * advances (bounded state — the difference between this and
+    * `dropDuplicates`, whose state grows forever).
+    */
+  def dedupEvents(
+      events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** JSON props extraction (`$.k`) + per-type rollup — streaming twin
+    * of `q16_events_props_extract`.
+    */
+  def propsRollup(
+      events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(avg("k").as("avg_k"), count(col("k")).as("n_with_k"))
+
+  // -- custom state (mapGroupsWithState) ---------------------------- //
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserTotals(
+      user_id: Long, n_events: Long, sum_value: Double, n_purchases: Long)
+
+  /** Per-user running totals via `mapGroupsWithState` — the custom-
+    * state extension point for logic windows/aggregations can't
+    * express. State lives for the key's lifetime (NoTimeout); a
+    * deployment bounding state by idleness would switch to
+    * ProcessingTimeTimeout + `state.setTimeoutDuration` and accept that
+    * the engine then self-triggers batches to expire state.
+    */
+  def userRunningTotals(
+      events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent],
+         state: GroupState[UserTotals]) =>
+          val prev = state.getOption
+            .getOrElse(UserTotals(userId, 0L, 0.0, 0L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            acc.copy(
+              n_events = acc.n_events + 1,
+              sum_value = acc.sum_value + e.value,
+              n_purchases =
+                acc.n_purchases + (if (e.event_type == "purchase") 1 else 0))
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class TestEvent(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def t(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def ev(id: Long, time: String, user: Long, typ: String,
+      value: Double = 1.0): TestEvent =
+    TestEvent(id, t(time), user, typ, value, s"""{"k":$id}""")
+
+  private def runQuery[T](
+      stream: MemoryStream[T], out: org.apache.spark.sql.DataFrame,
+      mode: String, name: String): org.apache.spark.sql.DataFrame = {
+    val q = out.writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("hourlyCounts aggregates tumbling windows per event type") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TestEvent]
+    in.addData(
+      ev(1, "10:05", 1, "click"), ev(2, "10:20", 2, "click"),
+      ev(3, "10:40", 1, "purchase", 9.5), ev(4, "11:10", 3, "click"))
+    val res = runQuery(in, EventStreams.hourlyCounts(in.toDF()),
+      "complete", "hourly")
+    val clicks10 = res.where(col("event_type") === "click" &&
+      hour(col("window.start")) === 10).head()
+    assert(clicks10.getAs[Long]("n_events") == 2L)
+    assert(res.where(col("event_type") === "purchase").head()
+      .getAs[Double]("sum_value") == 9.5)
+  }
+
+  test("hourlyCounts streaming result matches the batch twin") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "10:05", 1, "click"), ev(2, "10:20", 2, "click"),
+      ev(3, "10:40", 1, "purchase", 9.5), ev(4, "11:10", 3, "click"))
+    val in = MemoryStream[TestEvent]
+    in.addData(events: _*)
+    val streamed = runQuery(in, EventStreams.hourlyCounts(in.toDF()),
+      "complete", "twin_stream")
+      .select(col("window.start").as("w"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    // identical transform applied to a batch frame
+    val batch = EventStreams.hourlyCounts(events.toDF())
+      .select(col("window.start").as("w"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    assert(streamed.orderBy("w", "event_type").collect().toSeq ==
+      batch.orderBy("w", "event_type").collect().toSeq)
+  }
+
+  test("sessionize merges events within the gap, splits beyond it") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TestEvent]
+    in.addData(
+      ev(1, "10:00", 1, "click"), ev(2, "10:10", 1, "click"), // session 1
+      ev(3, "11:30", 1, "click"), // > 30 min gap → session 2
+      ev(4, "10:05", 2, "click")) // other user
+    val res = runQuery(in,
+      EventStreams.sessionize(in.toDF(), gap = "30 minutes"),
+      "complete", "sessions")
+    assert(res.where(col("user_id") === 1).count() == 2)
+    assert(res.where(col("user_id") === 2).count() == 1)
+    val s1 = res.where(col("user_id") === 1 &&
+      hour(col("session_window.start")) === 10).head()
+    assert(s1.getAs[Long]("n_events") == 2L)
+  }
+
+  test("dedupEvents drops duplicate event_ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TestEvent]
+    in.addData(
+      ev(1, "10:00", 1, "click"), ev(1, "10:01", 1, "click"), // dup id
+      ev(2, "10:02", 2, "click"))
+    val res = runQuery(in, EventStreams.dedupEvents(in.toDF()),
+      "append", "deduped")
+    assert(res.count() == 2)
+    assert(res.select("event_id").distinct().count() == 2)
+  }
+
+  test("propsRollup extracts JSON k per window and type") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TestEvent]
+    in.addData(ev(10, "10:00", 1, "click"), ev(20, "10:30", 2, "click"))
+    val res = runQuery(in, EventStreams.propsRollup(in.toDF()),
+      "complete", "props")
+    val row = res.head()
+    assert(row.getAs[Double]("avg_k") == 15.0)
+    assert(row.getAs[Long]("n_with_k") == 2L)
+  }
+
+  test("userRunningTotals accumulates state across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventStreams.UserEvent]
+    val out = EventStreams.userRunningTotals(in.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("totals").outputMode("update").start()
+    try {
+      in.addData(
+        EventStreams.UserEvent(1, "click", 1.0),
+        EventStreams.UserEvent(1, "purchase", 20.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.UserEvent(1, "click", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update row for user 1 carries the accumulated totals
+    val last = spark.table("totals").where(col("n_events") === 3)
+    assert(last.count() == 1)
+    val row = last.head()
+    assert(row.getAs[Double]("sum_value") == 23.0)
+    assert(row.getAs[Long]("n_purchases") == 1L)
+  }
+}
