@@ -27,6 +27,13 @@ final case class HttpResponse(
   */
 trait HttpTransport {
   def get(url: String, params: Map[String, String]): HttpResponse
+
+  /** JSON POST (the USASpending example source,
+    * validate_federal_awards.py:94). Optional — scripted test
+    * transports that never POST keep the default.
+    */
+  def post(url: String, jsonBody: String): HttpResponse =
+    throw new UnsupportedOperationException(s"POST not supported: $url")
 }
 
 /** java.net.http transport with the reference's 30 s timeout and headers
@@ -48,6 +55,21 @@ final class JdkHttpTransport(userAgent: String) extends HttpTransport {
       .header("Accept", "application/json")
       .GET().build()
     val resp = client.send(req, JdkResponse.BodyHandlers.ofString())
+    toResponse(resp)
+  }
+
+  override def post(url: String, jsonBody: String): HttpResponse = {
+    val req = HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(Duration.ofSeconds(30))
+      .header("User-Agent", userAgent)
+      .header("Accept", "application/json")
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(jsonBody))
+      .build()
+    toResponse(client.send(req, JdkResponse.BodyHandlers.ofString()))
+  }
+
+  private def toResponse(resp: JdkResponse[String]): HttpResponse = {
     val hs = resp.headers().map().asScala.toMap.collect {
       case (k, vs) if !vs.isEmpty => k -> vs.get(0)
     }

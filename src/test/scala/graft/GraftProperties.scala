@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.Fx
+import graft.similarity.Similarity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property tests for the oracle-sensitive primitives
+  * (SURVEY.md §5: surrogate-key determinism, date invariants, vector
+  * math parity). Each case runs one small Spark job; 10 cases per
+  * property keeps the suite fast.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.spark
+
+  private val partGen: Gen[Option[String]] =
+    Gen.option(Gen.choose(0, 20).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaNumChar)))
+
+  property("surrogateKey = md5(parts|None-rendered)[0:12]") =
+    forAll(Gen.nonEmptyListOf(partGen).map(_.take(4))) { parts =>
+      val schema = StructType(parts.indices.map(i =>
+        StructField(s"c$i", StringType, nullable = true)))
+      val row = Row(parts.map(_.orNull): _*)
+      val d = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), schema)
+      val key = d.select(Fx.surrogateKey(
+        parts.indices.map(i => col(s"c$i")): _*)).head().getString(0)
+      val rendered = parts.map(_.getOrElse("None")).mkString("|")
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(rendered.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      key == expected
+    }
+
+  property("dateKey matches yyyyMMdd for any modern date") =
+    forAll(Gen.choose(0L, 40000L)) { epochDay =>
+      val date = java.time.LocalDate.ofEpochDay(epochDay)
+      val got = spark.sql(s"SELECT DATE'$date' AS d")
+        .select(Fx.dateKey(col("d"))).head().getInt(0)
+      got == date.getYear * 10000 +
+        date.getMonthValue * 100 + date.getDayOfMonth
+    }
+
+  property("is_weekend iff Saturday or Sunday") =
+    forAll(Gen.choose(15000L, 25000L)) { epochDay =>
+      val date = java.time.LocalDate.ofEpochDay(epochDay)
+      val got = spark.sql(s"SELECT DATE'$date' AS d")
+        .select(Fx.dateAttributes(col("d"))
+          .find(_._1 == "is_weekend").get._2).head().getBoolean(0)
+      val dow = date.getDayOfWeek
+      got == (dow == java.time.DayOfWeek.SATURDAY ||
+        dow == java.time.DayOfWeek.SUNDAY)
+    }
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.chooseNum(1, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)))
+
+  property("graft_dot equals left-to-right driver-side fold") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val expected = (0 until n).foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val schema = StructType(Seq(
+        StructField("a", ArrayType(DoubleType)),
+        StructField("b", ArrayType(DoubleType))))
+      val d = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(a, b)), 1), schema)
+      val got = d.select(Similarity.dot(col("a"), col("b")))
+        .head().getDouble(0)
+      got == expected // same fold order → bit-identical
+    }
+
+  property("token bucket capacity is never exceeded") =
+    forAll(Gen.choose(1, 120), Gen.choose(0L, 7200L)) { (rate, sec) =>
+      var now = 0L
+      val b = new graft.extract.TokenBucket(rate, () => now, _ => ())
+      now = sec * 1000000000L
+      b.acquire()
+      b.available <= rate.toDouble
+    }
+}
