@@ -138,6 +138,21 @@ final case class ValidationReport(
 
   def toJson: String = Json.render(toDict)
 
+  /** Failure details renderer (report.py:84-99): one block per failed
+    * rule with its column and detail key/values.
+    */
+  def failuresDetail: String =
+    if (failures.isEmpty) "  No failures."
+    else {
+      val blocks = failures.map { r =>
+        val col = r.column.map(c => s"\n        column: $c").getOrElse("")
+        val details = r.details
+          .map { case (k, v) => s"\n        $k: $v" }.mkString
+        s"  FAIL  ${r.ruleName}$col$details"
+      }
+      (s"  Failures ($failCount):" +: blocks).mkString("\n")
+    }
+
   /** One-line-per-rule summary (report.py:52-68). */
   def summary: String = {
     val header =

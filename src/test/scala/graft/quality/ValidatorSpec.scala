@@ -47,6 +47,15 @@ class ValidatorSpec extends SparkSpec {
     assert(r0("severity") == "PASS")
   }
 
+  test("failuresDetail renders failed rules with details (report.py:84-99)") {
+    val rep = validator.validate(messyDf)
+    val out = rep.failuresDetail
+    assert(out.contains("Failures (3):"))
+    assert(out.contains("FAIL  uniqueness_id"))
+    assert(out.contains("duplicate_rows: 2"))
+    assert(validator.validate(cleanDf).failuresDetail == "  No failures.")
+  }
+
   test("toJson renders without error and carries the summary") {
     val j = validator.validate(cleanDf).toJson
     assert(j.contains("\"summary\""))
