@@ -350,6 +350,19 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Capstone: composed training-corpus preparation — exact dedup →
+    * MinHash-LSH near-dup removal → quality floor → language tagging —
+    * summarized per predicted language.
+    */
+  private def corpusPrep(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CorpusPipeline
+      .prepareTrainingCorpus(docs(s, dir), "doc_id", "text",
+        minQuality = 0.3)
+      .groupBy("predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("predicted")
+
   /** Multimodal plumbing over binary payloads (text bytes here; the
     * same path carries image/audio blobs).
     */
@@ -368,36 +381,40 @@ object SparkEntry {
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
 
-  /** Per-document text metric expressions shared by q18/q19. */
+  /** Per-document text metric CTEs (tokens/punct/stop/quality),
+    * composable over any source relation carrying a `text` column.
+    */
   private val oracleWords = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private val oracleStopList = TextAnalysis.stopwords
     .map(w => s"'$w'").mkString(", ")
-  private val oracleMetricsCte =
-    s"""WITH m AS (
-       SELECT doc_id, lang,
+  private def oracleMetricsCtes(src: String): String =
+    s"""m AS (
+       SELECT $src.*,
          len($oracleWords) AS tokens,
          CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
            / CAST(nullif(length(text), 0) AS DOUBLE) AS punct,
          CAST(len(list_filter($oracleWords,
              w -> w IN ($oracleStopList))) AS DOUBLE)
            / CAST(nullif(len($oracleWords), 0) AS DOUBLE) AS stop
-       FROM documents),
+       FROM $src),
        q AS (
-       SELECT doc_id, lang, tokens, punct, stop,
+       SELECT m.*,
          least(CAST(1.0 AS DOUBLE), CAST(tokens AS DOUBLE) / 100.0) * 0.5
            + (1.0 - least(CAST(1.0 AS DOUBLE), coalesce(punct, 0.0) * 5.0)) * 0.25
            + least(CAST(1.0 AS DOUBLE), coalesce(stop, 0.0) * 5.0) * 0.25
            AS quality
        FROM m)"""
+  private val oracleMetricsCte = "WITH " + oracleMetricsCtes("documents")
 
-  /** Distinct word-3-shingle CTE (q23/q24). */
-  private val oracleShingleCte =
-    s"""WITH sh AS (
+  /** Distinct word-3-shingle CTEs (q23/q24/q31). */
+  private val oracleShingleCtes =
+    s"""sh AS (
        SELECT DISTINCT doc_id,
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM (
            SELECT doc_id, $oracleWords AS ws FROM documents),
            LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t),
        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+  private val oracleShingleCte = "WITH " + oracleShingleCtes
 
   /** Exact-Jaccard pair selection from the shingle CTE. */
   private def oracleJaccardSelect(
@@ -463,26 +480,31 @@ object SparkEntry {
     s"round(list_dot_product($a, $b) / nullif(" +
       s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0), 4)"
 
-  private val oracleLangScores: String = {
+  /** Language-ID CTEs (marker scores → precedence argmax), composable
+    * over any source relation carrying a `text` column; `p` passes all
+    * source columns through plus `predicted`.
+    */
+  private def oracleLangCtes(src: String): String = {
     val marker = TextAnalysis.langMarkers.map { case (lang, ws) =>
       lang -> s"len(list_filter($oracleWords, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")})))"
     }
-    s"""WITH s AS (
-       SELECT lang,
+    s"""ls AS (
+       SELECT $src.*,
          ${marker("en")} AS s_en, ${marker("de")} AS s_de,
          ${marker("es")} AS s_es, ${marker("fr")} AS s_fr,
          length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
-       FROM documents),
+       FROM $src),
        p AS (
-       SELECT lang,
+       SELECT ls.*,
          CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unknown'
               WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
               WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
               WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
               WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
               ELSE 'fr' END AS predicted
-       FROM s)"""
+       FROM ls)"""
   }
+  private val oracleLangScores: String = "WITH " + oracleLangCtes("documents")
 
   // ---------------------------------------------------------------- //
   // Contract                                                          //
@@ -519,6 +541,7 @@ object SparkEntry {
     "q28_ann_bruteforce" -> (annBruteForce _),
     "q29_ann_ivf" -> (annIvf _),
     "q30_binary_fingerprints" -> (binaryFingerprints _),
+    "q31_corpus_prep" -> (corpusPrep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -763,5 +786,35 @@ object SparkEntry {
          md5(text) AS fingerprint,
          CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks
          FROM documents ORDER BY doc_id""",
+    "q31_corpus_prep" ->
+      s"""WITH $oracleShingleCtes,
+         $oracleMinhashCtes,
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT ida, idb FROM pairs
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         keep1 AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+         kept AS (
+           SELECT d.* FROM documents d
+           JOIN keep1 USING (doc_id)
+           WHERE d.doc_id NOT IN (SELECT idb FROM verified)),
+         ${oracleMetricsCtes("kept")},
+         qf AS (SELECT * FROM q WHERE quality >= 0.3),
+         ${oracleLangCtes("qf")}
+         SELECT predicted, count(*) AS n_docs,
+           round(avg(quality), 4) AS avg_quality
+         FROM p GROUP BY predicted ORDER BY predicted""",
   )
 }

@@ -1,0 +1,56 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CorpusPipelineSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat watches from the warm window sill nearby and then " +
+    "both animals settle down for a long afternoon nap in the sun"
+
+  private def docs(rows: (Int, String)*) = df(
+    StructType(Seq(
+      StructField("doc_id", IntegerType),
+      StructField("text", StringType))),
+    rows.map { case (i, t) => Row(i, t) })
+
+  test("pipeline drops exact dups, near-dups, and low-quality docs") {
+    val d = docs(
+      (1, base),
+      (2, base.toUpperCase), // exact dup after normalization
+      (3, base.replace("lazy", "sleepy")), // near-dup of 1
+      (4, "!!! ### $$$"), // low quality
+      (5, "catalyst rewrites logical plans with rules while tungsten " +
+        "manages memory and code generation for the executors running " +
+        "on the cluster and the scheduler assigns the tasks"))
+    // r=2 banding (bands=8): high recall at the low 0.3 threshold —
+    // the default r=4 s-curve targets 0.8+ near-dups
+    val out = CorpusPipeline.prepareTrainingCorpus(
+      d, "doc_id", "text", minQuality = 0.3, bands = 8, threshold = 0.3)
+    val kept = out.select("doc_id").collect().map(_.getInt(0)).toSeq.sorted
+    assert(kept == Seq(1, 5))
+    assert(out.columns.contains("predicted"))
+    assert(out.columns.contains("quality"))
+  }
+
+  test("near-dup removal keeps the lowest id of a verified pair") {
+    val d = docs((7, base), (9, base.replace("lazy", "sleepy")))
+    val drops = CorpusPipeline.nearDupDropIds(
+      d, "doc_id", "text", bands = 8, threshold = 0.3)
+    assert(drops.collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("clean distinct corpus passes through unchanged") {
+    val d = docs(
+      (1, base),
+      (2, "catalyst rewrites logical plans with rules while tungsten " +
+        "manages memory and code generation for all the executors in " +
+        "the cluster and the scheduler hands out tasks to everyone"))
+    val out = CorpusPipeline.prepareTrainingCorpus(
+      d, "doc_id", "text", minQuality = 0.1)
+    assert(out.count() == 2)
+  }
+}
