@@ -158,8 +158,25 @@ object TextAnalysis {
   /** Explode a document table into (id, shingle) rows — the input shape
     * for inverted-index joins and MinHash. One row per DISTINCT shingle
     * per document.
+    *
+    * Deliberately NOT `explode(shingleArray(...))`: `array_distinct` on
+    * a k-shingle array is O(k²) interpreted comparisons per document
+    * (hundreds of millions of ops at corpus scale). Exploding positions
+    * and deduping with `distinct()` trades that for one shuffle of
+    * narrow rows, and the shingle assembly (`element_at` + `concat_ws`)
+    * stays inside whole-stage codegen.
     */
   def explodeShingles(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(shingleArray(col(textCol), n)).as("shingle"))
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val withWords = df
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= n)
+    withWords
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0), size(col("__ws")) - n)).as("__i"))
+      .select(col(idCol), concat_ws(" ",
+        (0 until n).map(j => element_at(col("__ws"), col("__i") + j + 1)): _*)
+        .as("shingle"))
+      .distinct()
+  }
 }
