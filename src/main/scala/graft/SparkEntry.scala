@@ -363,6 +363,36 @@ object SparkEntry {
         round(avg("quality"), 4).as("avg_quality"))
       .orderBy("predicted")
 
+  /** CUBE faceting with grouping_id — multi-dimensional rollup beyond
+    * the reference's flat facet counts (free at scale: one shuffle,
+    * partial aggregation per grouping set).
+    */
+  private def orderCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("gid", "o_orderpriority", "o_orderstatus")
+
+  /** As-of join: each purchase event picks up the user's latest
+    * strictly-prior event (any type) — union+window, one shuffle.
+    */
+  private def asofPriorEvent(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        round(col("value"), 2).as("value"))
+    Analytics.asofJoin(
+        purchases, e.select("user_id", "ts", "event_id", "event_type"),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("event_id", "event_type"), strict = true)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("asof_event_id"), col("asof_event_type"))
+      .orderBy("event_id")
+  }
+
   /** Multimodal plumbing over binary payloads (text bytes here; the
     * same path carries image/audio blobs).
     */
@@ -542,6 +572,8 @@ object SparkEntry {
     "q29_ann_ivf" -> (annIvf _),
     "q30_binary_fingerprints" -> (binaryFingerprints _),
     "q31_corpus_prep" -> (corpusPrep _),
+    "q32_order_cube" -> (orderCube _),
+    "q33_asof_prior_event" -> (asofPriorEvent _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -816,5 +848,30 @@ object SparkEntry {
          SELECT predicted, count(*) AS n_docs,
            round(avg(quality), 4) AS avg_quality
          FROM p GROUP BY predicted ORDER BY predicted""",
+    "q32_order_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+         CAST(2 * GROUPING(o_orderpriority) + GROUPING(o_orderstatus)
+           AS INT) AS gid,
+         count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         ORDER BY gid, o_orderpriority, o_orderstatus""",
+    "q33_asof_prior_event" ->
+      """WITH p AS (
+           SELECT event_id, ts, user_id, round(value, 2) AS value
+           FROM events WHERE event_type = 'purchase'),
+         cand AS (
+           SELECT p.event_id, e.event_id AS asof_event_id,
+             e.event_type AS asof_event_type,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+           FROM p JOIN events e
+             ON e.user_id = p.user_id AND e.ts < p.ts)
+         SELECT p.event_id, p.user_id, p.value,
+           c.asof_event_id, c.asof_event_type
+         FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+           USING (event_id)
+         ORDER BY event_id""",
   )
 }

@@ -103,4 +103,54 @@ object Analytics {
     */
   def unionAll(frames: Seq[DataFrame]): DataFrame =
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** As-of join: for each left row, attach the LATEST right row whose
+    * `rightTime` is ≤ (`strict=false`) or < (`strict=true`) the left
+    * row's `leftTime`, within the same `key`. Left rows with no match
+    * keep null asof columns (left-asof semantics). The reference has no
+    * as-of operator (SURVEY.md §2.3) — this is the time-series
+    * extension a financial engine needs.
+    *
+    * Scale design: NOT a range join (whose matched-pair blowup is
+    * O(left × right-per-key)) — both sides are unioned and a single
+    * window pass per key carries the last-seen right values forward
+    * (`last(_, ignoreNulls)` over rows-unbounded-preceding). ONE
+    * shuffle on the key, state = one row of right columns.
+    *
+    * Determinism: right rows tying on time resolve by the prefixed
+    * `rightCols` in order — put a unique id first. Right columns are
+    * carried independently (`last(_, ignoreNulls)` per column), so a
+    * null in a right column falls back to an earlier right row for
+    * that column only — pass non-null right columns (project
+    * `coalesce` defaults first if needed).
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightCols: Seq[String], prefix: String = "asof_",
+      strict: Boolean = false): DataFrame = {
+    require(!left.columns.exists(_.startsWith(prefix)),
+      s"left side must not have columns starting with '$prefix'")
+    // at equal times: inclusive puts right rows first (visible to the
+    // left row), strict puts the left row first (same-time rights hidden)
+    val leftSide = if (strict) 0 else 1
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(leftSide))
+    val r = right.select(
+      (col(key) +: col(rightTime).as("__t") +:
+        rightCols.map(c => col(c).as(prefix + c))): _*)
+      .withColumn("__side", lit(1 - leftSide))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy((col("__t").asc +: col("__side").asc +:
+        rightCols.map(c => col(prefix + c).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.select(unioned.columns.map {
+      case c if c.startsWith(prefix) =>
+        last(col(c), ignoreNulls = true).over(w).as(c)
+      case c => col(c)
+    }: _*)
+    filled.where(col("__side") === leftSide).drop("__t", "__side")
+  }
 }

@@ -103,6 +103,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(Option(out.collect()(1).get(1)).isEmpty)
   }
 
+  private val trades = df(
+    StructType(Seq(
+      StructField("sym", StringType),
+      StructField("t", IntegerType),
+      StructField("px", DoubleType))),
+    Seq(Row("A", 10, 100.0), Row("A", 20, 101.0), Row("A", 30, 102.0),
+      Row("B", 15, 50.0)))
+
+  private val quotes = df(
+    StructType(Seq(
+      StructField("sym", StringType),
+      StructField("t", IntegerType),
+      StructField("qid", IntegerType),
+      StructField("bid", DoubleType))),
+    Seq(Row("A", 5, 1, 99.0), Row("A", 20, 2, 100.5), Row("A", 25, 3, 101.5),
+      Row("B", 99, 4, 49.0)))
+
+  test("asofJoin inclusive picks the latest quote at-or-before each trade") {
+    val out = Analytics.asofJoin(trades, quotes, "sym", "t", "t",
+      Seq("qid", "bid")).orderBy("sym", "t").collect()
+    // A@10 → qid 1; A@20 → qid 2 (equal time included); A@30 → qid 3
+    assert(out.map(r => Option(r.getAs[Any]("asof_qid"))).toSeq ==
+      Seq(Some(1), Some(2), Some(3), None)) // B@15 has no quote ≤ 15
+    assert(out(1).getAs[Double]("asof_bid") == 100.5)
+  }
+
+  test("asofJoin strict excludes same-time right rows") {
+    val out = Analytics.asofJoin(trades, quotes, "sym", "t", "t",
+      Seq("qid", "bid"), strict = true).orderBy("sym", "t").collect()
+    // A@20 now sees only qid 1 (t=5), not the t=20 quote
+    assert(out.map(r => Option(r.getAs[Any]("asof_qid"))).toSeq ==
+      Seq(Some(1), Some(1), Some(3), None))
+  }
+
+  test("asofJoin breaks right-time ties by the first right column") {
+    val dupQuotes = df(
+      StructType(Seq(
+        StructField("sym", StringType),
+        StructField("t", IntegerType),
+        StructField("qid", IntegerType),
+        StructField("bid", DoubleType))),
+      Seq(Row("A", 5, 1, 99.0), Row("A", 5, 2, 98.0)))
+    val out = Analytics.asofJoin(trades, dupQuotes, "sym", "t", "t",
+      Seq("qid", "bid")).where(col("t") === 10).head()
+    assert(out.getAs[Int]("asof_qid") == 2) // max qid wins the tie
+    assert(out.getAs[Double]("asof_bid") == 98.0)
+  }
+
   test("summaryStats computes exact median") {
     val d = df(
       StructType(Seq(StructField("v", DoubleType))),
