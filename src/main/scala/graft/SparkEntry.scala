@@ -393,6 +393,48 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Batch session windows over events (30-min inactivity gap) — the
+    * batch twin of [[graft.streaming.EventStreams.sessionize]].
+    */
+  private def eventSessions(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Running totals + lag over a window frame — per-customer order
+    * history with running revenue.
+    */
+  private def customerRunningTotals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        Fx.dateKey(col("o_orderdate")).as("order_date_key"),
+        round(sum("o_totalprice").over(cum), 2).as("running_total"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        row_number().over(w).as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** Exact interpolated percentiles per market segment. */
+  private def acctbalPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+        round(expr("percentile(c_acctbal, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
   /** Multimodal plumbing over binary payloads (text bytes here; the
     * same path carries image/audio blobs).
     */
@@ -574,6 +616,9 @@ object SparkEntry {
     "q31_corpus_prep" -> (corpusPrep _),
     "q32_order_cube" -> (orderCube _),
     "q33_asof_prior_event" -> (asofPriorEvent _),
+    "q34_event_sessions" -> (eventSessions _),
+    "q35_customer_running_totals" -> (customerRunningTotals _),
+    "q36_acctbal_percentiles" -> (acctbalPercentiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -873,5 +918,40 @@ object SparkEntry {
          FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
            USING (event_id)
          ORDER BY event_id""",
+    "q34_event_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "q35_customer_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_date_key,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+         round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+         FROM orders
+         ORDER BY o_custkey, order_seq""",
+    "q36_acctbal_percentiles" ->
+      """SELECT c_mktsegment,
+         round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+         round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+         round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+         count(*) AS n
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }
