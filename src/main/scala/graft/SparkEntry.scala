@@ -408,6 +408,23 @@ object SparkEntry {
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Sliding-window event rates (1 h window, 15 min slide) — batch twin
+    * of [[graft.streaming.EventStreams.slidingCounts]]. Each event lands
+    * in 4 overlapping windows (explicit row multiplication, epoch-
+    * aligned starts).
+    */
+  private def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
   /** Running totals + lag over a window frame — per-customer order
     * history with running revenue.
     */
@@ -617,6 +634,7 @@ object SparkEntry {
     "q32_order_cube" -> (orderCube _),
     "q33_asof_prior_event" -> (asofPriorEvent _),
     "q34_event_sessions" -> (eventSessions _),
+    "q37_events_sliding" -> (eventsSliding _),
     "q35_customer_running_totals" -> (customerRunningTotals _),
     "q36_acctbal_percentiles" -> (acctbalPercentiles _),
   )
@@ -946,6 +964,12 @@ object SparkEntry {
            ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
          FROM orders
          ORDER BY o_custkey, order_seq""",
+    "q37_events_sliding" ->
+      """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts)
+             - k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q36_acctbal_percentiles" ->
       """SELECT c_mktsegment,
          round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
