@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output goes straight to this process's stdout/stderr —
+// no [info]/[error] log prefixes. Bench prints one bare JSON line that
+// downstream tooling parses; sbt's log decoration would break that.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

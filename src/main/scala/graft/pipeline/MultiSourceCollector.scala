@@ -60,6 +60,34 @@ final class MultiSourceCollector {
     out.toMap
   }
 
+  /** Parallel variant of [[collectAll]] — sources extract concurrently
+    * (the reference's loop is sequential; SURVEY.md §3 E2 flags the
+    * parallel upgrade). Error isolation is preserved per source; result
+    * map keeps registration order. Concurrency is bounded by the passed
+    * execution context; each client's own rate limiter still gates its
+    * HTTP calls.
+    */
+  def collectAllParallel(
+      sourceParams: Map[String, Map[String, Any]] = Map.empty)(
+      implicit ec: scala.concurrent.ExecutionContext)
+    : Map[String, ExtractionResult] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val futures = clients.toSeq.map { case (name, client) =>
+      val params = sourceParams.getOrElse(name, Map.empty[String, Any])
+      name -> Future(client.extract(params)).recover {
+        case e: Exception =>
+          ExtractionResult(
+            source = name, success = false, data = None,
+            rowCount = 0L, durationSeconds = 0.0,
+            errors = Seq(String.valueOf(e.getMessage)))
+      }
+    }
+    futures.map { case (name, f) =>
+      name -> Await.result(f, Duration.Inf)
+    }.toMap
+  }
+
   /** Aggregate telemetry across clients (orchestrator.py:90-102). */
   def telemetry: Map[String, Any] = {
     val perSource = clients.map { case (n, c) => n -> c.telemetry }.toMap

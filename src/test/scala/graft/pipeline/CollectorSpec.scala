@@ -74,6 +74,20 @@ class CollectorSpec extends SparkSpec {
     assert(b.lastParams.isEmpty)
   }
 
+  test("collectAllParallel isolates errors and returns all sources") {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val c = new MultiSourceCollector()
+      .register(new StubClient("good", 3))
+      .register(new StubClient("bad", 0, explode = true))
+      .register(new StubClient("also_good", 4))
+    val out = c.collectAllParallel()
+    assert(out.size == 3)
+    assert(out("good").success)
+    assert(!out("bad").success)
+    assert(out("also_good").success)
+  }
+
   test("telemetry aggregates across clients (test_collector.py:96-109)") {
     val a = new StubClient("a", 1)
     val b = new StubClient("b", 1)
