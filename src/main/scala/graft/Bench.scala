@@ -1,6 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,12 +12,19 @@ object Bench {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up (untimed): JIT/codegen + parquet footer reads, so the
-    // first measured query isn't charged several seconds of JVM warmup
+    // warm-up (untimed): footer reads/file listing for the benchmarked
+    // sfDir's tables (count(*) over parquet is metadata-served) plus one
+    // real query for JIT/codegen warmup
+    tables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => }
+    }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => failed += name }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // cache hygiene: operators persist intermediates (signature /
       // shingle tables); drop them so queries time independently
@@ -24,7 +34,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * All hashing is md5-based and engine-portable (hex strings / 32-bit
   * hex→int), so results are reproducible across engines byte-for-byte.
+  *
+  * Caching: the pairwise operators `persist()` their shingle/signature
+  * intermediates (they feed multiple join legs). Those cache entries
+  * live until the session drops them — long-lived sessions calling
+  * these repeatedly should `spark.catalog.clearCache()` (or
+  * `uncacheTable`) between batches, as `graft.Bench` does.
   */
 object Dedup {
 

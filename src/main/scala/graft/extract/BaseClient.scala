@@ -37,9 +37,10 @@ abstract class BaseClient(
   private lazy val http: HttpTransport =
     Option(transport).getOrElse(
       new JdkHttpTransport(s"graft-engine/$sourceName"))
-  private val bucket = new TokenBucket(rateLimitOrDefault)
+  // lazy: rateLimit is abstract — a subclass implementing it as a val
+  // is uninitialized (0) during this constructor; defer until first use
+  private lazy val bucket = new TokenBucket(math.max(1, rateLimit))
   private val cache = new TtlCache[String](cacheTtlSeconds)
-  private def rateLimitOrDefault: Int = math.max(1, rateLimit)
 
   // Telemetry (base_client.py:98-101,292-304). Driver-side counters.
   @volatile var apiCalls: Int = 0

@@ -41,6 +41,9 @@ trait HttpTransport {
   */
 final class JdkHttpTransport(userAgent: String) extends HttpTransport {
   private val client = HttpClient.newBuilder()
+    // follow redirects like the reference's requests session (the JDK
+    // default is Redirect.NEVER, which would cache 3xx stub bodies)
+    .followRedirects(HttpClient.Redirect.NORMAL)
     .connectTimeout(Duration.ofSeconds(30)).build()
 
   def get(url: String, params: Map[String, String]): HttpResponse = {

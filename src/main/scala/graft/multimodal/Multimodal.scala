@@ -72,10 +72,15 @@ object Multimodal {
       posexplode(split_binary(col(binCol), chunkSize)).as(
         Seq("chunk_idx", "chunk")))
 
-  private def split_binary(bin: Column, chunkSize: Int): Column =
-    transform(
-      sequence(lit(0), chunkCount(bin, chunkSize) - 1),
-      i => substring(bin, i * chunkSize + 1, lit(chunkSize)))
+  private def split_binary(bin: Column, chunkSize: Int): Column = {
+    val n = chunkCount(bin, chunkSize)
+    // sequence(0, -1) yields a DESCENDING [0, -1] in Spark — an empty
+    // payload must produce an empty chunk array, not phantom chunks
+    when(n <= 0, array().cast("array<binary>"))
+      .otherwise(transform(
+        sequence(lit(0), n - 1),
+        i => substring(bin, i * chunkSize + 1, lit(chunkSize))))
+  }
 
   /** Feature-extraction output schema: id + fixed-width float vector. */
   def featureSchema(idType: DataType, dim: Int): StructType = StructType(Seq(

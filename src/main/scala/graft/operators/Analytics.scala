@@ -131,6 +131,8 @@ object Analytics {
       strict: Boolean = false): DataFrame = {
     require(!left.columns.exists(_.startsWith(prefix)),
       s"left side must not have columns starting with '$prefix'")
+    require(!left.columns.exists(Set("__t", "__side")),
+      "left side must not have columns named __t or __side")
     // at equal times: inclusive puts right rows first (visible to the
     // left row), strict puts the left row first (same-time rights hidden)
     val leftSide = if (strict) 0 else 1

@@ -57,7 +57,9 @@ final class MultiSourceCollector {
               errors = Seq(String.valueOf(e.getMessage)))
         }
     }
-    out.toMap
+    // ListMap: plain toMap degrades to an unordered HashMap at 5+
+    // entries, breaking the registration-order contract
+    scala.collection.immutable.ListMap(out.toSeq: _*)
   }
 
   /** Parallel variant of [[collectAll]] — sources extract concurrently
@@ -83,9 +85,9 @@ final class MultiSourceCollector {
             errors = Seq(String.valueOf(e.getMessage)))
       }
     }
-    futures.map { case (name, f) =>
+    scala.collection.immutable.ListMap(futures.map { case (name, f) =>
       name -> Await.result(f, Duration.Inf)
-    }.toMap
+    }: _*)
   }
 
   /** Aggregate telemetry across clients (orchestrator.py:90-102). */

@@ -95,20 +95,29 @@ object Similarity {
     */
   def assignToCentroids(
       corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, roundTo: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, roundTo: Int = 4): DataFrame =
+    assignWithNorm(corpus, centroids, idCol, vecCol, roundTo)
+      .drop("__vn")
+
+  /** [[assignToCentroids]] keeping the per-vector norm as `__vn` so
+    * downstream stages don't recompute it (the norms-once invariant).
+    */
+  private def assignWithNorm(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, roundTo: Int): DataFrame = {
     val cents = broadcast(centroids.select(col("centroid_id"),
       col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
     val scored = corpus
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
       .crossJoin(cents)
-      .select(col(idCol), col(vecCol), col("centroid_id"),
+      .select(col(idCol), col(vecCol), col("__vn"), col("centroid_id"),
         round(cosFromNorms(col(vecCol), col("centroid_vec"),
           col("__vn"), col("__cn")), roundTo).as("csim"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("csim").desc, col("centroid_id").asc)
     scored.withColumn("__r", row_number().over(w))
       .where(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .select(col(idCol), col(vecCol), col("__vn"), col("centroid_id"))
   }
 
   /** IVF top-k search: probe the `nprobe` nearest centroids per query,
@@ -122,7 +131,7 @@ object Similarity {
       k: Int, stride: Int, nprobe: Int,
       roundTo: Int = 4): DataFrame = {
     val cents = strideCentroids(corpus, idCol, vecCol, stride)
-    val assigned = assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
+    val assigned = assignWithNorm(corpus, cents, idCol, vecCol, roundTo)
     val centsN = broadcast(cents.select(col("centroid_id"),
       col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
 
@@ -138,10 +147,10 @@ object Similarity {
       .where(col("__r") <= nprobe)
       .select("query_id", "__qv", "__qn", "centroid_id")
 
-    // search only the probed buckets
+    // search only the probed buckets; norms reused from assignment
     val bucketed = assigned.select(col("centroid_id"),
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"))
+      col("__vn").as("__cn"))
     val sims = broadcast(probed).join(bucketed, Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

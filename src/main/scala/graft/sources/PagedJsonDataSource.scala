@@ -24,9 +24,10 @@ import scala.jdk.CollectionConverters._
   * into typed rows — the same parse plan as driver-side ingest, so the
   * two paths share all semantics.
   *
+  * The `urls` option is NEWLINE-separated (URLs may contain commas):
   * ```scala
   * spark.read.format("graft.sources.PagedJsonDataSource")
-  *   .option("urls", "https://host/q?page=1,https://host/q?page=2")
+  *   .option("urls", "https://host/q?page=1\nhttps://host/q?page=2")
   *   .load()
   *   .select(from_json($"body", UsgsSource.pageSchema).as("g"))
   *   ...
@@ -48,8 +49,10 @@ class PagedJsonDataSource extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // newline-separated: URLs legally contain commas (e.g. Open-Meteo
+    // daily=a,b,c) but never raw newlines
     val urls = Option(properties.get("urls"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     new PagedJsonTable(urls)
   }

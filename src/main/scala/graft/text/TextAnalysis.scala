@@ -114,6 +114,8 @@ object TextAnalysis {
   def langIdStaged(
       df: DataFrame, textCol: String,
       outCol: String = "predicted"): DataFrame = {
+    require(!df.columns.exists(c => c.startsWith("__s_") || c == "__best"),
+      "input must not have columns named __best or starting with __s_")
     val langs = Seq("en", "de", "es", "fr", "zh")
     val s = langScores(col(textCol))
     val scored = df.withColumns(

@@ -45,6 +45,12 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getAs[Array[Byte]]("chunk").length == 2) // tail chunk
   }
 
+  test("chunkBinary of an empty payload yields zero chunks") {
+    val out = Multimodal.chunkBinary(
+      binDf((1, Array.empty[Byte])), "id", "content", 4)
+    assert(out.count() == 0)
+  }
+
   test("chunkCount matches ceil division") {
     val d = binDf((1, new Array[Byte](300)))
     assert(d.select(Multimodal.chunkCount(col("content"), 256))

@@ -18,7 +18,7 @@ class PagedJsonDataSourceSpec extends SparkSpec {
     val u1 = writePage("p1.json", """{"a":1}""")
     val u2 = writePage("p2.json", """{"a":2}""")
     val df = spark.read.format("graft.sources.PagedJsonDataSource")
-      .option("urls", s"$u1,$u2").load()
+      .option("urls", s"$u1\n$u2").load()
     assert(df.columns.toSeq == Seq("page_url", "body"))
     assert(df.rdd.getNumPartitions == 2) // one partition per page
     val rows = df.orderBy("page_url").collect()
