@@ -104,6 +104,51 @@ object Analytics {
   def unionAll(frames: Seq[DataFrame]): DataFrame =
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Equi-join with explicit key salting for pathological skew: left
+    * rows scatter across `salts` sub-keys, the right side replicates
+    * ×`salts`, and the join runs on (key, salt) — the hot key's rows
+    * spread over `salts` tasks instead of one straggler. Results are
+    * identical to the plain join (salt values never affect matching).
+    *
+    * AQE's skew-join handling covers most cases at runtime; this is the
+    * explicit variant for engines/configs without AQE or for skew AQE
+    * can't see (post-shuffle explosion). Cost: right side ×salts — use
+    * only when the right side is small relative to the skew.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      how: String = "inner", salts: Int = 8): DataFrame = {
+    require(salts >= 1)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), how).drop("__salt")
+  }
+
+  /** Two-phase aggregation with salting for skewed GROUP BY keys —
+    * partial aggregation on (key, salt), final on key. Spark's
+    * map-side partial aggregation usually makes this unnecessary; it
+    * matters when partial aggregation is defeated (high-cardinality
+    * map-side state eviction) AND one key dominates. `aggs` must be
+    * decomposable (sum/count/min/max — not avg; build avg from
+    * sum+count).
+    */
+  def saltedSum(
+      df: DataFrame, keyCols: Seq[String], valueCols: Seq[String],
+      salts: Int = 8): DataFrame = {
+    require(salts >= 1)
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val partial = salted
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(sum(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => sum(c).as(c)): _*)
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(sum(valueCols.head).as(s"sum_${valueCols.head}"),
+        valueCols.tail.map(c => sum(c).as(s"sum_$c")): _*)
+  }
+
   /** As-of join: for each left row, attach the LATEST right row whose
     * `rightTime` is ≤ (`strict=false`) or < (`strict=true`) the left
     * row's `leftTime`, within the same `key`. Left rows with no match

@@ -151,6 +151,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.getAs[Double]("asof_bid") == 98.0)
   }
 
+  test("saltedJoin matches the plain join result on skewed keys") {
+    val left = df(
+      StructType(Seq(StructField("k", StringType), StructField("v", IntegerType))),
+      (1 to 50).map(i => Row("hot", i)) ++ Seq(Row("cold", 0)))
+    val right = df(
+      StructType(Seq(StructField("k", StringType), StructField("w", IntegerType))),
+      Seq(Row("hot", 100), Row("cold", 200)))
+    val plain = left.join(right, Seq("k")).orderBy("k", "v")
+      .collect().map(_.toSeq).toSeq
+    val salted = Analytics.saltedJoin(left, right, "k", salts = 4)
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedSum matches direct aggregation") {
+    val d = df(
+      StructType(Seq(StructField("k", StringType), StructField("v", DoubleType))),
+      (1 to 100).map(i => Row(if (i % 10 == 0) "b" else "a", i.toDouble)))
+    val direct = d.groupBy("k").agg(sum("v").as("sum_v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val salted = Analytics.saltedSum(d, Seq("k"), Seq("v"), salts = 4)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(salted.toSeq == direct.toSeq)
+  }
+
   test("summaryStats computes exact median") {
     val d = df(
       StructType(Seq(StructField("v", DoubleType))),
