@@ -88,6 +88,27 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(avg("k").as("avg_k"), count(col("k")).as("n_with_k"))
 
+  // -- batch-sink integration --------------------------------------- //
+
+  /** Micro-batch landing: hand each micro-batch of an aggregated
+    * stream to `land` — the integration point between Structured
+    * Streaming and the engine's batch sinks (StarSchemaBuilder
+    * appends, partitioned Parquet, MERGE-style upserts). Checkpointing
+    * gives at-least-once delivery to `land`; idempotent lands (dedup
+    * on batch id or key) upgrade that to effectively-once.
+    */
+  def foreachBatchSink(
+      stream: DataFrame, checkpointDir: String,
+      outputMode: String = "update")(
+      land: (DataFrame, Long) => Unit)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: java.lang.Long) => land(df.toDF(), id))
+      .start()
+
   // -- custom state (mapGroupsWithState) ---------------------------- //
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

@@ -106,6 +106,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_with_k") == 2L)
   }
 
+  test("foreachBatchSink lands micro-batches into a parquet fact table") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = MemoryStream[TestEvent]
+    val counts = EventStreams.hourlyCounts(in.toDF())
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"))
+    val q = EventStreams.foreachBatchSink(counts, ckpt) { (batch, id) =>
+      if (!batch.isEmpty)
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(s"$out/fact_hourly")
+    }
+    try {
+      in.addData(ev(1, "10:05", 1, "click"), ev(2, "10:20", 2, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$out/fact_hourly")
+    assert(landed.count() >= 1)
+    assert(landed.where(col("event_type") === "click").head()
+      .getAs[Long]("n_events") == 2L)
+  }
+
   test("userRunningTotals accumulates state across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
