@@ -39,6 +39,8 @@ final class StarSchemaBuilder(
     .empty[String, SchemaDefinition]
   private val partitionCols = scala.collection.mutable.Map
     .empty[String, Seq[String]]
+  private val bucketSpecs = scala.collection.mutable.Map
+    .empty[String, (Int, Seq[String])]
   private val tables = scala.collection.mutable.LinkedHashMap
     .empty[String, DataFrame]
 
@@ -51,6 +53,19 @@ final class StarSchemaBuilder(
   /** Register disk partitioning for a table (scale extension). */
   def partitionBy(table: String, cols: Seq[String]): StarSchemaBuilder = {
     partitionCols(table) = cols; this
+  }
+
+  /** Register hash bucketing for a table (scale extension): fact and
+    * dimension bucketed on the same key with the same bucket count
+    * join WITHOUT a shuffle (co-located sort-merge join) — at 100 TB,
+    * the difference between re-shuffling the fact table per query and
+    * never shuffling it. Bucketed tables write via `saveAsTable`
+    * (bucket metadata lives in the catalog).
+    */
+  def bucketBy(
+      table: String, numBuckets: Int, cols: Seq[String]): StarSchemaBuilder = {
+    require(numBuckets > 0 && cols.nonEmpty)
+    bucketSpecs(table) = (numBuckets, cols); this
   }
 
   def registeredTables: Seq[String] = (dims.keys ++ facts.keys).toSeq
@@ -81,17 +96,32 @@ final class StarSchemaBuilder(
         val path = s"$outputPath/$name"
         val writer = df.write.mode(SaveMode.Overwrite)
           .option("compression", "snappy")
-        partitionCols.get(name) match {
-          case Some(cols) if cols.nonEmpty =>
-            writer.partitionBy(cols: _*).parquet(path)
-          case _ => writer.parquet(path)
+        val written = bucketSpecs.get(name) match {
+          case Some((n, cols)) =>
+            // bucketed: catalog-managed table (bucket metadata cannot
+            // live in bare parquet files)
+            val w = writer.format("parquet")
+              .bucketBy(n, cols.head, cols.tail: _*)
+              .sortBy(cols.head, cols.tail: _*)
+            partitionCols.get(name).filter(_.nonEmpty)
+              .fold(w)(p => w.partitionBy(p: _*))
+              .saveAsTable(name)
+            paths(name) = s"table:$name"
+            df.sparkSession.table(name).count()
+          case None =>
+            partitionCols.get(name) match {
+              case Some(cols) if cols.nonEmpty =>
+                writer.partitionBy(cols: _*).parquet(path)
+              case _ => writer.parquet(path)
+            }
+            paths(name) = path
+            // Count what was actually written (footer-served, no
+            // recompute of the upstream plan — and correct for
+            // nondeterministic inputs).
+            df.sparkSession.read.parquet(path).count()
         }
-        // Count what was actually written (footer-served, no recompute of
-        // the upstream plan — and correct for nondeterministic inputs).
-        val written = df.sparkSession.read.parquet(path).count()
         tables(name) = df
         rows(name) = written
-        paths(name) = path
         created += name
       } catch {
         case e: Exception => errors += s"$name: ${e.getMessage}"

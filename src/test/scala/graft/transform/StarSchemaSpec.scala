@@ -76,6 +76,32 @@ class StarSchemaSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/fact_orders").count() == 3)
   }
 
+  test("bucketed fact and dim join without a shuffle (co-located SMJ)") {
+    val b = new StarSchemaBuilder(tmpDir())
+      .addDimension(SchemaDefinition("dim_cust_bkt", "dimension"))
+      .addFact(SchemaDefinition("fact_ord_bkt", "fact"))
+      .bucketBy("dim_cust_bkt", 4, Seq("customer_id"))
+      .bucketBy("fact_ord_bkt", 4, Seq("customer_id"))
+    val res = b.build(Map(
+      "dim_cust_bkt" -> dimCustomer, "fact_ord_bkt" -> factOrders))
+    assert(res.success)
+    assert(res.rowsByTable == Map("dim_cust_bkt" -> 2L, "fact_ord_bkt" -> 3L))
+    // with broadcast disabled, the bucketed join must plan with NO
+    // shuffle exchange: bucket layout co-locates both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("fact_ord_bkt")
+        .join(spark.table("dim_cust_bkt"), "customer_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(j.count() == 2) // customer 3 has no dim row
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS fact_ord_bkt")
+      spark.sql("DROP TABLE IF EXISTS dim_cust_bkt")
+    }
+  }
+
   test("SchemaDefinition rejects bad table types") {
     intercept[IllegalArgumentException] {
       SchemaDefinition("x", "cube")
