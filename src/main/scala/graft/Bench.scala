@@ -1,5 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits ONE JSON line:
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},
+  *    "runs":{...},"failed":[...],"sf":...}
+  *
+  * - `queries.<name>` is the min over SUCCESSFUL runs (this box is
+  *   shared; a GC pause or neighbor burst can inflate one run 5-10x,
+  *   so min-of-n reports the achievable time).
+  * - `runs.<name>` is the full per-run array — so noise (one slow run)
+  *   is distinguishable from regression (all runs slow) when comparing
+  *   rounds, instead of being thrown away by the min.
+  * - Failed runs contribute NO time; a query with zero successful runs
+  *   lands in `failed` and is excluded from `queries` and the total.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_RUNS (runs per query, default 2), SPARK_GRAFT_ONLY
+  * (comma-separated query-name filter — for profiling one query).
+  */
 object Bench {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -7,6 +25,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = graft.core.Sessions.configure(
         SparkSession.builder().master(s"local[$cpus]"),
         shufflePartitions = cpus.toInt)
@@ -20,30 +41,36 @@ object Bench {
       catch { case _: Throwable => }
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name))
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // min of 2 runs: this box is shared, and a single GC pause or
-      // neighbor burst can inflate one query 5-10x; min-of-2 reports
-      // the achievable time
-      val times = (1 to 2).map { _ =>
+    val runTimes = selected.map { case (name, fn) =>
+      val times = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable =>
-          if (!failed.contains(name)) failed += name
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // cache hygiene: operators persist intermediates (signature /
         // shingle tables); drop them so runs time independently
         spark.catalog.clearCache()
-        elapsed
+        if (ok) Some(elapsed) else None
       }
-      name -> times.min
+      if (times.isEmpty) failed += name
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val succeeded = runTimes.collect {
+      case (name, times) if times.nonEmpty => name -> times
+    }
+    val qs = succeeded.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val runsJson = succeeded.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = succeeded.map(_._2.min).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,14 +61,17 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** A2: latest-per-group (pandas groupby().idxmax() — first max wins,
-    * replicated by row_number with a deterministic tie-break).
+  /** A2: latest-per-group (pandas groupby().idxmax() — first max wins).
+    * Runs via the `max_by(struct(*), key)` aggregation form — partial +
+    * final agg, ONE shuffle and no per-partition sort (the window form,
+    * [[Analytics.latestPerGroup]], is result-identical and spec-checked
+    * against this; the agg form is the scale default).
     */
   private def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame =
-    Analytics.latestPerGroup(
+    Analytics.latestPerGroupAgg(
         t(s, dir, "orders"),
         Seq("o_custkey"),
-        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        Seq(col("o_orderdate"), col("o_orderkey")))
       .select(
         col("o_custkey"),
         col("o_orderkey"),

@@ -135,13 +135,25 @@ final class TtlCache[V](
 object TtlCache {
   /** Deterministic key: md5 of url + "|" + params rendered as a sorted
     * JSON object (base_client.py:130-134 `json.dumps(sort_keys=True)`).
+    * Keys/values are JSON-escaped so the encoding is injective — two
+    * different param maps can never render to the same string (a quote
+    * or backslash in a value would otherwise let crafted params collide
+    * on one cache key).
     */
   def cacheKey(url: String, params: Map[String, String]): String = {
     val normalized = params.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\": \"" + v + "\"" }
+      .map { case (k, v) => jsonStr(k) + ": " + jsonStr(v) }
       .mkString("{", ", ", "}")
     md5Hex(url + "|" + normalized)
   }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
 
   def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -51,7 +51,12 @@ object WorldBankSource {
       .where(col("recs").isNotNull)
       .select(explode(col("recs")).as("r"))
       .select(
-        // countryiso3code, falling back to country.id (world_bank.py:140)
+        // countryiso3code, falling back to country.id (world_bank.py:140).
+        // Intentional divergence: the reference's dict.get falls back
+        // only when the KEY is absent, so a present-but-JSON-null value
+        // stays null there; from_json can't distinguish absent from
+        // null, so we coalesce in both cases — strictly more complete
+        // output for records that carry an explicit null iso3 code.
         coalesce(col("r.countryiso3code"), col("r.country.id"))
           .as("country_code"),
         col("r.country.value").as("country_name"),

@@ -44,6 +44,25 @@ object Analytics {
       .drop(rn)
   }
 
+  /** Latest row per group as ONE aggregation — `max_by(struct(*), key)`
+    * with partial (map-side) + final aggregation, no per-partition sort.
+    * Same result as [[latestPerGroup]] with `maxCols.map(_.desc)` when
+    * `maxCols` is a total order (include a unique id last — ties are
+    * otherwise broken arbitrarily, where the window variant is
+    * deterministic). Prefer this at scale: the window variant shuffles
+    * AND sorts every group; this shuffles one partially-aggregated row
+    * per (group, map partition).
+    */
+  def latestPerGroupAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      maxCols: Seq[Column]): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(max_by(all, struct(maxCols: _*)).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** Frequency counts of a (possibly derived) column, descending —
     * pandas `.value_counts().head(k)` (collect_earthquakes.py:64).
     * Partial aggregation map-side, then a k-row top-k — the shuffle
@@ -114,11 +133,20 @@ object Analytics {
     * explicit variant for engines/configs without AQE or for skew AQE
     * can't see (post-shuffle explosion). Cost: right side ×salts — use
     * only when the right side is small relative to the skew.
+    *
+    * `how` is restricted to left-preserving joins: right/full outer
+    * would emit each UNMATCHED right row once per salt replica, so the
+    * identity with the plain join would not hold.
     */
   def saltedJoin(
       left: DataFrame, right: DataFrame, key: String,
       how: String = "inner", salts: Int = 8): DataFrame = {
     require(salts >= 1)
+    val allowed = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(allowed.contains(how.toLowerCase.replace(" ", "")),
+      s"saltedJoin: how='$how' would duplicate unmatched right rows " +
+        "across salt replicas; use inner/left/left_semi/left_anti")
     val saltedLeft = left.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val saltedRight = right.withColumn("__salt",
@@ -162,12 +190,12 @@ object Analytics {
     * (`last(_, ignoreNulls)` over rows-unbounded-preceding). ONE
     * shuffle on the key, state = one row of right columns.
     *
-    * Determinism: right rows tying on time resolve by the prefixed
-    * `rightCols` in order — put a unique id first. Right columns are
-    * carried independently (`last(_, ignoreNulls)` per column), so a
-    * null in a right column falls back to an earlier right row for
-    * that column only — pass non-null right columns (project
-    * `coalesce` defaults first if needed).
+    * Determinism: right rows tying on time resolve by the `rightCols`
+    * in order — put a unique id first. All right columns are carried as
+    * ONE struct through the window (a single `last(struct,
+    * ignoreNulls)`), so every `asof_*` value comes from the SAME right
+    * row even when some right columns are null — no cross-row
+    * stitching.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
@@ -176,8 +204,8 @@ object Analytics {
       strict: Boolean = false): DataFrame = {
     require(!left.columns.exists(_.startsWith(prefix)),
       s"left side must not have columns starting with '$prefix'")
-    require(!left.columns.exists(Set("__t", "__side")),
-      "left side must not have columns named __t or __side")
+    require(!left.columns.exists(Set("__t", "__side", "__asof")),
+      "left side must not have columns named __t, __side or __asof")
     // at equal times: inclusive puts right rows first (visible to the
     // left row), strict puts the left row first (same-time rights hidden)
     val leftSide = if (strict) 0 else 1
@@ -185,19 +213,17 @@ object Analytics {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(leftSide))
     val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +:
-        rightCols.map(c => col(c).as(prefix + c))): _*)
+      col(key), col(rightTime).as("__t"),
+      struct(rightCols.map(col): _*).as("__asof"))
       .withColumn("__side", lit(1 - leftSide))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
-      .orderBy((col("__t").asc +: col("__side").asc +:
-        rightCols.map(c => col(prefix + c).asc)): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__asof").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned.select(unioned.columns.map {
-      case c if c.startsWith(prefix) =>
-        last(col(c), ignoreNulls = true).over(w).as(c)
-      case c => col(c)
-    }: _*)
-    filled.where(col("__side") === leftSide).drop("__t", "__side")
+    val filled = unioned.withColumn("__asof",
+      last(col("__asof"), ignoreNulls = true).over(w))
+    filled.where(col("__side") === leftSide)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(prefix + c)): _*)
   }
 }

@@ -79,12 +79,17 @@ object TextAnalysis {
       "pour", "qui"))
 
   /** Per-language marker-hit score columns (count of marker tokens). */
-  def langScores(c: Column): Map[String, Column] = {
-    val ws = words(c)
+  def langScores(c: Column): Map[String, Column] =
+    langScoresFromWords(words(c), c)
+
+  /** [[langScores]] over an ALREADY-tokenized word array — the shape
+    * [[langIdStaged]] uses so the regexp tokenization runs once per
+    * document, not once per language.
+    */
+  def langScoresFromWords(ws: Column, raw: Column): Map[String, Column] =
     langMarkers.map { case (lang, markers) =>
       lang -> size(filter(ws, w => w.isInCollection(markers)))
-    } + ("zh" -> length(regexp_replace(c, "[^\\u4e00-\\u9fff]", "")))
-  }
+    } + ("zh" -> length(regexp_replace(raw, "[^\\u4e00-\\u9fff]", "")))
 
   /** Heuristic language ID: argmax of marker scores with deterministic
     * precedence zh > en > de > es > fr; all-zero → "unknown". A
@@ -103,22 +108,25 @@ object TextAnalysis {
       .otherwise(lit("fr"))
   }
 
-  /** Language-ID staged through explicit projections: scores are
-    * materialized as columns BEFORE the argmax CASE references each of
-    * them several times. Semantically identical to [[langId]]; at scale
-    * this keeps the per-row work at 5 score evaluations instead of the
-    * ~30 a collapsed expression tree would pay (Catalyst keeps the
-    * stage because the aliased score expressions are non-cheap and
-    * multiply referenced).
+  /** Language-ID staged through explicit projections: the tokenization
+    * is materialized ONCE as a word-array column, the per-language
+    * marker counts over it are materialized as score columns, and only
+    * then does the argmax CASE reference them. Semantically identical
+    * to [[langId]]; at scale this is 1 regexp tokenization + 5 array
+    * scans per row, where the collapsed expression tree would pay ~30
+    * regexp evaluations (Catalyst keeps the stages because the aliased
+    * expressions are non-cheap and multiply referenced).
     */
   def langIdStaged(
       df: DataFrame, textCol: String,
       outCol: String = "predicted"): DataFrame = {
-    require(!df.columns.exists(c => c.startsWith("__s_") || c == "__best"),
-      "input must not have columns named __best or starting with __s_")
+    require(!df.columns.exists(c => c.startsWith("__s_") ||
+        c == "__best" || c == "__ws"),
+      "input must not have columns named __best, __ws or starting with __s_")
     val langs = Seq("en", "de", "es", "fr", "zh")
-    val s = langScores(col(textCol))
-    val scored = df.withColumns(
+    val tokenized = df.withColumn("__ws", words(col(textCol)))
+    val s = langScoresFromWords(col("__ws"), col(textCol))
+    val scored = tokenized.withColumns(
       langs.map(l => s"__s_$l" -> s(l)).toMap)
     val best = greatest(langs.map(l => col(s"__s_$l")): _*)
     scored.withColumn("__best", best)
@@ -129,7 +137,7 @@ object TextAnalysis {
           .when(col("__s_de") === col("__best"), lit("de"))
           .when(col("__s_es") === col("__best"), lit("es"))
           .otherwise(lit("fr")))
-      .drop("__best" +: langs.map(l => s"__s_$l"): _*)
+      .drop("__best" +: "__ws" +: langs.map(l => s"__s_$l"): _*)
   }
 
   /** Whole-document fingerprint: md5 of the whitespace-normalized,

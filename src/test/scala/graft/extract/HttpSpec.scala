@@ -59,4 +59,15 @@ class HttpSpec extends AnyFunSuite {
     val c = TtlCache.cacheKey("http://x/q", Map("a" -> "1", "b" -> "3"))
     assert(a != c)
   }
+
+  test("cache keys escape quotes/backslashes — crafted params cannot " +
+      "collide (ADVICE r02)") {
+    // without escaping, both maps render to the same pseudo-JSON string
+    val a = TtlCache.cacheKey("http://x/q", Map("a" -> "1\", \"b\": \"2"))
+    val b = TtlCache.cacheKey("http://x/q", Map("a" -> "1", "b" -> "2"))
+    assert(a != b)
+    val c = TtlCache.cacheKey("http://x/q", Map("a\\" -> "v"))
+    val d = TtlCache.cacheKey("http://x/q", Map("a" -> "\\v"))
+    assert(c != d)
+  }
 }

@@ -47,6 +47,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.select("__rn").head().getString(0) == "keep-me")
   }
 
+  test("latestPerGroupAgg matches the window variant (max_by form)") {
+    // obs has a DE tie on year; value as second max-col resolves it the
+    // same way the window's (year desc, value desc) does
+    val win = Analytics.latestPerGroup(obs, Seq("country"),
+      Seq(col("year").desc, col("value").desc))
+      .orderBy("country").collect().map(_.toSeq).toSeq
+    val agg = Analytics.latestPerGroupAgg(obs, Seq("country"),
+      Seq(col("year"), col("value")))
+      .orderBy("country").collect().map(_.toSeq).toSeq
+    assert(agg == win)
+  }
+
+  test("latestPerGroupAgg preserves the input column order") {
+    val out = Analytics.latestPerGroupAgg(obs, Seq("country"),
+      Seq(col("year")))
+    assert(out.columns.toSeq == obs.columns.toSeq)
+  }
+
   test("facetCounts orders by count desc") {
     val out = Analytics.facetCounts(obs, col("country"), 10).collect()
     assert(out.head.getString(0) == "US")
@@ -149,6 +167,35 @@ class AnalyticsSpec extends SparkSpec {
       Seq("qid", "bid")).where(col("t") === 10).head()
     assert(out.getAs[Int]("asof_qid") == 2) // max qid wins the tie
     assert(out.getAs[Double]("asof_bid") == 98.0)
+  }
+
+  test("asofJoin carries all right columns from the SAME right row " +
+      "(ADVICE r02: no cross-row stitching on nulls)") {
+    val quotesWithNull = df(
+      StructType(Seq(
+        StructField("sym", StringType),
+        StructField("t", IntegerType),
+        StructField("qid", IntegerType),
+        StructField("bid", DoubleType))),
+      // latest quote before t=10 has a NULL bid; per-column carry would
+      // stitch bid=99.0 from qid 1 next to qid 2
+      Seq(Row("A", 5, 1, 99.0), Row("A", 7, 2, null)))
+    val out = Analytics.asofJoin(trades, quotesWithNull, "sym", "t", "t",
+      Seq("qid", "bid")).where(col("t") === 10).head()
+    assert(out.getAs[Int]("asof_qid") == 2)
+    assert(Option(out.getAs[Any]("asof_bid")).isEmpty) // same row: null
+  }
+
+  test("saltedJoin rejects right/full joins (unmatched rows would " +
+      "replicate per salt)") {
+    val d = df(
+      StructType(Seq(StructField("k", StringType))), Seq(Row("x")))
+    intercept[IllegalArgumentException] {
+      Analytics.saltedJoin(d, d, "k", how = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.saltedJoin(d, d, "k", how = "full_outer")
+    }
   }
 
   test("saltedJoin matches the plain join result on skewed keys") {
