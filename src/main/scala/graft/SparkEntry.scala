@@ -326,10 +326,14 @@ object SparkEntry {
         .as("hamming"))
       .orderBy("id_a", "id_b")
 
-  /** Embedding cosine near-duplicate pairs. */
+  /** Embedding cosine near-duplicate pairs via centroid blocking —
+    * candidates share one of their 2 nearest centroids, then one exact
+    * dot product per candidate (no all-pairs work; the brute-force
+    * [[Similarity.nearDupPairs]] is demoted to the spec oracle).
+    */
   private def embeddingNeardup(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.45)
+    Similarity.nearDupPairsBlocked(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, stride = 50, nprobe = 2)
       .orderBy("id_a", "id_b")
 
   /** Brute-force cosine top-10 neighbors for the first 10 vectors. */
@@ -830,10 +834,22 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
     "q27_embedding_neardup" ->
       s"""WITH e AS (
-           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   WHERE vec_id % 50 = 0),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn <= 2),
+         cands AS (
+           SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+           FROM assign a JOIN assign b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         SELECT ida AS id_a, idb AS id_b,
            ${oracleCos("a.v", "b.v")} AS sim
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         FROM cands JOIN e a ON a.vec_id = ida JOIN e b ON b.vec_id = idb
          WHERE ${oracleCos("a.v", "b.v")} >= 0.45
          ORDER BY id_a, id_b""",
     "q28_ann_bruteforce" ->
@@ -885,7 +901,7 @@ object SparkEntry {
          CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks
          FROM documents ORDER BY doc_id""",
     "q31_corpus_prep" ->
-      s"""WITH $oracleShingleCtes,
+      s"""WITH RECURSIVE $oracleShingleCtes,
          $oracleMinhashCtes,
          pairs AS (
            SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
@@ -898,6 +914,14 @@ object SparkEntry {
            JOIN sizes sa ON sa.doc_id = ida
            JOIN sizes sb ON sb.doc_id = idb
            WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         edges AS (SELECT ida AS a, idb AS b FROM verified
+                   UNION SELECT idb, ida FROM verified),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         drops AS (
+           SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
          keep1 AS (
            SELECT doc_id FROM (
              SELECT doc_id, row_number() OVER (
@@ -907,7 +931,7 @@ object SparkEntry {
          kept AS (
            SELECT d.* FROM documents d
            JOIN keep1 USING (doc_id)
-           WHERE d.doc_id NOT IN (SELECT idb FROM verified)),
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)),
          ${oracleMetricsCtes("kept")},
          qf AS (SELECT * FROM q WHERE quality >= 0.3),
          ${oracleLangCtes("qf")}

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list by iterative
+  * min-label propagation — no graph-library dependency, pure DataFrame
+  * joins, so it runs wherever the engine runs.
+  *
+  * Each node starts labeled with its own id; every iteration each node
+  * takes the min of its label and its neighbors' labels. The minimum id
+  * of a component floods outward one hop per iteration, so the loop
+  * converges in O(component diameter) iterations — near-dup clusters
+  * are short chains in practice, and `maxIter` caps pathological paths.
+  *
+  * Scale design: the per-iteration work is one equi-join of the edge
+  * list against the (one row per node) label table plus a min
+  * aggregation — all shuffle-partitioned by node id, no driver-side
+  * data. Labels are `localCheckpoint`ed each round to truncate lineage
+  * (an iterative plan would otherwise double in depth per round), and
+  * convergence is detected distributedly (a count of changed labels,
+  * not a collect).
+  */
+object ConnectedComponents {
+
+  /** Component label per node: (id, component) where `component` is the
+    * MINIMUM node id in the node's connected component. Nodes appearing
+    * in no edge are absent (callers union isolated nodes as singleton
+    * components if needed).
+    */
+  def components(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("__nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = labels
+        .join(next.withColumnRenamed("component", "__new"), Seq("id"))
+        .where(col("component") =!= col("__new"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

@@ -9,29 +9,36 @@ import org.apache.spark.sql.functions._
   * operators. Stages (each a lazy plan, one pipeline):
   *
   *   1. exact dedup on the normalized-text fingerprint (keep lowest id)
-  *   2. near-duplicate removal via MinHash-LSH verified pairs — greedy
-  *      keep-lowest-id: any document appearing as the higher id of a
-  *      verified pair is dropped (deterministic, order-free)
+  *   2. near-duplicate removal via MinHash-LSH verified pairs,
+  *      clustered into connected components
+  *      ([[ConnectedComponents.components]]) — exactly ONE survivor
+  *      (the minimum id) per near-dup cluster, so chains a~b~c dedup
+  *      correctly (greedy keep-lowest-id would keep both ends)
   *   3. quality floor on [[TextAnalysis.qualityScore]]
   *   4. language tagging via [[TextAnalysis.langIdStaged]]
   *
   * Scale: stage 2's pair set comes from LSH (no all-pairs work); the
-  * anti-join against dropped ids broadcasts the (small) drop list.
-  * Keep-lowest is a conscious simplification of connected-component
-  * clustering: for chains a~b~c it may keep both a and c — the standard
-  * trade in corpus dedup (GraphFrames-style CC is the upgrade path).
+  * component clustering iterates only over the (small) verified-pair
+  * graph; the anti-join against dropped ids broadcasts the drop list.
+  * The CC loop makes stage 2 iterative (driver-controlled, data
+  * distributed) rather than one lazy plan — the standard shape for
+  * label propagation.
   */
 object CorpusPipeline {
 
-  /** Documents dropped by near-dup removal: the higher id of every
-    * verified pair.
+  /** Documents dropped by near-dup removal: every member of a verified
+    * near-dup component EXCEPT the component's minimum id.
     */
   def nearDupDropIds(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame =
-    Dedup.minhashLshPairs(df, idCol, textCol, n, numHashes, bands, threshold)
-      .select(col("id_b").as(idCol)).distinct()
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(
+      df, idCol, textCol, n, numHashes, bands, threshold)
+    ConnectedComponents.components(pairs, "id_a", "id_b")
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+  }
 
   def prepareTrainingCorpus(
       df: DataFrame, idCol: String, textCol: String,

@@ -164,9 +164,9 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: all (id_a < id_b) pairs with
     * rounded cosine ≥ threshold. Exact O(n²/2) pair scan with one dot
-    * product per pair — the brute-force verifier; at corpus scale,
-    * block with [[assignToCentroids]] or SimHash first and verify only
-    * candidate pairs.
+    * product per pair — the brute-force VERIFIER and spec oracle only;
+    * the production path is [[nearDupPairsBlocked]], which does no
+    * all-pairs work.
     */
   def nearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -174,6 +174,65 @@ object Similarity {
     val a = withNorm(corpus, idCol, vecCol, "id_a", "__va", "__na")
     val b = withNorm(corpus, idCol, vecCol, "id_b", "__vb", "__nb")
     a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosFromNorms(col("__va"), col("__vb"),
+          col("__na"), col("__nb")), roundTo).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Multi-probe centroid assignment: each vector lands in its `nprobe`
+    * nearest centroid buckets (not only the nearest). Output: one
+    * (id, centroid_id) row per probe. Multi-probing is the standard
+    * recall lever for centroid blocking — near-identical vectors share
+    * their top centroid with overwhelming probability, and probing 2+
+    * covers pairs that straddle a Voronoi boundary.
+    */
+  def multiAssignToCentroids(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      nprobe: Int, roundTo: Int = 4): DataFrame = {
+    val cents = broadcast(centroids.select(col("centroid_id"),
+      col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
+      .crossJoin(cents)
+      .select(col(idCol), col("centroid_id"),
+        round(cosFromNorms(col(vecCol), col("centroid_vec"),
+          col("__vn"), col("__cn")), roundTo).as("csim"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nprobe)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** Centroid-BLOCKED embedding near-dup pairs — the scale path that
+    * replaces the all-pairs scan: candidates are (id_a < id_b) pairs
+    * sharing at least one of their `nprobe` nearest centroids, verified
+    * with one exact dot product each. Work is Σ(bucket²) over probe
+    * buckets, not n²/2; candidate generation broadcasts only the small
+    * centroid set. Recall < 1.0 is possible for pairs whose probe sets
+    * are disjoint — raise `nprobe` (more buckets per vector) or
+    * `stride` (fewer, bigger buckets) to trade cost for recall;
+    * [[nearDupPairs]] is the exact reference for recall specs.
+    */
+  def nearDupPairsBlocked(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, stride: Int, nprobe: Int = 2,
+      roundTo: Int = 4): DataFrame = {
+    val cents = strideCentroids(corpus, idCol, vecCol, stride)
+    val assigned = multiAssignToCentroids(
+      corpus, cents, idCol, vecCol, nprobe, roundTo)
+    val l = assigned.select(col(idCol).as("id_a"), col("centroid_id"))
+    val r = assigned.select(col(idCol).as("id_b"), col("centroid_id"))
+    // a pair sharing 2 probe buckets would appear twice — dedup BEFORE
+    // the verify joins so each candidate pays exactly one dot product
+    val cands = l.join(r, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = withNorm(corpus, idCol, vecCol, "id_a", "__va", "__na")
+    val b = withNorm(corpus, idCol, vecCol, "id_b", "__vb", "__nb")
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosFromNorms(col("__va"), col("__vb"),
           col("__na"), col("__nb")), roundTo).as("sim"))

@@ -1,0 +1,52 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def edges(rows: (Int, Int)*) = df(
+    StructType(Seq(
+      StructField("id_a", IntegerType),
+      StructField("id_b", IntegerType))),
+    rows.map { case (a, b) => Row(a, b) })
+
+  private def comps(e: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+    ConnectedComponents.components(e, "id_a", "id_b")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  test("a chain collapses to the minimum id") {
+    // 1-2, 2-3, 3-4: min label 1 must flood the whole chain
+    val m = comps(edges((1, 2), (2, 3), (3, 4)))
+    assert(m == Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1))
+  }
+
+  test("disjoint components keep separate labels") {
+    val m = comps(edges((1, 2), (10, 11), (11, 12)))
+    assert(m == Map(1 -> 1, 2 -> 1, 10 -> 10, 11 -> 10, 12 -> 10))
+  }
+
+  test("cycles converge") {
+    val m = comps(edges((1, 2), (2, 3), (3, 1)))
+    assert(m == Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
+  test("edge direction does not matter (undirected)") {
+    // min id arrives via the 'b' side
+    val m = comps(edges((5, 1), (5, 6)))
+    assert(m == Map(1 -> 1, 5 -> 1, 6 -> 1))
+  }
+
+  test("empty edge list yields empty components") {
+    assert(comps(edges()) == Map.empty)
+  }
+
+  test("long path converges within maxIter (label floods one hop per " +
+      "iteration)") {
+    val path = (1 until 12).map(i => (i, i + 1))
+    val m = comps(edges(path: _*))
+    assert(m.values.toSet == Set(1))
+    assert(m.size == 12)
+  }
+}

@@ -43,6 +43,20 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(drops.collect().map(_.getInt(0)).toSeq == Seq(9))
   }
 
+  test("chained near-dups a~b~c keep exactly ONE survivor " +
+      "(connected components, not greedy pairs)") {
+    // a~b and b~c are near-dups but a~c may fall below threshold — the
+    // chain case greedy keep-lowest-id gets wrong (keeps both ends)
+    val d = docs(
+      (1, base),
+      (2, base.replace("lazy", "sleepy")),
+      (3, base.replace("lazy", "sleepy").replace("warm", "cold")))
+    val drops = CorpusPipeline.nearDupDropIds(
+      d, "doc_id", "text", bands = 8, threshold = 0.3)
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(drops == Seq(2, 3)) // component {1,2,3} → survivor 1
+  }
+
   test("clean distinct corpus passes through unchanged") {
     val d = docs(
       (1, base),

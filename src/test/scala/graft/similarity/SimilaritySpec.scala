@@ -85,4 +85,32 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
     assert(pairs == Seq((0, 1))) // cos(0.1) ≈ 0.995
   }
+
+  test("nearDupPairsBlocked emits a subset of brute force, each " +
+      "candidate verified exactly once") {
+    val blocked = Similarity.nearDupPairsBlocked(
+        corpus, "vec_id", "embedding",
+        threshold = 0.9, stride = 2, nprobe = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val brute = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(blocked.toSet.subsetOf(brute.toSet))
+    assert(blocked.length == blocked.distinct.length) // no dup pairs
+    assert(blocked.nonEmpty)
+  }
+
+  test("nearDupPairsBlocked recall is 1.0 on the sf0.001 embeddings " +
+      "at the q27 parameters") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val blocked = Similarity.nearDupPairsBlocked(
+        e, "vec_id", "embedding", threshold = 0.45, stride = 50, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(brute))
+    // recall at these parameters on this distribution: report exactly
+    val recall = if (brute.isEmpty) 1.0
+      else blocked.size.toDouble / brute.size
+    assert(recall >= 0.5, s"blocked recall $recall vs brute ${brute.size}")
+  }
 }
