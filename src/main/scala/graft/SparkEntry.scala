@@ -448,15 +448,21 @@ object SparkEntry {
       .orderBy("o_custkey", "order_seq")
   }
 
-  /** Exact interpolated percentiles per market segment. */
+  /** Exact interpolated percentiles per market segment — exact mode
+    * for oracle value-equality; [[Analytics.percentiles]] with
+    * `approx = true` is the documented 100 TB mode (sketch-based,
+    * decomposable).
+    */
   private def acctbalPercentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .groupBy("c_mktsegment")
-      .agg(
-        round(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
-        round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
-        round(expr("percentile(c_acctbal, 0.75)"), 4).as("p75"),
-        count(lit(1)).as("n"))
+    Analytics.percentiles(
+        t(s, dir, "customer"), Seq("c_mktsegment"), col("c_acctbal"),
+        Seq(0.25, 0.5, 0.75))
+      .select(
+        col("c_mktsegment"),
+        round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p75"), 4).as("p75"),
+        col("n"))
       .orderBy("c_mktsegment")
 
   /** Multimodal plumbing over binary payloads (text bytes here; the
@@ -472,6 +478,53 @@ object SparkEntry {
         md5(col("bin")).as("fingerprint"),
         Multimodal.chunkCount(col("bin"), 256).as("n_chunks"))
       .orderBy("doc_id")
+
+  /** Multimodal header decode, end-to-end through real bytes: PNG
+    * headers are BUILT from doc_id formulas as pure column expressions
+    * (hex-assemble + unhex), then DECODED back by
+    * [[Multimodal.imageHeaderMeta]] — also pure expressions, all
+    * whole-stage codegen. The oracle computes the same formulas
+    * directly, so any encode OR decode bug breaks the hash match.
+    */
+  private def pngHeaderDecode(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val w = (id % 64 + 16).cast("long")
+    val h = (id % 48 + 8).cast("long")
+    val colorType = when(id % 3 === 0, 0)
+      .when(id % 3 === 1, 2).otherwise(6)
+    val headerHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // sig + IHDR
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("08"), lpad(hex(colorType), 2, "0"), lit("000000"))
+    docs(s, dir)
+      .select(id, Multimodal.imageHeaderMeta(unhex(headerHex)).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.channels").as("channels"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL codec roundtrip at table scale: synthesize a PNG per doc_id
+    * (JDK encoder), decode it back with the batched pixel decoder, and
+    * emit dims + mean channel stats. No SQL oracle (DuckDB has no
+    * image codec) → driver records the rows-only check; exact pixel
+    * stats are spec-anchored in MultimodalSpec.
+    */
+  private def imagePixelStats(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.synthesizeTestImages(
+      docs(s, dir).select("doc_id"), "doc_id")
+    Multimodal.decodeImageFeatures(imgs, "id", "png", grid = 2)
+      .select(col("id").as("doc_id"),
+        col("width"), col("height"),
+        round(element_at(col("features"), 5).cast("double"), 4)
+          .as("mean_r"),
+        round(element_at(col("features"), 6).cast("double"), 4)
+          .as("mean_g"),
+        round(element_at(col("features"), 7).cast("double"), 4)
+          .as("mean_b"))
+      .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
@@ -644,6 +697,8 @@ object SparkEntry {
     "q37_events_sliding" -> (eventsSliding _),
     "q35_customer_running_totals" -> (customerRunningTotals _),
     "q36_acctbal_percentiles" -> (acctbalPercentiles _),
+    "q38_png_header_decode" -> (pngHeaderDecode _),
+    "q39_image_pixel_stats" -> (imagePixelStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1004,5 +1059,22 @@ object SparkEntry {
          round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
          count(*) AS n
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // q38: the oracle recomputes the header fields straight from the
+    // doc_id formulas — Spark must round-trip them through actual PNG
+    // header bytes (hex-assemble → unhex → parse), so an encode or
+    // decode defect on either side breaks the match.
+    "q38_png_header_decode" ->
+      """SELECT doc_id,
+         'png' AS format,
+         CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+         CAST(doc_id % 48 + 8 AS BIGINT) AS height,
+         CAST(8 AS INT) AS bit_depth,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                   WHEN doc_id % 3 = 1 THEN 3
+                   ELSE 4 END AS INT) AS channels
+         FROM documents ORDER BY doc_id""",
+    // q39_image_pixel_stats: intentionally no oracle — DuckDB has no
+    // image codec; the driver's rows-only check plus MultimodalSpec's
+    // exact pixel-stat assertions anchor it.
   )
 }

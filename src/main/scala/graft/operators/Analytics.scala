@@ -76,16 +76,47 @@ object Analytics {
 
   /** Scalar summary stats over a numeric column: mean/median/max/sum
     * (collect_earthquakes.py:71-73; validate_federal_awards.py:170-171).
-    * `median` is exact (sort-based) — NOT percentile_approx — because the
-    * oracle compares exact values; flagged as the scale-sensitive choice.
+    *
+    * `approx = false` (default) computes the exact, sort-based median —
+    * required for oracle value-equality, but the median is the one
+    * non-decomposable aggregate here (it buffers the group's values).
+    * At 100 TB pass `approx = true`: `approx_percentile` (t-digest
+    * style sketch, mergeable map-side, bounded memory) replaces it —
+    * THE recommended production mode; `accuracy` trades sketch size for
+    * rank error (1/accuracy relative rank error).
     */
-  def summaryStats(df: DataFrame, c: Column): DataFrame =
+  def summaryStats(
+      df: DataFrame, c: Column,
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    val med =
+      if (approx) percentile_approx(c, lit(0.5), lit(accuracy))
+      else median(c)
     df.agg(
       avg(c).as("mean"),
-      median(c).as("median"),
+      med.cast("double").as("median"),
       max(c).as("max"),
       sum(c.cast("double")).as("sum"),
       count(c).as("count"))
+  }
+
+  /** Grouped interpolated percentiles. `approx = false` is exact
+    * (`percentile`, buffers each group — oracle mode); `approx = true`
+    * is the 100 TB default (`approx_percentile` sketch, decomposable
+    * partial+final aggregation, bounded executor memory).
+    */
+  def percentiles(
+      df: DataFrame, groupCols: Seq[String], c: Column,
+      probs: Seq[Double], approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = probs.map { p =>
+      val e =
+        if (approx) percentile_approx(c, lit(p), lit(accuracy))
+        else percentile(c, lit(p))
+      e.cast("double").as(s"p${(p * 100).round}")
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail :+ count(lit(1)).as("n"): _*)
+  }
 
   /** Generic equi-join helper — the reference's only join op,
     * `pd.merge(left, right, left_on, right_on, how)`

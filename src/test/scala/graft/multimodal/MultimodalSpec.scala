@@ -57,26 +57,105 @@ class MultimodalSpec extends SparkSpec {
       .head().getInt(0) == 2)
   }
 
-  test("stubDecodeFeatures emits fixed-width deterministic features") {
-    val d = binDf((1, "abc".getBytes), (2, "xyz".getBytes))
-    val out = Multimodal.stubDecodeFeatures(d, "id", "content", dim = 8)
-    val rows = out.orderBy("id").collect()
-    assert(rows.length == 2)
-    val f1 = rows(0).getSeq[Float](1)
-    assert(f1.length == 8)
-    assert(f1.forall(v => v >= 0f && v <= 1f))
-    // deterministic: same input → same features
-    val again = Multimodal.stubDecodeFeatures(d, "id", "content", dim = 8)
-      .orderBy("id").collect()(0).getSeq[Float](1)
-    assert(f1 == again)
-    // different payloads → different features
-    assert(f1 != rows(1).getSeq[Float](1))
+  test("imageHeaderMeta decodes PNG IHDR width/height/depth/channels " +
+      "from real codec output") {
+    val png = Multimodal.syntheticPng(37, 21, seed = 1)
+    val out = binDf((1, png))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.getAs[String]("format") == "png")
+    assert(out.getAs[Long]("width") == 37L)
+    assert(out.getAs[Long]("height") == 21L)
+    assert(out.getAs[Int]("bit_depth") == 8)
+    assert(out.getAs[Int]("channels") == 3) // TYPE_INT_RGB → color type 2
   }
 
-  test("stubDecodeFeatures batches partitions without dropping rows") {
-    val many = (1 to 100).map(i => (i, s"payload-$i".getBytes))
-    val out = Multimodal.stubDecodeFeatures(
-      binDf(many: _*), "id", "content", dim = 4, batchSize = 16)
-    assert(out.count() == 100)
+  test("imageHeaderMeta decodes GIF logical-screen dims (LE uint16)") {
+    // GIF89a, 300x7 screen
+    val gif = "GIF89a".getBytes("ASCII") ++
+      Array[Byte](0x2C, 0x01, 7, 0) // 0x012C = 300 LE; 0x0007
+    val out = binDf((1, gif))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.getAs[String]("format") == "gif")
+    assert(out.getAs[Long]("width") == 300L)
+    assert(out.getAs[Long]("height") == 7L)
+  }
+
+  test("imageHeaderMeta yields nulls for unrecognized payloads") {
+    val out = binDf((1, "not an image".getBytes))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.isNullAt(out.fieldIndex("format")))
+    assert(out.isNullAt(out.fieldIndex("width")))
+  }
+
+  test("wavHeaderMeta decodes canonical PCM fmt chunk") {
+    // minimal canonical WAV header: RIFF<size>WAVEfmt <16 LE>
+    // PCM(1), 2 channels, 44100 Hz, block fields, 16 bps, data chunk
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(40)
+      .put("WAVEfmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(176400)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("ASCII")).putInt(4)
+    val out = binDf((1, bb.array()))
+      .select(Multimodal.wavHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.getAs[Int]("channels") == 2)
+    assert(out.getAs[Long]("sample_rate") == 44100L)
+    assert(out.getAs[Int]("bits_per_sample") == 16)
+    assert(out.getAs[Long]("data_bytes") == 4L)
+  }
+
+  test("decodeImageFeatures really decodes pixels: dims + exact mean " +
+      "channel stats of a known image") {
+    // 2x1 image: pure red and pure blue pixels
+    val im = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, 0xff0000)
+    im.setRGB(1, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val out = Multimodal.decodeImageFeatures(
+      binDf((1, bos.toByteArray)), "id", "content", grid = 1).head()
+    assert(out.getAs[Int]("width") == 2)
+    assert(out.getAs[Int]("height") == 1)
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    assert(f.length == 4) // 1x1 luma grid + meanR,G,B
+    assert(math.abs(f(1) - 0.5f) < 1e-6) // meanR: (255+0)/2/255
+    assert(math.abs(f(2) - 0.0f) < 1e-6) // meanG
+    assert(math.abs(f(3) - 0.5f) < 1e-6) // meanB
+  }
+
+  test("decodeImageFeatures is deterministic and batches without " +
+      "dropping rows; undecodable payloads yield null, not exceptions") {
+    val many = (1 to 40).map { i =>
+      if (i % 5 == 0) (i, s"garbage-$i".getBytes)
+      else (i, Multimodal.syntheticPng(8 + i % 7, 6 + i % 5, seed = i))
+    }
+    val out = Multimodal.decodeImageFeatures(
+      binDf(many: _*), "id", "content", grid = 2, batchSize = 8)
+    assert(out.count() == 40)
+    assert(out.where(col("features").isNull).count() == 8)
+    val a = out.orderBy("id").collect().map(_.toSeq)
+    val b = Multimodal.decodeImageFeatures(
+      binDf(many: _*), "id", "content", grid = 2, batchSize = 8)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("decodeImageFeatures roundtrips syntheticPng dims and header " +
+      "meta agrees with the pixel decoder") {
+    val png = Multimodal.syntheticPng(33, 17, seed = 9)
+    val d = binDf((1, png))
+    val pixel = Multimodal.decodeImageFeatures(d, "id", "content").head()
+    val header = d.select(Multimodal.imageHeaderMeta(col("content"))
+      .as("m")).select("m.*").head()
+    assert(pixel.getAs[Int]("width") == 33)
+    assert(header.getAs[Long]("width") == 33L)
+    assert(pixel.getAs[Int]("height") == 17)
+    assert(header.getAs[Long]("height") == 17L)
   }
 }

@@ -233,4 +233,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("sum") == 16.0)
     assert(r.getAs[Long]("count") == 4L)
   }
+
+  test("summaryStats approx mode (the 100 TB path) runs and lands " +
+      "within the data range; exact mode unchanged") {
+    val d = df(
+      StructType(Seq(StructField("v", DoubleType))),
+      (1 to 101).map(i => Row(i.toDouble)))
+    val exact = Analytics.summaryStats(d, col("v")).head()
+    assert(exact.getAs[Double]("median") == 51.0)
+    val approx = Analytics.summaryStats(d, col("v"), approx = true).head()
+    // approx_percentile returns an element of the multiset; with odd n
+    // and high accuracy it is the exact median here
+    assert(approx.getAs[Double]("median") == 51.0)
+    assert(approx.getAs[Double]("mean") == exact.getAs[Double]("mean"))
+  }
+
+  test("percentiles: exact interpolates, approx stays within rank " +
+      "error of exact") {
+    val d = df(
+      StructType(Seq(StructField("g", StringType), StructField("v", DoubleType))),
+      (1 to 100).map(i => Row("a", i.toDouble)))
+    val exact = Analytics.percentiles(
+      d, Seq("g"), col("v"), Seq(0.25, 0.5, 0.75)).head()
+    assert(exact.getAs[Double]("p25") == 25.75)
+    assert(exact.getAs[Double]("p50") == 50.5)
+    assert(exact.getAs[Double]("p75") == 75.25)
+    assert(exact.getAs[Long]("n") == 100L)
+    val approx = Analytics.percentiles(
+      d, Seq("g"), col("v"), Seq(0.25, 0.5, 0.75), approx = true).head()
+    assert(math.abs(approx.getAs[Double]("p50") - 50.5) <= 1.0)
+    assert(math.abs(approx.getAs[Double]("p25") - 25.75) <= 1.0)
+  }
 }
