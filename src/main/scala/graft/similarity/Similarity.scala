@@ -120,6 +120,42 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("__vn"), col("centroid_id"))
   }
 
+  /** Deterministic centroid refinement — k-MEDIANS, not k-means, on
+    * purpose: the per-dimension EXACT median is selection-based (order
+    * statistics + midpoint), so unlike a mean it has no
+    * summation-order dependence and reproduces bit-for-bit across
+    * engines, partitionings, and runs. Init = [[strideCentroids]];
+    * each iteration assigns every vector to its nearest centroid
+    * (broadcast, rounded-cosine ranking) and re-centers each bucket at
+    * its per-dimension median, rounded to 6 decimals to pin the
+    * cross-engine value.
+    *
+    * Scale: per iteration, one broadcast assignment pass + one
+    * aggregation of (centroid, dim) cells — the explode multiplies
+    * rows by the embedding dim, but the aggregate is partial+final
+    * (percentile buffers per (centroid, dim) group, bounded by bucket
+    * size, and the 100 TB variant swaps in `approx_percentile`).
+    */
+  def kMediansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      stride: Int, iters: Int = 2, roundTo: Int = 4): DataFrame = {
+    var cents = strideCentroids(corpus, idCol, vecCol, stride)
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
+      val cells = assigned
+        .select(col("centroid_id"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(round(percentile(col("x"), lit(0.5)), 6).as("m"))
+      cents = cells.groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("__pm"))
+        .select(col("centroid_id"),
+          transform(col("__pm"), p => p.getField("m")).as("centroid_vec"))
+    }
+    cents
+  }
+
   /** IVF top-k search: probe the `nprobe` nearest centroids per query,
     * then brute-force only within the probed buckets. Approximate (a
     * true neighbor assigned to an unprobed bucket is missed) — that's
@@ -129,8 +165,19 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       k: Int, stride: Int, nprobe: Int,
+      roundTo: Int = 4): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, idCol, vecCol, k,
+      strideCentroids(corpus, idCol, vecCol, stride), nprobe, roundTo)
+
+  /** [[ivfTopK]] over a caller-supplied centroid table (e.g.
+    * [[kMediansCentroids]]) — the index "training" is swappable, the
+    * search path is one code path.
+    */
+  def ivfTopKWithCentroids(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, cents: DataFrame, nprobe: Int,
       roundTo: Int = 4): DataFrame = {
-    val cents = strideCentroids(corpus, idCol, vecCol, stride)
     val assigned = assignWithNorm(corpus, cents, idCol, vecCol, roundTo)
     val centsN = broadcast(cents.select(col("centroid_id"),
       col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
