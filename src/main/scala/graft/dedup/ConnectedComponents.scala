@@ -27,10 +27,25 @@ object ConnectedComponents {
     * MINIMUM node id in the node's connected component. Nodes appearing
     * in no edge are absent (callers union isolated nodes as singleton
     * components if needed).
+    *
+    * Logs a warning if `maxIter` is hit before convergence (a component
+    * with diameter > maxIter would be silently split otherwise); use
+    * [[componentsWithStatus]] to act on convergence programmatically.
     */
   def components(
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    componentsWithStatus(edges, aCol, bCol, maxIter)._1
+
+  /** [[components]] plus whether the propagation actually converged
+    * within `maxIter` iterations. `converged == false` means at least
+    * one component's min label was still in flight when the loop cut
+    * off — its members carry different labels and downstream dedup
+    * would under-drop.
+    */
+  def componentsWithStatus(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): (DataFrame, Boolean) = {
     val sym = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -46,19 +61,23 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("component").as("__nbr"))
+      // carry the previous label through the checkpoint so detecting
+      // convergence is a filter-count over materialized rows, not a
+      // second join-job per iteration
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__prev"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      val changed = labels
-        .join(next.withColumnRenamed("component", "__new"), Seq("id"))
-        .where(col("component") =!= col("__new"))
-        .count()
-      labels = next
+      val changed = next.where(col("component") =!= col("__prev")).count()
+      labels = next.select("id", "component")
       converged = changed == 0
       iter += 1
     }
-    labels
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected components did not converge within $maxIter " +
+          "iterations; labels may split components (raise maxIter)")
+    (labels, converged)
   }
 }

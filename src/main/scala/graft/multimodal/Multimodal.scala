@@ -125,17 +125,31 @@ object Multimodal {
     val fmt = when(mime === "image/png", "png")
       .when(mime === "image/gif", "gif")
       .when(upper(hex(substring(bin, 1, 2))) === "424D", "bmp")
-    val width = when(mime === "image/png", beUInt(bin, 17, 4))
-      .when(mime === "image/gif", leUInt(bin, 7, 2))
-      .when(fmt === "bmp", leUInt(bin, 19, 4))
-    val height = when(mime === "image/png", beUInt(bin, 21, 4))
-      .when(mime === "image/gif", leUInt(bin, 9, 2))
-      .when(fmt === "bmp", leUInt(bin, 23, 4))
-    val bitDepth = when(mime === "image/png", beUInt(bin, 25, 1))
-      .when(fmt === "bmp", leUInt(bin, 29, 2))
-    val channels = when(mime === "image/png",
-        pngChannels(beUInt(bin, 26, 1)))
-      .when(mime === "image/gif", lit(3))
+    // a payload truncated mid-header must yield null fields, not a
+    // bogus value parsed from however many bytes remain: substring
+    // silently shortens, so gate each format on its minimum header
+    // length (PNG IHDR through color type = 26, GIF logical screen =
+    // 10, BMP BITMAPINFOHEADER through bit count = 30)
+    val len = length(bin)
+    val isPng = mime === "image/png" && len >= 26
+    val isGif = mime === "image/gif" && len >= 10
+    val isBmp = fmt === "bmp" && len >= 30
+    // BMP biWidth/biHeight are SIGNED LE int32 — biHeight is negative
+    // for top-down row order; magnitude is the pixel height either way
+    def bmpSigned(off: Int): Column = {
+      val u = leUInt(bin, off, 4)
+      abs(when(u > Int.MaxValue, u - 4294967296L).otherwise(u))
+    }
+    val width = when(isPng, beUInt(bin, 17, 4))
+      .when(isGif, leUInt(bin, 7, 2))
+      .when(isBmp, bmpSigned(19))
+    val height = when(isPng, beUInt(bin, 21, 4))
+      .when(isGif, leUInt(bin, 9, 2))
+      .when(isBmp, bmpSigned(23))
+    val bitDepth = when(isPng, beUInt(bin, 25, 1))
+      .when(isBmp, leUInt(bin, 29, 2))
+    val channels = when(isPng, pngChannels(beUInt(bin, 26, 1)))
+      .when(isGif, lit(3))
     struct(fmt.as("format"), width.as("width"), height.as("height"),
       bitDepth.cast("int").as("bit_depth"), channels.cast("int")
         .as("channels"))
@@ -147,8 +161,11 @@ object Multimodal {
     * nulls (batch-decoder territory).
     */
   def wavHeaderMeta(bin: Column): Column = {
+    // 44 = canonical header through the data-chunk size; shorter
+    // payloads are truncated and must yield nulls, not misreads
     val isWav = upper(hex(substring(bin, 1, 4))) === "52494646" &&
-      upper(hex(substring(bin, 9, 8))) === "57415645666D7420"
+      upper(hex(substring(bin, 9, 8))) === "57415645666D7420" &&
+      length(bin) >= 44
     struct(
       when(isWav, leUInt(bin, 23, 2)).cast("int").as("channels"),
       when(isWav, leUInt(bin, 25, 4)).as("sample_rate"),
@@ -279,8 +296,13 @@ object Multimodal {
             case i: Int => i.toLong
             case other => other.hashCode.toLong
           }
+          // floorMod: a negative id (hashCode fallback for string ids)
+          // must still yield positive dimensions — BufferedImage throws
+          // on w/h <= 0 and one bad row must not kill the scan
           val png = syntheticPng(
-            (id % 24 + 8).toInt, (id % 16 + 8).toInt, (id % 7).toInt)
+            (math.floorMod(id, 24) + 8).toInt,
+            (math.floorMod(id, 16) + 8).toInt,
+            math.floorMod(id, 7).toInt)
           Row(r.get(idIdx), png)
         }
       }

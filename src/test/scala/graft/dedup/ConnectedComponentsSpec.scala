@@ -49,4 +49,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.values.toSet == Set(1))
     assert(m.size == 12)
   }
+
+  test("componentsWithStatus reports convergence, and non-convergence " +
+      "when maxIter is smaller than the component diameter") {
+    val path = (1 until 8).map(i => (i, i + 1))
+    val (_, ok) = ConnectedComponents.componentsWithStatus(
+      edges(path: _*), "id_a", "id_b")
+    assert(ok)
+    val (labels, bad) = ConnectedComponents.componentsWithStatus(
+      edges(path: _*), "id_a", "id_b", maxIter = 2)
+    assert(!bad)
+    // truncated propagation: labels exist but are not all the min id
+    assert(labels.collect().map(_.getInt(1)).toSet != Set(1))
+  }
 }

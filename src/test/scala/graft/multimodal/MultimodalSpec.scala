@@ -82,6 +82,63 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Long]("height") == 7L)
   }
 
+  test("imageHeaderMeta nulls the numeric fields for payloads truncated " +
+      "mid-header instead of misreading the bytes that remain") {
+    val truncatedPng = Multimodal.syntheticPng(37, 21, seed = 1).take(20)
+    val truncatedGif = "GIF89a".getBytes("ASCII") ++ Array[Byte](0x2C)
+    val out = binDf((1, truncatedPng), (2, truncatedGif))
+      .select(col("id"), Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("id", "m.*").orderBy("id").collect()
+    assert(out(0).getAs[String]("format") == "png")
+    assert(out(0).isNullAt(out(0).fieldIndex("width")))
+    assert(out(0).isNullAt(out(0).fieldIndex("height")))
+    assert(out(1).getAs[String]("format") == "gif")
+    assert(out(1).isNullAt(out(1).fieldIndex("width")))
+  }
+
+  test("imageHeaderMeta sign-extends the BMP int32 height (top-down " +
+      "BMPs store it negative)") {
+    // BITMAPINFOHEADER: 14-byte file header + 40-byte info header;
+    // biWidth=64, biHeight=-32 (top-down), biBitCount=24
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0)
+      .putInt(54).putInt(40).putInt(64).putInt(-32)
+      .putShort(1).putShort(24)
+    val out = binDf((1, bb.array()))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.getAs[String]("format") == "bmp")
+    assert(out.getAs[Long]("width") == 64L)
+    assert(out.getAs[Long]("height") == 32L)
+    assert(out.getAs[Int]("bit_depth") == 24)
+  }
+
+  test("wavHeaderMeta nulls fields for a RIFF/WAVE payload truncated " +
+      "before the canonical 44-byte header ends") {
+    val bb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(24)
+      .put("WAVEfmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(176400)
+    val out = binDf((1, bb.array()))
+      .select(Multimodal.wavHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.isNullAt(out.fieldIndex("channels")))
+    assert(out.isNullAt(out.fieldIndex("sample_rate")))
+  }
+
+  test("synthesizeTestImages handles negative ids (string-id hashCode " +
+      "fallback) without crashing the partition") {
+    val d = df(
+      StructType(Seq(StructField("id", LongType))),
+      Seq(Row(-17L), Row(3L), Row(Long.MinValue)))
+    val out = Multimodal.synthesizeTestImages(d, "id")
+    assert(out.count() == 3)
+    val decoded = Multimodal.decodeImageFeatures(out, "id", "png")
+    assert(decoded.where(col("width").isNull).count() == 0)
+  }
+
   test("imageHeaderMeta yields nulls for unrecognized payloads") {
     val out = binDf((1, "not an image".getBytes))
       .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
