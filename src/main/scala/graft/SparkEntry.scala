@@ -357,6 +357,24 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF over k-MEDIANS-refined centroids — same search path as q29
+    * with the index "training" swapped in: stride init, two refinement
+    * iterations, exact per-dimension medians (selection-based order
+    * statistics, so centroids reproduce bit-for-bit across engines —
+    * a mean would inherit summation-order noise).
+    */
+  private def annIvfKmedians(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.kMediansCentroids(
+      e, "vec_id", "embedding", stride = 50, iters = 2)
+    Similarity.ivfTopKWithCentroids(
+        e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 10, cents, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -699,6 +717,7 @@ object SparkEntry {
     "q36_acctbal_percentiles" -> (acctbalPercentiles _),
     "q38_png_header_decode" -> (pngHeaderDecode _),
     "q39_image_pixel_stats" -> (imagePixelStats _),
+    "q40_ann_kmedians" -> (annIvfKmedians _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1076,5 +1095,58 @@ object SparkEntry {
     // q39_image_pixel_stats: intentionally no oracle — DuckDB has no
     // image codec; the driver's rows-only check plus MultimodalSpec's
     // exact pixel-stat assertions anchor it.
+    "q40_ann_kmedians" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dims AS (
+           SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM e)))
+             AS pos),
+         c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+                WHERE vec_id % 50 = 0),
+         a1 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN c0 c) WHERE rn = 1),
+         m1 AS (
+           SELECT cid, pos, round(median(v[pos]), 6) AS m
+           FROM a1 CROSS JOIN dims GROUP BY cid, pos),
+         c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m1
+                GROUP BY cid),
+         a2 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN c1 c) WHERE rn = 1),
+         m2 AS (
+           SELECT cid, pos, round(median(v[pos]), 6) AS m
+           FROM a2 CROSS JOIN dims GROUP BY cid, pos),
+         c2 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m2
+                GROUP BY cid),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN c2 c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM q CROSS JOIN c2 c) WHERE rn <= 3),
+         s AS (
+           SELECT qid, a.vec_id AS nid, ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> qid),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 }

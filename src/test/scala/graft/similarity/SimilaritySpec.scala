@@ -79,6 +79,42 @@ class SimilaritySpec extends SparkSpec {
     assert(self.getAs[Int]("centroid_id") == 0)
   }
 
+  test("kMediansCentroids re-centers each bucket at its per-dimension " +
+      "median and keeps centroid ids/dims") {
+    val cl = vecs(
+      (0, Seq(1.0, 0.0)), (1, Seq(0.99, 0.01)), (2, Seq(0.98, -0.01)),
+      (10, Seq(0.0, 1.0)), (11, Seq(0.01, 0.99)), (12, Seq(-0.01, 0.98)))
+    // stride 10 → init centroids {0, 10}, one per cluster
+    val cents = Similarity.kMediansCentroids(
+      cl, "vec_id", "embedding", stride = 10, iters = 2)
+    val m = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(m.keySet == Set(0, 10))
+    assert(m.values.forall(_.length == 2))
+    // cluster A medians: x = median(1.0, 0.99, 0.98), y = median(0, ±0.01)
+    assert(math.abs(m(0)(0) - 0.99) < 1e-9)
+    assert(math.abs(m(0)(1) - 0.0) < 1e-9)
+    assert(math.abs(m(10)(0) - 0.0) < 1e-9)
+    assert(math.abs(m(10)(1) - 0.99) < 1e-9)
+  }
+
+  test("ivfTopKWithCentroids over k-medians centroids reaches useful " +
+      "recall vs brute force on the sf0.001 embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 10)
+    val cents = Similarity.kMediansCentroids(
+      e, "vec_id", "embedding", stride = 50, iters = 2)
+    val ivf = Similarity.ivfTopKWithCentroids(
+        q, e, "vec_id", "embedding", k = 10, cents, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"k-medians IVF recall $recall")
+  }
+
   test("nearDupPairs finds pairs above threshold only") {
     val out = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.99)
     val pairs = out.collect()
