@@ -375,6 +375,60 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic hash-based train/val/test split over orders — pure
+    * column expression (no shuffle, no rand()), so the assignment is
+    * identical across engines, runs, and table growth. Summarized per
+    * split to pin the exact membership via count + price sum.
+    */
+  private def hashSplitCounts(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.hashSplit(
+        t(s, dir, "orders"), "o_orderkey",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("split")
+
+  /** EXACT stratified sample: ceil(10% · stratum size) orders per
+    * priority, membership pinned by the deterministic min-hash rank.
+    * The key sum makes the oracle compare the exact sampled set, not
+    * just its size.
+    */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.stratifiedSampleExact(
+        t(s, dir, "orders"), "o_orderkey", Seq("o_orderpriority"), 0.1)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum(col("o_orderkey").cast("double")), 1).as("key_sum"))
+      .orderBy("o_orderpriority")
+
+  /** Text normalization + PII redaction, membership pinned by md5 of
+    * the transformed strings (not just row counts). A deterministic
+    * email/phone/SSN per doc is appended before redaction so the scrub
+    * path is exercised even on a clean corpus.
+    */
+  private def textNormalizeRedact(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(col("text"),
+      lit(" Contact: user"), col("doc_id").cast("string"),
+      lit("@example.com, call 555-123-4567 or 123-45-6789."))
+    val red = TextAnalysis.redactPii(synth)
+    docs(s, dir).select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("norm_md5"),
+        md5(red).as("redacted_md5"),
+        TextAnalysis.piiCount(red).cast("int").as("n_pii"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level collocation mining: top-15 adjacent word bigrams.
+    * One explode + one shuffle; the n-gram assembly stays in codegen.
+    */
+  private def topBigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(15)
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -718,6 +772,10 @@ object SparkEntry {
     "q38_png_header_decode" -> (pngHeaderDecode _),
     "q39_image_pixel_stats" -> (imagePixelStats _),
     "q40_ann_kmedians" -> (annIvfKmedians _),
+    "q41_hash_split" -> (hashSplitCounts _),
+    "q42_stratified_sample" -> (stratifiedSample _),
+    "q43_normalize_redact" -> (textNormalizeRedact _),
+    "q44_top_bigrams" -> (topBigrams _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1148,5 +1206,63 @@ object SparkEntry {
            FROM s)
          SELECT qid AS query_id, nid AS neighbor_id, sim, rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q41_hash_split" ->
+      """WITH s AS (
+           SELECT *, CAST(('0x' || substr(
+               md5('split' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 AS h
+           FROM orders),
+         lab AS (
+           SELECT *, CASE WHEN h < 0.8 THEN 'train'
+                          WHEN h < 0.9 THEN 'val'
+                          ELSE 'test' END AS split
+           FROM s)
+         SELECT split, count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM lab GROUP BY split ORDER BY split""",
+    "q42_stratified_sample" ->
+      """WITH h AS (
+           SELECT *, CAST(('0x' || substr(
+               md5('sample' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 AS hf
+           FROM orders),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY hf ASC, o_orderkey ASC) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM h)
+         SELECT o_orderpriority, count(*) AS n_sampled,
+           round(sum(CAST(o_orderkey AS DOUBLE)), 1) AS key_sum
+         FROM r WHERE rn <= ceil(n * 0.1)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q43_normalize_redact" ->
+      """WITH r AS (
+           SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(
+               text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com, call 555-123-4567 or 123-45-6789.',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS red
+           FROM documents)
+         SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_md5,
+           md5(red) AS redacted_md5,
+           CAST(len(regexp_extract_all(red, '<(EMAIL|PHONE|SSN)>'))
+             AS INT) AS n_pii
+         FROM r ORDER BY doc_id""",
+    "q44_top_bigrams" ->
+      """WITH w AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+         b AS (
+           SELECT ws[i] || ' ' || ws[i+1] AS bigram FROM w,
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t)
+         SELECT bigram, count(*) AS n FROM b
+         GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 15""",
   )
 }

@@ -165,6 +165,61 @@ object TextAnalysis {
             slice(ws, i + 1, lit(n))))))
   }
 
+  // ---------------------------------------------------------------- //
+  // Normalization / redaction / n-grams                               //
+  // ---------------------------------------------------------------- //
+
+  /** Canonical text normalization for dedup keys and training corpora:
+    * lowercase → strip everything but letters/digits/whitespace
+    * (unicode classes, so CJK and accented text survive) → collapse
+    * whitespace runs → trim. Pure expression, zero shuffle; the regex
+    * classes are RE2-compatible so the same pattern reproduces in
+    * other engines.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", ""),
+      "\\s+", " "))
+
+  /** PII patterns redacted by [[redactPii]] — (regex, replacement).
+    * Anchored on word boundaries, no lookaround (RE2-portable).
+    * Order matters: SSN before phone so `123-45-6789` is never
+    * half-eaten by a phone pattern.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** Redact emails / SSNs / phone numbers to typed placeholder tokens —
+    * the minimum-viable PII scrub a training-data pipeline runs before
+    * anything else sees the text. Chained `regexp_replace` columns
+    * (whole-stage codegen, embarrassingly parallel).
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
+  /** Count of redacted PII placeholder tokens in already-redacted
+    * text.
+    */
+  def piiCount(redacted: Column): Column =
+    size(regexp_extract_all(redacted, lit("<(EMAIL|PHONE|SSN)>"), lit(0)))
+
+  /** Adjacent word bigrams ("a b") as an array column — the n-gram
+    * surface for collocation mining over a corpus. Empty array for
+    * documents under two tokens.
+    */
+  def bigrams(c: Column): Column = {
+    val ws = words(c)
+    when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
   /** Explode a document table into (id, shingle) rows — the input shape
     * for inverted-index joins and MinHash. One row per DISTINCT shingle
     * per document.

@@ -1,0 +1,101 @@
+package graft.sampling
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def ids(n: Int) =
+    spark.range(n).select(col("id"),
+      (col("id") % 5).cast("string").as("stratum"))
+
+  test("hashFraction lands in [0, 1) and is deterministic") {
+    val h = ids(500)
+      .select(Sampling.hashFraction(col("id"), "s").as("h"))
+    assert(h.where(col("h") < 0 || col("h") >= 1).count() == 0)
+    assert(h.distinct().count() > 400) // spreads, not constant
+    val a = h.collect().map(_.getDouble(0)).toSeq
+    val b = ids(500)
+      .select(Sampling.hashFraction(col("id"), "s").as("h"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+
+  test("hashSplit labels every row with one split at roughly the " +
+      "requested fractions") {
+    val out = Sampling.hashSplit(ids(2000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 120 && counts("val") < 280)
+  }
+
+  test("hashSplit assignments are stable when the table grows (old " +
+      "rows never migrate between splits)") {
+    val small = Sampling.hashSplit(ids(300), "id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = Sampling.hashSplit(ids(900), "id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    small.foreach { case (id, s) => assert(big(id) == s) }
+  }
+
+  test("different salts give independent splits") {
+    val a = Sampling.hashSplit(ids(400), "id",
+      Seq("x" -> 0.5, "y" -> 0.5), salt = "a")
+    val b = Sampling.hashSplit(ids(400), "id",
+      Seq("x" -> 0.5, "y" -> 0.5), salt = "b")
+    val agree = a.select(col("id"), col("split").as("sa"))
+      .join(b.select(col("id"), col("split").as("sb")), "id")
+      .where(col("sa") === col("sb")).count()
+    assert(agree > 100 && agree < 300) // ~half agree by chance
+  }
+
+  test("stratifiedSampleExact keeps exactly ceil(fraction * n) rows " +
+      "per stratum") {
+    val out = Sampling.stratifiedSampleExact(
+      ids(1003), "id", Seq("stratum"), 0.1)
+    val byStratum = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = ids(1003).groupBy("stratum").count()
+      .collect().map(r => r.getString(0) ->
+        math.ceil(r.getLong(1) * 0.1).toLong).toMap
+    assert(byStratum == expected)
+  }
+
+  test("stratifiedSampleExact is a deterministic subset of the input") {
+    val a = Sampling.stratifiedSampleExact(
+      ids(500), "id", Seq("stratum"), 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSampleExact(
+      ids(500), "id", Seq("stratum"), 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.forall(_ < 500))
+  }
+
+  test("stratifiedSampleByHash approximates the fraction without a " +
+      "shuffle and nests by fraction (5% sample is inside the 20%)") {
+    val big = Sampling.stratifiedSampleByHash(ids(2000), "id", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val small = Sampling.stratifiedSampleByHash(ids(2000), "id", 0.05)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big)) // same salt → thresholds nest
+    assert(big.size > 300 && big.size < 500)
+  }
+
+  test("perGroupSample keeps n rows per group, all of a smaller group") {
+    val d = ids(100) // strata of 20 each
+    val out = Sampling.perGroupSample(d, "id", Seq("stratum"), 7)
+    val counts = out.groupBy("stratum").count()
+      .collect().map(_.getLong(1))
+    assert(counts.forall(_ == 7))
+    val tiny = Sampling.perGroupSample(
+      ids(3), "id", Seq("stratum"), 7)
+    assert(tiny.count() == 3)
+  }
+}

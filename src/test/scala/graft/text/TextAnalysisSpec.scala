@@ -14,6 +14,43 @@ class TextAnalysisSpec extends SparkSpec {
   private def one(text: String, c: org.apache.spark.sql.Column) =
     textDf(text).select(c).head()
 
+  test("normalizeText lowercases, strips symbols, collapses whitespace, " +
+      "keeps unicode letters") {
+    assert(one("  Héllo,   WORLD!!\t(42) ",
+      TextAnalysis.normalizeText(col("text"))).getString(0) ==
+      "héllo world 42")
+    assert(one("中文 文本。", TextAnalysis.normalizeText(col("text")))
+      .getString(0) == "中文 文本")
+  }
+
+  test("redactPii replaces emails, SSNs, and phone numbers with typed " +
+      "placeholders; piiCount counts them") {
+    val in = "Mail a.b+c@ex-1.org or call 555.123.4567; ssn 123-45-6789."
+    val red = one(in, TextAnalysis.redactPii(col("text"))).getString(0)
+    assert(red == "Mail <EMAIL> or call <PHONE>; ssn <SSN>.")
+    assert(one(in,
+      TextAnalysis.piiCount(TextAnalysis.redactPii(col("text"))))
+      .getInt(0) == 3)
+  }
+
+  test("redactPii leaves clean text untouched, and an SSN is never " +
+      "half-eaten by the phone pattern") {
+    val clean = "no pii here, just 12-34 numbers 12345"
+    assert(one(clean, TextAnalysis.redactPii(col("text")))
+      .getString(0) == clean)
+    assert(one("123-45-6789", TextAnalysis.redactPii(col("text")))
+      .getString(0) == "<SSN>")
+  }
+
+  test("bigrams emits adjacent word pairs, empty under two tokens") {
+    assert(one("The quick brown fox", TextAnalysis.bigrams(col("text")))
+      .getSeq[String](0) == Seq("the quick", "quick brown", "brown fox"))
+    assert(one("single", TextAnalysis.bigrams(col("text")))
+      .getSeq[String](0).isEmpty)
+    assert(one("", TextAnalysis.bigrams(col("text")))
+      .getSeq[String](0).isEmpty)
+  }
+
   test("words lowercases and extracts alphanumeric runs") {
     val r = one("Hello, World! 42 times", TextAnalysis.words(col("text")))
     assert(r.getSeq[String](0) == Seq("hello", "world", "42", "times"))
