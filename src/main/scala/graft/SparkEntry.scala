@@ -429,6 +429,42 @@ object SparkEntry {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(15)
 
+  /** Range (interval) join: orders land in OVERLAPPING price bands —
+    * a genuine interval containment join (a point can match several
+    * bands), planned as a bucketized equi-join instead of the
+    * nested-loop a naive theta-join would produce.
+    */
+  private def rangeJoinPriceBands(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(20).select(
+      col("id").as("band_id"),
+      (col("id") * 25000.0).as("lo"),
+      (col("id") * 25000.0 + 40000.0).as("hi"))
+    val pts = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    Analytics.rangeJoin(pts, bands, "o_totalprice", "lo", "hi",
+        bucketWidth = 25000.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("band_id")
+  }
+
+  /** HyperLogLog approximate distinct (the 100 TB cardinality path —
+    * constant memory per group vs countDistinct's exact shuffle of
+    * every distinct value) asserted against the exact count in-query:
+    * `within_5pct` must be 1 for every group or the oracle compare
+    * fails. Spark's HLL++ is deterministic (hash-based, merge is
+    * register-max), so this is a stable assertion, not a flaky one.
+    */
+  private def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")) <=
+          col("n_exact").cast("double") * lit(0.05))
+          .cast("int").as("within_5pct"))
+      .orderBy("event_type")
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -776,6 +812,8 @@ object SparkEntry {
     "q42_stratified_sample" -> (stratifiedSample _),
     "q43_normalize_redact" -> (textNormalizeRedact _),
     "q44_top_bigrams" -> (topBigrams _),
+    "q45_range_join_bands" -> (rangeJoinPriceBands _),
+    "q46_approx_distinct" -> (approxDistinctUsers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1264,5 +1302,23 @@ object SparkEntry {
                AS i) t)
          SELECT bigram, count(*) AS n FROM b
          GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 15""",
+    "q45_range_join_bands" ->
+      """WITH bands AS (
+           SELECT i AS band_id, i * 25000.0 AS lo,
+             i * 25000.0 + 40000.0 AS hi
+           FROM (SELECT unnest(range(0, 20)) AS i))
+         SELECT band_id, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM bands JOIN orders
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band_id ORDER BY band_id""",
+    // within_5pct = 1 on the oracle side is an ASSERTION on the Spark
+    // HLL estimate's error, not a tautology: if the estimate drifts
+    // past 5% the hash compare fails.
+    "q46_approx_distinct" ->
+      """SELECT event_type,
+         count(DISTINCT user_id) AS n_exact,
+         CAST(1 AS INT) AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -257,4 +257,42 @@ object Analytics {
       .select(left.columns.map(col) ++
         rightCols.map(c => col(s"__asof.$c").as(prefix + c)): _*)
   }
+
+  /** Range (interval) join: each point row pairs with every interval
+    * row whose [lo, hi) contains the point. A naive formulation is a
+    * theta-join — Spark plans it as BroadcastNestedLoopJoin or a
+    * cartesian product, both O(points × intervals). This one
+    * bucketizes: intervals replicate into each `bucketWidth`-wide
+    * bucket they overlap, points map to exactly one bucket, and the
+    * join becomes an EQUI-join on bucket id (hash-partitioned, AQE-
+    * friendly) with the range predicate as a residual filter. Every
+    * matching (point, interval) pair meets in exactly one bucket — the
+    * point's — so no dedup pass is needed.
+    *
+    * Cost: interval rows replicate ×(span / bucketWidth + 1). Pick
+    * `bucketWidth` near the typical interval span so replication stays
+    * O(1) per interval; the shuffle then carries ~|points| +
+    * ~|intervals| rows instead of the theta-join's full cross product.
+    */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!(points.columns ++ intervals.columns).contains("__bucket"),
+      "inputs must not have a column named __bucket")
+    val w = lit(bucketWidth)
+    // lo > hi would make sequence() count DOWN and fabricate buckets;
+    // such intervals are empty under [lo, hi) — drop them up front
+    val ivals = intervals
+      .where(col(loCol) < col(hiCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(loCol) / w).cast("long"),
+        floor(col(hiCol) / w).cast("long"))))
+    val pts = points.withColumn("__bucket",
+      floor(col(pointCol) / w).cast("long"))
+    pts.join(ivals, Seq("__bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
 }

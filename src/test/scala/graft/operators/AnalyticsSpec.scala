@@ -264,4 +264,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(approx.getAs[Double]("p50") - 50.5) <= 1.0)
     assert(math.abs(approx.getAs[Double]("p25") - 25.75) <= 1.0)
   }
+
+  private def rjPoints = df(
+    StructType(Seq(
+      StructField("pid", IntegerType), StructField("v", DoubleType))),
+    Seq(Row(1, 0.0), Row(2, 5.0), Row(3, 9.99), Row(4, 10.0),
+      Row(5, 25.0), Row(6, 99.5), Row(7, -3.0)))
+
+  private def rjIvals = df(
+    StructType(Seq(
+      StructField("iid", IntegerType),
+      StructField("lo", DoubleType), StructField("hi", DoubleType))),
+    Seq(
+      Row(10, 0.0, 10.0),   // [0,10): pids 1,2,3; boundary 10.0 excluded
+      Row(11, 5.0, 30.0),   // overlapping, spans buckets
+      Row(12, -10.0, 0.5),  // negative lo
+      Row(13, 90.0, 200.0), // long interval, many buckets
+      Row(14, 50.0, 50.0),  // empty [x,x)
+      Row(15, 60.0, 40.0))) // inverted — must not fabricate matches
+
+  test("rangeJoin matches the naive theta-join exactly (boundaries " +
+      "exclusive-hi, overlaps, negatives, empty and inverted intervals)") {
+    for (width <- Seq(1.0, 7.0, 64.0)) {
+      val got = Analytics.rangeJoin(rjPoints, rjIvals, "v", "lo", "hi", width)
+        .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1)))
+        .toSet
+      val want = rjPoints.crossJoin(rjIvals)
+        .where(col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1)))
+        .toSet
+      assert(got == want, s"width=$width")
+      assert(got.contains((4, 11)) && !got.contains((4, 10))) // hi exclusive
+    }
+  }
+
+  test("rangeJoin plans as an equi-join on buckets, not a nested-loop " +
+      "or cartesian join") {
+    val j = Analytics.rangeJoin(rjPoints, rjIvals, "v", "lo", "hi", 10.0)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
