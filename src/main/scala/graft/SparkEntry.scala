@@ -691,15 +691,24 @@ object SparkEntry {
        ORDER BY id_a, id_b"""
 
   /** MinHash signature + band CTEs (16 hashes, 4 bands of 4). */
+  /** Mirrors Dedup's Carter-Wegman family: one md5 per shingle, two
+    * 32-bit halves, member i = h1 + i·h2 (exact in BIGINT).
+    */
   private val oracleMinhashCtes: String = {
     val mins = (0 until 16)
-      .map(i => s"min(substr(md5('$i|' || shingle), 1, 16)) AS h$i")
+      .map(i => s"min(h1 + $i * h2) AS h$i")
       .mkString(", ")
     val bands = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, " +
-        s"md5(${(0 until 4).map(r => s"h${4 * b + r}").mkString(" || '|' || ")}) AS sig FROM sigs")
+        s"md5(${(0 until 4).map(r => s"CAST(h${4 * b + r} AS VARCHAR)")
+          .mkString(" || '|' || ")}) AS sig FROM sigs")
       .mkString(" UNION ALL ")
-    s"""sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    s"""shh AS (
+         SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+           CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+         FROM sh),
+       sigs AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
        bands AS ($bands),
        cands AS (
          SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb

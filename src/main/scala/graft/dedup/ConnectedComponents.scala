@@ -46,9 +46,16 @@ object ConnectedComponents {
   def componentsWithStatus(
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): (DataFrame, Boolean) = {
-    val sym = edges
+    // materialize the (possibly expensive) edge plan ONCE before
+    // symmetrizing: union(edges, edges.flip) would otherwise embed the
+    // upstream plan twice, and both legs would recompute it in the
+    // same job — for an LSH-derived edge list that doubles the whole
+    // MinHash pipeline
+    val e0 = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()

@@ -117,27 +117,38 @@ object Dedup {
   // MinHash + LSH                                                    //
   // ---------------------------------------------------------------- //
 
-  /** Engine-portable hash family: member i of the family maps a shingle
-    * to the first 16 hex chars of md5(i + "|" + shingle). Lexicographic
-    * MIN over uniformly-distributed fixed-length hex strings is a valid
-    * min-hash permutation, and both Spark and DuckDB produce identical
-    * lowercase md5 hex — reproducibility across engines for free.
+  /** Engine-portable MinHash family from ONE md5 per shingle: the
+    * digest's two leading 32-bit halves (h1, h2) seed the
+    * Carter-Wegman family  h_i = h1 + i·h2.  With h1, h2 < 2^32 and
+    * i ≤ 31 every value stays < 2^37 — exact in a 64-bit long and in
+    * any engine's BIGINT, no modulo, no per-member rehash. Numeric MIN
+    * over h_i is the min-hash permutation. One md5 per (doc, shingle)
+    * row instead of `numHashes` md5s — the hashing that dominates
+    * MinHash cost at corpus scale drops ~numHashes×.
     */
-  def minhashExpr(i: Int): Column =
-    substring(md5(concat(lit(i.toString), lit("|"), col("shingle"))), 1, 16)
+  private def shingleHashHalves(idCol: String): Seq[Column] = {
+    val d = md5(col("shingle"))
+    Seq(col(idCol),
+      conv(substring(d, 1, 8), 16, 10).cast("long").as("__h1"),
+      conv(substring(d, 9, 8), 16, 10).cast("long").as("__h2"))
+  }
 
-  /** MinHash signatures: one row per document, columns h0..h(k-1).
-    * ALL k mins compute in a single aggregation over the exploded
-    * shingles — map-side partial min means the shuffle carries k
-    * hashes per (doc, partition), not per shingle.
+  /** MinHash signature aggregates over (__h1, __h2) rows: one row per
+    * document, columns h0..h(k-1). ALL k mins compute in a single
+    * aggregation — map-side partial min means the shuffle carries k
+    * longs per (doc, partition), not per shingle.
     */
-  private def minhashAggs(numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i => min(minhashExpr(i)).as(s"h$i"))
+  private def minhashAggs(numHashes: Int): Seq[Column] = {
+    require(numHashes <= 32, "h1 + i*h2 stays exact for i < 32")
+    (0 until numHashes).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"h$i"))
+  }
 
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+      .select(shingleHashHalves(idCol): _*)
     val aggs = minhashAggs(numHashes)
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
@@ -153,7 +164,7 @@ object Dedup {
       bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { bIdx =>
       val parts = (0 until rowsPerBand)
-        .map(r => col(s"h${bIdx * rowsPerBand + r}"))
+        .map(r => col(s"h${bIdx * rowsPerBand + r}").cast("string"))
       struct(lit(bIdx).as("band"),
         md5(concat_ws("|", parts: _*)).as("sig")).as(s"b$bIdx")
     }
@@ -190,7 +201,7 @@ object Dedup {
     // consumer). At warehouse scale: a materialized shingle table.
     val shAll = TextAnalysis.explodeShingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = shAll.groupBy(idCol).agg(
+    val sigs = shAll.select(shingleHashHalves(idCol): _*).groupBy(idCol).agg(
       minhashAggs(numHashes).head, minhashAggs(numHashes).tail: _*)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
