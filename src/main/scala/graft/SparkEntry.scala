@@ -448,6 +448,22 @@ object SparkEntry {
       .orderBy("band_id")
   }
 
+  /** Audio codec roundtrip: synthesize a REAL PCM16 WAV per document
+    * (square wave parameterized by doc_id), decode it back through the
+    * batch PCM parser, and emit signal stats. Every sample of a square
+    * wave is ±amplitude, so decoded RMS and peak both equal the
+    * amplitude EXACTLY — the oracle recomputes them analytically from
+    * doc_id without any audio stack.
+    */
+  private def wavRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val wavs = Multimodal.synthesizeTestWavs(
+      docs(s, dir).select("doc_id"), "doc_id")
+    Multimodal.decodeWavStats(wavs, "id", "wav")
+      .select(col("id").as("doc_id"), col("channels"), col("sample_rate"),
+        col("n_samples"), col("peak"), round(col("rms"), 4).as("rms"))
+      .orderBy("doc_id")
+  }
+
   /** HyperLogLog approximate distinct (the 100 TB cardinality path —
     * constant memory per group vs countDistinct's exact shuffle of
     * every distinct value) asserted against the exact count in-query:
@@ -823,6 +839,7 @@ object SparkEntry {
     "q44_top_bigrams" -> (topBigrams _),
     "q45_range_join_bands" -> (rangeJoinPriceBands _),
     "q46_approx_distinct" -> (approxDistinctUsers _),
+    "q47_wav_roundtrip" -> (wavRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1329,5 +1346,15 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_exact,
          CAST(1 AS INT) AS within_5pct
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // analytic roundtrip: the synthesized square wave's RMS and peak
+    // are exactly its amplitude, so the oracle needs no audio codec
+    "q47_wav_roundtrip" ->
+      """SELECT doc_id,
+         CAST(1 AS INT) AS channels,
+         CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+         CAST(400 + (doc_id % 5) * 200 AS BIGINT) AS n_samples,
+         CAST(1000 + (doc_id % 20) * 1500 AS INT) AS peak,
+         CAST(1000 + (doc_id % 20) * 1500 AS DOUBLE) AS rms
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -274,6 +274,129 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode: parse the RIFF/WAVE canonical header + PCM16
+    * mono samples and emit per-payload signal statistics —
+    * (id, channels, sample_rate, n_samples, peak, rms). The batch
+    * shape mirrors [[decodeImageFeatures]] (partition-parallel, one
+    * corrupt payload yields nulls, never a stage kill). RMS/peak over
+    * int16 samples are exact in double (sums < 2^53), so results are
+    * bit-stable across engines and partitionings.
+    */
+  def decodeWavStats(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val session = df.sparkSession
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("peak", IntegerType),
+      StructField("rms", DoubleType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.get(binIdx) match {
+            case b: Array[Byte] => b
+            case _ => Array.empty[Byte]
+          }
+          decodeWavOne(bytes) match {
+            case Some((ch, rate, n, peak, rms)) =>
+              Row(r.get(idIdx), ch, rate, n, peak, rms)
+            case None => Row(r.get(idIdx), null, null, null, null, null)
+          }
+        }
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode one canonical PCM16 WAV payload: (channels, sample_rate,
+    * n_samples, peak, rms). None for non-WAV / truncated / non-PCM16
+    * payloads.
+    */
+  private[multimodal] def decodeWavOne(
+      bytes: Array[Byte]): Option[(Int, Long, Long, Int, Double)] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bytes.slice(0, 4).sameElements("RIFF".getBytes("ASCII")) &&
+        bytes.slice(8, 16).sameElements("WAVEfmt ".getBytes("ASCII"))) {
+      val audioFormat = bb.getShort(20)
+      val channels = bb.getShort(22).toInt
+      val rate = Integer.toUnsignedLong(bb.getInt(24))
+      val bps = bb.getShort(34)
+      val dataBytes = math.min(
+        Integer.toUnsignedLong(bb.getInt(40)), (bytes.length - 44).toLong)
+      if (audioFormat != 1 || bps != 16 || channels < 1) return None
+      val n = dataBytes / 2
+      var i = 0L
+      var peak = 0
+      var sumSq = 0.0
+      while (i < n) {
+        val s = bb.getShort(44 + 2 * i.toInt).toInt
+        if (math.abs(s) > peak) peak = math.abs(s)
+        sumSq += s.toDouble * s
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      Some((channels, rate, n / channels, peak, rms))
+    } else None
+  }
+
+  /** Attach a REAL encoded PCM16 WAV payload per row, parameterized
+    * from a numeric id: a square wave (every sample ±amplitude), so
+    * decoded RMS and peak both equal the amplitude EXACTLY — the
+    * decode roundtrip has an analytic oracle.
+    */
+  def synthesizeTestWavs(
+      df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val session = df.sparkSession
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("wav", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.get(idIdx) match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case other => other.hashCode.toLong
+          }
+          val rate = 8000 + math.floorMod(id, 3).toInt * 4000
+          val n = 400 + math.floorMod(id, 5).toInt * 200
+          val amp = 1000 + math.floorMod(id, 20).toInt * 1500
+          Row(r.get(idIdx), squareWav(rate, n, amp))
+        }
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
+
+  /** Canonical mono PCM16 WAV bytes: `n` samples of a square wave with
+    * period 8 (4 samples +amp, 4 samples -amp) at `rate` Hz.
+    */
+  def squareWav(rate: Int, n: Int, amp: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + 2 * n)
+      .put("WAVEfmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      bb.putShort(if ((i / 4) % 2 == 0) amp.toShort else (-amp).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Attach a REAL encoded PNG payload per row, sized/seeded from a
     * numeric id column: (id, png). The encode runs partition-parallel
     * through the JDK codec (the write half of the decode path) —

@@ -88,6 +88,35 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(avg("k").as("avg_k"), count(col("k")).as("n_with_k"))
 
+  /** Stream-stream INTERVAL join: pair each left event with right
+    * events of the same user within `(0, horizon]` AFTER it (e.g.
+    * impression → click attribution). Both sides carry watermarks and
+    * the join condition bounds the event-time gap on both ends — the
+    * two requirements that let Spark prune join state instead of
+    * buffering both streams forever. Equi-key (`user_id`) keeps it a
+    * hash join on the shuffle key; the time bound is the residual.
+    *
+    * Works identically on batch frames (spec anchor) and streams.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      horizon: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(
+      col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+      col("user_id"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(
+      col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+      col("user_id").as("r_user_id"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .drop("r_user_id")
+  }
+
   // -- batch-sink integration --------------------------------------- //
 
   /** Micro-batch landing: hand each micro-batch of an aggregated

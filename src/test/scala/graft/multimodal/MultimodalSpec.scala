@@ -139,6 +139,49 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.where(col("width").isNull).count() == 0)
   }
 
+  test("decodeWavStats roundtrips squareWav exactly: rms and peak both " +
+      "equal the amplitude, header fields agree with wavHeaderMeta") {
+    val d = df(
+      StructType(Seq(StructField("id", LongType))),
+      Seq(Row(0L), Row(7L), Row(13L)))
+    val wavs = Multimodal.synthesizeTestWavs(d, "id")
+    val stats = Multimodal.decodeWavStats(wavs, "id", "wav")
+      .orderBy("id").collect()
+    for (r <- stats) {
+      val id = r.getLong(0)
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Long]("sample_rate") == 8000 + (id % 3) * 4000)
+      assert(r.getAs[Long]("n_samples") == 400 + (id % 5) * 200)
+      val amp = 1000 + (id % 20) * 1500
+      assert(r.getAs[Int]("peak") == amp)
+      assert(r.getAs[Double]("rms") == amp.toDouble) // exact, not approx
+    }
+    val header = wavs
+      .select(col("id"), Multimodal.wavHeaderMeta(col("wav")).as("m"))
+      .select("id", "m.*").orderBy("id").collect()
+    for ((h, s) <- header.zip(stats)) {
+      assert(h.getAs[Int]("channels") == 1)
+      assert(h.getAs[Long]("sample_rate") == s.getAs[Long]("sample_rate"))
+      assert(h.getAs[Long]("data_bytes") == 2 * s.getAs[Long]("n_samples"))
+    }
+  }
+
+  test("decodeWavStats yields nulls for corrupt, truncated, or non-PCM16 " +
+      "payloads without failing the scan") {
+    val good = Multimodal.squareWav(8000, 100, 5000)
+    val d = df(
+      StructType(Seq(
+        StructField("id", IntegerType), StructField("wav", BinaryType))),
+      Seq(
+        Row(1, "not audio at all".getBytes: Array[Byte]),
+        Row(2, good.take(30)),
+        Row(3, good)))
+    val out = Multimodal.decodeWavStats(d, "id", "wav").orderBy("id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("rms")))
+    assert(out(1).isNullAt(out(1).fieldIndex("rms")))
+    assert(out(2).getAs[Double]("rms") == 5000.0)
+  }
+
   test("imageHeaderMeta yields nulls for unrecognized payloads") {
     val out = binDf((1, "not an image".getBytes))
       .select(Multimodal.imageHeaderMeta(col("content")).as("m"))

@@ -106,6 +106,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_with_k") == 2L)
   }
 
+  test("intervalJoin attributes right events to left events within the " +
+      "horizon, per user, and matches its batch twin") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val views = Seq(
+      ev(1, "10:00", 1, "view"), ev(2, "10:00", 2, "view"),
+      ev(3, "12:00", 1, "view"))
+    val clicks = Seq(
+      ev(101, "10:10", 1, "click"), // within 30m of view 1
+      ev(102, "10:50", 1, "click"), // beyond horizon of view 1
+      ev(103, "10:10", 3, "click"), // no matching user
+      ev(104, "12:20", 1, "click")) // within 30m of view 3
+    val inV = MemoryStream[TestEvent]
+    val inC = MemoryStream[TestEvent]
+    inV.addData(views: _*)
+    inC.addData(clicks: _*)
+    val joined = EventStreams.intervalJoin(
+      inV.toDF(), inC.toDF(), horizon = "30 minutes")
+    val q = joined.writeStream.format("memory")
+      .queryName("attributed").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attributed")
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 101L), (3L, 104L)))
+    // identical transform on batch frames
+    val batch = EventStreams.intervalJoin(
+      views.toDF(), clicks.toDF(), horizon = "30 minutes")
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == got)
+  }
+
   test("foreachBatchSink lands micro-batches into a parquet fact table") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
