@@ -336,10 +336,14 @@ object SparkEntry {
         threshold = 0.45, stride = 50, nprobe = 2)
       .orderBy("id_a", "id_b")
 
-  /** Brute-force cosine top-10 neighbors for the first 10 vectors. */
+  /** Brute-force cosine top-10 neighbors for the first 10 vectors —
+    * ranked by the bounded-heap top-k aggregate (shuffle carries k per
+    * (query, partition), not every scored candidate); result-identical
+    * to the window form, which the spec asserts.
+    */
   private def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    Similarity.bruteForceTopK(
+    Similarity.bruteForceTopKAgg(
         e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank").cast("int").as("rank"))

@@ -45,7 +45,9 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val exact = Dedup.exactDedup(df, textCol, col(idCol).asc)
+    // agg-form dedup: partial+final aggregation, no per-partition sort
+    // (result-identical to the window form; see exactDedupAgg scaladoc)
+    val exact = Dedup.exactDedupAgg(df, textCol, idCol)
     val drops = nearDupDropIds(df, idCol, textCol, n, numHashes, bands,
       threshold)
     val deduped = exact.join(broadcast(drops), Seq(idCol), "left_anti")

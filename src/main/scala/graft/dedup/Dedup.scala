@@ -51,6 +51,22 @@ object Dedup {
       .where(col(rn) === 1).drop(rn)
   }
 
+  /** [[exactDedup]] as a `min_by` AGGREGATION — result-identical when
+    * `orderCol` is unique per row, but planned as partial+final hash
+    * aggregation: the map side reduces duplicate groups before the
+    * shuffle and no per-partition sort runs. The scale default (the
+    * same trade as latest-per-group's `max_by` form); the window form
+    * stays for ordering by non-unique or multi-column tie-breaks.
+    */
+  def exactDedupAgg(
+      df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(fp.as("__fp"))
+      .agg(min_by(all, col(orderCol)).as("__row"))
+      .select(df.columns.map(c => col(s"__row.$c")): _*)
+  }
+
   /** Duplicate accounting over the normalized fingerprint with pandas
     * `duplicated(keep=False)` semantics (all members of a dup group
     * count — SURVEY.md §2.4 A8).

@@ -79,6 +79,42 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Rank scored (query, neighbor, sim) rows to top-k per query via the
+    * bounded-heap aggregate [[graft.expressions.TopKByScore]] — partial
+    * state is k entries per (query, partition), so the shuffle carries a
+    * CONSTANT per key instead of every scored candidate, and nothing is
+    * sorted but k-element buffers. Output schema and ordering are
+    * identical to the window/`row_number` form (score DESC, id ASC).
+    */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
+    val topk = graft.expressions.TopKByScore.topK(k)
+    sims.groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("sim")).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        col("__e.score").as("sim"), (col("__i") + 1).as("rank"))
+  }
+
+  /** [[bruteForceTopK]] with heap-aggregate ranking ([[rankTopK]]) —
+    * result-identical (spec-checked), the scale default for large
+    * candidate sets.
+    */
+  def bruteForceTopKAgg(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, roundTo: Int = 4): DataFrame = {
+    val q = broadcast(withNorm(queries, idCol, vecCol,
+      "query_id", "__qv", "__qn"))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val sims = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosFromNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")), roundTo).as("sim"))
+    rankTopK(sims, k)
+  }
+
   /** Deterministic IVF "training": every `stride`-th vector by id is a
     * centroid (k-means-free, reproducible — production swaps in real
     * k-means centroids without touching the search path).

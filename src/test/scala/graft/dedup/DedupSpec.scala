@@ -24,6 +24,19 @@ class DedupSpec extends SparkSpec {
     assert(out.orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
   }
 
+  test("exactDedupAgg (min_by aggregation form) is result-identical to " +
+      "the window form") {
+    val d = docs(
+      (5, "Hello World"), (2, "hello   world"), (9, "HELLO WORLD"),
+      (3, "different"), (7, "Different"))
+    val win = Dedup.exactDedup(d, "text", col("id").asc)
+      .collect().map(_.toSeq).toSet
+    val agg = Dedup.exactDedupAgg(d, "text", "id")
+      .collect().map(_.toSeq).toSet
+    assert(agg == win)
+    assert(agg.map(_.head) == Set(2, 3)) // min id survives per group
+  }
+
   test("exactDupStats counts all members of dup groups") {
     val d = docs((1, "aa"), (2, "AA"), (3, "bb"))
     val r = Dedup.exactDupStats(d, "text").head()

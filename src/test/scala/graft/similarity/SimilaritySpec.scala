@@ -79,6 +79,37 @@ class SimilaritySpec extends SparkSpec {
     assert(self.getAs[Int]("centroid_id") == 0)
   }
 
+  test("bruteForceTopKAgg (bounded-heap aggregate) is row-identical to " +
+      "the window form on the sf0.001 embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 10)
+    val win = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val agg = Similarity.bruteForceTopKAgg(q, e, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(agg == win)
+    assert(agg.size == 100)
+  }
+
+  test("TopKByScore keeps ties ordered by id and caps at k") {
+    import graft.expressions.{ScoredId, TopKByScore}
+    val a = new TopKByScore(3)
+    val fed = Seq(
+      ScoredId(5, 1.0), ScoredId(2, 1.0), ScoredId(9, 0.5),
+      ScoredId(1, 0.7), ScoredId(4, 2.0))
+    val out = a.finish(fed.foldLeft(a.zero)(a.reduce))
+    assert(out == Seq(ScoredId(4, 2.0), ScoredId(2, 1.0), ScoredId(5, 1.0)))
+    // merge of split buffers equals single-pass reduce
+    val (l, r) = fed.splitAt(2)
+    val merged = a.merge(
+      l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce))
+    assert(a.finish(merged) == out)
+  }
+
   test("kMediansCentroids re-centers each bucket at its per-dimension " +
       "median and keeps centroid ids/dims") {
     val cl = vecs(
