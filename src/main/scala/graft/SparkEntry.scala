@@ -485,6 +485,39 @@ object SparkEntry {
           .cast("int").as("within_5pct"))
       .orderBy("event_type")
 
+  /** Event attribution through the streaming interval join's batch
+    * twin: each view pairs with same-user purchases in the following
+    * 30 minutes, rolled up per hour. The identical transform runs on
+    * `readStream` frames with watermark-bounded join state
+    * ([[graft.streaming.EventStreams.intervalJoin]]).
+    */
+  private def eventAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val joined = graft.streaming.EventStreams.intervalJoin(
+      ev.where(col("event_type") === "view"),
+      ev.where(col("event_type") === "purchase"),
+      horizon = "30 minutes")
+    joined
+      .groupBy(date_format(date_trunc("hour", col("l_ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg((unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+          .cast("double") / lit(1e6)), 4).as("avg_gap_sec"))
+      .orderBy("hour")
+  }
+
+  /** Deterministic n-per-group sampling (reservoir analogue): the 5
+    * min-hash orders per priority, membership pinned by the key sum.
+    */
+  private def groupSample(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.perGroupSample(
+        t(s, dir, "orders"), "o_orderkey", Seq("o_orderpriority"), 5)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum(col("o_orderkey").cast("double")), 1).as("key_sum"))
+      .orderBy("o_orderpriority")
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -844,6 +877,8 @@ object SparkEntry {
     "q45_range_join_bands" -> (rangeJoinPriceBands _),
     "q46_approx_distinct" -> (approxDistinctUsers _),
     "q47_wav_roundtrip" -> (wavRoundtrip _),
+    "q48_event_attribution" -> (eventAttribution _),
+    "q49_group_sample" -> (groupSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1360,5 +1395,34 @@ object SparkEntry {
          CAST(1000 + (doc_id % 20) * 1500 AS INT) AS peak,
          CAST(1000 + (doc_id % 20) * 1500 AS DOUBLE) AS rms
          FROM documents ORDER BY doc_id""",
+    "q48_event_attribution" ->
+      """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT v.ts AS l_ts, p.ts AS r_ts, v.user_id
+           FROM v JOIN p ON v.user_id = p.user_id
+             AND p.ts > v.ts
+             AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+         SELECT strftime(date_trunc('hour', l_ts),
+             '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) AS n_pairs,
+           count(DISTINCT user_id) AS n_users,
+           round(avg(CAST(epoch_us(r_ts) - epoch_us(l_ts) AS DOUBLE)
+             / 1e6), 4) AS avg_gap_sec
+         FROM j GROUP BY 1 ORDER BY hour""",
+    "q49_group_sample" ->
+      """WITH h AS (
+           SELECT *, CAST(('0x' || substr(
+               md5('sample' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 AS hf
+           FROM orders),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY hf ASC, o_orderkey ASC) AS rn
+           FROM h)
+         SELECT o_orderpriority, count(*) AS n_sampled,
+           round(sum(CAST(o_orderkey AS DOUBLE)), 1) AS key_sum
+         FROM r WHERE rn <= 5
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }
