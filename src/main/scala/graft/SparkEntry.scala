@@ -518,6 +518,31 @@ object SparkEntry {
         round(sum(col("o_orderkey").cast("double")), 1).as("key_sum"))
       .orderBy("o_orderpriority")
 
+  /** Compressibility quality signal gated in-query (the q46 pattern:
+    * the oracle states the invariants as constants, so the compare
+    * fails if the deflate path ever produces an out-of-bounds ratio or
+    * loses the doubling-compresses property on ANY document).
+    */
+  private def compressQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val single = graft.text.Compressibility
+      .deflateRatio(d, "doc_id", "text")
+      .select(col("id"), col("ratio").as("r1"))
+    val doubled = graft.text.Compressibility
+      .deflateRatio(
+        d.select(col("doc_id"),
+          concat(col("text"), col("text")).as("text")),
+        "doc_id", "text")
+      .select(col("id"), col("ratio").as("r2"))
+    single.join(doubled, "id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) === sum((col("r1") > 0 && col("r1") <= 1.2)
+          .cast("int"))).cast("int").as("all_ratios_bounded"),
+        (count(lit(1)) === sum((col("r2") < col("r1"))
+          .cast("int"))).cast("int").as("all_doubling_compresses"))
+  }
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -879,6 +904,7 @@ object SparkEntry {
     "q47_wav_roundtrip" -> (wavRoundtrip _),
     "q48_event_attribution" -> (eventAttribution _),
     "q49_group_sample" -> (groupSample _),
+    "q50_compress_quality" -> (compressQuality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1424,5 +1450,12 @@ object SparkEntry {
            round(sum(CAST(o_orderkey AS DOUBLE)), 1) AS key_sum
          FROM r WHERE rn <= 5
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // q46-style in-query assertion: the constants are claims about the
+    // deflate signal that must hold for EVERY document
+    "q50_compress_quality" ->
+      """SELECT count(*) AS n_docs,
+         CAST(1 AS INT) AS all_ratios_bounded,
+         CAST(1 AS INT) AS all_doubling_compresses
+         FROM documents""",
   )
 }
