@@ -146,3 +146,44 @@ final class StarSchemaBuilder(
       factKey: String, dimKey: String): Long =
     Analytics.orphanKeys(fact, dim, factKey, dimKey).count()
 }
+
+object StarSchemaBuilder {
+
+  /** SCD type-1 dimension upsert over a bare Parquet path: union the
+    * existing rows with `updates`, keep the row with the highest
+    * `orderCol` per natural key (`max_by` aggregation — partial+final,
+    * no sort), and rewrite.
+    *
+    * The current state is materialized (`localCheckpoint`) before the
+    * overwrite because Spark cannot overwrite a path it is still
+    * reading — safe at dimension scale (dims are the small side of a
+    * star by construction). At warehouse scale the same logic is a
+    * `MERGE INTO` against a table format with snapshot isolation; the
+    * keep-latest-per-key semantics here are exactly what that MERGE's
+    * `WHEN MATCHED UPDATE` clause expresses.
+    *
+    * Returns the post-upsert row count.
+    */
+  def upsertDimension(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, updates: DataFrame,
+      keyCols: Seq[String], orderCol: String): Long = {
+    require(keyCols.nonEmpty, "at least one natural key column")
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val unioned = existing match {
+      case Some(e) => e.unionByName(updates, allowMissingColumns = true)
+      case None => updates
+    }
+    val all = struct(unioned.columns.map(col): _*)
+    val latest = unioned
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(all, col(orderCol)).as("__row"))
+      .select(unioned.columns.map(c => col(s"__row.$c")): _*)
+      .localCheckpoint(true)
+    latest.write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(path)
+    spark.read.parquet(path).count()
+  }
+}

@@ -107,4 +107,30 @@ class StarSchemaSpec extends SparkSpec {
       SchemaDefinition("x", "cube")
     }
   }
+
+  test("upsertDimension: SCD-1 keep-latest-per-key over a parquet dim — " +
+      "insert, update, preserve") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("customer_id", IntegerType),
+      StructField("name", StringType),
+      StructField("version", IntegerType)))
+    def rows(r: (Int, String, Int)*) = df(schema,
+      r.map { case (k, n, v) => Row(k, n, v) })
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_upsert").toString + "/dim_customer"
+    // initial load
+    val n1 = StarSchemaBuilder.upsertDimension(spark, dir,
+      rows((1, "alice", 1), (2, "bob", 1)), Seq("customer_id"), "version")
+    assert(n1 == 2)
+    // update key 2, insert key 3, stale update for key 1 (version 0 loses)
+    val n2 = StarSchemaBuilder.upsertDimension(spark, dir,
+      rows((2, "robert", 2), (3, "carol", 1), (1, "al", 0)),
+      Seq("customer_id"), "version")
+    assert(n2 == 3)
+    val out = spark.read.parquet(dir).orderBy("customer_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq((1, "alice", 1), (2, "robert", 2), (3, "carol", 1)))
+  }
 }
