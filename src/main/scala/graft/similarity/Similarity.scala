@@ -86,13 +86,17 @@ object Similarity {
     * sorted but k-element buffers. Output schema and ordering are
     * identical to the window/`row_number` form (score DESC, id ASC).
     */
-  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
+  private def rankTopK(
+      sims: DataFrame, k: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val topk = graft.expressions.TopKByScore.topK(k)
     sims.groupBy("query_id")
       .agg(topk(col("neighbor_id"), col("sim")).as("__top"))
       .select(col("query_id"),
         posexplode(col("__top")).as(Seq("__i", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+      .select(col("query_id"),
+        // the aggregate carries ids as long; restore the input type
+        col("__e.id").cast(idType).as("neighbor_id"),
         col("__e.score").as("sim"), (col("__i") + 1).as("rank"))
   }
 
@@ -112,7 +116,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosFromNorms(col("__qv"), col("__cv"),
           col("__qn"), col("__cn")), roundTo).as("sim"))
-    rankTopK(sims, k)
+    rankTopK(sims, k, corpus.schema(idCol).dataType)
   }
 
   /** Deterministic IVF "training": every `stride`-th vector by id is a
@@ -137,6 +141,10 @@ object Similarity {
 
   /** [[assignToCentroids]] keeping the per-vector norm as `__vn` so
     * downstream stages don't recompute it (the norms-once invariant).
+    * Window ranking on purpose: groups are centroid-count-sized, so
+    * the per-partition sort is bounded and stays codegen'd — measured
+    * faster here than agg forms that drag the vector through
+    * aggregation state.
     */
   private def assignWithNorm(
       corpus: DataFrame, centroids: DataFrame,
@@ -218,7 +226,8 @@ object Similarity {
     val centsN = broadcast(cents.select(col("centroid_id"),
       col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
 
-    // per-query probe list: nprobe nearest centroids
+    // per-query probe list: nprobe nearest centroids (query set is
+    // small; per-query groups = centroid count → window sort bounded)
     val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
     val probes = q.crossJoin(centsN)
       .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"),
@@ -239,6 +248,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosFromNorms(col("__qv"), col("__cv"),
           col("__qn"), col("__cn")), roundTo).as("sim"))
+    // probed buckets keep the candidate set small → bounded window
+    // sort; the heap-aggregate ranking ([[rankTopK]]) is the swap-in
+    // when probe buckets are huge
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -282,6 +294,11 @@ object Similarity {
       .select(col(idCol), col("centroid_id"),
         round(cosFromNorms(col(vecCol), col("centroid_vec"),
           col("__vn"), col("__cn")), roundTo).as("csim"))
+    // window ranking: the vector × centroid score table partitions by
+    // vector (tiny groups = centroid count), so the sort is bounded and
+    // stays codegen'd — measured faster here than the heap-aggregate
+    // udaf, whose per-row encoding dominates at this group size. The
+    // TopKByScore form is the swap-in when groups are huge.
     val w = Window.partitionBy(idCol)
       .orderBy(col("csim").desc, col("centroid_id").asc)
     scored.withColumn("__r", row_number().over(w))
