@@ -217,8 +217,13 @@ object Dedup {
     // consumer). At warehouse scale: a materialized shingle table.
     val shAll = TextAnalysis.explodeShingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = shAll.select(shingleHashHalves(idCol): _*).groupBy(idCol).agg(
-      minhashAggs(numHashes).head, minhashAggs(numHashes).tail: _*)
+    // signature aggregation also counts each doc's (distinct) shingles
+    // — the Jaccard denominators ride along for free instead of a
+    // second aggregation over the shingle table in the verify phase
+    val sigAggs = minhashAggs(numHashes) :+ count(lit(1)).as("n_shingles")
+    val sigs = shAll.select(shingleHashHalves(idCol): _*)
+      .groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify ONLY the candidates with exact Jaccard: the shingle join
@@ -229,7 +234,7 @@ object Dedup {
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val sh = shAll.join(broadcast(candIds), Seq(idCol), "left_semi")
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val sizes = sigs.select(col(idCol), col("n_shingles"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
