@@ -543,6 +543,37 @@ object SparkEntry {
           .cast("int"))).cast("int").as("all_doubling_compresses"))
   }
 
+  /** Incremental-ingest dedup: a simulated new batch (80% of docs)
+    * deduped against the standing corpus (20%) — the daily-append
+    * workflow; the corpus side reduces to distinct fingerprints before
+    * the anti-join.
+    */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dedupAgainst(
+        d.where(col("doc_id") % 5 === 0),
+        d.where(col("doc_id") % 5 =!= 0),
+        "text", "doc_id")
+      .agg(count(lit(1)).as("n_new"),
+        round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
+  }
+
+  /** Supplier account balances rolled up the geography dimension chain
+    * (supplier ⋈ nation ⋈ region, both dims broadcast).
+    */
+  private def supplierBalanceByRegion(
+      s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum("s_acctbal"), 2).as("total_balance"),
+        round(avg("s_acctbal"), 4).as("avg_balance"))
+      .orderBy("r_name")
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -905,6 +936,8 @@ object SparkEntry {
     "q48_event_attribution" -> (eventAttribution _),
     "q49_group_sample" -> (groupSample _),
     "q50_compress_quality" -> (compressQuality _),
+    "q51_incremental_dedup" -> (incrementalDedup _),
+    "q52_supplier_by_region" -> (supplierBalanceByRegion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1457,5 +1490,30 @@ object SparkEntry {
          CAST(1 AS INT) AS all_ratios_bounded,
          CAST(1 AS INT) AS all_doubling_compresses
          FROM documents""",
+    "q51_incremental_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+           FROM documents),
+         corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 = 0),
+         batch AS (
+           SELECT doc_id, f, row_number() OVER (PARTITION BY f
+             ORDER BY doc_id) AS rn
+           FROM fp WHERE doc_id % 5 <> 0),
+         newdocs AS (
+           SELECT doc_id FROM batch
+           WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus))
+         SELECT count(*) AS n_new,
+           round(sum(CAST(doc_id AS DOUBLE)), 1) AS id_sum
+         FROM newdocs""",
+    "q52_supplier_by_region" ->
+      """SELECT r_name,
+         count(*) AS n_suppliers,
+         round(sum(s_acctbal), 2) AS total_balance,
+         round(avg(s_acctbal), 4) AS avg_balance
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
   )
 }

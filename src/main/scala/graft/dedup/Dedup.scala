@@ -67,6 +67,25 @@ object Dedup {
       .select(df.columns.map(c => col(s"__row.$c")): _*)
   }
 
+  /** Incremental-ingest dedup: rows of `batch` whose normalized-text
+    * fingerprint does not already exist in `corpus`, with exact dedup
+    * applied within the batch itself (keep lowest `orderCol`). The
+    * daily-append shape: the corpus side reduces to DISTINCT
+    * fingerprints before the anti-join, so the join carries one row
+    * per existing document fingerprint, not the documents.
+    */
+  def dedupAgainst(
+      corpus: DataFrame, batch: DataFrame,
+      textCol: String, orderCol: String): DataFrame = {
+    val seen = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    exactDedupAgg(batch, textCol, orderCol)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Duplicate accounting over the normalized fingerprint with pandas
     * `duplicated(keep=False)` semantics (all members of a dup group
     * count — SURVEY.md §2.4 A8).

@@ -37,6 +37,19 @@ class DedupSpec extends SparkSpec {
     assert(agg.map(_.head) == Set(2, 3)) // min id survives per group
   }
 
+  test("dedupAgainst keeps only batch rows new to the corpus, deduped " +
+      "within the batch") {
+    val corpus = docs((1, "existing doc one"), (2, "existing doc two"))
+    val batch = docs(
+      (10, "Existing   DOC one"), // dup of corpus 1 (normalized)
+      (11, "brand new doc"),
+      (12, "brand  NEW doc"), // intra-batch dup of 11
+      (13, "another new doc"))
+    val out = Dedup.dedupAgainst(corpus, batch, "text", "id")
+      .orderBy("id").collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(11, 13))
+  }
+
   test("exactDupStats counts all members of dup groups") {
     val d = docs((1, "aa"), (2, "AA"), (3, "bb"))
     val r = Dedup.exactDupStats(d, "text").head()
