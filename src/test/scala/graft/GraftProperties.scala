@@ -86,4 +86,63 @@ object GraftProperties extends Properties("graft") {
       b.acquire()
       b.available <= rate.toDouble
     }
+
+  property("hashFraction lands in [0,1) and equals the driver-side " +
+      "md5 computation for any id/salt") =
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue),
+        Gen.stringOfN(5, Gen.alphaNumChar)) { (id, salt) =>
+      val got = spark.range(1).select(
+        graft.sampling.Sampling.hashFraction(lit(id), salt))
+        .head().getDouble(0)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val expected = java.lang.Long.parseLong(hex, 16) / 4294967296.0
+      got == expected && got >= 0.0 && got < 1.0
+    }
+
+  property("TopKByScore equals sort-then-take under any input order") =
+    forAll(
+        Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0, 5)
+          .map(_ / 4.0))),
+        Gen.choose(1, 6)) { (pairs, k) =>
+      import graft.expressions.{ScoredId, TopKByScore}
+      val a = new TopKByScore(k)
+      val entries = pairs.map { case (i, s) => ScoredId(i, s) }.distinct
+      val got = a.finish(entries.foldLeft(a.zero)(a.reduce))
+      val want = entries.sortBy(e => (-e.score, e.id)).take(k)
+      // and merge over any split point agrees with the single pass
+      val (l, r) = entries.splitAt(entries.size / 2)
+      val merged = a.finish(a.merge(
+        l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce)))
+      got == want && merged == want
+    }
+
+  property("rangeJoin matches the theta join for random intervals") =
+    forAll(
+        Gen.listOfN(6, Gen.chooseNum(-50.0, 50.0)),
+        Gen.listOfN(4, Gen.zip(Gen.chooseNum(-50.0, 50.0),
+          Gen.chooseNum(0.0, 40.0))),
+        Gen.chooseNum(1.0, 30.0)) { (points, ivals, width) =>
+      val pts = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          points.zipWithIndex.map { case (v, i) => Row(i, v) }, 2),
+        StructType(Seq(StructField("pid", IntegerType),
+          StructField("v", DoubleType))))
+      val iv = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ivals.zipWithIndex.map { case ((lo, len), i) =>
+            Row(i, lo, lo + len) }, 2),
+        StructType(Seq(StructField("iid", IntegerType),
+          StructField("lo", DoubleType), StructField("hi", DoubleType))))
+      val got = graft.operators.Analytics
+        .rangeJoin(pts, iv, "v", "lo", "hi", width)
+        .select("pid", "iid").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      val want = pts.crossJoin(iv)
+        .where(col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      got == want
+    }
 }
