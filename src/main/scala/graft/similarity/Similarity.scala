@@ -257,6 +257,61 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Materialize an IVF index: the corpus with per-vector norms and
+    * centroid assignments, written as a catalog table BUCKETED on
+    * `centroid_id`. Build once, search many — repeated queries skip
+    * the centroid-assignment pass (the per-query-batch crossJoin over
+    * the whole corpus), and the bucket layout co-locates each
+    * centroid's vectors so a probe reads only its buckets' files.
+    * Returns the indexed row count.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, tableName: String,
+      numBuckets: Int = 16, roundTo: Int = 4): Long = {
+    val assigned = assignWithNorm(corpus, cents, idCol, vecCol, roundTo)
+    assigned.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "centroid_id")
+      .saveAsTable(tableName)
+    corpus.sparkSession.table(tableName).count()
+  }
+
+  /** [[ivfTopKWithCentroids]] over a prebuilt [[buildIvfIndex]] table:
+    * identical results (spec-checked), no assignment work at query
+    * time.
+    */
+  def ivfTopKOverIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: DataFrame, tableName: String, nprobe: Int,
+      roundTo: Int = 4): DataFrame = {
+    val assigned = spark.table(tableName)
+    val centsN = broadcast(cents.select(col("centroid_id"),
+      col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val probes = q.crossJoin(centsN)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"),
+        round(cosFromNorms(col("__qv"), col("centroid_vec"),
+          col("__qn"), col("__cn")), roundTo).as("csim"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probed = probes.withColumn("__r", row_number().over(pw))
+      .where(col("__r") <= nprobe)
+      .select("query_id", "__qv", "__qn", "centroid_id")
+    val bucketed = assigned.select(col("centroid_id"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col("__vn").as("__cn"))
+    val sims = broadcast(probed).join(bucketed, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosFromNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")), roundTo).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: all (id_a < id_b) pairs with
     * rounded cosine ≥ threshold. Exact O(n²/2) pair scan with one dot
     * product per pair — the brute-force VERIFIER and spec oracle only;

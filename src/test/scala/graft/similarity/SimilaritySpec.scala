@@ -146,6 +146,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"k-medians IVF recall $recall")
   }
 
+  test("ivfTopKOverIndex: prebuilt bucketed index returns exactly the " +
+      "direct ivfTopKWithCentroids results") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val cents = Similarity.strideCentroids(e, "vec_id", "embedding", 50)
+    try {
+      val n = Similarity.buildIvfIndex(
+        e, "vec_id", "embedding", cents, "ivf_idx_spec", numBuckets = 4)
+      assert(n == e.count())
+      val direct = Similarity.ivfTopKWithCentroids(
+          q, e, "vec_id", "embedding", 10, cents, nprobe = 3)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val indexed = Similarity.ivfTopKOverIndex(
+          spark, q, "vec_id", "embedding", 10, cents, "ivf_idx_spec",
+          nprobe = 3)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(indexed == direct)
+      assert(indexed.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+  }
+
   test("nearDupPairs finds pairs above threshold only") {
     val out = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.99)
     val pairs = out.collect()
