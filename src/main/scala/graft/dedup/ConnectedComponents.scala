@@ -68,14 +68,25 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("component").as("__nbr"))
-      // carry the previous label through the checkpoint so detecting
-      // convergence is a filter-count over materialized rows, not a
-      // second join-job per iteration
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val oneHop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("component").as("__prev"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
+      // pointer jumping: also take the label OF my label (path
+      // halving) — labels chase their component's min in O(log
+      // diameter) rounds instead of one hop per round, so a
+      // 1000-link chain converges in ~10 iterations, not 1000.
+      // Monotone (least of already-min labels) → same fixpoint.
+      val jumped = oneHop
+        .join(labels.select(col("id").as("component"),
+          col("component").as("__cc")), Seq("component"), "left")
+        .select(col("id"), col("__prev"),
+          least(col("component"), coalesce(col("__cc"), col("component")))
+            .as("component"))
+      // carry the previous label through the checkpoint so detecting
+      // convergence is a filter-count over materialized rows, not a
+      // second join-job per iteration
+      val next = jumped.localCheckpoint(true)
       val changed = next.where(col("component") =!= col("__prev")).count()
       labels = next.select("id", "component")
       converged = changed == 0

@@ -51,15 +51,24 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("componentsWithStatus reports convergence, and non-convergence " +
-      "when maxIter is smaller than the component diameter") {
-    val path = (1 until 8).map(i => (i, i + 1))
+      "when maxIter is far smaller than needed") {
+    val path = (1 until 40).map(i => (i, i + 1))
     val (_, ok) = ConnectedComponents.componentsWithStatus(
       edges(path: _*), "id_a", "id_b")
     assert(ok)
     val (labels, bad) = ConnectedComponents.componentsWithStatus(
-      edges(path: _*), "id_a", "id_b", maxIter = 2)
+      edges(path: _*), "id_a", "id_b", maxIter = 1)
     assert(!bad)
     // truncated propagation: labels exist but are not all the min id
     assert(labels.collect().map(_.getInt(1)).toSet != Set(1))
+  }
+
+  test("pointer jumping converges a 40-link chain within ~log-diameter " +
+      "iterations (one-hop alone would need 39)") {
+    val path = (1 until 40).map(i => (i, i + 1))
+    val (labels, ok) = ConnectedComponents.componentsWithStatus(
+      edges(path: _*), "id_a", "id_b", maxIter = 10)
+    assert(ok, "should converge within 10 iterations via path halving")
+    assert(labels.collect().map(_.getInt(1)).toSet == Set(1))
   }
 }
