@@ -574,6 +574,42 @@ object SparkEntry {
         round(avg("s_acctbal"), 4).as("avg_balance"))
       .orderBy("r_name")
 
+  /** Wide-format pivot: events per day × event type (the pandas
+    * `pivot_table` shape). Explicit pivot values keep the plan a
+    * single pass (no distinct-values pre-query).
+    */
+  private def eventTypePivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
+  /** ROLLUP hierarchy totals (region → nation) with grouping_id —
+    * the drill-down twin of q32's CUBE.
+    */
+  private def supplierRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "s_acctbal")
+      // Column args, not String varargs: rollup("r_name", ...) over a
+      // joined lineage trips Spark 4.1's ambiguous-self-join detector
+      // (string-name resolution through Expand); rollup(col(...), ...)
+      // resolves cleanly
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_suppliers"),
+        round(sum("s_acctbal"), 2).as("total_balance"))
+      .orderBy(asc_nulls_last("r_name"), asc_nulls_last("n_name"))
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -938,6 +974,8 @@ object SparkEntry {
     "q50_compress_quality" -> (compressQuality _),
     "q51_incremental_dedup" -> (incrementalDedup _),
     "q52_supplier_by_region" -> (supplierBalanceByRegion _),
+    "q53_event_pivot" -> (eventTypePivot _),
+    "q54_supplier_rollup" -> (supplierRollup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1515,5 +1553,23 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "q53_event_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1 ORDER BY day""",
+    "q54_supplier_rollup" ->
+      """SELECT r_name, n_name,
+         CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS INT) AS gid,
+         count(*) AS n_suppliers,
+         round(sum(s_acctbal), 2) AS total_balance
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
   )
 }
