@@ -610,6 +610,30 @@ object SparkEntry {
         round(sum("s_acctbal"), 2).as("total_balance"))
       .orderBy(asc_nulls_last("r_name"), asc_nulls_last("n_name"))
 
+  /** Per-group z-score outlier detection (anomaly surface for data
+    * quality): orders whose totalprice sits ≥ 1.5 sample standard
+    * deviations from their priority's mean (the price distribution is
+    * near-uniform — bounded tails, max |z| ≈ 1.77 — so 1.5σ is the
+    * meaningful tail cut). Stats come from one
+    * aggregation broadcast back onto the rows — no window over the
+    * fact table.
+    */
+  private def priceOutliers(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val stats = orders.groupBy("o_orderpriority")
+      .agg(avg("o_totalprice").as("__mu"),
+        stddev_samp(col("o_totalprice")).as("__sd"))
+    // rounded z before the cut: summation-order ULP noise in mu/sd
+    // must not flip boundary rows between engines
+    orders.join(broadcast(stats), Seq("o_orderpriority"))
+      .where(round(abs(col("o_totalprice") - col("__mu")) / col("__sd"), 4)
+        >= lit(1.5))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_outliers"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -976,6 +1000,7 @@ object SparkEntry {
     "q52_supplier_by_region" -> (supplierBalanceByRegion _),
     "q53_event_pivot" -> (eventTypePivot _),
     "q54_supplier_rollup" -> (supplierRollup _),
+    "q55_price_outliers" -> (priceOutliers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1571,5 +1596,15 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+    "q55_price_outliers" ->
+      """WITH s AS (
+           SELECT o_orderpriority, avg(o_totalprice) AS mu,
+             stddev_samp(o_totalprice) AS sd
+           FROM orders GROUP BY 1)
+         SELECT o.o_orderpriority, count(*) AS n_outliers,
+           round(max(o_totalprice), 2) AS max_price
+         FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+         WHERE round(abs(o_totalprice - mu) / sd, 4) >= 1.5
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
   )
 }

@@ -139,6 +139,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("watermark drops events later than the horizon once it advances " +
+      "(bounded state, documented late-data policy)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TestEvent]
+    val agg = EventStreams.hourlyCounts(in.toDF(), watermark = "1 hour")
+    val q = agg.writeStream.format("memory")
+      .queryName("late_data").outputMode("append").start()
+    try {
+      // batch 1: events at 10:xx, then an event at 13:00 pushes the
+      // watermark to 12:00 and lets the 10:00 window emit
+      in.addData(ev(1, "10:05", 1, "click"), ev(2, "10:20", 2, "click"))
+      q.processAllAvailable()
+      in.addData(ev(3, "13:00", 3, "click"))
+      q.processAllAvailable()
+      // batch 3: a late 10:40 event — behind the 12:00 watermark, must
+      // NOT reopen the already-emitted 10:00 window
+      in.addData(ev(4, "10:40", 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(5, "15:00", 4, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w10 = spark.table("late_data")
+      .where(hour(col("window.start")) === 10)
+    assert(w10.count() == 1)
+    assert(w10.head().getAs[Long]("n_events") == 2L) // late row excluded
+  }
+
   test("foreachBatchSink lands micro-batches into a parquet fact table") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
