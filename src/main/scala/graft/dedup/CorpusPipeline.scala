@@ -45,9 +45,9 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    // agg-form dedup: partial+final aggregation, no per-partition sort
-    // (result-identical to the window form; see exactDedupAgg scaladoc)
-    val exact = Dedup.exactDedupAgg(df, textCol, idCol)
+    // semi-join dedup: fingerprints shuffle, the wide text column does
+    // not (result-identical to the window/agg forms; see scaladocs)
+    val exact = Dedup.exactDedupSemi(df, idCol, textCol)
     val drops = nearDupDropIds(df, idCol, textCol, n, numHashes, bands,
       threshold)
     val deduped = exact.join(broadcast(drops), Seq(idCol), "left_anti")

@@ -67,6 +67,25 @@ object Dedup {
       .select(df.columns.map(c => col(s"__row.$c")): _*)
   }
 
+  /** [[exactDedupAgg]] as a SEMI-JOIN: survivor ids (min id per
+    * fingerprint) are computed over a NARROW (id, fingerprint)
+    * projection, then the full rows are kept by a semi-join on id.
+    * The wide text column never rides through the dedup shuffle —
+    * only 16-byte fingerprints and ids do. At corpus scale that is
+    * the difference between shuffling the dataset and shuffling its
+    * keys; locally the survivor set broadcasts and the corpus never
+    * moves at all. Result-identical to [[exactDedupAgg]]
+    * (spec-checked).
+    */
+  def exactDedupSemi(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepIds = df
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(broadcast(keepIds), Seq(idCol), "left_semi")
+  }
+
   /** Incremental-ingest dedup: rows of `batch` whose normalized-text
     * fingerprint does not already exist in `corpus`, with exact dedup
     * applied within the batch itself (keep lowest `orderCol`). The

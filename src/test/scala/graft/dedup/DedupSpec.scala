@@ -50,6 +50,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(11, 13))
   }
 
+  test("exactDedupSemi (narrow-shuffle semi-join form) is " +
+      "result-identical to the window form") {
+    val d = docs(
+      (5, "Hello World"), (2, "hello   world"), (9, "HELLO WORLD"),
+      (3, "different"), (7, "Different"))
+    val win = Dedup.exactDedup(d, "text", col("id").asc)
+      .collect().map(_.toSeq).toSet
+    val semi = Dedup.exactDedupSemi(d, "id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(semi == win)
+  }
+
   test("exactDupStats counts all members of dup groups") {
     val d = docs((1, "aa"), (2, "AA"), (3, "bb"))
     val r = Dedup.exactDupStats(d, "text").head()
