@@ -47,7 +47,12 @@ object Sampling {
       salt: String = "split"): Column = {
     require(splits.nonEmpty, "at least one split")
     val h = hashFraction(id, salt)
+    // pin cumulative bounds to 9 decimals: 0.8 + 0.1 accumulates to
+    // 0.9000000000000001 in binary, and the bound must equal the
+    // literal another engine would write (h's 2^-32 granularity can't
+    // distinguish them, but the pinned value removes the question)
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(b => math.rint(b * 1e9) / 1e9)
     val init: Column = lit(splits.last._1)
     splits.init.zip(bounds.init).reverse.foldLeft(init) {
       case (acc, ((label, _), bound)) => when(h < bound, label).otherwise(acc)
