@@ -634,6 +634,41 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** Top-3 orders per priority via the bounded-heap aggregate — the
+    * general grouped-top-k shape (shuffle carries 3 rows per
+    * (priority, partition), never the order set), oracle-checked
+    * against row_number ranking.
+    */
+  private def topOrdersPerPriority(s: SparkSession, dir: String): DataFrame = {
+    val topk = graft.expressions.TopKByScore.topK(3)
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("__top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("o_orderpriority"),
+        col("__e.id").as("o_orderkey"),
+        round(col("__e.score"), 2).as("o_totalprice"),
+        (col("__i") + 1).cast("int").as("rank"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  /** Decile bucketing per market segment (`ntile` — the feature-
+    * transform shape for rank-normalizing a signal before training).
+    */
+  private def acctbalDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("c_mktsegment", "decile")
+      .agg(count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("lo"),
+        round(max("c_acctbal"), 2).as("hi"))
+      .orderBy("c_mktsegment", "decile")
+  }
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -1001,6 +1036,8 @@ object SparkEntry {
     "q53_event_pivot" -> (eventTypePivot _),
     "q54_supplier_rollup" -> (supplierRollup _),
     "q55_price_outliers" -> (priceOutliers _),
+    "q56_top_orders_per_priority" -> (topOrdersPerPriority _),
+    "q57_acctbal_deciles" -> (acctbalDeciles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1606,5 +1643,27 @@ object SparkEntry {
          FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
          WHERE round(abs(o_totalprice - mu) / sd, 4) >= 1.5
          GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+    "q56_top_orders_per_priority" ->
+      """SELECT o_orderpriority, o_orderkey,
+         round(o_totalprice, 2) AS o_totalprice,
+         CAST(rn AS INT) AS rank
+         FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderpriority, rank""",
+    "q57_acctbal_deciles" ->
+      """SELECT c_mktsegment, CAST(decile AS INT) AS decile,
+         count(*) AS n,
+         round(min(c_acctbal), 2) AS lo,
+         round(max(c_acctbal), 2) AS hi
+         FROM (
+           SELECT c_mktsegment, c_acctbal,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+           FROM customer)
+         GROUP BY c_mktsegment, decile
+         ORDER BY c_mktsegment, decile""",
   )
 }

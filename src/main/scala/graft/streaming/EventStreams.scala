@@ -88,6 +88,23 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(avg("k").as("avg_k"), count(col("k")).as("n_with_k"))
 
+  /** Streaming exact-dedup on a CONTENT fingerprint (not an id):
+    * documents arriving within the watermark horizon that normalize to
+    * already-seen text are dropped — the streaming twin of
+    * [[graft.dedup.Dedup.exactDedup]], with state bounded by the
+    * watermark instead of growing with the corpus. `tsCol` is the
+    * event-time column the horizon is measured on.
+    */
+  def dedupByFingerprint(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("__fp",
+        graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stream-stream INTERVAL join: pair each left event with right
     * events of the same user within `(0, horizon]` AFTER it (e.g.
     * impression → click attribution). Both sides carry watermarks and

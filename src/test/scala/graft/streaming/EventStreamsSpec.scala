@@ -106,6 +106,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_with_k") == 2L)
   }
 
+  test("dedupByFingerprint drops re-arrivals of the same normalized " +
+      "content within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val stream = in.toDF().toDF("doc_id", "ts", "text")
+    val out = EventStreams.dedupByFingerprint(stream, "text", "ts")
+    val q = out.writeStream.format("memory")
+      .queryName("fp_dedup").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, t("10:00"), "Hello World"),
+        (2L, t("10:01"), "hello   world"), // same normalized content
+        (3L, t("10:02"), "different"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("fp_dedup")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+  }
+
   test("intervalJoin attributes right events to left events within the " +
       "horizon, per user, and matches its batch twin") {
     implicit val sql = spark.sqlContext
