@@ -669,6 +669,24 @@ object SparkEntry {
       .orderBy("c_mktsegment", "decile")
   }
 
+  /** Top-3 TF-IDF terms for the first five documents (ranked on the
+    * ROUNDED score with token tie-break so both engines agree on
+    * borderline ordering); document frequencies come from the FULL
+    * corpus, only the ranked output is filtered.
+    */
+  private def topTfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.text.TfIdf.tfidf(docs(s, dir), "doc_id", "text")
+      .withColumn("tfidf", round(col("tfidf"), 4))
+      .where(col("doc_id") < 5)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tfidf"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Capstone: composed training-corpus preparation — exact dedup →
     * MinHash-LSH near-dup removal → quality floor → language tagging —
     * summarized per predicted language.
@@ -1038,6 +1056,7 @@ object SparkEntry {
     "q55_price_outliers" -> (priceOutliers _),
     "q56_top_orders_per_priority" -> (topOrdersPerPriority _),
     "q57_acctbal_deciles" -> (acctbalDeciles _),
+    "q58_tfidf_terms" -> (topTfidfTerms _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1665,5 +1684,24 @@ object SparkEntry {
            FROM customer)
          GROUP BY c_mktsegment, decile
          ORDER BY c_mktsegment, decile""",
+    "q58_tfidf_terms" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, token,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+           FROM tf JOIN dfq USING (token) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, token, tfidf, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, token ASC)
+             AS INT) AS rank
+           FROM scored WHERE doc_id < 5)
+         SELECT doc_id, token, tfidf, rank FROM r
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
   )
 }

@@ -14,6 +14,26 @@ class TextAnalysisSpec extends SparkSpec {
   private def one(text: String, c: org.apache.spark.sql.Column) =
     textDf(text).select(c).head()
 
+  test("tfidf: corpus-wide terms score below doc-distinctive terms; " +
+      "smooth idf floors at 1 per occurrence") {
+    val d = df(
+      StructType(Seq(
+        StructField("id", IntegerType), StructField("text", StringType))),
+      Seq(
+        org.apache.spark.sql.Row(1, "common word apple"),
+        org.apache.spark.sql.Row(2, "common word banana"),
+        org.apache.spark.sql.Row(3, "common word cherry")))
+    val out = TfIdf.tfidf(d, "id", "text")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getAs[Long]("df"), r.getAs[Double]("tfidf"))).toSeq
+    val apple = out.find(r => r._2 == "apple").get
+    val common = out.find(r => r._1 == 1 && r._2 == "common").get
+    assert(apple._3 == 1L && common._3 == 3L)
+    assert(apple._4 > common._4) // distinctive beats corpus-wide
+    // smooth idf: ln((3+1)/(1+1)) + 1 for a df=1 token with tf=1
+    assert(math.abs(apple._4 - (math.log(2.0) + 1.0)) < 1e-12)
+  }
+
   test("normalizeText lowercases, strips symbols, collapses whitespace, " +
       "keeps unicode letters") {
     assert(one("  Héllo,   WORLD!!\t(42) ",
