@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: stage 2's pair set comes from LSH (no all-pairs work); the
   * component clustering iterates only over the (small) verified-pair
-  * graph; the anti-join against dropped ids broadcasts the drop list.
+  * graph; the anti-join against dropped ids is broadcast by AQE when
+  * the drop list is small (no unconditional hint — the list grows
+  * with the dup rate).
   * The CC loop makes stage 2 iterative (driver-controlled, data
   * distributed) rather than one lazy plan — the standard shape for
   * label propagation.
@@ -50,7 +52,9 @@ object CorpusPipeline {
     val exact = Dedup.exactDedupSemi(df, idCol, textCol)
     val drops = nearDupDropIds(df, idCol, textCol, n, numHashes, bands,
       threshold)
-    val deduped = exact.join(broadcast(drops), Seq(idCol), "left_anti")
+    // drop list is data-dependent (grows with the dup rate) — let AQE
+    // choose broadcast rather than hint it unconditionally
+    val deduped = exact.join(drops, Seq(idCol), "left_anti")
     val scored = deduped.withColumn("quality",
       TextAnalysis.qualityScore(col(textCol)))
     TextAnalysis.langIdStaged(

@@ -79,11 +79,13 @@ object Dedup {
     */
   def exactDedupSemi(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // survivor ids scale with the corpus — no broadcast hint; AQE
+    // picks broadcast when the set is genuinely small
     val keepIds = df
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
       .groupBy("__fp").agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    df.join(broadcast(keepIds), Seq(idCol), "left_semi")
+    df.join(keepIds, Seq(idCol), "left_semi")
   }
 
   /** Incremental-ingest dedup: rows of `batch` whose normalized-text
@@ -269,9 +271,12 @@ object Dedup {
     // cost scales with the candidate set (tiny), not the corpus —
     // without this the verify phase degenerates into the full
     // inverted-index join LSH was meant to avoid.
+    // no broadcast HINT on candIds: the candidate set is data-dependent
+    // and unbounded — AQE broadcasts it when it is actually small,
+    // without committing the driver to hold it when it is not
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
-    val sh = shAll.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val sh = shAll.join(candIds, Seq(idCol), "left_semi")
     val sizes = sigs.select(col(idCol), col("n_shingles"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
