@@ -105,6 +105,21 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Stream-static enrichment: join a live event stream against a
+    * static dimension table (no watermark needed — the static side is
+    * re-read per micro-batch, so dimension updates between batches are
+    * picked up). The classic in-flight enrichment; the static side
+    * broadcasts when small, exactly as in batch.
+    */
+  def enrichWithDimension(
+      events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String,
+      dimCols: Seq[String]): DataFrame =
+    events.join(
+      dim.select((dimKey +: dimCols).map(col): _*),
+      col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+
   /** Stream-stream INTERVAL join: pair each left event with right
     * events of the same user within `(0, horizon]` AFTER it (e.g.
     * impression → click attribution). Both sides carry watermarks and

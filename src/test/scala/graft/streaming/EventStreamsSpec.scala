@@ -106,6 +106,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_with_k") == 2L)
   }
 
+  test("enrichWithDimension joins a stream against a static dim, " +
+      "unmatched keys keep null attributes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val in = MemoryStream[TestEvent]
+    in.addData(
+      ev(1, "10:00", 1, "click"), ev(2, "10:01", 2, "click"),
+      ev(3, "10:02", 9, "click")) // no dim row
+    val out = EventStreams.enrichWithDimension(
+      in.toDF(), dim, "user_id", "cust_id", Seq("tier"))
+    val q = out.writeStream.format("memory")
+      .queryName("enriched").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("enriched")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("dedupByFingerprint drops re-arrivals of the same normalized " +
       "content within the watermark") {
     implicit val sql = spark.sqlContext
