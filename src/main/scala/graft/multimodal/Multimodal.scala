@@ -240,17 +240,21 @@ object Multimodal {
       val cellSums = Array.ofDim[Double](grid * grid)
       val cellCounts = Array.ofDim[Long](grid * grid)
       var sr = 0.0; var sg = 0.0; var sb = 0.0
+      // bulk row reads: per-pixel getRGB pays a color-model conversion
+      // call per pixel; one getRGB(row) amortizes it across the row
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        im.getRGB(0, y, w, 1, row, 0, w)
+        val cellRow = math.min(y * grid / h, grid - 1) * grid
         var x = 0
         while (x < w) {
-          val rgb = im.getRGB(x, y)
+          val rgb = row(x)
           val r = (rgb >> 16) & 0xff
           val g = (rgb >> 8) & 0xff
           val b = rgb & 0xff
           val luma = 0.299 * r + 0.587 * g + 0.114 * b
-          val cell = math.min(y * grid / h, grid - 1) * grid +
-            math.min(x * grid / w, grid - 1)
+          val cell = cellRow + math.min(x * grid / w, grid - 1)
           cellSums(cell) += luma
           cellCounts(cell) += 1
           sr += r; sg += g; sb += b
