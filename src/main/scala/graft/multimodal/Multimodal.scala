@@ -444,6 +444,7 @@ object Multimodal {
   def syntheticPng(w: Int, h: Int, seed: Int): Array[Byte] = {
     val im = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
       var x = 0
@@ -451,9 +452,10 @@ object Multimodal {
         val r = (x * 7 + seed) % 256
         val g = (y * 11 + seed * 3) % 256
         val b = (x + y + seed * 5) % 256
-        im.setRGB(x, y, (r << 16) | (g << 8) | b)
+        row(x) = (r << 16) | (g << 8) | b
         x += 1
       }
+      im.setRGB(0, y, w, 1, row, 0, w)
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
