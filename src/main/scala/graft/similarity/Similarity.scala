@@ -191,11 +191,16 @@ object Similarity {
           posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
         .agg(round(percentile(col("x"), lit(0.5)), 6).as("m"))
+      // materialize the (tiny) centroid table per iteration: the next
+      // iteration's assignment — and every downstream search consumer —
+      // would otherwise embed this iteration's full corpus-wide
+      // assignment plan and re-execute the whole nested chain per use
       cents = cells.groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("__pm"))
         .select(col("centroid_id"),
           transform(col("__pm"), p => p.getField("m")).as("centroid_vec"))
+        .localCheckpoint(true)
     }
     cents
   }
