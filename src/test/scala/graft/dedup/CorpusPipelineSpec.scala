@@ -67,4 +67,15 @@ class CorpusPipelineSpec extends SparkSpec {
       d, "doc_id", "text", minQuality = 0.1)
     assert(out.count() == 2)
   }
+
+  test("the full pipeline plan contains no cartesian or nested-loop " +
+      "joins (the scale-killer shapes) at any stage") {
+    val d = docs(
+      (1, base), (2, base.replace("lazy", "sleepy")), (3, "other text"))
+    val out = CorpusPipeline.prepareTrainingCorpus(
+      d, "doc_id", "text", minQuality = 0.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+  }
 }
