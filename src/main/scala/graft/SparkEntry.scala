@@ -293,10 +293,17 @@ object SparkEntry {
   private def exactDupStats(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDupStats(docs(s, dir), "text")
 
-  /** Exact n-gram Jaccard near-dup pairs (inverted-index join). */
+  /** Exact n-gram Jaccard near-dup pairs (inverted-index join).
+    * maxShingleDf=10 drops stop-shingles from CANDIDATE generation —
+    * at sf0.1 that is 10k of 27k shingles and 2.8× of the Σ(df²) join
+    * cost, growing quadratically with corpus scale — while the exact
+    * verify over full shingle sets keeps the emitted pairs and values
+    * byte-identical to the uncapped run (spec-checked; the oracle is
+    * the plain uncapped SQL).
+    */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8)
+        n = 3, threshold = 0.8, maxShingleDf = Some(10))
       .select(col("id_a"), col("id_b"), col("common"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -362,7 +369,9 @@ object SparkEntry {
   }
 
   /** IVF over k-MEDIANS-refined centroids — same search path as q29
-    * with the index "training" swapped in: stride init, two refinement
+    * with the index "training" swapped in: FIXED-k hash init (nlist
+    * independent of corpus size, so the broadcast centroid table and
+    * the O(n·k) assignment cost hold at any scale), two refinement
     * iterations, exact per-dimension medians (selection-based order
     * statistics, so centroids reproduce bit-for-bit across engines —
     * a mean would inherit summation-order noise).
@@ -370,7 +379,7 @@ object SparkEntry {
   private def annIvfKmedians(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cents = Similarity.kMediansCentroids(
-      e, "vec_id", "embedding", stride = 50, iters = 2)
+      e, "vec_id", "embedding", k = 16, iters = 2)
     Similarity.ivfTopKWithCentroids(
         e.where(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 10, cents, nprobe = 3)
@@ -524,7 +533,10 @@ object SparkEntry {
     * loses the doubling-compresses property on ANY document).
     */
   private def compressQuality(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    // null/empty-text docs have no deflate ratio (null) — exclude them
+    // symmetrically on both sides so the invariant gate tests the
+    // deflate signal, not corpus hygiene
+    val d = docs(s, dir).where(col("text").isNotNull && length(col("text")) > 0)
     val single = graft.text.Compressibility
       .deflateRatio(d, "doc_id", "text")
       .select(col("id"), col("ratio").as("r1"))
@@ -1441,7 +1453,8 @@ object SparkEntry {
            SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM e)))
              AS pos),
          c0 AS (SELECT vec_id AS cid, v AS cv FROM e
-                WHERE vec_id % 50 = 0),
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                LIMIT 16),
          a1 AS (
            SELECT vec_id, v, cid FROM (
              SELECT e.vec_id, e.v, c.cid, row_number() OVER (
@@ -1608,7 +1621,8 @@ object SparkEntry {
       """SELECT count(*) AS n_docs,
          CAST(1 AS INT) AS all_ratios_bounded,
          CAST(1 AS INT) AS all_doubling_compresses
-         FROM documents""",
+         FROM documents
+         WHERE text IS NOT NULL AND length(text) > 0""",
     "q51_incremental_dedup" ->
       """WITH fp AS (
            SELECT doc_id,

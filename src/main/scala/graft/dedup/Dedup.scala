@@ -124,14 +124,56 @@ object Dedup {
   // n-gram Jaccard (exact near-dup)                                  //
   // ---------------------------------------------------------------- //
 
+  /** Exact Jaccard verification of candidate pairs over the FULL
+    * shingle table: the inverted-index join is first semi-joined down
+    * to candidate documents, each pair's common-shingle count is then
+    * ratioed against the (full, unpruned) per-document shingle counts.
+    * Shared by [[ngramJaccardPairs]] (DF-capped candidates) and
+    * [[minhashLshPairs]] (LSH-banded candidates): the candidate
+    * generator is the recall lever, the verification — and therefore
+    * every emitted `jaccard` value — is exact either way. Emits
+    * (id_a, id_b, common, jaccard) for pairs ≥ threshold.
+    */
+  private def exactJaccardVerify(
+      shAll: DataFrame, sizes: DataFrame, cands: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    // no broadcast HINT on candIds: the candidate set is data-dependent
+    // and unbounded — AQE broadcasts it when it is actually small
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val sh = shAll.join(candIds, Seq(idCol), "left_semi")
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_shingles").as("na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_shingles").as("nb")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
   /** Exact pairwise Jaccard over word n-shingles via inverted-index
     * self-join. Emits (id_a, id_b, common, jaccard) for pairs with
     * jaccard ≥ threshold, id_a < id_b.
     *
     * @param maxShingleDf drop shingles appearing in more documents than
-    *   this (stop-shingles): they contribute little Jaccard mass but
-    *   quadratic join cost. Pairs sharing ONLY ultra-common shingles
-    *   fall below any useful threshold anyway.
+    *   this (stop-shingles) from CANDIDATE GENERATION only: they
+    *   contribute little discriminating mass but dominate the
+    *   inverted-index join's Σ(df²) cost — the hot keys ARE the join
+    *   skew at corpus scale. Candidates (pairs sharing ≥1 low-DF
+    *   shingle) are then verified with exact Jaccard over the full
+    *   shingle sets, so every emitted value is identical to the
+    *   uncapped result; a qualifying pair is missed only if ALL its
+    *   shared shingles are hot — at any useful threshold that means
+    *   two documents built almost entirely of stop-shingles, which
+    *   exact dedup upstream already collapses (spec-checked capped ==
+    *   uncapped at 0.8).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -142,31 +184,39 @@ object Dedup {
     // persist it would run 3×. At warehouse scale: a shingle table.
     val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = maxShingleDf match {
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    maxShingleDf match {
       case Some(cap) =>
         // document-frequency cap: one extra shuffle on shingle, removes
-        // the skewed keys that dominate Σ(df²) at scale
+        // the skewed keys that dominate Σ(df²); the capped join only
+        // GENERATES candidates — verification runs on full shingle sets
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .where(col("__df") > cap).select("shingle")
-        sh.join(hot, Seq("shingle"), "left_anti")
-      case None => sh
+        val pruned = sh.join(hot, Seq("shingle"), "left_anti")
+        val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
+        val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
+        val cands = a.join(b, Seq("shingle"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        exactJaccardVerify(sh, sizes, cands, idCol, threshold)
+      case None =>
+        val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+        val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+        a.join(b, Seq("shingle"))
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col(idCol).as("id_a"),
+            col("n_shingles").as("na")), Seq("id_a"))
+          .join(sizes.select(col(idCol).as("id_b"),
+            col("n_shingles").as("nb")), Seq("id_b"))
+          .withColumn("jaccard",
+            col("common").cast("double") /
+              (col("na") + col("nb") - col("common")).cast("double"))
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "common", "jaccard")
     }
-    val sizes = pruned.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
-    val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
-    val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n_shingles").as("na")),
-        Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_shingles").as("nb")),
-        Seq("id_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("na") + col("nb") - col("common")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "common", "jaccard")
   }
 
   // ---------------------------------------------------------------- //
@@ -266,31 +316,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // verify ONLY the candidates with exact Jaccard: the shingle join
-    // is first semi-joined down to candidate documents, so verification
-    // cost scales with the candidate set (tiny), not the corpus —
-    // without this the verify phase degenerates into the full
-    // inverted-index join LSH was meant to avoid.
-    // no broadcast HINT on candIds: the candidate set is data-dependent
-    // and unbounded — AQE broadcasts it when it is actually small,
-    // without committing the driver to hold it when it is not
-    val candIds = cands.select(col("id_a").as(idCol))
-      .union(cands.select(col("id_b").as(idCol))).distinct()
-    val sh = shAll.join(candIds, Seq(idCol), "left_semi")
+    // verify ONLY the candidates with exact Jaccard
+    // ([[exactJaccardVerify]] semi-joins the shingle table down to
+    // candidate documents first), so verification cost scales with the
+    // candidate set (tiny), not the corpus — without this the verify
+    // phase degenerates into the full inverted-index join LSH was
+    // meant to avoid.
     val sizes = sigs.select(col(idCol), col("n_shingles"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
-      .join(cands, Seq("id_a", "id_b"), "left_semi")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n_shingles").as("na")),
-        Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_shingles").as("nb")),
-        Seq("id_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("na") + col("nb") - col("common")).cast("double"))
-      .where(col("jaccard") >= threshold)
+    exactJaccardVerify(shAll, sizes, cands, idCol, threshold)
       .select("id_a", "id_b", "jaccard")
   }
 

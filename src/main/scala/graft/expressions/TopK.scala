@@ -29,8 +29,14 @@ class TopKByScore(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
   require(k >= 1, "k must be positive")
 
-  private def lt(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // total order via Double.compare (NaN sorts greatest, as in SQL
+  // DESC ranking) — `>` alone is false in both directions for NaN,
+  // which would drop NaN-scored entries from a full buffer and make
+  // insertion order inconsistent
+  private def lt(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Seq[ScoredId] = Vector.empty
 

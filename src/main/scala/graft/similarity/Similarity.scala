@@ -122,12 +122,36 @@ object Similarity {
   /** Deterministic IVF "training": every `stride`-th vector by id is a
     * centroid (k-means-free, reproducible — production swaps in real
     * k-means centroids without touching the search path).
+    *
+    * Scale note: nlist = n/stride GROWS with the corpus, so the
+    * broadcast centroid table and the O(n·nlist) assignment grow with
+    * it — [[hashKCentroids]] is the fixed-size init to prefer when the
+    * corpus is unbounded.
     */
   def strideCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       stride: Int): DataFrame =
     corpus.where(col(idCol) % stride === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** FIXED-k deterministic centroid init: the k vectors whose
+    * md5(id) ranks lowest (id tie-break) — a reproducible
+    * pseudo-random sample whose size is INDEPENDENT of corpus size,
+    * so the broadcast centroid table stays k rows and every
+    * assignment pass costs O(n·k) at any scale. Plans as
+    * TakeOrderedAndProject: each partition keeps its local top-k, the
+    * driver merges k·partitions candidate rows — no global sort, no
+    * full-corpus collect.
+    */
+  def hashKCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    corpus
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+  }
 
   /** Assign each corpus vector to its nearest centroid (broadcast join
     * against the small centroid set; ranking rounded for cross-engine
@@ -168,22 +192,25 @@ object Similarity {
     * purpose: the per-dimension EXACT median is selection-based (order
     * statistics + midpoint), so unlike a mean it has no
     * summation-order dependence and reproduces bit-for-bit across
-    * engines, partitionings, and runs. Init = [[strideCentroids]];
-    * each iteration assigns every vector to its nearest centroid
-    * (broadcast, rounded-cosine ranking) and re-centers each bucket at
-    * its per-dimension median, rounded to 6 decimals to pin the
+    * engines, partitionings, and runs. Init = [[hashKCentroids]] — a
+    * FIXED k, so nlist does not grow with the corpus; each iteration
+    * assigns every vector to its nearest centroid (broadcast,
+    * rounded-cosine ranking) and re-centers each bucket at its
+    * per-dimension median, rounded to 6 decimals to pin the
     * cross-engine value.
     *
-    * Scale: per iteration, one broadcast assignment pass + one
-    * aggregation of (centroid, dim) cells — the explode multiplies
-    * rows by the embedding dim, but the aggregate is partial+final
-    * (percentile buffers per (centroid, dim) group, bounded by bucket
-    * size, and the 100 TB variant swaps in `approx_percentile`).
+    * Scale: per iteration, one broadcast assignment pass (O(n·k) dot
+    * products against a k-row broadcast — constant as the corpus
+    * grows) + one aggregation of (centroid, dim) cells — the explode
+    * multiplies rows by the embedding dim, but the aggregate is
+    * partial+final (percentile buffers per (centroid, dim) group,
+    * bounded by bucket size, and the 100 TB variant swaps in
+    * `approx_percentile`).
     */
   def kMediansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      stride: Int, iters: Int = 2, roundTo: Int = 4): DataFrame = {
-    var cents = strideCentroids(corpus, idCol, vecCol, stride)
+      k: Int, iters: Int = 2, roundTo: Int = 4): DataFrame = {
+    var cents = hashKCentroids(corpus, idCol, vecCol, k)
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
       val cells = assigned

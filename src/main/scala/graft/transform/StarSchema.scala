@@ -169,9 +169,13 @@ object StarSchemaBuilder {
       path: String, updates: DataFrame,
       keyCols: Seq[String], orderCol: String): Long = {
     require(keyCols.nonEmpty, "at least one natural key column")
+    // only a genuinely-missing path means "no existing data" — any
+    // other read failure (corrupt footer, permission, schema error)
+    // must fail the upsert rather than silently discard current rows
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(spark.read.parquet(path))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (fs.exists(hPath)) Some(spark.read.parquet(path)) else None
     val unioned = existing match {
       case Some(e) => e.unionByName(updates, allowMissingColumns = true)
       case None => updates

@@ -108,6 +108,29 @@ class DedupSpec extends SparkSpec {
     assert(withCap.count() == 0)
   }
 
+  test("DF-capped ngramJaccardPairs emits byte-identical pairs AND " +
+      "values to the uncapped run (cap prunes candidates only; verify " +
+      "is exact over full shingle sets)") {
+    // every doc shares a hot template prefix (shingle df = 4 > cap);
+    // near-dup pairs also share rare shingles, so they survive the
+    // candidate prune — and their common/jaccard must come from the
+    // FULL shingle sets, not the pruned ones
+    val prefix = "standard template header used by every document"
+    val other = "catalyst rewrites logical plans with rule batches " +
+      "until the tree reaches a fixed point of the optimizer"
+    val d = docs(
+      (1, s"$prefix $base"),
+      (2, s"$prefix ${base.replace("lazy", "sleepy")}"),
+      (3, s"$prefix $other"),
+      (4, s"$prefix ${other.replace("batches", "groups")}"))
+    val uncapped = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.7)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.7,
+      maxShingleDf = Some(2)).collect().map(_.toSeq).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
   test("minhashSignatures: identical docs get identical signatures") {
     val d = docs((1, base), (2, base), (3, "something else entirely here"))
     val sigs = Dedup.minhashSignatures(d, "id", "text", 3, 16)

@@ -112,21 +112,39 @@ class SimilaritySpec extends SparkSpec {
 
   test("kMediansCentroids re-centers each bucket at its per-dimension " +
       "median and keeps centroid ids/dims") {
+    // md5("11") and md5("12") rank lowest among these ids, so the
+    // fixed-k hash init (k=2) seeds one centroid per cluster: 11 in
+    // cluster A, 12 in cluster B
     val cl = vecs(
-      (0, Seq(1.0, 0.0)), (1, Seq(0.99, 0.01)), (2, Seq(0.98, -0.01)),
-      (10, Seq(0.0, 1.0)), (11, Seq(0.01, 0.99)), (12, Seq(-0.01, 0.98)))
-    // stride 10 → init centroids {0, 10}, one per cluster
+      (11, Seq(1.0, 0.0)), (1, Seq(0.99, 0.01)), (2, Seq(0.98, -0.01)),
+      (12, Seq(0.0, 1.0)), (10, Seq(0.01, 0.99)), (3, Seq(-0.01, 0.98)))
     val cents = Similarity.kMediansCentroids(
-      cl, "vec_id", "embedding", stride = 10, iters = 2)
+      cl, "vec_id", "embedding", k = 2, iters = 2)
     val m = cents.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-    assert(m.keySet == Set(0, 10))
+    assert(m.keySet == Set(11, 12))
     assert(m.values.forall(_.length == 2))
     // cluster A medians: x = median(1.0, 0.99, 0.98), y = median(0, ±0.01)
-    assert(math.abs(m(0)(0) - 0.99) < 1e-9)
-    assert(math.abs(m(0)(1) - 0.0) < 1e-9)
-    assert(math.abs(m(10)(0) - 0.0) < 1e-9)
-    assert(math.abs(m(10)(1) - 0.99) < 1e-9)
+    assert(math.abs(m(11)(0) - 0.99) < 1e-9)
+    assert(math.abs(m(11)(1) - 0.0) < 1e-9)
+    assert(math.abs(m(12)(0) - 0.0) < 1e-9)
+    assert(math.abs(m(12)(1) - 0.99) < 1e-9)
+  }
+
+  test("hashKCentroids returns exactly k centroids independent of " +
+      "corpus size, and plans as a partition-local top-k (no global " +
+      "sort exchange)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c8 = Similarity.hashKCentroids(e, "vec_id", "embedding", 8)
+    assert(c8.count() == 8)
+    // doubling the corpus must not change the centroid COUNT (the
+    // strideCentroids failure mode) — membership may differ
+    val doubled = e.unionByName(
+      e.withColumn("vec_id", col("vec_id") + 100000))
+    assert(Similarity.hashKCentroids(
+      doubled, "vec_id", "embedding", 8).count() == 8)
+    val plan = c8.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("ivfTopKWithCentroids over k-medians centroids reaches useful " +
@@ -134,7 +152,7 @@ class SimilaritySpec extends SparkSpec {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 10)
     val cents = Similarity.kMediansCentroids(
-      e, "vec_id", "embedding", stride = 50, iters = 2)
+      e, "vec_id", "embedding", k = 10, iters = 2)
     val ivf = Similarity.ivfTopKWithCentroids(
         q, e, "vec_id", "embedding", k = 10, cents, nprobe = 3)
       .select("query_id", "neighbor_id")
