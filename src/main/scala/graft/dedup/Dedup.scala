@@ -192,12 +192,42 @@ object Dedup {
         // GENERATES candidates — verification runs on full shingle sets
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .where(col("__df") > cap).select("shingle")
+        // persisted: feeds the low-DF size aggregate + both legs of the
+        // candidate join
         val pruned = sh.join(hot, Seq("shingle"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // per-doc hot-shingle counts (total − low-DF): the slack term
+        // of the Jaccard upper bound below
+        val lowSizes = pruned.groupBy(idCol).agg(count(lit(1)).as("__nl"))
+        val szs = sizes.join(lowSizes, Seq(idCol), "left")
+          .select(col(idCol), col("n_shingles"),
+            (col("n_shingles") - coalesce(col("__nl"), lit(0L)))
+              .as("__nh"))
         val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
         val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
-        val cands = a.join(b, Seq("shingle"))
+        val commonLow = a.join(b, Seq("shingle"))
           .where(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("__cl"))
+        // upper-bound prune BEFORE exact verification: a pair's true
+        // common count is at most __cl + min(hot_a, hot_b), and Jaccard
+        // is monotone in the common count, so
+        //   (__cl + min(ha, hb)) / (na + nb − __cl − min(ha, hb))
+        // bounds the true Jaccard from above — pairs below threshold
+        // here CANNOT qualify and never reach the verify join. The
+        // verify cost then scales with near-qualifying pairs (a
+        // constant-ish set), not with Σ(df²) of the corpus.
+        val chMax = least(col("__nh_a"), col("__nh_b"))
+        val cands = commonLow
+          .join(szs.select(col(idCol).as("id_a"),
+            col("n_shingles").as("__na"), col("__nh").as("__nh_a")),
+            Seq("id_a"))
+          .join(szs.select(col(idCol).as("id_b"),
+            col("n_shingles").as("__nb"), col("__nh").as("__nh_b")),
+            Seq("id_b"))
+          .where((col("__cl") + chMax).cast("double") /
+            (col("__na") + col("__nb") - col("__cl") - chMax)
+              .cast("double") >= threshold)
+          .select("id_a", "id_b")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         exactJaccardVerify(sh, sizes, cands, idCol, threshold)
       case None =>
