@@ -62,6 +62,51 @@ class DedupSpec extends SparkSpec {
     assert(semi == win)
   }
 
+  test("exactDedupSemi on a heavily duplicated corpus: the dedup " +
+      "aggregation shuffle carries only id + fingerprint, and AQE " +
+      "executes the survivor semi-join as a broadcast (corpus rows " +
+      "never network-exchanged)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // 2000 rows, 10 distinct fat texts — the shape where shuffling the
+    // text column would move ~200× more bytes than shuffling its keys
+    val texts = (0 until 10)
+      .map(i => s"document body variant $i " + ("lorem ipsum " * 40))
+    val d = docs((0 until 2000).map(i => (i, texts(i % 10))): _*)
+    val out = Dedup.exactDedupSemi(d, "id", "text")
+    // execute THIS query execution (count() would build a separate
+    // one, leaving out's plan un-finalized) → AQE-final plan
+    assert(out.collect().length == 10)
+    def shuffleOutputs(p: SparkPlan): Seq[Seq[String]] = p.collect {
+      case a: AdaptiveSparkPlanExec => shuffleOutputs(a.executedPlan)
+      case q: QueryStageExec => shuffleOutputs(q.plan)
+      case s: ShuffleExchangeLike => Seq(s.output.map(_.name))
+    }.flatten
+    val plan = out.queryExecution.executedPlan
+    // the dedup (fingerprint→min id) exchange is NARROW: id + 16-byte
+    // fp only, never the document body
+    val fpShuffles = shuffleOutputs(plan).filter(_.exists(_.contains("__fp")))
+    assert(fpShuffles.nonEmpty, "expected the fingerprint dedup shuffle")
+    fpShuffles.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"text column rode through the dedup shuffle: $cols")
+    }
+    // the survivor set (10 ids) is small → AQE must finish the semi
+    // join as a broadcast: the statically-planned corpus-side shuffle
+    // write is read back PARTITION-LOCAL (no network exchange of text
+    // rows). At warehouse scale the corpus side is bucketed by id,
+    // which removes that shuffle write entirely.
+    // the adaptive plan string appends the (pre-runtime) Initial Plan —
+    // assert on the executed Final Plan section only
+    val planStr = plan.toString.split("== Initial Plan ==").head
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"survivor semi-join did not broadcast:\n${planStr.take(800)}")
+    assert(!planStr.contains("SortMergeJoin"),
+      "corpus rows went through a sort-merge exchange")
+  }
+
   test("exactDupStats counts all members of dup groups") {
     val d = docs((1, "aa"), (2, "AA"), (3, "bb"))
     val r = Dedup.exactDupStats(d, "text").head()

@@ -209,6 +209,59 @@ class EventStreamsSpec extends SparkSpec {
     assert(w10.head().getAs[Long]("n_events") == 2L) // late row excluded
   }
 
+  test("dedupByFingerprint soak: 5 micro-batches with late data — late " +
+      "rows dropped, state rows bounded by the watermark (evictions " +
+      "observed via stateOperators), horizon re-emission documented") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val stream = in.toDF().toDF("doc_id", "ts", "text")
+    val out = EventStreams.dedupByFingerprint(
+      stream, "text", "ts", watermark = "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("fp_soak").outputMode("append").start()
+    try {
+      // batch 1: two distinct docs + an in-batch normalized dup
+      in.addData(
+        (1L, t("10:00"), "alpha doc"),
+        (2L, t("10:05"), "beta doc"),
+        (3L, t("10:05"), "ALPHA   doc")) // dup of 1 → dropped
+      q.processAllAvailable()
+      // batch 2: 13:00 advances the watermark to 12:00
+      in.addData((4L, t("13:00"), "gamma doc"))
+      q.processAllAvailable()
+      // batch 3: a LATE new doc (behind the 12:00 watermark → dropped),
+      // a dup within the horizon (dropped), and a re-arrival of "beta"
+      // whose state entry expired (10:05 + 1h < 12:00) → re-emitted:
+      // the documented bounded-state trade — dedup is exact only
+      // within the watermark horizon
+      in.addData(
+        (5L, t("10:30"), "delta doc"), // late → dropped
+        (6L, t("13:05"), "beta doc"), // horizon re-emission
+        (7L, t("13:06"), "gamma doc")) // dup within horizon → dropped
+      q.processAllAvailable()
+      // batches 4+5: advance the watermark twice more so the 13:xx
+      // entries expire — state must shrink, not accumulate the corpus
+      in.addData((8L, t("16:00"), "omega doc"))
+      q.processAllAvailable()
+      in.addData((9L, t("16:30"), "sigma doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("fp_soak")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L, 6L, 8L, 9L))
+    val stateProgress = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    // evictions actually happened (watermark-bounded state, not
+    // grow-forever), and the final state holds only the entries still
+    // inside the horizon — NOT one row per distinct document ever seen
+    assert(stateProgress.map(_.numRowsRemoved).sum > 0,
+      "expected watermark evictions from the dedup state store")
+    val finalRows = stateProgress.last.numRowsTotal
+    assert(finalRows <= 2,
+      s"state should hold only in-horizon fingerprints, got $finalRows")
+  }
+
   test("foreachBatchSink lands micro-batches into a parquet fact table") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
