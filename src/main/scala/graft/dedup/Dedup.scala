@@ -187,26 +187,36 @@ object Dedup {
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
     maxShingleDf match {
       case Some(cap) =>
-        // document-frequency cap: one extra shuffle on shingle, removes
-        // the skewed keys that dominate Σ(df²); the capped join only
-        // GENERATES candidates — verification runs on full shingle sets
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-          .where(col("__df") > cap).select("shingle")
-        // persisted: feeds the low-DF size aggregate + both legs of the
-        // candidate join
-        val pruned = sh.join(hot, Seq("shingle"), "left_anti")
+        // POSTING-LIST candidate generation: ONE groupBy on shingle
+        // builds each shingle's sorted doc-id list; hot shingles
+        // (df > cap, the stop-shingles that dominate Σ(df²) and ARE
+        // the join skew) are dropped right there — no anti-join pass —
+        // and each kept list expands to its C(df,2) ≤ C(cap,2) pairs
+        // with a bounded array expression. Per-shingle work is capped
+        // by construction, so the stage cannot skew however hot the
+        // corpus's stop-shingles get. Persisted: feeds the pair
+        // explode AND the low-DF size aggregate.
+        val postings = sh.groupBy("shingle")
+          .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+          .where(size(col("__ids")) <= cap)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // per-doc hot-shingle counts (total − low-DF): the slack term
         // of the Jaccard upper bound below
-        val lowSizes = pruned.groupBy(idCol).agg(count(lit(1)).as("__nl"))
+        val lowSizes = postings
+          .select(explode(col("__ids")).as(idCol))
+          .groupBy(idCol).agg(count(lit(1)).as("__nl"))
         val szs = sizes.join(lowSizes, Seq(idCol), "left")
           .select(col(idCol), col("n_shingles"),
             (col("n_shingles") - coalesce(col("__nl"), lit(0L)))
               .as("__nh"))
-        val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
-        val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
-        val commonLow = a.join(b, Seq("shingle"))
-          .where(col("id_a") < col("id_b"))
+        // all (id_a < id_b) pairs per posting list — sorted lists make
+        // the ordering free
+        val ids = col("__ids")
+        val commonLow = postings
+          .select(explode(flatten(transform(ids, (x, i) =>
+            transform(slice(ids, i + lit(2), size(ids)),
+              y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+          .select(col("__p.id_a"), col("__p.id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("__cl"))
         // upper-bound prune BEFORE exact verification: a pair's true
         // common count is at most __cl + min(hot_a, hot_b), and Jaccard
