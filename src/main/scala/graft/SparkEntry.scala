@@ -340,7 +340,7 @@ object SparkEntry {
     */
   private def embeddingNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsBlocked(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.45, stride = 50, nprobe = 2)
+        threshold = 0.45, nlist = 10, nprobe = 2)
       .orderBy("id_a", "id_b")
 
   /** Brute-force cosine top-10 neighbors for the first 10 vectors —
@@ -357,12 +357,16 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF (bucketed) top-10 — the scale path for similarity search. */
+  /** IVF (bucketed) top-10 — the scale path for similarity search.
+    * Fixed nlist=16 ([[Similarity.hashKCentroids]]): centroid count —
+    * and with it the broadcast table and O(n·nlist) assignment cost —
+    * stays constant as the corpus grows.
+    */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.ivfTopK(
         e.where(col("vec_id") < 10), e, "vec_id", "embedding",
-        k = 10, stride = 50, nprobe = 3)
+        k = 10, nlist = 16, nprobe = 3)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
@@ -1261,7 +1265,8 @@ object SparkEntry {
       s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cents AS (SELECT vec_id AS cid, v AS cv FROM e
-                   WHERE vec_id % 50 = 0),
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 10),
          assign AS (
            SELECT vec_id, cid FROM (
              SELECT e.vec_id, c.cid, row_number() OVER (
@@ -1294,7 +1299,8 @@ object SparkEntry {
       s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cents AS (SELECT vec_id AS cid, v AS cv FROM e
-                   WHERE vec_id % 50 = 0),
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
          assign AS (
            SELECT vec_id, v, cid FROM (
              SELECT e.vec_id, e.v, c.cid, row_number() OVER (

@@ -236,14 +236,17 @@ object Similarity {
     * then brute-force only within the probed buckets. Approximate (a
     * true neighbor assigned to an unprobed bucket is missed) — that's
     * the documented recall/cost trade; nprobe=nlist degrades to exact.
+    * Centroid init is [[hashKCentroids]] with a FIXED `nlist`, so the
+    * broadcast centroid table and the O(n·nlist) assignment cost are
+    * independent of corpus size.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
-      k: Int, stride: Int, nprobe: Int,
+      k: Int, nlist: Int, nprobe: Int,
       roundTo: Int = 4): DataFrame =
     ivfTopKWithCentroids(queries, corpus, idCol, vecCol, k,
-      strideCentroids(corpus, idCol, vecCol, stride), nprobe, roundTo)
+      hashKCentroids(corpus, idCol, vecCol, nlist), nprobe, roundTo)
 
   /** [[ivfTopK]] over a caller-supplied centroid table (e.g.
     * [[kMediansCentroids]]) — the index "training" is swappable, the
@@ -398,16 +401,17 @@ object Similarity {
     * sharing at least one of their `nprobe` nearest centroids, verified
     * with one exact dot product each. Work is Σ(bucket²) over probe
     * buckets, not n²/2; candidate generation broadcasts only the small
-    * centroid set. Recall < 1.0 is possible for pairs whose probe sets
-    * are disjoint — raise `nprobe` (more buckets per vector) or
-    * `stride` (fewer, bigger buckets) to trade cost for recall;
+    * FIXED-size centroid set ([[hashKCentroids]] — `nlist` independent
+    * of corpus size). Recall < 1.0 is possible for pairs whose probe
+    * sets are disjoint — raise `nprobe` (more buckets per vector) or
+    * lower `nlist` (fewer, bigger buckets) to trade cost for recall;
     * [[nearDupPairs]] is the exact reference for recall specs.
     */
   def nearDupPairsBlocked(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, stride: Int, nprobe: Int = 2,
+      threshold: Double, nlist: Int, nprobe: Int = 2,
       roundTo: Int = 4): DataFrame = {
-    val cents = strideCentroids(corpus, idCol, vecCol, stride)
+    val cents = hashKCentroids(corpus, idCol, vecCol, nlist)
     val assigned = multiAssignToCentroids(
       corpus, cents, idCol, vecCol, nprobe, roundTo)
     val l = assigned.select(col(idCol).as("id_a"), col("centroid_id"))

@@ -58,9 +58,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("ivfTopK with full probing matches brute force") {
     val q = corpus.where(col("vec_id") === 0)
-    // stride 2 → centroids {0,2,4}; nprobe 3 probes all buckets → exact
+    // nlist 3, nprobe 3 probes all buckets → exact for any centroids
     val ivf = Similarity.ivfTopK(q, corpus, "vec_id", "embedding",
-      k = 3, stride = 2, nprobe = 3).orderBy("rank")
+      k = 3, nlist = 3, nprobe = 3).orderBy("rank")
       .select("neighbor_id", "sim").collect().map(r => (r.getInt(0), r.getDouble(1)))
     val bf = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding",
       k = 3).orderBy("rank")
@@ -198,7 +198,7 @@ class SimilaritySpec extends SparkSpec {
       "candidate verified exactly once") {
     val blocked = Similarity.nearDupPairsBlocked(
         corpus, "vec_id", "embedding",
-        threshold = 0.9, stride = 2, nprobe = 2)
+        threshold = 0.9, nlist = 3, nprobe = 2)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     val brute = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -211,7 +211,7 @@ class SimilaritySpec extends SparkSpec {
       "at the q27 parameters") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val blocked = Similarity.nearDupPairsBlocked(
-        e, "vec_id", "embedding", threshold = 0.45, stride = 50, nprobe = 2)
+        e, "vec_id", "embedding", threshold = 0.45, nlist = 10, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
