@@ -531,6 +531,48 @@ object SparkEntry {
         round(sum(col("o_orderkey").cast("double")), 1).as("key_sum"))
       .orderBy("o_orderpriority")
 
+  /** Token-budget shard packing (concat-then-chunk sequence packing):
+    * documents laid end-to-end in id order, cut into 5000-token
+    * shards via the PARTITIONED prefix sum ([[Packing.packIntoShards]]
+    * — the unbounded window touches one row per id bucket, never the
+    * corpus). Per-shard rollup pins the exact document→shard
+    * assignment.
+    */
+  private def tokenShards(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    graft.sampling.Packing.packIntoShards(d, "doc_id", "tokens",
+        budget = 5000, bucketWidth = 256)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+  }
+
+  /** Per-language token-budget selection: spend a 2000-token budget
+    * per predicted language on the highest-quality documents
+    * (rounded-quality order, id tie-break — the 4-decimal rounding is
+    * the cross-engine-stable key q19 proves). Strict budget: the
+    * first document that would overflow is excluded.
+    */
+  private def langTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("tokens", TextAnalysis.tokenCount(col("text")))
+    val tagged = TextAnalysis.langIdStaged(d, "text")
+    graft.sampling.Packing.takeUntilBudget(
+        tagged, Seq("predicted"),
+        Seq(round(col("quality"), 4).desc, col("doc_id").asc),
+        "tokens", budget = 2000)
+      .groupBy("predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).cast("long").as("sum_tokens"),
+        round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
+      .orderBy("predicted")
+  }
+
   /** Compressibility quality signal gated in-query (the q46 pattern:
     * the oracle states the invariants as constants, so the compare
     * fails if the deflate path ever produces an out-of-bounds ratio or
@@ -1073,6 +1115,8 @@ object SparkEntry {
     "q56_top_orders_per_priority" -> (topOrdersPerPriority _),
     "q57_acctbal_deciles" -> (acctbalDeciles _),
     "q58_tfidf_terms" -> (topTfidfTerms _),
+    "q59_token_shards" -> (tokenShards _),
+    "q60_lang_token_budget" -> (langTokenBudget _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1723,5 +1767,33 @@ object SparkEntry {
            FROM scored WHERE doc_id < 5)
          SELECT doc_id, token, tfidf, rank FROM r
          WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q59_token_shards" ->
+      s"""WITH d AS (
+           SELECT doc_id, len($oracleWords) AS tok FROM documents),
+         c AS (
+           SELECT doc_id, tok,
+             sum(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS strt
+           FROM d)
+         SELECT CAST(floor(strt / 5000.0) AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1 ORDER BY shard""",
+    "q60_lang_token_budget" ->
+      s"""WITH ${oracleMetricsCtes("documents")},
+         ${oracleLangCtes("q")},
+         sel AS (
+           SELECT predicted, doc_id, tokens,
+             sum(tokens) OVER (PARTITION BY predicted
+               ORDER BY round(quality, 4) DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM p)
+         SELECT predicted, count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+           round(sum(CAST(doc_id AS DOUBLE)), 1) AS id_sum
+         FROM sel WHERE cum <= 2000
+         GROUP BY predicted ORDER BY predicted""",
   )
 }
