@@ -204,20 +204,34 @@ object Similarity {
     * grows) + one aggregation of (centroid, dim) cells — the explode
     * multiplies rows by the embedding dim, but the aggregate is
     * partial+final (percentile buffers per (centroid, dim) group,
-    * bounded by bucket size, and the 100 TB variant swaps in
-    * `approx_percentile`).
+    * bounded by bucket size).
+    *
+    * `exactMedian = false` is the 100 TB refinement path: it swaps the
+    * selection-based exact median for `percentile_approx` with
+    * `approxAccuracy` — the Greenwald-Khanna sketch holds a BOUNDED
+    * buffer per (centroid, dim) cell regardless of bucket size, where
+    * the exact percentile buffers every value. The sketch's rank
+    * error is bounded by 1/approxAccuracy; it returns an actual data
+    * value (no midpoint interpolation on even counts), so approx
+    * centroids track the exact ones to within the cell's local value
+    * gap (spec-checked on test data) rather than bit-for-bit.
     */
   def kMediansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 2, roundTo: Int = 4): DataFrame = {
+      k: Int, iters: Int = 2, roundTo: Int = 4,
+      exactMedian: Boolean = true,
+      approxAccuracy: Int = 10000): DataFrame = {
     var cents = hashKCentroids(corpus, idCol, vecCol, k)
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
+      val med =
+        if (exactMedian) percentile(col("x"), lit(0.5))
+        else percentile_approx(col("x"), lit(0.5), lit(approxAccuracy))
       val cells = assigned
         .select(col("centroid_id"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
-        .agg(round(percentile(col("x"), lit(0.5)), 6).as("m"))
+        .agg(round(med, 6).as("m"))
       // materialize the (tiny) centroid table per iteration: the next
       // iteration's assignment — and every downstream search consumer —
       // would otherwise embed this iteration's full corpus-wide

@@ -131,6 +131,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(m(12)(1) - 0.99) < 1e-9)
   }
 
+  test("kMediansCentroids approx-median variant (bounded GK sketch, " +
+      "the 100TB refinement path) tracks the exact centroids closely " +
+      "and keeps the same centroid ids") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val exact = toMap(Similarity.kMediansCentroids(
+      e, "vec_id", "embedding", k = 8, iters = 1))
+    val approx = toMap(Similarity.kMediansCentroids(
+      e, "vec_id", "embedding", k = 8, iters = 1, exactMedian = false))
+    assert(approx.keySet == exact.keySet)
+    val maxDiff = exact.flatMap { case (id, v) =>
+      v.zip(approx(id)).map { case (a, b) => math.abs(a - b) }
+    }.max
+    // only even-count cells can differ (midpoint interpolation vs
+    // nearest element) — bounded by the local inter-value gap
+    assert(maxDiff < 0.05, s"approx centroids drifted: maxDiff=$maxDiff")
+  }
+
   test("hashKCentroids returns exactly k centroids independent of " +
       "corpus size, and plans as a partition-local top-k (no global " +
       "sort exchange)") {
