@@ -43,8 +43,13 @@ object Packing {
     require(!df.columns.exists(Set("__bkt", "__cum", "__off")),
       "input must not have columns named __bkt, __cum or __off")
     val tok = coalesce(col(tokenCol).cast("long"), lit(0L))
+    // persisted: the bucketed projection feeds the within-bucket
+    // cumsum AND the bucket-totals aggregate — without it both legs
+    // re-scan the corpus (and recompute any upstream token-count
+    // expression) once each
     val withB = df.withColumn("__bkt",
       floor(col(idCol).cast("long") / lit(bucketWidth)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // partition-parallel inclusive cumsum within each id bucket
     val inBkt = Window.partitionBy("__bkt").orderBy(col(idCol).asc)
     val cum = withB.withColumn("__cum", sum(tok).over(inBkt))
