@@ -573,6 +573,29 @@ object SparkEntry {
       .orderBy("predicted")
   }
 
+  /** Token-window chunking (64-token windows, 8-token overlap) — the
+    * pre-embedding/RAG chunking pass. md5 of each chunk's text pins
+    * the exact chunk boundaries and content in the oracle compare.
+    */
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
+        window = 64, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-RES,
+    * ln(u)/w keys): 20 orders with inclusion probability scaling with
+    * o_totalprice, membership pinned by the md5 hash — deterministic
+    * across engines.
+    */
+  private def weightedOrderSample(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.weightedSample(
+        t(s, dir, "orders"), "o_orderkey", "o_totalprice", k = 20)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
   /** Compressibility quality signal gated in-query (the q46 pattern:
     * the oracle states the invariants as constants, so the compare
     * fails if the deflate path ever produces an out-of-bounds ratio or
@@ -1117,6 +1140,8 @@ object SparkEntry {
     "q58_tfidf_terms" -> (topTfidfTerms _),
     "q59_token_shards" -> (tokenShards _),
     "q60_lang_token_budget" -> (langTokenBudget _),
+    "q61_doc_chunks" -> (docChunks _),
+    "q62_weighted_order_sample" -> (weightedOrderSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1795,5 +1820,36 @@ object SparkEntry {
            round(sum(CAST(doc_id AS DOUBLE)), 1) AS id_sum
          FROM sel WHERE cum <= 2000
          GROUP BY predicted ORDER BY predicted""",
+    "q61_doc_chunks" ->
+      s"""WITH d AS (
+           SELECT doc_id, $oracleWords AS ws FROM documents),
+         n AS (
+           SELECT doc_id, ws, len(ws) AS t FROM d WHERE len(ws) > 0),
+         c AS (
+           SELECT doc_id, ws,
+             unnest(generate_series(0,
+               greatest(0, CAST(ceil((t - 64) / 56.0) AS BIGINT))))
+               AS chunk_idx
+           FROM n),
+         ch AS (
+           SELECT doc_id, chunk_idx,
+             ws[chunk_idx * 56 + 1 : chunk_idx * 56 + 64] AS chunk
+           FROM c)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
+    "q62_weighted_order_sample" ->
+      """WITH s AS (
+           SELECT o_orderkey, o_totalprice,
+             ln(CAST(('0x' || substr(
+                 md5('wsample' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0) / o_totalprice AS k
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+         top AS (
+           SELECT o_orderkey, o_totalprice FROM s
+           ORDER BY k DESC, o_orderkey ASC LIMIT 20)
+         SELECT o_orderkey, o_totalprice FROM top ORDER BY o_orderkey""",
   )
 }

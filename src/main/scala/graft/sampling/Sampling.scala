@@ -96,6 +96,32 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-RES): each row gets the key ln(u)/w with
+    * u = [[hashFraction]] and w = its weight; the k largest keys are
+    * the sample, so inclusion probability scales with weight while
+    * membership stays pinned by the hash — reproducible across runs,
+    * engines, and partitionings, like every sampler here. Rows with
+    * null or non-positive weight are excluded.
+    *
+    * Scale: the top-k plans as TakeOrderedAndProject (per-partition
+    * top-k, k·partitions rows to the driver merge) — no global sort,
+    * no shuffle of the corpus.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(!df.columns.contains("__wkey"),
+      "input must not have a column named __wkey")
+    val w = col(weightCol).cast("double")
+    df.where(w.isNotNull && w > 0)
+      .withColumn("__wkey", log(hashFraction(col(idCol), salt)) / w)
+      .orderBy(col("__wkey").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Deterministic n-per-group sample (the distributed analogue of
     * reservoir sampling with a fixed seed): the `n` rows with the
     * smallest hash in each group. One shuffle on the group key.

@@ -220,6 +220,46 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
   }
 
+  /** Split each document into fixed token-window chunks with overlap —
+    * the chunking pass a training/RAG pipeline runs before embedding
+    * or packing. Chunk i covers words [i·stride, i·stride + window)
+    * with stride = window − overlap; chunks are emitted until every
+    * token is covered (the final chunk may be shorter than `window`).
+    * Empty/absent texts produce no chunks.
+    *
+    * Output: (id, chunk_idx, n_tokens, chunk_text) — one row per
+    * chunk. Pure expressions (tokenize once per document, slice per
+    * chunk), zero shuffle, embarrassingly parallel.
+    *
+    * The chunk-start sequence is guarded to never run `sequence()`
+    * downward (the inverted-bounds trap): docs with zero tokens are
+    * filtered before the explode.
+    */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, overlap: Int = 0): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(overlap >= 0 && overlap < window,
+      "overlap must be in [0, window)")
+    require(!df.columns.exists(Set("__ws", "__t", "chunk_idx")),
+      "input must not have columns named __ws, __t or chunk_idx")
+    val stride = window - overlap
+    val nChunks = (col("__t") - lit(window)).cast("double")
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .withColumn("__t", size(col("__ws")))
+      .where(col("__t") > 0)
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0),
+          greatest(lit(0), ceil(nChunks / lit(stride)).cast("int"))))
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__ws"), col("chunk_idx") * stride + 1, lit(window))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   /** Explode a document table into (id, shingle) rows — the input shape
     * for inverted-index joins and MinHash. One row per DISTINCT shingle
     * per document.

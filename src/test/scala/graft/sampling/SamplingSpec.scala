@@ -98,4 +98,41 @@ class SamplingSpec extends SparkSpec {
       ids(3), "id", Seq("stratum"), 7)
     assert(tiny.count() == 3)
   }
+
+  test("weightedSample matches a reference Efraimidis-Spirakis " +
+      "computation, excludes non-positive weights, is deterministic") {
+    val d = spark.range(200).select(col("id"),
+      when(col("id") < 5, lit(0.0))
+        .when(col("id") < 10, lit(-1.0))
+        .otherwise((col("id") % 50 + 1).cast("double")).as("w"))
+    val got = Sampling.weightedSample(d, "id", "w", 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // reference: same key formula evaluated independently
+    val ref = d.where(col("w") > 0)
+      .select(col("id"),
+        (log(Sampling.hashFraction(col("id"), "wsample")) / col("w"))
+          .as("k"))
+      .orderBy(col("k").desc, col("id").asc).limit(15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == ref)
+    assert(got.size == 15)
+    assert(got.intersect((0L until 10L).toSet).isEmpty) // w <= 0 excluded
+    val again = Sampling.weightedSample(d, "id", "w", 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
+  test("weightedSample inclusion probability scales with weight " +
+      "(heavy rows sampled far more often across salts)") {
+    // 100 rows: one heavy (w=500) vs light (w=1); over 30 salts the
+    // heavy row must appear in the k=10 sample far more often than any
+    // single light row's expectation
+    val d = spark.range(100).select(col("id"),
+      when(col("id") === 0, lit(500.0)).otherwise(lit(1.0)).as("w"))
+    val hits = (0 until 30).count { s =>
+      Sampling.weightedSample(d, "id", "w", 10, salt = s"salt$s")
+        .select("id").collect().map(_.getLong(0)).contains(0L)
+    }
+    assert(hits >= 25, s"heavy row sampled only $hits/30 times")
+  }
 }

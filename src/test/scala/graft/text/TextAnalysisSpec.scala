@@ -14,6 +14,47 @@ class TextAnalysisSpec extends SparkSpec {
   private def one(text: String, c: org.apache.spark.sql.Column) =
     textDf(text).select(c).head()
 
+  private def idTextDf(rows: (Int, String)*) = df(
+    StructType(Seq(
+      StructField("id", IntegerType), StructField("text", StringType))),
+    rows.map { case (i, t) => Row(i, t) })
+
+  test("chunkByTokens: overlapping windows cover every token, last " +
+      "chunk may be short, empty docs emit nothing") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = idTextDf((1, ten), (2, "only three words"), (3, "  "), (4, null))
+    val out = TextAnalysis.chunkByTokens(d, "id", "text",
+        window = 4, overlap = 1)
+      .orderBy("id", "chunk_idx")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // stride 3; T=10 → chunk starts 0,3,6: [w1..w4][w4..w7][w7..w10]
+    assert(out.toSeq == Seq(
+      (1, 0, 4, "w1 w2 w3 w4"),
+      (1, 1, 4, "w4 w5 w6 w7"),
+      (1, 2, 4, "w7 w8 w9 w10"),
+      (2, 0, 3, "only three words"))) // T < window → one short chunk
+  }
+
+  test("chunkByTokens: a straddling tail emits a short final chunk " +
+      "and every token appears in at least one chunk") {
+    val eleven = (1 to 11).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkByTokens(
+        idTextDf((1, eleven)), "id", "text", window = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.length == 4)
+    assert(out.last == (3, 2, "t10 t11")) // short tail
+    val covered = out.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 11).map(i => s"t$i").toSet)
+  }
+
+  test("chunkByTokens rejects overlap >= window") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(idTextDf((1, "a b")), "id", "text", 4, 4)
+    }
+  }
+
   test("tfidf: corpus-wide terms score below doc-distinctive terms; " +
       "smooth idf floors at 1 per occurrence") {
     val d = df(
