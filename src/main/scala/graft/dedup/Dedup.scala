@@ -61,10 +61,10 @@ object Dedup {
   def exactDedupAgg(
       df: DataFrame, textCol: String, orderCol: String): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val all = struct(df.columns.map(col): _*)
+    val all = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(fp.as("__fp"))
       .agg(min_by(all, col(orderCol)).as("__row"))
-      .select(df.columns.map(c => col(s"__row.$c")): _*)
+      .select(df.columns.toIndexedSeq.map(c => col(s"__row.$c")): _*)
   }
 
   /** [[exactDedupAgg]] as a SEMI-JOIN: survivor ids (min id per

@@ -57,7 +57,7 @@ object Analytics {
       df: DataFrame,
       groupCols: Seq[String],
       maxCols: Seq[Column]): DataFrame = {
-    val all = struct(df.columns.map(col): _*)
+    val all = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(groupCols.map(col): _*)
       .agg(max_by(all, struct(maxCols: _*)).as("__row"))
       .select(col("__row.*"))
@@ -254,7 +254,7 @@ object Analytics {
     val filled = unioned.withColumn("__asof",
       last(col("__asof"), ignoreNulls = true).over(w))
     filled.where(col("__side") === leftSide)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightCols.map(c => col(s"__asof.$c").as(prefix + c)): _*)
   }
 

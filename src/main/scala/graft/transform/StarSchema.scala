@@ -180,11 +180,11 @@ object StarSchemaBuilder {
       case Some(e) => e.unionByName(updates, allowMissingColumns = true)
       case None => updates
     }
-    val all = struct(unioned.columns.map(col): _*)
+    val all = struct(unioned.columns.toIndexedSeq.map(col): _*)
     val latest = unioned
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(all, col(orderCol)).as("__row"))
-      .select(unioned.columns.map(c => col(s"__row.$c")): _*)
+      .select(unioned.columns.toIndexedSeq.map(c => col(s"__row.$c")): _*)
       .localCheckpoint(true)
     latest.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy").parquet(path)

@@ -51,6 +51,34 @@ class PackingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 0L, 0L), (2, 4L, 0L), (3, 4L, 0L)))
   }
 
+  test("packIntoShards plan: the single-partition stitch window " +
+      "receives only per-bucket aggregates — the corpus itself never " +
+      "passes through a SinglePartition exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val d = toks((0 until 1000).map(i =>
+      (i, Integer.valueOf(i % 9 + 1))): _*)
+    val out = Packing.packIntoShards(d, "id", "tokens", 50,
+      bucketWidth = 100)
+    assert(out.collect().length == 1000)
+    def singlePartitionInputs(p: SparkPlan): Seq[Seq[String]] = p.collect {
+      case a: AdaptiveSparkPlanExec => singlePartitionInputs(a.executedPlan)
+      case q: QueryStageExec => singlePartitionInputs(q.plan)
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning.numPartitions == 1 =>
+        Seq(s.output.map(_.name))
+    }.flatten
+    val sp = singlePartitionInputs(out.queryExecution.executedPlan)
+    assert(sp.nonEmpty, "expected the bucket-offset stitch exchange")
+    sp.foreach { cols =>
+      // only the (bucket, total) aggregate rows — never id/tokens rows
+      assert(cols.forall(c => c.startsWith("__")),
+        s"corpus columns entered a single-partition exchange: $cols")
+    }
+  }
+
   private def groupedDocs = df(
     StructType(Seq(
       StructField("id", IntegerType),
