@@ -37,6 +37,63 @@ object ConnectedComponents {
       maxIter: Int = 25): DataFrame =
     componentsWithStatus(edges, aCol, bCol, maxIter)._1
 
+  /** Size-adaptive components: when the (already-materialized) edge
+    * list is at most `driverEdgeLimit` rows, label it with an exact
+    * union-find on the driver — one job, no per-iteration scheduling;
+    * otherwise run the distributed [[componentsWithStatus]] loop. The
+    * same decision AQE makes for joins (broadcast below a bound,
+    * shuffle above), applied to label propagation: near-dup graphs are
+    * tiny relative to their corpus (the verified-pair set of a 100 TB
+    * corpus is disk-small), but the operator must not ASSUME that —
+    * the threshold bounds driver memory and the fallback keeps the
+    * unbounded case distributed. Returns the same (labels, converged)
+    * contract with id/component in the INPUT id type; the driver path
+    * is always converged (exact). Integral id types only (ids pass
+    * through a long union-find).
+    */
+  def componentsAuto(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25,
+      driverEdgeLimit: Long = 100000): (DataFrame, Boolean) = {
+    val e0 = edges
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    if (e0.count() > driverEdgeLimit)
+      return componentsWithStatus(edges, aCol, bCol, maxIter)
+    val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur)
+        parent(cur) = root
+        cur = next
+      }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // union by MIN label — the distributed loop's fixpoint
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dt = edges.schema(aCol).dataType
+    val labels = parent.keys.toSeq.map(id => (id, find(id)))
+      .toDF("id", "component")
+      .select(col("id").cast(dt).as("id"),
+        col("component").cast(dt).as("component"))
+    (labels, true)
+  }
+
   /** [[components]] plus whether the propagation actually converged
     * within `maxIter` iterations. `converged == false` means at least
     * one component's min label was still in flight when the loop cut

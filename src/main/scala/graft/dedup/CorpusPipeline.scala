@@ -37,7 +37,11 @@ object CorpusPipeline {
       threshold: Double = 0.8): DataFrame = {
     val pairs = Dedup.minhashLshPairs(
       df, idCol, textCol, n, numHashes, bands, threshold)
-    ConnectedComponents.components(pairs, "id_a", "id_b")
+    // size-adaptive clustering: the verified-pair graph is tiny
+    // relative to its corpus — below the bound an exact driver
+    // union-find replaces ~5 scheduled label-propagation rounds; the
+    // distributed loop remains the unbounded-case path
+    ConnectedComponents.componentsAuto(pairs, "id_a", "id_b")._1
       .where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
   }

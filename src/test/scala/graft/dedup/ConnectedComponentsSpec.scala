@@ -71,4 +71,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ok, "should converge within 10 iterations via path halving")
     assert(labels.collect().map(_.getInt(1)).toSet == Set(1))
   }
+
+  test("componentsAuto (driver union-find fast path) labels exactly " +
+      "like the distributed loop on chains, cycles and disjoint parts") {
+    val e = edges(
+      (1, 2), (2, 3), (3, 4), // chain
+      (10, 11), (11, 12), (12, 10), // cycle
+      (20, 21), // pair
+      (30, 31), (32, 31)) // shared min via middle node
+    val dist = ConnectedComponents.components(e, "id_a", "id_b")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val (auto, converged) = ConnectedComponents.componentsAuto(
+      e, "id_a", "id_b")
+    assert(converged)
+    // driver path preserves the INPUT id type (int here)
+    val m = auto.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(m == dist)
+  }
+
+  test("componentsAuto falls back to the distributed loop above the " +
+      "driver edge limit and still matches") {
+    val path = (1 until 50).map(i => (i, i + 1))
+    val e = edges(path: _*)
+    val (auto, converged) = ConnectedComponents.componentsAuto(
+      e, "id_a", "id_b", driverEdgeLimit = 10) // force distributed
+    assert(converged)
+    assert(auto.collect().map(_.getInt(1)).toSet == Set(1))
+  }
 }
