@@ -596,6 +596,42 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** MP4 metadata roundtrip (the q38 pattern for VIDEO): a synthetic
+    * ISO-BMFF header per doc_id — 20-byte ftyp(isom) + moov + mvhd v0
+    * with formula-driven timescale/duration — is ENCODED as hex and
+    * DECODED back by [[Multimodal.videoHeaderMeta]] (dynamic box
+    * offsets, pure expressions), then frame-sample midpoint
+    * timestamps are planned from the decoded duration. The oracle
+    * computes the same formulas directly, so any encode OR decode bug
+    * breaks the hash match.
+    */
+  private def videoMeta(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val timescale = (id % 3 * 300 + 600).cast("long")
+    val ticks = ((id % 50 + 1) * 600).cast("long")
+    val headerHex = concat(
+      lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"),
+      lit("00000074" + "6D6F6F76"), // moov size + type
+      lit("0000006C" + "6D766864" + "00" + "000000" // mvhd v0 + flags
+        + "00000000" + "00000000"), // creation + modification
+      lpad(hex(timescale), 8, "0"), lpad(hex(ticks), 8, "0"))
+    val n = 8
+    docs(s, dir)
+      .select(id, Multimodal.videoHeaderMeta(unhex(headerHex)).as("m"))
+      .select(id, col("m.format").as("format"), col("m.brand").as("brand"),
+        col("m.timescale").as("timescale"),
+        col("m.duration_ticks").as("duration_ticks"),
+        round(col("m.duration_sec"), 4).as("duration_sec"),
+        Multimodal.frameSampleTimestamps(col("m.duration_sec"), n)
+          .as("__ts"))
+      .select(col("doc_id"), col("format"), col("brand"),
+        col("timescale"), col("duration_ticks"), col("duration_sec"),
+        size(col("__ts")).as("n_frames"),
+        element_at(col("__ts"), 1).as("first_ts"),
+        element_at(col("__ts"), n).as("last_ts"))
+      .orderBy("doc_id")
+  }
+
   /** Compressibility quality signal gated in-query (the q46 pattern:
     * the oracle states the invariants as constants, so the compare
     * fails if the deflate path ever produces an out-of-bounds ratio or
@@ -1142,6 +1178,7 @@ object SparkEntry {
     "q60_lang_token_budget" -> (langTokenBudget _),
     "q61_doc_chunks" -> (docChunks _),
     "q62_weighted_order_sample" -> (weightedOrderSample _),
+    "q63_video_meta" -> (videoMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1851,5 +1888,21 @@ object SparkEntry {
            SELECT o_orderkey, o_totalprice FROM s
            ORDER BY k DESC, o_orderkey ASC LIMIT 20)
          SELECT o_orderkey, o_totalprice FROM top ORDER BY o_orderkey""",
+    "q63_video_meta" ->
+      """WITH v AS (
+           SELECT doc_id,
+             CAST(doc_id % 3 * 300 + 600 AS BIGINT) AS timescale,
+             CAST((doc_id % 50 + 1) * 600 AS BIGINT) AS duration_ticks
+           FROM documents),
+         d AS (
+           SELECT *, CAST(duration_ticks AS DOUBLE) / timescale AS dur
+           FROM v)
+         SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
+           timescale, duration_ticks,
+           round(dur, 4) AS duration_sec,
+           CAST(8 AS INT) AS n_frames,
+           round(dur * 1 / 16.0, 4) AS first_ts,
+           round(dur * 15 / 16.0, 4) AS last_ts
+         FROM d ORDER BY doc_id""",
   )
 }

@@ -173,6 +173,60 @@ object Multimodal {
       when(isWav, leUInt(bin, 41, 4)).as("data_bytes"))
   }
 
+  /** [[beUInt]] at a COLUMN offset (for containers whose box
+    * positions are data, like MP4's ftyp-then-moov layout).
+    */
+  def beUIntAt(bin: Column, off: Column, n: Int): Column =
+    conv(hex(bin.substr(off, lit(n))), 16, 10).cast("long")
+
+  /** MP4/ISO-BMFF video metadata as a pure column expression:
+    * struct(format, brand, timescale, duration_ticks, duration_sec).
+    * Walks the two fixed leading boxes — `ftyp` (size read from the
+    * header, so any brand/compat list length works) then `moov` whose
+    * first child is `mvhd` version 0 (the overwhelmingly common
+    * layout; files with other leading boxes or mvhd v1 return nulls —
+    * batch-decoder territory, the same split [[imageHeaderMeta]]
+    * draws for JPEG). Truncated payloads yield nulls, never misreads.
+    * Frame PIXEL decode needs a real codec (none in the JVM) — the
+    * Spark-side contract for it is [[frameSampleTimestamps]] +
+    * a `mapPartitions` decoder shaped like [[decodeImageFeatures]].
+    */
+  def videoHeaderMeta(bin: Column): Column = {
+    val isFtyp = upper(hex(substring(bin, 5, 4))) === "66747970" &&
+      length(bin) >= 12
+    val ftypSize = beUInt(bin, 1, 4)
+    val moovPos = (ftypSize + 1).cast("int")
+    val mvhdPos = moovPos + 8
+    // duration's last byte sits at mvhdPos+27 — gate every read on the
+    // full span being present
+    val ok = isFtyp &&
+      length(bin) >= mvhdPos + 27 &&
+      upper(hex(bin.substr(moovPos + 4, lit(4)))) === "6D6F6F76" &&
+      upper(hex(bin.substr(mvhdPos + 4, lit(4)))) === "6D766864" &&
+      beUIntAt(bin, mvhdPos + 8, 1) === 0
+    val timescale = when(ok, beUIntAt(bin, mvhdPos + 20, 4))
+    val ticks = when(ok, beUIntAt(bin, mvhdPos + 24, 4))
+    struct(
+      when(isFtyp, lit("mp4")).as("format"),
+      when(isFtyp, decode(substring(bin, 9, 4), "UTF-8")).as("brand"),
+      timescale.as("timescale"),
+      ticks.as("duration_ticks"),
+      (ticks.cast("double") / nullif(timescale.cast("double"), lit(0.0)))
+        .as("duration_sec"))
+  }
+
+  /** Deterministic frame-sample plan: `n` timestamps at the midpoints
+    * of `n` equal intervals over the clip — the selection step of
+    * frame sampling, as a pure array expression (rounded to 4
+    * decimals for cross-engine stability). The pixel-decode step this
+    * plan feeds is codec work (see [[videoHeaderMeta]]).
+    */
+  def frameSampleTimestamps(durationSec: Column, n: Int): Column = {
+    require(n >= 1, "n must be positive")
+    transform(sequence(lit(0), lit(n - 1)),
+      i => round(durationSec * (i * 2 + 1) / lit(2.0 * n), 4))
+  }
+
   // ---------------------------------------------------------------- //
   // Batch decode — real codecs (javax.imageio), mapPartitions          //
   // ---------------------------------------------------------------- //

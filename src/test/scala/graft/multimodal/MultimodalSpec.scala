@@ -209,6 +209,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Long]("data_bytes") == 4L)
   }
 
+  private def mp4Header(timescale: Long, ticks: Long): Array[Byte] = {
+    def hex8(v: Long) = f"$v%08x"
+    val hexStr = "00000014" + "66747970" + "69736f6d" + "00000200" +
+      "69736f6d" + "00000074" + "6d6f6f76" + "0000006c" + "6d766864" +
+      "00" + "000000" + "00000000" + "00000000" +
+      hex8(timescale) + hex8(ticks)
+    hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  test("videoHeaderMeta decodes ftyp brand and mvhd timescale/duration " +
+      "via the data-driven box offsets") {
+    val d = binDf((1, mp4Header(600, 3000)), (2, "not a video".getBytes))
+    val out = d.select(col("id"),
+        Multimodal.videoHeaderMeta(col("content")).as("m"))
+      .orderBy("id").collect()
+    val m1 = out(0).getStruct(1)
+    assert(m1.getAs[String]("format") == "mp4")
+    assert(m1.getAs[String]("brand") == "isom")
+    assert(m1.getAs[Long]("timescale") == 600L)
+    assert(m1.getAs[Long]("duration_ticks") == 3000L)
+    assert(m1.getAs[Double]("duration_sec") == 5.0)
+    val m2 = out(1).getStruct(1)
+    assert(m2.isNullAt(m2.fieldIndex("format")))
+    assert(m2.isNullAt(m2.fieldIndex("timescale")))
+  }
+
+  test("videoHeaderMeta nulls numeric fields for payloads truncated " +
+      "mid-mvhd (never misreads)") {
+    val full = mp4Header(600, 3000)
+    val truncated = full.take(full.length - 6) // cuts into duration
+    val d = binDf((1, truncated))
+    val m = d.select(Multimodal.videoHeaderMeta(col("content")).as("m"))
+      .head().getStruct(0)
+    assert(m.getAs[String]("format") == "mp4") // ftyp itself intact
+    assert(m.isNullAt(m.fieldIndex("timescale")))
+    assert(m.isNullAt(m.fieldIndex("duration_ticks")))
+  }
+
+  test("frameSampleTimestamps plans n midpoint timestamps spanning " +
+      "the clip") {
+    val d = binDf((1, mp4Header(600, 3000))) // 5.0 s
+    val ts = d.select(Multimodal.frameSampleTimestamps(
+        Multimodal.videoHeaderMeta(col("content"))
+          .getField("duration_sec"), 4).as("ts"))
+      .head().getSeq[Double](0)
+    assert(ts == Seq(0.625, 1.875, 3.125, 4.375)) // midpoints of 4 bins
+  }
+
   test("decodeImageFeatures really decodes pixels: dims + exact mean " +
       "channel stats of a known image") {
     // 2x1 image: pure red and pure blue pixels
