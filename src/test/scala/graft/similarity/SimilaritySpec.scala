@@ -230,7 +230,7 @@ class SimilaritySpec extends SparkSpec {
       "at the q27 parameters") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val blocked = Similarity.nearDupPairsBlocked(
-        e, "vec_id", "embedding", threshold = 0.45, nlist = 10, nprobe = 2)
+        e, "vec_id", "embedding", threshold = 0.45, nlist = 32, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
