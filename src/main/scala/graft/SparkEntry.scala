@@ -637,6 +637,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: every 10th document plays the eval
+    * set; the rest are the corpus. Flags corpus docs sharing ≥5
+    * distinct 5-grams with any benchmark doc — the small-absolute-
+    * overlap regime LSH can't serve (see
+    * [[Dedup.contaminationCheck]]).
+    */
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationCheck(
+        d.where(col("doc_id") % 10 =!= 0),
+        d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 5, minCommon = 5)
+      .orderBy("corpus_id", "benchmark_id")
+  }
+
   /** Compressibility quality signal gated in-query (the q46 pattern:
     * the oracle states the invariants as constants, so the compare
     * fails if the deflate path ever produces an out-of-bounds ratio or
@@ -1184,6 +1199,7 @@ object SparkEntry {
     "q61_doc_chunks" -> (docChunks _),
     "q62_weighted_order_sample" -> (weightedOrderSample _),
     "q63_video_meta" -> (videoMeta _),
+    "q64_contamination" -> (contamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1909,5 +1925,22 @@ object SparkEntry {
            round(dur * 1 / 16.0, 4) AS first_ts,
            round(dur * 15 / 16.0, 4) AS last_ts
          FROM d ORDER BY doc_id""",
+    "q64_contamination" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+               ws[i+3] || ' ' || ws[i+4] AS shingle FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 4))
+               AS i) t),
+         bench AS (SELECT doc_id AS benchmark_id, shingle FROM sh
+                   WHERE doc_id % 10 = 0),
+         corpus AS (SELECT doc_id AS corpus_id, shingle FROM sh
+                    WHERE doc_id % 10 <> 0)
+         SELECT corpus_id, benchmark_id, count(*) AS common_ngrams
+         FROM corpus JOIN bench USING (shingle)
+         GROUP BY corpus_id, benchmark_id
+         HAVING count(*) >= 5
+         ORDER BY corpus_id, benchmark_id""",
   )
 }

@@ -260,6 +260,40 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- //
+  // Benchmark decontamination                                        //
+  // ---------------------------------------------------------------- //
+
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minCommon` distinct word n-grams with any benchmark document —
+    * the contamination check a training pipeline runs against its
+    * eval sets before training. Emits (corpus_id, benchmark_id,
+    * common_ngrams).
+    *
+    * Deliberately NOT routed through near-dup machinery: published
+    * decontamination flags SMALL absolute overlaps (a handful of
+    * 8-13-grams), far below any Jaccard threshold LSH is tuned for —
+    * recall on small overlaps is the point. Asymmetric by
+    * construction: the benchmark side (eval sets — thousands of
+    * documents) is tiny, so AQE broadcasts its shingles and the
+    * corpus side — the 100 TB side — is shingled in place and never
+    * shuffles; per-corpus-document work is linear in its shingles.
+    */
+  def contaminationCheck(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, minCommon: Int = 5): DataFrame = {
+    require(minCommon >= 1, "minCommon must be positive")
+    val c = TextAnalysis.explodeShingles(corpus, idCol, textCol, n)
+      .select(col(idCol).as("corpus_id"), col("shingle"))
+    val b = TextAnalysis.explodeShingles(benchmark, idCol, textCol, n)
+      .select(col(idCol).as("benchmark_id"), col("shingle"))
+    c.join(b, Seq("shingle"))
+      .groupBy("corpus_id", "benchmark_id")
+      .agg(count(lit(1)).as("common_ngrams"))
+      .where(col("common_ngrams") >= minCommon)
+  }
+
+  // ---------------------------------------------------------------- //
   // MinHash + LSH                                                    //
   // ---------------------------------------------------------------- //
 

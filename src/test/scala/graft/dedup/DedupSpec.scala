@@ -176,6 +176,25 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("contaminationCheck flags corpus docs sharing >= minCommon " +
+      "n-grams with a benchmark doc, counts distinct shared shingles") {
+    val leak = "the exact benchmark question about spark shuffles here"
+    val corpus = docs(
+      (1, s"prefix words then $leak and a suffix"), // contains the leak
+      (2, "completely unrelated content about parquet footers"),
+      (3, s"another doc that also copied $leak verbatim"))
+    val bench = docs((100, leak))
+    // leak = 8 words → 4 shared 5-grams for docs 1 and 3
+    val out = Dedup.contaminationCheck(corpus, bench, "id", "text",
+        n = 5, minCommon = 3)
+      .orderBy("corpus_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 100, 4L), (3, 100, 4L)))
+    // raising the bar above the overlap empties the result
+    assert(Dedup.contaminationCheck(corpus, bench, "id", "text",
+      n = 5, minCommon = 5).count() == 0)
+  }
+
   test("minhashSignatures: identical docs get identical signatures") {
     val d = docs((1, base), (2, base), (3, "something else entirely here"))
     val sigs = Dedup.minhashSignatures(d, "id", "text", 3, 16)
