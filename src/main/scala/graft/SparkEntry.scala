@@ -652,6 +652,29 @@ object SparkEntry {
       .orderBy("corpus_id", "benchmark_id")
   }
 
+  /** Gopher-style token-repetition signals per document (duplicate
+    * and top bigram fractions) — the standard repetition filters a
+    * pretraining pipeline runs next to [[TextAnalysis.qualityScore]].
+    */
+  private def repetitionSignals(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Corpus datasheet: the per-(source, lang) mix report every
+    * training run documents — volume, token mass, mean quality.
+    * First-class use of the documents table's provenance columns.
+    */
+  private def corpusDatasheet(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("sum_tokens"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 4)
+          .as("avg_quality"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "lang")
+
   /** Compressibility quality signal gated in-query (the q46 pattern:
     * the oracle states the invariants as constants, so the compare
     * fails if the deflate path ever produces an out-of-bounds ratio or
@@ -1200,6 +1223,8 @@ object SparkEntry {
     "q62_weighted_order_sample" -> (weightedOrderSample _),
     "q63_video_meta" -> (videoMeta _),
     "q64_contamination" -> (contamination _),
+    "q65_repetition_signals" -> (repetitionSignals _),
+    "q66_corpus_datasheet" -> (corpusDatasheet _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1942,5 +1967,24 @@ object SparkEntry {
          GROUP BY corpus_id, benchmark_id
          HAVING count(*) >= 5
          ORDER BY corpus_id, benchmark_id""",
+    "q65_repetition_signals" ->
+      s"""WITH bg AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t),
+         per AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 4)
+             AS dup_bigram_frac,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_frac
+         FROM per GROUP BY doc_id ORDER BY doc_id""",
+    "q66_corpus_datasheet" ->
+      s"""WITH ${oracleMetricsCtes("documents")}
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM q GROUP BY source, lang ORDER BY source, lang""",
   )
 }

@@ -220,6 +220,37 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
   }
 
+  /** Token-repetition quality signals (the Gopher/MassiveText-style
+    * repetition filters): per document,
+    *   - `n_bigrams` — total adjacent-bigram occurrences,
+    *   - `dup_bigram_frac` — fraction of bigram occurrences beyond
+    *     each bigram's first (1 − distinct/total; boilerplate and
+    *     keyword-stuffed docs score high),
+    *   - `top_bigram_frac` — the most frequent bigram's share of all
+    *     occurrences (template/chorus detector).
+    * Docs with < 2 tokens are absent (no bigrams to judge).
+    *
+    * Shape: explode + two aggregations (shuffle keyed on doc id) —
+    * NOT `array_distinct` per row, whose O(k²) interpreted compare
+    * blows up on long documents; the aggregate form is linear and
+    * mirrors [[explodeShingles]]'s reasoning.
+    */
+  def repetitionSignals(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+        explode(bigrams(col(textCol))).as("__bg"))
+      .groupBy(col(idCol), col("__bg"))
+      .agg(count(lit(1)).as("__n"))
+    bg.groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_bigrams"),
+        round(lit(1.0) -
+          count(lit(1)).cast("double") / sum(col("__n")), 4)
+          .as("dup_bigram_frac"),
+        round(max(col("__n")).cast("double") / sum(col("__n")), 4)
+          .as("top_bigram_frac"))
+  }
+
   /** Split each document into fixed token-window chunks with overlap —
     * the chunking pass a training/RAG pipeline runs before embedding
     * or packing. Chunk i covers words [i·stride, i·stride + window)

@@ -49,6 +49,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(covered == (1 to 11).map(i => s"t$i").toSet)
   }
 
+  test("repetitionSignals: repeated bigrams raise dup/top fractions, " +
+      "unique text scores 0, sub-2-token docs are absent") {
+    val d = idTextDf(
+      (1, "spam spam spam spam spam"), // one bigram repeated 4×
+      (2, "all words here are fully distinct tokens"),
+      (3, "one"), // no bigrams
+      (4, "ab cd ab cd ab")) // "ab cd"×2, "cd ab"×2
+    val out = TextAnalysis.repetitionSignals(d, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 4))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(1) == ((1, 4L, 0.75, 1.0))) // 4 occurrences, 1 distinct
+    assert(m(2)._3 == 0.0) // no duplication
+    assert(m(4)._2 == 4L && m(4)._3 == 0.5 && m(4)._4 == 0.5)
+  }
+
   test("chunkByTokens rejects overlap >= window") {
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkByTokens(idTextDf((1, "a b")), "id", "text", 4, 4)
