@@ -675,6 +675,104 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("source", "lang")
 
+  /** Per-source quota cap (the per-domain cap every web corpus
+    * applies) via [[graft.sampling.Sampling.cappedPerGroupSample]] —
+    * the two-phase skew-safe form: a count-aware hash pre-filter
+    * bounds each group's window input to ~cap rows, so one mega-domain
+    * can never pin a single sort task. The id checksum pins the exact
+    * kept SET, not just its size.
+    */
+  private def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = graft.sampling.Sampling
+      .cappedPerGroupSample(d, "doc_id", Seq("source"), n = 10,
+        salt = "cap")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col("doc_id").cast("double")), 1).as("kept_id_sum"))
+    d.groupBy("source").agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("source"))
+      .select("source", "n_total", "n_kept", "kept_id_sum")
+      .orderBy("source")
+  }
+
+  /** Training-mixture construction: src0 upsampled 2.5 epochs, src1
+    * downsampled to a quarter, src2 excluded, everything else one
+    * epoch ([[graft.sampling.Sampling.mixture]]). The multiset id
+    * checksum pins exactly WHICH rows each fractional epoch drew.
+    */
+  private def sourceMixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val agg = graft.sampling.Sampling
+      .mixture(d, "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_emitted"),
+        round(sum(col("doc_id").cast("double")), 1).as("emitted_id_sum"))
+    d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
+        coalesce(col("emitted_id_sum"), lit(0.0)).as("emitted_id_sum"))
+      .orderBy("source")
+  }
+
+  /** Vocabulary coverage curve for tokenizer-training prep: top-25
+    * words with cumulative corpus-token coverage
+    * ([[TextAnalysis.vocabCoverage]]).
+    */
+  private def vocabCoverageTop(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(s, dir), "text", k = 25)
+      .orderBy("rank")
+
+  /** Leakage-aware train/val/test split: near-dup clusters (MinHash-
+    * LSH verified pairs → connected components) share one split
+    * assignment, so a near-copy of a training document can never leak
+    * into val/test — the contamination hazard per-id hash splits
+    * (q41) leave open. Composition of q24's pair finder, q31's
+    * component labeler, and q41's split hash.
+    */
+  private def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select("id_a", "id_b")
+    val (labels, _) = graft.dedup.ConnectedComponents
+      .componentsAuto(pairs, "id_a", "id_b")
+    graft.sampling.Sampling
+      .splitByCluster(d, "doc_id", labels, "id", "component",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "csplit")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
+      .orderBy("split")
+  }
+
+  /** Sub-document duplicate-window signal: fraction of each document's
+    * non-overlapping 8-token spans that also occur verbatim in another
+    * document ([[Dedup.duplicateChunkFraction]]) — the span-granular
+    * boilerplate detector whole-document dedup cannot see.
+    */
+  private def dupChunkFraction(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateChunkFraction(docs(s, dir), "doc_id", "text",
+        window = 8)
+      .orderBy("doc_id")
+
+  /** SemDeDup-style semantic dedup over the embedding corpus: within
+    * each of 16 fixed-hash centroid buckets, drop vectors with a
+    * lower-id ≥-threshold cosine neighbor
+    * ([[Similarity.semanticDedup]]). Per-bucket kept/dropped census.
+    */
+  private def semanticDedupCensus(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, nlist = 16)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped"), 1).otherwise(0)).cast("long")
+          .as("n_dropped"))
+      .orderBy("centroid_id")
+
   /** Compressibility quality signal gated in-query (the q46 pattern:
     * the oracle states the invariants as constants, so the compare
     * fails if the deflate path ever produces an out-of-bounds ratio or
@@ -1225,6 +1323,12 @@ object SparkEntry {
     "q64_contamination" -> (contamination _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
+    "q67_source_cap" -> (sourceCap _),
+    "q68_source_mixture" -> (sourceMixture _),
+    "q69_vocab_coverage" -> (vocabCoverageTop _),
+    "q70_cluster_split" -> (clusterSplit _),
+    "q71_dup_chunk_fraction" -> (dupChunkFraction _),
+    "q72_semantic_dedup" -> (semanticDedupCensus _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1986,5 +2090,141 @@ object SparkEntry {
            round(avg(quality), 4) AS avg_quality,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM q GROUP BY source, lang ORDER BY source, lang""",
+    "q67_source_cap" ->
+      """WITH h AS (
+           SELECT *, CAST(('0x' || substr(
+               md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 AS hf
+           FROM documents),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY hf ASC, doc_id ASC) AS rn
+           FROM h),
+         k AS (
+           SELECT source, count(*) AS n_kept,
+             round(sum(CAST(doc_id AS DOUBLE)), 1) AS kept_id_sum
+           FROM r WHERE rn <= 10 GROUP BY source),
+         tot AS (
+           SELECT source, count(*) AS n_total
+           FROM documents GROUP BY source)
+         SELECT tot.source, n_total, n_kept, kept_id_sum
+         FROM tot JOIN k USING (source) ORDER BY source""",
+    "q68_source_mixture" ->
+      """WITH w AS (
+           SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                         WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
+           FROM documents),
+         ex AS (
+           SELECT doc_id, source, wt,
+             unnest(generate_series(0, CAST(floor(wt) AS INT))) AS epoch
+           FROM w),
+         kept AS (
+           SELECT * FROM ex WHERE epoch < floor(wt)
+             OR CAST(('0x' || substr(md5('mix' || CAST(epoch AS VARCHAR)
+                  || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) / 4294967296.0 < wt - floor(wt)),
+         agg AS (
+           SELECT source, count(*) AS n_emitted,
+             round(sum(CAST(doc_id AS DOUBLE)), 1) AS emitted_id_sum
+           FROM kept GROUP BY source),
+         tot AS (
+           SELECT source, count(*) AS n_docs
+           FROM documents GROUP BY source)
+         SELECT tot.source, n_docs,
+           coalesce(n_emitted, 0) AS n_emitted,
+           coalesce(emitted_id_sum, 0.0) AS emitted_id_sum
+         FROM tot LEFT JOIN agg USING (source) ORDER BY source""",
+    "q69_vocab_coverage" ->
+      s"""WITH toks AS (
+           SELECT unnest($oracleWords) AS word FROM documents),
+         c AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM c),
+         r AS (
+           SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+           FROM c)
+         SELECT CAST(rank AS INT) AS rank, word, cnt,
+           round(CAST(sum(cnt) OVER (ORDER BY rank
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t, 6) AS cum_frac
+         FROM r, tot WHERE rank <= 25 ORDER BY rank""",
+    "q70_cluster_split" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT ida, idb FROM pairs
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         edges AS (SELECT ida AS a, idb AS b FROM verified
+                   UNION SELECT idb, ida FROM verified),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         rep AS (
+           SELECT a AS doc_id, least(a, min(b)) AS rep
+           FROM reach GROUP BY a),
+         lab AS (
+           SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+           FROM documents d LEFT JOIN rep r USING (doc_id)),
+         sp AS (
+           SELECT doc_id, rep, CAST(('0x' || substr(
+               md5('csplit' || CAST(rep AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 AS h
+           FROM lab),
+         labeled AS (
+           SELECT doc_id, rep,
+             CASE WHEN h < 0.8 THEN 'train'
+                  WHEN h < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM sp)
+         SELECT split, count(*) AS n_docs,
+           count(DISTINCT rep) AS n_clusters,
+           round(sum(CAST(doc_id AS DOUBLE)), 1) AS id_sum
+         FROM labeled GROUP BY split ORDER BY split""",
+    "q71_dup_chunk_fraction" ->
+      s"""WITH d AS (
+           SELECT doc_id, $oracleWords AS ws FROM documents),
+         ch AS (
+           SELECT doc_id, md5(array_to_string(
+             list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')) AS fp
+           FROM d, LATERAL (SELECT unnest(generate_series(0,
+             greatest(0, CAST(ceil((len(ws) - 8) / 8.0) AS INT)))) AS i) t
+           WHERE len(ws) > 0),
+         dc AS (
+           SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_chunk_frac
+         FROM ch JOIN dc USING (fp) GROUP BY doc_id ORDER BY doc_id""",
+    "q72_semantic_dedup" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         drops AS (
+           SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE ${oracleCos("a.v", "b.v")} >= 0.45)
+         SELECT cid AS centroid_id, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM drops)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         FROM assign GROUP BY cid ORDER BY cid""",
   )
 }

@@ -496,4 +496,42 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Sub-document duplicate-window signal: chunk each document into
+    * non-overlapping `window`-token spans
+    * ([[TextAnalysis.chunkByTokens]] with zero overlap), fingerprint
+    * each span, and report per document how many of its spans also
+    * occur verbatim in ANOTHER document. Whole-document dedup misses
+    * boilerplate shared across otherwise-distinct pages (headers,
+    * license blocks, templated paragraphs); `dup_chunk_frac` is the
+    * standard signal for flagging or stripping it at span granularity.
+    * A span repeated only WITHIN its own document does not count —
+    * that is [[graft.text.TextAnalysis]]'s repetition signal, not
+    * cross-document duplication.
+    *
+    * Scale: the chunk projection is persisted (two consumers) and
+    * carries only (id, 16-byte md5) — the text itself never enters a
+    * shuffle. Span-frequency is one aggregation on the fingerprint;
+    * the count-back join is fingerprint-keyed. Boilerplate hot keys
+    * are bounded: a span shared by d documents costs d join rows
+    * (not d²) because spans join against the aggregated per-span
+    * count, never against each other.
+    */
+  def duplicateChunkFraction(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    val chunks = TextAnalysis
+      .chunkByTokens(df, idCol, textCol, window, overlap = 0)
+      .select(col(idCol), md5(col("chunk_text")).as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsPerChunk = chunks.groupBy("__fp")
+      .agg(countDistinct(col(idCol)).as("__docs"))
+    chunks.join(docsPerChunk, Seq("__fp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__docs") > 1, 1).otherwise(0)).cast("long")
+          .as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+  }
 }

@@ -28,14 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0, 1) hash of a row id: first 8 hex chars of
-    * md5(salt || id) scaled by 2^32 — engine-portable (DuckDB md5 of
-    * the same string yields the same hex) and uniform to ~9 decimal
-    * digits, plenty for split fractions.
+  /** Uniform [0, 1) hash of an arbitrary key string: first 8 hex chars
+    * of md5(key) scaled by 2^32 — engine-portable (DuckDB md5 of the
+    * same string yields the same hex) and uniform to ~9 decimal
+    * digits, plenty for split fractions. Callers that need a
+    * per-row-varying salt (e.g. one draw per (epoch, id) in
+    * [[mixture]]) build the key column themselves.
+    */
+  def hashFractionOf(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+
+  /** [[hashFractionOf]] with the conventional key layout
+    * salt || id-as-string.
     */
   def hashFraction(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8),
-      16, 10).cast("long") / lit(4294967296.0)
+    hashFractionOf(concat(lit(salt), id.cast("string")))
 
   /** Split-label column: assigns each row to the first split whose
     * cumulative weight bound exceeds the row's [[hashFraction]].
@@ -134,5 +142,114 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .drop("__rn")
+  }
+
+  /** [[perGroupSample]] with a count-aware hash pre-filter — the
+    * skew-safe form for per-domain quota capping at corpus scale.
+    *
+    * [[perGroupSample]] sorts EVERY row of a group inside one window
+    * partition; with a per-domain cap of 1 000 against a domain
+    * holding 10 B rows, that is a 10 B-row sort on one task — the
+    * classic skew killer. Here a first aggregation counts each group
+    * (one small broadcast: a row per group), then only rows whose
+    * [[hashFraction]] falls below (n + margin)/group_count survive to
+    * the window, so the sorted set is ~n + margin rows per group
+    * REGARDLESS of group size, and the exchange never carries the
+    * pruned rows.
+    *
+    * The result equals [[perGroupSample]] (same hash order, same
+    * tie-break) unless fewer than n of a group's rows hash under the
+    * threshold. margin = 8·√n + 40 puts that more than 8 binomial
+    * standard deviations out (per-group miss probability < 1e-15;
+    * groups smaller than n + margin are never filtered at all). The
+    * exact-at-any-odds alternative is a second pass over deficient
+    * groups — the trade Spark's own `sampleByKeyExact` makes; at that
+    * point the one-phase form is simpler.
+    */
+  def cappedPerGroupSample(
+      df: DataFrame, idCol: String, groupCols: Seq[String], n: Int,
+      salt: String = "sample"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(!df.columns.exists(Set("__gn", "__rn")),
+      "input must not have columns named __gn or __rn")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__gn"))
+    val margin = 8.0 * math.sqrt(n.toDouble) + 40.0
+    val h = hashFraction(col(idCol), salt)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(h.asc, col(idCol).asc)
+    df.join(broadcast(counts), groupCols)
+      .where(h < least(lit(1.0), lit(n + margin) / col("__gn")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .select(df.columns.map(col).toIndexedSeq: _*) // input column order
+  }
+
+  /** Training-mixture construction: re-emit each row `weight(group)`
+    * times in expectation, as full epochs plus one hash-sampled
+    * fractional epoch. A weight of 2.5 yields every row in epochs 0
+    * and 1 plus a deterministic 50 % subset in epoch 2; 0.25
+    * downsamples to a quarter; 0 drops the group. Each epoch's
+    * fractional draw is salted with the epoch number, so the subsets
+    * of different epochs are independent — and, like every sampler
+    * here, membership is pinned by md5, so the mixture is
+    * reproducible across runs, engines, and partitionings, and grows
+    * incrementally (new rows hash independently; old rows never flip
+    * epochs).
+    *
+    * Scale: a pure generate-and-filter projection — `explode` of a
+    * ≤ ceil(weight)+1 element sequence per row, zero shuffle, stays
+    * in whole-stage codegen. Output carries an `epoch` column (0-based)
+    * so downstream shuffling/packing can interleave epochs.
+    */
+  def mixture(
+      df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "weights must be non-negative")
+    require(!df.columns.exists(Set("__w", "epoch")),
+      "input must not have columns named __w or epoch")
+    // sorted for a deterministic when-chain (Map order is not)
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (g, wt)) =>
+        when(col(groupCol) === lit(g), lit(wt)).otherwise(acc)
+    }
+    df.withColumn("__w", w)
+      .withColumn("epoch",
+        explode(sequence(lit(0), floor(col("__w")).cast("int"))))
+      .where(col("epoch") < floor(col("__w")) ||
+        hashFractionOf(concat(lit(salt), col("epoch").cast("string"),
+          lit(":"), col(idCol).cast("string")))
+          < col("__w") - floor(col("__w")))
+      .drop("__w")
+  }
+
+  /** Leakage-aware split: assign train/val/test by near-duplicate
+    * CLUSTER, not by document, so near-copies of a training document
+    * can never land in the eval split (the standard
+    * contamination-by-split hazard hash-per-id splitting leaves open).
+    * `labels` is an (id, component) frame — e.g. connected components
+    * over verified MinHash-LSH pairs; unlabeled rows are singleton
+    * clusters (their own representative). All members of a component
+    * share its representative's hash draw, hence its split.
+    *
+    * Scale: `labels` is the labeled-vertex set of the near-dup graph —
+    * disk-small next to the corpus (only docs WITH a verified
+    * duplicate appear), so the join broadcasts and the corpus itself
+    * never shuffles.
+    */
+  def splitByCluster(
+      df: DataFrame, idCol: String, labels: DataFrame,
+      labelIdCol: String, componentCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    val reps = labels.select(col(labelIdCol).as(idCol),
+      col(componentCol).as("__rep"))
+    df.join(broadcast(reps), Seq(idCol), "left")
+      .withColumn("rep",
+        coalesce(col("__rep"), col(idCol)).cast("long"))
+      .drop("__rep")
+      .withColumn("split", splitColumn(col("rep"), splits, salt))
   }
 }

@@ -454,4 +454,45 @@ object Similarity {
           col("__na"), col("__nb")), roundTo).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication: assign every vector to its
+    * nearest centroid (single probe), then WITHIN each centroid
+    * bucket mark a vector `dropped` when a lower-id vector in the same
+    * bucket is at least `threshold` cosine-similar to it. Keeps
+    * exactly one representative (the lowest id) per tight semantic
+    * group; pairs split across bucket boundaries are deliberately NOT
+    * compared — that locality cut is what makes the method linear-ish,
+    * and is the published algorithm's accepted recall trade
+    * ([[nearDupPairsBlocked]] with nprobe > 1 is the higher-recall
+    * pair finder when boundary pairs matter).
+    *
+    * Returns (id, centroid_id, dropped) for every input vector.
+    *
+    * Scale: work is Σ(bucket²) over nlist buckets (size nlist ≈ √n via
+    * [[sqrtNlist]] for O(n^1.5) total), the centroid set is fixed-size
+    * and broadcast, and the drop set joins back id-keyed — vectors
+    * never all-pairs join across buckets.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int, roundTo: Int = 4): DataFrame = {
+    val cents = hashKCentroids(corpus, idCol, vecCol, nlist)
+    // Persisted: feeds both self-join legs and the final count-back
+    // (see lshCandidates for the same pattern).
+    val assigned = assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def leg(idAs: String, vecAs: String, normAs: String) =
+      assigned.select(col("centroid_id"), col(idCol).as(idAs),
+        col(vecCol).as(vecAs), norm(col(vecCol)).as(normAs))
+    val drops = leg("id_a", "__va", "__na")
+      .join(leg("id_b", "__vb", "__nb"), Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(round(cosFromNorms(col("__va"), col("__vb"),
+        col("__na"), col("__nb")), roundTo) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned
+      .join(drops.withColumn("__d", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(col("__d"), lit(false)).as("dropped"))
+  }
 }

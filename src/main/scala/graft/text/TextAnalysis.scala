@@ -315,4 +315,40 @@ object TextAnalysis {
         .as("shingle"))
       .distinct()
   }
+
+  /** Vocabulary coverage curve — the tokenizer-training prep question
+    * "how many vocabulary entries cover X % of corpus tokens": the
+    * `k` most frequent words with rank, count, and the cumulative
+    * fraction of ALL corpus tokens the vocabulary covers up to that
+    * rank. Ties break alphabetically so the curve is deterministic.
+    *
+    * Scale: one explode + one word-keyed aggregation reduce the corpus
+    * to vocabulary-sized counts (map-side partial aggregation absorbs
+    * Zipf skew — `the` pre-aggregates per partition before the
+    * shuffle). The counts table is persisted because two consumers
+    * read it (top-k and the total); the top-k plans as
+    * TakeOrderedAndProject and the running sum windows over only the
+    * k surviving rows, so the single-partition window is k-sized, not
+    * vocabulary-sized.
+    */
+  def vocabCoverage(
+      df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val counts = df
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum("cnt").as("__total"))
+    val order = Seq(col("cnt").desc, col("word").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    counts.orderBy(order: _*).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum_frac",
+        round(sum("cnt").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("double") / col("__total"), 6))
+      .select(col("rank"), col("word"), col("cnt"), col("cum_frac"))
+  }
 }

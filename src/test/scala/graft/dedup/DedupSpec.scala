@@ -266,4 +266,30 @@ class DedupSpec extends SparkSpec {
       col("a_hi"), col("a_lo"), col("b_hi"), col("b_lo"))).head().getInt(0)
     assert(h == 4) // 1011 vs 1000 → 2 bits; 0000 vs 0011 → 2 bits
   }
+
+  test("duplicateChunkFraction counts spans shared ACROSS documents; " +
+      "within-document repetition does not count") {
+    val shared = "s1 s2 s3 s4"
+    val d = docs(
+      (1, s"$shared u1 u2 u3 u4"),   // chunk 1 shared with doc 2
+      (2, s"$shared v1 v2 v3 v4"),
+      (3, "w1 w2 w3 w4 w5 w6 w7 w8"), // no cross-doc chunk
+      (4, "r1 r2 r3 r4 r1 r2 r3 r4")) // repeated span, same doc only
+    val out = Dedup.duplicateChunkFraction(d, "id", "text", window = 4)
+      .orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1, 2L, 1L), (2, 2L, 1L), (3, 2L, 0L), (4, 2L, 0L)))
+  }
+
+  test("duplicateChunkFraction: short final chunks compare verbatim " +
+      "(a 1-token tail only matches another 1-token tail)") {
+    val d = docs(
+      (1, "a b c d e"),  // chunks: "a b c d", "e"
+      (2, "x y z w e"))  // chunks: "x y z w", "e"  — tails match
+    val out = Dedup.duplicateChunkFraction(d, "id", "text", window = 4)
+      .orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 2L, 1L), (2, 2L, 1L)))
+  }
 }

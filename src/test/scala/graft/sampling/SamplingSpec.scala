@@ -1,7 +1,9 @@
 package graft.sampling
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 class SamplingSpec extends SparkSpec {
 
@@ -134,5 +136,89 @@ class SamplingSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).contains(0L)
     }
     assert(hits >= 25, s"heavy row sampled only $hits/30 times")
+  }
+
+  private def skewed = spark.range(5003).select(col("id"),
+    when(col("id") < 5000, lit("big")).otherwise(lit("small"))
+      .as("grp"))
+
+  test("cappedPerGroupSample equals perGroupSample on skewed groups " +
+      "(pre-filter is result-invariant)") {
+    val one = Sampling.perGroupSample(skewed, "id", Seq("grp"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val two = Sampling.cappedPerGroupSample(skewed, "id", Seq("grp"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(two == one)
+    // the small group (3 < n) is kept whole — never filtered away
+    assert(two.count(_._2 == "small") == 3)
+  }
+
+  test("cappedPerGroupSample plans the hash pre-filter below the " +
+      "window (the sorted set is capped, not the group)") {
+    val plan = Sampling
+      .cappedPerGroupSample(skewed, "id", Seq("grp"), 10)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("least"), s"no pre-filter in plan:\n$plan")
+  }
+
+  test("mixture: integer weights emit exact full epochs, zero drops " +
+      "the group, default weight covers unlisted groups once") {
+    val d = spark.range(300).select(col("id"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("src"))
+    val out = Sampling.mixture(d, "id", "src",
+      Map("g0" -> 2.0, "g1" -> 0.0)).cache()
+    val byGroup = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("g0" -> 200L, "g2" -> 100L))
+    // g0's two epochs are FULL copies: every id present in epoch 0 and 1
+    val g0 = out.where(col("src") === "g0")
+      .groupBy("epoch").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(g0 == Map(0 -> 100L, 1 -> 100L))
+    out.unpersist()
+  }
+
+  test("mixture: fractional weight draws a deterministic ~w subset, " +
+      "independently per epoch") {
+    val d = spark.range(1000).select(col("id"), lit("g").as("src"))
+    val out = Sampling.mixture(d, "id", "src", Map("g" -> 1.5)).cache()
+    val epoch0 = out.where(col("epoch") === 0).count()
+    val epoch1 = out.where(col("epoch") === 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(epoch0 == 1000)            // full epoch
+    assert(epoch1.size > 400 && epoch1.size < 600) // ~half
+    // stable: same salt, same subset
+    val again = Sampling.mixture(d, "id", "src", Map("g" -> 1.5))
+      .where(col("epoch") === 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == epoch1)
+    out.unpersist()
+  }
+
+  test("splitByCluster: every member of a component shares its " +
+      "representative's split; unlabeled rows split by their own id") {
+    val d = spark.range(100).toDF("doc_id")
+    val labels = df(
+      StructType(Seq(
+        StructField("id", LongType), StructField("component", LongType))),
+      Seq(Row(1L, 1L), Row(2L, 1L), Row(3L, 1L), Row(10L, 10L),
+        Row(11L, 10L)))
+    val out = Sampling.splitByCluster(d, "doc_id", labels,
+        "id", "component", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "rep", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == 100)
+    // cluster {1,2,3} all carry rep 1 and one split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).toSet == Set(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).toSet.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._3).toSet.size == 1)
+    // unlabeled rows fall back to their own id — identical to hashSplit
+    val plain = Sampling.hashSplit(d, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 100L).filterNot(Set(1L, 2L, 3L, 10L, 11L)).foreach { id =>
+      assert(byId(id)._3 == plain(id), s"id $id")
+    }
   }
 }

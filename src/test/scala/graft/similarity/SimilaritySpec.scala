@@ -240,4 +240,54 @@ class SimilaritySpec extends SparkSpec {
       else blocked.size.toDouble / brute.size
     assert(recall >= 0.5, s"blocked recall $recall vs brute ${brute.size}")
   }
+
+  test("semanticDedup returns every input id once and drops exactly " +
+      "the higher id of a within-bucket near-identical pair") {
+    val e = vecs(
+      (1, Seq(1.0, 0.0, 0.0)),
+      (2, Seq(1.0, 0.0, 0.0)),   // identical to 1 → same bucket, dropped
+      (3, Seq(0.0, 1.0, 0.0)),
+      (4, Seq(0.0, 0.0, 1.0)),
+      (5, Seq(-1.0, 0.0, 0.0)),
+      (6, Seq(0.0, -1.0, 0.0)))
+    val out = Similarity.semanticDedup(
+        e, "vec_id", "embedding", threshold = 0.99, nlist = 3)
+      .collect().map(r => r.getInt(0) -> r.getBoolean(2)).toMap
+    assert(out.keySet == Set(1, 2, 3, 4, 5, 6))
+    assert(out(2), "higher id of the identical pair must be dropped")
+    assert(out.filter(_._2).keySet == Set(2),
+      s"only vec 2 should drop, got ${out.filter(_._2).keySet}")
+  }
+
+  private def randomVecs(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    vecs((0 until n).map(i =>
+      i -> Seq.fill(dim)(rnd.nextGaussian())): _*)
+  }
+
+  test("semanticDedup census matches a brute-force within-bucket " +
+      "check on random vectors") {
+    val e = randomVecs(120, dim = 8, seed = 11)
+    val out = Similarity.semanticDedup(
+      e, "vec_id", "embedding", threshold = 0.9, nlist = 4)
+    // brute force: recompute assignment + drops from first principles
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 4)
+    val assigned = Similarity.assignToCentroids(
+        e, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+    val a = assigned.join(e, "vec_id")
+      .select(col("centroid_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+    val b = assigned.join(e, "vec_id")
+      .select(col("centroid_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"))
+    val expectDropped = a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(round(Similarity.cosine(col("va"), col("vb")), 4) >= 0.9)
+      .select("id_b").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val got = out.where(col("dropped"))
+      .select("vec_id").collect().map(_.getInt(0)).toSet
+    assert(got == expectDropped)
+  }
 }

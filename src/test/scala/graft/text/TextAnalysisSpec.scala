@@ -215,4 +215,24 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.minShingleHash(col("text"), 4)).getString(0)
     assert(a == b && a.length == 32)
   }
+
+  test("vocabCoverage ranks by count with alphabetical tie-break and " +
+      "accumulates coverage over ALL corpus tokens") {
+    val d = textDf("a a b", "b a c")
+    // counts: a=3, b=2, c=1; total 6
+    val out = TextAnalysis.vocabCoverage(d, "text", k = 2)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, "a", 3L, 0.5),
+      (2, "b", 2L, math.rint(5.0 / 6.0 * 1e6) / 1e6)))
+  }
+
+  test("vocabCoverage: k past the vocabulary returns the whole curve " +
+      "ending at 1.0") {
+    val out = TextAnalysis.vocabCoverage(textDf("x y x"), "text", 10)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out.last.getDouble(3) == 1.0)
+  }
 }
