@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Emits ONE JSON line:
   *   {"metric":"total","value":N,"unit":"sec","queries":{...},
-  *    "runs":{...},"failed":[...],"sf":...}
+  *    "runs":{...},"failed":[...],"load":[start,end],"sf":...}
   *
   * - `queries.<name>` is the min over SUCCESSFUL runs (this box is
   *   shared; a GC pause or neighbor burst can inflate one run 5-10x,
@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSession
   *   rounds, instead of being thrown away by the min.
   * - Failed runs contribute NO time; a query with zero successful runs
   *   lands in `failed` and is excluded from `queries` and the total.
+  * - `load` is the OS 1-minute load average sampled at bench start and
+  *   end (-1.0 where the JVM can't read it). A contended box inflates
+  *   wall-clock without any code regressing — the load field lets a
+  *   reader discount a run recorded under heavy neighbor activity
+  *   instead of misreading contention as a slowdown.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_RUNS (runs per query, default 2), SPARK_GRAFT_ONLY
@@ -28,6 +33,8 @@ object Bench {
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val spark = graft.core.Sessions.configure(
         SparkSession.builder().master(s"local[$cpus]"),
         shufflePartitions = cpus.toInt)
@@ -70,7 +77,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = succeeded.map(_._2.min).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val loadEnd = osBean.getSystemLoadAverage
+    val loadJson = f"[$loadStart%.2f,$loadEnd%.2f]"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"load":$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,12 +55,36 @@ object ConnectedComponents {
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25,
       driverEdgeLimit: Long = 100000): (DataFrame, Boolean) = {
+    // the driver path reads ids through getLong — a non-integral id
+    // column (string/UUID/double) would cast to null and fail later
+    // with an opaque NPE, so reject it up front
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    Seq(aCol, bCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"componentsAuto requires integral id columns; '$c' is $dt " +
+          "(map ids to longs first, or call componentsWithStatus " +
+          "which propagates labels in the input type)")
+    }
+    // LAZY checkpoint: the (possibly expensive — LSH-derived) edge
+    // plan materializes once on the count() below, and BOTH downstream
+    // paths reuse that materialization — the driver collect() and the
+    // distributed loop read checkpointed rows, never recompute the
+    // plan. An eager checkpoint would be equivalent here; what matters
+    // is that the over-limit path must not re-derive the edges from
+    // scratch (it used to re-checkpoint the original plan).
     val e0 = edges
       .select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
-      .localCheckpoint(true)
-    if (e0.count() > driverEdgeLimit)
-      return componentsWithStatus(edges, aCol, bCol, maxIter)
+      .localCheckpoint(false)
+    val dtA = edges.schema(aCol).dataType
+    if (e0.count() > driverEdgeLimit) {
+      val (labels, converged) = loopOverMaterialized(e0, maxIter)
+      return (labels
+        .select(col("id").cast(dtA).as("id"),
+          col("component").cast(dtA).as("component")), converged)
+    }
     val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
@@ -111,6 +135,17 @@ object ConnectedComponents {
     val e0 = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint(true)
+    loopOverMaterialized(e0, maxIter)
+  }
+
+  /** The min-label-propagation loop over an already-materialized
+    * (src, dst) edge frame — shared by [[componentsWithStatus]] (which
+    * checkpoints the caller's plan first) and [[componentsAuto]]'s
+    * over-limit path (which reuses the checkpoint its size probe
+    * already paid for).
+    */
+  private def loopOverMaterialized(
+      e0: DataFrame, maxIter: Int): (DataFrame, Boolean) = {
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

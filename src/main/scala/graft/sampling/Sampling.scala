@@ -108,9 +108,21 @@ object Sampling {
     * Spirakis A-RES): each row gets the key ln(u)/w with
     * u = [[hashFraction]] and w = its weight; the k largest keys are
     * the sample, so inclusion probability scales with weight while
-    * membership stays pinned by the hash — reproducible across runs,
-    * engines, and partitionings, like every sampler here. Rows with
-    * null or non-positive weight are excluded.
+    * membership stays pinned by the hash — reproducible across runs
+    * and partitionings, like every sampler here. Rows with null or
+    * non-positive weight are excluded.
+    *
+    * Determinism bound: u is exact (md5 arithmetic), but ln(u) is the
+    * platform libm's, correctly-rounded only to ~1 ulp — so the key is
+    * engine-portable to ~1e-15 relative precision, not bit-for-bit.
+    * WITHIN an engine the ordering (key desc, then id asc) is total
+    * and reproducible even when two keys agree to the last ulp
+    * (adversarial-tie spec); ACROSS engines a pair of keys closer than
+    * ~1e-15·|key| can swap, flipping sample membership at the k-th
+    * rank boundary. Real-weight corpora put adjacent order-statistic
+    * gaps far above that (the q62 oracle hash-matches DuckDB at every
+    * tested sf); callers needing a hard cross-engine guarantee should
+    * quantize weights so keys cannot tie within the libm band.
     *
     * Scale: the top-k plans as TakeOrderedAndProject (per-partition
     * top-k, k·partitions rows to the driver merge) — no global sort,
@@ -151,34 +163,47 @@ object Sampling {
     * partition; with a per-domain cap of 1 000 against a domain
     * holding 10 B rows, that is a 10 B-row sort on one task — the
     * classic skew killer. Here a first aggregation counts each group
-    * (one small broadcast: a row per group), then only rows whose
+    * (one narrow row per group), then only rows whose
     * [[hashFraction]] falls below (n + margin)/group_count survive to
     * the window, so the sorted set is ~n + margin rows per group
     * REGARDLESS of group size, and the exchange never carries the
-    * pruned rows.
+    * pruned rows. The counts table carries no broadcast HINT: group
+    * cardinality is data-dependent (per-domain capping of a web corpus
+    * is ~10⁸ domains) — AQE broadcasts it when it is actually small
+    * and degrades to a shuffle join instead of an OOM when it isn't.
     *
     * The result equals [[perGroupSample]] (same hash order, same
-    * tie-break) unless fewer than n of a group's rows hash under the
-    * threshold. margin = 8·√n + 40 puts that more than 8 binomial
-    * standard deviations out (per-group miss probability < 1e-15;
-    * groups smaller than n + margin are never filtered at all). The
-    * exact-at-any-odds alternative is a second pass over deficient
-    * groups — the trade Spark's own `sampleByKeyExact` makes; at that
-    * point the one-phase form is simpler.
+    * tie-break — null group keys form a group of their own on both
+    * paths, hence the null-safe join) unless fewer than n of a group's
+    * rows hash under the threshold. margin = 8·√n + 40 puts that more
+    * than 8 binomial standard deviations out (per-group miss
+    * probability < 1e-15; groups smaller than n + margin are never
+    * filtered at all). The exact-at-any-odds alternative is a second
+    * pass over deficient groups — the trade Spark's own
+    * `sampleByKeyExact` makes; at that point the one-phase form is
+    * simpler.
     */
   def cappedPerGroupSample(
       df: DataFrame, idCol: String, groupCols: Seq[String], n: Int,
       salt: String = "sample"): DataFrame = {
     require(n >= 1, "n must be positive")
-    require(!df.columns.exists(Set("__gn", "__rn")),
-      "input must not have columns named __gn or __rn")
-    val counts = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__gn"))
+    val reserved = Set("__gn", "__rn") ++ groupCols.map("__g_" + _)
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    // null-safe (<=>) join: window partitionBy groups null keys
+    // together, so the counts join must match them too — a plain
+    // equi-join would silently drop every null-key row
+    val counts = groupCols.foldLeft(
+        df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__gn"))) {
+      (d, c) => d.withColumnRenamed(c, "__g_" + c)
+    }
+    val joinCond = groupCols.map(c => col(c) <=> col("__g_" + c))
+      .reduce(_ && _)
     val margin = 8.0 * math.sqrt(n.toDouble) + 40.0
     val h = hashFraction(col(idCol), salt)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(h.asc, col(idCol).asc)
-    df.join(broadcast(counts), groupCols)
+    df.join(counts, joinCond)
       .where(h < least(lit(1.0), lit(n + margin) / col("__gn")))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
@@ -235,9 +260,13 @@ object Sampling {
     * share its representative's hash draw, hence its split.
     *
     * Scale: `labels` is the labeled-vertex set of the near-dup graph —
-    * disk-small next to the corpus (only docs WITH a verified
-    * duplicate appear), so the join broadcasts and the corpus itself
-    * never shuffles.
+    * usually disk-small next to the corpus (only docs WITH a verified
+    * duplicate appear), but on a high-duplication corpus it can be a
+    * large fraction of n, so there is deliberately no broadcast HINT:
+    * AQE broadcasts the join when the label set is actually small and
+    * falls back to a shuffle join (instead of a driver OOM) when it
+    * isn't. `rep` stays in the input id type (string / UUID ids work;
+    * the split hash keys on the string rendering either way).
     */
   def splitByCluster(
       df: DataFrame, idCol: String, labels: DataFrame,
@@ -246,9 +275,8 @@ object Sampling {
       salt: String = "split"): DataFrame = {
     val reps = labels.select(col(labelIdCol).as(idCol),
       col(componentCol).as("__rep"))
-    df.join(broadcast(reps), Seq(idCol), "left")
-      .withColumn("rep",
-        coalesce(col("__rep"), col(idCol)).cast("long"))
+    df.join(reps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("__rep"), col(idCol)))
       .drop("__rep")
       .withColumn("split", splitColumn(col("rep"), splits, salt))
   }

@@ -96,6 +96,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     val (auto, converged) = ConnectedComponents.componentsAuto(
       e, "id_a", "id_b", driverEdgeLimit = 10) // force distributed
     assert(converged)
+    // over-limit path still returns the INPUT id type (int here)
     assert(auto.collect().map(_.getInt(1)).toSet == Set(1))
+  }
+
+  test("componentsAuto rejects non-integral id columns up front " +
+      "(string ids would silently cast to null)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val e = edges((1, 2), (2, 3))
+      .select(concat(lit("n"), col("id_a")).as("id_a"),
+        concat(lit("n"), col("id_b")).as("id_b"))
+    val err = intercept[IllegalArgumentException] {
+      ConnectedComponents.componentsAuto(e, "id_a", "id_b")
+    }
+    assert(err.getMessage.contains("integral"))
+    // componentsWithStatus remains the string-id path
+    val (labels, converged) = ConnectedComponents
+      .componentsWithStatus(e, "id_a", "id_b")
+    assert(converged)
+    assert(labels.collect().map(_.getString(1)).toSet == Set("n1"))
   }
 }

@@ -138,6 +138,32 @@ class SamplingSpec extends SparkSpec {
     assert(hits >= 25, s"heavy row sampled only $hits/30 times")
   }
 
+  test("weightedSample adversarial near-tie: keys engineered to agree " +
+      "to ~1 ulp still select deterministically (desc key, asc id)") {
+    // weights are chosen so every row's A-RES key ln(u)/w lands at
+    // exactly -1.0 up to one floating-point rounding of the division:
+    // w = -ln(u) makes key = ln(u)/(-ln(u)) ≈ -1.0 ± 1 ulp. This is
+    // the worst case for cross-libm stability — the spec pins that
+    // WITHIN an engine the ordering (key desc, id asc) is total and
+    // reproducible, which is the documented determinism bound.
+    val ids = spark.range(8).toDF("id")
+    val hf = ids
+      .select(col("id"), Sampling.hashFraction(col("id"), "wsample").as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = hf.toSeq.map { case (id, u) => (id, -math.log(u)) }
+    val d = spark.createDataFrame(rows).toDF("id", "w")
+    val got = Sampling.weightedSample(d, "id", "w", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // reference: identical arithmetic (java.lang.Math.log, one double
+    // division) evaluated driver-side, ordered by the documented policy
+    val ref = rows.map { case (id, w) => (math.log(hf(id)) / w, id) }
+      .sortBy { case (k, id) => (-k, id) }.take(3).map(_._2).toSet
+    assert(got == ref)
+    val again = Sampling.weightedSample(d, "id", "w", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
   private def skewed = spark.range(5003).select(col("id"),
     when(col("id") < 5000, lit("big")).otherwise(lit("small"))
       .as("grp"))
@@ -159,6 +185,62 @@ class SamplingSpec extends SparkSpec {
       .cappedPerGroupSample(skewed, "id", Seq("grp"), 10)
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("least"), s"no pre-filter in plan:\n$plan")
+  }
+
+  test("cappedPerGroupSample keeps null-key groups (null-safe counts " +
+      "join) — result still equals perGroupSample") {
+    val withNulls = spark.range(200).select(col("id"),
+      when(col("id") % 4 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), (col("id") % 3).cast("string")))
+        .as("grp"))
+    val one = Sampling.perGroupSample(withNulls, "id", Seq("grp"), 5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val two = Sampling.cappedPerGroupSample(withNulls, "id", Seq("grp"), 5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(two == one)
+    assert(two.count(_._2.isEmpty) == 5,
+      "null-key rows must form their own sampled group")
+  }
+
+  test("cappedPerGroupSample and splitByCluster carry no forced " +
+      "broadcast: data-dependent table sizes are AQE's call, not a hint") {
+    val capped = Sampling
+      .cappedPerGroupSample(skewed, "id", Seq("grp"), 10)
+    val d = spark.range(100).toDF("doc_id")
+    val labels = df(
+      StructType(Seq(
+        StructField("id", LongType), StructField("component", LongType))),
+      Seq(Row(1L, 1L), Row(2L, 1L)))
+    val split = Sampling.splitByCluster(d, "doc_id", labels,
+      "id", "component", Seq("train" -> 0.8, "test" -> 0.2))
+    Seq("cappedPerGroupSample" -> capped, "splitByCluster" -> split)
+      .foreach { case (name, frame) =>
+        val hints = frame.queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }
+        assert(hints.isEmpty,
+          s"$name forces a join strategy via hint: $hints")
+      }
+  }
+
+  test("splitByCluster keeps rep in the input id type (string ids " +
+      "split correctly — no silent null from a long cast)") {
+    val d = spark.range(50)
+      .select(concat(lit("doc-"), col("id").cast("string")).as("doc_id"))
+    val labels = df(
+      StructType(Seq(
+        StructField("id", StringType), StructField("component", StringType))),
+      Seq(Row("doc-1", "doc-1"), Row("doc-2", "doc-1")))
+    val out = Sampling.splitByCluster(d, "doc_id", labels,
+      "id", "component", Seq("train" -> 0.8, "test" -> 0.2))
+    assert(out.schema("rep").dataType == StringType)
+    val rows = out.select("doc_id", "rep", "split")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length == 50)
+    assert(rows.forall(r => r._2 != null && Set("train", "test")(r._3)))
+    // the labeled pair shares its representative's split
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId("doc-1")._3 == byId("doc-2")._3)
   }
 
   test("mixture: integer weights emit exact full epochs, zero drops " +
