@@ -272,24 +272,61 @@ object Dedup {
     * Deliberately NOT routed through near-dup machinery: published
     * decontamination flags SMALL absolute overlaps (a handful of
     * 8-13-grams), far below any Jaccard threshold LSH is tuned for —
-    * recall on small overlaps is the point. Asymmetric by
-    * construction: the benchmark side (eval sets — thousands of
-    * documents) is tiny, so AQE broadcasts its shingles and the
-    * corpus side — the 100 TB side — is shingled in place and never
-    * shuffles; per-corpus-document work is linear in its shingles.
+    * recall on small overlaps is the point.
+    *
+    * Asymmetric by construction — and the corpus side never shuffles:
+    * the corpus is shingled RAW in place ([[TextAnalysis
+    * .explodeShinglesRaw]] — projection + generate only; its
+    * per-document `.distinct()` would be a corpus-sized exchange
+    * BEFORE the join, exactly the exchange this operator exists to
+    * avoid), the benchmark side (eval sets — thousands of documents,
+    * small by the operator's contract, hence the explicit broadcast
+    * like any dimension table) is deduped per document and broadcast,
+    * and the join filters the corpus stream down to
+    * benchmark-matching shingle occurrences — a tiny set. Corpus-side
+    * duplicate occurrences of a shared shingle are then collapsed by
+    * `count_distinct` INSIDE the aggregate, where distinctness costs
+    * an exchange of only the post-filter survivors. Per-corpus-
+    * document work is linear in its shingles; plan-asserted (spec):
+    * no Exchange upstream of the join on the corpus leg.
+    *
+    * @param maxBenchmarkDf optional benchmark-side document-frequency
+    *   cap: shingles present in MORE than this many benchmark
+    *   documents are dropped from the check. An n-gram hot in both
+    *   corpus and benchmark produces df_corpus × df_benchmark join
+    *   rows (the stop-shingle skew [[ngramJaccardPairs]] caps with
+    *   maxShingleDf) — at corpus scale a templated phrase shared by
+    *   every benchmark doc turns the join into a hot-key stage. The
+    *   cap bounds each corpus occurrence's fan-out to `cap` rows and
+    *   drops only boilerplate n-grams that identify no specific eval
+    *   document (the flagged-overlap semantics published
+    *   decontamination wants). None (default) = exact.
     */
   def contaminationCheck(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
-      n: Int = 8, minCommon: Int = 5): DataFrame = {
+      n: Int = 8, minCommon: Int = 5,
+      maxBenchmarkDf: Option[Int] = None): DataFrame = {
     require(minCommon >= 1, "minCommon must be positive")
-    val c = TextAnalysis.explodeShingles(corpus, idCol, textCol, n)
+    val c = TextAnalysis.explodeShinglesRaw(corpus, idCol, textCol, n)
       .select(col(idCol).as("corpus_id"), col("shingle"))
-    val b = TextAnalysis.explodeShingles(benchmark, idCol, textCol, n)
+    val b0 = TextAnalysis.explodeShingles(benchmark, idCol, textCol, n)
       .select(col(idCol).as("benchmark_id"), col("shingle"))
-    c.join(b, Seq("shingle"))
+    val b = maxBenchmarkDf match {
+      case None => b0
+      case Some(cap) =>
+        require(cap >= 1, "maxBenchmarkDf must be positive")
+        // benchmark is small — a window DF count over its shingles is
+        // cheap; rows of hot shingles drop before the broadcast
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shingle")
+        b0.withColumn("__df", count(lit(1)).over(w))
+          .where(col("__df") <= cap)
+          .drop("__df")
+    }
+    c.join(broadcast(b), Seq("shingle"))
       .groupBy("corpus_id", "benchmark_id")
-      .agg(count(lit(1)).as("common_ngrams"))
+      .agg(countDistinct(col("shingle")).as("common_ngrams"))
       .where(col("common_ngrams") >= minCommon)
   }
 

@@ -291,18 +291,16 @@ object TextAnalysis {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
-  /** Explode a document table into (id, shingle) rows — the input shape
-    * for inverted-index joins and MinHash. One row per DISTINCT shingle
-    * per document.
-    *
-    * Deliberately NOT `explode(shingleArray(...))`: `array_distinct` on
-    * a k-shingle array is O(k²) interpreted comparisons per document
-    * (hundreds of millions of ops at corpus scale). Exploding positions
-    * and deduping with `distinct()` trades that for one shuffle of
-    * narrow rows, and the shingle assembly (`element_at` + `concat_ws`)
-    * stays inside whole-stage codegen.
+  /** Explode a document table into (id, shingle) rows, one row per
+    * shingle POSITION — duplicates per document possible. Pure
+    * projection + generate: no shuffle, stays in whole-stage codegen.
+    * The input shape for consumers that de-duplicate later anyway
+    * (e.g. inside an aggregate, where distinctness is free) — at
+    * corpus scale the `.distinct()` of [[explodeShingles]] is a
+    * corpus-sized exchange, so prefer this form whenever the plan can
+    * absorb duplicates downstream.
     */
-  def explodeShingles(
+  def explodeShinglesRaw(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val withWords = df
       .select(col(idCol), words(col(textCol)).as("__ws"))
@@ -313,8 +311,23 @@ object TextAnalysis {
       .select(col(idCol), concat_ws(" ",
         (0 until n).map(j => element_at(col("__ws"), col("__i") + j + 1)): _*)
         .as("shingle"))
-      .distinct()
   }
+
+  /** Explode a document table into (id, shingle) rows — the input shape
+    * for inverted-index joins and MinHash. One row per DISTINCT shingle
+    * per document (one shuffle).
+    *
+    * Deliberately NOT `explode(array_distinct(shingleArray(...)))`:
+    * `array_distinct` on a k-shingle array is O(k²) interpreted
+    * comparisons per document (hundreds of millions of ops at corpus
+    * scale). Exploding positions ([[explodeShinglesRaw]]) and deduping
+    * with `distinct()` trades that for one shuffle of narrow rows, and
+    * the shingle assembly (`element_at` + `concat_ws`) stays inside
+    * whole-stage codegen.
+    */
+  def explodeShingles(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    explodeShinglesRaw(df, idCol, textCol, n).distinct()
 
   /** Vocabulary coverage curve — the tokenizer-training prep question
     * "how many vocabulary entries cover X % of corpus tokens": the

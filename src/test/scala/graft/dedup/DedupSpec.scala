@@ -193,6 +193,64 @@ class DedupSpec extends SparkSpec {
     // raising the bar above the overlap empties the result
     assert(Dedup.contaminationCheck(corpus, bench, "id", "text",
       n = 5, minCommon = 5).count() == 0)
+    // a corpus doc REPEATING the leak still counts each shingle once
+    // (corpus side is exploded raw; distinctness lives in the agg)
+    val repeat = docs((7, s"$leak and again $leak and again $leak"))
+    val rep = Dedup.contaminationCheck(repeat, bench, "id", "text",
+        n = 5, minCommon = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rep.toSeq == Seq((7, 100, 4L)))
+  }
+
+  test("contaminationCheck plan: the corpus leg reaches the broadcast " +
+      "join with NO exchange upstream (corpus never shuffles)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val corpus = docs((0 until 50).map(i =>
+      (i, s"corpus document $i with some shared phrase about engines")): _*)
+    val bench = docs((1000, "shared phrase about engines and a tail"))
+    val out = Dedup.contaminationCheck(corpus, bench, "id", "text",
+      n = 3, minCommon = 1)
+    assert(out.collect().nonEmpty) // finalize the adaptive plan
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => Seq(other)
+    }.flatten
+    val nodes = unwrap(out.queryExecution.executedPlan)
+    val bhj = nodes.collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "contamination join must be a broadcast join")
+    // streamed (corpus) side: projection/generate only — no exchange
+    val streamed = bhj.get.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+        bhj.get.left
+      case _ => bhj.get.right
+    }
+    val streamedShuffles = unwrap(streamed)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(streamedShuffles.isEmpty,
+      s"corpus leg shuffled before the join:\n$streamed")
+  }
+
+  test("contaminationCheck maxBenchmarkDf drops benchmark-hot " +
+      "shingles from the check, None is exact") {
+    val boiler = "standard license header words appear everywhere always"
+    val bench = docs(
+      (100, s"$boiler question one about catalyst"),
+      (101, s"$boiler question two about tungsten"),
+      (102, s"$boiler question three about shuffles"))
+    val corpus = docs((1, s"a page that only copied the $boiler part"))
+    // boilerplate 3-grams appear in all 3 benchmark docs; with the cap
+    // at 2 they stop counting, and doc 1 shares nothing specific
+    val exact = Dedup.contaminationCheck(corpus, bench, "id", "text",
+      n = 3, minCommon = 2)
+    assert(exact.count() > 0)
+    val capped = Dedup.contaminationCheck(corpus, bench, "id", "text",
+      n = 3, minCommon = 2, maxBenchmarkDf = Some(2))
+    assert(capped.count() == 0)
   }
 
   test("minhashSignatures: identical docs get identical signatures") {
