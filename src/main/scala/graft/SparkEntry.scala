@@ -759,19 +759,24 @@ object SparkEntry {
         window = 8)
       .orderBy("doc_id")
 
-  /** SemDeDup-style semantic dedup over the embedding corpus: within
-    * each of 16 fixed-hash centroid buckets, drop vectors with a
-    * lower-id ≥-threshold cosine neighbor
-    * ([[Similarity.semanticDedup]]). Per-bucket kept/dropped census.
+  /** SemDeDup-style semantic dedup over the embedding corpus, nlist
+    * sized by the √n rule ([[Similarity.sqrtNlist]] — one count, so
+    * Σ(bucket²) stays O(n^1.5) at any sf instead of degrading as a
+    * fixed nlist's buckets grow): within each fixed-hash centroid
+    * bucket, drop vectors with a lower-id ≥-threshold cosine neighbor
+    * ([[Similarity.semanticDedup]]). Per-bucket kept/dropped census;
+    * the oracle recomputes the same √n in SQL.
     */
-  private def semanticDedupCensus(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.45, nlist = 16)
+  private def semanticDedupCensus(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.45, nlist = Similarity.sqrtNlist(e.count()))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("dropped"), 1).otherwise(0)).cast("long")
           .as("n_dropped"))
       .orderBy("centroid_id")
+  }
 
   /** Compressibility quality signal gated in-query (the q46 pattern:
     * the oracle states the invariants as constants, so the compare
@@ -2209,9 +2214,12 @@ object SparkEntry {
     "q72_semantic_dedup" ->
       s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cents AS (SELECT vec_id AS cid, v AS cv FROM e
-                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-                   LIMIT 16),
+         cnt AS (SELECT greatest(1, CAST(round(sqrt(count(*)), 0) AS INT))
+                 AS nlist FROM e),
+         rc AS (SELECT vec_id AS cid, v AS cv, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
+                  AS rk FROM e),
+         cents AS (SELECT cid, cv FROM rc, cnt WHERE rk <= nlist),
          assign AS (
            SELECT vec_id, v, cid FROM (
              SELECT e.vec_id, e.v, c.cid, row_number() OVER (

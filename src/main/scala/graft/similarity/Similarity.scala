@@ -455,12 +455,115 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** Centroid-blocked frame shared by [[semanticDedup]] and
+    * [[semanticBlockedPairs]]: every corpus vector with its primary
+    * centroid, its norm computed ONCE (the norms-once invariant — the
+    * self-join legs reuse `__vn` instead of re-evaluating `norm` per
+    * leg), and its comparison-block key `__blk`.
+    *
+    * Without `maxBucket`, `__blk` is constant — blocks ARE the primary
+    * buckets. With `maxBucket = Some(limit)`, buckets whose population
+    * exceeds `limit` are SUBDIVIDED: their members are re-assigned to
+    * `k2 = ceil(oversized/limit)` secondary centroids (fixed-hash
+    * init drawn from the oversized population itself) and `__blk`
+    * becomes the secondary centroid id — mirroring
+    * [[graft.dedup.ConnectedComponents.componentsAuto]]'s
+    * bounded/unbounded split, a count probes the data and picks the
+    * path. Σ(block²) then cannot go quadratic on a skewed embedding
+    * space so long as the secondary centroids separate the pile-up;
+    * a pile-up of IDENTICAL vectors is the one shape no geometric
+    * subdivision can split — that is exact-duplicate mass, which
+    * exact dedup upstream removes (same argument as
+    * [[graft.dedup.Dedup.ngramJaccardPairs]]'s DF cap).
+    *
+    * Persisted (feeds both self-join legs and the count-back);
+    * callers own the cache lifecycle (see [[graft.core.Caches]]).
+    */
+  private def blockedFrame(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, roundTo: Int, maxBucket: Option[Long]): DataFrame = {
+    val cents = hashKCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = assignWithNorm(corpus, cents, idCol, vecCol, roundTo)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    maxBucket match {
+      case None => assigned.withColumn("__blk", lit(""))
+      case Some(limit) =>
+        require(limit >= 1, "maxBucket must be positive")
+        val over = assigned.groupBy("centroid_id")
+          .agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") > limit)
+          .select("centroid_id")
+        val small = assigned.join(over, Seq("centroid_id"), "left_anti")
+          .withColumn("__blk", lit(""))
+        val big = assigned.join(over, Seq("centroid_id"), "left_semi")
+        // the count doubles as the materialization of `assigned`'s
+        // cache, so the path decision probes cached rows, not the plan
+        val nOver = big.count()
+        if (nOver == 0) small
+        else {
+          val k2 = math.max(2, math.ceil(nOver.toDouble / limit).toInt)
+          val c2 = broadcast(
+            hashKCentroids(big.select(col(idCol), col(vecCol)),
+                idCol, vecCol, k2)
+              .select(col("centroid_id").as("__c2"),
+                col("centroid_vec").as("__cv2"))
+              .withColumn("__cn2", norm(col("__cv2"))))
+          val w = Window.partitionBy(idCol)
+            .orderBy(col("__csim2").desc, col("__c2").asc)
+          val big2 = big.crossJoin(c2)
+            .withColumn("__csim2",
+              round(cosFromNorms(col(vecCol), col("__cv2"),
+                col("__vn"), col("__cn2")), roundTo))
+            .withColumn("__r2", row_number().over(w))
+            .where(col("__r2") === 1)
+            .select(col(idCol), col(vecCol), col("__vn"),
+              col("centroid_id"), col("__c2").cast("string").as("__blk"))
+          small.select(col(idCol), col(vecCol), col("__vn"),
+              col("centroid_id"), col("__blk"))
+            .unionByName(big2)
+        }
+    }
+  }
+
+  /** All within-block candidate pairs (id_a < id_b) with their rounded
+    * cosine — the comparison set [[semanticDedup]] thresholds. Exposed
+    * for recall/cost analysis and the bounded-candidate specs: the
+    * pair count is exactly Σ C(block, 2), so a caller can measure what
+    * a given (nlist, maxBucket) costs before running the full dedup.
+    */
+  def semanticBlockedPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, roundTo: Int = 4,
+      maxBucket: Option[Long] = None): DataFrame = {
+    val blocked = blockedFrame(corpus, idCol, vecCol, nlist, roundTo,
+      maxBucket)
+    pairsWithin(blocked, idCol, vecCol, roundTo)
+  }
+
+  /** (id_a < id_b, sim) over a [[blockedFrame]]'s (centroid, block)
+    * cells, norms reused from the frame.
+    */
+  private def pairsWithin(
+      blocked: DataFrame, idCol: String, vecCol: String,
+      roundTo: Int): DataFrame = {
+    def leg(idAs: String, vecAs: String, normAs: String) =
+      blocked.select(col("centroid_id"), col("__blk"),
+        col(idCol).as(idAs), col(vecCol).as(vecAs),
+        col("__vn").as(normAs))
+    leg("id_a", "__va", "__na")
+      .join(leg("id_b", "__vb", "__nb"), Seq("centroid_id", "__blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosFromNorms(col("__va"), col("__vb"),
+          col("__na"), col("__nb")), roundTo).as("sim"))
+  }
+
   /** SemDeDup-style semantic deduplication: assign every vector to its
-    * nearest centroid (single probe), then WITHIN each centroid
-    * bucket mark a vector `dropped` when a lower-id vector in the same
-    * bucket is at least `threshold` cosine-similar to it. Keeps
+    * nearest centroid (single probe), then WITHIN each comparison
+    * block mark a vector `dropped` when a lower-id vector in the same
+    * block is at least `threshold` cosine-similar to it. Keeps
     * exactly one representative (the lowest id) per tight semantic
-    * group; pairs split across bucket boundaries are deliberately NOT
+    * group; pairs split across block boundaries are deliberately NOT
     * compared — that locality cut is what makes the method linear-ish,
     * and is the published algorithm's accepted recall trade
     * ([[nearDupPairsBlocked]] with nprobe > 1 is the higher-recall
@@ -471,28 +574,45 @@ object Similarity {
     * Scale: work is Σ(bucket²) over nlist buckets (size nlist ≈ √n via
     * [[sqrtNlist]] for O(n^1.5) total), the centroid set is fixed-size
     * and broadcast, and the drop set joins back id-keyed — vectors
-    * never all-pairs join across buckets.
+    * never all-pairs join across buckets. `maxBucket` arms the
+    * mega-bucket guard (see [[blockedFrame]]): a skewed embedding
+    * space cannot push one bucket's self-join quadratic.
+    * [[semanticDedupAuto]] wires both knobs from a corpus count.
     */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int, roundTo: Int = 4): DataFrame = {
-    val cents = hashKCentroids(corpus, idCol, vecCol, nlist)
-    // Persisted: feeds both self-join legs and the final count-back
-    // (see lshCandidates for the same pattern).
-    val assigned = assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def leg(idAs: String, vecAs: String, normAs: String) =
-      assigned.select(col("centroid_id"), col(idCol).as(idAs),
-        col(vecCol).as(vecAs), norm(col(vecCol)).as(normAs))
-    val drops = leg("id_a", "__va", "__na")
-      .join(leg("id_b", "__vb", "__nb"), Seq("centroid_id"))
-      .where(col("id_a") < col("id_b"))
-      .where(round(cosFromNorms(col("__va"), col("__vb"),
-        col("__na"), col("__nb")), roundTo) >= threshold)
+      threshold: Double, nlist: Int, roundTo: Int = 4,
+      maxBucket: Option[Long] = None): DataFrame = {
+    val blocked = blockedFrame(corpus, idCol, vecCol, nlist, roundTo,
+      maxBucket)
+    val drops = pairsWithin(blocked, idCol, vecCol, roundTo)
+      .where(col("sim") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-    assigned
+    blocked
       .join(drops.withColumn("__d", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("centroid_id"),
         coalesce(col("__d"), lit(false)).as("dropped"))
+  }
+
+  /** [[semanticDedup]] with IVF-standard self-sizing: one count sets
+    * nlist = [[sqrtNlist]](n) (so Σ(bucket²) grows O(n^1.5), the q27
+    * rule) and arms the mega-bucket guard at `bucketFactor ×` the
+    * expected bucket size n/nlist — a bucket must be `bucketFactor`
+    * times over its fair share before the subdivision (and its recall
+    * cut) kicks in. The oracle-pinned queries call [[semanticDedup]]
+    * with explicit literals instead; this is the
+    * unknown-corpus entry point.
+    */
+  def semanticDedupAuto(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 4,
+      bucketFactor: Double = 8.0): DataFrame = {
+    require(bucketFactor >= 1.0, "bucketFactor must be >= 1")
+    val n = corpus.count()
+    val nlist = sqrtNlist(n)
+    val limit = math.max(1L,
+      math.ceil(bucketFactor * n.toDouble / nlist).toLong)
+    semanticDedup(corpus, idCol, vecCol, threshold, nlist, roundTo,
+      Some(limit))
   }
 }

@@ -290,4 +290,53 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").collect().map(_.getInt(0)).toSet
     assert(got == expectDropped)
   }
+
+  test("mega-bucket guard: maxBucket subdivides a degenerate " +
+      "all-one-bucket corpus (candidate count drops well below " +
+      "bucket², inert when no bucket exceeds the limit)") {
+    // nlist = 1 forces every vector into ONE primary bucket — the
+    // skewed-space worst case the guard exists for
+    val e = randomVecs(150, dim = 8, seed = 42)
+    val full = Similarity.semanticBlockedPairs(
+      e, "vec_id", "embedding", nlist = 1)
+    val nFull = full.count()
+    assert(nFull == 150L * 149 / 2, "one bucket = all pairs")
+    // limit 40 → k2 = ceil(150/40) = 4 secondary cells; Σ C(cell,2)
+    // must land far under C(150,2)
+    val guarded = Similarity.semanticBlockedPairs(
+      e, "vec_id", "embedding", nlist = 1, maxBucket = Some(40L))
+    val nGuard = guarded.count()
+    assert(nGuard < nFull / 2,
+      s"guard did not bound the candidate set: $nGuard vs $nFull")
+    // a limit no bucket exceeds leaves the pair set untouched
+    val inert = Similarity.semanticBlockedPairs(
+        e, "vec_id", "embedding", nlist = 1, maxBucket = Some(1000L))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val fullSet = full.select("id_a", "id_b").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(inert == fullSet)
+  }
+
+  test("semanticDedup with the guard still drops planted identical " +
+      "pairs (they share the secondary cell by construction) and " +
+      "returns every id exactly once") {
+    val rnd = new scala.util.Random(7)
+    val baseRows = (0 until 100)
+      .map(i => i -> Seq.fill(6)(rnd.nextGaussian()))
+    // ids 200-204 are exact copies of ids 0-4: identical vectors get
+    // identical secondary assignments, so subdivision cannot separate
+    // a true duplicate pair
+    val planted = (0 until 5).map(i => (200 + i) -> baseRows(i)._2)
+    val e = vecs((baseRows ++ planted): _*)
+    val out = Similarity.semanticDedup(
+        e, "vec_id", "embedding", threshold = 0.999,
+        nlist = 1, maxBucket = Some(25L))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 105)
+    (0 until 5).foreach { i =>
+      assert(out(200 + i), s"planted copy ${200 + i} must drop")
+      assert(!out(i), s"original $i must survive (lowest id wins)")
+    }
+  }
 }
