@@ -24,11 +24,14 @@ import org.apache.spark.sql.functions._
   * All hashing is md5-based and engine-portable (hex strings / 32-bit
   * hex→int), so results are reproducible across engines byte-for-byte.
   *
-  * Caching: the pairwise operators `persist()` their shingle/signature
-  * intermediates (they feed multiple join legs). Those cache entries
-  * live until the session drops them — long-lived sessions calling
-  * these repeatedly should `spark.catalog.clearCache()` (or
-  * `uncacheTable`) between batches, as `graft.Bench` does.
+  * Caching: the pairwise operators persist their shingle/signature
+  * intermediates (they feed multiple join legs) through
+  * [[graft.core.CacheScope.disk]]. Run them inside
+  * [[graft.core.CacheScope.withScope]] and the caches are released on
+  * scope exit (the zero-residue form for long-lived sessions —
+  * `graft.Verify` wraps each query this way); outside a scope the
+  * caller owns the lifecycle (`spark.catalog.clearCache()` between
+  * batches, as `graft.Bench` does).
   */
 object Dedup {
 
@@ -183,7 +186,7 @@ object Dedup {
     // size aggregate AND both legs of the inverted-index join — without
     // persist it would run 3×. At warehouse scale: a shingle table.
     val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
     maxShingleDf match {
       case Some(cap) =>
@@ -199,7 +202,7 @@ object Dedup {
         val postings = sh.groupBy("shingle")
           .agg(sort_array(collect_list(col(idCol))).as("__ids"))
           .where(size(col("__ids")) <= cap)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.core.CacheScope.disk)
         // per-doc hot-shingle counts (total − low-DF): the slack term
         // of the Jaccard upper bound below
         val lowSizes = postings
@@ -238,7 +241,7 @@ object Dedup {
             (col("__na") + col("__nb") - col("__cl") - chMax)
               .cast("double") >= threshold)
           .select("id_a", "id_b")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.core.CacheScope.disk)
         exactJaccardVerify(sh, sizes, cands, idCol, threshold)
       case None =>
         val a = sh.select(col(idCol).as("id_a"), col("shingle"))
@@ -395,7 +398,7 @@ object Dedup {
       .select(col(idCol), explode(array((0 until bands)
         .map(i => col(s"b$i")): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig"))
@@ -417,16 +420,16 @@ object Dedup {
     // join legs + the size aggregate (it would otherwise recompute per
     // consumer). At warehouse scale: a materialized shingle table.
     val shAll = TextAnalysis.explodeShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     // signature aggregation also counts each doc's (distinct) shingles
     // — the Jaccard denominators ride along for free instead of a
     // second aggregation over the shingle table in the verify phase
     val sigAggs = minhashAggs(numHashes) :+ count(lit(1)).as("n_shingles")
     val sigs = shAll.select(shingleHashHalves(idCol): _*)
       .groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     // verify ONLY the candidates with exact Jaccard
     // ([[exactJaccardVerify]] semi-joins the shingle table down to
     // candidate documents first), so verification cost scales with the
@@ -511,7 +514,7 @@ object Dedup {
     // Persisted: the 64-bit-sum aggregation would otherwise re-run for
     // each self-join leg (see lshCandidates). One row per document.
     val sh = simhash(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     val blocks = sh.select(col(idCol), col("sim_hi"), col("sim_lo"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),
@@ -560,7 +563,7 @@ object Dedup {
     val chunks = TextAnalysis
       .chunkByTokens(df, idCol, textCol, window, overlap = 0)
       .select(col(idCol), md5(col("chunk_text")).as("__fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     val docsPerChunk = chunks.groupBy("__fp")
       .agg(countDistinct(col(idCol)).as("__docs"))
     chunks.join(docsPerChunk, Seq("__fp"))

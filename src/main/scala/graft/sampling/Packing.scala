@@ -49,7 +49,7 @@ object Packing {
     // expression) once each
     val withB = df.withColumn("__bkt",
       floor(col(idCol).cast("long") / lit(bucketWidth)).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     // partition-parallel inclusive cumsum within each id bucket
     val inBkt = Window.partitionBy("__bkt").orderBy(col(idCol).asc)
     val cum = withB.withColumn("__cum", sum(tok).over(inBkt))

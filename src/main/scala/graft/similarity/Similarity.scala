@@ -484,7 +484,7 @@ object Similarity {
       nlist: Int, roundTo: Int, maxBucket: Option[Long]): DataFrame = {
     val cents = hashKCentroids(corpus, idCol, vecCol, nlist)
     val assigned = assignWithNorm(corpus, cents, idCol, vecCol, roundTo)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     maxBucket match {
       case None => assigned.withColumn("__blk", lit(""))
       case Some(limit) =>

@@ -350,7 +350,7 @@ object TextAnalysis {
     val counts = df
       .select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheScope.disk)
     val total = counts.agg(sum("cnt").as("__total"))
     val order = Seq(col("cnt").desc, col("word").asc)
     val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
