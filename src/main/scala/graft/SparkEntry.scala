@@ -759,6 +759,47 @@ object SparkEntry {
         window = 8)
       .orderBy("doc_id")
 
+  /** End-to-end training-data composition — the full curation chain
+    * as ONE lazy plan: exact dedup (q22's fingerprint semantics) +
+    * near-dup removal (q24's MinHash-LSH pairs → q31's connected
+    * components, one survivor per cluster), then mixture weighting
+    * (q68's epoch semantics: src0×2.5, src1×0.25, src2 dropped), then
+    * token-budget shard packing (q59's concat-then-chunk layout) over
+    * the (doc, epoch) sequence. Proves the sampling/packing surface
+    * composes with the dedup surface without plan blowup: no
+    * cartesian product, the only unbounded window is the packing
+    * stitch's per-bucket rows (spec-pinned).
+    *
+    * Tokenization runs ONCE per surviving document, BEFORE the
+    * mixture explode — an upsampled epoch copy re-tokenizing the text
+    * would multiply the scan's CPU by the mixture weight for no
+    * information.
+    */
+  private def trainingShards(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = Dedup.exactDedupSemi(d, "doc_id", "text")
+    val drops = graft.dedup.CorpusPipeline.nearDupDropIds(
+      d, "doc_id", "text", n = 3, numHashes = 16, bands = 4,
+      threshold = 0.8)
+    // drop list is data-dependent — AQE chooses the join strategy
+    val deduped = exact.join(drops, Seq("doc_id"), "left_anti")
+    val slim = deduped.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    val mixed = graft.sampling.Sampling.mixture(slim, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0))
+    // (doc, epoch) → one packing sequence id; epochs < 8 by weight cap
+    val seqd = mixed.withColumn("seq_id",
+      col("doc_id") * lit(8L) + col("epoch"))
+    graft.sampling.Packing.packIntoShards(seqd, "seq_id", "tokens",
+        budget = 5000, bucketWidth = 2048)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).cast("long").as("shard_tokens"),
+        min(col("seq_id")).as("first_seq"),
+        max(col("seq_id")).as("last_seq"))
+      .orderBy("shard")
+  }
+
   /** SemDeDup-style semantic dedup over the embedding corpus, nlist
     * sized by the √n rule ([[Similarity.sqrtNlist]] — one count, so
     * Σ(bucket²) stays O(n^1.5) at any sf instead of degrading as a
@@ -1201,6 +1242,44 @@ object SparkEntry {
            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
   }
 
+  /** Exact + near dedup "kept" chain (q31/q73): LSH candidates →
+    * exact-Jaccard verify (0.8) → recursive-CTE connected components
+    * dropping every non-minimum member, intersected with exact
+    * fingerprint dedup (lowest id per normalized text). Needs WITH
+    * RECURSIVE plus [[oracleShingleCtes]] and [[oracleMinhashCtes]]
+    * upstream; exposes `kept` (surviving documents rows).
+    */
+  private val oracleDedupKeptCtes: String =
+    s"""pairs AS (
+       SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       FROM sh a JOIN sh b
+         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       GROUP BY 1, 2),
+       verified AS (
+         SELECT ida, idb FROM pairs
+         JOIN sizes sa ON sa.doc_id = ida
+         JOIN sizes sb ON sb.doc_id = idb
+         WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+       edges AS (SELECT ida AS a, idb AS b FROM verified
+                 UNION SELECT idb, ida FROM verified),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       drops AS (
+         SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+       keep1 AS (
+         SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1),
+       kept AS (
+         SELECT d.* FROM documents d
+         JOIN keep1 USING (doc_id)
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM drops))"""
+
   /** TF-weighted SimHash CTE: identical bit math to Dedup.simhash. */
   private val oracleSimhashCte: String = {
     def bit(i: Int) =
@@ -1334,6 +1413,7 @@ object SparkEntry {
     "q70_cluster_split" -> (clusterSplit _),
     "q71_dup_chunk_fraction" -> (dupChunkFraction _),
     "q72_semantic_dedup" -> (semanticDedupCensus _),
+    "q73_training_shards" -> (trainingShards _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1595,35 +1675,7 @@ object SparkEntry {
     "q31_corpus_prep" ->
       s"""WITH RECURSIVE $oracleShingleCtes,
          $oracleMinhashCtes,
-         pairs AS (
-           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-           FROM sh a JOIN sh b
-             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
-           GROUP BY 1, 2),
-         verified AS (
-           SELECT ida, idb FROM pairs
-           JOIN sizes sa ON sa.doc_id = ida
-           JOIN sizes sb ON sb.doc_id = idb
-           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
-         edges AS (SELECT ida AS a, idb AS b FROM verified
-                   UNION SELECT idb, ida FROM verified),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         drops AS (
-           SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
-         keep1 AS (
-           SELECT doc_id FROM (
-             SELECT doc_id, row_number() OVER (
-               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-               ORDER BY doc_id) AS rn
-             FROM documents) WHERE rn = 1),
-         kept AS (
-           SELECT d.* FROM documents d
-           JOIN keep1 USING (doc_id)
-           WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)),
+         $oracleDedupKeptCtes,
          ${oracleMetricsCtes("kept")},
          qf AS (SELECT * FROM q WHERE quality >= 0.3),
          ${oracleLangCtes("qf")}
@@ -2234,5 +2286,36 @@ object SparkEntry {
            CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM drops)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
          FROM assign GROUP BY cid ORDER BY cid""",
+    "q73_training_shards" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         $oracleDedupKeptCtes,
+         w AS (
+           SELECT doc_id, len($oracleWords) AS tok,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                         WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
+           FROM kept),
+         ex AS (
+           SELECT doc_id, tok, wt,
+             unnest(generate_series(0, CAST(floor(wt) AS INT))) AS epoch
+           FROM w),
+         mix AS (
+           SELECT doc_id, tok, epoch FROM ex WHERE epoch < floor(wt)
+             OR CAST(('0x' || substr(md5('mix' || CAST(epoch AS VARCHAR)
+                  || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) / 4294967296.0 < wt - floor(wt)),
+         seqd AS (
+           SELECT doc_id * 8 + epoch AS seq_id, tok FROM mix),
+         c AS (
+           SELECT seq_id, tok,
+             sum(tok) OVER (ORDER BY seq_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS strt
+           FROM seqd)
+         SELECT CAST(floor(strt / 5000.0) AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS shard_tokens,
+           min(seq_id) AS first_seq, max(seq_id) AS last_seq
+         FROM c GROUP BY 1 ORDER BY shard""",
   )
 }

@@ -78,4 +78,57 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
   }
+
+  test("end-to-end composition (dedup → mixture → shard packing, the " +
+      "q73 chain): no cartesian, and the corpus never crosses the " +
+      "packing stitch's single-partition exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val alt = "catalyst rewrites logical plans with rules while " +
+      "tungsten manages memory and code generation for the executors"
+    val d = df(
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("source", StringType))),
+      (1L to 40L).map { i =>
+        val t = if (i % 7 == 0) base // exact-dup family
+                else s"$alt variant $i with padding tokens " +
+                  (1 to 20).map(j => s"w${(i * 31 + j) % 97}").mkString(" ")
+        Row(i, t, if (i % 3 == 0) "src0" else if (i % 3 == 1) "src1"
+                  else "srcX")
+      })
+    val exact = Dedup.exactDedupSemi(d, "doc_id", "text")
+    val drops = CorpusPipeline.nearDupDropIds(
+      d, "doc_id", "text", n = 3, numHashes = 16, bands = 4,
+      threshold = 0.8)
+    val slim = exact.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("tokens"))
+    val mixed = graft.sampling.Sampling.mixture(slim, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25))
+    val seqd = mixed.withColumn("seq_id",
+      col("doc_id") * lit(8L) + col("epoch"))
+    val out = graft.sampling.Packing.packIntoShards(
+      seqd, "seq_id", "tokens", budget = 200, bucketWidth = 64)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    def singlePartitionInputs(p: SparkPlan): Seq[Seq[String]] = p.collect {
+      case a: AdaptiveSparkPlanExec => singlePartitionInputs(a.executedPlan)
+      case q: QueryStageExec => singlePartitionInputs(q.plan)
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning.numPartitions == 1 =>
+        Seq(s.output.map(_.name))
+    }.flatten
+    val sp = singlePartitionInputs(out.queryExecution.executedPlan)
+    assert(sp.nonEmpty, "expected the bucket-offset stitch exchange")
+    sp.foreach { cols =>
+      assert(cols.forall(_.startsWith("__")),
+        s"corpus columns entered a single-partition exchange: $cols")
+    }
+  }
 }
