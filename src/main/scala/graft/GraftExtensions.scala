@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.DotProduct
+import graft.expressions.{BloomMightContain, DotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -12,6 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Registers the engine's native Catalyst expressions as SQL functions:
   *   - `graft_dot(array<double>, array<double>) -> double` — codegen'd
   *     vector dot product ([[graft.expressions.DotProduct]]).
+  *   - `graft_bloom_contains(binary, string) -> boolean` — codegen'd
+  *     Bloom-filter membership probe
+  *     ([[graft.expressions.BloomMightContain]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -23,6 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_dot expects 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_bloom_contains expects 2 arguments, got ${children.size}")
+        BloomMightContain(children.head, children(1))
       }))
   }
 }

@@ -862,6 +862,28 @@ object SparkEntry {
         round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
   }
 
+  /** Incremental dedup through the Bloom prefilter
+    * ([[Dedup.dedupAgainstBloom]]): result-identical to q51's
+    * anti-join form (the filter has no false negatives; positives are
+    * exactly verified), so the oracle is the plain SQL anti-join —
+    * what the query proves is that the scan-only-history path returns
+    * the same answer. The filter is built in one distributed pass
+    * sized to the history count and would be REUSED across batches in
+    * the incremental-ingest loop.
+    */
+  private def bloomIncrementalDedup(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.where(col("doc_id") % 3 === 0)
+    val batch = d.where(col("doc_id") % 3 =!= 0)
+    val bloom = Dedup.buildFingerprintBloom(
+      corpus, "text",
+      expectedItems = math.max(1L, corpus.count()), fpp = 0.01)
+    Dedup.dedupAgainstBloom(corpus, batch, "text", "doc_id", bloom)
+      .agg(count(lit(1)).as("n_new"),
+        round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
+  }
+
   /** Supplier account balances rolled up the geography dimension chain
     * (supplier ⋈ nation ⋈ region, both dims broadcast).
     */
@@ -1414,6 +1436,7 @@ object SparkEntry {
     "q71_dup_chunk_fraction" -> (dupChunkFraction _),
     "q72_semantic_dedup" -> (semanticDedupCensus _),
     "q73_training_shards" -> (trainingShards _),
+    "q74_bloom_incremental" -> (bloomIncrementalDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2317,5 +2340,21 @@ object SparkEntry {
            CAST(sum(tok) AS BIGINT) AS shard_tokens,
            min(seq_id) AS first_seq, max(seq_id) AS last_seq
          FROM c GROUP BY 1 ORDER BY shard""",
+    "q74_bloom_incremental" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+           FROM documents),
+         corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0),
+         batch AS (
+           SELECT doc_id, f, row_number() OVER (PARTITION BY f
+             ORDER BY doc_id) AS rn
+           FROM fp WHERE doc_id % 3 <> 0),
+         newdocs AS (
+           SELECT doc_id FROM batch
+           WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus))
+         SELECT count(*) AS n_new,
+           round(sum(CAST(doc_id AS DOUBLE)), 1) AS id_sum
+         FROM newdocs""",
   )
 }

@@ -110,6 +110,88 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Build the reusable fingerprint Bloom filter for
+    * [[dedupAgainstBloom]]: one distributed pass over `corpus` (one
+    * partial filter per partition, OR-merged — the only driver-side
+    * bytes are the final filter itself), sized for `expectedItems`
+    * at false-positive rate `fpp`. Build once, reuse for every
+    * subsequent batch — the same build/lifecycle split as the IVF
+    * index ([[graft.similarity.Similarity.ivfBuildIndex]]). A filter
+    * for 10⁹ fingerprints at 1 % fpp is ~1.2 GB; at 3 % ~0.9 GB —
+    * size `fpp` against executor/broadcast budgets, the exact check
+    * absorbs any rate.
+    */
+  def buildFingerprintBloom(
+      corpus: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bits = graft.expressions.BloomOps.bitsFor(expectedItems, fpp)
+    val agg = graft.expressions.BloomBuild.bloomAgg(
+      graft.expressions.BloomOps.hashesFor(bits, expectedItems), bits)
+    corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(agg(col("__fp")).as("__bloom"))
+      .head.getAs[Array[Byte]]("__bloom")
+  }
+
+  /** [[dedupAgainst]] with a Bloom prefilter — result-identical (the
+    * filter has NO false negatives by construction, spec-checked), but
+    * the history is only ever SCANNED, never SHUFFLED:
+    *
+    *   - [[dedupAgainst]]'s anti-join reduces the corpus to DISTINCT
+    *     fingerprints — a full shuffle of the history's fingerprint
+    *     set on EVERY batch. At a 100 TB history that exchange is the
+    *     whole job.
+    *   - Here each batch row probes the filter (a codegen'd
+    *     expression over broadcast-by-literal bytes — no join at
+    *     all): "definitely new" rows — the bulk of a typical
+    *     incremental batch — are done right there. Only the Bloom
+    *     POSITIVES (true dups + fpp-rate false alarms) proceed to the
+    *     exact check, and that check semi-joins the HISTORY side down
+    *     to the positives' fingerprints first, so the history leg is
+    *     scan → join with no upstream exchange (AQE broadcasts the
+    *     positive set when it is small — no hint; it is
+    *     data-dependent). The anti-join that follows touches only
+    *     positives × matching-history rows.
+    *
+    * Null-fingerprint batch rows never probe the filter and always
+    * survive, matching the anti-join's null-key semantics exactly.
+    */
+  def dedupAgainstBloom(
+      corpus: DataFrame, batch: DataFrame,
+      textCol: String, orderCol: String,
+      bloom: Array[Byte]): DataFrame = {
+    // within-batch dedup feeds the negative leg, the positive leg and
+    // the verify join — persist via the cache-scope contract
+    val b = graft.core.CacheScope.disk(
+      exactDedupAgg(batch, textCol, orderCol)
+        .withColumn("__fp", TextAnalysis.fingerprint(col(textCol))))
+    val might = coalesce(
+      call_function("graft_bloom_contains", lit(bloom), col("__fp")),
+      lit(false))
+    val negatives = b.where(!might)
+    val positives = b.where(might)
+    // prune the history to fingerprints some positive actually probes
+    // — the history side never shuffles (plan spec); positives'
+    // fingerprint set is data-dependent, so no broadcast hint
+    val posFps = positives.select("__fp")
+    val seenHit = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .join(posFps, Seq("__fp"), "left_semi")
+    negatives.unionByName(
+        positives.join(seenHit, Seq("__fp"), "left_anti"))
+      .drop("__fp")
+  }
+
+  /** [[dedupAgainstBloom]] building a fresh filter from the corpus —
+    * for one-shot use; batch loops should build once and reuse.
+    */
+  def dedupAgainstBloom(
+      corpus: DataFrame, batch: DataFrame,
+      textCol: String, orderCol: String,
+      expectedItems: Long, fpp: Double): DataFrame =
+    dedupAgainstBloom(corpus, batch, textCol, orderCol,
+      buildFingerprintBloom(corpus, textCol, expectedItems, fpp))
+
   /** Duplicate accounting over the normalized fingerprint with pandas
     * `duplicated(keep=False)` semantics (all members of a dup group
     * count — SURVEY.md §2.4 A8).
