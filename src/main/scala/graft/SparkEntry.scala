@@ -884,6 +884,34 @@ object SparkEntry {
         round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
   }
 
+  /** SCD type-2 history derived from a change stream: each customer's
+    * order-priority observations (orders, ordered by date with orderkey
+    * tie-break) collapse into versioned rows with valid_from/valid_to/
+    * is_current — the warehouse dimension-history shape, derived with
+    * ONE exchange on the key (change-detect lag, version filter, lead
+    * and version numbering all reuse it).
+    */
+  private def customerPriorityScd2(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.transform.StarSchemaBuilder
+    StarSchemaBuilder.scd2Versions(
+        t(s, dir, "orders")
+          .select("o_custkey", "o_orderpriority", "o_orderdate",
+            "o_orderkey"),
+        keyCols = Seq("o_custkey"),
+        attrCols = Seq("o_orderpriority"),
+        orderCol = "o_orderdate",
+        tieBreak = Seq("o_orderkey"))
+      .select(
+        col("o_custkey"),
+        col("version_n"),
+        col("o_orderpriority").as("priority"),
+        Fx.dateKey(col("valid_from")).as("valid_from_key"),
+        Fx.dateKey(col("valid_to")).as("valid_to_key"),
+        col("is_current").cast("int").as("is_current"))
+      .orderBy("o_custkey", "version_n")
+  }
+
   /** Supplier account balances rolled up the geography dimension chain
     * (supplier ⋈ nation ⋈ region, both dims broadcast).
     */
@@ -1437,6 +1465,7 @@ object SparkEntry {
     "q72_semantic_dedup" -> (semanticDedupCensus _),
     "q73_training_shards" -> (trainingShards _),
     "q74_bloom_incremental" -> (bloomIncrementalDedup _),
+    "q75_priority_scd2" -> (customerPriorityScd2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2356,5 +2385,30 @@ object SparkEntry {
          SELECT count(*) AS n_new,
            round(sum(CAST(doc_id AS DOUBLE)), 1) AS id_sum
          FROM newdocs""",
+
+    "q75_priority_scd2" ->
+      """WITH obs AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev,
+             row_number() OVER w AS rn
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey)),
+         vers AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+           FROM obs
+           WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev),
+         num AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate,
+             CAST(row_number() OVER w AS INT) AS version_n,
+             lead(o_orderdate) OVER w AS next_from
+           FROM vers
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey))
+         SELECT o_custkey, version_n, o_orderpriority AS priority,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS valid_from_key,
+           CAST(strftime(next_from, '%Y%m%d') AS INT) AS valid_to_key,
+           CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current
+         FROM num ORDER BY o_custkey, version_n""",
   )
 }

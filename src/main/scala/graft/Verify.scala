@@ -13,7 +13,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY: optional comma-separated name filter for local
+    // iteration (the driver sets no env and dumps everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // per-query cache scope: operators persist intermediates via
       // CacheScope.disk; the write is the materializing action, so
       // scope exit releases every block before the next query — a
