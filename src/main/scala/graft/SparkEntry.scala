@@ -912,6 +912,18 @@ object SparkEntry {
       .orderBy("o_custkey", "version_n")
   }
 
+  /** Edit-distance fuzzy self-join over distinct part names —
+    * symmetric-delete (SymSpell) signature blocking + exact
+    * `levenshtein(_,_,threshold)` verify. The cross join never exists
+    * in the plan (spec-asserted); candidates are an equi-join on
+    * deletion signatures, complete by the symmetric-delete property,
+    * so the result is identical to the nested-loop join the oracle
+    * runs.
+    */
+  private def fuzzyPartNames(s: SparkSession, dir: String): DataFrame =
+    Analytics.fuzzySelfJoin(t(s, dir, "part"), "p_name", maxDist = 2)
+      .orderBy("value_a", "value_b")
+
   /** Supplier account balances rolled up the geography dimension chain
     * (supplier ⋈ nation ⋈ region, both dims broadcast).
     */
@@ -1466,6 +1478,7 @@ object SparkEntry {
     "q73_training_shards" -> (trainingShards _),
     "q74_bloom_incremental" -> (bloomIncrementalDedup _),
     "q75_priority_scd2" -> (customerPriorityScd2 _),
+    "q76_fuzzy_part_names" -> (fuzzyPartNames _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2410,5 +2423,13 @@ object SparkEntry {
            CAST(strftime(next_from, '%Y%m%d') AS INT) AS valid_to_key,
            CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current
          FROM num ORDER BY o_custkey, version_n""",
+
+    "q76_fuzzy_part_names" ->
+      """WITH names AS (SELECT DISTINCT p_name AS n FROM part)
+         SELECT a.n AS value_a, b.n AS value_b,
+           CAST(levenshtein(a.n, b.n) AS INT) AS dist
+         FROM names a JOIN names b ON a.n < b.n
+         WHERE levenshtein(a.n, b.n) <= 2
+         ORDER BY value_a, value_b""",
   )
 }

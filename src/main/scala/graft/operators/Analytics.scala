@@ -295,4 +295,86 @@ object Analytics {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** All deletion variants of `s` up to `maxDeletes` characters,
+    * including `s` itself, deduplicated — the symmetric-delete
+    * (SymSpell) signature set. Two strings within edit distance d
+    * always share at least one signature at deletion depth d, so an
+    * equi-join on signatures is a COMPLETE candidate generator for an
+    * edit-distance join (no recall loss to verify against).
+    *
+    * Pure column expressions (no UDF): depth-1 via `transform` over the
+    * position sequence, depth-2 as deletions of the deduped depth-1 set.
+    * Signature count is O(len^maxDeletes) per string — this blocks
+    * SHORT strings (names, codes, titles; `maxLen` guards the fan-out),
+    * which is exactly the domain where edit distance is meaningful.
+    */
+  private def deleteSignatures(s: Column, maxDeletes: Int): Column = {
+    def dels(c: Column): Column =
+      transform(sequence(lit(1), length(c)),
+        i => concat(substring(c, lit(1), i - 1),
+          c.substr(i + 1, length(c))))
+    val d1 = array_union(array(s), dels(s))
+    if (maxDeletes == 1) d1
+    else array_distinct(flatten(transform(d1, v =>
+      array_union(array(v), dels(v)))))
+  }
+
+  /** Edit-distance (Levenshtein) join without a cartesian product:
+    * symmetric-delete signature blocking + exact verify.
+    *
+    * Each side explodes into its deletion signatures (depth =
+    * `maxDist`); candidates are the DISTINCT key pairs sharing a
+    * signature; the exact `levenshtein(_, _, threshold)` then keeps
+    * true matches (early-exit variant — cost is O(len·maxDist), not
+    * O(len²), per candidate). Completeness is the symmetric-delete
+    * property, so the result is IDENTICAL to the O(n·m) nested-loop
+    * join it replaces.
+    *
+    * Scale: the cross join never exists in the plan — work is one
+    * shuffle of each side's signature table (O(n·len^d) narrow rows)
+    * plus the grouped distinct on candidate pairs. Equal signatures
+    * imply a length gap ≤ maxDist, so length blocking is built in.
+    * Signature skew (many strings sharing one deletion) fans out as
+    * that signature's pair count; `maxLen` bounds per-row fan-out and
+    * AQE splits skewed signature partitions.
+    *
+    * Returns (`leftOut`, `rightOut`, `dist`), one row per matching
+    * DISTINCT value pair.
+    */
+  def fuzzyJoin(
+      left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String,
+      maxDist: Int, maxLen: Int = 64,
+      leftOut: String = "left_value", rightOut: String = "right_value")
+    : DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      "maxDist must be 1 or 2 (deletion-signature depth)")
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    def sigs(df: DataFrame, c: String, out: String) =
+      df.select(col(c).cast("string").as(out))
+        .where(col(out).isNotNull && length(col(out)) <= maxLen)
+        .distinct()
+        .select(col(out),
+          explode(deleteSignatures(col(out), maxDist)).as("__sig"))
+    val cands = sigs(left, leftCol, leftOut)
+      .join(sigs(right, rightCol, rightOut), Seq("__sig"))
+      .select(leftOut, rightOut)
+      .distinct()
+    cands
+      .withColumn("dist",
+        levenshtein(col(leftOut), col(rightOut), maxDist))
+      .where(col("dist") >= 0)
+  }
+
+  /** Self fuzzy join: distinct value pairs of `valueCol` within edit
+    * distance `maxDist`, each unordered pair once (`value_a` <
+    * `value_b`). The blocking/verify machinery of [[fuzzyJoin]].
+    */
+  def fuzzySelfJoin(
+      df: DataFrame, valueCol: String, maxDist: Int,
+      maxLen: Int = 64): DataFrame =
+    fuzzyJoin(df, valueCol, df, valueCol, maxDist, maxLen,
+        leftOut = "value_a", rightOut = "value_b")
+      .where(col("value_a") < col("value_b"))
 }
