@@ -924,6 +924,21 @@ object SparkEntry {
     Analytics.fuzzySelfJoin(t(s, dir, "part"), "p_name", maxDist = 2)
       .orderBy("value_a", "value_b")
 
+  /** Exact heavy-hitter tokens (> 3.2% of corpus token mass) via the
+    * two-phase Misra–Gries candidate + exact-verify operator — the
+    * full `groupBy(token).count()` never runs; the sketch pass carries
+    * ≤ k counters per partition and the verify groups only
+    * candidate-matching rows.
+    */
+  private def heavyHitterTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    Analytics.heavyHitters(
+        docs(s, dir).select(
+          explode(TextAnalysis.words(col("text"))).as("w")),
+        "w", minFraction = 0.032)
+      .orderBy("value")
+  }
+
   /** Supplier account balances rolled up the geography dimension chain
     * (supplier ⋈ nation ⋈ region, both dims broadcast).
     */
@@ -1479,6 +1494,7 @@ object SparkEntry {
     "q74_bloom_incremental" -> (bloomIncrementalDedup _),
     "q75_priority_scd2" -> (customerPriorityScd2 _),
     "q76_fuzzy_part_names" -> (fuzzyPartNames _),
+    "q77_heavy_hitter_tokens" -> (heavyHitterTokens _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2431,5 +2447,16 @@ object SparkEntry {
          FROM names a JOIN names b ON a.n < b.n
          WHERE levenshtein(a.n, b.n) <= 2
          ORDER BY value_a, value_b""",
+
+    "q77_heavy_hitter_tokens" ->
+      s"""WITH toks AS (
+           SELECT unnest($oracleWords) AS w FROM documents),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+         SELECT w AS value, count(*) AS cnt,
+           round(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+             AS fraction
+         FROM toks GROUP BY w
+         HAVING CAST(count(*) AS DOUBLE) > 0.032 * (SELECT n FROM tot)
+         ORDER BY value""",
   )
 }

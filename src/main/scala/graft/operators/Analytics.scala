@@ -377,4 +377,49 @@ object Analytics {
     fuzzyJoin(df, valueCol, df, valueCol, maxDist, maxLen,
         leftOut = "value_a", rightOut = "value_b")
       .where(col("value_a") < col("value_b"))
+
+  /** EXACT heavy hitters — every value occurring in strictly more than
+    * `minFraction` of the rows, with its exact count — in two bounded
+    * passes, never a full `groupBy(value).count()`:
+    *
+    *   1. one aggregate pass computes N and a Misra–Gries sketch
+    *      ([[graft.expressions.MisraGriesSketch]]) sized
+    *      k = ⌈1/minFraction⌉, whose retention bound guarantees every
+    *      value with count > N/(k+1) ≤ minFraction·N is among its ≤ k
+    *      candidates (shuffle payload: ≤ k counters per partition,
+    *      constant in distinct-value count);
+    *   2. an exact count over ONLY candidate-matching rows (map-side
+    *      partial aggregation collapses to ≤ k groups before the
+    *      shuffle) keeps the true qualifiers.
+    *
+    * The ≤ k candidate values pass through the driver as literals —
+    * bounded by construction, like the Bloom filter bytes in
+    * `dedupAgainstBloom`. Both engines compare `cnt > minFraction · N`
+    * in double precision (the oracle uses the same multiply form, so
+    * boundary rounding is identical).
+    *
+    * Returns (`value`, `cnt`, `fraction`), exact, no approximation.
+    */
+  def heavyHitters(
+      df: DataFrame, valueCol: String,
+      minFraction: Double): DataFrame = {
+    require(minFraction > 0 && minFraction < 1,
+      s"minFraction must be in (0, 1), got $minFraction")
+    val k = math.ceil(1.0 / minFraction).toInt
+    val vals = df.select(col(valueCol).cast("string").as("value"))
+    val probe = vals.agg(
+      count(col("value")).as("n"),
+      graft.expressions.MisraGriesSketch.sketch(k)(col("value"))
+        .as("cands")).head()
+    val n = probe.getLong(0)
+    val cands = probe.getSeq[String](1)
+    val base =
+      if (cands.isEmpty) vals.where(lit(false))
+      else vals.where(col("value").isin(cands: _*))
+    base.groupBy("value")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt").cast("double") > lit(minFraction) * lit(n.toDouble))
+      .withColumn("fraction",
+        round(col("cnt").cast("double") / lit(math.max(n, 1L).toDouble), 6))
+  }
 }
