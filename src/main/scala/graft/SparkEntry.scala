@@ -939,6 +939,16 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Embedding-distribution drift between labels: per-label mean
+    * embedding (posexplode + partial-agg vector mean, rounded for
+    * cross-engine reproducibility) then pairwise cosine over the tiny
+    * centroid table — "are two sources' embedding distributions
+    * converging?" at one corpus scan.
+    */
+  private def labelCentroidDrift(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDrift(emb(s, dir), "label", "embedding")
+      .orderBy("group_a", "group_b")
+
   /** Supplier account balances rolled up the geography dimension chain
     * (supplier ⋈ nation ⋈ region, both dims broadcast).
     */
@@ -1495,6 +1505,7 @@ object SparkEntry {
     "q75_priority_scd2" -> (customerPriorityScd2 _),
     "q76_fuzzy_part_names" -> (fuzzyPartNames _),
     "q77_heavy_hitter_tokens" -> (heavyHitterTokens _),
+    "q78_centroid_drift" -> (labelCentroidDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2458,5 +2469,25 @@ object SparkEntry {
          FROM toks GROUP BY w
          HAVING CAST(count(*) AS DOUBLE) > 0.032 * (SELECT n FROM tot)
          ORDER BY value""",
+
+    "q78_centroid_drift" ->
+      s"""WITH e AS (
+           SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+         ex AS (
+           SELECT label, i, v[i] AS x FROM e,
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) t),
+         cent AS (
+           SELECT label, i, round(avg(x), 6) AS m FROM ex GROUP BY 1, 2),
+         cv AS (SELECT label, list(m ORDER BY i) AS c FROM cent
+                GROUP BY label),
+         cnt AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+         SELECT a.label AS group_a, b.label AS group_b,
+           ca.n AS n_a, cb.n AS n_b,
+           ${oracleCos("a.c", "b.c")} AS sim
+         FROM cv a JOIN cv b ON a.label < b.label
+         JOIN cnt ca ON ca.label = a.label
+         JOIN cnt cb ON cb.label = b.label
+         ORDER BY group_a, group_b""",
   )
 }

@@ -615,4 +615,55 @@ object Similarity {
     semanticDedup(corpus, idCol, vecCol, threshold, nlist, roundTo,
       Some(limit))
   }
+
+  /** Mean embedding per group — the group "centroid" — plus the group's
+    * vector count. Rounding the per-dimension mean to `roundTo` makes
+    * the centroid reproducible across engines and partition orders
+    * (double summation order differs; the rounded mean does not).
+    *
+    * Scale: `posexplode` + `groupBy(group, pos)` is the distributed
+    * vector-mean shape — partial (map-side) aggregation collapses each
+    * partition to groups×dim cells before the shuffle, so the exchange
+    * carries O(partitions · groups · dim) narrow rows regardless of
+    * corpus size; the per-group reassembly sorts only dim-sized lists.
+    */
+  def groupCentroids(
+      df: DataFrame, groupCol: String, vecCol: String,
+      roundTo: Int = 6): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("group", "pos")
+      .agg(round(avg(col("x")), roundTo).as("m"),
+        count(lit(1)).as("__n"))
+      .groupBy("group")
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("m")))).as("__pm"),
+        max(col("__n")).as("n"))
+      .select(col("group"),
+        transform(col("__pm"), p => p.getField("m")).as("centroid"),
+        col("n"))
+
+  /** Pairwise cosine between group centroids — the corpus-drift /
+    * source-similarity report (are two sources' embedding distributions
+    * converging?). The centroid table is one row per group, so the
+    * pairwise self-join is trivially small next to the corpus scan that
+    * produced it; norms are computed once per centroid.
+    */
+  def centroidDrift(
+      df: DataFrame, groupCol: String, vecCol: String,
+      meanRoundTo: Int = 6, simRoundTo: Int = 4): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol, meanRoundTo)
+      .select(col("group"), col("centroid"), col("n"),
+        norm(col("centroid")).as("__nm"))
+    def leg(suffix: String) = cents.select(
+      col("group").as(s"group_$suffix"),
+      col("centroid").as(s"__c_$suffix"),
+      col("n").as(s"n_$suffix"),
+      col("__nm").as(s"__nm_$suffix"))
+    leg("a").join(leg("b"), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(cosFromNorms(col("__c_a"), col("__c_b"),
+          col("__nm_a"), col("__nm_b")), simRoundTo).as("sim"))
+  }
 }
