@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, DotProduct}
+import graft.expressions.{BloomMightContain, DotProduct, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -15,6 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_bloom_contains(binary, string) -> boolean` — codegen'd
   *     Bloom-filter membership probe
   *     ([[graft.expressions.BloomMightContain]]).
+  *   - `graft_zorder(int, int) -> bigint` — codegen'd order-preserving
+  *     Morton key for Z-order data layout
+  *     ([[graft.expressions.ZOrderKey]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -35,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_bloom_contains expects 2 arguments, got ${children.size}")
         BloomMightContain(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_zorder expects 2 arguments, got ${children.size}")
+        ZOrderKey(children.head, children(1))
       }))
   }
 }

@@ -939,6 +939,23 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Z-order (Morton) layout key over (customer, order date): the 100
+    * orders lowest on the Z-curve, bit-exact against the oracle's
+    * arithmetic reconstruction of the interleave. The key is the
+    * codegen'd `graft_zorder` expression that
+    * [[Analytics.clusterByZOrder]] range-partitions by for
+    * two-dimensional zone-map pruning.
+    */
+  private def zorderOrderKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        Fx.dateKey(col("o_orderdate")).as("odate_key"),
+        Analytics.zorderKey(
+          col("o_custkey"), Fx.dateKey(col("o_orderdate"))).as("zkey"))
+      .orderBy("zkey", "o_orderkey")
+      .limit(100)
+
   /** Embedding-distribution drift between labels: per-label mean
     * embedding (posexplode + partial-agg vector mean, rounded for
     * cross-engine reproducibility) then pairwise cosine over the tiny
@@ -1392,6 +1409,31 @@ object SparkEntry {
          FROM sh)"""
   }
 
+  /** Arithmetic reconstruction of the `graft_zorder` Morton key
+    * (q79): mask-shift bit spreading on BIGINT, the final interleave
+    * in HUGEINT (the top bit would overflow BIGINT), sign handling as
+    * `+ 2^31` per dimension and `- 2^63` on the key — bit-identical to
+    * [[graft.expressions.ZOrderKey.interleave]] (validated on the
+    * int extremes).
+    */
+  private def oracleZorder(a: String, b: String): String = {
+    def spread(x: String): String = {
+      val steps = Seq(
+        16 -> "281470681808895",        // 0x0000FFFF0000FFFF
+        8 -> "71777214294589695",       // 0x00FF00FF00FF00FF
+        4 -> "1085102592571150095",     // 0x0F0F0F0F0F0F0F0F
+        2 -> "3689348814741910323",     // 0x3333333333333333
+        1 -> "6148914691236517205")     // 0x5555555555555555
+      steps.foldLeft(s"($x & 4294967295)") { case (v, (sh, m)) =>
+        s"((($v) | (($v) << $sh)) & $m)"
+      }
+    }
+    val ua = s"(CAST($a AS BIGINT) + 2147483648)"
+    val ub = s"(CAST($b AS BIGINT) + 2147483648)"
+    s"CAST(CAST(${spread(ua)} AS HUGEINT) * 2 + ${spread(ub)}" +
+      " - 9223372036854775808 AS BIGINT)"
+  }
+
   /** Cosine in double precision over the embeddings arrays. */
   private def oracleCos(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / nullif(" +
@@ -1506,6 +1548,7 @@ object SparkEntry {
     "q76_fuzzy_part_names" -> (fuzzyPartNames _),
     "q77_heavy_hitter_tokens" -> (heavyHitterTokens _),
     "q78_centroid_drift" -> (labelCentroidDrift _),
+    "q79_zorder_keys" -> (zorderOrderKeys _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2489,5 +2532,16 @@ object SparkEntry {
          JOIN cnt ca ON ca.label = a.label
          JOIN cnt cb ON cb.label = b.label
          ORDER BY group_a, group_b""",
+
+    "q79_zorder_keys" ->
+      s"""WITH keyed AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS odate_key,
+             ${oracleZorder(
+               "o_custkey",
+               "CAST(strftime(o_orderdate, '%Y%m%d') AS INT)")} AS zkey
+           FROM orders)
+         SELECT * FROM keyed
+         ORDER BY zkey, o_orderkey LIMIT 100""",
   )
 }

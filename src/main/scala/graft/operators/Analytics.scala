@@ -422,4 +422,32 @@ object Analytics {
       .withColumn("fraction",
         round(col("cnt").cast("double") / lit(math.max(n, 1L).toDouble), 6))
   }
+
+  /** Order-preserving Morton (Z-order) key over two int dimensions —
+    * the codegen'd `graft_zorder` expression
+    * ([[graft.expressions.ZOrderKey]]).
+    */
+  def zorderKey(a: Column, b: Column): Column =
+    call_function("graft_zorder", a.cast("int"), b.cast("int"))
+
+  /** Z-order data layout: range-partition by the Morton key of
+    * (`aCol`, `bCol`) and sort within partitions, so every output file
+    * holds a compact Z-curve segment — BOTH dimensions are locally
+    * correlated in every file, and parquet min/max zone maps prune
+    * selective predicates on EITHER column. A lexicographic
+    * (`a`, `b`) sort clusters only `a`; this is the layout job behind
+    * lakehouse `OPTIMIZE ZORDER BY`, here one range exchange (sampled
+    * bounds, AQE-sized) plus a local sort, no extra pass.
+    */
+  def clusterByZOrder(
+      df: DataFrame, aCol: String, bCol: String,
+      numPartitions: Int): DataFrame = {
+    require(numPartitions >= 1, "numPartitions must be positive")
+    require(!df.columns.contains("__zkey"),
+      "input must not have a column named __zkey")
+    df.withColumn("__zkey", zorderKey(col(aCol), col(bCol)))
+      .repartitionByRange(numPartitions, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
 }
