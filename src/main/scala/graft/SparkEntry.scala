@@ -939,6 +939,45 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Logistic quality-classifier scoring — σ(w·x + b) over the fixed
+    * declarative feature vector (log-tokens, punct ratio, stopword
+    * ratio, mean word length): the "fastText-style quality filter"
+    * stage as pure map-only column arithmetic in whole-stage codegen.
+    */
+  private def qualityModelScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.QualityModel
+    val w = QualityModel.Weights(Map(
+      "log_tokens" -> 0.9, "punct_ratio" -> -8.0,
+      "stop_ratio" -> 2.5, "mean_word_len" -> 0.15), bias = -4.0)
+    docs(s, dir)
+      .select(col("doc_id"),
+        round(QualityModel.score(col("text"), w), 6).as("score"))
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language adaptive quality floor: each language keeps docs at
+    * or above its OWN p10 quality cutoff (exact interpolated
+    * percentile), so low-resource languages aren't filtered by a
+    * high-resource language's score distribution. Reports the kept
+    * population per language.
+    */
+  private def adaptiveQualityFloorByLang(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.text.QualityModel
+    val scored = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+    QualityModel.adaptiveQualityFloor(scored, "lang", "q", 0.1)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        round(min("q"), 6).as("min_kept"),
+        round(avg("q"), 4).as("avg_kept"),
+        round(max("cutoff"), 6).as("cutoff"))
+      .orderBy("lang")
+  }
+
   /** Z-order (Morton) layout key over (customer, order date): the 100
     * orders lowest on the Z-curve, bit-exact against the oracle's
     * arithmetic reconstruction of the interleave. The key is the
@@ -1549,6 +1588,8 @@ object SparkEntry {
     "q77_heavy_hitter_tokens" -> (heavyHitterTokens _),
     "q78_centroid_drift" -> (labelCentroidDrift _),
     "q79_zorder_keys" -> (zorderOrderKeys _),
+    "q80_quality_model_scores" -> (qualityModelScores _),
+    "q81_adaptive_quality_floor" -> (adaptiveQualityFloorByLang _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2543,5 +2584,50 @@ object SparkEntry {
            FROM orders)
          SELECT * FROM keyed
          ORDER BY zkey, o_orderkey LIMIT 100""",
+
+    // feature sum order mirrors QualityModel.featureNames: bias +
+    // log_tokens + punct + stop + mean_word_len, left-associated —
+    // identical IEEE summation on both engines
+    "q80_quality_model_scores" ->
+      s"""WITH f AS (
+           SELECT doc_id,
+             len($oracleWords) AS tokens,
+             coalesce(
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 AS DOUBLE)
+                 / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) AS punct,
+             coalesce(
+               CAST(len(list_filter($oracleWords,
+                 w -> w IN ($oracleStopList))) AS DOUBLE)
+                 / CAST(nullif(len($oracleWords), 0) AS DOUBLE), 0.0)
+               AS stop,
+             coalesce(
+               CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                 AS DOUBLE)
+                 / nullif(CAST(len($oracleWords) AS DOUBLE), 0.0), 0.0)
+               AS mwl
+           FROM documents),
+         z AS (
+           SELECT doc_id,
+             -4.0 + 0.9 * ln(1.0 + CAST(tokens AS DOUBLE))
+               + (-8.0) * punct + 2.5 * stop + 0.15 * mwl AS zv
+           FROM f)
+         SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 6) AS score,
+           CASE WHEN round(1.0 / (1.0 + exp(-zv)), 6) >= 0.5
+             THEN 1 ELSE 0 END AS keep
+         FROM z ORDER BY doc_id""",
+
+    "q81_adaptive_quality_floor" ->
+      s"""$oracleMetricsCte,
+         sq AS (SELECT doc_id, lang, round(quality, 6) AS qv FROM q),
+         cut AS (SELECT lang AS clang, quantile_cont(qv, 0.1) AS cutoff
+                 FROM sq GROUP BY lang)
+         SELECT lang, count(*) AS n_kept,
+           round(min(qv), 6) AS min_kept,
+           round(avg(qv), 4) AS avg_kept,
+           round(max(cutoff), 6) AS cutoff
+         FROM sq JOIN cut ON lang IS NOT DISTINCT FROM clang
+         WHERE qv >= cutoff
+         GROUP BY lang ORDER BY lang""",
   )
 }

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned-model-shaped quality scoring: a logistic (sigmoid) linear
+  * classifier over cheap, fully-declarative text features — the
+  * "fastText-style quality filter" stage of a training-data pipeline,
+  * expressed so the entire scoring pass is map-only column arithmetic
+  * inside whole-stage codegen (no UDF, no shuffle, no model server).
+  *
+  * Weights are supplied by the caller (trained offline, or heuristic);
+  * the FEATURES are fixed and documented so a model trained against
+  * them scores identically here and in any other engine implementing
+  * the same definitions.
+  */
+object QualityModel {
+
+  /** Classifier weights: one per named feature plus bias. Unknown
+    * feature names are rejected up front rather than silently ignored.
+    */
+  final case class Weights(
+      byFeature: Map[String, Double], bias: Double) {
+    require(
+      byFeature.keySet.subsetOf(featureNames.toSet),
+      s"unknown features: ${byFeature.keySet -- featureNames.toSet} " +
+        s"(known: ${featureNames.mkString(", ")})")
+  }
+
+  /** The fixed feature vector (all null-safe, all in stable ranges):
+    *   - `log_tokens`: ln(1 + token count) — volume, dampened
+    *   - `punct_ratio`: punctuation chars / all chars (0 on empty)
+    *   - `stop_ratio`: stopword tokens / tokens (0 on empty)
+    *   - `mean_word_len`: alnum chars / tokens (0 on empty)
+    */
+  val featureNames: Seq[String] =
+    Seq("log_tokens", "punct_ratio", "stop_ratio", "mean_word_len")
+
+  def features(text: Column): Map[String, Column] = {
+    val tokens = TextAnalysis.tokenCount(text).cast("double")
+    Map(
+      "log_tokens" -> log1p(tokens),
+      "punct_ratio" -> coalesce(TextAnalysis.punctRatio(text), lit(0.0)),
+      "stop_ratio" ->
+        coalesce(TextAnalysis.stopwordRatio(text), lit(0.0)),
+      "mean_word_len" ->
+        coalesce(
+          length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+            .cast("double") / nullif(tokens, lit(0.0)),
+          lit(0.0)))
+  }
+
+  /** σ(w·x + b) in double precision. Feature order in the dot product
+    * is the fixed [[featureNames]] order, so summation is
+    * deterministic and engine-reproducible.
+    */
+  def score(text: Column, w: Weights): Column = {
+    val fs = features(text)
+    val z = featureNames
+      .flatMap(n => w.byFeature.get(n).map(lit(_) * fs(n)))
+      .foldLeft(lit(w.bias): Column)(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Adaptive per-group quality floor: each group keeps only rows at or
+    * above its own `p`-quantile of `scoreCol` — per-language (or
+    * per-source) cutoffs instead of one global threshold, so a
+    * low-resource language is not filtered by a high-resource
+    * language's score distribution.
+    *
+    * The cutoff is the EXACT interpolated quantile (one shuffle on the
+    * group key, partial+final agg); the cutoff table is one narrow row
+    * per group and joins back without a broadcast hint (group
+    * cardinality is data-dependent — AQE broadcasts it when actually
+    * small). Rows in groups absent from the cutoff table cannot exist
+    * (the cutoffs are computed FROM the data), so the inner join loses
+    * nothing; null group keys form a group of their own via the
+    * null-safe join.
+    *
+    * Returns the kept rows with their group's `cutoff` column appended.
+    */
+  def adaptiveQualityFloor(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
+    require(!df.columns.contains("cutoff") && !df.columns.contains("__g"),
+      "input must not have columns named cutoff or __g")
+    val cutoffs = df
+      .groupBy(col(groupCol).as("__g"))
+      .agg(percentile(col(scoreCol), lit(p)).as("cutoff"))
+    df.join(cutoffs, col(groupCol) <=> col("__g"))
+      .where(col(scoreCol) >= col("cutoff"))
+      .drop("__g")
+  }
+}
