@@ -939,6 +939,16 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Ordered funnel over the event stream: view → click → purchase per
+    * user, each step counting only strictly after the previous step's
+    * reach time. One exchange + one sort serve all three step windows
+    * and the final per-user rollup.
+    */
+  private def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    Analytics.funnelCounts(events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step_n")
+
   /** Logistic quality-classifier scoring — σ(w·x + b) over the fixed
     * declarative feature vector (log-tokens, punct ratio, stopword
     * ratio, mean word length): the "fastText-style quality filter"
@@ -1590,6 +1600,7 @@ object SparkEntry {
     "q79_zorder_keys" -> (zorderOrderKeys _),
     "q80_quality_model_scores" -> (qualityModelScores _),
     "q81_adaptive_quality_floor" -> (adaptiveQualityFloorByLang _),
+    "q82_event_funnel" -> (eventFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2629,5 +2640,49 @@ object SparkEntry {
          FROM sq JOIN cut ON lang IS NOT DISTINCT FROM clang
          WHERE qv >= cutoff
          GROUP BY lang ORDER BY lang""",
+
+    "q82_event_funnel" ->
+      """WITH r0 AS (
+           SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v0
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         r1 AS (
+           SELECT user_id, ts, event_type, v0,
+             min(CASE WHEN event_type = 'click' AND v0 < ts
+               THEN ts END) OVER w AS v1
+           FROM r0
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         r2 AS (
+           SELECT user_id, ts, event_type, v0, v1,
+             min(CASE WHEN event_type = 'purchase' AND v1 < ts
+               THEN ts END) OVER w AS v2
+           FROM r1
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         per AS (
+           SELECT user_id, min(v0) AS t1, min(v1) AS t2, min(v2) AS t3
+           FROM r2 GROUP BY user_id),
+         tot AS (
+           SELECT count(t1) AS c1, count(t2) AS c2, count(t3) AS c3
+           FROM per)
+         SELECT * FROM (
+           SELECT 1 AS step_n, 'view' AS step, c1 AS reached,
+             round(CAST(c1 AS DOUBLE)
+               / nullif(CAST(c1 AS DOUBLE), 0.0), 6) AS conversion
+           FROM tot
+           UNION ALL
+           SELECT 2, 'click', c2,
+             round(CAST(c2 AS DOUBLE)
+               / nullif(CAST(c1 AS DOUBLE), 0.0), 6)
+           FROM tot
+           UNION ALL
+           SELECT 3, 'purchase', c3,
+             round(CAST(c3 AS DOUBLE)
+               / nullif(CAST(c1 AS DOUBLE), 0.0), 6)
+           FROM tot)
+         ORDER BY step_n""",
   )
 }

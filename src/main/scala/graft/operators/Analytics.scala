@@ -423,6 +423,81 @@ object Analytics {
         round(col("cnt").cast("double") / lit(math.max(n, 1L).toDouble), 6))
   }
 
+  /** Ordered-funnel analysis: for each entity, the timestamp at which
+    * it reached each step of `steps` IN ORDER — step k counts only at
+    * an event STRICTLY after the entity's step-(k−1) time. The
+    * classic product-analytics "view → click → purchase" funnel as
+    * one declarative plan.
+    *
+    * Construction: one window partitioned by the entity and ordered by
+    * (ts, tie), advanced once per step —
+    * `reach_k = min(ts where type = step_k AND reach_(k−1) < ts)` with
+    * the inner `reach_(k−1)` read as a running min up to the CURRENT
+    * row (rows unbounded-preceding..current), so an event can never
+    * satisfy a step using evidence from its own future. All step
+    * windows share the entity partitioning and ordering: ONE exchange
+    * and ONE sort serve every step (exchange/sort reuse, same shape as
+    * scd2Versions). Per-entity work is linear in its event count —
+    * no self-join per step, no collect_list of unbounded event arrays.
+    *
+    * Returns one row per entity: (`entity`, `step_1_ts` …
+    * `step_n_ts`), null from the first unreached step on (reach times
+    * are monotone by construction).
+    */
+  def funnel(
+      df: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    val reserved = steps.indices.map(i => s"__r$i").toSet
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val wRun = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc, col(typeCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // fold steps: each adds a running-min reach column gated on the
+    // previous step's running reach at the SAME row
+    val withReach = steps.zipWithIndex.foldLeft(df) {
+      case (d, (step, i)) =>
+        val qualifies =
+          if (i == 0) col(typeCol) === lit(step)
+          else col(typeCol) === lit(step) &&
+            col(s"__r${i - 1}") < col(tsCol)
+        d.withColumn(s"__r$i",
+          min(when(qualifies, col(tsCol))).over(wRun))
+    }
+    val reachAggs = steps.indices.map(i =>
+      min(col(s"__r$i")).as(s"${steps(i)}_ts"))
+    withReach
+      .groupBy(col(entityCol).as("entity"))
+      .agg(reachAggs.head, reachAggs.tail: _*)
+  }
+
+  /** Funnel conversion report: how many entities reached each step (in
+    * order). One row per step with its reach count and conversion from
+    * step 1.
+    */
+  def funnelCounts(
+      df: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val f = funnel(df, entityCol, tsCol, typeCol, steps)
+    val counts = f.agg(
+      count(lit(1)).as("__n"),
+      steps.map(s => count(col(s"${s}_ts")).as(s"__c_$s")): _*)
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_n"), lit(s).as("step"),
+        col(s"__c_$s").as("reached"))
+    }
+    counts
+      .select(explode(array(stepRows: _*)).as("r"), col(s"__c_${steps.head}"))
+      .select(
+        col("r.step_n"), col("r.step"), col("r.reached"),
+        round(col("r.reached").cast("double") /
+          nullif(col(s"__c_${steps.head}").cast("double"), lit(0.0)), 6)
+          .as("conversion"))
+  }
+
   /** Order-preserving Morton (Z-order) key over two int dimensions —
     * the codegen'd `graft_zorder` expression
     * ([[graft.expressions.ZOrderKey]]).
