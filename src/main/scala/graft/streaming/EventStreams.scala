@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -169,6 +169,74 @@ object EventStreams {
       .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: java.lang.Long) => land(df.toDF(), id))
       .start()
+
+  /** Streaming incremental-ingest dedup: lands each micro-batch of
+    * documents into a standing parquet corpus, keeping only texts
+    * never seen before (first writer wins across batches, lowest
+    * `orderCol` within a batch) — the production shape of
+    * [[graft.dedup.Dedup.dedupAgainstBloom]].
+    *
+    * A driver-held Bloom filter over the corpus fingerprints carries
+    * the dedup state BETWEEN batches: each batch probes the filter
+    * (codegen expression, no join) so definitely-new rows — the bulk
+    * of a typical increment — never touch the history at all, and
+    * only Bloom positives reach the exact anti-join against the
+    * (semi-join-pruned, never-shuffled) corpus leg. Survivors append
+    * to the corpus and OR into the filter (same bit layout, so the
+    * merge is exact). On (re)start the filter is rebuilt from the
+    * corpus — the filter is a pure function of the landed data, so
+    * checkpoint replay of a half-processed batch re-deduplicates
+    * idempotently instead of double-inserting.
+    */
+  def incrementalDedupSink(
+      docs: DataFrame, textCol: String, orderCol: String,
+      corpusDir: String, checkpointDir: String,
+      expectedItems: Long, fpp: Double = 0.01)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.Dedup
+    import graft.expressions.{BloomBuild, BloomOps}
+    val spark = docs.sparkSession
+    def corpusExists: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(corpusDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    var bloom: Array[Byte] =
+      if (corpusExists)
+        Dedup.buildFingerprintBloom(
+          spark.read.parquet(corpusDir), textCol, expectedItems, fpp)
+      else {
+        val bits = BloomOps.bitsFor(expectedItems, fpp)
+        BloomOps.emptyFilter(BloomOps.hashesFor(bits, expectedItems), bits)
+      }
+    val lock = new Object
+    foreachBatchSink(docs, checkpointDir, outputMode = "append") {
+      (batch, _) =>
+        lock.synchronized {
+          val survivors =
+            if (corpusExists)
+              Dedup.dedupAgainstBloom(
+                spark.read.parquet(corpusDir), batch, textCol,
+                orderCol, bloom)
+            else Dedup.exactDedupAgg(batch, textCol, orderCol)
+          // materialize BEFORE the append — the plan reads the same
+          // corpus path the write extends
+          val landed = survivors.localCheckpoint(eager = true)
+          landed.write.mode(SaveMode.Append)
+            .option("compression", "snappy").parquet(corpusDir)
+          // fold the new fingerprints into the filter, SAME bit
+          // layout as the standing filter so the OR-merge is exact
+          val batchBloom = landed
+            .select(graft.text.TextAnalysis.fingerprint(col(textCol))
+              .as("__fp"))
+            .where(col("__fp").isNotNull)
+            .agg(BloomBuild.bloomAgg(
+              BloomOps.numHashes(bloom),
+              BloomOps.numBits(bloom))(col("__fp")).as("__b"))
+            .head.getAs[Array[Byte]]("__b")
+          bloom = BloomOps.merge(bloom, batchBloom)
+        }
+    }
+  }
 
   // -- custom state (mapGroupsWithState) ---------------------------- //
 

@@ -308,4 +308,55 @@ class EventStreamsSpec extends SparkSpec {
     assert(row.getAs[Double]("sum_value") == 23.0)
     assert(row.getAs[Long]("n_purchases") == 1L)
   }
+
+  test("incrementalDedupSink: cross-batch first-writer-wins corpus, " +
+      "in-batch collapse, Bloom state carried between batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_inc_corpus").toString + "/docs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_inc_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = EventStreams.incrementalDedupSink(
+      docs, "text", "doc_id", corpus, ckpt, expectedItems = 1000)
+    try {
+      // batch 1: duplicate inside the batch collapses to lowest id
+      in.addData((5L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus)
+      assert(after1.count() == 2)
+      assert(after1.where(col("text") === "alpha")
+        .head().getAs[Long]("doc_id") == 2L)
+      // batch 2: re-arrival of both texts dropped, one new survives
+      in.addData((1L, "alpha"), (9L, "beta"), (7L, "gamma"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus)
+      assert(after2.count() == 3)
+      // first writer won: alpha stays at id 2 even though 1 < 2
+      // arrived later
+      assert(after2.where(col("text") === "alpha")
+        .head().getAs[Long]("doc_id") == 2L)
+      // batch 3: everything already seen → nothing lands
+      in.addData((11L, "alpha"), (12L, "gamma"), (13L, "beta"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 3)
+    } finally q.stop()
+    // a NEW sink over the same corpus rebuilds the filter from disk:
+    // replays of seen texts still dedup (restart idempotency)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.incrementalDedupSink(
+      in2.toDF().toDF("doc_id", "text"), "text", "doc_id", corpus,
+      java.nio.file.Files.createTempDirectory("graft_inc_ckpt2")
+        .toString,
+      expectedItems = 1000)
+    try {
+      in2.addData((20L, "alpha"), (21L, "delta"))
+      q2.processAllAvailable()
+      val finalCorpus = spark.read.parquet(corpus)
+      assert(finalCorpus.count() == 4)
+      assert(finalCorpus.where(col("text") === "alpha").count() == 1)
+    } finally q2.stop()
+  }
 }
