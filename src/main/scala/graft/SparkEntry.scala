@@ -939,6 +939,66 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Dedup audit: size histogram of the verified near-dup clusters
+    * (MinHash-LSH candidates → exact-Jaccard verify → connected
+    * components). `removable` is the doc count near-dup removal would
+    * drop — the "how much redundancy is in this corpus" report run
+    * before committing to a dedup pass.
+    */
+  private def nearDupClusterHistogram(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.{ConnectedComponents, Dedup}
+    val pairs = Dedup.minhashLshPairs(
+      docs(s, dir), "doc_id", "text", 3, 16, 4, 0.8)
+    val labels = ConnectedComponents
+      .componentsAuto(pairs, "id_a", "id_b")._1
+    labels.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(
+        col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("docs_in_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
+      .orderBy("cluster_size")
+  }
+
+  /** Snapshot reconciliation over two deterministic order snapshots:
+    * "yesterday" misses every 7th key, "today" reprices every 5th —
+    * the diff classifies each key as added/removed/changed/unchanged
+    * shuffling only (key, digest), never the wide row.
+    */
+  private def orderSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val yesterday = o.where(col("o_orderkey") % 7 =!= 0)
+    val today = o.where(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0,
+          round(col("o_totalprice") * 1.1, 2))
+          .otherwise(col("o_totalprice")))
+    Analytics.tableDiff(yesterday, today, Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_orderkey").cast("double")), 1).as("key_sum"))
+      .orderBy("status")
+  }
+
+  /** Time-weighted average event value per user — each value weighted
+    * by how long it was current (exact microsecond durations, last
+    * observation unweighted). Top 50 users by TWA.
+    */
+  private def userTimeWeightedValue(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.timeWeightedAvg(events(s, dir), "user_id", "ts", "value",
+        tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n_intervals"),
+        round(col("twa"), 4).as("twa"))
+      .orderBy(col("twa").desc, col("user_id").asc)
+      .limit(50)
+
   /** Ordered funnel over the event stream: view → click → purchase per
     * user, each step counting only strictly after the previous step's
     * reach time. One exchange + one sort serve all three step windows
@@ -1601,6 +1661,9 @@ object SparkEntry {
     "q80_quality_model_scores" -> (qualityModelScores _),
     "q81_adaptive_quality_floor" -> (adaptiveQualityFloorByLang _),
     "q82_event_funnel" -> (eventFunnel _),
+    "q83_neardup_histogram" -> (nearDupClusterHistogram _),
+    "q84_snapshot_diff" -> (orderSnapshotDiff _),
+    "q85_time_weighted_value" -> (userTimeWeightedValue _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2684,5 +2747,69 @@ object SparkEntry {
                / nullif(CAST(c1 AS DOUBLE), 0.0), 6)
            FROM tot)
          ORDER BY step_n""",
+
+    // reuses the factored q31 chain up to `reach`; component label =
+    // least(id, min reachable id), histogram over label sizes
+    "q83_neardup_histogram" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         $oracleDedupKeptCtes,
+         labels AS (
+           SELECT a AS id, least(a, min(b)) AS comp
+           FROM reach GROUP BY a),
+         csizes AS (
+           SELECT comp, count(*) AS cluster_size
+           FROM labels GROUP BY comp)
+         SELECT cluster_size, count(*) AS n_clusters,
+           cluster_size * count(*) AS docs_in_clusters,
+           (cluster_size - 1) * count(*) AS removable
+         FROM csizes GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // the oracle diffs columns directly; the engine compares md5
+    // digests of the rendered rows — status-identical because the
+    // shortest-round-trip rendering is injective on values
+    "q84_snapshot_diff" ->
+      """WITH yesterday AS (
+           SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+         today AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0
+               THEN round(o_totalprice * 1.1, 2)
+               ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+           FROM orders WHERE o_orderkey % 11 <> 0),
+         d AS (
+           SELECT coalesce(y.o_orderkey, t.o_orderkey) AS k,
+             CASE WHEN y.o_orderkey IS NULL THEN 'added'
+                  WHEN t.o_orderkey IS NULL THEN 'removed'
+                  WHEN y.o_custkey IS NOT DISTINCT FROM t.o_custkey
+                   AND y.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus
+                   AND y.o_totalprice IS NOT DISTINCT FROM t.o_totalprice
+                   AND y.o_orderpriority
+                     IS NOT DISTINCT FROM t.o_orderpriority
+                  THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM yesterday y
+           FULL OUTER JOIN today t ON y.o_orderkey = t.o_orderkey)
+         SELECT status, count(*) AS n,
+           round(sum(CAST(k AS DOUBLE)), 1) AS key_sum
+         FROM d GROUP BY status ORDER BY status""",
+
+    "q85_time_weighted_value" ->
+      """WITH o AS (
+           SELECT user_id, epoch_us(ts) AS t, value, event_id
+           FROM events),
+         l AS (
+           SELECT user_id, value, t,
+             lead(t) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS nt
+           FROM o),
+         g AS (
+           SELECT user_id, count(*) AS n_intervals,
+             sum(value * (nt - t)) / sum(nt - t) AS twa
+           FROM l WHERE nt IS NOT NULL
+           GROUP BY user_id HAVING sum(nt - t) > 0)
+         SELECT user_id, n_intervals, round(twa, 4) AS twa
+         FROM g ORDER BY round(twa, 4) DESC, user_id LIMIT 50""",
   )
 }

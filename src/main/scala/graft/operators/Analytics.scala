@@ -423,6 +423,86 @@ object Analytics {
         round(col("cnt").cast("double") / lit(math.max(n, 1L).toDouble), 6))
   }
 
+  /** Time-weighted average of `valueCol` per entity: each observation
+    * holds until the entity's NEXT observation, so the average weights
+    * each value by how long it was current (sensor/price series
+    * semantics), not by how often it was sampled. The last observation
+    * carries no weight (nothing follows it); entities whose
+    * observations all share one instant have zero span and are
+    * excluded (a 0/0 average is noise, not data).
+    *
+    * Weights are exact inter-event MICROSECOND longs (`unix_micros`) —
+    * no float time arithmetic; ties on the timestamp order by
+    * `tieBreak` so which same-instant observation absorbs the
+    * following interval is deterministic (the zero-length one
+    * contributes nothing either way). One window + one aggregation,
+    * both on the entity key: single exchange.
+    */
+  def timeWeightedAvg(
+      df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("__t", "__next")
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy((col("__t").asc +: tieBreak.map(col(_).asc)): _*)
+    df.select(
+        (Seq(col(entityCol), unix_micros(col(tsCol)).as("__t"),
+          col(valueCol)) ++ tieBreak.map(col)): _*)
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(entityCol))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        (sum(col(valueCol) * (col("__next") - col("__t"))) /
+          sum(col("__next") - col("__t"))).as("twa"),
+        sum(col("__next") - col("__t")).as("__span"))
+      .where(col("__span") > 0)
+      .drop("__span")
+  }
+
+  /** Snapshot reconciliation: classify every key as `added` (right
+    * only), `removed` (left only), `changed` (both sides, differing
+    * row content) or `unchanged` — the table-diff that validates an
+    * incremental load against its source.
+    *
+    * Row content is compared as an md5 over a column-ORDER-pinned
+    * rendering of `compareCols` in which null renders as `"n"` and a
+    * value as `"v" + value` — null can never collide with any value's
+    * rendering (the surrogate-key `"None"` sentinel would call a
+    * literal `"None"` string unchanged against null). The join then
+    * carries (key, 32-char digest) per side, never the wide row: at
+    * snapshot scale the shuffle payload is keys + digests regardless
+    * of row width. One full outer join on the key. Caller
+    * contract: the key is unique per side (snapshot semantics) — a
+    * repeated key diffs row-per-row like any join fan-out would.
+    *
+    * Returns (key columns…, `status`).
+    */
+  def tableDiff(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(compareCols.nonEmpty, "at least one compare column")
+    def digested(df: DataFrame, as: String) = df.select(
+      keyCols.map(col) :+
+        md5(concat_ws("|", compareCols.map(c =>
+          coalesce(concat(lit("v"), col(c).cast("string")), lit("n")))
+          : _*)).as(as): _*)
+    val l = digested(left, "__hl")
+    val r0 = digested(right, "__hr")
+    val r = keyCols.foldLeft(r0)((d, c) =>
+      d.withColumnRenamed(c, s"__rk_$c"))
+    val cond = keyCols.map(c => col(c) <=> col(s"__rk_$c")).reduce(_ && _)
+    l.join(r, cond, "full_outer")
+      .select(
+        keyCols.map(c => coalesce(col(c), col(s"__rk_$c")).as(c)) :+
+          when(col("__hl").isNull, lit("added"))
+            .when(col("__hr").isNull, lit("removed"))
+            .when(col("__hl") === col("__hr"), lit("unchanged"))
+            .otherwise(lit("changed")).as("status"): _*)
+  }
+
   /** Ordered-funnel analysis: for each entity, the timestamp at which
     * it reached each step of `steps` IN ORDER — step k counts only at
     * an event STRICTLY after the entity's step-(k−1) time. The
