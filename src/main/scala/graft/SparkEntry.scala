@@ -939,6 +939,52 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Event-type transition matrix: for each user's time-ordered event
+    * stream, count (previous type → type) transitions and normalize to
+    * row-stochastic probabilities — the first-order Markov view of user
+    * behavior. One window on the user key (lag), one grouped count,
+    * one tiny per-prev normalization join.
+    */
+  private def eventTransitionMatrix(
+      s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type")
+      .agg(sum("n").as("__tot"))
+    pairs.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Daily cohort retention: users grouped by their first-activity day
+    * (cohort), counted distinct on each later day offset 0..7 — the
+    * activation/retention curve. The cohort assignment is one window
+    * min per user; the rest is a grouped distinct count.
+    */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val e = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(w))
+    e.withColumn("offset",
+        datediff(col("day"), col("cohort")).cast("int"))
+      .where(col("offset") <= 7)
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   /** Dedup audit: size histogram of the verified near-dup clusters
     * (MinHash-LSH candidates → exact-Jaccard verify → connected
     * components). `removable` is the doc count near-dup removal would
@@ -1664,6 +1710,8 @@ object SparkEntry {
     "q83_neardup_histogram" -> (nearDupClusterHistogram _),
     "q84_snapshot_diff" -> (orderSnapshotDiff _),
     "q85_time_weighted_value" -> (userTimeWeightedValue _),
+    "q86_event_transitions" -> (eventTransitionMatrix _),
+    "q87_cohort_retention" -> (cohortRetention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2811,5 +2859,34 @@ object SparkEntry {
            GROUP BY user_id HAVING sum(nt - t) > 0)
          SELECT user_id, n_intervals, round(twa, 4) AS twa
          FROM g ORDER BY round(twa, 4) DESC, user_id LIMIT 50""",
+
+    "q86_event_transitions" ->
+      """WITH p AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (
+           SELECT prev_type, event_type AS next_type, count(*) AS n
+           FROM p WHERE prev_type IS NOT NULL
+           GROUP BY prev_type, event_type),
+         t AS (
+           SELECT prev_type, sum(n) AS tot FROM c GROUP BY prev_type)
+         SELECT c.prev_type, c.next_type, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+         FROM c JOIN t ON c.prev_type = t.prev_type
+         ORDER BY c.prev_type, c.next_type""",
+
+    "q87_cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+               AS cohort
+           FROM events)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(day - cohort AS INT) AS "offset",
+           count(DISTINCT user_id) AS n_users
+         FROM e WHERE day - cohort <= 7
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
