@@ -939,6 +939,69 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Peak 1-hour activity per user: a RANGE window over event-time
+    * micros (each row averages that user's events in the trailing
+    * hour) rolled up to the user's peak — burst detection with one
+    * exchange on the user key.
+    */
+  private def peakHourlyActivity(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__t"))
+      .rangeBetween(-hourUs, 0)
+    events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("__t"),
+        col("value"))
+      .withColumn("__ravg", round(avg(col("value")).over(w), 6))
+      .withColumn("__rn", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(max(col("__ravg")).as("peak_avg_value"),
+        max(col("__rn")).as("peak_events_1h"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Gini concentration of customer balances per market segment —
+    * rank-weighted sum identity G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)
+    * with deterministic rank ties; one window + one aggregation per
+    * segment.
+    */
+  private def acctbalGini(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal")).as("__sx"),
+        sum(col("__rn").cast("double") * col("c_acctbal")).as("__six"))
+      .select(col("c_mktsegment"), col("n"),
+        round((lit(2.0) * col("__six") -
+          (col("n") + 1).cast("double") * col("__sx")) /
+          (col("n").cast("double") * col("__sx")), 6).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Hybrid-retrieval fusion: reciprocal-rank fusion of the cosine
+    * ANN ranking with a recency ranking over the same candidate set —
+    * exact-reproducible integer-rank arithmetic, no corpus rescan in
+    * the fusion itself.
+    */
+  private def hybridRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val cos = Similarity.bruteForceTopK(
+        emb(s, dir).where(col("vec_id") < 10), emb(s, dir),
+        "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .transform(graft.core.CacheScope.disk)
+    val wRec = Window.partitionBy(col("query_id"))
+      .orderBy(col("neighbor_id").desc)
+    val rec = cos.select(col("query_id"), col("neighbor_id"))
+      .withColumn("rank", row_number().over(wRec).cast("int"))
+    Similarity.rrfFuse(Seq(cos, rec), "query_id", "neighbor_id",
+        "rank", k = 60, topN = 5)
+      .orderBy("query_id", "fused_rank")
+  }
+
   /** Event-type transition matrix: for each user's time-ordered event
     * stream, count (previous type → type) transitions and normalize to
     * row-stochastic probabilities — the first-order Markov view of user
@@ -1712,6 +1775,9 @@ object SparkEntry {
     "q85_time_weighted_value" -> (userTimeWeightedValue _),
     "q86_event_transitions" -> (eventTransitionMatrix _),
     "q87_cohort_retention" -> (cohortRetention _),
+    "q88_peak_hourly_activity" -> (peakHourlyActivity _),
+    "q89_acctbal_gini" -> (acctbalGini _),
+    "q90_hybrid_rank_fusion" -> (hybridRankFusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2888,5 +2954,71 @@ object SparkEntry {
            count(DISTINCT user_id) AS n_users
          FROM e WHERE day - cohort <= 7
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q88_peak_hourly_activity" ->
+      """WITH o AS (
+           SELECT user_id, epoch_us(ts) AS t, value FROM events),
+         r AS (
+           SELECT user_id,
+             round(avg(value) OVER w, 6) AS ravg,
+             count(*) OVER w AS rn
+           FROM o
+           WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         SELECT user_id, max(ravg) AS peak_avg_value,
+           max(rn) AS peak_events_1h, count(*) AS n_events
+         FROM r GROUP BY user_id ORDER BY user_id""",
+
+    "q89_acctbal_gini" ->
+      """WITH r AS (
+           SELECT c_mktsegment, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn
+           FROM customer),
+         g AS (
+           SELECT c_mktsegment, count(*) AS n,
+             sum(c_acctbal) AS sx,
+             sum(CAST(rn AS DOUBLE) * c_acctbal) AS six
+           FROM r GROUP BY c_mktsegment)
+         SELECT c_mktsegment, n,
+           round((2.0 * six - CAST(n + 1 AS DOUBLE) * sx)
+             / (CAST(n AS DOUBLE) * sx), 6) AS gini
+         FROM g ORDER BY c_mktsegment""",
+
+    "q90_hybrid_rank_fusion" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         r AS (
+           SELECT qid, nid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT)
+             AS rank
+           FROM s),
+         cos AS (SELECT qid, nid, rank FROM r WHERE rank <= 20),
+         rec AS (
+           SELECT qid, nid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY nid DESC) AS INT) AS rank
+           FROM cos),
+         u AS (
+           SELECT qid, nid,
+             1.0 / (60.0 + CAST(rank AS DOUBLE)) AS sc FROM cos
+           UNION ALL
+           SELECT qid, nid,
+             1.0 / (60.0 + CAST(rank AS DOUBLE)) FROM rec),
+         f AS (
+           SELECT qid, nid, sum(sc) AS fused, count(*) AS n_rankings
+           FROM u GROUP BY qid, nid),
+         t2 AS (
+           SELECT qid, nid, fused, n_rankings,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY fused DESC, nid ASC) AS INT) AS fused_rank
+           FROM f)
+         SELECT qid AS query_id, nid AS neighbor_id, fused_rank,
+           n_rankings, round(fused, 6) AS fused_score
+         FROM t2 WHERE fused_rank <= 5
+         ORDER BY query_id, fused_rank""",
   )
 }

@@ -616,6 +616,40 @@ object Similarity {
       Some(limit))
   }
 
+  /** Reciprocal-rank fusion of several per-query rankings — the
+    * standard hybrid-retrieval merge (vector + keyword + recency …):
+    * fused(q, item) = Σ_rankings 1/(k + rank). Each input frame
+    * carries (`queryCol`, `itemCol`, `rankCol`); items missing from a
+    * ranking simply contribute nothing (the usual RRF convention).
+    * All arithmetic is exact-reproducible: 1/(k+rank) on integer
+    * ranks is the same IEEE double everywhere, and the fused ordering
+    * tie-breaks on the item id.
+    *
+    * Scale: a union + one grouped sum on (query, item) + one
+    * per-query window over candidate rows only — no corpus scan here;
+    * the cost lives in the upstream rankings.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], queryCol: String, itemCol: String,
+      rankCol: String, k: Int = 60, topN: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(k >= 1 && topN >= 1, "k and topN must be positive")
+    val scored = rankings
+      .map(_.select(col(queryCol), col(itemCol),
+        (lit(1.0) / (lit(k.toDouble) + col(rankCol).cast("double")))
+          .as("__s")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("__fused").desc, col(itemCol).asc)
+    scored.groupBy(col(queryCol), col(itemCol))
+      .agg(sum(col("__s")).as("__fused"),
+        count(lit(1)).as("n_rankings"))
+      .withColumn("fused_rank", row_number().over(w).cast("int"))
+      .where(col("fused_rank") <= topN)
+      .select(col(queryCol), col(itemCol), col("fused_rank"),
+        col("n_rankings"), round(col("__fused"), 6).as("fused_score"))
+  }
+
   /** Mean embedding per group — the group "centroid" — plus the group's
     * vector count. Rounding the per-dimension mean to `roundTo` makes
     * the centroid reproducible across engines and partition orders
