@@ -939,6 +939,48 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Most-characteristic keyword per document (argmax tf-idf via
+    * `min_by` over a composite ordering struct — partial+final agg,
+    * no per-document window sort) histogrammed over the corpus.
+    */
+  private def topKeywordHistogram(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TfIdf
+    TfIdf.tfidf(docs(s, dir), "doc_id", "text")
+      .withColumn("__r", round(col("tfidf"), 4))
+      .groupBy("doc_id")
+      .agg(min_by(col("token"),
+        struct((-col("__r")).as("s"), col("token").as("t")))
+        .as("keyword"))
+      .groupBy("keyword")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("keyword")
+  }
+
+  /** χ² independence test: is event type independent of day-of-week?
+    * One corpus-touching contingency count; everything downstream is
+    * cell-sized.
+    */
+  private def eventTypeWeekdayChi2(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.chiSquare(
+      events(s, dir).select(col("event_type"),
+        dayofweek(col("ts")).as("dow")),
+      "event_type", "dow")
+
+  /** Pearson correlation matrix over lineitem measures — single
+    * aggregation pass, three co-moment pairs at once.
+    */
+  private def lineitemCorrMatrix(
+      s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+        .as("corr_qty_price"),
+      round(corr(col("l_quantity"), col("l_discount")), 6)
+        .as("corr_qty_disc"),
+      round(corr(col("l_extendedprice"), col("l_discount")), 6)
+        .as("corr_price_disc"),
+      count(lit(1)).as("n"))
+
   /** Peak 1-hour activity per user: a RANGE window over event-time
     * micros (each row averages that user's events in the trailing
     * hour) rolled up to the user's peak — burst detection with one
@@ -1778,6 +1820,9 @@ object SparkEntry {
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
     "q90_hybrid_rank_fusion" -> (hybridRankFusion _),
+    "q91_top_keyword_histogram" -> (topKeywordHistogram _),
+    "q92_type_weekday_chi2" -> (eventTypeWeekdayChi2 _),
+    "q93_lineitem_corr" -> (lineitemCorrMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3020,5 +3065,57 @@ object SparkEntry {
            n_rankings, round(fused, 6) AS fused_score
          FROM t2 WHERE fused_rank <= 5
          ORDER BY query_id, fused_rank""",
+
+    "q91_top_keyword_histogram" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, token,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS r
+           FROM tf JOIN dfq USING (token) CROSS JOIN n),
+         top AS (
+           SELECT doc_id, token AS keyword, row_number() OVER (
+             PARTITION BY doc_id ORDER BY r DESC, token ASC) AS rn
+           FROM scored)
+         SELECT keyword, count(*) AS n_docs
+         FROM top WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+
+    "q92_type_weekday_chi2" ->
+      """WITH base AS (
+           SELECT event_type AS a,
+             CAST(dayofweek(ts) AS INT) + 1 AS b
+           FROM events),
+         cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+         rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+         ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+         nt AS (SELECT sum(o) AS n FROM cells),
+         fullc AS (
+           SELECT rt.a, ct.b, ra, cb, (SELECT n FROM nt) AS n,
+             coalesce(o, 0) AS o
+           FROM rt CROSS JOIN ct
+           LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+         e AS (
+           SELECT o, CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+             / CAST(n AS DOUBLE) AS ev, n
+           FROM fullc)
+         SELECT round(sum(pow(CAST(o AS DOUBLE) - ev, 2) / ev), 4)
+             AS chi2,
+           CAST((SELECT (count(*) - 1) FROM rt)
+             * (SELECT (count(*) - 1) FROM ct) AS INT) AS dof,
+           CAST(max(n) AS BIGINT) AS n
+         FROM e""",
+
+    "q93_lineitem_corr" ->
+      """SELECT
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+           round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+           count(*) AS n
+         FROM lineitem""",
   )
 }

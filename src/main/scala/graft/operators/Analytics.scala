@@ -423,6 +423,41 @@ object Analytics {
         round(col("cnt").cast("double") / lit(math.max(n, 1L).toDouble), 6))
   }
 
+  /** Pearson χ² test of independence between two categorical columns:
+    * one grouped count of the contingency table, marginals re-derived
+    * from it (grouped again on each axis — cells, not rows), expected
+    * counts E = rowTot·colTot/N, χ² = Σ(O−E)²/E over observed cells
+    * PLUS the structurally-zero cells' E (a zero observed cell still
+    * contributes E; dropping it would understate χ²) — handled by
+    * cross-joining the two marginal sets, which is marginal-sized, not
+    * data-sized. Returns one row: (chi2, dof, n).
+    *
+    * Scale: the corpus is touched once (the contingency count);
+    * everything after operates on |A|×|B| cells.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colTot = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val n = cells.agg(sum("__o").as("__n"))
+    val full = rowTot.crossJoin(colTot).crossJoin(n)
+      .join(cells, Seq("__a", "__b"), "left")
+      .select(col("__ra"), col("__cb"), col("__n"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__cb").cast("double") /
+          col("__n").cast("double"))
+    val levels = rowTot.count() -> colTot.count()
+    full.agg(
+      sum(pow(col("__o").cast("double") - col("__e"), 2) / col("__e"))
+        .as("chi2"),
+      first(col("__n")).as("n"))
+      .select(round(col("chi2"), 4).as("chi2"),
+        lit(((levels._1 - 1) * (levels._2 - 1)).toInt).as("dof"),
+        col("n"))
+  }
+
   /** Time-weighted average of `valueCol` per entity: each observation
     * holds until the entity's NEXT observation, so the average weights
     * each value by how long it was current (sensor/price series
