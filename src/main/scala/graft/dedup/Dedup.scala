@@ -498,28 +498,36 @@ object Dedup {
       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // Persisted: shingling runs ONCE and feeds signatures + the verify
-    // join legs + the size aggregate (it would otherwise recompute per
-    // consumer). At warehouse scale: a materialized shingle table.
-    val shAll = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+    // RAW shingle occurrences — projection + generate only, NO
+    // corpus-wide distinct: min-aggregation is duplicate-insensitive,
+    // so signatures over raw occurrence rows are IDENTICAL to
+    // signatures over the per-document distinct set, and skipping the
+    // distinct removes a corpus-sized exchange from the chain (the
+    // shuffle the signature agg does carry is partial-min-combined —
+    // numHashes longs per (doc, partition), same as before). The
+    // distinct the exact verify DOES need moves below the candidate
+    // semi-join, where it touches candidate documents only.
+    // Persisted: feeds the signature agg and the verify leg.
+    val shRaw = TextAnalysis.explodeShinglesRaw(df, idCol, textCol, n)
       .transform(graft.core.CacheScope.disk)
-    // signature aggregation also counts each doc's (distinct) shingles
-    // — the Jaccard denominators ride along for free instead of a
-    // second aggregation over the shingle table in the verify phase
-    val sigAggs = minhashAggs(numHashes) :+ count(lit(1)).as("n_shingles")
-    val sigs = shAll.select(shingleHashHalves(idCol): _*)
+    val sigAggs = minhashAggs(numHashes)
+    val sigs = shRaw.select(shingleHashHalves(idCol): _*)
       .groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
       .transform(graft.core.CacheScope.disk)
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
       .transform(graft.core.CacheScope.disk)
-    // verify ONLY the candidates with exact Jaccard
-    // ([[exactJaccardVerify]] semi-joins the shingle table down to
-    // candidate documents first), so verification cost scales with the
-    // candidate set (tiny), not the corpus — without this the verify
-    // phase degenerates into the full inverted-index join LSH was
-    // meant to avoid.
-    val sizes = sigs.select(col(idCol), col("n_shingles"))
-    exactJaccardVerify(shAll, sizes, cands, idCol, threshold)
+    // candidate documents' shingles, DISTINCT here (candidate-sized,
+    // not corpus-sized); Jaccard denominators derived from the same
+    // table. Verification cost scales with the candidate set — without
+    // the semi-join the verify phase degenerates into the full
+    // inverted-index join LSH was meant to avoid.
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val shCand = shRaw.join(candIds, Seq(idCol), "left_semi")
+      .distinct()
+      .transform(graft.core.CacheScope.disk)
+    val sizes = shCand.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    exactJaccardVerify(shCand, sizes, cands, idCol, threshold)
       .select("id_a", "id_b", "jaccard")
   }
 

@@ -282,6 +282,31 @@ class DedupSpec extends SparkSpec {
     assert(out.head().getAs[Double]("jaccard") == exact)
   }
 
+  test("minhashLshPairs over RAW shingles: duplicate-heavy repeated " +
+      "shingles change nothing (min is duplicate-insensitive; " +
+      "denominators are distinct counts)") {
+    // every shingle of doc 1/2 repeats many times inside the text;
+    // raw occurrence rows >> distinct shingles — signatures and
+    // jaccard must come out as if deduped
+    val loop = Seq.fill(12)(base).mkString(" ")
+    val d = docs(
+      (1, loop),
+      (2, Seq.fill(7)(base.replace("lazy", "sleepy")).mkString(" ")),
+      (3, "unrelated content that shares nothing with the pair"))
+    val lsh = Dedup.minhashLshPairs(d, "id", "text",
+      n = 3, numHashes = 16, bands = 8, threshold = 0.2)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[Double]("jaccard"))).toSeq
+    val exact = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.2)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[Double]("jaccard"))).toSeq
+    // exact inverted-index (distinct-shingle) results are the truth;
+    // the LSH chain must agree byte-for-byte on the caught pairs
+    assert(lsh.nonEmpty)
+    assert(lsh.toSet.subsetOf(exact.toSet))
+    assert(lsh.map(p => (p._1, p._2)).contains((1, 2)))
+  }
+
   test("tokenBit extracts md5 bits MSB-first") {
     // md5("a") = 0cc175b9... first nibble 0x0 → bits 0..3 all 0;
     // second nibble 0xc = 1100 → bits 4,5 = 1 and 6,7 = 0
