@@ -264,16 +264,22 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    // Persisted: shingling (regexp + array HOFs per document) feeds the
-    // size aggregate AND both legs of the inverted-index join — without
-    // persist it would run 3×. At warehouse scale: a shingle table.
-    val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
-      .transform(graft.core.CacheScope.disk)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
     maxShingleDf match {
       case Some(cap) =>
+        // RAW shingle occurrences (projection + generate, no
+        // corpus-wide distinct exchange): every consumer below dedups
+        // where it is cheap — `collect_set` partials dedup map-side
+        // inside the posting groupBy, per-doc sizes use a
+        // count-distinct aggregate (local pre-dedup, one exchange on
+        // the id), and the verify-phase distinct runs AFTER the
+        // candidate semi-join, candidate-sized. Persisted: feeds all
+        // three. At warehouse scale: a shingle table.
+        val sh = TextAnalysis.explodeShinglesRaw(df, idCol, textCol, n)
+          .transform(graft.core.CacheScope.disk)
+        val sizes = sh.groupBy(idCol)
+          .agg(count_distinct(col("shingle")).as("n_shingles"))
         // POSTING-LIST candidate generation: ONE groupBy on shingle
-        // builds each shingle's sorted doc-id list; hot shingles
+        // builds each shingle's sorted doc-id set; hot shingles
         // (df > cap, the stop-shingles that dominate Σ(df²) and ARE
         // the join skew) are dropped right there — no anti-join pass —
         // and each kept list expands to its C(df,2) ≤ C(cap,2) pairs
@@ -282,7 +288,7 @@ object Dedup {
         // corpus's stop-shingles get. Persisted: feeds the pair
         // explode AND the low-DF size aggregate.
         val postings = sh.groupBy("shingle")
-          .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+          .agg(sort_array(collect_set(col(idCol))).as("__ids"))
           .where(size(col("__ids")) <= cap)
           .transform(graft.core.CacheScope.disk)
         // per-doc hot-shingle counts (total − low-DF): the slack term
@@ -324,8 +330,21 @@ object Dedup {
               .cast("double") >= threshold)
           .select("id_a", "id_b")
           .transform(graft.core.CacheScope.disk)
-        exactJaccardVerify(sh, sizes, cands, idCol, threshold)
+        // candidate-sized distinct for the exact verify (the raw table
+        // would over-count common shingles)
+        val candIds = cands.select(col("id_a").as(idCol))
+          .union(cands.select(col("id_b").as(idCol))).distinct()
+        val shCand = sh.join(candIds, Seq(idCol), "left_semi")
+          .distinct()
+          .transform(graft.core.CacheScope.disk)
+        exactJaccardVerify(shCand, sizes, cands, idCol, threshold)
       case None =>
+        // the uncapped form joins the full shingle table with itself —
+        // per-document distinct is load-bearing corpus-wide here
+        val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+          .transform(graft.core.CacheScope.disk)
+        val sizes = sh.groupBy(idCol)
+          .agg(count(lit(1)).as("n_shingles"))
         val a = sh.select(col(idCol).as("id_a"), col("shingle"))
         val b = sh.select(col(idCol).as("id_b"), col("shingle"))
         a.join(b, Seq("shingle"))
