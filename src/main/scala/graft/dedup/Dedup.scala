@@ -468,7 +468,9 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+    // RAW occurrences: min is duplicate-insensitive, so the per-doc
+    // distinct would only add a corpus-sized exchange for nothing
+    val sh = TextAnalysis.explodeShinglesRaw(df, idCol, textCol, n)
       .select(shingleHashHalves(idCol): _*)
     val aggs = minhashAggs(numHashes)
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)

@@ -149,10 +149,19 @@ object TextAnalysis {
 
   /** Rolling-hash document sketch: the minimum md5 over the document's
     * word n-shingles (= a 1-permutation MinHash; cheap similarity-
-    * preserving fingerprint for blocking).
+    * preserving fingerprint for blocking). Deliberately skips
+    * [[shingleArray]]'s `array_distinct` — the min is
+    * duplicate-insensitive and the distinct is O(k²) interpreted
+    * comparisons per document.
     */
-  def minShingleHash(c: Column, n: Int = 4): Column =
-    array_min(transform(shingleArray(c, n), s => md5(s)))
+  def minShingleHash(c: Column, n: Int = 4): Column = {
+    val ws = words(c)
+    array_min(
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(ws) - lit(n)),
+          i => md5(concat_ws(" ", slice(ws, i + 1, lit(n)))))))
+  }
 
   /** Word n-shingles as an array column (distinct, in-order). */
   def shingleArray(c: Column, n: Int): Column = {
