@@ -939,6 +939,40 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Distribution-drift monitor: PSI of order prices between two
+    * deterministic snapshot halves over baseline-decile bins —
+    * per-bin populations, smoothed shares, and PSI contributions.
+    */
+  private def priceDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Drift
+    val o = t(s, dir, "orders")
+    Drift.psiBins(
+        o.where(col("o_orderkey") % 2 === 1),
+        o.where(col("o_orderkey") % 2 === 0),
+        "o_totalprice", bins = 10)
+      .orderBy("bin")
+  }
+
+  /** Per-priority price trend: OLS slope/intercept of total price over
+    * order date (epoch days) — one co-moment aggregation pass per
+    * group, no per-group iteration.
+    */
+  private def priceTrendByPriority(
+      s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("double").as("__x"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(regr_slope(col("o_totalprice"), col("__x")), 6)
+          .as("slope"),
+        round(regr_intercept(col("o_totalprice"), col("__x")), 4)
+          .as("intercept"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** Most-characteristic keyword per document (argmax tf-idf via
     * `min_by` over a composite ordering struct — partial+final agg,
     * no per-document window sort) histogrammed over the corpus.
@@ -1823,6 +1857,8 @@ object SparkEntry {
     "q91_top_keyword_histogram" -> (topKeywordHistogram _),
     "q92_type_weekday_chi2" -> (eventTypeWeekdayChi2 _),
     "q93_lineitem_corr" -> (lineitemCorrMatrix _),
+    "q94_price_drift_psi" -> (priceDriftPsi _),
+    "q95_price_trend" -> (priceTrendByPriority _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3117,5 +3153,53 @@ object SparkEntry {
            round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
            count(*) AS n
          FROM lineitem""",
+
+    "q94_price_drift_psi" ->
+      """WITH b AS (
+           SELECT o_totalprice AS x FROM orders
+           WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+         c AS (
+           SELECT o_totalprice AS x FROM orders
+           WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+         e AS (
+           SELECT round(unnest(quantile_cont(x,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 4)
+             AS edge
+           FROM b),
+         bb AS (SELECT CAST((SELECT count(*) FROM e WHERE b.x >= edge)
+                  AS INT) AS bin FROM b),
+         cb AS (SELECT CAST((SELECT count(*) FROM e WHERE c.x >= edge)
+                  AS INT) AS bin FROM c),
+         bc AS (SELECT bin, count(*) AS nb FROM bb GROUP BY bin),
+         cc AS (SELECT bin, count(*) AS nc FROM cb GROUP BY bin),
+         bins AS (
+           SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
+         j AS (
+           SELECT bin, coalesce(nb, 0) AS n_base,
+             coalesce(nc, 0) AS n_cur
+           FROM bins LEFT JOIN bc USING (bin) LEFT JOIN cc USING (bin)),
+         t AS (
+           SELECT CAST(sum(n_base) AS DOUBLE) + 5.0 AS tb,
+             CAST(sum(n_cur) AS DOUBLE) + 5.0 AS tc
+           FROM j)
+         SELECT bin, n_base, n_cur,
+           round((CAST(n_base AS DOUBLE) + 0.5) / tb, 6) AS p_base,
+           round((CAST(n_cur AS DOUBLE) + 0.5) / tc, 6) AS p_cur,
+           round(((CAST(n_cur AS DOUBLE) + 0.5) / tc
+               - (CAST(n_base AS DOUBLE) + 0.5) / tb)
+             * ln(((CAST(n_cur AS DOUBLE) + 0.5) / tc)
+               / ((CAST(n_base AS DOUBLE) + 0.5) / tb)), 6) AS psi_term
+         FROM j CROSS JOIN t ORDER BY bin""",
+
+    "q95_price_trend" ->
+      """SELECT o_orderpriority,
+           round(regr_slope(o_totalprice,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+               AS DOUBLE)), 6) AS slope,
+           round(regr_intercept(o_totalprice,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+               AS DOUBLE)), 4) AS intercept,
+           count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }
