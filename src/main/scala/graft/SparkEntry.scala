@@ -939,6 +939,48 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** One-scan numeric table profile over lineitem's measure columns —
+    * the "describe" report: every statistic for every column computed
+    * in a single aggregation, per-column rows exploded from the one
+    * result row.
+    */
+  private def lineitemProfile(s: SparkSession, dir: String): DataFrame =
+    Analytics.numericProfile(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column_name")
+
+  /** CDC change-feed application over a deterministic change set:
+    * snapshot (keys not divisible by 3) + updates (every 5th key
+    * repriced), inserts (3·11 multiples), and deletes (every 7th key,
+    * winning same-instant ties) — materialized current state
+    * summarized. One max_by aggregation on the key, no window sort.
+    */
+  private def cdcApplySummary(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    val snapshot = o.where(col("o_orderkey") % 3 =!= 0)
+    val updates = o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.2, 2))
+      .withColumn("op", lit("U")).withColumn("ord", lit(1))
+    // inserts land at ord=0: their keys (3·11 multiples) are disjoint
+    // from the snapshot (keys % 3 ≠ 0), and a 5-divisible insert is
+    // then deterministically repriced by its ord=1 update
+    val inserts = o
+      .where(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 11 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1000.0, 2))
+      .withColumn("op", lit("I")).withColumn("ord", lit(0))
+    val deletes = o.where(col("o_orderkey") % 7 === 0)
+      .withColumn("op", lit("D")).withColumn("ord", lit(2))
+    val changes = updates.unionByName(inserts).unionByName(deletes)
+    Analytics.applyChanges(snapshot, changes, Seq("o_orderkey"),
+        "op", "ord", baseOrd = lit(0))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 1).as("price_sum"),
+        round(sum(col("o_orderkey").cast("double")), 1).as("key_sum"))
+  }
+
   /** Distribution-drift monitor: PSI of order prices between two
     * deterministic snapshot halves over baseline-decile bins —
     * per-bin populations, smoothed shares, and PSI contributions.
@@ -1859,6 +1901,8 @@ object SparkEntry {
     "q93_lineitem_corr" -> (lineitemCorrMatrix _),
     "q94_price_drift_psi" -> (priceDriftPsi _),
     "q95_price_trend" -> (priceTrendByPriority _),
+    "q96_lineitem_profile" -> (lineitemProfile _),
+    "q97_cdc_apply" -> (cdcApplySummary _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3201,5 +3245,50 @@ object SparkEntry {
                AS DOUBLE)), 4) AS intercept,
            count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q96_lineitem_profile" -> {
+      def statRow(c: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            count(*) - count($c) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            min($c) AS min, max($c) AS max,
+            round(avg($c), 6) AS mean,
+            round(stddev_samp($c), 6) AS stddev
+            FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(statRow).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY column_name")
+    },
+
+    "q97_cdc_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderpriority AS prio, 'I' AS op, 0 AS ord
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         ups AS (
+           SELECT o_orderkey, round(o_totalprice * 1.2, 2),
+             o_orderpriority, 'U', 1
+           FROM orders WHERE o_orderkey % 5 = 0),
+         ins AS (
+           SELECT o_orderkey, round(o_totalprice + 1000.0, 2),
+             o_orderpriority, 'I', 0
+           FROM orders
+           WHERE o_orderkey % 3 = 0 AND o_orderkey % 11 = 0),
+         dels AS (
+           SELECT o_orderkey, o_totalprice, o_orderpriority, 'D', 2
+           FROM orders WHERE o_orderkey % 7 = 0),
+         feed AS (
+           SELECT * FROM base UNION ALL SELECT * FROM ups
+           UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+         latest AS (
+           SELECT k, price, op, row_number() OVER (
+             PARTITION BY k
+             ORDER BY ord DESC,
+               CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) AS rn
+           FROM feed)
+         SELECT count(*) AS n_rows,
+           round(sum(price), 1) AS price_sum,
+           round(sum(CAST(k AS DOUBLE)), 1) AS key_sum
+         FROM latest WHERE rn = 1 AND op <> 'D'""",
   )
 }

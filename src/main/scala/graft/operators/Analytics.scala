@@ -423,6 +423,84 @@ object Analytics {
         round(col("cnt").cast("double") / lit(math.max(n, 1L).toDouble), 6))
   }
 
+  /** Single-pass numeric profile — the "describe this table" report:
+    * one row PER COLUMN with row/null/distinct counts, min/max, mean
+    * and sample stddev, computed in ONE scan (every statistic for
+    * every column lives in the same aggregation; the per-column rows
+    * come from exploding the one result row, never from re-scanning).
+    * Exact distinct counts expand the aggregate per column (Spark's
+    * multi-count-distinct Expand) — at warehouse scale flip
+    * `exactDistinct = false` for one-pass HLL sketches instead.
+    */
+  def numericProfile(
+      df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    def dist(c: Column) =
+      if (exactDistinct) count_distinct(c) else approx_count_distinct(c)
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        (count(lit(1)) - count(v)).as(s"__nulls_$c"),
+        dist(v).as(s"__dist_$c"),
+        min(v).as(s"__min_$c"),
+        max(v).as(s"__max_$c"),
+        round(avg(v), 6).as(s"__mean_$c"),
+        round(stddev_samp(v), 6).as(s"__sd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"__n_$c").as("n_rows"),
+      col(s"__nulls_$c").as("n_nulls"),
+      col(s"__dist_$c").as("n_distinct"),
+      col(s"__min_$c").as("min"),
+      col(s"__max_$c").as("max"),
+      col(s"__mean_$c").as("mean"),
+      col(s"__sd_$c").as("stddev")))
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** CDC change-feed application: materialize the current state of a
+    * snapshot after a stream of keyed I/U/D operations — the batch
+    * `MERGE INTO` twin that completes the SCD family (SCD-1 keeps
+    * latest, SCD-2 keeps history, this applies explicit deletes).
+    *
+    * Per key, the LATEST event by (`orderCol`, op precedence on exact
+    * ties — deletes win, making same-instant delete+upsert
+    * deterministic) decides: upsert rows (op `I`/`U`) carry the new
+    * image, a delete (`D`) removes the key. Snapshot rows act as
+    * op-`I` observations at `baseOrd` (strictly before every change).
+    * One `max_by` aggregation on the key — partial+final, no window
+    * sort, no join.
+    */
+  def applyChanges(
+      snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], opCol: String, orderCol: String,
+      baseOrd: Column): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val dataCols = snapshot.columns.filterNot(keyCols.contains)
+    val base = snapshot.select(
+      keyCols.map(col) ++ dataCols.map(col)
+        :+ lit("I").as("__op") :+ baseOrd.as("__ord"): _*)
+    val feed = changes.select(
+      keyCols.map(col) ++ dataCols.map(col)
+        :+ col(opCol).as("__op") :+ col(orderCol).as("__ord"): _*)
+    val all = base.unionByName(feed)
+    val payload = struct(
+      (dataCols.map(col) :+ col("__op")).toIndexedSeq: _*)
+    // ties on __ord: D (1) outranks I/U (0) — the struct ordering's
+    // second field
+    val rank = struct(col("__ord"),
+      when(col("__op") === "D", lit(1)).otherwise(lit(0)).as("__d"))
+    all.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, rank).as("__row"))
+      .where(col("__row.__op") =!= "D")
+      .select(keyCols.map(col) ++
+        dataCols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Pearson χ² test of independence between two categorical columns:
     * one grouped count of the contingency table, marginals re-derived
     * from it (grouped again on each axis — cells, not rows), expected
