@@ -939,6 +939,79 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Classifier evaluation over the language-ID heuristic: per-language
+    * precision / recall / F1 against the metadata label — one
+    * confusion-matrix aggregation (the q20 table) plus cell-sized
+    * arithmetic; the evaluation-report shape any corpus-labeling model
+    * needs.
+    */
+  private def langIdMetrics(s: SparkSession, dir: String): DataFrame = {
+    val p = TextAnalysis.langIdStaged(docs(s, dir), "text")
+      .select(col("lang"), col("predicted"))
+      .transform(graft.core.CacheScope.disk)
+    val actual = p.groupBy(col("lang").as("language"))
+      .agg(count(lit(1)).as("n_actual"))
+    val predicted = p.groupBy(col("predicted").as("language"))
+      .agg(count(lit(1)).as("n_predicted"))
+    val correct = p.where(col("lang") === col("predicted"))
+      .groupBy(col("lang").as("language"))
+      .agg(count(lit(1)).as("n_correct"))
+    val prec = col("n_correct").cast("double") /
+      nullif(col("n_predicted").cast("double"), lit(0.0))
+    val rec = col("n_correct").cast("double") /
+      nullif(col("n_actual").cast("double"), lit(0.0))
+    actual
+      .join(predicted, Seq("language"), "full_outer")
+      .join(correct, Seq("language"), "left")
+      .select(col("language"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("precision", round(prec, 6))
+      .withColumn("recall", round(rec, 6))
+      .withColumn("f1",
+        round(lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0)), 6))
+      .orderBy("language")
+  }
+
+  /** Relationship-cardinality audit: the fan-out histogram of
+    * lineitems per order (including zero-fan-out orders via the left
+    * join) — the data-modeling check that a claimed 1:N relationship
+    * actually holds and how N distributes.
+    */
+  private def orderFanoutHistogram(
+      s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders").select(col("o_orderkey"))
+      .join(
+        t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("__n")),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("fanout"))
+    per.groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+      .orderBy("fanout")
+  }
+
+  /** Inter-arrival latency per event type: exact p50/p95 of the gap
+    * (seconds) between consecutive same-type events — one window on
+    * the type key feeding one percentile aggregation.
+    */
+  private def eventInterArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("__t").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("__t"))
+      .withColumn("__gap",
+        (col("__t") - lag(col("__t"), 1).over(w)).cast("double") / 1e6)
+      .where(col("__gap").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(percentile(col("__gap"), lit(0.5)), 4).as("p50_sec"),
+        round(percentile(col("__gap"), lit(0.95)), 4).as("p95_sec"))
+      .orderBy("event_type")
+  }
+
   /** One-scan numeric table profile over lineitem's measure columns —
     * the "describe" report: every statistic for every column computed
     * in a single aggregation, per-column rows exploded from the one
@@ -1903,6 +1976,9 @@ object SparkEntry {
     "q95_price_trend" -> (priceTrendByPriority _),
     "q96_lineitem_profile" -> (lineitemProfile _),
     "q97_cdc_apply" -> (cdcApplySummary _),
+    "q98_langid_metrics" -> (langIdMetrics _),
+    "q99_order_fanout" -> (orderFanoutHistogram _),
+    "q100_event_interarrival" -> (eventInterArrival _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3290,5 +3366,60 @@ object SparkEntry {
            round(sum(price), 1) AS price_sum,
            round(sum(CAST(k AS DOUBLE)), 1) AS key_sum
          FROM latest WHERE rn = 1 AND op <> 'D'""",
+
+    "q98_langid_metrics" ->
+      s"""$oracleLangScores,
+         act AS (SELECT lang AS language, count(*) AS n_actual
+                 FROM p GROUP BY 1),
+         prd AS (SELECT predicted AS language, count(*) AS n_predicted
+                 FROM p GROUP BY 1),
+         cor AS (SELECT lang AS language, count(*) AS n_correct
+                 FROM p WHERE lang = predicted GROUP BY 1),
+         j AS (
+           SELECT coalesce(act.language, prd.language) AS language,
+             coalesce(n_actual, 0) AS n_actual,
+             coalesce(n_predicted, 0) AS n_predicted,
+             coalesce(n_correct, 0) AS n_correct
+           FROM act FULL OUTER JOIN prd USING (language)
+           LEFT JOIN cor USING (language))
+         SELECT language, n_actual, n_predicted, n_correct,
+           round(CAST(n_correct AS DOUBLE)
+             / nullif(CAST(n_predicted AS DOUBLE), 0.0), 6)
+             AS precision,
+           round(CAST(n_correct AS DOUBLE)
+             / nullif(CAST(n_actual AS DOUBLE), 0.0), 6) AS recall,
+           round(2.0 * (CAST(n_correct AS DOUBLE)
+               / nullif(CAST(n_predicted AS DOUBLE), 0.0))
+             * (CAST(n_correct AS DOUBLE)
+               / nullif(CAST(n_actual AS DOUBLE), 0.0))
+             / nullif(CAST(n_correct AS DOUBLE)
+                 / nullif(CAST(n_predicted AS DOUBLE), 0.0)
+               + CAST(n_correct AS DOUBLE)
+                 / nullif(CAST(n_actual AS DOUBLE), 0.0),
+               0.0), 6) AS f1
+         FROM j ORDER BY language""",
+
+    "q99_order_fanout" ->
+      """WITH per AS (
+           SELECT coalesce(n, 0) AS fanout FROM orders
+           LEFT JOIN (SELECT l_orderkey, count(*) AS n FROM lineitem
+                      GROUP BY 1) li
+             ON o_orderkey = l_orderkey)
+         SELECT fanout, count(*) AS n_orders
+         FROM per GROUP BY fanout ORDER BY fanout""",
+
+    "q100_event_interarrival" ->
+      """WITH o AS (
+           SELECT event_type, event_id, epoch_us(ts) AS t FROM events),
+         g AS (
+           SELECT event_type,
+             CAST(t - lag(t) OVER (PARTITION BY event_type
+               ORDER BY t, event_id) AS DOUBLE) / 1e6 AS gap
+           FROM o)
+         SELECT event_type, count(*) AS n_gaps,
+           round(quantile_cont(gap, 0.5), 4) AS p50_sec,
+           round(quantile_cont(gap, 0.95), 4) AS p95_sec
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
   )
 }
