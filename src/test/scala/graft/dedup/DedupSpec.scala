@@ -307,6 +307,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh.map(p => (p._1, p._2)).contains((1, 2)))
   }
 
+  test("minhashSignatures plan: ONE exchange (the id-keyed agg) — no " +
+      "corpus-wide shingle distinct upstream") {
+    val plan = Dedup.minhashSignatures(
+        docs((1, base), (2, base)), "id", "text", 3, 16)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
   test("tokenBit extracts md5 bits MSB-first") {
     // md5("a") = 0cc175b9... first nibble 0x0 → bits 0..3 all 0;
     // second nibble 0xc = 1100 → bits 4,5 = 1 and 6,7 = 0
