@@ -1,0 +1,62 @@
+package graft.transform
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction for parquet directories — the table-
+  * maintenance job that keeps scan parallelism healthy: a directory
+  * accumulated by incremental appends (micro-batch sinks, per-batch
+  * upserts) degrades into thousands of KB-sized files whose per-file
+  * open/footer cost dominates reads; compaction rewrites it into
+  * files sized for the scanner.
+  *
+  * Sizing: target output count = ceil(actual on-disk bytes /
+  * `targetFileBytes`) — measured from the file listing, not guessed
+  * from row counts, so compression ratio is accounted for.
+  * `repartition(n)` (round-robin) balances rows evenly across output
+  * files; callers who also want multi-dimensional clustering run
+  * [[graft.operators.Analytics.clusterByZOrder]] INSTEAD — both end
+  * in one shuffle, so compact-then-cluster would pay two.
+  *
+  * Atomicity: the compacted data is written to a sibling temp
+  * directory and swapped in with two renames (old → trash, temp →
+  * path, trash deleted). A reader holding the OLD listing mid-swap
+  * can fail and retry — same guarantee bare-parquet overwrites have
+  * anywhere; table formats with snapshot isolation are the upgrade
+  * path, not in scope on plain directories.
+  *
+  * Returns (filesBefore, filesAfter).
+  */
+object Compaction {
+
+  def compactParquet(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    require(targetFileBytes >= 1, "targetFileBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(dataFiles.nonEmpty, s"no parquet files under $path")
+    val bytes = dataFiles.map(_.getLen).sum
+    val filesBefore = dataFiles.size.toLong
+    val nOut = math.max(1L,
+      math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__compact_tmp")
+    val trash = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__compact_old")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    spark.read.parquet(path)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .parquet(tmp.toString)
+    require(fs.rename(hPath, trash), s"swap failed: $path -> $trash")
+    require(fs.rename(tmp, hPath), s"swap failed: $tmp -> $path")
+    fs.delete(trash, true)
+    val filesAfter = fs.listStatus(hPath).toSeq
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .toLong
+    (filesBefore, filesAfter)
+  }
+}
