@@ -939,6 +939,42 @@ object SparkEntry {
       .orderBy("value")
   }
 
+  /** Rank-normalization window functions (percent_rank / cume_dist)
+    * per market segment — the top-decile customers by within-segment
+    * balance percentile.
+    */
+  private def acctbalPercentRanks(
+      s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .where(col("pct_rank") >= 0.99)
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Custom GROUPING SETS — two independent reporting dimensions
+    * (priority totals and month totals) in ONE scan and one shuffle,
+    * the shape neither ROLLUP nor CUBE expresses (no combined cells,
+    * no grand total).
+    */
+  private def orderGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    s.sql("""
+      SELECT o_orderpriority,
+        date_format(o_orderdate, 'yyyy-MM') AS month,
+        CAST(grouping_id() AS INT) AS gid,
+        count(*) AS n,
+        round(sum(o_totalprice), 2) AS total
+      FROM __orders_gs
+      GROUP BY GROUPING SETS ((o_orderpriority),
+        (date_format(o_orderdate, 'yyyy-MM')))
+      ORDER BY gid, o_orderpriority, month""")
+  }
+
   /** Classifier evaluation over the language-ID heuristic: per-language
     * precision / recall / F1 against the metadata label — one
     * confusion-matrix aggregation (the q20 table) plus cell-sized
@@ -1979,6 +2015,8 @@ object SparkEntry {
     "q98_langid_metrics" -> (langIdMetrics _),
     "q99_order_fanout" -> (orderFanoutHistogram _),
     "q100_event_interarrival" -> (eventInterArrival _),
+    "q101_acctbal_pct_rank" -> (acctbalPercentRanks _),
+    "q102_order_grouping_sets" -> (orderGroupingSets _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3421,5 +3459,28 @@ object SparkEntry {
            round(quantile_cont(gap, 0.95), 4) AS p95_sec
          FROM g WHERE gap IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+
+    "q101_acctbal_pct_rank" ->
+      """SELECT * FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+           FROM customer
+           WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey))
+         WHERE pct_rank >= 0.99
+         ORDER BY c_mktsegment, c_custkey""",
+
+    "q102_order_grouping_sets" ->
+      """SELECT o_orderpriority,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(2 * GROUPING(o_orderpriority)
+             + GROUPING(strftime(o_orderdate, '%Y-%m')) AS INT) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority),
+           (strftime(o_orderdate, '%Y-%m')))
+         ORDER BY gid, o_orderpriority, month""",
   )
 }
