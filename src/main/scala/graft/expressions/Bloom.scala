@@ -59,6 +59,12 @@ object BloomOps {
     require(numHashes >= 1, "numHashes must be positive")
     require(numBits >= 8 && numBits % 8 == 0,
       "numBits must be a positive multiple of 8")
+    // JVM byte arrays cap at Int.MaxValue: ~1.8e9 items at fpp=0.01 is
+    // one doubling from the ceiling — fail fast with the actual
+    // remedy instead of a NegativeArraySizeException inside the agg
+    require(numBits / 8 <= Int.MaxValue.toLong - HEADER,
+      s"filter of $numBits bits exceeds the JVM array ceiling — " +
+        "raise fpp or shard the filter (one per fingerprint prefix)")
     val bytes = new Array[Byte](HEADER + (numBits / 8).toInt)
     bytes(0) = (numHashes >>> 24).toByte
     bytes(1) = (numHashes >>> 16).toByte

@@ -514,26 +514,41 @@ object Analytics {
     * everything after operates on |A|×|B| cells.
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the ONE corpus-touching pass; persisted because the marginals,
+    // N, the dof levels, and the cell join all read it (the repo's
+    // multi-consumer persist convention)
     val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
+      .transform(graft.core.CacheScope.disk)
     val rowTot = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+      .withColumnRenamed("__a", "__ra_key")
     val colTot = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+      .withColumnRenamed("__b", "__cb_key")
     val n = cells.agg(sum("__o").as("__n"))
+    // null-safe join back: a null category level is a level like any
+    // other — an equi-join would zero its observed counts while its
+    // mass still inflated the marginals (a silently wrong statistic)
     val full = rowTot.crossJoin(colTot).crossJoin(n)
-      .join(cells, Seq("__a", "__b"), "left")
+      .join(cells,
+        col("__ra_key") <=> col("__a") && col("__cb_key") <=> col("__b"),
+        "left")
       .select(col("__ra"), col("__cb"), col("__n"),
         coalesce(col("__o"), lit(0L)).as("__o"))
       .withColumn("__e",
         col("__ra").cast("double") * col("__cb").cast("double") /
           col("__n").cast("double"))
-    val levels = rowTot.count() -> colTot.count()
+    // dof levels from the (persisted, cell-sized) contingency table —
+    // one bounded action, no corpus re-scan
+    val lv = cells.agg(
+      count_distinct(struct(col("__a"))).as("la"),
+      count_distinct(struct(col("__b"))).as("lb")).head()
+    val dof = ((lv.getLong(0) - 1) * (lv.getLong(1) - 1)).toInt
     full.agg(
       sum(pow(col("__o").cast("double") - col("__e"), 2) / col("__e"))
         .as("chi2"),
       first(col("__n")).as("n"))
       .select(round(col("chi2"), 4).as("chi2"),
-        lit(((levels._1 - 1) * (levels._2 - 1)).toInt).as("dof"),
-        col("n"))
+        lit(dof).as("dof"), col("n"))
   }
 
   /** Time-weighted average of `valueCol` per entity: each observation
@@ -579,11 +594,14 @@ object Analytics {
     * row content) or `unchanged` — the table-diff that validates an
     * incremental load against its source.
     *
-    * Row content is compared as an md5 over a column-ORDER-pinned
-    * rendering of `compareCols` in which null renders as `"n"` and a
-    * value as `"v" + value` — null can never collide with any value's
-    * rendering (the surrogate-key `"None"` sentinel would call a
-    * literal `"None"` string unchanged against null). The join then
+    * Row content is compared as an md5 over a column-ORDER-pinned,
+    * PREFIX-FREE rendering of `compareCols`: null renders as `"n"`, a
+    * value as `"v" + length + ":" + value`. Null can never collide
+    * with any value's rendering (the surrogate-key `"None"` sentinel
+    * would call a literal `"None"` string unchanged against null),
+    * and the length prefix makes the concatenation injective — a
+    * value containing the join delimiter cannot shift bytes into a
+    * neighboring column's rendering. The join then
     * carries (key, 32-char digest) per side, never the wide row: at
     * snapshot scale the shuffle payload is keys + digests regardless
     * of row width. One full outer join on the key. Caller
@@ -599,9 +617,12 @@ object Analytics {
     require(compareCols.nonEmpty, "at least one compare column")
     def digested(df: DataFrame, as: String) = df.select(
       keyCols.map(col) :+
-        md5(concat_ws("|", compareCols.map(c =>
-          coalesce(concat(lit("v"), col(c).cast("string")), lit("n")))
-          : _*)).as(as): _*)
+        md5(concat_ws("|", compareCols.map { c =>
+          val s = col(c).cast("string")
+          coalesce(
+            concat(lit("v"), length(s).cast("string"), lit(":"), s),
+            lit("n"))
+        }: _*)).as(as): _*)
     val l = digested(left, "__hl")
     val r0 = digested(right, "__hr")
     val r = keyCols.foldLeft(r0)((d, c) =>
@@ -675,9 +696,8 @@ object Analytics {
       df: DataFrame, entityCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     val f = funnel(df, entityCol, tsCol, typeCol, steps)
-    val counts = f.agg(
-      count(lit(1)).as("__n"),
-      steps.map(s => count(col(s"${s}_ts")).as(s"__c_$s")): _*)
+    val stepAggs = steps.map(s => count(col(s"${s}_ts")).as(s"__c_$s"))
+    val counts = f.agg(stepAggs.head, stepAggs.tail: _*)
     val stepRows = steps.zipWithIndex.map { case (s, i) =>
       struct(lit(i + 1).as("step_n"), lit(s).as("step"),
         col(s"__c_$s").as("reached"))

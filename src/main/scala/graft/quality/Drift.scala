@@ -40,10 +40,14 @@ object Drift {
       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val probs = (1 until bins).map(_.toDouble / bins)
-    val edges = baseline
+    val edgesRaw = baseline
       .where(col(valueCol).isNotNull)
       .agg(percentile(col(valueCol), typedlit(probs)).as("__e"))
       .head().getSeq[Double](0)
+    require(edgesRaw != null,
+      s"baseline has no non-null '$valueCol' values — no quantile " +
+        "edges to bin against")
+    val edges = edgesRaw
       .map(e => BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
     def binOf(c: Column): Column = edges
@@ -60,12 +64,15 @@ object Drift {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("bin",
           org.apache.spark.sql.types.IntegerType))))
-    val joined = allBins
+    // persisted: the totals action below AND the returned result both
+    // read it — without persist each snapshot's grouped count runs
+    // twice (the repo's multi-consumer convention)
+    val joined = graft.core.CacheScope.disk(allBins
       .join(counts(baseline, "n_base"), Seq("bin"), "left")
       .join(counts(current, "n_cur"), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        coalesce(col("n_cur"), lit(0L)).as("n_cur")))
     val tot = joined.agg(
       sum("n_base").as("__tb"), sum("n_cur").as("__tc")).head()
     val (tb, tc) = (tot.getLong(0), tot.getLong(1))

@@ -211,7 +211,13 @@ object EventStreams {
     val lock = new Object
     foreachBatchSink(docs, checkpointDir, outputMode = "append") {
       (batch, _) =>
-        lock.synchronized {
+        // cache scope per micro-batch: dedupAgainstBloom persists its
+        // in-batch dedup via CacheScope.disk; without a scope on this
+        // (streaming) thread the cache registry would grow by one
+        // entry per batch for the stream's lifetime. The landed result
+        // is localCheckpoint'ed eagerly INSIDE the scope, so releasing
+        // the persisted intermediate on exit loses nothing.
+        lock.synchronized(graft.core.CacheScope.withScope {
           val survivors =
             if (corpusExists)
               Dedup.dedupAgainstBloom(
@@ -234,7 +240,7 @@ object EventStreams {
               BloomOps.numBits(bloom))(col("__fp")).as("__b"))
             .head.getAs[Array[Byte]]("__b")
           bloom = BloomOps.merge(bloom, batchBloom)
-        }
+        })
     }
   }
 

@@ -203,12 +203,17 @@ object StarSchemaBuilder {
     * MERGEs produce. Ties on `orderCol` break on `tieBreak` so the
     * history is deterministic under same-instant observations.
     *
-    * Scale: both windows and the version numbering partition on
-    * `keyCols` with the same ordering, so the plan carries ONE exchange
-    * on the key — the change-detection lag, the version filter, the
-    * `lead` and the `row_number` all reuse it (no second shuffle, no
-    * global window). Per-key work is linear in that key's observation
-    * count.
+    * Each version also carries `last_seen` — the order value of its
+    * LAST collapsed observation. That makes the version row a
+    * both-endpoints compaction of its observation run, which is what
+    * lets [[upsertDimensionScd2]] re-derive correct attribute
+    * SEQUENCES under late-arriving observations (see its scaladoc for
+    * the exact guarantee).
+    *
+    * Scale: every window (change-detection lag, the key-last max, the
+    * version filter, `lead`s and the `row_number`) partitions on
+    * `keyCols`, so the plan carries ONE exchange on the key. Per-key
+    * work is linear in that key's observation count.
     */
   def scd2Versions(
       df: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
@@ -218,8 +223,8 @@ object StarSchemaBuilder {
     // the select below drops unrelated columns, so only key/attr names
     // can collide with the emitted version columns
     val reserved =
-      Set("__new", "__ord", "valid_from", "valid_to", "version_n",
-        "is_current")
+      Set("__new", "__ord", "__prevOrd", "__keyLast", "valid_from",
+        "valid_to", "last_seen", "version_n", "is_current")
     require(!(keyCols ++ attrCols).exists(reserved),
       s"key/attr columns must not be named ${reserved.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
@@ -230,31 +235,48 @@ object StarSchemaBuilder {
       .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
       .reduce(_ || _)
     val isNew = row_number().over(w) === 1 || changed
+    // a version's last observation = the row just before the NEXT
+    // opener (its __prevOrd), or the key's overall last observation
+    // for the open version — both read through the same key exchange
+    val openerW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ord").asc)
     df.select(
         (keyCols ++ attrCols).map(col) :+ col(orderCol).as("valid_from")
           :+ isNew.as("__new")
+          :+ lag(col(orderCol), 1).over(w).as("__prevOrd")
+          :+ max(col(orderCol)).over(
+              Window.partitionBy(keyCols.map(col): _*)).as("__keyLast")
           :+ struct(ordCols.toIndexedSeq: _*).as("__ord"): _*)
       .where(col("__new"))
-      .withColumn("valid_to",
-        lead(col("valid_from"), 1).over(
-          Window.partitionBy(keyCols.map(col): _*).orderBy(col("__ord").asc)))
-      .withColumn("version_n",
-        row_number().over(
-          Window.partitionBy(keyCols.map(col): _*).orderBy(col("__ord").asc)))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(openerW))
+      .withColumn("last_seen",
+        coalesce(lead(col("__prevOrd"), 1).over(openerW),
+          col("__keyLast")))
+      .withColumn("version_n", row_number().over(openerW))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop("__new", "__ord")
+      .drop("__new", "__ord", "__prevOrd", "__keyLast")
   }
 
   /** SCD type-2 dimension upsert over a bare Parquet path. The stored
-    * history IS a compressed change stream — each version row is the
-    * (key, attrs, valid_from) observation that opened it — so the merge
-    * re-derives: union existing versions' opening observations with the
-    * incoming updates (their `orderCol` becomes the observation time)
-    * and re-runs [[scd2Versions]]. This makes the upsert idempotent
-    * (re-applying an already-seen update changes nothing), no-op-safe
-    * (an update equal to the key's latest attributes opens no version),
-    * and late-arrival-correct (an observation older than the current
-    * version splices into history where it belongs).
+    * history IS a compressed change stream — each version row retains
+    * BOTH endpoints of its observation run (`valid_from` and
+    * `last_seen`) — so the merge re-derives: union the existing
+    * versions' endpoint observations with the incoming updates (their
+    * `orderCol` becomes the observation time) and re-run
+    * [[scd2Versions]]. This makes the upsert idempotent (re-applying
+    * an already-seen update changes nothing), no-op-safe (an update
+    * equal to the key's latest attributes opens no version), and
+    * late-arrival SEQUENCE-correct: an out-of-order observation
+    * splices between the retained endpoints around it, so the derived
+    * attribute sequence always matches the full-stream derivation
+    * (endpoint retention is exactly what makes "A … A, late B in the
+    * middle" re-open A afterwards instead of ending on B). The one
+    * compaction artifact: observations strictly INSIDE a version's
+    * endpoint pair are dropped, so a version re-opened by a late
+    * arrival interleaving among them dates from the next RETAINED
+    * observation — the tightest bound the compacted evidence allows.
+    * Deployments needing exact boundaries under arbitrary replay keep
+    * the raw observation log and re-derive from it instead.
     *
     * Returns the post-upsert version count.
     */
@@ -268,11 +290,12 @@ object StarSchemaBuilder {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existingObs =
-      if (fs.exists(hPath))
-        Some(spark.read.parquet(path)
-          .select((keyCols ++ attrCols).map(col)
-            :+ col("valid_from").as(orderCol): _*))
-      else None
+      if (fs.exists(hPath)) {
+        val h = spark.read.parquet(path)
+        def endpoint(c: String) = h.select(
+          (keyCols ++ attrCols).map(col) :+ col(c).as(orderCol): _*)
+        Some(endpoint("valid_from").unionByName(endpoint("last_seen")))
+      } else None
     val incoming = updates.select(obsCols: _*)
     val stream = existingObs match {
       case Some(e) => e.unionByName(incoming).distinct()

@@ -44,6 +44,22 @@ class ChiSquareSpec extends SparkSpec {
     assert(math.abs(c - 30.0) < 1e-9) // chi2 = n for a perfect diagonal
   }
 
+  test("null categories are real levels: statistic equals the " +
+      "sentinel-recoded table") {
+    val rows = Seq(
+      Row(null, "p"), Row(null, "p"), Row(null, "q"),
+      Row("y", "p"), Row("y", "q"), Row("y", "q"))
+    val withNull = df(StructType(Seq(
+      StructField("a", StringType, nullable = true),
+      StructField("b", StringType))), rows)
+    val recoded = Analytics.chiSquare(
+      withNull.na.fill("NULL_LEVEL", Seq("a")), "a", "b").head()
+    val raw = Analytics.chiSquare(withNull, "a", "b").head()
+    assert(raw.getDouble(0) == recoded.getDouble(0))
+    assert(raw.getInt(1) == recoded.getInt(1) && raw.getInt(1) == 1)
+    assert(raw.getLong(2) == 6L)
+  }
+
   test("dof = (levels_a - 1)(levels_b - 1)") {
     val (_, dof, _) = chi2(
       ("x", "p", 1), ("x", "q", 2), ("x", "r", 3),

@@ -41,6 +41,21 @@ class DiffTwaSpec extends SparkSpec {
     assert(diff(left, r2) == Map(1 -> "changed", 2 -> "changed"))
   }
 
+  test("delimiter injection cannot alias two different rows") {
+    // ("a", "b|n") and ("a|vb", null) would render identically under
+    // naive "|"-joined concatenation; the length-prefixed rendering
+    // keeps them distinct
+    val sch = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("a", StringType, nullable = true),
+      StructField("b", StringType, nullable = true)))
+    val left = df(sch, Seq(Row(1, "a", "b|n")))
+    val right = df(sch, Seq(Row(1, "a|vb", null)))
+    val out = Analytics.tableDiff(left, right, Seq("k"), Seq("a", "b"))
+      .collect()
+    assert(out.head.getString(1) == "changed")
+  }
+
   test("null keys join null-safely (one row, not added+removed)") {
     val left = snap((null, "x", 1.0))
     val right = snap((null, "x", 1.0))

@@ -117,6 +117,35 @@ class Scd2Spec extends SparkSpec {
     assert(up(Row(1, "B", 5, 0)) == 2)
   }
 
+  test("versions carry last_seen: the final collapsed observation") {
+    val out = versions(stream(
+      Row(1, "A", 1, 0), Row(1, "A", 5, 0), Row(1, "B", 7, 0),
+      Row(1, "B", 9, 0)))
+      .orderBy("version_n")
+      .select("attr", "valid_from", "last_seen").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("A", 1, 5), ("B", 7, 9)))
+  }
+
+  test("upsert: late arrival INSIDE a version's span re-opens the " +
+      "old attributes afterwards (endpoint retention)") {
+    val path = tmpDir() + "/dim"
+    def up(rows: Row*): Long =
+      StarSchemaBuilder.upsertDimensionScd2(
+        spark, path, stream(rows: _*), Seq("k"), Seq("attr"), "seq")
+    // A observed at 1 and at 3 (same attrs → one version, endpoints
+    // retained); B arrives late at 2, in the middle of A's span
+    up(Row(1, "A", 1, 0), Row(1, "A", 3, 0))
+    assert(up(Row(1, "B", 2, 0)) == 3)
+    val hist = spark.read.parquet(path).orderBy("version_n").collect()
+    assert(hist.map(_.getAs[String]("attr")).toSeq == Seq("A", "B", "A"))
+    assert(hist(0).getAs[Int]("valid_to") == 2)
+    assert(hist(1).getAs[Int]("valid_to") == 3)
+    // current state is A again — NOT the late-arriving B
+    assert(hist(2).getAs[Boolean]("is_current") &&
+      hist(2).getAs[String]("attr") == "A")
+  }
+
   test("upsert: late-arriving observation splices into history") {
     val path = tmpDir() + "/dim"
     def up(rows: Row*): Long =
