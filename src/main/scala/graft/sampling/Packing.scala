@@ -3,6 +3,7 @@ package graft.sampling
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Corpus-layout operators for training pipelines: token-budget shard
   * packing (the "concat-then-chunk" sequence-packing shape LLM
@@ -77,23 +78,147 @@ object Packing {
     * training mix that must not exceed per-source token quotas wants
     * the hard bound, not best-effort.
     *
-    * One shuffle on the group key + per-group window sort. Group
-    * cardinality bounds the sort partitions; for pathological
-    * single-group corpora, pre-split the group or raise
-    * parallelism upstream.
+    * Scale: the naive form is `sum(tokens) over (partition by group
+    * order by …)` — each group's ENTIRE row set through one
+    * window-sort task, so grouping a web corpus by language puts the
+    * dominant language (≈ half the corpus) on a single executor.
+    * This is the two-phase form instead: a bounded per-group
+    * histogram of the primary sort key (`bins` token subtotals per
+    * group, never the rows) locates the first bin whose inclusive
+    * running total strictly exceeds the budget, and only rows at or
+    * before that bin — ~one budget's worth of documents plus one bin
+    * of slack, REGARDLESS of group size — reach the exact inclusive
+    * window. The prefilter set is downward-closed under the full sort
+    * order (the bin index is monotone in the primary key, ties share
+    * a bin), so every kept row's running total is computed over
+    * exactly its true prefix, and every pruned row's total provably
+    * exceeds the budget: results are bit-identical to the naive form,
+    * including range-frame tie semantics.
+    *
+    * The sketch needs a numeric primary sort key (cast-to-double is
+    * monotone, so decimals/floats are fine; direction and null
+    * ordering are read from the `Column`'s sort order — nulls-first
+    * rows are always prefiltered in, nulls-last/NaN rows only when
+    * the budget provably reaches them). Groups that fit entirely
+    * within the budget cross no bin and skip pruning; negative token
+    * counts in a group (running totals no longer monotone) disable
+    * that group's cut; a non-numeric primary key falls back to the
+    * exact single-window form for the whole frame.
     */
   def takeUntilBudget(
       df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
-      tokenCol: String, budget: Long): DataFrame = {
+      tokenCol: String, budget: Long, bins: Int = 64): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(budget > 0, "budget must be positive")
-    require(!df.columns.contains("__cum"),
-      "input must not have a column named __cum")
+    require(bins >= 2, "bins must be at least 2")
+    val reserved = Set("__cum", "__bin", "__cross", "__rawcross",
+      "__kmin", "__kmax", "__btok", "__btokmin", "__tokmin", "__run") ++
+      groupCols.flatMap(c => Seq("__g_" + c, "__h_" + c))
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val pruned = budgetPrune(df, groupCols, orderBy, tokenCol, budget, bins)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(orderBy: _*)
-    df.withColumn("__cum",
+    pruned.withColumn("__cum",
       sum(coalesce(col(tokenCol).cast("long"), lit(0L))).over(w))
       .where(col("__cum") <= budget)
-      .drop("__cum")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Phase 1 of [[takeUntilBudget]]: filter `df` to a downward-closed
+    * (under the full `orderBy` order) superset of each group's
+    * budget prefix, bounded per group by the budget-crossing bin of a
+    * `bins`-bucket token histogram over the primary sort key. Returns
+    * `df` unchanged when the primary key is non-numeric (exact-path
+    * fallback). Package-private so specs can assert boundedness.
+    */
+  private[sampling] def budgetPrune(
+      df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+      tokenCol: String, budget: Long, bins: Int): DataFrame = {
+    val (firstKey, descending, nullsFirst) = primarySortKey(orderBy.head)
+    val numericKey = df.select(firstKey).schema.head.dataType match {
+      case _: NumericType => true
+      case _              => false
+    }
+    if (!numericKey) return df
+
+    // persisted: feeds the stats agg, the histogram agg AND the final
+    // window leg — without it each leg recomputes the (often
+    // expensive) upstream expressions once each
+    val base = graft.core.CacheScope.disk(df)
+    val tok = coalesce(col(tokenCol).cast("long"), lit(0L))
+    val keyd = firstKey.cast("double")
+    // normalized key: ascending in scan order regardless of direction
+    val k = if (descending) -keyd else keyd
+    val gcols = groupCols.map(col)
+    val gRenamed = groupCols.map(c => col("__g_" + c))
+
+    // per-group finite-key range + bin index (nulls/NaN get sentinel
+    // bins matching their position in Spark's sort order)
+    val finiteK = when(keyd.isNotNull && !isnan(keyd), k)
+    val stats = base.groupBy(gcols: _*)
+      .agg(min(finiteK).as("__kmin"), max(finiteK).as("__kmax"))
+    val statsR = groupCols.foldLeft(stats) {
+      (d, c) => d.withColumnRenamed(c, "__g_" + c)
+    }
+    val statsCond = groupCols.map(c => col(c) <=> col("__g_" + c))
+      .reduce(_ && _)
+    val nullBin = if (nullsFirst) -1 else bins
+    val nanBin = if (descending) -1 else bins // NaN sorts as the max key
+    val width = (col("__kmax") - col("__kmin")) / bins
+    val binExpr = when(keyd.isNull, nullBin)
+      .when(isnan(keyd), nanBin)
+      .when(col("__kmin").isNull || col("__kmax") <= col("__kmin"), 0)
+      .otherwise(greatest(lit(0L),
+        least(lit((bins - 1).toLong), floor((k - col("__kmin")) / width))))
+      .cast("int")
+    val binned = base.join(statsR, statsCond).withColumn("__bin", binExpr)
+
+    // bounded histogram: `bins`+2 token subtotals per group; the
+    // budget-crossing bin is the first whose INCLUSIVE running total
+    // STRICTLY exceeds the budget (strict, so a zero-token row beyond
+    // the cut can never have a qualifying running total)
+    val runW = Window.partitionBy(gRenamed: _*).orderBy(col("__bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = binned
+      .groupBy((gRenamed :+ col("__bin")): _*)
+      .agg(sum(tok).as("__btok"), min(tok).as("__btokmin"))
+      .withColumn("__run", sum(col("__btok")).over(runW))
+      .groupBy(gRenamed: _*)
+      .agg(min(when(col("__run") > budget, col("__bin"))).as("__rawcross"),
+        min(col("__btokmin")).as("__tokmin"))
+      // negative tokens break running-total monotonicity → no cut for
+      // that group (exact window over all of its rows)
+      .withColumn("__cross", when(col("__tokmin") < 0, lit(null))
+        .otherwise(col("__rawcross")))
+    val cutsR = groupCols.foldLeft(
+        cuts.select((gRenamed :+ col("__cross")): _*)) {
+      (d, c) => d.withColumnRenamed("__g_" + c, "__h_" + c)
+    }
+    val cutCond = groupCols.map(c => col(c) <=> col("__h_" + c))
+      .reduce(_ && _)
+    binned.join(cutsR, cutCond)
+      .where(col("__cross").isNull || col("__bin") <= col("__cross"))
+  }
+
+  /** Primary sort key of an `orderBy` head: (child column, descending?,
+    * nulls first?). A bare column sorts ascending-nulls-first, matching
+    * Spark's `Window.orderBy` default.
+    */
+  private def primarySortKey(c: Column): (Column, Boolean, Boolean) = {
+    val n = c.node
+    // sql.internal.SortOrder is private[sql] at the Scala level but its
+    // case-class accessors are public bytecode — reflection is the
+    // supported-surface-only way to read the direction off a Column
+    if (n.getClass.getName == "org.apache.spark.sql.internal.SortOrder") {
+      def field(name: String): AnyRef =
+        n.getClass.getMethod(name).invoke(n)
+      // ColumnNode is unnameable outside org.apache.spark.sql; a
+      // type-parameter witness carries the inferred type through the cast
+      def as[A](x: AnyRef, witness: A): A = x.asInstanceOf[A]
+      (new Column(as(field("child"), n)),
+        field("sortDirection").getClass.getName.endsWith("Descending$"),
+        field("nullOrdering").getClass.getName.endsWith("NullsFirst$"))
+    } else (new Column(n), false, true)
   }
 }

@@ -112,4 +112,120 @@ class PackingSpec extends SparkSpec {
       .select("id").collect().map(_.getInt(0)).toSet
     assert(out == Set(1, 2, 3, 4, 5, 6))
   }
+
+  // the naive exact form takeUntilBudget must stay bit-identical to
+  private def naiveTake(
+      d: org.apache.spark.sql.DataFrame, groups: Seq[String],
+      ord: Seq[org.apache.spark.sql.Column], tokenCol: String,
+      budget: Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groups.map(col): _*).orderBy(ord: _*)
+    d.withColumn("__naive",
+      sum(coalesce(col(tokenCol).cast("long"), lit(0L))).over(w))
+      .where(col("__naive") <= budget)
+      .drop("__naive")
+  }
+
+  private def messyDocs = {
+    val rng = new scala.util.Random(7)
+    df(
+      StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("g", StringType),
+        StructField("q", DoubleType),
+        StructField("tokens", IntegerType))),
+      (0 until 400).map { i =>
+        val g = i % 5 match {
+          case 0 => null; case 1 => "en"; case 2 => "en"
+          case 3 => "de"; case _ => "fr"
+        }
+        // coarse quality → plenty of exact ties across the budget cut
+        val q: java.lang.Double =
+          if (i % 11 == 0) null else math.floor(rng.nextDouble() * 8) / 8.0
+        val t: java.lang.Integer =
+          if (i % 13 == 0) null else Integer.valueOf(rng.nextInt(40))
+        Row(i, g, q, t)
+      })
+  }
+
+  test("takeUntilBudget equals the naive single-window form on messy " +
+      "data (ties, null keys, null groups, null tokens; asc and desc; " +
+      "nulls first and last; several budgets and bin counts)") {
+    val orders = Seq(
+      Seq(col("q").desc, col("id").asc),
+      Seq(col("q").asc, col("id").asc),
+      Seq(col("q").desc_nulls_first, col("id").asc),
+      Seq(col("q").asc_nulls_last, col("id").asc))
+    for (ord <- orders; budget <- Seq(50L, 300L, 100000L);
+         bins <- Seq(2, 8, 64)) {
+      val got = Packing.takeUntilBudget(
+          messyDocs, Seq("g"), ord, "tokens", budget, bins)
+        .select("id").collect().map(_.getInt(0)).toSet
+      val want = naiveTake(messyDocs, Seq("g"), ord, "tokens", budget)
+        .select("id").collect().map(_.getInt(0)).toSet
+      assert(got == want, s"ord=$ord budget=$budget bins=$bins")
+    }
+  }
+
+  test("takeUntilBudget prefilter is bounded: a dominant group reaches " +
+      "the exact window with ~one budget of rows, not the whole group") {
+    val d = df(
+      StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("g", StringType),
+        StructField("q", DoubleType),
+        StructField("tokens", IntegerType))),
+      (0 until 10000).map(i => Row(i, "en", i / 10000.0, 10)))
+    val ord = Seq(col("q").desc, col("id").asc)
+    // budget 200 → 20 docs kept; 64 bins over 10k rows ≈ 157 rows/bin
+    val pruned = Packing.budgetPrune(d, Seq("g"), ord, "tokens",
+      budget = 200, bins = 64)
+    val n = pruned.count()
+    assert(n < 500, s"prefilter passed $n of 10000 rows")
+    val kept = Packing.takeUntilBudget(d, Seq("g"), ord, "tokens", 200)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(kept == (9980 until 10000).toSet)
+  }
+
+  test("takeUntilBudget with negative token counts (non-monotone " +
+      "running totals) still equals the naive form — the cut is " +
+      "disabled for that group") {
+    val d = df(
+      StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("g", StringType),
+        StructField("q", DoubleType),
+        StructField("tokens", IntegerType))),
+      (0 until 100).map(i =>
+        Row(i, if (i % 2 == 0) "a" else "b", i / 100.0,
+          Integer.valueOf(if (i % 7 == 0) -5 else 10))))
+    val ord = Seq(col("q").desc, col("id").asc)
+    val got = Packing.takeUntilBudget(d, Seq("g"), ord, "tokens", 60)
+      .select("id").collect().map(_.getInt(0)).toSet
+    val want = naiveTake(d, Seq("g"), ord, "tokens", 60)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(got == want)
+  }
+
+  test("takeUntilBudget falls back to the exact path on a non-numeric " +
+      "primary sort key and still matches the naive form") {
+    val d = df(
+      StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("g", StringType),
+        StructField("name", StringType),
+        StructField("tokens", IntegerType))),
+      (0 until 60).map(i =>
+        Row(i, if (i < 30) "a" else "b", s"doc_${i % 17}",
+          Integer.valueOf(7))))
+    val ord = Seq(col("name").asc, col("id").asc)
+    // prefilter is the identity for a string key
+    assert(Packing.budgetPrune(d, Seq("g"), ord, "tokens", 50, 64)
+      .columns.toSeq == d.columns.toSeq)
+    val got = Packing.takeUntilBudget(d, Seq("g"), ord, "tokens", 50)
+      .select("id").collect().map(_.getInt(0)).toSet
+    val want = naiveTake(d, Seq("g"), ord, "tokens", 50)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(got == want)
+  }
 }
