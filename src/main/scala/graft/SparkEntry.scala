@@ -1100,7 +1100,7 @@ object SparkEntry {
     Drift.psiBins(
         o.where(col("o_orderkey") % 2 === 1),
         o.where(col("o_orderkey") % 2 === 0),
-        "o_totalprice", bins = 10)
+        "o_totalprice", bins = 10, exact = true)
       .orderBy("bin")
   }
 
@@ -1374,7 +1374,8 @@ object SparkEntry {
     val scored = docs(s, dir).select(
       col("doc_id"), col("lang"),
       round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
-    QualityModel.adaptiveQualityFloor(scored, "lang", "q", 0.1)
+    QualityModel.adaptiveQualityFloor(scored, "lang", "q", 0.1,
+        exact = true)
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_kept"),

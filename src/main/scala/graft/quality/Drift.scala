@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
   * Scale: one aggregation on the baseline for the edges (the ≤
   * bins−1 doubles pass through the driver as literals, like the Bloom
   * bytes), then one narrow grouped count per snapshot. Nothing wider
-  * than (bin, count) ever shuffles.
+  * than (bin, count) ever shuffles. Edges default to
+  * `percentile_approx` (Greenwald–Khanna sketch: bounded aggregation
+  * state — the whole baseline column lands in ONE aggregate group
+  * here, so the exact percentile's every-value buffer is the one
+  * shape that cannot survive a 100 TB baseline; rank error ≤
+  * n/approxAccuracy, edges are actual data values). `exact = true`
+  * swaps in the exact interpolated `percentile` for moderate
+  * baselines and cross-engine oracle checks.
   */
 object Drift {
 
@@ -37,12 +44,17 @@ object Drift {
     */
   def psiBins(
       baseline: DataFrame, current: DataFrame, valueCol: String,
-      bins: Int = 10): DataFrame = {
+      bins: Int = 10, exact: Boolean = false,
+      approxAccuracy: Int = 10000): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val probs = (1 until bins).map(_.toDouble / bins)
+    val quant =
+      if (exact) percentile(col(valueCol), typedlit(probs))
+      else percentile_approx(col(valueCol), typedlit(probs),
+        lit(approxAccuracy))
     val edgesRaw = baseline
       .where(col(valueCol).isNotNull)
-      .agg(percentile(col(valueCol), typedlit(probs)).as("__e"))
+      .agg(quant.cast("array<double>").as("__e"))
       .head().getSeq[Double](0)
     require(edgesRaw != null,
       s"baseline has no non-null '$valueCol' values — no quantile " +

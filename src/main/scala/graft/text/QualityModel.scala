@@ -68,26 +68,39 @@ object QualityModel {
     * low-resource language is not filtered by a high-resource
     * language's score distribution.
     *
-    * The cutoff is the EXACT interpolated quantile (one shuffle on the
-    * group key, partial+final agg); the cutoff table is one narrow row
-    * per group and joins back without a broadcast hint (group
-    * cardinality is data-dependent — AQE broadcasts it when actually
-    * small). Rows in groups absent from the cutoff table cannot exist
-    * (the cutoffs are computed FROM the data), so the inner join loses
-    * nothing; null group keys form a group of their own via the
-    * null-safe join.
+    * By default the cutoff is `percentile_approx` (Greenwald–Khanna
+    * sketch: bounded aggregation state per group regardless of group
+    * size — the only shape that survives a dominant language holding
+    * half a 100 TB corpus; rank error ≤ group_size/approxAccuracy, and
+    * the sketch returns an actual data value). `exact = true` swaps in
+    * Spark's exact interpolated `percentile` — an unbounded-state
+    * aggregate that buffers every score of a group in one buffer, for
+    * moderate cardinalities and cross-engine oracle checks where the
+    * interpolated definition must match bit-for-bit.
+    *
+    * Either way: one shuffle on the group key; the cutoff table is one
+    * narrow row per group and joins back without a broadcast hint
+    * (group cardinality is data-dependent — AQE broadcasts it when
+    * actually small). Rows in groups absent from the cutoff table
+    * cannot exist (the cutoffs are computed FROM the data), so the
+    * inner join loses nothing; null group keys form a group of their
+    * own via the null-safe join.
     *
     * Returns the kept rows with their group's `cutoff` column appended.
     */
   def adaptiveQualityFloor(
       df: DataFrame, groupCol: String, scoreCol: String,
-      p: Double): DataFrame = {
+      p: Double, exact: Boolean = false,
+      approxAccuracy: Int = 10000): DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
     require(!df.columns.contains("cutoff") && !df.columns.contains("__g"),
       "input must not have columns named cutoff or __g")
+    val cut =
+      if (exact) percentile(col(scoreCol), lit(p))
+      else percentile_approx(col(scoreCol), lit(p), lit(approxAccuracy))
     val cutoffs = df
       .groupBy(col(groupCol).as("__g"))
-      .agg(percentile(col(scoreCol), lit(p)).as("cutoff"))
+      .agg(cut.cast("double").as("cutoff"))
     df.join(cutoffs, col(groupCol) <=> col("__g"))
       .where(col(scoreCol) >= col("cutoff"))
       .drop("__g")

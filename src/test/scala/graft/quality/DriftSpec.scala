@@ -48,6 +48,20 @@ class DriftSpec extends SparkSpec {
       !r.getAs[Double]("psi_term").isInfinite))
   }
 
+  test("bounded-state default equals exact mode when the deciles land " +
+      "on data values") {
+    // 0..100: (n-1)*p is an integer for every decile, so the exact
+    // interpolated edge IS a data value; GK at accuracy 10000 returns
+    // the same value → identical bins, counts, and PSI terms
+    val base = (0 to 100).map(_.toDouble)
+    val cur = (0 to 100).map(x => (x * 7 % 101).toDouble)
+    val approx = Drift.psiBins(vals(base), vals(cur), "v", 10)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    val ex = Drift.psiBins(vals(base), vals(cur), "v", 10, exact = true)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(approx == ex)
+  }
+
   test("nulls are excluded from both sides") {
     val d = df(schema,
       Seq(Row(1.0: java.lang.Double), Row(null), Row(2.0: java.lang.Double)))

@@ -73,12 +73,37 @@ class QualityModelSpec extends SparkSpec {
     val rows = (1 to 10).map(i => Row(i, "a", i / 10.0)) ++
       (11 to 20).map(i => Row(i, "b", i - 10.0))
     val kept = QualityModel.adaptiveQualityFloor(
-        df(scoredSchema, rows), "g", "s", 0.5)
+        df(scoredSchema, rows), "g", "s", 0.5, exact = true)
       .orderBy("id").collect()
     assert(kept.count(_.getString(1) == "a") == 5)
     assert(kept.count(_.getString(1) == "b") == 5)
     // boundary row AT the cutoff is kept (>=, integer-index quantile)
     assert(kept.filter(_.getString(1) == "a").map(_.getInt(0)).min == 6)
+  }
+
+  test("adaptive floor: bounded-state default equals exact mode when " +
+      "the quantile lands on a data value") {
+    // n = 11 per group, p = 0.5 → exact interpolated quantile IS the
+    // middle data value, and the GK sketch returns that same value
+    val rows = (0 to 10).map(i => Row(i, "a", i / 10.0)) ++
+      (11 to 21).map(i => Row(i, "b", (i - 11) * 3.0))
+    val d = df(scoredSchema, rows)
+    val approx = QualityModel.adaptiveQualityFloor(d, "g", "s", 0.5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val ex = QualityModel.adaptiveQualityFloor(d, "g", "s", 0.5,
+        exact = true)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(approx == ex)
+  }
+
+  test("adaptive floor: approx cutoff keeps ~(1-p) of a large group " +
+      "(rank error bounded by n/accuracy)") {
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 5000).map(i => Row(i, "a", rng.nextDouble()))
+    val kept = QualityModel.adaptiveQualityFloor(
+      df(scoredSchema, rows), "g", "s", 0.2).count()
+    // accuracy 10000 on 5000 rows → rank error ≤ 1
+    assert(math.abs(kept - 4000L) <= 2, s"kept $kept of 5000")
   }
 
   test("null group keys form their own group and survive") {
