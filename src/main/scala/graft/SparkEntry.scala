@@ -1691,9 +1691,10 @@ object SparkEntry {
 
   /** REAL codec roundtrip at table scale: synthesize a PNG per doc_id
     * (JDK encoder), decode it back with the batched pixel decoder, and
-    * emit dims + mean channel stats. No SQL oracle (DuckDB has no
-    * image codec) → driver records the rows-only check; exact pixel
-    * stats are spec-anchored in MultimodalSpec.
+    * emit dims + mean channel stats. The synthetic pixels are
+    * closed-form in (x, y, seed), so the oracle reconstructs the
+    * channel means analytically (the q47 square-wave treatment) — no
+    * image codec needed on the DuckDB side.
     */
   private def imagePixelStats(s: SparkSession, dir: String): DataFrame = {
     val imgs = Multimodal.synthesizeTestImages(
@@ -2366,9 +2367,37 @@ object SparkEntry {
                    WHEN doc_id % 3 = 1 THEN 3
                    ELSE 4 END AS INT) AS channels
          FROM documents ORDER BY doc_id""",
-    // q39_image_pixel_stats: intentionally no oracle — DuckDB has no
-    // image codec; the driver's rows-only check plus MultimodalSpec's
-    // exact pixel-stat assertions anchor it.
+    // q39: DuckDB has no image codec, but it doesn't need one — the
+    // synthetic PNG's pixel (x,y) is fixed arithmetic of (x,y,seed)
+    // (Multimodal.syntheticPng), so the oracle reconstructs the channel
+    // sums in closed form: r = x*7+seed and b = x+y+5*seed never wrap
+    // at these dims (≤216, ≤82 < 256); g = (y*11+3*seed) % 256 can wrap
+    // → summed per-y via a list comprehension. The REAL cast replays
+    // the decoder's double→float truncation bit-for-bit.
+    "q39_image_pixel_stats" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CAST(doc_id % 24 + 8 AS INT) AS width,
+             CAST(doc_id % 16 + 8 AS INT) AS height,
+             doc_id % 7 AS seed
+           FROM documents),
+         s AS (
+           SELECT doc_id, width, height,
+             height * (7 * width * (width-1) // 2 + width * seed)
+               AS sum_r,
+             width * list_sum([ (y*11 + 3*seed) % 256
+               FOR y IN range(0, CAST(height AS BIGINT)) ]) AS sum_g,
+             width * height * 5 * seed + height * (width*(width-1) // 2)
+               + width * (height*(height-1) // 2) AS sum_b
+           FROM p)
+         SELECT doc_id, width, height,
+           round(CAST(CAST(CAST(sum_r AS DOUBLE) / (width*height) / 255.0
+             AS REAL) AS DOUBLE), 4) AS mean_r,
+           round(CAST(CAST(CAST(sum_g AS DOUBLE) / (width*height) / 255.0
+             AS REAL) AS DOUBLE), 4) AS mean_g,
+           round(CAST(CAST(CAST(sum_b AS DOUBLE) / (width*height) / 255.0
+             AS REAL) AS DOUBLE), 4) AS mean_b
+         FROM s ORDER BY doc_id""",
     "q40_ann_kmedians" ->
       s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -5,10 +5,10 @@ package graft
   */
 class ContractSpec extends SparkSpec {
 
-  test("every query has an oracle except the documented rows-only q39") {
+  test("every query has an oracle — no rows-only checks left") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o) == Set("q39_image_pixel_stats"),
+    assert((q -- o).isEmpty,
       s"queries without oracle: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty,
       s"orphan oracles (no query): ${(o -- q).toSeq.sorted}")
