@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, DotProduct, ZOrderKey}
+import graft.expressions.{BloomMightContain, BloomShard, DotProduct, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -15,6 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_bloom_contains(binary, string) -> boolean` — codegen'd
   *     Bloom-filter membership probe
   *     ([[graft.expressions.BloomMightContain]]).
+  *   - `graft_bloom_shard(string, int) -> int` — codegen'd shard
+  *     router for sharded Bloom filters
+  *     ([[graft.expressions.BloomShard]]).
   *   - `graft_zorder(int, int) -> bigint` — codegen'd order-preserving
   *     Morton key for Z-order data layout
   *     ([[graft.expressions.ZOrderKey]]).
@@ -38,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_bloom_contains expects 2 arguments, got ${children.size}")
         BloomMightContain(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_shard"),
+      new ExpressionInfo(classOf[BloomShard].getName, "graft_bloom_shard"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_bloom_shard expects 2 arguments, got ${children.size}")
+        BloomShard(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_zorder"),

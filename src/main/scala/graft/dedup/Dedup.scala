@@ -133,6 +133,38 @@ object Dedup {
       .head.getAs[Array[Byte]]("__bloom")
   }
 
+  /** [[buildFingerprintBloom]] for histories past the single-array
+    * capacity (~1.8e9 items at 1 % fpp — the JVM byte-array ceiling):
+    * the fingerprint space splits into the fewest md5-routed shards
+    * whose bitmaps each fit `maxShardBytes`, and ONE distributed pass
+    * builds all of them (fingerprints grouped by `graft_bloom_shard`,
+    * one filter aggregate per group — k narrow rows to the driver).
+    * Same total bits, same bits-per-item, hence the same fpp as the
+    * unsharded filter; a history small enough for one shard yields
+    * exactly [[buildFingerprintBloom]]'s bytes in `shards(0)`.
+    */
+  def buildShardedFingerprintBloom(
+      corpus: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      maxShardBytes: Int = graft.expressions.BloomOps.MaxShardBytes)
+    : Array[Array[Byte]] = {
+    import graft.expressions.{BloomBuild, BloomOps}
+    val (k, hashes, bitsPerShard) =
+      BloomOps.shardedSizing(expectedItems, fpp, maxShardBytes)
+    val agg = BloomBuild.bloomAgg(hashes, bitsPerShard)
+    val built = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .where(col("__fp").isNotNull)
+      .groupBy(call_function("graft_bloom_shard", col("__fp"), lit(k))
+        .as("__shard"))
+      .agg(agg(col("__fp")).as("__bloom"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val shards = BloomOps.emptyShards(k, hashes, bitsPerShard)
+    built.foreach { case (i, f) => BloomOps.merge(shards(i), f) }
+    shards
+  }
+
   /** [[dedupAgainst]] with a Bloom prefilter — result-identical (the
     * filter has NO false negatives by construction, spec-checked), but
     * the history is only ever SCANNED, never SHUFFLED:
@@ -173,6 +205,38 @@ object Dedup {
     // prune the history to fingerprints some positive actually probes
     // — the history side never shuffles (plan spec); positives'
     // fingerprint set is data-dependent, so no broadcast hint
+    val posFps = positives.select("__fp")
+    val seenHit = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .join(posFps, Seq("__fp"), "left_semi")
+    negatives.unionByName(
+        positives.join(seenHit, Seq("__fp"), "left_anti"))
+      .drop("__fp")
+  }
+
+  /** [[dedupAgainstBloom]] against a SHARDED filter
+    * ([[buildShardedFingerprintBloom]]): identical semantics, but the
+    * probe first routes each fingerprint to its shard
+    * (`graft_bloom_shard`, the same md5 half the builder routed by)
+    * and then runs the standard single-filter probe against that
+    * shard's bytes (`element_at` over the literal shard array). A
+    * 1-shard array probes exactly like the unsharded form.
+    */
+  def dedupAgainstBloom(
+      corpus: DataFrame, batch: DataFrame,
+      textCol: String, orderCol: String,
+      shards: Array[Array[Byte]]): DataFrame = {
+    val b = graft.core.CacheScope.disk(
+      exactDedupAgg(batch, textCol, orderCol)
+        .withColumn("__fp", TextAnalysis.fingerprint(col(textCol))))
+    val shard = call_function("graft_bloom_shard",
+      col("__fp"), lit(shards.length))
+    val might = coalesce(
+      call_function("graft_bloom_contains",
+        element_at(typedlit(shards.toSeq), shard + lit(1)), col("__fp")),
+      lit(false))
+    val negatives = b.where(!might)
+    val positives = b.where(might)
     val posFps = positives.select("__fp")
     val seenHit = corpus
       .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))

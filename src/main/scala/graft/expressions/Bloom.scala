@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Self-describing Bloom filter over string keys, as an aggregate
@@ -138,6 +138,69 @@ object BloomOps {
     while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
     a
   }
+
+  // -- sharding (capacity past the JVM array ceiling) ---------------- //
+
+  /** Per-shard bitmap budget: a single JVM byte array caps the filter
+    * at ~2 GiB (~1.8e9 items at 1 % fpp). Past that, the fingerprint
+    * space is partitioned into independent shards — shard routing is
+    * `floorMod(h1, k)` on the SAME md5 half the in-filter probes use,
+    * so add and probe always agree, and each shard is a standalone
+    * self-describing filter that every existing operation accepts.
+    */
+  val MaxShardBytes: Int = Int.MaxValue - 128
+
+  /** Which of `numShards` filters owns `key`. */
+  def routeShard(key: UTF8String, numShards: Int): Int = {
+    val (h1, _) = halves(key.getBytes)
+    java.lang.Math.floorMod(h1, numShards.toLong).toInt
+  }
+
+  /** (numShards, numHashes, bitsPerShard) for `n` items at `fpp`:
+    * the classic single-filter sizing, split across the fewest shards
+    * whose bitmaps each fit `maxShardBytes`. Keys spread ~uniformly
+    * (md5 routing), so each shard holds ~n/k items in totalBits/k
+    * bits — the same bits-per-item ratio, hence the same fpp, as the
+    * unsharded filter.
+    */
+  def shardedSizing(
+      n: Long, fpp: Double,
+      maxShardBytes: Int = MaxShardBytes): (Int, Int, Long) = {
+    require(maxShardBytes >= 8, "maxShardBytes must be at least 8")
+    val totalBits = bitsFor(n, fpp)
+    val maxBitsPerShard = maxShardBytes.toLong * 8
+    val shards = ((totalBits + maxBitsPerShard - 1) / maxBitsPerShard).toInt
+    val bitsPerShard = (((totalBits / shards) + 7) / 8) * 8
+    (shards, hashesFor(totalBits, n), bitsPerShard)
+  }
+
+  /** `numShards` freshly-zeroed same-parameter filters. */
+  def emptyShards(
+      numShards: Int, numHashes: Int,
+      bitsPerShard: Long): Array[Array[Byte]] = {
+    require(numShards >= 1, "numShards must be positive")
+    Array.fill(numShards)(emptyFilter(numHashes, bitsPerShard))
+  }
+
+  /** Probe a sharded filter (route, then the standard single-filter
+    * probe). A 1-shard array degenerates to the plain filter exactly.
+    */
+  def containsSharded(shards: Array[Array[Byte]], key: UTF8String): Boolean =
+    contains(shards(routeShard(key, shards.length)), key)
+
+  /** Add to a sharded filter. */
+  def addSharded(shards: Array[Array[Byte]], key: UTF8String): Unit =
+    add(shards(routeShard(key, shards.length)), key)
+
+  /** OR-merge sharded filters pairwise (same shard count + params). */
+  def mergeSharded(
+      a: Array[Array[Byte]], b: Array[Array[Byte]]): Array[Array[Byte]] = {
+    require(a.length == b.length,
+      "cannot merge sharded Bloom filters with different shard counts")
+    var i = 0
+    while (i < a.length) { merge(a(i), b(i)); i += 1 }
+    a
+  }
 }
 
 /** Distributed Bloom build: one partial filter per partition (the
@@ -205,5 +268,39 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bloom_shard(key: string, numShards: int) -> int`, codegen'd
+  * (registered by [[graft.GraftExtensions]]): which shard of a sharded
+  * Bloom filter owns `key` — the Spark-side twin of
+  * [[BloomOps.routeShard]], so distributed builds (group fingerprints
+  * by shard, one filter aggregate per group) route identically to the
+  * driver-side add/probe.
+  */
+case class BloomShard(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bloom_shard"
+
+  override protected def nullSafeEval(key: Any, k: Any): Any =
+    BloomOps.routeShard(key.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (key, k) =>
+      s"${ev.value} = graft.expressions.BloomOps.routeShard($key, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomShard =
     copy(left = newLeft, right = newRight)
 }

@@ -176,22 +176,27 @@ object EventStreams {
     * `orderCol` within a batch) — the production shape of
     * [[graft.dedup.Dedup.dedupAgainstBloom]].
     *
-    * A driver-held Bloom filter over the corpus fingerprints carries
-    * the dedup state BETWEEN batches: each batch probes the filter
-    * (codegen expression, no join) so definitely-new rows — the bulk
-    * of a typical increment — never touch the history at all, and
-    * only Bloom positives reach the exact anti-join against the
-    * (semi-join-pruned, never-shuffled) corpus leg. Survivors append
-    * to the corpus and OR into the filter (same bit layout, so the
-    * merge is exact). On (re)start the filter is rebuilt from the
-    * corpus — the filter is a pure function of the landed data, so
+    * A driver-held SHARDED Bloom filter over the corpus fingerprints
+    * carries the dedup state BETWEEN batches: each batch probes the
+    * filter (codegen route + probe expressions, no join) so
+    * definitely-new rows — the bulk of a typical increment — never
+    * touch the history at all, and only Bloom positives reach the
+    * exact anti-join against the (semi-join-pruned, never-shuffled)
+    * corpus leg. Survivors append to the corpus and OR into the
+    * owning shards (same bit layout, so the merge is exact). Sharding
+    * (md5-prefix routing, [[graft.expressions.BloomOps.shardedSizing]])
+    * lets capacity scale past the ~1.8e9-item JVM array ceiling a
+    * single filter hits: `expectedItems` beyond it simply allocates
+    * more shards. On (re)start the shards are rebuilt from the corpus
+    * — the filter is a pure function of the landed data, so
     * checkpoint replay of a half-processed batch re-deduplicates
     * idempotently instead of double-inserting.
     */
   def incrementalDedupSink(
       docs: DataFrame, textCol: String, orderCol: String,
       corpusDir: String, checkpointDir: String,
-      expectedItems: Long, fpp: Double = 0.01)
+      expectedItems: Long, fpp: Double = 0.01,
+      maxShardBytes: Int = graft.expressions.BloomOps.MaxShardBytes)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.dedup.Dedup
     import graft.expressions.{BloomBuild, BloomOps}
@@ -200,14 +205,14 @@ object EventStreams {
       val p = new org.apache.hadoop.fs.Path(corpusDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    var bloom: Array[Byte] =
+    val (numShards, numHashes, bitsPerShard) =
+      BloomOps.shardedSizing(expectedItems, fpp, maxShardBytes)
+    var bloom: Array[Array[Byte]] =
       if (corpusExists)
-        Dedup.buildFingerprintBloom(
-          spark.read.parquet(corpusDir), textCol, expectedItems, fpp)
-      else {
-        val bits = BloomOps.bitsFor(expectedItems, fpp)
-        BloomOps.emptyFilter(BloomOps.hashesFor(bits, expectedItems), bits)
-      }
+        Dedup.buildShardedFingerprintBloom(
+          spark.read.parquet(corpusDir), textCol, expectedItems, fpp,
+          maxShardBytes)
+      else BloomOps.emptyShards(numShards, numHashes, bitsPerShard)
     val lock = new Object
     foreachBatchSink(docs, checkpointDir, outputMode = "append") {
       (batch, _) =>
@@ -229,17 +234,21 @@ object EventStreams {
           val landed = survivors.localCheckpoint(eager = true)
           landed.write.mode(SaveMode.Append)
             .option("compression", "snappy").parquet(corpusDir)
-          // fold the new fingerprints into the filter, SAME bit
-          // layout as the standing filter so the OR-merge is exact
-          val batchBloom = landed
+          // fold the new fingerprints into their shards, SAME bit
+          // layout as the standing filter so the OR-merge is exact;
+          // one grouped aggregate builds every touched shard at once
+          val batchShards = landed
             .select(graft.text.TextAnalysis.fingerprint(col(textCol))
               .as("__fp"))
             .where(col("__fp").isNotNull)
-            .agg(BloomBuild.bloomAgg(
-              BloomOps.numHashes(bloom),
-              BloomOps.numBits(bloom))(col("__fp")).as("__b"))
-            .head.getAs[Array[Byte]]("__b")
-          bloom = BloomOps.merge(bloom, batchBloom)
+            .groupBy(call_function("graft_bloom_shard",
+              col("__fp"), lit(numShards)).as("__shard"))
+            .agg(BloomBuild.bloomAgg(numHashes, bitsPerShard)(col("__fp"))
+              .as("__b"))
+            .collect()
+          batchShards.foreach { r =>
+            BloomOps.merge(bloom(r.getInt(0)), r.getAs[Array[Byte]](1))
+          }
         })
     }
   }

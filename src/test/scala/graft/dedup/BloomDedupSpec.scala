@@ -111,6 +111,71 @@ class BloomDedupSpec extends SparkSpec {
     assert(got == Seq(11))
   }
 
+  test("sharded BloomOps: sizing splits past the shard-byte ceiling, " +
+      "routing is stable, and added keys are ALWAYS contained") {
+    // 2000 items at 1% fpp ≈ 2.4 KB of bits; a 512-byte ceiling forces
+    // ≥ 5 shards — the same split a >2 GiB filter would make at the
+    // real JVM ceiling
+    val (k, hashes, bitsPerShard) =
+      BloomOps.shardedSizing(2000, 0.01, maxShardBytes = 512)
+    assert(k >= 5, s"expected >=5 shards, got $k")
+    assert(bitsPerShard / 8 <= 512)
+    val shards = BloomOps.emptyShards(k, hashes, bitsPerShard)
+    val keys = (0 until 2000).map(i => UTF8String.fromString(s"key-$i"))
+    keys.foreach(BloomOps.addSharded(shards, _))
+    keys.foreach { key =>
+      assert(BloomOps.routeShard(key, k) == BloomOps.routeShard(key, k))
+      assert(BloomOps.containsSharded(shards, key),
+        s"false negative for $key")
+    }
+    // routing actually spreads keys: every shard owns some
+    val perShard = keys.groupBy(BloomOps.routeShard(_, k))
+    assert(perShard.size == k, s"only ${perShard.size} of $k shards used")
+  }
+
+  test("graft_bloom_shard expression routes identically to " +
+      "BloomOps.routeShard") {
+    val d = docs((0 until 200).map(i => (i, s"text-$i")): _*)
+    val got = d.select(col("text"),
+        call_function("graft_bloom_shard", col("text"), lit(7)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    got.foreach { case (t, s) =>
+      assert(s == BloomOps.routeShard(UTF8String.fromString(t), 7))
+    }
+  }
+
+  test("buildShardedFingerprintBloom with one shard reproduces " +
+      "buildFingerprintBloom byte-for-byte") {
+    val corpus = docs((0 until 50).map(i => (i, s"doc body $i")): _*)
+    val single = Dedup.buildFingerprintBloom(corpus, "text", 50, 0.01)
+    val sharded = Dedup.buildShardedFingerprintBloom(corpus, "text", 50,
+      0.01)
+    assert(sharded.length == 1)
+    assert(sharded(0).toSeq == single.toSeq)
+  }
+
+  test("sharded dedupAgainstBloom (forced multi-shard) equals " +
+      "dedupAgainst on mixed batch") {
+    val corpus = docs((0 until 300).map(i =>
+      (i, s"history document $i body")): _*)
+    val batch = docs(
+      (1000, "history document 7 body"), // dup vs corpus
+      (1001, "fresh document one"),
+      (1002, "fresh document one"), // in-batch dup
+      (1003, "fresh document two"),
+      (1004, null))
+    // tiny shard ceiling → the 300-item filter splits into ≥2 shards
+    val shards = Dedup.buildShardedFingerprintBloom(
+      corpus, "text", 300, 0.01, maxShardBytes = 64)
+    assert(shards.length >= 2)
+    val expect = Dedup.dedupAgainst(corpus, batch, "text", "id")
+      .select("id").collect().map(_.getInt(0)).toSeq.sorted
+    val got = Dedup.dedupAgainstBloom(corpus, batch, "text", "id", shards)
+      .select("id").collect().map(_.getInt(0)).toSeq.sorted
+    assert(got == expect)
+    assert(got == Seq(1001, 1003, 1004))
+  }
+
   test("plan: the history leg reaches the exact-check join with no " +
       "upstream exchange (history scanned, never shuffled)") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -359,4 +359,60 @@ class EventStreamsSpec extends SparkSpec {
       assert(finalCorpus.where(col("text") === "alpha").count() == 1)
     } finally q2.stop()
   }
+
+  test("incrementalDedupSink sharded: a shard-byte ceiling forces the " +
+      "filter into >=2 shards; dedup, shard merging between batches, " +
+      "and restart replay stay exact") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.expressions.BloomOps
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_shard_corpus").toString + "/docs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_shard_ckpt").toString
+    // 5000 expected items at 1% fpp ≈ 6 KB of bits; 1 KiB ceiling → ≥5
+    // independent shards — the same split the real 2 GiB ceiling makes
+    val (k, _, _) = BloomOps.shardedSizing(5000, 0.01, maxShardBytes = 1024)
+    assert(k >= 2, s"test setup must force multiple shards, got $k")
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalDedupSink(
+      in.toDF().toDF("doc_id", "text"), "text", "doc_id", corpus, ckpt,
+      expectedItems = 5000, maxShardBytes = 1024)
+    try {
+      // batch 1: 120 docs spread across every shard (md5 routing)
+      in.addData((0 until 120).map(i => (i.toLong, s"document $i")): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 120)
+      // batch 2: 120 replays (must all dedup against shard state
+      // carried between batches) + 30 new
+      in.addData(((0 until 120).map(i => (1000L + i, s"document $i")) ++
+        (0 until 30).map(i => (2000L + i, s"fresh $i"))): _*)
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus)
+      assert(after2.count() == 150)
+      // first writer won for every replayed text
+      assert(after2.where(col("doc_id") >= 1000L && col("doc_id") < 2000L)
+        .count() == 0)
+    } finally q.stop()
+    // restart: a NEW sink rebuilds all shards from the corpus — exact
+    // replay of seen texts still dedups, new texts still land
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.incrementalDedupSink(
+      in2.toDF().toDF("doc_id", "text"), "text", "doc_id", corpus,
+      java.nio.file.Files.createTempDirectory("graft_shard_ckpt2")
+        .toString,
+      expectedItems = 5000, maxShardBytes = 1024)
+    try {
+      in2.addData(((0 until 120).map(i => (3000L + i, s"document $i")) ++
+        (0 until 30).map(i => (4000L + i, s"fresh $i")) :+
+        (5000L, "post-restart newcomer")): _*)
+      q2.processAllAvailable()
+      val fin = spark.read.parquet(corpus)
+      assert(fin.count() == 151)
+      assert(fin.where(col("doc_id") >= 3000L && col("doc_id") < 5000L)
+        .count() == 0)
+      assert(fin.where(col("text") === "post-restart newcomer")
+        .count() == 1)
+    } finally q2.stop()
+  }
 }
