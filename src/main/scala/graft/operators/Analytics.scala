@@ -431,6 +431,13 @@ object Analytics {
     * Exact distinct counts expand the aggregate per column (Spark's
     * multi-count-distinct Expand) — at warehouse scale flip
     * `exactDistinct = false` for one-pass HLL sketches instead.
+    *
+    * Distinct counts and min/max SELECTION run on the ORIGINAL column
+    * values — a double cast first would silently collide >53-bit
+    * longs/decimals (fewer distincts, wrong extreme picked). Only the
+    * report RENDERING of min/max casts to double (the one-row-per-
+    * column report needs a uniform type); a >2^53 extreme may round
+    * in display, but it is the true extreme.
     */
   def numericProfile(
       df: DataFrame, cols: Seq[String],
@@ -443,9 +450,9 @@ object Analytics {
       Seq(
         count(lit(1)).as(s"__n_$c"),
         (count(lit(1)) - count(v)).as(s"__nulls_$c"),
-        dist(v).as(s"__dist_$c"),
-        min(v).as(s"__min_$c"),
-        max(v).as(s"__max_$c"),
+        dist(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
         round(avg(v), 6).as(s"__mean_$c"),
         round(stddev_samp(v), 6).as(s"__sd_$c"))
     }
@@ -474,6 +481,12 @@ object Analytics {
     * op-`I` observations at `baseOrd` (strictly before every change).
     * One `max_by` aggregation on the key — partial+final, no window
     * sort, no join.
+    *
+    * Ops outside {I, U, D} (including null) fail fast with
+    * `raise_error`: a null winning op would otherwise silently DELETE
+    * the key (the `=!= "D"` filter drops null comparisons) and an
+    * unrecognized op string would silently upsert — both corrupt the
+    * snapshot without a trace.
     */
   def applyChanges(
       snapshot: DataFrame, changes: DataFrame,
@@ -484,9 +497,13 @@ object Analytics {
     val base = snapshot.select(
       keyCols.map(col) ++ dataCols.map(col)
         :+ lit("I").as("__op") :+ baseOrd.as("__ord"): _*)
+    val validOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("applyChanges: op must be one of I, U, D — got "),
+        coalesce(col(opCol), lit("null")))))
     val feed = changes.select(
       keyCols.map(col) ++ dataCols.map(col)
-        :+ col(opCol).as("__op") :+ col(orderCol).as("__ord"): _*)
+        :+ validOp.as("__op") :+ col(orderCol).as("__ord"): _*)
     val all = base.unionByName(feed)
     val payload = struct(
       (dataCols.map(col) :+ col("__op")).toIndexedSeq: _*)
@@ -565,6 +582,11 @@ object Analytics {
     * following interval is deterministic (the zero-length one
     * contributes nothing either way). One window + one aggregation,
     * both on the entity key: single exchange.
+    *
+    * The value×gap products accumulate in DOUBLE: an integer value
+    * times a microsecond gap overflows Long silently with ANSI off
+    * (a day is ~8.6e10 µs — a value of ~1e8 already wraps), and the
+    * quotient is a double anyway.
     */
   def timeWeightedAvg(
       df: DataFrame, entityCol: String, tsCol: String,
@@ -582,8 +604,9 @@ object Analytics {
       .groupBy(col(entityCol))
       .agg(
         count(lit(1)).as("n_intervals"),
-        (sum(col(valueCol) * (col("__next") - col("__t"))) /
-          sum(col("__next") - col("__t"))).as("twa"),
+        (sum(col(valueCol).cast("double") *
+            (col("__next") - col("__t")).cast("double")) /
+          sum((col("__next") - col("__t")).cast("double"))).as("twa"),
         sum(col("__next") - col("__t")).as("__span"))
       .where(col("__span") > 0)
       .drop("__span")

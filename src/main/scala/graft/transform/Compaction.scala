@@ -24,6 +24,13 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * anywhere; table formats with snapshot isolation are the upgrade
   * path, not in scope on plain directories.
   *
+  * Crash recovery: a crash BETWEEN the two renames strands the only
+  * copies in `__compact_old` (the original) and `__compact_tmp` (the
+  * complete rewrite — the tmp write always finishes before the first
+  * rename). The next run detects the orphaned state and completes the
+  * swap (or rolls the original back if tmp is somehow gone) before
+  * doing anything else, so no compaction crash ever loses the table.
+  *
   * Returns (filesBefore, filesAfter).
   */
 object Compaction {
@@ -34,6 +41,20 @@ object Compaction {
     require(targetFileBytes >= 1, "targetFileBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__compact_tmp")
+    val trash = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__compact_old")
+    // recover a previous run that crashed mid-swap: the data lives in
+    // trash (and, if the crash hit between the renames, a COMPLETE
+    // rewrite in tmp — the tmp write finishes before the first rename)
+    if (!fs.exists(hPath) && fs.exists(trash)) {
+      if (fs.exists(tmp))
+        require(fs.rename(tmp, hPath), s"recovery failed: $tmp -> $path")
+      else
+        require(fs.rename(trash, hPath),
+          s"recovery failed: $trash -> $path")
+    }
     val dataFiles = fs.listStatus(hPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     require(dataFiles.nonEmpty, s"no parquet files under $path")
@@ -41,10 +62,6 @@ object Compaction {
     val filesBefore = dataFiles.size.toLong
     val nOut = math.max(1L,
       math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
-    val tmp = new org.apache.hadoop.fs.Path(
-      hPath.getParent, hPath.getName + "__compact_tmp")
-    val trash = new org.apache.hadoop.fs.Path(
-      hPath.getParent, hPath.getName + "__compact_old")
     fs.delete(tmp, true); fs.delete(trash, true)
     spark.read.parquet(path)
       .repartition(nOut)

@@ -278,14 +278,27 @@ object StarSchemaBuilder {
     * Deployments needing exact boundaries under arbitrary replay keep
     * the raw observation log and re-derive from it instead.
     *
+    * Same-`orderCol` CONFLICTING observations tie-break on `tieBreak`
+    * — by default the attribute values themselves, which is total over
+    * everything a version row stores — so the derived history is the
+    * same on every re-derivation (the idempotency guarantee would
+    * otherwise silently fail: two runs over identical evidence could
+    * order a tie differently and disagree on the winning attribute
+    * sequence). `tieBreak` columns must be stored key/attr columns,
+    * because re-derivation reads only the persisted endpoints.
+    *
     * Returns the post-upsert version count.
     */
   def upsertDimensionScd2(
       spark: org.apache.spark.sql.SparkSession,
       path: String, updates: DataFrame,
       keyCols: Seq[String], attrCols: Seq[String],
-      orderCol: String): Long = {
+      orderCol: String, tieBreak: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "at least one natural key column")
+    val tb = if (tieBreak.isEmpty) attrCols else tieBreak
+    require(tb.forall((keyCols ++ attrCols).contains),
+      "tieBreak columns must be stored key/attr columns — " +
+        "re-derivation reads only the persisted endpoints")
     val obsCols = (keyCols ++ attrCols).map(col) :+ col(orderCol)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -301,7 +314,7 @@ object StarSchemaBuilder {
       case Some(e) => e.unionByName(incoming).distinct()
       case None => incoming.distinct()
     }
-    val history = scd2Versions(stream, keyCols, attrCols, orderCol)
+    val history = scd2Versions(stream, keyCols, attrCols, orderCol, tb)
       .localCheckpoint(true)
     history.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy").parquet(path)

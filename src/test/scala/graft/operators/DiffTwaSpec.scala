@@ -121,4 +121,24 @@ class DiffTwaSpec extends SparkSpec {
     assert(twa((1, 0, 8.0, 2), (1, 0, 2.0, 1), (1, 10, 0.0, 3)) ==
       Seq((1, 2L, 8.0)))
   }
+
+  test("integer values times microsecond gaps do not overflow Long " +
+      "(products accumulate in double)") {
+    val schema = StructType(Seq(
+      StructField("u", IntegerType),
+      StructField("ts", TimestampType),
+      StructField("v", LongType)))
+    // value 1e12 held for a day = 1e12 * 8.64e10 µs ≈ 8.6e22 — far
+    // past Long.MaxValue (9.2e18); ANSI-off long arithmetic would
+    // wrap silently and emit garbage
+    val day = 86400
+    val d = df(schema, Seq(
+      Row(1, ts(0), 1000000000000L),
+      Row(1, ts(day), 3000000000000L),
+      Row(1, ts(3 * day), 0L)))
+    val out = Analytics.timeWeightedAvg(d, "u", "ts", "v").head()
+    // (1e12·1day + 3e12·2days) / 3days = 7/3e12
+    assert(math.abs(out.getAs[Double]("twa") - 7e12 / 3) < 1e3,
+      s"got ${out.getAs[Double]("twa")}")
+  }
 }

@@ -91,4 +91,36 @@ class ProfileCdcSpec extends SparkSpec {
       feed = Seq((9, null, "D", 1)))
     assert(out == Map(1 -> "v0"))
   }
+
+  test("ops outside {I,U,D} fail fast instead of silently corrupting " +
+      "the snapshot (unknown op would upsert, null op would delete)") {
+    val bad = intercept[Exception] {
+      apply(snap = Seq(1 -> "v0"), feed = Seq((1, "vX", "X", 1)))
+    }
+    assert(bad.getMessage.contains("applyChanges: op must be one of"),
+      bad.getMessage)
+    val nul = intercept[Exception] {
+      apply(snap = Seq(1 -> "v0"), feed = Seq((1, "vX", null, 1)))
+    }
+    assert(nul.getMessage.contains("applyChanges: op must be one of"),
+      nul.getMessage)
+  }
+
+  test("profile: >53-bit longs keep exact distinct counts and extreme " +
+      "selection (no double-cast collision)") {
+    val longSchema = StructType(Seq(
+      StructField("v", LongType, nullable = true)))
+    // adjacent at the top of the long range: identical after a double
+    // cast, distinct as longs
+    val d = df(longSchema, Seq(
+      Row(Long.MaxValue: java.lang.Long),
+      Row((Long.MaxValue - 1): java.lang.Long),
+      Row((Long.MaxValue - 1): java.lang.Long)))
+    val out = Analytics.numericProfile(d, Seq("v")).head()
+    assert(out.getAs[Long]("n_distinct") == 2L,
+      "double-cast collision collapsed distinct longs")
+    val approx = Analytics.numericProfile(d, Seq("v"),
+      exactDistinct = false).head()
+    assert(approx.getAs[Long]("n_distinct") == 2L)
+  }
 }

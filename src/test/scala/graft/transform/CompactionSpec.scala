@@ -48,4 +48,52 @@ class CompactionSpec extends SparkSpec {
       Compaction.compactParquet(spark, path)
     }
   }
+
+  private def hfs(path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  test("crash between the two renames (data stranded in __compact_old " +
+      "+ complete rewrite in __compact_tmp): next run completes the " +
+      "swap and loses nothing") {
+    import spark.implicits._
+    val path = freshDir()
+    (1 to 500).toDF("v").repartition(10).write.parquet(path)
+    val (hPath, fs) = hfs(path)
+    // simulate the exact crash state: tmp write finished, first
+    // rename done, second rename never happened
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__compact_tmp")
+    val trash = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__compact_old")
+    spark.read.parquet(path).repartition(2)
+      .write.parquet(tmp.toString)
+    assert(fs.rename(hPath, trash))
+    assert(!fs.exists(hPath))
+    val (_, nAfter) = Compaction.compactParquet(
+      spark, path, targetFileBytes = 1L << 30)
+    assert(nAfter == 1L)
+    assert(spark.read.parquet(path)
+      .agg(sum("v")).head().getLong(0) == 500L * 501 / 2)
+    val residue = new java.io.File(path).getParentFile
+      .listFiles().map(_.getName)
+    assert(!residue.exists(_.contains("__compact")))
+  }
+
+  test("crash before the tmp rewrite survived (only __compact_old " +
+      "left): next run rolls the original back") {
+    import spark.implicits._
+    val path = freshDir()
+    (1 to 300).toDF("v").repartition(5).write.parquet(path)
+    val (hPath, fs) = hfs(path)
+    val trash = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__compact_old")
+    assert(fs.rename(hPath, trash))
+    val (_, nAfter) = Compaction.compactParquet(
+      spark, path, targetFileBytes = 1L << 30)
+    assert(nAfter == 1L)
+    assert(spark.read.parquet(path)
+      .agg(sum("v")).head().getLong(0) == 300L * 301 / 2)
+  }
 }

@@ -146,6 +146,32 @@ class Scd2Spec extends SparkSpec {
       hist(2).getAs[String]("attr") == "A")
   }
 
+  test("upsert: same-orderCol conflicting observations tie-break on " +
+      "the attribute values — identical history on every re-derivation " +
+      "regardless of input order") {
+    // two conflicting observations at the SAME instant: without a
+    // total tie-break the winner depends on partitioning/input order
+    // and re-derivations disagree
+    val histories = Seq(
+      Seq(Row(1, "B", 5, 0), Row(1, "A", 5, 0), Row(1, "C", 9, 0)),
+      Seq(Row(1, "A", 5, 0), Row(1, "C", 9, 0), Row(1, "B", 5, 0)),
+      Seq(Row(1, "C", 9, 0), Row(1, "B", 5, 0), Row(1, "A", 5, 0)))
+      .map { rows =>
+        val path = tmpDir() + "/dim"
+        StarSchemaBuilder.upsertDimensionScd2(
+          spark, path, stream(rows: _*), Seq("k"), Seq("attr"), "seq")
+        // idempotency under re-derivation: upsert the same evidence
+        // again — the derived history must not move
+        StarSchemaBuilder.upsertDimensionScd2(
+          spark, path, stream(rows: _*), Seq("k"), Seq("attr"), "seq")
+        spark.read.parquet(path).orderBy("version_n")
+          .select("attr", "valid_from", "valid_to").collect()
+          .map(_.toSeq).toSeq
+      }
+    assert(histories.distinct.size == 1,
+      s"tie order leaked into the derived history:\n$histories")
+  }
+
   test("upsert: late-arriving observation splices into history") {
     val path = tmpDir() + "/dim"
     def up(rows: Row*): Long =
