@@ -1189,15 +1189,17 @@ object SparkEntry {
 
   /** Gini concentration of customer balances per market segment —
     * rank-weighted sum identity G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)
-    * with deterministic rank ties; one window + one aggregation per
-    * segment.
+    * with deterministic rank ties. Ranks come from the range-
+    * partitioned two-pass form ([[Analytics.rankByRange]]) instead of
+    * a per-segment window sort, so no task is ever segment-sized.
     */
   private def acctbalGini(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    t(s, dir, "customer")
-      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
-      .withColumn("__rn", row_number().over(w).cast("long"))
+    Analytics.rankByRange(
+        t(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+        Seq("c_mktsegment"),
+        Seq(col("c_acctbal").asc, col("c_custkey").asc),
+        rankCol = "__rn")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
         sum(col("c_acctbal")).as("__sx"),
@@ -1507,15 +1509,21 @@ object SparkEntry {
       .orderBy("o_orderpriority", "rank")
   }
 
-  /** Decile bucketing per market segment (`ntile` — the feature-
-    * transform shape for rank-normalizing a signal before training).
+  /** Decile bucketing per market segment (the feature-transform shape
+    * for rank-normalizing a signal before training) — via the
+    * range-partitioned two-pass `ntile` ([[Analytics.ntileByRange]]):
+    * the plain `ntile` window runs ONE sort task per segment (5
+    * segments = 5 tasks at any cluster size); the two-pass form
+    * spreads each segment across range slices and reassembles exact
+    * Spark `ntile` buckets from slice-local ranks + offsets.
     */
   private def acctbalDeciles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    t(s, dir, "customer")
-      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
-      .withColumn("decile", ntile(10).over(w))
+    Analytics.ntileByRange(
+        t(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+        Seq("c_mktsegment"),
+        Seq(col("c_acctbal").asc, col("c_custkey").asc),
+        k = 10, bucketCol = "decile")
       .groupBy("c_mktsegment", "decile")
       .agg(count(lit(1)).as("n"),
         round(min("c_acctbal"), 2).as("lo"),

@@ -761,4 +761,102 @@ object Analytics {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /** Range-partitioned two-pass per-group rank — `row_number() over
+    * (partition by group order by …)` semantics without the window
+    * form's fatal shape: a plain rank window sends each group's ENTIRE
+    * row set through one sort task, so ranking a corpus partitioned by
+    * a 5-value segment column runs 5 tasks no matter the cluster size.
+    *
+    * Two passes instead: (1) `repartitionByRange` on (group, order)
+    * spreads every group across MANY partitions, each holding a
+    * contiguous slice of the group's sort order (sampled bounds —
+    * dominant groups split by the order key); a tiny per-(group,
+    * partition) count table turns into per-group prefix offsets (one
+    * narrow row per slice through the offset window, never the data).
+    * (2) Ranks are the partition-LOCAL row numbers — a window keyed by
+    * (group, slice id), so its exchange is balanced by construction —
+    * plus the slice's offset (null-safe join; AQE broadcasts the
+    * offsets when small). Every exchange carries either balanced
+    * slices or the narrow count table; no task is group-sized.
+    *
+    * `orderBy` must be a TOTAL order (add a unique tie-break column,
+    * as the window form also needs for determinism): ties at a range
+    * boundary could otherwise rank in either slice.
+    *
+    * Returns `df` plus `rankCol` (1-based, long).
+    */
+  def rankByRange(
+      df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+      rankCol: String, numPartitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val reserved = Set("__pid", "__cnt", "__off", "__lrn", rankCol) ++
+      groupCols.map("__g_" + _)
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val gcols = groupCols.map(col)
+    val tagged = df
+      .repartitionByRange(parts, (gcols ++ orderBy): _*)
+      .withColumn("__pid", spark_partition_id())
+    val offW = Window.partitionBy(groupCols.map(c => col("__g_" + c)): _*)
+      .orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = groupCols.foldLeft(
+        tagged.groupBy((gcols :+ col("__pid")): _*)
+          .agg(count(lit(1)).as("__cnt"))) {
+        (d, c) => d.withColumnRenamed(c, "__g_" + c)
+      }
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .drop("__cnt")
+    val joinCond = groupCols.map(c => col(c) <=> col("__g_" + c))
+      .reduce(_ && _) && tagged("__pid") === offsets("__pid")
+    val localW = Window.partitionBy((gcols :+ tagged("__pid")): _*)
+      .orderBy(orderBy: _*)
+    tagged
+      .withColumn("__lrn", row_number().over(localW).cast("long"))
+      .join(offsets, joinCond)
+      .withColumn(rankCol, col("__off") + col("__lrn"))
+      .select((df.columns.map(col) :+ col(rankCol)).toIndexedSeq: _*)
+  }
+
+  /** `ntile(k)` per group on [[rankByRange]] ranks — Spark's exact
+    * bucket arithmetic (the first n mod k buckets take one extra row)
+    * computed from the rank and the group size, so decile/quantile
+    * bucketing inherits the two-pass scale shape instead of the
+    * single-task-per-group window sort. Same total-order requirement.
+    *
+    * Returns `df` plus `bucketCol` (1-based, int).
+    */
+  def ntileByRange(
+      df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+      k: Int, bucketCol: String, numPartitions: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val reserved = Set("__rrn", "__n", bucketCol) ++
+      groupCols.map("__t_" + _)
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val ranked = rankByRange(df, groupCols, orderBy, "__rrn",
+      numPartitions)
+    val totals = groupCols.foldLeft(
+        df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))) {
+      (d, c) => d.withColumnRenamed(c, "__t_" + c)
+    }
+    val joinCond = groupCols.map(c => col(c) <=> col("__t_" + c))
+      .reduce(_ && _)
+    // Spark ntile: base = n/k rows per bucket, the first n%k buckets
+    // hold one extra (ranks ≤ cut); integer arithmetic in long
+    val base = (col("__n") / k).cast("long")
+    val extra = col("__n") % k
+    val cut = extra * (base + 1)
+    val bucket = when(col("__rrn") <= cut,
+        ((col("__rrn") - 1) / (base + 1)).cast("long") + 1)
+      .otherwise(extra +
+        ((col("__rrn") - cut - 1) / base).cast("long") + 1)
+    ranked.join(totals, joinCond)
+      .withColumn(bucketCol, bucket.cast("int"))
+      .select((df.columns.map(col) :+ col(bucketCol)).toIndexedSeq: _*)
+  }
 }
