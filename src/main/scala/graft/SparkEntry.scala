@@ -652,6 +652,26 @@ object SparkEntry {
       .orderBy("corpus_id", "benchmark_id")
   }
 
+  /** q64's decontamination with the benchmark-side document-frequency
+    * cap ENGAGED (`maxBenchmarkDf = 1`): 3-gram shingles present in
+    * more than one eval document are boilerplate identifying no
+    * specific benchmark doc — and at corpus scale each one multiplies
+    * join fan-out (df_corpus × df_benchmark rows). The cap of 1
+    * demonstrably changes this data's answer (drops pairs reached
+    * only via shared-boilerplate shingles), so the oracle verifies
+    * the cap's exact semantics, not just the uncapped join.
+    */
+  private def contaminationCapped(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationCheck(
+        d.where(col("doc_id") % 10 =!= 0),
+        d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, minCommon = 3,
+        maxBenchmarkDf = Some(1))
+      .orderBy("corpus_id", "benchmark_id")
+  }
+
   /** Gopher-style token-repetition signals per document (duplicate
     * and top bigram fractions) — the standard repetition filters a
     * pretraining pipeline runs next to [[TextAnalysis.qualityScore]].
@@ -1989,6 +2009,7 @@ object SparkEntry {
     "q62_weighted_order_sample" -> (weightedOrderSample _),
     "q63_video_meta" -> (videoMeta _),
     "q64_contamination" -> (contamination _),
+    "q103_contamination_capped" -> (contaminationCapped _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -2768,6 +2789,25 @@ object SparkEntry {
          FROM corpus JOIN bench USING (shingle)
          GROUP BY corpus_id, benchmark_id
          HAVING count(*) >= 5
+         ORDER BY corpus_id, benchmark_id""",
+    // the QUALIFY window replays the Spark side's benchmark-DF cap:
+    // shingles in >1 benchmark doc drop BEFORE the join
+    "q103_contamination_capped" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 2))
+               AS i) t),
+         bench AS (SELECT doc_id AS benchmark_id, shingle FROM sh
+                   WHERE doc_id % 10 = 0
+                   QUALIFY count(*) OVER (PARTITION BY shingle) <= 1),
+         corpus AS (SELECT doc_id AS corpus_id, shingle FROM sh
+                    WHERE doc_id % 10 <> 0)
+         SELECT corpus_id, benchmark_id, count(*) AS common_ngrams
+         FROM corpus JOIN bench USING (shingle)
+         GROUP BY corpus_id, benchmark_id
+         HAVING count(*) >= 3
          ORDER BY corpus_id, benchmark_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
