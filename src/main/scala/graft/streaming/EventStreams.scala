@@ -253,6 +253,46 @@ object EventStreams {
     }
   }
 
+  /** Streaming SCD-2 dimension maintenance: lands each micro-batch of
+    * keyed attribute observations into the versioned dimension at
+    * `path` via [[graft.transform.StarSchemaBuilder
+    * .upsertDimensionScd2]] — the streaming shape of warehouse
+    * MERGE-based SCD-2, completing the family (batch derive → batch
+    * upsert → streaming upsert).
+    *
+    * Correctness rides entirely on the batch upsert's proven
+    * guarantees: it is IDEMPOTENT (checkpoint replay of a
+    * half-processed batch re-applies observations without moving the
+    * history — exactly-once effect from at-least-once delivery),
+    * no-op-safe, and late-arrival sequence-correct (each version row
+    * retains BOTH endpoints of its observation run, so an
+    * out-of-order observation splices between the retained endpoints
+    * around it). Micro-batches may therefore arrive in ANY order and
+    * the stored history converges to the batch [[graft.transform
+    * .StarSchemaBuilder.scd2Versions]] derivation over the union of
+    * all observations (spec-checked), up to the documented compaction
+    * artifact for observations strictly interior to a version's run.
+    * Empty micro-batches skip the rewrite.
+    */
+  def scd2DimensionSink(
+      updates: DataFrame, path: String, checkpointDir: String,
+      keyCols: Seq[String], attrCols: Seq[String], orderCol: String,
+      tieBreak: Seq[String] = Nil)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.transform.StarSchemaBuilder
+    val lock = new Object
+    foreachBatchSink(updates, checkpointDir, outputMode = "append") {
+      (batch, _) =>
+        lock.synchronized {
+          if (!batch.isEmpty) {
+            StarSchemaBuilder.upsertDimensionScd2(
+              batch.sparkSession, path, batch, keyCols, attrCols,
+              orderCol, tieBreak)
+          }
+        }
+    }
+  }
+
   // -- custom state (mapGroupsWithState) ---------------------------- //
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

@@ -415,4 +415,48 @@ class EventStreamsSpec extends SparkSpec {
         .count() == 1)
     } finally q2.stop()
   }
+
+  test("scd2DimensionSink: out-of-order micro-batches converge to the " +
+      "batch scd2Versions derivation over the union of observations") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.transform.StarSchemaBuilder
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_scd2_stream").toString + "/dim"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_scd2_stream_ckpt").toString
+    val in = MemoryStream[(Int, String, Int)]
+    val updates = in.toDF().toDF("k", "attr", "seq")
+    val q = EventStreams.scd2DimensionSink(
+      updates, path, ckpt, Seq("k"), Seq("attr"), "seq")
+    try {
+      // batch 1: LATER observations arrive first
+      in.addData((1, "B", 5), (1, "C", 9), (2, "X", 3))
+      q.processAllAvailable()
+      // batch 2: late arrivals — before history (A@1, Y@1) and inside
+      // B's eventual run (B@7, same attrs → endpoint, no-op change)
+      in.addData((1, "A", 1), (1, "B", 7), (2, "Y", 1))
+      q.processAllAvailable()
+      // batch 3: new current version + exact replays (idempotency)
+      in.addData((1, "D", 12), (1, "B", 5), (2, "X", 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cols = Seq("k", "attr", "valid_from", "valid_to", "last_seen",
+      "version_n", "is_current")
+    val got = spark.read.parquet(path)
+      .orderBy("k", "version_n").select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+    // the batch derivation over ALL observations at once
+    val all = Seq((1, "B", 5), (1, "C", 9), (2, "X", 3), (1, "A", 1),
+      (1, "B", 7), (2, "Y", 1), (1, "D", 12))
+      .toDF("k", "attr", "seq")
+    val want = StarSchemaBuilder
+      .scd2Versions(all.distinct(), Seq("k"), Seq("attr"), "seq")
+      .orderBy("k", "version_n").select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"\ngot  = $got\nwant = $want")
+    // sanity on the converged shape: k=1 → A,B,C,D; k=2 → Y,X
+    assert(got.map(r => (r.head, r(1))) == Seq(
+      (1, "A"), (1, "B"), (1, "C"), (1, "D"), (2, "Y"), (2, "X")))
+  }
 }
