@@ -1424,6 +1424,38 @@ object SparkEntry {
       .orderBy("zkey", "o_orderkey")
       .limit(100)
 
+  /** Z-ordered compaction end-to-end ([[graft.transform.Compaction
+    * .compactZOrdered]]): land a deliberately-fragmented copy of
+    * orders (16 small files), rewrite it with merge + Z-order
+    * clustering in ONE range exchange, and report row-fidelity
+    * aggregates over the REWRITTEN table — the oracle computes them
+    * from the source rows, so any row the swap machinery loses or
+    * duplicates hash-mismatches. The zkey checksum is summed mod a
+    * prime (order-independent, overflow-free at any sf); file counts
+    * and the single-exchange plan are spec-anchored (CompactionSpec).
+    */
+  private def compactZOrderFidelity(
+      s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_q104").toString + "/orders"
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        Fx.dateKey(col("o_orderdate")).as("odate_key"),
+        col("o_totalprice"))
+      .repartition(16)
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(work)
+    graft.transform.Compaction.compactZOrdered(
+      s, work, "o_custkey", "odate_key", targetFileBytes = 1L << 30)
+    s.read.parquet(work)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        round(sum("o_totalprice"), 2).as("price_sum"),
+        sum(Analytics.zorderKey(col("o_custkey"), col("odate_key"))
+          % 1000003L).as("zkey_checksum"))
+  }
+
   /** Embedding-distribution drift between labels: per-label mean
     * embedding (posexplode + partial-agg vector mean, rounded for
     * cross-engine reproducibility) then pairwise cosine over the tiny
@@ -2025,6 +2057,7 @@ object SparkEntry {
     "q77_heavy_hitter_tokens" -> (heavyHitterTokens _),
     "q78_centroid_drift" -> (labelCentroidDrift _),
     "q79_zorder_keys" -> (zorderOrderKeys _),
+    "q104_compact_zorder" -> (compactZOrderFidelity _),
     "q80_quality_model_scores" -> (qualityModelScores _),
     "q81_adaptive_quality_floor" -> (adaptiveQualityFloorByLang _),
     "q82_event_funnel" -> (eventFunnel _),
@@ -3089,6 +3122,19 @@ object SparkEntry {
            FROM orders)
          SELECT * FROM keyed
          ORDER BY zkey, o_orderkey LIMIT 100""",
+
+    // fidelity aggregates over the source rows — the Spark side reads
+    // them back from the compacted-and-Z-ordered rewrite, so a row
+    // lost or duplicated by the swap machinery hash-mismatches here
+    "q104_compact_zorder" ->
+      s"""SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           round(sum(o_totalprice), 2) AS price_sum,
+           CAST(sum(${oracleZorder(
+             "o_custkey",
+             "CAST(strftime(o_orderdate, '%Y%m%d') AS INT)")}
+             % 1000003) AS BIGINT) AS zkey_checksum
+         FROM orders""",
 
     // feature sum order mirrors QualityModel.featureNames: bias +
     // log_tokens + punct + stop + mean_word_len, left-associated —

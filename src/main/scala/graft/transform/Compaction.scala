@@ -37,7 +37,31 @@ object Compaction {
 
   def compactParquet(
       spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) =
+    rewrite(spark, path, targetFileBytes)((df, n) => df.repartition(n))
+
+  /** [[compactParquet]] + Z-order clustering in the SAME rewrite:
+    * output file count is sized from on-disk bytes exactly like
+    * compactParquet, but rows lay out via
+    * [[graft.operators.Analytics.clusterByZOrder]]'s range partition
+    * on the Morton key of (`aCol`, `bCol`) instead of round-robin —
+    * small files merge AND every output file holds a compact Z-curve
+    * segment (both columns zone-map-prunable), for the price of the
+    * ONE range exchange. Running compactParquet then clusterByZOrder
+    * would pay two shuffles for the same result; this is why the two
+    * maintenance jobs compose here rather than sequentially. Same
+    * atomic swap and crash recovery as compactParquet.
+    */
+  def compactZOrdered(
+      spark: SparkSession, path: String, aCol: String, bCol: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) =
+    rewrite(spark, path, targetFileBytes)((df, n) =>
+      graft.operators.Analytics.clusterByZOrder(df, aCol, bCol, n))
+
+  private def rewrite(
+      spark: SparkSession, path: String, targetFileBytes: Long)(
+      layout: (org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.DataFrame): (Long, Long) = {
     require(targetFileBytes >= 1, "targetFileBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -63,8 +87,7 @@ object Compaction {
     val nOut = math.max(1L,
       math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
     fs.delete(tmp, true); fs.delete(trash, true)
-    spark.read.parquet(path)
-      .repartition(nOut)
+    layout(spark.read.parquet(path), nOut)
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .parquet(tmp.toString)

@@ -81,6 +81,63 @@ class CompactionSpec extends SparkSpec {
     assert(!residue.exists(_.contains("__compact")))
   }
 
+  test("compactZOrdered merges small files AND Z-orders them in one " +
+      "rewrite: single exchange in the layout plan, per-file Z-ranges " +
+      "disjoint, data byte-identical") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val path = freshDir()
+    val rng = new scala.util.Random(5)
+    (0 until 20000).map(i =>
+        (i, rng.nextInt(1000), rng.nextInt(1000)))
+      .toDF("id", "a", "b")
+      .repartition(50).write.parquet(path)
+    val before = spark.read.parquet(path)
+      .agg(count(lit(1)), sum("id"), sum("a"), sum("b")).head()
+    // the exact layout plan the rewrite executes: ONE shuffle exchange
+    // (range on the Morton key) — compact-then-cluster would pay two
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val layout = Analytics.clusterByZOrder(
+      spark.read.parquet(path), "a", "b", 4)
+    assert(layout.count() == 20000)
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case ad: AdaptiveSparkPlanExec => unwrap(ad.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => Seq(other)
+    }.flatten
+    val shuffles = unwrap(layout.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size == 1,
+      s"expected the single range exchange, got ${shuffles.size}")
+    // the actual maintenance job: sized to ~4 files via target bytes
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (nBefore, nAfter) = Compaction.compactZOrdered(
+      spark, path, "a", "b", targetFileBytes = bytes / 4)
+    assert(nBefore >= 50L && nAfter >= 3L && nAfter <= 6L,
+      s"$nBefore -> $nAfter files")
+    val after = spark.read.parquet(path)
+      .agg(count(lit(1)), sum("id"), sum("a"), sum("b")).head()
+    assert(after == before)
+    // Z-locality: per-FILE Morton-key ranges are (near) disjoint —
+    // the zone-map property the layout exists for
+    val ranges = spark.read.parquet(path)
+      .select(input_file_name().as("f"),
+        Analytics.zorderKey(col("a"), col("b")).as("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(lo2 >= hi1,
+          s"file Z-ranges overlap: hi=$hi1 vs next lo=$lo2")
+      case _ =>
+    }
+  }
+
   test("crash before the tmp rewrite survived (only __compact_old " +
       "left): next run rolls the original back") {
     import spark.implicits._
