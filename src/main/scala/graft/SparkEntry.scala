@@ -362,6 +362,24 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8-quantized brute-force cosine top-10
+    * ([[Similarity.quantizeInt8]]): the corpus is quantized to
+    * per-vector-scaled tinyint codes (4× less storage/shuffle than
+    * float32) and the search runs DIRECTLY on the codes — per-vector
+    * scales cancel in the cosine, no dequantize. The oracle replays
+    * the exact quantization arithmetic, so ranks, ties and rounded
+    * sims are engine-identical.
+    */
+  private def annInt8(s: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(emb(s, dir), "embedding")
+      .select(col("vec_id"), col("embedding_q"))
+    Similarity.bruteForceTopKAgg(
+        q.where(col("vec_id") < 10), q, "vec_id", "embedding_q", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF (bucketed) top-10 — the scale path for similarity search.
     * Fixed nlist=16 ([[Similarity.hashKCentroids]]): centroid count —
     * and with it the broadcast table and O(n·nlist) assignment cost —
@@ -2005,6 +2023,7 @@ object SparkEntry {
     "q26_simhash_pairs" -> (simhashPairs _),
     "q27_embedding_neardup" -> (embeddingNeardup _),
     "q28_ann_bruteforce" -> (annBruteForce _),
+    "q105_ann_int8" -> (annInt8 _),
     "q29_ann_ivf" -> (annIvf _),
     "q30_binary_fingerprints" -> (binaryFingerprints _),
     "q31_corpus_prep" -> (corpusPrep _),
@@ -2297,6 +2316,31 @@ object SparkEntry {
          s AS (
            SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
            FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // replays quantizeInt8's exact arithmetic: q_i = round(x_i /
+    // (max|x|/127)); codes are small exact integers, so the cosine —
+    // scales cancel — matches the Spark side bit-for-bit at 4 decimals
+    "q105_ann_int8" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         qz AS (
+           SELECT vec_id,
+             CASE WHEN coalesce(
+                 list_max(list_transform(v, x -> abs(x))), 0.0) = 0.0
+               THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> round(x /
+                 (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+             END AS qv
+           FROM e),
+         q AS (SELECT vec_id AS qid, qv FROM qz WHERE vec_id < 10),
+         s AS (
+           SELECT qid, z.vec_id AS nid, ${oracleCos("q.qv", "z.qv")} AS sim
+           FROM q CROSS JOIN qz z WHERE qid <> z.vec_id),
          r AS (
            SELECT qid, nid, sim, CAST(row_number() OVER (
              PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank

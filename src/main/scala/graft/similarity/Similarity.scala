@@ -700,4 +700,40 @@ object Similarity {
         round(cosFromNorms(col("__c_a"), col("__c_b"),
           col("__nm_a"), col("__nm_b")), simRoundTo).as("sim"))
   }
+
+  /** Symmetric per-vector int8 quantization of an embedding column:
+    * `scale = max|x| / 127`, `q_i = round(x_i / scale)` ∈ [−127, 127]
+    * stored as `array<tinyint>` — 4× less storage and shuffle than
+    * float32, 8× than double, which is the difference between an
+    * embedding table that fits executor memory at corpus scale and
+    * one that doesn't. Zero/empty vectors quantize to all-zero/empty
+    * codes; null vectors stay null — all with scale 0.
+    *
+    * Per-vector scaling makes COSINE invariant under quantization up
+    * to rounding (both scales cancel in the cosine), so quantized
+    * search needs no dequantize: run any cosine top-k operator
+    * directly on the code column (`dot` casts to double internally).
+    * Dequantization (`q_i · scale`) reconstructs each component to
+    * within scale/2 (spec-checked).
+    *
+    * Appends `<vecCol>_q` and `<vecCol>_scale`; pure projection, zero
+    * shuffle, codegen throughout.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val qCol = vecCol + "_q"
+    val sCol = vecCol + "_scale"
+    require(!df.columns.exists(Set(qCol, sCol)),
+      s"input must not have columns named $qCol or $sCol")
+    val v = col(vecCol).cast("array<double>")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scale = maxabs / lit(127.0)
+    df
+      .withColumn(sCol,
+        when(maxabs.isNull || maxabs === 0.0, lit(0.0)).otherwise(scale))
+      .withColumn(qCol,
+        when(col(sCol) === 0.0,
+          transform(v, _ => lit(0).cast("byte")))
+        .otherwise(transform(v, x =>
+          round(x / (maxabs / lit(127.0))).cast("byte"))))
+  }
 }

@@ -339,4 +339,75 @@ class SimilaritySpec extends SparkSpec {
       assert(!out(i), s"original $i must survive (lowest id wins)")
     }
   }
+
+  private def randVecs(n: Int, dim: Int, seed: Int) = {
+    val rng = new scala.util.Random(seed)
+    vecs((0 until n).map(i =>
+      (i, Seq.fill(dim)(rng.nextDouble() * 2 - 1))): _*)
+  }
+
+  test("quantizeInt8: codes are in [-127,127], dequantization " +
+      "reconstructs each component within scale/2, zero/empty/null " +
+      "vectors get scale 0") {
+    val d = df(
+      StructType(Seq(
+        StructField("vec_id", IntegerType),
+        StructField("embedding", ArrayType(DoubleType), nullable = true))),
+      Seq(Row(1, Seq(0.5, -2.0, 1.25)), Row(2, Seq(0.0, 0.0)),
+        Row(3, Seq.empty[Double]), Row(4, null)))
+    val q = Similarity.quantizeInt8(d, "embedding")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val r1 = q(1)
+    val scale = r1.getAs[Double]("embedding_scale")
+    assert(scale == 2.0 / 127.0)
+    val codes = r1.getSeq[Byte](r1.fieldIndex("embedding_q")).toSeq
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    codes.zip(Seq(0.5, -2.0, 1.25)).foreach { case (c, x) =>
+      assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+        s"component $x reconstructed as ${c * scale}")
+    }
+    assert(q(2).getAs[Double]("embedding_scale") == 0.0)
+    assert(q(2).getSeq[Byte](q(2).fieldIndex("embedding_q")).toSeq ==
+      Seq(0, 0))
+    assert(q(3).getSeq[Byte](q(3).fieldIndex("embedding_q")).isEmpty)
+    assert(q(4).getAs[Double]("embedding_scale") == 0.0)
+    assert(q(4).isNullAt(q(4).fieldIndex("embedding_q")))
+  }
+
+  test("quantizeInt8: cosine over the codes tracks the exact cosine " +
+      "(per-vector scales cancel; int8 grid error only)") {
+    val d = randVecs(40, 16, seed = 2)
+    val q = Similarity.quantizeInt8(d, "embedding")
+    val pairs = q.as("a").join(q.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding"))
+          .as("exact"),
+        Similarity.cosine(col("a.embedding_q"), col("b.embedding_q"))
+          .as("quant"))
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
+        s"exact=${r.getDouble(0)} quant=${r.getDouble(1)}")
+    }
+  }
+
+  test("quantized brute-force top-k recalls nearly all exact " +
+      "neighbors") {
+    val d = randVecs(120, 24, seed = 9)
+    val k = 10
+    def tops(frame: org.apache.spark.sql.DataFrame, vc: String) =
+      Similarity.bruteForceTopKAgg(
+          frame.where(col("vec_id") < 5), frame, "vec_id", vc, k)
+        .collect()
+        .map(r => (r.getAs[Any]("query_id"), r.getAs[Any]("neighbor_id")))
+        .toSet
+    val exact = tops(d, "embedding")
+    val quant = tops(
+      Similarity.quantizeInt8(d, "embedding")
+        .select(col("vec_id"), col("embedding_q")),
+      "embedding_q")
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
 }
