@@ -690,6 +690,17 @@ object SparkEntry {
       .orderBy("corpus_id", "benchmark_id")
   }
 
+  /** Exact shared-span detection ([[Dedup.sharedSpans]]): document
+    * pairs whose longest verbatim common token substring reaches 8
+    * tokens (5-gram seeds, boilerplate 5-grams df-capped at 10) — the
+    * "exact substring dedup" pass published training pipelines run
+    * beside whole-document near-dup removal.
+    */
+  private def sharedSpanPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpans(docs(s, dir), "doc_id", "text",
+        k = 5, minSpanTokens = 8, maxShingleDf = 10)
+      .orderBy("id_a", "id_b")
+
   /** Gopher-style token-repetition signals per document (duplicate
     * and top bigram fractions) — the standard repetition filters a
     * pretraining pipeline runs next to [[TextAnalysis.qualityScore]].
@@ -2061,6 +2072,7 @@ object SparkEntry {
     "q63_video_meta" -> (videoMeta _),
     "q64_contamination" -> (contamination _),
     "q103_contamination_capped" -> (contaminationCapped _),
+    "q106_shared_spans" -> (sharedSpanPairs _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -2886,6 +2898,34 @@ object SparkEntry {
          GROUP BY corpus_id, benchmark_id
          HAVING count(*) >= 3
          ORDER BY corpus_id, benchmark_id""",
+    // islands trick replayed: consecutive shared 5-grams share a
+    // diagonal (pa-pb); group key pa - row_number is constant per run
+    "q106_shared_spans" ->
+      s"""WITH tok AS (
+           SELECT doc_id, $oracleWords AS ws FROM documents),
+         kg AS (
+           SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i+4], ' ')) AS h
+           FROM tok, LATERAL (SELECT unnest(
+             generate_series(1, len(ws) - 4)) AS i) t),
+         hdf AS (SELECT h FROM (
+             SELECT h, count(DISTINCT doc_id) AS df FROM kg GROUP BY h)
+           WHERE df <= 10),
+         kgc AS (SELECT kg.* FROM kg JOIN hdf USING (h)),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, b.pos AS pb
+           FROM kgc a JOIN kgc b USING (h) WHERE a.doc_id < b.doc_id),
+         runs AS (
+           SELECT id_a, id_b, count(*) AS run FROM (
+             SELECT id_a, id_b, pa - pb AS diag,
+               pa - row_number() OVER (
+                 PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+             FROM p) GROUP BY id_a, id_b, diag, grp)
+         SELECT id_a, id_b, max(run) + 4 AS max_span_tokens
+         FROM runs GROUP BY id_a, id_b
+         HAVING max(run) + 4 >= 8
+         ORDER BY id_a, id_b""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -496,6 +497,68 @@ object Dedup {
       .groupBy("corpus_id", "benchmark_id")
       .agg(countDistinct(col("shingle")).as("common_ngrams"))
       .where(col("common_ngrams") >= minCommon)
+  }
+
+  /** Exact shared-span detection — the "exact substring dedup" method
+    * of published training-data pipelines (flag verbatim copied
+    * passages, not near-duplicate whole documents): for each document
+    * pair, the length in tokens of the LONGEST run of consecutive
+    * shared word k-grams, i.e. the longest common token substring of
+    * length ≥ k. Emits (id_a, id_b, max_span_tokens) for pairs whose
+    * longest span reaches `minSpanTokens`.
+    *
+    * Shape: positional k-gram hashes (ONE md5 per (doc, position) —
+    * a projection + generate, no shuffle); a document-frequency cap
+    * drops boilerplate k-grams BEFORE the pair-generating join (the
+    * q23/q64 stop-shingle treatment — a templated phrase in d
+    * documents otherwise costs d² join rows); matched positions
+    * collapse to maximal runs with the islands trick — consecutive
+    * shared k-grams share a diagonal (posA − posB), and within a
+    * diagonal the group key posA − row_number is constant per run.
+    * Every window is keyed by (pair, diagonal), bounded by the
+    * shorter document's length, never corpus-sized.
+    */
+  def sharedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minSpanTokens: Int = 8,
+      maxShingleDf: Int = 10): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(minSpanTokens >= k, "minSpanTokens must be at least k")
+    require(maxShingleDf >= 2,
+      "maxShingleDf must be at least 2 (df-1 k-grams never pair)")
+    val ws = TextAnalysis.words(col(textCol))
+    // one md5 per (doc, pos); docs shorter than k yield no k-grams
+    val ex = graft.core.CacheScope.disk(df
+      .select(col(idCol).as("__id"), ws.as("__ws"))
+      .where(size(col("__ws")) >= k)
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), size(col("__ws")) - k),
+          i => md5(array_join(slice(col("__ws"), i + lit(1), lit(k)),
+            " ")))).as(Seq("__pos", "__h"))))
+    // boilerplate cap: document frequency, not occurrence count — a
+    // k-gram repeated within one doc is still a span candidate
+    val keep = ex.groupBy("__h")
+      .agg(count_distinct(col("__id")).as("__df"))
+      .where(col("__df") <= maxShingleDf)
+      .select("__h")
+    val exc = graft.core.CacheScope.disk(
+      ex.join(keep, Seq("__h"), "left_semi"))
+    val pairs = exc
+      .select(col("__h"), col("__id").as("id_a"), col("__pos").as("__pa"))
+      .join(exc.select(col("__h"), col("__id").as("id_b"),
+        col("__pos").as("__pb")), Seq("__h"))
+      .where(col("id_a") < col("id_b"))
+    val runW = Window
+      .partitionBy(col("id_a"), col("id_b"), col("__diag"))
+      .orderBy(col("__pa").asc)
+    pairs
+      .withColumn("__diag", col("__pa") - col("__pb"))
+      .withColumn("__grp", col("__pa") - row_number().over(runW))
+      .groupBy("id_a", "id_b", "__diag", "__grp")
+      .agg(count(lit(1)).as("__run"))
+      .groupBy("id_a", "id_b")
+      .agg((max(col("__run")) + lit(k - 1)).as("max_span_tokens"))
+      .where(col("max_span_tokens") >= minSpanTokens)
   }
 
   // ---------------------------------------------------------------- //

@@ -384,4 +384,50 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1, 2L, 1L), (2, 2L, 1L)))
   }
+
+  private def spanPairs(
+      d: org.apache.spark.sql.DataFrame, k: Int, minSpan: Int,
+      cap: Int = 10) =
+    Dedup.sharedSpans(d, "id", "text", k, minSpan, cap)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("sharedSpans finds the exact longest common token substring " +
+      "per pair (copied passage inside otherwise-different docs)") {
+    val passage = "one two three four five six seven eight nine ten"
+    val d = docs(
+      (1, s"alpha beta $passage gamma delta epsilon zeta eta theta"),
+      (2, s"red green blue $passage yellow purple orange pink cyan"),
+      (3, "entirely different words with no overlap at all here " +
+        "whatsoever in any position of this text"))
+    val out = spanPairs(d, k = 3, minSpan = 5)
+    // the copied passage is exactly 10 tokens; doc 3 pairs with no one
+    assert(out == Map((1, 2) -> 10L))
+  }
+
+  test("sharedSpans: a within-doc repeated k-gram does not break or " +
+      "inflate the run (diagonal grouping)") {
+    // "a b c" appears twice in doc 1; the true longest common
+    // substring with doc 2 is the 5-token "a b c d e"
+    val d = docs(
+      (1, "a b c x y a b c d e z w q r s t u v"),
+      (2, "m n a b c d e o p q s t u v w x y z"))
+    val out = spanPairs(d, k = 3, minSpan = 4)
+    assert(out == Map((1, 2) -> 5L))
+  }
+
+  test("sharedSpans: boilerplate k-grams past the df cap never " +
+      "generate pairs; docs shorter than k are ignored") {
+    val boiler = "terms and conditions apply see website for details"
+    // the boilerplate sentence is in ALL 6 docs → df 6 > cap 5 for
+    // every one of its k-grams → no pair reaches minSpan
+    val d = docs((1 to 6).map(i =>
+      (i, s"$boiler unique$i filler$i words$i here$i now$i")): _*)
+      .union(docs((7, "tiny")))
+    val out = spanPairs(d, k = 3, minSpan = 4, cap = 5)
+    assert(out.isEmpty, s"boilerplate leaked: $out")
+    // raising the cap above the df exposes the shared 8-token sentence
+    val loose = spanPairs(d, k = 3, minSpan = 4, cap = 10)
+    assert(loose.size == 15 && loose.values.forall(_ == 8L))
+  }
 }
