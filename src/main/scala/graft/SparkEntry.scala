@@ -690,6 +690,22 @@ object SparkEntry {
       .orderBy("corpus_id", "benchmark_id")
   }
 
+  /** Temperature-scaled mixture weights
+    * ([[graft.sampling.Sampling.temperatureWeights]]): the α-sampling
+    * table for the per-language training mix at α = 0.5 — natural
+    * share p, reweighted share q ∝ p^α, and the size-preserving
+    * repetition factor q/p that [[graft.sampling.Sampling.mixture]]
+    * consumes. FP-order-sensitive quantities rounded at 6.
+    */
+  private def temperatureMixture(
+      s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.temperatureWeights(
+        docs(s, dir).select(col("lang")), "lang", alpha = 0.5)
+      .select(col("group"), col("n").cast("long").as("n_docs"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy("group")
+
   /** Exact shared-span detection ([[Dedup.sharedSpans]]): document
     * pairs whose longest verbatim common token substring reaches 8
     * tokens (5-gram seeds, boilerplate 5-grams df-capped at 10) — the
@@ -2073,6 +2089,7 @@ object SparkEntry {
     "q64_contamination" -> (contamination _),
     "q103_contamination_capped" -> (contaminationCapped _),
     "q106_shared_spans" -> (sharedSpanPairs _),
+    "q107_temperature_mixture" -> (temperatureMixture _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -2926,6 +2943,19 @@ object SparkEntry {
          FROM runs GROUP BY id_a, id_b
          HAVING max(run) + 4 >= 8
          ORDER BY id_a, id_b""",
+    "q107_temperature_mixture" ->
+      """WITH g AS (
+           SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY lang),
+         t AS (SELECT sum(n) AS tot FROM g),
+         pz AS (
+           SELECT grp, n, n / tot AS p, pow(n / tot, 0.5) AS pa
+           FROM g CROSS JOIN t),
+         z AS (SELECT sum(pa) AS zn FROM pz)
+         SELECT grp AS "group", CAST(n AS BIGINT) AS n_docs,
+           round(p, 6) AS p, round(pa / zn, 6) AS q,
+           round(pa / zn / p, 6) AS weight
+         FROM pz CROSS JOIN z ORDER BY "group"""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -280,4 +280,60 @@ object Sampling {
       .drop("__rep")
       .withColumn("split", splitColumn(col("rep"), splits, salt))
   }
+
+  /** Temperature-scaled mixture weights — the multilingual /
+    * multi-source "α-sampling" knob (sample group g with probability
+    * q_g ∝ p_g^α instead of its natural share p_g, α < 1 upweighting
+    * low-resource groups): per group, the repetition factor
+    * `weight = q_g / p_g = p_g^(α−1) / Σ_h p_h^α` to feed [[mixture]].
+    * That normalization makes the reweighted corpus SIZE-PRESERVING
+    * exactly — Σ_g n_g · w_g = N — so temperature changes the mix, not
+    * the token budget. α = 1 is the identity (every weight 1); α = 0
+    * equalizes groups (q uniform).
+    *
+    * Weighting by `sizeCol` (token counts) instead of rows changes n_g
+    * to token mass — the published convention; default row-count.
+    *
+    * One aggregation on the group key; everything after operates on
+    * the G-row group table (a second tiny agg for the normalizer,
+    * joined back — never the corpus). Returns (group, n, p, q,
+    * weight); [[mixtureWeights]] collects it to the `Map` form
+    * [[mixture]] takes (driver-bounded by group cardinality — for
+    * per-domain weighting at web scale keep the frame form and join).
+    */
+  def temperatureWeights(
+      df: DataFrame, groupCol: String, alpha: Double,
+      sizeCol: Option[String] = None): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1], got $alpha")
+    val mass = sizeCol match {
+      case Some(c) => sum(coalesce(col(c).cast("double"), lit(0.0)))
+      case None => count(lit(1)).cast("double")
+    }
+    val groups = df.groupBy(col(groupCol).as("group"))
+      .agg(mass.as("n"))
+      .transform(graft.core.CacheScope.disk)
+    val tot = groups.agg(sum(col("n")).as("__N"))
+    val withP = groups.crossJoin(tot)
+      .withColumn("p", col("n") / col("__N"))
+      .withColumn("__pa", pow(col("p"), alpha))
+    val z = withP.agg(sum(col("__pa")).as("__Z"))
+    withP.crossJoin(z)
+      .withColumn("q", col("__pa") / col("__Z"))
+      .withColumn("weight", col("q") / col("p"))
+      .select("group", "n", "p", "q", "weight")
+  }
+
+  /** [[temperatureWeights]] as the `Map[String, Double]` form
+    * [[mixture]] consumes (string-rendered group keys; null group →
+    * key "null"). Collects one row per group — fine for
+    * language/source mixing, not for web-scale per-domain weighting.
+    */
+  def mixtureWeights(
+      df: DataFrame, groupCol: String, alpha: Double,
+      sizeCol: Option[String] = None): Map[String, Double] =
+    temperatureWeights(df, groupCol, alpha, sizeCol)
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getDouble(4))
+      .toMap
 }

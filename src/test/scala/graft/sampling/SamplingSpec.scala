@@ -303,4 +303,70 @@ class SamplingSpec extends SparkSpec {
       assert(byId(id)._3 == plain(id), s"id $id")
     }
   }
+
+  private def langDocs = df(
+    StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("lang", StringType),
+      StructField("tokens", IntegerType))),
+    // 80 en / 15 de / 5 sw — the skewed multilingual shape
+    ((0 until 80).map(i => Row(i, "en", 10)) ++
+      (80 until 95).map(i => Row(i, "de", 20)) ++
+      (95 until 100).map(i => Row(i, "sw", 40))))
+
+  test("temperatureWeights: alpha=1 is the identity (all weights 1), " +
+      "alpha=0 equalizes sampling shares") {
+    val id = Sampling.temperatureWeights(langDocs, "lang", 1.0)
+      .collect().map(r => r.getAs[String]("group") ->
+        r.getAs[Double]("weight")).toMap
+    id.values.foreach(w => assert(math.abs(w - 1.0) < 1e-12))
+    val eq = Sampling.temperatureWeights(langDocs, "lang", 0.0)
+      .collect().map(r => r.getAs[String]("group") ->
+        r.getAs[Double]("q")).toMap
+    eq.values.foreach(q => assert(math.abs(q - 1.0 / 3) < 1e-12))
+  }
+
+  test("temperatureWeights: size-preserving — sum of n*weight equals " +
+      "N at every alpha; low-resource groups upweighted, dominant " +
+      "downweighted for alpha < 1") {
+    for (alpha <- Seq(0.0, 0.3, 0.5, 0.7, 1.0)) {
+      val rows = Sampling.temperatureWeights(langDocs, "lang", alpha)
+        .collect().map(r => (r.getAs[String]("group"),
+          r.getAs[Double]("n"), r.getAs[Double]("weight"))).toSeq
+      val total = rows.map { case (_, n, w) => n * w }.sum
+      assert(math.abs(total - 100.0) < 1e-9, s"alpha=$alpha: $total")
+    }
+    val w5 = Sampling.temperatureWeights(langDocs, "lang", 0.5)
+      .collect().map(r => r.getAs[String]("group") ->
+        r.getAs[Double]("weight")).toMap
+    assert(w5("sw") > 1.0 && w5("de") > 1.0 && w5("en") < 1.0)
+    assert(w5("sw") > w5("de"))
+  }
+
+  test("temperatureWeights by token mass (sizeCol) weighs groups by " +
+      "tokens, not rows") {
+    // token mass: en 800, de 300, sw 200 — different p than row counts
+    val byTok = Sampling.temperatureWeights(langDocs, "lang", 0.5,
+        sizeCol = Some("tokens"))
+      .collect().map(r => r.getAs[String]("group") ->
+        r.getAs[Double]("p")).toMap
+    assert(math.abs(byTok("en") - 800.0 / 1300) < 1e-12)
+    assert(math.abs(byTok("sw") - 200.0 / 1300) < 1e-12)
+  }
+
+  test("mixtureWeights feeds mixture: the composed corpus lands near " +
+      "the temperature-target size per group") {
+    val w = Sampling.mixtureWeights(langDocs, "lang", 0.5)
+    val mixed = Sampling.mixture(langDocs, "id", "lang", w)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected per-group size = n_g * w_g; hash-sampled fractional
+    // epochs put the realized count within a few rows
+    val expect = Map("en" -> 80 * w("en"), "de" -> 15 * w("de"),
+      "sw" -> 5 * w("sw"))
+    expect.foreach { case (g, e) =>
+      assert(math.abs(mixed(g) - e) <= math.max(3.0, e * 0.35),
+        s"$g: got ${mixed(g)}, expected ~$e")
+    }
+  }
 }
