@@ -690,6 +690,30 @@ object SparkEntry {
       .orderBy("corpus_id", "benchmark_id")
   }
 
+  /** Per-priority winsorized order prices ([[Analytics.winsorize]],
+    * exact mode): clamp each priority's prices into its own [p05, p95]
+    * quantile range and report the clipped mass next to the original
+    * — the outlier-robust normalization pass, per-group cutoffs so a
+    * cheap-priority segment is not clipped by an expensive one's
+    * distribution.
+    */
+  private def winsorizedPrices(s: SparkSession, dir: String): DataFrame =
+    Analytics.winsorize(
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice")),
+        "o_totalprice", pLo = 0.05, pHi = 0.95,
+        groupCols = Seq("o_orderpriority"), exact = true)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        // the clipped DELTA, not the clipped total: interior rows
+        // contribute exactly 0, so the sum's FP error stays far from
+        // the rounding boundary regardless of group magnitude
+        round(sum(col("o_totalprice_w") - col("o_totalprice")), 1)
+          .as("clip_delta"),
+        round(min("o_totalprice_w"), 2).as("min_w"),
+        round(max("o_totalprice_w"), 2).as("max_w"))
+      .orderBy("o_orderpriority")
+
   /** Temperature-scaled mixture weights
     * ([[graft.sampling.Sampling.temperatureWeights]]): the α-sampling
     * table for the per-language training mix at α = 0.5 — natural
@@ -2090,6 +2114,7 @@ object SparkEntry {
     "q103_contamination_capped" -> (contaminationCapped _),
     "q106_shared_spans" -> (sharedSpanPairs _),
     "q107_temperature_mixture" -> (temperatureMixture _),
+    "q108_winsorized_prices" -> (winsorizedPrices _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -2956,6 +2981,21 @@ object SparkEntry {
            round(p, 6) AS p, round(pa / zn, 6) AS q,
            round(pa / zn / p, 6) AS weight
          FROM pz CROSS JOIN z ORDER BY "group"""",
+    "q108_winsorized_prices" ->
+      """WITH cuts AS (
+           SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+           FROM orders GROUP BY o_orderpriority),
+         w AS (
+           SELECT o.o_orderpriority, o.o_totalprice,
+             least(greatest(o.o_totalprice, c.lo), c.hi) AS wv
+           FROM orders o JOIN cuts c USING (o_orderpriority))
+         SELECT o_orderpriority, count(*) AS n,
+           round(sum(wv - o_totalprice), 1) AS clip_delta,
+           round(min(wv), 2) AS min_w,
+           round(max(wv), 2) AS max_w
+         FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -762,6 +762,61 @@ object Analytics {
       .drop("__zkey")
   }
 
+  /** Winsorization (percentile clipping) — the outlier-robust feature
+    * transform a training pipeline applies before normalizing a
+    * numeric signal: clamp `valueCol` into its [pLo, pHi] quantile
+    * range, globally or per group. Appends `<valueCol>_w` (double);
+    * null values pass through as null (a missing value is not an
+    * outlier — and `greatest(null, lo)` would silently turn nulls
+    * into the floor).
+    *
+    * Cutoffs default to bounded-state `percentile_approx` (GK sketch
+    * — aggregation state independent of group size, the
+    * [[graft.text.QualityModel.adaptiveQualityFloor]] treatment);
+    * `exact = true` swaps in the interpolated percentile for
+    * cross-engine oracle checks. One aggregation on the group key;
+    * the narrow cutoff table joins back null-safely with no broadcast
+    * hint (group cardinality is data-dependent — AQE decides).
+    */
+  def winsorize(
+      df: DataFrame, valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99,
+      groupCols: Seq[String] = Nil, exact: Boolean = false,
+      approxAccuracy: Int = 10000): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi,
+      s"need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
+    val outCol = valueCol + "_w"
+    val reserved = Set(outCol, "__wlo", "__whi") ++
+      groupCols.map("__g_" + _)
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val v = col(valueCol)
+    def cut(p: Double) =
+      (if (exact) percentile(v, lit(p))
+       else percentile_approx(v, lit(p), lit(approxAccuracy)))
+        .cast("double")
+    val clamped = when(v.isNull, lit(null).cast("double"))
+      .otherwise(least(greatest(v.cast("double"), col("__wlo")),
+        col("__whi")))
+    if (groupCols.isEmpty) {
+      val cuts = df.agg(cut(pLo).as("__wlo"), cut(pHi).as("__whi"))
+      df.crossJoin(cuts)
+        .withColumn(outCol, clamped)
+        .drop("__wlo", "__whi")
+    } else {
+      val cuts = groupCols.foldLeft(
+          df.groupBy(groupCols.map(col): _*)
+            .agg(cut(pLo).as("__wlo"), cut(pHi).as("__whi"))) {
+        (d, c) => d.withColumnRenamed(c, "__g_" + c)
+      }
+      val cond = groupCols.map(c => col(c) <=> col("__g_" + c))
+        .reduce(_ && _)
+      df.join(cuts, cond)
+        .withColumn(outCol, clamped)
+        .drop((Seq("__wlo", "__whi") ++ groupCols.map("__g_" + _)): _*)
+    }
+  }
+
   /** Range-partitioned two-pass per-group rank — `row_number() over
     * (partition by group order by …)` semantics without the window
     * form's fatal shape: a plain rank window sends each group's ENTIRE
