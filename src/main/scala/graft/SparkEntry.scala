@@ -690,6 +690,20 @@ object SparkEntry {
       .orderBy("corpus_id", "benchmark_id")
   }
 
+  /** Content-defined chunking ([[TextAnalysis.chunkByContent]]):
+    * rolling-hash boundaries (3-gram md5 class mod 32) cut each
+    * document into ~32-token chunks whose identity depends only on
+    * LOCAL content — the insertion-robust chunking that makes
+    * chunk-level dedup against a previous snapshot work. md5 of each
+    * chunk pins exact boundaries and content in the oracle.
+    */
+  private def contentChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByContent(docs(s, dir), "doc_id", "text",
+        k = 3, targetTokens = 32)
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Per-priority winsorized order prices ([[Analytics.winsorize]],
     * exact mode): clamp each priority's prices into its own [p05, p95]
     * quantile range and report the clipped mass next to the original
@@ -2115,6 +2129,7 @@ object SparkEntry {
     "q106_shared_spans" -> (sharedSpanPairs _),
     "q107_temperature_mixture" -> (temperatureMixture _),
     "q108_winsorized_prices" -> (winsorizedPrices _),
+    "q109_content_chunks" -> (contentChunks _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -2996,6 +3011,33 @@ object SparkEntry {
            round(min(wv), 2) AS min_w,
            round(max(wv), 2) AS max_w
          FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // 1-based twin of the boundary rule: a cut after 1-based end
+    // position j in [3, len-1] when the md5-prefix int of the 3-gram
+    // ending there lands in class 0 mod 32; last position excluded
+    "q109_content_chunks" ->
+      s"""WITH tok AS (
+           SELECT doc_id, $oracleWords AS ws FROM documents
+           WHERE len($oracleWords) > 0),
+         b AS (
+           SELECT doc_id, ws,
+             list_filter(generate_series(3, len(ws) - 1), j ->
+               (('0x' || substr(md5(array_to_string(ws[j-2:j], ' ')),
+                 1, 8))::BIGINT % 32) = 0) AS bs
+           FROM tok),
+         c AS (
+           SELECT doc_id, ws,
+             list_prepend(1, list_transform(bs, j -> j + 1)) AS ss,
+             list_append(bs, len(ws)) AS es
+           FROM b),
+         ch AS (
+           SELECT doc_id, i - 1 AS chunk_idx,
+             es[i] - ss[i] + 1 AS n_tokens,
+             md5(array_to_string(ws[ss[i]:es[i]], ' ')) AS chunk_md5
+           FROM c, LATERAL (SELECT unnest(
+             generate_series(1, len(ss))) AS i) t)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(n_tokens AS BIGINT) AS n_tokens, chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

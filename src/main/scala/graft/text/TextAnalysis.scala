@@ -300,6 +300,65 @@ object TextAnalysis {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
+  /** Content-defined chunking — the insertion-robust chunking dedup
+    * storage and incremental pipelines use instead of fixed windows:
+    * a chunk boundary falls AFTER token position j whenever the
+    * rolling hash of the k-gram ending at j satisfies
+    * `hash(k-gram) mod targetTokens == 0`, so boundaries are a pure
+    * function of LOCAL content. Insert or delete a sentence and only
+    * the chunks touching the edit change — every other chunk (and its
+    * md5) is byte-identical, which is what makes chunk-level dedup
+    * against a previous snapshot work. Fixed-window chunking shifts
+    * every subsequent boundary instead. Expected chunk length is
+    * ~`targetTokens` (geometric); the final tail is always emitted;
+    * a boundary at the document's last token is ignored (no empty
+    * tail chunk). Empty/absent texts produce no chunks.
+    *
+    * The boundary hash is the engine-portable md5-prefix integer (the
+    * sampling family's construction): first 8 hex chars of
+    * md5(space-joined k-gram) as an unsigned 32-bit value. Output:
+    * (id, chunk_idx, n_tokens, chunk_text). Pure expressions —
+    * tokenize once, one md5 per position, slice per chunk; zero
+    * shuffle.
+    */
+  def chunkByContent(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, targetTokens: Int = 64): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(targetTokens >= 2, "targetTokens must be at least 2")
+    val reserved = Set("__ws", "__bs", "__ss", "__es", "chunk_idx",
+      "__c")
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val ws = col("__ws")
+    val n = size(ws)
+    def kgramHash(i: Column) = pmod(
+      conv(substring(md5(array_join(
+        slice(ws, i - lit(k) + lit(2), lit(k)), " ")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(targetTokens.toLong))
+    // 0-based positions whose ending k-gram hashes to the boundary
+    // class; the last position is excluded (no empty tail), and docs
+    // shorter than k simply have no interior boundaries
+    val bounds = when(n >= k + 1,
+        filter(sequence(lit(k - 1), n - 2), i => kgramHash(i) === 0L))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(ws) > 0)
+      .withColumn("__bs", bounds)
+      .withColumn("__ss",
+        concat(array(lit(0)), transform(col("__bs"), b => b + 1)))
+      .withColumn("__es", concat(col("__bs"), array(n - 1)))
+      .select(col(idCol),
+        posexplode(zip_with(col("__ss"), col("__es"), (s, e) =>
+          struct((e - s + 1).as("nt"),
+            array_join(slice(ws, s + 1, e - s + 1), " ").as("txt"))))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__c.nt").cast("long").as("n_tokens"),
+        col("__c.txt").as("chunk_text"))
+  }
+
   /** Explode a document table into (id, shingle) rows, one row per
     * shingle POSITION — duplicates per document possible. Pure
     * projection + generate: no shuffle, stays in whole-stage codegen.

@@ -49,6 +49,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(covered == (1 to 11).map(i => s"t$i").toSet)
   }
 
+  test("chunkByContent: chunks partition the token stream exactly " +
+      "(concatenation reconstructs the document), short and empty " +
+      "docs handled") {
+    val rng = new scala.util.Random(13)
+    val long = (1 to 400).map(_ => s"tok${rng.nextInt(50)}").mkString(" ")
+    val d = idTextDf((1, long), (2, "just two"), (3, ""), (4, null))
+    val out = TextAnalysis.chunkByContent(d, "id", "text",
+        k = 3, targetTokens = 16)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1)
+    assert(doc1.length > 5, s"expected many ~16-token chunks")
+    assert(doc1.map(_._4).mkString(" ") == long.toLowerCase)
+    assert(doc1.map(_._3).sum == 400L)
+    doc1.foreach { case (_, _, nt, txt) =>
+      assert(nt == txt.split(" ").length)
+    }
+    // a doc shorter than k is one whole chunk; empty/null docs absent
+    assert(out.filter(_._1 == 2).toSeq == Seq((2, 0, 2L, "just two")))
+    assert(!out.exists(r => r._1 == 3 || r._1 == 4))
+  }
+
+  test("chunkByContent is insertion-robust: editing the middle of a " +
+      "document changes only the chunks around the edit — fixed " +
+      "windows shift every later chunk") {
+    val rng = new scala.util.Random(29)
+    val tokens = (1 to 600).map(_ => s"w${rng.nextInt(80)}")
+    val orig = tokens.mkString(" ")
+    val edited = (tokens.take(300) ++ Seq("inserted", "sentence",
+      "goes", "here") ++ tokens.drop(300)).mkString(" ")
+    def md5s(text: String, byContent: Boolean) = {
+      val d = idTextDf((1, text))
+      val c =
+        if (byContent) TextAnalysis.chunkByContent(d, "id", "text",
+          k = 3, targetTokens = 16)
+        else TextAnalysis.chunkByTokens(d, "id", "text", window = 16)
+      c.select(md5(col("chunk_text"))).collect().map(_.getString(0)).toSeq
+    }
+    val cdcShared =
+      (md5s(orig, true).toSet & md5s(edited, true).toSet).size.toDouble /
+        md5s(orig, true).size
+    val fixShared =
+      (md5s(orig, false).toSet & md5s(edited, false).toSet).size.toDouble /
+        md5s(orig, false).size
+    assert(cdcShared > 0.8,
+      s"content-defined chunks should survive a mid-doc edit: $cdcShared")
+    assert(fixShared < 0.6,
+      s"fixed windows should shift after the edit: $fixShared")
+  }
+
   test("repetitionSignals: repeated bigrams raise dup/top fractions, " +
       "unique text scores 0, sub-2-token docs are absent") {
     val d = idTextDf(
