@@ -690,6 +690,27 @@ object SparkEntry {
       .orderBy("corpus_id", "benchmark_id")
   }
 
+  /** Incremental near-dup detection ([[Dedup.buildLshIndex]] +
+    * [[Dedup.nearDupMatches]]): every third document plays the
+    * incoming batch; the rest are the standing corpus whose LSH index
+    * is built once. Batch rows probe the index and candidates verify
+    * by exact Jaccard — the asymmetric daily-ingest shape that never
+    * re-pairs the corpus with itself. Same q24 band parameters.
+    */
+  private def nearDupIncremental(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.where(col("doc_id") % 3 =!= 0)
+    val batch = d.where(col("doc_id") % 3 === 0)
+    val index = Dedup.buildLshIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4)
+    Dedup.nearDupMatches(corpus, index, batch, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** Content-defined chunking ([[TextAnalysis.chunkByContent]]):
     * rolling-hash boundaries (3-gram md5 class mod 32) cut each
     * document into ~32-token chunks whose identity depends only on
@@ -2130,6 +2151,7 @@ object SparkEntry {
     "q107_temperature_mixture" -> (temperatureMixture _),
     "q108_winsorized_prices" -> (winsorizedPrices _),
     "q109_content_chunks" -> (contentChunks _),
+    "q110_neardup_incremental" -> (nearDupIncremental _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -3038,6 +3060,30 @@ object SparkEntry {
          SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
            CAST(n_tokens AS BIGINT) AS n_tokens, chunk_md5
          FROM ch ORDER BY doc_id, chunk_idx""",
+    // asymmetric replay of the q24 minhash/banding construction:
+    // batch-side bands probe corpus-side bands, candidates verify by
+    // exact Jaccard over the full shingle sets
+    "q110_neardup_incremental" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         xc AS (
+           SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+           FROM bands bb JOIN bands cb
+             ON bb.band = cb.band AND bb.sig = cb.sig
+           WHERE bb.doc_id % 3 = 0 AND cb.doc_id % 3 <> 0),
+         common AS (
+           SELECT x.doc_id AS bid, y.doc_id AS cid, count(*) AS common
+           FROM sh x JOIN sh y ON x.shingle = y.shingle
+           JOIN xc ON xc.bid = x.doc_id AND xc.cid = y.doc_id
+           GROUP BY 1, 2)
+         SELECT bid AS batch_id, cid AS corpus_id,
+           round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4)
+             AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = bid
+         JOIN sizes sb ON sb.doc_id = cid
+         WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+         ORDER BY batch_id, corpus_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

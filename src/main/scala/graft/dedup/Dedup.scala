@@ -609,7 +609,11 @@ object Dedup {
     * numHashes. With r=2, b=8 the s-curve crosses ~0.55 — right for a
     * 0.8 near-dup threshold.
     */
-  def lshCandidates(
+  /** Banded-signature projection: (id, band, sig), `bands` rows per
+    * document — the LSH bucket table [[lshCandidates]] self-joins and
+    * [[buildLshIndex]] persists for incremental probing.
+    */
+  def bandedSignatures(
       signatures: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { bIdx =>
@@ -618,16 +622,22 @@ object Dedup {
       struct(lit(bIdx).as("band"),
         md5(concat_ws("|", parts: _*)).as("sig")).as(s"b$bIdx")
     }
+    signatures
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands)
+        .map(i => col(s"b$i")): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  def lshCandidates(
+      signatures: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     // Persisted: both legs of the self-join read the banded table; the
     // signature aggregation upstream is the expensive part and must not
     // re-run per leg (differently-projected legs defeat exchange
     // reuse). At warehouse scale this is "write signatures to a table,
     // then join" — persist is the single-job equivalent.
-    val banded = signatures
-      .select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), explode(array((0 until bands)
-        .map(i => col(s"b$i")): _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val banded = bandedSignatures(signatures, idCol, bands, rowsPerBand)
       .transform(graft.core.CacheScope.disk)
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
@@ -677,6 +687,105 @@ object Dedup {
     val sizes = shCand.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
     exactJaccardVerify(shCand, sizes, cands, idCol, threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Build the standing LSH index for incremental NEAR-dup dedup:
+    * the corpus's banded signature table (id, band, sig), computed
+    * once and reused by every [[nearDupMatches]] batch — the
+    * build/search lifecycle split ([[graft.similarity.Similarity
+    * .buildIvfIndex]], [[buildFingerprintBloom]]). Persist or write it
+    * to a table; an append-only corpus extends it by unioning the new
+    * documents' bands (same md5 family — band hashes never change).
+    */
+  def buildLshIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandedSignatures(
+      minhashSignatures(corpus, idCol, textCol, n, numHashes),
+      idCol, bands, numHashes / bands)
+  }
+
+  /** Incremental NEAR-dup detection — the asymmetric production shape
+    * of [[minhashLshPairs]]: instead of re-pairing the whole corpus
+    * per ingest, each batch bands ONLY ITSELF and probes the standing
+    * [[buildLshIndex]] table; candidates are verified by exact
+    * Jaccard against the candidate documents' shingles. Emits
+    * verified (batch_id, corpus_id, jaccard ≥ threshold) matches.
+    *
+    * Scale: the batch (small) is shingled/signed/banded in full; the
+    * CORPUS is never shuffled wholesale — the index probe is a join
+    * on (band, sig), and the verify leg semi-joins the corpus text
+    * down to candidate ids BEFORE its per-document distinct, so every
+    * corpus-side exchange is candidate-sized (the q74 Bloom
+    * treatment, lifted from exact to near duplicates). Band
+    * parameters must match the index's.
+    */
+  def nearDupMatches(
+      corpus: DataFrame, index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    // batch shingles feed the signature agg AND the verify leg
+    val shB = TextAnalysis.explodeShinglesRaw(batch, idCol, textCol, n)
+      .transform(graft.core.CacheScope.disk)
+    val sigAggs = minhashAggs(numHashes)
+    val batchBanded = bandedSignatures(
+      shB.select(shingleHashHalves(idCol): _*)
+        .groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*),
+      idCol, bands, numHashes / bands)
+    val cands = batchBanded
+      .select(col(idCol).as("batch_id"), col("band"), col("sig"))
+      .join(index.select(col(idCol).as("corpus_id"), col("band"),
+        col("sig")), Seq("band", "sig"))
+      .select("batch_id", "corpus_id").distinct()
+      .transform(graft.core.CacheScope.disk)
+    // exact verify over candidate documents only (distinct shingles,
+    // candidate-sized on both legs)
+    val shBc = shB
+      .join(cands.select(col("batch_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("batch_id"), col("shingle")).distinct()
+      .transform(graft.core.CacheScope.disk)
+    val shCc = TextAnalysis.explodeShinglesRaw(corpus, idCol, textCol, n)
+      .join(cands.select(col("corpus_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("corpus_id"), col("shingle")).distinct()
+      .transform(graft.core.CacheScope.disk)
+    val nB = shBc.groupBy("batch_id").agg(count(lit(1)).as("__nb"))
+    val nC = shCc.groupBy("corpus_id").agg(count(lit(1)).as("__nc"))
+    shBc.join(shCc, Seq("shingle"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("__common"))
+      .join(cands, Seq("batch_id", "corpus_id"), "left_semi")
+      .join(nB, Seq("batch_id")).join(nC, Seq("corpus_id"))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__nb") + col("__nc") - col("__common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
+  /** [[dedupAgainst]] lifted to NEAR duplicates: the batch rows that
+    * survive — in-batch exact dedup first (lowest `orderCol` wins),
+    * then rows with a verified near-dup in the corpus
+    * ([[nearDupMatches]] over the standing index) are dropped.
+    * In-batch NEAR-dups are intentionally kept (run
+    * [[minhashLshPairs]] on the batch to collapse those — the
+    * composition q31 uses).
+    */
+  def dedupNearAgainst(
+      corpus: DataFrame, index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, orderCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val b = exactDedupAgg(batch, textCol, orderCol)
+      .transform(graft.core.CacheScope.disk)
+    val matched = nearDupMatches(corpus, index, b, idCol, textCol,
+        n, numHashes, bands, threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    b.join(matched, Seq(idCol), "left_anti")
   }
 
   // ---------------------------------------------------------------- //

@@ -385,6 +385,74 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 2L, 1L), (2, 2L, 1L)))
   }
 
+  // near-dup fodder: long base sentences with small mutations stay
+  // above 0.8 Jaccard on 3-gram shingles; distinct texts stay far below
+  private def mut(base: String, i: Int) =
+    base + s" trailing marker token$i"
+
+  test("nearDupMatches (standing index + batch probe) equals the " +
+      "symmetric LSH pipeline restricted to cross-side pairs") {
+    val baseA = "the quick brown fox jumps over the lazy dog while " +
+      "the patient cat watches from the warm window sill nearby " +
+      "and the evening light settles across the quiet garden path"
+    val baseB = "completely different content about distributed " +
+      "query engines shuffling partitions across executors while " +
+      "the optimizer prunes columns and pushes filters into scans"
+    val corpus = docs(
+      (1, mut(baseA, 1)), (2, mut(baseB, 2)),
+      (3, "short unrelated note about nothing in particular today"),
+      (4, mut(baseA, 4))) // within-corpus near-dup of 1
+    val batch = docs(
+      (101, mut(baseA, 101)), // near-dup of corpus 1 and 4
+      (102, mut(baseB, 102)), // near-dup of corpus 2
+      (103, "a wholly new document with fresh unseen vocabulary"),
+      (104, mut(baseB, 104))) // also near-dup of 2 AND of batch 102
+    val all = corpus.unionByName(batch)
+    val sym = Dedup.minhashLshPairs(all, "id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        math.round(r.getDouble(2) * 1e4)))
+      .flatMap { case (a, b, j) =>
+        // keep cross-side pairs as (batch, corpus)
+        if (a < 100 && b >= 100) Some(((b, a), j))
+        else if (a >= 100 && b < 100) Some(((a, b), j))
+        else None
+      }.toMap
+    val index = Dedup.buildLshIndex(corpus, "id", "text",
+      n = 3, numHashes = 16, bands = 4)
+    val asym = Dedup.nearDupMatches(corpus, index, batch, "id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        math.round(r.getDouble(2) * 1e4)).toMap
+    assert(asym == sym, s"\nasym = $asym\nsym  = $sym")
+    assert(asym.keySet.map(_._1) == Set(101, 102, 104))
+  }
+
+  test("dedupNearAgainst: in-batch exact dup collapses, corpus " +
+      "near-dups drop, fresh and batch-only-near-dup rows survive") {
+    val baseA = "the quick brown fox jumps over the lazy dog while " +
+      "the patient cat watches from the warm window sill nearby " +
+      "and the evening light settles across the quiet garden path"
+    val baseC = "yet another topic entirely concerning the seasonal " +
+      "migration of seabirds along the rocky northern coastline " +
+      "where the wind carries salt across the empty beaches"
+    val corpus = docs((1, mut(baseA, 1)))
+    val index = Dedup.buildLshIndex(corpus, "id", "text",
+      n = 3, numHashes = 16, bands = 4)
+    val batch = docs(
+      (201, mut(baseA, 201)), // near-dup of corpus → drop
+      (202, "fresh standalone document"), // keep
+      (203, "fresh standalone document"), // exact in-batch dup → 202 kept
+      (204, mut(baseC, 204)), // batch-only near-dup pair: both kept
+      (205, mut(baseC, 205)))
+    val out = Dedup.dedupNearAgainst(corpus, index, batch,
+        "id", "text", "id", n = 3, numHashes = 16, bands = 4)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(out == Set(202, 204, 205))
+  }
+
   private def spanPairs(
       d: org.apache.spark.sql.DataFrame, k: Int, minSpan: Int,
       cap: Int = 10) =
