@@ -253,6 +253,65 @@ object EventStreams {
     }
   }
 
+  /** Streaming incremental NEAR-dup ingestion — [[incrementalDedupSink]]
+    * lifted from exact to near duplicates: each micro-batch is
+    * in-batch exact-deduped, then checked against the standing corpus
+    * via the persisted LSH band index
+    * ([[graft.dedup.Dedup.buildLshIndex]] /
+    * [[graft.dedup.Dedup.dedupNearAgainst]]); survivors append to the
+    * corpus and their band rows append to the index — so the corpus
+    * is NEVER re-banded, each batch pays only its own signatures plus
+    * candidate-sized verification.
+    *
+    * Durability order: the index extension lands BEFORE the corpus
+    * append. A crash between the two leaves phantom index rows
+    * (bands of never-landed docs) — harmless: phantom candidates
+    * verify against no corpus text and drop, and the doc's re-arrival
+    * lands normally (duplicate band rows collapse in the candidate
+    * distinct). The reverse order would let near-dups of unindexed
+    * docs slip through. On (re)start with a corpus but no index, the
+    * index is rebuilt from the corpus. Checkpoint replay of a
+    * half-processed batch re-deduplicates idempotently (an exact
+    * replica verifies at Jaccard 1.0 and drops).
+    */
+  def incrementalNearDupSink(
+      docs: DataFrame, idCol: String, textCol: String, orderCol: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.8)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.Dedup
+    val spark = docs.sparkSession
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val lock = new Object
+    foreachBatchSink(docs, checkpointDir, outputMode = "append") {
+      (batch, _) =>
+        lock.synchronized(graft.core.CacheScope.withScope {
+          val survivors =
+            if (exists(corpusDir)) {
+              val index =
+                if (exists(indexDir)) spark.read.parquet(indexDir)
+                else Dedup.buildLshIndex(spark.read.parquet(corpusDir),
+                  idCol, textCol, n, numHashes, bands)
+              Dedup.dedupNearAgainst(spark.read.parquet(corpusDir),
+                index, batch, idCol, textCol, orderCol,
+                n, numHashes, bands, threshold)
+            } else Dedup.exactDedupAgg(batch, textCol, orderCol)
+          val landed = survivors.localCheckpoint(eager = true)
+          // index first (see durability order above)
+          Dedup.buildLshIndex(landed, idCol, textCol, n, numHashes,
+              bands)
+            .write.mode(SaveMode.Append)
+            .option("compression", "snappy").parquet(indexDir)
+          landed.write.mode(SaveMode.Append)
+            .option("compression", "snappy").parquet(corpusDir)
+        })
+    }
+  }
+
   /** Streaming SCD-2 dimension maintenance: lands each micro-batch of
     * keyed attribute observations into the versioned dimension at
     * `path` via [[graft.transform.StarSchemaBuilder

@@ -416,6 +416,63 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("incrementalNearDupSink: near-duplicates of landed docs drop " +
+      "across batches and restarts; the corpus is extended, not " +
+      "re-banded") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_ndup_corpus").toString + "/docs"
+    val index = java.nio.file.Files
+      .createTempDirectory("graft_ndup_index").toString + "/bands"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ndup_ckpt").toString
+    val baseA = "the quick brown fox jumps over the lazy dog while " +
+      "the patient cat watches from the warm window sill nearby " +
+      "and the evening light settles across the quiet garden path"
+    val baseB = "completely different content about distributed " +
+      "query engines shuffling partitions across executors while " +
+      "the optimizer prunes columns and pushes filters into scans"
+    def mut(b: String, i: Int) = b + s" trailing marker token$i"
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalNearDupSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", "doc_id",
+      corpus, index, ckpt, n = 3, numHashes = 16, bands = 4)
+    try {
+      in.addData((1L, mut(baseA, 1)), (2L, mut(baseB, 2)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 2)
+      // batch 2: near-dup variants of BOTH landed docs drop; a fresh
+      // doc and an exact in-batch dup pair land once
+      in.addData((10L, mut(baseA, 10)), (11L, mut(baseB, 11)),
+        (12L, "a wholly new document with fresh unseen vocabulary"),
+        (13L, "a wholly new document with fresh unseen vocabulary"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus)
+      assert(after2.count() == 3)
+      assert(after2.where(col("doc_id").isin(10L, 11L, 13L)).count() == 0)
+    } finally q.stop()
+    // restart: index is on disk; near-dup replays still drop
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.incrementalNearDupSink(
+      in2.toDF().toDF("doc_id", "text"), "doc_id", "text", "doc_id",
+      corpus, index,
+      java.nio.file.Files.createTempDirectory("graft_ndup_ckpt2")
+        .toString,
+      n = 3, numHashes = 16, bands = 4)
+    try {
+      in2.addData((20L, mut(baseA, 20)),
+        (21L, "post restart genuinely novel words entirely"))
+      q2.processAllAvailable()
+      val fin = spark.read.parquet(corpus)
+      assert(fin.count() == 4)
+      assert(fin.where(col("doc_id") === 20L).count() == 0)
+      assert(fin.where(col("doc_id") === 21L).count() == 1)
+      // the index holds bands ONLY for landed docs (4 docs × 4 bands)
+      assert(spark.read.parquet(index).count() == 16)
+    } finally q2.stop()
+  }
+
   test("scd2DimensionSink: out-of-order micro-batches converge to the " +
       "batch scd2Versions derivation over the union of observations") {
     implicit val sql = spark.sqlContext
