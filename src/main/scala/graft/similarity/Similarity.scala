@@ -730,10 +730,14 @@ object Similarity {
     df
       .withColumn(sCol,
         when(maxabs.isNull || maxabs === 0.0, lit(0.0)).otherwise(scale))
+      // the lambda divides by the PROJECTED scale column — embedding
+      // the maxabs expression in the lambda body would re-reduce the
+      // whole array per element (O(dim²) per row); the projected value
+      // is bit-identical to maxabs/127
       .withColumn(qCol,
         when(col(sCol) === 0.0,
           transform(v, _ => lit(0).cast("byte")))
         .otherwise(transform(v, x =>
-          round(x / (maxabs / lit(127.0))).cast("byte"))))
+          round(x / col(sCol)).cast("byte"))))
   }
 }
