@@ -690,6 +690,17 @@ object SparkEntry {
       .orderBy("corpus_id", "benchmark_id")
   }
 
+  /** Shuffle-key skew report over the documents language column
+    * ([[Analytics.skewReport]]): languages above a 5 % row share, with
+    * the task-imbalance multiplier a hash exchange keyed on `lang`
+    * would suffer — exactly the diagnostic that motivated this
+    * round's two-phase rank/budget operators.
+    */
+  private def keySkewReport(s: SparkSession, dir: String): DataFrame =
+    Analytics.skewReport(docs(s, dir), "lang", minFraction = 0.05,
+        exactKeys = true)
+      .orderBy("key")
+
   /** Incremental near-dup detection ([[Dedup.buildLshIndex]] +
     * [[Dedup.nearDupMatches]]): every third document plays the
     * incoming batch; the rest are the standing corpus whose LSH index
@@ -2152,6 +2163,7 @@ object SparkEntry {
     "q108_winsorized_prices" -> (winsorizedPrices _),
     "q109_content_chunks" -> (contentChunks _),
     "q110_neardup_incremental" -> (nearDupIncremental _),
+    "q111_key_skew" -> (keySkewReport _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -3084,6 +3096,20 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = cid
          WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
          ORDER BY batch_id, corpus_id""",
+    "q111_key_skew" ->
+      """WITH ctx AS (
+           SELECT count(lang) AS nr, count(DISTINCT lang) AS nk
+           FROM documents),
+         h AS (
+           SELECT CAST(lang AS VARCHAR) AS key, count(*) AS cnt
+           FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+         SELECT key, cnt AS n_rows_key,
+           round(CAST(cnt AS DOUBLE) / nr, 6) AS fraction,
+           nr AS n_rows, nk AS n_keys,
+           round(CAST(cnt AS DOUBLE) * nk / nr, 4) AS skew_ratio
+         FROM h CROSS JOIN ctx
+         WHERE CAST(cnt AS DOUBLE) > 0.05 * nr
+         ORDER BY key""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -762,6 +762,37 @@ object Analytics {
       .drop("__zkey")
   }
 
+  /** Shuffle-key skew diagnostics — the report to run BEFORE keying a
+    * 100 TB join or aggregation on a column: every key holding more
+    * than `minFraction` of the rows (exact two-phase Misra-Gries via
+    * [[heavyHitters]] — a bounded sketch finds candidates, the exact
+    * count touches only candidate-matching rows; the full
+    * distinct-key aggregation never runs), with its row count, share,
+    * and `skew_ratio` — count ÷ mean-rows-per-key, i.e. the
+    * task-imbalance multiplier a hash exchange on this key suffers.
+    * A ratio in the hundreds says salt the key ([[saltedJoin]] /
+    * [[saltedSum]]) or broadcast the other side.
+    *
+    * Key cardinality defaults to the HLL sketch (bounded state);
+    * `exactKeys = true` for moderate key spaces and oracle checks.
+    * Null keys are excluded — they don't participate in equi-joins.
+    */
+  def skewReport(
+      df: DataFrame, keyCol: String, minFraction: Double = 0.01,
+      exactKeys: Boolean = false): DataFrame = {
+    val keys =
+      if (exactKeys) count_distinct(col(keyCol))
+      else approx_count_distinct(col(keyCol))
+    val ctx = df.agg(count(col(keyCol)).as("n_rows"),
+      keys.as("n_keys"))
+    heavyHitters(df, keyCol, minFraction)
+      .crossJoin(ctx)
+      .select(col("value").as("key"), col("cnt").as("n_rows_key"),
+        col("fraction"), col("n_rows"), col("n_keys"),
+        round(col("cnt").cast("double") * col("n_keys") / col("n_rows"),
+          4).as("skew_ratio"))
+  }
+
   /** Winsorization (percentile clipping) — the outlier-robust feature
     * transform a training pipeline applies before normalizing a
     * numeric signal: clamp `valueCol` into its [pLo, pHi] quantile

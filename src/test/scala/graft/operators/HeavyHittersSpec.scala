@@ -77,4 +77,24 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getDouble(2) == 0.75)
   }
+
+  test("skewReport: heavy keys carry exact counts, shares and the " +
+      "task-imbalance ratio; null keys excluded") {
+    // 60 of "hot", 10 each of 4 cold keys, 5 nulls → n=100 non-null,
+    // 5 keys, mean 20 → hot ratio = 60/20 = 3
+    val vals = Seq.fill(60)("hot") ++
+      (1 to 4).flatMap(k => Seq.fill(10)(s"cold$k")) ++
+      Seq.fill(5)(null: String)
+    val out = Analytics.skewReport(values(vals: _*), "v",
+        minFraction = 0.25, exactKeys = true)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("key") == "hot")
+    assert(r.getAs[Long]("n_rows_key") == 60L)
+    assert(r.getAs[Double]("fraction") == 0.6)
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Long]("n_keys") == 5L)
+    assert(r.getAs[Double]("skew_ratio") == 3.0)
+  }
 }

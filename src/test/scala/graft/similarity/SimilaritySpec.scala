@@ -392,6 +392,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 codes compose with the IVF scale path: ivfTopK over the " +
+      "quantized corpus keeps useful recall vs the exact brute force") {
+    val d = randVecs(150, 24, seed = 4)
+    val k = 10
+    val exact = Similarity.bruteForceTopKAgg(
+        d.where(col("vec_id") < 5), d, "vec_id", "embedding", k)
+      .collect().map(r => (r.getAs[Any]("query_id"),
+        r.getAs[Any]("neighbor_id"))).toSet
+    val q = Similarity.quantizeInt8(d, "embedding")
+      .select(col("vec_id"), col("embedding_q"))
+    val ivfQuant = Similarity.ivfTopK(
+        q.where(col("vec_id") < 5), q, "vec_id", "embedding_q",
+        k, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getAs[Any]("query_id"),
+        r.getAs[Any]("neighbor_id"))).toSet
+    val recall = (exact & ivfQuant).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"ivf-over-int8 recall $recall (quantization + probe misses stack)")
+  }
+
   test("quantized brute-force top-k recalls nearly all exact " +
       "neighbors") {
     val d = randVecs(120, 24, seed = 9)
