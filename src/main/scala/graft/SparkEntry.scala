@@ -690,6 +690,26 @@ object SparkEntry {
       .orderBy("corpus_id", "benchmark_id")
   }
 
+  /** Product-quantized ANN ([[Similarity.pqTrainCodebooks]] /
+    * [[Similarity.pqEncode]] / [[Similarity.pqTopK]]): 4 blocks × 16
+    * codewords over the 64-dim embeddings — each corpus vector
+    * becomes 4 codes (64× smaller than float32), and search is ADC
+    * over the code table. Fully deterministic (hash-init k-medians
+    * training, L2 per-block encode, code-ascending ties), so the
+    * oracle replays training, encoding AND the ADC scoring.
+    */
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val books = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 16, iters = 2)
+    val enc = Similarity.pqEncode(e, "vec_id", "embedding", books)
+    Similarity.pqTopK(e.where(col("vec_id") < 10), enc, books,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Shuffle-key skew report over the documents language column
     * ([[Analytics.skewReport]]): languages above a 5 % row share, with
     * the task-imbalance multiplier a hash exchange keyed on `lang`
@@ -2057,6 +2077,49 @@ object SparkEntry {
   }
 
   /** Cosine in double precision over the embeddings arrays. */
+  /** One PQ block's oracle chain (mirrors [[graft.similarity
+    * .Similarity.pqTrainCodebooks]] for block `b`): sub-vector slice →
+    * hash-init c0 → two cosine-assign/median-refine rounds → dense
+    * codes by hash rank → L2-argmin encode. Every expression matches
+    * the Spark side bit-for-bit (left-to-right dot products, medians
+    * rounded at 6, cosine at 4, code-ascending ties).
+    */
+  private def oraclePqBlock(b: Int, sub: Int, k: Int): String = {
+    val lo = b * sub + 1
+    val hi = (b + 1) * sub
+    def assign(src: String, cents: String) =
+      s"""(SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+         FROM $src e CROSS JOIN $cents c) WHERE rn = 1)"""
+    def medians(assigned: String) =
+      s"""(SELECT cid, pos, round(median(v[pos]), 6) AS m
+         FROM $assigned CROSS JOIN dims$b GROUP BY cid, pos)"""
+    s"""e$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       dims$b AS (SELECT unnest(range(1, ${sub + 1})) AS pos),
+       c0$b AS (SELECT vec_id AS cid, v AS cv FROM e$b
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                LIMIT $k),
+       a1$b AS ${assign(s"e$b", s"c0$b")},
+       m1$b AS ${medians(s"a1$b")},
+       c1$b AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m1$b
+                GROUP BY cid),
+       a2$b AS ${assign(s"e$b", s"c1$b")},
+       m2$b AS ${medians(s"a2$b")},
+       c2$b AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m2$b
+                GROUP BY cid),
+       cb$b AS (SELECT cv, row_number() OVER (
+           ORDER BY md5(CAST(cid AS VARCHAR)) ASC, cid ASC) - 1 AS code
+         FROM c2$b),
+       enc$b AS (SELECT vec_id, code FROM (
+           SELECT e.vec_id, c.code, row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(c.cv, c.cv)
+               - 2 * list_dot_product(e.v, c.cv) ASC, c.code ASC) AS rn
+           FROM e$b e CROSS JOIN cb$b c) WHERE rn = 1)"""
+  }
+
   private def oracleCos(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / nullif(" +
       s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0), 4)"
@@ -2164,6 +2227,7 @@ object SparkEntry {
     "q109_content_chunks" -> (contentChunks _),
     "q110_neardup_incremental" -> (nearDupIncremental _),
     "q111_key_skew" -> (keySkewReport _),
+    "q112_ann_pq" -> (annPq _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -3110,6 +3174,45 @@ object SparkEntry {
          FROM h CROSS JOIN ctx
          WHERE CAST(cnt AS DOUBLE) > 0.05 * nr
          ORDER BY key""",
+    // full PQ replay: per-block training chains (hash-init k-medians,
+    // the q40 treatment ×4 sub-spaces), L2-argmin codes, then ADC —
+    // dot and norm² reassembled from per-block codeword lookups
+    "q112_ann_pq" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ${(0 until 4).map(b => oraclePqBlock(b, 16, 16)).mkString(",\n")},
+         ncodes AS (
+           SELECT e.vec_id, enc0.code AS k0, enc1.code AS k1,
+             enc2.code AS k2, enc3.code AS k3
+           FROM e
+           JOIN enc0 ON enc0.vec_id = e.vec_id
+           JOIN enc1 ON enc1.vec_id = e.vec_id
+           JOIN enc2 ON enc2.vec_id = e.vec_id
+           JOIN enc3 ON enc3.vec_id = e.vec_id),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             round((list_dot_product(q.v[1:16], b0.cv)
+                 + list_dot_product(q.v[17:32], b1.cv)
+                 + list_dot_product(q.v[33:48], b2.cv)
+                 + list_dot_product(q.v[49:64], b3.cv))
+               / nullif(sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b0.cv, b0.cv)
+                   + list_dot_product(b1.cv, b1.cv)
+                   + list_dot_product(b2.cv, b2.cv)
+                   + list_dot_product(b3.cv, b3.cv)), 0.0), 4) AS sim
+           FROM q CROSS JOIN ncodes n
+           JOIN cb0 b0 ON b0.code = n.k0
+           JOIN cb1 b1 ON b1.code = n.k1
+           JOIN cb2 b2 ON b2.code = n.k2
+           JOIN cb3 b3 ON b3.code = n.k3
+           WHERE n.vec_id <> q.vec_id),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

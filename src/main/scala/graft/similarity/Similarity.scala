@@ -701,6 +701,164 @@ object Similarity {
           col("__nm_a"), col("__nm_b")), simRoundTo).as("sim"))
   }
 
+  // ---------------------------------------------------------------- //
+  // Product quantization (PQ)                                         //
+  // ---------------------------------------------------------------- //
+
+  /** Train PQ codebooks — the 4-bit/byte-per-block compression tier
+    * past int8 (m codes replace dim floats: m=4, k=16 stores a
+    * 64-dim float32 vector in 4 nibbles — 64× less): the vector space
+    * splits into `m` equal sub-blocks and each block gets a
+    * `k`-codeword codebook from the SAME deterministic hash-init
+    * k-medians the IVF family uses, trained on that block's
+    * sub-vectors. Codes are the hash-rank of the initializing vector
+    * id, so the whole construction is reproducible across runs,
+    * partitionings and engines.
+    *
+    * Returns (block, code, codeword). Training scans the corpus
+    * `m · iters` times — at real scale train on a sample (codebooks
+    * need thousands of vectors per codeword, not the corpus; the
+    * ENCODE pass is the full-corpus one).
+    */
+  def pqTrainCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 16, iters: Int = 2): DataFrame = {
+    require(m >= 1 && k >= 2, "need m >= 1 sub-blocks and k >= 2 codes")
+    val dim = vectorDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim must be divisible by m = $m")
+    val sub = dim / m
+    val blocks = (0 until m).map { b =>
+      val blockDf = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), b * sub + 1, sub)
+          .as("__sub"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(md5(col("centroid_id").cast("string")).asc,
+          col("centroid_id").asc)
+      kMediansCentroids(blockDf, idCol, "__sub", k, iters)
+        .select(lit(b).as("block"),
+          (row_number().over(w) - 1).as("code"),
+          col("centroid_vec").as("codeword"))
+    }
+    // tiny table (m·k rows); the k-row ranking window above is bounded
+    blocks.reduce(_ unionByName _)
+  }
+
+  /** PQ encode: per (vector, block) the L2-nearest codeword — the
+    * split that makes per-block assignment EXACTLY minimize the
+    * vector's total quantization error (‖x − x̂‖² = Σ_b ‖x_b − c_b‖²).
+    * Ties break on the lower code, so encoding is deterministic.
+    * Output: (id, codes array<int>, block-ordered). One broadcast
+    * join against the m·k-row codebook table; the corpus never
+    * shuffles wider than (id, block, code).
+    */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val cb = broadcast(codebooks.select(col("block"), col("code"),
+      col("codeword"), dot(col("codeword"), col("codeword")).as("__cc")))
+    val m = codebooks.select(max("block")).head().getInt(0) + 1
+    val dim = vectorDim(df, vecCol)
+    require(dim % m == 0, s"dim $dim must be divisible by m = $m")
+    val sub = dim / m
+    val v = col(vecCol).cast("array<double>")
+    val exploded = df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), b =>
+        slice(v, b * sub + lit(1), lit(sub)))).as(Seq("__blk", "__sub")))
+    // ‖x_b − c‖² = x·x − 2 x·c + c·c; x·x is constant per (row, block)
+    // → argmin needs only c·c − 2 x·c
+    val d2 = col("__cc") - lit(2.0) * dot(col("__sub"), col("codeword"))
+    exploded
+      .join(cb, col("__blk") === col("block"))
+      .groupBy(col(idCol), col("__blk"))
+      .agg(min_by(col("code"), struct(d2.as("d"), col("code")))
+        .as("__code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__blk"), col("__code"))))
+        .as("__bc"))
+      .select(col(idCol),
+        transform(col("__bc"), p => p.getField("__code")).as("codes"))
+  }
+
+  /** PQ reconstruction: codes → concatenated codewords (block order).
+    * Mainly for the decomposition-identity spec and error audits.
+    */
+  def pqReconstruct(
+      encoded: DataFrame, idCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val cb = broadcast(codebooks)
+    encoded
+      .select(col(idCol), posexplode(col("codes"))
+        .as(Seq("__blk", "__code")))
+      .join(cb, col("__blk") === col("block") &&
+        col("__code") === col("code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__blk"),
+        col("codeword")))).as("__bw"))
+      .select(col(idCol),
+        flatten(transform(col("__bw"), p => p.getField("codeword")))
+          .as("vec_hat"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: cosine(q, x̂) computed from
+    * CODES ONLY — dot and squared norm decompose over blocks
+    * (dot(q, x̂) = Σ_b dot(q_b, cw), ‖x̂‖² = Σ_b ‖cw‖²), so each query
+    * builds an m·k lookup table of block contributions and every
+    * encoded corpus vector is scored by m lookups + a sum. The corpus
+    * side carries (id, block, code) rows — never vectors; the
+    * per-query table is queries·m·k rows, broadcast-sized.
+    * Equal to cosine against [[pqReconstruct]]'d vectors up to
+    * double-summation order (spec-pinned at 1e-9) — the decomposition
+    * is exact, the approximation is all in the ENCODING.
+    */
+  def pqTopK(
+      queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      roundTo: Int = 4): DataFrame = {
+    val m = codebooks.select(max("block")).head().getInt(0) + 1
+    val dim = vectorDim(queries, vecCol)
+    require(dim % m == 0, s"dim $dim must be divisible by m = $m")
+    val sub = dim / m
+    val qv = col(vecCol).cast("array<double>")
+    // per-(query, block, code): dot contribution + codeword norm²
+    val qBlocks = queries.select(col(idCol).as("query_id"),
+      norm(qv).as("__qn"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), b =>
+        slice(qv, b * sub + lit(1), lit(sub)))).as(Seq("__blk", "__qsub")))
+    val lut = broadcast(qBlocks
+      .join(broadcast(codebooks), col("__blk") === col("block"))
+      .select(col("query_id"), col("__qn"), col("block"), col("code"),
+        dot(col("__qsub"), col("codeword")).as("__dq"),
+        dot(col("codeword"), col("codeword")).as("__cc")))
+    val corpusCodes = encoded.select(col(idCol).as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("__blk", "__code")))
+    // block contributions fold LEFT-TO-RIGHT in block order — a plain
+    // sum() aggregates in arrival order and can differ from a fixed
+    // summation by an ulp, which a cross-engine compare would see
+    def foldParts(field: String) = aggregate(
+      transform(col("__parts"), p => p.getField(field)),
+      lit(0.0), (acc, x) => acc + x)
+    val sims = corpusCodes
+      .join(lut, col("__blk") === col("block") &&
+        col("__code") === col("code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("__blk").as("b"),
+          col("__dq").as("dq"), col("__cc").as("cc")))).as("__parts"),
+        first(col("__qn")).as("__qn1"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(foldParts("dq") / nullif(
+          col("__qn1") * sqrt(foldParts("cc")), lit(0.0)), roundTo)
+          .as("sim"))
+    rankTopK(sims, k, encoded.schema(idCol).dataType)
+  }
+
+  /** First non-null vector's length — index-build-time probe (one
+    * tiny driver action, like the Bloom sizing reads).
+    */
+  private def vectorDim(df: DataFrame, vecCol: String): Int =
+    df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("__d")).head().getInt(0)
+
   /** Symmetric per-vector int8 quantization of an embedding column:
     * `scale = max|x| / 127`, `q_i = round(x_i / scale)` ∈ [−127, 127]
     * stored as `array<tinyint>` — 4× less storage and shuffle than
