@@ -95,6 +95,32 @@ class RankByRangeSpec extends SparkSpec {
     }
   }
 
+  test("rankByRange with MULTI-column group keys (null components " +
+      "included) equals the window form") {
+    val multi = df(
+      StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("g1", StringType, nullable = true),
+        StructField("g2", IntegerType, nullable = true),
+        StructField("v", DoubleType))),
+      (0 until 300).map { i =>
+        Row(i,
+          if (i % 4 == 0) null else s"s${i % 3}",
+          if (i % 5 == 0) null else Integer.valueOf(i % 2),
+          (i * 37 % 97).toDouble)
+      })
+    val mOrd = Seq(col("v").asc, col("id").asc)
+    val w = Window.partitionBy("g1", "g2").orderBy(mOrd: _*)
+    val want = multi.withColumn("r", row_number().over(w).cast("long"))
+      .select("id", "r").collect().map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val got = Analytics.rankByRange(multi, Seq("g1", "g2"), mOrd, "r",
+        numPartitions = 9)
+      .select("id", "r").collect().map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    assert(got == want)
+  }
+
   test("a single dominant group still ranks correctly across slices " +
       "(the shape that dies in one window-sort task)") {
     val one = df(schema,

@@ -187,6 +187,32 @@ class PackingSpec extends SparkSpec {
     assert(kept == (9980 until 10000).toSet)
   }
 
+  test("takeUntilBudget with MULTI-column group keys (null components " +
+      "included) equals the naive form") {
+    val rng = new scala.util.Random(17)
+    val d = df(
+      StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("g1", StringType, nullable = true),
+        StructField("g2", IntegerType, nullable = true),
+        StructField("q", DoubleType),
+        StructField("tokens", IntegerType))),
+      (0 until 300).map { i =>
+        Row(i,
+          if (i % 4 == 0) null else s"s${i % 3}",
+          if (i % 5 == 0) null else Integer.valueOf(i % 2),
+          math.floor(rng.nextDouble() * 6) / 6.0,
+          Integer.valueOf(rng.nextInt(30)))
+      })
+    val ord = Seq(col("q").desc, col("id").asc)
+    val got = Packing.takeUntilBudget(d, Seq("g1", "g2"), ord,
+        "tokens", 120)
+      .select("id").collect().map(_.getInt(0)).toSet
+    val want = naiveTake(d, Seq("g1", "g2"), ord, "tokens", 120)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(got == want)
+  }
+
   test("takeUntilBudget with negative token counts (non-monotone " +
       "running totals) still equals the naive form — the cut is " +
       "disabled for that group") {
