@@ -270,8 +270,12 @@ object EventStreams {
     * lands normally (duplicate band rows collapse in the candidate
     * distinct). The reverse order would let near-dups of unindexed
     * docs slip through. On (re)start with a corpus but no index, the
-    * index is rebuilt from the corpus. Checkpoint replay of a
-    * half-processed batch re-deduplicates idempotently (an exact
+    * index is rebuilt from the corpus AND PERSISTED to `indexDir`
+    * before the batch's own bands append — a transient rebuild would
+    * seed `indexDir` with only that batch's bands, and every later
+    * micro-batch would probe a partial index, silently missing
+    * near-dups of pre-existing corpus documents. Checkpoint replay of
+    * a half-processed batch re-deduplicates idempotently (an exact
     * replica verifies at Jaccard 1.0 and drops).
     */
   def incrementalNearDupSink(
@@ -292,13 +296,16 @@ object EventStreams {
         lock.synchronized(graft.core.CacheScope.withScope {
           val survivors =
             if (exists(corpusDir)) {
-              val index =
-                if (exists(indexDir)) spark.read.parquet(indexDir)
-                else Dedup.buildLshIndex(spark.read.parquet(corpusDir),
-                  idCol, textCol, n, numHashes, bands)
+              // corpus without index (deleted / never built): rebuild
+              // and PERSIST before using it — see durability note above
+              if (!exists(indexDir))
+                Dedup.buildLshIndex(spark.read.parquet(corpusDir),
+                    idCol, textCol, n, numHashes, bands)
+                  .write.option("compression", "snappy")
+                  .parquet(indexDir)
               Dedup.dedupNearAgainst(spark.read.parquet(corpusDir),
-                index, batch, idCol, textCol, orderCol,
-                n, numHashes, bands, threshold)
+                spark.read.parquet(indexDir), batch, idCol, textCol,
+                orderCol, n, numHashes, bands, threshold)
             } else Dedup.exactDedupAgg(batch, textCol, orderCol)
           val landed = survivors.localCheckpoint(eager = true)
           // index first (see durability order above)

@@ -473,6 +473,69 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("incrementalNearDupSink: restart with corpus present but index " +
+      "deleted rebuilds AND persists the full corpus index — near-dups " +
+      "of pre-existing docs keep dropping in later batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_ndup_lost_corpus").toString + "/docs"
+    val index = java.nio.file.Files
+      .createTempDirectory("graft_ndup_lost_index").toString + "/bands"
+    val baseA = "the quick brown fox jumps over the lazy dog while " +
+      "the patient cat watches from the warm window sill nearby " +
+      "and the evening light settles across the quiet garden path"
+    val baseB = "completely different content about distributed " +
+      "query engines shuffling partitions across executors while " +
+      "the optimizer prunes columns and pushes filters into scans"
+    def mut(b: String, i: Int) = b + s" trailing marker token$i"
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalNearDupSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", "doc_id",
+      corpus, index,
+      java.nio.file.Files.createTempDirectory("graft_ndup_lost_ckpt1")
+        .toString,
+      n = 3, numHashes = 16, bands = 4)
+    try {
+      in.addData((1L, mut(baseA, 1)), (2L, mut(baseB, 2)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 2)
+    } finally q.stop()
+    // simulate index loss: corpus survives, bands are gone
+    val fs = new org.apache.hadoop.fs.Path(index)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(index), true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(index)))
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.incrementalNearDupSink(
+      in2.toDF().toDF("doc_id", "text"), "doc_id", "text", "doc_id",
+      corpus, index,
+      java.nio.file.Files.createTempDirectory("graft_ndup_lost_ckpt2")
+        .toString,
+      n = 3, numHashes = 16, bands = 4)
+    try {
+      // batch right after the restart: a near-dup of a corpus doc
+      // must drop (the rebuilt index covers the corpus) and a fresh
+      // doc lands
+      in2.addData((10L, mut(baseA, 10)),
+        (11L, "novel vocabulary forming an entirely separate text"))
+      q2.processAllAvailable()
+      val after1 = spark.read.parquet(corpus)
+      assert(after1.count() == 3)
+      assert(after1.where(col("doc_id") === 10L).count() == 0)
+      // the persisted index covers EVERY corpus doc (3 docs × 4
+      // bands), not just this batch's survivors — the silent-loss
+      // shape this spec pins down
+      assert(spark.read.parquet(index).count() == 12)
+      // a LATER batch still sees pre-existing docs through the index
+      in2.addData((20L, mut(baseB, 20)))
+      q2.processAllAvailable()
+      val after2 = spark.read.parquet(corpus)
+      assert(after2.count() == 3)
+      assert(after2.where(col("doc_id") === 20L).count() == 0)
+    } finally q2.stop()
+  }
+
   test("scd2DimensionSink: out-of-order micro-batches converge to the " +
       "batch scd2Versions derivation over the union of observations") {
     implicit val sql = spark.sqlContext
