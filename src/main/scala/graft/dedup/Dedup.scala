@@ -217,25 +217,34 @@ object Dedup {
 
   /** [[dedupAgainstBloom]] against a SHARDED filter
     * ([[buildShardedFingerprintBloom]]): identical semantics, but the
-    * probe first routes each fingerprint to its shard
-    * (`graft_bloom_shard`, the same md5 half the builder routed by)
-    * and then runs the standard single-filter probe against that
-    * shard's bytes (`element_at` over the literal shard array). A
-    * 1-shard array probes exactly like the unsharded form.
+    * probe first routes each fingerprint to its shard (the same md5
+    * half the builder routed by) and then runs the standard
+    * single-filter probe against that shard's bytes
+    * ([[graft.expressions.BloomOps.containsSharded]]). The shard
+    * array rides a Spark BROADCAST, never a plan literal: sharding
+    * exists precisely for filters past the ~2 GiB single-array
+    * ceiling, where a literal would serialize the whole multi-GiB
+    * array into every plan and task closure — the broadcast ships
+    * once per executor and the probe carries only the handle. The
+    * probe is a closure UDF (a registry-built expression cannot
+    * capture a broadcast handle); the per-row md5 inside the probe
+    * dominates the UDF boxing cost. Null-fingerprint rows never
+    * probe and always survive, matching anti-join null semantics.
+    * A 1-shard array probes exactly like the unsharded form.
     */
   def dedupAgainstBloom(
       corpus: DataFrame, batch: DataFrame,
       textCol: String, orderCol: String,
-      shards: Array[Array[Byte]]): DataFrame = {
+      shards: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]])
+    : DataFrame = {
     val b = graft.core.CacheScope.disk(
       exactDedupAgg(batch, textCol, orderCol)
         .withColumn("__fp", TextAnalysis.fingerprint(col(textCol))))
-    val shard = call_function("graft_bloom_shard",
-      col("__fp"), lit(shards.length))
-    val might = coalesce(
-      call_function("graft_bloom_contains",
-        element_at(typedlit(shards.toSeq), shard + lit(1)), col("__fp")),
-      lit(false))
+    val probe = udf((key: String) =>
+      key != null && graft.expressions.BloomOps.containsSharded(
+        shards.value,
+        org.apache.spark.unsafe.types.UTF8String.fromString(key)))
+    val might = probe(col("__fp"))
     val negatives = b.where(!might)
     val positives = b.where(might)
     val posFps = positives.select("__fp")
@@ -246,6 +255,19 @@ object Dedup {
         positives.join(seenHit, Seq("__fp"), "left_anti"))
       .drop("__fp")
   }
+
+  /** Sharded [[dedupAgainstBloom]] from raw shard bytes: broadcasts
+    * them and delegates — one-shot convenience. Batch loops should
+    * broadcast ONCE (`sc.broadcast(shards)`) and reuse the handle
+    * across batches, re-broadcasting only after the filter mutates
+    * (as [[graft.streaming.EventStreams.incrementalDedupSink]] does).
+    */
+  def dedupAgainstBloom(
+      corpus: DataFrame, batch: DataFrame,
+      textCol: String, orderCol: String,
+      shards: Array[Array[Byte]]): DataFrame =
+    dedupAgainstBloom(corpus, batch, textCol, orderCol,
+      corpus.sparkSession.sparkContext.broadcast(shards))
 
   /** [[dedupAgainstBloom]] building a fresh filter from the corpus —
     * for one-shot use; batch loops should build once and reuse.

@@ -207,12 +207,20 @@ object EventStreams {
     }
     val (numShards, numHashes, bitsPerShard) =
       BloomOps.shardedSizing(expectedItems, fpp, maxShardBytes)
-    var bloom: Array[Array[Byte]] =
+    val bloom: Array[Array[Byte]] =
       if (corpusExists)
         Dedup.buildShardedFingerprintBloom(
           spark.read.parquet(corpusDir), textCol, expectedItems, fpp,
           maxShardBytes)
       else BloomOps.emptyShards(numShards, numHashes, bitsPerShard)
+    // the probe reads the shards through a broadcast (one copy per
+    // executor, plan carries only the handle); after a batch mutates
+    // the shards the stale handle is destroyed and a fresh snapshot
+    // broadcast — probes within a batch always precede the mutation,
+    // so local-mode (shared driver array) and cluster-mode
+    // (serialized snapshot) behave identically
+    var bloomBc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]] =
+      spark.sparkContext.broadcast(bloom)
     val lock = new Object
     foreachBatchSink(docs, checkpointDir, outputMode = "append") {
       (batch, _) =>
@@ -227,7 +235,7 @@ object EventStreams {
             if (corpusExists)
               Dedup.dedupAgainstBloom(
                 spark.read.parquet(corpusDir), batch, textCol,
-                orderCol, bloom)
+                orderCol, bloomBc)
             else Dedup.exactDedupAgg(batch, textCol, orderCol)
           // materialize BEFORE the append — the plan reads the same
           // corpus path the write extends
@@ -248,6 +256,10 @@ object EventStreams {
             .collect()
           batchShards.foreach { r =>
             BloomOps.merge(bloom(r.getInt(0)), r.getAs[Array[Byte]](1))
+          }
+          if (batchShards.nonEmpty) {
+            bloomBc.destroy()
+            bloomBc = spark.sparkContext.broadcast(bloom)
           }
         })
     }

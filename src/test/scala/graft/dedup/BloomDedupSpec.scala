@@ -176,6 +176,56 @@ class BloomDedupSpec extends SparkSpec {
     assert(got == Seq(1001, 1003, 1004))
   }
 
+  test("sharded dedupAgainstBloom ships shard bytes by BROADCAST — " +
+      "no binary literal of any size survives in the plan") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, BinaryType}
+    val corpus = docs((0 until 300).map(i =>
+      (i, s"history document $i body")): _*)
+    val batch = docs(
+      (1000, "history document 7 body"), (1001, "fresh document"))
+    val shards = Dedup.buildShardedFingerprintBloom(
+      corpus, "text", 300, 0.01, maxShardBytes = 64)
+    assert(shards.length >= 2)
+    val out = Dedup.dedupAgainstBloom(corpus, batch, "text", "id", shards)
+    // sharding exists for filters past the 2 GiB array ceiling; a plan
+    // literal of the shard array would serialize those GiB into every
+    // task — assert NO binary(-array) literal reaches the plan at all
+    val lits = out.queryExecution.analyzed
+      .collect { case p => p.expressions }.flatten
+      .flatMap(_.collect {
+        case l: Literal if l.dataType == BinaryType ||
+            l.dataType.isInstanceOf[ArrayType] &&
+            l.dataType.asInstanceOf[ArrayType].elementType == BinaryType =>
+          l
+      })
+    assert(lits.isEmpty,
+      s"shard bytes leaked into the plan as ${lits.size} literal(s)")
+    assert(out.select("id").collect().map(_.getInt(0)).toSeq.sorted ==
+      Seq(1001))
+  }
+
+  test("sharded dedupAgainstBloom Broadcast overload: one handle " +
+      "reused across batches, results equal dedupAgainst") {
+    val corpus = docs((0 until 300).map(i =>
+      (i, s"history document $i body")): _*)
+    val shards = Dedup.buildShardedFingerprintBloom(
+      corpus, "text", 300, 0.01, maxShardBytes = 64)
+    val bc = spark.sparkContext.broadcast(shards)
+    try {
+      val b1 = docs((1000, "history document 7 body"), (1001, "fresh one"))
+      val b2 = docs((2000, "history document 9 body"), (2001, "fresh two"),
+        (2002, null))
+      for (b <- Seq(b1, b2)) {
+        val expect = Dedup.dedupAgainst(corpus, b, "text", "id")
+          .select("id").collect().map(_.getInt(0)).toSeq.sorted
+        val got = Dedup.dedupAgainstBloom(corpus, b, "text", "id", bc)
+          .select("id").collect().map(_.getInt(0)).toSeq.sorted
+        assert(got == expect)
+      }
+    } finally bc.destroy()
+  }
+
   test("plan: the history leg reaches the exact-check join with no " +
       "upstream exchange (history scanned, never shuffled)") {
     import org.apache.spark.sql.execution.SparkPlan
