@@ -205,7 +205,11 @@ object Packing {
     * nulls first?). A bare column sorts ascending-nulls-first, matching
     * Spark's `Window.orderBy` default.
     */
-  private def primarySortKey(c: Column): (Column, Boolean, Boolean) = {
+  // package-private so PackingSpec can pin the reflective read: the
+  // class-name match below is against Spark-internal naming, and the
+  // spec makes a rename/move fail LOUDLY (wrong direction detected)
+  // instead of silently dropping into the bare-column fallback
+  private[sampling] def primarySortKey(c: Column): (Column, Boolean, Boolean) = {
     val n = c.node
     // sql.internal.SortOrder is private[sql] at the Scala level but its
     // case-class accessors are public bytecode — reflection is the

@@ -254,4 +254,30 @@ class PackingSpec extends SparkSpec {
       .select("id").collect().map(_.getInt(0)).toSet
     assert(got == want)
   }
+  test("primarySortKey reads direction and null ordering off Spark's " +
+      "SortOrder node — a Spark-internals rename must break HERE, " +
+      "loudly, not silently fall back to ascending") {
+    // (column, expected descending, expected nullsFirst); Spark
+    // defaults: asc => nulls first, desc => nulls last
+    val cases = Seq(
+      (col("x"),                 false, true),
+      (col("x").asc,             false, true),
+      (col("x").desc,            true,  false),
+      (col("x").asc_nulls_last,  false, false),
+      (col("x").desc_nulls_first, true, true))
+    for ((c, wantDesc, wantNullsFirst) <- cases) {
+      val (key, desc, nullsFirst) = Packing.primarySortKey(c)
+      assert(desc == wantDesc && nullsFirst == wantNullsFirst,
+        s"primarySortKey($c) = (desc=$desc, nullsFirst=$nullsFirst), " +
+          s"want (desc=$wantDesc, nullsFirst=$wantNullsFirst) — if this " +
+          "fails after a Spark upgrade, the reflective SortOrder read " +
+          "in Packing.primarySortKey no longer matches Spark internals")
+      // the extracted child must be the bare column (sortable again)
+      val d = df(
+        StructType(Seq(StructField("x", IntegerType))),
+        Seq(Row(2), Row(1), Row(3)))
+      assert(d.orderBy(key).collect().map(_.getInt(0)).toSeq ==
+        Seq(1, 2, 3))
+    }
+  }
 }
