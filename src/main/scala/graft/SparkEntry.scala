@@ -405,8 +405,10 @@ object SparkEntry {
     */
   private def annIvfKmedians(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // exactMedian pinned: the oracle replays DuckDB's midpoint median
+    // bit-for-bit; the engine DEFAULT is the bounded percentile_approx
     val cents = Similarity.kMediansCentroids(
-      e, "vec_id", "embedding", k = 16, iters = 2)
+      e, "vec_id", "embedding", k = 16, iters = 2, exactMedian = true)
     Similarity.ivfTopKWithCentroids(
         e.where(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 10, cents, nprobe = 3)
@@ -700,11 +702,37 @@ object SparkEntry {
     */
   private def annPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // exactMedian pinned for the cross-engine oracle replay; the
+    // engine default is the bounded percentile_approx re-center
     val books = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
-      m = 4, k = 16, iters = 2)
+      m = 4, k = 16, iters = 2, exactMedian = true)
     val enc = Similarity.pqEncode(e, "vec_id", "embedding", books)
     Similarity.pqTopK(e.where(col("vec_id") < 10), enc, books,
         "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ ANN ([[Similarity.ivfPqAssignCodes]] /
+    * [[Similarity.ivfPqTopK]]): q112's PQ codes behind q29's coarse
+    * routing — each query probes its 3 nearest of 16 hash-init
+    * centroids and ADC-scores ONLY those buckets' codes, so the
+    * scored-row count is Σ(probed bucket sizes), ~nprobe/nlist of
+    * the corpus, instead of corpus × queries. The 100 TB search
+    * shape: the index rows carry 4 codes, never vectors. Fully
+    * deterministic, so the oracle replays training, encoding,
+    * routing AND the routed ADC scoring.
+    */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val books = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 16, iters = 2, exactMedian = true)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    val index = Similarity.ivfPqAssignCodes(
+      e, "vec_id", "embedding", cents, books)
+    Similarity.ivfPqTopK(e.where(col("vec_id") < 10), index, books,
+        cents, "vec_id", "embedding", k = 10, nprobe = 3)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
@@ -2228,6 +2256,7 @@ object SparkEntry {
     "q110_neardup_incremental" -> (nearDupIncremental _),
     "q111_key_skew" -> (keySkewReport _),
     "q112_ann_pq" -> (annPq _),
+    "q113_ann_ivfpq" -> (annIvfPq _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -3202,6 +3231,63 @@ object SparkEntry {
                    + list_dot_product(b2.cv, b2.cv)
                    + list_dot_product(b3.cv, b3.cv)), 0.0), 4) AS sim
            FROM q CROSS JOIN ncodes n
+           JOIN cb0 b0 ON b0.code = n.k0
+           JOIN cb1 b1 ON b1.code = n.k1
+           JOIN cb2 b2 ON b2.code = n.k2
+           JOIN cb3 b3 ON b3.code = n.k3
+           WHERE n.vec_id <> q.vec_id),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q113_ann_ivfpq" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ${(0 until 4).map(b => oraclePqBlock(b, 16, 16)).mkString(",\n")},
+         ncodes AS (
+           SELECT e.vec_id, enc0.code AS k0, enc1.code AS k1,
+             enc2.code AS k2, enc3.code AS k3
+           FROM e
+           JOIN enc0 ON enc0.vec_id = e.vec_id
+           JOIN enc1 ON enc1.vec_id = e.vec_id
+           JOIN enc2 ON enc2.vec_id = e.vec_id
+           JOIN enc3 ON enc3.vec_id = e.vec_id),
+         ccents AS (
+           SELECT vec_id AS ccid, v AS ccv FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+           LIMIT 16),
+         cassign AS (
+           SELECT vec_id, ccid FROM (
+             SELECT e.vec_id, c.ccid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM e CROSS JOIN ccents c) WHERE rn = 1),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, ccid FROM (
+             SELECT q.vec_id AS qid, c.ccid, row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ${oracleCos("q.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM q CROSS JOIN ccents c) WHERE rn <= 3),
+         s AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             round((list_dot_product(q.v[1:16], b0.cv)
+                 + list_dot_product(q.v[17:32], b1.cv)
+                 + list_dot_product(q.v[33:48], b2.cv)
+                 + list_dot_product(q.v[49:64], b3.cv))
+               / nullif(sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b0.cv, b0.cv)
+                   + list_dot_product(b1.cv, b1.cv)
+                   + list_dot_product(b2.cv, b2.cv)
+                   + list_dot_product(b3.cv, b3.cv)), 0.0), 4) AS sim
+           FROM q
+           JOIN probes p ON p.qid = q.vec_id
+           JOIN cassign ca ON ca.ccid = p.ccid
+           JOIN ncodes n ON n.vec_id = ca.vec_id
            JOIN cb0 b0 ON b0.code = n.k0
            JOIN cb1 b1 ON b1.code = n.k1
            JOIN cb2 b2 ON b2.code = n.k2

@@ -217,24 +217,44 @@ object Similarity {
     * partial+final (percentile buffers per (centroid, dim) group,
     * bounded by bucket size).
     *
-    * `exactMedian = false` is the 100 TB refinement path: it swaps the
-    * selection-based exact median for `percentile_approx` with
-    * `approxAccuracy` — the Greenwald-Khanna sketch holds a BOUNDED
-    * buffer per (centroid, dim) cell regardless of bucket size, where
-    * the exact percentile buffers every value. The sketch's rank
-    * error is bounded by 1/approxAccuracy; it returns an actual data
-    * value (no midpoint interpolation on even counts), so approx
-    * centroids track the exact ones to within the cell's local value
-    * gap (spec-checked on test data) rather than bit-for-bit.
+    * `exactMedian = false` — the DEFAULT, and the 100 TB refinement
+    * path: `percentile_approx` with `approxAccuracy` holds a BOUNDED
+    * Greenwald-Khanna buffer per (centroid, dim) cell regardless of
+    * bucket size, where the exact percentile buffers every value
+    * assigned to the centroid — with a skewed assignment one dominant
+    * centroid holds ~corpus/k rows, the same unbounded-state shape
+    * `adaptiveQualityFloor` and `Drift.psiBins` default away from.
+    * The sketch's rank error is bounded by 1/approxAccuracy; it
+    * returns an actual data value (no midpoint interpolation on even
+    * counts), so approx centroids track the exact ones to within the
+    * cell's local value gap (spec-checked on test data) rather than
+    * bit-for-bit. `exactMedian = true` is for oracle-pinned queries
+    * that replay the midpoint median cross-engine (q40, q112).
+    *
+    * `sampleFraction < 1` trains on a deterministic hash-sample of
+    * the corpus ([[graft.sampling.Sampling.hashFraction]] — no rand(),
+    * reproducible across runs/engines): published IVF/PQ practice;
+    * codebooks need thousands of vectors per centroid, not the
+    * corpus, and the sample bounds EVERY training pass (init,
+    * assignment, re-center) while downstream assignment/search still
+    * covers the full corpus.
     */
   def kMediansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 2, roundTo: Int = 4,
-      exactMedian: Boolean = true,
-      approxAccuracy: Int = 10000): DataFrame = {
-    var cents = hashKCentroids(corpus, idCol, vecCol, k)
+      exactMedian: Boolean = false,
+      approxAccuracy: Int = 10000,
+      sampleFraction: Double = 1.0,
+      sampleSalt: String = "kmed"): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
+    val train =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.where(graft.sampling.Sampling.hashFraction(
+        col(idCol), sampleSalt) < sampleFraction)
+    var cents = hashKCentroids(train, idCol, vecCol, k)
     for (_ <- 1 to iters) {
-      val assigned = assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
+      val assigned = assignToCentroids(train, cents, idCol, vecCol, roundTo)
       val med =
         if (exactMedian) percentile(col("x"), lit(0.5))
         else percentile_approx(col("x"), lit(0.5), lit(approxAccuracy))
@@ -370,6 +390,60 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Incrementally APPEND a batch to a [[buildIvfIndex]] table: the
+    * batch is assigned to the EXISTING centroids (broadcast, same
+    * rounded ranking as the build) and appended in the same bucket
+    * layout — the ANN analogue of the dedup family's band-index
+    * append. `numBuckets` must match the original build (Spark
+    * enforces bucket-spec compatibility on append). At fixed
+    * centroids the appended index is row-identical to a from-scratch
+    * rebuild over the unioned corpus (spec-pinned), so readers —
+    * [[ivfTopKOverIndex]] — need no special handling. Centroids
+    * drift as batches accumulate; [[ivfDriftReport]] is the
+    * re-center trigger. Returns the appended row count.
+    */
+  def ivfIndexAppend(
+      batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, tableName: String,
+      numBuckets: Int = 16, roundTo: Int = 4): Long = {
+    val assigned = assignWithNorm(batch, cents, idCol, vecCol, roundTo)
+    assigned.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "centroid_id")
+      .saveAsTable(tableName)
+    assigned.count()
+  }
+
+  /** Per-centroid drift report over an IVF index table: each
+    * centroid's stored vector vs the MEAN of its currently-assigned
+    * members ([[groupCentroids]] — one distributed pass over the
+    * index, narrow (centroid, dim) cells). `mean_sim` is their
+    * rounded cosine; `recenter_advised` fires when it falls below
+    * `simFloor` — the signal that appended batches
+    * ([[ivfIndexAppend]]) have shifted a bucket's population far
+    * enough from its routing vector that re-training centroids (and
+    * re-building the index) is worth the pass. The report is
+    * nlist-row-sized regardless of corpus scale.
+    */
+  def ivfDriftReport(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String, vecCol: String, cents: DataFrame,
+      simFloor: Double = 0.98,
+      meanRoundTo: Int = 6, simRoundTo: Int = 4): DataFrame = {
+    val means = groupCentroids(spark.table(tableName), "centroid_id",
+        vecCol, meanRoundTo)
+      .select(col("group").as("centroid_id"), col("centroid").as("__mean"),
+        col("n"), norm(col("centroid")).as("__mn"))
+    val c = broadcast(cents.select(col("centroid_id"), col("centroid_vec"),
+      norm(col("centroid_vec")).as("__cn")))
+    means.join(c, Seq("centroid_id"))
+      .withColumn("mean_sim",
+        round(cosFromNorms(col("__mean"), col("centroid_vec"),
+          col("__mn"), col("__cn")), simRoundTo))
+      .withColumn("recenter_advised", col("mean_sim") < simFloor)
+      .select(col("centroid_id"), col("n"), col("mean_sim"),
+        col("recenter_advised"))
   }
 
   /** Embedding near-duplicate pairs: all (id_a < id_b) pairs with
@@ -715,32 +789,94 @@ object Similarity {
     * id, so the whole construction is reproducible across runs,
     * partitionings and engines.
     *
-    * Returns (block, code, codeword). Training scans the corpus
-    * `m · iters` times — at real scale train on a sample (codebooks
-    * need thousands of vectors per codeword, not the corpus; the
-    * ENCODE pass is the full-corpus one).
+    * Returns (block, code, codeword). Training is FUSED across
+    * blocks: the corpus explodes ONCE into (id, block, sub-vector)
+    * rows and every iteration runs all m sub-space k-medians in the
+    * same pass (assignment joins on `block`, re-centering groups by
+    * (block, centroid, pos)) — `iters + 1` corpus scans total instead
+    * of the `m · (iters + 1)` a per-block loop pays, with results
+    * IDENTICAL to that loop (spec-pinned): the hash init depends only
+    * on ids (shared across blocks) and the per-block arithmetic is
+    * unchanged. At real scale additionally train on a sample
+    * (`sampleFraction` — codebooks need thousands of vectors per
+    * codeword, not the corpus; the ENCODE pass is the full-corpus
+    * one). `exactMedian` defaults false as in [[kMediansCentroids]]
+    * (bounded re-center state); q112/q113 pin the exact path.
     */
   def pqTrainCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 4, k: Int = 16, iters: Int = 2): DataFrame = {
+      m: Int = 4, k: Int = 16, iters: Int = 2, roundTo: Int = 4,
+      exactMedian: Boolean = false, approxAccuracy: Int = 10000,
+      sampleFraction: Double = 1.0,
+      sampleSalt: String = "pq"): DataFrame = {
     require(m >= 1 && k >= 2, "need m >= 1 sub-blocks and k >= 2 codes")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
     val dim = vectorDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim must be divisible by m = $m")
     val sub = dim / m
-    val blocks = (0 until m).map { b =>
-      val blockDf = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), b * sub + 1, sub)
-          .as("__sub"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(md5(col("centroid_id").cast("string")).asc,
-          col("centroid_id").asc)
-      kMediansCentroids(blockDf, idCol, "__sub", k, iters)
-        .select(lit(b).as("block"),
-          (row_number().over(w) - 1).as("code"),
-          col("centroid_vec").as("codeword"))
+    val train =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.where(graft.sampling.Sampling.hashFraction(
+        col(idCol), sampleSalt) < sampleFraction)
+    val v = col(vecCol).cast("array<double>")
+    // ONE exploded training view — every pass below reads this, so a
+    // pass costs one corpus scan for ALL m blocks (persisted: it
+    // feeds the init join and iters assignment passes)
+    val exploded = graft.core.CacheScope.disk(
+      train.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), b =>
+          slice(v, b * sub + lit(1), lit(sub))))
+          .as(Seq("__blk", "__sub"))))
+    // per-block hash init = the SAME k hash-lowest ids every block
+    // (hashKCentroids orders by md5(id), independent of the vector)
+    val initIds = train
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol).as("__cid"))
+    var cents = exploded
+      .join(broadcast(initIds), col(idCol) === col("__cid"))
+      .select(col("__blk").as("__cb"), col("__cid").as("centroid_id"),
+        col("__sub").as("centroid_vec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val centsN = broadcast(cents.select(col("__cb"), col("centroid_id"),
+        col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
+      val w = Window.partitionBy(col(idCol), col("__blk"))
+        .orderBy(col("csim").desc, col("centroid_id").asc)
+      val assigned = exploded
+        .select(col(idCol), col("__blk"), col("__sub"),
+          norm(col("__sub")).as("__vn"))
+        .join(centsN, col("__blk") === col("__cb"))
+        .select(col(idCol), col("__blk"), col("__sub"), col("centroid_id"),
+          round(cosFromNorms(col("__sub"), col("centroid_vec"),
+            col("__vn"), col("__cn")), roundTo).as("csim"))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+      val med =
+        if (exactMedian) percentile(col("x"), lit(0.5))
+        else percentile_approx(col("x"), lit(0.5), lit(approxAccuracy))
+      val cells = assigned
+        .select(col("__blk"), col("centroid_id"),
+          posexplode(col("__sub")).as(Seq("pos", "x")))
+        .groupBy("__blk", "centroid_id", "pos")
+        .agg(round(med, 6).as("m"))
+      // materialize the tiny (≤ m·k rows) centroid table per
+      // iteration — same reasoning as [[kMediansCentroids]]
+      cents = cells.groupBy("__blk", "centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("__pm"))
+        .select(col("__blk").as("__cb"), col("centroid_id"),
+          transform(col("__pm"), p => p.getField("m")).as("centroid_vec"))
+        .localCheckpoint(true)
     }
-    // tiny table (m·k rows); the k-row ranking window above is bounded
-    blocks.reduce(_ unionByName _)
+    val cw = Window.partitionBy("__cb")
+      .orderBy(md5(col("centroid_id").cast("string")).asc,
+        col("centroid_id").asc)
+    // tiny table (m·k rows); the per-block ranking window is bounded
+    cents.withColumn("code", row_number().over(cw) - 1)
+      .select(col("__cb").as("block"), col("code"),
+        col("centroid_vec").as("codeword"))
   }
 
   /** PQ encode: per (vector, block) the L2-nearest codeword — the
@@ -809,6 +945,11 @@ object Similarity {
     * Equal to cosine against [[pqReconstruct]]'d vectors up to
     * double-summation order (spec-pinned at 1e-9) — the decomposition
     * is exact, the approximation is all in the ENCODING.
+    *
+    * Scoring here is EXHAUSTIVE (every encoded vector × every query —
+    * the exact-over-codes reference and oracle); the scale path is
+    * [[ivfPqTopK]], which routes each query to nprobe coarse buckets
+    * and ADC-scores only those codes.
     */
   def pqTopK(
       queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
@@ -850,6 +991,139 @@ object Similarity {
           col("__qn1") * sqrt(foldParts("cc")), lit(0.0)), roundTo)
           .as("sim"))
     rankTopK(sims, k, encoded.schema(idCol).dataType)
+  }
+
+  // ---------------------------------------------------------------- //
+  // IVF-PQ (coarse routing over PQ codes)                             //
+  // ---------------------------------------------------------------- //
+
+  /** The IVF-PQ index content: every corpus vector's coarse-centroid
+    * assignment next to its PQ codes — (centroid_id, id, codes).
+    * This is the 100 TB index row: m small ints per vector instead of
+    * dim floats, clustered by the routing key. Coarse assignment and
+    * encoding each broadcast only small tables (cents; codebooks);
+    * the corpus shuffles once, as (id, centroid, codes) rows.
+    */
+  def ivfPqAssignCodes(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebooks: DataFrame,
+      roundTo: Int = 4): DataFrame = {
+    val assigned = assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
+      .select(col(idCol), col("centroid_id"))
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
+    assigned.join(codes, Seq(idCol))
+      .select(col("centroid_id"), col(idCol), col("codes"))
+  }
+
+  /** Materialize the IVF-PQ index as a catalog table BUCKETED on
+    * `centroid_id` ([[buildIvfIndex]]'s layout over [[ivfPqAssignCodes]]
+    * rows): build once, search many — a probe reads only its buckets'
+    * files, and the rows carry codes, not vectors. Returns the
+    * indexed row count.
+    */
+  def pqBuildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebooks: DataFrame, tableName: String,
+      numBuckets: Int = 16, roundTo: Int = 4): Long = {
+    ivfPqAssignCodes(corpus, idCol, vecCol, cents, codebooks, roundTo)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "centroid_id")
+      .saveAsTable(tableName)
+    corpus.sparkSession.table(tableName).count()
+  }
+
+  /** IVF-PQ top-k — [[pqTopK]]'s ADC scoring with COARSE ROUTING in
+    * front: each query probes its `nprobe` nearest coarse centroids
+    * (same rounded-cosine ranking as [[ivfTopK]]) and ADC-scores ONLY
+    * the codes assigned to those buckets. The scored-row count is
+    * Σ(probed bucket sizes) per query — ~nprobe/nlist of the corpus —
+    * instead of [[pqTopK]]'s corpus × queries; the shuffle never
+    * carries vectors, only (query, neighbor, block, code) rows from
+    * the probed buckets. Per-pair similarity is IDENTICAL to
+    * [[pqTopK]]'s (same LUT decomposition, same block-ordered fold,
+    * spec-pinned); the routing adds the standard IVF recall trade —
+    * a true neighbor encoded into an unprobed bucket is missed, and
+    * `nprobe = nlist` degrades to exactly [[pqTopK]] over the index.
+    *
+    * `index` rows are [[ivfPqAssignCodes]]'s (centroid_id, id, codes);
+    * pass `spark.table(...)` over a [[pqBuildIvfIndex]] table to skip
+    * assignment and encoding at query time entirely.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, index: DataFrame,
+      codebooks: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nprobe: Int, roundTo: Int = 4): DataFrame = {
+    val sims = ivfPqScoredCandidates(
+      queries, index, codebooks, cents, idCol, vecCol, nprobe, roundTo)
+    rankTopK(sims, k, index.schema(idCol).dataType)
+  }
+
+  /** The routed, ADC-scored candidate rows behind [[ivfPqTopK]] —
+    * (query_id, neighbor_id, sim), one row per (query, probed-bucket
+    * member). Package-private so specs can assert the candidate count
+    * is exactly Σ(probed bucket sizes) — the nprobe boundedness that
+    * distinguishes this from [[pqTopK]]'s corpus × queries scoring.
+    */
+  private[similarity] def ivfPqScoredCandidates(
+      queries: DataFrame, index: DataFrame,
+      codebooks: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String,
+      nprobe: Int, roundTo: Int): DataFrame = {
+    val m = codebooks.select(max("block")).head().getInt(0) + 1
+    val dim = vectorDim(queries, vecCol)
+    require(dim % m == 0, s"dim $dim must be divisible by m = $m")
+    val sub = dim / m
+    val qv = col(vecCol).cast("array<double>")
+
+    // coarse routing: nprobe nearest centroids per query (the same
+    // bounded per-query window as [[ivfTopKWithCentroids]])
+    val centsN = broadcast(cents.select(col("centroid_id"),
+      col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val probes = q.crossJoin(centsN)
+      .select(col("query_id"), col("centroid_id"),
+        round(cosFromNorms(col("__qv"), col("centroid_vec"),
+          col("__qn"), col("__cn")), roundTo).as("csim"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probed = probes.withColumn("__r", row_number().over(pw))
+      .where(col("__r") <= nprobe)
+      .select("query_id", "centroid_id")
+
+    // per-(query, block, code) ADC lookup table — identical to
+    // [[pqTopK]]'s; queries·m·k rows, broadcast-sized
+    val qBlocks = queries.select(col(idCol).as("__lq"),
+      norm(qv).as("__qn"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), b =>
+        slice(qv, b * sub + lit(1), lit(sub)))).as(Seq("__blk", "__qsub")))
+    val lut = broadcast(qBlocks
+      .join(broadcast(codebooks), col("__blk") === col("block"))
+      .select(col("__lq"), col("__qn"), col("block"), col("code"),
+        dot(col("__qsub"), col("codeword")).as("__dq"),
+        dot(col("codeword"), col("codeword")).as("__cc")))
+
+    // candidates: ONLY the probed buckets' codes — the index side
+    // streams, the (queries·nprobe)-row probe table broadcasts
+    val cand = index.join(broadcast(probed), Seq("centroid_id"))
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("codes"))
+    def foldParts(field: String) = aggregate(
+      transform(col("__parts"), p => p.getField(field)),
+      lit(0.0), (acc, x) => acc + x)
+    cand
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("__cblk", "__ccode")))
+      .join(lut, col("query_id") === col("__lq") &&
+        col("__cblk") === col("block") && col("__ccode") === col("code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("__cblk").as("b"),
+          col("__dq").as("dq"), col("__cc").as("cc")))).as("__parts"),
+        first(col("__qn")).as("__qn1"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(foldParts("dq") / nullif(
+          col("__qn1") * sqrt(foldParts("cc")), lit(0.0)), roundTo)
+          .as("sim"))
   }
 
   /** First non-null vector's length — index-build-time probe (one

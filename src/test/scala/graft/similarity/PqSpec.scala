@@ -103,6 +103,96 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.5, s"pq recall $recall")
   }
 
+  test("FUSED training equals the sequential per-block k-medians loop " +
+      "exactly (the m·iters-pass form it replaced)") {
+    import org.apache.spark.sql.expressions.Window
+    val d = clustered(70, 16, 4, seed = 13)
+    val fused = Similarity.pqTrainCodebooks(d, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2, exactMedian = true)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+      .toMap
+    // the pre-fusion reference: one kMediansCentroids call per block,
+    // m·(iters+1) corpus passes
+    val loop = (0 until 4).flatMap { b =>
+      val blockDf = d.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), b * 4 + 1, 4)
+          .as("__sub"))
+      val w = Window.orderBy(md5(col("centroid_id").cast("string")).asc,
+        col("centroid_id").asc)
+      Similarity.kMediansCentroids(blockDf, "vec_id", "__sub",
+          k = 8, iters = 2, exactMedian = true)
+        .select(lit(b).as("block"),
+          (row_number().over(w) - 1).as("code"),
+          col("centroid_vec").as("codeword"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+    }.toMap
+    assert(fused == loop)
+  }
+
+  test("fused training runs a fraction of the per-block loop's Spark " +
+      "jobs (one corpus pass per iteration, not one per block per " +
+      "iteration)") {
+    import org.apache.spark.sql.expressions.Window
+    val d = clustered(70, 16, 4, seed = 13)
+    val sc = spark.sparkContext
+    def countJobs(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      // the status store fills asynchronously — poll until stable
+      var last = -1
+      var same = 0
+      while (same < 5) {
+        val n = sc.statusTracker.getJobIdsForGroup(group).length
+        if (n == last) same += 1 else { same = 0; last = n }
+        Thread.sleep(100)
+      }
+      last
+    }
+    val fusedJobs = countJobs("pq-fused") {
+      Similarity.pqTrainCodebooks(d, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2, exactMedian = true).count()
+    }
+    val loopJobs = countJobs("pq-loop") {
+      (0 until 4).foreach { b =>
+        val blockDf = d.select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), b * 4 + 1, 4)
+            .as("__sub"))
+        Similarity.kMediansCentroids(blockDf, "vec_id", "__sub",
+          k = 8, iters = 2, exactMedian = true).count()
+      }
+    }
+    assert(fusedJobs > 0 && loopJobs > 0)
+    assert(fusedJobs * 2 <= loopJobs,
+      s"fused training ran $fusedJobs jobs vs per-block loop's " +
+        s"$loopJobs — expected at most half")
+  }
+
+  test("training on a deterministic hash-sample equals training on " +
+      "the pre-filtered sample, and the full-corpus ENCODE still " +
+      "covers every vector") {
+    val d = clustered(200, 16, 4, seed = 23)
+    val frac = 0.5
+    val sampled = d.where(graft.sampling.Sampling.hashFraction(
+      col("vec_id"), "pq") < frac)
+    assert(sampled.count() < 200)
+    def cb(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+      .toMap
+    val viaParam = cb(Similarity.pqTrainCodebooks(d, "vec_id",
+      "embedding", m = 4, k = 8, exactMedian = true,
+      sampleFraction = frac))
+    val viaFilter = cb(Similarity.pqTrainCodebooks(sampled, "vec_id",
+      "embedding", m = 4, k = 8, exactMedian = true))
+    assert(viaParam == viaFilter)
+    // encode runs over the FULL corpus against the sampled codebooks
+    val enc = Similarity.pqEncode(d, "vec_id", "embedding",
+      Similarity.pqTrainCodebooks(d, "vec_id", "embedding", m = 4,
+        k = 8, exactMedian = true, sampleFraction = frac))
+    assert(enc.count() == 200)
+  }
+
   test("codebooks: m blocks of k dense codes, sub-dim codewords, " +
       "deterministic across retrains") {
     val d = clustered(60, 16, 3, seed = 31)

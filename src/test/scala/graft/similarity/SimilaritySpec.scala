@@ -119,7 +119,7 @@ class SimilaritySpec extends SparkSpec {
       (11, Seq(1.0, 0.0)), (1, Seq(0.99, 0.01)), (2, Seq(0.98, -0.01)),
       (12, Seq(0.0, 1.0)), (10, Seq(0.01, 0.99)), (3, Seq(-0.01, 0.98)))
     val cents = Similarity.kMediansCentroids(
-      cl, "vec_id", "embedding", k = 2, iters = 2)
+      cl, "vec_id", "embedding", k = 2, iters = 2, exactMedian = true)
     val m = cents.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     assert(m.keySet == Set(11, 12))
@@ -138,7 +138,7 @@ class SimilaritySpec extends SparkSpec {
     def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val exact = toMap(Similarity.kMediansCentroids(
-      e, "vec_id", "embedding", k = 8, iters = 1))
+      e, "vec_id", "embedding", k = 8, iters = 1, exactMedian = true))
     val approx = toMap(Similarity.kMediansCentroids(
       e, "vec_id", "embedding", k = 8, iters = 1, exactMedian = false))
     assert(approx.keySet == exact.keySet)
@@ -148,6 +148,88 @@ class SimilaritySpec extends SparkSpec {
     // only even-count cells can differ (midpoint interpolation vs
     // nearest element) — bounded by the local inter-value gap
     assert(maxDiff < 0.05, s"approx centroids drifted: maxDiff=$maxDiff")
+  }
+
+  test("kMediansCentroids DEFAULT is the bounded approx re-center: " +
+      "default output equals exactMedian=false, and on odd-count " +
+      "cells (where sketch and midpoint coincide) equals exact too") {
+    val cl = vecs(
+      (11, Seq(1.0, 0.0)), (1, Seq(0.99, 0.01)), (2, Seq(0.98, -0.01)),
+      (12, Seq(0.0, 1.0)), (10, Seq(0.01, 0.99)), (3, Seq(-0.01, 0.98)))
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val default = toMap(Similarity.kMediansCentroids(
+      cl, "vec_id", "embedding", k = 2, iters = 2))
+    val approx = toMap(Similarity.kMediansCentroids(
+      cl, "vec_id", "embedding", k = 2, iters = 2, exactMedian = false))
+    val exact = toMap(Similarity.kMediansCentroids(
+      cl, "vec_id", "embedding", k = 2, iters = 2, exactMedian = true))
+    assert(default == approx, "default must be the bounded approx path")
+    // 3 members per centroid → both medians are the middle element
+    assert(default == exact)
+  }
+
+  test("kMediansCentroids sampleFraction trains on the deterministic " +
+      "hash-sample: equals training on the pre-filtered corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val frac = 0.4
+    val sampled = e.where(graft.sampling.Sampling.hashFraction(
+      col("vec_id"), "kmed") < frac)
+    val nSampled = sampled.count()
+    assert(nSampled > 0 && nSampled < e.count())
+    val viaParam = toMap(Similarity.kMediansCentroids(
+      e, "vec_id", "embedding", k = 8, iters = 1, exactMedian = true,
+      sampleFraction = frac))
+    val viaFilter = toMap(Similarity.kMediansCentroids(
+      sampled, "vec_id", "embedding", k = 8, iters = 1,
+      exactMedian = true))
+    assert(viaParam == viaFilter)
+  }
+
+  test("ivfIndexAppend at fixed centroids equals a from-scratch " +
+      "rebuild over the unioned corpus, and ivfDriftReport flags the " +
+      "centroid whose appended members shifted its mean") {
+    val base = vecs(
+      (1, Seq(1.0, 0.0)), (2, Seq(1.0, 0.0)),
+      (3, Seq(0.0, 1.0)), (4, Seq(0.0, 1.0)))
+    val cents = df(
+      StructType(Seq(
+        StructField("centroid_id", IntegerType),
+        StructField("centroid_vec", ArrayType(DoubleType)))),
+      Seq(Row(100, Seq(1.0, 0.0)), Row(200, Seq(0.0, 1.0))))
+    // a batch that lands in centroid 100 but points well away from it
+    val batch = vecs((5, Seq(0.8, 0.6)), (6, Seq(0.8, 0.6)))
+    try {
+      Similarity.buildIvfIndex(base, "vec_id", "embedding", cents,
+        "ivf_append_spec", numBuckets = 2)
+      val before = Similarity.ivfDriftReport(
+          spark, "ivf_append_spec", "embedding", cents)
+        .collect().map(r => r.getInt(0) ->
+          (r.getDouble(2), r.getBoolean(3))).toMap
+      assert(before(100) == (1.0, false) && before(200) == (1.0, false))
+      val appended = Similarity.ivfIndexAppend(batch, "vec_id",
+        "embedding", cents, "ivf_append_spec", numBuckets = 2)
+      assert(appended == 2)
+      // row-identical to rebuilding over base ∪ batch at the same cents
+      Similarity.buildIvfIndex(base.unionByName(batch), "vec_id",
+        "embedding", cents, "ivf_rebuild_spec", numBuckets = 2)
+      def rows(t: String) = spark.table(t).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1), r.getInt(3))).toSet
+      assert(rows("ivf_append_spec") == rows("ivf_rebuild_spec"))
+      val after = Similarity.ivfDriftReport(
+          spark, "ivf_append_spec", "embedding", cents)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getBoolean(3))).toMap
+      // (0.8, 0.6) lands in centroid 100 (cos 0.8 > 0.6): its mean
+      // drifts below the 0.98 floor; 200 is untouched
+      assert(after(100) == (4L, true), s"drifted centroid: $after")
+      assert(after(200) == (2L, false))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_append_spec")
+      spark.sql("DROP TABLE IF EXISTS ivf_rebuild_spec")
+    }
   }
 
   test("hashKCentroids returns exactly k centroids independent of " +
