@@ -784,6 +784,30 @@ object SparkEntry {
         col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Chunk-level incremental dedup ([[Dedup.dedupChunksAgainst]] —
+    * q109's content-defined chunking composed with q51's
+    * dedup-against-store shape): every 10th document gets a trailing
+    * edit and the edited snapshot dedups at CHUNK granularity against
+    * the original snapshot's chunk store. Only chunks touching an
+    * edit re-land — content-defined boundaries keep every untouched
+    * chunk's md5 identical, so an edited corpus re-ships deltas, not
+    * documents. The oracle replays chunking on both snapshots, the
+    * within-snapshot first-writer collapse, and the store anti-join.
+    */
+  private def chunkIncrementalDedup(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edited = d.withColumn("text",
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" edit pass appended new sentence")))
+      .otherwise(col("text")))
+    Dedup.dedupChunksAgainst(d, edited, "doc_id", "text",
+        k = 3, targetTokens = 32)
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Per-priority winsorized order prices ([[Analytics.winsorize]],
     * exact mode): clamp each priority's prices into its own [p05, p95]
     * quantile range and report the clipped mass next to the original
@@ -2148,6 +2172,33 @@ object SparkEntry {
            FROM e$b e CROSS JOIN cb$b c) WHERE rn = 1)"""
   }
 
+  /** Content-chunking CTE replay ([[graft.text.TextAnalysis
+    * .chunkByContent]], the q109 construction) over `src` (a relation
+    * exposing doc_id, text), CTE names prefixed `p`; final CTE
+    * `${p}ch` carries (doc_id, chunk_idx, n_tokens, chunk_md5).
+    */
+  private def oracleChunkCtes(p: String, src: String, target: Int): String =
+    s"""${p}tok AS (
+         SELECT doc_id, $oracleWords AS ws FROM $src
+         WHERE len($oracleWords) > 0),
+       ${p}b AS (
+         SELECT doc_id, ws,
+           list_filter(generate_series(3, len(ws) - 1), j ->
+             (('0x' || substr(md5(array_to_string(ws[j-2:j], ' ')),
+               1, 8))::BIGINT % $target) = 0) AS bs
+         FROM ${p}tok),
+       ${p}c AS (
+         SELECT doc_id, ws,
+           list_prepend(1, list_transform(bs, j -> j + 1)) AS ss,
+           list_append(bs, len(ws)) AS es
+         FROM ${p}b),
+       ${p}ch AS (
+         SELECT doc_id, i - 1 AS chunk_idx,
+           es[i] - ss[i] + 1 AS n_tokens,
+           md5(array_to_string(ws[ss[i]:es[i]], ' ')) AS chunk_md5
+         FROM ${p}c, LATERAL (SELECT unnest(
+           generate_series(1, len(ss))) AS i) t)"""
+
   private def oracleCos(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / nullif(" +
       s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0), 4)"
@@ -2257,6 +2308,7 @@ object SparkEntry {
     "q111_key_skew" -> (keySkewReport _),
     "q112_ann_pq" -> (annPq _),
     "q113_ann_ivfpq" -> (annIvfPq _),
+    "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -3299,6 +3351,24 @@ object SparkEntry {
            FROM s)
          SELECT qid AS query_id, nid AS neighbor_id, sim, rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q114_chunk_incremental" ->
+      s"""WITH newdoc AS (
+           SELECT doc_id, CASE WHEN doc_id % 10 = 0
+             THEN text || ' edit pass appended new sentence'
+             ELSE text END AS text
+           FROM documents),
+         ${oracleChunkCtes("p", "documents", 32)},
+         ${oracleChunkCtes("n", "newdoc", 32)},
+         kq AS (
+           SELECT doc_id, chunk_idx, n_tokens, chunk_md5,
+             row_number() OVER (PARTITION BY chunk_md5
+               ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+           FROM nch)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(n_tokens AS BIGINT) AS n_tokens, chunk_md5
+         FROM kq WHERE rn = 1
+           AND chunk_md5 NOT IN (SELECT chunk_md5 FROM pch)
+         ORDER BY doc_id, chunk_idx""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -810,6 +810,51 @@ object Dedup {
     b.join(matched, Seq(idCol), "left_anti")
   }
 
+  /** CHUNK-level incremental dedup — [[dedupAgainst]] at sub-document
+    * granularity over content-defined chunks
+    * ([[graft.text.TextAnalysis.chunkByContent]]): both snapshots are
+    * chunked with the same rolling-hash boundaries, and only the new
+    * snapshot's chunks whose text does not already exist in the
+    * previous snapshot's chunk store survive (plus a within-snapshot
+    * collapse: one physical copy per distinct chunk text, first
+    * writer by (id, chunk_idx)). Because boundaries are a pure
+    * function of LOCAL content, an edited document re-lands ONLY the
+    * chunks touching its edit — every untouched chunk hashes
+    * identically and dedups away (spec-pinned); a fixed-window
+    * chunking would shift every boundary after the edit and re-land
+    * the document's whole tail.
+    *
+    * Scale shape: chunk identity is md5 of the canonical chunk text,
+    * the store side reduces to DISTINCT fingerprints before the
+    * anti-join (one row per stored chunk, not per occurrence), and
+    * the within-snapshot collapse is a groupBy-min — no per-partition
+    * sort, no window over a dominant group. For a standing store,
+    * persist the fingerprint set (or its sharded Bloom,
+    * [[buildShardedFingerprintBloom]]) and feed it as `prev`.
+    *
+    * Output: the surviving chunk rows
+    * (idCol, chunk_idx, n_tokens, chunk_text).
+    */
+  def dedupChunksAgainst(
+      prev: DataFrame, snapshot: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, targetTokens: Int = 64): DataFrame = {
+    val seen = TextAnalysis.chunkByContent(prev, idCol, textCol,
+        k, targetTokens)
+      .select(md5(col("chunk_text")).as("__fp"))
+      .distinct()
+    val chunks = TextAnalysis.chunkByContent(snapshot, idCol, textCol,
+        k, targetTokens)
+      .withColumn("__fp", md5(col("chunk_text")))
+    val keep = chunks.groupBy("__fp")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__k"))
+      .select(col("__fp"), col("__k").getField(idCol).as(idCol),
+        col("__k").getField("chunk_idx").as("chunk_idx"))
+    chunks.join(keep, Seq("__fp", idCol, "chunk_idx"), "left_semi")
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   // ---------------------------------------------------------------- //
   // SimHash                                                          //
   // ---------------------------------------------------------------- //
