@@ -208,6 +208,102 @@ object Analytics {
         valueCols.tail.map(c => sum(c).as(s"sum_$c")): _*)
   }
 
+  /** Per-key salt factors derived from [[skewReport]] — the bridge
+    * from skew DIAGNOSIS to skew REMEDIATION: only the keys the
+    * report surfaces (row share ≥ `minFraction`) get a salt factor,
+    * ceil(skew_ratio) clamped to [1, maxSalts], so the hot key's
+    * shuffle group splits into ~mean-sized pieces while the long tail
+    * stays unsalted (and unreplicated on the other join side —
+    * [[saltedJoin]] replicates the whole right side ×salts; this
+    * replicates only hot-key rows). Output: (`__hotkey` string,
+    * `__nsalt` int), a ≤ 1/minFraction-row frame — build it once and
+    * reuse across batches of the same distribution.
+    */
+  def skewSalts(
+      df: DataFrame, keyCol: String, minFraction: Double = 0.01,
+      maxSalts: Int = 64, exactKeys: Boolean = false): DataFrame = {
+    require(maxSalts >= 1)
+    skewReport(df, keyCol, minFraction, exactKeys)
+      .select(col("key").as("__hotkey"),
+        least(lit(maxSalts),
+          greatest(lit(1), ceil(col("skew_ratio")).cast("int")))
+          .as("__nsalt"))
+  }
+
+  /** Salt rows by a [[skewSalts]] frame: hot-key rows get a uniform
+    * salt in [0, that key's `__nsalt`); everything else salt 0. The
+    * heavy-hitter comparison is on the key's STRING form (the sketch's
+    * domain). Package-private so specs can assert the hot key's
+    * post-salt group sizes.
+    */
+  private[operators] def saltBySalts(
+      df: DataFrame, keyCol: String, salts: DataFrame): DataFrame =
+    df.join(broadcast(salts),
+        col(keyCol).cast("string") === col("__hotkey"), "left")
+      .withColumn("__n", coalesce(col("__nsalt"), lit(1)))
+      .withColumn("__salt",
+        pmod(monotonically_increasing_id(), col("__n").cast("long"))
+          .cast("int"))
+      .drop("__hotkey", "__nsalt", "__n")
+
+  /** [[saltedJoin]] driven by [[skewReport]]: salt ONLY the hot keys
+    * the report surfaces, at a per-key factor from its skew_ratio —
+    * the left's hot rows spread over `__nsalt` shuffle groups, the
+    * right replicates hot-key rows `__nsalt`× (cold rows once), and
+    * the join key becomes (key, salt). Results are identical to the
+    * plain join (spec-pinned; salts never affect matching), `how` is
+    * restricted to left-preserving joins for the same reason as
+    * [[saltedJoin]]. Cost over the plain join: the one-time
+    * [[skewSalts]] diagnosis pass + hot-row replication on the right
+    * — vs [[saltedJoin]]'s whole-right ×salts. Pass a precomputed
+    * `salts` frame to amortize the diagnosis across batches.
+    */
+  def autoSaltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      how: String = "inner", salts: DataFrame): DataFrame = {
+    val allowed = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(allowed.contains(how.toLowerCase.replace(" ", "")),
+      s"autoSaltedJoin: how='$how' would duplicate unmatched right " +
+        "rows across salt replicas; use inner/left/left_semi/left_anti")
+    val l = saltBySalts(left, key, salts)
+    val r = right.join(broadcast(salts),
+        col(key).cast("string") === col("__hotkey"), "left")
+      .withColumn("__n", coalesce(col("__nsalt"), lit(1)))
+      .withColumn("__salt", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__hotkey", "__nsalt", "__n")
+    l.join(r, Seq(key, "__salt"), how).drop("__salt")
+  }
+
+  /** [[autoSaltedJoin]] with the [[skewSalts]] diagnosis run inline
+    * on the left side.
+    */
+  def autoSaltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      how: String, minFraction: Double, maxSalts: Int,
+      exactKeys: Boolean): DataFrame =
+    autoSaltedJoin(left, right, key, how,
+      skewSalts(left, key, minFraction, maxSalts, exactKeys))
+
+  /** [[saltedSum]] driven by [[skewReport]]: the partial aggregation
+    * key is (key, salt) with salts only on the report's hot keys, so
+    * a dominant key's partial state spreads over ~skew_ratio groups
+    * while the tail aggregates once. Output naming matches
+    * [[saltedSum]] (`sum_<col>`); results identical to a plain
+    * groupBy-sum (spec-pinned).
+    */
+  def autoSaltedSum(
+      df: DataFrame, keyCol: String, valueCols: Seq[String],
+      salts: DataFrame): DataFrame = {
+    val partial = saltBySalts(df, keyCol, salts)
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(sum(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => sum(c).as(c)): _*)
+    partial.groupBy(col(keyCol))
+      .agg(sum(valueCols.head).as(s"sum_${valueCols.head}"),
+        valueCols.tail.map(c => sum(c).as(s"sum_$c")): _*)
+  }
+
   /** As-of join: for each left row, attach the LATEST right row whose
     * `rightTime` is ≤ (`strict=false`) or < (`strict=true`) the left
     * row's `leftTime`, within the same `key`. Left rows with no match

@@ -223,6 +223,91 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("skewSalts surfaces ONLY the report's hot keys, with factors " +
+      "from skew_ratio; saltBySalts spreads the hot key's group over " +
+      "them while cold keys keep one group") {
+    // 900 'hot' rows + 10 cold keys × 10 rows: mean rows/key = 1000/11,
+    // hot skew_ratio ≈ 9.9 → ceil 10 salts
+    val d = df(
+      StructType(Seq(StructField("k", StringType),
+        StructField("v", IntegerType))),
+      (1 to 900).map(i => Row("hot", i)) ++
+        (1 to 10).flatMap(c => (1 to 10).map(i => Row(s"c$c", i))))
+    val salts = Analytics.skewSalts(d, "k", minFraction = 0.5,
+      exactKeys = true)
+    val hot = salts.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hot.keySet == Set("hot"), s"hot keys: ${hot.keySet}")
+    assert(hot("hot") == 10, s"salt factor: ${hot("hot")}")
+    val groups = Analytics.saltBySalts(d, "k", salts)
+      .groupBy("k", "__salt").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val hotGroups = groups.filter(_._1 == "hot")
+    assert(hotGroups.length == 10,
+      s"hot key must spread over 10 salt groups, got ${hotGroups.length}")
+    assert(hotGroups.map(_._3).max <= 2L * 900 / 10,
+      s"hot groups uneven: ${hotGroups.map(_._3).toSeq}")
+    assert(groups.filter(_._1 != "hot").forall(g =>
+      g._2 == 0 && g._3 == 10L), "cold keys must keep one unsalted group")
+  }
+
+  test("autoSaltedJoin and autoSaltedSum match the plain forms on a " +
+      "skewed key (salting never affects matching), including " +
+      "left-outer unmatched rows") {
+    val left = df(
+      StructType(Seq(StructField("k", StringType),
+        StructField("v", IntegerType))),
+      (1 to 200).map(i => Row("hot", i)) ++
+        Seq(Row("cold", 0), Row("lonely", 1)))
+    val right = df(
+      StructType(Seq(StructField("k", StringType),
+        StructField("w", IntegerType))),
+      Seq(Row("hot", 100), Row("hot", 101), Row("cold", 200)))
+    val salts = Analytics.skewSalts(left, "k", minFraction = 0.2,
+      exactKeys = true)
+    for (how <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), how)
+        .orderBy("k", "v", "w").collect().map(_.toSeq).toSeq
+      val auto = Analytics.autoSaltedJoin(left, right, "k", how, salts)
+        .orderBy("k", "v", "w").collect().map(_.toSeq).toSeq
+      assert(auto == plain, s"how=$how")
+    }
+    val direct = left.groupBy("k").agg(sum("v").as("sum_v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    val auto = Analytics.autoSaltedSum(left, "k", Seq("v"), salts)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(auto.toSeq == direct.toSeq)
+  }
+
+  test("autoSaltedJoin replicates ONLY hot-key right rows (the " +
+      "saltedJoin whole-right ×salts cost is avoided) and rejects " +
+      "right/full joins") {
+    val left = df(
+      StructType(Seq(StructField("k", StringType),
+        StructField("v", IntegerType))),
+      (1 to 200).map(i => Row("hot", i)) ++ Seq(Row("cold", 0)))
+    val salts = Analytics.skewSalts(left, "k", minFraction = 0.3,
+      exactKeys = true)
+    val nSalt = salts.collect().map(r => r.getString(0) -> r.getInt(1))
+      .toMap.apply("hot")
+    assert(nSalt > 1)
+    val right = df(
+      StructType(Seq(StructField("k", StringType),
+        StructField("w", IntegerType))),
+      Seq(Row("hot", 100), Row("cold", 200), Row("tail", 300)))
+    // replicate the right leg's construction to count replication
+    val rSalted = right.join(broadcast(salts),
+        col("k").cast("string") === col("__hotkey"), "left")
+      .withColumn("__n", coalesce(col("__nsalt"), lit(1)))
+      .withColumn("__salt", explode(sequence(lit(0), col("__n") - 1)))
+    val counts = rSalted.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("hot") == nSalt.toLong)
+    assert(counts("cold") == 1L && counts("tail") == 1L)
+    intercept[IllegalArgumentException] {
+      Analytics.autoSaltedJoin(left, right, "k", "right", salts)
+    }
+  }
+
   test("summaryStats computes exact median") {
     val d = df(
       StructType(Seq(StructField("v", DoubleType))),
