@@ -97,4 +97,27 @@ class HeavyHittersSpec extends SparkSpec {
     assert(r.getAs[Long]("n_keys") == 5L)
     assert(r.getAs[Double]("skew_ratio") == 3.0)
   }
+
+  test("skewReport DEFAULT (HLL key cardinality, the bounded-state " +
+      "path) lands within the sketch's stated error on a " +
+      "known-cardinality corpus, and skew_ratio derives from it") {
+    // 2000 distinct cold keys (1 row each) + 2000 hot rows; exact
+    // n_keys = 2001. approx_count_distinct's default rsd is 0.05 —
+    // accept 3×rsd (deterministic for fixed input, generous against
+    // hash-collision variance)
+    val vals = Seq.fill(2000)("hot") ++ (1 to 2000).map(i => s"cold$i")
+    val out = Analytics.skewReport(values(vals: _*), "v",
+        minFraction = 0.25)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("key") == "hot")
+    assert(r.getAs[Long]("n_rows_key") == 2000L)
+    val nKeys = r.getAs[Long]("n_keys")
+    assert(math.abs(nKeys - 2001L) <= (2001 * 0.15).toLong,
+      s"HLL cardinality $nKeys outside 15% of 2001")
+    // skew_ratio = cnt · n_keys / n_rows, with the HLL n_keys
+    assert(r.getAs[Double]("skew_ratio") ==
+      math.round(2000.0 * nKeys / 4000.0 * 10000) / 10000.0)
+  }
 }
