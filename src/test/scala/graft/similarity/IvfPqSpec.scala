@@ -160,6 +160,65 @@ class IvfPqSpec extends SparkSpec {
     assert(floorRecall >= 0.3, s"ivf-pq routed recall $floorRecall")
   }
 
+  test("plan: the index side STREAMS into a broadcast candidate join " +
+      "— no shuffle exchange between the index scan and the probe " +
+      "prune (the 100 TB index never moves)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 16, iters = 1, exactMedian = true)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_plan").toString + "/idx"
+    Similarity.ivfPqAssignCodes(e, "vec_id", "embedding", cents, books)
+      .write.parquet(dir)
+    val out = Similarity.ivfPqTopK(e.where(col("vec_id") < 10),
+      spark.read.parquet(dir), books, cents, "vec_id", "embedding",
+      k = 10, nprobe = 3)
+    assert(out.count() == 100)
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => Seq(other)
+    }.flatten
+    val nodes = unwrap(out.queryExecution.executedPlan)
+    // the candidate prune: probed (queries·nprobe rows) broadcast,
+    // index streamed — find the join whose streamed side scans the
+    // index parquet and assert no shuffle sits between them
+    def streamed(j: BroadcastHashJoinExec): SparkPlan = j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+      case _ => j.right
+    }
+    // shuffles on the STREAMED path only — a broadcast build side may
+    // legitimately contain exchanges (the queries·nprobe probe routing
+    // is windowed over an exchange before it broadcasts)
+    def streamShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: org.apache.spark.sql.execution.exchange
+          .BroadcastExchangeLike => Seq.empty
+      case a: AdaptiveSparkPlanExec => streamShuffles(a.executedPlan)
+      case q: QueryStageExec => streamShuffles(q.plan)
+      case s: ShuffleExchangeLike =>
+        s +: s.children.flatMap(streamShuffles)
+      case other => other.children.flatMap(streamShuffles)
+    }
+    val candJoins = nodes.collect {
+      case j: BroadcastHashJoinExec
+          if unwrap(streamed(j)).exists(
+            _.toString.contains("ivfpq_plan")) => j
+    }
+    assert(candJoins.nonEmpty, "index-side broadcast candidate join " +
+      "not found in plan")
+    candJoins.foreach { j =>
+      val shuffles = streamShuffles(streamed(j))
+      assert(shuffles.isEmpty,
+        s"index leg shuffled before the probe prune:\n${streamed(j)}")
+    }
+  }
+
   test("pqBuildIvfIndex roundtrip: the bucketed table holds exactly " +
       "ivfPqAssignCodes' rows and searching over it equals the direct " +
       "path") {
