@@ -808,6 +808,28 @@ object SparkEntry {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Auto skew remediation on the oracle path ([[Analytics.skewSalts]]
+    * / [[Analytics.autoSaltedJoin]] / [[Analytics.autoSaltedSum]]):
+    * the documents language rollup (q111's skew subject) computed
+    * through hot-key-only salting — the diagnosis pass derives
+    * per-key salt factors from skew_ratio, the join key becomes
+    * (lang, salt) with only hot languages' rows spread and replicated,
+    * and the sum aggregates partially on the salted key. The oracle is
+    * the PLAIN join+rollup: salting must never change a result, and
+    * the id-sum pins exact row membership through both operators.
+    */
+  private def saltedLangRollup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("lang"), col("doc_id"))
+    val dim = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val salts = Analytics.skewSalts(d, "lang", minFraction = 0.05,
+      maxSalts = 16, exactKeys = true)
+    val joined = Analytics.autoSaltedJoin(d, dim, "lang", "inner", salts)
+    Analytics.autoSaltedSum(joined, "lang", Seq("doc_id"), salts)
+      .join(dim, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("sum_doc_id"))
+      .orderBy("lang")
+  }
+
   /** Per-priority winsorized order prices ([[Analytics.winsorize]],
     * exact mode): clamp each priority's prices into its own [p05, p95]
     * quantile range and report the clipped mass next to the original
@@ -2309,6 +2331,7 @@ object SparkEntry {
     "q112_ann_pq" -> (annPq _),
     "q113_ann_ivfpq" -> (annIvfPq _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
+    "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
     "q66_corpus_datasheet" -> (corpusDatasheet _),
     "q67_source_cap" -> (sourceCap _),
@@ -3369,6 +3392,13 @@ object SparkEntry {
          FROM kq WHERE rn = 1
            AND chunk_md5 NOT IN (SELECT chunk_md5 FROM pch)
          ORDER BY doc_id, chunk_idx""",
+    // the salted join/sum must be result-identical to the plain
+    // rollup — the oracle IS the unsalted form
+    "q115_salted_lang_rollup" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         FROM documents WHERE lang IS NOT NULL
+         GROUP BY lang ORDER BY lang""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (
