@@ -1032,6 +1032,29 @@ object Similarity {
     corpus.sparkSession.table(tableName).count()
   }
 
+  /** Incrementally APPEND a batch to a [[pqBuildIvfIndex]] table:
+    * the batch is assigned to the EXISTING centroids and encoded with
+    * the EXISTING codebooks, then appended in the same bucket layout
+    * — [[ivfIndexAppend]] for the code-carrying index. At fixed
+    * centroids and codebooks the appended index is row-identical to a
+    * from-scratch rebuild over the unioned corpus (spec-pinned).
+    * [[ivfDriftReport]] does not apply here (the index stores codes,
+    * not vectors) — run it on a vector-carrying [[buildIvfIndex]]
+    * twin, or re-train when recall audits slip. Returns the appended
+    * row count.
+    */
+  def ivfPqIndexAppend(
+      batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebooks: DataFrame, tableName: String,
+      numBuckets: Int = 16, roundTo: Int = 4): Long = {
+    val rows = ivfPqAssignCodes(batch, idCol, vecCol, cents, codebooks,
+      roundTo)
+    rows.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "centroid_id")
+      .saveAsTable(tableName)
+    rows.count()
+  }
+
   /** IVF-PQ top-k — [[pqTopK]]'s ADC scoring with COARSE ROUTING in
     * front: each query probes its `nprobe` nearest coarse centroids
     * (same rounded-cosine ranking as [[ivfTopK]]) and ADC-scores ONLY

@@ -197,6 +197,22 @@ object EventStreams {
       corpusDir: String, checkpointDir: String,
       expectedItems: Long, fpp: Double = 0.01,
       maxShardBytes: Int = graft.expressions.BloomOps.MaxShardBytes)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalDedupSinkImpl(docs, textCol, orderCol, corpusDir,
+      checkpointDir, expectedItems, fpp, maxShardBytes, identity)
+
+  /** [[incrementalDedupSink]] with a projection applied to survivors
+    * before they land — lets composed sinks strip synthetic order
+    * columns ([[incrementalChunkDedupSink]]) without the store
+    * carrying them. `land` must keep `textCol` (the restart rebuild
+    * and the Bloom fold read it off the landed rows).
+    */
+  private def incrementalDedupSinkImpl(
+      docs: DataFrame, textCol: String, orderCol: String,
+      corpusDir: String, checkpointDir: String,
+      expectedItems: Long, fpp: Double,
+      maxShardBytes: Int,
+      land: DataFrame => DataFrame)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.dedup.Dedup
     import graft.expressions.{BloomBuild, BloomOps}
@@ -239,7 +255,7 @@ object EventStreams {
             else Dedup.exactDedupAgg(batch, textCol, orderCol)
           // materialize BEFORE the append — the plan reads the same
           // corpus path the write extends
-          val landed = survivors.localCheckpoint(eager = true)
+          val landed = land(survivors).localCheckpoint(eager = true)
           landed.write.mode(SaveMode.Append)
             .option("compression", "snappy").parquet(corpusDir)
           // fold the new fingerprints into their shards, SAME bit
@@ -263,6 +279,36 @@ object EventStreams {
           }
         })
     }
+  }
+
+  /** Streaming CHUNK-level dedup ingestion — [[incrementalDedupSink]]
+    * composed with content-defined chunking
+    * ([[graft.text.TextAnalysis.chunkByContent]], the streaming twin
+    * of [[graft.dedup.Dedup.dedupChunksAgainst]]): each micro-batch
+    * of documents is chunked with rolling-hash boundaries (pure
+    * projection + generate — stateless, streaming-safe) and only
+    * chunks whose text the store has never seen land. Because chunk
+    * boundaries are a pure function of LOCAL content, a document
+    * re-sent with an edit re-ships ONLY the chunks touching the edit
+    * — delta ingestion across batches. The store carries
+    * (idCol, chunk_idx, n_tokens, chunk_text); the first writer
+    * (lowest (id, chunk_idx)) wins for duplicate chunk texts within a
+    * batch, and all of [[incrementalDedupSink]]'s state lifecycle
+    * applies (sharded Bloom prefilter sized for `expectedChunks`,
+    * rebuild-from-store restart, idempotent checkpoint replay).
+    */
+  def incrementalChunkDedupSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusDir: String, checkpointDir: String,
+      expectedChunks: Long, fpp: Double = 0.01,
+      k: Int = 3, targetTokens: Int = 64,
+      maxShardBytes: Int = graft.expressions.BloomOps.MaxShardBytes)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val chunked = graft.text.TextAnalysis.chunkByContent(
+        docs, idCol, textCol, k, targetTokens)
+      .withColumn("__ord", struct(col(idCol), col("chunk_idx")))
+    incrementalDedupSinkImpl(chunked, "chunk_text", "__ord", corpusDir,
+      checkpointDir, expectedChunks, fpp, maxShardBytes, _.drop("__ord"))
   }
 
   /** Streaming incremental NEAR-dup ingestion — [[incrementalDedupSink]]

@@ -219,6 +219,39 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqIndexAppend at fixed centroids and codebooks equals a " +
+      "from-scratch rebuild over the unioned corpus, and search over " +
+      "the appended table sees the new vectors") {
+    val base = clustered(60, 16, 4, seed = 27)
+    val batch = df(schema, (100 until 120).map { i =>
+      val rng = new scala.util.Random(i)
+      Row(i, Seq.fill(16)(rng.nextDouble() * 2 - 1))
+    })
+    val books = Similarity.pqTrainCodebooks(base, "vec_id", "embedding",
+      m = 4, k = 8, exactMedian = true)
+    val cents = Similarity.hashKCentroids(base, "vec_id", "embedding", 4)
+    try {
+      Similarity.pqBuildIvfIndex(base, "vec_id", "embedding", cents,
+        books, "ivfpq_append_spec", numBuckets = 2)
+      val appended = Similarity.ivfPqIndexAppend(batch, "vec_id",
+        "embedding", cents, books, "ivfpq_append_spec", numBuckets = 2)
+      assert(appended == 20)
+      Similarity.pqBuildIvfIndex(base.unionByName(batch), "vec_id",
+        "embedding", cents, books, "ivfpq_rebuild_spec", numBuckets = 2)
+      def rows(t: String) = spark.table(t).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Int](2))).toSet
+      assert(rows("ivfpq_append_spec") == rows("ivfpq_rebuild_spec"))
+      val q = batch.where(col("vec_id") === 100)
+      val got = Similarity.ivfPqTopK(q, spark.table("ivfpq_append_spec"),
+          books, cents, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select("neighbor_id").collect().map(_.getInt(0))
+      assert(got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_append_spec")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_rebuild_spec")
+    }
+  }
+
   test("pqBuildIvfIndex roundtrip: the bucketed table holds exactly " +
       "ivfPqAssignCodes' rows and searching over it equals the direct " +
       "path") {

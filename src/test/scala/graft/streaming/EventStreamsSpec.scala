@@ -309,6 +309,62 @@ class EventStreamsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_purchases") == 1L)
   }
 
+  test("incrementalChunkDedupSink: a re-sent document with a mid-doc " +
+      "edit re-ships ONLY the chunks touching the edit; exact resends " +
+      "ship nothing; the store carries clean chunk rows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_chunk_store").toString + "/chunks"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_chunk_ckpt").toString
+    def toks(seed: Int, n: Int) = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => s"w${rng.nextInt(80)}")
+    }
+    val t1 = toks(1, 400)
+    val t2 = toks(2, 300)
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalChunkDedupSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", store, ckpt,
+      expectedChunks = 10000, k = 3, targetTokens = 16)
+    try {
+      in.addData((1L, t1.mkString(" ")), (2L, t2.mkString(" ")))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(store)
+      assert(after1.columns.toSet ==
+        Set("doc_id", "chunk_idx", "n_tokens", "chunk_text"),
+        s"store schema: ${after1.columns.toSeq}")
+      val n1 = after1.count()
+      assert(n1 > 10, s"expected many ~16-token chunks, got $n1")
+      // batch 2: doc 1 re-sent with a mid-doc insertion (as id 10),
+      // doc 2 re-sent verbatim (as id 12), one genuinely new doc
+      val t1edited = t1.take(200) ++
+        Seq("inserted", "sentence", "goes", "here") ++ t1.drop(200)
+      val t3 = toks(3, 150)
+      in.addData((10L, t1edited.mkString(" ")),
+        (12L, t2.mkString(" ")), (11L, t3.mkString(" ")))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(store)
+      // verbatim resend ships nothing
+      assert(after2.where(col("doc_id") === 12L).count() == 0)
+      // the new doc ships all its chunks
+      val doc11 = graft.text.TextAnalysis.chunkByContent(
+        Seq((11L, t3.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 16).count()
+      assert(after2.where(col("doc_id") === 11L).count() == doc11)
+      // the edited doc ships ONLY the edit-local chunks
+      val doc10Total = graft.text.TextAnalysis.chunkByContent(
+        Seq((10L, t1edited.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 16).count()
+      val doc10Landed = after2.where(col("doc_id") === 10L).count()
+      assert(doc10Landed > 0)
+      assert(doc10Landed * 2 < doc10Total,
+        s"$doc10Landed of $doc10Total chunks re-shipped — boundaries " +
+          "shifted past the edit")
+    } finally q.stop()
+  }
+
   test("incrementalDedupSink: cross-batch first-writer-wins corpus, " +
       "in-batch collapse, Bloom state carried between batches") {
     implicit val sql = spark.sqlContext
