@@ -1082,6 +1082,170 @@ object Similarity {
     rankTopK(sims, k, index.schema(idCol).dataType)
   }
 
+  // -- residual IVF-PQ (the published IVF-ADC form) ----------------- //
+
+  /** Coarse-residual frame: every corpus vector's assigned centroid
+    * and its residual x − c (per-dimension double subtraction) — what
+    * residual PQ trains on and encodes. Residual encoding is the
+    * published IVF-ADC construction (the PQ codebook spends its bits
+    * on the LOCAL displacement within a Voronoi cell instead of
+    * absolute position, which is what lifts recall at the same code
+    * budget). Output: (idCol, centroid_id, `__res`).
+    */
+  def ivfResiduals(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, roundTo: Int = 4): DataFrame =
+    assignToCentroids(corpus, cents, idCol, vecCol, roundTo)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col(vecCol).cast("array<double>"),
+          col("centroid_vec").cast("array<double>"),
+          (x, c) => x - c).as("__res"))
+
+  /** Train residual-PQ codebooks: [[pqTrainCodebooks]] over the
+    * [[ivfResiduals]] frame — same fused one-pass-per-iteration
+    * training, same hash init (id-based, so the initializing ids
+    * match the raw-vector training's), bounded re-center state by
+    * default.
+    */
+  def ivfRpqTrainCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 2,
+      roundTo: Int = 4, exactMedian: Boolean = false,
+      approxAccuracy: Int = 10000,
+      sampleFraction: Double = 1.0): DataFrame =
+    pqTrainCodebooks(
+      ivfResiduals(corpus, idCol, vecCol, cents, roundTo),
+      idCol, "__res", m, k, iters, roundTo, exactMedian,
+      approxAccuracy, sampleFraction)
+
+  /** Residual IVF-PQ index content: (centroid_id, id, codes) where
+    * `codes` encode the vector's RESIDUAL against its coarse
+    * centroid. The reconstruction is x̂ = c + concat(codewords);
+    * [[ivfRpqTopK]] scores that reconstruction from codes only.
+    */
+  def ivfRpqAssignCodes(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebooks: DataFrame,
+      roundTo: Int = 4): DataFrame = {
+    val res = ivfResiduals(corpus, idCol, vecCol, cents, roundTo)
+    pqEncode(res, idCol, "__res", codebooks)
+      .join(res.select(col(idCol), col("centroid_id")), Seq(idCol))
+      .select(col("centroid_id"), col(idCol), col("codes"))
+  }
+
+  /** Residual IVF-PQ top-k: coarse routing as [[ivfPqTopK]], ADC
+    * scoring of cosine(q, c + r̂) decomposed entirely into
+    * broadcast-sized lookup tables —
+    *
+    *   dot(q, x̂)  = dot(q, c) + Σ_b dot(q_b, cw_b)
+    *   ‖x̂‖²       = ‖c‖² + 2·Σ_b dot(c_b, cw_b) + Σ_b ‖cw_b‖²
+    *
+    * so the per-pair work is m lookups against a per-(query, block,
+    * code) table plus m against a per-(CENTROID, block, code) cross
+    * table (nlist·m·k rows — centroid-dependent but corpus-size-
+    * independent), both broadcast; the streamed index side carries
+    * only (centroid, id, codes). All folds run in block order
+    * (left-assoc), so the oracle can replay the exact float
+    * arithmetic. Equal to cosine against the reconstructed c + r̂ up
+    * to the decomposition's summation order (spec-pinned at 1e-9);
+    * the approximation is all in the residual ENCODING, which is the
+    * published recall-per-bit win over raw-vector PQ (spec-checked
+    * against [[ivfPqTopK]] on clustered data).
+    */
+  def ivfRpqTopK(
+      queries: DataFrame, index: DataFrame,
+      codebooks: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nprobe: Int, roundTo: Int = 4): DataFrame = {
+    val sims = ivfRpqScoredCandidates(
+      queries, index, codebooks, cents, idCol, vecCol, nprobe, roundTo)
+    rankTopK(sims, k, index.schema(idCol).dataType)
+  }
+
+  /** The routed, residual-ADC-scored candidate rows behind
+    * [[ivfRpqTopK]] — (query_id, neighbor_id, sim), one row per
+    * (query, probed-bucket member). Package-private for the same
+    * nprobe-boundedness specs as [[ivfPqScoredCandidates]].
+    */
+  private[similarity] def ivfRpqScoredCandidates(
+      queries: DataFrame, index: DataFrame,
+      codebooks: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String,
+      nprobe: Int, roundTo: Int): DataFrame = {
+    val m = codebooks.select(max("block")).head().getInt(0) + 1
+    val dim = vectorDim(queries, vecCol)
+    require(dim % m == 0, s"dim $dim must be divisible by m = $m")
+    val sub = dim / m
+    val qv = col(vecCol).cast("array<double>")
+    val cv = col("centroid_vec").cast("array<double>")
+
+    // coarse routing (identical to ivfPqTopK) + per-(query, centroid)
+    // dot(q, c) carried on the probe rows
+    val centsN = broadcast(cents.select(col("centroid_id"),
+      col("centroid_vec"), norm(cv).as("__cn")))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
+    val probes = q.crossJoin(centsN)
+      .select(col("query_id"), col("__qn"), col("centroid_id"),
+        round(cosFromNorms(col("__qv"), col("centroid_vec"),
+          col("__qn"), col("__cn")), roundTo).as("csim"),
+        dot(col("__qv"), col("centroid_vec")).as("__qc"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probed = probes.withColumn("__r", row_number().over(pw))
+      .where(col("__r") <= nprobe)
+      .select("query_id", "__qn", "centroid_id", "__qc")
+
+    // per-(query, block, code): dot(q_b, cw) + ‖cw‖²
+    val qBlocks = queries.select(col(idCol).as("__lq"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), b =>
+        slice(qv, b * sub + lit(1), lit(sub)))).as(Seq("__blk", "__qsub")))
+    val qlut = broadcast(qBlocks
+      .join(broadcast(codebooks), col("__blk") === col("block"))
+      .select(col("__lq"), col("block"), col("code"),
+        dot(col("__qsub"), col("codeword")).as("__dq"),
+        dot(col("codeword"), col("codeword")).as("__ww")))
+    // per-(centroid, block, code): dot(c_b, cw) — nlist·m·k rows
+    val cBlocks = cents.select(col("centroid_id").as("__lc"),
+      dot(cv, cv).as("__cn2"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), b =>
+        slice(cv, b * sub + lit(1), lit(sub)))).as(Seq("__blk", "__csub")))
+    val clut = broadcast(cBlocks
+      .join(broadcast(codebooks), col("__blk") === col("block"))
+      .select(col("__lc"), col("__cn2"), col("block").as("__cb"),
+        col("code").as("__cc"), dot(col("__csub"), col("codeword"))
+          .as("__cx")))
+
+    val cand = index.join(broadcast(probed), Seq("centroid_id"))
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col("__qn"), col("__qc"),
+        col("centroid_id"), col(idCol).as("neighbor_id"), col("codes"))
+    def foldParts(field: String) = aggregate(
+      transform(col("__parts"), p => p.getField(field)),
+      lit(0.0), (acc, x) => acc + x)
+    val sims = cand
+      .select(col("query_id"), col("__qn"), col("__qc"),
+        col("centroid_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("__kblk", "__kcode")))
+      .join(qlut, col("query_id") === col("__lq") &&
+        col("__kblk") === col("block") && col("__kcode") === col("code"))
+      .join(clut, col("centroid_id") === col("__lc") &&
+        col("__kblk") === col("__cb") && col("__kcode") === col("__cc"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("__kblk").as("b"),
+          col("__dq").as("dq"), col("__cx").as("cx"),
+          col("__ww").as("ww")))).as("__parts"),
+        first(col("__qn")).as("__qn1"),
+        first(col("__qc")).as("__qc1"),
+        first(col("__cn2")).as("__cn21"))
+      .select(col("query_id"), col("neighbor_id"),
+        round((col("__qc1") + foldParts("dq")) / nullif(
+          col("__qn1") * sqrt(col("__cn21") +
+            lit(2.0) * foldParts("cx") + foldParts("ww")),
+          lit(0.0)), roundTo).as("sim"))
+    sims
+  }
+
   /** The routed, ADC-scored candidate rows behind [[ivfPqTopK]] —
     * (query_id, neighbor_id, sim), one row per (query, probed-bucket
     * member). Package-private so specs can assert the candidate count
