@@ -738,6 +738,33 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** RESIDUAL IVF-PQ ANN ([[Similarity.ivfRpqTrainCodebooks]] /
+    * [[Similarity.ivfRpqAssignCodes]] / [[Similarity.ivfRpqTopK]]):
+    * q113's coarse routing, but the PQ codebooks train on and encode
+    * the residual x − c against each vector's assigned centroid — the
+    * published IVF-ADC construction that spends the code budget on
+    * local displacement. ADC scores cosine(q, c + r̂) from codes only,
+    * decomposed into per-(query, block, code) and per-(centroid,
+    * block, code) broadcast lookup tables. Fully deterministic, so
+    * the oracle replays assignment, residual training, encoding,
+    * routing AND the decomposed scoring.
+    */
+  private def annIvfRpq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    // exactMedian pinned for the cross-engine oracle replay (engine
+    // default is the bounded percentile_approx re-center)
+    val books = Similarity.ivfRpqTrainCodebooks(e, "vec_id", "embedding",
+      cents, m = 4, k = 16, iters = 2, exactMedian = true)
+    val index = Similarity.ivfRpqAssignCodes(
+      e, "vec_id", "embedding", cents, books)
+    Similarity.ivfRpqTopK(e.where(col("vec_id") < 10), index, books,
+        cents, "vec_id", "embedding", k = 10, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Shuffle-key skew report over the documents language column
     * ([[Analytics.skewReport]]): languages above a 5 % row share, with
     * the task-imbalance multiplier a hash exchange keyed on `lang`
@@ -2158,7 +2185,8 @@ object SparkEntry {
     * the Spark side bit-for-bit (left-to-right dot products, medians
     * rounded at 6, cosine at 4, code-ascending ties).
     */
-  private def oraclePqBlock(b: Int, sub: Int, k: Int): String = {
+  private def oraclePqBlock(
+      b: Int, sub: Int, k: Int, src: String = "e"): String = {
     val lo = b * sub + 1
     val hi = (b + 1) * sub
     def assign(src: String, cents: String) =
@@ -2170,7 +2198,7 @@ object SparkEntry {
     def medians(assigned: String) =
       s"""(SELECT cid, pos, round(median(v[pos]), 6) AS m
          FROM $assigned CROSS JOIN dims$b GROUP BY cid, pos)"""
-    s"""e$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+    s"""e$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
        dims$b AS (SELECT unnest(range(1, ${sub + 1})) AS pos),
        c0$b AS (SELECT vec_id AS cid, v AS cv FROM e$b
                 ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
@@ -2330,6 +2358,7 @@ object SparkEntry {
     "q111_key_skew" -> (keySkewReport _),
     "q112_ann_pq" -> (annPq _),
     "q113_ann_ivfpq" -> (annIvfPq _),
+    "q116_ann_ivfrpq" -> (annIvfRpq _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3399,6 +3428,83 @@ object SparkEntry {
            CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
          FROM documents WHERE lang IS NOT NULL
          GROUP BY lang ORDER BY lang""",
+    // residual IVF-PQ replay: q113's coarse assignment, then the PQ
+    // chains train/encode over the RESIDUAL x − c (CTE r), and ADC
+    // reassembles cosine(q, c + r̂) from per-block lookups — all sums
+    // in the engine's block order (left-assoc from 0.0)
+    "q116_ann_ivfrpq" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ccents AS (
+           SELECT vec_id AS ccid, v AS ccv FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+           LIMIT 16),
+         cassign AS (
+           SELECT vec_id, ccid FROM (
+             SELECT e.vec_id, c.ccid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM e CROSS JOIN ccents c) WHERE rn = 1),
+         res AS (
+           SELECT e.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> e.v[i] - c.ccv[i]) AS v
+           FROM e
+           JOIN cassign ca ON ca.vec_id = e.vec_id
+           JOIN ccents c ON c.ccid = ca.ccid),
+         ${(0 until 4).map(b => oraclePqBlock(b, 16, 16, src = "res"))
+            .mkString(",\n")},
+         ncodes AS (
+           SELECT e.vec_id, enc0.code AS k0, enc1.code AS k1,
+             enc2.code AS k2, enc3.code AS k3
+           FROM e
+           JOIN enc0 ON enc0.vec_id = e.vec_id
+           JOIN enc1 ON enc1.vec_id = e.vec_id
+           JOIN enc2 ON enc2.vec_id = e.vec_id
+           JOIN enc3 ON enc3.vec_id = e.vec_id),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, ccid FROM (
+             SELECT q.vec_id AS qid, c.ccid, row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ${oracleCos("q.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM q CROSS JOIN ccents c) WHERE rn <= 3),
+         s AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             round((list_dot_product(q.v, c.ccv)
+                 + (0.0 + list_dot_product(q.v[1:16], b0.cv)
+                     + list_dot_product(q.v[17:32], b1.cv)
+                     + list_dot_product(q.v[33:48], b2.cv)
+                     + list_dot_product(q.v[49:64], b3.cv)))
+               / nullif(sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(c.ccv, c.ccv)
+                   + 2.0 * (0.0
+                     + list_dot_product(c.ccv[1:16], b0.cv)
+                     + list_dot_product(c.ccv[17:32], b1.cv)
+                     + list_dot_product(c.ccv[33:48], b2.cv)
+                     + list_dot_product(c.ccv[49:64], b3.cv))
+                   + (0.0 + list_dot_product(b0.cv, b0.cv)
+                     + list_dot_product(b1.cv, b1.cv)
+                     + list_dot_product(b2.cv, b2.cv)
+                     + list_dot_product(b3.cv, b3.cv))), 0.0), 4) AS sim
+           FROM q
+           JOIN probes p ON p.qid = q.vec_id
+           JOIN ccents c ON c.ccid = p.ccid
+           JOIN cassign ca ON ca.ccid = p.ccid
+           JOIN ncodes n ON n.vec_id = ca.vec_id
+           JOIN cb0 b0 ON b0.code = n.k0
+           JOIN cb1 b1 ON b1.code = n.k1
+           JOIN cb2 b2 ON b2.code = n.k2
+           JOIN cb3 b3 ON b3.code = n.k3
+           WHERE n.vec_id <> q.vec_id),
+         rk AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM rk WHERE rank <= 10 ORDER BY query_id, rank""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (
