@@ -14,6 +14,8 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
+    // dev/debug harness only (never on a query path): materializing on
+    // the driver is what forces the AQE-final executedPlan we print
     df.collect()
     println("=== EXECUTED PLAN (" + name + ") ===")
     println(df.queryExecution.executedPlan.toString

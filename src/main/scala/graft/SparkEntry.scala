@@ -765,6 +765,24 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN recall audit ([[Similarity.recallAudit]]): the q28
+    * brute-force exact top-10 vs the q29 IVF routed top-10, per-query
+    * — (n_exact, n_hit, recall) rows, the index-health measure that
+    * triggers re-centering/re-training when it slips. In production
+    * the query leg is a hash-sample; here it's the same 10 audit
+    * queries q28/q29 pin.
+    */
+  private def annRecallAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKAgg(
+      q, e, "vec_id", "embedding", k = 10)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    val routed = Similarity.ivfTopKWithCentroids(
+      q, e, "vec_id", "embedding", k = 10, cents, nprobe = 3)
+    Similarity.recallAudit(routed, exact).orderBy("query_id")
+  }
+
   /** Shuffle-key skew report over the documents language column
     * ([[Analytics.skewReport]]): languages above a 5 % row share, with
     * the task-imbalance multiplier a hash exchange keyed on `lang`
@@ -2359,6 +2377,7 @@ object SparkEntry {
     "q112_ann_pq" -> (annPq _),
     "q113_ann_ivfpq" -> (annIvfPq _),
     "q116_ann_ivfrpq" -> (annIvfRpq _),
+    "q117_ann_recall_audit" -> (annRecallAuditQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3505,6 +3524,51 @@ object SparkEntry {
            FROM s)
          SELECT qid AS query_id, nid AS neighbor_id, sim, rank
          FROM rk WHERE rank <= 10 ORDER BY query_id, rank""",
+    // recall audit: q28's exact top-10 LEFT JOIN q29's routed top-10
+    // per query — misses lower recall, approx-side false positives
+    // don't (the audit measures what routing LOSES)
+    "q117_ann_recall_audit" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         bs AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         br AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM bs) WHERE rank <= 10),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 3),
+         vs AS (
+           SELECT qid, a.vec_id AS nid, ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> qid),
+         vr AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM vs) WHERE rank <= 10)
+         SELECT br.qid AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(vr.nid) AS BIGINT) AS n_hit,
+           round(CAST(count(vr.nid) AS DOUBLE) / count(*), 4) AS recall
+         FROM br LEFT JOIN vr ON vr.qid = br.qid AND vr.nid = br.nid
+         GROUP BY br.qid ORDER BY query_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -1134,6 +1134,40 @@ object Similarity {
       .select(col("centroid_id"), col(idCol), col("codes"))
   }
 
+  /** [[pqBuildIvfIndex]] for the RESIDUAL index: materialize
+    * [[ivfRpqAssignCodes]] rows as a catalog table bucketed on
+    * `centroid_id` — build once, search many with [[ivfRpqTopK]].
+    * Returns the indexed row count.
+    */
+  def rpqBuildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebooks: DataFrame, tableName: String,
+      numBuckets: Int = 16, roundTo: Int = 4): Long = {
+    ivfRpqAssignCodes(corpus, idCol, vecCol, cents, codebooks, roundTo)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "centroid_id")
+      .saveAsTable(tableName)
+    corpus.sparkSession.table(tableName).count()
+  }
+
+  /** [[ivfPqIndexAppend]] for the RESIDUAL index: assign + encode a
+    * batch against the EXISTING centroids and codebooks, append in the
+    * same bucket layout. At fixed centroids and codebooks the appended
+    * index is row-identical to a from-scratch rebuild over the unioned
+    * corpus (spec-pinned). Returns the appended row count.
+    */
+  def ivfRpqIndexAppend(
+      batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebooks: DataFrame, tableName: String,
+      numBuckets: Int = 16, roundTo: Int = 4): Long = {
+    val rows = ivfRpqAssignCodes(batch, idCol, vecCol, cents, codebooks,
+      roundTo)
+    rows.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "centroid_id")
+      .saveAsTable(tableName)
+    rows.count()
+  }
+
   /** Residual IVF-PQ top-k: coarse routing as [[ivfPqTopK]], ADC
     * scoring of cosine(q, c + r̂) decomposed entirely into
     * broadcast-sized lookup tables —
@@ -1161,6 +1195,39 @@ object Similarity {
     val sims = ivfRpqScoredCandidates(
       queries, index, codebooks, cents, idCol, vecCol, nprobe, roundTo)
     rankTopK(sims, k, index.schema(idCol).dataType)
+  }
+
+  /** Per-group recall of an approximate result frame against the
+    * exact one — the standing index-health audit the maintenance
+    * operators ([[ivfIndexAppend]]/[[ivfPqIndexAppend]]/
+    * [[ivfDriftReport]]) point at: run it on a deterministic
+    * hash-SAMPLE of queries (the exact leg is a brute-force scan —
+    * audit-sized, never the full query load) and re-center/re-train
+    * when the aggregate slips. Generic over `keyCols`: with the
+    * default (query_id, neighbor_id) it audits any ANN top-k pair
+    * ([[bruteForceTopKAgg]] vs [[ivfTopK]]/[[ivfPqTopK]]/
+    * [[ivfRpqTopK]]/int8); with (id_a, id_b) it audits LSH candidate
+    * pairs against exact-threshold pairs. Grouping is by
+    * `keyCols.head`; rows in `approx` with no exact twin (false
+    * positives) don't lower recall — this measures MISSES. Output:
+    * (keyCols.head, n_exact, n_hit, recall), one row per exact-side
+    * group.
+    */
+  def recallAudit(
+      approx: DataFrame, exact: DataFrame,
+      keyCols: Seq[String] = Seq("query_id", "neighbor_id"),
+      roundTo: Int = 4): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val g = keyCols.head
+    val hits = exact.select(keyCols.map(col): _*)
+      .join(approx.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .groupBy(col(g)).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col(g)).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq(g), "left_outer")
+      .select(col(g), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact"), roundTo).as("recall"))
   }
 
   /** The routed, residual-ADC-scored candidate rows behind

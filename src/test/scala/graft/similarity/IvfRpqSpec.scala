@@ -221,6 +221,40 @@ class IvfRpqSpec extends SparkSpec {
     assert(resRecall >= 0.5, s"residual recall $resRecall")
   }
 
+  test("ivfRpqIndexAppend at fixed centroids and codebooks equals a " +
+      "from-scratch rebuild over the unioned corpus, and search over " +
+      "the appended table sees the new vectors") {
+    val base = clustered(60, 16, 4, seed = 27)
+    val batch = df(schema, (100 until 120).map { i =>
+      val rng = new scala.util.Random(i)
+      Row(i, Seq.fill(16)(rng.nextDouble() * 2 - 1))
+    })
+    val cents = Similarity.hashKCentroids(base, "vec_id", "embedding", 4)
+    val books = Similarity.ivfRpqTrainCodebooks(base, "vec_id",
+      "embedding", cents, m = 4, k = 8, exactMedian = true)
+    try {
+      Similarity.rpqBuildIvfIndex(base, "vec_id", "embedding", cents,
+        books, "ivfrpq_append_spec", numBuckets = 2)
+      val appended = Similarity.ivfRpqIndexAppend(batch, "vec_id",
+        "embedding", cents, books, "ivfrpq_append_spec", numBuckets = 2)
+      assert(appended == 20)
+      Similarity.rpqBuildIvfIndex(base.unionByName(batch), "vec_id",
+        "embedding", cents, books, "ivfrpq_rebuild_spec", numBuckets = 2)
+      def rows(t: String) = spark.table(t).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Int](2))).toSet
+      assert(rows("ivfrpq_append_spec") == rows("ivfrpq_rebuild_spec"))
+      val q = batch.where(col("vec_id") === 100)
+      val got = Similarity.ivfRpqTopK(q,
+          spark.table("ivfrpq_append_spec"), books, cents,
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .select("neighbor_id").collect().map(_.getInt(0))
+      assert(got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfrpq_append_spec")
+      spark.sql("DROP TABLE IF EXISTS ivfrpq_rebuild_spec")
+    }
+  }
+
   test("index and codes are deterministic under repartitioning") {
     val d = clustered(80, 16, 4, seed = 19)
     val (cents, books, index) = build(d, nlist = 4)
