@@ -783,6 +783,25 @@ object SparkEntry {
     Similarity.recallAudit(routed, exact).orderBy("query_id")
   }
 
+  /** LSH candidate-coverage audit ([[Similarity.recallAudit]] in pair
+    * mode): q24's banded candidate generation audited against q23's
+    * exact-Jaccard ≥ 0.8 pairs, per id_a — the s-curve tuning measure
+    * for (numHashes, bands): a slipping audit means more hashes or
+    * wider bands. Candidate-side false positives are verify-stage
+    * cost, not a miss — the audit measures what banding LOSES.
+    */
+  private def lshRecallAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleDf = Some(10))
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+      n = 3, numHashes = 16)
+    val cands = Dedup.lshCandidates(sigs, "doc_id",
+      bands = 4, rowsPerBand = 4)
+    Similarity.recallAudit(cands, exact, keyCols = Seq("id_a", "id_b"))
+      .orderBy("id_a")
+  }
+
   /** Shuffle-key skew report over the documents language column
     * ([[Analytics.skewReport]]): languages above a 5 % row share, with
     * the task-imbalance multiplier a hash exchange keyed on `lang`
@@ -2378,6 +2397,7 @@ object SparkEntry {
     "q113_ann_ivfpq" -> (annIvfPq _),
     "q116_ann_ivfrpq" -> (annIvfRpq _),
     "q117_ann_recall_audit" -> (annRecallAuditQ _),
+    "q118_lsh_recall_audit" -> (lshRecallAuditQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3569,6 +3589,27 @@ object SparkEntry {
            round(CAST(count(vr.nid) AS DOUBLE) / count(*), 4) AS recall
          FROM br LEFT JOIN vr ON vr.qid = br.qid AND vr.nid = br.nid
          GROUP BY br.qid ORDER BY query_id""",
+    // LSH coverage audit: exact-Jaccard ≥ 0.8 pairs (q23's uncapped
+    // oracle form) LEFT JOIN the banded candidates (q24's cands CTE)
+    "q118_lsh_recall_audit" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         ex AS (
+           SELECT ida, idb FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8)
+         SELECT ex.ida AS id_a,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(c.idb) AS BIGINT) AS n_hit,
+           round(CAST(count(c.idb) AS DOUBLE) / count(*), 4) AS recall
+         FROM ex LEFT JOIN cands c ON c.ida = ex.ida AND c.idb = ex.idb
+         GROUP BY ex.ida ORDER BY id_a""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (
