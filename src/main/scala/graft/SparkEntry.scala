@@ -320,6 +320,21 @@ object SparkEntry {
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Exact n-gram CONTAINMENT pairs ([[Dedup.ngramContainmentPairs]]):
+    * |A∩B| / min(|A|, |B|) ≥ 0.6 over the q23 inverted index — the
+    * asymmetric near-dup measure that catches a short document
+    * embedded in a long one (quotes, boilerplate, wrapped re-posts)
+    * where the long side's union dilutes Jaccard. Same
+    * result-invariant stop-shingle cap.
+    */
+  private def ngramContainmentPairs(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleDf = Some(10))
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("id_a", "id_b")
+
   /** TF-weighted 64-bit SimHash fingerprints. */
   private def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text")
@@ -2398,6 +2413,7 @@ object SparkEntry {
     "q116_ann_ivfrpq" -> (annIvfRpq _),
     "q117_ann_recall_audit" -> (annRecallAuditQ _),
     "q118_lsh_recall_audit" -> (lshRecallAuditQ _),
+    "q119_ngram_containment" -> (ngramContainmentPairs _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3610,6 +3626,23 @@ object SparkEntry {
            round(CAST(count(c.idb) AS DOUBLE) / count(*), 4) AS recall
          FROM ex LEFT JOIN cands c ON c.ida = ex.ida AND c.idb = ex.idb
          GROUP BY ex.ida ORDER BY id_a""",
+    // containment = common / min(|A|, |B|): the asymmetric twin of
+    // q23's Jaccard select over the same shingle CTEs
+    "q119_ngram_containment" ->
+      s"""$oracleShingleCte,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT ida AS id_a, idb AS id_b, common,
+           round(CAST(common AS DOUBLE) / least(sa.n, sb.n), 4)
+             AS containment
+         FROM common
+         JOIN sizes sa ON sa.doc_id = ida
+         JOIN sizes sb ON sb.doc_id = idb
+         WHERE CAST(common AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+         ORDER BY id_a, id_b""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -306,9 +306,31 @@ object Dedup {
     * every emitted `jaccard` value — is exact either way. Emits
     * (id_a, id_b, common, jaccard) for pairs ≥ threshold.
     */
+  /** Jaccard = |A∩B| / |A∪B| — the symmetric near-dup measure. */
+  private val jaccardScore: (Column, Column, Column) => Column =
+    (common, na, nb) =>
+      common.cast("double") / (na + nb - common).cast("double")
+
+  /** Containment = |A∩B| / min(|A|, |B|) — the ASYMMETRIC measure: a
+    * short document embedded verbatim in a long one scores ~1 here
+    * while its Jaccard (diluted by the long side's union) can be
+    * arbitrarily low.
+    */
+  private val containmentScore: (Column, Column, Column) => Column =
+    (common, na, nb) =>
+      common.cast("double") / least(na, nb).cast("double")
+
   private def exactJaccardVerify(
       shAll: DataFrame, sizes: DataFrame, cands: DataFrame,
-      idCol: String, threshold: Double): DataFrame = {
+      idCol: String, threshold: Double): DataFrame =
+    exactScoreVerify(shAll, sizes, cands, idCol, threshold,
+      "jaccard", jaccardScore)
+
+  private def exactScoreVerify(
+      shAll: DataFrame, sizes: DataFrame, cands: DataFrame,
+      idCol: String, threshold: Double,
+      scoreName: String,
+      score: (Column, Column, Column) => Column): DataFrame = {
     // no broadcast HINT on candIds: the candidate set is data-dependent
     // and unbounded — AQE broadcasts it when it is actually small
     val candIds = cands.select(col("id_a").as(idCol))
@@ -323,11 +345,9 @@ object Dedup {
         Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("n_shingles").as("nb")),
         Seq("id_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("na") + col("nb") - col("common")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "common", "jaccard")
+      .withColumn(scoreName, score(col("common"), col("na"), col("nb")))
+      .where(col(scoreName) >= threshold)
+      .select("id_a", "id_b", "common", scoreName)
   }
 
   /** Exact pairwise Jaccard over word n-shingles via inverted-index
@@ -350,7 +370,40 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None): DataFrame =
+    ngramPairsByScore(df, idCol, textCol, n, threshold, maxShingleDf,
+      "jaccard", jaccardScore,
+      // common ≤ __cl + min(hot_a, hot_b) and Jaccard is monotone in
+      // common, so this bounds the true Jaccard from above
+      (cl, ch, na, nb) =>
+        (cl + ch).cast("double") / (na + nb - cl - ch).cast("double"))
+
+  /** Exact pairwise CONTAINMENT over word n-shingles — same inverted
+    * index as [[ngramJaccardPairs]], scoring |A∩B| / min(|A|, |B|):
+    * the asymmetric near-dup measure from the published shingling
+    * literature that catches a short document embedded in a long one
+    * (quotes, boilerplate, wrapped re-posts), where the long side's
+    * union dilutes Jaccard below any useful threshold. Emits
+    * (id_a, id_b, common, containment ≥ threshold), id_a < id_b.
+    * `maxShingleDf` is the same result-invariant candidate cap: the
+    * upper bound (__cl + min-hot-slack) / min(na, nb) is monotone in
+    * the common count, so pruned pairs cannot qualify.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame =
+    ngramPairsByScore(df, idCol, textCol, n, threshold, maxShingleDf,
+      "containment", containmentScore,
+      (cl, ch, na, nb) => (cl + ch).cast("double") /
+        least(na, nb).cast("double"))
+
+  private def ngramPairsByScore(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleDf: Option[Int],
+      scoreName: String,
+      score: (Column, Column, Column) => Column,
+      bound: (Column, Column, Column, Column) => Column): DataFrame = {
     maxShingleDf match {
       case Some(cap) =>
         // RAW shingle occurrences (projection + generate, no
@@ -412,9 +465,8 @@ object Dedup {
           .join(szs.select(col(idCol).as("id_b"),
             col("n_shingles").as("__nb"), col("__nh").as("__nh_b")),
             Seq("id_b"))
-          .where((col("__cl") + chMax).cast("double") /
-            (col("__na") + col("__nb") - col("__cl") - chMax)
-              .cast("double") >= threshold)
+          .where(bound(col("__cl"), chMax, col("__na"), col("__nb"))
+            >= threshold)
           .select("id_a", "id_b")
           .transform(graft.core.CacheScope.disk)
         // candidate-sized distinct for the exact verify (the raw table
@@ -424,7 +476,8 @@ object Dedup {
         val shCand = sh.join(candIds, Seq(idCol), "left_semi")
           .distinct()
           .transform(graft.core.CacheScope.disk)
-        exactJaccardVerify(shCand, sizes, cands, idCol, threshold)
+        exactScoreVerify(shCand, sizes, cands, idCol, threshold,
+          scoreName, score)
       case None =>
         // the uncapped form joins the full shingle table with itself —
         // per-document distinct is load-bearing corpus-wide here
@@ -442,11 +495,9 @@ object Dedup {
             col("n_shingles").as("na")), Seq("id_a"))
           .join(sizes.select(col(idCol).as("id_b"),
             col("n_shingles").as("nb")), Seq("id_b"))
-          .withColumn("jaccard",
-            col("common").cast("double") /
-              (col("na") + col("nb") - col("common")).cast("double"))
-          .where(col("jaccard") >= threshold)
-          .select("id_a", "id_b", "common", "jaccard")
+          .withColumn(scoreName, score(col("common"), col("na"), col("nb")))
+          .where(col(scoreName) >= threshold)
+          .select("id_a", "id_b", "common", scoreName)
     }
   }
 

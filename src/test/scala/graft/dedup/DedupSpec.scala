@@ -176,6 +176,65 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("ngramContainmentPairs catches a short doc embedded in a long " +
+      "one that Jaccard misses, at containment exactly common/min") {
+    // doc 2 = doc 1 plus a long unrelated tail: every shingle of 1 is
+    // in 2, so containment = 1.0, while the union dilutes Jaccard
+    val tail = "catalyst rewrites logical plans with rule batches " +
+      "until the tree reaches a fixed point of the optimizer and " +
+      "then tungsten generates bytecode for the surviving operators " +
+      "before execution finally begins on the cluster"
+    val d = docs((1, base), (2, s"$base $tail"))
+    val jac = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.8)
+    assert(jac.count() == 0, "Jaccard should dilute below 0.8")
+    val out = Dedup.ngramContainmentPairs(d, "id", "text", 3, 0.8)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getInt(0), r.getInt(1)) == ((1, 2)))
+    assert(r.getAs[Double]("containment") == 1.0)
+    // containment is common/min(na, nb) exactly: doc 1's shingles all
+    // appear in doc 2, and doc 1 is the smaller set
+    val n1 = base.trim.split("\\s+").length - 2
+    assert(r.getAs[Long]("common") == n1.toLong)
+  }
+
+  test("DF-capped ngramContainmentPairs emits byte-identical pairs " +
+      "AND values to the uncapped run") {
+    val prefix = "standard template header used by every document"
+    val other = "catalyst rewrites logical plans with rule batches " +
+      "until the tree reaches a fixed point of the optimizer"
+    val d = docs(
+      (1, s"$prefix $base"),
+      (2, s"$prefix $base extra trailing words beyond the original"),
+      (3, s"$prefix $other"),
+      (4, s"$prefix $other with some extra words on the end too"))
+    val uncapped = Dedup.ngramContainmentPairs(d, "id", "text", 3, 0.7)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.ngramContainmentPairs(d, "id", "text", 3, 0.7,
+      maxShingleDf = Some(2)).collect().map(_.toSeq).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
+  test("containment >= jaccard on every emitted pair, equal only when " +
+      "the smaller set is contained or sizes match") {
+    val d = docs(
+      (1, base),
+      (2, base.replace("lazy", "sleepy")),
+      (3, s"$base and a bit more text on the end"))
+    val jac = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.01)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[Double]("jaccard")).toMap
+    val con = Dedup.ngramContainmentPairs(d, "id", "text", 3, 0.01)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[Double]("containment")).toMap
+    assert(jac.keySet == con.keySet)
+    jac.foreach { case (pair, j) =>
+      assert(con(pair) >= j, s"$pair: containment ${con(pair)} < $j")
+    }
+  }
+
   test("contaminationCheck flags corpus docs sharing >= minCommon " +
       "n-grams with a benchmark doc, counts distinct shared shingles") {
     val leak = "the exact benchmark question about spark shuffles here"
