@@ -335,6 +335,23 @@ object SparkEntry {
         round(col("containment"), 4).as("containment"))
       .orderBy("id_a", "id_b")
 
+  /** MinHash Jaccard ESTIMATES over the q24 LSH candidate pairs
+    * ([[Dedup.minhashJaccardEstimate]]): Broder's agreement-fraction
+    * estimator — pairs scored from 16 signature longs per document,
+    * never touching shingle sets. The monitoring/histogram companion
+    * to q24's exact verify.
+    */
+  private def minhashJaccardEst(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+        n = 3, numHashes = 16)
+      .transform(graft.core.CacheScope.disk)
+    val cands = Dedup.lshCandidates(sigs, "doc_id",
+      bands = 4, rowsPerBand = 4)
+    Dedup.minhashJaccardEstimate(cands, sigs, "doc_id", numHashes = 16)
+      .orderBy("id_a", "id_b")
+  }
+
   /** TF-weighted 64-bit SimHash fingerprints. */
   private def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text")
@@ -2414,6 +2431,7 @@ object SparkEntry {
     "q117_ann_recall_audit" -> (annRecallAuditQ _),
     "q118_lsh_recall_audit" -> (lshRecallAuditQ _),
     "q119_ngram_containment" -> (ngramContainmentPairs _),
+    "q120_minhash_jaccard_est" -> (minhashJaccardEst _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3642,6 +3660,19 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = ida
          JOIN sizes sb ON sb.doc_id = idb
          WHERE CAST(common AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+         ORDER BY id_a, id_b""",
+    // Broder estimator: per candidate pair, the fraction of the 16
+    // Carter-Wegman signature components that agree
+    "q120_minhash_jaccard_est" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes
+         SELECT c.ida AS id_a, c.idb AS id_b,
+           round((${(0 until 16).map(i =>
+             s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+             .mkString(" + ")}) / 16.0, 4) AS est_jaccard
+         FROM cands c
+         JOIN sigs a ON a.doc_id = c.ida
+         JOIN sigs b ON b.doc_id = c.idb
          ORDER BY id_a, id_b""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (

@@ -676,6 +676,31 @@ object Dedup {
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Broder's MinHash Jaccard estimator over precomputed signatures:
+    * for each (id_a, id_b) pair, the fraction of the k signature
+    * components that agree — an unbiased estimate of the true Jaccard
+    * with standard error ≈ √(J(1−J)/k). At corpus scale this scores
+    * pairs from k longs per document WITHOUT touching shingle sets —
+    * the monitoring/histogram path when the exact verify's
+    * candidate-shingle join isn't worth its cost ([[minhashLshPairs]]
+    * keeps the exact verify where emitted pairs must be exact). Two
+    * hash joins on the id; the signature table is the reused
+    * [[minhashSignatures]] output (at warehouse scale: a table).
+    */
+  def minhashJaccardEstimate(
+      pairs: DataFrame, signatures: DataFrame, idCol: String,
+      numHashes: Int = 16, roundTo: Int = 4): DataFrame = {
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"__sa.h$i") === col(s"__sb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.select("id_a", "id_b")
+      .join(signatures.as("__sa"), col("id_a") === col(s"__sa.$idCol"))
+      .join(signatures.as("__sb"), col("id_b") === col(s"__sb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        round(agree.cast("double") / lit(numHashes.toDouble), roundTo)
+          .as("est_jaccard"))
+  }
+
   /** LSH candidate pairs from banded signatures: band j is the md5 of
     * the concatenated signature rows in that band; documents sharing
     * any band hash become candidates. bands × rowsPerBand must equal

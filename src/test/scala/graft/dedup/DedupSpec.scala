@@ -235,6 +235,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashJaccardEstimate: identical docs estimate 1.0, disjoint " +
+      "docs 0.0, and the estimate matches a driver-side signature " +
+      "replay component-for-component") {
+    val d = docs(
+      (1, base), (2, base),
+      (3, base.replace("lazy", "sleepy")),
+      (4, "completely unrelated words about catalyst rule batches"))
+    val sigs = Dedup.minhashSignatures(d, "id", "text", n = 3,
+      numHashes = 16)
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.IntegerType)))
+    val pairs = df(pairSchema, Seq(Row(1, 2), Row(1, 3), Row(1, 4)))
+    val out = Dedup.minhashJaccardEstimate(pairs, sigs, "id")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(out((1, 2)) == 1.0)
+    assert(out((1, 4)) == 0.0)
+    // driver-side replay: agreement fraction over the collected sigs
+    val sm = sigs.collect().map(r => r.getInt(0) ->
+      (0 until 16).map(i => r.getAs[Long](s"h$i"))).toMap
+    out.foreach { case ((a, b), est) =>
+      val want = sm(a).zip(sm(b)).count { case (x, y) => x == y } / 16.0
+      assert(est == BigDecimal(want)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // near-dup pair: estimate within 3 standard errors of the exact
+    val exact = Dedup.ngramJaccardPairs(d.where(col("id").isin(1, 3)),
+      "id", "text", 3, 0.01).head().getAs[Double]("jaccard")
+    val se = math.sqrt(exact * (1 - exact) / 16)
+    assert(math.abs(out((1, 3)) - exact) <= 3 * se + 1e-9,
+      s"est ${out((1, 3))} vs exact $exact (se $se)")
+  }
+
   test("contaminationCheck flags corpus docs sharing >= minCommon " +
       "n-grams with a benchmark doc, counts distinct shared shingles") {
     val leak = "the exact benchmark question about spark shuffles here"
