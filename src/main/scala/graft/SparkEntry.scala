@@ -866,6 +866,25 @@ object SparkEntry {
       .orderBy("batch_id", "corpus_id")
   }
 
+  /** Incremental containment matches ([[Dedup.containmentMatches]]):
+    * the q110 batch/corpus split, but scored by BATCH-side containment
+    * — the asymmetric ingest guard that catches a batch doc embedded
+    * in a longer corpus doc where Jaccard (and the band index that
+    * estimates it) dilutes below threshold. Same result-invariant
+    * corpus-DF stop-shingle cap as q23/q119.
+    */
+  private def containmentIncremental(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.where(col("doc_id") % 3 =!= 0)
+    val batch = d.where(col("doc_id") % 3 === 0)
+    Dedup.containmentMatches(corpus, batch, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleDf = Some(10))
+      .select(col("batch_id"), col("corpus_id"), col("common"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** Content-defined chunking ([[TextAnalysis.chunkByContent]]):
     * rolling-hash boundaries (3-gram md5 class mod 32) cut each
     * document into ~32-token chunks whose identity depends only on
@@ -2432,6 +2451,7 @@ object SparkEntry {
     "q118_lsh_recall_audit" -> (lshRecallAuditQ _),
     "q119_ngram_containment" -> (ngramContainmentPairs _),
     "q120_minhash_jaccard_est" -> (minhashJaccardEst _),
+    "q121_containment_incremental" -> (containmentIncremental _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3674,6 +3694,21 @@ object SparkEntry {
          JOIN sigs a ON a.doc_id = c.ida
          JOIN sigs b ON b.doc_id = c.idb
          ORDER BY id_a, id_b""",
+    // asymmetric containment replay over the q110 split: batch-side
+    // denominator only (|batch doc's shingles|)
+    "q121_containment_incremental" ->
+      s"""$oracleShingleCte,
+         b AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 = 0),
+         c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 <> 0),
+         nb AS (SELECT doc_id, count(*) AS n FROM b GROUP BY doc_id),
+         common AS (
+           SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS common
+           FROM b JOIN c ON b.shingle = c.shingle GROUP BY 1, 2)
+         SELECT bid AS batch_id, cid AS corpus_id, common,
+           round(CAST(common AS DOUBLE) / nb.n, 4) AS containment
+         FROM common JOIN nb ON nb.doc_id = bid
+         WHERE CAST(common AS DOUBLE) / nb.n >= 0.8
+         ORDER BY batch_id, corpus_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -865,6 +865,102 @@ object Dedup {
       .select("batch_id", "corpus_id", "jaccard")
   }
 
+  /** Incremental CONTAINMENT detection — the asymmetric ingest guard:
+    * a batch document whose shingle set is (nearly) contained in some
+    * corpus document is a re-post/quote/boilerplate wrap, and both
+    * Jaccard and the MinHash band index miss it when the corpus doc
+    * is much longer (the union dilutes Jaccard; banding estimates
+    * Jaccard). Containment here is BATCH-side: common / |batch doc's
+    * shingles| ≥ threshold. Emits (batch_id, corpus_id, common,
+    * containment).
+    *
+    * Scale shape: the corpus leg is semi-joined down to THE BATCH'S
+    * shingle set before anything else — corpus occurrences of
+    * shingles the batch doesn't contain never enter any join, so
+    * corpus-side work scales with the batch. `maxShingleDf` caps the
+    * remaining hot-shingle skew (df measured over that semi-joined
+    * corpus leg) the q23 way: candidates from low-DF shingles with an
+    * upper-bound prune — common ≤ low-df-common + (batch doc's
+    * hot-shingle count), and containment is monotone in common — then
+    * exact verification over full shingle sets, so capped ==
+    * uncapped (spec-pinned).
+    */
+  def containmentMatches(
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val shB = TextAnalysis.explodeShinglesRaw(batch, idCol, textCol, n)
+      .select(col(idCol).as("batch_id"), col("shingle")).distinct()
+      .transform(graft.core.CacheScope.disk)
+    val nB = shB.groupBy("batch_id").agg(count(lit(1)).as("__nb"))
+    val bShingles = shB.select("shingle").distinct()
+    val shC = TextAnalysis.explodeShinglesRaw(corpus, idCol, textCol, n)
+      .join(bShingles, Seq("shingle"), "left_semi")
+      .select(col(idCol).as("corpus_id"), col("shingle")).distinct()
+      .transform(graft.core.CacheScope.disk)
+    def emit(common: DataFrame): DataFrame = common
+      .join(nB, Seq("batch_id"))
+      .withColumn("containment",
+        col("common").cast("double") / col("__nb").cast("double"))
+      .where(col("containment") >= threshold)
+      .select("batch_id", "corpus_id", "common", "containment")
+    maxShingleDf match {
+      case None =>
+        emit(shB.join(shC, Seq("shingle"))
+          .groupBy("batch_id", "corpus_id")
+          .agg(count(lit(1)).as("common")))
+      case Some(cap) =>
+        // df of each batch shingle over the (semi-joined) corpus leg;
+        // shingles absent from the corpus have no row — df 0, low
+        val dfs = shC.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .transform(graft.core.CacheScope.disk)
+        val hot = dfs.where(col("__df") > cap).select("shingle")
+        val clow = shB.join(hot, Seq("shingle"), "left_anti")
+          .join(shC.join(hot, Seq("shingle"), "left_anti"),
+            Seq("shingle"))
+          .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("__cl"))
+        val hb = shB.join(hot, Seq("shingle"), "left_semi")
+          .groupBy("batch_id").agg(count(lit(1)).as("__hb"))
+        // upper bound: common ≤ __cl + __hb, containment monotone in
+        // common → pairs below threshold here cannot qualify
+        val cands = clow
+          .join(nB, Seq("batch_id"))
+          .join(hb, Seq("batch_id"), "left")
+          .where((col("__cl") + coalesce(col("__hb"), lit(0L)))
+            .cast("double") / col("__nb").cast("double") >= threshold)
+          .select("batch_id", "corpus_id")
+          .transform(graft.core.CacheScope.disk)
+        val shBc = shB.join(cands.select("batch_id").distinct(),
+          Seq("batch_id"), "left_semi")
+        val shCc = shC.join(cands.select("corpus_id").distinct(),
+          Seq("corpus_id"), "left_semi")
+        emit(shBc.join(shCc, Seq("shingle"))
+          .groupBy("batch_id", "corpus_id")
+          .agg(count(lit(1)).as("common"))
+          .join(cands, Seq("batch_id", "corpus_id"), "left_semi"))
+    }
+  }
+
+  /** [[dedupAgainst]] lifted to CONTAINMENT: batch rows that survive —
+    * in-batch exact dedup first (lowest `orderCol` wins), then rows
+    * (nearly) contained in some corpus document are dropped. The
+    * ingest-time re-post/boilerplate guard.
+    */
+  def dedupContainedAgainst(
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, orderCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val b = exactDedupAgg(batch, textCol, orderCol)
+      .transform(graft.core.CacheScope.disk)
+    val matched = containmentMatches(corpus, b, idCol, textCol, n,
+        threshold, maxShingleDf)
+      .select(col("batch_id").as(idCol)).distinct()
+    b.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** [[dedupAgainst]] lifted to NEAR duplicates: the batch rows that
     * survive — in-batch exact dedup first (lowest `orderCol` wins),
     * then rows with a verified near-dup in the corpus

@@ -271,6 +271,64 @@ class DedupSpec extends SparkSpec {
       s"est ${out((1, 3))} vs exact $exact (se $se)")
   }
 
+  test("containmentMatches: a batch doc embedded verbatim in a longer " +
+      "corpus doc scores 1.0 — the pair both Jaccard and the band " +
+      "index miss") {
+    val tail = "catalyst rewrites logical plans with rule batches " +
+      "until the tree reaches a fixed point of the optimizer and " +
+      "then tungsten generates bytecode for the surviving operators " +
+      "before execution finally begins on the cluster"
+    val corpus = docs(
+      (10, s"$base $tail"),
+      (11, "completely unrelated words about parquet footers"))
+    val batch = docs((1, base))
+    val index = Dedup.buildLshIndex(corpus, "id", "text",
+      n = 3, numHashes = 16, bands = 4)
+    assert(Dedup.nearDupMatches(corpus, index, batch, "id", "text",
+      3, 16, 4, 0.8).count() == 0, "Jaccard should dilute below 0.8")
+    val out = Dedup.containmentMatches(corpus, batch, "id", "text",
+      3, 0.8).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getInt(0), r.getInt(1)) == ((1, 10)))
+    assert(r.getAs[Double]("containment") == 1.0)
+  }
+
+  test("DF-capped containmentMatches emits byte-identical pairs AND " +
+      "values to the uncapped run (cap prunes candidates; verify is " +
+      "exact over full sets)") {
+    val prefix = "standard template header used by every document"
+    val other = "catalyst rewrites logical plans with rule batches " +
+      "until the tree reaches a fixed point of the optimizer"
+    val corpus = docs(
+      (10, s"$prefix $base and a long trailing addendum of words"),
+      (11, s"$prefix $other"),
+      (12, s"$prefix completely different closing content here"))
+    val batch = docs(
+      (1, s"$prefix $base"),
+      (2, s"$prefix novel text that matches no corpus document at all"))
+    val uncapped = Dedup.containmentMatches(corpus, batch, "id",
+      "text", 3, 0.6).collect().map(_.toSeq).toSet
+    val capped = Dedup.containmentMatches(corpus, batch, "id", "text",
+      3, 0.6, maxShingleDf = Some(2)).collect().map(_.toSeq).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
+  test("dedupContainedAgainst: in-batch exact dups collapse first, " +
+      "contained rows drop, novel rows survive") {
+    val tail = "and then a very long unrelated continuation about " +
+      "shuffle partitions and adaptive execution planning internals"
+    val corpus = docs((10, s"$base $tail"))
+    val batch = docs(
+      (1, base), (2, base), // exact dups of each other; 1 wins, then
+                            // 1 is contained in corpus doc 10 → drops
+      (3, "entirely novel content that appears in no corpus document"))
+    val out = Dedup.dedupContainedAgainst(corpus, batch, "id", "text",
+      "id", 3, 0.8).select("id").collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(3))
+  }
+
   test("contaminationCheck flags corpus docs sharing >= minCommon " +
       "n-grams with a benchmark doc, counts distinct shared shingles") {
     val leak = "the exact benchmark question about spark shuffles here"
