@@ -2095,6 +2095,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Image perceptual near-dup ([[Multimodal.imageDHash]] +
+    * [[Dedup.hammingBandedPairs]]): 64-bit dHash over a 9×8
+    * integer-pooled luma grid, banded Hamming join at distance ≤ 3 —
+    * exact by pigeonhole, so the oracle can score ALL pairs and still
+    * match. The multimodal dedup path: re-encoded/resized copies of an
+    * image land within a few bits while distinct images scatter.
+    * Synthetic TEXTURED images are arithmetic of (x, y, seed) (the q39
+    * construction with oscillating formulas), so the whole
+    * decode→pool→hash→pair chain replays in SQL with integer
+    * exactness (milli-luma sums, cross-multiplied averages); ids
+    * agreeing mod 336 are identical images (hamming 0).
+    */
+  private def imageDHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.synthesizeTexturedImages(
+      docs(s, dir).select("doc_id"), "doc_id")
+    Dedup.hammingBandedPairs(
+        Multimodal.imageDHash(imgs, "id", "png"),
+        "id", "dhash_hi", "dhash_lo", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2452,6 +2474,7 @@ object SparkEntry {
     "q119_ngram_containment" -> (ngramContainmentPairs _),
     "q120_minhash_jaccard_est" -> (minhashJaccardEst _),
     "q121_containment_incremental" -> (containmentIncremental _),
+    "q122_image_dhash_pairs" -> (imageDHashPairs _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3709,6 +3732,52 @@ object SparkEntry {
          FROM common JOIN nb ON nb.doc_id = bid
          WHERE CAST(common AS DOUBLE) / nb.n >= 0.8
          ORDER BY batch_id, corpus_id""",
+    // full decode→pool→hash replay in integer arithmetic: synthetic
+    // pixels are (x,y,seed) formulas (q39), milli-luma sums are
+    // integers, dHash bits compare averages by cross-multiplication —
+    // no float anywhere. All-pairs scoring matches the engine's banded
+    // join because 4×16 banding is exact at distance <= 3.
+    "q122_image_dhash_pairs" ->
+      """WITH p AS (
+           SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS w,
+             CAST(doc_id % 16 + 8 AS INT) AS h,
+             CAST(doc_id % 336 AS INT) AS seed
+           FROM documents),
+         xs AS (SELECT doc_id, w, h, seed, unnest(range(w)) AS x FROM p),
+         px AS (SELECT doc_id, w, h, seed, x,
+                  unnest(range(h)) AS y FROM xs),
+         lum AS (
+           SELECT doc_id,
+             least(y * 8 // h, 7) AS cy, least(x * 9 // w, 8) AS cx,
+             299 * ((x*(37 + 13*(seed%5)) + y*(23 + 7*(seed%3)) + seed)
+                 % 256)
+               + 587 * ((x*x*(seed%4 + 1) + y*29 + 2*seed) % 256)
+               + 114 * ((x*53 + y*41 + x*y + 5*seed) % 256) AS ml
+           FROM px),
+         cells AS (
+           SELECT doc_id, cy, cx, sum(ml) AS s, count(*) AS c
+           FROM lum GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cy, l.cx,
+             CASE WHEN r.s * l.c > l.s * r.c THEN 1 ELSE 0 END AS bit
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+           WHERE l.cx < 8),
+         hs AS (
+           SELECT doc_id,
+             sum(CASE WHEN cy < 4 THEN
+               bit * (CAST(1 AS BIGINT) << (31 - (cy*8 + cx)))
+               ELSE 0 END) AS hi,
+             sum(CASE WHEN cy >= 4 THEN
+               bit * (CAST(1 AS BIGINT) << (31 - ((cy-4)*8 + cx)))
+               ELSE 0 END) AS lo
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             AS INT) AS hamming
+         FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY id_a, id_b""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -1095,24 +1095,46 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    hammingBandedPairs(simhash(df, idCol, textCol), idCol,
+      "sim_hi", "sim_lo", maxDist)
+
+  /** Banded Hamming-distance pairs over ANY 64-bit sketch given as two
+    * 32-bit halves — the pair machinery behind [[simhashPairs]],
+    * factored out so other 64-bit fingerprints (image dHash:
+    * [[graft.multimodal.Multimodal.imageDHash]]) share it. Banding on
+    * 4 blocks of 16 bits: any pair within distance 3 shares at least
+    * one identical block (pigeonhole), so for `maxDist` ≤ 3 the
+    * candidate join is EXACT — no recall loss — while reducing the
+    * pair space from n² to per-block bucket joins. Null sketches
+    * (undecodable payloads) never pair.
+    */
+  def hammingBandedPairs(
+      sketch: DataFrame, idCol: String, hiCol: String, loCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-block banding is exact only for maxDist <= 3")
-    // Persisted: the 64-bit-sum aggregation would otherwise re-run for
+    // Persisted: the sketch computation (a 64-term aggregation for
+    // simhash, an image decode for dHash) would otherwise re-run for
     // each self-join leg (see lshCandidates). One row per document.
-    val sh = simhash(df, idCol, textCol)
+    val sh = sketch
+      .select(col(idCol), col(hiCol).as("__hi"), col(loCol).as("__lo"))
+      .where(col("__hi").isNotNull && col("__lo").isNotNull)
       .transform(graft.core.CacheScope.disk)
-    val blocks = sh.select(col(idCol), col("sim_hi"), col("sim_lo"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("blk"),
-          substring(col("simhash_hex"), b * 4 + 1, 4).as("val"))): _*))
-        .as("b"))
-      .select(col(idCol), col("sim_hi"), col("sim_lo"),
+    val blocks = sh.select(col(idCol), col("__hi"), col("__lo"),
+      explode(array(
+        struct(lit(0).as("blk"), shiftright(col("__hi"), 16).as("val")),
+        struct(lit(1).as("blk"),
+          col("__hi").bitwiseAND(lit(0xffffL)).as("val")),
+        struct(lit(2).as("blk"), shiftright(col("__lo"), 16).as("val")),
+        struct(lit(3).as("blk"),
+          col("__lo").bitwiseAND(lit(0xffffL)).as("val")))).as("b"))
+      .select(col(idCol), col("__hi"), col("__lo"),
         col("b.blk").as("blk"), col("b.val").as("val"))
     val l = blocks.select(col(idCol).as("id_a"),
-      col("sim_hi").as("a_hi"), col("sim_lo").as("a_lo"),
+      col("__hi").as("a_hi"), col("__lo").as("a_lo"),
       col("blk"), col("val"))
     val r = blocks.select(col(idCol).as("id_b"),
-      col("sim_hi").as("b_hi"), col("sim_lo").as("b_lo"),
+      col("__hi").as("b_hi"), col("__lo").as("b_lo"),
       col("blk"), col("val"))
     l.join(r, Seq("blk", "val"))
       .where(col("id_a") < col("id_b"))

@@ -462,7 +462,40 @@ object Multimodal {
     * be exercised end-to-end on tables that carry no media.
     */
   def synthesizeTestImages(
-      df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+      df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame =
+    synthesizeImagesWith(df, idCol, batchSize) { id =>
+      // floorMod: a negative id (hashCode fallback for string ids)
+      // must still yield positive dimensions — BufferedImage throws
+      // on w/h <= 0 and one bad row must not kill the scan
+      syntheticPng(
+        (math.floorMod(id, 24) + 8).toInt,
+        (math.floorMod(id, 16) + 8).toInt,
+        math.floorMod(id, 7).toInt)
+    }
+
+  /** TEXTURED variant of [[synthesizeTestImages]] for perceptual-hash
+    * pipelines: same dimension classes, but pixel formulas whose mod-256
+    * wraparound oscillates within pooling cells, so pooled luma — and
+    * hence [[imageDHash]] bits — discriminate between seed classes.
+    * The smooth gradients of [[syntheticPng]] pool to near-identical
+    * dHashes across the whole corpus (every image brightens left to
+    * right), which is exactly what a PERCEPTUAL hash is built to
+    * conflate; near-dup queries need content where only true re-posts
+    * collide. Seed runs mod 336 = lcm(image-size cycle, 7), so two ids
+    * produce the same image iff they agree mod 336.
+    */
+  def synthesizeTexturedImages(
+      df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame =
+    synthesizeImagesWith(df, idCol, batchSize) { id =>
+      syntheticTexturedPng(
+        (math.floorMod(id, 24) + 8).toInt,
+        (math.floorMod(id, 16) + 8).toInt,
+        math.floorMod(id, 336).toInt)
+    }
+
+  private def synthesizeImagesWith(
+      df: DataFrame, idCol: String, batchSize: Int)(
+      mk: Long => Array[Byte]): DataFrame = {
     val session = df.sparkSession
     val idType = df.schema(idCol).dataType
     val outSchema = StructType(Seq(
@@ -477,14 +510,7 @@ object Multimodal {
             case i: Int => i.toLong
             case other => other.hashCode.toLong
           }
-          // floorMod: a negative id (hashCode fallback for string ids)
-          // must still yield positive dimensions — BufferedImage throws
-          // on w/h <= 0 and one bad row must not kill the scan
-          val png = syntheticPng(
-            (math.floorMod(id, 24) + 8).toInt,
-            (math.floorMod(id, 16) + 8).toInt,
-            math.floorMod(id, 7).toInt)
-          Row(r.get(idIdx), png)
+          Row(r.get(idIdx), mk(id))
         }
       }
     }
@@ -515,5 +541,156 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(im, "png", out)
     out.toByteArray
+  }
+
+  /** Textured deterministic PNG ([[synthesizeTexturedImages]]): large
+    * multipliers and an x·y interaction make the mod-256 channel values
+    * wrap several times per image, so block-pooled averages vary cell
+    * to cell. Pure integer arithmetic of (x, y, seed) — replayable
+    * exactly in any engine.
+    */
+  def syntheticTexturedPng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * (37 + 13 * (seed % 5)) + y * (23 + 7 * (seed % 3))
+          + seed) % 256
+        val g = (x * x * (seed % 4 + 1) + y * 29 + 2 * seed) % 256
+        val b = (x * 53 + y * 41 + x * y + 5 * seed) % 256
+        row(x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      im.setRGB(0, y, w, 1, row, 0, w)
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  /** Pooled INTEGER luma grid per image — the decode half of the
+    * perceptual-hash pipeline. Each pixel contributes milli-luma
+    * `299·R + 587·G + 114·B` (the BT.601 weights scaled to integers)
+    * to its `gridW`×`gridH` pooling cell; output per image is the
+    * row-major cell SUM and COUNT arrays, NOT float averages. Keeping
+    * sums integral makes every downstream comparison exact and
+    * order-independent — cross-engine reproducible with no float
+    * summation-order hazard (the q39 lesson, applied at design time).
+    * Images narrower/shorter than the grid leave trailing cells empty
+    * (sum 0, count 0); undecodable payloads yield null arrays, never
+    * an exception.
+    */
+  def imagePooledLuma(
+      df: DataFrame, idCol: String, binCol: String,
+      gridW: Int = 9, gridH: Int = 8, batchSize: Int = 64): DataFrame = {
+    val session = df.sparkSession
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("luma_sums", ArrayType(LongType)),
+      StructField("cell_counts", ArrayType(LongType))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.get(binIdx) match {
+            case b: Array[Byte] => b
+            case _ => Array.empty[Byte]
+          }
+          pooledLumaOne(bytes, gridW, gridH) match {
+            case Some((w, h, sums, counts)) =>
+              Row(r.get(idIdx), w, h, sums, counts)
+            case None => Row(r.get(idIdx), null, null, null, null)
+          }
+        }
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
+
+  private[multimodal] def pooledLumaOne(
+      bytes: Array[Byte], gridW: Int,
+      gridH: Int): Option[(Int, Int, Array[Long], Array[Long])] = {
+    if (bytes.isEmpty) return None
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val sums = new Array[Long](gridW * gridH)
+      val counts = new Array[Long](gridW * gridH)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        im.getRGB(0, y, w, 1, row, 0, w)
+        val cellRow = math.min(y * gridH / h, gridH - 1) * gridW
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val ml = 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          val cell = cellRow + math.min(x * gridW / w, gridW - 1)
+          sums(cell) += ml
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sums, counts)
+    }
+  }
+
+  /** 64-bit perceptual dHash per image (difference hash, the standard
+    * cheap image near-dup fingerprint): over the 9×8 pooled luma grid,
+    * bit `cy·8 + cx` is 1 iff the average luma of cell (cx+1, cy)
+    * exceeds that of cell (cx, cy) — 8 comparisons across each of 8
+    * rows. The comparison runs on the INTEGER sum/count arrays via
+    * cross-multiplication (`sumR·cntL > sumL·cntR`), so it is exact —
+    * no float division, no rounding, bit-stable across engines and
+    * partitionings. Empty cells (images narrower than the grid)
+    * compare as 0-sum → bit 0, deterministically.
+    *
+    * Output: (id, width, height, dhash_hi, dhash_lo) — the two 32-bit
+    * halves as longs, [[graft.dedup.Dedup.hammingBandedPairs]]-ready
+    * (the same shape SimHash uses, so the banded pair machinery is
+    * shared). Bit 0 is the MSB of `dhash_hi`, matching SimHash's
+    * hex-assembly order.
+    *
+    * Scale: decode is partition-parallel batched iteration; the hash
+    * itself is pure codegen arithmetic over the two small arrays —
+    * per-row work is constant (64 comparisons), independent of image
+    * size beyond the decode.
+    */
+  def imageDHash(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val gridW = 9; val gridH = 8
+    val pooled = imagePooledLuma(df, idCol, binCol, gridW, gridH,
+      batchSize)
+    // 1-based element_at positions of the (cx, cy) and (cx+1, cy) cells
+    def cellL(i: Int): Int = (i / (gridW - 1)) * gridW + i % (gridW - 1) + 1
+    def bit(i: Int): Column = {
+      val l = cellL(i)
+      when(element_at(col("luma_sums"), l + 1) *
+          element_at(col("cell_counts"), l) >
+        element_at(col("luma_sums"), l) *
+          element_at(col("cell_counts"), l + 1), lit(1L))
+        .otherwise(lit(0L))
+    }
+    def half(lo: Int): Column =
+      (0 until 32).map(j => bit(lo + j) * lit(1L << (31 - j)))
+        .reduce(_ + _)
+    pooled.select(col("id"), col("width"), col("height"),
+      when(col("luma_sums").isNotNull, half(0)).as("dhash_hi"),
+      when(col("luma_sums").isNotNull, half(32)).as("dhash_lo"))
   }
 }

@@ -306,4 +306,109 @@ class MultimodalSpec extends SparkSpec {
     assert(pixel.getAs[Int]("height") == 17)
     assert(header.getAs[Long]("height") == 17L)
   }
+
+  // independent driver-side replay of the pooled milli-luma grid
+  private def poolReplay(png: Array[Byte], gw: Int, gh: Int)
+      : (Array[Long], Array[Long]) = {
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    for (y <- 0 until im.getHeight; x <- 0 until im.getWidth) {
+      val rgb = im.getRGB(x, y)
+      val ml = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+      val cell = math.min(y * gh / im.getHeight, gh - 1) * gw +
+        math.min(x * gw / im.getWidth, gw - 1)
+      sums(cell) += ml
+      counts(cell) += 1
+    }
+    (sums, counts)
+  }
+
+  test("imagePooledLuma matches a per-pixel driver replay exactly, " +
+      "including empty trailing cells for images narrower than the " +
+      "grid (w = 8 < 9)") {
+    for ((w, h, seed) <- Seq((8, 8, 3), (24, 16, 77), (31, 23, 200))) {
+      val png = Multimodal.syntheticTexturedPng(w, h, seed)
+      val out = Multimodal.imagePooledLuma(
+        binDf((1, png)), "id", "content").head()
+      val (sums, counts) = poolReplay(png, 9, 8)
+      assert(out.getAs[Int]("width") == w)
+      assert(out.getSeq[Long](out.fieldIndex("luma_sums")).toSeq ==
+        sums.toSeq, s"sums mismatch at ($w,$h,$seed)")
+      assert(out.getSeq[Long](out.fieldIndex("cell_counts")).toSeq ==
+        counts.toSeq, s"counts mismatch at ($w,$h,$seed)")
+      if (w < 9) {
+        // the cx=8 column never receives a pixel: min(x*9/8, 8) <= 7
+        assert((0 until 8).forall(cy => counts(cy * 9 + 8) == 0L))
+      }
+    }
+  }
+
+  test("imageDHash: identical images hash identically; the bits match " +
+      "a driver replay of the cross-multiplied average comparisons") {
+    val png = Multimodal.syntheticTexturedPng(20, 14, 123)
+    val out = Multimodal.imageDHash(
+      binDf((1, png), (2, png)), "id", "content")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("dhash_hi") == out(1).getAs[Long]("dhash_hi"))
+    assert(out(0).getAs[Long]("dhash_lo") == out(1).getAs[Long]("dhash_lo"))
+    val (s, c) = poolReplay(png, 9, 8)
+    var hi = 0L; var lo = 0L
+    for (i <- 0 until 64) {
+      val l = (i / 8) * 9 + i % 8
+      val bit = if (s(l + 1) * c(l) > s(l) * c(l + 1)) 1L else 0L
+      if (i < 32) hi |= bit << (31 - i) else lo |= bit << (63 - i)
+    }
+    assert(out(0).getAs[Long]("dhash_hi") == hi)
+    assert(out(0).getAs[Long]("dhash_lo") == lo)
+  }
+
+  test("image near-dup via dHash + hammingBandedPairs: a one-pixel " +
+      "edit stays within distance 2 and is caught; a different-seed " +
+      "image pairs with neither; undecodable payloads never pair") {
+    val orig = Multimodal.syntheticTexturedPng(24, 16, 42)
+    // flip one dark pixel to white: affects one pooling cell, so at
+    // most the two comparisons adjacent to it
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(orig))
+    im.setRGB(2, 3, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val edited = bos.toByteArray
+    val other = Multimodal.syntheticTexturedPng(24, 16, 171)
+    val sk = Multimodal.imageDHash(
+      binDf((1, orig), (2, edited), (3, other), (4, "junk".getBytes)),
+      "id", "content")
+    assert(sk.where(col("id") === 4)
+      .where(col("dhash_hi").isNull).count() == 1)
+    val pairs = graft.dedup.Dedup.hammingBandedPairs(
+      sk, "id", "dhash_hi", "dhash_lo", maxDist = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1, 2)))
+    assert(pairs.head._3 <= 2)
+  }
+
+  test("hammingBandedPairs equals brute-force all-pairs scoring at " +
+      "maxDist <= 3 (4x16 banding is exact by pigeonhole)") {
+    val many = (0 until 60).map(i =>
+      (i, Multimodal.syntheticTexturedPng(
+        8 + i % 24, 8 + i % 16, i % 12)))
+    val sk = Multimodal.imageDHash(binDf(many: _*), "id", "content")
+      .select("id", "dhash_hi", "dhash_lo").cache()
+    val banded = graft.dedup.Dedup.hammingBandedPairs(
+      sk, "id", "dhash_hi", "dhash_lo", maxDist = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val rows = sk.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, ahi, alo) <- rows; (ib, bhi, blo) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ahi ^ bhi) +
+        java.lang.Long.bitCount(alo ^ blo)
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture should contain identical-image pairs")
+  }
 }
