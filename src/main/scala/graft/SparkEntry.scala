@@ -2117,6 +2117,40 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding near-dup via hyperplane LSH ([[Similarity.srpSketch]]
+    * over int8 codes + [[Dedup.hammingBandedPairs]]): a batch of
+    * slightly-perturbed copies (re-encoded embeddings drift) probes
+    * the corpus at Hamming ≤ 3 of 64 hyperplane bits — an 8-byte
+    * sketch stands in for 64 floats in the blocking join. Candidates
+    * are verified with exact cosine on the original vectors. The
+    * third fingerprint family (text SimHash, image dHash, embedding
+    * SRP) on the shared banded pair machinery.
+    */
+  private def srpNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val batch = corpus.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), transform(col("v"),
+        (x, d) => x + lit(0.01) *
+          ((col("vec_id") * 7 + d) % 5 - lit(2)).cast("double")).as("v"))
+    val all = corpus.select(col("vec_id").as("id"), col("v"))
+      .unionByName(batch.select(
+        (col("vec_id") + lit(1000000L)).as("id"), col("v")))
+    val sk = Similarity.srpSketch(
+      Similarity.quantizeInt8(all, "v"), "id", "v_q", dim = 64)
+    Dedup.hammingBandedPairs(sk, "id", "srp_hi", "srp_lo", maxDist = 3)
+      .where(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+      .select(col("id_a").as("corpus_id"),
+        (col("id_b") - 1000000L).as("batch_src"), col("hamming"))
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+        col("v").as("va")), Seq("corpus_id"))
+      .join(batch.select(col("vec_id").as("batch_src"),
+        col("v").as("vb")), Seq("batch_src"))
+      .select(col("corpus_id"), col("batch_src"), col("hamming"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .orderBy("corpus_id", "batch_src")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2475,6 +2509,7 @@ object SparkEntry {
     "q120_minhash_jaccard_est" -> (minhashJaccardEst _),
     "q121_containment_incremental" -> (containmentIncremental _),
     "q122_image_dhash_pairs" -> (imageDHashPairs _),
+    "q123_srp_neardup" -> (srpNearDupPairs _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3778,6 +3813,54 @@ object SparkEntry {
          FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
          ORDER BY id_a, id_b""",
+    // full SRP replay: perturb, quantize (the q105 CTE), project onto
+    // 64 md5-derived sign rows (integer-valued terms -> exact sums),
+    // pack bits, score batch-vs-corpus at hamming <= 3, verify cosine
+    "q123_srp_neardup" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, list_transform(range(len(v)), d ->
+             v[d+1] + 0.01 * CAST((vec_id*7 + d) % 5 - 2 AS DOUBLE)) AS v
+           FROM e WHERE vec_id % 10 = 0),
+         allv AS (
+           SELECT vec_id AS id, v FROM e
+           UNION ALL SELECT vec_id + 1000000 AS id, v FROM b),
+         qz AS (
+           SELECT id,
+             CASE WHEN coalesce(
+                 list_max(list_transform(v, x -> abs(x))), 0.0) = 0.0
+               THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> round(x /
+                 (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+             END AS qv
+           FROM allv),
+         sb AS (
+           SELECT id, bi.i AS i,
+             list_sum(list_transform(range(64), d ->
+               CASE WHEN substr(md5('srp_' || bi.i || '_' || d), 1, 1)
+                 IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END
+               * coalesce(qv[d+1], 0.0))) AS s
+           FROM qz, LATERAL (SELECT unnest(range(64)) AS i) bi),
+         hs AS (
+           SELECT id,
+             sum(CASE WHEN i < 32 AND s > 0 THEN
+               CAST(1 AS BIGINT) << CAST(31 - i AS INT) ELSE 0 END) AS hi,
+             sum(CASE WHEN i >= 32 AND s > 0 THEN
+               CAST(1 AS BIGINT) << CAST(63 - i AS INT) ELSE 0 END) AS lo
+           FROM sb GROUP BY id),
+         pr AS (
+           SELECT a.id AS corpus_id, z.id - 1000000 AS batch_src,
+             CAST(bit_count(xor(a.hi, z.hi))
+               + bit_count(xor(a.lo, z.lo)) AS INT) AS hamming
+           FROM hs a JOIN hs z ON a.id < 1000000 AND z.id >= 1000000
+           WHERE bit_count(xor(a.hi, z.hi))
+             + bit_count(xor(a.lo, z.lo)) <= 3)
+         SELECT corpus_id, batch_src, hamming,
+           ${oracleCos("e.v", "b.v")} AS cos
+         FROM pr JOIN e ON e.vec_id = corpus_id
+           JOIN b ON b.vec_id = batch_src
+         ORDER BY corpus_id, batch_src""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -1426,4 +1426,54 @@ object Similarity {
         .otherwise(transform(v, x =>
           round(x / col(sCol)).cast("byte"))))
   }
+
+  /** 64-bit signed-random-projection sketch (hyperplane LSH, the
+    * Charikar construction for cosine): bit i is 1 iff
+    * Σ_d sign(i,d)·code[d] > 0, where sign(i,d) ∈ {+1,−1} is derived
+    * from md5("srp_i_d") — deterministic, engine-independent, no RNG
+    * state. Runs over INT8 QUANTIZATION codes ([[quantizeInt8]]), not
+    * raw floats, by design: the per-vector scale is positive so every
+    * projection keeps its sign, and integer-valued terms make the sum
+    * EXACT in double — bit decisions are reproducible across engines
+    * and partitionings with no float summation-order hazard (the same
+    * design rule as the integer dHash pooling).
+    *
+    * Output appends (srp_hi, srp_lo) — bit 0 the MSB of `srp_hi`, the
+    * [[graft.dedup.Dedup.hammingBandedPairs]] shape, so text SimHash,
+    * image dHash, and embedding SRP all share the banded pair
+    * machinery. P[bit differs] = angle/π, so Hamming distance
+    * estimates the angle: 64 bits replace `dim` floats (32× smaller
+    * at dim=64/fp32) for blocking and similarity monitoring.
+    *
+    * Scale: per-row codegen'd dot products against 64 literal sign
+    * rows — no shuffle, no state; the sketch column then carries ANN
+    * blocking at 8 bytes/vector.
+    */
+  def srpSketch(
+      df: DataFrame, idCol: String, codesCol: String,
+      dim: Int): DataFrame = {
+    require(!df.columns.exists(Set("srp_hi", "srp_lo")),
+      "input must not have columns named srp_hi or srp_lo")
+    val signRows: IndexedSeq[Seq[Double]] =
+      (0 until 64).map(i => (0 until dim).map(d => srpSign(i, d)))
+    def bit(i: Int): Column =
+      when(dot(col(codesCol), typedLit(signRows(i))) > 0, lit(1L))
+        .otherwise(lit(0L))
+    def half(lo: Int): Column =
+      (0 until 32).map(j => bit(lo + j) * lit(1L << (31 - j)))
+        .reduce(_ + _)
+    df.withColumn("srp_hi", half(0)).withColumn("srp_lo", half(32))
+  }
+
+  /** The (i, d) hyperplane sign: +1 iff the first hex char of
+    * md5("srp_i_d") has even value — replayable as
+    * `substr(md5(...), 1, 1) IN ('0','2','4','6','8','a','c','e')`
+    * in any engine with md5.
+    */
+  private[similarity] def srpSign(i: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"srp_${i}_${d}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ("02468ace".indexOf(hex.charAt(0)) >= 0) 1.0 else -1.0
+  }
 }

@@ -512,4 +512,77 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & quant).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall")
   }
+
+  private def srpOf(frame: org.apache.spark.sql.DataFrame) =
+    Similarity.srpSketch(
+      Similarity.quantizeInt8(frame, "embedding"), "vec_id",
+      "embedding_q", dim = 16)
+      .select("vec_id", "srp_hi", "srp_lo")
+
+  test("srpSketch bits match a driver replay of the md5 sign rows " +
+      "over the int8 codes (exact integer sums)") {
+    val d = randVecs(20, 16, seed = 31)
+    val out = srpOf(d).orderBy("vec_id").collect()
+    val codes = Similarity.quantizeInt8(d, "embedding")
+      .select("vec_id", "embedding_q").orderBy("vec_id").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Byte](1)).toMap
+    out.foreach { r =>
+      val c = codes(r.getInt(0))
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64) {
+        val s = (0 until 16).map(d =>
+          Similarity.srpSign(i, d).toLong * c(d)).sum
+        if (s > 0) {
+          if (i < 32) hi |= 1L << (31 - i) else lo |= 1L << (63 - i)
+        }
+      }
+      assert(r.getLong(1) == hi && r.getLong(2) == lo,
+        s"sketch mismatch for vec ${r.getInt(0)}")
+    }
+  }
+
+  test("srpSketch is invariant under positive scaling of the vector " +
+      "(hyperplane signs depend only on direction)") {
+    val base = randVecs(15, 16, seed = 7)
+    val scaled = base.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(3.5)).as("embedding"))
+    assert(srpOf(base).orderBy("vec_id").collect().toSeq ==
+      srpOf(scaled).orderBy("vec_id").collect().toSeq)
+  }
+
+  test("srp hamming tracks angle: identical -> 0, tiny perturbation " +
+      "stays far below unrelated vectors (~32 expected at random)") {
+    val rng = new scala.util.Random(5)
+    val v = Seq.fill(16)(rng.nextGaussian())
+    val pert = v.map(x => x + rng.nextGaussian() * 0.02)
+    val other = Seq.fill(16)(rng.nextGaussian())
+    val sk = srpOf(vecs((1, v), (2, v), (3, pert), (4, other)))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(sk(1), sk(2)) == 0)
+    val dPert = ham(sk(1), sk(3))
+    val dOther = ham(sk(1), sk(4))
+    assert(dPert <= 6, s"perturbed hamming $dPert")
+    assert(dOther >= 15, s"unrelated hamming $dOther")
+    assert(dPert < dOther)
+  }
+
+  test("srpSketch + hammingBandedPairs: perturbed batch copies pair " +
+      "with their corpus source and nothing else") {
+    val corpus = randVecs(40, 16, seed = 13)
+    val batch = corpus.where(col("vec_id") % 8 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.004)).as("embedding"))
+    val sk = srpOf(corpus.unionByName(batch))
+    val pairs = graft.dedup.Dedup.hammingBandedPairs(
+        sk, "vec_id", "srp_hi", "srp_lo", maxDist = 3)
+      .where(col("id_a") < 1000 && col("id_b") >= 1000)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => b - 1000 == a },
+      s"false positives in $pairs")
+  }
 }
