@@ -2151,6 +2151,19 @@ object SparkEntry {
       .orderBy("corpus_id", "batch_src")
   }
 
+  /** Unigram-LM quality scoring ([[TextAnalysis.unigramLmScoreSelf]]):
+    * Lidstone-smoothed token log-probabilities trained on the corpus,
+    * documents ranked by mean token log-prob — the CCNet-style
+    * distributional-typicality signal (its KenLM perplexity, in
+    * dependency-free unigram form). Low scorers are the
+    * out-of-distribution tail a quality floor cuts.
+    */
+  private def unigramLmQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLmScoreSelf(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lm_score"), 4).as("lm_score"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2510,6 +2523,7 @@ object SparkEntry {
     "q121_containment_incremental" -> (containmentIncremental _),
     "q122_image_dhash_pairs" -> (imageDHashPairs _),
     "q123_srp_neardup" -> (srpNearDupPairs _),
+    "q124_unigram_lm_quality" -> (unigramLmQuality _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3861,6 +3875,24 @@ object SparkEntry {
          FROM pr JOIN e ON e.vec_id = corpus_id
            JOIN b ON b.vec_id = batch_src
          ORDER BY corpus_id, batch_src""",
+    "q124_unigram_lm_quality" ->
+      s"""WITH t AS (
+           SELECT doc_id, unnest($oracleWords) AS w FROM documents),
+         cnt AS (SELECT w, count(*) AS n FROM t GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                   CAST(count(*) AS DOUBLE) AS vv FROM cnt),
+         lm AS (SELECT w, ln((n + 0.5) / (nn + 0.5 * (vv + 1)))
+                  AS logp FROM cnt, tot),
+         dw AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id, sum(c) AS n_tokens,
+             sum(c * logp) / sum(c) AS s
+           FROM dw JOIN lm USING (w) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(s, 4) AS lm_score
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -432,4 +432,79 @@ object TextAnalysis {
           .cast("double") / col("__total"), 6))
       .select(col("rank"), col("word"), col("cnt"), col("cum_frac"))
   }
+
+  /** Train a Lidstone-smoothed unigram language model over a corpus:
+    * one row per vocabulary word with `logp` = ln((c_w + α)/(N +
+    * α·(V+1))), plus a constant `unseen_logp` column (the α-mass
+    * reserved for out-of-vocabulary words) so the frame is a
+    * self-contained model — [[unigramLmScore]] needs no side channel.
+    * The published CCNet-style quality signal uses a KenLM perplexity;
+    * a unigram LM is its dependency-free form — same shape (mean token
+    * log-probability), same use (rank documents by distributional
+    * typicality, cut the tail).
+    *
+    * Scale: one explode + one (word) aggregation; the two scalars
+    * (N, V) ride a broadcast one-row cross join, never a collect.
+    */
+  def unigramLm(
+      df: DataFrame, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val counts = df
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum("n").as("__N"), count(lit(1)).as("__V"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("word"), col("n"),
+        log((col("n") + lit(alpha)) /
+          (col("__N") + lit(alpha) * (col("__V") + 1))).as("logp"),
+        log(lit(alpha) /
+          (col("__N") + lit(alpha) * (col("__V") + 1)))
+          .as("unseen_logp"))
+  }
+
+  /** Score documents against a trained [[unigramLm]]: mean token
+    * log-probability (higher = more typical of the training corpus),
+    * the CCNet-style quality/outlier signal. Out-of-vocabulary tokens
+    * score at the model's `unseen_logp`; zero-token documents survive
+    * with n_tokens 0 and a null score (filterable, never dropped).
+    *
+    * Scale shape: tokens aggregate to (doc, word, count) BEFORE the
+    * vocabulary join — per-doc distinct words join the model, not
+    * per-occurrence rows — and the weighted mean is one (doc)
+    * aggregation. Stopword-heavy vocabularies skew the join key; the
+    * (doc, word) pre-aggregation bounds each hot word to one row per
+    * containing document.
+    */
+  def unigramLmScore(
+      df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame = {
+    val unseen = broadcast(lm.agg(first("unseen_logp").as("__unseen")))
+    val docWords = df
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(idCol, "word").agg(count(lit(1)).as("__c"))
+    val scored = docWords
+      .join(lm.select("word", "logp"), Seq("word"), "left")
+      .crossJoin(unseen)
+      .groupBy(idCol)
+      .agg(sum("__c").as("n_tokens"),
+        (sum(col("__c") * coalesce(col("logp"), col("__unseen"))) /
+          sum("__c")).as("lm_score"))
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("lm_score"))
+  }
+
+  /** [[unigramLm]] + [[unigramLmScore]] on the same corpus — the
+    * self-scoring form the quality-floor pipeline uses.
+    */
+  def unigramLmScoreSelf(
+      df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame =
+    unigramLmScore(df, idCol, textCol,
+      unigramLm(df, textCol, alpha)
+        .transform(graft.core.CacheScope.disk))
 }

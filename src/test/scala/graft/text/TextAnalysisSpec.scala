@@ -285,4 +285,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out.last.getDouble(3) == 1.0)
   }
+
+  test("unigramLm: closed-form Lidstone probabilities on a tiny " +
+      "corpus, constant unseen mass") {
+    // corpus tokens: a a b | c  ->  N=4, V=3
+    val lm = TextAnalysis.unigramLm(
+      idTextDf((1, "a a b"), (2, "c")), "text", alpha = 0.5)
+      .orderBy("word").collect()
+    val denom = 4.0 + 0.5 * 4
+    assert(lm.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(lm(0).getAs[Double]("logp") == math.log(2.5 / denom))
+    assert(lm(1).getAs[Double]("logp") == math.log(1.5 / denom))
+    assert(lm.forall(
+      _.getAs[Double]("unseen_logp") == math.log(0.5 / denom)))
+  }
+
+  test("unigramLmScore: weighted mean log-prob per doc, OOV tokens " +
+      "take the unseen mass, zero-token docs keep n_tokens 0 with a " +
+      "null score") {
+    val corpus = idTextDf((1, "a a b"), (2, "c"))
+    val lm = TextAnalysis.unigramLm(corpus, "text", alpha = 0.5)
+    val out = TextAnalysis.unigramLmScore(
+      idTextDf((10, "a b"), (11, "a zz"), (12, "  ")),
+      "id", "text", lm)
+      .orderBy("id").collect()
+    val denom = 4.0 + 0.5 * 4
+    val pA = math.log(2.5 / denom); val pB = math.log(1.5 / denom)
+    val pU = math.log(0.5 / denom)
+    assert(out(0).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - (pA + pB) / 2) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - (pA + pU) / 2) < 1e-12,
+      "OOV token must score at unseen_logp")
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+  }
+
+  test("unigramLmScoreSelf ranks a doc of corpus-typical words above " +
+      "one of rare words (the quality-floor ordering)") {
+    val common = "the data engine runs the data engine"
+    val rows = (1 to 20).map(i => (i, common)) :+
+      (21, "zyx qwv unique singleton tokens only") :+
+      (22, common)
+    val out = TextAnalysis.unigramLmScoreSelf(
+      idTextDf(rows: _*), "id", "text")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out(22) > out(21),
+      s"typical ${out(22)} should beat rare ${out(21)}")
+    assert(out(1) == out(22), "identical docs score identically")
+  }
 }
