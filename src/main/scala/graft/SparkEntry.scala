@@ -2164,6 +2164,31 @@ object SparkEntry {
         round(col("lm_score"), 4).as("lm_score"))
       .orderBy("doc_id")
 
+  /** Time-series resample + gap fill ([[Analytics.resampleFfill]]):
+    * per-user daily grid over the user's own observation span, bucket
+    * mean of `value`, empty days forward-filled from the last seen
+    * bucket (`filled` marks the carried rows) — the regularization
+    * step every rolling-window/trend computation downstream assumes.
+    */
+  private def resampleDailyValues(
+      s: SparkSession, dir: String): DataFrame = {
+    // event values are exact 2-decimal; resampling on integer cents
+    // keeps the bucket mean a single exact-integer-ratio division —
+    // engine-identical doubles, no summation-order rounding boundary
+    val ev = events(s, dir)
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+    // half-up to 4 decimals in INTEGER space: the cents mean is an
+    // exact integer ratio, but decimal round() on an exact-half double
+    // diverges across engines (Spark rounds the shortest decimal
+    // string, others the binary value); floor(x·100 + 0.5) doesn't
+    Analytics.resampleFfill(ev, "user_id", "ts", "__cents",
+        stepSec = 86400L)
+      .select(col("user_id"), col("bucket_ts"),
+        (floor(col("value") * 100 + 0.5).cast("long") / 10000.0)
+          .as("value"), col("filled"))
+      .orderBy("user_id", "bucket_ts")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2524,6 +2549,7 @@ object SparkEntry {
     "q122_image_dhash_pairs" -> (imageDHashPairs _),
     "q123_srp_neardup" -> (srpNearDupPairs _),
     "q124_unigram_lm_quality" -> (unigramLmQuality _),
+    "q125_resample_ffill" -> (resampleDailyValues _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3893,6 +3919,33 @@ object SparkEntry {
            round(s, 4) AS lm_score
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    "q125_resample_ffill" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE ts IS NOT NULL),
+         b AS (
+           SELECT user_id,
+             make_timestamp((epoch_us(ts) // 86400000000)
+               * 86400000000) AS bucket_ts,
+             avg(CAST(round(value * 100) AS BIGINT)) AS v
+           FROM ev GROUP BY 1, 2),
+         g AS (
+           SELECT user_id, unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS bucket_ts
+           FROM (SELECT user_id, min(bucket_ts) AS lo,
+                   max(bucket_ts) AS hi FROM b GROUP BY 1)),
+         f AS (
+           SELECT g.user_id, g.bucket_ts, b.v,
+             last_value(b.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value
+           FROM g LEFT JOIN b
+             ON b.user_id = g.user_id AND b.bucket_ts = g.bucket_ts)
+         SELECT user_id, bucket_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) / 10000.0 AS value,
+           v IS NULL AS filled
+         FROM f ORDER BY user_id, bucket_ts""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -1041,4 +1041,47 @@ object Analytics {
       .withColumn(bucketCol, bucket.cast("int"))
       .select((df.columns.map(col) :+ col(bucketCol)).toIndexedSeq: _*)
   }
+
+  /** Resample an irregular per-entity time series onto a fixed grid
+    * with forward fill — the gap-filling operator every downstream
+    * window/trend computation assumes (pandas `resample().mean()
+    * .ffill()`, SQL `time_bucket` + `LOCF`). Per key: buckets of
+    * `stepSec` seconds from the key's first to last observation,
+    * `value` = mean of the bucket's observations, empty buckets
+    * carry the last seen mean forward (`filled` marks them). Grid
+    * edges are the key's OWN min/max bucket — no global scan, no
+    * leading nulls to special-case.
+    *
+    * Scale shape: one (key) aggregation builds buckets, one
+    * per-key min/max + `sequence` explode builds the grid — the
+    * explode fans out to grid rows, never per-event rows — and the
+    * forward fill is ONE window on (key, bucket) whose frame scans
+    * only backwards. Everything shuffles on the key exactly once
+    * (AQE coalesces the co-partitioned joins). Grid size per key is
+    * span/step — size `stepSec` to the span (a year of hourly buckets
+    * is 8.8k rows/key), not to the event rate.
+    */
+  def resampleFfill(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      stepSec: Long): DataFrame = {
+    require(stepSec > 0, "stepSec must be positive")
+    val stepUs = stepSec * 1000000L
+    val bucket = timestamp_micros(
+      floor(unix_micros(col(tsCol)) / stepUs).cast("long") * stepUs)
+    val buckets = df
+      .where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), bucket.as("bucket_ts"))
+      .agg(avg(col(valCol)).as("__v"))
+    val grid = buckets
+      .groupBy(keyCol)
+      .agg(min("bucket_ts").as("__lo"), max("bucket_ts").as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $stepSec SECONDS"))).as("bucket_ts"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(buckets, Seq(keyCol, "bucket_ts"), "left")
+      .select(col(keyCol), col("bucket_ts"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value"),
+        col("__v").isNull.as("filled"))
+  }
 }

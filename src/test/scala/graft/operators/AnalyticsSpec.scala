@@ -390,4 +390,62 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  private def tsEvents(rows: (Int, String, Double)*) = df(
+    StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("ts", TimestampType),
+      StructField("v", DoubleType))),
+    rows.map { case (k, s, v) =>
+      Row(k, java.sql.Timestamp.valueOf(s), v) })
+
+  test("resampleFfill: per-key daily grid spans min..max bucket, " +
+      "bucket value is the mean, gaps forward-fill and are flagged") {
+    val out = Analytics.resampleFfill(
+      tsEvents(
+        (1, "2024-01-01 08:00:00", 10.0),
+        (1, "2024-01-01 20:00:00", 20.0), // day 1: mean 15
+        (1, "2024-01-04 03:00:00", 40.0), // days 2,3 are gaps
+        (2, "2024-01-02 12:00:00", 7.0)),
+      "k", "ts", "v", stepSec = 86400L)
+      .orderBy("k", "bucket_ts").collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).toString.take(10),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1, "2024-01-01", 15.0, false),
+      (1, "2024-01-02", 15.0, true),
+      (1, "2024-01-03", 15.0, true),
+      (1, "2024-01-04", 40.0, false),
+      (2, "2024-01-02", 7.0, false)),
+      s"got ${out.toSeq}")
+  }
+
+  test("resampleFfill: a single-observation key yields exactly one " +
+      "unfilled grid row; null timestamps are ignored") {
+    val d = df(
+      StructType(Seq(
+        StructField("k", IntegerType),
+        StructField("ts", TimestampType),
+        StructField("v", DoubleType))),
+      Seq(Row(1, java.sql.Timestamp.valueOf("2024-03-05 10:30:00"), 3.0),
+        Row(1, null, 99.0)))
+    val out = Analytics.resampleFfill(d, "k", "ts", "v", 3600L)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getTimestamp(1).toString == "2024-03-05 10:00:00.0")
+    assert(out.head.getDouble(2) == 3.0 && !out.head.getBoolean(3))
+  }
+
+  test("resampleFfill at hourly step: grid density follows the step, " +
+      "fills restart at each real observation") {
+    val out = Analytics.resampleFfill(
+      tsEvents(
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 03:50:00", 8.0)),
+      "k", "ts", "v", stepSec = 3600L)
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((2.0, false), (2.0, true), (2.0, true),
+      (8.0, false)))
+  }
 }
