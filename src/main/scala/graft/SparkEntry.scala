@@ -2189,6 +2189,18 @@ object SparkEntry {
       .orderBy("user_id", "bucket_ts")
   }
 
+  /** Entity resolution ([[Analytics.resolveEntities]]): part records
+    * linked through SymSpell-blocked edit-distance ≤ 2 name matches,
+    * clustered transitively (connected components over names), each
+    * record stamped with its cluster's canonical name and minimum
+    * part key — the record-linkage/master-data operator composed from
+    * the fuzzy-join and CC machinery.
+    */
+  private def entityResolution(s: SparkSession, dir: String): DataFrame =
+    Analytics.resolveEntities(t(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 2)
+      .orderBy("p_partkey")
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2550,6 +2562,7 @@ object SparkEntry {
     "q123_srp_neardup" -> (srpNearDupPairs _),
     "q124_unigram_lm_quality" -> (unigramLmQuality _),
     "q125_resample_ffill" -> (resampleDailyValues _),
+    "q126_entity_resolution" -> (entityResolution _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3946,6 +3959,35 @@ object SparkEntry {
            CAST(floor(value * 100 + 0.5) AS BIGINT) / 10000.0 AS value,
            v IS NULL AS filled
          FROM f ORDER BY user_id, bucket_ts""",
+    // q76's fuzzy pairs -> recursive-CTE transitive closure over the
+    // matched names (min-label = lexicographic min) -> min-key
+    // survivorship, replaying resolveEntities end to end
+    "q126_entity_resolution" ->
+      """WITH RECURSIVE names AS (
+           SELECT DISTINCT p_name AS n FROM part),
+         fp AS (
+           SELECT a.n AS na, b.n AS nb
+           FROM names a JOIN names b ON a.n < b.n
+           WHERE levenshtein(a.n, b.n) <= 2),
+         edges AS (SELECT na AS a, nb AS b FROM fp
+                   UNION SELECT nb, na FROM fp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (
+           SELECT a AS n, least(a, min(b)) AS root
+           FROM reach GROUP BY a),
+         ent AS (
+           SELECT p.p_partkey, p.p_name,
+             coalesce(r.root, p.p_name) AS entity_name
+           FROM part p LEFT JOIN roots r ON r.n = p.p_name),
+         keys AS (
+           SELECT entity_name, min(p_partkey) AS entity_key
+           FROM ent GROUP BY 1)
+         SELECT e.p_partkey, e.p_name, k.entity_key, e.entity_name
+         FROM ent e JOIN keys k USING (entity_name)
+         ORDER BY e.p_partkey""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

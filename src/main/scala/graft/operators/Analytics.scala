@@ -1084,4 +1084,43 @@ object Analytics {
         last(col("__v"), ignoreNulls = true).over(w).as("value"),
         col("__v").isNull.as("filled"))
   }
+
+  /** Entity resolution (record linkage) over a (id, name) frame — the
+    * composed pipeline: SymSpell-blocked edit-distance candidate pairs
+    * ([[fuzzySelfJoin]], complete for distance ≤ 2 — never all-pairs),
+    * connected components over the matched NAMES
+    * ([[graft.dedup.ConnectedComponents]] min-label propagation —
+    * string labels propagate fine, the canonical name is the
+    * lexicographic minimum of the cluster), then survivorship: every
+    * record gets its cluster's `entity_name` (min matched name) and
+    * `entity_key` (min id among the cluster's records). Unmatched
+    * names are their own entity. Transitivity is the point — "widget
+    * co" ~ "widget-co" ~ "widgetco" chain into ONE entity even where
+    * the endpoints exceed the pairwise distance.
+    *
+    * Scale shape: matching runs over DISTINCT names (values, not
+    * rows), so a 10^11-row fact table with 10^6 distinct names does
+    * its fuzzy work on 10^6 signatures; the CC edge list is
+    * match-sized; records rejoin by name (one shuffle) and
+    * survivorship is one (entity) aggregation.
+    */
+  def resolveEntities(
+      df: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int = 2, maxLen: Int = 64): DataFrame = {
+    val pairs = fuzzySelfJoin(df.select(nameCol), nameCol,
+        maxDist, maxLen)
+      .select("value_a", "value_b")
+    val labels = graft.dedup.ConnectedComponents
+      .components(pairs, "value_a", "value_b")
+    val named = df.join(
+        labels.select(col("id").as(nameCol),
+          col("component").as("__root")),
+        Seq(nameCol), "left")
+      .withColumn("entity_name", coalesce(col("__root"), col(nameCol)))
+    val keys = named.groupBy("entity_name")
+      .agg(min(col(idCol)).as("entity_key"))
+    named.join(keys, Seq("entity_name"))
+      .select(col(idCol), col(nameCol),
+        col("entity_key"), col("entity_name"))
+  }
 }

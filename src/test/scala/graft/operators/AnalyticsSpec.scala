@@ -436,6 +436,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 3.0 && !out.head.getBoolean(3))
   }
 
+  private def entities(rows: (Int, String)*) = df(
+    StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType))),
+    rows.map { case (i, n) => Row(i, n) })
+
+  test("resolveEntities: transitive chains collapse to one entity " +
+      "with lexicographic-min canonical name and min-id key") {
+    // widget ~ widgetco ~ widgetcorp chain: the endpoints are distance
+    // 4 apart — only transitivity links them into one entity
+    val out = Analytics.resolveEntities(
+      entities((5, "widgetco"), (3, "widget"), (8, "widgetcorp"),
+        (1, "unrelated name")),
+      "id", "name").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1, 1, "unrelated name"),
+      (3, 3, "widget"),
+      (5, 3, "widget"),
+      (8, 3, "widget")))
+  }
+
+  test("resolveEntities: duplicate names share the entity without " +
+      "extra fuzzy work; the entity key is the min id across ALL " +
+      "records of the cluster") {
+    val out = Analytics.resolveEntities(
+      entities((10, "acme corp"), (7, "acme corp"), (2, "acme-corp")),
+      "id", "name").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (2, 2, "acme corp"), (7, 2, "acme corp"), (10, 2, "acme corp")))
+  }
+
   test("resampleFfill at hourly step: grid density follows the step, " +
       "fills restart at each real observation") {
     val out = Analytics.resampleFfill(
