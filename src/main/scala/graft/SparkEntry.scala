@@ -2201,6 +2201,31 @@ object SparkEntry {
         maxDist = 2)
       .orderBy("p_partkey")
 
+  /** Incremental embedding dedup ([[Similarity.buildSrpIndex]] +
+    * [[Similarity.dedupEmbeddingAgainst]]): the corpus's 8-byte SRP
+    * sketches stand as the index; a batch of re-encoded uploads
+    * (vec_id % 5 == 0, perturbed lightly for % 10 == 0 — true
+    * near-dups — and heavily otherwise — novel) sketches only itself,
+    * probes at Hamming ≤ 3, and candidates verify by exact cosine
+    * ≥ 0.98. Survivors = novel rows + the LSH-missed tail. The
+    * embedding analogue of the q110 band-index ingest shape.
+    */
+  private def srpDedupIncremental(
+      s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val batch = corpus.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), transform(col("v"),
+        (x, d) => x +
+          when(col("vec_id") % 10 === 0, lit(0.01)).otherwise(lit(0.3)) *
+          ((col("vec_id") * 7 + d) % 5 - lit(2)).cast("double")).as("v"))
+    val index = Similarity.buildSrpIndex(corpus, "vec_id", "v", dim = 64)
+    Similarity.dedupEmbeddingAgainst(index, corpus, batch,
+        "vec_id", "v", dim = 64, maxDist = 3, minCos = 0.98)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2447,6 +2472,40 @@ object SparkEntry {
     s"round(list_dot_product($a, $b) / nullif(" +
       s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0), 4)"
 
+  private def oracleCosRaw(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / nullif(" +
+      s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0))"
+
+  /** SRP sketch CTEs (q123/q127): int8-quantize (the q105 CTE) an
+    * `allv(id, v)` relation, project onto the 64 md5-derived sign rows
+    * (integer-valued terms → exact sums), pack bits into (hi, lo) —
+    * identical bit math to Similarity.srpSketch. Exposes `hs`.
+    */
+  private val oracleSrpCtes: String =
+    """qz AS (
+         SELECT id,
+           CASE WHEN coalesce(
+               list_max(list_transform(v, x -> abs(x))), 0.0) = 0.0
+             THEN list_transform(v, x -> 0.0)
+             ELSE list_transform(v, x -> round(x /
+               (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+           END AS qv
+         FROM allv),
+       sb AS (
+         SELECT id, bi.i AS i,
+           list_sum(list_transform(range(64), d ->
+             CASE WHEN substr(md5('srp_' || bi.i || '_' || d), 1, 1)
+               IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END
+             * coalesce(qv[d+1], 0.0))) AS s
+         FROM qz, LATERAL (SELECT unnest(range(64)) AS i) bi),
+       hs AS (
+         SELECT id,
+           sum(CASE WHEN i < 32 AND s > 0 THEN
+             CAST(1 AS BIGINT) << CAST(31 - i AS INT) ELSE 0 END) AS hi,
+           sum(CASE WHEN i >= 32 AND s > 0 THEN
+             CAST(1 AS BIGINT) << CAST(63 - i AS INT) ELSE 0 END) AS lo
+         FROM sb GROUP BY id)"""
+
   /** Language-ID CTEs (marker scores → precedence argmax), composable
     * over any source relation carrying a `text` column; `p` passes all
     * source columns through plus `predicted`.
@@ -2563,6 +2622,7 @@ object SparkEntry {
     "q124_unigram_lm_quality" -> (unigramLmQuality _),
     "q125_resample_ffill" -> (resampleDailyValues _),
     "q126_entity_resolution" -> (entityResolution _),
+    "q127_srp_dedup_incremental" -> (srpDedupIncremental _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -3879,29 +3939,7 @@ object SparkEntry {
          allv AS (
            SELECT vec_id AS id, v FROM e
            UNION ALL SELECT vec_id + 1000000 AS id, v FROM b),
-         qz AS (
-           SELECT id,
-             CASE WHEN coalesce(
-                 list_max(list_transform(v, x -> abs(x))), 0.0) = 0.0
-               THEN list_transform(v, x -> 0.0)
-               ELSE list_transform(v, x -> round(x /
-                 (list_max(list_transform(v, y -> abs(y))) / 127.0)))
-             END AS qv
-           FROM allv),
-         sb AS (
-           SELECT id, bi.i AS i,
-             list_sum(list_transform(range(64), d ->
-               CASE WHEN substr(md5('srp_' || bi.i || '_' || d), 1, 1)
-                 IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END
-               * coalesce(qv[d+1], 0.0))) AS s
-           FROM qz, LATERAL (SELECT unnest(range(64)) AS i) bi),
-         hs AS (
-           SELECT id,
-             sum(CASE WHEN i < 32 AND s > 0 THEN
-               CAST(1 AS BIGINT) << CAST(31 - i AS INT) ELSE 0 END) AS hi,
-             sum(CASE WHEN i >= 32 AND s > 0 THEN
-               CAST(1 AS BIGINT) << CAST(63 - i AS INT) ELSE 0 END) AS lo
-           FROM sb GROUP BY id),
+         $oracleSrpCtes,
          pr AS (
            SELECT a.id AS corpus_id, z.id - 1000000 AS batch_src,
              CAST(bit_count(xor(a.hi, z.hi))
@@ -3988,6 +4026,32 @@ object SparkEntry {
          SELECT e.p_partkey, e.p_name, k.entity_key, e.entity_name
          FROM ent e JOIN keys k USING (entity_name)
          ORDER BY e.p_partkey""",
+    // the q123 sketch replay, asymmetric: light perturbations
+    // (vec_id%10=0) should match and drop, heavy ones (novel) survive;
+    // survivors = batch minus (hamming<=3 AND unrounded cos>=0.98)
+    "q127_srp_dedup_incremental" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, list_transform(range(len(v)), d ->
+             v[d+1] + (CASE WHEN vec_id % 10 = 0 THEN 0.01 ELSE 0.3 END)
+               * CAST((vec_id*7 + d) % 5 - 2 AS DOUBLE)) AS v
+           FROM e WHERE vec_id % 5 = 0),
+         allv AS (
+           SELECT vec_id AS id, v FROM e
+           UNION ALL SELECT vec_id + 1000000 AS id, v FROM b),
+         $oracleSrpCtes,
+         matched AS (
+           SELECT DISTINCT z.id - 1000000 AS vec_id
+           FROM hs a JOIN hs z ON a.id < 1000000 AND z.id >= 1000000
+           JOIN e ON e.vec_id = a.id
+           JOIN b b2 ON b2.vec_id = z.id - 1000000
+           WHERE bit_count(xor(a.hi, z.hi))
+               + bit_count(xor(a.lo, z.lo)) <= 3
+             AND ${oracleCosRaw("e.v", "b2.v")} >= 0.98)
+         SELECT vec_id FROM b
+         WHERE vec_id NOT IN (SELECT vec_id FROM matched)
+         ORDER BY vec_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

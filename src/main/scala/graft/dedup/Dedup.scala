@@ -1145,6 +1145,45 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Asymmetric [[hammingBandedPairs]] — a standing CORPUS sketch
+    * index probed by a BATCH sketch (the incremental-ingest shape:
+    * the corpus is sketched once, elsewhere; each batch sketches only
+    * itself). Emits (corpus_id, batch_id, hamming ≤ maxDist); same
+    * 4×16 banding, same exactness bound.
+    */
+  def hammingBandedMatches(
+      corpusSketch: DataFrame, batchSketch: DataFrame, idCol: String,
+      hiCol: String, loCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-block banding is exact only for maxDist <= 3")
+    def blocks(sketch: DataFrame, as: String) = sketch
+      .select(col(idCol).as(as), col(hiCol).as(s"${as}_hi"),
+        col(loCol).as(s"${as}_lo"))
+      .where(col(s"${as}_hi").isNotNull && col(s"${as}_lo").isNotNull)
+      .select(col(as), col(s"${as}_hi"), col(s"${as}_lo"),
+        explode(array(
+          struct(lit(0).as("blk"),
+            shiftright(col(s"${as}_hi"), 16).as("val")),
+          struct(lit(1).as("blk"),
+            col(s"${as}_hi").bitwiseAND(lit(0xffffL)).as("val")),
+          struct(lit(2).as("blk"),
+            shiftright(col(s"${as}_lo"), 16).as("val")),
+          struct(lit(3).as("blk"),
+            col(s"${as}_lo").bitwiseAND(lit(0xffffL)).as("val"))))
+          .as("b"))
+      .select(col(as), col(s"${as}_hi"), col(s"${as}_lo"),
+        col("b.blk").as("blk"), col("b.val").as("val"))
+    blocks(corpusSketch, "corpus_id")
+      .join(blocks(batchSketch, "batch_id"), Seq("blk", "val"))
+      .select("corpus_id", "batch_id",
+        "corpus_id_hi", "corpus_id_lo", "batch_id_hi", "batch_id_lo")
+      .distinct()
+      .withColumn("hamming",
+        hammingDist(col("corpus_id_hi"), col("corpus_id_lo"),
+          col("batch_id_hi"), col("batch_id_lo")))
+      .where(col("hamming") <= maxDist)
+      .select("corpus_id", "batch_id", "hamming")
+  }
+
   /** Sub-document duplicate-window signal: chunk each document into
     * non-overlapping `window`-token spans
     * ([[TextAnalysis.chunkByTokens]] with zero overlap), fingerprint

@@ -1465,6 +1465,63 @@ object Similarity {
     df.withColumn("srp_hi", half(0)).withColumn("srp_lo", half(32))
   }
 
+  /** Standing SRP sketch index over a corpus — 8 bytes per vector,
+    * built ONCE ([[srpSketch]] over fresh int8 codes); incremental
+    * batches probe it via [[srpNearDupMatches]] without ever
+    * re-sketching the corpus. The embedding analogue of the LSH band
+    * index ([[graft.dedup.Dedup.buildLshIndex]]).
+    */
+  def buildSrpIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    srpSketch(
+      quantizeInt8(corpus.select(col(idCol), col(vecCol)), vecCol),
+      idCol, vecCol + "_q", dim)
+      .select(idCol, "srp_hi", "srp_lo")
+
+  /** Incremental embedding near-dup detection: a batch sketches ONLY
+    * itself, probes the standing corpus index at Hamming ≤ `maxDist`
+    * (banded, exact by pigeonhole), and candidates are verified by
+    * exact cosine ≥ `minCos` on the original vectors — with the
+    * corpus vector leg SEMI-JOINED to candidate ids first, so corpus
+    * reads scale with the batch's matches, never the corpus. The
+    * daily-ingest shape for embedding stores (re-encoded/re-uploaded
+    * vectors drift slightly; SRP catches them at 8 bytes/vector).
+    */
+  def srpNearDupMatches(
+      index: DataFrame, corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      maxDist: Int = 3, minCos: Double = 0.98): DataFrame = {
+    val bsk = buildSrpIndex(batch, idCol, vecCol, dim)
+    val cands = graft.dedup.Dedup.hammingBandedMatches(
+        index, bsk, idCol, "srp_hi", "srp_lo", maxDist)
+      .transform(graft.core.CacheScope.disk)
+    val cv = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .join(cands.select("corpus_id").distinct(), Seq("corpus_id"),
+        "left_semi")
+    val bv = batch
+      .select(col(idCol).as("batch_id"), col(vecCol).as("__bv"))
+    cands.join(cv, Seq("corpus_id")).join(bv, Seq("batch_id"))
+      .withColumn("cos", cosine(col("__cv"), col("__bv")))
+      .where(col("cos") >= minCos)
+      .select("corpus_id", "batch_id", "hamming", "cos")
+  }
+
+  /** [[graft.dedup.Dedup.dedupAgainst]] lifted to embeddings: batch
+    * rows with a verified near-dup in the corpus
+    * ([[srpNearDupMatches]]) are dropped; novel rows survive.
+    */
+  def dedupEmbeddingAgainst(
+      index: DataFrame, corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      maxDist: Int = 3, minCos: Double = 0.98): DataFrame = {
+    val matched = srpNearDupMatches(index, corpus, batch, idCol,
+        vecCol, dim, maxDist, minCos)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** The (i, d) hyperplane sign: +1 iff the first hex char of
     * md5("srp_i_d") has even value — replayable as
     * `substr(md5(...), 1, 1) IN ('0','2','4','6','8','a','c','e')`

@@ -570,6 +570,43 @@ class SimilaritySpec extends SparkSpec {
     assert(dPert < dOther)
   }
 
+  test("srpNearDupMatches over a standing index equals the symmetric " +
+      "banded pairs restricted to cross-side, and dedupEmbeddingAgainst " +
+      "drops exactly the verified matches") {
+    val corpus = randVecs(50, 16, seed = 21)
+    // near-dup copies of %10==0, novel heavy rewrites of %10==5
+    val batch = corpus.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x + when(col("vec_id") % 10 === 0, lit(0.002))
+          .otherwise(lit(0.8))).as("embedding"))
+    val index = Similarity.buildSrpIndex(
+      corpus, "vec_id", "embedding", dim = 16)
+    val matches = Similarity.srpNearDupMatches(index, corpus, batch,
+        "vec_id", "embedding", dim = 16, maxDist = 3, minCos = 0.98)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // symmetric reference: sketch the union with offset batch ids
+    val sym = graft.dedup.Dedup.hammingBandedPairs(
+        Similarity.buildSrpIndex(
+          corpus.unionByName(batch.select(
+            (col("vec_id") + 1000).as("vec_id"), col("embedding"))),
+          "vec_id", "embedding", dim = 16),
+        "vec_id", "srp_hi", "srp_lo", maxDist = 3)
+      .where(col("id_a") < 1000 && col("id_b") >= 1000)
+      .collect().map(r => (r.getInt(0), r.getInt(1) - 1000)).toSet
+    // matches additionally require cos >= 0.98; heavy rewrites that
+    // happen to share bands are filtered there, light copies are not
+    assert(matches.subsetOf(sym))
+    assert(matches.nonEmpty)
+    assert(matches.forall { case (c, b) => c == b && b % 10 == 0 })
+    val survivors = Similarity.dedupEmbeddingAgainst(index, corpus,
+        batch, "vec_id", "embedding", dim = 16)
+      .collect().map(_.getInt(0)).toSet
+    val batchIds = (0 until 50 by 5).toSet
+    assert(survivors == batchIds -- matches.map(_._2))
+    assert(batchIds.filter(_ % 10 == 5).subsetOf(survivors),
+      "novel rows must survive")
+  }
+
   test("srpSketch + hammingBandedPairs: perturbed batch copies pair " +
       "with their corpus source and nothing else") {
     val corpus = randVecs(40, 16, seed = 13)
