@@ -2226,6 +2226,22 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Quality-survivorship near-dup dedup ([[Dedup.dedupNearKeepBest]]):
+    * the q24 LSH clusters, but each cluster keeps its HIGHEST-quality
+    * member (min doc_id on ties) instead of the minimum id — among
+    * re-posts, keep the cleanest capture. Output: survivors with
+    * cluster size and quality.
+    */
+  private def keepBestNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+    Dedup.dedupNearKeepBest(d, "doc_id", "text", "__q",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select(col("doc_id"), col("cluster_size"),
+        round(col("__q"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2623,6 +2639,7 @@ object SparkEntry {
     "q125_resample_ffill" -> (resampleDailyValues _),
     "q126_entity_resolution" -> (entityResolution _),
     "q127_srp_dedup_incremental" -> (srpDedupIncremental _),
+    "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4052,6 +4069,45 @@ object SparkEntry {
          SELECT vec_id FROM b
          WHERE vec_id NOT IN (SELECT vec_id FROM matched)
          ORDER BY vec_id""",
+    // the q31 LSH/CC construction, but survivorship = argmax quality
+    // (min id on ties) per component; singletons keep themselves
+    "q128_keepbest_near_dedup" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT ida, idb FROM pairs
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         edges AS (SELECT ida AS a, idb AS b FROM verified
+                   UNION SELECT idb, ida FROM verified),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (
+           SELECT a AS doc_id, least(a, min(b)) AS comp
+           FROM reach GROUP BY a),
+         ${oracleMetricsCtes("documents")},
+         lab AS (
+           SELECT q.doc_id, q.quality,
+             coalesce(r.comp, q.doc_id) AS comp
+           FROM q LEFT JOIN roots r USING (doc_id)),
+         best AS (
+           SELECT doc_id, cluster_size, quality FROM (
+             SELECT doc_id, quality,
+               count(*) OVER (PARTITION BY comp) AS cluster_size,
+               row_number() OVER (PARTITION BY comp
+                 ORDER BY quality DESC, doc_id ASC) AS rn
+             FROM lab) WHERE rn = 1)
+         SELECT doc_id, cluster_size, round(quality, 4) AS quality
+         FROM best ORDER BY doc_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -1221,4 +1221,40 @@ object Dedup {
       .withColumn("dup_chunk_frac",
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
   }
+
+  /** Near-dup dedup with QUALITY survivorship: LSH-verified pairs →
+    * connected components → keep the HIGHEST-`scoreCol` member of
+    * each cluster (min id on ties), not the minimum id. The published
+    * corpus-dedup practice — among re-posts of an article, keep the
+    * cleanest/longest capture, not the one that happened to arrive
+    * first. Singletons survive with cluster_size 1. Output: the
+    * surviving rows plus their `cluster_size`.
+    *
+    * Scale shape: the LSH chain and CC are the q24/q31 machinery
+    * (banded candidates, checkpointed edges); survivorship is ONE
+    * `max_by` aggregation on the component — an argmax over a
+    * composite (score, −id) struct, no per-cluster window sort.
+    * Integral ids only (the −id tie-break negates).
+    */
+  def dedupNearKeepBest(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes,
+      bands, threshold)
+    val labels = ConnectedComponents
+      .components(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val lab = df
+      .join(labels, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val best = lab.groupBy("__comp")
+      .agg(
+        max_by(col(idCol),
+          struct(col(scoreCol), col(idCol) * lit(-1))).as("__keep"),
+        count(lit(1)).as("cluster_size"))
+    df.join(
+      best.select(col("__keep").as(idCol), col("cluster_size")),
+      Seq(idCol))
+  }
 }

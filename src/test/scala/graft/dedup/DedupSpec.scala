@@ -329,6 +329,34 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(3))
   }
 
+  test("dedupNearKeepBest: the highest-score cluster member survives " +
+      "even with a higher id, singletons keep themselves, score ties " +
+      "fall back to min id") {
+    val tail = "with extra words"
+    val d = docs(
+      (1, base),                  // near-dup cluster {1, 2}
+      (2, s"$base $tail"),        // longer -> higher quality, higher id
+      (3, "a single standalone document about something else entirely"),
+      (4, base),                  // exact dup of 1 -> same quality;
+                                  // joins cluster {1, 2, 4}
+      (9, "another lone note"))
+    val scored = d.withColumn("score",
+      graft.text.TextAnalysis.qualityScore(col("text")))
+    val out = Dedup.dedupNearKeepBest(scored, "id", "text", "score")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // cluster {1,2,4}: 2 has strictly more tokens -> highest quality
+    assert(out.keySet == Set(2, 3, 9), s"got $out")
+    assert(out(2) == 3L)
+    assert(out(3) == 1L && out(9) == 1L)
+    // force a tie: identical texts only -> min id wins
+    val ties = docs((7, base), (5, base), (6, base))
+      .withColumn("score",
+        graft.text.TextAnalysis.qualityScore(col("text")))
+    val kept = Dedup.dedupNearKeepBest(ties, "id", "text", "score")
+      .collect().map(_.getInt(0)).toSeq
+    assert(kept == Seq(5))
+  }
+
   test("contaminationCheck flags corpus docs sharing >= minCommon " +
       "n-grams with a benchmark doc, counts distinct shared shingles") {
     val leak = "the exact benchmark question about spark shuffles here"
