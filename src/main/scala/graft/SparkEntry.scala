@@ -2242,6 +2242,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Linear-interpolation resample ([[Analytics.resampleInterp]]):
+    * q125's daily grid, but interior gaps take the line between the
+    * surrounding observed buckets — the continuous-signal gap fill.
+    * Cents-exact bucket means; the interpolation arithmetic is
+    * mirrored op-for-op in the oracle; half-up rounding in integer
+    * space as in q125.
+    */
+  private def resampleInterpDaily(
+      s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+    Analytics.resampleInterp(ev, "user_id", "ts", "__cents",
+        stepSec = 86400L)
+      .select(col("user_id"), col("bucket_ts"),
+        (floor(col("value") * 100 + 0.5).cast("long") / 10000.0)
+          .as("value"), col("interpolated"))
+      .orderBy("user_id", "bucket_ts")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2640,6 +2659,7 @@ object SparkEntry {
     "q126_entity_resolution" -> (entityResolution _),
     "q127_srp_dedup_incremental" -> (srpDedupIncremental _),
     "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
+    "q129_resample_interp" -> (resampleInterpDaily _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4108,6 +4128,55 @@ object SparkEntry {
              FROM lab) WHERE rn = 1)
          SELECT doc_id, cluster_size, round(quality, 4) AS quality
          FROM best ORDER BY doc_id""",
+    "q129_resample_interp" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE ts IS NOT NULL),
+         b AS (
+           SELECT user_id,
+             make_timestamp((epoch_us(ts) // 86400000000)
+               * 86400000000) AS bucket_ts,
+             avg(CAST(round(value * 100) AS BIGINT)) AS v
+           FROM ev GROUP BY 1, 2),
+         g AS (
+           SELECT user_id, unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS bucket_ts
+           FROM (SELECT user_id, min(bucket_ts) AS lo,
+                   max(bucket_ts) AS hi FROM b GROUP BY 1)),
+         j AS (
+           SELECT g.user_id, g.bucket_ts, b.v,
+             epoch_us(g.bucket_ts) AS t
+           FROM g LEFT JOIN b
+             ON b.user_id = g.user_id AND b.bucket_ts = g.bucket_ts),
+         f AS (
+           SELECT user_id, bucket_ts, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+             t
+           FROM j),
+         iv AS (
+           SELECT user_id, bucket_ts,
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN t1 IS NULL THEN v0
+                  WHEN t0 IS NULL THEN v1
+                  ELSE v0 + (v1 - v0) * ((t - t0) / (t1 - t0)) END
+               AS value,
+             v IS NULL AS interpolated
+           FROM f)
+         SELECT user_id, bucket_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) / 10000.0 AS value,
+           interpolated
+         FROM iv ORDER BY user_id, bucket_ts""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

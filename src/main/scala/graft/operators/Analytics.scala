@@ -1085,6 +1085,54 @@ object Analytics {
         col("__v").isNull.as("filled"))
   }
 
+  /** [[resampleFfill]] with LINEAR interpolation instead of LOCF:
+    * empty buckets take v0 + (v1 − v0)·(t − t0)/(t1 − t0) between the
+    * surrounding observed buckets — the gap-fill mode for continuous
+    * signals (sensor readings, prices) where carrying the last value
+    * flat biases trends. Grid edges are observed buckets by
+    * construction, so every gap is interior (both neighbors exist);
+    * the guards still fall back to one-sided fill if a caller feeds a
+    * grid with open ends. Same scale shape as [[resampleFfill]]: one
+    * key shuffle, TWO frames (backwards + forwards) over ONE window
+    * sort.
+    */
+  def resampleInterp(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      stepSec: Long): DataFrame = {
+    require(stepSec > 0, "stepSec must be positive")
+    val stepUs = stepSec * 1000000L
+    val bucket = timestamp_micros(
+      floor(unix_micros(col(tsCol)) / stepUs).cast("long") * stepUs)
+    val buckets = df
+      .where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), bucket.as("bucket_ts"))
+      .agg(avg(col(valCol)).as("__v"))
+    val grid = buckets
+      .groupBy(keyCol)
+      .agg(min("bucket_ts").as("__lo"), max("bucket_ts").as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $stepSec SECONDS"))).as("bucket_ts"))
+    val back = Window.partitionBy(keyCol).orderBy("bucket_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCol).orderBy("bucket_ts")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tUs = unix_micros(col("bucket_ts"))
+    val obsT = when(col("__v").isNotNull, tUs)
+    grid.join(buckets, Seq(keyCol, "bucket_ts"), "left")
+      .withColumn("__v0", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__t0", last(obsT, ignoreNulls = true).over(back))
+      .withColumn("__v1", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__t1", first(obsT, ignoreNulls = true).over(fwd))
+      .select(col(keyCol), col("bucket_ts"),
+        when(col("__v").isNotNull, col("__v"))
+          .when(col("__t1").isNull, col("__v0"))
+          .when(col("__t0").isNull, col("__v1"))
+          .otherwise(col("__v0") + (col("__v1") - col("__v0")) *
+            ((tUs - col("__t0")) / (col("__t1") - col("__t0"))))
+          .as("value"),
+        col("__v").isNull.as("interpolated"))
+  }
+
   /** Entity resolution (record linkage) over a (id, name) frame — the
     * composed pipeline: SymSpell-blocked edit-distance candidate pairs
     * ([[fuzzySelfJoin]], complete for distance ≤ 2 — never all-pairs),

@@ -469,6 +469,27 @@ class AnalyticsSpec extends SparkSpec {
       (2, 2, "acme corp"), (7, 2, "acme corp"), (10, 2, "acme corp")))
   }
 
+  test("resampleInterp: interior gaps take the line between the " +
+      "surrounding observed buckets; observed buckets keep their mean") {
+    val out = Analytics.resampleInterp(
+      tsEvents(
+        (1, "2024-01-01 06:00:00", 8.0),
+        (1, "2024-01-01 18:00:00", 12.0), // day 1 mean: 10
+        (1, "2024-01-04 01:00:00", 40.0), // days 2,3 interpolate
+        (2, "2024-01-02 12:00:00", 7.0)),
+      "k", "ts", "v", stepSec = 86400L)
+      .orderBy("k", "bucket_ts").collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).toString.take(10),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1, "2024-01-01", 10.0, false),
+      (1, "2024-01-02", 20.0, true),
+      (1, "2024-01-03", 30.0, true),
+      (1, "2024-01-04", 40.0, false),
+      (2, "2024-01-02", 7.0, false)),
+      s"got ${out.toSeq}")
+  }
+
   test("resampleFfill at hourly step: grid density follows the step, " +
       "fills restart at each real observation") {
     val out = Analytics.resampleFfill(
