@@ -377,6 +377,82 @@ object EventStreams {
     }
   }
 
+  /** Streaming IMAGE-ingest dedup: lands each micro-batch of (id,
+    * image bytes) into a standing parquet corpus, dropping perceptual
+    * near-duplicates — re-encoded/re-uploaded copies within Hamming
+    * `maxDist` of a landed image's 64-bit dHash
+    * ([[graft.multimodal.Multimodal.imageDHash]]). The multimodal
+    * member of the incremental-dedup sink family (exact sharded-Bloom,
+    * LSH near-dup, chunk-level — and now images), completing it.
+    *
+    * Store lifecycle mirrors [[incrementalNearDupSink]]: the 8-byte
+    * sketch store at `sketchDir` is the probe index (the corpus is
+    * never re-decoded per batch); each batch sketches ONLY itself and
+    * probes via the banded Hamming join. Durability order is
+    * sketch-store-first — a crash between the two appends can only
+    * leave a sketch whose payload is missing, which makes replays drop
+    * dup candidates (dedup-safety) rather than re-land duplicates. On
+    * restart with a corpus but no sketch store, the store is rebuilt
+    * by re-decoding the corpus ONCE and persisted before use.
+    * Within a batch, identical sketches collapse to the lowest
+    * `orderCol`; undecodable payloads always land (they can never
+    * match) — a corrupt blob must not dam the ingest.
+    */
+  def incrementalImageDedupSink(
+      images: DataFrame, idCol: String, binCol: String,
+      orderCol: String, corpusDir: String, sketchDir: String,
+      checkpointDir: String, maxDist: Int = 3)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.Dedup
+    import graft.multimodal.Multimodal
+    val spark = images.sparkSession
+    val inCols = images.columns.toSeq
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def sketch(df: DataFrame): DataFrame =
+      Multimodal.imageDHash(df, idCol, binCol)
+        .select(col("id").as(idCol), col("dhash_hi"), col("dhash_lo"))
+    val lock = new Object
+    foreachBatchSink(images, checkpointDir, outputMode = "append") {
+      (batch, _) =>
+        lock.synchronized(graft.core.CacheScope.withScope {
+          val withSk = batch
+            .join(sketch(batch), Seq(idCol))
+            .transform(graft.core.CacheScope.disk)
+          val keepIds = withSk.where(col("dhash_hi").isNotNull)
+            .groupBy("dhash_hi", "dhash_lo")
+            .agg(min_by(col(idCol), col(orderCol)).as(idCol))
+            .select(idCol)
+          val inBatch = withSk
+            .join(keepIds, Seq(idCol), "left_semi")
+            .unionByName(withSk.where(col("dhash_hi").isNull))
+          val survivors =
+            if (exists(corpusDir)) {
+              if (!exists(sketchDir))
+                sketch(spark.read.parquet(corpusDir))
+                  .write.option("compression", "snappy")
+                  .parquet(sketchDir)
+              val matched = Dedup.hammingBandedMatches(
+                  spark.read.parquet(sketchDir),
+                  inBatch.select(idCol, "dhash_hi", "dhash_lo"),
+                  idCol, "dhash_hi", "dhash_lo", maxDist)
+                .select(col("batch_id").as(idCol)).distinct()
+              inBatch.join(matched, Seq(idCol), "left_anti")
+            } else inBatch
+          val landed = survivors.localCheckpoint(eager = true)
+          // sketch store first (see durability note above)
+          landed.select(idCol, "dhash_hi", "dhash_lo")
+            .write.mode(SaveMode.Append)
+            .option("compression", "snappy").parquet(sketchDir)
+          landed.select(inCols.map(col): _*)
+            .write.mode(SaveMode.Append)
+            .option("compression", "snappy").parquet(corpusDir)
+        })
+    }
+  }
+
   /** Streaming SCD-2 dimension maintenance: lands each micro-batch of
     * keyed attribute observations into the versioned dimension at
     * `path` via [[graft.transform.StarSchemaBuilder

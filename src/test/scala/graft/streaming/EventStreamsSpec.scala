@@ -635,4 +635,72 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.map(r => (r.head, r(1))) == Seq(
       (1, "A"), (1, "B"), (1, "C"), (1, "D"), (2, "Y"), (2, "X")))
   }
+
+  test("incrementalImageDedupSink: perceptual re-uploads drop across " +
+      "batches and a sketch-store-loss restart; in-batch identical " +
+      "sketches collapse; undecodable payloads always land") {
+    import graft.multimodal.Multimodal
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_img_corpus").toString + "/imgs"
+    val sketches = java.nio.file.Files
+      .createTempDirectory("graft_img_sk").toString + "/sk"
+    def png(seed: Int) = Multimodal.syntheticTexturedPng(24, 16, seed)
+    def edited(seed: Int): Array[Byte] = {
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png(seed)))
+      im.setRGB(2, 3, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.incrementalImageDedupSink(
+      in.toDF().toDF("img_id", "png"), "img_id", "png", "img_id",
+      corpus, sketches,
+      java.nio.file.Files.createTempDirectory("graft_img_ckpt")
+        .toString)
+    try {
+      in.addData((1L, png(1)), (2L, png(2)),
+        (3L, "not an image".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 3)
+      // exact re-upload, near-dup (1-px edit), novel + its in-batch
+      // twin, another undecodable
+      in.addData((10L, png(1)), (11L, edited(2)), (12L, png(40)),
+        (13L, png(40)), (14L, "junk too".getBytes))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus)
+      assert(after2.count() == 5)
+      assert(after2.select("img_id").collect().map(_.getLong(0)).toSet
+        == Set(1L, 2L, 3L, 12L, 14L))
+    } finally q.stop()
+    // restart with the sketch store DELETED: it rebuilds by
+    // re-decoding the corpus, and near-dups of pre-existing images
+    // keep dropping
+    def rmr(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles.foreach(c => rmr(c.getPath))
+      f.delete()
+    }
+    rmr(sketches)
+    val in2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = EventStreams.incrementalImageDedupSink(
+      in2.toDF().toDF("img_id", "png"), "img_id", "png", "img_id",
+      corpus, sketches,
+      java.nio.file.Files.createTempDirectory("graft_img_ckpt2")
+        .toString)
+    try {
+      in2.addData((20L, edited(1)), (21L, png(77)))
+      q2.processAllAvailable()
+      val fin = spark.read.parquet(corpus)
+      assert(fin.count() == 6)
+      assert(fin.where(col("img_id") === 20L).count() == 0)
+      assert(fin.where(col("img_id") === 21L).count() == 1)
+      // rebuilt store covers the decodable corpus + the new landing
+      assert(spark.read.parquet(sketches)
+        .where(col("dhash_hi").isNotNull).count() == 4)
+    } finally q2.stop()
+  }
 }
