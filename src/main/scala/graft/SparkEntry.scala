@@ -2261,6 +2261,46 @@ object SparkEntry {
       .orderBy("user_id", "bucket_ts")
   }
 
+  /** Rolling 1-hour window stats + 3σ anomaly flags per user
+    * ([[Analytics.rollingStats]]) over integer cents. Every statistic
+    * derives from exact long frame sums by a fixed op sequence, so
+    * the oracle replays bit-for-bit; outputs round half-up in integer
+    * space as in q125.
+    */
+  private def rollingAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+    Analytics.rollingStats(ev, "user_id", "ts", "__cents",
+        windowSec = 3600L, zThreshold = 3.0, minCount = 2)
+      .select(col("event_id"), col("user_id"), col("roll_n"),
+        (floor(col("roll_mean") * 100 + 0.5).cast("long") / 10000.0)
+          .as("roll_mean"),
+        (floor(col("roll_std") * 100 + 0.5).cast("long") / 10000.0)
+          .as("roll_std"),
+        (floor(col("zscore") * 10000 + 0.5).cast("long") / 10000.0)
+          .as("zscore"),
+        col("is_anomaly"))
+      .orderBy("event_id")
+  }
+
+  /** Per-user EWMA trend over event values ([[Analytics.ewma]]),
+    * α = 1/2 over the last 20 observations on integer cents — the
+    * dyadic-exact configuration whose fold the oracle replays through
+    * closed-form power weights (every term and partial sum is an
+    * exact dyadic rational, so summation order cannot matter).
+    * event_id tie-breaks equal timestamps.
+    */
+  private def ewmaUserTrend(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+    Analytics.ewma(ev, "user_id", "ts", "__cents",
+        alpha = 0.5, lags = 20, tieCols = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ewma_n"),
+        (floor(col("ewma") * 100 + 0.5).cast("long") / 10000.0)
+          .as("ewma"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2660,6 +2700,8 @@ object SparkEntry {
     "q127_srp_dedup_incremental" -> (srpDedupIncremental _),
     "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
     "q129_resample_interp" -> (resampleInterpDaily _),
+    "q130_rolling_anomalies" -> (rollingAnomalies _),
+    "q131_ewma_trend" -> (ewmaUserTrend _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4177,6 +4219,62 @@ object SparkEntry {
            CAST(floor(value * 100 + 0.5) AS BIGINT) / 10000.0 AS value,
            interpolated
          FROM iv ORDER BY user_id, bucket_ts""",
+    "q130_rolling_anomalies" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS eu
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         r AS (
+           SELECT event_id, user_id, v,
+             count(v) OVER w AS n,
+             CAST(sum(v) OVER w AS BIGINT) AS s1,
+             CAST(sum(v * v) OVER w AS BIGINT) AS s2
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY eu
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)),
+         d AS (
+           SELECT event_id, user_id, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(n * s2 - s1 * s1 AS DOUBLE)
+               / CAST(n * n AS DOUBLE) AS var,
+             CAST(v * n - s1 AS DOUBLE) / n AS dev
+           FROM r)
+         SELECT event_id, user_id, n AS roll_n,
+           CAST(floor(mean * 100 + 0.5) AS BIGINT) / 10000.0
+             AS roll_mean,
+           CAST(floor(sqrt(var) * 100 + 0.5) AS BIGINT) / 10000.0
+             AS roll_std,
+           CASE WHEN n >= 2 AND var > 0 THEN
+             CAST(floor(dev / sqrt(var) * 10000 + 0.5) AS BIGINT)
+               / 10000.0 END AS zscore,
+           CAST(CASE WHEN n >= 2 AND var > 0
+             THEN abs(dev / sqrt(var)) > 3.0 ELSE false END AS INT)
+             AS is_anomaly
+         FROM d ORDER BY event_id""",
+    "q131_ewma_trend" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS eu
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         w AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY eu, event_id) AS rn
+           FROM ev),
+         p AS (
+           SELECT a.event_id, a.user_id,
+             count(*) AS n,
+             sum(b.v * pow(0.5, a.rn - b.rn)) AS num,
+             sum(pow(0.5, a.rn - b.rn)) AS den
+           FROM w a JOIN w b
+             ON b.user_id = a.user_id
+             AND b.rn BETWEEN a.rn - 19 AND a.rn
+           GROUP BY 1, 2)
+         SELECT event_id, user_id, n AS ewma_n,
+           CAST(floor(num / den * 100 + 0.5) AS BIGINT) / 10000.0
+             AS ewma
+         FROM p ORDER BY event_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

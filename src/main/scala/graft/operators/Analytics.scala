@@ -1171,4 +1171,126 @@ object Analytics {
       .select(col(idCol), col(nameCol),
         col("entity_key"), col("entity_name"))
   }
+
+  /** Rolling time-window statistics + z-score anomaly flags over a
+    * per-key event stream — the monitoring primitive (rolling mean /
+    * std / z of each observation against its own trailing window).
+    * The frame is a RANGE frame on event time: every row is scored
+    * against the key's observations in `[t − windowSec, t)`, robust
+    * to irregular event spacing (a ROWS frame would mean "last k
+    * events" — a different, rate-dependent semantics).
+    *
+    * Exactness: callers pass an INTEGER-scaled value column (cents,
+    * micro-units). All window aggregates are then exact long sums
+    * (`n`, `Σv`, `Σv²`), and every derived statistic is a fixed
+    * op-sequence over those exact integers — mean `Σv/n`, population
+    * variance `(n·Σv² − (Σv)²)/n²`, z `((v·n − Σv)/n)/std` — one
+    * double division/sqrt each, bit-reproducible across engines (the
+    * naive rolling mean-of-doubles depends on summation order and
+    * cannot be oracle-hashed). Long headroom: |v| ≤ 3M units and
+    * ≤ 100k rows per frame keep `n·Σv²` under 2⁶³.
+    *
+    * By default the frame EXCLUDES the current row (and its exact-ts
+    * peers): the baseline is `[t − windowSec, t)`, so a spike is
+    * scored against the history it arrived into. A self-inclusive
+    * frame caps |z| at √(n−1) — an n=4 frame can never clear 3σ no
+    * matter how large the spike — which is why monitoring systems
+    * score against the trailing window, not the containing one.
+    * `includeCurrent = true` restores the pandas
+    * `rolling().mean()`-style inclusive frame for smoothing use.
+    *
+    * `is_anomaly` = baseline has ≥ `minCount` observations, positive
+    * variance, and |z| > `zThreshold`.
+    *
+    * Scale shape: ONE shuffle on the key, one time sort per
+    * partition, and Spark's sliding-frame processor advances both
+    * frame edges monotonically per key — each row enters and leaves
+    * the running aggregates exactly once (O(rows), not
+    * O(rows·frame)). State is the in-frame slice, bounded by the
+    * window span × event rate, independent of key history length.
+    */
+  def rollingStats(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      windowSec: Long, zThreshold: Double = 3.0,
+      minCount: Int = 2, includeCurrent: Boolean = false): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val v = col(valCol).cast("long")
+    val hi = if (includeCurrent) 0L else -1L
+    val w = Window.partitionBy(keyCol).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, hi)
+    val n = count(v).over(w)
+    val s1 = sum(v).over(w)
+    val s2 = sum(v * v).over(w)
+    val base = df
+      .where(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .withColumn("roll_n", n)
+      .withColumn("__s1", s1)
+      .withColumn("__s2", s2)
+    val nn = col("roll_n")
+    val mean = col("__s1").cast("double") / nn
+    // exact long numerator; one double division; IEEE sqrt
+    val varPop = (nn * col("__s2") - col("__s1") * col("__s1"))
+      .cast("double") / (nn * nn)
+    val std = sqrt(varPop)
+    val z = ((v * nn - col("__s1")).cast("double") / nn) / std
+    base
+      .withColumn("roll_mean", mean)
+      .withColumn("roll_std", std)
+      .withColumn("zscore",
+        when(nn >= minCount && varPop > 0, z))
+      .withColumn("is_anomaly",
+        (nn >= minCount && varPop > 0 && abs(z) > zThreshold)
+          .cast("int"))
+      .drop("__s1", "__s2")
+  }
+
+  /** Exponentially-weighted moving average per key — the trend
+    * smoother (pandas `ewm(alpha).mean()` with `adjust=True`),
+    * truncated to the last `lags` observations:
+    * `y = Σⱼ (1−α)ʲ·x_{t−j} / Σⱼ (1−α)ʲ`, j < lags. Truncation is
+    * what makes it a WINDOW computation instead of an unbounded
+    * prefix recurrence; at (1−α)^lags below the double ulp the
+    * truncated value IS the full EWMA in double arithmetic (α = 0.5,
+    * lags = 20 ⇒ tail weight 2⁻²⁰).
+    *
+    * Both numerator and denominator are LEFT FOLDS over the frame in
+    * time order (`acc·(1−α) + x` / `acc·(1−α) + 1`) — a fixed op
+    * sequence, deterministic for any α. With a dyadic α (1/2, 1/4,
+    * 3/8…) and integer-scaled values, every fold step is EXACT in
+    * double (halving is exponent arithmetic; the integer adds fit the
+    * 53-bit significand), so the result is order-independent and
+    * cross-engine reproducible — the q131 oracle replays it through
+    * the closed-form power weights and hashes identically.
+    *
+    * `tieCols` must make (ts, tieCols) a total order per key —
+    * without it, equal timestamps would make the frame contents
+    * nondeterministic.
+    *
+    * Scale shape: one shuffle on the key, one sort per partition,
+    * and a ROWS frame of at most `lags` rows — per-row state is the
+    * `lags`-element frame buffer, a small constant, independent of
+    * key history. No self-join: the O(rows·lags) pair formulation is
+    * the oracle's job, not the engine's.
+    */
+  def ewma(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      alpha: Double, lags: Int = 20,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(lags > 0, "lags must be positive")
+    val order = unix_micros(col(tsCol)) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+      .rowsBetween(-(lags - 1), 0)
+    val lst = collect_list(col(valCol).cast("double")).over(w)
+    val keep = lit(1.0d - alpha)
+    df.where(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .withColumn("__lst", lst)
+      .withColumn("ewma_n", size(col("__lst")).cast("long"))
+      .withColumn("ewma",
+        aggregate(col("__lst"), lit(0.0d),
+          (acc, x) => acc * keep + x) /
+        aggregate(col("__lst"), lit(0.0d),
+          (acc, _) => acc * keep + lit(1.0d)))
+      .drop("__lst")
+  }
 }
