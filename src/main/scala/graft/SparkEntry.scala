@@ -2301,6 +2301,60 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Per-customer spend trend ([[Analytics.groupTrend]]): OLS of
+    * order totalprice (cents) over order date (epoch days). Sufficient
+    * statistics are exact decimal-38 integers mirrored by HUGEINT in
+    * the oracle; slope/intercept/r² are fixed double op-sequences over
+    * them, rounded half-up in integer space.
+    */
+  private def customerSpendTrend(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("__day",
+        floor(unix_micros(col("o_orderdate").cast("timestamp"))
+          / 86400000000L).cast("long"))
+      .withColumn("__cents", round(col("o_totalprice") * 100).cast("long"))
+    Analytics.groupTrend(o, Seq("o_custkey"), "__day", "__cents")
+      .select(col("o_custkey"), col("n"),
+        (floor(col("slope") * 10000 + 0.5).cast("long") / 10000.0)
+          .as("slope"),
+        (floor(col("intercept") * 100 + 0.5).cast("long") / 100.0)
+          .as("intercept"),
+        (floor(col("r2") * 10000 + 0.5).cast("long") / 10000.0)
+          .as("r2"))
+      .orderBy("o_custkey")
+  }
+
+  /** Intra-document stutter cleanup ([[TextAnalysis.collapseRepeats]]):
+    * consecutive repeated tokens collapse to one; the oracle mirrors
+    * the keep-predicate with DuckDB's indexed list_filter lambda.
+    */
+  private def collapseRepeatRuns(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collapseRepeats(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+
+  /** Intra-document duplicate-line removal ([[TextAnalysis.dedupLines]])
+    * over deterministically derived 4-token lines (the corpus is
+    * single-line word soup, so lines are built, not parsed — the
+    * 40-ish word vocabulary makes short lines genuinely repeat).
+    * Zero-token docs are excluded on both sides ("" splits to one
+    * empty line but derives zero lines).
+    */
+  private def lineDedupDocs(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val lines = transform(
+      sequence(lit(0), (ceil(size(ws) / 4.0) - 1).cast("int")),
+      i => array_join(slice(ws, i * 4 + 1, lit(4)), " "))
+    val src = t(s, dir, "documents")
+      .where(size(ws) > 0)
+      .select(col("doc_id"), array_join(lines, "\n").as("text"))
+    TextAnalysis.dedupLines(src, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2702,6 +2756,9 @@ object SparkEntry {
     "q129_resample_interp" -> (resampleInterpDaily _),
     "q130_rolling_anomalies" -> (rollingAnomalies _),
     "q131_ewma_trend" -> (ewmaUserTrend _),
+    "q132_spend_trend" -> (customerSpendTrend _),
+    "q133_collapse_repeats" -> (collapseRepeatRuns _),
+    "q134_line_dedup" -> (lineDedupDocs _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4275,6 +4332,82 @@ object SparkEntry {
            CAST(floor(num / den * 100 + 0.5) AS BIGINT) / 10000.0
              AS ewma
          FROM p ORDER BY event_id""",
+    "q132_spend_trend" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         s AS (
+           SELECT o_custkey, count(*) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+           FROM o GROUP BY 1),
+         d AS (
+           SELECT o_custkey, n,
+             n * sxy - sx * sy AS c,
+             n * sxx - sx * sx AS vx,
+             n * syy - sy * sy AS vy,
+             sx, sy
+           FROM s),
+         f AS (
+           SELECT o_custkey, n,
+             CASE WHEN n >= 2 AND vx > 0 THEN
+               CAST(c AS DOUBLE) / CAST(vx AS DOUBLE) END AS slope,
+             c, vx, vy, sx, sy
+           FROM d)
+         SELECT o_custkey, n,
+           CAST(floor(slope * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS slope,
+           CAST(floor((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / n * 100 + 0.5) AS BIGINT) / 100.0 AS intercept,
+           CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+             CAST(floor(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+               / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+               * 10000 + 0.5) AS BIGINT) / 10000.0 END AS r2
+         FROM f ORDER BY o_custkey""",
+    "q133_collapse_repeats" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         k AS (
+           SELECT doc_id, ws,
+             list_filter(ws, (x, i) -> i = 1 OR ws[i - 1] <> x) AS kept
+           FROM d)
+         SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           md5(array_to_string(kept, ' ')) AS text_md5
+         FROM k ORDER BY doc_id""",
+    "q134_line_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(ws) / 4.0) AS INT) - 1),
+               i -> array_to_string(ws[i * 4 + 1 : i * 4 + 4], ' '))
+               AS lines
+           FROM d WHERE len(ws) > 0),
+         k AS (
+           SELECT doc_id, lines,
+             list_filter(lines, (x, i) -> list_position(lines, x) = i)
+               AS kept
+           FROM l)
+         SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+           md5(array_to_string(kept, chr(10))) AS text_md5
+         FROM k ORDER BY doc_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -1293,4 +1293,59 @@ object Analytics {
           (acc, _) => acc * keep + lit(1.0d)))
       .drop("__lst")
   }
+
+  /** Per-group OLS trend — closed-form least-squares `y = a + b·x`
+    * per key from the five sufficient statistics
+    * `(n, Σx, Σy, Σx², Σxy [, Σy²])`: slope
+    * `b = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, intercept
+    * `a = (Σy − b·Σx)/n`, fit `r² = c²/(vx·vy)`. The grouped-regression
+    * primitive (spend trend per customer, price drift per symbol,
+    * growth rate per segment) without MLlib — it's one aggregation.
+    *
+    * Exactness: callers pass INTEGER x and y (epoch days, cents).
+    * The sufficient statistics accumulate in DECIMAL(38,0) — exact
+    * integer arithmetic to 10³⁸, mirrored by HUGEINT in the oracle —
+    * and each output is a fixed double op-sequence over those exact
+    * integers (one cast per statistic, one division), so results are
+    * bit-reproducible across engines. Degenerate groups guard to
+    * null: slope/intercept need ≥ 2 points and x-variance, r² also
+    * y-variance.
+    *
+    * Scale shape: ONE partial+final aggregation (map-side combine on
+    * the five sums — 40 bytes of state per group regardless of group
+    * size), no window, no join. The textbook two-pass centered form
+    * buffers nothing either but costs a second shuffle; sufficient
+    * statistics at decimal-38 headroom don't need it.
+    */
+  def groupTrend(
+      df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    val agg = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(x * y).as("__sxy"),
+        sum(y * y).as("__syy"))
+    val nD = col("n").cast(dec)
+    val c = nD * col("__sxy") - col("__sx") * col("__sy")
+    val vx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nD * col("__syy") - col("__sy") * col("__sy")
+    val slope = c.cast("double") / vx.cast("double")
+    val intercept =
+      (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+        col("n")
+    val r2 = (c.cast("double") * c.cast("double")) /
+      (vx.cast("double") * vy.cast("double"))
+    agg
+      .withColumn("slope", when(col("n") >= 2 && vx > 0, slope))
+      .withColumn("intercept", when(col("n") >= 2 && vx > 0, intercept))
+      .withColumn("r2", when(col("n") >= 2 && vx > 0 && vy > 0, r2))
+      .drop("__sx", "__sy", "__sxx", "__sxy", "__syy")
+  }
 }

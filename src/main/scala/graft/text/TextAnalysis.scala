@@ -507,4 +507,74 @@ object TextAnalysis {
     unigramLmScore(df, idCol, textCol,
       unigramLm(df, textCol, alpha)
         .transform(graft.core.CacheScope.disk))
+
+  /** Collapse runs of consecutively repeated tokens to at most
+    * `maxRun` copies — the elongation/stutter cleanup pass ("batch
+    * batch batch" → "batch") that repetition-heavy web text needs
+    * before token budgeting; [[repetitionSignals]] MEASURES this
+    * pathology, this operator REMOVES it. Tokens are [[words]]
+    * (lowercased alphanumeric runs); output text is the surviving
+    * tokens space-joined.
+    *
+    * A token survives if it is among the first `maxRun` of its run:
+    * position < maxRun, or some one of the `maxRun` immediately
+    * preceding tokens differs. Keep-decisions depend only on a
+    * bounded backward slice, so the whole pass is per-row array
+    * expressions — zero shuffle, embarrassingly parallel, inside
+    * whole-stage projection.
+    *
+    * Output: (id, text, n_tokens, n_removed) — `n_tokens` the
+    * post-collapse count.
+    */
+  def collapseRepeats(
+      df: DataFrame, idCol: String, textCol: String,
+      maxRun: Int = 1): DataFrame = {
+    require(maxRun >= 1, "maxRun must be >= 1")
+    val ws = words(coalesce(col(textCol), lit("")))
+    // Or does not short-circuit in codegen: clamp the slice start so
+    // the i < maxRun rows (whose slice result is irrelevant) never
+    // feed slice() a non-positive index
+    val kept = filter(ws, (x, i) =>
+      i < maxRun ||
+        exists(slice(ws, greatest(lit(1), i - maxRun + 1), lit(maxRun)),
+          y => y =!= x))
+    // evaluate the lambda ONCE: reusing a higher-order-function Column
+    // across several select expressions mis-binds the captured outer
+    // lambda variable in some copies
+    df.select(col(idCol), size(ws).as("__nw"), kept.as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as(textCol),
+        size(col("__kept")).cast("long").as("n_tokens"),
+        (col("__nw") - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Remove duplicated lines WITHIN each document, keeping the first
+    * occurrence in order — the MassiveText/Gopher intra-document
+    * repetition filter (repeated nav bars, footers, chorus lines) at
+    * line granularity; cross-document dedup is the Dedup family's
+    * job. Lines split on `sep`; the surviving lines re-join with the
+    * same separator.
+    *
+    * A line survives iff its index is the line's FIRST index in the
+    * document (`array_position` on the prefix) — order-preserving
+    * keep-first, the survivorship every published cleanup uses.
+    * Per-row array expressions only: O(L²) token compares per doc in
+    * the worst case, but L is lines-per-document (tens), not corpus
+    * size — zero shuffle, no state, linear in documents.
+    *
+    * Output: (id, text, n_lines, n_removed) — `n_lines` the
+    * post-dedup count.
+    */
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val kept = filter(lines, (x, i) => array_position(lines, x) === i + 1)
+    df.select(col(idCol), size(lines).as("__nl"), kept.as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), sep).as(textCol),
+        size(col("__kept")).cast("long").as("n_lines"),
+        (col("__nl") - size(col("__kept"))).cast("long").as("n_removed"))
+  }
 }
