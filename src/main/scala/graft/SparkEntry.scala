@@ -2355,6 +2355,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide line dedup ([[TextAnalysis.dedupLinesGlobal]]) over
+    * the same derived 4-token lines as q134 — a line survives only in
+    * the lowest-(doc_id, pos) document that contains it, everywhere
+    * else it's boilerplate and drops (the C4/RefinedWeb corpus-level
+    * pass; q134 is the within-document variant).
+    */
+  private def globalLineDedupDocs(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val lines = transform(
+      sequence(lit(0), (ceil(size(ws) / 4.0) - 1).cast("int")),
+      i => array_join(slice(ws, i * 4 + 1, lit(4)), " "))
+    val src = t(s, dir, "documents")
+      .where(size(ws) > 0)
+      .select(col("doc_id"), array_join(lines, "\n").as("text"))
+    TextAnalysis.dedupLinesGlobal(src, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2759,6 +2779,7 @@ object SparkEntry {
     "q132_spend_trend" -> (customerSpendTrend _),
     "q133_collapse_repeats" -> (collapseRepeatRuns _),
     "q134_line_dedup" -> (lineDedupDocs _),
+    "q135_global_line_dedup" -> (globalLineDedupDocs _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4408,6 +4429,41 @@ object SparkEntry {
            CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
            md5(array_to_string(kept, chr(10))) AS text_md5
          FROM k ORDER BY doc_id""",
+    "q135_global_line_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(ws) / 4.0) AS INT) - 1),
+               i -> array_to_string(ws[i * 4 + 1 : i * 4 + 4], ' '))
+               AS lines
+           FROM d WHERE len(ws) > 0),
+         e AS (
+           SELECT doc_id, i - 1 AS pos, lines[i] AS line
+           FROM l, LATERAL (SELECT
+             unnest(generate_series(1, len(lines))) AS i) t),
+         w AS (
+           SELECT line,
+             min(CAST(doc_id AS HUGEINT) * 4294967296 + pos) AS fk
+           FROM e GROUP BY 1),
+         k AS (
+           SELECT CAST(fk // 4294967296 AS BIGINT) AS doc_id,
+             CAST(fk % 4294967296 AS BIGINT) AS pos, line
+           FROM w),
+         r AS (
+           SELECT doc_id, count(*) AS n_lines,
+             string_agg(line, chr(10) ORDER BY pos) AS text
+           FROM k GROUP BY 1)
+         SELECT l.doc_id,
+           coalesce(r.n_lines, 0) AS n_lines,
+           CAST(len(l.lines) AS BIGINT) - coalesce(r.n_lines, 0)
+             AS n_removed,
+           md5(coalesce(r.text, '')) AS text_md5
+         FROM l LEFT JOIN r USING (doc_id) ORDER BY l.doc_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -577,4 +577,58 @@ object TextAnalysis {
         size(col("__kept")).cast("long").as("n_lines"),
         (col("__nl") - size(col("__kept"))).cast("long").as("n_removed"))
   }
+
+  /** Remove duplicated lines CORPUS-WIDE, keeping only the first
+    * occurrence across the whole table — the C4/RefinedWeb exact
+    * line-level dedup (boilerplate nav bars, license footers, cookie
+    * banners repeated across millions of pages survive document-level
+    * dedup entirely; this is the pass that kills them). First
+    * occurrence = lowest `(id, position)` lexicographically, so
+    * survivorship is deterministic and order-independent.
+    * [[dedupLines]] is the within-document variant.
+    *
+    * Scale shape (the reason this isn't "groupBy line + window"):
+    * posexplode → `groupBy(line).agg(min(struct(id, pos)))` — the
+    * min-struct aggregate gets a MAP-SIDE COMBINE, so a boilerplate
+    * line occurring 10⁹ times collapses to one row per input
+    * partition before the exchange (a `row_number` window keyed on
+    * the line would sort all 10⁹ copies in one task). Winners
+    * (≤ distinct lines) then re-group by id into a per-document
+    * kept-position list (bounded by lines-per-document), and one
+    * left join back to the input reassembles the text. Two
+    * aggregations + one join; no window, no skew-prone sort.
+    *
+    * Output: (id, text, n_lines, n_removed) — `n_lines` the
+    * post-dedup count; a document whose every line first appeared
+    * elsewhere survives with empty text and `n_lines` 0.
+    */
+  def dedupLinesGlobal(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val reserved = Set("__lines", "__pos", "__line", "__first", "__kept")
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val lines = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val src = df.select(col(idCol), lines.as("__lines"))
+    val winners = src
+      .select(col(idCol), posexplode(col("__lines")).as(Seq("__pos", "__line")))
+      .groupBy("__line")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+      .select(col(s"__first.$idCol").as(idCol),
+        col("__first.__pos").as("__pos"))
+    val keptPos = winners.groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__kept"))
+    src.join(keptPos, Seq(idCol), "left")
+      .withColumn("__kept",
+        coalesce(col("__kept"), array().cast("array<int>")))
+      .select(col(idCol),
+        array_join(
+          filter(col("__lines"),
+            (_, i) => array_contains(col("__kept"), i)),
+          sep).as(textCol),
+        size(col("__kept")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+  }
 }

@@ -78,4 +78,47 @@ class IntraDocCleanupSpec extends SparkSpec {
     assert(out(0).getAs[String]("text") == "a\n\nb")
     assert(out(0).getAs[Long]("n_removed") == 3L)
   }
+
+  private def dedupGlobal(rows: Seq[Row], sep: String = "\n") =
+    TextAnalysis.dedupLinesGlobal(df(schema, rows), "id", "text", sep)
+      .orderBy("id").collect()
+
+  test("dedupLinesGlobal: lowest (id, pos) keeps the line; later docs lose it") {
+    val out = dedupGlobal(Seq(
+      Row(0, "nav bar\nunique zero"),
+      Row(1, "unique one\nnav bar"),
+      Row(2, "nav bar\nnav bar")))
+    assert(out(0).getAs[String]("text") == "nav bar\nunique zero")
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(1).getAs[String]("text") == "unique one")
+    assert(out(1).getAs[Long]("n_removed") == 1L)
+    // doc 2's lines BOTH first appeared at doc 0 pos 0
+    assert(out(2).getAs[String]("text") == "")
+    assert(out(2).getAs[Long]("n_lines") == 0L)
+    assert(out(2).getAs[Long]("n_removed") == 2L)
+  }
+
+  test("dedupLinesGlobal: subsumes within-doc dedup and preserves line order") {
+    val out = dedupGlobal(Seq(Row(0, "b\na\nb\nc\na")))
+    assert(out(0).getAs[String]("text") == "b\na\nc")
+    assert(out(0).getAs[Long]("n_lines") == 3L)
+    assert(out(0).getAs[Long]("n_removed") == 2L)
+  }
+
+  test("dedupLinesGlobal: single-doc corpus equals dedupLines") {
+    val rows = Seq(Row(0, "x\ny\nx\nz\ny"))
+    val g = dedupGlobal(rows)(0)
+    val l = dedup(rows)(0)
+    assert(g.getAs[String]("text") == l.getAs[String]("text"))
+    assert(g.getAs[Long]("n_lines") == l.getAs[Long]("n_lines"))
+    assert(g.getAs[Long]("n_removed") == l.getAs[Long]("n_removed"))
+  }
+
+  test("dedupLinesGlobal: within-position tie across docs goes to the lower id") {
+    val out = dedupGlobal(Seq(
+      Row(5, "shared"), Row(3, "shared"), Row(9, "shared")))
+    assert(out.map(r =>
+        r.getAs[Int]("id") -> r.getAs[Long]("n_lines")).toMap ==
+      Map(3 -> 1L, 5 -> 0L, 9 -> 0L))
+  }
 }
