@@ -2375,6 +2375,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Event-type affinity ([[Analytics.basketAffinity]]): which event
+    * types co-occur in the same user's history more than independence
+    * predicts. Baskets = users, items = distinct event types; all
+    * metrics single divisions of exact long counts.
+    */
+  private def eventTypeAffinity(s: SparkSession, dir: String): DataFrame =
+    Analytics.basketAffinity(events(s, dir), "user_id", "event_type",
+        maxBasket = 8)
+      .orderBy("item_a", "item_b")
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2780,6 +2790,7 @@ object SparkEntry {
     "q133_collapse_repeats" -> (collapseRepeatRuns _),
     "q134_line_dedup" -> (lineDedupDocs _),
     "q135_global_line_dedup" -> (globalLineDedupDocs _),
+    "q136_event_type_affinity" -> (eventTypeAffinity _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4464,6 +4475,32 @@ object SparkEntry {
              AS n_removed,
            md5(coalesce(r.text, '')) AS text_md5
          FROM l LEFT JOIN r USING (doc_id) ORDER BY l.doc_id""",
+    "q136_event_type_affinity" ->
+      """WITH di AS (
+           SELECT DISTINCT user_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         rk AS (
+           SELECT user_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY event_type) AS rn
+           FROM di),
+         c AS (SELECT user_id, event_type FROM rk WHERE rn <= 8),
+         nb AS (SELECT count(DISTINCT user_id) AS n FROM c),
+         ic AS (
+           SELECT event_type, count(*) AS cnt FROM c GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS item_a, b.event_type AS item_b,
+             count(*) AS pair_count
+           FROM c a JOIN c b USING (user_id)
+           WHERE a.event_type < b.event_type GROUP BY 1, 2)
+         SELECT item_a, item_b, pair_count,
+           CAST(pair_count AS DOUBLE) / n AS support,
+           CAST(pair_count AS DOUBLE) / ca.cnt AS confidence,
+           CAST(pair_count * n AS DOUBLE)
+             / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+         FROM p CROSS JOIN nb
+           JOIN ic ca ON ca.event_type = item_a
+           JOIN ic cb ON cb.event_type = item_b
+         ORDER BY item_a, item_b""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

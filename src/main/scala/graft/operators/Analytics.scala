@@ -1348,4 +1348,60 @@ object Analytics {
       .withColumn("r2", when(col("n") >= 2 && vx > 0 && vy > 0, r2))
       .drop("__sx", "__sy", "__sxx", "__sxy", "__syy")
   }
+
+  /** Market-basket affinity: for every unordered item pair that
+    * co-occurs in a basket, `(pair_count, support, confidence,
+    * lift)` — the association-mining scores (lift > 1 = the pair
+    * co-occurs more than independence predicts). `support` =
+    * pair_count / #baskets, `confidence` = P(b | a) = pair_count /
+    * count(a), `lift` = pair_count·#baskets / (count(a)·count(b)).
+    * Pairs are emitted once with `item_a < item_b`; confidence is
+    * reported in that orientation (the reverse is
+    * `lift · count(a) / #baskets` — derivable, not duplicated).
+    *
+    * Scale design — the two classic blowups are both bounded:
+    * (1) pair explosion is quadratic in BASKET size, so baskets are
+    * capped to their `maxBasket` smallest items (deterministic, both
+    * engines agree on item ordering) — the published cap/sample-giant-
+    * baskets practice; the cap ranks via [[rankByRange]], so neither
+    * an unbounded `collect_set` buffer nor a single-task sort of a
+    * bot basket's million items exists anywhere; (2) item and pair
+    * counts are plain partial+final aggregations (map-side combined),
+    * and the #baskets scalar rides a broadcast one-row frame. All
+    * metrics are single double divisions of exact long products
+    * (counts to 2³¹ stay exact through the multiply), so results are
+    * bit-reproducible across engines. `minPairCount` prunes the pair
+    * frame before the metric joins.
+    */
+  def basketAffinity(
+      df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 64, minPairCount: Long = 1L): DataFrame = {
+    require(maxBasket >= 2, "maxBasket must be >= 2")
+    val di = df.select(col(basketCol), col(itemCol))
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .distinct()
+    val capped = rankByRange(di, Seq(basketCol), Seq(col(itemCol).asc),
+        "__rk")
+      .where(col("__rk") <= maxBasket).drop("__rk")
+    val nb = capped.agg(count_distinct(col(basketCol)).as("__nb"))
+    val ic = capped.groupBy(col(itemCol)).agg(count(lit(1)).as("__c"))
+    val pairs = capped.select(col(basketCol), col(itemCol).as("item_a"))
+      .join(capped.select(col(basketCol), col(itemCol).as("item_b")),
+        Seq(basketCol))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("pair_count"))
+      .where(col("pair_count") >= minPairCount)
+    pairs
+      .join(ic.select(col(itemCol).as("item_a"), col("__c").as("__ca")),
+        Seq("item_a"))
+      .join(ic.select(col(itemCol).as("item_b"), col("__c").as("__cb")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("pair_count"),
+        (col("pair_count").cast("double") / col("__nb")).as("support"),
+        (col("pair_count").cast("double") / col("__ca"))
+          .as("confidence"),
+        ((col("pair_count") * col("__nb")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double")).as("lift"))
+  }
 }
