@@ -2385,6 +2385,20 @@ object SparkEntry {
         maxBasket = 8)
       .orderBy("item_a", "item_b")
 
+  /** Event-sequence transition matrix
+    * ([[Analytics.transitionMatrix]]): for each (from, to) pair of
+    * consecutive event types in a user's timeline, the transition
+    * count and P(to | from). (ts, event_id) totally orders each
+    * user's events; null timestamps drop (their position in the
+    * sequence is undefined).
+    */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    Analytics.transitionMatrix(
+        events(s, dir).where(col("ts").isNotNull),
+        "user_id", "event_type",
+        Seq(col("ts").asc, col("event_id").asc))
+      .orderBy("from_state", "to_state")
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -2791,6 +2805,7 @@ object SparkEntry {
     "q134_line_dedup" -> (lineDedupDocs _),
     "q135_global_line_dedup" -> (globalLineDedupDocs _),
     "q136_event_type_affinity" -> (eventTypeAffinity _),
+    "q137_event_transitions" -> (eventTransitions _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4501,6 +4516,26 @@ object SparkEntry {
            JOIN ic ca ON ca.event_type = item_a
            JOIN ic cb ON cb.event_type = item_b
          ORDER BY item_a, item_b""",
+    "q137_event_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type, ts, event_id FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND ts IS NOT NULL),
+         lg AS (
+           SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+             event_type AS to_state
+           FROM s),
+         p AS (
+           SELECT from_state, to_state, count(*) AS transitions
+           FROM lg WHERE from_state IS NOT NULL GROUP BY 1, 2),
+         t AS (
+           SELECT from_state, sum(transitions) AS tot
+           FROM p GROUP BY 1)
+         SELECT from_state, to_state, transitions,
+           CAST(transitions AS DOUBLE) / tot AS prob
+         FROM p JOIN t USING (from_state)
+         ORDER BY from_state, to_state""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -1349,6 +1349,45 @@ object Analytics {
       .drop("__sx", "__sy", "__sxx", "__sxy", "__syy")
   }
 
+  /** First-order Markov transition matrix: for every ordered pair of
+    * consecutive states within a key's sequence, `(from_state,
+    * to_state, transitions, prob)` where `prob` = transitions /
+    * total-transitions-out-of-`from_state` — the event-sequence
+    * companion to [[funnel]] (which checks ONE fixed path; this
+    * measures every observed step). `orderCols` must totally order
+    * each key's rows (pass a unique tiebreaker — equal timestamps
+    * otherwise make the lag nondeterministic).
+    *
+    * Scale shape: one shuffle on the key, one sort per key for the
+    * `lag(1)` window (frame-bounded state — two rows), then a
+    * map-side-combined count aggregation on (from, to); the
+    * out-of-state totals frame is at most #states² rows and joins
+    * back broadcast-sized. `prob` is a single double division of two
+    * exact longs, bit-reproducible across engines. `minCount` prunes
+    * rare transitions after counting (totals still include them, so
+    * probabilities stay true).
+    */
+  def transitionMatrix(
+      df: DataFrame, keyCol: String, stateCol: String,
+      orderCols: Seq[Column], minCount: Long = 1L): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must not be empty")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val pairs = df
+      .where(col(keyCol).isNotNull && col(stateCol).isNotNull)
+      .withColumn("__from", lag(col(stateCol), 1).over(w))
+      .where(col("__from").isNotNull)
+      .select(col("__from").as("from_state"), col(stateCol).as("to_state"))
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("transitions"))
+    val totals = pairs.groupBy("from_state")
+      .agg(sum(col("transitions")).as("__tot"))
+    pairs
+      .where(col("transitions") >= minCount)
+      .join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("transitions"),
+        (col("transitions").cast("double") / col("__tot")).as("prob"))
+  }
+
   /** Market-basket affinity: for every unordered item pair that
     * co-occurs in a basket, `(pair_count, support, confidence,
     * lift)` — the association-mining scores (lift > 1 = the pair
