@@ -1349,6 +1349,36 @@ object Analytics {
       .drop("__sx", "__sy", "__sxx", "__sxy", "__syy")
   }
 
+  /** OLAP subtotal lattice: `cube` (every dim subset) or `rollup`
+    * (prefix hierarchies) aggregation over `dims`, with the
+    * `grouping_id()` bit vector exposed as `gid` (first dim = most
+    * significant bit; both Spark and standard SQL `GROUPING(a, b, …)`
+    * agree on this order) so subtotal rows are distinguishable from
+    * genuine null dim values — the classic report-cube primitive.
+    *
+    * Scale shape: Spark plans grouping sets as ONE `Expand` (each
+    * input row replicated once per grouping set) feeding a single
+    * partial+final hash aggregation — one shuffle total, map-side
+    * combined, never one pass per subset (2ᵈ passes is the naive
+    * shape). Keep `dims` small: Expand's replication factor is the
+    * number of grouping sets (2ᵈ for cube, d+1 for rollup), which is
+    * also why rollup beats cube whenever the dims form a hierarchy.
+    */
+  def subtotals(
+      df: DataFrame, dims: Seq[String], aggs: Seq[Column],
+      mode: String = "cube"): DataFrame = {
+    require(dims.nonEmpty, "dims must not be empty")
+    require(aggs.nonEmpty, "aggs must not be empty")
+    val grouped = mode match {
+      case "cube"   => df.cube(dims.map(col): _*)
+      case "rollup" => df.rollup(dims.map(col): _*)
+      case other    => throw new IllegalArgumentException(
+        s"mode must be cube or rollup, got $other")
+    }
+    val cols = grouping_id().cast("long").as("gid") +: aggs
+    grouped.agg(cols.head, cols.tail: _*)
+  }
+
   /** First-order Markov transition matrix: for every ordered pair of
     * consecutive states within a key's sequence, `(from_state,
     * to_state, transitions, prob)` where `prob` = transitions /
