@@ -22,15 +22,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) — read as nanos longs
-    * (Sessions sets the legacy conf) and normalize to a microsecond
-    * timestamp.
+  /** events.parquet's `ts` physical type varies by data generator:
+    * TIMESTAMP(NANOS) reads as nanos longs (Sessions sets the legacy
+    * conf), TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    * TIMESTAMP_NTZ. Normalize both to a session-TZ (UTC) microsecond
+    * TIMESTAMP so downstream `unix_micros`/window arithmetic sees one
+    * type; the wall-clock values are UTC instants either way.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", Fx.nanosToTimestamp(col("ts")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
