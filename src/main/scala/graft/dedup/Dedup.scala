@@ -418,18 +418,32 @@ object Dedup {
           .transform(graft.core.CacheScope.disk)
         val sizes = sh.groupBy(idCol)
           .agg(count_distinct(col("shingle")).as("n_shingles"))
-        // POSTING-LIST candidate generation: ONE groupBy on shingle
-        // builds each shingle's sorted doc-id set; hot shingles
-        // (df > cap, the stop-shingles that dominate Σ(df²) and ARE
-        // the join skew) are dropped right there — no anti-join pass —
-        // and each kept list expands to its C(df,2) ≤ C(cap,2) pairs
-        // with a bounded array expression. Per-shingle work is capped
-        // by construction, so the stage cannot skew however hot the
-        // corpus's stop-shingles get. Persisted: feeds the pair
-        // explode AND the low-DF size aggregate.
-        val postings = sh.groupBy("shingle")
+        // POSTING-LIST candidate generation, count-then-collect: a
+        // df pre-count (count_distinct per shingle — Spark plans the
+        // distinct via a (shingle, id)-keyed partial dedup whose
+        // per-key state is bytes, then an 8-byte count per shingle)
+        // filters hot stop-shingles (df > cap, the ones that dominate
+        // Σ(df²) and ARE the join skew) BEFORE any posting list
+        // materializes; the surviving shingle set semi-joins the raw
+        // table, and only then does collect_set build lists — every
+        // posting aggregation state holds ≤ cap ids by construction.
+        // (Collecting first and filtering on size() after would
+        // buffer a df=10⁹ stop-shingle's entire id set in one
+        // final-agg task before discarding it — a straggler/spill
+        // storm at corpus scale.) Each kept list then expands to its
+        // C(df,2) ≤ C(cap,2) pairs with a bounded array expression,
+        // so the pair stage cannot skew however hot the corpus's
+        // stop-shingles get. The semi-join output is already
+        // hash-partitioned on shingle, so the posting groupBy adds no
+        // exchange. Persisted: feeds the pair explode AND the low-DF
+        // size aggregate.
+        val lowDf = sh.groupBy("shingle")
+          .agg(count_distinct(col(idCol)).as("__df"))
+          .where(col("__df") <= cap)
+          .select("shingle")
+        val postings = sh.join(lowDf, Seq("shingle"), "left_semi")
+          .groupBy("shingle")
           .agg(sort_array(collect_set(col(idCol))).as("__ids"))
-          .where(size(col("__ids")) <= cap)
           .transform(graft.core.CacheScope.disk)
         // per-doc hot-shingle counts (total − low-DF): the slack term
         // of the Jaccard upper bound below

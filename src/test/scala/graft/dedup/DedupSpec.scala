@@ -153,6 +153,46 @@ class DedupSpec extends SparkSpec {
     assert(withCap.count() == 0)
   }
 
+  test("plan: DF-capped posting lists are built count-then-collect — " +
+      "every collect_set aggregation sits downstream of the df<=cap " +
+      "semi-join, so its state never buffers a hot shingle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val d = docs(
+      (1, s"$base tail one"), (2, s"$base tail two"),
+      (3, "completely different content lives here today"))
+    val out = Dedup.ngramJaccardPairs(d, "id", "text", 3, 0.5,
+      maxShingleDf = Some(2))
+    assert(out.count() >= 1) // materialize all AQE stages
+    // flatten across AQE stage boundaries AND into cached (persisted)
+    // intermediate plans — the posting build hides behind an
+    // InMemoryTableScan in the consuming query
+    def flatTree(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => flatTree(a.executedPlan)
+      case q: QueryStageExec => q +: flatTree(q.plan)
+      case c: InMemoryTableScanExec =>
+        c +: flatTree(c.relation.cachedPlan)
+      case other => Seq(other)
+    }.flatten
+    val aggs = flatTree(out.queryExecution.executedPlan)
+      .collect { case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(
+          _.aggregateFunction.prettyName == "collect_set") => a }
+    assert(aggs.nonEmpty, "expected a collect_set posting aggregation")
+    aggs.foreach { a =>
+      val semis = flatTree(a).collect {
+        case j: BaseJoinExec if j.joinType == LeftSemi => j }
+      assert(semis.nonEmpty,
+        s"collect_set aggregation without an upstream df-cap " +
+          s"semi-join:\n$a")
+    }
+  }
+
   test("DF-capped ngramJaccardPairs emits byte-identical pairs AND " +
       "values to the uncapped run (cap prunes candidates only; verify " +
       "is exact over full shingle sets)") {
