@@ -820,6 +820,29 @@ object SparkEntry {
     Similarity.recallAudit(routed, exact).orderBy("query_id")
   }
 
+  /** SAMPLED ANN recall audit — the standing production form
+    * [[Similarity.recallAudit]]'s scaladoc prescribes: the query leg
+    * is a deterministic 10 % [[graft.sampling.Sampling.hashFraction]]
+    * sample of the corpus (salt "audit"), so the brute-force exact
+    * leg costs 10 % of a query-load scan however large the corpus
+    * grows — the audit that runs on a schedule, not the q117
+    * exhaustive twin kept for comparison. Same IVF routed side
+    * (16 hash centroids, nprobe 3, k 10). Per sampled query:
+    * (n_exact, n_hit, recall).
+    */
+  private def annRecallAuditSampledQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(graft.sampling.Sampling
+      .hashFraction(col("vec_id"), "audit") < 0.10)
+    val exact = Similarity.bruteForceTopKAgg(
+      q, e, "vec_id", "embedding", k = 10)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    val routed = Similarity.ivfTopKWithCentroids(
+      q, e, "vec_id", "embedding", k = 10, cents, nprobe = 3)
+    Similarity.recallAudit(routed, exact).orderBy("query_id")
+  }
+
   /** LSH candidate-coverage audit ([[Similarity.recallAudit]] in pair
     * mode): q24's banded candidate generation audited against q23's
     * exact-Jaccard ≥ 0.8 pairs, per id_a — the s-curve tuning measure
@@ -2811,6 +2834,7 @@ object SparkEntry {
     "q135_global_line_dedup" -> (globalLineDedupDocs _),
     "q136_event_type_affinity" -> (eventTypeAffinity _),
     "q137_event_transitions" -> (eventTransitions _),
+    "q138_ann_recall_audit_sampled" -> (annRecallAuditSampledQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4541,6 +4565,53 @@ object SparkEntry {
            CAST(transitions AS DOUBLE) / tot AS prob
          FROM p JOIN t USING (from_state)
          ORDER BY from_state, to_state""",
+    // q117 with the query leg hash-sampled at 10 % (salt "audit") —
+    // the standing scheduled-audit form
+    "q138_ann_recall_audit_sampled" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE CAST(('0x' || substr(
+               md5('audit' || CAST(vec_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 < 0.10),
+         bs AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         br AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM bs) WHERE rank <= 10),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 3),
+         vs AS (
+           SELECT qid, a.vec_id AS nid, ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> qid),
+         vr AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM vs) WHERE rank <= 10)
+         SELECT br.qid AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(vr.nid) AS BIGINT) AS n_hit,
+           round(CAST(count(vr.nid) AS DOUBLE) / count(*), 4) AS recall
+         FROM br LEFT JOIN vr ON vr.qid = br.qid AND vr.nid = br.nid
+         GROUP BY br.qid ORDER BY query_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -91,4 +91,34 @@ class RecallAuditSpec extends SparkSpec {
     // probing every bucket loses nothing — the audit reads 1.0
     assert(audit(16).values.forall(_._3 == 1.0))
   }
+
+  test("sampled audit (10% hashFraction query leg) estimates the full " +
+      "audit: per-query rows are a strict subset with identical " +
+      "values, and aggregate recall is within tolerance") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    def auditOf(q: org.apache.spark.sql.DataFrame) = Similarity.recallAudit(
+      Similarity.ivfTopKWithCentroids(q, e, "vec_id", "embedding",
+        k = 10, cents, nprobe = 3),
+      Similarity.bruteForceTopKAgg(q, e, "vec_id", "embedding", k = 10))
+    val sampled = auditOf(e.where(graft.sampling.Sampling
+      .hashFraction(col("vec_id"), "audit") < 0.10))
+    val full = auditOf(e)
+    val sm = sampled.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val fm = full.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(sm.nonEmpty, "10% sample of 500 vectors must not be empty")
+    assert(sm.size < fm.size, "sample must be a strict subset")
+    // per-query the audit value is independent of which other queries
+    // ran — the sampled rows equal their full-audit twins exactly
+    sm.foreach { case (qid, v) => assert(fm(qid) == v, s"qid $qid") }
+    // and the aggregate estimate lands near the full-population recall
+    def macroRecall(m: Map[Long, (Long, Long, Double)]) =
+      m.values.map(_._3).sum / m.size
+    assert(math.abs(macroRecall(sm) - macroRecall(fm)) < 0.15,
+      s"sampled ${macroRecall(sm)} vs full ${macroRecall(fm)}")
+  }
 }
