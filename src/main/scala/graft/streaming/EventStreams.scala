@@ -453,6 +453,90 @@ object EventStreams {
     }
   }
 
+  /** Streaming EMBEDDING-ingest dedup: lands each micro-batch of
+    * (id, vector) rows into a standing parquet corpus, dropping
+    * verified near-duplicates — re-encoded vectors within Hamming
+    * `maxDist` of a landed vector's 64-bit SRP sketch AND exact
+    * cosine ≥ `minCos`
+    * ([[graft.similarity.Similarity.dedupEmbeddingAgainst]]).
+    * Completes the incremental-dedup sink family: exact sharded-Bloom,
+    * text LSH, chunk-level, image dHash — and now embeddings.
+    *
+    * Store lifecycle mirrors [[incrementalImageDedupSink]]: the
+    * 8-byte-per-vector SRP sketch index at `indexDir` is the probe
+    * side; each batch sketches ONLY itself, and the corpus's vectors
+    * are read candidate-sized (semi-joined to sketch hits) at the
+    * exact-cosine verify — never scanned per batch. Durability order
+    * is index-first (the [[incrementalNearDupSink]] argument): a
+    * crash between the two appends leaves phantom index rows whose
+    * corpus vector is missing — phantom candidates find no corpus leg
+    * at the verify join and drop, and the row's re-arrival lands
+    * normally — while corpus-first would let near-dups of unindexed
+    * vectors slip through. Checkpoint replay of a half-processed
+    * batch re-deduplicates idempotently (an exact replica probes at
+    * Hamming 0, verifies at cosine 1.0, and drops). On restart with a
+    * corpus but no index, the index is rebuilt from the corpus ONCE
+    * and persisted before use. Within a batch, rows with identical
+    * vectors collapse to the lowest `orderCol` (the embedding form of
+    * exact dedup); null vectors always land and are never indexed — a
+    * bad row must not dam the ingest.
+    */
+  def incrementalEmbeddingDedupSink(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      orderCol: String, corpusDir: String, indexDir: String,
+      checkpointDir: String, dim: Int,
+      maxDist: Int = 3, minCos: Double = 0.98)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.similarity.Similarity
+    val spark = vecs.sparkSession
+    val inCols = vecs.columns.toSeq
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val lock = new Object
+    foreachBatchSink(vecs, checkpointDir, outputMode = "append") {
+      (batch, _) =>
+        lock.synchronized(graft.core.CacheScope.withScope {
+          val b = batch.transform(graft.core.CacheScope.disk)
+          val withVec = b.where(col(vecCol).isNotNull)
+          val keepIds = withVec
+            .groupBy(col(vecCol))
+            .agg(min_by(col(idCol), col(orderCol)).as(idCol))
+            .select(idCol)
+          val inBatch = withVec.join(keepIds, Seq(idCol), "left_semi")
+          val survivors =
+            if (exists(corpusDir)) {
+              // corpus without index (deleted / never built): rebuild
+              // and PERSIST before using it — a transient rebuild
+              // would leave later batches probing a partial index
+              if (!exists(indexDir))
+                Similarity.buildSrpIndex(
+                    spark.read.parquet(corpusDir)
+                      .where(col(vecCol).isNotNull),
+                    idCol, vecCol, dim)
+                  .write.option("compression", "snappy")
+                  .parquet(indexDir)
+              Similarity.dedupEmbeddingAgainst(
+                spark.read.parquet(indexDir),
+                spark.read.parquet(corpusDir), inBatch,
+                idCol, vecCol, dim, maxDist, minCos)
+            } else inBatch
+          val landed = survivors
+            .unionByName(b.where(col(vecCol).isNull))
+            .localCheckpoint(eager = true)
+          // index first (see durability order above)
+          Similarity.buildSrpIndex(
+              landed.where(col(vecCol).isNotNull), idCol, vecCol, dim)
+            .write.mode(SaveMode.Append)
+            .option("compression", "snappy").parquet(indexDir)
+          landed.select(inCols.map(col): _*)
+            .write.mode(SaveMode.Append)
+            .option("compression", "snappy").parquet(corpusDir)
+        })
+    }
+  }
+
   /** Streaming SCD-2 dimension maintenance: lands each micro-batch of
     * keyed attribute observations into the versioned dimension at
     * `path` via [[graft.transform.StarSchemaBuilder

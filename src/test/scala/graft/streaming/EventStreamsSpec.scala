@@ -703,4 +703,75 @@ class EventStreamsSpec extends SparkSpec {
         .where(col("dhash_hi").isNotNull).count() == 4)
     } finally q2.stop()
   }
+
+  test("incrementalEmbeddingDedupSink: re-encoded vectors drop across " +
+      "batches and an index-loss restart; in-batch identical vectors " +
+      "collapse; exact replicas of landed rows re-dedup idempotently; " +
+      "null vectors always land") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dim = 8
+    def unit(axis: Int): Seq[Float] =
+      (0 until dim).map(d => if (d == axis) 1.0f else 0.0f)
+    // tiny off-axis perturbation: cosine vs unit(axis) ≈ 0.99995,
+    // SRP sketch unchanged (no hyperplane dot sits within 0.01 of 0)
+    def nearly(axis: Int): Seq[Float] =
+      (0 until dim).map(d =>
+        if (d == axis) 1.0f else if (d == (axis + 1) % dim) 0.01f
+        else 0.0f)
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_emb_corpus").toString + "/vecs"
+    val index = java.nio.file.Files
+      .createTempDirectory("graft_emb_idx").toString + "/idx"
+    val in = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = EventStreams.incrementalEmbeddingDedupSink(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      "vec_id", corpus, index,
+      java.nio.file.Files.createTempDirectory("graft_emb_ckpt")
+        .toString, dim)
+    try {
+      in.addData((1L, Some(unit(0))), (2L, Some(unit(1))), (3L, None))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 3)
+      // exact re-upload, near-dup (perturbed), novel + its in-batch
+      // identical twin, another null
+      in.addData((10L, Some(unit(0))), (11L, Some(nearly(1))),
+        (12L, Some(unit(2))), (13L, Some(unit(2))), (14L, None))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus)
+      assert(after2.count() == 5)
+      assert(after2.select("vec_id").collect().map(_.getLong(0)).toSet
+        == Set(1L, 2L, 3L, 12L, 14L))
+    } finally q.stop()
+    // restart with the SRP index DELETED: it rebuilds from the corpus
+    // (non-null vectors only) and near-dups of pre-existing vectors
+    // keep dropping
+    def rmr(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles.foreach(c => rmr(c.getPath))
+      f.delete()
+    }
+    rmr(index)
+    val in2 = MemoryStream[(Long, Option[Seq[Float]])]
+    val q2 = EventStreams.incrementalEmbeddingDedupSink(
+      in2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      "vec_id", corpus, index,
+      java.nio.file.Files.createTempDirectory("graft_emb_ckpt2")
+        .toString, dim)
+    try {
+      in2.addData((20L, Some(nearly(0))), (21L, Some(unit(3))))
+      q2.processAllAvailable()
+      val fin = spark.read.parquet(corpus)
+      assert(fin.count() == 6)
+      assert(fin.where(col("vec_id") === 20L).count() == 0)
+      assert(fin.where(col("vec_id") === 21L).count() == 1)
+      // rebuilt index covers the non-null corpus + the new landing
+      assert(spark.read.parquet(index).count() == 4)
+      // at-least-once replay: an exact replica of a landed row probes
+      // at Hamming 0, verifies at cosine 1.0, and drops
+      in2.addData((30L, Some(unit(3))))
+      q2.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 6)
+    } finally q2.stop()
+  }
 }
