@@ -843,6 +843,79 @@ object SparkEntry {
     Similarity.recallAudit(routed, exact).orderBy("query_id")
   }
 
+  /** End-to-end ANN index LIFECYCLE — the maintain-audit loop the
+    * maintenance scaladocs describe, in one query: codebooks train on
+    * the INITIAL corpus (vec_id % 4 ≠ 0) and persist to parquet; the
+    * IVF-PQ search index builds as a bucketed table
+    * ([[Similarity.pqBuildIvfIndex]]) and the batch (vec_id % 4 = 0)
+    * lands through [[Similarity.ivfPqIndexAppend]] — codes frozen on
+    * the initial-corpus codebooks, exactly the daily-append shape; a
+    * vector-carrying twin ([[Similarity.buildIvfIndex]] +
+    * [[Similarity.ivfIndexAppend]]) feeds [[Similarity.ivfDriftReport]]
+    * (a code-only index cannot drift-report). The sampled audit
+    * (10 % [[graft.sampling.Sampling.hashFraction]], q138's form)
+    * searches the appended table via [[Similarity.ivfPqTopK]] against
+    * the brute-force exact leg, and each sampled query's recall rolls
+    * up to its assigned bucket. Output, one row per coarse bucket:
+    * (centroid_id, n, mean_sim, recenter_advised, n_audit,
+    * avg_recall) — drift and recall side by side, the health report
+    * that decides re-center vs re-train. Builds are
+    * overwrite-then-append so in-session reruns stay deterministic.
+    */
+  private def indexLifecycleQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val initial = e.where(col("vec_id") % 4 =!= 0)
+    val batch = e.where(col("vec_id") % 4 === 0)
+    val cents = Similarity.hashKCentroids(
+      initial, "vec_id", "embedding", 16)
+    val books = Similarity.pqTrainCodebooks(initial, "vec_id",
+      "embedding", m = 4, k = 16, iters = 2, exactMedian = true)
+    val booksDir = java.nio.file.Files
+      .createTempDirectory("graft_q139_books").toString + "/books"
+    books.write.mode("overwrite").parquet(booksDir)
+    val booksP = s.read.parquet(booksDir)
+    // the warehouse dir outlives the in-memory catalog: a table
+    // location left by a previous session would block saveAsTable, so
+    // drop the catalog entry AND remove any orphaned location
+    Seq("graft_q139_pq_idx", "graft_q139_vec_idx").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    Similarity.pqBuildIvfIndex(initial, "vec_id", "embedding", cents,
+      booksP, "graft_q139_pq_idx", numBuckets = 4)
+    Similarity.ivfPqIndexAppend(batch, "vec_id", "embedding", cents,
+      booksP, "graft_q139_pq_idx", numBuckets = 4)
+    Similarity.buildIvfIndex(initial, "vec_id", "embedding", cents,
+      "graft_q139_vec_idx", numBuckets = 4)
+    Similarity.ivfIndexAppend(batch, "vec_id", "embedding", cents,
+      "graft_q139_vec_idx", numBuckets = 4)
+    val drift = Similarity.ivfDriftReport(s, "graft_q139_vec_idx",
+      "embedding", cents)
+    val q = e.where(graft.sampling.Sampling
+      .hashFraction(col("vec_id"), "audit") < 0.10)
+    val approx = Similarity.ivfPqTopK(q, s.table("graft_q139_pq_idx"),
+      booksP, cents, "vec_id", "embedding", k = 10, nprobe = 3)
+    val exact = Similarity.bruteForceTopKAgg(
+      q, e, "vec_id", "embedding", k = 10)
+    val audit = Similarity.recallAudit(approx, exact)
+    val qc = s.table("graft_q139_vec_idx")
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val perC = audit.join(qc, Seq("query_id"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_audit"),
+        round(avg(col("recall")), 4).as("avg_recall"))
+    drift.join(perC, Seq("centroid_id"), "left_outer")
+      .select(col("centroid_id"), col("n"), col("mean_sim"),
+        col("recenter_advised"),
+        coalesce(col("n_audit"), lit(0L)).as("n_audit"),
+        col("avg_recall"))
+      .orderBy("centroid_id")
+  }
+
   /** LSH candidate-coverage audit ([[Similarity.recallAudit]] in pair
     * mode): q24's banded candidate generation audited against q23's
     * exact-Jaccard ≥ 0.8 pairs, per id_a — the s-curve tuning measure
@@ -2606,9 +2679,18 @@ object SparkEntry {
     * rounded at 6, cosine at 4, code-ascending ties).
     */
   private def oraclePqBlock(
-      b: Int, sub: Int, k: Int, src: String = "e"): String = {
+      b: Int, sub: Int, k: Int, src: String = "e",
+      encSrc: String = ""): String = {
     val lo = b * sub + 1
     val hi = (b + 1) * sub
+    // train codebooks on `src`; encode rows of `encSrc` (defaults to
+    // the training frame) — the index-lifecycle shape where codebooks
+    // are frozen on the initial corpus and appended batches encode
+    // with them
+    val (encCte, encFrom) =
+      if (encSrc.isEmpty || encSrc == src) ("", s"e$b")
+      else (s"f$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM $encSrc),\n       ",
+        s"f$b")
     def assign(src: String, cents: String) =
       s"""(SELECT vec_id, v, cid FROM (
          SELECT e.vec_id, e.v, c.cid, row_number() OVER (
@@ -2619,7 +2701,7 @@ object SparkEntry {
       s"""(SELECT cid, pos, round(median(v[pos]), 6) AS m
          FROM $assigned CROSS JOIN dims$b GROUP BY cid, pos)"""
     s"""e$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
-       dims$b AS (SELECT unnest(range(1, ${sub + 1})) AS pos),
+       ${encCte}dims$b AS (SELECT unnest(range(1, ${sub + 1})) AS pos),
        c0$b AS (SELECT vec_id AS cid, v AS cv FROM e$b
                 ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
                 LIMIT $k),
@@ -2639,7 +2721,7 @@ object SparkEntry {
              PARTITION BY e.vec_id
              ORDER BY list_dot_product(c.cv, c.cv)
                - 2 * list_dot_product(e.v, c.cv) ASC, c.code ASC) AS rn
-           FROM e$b e CROSS JOIN cb$b c) WHERE rn = 1)"""
+           FROM $encFrom e CROSS JOIN cb$b c) WHERE rn = 1)"""
   }
 
   /** Content-chunking CTE replay ([[graft.text.TextAnalysis
@@ -2835,6 +2917,7 @@ object SparkEntry {
     "q136_event_type_affinity" -> (eventTypeAffinity _),
     "q137_event_transitions" -> (eventTransitions _),
     "q138_ann_recall_audit_sampled" -> (annRecallAuditSampledQ _),
+    "q139_index_lifecycle" -> (indexLifecycleQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4612,6 +4695,114 @@ object SparkEntry {
            round(CAST(count(vr.nid) AS DOUBLE) / count(*), 4) AS recall
          FROM br LEFT JOIN vr ON vr.qid = br.qid AND vr.nid = br.nid
          GROUP BY br.qid ORDER BY query_id""",
+    // index lifecycle: codebooks + coarse centroids train on the
+    // initial corpus (vec_id % 4 <> 0), ALL rows encode with them
+    // (the append), drift = per-bucket mean-vector cosine vs its
+    // centroid, audit = q138's sampled recall over the PQ-routed
+    // search, rolled up to the query's assigned bucket
+    "q139_index_lifecycle" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ei AS (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),
+         ${(0 until 4).map(b =>
+             oraclePqBlock(b, 16, 16, "ei", "e")).mkString(",\n")},
+         ncodes AS (
+           SELECT e.vec_id, enc0.code AS k0, enc1.code AS k1,
+             enc2.code AS k2, enc3.code AS k3
+           FROM e
+           JOIN enc0 ON enc0.vec_id = e.vec_id
+           JOIN enc1 ON enc1.vec_id = e.vec_id
+           JOIN enc2 ON enc2.vec_id = e.vec_id
+           JOIN enc3 ON enc3.vec_id = e.vec_id),
+         ccents AS (SELECT vec_id AS ccid, v AS ccv FROM ei
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                      vec_id ASC
+                    LIMIT 16),
+         cassign AS (
+           SELECT vec_id, ccid FROM (
+             SELECT e.vec_id, c.ccid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM e CROSS JOIN ccents c) WHERE rn = 1),
+         dims AS (SELECT unnest(range(1, 65)) AS pos),
+         dmean AS (
+           SELECT ca.ccid, d.pos, round(avg(e.v[d.pos]), 6) AS m,
+             count(*) AS nn
+           FROM cassign ca JOIN e ON e.vec_id = ca.vec_id
+             CROSS JOIN dims d
+           GROUP BY ca.ccid, d.pos),
+         mv AS (SELECT ccid, list(m ORDER BY pos) AS mvec,
+             max(nn) AS n
+           FROM dmean GROUP BY ccid),
+         drift AS (
+           SELECT mv.ccid, mv.n,
+             ${oracleCos("mv.mvec", "c.ccv")} AS mean_sim
+           FROM mv JOIN ccents c ON c.ccid = mv.ccid),
+         q AS (SELECT vec_id, v FROM e
+           WHERE CAST(('0x' || substr(
+               md5('audit' || CAST(vec_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 < 0.10),
+         probes AS (
+           SELECT qid, ccid FROM (
+             SELECT q.vec_id AS qid, c.ccid, row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ${oracleCos("q.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM q CROSS JOIN ccents c) WHERE rn <= 3),
+         s AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             round((list_dot_product(q.v[1:16], b0.cv)
+                 + list_dot_product(q.v[17:32], b1.cv)
+                 + list_dot_product(q.v[33:48], b2.cv)
+                 + list_dot_product(q.v[49:64], b3.cv))
+               / nullif(sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b0.cv, b0.cv)
+                   + list_dot_product(b1.cv, b1.cv)
+                   + list_dot_product(b2.cv, b2.cv)
+                   + list_dot_product(b3.cv, b3.cv)), 0.0), 4) AS sim
+           FROM q
+           JOIN probes p ON p.qid = q.vec_id
+           JOIN cassign ca ON ca.ccid = p.ccid
+           JOIN ncodes n ON n.vec_id = ca.vec_id
+           JOIN cb0 b0 ON b0.code = n.k0
+           JOIN cb1 b1 ON b1.code = n.k1
+           JOIN cb2 b2 ON b2.code = n.k2
+           JOIN cb3 b3 ON b3.code = n.k3
+           WHERE n.vec_id <> q.vec_id),
+         vr AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM s) WHERE rank <= 10),
+         bs AS (
+           SELECT qq.qid, e.vec_id AS nid,
+             ${oracleCos("qq.qv", "e.v")} AS sim
+           FROM (SELECT vec_id AS qid, v AS qv FROM q) qq
+           CROSS JOIN e WHERE qq.qid <> e.vec_id),
+         br AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM bs) WHERE rank <= 10),
+         rec AS (
+           SELECT br.qid,
+             round(CAST(count(vr.nid) AS DOUBLE) / count(*), 4)
+               AS recall
+           FROM br LEFT JOIN vr ON vr.qid = br.qid AND vr.nid = br.nid
+           GROUP BY br.qid),
+         pa AS (
+           SELECT ca.ccid, CAST(count(*) AS BIGINT) AS n_audit,
+             round(avg(recall), 4) AS avg_recall
+           FROM rec JOIN cassign ca ON ca.vec_id = rec.qid
+           GROUP BY ca.ccid)
+         SELECT d.ccid AS centroid_id, CAST(d.n AS BIGINT) AS n,
+           d.mean_sim AS mean_sim,
+           d.mean_sim < 0.98 AS recenter_advised,
+           coalesce(pa.n_audit, 0) AS n_audit,
+           pa.avg_recall AS avg_recall
+         FROM drift d LEFT JOIN pa ON pa.ccid = d.ccid
+         ORDER BY centroid_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (
