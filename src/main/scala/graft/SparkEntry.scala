@@ -843,6 +843,22 @@ object SparkEntry {
     Similarity.recallAudit(routed, exact).orderBy("query_id")
   }
 
+  /** Fused corpus-prep quality pass
+    * ([[TextAnalysis.qualityPass]]): collapse-repeats cleanup,
+    * Gopher-style repetition signals, and the self-trained unigram-LM
+    * score in ONE scan of documents — the q133/q65/q124 trio fused
+    * over shared tokenization (plan-spec-pinned to a single parquet
+    * scan). Text ships as md5 (q133's convention).
+    */
+  private def fusedQualityPassQ(
+      s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPass(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("n_tokens"), col("n_removed"), col("n_bigrams"),
+        col("dup_bigram_frac"), col("top_bigram_frac"),
+        round(col("lm_score"), 4).as("lm_score"))
+      .orderBy("doc_id")
+
   /** End-to-end ANN index LIFECYCLE — the maintain-audit loop the
     * maintenance scaladocs describe, in one query: codebooks train on
     * the INITIAL corpus (vec_id % 4 ≠ 0) and persist to parquet; the
@@ -2918,6 +2934,7 @@ object SparkEntry {
     "q137_event_transitions" -> (eventTransitions _),
     "q138_ann_recall_audit_sampled" -> (annRecallAuditSampledQ _),
     "q139_index_lifecycle" -> (indexLifecycleQ _),
+    "q140_fused_quality_pass" -> (fusedQualityPassQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4803,6 +4820,47 @@ object SparkEntry {
            pa.avg_recall AS avg_recall
          FROM drift d LEFT JOIN pa ON pa.ccid = d.ccid
          ORDER BY centroid_id""",
+    // the q133 + q65 + q124 trio over one shared tokenization CTE
+    "q140_fused_quality_pass" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         k AS (
+           SELECT doc_id, ws,
+             list_filter(ws, (x, i) -> i = 1 OR ws[i - 1] <> x) AS kept
+           FROM d),
+         bg AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM d,
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t),
+         per AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 4)
+               AS dup_bigram_frac,
+             round(CAST(max(n) AS DOUBLE) / sum(n), 4)
+               AS top_bigram_frac
+           FROM per GROUP BY doc_id),
+         t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         cnt AS (SELECT w, count(*) AS n FROM t GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                   CAST(count(*) AS DOUBLE) AS vv FROM cnt),
+         lm AS (SELECT w, ln((n + 0.5) / (nn + 0.5 * (vv + 1)))
+                  AS logp FROM cnt, tot),
+         dw AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id, sum(c * logp) / sum(c) AS s
+           FROM dw JOIN lm USING (w) GROUP BY doc_id)
+         SELECT k.doc_id, md5(array_to_string(kept, ' ')) AS text_md5,
+           CAST(len(kept) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           sig.n_bigrams, sig.dup_bigram_frac, sig.top_bigram_frac,
+           round(sc.s, 4) AS lm_score
+         FROM k LEFT JOIN sig ON sig.doc_id = k.doc_id
+         LEFT JOIN sc ON sc.doc_id = k.doc_id
+         ORDER BY k.doc_id""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

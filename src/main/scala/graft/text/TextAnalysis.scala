@@ -548,6 +548,100 @@ object TextAnalysis {
         (col("__nw") - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** FUSED corpus-quality pass: [[collapseRepeats]] cleanup,
+    * [[repetitionSignals]], and self-trained [[unigramLmScore]]
+    * ([[unigramLmScoreSelf]]) over ONE scan of the input — the three
+    * share tokenization, and running them separately scans and
+    * re-tokenizes the corpus three times. Output per document:
+    * (id, text — collapsed, n_tokens — post-collapse, n_removed,
+    * n_bigrams, dup_bigram_frac, top_bigram_frac, lm_score), equal
+    * column-for-column to collapseRepeats LEFT JOIN repetitionSignals
+    * LEFT JOIN unigramLmScoreSelf (signals measure the ORIGINAL text;
+    * docs under 2 tokens carry null bigram signals, zero-token docs a
+    * null lm_score — filterable, never dropped; spec-pinned).
+    *
+    * Scale shape: one projection tokenizes each document once and
+    * computes the collapse per-row (bounded backward slice, no
+    * shuffle); ONE explode emits both word and bigram occurrences as
+    * (kind, token) rows, and ONE map-side-combined
+    * (id, kind, token) count aggregation feeds everything downstream
+    * — bigram doc-signals (kind 1), per-doc word counts (kind 0),
+    * AND the corpus-wide LM vocabulary (re-aggregated from the same
+    * frame, never re-scanning the corpus). The persisted frames are
+    * token-count tables (corpus-proportional, the price of fusion);
+    * every aggregation state is a counter, never a list.
+    */
+  def qualityPass(
+      df: DataFrame, idCol: String, textCol: String,
+      maxRun: Int = 1, alpha: Double = 0.5): DataFrame = {
+    require(maxRun >= 1, "maxRun must be >= 1")
+    require(alpha > 0, "alpha must be positive")
+    val reserved = Set("__ws", "__kept", "__nw", "__k", "__tok", "__c")
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val ws = words(coalesce(col(textCol), lit("")))
+    val kept = filter(ws, (x, i) =>
+      i < maxRun ||
+        exists(slice(ws, greatest(lit(1), i - maxRun + 1), lit(maxRun)),
+          y => y =!= x))
+    val base = df
+      .select(col(idCol), size(ws).as("__nw"), kept.as("__kept"),
+        ws.as("__ws"))
+      .transform(graft.core.CacheScope.disk)
+    // bigrams from the SAME token array ([[bigrams]] shape, minus the
+    // second tokenization); docs under 2 tokens emit nothing
+    val wsC = col("__ws")
+    val bgs = when(size(wsC) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(wsC, lit(1), size(wsC) - 1),
+        slice(wsC, lit(2), size(wsC) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val counts = base
+      .select(col(idCol), explode(concat(
+        transform(wsC, w => struct(lit(0).as("__k"), w.as("__tok"))),
+        transform(bgs, b => struct(lit(1).as("__k"), b.as("__tok")))))
+        .as("__t"))
+      .select(col(idCol), col("__t.__k").as("__k"),
+        col("__t.__tok").as("__tok"))
+      .groupBy(col(idCol), col("__k"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .transform(graft.core.CacheScope.disk)
+    // repetition signals ([[repetitionSignals]]'s aggregation, verbatim)
+    val sigs = counts.where(col("__k") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_bigrams"),
+        round(lit(1.0) -
+          count(lit(1)).cast("double") / sum(col("__c")), 4)
+          .as("dup_bigram_frac"),
+        round(max(col("__c")).cast("double") / sum(col("__c")), 4)
+          .as("top_bigram_frac"))
+    // LM vocabulary from the SAME count frame ([[unigramLm]]'s math:
+    // corpus word count = sum of per-doc counts)
+    val wc = counts.where(col("__k") === 0)
+      .select(col(idCol), col("__tok").as("word"), col("__c"))
+    val lmCounts = wc.groupBy("word").agg(sum("__c").as("n"))
+    val totals = lmCounts.agg(sum("n").as("__N"), count(lit(1)).as("__V"))
+    val denom = col("__N") + lit(alpha) * (col("__V") + 1)
+    val lm = lmCounts.crossJoin(broadcast(totals))
+      .select(col("word"), log((col("n") + lit(alpha)) / denom).as("logp"))
+    val unseen = broadcast(totals
+      .select(log(lit(alpha) / denom).as("__unseen")))
+    val scored = wc
+      .join(lm, Seq("word"), "left")
+      .crossJoin(unseen)
+      .groupBy(col(idCol))
+      .agg((sum(col("__c") * coalesce(col("logp"), col("__unseen"))) /
+        sum(col("__c"))).as("lm_score"))
+    base
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as(textCol),
+        size(col("__kept")).cast("long").as("n_tokens"),
+        (col("__nw") - size(col("__kept"))).cast("long").as("n_removed"))
+      .join(sigs, Seq(idCol), "left")
+      .join(scored, Seq(idCol), "left")
+  }
+
   /** Remove duplicated lines WITHIN each document, keeping the first
     * occurrence in order — the MassiveText/Gopher intra-document
     * repetition filter (repeated nav bars, footers, chorus lines) at
