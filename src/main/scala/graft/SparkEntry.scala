@@ -35,6 +35,14 @@ object SparkEntry {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", Fx.nanosToTimestamp(col("ts")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ wall-clock values ARE UTC instants, and the cast
+        // below renders them in the SESSION zone — a session built
+        // without Sessions.configure (which pins UTC) would silently
+        // shift every instant by its local offset; fail loud instead
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events() requires spark.sql.session.timeZone=UTC (set by " +
+            "graft.core.Sessions.configure): the NTZ->TIMESTAMP cast " +
+            "renders wall-clock values in the session zone")
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
