@@ -418,33 +418,49 @@ object Dedup {
           .transform(graft.core.CacheScope.disk)
         val sizes = sh.groupBy(idCol)
           .agg(count_distinct(col("shingle")).as("n_shingles"))
-        // POSTING-LIST candidate generation, count-then-collect: a
-        // df pre-count (count_distinct per shingle — Spark plans the
-        // distinct via a (shingle, id)-keyed partial dedup whose
-        // per-key state is bytes, then an 8-byte count per shingle)
-        // filters hot stop-shingles (df > cap, the ones that dominate
-        // Σ(df²) and ARE the join skew) BEFORE any posting list
-        // materializes; the surviving shingle set semi-joins the raw
-        // table, and only then does collect_set build lists — every
-        // posting aggregation state holds ≤ cap ids by construction.
-        // (Collecting first and filtering on size() after would
-        // buffer a df=10⁹ stop-shingle's entire id set in one
-        // final-agg task before discarding it — a straggler/spill
-        // storm at corpus scale.) Each kept list then expands to its
-        // C(df,2) ≤ C(cap,2) pairs with a bounded array expression,
-        // so the pair stage cannot skew however hot the corpus's
-        // stop-shingles get. The semi-join output is already
-        // hash-partitioned on shingle, so the posting groupBy adds no
-        // exchange. Persisted: feeds the pair explode AND the low-DF
-        // size aggregate.
-        val lowDf = sh.groupBy("shingle")
-          .agg(count_distinct(col(idCol)).as("__df"))
-          .where(col("__df") <= cap)
-          .select("shingle")
-        val postings = sh.join(lowDf, Seq("shingle"), "left_semi")
-          .groupBy("shingle")
-          .agg(sort_array(collect_set(col(idCol))).as("__ids"))
-          .transform(graft.core.CacheScope.disk)
+        // POSTING-LIST candidate generation with BOUNDED aggregation
+        // state: hot stop-shingles (df > cap — they dominate Σ(df²)
+        // and ARE the join skew) must drop without ever materializing
+        // their posting lists. A plain collect_set + size() filter
+        // buffers a df=10⁹ stop-shingle's entire id set in one
+        // final-agg task before discarding it (straggler/spill
+        // storm); pre-counting df and semi-joining bounds the state
+        // but pays a second shuffle of the raw occurrence table. The
+        // [[graft.expressions.BoundedDistinctIds]] aggregate gets
+        // both: ONE exchange (the group-by the collect always paid)
+        // and per-group state ≤ cap+1 ids BY CONSTRUCTION — partials
+        // freeze at cap+1 distinct elements, which already proves the
+        // group fails the filter, while kept groups carry their exact
+        // sorted set. Non-integral id types take the count-then-
+        // collect route (df pre-count, filter, semi-join, collect) —
+        // same bounded-state guarantee, one extra exchange. Each kept
+        // list then expands to its C(df,2) ≤ C(cap,2) pairs with a
+        // bounded array expression, so the pair stage cannot skew
+        // however hot the corpus's stop-shingles get. Persisted:
+        // feeds the pair explode AND the low-DF size aggregate.
+        val postings = (df.schema(idCol).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            sh.where(col(idCol).isNotNull).groupBy("shingle")
+              .agg(graft.expressions.BoundedDistinctIds
+                .boundedDistinctIds(cap)(col(idCol)).as("__ids"))
+              .where(size(col("__ids")) <= cap)
+          case org.apache.spark.sql.types.IntegerType =>
+            sh.where(col(idCol).isNotNull).groupBy("shingle")
+              .agg(graft.expressions.BoundedDistinctIds
+                .boundedDistinctIds(cap)(col(idCol).cast("long"))
+                .as("__idsL"))
+              .where(size(col("__idsL")) <= cap)
+              .select(col("shingle"),
+                col("__idsL").cast("array<int>").as("__ids"))
+          case _ =>
+            val lowDf = sh.groupBy("shingle")
+              .agg(count_distinct(col(idCol)).as("__df"))
+              .where(col("__df") <= cap)
+              .select("shingle")
+            sh.join(lowDf, Seq("shingle"), "left_semi")
+              .groupBy("shingle")
+              .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+        }).transform(graft.core.CacheScope.disk)
         // per-doc hot-shingle counts (total − low-DF): the slack term
         // of the Jaccard upper bound below
         val lowSizes = postings

@@ -153,9 +153,10 @@ class DedupSpec extends SparkSpec {
     assert(withCap.count() == 0)
   }
 
-  test("plan: DF-capped posting lists are built count-then-collect — " +
-      "every collect_set aggregation sits downstream of the df<=cap " +
-      "semi-join, so its state never buffers a hot shingle") {
+  test("plan: DF-capped posting lists aggregate with BOUNDED state — " +
+      "the BoundedDistinctIds udaf builds them in one exchange with " +
+      "state frozen at cap+1, and any plain collect_set in the plan " +
+      "sits downstream of a df<=cap semi-join") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{
       AdaptiveSparkPlanExec, QueryStageExec}
@@ -179,18 +180,57 @@ class DedupSpec extends SparkSpec {
         c +: flatTree(c.relation.cachedPlan)
       case other => Seq(other)
     }.flatten
-    val aggs = flatTree(out.queryExecution.executedPlan)
-      .collect { case a: BaseAggregateExec
-        if a.aggregateExpressions.exists(
-          _.aggregateFunction.prettyName == "collect_set") => a }
-    assert(aggs.nonEmpty, "expected a collect_set posting aggregation")
-    aggs.foreach { a =>
+    val all = flatTree(out.queryExecution.executedPlan)
+    // the posting build is the bounded-state udaf (int ids take the
+    // cast-to-long route)
+    val bounded = all.collect { case a: BaseAggregateExec
+      if a.aggregateExpressions.exists(_.aggregateFunction.toString
+        .toLowerCase.contains("boundeddistinctids")) => a }
+    assert(bounded.nonEmpty,
+      "expected the BoundedDistinctIds posting aggregation")
+    // and no unbounded collect_set materializes hot groups: any plain
+    // collect_set left in the plan (the non-integral-id fallback)
+    // must sit downstream of the df<=cap semi-join
+    all.collect { case a: BaseAggregateExec
+      if a.aggregateExpressions.exists(
+        _.aggregateFunction.prettyName == "collect_set") => a
+    }.foreach { a =>
       val semis = flatTree(a).collect {
         case j: BaseJoinExec if j.joinType == LeftSemi => j }
       assert(semis.nonEmpty,
         s"collect_set aggregation without an upstream df-cap " +
           s"semi-join:\n$a")
     }
+  }
+
+  test("BoundedDistinctIds: exact sorted sets at or under cap, frozen " +
+      "(and filterable) past it; long-id postings equal the " +
+      "collect_set form") {
+    import graft.expressions.BoundedDistinctIds
+    // unit-level: freeze semantics
+    val agg = new BoundedDistinctIds(3)
+    val full = Seq(5L, 9L, 2L, 9L, 7L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(full.size == 4, "state frozen at cap+1")
+    assert(Seq(1L, 2L, 3L).foldLeft(agg.zero)(agg.reduce) ==
+      Seq(1L, 2L, 3L))
+    assert(agg.merge(Seq(1L, 3L), Seq(2L, 3L)) == Seq(1L, 2L, 3L))
+    assert(agg.merge(full, Seq(1L)) == full, "overflow is terminal")
+    // frame-level, LONG ids (the oracle tables' type): udaf postings
+    // == sort_array(collect_set) + size filter
+    val d = spark.range(0, 40).selectExpr("id AS doc",
+      "CAST(id % 7 AS STRING) AS shingle")
+    val got = d.groupBy("shingle")
+      .agg(BoundedDistinctIds.boundedDistinctIds(5)(col("doc"))
+        .as("ids"))
+      .where(size(col("ids")) <= 5)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val want = d.groupBy("shingle")
+      .agg(sort_array(collect_set(col("doc"))).as("ids"))
+      .where(size(col("ids")) <= 5)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.forall(ids =>
+      ids == ids.sorted && ids.distinct == ids))
   }
 
   test("DF-capped ngramJaccardPairs emits byte-identical pairs AND " +
