@@ -851,6 +851,37 @@ object SparkEntry {
     Similarity.recallAudit(routed, exact).orderBy("query_id")
   }
 
+  /** Distributed BPE merge-table training
+    * ([[TextAnalysis.bpeTrainMerges]]): 8 byte-pair merges induced
+    * from the documents corpus — per iteration one vocabulary-sized
+    * pair-count aggregation, one argmax row to the driver, one pure
+    * merge expression. The tokenizer-build artifact (step, lhs, rhs,
+    * merged, pair_count).
+    */
+  private def bpeMergesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrainMerges(docs(s, dir), "text", merges = 8)
+      .select(col("step"), col("lhs"), col("rhs"), col("merged"),
+        col("pair_count"))
+      .orderBy("step")
+
+  /** ANN hard-negative mining ([[Similarity.hardNegatives]]): per
+    * audit query, the 5 most-similar WRONG-label vectors via the q29
+    * IVF routing — the contrastive-training negative sampler (random
+    * negatives are trivially separable; the confusable wrong-label
+    * neighbors carry the gradient). Label filter prunes inside the
+    * probed buckets, before ranking.
+    */
+  private def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    Similarity.hardNegatives(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", k = 5, cents, nprobe = 3)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Fused corpus-prep quality pass
     * ([[TextAnalysis.qualityPass]]): collapse-repeats cleanup,
     * Gopher-style repetition signals, and the self-trained unigram-LM
@@ -2775,6 +2806,40 @@ object SparkEntry {
          FROM ${p}c, LATERAL (SELECT unnest(
            generate_series(1, len(ss))) AS i) t)"""
 
+  /** One BPE training iteration over the space-delimited symbol
+    * strings in CTE s{i-1}: pair counts → deterministic argmax →
+    * greedy left-to-right merge. The merge is TWO replace passes: a
+    * single replace-all consumes the shared boundary space of
+    * textually-adjacent occurrences and skips every second one; the
+    * skipped occurrences are never adjacent to each other (their
+    * neighbors were replaced, restoring delimiters), so the second
+    * pass completes exactly the greedy non-overlapping set the
+    * engine's fold computes.
+    */
+  private def oracleBpeStep(i: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // this chain references each step several times — inlining
+    // re-expands the whole prefix per reference (exponential plan,
+    // "too many open files" on the base scan). The 1-row argmax
+    // cross-joins in (no repeated scalar subqueries), which also
+    // makes an exhausted step (empty t) empty out the rest — matching
+    // the engine's early stop.
+    val prev = s"s${i - 1}"
+    val pat = s"' ' || mt.lhs || ' ' || mt.rhs || ' '"
+    val rep = s"' ' || mt.lhs || mt.rhs || ' '"
+    s"""p$i AS MATERIALIZED (
+         SELECT ws[j] AS lhs, ws[j + 1] AS rhs, sum(freq) AS cnt FROM (
+           SELECT freq, string_split(trim(s), ' ') AS ws FROM $prev),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS j)
+             t
+         GROUP BY 1, 2),
+       t$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
+               ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+       s$i AS MATERIALIZED (SELECT freq,
+           replace(replace(s, $pat, $rep), $pat, $rep) AS s
+         FROM $prev, t$i mt)"""
+  }
+
   private def oracleCos(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / nullif(" +
       s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0), 4)"
@@ -2943,6 +3008,8 @@ object SparkEntry {
     "q138_ann_recall_audit_sampled" -> (annRecallAuditSampledQ _),
     "q139_index_lifecycle" -> (indexLifecycleQ _),
     "q140_fused_quality_pass" -> (fusedQualityPassQ _),
+    "q141_hard_negatives" -> (hardNegativesQ _),
+    "q142_bpe_merges" -> (bpeMergesQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4869,6 +4936,62 @@ object SparkEntry {
          FROM k LEFT JOIN sig ON sig.doc_id = k.doc_id
          LEFT JOIN sc ON sc.doc_id = k.doc_id
          ORDER BY k.doc_id""",
+    // 8 unrolled BPE iterations over the distinct-word frequency
+    // table; each step: pair count → argmax → two-pass greedy replace
+    "q142_bpe_merges" ->
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         s0 AS MATERIALIZED (SELECT freq,
+             ' ' || array_to_string(list_transform(
+               generate_series(1, length(w)),
+               i -> substring(w, i, 1)), ' ') || ' ' AS s
+           FROM w0),
+         ${(1 to 8).map(oracleBpeStep).mkString(",\n")}
+         SELECT step, lhs, rhs, lhs || rhs AS merged,
+           CAST(cnt AS BIGINT) AS pair_count
+         FROM (${(1 to 8).map(i =>
+            s"SELECT CAST($i AS INT) AS step, lhs, rhs, cnt FROM t$i")
+            .mkString("\n           UNION ALL ")})
+         ORDER BY step""",
+    // q117's routing with the wrong-label filter inside the probed
+    // buckets, before ranking
+    "q141_hard_negatives" ->
+      s"""WITH e AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, label, v, cid FROM (
+             SELECT e.vec_id, e.label, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM e
+               WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, ql, qv, cid FROM (
+             SELECT q.qid, q.ql, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC)
+               AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 3),
+         vs AS (
+           SELECT qid, ql, a.vec_id AS nid, a.label AS nl,
+             ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.qid AND a.label <> p.ql),
+         r AS (
+           SELECT qid, ql, nid, nl, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT)
+             AS rank
+           FROM vs)
+         SELECT qid AS query_id, ql AS query_label,
+           nid AS neighbor_id, nl AS neighbor_label, sim, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "q65_repetition_signals" ->
       s"""WITH bg AS (
            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (

@@ -86,6 +86,89 @@ object Similarity {
     * sorted but k-element buffers. Output schema and ordering are
     * identical to the window/`row_number` form (score DESC, id ASC).
     */
+  /** ANN hard-negative mining for contrastive training: per query
+    * vector, the k most-similar corpus vectors with a DIFFERENT
+    * label — the wrong-class-but-embedding-confusable negatives that
+    * metric-learning recipes sample instead of random ones (random
+    * negatives are trivially separable and contribute ~zero
+    * gradient). IVF-routed: each query probes its `nprobe` nearest
+    * coarse buckets and scores ONLY the wrong-label members there —
+    * scored rows ≈ nprobe/nlist of the corpus per query, the same
+    * bucket economics as [[ivfTopKWithCentroids]], and the label
+    * filter prunes BEFORE ranking (a same-label bucket member never
+    * reaches the window). Null-label rows pair with nothing (either
+    * side): an unlabeled row can neither need negatives nor serve as
+    * one. Self-match is excluded independently of the label test.
+    * [[hardNegativesBruteForce]] is the exact reference —
+    * nprobe = nlist reproduces it over identical candidates
+    * (spec-pinned). Output: (query_id, query_label, neighbor_id,
+    * neighbor_label, sim, rank).
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, cents: DataFrame, nprobe: Int,
+      roundTo: Int = 4): DataFrame = {
+    val assigned = assignWithNorm(corpus, cents, idCol, vecCol,
+      roundTo, extraCols = Seq(labelCol))
+    val centsN = broadcast(cents.select(col("centroid_id"),
+      col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val probes = q.crossJoin(centsN)
+      .select(col("query_id"), col("query_label"), col("__qv"),
+        col("__qn"), col("centroid_id"),
+        round(cosFromNorms(col("__qv"), col("centroid_vec"),
+          col("__qn"), col("__cn")), roundTo).as("csim"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probed = probes.withColumn("__r", row_number().over(pw))
+      .where(col("__r") <= nprobe)
+      .select("query_id", "query_label", "__qv", "__qn", "centroid_id")
+    val bucketed = assigned.select(col("centroid_id"),
+      col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+      col(vecCol).as("__cv"), col("__vn").as("__cn"))
+    val sims = broadcast(probed).join(bucketed, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        round(cosFromNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")), roundTo).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Exact reference for [[hardNegatives]]: brute-force cosine over
+    * every wrong-label corpus row. O(|queries|·|corpus|) — audit and
+    * spec use only.
+    */
+  def hardNegativesBruteForce(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, roundTo: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val sims = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        round(cosFromNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")), roundTo).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   private def rankTopK(
       sims: DataFrame, k: Int,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
@@ -183,20 +266,22 @@ object Similarity {
     */
   private def assignWithNorm(
       corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, roundTo: Int): DataFrame = {
+      idCol: String, vecCol: String, roundTo: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val cents = broadcast(centroids.select(col("centroid_id"),
       col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
+    val carry = (Seq(idCol, vecCol) ++ extraCols).map(col)
     val scored = corpus
-      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
+      .select(carry :+ norm(col(vecCol)).as("__vn"): _*)
       .crossJoin(cents)
-      .select(col(idCol), col(vecCol), col("__vn"), col("centroid_id"),
+      .select(carry ++ Seq(col("__vn"), col("centroid_id"),
         round(cosFromNorms(col(vecCol), col("centroid_vec"),
-          col("__vn"), col("__cn")), roundTo).as("csim"))
+          col("__vn"), col("__cn")), roundTo).as("csim")): _*)
     val w = Window.partitionBy(idCol)
       .orderBy(col("csim").desc, col("centroid_id").asc)
     scored.withColumn("__r", row_number().over(w))
       .where(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("__vn"), col("centroid_id"))
+      .select(carry ++ Seq(col("__vn"), col("centroid_id")): _*)
   }
 
   /** Deterministic centroid refinement — k-MEDIANS, not k-means, on

@@ -642,6 +642,78 @@ object TextAnalysis {
       .join(scored, Seq(idCol), "left")
   }
 
+  /** Distributed BPE vocabulary induction — the merge-table trainer a
+    * tokenizer pipeline runs over its corpus (Sennrich et al.'s
+    * byte-pair encoding, word-internal): start from characters, then
+    * `merges` times (1) count adjacent symbol pairs corpus-wide,
+    * frequency-weighted, (2) pick the most frequent pair (count DESC,
+    * then lexicographic (lhs, rhs) — a deterministic total order),
+    * (3) greedily merge its non-overlapping left-to-right occurrences
+    * inside every word. Output: the merge table
+    * (step, lhs, rhs, merged, pair_count) — the artifact a tokenizer
+    * ships; `tokenCountBpeish` stays the cheap per-doc counter.
+    *
+    * Scale shape: training runs over the DISTINCT-word frequency
+    * table (vocabulary-sized, not corpus-sized — the classic BPE
+    * formulation), so per-iteration work is one map-side-combined
+    * pair-count aggregation over the vocabulary plus a pure per-row
+    * merge expression (an `aggregate` fold over the symbol array —
+    * greedy left-to-right, no shuffle). The only driver transfer is
+    * ONE row per iteration (the argmax pair via orderBy.limit(1) —
+    * TakeOrdered, never a full sort); `localCheckpoint` after each
+    * merge keeps the loop's lineage flat. `merges` is a small
+    * constant (a real tokenizer build runs tens of thousands of
+    * merges — same loop, same per-iteration cost).
+    */
+  def bpeTrainMerges(
+      df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, "merges must be positive")
+    val spark = df.sparkSession
+    val pairsOf = (syms: Column) =>
+      when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))
+        .otherwise(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("l"), b.as("r"))))
+    def mergeSyms(syms: Column, l: String, r: String): Column =
+      aggregate(syms, array().cast("array<string>"), (acc, x) =>
+        when(element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+    var cur = df
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = cur
+        .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((step, l, r, l + r, c))
+        val next = cur
+          .select(col("freq"), mergeSyms(col("syms"), l, r).as("syms"))
+          .localCheckpoint(true)
+        cur.unpersist()
+        cur = next
+        step += 1
+      }
+    }
+    cur.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Remove duplicated lines WITHIN each document, keeping the first
     * occurrence in order — the MassiveText/Gopher intra-document
     * repetition filter (repeated nav bars, footers, chorus lines) at

@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** [[TextAnalysis.bpeTrainMerges]] — distributed BPE merge-table
+  * induction (frequency-weighted pair counts, deterministic argmax,
+  * greedy left-to-right merge).
+  */
+class BpeSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("text", StringType)))
+
+  private def corpus(texts: String*) =
+    df(schema, texts.zipWithIndex.map { case (t, i) => Row(i, t) })
+
+  private def merges(d: org.apache.spark.sql.DataFrame, k: Int) =
+    TextAnalysis.bpeTrainMerges(d, "text", k)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+
+  test("closed-form merge sequence with frequency weighting and the " +
+      "count-then-lexicographic tie-break") {
+    // 'aaab' appears 3 times: (a,a) counts 2 per occurrence = 6;
+    // (a,b) = 3. After merging (a,a): [aa, a, b] → (aa,a)=3 ties
+    // (a,b)=3 → lhs 'a' < 'aa' picks (a,b) → [aa, ab] → (aa,ab)=3.
+    val got = merges(corpus("aaab aaab", "aaab"), 3)
+    assert(got.toSeq == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("greedy left-to-right, non-overlapping: 'aaaa' merges to " +
+      "[aa][aa], then to one token") {
+    val got = merges(corpus("aaaa"), 2)
+    assert(got.toSeq == Seq(
+      (1, "a", "a", "aa", 3L),   // 3 adjacent (a,a) pairs counted
+      (2, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("training stops early when no pairs remain (single-char " +
+      "vocabulary)") {
+    val got = merges(corpus("a b", "b a"), 5)
+    // only pair ever: none within 1-char words → zero merge rows
+    assert(got.isEmpty)
+  }
+
+  test("merge table on the real documents is deterministic across " +
+      "runs and strictly count-nonincreasing per step prefix") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        org.apache.spark.sql.functions.col("text"))
+    val a = merges(d, 4)
+    val b = merges(d, 4)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 4)
+    assert(a.forall(_._5 > 0))
+    // merged symbol is always the concatenation, steps are 1..k
+    assert(a.forall(m => m._4 == m._2 + m._3))
+    assert(a.map(_._1).toSeq == Seq(1, 2, 3, 4))
+  }
+}
