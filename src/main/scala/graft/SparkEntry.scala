@@ -864,6 +864,21 @@ object SparkEntry {
         col("pair_count"))
       .orderBy("step")
 
+  /** BPE apply: train the q142 merge table, then segment every
+    * document with it ([[TextAnalysis.bpeTokenCounts]]) — the corpus
+    * token budget under the REAL trained tokenizer (train → apply,
+    * the full tokenizer-build loop). Pure per-row fold, zero shuffle
+    * beyond the training pass.
+    */
+  private def bpeTokenCountsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val m = TextAnalysis.bpeTrainMerges(d, "text", merges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeTokenCounts(d, "doc_id", "text", m)
+      .orderBy("doc_id")
+  }
+
   /** ANN hard-negative mining ([[Similarity.hardNegatives]]): per
     * audit query, the 5 most-similar WRONG-label vectors via the q29
     * IVF routing — the contrastive-training negative sampler (random
@@ -2835,7 +2850,7 @@ object SparkEntry {
          GROUP BY 1, 2),
        t$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
                ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
-       s$i AS MATERIALIZED (SELECT freq,
+       s$i AS MATERIALIZED (SELECT w, freq,
            replace(replace(s, $pat, $rep), $pat, $rep) AS s
          FROM $prev, t$i mt)"""
   }
@@ -3010,6 +3025,7 @@ object SparkEntry {
     "q140_fused_quality_pass" -> (fusedQualityPassQ _),
     "q141_hard_negatives" -> (hardNegativesQ _),
     "q142_bpe_merges" -> (bpeMergesQ _),
+    "q143_bpe_token_counts" -> (bpeTokenCountsQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4943,7 +4959,7 @@ object SparkEntry {
            SELECT w, count(*) AS freq FROM (
              SELECT unnest($oracleWords) AS w FROM documents)
            GROUP BY w),
-         s0 AS MATERIALIZED (SELECT freq,
+         s0 AS MATERIALIZED (SELECT w, freq,
              ' ' || array_to_string(list_transform(
                generate_series(1, length(w)),
                i -> substring(w, i, 1)), ' ') || ' ' AS s
@@ -4955,6 +4971,30 @@ object SparkEntry {
             s"SELECT CAST($i AS INT) AS step, lhs, rhs, cnt FROM t$i")
             .mkString("\n           UNION ALL ")})
          ORDER BY step""",
+    // the q142 chain's final symbol strings per WORD, summed per doc
+    "q143_bpe_token_counts" ->
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         s0 AS MATERIALIZED (SELECT w, freq,
+             ' ' || array_to_string(list_transform(
+               generate_series(1, length(w)),
+               i -> substring(w, i, 1)), ' ') || ' ' AS s
+           FROM w0),
+         ${(1 to 8).map(oracleBpeStep).mkString(",\n")},
+         wc AS (SELECT w, len(string_split(trim(s), ' ')) AS n
+                FROM s8),
+         dw AS (SELECT doc_id, unnest($oracleWords) AS w
+                FROM documents),
+         agg AS (
+           SELECT doc_id, count(*) AS nw, sum(n) AS nt
+           FROM dw JOIN wc USING (w) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(agg.nw, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_tokens_bpe
+         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     // q117's routing with the wrong-label filter inside the probed
     // buckets, before ranking
     "q141_hard_negatives" ->

@@ -665,6 +665,16 @@ object TextAnalysis {
     * constant (a real tokenizer build runs tens of thousands of
     * merges — same loop, same per-iteration cost).
     */
+  /** One greedy left-to-right BPE merge over a symbol array: adjacent
+    * (l, r) becomes l+r, non-overlapping, earliest first — a pure
+    * `aggregate` fold, no shuffle.
+    */
+  private def mergeSyms(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
   def bpeTrainMerges(
       df: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1, "merges must be positive")
@@ -675,11 +685,6 @@ object TextAnalysis {
           slice(syms, lit(1), size(syms) - 1),
           slice(syms, lit(2), size(syms) - 1),
           (a, b) => struct(a.as("l"), b.as("r"))))
-    def mergeSyms(syms: Column, l: String, r: String): Column =
-      aggregate(syms, array().cast("array<string>"), (acc, x) =>
-        when(element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x))))
     var cur = df
       .select(explode(words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -712,6 +717,34 @@ object TextAnalysis {
     cur.unpersist()
     import spark.implicits._
     out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply a trained BPE merge table ([[bpeTrainMerges]]'s (lhs, rhs)
+    * rows, IN STEP ORDER) and count the resulting tokens per
+    * document — the corpus-budgeting pass run with the REAL tokenizer
+    * rather than the `tokenCountBpeish` approximation. Pure per-row
+    * expressions: each word's char sequence folds through the merge
+    * list (greedy left-to-right per merge, the standard apply order);
+    * zero shuffle, embarrassingly parallel. Documents with no tokens
+    * survive with zeros. Output: (id, n_words, n_tokens_bpe).
+    *
+    * The merge list is expression-composed, so it suits the
+    * bounded-merge audits this engine runs (tens of merges); a full
+    * production vocabulary (tens of thousands of merges) would
+    * broadcast the rank table and apply it in one `mapPartitions`
+    * pass instead — same semantics, documented trade.
+    */
+  def bpeTokenCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ws = words(coalesce(col(textCol), lit("")))
+    val perWord = transform(ws, w =>
+      size(merges.foldLeft(split(w, ""): Column) {
+        case (c, (l, r)) => mergeSyms(c, l, r)
+      }))
+    df.select(col(idCol), size(ws).cast("long").as("n_words"),
+      coalesce(aggregate(perWord, lit(0L), (acc, x) => acc + x), lit(0L))
+        .as("n_tokens_bpe"))
   }
 
   /** Remove duplicated lines WITHIN each document, keeping the first

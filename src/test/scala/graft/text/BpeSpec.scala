@@ -65,4 +65,26 @@ class BpeSpec extends SparkSpec {
     assert(a.forall(m => m._4 == m._2 + m._3))
     assert(a.map(_._1).toSeq == Seq(1, 2, 3, 4))
   }
+
+  test("bpeTokenCounts applies the merge table in step order: each " +
+      "merge shrinks counts by its occurrence count, zero-token docs " +
+      "survive with zeros") {
+    val d = corpus("aaab aaab", "aaab", "", "zz")
+    // merges from the closed-form test: (a,a), (a,b), (aa,ab).
+    // 'aaab' = 4 chars → [aa,a,b] → [aa,ab] → [aaab]: 1 token.
+    // 'zz' → 2 chars, no merge applies → 2 tokens.
+    val m = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val got = TextAnalysis.bpeTokenCounts(d, "id", "text", m)
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0, 2L, 2L),  // two 'aaab' words → 1 token each
+      (1, 1L, 1L),
+      (2, 0L, 0L),  // empty doc
+      (3, 1L, 2L))) // 'zz' untouched by the merges
+    // no merges at all = plain char counts
+    val none = TextAnalysis.bpeTokenCounts(d, "id", "text", Nil)
+      .orderBy("id").collect().map(_.getLong(2))
+    assert(none.toSeq == Seq(8L, 4L, 0L, 2L))
+  }
 }
