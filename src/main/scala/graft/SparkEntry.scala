@@ -974,10 +974,16 @@ object SparkEntry {
     val audit = Similarity.recallAudit(approx, exact)
     val qc = s.table("graft_q139_vec_idx")
       .select(col("vec_id").as("query_id"), col("centroid_id"))
+    // avg_recall deliberately UNROUNDED: per-query recalls are exact
+    // small-denominator rationals rounded to 4 decimals, so their
+    // mean frequently lands on an exact decimal half and round(.,4)
+    // diverges between engines (Spark rounds the shortest decimal
+    // string, others the binary value); the driver compare's 9-decimal
+    // canonicalization absorbs ulp-level summation-order noise
     val perC = audit.join(qc, Seq("query_id"))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_audit"),
-        round(avg(col("recall")), 4).as("avg_recall"))
+        avg(col("recall")).as("avg_recall"))
     drift.join(perC, Seq("centroid_id"), "left_outer")
       .select(col("centroid_id"), col("n"), col("mean_sim"),
         col("recenter_advised"),
@@ -4901,7 +4907,7 @@ object SparkEntry {
            GROUP BY br.qid),
          pa AS (
            SELECT ca.ccid, CAST(count(*) AS BIGINT) AS n_audit,
-             round(avg(recall), 4) AS avg_recall
+             avg(recall) AS avg_recall
            FROM rec JOIN cassign ca ON ca.vec_id = rec.qid
            GROUP BY ca.ccid)
          SELECT d.ccid AS centroid_id, CAST(d.n AS BIGINT) AS n,
