@@ -864,6 +864,35 @@ object SparkEntry {
         col("pair_count"))
       .orderBy("step")
 
+  /** Semantic decontamination report
+    * ([[Similarity.srpNearDupMatches]]): every fifth embedding plays
+    * a benchmark/eval item re-encoded with drift (q127's perturbation
+    * — slight for every tenth id, heavy otherwise); the report lists
+    * each eval item's verified semantic matches in the training
+    * corpus — (eval_id, corpus_id, hamming, cos) — the embedding
+    * sibling of q64's n-gram contamination check, catching leaked
+    * items that shingle overlap misses after paraphrase/re-encoding.
+    * Probe cost: the eval set sketches only itself against the
+    * standing corpus SRP index; corpus vectors load candidate-sized.
+    */
+  private def semanticDecontamination(
+      s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val evalSet = corpus.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), transform(col("v"),
+        (x, d) => x +
+          when(col("vec_id") % 10 === 0, lit(0.01)).otherwise(lit(0.3)) *
+          ((col("vec_id") * 7 + d) % 5 - lit(2)).cast("double")).as("v"))
+    val index = Similarity.buildSrpIndex(corpus, "vec_id", "v", dim = 64)
+    Similarity.srpNearDupMatches(index, corpus, evalSet,
+        "vec_id", "v", dim = 64, maxDist = 3, minCos = 0.98)
+      .select(col("batch_id").as("eval_id"), col("corpus_id"),
+        col("hamming").cast("int").as("hamming"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("eval_id", "corpus_id")
+  }
+
   /** BPE apply: train the q142 merge table, then segment every
     * document with it ([[TextAnalysis.bpeTokenCounts]]) — the corpus
     * token budget under the REAL trained tokenizer (train → apply,
@@ -3032,6 +3061,7 @@ object SparkEntry {
     "q141_hard_negatives" -> (hardNegativesQ _),
     "q142_bpe_merges" -> (bpeMergesQ _),
     "q143_bpe_token_counts" -> (bpeTokenCountsQ _),
+    "q144_semantic_decontamination" -> (semanticDecontamination _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4461,6 +4491,31 @@ object SparkEntry {
          SELECT vec_id FROM b
          WHERE vec_id NOT IN (SELECT vec_id FROM matched)
          ORDER BY vec_id""",
+    // q127's construction, but the output is the contamination REPORT
+    // (matched pairs + distance/similarity), not the survivors
+    "q144_semantic_decontamination" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, list_transform(range(len(v)), d ->
+             v[d+1] + (CASE WHEN vec_id % 10 = 0 THEN 0.01 ELSE 0.3 END)
+               * CAST((vec_id*7 + d) % 5 - 2 AS DOUBLE)) AS v
+           FROM e WHERE vec_id % 5 = 0),
+         allv AS (
+           SELECT vec_id AS id, v FROM e
+           UNION ALL SELECT vec_id + 1000000 AS id, v FROM b),
+         $oracleSrpCtes
+         SELECT z.id - 1000000 AS eval_id, a.id AS corpus_id,
+           CAST(bit_count(xor(a.hi, z.hi))
+             + bit_count(xor(a.lo, z.lo)) AS INT) AS hamming,
+           round(${oracleCosRaw("e.v", "b2.v")}, 4) AS cos
+         FROM hs a JOIN hs z ON a.id < 1000000 AND z.id >= 1000000
+         JOIN e ON e.vec_id = a.id
+         JOIN b b2 ON b2.vec_id = z.id - 1000000
+         WHERE bit_count(xor(a.hi, z.hi))
+             + bit_count(xor(a.lo, z.lo)) <= 3
+           AND ${oracleCosRaw("e.v", "b2.v")} >= 0.98
+         ORDER BY eval_id, corpus_id""",
     // the q31 LSH/CC construction, but survivorship = argmax quality
     // (min id on ties) per component; singletons keep themselves
     "q128_keepbest_near_dedup" ->
