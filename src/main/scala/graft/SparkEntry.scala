@@ -864,6 +864,17 @@ object SparkEntry {
         col("pair_count"))
       .orderBy("step")
 
+  /** Bigram-LM quality ([[TextAnalysis.bigramLmScoreSelf]]): the
+    * word-ORDER typicality signal above q124's unigram score —
+    * Jelinek-Mercer λ=0.75 (dyadic: λ and 1−λ are exact binary
+    * doubles, so the oracle's literals are bit-identical weights).
+    */
+  private def bigramLmQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScoreSelf(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("bigram_lm_score"), 4).as("bigram_lm_score"))
+      .orderBy("doc_id")
+
   /** Semantic decontamination report
     * ([[Similarity.srpNearDupMatches]]): every fifth embedding plays
     * a benchmark/eval item re-encoded with drift (q127's perturbation
@@ -3062,6 +3073,7 @@ object SparkEntry {
     "q142_bpe_merges" -> (bpeMergesQ _),
     "q143_bpe_token_counts" -> (bpeTokenCountsQ _),
     "q144_semantic_decontamination" -> (semanticDecontamination _),
+    "q145_bigram_lm_quality" -> (bigramLmQuality _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4491,6 +4503,39 @@ object SparkEntry {
          SELECT vec_id FROM b
          WHERE vec_id NOT IN (SELECT vec_id FROM matched)
          ORDER BY vec_id""",
+    // q124's unigram CTEs + bigram/left-context models; λ=0.75 and
+    // 0.25 are exact binary doubles (the dyadic-weight argument)
+    "q145_bigram_lm_quality" ->
+      s"""WITH t AS (
+           SELECT doc_id, unnest($oracleWords) AS w FROM documents),
+         cnt AS (SELECT w, count(*) AS n FROM t GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                   CAST(count(*) AS DOUBLE) AS vv FROM cnt),
+         pu AS (SELECT w, (n + 0.5) / (nn + 0.5 * (vv + 1)) AS p
+                FROM cnt, tot),
+         bgx AS (
+           SELECT doc_id, ws[i] AS l, ws[i+1] AS r FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t2),
+         dbg AS (SELECT doc_id, l, r, count(*) AS c
+                 FROM bgx GROUP BY 1, 2, 3),
+         bc AS (SELECT l, r, sum(c) AS n FROM dbg GROUP BY 1, 2),
+         lc AS (SELECT l, sum(n) AS nl FROM bc GROUP BY 1),
+         sc AS (
+           SELECT doc_id, sum(c) AS nb,
+             sum(c * ln(0.75 * (bc.n / CAST(lc.nl AS DOUBLE))
+               + 0.25 * pu.p)) / sum(c) AS s
+           FROM dbg
+           JOIN bc USING (l, r)
+           JOIN lc USING (l)
+           JOIN pu ON pu.w = dbg.r
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+           round(s, 4) AS bigram_lm_score
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     // q127's construction, but the output is the contamination REPORT
     // (matched pairs + distance/similarity), not the survivors
     "q144_semantic_decontamination" ->

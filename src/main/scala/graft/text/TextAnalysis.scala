@@ -498,6 +498,69 @@ object TextAnalysis {
         col("lm_score"))
   }
 
+  /** Self-trained BIGRAM language-model scoring with Jelinek-Mercer
+    * interpolation — the next distributional-typicality signal above
+    * [[unigramLmScoreSelf]]: word-salad documents with a typical
+    * unigram mix but implausible word ORDER score low, because
+    *   P(w₂ | w₁) = λ · c(w₁w₂)/c(w₁·) + (1 − λ) · P_uni(w₂)
+    * and the ML bigram term collapses for never-adjacent pairs.
+    * Per document: (n_bigrams, mean over bigram positions of
+    * ln P(w₂ | w₁)). Docs under 2 tokens carry null score, never
+    * dropped. P_uni is the [[unigramLm]] Lidstone form.
+    *
+    * λ defaults to 0.75 — DYADIC on purpose: λ and 1 − λ are then
+    * both exact binary doubles, so any engine writing the literals
+    * computes bit-identical interpolation weights (1 − 0.7 is NOT
+    * 0.3 in binary; the q131 EWMA argument).
+    *
+    * Scale shape mirrors [[unigramLmScore]]: per-doc (doc, bigram)
+    * counts pre-aggregate BEFORE the model joins (a hot bigram is
+    * one row per containing doc), the corpus bigram/left-context
+    * models re-aggregate from that same persisted frame (no second
+    * corpus scan of bigrams), and the weighted mean is one doc
+    * aggregation. All model probabilities are count ratios — no
+    * log-sum-exp, no order-dependent products.
+    */
+  def bigramLmScoreSelf(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75, alpha: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
+    require(alpha > 0, "alpha must be positive")
+    val bg = df
+      .select(col(idCol), explode(bigrams(col(textCol))).as("__bg"))
+      .groupBy(col(idCol), col("__bg"))
+      .agg(count(lit(1)).as("__c"))
+      .transform(graft.core.CacheScope.disk)
+    val bc = bg.groupBy("__bg").agg(sum("__c").as("__n"))
+      .withColumn("__l", substring_index(col("__bg"), " ", 1))
+      .transform(graft.core.CacheScope.disk)
+    val lc = bc.groupBy("__l").agg(sum("__n").as("__nl"))
+    val wcnt = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__cw"))
+    val totals = wcnt.agg(sum("__cw").as("__N"), count(lit(1)).as("__V"))
+    val puni = wcnt.crossJoin(broadcast(totals))
+      .select(col("w").as("__r"),
+        ((col("__cw") + lit(alpha)) /
+          (col("__N") + lit(alpha) * (col("__V") + 1))).as("__pu"))
+    val scored = bg
+      .join(bc.select("__bg", "__n", "__l"), Seq("__bg"))
+      .join(lc, Seq("__l"))
+      .withColumn("__r", substring_index(col("__bg"), " ", -1))
+      .join(puni, Seq("__r"))
+      .withColumn("__p",
+        lit(lambda) * (col("__n").cast("double") / col("__nl")) +
+          lit(1.0 - lambda) * col("__pu"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_bigrams"),
+        (sum(col("__c") * log(col("__p"))) / sum("__c"))
+          .as("bigram_lm_score"))
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_lm_score"))
+  }
+
   /** [[unigramLm]] + [[unigramLmScore]] on the same corpus — the
     * self-scoring form the quality-floor pipeline uses.
     */

@@ -145,4 +145,24 @@ object GraftProperties extends Properties("graft") {
         .map(r => (r.getInt(0), r.getInt(1))).toSet
       got == want
     }
+
+  property("BoundedDistinctIds under any fold split equals the exact " +
+      "distinct set when <= cap, and always freezes filterably past " +
+      "it") =
+    forAll(
+      Gen.listOf(Gen.choose(0L, 12L)),
+      Gen.choose(1, 6),
+      Gen.choose(0, 100)) { (xs, cap, seed) =>
+      val agg = new graft.expressions.BoundedDistinctIds(cap)
+      // split the input at a pseudo-random point and merge the two
+      // independently-reduced partials — the map-side/final shape
+      val cut = if (xs.isEmpty) 0 else seed % (xs.size + 1)
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      val distinct = xs.distinct.sorted
+      if (distinct.size <= cap) merged == distinct
+      else merged.size > cap // frozen: the size filter drops it
+    }
 }

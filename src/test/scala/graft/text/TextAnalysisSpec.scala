@@ -332,4 +332,39 @@ class TextAnalysisSpec extends SparkSpec {
       s"typical ${out(22)} should beat rare ${out(21)}")
     assert(out(1) == out(22), "identical docs score identically")
   }
+
+  test("bigramLmScoreSelf: closed-form Jelinek-Mercer interpolation " +
+      "on a tiny corpus; short docs carry null score") {
+    // corpus: "a b a b" ×1 → bigrams (a,b)×2, (b,a)×1; words a×2 b×2
+    val d = idTextDf((1, "a b a b"), (2, "x"))
+    val out = TextAnalysis.bigramLmScoreSelf(d, "id", "text",
+        lambda = 0.75, alpha = 0.5)
+      .orderBy("id").collect()
+    // unigram: N=5, V=3, denom = 5 + 0.5*4 = 7
+    val puB = 2.5 / 7.0; val puA = 2.5 / 7.0
+    // bigram ML: (a,b): 2/2 (c(a·)=2); (b,a): 1/1 (c(b·)=1)
+    val pAB = 0.75 * 1.0 + 0.25 * puB
+    val pBA = 0.75 * 1.0 + 0.25 * puA
+    val want = (2 * math.log(pAB) + 1 * math.log(pBA)) / 3
+    assert(out(0).getLong(1) == 3L)
+    assert(math.abs(out(0).getDouble(2) - want) < 1e-12)
+    assert(out(1).getLong(1) == 0L && out(1).isNullAt(2))
+  }
+
+  test("bigramLmScoreSelf penalizes word-salad: a shuffled doc with " +
+      "the SAME unigram mix scores below the typical word order") {
+    val typical = "the data engine runs the data engine well"
+    val salad = "engine the runs data well engine the data"
+    val rows = (1 to 20).map(i => (i, typical)) :+ (21, salad)
+    val out = TextAnalysis.bigramLmScoreSelf(
+      idTextDf(rows: _*), "id", "text")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out(1) > out(21),
+      s"typical ${out(1)} should beat salad ${out(21)}")
+    // the unigram model alone cannot separate them (same word counts)
+    val uni = TextAnalysis.unigramLmScoreSelf(
+      idTextDf(rows: _*), "id", "text")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(1) - uni(21)) < 1e-9)
+  }
 }
