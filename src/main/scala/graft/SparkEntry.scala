@@ -864,6 +864,41 @@ object SparkEntry {
         col("pair_count"))
       .orderBy("step")
 
+  /** Corpus cluster map: embedding-space clusters
+    * ([[Similarity.hashKCentroids]] + [[Similarity.assignToCentroids]])
+    * joined to document metadata — per cluster (n_docs, sum_tokens,
+    * n_langs, top_lang, top_lang_docs), the "what lives where in my
+    * corpus" datasheet a mixture designer reads before weighting
+    * sources. Cross-modal composition: clusters from the embeddings
+    * table, stats from documents, joined on the shared id. One
+    * broadcast centroid assignment + two map-side-combined
+    * aggregations; the top-lang window sorts per-cluster language
+    * counts (≤ #langs rows per cluster).
+    */
+  private def corpusClusterMap(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    val assigned = Similarity
+      .assignToCentroids(e, cents, "vec_id", "embedding")
+      .select(col("vec_id").as("doc_id"), col("centroid_id"))
+    val base = assigned
+      .join(docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt")),
+        Seq("doc_id"))
+      .transform(graft.core.CacheScope.disk)
+    val agg = base.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("sum_tokens"),
+        count_distinct(col("lang")).as("n_langs"))
+    val lw = Window.partitionBy("centroid_id")
+      .orderBy(col("__lc").desc, col("lang").asc)
+    val top = base.where(col("lang").isNotNull)
+      .groupBy("centroid_id", "lang").agg(count(lit(1)).as("__lc"))
+      .withColumn("__r", row_number().over(lw)).where(col("__r") === 1)
+      .select(col("centroid_id"), col("lang").as("top_lang"),
+        col("__lc").as("top_lang_docs"))
+    agg.join(top, Seq("centroid_id"), "left").orderBy("centroid_id")
+  }
+
   /** Bigram-LM quality ([[TextAnalysis.bigramLmScoreSelf]]): the
     * word-ORDER typicality signal above q124's unigram score —
     * Jelinek-Mercer λ=0.75 (dyadic: λ and 1−λ are exact binary
@@ -3074,6 +3109,7 @@ object SparkEntry {
     "q143_bpe_token_counts" -> (bpeTokenCountsQ _),
     "q144_semantic_decontamination" -> (semanticDecontamination _),
     "q145_bigram_lm_quality" -> (bigramLmQuality _),
+    "q146_corpus_cluster_map" -> (corpusClusterMap _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4503,6 +4539,43 @@ object SparkEntry {
          SELECT vec_id FROM b
          WHERE vec_id NOT IN (SELECT vec_id FROM matched)
          ORDER BY vec_id""",
+    // embedding clusters (q117's cents/assign CTEs) joined to the
+    // documents table on the shared id
+    "q146_corpus_cluster_map" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC)
+               AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         base AS (
+           SELECT a.cid AS centroid_id, d.doc_id, d.lang,
+             len($oracleWords) AS nt
+           FROM assign a JOIN documents d ON d.doc_id = a.vec_id),
+         agg AS (
+           SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS sum_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+           FROM base GROUP BY 1),
+         lcnt AS (SELECT centroid_id, lang, count(*) AS c FROM base
+                  WHERE lang IS NOT NULL GROUP BY 1, 2),
+         top AS (
+           SELECT centroid_id, lang AS top_lang,
+             CAST(c AS BIGINT) AS top_lang_docs
+           FROM (SELECT *, row_number() OVER (
+               PARTITION BY centroid_id ORDER BY c DESC, lang ASC)
+               AS rn FROM lcnt)
+           WHERE rn = 1)
+         SELECT agg.centroid_id, n_docs, sum_tokens, n_langs,
+           top.top_lang, top.top_lang_docs
+         FROM agg LEFT JOIN top USING (centroid_id)
+         ORDER BY centroid_id""",
     // q124's unigram CTEs + bigram/left-context models; λ=0.75 and
     // 0.25 are exact binary doubles (the dyadic-weight argument)
     "q145_bigram_lm_quality" ->
