@@ -864,6 +864,17 @@ object SparkEntry {
         col("pair_count"))
       .orderBy("step")
 
+  /** Rare-token span detection ([[TextAnalysis.rareTokenSpans]]):
+    * per document the 16-token window densest in corpus-rare tokens
+    * (freq ≤ 2) — the garbage-span locator for base64 blobs and
+    * mojibake runs that whole-document scores dilute. Integer window
+    * counts keep the argmax bit-exact across engines.
+    */
+  private def rareTokenSpansQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rareTokenSpans(docs(s, dir), "doc_id", "text",
+        window = 16, maxFreq = 2)
+      .orderBy("doc_id")
+
   /** Corpus cluster map: embedding-space clusters
     * ([[Similarity.hashKCentroids]] + [[Similarity.assignToCentroids]])
     * joined to document metadata — per cluster (n_docs, sum_tokens,
@@ -3110,6 +3121,7 @@ object SparkEntry {
     "q144_semantic_decontamination" -> (semanticDecontamination _),
     "q145_bigram_lm_quality" -> (bigramLmQuality _),
     "q146_corpus_cluster_map" -> (corpusClusterMap _),
+    "q147_rare_token_spans" -> (rareTokenSpansQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4539,6 +4551,39 @@ object SparkEntry {
          SELECT vec_id FROM b
          WHERE vec_id NOT IN (SELECT vec_id FROM matched)
          ORDER BY vec_id""",
+    // integer rare-count sliding window (ROWS frame), argmax by
+    // (count DESC, start ASC); short docs keep their single span
+    "q147_rare_token_spans" ->
+      s"""WITH cnt AS (
+           SELECT w, count(*) AS cw FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         tok AS (
+           SELECT doc_id, i - 1 AS pos,
+             CASE WHEN cnt.cw <= 2 THEN 1 ELSE 0 END AS rare
+           FROM (SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+               t,
+             cnt
+           WHERE cnt.w = ws[i]),
+         sc AS (
+           SELECT doc_id, pos,
+             sum(rare) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS rw,
+             count(*) OVER (PARTITION BY doc_id) AS n
+           FROM tok),
+         keep AS (SELECT * FROM sc WHERE pos <= n - 16 OR pos = 0),
+         best AS (
+           SELECT doc_id, n, pos, rw FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY rw DESC, pos ASC) AS rn FROM keep)
+           WHERE rn = 1)
+         SELECT d.doc_id,
+           CAST(coalesce(best.n, 0) AS BIGINT) AS n_tokens,
+           CAST(best.pos AS INT) AS worst_start,
+           CAST(best.rw AS BIGINT) AS rare_in_window
+         FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     // embedding clusters (q117's cents/assign CTEs) joined to the
     // documents table on the shared id
     "q146_corpus_cluster_map" ->

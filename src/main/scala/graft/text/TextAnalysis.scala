@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -808,6 +809,62 @@ object TextAnalysis {
     df.select(col(idCol), size(ws).cast("long").as("n_words"),
       coalesce(aggregate(perWord, lit(0L), (acc, x) => acc + x), lit(0L))
         .as("n_tokens_bpe"))
+  }
+
+  /** Locate each document's WORST token span — the sliding window of
+    * `window` tokens containing the most RARE tokens (corpus
+    * frequency ≤ `maxFreq`): the garbage-span detector that finds the
+    * base64 blob, mojibake run, or pasted minified code inside an
+    * otherwise-clean document, where whole-document quality scores
+    * dilute the signal below any filter threshold. Documents shorter
+    * than the window score their single full span; zero-token
+    * documents survive with nulls. Output: (id, n_tokens,
+    * worst_start — 0-based, first on ties, rare_in_window).
+    *
+    * Determinism by construction: the window statistic is an INTEGER
+    * count (sum of 0/1 flags over a bounded ROWS frame), so engines
+    * agree bit-for-bit and the (count DESC, start ASC) tie-break is
+    * total — a float log-prob span score would tie on repeated
+    * boilerplate exactly where segment-tree vs sequential window
+    * summation diverge in the last ulp. Scale shape: corpus frequency
+    * is one map-side-combined count; tokens join it pre-aggregated
+    * per (doc, word) is unnecessary — the rare flag rides the
+    * exploded row; one key shuffle + one bounded-frame window sort
+    * per document; the argmax is a min-struct aggregate, no second
+    * window.
+    */
+  def rareTokenSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, maxFreq: Long): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val wcnt = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__cw"))
+    val toks = df.select(col(idCol),
+        posexplode(words(coalesce(col(textCol), lit(""))))
+          .as(Seq("pos", "w")))
+      .join(wcnt, Seq("w"))
+      .select(col(idCol), col("pos"),
+        when(col("__cw") <= maxFreq, lit(1L)).otherwise(lit(0L))
+          .as("__rare"))
+    val fr = Window.partitionBy(idCol).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val cw = Window.partitionBy(idCol)
+    val spans = toks
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("__rw", sum(col("__rare")).over(fr))
+      .where(col("pos") <= col("__n") - window || col("pos") === 0)
+    spans.groupBy(col(idCol))
+      .agg(max(col("__n")).as("n_tokens"),
+        min(struct((-col("__rw")).as("__neg"), col("pos").as("pos")))
+          .as("__b"))
+      .select(col(idCol), col("n_tokens"),
+        col("__b.pos").as("worst_start"),
+        (-col("__b.__neg")).as("rare_in_window"))
+      .transform(out => df.select(col(idCol)).distinct()
+        .join(out, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("worst_start"), col("rare_in_window")))
   }
 
   /** Remove duplicated lines WITHIN each document, keeping the first

@@ -333,6 +333,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == out(22), "identical docs score identically")
   }
 
+  test("rareTokenSpans pinpoints the garbage span: the window with " +
+      "the most corpus-rare tokens, first start on ties, short docs " +
+      "score one full span, empty docs survive with nulls") {
+    // 'common' appears 8x across docs; the junk tokens once each
+    val d = idTextDf(
+      (1, "common common common zq1 zq2 zq3 common common"),
+      (2, "common common common"),
+      (3, "zq9"),
+      (4, ""))
+    val out = TextAnalysis.rareTokenSpans(d, "id", "text",
+        window = 3, maxFreq = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // doc 1: window [3,4,5] = zq1 zq2 zq3 → 3 rare
+    assert(out(0) == ((1, 8L, Some(3), Some(3L))))
+    // doc 2: no rare tokens anywhere → count 0, first window wins ties
+    assert(out(1) == ((2, 3L, Some(0), Some(0L))))
+    // doc 3: shorter than the window → its single full span
+    assert(out(2) == ((3, 1L, Some(0), Some(1L))))
+    assert(out(3) == ((4, 0L, None, None)))
+  }
+
   test("bigramLmScoreSelf: closed-form Jelinek-Mercer interpolation " +
       "on a tiny corpus; short docs carry null score") {
     // corpus: "a b a b" ×1 → bigrams (a,b)×2, (b,a)×1; words a×2 b×2
