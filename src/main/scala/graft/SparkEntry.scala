@@ -864,6 +864,42 @@ object SparkEntry {
         col("pair_count"))
       .orderBy("step")
 
+  /** Mergeable corpus datasheet
+    * ([[TextAnalysis.datasheetShards]] / [[TextAnalysis
+    * .mergeDatasheets]]): shard datasheets built independently per
+    * ingest batch (doc_id % 4 plays the batch id) merge by sum +
+    * DataSketches-HLL union into the per-(source, lang) datasheet —
+    * the maintenance shape where stats update per append without
+    * rescanning history. The HLL vocabulary estimate is asserted
+    * in-query against the exact distinct count (q46's pattern:
+    * `vocab_within_5pct` must be 1 for every group or the oracle
+    * compare fails — the sketch is deterministic, so this is a
+    * stable assertion).
+    */
+  private def mergeableDatasheetQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merged = TextAnalysis.mergeDatasheets(
+      TextAnalysis.datasheetShards(d, "doc_id", "text",
+        Seq("source", "lang"), col("doc_id") % 4),
+      Seq("source", "lang"))
+    val exact = d.select(col("source").as("__s"), col("lang").as("__l"),
+        explode(TextAnalysis.words(coalesce(col("text"), lit(""))))
+          .as("w"))
+      .groupBy("__s", "__l")
+      .agg(count_distinct(col("w")).as("__ve"))
+    merged.join(exact,
+        col("source") <=> col("__s") && col("lang") <=> col("__l"),
+        "left")
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("sum_tokens"),
+        coalesce(col("__ve"), lit(0L)).as("vocab_exact"),
+        (abs(col("vocab_estimate") - coalesce(col("__ve"), lit(0L))) <=
+          coalesce(col("__ve"), lit(0L)).cast("double") * lit(0.05))
+          .cast("int").as("vocab_within_5pct"))
+      .orderBy("source", "lang")
+  }
+
   /** Rare-token span detection ([[TextAnalysis.rareTokenSpans]]):
     * per document the 16-token window densest in corpus-rare tokens
     * (freq ≤ 2) — the garbage-span locator for base64 blobs and
@@ -3122,6 +3158,7 @@ object SparkEntry {
     "q145_bigram_lm_quality" -> (bigramLmQuality _),
     "q146_corpus_cluster_map" -> (corpusClusterMap _),
     "q147_rare_token_spans" -> (rareTokenSpansQ _),
+    "q148_mergeable_datasheet" -> (mergeableDatasheetQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4551,6 +4588,30 @@ object SparkEntry {
          SELECT vec_id FROM b
          WHERE vec_id NOT IN (SELECT vec_id FROM matched)
          ORDER BY vec_id""",
+    // additive stats replayed exactly; the HLL estimate itself cannot
+    // replay in DuckDB, so the oracle pins the in-query tolerance
+    // flag at 1 (q46's pattern) — a drifting sketch fails the gate
+    "q148_mergeable_datasheet" ->
+      """WITH base AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(regexp_extract_all(
+               lower(coalesce(text, '')), '[a-z0-9]+'))) AS BIGINT)
+               AS sum_tokens
+           FROM documents GROUP BY 1, 2),
+         voc AS (
+           SELECT source, lang,
+             CAST(count(DISTINCT w) AS BIGINT) AS vocab_exact
+           FROM (SELECT source, lang, unnest(regexp_extract_all(
+               lower(coalesce(text, '')), '[a-z0-9]+')) AS w
+             FROM documents)
+           GROUP BY 1, 2)
+         SELECT b.source, b.lang, b.n_docs, b.sum_tokens,
+           CAST(coalesce(v.vocab_exact, 0) AS BIGINT) AS vocab_exact,
+           1 AS vocab_within_5pct
+         FROM base b LEFT JOIN voc v
+           ON v.source IS NOT DISTINCT FROM b.source
+           AND v.lang IS NOT DISTINCT FROM b.lang
+         ORDER BY b.source, b.lang""",
     // integer rare-count sliding window (ROWS frame), argmax by
     // (count DESC, start ASC); short docs keep their single span
     "q147_rare_token_spans" ->

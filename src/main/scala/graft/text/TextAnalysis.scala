@@ -706,6 +706,42 @@ object TextAnalysis {
       .join(scored, Seq(idCol), "left")
   }
 
+  /** Incrementally-maintainable corpus datasheet, shard side: per
+    * (group cols × shard) — n_docs, sum_tokens, and a MERGEABLE
+    * DataSketches-HLL sketch of the vocabulary. Shard datasheets are
+    * built independently (one per ingest batch) and combined by
+    * [[mergeDatasheets]] with sum + sketch-union — the 100 TB
+    * maintenance shape: the corpus datasheet updates per append
+    * without rescanning history, because every statistic is additive
+    * or a mergeable sketch (exact distinct counts are neither).
+    */
+  def datasheetShards(
+      df: DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String], shard: Column): DataFrame = {
+    val toks = df.select(
+      (groupCols.map(col) :+ shard.as("__shard")) ++
+        Seq(col(idCol), explode_outer(words(coalesce(col(textCol),
+          lit("")))).as("__w")): _*)
+    toks.groupBy((groupCols.map(col) :+ col("__shard")): _*)
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(col("__w")).as("sum_tokens"),
+        hll_sketch_agg(col("__w")).as("vocab_sketch"))
+  }
+
+  /** Merge shard datasheets ([[datasheetShards]]) to the per-group
+    * datasheet: counts add, vocabulary sketches union —
+    * order-independent and associative, so any merge tree (per-batch,
+    * per-region, per-day) lands on the same registers.
+    * Output: (group cols, n_docs, sum_tokens, vocab_estimate).
+    */
+  def mergeDatasheets(
+      shards: DataFrame, groupCols: Seq[String]): DataFrame =
+    shards.groupBy(groupCols.map(col): _*)
+      .agg(sum("n_docs").as("n_docs"),
+        sum("sum_tokens").as("sum_tokens"),
+        hll_sketch_estimate(hll_union_agg(col("vocab_sketch")))
+          .as("vocab_estimate"))
+
   /** Distributed BPE vocabulary induction — the merge-table trainer a
     * tokenizer pipeline runs over its corpus (Sennrich et al.'s
     * byte-pair encoding, word-internal): start from characters, then

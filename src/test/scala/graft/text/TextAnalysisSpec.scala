@@ -333,6 +333,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == out(22), "identical docs score identically")
   }
 
+  test("datasheetShards/mergeDatasheets: counts add across shards, " +
+      "the merged HLL vocabulary equals the one-shard build exactly " +
+      "(union of sketches is register-max), and small vocabularies " +
+      "estimate exactly") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("src", StringType),
+      StructField("text", StringType)))
+    val d = df(schema, Seq(
+      Row(1, "web", "alpha beta gamma"),
+      Row(2, "web", "alpha delta"),
+      Row(3, "web", null),
+      Row(4, "book", "epsilon epsilon zeta")))
+    def merged(shard: org.apache.spark.sql.Column) =
+      TextAnalysis.mergeDatasheets(
+        TextAnalysis.datasheetShards(d, "id", "text", Seq("src"), shard),
+        Seq("src"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val bySplit = merged(col("id") % 2)
+    val onePass = merged(org.apache.spark.sql.functions.lit(0))
+    assert(bySplit == onePass, "merge tree must not change the result")
+    // closed form: web = 3 docs (null text counts), 5 tokens, 4 vocab
+    assert(bySplit("web")._1 == 3L && bySplit("web")._2 == 5L)
+    assert(bySplit("web")._3 == 4L)
+    assert(bySplit("book") == ((1L, 3L, 2L)))
+  }
+
   test("rareTokenSpans pinpoints the garbage span: the window with " +
       "the most corpus-rare tokens, first start on ties, short docs " +
       "score one full span, empty docs survive with nulls") {
