@@ -537,6 +537,48 @@ object EventStreams {
     }
   }
 
+  /** Streaming corpus-datasheet maintenance: each micro-batch builds
+    * its OWN shard datasheet ([[graft.text.TextAnalysis
+    * .datasheetShards]] — additive counts + a mergeable
+    * DataSketches-HLL vocabulary sketch) and lands it under
+    * `batch_id=<id>` with OVERWRITE, so checkpoint replay rewrites
+    * the same shard instead of double-appending — exactly-once
+    * effect from at-least-once delivery without reading history. The
+    * live datasheet is ONE [[graft.text.TextAnalysis
+    * .mergeDatasheets]] over the store ([[liveDatasheet]]): per-batch
+    * work scales with the batch, datasheet reads scale with the
+    * number of batches × groups (compactable by rewriting merged
+    * shards under a reserved id — same merge algebra). The streaming
+    * shape of q148.
+    */
+  def datasheetMaintenanceSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String], storeDir: String, checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(docs, checkpointDir, outputMode = "append") {
+      (batch, id) =>
+        landDatasheetShard(batch, id, idCol, textCol, groupCols,
+          storeDir)
+    }
+
+  private[streaming] def landDatasheetShard(
+      batch: DataFrame, id: Long, idCol: String, textCol: String,
+      groupCols: Seq[String], storeDir: String): Unit =
+    graft.text.TextAnalysis
+      .datasheetShards(batch, idCol, textCol, groupCols, lit(id))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch_id=$id")
+
+  /** The merged live datasheet over a [[datasheetMaintenanceSink]]
+    * store. Partition discovery adds the `batch_id` column; the merge
+    * groups by `groupCols` only, so shards collapse.
+    */
+  def liveDatasheet(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, groupCols: Seq[String]): DataFrame =
+    graft.text.TextAnalysis
+      .mergeDatasheets(spark.read.parquet(storeDir), groupCols)
+
   /** Streaming SCD-2 dimension maintenance: lands each micro-batch of
     * keyed attribute observations into the versioned dimension at
     * `path` via [[graft.transform.StarSchemaBuilder

@@ -774,4 +774,46 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.read.parquet(corpus).count() == 6)
     } finally q2.stop()
   }
+
+  test("datasheetMaintenanceSink: per-batch shard datasheets merge to " +
+      "the batch-build over the union; checkpoint replay of a batch " +
+      "overwrites its shard instead of double-counting") {
+    import graft.text.TextAnalysis
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ds_store").toString + "/ds"
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.datasheetMaintenanceSink(
+      in.toDF().toDF("doc_id", "src", "text"), "doc_id", "text",
+      Seq("src"), store,
+      java.nio.file.Files.createTempDirectory("graft_ds_ckpt")
+        .toString)
+    val b1 = Seq((1L, "web", "alpha beta"), (2L, "web", "alpha"),
+      (3L, "book", "gamma"))
+    val b2 = Seq((4L, "web", "delta beta"), (5L, "book", "gamma gamma"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      def live = EventStreams.liveDatasheet(spark, store, Seq("src"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val want = TextAnalysis.mergeDatasheets(
+        TextAnalysis.datasheetShards(
+          (b1 ++ b2).toDF("doc_id", "src", "text"), "doc_id", "text",
+          Seq("src"), col("doc_id") % 3),
+        Seq("src"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val first = live
+      assert(first == want, s"$first vs $want")
+      assert(first("web") == ((3L, 5L, 3L))) // alpha beta delta
+      // replay batch 1 (at-least-once redelivery): the shard
+      // OVERWRITES, the live datasheet does not double-count
+      EventStreams.landDatasheetShard(
+        b1.toDF("doc_id", "src", "text"), 0L, "doc_id", "text",
+        Seq("src"), store)
+      assert(live == first)
+    } finally q.stop()
+  }
 }
