@@ -579,6 +579,28 @@ object EventStreams {
     graft.text.TextAnalysis
       .mergeDatasheets(spark.read.parquet(storeDir), groupCols)
 
+  /** Compact a [[datasheetMaintenanceSink]] store: all shards
+    * collapse to ONE (counts summed, sketches unioned —
+    * [[graft.text.TextAnalysis.compactDatasheetShards]]) written to
+    * `newStoreDir` as `batch_id=0`. Rewrite-to-new-store on purpose:
+    * in-place compaction has no safe ordering on a plain filesystem
+    * (compacted-then-delete double-counts on a crash between,
+    * delete-then-write loses data), so the caller flips a pointer to
+    * the new store once the write commits — the index-rebuild
+    * pattern. The live datasheet is identical before and after
+    * (spec-pinned: same merge algebra, same registers).
+    */
+  def compactDatasheetStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, newStoreDir: String,
+      groupCols: Seq[String]): Unit =
+    graft.text.TextAnalysis
+      .compactDatasheetShards(
+        spark.read.parquet(storeDir).drop("batch_id"), groupCols,
+        shardId = 0L)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$newStoreDir/batch_id=0")
+
   /** Streaming SCD-2 dimension maintenance: lands each micro-batch of
     * keyed attribute observations into the versioned dimension at
     * `path` via [[graft.transform.StarSchemaBuilder

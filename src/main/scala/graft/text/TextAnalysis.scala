@@ -742,6 +742,25 @@ object TextAnalysis {
         hll_sketch_estimate(hll_union_agg(col("vocab_sketch")))
           .as("vocab_estimate"))
 
+  /** Sketch-PRESERVING shard compaction: many shard rows per group
+    * collapse to one, counts summed and vocabulary sketches unioned —
+    * the output is again a valid [[datasheetShards]] frame (same
+    * schema, `__shard` = `shardId`), so compaction composes with
+    * further appends and merges under the same algebra.
+    * [[mergeDatasheets]] finalizes to an estimate; this keeps the
+    * sketch alive for future unions.
+    */
+  def compactDatasheetShards(
+      shards: DataFrame, groupCols: Seq[String],
+      shardId: Long): DataFrame =
+    shards.groupBy(groupCols.map(col): _*)
+      .agg(sum("n_docs").as("n_docs"),
+        sum("sum_tokens").as("sum_tokens"),
+        hll_union_agg(col("vocab_sketch")).as("vocab_sketch"))
+      .select(groupCols.map(col) ++ Seq(
+        lit(shardId).as("__shard"), col("n_docs"), col("sum_tokens"),
+        col("vocab_sketch")): _*)
+
   /** Distributed BPE vocabulary induction — the merge-table trainer a
     * tokenizer pipeline runs over its corpus (Sennrich et al.'s
     * byte-pair encoding, word-internal): start from characters, then

@@ -814,6 +814,19 @@ class EventStreamsSpec extends SparkSpec {
         b1.toDF("doc_id", "src", "text"), 0L, "doc_id", "text",
         Seq("src"), store)
       assert(live == first)
+      // compaction to a new store preserves the datasheet exactly
+      // (sketch union, not estimate) and collapses to one shard dir
+      val store2 = java.nio.file.Files
+        .createTempDirectory("graft_ds_store2").toString + "/ds"
+      EventStreams.compactDatasheetStore(spark, store, store2,
+        Seq("src"))
+      val compacted = EventStreams.liveDatasheet(spark, store2,
+          Seq("src"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(compacted == first)
+      assert(new java.io.File(store2).listFiles
+        .count(_.getName.startsWith("batch_id=")) == 1)
     } finally q.stop()
   }
 }
