@@ -644,14 +644,18 @@ object TextAnalysis {
     require(!df.columns.exists(reserved),
       s"input must not have columns named ${reserved.mkString(", ")}")
     val ws = words(coalesce(col(textCol), lit("")))
-    val kept = filter(ws, (x, i) =>
-      i < maxRun ||
-        exists(slice(ws, greatest(lit(1), i - maxRun + 1), lit(maxRun)),
-          y => y =!= x))
+    // cache ONLY the token arrays — everything else (sizes, the
+    // collapse, bigrams) recomputes from the cached column with cheap
+    // per-row expressions, keeping the cached footprint to one string
+    // array per document instead of three derived columns
     val base = df
-      .select(col(idCol), size(ws).as("__nw"), kept.as("__kept"),
-        ws.as("__ws"))
+      .select(col(idCol), ws.as("__ws"))
       .transform(graft.core.CacheScope.disk)
+    val wsB = col("__ws")
+    val kept = filter(wsB, (x, i) =>
+      i < maxRun ||
+        exists(slice(wsB, greatest(lit(1), i - maxRun + 1), lit(maxRun)),
+          y => y =!= x))
     // bigrams from the SAME token array ([[bigrams]] shape, minus the
     // second tokenization); docs under 2 tokens emit nothing
     val wsC = col("__ws")
@@ -698,6 +702,7 @@ object TextAnalysis {
       .agg((sum(col("__c") * coalesce(col("logp"), col("__unseen"))) /
         sum(col("__c"))).as("lm_score"))
     base
+      .select(col(idCol), size(wsB).as("__nw"), kept.as("__kept"))
       .select(col(idCol),
         array_join(col("__kept"), " ").as(textCol),
         size(col("__kept")).cast("long").as("n_tokens"),
