@@ -414,7 +414,18 @@ object Dedup {
         // the id), and the verify-phase distinct runs AFTER the
         // candidate semi-join, candidate-sized. Persisted: feeds all
         // three. At warehouse scale: a shingle table.
+        // shingles HASH to 64-bit longs right after the explode:
+        // every downstream consumer (df pre-count, posting lists,
+        // per-doc sizes, the exact-common verify) needs shingle
+        // EQUALITY only, never the text, and the emitted pairs carry
+        // ids and counts — so the cache and every exchange shrink
+        // from ~n-word strings to 8 bytes per occurrence. A 64-bit
+        // collision inflates a pair's common count only when two
+        // distinct shingles collide within the SAME document pair
+        // (~pairs·2⁻⁶⁴ — negligible at any corpus size that fits an
+        // exchange).
         val sh = TextAnalysis.explodeShinglesRaw(df, idCol, textCol, n)
+          .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
           .transform(graft.core.CacheScope.disk)
         val sizes = sh.groupBy(idCol)
           .agg(count_distinct(col("shingle")).as("n_shingles"))
@@ -510,8 +521,10 @@ object Dedup {
           scoreName, score)
       case None =>
         // the uncapped form joins the full shingle table with itself —
-        // per-document distinct is load-bearing corpus-wide here
+        // per-document distinct is load-bearing corpus-wide here;
+        // shingles hash to longs for the same reason as the capped arm
         val sh = TextAnalysis.explodeShingles(df, idCol, textCol, n)
+          .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
           .transform(graft.core.CacheScope.disk)
         val sizes = sh.groupBy(idCol)
           .agg(count(lit(1)).as("n_shingles"))
@@ -809,7 +822,11 @@ object Dedup {
     // inverted-index join LSH was meant to avoid.
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
+    // the verify leg needs shingle EQUALITY only — hash to longs
+    // before the candidate-sized distinct (the signature leg above
+    // keeps raw strings: the md5 signature family is the contract)
     val shCand = shRaw.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
       .distinct()
       .transform(graft.core.CacheScope.disk)
     val sizes = shCand.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
