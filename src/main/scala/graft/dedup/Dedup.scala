@@ -938,14 +938,20 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    // shingles hash to longs at the explode (equality-only consumers;
+    // the ngramPairsByScore argument) — the batch semi-join and both
+    // cached legs then carry 8-byte keys, not n-word strings
     val shB = TextAnalysis.explodeShinglesRaw(batch, idCol, textCol, n)
-      .select(col(idCol).as("batch_id"), col("shingle")).distinct()
+      .select(col(idCol).as("batch_id"),
+        xxhash64(col("shingle")).as("shingle")).distinct()
       .transform(graft.core.CacheScope.disk)
     val nB = shB.groupBy("batch_id").agg(count(lit(1)).as("__nb"))
     val bShingles = shB.select("shingle").distinct()
     val shC = TextAnalysis.explodeShinglesRaw(corpus, idCol, textCol, n)
+      .select(col(idCol).as("corpus_id"),
+        xxhash64(col("shingle")).as("shingle"))
       .join(bShingles, Seq("shingle"), "left_semi")
-      .select(col(idCol).as("corpus_id"), col("shingle")).distinct()
+      .distinct()
       .transform(graft.core.CacheScope.disk)
     def emit(common: DataFrame): DataFrame = common
       .join(nB, Seq("batch_id"))
