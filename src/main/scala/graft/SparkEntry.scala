@@ -864,6 +864,41 @@ object SparkEntry {
         col("pair_count"))
       .orderBy("step")
 
+  /** Dedup-aware token budget: per language, the RAW token count next
+    * to the EFFECTIVE count after exact + near-dup survivorship (the
+    * q31 kept-set) — what deduplication actually saves per slice, the
+    * number a mixture designer needs instead of raw volume (a
+    * language dominated by re-posts contributes far fewer unique
+    * training tokens than its raw count suggests).
+    * `dup_token_frac` is an exact-long division emitted UNROUNDED
+    * (q137's argument: same two longs → the same double in every
+    * engine).
+    */
+  private def dedupTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.{CorpusPipeline, Dedup}
+    val d = docs(s, dir)
+    val kept = Dedup.exactDedupSemi(d, "doc_id", "text")
+      .join(CorpusPipeline.nearDupDropIds(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8),
+        Seq("doc_id"), "left_anti")
+    val tok = d.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+    val raw = tok.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("raw_tokens"))
+    val eff = kept.select("doc_id").join(tok, Seq("doc_id"))
+      .groupBy(col("lang").as("__l"))
+      .agg(count(lit(1)).as("__nk"), sum("__nt").as("__et"))
+    raw.join(eff, col("lang") <=> col("__l"), "left")
+      .select(col("lang"), col("n_docs"), col("raw_tokens"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__et"), lit(0L)).as("effective_tokens"),
+        when(col("raw_tokens") > 0,
+          (col("raw_tokens") - coalesce(col("__et"), lit(0L)))
+            .cast("double") / col("raw_tokens"))
+          .as("dup_token_frac"))
+      .orderBy("lang")
+  }
+
   /** Mergeable corpus datasheet
     * ([[TextAnalysis.datasheetShards]] / [[TextAnalysis
     * .mergeDatasheets]]): shard datasheets built independently per
@@ -3159,6 +3194,7 @@ object SparkEntry {
     "q146_corpus_cluster_map" -> (corpusClusterMap _),
     "q147_rare_token_spans" -> (rareTokenSpansQ _),
     "q148_mergeable_datasheet" -> (mergeableDatasheetQ _),
+    "q149_dedup_token_budget" -> (dedupTokenBudget _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -4588,6 +4624,34 @@ object SparkEntry {
          SELECT vec_id FROM b
          WHERE vec_id NOT IN (SELECT vec_id FROM matched)
          ORDER BY vec_id""",
+    // the q31 kept-set (exact + near-dup survivorship) joined to
+    // per-doc token counts; dup_token_frac is the unrounded
+    // exact-long division (q137's argument)
+    "q149_dedup_token_budget" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         $oracleDedupKeptCtes,
+         tok AS (
+           SELECT doc_id, lang, len($oracleWords) AS nt
+           FROM documents),
+         raw AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS raw_tokens
+           FROM tok GROUP BY lang),
+         keptt AS (
+           SELECT t.lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(t.nt) AS BIGINT) AS effective_tokens
+           FROM kept k JOIN tok t ON t.doc_id = k.doc_id
+           GROUP BY t.lang)
+         SELECT r.lang, r.n_docs, r.raw_tokens,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.effective_tokens, 0) AS effective_tokens,
+           CASE WHEN r.raw_tokens > 0 THEN
+             CAST(r.raw_tokens - coalesce(k.effective_tokens, 0)
+               AS DOUBLE) / r.raw_tokens END AS dup_token_frac
+         FROM raw r LEFT JOIN keptt k
+           ON k.lang IS NOT DISTINCT FROM r.lang
+         ORDER BY r.lang""",
     // additive stats replayed exactly; the HLL estimate itself cannot
     // replay in DuckDB, so the oracle pins the in-query tolerance
     // flag at 1 (q46's pattern) — a drifting sketch fails the gate
