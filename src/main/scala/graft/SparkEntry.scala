@@ -1102,10 +1102,17 @@ object SparkEntry {
       .createTempDirectory("graft_q139_books").toString + "/books"
     books.write.mode("overwrite").parquet(booksDir)
     val booksP = s.read.parquet(booksDir)
+    // table names carry the JVM pid: concurrent sessions (a verify
+    // run racing a test suite that also executes the registry) must
+    // not fight over one warehouse location — same-session reruns
+    // still hit the same names and stay overwrite-then-append
+    val tag = java.lang.ProcessHandle.current().pid()
+    val pqT = s"graft_q139_pq_idx_$tag"
+    val vecT = s"graft_q139_vec_idx_$tag"
     // the warehouse dir outlives the in-memory catalog: a table
-    // location left by a previous session would block saveAsTable, so
-    // drop the catalog entry AND remove any orphaned location
-    Seq("graft_q139_pq_idx", "graft_q139_vec_idx").foreach { t =>
+    // location left by a previous same-pid session would block
+    // saveAsTable, so drop the catalog entry AND any orphaned location
+    Seq(pqT, vecT).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       val p = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), t)
@@ -1113,23 +1120,23 @@ object SparkEntry {
       if (fs.exists(p)) fs.delete(p, true)
     }
     Similarity.pqBuildIvfIndex(initial, "vec_id", "embedding", cents,
-      booksP, "graft_q139_pq_idx", numBuckets = 4)
+      booksP, pqT, numBuckets = 4)
     Similarity.ivfPqIndexAppend(batch, "vec_id", "embedding", cents,
-      booksP, "graft_q139_pq_idx", numBuckets = 4)
+      booksP, pqT, numBuckets = 4)
     Similarity.buildIvfIndex(initial, "vec_id", "embedding", cents,
-      "graft_q139_vec_idx", numBuckets = 4)
+      vecT, numBuckets = 4)
     Similarity.ivfIndexAppend(batch, "vec_id", "embedding", cents,
-      "graft_q139_vec_idx", numBuckets = 4)
-    val drift = Similarity.ivfDriftReport(s, "graft_q139_vec_idx",
+      vecT, numBuckets = 4)
+    val drift = Similarity.ivfDriftReport(s, vecT,
       "embedding", cents)
     val q = e.where(graft.sampling.Sampling
       .hashFraction(col("vec_id"), "audit") < 0.10)
-    val approx = Similarity.ivfPqTopK(q, s.table("graft_q139_pq_idx"),
+    val approx = Similarity.ivfPqTopK(q, s.table(pqT),
       booksP, cents, "vec_id", "embedding", k = 10, nprobe = 3)
     val exact = Similarity.bruteForceTopKAgg(
       q, e, "vec_id", "embedding", k = 10)
     val audit = Similarity.recallAudit(approx, exact)
-    val qc = s.table("graft_q139_vec_idx")
+    val qc = s.table(vecT)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
     // avg_recall deliberately UNROUNDED: per-query recalls are exact
     // small-denominator rationals rounded to 4 decimals, so their
