@@ -1022,17 +1022,21 @@ object SparkEntry {
   }
 
   /** BPE apply: train the q142 merge table, then segment every
-    * document with it ([[TextAnalysis.bpeTokenCounts]]) — the corpus
-    * token budget under the REAL trained tokenizer (train → apply,
-    * the full tokenizer-build loop). Pure per-row fold, zero shuffle
-    * beyond the training pass.
+    * document with it — the corpus token budget under the REAL
+    * trained tokenizer (train → apply, the full tokenizer-build
+    * loop). Runs the PRODUCTION path
+    * ([[TextAnalysis.bpeTokenCountsFast]]: broadcast rank table + one
+    * `mapPartitions` greedy pass, plan constant-size in the
+    * vocabulary); the expression-composed
+    * [[TextAnalysis.bpeTokenCounts]] is its spec-pinned audit twin
+    * (BpeSpec holds them row-for-row equal on this corpus).
     */
   private def bpeTokenCountsQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val m = TextAnalysis.bpeTrainMerges(d, "text", merges = 8)
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    TextAnalysis.bpeTokenCounts(d, "doc_id", "text", m)
+    TextAnalysis.bpeTokenCountsFast(d, "doc_id", "text", m)
       .orderBy("doc_id")
   }
 

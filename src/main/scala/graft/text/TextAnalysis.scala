@@ -1,8 +1,9 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, fingerprinting.
@@ -869,6 +870,111 @@ object TextAnalysis {
     df.select(col(idCol), size(ws).cast("long").as("n_words"),
       coalesce(aggregate(perWord, lit(0L), (acc, x) => acc + x), lit(0L))
         .as("n_tokens_bpe"))
+  }
+
+  /** PRODUCTION BPE apply — same semantics as [[bpeTokenCounts]]
+    * (greedy left-to-right merge passes IN STEP ORDER over each
+    * word's character symbols), but the merge table ships as a
+    * broadcast (pair → rank) hash map and the whole application runs
+    * in ONE `mapPartitions` pass, so the PLAN is constant-size in the
+    * vocabulary: a real 32k-merge tokenizer applies with the same
+    * two-node plan as an 8-merge audit, where the expression-composed
+    * path nests one `aggregate` fold per merge and blows up codegen
+    * at tens of merges. Zero shuffle; embarrassingly parallel.
+    *
+    * Step-order fidelity (the subtle part): per word we repeatedly
+    * take the MINIMUM-rank adjacent pair whose rank is ≥ a monotone
+    * floor, run one greedy left-to-right non-overlapping pass for it,
+    * and raise the floor past it. The floor is what makes this
+    * exactly the sequential fold, not just "standard rank-priority":
+    * merging a rank-k pair can create an adjacency whose pair sits
+    * EARLIER in the table (two derivations yielding the same symbol
+    * string), and the sequential pass for that earlier step has
+    * already happened — the floor skips it, where floor-less
+    * rank-priority would wrongly merge it. All ranks in `[floor,
+    * chosen]` are provably absent at the current state, so skipping
+    * them matches the no-op passes of the fold. Per-word cost is
+    * O(applied merges × |word|), independent of table size; a
+    * per-partition memo on the word string collapses repeated words
+    * (Zipf: the bulk of corpus tokens) to one computation each.
+    *
+    * Output: (id, n_words, n_tokens_bpe) — identical to
+    * [[bpeTokenCounts]], spec-pinned row-for-row on trained tables.
+    * `merges` must be duplicate-free (trained tables always are; a
+    * repeated pair would need one rank per occurrence).
+    */
+  def bpeTokenCountsFast(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.distinct.size == merges.size,
+      "merge table must not contain duplicate pairs")
+    val spark = df.sparkSession
+    val prepped = df.select(col(idCol),
+      words(coalesce(col(textCol), lit(""))).as("__ws"))
+    val outSchema = StructType(Seq(prepped.schema.fields(0),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_tokens_bpe", LongType, nullable = false)))
+    val bcPairs = spark.sparkContext.broadcast(merges.toArray)
+    prepped.mapPartitions { it =>
+      val pairs = bcPairs.value
+      // NUL-joined key: `words` symbols are [a-z0-9]+ concatenations,
+      // so NUL (\\u0000) never appears and the key is collision-free.
+      val ranks = new java.util.HashMap[String, Integer](pairs.length * 2)
+      var i = 0
+      while (i < pairs.length) {
+        ranks.put(pairs(i)._1 + "\u0000" + pairs(i)._2, i)
+        i += 1
+      }
+      val memo = new java.util.HashMap[String, java.lang.Long]()
+      def countWord(w: String): Long = {
+        val cached = memo.get(w)
+        if (cached != null) return cached.longValue()
+        var syms = new Array[String](w.length)
+        var k = 0
+        while (k < w.length) { syms(k) = String.valueOf(w.charAt(k)); k += 1 }
+        var n = syms.length
+        var floor = 0
+        var done = n < 2
+        while (!done) {
+          var best = -1
+          var j = 0
+          while (j < n - 1) {
+            val r = ranks.get(syms(j) + "\u0000" + syms(j + 1))
+            if (r != null && r >= floor && (best == -1 || r < best))
+              best = r
+            j += 1
+          }
+          if (best == -1) done = true
+          else {
+            val (l, rgt) = pairs(best)
+            val out = new Array[String](n)
+            var o = 0
+            var p = 0
+            while (p < n) {
+              if (o > 0 && out(o - 1) == l && syms(p) == rgt)
+                out(o - 1) = l + rgt
+              else { out(o) = syms(p); o += 1 }
+              p += 1
+            }
+            syms = out
+            n = o
+            floor = best + 1
+            if (n < 2) done = true
+          }
+        }
+        // Zipf memo: bound the map so a pathological all-unique-words
+        // partition cannot grow driver-of-OOM state.
+        if (memo.size < (1 << 17)) memo.put(w, n.toLong)
+        n.toLong
+      }
+      it.map { row =>
+        val ws = row.getSeq[String](1)
+        var total = 0L
+        val iter = ws.iterator
+        while (iter.hasNext) total += countWord(iter.next())
+        Row(row.get(0), ws.size.toLong, total)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Locate each document's WORST token span — the sliding window of

@@ -87,4 +87,71 @@ class BpeSpec extends SparkSpec {
       .orderBy("id").collect().map(_.getLong(2))
     assert(none.toSeq == Seq(8L, 4L, 0L, 2L))
   }
+
+  // ---- production apply (broadcast rank table + mapPartitions) ----
+
+  private def rows(d: org.apache.spark.sql.DataFrame) =
+    d.orderBy("id").collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1), r.getLong(2)))
+      .toSeq
+
+  test("bpeTokenCountsFast matches the expression path row-for-row " +
+      "on the closed-form corpus") {
+    val d = corpus("aaab aaab", "aaab", "", "zz")
+    val m = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    assert(rows(TextAnalysis.bpeTokenCountsFast(d, "id", "text", m)) ==
+      rows(TextAnalysis.bpeTokenCounts(d, "id", "text", m)))
+    assert(rows(TextAnalysis.bpeTokenCountsFast(d, "id", "text", Nil)) ==
+      rows(TextAnalysis.bpeTokenCounts(d, "id", "text", Nil)))
+  }
+
+  test("bpeTokenCountsFast matches the expression path on the real " +
+      "documents corpus under a trained 12-merge table") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        org.apache.spark.sql.functions.col("text"))
+    val m = TextAnalysis.bpeTrainMerges(d, "text", 12)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m.nonEmpty)
+    assert(rows(TextAnalysis.bpeTokenCountsFast(d, "id", "text", m)) ==
+      rows(TextAnalysis.bpeTokenCounts(d, "id", "text", m)))
+  }
+
+  test("STEP-ORDER fidelity: an earlier-rank pair whose left symbol " +
+      "is only CREATED by a later merge is not retroactively applied " +
+      "(the monotone floor; floor-less rank-priority would merge it)") {
+    // rank 0: (ab, c) — 'ab' does not exist at char stage, so the
+    // sequential pass 0 is a no-op; rank 1: (a, b) creates 'ab'.
+    // Sequential/fold semantics: 'abc' → [a,b,c] →(pass0 no-op)
+    // →(pass1) [ab, c] = 2 tokens. Rank-priority without the floor
+    // would then see (ab, c) at rank 0 and collapse to 1 token.
+    val d = corpus("abc")
+    val m = Seq(("ab", "c"), ("a", "b"))
+    assert(rows(TextAnalysis.bpeTokenCounts(d, "id", "text", m)) ==
+      Seq((0, 1L, 2L)))
+    assert(rows(TextAnalysis.bpeTokenCountsFast(d, "id", "text", m)) ==
+      Seq((0, 1L, 2L)))
+  }
+
+  test("bpeTokenCountsFast applies a 5000-merge table without plan " +
+      "failure (the expression path's plan grows per merge; this one " +
+      "is constant-size)") {
+    // chain table: a+a, aa+a, aaa+a, … — 5000 distinct pairs.
+    val chain = ("a", "a") +: (2 to 5000).map(i => ("a" * i, "a"))
+    val d = corpus("a" * 64 + " " + "a" * 7, "bcd")
+    // 'a'*64: pass (a,a) → 32 'aa' symbols; no (aa,*) pair in the
+    // table (chain lefts are a, aa, aaa…, rights all 'a') — wait:
+    // (aa, a) IS in the table but no lone 'a' remains. 32 tokens.
+    // 'a'*7: [aa,aa,aa,a] → (aa,a)? adjacency (aa,a) present → rank 1
+    // merges it → [aa,aa,aaa] → no further pair. 3 tokens.
+    val got = rows(TextAnalysis.bpeTokenCountsFast(d, "id", "text", chain))
+    assert(got == Seq((0, 2L, 35L), (1, 1L, 3L)))
+    // duplicate pairs are rejected up front
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTokenCountsFast(d, "id", "text",
+        Seq(("a", "a"), ("a", "a")))
+    }
+  }
 }
