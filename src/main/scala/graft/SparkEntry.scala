@@ -1093,6 +1093,33 @@ object SparkEntry {
     * that decides re-center vs re-train. Builds are
     * overwrite-then-append so in-session reruns stay deterministic.
     */
+  /** Reap `graft_q139_*_<pid>` warehouse locations whose pid is no
+    * longer alive: a crashed or killed run never reaches its own
+    * same-pid cleanup, and without this its index/codebook tables
+    * would sit in the warehouse forever (the in-memory catalog dies
+    * with the JVM; the directories don't). Liveness via
+    * `ProcessHandle.of` — stronger than an age heuristic, which
+    * either reaps a slow live run or waits out dead ones.
+    */
+  private[graft] def q139ReapOrphans(s: SparkSession): Unit = {
+    val self = java.lang.ProcessHandle.current().pid()
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) {
+      val pat = "^graft_q139_.*_([0-9]+)$".r
+      fs.listStatus(wh).foreach { st =>
+        st.getPath.getName match {
+          case pat(pid) if pid.toLong != self &&
+              !java.lang.ProcessHandle.of(pid.toLong)
+                .map[Boolean](_.isAlive).orElse(false) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+  }
+
   private def indexLifecycleQ(
       s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -1102,27 +1129,33 @@ object SparkEntry {
       initial, "vec_id", "embedding", 16)
     val books = Similarity.pqTrainCodebooks(initial, "vec_id",
       "embedding", m = 4, k = 16, iters = 2, exactMedian = true)
-    val booksDir = java.nio.file.Files
-      .createTempDirectory("graft_q139_books").toString + "/books"
-    books.write.mode("overwrite").parquet(booksDir)
-    val booksP = s.read.parquet(booksDir)
-    // table names carry the JVM pid: concurrent sessions (a verify
+    // artifact names carry the JVM pid: concurrent sessions (a verify
     // run racing a test suite that also executes the registry) must
     // not fight over one warehouse location — same-session reruns
     // still hit the same names and stay overwrite-then-append
     val tag = java.lang.ProcessHandle.current().pid()
     val pqT = s"graft_q139_pq_idx_$tag"
     val vecT = s"graft_q139_vec_idx_$tag"
+    val booksT = s"graft_q139_books_$tag"
+    q139ReapOrphans(s)
     // the warehouse dir outlives the in-memory catalog: a table
     // location left by a previous same-pid session would block
     // saveAsTable, so drop the catalog entry AND any orphaned location
-    Seq(pqT, vecT).foreach { t =>
+    Seq(pqT, vecT, booksT).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       val p = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), t)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
+    // codebooks persist as a warehouse table like the indexes — a
+    // cluster-visible location (executors of a real deployment write
+    // parquet parts to the shared warehouse FS), where a driver-local
+    // temp dir would land parts on each executor's own disk and the
+    // read-back would miss them; same-pid reuse also stops repeated
+    // runs leaking one temp dir per call
+    books.write.mode("overwrite").saveAsTable(booksT)
+    val booksP = s.table(booksT)
     Similarity.pqBuildIvfIndex(initial, "vec_id", "embedding", cents,
       booksP, pqT, numBuckets = 4)
     Similarity.ivfPqIndexAppend(batch, "vec_id", "embedding", cents,
