@@ -643,6 +643,120 @@ object EventStreams {
 
   // -- custom state (mapGroupsWithState) ---------------------------- //
 
+  case class AnomalyEvent(
+      event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      value_cents: Long)
+  case class ScoredEvent(
+      event_id: Long, user_id: Long, roll_n: Long,
+      roll_mean: Option[Double], roll_std: Option[Double],
+      zscore: Option[Double], is_anomaly: Int)
+  case class RollEv(tsUs: Long, id: Long, v: Long, emitted: Boolean)
+  case class RollBuf(evs: Seq[RollEv])
+
+  /** Streaming twin of [[graft.operators.Analytics.rollingStats]] —
+    * q130's trailing-baseline z-score over a watermarked stream, the
+    * monitoring family's streaming counterpart.
+    *
+    * The batch operator scores each event against its key's
+    * observations in `[t − windowSec, t)`. That baseline is only
+    * COMPLETE once no older event can still arrive — i.e. once the
+    * watermark has passed `t` — so this operator buffers events per
+    * key in `flatMapGroupsWithState` and emits an event's score
+    * exactly when the watermark closes it. Emitted rows are therefore
+    * FINAL (append-mode, never revised) and provably equal to the
+    * batch twin over the arrived events — the spec pins row-for-row
+    * equality, same exact-integer (n, Σv, Σv²) statistics and op
+    * sequence as the batch window frame (exact-ts peers excluded).
+    *
+    * Late-data policy: events older than the watermark are dropped
+    * (the module-wide choice) — they can no longer influence any
+    * unclosed baseline, so dropped-late and closed-final are the same
+    * boundary. State per key is the in-horizon buffer — events newer
+    * than `watermark − windowSec` — bounded by window span × event
+    * rate like the batch frame, NOT by key history; a key whose
+    * buffer ages out entirely is removed via event-time timeout
+    * (which also wakes quiet keys so pending events close without new
+    * per-key data).
+    *
+    * Scale shape: one shuffle on the key (same as the batch window's
+    * exchange); per-invocation work is O(buffer) per pending event
+    * with vocabulary-independent state — the streaming price for the
+    * batch plan's sliding-frame processor.
+    */
+  def rollingAnomalyStream(
+      events: Dataset[AnomalyEvent], windowSec: Long,
+      zThreshold: Double = 3.0, minCount: Int = 2,
+      watermark: String = "2 hours"): Dataset[ScoredEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    require(windowSec > 0, "windowSec must be positive")
+    val wUs = windowSec * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollBuf, ScoredEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, it, state) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          def us(t: java.sql.Timestamp): Long = {
+            val i = t.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          // same late policy as the engine drop (defensive — the
+          // stateful operator already filters sub-watermark rows)
+          val incoming = it
+            .map(e => RollEv(us(e.ts), e.event_id, e.value_cents,
+              emitted = false))
+            .filter(_.tsUs >= wmUs).toSeq
+          val all = state.getOption.map(_.evs).getOrElse(Seq.empty) ++
+            incoming
+          val pending = all.filter(e => !e.emitted && e.tsUs <= wmUs)
+            .sortBy(e => (e.tsUs, e.id))
+          val out = pending.map { e =>
+            val base = all.filter(b =>
+              b.tsUs >= e.tsUs - wUs && b.tsUs < e.tsUs)
+            val n = base.size.toLong
+            if (n == 0L) ScoredEvent(e.id, uid, 0L, None, None, None, 0)
+            else {
+              // exact long (n, Σv, Σv²); the batch operator's op
+              // sequence verbatim, so doubles match bit-for-bit
+              val s1 = base.iterator.map(_.v).sum
+              val s2 = base.iterator.map(b => b.v * b.v).sum
+              val mean = s1.toDouble / n
+              val varPop = (n * s2 - s1 * s1).toDouble / (n * n).toDouble
+              val std = math.sqrt(varPop)
+              val z = ((e.v * n - s1).toDouble / n) / std
+              val ok = n >= minCount && varPop > 0
+              ScoredEvent(e.id, uid, n, Some(mean), Some(std),
+                if (ok) Some(z) else None,
+                if (ok && math.abs(z) > zThreshold) 1 else 0)
+            }
+          }
+          val kept = all
+            .map(e => if (!e.emitted && e.tsUs <= wmUs)
+              e.copy(emitted = true) else e)
+            .filter(_.tsUs >= wmUs - wUs)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(RollBuf(kept))
+            val wmMs = state.getCurrentWatermarkMs()
+            val stillPending = kept.filter(!_.emitted)
+            // wake when the oldest pending event can close (−1 ms:
+            // event-time timeouts fire strictly AFTER the timestamp),
+            // or when the whole buffer ages past baseline use
+            val target =
+              if (stillPending.nonEmpty)
+                math.max(wmMs + 1L,
+                  stillPending.iterator.map(_.tsUs).min / 1000L - 1L)
+              else math.max(wmMs + 1L,
+                kept.iterator.map(_.tsUs).max / 1000L +
+                  windowSec * 1000L + 1L)
+            state.setTimeoutTimestamp(target)
+          }
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(
       user_id: Long, n_events: Long, sum_value: Double, n_purchases: Long)
