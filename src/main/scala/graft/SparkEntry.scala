@@ -1072,6 +1072,25 @@ object SparkEntry {
         col("n_tokens"), col("n_removed"), col("n_bigrams"),
         col("dup_bigram_frac"), col("top_bigram_frac"),
         round(col("lm_score"), 4).as("lm_score"))
+
+  /** FOUR-way fused quality pass — q140's trio plus q145's
+    * Jelinek-Mercer bigram-LM score in the SAME single corpus scan
+    * ([[TextAnalysis.qualityPass]] `withBigramLm = true`): the bigram
+    * model re-aggregates from the fused (kind, token) count frame and
+    * its unigram backoff reuses the q140 LM vocabulary, so the fourth
+    * signal adds zero corpus scans (plan-spec-pinned with q140's
+    * single-FileSourceScan assertion).
+    */
+  private def fusedQualityBigramQ(
+      s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPass(docs(s, dir), "doc_id", "text",
+        withBigramLm = true)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("n_tokens"), col("n_removed"), col("n_bigrams"),
+        col("dup_bigram_frac"), col("top_bigram_frac"),
+        round(col("lm_score"), 4).as("lm_score"),
+        round(col("bigram_lm_score"), 4).as("bigram_lm_score"))
+      .orderBy("doc_id")
       .orderBy("doc_id")
 
   /** End-to-end ANN index LIFECYCLE — the maintain-audit loop the
@@ -3239,6 +3258,7 @@ object SparkEntry {
     "q147_rare_token_spans" -> (rareTokenSpansQ _),
     "q148_mergeable_datasheet" -> (mergeableDatasheetQ _),
     "q149_dedup_token_budget" -> (dedupTokenBudget _),
+    "q150_fused_quality_bigram" -> (fusedQualityBigramQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -5344,6 +5364,64 @@ object SparkEntry {
            round(sc.s, 4) AS lm_score
          FROM k LEFT JOIN sig ON sig.doc_id = k.doc_id
          LEFT JOIN sc ON sc.doc_id = k.doc_id
+         ORDER BY k.doc_id""",
+    // q140's fused trio + q145's bigram LM, one replay: the bigram
+    // model folds from the same per-doc (l, r) counts the repetition
+    // signals use, backoff from the same unigram vocabulary
+    "q150_fused_quality_bigram" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         k AS (
+           SELECT doc_id, ws,
+             list_filter(ws, (x, i) -> i = 1 OR ws[i - 1] <> x) AS kept
+           FROM d),
+         bgx AS (
+           SELECT doc_id, ws[i] AS l, ws[i+1] AS r FROM d,
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t2),
+         per AS (SELECT doc_id, l, r, count(*) AS c
+                 FROM bgx GROUP BY 1, 2, 3),
+         sig AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4)
+               AS dup_bigram_frac,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 4)
+               AS top_bigram_frac
+           FROM per GROUP BY doc_id),
+         t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         cnt AS (SELECT w, count(*) AS n FROM t GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                   CAST(count(*) AS DOUBLE) AS vv FROM cnt),
+         lm AS (SELECT w, ln((n + 0.5) / (nn + 0.5 * (vv + 1)))
+                  AS logp FROM cnt, tot),
+         dw AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id, sum(c * logp) / sum(c) AS s
+           FROM dw JOIN lm USING (w) GROUP BY doc_id),
+         pu AS (SELECT w, (n + 0.5) / (nn + 0.5 * (vv + 1)) AS p
+                FROM cnt, tot),
+         bc AS (SELECT l, r, sum(c) AS n FROM per GROUP BY 1, 2),
+         lc AS (SELECT l, sum(n) AS nl FROM bc GROUP BY 1),
+         sb AS (
+           SELECT doc_id, sum(c * ln(0.75 * (bc.n / CAST(lc.nl AS DOUBLE))
+               + 0.25 * pu.p)) / sum(c) AS s
+           FROM per
+           JOIN bc USING (l, r)
+           JOIN lc USING (l)
+           JOIN pu ON pu.w = per.r
+           GROUP BY doc_id)
+         SELECT k.doc_id, md5(array_to_string(kept, ' ')) AS text_md5,
+           CAST(len(kept) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           sig.n_bigrams, sig.dup_bigram_frac, sig.top_bigram_frac,
+           round(sc.s, 4) AS lm_score,
+           round(sb.s, 4) AS bigram_lm_score
+         FROM k LEFT JOIN sig ON sig.doc_id = k.doc_id
+         LEFT JOIN sc ON sc.doc_id = k.doc_id
+         LEFT JOIN sb ON sb.doc_id = k.doc_id
          ORDER BY k.doc_id""",
     // 8 unrolled BPE iterations over the distinct-word frequency
     // table; each step: pair count → argmax → two-pass greedy replace

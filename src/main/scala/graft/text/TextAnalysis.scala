@@ -635,12 +635,24 @@ object TextAnalysis {
     * frame, never re-scanning the corpus). The persisted frames are
     * token-count tables (corpus-proportional, the price of fusion);
     * every aggregation state is a counter, never a list.
+    *
+    * `withBigramLm = true` adds [[bigramLmScoreSelf]]'s Jelinek-Mercer
+    * `bigram_lm_score` as a fourth fused output — its corpus bigram
+    * model and left-context totals RE-AGGREGATE from the same
+    * (id, kind, token) count frame (kind 1), and its unigram backoff
+    * shares the LM vocabulary already built for `lm_score`, so the
+    * fourth signal costs two count-table aggregations and zero extra
+    * corpus scans. Off by default: the three-signal plan stays
+    * byte-identical for existing callers.
     */
   def qualityPass(
       df: DataFrame, idCol: String, textCol: String,
-      maxRun: Int = 1, alpha: Double = 0.5): DataFrame = {
+      maxRun: Int = 1, alpha: Double = 0.5,
+      withBigramLm: Boolean = false,
+      lambda: Double = 0.75): DataFrame = {
     require(maxRun >= 1, "maxRun must be >= 1")
     require(alpha > 0, "alpha must be positive")
+    require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
     val reserved = Set("__ws", "__kept", "__nw", "__k", "__tok", "__c")
     require(!df.columns.exists(reserved),
       s"input must not have columns named ${reserved.mkString(", ")}")
@@ -702,7 +714,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg((sum(col("__c") * coalesce(col("logp"), col("__unseen"))) /
         sum(col("__c"))).as("lm_score"))
-    base
+    val out = base
       .select(col(idCol), size(wsB).as("__nw"), kept.as("__kept"))
       .select(col(idCol),
         array_join(col("__kept"), " ").as(textCol),
@@ -710,6 +722,34 @@ object TextAnalysis {
         (col("__nw") - size(col("__kept"))).cast("long").as("n_removed"))
       .join(sigs, Seq(idCol), "left")
       .join(scored, Seq(idCol), "left")
+    if (!withBigramLm) out
+    else {
+      // [[bigramLmScoreSelf]]'s model, re-aggregated from the shared
+      // count frame: per-doc bigram counts are the kind-1 rows, the
+      // corpus bigram/left-context models fold from them, and the
+      // unigram backoff reuses lmCounts + totals (raw ratio, same
+      // denominator as logp)
+      val dbg = counts.where(col("__k") === 1)
+        .select(col(idCol), col("__tok").as("__bg"), col("__c"))
+      val bc = dbg.groupBy("__bg").agg(sum("__c").as("__n"))
+        .withColumn("__l", substring_index(col("__bg"), " ", 1))
+      val lc = bc.groupBy("__l").agg(sum("__n").as("__nl"))
+      val puni = lmCounts.crossJoin(broadcast(totals))
+        .select(col("word").as("__r"),
+          ((col("n") + lit(alpha)) / denom).as("__pu"))
+      val bscored = dbg
+        .join(bc, Seq("__bg"))
+        .join(lc, Seq("__l"))
+        .withColumn("__r", substring_index(col("__bg"), " ", -1))
+        .join(puni, Seq("__r"))
+        .withColumn("__p",
+          lit(lambda) * (col("__n").cast("double") / col("__nl")) +
+            lit(1.0 - lambda) * col("__pu"))
+        .groupBy(col(idCol))
+        .agg((sum(col("__c") * log(col("__p"))) / sum(col("__c")))
+          .as("bigram_lm_score"))
+      out.join(bscored, Seq(idCol), "left")
+    }
   }
 
   /** Incrementally-maintainable corpus datasheet, shard side: per

@@ -69,34 +69,75 @@ class QualityPassSpec extends SparkSpec {
       .select(col("doc_id").cast("int").as("id"), col("text")))
   }
 
+  test("withBigramLm adds bigramLmScoreSelf's score as a fourth fused " +
+      "column and leaves the original three signals untouched") {
+    graft.core.CacheScope.withScope {
+      val d = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").cast("int").as("id"), col("text"))
+      val full = TextAnalysis.qualityPass(d, "id", "text",
+        withBigramLm = true)
+      assert(full.columns.last == "bigram_lm_score")
+      // base columns: byte-equal to the three-signal pass
+      val base = TextAnalysis.qualityPass(d, "id", "text")
+      def m(x: org.apache.spark.sql.DataFrame) =
+        x.select("id", "text", "n_tokens", "n_removed", "n_bigrams",
+            "dup_bigram_frac", "top_bigram_frac")
+          .collect().map(r => r.getInt(0) -> r.toSeq.tail).toMap
+      assert(m(full) == m(base))
+      // fourth column: bigramLmScoreSelf row-for-row (1e-9 — the only
+      // divergence channel is per-doc float summation order)
+      val want = TextAnalysis.bigramLmScoreSelf(d, "id", "text")
+        .collect()
+        .map(r => r.getInt(0) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+      val got = full.collect()
+        .map(r => r.getInt(0) ->
+          Option(r.get(8)).map(_.asInstanceOf[Double])).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, g) =>
+        (g, want(id)) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-9, s"id $id: $a vs $b")
+          case (a, b) => assert(a == b, s"id $id")
+        }
+      }
+    }
+  }
+
   test("plan: ONE scan of the documents parquet feeds the whole fused " +
       "pass — collapse, repetition signals, and the self-trained LM " +
-      "all hang off the same cached tokenization") {
+      "all hang off the same cached tokenization (bigram leg included)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{
       AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    graft.core.CacheScope.withScope {
-      val d = spark.read
-        .parquet("/root/testdata/sf0.001/documents.parquet")
-        .select(col("doc_id").as("id"), col("text"))
-      val out = TextAnalysis.qualityPass(d, "id", "text")
-      assert(out.count() > 0)
-      def flatTree(p: SparkPlan): Seq[SparkPlan] = p.collect {
-        case a: AdaptiveSparkPlanExec => flatTree(a.executedPlan)
-        case q: QueryStageExec => q +: flatTree(q.plan)
-        case c: InMemoryTableScanExec =>
-          c +: flatTree(c.relation.cachedPlan)
-        case other => Seq(other)
-      }.flatten
-      val scans = flatTree(out.queryExecution.executedPlan)
-        .collect { case f: FileSourceScanExec => f }
-      assert(scans.nonEmpty, "expected a parquet scan")
-      // several cached consumers reach the SAME scan instance; distinct
-      // identities count physical scans of the table
-      val distinctScans = scans.map(System.identityHashCode).toSet
-      assert(distinctScans.size == 1,
-        s"fused pass scans documents ${distinctScans.size} times")
-    }
+    def flatTree(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => flatTree(a.executedPlan)
+      case q: QueryStageExec => q +: flatTree(q.plan)
+      case c: InMemoryTableScanExec =>
+        c +: flatTree(c.relation.cachedPlan)
+      case other => Seq(other)
+    }.flatten
+    def assertOneScan(withBigram: Boolean): Unit =
+      graft.core.CacheScope.withScope {
+        val d = spark.read
+          .parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id").as("id"), col("text"))
+        val out = TextAnalysis.qualityPass(d, "id", "text",
+          withBigramLm = withBigram)
+        assert(out.count() > 0)
+        val scans = flatTree(out.queryExecution.executedPlan)
+          .collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty, "expected a parquet scan")
+        // several cached consumers reach the SAME scan instance;
+        // distinct identities count physical scans of the table
+        val distinctScans = scans.map(System.identityHashCode).toSet
+        assert(distinctScans.size == 1,
+          s"fused pass (bigram=$withBigram) scans documents " +
+            s"${distinctScans.size} times")
+      }
+    assertOneScan(withBigram = false)
+    assertOneScan(withBigram = true)
   }
 }
