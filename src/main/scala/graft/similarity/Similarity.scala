@@ -103,6 +103,16 @@ object Similarity {
     * nprobe = nlist reproduces it over identical candidates
     * (spec-pinned). Output: (query_id, query_label, neighbor_id,
     * neighbor_label, sim, rank).
+    *
+    * SIZE ASSUMPTION (query side): the probed query frame — raw query
+    * vectors replicated `nprobe` times — ships by an explicit
+    * broadcast, because the alternative is a shuffled join on
+    * `centroid_id` (≤ nlist distinct keys — guaranteed skew). That
+    * caps the query set at executor/`maxBroadcastTableBytes` scale:
+    * a training-loop MINING BATCH (10³–10⁵ vectors — the operator's
+    * contract), not a full corpus. Mining negatives for a whole
+    * corpus means calling this per batch partition — the corpus side
+    * is the one that stays distributed.
     */
   def hardNegatives(
       queries: DataFrame, corpus: DataFrame,
@@ -144,7 +154,9 @@ object Similarity {
 
   /** Exact reference for [[hardNegatives]]: brute-force cosine over
     * every wrong-label corpus row. O(|queries|·|corpus|) — audit and
-    * spec use only.
+    * spec use only; the whole query set broadcasts (same query-side
+    * size assumption as [[hardNegatives]], tighter here because
+    * nothing prunes the candidate space).
     */
   def hardNegativesBruteForce(
       queries: DataFrame, corpus: DataFrame,

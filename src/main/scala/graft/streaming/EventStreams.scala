@@ -478,8 +478,14 @@ object EventStreams {
     * corpus but no index, the index is rebuilt from the corpus ONCE
     * and persisted before use. Within a batch, rows with identical
     * vectors collapse to the lowest `orderCol` (the embedding form of
-    * exact dedup); null vectors always land and are never indexed — a
-    * bad row must not dam the ingest.
+    * exact dedup); null vectors land FIRST-ARRIVAL-ONLY and are never
+    * indexed — a bad row must not dam the ingest, but it has no
+    * sketch to re-dedup through on replay, so its idempotence path is
+    * an id anti-join against the landed corpus (an id-column-only
+    * scan, null-row-sized probe side): a checkpoint replay after a
+    * crash between the corpus append and the commit re-lands neither
+    * vector rows (Hamming-0 / cosine-1.0 drop) nor null rows (id
+    * already landed).
     */
   def incrementalEmbeddingDedupSink(
       vecs: DataFrame, idCol: String, vecCol: String,
@@ -522,8 +528,17 @@ object EventStreams {
                 spark.read.parquet(corpusDir), inBatch,
                 idCol, vecCol, dim, maxDist, minCos)
             } else inBatch
+          // null-row idempotence: no sketch to probe, so replays drop
+          // by id against the landed corpus (id-only corpus column)
+          val nullRows = b.where(col(vecCol).isNull)
+          val nullLanded =
+            if (exists(corpusDir))
+              nullRows.join(
+                spark.read.parquet(corpusDir).select(idCol),
+                Seq(idCol), "left_anti")
+            else nullRows
           val landed = survivors
-            .unionByName(b.where(col(vecCol).isNull))
+            .unionByName(nullLanded)
             .localCheckpoint(eager = true)
           // index first (see durability order above)
           Similarity.buildSrpIndex(

@@ -768,10 +768,17 @@ class EventStreamsSpec extends SparkSpec {
       // rebuilt index covers the non-null corpus + the new landing
       assert(spark.read.parquet(index).count() == 4)
       // at-least-once replay: an exact replica of a landed row probes
-      // at Hamming 0, verifies at cosine 1.0, and drops
-      in2.addData((30L, Some(unit(3))))
+      // at Hamming 0, verifies at cosine 1.0, and drops; a replayed
+      // NULL row has no sketch — it drops by id against the corpus —
+      // while a genuinely new null row still lands
+      in2.addData((30L, Some(unit(3))), (3L, None), (31L, None))
       q2.processAllAvailable()
-      assert(spark.read.parquet(corpus).count() == 6)
+      val fin2 = spark.read.parquet(corpus)
+      assert(fin2.count() == 7)
+      assert(fin2.where(col("vec_id") === 3L).count() == 1,
+        "replayed null row must not re-land")
+      assert(fin2.where(col("vec_id") === 31L).count() == 1,
+        "new null row still lands")
     } finally q2.stop()
   }
 
