@@ -2796,6 +2796,78 @@ object SparkEntry {
         Seq(col("ts").asc, col("event_id").asc))
       .orderBy("from_state", "to_state")
 
+  /** Filter-cascade ablation over the corpus quality filters
+    * ([[graft.quality.Funnel.filterFunnel]]): the datasheet table
+    * answering "what did each filter cost, and which filters are
+    * fully shadowed by the rest?" — one scan, one ungrouped
+    * aggregate, however many stages. Stages reuse the q18/q19 metric
+    * expressions so the cascade audits the filters the pipeline
+    * actually runs.
+    */
+  private def filterFunnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Funnel.filterFunnel(docs(s, dir), Seq(
+        "nonempty" -> (col("n_chars") > 0),
+        "min_tokens" ->
+          (TextAnalysis.tokenCount(col("text")) >= 20),
+        "low_punct" ->
+          (coalesce(TextAnalysis.punctRatio(col("text")), lit(0.0))
+            <= lit(0.1)),
+        "stopword_floor" ->
+          (coalesce(TextAnalysis.stopwordRatio(col("text")), lit(0.0))
+            >= lit(0.05)),
+        "quality_score" ->
+          (TextAnalysis.qualityScore(col("text")) >= lit(0.5))))
+      .orderBy("stage")
+
+  /** Cross-source near-duplication matrix
+    * ([[Dedup.crossSourceDupMatrix]]): which corpus sources re-crawl
+    * which, measured on the q24 MinHash-LSH verified pairs — the
+    * provenance audit run before assigning mixture weights (a source
+    * that is 40 % near-duplicated in another double-counts that
+    * content at whatever weight it gets).
+    */
+  private def crossSourceDupMatrixQ(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceDupMatrix(docs(s, dir), "doc_id", "text", "source")
+      .orderBy("src_a", "src_b")
+
+  /** DSIR importance-weighted selection
+    * ([[TextAnalysis.dsirSelect]]): hashed-unigram log-likelihood
+    * ratios against the English slice as target, then the
+    * highest-scoring documents up to a 10k-token budget — the
+    * published domain-tilt selection (Xie et al. 2023) as a
+    * deterministic top-k. Scores are integer micro-units (exact
+    * BIGINT sums), the budget cut is the histogram-pruned
+    * [[graft.sampling.Packing.takeUntilBudget]].
+    */
+  private def dsirSelectionQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirSelect(docs(s, dir), "doc_id", "text",
+        col("lang") === "en", tokenBudget = 10000L)
+      .orderBy("doc_id")
+
+  /** Fixed-point PageRank over the order graph
+    * ([[Analytics.pageRank]]): customers and suppliers as nodes,
+    * symmetrized (customer ordered-from supplier) edges, 6 exact
+    * integer iterations — which entities sit at the center of the
+    * trade network. Every rank is a BIGINT in trillionths, so the
+    * result hashes identically on any engine, partitioning, or
+    * cluster size.
+    */
+  private def supplierPagerankQ(s: SparkSession, dir: String): DataFrame = {
+    val co = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    val edges = co.union(co.select(col("b").as("a"), col("a").as("b")))
+    Analytics.pageRank(edges, "a", "b", iters = 6)
+      .orderBy("node")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3259,6 +3331,10 @@ object SparkEntry {
     "q148_mergeable_datasheet" -> (mergeableDatasheetQ _),
     "q149_dedup_token_budget" -> (dedupTokenBudget _),
     "q150_fused_quality_bigram" -> (fusedQualityBigramQ _),
+    "q151_filter_funnel" -> (filterFunnelQ _),
+    "q152_cross_source_dup_matrix" -> (crossSourceDupMatrixQ _),
+    "q153_dsir_selection" -> (dsirSelectionQ _),
+    "q154_supplier_pagerank" -> (supplierPagerankQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -5423,6 +5499,142 @@ object SparkEntry {
          LEFT JOIN sc ON sc.doc_id = k.doc_id
          LEFT JOIN sb ON sb.doc_id = k.doc_id
          ORDER BY k.doc_id""",
+    // single-scan funnel replay: every flag once per row, 3k counters
+    // in one aggregate, per-stage rows unioned off the single agg row
+    "q151_filter_funnel" -> {
+      val names = Seq("nonempty", "min_tokens", "low_punct",
+        "stopword_floor", "quality_score")
+      val k = names.size
+      def conj(idx: Seq[Int]) =
+        if (idx.isEmpty) "TRUE" else idx.map(j => s"f$j").mkString(" AND ")
+      val aggs = (0 until k).flatMap { i =>
+        val reached = conj(0 until i)
+        val others = conj((0 until k).filter(_ != i))
+        Seq(
+          s"sum(CASE WHEN $reached THEN 1 ELSE 0 END) AS in_$i",
+          s"sum(CASE WHEN ($reached) AND NOT f$i THEN 1 ELSE 0 END)" +
+            s" AS fail_$i",
+          s"sum(CASE WHEN ($others) AND NOT f$i THEN 1 ELSE 0 END)" +
+            s" AS sole_$i")
+      }.mkString(",\n           ")
+      val rows = names.zipWithIndex.map { case (n, i) =>
+        s"""SELECT CAST(${i + 1} AS INT) AS stage, '$n' AS filter,
+           CAST(coalesce(in_$i, 0) AS BIGINT) AS n_in,
+           CAST(coalesce(fail_$i, 0) AS BIGINT) AS n_rejected,
+           CAST(coalesce(in_$i - fail_$i, 0) AS BIGINT) AS n_out,
+           CAST(coalesce(sole_$i, 0) AS BIGINT) AS n_sole_reject,
+           round(CAST(fail_$i AS DOUBLE) / nullif(in_$i, 0), 4)
+             AS reject_frac
+           FROM agg"""
+      }.mkString("\n         UNION ALL ")
+      s"""$oracleMetricsCte,
+         f AS (
+           SELECT coalesce(n_chars > 0, FALSE) AS f0,
+             coalesce(tokens >= 20, FALSE) AS f1,
+             coalesce(coalesce(punct, 0.0) <= 0.1, FALSE) AS f2,
+             coalesce(coalesce(stop, 0.0) >= 0.05, FALSE) AS f3,
+             coalesce(quality >= 0.5, FALSE) AS f4
+           FROM q),
+         agg AS (
+           SELECT $aggs
+           FROM f)
+         $rows ORDER BY stage"""
+    },
+    // q24's verified pairs, symmetrized and joined to sources: the
+    // diagonal holds both directions of each pair (halve it)
+    "q152_cross_source_dup_matrix" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         pairsj AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT ida, idb FROM pairsj
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         sym AS (SELECT ida AS x, idb AS y FROM verified
+                 UNION ALL SELECT idb, ida FROM verified),
+         es AS (
+           SELECT da.source AS src_a, db.source AS src_b, x, y
+           FROM sym
+           JOIN documents da ON da.doc_id = x
+           JOIN documents db ON db.doc_id = y),
+         cells AS (
+           SELECT src_a, src_b,
+             CAST(CASE WHEN src_a = src_b THEN count(*) // 2
+                       ELSE count(*) END AS BIGINT) AS n_pairs,
+             count(DISTINCT x) AS n_dup_docs
+           FROM es GROUP BY 1, 2),
+         tot AS (SELECT source AS src_a, count(*) AS n_docs
+                 FROM documents GROUP BY 1)
+         SELECT src_a, src_b, n_pairs,
+           CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4) AS dup_frac
+         FROM cells JOIN tot USING (src_a)
+         ORDER BY src_a, src_b""",
+    // per-bucket log-likelihood ratio quantized to BIGINT micro-units
+    // BEFORE the per-doc sum: scores are exact integer sums, so the
+    // ranked budget cut is engine- and order-independent
+    "q153_dsir_selection" ->
+      s"""WITH tokx AS (
+           SELECT doc_id, (lang = 'en') AS t,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM (SELECT doc_id, lang, unnest($oracleWords) AS w
+                 FROM documents)),
+         raw AS (SELECT b, count(*) AS cr FROM tokx GROUP BY b),
+         tgt AS (SELECT b, count(*) AS ct FROM tokx WHERE t GROUP BY b),
+         tot AS (SELECT count(*) AS nr,
+                   sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt FROM tokx),
+         lr AS (
+           SELECT b, CAST(floor(ln(
+               ((coalesce(ct, 0) + 1.0) * (nr + 1024.0)) /
+               ((cr + 1.0) * (nt + 1024.0))) * 1000000.0 + 0.5)
+             AS BIGINT) AS qlr
+           FROM raw LEFT JOIN tgt USING (b), tot),
+         sc AS (
+           SELECT doc_id, count(*) AS n_tokens, sum(qlr) AS score_micro
+           FROM tokx JOIN lr USING (b) GROUP BY doc_id),
+         r AS (
+           SELECT *, sum(n_tokens) OVER (
+             ORDER BY score_micro DESC, doc_id ASC) AS cum
+           FROM sc)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(score_micro AS BIGINT) AS score_micro
+         FROM r WHERE cum <= 10000 ORDER BY doc_id""",
+    // 6 unrolled fixed-point iterations; all arithmetic is BIGINT
+    // floor-division, so the replay is bit-exact
+    "q154_supplier_pagerank" -> {
+      def iter(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""r$k AS (
+           SELECT n2.node, (150000000000 // (SELECT n FROM nn))
+               + coalesce(s$k.c, 0) AS r
+           FROM nodes n2 LEFT JOIN (
+             SELECT e.b AS node,
+               sum((850 * p.r) // (1000 * deg.d)) AS c
+             FROM e JOIN $prev p ON p.node = e.a
+             JOIN deg ON deg.a = e.a
+             GROUP BY e.b) s$k ON s$k.node = n2.node)"""
+      }
+      s"""WITH co AS (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+             's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT a, b FROM co UNION SELECT b, a FROM co),
+         deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
+         nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node,
+           1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+         ${(1 to 6).map(iter).mkString(",\n         ")}
+         SELECT node, CAST(r AS BIGINT) AS rank_scaled
+         FROM r6 ORDER BY node"""
+    },
     // 8 unrolled BPE iterations over the distinct-word frequency
     // table; each step: pair count → argmax → two-pass greedy replace
     "q142_bpe_merges" ->

@@ -1310,4 +1310,60 @@ object Dedup {
       best.select(col("__keep").as(idCol), col("cluster_size")),
       Seq(idCol))
   }
+
+  /** Cross-source near-duplication matrix: for every DIRECTED pair of
+    * corpus sources (a, b), how much of source a is near-duplicated
+    * in source b. The standard provenance audit before mixing
+    * scraped sources into one training corpus — a high (a, b) cell
+    * means source a is largely a re-crawl of b and its mixture weight
+    * double-counts b's content; the diagonal measures within-source
+    * redundancy.
+    *
+    * Pairs come from the q24 machinery ([[minhashLshPairs]]: banded
+    * MinHash candidates, exact-Jaccard verify of candidates only —
+    * never all-pairs). Sources attach to the VERIFIED pair set, which
+    * is near-dup-sized, not corpus-sized: the two id→source joins and
+    * everything after them scale with the number of duplicate pairs,
+    * so the matrix costs one candidate-sized join tree on top of the
+    * LSH chain regardless of corpus size. Output, one row per
+    * directed (src_a, src_b) with at least one pair:
+    * (src_a, src_b, n_pairs, n_dup_docs, n_docs, dup_frac) —
+    * `n_pairs` counts unordered near-dup pairs once per direction
+    * (so the diagonal's pairs appear once, off-diagonal cells mirror),
+    * `n_dup_docs` is the distinct docs of src_a with ≥1 near-dup in
+    * src_b, and `dup_frac` = n_dup_docs / |src_a|.
+    */
+  def crossSourceDupMatrix(
+      df: DataFrame, idCol: String, textCol: String, srcCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes,
+      bands, threshold)
+    val src = df.select(col(idCol), col(srcCol))
+    // symmetrize so every (doc of a, dup in b) direction is one edge;
+    // a < b on the unordered input keeps the diagonal un-doubled below
+    val directed = pairs
+      .select(col("id_a").as("__x"), col("id_b").as("__y"))
+      .union(pairs.select(col("id_b").as("__x"), col("id_a").as("__y")))
+    val edges = directed
+      .join(src.select(col(idCol).as("__x"), col(srcCol).as("src_a")),
+        Seq("__x"))
+      .join(src.select(col(idCol).as("__y"), col(srcCol).as("src_b")),
+        Seq("__y"))
+      .transform(graft.core.CacheScope.disk)
+    val cells = edges.groupBy("src_a", "src_b")
+      .agg(
+        // a diagonal cell holds both directions of each unordered
+        // pair; an off-diagonal cell holds exactly one
+        when(col("src_a") === col("src_b"), count(lit(1)) / 2)
+          .otherwise(count(lit(1))).cast("long").as("n_pairs"),
+        countDistinct(col("__x")).as("n_dup_docs"))
+    val totals = df.groupBy(col(srcCol).as("src_a"))
+      .agg(count(lit(1)).as("n_docs"))
+    cells.join(broadcast(totals), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        col("n_dup_docs"), col("n_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 4)
+          .as("dup_frac"))
+  }
 }

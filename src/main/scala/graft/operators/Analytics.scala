@@ -1473,4 +1473,77 @@ object Analytics {
         ((col("pair_count") * col("__nb")).cast("double") /
           (col("__ca") * col("__cb")).cast("double")).as("lift"))
   }
+
+  /** Fixed-point PageRank over a directed edge list — the standard
+    * importance measure for entity graphs (here: which suppliers/
+    * customers sit at the center of the order graph; in a corpus
+    * pipeline: domain authority over a link graph feeding quality
+    * priors). Nodes are the distinct edge endpoints; rank seeds
+    * uniformly and iterates
+    * `r' = teleport + Σ_in-edges damping·r/outdeg` for `iters` rounds.
+    *
+    * All arithmetic is INTEGER fixed-point at 1e-12 granularity:
+    * ranks are BIGINT trillionths, contributions are
+    * `(num·r) div (den·outdeg)` integer floor-divisions, so every
+    * iteration is an exact long sum — aggregation-order-independent,
+    * bit-identical across engines and cluster sizes (double-based
+    * PageRank differs in the last ulp per partition layout; after ten
+    * iterations that's unreproducible). The floor leaks < 1e-12 of
+    * mass per edge per round — far below any ranking consequence —
+    * and dangling mass (out-degree-0 nodes never arise here: nodes
+    * ARE edge endpoints, and callers wanting undirected walks pass
+    * the symmetrized edge list) stays zero.
+    *
+    * Scale shape: the normalized edge list computes ONCE and persists
+    * partitioned on `src`; each iteration is one shuffle-join of the
+    * current rank vector (node-sized, re-partitioned on the same key)
+    * plus one aggregation on `dst` — the canonical distributed
+    * PageRank round. Rank frames localCheckpoint each iteration:
+    * lineage stays one round deep instead of `iters` joins tall, so
+    * the plan (and any executor recovery) never replays the whole
+    * chain.
+    *
+    * @param edges DataFrame with `srcCol`/`dstCol`; duplicate edges
+    *              are collapsed (distinct) before degree counting.
+    * @param damping per-mill damping factor (default 850 = 0.85).
+    * @return (node, rank_scaled): rank in trillionths, summing to
+    *         ≤ 1e12 over all nodes.
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 6, damping: Int = 850): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping >= 0 && damping <= 1000, "damping is per-mill")
+    val scale = 1000000000000L // 1e12: fixed-point unit
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val edged = e.join(deg, Seq("__src"))
+      .repartition(col("__src"))
+      .transform(graft.core.CacheScope.disk)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst"))).distinct()
+      .transform(graft.core.CacheScope.disk)
+    val n = nodes.count()
+    val teleport = ((1000L - damping) * scale / 1000L) / n
+    var ranks = nodes.select(col("node"),
+      lit(scale / n).as("rank_scaled")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edged
+        .join(ranks.select(col("node").as("__src"), col("rank_scaled")),
+          Seq("__src"))
+        .select(col("__dst").as("node"),
+          expr(s"($damping * rank_scaled) div (1000 * __deg)")
+            .as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("__in"), lit(0L)))
+            .as("rank_scaled"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

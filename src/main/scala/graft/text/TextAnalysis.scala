@@ -1156,4 +1156,95 @@ object TextAnalysis {
         (size(col("__lines")) - size(col("__kept"))).cast("long")
           .as("n_removed"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-unigram features are
+    * under a TARGET distribution (the docs matching `targetPred` —
+    * e.g. a trusted high-quality slice) than under the raw corpus.
+    * The per-bucket add-1-smoothed log-likelihood ratio
+    * ln(p_target(b) / p_raw(b)) sums over each document's token
+    * occurrences; selecting high-score docs tilts the corpus toward
+    * the target domain without the target's tiny size capping the
+    * yield.
+    *
+    * Scale design: the tokenized frame persists once and feeds all
+    * three legs (raw counts, target counts, doc scores); bucket
+    * counts are two `buckets`-sized aggregates; the per-bucket ratio
+    * table is `buckets` rows and BROADCASTS into the scoring join, so
+    * the corpus-sized leg sees no shuffle beyond its own per-doc
+    * aggregation. Bit-exactness across engines: the ratio quantizes
+    * to integer MICRO-units per bucket (`floor(lr·1e6 + 0.5)`) before
+    * the per-doc sum, so document scores are exact BIGINT sums —
+    * aggregation-order-independent and identical in any engine whose
+    * `ln` is within 1 ulp.
+    *
+    * Output: one row per document — (idCol, n_tokens, score_micro);
+    * token-less documents carry n_tokens 0 and a null score (no
+    * feature evidence ≠ evidence of score 0).
+    */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val tok = df
+      .select(col(idCol), coalesce(targetPred.cast("boolean"),
+        lit(false)).as("__t"), explode(words(col(textCol))).as("__w"))
+      .select(col(idCol), col("__t"),
+        (conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long")
+          % buckets).as("__b"))
+      .transform(graft.core.CacheScope.disk)
+    val raw = tok.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tgt = tok.where(col("__t")).groupBy("__b")
+      .agg(count(lit(1)).as("__ct"))
+    val totals = tok.agg(
+      count(lit(1)).as("__nr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"))
+    // written EXACTLY as the oracle computes it — double products and
+    // one division feeding ln, then micro-quantization (see scaladoc)
+    val lr = raw.join(tgt, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        floor(log(
+          ((coalesce(col("__ct"), lit(0L)) + lit(1.0)) *
+            (col("__nr") + lit(buckets.toDouble))) /
+            ((col("__cr") + lit(1.0)) *
+              (col("__nt") + lit(buckets.toDouble)))) *
+          lit(1e6) + lit(0.5)).cast("long").as("__qlr"))
+    val scores = tok.join(broadcast(lr), Seq("__b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__qlr")).as("score_micro"))
+    df.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("score_micro"))
+  }
+
+  /** DSIR selection under a token budget: rank documents by
+    * [[dsirWeights]] score (descending, id ascending on ties) and
+    * keep the ranked prefix whose cumulative token count stays within
+    * `tokenBudget` — the deterministic top-k variant of DSIR's
+    * importance resampling (same tilt, reproducible corpus).
+    * Token-less documents carry no evidence and never select.
+    *
+    * The cumulative cut runs through
+    * [[graft.sampling.Packing.takeUntilBudget]], so the global
+    * running sum is histogram-pruned to the budget-crossing score bin
+    * instead of one unbounded window over the corpus.
+    */
+  def dsirSelect(
+      df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, tokenBudget: Long,
+      buckets: Int = 1024): DataFrame = {
+    val w = dsirWeights(df, idCol, textCol, targetPred, buckets)
+      .where(col("score_micro").isNotNull)
+      .withColumn("__all", lit(1))
+    graft.sampling.Packing.takeUntilBudget(
+        w, Seq("__all"),
+        Seq(col("score_micro").desc, col(idCol).asc),
+        "n_tokens", tokenBudget)
+      .select(col(idCol), col("n_tokens"), col("score_micro"))
+  }
 }
