@@ -2868,6 +2868,52 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Cluster-merge survivorship ([[Dedup.mergeSurvivorship]]): q128's
+    * near-dup clusters, but each collapses to ONE consolidated record
+    * carrying the union of the cluster's provenance (sources, langs)
+    * and its total token mass next to the kept member — dedup that
+    * doesn't lose where content was seen.
+    */
+  private def mergeSurvivorshipQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("__tok",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    Dedup.mergeSurvivorship(d, "doc_id", "text", "__q",
+        setCols = Seq("source", "lang"), sumCols = Seq("__tok"))
+      .select(col("cluster_id"), col("kept_id"), col("n_members"),
+        round(col("best_score"), 4).as("best_quality"),
+        col("source_set").as("sources"), col("lang_set").as("langs"),
+        col("sum___tok").as("total_tokens"))
+      .orderBy("cluster_id")
+  }
+
+  /** Data-constrained epoch allocation
+    * ([[graft.sampling.Sampling.epochAllocation]]): exact-dedup the
+    * corpus ([[Dedup.exactDedupSemi]] — the narrow-shuffle form),
+    * weigh each source by its survivors' integer milli-quality mass,
+    * then water-fill a 40k-token training budget across sources with
+    * a 1.5-epoch repetition cap (chosen so BOTH allocator paths run at
+    * this corpus size — several sources cap and their freed budget
+    * redistributes; production uses the published 4). Every
+    * step is BIGINT floor-division — the 3 unrolled rounds replay
+    * bit-exact in the oracle.
+    */
+  private def epochAllocationQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val sv = Dedup.exactDedupSemi(docs(s, dir), "doc_id", "text")
+      .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("__tok",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    val per = sv.groupBy("source").agg(
+      sum(col("__tok")).as("u"),
+      sum(floor(col("__q") * 1000 + 0.5).cast("long")).as("w"))
+    graft.sampling.Sampling.epochAllocation(per, "source", "u", "w",
+        budget = 40000L, maxEpochsMilli = 1500L, rounds = 3)
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3335,6 +3381,8 @@ object SparkEntry {
     "q152_cross_source_dup_matrix" -> (crossSourceDupMatrixQ _),
     "q153_dsir_selection" -> (dsirSelectionQ _),
     "q154_supplier_pagerank" -> (supplierPagerankQ _),
+    "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
+    "q156_epoch_allocation" -> (epochAllocationQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -5634,6 +5682,95 @@ object SparkEntry {
          ${(1 to 6).map(iter).mkString(",\n         ")}
          SELECT node, CAST(r AS BIGINT) AS rank_scaled
          FROM r6 ORDER BY node"""
+    },
+    // q128's cluster chain, but clusters collapse to consolidated
+    // records: argmax keep, provenance unions, token mass
+    "q155_merge_survivorship" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT ida, idb FROM pairs
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         edges AS (SELECT ida AS a, idb AS b FROM verified
+                   UNION SELECT idb, ida FROM verified),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (
+           SELECT a AS doc_id, least(a, min(b)) AS comp
+           FROM reach GROUP BY a),
+         ${oracleMetricsCtes("documents")},
+         lab AS (
+           SELECT q.doc_id, q.quality, q.source, q.lang, q.tokens,
+             coalesce(r.comp, q.doc_id) AS comp
+           FROM q LEFT JOIN roots r USING (doc_id)),
+         ranked AS (
+           SELECT comp, doc_id, row_number() OVER (PARTITION BY comp
+             ORDER BY quality DESC, doc_id ASC) AS rn
+           FROM lab),
+         aggd AS (
+           SELECT comp AS cluster_id, count(*) AS n_members,
+             max(quality) AS bq,
+             array_to_string(list_sort(list_distinct(list(source))),
+               ',') AS sources,
+             array_to_string(list_sort(list_distinct(list(lang))),
+               ',') AS langs,
+             sum(tokens) AS total_tokens
+           FROM lab GROUP BY comp)
+         SELECT a.cluster_id, r2.doc_id AS kept_id,
+           CAST(a.n_members AS BIGINT) AS n_members,
+           round(a.bq, 4) AS best_quality, a.sources, a.langs,
+           CAST(a.total_tokens AS BIGINT) AS total_tokens
+         FROM aggd a JOIN ranked r2
+           ON r2.comp = a.cluster_id AND r2.rn = 1
+         ORDER BY a.cluster_id""",
+    // exact-dedup survivors -> per-source (token, milli-quality)
+    // masses -> 3 unrolled water-filling rounds, all BIGINT floor-div
+    "q156_epoch_allocation" -> {
+      def round2(k: Int): String = {
+        val prev = if (k == 1) "a0" else s"a${k - 1}"
+        s"""a$k AS (
+           SELECT source, u, w, cap,
+             least(cap, alloc + CASE WHEN alloc < cap AND t$k.actw > 0
+               THEN ((40000 - t$k.spent) * w) // t$k.actw
+               ELSE 0 END) AS alloc
+           FROM $prev, (
+             SELECT sum(CASE WHEN alloc < cap THEN w ELSE 0 END)
+                 AS actw,
+               sum(alloc) AS spent FROM $prev) t$k)"""
+      }
+      s"""${oracleMetricsCte},
+         keep1 AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, min(doc_id) OVER (PARTITION BY
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ) AS k0
+             FROM documents) WHERE doc_id = k0),
+         per AS (
+           SELECT source, sum(tokens) AS u,
+             sum(CAST(floor(quality * 1000 + 0.5) AS BIGINT)) AS w
+           FROM q JOIN keep1 USING (doc_id)
+           GROUP BY source),
+         a0 AS (
+           SELECT source, u, w, (u * 1500) // 1000 AS cap,
+             CAST(0 AS BIGINT) AS alloc
+           FROM per WHERE u > 0 AND w > 0),
+         ${(1 to 3).map(round2).mkString(",\n         ")}
+         SELECT source, CAST(u AS BIGINT) AS unique_tokens,
+           CAST(w AS BIGINT) AS weight,
+           CAST(alloc AS BIGINT) AS allocated_tokens,
+           CAST((alloc * 1000) // u AS BIGINT) AS epochs_milli,
+           alloc = cap AS capped
+         FROM a3 ORDER BY source"""
     },
     // 8 unrolled BPE iterations over the distinct-word frequency
     // table; each step: pair count → argmax → two-pass greedy replace

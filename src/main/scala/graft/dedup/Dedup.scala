@@ -1311,6 +1311,50 @@ object Dedup {
       Seq(idCol))
   }
 
+  /** Cluster-MERGE survivorship: near-dup clusters collapse to ONE
+    * consolidated record that keeps the best member's identity AND
+    * the union of the cluster's metadata — the entity-consolidation
+    * complement of [[dedupNearKeepBest]] (which drops losers wholesale,
+    * losing their provenance). The published corpus practice: when
+    * re-posts of an article dedup, the surviving record should still
+    * say it was seen on every source, and budget math should know the
+    * cluster's total token mass.
+    *
+    * Per cluster: `cluster_id` (the component's min id — CC's label),
+    * `kept_id` (argmax `scoreCol`, min id on ties — ONE `max_by`, no
+    * per-cluster sort), `n_members`, `best_score`, a sorted-distinct
+    * comma-joined union per `setCols` entry (strings sort stably
+    * cross-engine; emitted as one string so results hash portably),
+    * and a `sum_<col>` total per `sumCols` entry. Singletons appear
+    * with n_members 1. The aggregation is cluster-keyed — one
+    * exchange over the labeled corpus; set unions are bounded by
+    * cluster size × attribute domain.
+    */
+  def mergeSurvivorship(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String,
+      setCols: Seq[String] = Nil, sumCols: Seq[String] = Nil,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes,
+      bands, threshold)
+    val labels = ConnectedComponents
+      .components(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val lab = df
+      .join(labels, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val aggs = Seq(
+      max_by(col(idCol),
+        struct(col(scoreCol), col(idCol) * lit(-1))).as("kept_id"),
+      count(lit(1)).as("n_members"),
+      max(col(scoreCol)).as("best_score")) ++
+      setCols.map(c => array_join(
+        sort_array(collect_set(col(c))), ",").as(s"${c}_set")) ++
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    lab.groupBy(col("__comp").as("cluster_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Cross-source near-duplication matrix: for every DIRECTED pair of
     * corpus sources (a, b), how much of source a is near-duplicated
     * in source b. The standard provenance audit before mixing

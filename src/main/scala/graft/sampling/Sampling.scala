@@ -336,4 +336,64 @@ object Sampling {
       .collect()
       .map(r => String.valueOf(r.get(0)) -> r.getDouble(4))
       .toMap
+
+  /** Data-constrained epoch allocation (after Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models": repeating data
+    * holds its value for ~4 epochs, then decays — so a training
+    * budget larger than the corpus should REPEAT good sources up to a
+    * cap, not scrape the bottom of bad ones). Water-filling: each
+    * round hands every un-capped source its `weightCol`-proportional
+    * slice of the remaining budget, clipped at `maxEpochsMilli`
+    * thousandths of an epoch over its `tokCol` unique tokens; budget
+    * freed by capped sources redistributes to un-capped ones on the
+    * next round. `rounds` fixed rounds unroll in the PLAN (no
+    * driver loop over data, no actions): each is one ungrouped
+    * aggregate broadcast back over the per-source frame.
+    *
+    * All arithmetic is exact BIGINT floor-division — deterministic
+    * across engines and partitionings. Exactness contract:
+    * `remaining_budget × max(weight)` must fit in Int64, so at
+    * corpus scale pass token counts and budget in consistent COARSE
+    * units (mega-tokens) rather than raw tokens. Rows with
+    * non-positive `tokCol` or `weightCol` are excluded (they can
+    * absorb no budget and would divide by zero).
+    *
+    * Output per source: (srcCol, unique_tokens, weight,
+    * allocated_tokens, epochs_milli, capped).
+    */
+  def epochAllocation(
+      df: DataFrame, srcCol: String, tokCol: String, weightCol: String,
+      budget: Long, maxEpochsMilli: Long = 4000L,
+      rounds: Int = 3): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochsMilli > 0, "maxEpochsMilli must be positive")
+    require(rounds >= 1, "at least one round")
+    var cur = df
+      .select(col(srcCol),
+        col(tokCol).cast("long").as("__u"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__u") > 0 && col("__w") > 0)
+      .withColumn("__cap", expr(s"(__u * $maxEpochsMilli) div 1000"))
+      .withColumn("__alloc", lit(0L))
+    for (_ <- 1 to rounds) {
+      val tot = cur.agg(
+        sum(when(col("__alloc") < col("__cap"), col("__w"))
+          .otherwise(lit(0L))).as("__actw"),
+        sum(col("__alloc")).as("__spent"))
+      cur = cur.crossJoin(broadcast(tot))
+        .withColumn("__add",
+          when(col("__alloc") < col("__cap") && col("__actw") > 0,
+            expr(s"(($budget - __spent) * __w) div __actw"))
+            .otherwise(lit(0L)))
+        .withColumn("__alloc",
+          least(col("__cap"), col("__alloc") + col("__add")))
+        .drop("__actw", "__spent", "__add")
+    }
+    cur.select(col(srcCol),
+      col("__u").as("unique_tokens"),
+      col("__w").as("weight"),
+      col("__alloc").as("allocated_tokens"),
+      expr("(__alloc * 1000) div __u").as("epochs_milli"),
+      (col("__alloc") === col("__cap")).as("capped"))
+  }
 }
