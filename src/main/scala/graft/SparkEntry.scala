@@ -2914,6 +2914,146 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Frequent event trigrams ([[Analytics.frequentSequences]]): the
+    * contiguous 3-step behavior patterns shared by at least 3 users —
+    * support counted in DISTINCT users, so a bot looping one path
+    * counts once. Order within a user is (ts, event_id) — a total
+    * order, lag determinism's contract.
+    */
+  private def eventSequencesQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.frequentSequences(events(s, dir), "user_id", "event_type",
+        Seq(col("ts").asc, col("event_id").asc), n = 3, minSupport = 3)
+      .select(col("step_1"), col("step_2"), col("step_3"),
+        col("n_keys"), round(col("support"), 4).as("support"))
+      .orderBy(col("n_keys").desc, col("step_1"), col("step_2"),
+        col("step_3"))
+
+  /** Uniform negative sampling
+    * ([[graft.sampling.Sampling.negativeSample]]): per customer, 5
+    * parts they never ordered, drawn by deterministic hash from the
+    * part catalog — the contrastive-training negative sampler's
+    * uniform (easy-negative) counterpart to q141's hard negatives.
+    */
+  private def negativeSamplesQ(s: SparkSession, dir: String): DataFrame = {
+    val inter = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    graft.sampling.Sampling.negativeSample(inter, "o_custkey",
+        "l_partkey", t(s, dir, "part"), "p_partkey", k = 5,
+        oversample = 4, salt = "neg")
+      .orderBy("o_custkey", "neg_rank")
+  }
+
+  /** Greedy k-center diversity selection
+    * ([[Similarity.kCenterSelect]]): the 8 maximally-spread embedding
+    * vectors by exact integer squared-L2 over int8 codes — the
+    * coreset/diversity pass of a data-selection pipeline, every
+    * argmax bit-exact across engines.
+    */
+  private def kcenterSelectQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(emb(s, dir), "vec_id", "embedding", k = 8)
+      .select(col("round"), col("vec_id"), col("d2_at_selection"))
+      .orderBy("round")
+
+  /** Calibration (reliability) report
+    * ([[graft.text.QualityModel.calibrationReport]]) of the composite
+    * quality score against the is-English slice: per decile bin the
+    * mean predicted score vs the empirical rate, the gap, and the ECE
+    * contribution — integer micro-unit sums keep every emitted double
+    * a single exact-long division.
+    */
+  private def calibrationReportQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__score", TextAnalysis.qualityScore(col("text")))
+    graft.text.QualityModel.calibrationReport(d, "__score",
+        col("lang") === "en", bins = 10)
+      .select(col("bin"), col("n"), col("n_positive"),
+        round(col("mean_score"), 6).as("mean_score"),
+        round(col("frac_positive"), 6).as("frac_positive"),
+        round(col("ece_contrib"), 6).as("ece_contrib"))
+      .orderBy("bin")
+  }
+
+  /** Mergeable quantile datasheet
+    * ([[graft.quality.Drift.quantileShards]]): per-language p50/p75
+    * of per-document token counts, built as 4 independent shard
+    * sketches and combined by sketch-union — the percentile row of
+    * the maintain-per-append datasheet algebra (q148 covers distincts
+    * via HLL; percentiles need a mergeable KLL sketch). At oracle
+    * scale every group is in the sketch's exact regime, so each
+    * quantile is the exact inclusive order statistic; the ranks are
+    * DYADIC (0.5, 0.75 — exact binary doubles), so the rank→index
+    * arithmetic agrees bit-for-bit across engines (the q131/q145
+    * dyadic-constant argument).
+    */
+  private def quantileDatasheetQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val shards = graft.quality.Drift.quantileShards(d, Seq("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("double"),
+      pmod(col("doc_id"), lit(4)), k = 8192)
+    graft.quality.Drift.mergeQuantileShards(shards, Seq("lang"),
+        Seq(0.5, 0.75), k = 8192)
+      .select(col("lang"), col("n"), col("p50"), col("p75"))
+      .orderBy("lang")
+  }
+
+  /** PII incidence report ([[TextAnalysis.piiIncidence]]) over a
+    * deterministically PII-perturbed corpus (the q144 treatment —
+    * synthetic tables carry no real PII, so docs at doc_id ≡ 0 mod
+    * {7, 11, 13} get an email / SSN / phone appended and the report
+    * must locate exactly those): per (source, pii_type) the affected
+    * documents, total matches, and affected fraction.
+    */
+  private def piiIncidenceQ(s: SparkSession, dir: String): DataFrame = {
+    val seeded = docs(s, dir).withColumn("text",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" ssn 123-45-6789")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit(" call 555-123-4567")).otherwise(lit(""))))
+    TextAnalysis.piiIncidence(seeded, "text", Seq("source"))
+      .select(col("source"), col("pii_type"), col("n_docs"),
+        col("n_docs_with"), col("n_matches"),
+        round(col("doc_frac"), 6).as("doc_frac"))
+      .orderBy("source", "pii_type")
+  }
+
+  /** Tokenizer fertility report: per language, BPE tokens per word
+    * and characters per BPE token under the corpus-trained 8-merge
+    * table (q142's trainer + q143's production apply) — the
+    * tokenizer-fit audit that decides whether a language needs its
+    * own vocabulary budget. Unrounded exact-long divisions.
+    */
+  private def tokenizerFertilityQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val m = TextAnalysis.bpeTrainMerges(d, "text", merges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeTokenCountsFast(d, "doc_id", "text", m)
+      .join(d.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("__nc")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens_bpe")).as("n_tokens_bpe"),
+        sum(col("__nc")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens_bpe"),
+        col("n_chars"),
+        (col("n_tokens_bpe").cast("double") / col("n_words"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens_bpe"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3383,6 +3523,13 @@ object SparkEntry {
     "q154_supplier_pagerank" -> (supplierPagerankQ _),
     "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
     "q156_epoch_allocation" -> (epochAllocationQ _),
+    "q157_event_sequences" -> (eventSequencesQ _),
+    "q158_negative_samples" -> (negativeSamplesQ _),
+    "q159_kcenter_select" -> (kcenterSelectQ _),
+    "q160_calibration_report" -> (calibrationReportQ _),
+    "q161_quantile_datasheet" -> (quantileDatasheetQ _),
+    "q162_pii_incidence" -> (piiIncidenceQ _),
+    "q163_tokenizer_fertility" -> (tokenizerFertilityQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -5772,6 +5919,228 @@ object SparkEntry {
            alloc = cap AS capped
          FROM a3 ORDER BY source"""
     },
+    // lag windows replay the trigram walk; support = distinct users
+    "q157_event_sequences" ->
+      """WITH l AS (
+           SELECT user_id, event_type,
+             lag(event_type, 2) OVER w AS s1,
+             lag(event_type, 1) OVER w AS s2
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (
+           SELECT DISTINCT s1 AS step_1, s2 AS step_2,
+             event_type AS step_3, user_id
+           FROM l WHERE s1 IS NOT NULL AND s2 IS NOT NULL),
+         c AS (
+           SELECT step_1, step_2, step_3, count(*) AS n_keys
+           FROM g GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+         el AS (
+           SELECT count(*) AS nk FROM (
+             SELECT user_id FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             GROUP BY user_id HAVING count(*) >= 3))
+         SELECT step_1, step_2, step_3,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           round(CAST(n_keys AS DOUBLE) / nk, 4) AS support
+         FROM c, el
+         ORDER BY n_keys DESC, step_1, step_2, step_3""",
+    // deterministic md5 draws mod catalog size, anti-joined, first-k
+    "q158_negative_samples" ->
+      """WITH inter AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS u, l_partkey AS it
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         users AS (SELECT DISTINCT u FROM inter WHERE u IS NOT NULL),
+         items AS MATERIALIZED (
+           SELECT it, row_number() OVER (ORDER BY it) AS idx FROM (
+             SELECT DISTINCT p_partkey AS it FROM part
+             WHERE p_partkey IS NOT NULL)),
+         ni AS (SELECT count(*) AS n FROM items),
+         slots AS (
+           SELECT u, unnest(generate_series(0, 19)) AS slot
+           FROM users),
+         draws AS (
+           SELECT u, slot,
+             (CAST(('0x' || substr(md5('neg' || CAST(u AS VARCHAR)
+               || ':' || CAST(slot AS VARCHAR)), 1, 8)) AS BIGINT)
+               % ni.n) + 1 AS idx
+           FROM slots, ni),
+         cand AS (
+           SELECT u, slot, it FROM draws JOIN items USING (idx)),
+         fresh AS (
+           SELECT u, it, min(slot) AS slot FROM cand
+           WHERE NOT EXISTS (SELECT 1 FROM inter i
+             WHERE i.u = cand.u AND i.it = cand.it)
+           GROUP BY u, it),
+         r AS (
+           SELECT u, it, slot, row_number() OVER (
+             PARTITION BY u ORDER BY slot, it) AS rk
+           FROM fresh)
+         SELECT u AS o_custkey, it AS l_partkey,
+           CAST(slot AS INT) AS draw_slot, CAST(rk AS INT) AS neg_rank
+         FROM r WHERE rk <= 5
+         ORDER BY o_custkey, neg_rank""",
+    // int8 quantization (the q105 CTE) then 7 unrolled farthest-point
+    // rounds in exact BIGINT squared-L2; MATERIALIZED per round (each
+    // step is referenced twice — plain CTEs would inline the whole
+    // prefix exponentially)
+    "q159_kcenter_select" -> {
+      def d2(a: String, b: String): String =
+        s"""CAST(list_sum(list_transform(
+           generate_series(1, len($a)),
+           i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
+      def step(k: Int): String = {
+        val prev = if (k == 2) "m1" else s"m${k - 1}"
+        s"""c$k AS MATERIALIZED (
+             SELECT vec_id, q, mind FROM $prev
+             ORDER BY mind DESC, vec_id ASC LIMIT 1),
+           m$k AS MATERIALIZED (
+             SELECT m.vec_id, m.q,
+               least(m.mind, ${d2("m.q", "c.q")}) AS mind
+             FROM $prev m, c$k c WHERE m.vec_id <> c.vec_id)"""
+      }
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+         qz AS (
+           SELECT vec_id,
+             CASE WHEN coalesce(
+                 list_max(list_transform(v, x -> abs(x))), 0.0) = 0.0
+               THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> round(x /
+                 (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+             END AS qv
+           FROM e),
+         qi AS MATERIALIZED (
+           SELECT vec_id,
+             list_transform(qv, x -> CAST(x AS BIGINT)) AS q
+           FROM qz),
+         c1 AS MATERIALIZED (
+           SELECT vec_id, q FROM qi ORDER BY vec_id ASC LIMIT 1),
+         m1 AS MATERIALIZED (
+           SELECT p.vec_id, p.q, ${d2("p.q", "c.q")} AS mind
+           FROM qi p, c1 c WHERE p.vec_id <> c.vec_id),
+         ${(2 to 8).map(step).mkString(",\n         ")}
+         SELECT CAST(1 AS INT) AS round, vec_id,
+           CAST(NULL AS BIGINT) AS d2_at_selection FROM c1
+         ${(2 to 8).map(k =>
+            s"UNION ALL SELECT CAST($k AS INT), vec_id, mind FROM c$k")
+            .mkString("\n         ")}
+         ORDER BY round"""
+    },
+    // decile bins over the replayed quality score; micro-unit integer
+    // sums make every emitted double a single exact division
+    "q160_calibration_report" ->
+      s"""$oracleMetricsCte,
+         b AS (
+           SELECT least(CAST(floor(quality * 10) AS INT), 9) AS bin,
+             CAST(floor(quality * 1000000) AS BIGINT) AS micro,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM q WHERE quality IS NOT NULL AND lang IS NOT NULL),
+         g AS (
+           SELECT bin, count(*) AS n, sum(micro) AS sm,
+             sum(pos) AS np
+           FROM b GROUP BY bin),
+         t AS (SELECT sum(n) AS tot FROM g)
+         SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(np AS BIGINT) AS n_positive,
+           round(CAST(sm AS DOUBLE) / (n * 1000000), 6) AS mean_score,
+           round(CAST(np AS DOUBLE) / n, 6) AS frac_positive,
+           round(abs(CAST(sm AS DOUBLE) / (n * 1000000)
+             - CAST(np AS DOUBLE) / n) * n / tot, 6) AS ece_contrib
+         FROM g, t ORDER BY bin""",
+    // exact-regime KLL == the inclusive order statistic: smallest
+    // value whose cumulative fraction >= rank (cume_dist replay);
+    // ranks 0.5/0.75 are exact binary doubles on both engines
+    "q161_quantile_datasheet" ->
+      s"""WITH tok AS (
+           SELECT lang, CAST(len($oracleWords) AS DOUBLE) AS v
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT lang, v, cume_dist() OVER (
+             PARTITION BY lang ORDER BY v) AS cd
+           FROM tok)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           min(CASE WHEN cd >= 0.5 THEN v END) AS p50,
+           min(CASE WHEN cd >= 0.75 THEN v END) AS p75
+         FROM c GROUP BY lang ORDER BY lang""",
+    // the deterministic PII seeding replayed, then per-source regex
+    // counts; rows unpivot per type
+    "q162_pii_incidence" -> {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ssnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      s"""WITH seeded AS (
+           SELECT source,
+             text ||
+               CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567'
+                 ELSE '' END AS text
+           FROM documents),
+         cnt AS (
+           SELECT source,
+             len(regexp_extract_all(coalesce(text, ''),
+               '$emailPat')) AS c_email,
+             len(regexp_extract_all(coalesce(text, ''),
+               '$ssnPat')) AS c_ssn,
+             len(regexp_extract_all(coalesce(text, ''),
+               '$phonePat')) AS c_phone
+           FROM seeded),
+         g AS (
+           SELECT source, count(*) AS n_docs,
+             sum(c_email) AS m_email,
+             sum(CASE WHEN c_email > 0 THEN 1 ELSE 0 END) AS d_email,
+             sum(c_ssn) AS m_ssn,
+             sum(CASE WHEN c_ssn > 0 THEN 1 ELSE 0 END) AS d_ssn,
+             sum(c_phone) AS m_phone,
+             sum(CASE WHEN c_phone > 0 THEN 1 ELSE 0 END) AS d_phone
+           FROM cnt GROUP BY source)
+         SELECT source, pii_type, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(nw AS BIGINT) AS n_docs_with,
+           CAST(nm AS BIGINT) AS n_matches,
+           round(CAST(nw AS DOUBLE) / n_docs, 6) AS doc_frac
+         FROM (
+           SELECT source, 'email' AS pii_type, n_docs,
+             d_email AS nw, m_email AS nm FROM g
+           UNION ALL SELECT source, 'ssn', n_docs, d_ssn, m_ssn FROM g
+           UNION ALL SELECT source, 'phone', n_docs, d_phone, m_phone
+             FROM g)
+         ORDER BY source, pii_type"""
+    },
+    // the q143 trained-apply chain regrouped per language
+    "q163_tokenizer_fertility" ->
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         s0 AS MATERIALIZED (SELECT w, freq,
+             ' ' || array_to_string(list_transform(
+               generate_series(1, length(w)),
+               i -> substring(w, i, 1)), ' ') || ' ' AS s
+           FROM w0),
+         ${(1 to 8).map(oracleBpeStep).mkString(",\n")},
+         wc AS (SELECT w, len(string_split(trim(s), ' ')) AS n
+                FROM s8),
+         dw AS (SELECT doc_id, unnest($oracleWords) AS w
+                FROM documents),
+         agg AS (
+           SELECT doc_id, count(*) AS nw, sum(n) AS nt
+           FROM dw JOIN wc USING (w) GROUP BY doc_id),
+         per AS (
+           SELECT d.lang, coalesce(a.nw, 0) AS nw,
+             coalesce(a.nt, 0) AS nt, d.n_chars
+           FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id)
+         SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nt) AS BIGINT) AS n_tokens_bpe,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(nt) AS DOUBLE) / nullif(sum(nw), 0) AS fertility,
+           CAST(sum(n_chars) AS DOUBLE) / nullif(sum(nt), 0)
+             AS chars_per_token
+         FROM per GROUP BY lang ORDER BY lang""",
     // 8 unrolled BPE iterations over the distinct-word frequency
     // table; each step: pair count → argmax → two-pass greedy replace
     "q142_bpe_merges" ->

@@ -1509,6 +1509,63 @@ object Analytics {
     * @return (node, rank_scaled): rank in trillionths, summing to
     *         ≤ 1e12 over all nodes.
     */
+  /** Frequent contiguous event sequences (n-gram sequence mining):
+    * every length-`n` run of consecutive states within a key's
+    * time-ordered stream, counted by the number of DISTINCT keys that
+    * exhibit it — the sequential-pattern miner behind "what do users
+    * do next" funnels and curriculum-ordering audits, restricted to
+    * contiguous n-grams (the scalable core of PrefixSpan: support
+    * counting needs no candidate generation or multi-pass growth).
+    *
+    * Scale design: one shuffle on the key + one time sort serve all
+    * `n−1` lag frames (ROWS-bounded — state is n rows per key, never
+    * the stream); the support count pre-distincts (sequence, key)
+    * map-side before counting, so a bot key repeating one n-gram a
+    * million times contributes one row per partition to the exchange,
+    * not a million; `minSupport` prunes before the share join; the
+    * total-keys scalar rides a broadcast one-row frame. `support` =
+    * distinct keys containing the sequence / all keys with ≥ n events
+    * — an exact-long division, bit-stable across engines.
+    *
+    * `orderCols` must be a TOTAL order within each key (ties would
+    * make lag nondeterministic — same contract as [[transitionMatrix]]
+    * tightened to determinism; pass a tie-breaking id).
+    */
+  def frequentSequences(
+      df: DataFrame, keyCol: String, stateCol: String,
+      orderCols: Seq[Column], n: Int = 3,
+      minSupport: Long = 2L): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    require(orderCols.nonEmpty, "orderCols must not be empty")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val lagged = (n - 1 to 1 by -1).foldLeft(
+      df.where(col(keyCol).isNotNull && col(stateCol).isNotNull)) {
+      (acc, i) => acc.withColumn(s"__s$i", lag(col(stateCol), i).over(w))
+    }
+    val seqCols = (n - 1 to 1 by -1).map(i => col(s"__s$i")) :+
+      col(stateCol)
+    val grams = lagged
+      .where(seqCols.map(_.isNotNull).reduce(_ && _))
+      .select((seqCols.zipWithIndex.map { case (c, i) =>
+        c.as(s"step_${i + 1}")
+      } :+ col(keyCol)): _*)
+      .distinct()
+    val stepNames = (1 to n).map(i => s"step_$i")
+    val counts = grams.groupBy(stepNames.map(col): _*)
+      .agg(count(lit(1)).as("n_keys"))
+      .where(col("n_keys") >= minSupport)
+    // keys long enough to contain any n-gram: the support denominator
+    val eligible = df
+      .where(col(keyCol).isNotNull && col(stateCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__len"))
+      .where(col("__len") >= n)
+      .agg(count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(eligible))
+      .select((stepNames.map(col) :+ col("n_keys") :+
+        (col("n_keys").cast("double") / col("__nkeys"))
+          .as("support")): _*)
+  }
+
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 6, damping: Int = 850): DataFrame = {

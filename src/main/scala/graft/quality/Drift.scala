@@ -98,4 +98,65 @@ object Drift {
       .withColumn("p_cur", round(pC, 6))
       .withColumn("psi_term", round((pC - pB) * log(pC / pB), 6))
   }
+
+  /** Mergeable per-shard quantile sketches
+    * ([[graft.expressions.KllQuantile]]): per (group cols × shard) a
+    * KLL sketch of `value` plus an exact count — the quantile row of
+    * the corpus-datasheet algebra (HLL covers distincts; counts are
+    * additive; percentiles are NEITHER, so a standing "p95 doc length
+    * per language" that updates per ingest batch without rescanning
+    * history needs a mergeable sketch). Shards build independently —
+    * one scan of the batch each — and combine under
+    * [[mergeQuantileShards]] in any merge tree.
+    */
+  def quantileShards(
+      df: DataFrame, groupCols: Seq[String], value: Column,
+      shard: Column, k: Int = 8192): DataFrame = {
+    val rows = df
+      .select(groupCols.map(col) ++ Seq(shard.as("__shard"),
+        value.cast("double").as("__v")): _*)
+      .where(col("__v").isNotNull)
+    rows.groupBy((groupCols.map(col) :+ col("__shard")): _*)
+      .agg(count(lit(1)).as("n"),
+        graft.expressions.KllQuantile.kllSketch(k)(col("__v"))
+          .as("q_sketch"))
+  }
+
+  /** Merge shard quantile sketches to per-group quantiles at the given
+    * ranks (columns `p<rank·100>`, e.g. `p50`, `p95`) plus the exact
+    * merged count. Sketch-union is order-independent; in the exact
+    * regime (group size below the sketch's first compaction) each
+    * emitted quantile is the exact INCLUSIVE order statistic — the
+    * smallest value whose cumulative fraction ≥ rank.
+    */
+  def mergeQuantileShards(
+      shards: DataFrame, groupCols: Seq[String],
+      ranks: Seq[Double], k: Int = 8192): DataFrame = {
+    require(ranks.nonEmpty, "at least one rank")
+    val merged = shards.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        graft.expressions.KllQuantile.kllUnion(k)(col("q_sketch"))
+          .as("__m"))
+    val qCols = ranks.map { r =>
+      graft.expressions.KllQuantile.kllQuantile(col("__m"), r)
+        .as(s"p${math.round(r * 100)}")
+    }
+    merged.select(groupCols.map(col) ++ (col("n") +: qCols): _*)
+  }
+
+  /** Sketch-PRESERVING shard compaction (the
+    * [[graft.text.TextAnalysis.compactDatasheetShards]] analogue):
+    * many shard rows collapse to one valid shard row per group, so
+    * compaction composes with further appends and merges under the
+    * same algebra.
+    */
+  def compactQuantileShards(
+      shards: DataFrame, groupCols: Seq[String], shardId: Long,
+      k: Int = 8192): DataFrame =
+    shards.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        graft.expressions.KllQuantile.kllUnion(k)(col("q_sketch"))
+          .as("q_sketch"))
+      .select(groupCols.map(col) ++ Seq(lit(shardId).as("__shard"),
+        col("n"), col("q_sketch")): _*)
 }

@@ -396,4 +396,73 @@ object Sampling {
       expr("(__alloc * 1000) div __u").as("epochs_milli"),
       (col("__alloc") === col("__cap")).as("capped"))
   }
+
+  /** Uniform negative sampling for contrastive / recommendation
+    * training: for each user with at least one interaction, up to `k`
+    * items they did NOT interact with, drawn uniformly (with the
+    * engine's deterministic hash, not `rand()`) from the item
+    * catalog. The complement set is never materialized — a user who
+    * touched 10 of 10⁸ items has ~10⁸ negatives; instead each user
+    * gets `k · oversample` candidate DRAWS (item index =
+    * md5(salt‖user‖slot) mod catalog size), the drawn candidates
+    * anti-join the interaction set, and the first `k` survivors in
+    * slot order are kept — so the cost is candidate-sized
+    * (users × k·oversample rows) regardless of catalog or
+    * interaction volume.
+    *
+    * Determinism end to end: the catalog gets a dense 1..I index via
+    * [[graft.operators.Analytics.rankByRange]] over the total order
+    * `itemIdCol` asc (never a global window sort); draws are pure md5
+    * arithmetic; duplicate draws of one item keep the MIN slot; the
+    * per-user keep-first-`k` window sees ≤ k·oversample rows per user
+    * by construction. A user whose unseen-item draws come up short
+    * (heavy interactor or tiny catalog) emits fewer than `k` rows —
+    * deterministic, and the `n_negatives` consumer can resample with
+    * another salt.
+    *
+    * Shuffles: one on (user, item) for the anti-join + collapse, one
+    * on user for the bounded keep-window; the catalog index joins the
+    * candidates on the draw index (AQE broadcasts it when small).
+    */
+  def negativeSample(
+      interactions: DataFrame, userCol: String, itemCol: String,
+      items: DataFrame, itemIdCol: String, k: Int,
+      oversample: Int = 4, salt: String = "neg"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(oversample >= 1, "oversample must be >= 1")
+    val m = k * oversample
+    val indexed = graft.operators.Analytics.rankByRange(
+        items.select(col(itemIdCol).as("__item"))
+          .where(col("__item").isNotNull).distinct()
+          .withColumn("__g", lit(1)),
+        Seq("__g"), Seq(col("__item").asc), "__idx")
+      .select(col("__idx"), col("__item"))
+    val nItems = indexed.agg(count(lit(1)).as("__ni"))
+    val draws = interactions
+      .select(col(userCol).as("__user")).where(col("__user").isNotNull)
+      .distinct()
+      .select(col("__user"),
+        explode(sequence(lit(0), lit(m - 1))).as("__slot"))
+      .crossJoin(broadcast(nItems))
+      .withColumn("__idx",
+        pmod(conv(substring(md5(concat(lit(salt),
+          col("__user").cast("string"), lit(":"),
+          col("__slot").cast("string"))), 1, 8), 16, 10).cast("long"),
+          col("__ni")) + 1)
+      .join(indexed, Seq("__idx"))
+    val seen = interactions
+      .select(col(userCol).as("__user"), col(itemCol).as("__item"))
+      .where(col("__user").isNotNull && col("__item").isNotNull)
+      .distinct()
+    val fresh = draws
+      .join(seen, Seq("__user", "__item"), "left_anti")
+      .groupBy(col("__user"), col("__item"))
+      .agg(min(col("__slot")).as("__slot"))
+    val w = Window.partitionBy(col("__user"))
+      .orderBy(col("__slot").asc, col("__item").asc)
+    fresh.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("__user").as(userCol), col("__item").as(itemCol),
+        col("__slot").as("draw_slot"), col("__rk").as("neg_rank"))
+  }
 }

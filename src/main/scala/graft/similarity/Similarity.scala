@@ -1619,6 +1619,85 @@ object Similarity {
     batch.join(matched, Seq(idCol), "left_anti")
   }
 
+  /** Greedy k-center (farthest-point) selection: `k` maximally-spread
+    * vectors — the coreset / diversity-selection pass a training
+    * pipeline runs to pick representative documents, seed diverse
+    * few-shot pools, or downsample a over-crowded embedding region
+    * (greedy farthest-point is the classic 2-approximation to the
+    * k-center objective). Seed = lowest id; each round adds the point
+    * farthest from the current selection (max over points of min
+    * distance to any selected center), ties to the smaller id.
+    *
+    * Exactness at scale: distances are squared L2 over the INT8
+    * quantization codes ([[quantizeInt8]] — scale-free direction
+    * geometry, the [[srpSketch]] argument): every distance is an
+    * exact integer ≤ dim·254², so the per-round argmax and its
+    * tie-break are bit-reproducible across engines, partitionings,
+    * and cluster sizes — float distances would tie-break on
+    * summation order exactly where crowded regions tie.
+    *
+    * Shape: k−1 unrolled rounds; each round is ONE corpus scan — the
+    * running min-distance column updates against the single new
+    * center (a broadcast one-row ungrouped-aggregate frame), and the
+    * next center is one `max_by` row. No pairwise corpus join exists
+    * anywhere; cost is k corpus scans, state is one long per row.
+    * `localCheckpoint` flattens the per-round lineage (the
+    * [[graft.operators.Analytics.pageRank]] treatment).
+    *
+    * Returns (round, id, codes, d2_at_selection) — `d2_at_selection`
+    * is the selected point's min-distance when chosen (the k-center
+    * radius sequence; round 1 = seed with d2 null).
+    */
+  def kCenterSelect(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d2 = (a: Column, b: Column) =>
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("long") - y.cast("long")) *
+            (x.cast("long") - y.cast("long"))),
+        lit(0L), (acc, x) => acc + x)
+    val coded = quantizeInt8(
+        df.select(col(idCol), col(vecCol)).where(col(vecCol).isNotNull),
+        vecCol)
+      .select(col(idCol).as("__id"), col(vecCol + "_q").as("__q"))
+    val seed = coded.agg(min_by(struct(col("__id"), col("__q")),
+      col("__id")).as("__s")).select(col("__s.__id").as("__cid"),
+      col("__s.__q").as("__cq"))
+    var selected = Seq.empty[(Int, DataFrame)]
+    var cur = coded.crossJoin(broadcast(seed))
+      .select(col("__id"), col("__q"),
+        d2(col("__q"), col("__cq")).as("__mind"))
+      .where(col("__id") =!= col("__cid"))
+      .localCheckpoint()
+    selected :+= (1, seed.select(lit(1).as("round"),
+      col("__cid").as("__id"), col("__cq").as("__q"),
+      lit(null).cast("long").as("d2_at_selection")))
+    for (r <- 2 to k) {
+      val next = cur.agg(max_by(struct(col("__id"), col("__q"),
+          col("__mind")),
+        struct(col("__mind"), (-col("__id")).as("__nid"))).as("__s"))
+        .select(col("__s.__id").as("__cid"), col("__s.__q").as("__cq"),
+          col("__s.__mind").as("__cd"))
+      selected :+= (r, next.select(lit(r).as("round"),
+        col("__cid").as("__id"), col("__cq").as("__q"),
+        col("__cd").as("d2_at_selection")))
+      if (r < k)
+        cur = cur.crossJoin(broadcast(next))
+          .where(col("__id") =!= col("__cid"))
+          .select(col("__id"), col("__q"),
+            least(col("__mind"), d2(col("__q"), col("__cq")))
+              .as("__mind"))
+          .localCheckpoint()
+    }
+    selected.map(_._2).reduce(_.unionByName(_))
+      .select(col("round"), col("__id").as(idCol),
+        col("__q").as("codes"), col("d2_at_selection"))
+  }
+
   /** The (i, d) hyperplane sign: +1 iff the first hex char of
     * md5("srp_i_d") has even value — replayable as
     * `substr(md5(...), 1, 1) IN ('0','2','4','6','8','a','c','e')`

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -615,6 +615,41 @@ object EventStreams {
         shardId = 0L)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$newStoreDir/batch_id=0")
+
+  /** Streaming quantile-datasheet maintenance — the percentile sibling
+    * of [[datasheetMaintenanceSink]], completing the shard algebra's
+    * streaming story for [[graft.quality.Drift.quantileShards]]: each
+    * micro-batch lands its own per-group KLL sketch shard under
+    * `batch_id=<id>` with OVERWRITE, so checkpoint replay REWRITES the
+    * same shard instead of double-counting it (exactly-once effect
+    * from at-least-once delivery, no history read). The live view is
+    * one [[graft.quality.Drift.mergeQuantileShards]] over the store;
+    * [[graft.quality.Drift.compactQuantileShards]] collapses aged
+    * shards under the same algebra (rewrite-to-new-store, the
+    * [[compactDatasheetStore]] argument).
+    */
+  def quantileMaintenanceSink(
+      rows: DataFrame, groupCols: Seq[String], value: Column,
+      storeDir: String, checkpointDir: String, k: Int = 8192)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(rows, checkpointDir, outputMode = "append") {
+      (batch, id) =>
+        graft.quality.Drift
+          .quantileShards(batch, groupCols, value, lit(id), k)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$storeDir/batch_id=$id")
+    }
+
+  /** Live per-group quantiles over a [[quantileMaintenanceSink]]
+    * store (partition discovery adds `batch_id`; the merge collapses
+    * it).
+    */
+  def liveQuantiles(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      groupCols: Seq[String], ranks: Seq[Double],
+      k: Int = 8192): DataFrame =
+    graft.quality.Drift.mergeQuantileShards(
+      spark.read.parquet(storeDir), groupCols, ranks, k)
 
   /** Streaming SCD-2 dimension maintenance: lands each micro-batch of
     * keyed attribute observations into the versioned dimension at

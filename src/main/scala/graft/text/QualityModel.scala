@@ -105,4 +105,54 @@ object QualityModel {
       .where(col(scoreCol) >= col("cutoff"))
       .drop("__g")
   }
+
+  /** Calibration (reliability) report for a probabilistic classifier:
+    * scores in [0, 1] bucket into `bins` equal-width bins; per bin
+    * the row count, mean predicted score, empirical positive rate,
+    * the calibration gap, and the bin's contribution to expected
+    * calibration error (ECE = Σ |gap|·n/N) — the standing audit that
+    * tells a pipeline whether "quality ≥ 0.9" means what the
+    * threshold assumes before millions of documents are kept or
+    * dropped by it.
+    *
+    * Determinism at scale: mean score is NOT a float sum (partial
+    * aggregation order varies by partitioning) — scores quantize to
+    * integer micro-units per row (`floor(score·10⁶)`, the q153/DSIR
+    * treatment) and the bin sums are exact BIGINT; every emitted
+    * double is a single division/subtraction of exact integers, so
+    * any engine and any partitioning produce identical bytes. One
+    * scan, one bins-sized aggregation; the total-rows scalar rides a
+    * broadcast one-row frame. Scores exactly 1.0 fold into the top
+    * bin; null scores or labels are excluded (reported upstream by
+    * completeness rules, not silently binned).
+    */
+  def calibrationReport(
+      df: DataFrame, scoreCol: String, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val s = col(scoreCol).cast("double")
+    val rows = df
+      .where(s.isNotNull && label.isNotNull)
+      .select(
+        least(floor(s * bins).cast("int"), lit(bins - 1)).as("bin"),
+        floor(s * 1000000L).cast("long").as("__micro"),
+        label.cast("int").cast("long").as("__pos"))
+    val perBin = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__micro")).as("__sum_micro"),
+        sum(col("__pos")).as("n_positive"))
+    val total = perBin.agg(sum(col("n")).as("__total"))
+    perBin.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"), col("n_positive"),
+        (col("__sum_micro").cast("double") /
+          (col("n") * 1000000L)).as("mean_score"),
+        (col("n_positive").cast("double") / col("n"))
+          .as("frac_positive"),
+        ((col("__sum_micro").cast("double") / (col("n") * 1000000L)) -
+          (col("n_positive").cast("double") / col("n"))).as("gap"),
+        (abs((col("__sum_micro").cast("double") /
+          (col("n") * 1000000L)) -
+          (col("n_positive").cast("double") / col("n"))) *
+          col("n") / col("__total")).as("ece_contrib"))
+  }
 }

@@ -218,6 +218,56 @@ object TextAnalysis {
   def piiCount(redacted: Column): Column =
     size(regexp_extract_all(redacted, lit("<(EMAIL|PHONE|SSN)>"), lit(0)))
 
+  /** PII incidence report: per group (source, language, …) and PII
+    * type, how many documents contain it, how many matches there are
+    * in total, and the affected-document fraction — the compliance
+    * datasheet a pipeline publishes alongside the scrub itself
+    * ([[redactPii]] removes PII; this measures where it came FROM, so
+    * a source whose incidence spikes can be quarantined upstream).
+    *
+    * One corpus scan regardless of pattern count: every pattern is
+    * counted per row in a single codegen projection (the [[piiPatterns]]
+    * regexes are mutually non-overlapping — SSN is 3-2-4 digits,
+    * phone 3-3-4 — so independent counts are exact); one
+    * groups×patterns-sized aggregation; the per-type rows unpivot
+    * from the aggregated frame (cell-sized, never the corpus).
+    * `doc_frac` is a single exact-long division.
+    */
+  def piiIncidence(
+      df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val names = Seq("email", "ssn", "phone")
+    val pats = names.zip(piiPatterns.map(_._1))
+    val counted = df.select(
+      groupCols.map(col) ++ pats.map { case (n, p) =>
+        size(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit(p), lit(0))).cast("long").as(s"__c_$n")
+      }: _*)
+    val agg0 = counted.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        pats.flatMap { case (n, _) =>
+          Seq(sum(col(s"__c_$n")).as(s"__m_$n"),
+            sum(when(col(s"__c_$n") > 0, 1L).otherwise(0L))
+              .as(s"__d_$n"))
+        }: _*)
+    // unpivot via one explode off the aggregated row — a union of
+    // per-type projections would re-plan (and re-scan) the aggregate
+    // once per branch
+    agg0.select(
+      groupCols.map(col) ++ Seq(col("n_docs"),
+        explode(array(names.map { n =>
+          struct(lit(n).as("pii_type"),
+            col(s"__d_$n").as("n_docs_with"),
+            col(s"__m_$n").as("n_matches"))
+        }: _*)).as("__t")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__t.pii_type").as("pii_type"), col("n_docs"),
+        col("__t.n_docs_with").as("n_docs_with"),
+        col("__t.n_matches").as("n_matches"),
+        (col("__t.n_docs_with").cast("double") / col("n_docs"))
+          .as("doc_frac")): _*)
+  }
+
   /** Adjacent word bigrams ("a b") as an array column — the n-gram
     * surface for collocation mining over a corpus. Empty array for
     * documents under two tokens.

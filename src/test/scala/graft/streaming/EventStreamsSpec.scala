@@ -836,4 +836,59 @@ class EventStreamsSpec extends SparkSpec {
         .count(_.getName.startsWith("batch_id=")) == 1)
     } finally q.stop()
   }
+
+  test("quantileMaintenanceSink: per-batch KLL shards merge to the " +
+      "one-pass quantiles over the union; replay overwrites its " +
+      "shard; compaction preserves the algebra") {
+    import graft.quality.Drift
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_qs_store").toString + "/qs"
+    val in = MemoryStream[(String, Double)]
+    val q = EventStreams.quantileMaintenanceSink(
+      in.toDF().toDF("lang", "v"), Seq("lang"), col("v"), store,
+      java.nio.file.Files.createTempDirectory("graft_qs_ckpt")
+        .toString)
+    val b1 = (1 to 40).map(i => ("en", i.toDouble)) ++
+      (1 to 10).map(i => ("de", (i * 3).toDouble))
+    val b2 = (41 to 100).map(i => ("en", i.toDouble))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      def live = EventStreams.liveQuantiles(spark, store, Seq("lang"),
+          Seq(0.5, 0.75))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val first = live
+      // exact regime: inclusive order statistics over the union
+      assert(first("en") == ((100L, 50.0, 75.0)))
+      assert(first("de") == ((10L, 15.0, 24.0)))
+      // one-pass build over the union agrees (merge-tree independence)
+      val want = Drift.mergeQuantileShards(
+        Drift.quantileShards((b1 ++ b2).toDF("lang", "v"), Seq("lang"),
+          col("v"), lit(0)), Seq("lang"), Seq(0.5, 0.75))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(first == want)
+      // at-least-once replay of batch 0 overwrites, never doubles
+      Drift.quantileShards(b1.toDF("lang", "v"), Seq("lang"),
+          col("v"), lit(0L))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$store/batch_id=0")
+      assert(live == first)
+      // sketch-preserving compaction to a new store
+      val store2 = java.nio.file.Files
+        .createTempDirectory("graft_qs_store2").toString + "/qs"
+      Drift.compactQuantileShards(
+          spark.read.parquet(store).drop("batch_id"), Seq("lang"), 0L)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$store2/batch_id=0")
+      val compacted = EventStreams.liveQuantiles(spark, store2,
+          Seq("lang"), Seq(0.5, 0.75))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(compacted == first)
+    } finally q.stop()
+  }
 }
