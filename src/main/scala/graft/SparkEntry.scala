@@ -3054,6 +3054,64 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Exact per-group KS drift test ([[graft.quality.Drift.ksTest]])
+    * on a deterministically perturbed split: odd orderkeys are the
+    * baseline, even the current batch with '1-URGENT' prices inflated
+    * 5 % (the q162/q144 seeding treatment — the detector must flag
+    * exactly that segment while fixed-bin PSI's shape stays put for
+    * the rest). `ks_scaled` is the exact BIGINT supremum; `ks_d` and
+    * the threshold are single float ops over exact longs.
+    */
+  private def ksDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.where(col("o_orderkey") % 2 === 1)
+    val cur = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice") * 1.05).otherwise(col("o_totalprice")))
+    graft.quality.Drift.ksTest(base, cur, "o_totalprice",
+        Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_base"), col("n_cur"),
+        col("ks_scaled"), round(col("ks_d"), 6).as("ks_d"),
+        round(col("threshold"), 6).as("threshold"), col("drifted"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Deterministic epoch shuffle + worker sharding
+    * ([[graft.sampling.Sampling.epochOrder]]): the reproducible
+    * global training order for epoch 2 over 4 data-loader workers —
+    * every engine, run, and partitioning derives the same permutation
+    * and the same balanced shards.
+    */
+  private def epochOrderQ(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.epochOrder(
+        docs(s, dir).select(col("doc_id")), "doc_id", epoch = 2,
+        numWorkers = 4)
+      .select(col("doc_id"), col("order_idx"), col("worker"),
+        col("worker_pos"))
+      .orderBy("order_idx")
+
+  /** Two-proportion z-test per market segment
+    * ([[Analytics.proportionTest]]): is a segment's
+    * customer-conversion rate (≥ 1 finalized order) different from
+    * the pooled rest — the segment screen of an A/B readout, exact
+    * counts under the float z.
+    */
+  private def proportionTestQ(s: SparkSession, dir: String): DataFrame = {
+    val conv = t(s, dir, "orders")
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    val c = t(s, dir, "customer")
+      .join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("__conv", col("o_custkey").isNotNull)
+    Analytics.proportionTest(c, "c_mktsegment", col("__conv"))
+      .select(col("c_mktsegment"), col("n"), col("successes"),
+        round(col("rate"), 6).as("rate"),
+        round(col("rate_rest"), 6).as("rate_rest"),
+        round(col("z"), 6).as("z"), col("significant"))
+      .orderBy("c_mktsegment")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3530,6 +3588,9 @@ object SparkEntry {
     "q161_quantile_datasheet" -> (quantileDatasheetQ _),
     "q162_pii_incidence" -> (piiIncidenceQ _),
     "q163_tokenizer_fertility" -> (tokenizerFertilityQ _),
+    "q164_ks_drift" -> (ksDriftQ _),
+    "q165_epoch_order" -> (epochOrderQ _),
+    "q166_segment_conversion" -> (proportionTestQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -6111,6 +6172,92 @@ object SparkEntry {
              FROM g)
          ORDER BY source, pii_type"""
     },
+    // cumulative counts per distinct value replay the exact scaled
+    // KS supremum; the 5% '1-URGENT' perturbation is re-seeded
+    "q164_ks_drift" ->
+      """WITH base AS (
+           SELECT o_orderpriority AS g, o_totalprice AS v
+           FROM orders WHERE o_orderkey % 2 = 1),
+         cur AS (
+           SELECT o_orderpriority AS g,
+             CASE WHEN o_orderpriority = '1-URGENT'
+               THEN o_totalprice * 1.05 ELSE o_totalprice END AS v
+           FROM orders WHERE o_orderkey % 2 = 0),
+         u AS (
+           SELECT g, v, 1 AS b FROM base
+           UNION ALL SELECT g, v, 0 FROM cur),
+         per AS (
+           SELECT g, v, sum(b) AS cb, sum(1 - b) AS cc
+           FROM u GROUP BY g, v),
+         cum AS (
+           SELECT g,
+             sum(cb) OVER w AS i, sum(cc) OVER w AS j,
+             sum(cb) OVER (PARTITION BY g) AS n1,
+             sum(cc) OVER (PARTITION BY g) AS n2
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         agg AS (
+           SELECT g, max(n1) AS n_base, max(n2) AS n_cur,
+             max(abs(i * n2 - j * n1)) AS ks_scaled
+           FROM cum GROUP BY g)
+         SELECT g AS o_orderpriority,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(ks_scaled AS BIGINT) AS ks_scaled,
+           round(CAST(ks_scaled AS DOUBLE) / (n_base * n_cur), 6)
+             AS ks_d,
+           round(1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
+             / (n_base * n_cur)), 6) AS threshold,
+           CAST(ks_scaled AS DOUBLE) / (n_base * n_cur) >
+             1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
+               / (n_base * n_cur)) AS drifted
+         FROM agg ORDER BY o_orderpriority""",
+    // the permutation is pure md5 arithmetic; the global rank replays
+    // as one row_number
+    "q165_epoch_order" ->
+      """WITH r AS (
+           SELECT doc_id, CAST(row_number() OVER (
+             ORDER BY md5('order2:' || CAST(doc_id AS VARCHAR)),
+               doc_id) AS BIGINT) AS order_idx
+           FROM documents)
+         SELECT doc_id, order_idx,
+           CAST((order_idx - 1) % 4 AS INT) AS worker,
+           CAST((order_idx - 1) // 4 + 1 AS BIGINT) AS worker_pos
+         FROM r ORDER BY order_idx""",
+    // exact counts under the float z; pooled variance, two-sided
+    "q166_segment_conversion" ->
+      """WITH conv AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderstatus = 'F'),
+         c AS (
+           SELECT c_mktsegment AS g,
+             CASE WHEN conv.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+               AS s
+           FROM customer LEFT JOIN conv ON o_custkey = c_custkey
+           WHERE c_mktsegment IS NOT NULL),
+         per AS (
+           SELECT g, count(*) AS n, sum(s) AS ss FROM c GROUP BY g),
+         tot AS (SELECT sum(n) AS tn, sum(ss) AS ts FROM per),
+         j AS (
+           SELECT g, n, ss, tn, ts, tn - n AS nr, ts - ss AS sr
+           FROM per, tot),
+         zc AS (
+           SELECT g, n, ss,
+             CAST(ss AS DOUBLE) / n AS rate,
+             CAST(sr AS DOUBLE) / nr AS rate_rest,
+             CASE WHEN nr > 0 AND ts > 0 AND ts < tn THEN
+               (CAST(ss AS DOUBLE) / n - CAST(sr AS DOUBLE) / nr) /
+               sqrt((CAST(ts AS DOUBLE) / tn)
+                 * (CAST(1 AS DOUBLE) - CAST(ts AS DOUBLE) / tn)
+                 * (CAST(1 AS DOUBLE) / n + CAST(1 AS DOUBLE) / nr))
+             END AS z
+           FROM j)
+         SELECT g AS c_mktsegment, CAST(n AS BIGINT) AS n,
+           CAST(ss AS BIGINT) AS successes,
+           round(rate, 6) AS rate, round(rate_rest, 6) AS rate_rest,
+           round(z, 6) AS z, abs(z) > 1.96 AS significant
+         FROM zc ORDER BY c_mktsegment""",
     // the q143 trained-apply chain regrouped per language
     "q163_tokenizer_fertility" ->
       s"""WITH w0 AS MATERIALIZED (

@@ -1509,6 +1509,45 @@ object Analytics {
     * @return (node, rank_scaled): rank in trillionths, summing to
     *         ≤ 1e12 over all nodes.
     */
+  /** Two-proportion z-test of every group against the pooled rest —
+    * the A/B-flavored segment screen ("is this segment's conversion
+    * rate different from everyone else's?") run as ONE aggregation:
+    * per group the success count and size, the complement derived
+    * from broadcast grand totals, z = (p_g − p_r) /
+    * √(p̂(1−p̂)(1/n_g + 1/n_r)) with p̂ the pooled rate, and
+    * `significant` at the two-sided threshold `zAlpha`.
+    *
+    * All inputs to the float math are exact longs from one grouped
+    * count (map-side combined) plus one broadcast one-row total, so
+    * results are deterministic under any partitioning; groups where a
+    * variance term degenerates (empty complement, pooled rate 0 or 1)
+    * emit null z rather than ±∞.
+    */
+  def proportionTest(
+      df: DataFrame, groupCol: String, success: Column,
+      zAlpha: Double = 1.96): DataFrame = {
+    val per = df
+      .where(col(groupCol).isNotNull && success.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(success.cast("int").cast("long")).as("successes"))
+    val tot = per.agg(sum(col("n")).as("__tn"),
+      sum(col("successes")).as("__ts"))
+    val joined = per.crossJoin(broadcast(tot))
+      .withColumn("__nr", col("__tn") - col("n"))
+      .withColumn("__sr", col("__ts") - col("successes"))
+    val pg = col("successes").cast("double") / col("n")
+    val pr = col("__sr").cast("double") / col("__nr")
+    val pp = col("__ts").cast("double") / col("__tn")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n") + lit(1.0) / col("__nr")))
+    val z = when(col("__nr") > 0 && col("__ts") > 0 &&
+        col("__ts") < col("__tn"), (pg - pr) / se)
+    joined.select(col(groupCol), col("n"), col("successes"),
+      pg.as("rate"), pr.as("rate_rest"), z.as("z"),
+      (abs(z) > lit(zAlpha)).as("significant"))
+  }
+
   /** Frequent contiguous event sequences (n-gram sequence mining):
     * every length-`n` run of consecutive states within a key's
     * time-ordered stream, counted by the number of DISTINCT keys that

@@ -99,6 +99,70 @@ object Drift {
       .withColumn("psi_term", round((pC - pB) * log(pC / pB), 6))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group — the
+    * distribution-level drift test PSI's fixed bins can miss (a shift
+    * entirely inside one bin moves no bin share but moves the KS
+    * supremum): D = sup_x |F_base(x) − F_cur(x)|, with the flag
+    * `drifted` = [D exceeds the asymptotic α-threshold
+    * c(α)·√((n1+n2)/(n1·n2))].
+    *
+    * Exactness: D is computed SCALED — D·n1·n2 = max over distinct
+    * values of |i·n2 − j·n1| where i, j are inclusive cumulative
+    * counts — so the supremum and its argmax are exact BIGINT
+    * arithmetic, engine- and partition-independent; the single final
+    * division (and the threshold compare) are the only floats. Ties
+    * across samples are handled correctly by construction: cumulative
+    * counts advance per DISTINCT value with both samples'
+    * contributions applied together.
+    *
+    * Scale: per-(group, value) pre-aggregation collapses duplicate
+    * values map-side; the cumulative window runs over DISTINCT values
+    * per group (bounded by value cardinality, not row count); one
+    * shuffle on the group key. Output: (group, n_base, n_cur,
+    * ks_scaled, ks_d, threshold, drifted).
+    */
+  def ksTest(
+      baseline: DataFrame, current: DataFrame, valueCol: String,
+      groupCols: Seq[String], cAlpha: Double = 1.358): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tag = (df: DataFrame, b: Int) => df
+      .where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        col(valueCol).cast("double").as("__v"), lit(b).as("__b")): _*)
+    val per = tag(baseline, 1).unionByName(tag(current, 0))
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__b")).cast("long").as("__cb"),
+        sum(lit(1) - col("__b")).cast("long").as("__cc"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group totals ride the SAME exchange as the running sums (an
+    // unordered full-partition frame needs no extra shuffle or join)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = per
+      .withColumn("__i", sum(col("__cb")).over(w))
+      .withColumn("__j", sum(col("__cc")).over(w))
+      .withColumn("__n1", sum(col("__cb")).over(wAll))
+      .withColumn("__n2", sum(col("__cc")).over(wAll))
+    val agg = cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n1")).as("n_base"), max(col("__n2")).as("n_cur"),
+        max(abs(col("__i") * col("__n2") - col("__j") * col("__n1")))
+          .as("ks_scaled"))
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_base"), col("n_cur"), col("ks_scaled"),
+      (col("ks_scaled").cast("double") /
+        (col("n_base") * col("n_cur"))).as("ks_d"),
+      (lit(cAlpha) * sqrt((col("n_base") + col("n_cur"))
+        .cast("double") / (col("n_base") * col("n_cur"))))
+        .as("threshold"),
+      (col("ks_scaled").cast("double") /
+        (col("n_base") * col("n_cur")) >
+        lit(cAlpha) * sqrt((col("n_base") + col("n_cur"))
+          .cast("double") / (col("n_base") * col("n_cur"))))
+        .as("drifted")): _*)
+  }
+
   /** Mergeable per-shard quantile sketches
     * ([[graft.expressions.KllQuantile]]): per (group cols × shard) a
     * KLL sketch of `value` plus an exact count — the quantile row of

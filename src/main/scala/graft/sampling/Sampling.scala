@@ -397,6 +397,44 @@ object Sampling {
       (col("__alloc") === col("__cap")).as("capped"))
   }
 
+  /** Deterministic epoch shuffle + worker sharding: the global
+    * training-data order for epoch `e` — a reproducible permutation
+    * (md5(salt‖epoch‖id) ranks, different per epoch, identical across
+    * runs/engines/partitionings) with round-robin worker assignment,
+    * so `numWorkers` data-loader shards are balanced to ±1 row with
+    * no coordination. The property `rand().orderBy` cannot give: the
+    * order a 100 TB job reads today is the order its restarted retry
+    * reads tomorrow, per epoch, per worker.
+    *
+    * The global rank comes from
+    * [[graft.operators.Analytics.rankByRange]] under a constant group
+    * — range-sliced two-pass ranking, so no single task ever sorts
+    * the corpus (the offset stitch reads ≤ numShufflePartitions
+    * rows). Output: input columns + (`order_idx` 1-based global
+    * position, `worker` 0-based shard, `worker_pos` 1-based position
+    * within the shard).
+    */
+  def epochOrder(
+      df: DataFrame, idCol: String, epoch: Int, numWorkers: Int,
+      salt: String = "order"): DataFrame = {
+    require(numWorkers >= 1, "numWorkers must be >= 1")
+    val reserved = Set("__eo_key", "order_idx", "worker", "worker_pos",
+      "__eo_g")
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val keyed = df
+      .withColumn("__eo_key", md5(concat(lit(salt), lit(epoch),
+        lit(":"), col(idCol).cast("string"))))
+      .withColumn("__eo_g", lit(1))
+    graft.operators.Analytics.rankByRange(keyed, Seq("__eo_g"),
+        Seq(col("__eo_key").asc, col(idCol).asc), "order_idx")
+      .withColumn("worker",
+        ((col("order_idx") - 1) % numWorkers).cast("int"))
+      .withColumn("worker_pos",
+        expr(s"(order_idx - 1) div $numWorkers") + 1)
+      .drop("__eo_key", "__eo_g")
+  }
+
   /** Uniform negative sampling for contrastive / recommendation
     * training: for each user with at least one interaction, up to `k`
     * items they did NOT interact with, drawn uniformly (with the

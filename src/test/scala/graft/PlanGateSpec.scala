@@ -117,11 +117,12 @@ class PlanGateSpec extends SparkSpec {
     *  - q59/q73: `Packing.packIntoShards`' offset stitch — the global
     *    window reads ONE row per 2^k-id bucket (corpus/2^k rows), the
     *    documented partitioned-prefix-sum trade.
-    *  - q158: `rankByRange`'s offset stitch under a CONSTANT group
-    *    (the catalog dense index) — the optimizer folds the literal
-    *    group out of the partition spec, leaving a "global" window
-    *    whose input is the per-(group, range-slice) count frame:
-    *    ≤ numShufflePartitions rows by construction, the q59 shape.
+    *  - q158/q165: `rankByRange`'s offset stitch under a CONSTANT
+    *    group (the catalog dense index / the epoch-order global rank)
+    *    — the optimizer folds the literal group out of the partition
+    *    spec, leaving a "global" window whose input is the
+    *    per-(group, range-slice) count frame: ≤ numShufflePartitions
+    *    rows by construction, the q59 shape.
     */
   private val allowed: Map[String, Int] = Map(
     "q28_ann_bruteforce" -> 1,
@@ -134,7 +135,8 @@ class PlanGateSpec extends SparkSpec {
     "q92_type_weekday_chi2" -> 1,
     "q59_token_shards" -> 1,
     "q73_training_shards" -> 1,
-    "q158_negative_samples" -> 1)
+    "q158_negative_samples" -> 1,
+    "q165_epoch_order" -> 1)
 
   test("every registry query plans free of cartesian products, " +
       "unbounded nested-loop joins, and unbounded global windows " +
