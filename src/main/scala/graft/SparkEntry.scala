@@ -2862,7 +2862,9 @@ object SparkEntry {
       .select(
         concat(lit("c"), col("o_custkey").cast("string")).as("a"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
-      .distinct()
+    // no .distinct() here: pageRank normalizes (distinct + persist)
+    // itself — a caller-side distinct would just add a full shuffle
+    // of the raw pair stream before the operator's own
     val edges = co.union(co.select(col("b").as("a"), col("a").as("b")))
     Analytics.pageRank(edges, "a", "b", iters = 6)
       .orderBy("node")

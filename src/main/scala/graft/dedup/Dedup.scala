@@ -1381,8 +1381,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, srcCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    // persist the verified pairs BEFORE symmetrizing: the union embeds
+    // this frame twice, and without the persist the whole LSH chain
+    // (shingle, signature, band, verify) executes once per leg — the
+    // q31 checkpoint-before-symmetrize lesson; the frame is
+    // near-dup-sized, the cheapest thing in the chain
     val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes,
-      bands, threshold)
+        bands, threshold)
+      .transform(graft.core.CacheScope.disk)
     val src = df.select(col(idCol), col(srcCol))
     // symmetrize so every (doc of a, dup in b) direction is one edge;
     // a < b on the unordered input keeps the diagonal un-doubled below

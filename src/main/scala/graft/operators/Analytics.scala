@@ -1611,13 +1611,24 @@ object Analytics {
     require(iters >= 1, "iters must be >= 1")
     require(damping >= 0 && damping <= 1000, "damping is per-mill")
     val scale = 1000000000000L // 1e12: fixed-point unit
+    // the normalized edge list is consumed THREE times (degrees, the
+    // persisted per-iteration join input, the node universe): persist
+    // it first or the upstream plan — often a join + distinct over the
+    // raw relation — re-executes once per consumer before the
+    // iterations even start
     val e = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct()
+      .transform(graft.core.CacheScope.disk)
     val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    // partition AND sort on the iteration join key before persisting:
+    // the cached ordering is visible to the planner, so each round's
+    // join re-sorts only the rank side (node-count rows), never the
+    // edge list
     val edged = e.join(deg, Seq("__src"))
       .repartition(col("__src"))
+      .sortWithinPartitions("__src")
       .transform(graft.core.CacheScope.disk)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst"))).distinct()
