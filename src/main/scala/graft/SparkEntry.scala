@@ -3114,6 +3114,44 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** Linear multi-touch attribution ([[Analytics.linearAttribution]]):
+    * every purchase splits 1000 exact milli-credits across the
+    * view/click touches in its trailing 2-hour window, remainder to
+    * the last touch — q48's single-touch attribution generalized to
+    * the report that sets channel budgets.
+    */
+  private def linearAttributionQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    Analytics.linearAttribution(
+        e.where(col("event_type") === "purchase"),
+        e.where(col("event_type").isin("view", "click")),
+        "user_id", "ts", "event_id", windowDuration = "2 hours")
+      .select(col("user_id"), col("conversion_id"), col("touch_id"),
+        col("touch_rank"), col("n_touches"), col("credit_milli"))
+      .orderBy("conversion_id", "touch_rank")
+  }
+
+  /** Per-source quantile normalization
+    * ([[Analytics.quantileNormalize]]) of the quality score onto the
+    * global distribution — the batch-effect correction that makes one
+    * quality threshold mean the same thing across sources whose
+    * scorers run hot or cold. Exact integer grid routing; the
+    * 100-point global grid is the exact interpolated percentile
+    * (`exact = true`, oracle-replayable).
+    */
+  private def quantileNormalizeQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__score", TextAnalysis.qualityScore(col("text")))
+    Analytics.quantileNormalize(d, "source", "__score", k = 100,
+        exact = true)
+      .select(col("doc_id"), col("source"),
+        round(col("__score"), 6).as("score"), col("grid_idx"),
+        round(col("normalized"), 6).as("normalized"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3593,6 +3631,8 @@ object SparkEntry {
     "q164_ks_drift" -> (ksDriftQ _),
     "q165_epoch_order" -> (epochOrderQ _),
     "q166_segment_conversion" -> (proportionTestQ _),
+    "q167_linear_attribution" -> (linearAttributionQ _),
+    "q168_quantile_normalize" -> (quantileNormalizeQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -6260,6 +6300,56 @@ object SparkEntry {
            round(rate, 6) AS rate, round(rate_rest, 6) AS rate_rest,
            round(z, 6) AS z, abs(z) > 1.96 AS significant
          FROM zc ORDER BY c_mktsegment""",
+    // interval pairing + per-conversion rank/count windows; credit is
+    // exact integer milli-units, remainder to the last touch
+    "q167_linear_attribution" ->
+      """WITH c AS (
+           SELECT user_id, ts AS cts, event_id AS cid FROM events
+           WHERE event_type = 'purchase'),
+         t AS (
+           SELECT user_id, ts AS tts, event_id AS tid FROM events
+           WHERE event_type IN ('view', 'click')),
+         p AS (
+           SELECT c.user_id, cid, cts, tid, tts
+           FROM c JOIN t USING (user_id)
+           WHERE tts <= cts AND tts > cts - INTERVAL 2 HOUR),
+         r AS (
+           SELECT user_id, cid, tid,
+             count(*) OVER (PARTITION BY cid) AS n_touches,
+             row_number() OVER (PARTITION BY cid ORDER BY tts, tid)
+               AS touch_rank
+           FROM p)
+         SELECT user_id, cid AS conversion_id, tid AS touch_id,
+           CAST(touch_rank AS INT) AS touch_rank,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(1000 // n_touches + CASE WHEN touch_rank = n_touches
+             THEN 1000 % n_touches ELSE 0 END AS BIGINT)
+             AS credit_milli
+         FROM r ORDER BY conversion_id, touch_rank""",
+    // inclusive within-source rank (RANGE frame counts peers), exact
+    // integer grid index, 100-point exact global grid
+    "q168_quantile_normalize" ->
+      s"""$oracleMetricsCte,
+         s AS (SELECT doc_id, source, quality AS v FROM q
+               WHERE quality IS NOT NULL),
+         r AS (
+           SELECT doc_id, source, v,
+             count(*) OVER (PARTITION BY source ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS i,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM s),
+         g AS (
+           SELECT quantile_cont(v, list_transform(
+             generate_series(1, 100),
+             j -> CAST(j AS DOUBLE) / 100)) AS grid
+           FROM s)
+         SELECT doc_id, source, round(v, 6) AS score,
+           CAST(least(100, (i * 100 + n - 1) // n) AS BIGINT)
+             AS grid_idx,
+           round(grid[CAST(least(100, (i * 100 + n - 1) // n)
+             AS INT)], 6) AS normalized
+         FROM r, g ORDER BY doc_id""",
     // the q143 trained-apply chain regrouped per language
     "q163_tokenizer_fertility" ->
       s"""WITH w0 AS MATERIALIZED (

@@ -1509,6 +1509,106 @@ object Analytics {
     * @return (node, rank_scaled): rank in trillionths, summing to
     *         ≤ 1e12 over all nodes.
     */
+  /** Per-group quantile normalization onto the global distribution —
+    * batch-effect correction before cross-source thresholds: a score
+    * of 0.6 from a source whose scorer runs hot and 0.4 from one that
+    * runs cold can both be "the 70th percentile of their source"; this
+    * maps every row to the GLOBAL value at its within-group rank, so
+    * one threshold means the same thing in every source (the
+    * microarray quantile-normalization construction applied to
+    * quality scores).
+    *
+    * Exact integer routing: within-group inclusive rank `i` (RANGE
+    * frame — peers count together) and group size `n` are exact
+    * longs; the grid index is `min(k, ceil(i·k/n))` in integer
+    * arithmetic — so WHICH grid cell a row maps to is bit-exact
+    * across engines and partitionings. The k-point global grid is the
+    * only estimated part: `percentile_approx` by default (bounded
+    * state at corpus scale), `exact = true` for the interpolated
+    * exact grid (one unbounded-state agg — the q81/q94 trade). The
+    * grid rides one broadcast one-row frame; no row-level join
+    * against the global distribution exists anywhere.
+    *
+    * Output: input columns + (`grid_idx`, `normalized`).
+    */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int = 100,
+      exact: Boolean = false, approxAccuracy: Int = 10000): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val reserved = Set("__qn_i", "__qn_n", "__qn_grid", "grid_idx",
+      "normalized")
+    require(!df.columns.exists(reserved),
+      s"input must not have columns named ${reserved.mkString(", ")}")
+    val probs = (1 to k).map(_.toDouble / k)
+    val v = col(valueCol).cast("double")
+    val gridAgg =
+      if (exact) percentile(v, typedlit(probs))
+      else percentile_approx(v, typedlit(probs), lit(approxAccuracy))
+    val grid = df.where(v.isNotNull)
+      .agg(gridAgg.cast("array<double>").as("__qn_grid"))
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(v)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.where(v.isNotNull)
+      .withColumn("__qn_i", count(lit(1)).over(wRank))
+      .withColumn("__qn_n", count(lit(1)).over(wAll))
+      .crossJoin(broadcast(grid))
+      .withColumn("grid_idx",
+        least(lit(k.toLong),
+          expr(s"(__qn_i * $k + __qn_n - 1) div __qn_n")))
+      .withColumn("normalized",
+        element_at(col("__qn_grid"), col("grid_idx").cast("int")))
+      .drop("__qn_i", "__qn_n", "__qn_grid")
+  }
+
+  /** Linear multi-touch attribution: each conversion's credit is
+    * split across the touch events that preceded it within the
+    * lookback window — the marketing-analytics counterpart of q48's
+    * single-touch interval join, and the report that decides channel
+    * budgets. Credit is EXACT integer milli-units: 1000 div k per
+    * touch with the remainder assigned to the LAST touch before the
+    * conversion (closest-touch bias on the indivisible remainder, and
+    * Σ credit ≡ 1000 per attributed conversion by construction — no
+    * float leakage, engine-identical).
+    *
+    * Pairing is an equi-join on the key with the window as a residual
+    * range predicate — the [[graft.streaming.EventStreams
+    * .intervalJoin]] batch shape; per-conversion touch counts and
+    * ranks run in ONE window over the pair frame (pair-sized, bounded
+    * by touches-per-window, with AQE handling hot keys). Same-instant
+    * touches count; ties order by (ts, touch id) — total.
+    * Output: one row per (conversion, touch) with `credit_milli`,
+    * `touch_rank` (1 = earliest), `n_touches`.
+    */
+  def linearAttribution(
+      conversions: DataFrame, touches: DataFrame, keyCol: String,
+      tsCol: String, idCol: String,
+      windowDuration: String): DataFrame = {
+    val conv = conversions.select(col(keyCol).as("__k"),
+      col(tsCol).as("__cts"), col(idCol).as("__cid"))
+      .where(col("__k").isNotNull && col("__cts").isNotNull)
+    val tch = touches.select(col(keyCol).as("__k"),
+      col(tsCol).as("__tts"), col(idCol).as("__tid"))
+      .where(col("__k").isNotNull && col("__tts").isNotNull)
+    val paired = conv.join(tch, Seq("__k"))
+      .where(col("__tts") <= col("__cts") &&
+        col("__tts") > col("__cts") - expr(s"INTERVAL $windowDuration"))
+    val w = Window.partitionBy(col("__cid"))
+    val wOrd = w.orderBy(col("__tts").asc, col("__tid").asc)
+    paired
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("touch_rank", row_number().over(wOrd))
+      .select(col("__k").as(keyCol), col("__cid").as("conversion_id"),
+        col("__cts").as("conversion_ts"),
+        col("__tid").as("touch_id"), col("__tts").as("touch_ts"),
+        col("touch_rank"), col("n_touches"),
+        (expr("1000 div n_touches") +
+          when(col("touch_rank") === col("n_touches"),
+            expr("1000 % n_touches")).otherwise(lit(0L)))
+          .as("credit_milli"))
+  }
+
   /** Two-proportion z-test of every group against the pooled rest —
     * the A/B-flavored segment screen ("is this segment's conversion
     * rate different from everyone else's?") run as ONE aggregation:
