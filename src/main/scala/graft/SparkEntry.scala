@@ -3152,6 +3152,50 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Audio perceptual near-dup ([[Multimodal.audioEHash]] +
+    * [[Dedup.hammingBandedMatches]]): synthesized envelope WAVs per
+    * document, a batch of every-5th re-synthesized at DOUBLE gain —
+    * same recording, different volume — probed against the corpus at
+    * Hamming ≤ 3. The hash is exact integer arithmetic end to end
+    * (Σ|sample| per window, cross-multiplied mean comparisons), so
+    * gain-scaled copies match at Hamming 0 by construction and the
+    * whole decode→pool→hash→band chain replays closed-form from the
+    * synthesis parameters (the q39/q122 analytic-oracle treatment).
+    * Fourth fingerprint family on the shared banded machinery.
+    */
+  private def audioEhashDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).select(col("doc_id"))
+    val corpusHash = Multimodal.audioEHash(
+      Multimodal.synthesizeEnvelopeWavs(ids, "doc_id", ampScale = 1),
+      "id", "wav")
+    val batchHash = Multimodal.audioEHash(
+      Multimodal.synthesizeEnvelopeWavs(
+        ids.where(col("doc_id") % 5 === 0), "doc_id", ampScale = 2),
+      "id", "wav")
+    Dedup.hammingBandedMatches(
+        corpusHash.select(col("id"), col("ahash_hi"), col("ahash_lo")),
+        batchHash.select(col("id"), col("ahash_hi"), col("ahash_lo")),
+        "id", "ahash_hi", "ahash_lo", maxDist = 3)
+      .select(col("corpus_id"), col("batch_id"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  /** k-anonymity audit ([[graft.quality.Privacy.kAnonymityReport]]):
+    * equivalence-class size histogram over the
+    * (nation, market-segment) quasi-identifiers of the customer
+    * table, classes below k = 10 flagged — the privacy audit that
+    * prices a release, emitting SIZES only (never the small classes'
+    * values).
+    */
+  private def kAnonymityQ(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Privacy.kAnonymityReport(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        k = 10)
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        col("violates"))
+      .orderBy("class_size")
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3633,6 +3677,8 @@ object SparkEntry {
     "q166_segment_conversion" -> (proportionTestQ _),
     "q167_linear_attribution" -> (linearAttributionQ _),
     "q168_quantile_normalize" -> (quantileNormalizeQ _),
+    "q169_audio_ehash_dedup" -> (audioEhashDedupQ _),
+    "q170_k_anonymity" -> (kAnonymityQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -6350,6 +6396,43 @@ object SparkEntry {
            round(grid[CAST(least(100, (i * 100 + n - 1) // n)
              AS INT)], 6) AS normalized
          FROM r, g ORDER BY doc_id""",
+    // closed-form hash replay: window means reduce to the seed-mixed
+    // envelope multipliers, so bit w compares two integer terms; gain
+    // cancels — batch hashes equal corpus hashes per id
+    "q169_audio_ehash_dedup" -> {
+      def mul(w: String): String =
+        s"(doc_id + ($w)*($w)*(1 + doc_id % 31) + (doc_id // 7) * ($w)) % 9"
+      s"""WITH bits AS (
+           SELECT doc_id, w,
+             CASE WHEN ${mul("w + 1")} > ${mul("w")}
+               THEN 1 ELSE 0 END AS bit
+           FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS w
+                 FROM documents)),
+         hs AS (
+           SELECT doc_id,
+             sum(CASE WHEN w < 32 THEN
+               bit * (CAST(1 AS BIGINT) << (31 - w)) ELSE 0 END) AS hi,
+             sum(CASE WHEN w >= 32 THEN
+               bit * (CAST(1 AS BIGINT) << (63 - w)) ELSE 0 END) AS lo
+           FROM bits GROUP BY doc_id),
+         b AS (SELECT doc_id, hi, lo FROM hs WHERE doc_id % 5 = 0)
+         SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             AS INT) AS hamming
+         FROM hs a JOIN b ON bit_count(xor(a.hi, b.hi))
+           + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY corpus_id, batch_id"""
+    },
+    // class-size histogram over the quasi-identifier grouping
+    "q170_k_anonymity" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment, count(*) AS sz
+           FROM customer GROUP BY 1, 2)
+         SELECT CAST(sz AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           sz < 10 AS violates
+         FROM cls GROUP BY sz ORDER BY class_size""",
     // the q143 trained-apply chain regrouped per language
     "q163_tokenizer_fertility" ->
       s"""WITH w0 AS MATERIALIZED (

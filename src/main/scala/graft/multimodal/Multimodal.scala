@@ -436,6 +436,175 @@ object Multimodal {
     session.createDataFrame(rdd, outSchema)
   }
 
+  /** Mono PCM16 WAV with an id-seeded 65-segment amplitude ENVELOPE —
+    * the synthesis counterpart of [[wavWindowEnergies]]' 65 analysis
+    * windows: within segment `w = i·65 div n` every sample is
+    * ±(baseAmp · (1 + (seed·(w+1) mod 9))), sign alternating every 4
+    * samples. Because the envelope is constant per analysis window,
+    * each window's mean |sample| is CLOSED-FORM from (n, seed,
+    * baseAmp) — the q39-style analytic oracle for the audio hash.
+    * Scaling `baseAmp` (volume) scales every window equally, so the
+    * [[audioEHash]] delta signs — and the hash — are invariant.
+    */
+  def envelopeWav(rate: Int, n: Int, baseAmp: Int, seed: Long): Array[Byte] = {
+    require(baseAmp * 9 <= 32767, "baseAmp too large for PCM16")
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + 2 * n)
+      .put("WAVEfmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 65 / n).toInt
+      val a = baseAmp * (1 + envelopeMul(seed, w))
+      bb.putShort(if ((i / 4) % 2 == 0) a.toShort else (-a).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** The segment-w envelope multiplier in [0, 9): mixes the seed's
+    * low and high parts with w and w² so distinct seeds get distinct
+    * delta-sign patterns (a plain `seed·(w+1) mod 9` would collapse
+    * all seeds congruent mod 9 onto one hash). Pure integer
+    * arithmetic — replayable as
+    * `(seed + w*w*(1 + seed % 31) + (seed // 7) * w) % 9` for
+    * non-negative seeds.
+    */
+  private[multimodal] def envelopeMul(seed: Long, w: Int): Int =
+    math.floorMod(
+      seed + w.toLong * w * (1 + math.floorMod(seed, 31)) +
+        (seed / 7) * w, 9).toInt
+
+  /** Attach [[envelopeWav]] payloads per row, seeded from a numeric
+    * id (n = 400 + id mod 97 samples, envelope seed = id); `ampScale`
+    * rescales the volume — an `ampScale = 2` re-synthesis is the
+    * "same recording, different gain" near-duplicate the audio hash
+    * must catch at Hamming 0.
+    */
+  def synthesizeEnvelopeWavs(
+      df: DataFrame, idCol: String, ampScale: Int = 1,
+      batchSize: Int = 64): DataFrame = {
+    val session = df.sparkSession
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("wav", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.get(idIdx) match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case other => other.hashCode.toLong
+          }
+          val n = 400 + math.floorMod(id, 97).toInt
+          Row(r.get(idIdx), envelopeWav(8000, n, 300 * ampScale, id))
+        }
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-window integer energy profile of a PCM16 WAV: sample `i`
+    * lands in window `i·windows div n`, each window accumulates
+    * Σ|sample| (an EXACT long — no float summation anywhere) plus its
+    * sample count. The audio analogue of [[imagePooledLuma]]'s
+    * integer milli-luma pooling, and the decode half of
+    * [[audioEHash]]. Undecodable payloads yield null profiles (they
+    * land, they just can't fingerprint — the image-sink convention).
+    */
+  def wavWindowEnergies(
+      df: DataFrame, idCol: String, binCol: String, windows: Int = 65,
+      batchSize: Int = 64): DataFrame = {
+    val session = df.sparkSession
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("n_samples", LongType),
+      StructField("energy_sums", ArrayType(LongType)),
+      StructField("window_counts", ArrayType(LongType))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.get(binIdx) match {
+            case b: Array[Byte] => b
+            case _ => Array.empty[Byte]
+          }
+          wavEnergiesOne(bytes, windows) match {
+            case Some((n, es, cs)) =>
+              Row(r.get(idIdx), n, es.toSeq, cs.toSeq)
+            case None => Row(r.get(idIdx), null, null, null)
+          }
+        }
+      }
+    }
+    session.createDataFrame(rdd, outSchema)
+  }
+
+  private[multimodal] def wavEnergiesOne(
+      bytes: Array[Byte], windows: Int): Option[(Long, Array[Long], Array[Long])] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (!(bytes.slice(0, 4).sameElements("RIFF".getBytes("ASCII")) &&
+        bytes.slice(8, 16).sameElements("WAVEfmt ".getBytes("ASCII"))))
+      return None
+    val audioFormat = bb.getShort(20)
+    val bps = bb.getShort(34)
+    if (audioFormat != 1 || bps != 16) return None
+    val dataBytes = math.min(
+      Integer.toUnsignedLong(bb.getInt(40)), (bytes.length - 44).toLong)
+    val n = dataBytes / 2
+    if (n == 0) return None
+    val es = new Array[Long](windows)
+    val cs = new Array[Long](windows)
+    var i = 0L
+    while (i < n) {
+      val w = (i * windows / n).toInt
+      val s = bb.getShort(44 + 2 * i.toInt).toInt
+      es(w) += math.abs(s)
+      cs(w) += 1
+      i += 1
+    }
+    Some((n, es, cs))
+  }
+
+  /** 64-bit audio perceptual hash: bit `w` = 1 iff window w+1's mean
+    * |sample| exceeds window w's, compared by CROSS-MULTIPLICATION of
+    * the exact integer (Σ|s|, count) pairs — the [[imageDHash]]
+    * construction on the time axis, so the whole decode→pool→hash
+    * chain is exact integer arithmetic and the hash is invariant
+    * under uniform volume scaling. Output (id, n_samples, ahash_hi,
+    * ahash_lo) feeds [[graft.dedup.Dedup.hammingBandedPairs]] /
+    * `hammingBandedMatches` — the fourth fingerprint family (text
+    * SimHash, image dHash, embedding SRP, audio) on the shared
+    * banded-pair machinery.
+    */
+  def audioEHash(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val prof = wavWindowEnergies(df, idCol, binCol, windows = 65,
+      batchSize)
+    def bit(w: Int): Column =
+      when(element_at(col("energy_sums"), w + 2) *
+          element_at(col("window_counts"), w + 1) >
+        element_at(col("energy_sums"), w + 1) *
+          element_at(col("window_counts"), w + 2), lit(1L))
+        .otherwise(lit(0L))
+    def half(lo: Int): Column =
+      (0 until 32).map(j => bit(lo + j) * lit(1L << (31 - j)))
+        .reduce(_ + _)
+    prof.select(col("id"), col("n_samples"),
+      when(col("energy_sums").isNotNull, half(0)).as("ahash_hi"),
+      when(col("energy_sums").isNotNull, half(32)).as("ahash_lo"))
+  }
+
   /** Canonical mono PCM16 WAV bytes: `n` samples of a square wave with
     * period 8 (4 samples +amp, 4 samples -amp) at `rate` Hz.
     */
