@@ -402,32 +402,74 @@ object EventStreams {
       images: DataFrame, idCol: String, binCol: String,
       orderCol: String, corpusDir: String, sketchDir: String,
       checkpointDir: String, maxDist: Int = 3)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    fingerprintDedupSink(images, idCol, orderCol, corpusDir,
+      sketchDir, checkpointDir, maxDist, "dhash_hi", "dhash_lo") {
+      df =>
+        graft.multimodal.Multimodal.imageDHash(df, idCol, binCol)
+          .select(col("id").as(idCol), col("dhash_hi"),
+            col("dhash_lo"))
+    }
+
+  /** Streaming AUDIO-ingest dedup: the [[incrementalImageDedupSink]]
+    * lifecycle with the energy-delta hash
+    * ([[graft.multimodal.Multimodal.audioEHash]]) as the 8-byte
+    * sketch — gain-rescaled re-uploads of a landed recording probe at
+    * Hamming 0 and drop; undecodable payloads always land. Same
+    * sketch-store-first durability, store-loss rebuild, and
+    * idempotent-replay arguments, shared via the common fingerprint
+    * sink core. Completes the fingerprint-sink symmetry: exact Bloom,
+    * text LSH, chunk, image dHash, embedding SRP, audio.
+    */
+  def incrementalAudioDedupSink(
+      audio: DataFrame, idCol: String, binCol: String,
+      orderCol: String, corpusDir: String, sketchDir: String,
+      checkpointDir: String, maxDist: Int = 3)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    fingerprintDedupSink(audio, idCol, orderCol, corpusDir,
+      sketchDir, checkpointDir, maxDist, "ahash_hi", "ahash_lo") {
+      df =>
+        graft.multimodal.Multimodal.audioEHash(df, idCol, binCol)
+          .select(col("id").as(idCol), col("ahash_hi"),
+            col("ahash_lo"))
+    }
+
+  /** Shared core of the 64-bit-fingerprint dedup sinks: batch sketches
+    * only itself, probes the standing sketch store via the banded
+    * Hamming join, collapses in-batch identical sketches to the
+    * lowest `orderCol`, lands null-sketch rows unconditionally, and
+    * appends SKETCH STORE FIRST (a crash between appends leaves a
+    * sketch whose payload is missing — replays then drop dup
+    * candidates instead of re-landing duplicates). Store-loss restart
+    * rebuilds the sketch store from the corpus once.
+    */
+  private def fingerprintDedupSink(
+      rows: DataFrame, idCol: String, orderCol: String,
+      corpusDir: String, sketchDir: String, checkpointDir: String,
+      maxDist: Int, hiCol: String, loCol: String)(
+      sketch: DataFrame => DataFrame)
     : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.dedup.Dedup
-    import graft.multimodal.Multimodal
-    val spark = images.sparkSession
-    val inCols = images.columns.toSeq
+    val spark = rows.sparkSession
+    val inCols = rows.columns.toSeq
     def exists(dir: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    def sketch(df: DataFrame): DataFrame =
-      Multimodal.imageDHash(df, idCol, binCol)
-        .select(col("id").as(idCol), col("dhash_hi"), col("dhash_lo"))
     val lock = new Object
-    foreachBatchSink(images, checkpointDir, outputMode = "append") {
+    foreachBatchSink(rows, checkpointDir, outputMode = "append") {
       (batch, _) =>
         lock.synchronized(graft.core.CacheScope.withScope {
           val withSk = batch
             .join(sketch(batch), Seq(idCol))
             .transform(graft.core.CacheScope.disk)
-          val keepIds = withSk.where(col("dhash_hi").isNotNull)
-            .groupBy("dhash_hi", "dhash_lo")
+          val keepIds = withSk.where(col(hiCol).isNotNull)
+            .groupBy(hiCol, loCol)
             .agg(min_by(col(idCol), col(orderCol)).as(idCol))
             .select(idCol)
           val inBatch = withSk
             .join(keepIds, Seq(idCol), "left_semi")
-            .unionByName(withSk.where(col("dhash_hi").isNull))
+            .unionByName(withSk.where(col(hiCol).isNull))
           val survivors =
             if (exists(corpusDir)) {
               if (!exists(sketchDir))
@@ -436,14 +478,14 @@ object EventStreams {
                   .parquet(sketchDir)
               val matched = Dedup.hammingBandedMatches(
                   spark.read.parquet(sketchDir),
-                  inBatch.select(idCol, "dhash_hi", "dhash_lo"),
-                  idCol, "dhash_hi", "dhash_lo", maxDist)
+                  inBatch.select(idCol, hiCol, loCol),
+                  idCol, hiCol, loCol, maxDist)
                 .select(col("batch_id").as(idCol)).distinct()
               inBatch.join(matched, Seq(idCol), "left_anti")
             } else inBatch
           val landed = survivors.localCheckpoint(eager = true)
           // sketch store first (see durability note above)
-          landed.select(idCol, "dhash_hi", "dhash_lo")
+          landed.select(idCol, hiCol, loCol)
             .write.mode(SaveMode.Append)
             .option("compression", "snappy").parquet(sketchDir)
           landed.select(inCols.map(col): _*)

@@ -704,6 +704,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("incrementalAudioDedupSink: gain-rescaled re-uploads drop " +
+      "across batches and a sketch-store-loss restart; in-batch " +
+      "identical sketches collapse; undecodable payloads land") {
+    import graft.multimodal.Multimodal
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_aud_corpus").toString + "/wavs"
+    val sketches = java.nio.file.Files
+      .createTempDirectory("graft_aud_sk").toString + "/sk"
+    def wav(seed: Long, amp: Int = 300) =
+      Multimodal.envelopeWav(8000, 450, amp, seed)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.incrementalAudioDedupSink(
+      in.toDF().toDF("aud_id", "wav"), "aud_id", "wav", "aud_id",
+      corpus, sketches,
+      java.nio.file.Files.createTempDirectory("graft_aud_ckpt")
+        .toString)
+    try {
+      in.addData((1L, wav(1)), (2L, wav(2)),
+        (3L, "not audio".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 3)
+      // gain-doubled re-upload of 1, novel + its in-batch twin
+      in.addData((10L, wav(1, amp = 600)), (11L, wav(40)),
+        (12L, wav(40)))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus)
+      assert(after2.select("aud_id").collect().map(_.getLong(0)).toSet
+        == Set(1L, 2L, 3L, 11L))
+    } finally q.stop()
+    def rmr(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles.foreach(c => rmr(c.getPath))
+      f.delete()
+    }
+    rmr(sketches)
+    val in2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = EventStreams.incrementalAudioDedupSink(
+      in2.toDF().toDF("aud_id", "wav"), "aud_id", "wav", "aud_id",
+      corpus, sketches,
+      java.nio.file.Files.createTempDirectory("graft_aud_ckpt2")
+        .toString)
+    try {
+      in2.addData((20L, wav(2, amp = 900)), (21L, wav(55)))
+      q2.processAllAvailable()
+      val fin = spark.read.parquet(corpus)
+      assert(fin.where(col("aud_id") === 20L).count() == 0,
+        "rebuilt sketch store must keep dropping gain-scaled dups")
+      assert(fin.where(col("aud_id") === 21L).count() == 1)
+      assert(spark.read.parquet(sketches)
+        .where(col("ahash_hi").isNotNull).count() == 4)
+    } finally q2.stop()
+  }
+
   test("incrementalEmbeddingDedupSink: re-encoded vectors drop across " +
       "batches and an index-loss restart; in-batch identical vectors " +
       "collapse; exact replicas of landed rows re-dedup idempotently; " +
