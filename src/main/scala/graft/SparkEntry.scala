@@ -3196,6 +3196,23 @@ object SparkEntry {
         col("violates"))
       .orderBy("class_size")
 
+  /** BM25 top-k retrieval ([[graft.text.TfIdf.bm25Search]]): the
+    * audit queries (docs 0–4 as their own queries) against the full
+    * corpus — sparse lexical retrieval with df-pruned postings and
+    * micro-unit-exact score sums. (On this deliberately tiny
+    * vocabulary, BM25's length normalization can rank a short
+    * term-dense document above the query's own longer source — the
+    * correct Okapi behavior, replayed identically by the oracle.)
+    */
+  private def bm25SearchQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.text.TfIdf.bm25Search(d, "doc_id", "text",
+        d.where(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", "text", k = 10, maxDf = 400L)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3679,6 +3696,7 @@ object SparkEntry {
     "q168_quantile_normalize" -> (quantileNormalizeQ _),
     "q169_audio_ehash_dedup" -> (audioEhashDedupQ _),
     "q170_k_anonymity" -> (kAnonymityQ _),
+    "q171_bm25_search" -> (bm25SearchQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -6423,6 +6441,51 @@ object SparkEntry {
            + bit_count(xor(a.lo, b.lo)) <= 3
          ORDER BY corpus_id, batch_id"""
     },
+    // BM25 replay: df-pruned postings, per-term micro quantization
+    // BEFORE the per-(query, doc) sum, float literals spelled exactly
+    // as the engine computes them
+    "q171_bm25_search" ->
+      s"""WITH tf AS (
+           SELECT doc_id, w AS token, count(*) AS tf FROM (
+             SELECT doc_id, unnest($oracleWords) AS w FROM documents)
+           GROUP BY 1, 2),
+         lens AS (
+           SELECT doc_id, len($oracleWords) AS len FROM documents),
+         stats AS (
+           SELECT count(*) AS n,
+             CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+           FROM lens),
+         dfq AS (
+           SELECT token, count(*) AS df FROM tf
+           GROUP BY token HAVING count(*) <= 400),
+         qt AS (
+           SELECT doc_id AS qid, unnest(list_distinct($oracleWords))
+             AS token
+           FROM documents WHERE doc_id < 5),
+         sc AS (
+           SELECT qid, tf.doc_id,
+             CAST(floor(
+               ln(CAST(1 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
+                 / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * len / avgdl))
+               * 1000000000) AS BIGINT) AS tm
+           FROM qt
+           JOIN tf USING (token) JOIN dfq USING (token)
+           JOIN lens ON lens.doc_id = tf.doc_id, stats),
+         agg AS (
+           SELECT qid, doc_id, sum(tm) AS score_micro
+           FROM sc GROUP BY 1, 2),
+         r AS (
+           SELECT qid, doc_id, score_micro, row_number() OVER (
+             PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)
+             AS rank
+           FROM agg)
+         SELECT qid AS query_id, doc_id,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     // class-size histogram over the quasi-identifier grouping
     "q170_k_anonymity" ->
       """WITH cls AS (

@@ -36,4 +36,69 @@ object TfIdf {
         col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** BM25 top-k retrieval: for each query, the `k` best-scoring
+    * documents under Okapi BM25 (the Robertson/Lucene form,
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, tf saturation `k1`,
+    * length normalization `b`) — the sparse lexical-retrieval leg of
+    * a hybrid search stack (its ANN sibling is `rrfFuse`'s input).
+    *
+    * Scale + exactness:
+    *   - the inverted join is (query term) ⋈ (posting list), and
+    *     terms with df > `maxDf` are pruned FIRST — their idf is near
+    *     zero and they are exactly the terms whose postings would
+    *     dominate the join fan-out (the q23/q64 df-cap argument);
+    *     candidate cost is Σ df over the query's surviving terms,
+    *     never corpus × queries;
+    *   - per-term scores quantize to BIGINT micro-units (·10⁹) BEFORE
+    *     the per-(query, doc) sum — the q153/DSIR treatment — so
+    *     accumulation is exact integer arithmetic: ranking and
+    *     tie-breaks are reproducible across engines and
+    *     partitionings, with the float boundary confined to one
+    *     per-term expression both engines spell identically;
+    *   - the ≤ k cut is a per-query window over candidate rows
+    *     (bounded by the pruned posting mass), ties to the smaller
+    *     doc id.
+    *
+    * Output: (query id, doc id, `score_micro`, `rank`).
+    */
+  def bm25Search(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(docs, idCol, textCol)
+    val lens = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__len"))
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      (sum(col("__len")).cast("double") / count(lit(1)))
+        .as("__avgdl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val qTerms = queries.select(col(qIdCol).as("__qid"),
+        explode(array_distinct(
+          TextAnalysis.words(col(qTextCol)))).as("token"))
+    val scored = qTerms
+      .join(tf.join(dfreq, "token"), Seq("token"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("__term_micro",
+        floor(col("__idf") *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__len") / col("__avgdl"))) *
+          lit(1000000000L)).cast("long"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__term_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(qIdCol), col(idCol),
+        col("score_micro"), col("rank"))
+  }
 }
