@@ -1667,6 +1667,7 @@ object Similarity {
     val seed = coded.agg(min_by(struct(col("__id"), col("__q")),
       col("__id")).as("__s")).select(col("__s.__id").as("__cid"),
       col("__s.__q").as("__cq"))
+      .localCheckpoint() // two consumers (round-1 update, output)
     var selected = Seq.empty[(Int, DataFrame)]
     var cur = coded.crossJoin(broadcast(seed))
       .select(col("__id"), col("__q"),
@@ -1677,11 +1678,16 @@ object Similarity {
       col("__cid").as("__id"), col("__cq").as("__q"),
       lit(null).cast("long").as("d2_at_selection")))
     for (r <- 2 to k) {
+      // the one-row argmax is ALSO checkpointed: it is consumed twice
+      // (the next round's distance update and the final output union),
+      // and without the checkpoint each consumer re-runs the
+      // corpus-sized aggregation over the round's checkpoint
       val next = cur.agg(max_by(struct(col("__id"), col("__q"),
           col("__mind")),
         struct(col("__mind"), (-col("__id")).as("__nid"))).as("__s"))
         .select(col("__s.__id").as("__cid"), col("__s.__q").as("__cq"),
           col("__s.__mind").as("__cd"))
+        .localCheckpoint()
       selected :+= (r, next.select(lit(r).as("round"),
         col("__cid").as("__id"), col("__cq").as("__q"),
         col("__cd").as("d2_at_selection")))
