@@ -3213,6 +3213,30 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** SCD-2 point-in-time lookup
+    * ([[graft.transform.StarSchemaBuilder.scd2Lookup]]): every order
+    * joined to the priority version its customer was IN at the
+    * order's own date — the as-was reporting join over the q75
+    * history, completing the SCD-2 circle (derive → upsert → stream →
+    * lookup).
+    */
+  private def scd2LookupQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.transform.StarSchemaBuilder
+    val o = t(s, dir, "orders")
+    val vers = StarSchemaBuilder.scd2Versions(
+      o.select("o_custkey", "o_orderpriority", "o_orderdate",
+        "o_orderkey"),
+      keyCols = Seq("o_custkey"), attrCols = Seq("o_orderpriority"),
+      orderCol = "o_orderdate", tieBreak = Seq("o_orderkey"))
+    StarSchemaBuilder.scd2Lookup(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"), vers,
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("dim_o_orderpriority").as("priority_as_was"),
+        col("dim_version_n").as("version_n"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3697,6 +3721,7 @@ object SparkEntry {
     "q169_audio_ehash_dedup" -> (audioEhashDedupQ _),
     "q170_k_anonymity" -> (kAnonymityQ _),
     "q171_bm25_search" -> (bm25SearchQ _),
+    "q172_scd2_lookup" -> (scd2LookupQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -6837,6 +6862,33 @@ object SparkEntry {
            CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current
          FROM num ORDER BY o_custkey, version_n""",
 
+    // the q75 version CTEs + the interval-residual as-was join
+    "q172_scd2_lookup" ->
+      """WITH obs AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev,
+             row_number() OVER w AS rn
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey)),
+         vers AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+           FROM obs
+           WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev),
+         num AS (
+           SELECT o_custkey, o_orderpriority AS pr,
+             o_orderdate AS vfrom,
+             lead(o_orderdate) OVER w AS vto,
+             CAST(row_number() OVER w AS INT) AS version_n
+           FROM vers
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey))
+         SELECT f.o_orderkey, f.o_custkey,
+           num.pr AS priority_as_was, num.version_n
+         FROM orders f LEFT JOIN num ON num.o_custkey = f.o_custkey
+           AND f.o_orderdate >= num.vfrom
+           AND (num.vto IS NULL OR f.o_orderdate < num.vto)
+         ORDER BY o_orderkey""",
     "q76_fuzzy_part_names" ->
       """WITH names AS (SELECT DISTINCT p_name AS n FROM part)
          SELECT a.n AS value_a, b.n AS value_b,

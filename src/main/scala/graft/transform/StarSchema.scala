@@ -257,6 +257,50 @@ object StarSchemaBuilder {
       .drop("__new", "__ord", "__prevOrd", "__keyLast")
   }
 
+  /** Point-in-time (as-was) lookup against an SCD-2 version history:
+    * each fact row joins the version of its key that was valid AT the
+    * fact's own timestamp — `valid_from ≤ ts` and `ts < valid_to`
+    * (open-ended current version matches everything from its start).
+    * The read half that completes the SCD-2 circle (derive
+    * [[scd2Versions]] → upsert [[upsertDimensionScd2]] → stream
+    * [[graft.streaming.EventStreams.scd2DimensionSink]] → LOOKUP):
+    * "what did we believe about this customer when the order was
+    * placed", the as-was reporting join.
+    *
+    * Shape: an equi-join on the natural key with the interval as a
+    * RESIDUAL predicate — versions-per-key is bounded by the key's
+    * change count (dimension histories are short; this is not a range
+    * join that needs banding), and the half-open intervals partition
+    * the timeline, so each fact matches AT MOST one version — the
+    * join cannot expand. Facts before their key's first version (or
+    * with no key match) keep null version columns under the default
+    * left join. Version attributes are emitted under `attrPrefix` so
+    * a fact that carries a same-named current-value column (the usual
+    * case) never collides.
+    */
+  def scd2Lookup(
+      facts: DataFrame, versions: DataFrame, keyCols: Seq[String],
+      tsCol: String, attrCols: Seq[String],
+      attrPrefix: String = "dim_", how: String = "left"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one natural key column")
+    val outAttrs = attrCols.map(a => attrPrefix + a) :+
+      (attrPrefix + "version_n")
+    require(!facts.columns.exists(outAttrs.toSet),
+      s"fact columns must not be named ${outAttrs.mkString(", ")}")
+    val v = versions.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) ++
+        attrCols.map(a => col(a).as(attrPrefix + a)) ++ Seq(
+          col("version_n").as(attrPrefix + "version_n"),
+          col("valid_from").as("__vfrom"),
+          col("valid_to").as("__vto")): _*)
+    val keyEq = keyCols.map(c => facts(c) <=> v(s"__k_$c"))
+      .reduce(_ && _)
+    val inInterval = facts(tsCol) >= v("__vfrom") &&
+      (v("__vto").isNull || facts(tsCol) < v("__vto"))
+    facts.join(v, keyEq && inInterval, how)
+      .select(facts.columns.map(facts(_)) ++ outAttrs.map(col): _*)
+  }
+
   /** SCD type-2 dimension upsert over a bare Parquet path. The stored
     * history IS a compressed change stream — each version row retains
     * BOTH endpoints of its observation run (`valid_from` and
