@@ -3237,6 +3237,32 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** MMR diverse reranking ([[Similarity.mmrRerank]]): the top-20
+    * cosine candidates for audit query 0, reranked to 8 results
+    * maximizing λ·relevance − (1−λ)·max-cosine-to-selected — the
+    * retrieval stack's final stage, keeping near-duplicate hits from
+    * crowding out coverage. Every pick's objective is
+    * micro-quantized before the argmax (bit-exact rounds).
+    */
+  private def mmrRerankQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q0 = e.agg(min_by(col("v"), col("vec_id")).as("qv"))
+    val cands = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .withColumn("rel", Similarity.dot(col("v"), col("qv")) /
+        (Similarity.norm(col("v")) * Similarity.norm(col("qv"))))
+      .select(col("vec_id"), col("v"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+    Similarity.mmrRerank(cands, "vec_id", "v", "rel", k = 8,
+        lambdaMilli = 700)
+      .select(col("rank").cast("int").as("rank"), col("vec_id"),
+        round(col("rel"), 6).as("rel"),
+        round(col("max_cos_prior"), 6).as("max_cos_prior"),
+        col("obj_micro"))
+      .orderBy("rank")
+  }
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3722,6 +3748,7 @@ object SparkEntry {
     "q170_k_anonymity" -> (kAnonymityQ _),
     "q171_bm25_search" -> (bm25SearchQ _),
     "q172_scd2_lookup" -> (scd2LookupQ _),
+    "q173_mmr_rerank" -> (mmrRerankQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -6862,6 +6889,47 @@ object SparkEntry {
            CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current
          FROM num ORDER BY o_custkey, version_n""",
 
+    // 8 unrolled greedy rounds: argmax of the micro-quantized
+    // objective, running max-cosine updated against each new pick
+    "q173_mmr_rerank" -> {
+      def objSel(src: String) =
+        s"""SELECT vec_id, v, rel, mc,
+           CAST(floor((CAST(0.7 AS DOUBLE) * rel
+             - CAST(0.3 AS DOUBLE) * mc) * 1000000) AS BIGINT) AS obj
+           FROM $src"""
+      def step(r: Int): String = {
+        val prev = if (r == 1) "base" else s"m${r - 1}"
+        val pick =
+          s"""c$r AS MATERIALIZED (
+             ${objSel(prev)}
+             ORDER BY obj DESC, vec_id ASC LIMIT 1)"""
+        if (r == 8) pick
+        else pick + s""",
+           m$r AS MATERIALIZED (
+             SELECT p.vec_id, p.v, p.rel,
+               greatest(p.mc, ${oracleCosRaw("p.v", "c.v")}) AS mc
+             FROM $prev p, c$r c WHERE p.vec_id <> c.vec_id)"""
+      }
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e ORDER BY vec_id ASC LIMIT 1),
+         sc AS (
+           SELECT vec_id, v, ${oracleCosRaw("v", "qv")} AS rel
+           FROM e, q WHERE vec_id <> 0),
+         cand AS MATERIALIZED (
+           SELECT vec_id, v, rel FROM sc
+           ORDER BY rel DESC, vec_id ASC LIMIT 20),
+         base AS (
+           SELECT vec_id, v, rel, CAST(0.0 AS DOUBLE) AS mc
+           FROM cand),
+         ${(1 to 8).map(step).mkString(",\n         ")}
+         SELECT rank, vec_id, round(rel, 6) AS rel,
+           round(mc, 6) AS max_cos_prior, obj AS obj_micro
+         FROM (${(1 to 8).map(r =>
+            s"SELECT CAST($r AS INT) AS rank, vec_id, rel, mc, obj FROM c$r")
+            .mkString("\n           UNION ALL ")})
+         ORDER BY rank"""
+    },
     // the q75 version CTEs + the interval-residual as-was join
     "q172_scd2_lookup" ->
       """WITH obs AS (

@@ -1704,6 +1704,72 @@ object Similarity {
         col("__q").as("codes"), col("d2_at_selection"))
   }
 
+  /** Maximal-marginal-relevance (MMR) reranking: from a candidate
+    * frame carrying a relevance score, greedily select `k` results
+    * maximizing `λ·rel − (1−λ)·max_cos_to_selected` — the standard
+    * diversity reranker (Carbonell–Goldstein) a retrieval stack runs
+    * between ANN/BM25 candidates and the final context window, so
+    * near-duplicate hits don't crowd out coverage.
+    *
+    * Determinism: each candidate's objective quantizes to integer
+    * micro-units BEFORE the argmax (`floor(obj·10⁶)`, ties to the
+    * smaller id) — the per-row float inputs (rel, running max cosine)
+    * are themselves order-independent, so every round's pick is
+    * bit-reproducible across engines and partitionings. λ enters as
+    * exact per-mill weights (`lambdaMilli/1000`, `(1000−λm)/1000` —
+    * each a single literal division, never `1 − 0.7` drift).
+    *
+    * Shape: the [[kCenterSelect]] recurrence — k−1 unrolled rounds,
+    * each ONE candidate-frame scan updating a running max-cosine
+    * against the single new selection (broadcast one-row frame,
+    * checkpointed); candidate norms compute once. Candidate frames
+    * are rerank-sized (top-N from a retriever), but nothing here
+    * breaks at corpus scale either. Output: (rank, id, rel,
+    * max_cos_prior, obj_micro at selection).
+    */
+  def mmrRerank(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambdaMilli: Int = 700): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      "lambdaMilli is per-mill")
+    val lam = lambdaMilli / 1000.0
+    val mu = (1000 - lambdaMilli) / 1000.0
+    val base = candidates.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"),
+        col(relCol).cast("double").as("__rel"))
+      .where(col("__v").isNotNull && col("__rel").isNotNull)
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+      .withColumn("__mc", lit(0.0))
+    def obj = lit(lam) * col("__rel") - lit(mu) * col("__mc")
+    def objMicro = floor(obj * lit(1000000L)).cast("long")
+    var cur = base.localCheckpoint()
+    var out = Seq.empty[DataFrame]
+    for (r <- 1 to k) {
+      val pick = cur
+        .withColumn("__obj", objMicro)
+        .agg(max_by(struct(col("__id"), col("__v"), col("__n"),
+            col("__rel"), col("__mc"), col("__obj")),
+          struct(col("__obj"), (-col("__id")).as("__nid"))).as("__s"))
+        .select(col("__s.__id").as("__cid"), col("__s.__v").as("__cv"),
+          col("__s.__n").as("__cn"), col("__s.__rel").as("__crel"),
+          col("__s.__mc").as("__cmc"), col("__s.__obj").as("__cobj"))
+        .localCheckpoint()
+      out :+= pick.select(lit(r).as("rank"), col("__cid").as(idCol),
+        col("__crel").as("rel"), col("__cmc").as("max_cos_prior"),
+        col("__cobj").as("obj_micro"))
+      if (r < k)
+        cur = cur.crossJoin(broadcast(pick))
+          .where(col("__id") =!= col("__cid"))
+          .select(col("__id"), col("__v"), col("__n"), col("__rel"),
+            greatest(col("__mc"),
+              dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+              .as("__mc"))
+          .localCheckpoint()
+    }
+    out.reduce(_.unionByName(_))
+  }
+
   /** The (i, d) hyperplane sign: +1 iff the first hex char of
     * md5("srp_i_d") has even value — replayable as
     * `substr(md5(...), 1, 1) IN ('0','2','4','6','8','a','c','e')`
