@@ -3263,6 +3263,19 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Lagged cross-correlation ([[Analytics.crossCorrelation]]):
+    * hourly signup counts against purchase counts at every lag in
+    * ±6 hours — the lead/lag screen; gap hours count as zeros via the
+    * generated grid.
+    */
+  private def crossCorrelationQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.crossCorrelation(events(s, dir), "ts", "event_type",
+        "signup", "purchase", bucketSeconds = 3600L, maxLag = 6)
+      .select(col("lag").cast("int").as("lag"), col("n_buckets"),
+        round(col("corr"), 6).as("corr"))
+      .orderBy("lag")
+
   // ---------------------------------------------------------------- //
   // Oracle SQL builders (portable md5-based hashing — see Dedup)      //
   // ---------------------------------------------------------------- //
@@ -3749,6 +3762,7 @@ object SparkEntry {
     "q171_bm25_search" -> (bm25SearchQ _),
     "q172_scd2_lookup" -> (scd2LookupQ _),
     "q173_mmr_rerank" -> (mmrRerankQ _),
+    "q174_event_cross_correlation" -> (crossCorrelationQ _),
     "q114_chunk_incremental" -> (chunkIncrementalDedup _),
     "q115_salted_lang_rollup" -> (saltedLangRollup _),
     "q65_repetition_signals" -> (repetitionSignals _),
@@ -6889,6 +6903,34 @@ object SparkEntry {
            CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current
          FROM num ORDER BY o_custkey, version_n""",
 
+    // hourly conditional counts -> zero-filled grid -> lag self-join
+    "q174_event_cross_correlation" ->
+      """WITH e AS (
+           SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+             AS idx, event_type
+           FROM events WHERE ts IS NOT NULL),
+         cnt AS (
+           SELECT idx,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS a,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS b
+           FROM e GROUP BY idx),
+         rng AS (
+           SELECT unnest(generate_series(
+             (SELECT min(idx) FROM cnt),
+             (SELECT max(idx) FROM cnt))) AS idx),
+         g AS (
+           SELECT r.idx, coalesce(a, 0) AS a, coalesce(b, 0) AS b
+           FROM rng r LEFT JOIN cnt ON cnt.idx = r.idx),
+         l AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+         j AS (
+           SELECT l.lag, g1.a, g2.b
+           FROM l, g g1, g g2 WHERE g2.idx = g1.idx + l.lag)
+         SELECT CAST(lag AS INT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(corr(a, b), 6) AS corr
+         FROM j GROUP BY lag ORDER BY lag""",
     // 8 unrolled greedy rounds: argmax of the micro-quantized
     // objective, running max-cosine updated against each new pick
     "q173_mmr_rerank" -> {

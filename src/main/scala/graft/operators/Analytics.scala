@@ -1609,6 +1609,58 @@ object Analytics {
           .as("credit_milli"))
   }
 
+  /** Lagged cross-correlation of two event streams: Pearson
+    * correlation of series A's per-bucket counts against series B's
+    * counts `lag` buckets later, for every lag in [−maxLag, maxLag] —
+    * the lead/lag screen ("does signup activity LEAD purchase
+    * activity, and by how many hours?") behind alerting and
+    * attribution hypotheses. A positive-lag peak means A leads B.
+    *
+    * Shape: events collapse map-side to one row per time bucket
+    * (conditional counts — cost scales with event volume once, then
+    * everything downstream is BUCKET-sized: span/width rows, not
+    * events); the full bucket grid is generated from the min/max
+    * scalar so silent gaps count as zeros instead of vanishing from
+    * the alignment (the resample lesson); the (2·maxLag+1) lags
+    * attach by one generated column and one self-join on
+    * `idx + lag` — (2k+1)·buckets rows total, one aggregation.
+    * Zero-variance windows yield null correlation (both engines'
+    * convention). Output: (lag, n_buckets, corr).
+    */
+  def crossCorrelation(
+      df: DataFrame, tsCol: String, typeCol: String,
+      typeA: String, typeB: String, bucketSeconds: Long = 3600L,
+      maxLag: Int = 6): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val micros = bucketSeconds * 1000000L
+    val cnt = df
+      .where(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div $micros").as("__idx"),
+        col(typeCol).as("__t"))
+      .groupBy("__idx")
+      .agg(sum(when(col("__t") === typeA, 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__t") === typeB, 1L).otherwise(0L)).as("__b"))
+    val bounds = cnt.agg(min(col("__idx")).as("__lo"),
+      max(col("__idx")).as("__hi"))
+    val grid = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__idx"))
+      .join(cnt, Seq("__idx"), "left")
+      .select(col("__idx"), coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+      .transform(graft.core.CacheScope.disk)
+    val lagged = grid
+      .select(col("__idx"), col("__a"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .withColumn("__bidx", col("__idx") + col("lag"))
+      .join(grid.select(col("__idx").as("__bidx"), col("__b")),
+        Seq("__bidx"))
+    lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_buckets"),
+        corr(col("__a").cast("double"), col("__b").cast("double"))
+          .as("corr"))
+  }
+
   /** Two-proportion z-test of every group against the pooled rest —
     * the A/B-flavored segment screen ("is this segment's conversion
     * rate different from everyone else's?") run as ONE aggregation:

@@ -1767,7 +1767,10 @@ object Similarity {
               .as("__mc"))
           .localCheckpoint()
     }
-    out.reduce(_.unionByName(_))
+    // fewer candidates than k: exhausted rounds aggregate an empty
+    // frame to a null pick — drop those rows instead of emitting
+    // null-id ranks
+    out.reduce(_.unionByName(_)).where(col(idCol).isNotNull)
   }
 
   /** The (i, d) hyperplane sign: +1 iff the first hex char of

@@ -55,4 +55,11 @@ class MmrSpec extends SparkSpec {
       (9L, Seq(1.0, 0.0), 0.8), (4L, Seq(1.0, 0.0), 0.8)), k = 1)
     assert(tied === Seq(4L))
   }
+
+  test("fewer candidates than k emits exactly the candidates, no " +
+      "null ranks") {
+    val out = rerank(Seq[(Long, Seq[Double], Double)](
+      (1L, Seq(1.0, 0.0), 0.9), (2L, Seq(0.0, 1.0), 0.8)), k = 5)
+    assert(out === Seq(1L, 2L))
+  }
 }
