@@ -165,4 +165,31 @@ object GraftProperties extends Properties("graft") {
       if (distinct.size <= cap) merged == distinct
       else merged.size > cap // frozen: the size filter drops it
     }
+
+  property("KLL exact regime under any shard split: merged quantiles " +
+      "equal the inclusive order statistic") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(-1000, 1000).map(_.toDouble))
+        .map(_.take(400)),
+      Gen.choose(0, 100),
+      Gen.oneOf(0.25, 0.5, 0.75)) { (xs, seed, rank) =>
+      import org.apache.datasketches.kll.KllDoublesSketch
+      import org.apache.datasketches.memory.Memory
+      val mk = () => new graft.expressions.KllQuantile.SketchAgg(8192)
+      val agg = mk()
+      val cut = seed % (xs.size + 1)
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      val sk = KllDoublesSketch.heapify(
+        Memory.wrap(agg.finish(merged)))
+      val got = sk.getQuantile(rank,
+        org.apache.datasketches.quantilescommon
+          .QuantileSearchCriteria.INCLUSIVE)
+      val s = xs.sorted
+      val want = s(math.max(0,
+        math.ceil(rank * s.length).toInt - 1))
+      got == want && sk.getN == xs.length.toLong
+    }
 }
