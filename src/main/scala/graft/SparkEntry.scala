@@ -6377,13 +6377,16 @@ object SparkEntry {
            CAST(n_base AS BIGINT) AS n_base,
            CAST(n_cur AS BIGINT) AS n_cur,
            CAST(ks_scaled AS BIGINT) AS ks_scaled,
-           round(CAST(ks_scaled AS DOUBLE) / (n_base * n_cur), 6)
-             AS ks_d,
-           round(1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
-             / (n_base * n_cur)), 6) AS threshold,
-           CAST(ks_scaled AS DOUBLE) / (n_base * n_cur) >
-             1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
-               / (n_base * n_cur)) AS drifted
+           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+             ELSE round(CAST(ks_scaled AS DOUBLE) / (n_base * n_cur),
+               6) END AS ks_d,
+           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+             ELSE round(1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
+               / (n_base * n_cur)), 6) END AS threshold,
+           CASE WHEN n_base = 0 OR n_cur = 0 THEN TRUE
+             ELSE CAST(ks_scaled AS DOUBLE) / (n_base * n_cur) >
+               1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
+                 / (n_base * n_cur)) END AS drifted
          FROM agg ORDER BY o_orderpriority""",
     // the permutation is pure md5 arithmetic; the global rank replays
     // as one row_number
@@ -6445,9 +6448,9 @@ object SparkEntry {
            WHERE tts <= cts AND tts > cts - INTERVAL 2 HOUR),
          r AS (
            SELECT user_id, cid, tid,
-             count(*) OVER (PARTITION BY cid) AS n_touches,
-             row_number() OVER (PARTITION BY cid ORDER BY tts, tid)
-               AS touch_rank
+             count(*) OVER (PARTITION BY user_id, cid) AS n_touches,
+             row_number() OVER (PARTITION BY user_id, cid
+               ORDER BY tts, tid) AS touch_rank
            FROM p)
          SELECT user_id, cid AS conversion_id, tid AS touch_id,
            CAST(touch_rank AS INT) AS touch_rank,

@@ -1594,7 +1594,11 @@ object Analytics {
     val paired = conv.join(tch, Seq("__k"))
       .where(col("__tts") <= col("__cts") &&
         col("__tts") > col("__cts") - expr(s"INTERVAL $windowDuration"))
-    val w = Window.partitionBy(col("__cid"))
+    // partition by (key, conversion id), not conversion id alone:
+    // event-log ids are often only unique PER KEY, and merging pairs
+    // from different keys that share a conversion id would inflate
+    // n_touches and corrupt credit_milli
+    val w = Window.partitionBy(col("__k"), col("__cid"))
     val wOrd = w.orderBy(col("__tts").asc, col("__tid").asc)
     paired
       .withColumn("n_touches", count(lit(1)).over(w))
@@ -1757,6 +1761,32 @@ object Analytics {
           .as("support")): _*)
   }
 
+  /** Fixed-point integer PageRank over a distinct edge list: `iters`
+    * synchronous power-iteration rounds at damping `damping/1000`,
+    * every quantity in exact 1e12 fixed-point units (`rank_scaled`) —
+    * the per-mill damping split, the per-edge contribution
+    * (`damping·rank div (1000·deg)`), and the teleport term are all
+    * BIGINT arithmetic, so ranks are bit-identical across engines,
+    * partitionings, and cluster sizes.
+    *
+    * DANGLING-MASS SEMANTICS: nodes with no out-edges contribute
+    * NOTHING to the next round — their damped mass is dropped, not
+    * redistributed, so total mass shrinks by `damping/1000 ×
+    * (dangling mass + per-edge integer-division remainders)` each
+    * iteration rather than staying at 1.0 (the standard alternative
+    * adds the dangling sum uniformly). This is the right contract for
+    * the registry's use (q154 symmetrizes the graph first, so no
+    * dangling nodes exist and only the div remainders leak); callers
+    * ranking a directed graph with sinks should symmetrize or accept
+    * sink-discounted ranks. The per-iteration mass identity is pinned
+    * by spec (AnalyticsSpec).
+    *
+    * Scale shape: the normalized edge list persists once,
+    * repartitioned AND sorted on the join key, so each round's join
+    * re-sorts only the rank side (node-count rows); per-round lineage
+    * truncates via `localCheckpoint`. Per-iteration shuffle of the
+    * contribution aggregate is inherent to PageRank.
+    */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 6, damping: Int = 850): DataFrame = {

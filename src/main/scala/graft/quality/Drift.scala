@@ -149,18 +149,22 @@ object Drift {
       .agg(max(col("__n1")).as("n_base"), max(col("__n2")).as("n_cur"),
         max(abs(col("__i") * col("__n2") - col("__j") * col("__n1")))
           .as("ks_scaled"))
+    // a group present in only ONE of baseline/current has n_base or
+    // n_cur = 0: D is undefined (0/0), but the signal is the
+    // strongest drift there is — flag it rather than letting the
+    // null division silently un-flag it
+    val oneSided = col("n_base") === 0L || col("n_cur") === 0L
+    val ksD = col("ks_scaled").cast("double") /
+      (col("n_base") * col("n_cur"))
+    val thr = lit(cAlpha) * sqrt((col("n_base") + col("n_cur"))
+      .cast("double") / (col("n_base") * col("n_cur")))
     agg.select(groupCols.map(col) ++ Seq(
       col("n_base"), col("n_cur"), col("ks_scaled"),
-      (col("ks_scaled").cast("double") /
-        (col("n_base") * col("n_cur"))).as("ks_d"),
-      (lit(cAlpha) * sqrt((col("n_base") + col("n_cur"))
-        .cast("double") / (col("n_base") * col("n_cur"))))
+      when(oneSided, lit(null).cast("double")).otherwise(ksD)
+        .as("ks_d"),
+      when(oneSided, lit(null).cast("double")).otherwise(thr)
         .as("threshold"),
-      (col("ks_scaled").cast("double") /
-        (col("n_base") * col("n_cur")) >
-        lit(cAlpha) * sqrt((col("n_base") + col("n_cur"))
-          .cast("double") / (col("n_base") * col("n_cur"))))
-        .as("drifted")): _*)
+      when(oneSided, lit(true)).otherwise(ksD > thr).as("drifted")): _*)
   }
 
   /** Mergeable per-shard quantile sketches
@@ -193,17 +197,34 @@ object Drift {
     * emitted quantile is the exact INCLUSIVE order statistic — the
     * smallest value whose cumulative fraction ≥ rank.
     */
+  /** Column name for a quantile rank: whole percents keep the short
+    * `p50`/`p95` form; fractional percents append the fraction after
+    * an underscore (`0.995` → `p99_5`, `0.501` → `p50_1`) so ranks
+    * that round to the same integer percent can no longer collide
+    * into duplicate column names (an AnalysisException downstream).
+    */
+  private[quality] def rankColName(r: Double): String = {
+    val hundredths = math.round(r * 10000) // percent × 100
+    val whole = hundredths / 100
+    val frac = hundredths % 100
+    if (frac == 0L) s"p$whole"
+    else if (frac % 10 == 0L) s"p${whole}_${frac / 10}"
+    else s"p${whole}_$frac"
+  }
+
   def mergeQuantileShards(
       shards: DataFrame, groupCols: Seq[String],
       ranks: Seq[Double], k: Int = 8192): DataFrame = {
     require(ranks.nonEmpty, "at least one rank")
+    val names = ranks.map(rankColName)
+    require(names.distinct.size == names.size,
+      s"ranks collide after naming: ${names.mkString(", ")}")
     val merged = shards.groupBy(groupCols.map(col): _*)
       .agg(sum(col("n")).as("n"),
         graft.expressions.KllQuantile.kllUnion(k)(col("q_sketch"))
           .as("__m"))
-    val qCols = ranks.map { r =>
-      graft.expressions.KllQuantile.kllQuantile(col("__m"), r)
-        .as(s"p${math.round(r * 100)}")
+    val qCols = ranks.zip(names).map { case (r, nm) =>
+      graft.expressions.KllQuantile.kllQuantile(col("__m"), r).as(nm)
     }
     merged.select(groupCols.map(col) ++ (col("n") +: qCols): _*)
   }

@@ -1647,11 +1647,26 @@ object Similarity {
     * Returns (round, id, codes, d2_at_selection) — `d2_at_selection`
     * is the selected point's min-distance when chosen (the k-center
     * radius sequence; round 1 = seed with d2 null).
+    *
+    * k-contract: each round is one corpus scan ending in a
+    * `localCheckpoint` of the (id, codes, mind) frame, so cost is
+    * k corpus scans and the peak checkpoint storage is O(corpus) per
+    * live round — `k` is capped at 256 (diversity selection is
+    * tens-of-centers work; for larger coresets pre-sample the corpus
+    * first, the published coreset practice). If `k` exceeds the
+    * number of distinct input rows the exhausted rounds are dropped
+    * from the output (fewer than k rows come back) rather than
+    * emitting null-id rows. Tie-breaks order by `(max mind, min id)`
+    * via a `min_by` over `(-mind, id)` so `idCol` only needs a total
+    * ordering, not a numeric negation.
     */
   def kCenterSelect(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
+    require(k <= 256,
+      "kCenterSelect runs k corpus scans with a checkpoint each: " +
+        "cap k at 256 and pre-sample the corpus for larger coresets")
     val spark = df.sparkSession
     import spark.implicits._
     val d2 = (a: Column, b: Column) =>
@@ -1682,9 +1697,12 @@ object Similarity {
       // (the next round's distance update and the final output union),
       // and without the checkpoint each consumer re-runs the
       // corpus-sized aggregation over the round's checkpoint
-      val next = cur.agg(max_by(struct(col("__id"), col("__q"),
+      // min_by over (-mind, id): max distance first, then the SMALLER
+      // id — type-agnostic in idCol (negating a string id would cast
+      // to null and scramble the tie-break)
+      val next = cur.agg(min_by(struct(col("__id"), col("__q"),
           col("__mind")),
-        struct(col("__mind"), (-col("__id")).as("__nid"))).as("__s"))
+        struct((-col("__mind")).as("__negd"), col("__id"))).as("__s"))
         .select(col("__s.__id").as("__cid"), col("__s.__q").as("__cq"),
           col("__s.__mind").as("__cd"))
         .localCheckpoint()
@@ -1699,7 +1717,11 @@ object Similarity {
               .as("__mind"))
           .localCheckpoint()
     }
+    // k > distinct rows: exhausted rounds aggregate an empty frame
+    // to a null pick — drop those rows instead of emitting null-id
+    // centers
     selected.map(_._2).reduce(_.unionByName(_))
+      .where(col("__id").isNotNull)
       .select(col("round"), col("__id").as(idCol),
         col("__q").as("codes"), col("d2_at_selection"))
   }
@@ -1731,15 +1753,23 @@ object Similarity {
       candidates: DataFrame, idCol: String, vecCol: String,
       relCol: String, k: Int, lambdaMilli: Int = 700): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(k <= 1000,
+      "mmrRerank runs k candidate scans with a checkpoint each: " +
+        "rerank-sized k only (cut candidates upstream for larger k)")
     require(lambdaMilli >= 0 && lambdaMilli <= 1000,
       "lambdaMilli is per-mill")
     val lam = lambdaMilli / 1000.0
     val mu = (1000 - lambdaMilli) / 1000.0
+    // zero-norm vectors are excluded up front: cosine against them is
+    // 0/0 = NaN, and NaN sorts ABOVE every double in Spark, so one
+    // such candidate would lock __mc to NaN for every remaining row
+    // and floor(NaN)→0 would silently corrupt all later obj_micro
     val base = candidates.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"),
         col(relCol).cast("double").as("__rel"))
       .where(col("__v").isNotNull && col("__rel").isNotNull)
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+      .where(col("__n") > lit(0.0))
       .withColumn("__mc", lit(0.0))
     def obj = lit(lam) * col("__rel") - lit(mu) * col("__mc")
     def objMicro = floor(obj * lit(1000000L)).cast("long")
@@ -1748,9 +1778,9 @@ object Similarity {
     for (r <- 1 to k) {
       val pick = cur
         .withColumn("__obj", objMicro)
-        .agg(max_by(struct(col("__id"), col("__v"), col("__n"),
+        .agg(min_by(struct(col("__id"), col("__v"), col("__n"),
             col("__rel"), col("__mc"), col("__obj")),
-          struct(col("__obj"), (-col("__id")).as("__nid"))).as("__s"))
+          struct((-col("__obj")).as("__nobj"), col("__id"))).as("__s"))
         .select(col("__s.__id").as("__cid"), col("__s.__v").as("__cv"),
           col("__s.__n").as("__cn"), col("__s.__rel").as("__crel"),
           col("__s.__mc").as("__cmc"), col("__s.__obj").as("__cobj"))

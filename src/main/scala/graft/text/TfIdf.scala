@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * doc, document frequencies per token) + one join keyed on token.
   * All counts are partial+final aggregations; the token join is the
   * only shuffle that touches the full posting list. The corpus size
-  * enters as one `count()` action (a metadata-served parquet count in
-  * practice).
+  * enters as a broadcast one-row aggregate frame inside the same
+  * lazy plan.
   */
 object TfIdf {
 
@@ -28,12 +28,17 @@ object TfIdf {
     * corpus-wide tokens).
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = df.count()
+    // corpus size rides as a broadcast one-row frame (the bm25Search
+    // stats shape) instead of an eager df.count() at plan-build time:
+    // no extra job per call, and the whole thing stays one lazy plan
+    val stats = df.agg(count(lit(1)).as("__corpus_n"))
     val tf = termFrequencies(df, idCol, textCol)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(dfreq, "token")
+      .crossJoin(broadcast(stats))
       .withColumn("tfidf",
-        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+        col("tf") * (log((col("__corpus_n") + 1.0) / (col("df") + 1.0))
+          + 1.0))
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 

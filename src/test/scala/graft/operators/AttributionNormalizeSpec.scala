@@ -46,6 +46,20 @@ class AttributionNormalizeSpec extends SparkSpec {
     assert(out.toSet === Set((100L, 1000L), (101L, 1000L)))
   }
 
+  test("linearAttribution: conversion ids that repeat across keys " +
+      "stay separate (windows partition by key AND conversion id)") {
+    // both users have a conversion with id 100 — an event-log shape
+    // where ids are only unique per key; merging them would report
+    // n_touches = 2 and split 500/500
+    val conv = ev(Seq((1L, 1000L, 100L), (2L, 1000L, 100L)))
+    val touches = ev(Seq((1L, 500L, 1L), (2L, 600L, 2L)))
+    val out = Analytics.linearAttribution(conv, touches, "u", "ts",
+        "id", "2 hours")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(6),
+        r.getLong(7)))
+    assert(out.toSet === Set((1L, 1L, 1L, 1000L), (2L, 2L, 1L, 1000L)))
+  }
+
   private def scored(rows: Seq[(String, Double)]) = df(
     StructType(Seq(
       StructField("g", StringType),

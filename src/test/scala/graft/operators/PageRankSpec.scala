@@ -65,6 +65,29 @@ class PageRankSpec extends SparkSpec {
     assert(total > scale - 1000L)
   }
 
+  test("dangling-mass identity: a sink node's damped mass is DROPPED " +
+      "per iteration (the documented semantics), exactly matching the " +
+      "replay and the closed-form one-round identity") {
+    // c has in-edges but no out-edges: a dangling sink
+    val es = Seq("a" -> "b", "b" -> "c", "a" -> "c")
+    val got = Analytics.pageRank(edges(es: _*), "s", "d", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == replay(es, 1))
+    // one-round identity: total_1 = n·teleport + Σ_{u: deg>0} Σ_edges
+    // (850·r0(u) div (1000·deg(u))) — c's 850·r0(c)/1000 appears
+    // NOWHERE on the right-hand side
+    val scale = 1000000000000L
+    val n = 3L
+    val teleport = (150L * scale / 1000L) / n
+    val r0 = scale / n
+    val fromA = (850L * r0) / (1000L * 2) * 2 // a→b, a→c
+    val fromB = (850L * r0) / (1000L * 1)     // b→c
+    assert(got.values.sum == n * teleport + fromA + fromB)
+    // and the dropped dangling mass is visible: total shrank by more
+    // than the div-remainder floor leak alone could explain
+    assert(got.values.sum < scale - (850L * r0) / 1000L + 1000L)
+  }
+
   test("duplicate edge rows collapse before degree counting") {
     val dup = Analytics.pageRank(
         edges("x" -> "y", "x" -> "y", "y" -> "x"), "s", "d", iters = 3)

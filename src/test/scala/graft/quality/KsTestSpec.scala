@@ -57,6 +57,21 @@ class KsTestSpec extends SparkSpec {
     assert(out("y")._5)
   }
 
+  test("a group present in only one sample is FLAGGED drifted with " +
+      "null ks_d/threshold, not silently un-flagged by the 0/0") {
+    val out = Drift.ksTest(
+      frame(Seq(("both", 1.0), ("both", 2.0), ("base_only", 5.0))),
+      frame(Seq(("both", 1.0), ("both", 2.0), ("cur_only", 9.0))),
+      "v", Seq("g")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("base_only", "cur_only")) {
+      assert(out(g).getBoolean(6), s"$g not flagged")
+      assert(out(g).isNullAt(4) && out(g).isNullAt(5))
+    }
+    assert(!out("both").getBoolean(6))
+    assert(!out("both").isNullAt(4))
+  }
+
   test("partition-layout invariance (exact integers end to end)") {
     val base = (1 to 300).map(i => ("a", (i * 7 % 50).toDouble))
     val cur = (1 to 250).map(i => ("a", (i * 11 % 60).toDouble))

@@ -87,4 +87,29 @@ class QuantileSketchSpec extends SparkSpec {
       Seq(0.5, 0.75)).collect().map(_.toSeq).toSet
     assert(direct === viaCompact)
   }
+
+  test("fractional ranks get unique column names instead of " +
+      "colliding at the rounded integer percent") {
+    assert(Drift.rankColName(0.5) === "p50")
+    assert(Drift.rankColName(0.95) === "p95")
+    assert(Drift.rankColName(0.995) === "p99_5")
+    assert(Drift.rankColName(1.0) === "p100")
+    assert(Drift.rankColName(0.501) === "p50_1")
+    assert(Drift.rankColName(0.1234) === "p12_34")
+    // 0.995 and 1.0 both used to round to p100 -> AnalysisException;
+    // now they coexist in one frame
+    val rows = (1 to 200).map(i => ("a", i.toDouble))
+    val shards = Drift.quantileShards(frame(rows), Seq("g"), col("v"),
+      pmod(crc32(col("v").cast("string")), lit(4)))
+    val out = Drift.mergeQuantileShards(shards, Seq("g"),
+      Seq(0.995, 1.0))
+    assert(out.columns.toSeq === Seq("g", "n", "p99_5", "p100"))
+    val r = out.collect().head
+    assert(r.getDouble(2) === 199.0 && r.getDouble(3) === 200.0)
+    // truly duplicate names still fail fast with the offending list
+    val e = intercept[IllegalArgumentException] {
+      Drift.mergeQuantileShards(shards, Seq("g"), Seq(0.5, 0.50))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
 }

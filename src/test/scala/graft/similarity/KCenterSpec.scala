@@ -75,6 +75,38 @@ class KCenterSpec extends SparkSpec {
       s"radii not monotone: ${radii.mkString(",")}")
   }
 
+  test("k beyond the number of distinct rows: exhausted rounds are " +
+      "dropped, not emitted as null-id centers") {
+    val rows: Seq[(Long, Seq[Float])] =
+      Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(-1f, 0f))
+    val out = Similarity.kCenterSelect(emb(rows), "id", "v", k = 6)
+      .collect().sortBy(_.getInt(0))
+    assert(out.length === 3)
+    assert(out.forall(!_.isNullAt(1)))
+    assert(out.map(_.getLong(1)).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("string ids: seed and tie-breaks follow the natural string " +
+      "ordering (no numeric negation in the argmax)") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("v", ArrayType(FloatType))))
+    // b and c are identical: equidistant from seed a, tie -> "b"
+    val frame = df(schema, Seq(
+      Row("a", Seq(1f, 0f)), Row("c", Seq(0f, 1f)),
+      Row("b", Seq(0f, 1f))))
+    val out = Similarity.kCenterSelect(frame, "id", "v", k = 2)
+      .collect().sortBy(_.getInt(0)).map(_.getString(1))
+    assert(out === Array("a", "b"))
+  }
+
+  test("the k ceiling is enforced with a scan-cost rationale") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kCenterSelect(emb(cluster), "id", "v", k = 257)
+    }
+    assert(e.getMessage.contains("pre-sample"))
+  }
+
   test("partition-layout invariance") {
     val rows = (1L to 25L).map(i =>
       i -> Seq((i * 31 % 17).toFloat, (i * 41 % 19).toFloat))

@@ -62,4 +62,36 @@ class MmrSpec extends SparkSpec {
       (1L, Seq(1.0, 0.0), 0.9), (2L, Seq(0.0, 1.0), 0.8)), k = 5)
     assert(out === Seq(1L, 2L))
   }
+
+  test("a zero-norm candidate vector is excluded instead of NaN-" +
+      "poisoning every later round's max-cosine") {
+    // without the guard: picking 1 computes cosine(0-vec, 1-vec) =
+    // 0/0 = NaN, NaN sorts above all doubles, __mc locks to NaN,
+    // floor(NaN) -> obj_micro 0 for EVERY remaining candidate and the
+    // ordering collapses to id order
+    val rows = Seq[(Long, Seq[Double], Double)](
+      (1L, Seq(1.0, 0.0), 0.95),
+      (2L, Seq(0.0, 0.0), 0.95), // zero norm: cosine undefined
+      (3L, Seq(0.0, 1.0), 0.40),
+      (4L, Seq(0.0, 0.9), 0.90))
+    val out = rerank(rows, k = 4)
+    // the zero-norm row never appears; the rest rank by true MMR
+    assert(!out.contains(2L))
+    assert(out.head === 1L)
+    assert(out(1) === 4L) // orthogonal to 1, high rel
+  }
+
+  test("string ids tie-break by their natural ordering (type-" +
+      "agnostic argmin, no numeric-negation cast)") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("rel", DoubleType)))
+    val frame = df(schema, Seq(
+      Row("doc-b", Seq(1.0, 0.0), 0.8),
+      Row("doc-a", Seq(1.0, 0.0), 0.8)))
+    val out = Similarity.mmrRerank(frame, "id", "v", "rel", k = 1)
+      .collect().map(_.getString(1))
+    assert(out === Array("doc-a"))
+  }
 }
