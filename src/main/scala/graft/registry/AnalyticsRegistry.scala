@@ -1,0 +1,2279 @@
+package graft.registry
+
+import graft.dedup.Dedup
+import graft.functions.Fx
+import graft.multimodal.Multimodal
+import graft.operators.Analytics
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.registry.RegistryBase._
+
+/** OLAP / event / statistics queries over the TPC-H-ish tables — query builders plus their DuckDB oracles.
+  * Conventions: see [[graft.SparkEntry]]. Split from the original
+  * single-file registry; member bodies are unchanged.
+  */
+private[graft] object AnalyticsRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_event_interarrival" -> (eventInterArrival _),
+    "q101_acctbal_pct_rank" -> (acctbalPercentRanks _),
+    "q102_order_grouping_sets" -> (orderGroupingSets _),
+    "q104_compact_zorder" -> (compactZOrderFidelity _),
+    "q108_winsorized_prices" -> (winsorizedPrices _),
+    "q111_key_skew" -> (keySkewReport _),
+    "q115_salted_lang_rollup" -> (saltedLangRollup _),
+    "q125_resample_ffill" -> (resampleDailyValues _),
+    "q129_resample_interp" -> (resampleInterpDaily _),
+    "q130_rolling_anomalies" -> (rollingAnomalies _),
+    "q131_ewma_trend" -> (ewmaUserTrend _),
+    "q132_spend_trend" -> (customerSpendTrend _),
+    "q136_event_type_affinity" -> (eventTypeAffinity _),
+    "q137_event_transitions" -> (eventTransitions _),
+    "q151_filter_funnel" -> (filterFunnelQ _),
+    "q154_supplier_pagerank" -> (supplierPagerankQ _),
+    "q157_event_sequences" -> (eventSequencesQ _),
+    "q160_calibration_report" -> (calibrationReportQ _),
+    "q161_quantile_datasheet" -> (quantileDatasheetQ _),
+    "q164_ks_drift" -> (ksDriftQ _),
+    "q166_segment_conversion" -> (proportionTestQ _),
+    "q167_linear_attribution" -> (linearAttributionQ _),
+    "q168_quantile_normalize" -> (quantileNormalizeQ _),
+    "q170_k_anonymity" -> (kAnonymityQ _),
+    "q172_scd2_lookup" -> (scd2LookupQ _),
+    "q174_event_cross_correlation" -> (crossCorrelationQ _),
+    "q32_order_cube" -> (orderCube _),
+    "q33_asof_prior_event" -> (asofPriorEvent _),
+    "q34_event_sessions" -> (eventSessions _),
+    "q35_customer_running_totals" -> (customerRunningTotals _),
+    "q36_acctbal_percentiles" -> (acctbalPercentiles _),
+    "q37_events_sliding" -> (eventsSliding _),
+    "q45_range_join_bands" -> (rangeJoinPriceBands _),
+    "q46_approx_distinct" -> (approxDistinctUsers _),
+    "q48_event_attribution" -> (eventAttribution _),
+    "q52_supplier_by_region" -> (supplierBalanceByRegion _),
+    "q53_event_pivot" -> (eventTypePivot _),
+    "q54_supplier_rollup" -> (supplierRollup _),
+    "q55_price_outliers" -> (priceOutliers _),
+    "q56_top_orders_per_priority" -> (topOrdersPerPriority _),
+    "q57_acctbal_deciles" -> (acctbalDeciles _),
+    "q75_priority_scd2" -> (customerPriorityScd2 _),
+    "q79_zorder_keys" -> (zorderOrderKeys _),
+    "q82_event_funnel" -> (eventFunnel _),
+    "q84_snapshot_diff" -> (orderSnapshotDiff _),
+    "q85_time_weighted_value" -> (userTimeWeightedValue _),
+    "q86_event_transitions" -> (eventTransitionMatrix _),
+    "q87_cohort_retention" -> (cohortRetention _),
+    "q88_peak_hourly_activity" -> (peakHourlyActivity _),
+    "q89_acctbal_gini" -> (acctbalGini _),
+    "q92_type_weekday_chi2" -> (eventTypeWeekdayChi2 _),
+    "q93_lineitem_corr" -> (lineitemCorrMatrix _),
+    "q94_price_drift_psi" -> (priceDriftPsi _),
+    "q95_price_trend" -> (priceTrendByPriority _),
+    "q96_lineitem_profile" -> (lineitemProfile _),
+    "q97_cdc_apply" -> (cdcApplySummary _),
+    "q99_order_fanout" -> (orderFanoutHistogram _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q100_event_interarrival" ->
+      """WITH o AS (
+           SELECT event_type, event_id, epoch_us(ts) AS t FROM events),
+         g AS (
+           SELECT event_type,
+             CAST(t - lag(t) OVER (PARTITION BY event_type
+               ORDER BY t, event_id) AS DOUBLE) / 1e6 AS gap
+           FROM o)
+         SELECT event_type, count(*) AS n_gaps,
+           round(quantile_cont(gap, 0.5), 4) AS p50_sec,
+           round(quantile_cont(gap, 0.95), 4) AS p95_sec
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    "q101_acctbal_pct_rank" ->
+      """SELECT * FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+           FROM customer
+           WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey))
+         WHERE pct_rank >= 0.99
+         ORDER BY c_mktsegment, c_custkey""",
+    "q102_order_grouping_sets" ->
+      """SELECT o_orderpriority,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(2 * GROUPING(o_orderpriority)
+             + GROUPING(strftime(o_orderdate, '%Y-%m')) AS INT) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority),
+           (strftime(o_orderdate, '%Y-%m')))
+         ORDER BY gid, o_orderpriority, month""",
+    // fidelity aggregates over the source rows — the Spark side reads
+    // them back from the compacted-and-Z-ordered rewrite, so a row
+    // lost or duplicated by the swap machinery hash-mismatches here
+    "q104_compact_zorder" ->
+      s"""SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           round(sum(o_totalprice), 2) AS price_sum,
+           CAST(sum(${oracleZorder(
+             "o_custkey",
+             "CAST(strftime(o_orderdate, '%Y%m%d') AS INT)")}
+             % 1000003) AS BIGINT) AS zkey_checksum
+         FROM orders""",
+    "q108_winsorized_prices" ->
+      """WITH cuts AS (
+           SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+           FROM orders GROUP BY o_orderpriority),
+         w AS (
+           SELECT o.o_orderpriority, o.o_totalprice,
+             least(greatest(o.o_totalprice, c.lo), c.hi) AS wv
+           FROM orders o JOIN cuts c USING (o_orderpriority))
+         SELECT o_orderpriority, count(*) AS n,
+           round(sum(wv - o_totalprice), 1) AS clip_delta,
+           round(min(wv), 2) AS min_w,
+           round(max(wv), 2) AS max_w
+         FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q111_key_skew" ->
+      """WITH ctx AS (
+           SELECT count(lang) AS nr, count(DISTINCT lang) AS nk
+           FROM documents),
+         h AS (
+           SELECT CAST(lang AS VARCHAR) AS key, count(*) AS cnt
+           FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+         SELECT key, cnt AS n_rows_key,
+           round(CAST(cnt AS DOUBLE) / nr, 6) AS fraction,
+           nr AS n_rows, nk AS n_keys,
+           round(CAST(cnt AS DOUBLE) * nk / nr, 4) AS skew_ratio
+         FROM h CROSS JOIN ctx
+         WHERE CAST(cnt AS DOUBLE) > 0.05 * nr
+         ORDER BY key""",
+    // the salted join/sum must be result-identical to the plain
+    // rollup — the oracle IS the unsalted form
+    "q115_salted_lang_rollup" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         FROM documents WHERE lang IS NOT NULL
+         GROUP BY lang ORDER BY lang""",
+    "q125_resample_ffill" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE ts IS NOT NULL),
+         b AS (
+           SELECT user_id,
+             make_timestamp((epoch_us(ts) // 86400000000)
+               * 86400000000) AS bucket_ts,
+             avg(CAST(round(value * 100) AS BIGINT)) AS v
+           FROM ev GROUP BY 1, 2),
+         g AS (
+           SELECT user_id, unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS bucket_ts
+           FROM (SELECT user_id, min(bucket_ts) AS lo,
+                   max(bucket_ts) AS hi FROM b GROUP BY 1)),
+         f AS (
+           SELECT g.user_id, g.bucket_ts, b.v,
+             last_value(b.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value
+           FROM g LEFT JOIN b
+             ON b.user_id = g.user_id AND b.bucket_ts = g.bucket_ts)
+         SELECT user_id, bucket_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) / 10000.0 AS value,
+           v IS NULL AS filled
+         FROM f ORDER BY user_id, bucket_ts""",
+    "q129_resample_interp" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE ts IS NOT NULL),
+         b AS (
+           SELECT user_id,
+             make_timestamp((epoch_us(ts) // 86400000000)
+               * 86400000000) AS bucket_ts,
+             avg(CAST(round(value * 100) AS BIGINT)) AS v
+           FROM ev GROUP BY 1, 2),
+         g AS (
+           SELECT user_id, unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS bucket_ts
+           FROM (SELECT user_id, min(bucket_ts) AS lo,
+                   max(bucket_ts) AS hi FROM b GROUP BY 1)),
+         j AS (
+           SELECT g.user_id, g.bucket_ts, b.v,
+             epoch_us(g.bucket_ts) AS t
+           FROM g LEFT JOIN b
+             ON b.user_id = g.user_id AND b.bucket_ts = g.bucket_ts),
+         f AS (
+           SELECT user_id, bucket_ts, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+             t
+           FROM j),
+         iv AS (
+           SELECT user_id, bucket_ts,
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN t1 IS NULL THEN v0
+                  WHEN t0 IS NULL THEN v1
+                  ELSE v0 + (v1 - v0) * ((t - t0) / (t1 - t0)) END
+               AS value,
+             v IS NULL AS interpolated
+           FROM f)
+         SELECT user_id, bucket_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) / 10000.0 AS value,
+           interpolated
+         FROM iv ORDER BY user_id, bucket_ts""",
+    "q130_rolling_anomalies" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS eu
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         r AS (
+           SELECT event_id, user_id, v,
+             count(v) OVER w AS n,
+             CAST(sum(v) OVER w AS BIGINT) AS s1,
+             CAST(sum(v * v) OVER w AS BIGINT) AS s2
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY eu
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)),
+         d AS (
+           SELECT event_id, user_id, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(n * s2 - s1 * s1 AS DOUBLE)
+               / CAST(n * n AS DOUBLE) AS var,
+             CAST(v * n - s1 AS DOUBLE) / n AS dev
+           FROM r)
+         SELECT event_id, user_id, n AS roll_n,
+           CAST(floor(mean * 100 + 0.5) AS BIGINT) / 10000.0
+             AS roll_mean,
+           CAST(floor(sqrt(var) * 100 + 0.5) AS BIGINT) / 10000.0
+             AS roll_std,
+           CASE WHEN n >= 2 AND var > 0 THEN
+             CAST(floor(dev / sqrt(var) * 10000 + 0.5) AS BIGINT)
+               / 10000.0 END AS zscore,
+           CAST(CASE WHEN n >= 2 AND var > 0
+             THEN abs(dev / sqrt(var)) > 3.0 ELSE false END AS INT)
+             AS is_anomaly
+         FROM d ORDER BY event_id""",
+    "q131_ewma_trend" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS eu
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         w AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY eu, event_id) AS rn
+           FROM ev),
+         p AS (
+           SELECT a.event_id, a.user_id,
+             count(*) AS n,
+             sum(b.v * pow(0.5, a.rn - b.rn)) AS num,
+             sum(pow(0.5, a.rn - b.rn)) AS den
+           FROM w a JOIN w b
+             ON b.user_id = a.user_id
+             AND b.rn BETWEEN a.rn - 19 AND a.rn
+           GROUP BY 1, 2)
+         SELECT event_id, user_id, n AS ewma_n,
+           CAST(floor(num / den * 100 + 0.5) AS BIGINT) / 10000.0
+             AS ewma
+         FROM p ORDER BY event_id""",
+    "q132_spend_trend" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         s AS (
+           SELECT o_custkey, count(*) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+           FROM o GROUP BY 1),
+         d AS (
+           SELECT o_custkey, n,
+             n * sxy - sx * sy AS c,
+             n * sxx - sx * sx AS vx,
+             n * syy - sy * sy AS vy,
+             sx, sy
+           FROM s),
+         f AS (
+           SELECT o_custkey, n,
+             CASE WHEN n >= 2 AND vx > 0 THEN
+               CAST(c AS DOUBLE) / CAST(vx AS DOUBLE) END AS slope,
+             c, vx, vy, sx, sy
+           FROM d)
+         SELECT o_custkey, n,
+           CAST(floor(slope * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS slope,
+           CAST(floor((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / n * 100 + 0.5) AS BIGINT) / 100.0 AS intercept,
+           CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+             CAST(floor(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+               / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+               * 10000 + 0.5) AS BIGINT) / 10000.0 END AS r2
+         FROM f ORDER BY o_custkey""",
+    "q136_event_type_affinity" ->
+      """WITH di AS (
+           SELECT DISTINCT user_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         rk AS (
+           SELECT user_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY event_type) AS rn
+           FROM di),
+         c AS (SELECT user_id, event_type FROM rk WHERE rn <= 8),
+         nb AS (SELECT count(DISTINCT user_id) AS n FROM c),
+         ic AS (
+           SELECT event_type, count(*) AS cnt FROM c GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS item_a, b.event_type AS item_b,
+             count(*) AS pair_count
+           FROM c a JOIN c b USING (user_id)
+           WHERE a.event_type < b.event_type GROUP BY 1, 2)
+         SELECT item_a, item_b, pair_count,
+           CAST(pair_count AS DOUBLE) / n AS support,
+           CAST(pair_count AS DOUBLE) / ca.cnt AS confidence,
+           CAST(pair_count * n AS DOUBLE)
+             / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+         FROM p CROSS JOIN nb
+           JOIN ic ca ON ca.event_type = item_a
+           JOIN ic cb ON cb.event_type = item_b
+         ORDER BY item_a, item_b""",
+    "q137_event_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type, ts, event_id FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND ts IS NOT NULL),
+         lg AS (
+           SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+             event_type AS to_state
+           FROM s),
+         p AS (
+           SELECT from_state, to_state, count(*) AS transitions
+           FROM lg WHERE from_state IS NOT NULL GROUP BY 1, 2),
+         t AS (
+           SELECT from_state, sum(transitions) AS tot
+           FROM p GROUP BY 1)
+         SELECT from_state, to_state, transitions,
+           CAST(transitions AS DOUBLE) / tot AS prob
+         FROM p JOIN t USING (from_state)
+         ORDER BY from_state, to_state""",
+    // single-scan funnel replay: every flag once per row, 3k counters
+    // in one aggregate, per-stage rows unioned off the single agg row
+    "q151_filter_funnel" -> {
+      val names = Seq("nonempty", "min_tokens", "low_punct",
+        "stopword_floor", "quality_score")
+      val k = names.size
+      def conj(idx: Seq[Int]) =
+        if (idx.isEmpty) "TRUE" else idx.map(j => s"f$j").mkString(" AND ")
+      val aggs = (0 until k).flatMap { i =>
+        val reached = conj(0 until i)
+        val others = conj((0 until k).filter(_ != i))
+        Seq(
+          s"sum(CASE WHEN $reached THEN 1 ELSE 0 END) AS in_$i",
+          s"sum(CASE WHEN ($reached) AND NOT f$i THEN 1 ELSE 0 END)" +
+            s" AS fail_$i",
+          s"sum(CASE WHEN ($others) AND NOT f$i THEN 1 ELSE 0 END)" +
+            s" AS sole_$i")
+      }.mkString(",\n           ")
+      val rows = names.zipWithIndex.map { case (n, i) =>
+        s"""SELECT CAST(${i + 1} AS INT) AS stage, '$n' AS filter,
+           CAST(coalesce(in_$i, 0) AS BIGINT) AS n_in,
+           CAST(coalesce(fail_$i, 0) AS BIGINT) AS n_rejected,
+           CAST(coalesce(in_$i - fail_$i, 0) AS BIGINT) AS n_out,
+           CAST(coalesce(sole_$i, 0) AS BIGINT) AS n_sole_reject,
+           round(CAST(fail_$i AS DOUBLE) / nullif(in_$i, 0), 4)
+             AS reject_frac
+           FROM agg"""
+      }.mkString("\n         UNION ALL ")
+      s"""$oracleMetricsCte,
+         f AS (
+           SELECT coalesce(n_chars > 0, FALSE) AS f0,
+             coalesce(tokens >= 20, FALSE) AS f1,
+             coalesce(coalesce(punct, 0.0) <= 0.1, FALSE) AS f2,
+             coalesce(coalesce(stop, 0.0) >= 0.05, FALSE) AS f3,
+             coalesce(quality >= 0.5, FALSE) AS f4
+           FROM q),
+         agg AS (
+           SELECT $aggs
+           FROM f)
+         $rows ORDER BY stage"""
+    },
+    // 6 unrolled fixed-point iterations; all arithmetic is BIGINT
+    // floor-division, so the replay is bit-exact
+    "q154_supplier_pagerank" -> {
+      def iter(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""r$k AS (
+           SELECT n2.node, (150000000000 // (SELECT n FROM nn))
+               + coalesce(s$k.c, 0) AS r
+           FROM nodes n2 LEFT JOIN (
+             SELECT e.b AS node,
+               sum((850 * p.r) // (1000 * deg.d)) AS c
+             FROM e JOIN $prev p ON p.node = e.a
+             JOIN deg ON deg.a = e.a
+             GROUP BY e.b) s$k ON s$k.node = n2.node)"""
+      }
+      s"""WITH co AS (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+             's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT a, b FROM co UNION SELECT b, a FROM co),
+         deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
+         nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node,
+           1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+         ${(1 to 6).map(iter).mkString(",\n         ")}
+         SELECT node, CAST(r AS BIGINT) AS rank_scaled
+         FROM r6 ORDER BY node"""
+    },
+    // lag windows replay the trigram walk; support = distinct users
+    "q157_event_sequences" ->
+      """WITH l AS (
+           SELECT user_id, event_type,
+             lag(event_type, 2) OVER w AS s1,
+             lag(event_type, 1) OVER w AS s2
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (
+           SELECT DISTINCT s1 AS step_1, s2 AS step_2,
+             event_type AS step_3, user_id
+           FROM l WHERE s1 IS NOT NULL AND s2 IS NOT NULL),
+         c AS (
+           SELECT step_1, step_2, step_3, count(*) AS n_keys
+           FROM g GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+         el AS (
+           SELECT count(*) AS nk FROM (
+             SELECT user_id FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             GROUP BY user_id HAVING count(*) >= 3))
+         SELECT step_1, step_2, step_3,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           round(CAST(n_keys AS DOUBLE) / nk, 4) AS support
+         FROM c, el
+         ORDER BY n_keys DESC, step_1, step_2, step_3""",
+    // decile bins over the replayed quality score; micro-unit integer
+    // sums make every emitted double a single exact division
+    "q160_calibration_report" ->
+      s"""$oracleMetricsCte,
+         b AS (
+           SELECT least(CAST(floor(quality * 10) AS INT), 9) AS bin,
+             CAST(floor(quality * 1000000) AS BIGINT) AS micro,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM q WHERE quality IS NOT NULL AND lang IS NOT NULL),
+         g AS (
+           SELECT bin, count(*) AS n, sum(micro) AS sm,
+             sum(pos) AS np
+           FROM b GROUP BY bin),
+         t AS (SELECT sum(n) AS tot FROM g)
+         SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(np AS BIGINT) AS n_positive,
+           round(CAST(sm AS DOUBLE) / (n * 1000000), 6) AS mean_score,
+           round(CAST(np AS DOUBLE) / n, 6) AS frac_positive,
+           round(abs(CAST(sm AS DOUBLE) / (n * 1000000)
+             - CAST(np AS DOUBLE) / n) * n / tot, 6) AS ece_contrib
+         FROM g, t ORDER BY bin""",
+    // exact-regime KLL == the inclusive order statistic: smallest
+    // value whose cumulative fraction >= rank (cume_dist replay);
+    // ranks 0.5/0.75 are exact binary doubles on both engines
+    "q161_quantile_datasheet" ->
+      s"""WITH tok AS (
+           SELECT lang, CAST(len($oracleWords) AS DOUBLE) AS v
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT lang, v, cume_dist() OVER (
+             PARTITION BY lang ORDER BY v) AS cd
+           FROM tok)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           min(CASE WHEN cd >= 0.5 THEN v END) AS p50,
+           min(CASE WHEN cd >= 0.75 THEN v END) AS p75
+         FROM c GROUP BY lang ORDER BY lang""",
+    // cumulative counts per distinct value replay the exact scaled
+    // KS supremum; the 5% '1-URGENT' perturbation is re-seeded
+    "q164_ks_drift" ->
+      """WITH base AS (
+           SELECT o_orderpriority AS g, o_totalprice AS v
+           FROM orders WHERE o_orderkey % 2 = 1),
+         cur AS (
+           SELECT o_orderpriority AS g,
+             CASE WHEN o_orderpriority = '1-URGENT'
+               THEN o_totalprice * 1.05 ELSE o_totalprice END AS v
+           FROM orders WHERE o_orderkey % 2 = 0),
+         u AS (
+           SELECT g, v, 1 AS b FROM base
+           UNION ALL SELECT g, v, 0 FROM cur),
+         per AS (
+           SELECT g, v, sum(b) AS cb, sum(1 - b) AS cc
+           FROM u GROUP BY g, v),
+         cum AS (
+           SELECT g,
+             sum(cb) OVER w AS i, sum(cc) OVER w AS j,
+             sum(cb) OVER (PARTITION BY g) AS n1,
+             sum(cc) OVER (PARTITION BY g) AS n2
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         agg AS (
+           SELECT g, max(n1) AS n_base, max(n2) AS n_cur,
+             max(abs(i * n2 - j * n1)) AS ks_scaled
+           FROM cum GROUP BY g)
+         SELECT g AS o_orderpriority,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(ks_scaled AS BIGINT) AS ks_scaled,
+           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+             ELSE round(CAST(ks_scaled AS DOUBLE) / (n_base * n_cur),
+               6) END AS ks_d,
+           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+             ELSE round(1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
+               / (n_base * n_cur)), 6) END AS threshold,
+           CASE WHEN n_base = 0 OR n_cur = 0 THEN TRUE
+             ELSE CAST(ks_scaled AS DOUBLE) / (n_base * n_cur) >
+               1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
+                 / (n_base * n_cur)) END AS drifted
+         FROM agg ORDER BY o_orderpriority""",
+    // exact counts under the float z; pooled variance, two-sided
+    "q166_segment_conversion" ->
+      """WITH conv AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderstatus = 'F'),
+         c AS (
+           SELECT c_mktsegment AS g,
+             CASE WHEN conv.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+               AS s
+           FROM customer LEFT JOIN conv ON o_custkey = c_custkey
+           WHERE c_mktsegment IS NOT NULL),
+         per AS (
+           SELECT g, count(*) AS n, sum(s) AS ss FROM c GROUP BY g),
+         tot AS (SELECT sum(n) AS tn, sum(ss) AS ts FROM per),
+         j AS (
+           SELECT g, n, ss, tn, ts, tn - n AS nr, ts - ss AS sr
+           FROM per, tot),
+         zc AS (
+           SELECT g, n, ss,
+             CAST(ss AS DOUBLE) / n AS rate,
+             CAST(sr AS DOUBLE) / nr AS rate_rest,
+             CASE WHEN nr > 0 AND ts > 0 AND ts < tn THEN
+               (CAST(ss AS DOUBLE) / n - CAST(sr AS DOUBLE) / nr) /
+               sqrt((CAST(ts AS DOUBLE) / tn)
+                 * (CAST(1 AS DOUBLE) - CAST(ts AS DOUBLE) / tn)
+                 * (CAST(1 AS DOUBLE) / n + CAST(1 AS DOUBLE) / nr))
+             END AS z
+           FROM j)
+         SELECT g AS c_mktsegment, CAST(n AS BIGINT) AS n,
+           CAST(ss AS BIGINT) AS successes,
+           round(rate, 6) AS rate, round(rate_rest, 6) AS rate_rest,
+           round(z, 6) AS z, abs(z) > 1.96 AS significant
+         FROM zc ORDER BY c_mktsegment""",
+    // interval pairing + per-conversion rank/count windows; credit is
+    // exact integer milli-units, remainder to the last touch
+    "q167_linear_attribution" ->
+      """WITH c AS (
+           SELECT user_id, ts AS cts, event_id AS cid FROM events
+           WHERE event_type = 'purchase'),
+         t AS (
+           SELECT user_id, ts AS tts, event_id AS tid FROM events
+           WHERE event_type IN ('view', 'click')),
+         p AS (
+           SELECT c.user_id, cid, cts, tid, tts
+           FROM c JOIN t USING (user_id)
+           WHERE tts <= cts AND tts > cts - INTERVAL 2 HOUR),
+         r AS (
+           SELECT user_id, cid, tid,
+             count(*) OVER (PARTITION BY user_id, cid) AS n_touches,
+             row_number() OVER (PARTITION BY user_id, cid
+               ORDER BY tts, tid) AS touch_rank
+           FROM p)
+         SELECT user_id, cid AS conversion_id, tid AS touch_id,
+           CAST(touch_rank AS INT) AS touch_rank,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(1000 // n_touches + CASE WHEN touch_rank = n_touches
+             THEN 1000 % n_touches ELSE 0 END AS BIGINT)
+             AS credit_milli
+         FROM r ORDER BY conversion_id, touch_rank""",
+    // inclusive within-source rank (RANGE frame counts peers), exact
+    // integer grid index, 100-point exact global grid
+    "q168_quantile_normalize" ->
+      s"""$oracleMetricsCte,
+         s AS (SELECT doc_id, source, quality AS v FROM q
+               WHERE quality IS NOT NULL),
+         r AS (
+           SELECT doc_id, source, v,
+             count(*) OVER (PARTITION BY source ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS i,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM s),
+         g AS (
+           SELECT quantile_cont(v, list_transform(
+             generate_series(1, 100),
+             j -> CAST(j AS DOUBLE) / 100)) AS grid
+           FROM s)
+         SELECT doc_id, source, round(v, 6) AS score,
+           CAST(least(100, (i * 100 + n - 1) // n) AS BIGINT)
+             AS grid_idx,
+           round(grid[CAST(least(100, (i * 100 + n - 1) // n)
+             AS INT)], 6) AS normalized
+         FROM r, g ORDER BY doc_id""",
+    // class-size histogram over the quasi-identifier grouping
+    "q170_k_anonymity" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment, count(*) AS sz
+           FROM customer GROUP BY 1, 2)
+         SELECT CAST(sz AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           sz < 10 AS violates
+         FROM cls GROUP BY sz ORDER BY class_size""",
+    // the q75 version CTEs + the interval-residual as-was join
+    "q172_scd2_lookup" ->
+      """WITH obs AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev,
+             row_number() OVER w AS rn
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey)),
+         vers AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+           FROM obs
+           WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev),
+         num AS (
+           SELECT o_custkey, o_orderpriority AS pr,
+             o_orderdate AS vfrom,
+             lead(o_orderdate) OVER w AS vto,
+             CAST(row_number() OVER w AS INT) AS version_n
+           FROM vers
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey))
+         SELECT f.o_orderkey, f.o_custkey,
+           num.pr AS priority_as_was, num.version_n
+         FROM orders f LEFT JOIN num ON num.o_custkey = f.o_custkey
+           AND f.o_orderdate >= num.vfrom
+           AND (num.vto IS NULL OR f.o_orderdate < num.vto)
+         ORDER BY o_orderkey""",
+    // hourly conditional counts -> zero-filled grid -> lag self-join
+    "q174_event_cross_correlation" ->
+      """WITH e AS (
+           SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+             AS idx, event_type
+           FROM events WHERE ts IS NOT NULL),
+         cnt AS (
+           SELECT idx,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS a,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS b
+           FROM e GROUP BY idx),
+         rng AS (
+           SELECT unnest(generate_series(
+             (SELECT min(idx) FROM cnt),
+             (SELECT max(idx) FROM cnt))) AS idx),
+         g AS (
+           SELECT r.idx, coalesce(a, 0) AS a, coalesce(b, 0) AS b
+           FROM rng r LEFT JOIN cnt ON cnt.idx = r.idx),
+         l AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+         j AS (
+           SELECT l.lag, g1.a, g2.b
+           FROM l, g g1, g g2 WHERE g2.idx = g1.idx + l.lag)
+         SELECT CAST(lag AS INT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(corr(a, b), 6) AS corr
+         FROM j GROUP BY lag ORDER BY lag""",
+    "q32_order_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+         CAST(2 * GROUPING(o_orderpriority) + GROUPING(o_orderstatus)
+           AS INT) AS gid,
+         count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         ORDER BY gid, o_orderpriority, o_orderstatus""",
+    "q33_asof_prior_event" ->
+      """WITH p AS (
+           SELECT event_id, ts, user_id, round(value, 2) AS value
+           FROM events WHERE event_type = 'purchase'),
+         cand AS (
+           SELECT p.event_id, e.event_id AS asof_event_id,
+             e.event_type AS asof_event_type,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+           FROM p JOIN events e
+             ON e.user_id = p.user_id AND e.ts < p.ts)
+         SELECT p.event_id, p.user_id, p.value,
+           c.asof_event_id, c.asof_event_type
+         FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+           USING (event_id)
+         ORDER BY event_id""",
+    "q34_event_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "q35_customer_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_date_key,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+         round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+         FROM orders
+         ORDER BY o_custkey, order_seq""",
+    "q36_acctbal_percentiles" ->
+      """SELECT c_mktsegment,
+         round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+         round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+         round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+         count(*) AS n
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q37_events_sliding" ->
+      """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts)
+             - k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q45_range_join_bands" ->
+      """WITH bands AS (
+           SELECT i AS band_id, i * 25000.0 AS lo,
+             i * 25000.0 + 40000.0 AS hi
+           FROM (SELECT unnest(range(0, 20)) AS i))
+         SELECT band_id, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM bands JOIN orders
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band_id ORDER BY band_id""",
+    // within_5pct = 1 on the oracle side is an ASSERTION on the Spark
+    // HLL estimate's error, not a tautology: if the estimate drifts
+    // past 5% the hash compare fails.
+    "q46_approx_distinct" ->
+      """SELECT event_type,
+         count(DISTINCT user_id) AS n_exact,
+         CAST(1 AS INT) AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q48_event_attribution" ->
+      """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT v.ts AS l_ts, p.ts AS r_ts, v.user_id
+           FROM v JOIN p ON v.user_id = p.user_id
+             AND p.ts > v.ts
+             AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+         SELECT strftime(date_trunc('hour', l_ts),
+             '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) AS n_pairs,
+           count(DISTINCT user_id) AS n_users,
+           round(avg(CAST(epoch_us(r_ts) - epoch_us(l_ts) AS DOUBLE)
+             / 1e6), 4) AS avg_gap_sec
+         FROM j GROUP BY 1 ORDER BY hour""",
+    "q52_supplier_by_region" ->
+      """SELECT r_name,
+         count(*) AS n_suppliers,
+         round(sum(s_acctbal), 2) AS total_balance,
+         round(avg(s_acctbal), 4) AS avg_balance
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q53_event_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1 ORDER BY day""",
+    "q54_supplier_rollup" ->
+      """SELECT r_name, n_name,
+         CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS INT) AS gid,
+         count(*) AS n_suppliers,
+         round(sum(s_acctbal), 2) AS total_balance
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS LAST, n_name NULLS LAST""",
+    "q55_price_outliers" ->
+      """WITH s AS (
+           SELECT o_orderpriority, avg(o_totalprice) AS mu,
+             stddev_samp(o_totalprice) AS sd
+           FROM orders GROUP BY 1)
+         SELECT o.o_orderpriority, count(*) AS n_outliers,
+           round(max(o_totalprice), 2) AS max_price
+         FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+         WHERE round(abs(o_totalprice - mu) / sd, 4) >= 1.5
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+    "q56_top_orders_per_priority" ->
+      """SELECT o_orderpriority, o_orderkey,
+         round(o_totalprice, 2) AS o_totalprice,
+         CAST(rn AS INT) AS rank
+         FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderpriority, rank""",
+    "q57_acctbal_deciles" ->
+      """SELECT c_mktsegment, CAST(decile AS INT) AS decile,
+         count(*) AS n,
+         round(min(c_acctbal), 2) AS lo,
+         round(max(c_acctbal), 2) AS hi
+         FROM (
+           SELECT c_mktsegment, c_acctbal,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+           FROM customer)
+         GROUP BY c_mktsegment, decile
+         ORDER BY c_mktsegment, decile""",
+    "q75_priority_scd2" ->
+      """WITH obs AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev,
+             row_number() OVER w AS rn
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey)),
+         vers AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+           FROM obs
+           WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev),
+         num AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate,
+             CAST(row_number() OVER w AS INT) AS version_n,
+             lead(o_orderdate) OVER w AS next_from
+           FROM vers
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey))
+         SELECT o_custkey, version_n, o_orderpriority AS priority,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS valid_from_key,
+           CAST(strftime(next_from, '%Y%m%d') AS INT) AS valid_to_key,
+           CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current
+         FROM num ORDER BY o_custkey, version_n""",
+    "q79_zorder_keys" ->
+      s"""WITH keyed AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS odate_key,
+             ${oracleZorder(
+               "o_custkey",
+               "CAST(strftime(o_orderdate, '%Y%m%d') AS INT)")} AS zkey
+           FROM orders)
+         SELECT * FROM keyed
+         ORDER BY zkey, o_orderkey LIMIT 100""",
+    "q82_event_funnel" ->
+      """WITH r0 AS (
+           SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v0
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         r1 AS (
+           SELECT user_id, ts, event_type, v0,
+             min(CASE WHEN event_type = 'click' AND v0 < ts
+               THEN ts END) OVER w AS v1
+           FROM r0
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         r2 AS (
+           SELECT user_id, ts, event_type, v0, v1,
+             min(CASE WHEN event_type = 'purchase' AND v1 < ts
+               THEN ts END) OVER w AS v2
+           FROM r1
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         per AS (
+           SELECT user_id, min(v0) AS t1, min(v1) AS t2, min(v2) AS t3
+           FROM r2 GROUP BY user_id),
+         tot AS (
+           SELECT count(t1) AS c1, count(t2) AS c2, count(t3) AS c3
+           FROM per)
+         SELECT * FROM (
+           SELECT 1 AS step_n, 'view' AS step, c1 AS reached,
+             round(CAST(c1 AS DOUBLE)
+               / nullif(CAST(c1 AS DOUBLE), 0.0), 6) AS conversion
+           FROM tot
+           UNION ALL
+           SELECT 2, 'click', c2,
+             round(CAST(c2 AS DOUBLE)
+               / nullif(CAST(c1 AS DOUBLE), 0.0), 6)
+           FROM tot
+           UNION ALL
+           SELECT 3, 'purchase', c3,
+             round(CAST(c3 AS DOUBLE)
+               / nullif(CAST(c1 AS DOUBLE), 0.0), 6)
+           FROM tot)
+         ORDER BY step_n""",
+    // the oracle diffs columns directly; the engine compares md5
+    // digests of the rendered rows — status-identical because the
+    // shortest-round-trip rendering is injective on values
+    "q84_snapshot_diff" ->
+      """WITH yesterday AS (
+           SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+         today AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0
+               THEN round(o_totalprice * 1.1, 2)
+               ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+           FROM orders WHERE o_orderkey % 11 <> 0),
+         d AS (
+           SELECT coalesce(y.o_orderkey, t.o_orderkey) AS k,
+             CASE WHEN y.o_orderkey IS NULL THEN 'added'
+                  WHEN t.o_orderkey IS NULL THEN 'removed'
+                  WHEN y.o_custkey IS NOT DISTINCT FROM t.o_custkey
+                   AND y.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus
+                   AND y.o_totalprice IS NOT DISTINCT FROM t.o_totalprice
+                   AND y.o_orderpriority
+                     IS NOT DISTINCT FROM t.o_orderpriority
+                  THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM yesterday y
+           FULL OUTER JOIN today t ON y.o_orderkey = t.o_orderkey)
+         SELECT status, count(*) AS n,
+           round(sum(CAST(k AS DOUBLE)), 1) AS key_sum
+         FROM d GROUP BY status ORDER BY status""",
+    "q85_time_weighted_value" ->
+      """WITH o AS (
+           SELECT user_id, epoch_us(ts) AS t, value, event_id
+           FROM events),
+         l AS (
+           SELECT user_id, value, t,
+             lead(t) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS nt
+           FROM o),
+         g AS (
+           SELECT user_id, count(*) AS n_intervals,
+             sum(value * (nt - t)) / sum(nt - t) AS twa
+           FROM l WHERE nt IS NOT NULL
+           GROUP BY user_id HAVING sum(nt - t) > 0)
+         SELECT user_id, n_intervals, round(twa, 4) AS twa
+         FROM g ORDER BY round(twa, 4) DESC, user_id LIMIT 50""",
+    "q86_event_transitions" ->
+      """WITH p AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (
+           SELECT prev_type, event_type AS next_type, count(*) AS n
+           FROM p WHERE prev_type IS NOT NULL
+           GROUP BY prev_type, event_type),
+         t AS (
+           SELECT prev_type, sum(n) AS tot FROM c GROUP BY prev_type)
+         SELECT c.prev_type, c.next_type, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+         FROM c JOIN t ON c.prev_type = t.prev_type
+         ORDER BY c.prev_type, c.next_type""",
+    "q87_cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+               AS cohort
+           FROM events)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(day - cohort AS INT) AS "offset",
+           count(DISTINCT user_id) AS n_users
+         FROM e WHERE day - cohort <= 7
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q88_peak_hourly_activity" ->
+      """WITH o AS (
+           SELECT user_id, epoch_us(ts) AS t, value FROM events),
+         r AS (
+           SELECT user_id,
+             round(avg(value) OVER w, 6) AS ravg,
+             count(*) OVER w AS rn
+           FROM o
+           WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         SELECT user_id, max(ravg) AS peak_avg_value,
+           max(rn) AS peak_events_1h, count(*) AS n_events
+         FROM r GROUP BY user_id ORDER BY user_id""",
+    "q89_acctbal_gini" ->
+      """WITH r AS (
+           SELECT c_mktsegment, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn
+           FROM customer),
+         g AS (
+           SELECT c_mktsegment, count(*) AS n,
+             sum(c_acctbal) AS sx,
+             sum(CAST(rn AS DOUBLE) * c_acctbal) AS six
+           FROM r GROUP BY c_mktsegment)
+         SELECT c_mktsegment, n,
+           round((2.0 * six - CAST(n + 1 AS DOUBLE) * sx)
+             / (CAST(n AS DOUBLE) * sx), 6) AS gini
+         FROM g ORDER BY c_mktsegment""",
+    "q92_type_weekday_chi2" ->
+      """WITH base AS (
+           SELECT event_type AS a,
+             CAST(dayofweek(ts) AS INT) + 1 AS b
+           FROM events),
+         cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+         rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+         ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+         nt AS (SELECT sum(o) AS n FROM cells),
+         fullc AS (
+           SELECT rt.a, ct.b, ra, cb, (SELECT n FROM nt) AS n,
+             coalesce(o, 0) AS o
+           FROM rt CROSS JOIN ct
+           LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+         e AS (
+           SELECT o, CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+             / CAST(n AS DOUBLE) AS ev, n
+           FROM fullc)
+         SELECT round(sum(pow(CAST(o AS DOUBLE) - ev, 2) / ev), 4)
+             AS chi2,
+           CAST((SELECT (count(*) - 1) FROM rt)
+             * (SELECT (count(*) - 1) FROM ct) AS INT) AS dof,
+           CAST(max(n) AS BIGINT) AS n
+         FROM e""",
+    "q93_lineitem_corr" ->
+      """SELECT
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+           round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+           count(*) AS n
+         FROM lineitem""",
+    "q94_price_drift_psi" ->
+      """WITH b AS (
+           SELECT o_totalprice AS x FROM orders
+           WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+         c AS (
+           SELECT o_totalprice AS x FROM orders
+           WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+         e AS (
+           SELECT round(unnest(quantile_cont(x,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 4)
+             AS edge
+           FROM b),
+         bb AS (SELECT CAST((SELECT count(*) FROM e WHERE b.x >= edge)
+                  AS INT) AS bin FROM b),
+         cb AS (SELECT CAST((SELECT count(*) FROM e WHERE c.x >= edge)
+                  AS INT) AS bin FROM c),
+         bc AS (SELECT bin, count(*) AS nb FROM bb GROUP BY bin),
+         cc AS (SELECT bin, count(*) AS nc FROM cb GROUP BY bin),
+         bins AS (
+           SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
+         j AS (
+           SELECT bin, coalesce(nb, 0) AS n_base,
+             coalesce(nc, 0) AS n_cur
+           FROM bins LEFT JOIN bc USING (bin) LEFT JOIN cc USING (bin)),
+         t AS (
+           SELECT CAST(sum(n_base) AS DOUBLE) + 5.0 AS tb,
+             CAST(sum(n_cur) AS DOUBLE) + 5.0 AS tc
+           FROM j)
+         SELECT bin, n_base, n_cur,
+           round((CAST(n_base AS DOUBLE) + 0.5) / tb, 6) AS p_base,
+           round((CAST(n_cur AS DOUBLE) + 0.5) / tc, 6) AS p_cur,
+           round(((CAST(n_cur AS DOUBLE) + 0.5) / tc
+               - (CAST(n_base AS DOUBLE) + 0.5) / tb)
+             * ln(((CAST(n_cur AS DOUBLE) + 0.5) / tc)
+               / ((CAST(n_base AS DOUBLE) + 0.5) / tb)), 6) AS psi_term
+         FROM j CROSS JOIN t ORDER BY bin""",
+    "q95_price_trend" ->
+      """SELECT o_orderpriority,
+           round(regr_slope(o_totalprice,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+               AS DOUBLE)), 6) AS slope,
+           round(regr_intercept(o_totalprice,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+               AS DOUBLE)), 4) AS intercept,
+           count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q96_lineitem_profile" -> {
+      def statRow(c: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            count(*) - count($c) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            min($c) AS min, max($c) AS max,
+            round(avg($c), 6) AS mean,
+            round(stddev_samp($c), 6) AS stddev
+            FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(statRow).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY column_name")
+    },
+    "q97_cdc_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderpriority AS prio, 'I' AS op, 0 AS ord
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         ups AS (
+           SELECT o_orderkey, round(o_totalprice * 1.2, 2),
+             o_orderpriority, 'U', 1
+           FROM orders WHERE o_orderkey % 5 = 0),
+         ins AS (
+           SELECT o_orderkey, round(o_totalprice + 1000.0, 2),
+             o_orderpriority, 'I', 0
+           FROM orders
+           WHERE o_orderkey % 3 = 0 AND o_orderkey % 11 = 0),
+         dels AS (
+           SELECT o_orderkey, o_totalprice, o_orderpriority, 'D', 2
+           FROM orders WHERE o_orderkey % 7 = 0),
+         feed AS (
+           SELECT * FROM base UNION ALL SELECT * FROM ups
+           UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM dels),
+         latest AS (
+           SELECT k, price, op, row_number() OVER (
+             PARTITION BY k
+             ORDER BY ord DESC,
+               CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) AS rn
+           FROM feed)
+         SELECT count(*) AS n_rows,
+           round(sum(price), 1) AS price_sum,
+           round(sum(CAST(k AS DOUBLE)), 1) AS key_sum
+         FROM latest WHERE rn = 1 AND op <> 'D'""",
+    "q99_order_fanout" ->
+      """WITH per AS (
+           SELECT coalesce(n, 0) AS fanout FROM orders
+           LEFT JOIN (SELECT l_orderkey, count(*) AS n FROM lineitem
+                      GROUP BY 1) li
+             ON o_orderkey = l_orderkey)
+         SELECT fanout, count(*) AS n_orders
+         FROM per GROUP BY fanout ORDER BY fanout""",
+  )
+
+  /** Range (interval) join: orders land in OVERLAPPING price bands —
+    * a genuine interval containment join (a point can match several
+    * bands), planned as a bucketized equi-join instead of the
+    * nested-loop a naive theta-join would produce.
+    */
+  private[graft] def rangeJoinPriceBands(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(20).select(
+      col("id").as("band_id"),
+      (col("id") * 25000.0).as("lo"),
+      (col("id") * 25000.0 + 40000.0).as("hi"))
+    val pts = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    Analytics.rangeJoin(pts, bands, "o_totalprice", "lo", "hi",
+        bucketWidth = 25000.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("band_id")
+  }
+
+  /** HyperLogLog approximate distinct (the 100 TB cardinality path —
+    * constant memory per group vs countDistinct's exact shuffle of
+    * every distinct value) asserted against the exact count in-query:
+    * `within_5pct` must be 1 for every group or the oracle compare
+    * fails. Spark's HLL++ is deterministic (hash-based, merge is
+    * register-max), so this is a stable assertion, not a flaky one.
+    */
+  private[graft] def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")) <=
+          col("n_exact").cast("double") * lit(0.05))
+          .cast("int").as("within_5pct"))
+      .orderBy("event_type")
+
+  /** Event attribution through the streaming interval join's batch
+    * twin: each view pairs with same-user purchases in the following
+    * 30 minutes, rolled up per hour. The identical transform runs on
+    * `readStream` frames with watermark-bounded join state
+    * ([[graft.streaming.EventStreams.intervalJoin]]).
+    */
+  private[graft] def eventAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val joined = graft.streaming.EventStreams.intervalJoin(
+      ev.where(col("event_type") === "view"),
+      ev.where(col("event_type") === "purchase"),
+      horizon = "30 minutes")
+    joined
+      .groupBy(date_format(date_trunc("hour", col("l_ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg((unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+          .cast("double") / lit(1e6)), 4).as("avg_gap_sec"))
+      .orderBy("hour")
+  }
+
+  /** Shuffle-key skew report over the documents language column
+    * ([[Analytics.skewReport]]): languages above a 5 % row share, with
+    * the task-imbalance multiplier a hash exchange keyed on `lang`
+    * would suffer — exactly the diagnostic that motivated this
+    * round's two-phase rank/budget operators.
+    */
+  private[graft] def keySkewReport(s: SparkSession, dir: String): DataFrame =
+    Analytics.skewReport(docs(s, dir), "lang", minFraction = 0.05,
+        exactKeys = true)
+      .orderBy("key")
+
+  /** Auto skew remediation on the oracle path ([[Analytics.skewSalts]]
+    * / [[Analytics.autoSaltedJoin]] / [[Analytics.autoSaltedSum]]):
+    * the documents language rollup (q111's skew subject) computed
+    * through hot-key-only salting — the diagnosis pass derives
+    * per-key salt factors from skew_ratio, the join key becomes
+    * (lang, salt) with only hot languages' rows spread and replicated,
+    * and the sum aggregates partially on the salted key. The oracle is
+    * the PLAIN join+rollup: salting must never change a result, and
+    * the id-sum pins exact row membership through both operators.
+    */
+  private[graft] def saltedLangRollup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("lang"), col("doc_id"))
+    val dim = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val salts = Analytics.skewSalts(d, "lang", minFraction = 0.05,
+      maxSalts = 16, exactKeys = true)
+    val joined = Analytics.autoSaltedJoin(d, dim, "lang", "inner", salts)
+    Analytics.autoSaltedSum(joined, "lang", Seq("doc_id"), salts)
+      .join(dim, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("sum_doc_id"))
+      .orderBy("lang")
+  }
+
+  /** Per-priority winsorized order prices ([[Analytics.winsorize]],
+    * exact mode): clamp each priority's prices into its own [p05, p95]
+    * quantile range and report the clipped mass next to the original
+    * — the outlier-robust normalization pass, per-group cutoffs so a
+    * cheap-priority segment is not clipped by an expensive one's
+    * distribution.
+    */
+  private[graft] def winsorizedPrices(s: SparkSession, dir: String): DataFrame =
+    Analytics.winsorize(
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice")),
+        "o_totalprice", pLo = 0.05, pHi = 0.95,
+        groupCols = Seq("o_orderpriority"), exact = true)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        // the clipped DELTA, not the clipped total: interior rows
+        // contribute exactly 0, so the sum's FP error stays far from
+        // the rounding boundary regardless of group magnitude
+        round(sum(col("o_totalprice_w") - col("o_totalprice")), 1)
+          .as("clip_delta"),
+        round(min("o_totalprice_w"), 2).as("min_w"),
+        round(max("o_totalprice_w"), 2).as("max_w"))
+      .orderBy("o_orderpriority")
+
+  /** SCD type-2 history derived from a change stream: each customer's
+    * order-priority observations (orders, ordered by date with orderkey
+    * tie-break) collapse into versioned rows with valid_from/valid_to/
+    * is_current — the warehouse dimension-history shape, derived with
+    * ONE exchange on the key (change-detect lag, version filter, lead
+    * and version numbering all reuse it).
+    */
+  private[graft] def customerPriorityScd2(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.transform.StarSchemaBuilder
+    StarSchemaBuilder.scd2Versions(
+        t(s, dir, "orders")
+          .select("o_custkey", "o_orderpriority", "o_orderdate",
+            "o_orderkey"),
+        keyCols = Seq("o_custkey"),
+        attrCols = Seq("o_orderpriority"),
+        orderCol = "o_orderdate",
+        tieBreak = Seq("o_orderkey"))
+      .select(
+        col("o_custkey"),
+        col("version_n"),
+        col("o_orderpriority").as("priority"),
+        Fx.dateKey(col("valid_from")).as("valid_from_key"),
+        Fx.dateKey(col("valid_to")).as("valid_to_key"),
+        col("is_current").cast("int").as("is_current"))
+      .orderBy("o_custkey", "version_n")
+  }
+
+  /** Rank-normalization window functions (percent_rank / cume_dist)
+    * per market segment — the top-decile customers by within-segment
+    * balance percentile.
+    */
+  private[graft] def acctbalPercentRanks(
+      s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .where(col("pct_rank") >= 0.99)
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Custom GROUPING SETS — two independent reporting dimensions
+    * (priority totals and month totals) in ONE scan and one shuffle,
+    * the shape neither ROLLUP nor CUBE expresses (no combined cells,
+    * no grand total).
+    */
+  private[graft] def orderGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    s.sql("""
+      SELECT o_orderpriority,
+        date_format(o_orderdate, 'yyyy-MM') AS month,
+        CAST(grouping_id() AS INT) AS gid,
+        count(*) AS n,
+        round(sum(o_totalprice), 2) AS total
+      FROM __orders_gs
+      GROUP BY GROUPING SETS ((o_orderpriority),
+        (date_format(o_orderdate, 'yyyy-MM')))
+      ORDER BY gid, o_orderpriority, month""")
+  }
+
+  /** Relationship-cardinality audit: the fan-out histogram of
+    * lineitems per order (including zero-fan-out orders via the left
+    * join) — the data-modeling check that a claimed 1:N relationship
+    * actually holds and how N distributes.
+    */
+  private[graft] def orderFanoutHistogram(
+      s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders").select(col("o_orderkey"))
+      .join(
+        t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("__n")),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("fanout"))
+    per.groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+      .orderBy("fanout")
+  }
+
+  /** Inter-arrival latency per event type: exact p50/p95 of the gap
+    * (seconds) between consecutive same-type events — one window on
+    * the type key feeding one percentile aggregation.
+    */
+  private[graft] def eventInterArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("__t").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("__t"))
+      .withColumn("__gap",
+        (col("__t") - lag(col("__t"), 1).over(w)).cast("double") / 1e6)
+      .where(col("__gap").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(percentile(col("__gap"), lit(0.5)), 4).as("p50_sec"),
+        round(percentile(col("__gap"), lit(0.95)), 4).as("p95_sec"))
+      .orderBy("event_type")
+  }
+
+  /** One-scan numeric table profile over lineitem's measure columns —
+    * the "describe" report: every statistic for every column computed
+    * in a single aggregation, per-column rows exploded from the one
+    * result row.
+    */
+  private[graft] def lineitemProfile(s: SparkSession, dir: String): DataFrame =
+    Analytics.numericProfile(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column_name")
+
+  /** CDC change-feed application over a deterministic change set:
+    * snapshot (keys not divisible by 3) + updates (every 5th key
+    * repriced), inserts (3·11 multiples), and deletes (every 7th key,
+    * winning same-instant ties) — materialized current state
+    * summarized. One max_by aggregation on the key, no window sort.
+    */
+  private[graft] def cdcApplySummary(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    val snapshot = o.where(col("o_orderkey") % 3 =!= 0)
+    val updates = o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.2, 2))
+      .withColumn("op", lit("U")).withColumn("ord", lit(1))
+    // inserts land at ord=0: their keys (3·11 multiples) are disjoint
+    // from the snapshot (keys % 3 ≠ 0), and a 5-divisible insert is
+    // then deterministically repriced by its ord=1 update
+    val inserts = o
+      .where(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 11 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1000.0, 2))
+      .withColumn("op", lit("I")).withColumn("ord", lit(0))
+    val deletes = o.where(col("o_orderkey") % 7 === 0)
+      .withColumn("op", lit("D")).withColumn("ord", lit(2))
+    val changes = updates.unionByName(inserts).unionByName(deletes)
+    Analytics.applyChanges(snapshot, changes, Seq("o_orderkey"),
+        "op", "ord", baseOrd = lit(0))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 1).as("price_sum"),
+        round(sum(col("o_orderkey").cast("double")), 1).as("key_sum"))
+  }
+
+  /** Distribution-drift monitor: PSI of order prices between two
+    * deterministic snapshot halves over baseline-decile bins —
+    * per-bin populations, smoothed shares, and PSI contributions.
+    */
+  private[graft] def priceDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Drift
+    val o = t(s, dir, "orders")
+    Drift.psiBins(
+        o.where(col("o_orderkey") % 2 === 1),
+        o.where(col("o_orderkey") % 2 === 0),
+        "o_totalprice", bins = 10, exact = true)
+      .orderBy("bin")
+  }
+
+  /** Per-priority price trend: OLS slope/intercept of total price over
+    * order date (epoch days) — one co-moment aggregation pass per
+    * group, no per-group iteration.
+    */
+  private[graft] def priceTrendByPriority(
+      s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("double").as("__x"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(regr_slope(col("o_totalprice"), col("__x")), 6)
+          .as("slope"),
+        round(regr_intercept(col("o_totalprice"), col("__x")), 4)
+          .as("intercept"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** χ² independence test: is event type independent of day-of-week?
+    * One corpus-touching contingency count; everything downstream is
+    * cell-sized.
+    */
+  private[graft] def eventTypeWeekdayChi2(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.chiSquare(
+      events(s, dir).select(col("event_type"),
+        dayofweek(col("ts")).as("dow")),
+      "event_type", "dow")
+
+  /** Pearson correlation matrix over lineitem measures — single
+    * aggregation pass, three co-moment pairs at once.
+    */
+  private[graft] def lineitemCorrMatrix(
+      s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+        .as("corr_qty_price"),
+      round(corr(col("l_quantity"), col("l_discount")), 6)
+        .as("corr_qty_disc"),
+      round(corr(col("l_extendedprice"), col("l_discount")), 6)
+        .as("corr_price_disc"),
+      count(lit(1)).as("n"))
+
+  /** Peak 1-hour activity per user: a RANGE window over event-time
+    * micros (each row averages that user's events in the trailing
+    * hour) rolled up to the user's peak — burst detection with one
+    * exchange on the user key.
+    */
+  private[graft] def peakHourlyActivity(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__t"))
+      .rangeBetween(-hourUs, 0)
+    events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("__t"),
+        col("value"))
+      .withColumn("__ravg", round(avg(col("value")).over(w), 6))
+      .withColumn("__rn", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(max(col("__ravg")).as("peak_avg_value"),
+        max(col("__rn")).as("peak_events_1h"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Gini concentration of customer balances per market segment —
+    * rank-weighted sum identity G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)
+    * with deterministic rank ties. Ranks come from the range-
+    * partitioned two-pass form ([[Analytics.rankByRange]]) instead of
+    * a per-segment window sort, so no task is ever segment-sized.
+    */
+  private[graft] def acctbalGini(s: SparkSession, dir: String): DataFrame = {
+    Analytics.rankByRange(
+        t(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+        Seq("c_mktsegment"),
+        Seq(col("c_acctbal").asc, col("c_custkey").asc),
+        rankCol = "__rn")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal")).as("__sx"),
+        sum(col("__rn").cast("double") * col("c_acctbal")).as("__six"))
+      .select(col("c_mktsegment"), col("n"),
+        round((lit(2.0) * col("__six") -
+          (col("n") + 1).cast("double") * col("__sx")) /
+          (col("n").cast("double") * col("__sx")), 6).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Event-type transition matrix: for each user's time-ordered event
+    * stream, count (previous type → type) transitions and normalize to
+    * row-stochastic probabilities — the first-order Markov view of user
+    * behavior. One window on the user key (lag), one grouped count,
+    * one tiny per-prev normalization join.
+    */
+  private[graft] def eventTransitionMatrix(
+      s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type")
+      .agg(sum("n").as("__tot"))
+    pairs.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Daily cohort retention: users grouped by their first-activity day
+    * (cohort), counted distinct on each later day offset 0..7 — the
+    * activation/retention curve. The cohort assignment is one window
+    * min per user; the rest is a grouped distinct count.
+    */
+  private[graft] def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val e = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(w))
+    e.withColumn("offset",
+        datediff(col("day"), col("cohort")).cast("int"))
+      .where(col("offset") <= 7)
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  /** Snapshot reconciliation over two deterministic order snapshots:
+    * "yesterday" misses every 7th key, "today" reprices every 5th —
+    * the diff classifies each key as added/removed/changed/unchanged
+    * shuffling only (key, digest), never the wide row.
+    */
+  private[graft] def orderSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val yesterday = o.where(col("o_orderkey") % 7 =!= 0)
+    val today = o.where(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0,
+          round(col("o_totalprice") * 1.1, 2))
+          .otherwise(col("o_totalprice")))
+    Analytics.tableDiff(yesterday, today, Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_orderkey").cast("double")), 1).as("key_sum"))
+      .orderBy("status")
+  }
+
+  /** Time-weighted average event value per user — each value weighted
+    * by how long it was current (exact microsecond durations, last
+    * observation unweighted). Top 50 users by TWA.
+    */
+  private[graft] def userTimeWeightedValue(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.timeWeightedAvg(events(s, dir), "user_id", "ts", "value",
+        tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n_intervals"),
+        round(col("twa"), 4).as("twa"))
+      .orderBy(col("twa").desc, col("user_id").asc)
+      .limit(50)
+
+  /** Ordered funnel over the event stream: view → click → purchase per
+    * user, each step counting only strictly after the previous step's
+    * reach time. One exchange + one sort serve all three step windows
+    * and the final per-user rollup.
+    */
+  private[graft] def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    Analytics.funnelCounts(events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step_n")
+
+  /** Z-order (Morton) layout key over (customer, order date): the 100
+    * orders lowest on the Z-curve, bit-exact against the oracle's
+    * arithmetic reconstruction of the interleave. The key is the
+    * codegen'd `graft_zorder` expression that
+    * [[Analytics.clusterByZOrder]] range-partitions by for
+    * two-dimensional zone-map pruning.
+    */
+  private[graft] def zorderOrderKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        Fx.dateKey(col("o_orderdate")).as("odate_key"),
+        Analytics.zorderKey(
+          col("o_custkey"), Fx.dateKey(col("o_orderdate"))).as("zkey"))
+      .orderBy("zkey", "o_orderkey")
+      .limit(100)
+
+  /** Z-ordered compaction end-to-end ([[graft.transform.Compaction
+    * .compactZOrdered]]): land a deliberately-fragmented copy of
+    * orders (16 small files), rewrite it with merge + Z-order
+    * clustering in ONE range exchange, and report row-fidelity
+    * aggregates over the REWRITTEN table — the oracle computes them
+    * from the source rows, so any row the swap machinery loses or
+    * duplicates hash-mismatches. The zkey checksum is summed mod a
+    * prime (order-independent, overflow-free at any sf); file counts
+    * and the single-exchange plan are spec-anchored (CompactionSpec).
+    */
+  private[graft] def compactZOrderFidelity(
+      s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_q104").toString + "/orders"
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        Fx.dateKey(col("o_orderdate")).as("odate_key"),
+        col("o_totalprice"))
+      .repartition(16)
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(work)
+    graft.transform.Compaction.compactZOrdered(
+      s, work, "o_custkey", "odate_key", targetFileBytes = 1L << 30)
+    s.read.parquet(work)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        round(sum("o_totalprice"), 2).as("price_sum"),
+        sum(Analytics.zorderKey(col("o_custkey"), col("odate_key"))
+          % 1000003L).as("zkey_checksum"))
+  }
+
+  /** Supplier account balances rolled up the geography dimension chain
+    * (supplier ⋈ nation ⋈ region, both dims broadcast).
+    */
+  private[graft] def supplierBalanceByRegion(
+      s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum("s_acctbal"), 2).as("total_balance"),
+        round(avg("s_acctbal"), 4).as("avg_balance"))
+      .orderBy("r_name")
+
+  /** Wide-format pivot: events per day × event type (the pandas
+    * `pivot_table` shape). Explicit pivot values keep the plan a
+    * single pass (no distinct-values pre-query).
+    */
+  private[graft] def eventTypePivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
+  /** ROLLUP hierarchy totals (region → nation) with grouping_id —
+    * the drill-down twin of q32's CUBE.
+    */
+  private[graft] def supplierRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "s_acctbal")
+      // Column args, not String varargs: rollup("r_name", ...) over a
+      // joined lineage trips Spark 4.1's ambiguous-self-join detector
+      // (string-name resolution through Expand); rollup(col(...), ...)
+      // resolves cleanly
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_suppliers"),
+        round(sum("s_acctbal"), 2).as("total_balance"))
+      .orderBy(asc_nulls_last("r_name"), asc_nulls_last("n_name"))
+
+  /** Per-group z-score outlier detection (anomaly surface for data
+    * quality): orders whose totalprice sits ≥ 1.5 sample standard
+    * deviations from their priority's mean (the price distribution is
+    * near-uniform — bounded tails, max |z| ≈ 1.77 — so 1.5σ is the
+    * meaningful tail cut). Stats come from one
+    * aggregation broadcast back onto the rows — no window over the
+    * fact table.
+    */
+  private[graft] def priceOutliers(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val stats = orders.groupBy("o_orderpriority")
+      .agg(avg("o_totalprice").as("__mu"),
+        stddev_samp(col("o_totalprice")).as("__sd"))
+    // rounded z before the cut: summation-order ULP noise in mu/sd
+    // must not flip boundary rows between engines
+    orders.join(broadcast(stats), Seq("o_orderpriority"))
+      .where(round(abs(col("o_totalprice") - col("__mu")) / col("__sd"), 4)
+        >= lit(1.5))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_outliers"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Top-3 orders per priority via the bounded-heap aggregate — the
+    * general grouped-top-k shape (shuffle carries 3 rows per
+    * (priority, partition), never the order set), oracle-checked
+    * against row_number ranking.
+    */
+  private[graft] def topOrdersPerPriority(s: SparkSession, dir: String): DataFrame = {
+    val topk = graft.expressions.TopKByScore.topK(3)
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("__top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("o_orderpriority"),
+        col("__e.id").as("o_orderkey"),
+        round(col("__e.score"), 2).as("o_totalprice"),
+        (col("__i") + 1).cast("int").as("rank"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  /** Decile bucketing per market segment (the feature-transform shape
+    * for rank-normalizing a signal before training) — via the
+    * range-partitioned two-pass `ntile` ([[Analytics.ntileByRange]]):
+    * the plain `ntile` window runs ONE sort task per segment (5
+    * segments = 5 tasks at any cluster size); the two-pass form
+    * spreads each segment across range slices and reassembles exact
+    * Spark `ntile` buckets from slice-local ranks + offsets.
+    */
+  private[graft] def acctbalDeciles(s: SparkSession, dir: String): DataFrame = {
+    Analytics.ntileByRange(
+        t(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+        Seq("c_mktsegment"),
+        Seq(col("c_acctbal").asc, col("c_custkey").asc),
+        k = 10, bucketCol = "decile")
+      .groupBy("c_mktsegment", "decile")
+      .agg(count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("lo"),
+        round(max("c_acctbal"), 2).as("hi"))
+      .orderBy("c_mktsegment", "decile")
+  }
+
+  /** CUBE faceting with grouping_id — multi-dimensional rollup beyond
+    * the reference's flat facet counts (free at scale: one shuffle,
+    * partial aggregation per grouping set).
+    */
+  private[graft] def orderCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("gid", "o_orderpriority", "o_orderstatus")
+
+  /** As-of join: each purchase event picks up the user's latest
+    * strictly-prior event (any type) — union+window, one shuffle.
+    */
+  private[graft] def asofPriorEvent(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        round(col("value"), 2).as("value"))
+    Analytics.asofJoin(
+        purchases, e.select("user_id", "ts", "event_id", "event_type"),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("event_id", "event_type"), strict = true)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("asof_event_id"), col("asof_event_type"))
+      .orderBy("event_id")
+  }
+
+  /** Batch session windows over events (30-min inactivity gap) — the
+    * batch twin of [[graft.streaming.EventStreams.sessionize]].
+    */
+  private[graft] def eventSessions(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Sliding-window event rates (1 h window, 15 min slide) — batch twin
+    * of [[graft.streaming.EventStreams.slidingCounts]]. Each event lands
+    * in 4 overlapping windows (explicit row multiplication, epoch-
+    * aligned starts).
+    */
+  private[graft] def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Running totals + lag over a window frame — per-customer order
+    * history with running revenue.
+    */
+  private[graft] def customerRunningTotals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        Fx.dateKey(col("o_orderdate")).as("order_date_key"),
+        round(sum("o_totalprice").over(cum), 2).as("running_total"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        row_number().over(w).as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** Exact interpolated percentiles per market segment — exact mode
+    * for oracle value-equality; [[Analytics.percentiles]] with
+    * `approx = true` is the documented 100 TB mode (sketch-based,
+    * decomposable).
+    */
+  private[graft] def acctbalPercentiles(s: SparkSession, dir: String): DataFrame =
+    Analytics.percentiles(
+        t(s, dir, "customer"), Seq("c_mktsegment"), col("c_acctbal"),
+        Seq(0.25, 0.5, 0.75))
+      .select(
+        col("c_mktsegment"),
+        round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p75"), 4).as("p75"),
+        col("n"))
+      .orderBy("c_mktsegment")
+
+  /** Time-series resample + gap fill ([[Analytics.resampleFfill]]):
+    * per-user daily grid over the user's own observation span, bucket
+    * mean of `value`, empty days forward-filled from the last seen
+    * bucket (`filled` marks the carried rows) — the regularization
+    * step every rolling-window/trend computation downstream assumes.
+    */
+  private[graft] def resampleDailyValues(
+      s: SparkSession, dir: String): DataFrame = {
+    // event values are exact 2-decimal; resampling on integer cents
+    // keeps the bucket mean a single exact-integer-ratio division —
+    // engine-identical doubles, no summation-order rounding boundary
+    val ev = events(s, dir)
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+    // half-up to 4 decimals in INTEGER space: the cents mean is an
+    // exact integer ratio, but decimal round() on an exact-half double
+    // diverges across engines (Spark rounds the shortest decimal
+    // string, others the binary value); floor(x·100 + 0.5) doesn't
+    Analytics.resampleFfill(ev, "user_id", "ts", "__cents",
+        stepSec = 86400L)
+      .select(col("user_id"), col("bucket_ts"),
+        (floor(col("value") * 100 + 0.5).cast("long") / 10000.0)
+          .as("value"), col("filled"))
+      .orderBy("user_id", "bucket_ts")
+  }
+
+  /** Linear-interpolation resample ([[Analytics.resampleInterp]]):
+    * q125's daily grid, but interior gaps take the line between the
+    * surrounding observed buckets — the continuous-signal gap fill.
+    * Cents-exact bucket means; the interpolation arithmetic is
+    * mirrored op-for-op in the oracle; half-up rounding in integer
+    * space as in q125.
+    */
+  private[graft] def resampleInterpDaily(
+      s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+    Analytics.resampleInterp(ev, "user_id", "ts", "__cents",
+        stepSec = 86400L)
+      .select(col("user_id"), col("bucket_ts"),
+        (floor(col("value") * 100 + 0.5).cast("long") / 10000.0)
+          .as("value"), col("interpolated"))
+      .orderBy("user_id", "bucket_ts")
+  }
+
+  /** Rolling 1-hour window stats + 3σ anomaly flags per user
+    * ([[Analytics.rollingStats]]) over integer cents. Every statistic
+    * derives from exact long frame sums by a fixed op sequence, so
+    * the oracle replays bit-for-bit; outputs round half-up in integer
+    * space as in q125.
+    */
+  private[graft] def rollingAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+    Analytics.rollingStats(ev, "user_id", "ts", "__cents",
+        windowSec = 3600L, zThreshold = 3.0, minCount = 2)
+      .select(col("event_id"), col("user_id"), col("roll_n"),
+        (floor(col("roll_mean") * 100 + 0.5).cast("long") / 10000.0)
+          .as("roll_mean"),
+        (floor(col("roll_std") * 100 + 0.5).cast("long") / 10000.0)
+          .as("roll_std"),
+        (floor(col("zscore") * 10000 + 0.5).cast("long") / 10000.0)
+          .as("zscore"),
+        col("is_anomaly"))
+      .orderBy("event_id")
+  }
+
+  /** Per-user EWMA trend over event values ([[Analytics.ewma]]),
+    * α = 1/2 over the last 20 observations on integer cents — the
+    * dyadic-exact configuration whose fold the oracle replays through
+    * closed-form power weights (every term and partial sum is an
+    * exact dyadic rational, so summation order cannot matter).
+    * event_id tie-breaks equal timestamps.
+    */
+  private[graft] def ewmaUserTrend(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+    Analytics.ewma(ev, "user_id", "ts", "__cents",
+        alpha = 0.5, lags = 20, tieCols = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ewma_n"),
+        (floor(col("ewma") * 100 + 0.5).cast("long") / 10000.0)
+          .as("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** Per-customer spend trend ([[Analytics.groupTrend]]): OLS of
+    * order totalprice (cents) over order date (epoch days). Sufficient
+    * statistics are exact decimal-38 integers mirrored by HUGEINT in
+    * the oracle; slope/intercept/r² are fixed double op-sequences over
+    * them, rounded half-up in integer space.
+    */
+  private[graft] def customerSpendTrend(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("__day",
+        floor(unix_micros(col("o_orderdate").cast("timestamp"))
+          / 86400000000L).cast("long"))
+      .withColumn("__cents", round(col("o_totalprice") * 100).cast("long"))
+    Analytics.groupTrend(o, Seq("o_custkey"), "__day", "__cents")
+      .select(col("o_custkey"), col("n"),
+        (floor(col("slope") * 10000 + 0.5).cast("long") / 10000.0)
+          .as("slope"),
+        (floor(col("intercept") * 100 + 0.5).cast("long") / 100.0)
+          .as("intercept"),
+        (floor(col("r2") * 10000 + 0.5).cast("long") / 10000.0)
+          .as("r2"))
+      .orderBy("o_custkey")
+  }
+
+  /** Event-type affinity ([[Analytics.basketAffinity]]): which event
+    * types co-occur in the same user's history more than independence
+    * predicts. Baskets = users, items = distinct event types; all
+    * metrics single divisions of exact long counts.
+    */
+  private[graft] def eventTypeAffinity(s: SparkSession, dir: String): DataFrame =
+    Analytics.basketAffinity(events(s, dir), "user_id", "event_type",
+        maxBasket = 8)
+      .orderBy("item_a", "item_b")
+
+  /** Event-sequence transition matrix
+    * ([[Analytics.transitionMatrix]]): for each (from, to) pair of
+    * consecutive event types in a user's timeline, the transition
+    * count and P(to | from). (ts, event_id) totally orders each
+    * user's events; null timestamps drop (their position in the
+    * sequence is undefined).
+    */
+  private[graft] def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    Analytics.transitionMatrix(
+        events(s, dir).where(col("ts").isNotNull),
+        "user_id", "event_type",
+        Seq(col("ts").asc, col("event_id").asc))
+      .orderBy("from_state", "to_state")
+
+  /** Filter-cascade ablation over the corpus quality filters
+    * ([[graft.quality.Funnel.filterFunnel]]): the datasheet table
+    * answering "what did each filter cost, and which filters are
+    * fully shadowed by the rest?" — one scan, one ungrouped
+    * aggregate, however many stages. Stages reuse the q18/q19 metric
+    * expressions so the cascade audits the filters the pipeline
+    * actually runs.
+    */
+  private[graft] def filterFunnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Funnel.filterFunnel(docs(s, dir), Seq(
+        "nonempty" -> (col("n_chars") > 0),
+        "min_tokens" ->
+          (TextAnalysis.tokenCount(col("text")) >= 20),
+        "low_punct" ->
+          (coalesce(TextAnalysis.punctRatio(col("text")), lit(0.0))
+            <= lit(0.1)),
+        "stopword_floor" ->
+          (coalesce(TextAnalysis.stopwordRatio(col("text")), lit(0.0))
+            >= lit(0.05)),
+        "quality_score" ->
+          (TextAnalysis.qualityScore(col("text")) >= lit(0.5))))
+      .orderBy("stage")
+
+  /** Fixed-point PageRank over the order graph
+    * ([[Analytics.pageRank]]): customers and suppliers as nodes,
+    * symmetrized (customer ordered-from supplier) edges, 6 exact
+    * integer iterations — which entities sit at the center of the
+    * trade network. Every rank is a BIGINT in trillionths, so the
+    * result hashes identically on any engine, partitioning, or
+    * cluster size.
+    */
+  private[graft] def supplierPagerankQ(s: SparkSession, dir: String): DataFrame = {
+    val co = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+    // no .distinct() here: pageRank normalizes (distinct + persist)
+    // itself — a caller-side distinct would just add a full shuffle
+    // of the raw pair stream before the operator's own
+    val edges = co.union(co.select(col("b").as("a"), col("a").as("b")))
+    Analytics.pageRank(edges, "a", "b", iters = 6)
+      .orderBy("node")
+  }
+
+  /** Frequent event trigrams ([[Analytics.frequentSequences]]): the
+    * contiguous 3-step behavior patterns shared by at least 3 users —
+    * support counted in DISTINCT users, so a bot looping one path
+    * counts once. Order within a user is (ts, event_id) — a total
+    * order, lag determinism's contract.
+    */
+  private[graft] def eventSequencesQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.frequentSequences(events(s, dir), "user_id", "event_type",
+        Seq(col("ts").asc, col("event_id").asc), n = 3, minSupport = 3)
+      .select(col("step_1"), col("step_2"), col("step_3"),
+        col("n_keys"), round(col("support"), 4).as("support"))
+      .orderBy(col("n_keys").desc, col("step_1"), col("step_2"),
+        col("step_3"))
+
+  /** Calibration (reliability) report
+    * ([[graft.text.QualityModel.calibrationReport]]) of the composite
+    * quality score against the is-English slice: per decile bin the
+    * mean predicted score vs the empirical rate, the gap, and the ECE
+    * contribution — integer micro-unit sums keep every emitted double
+    * a single exact-long division.
+    */
+  private[graft] def calibrationReportQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__score", TextAnalysis.qualityScore(col("text")))
+    graft.text.QualityModel.calibrationReport(d, "__score",
+        col("lang") === "en", bins = 10)
+      .select(col("bin"), col("n"), col("n_positive"),
+        round(col("mean_score"), 6).as("mean_score"),
+        round(col("frac_positive"), 6).as("frac_positive"),
+        round(col("ece_contrib"), 6).as("ece_contrib"))
+      .orderBy("bin")
+  }
+
+  /** Mergeable quantile datasheet
+    * ([[graft.quality.Drift.quantileShards]]): per-language p50/p75
+    * of per-document token counts, built as 4 independent shard
+    * sketches and combined by sketch-union — the percentile row of
+    * the maintain-per-append datasheet algebra (q148 covers distincts
+    * via HLL; percentiles need a mergeable KLL sketch). At oracle
+    * scale every group is in the sketch's exact regime, so each
+    * quantile is the exact inclusive order statistic; the ranks are
+    * DYADIC (0.5, 0.75 — exact binary doubles), so the rank→index
+    * arithmetic agrees bit-for-bit across engines (the q131/q145
+    * dyadic-constant argument).
+    */
+  private[graft] def quantileDatasheetQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val shards = graft.quality.Drift.quantileShards(d, Seq("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("double"),
+      pmod(col("doc_id"), lit(4)), k = 8192)
+    graft.quality.Drift.mergeQuantileShards(shards, Seq("lang"),
+        Seq(0.5, 0.75), k = 8192)
+      .select(col("lang"), col("n"), col("p50"), col("p75"))
+      .orderBy("lang")
+  }
+
+  /** Exact per-group KS drift test ([[graft.quality.Drift.ksTest]])
+    * on a deterministically perturbed split: odd orderkeys are the
+    * baseline, even the current batch with '1-URGENT' prices inflated
+    * 5 % (the q162/q144 seeding treatment — the detector must flag
+    * exactly that segment while fixed-bin PSI's shape stays put for
+    * the rest). `ks_scaled` is the exact BIGINT supremum; `ks_d` and
+    * the threshold are single float ops over exact longs.
+    */
+  private[graft] def ksDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.where(col("o_orderkey") % 2 === 1)
+    val cur = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice") * 1.05).otherwise(col("o_totalprice")))
+    graft.quality.Drift.ksTest(base, cur, "o_totalprice",
+        Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_base"), col("n_cur"),
+        col("ks_scaled"), round(col("ks_d"), 6).as("ks_d"),
+        round(col("threshold"), 6).as("threshold"), col("drifted"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Two-proportion z-test per market segment
+    * ([[Analytics.proportionTest]]): is a segment's
+    * customer-conversion rate (≥ 1 finalized order) different from
+    * the pooled rest — the segment screen of an A/B readout, exact
+    * counts under the float z.
+    */
+  private[graft] def proportionTestQ(s: SparkSession, dir: String): DataFrame = {
+    val conv = t(s, dir, "orders")
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    val c = t(s, dir, "customer")
+      .join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("__conv", col("o_custkey").isNotNull)
+    Analytics.proportionTest(c, "c_mktsegment", col("__conv"))
+      .select(col("c_mktsegment"), col("n"), col("successes"),
+        round(col("rate"), 6).as("rate"),
+        round(col("rate_rest"), 6).as("rate_rest"),
+        round(col("z"), 6).as("z"), col("significant"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Linear multi-touch attribution ([[Analytics.linearAttribution]]):
+    * every purchase splits 1000 exact milli-credits across the
+    * view/click touches in its trailing 2-hour window, remainder to
+    * the last touch — q48's single-touch attribution generalized to
+    * the report that sets channel budgets.
+    */
+  private[graft] def linearAttributionQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    Analytics.linearAttribution(
+        e.where(col("event_type") === "purchase"),
+        e.where(col("event_type").isin("view", "click")),
+        "user_id", "ts", "event_id", windowDuration = "2 hours")
+      .select(col("user_id"), col("conversion_id"), col("touch_id"),
+        col("touch_rank"), col("n_touches"), col("credit_milli"))
+      .orderBy("conversion_id", "touch_rank")
+  }
+
+  /** Per-source quantile normalization
+    * ([[Analytics.quantileNormalize]]) of the quality score onto the
+    * global distribution — the batch-effect correction that makes one
+    * quality threshold mean the same thing across sources whose
+    * scorers run hot or cold. Exact integer grid routing; the
+    * 100-point global grid is the exact interpolated percentile
+    * (`exact = true`, oracle-replayable).
+    */
+  private[graft] def quantileNormalizeQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__score", TextAnalysis.qualityScore(col("text")))
+    Analytics.quantileNormalize(d, "source", "__score", k = 100,
+        exact = true)
+      .select(col("doc_id"), col("source"),
+        round(col("__score"), 6).as("score"), col("grid_idx"),
+        round(col("normalized"), 6).as("normalized"))
+      .orderBy("doc_id")
+  }
+
+  /** k-anonymity audit ([[graft.quality.Privacy.kAnonymityReport]]):
+    * equivalence-class size histogram over the
+    * (nation, market-segment) quasi-identifiers of the customer
+    * table, classes below k = 10 flagged — the privacy audit that
+    * prices a release, emitting SIZES only (never the small classes'
+    * values).
+    */
+  private[graft] def kAnonymityQ(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Privacy.kAnonymityReport(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        k = 10)
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        col("violates"))
+      .orderBy("class_size")
+
+  /** SCD-2 point-in-time lookup
+    * ([[graft.transform.StarSchemaBuilder.scd2Lookup]]): every order
+    * joined to the priority version its customer was IN at the
+    * order's own date — the as-was reporting join over the q75
+    * history, completing the SCD-2 circle (derive → upsert → stream →
+    * lookup).
+    */
+  private[graft] def scd2LookupQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.transform.StarSchemaBuilder
+    val o = t(s, dir, "orders")
+    val vers = StarSchemaBuilder.scd2Versions(
+      o.select("o_custkey", "o_orderpriority", "o_orderdate",
+        "o_orderkey"),
+      keyCols = Seq("o_custkey"), attrCols = Seq("o_orderpriority"),
+      orderCol = "o_orderdate", tieBreak = Seq("o_orderkey"))
+    StarSchemaBuilder.scd2Lookup(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"), vers,
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("dim_o_orderpriority").as("priority_as_was"),
+        col("dim_version_n").as("version_n"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Lagged cross-correlation ([[Analytics.crossCorrelation]]):
+    * hourly signup counts against purchase counts at every lag in
+    * ±6 hours — the lead/lag screen; gap hours count as zeros via the
+    * generated grid.
+    */
+  private[graft] def crossCorrelationQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.crossCorrelation(events(s, dir), "ts", "event_type",
+        "signup", "purchase", bucketSeconds = 3600L, maxLag = 6)
+      .select(col("lag").cast("int").as("lag"), col("n_buckets"),
+        round(col("corr"), 6).as("corr"))
+      .orderBy("lag")
+
+
+  /** Arithmetic reconstruction of the `graft_zorder` Morton key
+    * (q79): mask-shift bit spreading on BIGINT, the final interleave
+    * in HUGEINT (the top bit would overflow BIGINT), sign handling as
+    * `+ 2^31` per dimension and `- 2^63` on the key — bit-identical to
+    * [[graft.expressions.ZOrderKey.interleave]] (validated on the
+    * int extremes).
+    */
+  private[graft] def oracleZorder(a: String, b: String): String = {
+    def spread(x: String): String = {
+      val steps = Seq(
+        16 -> "281470681808895",        // 0x0000FFFF0000FFFF
+        8 -> "71777214294589695",       // 0x00FF00FF00FF00FF
+        4 -> "1085102592571150095",     // 0x0F0F0F0F0F0F0F0F
+        2 -> "3689348814741910323",     // 0x3333333333333333
+        1 -> "6148914691236517205")     // 0x5555555555555555
+      steps.foldLeft(s"($x & 4294967295)") { case (v, (sh, m)) =>
+        s"((($v) | (($v) << $sh)) & $m)"
+      }
+    }
+    val ua = s"(CAST($a AS BIGINT) + 2147483648)"
+    val ub = s"(CAST($b AS BIGINT) + 2147483648)"
+    s"CAST(CAST(${spread(ua)} AS HUGEINT) * 2 + ${spread(ub)}" +
+      " - 9223372036854775808 AS BIGINT)"
+  }
+}

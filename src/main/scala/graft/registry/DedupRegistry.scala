@@ -1,0 +1,1188 @@
+package graft.registry
+
+import graft.dedup.Dedup
+import graft.functions.Fx
+import graft.multimodal.Multimodal
+import graft.operators.Analytics
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.registry.RegistryBase._
+
+/** Exact and near-duplicate detection queries — query builders plus their DuckDB oracles.
+  * Conventions: see [[graft.SparkEntry]]. Split from the original
+  * single-file registry; member bodies are unchanged.
+  */
+private[graft] object DedupRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_contamination_capped" -> (contaminationCapped _),
+    "q106_shared_spans" -> (sharedSpanPairs _),
+    "q109_content_chunks" -> (contentChunks _),
+    "q110_neardup_incremental" -> (nearDupIncremental _),
+    "q114_chunk_incremental" -> (chunkIncrementalDedup _),
+    "q118_lsh_recall_audit" -> (lshRecallAuditQ _),
+    "q119_ngram_containment" -> (ngramContainmentPairs _),
+    "q120_minhash_jaccard_est" -> (minhashJaccardEst _),
+    "q121_containment_incremental" -> (containmentIncremental _),
+    "q126_entity_resolution" -> (entityResolution _),
+    "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
+    "q134_line_dedup" -> (lineDedupDocs _),
+    "q135_global_line_dedup" -> (globalLineDedupDocs _),
+    "q148_mergeable_datasheet" -> (mergeableDatasheetQ _),
+    "q149_dedup_token_budget" -> (dedupTokenBudget _),
+    "q152_cross_source_dup_matrix" -> (crossSourceDupMatrixQ _),
+    "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
+    "q21_doc_fingerprints" -> (docFingerprints _),
+    "q22_exact_dup_stats" -> (exactDupStats _),
+    "q23_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+    "q24_minhash_lsh_pairs" -> (minhashLshPairs _),
+    "q25_simhash_fingerprints" -> (simhashFingerprints _),
+    "q26_simhash_pairs" -> (simhashPairs _),
+    "q31_corpus_prep" -> (corpusPrep _),
+    "q51_incremental_dedup" -> (incrementalDedup _),
+    "q64_contamination" -> (contamination _),
+    "q66_corpus_datasheet" -> (corpusDatasheet _),
+    "q71_dup_chunk_fraction" -> (dupChunkFraction _),
+    "q74_bloom_incremental" -> (bloomIncrementalDedup _),
+    "q83_neardup_histogram" -> (nearDupClusterHistogram _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the QUALIFY window replays the Spark side's benchmark-DF cap:
+    // shingles in >1 benchmark doc drop BEFORE the join
+    "q103_contamination_capped" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 2))
+               AS i) t),
+         bench AS (SELECT doc_id AS benchmark_id, shingle FROM sh
+                   WHERE doc_id % 10 = 0
+                   QUALIFY count(*) OVER (PARTITION BY shingle) <= 1),
+         corpus AS (SELECT doc_id AS corpus_id, shingle FROM sh
+                    WHERE doc_id % 10 <> 0)
+         SELECT corpus_id, benchmark_id, count(*) AS common_ngrams
+         FROM corpus JOIN bench USING (shingle)
+         GROUP BY corpus_id, benchmark_id
+         HAVING count(*) >= 3
+         ORDER BY corpus_id, benchmark_id""",
+    // islands trick replayed: consecutive shared 5-grams share a
+    // diagonal (pa-pb); group key pa - row_number is constant per run
+    "q106_shared_spans" ->
+      s"""WITH tok AS (
+           SELECT doc_id, $oracleWords AS ws FROM documents),
+         kg AS (
+           SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i+4], ' ')) AS h
+           FROM tok, LATERAL (SELECT unnest(
+             generate_series(1, len(ws) - 4)) AS i) t),
+         hdf AS (SELECT h FROM (
+             SELECT h, count(DISTINCT doc_id) AS df FROM kg GROUP BY h)
+           WHERE df <= 10),
+         kgc AS (SELECT kg.* FROM kg JOIN hdf USING (h)),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, b.pos AS pb
+           FROM kgc a JOIN kgc b USING (h) WHERE a.doc_id < b.doc_id),
+         runs AS (
+           SELECT id_a, id_b, count(*) AS run FROM (
+             SELECT id_a, id_b, pa - pb AS diag,
+               pa - row_number() OVER (
+                 PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+             FROM p) GROUP BY id_a, id_b, diag, grp)
+         SELECT id_a, id_b, max(run) + 4 AS max_span_tokens
+         FROM runs GROUP BY id_a, id_b
+         HAVING max(run) + 4 >= 8
+         ORDER BY id_a, id_b""",
+    // 1-based twin of the boundary rule: a cut after 1-based end
+    // position j in [3, len-1] when the md5-prefix int of the 3-gram
+    // ending there lands in class 0 mod 32; last position excluded
+    "q109_content_chunks" ->
+      s"""WITH tok AS (
+           SELECT doc_id, $oracleWords AS ws FROM documents
+           WHERE len($oracleWords) > 0),
+         b AS (
+           SELECT doc_id, ws,
+             list_filter(generate_series(3, len(ws) - 1), j ->
+               (('0x' || substr(md5(array_to_string(ws[j-2:j], ' ')),
+                 1, 8))::BIGINT % 32) = 0) AS bs
+           FROM tok),
+         c AS (
+           SELECT doc_id, ws,
+             list_prepend(1, list_transform(bs, j -> j + 1)) AS ss,
+             list_append(bs, len(ws)) AS es
+           FROM b),
+         ch AS (
+           SELECT doc_id, i - 1 AS chunk_idx,
+             es[i] - ss[i] + 1 AS n_tokens,
+             md5(array_to_string(ws[ss[i]:es[i]], ' ')) AS chunk_md5
+           FROM c, LATERAL (SELECT unnest(
+             generate_series(1, len(ss))) AS i) t)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(n_tokens AS BIGINT) AS n_tokens, chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
+    // asymmetric replay of the q24 minhash/banding construction:
+    // batch-side bands probe corpus-side bands, candidates verify by
+    // exact Jaccard over the full shingle sets
+    "q110_neardup_incremental" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         xc AS (
+           SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+           FROM bands bb JOIN bands cb
+             ON bb.band = cb.band AND bb.sig = cb.sig
+           WHERE bb.doc_id % 3 = 0 AND cb.doc_id % 3 <> 0),
+         common AS (
+           SELECT x.doc_id AS bid, y.doc_id AS cid, count(*) AS common
+           FROM sh x JOIN sh y ON x.shingle = y.shingle
+           JOIN xc ON xc.bid = x.doc_id AND xc.cid = y.doc_id
+           GROUP BY 1, 2)
+         SELECT bid AS batch_id, cid AS corpus_id,
+           round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4)
+             AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = bid
+         JOIN sizes sb ON sb.doc_id = cid
+         WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+         ORDER BY batch_id, corpus_id""",
+    "q114_chunk_incremental" ->
+      s"""WITH newdoc AS (
+           SELECT doc_id, CASE WHEN doc_id % 10 = 0
+             THEN text || ' edit pass appended new sentence'
+             ELSE text END AS text
+           FROM documents),
+         ${oracleChunkCtes("p", "documents", 32)},
+         ${oracleChunkCtes("n", "newdoc", 32)},
+         kq AS (
+           SELECT doc_id, chunk_idx, n_tokens, chunk_md5,
+             row_number() OVER (PARTITION BY chunk_md5
+               ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+           FROM nch)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(n_tokens AS BIGINT) AS n_tokens, chunk_md5
+         FROM kq WHERE rn = 1
+           AND chunk_md5 NOT IN (SELECT chunk_md5 FROM pch)
+         ORDER BY doc_id, chunk_idx""",
+    // LSH coverage audit: exact-Jaccard ≥ 0.8 pairs (q23's uncapped
+    // oracle form) LEFT JOIN the banded candidates (q24's cands CTE)
+    "q118_lsh_recall_audit" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         ex AS (
+           SELECT ida, idb FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8)
+         SELECT ex.ida AS id_a,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(c.idb) AS BIGINT) AS n_hit,
+           round(CAST(count(c.idb) AS DOUBLE) / count(*), 4) AS recall
+         FROM ex LEFT JOIN cands c ON c.ida = ex.ida AND c.idb = ex.idb
+         GROUP BY ex.ida ORDER BY id_a""",
+    // containment = common / min(|A|, |B|): the asymmetric twin of
+    // q23's Jaccard select over the same shingle CTEs
+    "q119_ngram_containment" ->
+      s"""$oracleShingleCte,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT ida AS id_a, idb AS id_b, common,
+           round(CAST(common AS DOUBLE) / least(sa.n, sb.n), 4)
+             AS containment
+         FROM common
+         JOIN sizes sa ON sa.doc_id = ida
+         JOIN sizes sb ON sb.doc_id = idb
+         WHERE CAST(common AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+         ORDER BY id_a, id_b""",
+    // Broder estimator: per candidate pair, the fraction of the 16
+    // Carter-Wegman signature components that agree
+    "q120_minhash_jaccard_est" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes
+         SELECT c.ida AS id_a, c.idb AS id_b,
+           round((${(0 until 16).map(i =>
+             s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+             .mkString(" + ")}) / 16.0, 4) AS est_jaccard
+         FROM cands c
+         JOIN sigs a ON a.doc_id = c.ida
+         JOIN sigs b ON b.doc_id = c.idb
+         ORDER BY id_a, id_b""",
+    // asymmetric containment replay over the q110 split: batch-side
+    // denominator only (|batch doc's shingles|)
+    "q121_containment_incremental" ->
+      s"""$oracleShingleCte,
+         b AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 = 0),
+         c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 <> 0),
+         nb AS (SELECT doc_id, count(*) AS n FROM b GROUP BY doc_id),
+         common AS (
+           SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS common
+           FROM b JOIN c ON b.shingle = c.shingle GROUP BY 1, 2)
+         SELECT bid AS batch_id, cid AS corpus_id, common,
+           round(CAST(common AS DOUBLE) / nb.n, 4) AS containment
+         FROM common JOIN nb ON nb.doc_id = bid
+         WHERE CAST(common AS DOUBLE) / nb.n >= 0.8
+         ORDER BY batch_id, corpus_id""",
+    // q76's fuzzy pairs -> recursive-CTE transitive closure over the
+    // matched names (min-label = lexicographic min) -> min-key
+    // survivorship, replaying resolveEntities end to end
+    "q126_entity_resolution" ->
+      """WITH RECURSIVE names AS (
+           SELECT DISTINCT p_name AS n FROM part),
+         fp AS (
+           SELECT a.n AS na, b.n AS nb
+           FROM names a JOIN names b ON a.n < b.n
+           WHERE levenshtein(a.n, b.n) <= 2),
+         edges AS (SELECT na AS a, nb AS b FROM fp
+                   UNION SELECT nb, na FROM fp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (
+           SELECT a AS n, least(a, min(b)) AS root
+           FROM reach GROUP BY a),
+         ent AS (
+           SELECT p.p_partkey, p.p_name,
+             coalesce(r.root, p.p_name) AS entity_name
+           FROM part p LEFT JOIN roots r ON r.n = p.p_name),
+         keys AS (
+           SELECT entity_name, min(p_partkey) AS entity_key
+           FROM ent GROUP BY 1)
+         SELECT e.p_partkey, e.p_name, k.entity_key, e.entity_name
+         FROM ent e JOIN keys k USING (entity_name)
+         ORDER BY e.p_partkey""",
+    // the q31 LSH/CC construction, but survivorship = argmax quality
+    // (min id on ties) per component; singletons keep themselves
+    "q128_keepbest_near_dedup" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT ida, idb FROM pairs
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         edges AS (SELECT ida AS a, idb AS b FROM verified
+                   UNION SELECT idb, ida FROM verified),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (
+           SELECT a AS doc_id, least(a, min(b)) AS comp
+           FROM reach GROUP BY a),
+         ${oracleMetricsCtes("documents")},
+         lab AS (
+           SELECT q.doc_id, q.quality,
+             coalesce(r.comp, q.doc_id) AS comp
+           FROM q LEFT JOIN roots r USING (doc_id)),
+         best AS (
+           SELECT doc_id, cluster_size, quality FROM (
+             SELECT doc_id, quality,
+               count(*) OVER (PARTITION BY comp) AS cluster_size,
+               row_number() OVER (PARTITION BY comp
+                 ORDER BY quality DESC, doc_id ASC) AS rn
+             FROM lab) WHERE rn = 1)
+         SELECT doc_id, cluster_size, round(quality, 4) AS quality
+         FROM best ORDER BY doc_id""",
+    "q134_line_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(ws) / 4.0) AS INT) - 1),
+               i -> array_to_string(ws[i * 4 + 1 : i * 4 + 4], ' '))
+               AS lines
+           FROM d WHERE len(ws) > 0),
+         k AS (
+           SELECT doc_id, lines,
+             list_filter(lines, (x, i) -> list_position(lines, x) = i)
+               AS kept
+           FROM l)
+         SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+           md5(array_to_string(kept, chr(10))) AS text_md5
+         FROM k ORDER BY doc_id""",
+    "q135_global_line_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(ws) / 4.0) AS INT) - 1),
+               i -> array_to_string(ws[i * 4 + 1 : i * 4 + 4], ' '))
+               AS lines
+           FROM d WHERE len(ws) > 0),
+         e AS (
+           SELECT doc_id, i - 1 AS pos, lines[i] AS line
+           FROM l, LATERAL (SELECT
+             unnest(generate_series(1, len(lines))) AS i) t),
+         w AS (
+           SELECT line,
+             min(CAST(doc_id AS HUGEINT) * 4294967296 + pos) AS fk
+           FROM e GROUP BY 1),
+         k AS (
+           SELECT CAST(fk // 4294967296 AS BIGINT) AS doc_id,
+             CAST(fk % 4294967296 AS BIGINT) AS pos, line
+           FROM w),
+         r AS (
+           SELECT doc_id, count(*) AS n_lines,
+             string_agg(line, chr(10) ORDER BY pos) AS text
+           FROM k GROUP BY 1)
+         SELECT l.doc_id,
+           coalesce(r.n_lines, 0) AS n_lines,
+           CAST(len(l.lines) AS BIGINT) - coalesce(r.n_lines, 0)
+             AS n_removed,
+           md5(coalesce(r.text, '')) AS text_md5
+         FROM l LEFT JOIN r USING (doc_id) ORDER BY l.doc_id""",
+    // additive stats replayed exactly; the HLL estimate itself cannot
+    // replay in DuckDB, so the oracle pins the in-query tolerance
+    // flag at 1 (q46's pattern) — a drifting sketch fails the gate
+    "q148_mergeable_datasheet" ->
+      """WITH base AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(regexp_extract_all(
+               lower(coalesce(text, '')), '[a-z0-9]+'))) AS BIGINT)
+               AS sum_tokens
+           FROM documents GROUP BY 1, 2),
+         voc AS (
+           SELECT source, lang,
+             CAST(count(DISTINCT w) AS BIGINT) AS vocab_exact
+           FROM (SELECT source, lang, unnest(regexp_extract_all(
+               lower(coalesce(text, '')), '[a-z0-9]+')) AS w
+             FROM documents)
+           GROUP BY 1, 2)
+         SELECT b.source, b.lang, b.n_docs, b.sum_tokens,
+           CAST(coalesce(v.vocab_exact, 0) AS BIGINT) AS vocab_exact,
+           1 AS vocab_within_5pct
+         FROM base b LEFT JOIN voc v
+           ON v.source IS NOT DISTINCT FROM b.source
+           AND v.lang IS NOT DISTINCT FROM b.lang
+         ORDER BY b.source, b.lang""",
+    // the q31 kept-set (exact + near-dup survivorship) joined to
+    // per-doc token counts; dup_token_frac is the unrounded
+    // exact-long division (q137's argument)
+    "q149_dedup_token_budget" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         $oracleDedupKeptCtes,
+         tok AS (
+           SELECT doc_id, lang, len($oracleWords) AS nt
+           FROM documents),
+         raw AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS raw_tokens
+           FROM tok GROUP BY lang),
+         keptt AS (
+           SELECT t.lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(t.nt) AS BIGINT) AS effective_tokens
+           FROM kept k JOIN tok t ON t.doc_id = k.doc_id
+           GROUP BY t.lang)
+         SELECT r.lang, r.n_docs, r.raw_tokens,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.effective_tokens, 0) AS effective_tokens,
+           CASE WHEN r.raw_tokens > 0 THEN
+             CAST(r.raw_tokens - coalesce(k.effective_tokens, 0)
+               AS DOUBLE) / r.raw_tokens END AS dup_token_frac
+         FROM raw r LEFT JOIN keptt k
+           ON k.lang IS NOT DISTINCT FROM r.lang
+         ORDER BY r.lang""",
+    // q24's verified pairs, symmetrized and joined to sources: the
+    // diagonal holds both directions of each pair (halve it)
+    "q152_cross_source_dup_matrix" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         pairsj AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT ida, idb FROM pairsj
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         sym AS (SELECT ida AS x, idb AS y FROM verified
+                 UNION ALL SELECT idb, ida FROM verified),
+         es AS (
+           SELECT da.source AS src_a, db.source AS src_b, x, y
+           FROM sym
+           JOIN documents da ON da.doc_id = x
+           JOIN documents db ON db.doc_id = y),
+         cells AS (
+           SELECT src_a, src_b,
+             CAST(CASE WHEN src_a = src_b THEN count(*) // 2
+                       ELSE count(*) END AS BIGINT) AS n_pairs,
+             count(DISTINCT x) AS n_dup_docs
+           FROM es GROUP BY 1, 2),
+         tot AS (SELECT source AS src_a, count(*) AS n_docs
+                 FROM documents GROUP BY 1)
+         SELECT src_a, src_b, n_pairs,
+           CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4) AS dup_frac
+         FROM cells JOIN tot USING (src_a)
+         ORDER BY src_a, src_b""",
+    // q128's cluster chain, but clusters collapse to consolidated
+    // records: argmax keep, provenance unions, token mass
+    "q155_merge_survivorship" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         pairs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT ida, idb FROM pairs
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         edges AS (SELECT ida AS a, idb AS b FROM verified
+                   UNION SELECT idb, ida FROM verified),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         roots AS (
+           SELECT a AS doc_id, least(a, min(b)) AS comp
+           FROM reach GROUP BY a),
+         ${oracleMetricsCtes("documents")},
+         lab AS (
+           SELECT q.doc_id, q.quality, q.source, q.lang, q.tokens,
+             coalesce(r.comp, q.doc_id) AS comp
+           FROM q LEFT JOIN roots r USING (doc_id)),
+         ranked AS (
+           SELECT comp, doc_id, row_number() OVER (PARTITION BY comp
+             ORDER BY quality DESC, doc_id ASC) AS rn
+           FROM lab),
+         aggd AS (
+           SELECT comp AS cluster_id, count(*) AS n_members,
+             max(quality) AS bq,
+             array_to_string(list_sort(list_distinct(list(source))),
+               ',') AS sources,
+             array_to_string(list_sort(list_distinct(list(lang))),
+               ',') AS langs,
+             sum(tokens) AS total_tokens
+           FROM lab GROUP BY comp)
+         SELECT a.cluster_id, r2.doc_id AS kept_id,
+           CAST(a.n_members AS BIGINT) AS n_members,
+           round(a.bq, 4) AS best_quality, a.sources, a.langs,
+           CAST(a.total_tokens AS BIGINT) AS total_tokens
+         FROM aggd a JOIN ranked r2
+           ON r2.comp = a.cluster_id AND r2.rn = 1
+         ORDER BY a.cluster_id""",
+    "q21_doc_fingerprints" ->
+      s"""WITH sh4 AS (
+           SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               AS shingle FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) t),
+         mh AS (SELECT doc_id, min(md5(shingle)) AS sketch
+                FROM sh4 GROUP BY doc_id)
+         SELECT d.doc_id,
+           md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+           mh.sketch AS sketch
+         FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "q22_exact_dup_stats" ->
+      """SELECT
+         CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+           AS duplicate_rows,
+         count(*) AS distinct_texts,
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS total_rows
+         FROM (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 AS fp, count(*) AS n
+               FROM documents GROUP BY 1)""",
+    "q23_ngram_jaccard_pairs" ->
+      s"""$oracleShingleCte,
+         ${oracleJaccardSelect("", includeCommon = true)}""",
+    "q24_minhash_lsh_pairs" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         ${oracleJaccardSelect(
+        "JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id",
+        includeCommon = false)}""",
+    "q25_simhash_fingerprints" ->
+      s"""$oracleSimhashCte
+         SELECT doc_id, simhash_hex FROM sh ORDER BY doc_id""",
+    "q26_simhash_pairs" ->
+      s"""$oracleSimhashCte
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             AS INT) AS hamming
+         FROM shp a JOIN shp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY id_a, id_b""",
+    "q31_corpus_prep" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         $oracleDedupKeptCtes,
+         ${oracleMetricsCtes("kept")},
+         qf AS (SELECT * FROM q WHERE quality >= 0.3),
+         ${oracleLangCtes("qf")}
+         SELECT predicted, count(*) AS n_docs,
+           round(avg(quality), 4) AS avg_quality
+         FROM p GROUP BY predicted ORDER BY predicted""",
+    "q51_incremental_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+           FROM documents),
+         corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 = 0),
+         batch AS (
+           SELECT doc_id, f, row_number() OVER (PARTITION BY f
+             ORDER BY doc_id) AS rn
+           FROM fp WHERE doc_id % 5 <> 0),
+         newdocs AS (
+           SELECT doc_id FROM batch
+           WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus))
+         SELECT count(*) AS n_new,
+           round(sum(CAST(doc_id AS DOUBLE)), 1) AS id_sum
+         FROM newdocs""",
+    "q64_contamination" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+               ws[i+3] || ' ' || ws[i+4] AS shingle FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 4))
+               AS i) t),
+         bench AS (SELECT doc_id AS benchmark_id, shingle FROM sh
+                   WHERE doc_id % 10 = 0),
+         corpus AS (SELECT doc_id AS corpus_id, shingle FROM sh
+                    WHERE doc_id % 10 <> 0)
+         SELECT corpus_id, benchmark_id, count(*) AS common_ngrams
+         FROM corpus JOIN bench USING (shingle)
+         GROUP BY corpus_id, benchmark_id
+         HAVING count(*) >= 5
+         ORDER BY corpus_id, benchmark_id""",
+    "q66_corpus_datasheet" ->
+      s"""WITH ${oracleMetricsCtes("documents")}
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM q GROUP BY source, lang ORDER BY source, lang""",
+    "q71_dup_chunk_fraction" ->
+      s"""WITH d AS (
+           SELECT doc_id, $oracleWords AS ws FROM documents),
+         ch AS (
+           SELECT doc_id, md5(array_to_string(
+             list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')) AS fp
+           FROM d, LATERAL (SELECT unnest(generate_series(0,
+             greatest(0, CAST(ceil((len(ws) - 8) / 8.0) AS INT)))) AS i) t
+           WHERE len(ws) > 0),
+         dc AS (
+           SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_chunk_frac
+         FROM ch JOIN dc USING (fp) GROUP BY doc_id ORDER BY doc_id""",
+    "q74_bloom_incremental" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+           FROM documents),
+         corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0),
+         batch AS (
+           SELECT doc_id, f, row_number() OVER (PARTITION BY f
+             ORDER BY doc_id) AS rn
+           FROM fp WHERE doc_id % 3 <> 0),
+         newdocs AS (
+           SELECT doc_id FROM batch
+           WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus))
+         SELECT count(*) AS n_new,
+           round(sum(CAST(doc_id AS DOUBLE)), 1) AS id_sum
+         FROM newdocs""",
+    // reuses the factored q31 chain up to `reach`; component label =
+    // least(id, min reachable id), histogram over label sizes
+    "q83_neardup_histogram" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         $oracleDedupKeptCtes,
+         labels AS (
+           SELECT a AS id, least(a, min(b)) AS comp
+           FROM reach GROUP BY a),
+         csizes AS (
+           SELECT comp, count(*) AS cluster_size
+           FROM labels GROUP BY comp)
+         SELECT cluster_size, count(*) AS n_clusters,
+           cluster_size * count(*) AS docs_in_clusters,
+           (cluster_size - 1) * count(*) AS removable
+         FROM csizes GROUP BY cluster_size ORDER BY cluster_size""",
+  )
+
+  /** Whole-document + min-shingle-hash fingerprints. */
+  private[graft] def docFingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.minShingleHash(col("text"), 4).as("sketch"))
+      .orderBy("doc_id")
+
+  /** Exact dedup accounting over normalized-text fingerprints. */
+  private[graft] def exactDupStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupStats(docs(s, dir), "text")
+
+  /** Exact n-gram Jaccard near-dup pairs (inverted-index join).
+    * maxShingleDf=10 drops stop-shingles from CANDIDATE generation —
+    * at sf0.1 that is 10k of 27k shingles and 2.8× of the Σ(df²) join
+    * cost, growing quadratically with corpus scale — while the exact
+    * verify over full shingle sets keeps the emitted pairs and values
+    * byte-identical to the uncapped run (spec-checked; the oracle is
+    * the plain uncapped SQL).
+    */
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleDf = Some(10))
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** Exact n-gram CONTAINMENT pairs ([[Dedup.ngramContainmentPairs]]):
+    * |A∩B| / min(|A|, |B|) ≥ 0.6 over the q23 inverted index — the
+    * asymmetric near-dup measure that catches a short document
+    * embedded in a long one (quotes, boilerplate, wrapped re-posts)
+    * where the long side's union dilutes Jaccard. Same
+    * result-invariant stop-shingle cap.
+    */
+  private[graft] def ngramContainmentPairs(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleDf = Some(10))
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("id_a", "id_b")
+
+  /** MinHash Jaccard ESTIMATES over the q24 LSH candidate pairs
+    * ([[Dedup.minhashJaccardEstimate]]): Broder's agreement-fraction
+    * estimator — pairs scored from 16 signature longs per document,
+    * never touching shingle sets. The monitoring/histogram companion
+    * to q24's exact verify.
+    */
+  private[graft] def minhashJaccardEst(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+        n = 3, numHashes = 16)
+      .transform(graft.core.CacheScope.disk)
+    val cands = Dedup.lshCandidates(sigs, "doc_id",
+      bands = 4, rowsPerBand = 4)
+    Dedup.minhashJaccardEstimate(cands, sigs, "doc_id", numHashes = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** TF-weighted 64-bit SimHash fingerprints. */
+  private[graft] def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text")
+      .select("doc_id", "simhash_hex")
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs, hamming ≤ 3, via exact 4-block banding. */
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int")
+        .as("hamming"))
+      .orderBy("id_a", "id_b")
+
+  /** q64's decontamination with the benchmark-side document-frequency
+    * cap ENGAGED (`maxBenchmarkDf = 1`): 3-gram shingles present in
+    * more than one eval document are boilerplate identifying no
+    * specific benchmark doc — and at corpus scale each one multiplies
+    * join fan-out (df_corpus × df_benchmark rows). The cap of 1
+    * demonstrably changes this data's answer (drops pairs reached
+    * only via shared-boilerplate shingles), so the oracle verifies
+    * the cap's exact semantics, not just the uncapped join.
+    */
+  private[graft] def contaminationCapped(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationCheck(
+        d.where(col("doc_id") % 10 =!= 0),
+        d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, minCommon = 3,
+        maxBenchmarkDf = Some(1))
+      .orderBy("corpus_id", "benchmark_id")
+  }
+
+  /** Dedup-aware token budget: per language, the RAW token count next
+    * to the EFFECTIVE count after exact + near-dup survivorship (the
+    * q31 kept-set) — what deduplication actually saves per slice, the
+    * number a mixture designer needs instead of raw volume (a
+    * language dominated by re-posts contributes far fewer unique
+    * training tokens than its raw count suggests).
+    * `dup_token_frac` is an exact-long division emitted UNROUNDED
+    * (q137's argument: same two longs → the same double in every
+    * engine).
+    */
+  private[graft] def dedupTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.{CorpusPipeline, Dedup}
+    val d = docs(s, dir)
+    val kept = Dedup.exactDedupSemi(d, "doc_id", "text")
+      .join(CorpusPipeline.nearDupDropIds(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8),
+        Seq("doc_id"), "left_anti")
+    val tok = d.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+    val raw = tok.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("raw_tokens"))
+    val eff = kept.select("doc_id").join(tok, Seq("doc_id"))
+      .groupBy(col("lang").as("__l"))
+      .agg(count(lit(1)).as("__nk"), sum("__nt").as("__et"))
+    raw.join(eff, col("lang") <=> col("__l"), "left")
+      .select(col("lang"), col("n_docs"), col("raw_tokens"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__et"), lit(0L)).as("effective_tokens"),
+        when(col("raw_tokens") > 0,
+          (col("raw_tokens") - coalesce(col("__et"), lit(0L)))
+            .cast("double") / col("raw_tokens"))
+          .as("dup_token_frac"))
+      .orderBy("lang")
+  }
+
+  /** Mergeable corpus datasheet
+    * ([[TextAnalysis.datasheetShards]] / [[TextAnalysis
+    * .mergeDatasheets]]): shard datasheets built independently per
+    * ingest batch (doc_id % 4 plays the batch id) merge by sum +
+    * DataSketches-HLL union into the per-(source, lang) datasheet —
+    * the maintenance shape where stats update per append without
+    * rescanning history. The HLL vocabulary estimate is asserted
+    * in-query against the exact distinct count (q46's pattern:
+    * `vocab_within_5pct` must be 1 for every group or the oracle
+    * compare fails — the sketch is deterministic, so this is a
+    * stable assertion).
+    */
+  private[graft] def mergeableDatasheetQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merged = TextAnalysis.mergeDatasheets(
+      TextAnalysis.datasheetShards(d, "doc_id", "text",
+        Seq("source", "lang"), col("doc_id") % 4),
+      Seq("source", "lang"))
+    val exact = d.select(col("source").as("__s"), col("lang").as("__l"),
+        explode(TextAnalysis.words(coalesce(col("text"), lit(""))))
+          .as("w"))
+      .groupBy("__s", "__l")
+      .agg(count_distinct(col("w")).as("__ve"))
+    merged.join(exact,
+        col("source") <=> col("__s") && col("lang") <=> col("__l"),
+        "left")
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("sum_tokens"),
+        coalesce(col("__ve"), lit(0L)).as("vocab_exact"),
+        (abs(col("vocab_estimate") - coalesce(col("__ve"), lit(0L))) <=
+          coalesce(col("__ve"), lit(0L)).cast("double") * lit(0.05))
+          .cast("int").as("vocab_within_5pct"))
+      .orderBy("source", "lang")
+  }
+
+  /** LSH candidate-coverage audit ([[Similarity.recallAudit]] in pair
+    * mode): q24's banded candidate generation audited against q23's
+    * exact-Jaccard ≥ 0.8 pairs, per id_a — the s-curve tuning measure
+    * for (numHashes, bands): a slipping audit means more hashes or
+    * wider bands. Candidate-side false positives are verify-stage
+    * cost, not a miss — the audit measures what banding LOSES.
+    */
+  private[graft] def lshRecallAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleDf = Some(10))
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+      n = 3, numHashes = 16)
+    val cands = Dedup.lshCandidates(sigs, "doc_id",
+      bands = 4, rowsPerBand = 4)
+    Similarity.recallAudit(cands, exact, keyCols = Seq("id_a", "id_b"))
+      .orderBy("id_a")
+  }
+
+  /** Incremental near-dup detection ([[Dedup.buildLshIndex]] +
+    * [[Dedup.nearDupMatches]]): every third document plays the
+    * incoming batch; the rest are the standing corpus whose LSH index
+    * is built once. Batch rows probe the index and candidates verify
+    * by exact Jaccard — the asymmetric daily-ingest shape that never
+    * re-pairs the corpus with itself. Same q24 band parameters.
+    */
+  private[graft] def nearDupIncremental(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.where(col("doc_id") % 3 =!= 0)
+    val batch = d.where(col("doc_id") % 3 === 0)
+    val index = Dedup.buildLshIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4)
+    Dedup.nearDupMatches(corpus, index, batch, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  /** Incremental containment matches ([[Dedup.containmentMatches]]):
+    * the q110 batch/corpus split, but scored by BATCH-side containment
+    * — the asymmetric ingest guard that catches a batch doc embedded
+    * in a longer corpus doc where Jaccard (and the band index that
+    * estimates it) dilutes below threshold. Same result-invariant
+    * corpus-DF stop-shingle cap as q23/q119.
+    */
+  private[graft] def containmentIncremental(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.where(col("doc_id") % 3 =!= 0)
+    val batch = d.where(col("doc_id") % 3 === 0)
+    Dedup.containmentMatches(corpus, batch, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleDf = Some(10))
+      .select(col("batch_id"), col("corpus_id"), col("common"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  /** Content-defined chunking ([[TextAnalysis.chunkByContent]]):
+    * rolling-hash boundaries (3-gram md5 class mod 32) cut each
+    * document into ~32-token chunks whose identity depends only on
+    * LOCAL content — the insertion-robust chunking that makes
+    * chunk-level dedup against a previous snapshot work. md5 of each
+    * chunk pins exact boundaries and content in the oracle.
+    */
+  private[graft] def contentChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByContent(docs(s, dir), "doc_id", "text",
+        k = 3, targetTokens = 32)
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Chunk-level incremental dedup ([[Dedup.dedupChunksAgainst]] —
+    * q109's content-defined chunking composed with q51's
+    * dedup-against-store shape): every 10th document gets a trailing
+    * edit and the edited snapshot dedups at CHUNK granularity against
+    * the original snapshot's chunk store. Only chunks touching an
+    * edit re-land — content-defined boundaries keep every untouched
+    * chunk's md5 identical, so an edited corpus re-ships deltas, not
+    * documents. The oracle replays chunking on both snapshots, the
+    * within-snapshot first-writer collapse, and the store anti-join.
+    */
+  private[graft] def chunkIncrementalDedup(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edited = d.withColumn("text",
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" edit pass appended new sentence")))
+      .otherwise(col("text")))
+    Dedup.dedupChunksAgainst(d, edited, "doc_id", "text",
+        k = 3, targetTokens = 32)
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Exact shared-span detection ([[Dedup.sharedSpans]]): document
+    * pairs whose longest verbatim common token substring reaches 8
+    * tokens (5-gram seeds, boilerplate 5-grams df-capped at 10) — the
+    * "exact substring dedup" pass published training pipelines run
+    * beside whole-document near-dup removal.
+    */
+  private[graft] def sharedSpanPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpans(docs(s, dir), "doc_id", "text",
+        k = 5, minSpanTokens = 8, maxShingleDf = 10)
+      .orderBy("id_a", "id_b")
+
+  /** Corpus datasheet: the per-(source, lang) mix report every
+    * training run documents — volume, token mass, mean quality.
+    * First-class use of the documents table's provenance columns.
+    */
+  private[graft] def corpusDatasheet(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("sum_tokens"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 4)
+          .as("avg_quality"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "lang")
+
+  /** Sub-document duplicate-window signal: fraction of each document's
+    * non-overlapping 8-token spans that also occur verbatim in another
+    * document ([[Dedup.duplicateChunkFraction]]) — the span-granular
+    * boilerplate detector whole-document dedup cannot see.
+    */
+  private[graft] def dupChunkFraction(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateChunkFraction(docs(s, dir), "doc_id", "text",
+        window = 8)
+      .orderBy("doc_id")
+
+  /** Incremental-ingest dedup: a simulated new batch (80% of docs)
+    * deduped against the standing corpus (20%) — the daily-append
+    * workflow; the corpus side reduces to distinct fingerprints before
+    * the anti-join.
+    */
+  private[graft] def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dedupAgainst(
+        d.where(col("doc_id") % 5 === 0),
+        d.where(col("doc_id") % 5 =!= 0),
+        "text", "doc_id")
+      .agg(count(lit(1)).as("n_new"),
+        round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
+  }
+
+  /** Incremental dedup through the Bloom prefilter
+    * ([[Dedup.dedupAgainstBloom]]): result-identical to q51's
+    * anti-join form (the filter has no false negatives; positives are
+    * exactly verified), so the oracle is the plain SQL anti-join —
+    * what the query proves is that the scan-only-history path returns
+    * the same answer. The filter is built in one distributed pass
+    * sized to the history count and would be REUSED across batches in
+    * the incremental-ingest loop.
+    */
+  private[graft] def bloomIncrementalDedup(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.where(col("doc_id") % 3 === 0)
+    val batch = d.where(col("doc_id") % 3 =!= 0)
+    val bloom = Dedup.buildFingerprintBloom(
+      corpus, "text",
+      expectedItems = math.max(1L, corpus.count()), fpp = 0.01)
+    Dedup.dedupAgainstBloom(corpus, batch, "text", "doc_id", bloom)
+      .agg(count(lit(1)).as("n_new"),
+        round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
+  }
+
+  /** Dedup audit: size histogram of the verified near-dup clusters
+    * (MinHash-LSH candidates → exact-Jaccard verify → connected
+    * components). `removable` is the doc count near-dup removal would
+    * drop — the "how much redundancy is in this corpus" report run
+    * before committing to a dedup pass.
+    */
+  private[graft] def nearDupClusterHistogram(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.{ConnectedComponents, Dedup}
+    val pairs = Dedup.minhashLshPairs(
+      docs(s, dir), "doc_id", "text", 3, 16, 4, 0.8)
+    val labels = ConnectedComponents
+      .componentsAuto(pairs, "id_a", "id_b")._1
+    labels.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(
+        col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("docs_in_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
+      .orderBy("cluster_size")
+  }
+
+  /** Capstone: composed training-corpus preparation — exact dedup →
+    * MinHash-LSH near-dup removal → quality floor → language tagging —
+    * summarized per predicted language.
+    */
+  private[graft] def corpusPrep(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CorpusPipeline
+      .prepareTrainingCorpus(docs(s, dir), "doc_id", "text",
+        minQuality = 0.3)
+      .groupBy("predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("predicted")
+
+  /** Entity resolution ([[Analytics.resolveEntities]]): part records
+    * linked through SymSpell-blocked edit-distance ≤ 2 name matches,
+    * clustered transitively (connected components over names), each
+    * record stamped with its cluster's canonical name and minimum
+    * part key — the record-linkage/master-data operator composed from
+    * the fuzzy-join and CC machinery.
+    */
+  private[graft] def entityResolution(s: SparkSession, dir: String): DataFrame =
+    Analytics.resolveEntities(t(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 2)
+      .orderBy("p_partkey")
+
+  /** Quality-survivorship near-dup dedup ([[Dedup.dedupNearKeepBest]]):
+    * the q24 LSH clusters, but each cluster keeps its HIGHEST-quality
+    * member (min doc_id on ties) instead of the minimum id — among
+    * re-posts, keep the cleanest capture. Output: survivors with
+    * cluster size and quality.
+    */
+  private[graft] def keepBestNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+    Dedup.dedupNearKeepBest(d, "doc_id", "text", "__q",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select(col("doc_id"), col("cluster_size"),
+        round(col("__q"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document duplicate-line removal ([[TextAnalysis.dedupLines]])
+    * over deterministically derived 4-token lines (the corpus is
+    * single-line word soup, so lines are built, not parsed — the
+    * 40-ish word vocabulary makes short lines genuinely repeat).
+    * Zero-token docs are excluded on both sides ("" splits to one
+    * empty line but derives zero lines).
+    */
+  private[graft] def lineDedupDocs(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val lines = transform(
+      sequence(lit(0), (ceil(size(ws) / 4.0) - 1).cast("int")),
+      i => array_join(slice(ws, i * 4 + 1, lit(4)), " "))
+    val src = t(s, dir, "documents")
+      .where(size(ws) > 0)
+      .select(col("doc_id"), array_join(lines, "\n").as("text"))
+    TextAnalysis.dedupLines(src, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide line dedup ([[TextAnalysis.dedupLinesGlobal]]) over
+    * the same derived 4-token lines as q134 — a line survives only in
+    * the lowest-(doc_id, pos) document that contains it, everywhere
+    * else it's boilerplate and drops (the C4/RefinedWeb corpus-level
+    * pass; q134 is the within-document variant).
+    */
+  private[graft] def globalLineDedupDocs(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val lines = transform(
+      sequence(lit(0), (ceil(size(ws) / 4.0) - 1).cast("int")),
+      i => array_join(slice(ws, i * 4 + 1, lit(4)), " "))
+    val src = t(s, dir, "documents")
+      .where(size(ws) > 0)
+      .select(col("doc_id"), array_join(lines, "\n").as("text"))
+    TextAnalysis.dedupLinesGlobal(src, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source near-duplication matrix
+    * ([[Dedup.crossSourceDupMatrix]]): which corpus sources re-crawl
+    * which, measured on the q24 MinHash-LSH verified pairs — the
+    * provenance audit run before assigning mixture weights (a source
+    * that is 40 % near-duplicated in another double-counts that
+    * content at whatever weight it gets).
+    */
+  private[graft] def crossSourceDupMatrixQ(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceDupMatrix(docs(s, dir), "doc_id", "text", "source")
+      .orderBy("src_a", "src_b")
+
+  /** Cluster-merge survivorship ([[Dedup.mergeSurvivorship]]): q128's
+    * near-dup clusters, but each collapses to ONE consolidated record
+    * carrying the union of the cluster's provenance (sources, langs)
+    * and its total token mass next to the kept member — dedup that
+    * doesn't lose where content was seen.
+    */
+  private[graft] def mergeSurvivorshipQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("__tok",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    Dedup.mergeSurvivorship(d, "doc_id", "text", "__q",
+        setCols = Seq("source", "lang"), sumCols = Seq("__tok"))
+      .select(col("cluster_id"), col("kept_id"), col("n_members"),
+        round(col("best_score"), 4).as("best_quality"),
+        col("source_set").as("sources"), col("lang_set").as("langs"),
+        col("sum___tok").as("total_tokens"))
+      .orderBy("cluster_id")
+  }
+
+  private[graft] val oracleShingleCte = "WITH " + oracleShingleCtes
+
+  /** Exact-Jaccard pair selection from the shingle CTE. */
+  private[graft] def oracleJaccardSelect(
+      candidateFilter: String, includeCommon: Boolean): String =
+    s"""common AS (
+       SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       $candidateFilter
+       GROUP BY 1, 2)
+       SELECT ida AS id_a, idb AS id_b,
+         ${if (includeCommon) "common," else ""}
+         round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4) AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = ida
+       JOIN sizes sb ON sb.doc_id = idb
+       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+       ORDER BY id_a, id_b"""
+
+  /** TF-weighted SimHash CTE: identical bit math to Dedup.simhash. */
+  private[graft] val oracleSimhashCte: String = {
+    def bit(i: Int) =
+      s"((CAST(('0x' || substr(h, ${i / 4 + 1}, 1)) AS BIGINT) >> ${3 - i % 4}) & 1)"
+    val sums = (0 until 64)
+      .map(i => s"sum(CASE WHEN ${bit(i)} = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val hexDigits = (0 until 16).map { j =>
+      val v = (0 until 4)
+        .map(k => s"(CASE WHEN s${j * 4 + k} > 0 THEN ${8 >> k} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', 1 + ($v), 1)"
+    }.mkString(" || ")
+    s"""WITH toks AS (
+       SELECT doc_id, unnest($oracleWords) AS token FROM documents),
+       th AS (SELECT doc_id, md5(token) AS h FROM toks),
+       sums AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+       sh AS (SELECT doc_id, $hexDigits AS simhash_hex FROM sums),
+       shp AS (
+         SELECT doc_id, simhash_hex,
+           CAST(('0x' || substr(simhash_hex, 1, 8)) AS BIGINT) AS hi,
+           CAST(('0x' || substr(simhash_hex, 9, 8)) AS BIGINT) AS lo
+         FROM sh)"""
+  }
+
+  /** Content-chunking CTE replay ([[graft.text.TextAnalysis
+    * .chunkByContent]], the q109 construction) over `src` (a relation
+    * exposing doc_id, text), CTE names prefixed `p`; final CTE
+    * `${p}ch` carries (doc_id, chunk_idx, n_tokens, chunk_md5).
+    */
+  private[graft] def oracleChunkCtes(p: String, src: String, target: Int): String =
+    s"""${p}tok AS (
+         SELECT doc_id, $oracleWords AS ws FROM $src
+         WHERE len($oracleWords) > 0),
+       ${p}b AS (
+         SELECT doc_id, ws,
+           list_filter(generate_series(3, len(ws) - 1), j ->
+             (('0x' || substr(md5(array_to_string(ws[j-2:j], ' ')),
+               1, 8))::BIGINT % $target) = 0) AS bs
+         FROM ${p}tok),
+       ${p}c AS (
+         SELECT doc_id, ws,
+           list_prepend(1, list_transform(bs, j -> j + 1)) AS ss,
+           list_append(bs, len(ws)) AS es
+         FROM ${p}b),
+       ${p}ch AS (
+         SELECT doc_id, i - 1 AS chunk_idx,
+           es[i] - ss[i] + 1 AS n_tokens,
+           md5(array_to_string(ws[ss[i]:es[i]], ' ')) AS chunk_md5
+         FROM ${p}c, LATERAL (SELECT unnest(
+           generate_series(1, len(ss))) AS i) t)"""
+}

@@ -1,0 +1,1840 @@
+package graft.registry
+
+import graft.dedup.Dedup
+import graft.functions.Fx
+import graft.multimodal.Multimodal
+import graft.operators.Analytics
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.registry.RegistryBase._
+
+/** Embedding / ANN / multimodal similarity queries — query builders plus their DuckDB oracles.
+  * Conventions: see [[graft.SparkEntry]]. Split from the original
+  * single-file registry; member bodies are unchanged.
+  */
+private[graft] object SimilarityRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_ann_int8" -> (annInt8 _),
+    "q112_ann_pq" -> (annPq _),
+    "q113_ann_ivfpq" -> (annIvfPq _),
+    "q116_ann_ivfrpq" -> (annIvfRpq _),
+    "q117_ann_recall_audit" -> (annRecallAuditQ _),
+    "q122_image_dhash_pairs" -> (imageDHashPairs _),
+    "q123_srp_neardup" -> (srpNearDupPairs _),
+    "q127_srp_dedup_incremental" -> (srpDedupIncremental _),
+    "q138_ann_recall_audit_sampled" -> (annRecallAuditSampledQ _),
+    "q139_index_lifecycle" -> (indexLifecycleQ _),
+    "q141_hard_negatives" -> (hardNegativesQ _),
+    "q144_semantic_decontamination" -> (semanticDecontamination _),
+    "q146_corpus_cluster_map" -> (corpusClusterMap _),
+    "q159_kcenter_select" -> (kcenterSelectQ _),
+    "q169_audio_ehash_dedup" -> (audioEhashDedupQ _),
+    "q173_mmr_rerank" -> (mmrRerankQ _),
+    "q27_embedding_neardup" -> (embeddingNeardup _),
+    "q28_ann_bruteforce" -> (annBruteForce _),
+    "q29_ann_ivf" -> (annIvf _),
+    "q30_binary_fingerprints" -> (binaryFingerprints _),
+    "q38_png_header_decode" -> (pngHeaderDecode _),
+    "q39_image_pixel_stats" -> (imagePixelStats _),
+    "q40_ann_kmedians" -> (annIvfKmedians _),
+    "q47_wav_roundtrip" -> (wavRoundtrip _),
+    "q63_video_meta" -> (videoMeta _),
+    "q72_semantic_dedup" -> (semanticDedupCensus _),
+    "q78_centroid_drift" -> (labelCentroidDrift _),
+    "q90_hybrid_rank_fusion" -> (hybridRankFusion _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // replays quantizeInt8's exact arithmetic: q_i = round(x_i /
+    // (max|x|/127)); codes are small exact integers, so the cosine —
+    // scales cancel — matches the Spark side bit-for-bit at 4 decimals
+    "q105_ann_int8" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         qz AS (
+           SELECT vec_id,
+             CASE WHEN coalesce(
+                 list_max(list_transform(v, x -> abs(x))), 0.0) = 0.0
+               THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> round(x /
+                 (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+             END AS qv
+           FROM e),
+         q AS (SELECT vec_id AS qid, qv FROM qz WHERE vec_id < 10),
+         s AS (
+           SELECT qid, z.vec_id AS nid, ${oracleCos("q.qv", "z.qv")} AS sim
+           FROM q CROSS JOIN qz z WHERE qid <> z.vec_id),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // full PQ replay: per-block training chains (hash-init k-medians,
+    // the q40 treatment ×4 sub-spaces), L2-argmin codes, then ADC —
+    // dot and norm² reassembled from per-block codeword lookups
+    "q112_ann_pq" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ${(0 until 4).map(b => oraclePqBlock(b, 16, 16)).mkString(",\n")},
+         ncodes AS (
+           SELECT e.vec_id, enc0.code AS k0, enc1.code AS k1,
+             enc2.code AS k2, enc3.code AS k3
+           FROM e
+           JOIN enc0 ON enc0.vec_id = e.vec_id
+           JOIN enc1 ON enc1.vec_id = e.vec_id
+           JOIN enc2 ON enc2.vec_id = e.vec_id
+           JOIN enc3 ON enc3.vec_id = e.vec_id),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             round((list_dot_product(q.v[1:16], b0.cv)
+                 + list_dot_product(q.v[17:32], b1.cv)
+                 + list_dot_product(q.v[33:48], b2.cv)
+                 + list_dot_product(q.v[49:64], b3.cv))
+               / nullif(sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b0.cv, b0.cv)
+                   + list_dot_product(b1.cv, b1.cv)
+                   + list_dot_product(b2.cv, b2.cv)
+                   + list_dot_product(b3.cv, b3.cv)), 0.0), 4) AS sim
+           FROM q CROSS JOIN ncodes n
+           JOIN cb0 b0 ON b0.code = n.k0
+           JOIN cb1 b1 ON b1.code = n.k1
+           JOIN cb2 b2 ON b2.code = n.k2
+           JOIN cb3 b3 ON b3.code = n.k3
+           WHERE n.vec_id <> q.vec_id),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q113_ann_ivfpq" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ${(0 until 4).map(b => oraclePqBlock(b, 16, 16)).mkString(",\n")},
+         ncodes AS (
+           SELECT e.vec_id, enc0.code AS k0, enc1.code AS k1,
+             enc2.code AS k2, enc3.code AS k3
+           FROM e
+           JOIN enc0 ON enc0.vec_id = e.vec_id
+           JOIN enc1 ON enc1.vec_id = e.vec_id
+           JOIN enc2 ON enc2.vec_id = e.vec_id
+           JOIN enc3 ON enc3.vec_id = e.vec_id),
+         ccents AS (
+           SELECT vec_id AS ccid, v AS ccv FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+           LIMIT 16),
+         cassign AS (
+           SELECT vec_id, ccid FROM (
+             SELECT e.vec_id, c.ccid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM e CROSS JOIN ccents c) WHERE rn = 1),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, ccid FROM (
+             SELECT q.vec_id AS qid, c.ccid, row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ${oracleCos("q.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM q CROSS JOIN ccents c) WHERE rn <= 3),
+         s AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             round((list_dot_product(q.v[1:16], b0.cv)
+                 + list_dot_product(q.v[17:32], b1.cv)
+                 + list_dot_product(q.v[33:48], b2.cv)
+                 + list_dot_product(q.v[49:64], b3.cv))
+               / nullif(sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b0.cv, b0.cv)
+                   + list_dot_product(b1.cv, b1.cv)
+                   + list_dot_product(b2.cv, b2.cv)
+                   + list_dot_product(b3.cv, b3.cv)), 0.0), 4) AS sim
+           FROM q
+           JOIN probes p ON p.qid = q.vec_id
+           JOIN cassign ca ON ca.ccid = p.ccid
+           JOIN ncodes n ON n.vec_id = ca.vec_id
+           JOIN cb0 b0 ON b0.code = n.k0
+           JOIN cb1 b1 ON b1.code = n.k1
+           JOIN cb2 b2 ON b2.code = n.k2
+           JOIN cb3 b3 ON b3.code = n.k3
+           WHERE n.vec_id <> q.vec_id),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // residual IVF-PQ replay: q113's coarse assignment, then the PQ
+    // chains train/encode over the RESIDUAL x − c (CTE r), and ADC
+    // reassembles cosine(q, c + r̂) from per-block lookups — all sums
+    // in the engine's block order (left-assoc from 0.0)
+    "q116_ann_ivfrpq" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ccents AS (
+           SELECT vec_id AS ccid, v AS ccv FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+           LIMIT 16),
+         cassign AS (
+           SELECT vec_id, ccid FROM (
+             SELECT e.vec_id, c.ccid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM e CROSS JOIN ccents c) WHERE rn = 1),
+         res AS (
+           SELECT e.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> e.v[i] - c.ccv[i]) AS v
+           FROM e
+           JOIN cassign ca ON ca.vec_id = e.vec_id
+           JOIN ccents c ON c.ccid = ca.ccid),
+         ${(0 until 4).map(b => oraclePqBlock(b, 16, 16, src = "res"))
+            .mkString(",\n")},
+         ncodes AS (
+           SELECT e.vec_id, enc0.code AS k0, enc1.code AS k1,
+             enc2.code AS k2, enc3.code AS k3
+           FROM e
+           JOIN enc0 ON enc0.vec_id = e.vec_id
+           JOIN enc1 ON enc1.vec_id = e.vec_id
+           JOIN enc2 ON enc2.vec_id = e.vec_id
+           JOIN enc3 ON enc3.vec_id = e.vec_id),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, ccid FROM (
+             SELECT q.vec_id AS qid, c.ccid, row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ${oracleCos("q.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM q CROSS JOIN ccents c) WHERE rn <= 3),
+         s AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             round((list_dot_product(q.v, c.ccv)
+                 + (0.0 + list_dot_product(q.v[1:16], b0.cv)
+                     + list_dot_product(q.v[17:32], b1.cv)
+                     + list_dot_product(q.v[33:48], b2.cv)
+                     + list_dot_product(q.v[49:64], b3.cv)))
+               / nullif(sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(c.ccv, c.ccv)
+                   + 2.0 * (0.0
+                     + list_dot_product(c.ccv[1:16], b0.cv)
+                     + list_dot_product(c.ccv[17:32], b1.cv)
+                     + list_dot_product(c.ccv[33:48], b2.cv)
+                     + list_dot_product(c.ccv[49:64], b3.cv))
+                   + (0.0 + list_dot_product(b0.cv, b0.cv)
+                     + list_dot_product(b1.cv, b1.cv)
+                     + list_dot_product(b2.cv, b2.cv)
+                     + list_dot_product(b3.cv, b3.cv))), 0.0), 4) AS sim
+           FROM q
+           JOIN probes p ON p.qid = q.vec_id
+           JOIN ccents c ON c.ccid = p.ccid
+           JOIN cassign ca ON ca.ccid = p.ccid
+           JOIN ncodes n ON n.vec_id = ca.vec_id
+           JOIN cb0 b0 ON b0.code = n.k0
+           JOIN cb1 b1 ON b1.code = n.k1
+           JOIN cb2 b2 ON b2.code = n.k2
+           JOIN cb3 b3 ON b3.code = n.k3
+           WHERE n.vec_id <> q.vec_id),
+         rk AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM rk WHERE rank <= 10 ORDER BY query_id, rank""",
+    // recall audit: q28's exact top-10 LEFT JOIN q29's routed top-10
+    // per query — misses lower recall, approx-side false positives
+    // don't (the audit measures what routing LOSES)
+    "q117_ann_recall_audit" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         bs AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         br AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM bs) WHERE rank <= 10),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 3),
+         vs AS (
+           SELECT qid, a.vec_id AS nid, ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> qid),
+         vr AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM vs) WHERE rank <= 10)
+         SELECT br.qid AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(vr.nid) AS BIGINT) AS n_hit,
+           round(CAST(count(vr.nid) AS DOUBLE) / count(*), 4) AS recall
+         FROM br LEFT JOIN vr ON vr.qid = br.qid AND vr.nid = br.nid
+         GROUP BY br.qid ORDER BY query_id""",
+    // full decode→pool→hash replay in integer arithmetic: synthetic
+    // pixels are (x,y,seed) formulas (q39), milli-luma sums are
+    // integers, dHash bits compare averages by cross-multiplication —
+    // no float anywhere. All-pairs scoring matches the engine's banded
+    // join because 4×16 banding is exact at distance <= 3.
+    "q122_image_dhash_pairs" ->
+      """WITH p AS (
+           SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS w,
+             CAST(doc_id % 16 + 8 AS INT) AS h,
+             CAST(doc_id % 336 AS INT) AS seed
+           FROM documents),
+         xs AS (SELECT doc_id, w, h, seed, unnest(range(w)) AS x FROM p),
+         px AS (SELECT doc_id, w, h, seed, x,
+                  unnest(range(h)) AS y FROM xs),
+         lum AS (
+           SELECT doc_id,
+             least(y * 8 // h, 7) AS cy, least(x * 9 // w, 8) AS cx,
+             299 * ((x*(37 + 13*(seed%5)) + y*(23 + 7*(seed%3)) + seed)
+                 % 256)
+               + 587 * ((x*x*(seed%4 + 1) + y*29 + 2*seed) % 256)
+               + 114 * ((x*53 + y*41 + x*y + 5*seed) % 256) AS ml
+           FROM px),
+         cells AS (
+           SELECT doc_id, cy, cx, sum(ml) AS s, count(*) AS c
+           FROM lum GROUP BY 1, 2, 3),
+         bits AS (
+           SELECT l.doc_id, l.cy, l.cx,
+             CASE WHEN r.s * l.c > l.s * r.c THEN 1 ELSE 0 END AS bit
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+           WHERE l.cx < 8),
+         hs AS (
+           SELECT doc_id,
+             sum(CASE WHEN cy < 4 THEN
+               bit * (CAST(1 AS BIGINT) << (31 - (cy*8 + cx)))
+               ELSE 0 END) AS hi,
+             sum(CASE WHEN cy >= 4 THEN
+               bit * (CAST(1 AS BIGINT) << (31 - ((cy-4)*8 + cx)))
+               ELSE 0 END) AS lo
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             AS INT) AS hamming
+         FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY id_a, id_b""",
+    // full SRP replay: perturb, quantize (the q105 CTE), project onto
+    // 64 md5-derived sign rows (integer-valued terms -> exact sums),
+    // pack bits, score batch-vs-corpus at hamming <= 3, verify cosine
+    "q123_srp_neardup" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, list_transform(range(len(v)), d ->
+             v[d+1] + 0.01 * CAST((vec_id*7 + d) % 5 - 2 AS DOUBLE)) AS v
+           FROM e WHERE vec_id % 10 = 0),
+         allv AS (
+           SELECT vec_id AS id, v FROM e
+           UNION ALL SELECT vec_id + 1000000 AS id, v FROM b),
+         $oracleSrpCtes,
+         pr AS (
+           SELECT a.id AS corpus_id, z.id - 1000000 AS batch_src,
+             CAST(bit_count(xor(a.hi, z.hi))
+               + bit_count(xor(a.lo, z.lo)) AS INT) AS hamming
+           FROM hs a JOIN hs z ON a.id < 1000000 AND z.id >= 1000000
+           WHERE bit_count(xor(a.hi, z.hi))
+             + bit_count(xor(a.lo, z.lo)) <= 3)
+         SELECT corpus_id, batch_src, hamming,
+           ${oracleCos("e.v", "b.v")} AS cos
+         FROM pr JOIN e ON e.vec_id = corpus_id
+           JOIN b ON b.vec_id = batch_src
+         ORDER BY corpus_id, batch_src""",
+    // the q123 sketch replay, asymmetric: light perturbations
+    // (vec_id%10=0) should match and drop, heavy ones (novel) survive;
+    // survivors = batch minus (hamming<=3 AND unrounded cos>=0.98)
+    "q127_srp_dedup_incremental" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, list_transform(range(len(v)), d ->
+             v[d+1] + (CASE WHEN vec_id % 10 = 0 THEN 0.01 ELSE 0.3 END)
+               * CAST((vec_id*7 + d) % 5 - 2 AS DOUBLE)) AS v
+           FROM e WHERE vec_id % 5 = 0),
+         allv AS (
+           SELECT vec_id AS id, v FROM e
+           UNION ALL SELECT vec_id + 1000000 AS id, v FROM b),
+         $oracleSrpCtes,
+         matched AS (
+           SELECT DISTINCT z.id - 1000000 AS vec_id
+           FROM hs a JOIN hs z ON a.id < 1000000 AND z.id >= 1000000
+           JOIN e ON e.vec_id = a.id
+           JOIN b b2 ON b2.vec_id = z.id - 1000000
+           WHERE bit_count(xor(a.hi, z.hi))
+               + bit_count(xor(a.lo, z.lo)) <= 3
+             AND ${oracleCosRaw("e.v", "b2.v")} >= 0.98)
+         SELECT vec_id FROM b
+         WHERE vec_id NOT IN (SELECT vec_id FROM matched)
+         ORDER BY vec_id""",
+    // q117 with the query leg hash-sampled at 10 % (salt "audit") —
+    // the standing scheduled-audit form
+    "q138_ann_recall_audit_sampled" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE CAST(('0x' || substr(
+               md5('audit' || CAST(vec_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 < 0.10),
+         bs AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         br AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM bs) WHERE rank <= 10),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 3),
+         vs AS (
+           SELECT qid, a.vec_id AS nid, ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> qid),
+         vr AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM vs) WHERE rank <= 10)
+         SELECT br.qid AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(vr.nid) AS BIGINT) AS n_hit,
+           round(CAST(count(vr.nid) AS DOUBLE) / count(*), 4) AS recall
+         FROM br LEFT JOIN vr ON vr.qid = br.qid AND vr.nid = br.nid
+         GROUP BY br.qid ORDER BY query_id""",
+    // index lifecycle: codebooks + coarse centroids train on the
+    // initial corpus (vec_id % 4 <> 0), ALL rows encode with them
+    // (the append), drift = per-bucket mean-vector cosine vs its
+    // centroid, audit = q138's sampled recall over the PQ-routed
+    // search, rolled up to the query's assigned bucket
+    "q139_index_lifecycle" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ei AS (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),
+         ${(0 until 4).map(b =>
+             oraclePqBlock(b, 16, 16, "ei", "e")).mkString(",\n")},
+         ncodes AS (
+           SELECT e.vec_id, enc0.code AS k0, enc1.code AS k1,
+             enc2.code AS k2, enc3.code AS k3
+           FROM e
+           JOIN enc0 ON enc0.vec_id = e.vec_id
+           JOIN enc1 ON enc1.vec_id = e.vec_id
+           JOIN enc2 ON enc2.vec_id = e.vec_id
+           JOIN enc3 ON enc3.vec_id = e.vec_id),
+         ccents AS (SELECT vec_id AS ccid, v AS ccv FROM ei
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                      vec_id ASC
+                    LIMIT 16),
+         cassign AS (
+           SELECT vec_id, ccid FROM (
+             SELECT e.vec_id, c.ccid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM e CROSS JOIN ccents c) WHERE rn = 1),
+         dims AS (SELECT unnest(range(1, 65)) AS pos),
+         dmean AS (
+           SELECT ca.ccid, d.pos, round(avg(e.v[d.pos]), 6) AS m,
+             count(*) AS nn
+           FROM cassign ca JOIN e ON e.vec_id = ca.vec_id
+             CROSS JOIN dims d
+           GROUP BY ca.ccid, d.pos),
+         mv AS (SELECT ccid, list(m ORDER BY pos) AS mvec,
+             max(nn) AS n
+           FROM dmean GROUP BY ccid),
+         drift AS (
+           SELECT mv.ccid, mv.n,
+             ${oracleCos("mv.mvec", "c.ccv")} AS mean_sim
+           FROM mv JOIN ccents c ON c.ccid = mv.ccid),
+         q AS (SELECT vec_id, v FROM e
+           WHERE CAST(('0x' || substr(
+               md5('audit' || CAST(vec_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 < 0.10),
+         probes AS (
+           SELECT qid, ccid FROM (
+             SELECT q.vec_id AS qid, c.ccid, row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ${oracleCos("q.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM q CROSS JOIN ccents c) WHERE rn <= 3),
+         s AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             round((list_dot_product(q.v[1:16], b0.cv)
+                 + list_dot_product(q.v[17:32], b1.cv)
+                 + list_dot_product(q.v[33:48], b2.cv)
+                 + list_dot_product(q.v[49:64], b3.cv))
+               / nullif(sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b0.cv, b0.cv)
+                   + list_dot_product(b1.cv, b1.cv)
+                   + list_dot_product(b2.cv, b2.cv)
+                   + list_dot_product(b3.cv, b3.cv)), 0.0), 4) AS sim
+           FROM q
+           JOIN probes p ON p.qid = q.vec_id
+           JOIN cassign ca ON ca.ccid = p.ccid
+           JOIN ncodes n ON n.vec_id = ca.vec_id
+           JOIN cb0 b0 ON b0.code = n.k0
+           JOIN cb1 b1 ON b1.code = n.k1
+           JOIN cb2 b2 ON b2.code = n.k2
+           JOIN cb3 b3 ON b3.code = n.k3
+           WHERE n.vec_id <> q.vec_id),
+         vr AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM s) WHERE rank <= 10),
+         bs AS (
+           SELECT qq.qid, e.vec_id AS nid,
+             ${oracleCos("qq.qv", "e.v")} AS sim
+           FROM (SELECT vec_id AS qid, v AS qv FROM q) qq
+           CROSS JOIN e WHERE qq.qid <> e.vec_id),
+         br AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM bs) WHERE rank <= 10),
+         rec AS (
+           SELECT br.qid,
+             round(CAST(count(vr.nid) AS DOUBLE) / count(*), 4)
+               AS recall
+           FROM br LEFT JOIN vr ON vr.qid = br.qid AND vr.nid = br.nid
+           GROUP BY br.qid),
+         pa AS (
+           SELECT ca.ccid, CAST(count(*) AS BIGINT) AS n_audit,
+             avg(recall) AS avg_recall
+           FROM rec JOIN cassign ca ON ca.vec_id = rec.qid
+           GROUP BY ca.ccid)
+         SELECT d.ccid AS centroid_id, CAST(d.n AS BIGINT) AS n,
+           d.mean_sim AS mean_sim,
+           d.mean_sim < 0.98 AS recenter_advised,
+           coalesce(pa.n_audit, 0) AS n_audit,
+           pa.avg_recall AS avg_recall
+         FROM drift d LEFT JOIN pa ON pa.ccid = d.ccid
+         ORDER BY centroid_id""",
+    // q117's routing with the wrong-label filter inside the probed
+    // buckets, before ranking
+    "q141_hard_negatives" ->
+      s"""WITH e AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, label, v, cid FROM (
+             SELECT e.vec_id, e.label, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM e
+               WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, ql, qv, cid FROM (
+             SELECT q.qid, q.ql, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC)
+               AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 3),
+         vs AS (
+           SELECT qid, ql, a.vec_id AS nid, a.label AS nl,
+             ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.qid AND a.label <> p.ql),
+         r AS (
+           SELECT qid, ql, nid, nl, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT)
+             AS rank
+           FROM vs)
+         SELECT qid AS query_id, ql AS query_label,
+           nid AS neighbor_id, nl AS neighbor_label, sim, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q127's construction, but the output is the contamination REPORT
+    // (matched pairs + distance/similarity), not the survivors
+    "q144_semantic_decontamination" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, list_transform(range(len(v)), d ->
+             v[d+1] + (CASE WHEN vec_id % 10 = 0 THEN 0.01 ELSE 0.3 END)
+               * CAST((vec_id*7 + d) % 5 - 2 AS DOUBLE)) AS v
+           FROM e WHERE vec_id % 5 = 0),
+         allv AS (
+           SELECT vec_id AS id, v FROM e
+           UNION ALL SELECT vec_id + 1000000 AS id, v FROM b),
+         $oracleSrpCtes
+         SELECT z.id - 1000000 AS eval_id, a.id AS corpus_id,
+           CAST(bit_count(xor(a.hi, z.hi))
+             + bit_count(xor(a.lo, z.lo)) AS INT) AS hamming,
+           round(${oracleCosRaw("e.v", "b2.v")}, 4) AS cos
+         FROM hs a JOIN hs z ON a.id < 1000000 AND z.id >= 1000000
+         JOIN e ON e.vec_id = a.id
+         JOIN b b2 ON b2.vec_id = z.id - 1000000
+         WHERE bit_count(xor(a.hi, z.hi))
+             + bit_count(xor(a.lo, z.lo)) <= 3
+           AND ${oracleCosRaw("e.v", "b2.v")} >= 0.98
+         ORDER BY eval_id, corpus_id""",
+    // embedding clusters (q117's cents/assign CTEs) joined to the
+    // documents table on the shared id
+    "q146_corpus_cluster_map" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC)
+               AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         base AS (
+           SELECT a.cid AS centroid_id, d.doc_id, d.lang,
+             len($oracleWords) AS nt
+           FROM assign a JOIN documents d ON d.doc_id = a.vec_id),
+         agg AS (
+           SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS sum_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+           FROM base GROUP BY 1),
+         lcnt AS (SELECT centroid_id, lang, count(*) AS c FROM base
+                  WHERE lang IS NOT NULL GROUP BY 1, 2),
+         top AS (
+           SELECT centroid_id, lang AS top_lang,
+             CAST(c AS BIGINT) AS top_lang_docs
+           FROM (SELECT *, row_number() OVER (
+               PARTITION BY centroid_id ORDER BY c DESC, lang ASC)
+               AS rn FROM lcnt)
+           WHERE rn = 1)
+         SELECT agg.centroid_id, n_docs, sum_tokens, n_langs,
+           top.top_lang, top.top_lang_docs
+         FROM agg LEFT JOIN top USING (centroid_id)
+         ORDER BY centroid_id""",
+    // int8 quantization (the q105 CTE) then 7 unrolled farthest-point
+    // rounds in exact BIGINT squared-L2; MATERIALIZED per round (each
+    // step is referenced twice — plain CTEs would inline the whole
+    // prefix exponentially)
+    "q159_kcenter_select" -> {
+      def d2(a: String, b: String): String =
+        s"""CAST(list_sum(list_transform(
+           generate_series(1, len($a)),
+           i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
+      def step(k: Int): String = {
+        val prev = if (k == 2) "m1" else s"m${k - 1}"
+        s"""c$k AS MATERIALIZED (
+             SELECT vec_id, q, mind FROM $prev
+             ORDER BY mind DESC, vec_id ASC LIMIT 1),
+           m$k AS MATERIALIZED (
+             SELECT m.vec_id, m.q,
+               least(m.mind, ${d2("m.q", "c.q")}) AS mind
+             FROM $prev m, c$k c WHERE m.vec_id <> c.vec_id)"""
+      }
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+         qz AS (
+           SELECT vec_id,
+             CASE WHEN coalesce(
+                 list_max(list_transform(v, x -> abs(x))), 0.0) = 0.0
+               THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> round(x /
+                 (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+             END AS qv
+           FROM e),
+         qi AS MATERIALIZED (
+           SELECT vec_id,
+             list_transform(qv, x -> CAST(x AS BIGINT)) AS q
+           FROM qz),
+         c1 AS MATERIALIZED (
+           SELECT vec_id, q FROM qi ORDER BY vec_id ASC LIMIT 1),
+         m1 AS MATERIALIZED (
+           SELECT p.vec_id, p.q, ${d2("p.q", "c.q")} AS mind
+           FROM qi p, c1 c WHERE p.vec_id <> c.vec_id),
+         ${(2 to 8).map(step).mkString(",\n         ")}
+         SELECT CAST(1 AS INT) AS round, vec_id,
+           CAST(NULL AS BIGINT) AS d2_at_selection FROM c1
+         ${(2 to 8).map(k =>
+            s"UNION ALL SELECT CAST($k AS INT), vec_id, mind FROM c$k")
+            .mkString("\n         ")}
+         ORDER BY round"""
+    },
+    // closed-form hash replay: window means reduce to the seed-mixed
+    // envelope multipliers, so bit w compares two integer terms; gain
+    // cancels — batch hashes equal corpus hashes per id
+    "q169_audio_ehash_dedup" -> {
+      def mul(w: String): String =
+        s"(doc_id + ($w)*($w)*(1 + doc_id % 31) + (doc_id // 7) * ($w)) % 9"
+      s"""WITH bits AS (
+           SELECT doc_id, w,
+             CASE WHEN ${mul("w + 1")} > ${mul("w")}
+               THEN 1 ELSE 0 END AS bit
+           FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS w
+                 FROM documents)),
+         hs AS (
+           SELECT doc_id,
+             sum(CASE WHEN w < 32 THEN
+               bit * (CAST(1 AS BIGINT) << (31 - w)) ELSE 0 END) AS hi,
+             sum(CASE WHEN w >= 32 THEN
+               bit * (CAST(1 AS BIGINT) << (63 - w)) ELSE 0 END) AS lo
+           FROM bits GROUP BY doc_id),
+         b AS (SELECT doc_id, hi, lo FROM hs WHERE doc_id % 5 = 0)
+         SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             AS INT) AS hamming
+         FROM hs a JOIN b ON bit_count(xor(a.hi, b.hi))
+           + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY corpus_id, batch_id"""
+    },
+    // 8 unrolled greedy rounds: argmax of the micro-quantized
+    // objective, running max-cosine updated against each new pick
+    "q173_mmr_rerank" -> {
+      def objSel(src: String) =
+        s"""SELECT vec_id, v, rel, mc,
+           CAST(floor((CAST(0.7 AS DOUBLE) * rel
+             - CAST(0.3 AS DOUBLE) * mc) * 1000000) AS BIGINT) AS obj
+           FROM $src"""
+      def step(r: Int): String = {
+        val prev = if (r == 1) "base" else s"m${r - 1}"
+        val pick =
+          s"""c$r AS MATERIALIZED (
+             ${objSel(prev)}
+             ORDER BY obj DESC, vec_id ASC LIMIT 1)"""
+        if (r == 8) pick
+        else pick + s""",
+           m$r AS MATERIALIZED (
+             SELECT p.vec_id, p.v, p.rel,
+               greatest(p.mc, ${oracleCosRaw("p.v", "c.v")}) AS mc
+             FROM $prev p, c$r c WHERE p.vec_id <> c.vec_id)"""
+      }
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e ORDER BY vec_id ASC LIMIT 1),
+         sc AS (
+           SELECT vec_id, v, ${oracleCosRaw("v", "qv")} AS rel
+           FROM e, q WHERE vec_id <> 0),
+         cand AS MATERIALIZED (
+           SELECT vec_id, v, rel FROM sc
+           ORDER BY rel DESC, vec_id ASC LIMIT 20),
+         base AS (
+           SELECT vec_id, v, rel, CAST(0.0 AS DOUBLE) AS mc
+           FROM cand),
+         ${(1 to 8).map(step).mkString(",\n         ")}
+         SELECT rank, vec_id, round(rel, 6) AS rel,
+           round(mc, 6) AS max_cos_prior, obj AS obj_micro
+         FROM (${(1 to 8).map(r =>
+            s"SELECT CAST($r AS INT) AS rank, vec_id, rel, mc, obj FROM c$r")
+            .mkString("\n           UNION ALL ")})
+         ORDER BY rank"""
+    },
+    "q27_embedding_neardup" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 32),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn <= 3),
+         cands AS (
+           SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+           FROM assign a JOIN assign b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         SELECT ida AS id_a, idb AS id_b,
+           ${oracleCos("a.v", "b.v")} AS sim
+         FROM cands JOIN e a ON a.vec_id = ida JOIN e b ON b.vec_id = idb
+         WHERE ${oracleCos("a.v", "b.v")} >= 0.45
+         ORDER BY id_a, id_b""",
+    "q28_ann_bruteforce" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q29_ann_ivf" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 3),
+         s AS (
+           SELECT qid, a.vec_id AS nid, ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> qid),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q30_binary_fingerprints" ->
+      """SELECT doc_id,
+         'application/octet-stream' AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS fingerprint,
+         CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks
+         FROM documents ORDER BY doc_id""",
+    // q38: the oracle recomputes the header fields straight from the
+    // doc_id formulas — Spark must round-trip them through actual PNG
+    // header bytes (hex-assemble → unhex → parse), so an encode or
+    // decode defect on either side breaks the match.
+    "q38_png_header_decode" ->
+      """SELECT doc_id,
+         'png' AS format,
+         CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+         CAST(doc_id % 48 + 8 AS BIGINT) AS height,
+         CAST(8 AS INT) AS bit_depth,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                   WHEN doc_id % 3 = 1 THEN 3
+                   ELSE 4 END AS INT) AS channels
+         FROM documents ORDER BY doc_id""",
+    // q39: DuckDB has no image codec, but it doesn't need one — the
+    // synthetic PNG's pixel (x,y) is fixed arithmetic of (x,y,seed)
+    // (Multimodal.syntheticPng), so the oracle reconstructs the channel
+    // sums in closed form: r = x*7+seed and b = x+y+5*seed never wrap
+    // at these dims (≤216, ≤82 < 256); g = (y*11+3*seed) % 256 can wrap
+    // → summed per-y via a list comprehension. The REAL cast replays
+    // the decoder's double→float truncation bit-for-bit.
+    "q39_image_pixel_stats" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CAST(doc_id % 24 + 8 AS INT) AS width,
+             CAST(doc_id % 16 + 8 AS INT) AS height,
+             doc_id % 7 AS seed
+           FROM documents),
+         s AS (
+           SELECT doc_id, width, height,
+             height * (7 * width * (width-1) // 2 + width * seed)
+               AS sum_r,
+             width * list_sum([ (y*11 + 3*seed) % 256
+               FOR y IN range(0, CAST(height AS BIGINT)) ]) AS sum_g,
+             width * height * 5 * seed + height * (width*(width-1) // 2)
+               + width * (height*(height-1) // 2) AS sum_b
+           FROM p)
+         SELECT doc_id, width, height,
+           round(CAST(CAST(CAST(sum_r AS DOUBLE) / (width*height) / 255.0
+             AS REAL) AS DOUBLE), 4) AS mean_r,
+           round(CAST(CAST(CAST(sum_g AS DOUBLE) / (width*height) / 255.0
+             AS REAL) AS DOUBLE), 4) AS mean_g,
+           round(CAST(CAST(CAST(sum_b AS DOUBLE) / (width*height) / 255.0
+             AS REAL) AS DOUBLE), 4) AS mean_b
+         FROM s ORDER BY doc_id""",
+    "q40_ann_kmedians" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dims AS (
+           SELECT unnest(range(1, 1 + (SELECT max(len(v)) FROM e)))
+             AS pos),
+         c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                LIMIT 16),
+         a1 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN c0 c) WHERE rn = 1),
+         m1 AS (
+           SELECT cid, pos, round(median(v[pos]), 6) AS m
+           FROM a1 CROSS JOIN dims GROUP BY cid, pos),
+         c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m1
+                GROUP BY cid),
+         a2 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN c1 c) WHERE rn = 1),
+         m2 AS (
+           SELECT cid, pos, round(median(v[pos]), 6) AS m
+           FROM a2 CROSS JOIN dims GROUP BY cid, pos),
+         c2 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m2
+                GROUP BY cid),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN c2 c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.qv", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM q CROSS JOIN c2 c) WHERE rn <= 3),
+         s AS (
+           SELECT qid, a.vec_id AS nid, ${oracleCos("qv", "a.v")} AS sim
+           FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> qid),
+         r AS (
+           SELECT qid, nid, sim, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank
+           FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, sim, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // analytic roundtrip: the synthesized square wave's RMS and peak
+    // are exactly its amplitude, so the oracle needs no audio codec
+    "q47_wav_roundtrip" ->
+      """SELECT doc_id,
+         CAST(1 AS INT) AS channels,
+         CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+         CAST(400 + (doc_id % 5) * 200 AS BIGINT) AS n_samples,
+         CAST(1000 + (doc_id % 20) * 1500 AS INT) AS peak,
+         CAST(1000 + (doc_id % 20) * 1500 AS DOUBLE) AS rms
+         FROM documents ORDER BY doc_id""",
+    "q63_video_meta" ->
+      """WITH v AS (
+           SELECT doc_id,
+             CAST(doc_id % 3 * 300 + 600 AS BIGINT) AS timescale,
+             CAST((doc_id % 50 + 1) * 600 AS BIGINT) AS duration_ticks
+           FROM documents),
+         d AS (
+           SELECT *, CAST(duration_ticks AS DOUBLE) / timescale AS dur
+           FROM v)
+         SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
+           timescale, duration_ticks,
+           round(dur, 4) AS duration_sec,
+           CAST(8 AS INT) AS n_frames,
+           round(dur * 1 / 16.0, 4) AS first_ts,
+           round(dur * 15 / 16.0, 4) AS last_ts
+         FROM d ORDER BY doc_id""",
+    "q72_semantic_dedup" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cnt AS (SELECT greatest(1, CAST(round(sqrt(count(*)), 0) AS INT))
+                 AS nlist FROM e),
+         rc AS (SELECT vec_id AS cid, v AS cv, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
+                  AS rk FROM e),
+         cents AS (SELECT cid, cv FROM rc, cnt WHERE rk <= nlist),
+         assign AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         drops AS (
+           SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE ${oracleCos("a.v", "b.v")} >= 0.45)
+         SELECT cid AS centroid_id, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM drops)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         FROM assign GROUP BY cid ORDER BY cid""",
+    "q78_centroid_drift" ->
+      s"""WITH e AS (
+           SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+         ex AS (
+           SELECT label, i, v[i] AS x FROM e,
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) t),
+         cent AS (
+           SELECT label, i, round(avg(x), 6) AS m FROM ex GROUP BY 1, 2),
+         cv AS (SELECT label, list(m ORDER BY i) AS c FROM cent
+                GROUP BY label),
+         cnt AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+         SELECT a.label AS group_a, b.label AS group_b,
+           ca.n AS n_a, cb.n AS n_b,
+           ${oracleCos("a.c", "b.c")} AS sim
+         FROM cv a JOIN cv b ON a.label < b.label
+         JOIN cnt ca ON ca.label = a.label
+         JOIN cnt cb ON cb.label = b.label
+         ORDER BY group_a, group_b""",
+    "q90_hybrid_rank_fusion" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         r AS (
+           SELECT qid, nid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT)
+             AS rank
+           FROM s),
+         cos AS (SELECT qid, nid, rank FROM r WHERE rank <= 20),
+         rec AS (
+           SELECT qid, nid, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY nid DESC) AS INT) AS rank
+           FROM cos),
+         u AS (
+           SELECT qid, nid,
+             1.0 / (60.0 + CAST(rank AS DOUBLE)) AS sc FROM cos
+           UNION ALL
+           SELECT qid, nid,
+             1.0 / (60.0 + CAST(rank AS DOUBLE)) FROM rec),
+         f AS (
+           SELECT qid, nid, sum(sc) AS fused, count(*) AS n_rankings
+           FROM u GROUP BY qid, nid),
+         t2 AS (
+           SELECT qid, nid, fused, n_rankings,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY fused DESC, nid ASC) AS INT) AS fused_rank
+           FROM f)
+         SELECT qid AS query_id, nid AS neighbor_id, fused_rank,
+           n_rankings, round(fused, 6) AS fused_score
+         FROM t2 WHERE fused_rank <= 5
+         ORDER BY query_id, fused_rank""",
+  )
+
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+
+  /** Embedding cosine near-duplicate pairs via centroid blocking —
+    * candidates share one of their 2 nearest centroids, then one exact
+    * dot product per candidate (no all-pairs work; the brute-force
+    * [[Similarity.nearDupPairs]] is demoted to the spec oracle).
+    */
+  private[graft] def embeddingNeardup(s: SparkSession, dir: String): DataFrame =
+    // nlist ≈ √n (Similarity.sqrtNlist guidance, pinned to a literal
+    // for the oracle): bucket size stays ~√n as the corpus grows, so
+    // Σ(bucket²) candidate work is O(n^1.5), not O(n²); measured at
+    // sf0.001/0.01/0.1 this equals or beats the recall of the smaller
+    // nlist with ~30% fewer candidates
+    Similarity.nearDupPairsBlocked(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45, nlist = 32, nprobe = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-10 neighbors for the first 10 vectors —
+    * ranked by the bounded-heap top-k aggregate (shuffle carries k per
+    * (query, partition), not every scored candidate); result-identical
+    * to the window form, which the spec asserts.
+    */
+  private[graft] def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopKAgg(
+        e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Int8-quantized brute-force cosine top-10
+    * ([[Similarity.quantizeInt8]]): the corpus is quantized to
+    * per-vector-scaled tinyint codes (4× less storage/shuffle than
+    * float32) and the search runs DIRECTLY on the codes — per-vector
+    * scales cancel in the cosine, no dequantize. The oracle replays
+    * the exact quantization arithmetic, so ranks, ties and rounded
+    * sims are engine-identical.
+    */
+  private[graft] def annInt8(s: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(emb(s, dir), "embedding")
+      .select(col("vec_id"), col("embedding_q"))
+    Similarity.bruteForceTopKAgg(
+        q.where(col("vec_id") < 10), q, "vec_id", "embedding_q", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF (bucketed) top-10 — the scale path for similarity search.
+    * Fixed nlist=16 ([[Similarity.hashKCentroids]]): centroid count —
+    * and with it the broadcast table and O(n·nlist) assignment cost —
+    * stays constant as the corpus grows.
+    */
+  private[graft] def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(
+        e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF over k-MEDIANS-refined centroids — same search path as q29
+    * with the index "training" swapped in: FIXED-k hash init (nlist
+    * independent of corpus size, so the broadcast centroid table and
+    * the O(n·k) assignment cost hold at any scale), two refinement
+    * iterations, exact per-dimension medians (selection-based order
+    * statistics, so centroids reproduce bit-for-bit across engines —
+    * a mean would inherit summation-order noise).
+    */
+  private[graft] def annIvfKmedians(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // exactMedian pinned: the oracle replays DuckDB's midpoint median
+    // bit-for-bit; the engine DEFAULT is the bounded percentile_approx
+    val cents = Similarity.kMediansCentroids(
+      e, "vec_id", "embedding", k = 16, iters = 2, exactMedian = true)
+    Similarity.ivfTopKWithCentroids(
+        e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 10, cents, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Audio codec roundtrip: synthesize a REAL PCM16 WAV per document
+    * (square wave parameterized by doc_id), decode it back through the
+    * batch PCM parser, and emit signal stats. Every sample of a square
+    * wave is ±amplitude, so decoded RMS and peak both equal the
+    * amplitude EXACTLY — the oracle recomputes them analytically from
+    * doc_id without any audio stack.
+    */
+  private[graft] def wavRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val wavs = Multimodal.synthesizeTestWavs(
+      docs(s, dir).select("doc_id"), "doc_id")
+    Multimodal.decodeWavStats(wavs, "id", "wav")
+      .select(col("id").as("doc_id"), col("channels"), col("sample_rate"),
+        col("n_samples"), col("peak"), round(col("rms"), 4).as("rms"))
+      .orderBy("doc_id")
+  }
+
+  /** MP4 metadata roundtrip (the q38 pattern for VIDEO): a synthetic
+    * ISO-BMFF header per doc_id — 20-byte ftyp(isom) + moov + mvhd v0
+    * with formula-driven timescale/duration — is ENCODED as hex and
+    * DECODED back by [[Multimodal.videoHeaderMeta]] (dynamic box
+    * offsets, pure expressions), then frame-sample midpoint
+    * timestamps are planned from the decoded duration. The oracle
+    * computes the same formulas directly, so any encode OR decode bug
+    * breaks the hash match.
+    */
+  private[graft] def videoMeta(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val timescale = (id % 3 * 300 + 600).cast("long")
+    val ticks = ((id % 50 + 1) * 600).cast("long")
+    val headerHex = concat(
+      lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"),
+      lit("00000074" + "6D6F6F76"), // moov size + type
+      lit("0000006C" + "6D766864" + "00" + "000000" // mvhd v0 + flags
+        + "00000000" + "00000000"), // creation + modification
+      lpad(hex(timescale), 8, "0"), lpad(hex(ticks), 8, "0"))
+    val n = 8
+    docs(s, dir)
+      .select(id, Multimodal.videoHeaderMeta(unhex(headerHex)).as("m"))
+      .select(id, col("m.format").as("format"), col("m.brand").as("brand"),
+        col("m.timescale").as("timescale"),
+        col("m.duration_ticks").as("duration_ticks"),
+        round(col("m.duration_sec"), 4).as("duration_sec"),
+        Multimodal.frameSampleTimestamps(col("m.duration_sec"), n)
+          .as("__ts"))
+      .select(col("doc_id"), col("format"), col("brand"),
+        col("timescale"), col("duration_ticks"), col("duration_sec"),
+        size(col("__ts")).as("n_frames"),
+        element_at(col("__ts"), 1).as("first_ts"),
+        element_at(col("__ts"), n).as("last_ts"))
+      .orderBy("doc_id")
+  }
+
+  /** Product-quantized ANN ([[Similarity.pqTrainCodebooks]] /
+    * [[Similarity.pqEncode]] / [[Similarity.pqTopK]]): 4 blocks × 16
+    * codewords over the 64-dim embeddings — each corpus vector
+    * becomes 4 codes (64× smaller than float32), and search is ADC
+    * over the code table. Fully deterministic (hash-init k-medians
+    * training, L2 per-block encode, code-ascending ties), so the
+    * oracle replays training, encoding AND the ADC scoring.
+    */
+  private[graft] def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // exactMedian pinned for the cross-engine oracle replay; the
+    // engine default is the bounded percentile_approx re-center
+    val books = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 16, iters = 2, exactMedian = true)
+    val enc = Similarity.pqEncode(e, "vec_id", "embedding", books)
+    Similarity.pqTopK(e.where(col("vec_id") < 10), enc, books,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ ANN ([[Similarity.ivfPqAssignCodes]] /
+    * [[Similarity.ivfPqTopK]]): q112's PQ codes behind q29's coarse
+    * routing — each query probes its 3 nearest of 16 hash-init
+    * centroids and ADC-scores ONLY those buckets' codes, so the
+    * scored-row count is Σ(probed bucket sizes), ~nprobe/nlist of
+    * the corpus, instead of corpus × queries. The 100 TB search
+    * shape: the index rows carry 4 codes, never vectors. Fully
+    * deterministic, so the oracle replays training, encoding,
+    * routing AND the routed ADC scoring.
+    */
+  private[graft] def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val books = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 16, iters = 2, exactMedian = true)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    val index = Similarity.ivfPqAssignCodes(
+      e, "vec_id", "embedding", cents, books)
+    Similarity.ivfPqTopK(e.where(col("vec_id") < 10), index, books,
+        cents, "vec_id", "embedding", k = 10, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** RESIDUAL IVF-PQ ANN ([[Similarity.ivfRpqTrainCodebooks]] /
+    * [[Similarity.ivfRpqAssignCodes]] / [[Similarity.ivfRpqTopK]]):
+    * q113's coarse routing, but the PQ codebooks train on and encode
+    * the residual x − c against each vector's assigned centroid — the
+    * published IVF-ADC construction that spends the code budget on
+    * local displacement. ADC scores cosine(q, c + r̂) from codes only,
+    * decomposed into per-(query, block, code) and per-(centroid,
+    * block, code) broadcast lookup tables. Fully deterministic, so
+    * the oracle replays assignment, residual training, encoding,
+    * routing AND the decomposed scoring.
+    */
+  private[graft] def annIvfRpq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    // exactMedian pinned for the cross-engine oracle replay (engine
+    // default is the bounded percentile_approx re-center)
+    val books = Similarity.ivfRpqTrainCodebooks(e, "vec_id", "embedding",
+      cents, m = 4, k = 16, iters = 2, exactMedian = true)
+    val index = Similarity.ivfRpqAssignCodes(
+      e, "vec_id", "embedding", cents, books)
+    Similarity.ivfRpqTopK(e.where(col("vec_id") < 10), index, books,
+        cents, "vec_id", "embedding", k = 10, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ANN recall audit ([[Similarity.recallAudit]]): the q28
+    * brute-force exact top-10 vs the q29 IVF routed top-10, per-query
+    * — (n_exact, n_hit, recall) rows, the index-health measure that
+    * triggers re-centering/re-training when it slips. In production
+    * the query leg is a hash-sample; here it's the same 10 audit
+    * queries q28/q29 pin.
+    */
+  private[graft] def annRecallAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKAgg(
+      q, e, "vec_id", "embedding", k = 10)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    val routed = Similarity.ivfTopKWithCentroids(
+      q, e, "vec_id", "embedding", k = 10, cents, nprobe = 3)
+    Similarity.recallAudit(routed, exact).orderBy("query_id")
+  }
+
+  /** SAMPLED ANN recall audit — the standing production form
+    * [[Similarity.recallAudit]]'s scaladoc prescribes: the query leg
+    * is a deterministic 10 % [[graft.sampling.Sampling.hashFraction]]
+    * sample of the corpus (salt "audit"), so the brute-force exact
+    * leg costs 10 % of a query-load scan however large the corpus
+    * grows — the audit that runs on a schedule, not the q117
+    * exhaustive twin kept for comparison. Same IVF routed side
+    * (16 hash centroids, nprobe 3, k 10). Per sampled query:
+    * (n_exact, n_hit, recall).
+    */
+  private[graft] def annRecallAuditSampledQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(graft.sampling.Sampling
+      .hashFraction(col("vec_id"), "audit") < 0.10)
+    val exact = Similarity.bruteForceTopKAgg(
+      q, e, "vec_id", "embedding", k = 10)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    val routed = Similarity.ivfTopKWithCentroids(
+      q, e, "vec_id", "embedding", k = 10, cents, nprobe = 3)
+    Similarity.recallAudit(routed, exact).orderBy("query_id")
+  }
+
+  /** Corpus cluster map: embedding-space clusters
+    * ([[Similarity.hashKCentroids]] + [[Similarity.assignToCentroids]])
+    * joined to document metadata — per cluster (n_docs, sum_tokens,
+    * n_langs, top_lang, top_lang_docs), the "what lives where in my
+    * corpus" datasheet a mixture designer reads before weighting
+    * sources. Cross-modal composition: clusters from the embeddings
+    * table, stats from documents, joined on the shared id. One
+    * broadcast centroid assignment + two map-side-combined
+    * aggregations; the top-lang window sorts per-cluster language
+    * counts (≤ #langs rows per cluster).
+    */
+  private[graft] def corpusClusterMap(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    val assigned = Similarity
+      .assignToCentroids(e, cents, "vec_id", "embedding")
+      .select(col("vec_id").as("doc_id"), col("centroid_id"))
+    val base = assigned
+      .join(docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt")),
+        Seq("doc_id"))
+      .transform(graft.core.CacheScope.disk)
+    val agg = base.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("sum_tokens"),
+        count_distinct(col("lang")).as("n_langs"))
+    val lw = Window.partitionBy("centroid_id")
+      .orderBy(col("__lc").desc, col("lang").asc)
+    val top = base.where(col("lang").isNotNull)
+      .groupBy("centroid_id", "lang").agg(count(lit(1)).as("__lc"))
+      .withColumn("__r", row_number().over(lw)).where(col("__r") === 1)
+      .select(col("centroid_id"), col("lang").as("top_lang"),
+        col("__lc").as("top_lang_docs"))
+    agg.join(top, Seq("centroid_id"), "left").orderBy("centroid_id")
+  }
+
+  /** Semantic decontamination report
+    * ([[Similarity.srpNearDupMatches]]): every fifth embedding plays
+    * a benchmark/eval item re-encoded with drift (q127's perturbation
+    * — slight for every tenth id, heavy otherwise); the report lists
+    * each eval item's verified semantic matches in the training
+    * corpus — (eval_id, corpus_id, hamming, cos) — the embedding
+    * sibling of q64's n-gram contamination check, catching leaked
+    * items that shingle overlap misses after paraphrase/re-encoding.
+    * Probe cost: the eval set sketches only itself against the
+    * standing corpus SRP index; corpus vectors load candidate-sized.
+    */
+  private[graft] def semanticDecontamination(
+      s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val evalSet = corpus.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), transform(col("v"),
+        (x, d) => x +
+          when(col("vec_id") % 10 === 0, lit(0.01)).otherwise(lit(0.3)) *
+          ((col("vec_id") * 7 + d) % 5 - lit(2)).cast("double")).as("v"))
+    val index = Similarity.buildSrpIndex(corpus, "vec_id", "v", dim = 64)
+    Similarity.srpNearDupMatches(index, corpus, evalSet,
+        "vec_id", "v", dim = 64, maxDist = 3, minCos = 0.98)
+      .select(col("batch_id").as("eval_id"), col("corpus_id"),
+        col("hamming").cast("int").as("hamming"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("eval_id", "corpus_id")
+  }
+
+  /** ANN hard-negative mining ([[Similarity.hardNegatives]]): per
+    * audit query, the 5 most-similar WRONG-label vectors via the q29
+    * IVF routing — the contrastive-training negative sampler (random
+    * negatives are trivially separable; the confusable wrong-label
+    * neighbors carry the gradient). Label filter prunes inside the
+    * probed buckets, before ranking.
+    */
+  private[graft] def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.hashKCentroids(e, "vec_id", "embedding", 16)
+    Similarity.hardNegatives(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", k = 5, cents, nprobe = 3)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** End-to-end ANN index LIFECYCLE — the maintain-audit loop the
+    * maintenance scaladocs describe, in one query: codebooks train on
+    * the INITIAL corpus (vec_id % 4 ≠ 0) and persist to parquet; the
+    * IVF-PQ search index builds as a bucketed table
+    * ([[Similarity.pqBuildIvfIndex]]) and the batch (vec_id % 4 = 0)
+    * lands through [[Similarity.ivfPqIndexAppend]] — codes frozen on
+    * the initial-corpus codebooks, exactly the daily-append shape; a
+    * vector-carrying twin ([[Similarity.buildIvfIndex]] +
+    * [[Similarity.ivfIndexAppend]]) feeds [[Similarity.ivfDriftReport]]
+    * (a code-only index cannot drift-report). The sampled audit
+    * (10 % [[graft.sampling.Sampling.hashFraction]], q138's form)
+    * searches the appended table via [[Similarity.ivfPqTopK]] against
+    * the brute-force exact leg, and each sampled query's recall rolls
+    * up to its assigned bucket. Output, one row per coarse bucket:
+    * (centroid_id, n, mean_sim, recenter_advised, n_audit,
+    * avg_recall) — drift and recall side by side, the health report
+    * that decides re-center vs re-train. Builds are
+    * overwrite-then-append so in-session reruns stay deterministic.
+    */
+  /** Reap `graft_q139_*_<pid>` warehouse locations whose pid is no
+    * longer alive: a crashed or killed run never reaches its own
+    * same-pid cleanup, and without this its index/codebook tables
+    * would sit in the warehouse forever (the in-memory catalog dies
+    * with the JVM; the directories don't). Liveness via
+    * `ProcessHandle.of` — stronger than an age heuristic, which
+    * either reaps a slow live run or waits out dead ones.
+    */
+  private[graft] def q139ReapOrphans(s: SparkSession): Unit = {
+    val self = java.lang.ProcessHandle.current().pid()
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) {
+      val pat = "^graft_q139_.*_([0-9]+)$".r
+      fs.listStatus(wh).foreach { st =>
+        st.getPath.getName match {
+          case pat(pid) if pid.toLong != self &&
+              !java.lang.ProcessHandle.of(pid.toLong)
+                .map[Boolean](_.isAlive).orElse(false) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  private[graft] def indexLifecycleQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val initial = e.where(col("vec_id") % 4 =!= 0)
+    val batch = e.where(col("vec_id") % 4 === 0)
+    val cents = Similarity.hashKCentroids(
+      initial, "vec_id", "embedding", 16)
+    val books = Similarity.pqTrainCodebooks(initial, "vec_id",
+      "embedding", m = 4, k = 16, iters = 2, exactMedian = true)
+    // artifact names carry the JVM pid: concurrent sessions (a verify
+    // run racing a test suite that also executes the registry) must
+    // not fight over one warehouse location — same-session reruns
+    // still hit the same names and stay overwrite-then-append
+    val tag = java.lang.ProcessHandle.current().pid()
+    val pqT = s"graft_q139_pq_idx_$tag"
+    val vecT = s"graft_q139_vec_idx_$tag"
+    val booksT = s"graft_q139_books_$tag"
+    q139ReapOrphans(s)
+    // the warehouse dir outlives the in-memory catalog: a table
+    // location left by a previous same-pid session would block
+    // saveAsTable, so drop the catalog entry AND any orphaned location
+    Seq(pqT, vecT, booksT).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // codebooks persist as a warehouse table like the indexes — a
+    // cluster-visible location (executors of a real deployment write
+    // parquet parts to the shared warehouse FS), where a driver-local
+    // temp dir would land parts on each executor's own disk and the
+    // read-back would miss them; same-pid reuse also stops repeated
+    // runs leaking one temp dir per call
+    books.write.mode("overwrite").saveAsTable(booksT)
+    val booksP = s.table(booksT)
+    Similarity.pqBuildIvfIndex(initial, "vec_id", "embedding", cents,
+      booksP, pqT, numBuckets = 4)
+    Similarity.ivfPqIndexAppend(batch, "vec_id", "embedding", cents,
+      booksP, pqT, numBuckets = 4)
+    Similarity.buildIvfIndex(initial, "vec_id", "embedding", cents,
+      vecT, numBuckets = 4)
+    Similarity.ivfIndexAppend(batch, "vec_id", "embedding", cents,
+      vecT, numBuckets = 4)
+    val drift = Similarity.ivfDriftReport(s, vecT,
+      "embedding", cents)
+    val q = e.where(graft.sampling.Sampling
+      .hashFraction(col("vec_id"), "audit") < 0.10)
+    val approx = Similarity.ivfPqTopK(q, s.table(pqT),
+      booksP, cents, "vec_id", "embedding", k = 10, nprobe = 3)
+    val exact = Similarity.bruteForceTopKAgg(
+      q, e, "vec_id", "embedding", k = 10)
+    val audit = Similarity.recallAudit(approx, exact)
+    val qc = s.table(vecT)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    // avg_recall deliberately UNROUNDED: per-query recalls are exact
+    // small-denominator rationals rounded to 4 decimals, so their
+    // mean frequently lands on an exact decimal half and round(.,4)
+    // diverges between engines (Spark rounds the shortest decimal
+    // string, others the binary value); the driver compare's 9-decimal
+    // canonicalization absorbs ulp-level summation-order noise
+    val perC = audit.join(qc, Seq("query_id"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_audit"),
+        avg(col("recall")).as("avg_recall"))
+    drift.join(perC, Seq("centroid_id"), "left_outer")
+      .select(col("centroid_id"), col("n"), col("mean_sim"),
+        col("recenter_advised"),
+        coalesce(col("n_audit"), lit(0L)).as("n_audit"),
+        col("avg_recall"))
+      .orderBy("centroid_id")
+  }
+
+  /** SemDeDup-style semantic dedup over the embedding corpus, nlist
+    * sized by the √n rule ([[Similarity.sqrtNlist]] — one count, so
+    * Σ(bucket²) stays O(n^1.5) at any sf instead of degrading as a
+    * fixed nlist's buckets grow): within each fixed-hash centroid
+    * bucket, drop vectors with a lower-id ≥-threshold cosine neighbor
+    * ([[Similarity.semanticDedup]]). Per-bucket kept/dropped census;
+    * the oracle recomputes the same √n in SQL.
+    */
+  private[graft] def semanticDedupCensus(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.45, nlist = Similarity.sqrtNlist(e.count()))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped"), 1).otherwise(0)).cast("long")
+          .as("n_dropped"))
+      .orderBy("centroid_id")
+  }
+
+  /** Hybrid-retrieval fusion: reciprocal-rank fusion of the cosine
+    * ANN ranking with a recency ranking over the same candidate set —
+    * exact-reproducible integer-rank arithmetic, no corpus rescan in
+    * the fusion itself.
+    */
+  private[graft] def hybridRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val cos = Similarity.bruteForceTopK(
+        emb(s, dir).where(col("vec_id") < 10), emb(s, dir),
+        "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .transform(graft.core.CacheScope.disk)
+    val wRec = Window.partitionBy(col("query_id"))
+      .orderBy(col("neighbor_id").desc)
+    val rec = cos.select(col("query_id"), col("neighbor_id"))
+      .withColumn("rank", row_number().over(wRec).cast("int"))
+    Similarity.rrfFuse(Seq(cos, rec), "query_id", "neighbor_id",
+        "rank", k = 60, topN = 5)
+      .orderBy("query_id", "fused_rank")
+  }
+
+  /** Embedding-distribution drift between labels: per-label mean
+    * embedding (posexplode + partial-agg vector mean, rounded for
+    * cross-engine reproducibility) then pairwise cosine over the tiny
+    * centroid table — "are two sources' embedding distributions
+    * converging?" at one corpus scan.
+    */
+  private[graft] def labelCentroidDrift(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDrift(emb(s, dir), "label", "embedding")
+      .orderBy("group_a", "group_b")
+
+  /** Multimodal plumbing over binary payloads (text bytes here; the
+    * same path carries image/audio blobs).
+    */
+  private[graft] def binaryFingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .select(
+        col("doc_id"),
+        Multimodal.sniffMime(col("bin")).as("mime"),
+        length(col("bin")).cast("long").as("byte_len"),
+        md5(col("bin")).as("fingerprint"),
+        Multimodal.chunkCount(col("bin"), 256).as("n_chunks"))
+      .orderBy("doc_id")
+
+  /** Multimodal header decode, end-to-end through real bytes: PNG
+    * headers are BUILT from doc_id formulas as pure column expressions
+    * (hex-assemble + unhex), then DECODED back by
+    * [[Multimodal.imageHeaderMeta]] — also pure expressions, all
+    * whole-stage codegen. The oracle computes the same formulas
+    * directly, so any encode OR decode bug breaks the hash match.
+    */
+  private[graft] def pngHeaderDecode(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val w = (id % 64 + 16).cast("long")
+    val h = (id % 48 + 8).cast("long")
+    val colorType = when(id % 3 === 0, 0)
+      .when(id % 3 === 1, 2).otherwise(6)
+    val headerHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // sig + IHDR
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("08"), lpad(hex(colorType), 2, "0"), lit("000000"))
+    docs(s, dir)
+      .select(id, Multimodal.imageHeaderMeta(unhex(headerHex)).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.channels").as("channels"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL codec roundtrip at table scale: synthesize a PNG per doc_id
+    * (JDK encoder), decode it back with the batched pixel decoder, and
+    * emit dims + mean channel stats. The synthetic pixels are
+    * closed-form in (x, y, seed), so the oracle reconstructs the
+    * channel means analytically (the q47 square-wave treatment) — no
+    * image codec needed on the DuckDB side.
+    */
+  private[graft] def imagePixelStats(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.synthesizeTestImages(
+      docs(s, dir).select("doc_id"), "doc_id")
+    Multimodal.decodeImageFeatures(imgs, "id", "png", grid = 2)
+      .select(col("id").as("doc_id"),
+        col("width"), col("height"),
+        round(element_at(col("features"), 5).cast("double"), 4)
+          .as("mean_r"),
+        round(element_at(col("features"), 6).cast("double"), 4)
+          .as("mean_g"),
+        round(element_at(col("features"), 7).cast("double"), 4)
+          .as("mean_b"))
+      .orderBy("doc_id")
+  }
+
+  /** Image perceptual near-dup ([[Multimodal.imageDHash]] +
+    * [[Dedup.hammingBandedPairs]]): 64-bit dHash over a 9×8
+    * integer-pooled luma grid, banded Hamming join at distance ≤ 3 —
+    * exact by pigeonhole, so the oracle can score ALL pairs and still
+    * match. The multimodal dedup path: re-encoded/resized copies of an
+    * image land within a few bits while distinct images scatter.
+    * Synthetic TEXTURED images are arithmetic of (x, y, seed) (the q39
+    * construction with oscillating formulas), so the whole
+    * decode→pool→hash→pair chain replays in SQL with integer
+    * exactness (milli-luma sums, cross-multiplied averages); ids
+    * agreeing mod 336 are identical images (hamming 0).
+    */
+  private[graft] def imageDHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.synthesizeTexturedImages(
+      docs(s, dir).select("doc_id"), "doc_id")
+    Dedup.hammingBandedPairs(
+        Multimodal.imageDHash(imgs, "id", "png"),
+        "id", "dhash_hi", "dhash_lo", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dup via hyperplane LSH ([[Similarity.srpSketch]]
+    * over int8 codes + [[Dedup.hammingBandedPairs]]): a batch of
+    * slightly-perturbed copies (re-encoded embeddings drift) probes
+    * the corpus at Hamming ≤ 3 of 64 hyperplane bits — an 8-byte
+    * sketch stands in for 64 floats in the blocking join. Candidates
+    * are verified with exact cosine on the original vectors. The
+    * third fingerprint family (text SimHash, image dHash, embedding
+    * SRP) on the shared banded pair machinery.
+    */
+  private[graft] def srpNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val batch = corpus.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), transform(col("v"),
+        (x, d) => x + lit(0.01) *
+          ((col("vec_id") * 7 + d) % 5 - lit(2)).cast("double")).as("v"))
+    val all = corpus.select(col("vec_id").as("id"), col("v"))
+      .unionByName(batch.select(
+        (col("vec_id") + lit(1000000L)).as("id"), col("v")))
+    val sk = Similarity.srpSketch(
+      Similarity.quantizeInt8(all, "v"), "id", "v_q", dim = 64)
+    Dedup.hammingBandedPairs(sk, "id", "srp_hi", "srp_lo", maxDist = 3)
+      .where(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+      .select(col("id_a").as("corpus_id"),
+        (col("id_b") - 1000000L).as("batch_src"), col("hamming"))
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+        col("v").as("va")), Seq("corpus_id"))
+      .join(batch.select(col("vec_id").as("batch_src"),
+        col("v").as("vb")), Seq("batch_src"))
+      .select(col("corpus_id"), col("batch_src"), col("hamming"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .orderBy("corpus_id", "batch_src")
+  }
+
+  /** Incremental embedding dedup ([[Similarity.buildSrpIndex]] +
+    * [[Similarity.dedupEmbeddingAgainst]]): the corpus's 8-byte SRP
+    * sketches stand as the index; a batch of re-encoded uploads
+    * (vec_id % 5 == 0, perturbed lightly for % 10 == 0 — true
+    * near-dups — and heavily otherwise — novel) sketches only itself,
+    * probes at Hamming ≤ 3, and candidates verify by exact cosine
+    * ≥ 0.98. Survivors = novel rows + the LSH-missed tail. The
+    * embedding analogue of the q110 band-index ingest shape.
+    */
+  private[graft] def srpDedupIncremental(
+      s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val batch = corpus.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), transform(col("v"),
+        (x, d) => x +
+          when(col("vec_id") % 10 === 0, lit(0.01)).otherwise(lit(0.3)) *
+          ((col("vec_id") * 7 + d) % 5 - lit(2)).cast("double")).as("v"))
+    val index = Similarity.buildSrpIndex(corpus, "vec_id", "v", dim = 64)
+    Similarity.dedupEmbeddingAgainst(index, corpus, batch,
+        "vec_id", "v", dim = 64, maxDist = 3, minCos = 0.98)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Greedy k-center diversity selection
+    * ([[Similarity.kCenterSelect]]): the 8 maximally-spread embedding
+    * vectors by exact integer squared-L2 over int8 codes — the
+    * coreset/diversity pass of a data-selection pipeline, every
+    * argmax bit-exact across engines.
+    */
+  private[graft] def kcenterSelectQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(emb(s, dir), "vec_id", "embedding", k = 8)
+      .select(col("round"), col("vec_id"), col("d2_at_selection"))
+      .orderBy("round")
+
+  /** Audio perceptual near-dup ([[Multimodal.audioEHash]] +
+    * [[Dedup.hammingBandedMatches]]): synthesized envelope WAVs per
+    * document, a batch of every-5th re-synthesized at DOUBLE gain —
+    * same recording, different volume — probed against the corpus at
+    * Hamming ≤ 3. The hash is exact integer arithmetic end to end
+    * (Σ|sample| per window, cross-multiplied mean comparisons), so
+    * gain-scaled copies match at Hamming 0 by construction and the
+    * whole decode→pool→hash→band chain replays closed-form from the
+    * synthesis parameters (the q39/q122 analytic-oracle treatment).
+    * Fourth fingerprint family on the shared banded machinery.
+    */
+  private[graft] def audioEhashDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).select(col("doc_id"))
+    val corpusHash = Multimodal.audioEHash(
+      Multimodal.synthesizeEnvelopeWavs(ids, "doc_id", ampScale = 1),
+      "id", "wav")
+    val batchHash = Multimodal.audioEHash(
+      Multimodal.synthesizeEnvelopeWavs(
+        ids.where(col("doc_id") % 5 === 0), "doc_id", ampScale = 2),
+      "id", "wav")
+    Dedup.hammingBandedMatches(
+        corpusHash.select(col("id"), col("ahash_hi"), col("ahash_lo")),
+        batchHash.select(col("id"), col("ahash_hi"), col("ahash_lo")),
+        "id", "ahash_hi", "ahash_lo", maxDist = 3)
+      .select(col("corpus_id"), col("batch_id"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  /** MMR diverse reranking ([[Similarity.mmrRerank]]): the top-20
+    * cosine candidates for audit query 0, reranked to 8 results
+    * maximizing λ·relevance − (1−λ)·max-cosine-to-selected — the
+    * retrieval stack's final stage, keeping near-duplicate hits from
+    * crowding out coverage. Every pick's objective is
+    * micro-quantized before the argmax (bit-exact rounds).
+    */
+  private[graft] def mmrRerankQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q0 = e.agg(min_by(col("v"), col("vec_id")).as("qv"))
+    val cands = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .withColumn("rel", Similarity.dot(col("v"), col("qv")) /
+        (Similarity.norm(col("v")) * Similarity.norm(col("qv"))))
+      .select(col("vec_id"), col("v"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+    Similarity.mmrRerank(cands, "vec_id", "v", "rel", k = 8,
+        lambdaMilli = 700)
+      .select(col("rank").cast("int").as("rank"), col("vec_id"),
+        round(col("rel"), 6).as("rel"),
+        round(col("max_cos_prior"), 6).as("max_cos_prior"),
+        col("obj_micro"))
+      .orderBy("rank")
+  }
+
+  /** Cosine in double precision over the embeddings arrays. */
+  /** One PQ block's oracle chain (mirrors [[graft.similarity
+    * .Similarity.pqTrainCodebooks]] for block `b`): sub-vector slice →
+    * hash-init c0 → two cosine-assign/median-refine rounds → dense
+    * codes by hash rank → L2-argmin encode. Every expression matches
+    * the Spark side bit-for-bit (left-to-right dot products, medians
+    * rounded at 6, cosine at 4, code-ascending ties).
+    */
+  private[graft] def oraclePqBlock(
+      b: Int, sub: Int, k: Int, src: String = "e",
+      encSrc: String = ""): String = {
+    val lo = b * sub + 1
+    val hi = (b + 1) * sub
+    // train codebooks on `src`; encode rows of `encSrc` (defaults to
+    // the training frame) — the index-lifecycle shape where codebooks
+    // are frozen on the initial corpus and appended batches encode
+    // with them
+    val (encCte, encFrom) =
+      if (encSrc.isEmpty || encSrc == src) ("", s"e$b")
+      else (s"f$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM $encSrc),\n       ",
+        s"f$b")
+    def assign(src: String, cents: String) =
+      s"""(SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+         FROM $src e CROSS JOIN $cents c) WHERE rn = 1)"""
+    def medians(assigned: String) =
+      s"""(SELECT cid, pos, round(median(v[pos]), 6) AS m
+         FROM $assigned CROSS JOIN dims$b GROUP BY cid, pos)"""
+    s"""e$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
+       ${encCte}dims$b AS (SELECT unnest(range(1, ${sub + 1})) AS pos),
+       c0$b AS (SELECT vec_id AS cid, v AS cv FROM e$b
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                LIMIT $k),
+       a1$b AS ${assign(s"e$b", s"c0$b")},
+       m1$b AS ${medians(s"a1$b")},
+       c1$b AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m1$b
+                GROUP BY cid),
+       a2$b AS ${assign(s"e$b", s"c1$b")},
+       m2$b AS ${medians(s"a2$b")},
+       c2$b AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m2$b
+                GROUP BY cid),
+       cb$b AS (SELECT cv, row_number() OVER (
+           ORDER BY md5(CAST(cid AS VARCHAR)) ASC, cid ASC) - 1 AS code
+         FROM c2$b),
+       enc$b AS (SELECT vec_id, code FROM (
+           SELECT e.vec_id, c.code, row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(c.cv, c.cv)
+               - 2 * list_dot_product(e.v, c.cv) ASC, c.code ASC) AS rn
+           FROM $encFrom e CROSS JOIN cb$b c) WHERE rn = 1)"""
+  }
+
+  private[graft] def oracleCos(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / nullif(" +
+      s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0), 4)"
+
+  private[graft] def oracleCosRaw(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / nullif(" +
+      s"sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0.0))"
+
+  /** SRP sketch CTEs (q123/q127): int8-quantize (the q105 CTE) an
+    * `allv(id, v)` relation, project onto the 64 md5-derived sign rows
+    * (integer-valued terms → exact sums), pack bits into (hi, lo) —
+    * identical bit math to Similarity.srpSketch. Exposes `hs`.
+    */
+  private[graft] val oracleSrpCtes: String =
+    """qz AS (
+         SELECT id,
+           CASE WHEN coalesce(
+               list_max(list_transform(v, x -> abs(x))), 0.0) = 0.0
+             THEN list_transform(v, x -> 0.0)
+             ELSE list_transform(v, x -> round(x /
+               (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+           END AS qv
+         FROM allv),
+       sb AS (
+         SELECT id, bi.i AS i,
+           list_sum(list_transform(range(64), d ->
+             CASE WHEN substr(md5('srp_' || bi.i || '_' || d), 1, 1)
+               IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END
+             * coalesce(qv[d+1], 0.0))) AS s
+         FROM qz, LATERAL (SELECT unnest(range(64)) AS i) bi),
+       hs AS (
+         SELECT id,
+           sum(CASE WHEN i < 32 AND s > 0 THEN
+             CAST(1 AS BIGINT) << CAST(31 - i AS INT) ELSE 0 END) AS hi,
+           sum(CASE WHEN i >= 32 AND s > 0 THEN
+             CAST(1 AS BIGINT) << CAST(63 - i AS INT) ELSE 0 END) AS lo
+         FROM sb GROUP BY id)"""
+}

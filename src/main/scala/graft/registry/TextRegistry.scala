@@ -1,0 +1,1191 @@
+package graft.registry
+
+import graft.dedup.Dedup
+import graft.functions.Fx
+import graft.multimodal.Multimodal
+import graft.operators.Analytics
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.registry.RegistryBase._
+
+/** Text-analysis, quality and lexical-retrieval queries — query builders plus their DuckDB oracles.
+  * Conventions: see [[graft.SparkEntry]]. Split from the original
+  * single-file registry; member bodies are unchanged.
+  */
+private[graft] object TextRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_unigram_lm_quality" -> (unigramLmQuality _),
+    "q133_collapse_repeats" -> (collapseRepeatRuns _),
+    "q140_fused_quality_pass" -> (fusedQualityPassQ _),
+    "q142_bpe_merges" -> (bpeMergesQ _),
+    "q143_bpe_token_counts" -> (bpeTokenCountsQ _),
+    "q145_bigram_lm_quality" -> (bigramLmQuality _),
+    "q147_rare_token_spans" -> (rareTokenSpansQ _),
+    "q150_fused_quality_bigram" -> (fusedQualityBigramQ _),
+    "q153_dsir_selection" -> (dsirSelectionQ _),
+    "q162_pii_incidence" -> (piiIncidenceQ _),
+    "q163_tokenizer_fertility" -> (tokenizerFertilityQ _),
+    "q171_bm25_search" -> (bm25SearchQ _),
+    "q18_text_stats" -> (textStats _),
+    "q19_doc_quality" -> (docQuality _),
+    "q20_lang_id_facets" -> (langIdFacets _),
+    "q43_normalize_redact" -> (textNormalizeRedact _),
+    "q44_top_bigrams" -> (topBigrams _),
+    "q50_compress_quality" -> (compressQuality _),
+    "q58_tfidf_terms" -> (topTfidfTerms _),
+    "q60_lang_token_budget" -> (langTokenBudget _),
+    "q61_doc_chunks" -> (docChunks _),
+    "q65_repetition_signals" -> (repetitionSignals _),
+    "q69_vocab_coverage" -> (vocabCoverageTop _),
+    "q76_fuzzy_part_names" -> (fuzzyPartNames _),
+    "q77_heavy_hitter_tokens" -> (heavyHitterTokens _),
+    "q80_quality_model_scores" -> (qualityModelScores _),
+    "q81_adaptive_quality_floor" -> (adaptiveQualityFloorByLang _),
+    "q91_top_keyword_histogram" -> (topKeywordHistogram _),
+    "q98_langid_metrics" -> (langIdMetrics _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q124_unigram_lm_quality" ->
+      s"""WITH t AS (
+           SELECT doc_id, unnest($oracleWords) AS w FROM documents),
+         cnt AS (SELECT w, count(*) AS n FROM t GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                   CAST(count(*) AS DOUBLE) AS vv FROM cnt),
+         lm AS (SELECT w, ln((n + 0.5) / (nn + 0.5 * (vv + 1)))
+                  AS logp FROM cnt, tot),
+         dw AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id, sum(c) AS n_tokens,
+             sum(c * logp) / sum(c) AS s
+           FROM dw JOIN lm USING (w) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(s, 4) AS lm_score
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "q133_collapse_repeats" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         k AS (
+           SELECT doc_id, ws,
+             list_filter(ws, (x, i) -> i = 1 OR ws[i - 1] <> x) AS kept
+           FROM d)
+         SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           md5(array_to_string(kept, ' ')) AS text_md5
+         FROM k ORDER BY doc_id""",
+    // the q133 + q65 + q124 trio over one shared tokenization CTE
+    "q140_fused_quality_pass" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         k AS (
+           SELECT doc_id, ws,
+             list_filter(ws, (x, i) -> i = 1 OR ws[i - 1] <> x) AS kept
+           FROM d),
+         bg AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM d,
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t),
+         per AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 4)
+               AS dup_bigram_frac,
+             round(CAST(max(n) AS DOUBLE) / sum(n), 4)
+               AS top_bigram_frac
+           FROM per GROUP BY doc_id),
+         t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         cnt AS (SELECT w, count(*) AS n FROM t GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                   CAST(count(*) AS DOUBLE) AS vv FROM cnt),
+         lm AS (SELECT w, ln((n + 0.5) / (nn + 0.5 * (vv + 1)))
+                  AS logp FROM cnt, tot),
+         dw AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id, sum(c * logp) / sum(c) AS s
+           FROM dw JOIN lm USING (w) GROUP BY doc_id)
+         SELECT k.doc_id, md5(array_to_string(kept, ' ')) AS text_md5,
+           CAST(len(kept) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           sig.n_bigrams, sig.dup_bigram_frac, sig.top_bigram_frac,
+           round(sc.s, 4) AS lm_score
+         FROM k LEFT JOIN sig ON sig.doc_id = k.doc_id
+         LEFT JOIN sc ON sc.doc_id = k.doc_id
+         ORDER BY k.doc_id""",
+    // 8 unrolled BPE iterations over the distinct-word frequency
+    // table; each step: pair count → argmax → two-pass greedy replace
+    "q142_bpe_merges" ->
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         s0 AS MATERIALIZED (SELECT w, freq,
+             ' ' || array_to_string(list_transform(
+               generate_series(1, length(w)),
+               i -> substring(w, i, 1)), ' ') || ' ' AS s
+           FROM w0),
+         ${(1 to 8).map(oracleBpeStep).mkString(",\n")}
+         SELECT step, lhs, rhs, lhs || rhs AS merged,
+           CAST(cnt AS BIGINT) AS pair_count
+         FROM (${(1 to 8).map(i =>
+            s"SELECT CAST($i AS INT) AS step, lhs, rhs, cnt FROM t$i")
+            .mkString("\n           UNION ALL ")})
+         ORDER BY step""",
+    // the q142 chain's final symbol strings per WORD, summed per doc
+    "q143_bpe_token_counts" ->
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         s0 AS MATERIALIZED (SELECT w, freq,
+             ' ' || array_to_string(list_transform(
+               generate_series(1, length(w)),
+               i -> substring(w, i, 1)), ' ') || ' ' AS s
+           FROM w0),
+         ${(1 to 8).map(oracleBpeStep).mkString(",\n")},
+         wc AS (SELECT w, len(string_split(trim(s), ' ')) AS n
+                FROM s8),
+         dw AS (SELECT doc_id, unnest($oracleWords) AS w
+                FROM documents),
+         agg AS (
+           SELECT doc_id, count(*) AS nw, sum(n) AS nt
+           FROM dw JOIN wc USING (w) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(agg.nw, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_tokens_bpe
+         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // q124's unigram CTEs + bigram/left-context models; λ=0.75 and
+    // 0.25 are exact binary doubles (the dyadic-weight argument)
+    "q145_bigram_lm_quality" ->
+      s"""WITH t AS (
+           SELECT doc_id, unnest($oracleWords) AS w FROM documents),
+         cnt AS (SELECT w, count(*) AS n FROM t GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                   CAST(count(*) AS DOUBLE) AS vv FROM cnt),
+         pu AS (SELECT w, (n + 0.5) / (nn + 0.5 * (vv + 1)) AS p
+                FROM cnt, tot),
+         bgx AS (
+           SELECT doc_id, ws[i] AS l, ws[i+1] AS r FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t2),
+         dbg AS (SELECT doc_id, l, r, count(*) AS c
+                 FROM bgx GROUP BY 1, 2, 3),
+         bc AS (SELECT l, r, sum(c) AS n FROM dbg GROUP BY 1, 2),
+         lc AS (SELECT l, sum(n) AS nl FROM bc GROUP BY 1),
+         sc AS (
+           SELECT doc_id, sum(c) AS nb,
+             sum(c * ln(0.75 * (bc.n / CAST(lc.nl AS DOUBLE))
+               + 0.25 * pu.p)) / sum(c) AS s
+           FROM dbg
+           JOIN bc USING (l, r)
+           JOIN lc USING (l)
+           JOIN pu ON pu.w = dbg.r
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+           round(s, 4) AS bigram_lm_score
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // integer rare-count sliding window (ROWS frame), argmax by
+    // (count DESC, start ASC); short docs keep their single span
+    "q147_rare_token_spans" ->
+      s"""WITH cnt AS (
+           SELECT w, count(*) AS cw FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         tok AS (
+           SELECT doc_id, i - 1 AS pos,
+             CASE WHEN cnt.cw <= 2 THEN 1 ELSE 0 END AS rare
+           FROM (SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+               t,
+             cnt
+           WHERE cnt.w = ws[i]),
+         sc AS (
+           SELECT doc_id, pos,
+             sum(rare) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS rw,
+             count(*) OVER (PARTITION BY doc_id) AS n
+           FROM tok),
+         keep AS (SELECT * FROM sc WHERE pos <= n - 16 OR pos = 0),
+         best AS (
+           SELECT doc_id, n, pos, rw FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY rw DESC, pos ASC) AS rn FROM keep)
+           WHERE rn = 1)
+         SELECT d.doc_id,
+           CAST(coalesce(best.n, 0) AS BIGINT) AS n_tokens,
+           CAST(best.pos AS INT) AS worst_start,
+           CAST(best.rw AS BIGINT) AS rare_in_window
+         FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // q140's fused trio + q145's bigram LM, one replay: the bigram
+    // model folds from the same per-doc (l, r) counts the repetition
+    // signals use, backoff from the same unigram vocabulary
+    "q150_fused_quality_bigram" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               AS ws
+           FROM documents),
+         k AS (
+           SELECT doc_id, ws,
+             list_filter(ws, (x, i) -> i = 1 OR ws[i - 1] <> x) AS kept
+           FROM d),
+         bgx AS (
+           SELECT doc_id, ws[i] AS l, ws[i+1] AS r FROM d,
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t2),
+         per AS (SELECT doc_id, l, r, count(*) AS c
+                 FROM bgx GROUP BY 1, 2, 3),
+         sig AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4)
+               AS dup_bigram_frac,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 4)
+               AS top_bigram_frac
+           FROM per GROUP BY doc_id),
+         t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         cnt AS (SELECT w, count(*) AS n FROM t GROUP BY w),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                   CAST(count(*) AS DOUBLE) AS vv FROM cnt),
+         lm AS (SELECT w, ln((n + 0.5) / (nn + 0.5 * (vv + 1)))
+                  AS logp FROM cnt, tot),
+         dw AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id, sum(c * logp) / sum(c) AS s
+           FROM dw JOIN lm USING (w) GROUP BY doc_id),
+         pu AS (SELECT w, (n + 0.5) / (nn + 0.5 * (vv + 1)) AS p
+                FROM cnt, tot),
+         bc AS (SELECT l, r, sum(c) AS n FROM per GROUP BY 1, 2),
+         lc AS (SELECT l, sum(n) AS nl FROM bc GROUP BY 1),
+         sb AS (
+           SELECT doc_id, sum(c * ln(0.75 * (bc.n / CAST(lc.nl AS DOUBLE))
+               + 0.25 * pu.p)) / sum(c) AS s
+           FROM per
+           JOIN bc USING (l, r)
+           JOIN lc USING (l)
+           JOIN pu ON pu.w = per.r
+           GROUP BY doc_id)
+         SELECT k.doc_id, md5(array_to_string(kept, ' ')) AS text_md5,
+           CAST(len(kept) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           sig.n_bigrams, sig.dup_bigram_frac, sig.top_bigram_frac,
+           round(sc.s, 4) AS lm_score,
+           round(sb.s, 4) AS bigram_lm_score
+         FROM k LEFT JOIN sig ON sig.doc_id = k.doc_id
+         LEFT JOIN sc ON sc.doc_id = k.doc_id
+         LEFT JOIN sb ON sb.doc_id = k.doc_id
+         ORDER BY k.doc_id""",
+    // per-bucket log-likelihood ratio quantized to BIGINT micro-units
+    // BEFORE the per-doc sum: scores are exact integer sums, so the
+    // ranked budget cut is engine- and order-independent
+    "q153_dsir_selection" ->
+      s"""WITH tokx AS (
+           SELECT doc_id, (lang = 'en') AS t,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM (SELECT doc_id, lang, unnest($oracleWords) AS w
+                 FROM documents)),
+         raw AS (SELECT b, count(*) AS cr FROM tokx GROUP BY b),
+         tgt AS (SELECT b, count(*) AS ct FROM tokx WHERE t GROUP BY b),
+         tot AS (SELECT count(*) AS nr,
+                   sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt FROM tokx),
+         lr AS (
+           SELECT b, CAST(floor(ln(
+               ((coalesce(ct, 0) + 1.0) * (nr + 1024.0)) /
+               ((cr + 1.0) * (nt + 1024.0))) * 1000000.0 + 0.5)
+             AS BIGINT) AS qlr
+           FROM raw LEFT JOIN tgt USING (b), tot),
+         sc AS (
+           SELECT doc_id, count(*) AS n_tokens, sum(qlr) AS score_micro
+           FROM tokx JOIN lr USING (b) GROUP BY doc_id),
+         r AS (
+           SELECT *, sum(n_tokens) OVER (
+             ORDER BY score_micro DESC, doc_id ASC) AS cum
+           FROM sc)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(score_micro AS BIGINT) AS score_micro
+         FROM r WHERE cum <= 10000 ORDER BY doc_id""",
+    // the deterministic PII seeding replayed, then per-source regex
+    // counts; rows unpivot per type
+    "q162_pii_incidence" -> {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ssnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      s"""WITH seeded AS (
+           SELECT source,
+             text ||
+               CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567'
+                 ELSE '' END AS text
+           FROM documents),
+         cnt AS (
+           SELECT source,
+             len(regexp_extract_all(coalesce(text, ''),
+               '$emailPat')) AS c_email,
+             len(regexp_extract_all(coalesce(text, ''),
+               '$ssnPat')) AS c_ssn,
+             len(regexp_extract_all(coalesce(text, ''),
+               '$phonePat')) AS c_phone
+           FROM seeded),
+         g AS (
+           SELECT source, count(*) AS n_docs,
+             sum(c_email) AS m_email,
+             sum(CASE WHEN c_email > 0 THEN 1 ELSE 0 END) AS d_email,
+             sum(c_ssn) AS m_ssn,
+             sum(CASE WHEN c_ssn > 0 THEN 1 ELSE 0 END) AS d_ssn,
+             sum(c_phone) AS m_phone,
+             sum(CASE WHEN c_phone > 0 THEN 1 ELSE 0 END) AS d_phone
+           FROM cnt GROUP BY source)
+         SELECT source, pii_type, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(nw AS BIGINT) AS n_docs_with,
+           CAST(nm AS BIGINT) AS n_matches,
+           round(CAST(nw AS DOUBLE) / n_docs, 6) AS doc_frac
+         FROM (
+           SELECT source, 'email' AS pii_type, n_docs,
+             d_email AS nw, m_email AS nm FROM g
+           UNION ALL SELECT source, 'ssn', n_docs, d_ssn, m_ssn FROM g
+           UNION ALL SELECT source, 'phone', n_docs, d_phone, m_phone
+             FROM g)
+         ORDER BY source, pii_type"""
+    },
+    // the q143 trained-apply chain regrouped per language
+    "q163_tokenizer_fertility" ->
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         s0 AS MATERIALIZED (SELECT w, freq,
+             ' ' || array_to_string(list_transform(
+               generate_series(1, length(w)),
+               i -> substring(w, i, 1)), ' ') || ' ' AS s
+           FROM w0),
+         ${(1 to 8).map(oracleBpeStep).mkString(",\n")},
+         wc AS (SELECT w, len(string_split(trim(s), ' ')) AS n
+                FROM s8),
+         dw AS (SELECT doc_id, unnest($oracleWords) AS w
+                FROM documents),
+         agg AS (
+           SELECT doc_id, count(*) AS nw, sum(n) AS nt
+           FROM dw JOIN wc USING (w) GROUP BY doc_id),
+         per AS (
+           SELECT d.lang, coalesce(a.nw, 0) AS nw,
+             coalesce(a.nt, 0) AS nt, d.n_chars
+           FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id)
+         SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nt) AS BIGINT) AS n_tokens_bpe,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(nt) AS DOUBLE) / nullif(sum(nw), 0) AS fertility,
+           CAST(sum(n_chars) AS DOUBLE) / nullif(sum(nt), 0)
+             AS chars_per_token
+         FROM per GROUP BY lang ORDER BY lang""",
+    // BM25 replay: df-pruned postings, per-term micro quantization
+    // BEFORE the per-(query, doc) sum, float literals spelled exactly
+    // as the engine computes them
+    "q171_bm25_search" ->
+      s"""WITH tf AS (
+           SELECT doc_id, w AS token, count(*) AS tf FROM (
+             SELECT doc_id, unnest($oracleWords) AS w FROM documents)
+           GROUP BY 1, 2),
+         lens AS (
+           SELECT doc_id, len($oracleWords) AS len FROM documents),
+         stats AS (
+           SELECT count(*) AS n,
+             CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+           FROM lens),
+         dfq AS (
+           SELECT token, count(*) AS df FROM tf
+           GROUP BY token HAVING count(*) <= 400),
+         qt AS (
+           SELECT doc_id AS qid, unnest(list_distinct($oracleWords))
+             AS token
+           FROM documents WHERE doc_id < 5),
+         sc AS (
+           SELECT qid, tf.doc_id,
+             CAST(floor(
+               ln(CAST(1 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
+                 / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * len / avgdl))
+               * 1000000000) AS BIGINT) AS tm
+           FROM qt
+           JOIN tf USING (token) JOIN dfq USING (token)
+           JOIN lens ON lens.doc_id = tf.doc_id, stats),
+         agg AS (
+           SELECT qid, doc_id, sum(tm) AS score_micro
+           FROM sc GROUP BY 1, 2),
+         r AS (
+           SELECT qid, doc_id, score_micro, row_number() OVER (
+             PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)
+             AS rank
+           FROM agg)
+         SELECT qid AS query_id, doc_id,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q18_text_stats" ->
+      s"""$oracleMetricsCte
+         SELECT lang, count(*) AS n_docs,
+           round(avg(CAST(tokens AS DOUBLE)), 4) AS avg_tokens,
+           round(avg(punct), 4) AS avg_punct,
+           round(avg(stop), 4) AS avg_stop,
+           round(avg(quality), 4) AS avg_quality
+         FROM q GROUP BY lang ORDER BY lang""",
+    "q19_doc_quality" ->
+      s"""$oracleMetricsCte
+         SELECT doc_id, CAST(tokens AS BIGINT) AS n_tokens,
+           round(punct, 4) AS punct_ratio,
+           round(stop, 4) AS stop_ratio,
+           round(quality, 4) AS quality
+         FROM q ORDER BY doc_id""",
+    "q20_lang_id_facets" ->
+      s"""$oracleLangScores
+         SELECT lang, predicted, count(*) AS n
+         FROM p GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "q43_normalize_redact" ->
+      """WITH r AS (
+           SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(
+               text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com, call 555-123-4567 or 123-45-6789.',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS red
+           FROM documents)
+         SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_md5,
+           md5(red) AS redacted_md5,
+           CAST(len(regexp_extract_all(red, '<(EMAIL|PHONE|SSN)>'))
+             AS INT) AS n_pii
+         FROM r ORDER BY doc_id""",
+    "q44_top_bigrams" ->
+      """WITH w AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+         b AS (
+           SELECT ws[i] || ' ' || ws[i+1] AS bigram FROM w,
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t)
+         SELECT bigram, count(*) AS n FROM b
+         GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 15""",
+    // q46-style in-query assertion: the constants are claims about the
+    // deflate signal that must hold for EVERY document
+    "q50_compress_quality" ->
+      """SELECT count(*) AS n_docs,
+         CAST(1 AS INT) AS all_ratios_bounded,
+         CAST(1 AS INT) AS all_doubling_compresses
+         FROM documents
+         WHERE text IS NOT NULL AND length(text) > 0""",
+    "q58_tfidf_terms" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, token,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+           FROM tf JOIN dfq USING (token) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, token, tfidf, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, token ASC)
+             AS INT) AS rank
+           FROM scored WHERE doc_id < 5)
+         SELECT doc_id, token, tfidf, rank FROM r
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q60_lang_token_budget" ->
+      s"""WITH ${oracleMetricsCtes("documents")},
+         ${oracleLangCtes("q")},
+         sel AS (
+           SELECT predicted, doc_id, tokens,
+             sum(tokens) OVER (PARTITION BY predicted
+               ORDER BY round(quality, 4) DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM p)
+         SELECT predicted, count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+           round(sum(CAST(doc_id AS DOUBLE)), 1) AS id_sum
+         FROM sel WHERE cum <= 2000
+         GROUP BY predicted ORDER BY predicted""",
+    "q61_doc_chunks" ->
+      s"""WITH d AS (
+           SELECT doc_id, $oracleWords AS ws FROM documents),
+         n AS (
+           SELECT doc_id, ws, len(ws) AS t FROM d WHERE len(ws) > 0),
+         c AS (
+           SELECT doc_id, ws,
+             unnest(generate_series(0,
+               greatest(0, CAST(ceil((t - 64) / 56.0) AS BIGINT))))
+               AS chunk_idx
+           FROM n),
+         ch AS (
+           SELECT doc_id, chunk_idx,
+             ws[chunk_idx * 56 + 1 : chunk_idx * 56 + 64] AS chunk
+           FROM c)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
+    "q65_repetition_signals" ->
+      s"""WITH bg AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM (
+             SELECT doc_id, $oracleWords AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t),
+         per AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 4)
+             AS dup_bigram_frac,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_frac
+         FROM per GROUP BY doc_id ORDER BY doc_id""",
+    "q69_vocab_coverage" ->
+      s"""WITH toks AS (
+           SELECT unnest($oracleWords) AS word FROM documents),
+         c AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM c),
+         r AS (
+           SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+           FROM c)
+         SELECT CAST(rank AS INT) AS rank, word, cnt,
+           round(CAST(sum(cnt) OVER (ORDER BY rank
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t, 6) AS cum_frac
+         FROM r, tot WHERE rank <= 25 ORDER BY rank""",
+    "q76_fuzzy_part_names" ->
+      """WITH names AS (SELECT DISTINCT p_name AS n FROM part)
+         SELECT a.n AS value_a, b.n AS value_b,
+           CAST(levenshtein(a.n, b.n) AS INT) AS dist
+         FROM names a JOIN names b ON a.n < b.n
+         WHERE levenshtein(a.n, b.n) <= 2
+         ORDER BY value_a, value_b""",
+    "q77_heavy_hitter_tokens" ->
+      s"""WITH toks AS (
+           SELECT unnest($oracleWords) AS w FROM documents),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+         SELECT w AS value, count(*) AS cnt,
+           round(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+             AS fraction
+         FROM toks GROUP BY w
+         HAVING CAST(count(*) AS DOUBLE) > 0.032 * (SELECT n FROM tot)
+         ORDER BY value""",
+    // feature sum order mirrors QualityModel.featureNames: bias +
+    // log_tokens + punct + stop + mean_word_len, left-associated —
+    // identical IEEE summation on both engines
+    "q80_quality_model_scores" ->
+      s"""WITH f AS (
+           SELECT doc_id,
+             len($oracleWords) AS tokens,
+             coalesce(
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 AS DOUBLE)
+                 / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) AS punct,
+             coalesce(
+               CAST(len(list_filter($oracleWords,
+                 w -> w IN ($oracleStopList))) AS DOUBLE)
+                 / CAST(nullif(len($oracleWords), 0) AS DOUBLE), 0.0)
+               AS stop,
+             coalesce(
+               CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                 AS DOUBLE)
+                 / nullif(CAST(len($oracleWords) AS DOUBLE), 0.0), 0.0)
+               AS mwl
+           FROM documents),
+         z AS (
+           SELECT doc_id,
+             -4.0 + 0.9 * ln(1.0 + CAST(tokens AS DOUBLE))
+               + (-8.0) * punct + 2.5 * stop + 0.15 * mwl AS zv
+           FROM f)
+         SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 6) AS score,
+           CASE WHEN round(1.0 / (1.0 + exp(-zv)), 6) >= 0.5
+             THEN 1 ELSE 0 END AS keep
+         FROM z ORDER BY doc_id""",
+    "q81_adaptive_quality_floor" ->
+      s"""$oracleMetricsCte,
+         sq AS (SELECT doc_id, lang, round(quality, 6) AS qv FROM q),
+         cut AS (SELECT lang AS clang, quantile_cont(qv, 0.1) AS cutoff
+                 FROM sq GROUP BY lang)
+         SELECT lang, count(*) AS n_kept,
+           round(min(qv), 6) AS min_kept,
+           round(avg(qv), 4) AS avg_kept,
+           round(max(cutoff), 6) AS cutoff
+         FROM sq JOIN cut ON lang IS NOT DISTINCT FROM clang
+         WHERE qv >= cutoff
+         GROUP BY lang ORDER BY lang""",
+    "q91_top_keyword_histogram" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, token,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS r
+           FROM tf JOIN dfq USING (token) CROSS JOIN n),
+         top AS (
+           SELECT doc_id, token AS keyword, row_number() OVER (
+             PARTITION BY doc_id ORDER BY r DESC, token ASC) AS rn
+           FROM scored)
+         SELECT keyword, count(*) AS n_docs
+         FROM top WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+    "q98_langid_metrics" ->
+      s"""$oracleLangScores,
+         act AS (SELECT lang AS language, count(*) AS n_actual
+                 FROM p GROUP BY 1),
+         prd AS (SELECT predicted AS language, count(*) AS n_predicted
+                 FROM p GROUP BY 1),
+         cor AS (SELECT lang AS language, count(*) AS n_correct
+                 FROM p WHERE lang = predicted GROUP BY 1),
+         j AS (
+           SELECT coalesce(act.language, prd.language) AS language,
+             coalesce(n_actual, 0) AS n_actual,
+             coalesce(n_predicted, 0) AS n_predicted,
+             coalesce(n_correct, 0) AS n_correct
+           FROM act FULL OUTER JOIN prd USING (language)
+           LEFT JOIN cor USING (language))
+         SELECT language, n_actual, n_predicted, n_correct,
+           round(CAST(n_correct AS DOUBLE)
+             / nullif(CAST(n_predicted AS DOUBLE), 0.0), 6)
+             AS precision,
+           round(CAST(n_correct AS DOUBLE)
+             / nullif(CAST(n_actual AS DOUBLE), 0.0), 6) AS recall,
+           round(2.0 * (CAST(n_correct AS DOUBLE)
+               / nullif(CAST(n_predicted AS DOUBLE), 0.0))
+             * (CAST(n_correct AS DOUBLE)
+               / nullif(CAST(n_actual AS DOUBLE), 0.0))
+             / nullif(CAST(n_correct AS DOUBLE)
+                 / nullif(CAST(n_predicted AS DOUBLE), 0.0)
+               + CAST(n_correct AS DOUBLE)
+                 / nullif(CAST(n_actual AS DOUBLE), 0.0),
+               0.0), 6) AS f1
+         FROM j ORDER BY language""",
+  )
+
+  /** Text quality/token statistics per language. */
+  private[graft] def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(TextAnalysis.tokenCount(col("text")).cast("double")), 4)
+        .as("avg_tokens"),
+      round(avg(TextAnalysis.punctRatio(col("text"))), 4).as("avg_punct"),
+      round(avg(TextAnalysis.stopwordRatio(col("text"))), 4).as("avg_stop"),
+      round(avg(TextAnalysis.qualityScore(col("text"))), 4)
+        .as("avg_quality"))
+      .orderBy("lang")
+
+  /** Per-document quality scoring. */
+  private[graft] def docQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"),
+      round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  private[graft] def langIdFacets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdStaged(docs(s, dir), "text")
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** Text normalization + PII redaction, membership pinned by md5 of
+    * the transformed strings (not just row counts). A deterministic
+    * email/phone/SSN per doc is appended before redaction so the scrub
+    * path is exercised even on a clean corpus.
+    */
+  private[graft] def textNormalizeRedact(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(col("text"),
+      lit(" Contact: user"), col("doc_id").cast("string"),
+      lit("@example.com, call 555-123-4567 or 123-45-6789."))
+    val red = TextAnalysis.redactPii(synth)
+    docs(s, dir).select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("norm_md5"),
+        md5(red).as("redacted_md5"),
+        TextAnalysis.piiCount(red).cast("int").as("n_pii"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level collocation mining: top-15 adjacent word bigrams.
+    * One explode + one shuffle; the n-gram assembly stays in codegen.
+    */
+  private[graft] def topBigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(15)
+
+  /** Per-language token-budget selection: spend a 2000-token budget
+    * per predicted language on the highest-quality documents
+    * (rounded-quality order, id tie-break — the 4-decimal rounding is
+    * the cross-engine-stable key q19 proves). Strict budget: the
+    * first document that would overflow is excluded.
+    */
+  private[graft] def langTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("tokens", TextAnalysis.tokenCount(col("text")))
+    val tagged = TextAnalysis.langIdStaged(d, "text")
+    graft.sampling.Packing.takeUntilBudget(
+        tagged, Seq("predicted"),
+        Seq(round(col("quality"), 4).desc, col("doc_id").asc),
+        "tokens", budget = 2000)
+      .groupBy("predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).cast("long").as("sum_tokens"),
+        round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
+      .orderBy("predicted")
+  }
+
+  /** Token-window chunking (64-token windows, 8-token overlap) — the
+    * pre-embedding/RAG chunking pass. md5 of each chunk's text pins
+    * the exact chunk boundaries and content in the oracle compare.
+    */
+  private[graft] def docChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
+        window = 64, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Distributed BPE merge-table training
+    * ([[TextAnalysis.bpeTrainMerges]]): 8 byte-pair merges induced
+    * from the documents corpus — per iteration one vocabulary-sized
+    * pair-count aggregation, one argmax row to the driver, one pure
+    * merge expression. The tokenizer-build artifact (step, lhs, rhs,
+    * merged, pair_count).
+    */
+  private[graft] def bpeMergesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrainMerges(docs(s, dir), "text", merges = 8)
+      .select(col("step"), col("lhs"), col("rhs"), col("merged"),
+        col("pair_count"))
+      .orderBy("step")
+
+  /** Rare-token span detection ([[TextAnalysis.rareTokenSpans]]):
+    * per document the 16-token window densest in corpus-rare tokens
+    * (freq ≤ 2) — the garbage-span locator for base64 blobs and
+    * mojibake runs that whole-document scores dilute. Integer window
+    * counts keep the argmax bit-exact across engines.
+    */
+  private[graft] def rareTokenSpansQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rareTokenSpans(docs(s, dir), "doc_id", "text",
+        window = 16, maxFreq = 2)
+      .orderBy("doc_id")
+
+  /** Bigram-LM quality ([[TextAnalysis.bigramLmScoreSelf]]): the
+    * word-ORDER typicality signal above q124's unigram score —
+    * Jelinek-Mercer λ=0.75 (dyadic: λ and 1−λ are exact binary
+    * doubles, so the oracle's literals are bit-identical weights).
+    */
+  private[graft] def bigramLmQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScoreSelf(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("bigram_lm_score"), 4).as("bigram_lm_score"))
+      .orderBy("doc_id")
+
+  /** BPE apply: train the q142 merge table, then segment every
+    * document with it — the corpus token budget under the REAL
+    * trained tokenizer (train → apply, the full tokenizer-build
+    * loop). Runs the PRODUCTION path
+    * ([[TextAnalysis.bpeTokenCountsFast]]: broadcast rank table + one
+    * `mapPartitions` greedy pass, plan constant-size in the
+    * vocabulary); the expression-composed
+    * [[TextAnalysis.bpeTokenCounts]] is its spec-pinned audit twin
+    * (BpeSpec holds them row-for-row equal on this corpus).
+    */
+  private[graft] def bpeTokenCountsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val m = TextAnalysis.bpeTrainMerges(d, "text", merges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeTokenCountsFast(d, "doc_id", "text", m)
+      .orderBy("doc_id")
+  }
+
+  /** Fused corpus-prep quality pass
+    * ([[TextAnalysis.qualityPass]]): collapse-repeats cleanup,
+    * Gopher-style repetition signals, and the self-trained unigram-LM
+    * score in ONE scan of documents — the q133/q65/q124 trio fused
+    * over shared tokenization (plan-spec-pinned to a single parquet
+    * scan). Text ships as md5 (q133's convention).
+    */
+  private[graft] def fusedQualityPassQ(
+      s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPass(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("n_tokens"), col("n_removed"), col("n_bigrams"),
+        col("dup_bigram_frac"), col("top_bigram_frac"),
+        round(col("lm_score"), 4).as("lm_score"))
+
+  /** FOUR-way fused quality pass — q140's trio plus q145's
+    * Jelinek-Mercer bigram-LM score in the SAME single corpus scan
+    * ([[TextAnalysis.qualityPass]] `withBigramLm = true`): the bigram
+    * model re-aggregates from the fused (kind, token) count frame and
+    * its unigram backoff reuses the q140 LM vocabulary, so the fourth
+    * signal adds zero corpus scans (plan-spec-pinned with q140's
+    * single-FileSourceScan assertion).
+    */
+  private[graft] def fusedQualityBigramQ(
+      s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPass(docs(s, dir), "doc_id", "text",
+        withBigramLm = true)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("n_tokens"), col("n_removed"), col("n_bigrams"),
+        col("dup_bigram_frac"), col("top_bigram_frac"),
+        round(col("lm_score"), 4).as("lm_score"),
+        round(col("bigram_lm_score"), 4).as("bigram_lm_score"))
+      .orderBy("doc_id")
+      .orderBy("doc_id")
+
+  /** Gopher-style token-repetition signals per document (duplicate
+    * and top bigram fractions) — the standard repetition filters a
+    * pretraining pipeline runs next to [[TextAnalysis.qualityScore]].
+    */
+  private[graft] def repetitionSignals(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Vocabulary coverage curve for tokenizer-training prep: top-25
+    * words with cumulative corpus-token coverage
+    * ([[TextAnalysis.vocabCoverage]]).
+    */
+  private[graft] def vocabCoverageTop(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(s, dir), "text", k = 25)
+      .orderBy("rank")
+
+  /** Compressibility quality signal gated in-query (the q46 pattern:
+    * the oracle states the invariants as constants, so the compare
+    * fails if the deflate path ever produces an out-of-bounds ratio or
+    * loses the doubling-compresses property on ANY document).
+    */
+  private[graft] def compressQuality(s: SparkSession, dir: String): DataFrame = {
+    // null/empty-text docs have no deflate ratio (null) — exclude them
+    // symmetrically on both sides so the invariant gate tests the
+    // deflate signal, not corpus hygiene
+    val d = docs(s, dir).where(col("text").isNotNull && length(col("text")) > 0)
+    val single = graft.text.Compressibility
+      .deflateRatio(d, "doc_id", "text")
+      .select(col("id"), col("ratio").as("r1"))
+    val doubled = graft.text.Compressibility
+      .deflateRatio(
+        d.select(col("doc_id"),
+          concat(col("text"), col("text")).as("text")),
+        "doc_id", "text")
+      .select(col("id"), col("ratio").as("r2"))
+    single.join(doubled, "id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) === sum((col("r1") > 0 && col("r1") <= 1.2)
+          .cast("int"))).cast("int").as("all_ratios_bounded"),
+        (count(lit(1)) === sum((col("r2") < col("r1"))
+          .cast("int"))).cast("int").as("all_doubling_compresses"))
+  }
+
+  /** Edit-distance fuzzy self-join over distinct part names —
+    * symmetric-delete (SymSpell) signature blocking + exact
+    * `levenshtein(_,_,threshold)` verify. The cross join never exists
+    * in the plan (spec-asserted); candidates are an equi-join on
+    * deletion signatures, complete by the symmetric-delete property,
+    * so the result is identical to the nested-loop join the oracle
+    * runs.
+    */
+  private[graft] def fuzzyPartNames(s: SparkSession, dir: String): DataFrame =
+    Analytics.fuzzySelfJoin(t(s, dir, "part"), "p_name", maxDist = 2)
+      .orderBy("value_a", "value_b")
+
+  /** Exact heavy-hitter tokens (> 3.2% of corpus token mass) via the
+    * two-phase Misra–Gries candidate + exact-verify operator — the
+    * full `groupBy(token).count()` never runs; the sketch pass carries
+    * ≤ k counters per partition and the verify groups only
+    * candidate-matching rows.
+    */
+  private[graft] def heavyHitterTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    Analytics.heavyHitters(
+        docs(s, dir).select(
+          explode(TextAnalysis.words(col("text"))).as("w")),
+        "w", minFraction = 0.032)
+      .orderBy("value")
+  }
+
+  /** Classifier evaluation over the language-ID heuristic: per-language
+    * precision / recall / F1 against the metadata label — one
+    * confusion-matrix aggregation (the q20 table) plus cell-sized
+    * arithmetic; the evaluation-report shape any corpus-labeling model
+    * needs.
+    */
+  private[graft] def langIdMetrics(s: SparkSession, dir: String): DataFrame = {
+    val p = TextAnalysis.langIdStaged(docs(s, dir), "text")
+      .select(col("lang"), col("predicted"))
+      .transform(graft.core.CacheScope.disk)
+    val actual = p.groupBy(col("lang").as("language"))
+      .agg(count(lit(1)).as("n_actual"))
+    val predicted = p.groupBy(col("predicted").as("language"))
+      .agg(count(lit(1)).as("n_predicted"))
+    val correct = p.where(col("lang") === col("predicted"))
+      .groupBy(col("lang").as("language"))
+      .agg(count(lit(1)).as("n_correct"))
+    val prec = col("n_correct").cast("double") /
+      nullif(col("n_predicted").cast("double"), lit(0.0))
+    val rec = col("n_correct").cast("double") /
+      nullif(col("n_actual").cast("double"), lit(0.0))
+    actual
+      .join(predicted, Seq("language"), "full_outer")
+      .join(correct, Seq("language"), "left")
+      .select(col("language"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("precision", round(prec, 6))
+      .withColumn("recall", round(rec, 6))
+      .withColumn("f1",
+        round(lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0)), 6))
+      .orderBy("language")
+  }
+
+  /** Most-characteristic keyword per document (argmax tf-idf via
+    * `min_by` over a composite ordering struct — partial+final agg,
+    * no per-document window sort) histogrammed over the corpus.
+    */
+  private[graft] def topKeywordHistogram(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TfIdf
+    TfIdf.tfidf(docs(s, dir), "doc_id", "text")
+      .withColumn("__r", round(col("tfidf"), 4))
+      .groupBy("doc_id")
+      .agg(min_by(col("token"),
+        struct((-col("__r")).as("s"), col("token").as("t")))
+        .as("keyword"))
+      .groupBy("keyword")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("keyword")
+  }
+
+  /** Logistic quality-classifier scoring — σ(w·x + b) over the fixed
+    * declarative feature vector (log-tokens, punct ratio, stopword
+    * ratio, mean word length): the "fastText-style quality filter"
+    * stage as pure map-only column arithmetic in whole-stage codegen.
+    */
+  private[graft] def qualityModelScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.QualityModel
+    val w = QualityModel.Weights(Map(
+      "log_tokens" -> 0.9, "punct_ratio" -> -8.0,
+      "stop_ratio" -> 2.5, "mean_word_len" -> 0.15), bias = -4.0)
+    docs(s, dir)
+      .select(col("doc_id"),
+        round(QualityModel.score(col("text"), w), 6).as("score"))
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language adaptive quality floor: each language keeps docs at
+    * or above its OWN p10 quality cutoff (exact interpolated
+    * percentile), so low-resource languages aren't filtered by a
+    * high-resource language's score distribution. Reports the kept
+    * population per language.
+    */
+  private[graft] def adaptiveQualityFloorByLang(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.text.QualityModel
+    val scored = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+    QualityModel.adaptiveQualityFloor(scored, "lang", "q", 0.1,
+        exact = true)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        round(min("q"), 6).as("min_kept"),
+        round(avg("q"), 4).as("avg_kept"),
+        round(max("cutoff"), 6).as("cutoff"))
+      .orderBy("lang")
+  }
+
+  /** Top-3 TF-IDF terms for the first five documents (ranked on the
+    * ROUNDED score with token tie-break so both engines agree on
+    * borderline ordering); document frequencies come from the FULL
+    * corpus, only the ranked output is filtered.
+    */
+  private[graft] def topTfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.text.TfIdf.tfidf(docs(s, dir), "doc_id", "text")
+      .withColumn("tfidf", round(col("tfidf"), 4))
+      .where(col("doc_id") < 5)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tfidf"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Unigram-LM quality scoring ([[TextAnalysis.unigramLmScoreSelf]]):
+    * Lidstone-smoothed token log-probabilities trained on the corpus,
+    * documents ranked by mean token log-prob — the CCNet-style
+    * distributional-typicality signal (its KenLM perplexity, in
+    * dependency-free unigram form). Low scorers are the
+    * out-of-distribution tail a quality floor cuts.
+    */
+  private[graft] def unigramLmQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLmScoreSelf(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lm_score"), 4).as("lm_score"))
+      .orderBy("doc_id")
+
+  /** Intra-document stutter cleanup ([[TextAnalysis.collapseRepeats]]):
+    * consecutive repeated tokens collapse to one; the oracle mirrors
+    * the keep-predicate with DuckDB's indexed list_filter lambda.
+    */
+  private[graft] def collapseRepeatRuns(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collapseRepeats(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+
+  /** DSIR importance-weighted selection
+    * ([[TextAnalysis.dsirSelect]]): hashed-unigram log-likelihood
+    * ratios against the English slice as target, then the
+    * highest-scoring documents up to a 10k-token budget — the
+    * published domain-tilt selection (Xie et al. 2023) as a
+    * deterministic top-k. Scores are integer micro-units (exact
+    * BIGINT sums), the budget cut is the histogram-pruned
+    * [[graft.sampling.Packing.takeUntilBudget]].
+    */
+  private[graft] def dsirSelectionQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirSelect(docs(s, dir), "doc_id", "text",
+        col("lang") === "en", tokenBudget = 10000L)
+      .orderBy("doc_id")
+
+  /** PII incidence report ([[TextAnalysis.piiIncidence]]) over a
+    * deterministically PII-perturbed corpus (the q144 treatment —
+    * synthetic tables carry no real PII, so docs at doc_id ≡ 0 mod
+    * {7, 11, 13} get an email / SSN / phone appended and the report
+    * must locate exactly those): per (source, pii_type) the affected
+    * documents, total matches, and affected fraction.
+    */
+  private[graft] def piiIncidenceQ(s: SparkSession, dir: String): DataFrame = {
+    val seeded = docs(s, dir).withColumn("text",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" ssn 123-45-6789")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit(" call 555-123-4567")).otherwise(lit(""))))
+    TextAnalysis.piiIncidence(seeded, "text", Seq("source"))
+      .select(col("source"), col("pii_type"), col("n_docs"),
+        col("n_docs_with"), col("n_matches"),
+        round(col("doc_frac"), 6).as("doc_frac"))
+      .orderBy("source", "pii_type")
+  }
+
+  /** Tokenizer fertility report: per language, BPE tokens per word
+    * and characters per BPE token under the corpus-trained 8-merge
+    * table (q142's trainer + q143's production apply) — the
+    * tokenizer-fit audit that decides whether a language needs its
+    * own vocabulary budget. Unrounded exact-long divisions.
+    */
+  private[graft] def tokenizerFertilityQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val m = TextAnalysis.bpeTrainMerges(d, "text", merges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeTokenCountsFast(d, "doc_id", "text", m)
+      .join(d.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("__nc")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens_bpe")).as("n_tokens_bpe"),
+        sum(col("__nc")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens_bpe"),
+        col("n_chars"),
+        (col("n_tokens_bpe").cast("double") / col("n_words"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens_bpe"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  /** BM25 top-k retrieval ([[graft.text.TfIdf.bm25Search]]): the
+    * audit queries (docs 0–4 as their own queries) against the full
+    * corpus — sparse lexical retrieval with df-pruned postings and
+    * micro-unit-exact score sums. (On this deliberately tiny
+    * vocabulary, BM25's length normalization can rank a short
+    * term-dense document above the query's own longer source — the
+    * correct Okapi behavior, replayed identically by the oracle.)
+    */
+  private[graft] def bm25SearchQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.text.TfIdf.bm25Search(d, "doc_id", "text",
+        d.where(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", "text", k = 10, maxDf = 400L)
+      .orderBy("query_id", "rank")
+  }
+
+  /** One BPE training iteration over the space-delimited symbol
+    * strings in CTE s{i-1}: pair counts → deterministic argmax →
+    * greedy left-to-right merge. The merge is TWO replace passes: a
+    * single replace-all consumes the shared boundary space of
+    * textually-adjacent occurrences and skips every second one; the
+    * skipped occurrences are never adjacent to each other (their
+    * neighbors were replaced, restoring delimiters), so the second
+    * pass completes exactly the greedy non-overlapping set the
+    * engine's fold computes.
+    */
+  private[graft] def oracleBpeStep(i: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // this chain references each step several times — inlining
+    // re-expands the whole prefix per reference (exponential plan,
+    // "too many open files" on the base scan). The 1-row argmax
+    // cross-joins in (no repeated scalar subqueries), which also
+    // makes an exhausted step (empty t) empty out the rest — matching
+    // the engine's early stop.
+    val prev = s"s${i - 1}"
+    val pat = s"' ' || mt.lhs || ' ' || mt.rhs || ' '"
+    val rep = s"' ' || mt.lhs || mt.rhs || ' '"
+    s"""p$i AS MATERIALIZED (
+         SELECT ws[j] AS lhs, ws[j + 1] AS rhs, sum(freq) AS cnt FROM (
+           SELECT freq, string_split(trim(s), ' ') AS ws FROM $prev),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS j)
+             t
+         GROUP BY 1, 2),
+       t$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
+               ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+       s$i AS MATERIALIZED (SELECT w, freq,
+           replace(replace(s, $pat, $rep), $pat, $rep) AS s
+         FROM $prev, t$i mt)"""
+  }
+
+  private[graft] val oracleLangScores: String = "WITH " + oracleLangCtes("documents")
+
+}

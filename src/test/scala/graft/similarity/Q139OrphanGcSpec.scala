@@ -1,8 +1,9 @@
 package graft.similarity
 
-import graft.{SparkEntry, SparkSpec}
+import graft.SparkSpec
+import graft.registry.SimilarityRegistry
 
-/** [[SparkEntry.q139ReapOrphans]] — crashed-run warehouse hygiene: a
+/** [[SimilarityRegistry.q139ReapOrphans]] — crashed-run warehouse hygiene: a
   * q139 run that died under another pid left its pid-suffixed
   * index/codebook locations behind (its own same-pid cleanup never
   * ran); the reaper deletes exactly those, keyed on process liveness,
@@ -29,7 +30,7 @@ class Q139OrphanGcSpec extends SparkSpec {
     val all = Seq(dead, dead2, live, mine, other)
     try {
       all.foreach(fs.mkdirs)
-      SparkEntry.q139ReapOrphans(spark)
+      SimilarityRegistry.q139ReapOrphans(spark)
       assert(!fs.exists(dead), "dead-pid orphan must be reaped")
       assert(!fs.exists(dead2), "dead-pid orphan must be reaped")
       assert(fs.exists(live), "live-pid location must survive")
