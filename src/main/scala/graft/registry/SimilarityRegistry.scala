@@ -34,6 +34,7 @@ private[graft] object SimilarityRegistry {
     "q159_kcenter_select" -> (kcenterSelectQ _),
     "q169_audio_ehash_dedup" -> (audioEhashDedupQ _),
     "q173_mmr_rerank" -> (mmrRerankQ _),
+    "q175_retrieval_pipeline" -> (retrievalPipelineQ _),
     "q27_embedding_neardup" -> (embeddingNeardup _),
     "q28_ann_bruteforce" -> (annBruteForce _),
     "q29_ann_ivf" -> (annIvf _),
@@ -759,6 +760,177 @@ private[graft] object SimilarityRegistry {
             s"SELECT CAST($r AS INT) AS rank, vec_id, rel, mc, obj FROM c$r")
             .mkString("\n           UNION ALL ")})
          ORDER BY rank"""
+    },
+    // full pipeline replay: q61's chunk CTEs -> feature-hash embed ->
+    // q113's PQ-train/encode/route/ADC over the chunk vectors + q171's
+    // BM25 over the chunk tokens -> q90's RRF -> q173's unrolled MMR
+    // generalized per query (the argmax is a per-qid window, the
+    // max-cos update joins on qid)
+    "q175_retrieval_pipeline" -> {
+      def hashEmbed(toks: String) =
+        s"""list_transform(generate_series(0, 15), j ->
+             CAST(len(list_filter($toks, tk ->
+               CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 16
+                 = j)) AS DOUBLE))"""
+      def mmrStep(r: Int): String = {
+        val prev = if (r == 1) "mbase" else s"mm${r - 1}"
+        val pick =
+          s"""mc$r AS MATERIALIZED (
+             SELECT qid, chunk_id, v, rel, mc, obj FROM (
+               SELECT qid, chunk_id, v, rel, mc, obj,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY obj DESC, chunk_id ASC) AS rn
+               FROM (
+                 SELECT qid, chunk_id, v, rel, mc,
+                   CAST(floor((CAST(0.7 AS DOUBLE) * rel
+                     - CAST(0.3 AS DOUBLE) * mc) * 1000000) AS BIGINT)
+                     AS obj
+                 FROM $prev)) WHERE rn = 1)"""
+        if (r == 5) pick
+        else pick + s""",
+           mm$r AS MATERIALIZED (
+             SELECT p.qid, p.chunk_id, p.v, p.rel,
+               greatest(p.mc, ${oracleCosRaw("p.v", "c.v")}) AS mc
+             FROM $prev p JOIN mc$r c ON c.qid = p.qid
+             WHERE p.chunk_id <> c.chunk_id)"""
+      }
+      s"""WITH dd AS (
+           SELECT doc_id, $oracleWords AS ws FROM documents),
+         nn AS (
+           SELECT doc_id, ws, len(ws) AS t FROM dd WHERE len(ws) > 0),
+         cgen AS (
+           SELECT doc_id, ws,
+             unnest(generate_series(0,
+               greatest(0, CAST(ceil((t - 64) / 56.0) AS BIGINT))))
+               AS chunk_idx
+           FROM nn),
+         ch AS (
+           SELECT (doc_id + 1) * 1000 + chunk_idx AS chunk_id,
+             ws[chunk_idx * 56 + 1 : chunk_idx * 56 + 64] AS chunk
+           FROM cgen),
+         cv AS (
+           SELECT chunk_id AS vec_id, ${hashEmbed("chunk")} AS v
+           FROM ch),
+         qdocs AS (
+           SELECT doc_id AS qid, $oracleWords AS qws
+           FROM documents WHERE doc_id < 5),
+         qv AS (
+           SELECT qid, ${hashEmbed("qws")} AS v FROM qdocs),
+         ${(0 until 4).map(b => oraclePqBlock(b, 4, 16, "cv"))
+            .mkString(",\n")},
+         ncodes AS (
+           SELECT cv.vec_id, enc0.code AS k0, enc1.code AS k1,
+             enc2.code AS k2, enc3.code AS k3
+           FROM cv
+           JOIN enc0 ON enc0.vec_id = cv.vec_id
+           JOIN enc1 ON enc1.vec_id = cv.vec_id
+           JOIN enc2 ON enc2.vec_id = cv.vec_id
+           JOIN enc3 ON enc3.vec_id = cv.vec_id),
+         ccents AS (
+           SELECT vec_id AS ccid, v AS ccv FROM cv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+           LIMIT 16),
+         cassign AS (
+           SELECT vec_id, ccid FROM (
+             SELECT cv.vec_id, c.ccid, row_number() OVER (
+               PARTITION BY cv.vec_id
+               ORDER BY ${oracleCos("cv.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM cv CROSS JOIN ccents c) WHERE rn = 1),
+         probes AS (
+           SELECT qid, ccid FROM (
+             SELECT q.qid, c.ccid, row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ${oracleCos("q.v", "c.ccv")} DESC, c.ccid ASC)
+               AS rn
+             FROM qv q CROSS JOIN ccents c) WHERE rn <= 3),
+         sden AS (
+           SELECT q.qid, nx.vec_id AS nid,
+             round((list_dot_product(q.v[1:4], b0.cv)
+                 + list_dot_product(q.v[5:8], b1.cv)
+                 + list_dot_product(q.v[9:12], b2.cv)
+                 + list_dot_product(q.v[13:16], b3.cv))
+               / nullif(sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b0.cv, b0.cv)
+                   + list_dot_product(b1.cv, b1.cv)
+                   + list_dot_product(b2.cv, b2.cv)
+                   + list_dot_product(b3.cv, b3.cv)), 0.0), 4) AS sim
+           FROM qv q
+           JOIN probes p ON p.qid = q.qid
+           JOIN cassign ca ON ca.ccid = p.ccid
+           JOIN ncodes nx ON nx.vec_id = ca.vec_id
+           JOIN cb0 b0 ON b0.code = nx.k0
+           JOIN cb1 b1 ON b1.code = nx.k1
+           JOIN cb2 b2 ON b2.code = nx.k2
+           JOIN cb3 b3 ON b3.code = nx.k3
+           WHERE nx.vec_id <> q.qid),
+         dense AS (
+           SELECT qid, nid, rank FROM (
+             SELECT qid, nid, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT)
+               AS rank
+             FROM sden) WHERE rank <= 10),
+         ctf AS (
+           SELECT chunk_id, tk AS token, count(*) AS tf FROM (
+             SELECT chunk_id, unnest(chunk) AS tk FROM ch)
+           GROUP BY 1, 2),
+         clens AS (SELECT chunk_id, len(chunk) AS len FROM ch),
+         cstats AS (
+           SELECT count(*) AS n,
+             CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+           FROM clens),
+         cdfq AS (
+           SELECT token, count(*) AS df FROM ctf
+           GROUP BY token HAVING count(*) <= 400),
+         bqt AS (
+           SELECT qid, unnest(list_distinct(qws)) AS token FROM qdocs),
+         bsc AS (
+           SELECT qid, ctf.chunk_id,
+             CAST(floor(
+               ln(CAST(1 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
+                 / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * len / avgdl))
+               * 1000000000) AS BIGINT) AS tm
+           FROM bqt
+           JOIN ctf USING (token) JOIN cdfq USING (token)
+           JOIN clens ON clens.chunk_id = ctf.chunk_id, cstats),
+         bagg AS (
+           SELECT qid, chunk_id, sum(tm) AS score_micro
+           FROM bsc GROUP BY 1, 2),
+         bm25 AS (
+           SELECT qid, nid, rank FROM (
+             SELECT qid, chunk_id AS nid, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score_micro DESC, chunk_id ASC)
+               AS INT) AS rank
+             FROM bagg) WHERE rank <= 10),
+         u AS (
+           SELECT qid, nid,
+             1.0 / (60.0 + CAST(rank AS DOUBLE)) AS sc FROM dense
+           UNION ALL
+           SELECT qid, nid,
+             1.0 / (60.0 + CAST(rank AS DOUBLE)) FROM bm25),
+         f AS (
+           SELECT qid, nid, sum(sc) AS fused FROM u GROUP BY qid, nid),
+         cand AS MATERIALIZED (
+           SELECT qid, nid AS chunk_id, round(fused, 6) AS rel FROM (
+             SELECT qid, nid, fused, row_number() OVER (
+               PARTITION BY qid ORDER BY fused DESC, nid ASC) AS fr
+             FROM f) WHERE fr <= 10),
+         mbase AS MATERIALIZED (
+           SELECT c.qid, c.chunk_id, v.v, c.rel,
+             CAST(0.0 AS DOUBLE) AS mc
+           FROM cand c JOIN cv v ON v.vec_id = c.chunk_id),
+         ${(1 to 5).map(mmrStep).mkString(",\n         ")}
+         SELECT qid AS query_id, rank, chunk_id,
+           chunk_id // 1000 - 1 AS doc_id,
+           CAST(chunk_id % 1000 AS INT) AS chunk_idx,
+           round(rel, 6) AS rel, obj AS obj_micro
+         FROM (${(1 to 5).map(r =>
+            s"SELECT CAST($r AS INT) AS rank, qid, chunk_id, rel, obj FROM mc$r")
+            .mkString("\n           UNION ALL ")})
+         ORDER BY query_id, rank"""
     },
     "q27_embedding_neardup" ->
       s"""WITH e AS (
@@ -1744,6 +1916,80 @@ private[graft] object SimilarityRegistry {
         round(col("max_cos_prior"), 6).as("max_cos_prior"),
         col("obj_micro"))
       .orderBy("rank")
+  }
+
+  /** The retrieval stack composed END TO END in one lazy plan — the
+    * chain a RAG product actually runs, with every stage an
+    * already-verified operator: chunk
+    * ([[TextAnalysis.chunkByTokens]], q61) → feature-hash embed
+    * ([[TextAnalysis.featureHashEmbed]]) → IVF-PQ dense index + probe
+    * ([[Similarity.pqTrainCodebooks]]/[[Similarity.ivfPqTopK]], q113)
+    * and BM25 sparse search over the SAME chunks
+    * ([[graft.text.TfIdf.bm25Search]], q171) → reciprocal-rank fusion
+    * ([[Similarity.rrfFuse]], q90) → per-query MMR diversity rerank
+    * ([[Similarity.mmrRerankByQuery]], the grouped q173).
+    *
+    * Composition discipline (the q31/q73/q152/q154 lesson, applied at
+    * birth): the chunk frame and its embedding frame persist ONCE and
+    * feed every consumer — dense training, dense index, BM25
+    * postings/lengths, and the MMR vector join all read the same
+    * cached chunking, so no stage can silently re-execute the
+    * upstream chain (RetrievalPipelineSpec pins the scan count).
+    * Queries are the five lowest doc_ids' full text; chunk surrogate
+    * key `(doc_id+1)·1000 + chunk_idx` keeps the id spaces disjoint.
+    * Everything downstream of the fused scores is the exact-integer
+    * machinery of the component queries, so the whole pipeline
+    * replays in DuckDB.
+    */
+  private[graft] def retrievalCandidates(
+      s: SparkSession, dir: String): DataFrame = {
+    val dim = 16
+    val chunks = TextAnalysis.chunkByTokens(
+        docs(s, dir), "doc_id", "text", window = 64, overlap = 8)
+      .select(((col("doc_id") + 1) * 1000 + col("chunk_idx"))
+        .cast("long").as("chunk_id"), col("chunk_text"))
+      .transform(graft.core.CacheScope.disk)
+    val cvecs = chunks
+      .select(col("chunk_id"),
+        TextAnalysis.featureHashEmbed(col("chunk_text"), dim).as("v"))
+      .transform(graft.core.CacheScope.disk)
+    val queries = docs(s, dir).where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+      .transform(graft.core.CacheScope.disk)
+    val cents = Similarity.hashKCentroids(cvecs, "chunk_id", "v", 16)
+    val books = Similarity.pqTrainCodebooks(cvecs, "chunk_id", "v",
+      m = 4, k = 16, iters = 2, exactMedian = true)
+    val index = Similarity.ivfPqAssignCodes(
+      cvecs, "chunk_id", "v", cents, books)
+    val qvecs = queries.select(col("qid").as("chunk_id"),
+      TextAnalysis.featureHashEmbed(col("text"), dim).as("v"))
+    val dense = Similarity.ivfPqTopK(qvecs, index, books, cents,
+        "chunk_id", "v", k = 10, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val sparse = graft.text.TfIdf.bm25Search(
+        chunks, "chunk_id", "chunk_text", queries, "qid", "text",
+        k = 10, maxDf = 400)
+      .select(col("qid").as("query_id"),
+        col("chunk_id").as("neighbor_id"), col("rank"))
+    val fused = Similarity.rrfFuse(Seq(dense, sparse),
+      "query_id", "neighbor_id", "rank", k = 60, topN = 10)
+    fused
+      .join(cvecs.select(col("chunk_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").as("chunk_id"),
+        col("v"), col("fused_score").as("rel"))
+  }
+
+  private[graft] def retrievalPipelineQ(
+      s: SparkSession, dir: String): DataFrame = {
+    Similarity.mmrRerankByQuery(retrievalCandidates(s, dir),
+        "query_id", "chunk_id", "v", "rel", k = 5, lambdaMilli = 700)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("chunk_id"),
+        expr("chunk_id div 1000 - 1").as("doc_id"),
+        (col("chunk_id") % 1000).cast("int").as("chunk_idx"),
+        round(col("rel"), 6).as("rel"), col("obj_micro"))
+      .orderBy("query_id", "rank")
   }
 
   /** Cosine in double precision over the embeddings arrays. */

@@ -1803,6 +1803,79 @@ object Similarity {
     out.reduce(_.unionByName(_)).where(col(idCol).isNotNull)
   }
 
+  /** [[mmrRerank]] with every greedy round's argmax PER QUERY — the
+    * shape a retrieval product actually runs (rerank each query's
+    * candidate list independently, thousands to millions of queries
+    * in one job). Same objective, quantization, and tie-breaks as the
+    * single-pool form, applied group-wise.
+    *
+    * Shape: k−1 unrolled rounds; each round's pick frame is ONE row
+    * per query (`groupBy(query).agg(min_by …)`) joined back on the
+    * query key to update the running max-cosine — an equi-join both
+    * sides of which are hash-partitioned on the query key, so rounds
+    * reuse one partitioning; no crossJoin, no global argmax. State
+    * per round is the candidate frame itself (queries × topN rows —
+    * rerank-sized per query by construction). Groups that exhaust
+    * before round k simply stop producing pick rows (grouped
+    * aggregation emits nothing for an absent group), so short
+    * candidate lists yield short result lists, never null ranks.
+    *
+    * Output: (rank, queryCol, idCol, rel, max_cos_prior, obj_micro),
+    * rank 1..k per query.
+    */
+  def mmrRerankByQuery(
+      candidates: DataFrame, queryCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int,
+      lambdaMilli: Int = 700): DataFrame = {
+    require(k >= 1 && k <= 1000,
+      "k unrolled rounds: rerank-sized k only")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      "lambdaMilli is per-mill")
+    val lam = lambdaMilli / 1000.0
+    val mu = (1000 - lambdaMilli) / 1000.0
+    val base = candidates.select(col(queryCol).as("__g"),
+        col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"),
+        col(relCol).cast("double").as("__rel"))
+      .where(col("__g").isNotNull && col("__v").isNotNull &&
+        col("__rel").isNotNull)
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+      .where(col("__n") > lit(0.0)) // the mmrRerank NaN guard
+      .withColumn("__mc", lit(0.0))
+    def obj = lit(lam) * col("__rel") - lit(mu) * col("__mc")
+    def objMicro = floor(obj * lit(1000000L)).cast("long")
+    var cur = base.localCheckpoint()
+    var out = Seq.empty[DataFrame]
+    for (r <- 1 to k) {
+      val pick = cur
+        .withColumn("__obj", objMicro)
+        .groupBy(col("__g"))
+        .agg(min_by(struct(col("__id"), col("__v"), col("__n"),
+            col("__rel"), col("__mc"), col("__obj")),
+          struct((-col("__obj")).as("__nobj"), col("__id"))).as("__s"))
+        .select(col("__g"), col("__s.__id").as("__cid"),
+          col("__s.__v").as("__cv"), col("__s.__n").as("__cn"),
+          col("__s.__rel").as("__crel"), col("__s.__mc").as("__cmc"),
+          col("__s.__obj").as("__cobj"))
+        .localCheckpoint() // two consumers: output + next-round update
+      out :+= pick.select(lit(r).as("rank"), col("__g").as(queryCol),
+        col("__cid").as(idCol), col("__crel").as("rel"),
+        col("__cmc").as("max_cos_prior"), col("__cobj").as("obj_micro"))
+      if (r < k)
+        cur = cur
+          .join(pick.select(col("__g"), col("__cid"), col("__cv"),
+            col("__cn")), Seq("__g"))
+          .where(col("__id") =!= col("__cid"))
+          .select(col("__g"), col("__id"), col("__v"), col("__n"),
+            col("__rel"),
+            greatest(col("__mc"),
+              dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+              .as("__mc"))
+          .localCheckpoint()
+    }
+    out.reduce(_.unionByName(_))
+  }
+
   /** The (i, d) hyperplane sign: +1 iff the first hex char of
     * md5("srp_i_d") has even value — replayable as
     * `substr(md5(...), 1, 1) IN ('0','2','4','6','8','a','c','e')`

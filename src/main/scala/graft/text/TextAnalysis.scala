@@ -1297,4 +1297,29 @@ object TextAnalysis {
         "n_tokens", tokenBudget)
       .select(col(idCol), col("n_tokens"), col("score_micro"))
   }
+
+  /** Feature-hashing text embedding (the "hashing trick",
+    * Weinberger et al. 2009): a `dim`-dimensional bag-of-words count
+    * vector where token `t` lands in bucket
+    * `md5(t)[0:8] as int mod dim` — the deterministic, training-free
+    * embedder a retrieval pipeline can run where a learned model
+    * isn't available (or as the replayable stand-in for one: the
+    * downstream quantize/index/score machinery is identical either
+    * way). Cosine over these vectors is token-overlap similarity
+    * weighted by term multiplicity.
+    *
+    * Exactness at scale: buckets derive from md5 (engine-portable —
+    * DuckDB replays `('0x' || substr(md5(t), 1, 8))::BIGINT % dim`);
+    * counts are exact small integers cast to double, so every
+    * downstream dot product is an exact integer-valued sum, immune to
+    * float summation order. Pure `Column` expression: whole-stage
+    * codegen, no UDF, no shuffle.
+    */
+  def featureHashEmbed(textCol: Column, dim: Int): Column = {
+    require(dim >= 2 && dim <= 1024, "dim must be in [2, 1024]")
+    val buckets = transform(words(textCol), t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim)
+    array((0 until dim).map(j =>
+      size(filter(buckets, b => b === j)).cast("double")): _*)
+  }
 }
