@@ -30,6 +30,7 @@ private[graft] object TextRegistry {
     "q162_pii_incidence" -> (piiIncidenceQ _),
     "q163_tokenizer_fertility" -> (tokenizerFertilityQ _),
     "q171_bm25_search" -> (bm25SearchQ _),
+    "q176_bm25_incremental" -> (bm25IncrementalQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -48,6 +49,53 @@ private[graft] object TextRegistry {
     "q91_top_keyword_histogram" -> (topKeywordHistogram _),
     "q98_langid_metrics" -> (langIdMetrics _),
   )
+
+  /** The q171 BM25 oracle, shared verbatim with q176: the
+    * incremental index path must reproduce the from-scratch build
+    * exactly.
+    */
+  private[graft] val oracleBm25Sql: String =
+    s"""WITH tf AS (
+           SELECT doc_id, w AS token, count(*) AS tf FROM (
+             SELECT doc_id, unnest($oracleWords) AS w FROM documents)
+           GROUP BY 1, 2),
+         lens AS (
+           SELECT doc_id, len($oracleWords) AS len FROM documents),
+         stats AS (
+           SELECT count(*) AS n,
+             CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+           FROM lens),
+         dfq AS (
+           SELECT token, count(*) AS df FROM tf
+           GROUP BY token HAVING count(*) <= 400),
+         qt AS (
+           SELECT doc_id AS qid, unnest(list_distinct($oracleWords))
+             AS token
+           FROM documents WHERE doc_id < 5),
+         sc AS (
+           SELECT qid, tf.doc_id,
+             CAST(floor(
+               ln(CAST(1 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
+                 / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * len / avgdl))
+               * 1000000000) AS BIGINT) AS tm
+           FROM qt
+           JOIN tf USING (token) JOIN dfq USING (token)
+           JOIN lens ON lens.doc_id = tf.doc_id, stats),
+         agg AS (
+           SELECT qid, doc_id, sum(tm) AS score_micro
+           FROM sc GROUP BY 1, 2),
+         r AS (
+           SELECT qid, doc_id, score_micro, row_number() OVER (
+             PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)
+             AS rank
+           FROM agg)
+         SELECT qid AS query_id, doc_id,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] = Map(
     "q124_unigram_lm_quality" ->
@@ -400,48 +448,10 @@ private[graft] object TextRegistry {
     // BM25 replay: df-pruned postings, per-term micro quantization
     // BEFORE the per-(query, doc) sum, float literals spelled exactly
     // as the engine computes them
-    "q171_bm25_search" ->
-      s"""WITH tf AS (
-           SELECT doc_id, w AS token, count(*) AS tf FROM (
-             SELECT doc_id, unnest($oracleWords) AS w FROM documents)
-           GROUP BY 1, 2),
-         lens AS (
-           SELECT doc_id, len($oracleWords) AS len FROM documents),
-         stats AS (
-           SELECT count(*) AS n,
-             CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
-           FROM lens),
-         dfq AS (
-           SELECT token, count(*) AS df FROM tf
-           GROUP BY token HAVING count(*) <= 400),
-         qt AS (
-           SELECT doc_id AS qid, unnest(list_distinct($oracleWords))
-             AS token
-           FROM documents WHERE doc_id < 5),
-         sc AS (
-           SELECT qid, tf.doc_id,
-             CAST(floor(
-               ln(CAST(1 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
-                 / (df + CAST(0.5 AS DOUBLE)))
-               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-                 + CAST(0.75 AS DOUBLE) * len / avgdl))
-               * 1000000000) AS BIGINT) AS tm
-           FROM qt
-           JOIN tf USING (token) JOIN dfq USING (token)
-           JOIN lens ON lens.doc_id = tf.doc_id, stats),
-         agg AS (
-           SELECT qid, doc_id, sum(tm) AS score_micro
-           FROM sc GROUP BY 1, 2),
-         r AS (
-           SELECT qid, doc_id, score_micro, row_number() OVER (
-             PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)
-             AS rank
-           FROM agg)
-         SELECT qid AS query_id, doc_id,
-           CAST(score_micro AS BIGINT) AS score_micro,
-           CAST(rank AS INT) AS rank
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q171_bm25_search" -> oracleBm25Sql,
+    // the incremental path must reconstruct the from-scratch index
+    // EXACTLY — same oracle text as q171 by construction
+    "q176_bm25_incremental" -> oracleBm25Sql,
     "q18_text_stats" ->
       s"""$oracleMetricsCte
          SELECT lang, count(*) AS n_docs,
@@ -1146,6 +1156,31 @@ private[graft] object TextRegistry {
   private[graft] def bm25SearchQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     graft.text.TfIdf.bm25Search(d, "doc_id", "text",
+        d.where(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", "text", k = 10, maxDf = 400L)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q171 probed through the STANDING index instead of a from-scratch
+    * build: the corpus lands as three ingest batches' worth of
+    * [[graft.text.TfIdf.bm25IndexShard]] rows (the incremental
+    * maintenance state — [[graft.streaming.EventStreams
+    * .bm25IndexMaintenanceSink]]'s store shape), and the search runs
+    * [[graft.text.TfIdf.bm25SearchOverIndex]] over their union. Same
+    * queries, same parameters, same ORACLE TEXT as q171 — the oracle
+    * equality IS the cross-engine proof that the shard algebra
+    * reconstructs the exact from-scratch index.
+    */
+  private[graft] def bm25IncrementalQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val shards = (0 to 2).map(b =>
+        graft.text.TfIdf.bm25IndexShard(
+          d.where(col("doc_id") % 3 === b), "doc_id", "text",
+          lit(b.toLong)))
+      .reduce(_ unionByName _)
+    graft.text.TfIdf.bm25SearchOverIndex(shards, "doc_id",
         d.where(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"), col("text")),
         "query_id", "text", k = 10, maxDf = 400L)

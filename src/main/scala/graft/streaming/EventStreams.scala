@@ -636,6 +636,56 @@ object EventStreams {
     graft.text.TextAnalysis
       .mergeDatasheets(spark.read.parquet(storeDir), groupCols)
 
+  /** Streaming BM25 lexical-index maintenance — the retrieval stack's
+    * missing incremental leg (every fingerprint family had a
+    * maintenance sink; BM25's postings/df/lengths were rebuilt from
+    * scratch per query): each micro-batch builds its own
+    * [[graft.text.TfIdf.bm25IndexShard]] and lands it under
+    * `batch_id=<id>` with OVERWRITE, so checkpoint replay rewrites
+    * the same shard instead of double-appending. Searches probe the
+    * standing store via [[graft.text.TfIdf.bm25SearchOverIndex]] —
+    * bit-identical to a from-scratch [[graft.text.TfIdf.bm25Search]]
+    * over the same documents (shared scoring core).
+    */
+  def bm25IndexMaintenanceSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      storeDir: String, checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(docs, checkpointDir, outputMode = "append") {
+      (batch, id) =>
+        landBm25IndexShard(batch, id, idCol, textCol, storeDir)
+    }
+
+  private[streaming] def landBm25IndexShard(
+      batch: DataFrame, id: Long, idCol: String, textCol: String,
+      storeDir: String): Unit =
+    graft.text.TfIdf
+      .bm25IndexShard(batch, idCol, textCol, lit(id))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch_id=$id")
+
+  /** The standing BM25 index over a [[bm25IndexMaintenanceSink]]
+    * store, ready for [[graft.text.TfIdf.bm25SearchOverIndex]].
+    */
+  def liveBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+
+  /** Compact a [[bm25IndexMaintenanceSink]] store to one shard in a
+    * NEW store dir (rewrite-then-flip, the [[compactDatasheetStore]]
+    * crash-safety argument): rows are per-doc facts, so compaction is
+    * the pure re-tag of [[graft.text.TfIdf.compactBm25IndexShards]].
+    */
+  def compactBm25Store(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, newStoreDir: String): Unit =
+    graft.text.TfIdf
+      .compactBm25IndexShards(
+        spark.read.parquet(storeDir).drop("batch_id"), shardId = 0L)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$newStoreDir/batch_id=0")
+
   /** Compact a [[datasheetMaintenanceSink]] store: all shards
     * collapse to ONE (counts summed, sketches unioned —
     * [[graft.text.TextAnalysis.compactDatasheetShards]]) written to

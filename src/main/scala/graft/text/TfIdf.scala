@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** TF-IDF term weighting over a document table — the classic sparse
@@ -72,10 +72,24 @@ object TfIdf {
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       maxDf: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = termFrequencies(docs, idCol, textCol)
     val lens = docs.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("__len"))
+    bm25ScoreCore(tf, lens, idCol, queries, qIdCol, qTextCol,
+      k, k1, b, maxDf)
+  }
+
+  /** The BM25 scoring core shared by [[bm25Search]] (postings built
+    * from the corpus in-query) and [[bm25SearchOverIndex]] (postings
+    * read from a standing shard store): identical expressions, so the
+    * two paths are bit-identical by construction (spec-pinned).
+    * `tf` = (idCol, token, tf); `lens` = (idCol, __len).
+    */
+  private def bm25ScoreCore(
+      tf: DataFrame, lens: DataFrame, idCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double, b: Double, maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val stats = lens.agg(count(lit(1)).as("__n"),
       (sum(col("__len")).cast("double") / count(lit(1)))
         .as("__avgdl"))
@@ -105,5 +119,72 @@ object TfIdf {
       .where(col("rank") <= k)
       .select(col("__qid").as(qIdCol), col(idCol),
         col("score_micro"), col("rank"))
+  }
+
+  /** Per-batch BM25 index shard — the lexical index's entry in the
+    * mergeable-shard algebra every fingerprint family already has
+    * (Bloom, LSH, SRP, datasheet, KLL): ONE frame carries both row
+    * kinds the index needs, posting rows `(doc, token, tf, len=null)`
+    * and doc-length rows `(doc, token=null, tf=null, len)`, tagged
+    * with the shard id. Every statistic BM25 scores with is additive
+    * across shards by row counting/summing alone — `df(token)` =
+    * posting rows per token, `N` = doc rows, `avgdl` = Σlen / N — so
+    * shards build independently (one scan of the batch each) and any
+    * merge tree lands on the same index. Contract: each document
+    * belongs to exactly ONE batch (replay of the same batch id
+    * OVERWRITEs its shard — the datasheet-sink idempotence story —
+    * but re-ingesting a doc under a NEW batch id double-counts it,
+    * same as every per-doc-fact store here).
+    *
+    * Empty/whitespace docs produce a doc row with len 0 and no
+    * posting rows — exactly what the from-scratch build sees.
+    */
+  def bm25IndexShard(
+      df: DataFrame, idCol: String, textCol: String,
+      shard: Column): DataFrame = {
+    val base = df.select(shard.as("__shard"), col(idCol), col(textCol))
+    val postings = base
+      .select(col("__shard"), col(idCol),
+        explode(TextAnalysis.words(col(textCol))).as("token"))
+      .groupBy(col("__shard"), col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("__shard"), col(idCol), col("token"), col("tf"),
+        lit(null).cast("long").as("len"))
+    val docRows = base.select(col("__shard"), col(idCol),
+      lit(null).cast("string").as("token"),
+      lit(null).cast("long").as("tf"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("len"))
+    postings.unionByName(docRows)
+  }
+
+  /** Shard-preserving compaction: rows are per-doc FACTS (postings
+    * and lengths), not aggregates, so compaction is a pure re-tag
+    * under one shard id — the output is again a valid
+    * [[bm25IndexShard]] frame and the store's merge semantics are
+    * untouched. The value is operational (N small shard files → one),
+    * same as the datasheet compaction.
+    */
+  def compactBm25IndexShards(
+      shards: DataFrame, shardId: Long): DataFrame =
+    shards.withColumn("__shard", lit(shardId))
+
+  /** BM25 top-k over a STANDING shard store instead of a from-scratch
+    * corpus build: postings and lengths read from the
+    * [[bm25IndexShard]] rows, then the exact [[bm25Search]] scoring
+    * core — per-query cost is the pruned posting mass, and the corpus
+    * is never re-tokenized. Bit-identical to [[bm25Search]] over the
+    * union of the shards' documents (shared core; spec-pinned).
+    */
+  def bm25SearchOverIndex(
+      shards: DataFrame, idCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Long = 1000000L): DataFrame = {
+    val tf = shards.where(col("token").isNotNull)
+      .select(col(idCol), col("token"), col("tf"))
+    val lens = shards.where(col("token").isNull)
+      .select(col(idCol), col("len").as("__len"))
+    bm25ScoreCore(tf, lens, idCol, queries, qIdCol, qTextCol,
+      k, k1, b, maxDf)
   }
 }
