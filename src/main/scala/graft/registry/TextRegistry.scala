@@ -31,6 +31,7 @@ private[graft] object TextRegistry {
     "q163_tokenizer_fertility" -> (tokenizerFertilityQ _),
     "q171_bm25_search" -> (bm25SearchQ _),
     "q176_bm25_incremental" -> (bm25IncrementalQ _),
+    "q177_cms_token_counts" -> (cmsTokenCountsQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -452,6 +453,41 @@ private[graft] object TextRegistry {
     // the incremental path must reconstruct the from-scratch index
     // EXACTLY — same oracle text as q171 by construction
     "q176_bm25_incremental" -> oracleBm25Sql,
+    // CMS cells replay as one grouped count over (row, md5-bucket);
+    // estimates as a min over the probe's buckets with absent cells 0
+    "q177_cms_token_counts" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($oracleWords) AS token
+           FROM documents),
+         truth AS (
+           SELECT token, count(*) AS true_cnt FROM toks
+           GROUP BY token
+           ORDER BY true_cnt DESC, token ASC LIMIT 15),
+         cells AS (
+           SELECT d,
+             CAST(('0x' || substr(md5('cms' || CAST(d AS VARCHAR)
+               || ':' || token), 1, 8)) AS BIGINT) % 512 AS w_idx,
+             count(*) AS cnt
+           FROM toks
+           CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) ds
+           GROUP BY 1, 2),
+         pr AS (
+           SELECT token, unnest(generate_series(0, 3)) AS d
+           FROM truth),
+         est AS (
+           SELECT pr.token, min(coalesce(c.cnt, 0)) AS est
+           FROM pr
+           LEFT JOIN cells c ON c.d = pr.d
+             AND c.w_idx = CAST(('0x' || substr(md5('cms'
+               || CAST(pr.d AS VARCHAR) || ':' || pr.token), 1, 8))
+               AS BIGINT) % 512
+           GROUP BY pr.token)
+         SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est AS BIGINT) AS est_cnt,
+           CAST(CASE WHEN est = true_cnt THEN 1 ELSE 0 END AS INT)
+             AS exact
+         FROM truth JOIN est USING (token)
+         ORDER BY true_cnt DESC, token ASC""",
     "q18_text_stats" ->
       s"""$oracleMetricsCte
          SELECT lang, count(*) AS n_docs,
@@ -1185,6 +1221,37 @@ private[graft] object TextRegistry {
           .select(col("doc_id").as("query_id"), col("text")),
         "query_id", "text", k = 10, maxDf = 400L)
       .orderBy("query_id", "rank")
+  }
+
+  /** Count-min-sketch frequency audit ([[graft.quality.CountMin]]):
+    * the corpus token stream builds a 4×512 CMS in four shards (the
+    * maintenance-store shape), and the sketch's point estimates are
+    * audited against the exact counts of the TRUE top-15 tokens —
+    * the "is the standing sketch still honest" check a pipeline runs
+    * on a schedule. `est_cnt ≥ true_cnt` always (CMS never
+    * undercounts); `exact` flags collision-free cells. The token
+    * frame persists once and feeds both the sketch build and the
+    * truth leg.
+    */
+  private[graft] def cmsTokenCountsQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("token"))
+      .transform(graft.core.CacheScope.disk)
+    val merged = graft.quality.CountMin.mergeCmsShards(
+      graft.quality.CountMin.cmsShards(
+        toks, col("token"), col("doc_id") % 4, depth = 4, width = 512))
+    val truth = toks.groupBy("token")
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("token").asc).limit(15)
+    graft.quality.CountMin.cmsEstimate(
+        merged, truth.select("token"), "token", depth = 4, width = 512)
+      .join(truth, Seq("token"))
+      .select(col("token"), col("true_cnt"),
+        col("est").as("est_cnt"),
+        (col("est") === col("true_cnt")).cast("int").as("exact"))
+      .orderBy(col("true_cnt").desc, col("token").asc)
   }
 
   /** One BPE training iteration over the space-delimited symbol

@@ -686,6 +686,38 @@ object EventStreams {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$newStoreDir/batch_id=0")
 
+  /** Streaming count-min-sketch maintenance: each micro-batch lands
+    * its own [[graft.quality.CountMin.cmsShards]] grid under
+    * `batch_id=<id>` with OVERWRITE (replay-idempotent); the live
+    * sketch is one [[graft.quality.CountMin.mergeCmsShards]] over the
+    * store. Per-batch state is ≤ depth × width cells however many
+    * distinct items flow through — the standing per-token frequency
+    * tracker that never materializes the vocabulary.
+    */
+  def cmsMaintenanceSink(
+      stream: DataFrame, itemCol: String, storeDir: String,
+      checkpointDir: String, depth: Int = 4, width: Int = 512)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpointDir, outputMode = "append") {
+      (batch, id) =>
+        landCmsShard(batch, id, itemCol, storeDir, depth, width)
+    }
+
+  private[streaming] def landCmsShard(
+      batch: DataFrame, id: Long, itemCol: String, storeDir: String,
+      depth: Int, width: Int): Unit =
+    graft.quality.CountMin
+      .cmsShards(batch, col(itemCol), lit(id), depth, width)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch_id=$id")
+
+  /** The merged live CMS grid over a [[cmsMaintenanceSink]] store. */
+  def liveCms(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    graft.quality.CountMin
+      .mergeCmsShards(spark.read.parquet(storeDir))
+
   /** Compact a [[datasheetMaintenanceSink]] store: all shards
     * collapse to ONE (counts summed, sketches unioned —
     * [[graft.text.TextAnalysis.compactDatasheetShards]]) written to
