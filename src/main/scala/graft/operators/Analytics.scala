@@ -1835,4 +1835,70 @@ object Analytics {
     }
     ranks
   }
+
+  /** Stationary distribution of a finite Markov chain by damped power
+    * iteration — [[pageRank]] generalized to WEIGHTED transitions:
+    * given transition counts `(from, to, cnt)` (e.g. a
+    * [[transitionMatrix]] output), iterate
+    * `π' = teleport + (damping/1000)·πᵀP` with P the row-normalized
+    * count matrix. The "where does a user session settle" /
+    * "long-run state mix" summary behind funnel and curriculum
+    * audits.
+    *
+    * Exactness: π lives in 1e9 fixed-point units and each edge
+    * probability is pre-quantized to `p = (cnt·1e9) div row_total`;
+    * the per-edge update is `((damping·π) div 1000)·p div 1e9` —
+    * every intermediate ≤ ~9·10¹⁷, inside BIGINT, so results are
+    * bit-identical across engines and partitionings. Like
+    * [[pageRank]], mass dropped by div floors and by ABSORBING states
+    * (rows with no outgoing transitions) is NOT redistributed — total
+    * mass shrinks accordingly; states reachable only as sinks still
+    * receive teleport + inflow. Spec pins the replay identity.
+    *
+    * Scale: state spaces here are post-aggregation domains (event
+    * types, funnel stages) — the transition frame is domain², tiny;
+    * the iteration is `iters` broadcast-sized joins. For million-node
+    * graphs use [[pageRank]]'s persisted-edge-list shape instead.
+    */
+  def markovStationary(
+      trans: DataFrame, fromCol: String, toCol: String,
+      cntCol: String, iters: Int = 8, damping: Int = 900): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    require(damping >= 0 && damping <= 1000, "damping is per-mill")
+    val scale = 1000000000L // 1e9: see overflow note in the scaladoc
+    val t = trans
+      .select(col(fromCol).as("__f"), col(toCol).as("__t"),
+        col(cntCol).cast("long").as("__n"))
+      .where(col("__f").isNotNull && col("__t").isNotNull &&
+        col("__n") > 0)
+      .groupBy("__f", "__t").agg(sum(col("__n")).as("__n"))
+      .transform(graft.core.CacheScope.disk)
+    val tot = t.groupBy("__f").agg(sum(col("__n")).as("__tot"))
+    val edged = t.join(tot, Seq("__f"))
+      .select(col("__f"), col("__t"),
+        expr(s"(__n * $scale) div __tot").as("__p"))
+      .transform(graft.core.CacheScope.disk)
+    val states = t.select(col("__f").as("state"))
+      .union(t.select(col("__t"))).distinct()
+      .transform(graft.core.CacheScope.disk)
+    val n = states.count()
+    val teleport = ((1000L - damping) * scale / 1000L) / n
+    var pi = states.select(col("state"),
+      lit(scale / n).as("pi_scaled")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edged
+        .join(pi.select(col("state").as("__f"), col("pi_scaled")),
+          Seq("__f"))
+        .select(col("__t").as("state"),
+          expr(s"(($damping * pi_scaled) div 1000) * __p div $scale")
+            .as("__c"))
+        .groupBy("state").agg(sum(col("__c")).as("__in"))
+      pi = states.join(contrib, Seq("state"), "left")
+        .select(col("state"),
+          (lit(teleport) + coalesce(col("__in"), lit(0L)))
+            .as("pi_scaled"))
+        .localCheckpoint()
+    }
+    pi
+  }
 }

@@ -65,6 +65,7 @@ private[graft] object AnalyticsRegistry {
     "q84_snapshot_diff" -> (orderSnapshotDiff _),
     "q85_time_weighted_value" -> (userTimeWeightedValue _),
     "q86_event_transitions" -> (eventTransitionMatrix _),
+    "q178_markov_stationary" -> (markovStationaryQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -980,6 +981,47 @@ private[graft] object AnalyticsRegistry {
            GROUP BY user_id HAVING sum(nt - t) > 0)
          SELECT user_id, n_intervals, round(twa, 4) AS twa
          FROM g ORDER BY round(twa, 4) DESC, user_id LIMIT 50""",
+    // the q86 pair chain row-normalized to 1e9-unit integer
+    // probabilities, then 8 unrolled damped power-iteration rounds —
+    // every intermediate is the engine's exact BIGINT expression
+    "q178_markov_stationary" -> {
+      def step(k: Int): String =
+        s"""ck$k AS (
+             SELECT e.t2 AS state,
+               sum(((900 * p.v) // 1000) * e.p // 1000000000) AS inn
+             FROM e JOIN pi${k - 1} p ON p.state = e.f
+             GROUP BY e.t2),
+           pi$k AS (
+             SELECT s.state, tp.t + coalesce(c.inn, 0) AS v
+             FROM st s CROSS JOIN tp
+             LEFT JOIN ck$k c ON c.state = s.state)"""
+      s"""WITH pp AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (
+           SELECT prev_type AS f, event_type AS t2, count(*) AS n
+           FROM pp WHERE prev_type IS NOT NULL
+           GROUP BY prev_type, event_type),
+         tt AS (SELECT f, sum(n) AS tot FROM c GROUP BY f),
+         e AS (
+           SELECT c.f, c.t2, (c.n * 1000000000) // tot AS p
+           FROM c JOIN tt USING (f)),
+         st AS (
+           SELECT DISTINCT state FROM (
+             SELECT f AS state FROM c
+             UNION ALL SELECT t2 FROM c)),
+         ns AS (SELECT count(*) AS n FROM st),
+         tp AS (
+           SELECT ((1000 - 900) * CAST(1000000000 AS BIGINT) // 1000)
+             // n AS t
+           FROM ns),
+         pi0 AS (SELECT state, 1000000000 // n AS v FROM st, ns),
+         ${(1 to 8).map(step).mkString(",\n         ")}
+         SELECT state, CAST(v AS BIGINT) AS pi_scaled
+         FROM pi8 ORDER BY state"""
+    },
     "q86_event_transitions" ->
       """WITH p AS (
            SELECT user_id, event_type,
@@ -1534,6 +1576,20 @@ private[graft] object AnalyticsRegistry {
     * behavior. One window on the user key (lag), one grouped count,
     * one tiny per-prev normalization join.
     */
+  /** Long-run event-type mix ([[Analytics.markovStationary]]): the
+    * damped stationary distribution of the q86 transition chain in
+    * exact 1e9 fixed-point units — "where does a session settle".
+    */
+  private[graft] def markovStationaryQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val tm = Analytics.transitionMatrix(events(s, dir), "user_id",
+      "event_type", Seq(col("ts").asc, col("event_id").asc))
+    Analytics.markovStationary(tm, "from_state", "to_state",
+        "transitions", iters = 8, damping = 900)
+      .select(col("state"), col("pi_scaled"))
+      .orderBy("state")
+  }
+
   private[graft] def eventTransitionMatrix(
       s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
