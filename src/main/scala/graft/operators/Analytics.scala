@@ -1901,4 +1901,151 @@ object Analytics {
     }
     pi
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * UNDIRECTED simple graph given as an edge list (either direction;
+    * duplicate / self edges tolerated and dropped).
+    *
+    * Scale shape — degree-ordered orientation (the standard
+    * distributed triangle-counting transform; cf. the node-iterator++
+    * scheme in Suri & Vassilvitskii, "Counting Triangles and the Curse
+    * of the Last Reducer", WWW'11): canonicalize to `a < b` distinct
+    * edges, compute degrees, then orient every edge from its lower
+    * `(degree, id)` endpoint to the higher one. Wedges are enumerated
+    * by self-joining the ORIENTED list on the source, so a hub of
+    * degree d contributes `outdeg²` wedges with `outdeg = O(√E)` by
+    * the orientation bound — the naive all-orientations join pays
+    * `deg²` on every hub, which is the term that kills co-occurrence
+    * graphs at scale (a part appearing in 10⁶ orders has deg ~10⁶).
+    * Each triangle is produced exactly once (its corners appear in
+    * `(deg, id)` order), then exploded back to the three corners for
+    * the per-node counts — one aggregation, map-side combinable.
+    *
+    * Exactness: counts are exact longs; `coeff = 2·T(v) /
+    * (deg(v)·(deg(v)−1))` is one division of two exact longs — the
+    * same two longs give the same double in every engine.
+    *
+    * Returns `(node, degree, triangles, coeff)`, nodes of degree ≥ 1.
+    */
+  def triangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(
+        col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+    // canonical undirected edge set: consumed by degrees AND the
+    // orientation join — persist or the upstream pair generator (often
+    // a self-join on a fact table) re-executes per consumer
+    val und = raw.select(
+        least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .distinct()
+      .transform(graft.core.CacheScope.disk)
+    val deg = und.select(col("__a").as("node"))
+      .union(und.select(col("__b")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .transform(graft.core.CacheScope.disk)
+    // orient: src = endpoint with the smaller (degree, id); carry the
+    // destination's (degree, id) so the wedge join can order the two
+    // far endpoints without re-joining degrees
+    val withDeg = und
+      .join(deg.select(col("node").as("__a"), col("degree").as("__da")),
+        Seq("__a"))
+      .join(deg.select(col("node").as("__b"), col("degree").as("__db")),
+        Seq("__b"))
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("__a") < col("__b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("__a")).otherwise(col("__b")).as("__s"),
+        when(aFirst, col("__b")).otherwise(col("__a")).as("__d"),
+        when(aFirst, col("__db")).otherwise(col("__da")).as("__dd"))
+      .transform(graft.core.CacheScope.disk)
+    // wedges at s: far endpoints ordered by the SAME (degree, id)
+    // total order the orientation used, so the closing edge (d1 → d2)
+    // — if present — is oriented exactly that way and one equi-join
+    // probe decides it
+    val w2 = oriented.select(col("__s"), col("__d").as("__d2"),
+      col("__dd").as("__dd2"))
+    val wedges = oriented.join(w2, Seq("__s"))
+      .where(col("__dd") < col("__dd2") ||
+        (col("__dd") === col("__dd2") && col("__d") < col("__d2")))
+      .select(col("__s"), col("__d"), col("__d2"))
+    val triangles = wedges.join(
+        oriented.select(col("__s").as("__d"), col("__d").as("__d2")),
+        Seq("__d", "__d2"))
+    val perNode = triangles
+      .select(explode(array(col("__s"), col("__d"), col("__d2")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        // degree-1 nodes: 0 triangles over 0 wedges — pin 0.0, never
+        // a 0/0 NaN (engines disagree on double 0/0 rendering)
+        when(col("degree") < 2, lit(0.0)).otherwise(round(
+          (coalesce(col("triangles"), lit(0L)) * 2.0) /
+            (col("degree") * (col("degree") - lit(1L)))
+            .cast("double"), 6)).as("coeff"))
+  }
+
+  /** Link prediction by the Resource-Allocation index (Zhou, Lü &
+    * Zhang, EPJ B 2009): for every NON-adjacent pair `(x, y)` with at
+    * least one common neighbor, `RA(x,y) = Σ_w 1/deg(w)` over common
+    * neighbors `w` — the "which edges are missing" score behind
+    * co-purchase recommendation and knowledge-graph completion. RA is
+    * the exact-arithmetic member of the common-neighbor family: the
+    * per-wedge weight quantizes to `1e6 div deg(w)` micro-units
+    * (integer division of exact longs), so the summed score is an
+    * exact BIGINT — bit-identical across engines and partitionings,
+    * where Adamic-Adar's `1/ln(deg)` would ride on libm's last ulp.
+    *
+    * Scale shape: wedges are enumerated from the adjacency list
+    * center-out — `deg(w)²` pairs per center `w` — so super-hub
+    * centers dominate cost while contributing the LEAST per-pair
+    * weight (1/deg). `maxCenterDeg` drops centers above the cutoff
+    * (the published practice for RA/AA at scale; the dropped weight
+    * is ≤ 1/maxCenterDeg per wedge). Candidate pairs then anti-join
+    * the existing edge set, and the final top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Returns `(node_a, node_b, common_neighbors, ra_micro)` — the
+    * `k` highest-scoring non-adjacent pairs, ties broken by
+    * `(node_a, node_b)`.
+    */
+  def resourceAllocationScores(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxCenterDeg: Int = 1024): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxCenterDeg >= 2, "maxCenterDeg must be >= 2")
+    val raw = edges.select(
+        col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+    val und = raw.select(
+        least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .distinct()
+      .transform(graft.core.CacheScope.disk)
+    val adj = und.select(col("__a").as("__w"), col("__b").as("__n"))
+      .union(und.select(col("__b"), col("__a")))
+    val deg = adj.groupBy("__w").agg(count(lit(1)).as("__deg"))
+    // centers: degree-capped, weight pre-quantized once per center
+    val centers = adj.join(
+        deg.where(col("__deg") <= maxCenterDeg &&
+          col("__deg") >= 2), Seq("__w"))
+      .withColumn("__wt", expr("1000000 div __deg"))
+      .transform(graft.core.CacheScope.disk)
+    val far = centers.select(col("__w"), col("__n").as("__n2"))
+    val cand = centers.join(far, Seq("__w"))
+      .where(col("__n") < col("__n2"))
+      .groupBy(col("__n").as("__a"), col("__n2").as("__b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__wt")).as("ra_micro"))
+    val nonEdges = cand.join(und, Seq("__a", "__b"), "left_anti")
+    topK(nonEdges, col("ra_micro"), k, col("__a"), col("__b"))
+      .select(col("__a").as("node_a"), col("__b").as("node_b"),
+        col("common_neighbors"), col("ra_micro"))
+  }
 }

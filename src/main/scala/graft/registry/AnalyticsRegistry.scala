@@ -66,6 +66,8 @@ private[graft] object AnalyticsRegistry {
     "q85_time_weighted_value" -> (userTimeWeightedValue _),
     "q86_event_transitions" -> (eventTransitionMatrix _),
     "q178_markov_stationary" -> (markovStationaryQ _),
+    "q179_part_triangles" -> (partTrianglesQ _),
+    "q183_link_prediction" -> (linkPredictionQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -1022,6 +1024,69 @@ private[graft] object AnalyticsRegistry {
          SELECT state, CAST(v AS BIGINT) AS pi_scaled
          FROM pi8 ORDER BY state"""
     },
+    // canonical a<b edges; triangles enumerated once via the ordered
+    // triple join (x<y<z); coeff replays the same two-exact-longs
+    // division (degree<2 pinned to 0.0, never 0/0)
+    "q179_part_triangles" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey),
+         deg AS (
+           SELECT node, count(*) AS degree FROM (
+             SELECT pa AS node FROM e
+             UNION ALL SELECT pb FROM e)
+           GROUP BY node),
+         tri AS (
+           SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+           FROM e e1
+           JOIN e e2 ON e2.pa = e1.pb
+           JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+         pn AS (
+           SELECT node, count(*) AS triangles FROM (
+             SELECT x AS node FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY node)
+         SELECT d.node, d.degree,
+           coalesce(p.triangles, 0) AS triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE round(CAST(coalesce(p.triangles, 0) AS DOUBLE) * 2.0
+                  / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+           END AS coeff
+         FROM deg d LEFT JOIN pn p USING (node)
+         ORDER BY node""",
+    // resource-allocation index in exact micro-units: per-center
+    // weight 1e6 // deg, summed as BIGINT — no libm in the score
+    "q183_link_prediction" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey),
+         adj AS (
+           SELECT pa AS w, pb AS n FROM e
+           UNION ALL SELECT pb, pa FROM e),
+         deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+         ctr AS (
+           SELECT a.w, a.n, 1000000 // d.deg AS wt
+           FROM adj a JOIN deg d USING (w)
+           WHERE d.deg BETWEEN 2 AND 1024),
+         cand AS (
+           SELECT c1.n AS a, c2.n AS b,
+             count(*) AS cn, CAST(sum(c1.wt) AS BIGINT) AS ra
+           FROM ctr c1 JOIN ctr c2
+             ON c2.w = c1.w AND c1.n < c2.n
+           GROUP BY 1, 2),
+         ne AS (
+           SELECT cand.* FROM cand
+           LEFT JOIN e ON e.pa = cand.a AND e.pb = cand.b
+           WHERE e.pa IS NULL)
+         SELECT a AS node_a, b AS node_b,
+           cn AS common_neighbors, ra AS ra_micro
+         FROM ne
+         ORDER BY ra_micro DESC, node_a, node_b LIMIT 50""",
     "q86_event_transitions" ->
       """WITH p AS (
            SELECT user_id, event_type,
@@ -1580,6 +1645,34 @@ private[graft] object AnalyticsRegistry {
     * damped stationary distribution of the q86 transition chain in
     * exact 1e9 fixed-point units — "where does a session settle".
     */
+  /** Part co-purchase graph: two parts are adjacent iff some order
+    * contains both. The self-join fans out per order as
+    * `lines·(lines−1)/2` — bounded by the order-size domain (≤ ~7 in
+    * TPC-H shapes), never by part popularity; popularity lands as
+    * DEGREE, which [[Analytics.triangleCounts]]'s orientation handles.
+    */
+  private[graft] def coPurchaseEdges(
+      s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.join(
+        li.select(col("l_orderkey"), col("l_partkey").as("__pk2")),
+        Seq("l_orderkey"))
+      .where(col("l_partkey") < col("__pk2"))
+      .select(col("l_partkey").as("pa"), col("__pk2").as("pb"))
+  }
+
+  private[graft] def partTrianglesQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.triangleCounts(coPurchaseEdges(s, dir), "pa", "pb")
+      .orderBy("node")
+
+  private[graft] def linkPredictionQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.resourceAllocationScores(coPurchaseEdges(s, dir),
+        "pa", "pb", k = 50, maxCenterDeg = 1024)
+      .orderBy(col("ra_micro").desc, col("node_a"), col("node_b"))
+
   private[graft] def markovStationaryQ(
       s: SparkSession, dir: String): DataFrame = {
     val tm = Analytics.transitionMatrix(events(s, dir), "user_id",
