@@ -67,6 +67,9 @@ private[graft] object AnalyticsRegistry {
     "q86_event_transitions" -> (eventTransitionMatrix _),
     "q178_markov_stationary" -> (markovStationaryQ _),
     "q179_part_triangles" -> (partTrianglesQ _),
+    "q180_rfm_segments" -> (rfmSegmentsQ _),
+    "q181_robust_outliers" -> (robustOutliersQ _),
+    "q182_target_encoding" -> (targetEncodingQ _),
     "q183_link_prediction" -> (linkPredictionQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
@@ -1057,6 +1060,88 @@ private[graft] object AnalyticsRegistry {
            END AS coeff
          FROM deg d LEFT JOIN pn p USING (node)
          ORDER BY node""",
+    // quintiles replay as ntile(5) with the same custkey tie-break;
+    // monetary in exact cents; scores 6 - bucket so 5 = best
+    "q180_rfm_segments" ->
+      """WITH o AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+         a AS (SELECT max(d) AS anchor FROM o),
+         rfm AS (
+           SELECT o_custkey, max(d) AS last_d,
+             count(*) AS freq, CAST(sum(cents) AS BIGINT) AS mc
+           FROM o GROUP BY o_custkey),
+         sc AS (
+           SELECT o_custkey,
+             CAST(a.anchor - last_d AS BIGINT) AS rec, freq, mc,
+             6 - ntile(5) OVER (ORDER BY (a.anchor - last_d) ASC,
+               o_custkey ASC) AS r,
+             6 - ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC)
+               AS f,
+             6 - ntile(5) OVER (ORDER BY mc DESC, o_custkey ASC) AS m
+           FROM rfm CROSS JOIN a),
+         seg AS (
+           SELECT sc.*,
+             CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                  WHEN r >= 4 AND f >= 3 THEN 'loyal'
+                  WHEN r >= 3 AND m >= 4 THEN 'big_spender'
+                  WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+                  WHEN r <= 2 THEN 'hibernating'
+                  ELSE 'regular' END AS segment
+           FROM sc)
+         SELECT segment, count(*) AS n_customers,
+           round(avg(CAST(rec AS DOUBLE)), 2) AS avg_recency_days,
+           round(avg(CAST(freq AS DOUBLE)), 2) AS avg_frequency,
+           round(CAST(sum(mc) AS DOUBLE) / 100.0, 2) AS monetary
+         FROM seg GROUP BY segment ORDER BY segment""",
+    // modified z rounded to 4 BEFORE the 3.5 cut; exact medians;
+    // zero-MAD groups excluded on both sides
+    "q181_robust_outliers" ->
+      """WITH med AS (
+           SELECT o_orderpriority, median(o_totalprice) AS med
+           FROM orders GROUP BY 1),
+         dev AS (
+           SELECT o.o_orderpriority, o.o_totalprice, m.med,
+             abs(o.o_totalprice - m.med) AS ad
+           FROM orders o JOIN med m USING (o_orderpriority)),
+         mad AS (
+           SELECT o_orderpriority, median(ad) AS mad
+           FROM dev GROUP BY 1),
+         z AS (
+           SELECT d.o_orderpriority, d.med, m.mad,
+             round(0.6745 * (d.o_totalprice - d.med) / m.mad, 4) AS mz
+           FROM dev d JOIN mad m USING (o_orderpriority)
+           WHERE m.mad > 0)
+         SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CASE WHEN abs(mz) > 3.5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           round(max(med), 2) AS median_price,
+           round(max(mad), 2) AS mad,
+           round(max(abs(mz)), 4) AS max_abs_mz
+         FROM z GROUP BY 1 ORDER BY 1""",
+    // smoothing prior div-floored in cents; enc and the closed-form
+    // LOO mean are each ONE division of two exact BIGINTs
+    "q182_target_encoding" ->
+      """WITH j AS (
+           SELECT c.c_mktsegment,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+         g AS (
+           SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+           FROM j GROUP BY 1),
+         tt AS (
+           SELECT CAST(sum(cents) AS BIGINT) AS sg, count(*) AS ng
+           FROM j),
+         p AS (SELECT g.*, sg // ng AS gp FROM g CROSS JOIN tt)
+         SELECT c_mktsegment, n AS n_orders,
+           round(CAST(gp AS DOUBLE) / 100.0, 2) AS prior,
+           round(CAST(s + 20 * gp AS DOUBLE)
+             / CAST((n + 20) * 100 AS DOUBLE), 4) AS enc,
+           round(CAST(n * (s + 20 * gp) - s AS DOUBLE)
+             / CAST(n * (n + 19) * 100 AS DOUBLE), 4) AS loo_mean
+         FROM p ORDER BY c_mktsegment""",
     // resource-allocation index in exact micro-units: per-center
     // weight 1e6 // deg, summed as BIGINT — no libm in the score
     "q183_link_prediction" ->
@@ -1672,6 +1757,126 @@ private[graft] object AnalyticsRegistry {
     Analytics.resourceAllocationScores(coPurchaseEdges(s, dir),
         "pa", "pb", k = 50, maxCenterDeg = 1024)
       .orderBy(col("ra_micro").desc, col("node_a"), col("node_b"))
+
+  /** RFM customer segmentation — the classic lifecycle cut (recency /
+    * frequency / monetary quintiles, 5 = best), segments by the usual
+    * score rules. Quintiles ride [[Analytics.ntileByRange]] (two-pass
+    * range ranking, never a single-task global window); monetary sums
+    * in exact integer cents; the anchor date is the corpus max, a
+    * broadcast one-row frame. Ties break on `o_custkey`, so every
+    * bucket edge is deterministic cross-engine.
+    */
+  private[graft] def rfmSegmentsQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("__d"),
+      round(col("o_totalprice") * 100).cast("long").as("__cents"))
+    val anchor = o.agg(max(col("__d")).as("__anchor"))
+    val rfm = o.groupBy("o_custkey")
+      .agg(max(col("__d")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col("__cents")).as("__mcents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("__anchor"), col("__last")).cast("long"))
+      .withColumn("__all", lit(1))
+      .select("o_custkey", "recency_days", "frequency", "__mcents",
+        "__all")
+    val scored = Seq[(String, Seq[Column])](
+        ("__rb", Seq(col("recency_days").asc, col("o_custkey").asc)),
+        ("__fb", Seq(col("frequency").desc, col("o_custkey").asc)),
+        ("__mb", Seq(col("__mcents").desc, col("o_custkey").asc)))
+      .foldLeft(rfm) { case (d, (b, ord)) =>
+        Analytics.ntileByRange(d, Seq("__all"), ord, k = 5,
+          bucketCol = b)
+      }
+      .withColumn("__r", lit(6) - col("__rb"))
+      .withColumn("__f", lit(6) - col("__fb"))
+      .withColumn("__m", lit(6) - col("__mb"))
+    scored.withColumn("segment",
+        when(col("__r") >= 4 && col("__f") >= 4 && col("__m") >= 4,
+          "champion")
+          .when(col("__r") >= 4 && col("__f") >= 3, "loyal")
+          .when(col("__r") >= 3 && col("__m") >= 4, "big_spender")
+          .when(col("__r") <= 2 && col("__f") >= 3, "at_risk")
+          .when(col("__r") <= 2, "hibernating")
+          .otherwise("regular"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("recency_days").cast("double")), 2)
+          .as("avg_recency_days"),
+        round(avg(col("frequency").cast("double")), 2)
+          .as("avg_frequency"),
+        round(sum(col("__mcents")).cast("double") / 100.0, 2)
+          .as("monetary"))
+      .orderBy("segment")
+  }
+
+  /** Robust outlier screen — the median/MAD twin of q55's mean/stddev
+    * z-score: modified z = 0.6745·(x − median) / MAD (Iglewicz &
+    * Hoaglin's B-statistic), flagged at |z| > 3.5. Medians are exact
+    * (oracle value-equality); the z is rounded to 4 BEFORE the cut so
+    * boundary rows can't flip between engines; zero-MAD groups (over
+    * half the group at one value) are excluded rather than divided.
+    */
+  private[graft] def robustOutliersQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val med = o.groupBy("o_orderpriority")
+      .agg(median(col("o_totalprice")).as("__med"))
+    val dev = o.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("__ad", abs(col("o_totalprice") - col("__med")))
+    val mad = dev.groupBy("o_orderpriority")
+      .agg(median(col("__ad")).as("__mad"))
+    dev.join(broadcast(mad), Seq("o_orderpriority"))
+      .where(col("__mad") > 0)
+      .withColumn("__mz", round(
+        lit(0.6745) * (col("o_totalprice") - col("__med"))
+          / col("__mad"), 4))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("__mz")) > 3.5, 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(max(col("__med")), 2).as("median_price"),
+        round(max(col("__mad")), 2).as("mad"),
+        round(max(abs(col("__mz"))), 4).as("max_abs_mz"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Smoothed target encoding of `c_mktsegment` against order value —
+    * the categorical-feature encoder of every tabular training
+    * pipeline — plus its leakage-safe leave-one-out mean in CLOSED
+    * FORM: mean_i[(S − yᵢ + m·G)/(n−1+m)] = (n·(S+m·G) − S) /
+    * (n·(n−1+m)), so the per-row LOO frame never materializes. All
+    * numerators/denominators are exact integer cents (prior `G` is
+    * `div`-floored); each output is ONE division of two exact longs.
+    */
+  private[graft] def targetEncodingQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("__cents"))
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val j = o.join(broadcast(c),
+      col("o_custkey") === col("c_custkey"))
+    val g = j.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum(col("__cents")).as("__s"))
+    val tot = j.agg(sum(col("__cents")).as("__sg"),
+      count(lit(1)).as("__ng"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("__gp", expr("__sg div __ng"))
+      .select(col("c_mktsegment"), col("n_orders"),
+        round(col("__gp").cast("double") / 100.0, 2).as("prior"),
+        round((col("__s") + lit(20L) * col("__gp")).cast("double")
+          / ((col("n_orders") + 20L) * 100L).cast("double"), 4)
+          .as("enc"),
+        round((col("n_orders") * (col("__s") + lit(20L) * col("__gp"))
+            - col("__s")).cast("double")
+          / (col("n_orders") * (col("n_orders") + 19L) * 100L)
+            .cast("double"), 4).as("loo_mean"))
+      .orderBy("c_mktsegment")
+  }
 
   private[graft] def markovStationaryQ(
       s: SparkSession, dir: String): DataFrame = {
