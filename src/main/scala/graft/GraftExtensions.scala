@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, BloomShard, DotProduct, ZOrderKey}
+import graft.expressions.{BloomMightContain, BloomShard, DotProduct, UnicodeNormalize, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +21,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_zorder(int, int) -> bigint` — codegen'd order-preserving
   *     Morton key for Z-order data layout
   *     ([[graft.expressions.ZOrderKey]]).
+  *   - `graft_normalize(string, form) -> string` — codegen'd Unicode
+  *     normalization (NFC/NFD/NFKC/NFKD)
+  *     ([[graft.expressions.UnicodeNormalize]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -57,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_zorder expects 2 arguments, got ${children.size}")
         ZOrderKey(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(
+        classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_normalize expects 2 arguments, got ${children.size}")
+        UnicodeNormalize(children.head, children(1))
       }))
   }
 }

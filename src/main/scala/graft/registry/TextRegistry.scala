@@ -32,6 +32,7 @@ private[graft] object TextRegistry {
     "q171_bm25_search" -> (bm25SearchQ _),
     "q176_bm25_incremental" -> (bm25IncrementalQ _),
     "q177_cms_token_counts" -> (cmsTokenCountsQ _),
+    "q184_unicode_nfc" -> (unicodeNfcQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -453,6 +454,19 @@ private[graft] object TextRegistry {
     // the incremental path must reconstruct the from-scratch index
     // EXACTLY — same oracle text as q171 by construction
     "q176_bm25_incremental" -> oracleBm25Sql,
+    // same UAX #15 algorithm on both engines (JDK Normalizer vs
+    // DuckDB nfc_normalize); all codepoints BMP so length units agree
+    "q184_unicode_nfc" ->
+      """WITH r AS (
+           SELECT lang, text || chr(769) AS raw,
+             nfc_normalize(text || chr(769)) AS n
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN length(n) < length(raw) THEN 1 ELSE 0
+             END) AS BIGINT) AS n_composed,
+           CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
+           CAST(sum(length(n)) AS BIGINT) AS chars_nfc
+         FROM r GROUP BY lang ORDER BY lang""",
     // CMS cells replay as one grouped count over (row, md5-bucket);
     // estimates as a min over the probe's buckets with absent cells 0
     "q177_cms_token_counts" ->
@@ -1233,6 +1247,31 @@ private[graft] object TextRegistry {
     * frame persists once and feeds both the sketch build and the
     * truth leg.
     */
+  /** Unicode NFC canonicalization via the codegen'd `graft_normalize`
+    * expression ([[graft.expressions.UnicodeNormalize]]): every
+    * document gets a combining acute (U+0301) appended, and NFC
+    * composes it with the final character exactly when a precomposed
+    * form exists (…e → …é, but …t or …. stay decomposed) — so the
+    * per-language composition counts exercise real recomposition, not
+    * a no-op pass over already-normal ASCII. Lengths stay comparable
+    * cross-engine because every involved codepoint is BMP (Spark
+    * counts UTF-16 units, DuckDB codepoints).
+    */
+  private[graft] def unicodeNfcQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"), lit("\u0301"))
+    docs(s, dir)
+      .select(col("lang"), raw.as("__raw"),
+        call_function("graft_normalize", raw, lit("NFC")).as("__n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(length(col("__n")) < length(col("__raw")), 1L)
+          .otherwise(0L)).as("n_composed"),
+        sum(length(col("__raw")).cast("long")).as("chars_raw"),
+        sum(length(col("__n")).cast("long")).as("chars_nfc"))
+      .orderBy("lang")
+  }
+
   private[graft] def cmsTokenCountsQ(
       s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
