@@ -81,4 +81,44 @@ object MisraGriesSketch {
     val fn = udaf(new MisraGriesSketch(k), Encoders.STRING)
     (v: Column) => fn.apply(v)
   }
+
+  /** Counter-preserving variant: aggregates to the `(value → weight)`
+    * map itself instead of just the candidate list — the shard
+    * representation for [[graft.quality.HeavyHitters]]'s mergeable
+    * store (weights are the residual MG counters: lower bounds on
+    * true counts, within N/(k+1) of exact).
+    */
+  def counters(k: Int): Column => Column = {
+    val fn = udaf(new MisraGriesCounters(k), Encoders.STRING)
+    (v: Column) => fn.apply(v)
+  }
+}
+
+/** [[MisraGriesSketch]] with the counter map as the OUTPUT (same
+  * bounded-state reduce/merge; `finish` is identity instead of
+  * key-projection) — used where downstream needs mergeable weights,
+  * not only membership.
+  */
+class MisraGriesCounters(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+  private val inner = new MisraGriesSketch(k)
+
+  override def zero: Map[String, Long] = inner.zero
+
+  override def reduce(
+      buf: Map[String, Long], v: String): Map[String, Long] =
+    inner.reduce(buf, v)
+
+  override def merge(
+      b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
+    inner.merge(b1, b2)
+
+  override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }

@@ -1060,26 +1060,29 @@ private[graft] object AnalyticsRegistry {
            END AS coeff
          FROM deg d LEFT JOIN pn p USING (node)
          ORDER BY node""",
-    // quintiles replay as ntile(5) with the same custkey tie-break;
-    // monetary in exact cents; scores 6 - bucket so 5 = best
+    // segment-relative quintiles replay as ntile(5) PARTITION BY
+    // mktsegment with the same custkey tie-break; monetary in exact
+    // cents; scores 6 - bucket so 5 = best
     "q180_rfm_segments" ->
       """WITH o AS (
-           SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           SELECT c.c_mktsegment, o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
              CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
-           FROM orders),
+           FROM orders JOIN customer c ON c.c_custkey = o_custkey),
          a AS (SELECT max(d) AS anchor FROM o),
          rfm AS (
-           SELECT o_custkey, max(d) AS last_d,
+           SELECT c_mktsegment, o_custkey, max(d) AS last_d,
              count(*) AS freq, CAST(sum(cents) AS BIGINT) AS mc
-           FROM o GROUP BY o_custkey),
+           FROM o GROUP BY c_mktsegment, o_custkey),
          sc AS (
-           SELECT o_custkey,
+           SELECT c_mktsegment, o_custkey,
              CAST(a.anchor - last_d AS BIGINT) AS rec, freq, mc,
-             6 - ntile(5) OVER (ORDER BY (a.anchor - last_d) ASC,
-               o_custkey ASC) AS r,
-             6 - ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC)
-               AS f,
-             6 - ntile(5) OVER (ORDER BY mc DESC, o_custkey ASC) AS m
+             6 - ntile(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY (a.anchor - last_d) ASC, o_custkey ASC) AS r,
+             6 - ntile(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY freq DESC, o_custkey ASC) AS f,
+             6 - ntile(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY mc DESC, o_custkey ASC) AS m
            FROM rfm CROSS JOIN a),
          seg AS (
            SELECT sc.*,
@@ -1090,11 +1093,12 @@ private[graft] object AnalyticsRegistry {
                   WHEN r <= 2 THEN 'hibernating'
                   ELSE 'regular' END AS segment
            FROM sc)
-         SELECT segment, count(*) AS n_customers,
+         SELECT c_mktsegment, segment, count(*) AS n_customers,
            round(avg(CAST(rec AS DOUBLE)), 2) AS avg_recency_days,
            round(avg(CAST(freq AS DOUBLE)), 2) AS avg_frequency,
            round(CAST(sum(mc) AS DOUBLE) / 100.0, 2) AS monetary
-         FROM seg GROUP BY segment ORDER BY segment""",
+         FROM seg GROUP BY c_mktsegment, segment
+         ORDER BY c_mktsegment, segment""",
     // modified z rounded to 4 BEFORE the 3.5 cut; exact medians;
     // zero-MAD groups excluded on both sides
     "q181_robust_outliers" ->
@@ -1760,34 +1764,42 @@ private[graft] object AnalyticsRegistry {
 
   /** RFM customer segmentation — the classic lifecycle cut (recency /
     * frequency / monetary quintiles, 5 = best), segments by the usual
-    * score rules. Quintiles ride [[Analytics.ntileByRange]] (two-pass
-    * range ranking, never a single-task global window); monetary sums
-    * in exact integer cents; the anchor date is the corpus max, a
-    * broadcast one-row frame. Ties break on `o_custkey`, so every
-    * bucket edge is deterministic cross-engine.
+    * score rules. Quintiles are SEGMENT-RELATIVE (within
+    * `c_mktsegment`): scores stay comparable among peers with the same
+    * buying pattern, and the quintile machinery rides
+    * [[Analytics.ntileByRange]] over a real group key — two-pass range
+    * ranking with no single-task global window and no constant-group
+    * plan degeneration (a global quintile under a literal group folds
+    * the rank joins into cartesians; q165's epoch order documents the
+    * one sanctioned constant-group site). Monetary sums in exact
+    * integer cents; the anchor date is the corpus max, a broadcast
+    * one-row frame; ties break on `o_custkey`, so every bucket edge is
+    * deterministic cross-engine.
     */
   private[graft] def rfmSegmentsQ(
       s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_custkey"),
       to_date(col("o_orderdate")).as("__d"),
       round(col("o_totalprice") * 100).cast("long").as("__cents"))
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
     val anchor = o.agg(max(col("__d")).as("__anchor"))
-    val rfm = o.groupBy("o_custkey")
+    val rfm = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
       .agg(max(col("__d")).as("__last"),
         count(lit(1)).as("frequency"),
         sum(col("__cents")).as("__mcents"))
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("__anchor"), col("__last")).cast("long"))
-      .withColumn("__all", lit(1))
-      .select("o_custkey", "recency_days", "frequency", "__mcents",
-        "__all")
+      .select("c_mktsegment", "o_custkey", "recency_days", "frequency",
+        "__mcents")
     val scored = Seq[(String, Seq[Column])](
         ("__rb", Seq(col("recency_days").asc, col("o_custkey").asc)),
         ("__fb", Seq(col("frequency").desc, col("o_custkey").asc)),
         ("__mb", Seq(col("__mcents").desc, col("o_custkey").asc)))
       .foldLeft(rfm) { case (d, (b, ord)) =>
-        Analytics.ntileByRange(d, Seq("__all"), ord, k = 5,
+        Analytics.ntileByRange(d, Seq("c_mktsegment"), ord, k = 5,
           bucketCol = b)
       }
       .withColumn("__r", lit(6) - col("__rb"))
@@ -1801,7 +1813,7 @@ private[graft] object AnalyticsRegistry {
           .when(col("__r") <= 2 && col("__f") >= 3, "at_risk")
           .when(col("__r") <= 2, "hibernating")
           .otherwise("regular"))
-      .groupBy("segment")
+      .groupBy("c_mktsegment", "segment")
       .agg(count(lit(1)).as("n_customers"),
         round(avg(col("recency_days").cast("double")), 2)
           .as("avg_recency_days"),
@@ -1809,7 +1821,7 @@ private[graft] object AnalyticsRegistry {
           .as("avg_frequency"),
         round(sum(col("__mcents")).cast("double") / 100.0, 2)
           .as("monetary"))
-      .orderBy("segment")
+      .orderBy("c_mktsegment", "segment")
   }
 
   /** Robust outlier screen — the median/MAD twin of q55's mean/stddev

@@ -33,6 +33,7 @@ private[graft] object TextRegistry {
     "q176_bm25_incremental" -> (bm25IncrementalQ _),
     "q177_cms_token_counts" -> (cmsTokenCountsQ _),
     "q184_unicode_nfc" -> (unicodeNfcQ _),
+    "q185_mg_heavy_hitters" -> (mgHeavyHittersQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -467,6 +468,19 @@ private[graft] object TextRegistry {
            CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
            CAST(sum(length(n)) AS BIGINT) AS chars_nfc
          FROM r GROUP BY lang ORDER BY lang""",
+    // the MG phase is recall-guaranteed and the verify pass is exact,
+    // so the oracle needs no sketch replay: plain grouped counts cut
+    // at the same double-multiply threshold
+    "q185_mg_heavy_hitters" ->
+      s"""WITH toks AS (
+           SELECT unnest($oracleWords) AS token FROM documents),
+         n AS (SELECT count(*) AS n FROM toks),
+         c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+         SELECT token, cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS frac
+         FROM c CROSS JOIN n
+         WHERE CAST(cnt AS DOUBLE) > 0.005 * CAST(n.n AS DOUBLE)
+         ORDER BY cnt DESC, token""",
     // CMS cells replay as one grouped count over (row, md5-bucket);
     // estimates as a min over the probe's buckets with absent cells 0
     "q177_cms_token_counts" ->
@@ -1270,6 +1284,30 @@ private[graft] object TextRegistry {
         sum(length(col("__raw")).cast("long")).as("chars_raw"),
         sum(length(col("__n")).cast("long")).as("chars_nfc"))
       .orderBy("lang")
+  }
+
+  /** Sharded Misra–Gries heavy hitters over the token stream: ≤ 255
+    * bounded counters per source shard, one PODS-2012 merge, then the
+    * exact verify pass — so the sketch's order-dependent counters
+    * never reach the output (see
+    * [[graft.quality.HeavyHitters]]'s determinism contract), and the
+    * oracle is plain GROUP BY SQL. minFraction 0.005 ≥ 1/(k+1) =
+    * 1/256 keeps the retention bound sound (enforced).
+    */
+  private[graft] def mgHeavyHittersQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.words(col("text"))).as("token"))
+      .transform(graft.core.CacheScope.disk)
+    val shards = graft.quality.HeavyHitters
+      .mgShards(toks, col("token"), col("source"), k = 255)
+    val merged = graft.quality.HeavyHitters
+      .mergeMgShards(shards, k = 255)
+    graft.quality.HeavyHitters
+      .verifyHeavyHitters(toks, "token", merged,
+        minFraction = 0.005, k = 255)
+      .orderBy(col("cnt").desc, col("token"))
   }
 
   private[graft] def cmsTokenCountsQ(

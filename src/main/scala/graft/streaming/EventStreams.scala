@@ -718,6 +718,41 @@ object EventStreams {
     graft.quality.CountMin
       .mergeCmsShards(spark.read.parquet(storeDir))
 
+  /** Streaming Misra–Gries heavy-hitter maintenance — the
+    * deterministic-candidate sibling of [[cmsMaintenanceSink]]: each
+    * micro-batch lands its ≤ k-counter
+    * [[graft.quality.HeavyHitters.mgShards]] summary under
+    * `batch_id=<id>` with OVERWRITE (checkpoint replay rewrites the
+    * shard instead of double-counting — exactly-once effect from
+    * at-least-once delivery). The live candidate set is one
+    * [[graft.quality.HeavyHitters.mergeMgShards]] over the store:
+    * after N streamed items, every value with true count > N/(k+1)
+    * is guaranteed present, however the batches were cut.
+    */
+  def mgMaintenanceSink(
+      stream: DataFrame, itemCol: String, storeDir: String,
+      checkpointDir: String, k: Int = 255)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpointDir, outputMode = "append") {
+      (batch, id) =>
+        landMgShard(batch, id, itemCol, storeDir, k)
+    }
+
+  private[streaming] def landMgShard(
+      batch: DataFrame, id: Long, itemCol: String, storeDir: String,
+      k: Int): Unit =
+    graft.quality.HeavyHitters
+      .mgShards(batch, col(itemCol), lit(id), k)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch_id=$id")
+
+  /** Live merged MG candidates over a [[mgMaintenanceSink]] store. */
+  def liveMgCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, k: Int = 255): DataFrame =
+    graft.quality.HeavyHitters
+      .mergeMgShards(spark.read.parquet(storeDir), k)
+
   /** Compact a [[datasheetMaintenanceSink]] store: all shards
     * collapse to ONE (counts summed, sketches unioned —
     * [[graft.text.TextAnalysis.compactDatasheetShards]]) written to
