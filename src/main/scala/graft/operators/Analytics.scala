@@ -1584,6 +1584,27 @@ object Analytics {
   def linearAttribution(
       conversions: DataFrame, touches: DataFrame, keyCol: String,
       tsCol: String, idCol: String,
+      windowDuration: String): DataFrame =
+    attributionPairs(conversions, touches, keyCol, tsCol, idCol,
+        windowDuration)
+      .withColumn("credit_milli",
+        expr("1000 div n_touches") +
+          when(col("touch_rank") === col("n_touches"),
+            expr("1000 % n_touches")).otherwise(lit(0L)))
+      .select(col("__k").as(keyCol), col("conversion_id"),
+        col("conversion_ts"), col("touch_id"), col("touch_ts"),
+        col("touch_rank"), col("n_touches"), col("credit_milli"))
+
+  /** Shared conversion–touch pairing for the attribution family: the
+    * interval equi-join plus the (key, conversion) count/rank window
+    * (see [[linearAttribution]]'s scaladoc for the shape rationale).
+    * Returns `(__k, conversion_id, conversion_ts, touch_id, touch_ts,
+    * touch_rank, n_touches)` — credit policies layer on top as pure
+    * expressions.
+    */
+  private def attributionPairs(
+      conversions: DataFrame, touches: DataFrame, keyCol: String,
+      tsCol: String, idCol: String,
       windowDuration: String): DataFrame = {
     val conv = conversions.select(col(keyCol).as("__k"),
       col(tsCol).as("__cts"), col(idCol).as("__cid"))
@@ -1603,14 +1624,130 @@ object Analytics {
     paired
       .withColumn("n_touches", count(lit(1)).over(w))
       .withColumn("touch_rank", row_number().over(wOrd))
-      .select(col("__k").as(keyCol), col("__cid").as("conversion_id"),
+      .select(col("__k"), col("__cid").as("conversion_id"),
         col("__cts").as("conversion_ts"),
         col("__tid").as("touch_id"), col("__tts").as("touch_ts"),
-        col("touch_rank"), col("n_touches"),
-        (expr("1000 div n_touches") +
-          when(col("touch_rank") === col("n_touches"),
-            expr("1000 % n_touches")).otherwise(lit(0L)))
-          .as("credit_milli"))
+        col("touch_rank"), col("n_touches"))
+  }
+
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    * [[linearAttribution]]'s sibling for the "first touch found them,
+    * last touch closed them" model: first and last touch get 400‰
+    * each, the middle touches split the remaining 200‰. Credit stays
+    * EXACT integer milli-units: middles get `200 div (n−2)` with the
+    * indivisible remainder on the LATEST middle (rank n−1, the
+    * closest-touch bias [[linearAttribution]] uses for its
+    * remainder); n = 1 → 1000, n = 2 → 500/500. Σ credit ≡ 1000 per
+    * attributed conversion by construction at every n.
+    */
+  def positionAttribution(
+      conversions: DataFrame, touches: DataFrame, keyCol: String,
+      tsCol: String, idCol: String,
+      windowDuration: String): DataFrame =
+    attributionPairs(conversions, touches, keyCol, tsCol, idCol,
+        windowDuration)
+      .withColumn("credit_milli",
+        when(col("n_touches") === 1, lit(1000L))
+          .when(col("n_touches") === 2, lit(500L))
+          .when(col("touch_rank") === 1 ||
+            col("touch_rank") === col("n_touches"), lit(400L))
+          .otherwise(expr("200 div (n_touches - 2)") +
+            when(col("touch_rank") === col("n_touches") - 1,
+              expr("200 % (n_touches - 2)")).otherwise(lit(0L))))
+      .select(col("__k").as(keyCol), col("conversion_id"),
+        col("conversion_ts"), col("touch_id"), col("touch_ts"),
+        col("touch_rank"), col("n_touches"), col("credit_milli"))
+
+  /** Delete-one-group jackknife for a RATIO metric `Σnum / Σden` —
+    * the standard-error machinery ratio metrics need (revenue per
+    * unit, CTR, cost per token): per-row CLT doesn't apply to a ratio
+    * of sums, but the delete-one-bucket pseudo-estimates do (Efron &
+    * Stein; the production form of every large-scale experimentation
+    * platform's "bucketed jackknife"). Rows land in `buckets` hash
+    * buckets; θ₍ᵢ₎ = ratio with bucket i removed; SE =
+    * √((B−1)/B · Σ(θ₍ᵢ₎ − θ̄)²).
+    *
+    * Exactness: per-bucket sums are exact longs; each θ₍ᵢ₎ quantizes
+    * to `floor(scale·(S−sᵢ)/(D−dᵢ))` (one double division of two
+    * exact longs, then floor — deterministic cross-engine), so the
+    * jackknife mean and the squared deviations are EXACT integer
+    * arithmetic; doubles reappear only in the final rendered columns.
+    * `scale` is the caller's quantization contract — pick it so
+    * θ·scale ≲ 1e15 AND the expected bucket deviation × scale stays
+    * under √(2⁶³⁻¹/B) (a cents-per-unit ratio ~1e5 wants 1e4, a CTR
+    * ~1e-2 wants 1e9; quantization noise ≤ 1/scale per
+    * pseudo-estimate, orders below any admissible SE). The bound is
+    * enforced LOUD, not silent: an over-cap deviation raises
+    * (re-bucket or rescale) instead of wrapping the squared sum.
+    *
+    * Shape: one map-side-combined aggregation to B bucket rows, then
+    * everything downstream is B-sized (B ≤ 1024 enforced — the
+    * B×B-free construction: θ₍ᵢ₎ needs only the bucket's own sums and
+    * the broadcast totals). Buckets with D−dᵢ = 0 would be a
+    * degenerate resample — rejected loud (pick more/fewer buckets)
+    * rather than silently skipped, which would bias the SE.
+    *
+    * Returns one row: `(n_buckets, theta, theta_jack, se)`.
+    */
+  def jackknifeRatio(
+      df: DataFrame, numCol: Column, denCol: Column,
+      bucketKey: Column, buckets: Int = 32,
+      scale: Double = 1e6): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024, "buckets in [2, 1024]")
+    require(scale >= 1.0 && scale <= 1e12, "scale in [1, 1e12]")
+    val b = df.select(
+        (conv(substring(md5(concat(lit("jk:"),
+          bucketKey.cast("string"))), 1, 8), 16, 10).cast("long")
+          % buckets).as("__b"),
+        numCol.cast("long").as("__n"), denCol.cast("long").as("__d"))
+      .groupBy("__b")
+      .agg(sum(col("__n")).as("__sn"), sum(col("__d")).as("__sd"))
+    val tot = b.agg(sum(col("__sn")).as("__tn"),
+      sum(col("__sd")).as("__td"), count(lit(1)).as("__nb"))
+    val pseudo = b.crossJoin(broadcast(tot))
+      .withColumn("__theta_i",
+        floor(lit(scale) * (col("__tn") - col("__sn")).cast("double")
+          / (col("__td") - col("__sd")).cast("double")).cast("long"))
+    // pseudo feeds the mean AND the deviation pass: persist, or the
+    // bucket aggregation re-executes per consumer
+    val p = pseudo.select(col("__theta_i"),
+        ((col("__td") - col("__sd")) === 0).as("__degen"),
+        col("__tn"), col("__td"))
+      .transform(graft.core.CacheScope.disk)
+    val mean = p.agg(count(lit(1)).as("__nb"),
+        sum(when(col("__degen"), 1L).otherwise(0L)).as("__ndegen"),
+        sum(col("__theta_i")).as("__sum_ti"))
+      .select(col("__nb"), col("__ndegen"),
+        expr("__sum_ti div __nb").as("__tbar"))
+    // √(2⁶³−1 / B): the per-deviation bound under which the squared
+    // sum provably fits BIGINT
+    val devCap = math.sqrt(Long.MaxValue.toDouble / buckets).toLong
+    p.crossJoin(broadcast(mean))
+      .withColumn("__dev", col("__theta_i") - col("__tbar"))
+      .agg(max(col("__nb")).as("n_buckets"),
+        max(col("__ndegen")).as("__ndegen"),
+        max(col("__tbar")).as("__tbar"),
+        max(abs(col("__dev"))).as("__maxdev"),
+        sum(col("__dev") * col("__dev")).as("__ss"),
+        max(col("__tn")).as("__tn"), max(col("__td")).as("__td"))
+      .select(
+        col("n_buckets"),
+        round(col("__tn").cast("double")
+          / col("__td").cast("double"), 9).as("theta"),
+        round(col("__tbar").cast("double") / scale, 9).as("theta_jack"),
+        when(col("__ndegen") > 0,
+          raise_error(lit("jackknifeRatio: a delete-one bucket " +
+            "empties the denominator; adjust buckets")).cast("double"))
+          .when(col("__maxdev") > devCap,
+            raise_error(lit("jackknifeRatio: bucket deviation " +
+              "overflows the exact squared sum; rescale the metric " +
+              "or use fewer buckets")).cast("double"))
+          .otherwise(round(
+            // ss·(B−1) can exceed BIGINT even when ss fits: multiply
+            // in double (the oracle spells the identical form)
+            sqrt(col("__ss").cast("double")
+              * (col("n_buckets") - 1).cast("double")
+              / col("n_buckets").cast("double")) / scale, 9)).as("se"))
   }
 
   /** Lagged cross-correlation of two event streams: Pearson

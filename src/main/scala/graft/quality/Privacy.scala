@@ -58,4 +58,38 @@ object Privacy {
     df.join(small, cond)
       .select(df.columns.map(col) :+ col("class_size"): _*)
   }
+
+  /** Distinct l-diversity audit — [[kAnonymityReport]]'s sensitive-
+    * attribute sibling: k-anonymity bounds how many people share a
+    * quasi-identifier class, but if every member of a class shares
+    * the same SENSITIVE value the class still discloses it
+    * (Machanavajjhala et al.'s homogeneity attack). Groups rows by
+    * the quasi-identifiers, counts DISTINCT sensitive values per
+    * class, and reports the diversity histogram: one row per
+    * distinct-count with how many classes and rows sit there, flagged
+    * below `l`. Same non-disclosure stance as the k-audit: sizes
+    * only, never the small classes' values. Null sensitive values
+    * count as a value (null is a disclosure too — "status withheld"
+    * identifies). Two aggregations, the first map-side combined on
+    * (quasi, sensitive) — the only corpus-sized shuffle.
+    */
+  def lDiversityReport(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 2, "l must be >= 2")
+    val qcols = quasiCols.map(col)
+    // (quasi, sensitive)-grouped first so the distinct count is a
+    // plain count over pre-deduped rows, never an expensive
+    // count_distinct buffer per class
+    val perValue = df.groupBy((qcols :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__rows"))
+    val classes = perValue.groupBy(qcols: _*)
+      .agg(count(lit(1)).as("__distinct"),
+        sum(col("__rows")).as("__sz"))
+    classes.groupBy(col("__distinct").as("distinct_sensitive"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("__sz")).as("n_rows"))
+      .withColumn("violates", col("distinct_sensitive") < l)
+  }
 }

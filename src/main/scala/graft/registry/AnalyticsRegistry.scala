@@ -71,6 +71,9 @@ private[graft] object AnalyticsRegistry {
     "q181_robust_outliers" -> (robustOutliersQ _),
     "q182_target_encoding" -> (targetEncodingQ _),
     "q183_link_prediction" -> (linkPredictionQ _),
+    "q186_jackknife_ratio" -> (jackknifeRatioQ _),
+    "q187_l_diversity" -> (lDiversityQ _),
+    "q188_position_attribution" -> (positionAttributionQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -1146,6 +1149,87 @@ private[graft] object AnalyticsRegistry {
            round(CAST(n * (s + 20 * gp) - s AS DOUBLE)
              / CAST(n * (n + 19) * 100 AS DOUBLE), 4) AS loo_mean
          FROM p ORDER BY c_mktsegment""",
+    // pseudo-estimates quantize to nano-units (floor of one double
+    // division of exact longs) so mean and squared deviations are
+    // exact integers; doubles only in the rendered columns
+    "q186_jackknife_ratio" ->
+      """WITH r AS (
+           SELECT CAST(('0x' || substr(md5('jk:'
+               || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 32 AS b,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS n,
+             CAST(l_quantity AS BIGINT) AS d
+           FROM lineitem),
+         bk AS (
+           SELECT b, CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(d) AS BIGINT) AS sd
+           FROM r GROUP BY b),
+         tt AS (
+           SELECT CAST(sum(sn) AS BIGINT) AS tn,
+             CAST(sum(sd) AS BIGINT) AS td, count(*) AS nb
+           FROM bk),
+         ps AS (
+           SELECT CAST(floor(1e4 * CAST(tn - sn AS DOUBLE)
+             / CAST(td - sd AS DOUBLE)) AS BIGINT) AS ti
+           FROM bk CROSS JOIN tt),
+         mn AS (
+           SELECT CAST(sum(ti) AS BIGINT) // count(*) AS tbar
+           FROM ps),
+         dv AS (
+           SELECT CAST(sum((ti - tbar) * (ti - tbar)) AS BIGINT) AS ss
+           FROM ps CROSS JOIN mn)
+         SELECT CAST(tt.nb AS BIGINT) AS n_buckets,
+           round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 9) AS theta,
+           round(CAST(mn.tbar AS DOUBLE) / 1e4, 9) AS theta_jack,
+           round(sqrt(CAST(ss AS DOUBLE) * (tt.nb - 1)
+             / CAST(tt.nb AS DOUBLE)) / 1e4, 9) AS se
+         FROM dv CROSS JOIN mn CROSS JOIN tt""",
+    // diversity histogram over (priority, month) classes; the
+    // distinct count rides pre-deduped (quasi, sensitive) rows
+    "q187_l_diversity" ->
+      """WITH pv AS (
+           SELECT o_orderpriority,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+             o_orderstatus, count(*) AS nr
+           FROM orders GROUP BY 1, 2, 3),
+         cls AS (
+           SELECT o_orderpriority, ym, count(*) AS dc,
+             CAST(sum(nr) AS BIGINT) AS sz
+           FROM pv GROUP BY 1, 2)
+         SELECT CAST(dc AS BIGINT) AS distinct_sensitive,
+           count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows,
+           dc < 3 AS violates
+         FROM cls GROUP BY dc ORDER BY distinct_sensitive""",
+    // q167's pairing CTEs with the 40/20/40 credit policy; middle
+    // remainder on rank n-1, every conversion sums to 1000 exactly
+    "q188_position_attribution" ->
+      """WITH c AS (
+           SELECT user_id, ts AS cts, event_id AS cid FROM events
+           WHERE event_type = 'purchase'),
+         t AS (
+           SELECT user_id, ts AS tts, event_id AS tid FROM events
+           WHERE event_type IN ('view', 'click')),
+         p AS (
+           SELECT c.user_id, cid, cts, tid, tts
+           FROM c JOIN t USING (user_id)
+           WHERE tts <= cts AND tts > cts - INTERVAL 2 HOUR),
+         r AS (
+           SELECT user_id, cid, tid,
+             count(*) OVER (PARTITION BY user_id, cid) AS n_touches,
+             row_number() OVER (PARTITION BY user_id, cid
+               ORDER BY tts, tid) AS touch_rank
+           FROM p)
+         SELECT user_id, cid AS conversion_id, tid AS touch_id,
+           CAST(touch_rank AS INT) AS touch_rank,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN n_touches = 1 THEN 1000
+                WHEN n_touches = 2 THEN 500
+                WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400
+                ELSE 200 // (n_touches - 2)
+                  + CASE WHEN touch_rank = n_touches - 1
+                    THEN 200 % (n_touches - 2) ELSE 0 END
+                END AS BIGINT) AS credit_milli
+         FROM r ORDER BY conversion_id, touch_rank""",
     // resource-allocation index in exact micro-units: per-center
     // weight 1e6 // deg, summed as BIGINT — no libm in the score
     "q183_link_prediction" ->
@@ -1888,6 +1972,49 @@ private[graft] object AnalyticsRegistry {
           / (col("n_orders") * (col("n_orders") + 19L) * 100L)
             .cast("double"), 4).as("loo_mean"))
       .orderBy("c_mktsegment")
+  }
+
+  /** Bucketed delete-one jackknife SE for revenue-per-unit
+    * ([[Analytics.jackknifeRatio]]): cents over quantity units, 32
+    * md5 buckets on the order key.
+    */
+  private[graft] def jackknifeRatioQ(
+      s: SparkSession, dir: String): DataFrame =
+    // scale 1e4 for a ~1e5-magnitude cents-per-unit ratio: resolution
+    // 1e-4 cents, deviation headroom ~5e4 ratio units per bucket
+    Analytics.jackknifeRatio(t(s, dir, "lineitem"),
+      round(col("l_extendedprice") * 100).cast("long"),
+      col("l_quantity").cast("long"),
+      col("l_orderkey"), buckets = 32, scale = 1e4)
+
+  /** Distinct l-diversity of order status within (priority, month)
+    * quasi-identifier classes ([[graft.quality.Privacy
+    * .lDiversityReport]]) — the homogeneity-attack audit next to
+    * q170's k-anonymity.
+    */
+  private[graft] def lDiversityQ(
+      s: SparkSession, dir: String): DataFrame =
+    graft.quality.Privacy.lDiversityReport(
+        t(s, dir, "orders").withColumn("__ym",
+          date_format(col("o_orderdate"), "yyyy-MM")),
+        Seq("o_orderpriority", "__ym"), "o_orderstatus", l = 3)
+      .select(col("distinct_sensitive"), col("n_classes"),
+        col("n_rows"), col("violates"))
+      .orderBy("distinct_sensitive")
+
+  /** U-shaped (40/20/40) attribution over the q167 conversion/touch
+    * setup ([[Analytics.positionAttribution]]).
+    */
+  private[graft] def positionAttributionQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    Analytics.positionAttribution(
+        e.where(col("event_type") === "purchase"),
+        e.where(col("event_type").isin("view", "click")),
+        "user_id", "ts", "event_id", windowDuration = "2 hours")
+      .select(col("user_id"), col("conversion_id"), col("touch_id"),
+        col("touch_rank"), col("n_touches"), col("credit_milli"))
+      .orderBy("conversion_id", "touch_rank")
   }
 
   private[graft] def markovStationaryQ(
