@@ -2185,4 +2185,194 @@ object Analytics {
       .select(col("__a").as("node_a"), col("__b").as("node_b"),
         col("common_neighbors"), col("ra_micro"))
   }
+
+  /** Benford first-significant-digit audit — the forensic-accounting
+    * screen for fabricated or mis-binned amounts: per group, the
+    * observed distribution of the leading digit of an exact integer
+    * amount vs Benford's law (P(d) = log10(1 + 1/d)), with the
+    * per-digit deviation and the group's chi-square statistic.
+    *
+    * `amountCol` must be a positive BIGINT (amounts pre-scaled to
+    * cents by the caller) — the leading digit is the first character
+    * of the decimal rendering of an integer, which both the engine
+    * and any SQL oracle produce identically; extracting the digit
+    * from a DOUBLE rendering would be engine-dependent (scientific
+    * notation cutoffs differ). Non-positive / null amounts are
+    * excluded and reported per group as `n_excluded`.
+    *
+    * Shape: one grouped count per (group, digit) — map-side combined,
+    * ≤10 rows per group out — densified against a (group × digit)
+    * grid (group-count-sized generate + one small join) so absent
+    * digits report exact zero counts. Chi-square re-aggregates the
+    * 9-row frame per group: cost is group-count-sized, not
+    * data-sized. At 100 TB this is one shuffle of ≤10·|groups| rows.
+    */
+  def benfordAudit(
+      df: DataFrame, groupCol: String, amountCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        amountCol.cast("long").as("__v"))
+      .withColumn("__d",
+        when(col("__v") > 0,
+          substring(col("__v").cast("string"), 1, 1).cast("int")))
+    val counts = base
+      .groupBy(col("__g"), col("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .transform(graft.core.CacheScope.disk)
+    val perGroup = counts.groupBy("__g")
+      .agg(sum(when(col("__d").isNotNull, col("__n")).otherwise(0L))
+          .as("__tot"),
+        sum(when(col("__d").isNull, col("__n")).otherwise(0L))
+          .as("__nexcl"))
+    // densify: every group gets all nine digit rows, absent → 0
+    val longDigits = perGroup
+      .select(col("__g"), col("__tot"), col("__nexcl"),
+        explode(sequence(lit(1), lit(9))).as("digit"))
+      .join(counts.where(col("__d").isNotNull)
+          .withColumnRenamed("__d", "digit"),
+        Seq("__g", "digit"), "left")
+      .select(col("__g"), col("digit"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        col("__nexcl").as("n_excluded"), col("__tot"))
+    val withTotal = longDigits
+    // expected share is a literal per digit: log10(1+1/d) spelled as
+    // an exact double literal so the oracle can repeat it verbatim
+    val expectedShare = (1 to 9)
+      .map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val expCol = (1 to 9).foldLeft(lit(null).cast("double")) {
+      case (acc, d) =>
+        when(col("digit") === d, lit(expectedShare(d))).otherwise(acc)
+    }
+    val perDigit = withTotal
+      .withColumn("__exp", expCol * col("__tot").cast("double"))
+      .transform(graft.core.CacheScope.disk)
+    val chi = perDigit.groupBy(col("__g"))
+      .agg(sum((col("n").cast("double") - col("__exp"))
+          * (col("n").cast("double") - col("__exp")) / col("__exp"))
+        .as("__chi2"))
+    perDigit.join(broadcast(chi), Seq("__g"))
+      .select(col("__g").as(groupCol), col("digit"), col("n"),
+        col("n_excluded"),
+        round(col("__exp"), 4).as("expected_n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"),
+        round(col("__chi2"), 4).as("chi2"))
+  }
+
+  /** Market-concentration report per group: Herfindahl–Hirschman
+    * index, top-1/top-3 entity share, and effective number of
+    * entities (1/HHI) over an exact integer value column (cents).
+    *
+    * Exactness: entity shares quantize to micro-units
+    * (s_i = floor(1e6·v_i / Σv), BIGINT), so Σs_i² ≤ (Σs_i)² ≤ 1e12
+    * fits BIGINT exactly regardless of data scale — the HHI is a
+    * deterministic integer ratio, not an order-dependent double sum.
+    * Top-k shares ride the same quantized units via a rank window.
+    *
+    * Shape: one grouped sum per (group, entity) — map-side combined —
+    * then one window rank and one re-aggregation per group, all over
+    * entity-count-sized frames. Entities with non-positive totals are
+    * kept (their share floors at ≤ 0 momentum toward 0); null
+    * entities are excluded.
+    */
+  def concentrationReport(
+      df: DataFrame, groupCol: String, entityCol: String,
+      valueCol: Column): DataFrame = {
+    val sums = df
+      .where(col(entityCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(entityCol).as("__e"))
+      .agg(sum(valueCol.cast("long")).as("__v"))
+    val tot = sums.groupBy("__g")
+      .agg(sum(col("__v")).as("__tv"), count(lit(1)).as("__ne"))
+    val shares = sums.join(broadcast(tot), Seq("__g"))
+      .withColumn("__s",
+        floor(lit(1000000L) * col("__v").cast("double")
+          / col("__tv").cast("double")).cast("long"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__g"))
+          .orderBy(col("__v").desc, col("__e"))))
+    shares.groupBy(col("__g"))
+      .agg(max(col("__ne")).as("n_entities"),
+        sum(col("__s") * col("__s")).as("__hhi2"),
+        max(when(col("__rk") === 1, col("__s"))).as("__top1"),
+        sum(when(col("__rk") <= 3, col("__s")).otherwise(0L))
+          .as("__top3"))
+      .select(col("__g").as(groupCol), col("n_entities"),
+        round(col("__top1").cast("double") / 1e6, 6).as("top1_share"),
+        round(col("__top3").cast("double") / 1e6, 6).as("top3_share"),
+        round(col("__hhi2").cast("double") / 1e12, 6).as("hhi"),
+        round(lit(1e12) / col("__hhi2").cast("double"), 4)
+          .as("effective_n"))
+  }
+
+  /** Kaplan–Meier survival curve per group: at each distinct event
+    * time t, the number at risk, events, censorings, and the product-
+    * limit survival estimate S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ).
+    *
+    * Determinism across engines: every input to the float math is an
+    * exact integer (at-risk and event counts from one grouped count +
+    * a window), each step factor (nᵢ−dᵢ)/nᵢ is ONE correctly-rounded
+    * IEEE division, and the running product is an explicit ordered
+    * left fold over the group's factor array — IEEE multiply is
+    * correctly rounded, so any engine folding the same factors in the
+    * same order produces bit-identical doubles (no exp/log detour,
+    * whose transcendental rounding is engine-specific).
+    *
+    * Shape: events collapse to one row per (group, time) map-side;
+    * at-risk counts come from a running sum window over that
+    * timepoint frame (timepoint-sized, not subject-sized); the fold
+    * materializes one sorted factor array per group and computes the
+    * k running products by prefix-slice folds — O(k) memory and
+    * O(k²) multiplies per group, guarded by `maxTimepoints`
+    * (default 10⁴ ≈ 27 years of daily granularity: 10⁸ multiplies
+    * worst-case, sub-second). Subjects, however, are unbounded:
+    * nothing upstream of the timepoint collapse holds per-subject
+    * state.
+    */
+  def kaplanMeier(
+      df: DataFrame, groupCol: String, durationCol: Column,
+      eventCol: Column, maxTimepoints: Int = 10000): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"))
+      .where(col("__t").isNotNull && col("__t") >= 0)
+    val byTime = base.groupBy("__g", "__t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
+    val w = Window.partitionBy("__g").orderBy("__t")
+    // at risk at t = subjects whose duration >= t = group total minus
+    // everything that left strictly before t
+    val risked = byTime
+      .withColumn("__tot", sum(col("__d") + col("__c"))
+        .over(Window.partitionBy("__g")))
+      .withColumn("__gone", coalesce(
+        sum(col("__d") + col("__c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", col("__tot") - col("__gone"))
+      .withColumn("__f",
+        (col("__n") - col("__d")).cast("double")
+          / col("__n").cast("double"))
+    // one sorted row-array per group; running product i = left fold
+    // of the first i factors (slice is 1-based)
+    val grouped = risked.groupBy(col("__g"))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__n"),
+        col("__d"), col("__c"), col("__f")))).as("__rows"))
+      .withColumn("__rows",
+        when(size(col("__rows")) > maxTimepoints,
+          raise_error(lit("kaplanMeier: distinct event times per " +
+            "group exceed maxTimepoints; coarsen the duration " +
+            "granularity")).cast("array<struct<__t:bigint," +
+            "__n:bigint,__d:bigint,__c:bigint,__f:double>>"))
+          .otherwise(col("__rows")))
+    grouped
+      .select(col("__g"), posexplode(col("__rows")).as(Seq("__i", "__r")),
+        col("__rows"))
+      .withColumn("__surv",
+        aggregate(
+          slice(col("__rows").getField("__f"), lit(1), col("__i") + 1),
+          lit(1.0d), (acc, x) => acc * x))
+      .select(col("__g").as(groupCol), col("__r.__t").as("t"),
+        col("__r.__n").as("n_at_risk"), col("__r.__d").as("n_events"),
+        col("__r.__c").as("n_censored"),
+        round(col("__surv"), 6).as("survival"))
+  }
 }

@@ -74,6 +74,9 @@ private[graft] object AnalyticsRegistry {
     "q186_jackknife_ratio" -> (jackknifeRatioQ _),
     "q187_l_diversity" -> (lDiversityQ _),
     "q188_position_attribution" -> (positionAttributionQ _),
+    "q189_benford_audit" -> (benfordAuditQ _),
+    "q190_spend_concentration" -> (spendConcentrationQ _),
+    "q191_kaplan_meier" -> (kaplanMeierQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -1443,7 +1446,130 @@ private[graft] object AnalyticsRegistry {
              ON o_orderkey = l_orderkey)
          SELECT fanout, count(*) AS n_orders
          FROM per GROUP BY fanout ORDER BY fanout""",
+    // leading digit from the decimal rendering of exact cents
+    // BIGINTs (a DOUBLE rendering would be engine-dependent); the
+    // Benford shares are the engine's own double literals so the
+    // per-digit expected counts are bit-identical
+    "q189_benford_audit" ->
+      s"""WITH b AS (
+           SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+           FROM orders),
+         dd AS (
+           SELECT g, CASE WHEN v > 0
+             THEN CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) END AS d
+           FROM b),
+         c AS (SELECT g, d, count(*) AS n FROM dd GROUP BY 1, 2),
+         pg AS (
+           SELECT g,
+             CAST(sum(CASE WHEN d IS NOT NULL THEN n ELSE 0 END)
+               AS BIGINT) AS tot,
+             CAST(sum(CASE WHEN d IS NULL THEN n ELSE 0 END)
+               AS BIGINT) AS nexcl
+           FROM c GROUP BY g),
+         grid AS (
+           SELECT g, tot, nexcl,
+             CAST(unnest(generate_series(1, 9)) AS INT) AS digit
+           FROM pg),
+         j AS (
+           SELECT grid.g, grid.digit, coalesce(c.n, 0) AS n,
+             grid.nexcl, grid.tot
+           FROM grid LEFT JOIN c
+             ON c.g = grid.g AND c.d = grid.digit),
+         e AS (
+           SELECT j.*, ($benfordShareCase) * CAST(tot AS DOUBLE) AS ex
+           FROM j),
+         chi AS (
+           SELECT g, sum((CAST(n AS DOUBLE) - ex)
+             * (CAST(n AS DOUBLE) - ex) / ex) AS chi2
+           FROM e GROUP BY g)
+         SELECT e.g AS o_orderpriority, e.digit, e.n,
+           e.nexcl AS n_excluded,
+           round(e.ex, 4) AS expected_n,
+           round(CAST(e.n AS DOUBLE) / CAST(e.tot AS DOUBLE), 6)
+             AS share,
+           round(chi.chi2, 4) AS chi2
+         FROM e JOIN chi USING (g) ORDER BY 1, 2""",
+    // entity shares quantize to micro-units (floor of one double
+    // division of exact cents BIGINTs) so HHI is an exact integer
+    // ratio in both engines
+    "q190_spend_concentration" ->
+      """WITH j AS (
+           SELECT c_mktsegment AS g, o_custkey AS e,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         s AS (SELECT g, e, CAST(sum(v) AS BIGINT) AS v
+               FROM j GROUP BY 1, 2),
+         tt AS (SELECT g, CAST(sum(v) AS BIGINT) AS tv,
+               count(*) AS ne FROM s GROUP BY g),
+         sh AS (
+           SELECT s.g, s.v, tt.ne,
+             CAST(floor(1000000 * CAST(s.v AS DOUBLE)
+               / CAST(tt.tv AS DOUBLE)) AS BIGINT) AS sm,
+             row_number() OVER (PARTITION BY s.g
+               ORDER BY s.v DESC, s.e) AS rk
+           FROM s JOIN tt USING (g))
+         SELECT g AS c_mktsegment,
+           CAST(max(ne) AS BIGINT) AS n_entities,
+           round(CAST(max(CASE WHEN rk = 1 THEN sm END) AS DOUBLE)
+             / 1e6, 6) AS top1_share,
+           round(CAST(sum(CASE WHEN rk <= 3 THEN sm ELSE 0 END)
+             AS DOUBLE) / 1e6, 6) AS top3_share,
+           round(CAST(sum(sm * sm) AS DOUBLE) / 1e12, 6) AS hhi,
+           round(1e12 / CAST(sum(sm * sm) AS DOUBLE), 4)
+             AS effective_n
+         FROM sh GROUP BY g ORDER BY g""",
+    // survival is an ordered left-fold product of per-step factors
+    // (each ONE correctly-rounded IEEE division), so list_reduce here
+    // and aggregate() in the engine produce bit-identical doubles —
+    // no exp/ln detour whose rounding is engine-specific
+    "q191_kaplan_meier" ->
+      """WITH pc AS (
+           SELECT c_mktsegment AS g, o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS f,
+             max(CAST(o_orderdate AS DATE)) AS l
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         mx AS (SELECT max(l) AS mx FROM pc),
+         subj AS (
+           SELECT g, date_diff('day', f, l) AS t,
+             (l < mx - 90) AS e
+           FROM pc CROSS JOIN mx),
+         bt AS (
+           SELECT g, t,
+             CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM subj GROUP BY 1, 2),
+         rk AS (
+           SELECT g, t, d, c,
+             CAST(sum(d + c) OVER (PARTITION BY g) AS BIGINT)
+               - CAST(coalesce(sum(d + c) OVER (PARTITION BY g
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n
+           FROM bt),
+         fl AS (
+           SELECT g, list(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)
+             ORDER BY t) AS fs
+           FROM rk GROUP BY g),
+         rn AS (
+           SELECT rk.*, CAST(row_number() OVER (PARTITION BY g
+             ORDER BY t) AS INT) AS i
+           FROM rk)
+         SELECT rn.g AS c_mktsegment, rn.t, rn.n AS n_at_risk,
+           rn.d AS n_events, rn.c AS n_censored,
+           round(list_reduce(fl.fs[1:rn.i], (x, y) -> x * y), 6)
+             AS survival
+         FROM rn JOIN fl USING (g) ORDER BY 1, 2""",
   )
+
+  /** The nine Benford shares log10(1 + 1/d) as the engine's own
+    * double literals — interpolated into the q189 oracle so both
+    * sides multiply identical doubles.
+    */
+  private val benfordShareCase: String =
+    "CASE digit " + (1 to 9).map(d =>
+      s"WHEN $d THEN ${math.log10(1.0 + 1.0 / d)}").mkString(" ") +
+      " END"
 
   /** Range (interval) join: orders land in OVERLAPPING price bands —
     * a genuine interval containment join (a point can match several
@@ -2744,6 +2870,56 @@ private[graft] object AnalyticsRegistry {
         round(col("corr"), 6).as("corr"))
       .orderBy("lag")
 
+
+  /** Benford first-digit audit ([[Analytics.benfordAudit]]): leading-
+    * digit distribution of order totals (exact cents) per order
+    * priority vs Benford's law, with per-digit expected counts and
+    * the per-group chi-square — the forensic screen for fabricated
+    * amounts.
+    */
+  private[graft] def benfordAuditQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.benfordAudit(t(s, dir, "orders"), "o_orderpriority",
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .orderBy("o_orderpriority", "digit")
+
+  /** Customer spend concentration ([[Analytics.concentrationReport]]):
+    * HHI / top-k share / effective-N of per-customer order spend
+    * within each market segment — shares quantized to exact
+    * micro-units so the concentration index is engine-deterministic.
+    */
+  private[graft] def spendConcentrationQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.concentrationReport(
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_custkey",
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .orderBy("c_mktsegment")
+
+  /** Kaplan–Meier churn survival ([[Analytics.kaplanMeier]]): per
+    * market segment, survival over customer "lifetime" (days between
+    * first and last order), where a last order more than 90 days
+    * before the global latest order date counts as observed churn and
+    * later activity is censored — the product-limit curve behind
+    * retention forecasting.
+    */
+  private[graft] def kaplanMeierQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+    val perCust = o.groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("__first"),
+        max(col("o_orderdate").cast("date")).as("__last"))
+    val mx = perCust.agg(max(col("__last")).as("__mx"))
+    val subjects = perCust.crossJoin(broadcast(mx))
+      .select(col("c_mktsegment"),
+        datediff(col("__last"), col("__first")).as("__dur"),
+        (col("__last") < date_sub(col("__mx"), 90)).as("__event"))
+    Analytics.kaplanMeier(subjects, "c_mktsegment",
+        col("__dur"), col("__event"))
+      .orderBy("c_mktsegment", "t")
+  }
 
   /** Arithmetic reconstruction of the `graft_zorder` Morton key
     * (q79): mask-shift bit spreading on BIGINT, the final interleave
