@@ -2375,4 +2375,379 @@ object Analytics {
         col("__r.__c").as("n_censored"),
         round(col("__surv"), 6).as("survival"))
   }
+
+  /** Exact ROC-AUC per group via the Mann–Whitney U statistic: the
+    * probability a random positive outscores a random negative, ties
+    * counting half — the rank-sum identity, never the O(n²) pair join.
+    *
+    * Exactness: rows collapse to one per (group, distinct score) with
+    * positive/negative counts (map-side combined), a running window
+    * sum gives each tie block the negatives strictly below it, and
+    * `U·2 = Σ np·(2·negBelow + nn)` stays in BIGINT (the `+nn` term IS
+    * the tie half-credit, doubled). AUC and the Gini index (2·AUC−1)
+    * are each ONE double division at the end — the only float math.
+    * Degenerate groups (no positives or no negatives) report null AUC
+    * rather than an IEEE Infinity/NaN that would poison a downstream
+    * aggregate.
+    *
+    * Shape: one grouped count (full shuffle, map-side combined) to
+    * distinct-score-sized frames, then a per-group window and a
+    * re-aggregation over those — cost scales with distinct scores,
+    * not rows. At 100 TB with a continuous score the distinct-score
+    * frame is still row-sized worst-case; pre-quantizing the score
+    * (e.g. to 1e-6) bounds it with negligible AUC movement.
+    */
+  def rocAuc(
+      df: DataFrame, groupCol: String, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        scoreCol.as("__s"), labelCol.cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val byScore = base.groupBy("__g", "__s")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__nn"))
+    val w = Window.partitionBy("__g").orderBy("__s")
+    val u = byScore
+      .withColumn("__below", coalesce(
+        sum(col("__nn")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy("__g")
+      .agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__below") + col("__nn")))
+          .as("__u2"))
+    u.select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(col("__u2").cast("double")
+          / (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double")), 6)).as("auc"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(col("__u2").cast("double")
+          / (col("n_pos").cast("double") * col("n_neg").cast("double"))
+          - lit(1.0), 6)).as("gini_idx"))
+  }
+
+  /** Per-group decile gains/lift table — the model-evaluation ranking
+    * report: within each group, units ranked by score descending are
+    * cut into `buckets` equal-frequency bins (ntile; ties broken by
+    * `tieCol` so the cut is deterministic and engine-portable), and
+    * each bin reports its response rate, cumulative capture of the
+    * group's responders ("gain"), and lift vs the group's base rate.
+    *
+    * Exactness: every statistic is a ratio of BIGINT counts — ONE
+    * double division each at the end. ntile's fill rule (the first
+    * `n mod buckets` bins get the extra row) is identical in Spark
+    * and ANSI SQL engines, so the binning itself is exact.
+    *
+    * Shape: the ntile window is PARTITIONED by group (a global cut
+    * would be one unbounded single-task window — the shape
+    * `rankByRange` exists to avoid; callers wanting a whole-
+    * population table pass a constant group at their own scale), then
+    * one grouped count to a (groups × buckets)-sized frame and
+    * windows over its ≤ `buckets` rows per group. One scan, one
+    * data-sized shuffle.
+    */
+  def gainsTable(
+      df: DataFrame, groupCol: String, scoreCol: Column,
+      labelCol: Column, tieCol: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "gainsTable: need at least 2 buckets")
+    val base = df.select(col(groupCol).as("__g"), scoreCol.as("__s"),
+        labelCol.cast("boolean").as("__y"), tieCol.as("__id"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__b", ntile(buckets).over(
+        Window.partitionBy("__g").orderBy(col("__s").desc, col("__id"))))
+    val per = base.groupBy(col("__g"), col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+    val w = Window.partitionBy("__g").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("__g").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cp", sum(col("n_pos")).over(w))
+      .withColumn("__tn", sum(col("n")).over(tot))
+      .withColumn("__tp", sum(col("n_pos")).over(tot))
+      .select(col("__g").as(groupCol), col("bucket"), col("n"),
+        col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("response_rate"),
+        round(col("__cp").cast("double") / col("__tp").cast("double"), 6)
+          .as("cum_gain"),
+        round((col("n_pos").cast("double") / col("n").cast("double"))
+          / (col("__tp").cast("double") / col("__tn").cast("double")), 6)
+          .as("lift"),
+        round((col("__cp").cast("double") / col("__cn").cast("double"))
+          / (col("__tp").cast("double") / col("__tn").cast("double")), 6)
+          .as("cum_lift"))
+  }
+
+  /** CUSUM level-shift detection per group over a dense integer
+    * period grid: row counts per (group, period), gaps zero-filled
+    * (the resample lesson — a silent month IS a signal), deviations
+    * from the group mean accumulated one-sidedly in both directions,
+    * with a √mean-scaled decision threshold.
+    *
+    * Exactness: the recurrence S⁺ᵢ = max(0, S⁺ᵢ₋₁ + dᵢ) is computed
+    * by its prefix identity S⁺ᵢ = csᵢ − min(0, min_{j≤i} csⱼ) — pure
+    * window functions, no sequential fold. Deviations are scaled to
+    * whole units `dᵢ = n·cᵢ − Σc` (BIGINT; exact mean-centering with
+    * no division), so the entire accumulation is integer; the final
+    * report divides by n once. Needs `periods · Σcount < 2⁶³` —
+    * ~9·10¹⁸ row-periods, comfortably above any monthly grid.
+    *
+    * Shape: rows collapse map-side to (group, period) counts; the
+    * dense grid generates from a group-sized bounds frame; windows
+    * run over period-count-sized frames per group. At 100 TB the
+    * only data-sized stage is the first grouped count.
+    */
+  def cusumShift(
+      df: DataFrame, groupCol: String, periodCol: Column,
+      threshold: Double = 5.0): DataFrame = {
+    val counts = df.select(col(groupCol).as("__g"),
+        periodCol.cast("long").as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+    val bounds = counts.groupBy("__g")
+      .agg(min("__p").as("__lo"), max("__p").as("__hi"))
+    val grid = bounds.select(col("__g"),
+      explode(sequence(col("__lo"), col("__hi"))).as("__p"))
+    val dense = grid.join(counts, Seq("__g", "__p"), "left")
+      .select(col("__g"), col("__p"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = dense.groupBy("__g")
+      .agg(sum("__c").as("__tot"), count(lit(1)).as("__n"))
+    val w = Window.partitionBy("__g").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val stepped = dense.join(broadcast(tot), Seq("__g"))
+      .withColumn("__d", col("__c") * col("__n") - col("__tot"))
+      .withColumn("__cs", sum(col("__d")).over(w))
+      .withColumn("__sp",
+        col("__cs") - least(min(col("__cs")).over(w), lit(0L)))
+      .withColumn("__sn",
+        greatest(max(col("__cs")).over(w), lit(0L)) - col("__cs"))
+    val h = lit(threshold) * sqrt(col("__tot").cast("double")
+      / col("__n").cast("double"))
+    stepped.select(col("__g").as(groupCol), col("__p").as("period"),
+      col("__c").as("n"),
+      round(col("__sp").cast("double") / col("__n").cast("double"), 4)
+        .as("cusum_pos"),
+      round(col("__sn").cast("double") / col("__n").cast("double"), 4)
+        .as("cusum_neg"),
+      (col("__sp").cast("double") / col("__n").cast("double") > h)
+        .cast("int").as("shift_up"),
+      (col("__sn").cast("double") / col("__n").cast("double") > h)
+        .cast("int").as("shift_down"))
+  }
+
+  /** Day-of-week seasonal profile per group over a dense calendar:
+    * daily row counts (gap days are zeros — a silent Sunday IS part of
+    * the Sunday profile), the per-weekday mean, and how many days
+    * deviate from their weekday's mean by more than `sigma`·√mean
+    * (the Poisson-scaled anomaly screen).
+    *
+    * Exactness: weekday means are ratios of BIGINT sums; the anomaly
+    * predicate compares `|c − s/n|` against `sigma·√(s/n)` — every
+    * operand one correctly-rounded IEEE op from exact integers, so
+    * the flag is engine-deterministic. Weekday derives from the epoch
+    * day (`(epochDay + 3) mod 7`, 0 = Monday) — calendar-library-free
+    * and portable.
+    *
+    * Shape: rows collapse map-side to (group, day); the dense grid
+    * generates from a group-sized bounds frame; the weekday profile
+    * is a (groups × 7)-row aggregate broadcast back onto the day
+    * frame for flagging, then re-aggregated. The only data-sized
+    * stage is the first grouped count.
+    */
+  def seasonalProfile(
+      df: DataFrame, groupCol: String, dateCol: Column,
+      sigma: Double = 3.0): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val counts = df.select(col(groupCol).as("__g"),
+        datediff(dateCol.cast("date"), epoch).cast("long").as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+    val bounds = counts.groupBy("__g")
+      .agg(min("__p").as("__lo"), max("__p").as("__hi"))
+    val dense = bounds
+      .select(col("__g"), explode(sequence(col("__lo"), col("__hi")))
+        .as("__p"))
+      .join(counts, Seq("__g", "__p"), "left")
+      .select(col("__g"), col("__p"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+      .withColumn("__dow", pmod(col("__p") + 3, lit(7)))
+    val profile = dense.groupBy("__g", "__dow")
+      .agg(count(lit(1)).as("__nd"), sum("__c").as("__s"))
+    val mean = col("__s").cast("double") / col("__nd").cast("double")
+    val flagged = dense.join(broadcast(profile), Seq("__g", "__dow"))
+      .withColumn("__dev", abs(col("__c").cast("double") - mean))
+      .withColumn("__anom",
+        (col("__dev") > lit(sigma) * sqrt(mean)).cast("long"))
+    flagged.groupBy("__g", "__dow")
+      .agg(max(col("__nd")).as("n_days"), max(col("__s")).as("total"),
+        sum(col("__anom")).as("n_anomalies"),
+        max(col("__dev")).as("__maxdev"))
+      .select(col("__g").as(groupCol), col("__dow").as("dow"),
+        col("n_days"), col("total"),
+        round(col("total").cast("double")
+          / col("n_days").cast("double"), 4).as("dow_mean"),
+        col("n_anomalies"),
+        round(col("__maxdev"), 4).as("max_abs_residual"))
+  }
+
+  /** Weight-of-evidence / information-value report over a pre-binned
+    * feature — the classic scorecard screen: per bin, the smoothed
+    * log-odds of the positive class vs the population, and the bin's
+    * IV contribution; the total IV (the feature's screening score)
+    * rides every row.
+    *
+    * Binning is the CALLER's column (fixed-width, a hash, a lookup —
+    * anything shuffle-free); an equal-frequency cut would be a global
+    * sort window, exactly the shape the plan gate exists to block.
+    * Laplace smoothing (`smooth` added per bin, `smooth`·bins to each
+    * total) keeps one-class bins finite without dropping them.
+    *
+    * Exactness: counts are BIGINT; shares and the `ln` ratio are
+    * computed once per bin from exact integers. The IV total is a
+    * ≤bins-sized double sum rounded to 6 — the benford-chi² pattern.
+    *
+    * Shape: one map-side-combined grouped count to a bins-sized
+    * frame; totals are a one-row broadcast; everything after is
+    * bins-sized.
+    */
+  def binnedWoe(
+      df: DataFrame, binCol: Column, labelCol: Column,
+      smooth: Double = 0.5): DataFrame = {
+    val base = df.select(binCol.cast("long").as("bin"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("bin").isNotNull && col("__y").isNotNull)
+    val per = base.groupBy("bin")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"))
+    val tot = per.agg(sum("n_pos").as("__tp"), sum("n_neg").as("__tn"),
+      count(lit(1)).as("__nb"))
+    val ps = (col("n_pos").cast("double") + lit(smooth)) /
+      (col("__tp").cast("double") + lit(smooth) * col("__nb").cast("double"))
+    val ns = (col("n_neg").cast("double") + lit(smooth)) /
+      (col("__tn").cast("double") + lit(smooth) * col("__nb").cast("double"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("__woe", log(ps / ns))
+      .withColumn("__iv", (ps - ns) * col("__woe"))
+    val iv = scored.agg(sum("__iv").as("__ivt"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        round(col("__woe"), 6).as("woe"),
+        round(col("__iv"), 6).as("iv_term"),
+        round(col("__ivt"), 6).as("iv_total"))
+  }
+
+  /** Cohen's kappa inter-annotator agreement: the confusion matrix of
+    * two label columns plus chance-corrected agreement, computed as
+    * the exact integer ratio κ = (N·D − S) / (N² − S) where D is the
+    * diagonal count and S = Σₖ rowₖ·colₖ — ONE double division, no
+    * intermediate float probabilities.
+    *
+    * Output: one row per observed (label_a, label_b) cell with its
+    * count, plus the scalar columns (n, po, pe, kappa) repeated on
+    * every row — the benford-chi² shape, so the full matrix and the
+    * statistic travel in one frame.
+    *
+    * Shape: one grouped count to a K²-sized cell frame (map-side
+    * combined); margins and scalars aggregate from the cells, never
+    * re-scanning the data; K² is label-domain-bounded so every join
+    * is broadcast.
+    */
+  def cohenKappa(
+      df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val cells = df.select(labelA.cast("string").as("label_a"),
+        labelB.cast("string").as("label_b"))
+      .where(col("label_a").isNotNull && col("label_b").isNotNull)
+      .groupBy("label_a", "label_b").agg(count(lit(1)).as("n"))
+      .transform(graft.core.CacheScope.disk)
+    val rows = cells.groupBy("label_a").agg(sum("n").as("__r"))
+    val cols_ = cells.groupBy("label_b").agg(sum("n").as("__c"))
+    val chance = rows.join(cols_, col("label_a") === col("label_b"))
+      .agg(sum(col("__r") * col("__c")).as("__s"))
+    val scal = cells.agg(sum("n").as("__n"),
+        sum(when(col("label_a") === col("label_b"), col("n"))
+          .otherwise(0L)).as("__d"))
+      .crossJoin(broadcast(chance))
+      .select(col("__n"), col("__d"), coalesce(col("__s"), lit(0L)).as("__s"))
+    cells.crossJoin(broadcast(scal))
+      .select(col("label_a"), col("label_b"), col("n"),
+        col("__n").as("n_total"),
+        round(col("__d").cast("double") / col("__n").cast("double"), 6)
+          .as("po"),
+        round(col("__s").cast("double")
+          / (col("__n").cast("double") * col("__n").cast("double")), 6)
+          .as("pe"),
+        round((col("__n").cast("double") * col("__d").cast("double")
+            - col("__s").cast("double"))
+          / (col("__n").cast("double") * col("__n").cast("double")
+            - col("__s").cast("double")), 6).as("kappa"))
+  }
+
+  /** Categorical-association report between two columns: χ², Cramér's
+    * V, mutual information (nats), and both uncertainty coefficients
+    * (Theil's U) — the feature-redundancy screen run before one-hot
+    * explosion or leakage hunts.
+    *
+    * χ² uses the sparse identity χ² = N·(Σ_{n>0} n²/(r·c) − 1), so
+    * zero cells never need densifying — no distinct×distinct grid,
+    * no cross join, cost is observed-cell-sized. MI sums only over
+    * observed cells by definition. Entropies come from the margin
+    * frames. Every count is BIGINT; the double sums are cell-count-
+    * sized and rounded (benford-chi² pattern).
+    *
+    * Shape: one grouped count to the cell frame, margins aggregate
+    * from it, cells join margins on their labels (broadcast — margins
+    * are domain-sized), scalars ride one-row broadcasts. One data-
+    * sized shuffle total.
+    */
+  def associationReport(
+      df: DataFrame, colA: Column, colB: Column): DataFrame = {
+    val cells = df.select(colA.cast("string").as("__a"),
+        colB.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .transform(graft.core.CacheScope.disk)
+    val ra = cells.groupBy("__a").agg(sum("__n").as("__r"))
+      .transform(graft.core.CacheScope.disk)
+    val cb = cells.groupBy("__b").agg(sum("__n").as("__c"))
+      .transform(graft.core.CacheScope.disk)
+    val n = cells.agg(sum("__n").as("__tt"),
+      count(lit(1)).as("__cells"))
+    val nA = ra.agg(count(lit(1)).as("__ra"))
+    val nB = cb.agg(count(lit(1)).as("__cb"))
+    val joined = cells
+      .join(broadcast(ra), Seq("__a"))
+      .join(broadcast(cb), Seq("__b"))
+      .crossJoin(broadcast(n))
+    val nD = col("__n").cast("double")
+    val ND = col("__tt").cast("double")
+    val rD = col("__r").cast("double")
+    val cD = col("__c").cast("double")
+    val sums = joined.agg(
+      sum(nD * nD / (rD * cD)).as("__chiTerm"),
+      sum((nD / ND) * log(nD * ND / (rD * cD))).as("__mi"))
+    val hA = ra.crossJoin(broadcast(n))
+      .agg(sum((col("__r").cast("double") / col("__tt").cast("double"))
+        * log(col("__tt").cast("double") / col("__r").cast("double")))
+        .as("__ha"))
+    val hB = cb.crossJoin(broadcast(n))
+      .agg(sum((col("__c").cast("double") / col("__tt").cast("double"))
+        * log(col("__tt").cast("double") / col("__c").cast("double")))
+        .as("__hb"))
+    n.crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+      .crossJoin(broadcast(sums))
+      .crossJoin(broadcast(hA)).crossJoin(broadcast(hB))
+      .select(col("__tt").as("n"), col("__ra").as("levels_a"),
+        col("__cb").as("levels_b"),
+        round(ND * (col("__chiTerm") - lit(1.0)), 4).as("chi2"),
+        round(sqrt((col("__chiTerm") - lit(1.0))
+          / (least(col("__ra"), col("__cb")) - lit(1L)).cast("double")), 6)
+          .as("cramers_v"),
+        round(col("__mi"), 6).as("mi_nats"),
+        round(col("__mi") / col("__ha"), 6).as("u_a_given_b"),
+        round(col("__mi") / col("__hb"), 6).as("u_b_given_a"))
+  }
 }

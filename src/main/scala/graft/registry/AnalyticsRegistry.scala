@@ -77,6 +77,13 @@ private[graft] object AnalyticsRegistry {
     "q189_benford_audit" -> (benfordAuditQ _),
     "q190_spend_concentration" -> (spendConcentrationQ _),
     "q191_kaplan_meier" -> (kaplanMeierQ _),
+    "q192_roc_auc" -> (rocAucQ _),
+    "q193_gains_lift" -> (gainsLiftQ _),
+    "q194_cusum_shift" -> (cusumShiftQ _),
+    "q195_seasonal_dow" -> (seasonalDowQ _),
+    "q196_price_woe" -> (priceWoeQ _),
+    "q197_quality_kappa" -> (qualityKappaQ _),
+    "q198_segment_priority_assoc" -> (segmentPriorityAssocQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -1560,6 +1567,273 @@ private[graft] object AnalyticsRegistry {
            round(list_reduce(fl.fs[1:rn.i], (x, y) -> x * y), 6)
              AS survival
          FROM rn JOIN fl USING (g) ORDER BY 1, 2""",
+    // distinct-score collapse + rank-sum identity: U·2 stays integer
+    // (the +nn term is the doubled tie half-credit); AUC and Gini are
+    // one double division each
+    "q192_roc_auc" ->
+      """WITH b AS (
+           SELECT o_orderstatus AS g, o_totalprice AS s,
+             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
+           FROM orders),
+         bs AS (
+           SELECT g, s,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+           FROM b GROUP BY 1, 2),
+         wb AS (
+           SELECT g, np, nn,
+             CAST(coalesce(sum(nn) OVER (PARTITION BY g ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+           FROM bs),
+         u AS (
+           SELECT g, CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
+           FROM wb GROUP BY g)
+         SELECT g AS o_orderstatus, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(u2 AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+               6) END AS auc,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(u2 AS DOUBLE)
+               / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0,
+               6) END AS gini_idx
+         FROM u ORDER BY 1""",
+    // ntile's fill rule (first n mod b bins take the extra row) is
+    // ANSI-identical; every statistic is a ratio of exact counts
+    "q193_gains_lift" ->
+      """WITH lab AS (
+           SELECT c_mktsegment, c_acctbal, c_custkey,
+             (c_custkey IN (SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')) AS y
+           FROM customer),
+         b AS (
+           SELECT c_mktsegment AS g,
+             CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bucket,
+             y
+           FROM lab),
+         per AS (
+           SELECT g, bucket, count(*) AS n,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM b GROUP BY 1, 2),
+         cum AS (
+           SELECT g, bucket, n, n_pos,
+             CAST(sum(n) OVER (PARTITION BY g ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cn,
+             CAST(sum(n_pos) OVER (PARTITION BY g ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cp,
+             CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS tn,
+             CAST(sum(n_pos) OVER (PARTITION BY g) AS BIGINT) AS tp
+           FROM per)
+         SELECT g AS c_mktsegment, bucket, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS response_rate,
+           round(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+             AS cum_gain,
+           round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift,
+           round((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+             AS cum_lift
+         FROM cum ORDER BY 1, 2""",
+    // dense month grid (gaps are zeros); deviations scaled to whole
+    // units n·c − Σc so the one-sided accumulations stay BIGINT; the
+    // prefix identity replaces the sequential max(0, ·) recurrence
+    "q194_cusum_shift" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS g,
+             year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS p
+           FROM orders),
+         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
+         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
+                    FROM c GROUP BY g),
+         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
+                    AS BIGINT) AS p FROM bounds),
+         dense AS (
+           SELECT grid.g, grid.p,
+             CAST(coalesce(c.c, 0) AS BIGINT) AS c
+           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
+         tt AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot,
+                count(*) AS n FROM dense GROUP BY g),
+         st AS (
+           SELECT dense.g, dense.p, dense.c, tt.tot, tt.n,
+             CAST(sum(dense.c * tt.n - tt.tot) OVER (
+               PARTITION BY dense.g ORDER BY dense.p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cs
+           FROM dense JOIN tt USING (g)),
+         sm AS (
+           SELECT g, p, c, tot, n, cs,
+             cs - least(CAST(min(cs) OVER (PARTITION BY g ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT), 0) AS sp,
+             greatest(CAST(max(cs) OVER (PARTITION BY g ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT), 0) - cs AS sn
+           FROM st)
+         SELECT g AS o_orderpriority,
+           CAST(CAST(floor(p / 12.0) AS BIGINT) AS VARCHAR) || '-'
+             || lpad(CAST((p % 12) + 1 AS VARCHAR), 2, '0') AS month,
+           c AS n,
+           round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             AS cusum_pos,
+           round(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             AS cusum_neg,
+           CAST(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+             > 5.0 * sqrt(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+             AS INT) AS shift_up,
+           CAST(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)
+             > 5.0 * sqrt(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+             AS INT) AS shift_down
+         FROM sm ORDER BY 1, 2""",
+    // dense calendar (gap days are zeros in their weekday's profile);
+    // weekday from epoch-day arithmetic, calendar-library-free; the
+    // anomaly predicate compares doubles built identically from exact
+    // integers
+    "q195_seasonal_dow" ->
+      """WITH b AS (
+           SELECT o_orderstatus AS g,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+               AS BIGINT) AS p
+           FROM orders),
+         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
+         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
+                    FROM c GROUP BY g),
+         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
+                    AS BIGINT) AS p FROM bounds),
+         dense AS (
+           SELECT grid.g, grid.p,
+             CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+             (grid.p + 3) % 7 AS dow
+           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
+         prof AS (SELECT g, dow, count(*) AS nd,
+                  CAST(sum(c) AS BIGINT) AS s
+                  FROM dense GROUP BY 1, 2),
+         fl AS (
+           SELECT dense.g, dense.dow, prof.nd, prof.s,
+             abs(CAST(dense.c AS DOUBLE)
+               - CAST(prof.s AS DOUBLE) / CAST(prof.nd AS DOUBLE))
+               AS dev
+           FROM dense JOIN prof
+             ON prof.g = dense.g AND prof.dow = dense.dow)
+         SELECT g AS o_orderstatus, dow,
+           CAST(max(nd) AS BIGINT) AS n_days,
+           CAST(max(s) AS BIGINT) AS total,
+           round(CAST(max(s) AS DOUBLE) / CAST(max(nd) AS DOUBLE), 4)
+             AS dow_mean,
+           CAST(sum(CASE WHEN dev > 3.0 * sqrt(CAST(s AS DOUBLE)
+             / CAST(nd AS DOUBLE)) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max(dev), 4) AS max_abs_residual
+         FROM fl GROUP BY 1, 2 ORDER BY 1, 2""",
+    // caller-supplied fixed-width bins (no global sort window);
+    // Laplace 0.5 smoothing keeps one-class bins finite; the IV total
+    // is a bins-sized rounded double sum
+    "q196_price_woe" ->
+      """WITH b AS (
+           SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bin,
+             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
+           FROM orders),
+         per AS (SELECT bin,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+           FROM b GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                CAST(sum(n_neg) AS BIGINT) AS tn, count(*) AS nb
+                FROM per),
+         sc AS (
+           SELECT per.bin, per.n_pos, per.n_neg,
+             (CAST(n_pos AS DOUBLE) + 0.5)
+               / (CAST(tp AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS ps,
+             (CAST(n_neg AS DOUBLE) + 0.5)
+               / (CAST(tn AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS ns
+           FROM per CROSS JOIN tt),
+         w AS (SELECT bin, n_pos, n_neg, ln(ps / ns) AS woe,
+               (ps - ns) * ln(ps / ns) AS iv FROM sc),
+         ivt AS (SELECT CAST(sum(iv) AS DOUBLE) AS ivt FROM w)
+         SELECT bin, n_pos, n_neg, round(woe, 6) AS woe,
+           round(iv, 6) AS iv_term, round(ivt, 6) AS iv_total
+         FROM w CROSS JOIN ivt ORDER BY bin""",
+    // κ = (N·D − S)/(N² − S): every operand an exact BIGINT, one
+    // double division per statistic; the metrics CTEs replay the
+    // engine's quality/token formulas verbatim
+    "q197_quality_kappa" ->
+      (oracleMetricsCte + """,
+         lab AS (
+           SELECT CASE WHEN quality >= 0.6 THEN 'hi'
+                       WHEN quality >= 0.3 THEN 'mid'
+                       ELSE 'lo' END AS label_a,
+                  CASE WHEN tokens >= 120 THEN 'hi'
+                       WHEN tokens >= 40 THEN 'mid'
+                       ELSE 'lo' END AS label_b
+           FROM q),
+         cells AS (SELECT label_a, label_b, count(*) AS n
+                   FROM lab GROUP BY 1, 2),
+         r AS (SELECT label_a, CAST(sum(n) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+         c AS (SELECT label_b, CAST(sum(n) AS BIGINT) AS c
+               FROM cells GROUP BY 1),
+         s AS (SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS s
+               FROM r JOIN c ON r.label_a = c.label_b),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)
+                 AS BIGINT) AS d
+               FROM cells)
+         SELECT cells.label_a, cells.label_b, cells.n, t.nt AS n_total,
+           round(CAST(d AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS po,
+           round(CAST(s AS DOUBLE)
+             / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)), 6) AS pe,
+           round((CAST(nt AS DOUBLE) * CAST(d AS DOUBLE)
+               - CAST(s AS DOUBLE))
+             / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+               - CAST(s AS DOUBLE)), 6) AS kappa
+         FROM cells CROSS JOIN t CROSS JOIN s ORDER BY 1, 2"""),
+    // sparse χ² identity N·(Σ n²/(r·c) − 1) — no zero-cell grid; MI
+    // and entropies sum only observed cells/margins
+    "q198_segment_priority_assoc" ->
+      """WITH b AS (
+           SELECT c_mktsegment AS a, o_orderpriority AS bb
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (SELECT a, bb, count(*) AS n FROM b GROUP BY 1, 2),
+         r AS (SELECT a, CAST(sum(n) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+         c AS (SELECT bb, CAST(sum(n) AS BIGINT) AS c
+               FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+         na AS (SELECT count(*) AS ra FROM r),
+         nb AS (SELECT count(*) AS cb FROM c),
+         j AS (SELECT cells.n, r.r, c.c, t.nt
+               FROM cells JOIN r USING (a) JOIN c USING (bb)
+               CROSS JOIN t),
+         sums AS (
+           SELECT
+             sum((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) AS chiterm,
+             sum((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)
+                 / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))) AS mi
+           FROM j),
+         ha AS (SELECT sum((CAST(r AS DOUBLE) / CAST(nt AS DOUBLE))
+                * ln(CAST(nt AS DOUBLE) / CAST(r AS DOUBLE))) AS ha
+                FROM r CROSS JOIN t),
+         hb AS (SELECT sum((CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+                * ln(CAST(nt AS DOUBLE) / CAST(c AS DOUBLE))) AS hb
+                FROM c CROSS JOIN t)
+         SELECT t.nt AS n, na.ra AS levels_a, nb.cb AS levels_b,
+           round(CAST(nt AS DOUBLE) * (chiterm - 1.0), 4) AS chi2,
+           round(sqrt((chiterm - 1.0)
+             / CAST(least(ra, cb) - 1 AS DOUBLE)), 6) AS cramers_v,
+           round(mi, 6) AS mi_nats,
+           round(mi / ha, 6) AS u_a_given_b,
+           round(mi / hb, 6) AS u_b_given_a
+         FROM t CROSS JOIN na CROSS JOIN nb CROSS JOIN sums
+           CROSS JOIN ha CROSS JOIN hb""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -2920,6 +3194,112 @@ private[graft] object AnalyticsRegistry {
         col("__dur"), col("__event"))
       .orderBy("c_mktsegment", "t")
   }
+
+  /** Exact ROC-AUC ([[Analytics.rocAuc]]): can an order's total price
+    * rank its priority? Per order status, the Mann–Whitney AUC of
+    * `o_totalprice` as a score for the urgent/high label — the
+    * rank-sum identity over distinct scores, never the O(n²) pair
+    * join; ties count half in exact BIGINT.
+    */
+  private[graft] def rocAucQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.rocAuc(t(s, dir, "orders"), "o_orderstatus",
+        col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .orderBy("o_orderstatus")
+
+  /** Per-segment decile gains/lift table ([[Analytics.gainsTable]]):
+    * customers ranked by account balance within each market segment,
+    * response = placed at least one 1-URGENT order — the campaign-
+    * targeting report (capture curve + lift vs the segment base rate),
+    * every statistic a ratio of exact counts.
+    */
+  private[graft] def gainsLiftQ(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val scored = t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"),
+        col("o_custkey").isNotNull.as("__y"))
+    Analytics.gainsTable(scored, "c_mktsegment", col("c_acctbal"),
+        col("__y"), col("c_custkey"), buckets = 10)
+      .orderBy("c_mktsegment", "bucket")
+  }
+
+  /** CUSUM level-shift screen ([[Analytics.cusumShift]]): monthly
+    * order counts per priority on a dense month grid (gap months are
+    * zeros), one-sided cumulative deviations from the priority's mean
+    * with a √mean-scaled decision threshold — the monitoring chart
+    * behind "did volume step-change, and when?". The accumulation is
+    * exact BIGINT via the `n·cᵢ − Σc` scaling; the prefix identity
+    * S⁺ᵢ = csᵢ − min(0, min_{j≤i} csⱼ) replaces the sequential
+    * recurrence with window functions.
+    */
+  private[graft] def cusumShiftQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderpriority"),
+      (year(col("o_orderdate").cast("date")) * 12
+        + month(col("o_orderdate").cast("date")) - 1).as("__m"))
+    Analytics.cusumShift(o, "o_orderpriority", col("__m"))
+      .select(col("o_orderpriority"),
+        concat(floor(col("period") / 12).cast("string"), lit("-"),
+          lpad(((col("period") % 12) + 1).cast("string"), 2, "0"))
+          .as("month"),
+        col("n"), col("cusum_pos"), col("cusum_neg"),
+        col("shift_up"), col("shift_down"))
+      .orderBy("o_orderpriority", "month")
+  }
+
+  /** Day-of-week seasonal profile ([[Analytics.seasonalProfile]]):
+    * daily order counts per status on a dense calendar (gap days are
+    * zeros), the per-weekday mean, and Poisson-scaled (3σ) anomaly
+    * days — the weekly-rhythm baseline behind volume monitoring.
+    */
+  private[graft] def seasonalDowQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.seasonalProfile(t(s, dir, "orders"), "o_orderstatus",
+        col("o_orderdate"))
+      .orderBy("o_orderstatus", "dow")
+
+  /** Weight-of-evidence / information-value scorecard screen
+    * ([[Analytics.binnedWoe]]): fixed-width price bins of order totals
+    * scored against the urgent/high label — the shuffle-free binning
+    * (an equal-frequency cut would be a global sort window), smoothed
+    * log-odds per bin, IV total on every row.
+    */
+  private[graft] def priceWoeQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.binnedWoe(t(s, dir, "orders"),
+        floor(col("o_totalprice") / 30000.0).cast("long"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .orderBy("bin")
+
+  /** Cohen's kappa inter-annotator agreement
+    * ([[Analytics.cohenKappa]]): the composite quality score vs a
+    * token-count-only annotator, both cut to hi/mid/lo tiers — does
+    * the cheap labeler agree with the full one beyond chance? κ is an
+    * exact integer ratio (N·D − S)/(N² − S).
+    */
+  private[graft] def qualityKappaQ(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(col("text"))
+    val tk = TextAnalysis.tokenCount(col("text"))
+    val labeled = docs(s, dir).select(
+      when(q >= 0.6, "hi").when(q >= 0.3, "mid").otherwise("lo").as("a"),
+      when(tk >= 120, "hi").when(tk >= 40, "mid").otherwise("lo").as("b"))
+    Analytics.cohenKappa(labeled, col("a"), col("b"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** Categorical association screen ([[Analytics.associationReport]]):
+    * market segment × order priority — χ² via the sparse identity
+    * N·(Σ n²/(r·c) − 1) (zero cells need no densifying grid),
+    * Cramér's V, mutual information, and both Theil's U coefficients
+    * in one row.
+    */
+  private[graft] def segmentPriorityAssocQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.associationReport(
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey")),
+      col("c_mktsegment"), col("o_orderpriority"))
 
   /** Arithmetic reconstruction of the `graft_zorder` Morton key
     * (q79): mask-shift bit spreading on BIGINT, the final interleave
