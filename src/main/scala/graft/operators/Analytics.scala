@@ -2750,4 +2750,189 @@ object Analytics {
         round(col("__mi") / col("__ha"), 6).as("u_a_given_b"),
         round(col("__mi") / col("__hb"), 6).as("u_b_given_a"))
   }
+
+  /** Isotonic (monotone non-decreasing) calibration over pre-binned
+    * scores, per group — pool-adjacent-violators WITHOUT the
+    * sequential pooling loop: the min-max identity
+    * `iso_i = max_{k≤i} min_{j≥i} avg(k..j)` over interval averages
+    * of prefix sums. O(B³) arithmetic per group in one expression —
+    * distributed PAV with no driver round-trips, exact because every
+    * interval average is ONE division of BIGINT prefix-sum
+    * differences and min/max over those doubles is order-free.
+    *
+    * Binning is the CALLER's column (same contract as [[binnedWoe]]).
+    * Bin count per group is guarded by `maxBins` (default 256:
+    * ≤ 2^24 multiplies per group, sub-second; calibration bins in
+    * practice are ≤ 100) via the kaplanMeier raise_error pattern.
+    *
+    * Shape: one map-side-combined grouped count to a (group × bin)
+    * frame, one sorted array per group, pure expression arithmetic,
+    * posexplode back to rows. The only data-sized stage is the first
+    * count.
+    */
+  def isotonicCalibration(
+      df: DataFrame, groupCol: String, binCol: Column,
+      labelCol: Column, maxBins: Int = 256): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        binCol.cast("long").as("__b"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__b").isNotNull && col("__y").isNotNull)
+    val bins = base.groupBy("__g", "__b")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    val grouped = bins.groupBy("__g")
+      .agg(sort_array(collect_list(struct(col("__b"), col("__n"),
+        col("__p")))).as("__rows"))
+      .withColumn("__rows",
+        when(size(col("__rows")) > maxBins,
+          raise_error(lit("isotonicCalibration: bins per group " +
+            "exceed maxBins; coarsen the binning")).cast(
+            "array<struct<__b:bigint,__n:bigint,__p:bigint>>"))
+          .otherwise(col("__rows")))
+      .withColumn("__len", size(col("__rows")))
+    // prefix sums with a leading 0 so element_at(cp, k) = cp_{k-1}
+    // under 1-based k (the interval (k..j) average needs cp_j − cp_{k−1})
+    def prefix(field: String) = concat(array(lit(0L)),
+      transform(sequence(lit(1), col("__len")), i =>
+        aggregate(slice(col("__rows").getField(field), lit(1), i),
+          lit(0L), (acc, x) => acc + x)))
+    val withPrefix = grouped
+      .withColumn("__cn", prefix("__n"))
+      .withColumn("__cp", prefix("__p"))
+    val iso = transform(sequence(lit(1), col("__len")), i =>
+      array_max(transform(sequence(lit(1), i), k =>
+        array_min(transform(sequence(i, col("__len")), j =>
+          (element_at(col("__cp"), j + 1) - element_at(col("__cp"), k))
+            .cast("double")
+            / (element_at(col("__cn"), j + 1) - element_at(col("__cn"), k))
+            .cast("double"))))))
+    withPrefix.withColumn("__iso", iso)
+      .select(col("__g"), posexplode(col("__rows")).as(Seq("__i", "__r")),
+        col("__iso"))
+      .select(col("__g").as(groupCol), col("__r.__b").as("bin"),
+        col("__r.__n").as("n"), col("__r.__p").as("n_pos"),
+        round(col("__r.__p").cast("double")
+          / col("__r.__n").cast("double"), 6).as("raw_rate"),
+        round(element_at(col("__iso"), col("__i") + 1), 6)
+          .as("iso_rate"))
+  }
+
+  /** Simpson's-paradox screen: a binary-cohort rate difference
+    * overall vs within every stratum, flagging strata whose
+    * difference REVERSES the aggregate's sign — the aggregation-
+    * reversal audit run before any cohort comparison ships.
+    *
+    * Exactness: rates are ratios of BIGINT counts (one division
+    * each); the reversal flag multiplies two exact differences'
+    * signs. Strata where either cohort is empty report null rates
+    * and flag 0 (no evidence, not a reversal).
+    *
+    * Shape: one map-side-combined grouped count per stratum plus one
+    * ungrouped aggregate for the overall row (a one-row broadcast
+    * cross join — the plan gate's allowed scalar shape). One scan,
+    * one shuffle.
+    */
+  def simpsonScreen(
+      df: DataFrame, cohortCol: Column, stratumCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.select(cohortCol.cast("boolean").as("__a"),
+        stratumCol.cast("string").as("__s"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__a").isNotNull && col("__y").isNotNull &&
+        col("__s").isNotNull)
+    val aggs = Seq(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__a") && col("__y"), 1L).otherwise(0L)).as("pos_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__a") && col("__y"), 1L).otherwise(0L)).as("pos_b"))
+    val strata = base.groupBy(col("__s")).agg(aggs.head, aggs.tail: _*)
+    val overall = base.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_a").as("__ona"), col("pos_a").as("__opa"),
+        col("n_b").as("__onb"), col("pos_b").as("__opb"))
+    def rate(p: Column, n: Column) =
+      when(n > 0, p.cast("double") / n.cast("double"))
+    val joined = strata.crossJoin(broadcast(overall))
+      .withColumn("__ra", rate(col("pos_a"), col("n_a")))
+      .withColumn("__rb", rate(col("pos_b"), col("n_b")))
+      .withColumn("__ora", rate(col("__opa"), col("__ona")))
+      .withColumn("__orb", rate(col("__opb"), col("__onb")))
+      .withColumn("__d", col("__ra") - col("__rb"))
+      .withColumn("__od", col("__ora") - col("__orb"))
+    joined.select(col("__s").as("stratum"),
+      col("n_a"), col("pos_a"), col("n_b"), col("pos_b"),
+      round(col("__ra"), 6).as("rate_a"),
+      round(col("__rb"), 6).as("rate_b"),
+      round(col("__d"), 6).as("diff"),
+      round(col("__od"), 6).as("overall_diff"),
+      coalesce((col("__d") * col("__od") < 0).cast("int"), lit(0))
+        .as("reversal"))
+  }
+
+  /** Hash-randomization test for a two-cohort mean difference: R
+    * deterministic pseudo-random relabelings of the per-unit values
+    * (md5-keyed Bernoulli assignment — the approximate permutation
+    * test, group sizes free, the standard large-sample variant), the
+    * observed difference's rank among them, and the resulting
+    * p-value (1 + #extreme)/(R_valid + 1).
+    *
+    * Determinism across engines: assignment is
+    * `int(md5(salt:r:unit)[0:8], 16) mod 2` — the Carter-Wegman md5
+    * pattern every dedup family here uses, byte-identical in any
+    * engine with md5. Per-replica means divide exact BIGINT sums
+    * once; the extremeness comparison compares identically-built
+    * doubles. Replicas that draw an empty side are excluded from
+    * both numerator and denominator (`r_valid`).
+    *
+    * Shape: units collapse map-side to one row each (data-sized);
+    * the replica frame is units × R (the documented cost — R
+    * bounds it, default 199) aggregating straight down to R rows.
+    * No global sort, no window.
+    */
+  def permutationTest(
+      df: DataFrame, unitCol: Column, valueCol: Column,
+      cohortCol: Column, replicas: Int = 199,
+      salt: String = "perm"): DataFrame = {
+    val units = df.select(unitCol.cast("string").as("__u"),
+        valueCol.cast("long").as("__v"),
+        cohortCol.cast("boolean").as("__a"))
+      .where(col("__u").isNotNull && col("__a").isNotNull)
+      .groupBy("__u", "__a").agg(sum("__v").as("__v"))
+    val obs = units.agg(
+        sum(when(col("__a"), col("__v")).otherwise(0L)).as("__sa"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__a"), col("__v")).otherwise(0L)).as("__sb"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
+      .select(col("__na"), col("__nb"),
+        (col("__sa").cast("double") / col("__na").cast("double")
+          - col("__sb").cast("double") / col("__nb").cast("double"))
+          .as("__obs"))
+    val assigned = units
+      .select(col("__u"), col("__v"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .withColumn("__flip",
+        conv(substring(md5(concat_ws(":", lit(salt), col("__r"),
+          col("__u"))), 1, 8), 16, 10).cast("long") % 2)
+    val perReplica = assigned.groupBy("__r")
+      .agg(sum(when(col("__flip") === 0, col("__v")).otherwise(0L))
+          .as("__sa"),
+        sum(when(col("__flip") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__flip") === 1, col("__v")).otherwise(0L))
+          .as("__sb"),
+        sum(when(col("__flip") === 1, 1L).otherwise(0L)).as("__nb"))
+      .where(col("__na") > 0 && col("__nb") > 0)
+      .select((col("__sa").cast("double") / col("__na").cast("double")
+        - col("__sb").cast("double") / col("__nb").cast("double"))
+        .as("__d"))
+    val tally = perReplica.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("r_valid"),
+        sum((abs(col("__d")) >= abs(col("__obs"))).cast("long"))
+          .as("n_extreme"))
+    obs.crossJoin(broadcast(tally))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__obs"), 4).as("obs_diff"),
+        col("r_valid"), col("n_extreme"),
+        round((col("n_extreme").cast("double") + lit(1.0))
+          / (col("r_valid").cast("double") + lit(1.0)), 6)
+          .as("p_value"))
+  }
 }

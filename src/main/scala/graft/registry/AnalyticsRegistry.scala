@@ -84,6 +84,9 @@ private[graft] object AnalyticsRegistry {
     "q196_price_woe" -> (priceWoeQ _),
     "q197_quality_kappa" -> (qualityKappaQ _),
     "q198_segment_priority_assoc" -> (segmentPriorityAssocQ _),
+    "q199_isotonic_calibration" -> (isotonicCalibrationQ _),
+    "q200_simpson_screen" -> (simpsonScreenQ _),
+    "q201_permutation_test" -> (permutationTestQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -1834,6 +1837,145 @@ private[graft] object AnalyticsRegistry {
            round(mi / hb, 6) AS u_b_given_a
          FROM t CROSS JOIN na CROSS JOIN nb CROSS JOIN sums
            CROSS JOIN ha CROSS JOIN hb""",
+    // PAV via the min-max identity over interval averages of BIGINT
+    // prefix sums — every average is one division, min/max over
+    // doubles is order-free, so the fit is engine-deterministic
+    "q199_isotonic_calibration" ->
+      """WITH b AS (
+           SELECT o_orderstatus AS g,
+             CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bin,
+             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
+           FROM orders),
+         bins AS (SELECT g, bin, count(*) AS n,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+           FROM b GROUP BY 1, 2),
+         arr AS (
+           SELECT g, list(bin ORDER BY bin) AS bs,
+             list(n ORDER BY bin) AS ns, list(p ORDER BY bin) AS ps,
+             count(*) AS len
+           FROM bins GROUP BY g),
+         pre AS (
+           SELECT g, bs, ns, ps, len,
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len), i ->
+                 CAST(list_reduce(ns[1:i], (a, x) -> a + x)
+                   AS BIGINT))) AS cn,
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len), i ->
+                 CAST(list_reduce(ps[1:i], (a, x) -> a + x)
+                   AS BIGINT))) AS cp
+           FROM arr),
+         iso AS (
+           SELECT g, bs, ns, ps, len, cn, cp,
+             list_transform(generate_series(1, len), i ->
+               list_max(list_transform(generate_series(1, i), k ->
+                 list_min(list_transform(generate_series(i, len), j ->
+                   CAST(cp[j + 1] - cp[k] AS DOUBLE)
+                     / CAST(cn[j + 1] - cn[k] AS DOUBLE)))))) AS iso
+           FROM pre)
+         SELECT g AS o_orderstatus, bs[i] AS bin, ns[i] AS n,
+           ps[i] AS n_pos,
+           round(CAST(ps[i] AS DOUBLE) / CAST(ns[i] AS DOUBLE), 6)
+             AS raw_rate,
+           round(iso[i], 6) AS iso_rate
+         FROM iso, LATERAL (SELECT unnest(generate_series(1, len))
+           AS i) t
+         ORDER BY 1, 2""",
+    // rates are one division of exact counts each; the reversal flag
+    // multiplies two exact differences' signs; empty-cohort strata
+    // report null rates and flag 0
+    "q200_simpson_screen" ->
+      """WITH b AS (
+           SELECT (c_mktsegment = 'BUILDING') AS a,
+             o_orderpriority AS s, (o_totalprice > 150000.0) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         st AS (SELECT s,
+           CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN a AND y THEN 1 ELSE 0 END) AS BIGINT)
+             AS pos_a,
+           CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b,
+           CAST(sum(CASE WHEN (NOT a) AND y THEN 1 ELSE 0 END)
+             AS BIGINT) AS pos_b
+           FROM b GROUP BY s),
+         ov AS (SELECT CAST(sum(n_a) AS BIGINT) AS ona,
+                CAST(sum(pos_a) AS BIGINT) AS opa,
+                CAST(sum(n_b) AS BIGINT) AS onb,
+                CAST(sum(pos_b) AS BIGINT) AS opb FROM st),
+         x AS (
+           SELECT st.*,
+             CASE WHEN n_a > 0 THEN CAST(pos_a AS DOUBLE)
+               / CAST(n_a AS DOUBLE) END AS ra,
+             CASE WHEN n_b > 0 THEN CAST(pos_b AS DOUBLE)
+               / CAST(n_b AS DOUBLE) END AS rb,
+             CASE WHEN ona > 0 THEN CAST(opa AS DOUBLE)
+               / CAST(ona AS DOUBLE) END AS ora,
+             CASE WHEN onb > 0 THEN CAST(opb AS DOUBLE)
+               / CAST(onb AS DOUBLE) END AS orb
+           FROM st CROSS JOIN ov)
+         SELECT s AS stratum, n_a, pos_a, n_b, pos_b,
+           round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+           round(ra - rb, 6) AS diff,
+           round(ora - orb, 6) AS overall_diff,
+           CAST(coalesce((ra - rb) * (ora - orb) < 0, FALSE) AS INT)
+             AS reversal
+         FROM x ORDER BY 1""",
+    // md5-keyed Bernoulli relabelings (the Carter-Wegman pattern all
+    // dedup families use) — byte-identical assignment in any engine
+    // with md5; per-replica means divide exact BIGINT sums once
+    "q201_permutation_test" ->
+      """WITH u0 AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS u,
+             (c_mktsegment = 'BUILDING') AS a,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         units AS (SELECT u, a, CAST(sum(v) AS BIGINT) AS v
+                   FROM u0 GROUP BY 1, 2),
+         ob AS (SELECT
+           CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS BIGINT) AS sa,
+           CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN NOT a THEN v ELSE 0 END) AS BIGINT)
+             AS sb,
+           CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+             AS nb
+           FROM units),
+         obs AS (SELECT na, nb,
+           CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS obsd
+           FROM ob),
+         asg AS (
+           SELECT u, v, r,
+             CAST(('0x' || substr(md5('q201' || ':'
+               || CAST(r AS VARCHAR) || ':' || u), 1, 8)) AS BIGINT)
+               % 2 AS flip
+           FROM units, LATERAL (SELECT
+             unnest(generate_series(0, 198)) AS r) t),
+         per AS (
+           SELECT r,
+             CAST(sum(CASE WHEN flip = 0 THEN v ELSE 0 END)
+               AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN flip = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS na,
+             CAST(sum(CASE WHEN flip = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN flip = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb
+           FROM asg GROUP BY r),
+         d AS (SELECT CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS d
+               FROM per WHERE na > 0 AND nb > 0),
+         tl AS (SELECT count(*) AS r_valid,
+                CAST(sum(CASE WHEN abs(d.d) >= abs(obs.obsd)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+                FROM d CROSS JOIN obs)
+         SELECT obs.na AS n_a, obs.nb AS n_b,
+           round(obs.obsd, 4) AS obs_diff,
+           tl.r_valid, tl.n_extreme,
+           round((CAST(tl.n_extreme AS DOUBLE) + 1.0)
+             / (CAST(tl.r_valid AS DOUBLE) + 1.0), 6) AS p_value
+         FROM obs CROSS JOIN tl""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -3300,6 +3442,55 @@ private[graft] object AnalyticsRegistry {
         .join(broadcast(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey")),
       col("c_mktsegment"), col("o_orderpriority"))
+
+  /** Isotonic calibration ([[Analytics.isotonicCalibration]]): the
+    * urgent/high rate per fixed-width price bin, PAV-fitted monotone
+    * non-decreasing via the min-max identity
+    * max_{k≤i} min_{j≥i} avg(k..j) — distributed pool-adjacent-
+    * violators with no sequential pooling loop, per order status.
+    */
+  private[graft] def isotonicCalibrationQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.isotonicCalibration(t(s, dir, "orders"), "o_orderstatus",
+        floor(col("o_totalprice") / 30000.0).cast("long"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .orderBy("o_orderstatus", "bin")
+
+  /** Simpson's-paradox screen ([[Analytics.simpsonScreen]]):
+    * big-order rate of BUILDING vs MACHINERY customers, overall and
+    * within each order priority — strata whose difference reverses
+    * the aggregate's sign get flagged before anyone ships the
+    * aggregate.
+    */
+  private[graft] def simpsonScreenQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.simpsonScreen(
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        col("c_mktsegment") === "BUILDING",
+        col("o_orderpriority"),
+        col("o_totalprice") > 150000.0)
+      .orderBy("stratum")
+
+  /** Hash-randomization test ([[Analytics.permutationTest]]): does
+    * BUILDING out-spend MACHINERY per customer beyond chance? 199
+    * md5-keyed relabelings of per-customer exact-cents spend, the
+    * observed mean difference ranked among them — the
+    * cluster-randomized significance check with no RNG state.
+    */
+  private[graft] def permutationTestQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.permutationTest(
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long"),
+        col("c_mktsegment") === "BUILDING",
+        replicas = 199, salt = "q201")
 
   /** Arithmetic reconstruction of the `graft_zorder` Morton key
     * (q79): mask-shift bit spreading on BIGINT, the final interleave
