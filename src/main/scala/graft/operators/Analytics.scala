@@ -2935,4 +2935,64 @@ object Analytics {
           / (col("r_valid").cast("double") + lit(1.0)), 6)
           .as("p_value"))
   }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust a per-unit
+    * experiment metric by its pre-period covariate,
+    * ŷ = ȳ_arm − θ·(x̄_arm − x̄), θ = cov(x,y)/var(x) pooled — the
+    * standard A/B sensitivity lift; ρ² is the variance removed.
+    *
+    * Determinism: every moment (Σx, Σy, Σx², Σy², Σxy, n) is an exact
+    * BIGINT from integer-valued unit metrics — the caller's Int64
+    * contract: pick units (cents, dollars) so Σx·y fits long — and θ,
+    * ρ², and the adjusted means are fixed arithmetic over those longs
+    * (long→double conversion is correctly rounded, so any engine
+    * computing the same shapes from the same longs agrees bit-for-
+    * bit). No order-dependent float summation anywhere.
+    *
+    * Shape: ONE ungrouped aggregate (pooled moments, one-row
+    * broadcast) + one per-arm aggregate off the same scan shape.
+    * Degenerate var(x) = 0 reports null θ/adjusted means rather than
+    * an IEEE artifact.
+    */
+  def cuped(
+      df: DataFrame, cohortCol: Column, preCol: Column,
+      postCol: Column): DataFrame = {
+    val base = df.select(cohortCol.cast("boolean").as("__a"),
+        preCol.cast("long").as("__x"), postCol.cast("long").as("__y"))
+      .where(col("__a").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+    val pooled = base.agg(count(lit(1)).as("__n"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val arms = base.groupBy(col("__a"))
+      .agg(count(lit(1)).as("n"), sum("__x").as("__ax"),
+        sum("__y").as("__ay"))
+    val nD = col("__n").cast("double")
+    // NB: continuation lines must not START with the minus (Scala's
+    // semicolon inference would end the expression at the line break
+    // and silently discard the subtraction)
+    val covN = (nD * col("__sxy").cast("double")) -
+      (col("__sx").cast("double") * col("__sy").cast("double"))
+    val varXN = (nD * col("__sxx").cast("double")) -
+      (col("__sx").cast("double") * col("__sx").cast("double"))
+    val varYN = (nD * col("__syy").cast("double")) -
+      (col("__sy").cast("double") * col("__sy").cast("double"))
+    val theta = when(varXN > 0, covN / varXN)
+    val joined = arms.crossJoin(broadcast(pooled))
+      .withColumn("__theta", theta)
+      .withColumn("__mx", col("__ax").cast("double") / col("n").cast("double"))
+      .withColumn("__my", col("__ay").cast("double") / col("n").cast("double"))
+      .withColumn("__gx", col("__sx").cast("double") / nD)
+    joined.select(col("__a").cast("int").as("cohort"),
+      col("n"),
+      round(col("__mx"), 4).as("mean_pre"),
+      round(col("__my"), 4).as("mean_post"),
+      round(col("__my") - col("__theta") * (col("__mx") - col("__gx")), 4)
+        .as("adjusted_mean"),
+      round(col("__theta"), 6).as("theta"),
+      round(when(varXN > 0 && varYN > 0,
+        (covN * covN) / (varXN * varYN)), 6).as("rho2"))
+  }
 }

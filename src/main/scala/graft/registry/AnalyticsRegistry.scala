@@ -87,6 +87,7 @@ private[graft] object AnalyticsRegistry {
     "q199_isotonic_calibration" -> (isotonicCalibrationQ _),
     "q200_simpson_screen" -> (simpsonScreenQ _),
     "q201_permutation_test" -> (permutationTestQ _),
+    "q203_cuped_adjustment" -> (cupedQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -1976,6 +1977,63 @@ private[graft] object AnalyticsRegistry {
            round((CAST(tl.n_extreme AS DOUBLE) + 1.0)
              / (CAST(tl.r_valid AS DOUBLE) + 1.0), 6) AS p_value
          FROM obs CROSS JOIN tl""",
+    // every moment an exact BIGINT (whole-dollar units keep sum(x*y)
+    // inside long); θ, ρ² and the adjusted means are fixed arithmetic
+    // over those longs — long→double conversion is correctly rounded,
+    // so both engines agree bit-for-bit
+    "q203_cuped_adjustment" ->
+      """WITH cust AS (
+           SELECT c_custkey, (c_mktsegment = 'BUILDING') AS a
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         po AS (
+           SELECT o_custkey,
+             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+               < DATE '1999-01-01'
+               THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+               >= DATE '1999-01-01'
+               THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         units AS (
+           SELECT cust.a, coalesce(po.x, 0) AS x,
+             coalesce(po.y, 0) AS y
+           FROM cust LEFT JOIN po ON c_custkey = o_custkey),
+         pooled AS (SELECT count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy FROM units),
+         arms AS (SELECT a, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+           FROM units GROUP BY a),
+         calc AS (
+           SELECT arms.a, arms.n,
+             CAST(arms.ax AS DOUBLE) / CAST(arms.n AS DOUBLE) AS mx,
+             CAST(arms.ay AS DOUBLE) / CAST(arms.n AS DOUBLE) AS my,
+             CAST(pooled.sx AS DOUBLE) / CAST(pooled.n AS DOUBLE)
+               AS gx,
+             CAST(pooled.n AS DOUBLE) * CAST(pooled.sxy AS DOUBLE)
+               - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sy AS DOUBLE)
+               AS covn,
+             CAST(pooled.n AS DOUBLE) * CAST(pooled.sxx AS DOUBLE)
+               - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sx AS DOUBLE)
+               AS varxn,
+             CAST(pooled.n AS DOUBLE) * CAST(pooled.syy AS DOUBLE)
+               - CAST(pooled.sy AS DOUBLE) * CAST(pooled.sy AS DOUBLE)
+               AS varyn
+           FROM arms CROSS JOIN pooled)
+         SELECT CAST(a AS INT) AS cohort, n,
+           round(mx, 4) AS mean_pre, round(my, 4) AS mean_post,
+           round(my - (CASE WHEN varxn > 0 THEN covn / varxn END)
+             * (mx - gx), 4) AS adjusted_mean,
+           round(CASE WHEN varxn > 0 THEN covn / varxn END, 6)
+             AS theta,
+           round(CASE WHEN varxn > 0 AND varyn > 0
+             THEN (covn * covn) / (varxn * varyn) END, 6) AS rho2
+         FROM calc ORDER BY cohort""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -3491,6 +3549,31 @@ private[graft] object AnalyticsRegistry {
         round(col("o_totalprice") * 100, 0).cast("long"),
         col("c_mktsegment") === "BUILDING",
         replicas = 199, salt = "q201")
+
+  /** CUPED variance reduction ([[Analytics.cuped]]): per-customer
+    * post-1999 spend adjusted by pre-1999 spend (whole dollars — the
+    * Int64 moment contract), BUILDING vs MACHINERY as the two arms —
+    * the A/B sensitivity lift with θ = cov/var from exact integer
+    * moments.
+    */
+  private[graft] def cupedQ(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").as("__a"))
+    val cut = to_date(lit("1999-01-01"))
+    val po = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate").cast("date") < cut,
+          floor(col("o_totalprice"))).otherwise(0L)).as("__x"),
+        sum(when(col("o_orderdate").cast("date") >= cut,
+          floor(col("o_totalprice"))).otherwise(0L)).as("__y"))
+    val units = cust
+      .join(po, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("__a"), coalesce(col("__x"), lit(0L)).as("__x"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+    Analytics.cuped(units, col("__a"), col("__x"), col("__y"))
+      .orderBy("cohort")
+  }
 
   /** Arithmetic reconstruction of the `graft_zorder` Morton key
     * (q79): mask-shift bit spreading on BIGINT, the final interleave

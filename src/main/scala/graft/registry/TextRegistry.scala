@@ -34,6 +34,8 @@ private[graft] object TextRegistry {
     "q177_cms_token_counts" -> (cmsTokenCountsQ _),
     "q184_unicode_nfc" -> (unicodeNfcQ _),
     "q185_mg_heavy_hitters" -> (mgHeavyHittersQ _),
+    "q202_vocab_coverage" -> (vocabCoverageQ _),
+    "q204_hill_tail_index" -> (hillTailQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -758,7 +760,69 @@ private[graft] object TextRegistry {
                  / nullif(CAST(n_actual AS DOUBLE), 0.0),
                0.0), 6) AS f1
          FROM j ORDER BY language""",
+    // coverage = one division of exact BIGINTs per checkpoint; the
+    // ranking window runs over the bounded top-4000
+    // TakeOrderedAndProject frame, ties total-ordered by token text
+    "q202_vocab_coverage" ->
+      s"""WITH wc AS (
+           SELECT w, count(*) AS c FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+                count(*) AS types FROM wc),
+         top AS (
+           SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+           FROM wc ORDER BY c DESC, w ASC LIMIT 4000),
+         ck AS (
+           SELECT v AS vocab_size,
+             CAST(sum(c) AS BIGINT) AS covered_tokens,
+             count(*) AS n_types
+           FROM top, LATERAL (SELECT
+             unnest([100, 500, 1000, 2000, 4000]) AS v) t
+           WHERE rk <= v GROUP BY v)
+         SELECT vocab_size, n_types, covered_tokens,
+           tt.tot AS total_tokens, tt.types AS distinct_types,
+           round(CAST(covered_tokens AS DOUBLE)
+             / CAST(tot AS DOUBLE), 6) AS coverage,
+           round(1.0 - CAST(covered_tokens AS DOUBLE)
+             / CAST(tot AS DOUBLE), 6) AS oov_rate
+         FROM ck CROSS JOIN tt ORDER BY vocab_size""",
+    // Hill estimator over the top-(k+1) counts: the ln sum is a
+    // k-term rounded double sum; x_{k+1} rides a one-row cross join
+    "q204_hill_tail_index" ->
+      s"""WITH wc AS (
+           SELECT w, count(*) AS c FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         top AS (
+           SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+           FROM wc ORDER BY c DESC, w ASC LIMIT 501),
+         xk AS (SELECT c AS xk1 FROM top WHERE rk = 501)
+         SELECT count(*) AS k,
+           CAST(max(xk.xk1) AS BIGINT) AS x_k_plus_1,
+           round(CAST(count(*) AS DOUBLE)
+             / sum(ln(CAST(c AS DOUBLE) / CAST(xk.xk1 AS DOUBLE))), 6)
+             AS alpha,
+           round(sum(ln(CAST(c AS DOUBLE) / CAST(xk.xk1 AS DOUBLE)))
+             / CAST(count(*) AS DOUBLE), 6) AS mean_log_excess
+         FROM top CROSS JOIN xk WHERE rk <= 500""",
   )
+
+  /** Vocabulary coverage / OOV curve ([[TextAnalysis.vocabCoverage]]):
+    * token-mass coverage at candidate vocab sizes over the corpus —
+    * the tokenizer-sizing report read before a vocab is frozen.
+    */
+  private[graft] def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(s, dir), "text")
+      .orderBy("vocab_size")
+
+  /** Hill tail-index of token frequencies
+    * ([[TextAnalysis.hillTailIndex]]): the Zipf-tail diagnostic read
+    * next to the coverage curve — heavy tail means vocab growth keeps
+    * paying.
+    */
+  private[graft] def hillTailQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hillTailIndex(docs(s, dir), "text", k = 500)
 
   /** Text quality/token statistics per language. */
   private[graft] def textStats(s: SparkSession, dir: String): DataFrame =

@@ -1322,4 +1322,84 @@ object TextAnalysis {
     array((0 until dim).map(j =>
       size(filter(buckets, b => b === j)).cast("double")): _*)
   }
+
+  /** Vocabulary coverage / OOV curve — the tokenizer-sizing question
+    * asked before any vocab is frozen: at candidate vocabulary sizes
+    * (top-K tokens by collection frequency), what share of all token
+    * occurrences is covered, and what hits OOV?
+    *
+    * Scale shape: token counts collapse map-side (one data-sized
+    * shuffle); the top-`checkpoints.max` frame rides
+    * TakeOrderedAndProject (per-partition k-row heaps — no global
+    * sort), so the ranking window runs over a BOUNDED frame the plan
+    * gate proves constant-size; totals are a one-row broadcast.
+    * `checkpoints.max` ≤ 4096 keeps the bounded-frame proof — larger
+    * vocabs coarsen via `rankByRange` instead.
+    *
+    * Exactness: coverage = covered/total, ONE division of exact
+    * BIGINTs per checkpoint; ties at a checkpoint boundary break by
+    * token text, total-ordered on both engines.
+    */
+  def vocabCoverage(
+      df: DataFrame, textCol: String,
+      checkpoints: Seq[Int] = Seq(100, 500, 1000, 2000, 4000)): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.max <= 4096,
+      "checkpoints must be non-empty and ≤ 4096 (the bounded-frame " +
+        "contract); coarser vocab curves go through rankByRange")
+    val counts = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum("__c").as("__tot"),
+      count(lit(1)).as("__types"))
+    val top = counts.orderBy(col("__c").desc, col("w").asc)
+      .limit(checkpoints.max)
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__c").desc, col("w").asc)))
+    val ck = top
+      .select(col("__c"), col("__rk"),
+        explode(typedLit(checkpoints.sorted)).as("vocab_size"))
+      .where(col("__rk") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(sum("__c").as("covered_tokens"), count(lit(1)).as("__kept"))
+    ck.crossJoin(broadcast(totals))
+      .select(col("vocab_size"), col("__kept").as("n_types"),
+        col("covered_tokens"), col("__tot").as("total_tokens"),
+        col("__types").as("distinct_types"),
+        round(col("covered_tokens").cast("double")
+          / col("__tot").cast("double"), 6).as("coverage"),
+        round(lit(1.0) - col("covered_tokens").cast("double")
+          / col("__tot").cast("double"), 6).as("oov_rate"))
+  }
+
+  /** Hill tail-index estimator over token collection frequencies —
+    * the Zipf-tail diagnostic: α̂ = k / Σᵢ ln(xᵢ / x₍ₖ₊₁₎) over the k
+    * largest counts. A heavy tail (α near 1) means vocab growth keeps
+    * paying; a steep one means a small vocab saturates coverage —
+    * read next to [[vocabCoverage]].
+    *
+    * Shape: one map-side-combined token count, one top-(k+1)
+    * TakeOrderedAndProject (bounded frame — the ranking window is
+    * gate-provable), one (k+1)-row aggregate. The ln sum is a k-term
+    * rounded double sum (the benford-chi² pattern).
+    */
+  def hillTailIndex(
+      df: DataFrame, textCol: String, k: Int = 500): DataFrame = {
+    require(k >= 10 && k <= 4095, "k must be in [10, 4095]")
+    val counts = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+    val top = counts.orderBy(col("__c").desc, col("w").asc)
+      .limit(k + 1)
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__c").desc, col("w").asc)))
+    val xk1 = top.where(col("__rk") === k + 1)
+      .select(col("__c").as("__xk1"))
+    top.where(col("__rk") <= k).crossJoin(broadcast(xk1))
+      .agg(count(lit(1)).as("k"),
+        max(col("__xk1")).as("x_k_plus_1"),
+        sum(log(col("__c").cast("double") / col("__xk1").cast("double")))
+          .as("__lnsum"))
+      .select(col("k"), col("x_k_plus_1"),
+        round(col("k").cast("double") / col("__lnsum"), 6).as("alpha"),
+        round(col("__lnsum") / col("k").cast("double"), 6)
+          .as("mean_log_excess"))
+  }
 }

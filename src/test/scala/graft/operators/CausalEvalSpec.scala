@@ -144,6 +144,52 @@ class CausalEvalSpec extends SparkSpec {
     assert(run1 === run2) // md5 assignment: no RNG state, bit-stable
   }
 
+  // ---- cuped ----
+
+  private def prePost(rows: Seq[(Boolean, Long, Long)]) = df(
+    StructType(Seq(
+      StructField("a", BooleanType),
+      StructField("x", LongType),
+      StructField("y", LongType))),
+    rows.map { case (a, x, y) => Row(a, x, y) })
+
+  test("cuped: hand-computed θ, ρ² and adjusted means") {
+    // A: (1,3),(3,5); B: (2,1),(4,3) → θ = 0.4, ρ² = 0.1,
+    // adj(A) = 4.2, adj(B) = 1.8
+    val rows = Seq((true, 1L, 3L), (true, 3L, 5L),
+      (false, 2L, 1L), (false, 4L, 3L))
+    val out = Analytics.cuped(prePost(rows), col("a"), col("x"),
+        col("y"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getDouble(4) === 4.2)
+    assert(out(0).getDouble(4) === 1.8)
+    assert(out(1).getDouble(5) === 0.4)
+    assert(out(1).getDouble(6) === 0.1)
+  }
+
+  test("cuped: a perfectly-predictive covariate equalizes the arms") {
+    // y = x exactly → θ = 1, ρ² = 1, both adjusted means collapse to
+    // the pooled mean
+    val rows = Seq((true, 10L, 10L), (true, 20L, 20L),
+      (false, 30L, 30L), (false, 40L, 40L))
+    val out = Analytics.cuped(prePost(rows), col("a"), col("x"),
+        col("y"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getDouble(5) === 1.0 && out(1).getDouble(6) === 1.0)
+    assert(out(1).getDouble(4) === 25.0)
+    assert(out(0).getDouble(4) === 25.0)
+  }
+
+  test("cuped: zero-variance covariate reports null θ, not IEEE junk") {
+    val rows = Seq((true, 5L, 1L), (true, 5L, 2L),
+      (false, 5L, 3L), (false, 5L, 4L))
+    val out = Analytics.cuped(prePost(rows), col("a"), col("x"),
+      col("y")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
+
   test("permutationTest: units aggregate before relabeling") {
     // one unit with three rows must move atomically: two units total
     // → every replica has at most singleton sides; with equal unit
