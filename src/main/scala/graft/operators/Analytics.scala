@@ -2539,6 +2539,54 @@ object Analytics {
         .cast("int").as("shift_down"))
   }
 
+  /** Fixed-target CUSUM per group — the STREAMABLE variant of
+    * [[cusumShift]]: deviations accumulate against a caller-supplied
+    * reference rate (`targetMilli` milli-events per period) instead
+    * of the realized mean, so the statistic needs no second pass over
+    * the data and a streaming monitor can maintain it with O(1) state
+    * per group ([[graft.streaming.EventStreams.cusumStream]] is the
+    * twin; the spec pins row equality).
+    *
+    * Fully integer: dᵢ = 1000·cᵢ − targetMilli, the prefix identity
+    * gives both one-sided sums in BIGINT, and the decision compares
+    * against `hMilli` exactly — no floats anywhere, so batch and
+    * stream agree bit-for-bit by construction.
+    *
+    * Same dense-grid shape as [[cusumShift]]: gap periods are zeros,
+    * grid spans the group's observed min..max period.
+    */
+  def cusumFixedTarget(
+      df: DataFrame, groupCol: String, periodCol: Column,
+      targetMilli: Long, hMilli: Long): DataFrame = {
+    val counts = df.select(col(groupCol).as("__g"),
+        periodCol.cast("long").as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+    val bounds = counts.groupBy("__g")
+      .agg(min("__p").as("__lo"), max("__p").as("__hi"))
+    val dense = bounds
+      .select(col("__g"), explode(sequence(col("__lo"), col("__hi")))
+        .as("__p"))
+      .join(counts, Seq("__g", "__p"), "left")
+      .select(col("__g"), col("__p"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val w = Window.partitionBy("__g").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense
+      .withColumn("__cs",
+        sum(col("__c") * lit(1000L) - lit(targetMilli)).over(w))
+      .withColumn("__sp",
+        col("__cs") - least(min(col("__cs")).over(w), lit(0L)))
+      .withColumn("__sn",
+        greatest(max(col("__cs")).over(w), lit(0L)) - col("__cs"))
+      .select(col("__g").as(groupCol), col("__p").as("period"),
+        col("__c").as("n"),
+        col("__sp").as("cusum_pos_milli"),
+        col("__sn").as("cusum_neg_milli"),
+        (col("__sp") > hMilli).cast("int").as("shift_up"),
+        (col("__sn") > hMilli).cast("int").as("shift_down"))
+  }
+
   /** Day-of-week seasonal profile per group over a dense calendar:
     * daily row counts (gap days are zeros — a silent Sunday IS part of
     * the Sunday profile), the per-weekday mean, and how many days

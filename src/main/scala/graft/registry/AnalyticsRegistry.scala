@@ -88,6 +88,7 @@ private[graft] object AnalyticsRegistry {
     "q200_simpson_screen" -> (simpsonScreenQ _),
     "q201_permutation_test" -> (permutationTestQ _),
     "q203_cuped_adjustment" -> (cupedQ _),
+    "q205_cusum_monitor" -> (cusumFixedQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -2034,6 +2035,43 @@ private[graft] object AnalyticsRegistry {
            round(CASE WHEN varxn > 0 AND varyn > 0
              THEN (covn * covn) / (varxn * varyn) END, 6) AS rho2
          FROM calc ORDER BY cohort""",
+    // the all-integer streamable CUSUM: d = 1000·c − target, both
+    // one-sided sums by the prefix identity, decision vs hMilli —
+    // no floats, so the streaming twin is bit-equal by construction
+    "q205_cusum_monitor" ->
+      """WITH b AS (
+           SELECT event_type AS g,
+             CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) AS p
+           FROM events),
+         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
+         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
+                    FROM c GROUP BY g),
+         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
+                    AS BIGINT) AS p FROM bounds),
+         dense AS (
+           SELECT grid.g, grid.p,
+             CAST(coalesce(c.c, 0) AS BIGINT) AS c
+           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
+         st AS (
+           SELECT g, p, c,
+             CAST(sum(c * 1000 - 16000) OVER (PARTITION BY g
+               ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cs
+           FROM dense),
+         sm AS (
+           SELECT g, p, c, cs,
+             cs - least(CAST(min(cs) OVER (PARTITION BY g ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT), 0) AS sp,
+             greatest(CAST(max(cs) OVER (PARTITION BY g ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT), 0) - cs AS sn
+           FROM st)
+         SELECT g AS event_type, p AS period, c AS n,
+           sp AS cusum_pos_milli, sn AS cusum_neg_milli,
+           CAST(sp > 60000 AS INT) AS shift_up,
+           CAST(sn > 60000 AS INT) AS shift_down
+         FROM sm ORDER BY 1, 2""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -3574,6 +3612,19 @@ private[graft] object AnalyticsRegistry {
     Analytics.cuped(units, col("__a"), col("__x"), col("__y"))
       .orderBy("cohort")
   }
+
+  /** Fixed-target CUSUM monitor ([[Analytics.cusumFixedTarget]]):
+    * event counts per 6-hour bucket per type against a fixed
+    * 16-events-per-bucket reference — the all-integer, O(1)-state
+    * form whose streaming twin
+    * ([[graft.streaming.EventStreams.cusumStream]]) emits
+    * bit-identical rows as the watermark closes each bucket.
+    */
+  private[graft] def cusumFixedQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.cusumFixedTarget(events(s, dir), "event_type",
+        floor(unix_micros(col("ts")) / lit(21600000000L)).cast("long"),
+        targetMilli = 16000L, hMilli = 60000L)
+      .orderBy("event_type", "period")
 
   /** Arithmetic reconstruction of the `graft_zorder` Morton key
     * (q79): mask-shift bit spreading on BIGINT, the final interleave

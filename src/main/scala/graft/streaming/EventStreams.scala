@@ -966,6 +966,111 @@ object EventStreams {
       }
   }
 
+  case class CusumTick(group: String, ts: java.sql.Timestamp)
+  case class CusumPoint(
+      group: String, period: Long, n: Long,
+      cusum_pos_milli: Long, cusum_neg_milli: Long,
+      shift_up: Int, shift_down: Int)
+  case class CusumState(
+      hasClosed: Boolean, lastClosed: Long, cs: Long,
+      runMin: Long, runMax: Long, maxSeen: Long,
+      open: Map[Long, Long])
+
+  /** Streaming twin of
+    * [[graft.operators.Analytics.cusumFixedTarget]] — the continuous
+    * level-shift monitor: per group, event counts per `periodSec`
+    * bucket accumulate one-sided CUSUM sums against a fixed reference
+    * rate, and a period's row emits exactly when the watermark closes
+    * it (its count can no longer change) — final, append-mode, and
+    * bit-equal to the batch twin over the arrived events because the
+    * whole statistic is BIGINT arithmetic (no floats to drift).
+    *
+    * Gap periods between observed ones emit ZERO-count rows (a silent
+    * hour IS a signal — the batch grid's semantics), but never past
+    * the group's max observed period, matching the batch grid's
+    * min..max span. Late events (in an already-closed period) drop —
+    * the emitted row is final. State per group is O(open periods):
+    * the running (cs, min, max) triple plus counts for not-yet-closed
+    * buckets — bounded by watermark delay / periodSec, NOT by
+    * history. A quiet group's pending periods close via event-time
+    * timeout when other traffic advances the watermark; state
+    * persists (it is a few longs) so the accumulation never resets.
+    */
+  def cusumStream(
+      events: Dataset[CusumTick], periodSec: Long, targetMilli: Long,
+      hMilli: Long, watermark: String = "2 hours"): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    require(periodSec > 0, "periodSec must be positive")
+    val pUs = periodSec * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (g, it, state) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          def us(t: java.sql.Timestamp): Long = {
+            val i = t.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          val prev = state.getOption.getOrElse(
+            CusumState(hasClosed = false, 0L, 0L, 0L, 0L, Long.MinValue,
+              Map.empty))
+          // merge incoming ticks into open-period counts; ticks in an
+          // already-closed period are late — their row is final, drop
+          val incoming = it.map(e => us(e.ts) / pUs)
+            .filter(p => !prev.hasClosed || p > prev.lastClosed)
+            .toSeq
+          val open = incoming.foldLeft(prev.open) { (m, p) =>
+            m.updated(p, m.getOrElse(p, 0L) + 1L)
+          }
+          val maxSeen =
+            if (incoming.isEmpty) prev.maxSeen
+            else math.max(prev.maxSeen, incoming.max)
+          // periods whose END the watermark has passed — but never
+          // past the max observed period (the batch grid's span)
+          val maxClosableByWm = wmUs / pUs - 1L
+          val closable = math.min(maxClosableByWm, maxSeen)
+          val start =
+            if (prev.hasClosed) prev.lastClosed + 1L
+            else if (open.nonEmpty) open.keys.min
+            else Long.MaxValue
+          var cs = prev.cs; var runMin = prev.runMin
+          var runMax = prev.runMax
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+          var p = start
+          while (p <= closable) {
+            val c = open.getOrElse(p, 0L)
+            cs += c * 1000L - targetMilli
+            runMin = math.min(runMin, cs)
+            runMax = math.max(runMax, cs)
+            val sp = cs - math.min(0L, runMin)
+            val sn = math.max(0L, runMax) - cs
+            out += CusumPoint(g, p, c, sp, sn,
+              if (sp > hMilli) 1 else 0, if (sn > hMilli) 1 else 0)
+            p += 1L
+          }
+          val closedAny = prev.hasClosed || out.nonEmpty
+          val lastClosed = if (out.nonEmpty) out.last.period
+            else prev.lastClosed
+          val kept = open.filter { case (q, _) =>
+            !closedAny || q > lastClosed }
+          state.update(CusumState(closedAny, lastClosed, cs, runMin,
+            runMax, maxSeen, kept))
+          // wake when the next pending period can close (event-time
+          // timeouts fire strictly AFTER the timestamp)
+          val wmMs = state.getCurrentWatermarkMs()
+          if (maxSeen > (if (closedAny) lastClosed else Long.MinValue)) {
+            val nextEndMs =
+              (if (closedAny) lastClosed + 2L
+               else kept.keys.min + 1L) * periodSec * 1000L
+            state.setTimeoutTimestamp(math.max(wmMs + 1L, nextEndMs - 1L))
+          }
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(
       user_id: Long, n_events: Long, sum_value: Double, n_purchases: Long)
