@@ -2587,6 +2587,70 @@ object Analytics {
         (col("__sn") > hMilli).cast("int").as("shift_down"))
   }
 
+  /** Single change-point locator per group (binary segmentation,
+    * first split): the CUSUM-bridge argmax
+    * t* = argmax_t |cs_t − t·Σc/n| over the dense period grid —
+    * WHERE the level most plausibly shifted, complementing
+    * [[cusumShift]]'s WHETHER/WHEN-detected. Emits the split index,
+    * its period, the before/after means, and the bridge height both
+    * raw and √S̄-scaled.
+    *
+    * Exactness: the bridge numerator B_t = |n·cs_t − t·S| is pure
+    * BIGINT (needs periods²·Σc < 2⁶³ — any monthly grid qualifies),
+    * so the argmax and its smallest-t tie-break are engine-exact via
+    * one `min_by((−B, t))` aggregate; the means and the scaled height
+    * divide once at the end.
+    *
+    * Shape: identical to [[cusumShift]] — map-side-combined counts,
+    * group-sized grid generation, one per-group window pass, one
+    * argmax aggregate. The only data-sized stage is the first count.
+    */
+  def changePoint(
+      df: DataFrame, groupCol: String, periodCol: Column): DataFrame = {
+    val counts = df.select(col(groupCol).as("__g"),
+        periodCol.cast("long").as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+    val bounds = counts.groupBy("__g")
+      .agg(min("__p").as("__lo"), max("__p").as("__hi"))
+    val dense = bounds
+      .select(col("__g"), explode(sequence(col("__lo"), col("__hi")))
+        .as("__p"))
+      .join(counts, Seq("__g", "__p"), "left")
+      .select(col("__g"), col("__p"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val ord = Window.partitionBy("__g").orderBy("__p")
+    val full = Window.partitionBy("__g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bridged = dense
+      .withColumn("__t", row_number().over(ord).cast("long"))
+      .withColumn("__cs", sum(col("__c"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", count(lit(1)).over(full))
+      .withColumn("__s", sum(col("__c")).over(full))
+      .withColumn("__b",
+        abs(col("__n") * col("__cs") - col("__t") * col("__s")))
+      .where(col("__t") < col("__n")) // a split needs both sides
+    bridged.groupBy("__g")
+      .agg(max(col("__n")).as("n_periods"), max(col("__s")).as("total_n"),
+        min_by(struct(col("__t"), col("__p"), col("__cs"), col("__b")),
+          struct((col("__b") * -1).as("nb"), col("__t"))).as("__best"))
+      .select(col("__g").as(groupCol), col("n_periods"), col("total_n"),
+        col("__best.__t").as("split_index"),
+        col("__best.__p").as("change_period"),
+        round(col("__best.__cs").cast("double")
+          / col("__best.__t").cast("double"), 4).as("before_mean"),
+        round((col("total_n") - col("__best.__cs")).cast("double")
+          / (col("n_periods") - col("__best.__t")).cast("double"), 4)
+          .as("after_mean"),
+        round(col("__best.__b").cast("double")
+          / col("n_periods").cast("double"), 4).as("bridge_height"),
+        round((col("__best.__b").cast("double")
+            / col("n_periods").cast("double"))
+          / sqrt(col("total_n").cast("double")
+            / col("n_periods").cast("double")), 6).as("bridge_scaled"))
+  }
+
   /** Day-of-week seasonal profile per group over a dense calendar:
     * daily row counts (gap days are zeros — a silent Sunday IS part of
     * the Sunday profile), the per-weekday mean, and how many days

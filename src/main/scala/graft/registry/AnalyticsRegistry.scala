@@ -89,6 +89,7 @@ private[graft] object AnalyticsRegistry {
     "q201_permutation_test" -> (permutationTestQ _),
     "q203_cuped_adjustment" -> (cupedQ _),
     "q205_cusum_monitor" -> (cusumFixedQ _),
+    "q206_change_point" -> (changePointQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -2072,6 +2073,53 @@ private[graft] object AnalyticsRegistry {
            CAST(sp > 60000 AS INT) AS shift_up,
            CAST(sn > 60000 AS INT) AS shift_down
          FROM sm ORDER BY 1, 2""",
+    // bridge numerator |n·cs_t − t·S| is pure BIGINT: the argmax and
+    // its smallest-t tie-break replay exactly; means divide once
+    "q206_change_point" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS g,
+             year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS p
+           FROM orders),
+         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
+         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
+                    FROM c GROUP BY g),
+         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
+                    AS BIGINT) AS p FROM bounds),
+         dense AS (
+           SELECT grid.g, grid.p,
+             CAST(coalesce(c.c, 0) AS BIGINT) AS c
+           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
+         br AS (
+           SELECT g, p,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY p)
+               AS BIGINT) AS t,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cs,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+             CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS s
+           FROM dense),
+         ranked AS (
+           SELECT g, p, t, cs, n, s, abs(n * cs - t * s) AS bb,
+             row_number() OVER (PARTITION BY g
+               ORDER BY abs(n * cs - t * s) DESC, t ASC) AS rk
+           FROM br WHERE t < n)
+         SELECT g AS o_orderpriority, n AS n_periods, s AS total_n,
+           t AS split_index,
+           CAST(CAST(floor(p / 12.0) AS BIGINT) AS VARCHAR) || '-'
+             || lpad(CAST((p % 12) + 1 AS VARCHAR), 2, '0')
+             AS change_month,
+           round(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE), 4)
+             AS before_mean,
+           round(CAST(s - cs AS DOUBLE) / CAST(n - t AS DOUBLE), 4)
+             AS after_mean,
+           round(CAST(bb AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             AS bridge_height,
+           round((CAST(bb AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS bridge_scaled
+         FROM ranked WHERE rk = 1 ORDER BY 1""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -3625,6 +3673,26 @@ private[graft] object AnalyticsRegistry {
         floor(unix_micros(col("ts")) / lit(21600000000L)).cast("long"),
         targetMilli = 16000L, hMilli = 60000L)
       .orderBy("event_type", "period")
+
+  /** Change-point locator ([[Analytics.changePoint]]): the CUSUM-
+    * bridge argmax over monthly order counts per priority — WHERE the
+    * level most plausibly shifted; the bridge numerator is exact
+    * BIGINT so the split and its tie-break replay bit-for-bit.
+    */
+  private[graft] def changePointQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderpriority"),
+      (year(col("o_orderdate").cast("date")) * 12
+        + month(col("o_orderdate").cast("date")) - 1).as("__m"))
+    Analytics.changePoint(o, "o_orderpriority", col("__m"))
+      .select(col("o_orderpriority"), col("n_periods"), col("total_n"),
+        col("split_index"),
+        concat(floor(col("change_period") / 12).cast("string"),
+          lit("-"), lpad(((col("change_period") % 12) + 1)
+            .cast("string"), 2, "0")).as("change_month"),
+        col("before_mean"), col("after_mean"),
+        col("bridge_height"), col("bridge_scaled"))
+      .orderBy("o_orderpriority")
+  }
 
   /** Arithmetic reconstruction of the `graft_zorder` Morton key
     * (q79): mask-shift bit spreading on BIGINT, the final interleave

@@ -36,6 +36,7 @@ private[graft] object SimilarityRegistry {
     "q173_mmr_rerank" -> (mmrRerankQ _),
     "q175_retrieval_pipeline" -> (retrievalPipelineQ _),
     "q27_embedding_neardup" -> (embeddingNeardup _),
+    "q207_matryoshka_audit" -> (matryoshkaAuditQ _),
     "q28_ann_bruteforce" -> (annBruteForce _),
     "q29_ann_ivf" -> (annIvf _),
     "q30_binary_fingerprints" -> (binaryFingerprints _),
@@ -953,6 +954,41 @@ private[graft] object SimilarityRegistry {
          FROM cands JOIN e a ON a.vec_id = ida JOIN e b ON b.vec_id = idb
          WHERE ${oracleCos("a.v", "b.v")} >= 0.45
          ORDER BY id_a, id_b""",
+    // both legs replay the q28 brute-force shape; the prefix leg
+    // slices the DOUBLE-cast list (float→double then slice commutes)
+    "q207_matryoshka_audit" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         sf AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         rf AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, nid ASC) AS rk FROM sf)
+           WHERE rk <= 10),
+         ep AS (SELECT vec_id, v[1:16] AS v FROM e),
+         qp AS (SELECT vec_id AS qid, v AS qv FROM ep
+                WHERE vec_id < 10),
+         sp AS (
+           SELECT qid, ep.vec_id AS nid,
+             ${oracleCos("qv", "ep.v")} AS sim
+           FROM qp CROSS JOIN ep WHERE qid <> ep.vec_id),
+         rp AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, nid ASC) AS rk FROM sp)
+           WHERE rk <= 10),
+         cm AS (SELECT rf.qid, count(*) AS n_common
+                FROM rf JOIN rp ON rf.qid = rp.qid AND rf.nid = rp.nid
+                GROUP BY 1)
+         SELECT ql.qid AS query_id, CAST(ql.k AS BIGINT) AS k,
+           CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+           round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+             / CAST(ql.k AS DOUBLE), 4) AS overlap_at_k
+         FROM (SELECT qid, count(*) AS k FROM rf GROUP BY 1) ql
+         LEFT JOIN cm USING (qid) ORDER BY 1""",
     "q28_ann_bruteforce" ->
       s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1229,6 +1265,34 @@ private[graft] object SimilarityRegistry {
     * (query, partition), not every scored candidate); result-identical
     * to the window form, which the spec asserts.
     */
+  /** Matryoshka truncation audit: top-10 cosine neighbors computed on
+    * the FULL 64-dim embeddings vs the first-16-dims prefix — the
+    * overlap@k that tells a retrieval stack whether prefix-truncated
+    * vectors (4× less memory/bandwidth, the MRL deployment trick) can
+    * serve first-stage recall. Same ≤10-row broadcast audit-query leg
+    * as q28 (allowlisted NLJ pattern); zero-overlap queries survive
+    * the left join.
+    */
+  private[graft] def matryoshkaAuditQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val pref = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    def ids(d: DataFrame) = Similarity.bruteForceTopKAgg(
+        d.where(col("vec_id") < 10), d, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = ids(e).transform(graft.core.CacheScope.disk)
+    val common = full.join(ids(pref), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__common"))
+    full.groupBy("query_id").agg(count(lit(1)).as("__k"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"), col("__k").as("k"),
+        coalesce(col("__common"), lit(0L)).as("n_common"),
+        round(coalesce(col("__common"), lit(0L)).cast("double")
+          / col("__k").cast("double"), 4).as("overlap_at_k"))
+      .orderBy("query_id")
+  }
+
   private[graft] def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.bruteForceTopKAgg(

@@ -126,6 +126,9 @@ class PlanGateSpec extends SparkSpec {
     */
   private val allowed: Map[String, Int] = Map(
     "q28_ann_bruteforce" -> 1,
+    // two brute-force legs (full-dim + 16-dim prefix), each with the
+    // ≤10-row audit-query broadcast side — the q28 shape twice
+    "q207_matryoshka_audit" -> 2,
     "q40_ann_kmedians" -> 2,
     "q105_ann_int8" -> 1,
     "q117_ann_recall_audit" -> 2,

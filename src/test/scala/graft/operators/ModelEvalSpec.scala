@@ -163,6 +163,34 @@ class ModelEvalSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq === Seq(1L, 0L, 0L, 1L))
   }
 
+  test("changePoint: a clean step locates exactly, with hand-computed " +
+      "bridge and means") {
+    // counts {2,2,2,8,8,8}: bridge B_t = |6·cs_t − 30·t| peaks at
+    // t = 3 (54); before mean 2, after mean 8, height 54/6 = 9
+    val rows = (1L to 6L).flatMap(p =>
+      Seq.fill(if (p <= 3) 2 else 8)(("g", p)))
+    val out = Analytics.changePoint(eventsAt(rows), "g", col("p"))
+      .collect().head
+    assert(out.getLong(1) === 6L && out.getLong(2) === 30L)
+    assert(out.getLong(3) === 3L) // split index
+    assert(out.getLong(4) === 3L) // period label
+    assert(out.getDouble(5) === 2.0 && out.getDouble(6) === 8.0)
+    assert(out.getDouble(7) === 9.0)
+    assert(math.abs(out.getDouble(8) - 9.0 / math.sqrt(5.0)) < 1e-4)
+  }
+
+  test("changePoint: ties break to the smallest split; gaps densify") {
+    // observed only at periods 1 and 4 → grid {1,0,0,1}; B ties at
+    // t = 1 and t = 3 → smallest wins
+    val rows = Seq(("g", 1L), ("g", 4L))
+    val out = Analytics.changePoint(eventsAt(rows), "g", col("p"))
+      .collect().head
+    assert(out.getLong(1) === 4L)
+    assert(out.getLong(3) === 1L)
+    assert(out.getDouble(5) === 1.0)
+    assert(out.getDouble(6) === 0.3333)
+  }
+
   test("cusumShift: the threshold fires on a genuine level shift") {
     // 20 quiet periods at 1, then 10 periods at 21 — the upward
     // accumulation must cross 5·√mean well before the end
