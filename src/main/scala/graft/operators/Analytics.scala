@@ -3048,6 +3048,156 @@ object Analytics {
           .as("p_value"))
   }
 
+  /** Cumulative Poisson(1) CDF thresholds scaled to 32-bit integer
+    * space: weight = #{k : u ≥ T_k} for a 32-bit md5 uniform u — the
+    * Poisson-bootstrap draw as PURE INTEGER comparisons (no float
+    * compare, no RNG state). Interpolated verbatim into the SQL
+    * oracle so both engines draw identical weights.
+    */
+  private[graft] val poissonThresholds: Seq[Long] =
+    (0 to 8).map { k =>
+      val cdf = (0 to k).map { i =>
+        var fi = 1.0; (1 to i).foreach(j => fi *= j)
+        math.exp(-1.0) / fi
+      }.sum
+      (cdf * 4294967296.0).toLong
+    }
+
+  /** Poisson bootstrap confidence interval for a pooled ratio metric
+    * (Σnum/Σden — revenue per order, CTR, cost per token): R
+    * deterministic replicates where each unit's weight is a
+    * Poisson(1) draw keyed by md5(salt:r:unit) — the bootstrap that
+    * needs NO resampling shuffle (Chamandy et al., "Estimating
+    * uncertainty for massive data streams"), so it runs as one
+    * R-fan-out aggregation at any scale.
+    *
+    * Determinism: weights are integer threshold-counts over the
+    * 32-bit md5 value ([[poissonThresholds]] — no float compare);
+    * each replicate's ratio is ONE division of exact BIGINT weighted
+    * sums; the CI bounds are order statistics of the sorted replicate
+    * array picked by exact integer index (ceil(α/2·R)), and the
+    * bootstrap mean folds the SORTED array so even its rounding is
+    * engine-identical. Zero-denominator replicates drop from the
+    * order statistics (`r_valid` reports the survivors).
+    *
+    * Shape: units collapse map-side; the replica frame is units × R
+    * (the documented, R-bounded cost) aggregating straight to R
+    * rows; the final fold is one ≤R-element array. R ≤ 999 guard
+    * keeps the array driver-friendly.
+    */
+  def bootstrapRatioCI(
+      df: DataFrame, unitCol: Column, numCol: Column, denCol: Column,
+      replicas: Int = 199, alpha: Double = 0.05,
+      salt: String = "boot"): DataFrame = {
+    require(replicas >= 19 && replicas <= 999,
+      "replicas must be in [19, 999]")
+    require(alpha > 0 && alpha < 0.5, "alpha must be in (0, 0.5)")
+    val units = df.select(unitCol.cast("string").as("__u"),
+        numCol.cast("long").as("__num"), denCol.cast("long").as("__den"))
+      .where(col("__u").isNotNull)
+      .groupBy("__u")
+      .agg(sum("__num").as("__num"), sum("__den").as("__den"))
+    val obs = units.agg(sum("__num").as("__tn"), sum("__den").as("__td"),
+        count(lit(1)).as("__nu"))
+      .select(col("__nu"), (col("__tn").cast("double")
+        / col("__td").cast("double")).as("__obs"))
+    val u32 = conv(substring(md5(concat_ws(":", lit(salt), col("__r"),
+      col("__u"))), 1, 8), 16, 10).cast("long")
+    val weight = poissonThresholds
+      .map(t => when(u32 >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val perReplica = units
+      .select(col("__u"), col("__num"), col("__den"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .withColumn("__w", weight)
+      .groupBy("__r")
+      .agg(sum(col("__w") * col("__num")).as("__wn"),
+        sum(col("__w") * col("__den")).as("__wd"))
+      .where(col("__wd") > 0)
+      .select((col("__wn").cast("double") / col("__wd").cast("double"))
+        .as("__ratio"))
+    val folded = perReplica
+      .agg(sort_array(collect_list(col("__ratio"))).as("__rs"))
+      .select(col("__rs"), size(col("__rs")).as("__rv"))
+      .withColumn("__lo", greatest(
+        ceil(lit(alpha / 2) * col("__rv")).cast("int"), lit(1)))
+      .withColumn("__hi",
+        ceil(lit(1.0 - alpha / 2) * col("__rv")).cast("int"))
+    obs.crossJoin(broadcast(folded))
+      .select(col("__nu").as("n_units"),
+        col("__rv").cast("long").as("r_valid"),
+        round(col("__obs"), 6).as("obs_ratio"),
+        round(aggregate(col("__rs"), lit(0.0), (a, x) => a + x)
+          / col("__rv").cast("double"), 6).as("boot_mean"),
+        round(element_at(col("__rs"), col("__lo")), 6).as("ci_lo"),
+        round(element_at(col("__rs"), col("__hi")), 6).as("ci_hi"))
+  }
+
+  /** Qini uplift curve over caller-supplied score bins: per bin
+    * (descending score), treated/control counts and responders, the
+    * bin's uplift, and the cumulative Qini coefficient
+    * Q_k = Rt_k − Rc_k·(Nt_k/Nc_k) — the incremental-response audit
+    * a targeting model ships with.
+    *
+    * Bins are the caller's shuffle-free column (the [[binnedWoe]]
+    * contract); cumulative sums run as ONE sorted-array fold per the
+    * kaplanMeier pattern (no unpartitioned window — the plan-gate
+    * shape), guarded by `maxBins`. Counts are BIGINT; uplift and
+    * Qini divide once per row.
+    */
+  def qiniCurve(
+      df: DataFrame, binCol: Column, treatedCol: Column,
+      labelCol: Column, maxBins: Int = 256): DataFrame = {
+    val base = df.select(binCol.cast("long").as("__b"),
+        treatedCol.cast("boolean").as("__t"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__b").isNotNull && col("__t").isNotNull &&
+        col("__y").isNotNull)
+    val bins = base.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+      sum(when(col("__t") && col("__y"), 1L).otherwise(0L)).as("__rt"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+      sum(when(!col("__t") && col("__y"), 1L).otherwise(0L)).as("__rc"))
+    val grouped = bins
+      .agg(sort_array(collect_list(struct((col("__b") * -1).as("__nb"),
+        col("__b"), col("__nt"), col("__rt"), col("__nc"), col("__rc"))))
+        .as("__rows"))
+      .withColumn("__rows",
+        when(size(col("__rows")) > maxBins,
+          raise_error(lit("qiniCurve: bins exceed maxBins; coarsen " +
+            "the binning")).cast("array<struct<__nb:bigint," +
+            "__b:bigint,__nt:bigint,__rt:bigint,__nc:bigint," +
+            "__rc:bigint>>"))
+          .otherwise(col("__rows")))
+    def prefix(field: String) =
+      transform(sequence(lit(1), size(col("__rows"))), i =>
+        aggregate(slice(col("__rows").getField(field), lit(1), i),
+          lit(0L), (acc, x) => acc + x))
+    val withCums = grouped
+      .withColumn("__cnt", prefix("__nt"))
+      .withColumn("__crt", prefix("__rt"))
+      .withColumn("__cnc", prefix("__nc"))
+      .withColumn("__crc", prefix("__rc"))
+    def at(c: String) = element_at(col(c), col("__i") + 1)
+    withCums
+      .select(posexplode(col("__rows")).as(Seq("__i", "__row")),
+        col("__cnt"), col("__crt"), col("__cnc"), col("__crc"))
+      .select(col("__row.__b").as("bin"),
+        col("__row.__nt").as("n_treated"),
+        col("__row.__rt").as("r_treated"),
+        col("__row.__nc").as("n_control"),
+        col("__row.__rc").as("r_control"),
+        round(when(col("__row.__nt") > 0 && col("__row.__nc") > 0,
+          col("__row.__rt").cast("double")
+            / col("__row.__nt").cast("double")
+          - col("__row.__rc").cast("double")
+            / col("__row.__nc").cast("double")), 6).as("uplift"),
+        round(when(at("__cnc") > 0,
+          at("__crt").cast("double") - at("__crc").cast("double")
+            * (at("__cnt").cast("double") / at("__cnc").cast("double"))),
+          4).as("cum_qini"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust a per-unit
     * experiment metric by its pre-period covariate,
     * ŷ = ȳ_arm − θ·(x̄_arm − x̄), θ = cov(x,y)/var(x) pooled — the

@@ -90,6 +90,8 @@ private[graft] object AnalyticsRegistry {
     "q203_cuped_adjustment" -> (cupedQ _),
     "q205_cusum_monitor" -> (cusumFixedQ _),
     "q206_change_point" -> (changePointQ _),
+    "q208_bootstrap_ci" -> (bootstrapCiQ _),
+    "q209_qini_uplift" -> (qiniUpliftQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -2120,6 +2122,88 @@ private[graft] object AnalyticsRegistry {
              / sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
              AS bridge_scaled
          FROM ranked WHERE rk = 1 ORDER BY 1""",
+    // Poisson(1) weights as integer threshold-counts over the 32-bit
+    // md5; replicate ratios are one division of exact weighted sums;
+    // CI bounds are order statistics picked by exact integer index;
+    // the bootstrap mean folds the SORTED list with a 0.0 seed,
+    // mirroring the engine's aggregate() fold bit-for-bit
+    "q208_bootstrap_ci" ->
+      s"""WITH per AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS u,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS num,
+             1 AS den
+           FROM orders),
+         units AS (SELECT u, CAST(sum(num) AS BIGINT) AS num,
+                   CAST(sum(den) AS BIGINT) AS den FROM per GROUP BY u),
+         ob AS (SELECT count(*) AS nu, CAST(sum(num) AS BIGINT) AS tn,
+                CAST(sum(den) AS BIGINT) AS td FROM units),
+         asg AS (
+           SELECT r, num, den, ${poissonWeightSql("uu")} AS w
+           FROM (SELECT u, num, den, r,
+             CAST(('0x' || substr(md5('q208' || ':'
+               || CAST(r AS VARCHAR) || ':' || u), 1, 8)) AS BIGINT)
+               AS uu
+             FROM units, LATERAL (SELECT
+               unnest(generate_series(0, 198)) AS r) t)),
+         per_r AS (SELECT r, CAST(sum(w * num) AS BIGINT) AS wn,
+                   CAST(sum(w * den) AS BIGINT) AS wd
+                   FROM asg GROUP BY r),
+         ratios AS (SELECT CAST(wn AS DOUBLE) / CAST(wd AS DOUBLE)
+                    AS ratio FROM per_r WHERE wd > 0),
+         fold AS (SELECT list(ratio ORDER BY ratio) AS rs,
+                  count(*) AS rv FROM ratios),
+         idx AS (SELECT rs, rv,
+                 greatest(CAST(ceil(0.025 * rv) AS INT), 1) AS lo,
+                 CAST(ceil(0.975 * rv) AS INT) AS hi FROM fold)
+         SELECT ob.nu AS n_units, idx.rv AS r_valid,
+           round(CAST(ob.tn AS DOUBLE) / CAST(ob.td AS DOUBLE), 6)
+             AS obs_ratio,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rs),
+             (a, b) -> a + b) / CAST(rv AS DOUBLE), 6) AS boot_mean,
+           round(rs[lo], 6) AS ci_lo,
+           round(rs[hi], 6) AS ci_hi
+         FROM ob CROSS JOIN idx""",
+    // counts BIGINT; uplift and Qini divide once per row; cumulative
+    // sums descend the score bins
+    "q209_qini_uplift" ->
+      """WITH lab AS (
+           SELECT CAST(floor(c_acctbal / 1100.0) AS BIGINT) AS b,
+             (c_mktsegment = 'BUILDING') AS t,
+             (c_custkey IN (SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')) AS y
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         bins AS (SELECT b,
+           CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT)
+             AS rt,
+           CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             AS nc,
+           CAST(sum(CASE WHEN (NOT t) AND y THEN 1 ELSE 0 END)
+             AS BIGINT) AS rc
+           FROM lab GROUP BY b),
+         cum AS (
+           SELECT b, nt, rt, nc, rc,
+             CAST(sum(nt) OVER (ORDER BY b DESC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt,
+             CAST(sum(rt) OVER (ORDER BY b DESC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS crt,
+             CAST(sum(nc) OVER (ORDER BY b DESC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnc,
+             CAST(sum(rc) OVER (ORDER BY b DESC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS crc
+           FROM bins)
+         SELECT b AS bin, nt AS n_treated, rt AS r_treated,
+           nc AS n_control, rc AS r_control,
+           round(CASE WHEN nt > 0 AND nc > 0 THEN
+             CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
+             - CAST(rc AS DOUBLE) / CAST(nc AS DOUBLE) END, 6)
+             AS uplift,
+           round(CASE WHEN cnc > 0 THEN CAST(crt AS DOUBLE)
+             - CAST(crc AS DOUBLE)
+               * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) END, 4)
+             AS cum_qini
+         FROM cum ORDER BY bin DESC""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -3693,6 +3777,50 @@ private[graft] object AnalyticsRegistry {
         col("bridge_height"), col("bridge_scaled"))
       .orderBy("o_orderpriority")
   }
+
+  /** Poisson bootstrap CI ([[Analytics.bootstrapRatioCI]]): the
+    * average order value (Σ spend / Σ orders over per-customer
+    * units), with 199 md5-keyed Poisson(1)-weighted replicates — the
+    * resampling-free bootstrap that runs as one fan-out aggregation
+    * at any scale; weights are integer threshold-counts, CI bounds
+    * exact order statistics of the sorted replicate array.
+    */
+  private[graft] def bootstrapCiQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.bootstrapRatioCI(
+      t(s, dir, "orders").select(col("o_custkey").as("__u"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("__num"),
+        lit(1L).as("__den")),
+      col("__u"), col("__num"), col("__den"),
+      replicas = 199, salt = "q208")
+
+  /** Qini uplift curve ([[Analytics.qiniCurve]]): does targeting
+    * high-balance customers create incremental urgent-order response
+    * in BUILDING (treated) vs MACHINERY (control)? Fixed-width
+    * balance bins descending, cumulative Qini per bin — the
+    * incremental-response audit for a targeting policy.
+    */
+  private[graft] def qiniUpliftQ(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val scored = t(s, dir, "customer")
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .select(floor(col("c_acctbal") / 1100.0).cast("long").as("__b"),
+        (col("c_mktsegment") === "BUILDING").as("__t"),
+        col("o_custkey").isNotNull.as("__y"))
+    Analytics.qiniCurve(scored, col("__b"), col("__t"), col("__y"))
+      .orderBy(col("bin").desc)
+  }
+
+  /** The Poisson(1) weight as pure integer threshold comparisons over
+    * the 32-bit md5 value — Analytics.poissonThresholds interpolated
+    * so the oracle draws byte-identical weights.
+    */
+  private[graft] def poissonWeightSql(u: String): String =
+    graft.operators.Analytics.poissonThresholds
+      .map(t => s"(CASE WHEN $u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
 
   /** Arithmetic reconstruction of the `graft_zorder` Morton key
     * (q79): mask-shift bit spreading on BIGINT, the final interleave

@@ -190,6 +190,79 @@ class CausalEvalSpec extends SparkSpec {
     }
   }
 
+  // ---- bootstrapRatioCI ----
+
+  private def ratios(rows: Seq[(String, Long, Long)]) = df(
+    StructType(Seq(
+      StructField("u", StringType),
+      StructField("num", LongType),
+      StructField("den", LongType))),
+    rows.map { case (u, n, d) => Row(u, n, d) })
+
+  test("bootstrapRatioCI: a constant per-unit ratio collapses the " +
+      "interval to the point") {
+    // every unit has num = 7·den → every replicate ratio is exactly 7
+    val rows = (1 to 30).map(i => (s"u$i", 7L * i, i.toLong))
+    val out = Analytics.bootstrapRatioCI(ratios(rows), col("u"),
+      col("num"), col("den"), replicas = 49).collect().head
+    assert(out.getLong(0) === 30L)
+    assert(out.getDouble(2) === 7.0)
+    assert(out.getDouble(3) === 7.0)
+    assert(out.getDouble(4) === 7.0 && out.getDouble(5) === 7.0)
+  }
+
+  test("bootstrapRatioCI: deterministic, ordered, and covering") {
+    val rows = (1 to 40).map(i => (s"u$i", (i * 13 % 97).toLong, 1L))
+    val a = Analytics.bootstrapRatioCI(ratios(rows), col("u"),
+      col("num"), col("den")).collect().head
+    val b = Analytics.bootstrapRatioCI(ratios(rows), col("u"),
+      col("num"), col("den")).collect().head
+    assert(a === b) // md5 weights: no RNG state
+    assert(a.getDouble(4) <= a.getDouble(5))
+    assert(a.getDouble(2) >= a.getDouble(4) &&
+      a.getDouble(2) <= a.getDouble(5))
+    assert(a.getLong(1) <= 199L && a.getLong(1) > 150L)
+    intercept[IllegalArgumentException] {
+      Analytics.bootstrapRatioCI(ratios(rows), col("u"), col("num"),
+        col("den"), replicas = 5)
+    }
+  }
+
+  // ---- qiniCurve ----
+
+  test("qiniCurve: hand-computed two-bin curve, descending bins") {
+    val rows = Seq(
+      // bin 2 (high score): treated respond, control don't
+      (true, 2L, true), (true, 2L, true),
+      (false, 2L, false), (false, 2L, false),
+      // bin 1: the reverse
+      (true, 1L, false), (true, 1L, false),
+      (false, 1L, true), (false, 1L, true))
+      .map { case (t, b, y) => (b, t, y) }
+    val in = df(
+      StructType(Seq(StructField("b", LongType),
+        StructField("t", BooleanType), StructField("y", BooleanType))),
+      rows.map { case (b, t, y) => Row(b, t, y) })
+    val out = Analytics.qiniCurve(in, col("b"), col("t"), col("y"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 1L)) // descending
+    assert(out(0).getDouble(5) === 1.0) // uplift at the top bin
+    assert(out(1).getDouble(5) === -1.0)
+    assert(out(0).getDouble(6) === 2.0) // Qini: 2 − 0·(2/2)
+    assert(out(1).getDouble(6) === 0.0) // fully cumulated: 2 − 2·1
+  }
+
+  test("qiniCurve: a control-free prefix reports null Qini, not ±Inf") {
+    val in = df(
+      StructType(Seq(StructField("b", LongType),
+        StructField("t", BooleanType), StructField("y", BooleanType))),
+      Seq(Row(2L, true, true), Row(1L, false, true)))
+    val out = Analytics.qiniCurve(in, col("b"), col("t"), col("y"))
+      .collect()
+    assert(out(0).isNullAt(5) && out(0).isNullAt(6))
+    assert(!out(1).isNullAt(6))
+  }
+
   test("permutationTest: units aggregate before relabeling") {
     // one unit with three rows must move atomically: two units total
     // → every replica has at most singleton sides; with equal unit
