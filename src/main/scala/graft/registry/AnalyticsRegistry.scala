@@ -92,6 +92,7 @@ private[graft] object AnalyticsRegistry {
     "q206_change_point" -> (changePointQ _),
     "q208_bootstrap_ci" -> (bootstrapCiQ _),
     "q209_qini_uplift" -> (qiniUpliftQ _),
+    "q211_conversion_delay" -> (conversionDelayQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -2204,6 +2205,23 @@ private[graft] object AnalyticsRegistry {
                * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) END, 4)
              AS cum_qini
          FROM cum ORDER BY bin DESC""",
+    // the q48 pair CTE + quantile_cont over exact integer micros —
+    // delays divide to seconds once at the end
+    "q211_conversion_delay" ->
+      """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT strftime(date_trunc('day', v.ts), '%Y-%m-%d')
+               AS day,
+             epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+           FROM v JOIN p ON v.user_id = p.user_id
+             AND p.ts > v.ts
+             AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+         SELECT day, count(*) AS n,
+           round(quantile_cont(delay_us, 0.5) / 1e6, 4) AS p50_sec,
+           round(quantile_cont(delay_us, 0.9) / 1e6, 4) AS p90_sec,
+           round(quantile_cont(delay_us, 0.99) / 1e6, 4) AS p99_sec
+         FROM j GROUP BY day ORDER BY day""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -3811,6 +3829,34 @@ private[graft] object AnalyticsRegistry {
         col("o_custkey").isNotNull.as("__y"))
     Analytics.qiniCurve(scored, col("__b"), col("__t"), col("__y"))
       .orderBy(col("bin").desc)
+  }
+
+  /** Conversion-latency SLA report: view→purchase delays from the
+    * streaming interval join's batch twin, exact interpolated
+    * p50/p90/p99 per day ([[Analytics.percentiles]] — oracle mode;
+    * the 100 TB path flips `approx = true` for the decomposable
+    * sketch). Completes the funnel family with the "how fast do they
+    * convert" cut.
+    */
+  private[graft] def conversionDelayQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val pairs = graft.streaming.EventStreams.intervalJoin(
+      ev.where(col("event_type") === "view"),
+      ev.where(col("event_type") === "purchase"),
+      horizon = "30 minutes")
+    val delays = pairs.select(
+      date_format(date_trunc("day", col("l_ts")), "yyyy-MM-dd")
+        .as("day"),
+      (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+        .as("delay_us"))
+    Analytics.percentiles(delays, Seq("day"), col("delay_us"),
+        Seq(0.5, 0.9, 0.99))
+      .select(col("day"), col("n"),
+        round(col("p50") / 1e6, 4).as("p50_sec"),
+        round(col("p90") / 1e6, 4).as("p90_sec"),
+        round(col("p99") / 1e6, 4).as("p99_sec"))
+      .orderBy("day")
   }
 
   /** The Poisson(1) weight as pure integer threshold comparisons over

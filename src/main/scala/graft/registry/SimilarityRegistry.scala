@@ -37,6 +37,7 @@ private[graft] object SimilarityRegistry {
     "q175_retrieval_pipeline" -> (retrievalPipelineQ _),
     "q27_embedding_neardup" -> (embeddingNeardup _),
     "q207_matryoshka_audit" -> (matryoshkaAuditQ _),
+    "q210_ivf_balance" -> (ivfBalanceQ _),
     "q28_ann_bruteforce" -> (annBruteForce _),
     "q29_ann_ivf" -> (annIvf _),
     "q30_binary_fingerprints" -> (binaryFingerprints _),
@@ -954,6 +955,35 @@ private[graft] object SimilarityRegistry {
          FROM cands JOIN e a ON a.vec_id = ida JOIN e b ON b.vec_id = idb
          WHERE ${oracleCos("a.v", "b.v")} >= 0.45
          ORDER BY id_a, id_b""",
+    // the q29 assignment replayed; empty buckets densify via the
+    // left join FROM the bounded centroid table
+    "q210_ivf_balance" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                     vec_id ASC LIMIT 16),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ${oracleCos("e.v", "c.cv")} DESC, c.cid ASC)
+               AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         counts AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
+         dense AS (SELECT cents.cid,
+                   CAST(coalesce(counts.n, 0) AS BIGINT) AS n
+                   FROM cents LEFT JOIN counts USING (cid)),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS k,
+                CAST(max(n) AS BIGINT) AS mx FROM dense)
+         SELECT cid AS centroid_id, n AS n_vectors,
+           round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+           round(CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+             / CAST(t AS DOUBLE), 4) AS imbalance,
+           k AS nlist,
+           round(CAST(mx AS DOUBLE) * CAST(k AS DOUBLE)
+             / CAST(t AS DOUBLE), 4) AS max_imbalance
+         FROM dense CROSS JOIN tt ORDER BY centroid_id""",
     // both legs replay the q28 brute-force shape; the prefix leg
     // slices the DOUBLE-cast list (float→double then slice commutes)
     "q207_matryoshka_audit" ->
@@ -1292,6 +1322,16 @@ private[graft] object SimilarityRegistry {
           / col("__k").cast("double"), 4).as("overlap_at_k"))
       .orderBy("query_id")
   }
+
+  /** IVF bucket-balance audit ([[Similarity.ivfBalanceReport]]): the
+    * q29 index's per-centroid population, share and imbalance factor
+    * — the skew diagnostic that decides re-train vs raise-nlist
+    * before an index ships.
+    */
+  private[graft] def ivfBalanceQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfBalanceReport(emb(s, dir), "vec_id", "embedding",
+        nlist = 16)
+      .orderBy("centroid_id")
 
   private[graft] def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

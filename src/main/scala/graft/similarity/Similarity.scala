@@ -1876,6 +1876,44 @@ object Similarity {
     out.reduce(_.unionByName(_))
   }
 
+  /** IVF bucket-balance audit — the index-ops report read before an
+    * IVF index ships: per centroid, its population, share, and
+    * imbalance factor (count / ideal n/nlist); the worst factor rides
+    * every row. A bucket at imbalance 5 makes every probe touching it
+    * 5× the ideal cost — this is the skew diagnostic that decides
+    * whether to re-train centroids or raise nlist.
+    *
+    * Shape: the centroid table is a bounded `limit(nlist)` frame (no
+    * allowlist needed — the assignment's broadcast build side is
+    * provably constant-size), assignment is the one corpus-sized
+    * stage, and everything after is nlist-sized. Empty buckets
+    * densify to zero rows via the left join FROM the centroid table.
+    * Exactness: counts are BIGINT; share and imbalance are one
+    * division each.
+    */
+  def ivfBalanceReport(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame = {
+    val cents = hashKCentroids(corpus, idCol, vecCol, nlist)
+    val counts = assignToCentroids(corpus, cents, idCol, vecCol)
+      .groupBy("centroid_id").agg(count(lit(1)).as("__n"))
+    val dense = cents.select(col("centroid_id"))
+      .join(counts, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("__n"), lit(0L)).as("n_vectors"))
+    val tot = dense.agg(sum("n_vectors").as("__t"),
+      count(lit(1)).as("__k"), max("n_vectors").as("__mx"))
+    dense.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n_vectors"),
+        round(col("n_vectors").cast("double")
+          / col("__t").cast("double"), 6).as("share"),
+        round(col("n_vectors").cast("double") * col("__k").cast("double")
+          / col("__t").cast("double"), 4).as("imbalance"),
+        col("__k").as("nlist"),
+        round(col("__mx").cast("double") * col("__k").cast("double")
+          / col("__t").cast("double"), 4).as("max_imbalance"))
+  }
+
   /** The (i, d) hyperplane sign: +1 iff the first hex char of
     * md5("srp_i_d") has even value — replayable as
     * `substr(md5(...), 1, 1) IN ('0','2','4','6','8','a','c','e')`
