@@ -3198,6 +3198,49 @@ object Analytics {
           4).as("cum_qini"))
   }
 
+  /** Disparate-impact (four-fifths rule) audit: per group, the
+    * positive-outcome rate and its ratio to the most-favored group's
+    * rate, with the EEOC 80 % flag decided by EXACT cross-
+    * multiplication — `5·p_g·N < 4·P·n_g` over BIGINTs, so a group
+    * sitting on the boundary can't flip with the engine's float
+    * rounding. The most-favored group is the micro-quantized rate
+    * argmax (ties to the smaller group name) and rides a one-row
+    * broadcast.
+    *
+    * Shape: one map-side-combined grouped count + one bounded argmax
+    * aggregate; everything after is group-count-sized. Empty-group
+    * division can't occur (groups come from observed rows).
+    */
+  def disparateImpact(
+      df: DataFrame, groupCol: String, labelCol: Column): DataFrame = {
+    val per = df.select(col(groupCol).cast("string").as("__g"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__g").isNotNull && col("__y").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      .transform(graft.core.CacheScope.disk)
+    val withRm = per.withColumn("__rm",
+      floor(lit(1000000L) * col("n_pos").cast("double")
+        / col("n").cast("double")).cast("long"))
+    val mx = withRm.agg(max("__rm").as("__mx"))
+    val best = withRm.crossJoin(broadcast(mx))
+      .where(col("__rm") === col("__mx"))
+      .agg(min_by(struct(col("n").as("bn"), col("n_pos").as("bp")),
+        col("__g")).as("__b"))
+      .select(col("__b.bn").as("__bn"), col("__b.bp").as("__bp"))
+    per.crossJoin(broadcast(best))
+      .select(col("__g").as(groupCol), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        round((col("n_pos").cast("double") * col("__bn").cast("double"))
+          / (col("n").cast("double") * col("__bp").cast("double")), 6)
+          .as("impact_ratio"),
+        (lit(5L) * col("n_pos") * col("__bn") <
+          lit(4L) * col("__bp") * col("n")).cast("int")
+          .as("four_fifths_flag"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust a per-unit
     * experiment metric by its pre-period covariate,
     * ŷ = ȳ_arm − θ·(x̄_arm − x̄), θ = cov(x,y)/var(x) pooled — the

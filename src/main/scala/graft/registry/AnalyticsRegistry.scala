@@ -93,6 +93,7 @@ private[graft] object AnalyticsRegistry {
     "q208_bootstrap_ci" -> (bootstrapCiQ _),
     "q209_qini_uplift" -> (qiniUpliftQ _),
     "q211_conversion_delay" -> (conversionDelayQ _),
+    "q214_disparate_impact" -> (disparateImpactQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -2222,6 +2223,32 @@ private[graft] object AnalyticsRegistry {
            round(quantile_cont(delay_us, 0.9) / 1e6, 4) AS p90_sec,
            round(quantile_cont(delay_us, 0.99) / 1e6, 4) AS p99_sec
          FROM j GROUP BY day ORDER BY day""",
+    // the four-fifths flag is exact cross-multiplication over
+    // BIGINTs; the most-favored group is the micro-quantized rate
+    // argmax, smallest name on ties
+    "q214_disparate_impact" ->
+      """WITH lab AS (
+           SELECT c_mktsegment AS g,
+             (c_custkey IN (SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')) AS y
+           FROM customer),
+         per AS (SELECT g, count(*) AS n,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS p
+                 FROM lab GROUP BY g),
+         rm AS (SELECT g, n, p,
+                CAST(floor(1000000 * CAST(p AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS BIGINT) AS rm FROM per),
+         mx AS (SELECT max(rm) AS mx FROM rm),
+         best AS (SELECT n AS bn, p AS bp FROM rm CROSS JOIN mx
+                  WHERE rm = mx ORDER BY g LIMIT 1)
+         SELECT per.g AS c_mktsegment, per.n, per.p AS n_pos,
+           round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           round((CAST(p AS DOUBLE) * CAST(bn AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(bp AS DOUBLE)), 6)
+             AS impact_ratio,
+           CAST(5 * p * bn < 4 * bp * n AS INT) AS four_fifths_flag
+         FROM per CROSS JOIN best ORDER BY 1""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -3857,6 +3884,25 @@ private[graft] object AnalyticsRegistry {
         round(col("p90") / 1e6, 4).as("p90_sec"),
         round(col("p99") / 1e6, 4).as("p99_sec"))
       .orderBy("day")
+  }
+
+  /** Disparate-impact audit ([[Analytics.disparateImpact]]):
+    * urgent-order rates by market segment, each group's impact ratio
+    * vs the most-favored segment, with the EEOC four-fifths flag
+    * decided by exact BIGINT cross-multiplication — a boundary group
+    * can't flip with float rounding.
+    */
+  private[graft] def disparateImpactQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val labeled = t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"),
+        col("o_custkey").isNotNull.as("__y"))
+    Analytics.disparateImpact(labeled, "c_mktsegment", col("__y"))
+      .orderBy("c_mktsegment")
   }
 
   /** The Poisson(1) weight as pure integer threshold comparisons over

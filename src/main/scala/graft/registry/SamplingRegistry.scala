@@ -31,7 +31,24 @@ private[graft] object SamplingRegistry {
     "q68_source_mixture" -> (sourceMixture _),
     "q70_cluster_split" -> (clusterSplit _),
     "q73_training_shards" -> (trainingShards _),
+    "q212_stratified_kfold" -> (kfoldAuditQ _),
   )
+
+  /** Stratified k-fold assignment audit
+    * ([[graft.sampling.Sampling.stratifiedKFold]]): orders dealt
+    * round-robin into 5 folds WITHIN each priority stratum by
+    * md5-ordered rank — per-(fold, stratum) counts balanced ±1 by
+    * construction, not hash luck; the rank rides rankByRange so no
+    * stratum sorts in one task.
+    */
+  private[graft] def kfoldAuditQ(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.stratifiedKFold(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority")),
+        "o_orderkey", "o_orderpriority", k = 5, salt = "q212")
+      .groupBy(col("fold"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("fold", "o_orderpriority")
 
   def oracleSql: Map[String, String] = Map(
     "q107_temperature_mixture" ->
@@ -319,6 +336,18 @@ private[graft] object SamplingRegistry {
            CAST(sum(tok) AS BIGINT) AS shard_tokens,
            min(seq_id) AS first_seq, max(seq_id) AS last_seq
          FROM c GROUP BY 1 ORDER BY shard""",
+    // md5-ordered round-robin within each stratum: fold sizes are
+    // ±1 per stratum by construction; deterministic in (salt, id)
+    "q212_stratified_kfold" ->
+      """WITH r AS (
+           SELECT o_orderpriority,
+             CAST((row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY md5('q212' || ':'
+                 || CAST(o_orderkey AS VARCHAR)) ASC,
+                 o_orderkey ASC) - 1) % 5 AS INT) AS fold
+           FROM orders)
+         SELECT fold, o_orderpriority, count(*) AS n
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
   /** Deterministic hash-based train/val/test split over orders — pure

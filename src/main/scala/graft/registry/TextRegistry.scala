@@ -36,6 +36,7 @@ private[graft] object TextRegistry {
     "q185_mg_heavy_hitters" -> (mgHeavyHittersQ _),
     "q202_vocab_coverage" -> (vocabCoverageQ _),
     "q204_hill_tail_index" -> (hillTailQ _),
+    "q213_hash_collision_audit" -> (hashCollisionQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -806,6 +807,27 @@ private[graft] object TextRegistry {
            round(sum(ln(CAST(c AS DOUBLE) / CAST(xk.xk1 AS DOUBLE)))
              / CAST(count(*) AS DOUBLE), 6) AS mean_log_excess
          FROM top CROSS JOIN xk WHERE rk <= 500""",
+    // buckets derive exactly as featureHashEmbed does; the mass
+    // share divides once from exact BIGINTs
+    "q213_hash_collision_audit" ->
+      s"""WITH wc AS (
+           SELECT w, count(*) AS c FROM (
+             SELECT unnest($oracleWords) AS w FROM documents)
+           GROUP BY w),
+         h AS (SELECT w, c,
+           CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hh
+           FROM wc),
+         dims AS (SELECT unnest([64, 256, 1024]) AS dim),
+         b AS (SELECT dim, hh % dim AS bkt, count(*) AS types,
+               CAST(sum(c) AS BIGINT) AS mass
+               FROM h CROSS JOIN dims GROUP BY 1, 2)
+         SELECT dim, CAST(sum(types) AS BIGINT) AS n_types,
+           count(*) AS buckets_used,
+           CAST(max(types) AS BIGINT) AS max_bucket_types,
+           round(CAST(sum(CASE WHEN types > 1 THEN mass ELSE 0 END)
+             AS DOUBLE) / CAST(sum(mass) AS DOUBLE), 6)
+             AS collision_mass_share
+         FROM b GROUP BY dim ORDER BY dim""",
   )
 
   /** Vocabulary coverage / OOV curve ([[TextAnalysis.vocabCoverage]]):
@@ -815,6 +837,16 @@ private[graft] object TextRegistry {
   private[graft] def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabCoverage(docs(s, dir), "text")
       .orderBy("vocab_size")
+
+  /** Feature-hash collision audit
+    * ([[TextAnalysis.hashCollisionAudit]]): at the q175 embedder's
+    * candidate dimensions, how much TOKEN MASS collides — the
+    * dimension-sizing report read next to the coverage curve.
+    */
+  private[graft] def hashCollisionQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashCollisionAudit(docs(s, dir), "text",
+        dims = Seq(64, 256, 1024))
+      .orderBy("dim")
 
   /** Hill tail-index of token frequencies
     * ([[TextAnalysis.hillTailIndex]]): the Zipf-tail diagnostic read

@@ -70,6 +70,36 @@ object Sampling {
   /** Tag every row with its split label (e.g. train/val/test). Pure
     * projection — no shuffle, no action, stable under any partitioning.
     */
+  /** Stratified k-fold assignment — the cross-validation splitter
+    * with a BALANCE GUARANTEE: within every stratum, rows are ordered
+    * by (md5(salt‖id), id) and dealt round-robin, so each fold holds
+    * ⌈n_s/k⌉ or ⌊n_s/k⌋ rows of stratum s (±1 by construction, not
+    * by hash luck — plain `md5 mod k` folds drift ±√n, which skews
+    * small strata). Deterministic in (salt, id): re-running or
+    * repartitioning never moves a row between folds.
+    *
+    * Scale shape: the per-stratum rank rides
+    * [[graft.operators.Analytics.rankByRange]] (range-partitioned
+    * two-pass — a plain per-stratum window would sort each stratum
+    * in ONE task, and strata are few and large by nature). One
+    * data-sized shuffle, one narrow offset table.
+    *
+    * Returns `df` plus `foldCol` (0-based int).
+    */
+  def stratifiedKFold(
+      df: DataFrame, idCol: String, stratumCol: String, k: Int,
+      foldCol: String = "fold", salt: String = "fold"): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val ranked = graft.operators.Analytics.rankByRange(
+      df, Seq(stratumCol),
+      Seq(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))).asc,
+        col(idCol).asc),
+      "__kfr")
+    ranked
+      .withColumn(foldCol, ((col("__kfr") - 1L) % k).cast("int"))
+      .drop("__kfr")
+  }
+
   def hashSplit(
       df: DataFrame, idCol: String, splits: Seq[(String, Double)],
       salt: String = "split"): DataFrame =

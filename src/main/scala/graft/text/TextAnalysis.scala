@@ -1370,6 +1370,45 @@ object TextAnalysis {
           / col("__tot").cast("double"), 6).as("oov_rate"))
   }
 
+  /** Feature-hash collision audit — the dimension-sizing companion
+    * to [[featureHashEmbed]]: for each candidate dim, how many
+    * distinct tokens share a bucket, the worst bucket's type load,
+    * and (the number that matters) the share of total TOKEN MASS
+    * sitting in collided buckets — frequent tokens colliding hurt
+    * the embedding far more than rare ones.
+    *
+    * Buckets derive exactly as the embedder does
+    * (`int(md5(t)[0:8], 16) mod dim`), so the audit measures the real
+    * deployment. Shape: one map-side-combined token count (the only
+    * data-sized stage, hashed once and cached), one vocab-sized
+    * grouping per dim, one row out per dim. All counts BIGINT; the
+    * mass share divides once.
+    */
+  def hashCollisionAudit(
+      df: DataFrame, textCol: String, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 2),
+      "dims must be non-empty, each ≥ 2")
+    val counts = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+      .withColumn("__h",
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      .transform(graft.core.CacheScope.disk)
+    dims.map { d =>
+      counts.groupBy((col("__h") % d).as("__b"))
+        .agg(count(lit(1)).as("__types"), sum("__c").as("__mass"))
+        .agg(sum("__types").as("n_types"),
+          count(lit(1)).as("buckets_used"),
+          max("__types").as("max_bucket_types"),
+          sum(when(col("__types") > 1, col("__mass")).otherwise(0L))
+            .as("__cm"),
+          sum("__mass").as("__tm"))
+        .select(lit(d).as("dim"), col("n_types"), col("buckets_used"),
+          col("max_bucket_types"),
+          round(col("__cm").cast("double") / col("__tm").cast("double"),
+            6).as("collision_mass_share"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Hill tail-index estimator over token collection frequencies —
     * the Zipf-tail diagnostic: α̂ = k / Σᵢ ln(xᵢ / x₍ₖ₊₁₎) over the k
     * largest counts. A heavy tail (α near 1) means vocab growth keeps

@@ -123,6 +123,45 @@ class AssociationSpec extends SparkSpec {
     assert(r.getDouble(6) === 0.4)
   }
 
+  // ---- disparateImpact ----
+
+  private def outcomes(rows: Seq[(String, Boolean)]) = df(
+    StructType(Seq(
+      StructField("g", StringType),
+      StructField("y", BooleanType))),
+    rows.map { case (g, y) => Row(g, y) })
+
+  test("disparateImpact: rates, ratios, and the four-fifths flag") {
+    // A: 8/10 (favored), B: 4/10 → ratio 0.5 → flagged
+    val rows = (1 to 8).map(_ => ("A", true)) ++
+      (1 to 2).map(_ => ("A", false)) ++
+      (1 to 4).map(_ => ("B", true)) ++ (1 to 6).map(_ => ("B", false))
+    val out = Analytics.disparateImpact(outcomes(rows), "g", col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(3) === 0.8)
+    assert(out("A").getDouble(4) === 1.0)
+    assert(out("A").getInt(5) === 0)
+    assert(out("B").getDouble(4) === 0.5)
+    assert(out("B").getInt(5) === 1)
+  }
+
+  test("disparateImpact: a group EXACTLY at 0.8 does not flag — the " +
+      "cross-multiplied comparison is exact") {
+    // A: 5/5 = 1.0; B: 4/5 = 0.8 → 5·4·5 < 4·5·5 is FALSE (equal)
+    val rows = (1 to 5).map(_ => ("A", true)) ++
+      (1 to 4).map(_ => ("B", true)) :+ (("B", false))
+    val out = Analytics.disparateImpact(outcomes(rows), "g", col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("B").getDouble(4) === 0.8)
+    assert(out("B").getInt(5) === 0)
+    // just below the line flags: C: 7/9 ≈ 0.777…
+    val rows2 = rows ++ (1 to 7).map(_ => ("C", true)) ++
+      (1 to 2).map(_ => ("C", false))
+    val out2 = Analytics.disparateImpact(outcomes(rows2), "g", col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out2("C").getInt(5) === 1)
+  }
+
   // ---- associationReport ----
 
   test("associationReport: independent columns → zero χ², V and MI") {

@@ -56,6 +56,23 @@ class VocabTailSpec extends SparkSpec {
     assert(math.abs(out.getDouble(3) - lnsum / 10.0) < 1e-5)
   }
 
+  test("hashCollisionAudit: pigeonhole at dim 2, conservation across " +
+      "dims") {
+    val out = TextAnalysis.hashCollisionAudit(
+        corpus(Seq("aa bb cc dd ee aa aa")), "text",
+        dims = Seq(2, 1024))
+      .orderBy("dim").collect()
+    // 5 distinct tokens into 2 buckets: some bucket holds ≥ 3
+    assert(out(0).getLong(3) >= 3L)
+    assert(out(0).getDouble(4) > 0.0)
+    // type count is conserved whatever the dim
+    assert(out.map(_.getLong(1)).toSet === Set(5L))
+    out.foreach { r =>
+      assert(r.getLong(2) <= math.min(r.getInt(0).toLong, 5L))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("vocabCoverage/hillTailIndex: contract guards fire") {
     val c = corpus(Seq("a b"))
     intercept[IllegalArgumentException] {
