@@ -2039,6 +2039,146 @@ object Analytics {
     pi
   }
 
+  /** Bradley–Terry preference strengths — the pairwise-comparison
+    * ranking model behind RLHF reward data, match outcomes, and A/B
+    * preference panels: k rounds of the MM fixed point
+    * pᵢ ← Wᵢ / Σⱼ mᵢⱼ/(pᵢ+pⱼ), normalized to mean 1 each round.
+    *
+    * Exactness (the [[markovStationary]] treatment): strengths live
+    * in 1e6-unit BIGINTs; every per-pair denominator term quantizes
+    * by `(m·S²) div (Pᵢ+Pⱼ)` BEFORE the per-item sum, and the update
+    * and normalization are floor divisions — so the fixed point is
+    * bit-identical across engines, partitionings and cluster sizes.
+    * Positive-operand `div` (truncation) equals SQL `//` (floor), so
+    * an oracle replays it verbatim. Int64 contract: per-pair
+    * comparison counts m must satisfy m·10¹² < 2⁶³ (m < 9·10⁶ —
+    * pre-aggregate or sample heavier panels).
+    *
+    * Shape: comparisons collapse map-side to the pair matrix (the
+    * only data-sized stage); each round is two joins + one
+    * aggregation over item/pair-domain-sized frames, lineage cut per
+    * round by localCheckpoint. Items that never win floor at strength
+    * 1 micro-unit (exactly-zero would divide a later pair by zero).
+    */
+  def bradleyTerry(
+      comparisons: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    val scale = 1000000L
+    val s2 = scale * scale
+    val c = comparisons
+      .select(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .where(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+      .groupBy("__w", "__l").agg(count(lit(1)).as("__n"))
+      .transform(graft.core.CacheScope.disk)
+    val pairs = c.select(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"), col("__n"))
+      .groupBy("__a", "__b").agg(sum("__n").as("__m"))
+      .transform(graft.core.CacheScope.disk)
+    val wins = c.groupBy(col("__w").as("item"))
+      .agg(sum("__n").as("__wn"))
+    val items = c.select(col("__w").as("item"))
+      .union(c.select(col("__l"))).distinct()
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("__wn"), lit(0L)).as("wins"))
+      .transform(graft.core.CacheScope.disk)
+    val nItems = items.count()
+    val ncomp = pairs.select(col("__a").as("item"), col("__m"))
+      .union(pairs.select(col("__b"), col("__m")))
+      .groupBy("item").agg(sum("__m").as("n_comparisons"))
+      .transform(graft.core.CacheScope.disk)
+    var p = items.select(col("item"), lit(scale).as("__p"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withP = pairs
+        .join(p.select(col("item").as("__a"), col("__p").as("__pa")),
+          Seq("__a"))
+        .join(p.select(col("item").as("__b"), col("__p").as("__pb")),
+          Seq("__b"))
+        .withColumn("__t", expr(s"(__m * ${s2}L) div (__pa + __pb)"))
+      val denom = withP.select(col("__a").as("item"), col("__t"))
+        .union(withP.select(col("__b"), col("__t")))
+        .groupBy("item").agg(sum("__t").as("__d"))
+      val updated = items.join(denom, Seq("item"), "left")
+        .select(col("item"),
+          when(col("__d").isNotNull && col("wins") > 0,
+            expr(s"(wins * ${s2}L) div __d")).otherwise(lit(0L))
+            .as("__p0"))
+      val tot = updated.agg(sum("__p0").as("__tot"))
+      p = updated.crossJoin(broadcast(tot))
+        .select(col("item"),
+          greatest(
+            expr(s"(__p0 * ${nItems}L * ${scale}L) div __tot"),
+            lit(1L)).as("__p"))
+        .localCheckpoint()
+    }
+    items.join(ncomp, Seq("item"), "left")
+      .join(p, Seq("item"))
+      .select(col("item"), col("wins"),
+        coalesce(col("n_comparisons"), lit(0L)).as("n_comparisons"),
+        col("__p").as("strength_micro"),
+        round(col("__p").cast("double") / scale, 6).as("strength"))
+  }
+
+  /** Mixture-SPRT sequential monitor (Johari et al., "Peeking at A/B
+    * tests") — the always-valid alternative to fixed-horizon tests:
+    * per group, the cumulative conversion evidence at every period as
+    * the Gaussian-mixture likelihood ratio
+    * Λₙ = √(σ²/(σ²+n·τ²)) · exp(n²τ²(x̄−p₀)² / (2σ²(σ²+n·τ²)))
+    * with the always-valid p-value min(1, 1/max_{m≤n} Λₘ) —
+    * monotone, so "look every period" costs no α.
+    *
+    * Determinism: n and successes are exact BIGINT running sums
+    * (rows-frame windows over a per-period pre-aggregation); x̄ and
+    * the LOG likelihood ratio recompute per row from those integers
+    * with literal σ², τ², p₀ in both engines. The statistic is
+    * carried in LOG space on purpose: raw Λ reaches 10²⁰⁺ where
+    * `round(·, 4)` can no longer absorb a 1-ulp exp() wobble, while
+    * log Λ stays O(10¹) and the p-value exp(−max log Λ) is in [0, 1]
+    * — both round-stable.
+    *
+    * Shape: rows collapse map-side to (group, period) counts; the
+    * windows run over period-count-sized frames. One data-sized
+    * shuffle.
+    */
+  def msprtMonitor(
+      df: DataFrame, groupCol: String, periodCol: Column,
+      labelCol: Column, p0: Double, tau2: Double,
+      alpha: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1, "p0 in (0, 1)")
+    require(tau2 > 0, "tau2 must be positive")
+    val s2 = p0 * (1.0 - p0)
+    val base = df.select(col(groupCol).as("__g"),
+        periodCol.cast("long").as("__p"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__p").isNotNull && col("__y").isNotNull)
+      .groupBy("__g", "__p")
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__s"))
+    val w = Window.partitionBy("__g").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nD = col("__cn").cast("double")
+    val xbar = col("__cs").cast("double") / nD
+    val llam = lit(0.5) * log(lit(s2) / (lit(s2) + nD * lit(tau2))) +
+      ((nD * nD * lit(tau2) * (xbar - lit(p0)) * (xbar - lit(p0)))
+        / (lit(2.0) * lit(s2) * (lit(s2) + nD * lit(tau2))))
+    base
+      .withColumn("__cn", sum("__c").over(w))
+      .withColumn("__cs", sum("__s").over(w))
+      .withColumn("__ll", llam)
+      .withColumn("__llmax", max(col("__ll")).over(w))
+      .select(col("__g").as(groupCol), col("__p").as("period"),
+        col("__cn").as("n_cum"), col("__cs").as("pos_cum"),
+        round(xbar, 6).as("rate"),
+        round(col("__ll"), 4).as("log_lambda"),
+        round(least(lit(1.0), exp(lit(0.0) - col("__llmax"))), 6)
+          .as("always_valid_p"),
+        (least(lit(1.0), exp(lit(0.0) - col("__llmax"))) < alpha)
+          .cast("int").as("rejected_by_now"))
+  }
+
   /** Per-node triangle count and local clustering coefficient over an
     * UNDIRECTED simple graph given as an edge list (either direction;
     * duplicate / self edges tolerated and dropped).

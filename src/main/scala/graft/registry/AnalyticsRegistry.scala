@@ -94,6 +94,8 @@ private[graft] object AnalyticsRegistry {
     "q209_qini_uplift" -> (qiniUpliftQ _),
     "q211_conversion_delay" -> (conversionDelayQ _),
     "q214_disparate_impact" -> (disparateImpactQ _),
+    "q215_msprt_monitor" -> (msprtQ _),
+    "q216_brand_bradley_terry" -> (brandBtQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -2249,6 +2251,89 @@ private[graft] object AnalyticsRegistry {
              AS impact_ratio,
            CAST(5 * p * bn < 4 * bp * n AS INT) AS four_fifths_flag
          FROM per CROSS JOIN best ORDER BY 1""",
+    // log-space mixture SPRT: exact BIGINT running sums, literal
+    // σ²/τ²/p₀ spelled from the same doubles as the engine; log Λ is
+    // O(10) so round(·,4) absorbs library ulp wobble where raw Λ
+    // (up to 1e20+) would not
+    "q215_msprt_monitor" ->
+      s"""WITH b AS (
+           SELECT o_orderpriority AS g,
+             year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS p,
+             (o_totalprice > 150000.0) AS y
+           FROM orders),
+         c AS (SELECT g, p, count(*) AS c,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS s
+               FROM b GROUP BY 1, 2),
+         r AS (SELECT g, p,
+           CAST(sum(c) OVER (PARTITION BY g ORDER BY p ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+           CAST(sum(s) OVER (PARTITION BY g ORDER BY p ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+           FROM c),
+         l AS (SELECT g, p, cn, cs,
+           0.5 * ln(${0.33 * (1.0 - 0.33)}
+               / (${0.33 * (1.0 - 0.33)}
+                 + CAST(cn AS DOUBLE) * 0.0025))
+             + (CAST(cn AS DOUBLE) * CAST(cn AS DOUBLE) * 0.0025
+                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) - 0.33)
+                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) - 0.33))
+               / (2.0 * ${0.33 * (1.0 - 0.33)}
+                 * (${0.33 * (1.0 - 0.33)}
+                   + CAST(cn AS DOUBLE) * 0.0025)) AS ll
+           FROM r),
+         m AS (SELECT g, p, cn, cs, ll,
+           max(ll) OVER (PARTITION BY g ORDER BY p ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS llmax
+           FROM l)
+         SELECT g AS o_orderpriority,
+           CAST(CAST(floor(p / 12.0) AS BIGINT) AS VARCHAR) || '-'
+             || lpad(CAST((p % 12) + 1 AS VARCHAR), 2, '0') AS month,
+           cn AS n_cum, cs AS pos_cum,
+           round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS rate,
+           round(ll, 4) AS log_lambda,
+           round(least(1.0, exp(0.0 - llmax)), 6) AS always_valid_p,
+           CAST(least(1.0, exp(0.0 - llmax)) < 0.05 AS INT)
+             AS rejected_by_now
+         FROM m ORDER BY 1, 2""",
+    // basket-duel comparisons → 8 exact MM rounds; see btRound for
+    // the integer-division mirroring argument
+    "q216_brand_bradley_terry" ->
+      (s"""WITH li AS (
+           SELECT l_orderkey AS ok, p_brand AS brand,
+             l_extendedprice AS price, l_linenumber AS ln
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         comp AS MATERIALIZED (
+           SELECT CASE WHEN x.price < y.price THEN x.brand
+                  ELSE y.brand END AS w,
+             CASE WHEN x.price < y.price THEN y.brand
+                  ELSE x.brand END AS l
+           FROM li x JOIN li y ON x.ok = y.ok AND x.ln < y.ln
+             AND x.brand <> y.brand AND x.price <> y.price),
+         c AS MATERIALIZED (SELECT w, l, count(*) AS n FROM comp GROUP BY 1, 2),
+         pairs AS MATERIALIZED (SELECT least(w, l) AS a, greatest(w, l) AS b,
+                   CAST(sum(n) AS BIGINT) AS m FROM c GROUP BY 1, 2),
+         wins AS (SELECT w AS item, CAST(sum(n) AS BIGINT) AS wn
+                  FROM c GROUP BY 1),
+         it0 AS (SELECT DISTINCT item FROM (
+                 SELECT w AS item FROM c UNION SELECT l FROM c)),
+         items AS MATERIALIZED (SELECT it0.item,
+                   CAST(coalesce(wins.wn, 0) AS BIGINT) AS wins
+                   FROM it0 LEFT JOIN wins USING (item)),
+         nn AS MATERIALIZED (SELECT count(*) AS n FROM items),
+         nc AS (SELECT item, CAST(sum(m) AS BIGINT) AS n_comparisons
+                FROM (SELECT a AS item, m FROM pairs
+                      UNION ALL SELECT b, m FROM pairs) GROUP BY 1),
+         p0 AS MATERIALIZED (SELECT item,
+                CAST(1000000 AS BIGINT) AS p FROM items),
+         """ + (1 to 8).map(btRound).mkString(",\n         ") + """
+         SELECT items.item, items.wins,
+           CAST(coalesce(nc.n_comparisons, 0) AS BIGINT)
+             AS n_comparisons,
+           p8.p AS strength_micro,
+           round(CAST(p8.p AS DOUBLE) / 1000000, 6) AS strength
+         FROM items LEFT JOIN nc USING (item) JOIN p8 USING (item)
+         ORDER BY strength_micro DESC, item"""),
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -3903,6 +3988,87 @@ private[graft] object AnalyticsRegistry {
         col("o_custkey").isNotNull.as("__y"))
     Analytics.disparateImpact(labeled, "c_mktsegment", col("__y"))
       .orderBy("c_mktsegment")
+  }
+
+  /** Always-valid sequential monitor ([[Analytics.msprtMonitor]]):
+    * monthly big-order share per priority against p₀ = 0.33 — the
+    * peeking-safe test whose p-value can be read EVERY period without
+    * α inflation; the statistic rides in log space so rounding stays
+    * engine-stable at any evidence level.
+    */
+  private[graft] def msprtQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderpriority"),
+      (year(col("o_orderdate").cast("date")) * 12
+        + month(col("o_orderdate").cast("date")) - 1).as("__m"),
+      (col("o_totalprice") > 150000.0).as("__y"))
+    Analytics.msprtMonitor(o, "o_orderpriority", col("__m"),
+        col("__y"), p0 = 0.33, tau2 = 0.0025)
+      .select(col("o_orderpriority"),
+        concat(floor(col("period") / 12).cast("string"), lit("-"),
+          lpad(((col("period") % 12) + 1).cast("string"), 2, "0"))
+          .as("month"),
+        col("n_cum"), col("pos_cum"), col("rate"), col("log_lambda"),
+        col("always_valid_p"), col("rejected_by_now"))
+      .orderBy("o_orderpriority", "month")
+  }
+
+  /** Bradley–Terry brand strengths ([[Analytics.bradleyTerry]]):
+    * within every order, each cheaper-line brand "beats" each
+    * pricier-line brand; 8 exact fixed-point MM rounds rank the
+    * brands — the pairwise-preference model behind RLHF reward data,
+    * exercised on the basket-duel graph.
+    */
+  private[graft] def brandBtQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("__ok"),
+        col("p_brand").as("__brand"),
+        col("l_extendedprice").as("__price"),
+        col("l_linenumber").as("__ln"))
+    val comp = li.alias("x").join(li.alias("y"),
+        col("x.__ok") === col("y.__ok") &&
+        col("x.__ln") < col("y.__ln") &&
+        col("x.__brand") =!= col("y.__brand") &&
+        col("x.__price") =!= col("y.__price"))
+      .select(
+        when(col("x.__price") < col("y.__price"), col("x.__brand"))
+          .otherwise(col("y.__brand")).as("winner"),
+        when(col("x.__price") < col("y.__price"), col("y.__brand"))
+          .otherwise(col("x.__brand")).as("loser"))
+    Analytics.bradleyTerry(comp, "winner", "loser", iters = 8)
+      .orderBy(col("strength_micro").desc, col("item"))
+  }
+
+  /** One Bradley–Terry MM round as oracle CTEs: per-pair terms
+    * quantize by BIGINT `//` BEFORE the per-item sum, update and
+    * normalization are floor divisions — positive-operand `div`
+    * (engine) equals `//` (DuckDB), so the fixed point replays
+    * bit-for-bit.
+    */
+  private def btRound(i: Int): String = {
+    val prev = s"p${i - 1}"
+    s"""tr$i AS MATERIALIZED (
+         SELECT a, b, m, pa.p AS pa, pb.p AS pb
+         FROM pairs
+         JOIN $prev pa ON pa.item = a JOIN $prev pb ON pb.item = b),
+       dr$i AS MATERIALIZED (
+         SELECT item, CAST(sum(t) AS BIGINT) AS d FROM (
+           SELECT a AS item,
+             (m * 1000000000000) // (pa + pb) AS t FROM tr$i
+           UNION ALL SELECT b,
+             (m * 1000000000000) // (pa + pb) FROM tr$i)
+         GROUP BY 1),
+       ur$i AS MATERIALIZED (
+         SELECT items.item,
+           CASE WHEN d IS NOT NULL AND wins > 0
+             THEN (wins * 1000000000000) // d ELSE 0 END AS p0
+         FROM items LEFT JOIN dr$i USING (item)),
+       tt$i AS MATERIALIZED (SELECT CAST(sum(p0) AS BIGINT) AS tot FROM ur$i),
+       p$i AS MATERIALIZED (
+         SELECT item,
+           greatest((p0 * nn.n * 1000000) // tot, 1) AS p
+         FROM ur$i CROSS JOIN tt$i CROSS JOIN nn)"""
   }
 
   /** The Poisson(1) weight as pure integer threshold comparisons over
