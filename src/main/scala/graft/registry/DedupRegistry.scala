@@ -34,6 +34,7 @@ private[graft] object DedupRegistry {
     "q148_mergeable_datasheet" -> (mergeableDatasheetQ _),
     "q149_dedup_token_budget" -> (dedupTokenBudget _),
     "q152_cross_source_dup_matrix" -> (crossSourceDupMatrixQ _),
+    "q218_split_leakage" -> (splitLeakageQ _),
     "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
     "q21_doc_fingerprints" -> (docFingerprints _),
     "q22_exact_dup_stats" -> (exactDupStats _),
@@ -411,6 +412,43 @@ private[graft] object DedupRegistry {
          FROM raw r LEFT JOIN keptt k
            ON k.lang IS NOT DISTINCT FROM r.lang
          ORDER BY r.lang""",
+    // the q152 chain with the md5 hash split as the source label:
+    // cross-split cells ARE the leakage
+    "q218_split_leakage" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         pairsj AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT ida, idb FROM pairsj
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         sym AS (SELECT ida AS x, idb AS y FROM verified
+                 UNION ALL SELECT idb, ida FROM verified),
+         es AS (
+           SELECT ${oracleSplitCase("x")} AS src_a,
+             ${oracleSplitCase("y")} AS src_b, x, y
+           FROM sym),
+         cells AS (
+           SELECT src_a, src_b,
+             CAST(CASE WHEN src_a = src_b THEN count(*) // 2
+                       ELSE count(*) END AS BIGINT) AS n_pairs,
+             count(DISTINCT x) AS n_dup_docs
+           FROM es GROUP BY 1, 2),
+         tot AS (SELECT ${oracleSplitCase("doc_id")} AS src_a,
+                 count(*) AS n_docs
+                 FROM documents GROUP BY 1)
+         SELECT src_a, src_b, n_pairs,
+           CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4) AS dup_frac
+         FROM cells JOIN tot USING (src_a)
+         ORDER BY src_a, src_b""",
     // q24's verified pairs, symmetrized and joined to sources: the
     // diagonal holds both directions of each pair (halve it)
     "q152_cross_source_dup_matrix" ->
@@ -1094,6 +1132,22 @@ private[graft] object DedupRegistry {
     Dedup.crossSourceDupMatrix(docs(s, dir), "doc_id", "text", "source")
       .orderBy("src_a", "src_b")
 
+  /** Train/test split leakage audit: the q152 dup matrix with the
+    * md5 hash split (90/10) as the "source" — near-dup pairs CROSSING
+    * the split boundary are exactly the eval rows a model has
+    * effectively seen in training; run before any benchmark number
+    * ships. Composes [[graft.sampling.Sampling.hashSplit]] with
+    * [[Dedup.crossSourceDupMatrix]] — the split is a pure projection,
+    * so the audit costs one LSH chain, same as q152.
+    */
+  private[graft] def splitLeakageQ(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceDupMatrix(
+        graft.sampling.Sampling.hashSplit(docs(s, dir), "doc_id",
+          Seq("train" -> 0.9, "test" -> 0.1), salt = "q218"),
+        "doc_id", "text", "split")
+      .orderBy("src_a", "src_b")
+
   /** Cluster-merge survivorship ([[Dedup.mergeSurvivorship]]): q128's
     * near-dup clusters, but each collapses to ONE consolidated record
     * carrying the union of the cluster's provenance (sources, langs)
@@ -1116,6 +1170,15 @@ private[graft] object DedupRegistry {
   }
 
   private[graft] val oracleShingleCte = "WITH " + oracleShingleCtes
+
+  /** The q218 90/10 md5 hash split, mirroring
+    * `Sampling.splitColumn(salt = "q218")` — salt concatenated with
+    * no separator, bound pinned to 0.9.
+    */
+  private def oracleSplitCase(idExpr: String): String =
+    s"(CASE WHEN CAST(('0x' || substr(md5('q218' " +
+      s"|| CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) " +
+      s"/ 4294967296.0 < 0.9 THEN 'train' ELSE 'test' END)"
 
   /** Exact-Jaccard pair selection from the shingle CTE. */
   private[graft] def oracleJaccardSelect(

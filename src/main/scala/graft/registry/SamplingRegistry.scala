@@ -32,7 +32,20 @@ private[graft] object SamplingRegistry {
     "q70_cluster_split" -> (clusterSplit _),
     "q73_training_shards" -> (trainingShards _),
     "q212_stratified_kfold" -> (kfoldAuditQ _),
+    "q217_padding_waste" -> (paddingWasteQ _),
   )
+
+  /** Padding-waste / packing-win report
+    * ([[graft.sampling.Packing.paddingWasteReport]]): at candidate
+    * max sequence lengths, truncation loss and padding burn of
+    * one-doc-per-row batching vs the utilization concat-and-chunk
+    * packing reaches — the max_len sizing table.
+    */
+  private[graft] def paddingWasteQ(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Packing.paddingWasteReport(docs(s, dir),
+        graft.text.TextAnalysis.tokenCount(col("text")),
+        maxLens = Seq(64, 128, 256, 512))
+      .orderBy("max_len")
 
   /** Stratified k-fold assignment audit
     * ([[graft.sampling.Sampling.stratifiedKFold]]): orders dealt
@@ -348,6 +361,28 @@ private[graft] object SamplingRegistry {
            FROM orders)
          SELECT fold, o_orderpriority, count(*) AS n
          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    // exact BIGINT sums over (docs × candidate lengths); div ==
+    // positive //, one division per statistic
+    "q217_padding_waste" ->
+      s"""WITH tk AS (
+           SELECT CAST(len($oracleWords) AS BIGINT) AS t
+           FROM documents),
+         g AS (SELECT m AS max_len, count(*) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           CAST(sum(least(t, m)) AS BIGINT) AS kept_tokens,
+           CAST(sum(greatest(t - m, 0)) AS BIGINT) AS truncated_tokens,
+           CAST(sum(m - least(t, m)) AS BIGINT) AS padding_tokens
+           FROM tk, (SELECT unnest([64, 128, 256, 512]) AS m) ms
+           GROUP BY m)
+         SELECT max_len, n_docs, total_tokens, kept_tokens,
+           truncated_tokens, padding_tokens,
+           round(CAST(kept_tokens AS DOUBLE)
+             / CAST(n_docs * max_len AS DOUBLE), 6) AS utilization,
+           (kept_tokens + max_len - 1) // max_len AS packed_batches,
+           round(CAST(kept_tokens AS DOUBLE)
+             / CAST(((kept_tokens + max_len - 1) // max_len) * max_len
+               AS DOUBLE), 6) AS packed_utilization
+         FROM g ORDER BY max_len""",
   )
 
   /** Deterministic hash-based train/val/test split over orders — pure

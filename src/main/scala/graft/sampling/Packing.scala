@@ -201,6 +201,47 @@ object Packing {
       .where(col("__cross").isNull || col("__bin") <= col("__cross"))
   }
 
+  /** Padding-waste report — the max_len sizing question asked before
+    * any batching scheme is frozen: at each candidate sequence
+    * length, how many tokens survive truncation, how much padding the
+    * one-doc-per-row baseline burns, and what utilization
+    * concat-and-chunk packing ([[packIntoShards]]) would reach
+    * instead. The gap between `utilization` and `packed_utilization`
+    * IS the packing win.
+    *
+    * Pure aggregation over (docs × candidate lengths) — no window, no
+    * join; every statistic is exact BIGINT sums with one division at
+    * the end (`div` == positive `//`, oracle-replayable).
+    */
+  def paddingWasteReport(
+      df: DataFrame, tokenCol: Column,
+      maxLens: Seq[Int]): DataFrame = {
+    require(maxLens.nonEmpty && maxLens.forall(_ >= 1),
+      "maxLens must be non-empty, each ≥ 1")
+    df.select(tokenCol.cast("long").as("__t"))
+      .where(col("__t").isNotNull && col("__t") >= 0)
+      .select(col("__t"),
+        explode(typedLit(maxLens.sorted)).as("max_len"))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__t").as("total_tokens"),
+        sum(least(col("__t"), col("max_len").cast("long")))
+          .as("kept_tokens"),
+        sum(greatest(col("__t") - col("max_len"), lit(0L)))
+          .as("truncated_tokens"),
+        sum(col("max_len").cast("long")
+          - least(col("__t"), col("max_len").cast("long")))
+          .as("padding_tokens"))
+      .withColumn("utilization",
+        round(col("kept_tokens").cast("double")
+          / (col("n_docs") * col("max_len")).cast("double"), 6))
+      .withColumn("packed_batches",
+        expr("(kept_tokens + max_len - 1) div max_len"))
+      .withColumn("packed_utilization",
+        round(col("kept_tokens").cast("double")
+          / (col("packed_batches") * col("max_len")).cast("double"), 6))
+  }
+
   /** Primary sort key of an `orderBy` head: (child column, descending?,
     * nulls first?). A bare column sorts ascending-nulls-first, matching
     * Spark's `Window.orderBy` default.

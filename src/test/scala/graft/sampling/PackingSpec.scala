@@ -280,4 +280,28 @@ class PackingSpec extends SparkSpec {
         Seq(1, 2, 3))
     }
   }
+
+  test("paddingWasteReport: hand-computed truncation, padding and " +
+      "packed utilization at two candidate lengths") {
+    val d = df(
+      StructType(Seq(StructField("t", LongType))),
+      Seq(Row(10L), Row(100L)))
+    val out = Packing.paddingWasteReport(d, col("t"),
+        maxLens = Seq(50, 200))
+      .orderBy("max_len").collect()
+    // M = 50: kept 10 + 50, truncated 50, padding 40; one-per-row
+    // utilization 60/100; packed ⌈60/50⌉ = 2 batches → 60/100
+    val m50 = out(0)
+    assert(m50.getLong(1) === 2L && m50.getLong(2) === 110L)
+    assert(m50.getLong(3) === 60L && m50.getLong(4) === 50L)
+    assert(m50.getLong(5) === 40L)
+    assert(m50.getDouble(6) === 0.6)
+    assert(m50.getLong(7) === 2L && m50.getDouble(8) === 0.6)
+    // M = 200: nothing truncates; padding 290; packing wins 2×
+    val m200 = out(1)
+    assert(m200.getLong(3) === 110L && m200.getLong(4) === 0L)
+    assert(m200.getLong(5) === 290L)
+    assert(m200.getDouble(6) === 0.275)
+    assert(m200.getLong(7) === 1L && m200.getDouble(8) === 0.55)
+  }
 }
