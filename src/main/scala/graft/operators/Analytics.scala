@@ -2039,6 +2039,112 @@ object Analytics {
     pi
   }
 
+  /** KMV (k-minimum-values) audience-overlap audit: pairwise distinct
+    * INTERSECTION estimates between groups from mergeable bottom-k
+    * hash sketches — the set operation HLL cannot do — verified
+    * in-query against the exact intersection (the q46/q177
+    * sketch-honesty pattern; md5 is fixed, so the `within_tol` flag
+    * is deterministic, not flaky).
+    *
+    * Sketch: per group, the k smallest 60-bit md5 values over
+    * DISTINCT members (ties on h broken by member id — md5 collisions
+    * at 60 bits are possible in principle, ordering stays total);
+    * estimate = (k−1)·2⁶⁰/θ_k, exact when the group holds < k
+    * members. Union sketches merge by k-smallest-of-union
+    * (bottom-k is closed under union — the mergeability that makes
+    * this a SHARDED sketch at 100 TB); intersection by
+    * inclusion–exclusion, clamped at 0.
+    *
+    * Shape: one distinct (the data-sized stage, cached), per-group
+    * bottom-k windows (partitioned), pair enumeration over the
+    * group-DOMAIN (the q78 intended triangle — allowlisted), merges
+    * by two equi-joins, and the exact audit legs are id-equi
+    * self-joins. Error ~1.3/√k of the union size; `tolFrac` sets the
+    * audit band (default 3/√k).
+    */
+  def kmvOverlap(
+      df: DataFrame, groupCol: String, idCol: String,
+      k: Int = 256, tolFrac: Double = -1.0): DataFrame = {
+    require(k >= 16 && k <= 4096, "k in [16, 4096]")
+    val tol = if (tolFrac > 0) tolFrac else 3.0 / math.sqrt(k.toDouble)
+    val m = 1152921504606846976L // 2^60
+    val distinct = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(idCol).cast("string").as("__id"))
+      .where(col("__g").isNotNull && col("__id").isNotNull)
+      .distinct()
+      .withColumn("__h",
+        conv(substring(md5(col("__id")), 1, 15), 16, 10).cast("long"))
+      .transform(graft.core.CacheScope.disk)
+    val w = Window.partitionBy("__g")
+      .orderBy(col("__h").asc, col("__id").asc)
+    val sketch = distinct
+      .withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+      .select(col("__g"), col("__h"), col("__id"))
+      .transform(graft.core.CacheScope.disk)
+    val sizes = distinct.groupBy("__g").agg(count(lit(1)).as("__exact"))
+      .transform(graft.core.CacheScope.disk)
+    def estimate(nCol: Column, thetaCol: Column): Column =
+      when(nCol < k, nCol.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(m.toDouble)
+          / thetaCol.cast("double"))
+    val perGroup = sketch.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), max("__h").as("__theta"))
+      .join(sizes, Seq("__g"))
+      .select(col("__g"), col("__exact"),
+        estimate(col("__exact"), col("__theta")).as("__est"))
+      .transform(graft.core.CacheScope.disk)
+    // group-domain pair enumeration (bounded by the label domain,
+    // not provable from plan shape — allowlisted like q78)
+    val pairs = perGroup.select(col("__g").as("__ga"),
+        col("__exact").as("__ea"), col("__est").as("__esta"))
+      .join(perGroup.select(col("__g").as("__gb"),
+        col("__exact").as("__eb"), col("__est").as("__estb")),
+        col("__ga") < col("__gb"))
+    val mA = pairs.select(col("__ga"), col("__gb"))
+      .join(sketch.withColumnRenamed("__g", "__ga"), Seq("__ga"))
+    val mB = pairs.select(col("__ga"), col("__gb"))
+      .join(sketch.withColumnRenamed("__g", "__gb"), Seq("__gb"))
+    val merged = mA.select(col("__ga"), col("__gb"), col("__h"), col("__id"))
+      .union(mB.select(col("__ga"), col("__gb"), col("__h"), col("__id")))
+      .dropDuplicates("__ga", "__gb", "__h", "__id")
+    val wu = Window.partitionBy("__ga", "__gb")
+      .orderBy(col("__h").asc, col("__id").asc)
+    val unions = merged.withColumn("__r", row_number().over(wu))
+      .groupBy("__ga", "__gb")
+      .agg(count(lit(1)).as("__un"),
+        max(when(col("__r") === k, col("__h"))).as("__utheta"))
+    val exactInt = distinct.select(col("__g").as("__ga"), col("__id"))
+      .join(distinct.select(col("__g").as("__gb"), col("__id")),
+        Seq("__id"))
+      .where(col("__ga") < col("__gb"))
+      .groupBy("__ga", "__gb").agg(count(lit(1)).as("__xint"))
+    pairs
+      .join(unions, Seq("__ga", "__gb"))
+      .join(exactInt, Seq("__ga", "__gb"), "left")
+      .select(col("__ga"), col("__gb"), col("__ea"), col("__eb"),
+        coalesce(col("__xint"), lit(0L)).as("__xi"),
+        (col("__ea") + col("__eb") - coalesce(col("__xint"), lit(0L)))
+          .as("__xu"),
+        col("__esta"), col("__estb"),
+        when(col("__un") < k, col("__un").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(m.toDouble)
+            / col("__utheta").cast("double")).as("__estu"))
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        col("__ea").as("exact_a"), col("__eb").as("exact_b"),
+        col("__xi").as("exact_intersection"),
+        col("__xu").as("exact_union"),
+        round(col("__esta"), 4).as("est_a"),
+        round(col("__estb"), 4).as("est_b"),
+        round(col("__estu"), 4).as("est_union"),
+        round(greatest(col("__esta") + col("__estb") - col("__estu"),
+          lit(0.0)), 4).as("est_intersection"),
+        (abs(greatest(col("__esta") + col("__estb") - col("__estu"),
+            lit(0.0)) - col("__xi").cast("double")) <=
+          lit(tol) * col("__xu").cast("double") + lit(2.0))
+          .cast("int").as("within_tol"))
+  }
+
   /** Bradley–Terry preference strengths — the pairwise-comparison
     * ranking model behind RLHF reward data, match outcomes, and A/B
     * preference panels: k rounds of the MM fixed point

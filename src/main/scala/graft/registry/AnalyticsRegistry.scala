@@ -96,6 +96,7 @@ private[graft] object AnalyticsRegistry {
     "q214_disparate_impact" -> (disparateImpactQ _),
     "q215_msprt_monitor" -> (msprtQ _),
     "q216_brand_bradley_terry" -> (brandBtQ _),
+    "q219_kmv_overlap" -> (kmvOverlapQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -2334,6 +2335,64 @@ private[graft] object AnalyticsRegistry {
            round(CAST(p8.p AS DOUBLE) / 1000000, 6) AS strength
          FROM items LEFT JOIN nc USING (item) JOIN p8 USING (item)
          ORDER BY strength_micro DESC, item"""),
+    // bottom-k md5 sketches: estimate (k−1)·2⁶⁰/θ_k, exact below k;
+    // union = k-smallest-of-union; intersection by
+    // inclusion–exclusion clamped at 0; tolerance 3/√k of the union
+    "q219_kmv_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type AS g,
+             CAST(user_id AS VARCHAR) AS id FROM events),
+         h AS (SELECT g, id,
+               CAST(('0x' || substr(md5(id), 1, 15)) AS BIGINT) AS hh
+               FROM d),
+         sk AS MATERIALIZED (SELECT g, hh, id FROM (
+           SELECT g, hh, id, row_number() OVER (PARTITION BY g
+             ORDER BY hh, id) AS r FROM h) WHERE r <= 256),
+         sz AS (SELECT g, count(*) AS ex FROM d GROUP BY g),
+         pg AS (SELECT g, count(*) AS n, CAST(max(hh) AS BIGINT)
+                AS theta FROM sk GROUP BY 1),
+         est AS MATERIALIZED (SELECT sz.g, sz.ex,
+           CASE WHEN sz.ex < 256 THEN CAST(sz.ex AS DOUBLE)
+                ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE)
+                  / CAST(pg.theta AS DOUBLE) END AS est
+           FROM sz JOIN pg USING (g)),
+         prs AS MATERIALIZED (
+           SELECT a.g AS ga, a.ex AS ea, a.est AS esta,
+             b.g AS gb, b.ex AS eb, b.est AS estb
+           FROM est a JOIN est b ON a.g < b.g),
+         mg AS (SELECT ga, gb, hh, id FROM (
+           SELECT p.ga, p.gb, sk.hh, sk.id FROM prs p
+             JOIN sk ON sk.g = p.ga
+           UNION ALL SELECT p.ga, p.gb, sk.hh, sk.id FROM prs p
+             JOIN sk ON sk.g = p.gb)
+           GROUP BY ga, gb, hh, id),
+         un AS (SELECT ga, gb, count(*) AS un,
+               CAST(max(CASE WHEN r = 256 THEN hh END) AS BIGINT)
+                 AS utheta FROM (
+           SELECT ga, gb, hh,
+             row_number() OVER (PARTITION BY ga, gb
+               ORDER BY hh, id) AS r FROM mg)
+           GROUP BY 1, 2),
+         unx AS (SELECT ga, gb,
+           CASE WHEN un < 256 THEN CAST(un AS DOUBLE)
+                ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE)
+                  / CAST(utheta AS DOUBLE) END AS estu FROM un),
+         xi AS (SELECT a.g AS ga, b.g AS gb, count(*) AS xi
+                FROM d a JOIN d b ON a.id = b.id AND a.g < b.g
+                GROUP BY 1, 2)
+         SELECT prs.ga AS group_a, prs.gb AS group_b,
+           CAST(ea AS BIGINT) AS exact_a, CAST(eb AS BIGINT) AS exact_b,
+           CAST(coalesce(xi.xi, 0) AS BIGINT) AS exact_intersection,
+           CAST(ea + eb - coalesce(xi.xi, 0) AS BIGINT) AS exact_union,
+           round(esta, 4) AS est_a, round(estb, 4) AS est_b,
+           round(estu, 4) AS est_union,
+           round(greatest(esta + estb - estu, 0.0), 4)
+             AS est_intersection,
+           CAST(abs(greatest(esta + estb - estu, 0.0)
+               - CAST(coalesce(xi.xi, 0) AS DOUBLE))
+             <= 0.1875 * CAST(ea + eb - coalesce(xi.xi, 0) AS DOUBLE)
+               + 2.0 AS INT) AS within_tol
+         FROM prs JOIN unx USING (ga, gb) LEFT JOIN xi USING (ga, gb)
+         ORDER BY 1, 2""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -4039,6 +4098,17 @@ private[graft] object AnalyticsRegistry {
     Analytics.bradleyTerry(comp, "winner", "loser", iters = 8)
       .orderBy(col("strength_micro").desc, col("item"))
   }
+
+  /** KMV audience-overlap audit ([[Analytics.kmvOverlap]]): pairwise
+    * distinct-user intersection estimates between event types from
+    * bottom-256 md5 sketches — the set operation HLL can't do —
+    * verified in-query against the exact intersections (deterministic
+    * flag: md5 is fixed).
+    */
+  private[graft] def kmvOverlapQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.kmvOverlap(events(s, dir), "event_type", "user_id",
+        k = 256)
+      .orderBy("group_a", "group_b")
 
   /** One Bradley–Terry MM round as oracle CTEs: per-pair terms
     * quantize by BIGINT `//` BEFORE the per-item sum, update and

@@ -135,6 +135,12 @@ class PlanGateSpec extends SparkSpec {
     "q138_ann_recall_audit_sampled" -> 2,
     "q139_index_lifecycle" -> 2,
     "q78_centroid_drift" -> 1,
+    // KMV pair enumeration over the event-type DOMAIN (the q78
+    // intended triangle): both legs are per-group one-row estimate
+    // frames, bounded by label domain, not plan shape; the ONE
+    // enumeration site appears 3× because the un-persisted pair
+    // frame feeds three consumers (two merge legs + the final join)
+    "q219_kmv_overlap" -> 3,
     "q92_type_weekday_chi2" -> 1,
     "q59_token_shards" -> 1,
     "q73_training_shards" -> 1,

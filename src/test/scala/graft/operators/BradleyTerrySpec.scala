@@ -54,6 +54,47 @@ class BradleyTerrySpec extends SparkSpec {
     assert(out("A") > 1000000L)
   }
 
+  // ---- kmvOverlap ----
+
+  private def members(rows: Seq[(String, String)]) = df(
+    StructType(Seq(
+      StructField("g", StringType),
+      StructField("id", StringType))),
+    rows.map { case (g, id) => Row(g, id) })
+
+  test("kmvOverlap: below k the sketch is exact — estimates equal " +
+      "exact counts; disjoint groups clamp to zero") {
+    val rows = (1 to 30).map(i => ("A", s"u$i")) ++
+      (21 to 50).map(i => ("B", s"u$i")) ++
+      (100 to 119).map(i => ("C", s"u$i"))
+    val out = Analytics.kmvOverlap(members(rows), "g", "id", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getLong(2) === 30L && ab.getLong(3) === 30L)
+    assert(ab.getLong(4) === 10L) // u21..u30
+    assert(ab.getDouble(6) === 30.0 && ab.getDouble(8) === 50.0)
+    assert(ab.getDouble(9) === 10.0) // exact regime intersection
+    assert(ab.getInt(10) === 1)
+    val ac = out(("A", "C"))
+    assert(ac.getLong(4) === 0L)
+    assert(ac.getDouble(9) === 0.0 && ac.getInt(10) === 1)
+  }
+
+  test("kmvOverlap: the sketch regime estimates within the audited " +
+      "tolerance and runs are bit-identical") {
+    // 300 + 300 members, 150 shared, k = 64 → estimation kicks in
+    val rows = (1 to 300).map(i => ("A", s"m$i")) ++
+      (151 to 450).map(i => ("B", s"m$i"))
+    val a = Analytics.kmvOverlap(members(rows), "g", "id", k = 64)
+      .collect().head
+    assert(a.getLong(4) === 150L)
+    assert(a.getInt(10) === 1) // within 3/√k of the union + slack
+    assert(a.getDouble(8) > 300.0) // union estimate is in range
+    val b = Analytics.kmvOverlap(members(rows), "g", "id", k = 64)
+      .collect().head
+    assert(a === b)
+  }
+
   // ---- msprtMonitor ----
 
   private def outcomes(rows: Seq[(String, Long, Boolean)]) = df(
