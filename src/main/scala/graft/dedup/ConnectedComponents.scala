@@ -118,6 +118,81 @@ object ConnectedComponents {
     (labels, true)
   }
 
+  /** Incremental component maintenance — fold a batch of NEW edges into
+    * an existing labeling without re-touching the full graph. The batch
+    * path every fingerprint index in this engine already has, applied
+    * to the cluster layer: a 100 TB dedup graph grows by a day's
+    * crawl, and recomputing [[components]] from scratch costs
+    * O(corpus) while the day's merge work is O(batch + touched
+    * components).
+    *
+    * Correctness rests on label canonicality: `labels` maps each node
+    * to the MINIMUM node id of its component (exactly what
+    * [[components]] / [[componentsAuto]] emit), so contracting each
+    * new edge to its endpoints' labels — unseen endpoints label as
+    * themselves — yields a "component graph" whose own min-label
+    * components are the global minima of the merged components. The
+    * contracted graph has at most `2·|batch|` nodes regardless of
+    * corpus size, so it is labeled with [[componentsAuto]] (driver
+    * union-find under the limit, the distributed loop above it), and
+    * the result broadcasts back over the standing labels as a
+    * relabeling join touching only merged components. Re-applying an
+    * already-folded batch is a no-op (every edge contracts to a
+    * self-loop), so a replayed micro-batch cannot corrupt the store —
+    * the idempotence contract streaming maintenance needs.
+    *
+    * Returns the FULL updated labeling `(id, component)` — standing
+    * nodes (relabeled where merged) plus the batch's new nodes.
+    * Integral id columns only (the contracted graph passes through
+    * [[componentsAuto]]). `labels` must carry `(id, component)`.
+    */
+  def incremental(
+      labels: DataFrame, newEdges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25,
+      driverEdgeLimit: Long = 100000): DataFrame = {
+    // materialize the batch once: it feeds the two label lookups AND
+    // the new-node leg below
+    val e0 = newEdges
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    def toLabel(side: String) = e0
+      .join(lab.select(col("id").as(side), col("component").as(s"__c$side")),
+        Seq(side), "left")
+    val contracted = toLabel("src")
+      .join(lab.select(col("id").as("dst"), col("component").as("__cdst")),
+        Seq("dst"), "left")
+      .select(
+        coalesce(col("__csrc"), col("src")).as("ca"),
+        coalesce(col("__cdst"), col("dst")).as("cb"))
+      .where(col("ca") =!= col("cb"))
+      .distinct()
+    val (merge, converged) = componentsAuto(contracted, "ca", "cb",
+      maxIter, driverEdgeLimit)
+    require(converged, "contracted-graph labeling did not converge; " +
+      "raise maxIter")
+    // relabel the standing store: only components named in the merge
+    // map move — everything else passes through untouched
+    val m = merge.select(col("id").as("component"),
+      col("component").as("__new"))
+    val updated = lab.join(m, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("component")).as("component"))
+    // nodes first seen in this batch: their contracted id IS their own
+    // id, so the merge map (or self) labels them directly
+    val batchNodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst")))
+      .distinct()
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+    val fresh = batchNodes
+      .join(m.withColumnRenamed("component", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__new"), col("id")).as("component"))
+    updated.union(fresh)
+  }
+
   /** [[components]] plus whether the propagation actually converged
     * within `maxIter` iterations. `converged == false` means at least
     * one component's min label was still in flight when the loop cut

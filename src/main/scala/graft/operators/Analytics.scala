@@ -889,6 +889,49 @@ object Analytics {
           4).as("skew_ratio"))
   }
 
+  /** Join-size forecast — the OTHER pre-flight to run before submitting
+    * a 100 TB equi-join (the [[skewReport]] sibling): the exact output
+    * cardinality of `left ⋈ right` on the key, decomposed by its top
+    * contributing keys. For an inner equi-join the output is EXACTLY
+    * `Σ_k cl(k)·cr(k)` over matched keys — two grouped counts and one
+    * narrow join on distinct keys buy the number the optimizer only
+    * estimates, at a cost dwarfed by the join itself (the per-key
+    * frames carry two longs per distinct key, not the payload rows).
+    * A `share_micro` concentrated on one key says salt it
+    * ([[saltedJoin]]); a `total_out_rows` far above both input sizes
+    * says the join fans out and downstream sizing must plan for the
+    * PRODUCT, not the inputs.
+    *
+    * Returns the `topN` keys by output contribution (ties broken on
+    * the key, so the cut is deterministic): `key, n_left, n_right,
+    * out_rows, total_out_rows, n_matched_keys, share_micro` — the
+    * totals ride every row via a one-row broadcast, the registry's
+    * scalar-frame idiom. Counts and products are exact BIGINT; shares
+    * are exact integer micro-units (floor). Null keys are excluded —
+    * they never match an equi-join.
+    */
+  def joinSizeForecast(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    val l = left.where(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.where(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val j = l.join(r, Seq("key"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    val totals = j.agg(
+      sum(col("out_rows")).cast("long").as("total_out_rows"),
+      count(lit(1)).as("n_matched_keys"))
+    j.crossJoin(broadcast(totals))
+      .withColumn("share_micro",
+        expr("out_rows * 1000000 div total_out_rows"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topN)
+  }
+
   /** Winsorization (percentile clipping) — the outlier-robust feature
     * transform a training pipeline applies before normalizing a
     * numeric signal: clamp `valueCol` into its [pLo, pHi] quantile
@@ -980,9 +1023,20 @@ object Analytics {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val gcols = groupCols.map(col)
-    val tagged = df
+    // MATERIALIZE the pid tagging: it feeds BOTH plan legs below
+    // (local ranks + per-partition offsets), and spark_partition_id is
+    // genuinely nondeterministic — repartitionByRange samples its
+    // boundaries with a per-instantiation seed, so if the optimizer
+    // does NOT reuse the exchange (it usually does; deep composed
+    // inputs — q180's ntile foldLeft — can defeat it), the two legs
+    // would re-execute the exchange with DIFFERENT boundaries and the
+    // offsets would disagree with the local ranks. The persist pins
+    // one pid assignment for both consumers — the
+    // checkpoint-before-reuse rule, applied where the reused frame is
+    // nondeterministic rather than merely expensive.
+    val tagged = graft.core.CacheScope.disk(df
       .repartitionByRange(parts, (gcols ++ orderBy): _*)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pid", spark_partition_id()))
     val offW = Window.partitionBy(groupCols.map(c => col("__g_" + c)): _*)
       .orderBy(col("__pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2430,6 +2484,81 @@ object Analytics {
     topK(nonEdges, col("ra_micro"), k, col("__a"), col("__b"))
       .select(col("__a").as("node_a"), col("__b").as("node_b"),
         col("common_neighbors"), col("ra_micro"))
+  }
+
+  /** k-core decomposition (the `k`-slice): the maximal subgraph in
+    * which every node has degree ≥ `k` within the subgraph, by the
+    * classic iterative peel — drop every node with current degree
+    * < `k`, restrict the edges to survivors, repeat until a round
+    * removes nothing. The k-core is the standard "dense engagement
+    * backbone" cut (community cores, spam-ring detection, influence
+    * seeding) that plain degree thresholding gets wrong: a degree-k
+    * node whose neighbors all peel away is NOT core.
+    *
+    * Scale shape: each round is one grouped degree count plus two
+    * semi-joins of the edge list against the (one row per node)
+    * survivor set — all shuffle-partitioned by node id, no driver
+    * data. Edges are `localCheckpoint`ed per round to truncate the
+    * iterative lineage (the [[graft.dedup.ConnectedComponents]]
+    * treatment), and the fixpoint test is a distributed count of
+    * removed nodes. Peeling is MONOTONE (survivor sets only shrink,
+    * and a stable round stays stable), so running extra rounds past
+    * the fixpoint is a no-op — `maxRounds` only matters if the loop
+    * is cut off early, which the returned flag exposes. Rounds needed
+    * = number of "onion layers" below the core, ≤ peel depth of the
+    * graph — single digits on co-occurrence graphs, never the node
+    * count.
+    *
+    * Returns `(labels, converged)` where labels = `(node, core_degree)`
+    * for the surviving nodes (`core_degree` = degree within the
+    * k-core, ≥ k at a fixpoint). Self-loops and duplicate/reversed
+    * edges are canonicalized away first.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 30): (DataFrame, Boolean) = {
+    require(k >= 1, "k must be positive")
+    require(maxRounds >= 1, "maxRounds must be positive")
+    val raw = edges.select(
+        col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+    var cur = raw.select(
+        least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val deg = cur.select(col("__a").as("node"))
+        .union(cur.select(col("__b")))
+        .groupBy("node").agg(count(lit(1)).as("__deg"))
+        .localCheckpoint(true)
+      val removed = deg.where(col("__deg") < k).count()
+      if (removed == 0) {
+        converged = true
+      } else {
+        val keep = deg.where(col("__deg") >= k).select("node")
+        cur = cur
+          .join(keep.withColumnRenamed("node", "__a"), Seq("__a"),
+            "left_semi")
+          .join(keep.withColumnRenamed("node", "__b"), Seq("__b"),
+            "left_semi")
+          .localCheckpoint(true)
+      }
+      rounds += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore did not reach a fixpoint within $maxRounds rounds; " +
+          "the returned set is a SUPERSET of the k-core (raise " +
+          "maxRounds)")
+    val labels = cur.select(col("__a").as("node"))
+      .union(cur.select(col("__b")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    (labels, converged)
   }
 
   /** Benford first-significant-digit audit — the forensic-accounting

@@ -97,6 +97,8 @@ private[graft] object AnalyticsRegistry {
     "q215_msprt_monitor" -> (msprtQ _),
     "q216_brand_bradley_terry" -> (brandBtQ _),
     "q219_kmv_overlap" -> (kmvOverlapQ _),
+    "q220_join_forecast" -> (joinForecastQ _),
+    "q221_k_core" -> (kCoreQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -2395,7 +2397,66 @@ private[graft] object AnalyticsRegistry {
                + 2.0 AS INT) AS within_tol
          FROM prs JOIN unx USING (ga, gb) LEFT JOIN xi USING (ga, gb)
          ORDER BY 1, 2""",
+    // the forecast identity itself: inner-equi-join output = Σ_k
+    // cl(k)·cr(k); counts/products BIGINT, positive `div` == `//`
+    "q220_join_forecast" ->
+      """WITH l AS (
+           SELECT user_id AS key, count(*) AS n_left FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+         r AS (
+           SELECT user_id AS key, count(*) AS n_right FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL
+           GROUP BY 1),
+         j AS (
+           SELECT key, n_left, n_right, n_left * n_right AS out_rows
+           FROM l JOIN r USING (key)),
+         t AS (
+           SELECT CAST(sum(out_rows) AS BIGINT) AS total_out_rows,
+             count(*) AS n_matched_keys FROM j)
+         SELECT key, n_left, n_right, out_rows, total_out_rows,
+           n_matched_keys,
+           (out_rows * 1000000) // total_out_rows AS share_micro
+         FROM j CROSS JOIN t
+         ORDER BY out_rows DESC, key LIMIT 15""",
+    "q221_k_core" -> kCoreOracle,
   )
+
+  /** The q221 peel unrolled: round i keeps nodes with degree ≥ 4 in
+    * e(i−1) and restricts the edges to them. Peeling is monotone, so
+    * unrolling PAST the fixpoint (10 rounds vs 6 measured at sf0.01)
+    * is a no-op — the same contract the engine loop's early-exit
+    * relies on.
+    */
+  private def kCoreOracle: String = {
+    // MATERIALIZED throughout: DuckDB inlines plain CTEs per
+    // reference, and each round references the previous one three
+    // times — un-materialized, the unroll would re-expand e0's
+    // self-join 3^10 times
+    val rounds = (1 to 10).map { i =>
+      s"""n$i AS MATERIALIZED (
+           SELECT node FROM (
+             SELECT a AS node FROM e${i - 1}
+             UNION ALL SELECT b FROM e${i - 1})
+           GROUP BY node HAVING count(*) >= 4),
+         e$i AS MATERIALIZED (
+           SELECT e${i - 1}.* FROM e${i - 1}
+           JOIN n$i na ON na.node = e${i - 1}.a
+           JOIN n$i nb ON nb.node = e${i - 1}.b)"""
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         WHERE year(l_shipdate) = 1995),
+       e0 AS MATERIALIZED (
+         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+           greatest(a.l_partkey, b.l_partkey) AS b
+         FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+       $rounds
+       SELECT node, count(*) AS core_degree FROM (
+         SELECT a AS node FROM e10 UNION ALL SELECT b FROM e10)
+       GROUP BY node ORDER BY node"""
+  }
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
     * double literals — interpolated into the q189 oracle so both
@@ -4130,6 +4191,42 @@ private[graft] object AnalyticsRegistry {
     Analytics.kmvOverlap(events(s, dir), "event_type", "user_id",
         k = 256)
       .orderBy("group_a", "group_b")
+
+  /** Join-size forecast ([[Analytics.joinSizeForecast]]) for the
+    * view → purchase attribution self-join on `user_id` (the q48
+    * join): exact output cardinality from two grouped counts, with
+    * the 15 heaviest-fan-out users — the pre-flight that decides
+    * whether the attribution join needs salting before it runs over
+    * a 100 TB event log. All counts/products/shares exact BIGINT.
+    */
+  private[graft] def joinForecastQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    Analytics.joinSizeForecast(
+      ev.where(col("event_type") === "view"),
+      ev.where(col("event_type") === "purchase"),
+      "user_id", "user_id", topN = 15)
+  }
+
+  /** 4-core of the 1995 co-purchase graph ([[Analytics.kCore]]): the
+    * dense backbone left after iteratively peeling parts with fewer
+    * than 4 co-purchase partners — 6 peel rounds at sf0.01, 7 at
+    * sf0.1 (measured), `maxRounds = 12` leaves margin and the oracle
+    * unrolls 10 no-op-past-fixpoint rounds. Same time-sliced edge
+    * set as q183 (bounded density), canonicalized inside the
+    * operator.
+    */
+  private[graft] def kCoreQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(year(col("l_shipdate").cast("date")) === 1995)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.join(
+        li.select(col("l_orderkey"), col("l_partkey").as("__pk2")),
+        Seq("l_orderkey"))
+      .where(col("l_partkey") < col("__pk2"))
+      .select(col("l_partkey").as("pa"), col("__pk2").as("pb"))
+    Analytics.kCore(edges, "pa", "pb", k = 4, maxRounds = 12)
+      ._1.orderBy("node")
+  }
 
   /** One Bradley–Terry MM round as oracle CTEs: per-pair terms
     * quantize by BIGINT `//` BEFORE the per-item sum, update and

@@ -35,6 +35,7 @@ private[graft] object DedupRegistry {
     "q149_dedup_token_budget" -> (dedupTokenBudget _),
     "q152_cross_source_dup_matrix" -> (crossSourceDupMatrixQ _),
     "q218_split_leakage" -> (splitLeakageQ _),
+    "q222_incremental_cc" -> (incrementalCcQ _),
     "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
     "q21_doc_fingerprints" -> (docFingerprints _),
     "q22_exact_dup_stats" -> (exactDupStats _),
@@ -449,6 +450,17 @@ private[graft] object DedupRegistry {
            round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4) AS dup_frac
          FROM cells JOIN tot USING (src_a)
          ORDER BY src_a, src_b""",
+    // chain components have a closed form: min order key per customer
+    // — no recursion needed; ≥2-order customers only (CC contract:
+    // isolated nodes absent)
+    "q222_incremental_cc" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey FROM orders),
+         c AS (
+           SELECT o_custkey, count(*) AS n, min(o_orderkey) AS mn
+           FROM o GROUP BY 1)
+         SELECT o_orderkey AS id, mn AS component
+         FROM o JOIN c USING (o_custkey) WHERE n >= 2
+         ORDER BY id""",
     // q24's verified pairs, symmetrized and joined to sources: the
     // diagonal holds both directions of each pair (halve it)
     "q152_cross_source_dup_matrix" ->
@@ -1167,6 +1179,41 @@ private[graft] object DedupRegistry {
         col("source_set").as("sources"), col("lang_set").as("langs"),
         col("sum___tok").as("total_tokens"))
       .orderBy("cluster_id")
+  }
+
+  /** Incremental component maintenance
+    * ([[graft.dedup.ConnectedComponents.incremental]]) proven against
+    * a full batch recompute: the per-customer order chain (consecutive
+    * orders linked in date order — long-diameter components, the shape
+    * that stresses path halving) is split into alternating edge
+    * batches; the EVEN half is labeled batch-style, the ODD half folds
+    * in incrementally, and the result must equal the all-edges
+    * labeling. The oracle needs no recursion: a chain component's min
+    * label is just the customer's minimum order key — the fixture
+    * gives the exact closed form the operator must reproduce. Only
+    * customers with ≥ 2 orders appear (isolated nodes are absent per
+    * the CC contract).
+    */
+  private[graft] def incrementalCcQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val chain = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col("o_orderkey"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col("__prev").as("ea"), col("o_orderkey").as("eb"),
+        col("__rn"))
+      .localCheckpoint(false)
+    val oldEdges = chain.where(col("__rn") % 2 === 0)
+    val newEdges = chain.where(col("__rn") % 2 === 1)
+    val (labels0, converged) = graft.dedup.ConnectedComponents
+      .componentsAuto(oldEdges, "ea", "eb")
+    require(converged, "baseline labeling did not converge")
+    graft.dedup.ConnectedComponents
+      .incremental(labels0, newEdges, "ea", "eb")
+      .orderBy("id")
   }
 
   private[graft] val oracleShingleCte = "WITH " + oracleShingleCtes

@@ -35,6 +35,7 @@ private[graft] object SimilarityRegistry {
     "q169_audio_ehash_dedup" -> (audioEhashDedupQ _),
     "q173_mmr_rerank" -> (mmrRerankQ _),
     "q175_retrieval_pipeline" -> (retrievalPipelineQ _),
+    "q223_label_noise" -> (labelNoiseQ _),
     "q27_embedding_neardup" -> (embeddingNeardup _),
     "q207_matryoshka_audit" -> (matryoshkaAuditQ _),
     "q210_ivf_balance" -> (ivfBalanceQ _),
@@ -52,6 +53,47 @@ private[graft] object SimilarityRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // replays labelNoiseScreen's offset-integer arithmetic: elements
+    // quantize to floor(x·1e4)+2^24 (positive sums → `//` == engine
+    // `div`), centroids/means/ratios are BIGINT floor divisions
+    "q223_label_noise" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * 10000.0) AS BIGINT) + 16777216)
+               AS m
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0
+             AND label IS NOT NULL),
+         el AS (
+           SELECT vec_id, label, i AS pos, m[i] AS v
+           FROM e, LATERAL (
+             SELECT unnest(generate_series(1, len(m))) AS i) t),
+         cent AS (
+           SELECT label, pos,
+             CAST(sum(v) AS BIGINT) // count(*) AS c
+           FROM el GROUP BY 1, 2),
+         d AS (
+           SELECT el.vec_id, el.label,
+             CAST(sum((el.v - c.c) * (el.v - c.c)) AS BIGINT)
+               AS sq_dist
+           FROM el JOIN cent c USING (label, pos)
+           GROUP BY 1, 2),
+         mn AS (
+           SELECT label,
+             CAST(sum(sq_dist) AS BIGINT) // count(*) AS label_mean_sq
+           FROM d GROUP BY 1),
+         r AS (
+           SELECT d.label, d.vec_id AS id, sq_dist, label_mean_sq,
+             CASE WHEN label_mean_sq = 0 THEN NULL
+               ELSE (sq_dist * 1000000) // label_mean_sq END
+               AS ratio_micro,
+             CAST(row_number() OVER (
+               PARTITION BY d.label
+               ORDER BY sq_dist DESC, d.vec_id ASC) AS INT) AS rank
+           FROM d JOIN mn USING (label))
+         SELECT label, id, sq_dist, label_mean_sq, ratio_micro, rank
+         FROM r WHERE rank <= 5 ORDER BY label, rank""",
     // replays quantizeInt8's exact arithmetic: q_i = round(x_i /
     // (max|x|/127)); codes are small exact integers, so the cosine —
     // scales cancel — matches the Spark side bit-for-bit at 4 decimals
@@ -1802,6 +1844,18 @@ private[graft] object SimilarityRegistry {
         "rank", k = 60, topN = 5)
       .orderBy("query_id", "fused_rank")
   }
+
+  /** Label-noise screen ([[Similarity.labelNoiseScreen]]): the five
+    * vectors farthest (squared L2, exact offset-integer units) from
+    * their own label's centroid, each normalized against the label
+    * mean — the mislabeled-example shortlist a training pipeline
+    * routes to relabeling. One explode for the centroid cells, one
+    * corpus scan for the distance fold.
+    */
+  private[graft] def labelNoiseQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelNoiseScreen(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", topK = 5)
+      .orderBy("label", "rank")
 
   /** Embedding-distribution drift between labels: per-label mean
     * embedding (posexplode + partial-agg vector mean, rounded for

@@ -374,6 +374,88 @@ object Similarity {
     cents
   }
 
+  /** Label-noise screen — the standard mislabeled-example detector for
+    * a labeled embedding corpus: per label, the vectors FARTHEST from
+    * their own class centroid (squared L2), with each distance
+    * normalized against the label's mean. A ratio several times 1e6
+    * (= several times the class mean) is the classic signature of a
+    * wrong label or an out-of-distribution example — the rows a
+    * training pipeline routes to relabeling before they poison a
+    * classifier head.
+    *
+    * Exact integer arithmetic end-to-end so the screen is
+    * bit-reproducible cross-engine: elements quantize once to
+    * OFFSET units `floor(x·1e4) + 2^24` (the offset keeps every
+    * per-cell sum positive, so truncating integer division equals
+    * floor division — the engine/oracle `div`-vs-`//` contract this
+    * registry pins everywhere; it cancels exactly in the centroid
+    * subtraction because `Σ(m+o) div n = o + (Σm div n)` when the
+    * shifted sum is positive). Distances, means, and ratios are then
+    * BIGINT sums, truncating divisions of non-negative operands, and
+    * `×1e6 div mean` micro-ratios. Headroom: at 1e4-unit elements a
+    * dim-4096 corpus of |x| ≤ 100 keeps `sq_dist·1e6` under 2^63, and
+    * the offset admits ~5·10¹¹ rows per (label, dim) cell sum.
+    *
+    * Shape: one explode to (label, pos) cells for the centroid sums
+    * (cell count = labels × dim, independent of corpus size), the
+    * dim-sized centroid arrays broadcast back over ONE corpus scan,
+    * and the distance fold runs as a codegen'd array `aggregate` — no
+    * per-element join on the corpus leg. The final per-label top-k is
+    * a label-partitioned window over k-bounded groups... bounded
+    * because each label's candidate set is its own rows; groups are
+    * label-sized, the [[ivfTopKWithCentroids]] trade, acceptable
+    * because the window only RANKS (no payload carry) and labels are
+    * the parallelism unit. Nulls and empty vectors are excluded up
+    * front (they have no distance).
+    *
+    * Returns `(label, id, sq_dist, label_mean_sq, ratio_micro, rank)`
+    * for the `topK` farthest per label; `ratio_micro` is null for a
+    * degenerate label whose every vector IS the centroid (mean 0).
+    */
+  def labelNoiseScreen(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val offset = 16777216L // 2^24 — dominates any |x| ≤ 1677 element
+    val me = embeddings
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"), col(idCol).as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1e4)) + lit(offset))
+          .as("__m"))
+      .transform(graft.core.CacheScope.disk)
+    val cells = me
+      .select(col("label"), posexplode(col("__m")).as(Seq("pos", "m")))
+      .groupBy("label", "pos")
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+    val cents = cells
+      .withColumn("c", expr("s div n"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("__pc"))
+      .select(col("label"),
+        transform(col("__pc"), p => p.getField("c")).as("__cv"))
+    val dists = me.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("id"),
+        aggregate(zip_with(col("__m"), col("__cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("sq_dist"))
+      .transform(graft.core.CacheScope.disk)
+    val means = dists.groupBy("label")
+      .agg(expr("sum(sq_dist) div count(1)").as("label_mean_sq"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("sq_dist").desc, col("id").asc)
+    dists.join(broadcast(means), Seq("label"))
+      .withColumn("ratio_micro",
+        when(col("label_mean_sq") === 0, lit(null).cast("long"))
+          .otherwise(expr("sq_dist * 1000000 div label_mean_sq")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("label", "id", "sq_dist", "label_mean_sq", "ratio_micro",
+        "rank")
+  }
+
   /** IVF top-k search: probe the `nprobe` nearest centroids per query,
     * then brute-force only within the probed buckets. Approximate (a
     * true neighbor assigned to an unprobed bucket is missed) — that's

@@ -810,6 +810,97 @@ object EventStreams {
     graft.quality.Drift.mergeQuantileShards(
       spark.read.parquet(storeDir), groupCols, ranks, k)
 
+  /** Streaming cluster-label maintenance — the near-dup CLUSTER layer's
+    * incremental story (every fingerprint family lands candidate
+    * pairs incrementally; until now their component labels were a
+    * batch recompute): each micro-batch of verified pairs folds into
+    * the standing `(id, component)` store via
+    * [[graft.dedup.ConnectedComponents.incremental]] — cost
+    * O(batch + touched components), never O(graph).
+    *
+    * Store layout is hash-bucketed (`bucket = pmod(hash(id), n)`),
+    * and each batch rewrites ONLY the buckets holding a changed or
+    * new label (dynamic partition overwrite; rewritten buckets get
+    * their FULL updated contents, so unchanged rows in a touched
+    * bucket survive). A batch that merges nothing — including a
+    * checkpoint REPLAY of an already-folded batch, which contracts to
+    * all-self-loops — touches zero buckets and rewrites nothing:
+    * replay idempotence without reading history. The new labels
+    * frame is localCheckpoint'ed before the write (it reads the same
+    * store path it overwrites — the self-read-under-overwrite
+    * ordering every store-rewriting sink here pins).
+    *
+    * The lock serializes micro-batches against out-of-band readers in
+    * the same JVM during the non-atomic multi-partition commit; cross
+    * -JVM readers see torn bucket sets only during the commit window
+    * (a table format with atomic multi-partition swap closes it in
+    * production — same caveat as the SCD-2 sink).
+    */
+  def clusterMaintenanceSink(
+      pairs: DataFrame, aCol: String, bCol: String,
+      labelsDir: String, checkpointDir: String, numBuckets: Int = 64)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lock = new Object
+    foreachBatchSink(pairs, checkpointDir, outputMode = "append") {
+      (batch, _) =>
+        lock.synchronized(graft.core.CacheScope.withScope {
+          landClusterBatch(batch, aCol, bCol, labelsDir, numBuckets)
+        })
+    }
+  }
+
+  private[streaming] def landClusterBatch(
+      batch: DataFrame, aCol: String, bCol: String,
+      labelsDir: String, numBuckets: Int): Unit = {
+    import graft.dedup.ConnectedComponents
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(labelsDir)
+    val exists =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(hash(col("id")), lit(numBuckets)))
+    if (!exists) {
+      val (labels, converged) =
+        ConnectedComponents.componentsAuto(batch, aCol, bCol)
+      require(converged, "initial labeling did not converge")
+      bucketed(labels).localCheckpoint(true)
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .partitionBy("bucket").parquet(labelsDir)
+    } else {
+      val standing = spark.read.parquet(labelsDir)
+        .select(col("id"), col("component"))
+      val updated = ConnectedComponents
+        .incremental(standing, batch, aCol, bCol)
+        .localCheckpoint(true)
+      val touched = bucketed(
+          updated.join(standing
+              .withColumnRenamed("component", "__old"), Seq("id"), "left")
+            .where(col("__old").isNull ||
+              col("__old") =!= col("component"))
+            .select("id", "component"))
+        .select("bucket").distinct()
+      // full updated contents of ONLY the touched buckets; dynamic
+      // overwrite leaves every other bucket's files untouched
+      val rewrite = bucketed(updated)
+        .join(broadcast(touched), Seq("bucket"), "left_semi")
+        .localCheckpoint(true)
+      if (!rewrite.isEmpty) {
+        rewrite.select("id", "component", "bucket")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .option("compression", "snappy")
+          .partitionBy("bucket").parquet(labelsDir)
+      }
+    }
+  }
+
+  /** The standing labels over a [[clusterMaintenanceSink]] store. */
+  def liveClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      labelsDir: String): DataFrame =
+    spark.read.parquet(labelsDir).select("id", "component")
+
   /** Streaming SCD-2 dimension maintenance: lands each micro-batch of
     * keyed attribute observations into the versioned dimension at
     * `path` via [[graft.transform.StarSchemaBuilder
