@@ -37,6 +37,7 @@ private[graft] object TextRegistry {
     "q202_vocab_coverage" -> (vocabCoverageQ _),
     "q204_hill_tail_index" -> (hillTailQ _),
     "q213_hash_collision_audit" -> (hashCollisionQ _),
+    "q224_mojibake_report" -> (mojibakeReportQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -421,6 +422,34 @@ private[graft] object TextRegistry {
              FROM g)
          ORDER BY source, pii_type"""
     },
+    // same seeded perturbation (chr() builds the artifacts from code
+    // points), RE2 \x{...} classes mirror the engine's \uXXXX ones
+    "q224_mojibake_report" ->
+      """WITH seeded AS (
+           SELECT source,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' x' || chr(65533) || ' ' || chr(195)
+                 || chr(169) || ' a' || chr(133) || 'b'
+               ELSE text END AS text
+           FROM documents),
+         c AS (
+           SELECT source,
+             len(regexp_extract_all(coalesce(text, ''),
+               '\x{FFFD}')) AS r,
+             len(regexp_extract_all(coalesce(text, ''),
+               '[\x{0080}-\x{009F}]')) AS c1,
+             len(regexp_extract_all(coalesce(text, ''),
+               '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]')) AS de
+           FROM seeded)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(r) AS BIGINT) AS repl_chars,
+           CAST(sum(c1) AS BIGINT) AS c1_chars,
+           CAST(sum(de) AS BIGINT) AS double_enc,
+           CAST(sum(CASE WHEN r + c1 + de > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged,
+           round(CAST(sum(CASE WHEN r + c1 + de > 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS flagged_frac
+         FROM c GROUP BY source ORDER BY source""",
     // the q143 trained-apply chain regrouped per language
     "q163_tokenizer_fertility" ->
       s"""WITH w0 AS MATERIALIZED (
@@ -1252,6 +1281,28 @@ private[graft] object TextRegistry {
     TextAnalysis.dsirSelect(docs(s, dir), "doc_id", "text",
         col("lang") === "en", tokenBudget = 10000L)
       .orderBy("doc_id")
+
+  /** Mojibake quarantine screen ([[TextAnalysis.mojibakeReport]])
+    * over a deterministically corruption-perturbed corpus (the q162
+    * treatment — the synthetic corpus is clean UTF-8, so docs at
+    * doc_id ≡ 0 mod 7 get one replacement char, one double-decode
+    * bigram ("Ã©") and one C1 control appended, and the report must
+    * count exactly those): per source, artifact totals and the
+    * affected-document fraction.
+    */
+  private[graft] def mojibakeReportQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val seeded = docs(s, dir).withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"),
+          lit(" x\uFFFD \u00C3\u00A9 a\u0085b")))
+        .otherwise(col("text")))
+    TextAnalysis.mojibakeReport(seeded, "text", Seq("source"))
+      .select(col("source"), col("n_docs"), col("repl_chars"),
+        col("c1_chars"), col("double_enc"), col("n_flagged"),
+        round(col("flagged_frac"), 6).as("flagged_frac"))
+      .orderBy("source")
+  }
 
   /** PII incidence report ([[TextAnalysis.piiIncidence]]) over a
     * deterministically PII-perturbed corpus (the q144 treatment —

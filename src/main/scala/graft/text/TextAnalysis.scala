@@ -268,6 +268,53 @@ object TextAnalysis {
           .as("doc_frac")): _*)
   }
 
+  /** Encoding-corruption (mojibake) signatures, the quality signal
+    * the length/punct/stopword scores can't see: text that survived a
+    * wrong-codec round-trip reads as plausible characters. Three
+    * independent per-row counts, each a single codegen'd regex count:
+    *
+    *  - `U+FFFD` replacement characters — a decoder already gave up;
+    *  - C1 control characters (`U+0080`–`U+009F`) — never legitimate
+    *    in text, the classic windows-1252-read-as-latin-1 residue;
+    *  - UTF-8-read-as-latin-1 double-decode bigrams: `Â`/`Ã`
+    *    (`U+00C2`/`U+00C3` — the lead bytes of 2-byte UTF-8
+    *    sequences) followed by a continuation-byte code point
+    *    (`U+0080`–`U+00BF`), the "Ã©"/"Â " signature.
+    *
+    * The patterns are mutually non-overlapping (distinct first code
+    * points), so the counts are exact and independent — the
+    * [[piiIncidence]] argument.
+    */
+  val mojibakePatterns: Seq[(String, String)] = Seq(
+    "repl_chars" -> "\\uFFFD",
+    "c1_chars" -> "[\\u0080-\\u009F]",
+    "double_enc" -> "[\\u00C2\\u00C3][\\u0080-\\u00BF]")
+
+  /** Per-group mojibake rollup over one corpus scan: document counts,
+    * per-signature artifact totals, documents carrying ANY artifact,
+    * and the affected-document fraction (exact-long division). The
+    * quarantine screen to run per source/crawl before corrupt text
+    * poisons a tokenizer's vocabulary.
+    */
+  def mojibakeReport(
+      df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val counted = df.select(
+      groupCols.map(col) ++ mojibakePatterns.map { case (n, p) =>
+        size(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit(p), lit(0))).cast("long").as(s"__c_$n")
+      }: _*)
+    val anyBad = mojibakePatterns
+      .map { case (n, _) => col(s"__c_$n") }.reduce(_ + _) > 0
+    counted.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        (mojibakePatterns.map { case (n, _) =>
+          sum(col(s"__c_$n")).as(n)
+        } :+ sum(when(anyBad, 1L).otherwise(0L)).as("n_flagged")): _*)
+      .withColumn("flagged_frac",
+        col("n_flagged").cast("double") / col("n_docs"))
+  }
+
   /** Adjacent word bigrams ("a b") as an array column — the n-gram
     * surface for collocation mining over a corpus. Empty array for
     * documents under two tokens.
