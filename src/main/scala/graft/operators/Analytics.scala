@@ -907,7 +907,16 @@ object Analytics {
     * out_rows, total_out_rows, n_matched_keys, share_micro` — the
     * totals ride every row via a one-row broadcast, the registry's
     * scalar-frame idiom. Counts and products are exact BIGINT; shares
-    * are exact integer micro-units (floor). Null keys are excluded —
+    * are exact integer micro-units (floor), computed through
+    * DECIMAL(38,0) so a hot key whose product exceeds ~9.2e12 (a few
+    * million rows on each side of one key — exactly the salting
+    * scenario this pre-flight targets) cannot wrap the `×1e6`
+    * numerator negative (`div` on decimals is Spark's IntegralDivide,
+    * which returns BIGINT, so the output schema is unchanged).
+    * Remaining headroom contract, [[labelNoiseScreen]]-style: the
+    * per-key product itself and the grand total stay BIGINT, exact up
+    * to 2^63−1 ≈ 9.2e18 output rows — beyond that the join doesn't
+    * need a forecast, it needs a redesign. Null keys are excluded —
     * they never match an equi-join.
     */
   def joinSizeForecast(
@@ -927,7 +936,8 @@ object Analytics {
       count(lit(1)).as("n_matched_keys"))
     j.crossJoin(broadcast(totals))
       .withColumn("share_micro",
-        expr("out_rows * 1000000 div total_out_rows"))
+        expr("cast(out_rows as decimal(38,0)) * 1000000" +
+          " div total_out_rows"))
       .orderBy(col("out_rows").desc, col("key"))
       .limit(topN)
   }
@@ -2532,10 +2542,16 @@ object Analytics {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      // LAZY checkpoint + count = ONE action per round: the fixpoint
+      // count is the job that materializes the checkpointed degree
+      // partitions (count computes every partition, so the checkpoint
+      // is complete), and the keep-filter below reads the stored
+      // partitions — an eager checkpoint here would run a second,
+      // redundant materialization job every round
       val deg = cur.select(col("__a").as("node"))
         .union(cur.select(col("__b")))
         .groupBy("node").agg(count(lit(1)).as("__deg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val removed = deg.where(col("__deg") < k).count()
       if (removed == 0) {
         converged = true

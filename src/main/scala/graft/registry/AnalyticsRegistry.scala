@@ -15,9 +15,13 @@ import graft.registry.RegistryBase._
   * Conventions: see [[graft.SparkEntry]]. Split from the original
   * single-file registry; member bodies are unchanged.
   */
-private[graft] object AnalyticsRegistry {
+/** OLAP / event / time-series queries over the TPC-H-ish tables — query builders plus their DuckDB oracles.
+  * Conventions: see [[graft.SparkEntry]]. Core shelf of the round-14
+  * three-way split; member bodies are unchanged.
+  */
+private[graft] trait AnalyticsCore {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_event_interarrival" -> (eventInterArrival _),
     "q101_acctbal_pct_rank" -> (acctbalPercentRanks _),
     "q102_order_grouping_sets" -> (orderGroupingSets _),
@@ -33,11 +37,8 @@ private[graft] object AnalyticsRegistry {
     "q136_event_type_affinity" -> (eventTypeAffinity _),
     "q137_event_transitions" -> (eventTransitions _),
     "q151_filter_funnel" -> (filterFunnelQ _),
-    "q154_supplier_pagerank" -> (supplierPagerankQ _),
     "q157_event_sequences" -> (eventSequencesQ _),
-    "q160_calibration_report" -> (calibrationReportQ _),
     "q161_quantile_datasheet" -> (quantileDatasheetQ _),
-    "q164_ks_drift" -> (ksDriftQ _),
     "q166_segment_conversion" -> (proportionTestQ _),
     "q167_linear_attribution" -> (linearAttributionQ _),
     "q168_quantile_normalize" -> (quantileNormalizeQ _),
@@ -65,40 +66,8 @@ private[graft] object AnalyticsRegistry {
     "q84_snapshot_diff" -> (orderSnapshotDiff _),
     "q85_time_weighted_value" -> (userTimeWeightedValue _),
     "q86_event_transitions" -> (eventTransitionMatrix _),
-    "q178_markov_stationary" -> (markovStationaryQ _),
-    "q179_part_triangles" -> (partTrianglesQ _),
     "q180_rfm_segments" -> (rfmSegmentsQ _),
-    "q181_robust_outliers" -> (robustOutliersQ _),
     "q182_target_encoding" -> (targetEncodingQ _),
-    "q183_link_prediction" -> (linkPredictionQ _),
-    "q186_jackknife_ratio" -> (jackknifeRatioQ _),
-    "q187_l_diversity" -> (lDiversityQ _),
-    "q188_position_attribution" -> (positionAttributionQ _),
-    "q189_benford_audit" -> (benfordAuditQ _),
-    "q190_spend_concentration" -> (spendConcentrationQ _),
-    "q191_kaplan_meier" -> (kaplanMeierQ _),
-    "q192_roc_auc" -> (rocAucQ _),
-    "q193_gains_lift" -> (gainsLiftQ _),
-    "q194_cusum_shift" -> (cusumShiftQ _),
-    "q195_seasonal_dow" -> (seasonalDowQ _),
-    "q196_price_woe" -> (priceWoeQ _),
-    "q197_quality_kappa" -> (qualityKappaQ _),
-    "q198_segment_priority_assoc" -> (segmentPriorityAssocQ _),
-    "q199_isotonic_calibration" -> (isotonicCalibrationQ _),
-    "q200_simpson_screen" -> (simpsonScreenQ _),
-    "q201_permutation_test" -> (permutationTestQ _),
-    "q203_cuped_adjustment" -> (cupedQ _),
-    "q205_cusum_monitor" -> (cusumFixedQ _),
-    "q206_change_point" -> (changePointQ _),
-    "q208_bootstrap_ci" -> (bootstrapCiQ _),
-    "q209_qini_uplift" -> (qiniUpliftQ _),
-    "q211_conversion_delay" -> (conversionDelayQ _),
-    "q214_disparate_impact" -> (disparateImpactQ _),
-    "q215_msprt_monitor" -> (msprtQ _),
-    "q216_brand_bradley_terry" -> (brandBtQ _),
-    "q219_kmv_overlap" -> (kmvOverlapQ _),
-    "q220_join_forecast" -> (joinForecastQ _),
-    "q221_k_core" -> (kCoreQ _),
     "q87_cohort_retention" -> (cohortRetention _),
     "q88_peak_hourly_activity" -> (peakHourlyActivity _),
     "q89_acctbal_gini" -> (acctbalGini _),
@@ -111,7 +80,7 @@ private[graft] object AnalyticsRegistry {
     "q99_order_fanout" -> (orderFanoutHistogram _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private[graft] def coreOracleSql: Map[String, String] = Map(
     "q100_event_interarrival" ->
       """WITH o AS (
            SELECT event_type, event_id, epoch_us(ts) AS t FROM events),
@@ -453,34 +422,6 @@ private[graft] object AnalyticsRegistry {
     },
     // 6 unrolled fixed-point iterations; all arithmetic is BIGINT
     // floor-division, so the replay is bit-exact
-    "q154_supplier_pagerank" -> {
-      def iter(k: Int): String = {
-        val prev = if (k == 1) "r0" else s"r${k - 1}"
-        s"""r$k AS (
-           SELECT n2.node, (150000000000 // (SELECT n FROM nn))
-               + coalesce(s$k.c, 0) AS r
-           FROM nodes n2 LEFT JOIN (
-             SELECT e.b AS node,
-               sum((850 * p.r) // (1000 * deg.d)) AS c
-             FROM e JOIN $prev p ON p.node = e.a
-             JOIN deg ON deg.a = e.a
-             GROUP BY e.b) s$k ON s$k.node = n2.node)"""
-      }
-      s"""WITH co AS (
-           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
-             's' || CAST(l_suppkey AS VARCHAR) AS b
-           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         e AS (SELECT a, b FROM co UNION SELECT b, a FROM co),
-         deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
-         nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
-         nn AS (SELECT count(*) AS n FROM nodes),
-         r0 AS (SELECT node,
-           1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
-         ${(1 to 6).map(iter).mkString(",\n         ")}
-         SELECT node, CAST(r AS BIGINT) AS rank_scaled
-         FROM r6 ORDER BY node"""
-    },
-    // lag windows replay the trigram walk; support = distinct users
     "q157_event_sequences" ->
       """WITH l AS (
            SELECT user_id, event_type,
@@ -508,28 +449,6 @@ private[graft] object AnalyticsRegistry {
          ORDER BY n_keys DESC, step_1, step_2, step_3""",
     // decile bins over the replayed quality score; micro-unit integer
     // sums make every emitted double a single exact division
-    "q160_calibration_report" ->
-      s"""$oracleMetricsCte,
-         b AS (
-           SELECT least(CAST(floor(quality * 10) AS INT), 9) AS bin,
-             CAST(floor(quality * 1000000) AS BIGINT) AS micro,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-           FROM q WHERE quality IS NOT NULL AND lang IS NOT NULL),
-         g AS (
-           SELECT bin, count(*) AS n, sum(micro) AS sm,
-             sum(pos) AS np
-           FROM b GROUP BY bin),
-         t AS (SELECT sum(n) AS tot FROM g)
-         SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
-           CAST(np AS BIGINT) AS n_positive,
-           round(CAST(sm AS DOUBLE) / (n * 1000000), 6) AS mean_score,
-           round(CAST(np AS DOUBLE) / n, 6) AS frac_positive,
-           round(abs(CAST(sm AS DOUBLE) / (n * 1000000)
-             - CAST(np AS DOUBLE) / n) * n / tot, 6) AS ece_contrib
-         FROM g, t ORDER BY bin""",
-    // exact-regime KLL == the inclusive order statistic: smallest
-    // value whose cumulative fraction >= rank (cume_dist replay);
-    // ranks 0.5/0.75 are exact binary doubles on both engines
     "q161_quantile_datasheet" ->
       s"""WITH tok AS (
            SELECT lang, CAST(len($oracleWords) AS DOUBLE) AS v
@@ -544,49 +463,6 @@ private[graft] object AnalyticsRegistry {
          FROM c GROUP BY lang ORDER BY lang""",
     // cumulative counts per distinct value replay the exact scaled
     // KS supremum; the 5% '1-URGENT' perturbation is re-seeded
-    "q164_ks_drift" ->
-      """WITH base AS (
-           SELECT o_orderpriority AS g, o_totalprice AS v
-           FROM orders WHERE o_orderkey % 2 = 1),
-         cur AS (
-           SELECT o_orderpriority AS g,
-             CASE WHEN o_orderpriority = '1-URGENT'
-               THEN o_totalprice * 1.05 ELSE o_totalprice END AS v
-           FROM orders WHERE o_orderkey % 2 = 0),
-         u AS (
-           SELECT g, v, 1 AS b FROM base
-           UNION ALL SELECT g, v, 0 FROM cur),
-         per AS (
-           SELECT g, v, sum(b) AS cb, sum(1 - b) AS cc
-           FROM u GROUP BY g, v),
-         cum AS (
-           SELECT g,
-             sum(cb) OVER w AS i, sum(cc) OVER w AS j,
-             sum(cb) OVER (PARTITION BY g) AS n1,
-             sum(cc) OVER (PARTITION BY g) AS n2
-           FROM per
-           WINDOW w AS (PARTITION BY g ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         agg AS (
-           SELECT g, max(n1) AS n_base, max(n2) AS n_cur,
-             max(abs(i * n2 - j * n1)) AS ks_scaled
-           FROM cum GROUP BY g)
-         SELECT g AS o_orderpriority,
-           CAST(n_base AS BIGINT) AS n_base,
-           CAST(n_cur AS BIGINT) AS n_cur,
-           CAST(ks_scaled AS BIGINT) AS ks_scaled,
-           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
-             ELSE round(CAST(ks_scaled AS DOUBLE) / (n_base * n_cur),
-               6) END AS ks_d,
-           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
-             ELSE round(1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
-               / (n_base * n_cur)), 6) END AS threshold,
-           CASE WHEN n_base = 0 OR n_cur = 0 THEN TRUE
-             ELSE CAST(ks_scaled AS DOUBLE) / (n_base * n_cur) >
-               1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
-                 / (n_base * n_cur)) END AS drifted
-         FROM agg ORDER BY o_orderpriority""",
-    // exact counts under the float z; pooled variance, two-sided
     "q166_segment_conversion" ->
       """WITH conv AS (
            SELECT DISTINCT o_custkey FROM orders
@@ -1017,80 +893,6 @@ private[graft] object AnalyticsRegistry {
     // the q86 pair chain row-normalized to 1e9-unit integer
     // probabilities, then 8 unrolled damped power-iteration rounds —
     // every intermediate is the engine's exact BIGINT expression
-    "q178_markov_stationary" -> {
-      def step(k: Int): String =
-        s"""ck$k AS (
-             SELECT e.t2 AS state,
-               sum(((900 * p.v) // 1000) * e.p // 1000000000) AS inn
-             FROM e JOIN pi${k - 1} p ON p.state = e.f
-             GROUP BY e.t2),
-           pi$k AS (
-             SELECT s.state, tp.t + coalesce(c.inn, 0) AS v
-             FROM st s CROSS JOIN tp
-             LEFT JOIN ck$k c ON c.state = s.state)"""
-      s"""WITH pp AS (
-           SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev_type
-           FROM events),
-         c AS (
-           SELECT prev_type AS f, event_type AS t2, count(*) AS n
-           FROM pp WHERE prev_type IS NOT NULL
-           GROUP BY prev_type, event_type),
-         tt AS (SELECT f, sum(n) AS tot FROM c GROUP BY f),
-         e AS (
-           SELECT c.f, c.t2, (c.n * 1000000000) // tot AS p
-           FROM c JOIN tt USING (f)),
-         st AS (
-           SELECT DISTINCT state FROM (
-             SELECT f AS state FROM c
-             UNION ALL SELECT t2 FROM c)),
-         ns AS (SELECT count(*) AS n FROM st),
-         tp AS (
-           SELECT ((1000 - 900) * CAST(1000000000 AS BIGINT) // 1000)
-             // n AS t
-           FROM ns),
-         pi0 AS (SELECT state, 1000000000 // n AS v FROM st, ns),
-         ${(1 to 8).map(step).mkString(",\n         ")}
-         SELECT state, CAST(v AS BIGINT) AS pi_scaled
-         FROM pi8 ORDER BY state"""
-    },
-    // canonical a<b edges; triangles enumerated once via the ordered
-    // triple join (x<y<z); coeff replays the same two-exact-longs
-    // division (degree<2 pinned to 0.0, never 0/0)
-    "q179_part_triangles" ->
-      """WITH e AS (
-           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-           FROM lineitem a JOIN lineitem b
-             ON a.l_orderkey = b.l_orderkey
-            AND a.l_partkey < b.l_partkey),
-         deg AS (
-           SELECT node, count(*) AS degree FROM (
-             SELECT pa AS node FROM e
-             UNION ALL SELECT pb FROM e)
-           GROUP BY node),
-         tri AS (
-           SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
-           FROM e e1
-           JOIN e e2 ON e2.pa = e1.pb
-           JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
-         pn AS (
-           SELECT node, count(*) AS triangles FROM (
-             SELECT x AS node FROM tri
-             UNION ALL SELECT y FROM tri
-             UNION ALL SELECT z FROM tri)
-           GROUP BY node)
-         SELECT d.node, d.degree,
-           coalesce(p.triangles, 0) AS triangles,
-           CASE WHEN d.degree < 2 THEN 0.0
-                ELSE round(CAST(coalesce(p.triangles, 0) AS DOUBLE) * 2.0
-                  / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
-           END AS coeff
-         FROM deg d LEFT JOIN pn p USING (node)
-         ORDER BY node""",
-    // segment-relative quintiles replay as ntile(5) PARTITION BY
-    // mktsegment with the same custkey tie-break; monetary in exact
-    // cents; scores 6 - bucket so 5 = best
     "q180_rfm_segments" ->
       """WITH o AS (
            SELECT c.c_mktsegment, o_custkey,
@@ -1129,31 +931,6 @@ private[graft] object AnalyticsRegistry {
          ORDER BY c_mktsegment, segment""",
     // modified z rounded to 4 BEFORE the 3.5 cut; exact medians;
     // zero-MAD groups excluded on both sides
-    "q181_robust_outliers" ->
-      """WITH med AS (
-           SELECT o_orderpriority, median(o_totalprice) AS med
-           FROM orders GROUP BY 1),
-         dev AS (
-           SELECT o.o_orderpriority, o.o_totalprice, m.med,
-             abs(o.o_totalprice - m.med) AS ad
-           FROM orders o JOIN med m USING (o_orderpriority)),
-         mad AS (
-           SELECT o_orderpriority, median(ad) AS mad
-           FROM dev GROUP BY 1),
-         z AS (
-           SELECT d.o_orderpriority, d.med, m.mad,
-             round(0.6745 * (d.o_totalprice - d.med) / m.mad, 4) AS mz
-           FROM dev d JOIN mad m USING (o_orderpriority)
-           WHERE m.mad > 0)
-         SELECT o_orderpriority, count(*) AS n,
-           CAST(sum(CASE WHEN abs(mz) > 3.5 THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_outliers,
-           round(max(med), 2) AS median_price,
-           round(max(mad), 2) AS mad,
-           round(max(abs(mz)), 4) AS max_abs_mz
-         FROM z GROUP BY 1 ORDER BY 1""",
-    // smoothing prior div-floored in cents; enc and the closed-form
-    // LOO mean are each ONE division of two exact BIGINTs
     "q182_target_encoding" ->
       """WITH j AS (
            SELECT c.c_mktsegment,
@@ -1177,116 +954,6 @@ private[graft] object AnalyticsRegistry {
     // pseudo-estimates quantize to nano-units (floor of one double
     // division of exact longs) so mean and squared deviations are
     // exact integers; doubles only in the rendered columns
-    "q186_jackknife_ratio" ->
-      """WITH r AS (
-           SELECT CAST(('0x' || substr(md5('jk:'
-               || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 32 AS b,
-             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS n,
-             CAST(l_quantity AS BIGINT) AS d
-           FROM lineitem),
-         bk AS (
-           SELECT b, CAST(sum(n) AS BIGINT) AS sn,
-             CAST(sum(d) AS BIGINT) AS sd
-           FROM r GROUP BY b),
-         tt AS (
-           SELECT CAST(sum(sn) AS BIGINT) AS tn,
-             CAST(sum(sd) AS BIGINT) AS td, count(*) AS nb
-           FROM bk),
-         ps AS (
-           SELECT CAST(floor(1e4 * CAST(tn - sn AS DOUBLE)
-             / CAST(td - sd AS DOUBLE)) AS BIGINT) AS ti
-           FROM bk CROSS JOIN tt),
-         mn AS (
-           SELECT CAST(sum(ti) AS BIGINT) // count(*) AS tbar
-           FROM ps),
-         dv AS (
-           SELECT CAST(sum((ti - tbar) * (ti - tbar)) AS BIGINT) AS ss
-           FROM ps CROSS JOIN mn)
-         SELECT CAST(tt.nb AS BIGINT) AS n_buckets,
-           round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 9) AS theta,
-           round(CAST(mn.tbar AS DOUBLE) / 1e4, 9) AS theta_jack,
-           round(sqrt(CAST(ss AS DOUBLE) * (tt.nb - 1)
-             / CAST(tt.nb AS DOUBLE)) / 1e4, 9) AS se
-         FROM dv CROSS JOIN mn CROSS JOIN tt""",
-    // diversity histogram over (priority, month) classes; the
-    // distinct count rides pre-deduped (quasi, sensitive) rows
-    "q187_l_diversity" ->
-      """WITH pv AS (
-           SELECT o_orderpriority,
-             strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
-             o_orderstatus, count(*) AS nr
-           FROM orders GROUP BY 1, 2, 3),
-         cls AS (
-           SELECT o_orderpriority, ym, count(*) AS dc,
-             CAST(sum(nr) AS BIGINT) AS sz
-           FROM pv GROUP BY 1, 2)
-         SELECT CAST(dc AS BIGINT) AS distinct_sensitive,
-           count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows,
-           dc < 3 AS violates
-         FROM cls GROUP BY dc ORDER BY distinct_sensitive""",
-    // q167's pairing CTEs with the 40/20/40 credit policy; middle
-    // remainder on rank n-1, every conversion sums to 1000 exactly
-    "q188_position_attribution" ->
-      """WITH c AS (
-           SELECT user_id, ts AS cts, event_id AS cid FROM events
-           WHERE event_type = 'purchase'),
-         t AS (
-           SELECT user_id, ts AS tts, event_id AS tid FROM events
-           WHERE event_type IN ('view', 'click')),
-         p AS (
-           SELECT c.user_id, cid, cts, tid, tts
-           FROM c JOIN t USING (user_id)
-           WHERE tts <= cts AND tts > cts - INTERVAL 2 HOUR),
-         r AS (
-           SELECT user_id, cid, tid,
-             count(*) OVER (PARTITION BY user_id, cid) AS n_touches,
-             row_number() OVER (PARTITION BY user_id, cid
-               ORDER BY tts, tid) AS touch_rank
-           FROM p)
-         SELECT user_id, cid AS conversion_id, tid AS touch_id,
-           CAST(touch_rank AS INT) AS touch_rank,
-           CAST(n_touches AS BIGINT) AS n_touches,
-           CAST(CASE WHEN n_touches = 1 THEN 1000
-                WHEN n_touches = 2 THEN 500
-                WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400
-                ELSE 200 // (n_touches - 2)
-                  + CASE WHEN touch_rank = n_touches - 1
-                    THEN 200 % (n_touches - 2) ELSE 0 END
-                END AS BIGINT) AS credit_milli
-         FROM r ORDER BY conversion_id, touch_rank""",
-    // resource-allocation index in exact micro-units: per-center
-    // weight 1e6 // deg, summed as BIGINT — no libm in the score
-    "q183_link_prediction" ->
-      """WITH e AS (
-           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-           FROM lineitem a JOIN lineitem b
-             ON a.l_orderkey = b.l_orderkey
-             AND year(CAST(a.l_shipdate AS DATE)) = 1995
-             AND year(CAST(b.l_shipdate AS DATE)) = 1995
-            AND a.l_partkey < b.l_partkey),
-         adj AS (
-           SELECT pa AS w, pb AS n FROM e
-           UNION ALL SELECT pb, pa FROM e),
-         deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
-         ctr AS (
-           SELECT a.w, a.n, 1000000 // d.deg AS wt
-           FROM adj a JOIN deg d USING (w)
-           WHERE d.deg BETWEEN 2 AND 1024),
-         cand AS (
-           SELECT c1.n AS a, c2.n AS b,
-             count(*) AS cn, CAST(sum(c1.wt) AS BIGINT) AS ra
-           FROM ctr c1 JOIN ctr c2
-             ON c2.w = c1.w AND c1.n < c2.n
-           GROUP BY 1, 2),
-         ne AS (
-           SELECT cand.* FROM cand
-           LEFT JOIN e ON e.pa = cand.a AND e.pb = cand.b
-           WHERE e.pa IS NULL)
-         SELECT a AS node_a, b AS node_b,
-           cn AS common_neighbors, ra AS ra_micro
-         FROM ne
-         ORDER BY ra_micro DESC, node_a, node_b LIMIT 50""",
     "q86_event_transitions" ->
       """WITH p AS (
            SELECT user_id, event_type,
@@ -1474,998 +1141,7 @@ private[graft] object AnalyticsRegistry {
     // BIGINTs (a DOUBLE rendering would be engine-dependent); the
     // Benford shares are the engine's own double literals so the
     // per-digit expected counts are bit-identical
-    "q189_benford_audit" ->
-      s"""WITH b AS (
-           SELECT o_orderpriority AS g,
-             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
-           FROM orders),
-         dd AS (
-           SELECT g, CASE WHEN v > 0
-             THEN CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) END AS d
-           FROM b),
-         c AS (SELECT g, d, count(*) AS n FROM dd GROUP BY 1, 2),
-         pg AS (
-           SELECT g,
-             CAST(sum(CASE WHEN d IS NOT NULL THEN n ELSE 0 END)
-               AS BIGINT) AS tot,
-             CAST(sum(CASE WHEN d IS NULL THEN n ELSE 0 END)
-               AS BIGINT) AS nexcl
-           FROM c GROUP BY g),
-         grid AS (
-           SELECT g, tot, nexcl,
-             CAST(unnest(generate_series(1, 9)) AS INT) AS digit
-           FROM pg),
-         j AS (
-           SELECT grid.g, grid.digit, coalesce(c.n, 0) AS n,
-             grid.nexcl, grid.tot
-           FROM grid LEFT JOIN c
-             ON c.g = grid.g AND c.d = grid.digit),
-         e AS (
-           SELECT j.*, ($benfordShareCase) * CAST(tot AS DOUBLE) AS ex
-           FROM j),
-         chi AS (
-           SELECT g, sum((CAST(n AS DOUBLE) - ex)
-             * (CAST(n AS DOUBLE) - ex) / ex) AS chi2
-           FROM e GROUP BY g)
-         SELECT e.g AS o_orderpriority, e.digit, e.n,
-           e.nexcl AS n_excluded,
-           round(e.ex, 4) AS expected_n,
-           round(CAST(e.n AS DOUBLE) / CAST(e.tot AS DOUBLE), 6)
-             AS share,
-           round(chi.chi2, 4) AS chi2
-         FROM e JOIN chi USING (g) ORDER BY 1, 2""",
-    // entity shares quantize to micro-units (floor of one double
-    // division of exact cents BIGINTs) so HHI is an exact integer
-    // ratio in both engines
-    "q190_spend_concentration" ->
-      """WITH j AS (
-           SELECT c_mktsegment AS g, o_custkey AS e,
-             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
-           FROM orders JOIN customer ON o_custkey = c_custkey),
-         s AS (SELECT g, e, CAST(sum(v) AS BIGINT) AS v
-               FROM j GROUP BY 1, 2),
-         tt AS (SELECT g, CAST(sum(v) AS BIGINT) AS tv,
-               count(*) AS ne FROM s GROUP BY g),
-         sh AS (
-           SELECT s.g, s.v, tt.ne,
-             CAST(floor(1000000 * CAST(s.v AS DOUBLE)
-               / CAST(tt.tv AS DOUBLE)) AS BIGINT) AS sm,
-             row_number() OVER (PARTITION BY s.g
-               ORDER BY s.v DESC, s.e) AS rk
-           FROM s JOIN tt USING (g))
-         SELECT g AS c_mktsegment,
-           CAST(max(ne) AS BIGINT) AS n_entities,
-           round(CAST(max(CASE WHEN rk = 1 THEN sm END) AS DOUBLE)
-             / 1e6, 6) AS top1_share,
-           round(CAST(sum(CASE WHEN rk <= 3 THEN sm ELSE 0 END)
-             AS DOUBLE) / 1e6, 6) AS top3_share,
-           round(CAST(sum(sm * sm) AS DOUBLE) / 1e12, 6) AS hhi,
-           round(1e12 / CAST(sum(sm * sm) AS DOUBLE), 4)
-             AS effective_n
-         FROM sh GROUP BY g ORDER BY g""",
-    // survival is an ordered left-fold product of per-step factors
-    // (each ONE correctly-rounded IEEE division), so list_reduce here
-    // and aggregate() in the engine produce bit-identical doubles —
-    // no exp/ln detour whose rounding is engine-specific
-    "q191_kaplan_meier" ->
-      """WITH pc AS (
-           SELECT c_mktsegment AS g, o_custkey,
-             min(CAST(o_orderdate AS DATE)) AS f,
-             max(CAST(o_orderdate AS DATE)) AS l
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           GROUP BY 1, 2),
-         mx AS (SELECT max(l) AS mx FROM pc),
-         subj AS (
-           SELECT g, date_diff('day', f, l) AS t,
-             (l < mx - 90) AS e
-           FROM pc CROSS JOIN mx),
-         bt AS (
-           SELECT g, t,
-             CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
-             CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
-           FROM subj GROUP BY 1, 2),
-         rk AS (
-           SELECT g, t, d, c,
-             CAST(sum(d + c) OVER (PARTITION BY g) AS BIGINT)
-               - CAST(coalesce(sum(d + c) OVER (PARTITION BY g
-                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                   AND 1 PRECEDING), 0) AS BIGINT) AS n
-           FROM bt),
-         fl AS (
-           SELECT g, list(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)
-             ORDER BY t) AS fs
-           FROM rk GROUP BY g),
-         rn AS (
-           SELECT rk.*, CAST(row_number() OVER (PARTITION BY g
-             ORDER BY t) AS INT) AS i
-           FROM rk)
-         SELECT rn.g AS c_mktsegment, rn.t, rn.n AS n_at_risk,
-           rn.d AS n_events, rn.c AS n_censored,
-           round(list_reduce(fl.fs[1:rn.i], (x, y) -> x * y), 6)
-             AS survival
-         FROM rn JOIN fl USING (g) ORDER BY 1, 2""",
-    // distinct-score collapse + rank-sum identity: U·2 stays integer
-    // (the +nn term is the doubled tie half-credit); AUC and Gini are
-    // one double division each
-    "q192_roc_auc" ->
-      """WITH b AS (
-           SELECT o_orderstatus AS g, o_totalprice AS s,
-             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
-           FROM orders),
-         bs AS (
-           SELECT g, s,
-             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
-             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
-           FROM b GROUP BY 1, 2),
-         wb AS (
-           SELECT g, np, nn,
-             CAST(coalesce(sum(nn) OVER (PARTITION BY g ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS below
-           FROM bs),
-         u AS (
-           SELECT g, CAST(sum(np) AS BIGINT) AS n_pos,
-             CAST(sum(nn) AS BIGINT) AS n_neg,
-             CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
-           FROM wb GROUP BY g)
-         SELECT g AS o_orderstatus, n_pos, n_neg,
-           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-             round(CAST(u2 AS DOUBLE)
-               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
-               6) END AS auc,
-           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-             round(CAST(u2 AS DOUBLE)
-               / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0,
-               6) END AS gini_idx
-         FROM u ORDER BY 1""",
-    // ntile's fill rule (first n mod b bins take the extra row) is
-    // ANSI-identical; every statistic is a ratio of exact counts
-    "q193_gains_lift" ->
-      """WITH lab AS (
-           SELECT c_mktsegment, c_acctbal, c_custkey,
-             (c_custkey IN (SELECT o_custkey FROM orders
-                WHERE o_orderpriority = '1-URGENT')) AS y
-           FROM customer),
-         b AS (
-           SELECT c_mktsegment AS g,
-             CAST(ntile(10) OVER (PARTITION BY c_mktsegment
-               ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bucket,
-             y
-           FROM lab),
-         per AS (
-           SELECT g, bucket, count(*) AS n,
-             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-           FROM b GROUP BY 1, 2),
-         cum AS (
-           SELECT g, bucket, n, n_pos,
-             CAST(sum(n) OVER (PARTITION BY g ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cn,
-             CAST(sum(n_pos) OVER (PARTITION BY g ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cp,
-             CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS tn,
-             CAST(sum(n_pos) OVER (PARTITION BY g) AS BIGINT) AS tp
-           FROM per)
-         SELECT g AS c_mktsegment, bucket, n, n_pos,
-           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
-             AS response_rate,
-           round(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6)
-             AS cum_gain,
-           round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
-             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift,
-           round((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
-             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
-             AS cum_lift
-         FROM cum ORDER BY 1, 2""",
-    // dense month grid (gaps are zeros); deviations scaled to whole
-    // units n·c − Σc so the one-sided accumulations stay BIGINT; the
-    // prefix identity replaces the sequential max(0, ·) recurrence
-    "q194_cusum_shift" ->
-      """WITH b AS (
-           SELECT o_orderpriority AS g,
-             year(CAST(o_orderdate AS DATE)) * 12
-               + month(CAST(o_orderdate AS DATE)) - 1 AS p
-           FROM orders),
-         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
-         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
-                    FROM c GROUP BY g),
-         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
-                    AS BIGINT) AS p FROM bounds),
-         dense AS (
-           SELECT grid.g, grid.p,
-             CAST(coalesce(c.c, 0) AS BIGINT) AS c
-           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
-         tt AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot,
-                count(*) AS n FROM dense GROUP BY g),
-         st AS (
-           SELECT dense.g, dense.p, dense.c, tt.tot, tt.n,
-             CAST(sum(dense.c * tt.n - tt.tot) OVER (
-               PARTITION BY dense.g ORDER BY dense.p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cs
-           FROM dense JOIN tt USING (g)),
-         sm AS (
-           SELECT g, p, c, tot, n, cs,
-             cs - least(CAST(min(cs) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT), 0) AS sp,
-             greatest(CAST(max(cs) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT), 0) - cs AS sn
-           FROM st)
-         SELECT g AS o_orderpriority,
-           CAST(CAST(floor(p / 12.0) AS BIGINT) AS VARCHAR) || '-'
-             || lpad(CAST((p % 12) + 1 AS VARCHAR), 2, '0') AS month,
-           c AS n,
-           round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 4)
-             AS cusum_pos,
-           round(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE), 4)
-             AS cusum_neg,
-           CAST(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
-             > 5.0 * sqrt(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
-             AS INT) AS shift_up,
-           CAST(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)
-             > 5.0 * sqrt(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
-             AS INT) AS shift_down
-         FROM sm ORDER BY 1, 2""",
-    // dense calendar (gap days are zeros in their weekday's profile);
-    // weekday from epoch-day arithmetic, calendar-library-free; the
-    // anomaly predicate compares doubles built identically from exact
-    // integers
-    "q195_seasonal_dow" ->
-      """WITH b AS (
-           SELECT o_orderstatus AS g,
-             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
-               AS BIGINT) AS p
-           FROM orders),
-         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
-         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
-                    FROM c GROUP BY g),
-         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
-                    AS BIGINT) AS p FROM bounds),
-         dense AS (
-           SELECT grid.g, grid.p,
-             CAST(coalesce(c.c, 0) AS BIGINT) AS c,
-             (grid.p + 3) % 7 AS dow
-           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
-         prof AS (SELECT g, dow, count(*) AS nd,
-                  CAST(sum(c) AS BIGINT) AS s
-                  FROM dense GROUP BY 1, 2),
-         fl AS (
-           SELECT dense.g, dense.dow, prof.nd, prof.s,
-             abs(CAST(dense.c AS DOUBLE)
-               - CAST(prof.s AS DOUBLE) / CAST(prof.nd AS DOUBLE))
-               AS dev
-           FROM dense JOIN prof
-             ON prof.g = dense.g AND prof.dow = dense.dow)
-         SELECT g AS o_orderstatus, dow,
-           CAST(max(nd) AS BIGINT) AS n_days,
-           CAST(max(s) AS BIGINT) AS total,
-           round(CAST(max(s) AS DOUBLE) / CAST(max(nd) AS DOUBLE), 4)
-             AS dow_mean,
-           CAST(sum(CASE WHEN dev > 3.0 * sqrt(CAST(s AS DOUBLE)
-             / CAST(nd AS DOUBLE)) THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_anomalies,
-           round(max(dev), 4) AS max_abs_residual
-         FROM fl GROUP BY 1, 2 ORDER BY 1, 2""",
-    // caller-supplied fixed-width bins (no global sort window);
-    // Laplace 0.5 smoothing keeps one-class bins finite; the IV total
-    // is a bins-sized rounded double sum
-    "q196_price_woe" ->
-      """WITH b AS (
-           SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bin,
-             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
-           FROM orders),
-         per AS (SELECT bin,
-           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-           CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-           FROM b GROUP BY 1),
-         tt AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
-                CAST(sum(n_neg) AS BIGINT) AS tn, count(*) AS nb
-                FROM per),
-         sc AS (
-           SELECT per.bin, per.n_pos, per.n_neg,
-             (CAST(n_pos AS DOUBLE) + 0.5)
-               / (CAST(tp AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS ps,
-             (CAST(n_neg AS DOUBLE) + 0.5)
-               / (CAST(tn AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS ns
-           FROM per CROSS JOIN tt),
-         w AS (SELECT bin, n_pos, n_neg, ln(ps / ns) AS woe,
-               (ps - ns) * ln(ps / ns) AS iv FROM sc),
-         ivt AS (SELECT CAST(sum(iv) AS DOUBLE) AS ivt FROM w)
-         SELECT bin, n_pos, n_neg, round(woe, 6) AS woe,
-           round(iv, 6) AS iv_term, round(ivt, 6) AS iv_total
-         FROM w CROSS JOIN ivt ORDER BY bin""",
-    // κ = (N·D − S)/(N² − S): every operand an exact BIGINT, one
-    // double division per statistic; the metrics CTEs replay the
-    // engine's quality/token formulas verbatim
-    "q197_quality_kappa" ->
-      (oracleMetricsCte + """,
-         lab AS (
-           SELECT CASE WHEN quality >= 0.6 THEN 'hi'
-                       WHEN quality >= 0.3 THEN 'mid'
-                       ELSE 'lo' END AS label_a,
-                  CASE WHEN tokens >= 120 THEN 'hi'
-                       WHEN tokens >= 40 THEN 'mid'
-                       ELSE 'lo' END AS label_b
-           FROM q),
-         cells AS (SELECT label_a, label_b, count(*) AS n
-                   FROM lab GROUP BY 1, 2),
-         r AS (SELECT label_a, CAST(sum(n) AS BIGINT) AS r
-               FROM cells GROUP BY 1),
-         c AS (SELECT label_b, CAST(sum(n) AS BIGINT) AS c
-               FROM cells GROUP BY 1),
-         s AS (SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS s
-               FROM r JOIN c ON r.label_a = c.label_b),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
-               CAST(sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)
-                 AS BIGINT) AS d
-               FROM cells)
-         SELECT cells.label_a, cells.label_b, cells.n, t.nt AS n_total,
-           round(CAST(d AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS po,
-           round(CAST(s AS DOUBLE)
-             / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)), 6) AS pe,
-           round((CAST(nt AS DOUBLE) * CAST(d AS DOUBLE)
-               - CAST(s AS DOUBLE))
-             / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
-               - CAST(s AS DOUBLE)), 6) AS kappa
-         FROM cells CROSS JOIN t CROSS JOIN s ORDER BY 1, 2"""),
-    // sparse χ² identity N·(Σ n²/(r·c) − 1) — no zero-cell grid; MI
-    // and entropies sum only observed cells/margins
-    "q198_segment_priority_assoc" ->
-      """WITH b AS (
-           SELECT c_mktsegment AS a, o_orderpriority AS bb
-           FROM orders JOIN customer ON o_custkey = c_custkey),
-         cells AS (SELECT a, bb, count(*) AS n FROM b GROUP BY 1, 2),
-         r AS (SELECT a, CAST(sum(n) AS BIGINT) AS r
-               FROM cells GROUP BY 1),
-         c AS (SELECT bb, CAST(sum(n) AS BIGINT) AS c
-               FROM cells GROUP BY 1),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
-         na AS (SELECT count(*) AS ra FROM r),
-         nb AS (SELECT count(*) AS cb FROM c),
-         j AS (SELECT cells.n, r.r, c.c, t.nt
-               FROM cells JOIN r USING (a) JOIN c USING (bb)
-               CROSS JOIN t),
-         sums AS (
-           SELECT
-             sum((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) AS chiterm,
-             sum((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
-               * ln(CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)
-                 / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))) AS mi
-           FROM j),
-         ha AS (SELECT sum((CAST(r AS DOUBLE) / CAST(nt AS DOUBLE))
-                * ln(CAST(nt AS DOUBLE) / CAST(r AS DOUBLE))) AS ha
-                FROM r CROSS JOIN t),
-         hb AS (SELECT sum((CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
-                * ln(CAST(nt AS DOUBLE) / CAST(c AS DOUBLE))) AS hb
-                FROM c CROSS JOIN t)
-         SELECT t.nt AS n, na.ra AS levels_a, nb.cb AS levels_b,
-           round(CAST(nt AS DOUBLE) * (chiterm - 1.0), 4) AS chi2,
-           round(sqrt((chiterm - 1.0)
-             / CAST(least(ra, cb) - 1 AS DOUBLE)), 6) AS cramers_v,
-           round(mi, 6) AS mi_nats,
-           round(mi / ha, 6) AS u_a_given_b,
-           round(mi / hb, 6) AS u_b_given_a
-         FROM t CROSS JOIN na CROSS JOIN nb CROSS JOIN sums
-           CROSS JOIN ha CROSS JOIN hb""",
-    // PAV via the min-max identity over interval averages of BIGINT
-    // prefix sums — every average is one division, min/max over
-    // doubles is order-free, so the fit is engine-deterministic
-    "q199_isotonic_calibration" ->
-      """WITH b AS (
-           SELECT o_orderstatus AS g,
-             CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bin,
-             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
-           FROM orders),
-         bins AS (SELECT g, bin, count(*) AS n,
-           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
-           FROM b GROUP BY 1, 2),
-         arr AS (
-           SELECT g, list(bin ORDER BY bin) AS bs,
-             list(n ORDER BY bin) AS ns, list(p ORDER BY bin) AS ps,
-             count(*) AS len
-           FROM bins GROUP BY g),
-         pre AS (
-           SELECT g, bs, ns, ps, len,
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(1, len), i ->
-                 CAST(list_reduce(ns[1:i], (a, x) -> a + x)
-                   AS BIGINT))) AS cn,
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(1, len), i ->
-                 CAST(list_reduce(ps[1:i], (a, x) -> a + x)
-                   AS BIGINT))) AS cp
-           FROM arr),
-         iso AS (
-           SELECT g, bs, ns, ps, len, cn, cp,
-             list_transform(generate_series(1, len), i ->
-               list_max(list_transform(generate_series(1, i), k ->
-                 list_min(list_transform(generate_series(i, len), j ->
-                   CAST(cp[j + 1] - cp[k] AS DOUBLE)
-                     / CAST(cn[j + 1] - cn[k] AS DOUBLE)))))) AS iso
-           FROM pre)
-         SELECT g AS o_orderstatus, bs[i] AS bin, ns[i] AS n,
-           ps[i] AS n_pos,
-           round(CAST(ps[i] AS DOUBLE) / CAST(ns[i] AS DOUBLE), 6)
-             AS raw_rate,
-           round(iso[i], 6) AS iso_rate
-         FROM iso, LATERAL (SELECT unnest(generate_series(1, len))
-           AS i) t
-         ORDER BY 1, 2""",
-    // rates are one division of exact counts each; the reversal flag
-    // multiplies two exact differences' signs; empty-cohort strata
-    // report null rates and flag 0
-    "q200_simpson_screen" ->
-      """WITH b AS (
-           SELECT (c_mktsegment = 'BUILDING') AS a,
-             o_orderpriority AS s, (o_totalprice > 150000.0) AS y
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
-         st AS (SELECT s,
-           CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-           CAST(sum(CASE WHEN a AND y THEN 1 ELSE 0 END) AS BIGINT)
-             AS pos_a,
-           CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_b,
-           CAST(sum(CASE WHEN (NOT a) AND y THEN 1 ELSE 0 END)
-             AS BIGINT) AS pos_b
-           FROM b GROUP BY s),
-         ov AS (SELECT CAST(sum(n_a) AS BIGINT) AS ona,
-                CAST(sum(pos_a) AS BIGINT) AS opa,
-                CAST(sum(n_b) AS BIGINT) AS onb,
-                CAST(sum(pos_b) AS BIGINT) AS opb FROM st),
-         x AS (
-           SELECT st.*,
-             CASE WHEN n_a > 0 THEN CAST(pos_a AS DOUBLE)
-               / CAST(n_a AS DOUBLE) END AS ra,
-             CASE WHEN n_b > 0 THEN CAST(pos_b AS DOUBLE)
-               / CAST(n_b AS DOUBLE) END AS rb,
-             CASE WHEN ona > 0 THEN CAST(opa AS DOUBLE)
-               / CAST(ona AS DOUBLE) END AS ora,
-             CASE WHEN onb > 0 THEN CAST(opb AS DOUBLE)
-               / CAST(onb AS DOUBLE) END AS orb
-           FROM st CROSS JOIN ov)
-         SELECT s AS stratum, n_a, pos_a, n_b, pos_b,
-           round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
-           round(ra - rb, 6) AS diff,
-           round(ora - orb, 6) AS overall_diff,
-           CAST(coalesce((ra - rb) * (ora - orb) < 0, FALSE) AS INT)
-             AS reversal
-         FROM x ORDER BY 1""",
-    // md5-keyed Bernoulli relabelings (the Carter-Wegman pattern all
-    // dedup families use) — byte-identical assignment in any engine
-    // with md5; per-replica means divide exact BIGINT sums once
-    "q201_permutation_test" ->
-      """WITH u0 AS (
-           SELECT CAST(o_custkey AS VARCHAR) AS u,
-             (c_mktsegment = 'BUILDING') AS a,
-             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
-         units AS (SELECT u, a, CAST(sum(v) AS BIGINT) AS v
-                   FROM u0 GROUP BY 1, 2),
-         ob AS (SELECT
-           CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS BIGINT) AS sa,
-           CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
-           CAST(sum(CASE WHEN NOT a THEN v ELSE 0 END) AS BIGINT)
-             AS sb,
-           CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
-             AS nb
-           FROM units),
-         obs AS (SELECT na, nb,
-           CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
-             - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS obsd
-           FROM ob),
-         asg AS (
-           SELECT u, v, r,
-             CAST(('0x' || substr(md5('q201' || ':'
-               || CAST(r AS VARCHAR) || ':' || u), 1, 8)) AS BIGINT)
-               % 2 AS flip
-           FROM units, LATERAL (SELECT
-             unnest(generate_series(0, 198)) AS r) t),
-         per AS (
-           SELECT r,
-             CAST(sum(CASE WHEN flip = 0 THEN v ELSE 0 END)
-               AS BIGINT) AS sa,
-             CAST(sum(CASE WHEN flip = 0 THEN 1 ELSE 0 END)
-               AS BIGINT) AS na,
-             CAST(sum(CASE WHEN flip = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS sb,
-             CAST(sum(CASE WHEN flip = 1 THEN 1 ELSE 0 END)
-               AS BIGINT) AS nb
-           FROM asg GROUP BY r),
-         d AS (SELECT CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
-               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS d
-               FROM per WHERE na > 0 AND nb > 0),
-         tl AS (SELECT count(*) AS r_valid,
-                CAST(sum(CASE WHEN abs(d.d) >= abs(obs.obsd)
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
-                FROM d CROSS JOIN obs)
-         SELECT obs.na AS n_a, obs.nb AS n_b,
-           round(obs.obsd, 4) AS obs_diff,
-           tl.r_valid, tl.n_extreme,
-           round((CAST(tl.n_extreme AS DOUBLE) + 1.0)
-             / (CAST(tl.r_valid AS DOUBLE) + 1.0), 6) AS p_value
-         FROM obs CROSS JOIN tl""",
-    // every moment an exact BIGINT (whole-dollar units keep sum(x*y)
-    // inside long); θ, ρ² and the adjusted means are fixed arithmetic
-    // over those longs — long→double conversion is correctly rounded,
-    // so both engines agree bit-for-bit
-    "q203_cuped_adjustment" ->
-      """WITH cust AS (
-           SELECT c_custkey, (c_mktsegment = 'BUILDING') AS a
-           FROM customer
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
-         po AS (
-           SELECT o_custkey,
-             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
-               < DATE '1999-01-01'
-               THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
-               AS BIGINT) AS x,
-             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
-               >= DATE '1999-01-01'
-               THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
-               AS BIGINT) AS y
-           FROM orders GROUP BY 1),
-         units AS (
-           SELECT cust.a, coalesce(po.x, 0) AS x,
-             coalesce(po.y, 0) AS y
-           FROM cust LEFT JOIN po ON c_custkey = o_custkey),
-         pooled AS (SELECT count(*) AS n,
-           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-           CAST(sum(x * x) AS BIGINT) AS sxx,
-           CAST(sum(y * y) AS BIGINT) AS syy,
-           CAST(sum(x * y) AS BIGINT) AS sxy FROM units),
-         arms AS (SELECT a, count(*) AS n,
-           CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
-           FROM units GROUP BY a),
-         calc AS (
-           SELECT arms.a, arms.n,
-             CAST(arms.ax AS DOUBLE) / CAST(arms.n AS DOUBLE) AS mx,
-             CAST(arms.ay AS DOUBLE) / CAST(arms.n AS DOUBLE) AS my,
-             CAST(pooled.sx AS DOUBLE) / CAST(pooled.n AS DOUBLE)
-               AS gx,
-             CAST(pooled.n AS DOUBLE) * CAST(pooled.sxy AS DOUBLE)
-               - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sy AS DOUBLE)
-               AS covn,
-             CAST(pooled.n AS DOUBLE) * CAST(pooled.sxx AS DOUBLE)
-               - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sx AS DOUBLE)
-               AS varxn,
-             CAST(pooled.n AS DOUBLE) * CAST(pooled.syy AS DOUBLE)
-               - CAST(pooled.sy AS DOUBLE) * CAST(pooled.sy AS DOUBLE)
-               AS varyn
-           FROM arms CROSS JOIN pooled)
-         SELECT CAST(a AS INT) AS cohort, n,
-           round(mx, 4) AS mean_pre, round(my, 4) AS mean_post,
-           round(my - (CASE WHEN varxn > 0 THEN covn / varxn END)
-             * (mx - gx), 4) AS adjusted_mean,
-           round(CASE WHEN varxn > 0 THEN covn / varxn END, 6)
-             AS theta,
-           round(CASE WHEN varxn > 0 AND varyn > 0
-             THEN (covn * covn) / (varxn * varyn) END, 6) AS rho2
-         FROM calc ORDER BY cohort""",
-    // the all-integer streamable CUSUM: d = 1000·c − target, both
-    // one-sided sums by the prefix identity, decision vs hMilli —
-    // no floats, so the streaming twin is bit-equal by construction
-    "q205_cusum_monitor" ->
-      """WITH b AS (
-           SELECT event_type AS g,
-             CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) AS p
-           FROM events),
-         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
-         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
-                    FROM c GROUP BY g),
-         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
-                    AS BIGINT) AS p FROM bounds),
-         dense AS (
-           SELECT grid.g, grid.p,
-             CAST(coalesce(c.c, 0) AS BIGINT) AS c
-           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
-         st AS (
-           SELECT g, p, c,
-             CAST(sum(c * 1000 - 16000) OVER (PARTITION BY g
-               ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
-               AND CURRENT ROW) AS BIGINT) AS cs
-           FROM dense),
-         sm AS (
-           SELECT g, p, c, cs,
-             cs - least(CAST(min(cs) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT), 0) AS sp,
-             greatest(CAST(max(cs) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT), 0) - cs AS sn
-           FROM st)
-         SELECT g AS event_type, p AS period, c AS n,
-           sp AS cusum_pos_milli, sn AS cusum_neg_milli,
-           CAST(sp > 60000 AS INT) AS shift_up,
-           CAST(sn > 60000 AS INT) AS shift_down
-         FROM sm ORDER BY 1, 2""",
-    // bridge numerator |n·cs_t − t·S| is pure BIGINT: the argmax and
-    // its smallest-t tie-break replay exactly; means divide once
-    "q206_change_point" ->
-      """WITH b AS (
-           SELECT o_orderpriority AS g,
-             year(CAST(o_orderdate AS DATE)) * 12
-               + month(CAST(o_orderdate AS DATE)) - 1 AS p
-           FROM orders),
-         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
-         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
-                    FROM c GROUP BY g),
-         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
-                    AS BIGINT) AS p FROM bounds),
-         dense AS (
-           SELECT grid.g, grid.p,
-             CAST(coalesce(c.c, 0) AS BIGINT) AS c
-           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
-         br AS (
-           SELECT g, p,
-             CAST(row_number() OVER (PARTITION BY g ORDER BY p)
-               AS BIGINT) AS t,
-             CAST(sum(c) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cs,
-             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
-             CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS s
-           FROM dense),
-         ranked AS (
-           SELECT g, p, t, cs, n, s, abs(n * cs - t * s) AS bb,
-             row_number() OVER (PARTITION BY g
-               ORDER BY abs(n * cs - t * s) DESC, t ASC) AS rk
-           FROM br WHERE t < n)
-         SELECT g AS o_orderpriority, n AS n_periods, s AS total_n,
-           t AS split_index,
-           CAST(CAST(floor(p / 12.0) AS BIGINT) AS VARCHAR) || '-'
-             || lpad(CAST((p % 12) + 1 AS VARCHAR), 2, '0')
-             AS change_month,
-           round(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE), 4)
-             AS before_mean,
-           round(CAST(s - cs AS DOUBLE) / CAST(n - t AS DOUBLE), 4)
-             AS after_mean,
-           round(CAST(bb AS DOUBLE) / CAST(n AS DOUBLE), 4)
-             AS bridge_height,
-           round((CAST(bb AS DOUBLE) / CAST(n AS DOUBLE))
-             / sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-             AS bridge_scaled
-         FROM ranked WHERE rk = 1 ORDER BY 1""",
-    // Poisson(1) weights as integer threshold-counts over the 32-bit
-    // md5; replicate ratios are one division of exact weighted sums;
-    // CI bounds are order statistics picked by exact integer index;
-    // the bootstrap mean folds the SORTED list with a 0.0 seed,
-    // mirroring the engine's aggregate() fold bit-for-bit
-    "q208_bootstrap_ci" ->
-      s"""WITH per AS (
-           SELECT CAST(o_custkey AS VARCHAR) AS u,
-             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS num,
-             1 AS den
-           FROM orders),
-         units AS (SELECT u, CAST(sum(num) AS BIGINT) AS num,
-                   CAST(sum(den) AS BIGINT) AS den FROM per GROUP BY u),
-         ob AS (SELECT count(*) AS nu, CAST(sum(num) AS BIGINT) AS tn,
-                CAST(sum(den) AS BIGINT) AS td FROM units),
-         asg AS (
-           SELECT r, num, den, ${poissonWeightSql("uu")} AS w
-           FROM (SELECT u, num, den, r,
-             CAST(('0x' || substr(md5('q208' || ':'
-               || CAST(r AS VARCHAR) || ':' || u), 1, 8)) AS BIGINT)
-               AS uu
-             FROM units, LATERAL (SELECT
-               unnest(generate_series(0, 198)) AS r) t)),
-         per_r AS (SELECT r, CAST(sum(w * num) AS BIGINT) AS wn,
-                   CAST(sum(w * den) AS BIGINT) AS wd
-                   FROM asg GROUP BY r),
-         ratios AS (SELECT CAST(wn AS DOUBLE) / CAST(wd AS DOUBLE)
-                    AS ratio FROM per_r WHERE wd > 0),
-         fold AS (SELECT list(ratio ORDER BY ratio) AS rs,
-                  count(*) AS rv FROM ratios),
-         idx AS (SELECT rs, rv,
-                 greatest(CAST(ceil(0.025 * rv) AS INT), 1) AS lo,
-                 CAST(ceil(0.975 * rv) AS INT) AS hi FROM fold)
-         SELECT ob.nu AS n_units, idx.rv AS r_valid,
-           round(CAST(ob.tn AS DOUBLE) / CAST(ob.td AS DOUBLE), 6)
-             AS obs_ratio,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rs),
-             (a, b) -> a + b) / CAST(rv AS DOUBLE), 6) AS boot_mean,
-           round(rs[lo], 6) AS ci_lo,
-           round(rs[hi], 6) AS ci_hi
-         FROM ob CROSS JOIN idx""",
-    // counts BIGINT; uplift and Qini divide once per row; cumulative
-    // sums descend the score bins
-    "q209_qini_uplift" ->
-      """WITH lab AS (
-           SELECT CAST(floor(c_acctbal / 1100.0) AS BIGINT) AS b,
-             (c_mktsegment = 'BUILDING') AS t,
-             (c_custkey IN (SELECT o_custkey FROM orders
-                WHERE o_orderpriority = '1-URGENT')) AS y
-           FROM customer
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
-         bins AS (SELECT b,
-           CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-           CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT)
-             AS rt,
-           CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
-             AS nc,
-           CAST(sum(CASE WHEN (NOT t) AND y THEN 1 ELSE 0 END)
-             AS BIGINT) AS rc
-           FROM lab GROUP BY b),
-         cum AS (
-           SELECT b, nt, rt, nc, rc,
-             CAST(sum(nt) OVER (ORDER BY b DESC ROWS BETWEEN
-               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt,
-             CAST(sum(rt) OVER (ORDER BY b DESC ROWS BETWEEN
-               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS crt,
-             CAST(sum(nc) OVER (ORDER BY b DESC ROWS BETWEEN
-               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnc,
-             CAST(sum(rc) OVER (ORDER BY b DESC ROWS BETWEEN
-               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS crc
-           FROM bins)
-         SELECT b AS bin, nt AS n_treated, rt AS r_treated,
-           nc AS n_control, rc AS r_control,
-           round(CASE WHEN nt > 0 AND nc > 0 THEN
-             CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
-             - CAST(rc AS DOUBLE) / CAST(nc AS DOUBLE) END, 6)
-             AS uplift,
-           round(CASE WHEN cnc > 0 THEN CAST(crt AS DOUBLE)
-             - CAST(crc AS DOUBLE)
-               * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) END, 4)
-             AS cum_qini
-         FROM cum ORDER BY bin DESC""",
-    // the q48 pair CTE + quantile_cont over exact integer micros —
-    // delays divide to seconds once at the end
-    "q211_conversion_delay" ->
-      """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
-         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-         j AS (
-           SELECT strftime(date_trunc('day', v.ts), '%Y-%m-%d')
-               AS day,
-             epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
-           FROM v JOIN p ON v.user_id = p.user_id
-             AND p.ts > v.ts
-             AND p.ts <= v.ts + INTERVAL 30 MINUTE)
-         SELECT day, count(*) AS n,
-           round(quantile_cont(delay_us, 0.5) / 1e6, 4) AS p50_sec,
-           round(quantile_cont(delay_us, 0.9) / 1e6, 4) AS p90_sec,
-           round(quantile_cont(delay_us, 0.99) / 1e6, 4) AS p99_sec
-         FROM j GROUP BY day ORDER BY day""",
-    // the four-fifths flag is exact cross-multiplication over
-    // BIGINTs; the most-favored group is the micro-quantized rate
-    // argmax, smallest name on ties
-    "q214_disparate_impact" ->
-      """WITH lab AS (
-           SELECT c_mktsegment AS g,
-             (c_custkey IN (SELECT o_custkey FROM orders
-                WHERE o_orderpriority = '1-URGENT')) AS y
-           FROM customer),
-         per AS (SELECT g, count(*) AS n,
-                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
-                   AS p
-                 FROM lab GROUP BY g),
-         rm AS (SELECT g, n, p,
-                CAST(floor(1000000 * CAST(p AS DOUBLE)
-                  / CAST(n AS DOUBLE)) AS BIGINT) AS rm FROM per),
-         mx AS (SELECT max(rm) AS mx FROM rm),
-         best AS (SELECT n AS bn, p AS bp FROM rm CROSS JOIN mx
-                  WHERE rm = mx ORDER BY g LIMIT 1)
-         SELECT per.g AS c_mktsegment, per.n, per.p AS n_pos,
-           round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
-           round((CAST(p AS DOUBLE) * CAST(bn AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(bp AS DOUBLE)), 6)
-             AS impact_ratio,
-           CAST(5 * p * bn < 4 * bp * n AS INT) AS four_fifths_flag
-         FROM per CROSS JOIN best ORDER BY 1""",
-    // log-space mixture SPRT: exact BIGINT running sums, literal
-    // σ²/τ²/p₀ spelled from the same doubles as the engine; log Λ is
-    // O(10) so round(·,4) absorbs library ulp wobble where raw Λ
-    // (up to 1e20+) would not
-    "q215_msprt_monitor" ->
-      s"""WITH b AS (
-           SELECT o_orderpriority AS g,
-             year(CAST(o_orderdate AS DATE)) * 12
-               + month(CAST(o_orderdate AS DATE)) - 1 AS p,
-             (o_totalprice > 150000.0) AS y
-           FROM orders),
-         c AS (SELECT g, p, count(*) AS c,
-               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS s
-               FROM b GROUP BY 1, 2),
-         r AS (SELECT g, p,
-           CAST(sum(c) OVER (PARTITION BY g ORDER BY p ROWS BETWEEN
-             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
-           CAST(sum(s) OVER (PARTITION BY g ORDER BY p ROWS BETWEEN
-             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
-           FROM c),
-         l AS (SELECT g, p, cn, cs,
-           0.5 * ln(${0.33 * (1.0 - 0.33)}
-               / (${0.33 * (1.0 - 0.33)}
-                 + CAST(cn AS DOUBLE) * 0.0025))
-             + (CAST(cn AS DOUBLE) * CAST(cn AS DOUBLE) * 0.0025
-                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) - 0.33)
-                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) - 0.33))
-               / (2.0 * ${0.33 * (1.0 - 0.33)}
-                 * (${0.33 * (1.0 - 0.33)}
-                   + CAST(cn AS DOUBLE) * 0.0025)) AS ll
-           FROM r),
-         m AS (SELECT g, p, cn, cs, ll,
-           max(ll) OVER (PARTITION BY g ORDER BY p ROWS BETWEEN
-             UNBOUNDED PRECEDING AND CURRENT ROW) AS llmax
-           FROM l)
-         SELECT g AS o_orderpriority,
-           CAST(CAST(floor(p / 12.0) AS BIGINT) AS VARCHAR) || '-'
-             || lpad(CAST((p % 12) + 1 AS VARCHAR), 2, '0') AS month,
-           cn AS n_cum, cs AS pos_cum,
-           round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS rate,
-           round(ll, 4) AS log_lambda,
-           round(least(1.0, exp(0.0 - llmax)), 6) AS always_valid_p,
-           CAST(least(1.0, exp(0.0 - llmax)) < 0.05 AS INT)
-             AS rejected_by_now
-         FROM m ORDER BY 1, 2""",
-    // basket-duel comparisons → 8 exact MM rounds; see btRound for
-    // the integer-division mirroring argument
-    "q216_brand_bradley_terry" ->
-      (s"""WITH li AS (
-           SELECT l_orderkey AS ok, p_brand AS brand,
-             l_extendedprice AS price, l_linenumber AS ln
-           FROM lineitem JOIN part ON l_partkey = p_partkey),
-         comp AS MATERIALIZED (
-           SELECT CASE WHEN x.price < y.price THEN x.brand
-                  ELSE y.brand END AS w,
-             CASE WHEN x.price < y.price THEN y.brand
-                  ELSE x.brand END AS l
-           FROM li x JOIN li y ON x.ok = y.ok AND x.ln < y.ln
-             AND x.brand <> y.brand AND x.price <> y.price),
-         c AS MATERIALIZED (SELECT w, l, count(*) AS n FROM comp GROUP BY 1, 2),
-         pairs AS MATERIALIZED (SELECT least(w, l) AS a, greatest(w, l) AS b,
-                   CAST(sum(n) AS BIGINT) AS m FROM c GROUP BY 1, 2),
-         wins AS (SELECT w AS item, CAST(sum(n) AS BIGINT) AS wn
-                  FROM c GROUP BY 1),
-         it0 AS (SELECT DISTINCT item FROM (
-                 SELECT w AS item FROM c UNION SELECT l FROM c)),
-         items AS MATERIALIZED (SELECT it0.item,
-                   CAST(coalesce(wins.wn, 0) AS BIGINT) AS wins
-                   FROM it0 LEFT JOIN wins USING (item)),
-         nn AS MATERIALIZED (SELECT count(*) AS n FROM items),
-         nc AS (SELECT item, CAST(sum(m) AS BIGINT) AS n_comparisons
-                FROM (SELECT a AS item, m FROM pairs
-                      UNION ALL SELECT b, m FROM pairs) GROUP BY 1),
-         p0 AS MATERIALIZED (SELECT item,
-                CAST(1000000 AS BIGINT) AS p FROM items),
-         """ + (1 to 8).map(btRound).mkString(",\n         ") + """
-         SELECT items.item, items.wins,
-           CAST(coalesce(nc.n_comparisons, 0) AS BIGINT)
-             AS n_comparisons,
-           p8.p AS strength_micro,
-           round(CAST(p8.p AS DOUBLE) / 1000000, 6) AS strength
-         FROM items LEFT JOIN nc USING (item) JOIN p8 USING (item)
-         ORDER BY strength_micro DESC, item"""),
-    // bottom-k md5 sketches: estimate (k−1)·2⁶⁰/θ_k, exact below k;
-    // union = k-smallest-of-union; intersection by
-    // inclusion–exclusion clamped at 0; tolerance 3/√k of the union
-    "q219_kmv_overlap" ->
-      """WITH d AS (SELECT DISTINCT event_type AS g,
-             CAST(user_id AS VARCHAR) AS id FROM events),
-         h AS (SELECT g, id,
-               CAST(('0x' || substr(md5(id), 1, 15)) AS BIGINT) AS hh
-               FROM d),
-         sk AS MATERIALIZED (SELECT g, hh, id FROM (
-           SELECT g, hh, id, row_number() OVER (PARTITION BY g
-             ORDER BY hh, id) AS r FROM h) WHERE r <= 256),
-         sz AS (SELECT g, count(*) AS ex FROM d GROUP BY g),
-         pg AS (SELECT g, count(*) AS n, CAST(max(hh) AS BIGINT)
-                AS theta FROM sk GROUP BY 1),
-         est AS MATERIALIZED (SELECT sz.g, sz.ex,
-           CASE WHEN sz.ex < 256 THEN CAST(sz.ex AS DOUBLE)
-                ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE)
-                  / CAST(pg.theta AS DOUBLE) END AS est
-           FROM sz JOIN pg USING (g)),
-         prs AS MATERIALIZED (
-           SELECT a.g AS ga, a.ex AS ea, a.est AS esta,
-             b.g AS gb, b.ex AS eb, b.est AS estb
-           FROM est a JOIN est b ON a.g < b.g),
-         mg AS (SELECT ga, gb, hh, id FROM (
-           SELECT p.ga, p.gb, sk.hh, sk.id FROM prs p
-             JOIN sk ON sk.g = p.ga
-           UNION ALL SELECT p.ga, p.gb, sk.hh, sk.id FROM prs p
-             JOIN sk ON sk.g = p.gb)
-           GROUP BY ga, gb, hh, id),
-         un AS (SELECT ga, gb, count(*) AS un,
-               CAST(max(CASE WHEN r = 256 THEN hh END) AS BIGINT)
-                 AS utheta FROM (
-           SELECT ga, gb, hh,
-             row_number() OVER (PARTITION BY ga, gb
-               ORDER BY hh, id) AS r FROM mg)
-           GROUP BY 1, 2),
-         unx AS (SELECT ga, gb,
-           CASE WHEN un < 256 THEN CAST(un AS DOUBLE)
-                ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE)
-                  / CAST(utheta AS DOUBLE) END AS estu FROM un),
-         xi AS (SELECT a.g AS ga, b.g AS gb, count(*) AS xi
-                FROM d a JOIN d b ON a.id = b.id AND a.g < b.g
-                GROUP BY 1, 2)
-         SELECT prs.ga AS group_a, prs.gb AS group_b,
-           CAST(ea AS BIGINT) AS exact_a, CAST(eb AS BIGINT) AS exact_b,
-           CAST(coalesce(xi.xi, 0) AS BIGINT) AS exact_intersection,
-           CAST(ea + eb - coalesce(xi.xi, 0) AS BIGINT) AS exact_union,
-           round(esta, 4) AS est_a, round(estb, 4) AS est_b,
-           round(estu, 4) AS est_union,
-           round(greatest(esta + estb - estu, 0.0), 4)
-             AS est_intersection,
-           CAST(abs(greatest(esta + estb - estu, 0.0)
-               - CAST(coalesce(xi.xi, 0) AS DOUBLE))
-             <= 0.1875 * CAST(ea + eb - coalesce(xi.xi, 0) AS DOUBLE)
-               + 2.0 AS INT) AS within_tol
-         FROM prs JOIN unx USING (ga, gb) LEFT JOIN xi USING (ga, gb)
-         ORDER BY 1, 2""",
-    // the forecast identity itself: inner-equi-join output = Σ_k
-    // cl(k)·cr(k); counts/products BIGINT, positive `div` == `//`
-    "q220_join_forecast" ->
-      """WITH l AS (
-           SELECT user_id AS key, count(*) AS n_left FROM events
-           WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
-         r AS (
-           SELECT user_id AS key, count(*) AS n_right FROM events
-           WHERE event_type = 'purchase' AND user_id IS NOT NULL
-           GROUP BY 1),
-         j AS (
-           SELECT key, n_left, n_right, n_left * n_right AS out_rows
-           FROM l JOIN r USING (key)),
-         t AS (
-           SELECT CAST(sum(out_rows) AS BIGINT) AS total_out_rows,
-             count(*) AS n_matched_keys FROM j)
-         SELECT key, n_left, n_right, out_rows, total_out_rows,
-           n_matched_keys,
-           (out_rows * 1000000) // total_out_rows AS share_micro
-         FROM j CROSS JOIN t
-         ORDER BY out_rows DESC, key LIMIT 15""",
-    "q221_k_core" -> kCoreOracle,
   )
-
-  /** The q221 peel unrolled: round i keeps nodes with degree ≥ 4 in
-    * e(i−1) and restricts the edges to them. Peeling is monotone, so
-    * unrolling PAST the fixpoint (10 rounds vs 6 measured at sf0.01)
-    * is a no-op — the same contract the engine loop's early-exit
-    * relies on.
-    */
-  private def kCoreOracle: String = {
-    // MATERIALIZED throughout: DuckDB inlines plain CTEs per
-    // reference, and each round references the previous one three
-    // times — un-materialized, the unroll would re-expand e0's
-    // self-join 3^10 times
-    val rounds = (1 to 10).map { i =>
-      s"""n$i AS MATERIALIZED (
-           SELECT node FROM (
-             SELECT a AS node FROM e${i - 1}
-             UNION ALL SELECT b FROM e${i - 1})
-           GROUP BY node HAVING count(*) >= 4),
-         e$i AS MATERIALIZED (
-           SELECT e${i - 1}.* FROM e${i - 1}
-           JOIN n$i na ON na.node = e${i - 1}.a
-           JOIN n$i nb ON nb.node = e${i - 1}.b)"""
-    }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
-         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-         WHERE year(l_shipdate) = 1995),
-       e0 AS MATERIALIZED (
-         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
-           greatest(a.l_partkey, b.l_partkey) AS b
-         FROM li a JOIN li b
-           ON a.l_orderkey = b.l_orderkey
-             AND a.l_partkey < b.l_partkey),
-       $rounds
-       SELECT node, count(*) AS core_degree FROM (
-         SELECT a AS node FROM e10 UNION ALL SELECT b FROM e10)
-       GROUP BY node ORDER BY node"""
-  }
-
-  /** The nine Benford shares log10(1 + 1/d) as the engine's own
-    * double literals — interpolated into the q189 oracle so both
-    * sides multiply identical doubles.
-    */
-  private val benfordShareCase: String =
-    "CASE digit " + (1 to 9).map(d =>
-      s"WHEN $d THEN ${math.log10(1.0 + 1.0 / d)}").mkString(" ") +
-      " END"
 
   /** Range (interval) join: orders land in OVERLAPPING price bands —
     * a genuine interval containment join (a point can match several
@@ -2857,36 +1533,6 @@ private[graft] object AnalyticsRegistry {
       .select(col("l_partkey").as("pa"), col("__pk2").as("pb"))
   }
 
-  private[graft] def partTrianglesQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.triangleCounts(coPurchaseEdges(s, dir), "pa", "pb")
-      .orderBy("node")
-
-  /** RA link prediction over the 1995 co-shipment slice: exact RA
-    * costs Σ deg(w)² wedges, QUADRATIC in co-occurrence density — on
-    * the all-history graph (median degree 119 at sf0.1) that is
-    * ~1.5·10⁸ wedges for no added signal, and the degree cap cannot
-    * help a dense-UNIFORM graph (it prunes hubs, which TPC-H's
-    * random basket graph doesn't have). Time-sliced co-occurrence is
-    * the published market-basket practice precisely because it bounds
-    * density; the year slice cuts the wedge count ~1400× while
-    * keeping the operator and its contract untouched.
-    */
-  private[graft] def linkPredictionQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .where(year(col("l_shipdate").cast("date")) === 1995)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.join(
-        li.select(col("l_orderkey"), col("l_partkey").as("__pk2")),
-        Seq("l_orderkey"))
-      .where(col("l_partkey") < col("__pk2"))
-      .select(col("l_partkey").as("pa"), col("__pk2").as("pb"))
-    Analytics.resourceAllocationScores(edges,
-        "pa", "pb", k = 50, maxCenterDeg = 1024)
-      .orderBy(col("ra_micro").desc, col("node_a"), col("node_b"))
-  }
-
   /** RFM customer segmentation — the classic lifecycle cut (recency /
     * frequency / monetary quintiles, 5 = best), segments by the usual
     * score rules. Quintiles are SEGMENT-RELATIVE (within
@@ -2919,6 +1565,12 @@ private[graft] object AnalyticsRegistry {
         datediff(col("__anchor"), col("__last")).cast("long"))
       .select("c_mktsegment", "o_custkey", "recency_days", "frequency",
         "__mcents")
+      // one row per customer, read by SIX consumers (each ntile pass's
+      // rank leg + totals leg): persist once so no pass re-embeds the
+      // orders join — without this each ntileByRange re-derived the
+      // whole upstream aggregate and q180 paid ~3.7 s of fixed
+      // replanning overhead at sf0.1 (r13 verdict item)
+      .transform(graft.core.CacheScope.disk)
     val scored = Seq[(String, Seq[Column])](
         ("__rb", Seq(col("recency_days").asc, col("o_custkey").asc)),
         ("__fb", Seq(col("frequency").desc, col("o_custkey").asc)),
@@ -2947,38 +1599,6 @@ private[graft] object AnalyticsRegistry {
         round(sum(col("__mcents")).cast("double") / 100.0, 2)
           .as("monetary"))
       .orderBy("c_mktsegment", "segment")
-  }
-
-  /** Robust outlier screen — the median/MAD twin of q55's mean/stddev
-    * z-score: modified z = 0.6745·(x − median) / MAD (Iglewicz &
-    * Hoaglin's B-statistic), flagged at |z| > 3.5. Medians are exact
-    * (oracle value-equality); the z is rounded to 4 BEFORE the cut so
-    * boundary rows can't flip between engines; zero-MAD groups (over
-    * half the group at one value) are excluded rather than divided.
-    */
-  private[graft] def robustOutliersQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-      .select(col("o_orderpriority"), col("o_totalprice"))
-    val med = o.groupBy("o_orderpriority")
-      .agg(median(col("o_totalprice")).as("__med"))
-    val dev = o.join(broadcast(med), Seq("o_orderpriority"))
-      .withColumn("__ad", abs(col("o_totalprice") - col("__med")))
-    val mad = dev.groupBy("o_orderpriority")
-      .agg(median(col("__ad")).as("__mad"))
-    dev.join(broadcast(mad), Seq("o_orderpriority"))
-      .where(col("__mad") > 0)
-      .withColumn("__mz", round(
-        lit(0.6745) * (col("o_totalprice") - col("__med"))
-          / col("__mad"), 4))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"),
-        sum(when(abs(col("__mz")) > 3.5, 1L).otherwise(0L))
-          .as("n_outliers"),
-        round(max(col("__med")), 2).as("median_price"),
-        round(max(col("__mad")), 2).as("mad"),
-        round(max(abs(col("__mz"))), 4).as("max_abs_mz"))
-      .orderBy("o_orderpriority")
   }
 
   /** Smoothed target encoding of `c_mktsegment` against order value —
@@ -3013,59 +1633,6 @@ private[graft] object AnalyticsRegistry {
           / (col("n_orders") * (col("n_orders") + 19L) * 100L)
             .cast("double"), 4).as("loo_mean"))
       .orderBy("c_mktsegment")
-  }
-
-  /** Bucketed delete-one jackknife SE for revenue-per-unit
-    * ([[Analytics.jackknifeRatio]]): cents over quantity units, 32
-    * md5 buckets on the order key.
-    */
-  private[graft] def jackknifeRatioQ(
-      s: SparkSession, dir: String): DataFrame =
-    // scale 1e4 for a ~1e5-magnitude cents-per-unit ratio: resolution
-    // 1e-4 cents, deviation headroom ~5e4 ratio units per bucket
-    Analytics.jackknifeRatio(t(s, dir, "lineitem"),
-      round(col("l_extendedprice") * 100).cast("long"),
-      col("l_quantity").cast("long"),
-      col("l_orderkey"), buckets = 32, scale = 1e4)
-
-  /** Distinct l-diversity of order status within (priority, month)
-    * quasi-identifier classes ([[graft.quality.Privacy
-    * .lDiversityReport]]) — the homogeneity-attack audit next to
-    * q170's k-anonymity.
-    */
-  private[graft] def lDiversityQ(
-      s: SparkSession, dir: String): DataFrame =
-    graft.quality.Privacy.lDiversityReport(
-        t(s, dir, "orders").withColumn("__ym",
-          date_format(col("o_orderdate"), "yyyy-MM")),
-        Seq("o_orderpriority", "__ym"), "o_orderstatus", l = 3)
-      .select(col("distinct_sensitive"), col("n_classes"),
-        col("n_rows"), col("violates"))
-      .orderBy("distinct_sensitive")
-
-  /** U-shaped (40/20/40) attribution over the q167 conversion/touch
-    * setup ([[Analytics.positionAttribution]]).
-    */
-  private[graft] def positionAttributionQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-    Analytics.positionAttribution(
-        e.where(col("event_type") === "purchase"),
-        e.where(col("event_type").isin("view", "click")),
-        "user_id", "ts", "event_id", windowDuration = "2 hours")
-      .select(col("user_id"), col("conversion_id"), col("touch_id"),
-        col("touch_rank"), col("n_touches"), col("credit_milli"))
-      .orderBy("conversion_id", "touch_rank")
-  }
-
-  private[graft] def markovStationaryQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val tm = Analytics.transitionMatrix(events(s, dir), "user_id",
-      "event_type", Seq(col("ts").asc, col("event_id").asc))
-    Analytics.markovStationary(tm, "from_state", "to_state",
-        "transitions", iters = 8, damping = 900)
-      .select(col("state"), col("pi_scaled"))
-      .orderBy("state")
   }
 
   private[graft] def eventTransitionMatrix(
@@ -3568,31 +2135,6 @@ private[graft] object AnalyticsRegistry {
           (TextAnalysis.qualityScore(col("text")) >= lit(0.5))))
       .orderBy("stage")
 
-  /** Fixed-point PageRank over the order graph
-    * ([[Analytics.pageRank]]): customers and suppliers as nodes,
-    * symmetrized (customer ordered-from supplier) edges, 6 exact
-    * integer iterations — which entities sit at the center of the
-    * trade network. Every rank is a BIGINT in trillionths, so the
-    * result hashes identically on any engine, partitioning, or
-    * cluster size.
-    */
-  private[graft] def supplierPagerankQ(s: SparkSession, dir: String): DataFrame = {
-    val co = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select(
-        concat(lit("c"), col("o_custkey").cast("string")).as("a"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
-    // no .distinct() here: pageRank normalizes (distinct + persist)
-    // itself — a caller-side distinct would just add a full shuffle
-    // of the raw pair stream before the operator's own
-    val edges = co.union(co.select(col("b").as("a"), col("a").as("b")))
-    Analytics.pageRank(edges, "a", "b", iters = 6)
-      .orderBy("node")
-  }
-
   /** Frequent event trigrams ([[Analytics.frequentSequences]]): the
     * contiguous 3-step behavior patterns shared by at least 3 users —
     * support counted in DISTINCT users, so a bot looping one path
@@ -3606,26 +2148,6 @@ private[graft] object AnalyticsRegistry {
         col("n_keys"), round(col("support"), 4).as("support"))
       .orderBy(col("n_keys").desc, col("step_1"), col("step_2"),
         col("step_3"))
-
-  /** Calibration (reliability) report
-    * ([[graft.text.QualityModel.calibrationReport]]) of the composite
-    * quality score against the is-English slice: per decile bin the
-    * mean predicted score vs the empirical rate, the gap, and the ECE
-    * contribution — integer micro-unit sums keep every emitted double
-    * a single exact-long division.
-    */
-  private[graft] def calibrationReportQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .withColumn("__score", TextAnalysis.qualityScore(col("text")))
-    graft.text.QualityModel.calibrationReport(d, "__score",
-        col("lang") === "en", bins = 10)
-      .select(col("bin"), col("n"), col("n_positive"),
-        round(col("mean_score"), 6).as("mean_score"),
-        round(col("frac_positive"), 6).as("frac_positive"),
-        round(col("ece_contrib"), 6).as("ece_contrib"))
-      .orderBy("bin")
-  }
 
   /** Mergeable quantile datasheet
     * ([[graft.quality.Drift.quantileShards]]): per-language p50/p75
@@ -3649,29 +2171,6 @@ private[graft] object AnalyticsRegistry {
         Seq(0.5, 0.75), k = 8192)
       .select(col("lang"), col("n"), col("p50"), col("p75"))
       .orderBy("lang")
-  }
-
-  /** Exact per-group KS drift test ([[graft.quality.Drift.ksTest]])
-    * on a deterministically perturbed split: odd orderkeys are the
-    * baseline, even the current batch with '1-URGENT' prices inflated
-    * 5 % (the q162/q144 seeding treatment — the detector must flag
-    * exactly that segment while fixed-bin PSI's shape stays put for
-    * the rest). `ks_scaled` is the exact BIGINT supremum; `ks_d` and
-    * the threshold are single float ops over exact longs.
-    */
-  private[graft] def ksDriftQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val base = o.where(col("o_orderkey") % 2 === 1)
-    val cur = o.where(col("o_orderkey") % 2 === 0)
-      .withColumn("o_totalprice",
-        when(col("o_orderpriority") === "1-URGENT",
-          col("o_totalprice") * 1.05).otherwise(col("o_totalprice")))
-    graft.quality.Drift.ksTest(base, cur, "o_totalprice",
-        Seq("o_orderpriority"))
-      .select(col("o_orderpriority"), col("n_base"), col("n_cur"),
-        col("ks_scaled"), round(col("ks_d"), 6).as("ks_d"),
-        round(col("threshold"), 6).as("threshold"), col("drifted"))
-      .orderBy("o_orderpriority")
   }
 
   /** Two-proportion z-test per market segment
@@ -3785,489 +2284,6 @@ private[graft] object AnalyticsRegistry {
         round(col("corr"), 6).as("corr"))
       .orderBy("lag")
 
-
-  /** Benford first-digit audit ([[Analytics.benfordAudit]]): leading-
-    * digit distribution of order totals (exact cents) per order
-    * priority vs Benford's law, with per-digit expected counts and
-    * the per-group chi-square — the forensic screen for fabricated
-    * amounts.
-    */
-  private[graft] def benfordAuditQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.benfordAudit(t(s, dir, "orders"), "o_orderpriority",
-        round(col("o_totalprice") * 100, 0).cast("long"))
-      .orderBy("o_orderpriority", "digit")
-
-  /** Customer spend concentration ([[Analytics.concentrationReport]]):
-    * HHI / top-k share / effective-N of per-customer order spend
-    * within each market segment — shares quantized to exact
-    * micro-units so the concentration index is engine-deterministic.
-    */
-  private[graft] def spendConcentrationQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.concentrationReport(
-        t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")),
-            col("o_custkey") === col("c_custkey")),
-        "c_mktsegment", "o_custkey",
-        round(col("o_totalprice") * 100, 0).cast("long"))
-      .orderBy("c_mktsegment")
-
-  /** Kaplan–Meier churn survival ([[Analytics.kaplanMeier]]): per
-    * market segment, survival over customer "lifetime" (days between
-    * first and last order), where a last order more than 90 days
-    * before the global latest order date counts as observed churn and
-    * later activity is censored — the product-limit curve behind
-    * retention forecasting.
-    */
-  private[graft] def kaplanMeierQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")),
-        col("o_custkey") === col("c_custkey"))
-    val perCust = o.groupBy(col("c_mktsegment"), col("o_custkey"))
-      .agg(min(col("o_orderdate").cast("date")).as("__first"),
-        max(col("o_orderdate").cast("date")).as("__last"))
-    val mx = perCust.agg(max(col("__last")).as("__mx"))
-    val subjects = perCust.crossJoin(broadcast(mx))
-      .select(col("c_mktsegment"),
-        datediff(col("__last"), col("__first")).as("__dur"),
-        (col("__last") < date_sub(col("__mx"), 90)).as("__event"))
-    Analytics.kaplanMeier(subjects, "c_mktsegment",
-        col("__dur"), col("__event"))
-      .orderBy("c_mktsegment", "t")
-  }
-
-  /** Exact ROC-AUC ([[Analytics.rocAuc]]): can an order's total price
-    * rank its priority? Per order status, the Mann–Whitney AUC of
-    * `o_totalprice` as a score for the urgent/high label — the
-    * rank-sum identity over distinct scores, never the O(n²) pair
-    * join; ties count half in exact BIGINT.
-    */
-  private[graft] def rocAucQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.rocAuc(t(s, dir, "orders"), "o_orderstatus",
-        col("o_totalprice"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .orderBy("o_orderstatus")
-
-  /** Per-segment decile gains/lift table ([[Analytics.gainsTable]]):
-    * customers ranked by account balance within each market segment,
-    * response = placed at least one 1-URGENT order — the campaign-
-    * targeting report (capture curve + lift vs the segment base rate),
-    * every statistic a ratio of exact counts.
-    */
-  private[graft] def gainsLiftQ(s: SparkSession, dir: String): DataFrame = {
-    val urgent = t(s, dir, "orders")
-      .where(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey")).distinct()
-    val scored = t(s, dir, "customer")
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"),
-        col("o_custkey").isNotNull.as("__y"))
-    Analytics.gainsTable(scored, "c_mktsegment", col("c_acctbal"),
-        col("__y"), col("c_custkey"), buckets = 10)
-      .orderBy("c_mktsegment", "bucket")
-  }
-
-  /** CUSUM level-shift screen ([[Analytics.cusumShift]]): monthly
-    * order counts per priority on a dense month grid (gap months are
-    * zeros), one-sided cumulative deviations from the priority's mean
-    * with a √mean-scaled decision threshold — the monitoring chart
-    * behind "did volume step-change, and when?". The accumulation is
-    * exact BIGINT via the `n·cᵢ − Σc` scaling; the prefix identity
-    * S⁺ᵢ = csᵢ − min(0, min_{j≤i} csⱼ) replaces the sequential
-    * recurrence with window functions.
-    */
-  private[graft] def cusumShiftQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(col("o_orderpriority"),
-      (year(col("o_orderdate").cast("date")) * 12
-        + month(col("o_orderdate").cast("date")) - 1).as("__m"))
-    Analytics.cusumShift(o, "o_orderpriority", col("__m"))
-      .select(col("o_orderpriority"),
-        concat(floor(col("period") / 12).cast("string"), lit("-"),
-          lpad(((col("period") % 12) + 1).cast("string"), 2, "0"))
-          .as("month"),
-        col("n"), col("cusum_pos"), col("cusum_neg"),
-        col("shift_up"), col("shift_down"))
-      .orderBy("o_orderpriority", "month")
-  }
-
-  /** Day-of-week seasonal profile ([[Analytics.seasonalProfile]]):
-    * daily order counts per status on a dense calendar (gap days are
-    * zeros), the per-weekday mean, and Poisson-scaled (3σ) anomaly
-    * days — the weekly-rhythm baseline behind volume monitoring.
-    */
-  private[graft] def seasonalDowQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.seasonalProfile(t(s, dir, "orders"), "o_orderstatus",
-        col("o_orderdate"))
-      .orderBy("o_orderstatus", "dow")
-
-  /** Weight-of-evidence / information-value scorecard screen
-    * ([[Analytics.binnedWoe]]): fixed-width price bins of order totals
-    * scored against the urgent/high label — the shuffle-free binning
-    * (an equal-frequency cut would be a global sort window), smoothed
-    * log-odds per bin, IV total on every row.
-    */
-  private[graft] def priceWoeQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.binnedWoe(t(s, dir, "orders"),
-        floor(col("o_totalprice") / 30000.0).cast("long"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .orderBy("bin")
-
-  /** Cohen's kappa inter-annotator agreement
-    * ([[Analytics.cohenKappa]]): the composite quality score vs a
-    * token-count-only annotator, both cut to hi/mid/lo tiers — does
-    * the cheap labeler agree with the full one beyond chance? κ is an
-    * exact integer ratio (N·D − S)/(N² − S).
-    */
-  private[graft] def qualityKappaQ(s: SparkSession, dir: String): DataFrame = {
-    val q = TextAnalysis.qualityScore(col("text"))
-    val tk = TextAnalysis.tokenCount(col("text"))
-    val labeled = docs(s, dir).select(
-      when(q >= 0.6, "hi").when(q >= 0.3, "mid").otherwise("lo").as("a"),
-      when(tk >= 120, "hi").when(tk >= 40, "mid").otherwise("lo").as("b"))
-    Analytics.cohenKappa(labeled, col("a"), col("b"))
-      .orderBy("label_a", "label_b")
-  }
-
-  /** Categorical association screen ([[Analytics.associationReport]]):
-    * market segment × order priority — χ² via the sparse identity
-    * N·(Σ n²/(r·c) − 1) (zero cells need no densifying grid),
-    * Cramér's V, mutual information, and both Theil's U coefficients
-    * in one row.
-    */
-  private[graft] def segmentPriorityAssocQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.associationReport(
-      t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")),
-          col("o_custkey") === col("c_custkey")),
-      col("c_mktsegment"), col("o_orderpriority"))
-
-  /** Isotonic calibration ([[Analytics.isotonicCalibration]]): the
-    * urgent/high rate per fixed-width price bin, PAV-fitted monotone
-    * non-decreasing via the min-max identity
-    * max_{k≤i} min_{j≥i} avg(k..j) — distributed pool-adjacent-
-    * violators with no sequential pooling loop, per order status.
-    */
-  private[graft] def isotonicCalibrationQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.isotonicCalibration(t(s, dir, "orders"), "o_orderstatus",
-        floor(col("o_totalprice") / 30000.0).cast("long"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .orderBy("o_orderstatus", "bin")
-
-  /** Simpson's-paradox screen ([[Analytics.simpsonScreen]]):
-    * big-order rate of BUILDING vs MACHINERY customers, overall and
-    * within each order priority — strata whose difference reverses
-    * the aggregate's sign get flagged before anyone ships the
-    * aggregate.
-    */
-  private[graft] def simpsonScreenQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.simpsonScreen(
-        t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")),
-            col("o_custkey") === col("c_custkey"))
-          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
-        col("c_mktsegment") === "BUILDING",
-        col("o_orderpriority"),
-        col("o_totalprice") > 150000.0)
-      .orderBy("stratum")
-
-  /** Hash-randomization test ([[Analytics.permutationTest]]): does
-    * BUILDING out-spend MACHINERY per customer beyond chance? 199
-    * md5-keyed relabelings of per-customer exact-cents spend, the
-    * observed mean difference ranked among them — the
-    * cluster-randomized significance check with no RNG state.
-    */
-  private[graft] def permutationTestQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.permutationTest(
-        t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")),
-            col("o_custkey") === col("c_custkey"))
-          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
-        col("o_custkey"),
-        round(col("o_totalprice") * 100, 0).cast("long"),
-        col("c_mktsegment") === "BUILDING",
-        replicas = 199, salt = "q201")
-
-  /** CUPED variance reduction ([[Analytics.cuped]]): per-customer
-    * post-1999 spend adjusted by pre-1999 spend (whole dollars — the
-    * Int64 moment contract), BUILDING vs MACHINERY as the two arms —
-    * the A/B sensitivity lift with θ = cov/var from exact integer
-    * moments.
-    */
-  private[graft] def cupedQ(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer")
-      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-      .select(col("c_custkey"),
-        (col("c_mktsegment") === "BUILDING").as("__a"))
-    val cut = to_date(lit("1999-01-01"))
-    val po = t(s, dir, "orders").groupBy(col("o_custkey"))
-      .agg(sum(when(col("o_orderdate").cast("date") < cut,
-          floor(col("o_totalprice"))).otherwise(0L)).as("__x"),
-        sum(when(col("o_orderdate").cast("date") >= cut,
-          floor(col("o_totalprice"))).otherwise(0L)).as("__y"))
-    val units = cust
-      .join(po, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("__a"), coalesce(col("__x"), lit(0L)).as("__x"),
-        coalesce(col("__y"), lit(0L)).as("__y"))
-    Analytics.cuped(units, col("__a"), col("__x"), col("__y"))
-      .orderBy("cohort")
-  }
-
-  /** Fixed-target CUSUM monitor ([[Analytics.cusumFixedTarget]]):
-    * event counts per 6-hour bucket per type against a fixed
-    * 16-events-per-bucket reference — the all-integer, O(1)-state
-    * form whose streaming twin
-    * ([[graft.streaming.EventStreams.cusumStream]]) emits
-    * bit-identical rows as the watermark closes each bucket.
-    */
-  private[graft] def cusumFixedQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.cusumFixedTarget(events(s, dir), "event_type",
-        floor(unix_micros(col("ts")) / lit(21600000000L)).cast("long"),
-        targetMilli = 16000L, hMilli = 60000L)
-      .orderBy("event_type", "period")
-
-  /** Change-point locator ([[Analytics.changePoint]]): the CUSUM-
-    * bridge argmax over monthly order counts per priority — WHERE the
-    * level most plausibly shifted; the bridge numerator is exact
-    * BIGINT so the split and its tie-break replay bit-for-bit.
-    */
-  private[graft] def changePointQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(col("o_orderpriority"),
-      (year(col("o_orderdate").cast("date")) * 12
-        + month(col("o_orderdate").cast("date")) - 1).as("__m"))
-    Analytics.changePoint(o, "o_orderpriority", col("__m"))
-      .select(col("o_orderpriority"), col("n_periods"), col("total_n"),
-        col("split_index"),
-        concat(floor(col("change_period") / 12).cast("string"),
-          lit("-"), lpad(((col("change_period") % 12) + 1)
-            .cast("string"), 2, "0")).as("change_month"),
-        col("before_mean"), col("after_mean"),
-        col("bridge_height"), col("bridge_scaled"))
-      .orderBy("o_orderpriority")
-  }
-
-  /** Poisson bootstrap CI ([[Analytics.bootstrapRatioCI]]): the
-    * average order value (Σ spend / Σ orders over per-customer
-    * units), with 199 md5-keyed Poisson(1)-weighted replicates — the
-    * resampling-free bootstrap that runs as one fan-out aggregation
-    * at any scale; weights are integer threshold-counts, CI bounds
-    * exact order statistics of the sorted replicate array.
-    */
-  private[graft] def bootstrapCiQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.bootstrapRatioCI(
-      t(s, dir, "orders").select(col("o_custkey").as("__u"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("__num"),
-        lit(1L).as("__den")),
-      col("__u"), col("__num"), col("__den"),
-      replicas = 199, salt = "q208")
-
-  /** Qini uplift curve ([[Analytics.qiniCurve]]): does targeting
-    * high-balance customers create incremental urgent-order response
-    * in BUILDING (treated) vs MACHINERY (control)? Fixed-width
-    * balance bins descending, cumulative Qini per bin — the
-    * incremental-response audit for a targeting policy.
-    */
-  private[graft] def qiniUpliftQ(s: SparkSession, dir: String): DataFrame = {
-    val urgent = t(s, dir, "orders")
-      .where(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey")).distinct()
-    val scored = t(s, dir, "customer")
-      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
-      .select(floor(col("c_acctbal") / 1100.0).cast("long").as("__b"),
-        (col("c_mktsegment") === "BUILDING").as("__t"),
-        col("o_custkey").isNotNull.as("__y"))
-    Analytics.qiniCurve(scored, col("__b"), col("__t"), col("__y"))
-      .orderBy(col("bin").desc)
-  }
-
-  /** Conversion-latency SLA report: view→purchase delays from the
-    * streaming interval join's batch twin, exact interpolated
-    * p50/p90/p99 per day ([[Analytics.percentiles]] — oracle mode;
-    * the 100 TB path flips `approx = true` for the decomposable
-    * sketch). Completes the funnel family with the "how fast do they
-    * convert" cut.
-    */
-  private[graft] def conversionDelayQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-    val pairs = graft.streaming.EventStreams.intervalJoin(
-      ev.where(col("event_type") === "view"),
-      ev.where(col("event_type") === "purchase"),
-      horizon = "30 minutes")
-    val delays = pairs.select(
-      date_format(date_trunc("day", col("l_ts")), "yyyy-MM-dd")
-        .as("day"),
-      (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
-        .as("delay_us"))
-    Analytics.percentiles(delays, Seq("day"), col("delay_us"),
-        Seq(0.5, 0.9, 0.99))
-      .select(col("day"), col("n"),
-        round(col("p50") / 1e6, 4).as("p50_sec"),
-        round(col("p90") / 1e6, 4).as("p90_sec"),
-        round(col("p99") / 1e6, 4).as("p99_sec"))
-      .orderBy("day")
-  }
-
-  /** Disparate-impact audit ([[Analytics.disparateImpact]]):
-    * urgent-order rates by market segment, each group's impact ratio
-    * vs the most-favored segment, with the EEOC four-fifths flag
-    * decided by exact BIGINT cross-multiplication — a boundary group
-    * can't flip with float rounding.
-    */
-  private[graft] def disparateImpactQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val urgent = t(s, dir, "orders")
-      .where(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey")).distinct()
-    val labeled = t(s, dir, "customer")
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("c_mktsegment"),
-        col("o_custkey").isNotNull.as("__y"))
-    Analytics.disparateImpact(labeled, "c_mktsegment", col("__y"))
-      .orderBy("c_mktsegment")
-  }
-
-  /** Always-valid sequential monitor ([[Analytics.msprtMonitor]]):
-    * monthly big-order share per priority against p₀ = 0.33 — the
-    * peeking-safe test whose p-value can be read EVERY period without
-    * α inflation; the statistic rides in log space so rounding stays
-    * engine-stable at any evidence level.
-    */
-  private[graft] def msprtQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(col("o_orderpriority"),
-      (year(col("o_orderdate").cast("date")) * 12
-        + month(col("o_orderdate").cast("date")) - 1).as("__m"),
-      (col("o_totalprice") > 150000.0).as("__y"))
-    Analytics.msprtMonitor(o, "o_orderpriority", col("__m"),
-        col("__y"), p0 = 0.33, tau2 = 0.0025)
-      .select(col("o_orderpriority"),
-        concat(floor(col("period") / 12).cast("string"), lit("-"),
-          lpad(((col("period") % 12) + 1).cast("string"), 2, "0"))
-          .as("month"),
-        col("n_cum"), col("pos_cum"), col("rate"), col("log_lambda"),
-        col("always_valid_p"), col("rejected_by_now"))
-      .orderBy("o_orderpriority", "month")
-  }
-
-  /** Bradley–Terry brand strengths ([[Analytics.bradleyTerry]]):
-    * within every order, each cheaper-line brand "beats" each
-    * pricier-line brand; 8 exact fixed-point MM rounds rank the
-    * brands — the pairwise-preference model behind RLHF reward data,
-    * exercised on the basket-duel graph.
-    */
-  private[graft] def brandBtQ(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("__ok"),
-        col("p_brand").as("__brand"),
-        col("l_extendedprice").as("__price"),
-        col("l_linenumber").as("__ln"))
-    val comp = li.alias("x").join(li.alias("y"),
-        col("x.__ok") === col("y.__ok") &&
-        col("x.__ln") < col("y.__ln") &&
-        col("x.__brand") =!= col("y.__brand") &&
-        col("x.__price") =!= col("y.__price"))
-      .select(
-        when(col("x.__price") < col("y.__price"), col("x.__brand"))
-          .otherwise(col("y.__brand")).as("winner"),
-        when(col("x.__price") < col("y.__price"), col("y.__brand"))
-          .otherwise(col("x.__brand")).as("loser"))
-    Analytics.bradleyTerry(comp, "winner", "loser", iters = 8)
-      .orderBy(col("strength_micro").desc, col("item"))
-  }
-
-  /** KMV audience-overlap audit ([[Analytics.kmvOverlap]]): pairwise
-    * distinct-user intersection estimates between event types from
-    * bottom-256 md5 sketches — the set operation HLL can't do —
-    * verified in-query against the exact intersections (deterministic
-    * flag: md5 is fixed).
-    */
-  private[graft] def kmvOverlapQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.kmvOverlap(events(s, dir), "event_type", "user_id",
-        k = 256)
-      .orderBy("group_a", "group_b")
-
-  /** Join-size forecast ([[Analytics.joinSizeForecast]]) for the
-    * view → purchase attribution self-join on `user_id` (the q48
-    * join): exact output cardinality from two grouped counts, with
-    * the 15 heaviest-fan-out users — the pre-flight that decides
-    * whether the attribution join needs salting before it runs over
-    * a 100 TB event log. All counts/products/shares exact BIGINT.
-    */
-  private[graft] def joinForecastQ(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-    Analytics.joinSizeForecast(
-      ev.where(col("event_type") === "view"),
-      ev.where(col("event_type") === "purchase"),
-      "user_id", "user_id", topN = 15)
-  }
-
-  /** 4-core of the 1995 co-purchase graph ([[Analytics.kCore]]): the
-    * dense backbone left after iteratively peeling parts with fewer
-    * than 4 co-purchase partners — 6 peel rounds at sf0.01, 7 at
-    * sf0.1 (measured), `maxRounds = 12` leaves margin and the oracle
-    * unrolls 10 no-op-past-fixpoint rounds. Same time-sliced edge
-    * set as q183 (bounded density), canonicalized inside the
-    * operator.
-    */
-  private[graft] def kCoreQ(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .where(year(col("l_shipdate").cast("date")) === 1995)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.join(
-        li.select(col("l_orderkey"), col("l_partkey").as("__pk2")),
-        Seq("l_orderkey"))
-      .where(col("l_partkey") < col("__pk2"))
-      .select(col("l_partkey").as("pa"), col("__pk2").as("pb"))
-    Analytics.kCore(edges, "pa", "pb", k = 4, maxRounds = 12)
-      ._1.orderBy("node")
-  }
-
-  /** One Bradley–Terry MM round as oracle CTEs: per-pair terms
-    * quantize by BIGINT `//` BEFORE the per-item sum, update and
-    * normalization are floor divisions — positive-operand `div`
-    * (engine) equals `//` (DuckDB), so the fixed point replays
-    * bit-for-bit.
-    */
-  private def btRound(i: Int): String = {
-    val prev = s"p${i - 1}"
-    s"""tr$i AS MATERIALIZED (
-         SELECT a, b, m, pa.p AS pa, pb.p AS pb
-         FROM pairs
-         JOIN $prev pa ON pa.item = a JOIN $prev pb ON pb.item = b),
-       dr$i AS MATERIALIZED (
-         SELECT item, CAST(sum(t) AS BIGINT) AS d FROM (
-           SELECT a AS item,
-             (m * 1000000000000) // (pa + pb) AS t FROM tr$i
-           UNION ALL SELECT b,
-             (m * 1000000000000) // (pa + pb) FROM tr$i)
-         GROUP BY 1),
-       ur$i AS MATERIALIZED (
-         SELECT items.item,
-           CASE WHEN d IS NOT NULL AND wins > 0
-             THEN (wins * 1000000000000) // d ELSE 0 END AS p0
-         FROM items LEFT JOIN dr$i USING (item)),
-       tt$i AS MATERIALIZED (SELECT CAST(sum(p0) AS BIGINT) AS tot FROM ur$i),
-       p$i AS MATERIALIZED (
-         SELECT item,
-           greatest((p0 * nn.n * 1000000) // tot, 1) AS p
-         FROM ur$i CROSS JOIN tt$i CROSS JOIN nn)"""
-  }
-
-  /** The Poisson(1) weight as pure integer threshold comparisons over
-    * the 32-bit md5 value — Analytics.poissonThresholds interpolated
-    * so the oracle draws byte-identical weights.
-    */
-  private[graft] def poissonWeightSql(u: String): String =
-    graft.operators.Analytics.poissonThresholds
-      .map(t => s"(CASE WHEN $u >= $t THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-
   /** Arithmetic reconstruction of the `graft_zorder` Morton key
     * (q79): mask-shift bit spreading on BIGINT, the final interleave
     * in HUGEINT (the top bit would overflow BIGINT), sign handling as
@@ -4292,4 +2308,15 @@ private[graft] object AnalyticsRegistry {
     s"CAST(CAST(${spread(ua)} AS HUGEINT) * 2 + ${spread(ub)}" +
       " - 9223372036854775808 AS BIGINT)"
   }
+}
+
+/** The assembled analytics registry: core + stats + graph shelves. */
+private[graft] object AnalyticsRegistry
+    extends AnalyticsCore with AnalyticsStatsShelf with AnalyticsGraphShelf {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ statsQueries ++ graphQueries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ statsOracleSql ++ graphOracleSql
 }

@@ -36,6 +36,7 @@ private[graft] object DedupRegistry {
     "q152_cross_source_dup_matrix" -> (crossSourceDupMatrixQ _),
     "q218_split_leakage" -> (splitLeakageQ _),
     "q222_incremental_cc" -> (incrementalCcQ _),
+    "q226_pair_evidence" -> (pairEvidenceQ _),
     "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
     "q21_doc_fingerprints" -> (docFingerprints _),
     "q22_exact_dup_stats" -> (exactDupStats _),
@@ -574,6 +575,36 @@ private[graft] object DedupRegistry {
     "q23_ngram_jaccard_pairs" ->
       s"""$oracleShingleCte,
          ${oracleJaccardSelect("", includeCommon = true)}""",
+    // the q23 pair set replayed, then per-pair shared shingles ranked
+    // by ascending corpus DF (ties on the shingle text) — DF counted
+    // over the SAME distinct (doc_id, shingle) relation the engine's
+    // explodeShingles produces
+    "q226_pair_evidence" ->
+      s"""$oracleShingleCte,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT ida AS id_a, idb AS id_b FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+         dfreq AS (
+           SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         shared AS (
+           SELECT p.id_a, p.id_b, a.shingle
+           FROM prs p
+           JOIN sh a ON a.doc_id = p.id_a
+           JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle),
+         ranked AS (
+           SELECT id_a, id_b, shingle, df,
+             CAST(row_number() OVER (PARTITION BY id_a, id_b
+               ORDER BY df ASC, shingle ASC) AS INT) AS rank
+           FROM shared JOIN dfreq USING (shingle))
+         SELECT id_a, id_b, shingle, df, rank FROM ranked
+         WHERE rank <= 3 ORDER BY id_a, id_b, rank""",
     "q24_minhash_lsh_pairs" ->
       s"""$oracleShingleCte,
          $oracleMinhashCtes,
@@ -718,6 +749,25 @@ private[graft] object DedupRegistry {
       .select(col("id_a"), col("id_b"), col("common"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
+
+  /** Shared-shingle evidence for the q23 verified near-dup pairs
+    * ([[Dedup.pairShingleEvidence]]): for each Jaccard-≥0.8 pair, the
+    * 3 RAREST shared 3-shingles by corpus document frequency — the
+    * reviewable "why did these two match" table a dedup decision needs
+    * before deleting data. The pair frame is persisted because the
+    * evidence operator reads it three times (two semi-join prunes +
+    * the evidence join), exactly the contract its scaladoc states.
+    */
+  private[graft] def pairEvidenceQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleDf = Some(10))
+      .select("id_a", "id_b")
+      .transform(graft.core.CacheScope.disk)
+    Dedup.pairShingleEvidence(d, "doc_id", "text", pairs,
+        n = 3, topK = 3)
+      .orderBy("id_a", "id_b", "rank")
+  }
 
   /** Exact n-gram CONTAINMENT pairs ([[Dedup.ngramContainmentPairs]]):
     * |A∩B| / min(|A|, |B|) ≥ 0.6 over the q23 inverted index — the

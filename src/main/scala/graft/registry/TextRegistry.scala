@@ -38,6 +38,8 @@ private[graft] object TextRegistry {
     "q204_hill_tail_index" -> (hillTailQ _),
     "q213_hash_collision_audit" -> (hashCollisionQ _),
     "q224_mojibake_report" -> (mojibakeReportQ _),
+    "q225_unigram_lm" -> (unigramLmTrainQ _),
+    "q227_unigram_fertility" -> (unigramFertilityQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -450,6 +452,92 @@ private[graft] object TextRegistry {
            round(CAST(sum(CASE WHEN r + c1 + de > 0 THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*), 6) AS flagged_frac
          FROM c GROUP BY source ORDER BY source""",
+    // both hard-EM rounds unrolled; the final rank cut replays the
+    // engine's (cnt desc, piece asc) top-60
+    "q225_unigram_lm" ->
+      s"""WITH RECURSIVE
+         $oracleUnigramHead,
+         ${oracleUnigramRound(0)},
+         ${oracleUnigramRound(1)}
+         SELECT piece, cnt,
+           (cnt * 1000000) //
+             CAST((SELECT sum(cnt) FROM v2) AS BIGINT) AS q_micro,
+           CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
+             AS INT) AS rank
+         FROM v2 QUALIFY rank <= 60 ORDER BY rank""",
+    // the q225 chain to the final cut vocabulary, then the APPLY DP
+    // (top-60 pieces + unk single chars at mass 0; words > 16 chars
+    // fall back to one token per character) side by side with the
+    // q163 BPE apply — token counts only, so no backwalk is needed:
+    // k = ceil(dp[n] / 2^40), exact because 0 <= sum(q) < 2^40
+    "q227_unigram_fertility" ->
+      s"""WITH RECURSIVE
+         $oracleUnigramHead,
+         ${oracleUnigramRound(0)},
+         ${oracleUnigramRound(1)},
+         vf AS MATERIALIZED (
+           SELECT piece, (cnt * 1000000) //
+             CAST((SELECT sum(cnt) FROM v2) AS BIGINT) AS q
+           FROM v2
+           QUALIFY row_number()
+             OVER (ORDER BY cnt DESC, piece ASC) <= 60),
+         ca AS MATERIALIZED (
+           SELECT c.w, c.j, c.i, v.q FROM ucand c JOIN vf v USING (piece)
+           UNION ALL
+           SELECT c.w, c.j, c.i, CAST(0 AS BIGINT)
+           FROM ucand c LEFT JOIN vf v USING (piece)
+           WHERE c.i - c.j = 1 AND v.piece IS NULL),
+         cla AS MATERIALIZED (
+           SELECT w, i, list(struct_pack(j := j, q := q)) AS cs
+           FROM ca GROUP BY w, i),
+         dpa AS (
+           SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS dps FROM uwf
+           UNION ALL
+           SELECT d.w, d.i + 1,
+             list_append(d.dps, list_min(list_transform(cl.cs,
+               x -> d.dps[x.j + 1] + 1099511627776 - x.q)))
+           FROM dpa d JOIN cla cl ON cl.w = d.w AND cl.i = d.i + 1),
+         wcu AS MATERIALIZED (
+           SELECT d.w,
+             (d.dps[length(d.w) + 1] + 1099511627775) // 1099511627776
+               AS n
+           FROM dpa d JOIN uwf USING (w) WHERE d.i = length(uwf.w)),
+         w0 AS MATERIALIZED (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest($oracleWords) AS w FROM documents) z
+           GROUP BY w),
+         s0 AS MATERIALIZED (SELECT w, freq,
+             ' ' || array_to_string(list_transform(
+               generate_series(1, length(w)),
+               i -> substring(w, i, 1)), ' ') || ' ' AS s
+           FROM w0),
+         ${(1 to 8).map(oracleBpeStep).mkString(",\n")},
+         wcb AS (SELECT w, len(string_split(trim(s), ' ')) AS n
+                FROM s8),
+         dw AS (SELECT doc_id, unnest($oracleWords) AS w
+                FROM documents),
+         wcall AS (
+           SELECT w, n FROM wcu
+           UNION ALL
+           SELECT w, length(w) AS n FROM (
+             SELECT DISTINCT w FROM dw WHERE length(w) > 16) z),
+         agg AS (
+           SELECT doc_id, count(*) AS nw, sum(u.n) AS ntu,
+             sum(b.n) AS ntb
+           FROM dw JOIN wcall u USING (w) JOIN wcb b USING (w)
+           GROUP BY doc_id),
+         per AS (
+           SELECT d.lang, coalesce(a.nw, 0) AS nw,
+             coalesce(a.ntu, 0) AS ntu, coalesce(a.ntb, 0) AS ntb
+           FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id)
+         SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(ntu) AS BIGINT) AS n_tokens_uni,
+           CAST(sum(ntb) AS BIGINT) AS n_tokens_bpe,
+           CAST(sum(ntu) AS DOUBLE) / nullif(sum(nw), 0)
+             AS fertility_uni,
+           CAST(sum(ntb) AS DOUBLE) / nullif(sum(nw), 0)
+             AS fertility_bpe
+         FROM per GROUP BY lang ORDER BY lang""",
     // the q143 trained-apply chain regrouped per language
     "q163_tokenizer_fertility" ->
       s"""WITH w0 AS MATERIALIZED (
@@ -1514,4 +1602,135 @@ private[graft] object TextRegistry {
 
   private[graft] val oracleLangScores: String = "WITH " + oracleLangCtes("documents")
 
+  /** Unigram-LM trainer ([[graft.text.UnigramLm.train]]): 2 hard-EM
+    * rounds over the corpus's distinct-word table, 60-piece vocabulary
+    * (pieces ≤ 3 chars, words ≤ 16, seed minCount 5) — the
+    * SentencePiece-style top-down sibling of q142's bottom-up BPE.
+    * Counts, micro-unit masses, and ranks are all integer-exact (the
+    * lexicographic fewest-pieces/most-mass objective; see the
+    * operator's scaladoc), so the oracle unrolls both EM rounds and
+    * matches bit-for-bit.
+    */
+  private[graft] def unigramLmTrainQ(
+      s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.train(docs(s, dir), "text", vocabSize = 60,
+        iters = 2, maxPieceLen = 3, maxWordLen = 16, minCount = 5)
+      .orderBy("rank")
+
+  /** Tokenizer-fertility comparison, unigram-LM vs BPE (extends q163):
+    * per language, tokens-per-word under the q225 trained unigram
+    * vocabulary (production `mapPartitions` apply, unk-char fallback)
+    * side by side with the q142 8-merge BPE apply — the head-to-head a
+    * vocabulary-budget decision actually needs. Both token counts are
+    * exact longs; fertilities are unrounded exact divisions.
+    */
+  private[graft] def unigramFertilityQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = graft.text.UnigramLm.train(d, "text", vocabSize = 60,
+        iters = 2, maxPieceLen = 3, maxWordLen = 16, minCount = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val uni = graft.text.UnigramLm.tokenCounts(d, "doc_id", "text",
+      vocab, maxPieceLen = 3, maxWordLen = 16)
+    val m = TextAnalysis.bpeTrainMerges(d, "text", merges = 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val bpe = TextAnalysis.bpeTokenCountsFast(d, "doc_id", "text", m)
+      .select(col("doc_id"), col("n_tokens_bpe"))
+    uni.join(bpe, Seq("doc_id"))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens_uni")).as("n_tokens_uni"),
+        sum(col("n_tokens_bpe")).as("n_tokens_bpe"))
+      .select(col("lang"), col("n_words"), col("n_tokens_uni"),
+        col("n_tokens_bpe"),
+        (col("n_tokens_uni").cast("double") / col("n_words"))
+          .as("fertility_uni"),
+        (col("n_tokens_bpe").cast("double") / col("n_words"))
+          .as("fertility_bpe"))
+      .orderBy("lang")
+  }
+
+  /** One unrolled hard-EM round of the unigram-LM oracle: micro-unit
+    * scores from v{t}, per-word Viterbi DP as a recursive CTE whose
+    * state is the word's dp-prefix LIST, the per-position argmin
+    * table (score asc, split j asc — the engine's tie-break), the
+    * backwalk recursion over it, and the usage recount into v{t+1}
+    * (single chars coalesced back at count 0 — the coverage rule).
+    * 2^40 = 1099511627776 is the packed per-piece cost.
+    */
+  private[graft] def oracleUnigramRound(t: Int): String =
+    s"""q$t AS MATERIALIZED (
+         SELECT piece, (cnt * 1000000) //
+           CAST((SELECT sum(cnt) FROM v$t) AS BIGINT) AS q FROM v$t),
+       c$t AS MATERIALIZED (
+         SELECT c.w, c.j, c.i, q.q FROM ucand c JOIN q$t q USING (piece)),
+       cl$t AS MATERIALIZED (
+         SELECT w, i, list(struct_pack(j := j, q := q)) AS cs
+         FROM c$t GROUP BY w, i),
+       dp$t AS (
+         SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS dps FROM uwf
+         UNION ALL
+         -- per-position candidate LISTS + a lambda fold instead of a
+         -- correlated subquery: DuckDB 1.0 silently NULLs a correlated
+         -- subquery over a MATERIALIZED CTE inside recursion (bisected
+         -- round 14); plain joins against materialized CTEs are fine
+         SELECT d.w, d.i + 1,
+           list_append(d.dps, list_min(list_transform(cl.cs,
+             x -> d.dps[x.j + 1] + 1099511627776 - x.q)))
+         FROM dp$t d JOIN cl$t cl ON cl.w = d.w AND cl.i = d.i + 1),
+       dpf$t AS MATERIALIZED (
+         SELECT d.w, d.dps FROM dp$t d JOIN uwf USING (w)
+         WHERE d.i = length(uwf.w)),
+       bj$t AS MATERIALIZED (
+         SELECT w, i, j FROM (
+           SELECT c.w, c.i, c.j,
+             row_number() OVER (PARTITION BY c.w, c.i
+               ORDER BY f.dps[c.j + 1] + 1099511627776 - c.q ASC,
+                 c.j ASC) AS rn
+           FROM c$t c JOIN dpf$t f USING (w)) z WHERE rn = 1),
+       bw$t AS (
+         SELECT w, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps
+         FROM uwf
+         UNION ALL
+         SELECT b.w, bj.j,
+           list_append(b.ps, substring(b.w, bj.j + 1, b.pos - bj.j))
+         FROM bw$t b JOIN bj$t bj ON bj.w = b.w AND bj.i = b.pos
+         WHERE b.pos > 0),
+       cnt${t + 1} AS (
+         SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT uwf.freq, unnest(s.ps) AS piece
+           FROM (SELECT w, ps FROM bw$t WHERE pos = 0) s
+           JOIN uwf USING (w)) z
+         GROUP BY piece),
+       v${t + 1} AS MATERIALIZED (
+         SELECT coalesce(c.piece, s.piece) AS piece,
+           coalesce(c.cnt, 0) AS cnt
+         FROM cnt${t + 1} c FULL JOIN (
+           SELECT piece FROM v0 WHERE length(piece) = 1) s
+           ON s.piece = c.piece)"""
+
+  /** The shared head of the unigram oracles: distinct words (≤ 16
+    * chars), the (j, i) candidate lattice (pieces ≤ 3 chars), and the
+    * minCount-5 seed vocabulary with unconditional single chars.
+    */
+  private[graft] val oracleUnigramHead: String =
+    s"""uwf AS MATERIALIZED (
+         SELECT w, count(*) AS freq FROM (
+           SELECT unnest($oracleWords) AS w FROM documents) z
+         WHERE length(w) <= 16 GROUP BY w),
+       ucand AS MATERIALIZED (
+         SELECT w, freq, j, i, substring(w, j + 1, i - j) AS piece
+         FROM uwf,
+           LATERAL (SELECT unnest(generate_series(0, length(w) - 1))
+             AS j) tj,
+           LATERAL (SELECT unnest(generate_series(j + 1,
+             least(length(w), j + 3))) AS i) ti),
+       useed AS (
+         SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM ucand
+         GROUP BY piece),
+       v0 AS MATERIALIZED (
+         SELECT piece, cnt FROM useed
+         WHERE length(piece) = 1 OR cnt >= 5)"""
 }

@@ -406,7 +406,10 @@ object Similarity {
     * label-sized, the [[ivfTopKWithCentroids]] trade, acceptable
     * because the window only RANKS (no payload carry) and labels are
     * the parallelism unit. Nulls and empty vectors are excluded up
-    * front (they have no distance).
+    * front (they have no distance); a RAGGED corpus — a vector whose
+    * length differs from its label's dimension — fails the job loudly
+    * via `raise_error` rather than emitting null-distance rows that
+    * would still receive ranks.
     *
     * Returns `(label, id, sq_dist, label_mean_sq, ratio_micro, rank)`
     * for the `topK` farthest per label; `ratio_micro` is null for a
@@ -436,11 +439,24 @@ object Similarity {
         .as("__pc"))
       .select(col("label"),
         transform(col("__pc"), p => p.getField("c")).as("__cv"))
+    // a ragged corpus (vector length ≠ label dimension) must FAIL, not
+    // flow: zip_with pads the short side with null, null propagates
+    // through the fold, and a null sq_dist would still be ranked
+    // (nulls last under desc) — a silently wrong screen. raise_error
+    // is a per-row no-op on well-formed input, so the guard costs one
+    // codegen'd size comparison.
     val dists = me.join(broadcast(cents), Seq("label"))
       .select(col("label"), col("id"),
-        aggregate(zip_with(col("__m"), col("__cv"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("sq_dist"))
+        when(size(col("__m")) =!= size(col("__cv")),
+          raise_error(concat(
+            lit("labelNoiseScreen: ragged vector for id "), col("id"),
+            lit(" — size "), size(col("__m")).cast("string"),
+            lit(" vs label dimension "),
+            size(col("__cv")).cast("string"))).cast("long"))
+          .otherwise(
+            aggregate(zip_with(col("__m"), col("__cv"),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x)).as("sq_dist"))
       .transform(graft.core.CacheScope.disk)
     val means = dists.groupBy("label")
       .agg(expr("sum(sq_dist) div count(1)").as("label_mean_sq"))
@@ -543,8 +559,22 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, cents: DataFrame, tableName: String, nprobe: Int,
+      roundTo: Int = 4): DataFrame =
+    ivfTopKOverIndexFrame(queries, idCol, vecCol, k, cents,
+      spark.table(tableName), nprobe, roundTo)
+
+  /** [[ivfTopKOverIndex]] over an index FRAME instead of a catalog
+    * table — the search path for non-catalog index stores (the
+    * streaming maintenance sink's batch-partitioned parquet store,
+    * [[graft.streaming.EventStreams.annIndexMaintenanceSink]]).
+    * `index` rows must carry (idCol, vecCol, __vn, centroid_id) —
+    * [[buildIvfIndex]]'s layout.
+    */
+  def ivfTopKOverIndexFrame(
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: DataFrame, index: DataFrame, nprobe: Int,
       roundTo: Int = 4): DataFrame = {
-    val assigned = spark.table(tableName)
+    val assigned = index
     val centsN = broadcast(cents.select(col("centroid_id"),
       col("centroid_vec"), norm(col("centroid_vec")).as("__cn")))
     val q = withNorm(queries, idCol, vecCol, "query_id", "__qv", "__qn")
@@ -569,6 +599,27 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** One batch's index rows in the standing store's layout — the
+    * shared assignment step of [[buildIvfIndex]]/[[ivfIndexAppend]]
+    * (vector-carrying: `(idCol, vecCol, __vn, centroid_id)`) or, with
+    * `codebooks`, of [[pqBuildIvfIndex]]/[[ivfPqIndexAppend]]
+    * (code-carrying: `(centroid_id, idCol, codes)`). Exposed for the
+    * streaming maintenance sink, whose store is a batch-partitioned
+    * parquet directory rather than a catalog table: at fixed
+    * centroids (and codebooks) these rows are a pure function of the
+    * batch, which is what makes the sink's overwrite-by-batch replay
+    * idempotent.
+    */
+  def annIndexRows(
+      batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebooks: Option[DataFrame] = None,
+      roundTo: Int = 4): DataFrame = codebooks match {
+    case Some(cb) =>
+      ivfPqAssignCodes(batch, idCol, vecCol, cents, cb, roundTo)
+    case None =>
+      assignWithNorm(batch, cents, idCol, vecCol, roundTo)
   }
 
   /** Incrementally APPEND a batch to a [[buildIvfIndex]] table: the

@@ -901,6 +901,104 @@ object EventStreams {
       labelsDir: String): DataFrame =
     spark.read.parquet(labelsDir).select("id", "component")
 
+  /** Streaming ANN-index maintenance — the IVF / IVF-PQ analogue of
+    * the sketch and fingerprint maintenance sinks, completing the one
+    * index family that had batch append ([[graft.similarity.Similarity
+    * .ivfIndexAppend]] / [[graft.similarity.Similarity
+    * .ivfPqIndexAppend]]) but no streaming lifecycle: each micro-batch
+    * of `(id, vector)` rows is assigned to the FIXED broadcast
+    * centroid set (and, with `codebooks`, PQ-encoded against the fixed
+    * codebooks) and landed into the standing index store at
+    * `indexDir`.
+    *
+    * Store layout and exactly-once: a parquet directory partitioned by
+    * `(__batch, centroid_id)`, written with DYNAMIC partition
+    * overwrite. `__batch` is NOT the engine's batch id — it is an
+    * order-independent CONTENT key of the batch (row count + two
+    * independent wrapped sums of per-id xxhash64), so the landing is
+    * idempotent under every redelivery shape: checkpoint replay of a
+    * half-processed batch recomputes the same key and rewrites its own
+    * partitions with identical content (the index rows are a pure
+    * function of the batch at fixed centroids/codebooks,
+    * [[graft.similarity.Similarity.annIndexRows]]), and a batch
+    * re-sent through a NEW checkpoint (engine batch ids restart at 0)
+    * still lands on its own key instead of clobbering an unrelated
+    * batch's partition or duplicating rows. A key collision between
+    * two batches with DIFFERENT id sets would drop the earlier one —
+    * 128 effective bits make that ~2^-128 per pair, the md5-fingerprint
+    * argument the dedup family already relies on. Re-sending an id
+    * with a CHANGED vector is an update, which an append-only index
+    * does not model — route updates through a rebuild. The
+    * `centroid_id` partition level keeps the probe path pruned: a
+    * search touching `nprobe` buckets reads only those directories,
+    * the same locality the batch builds get from `bucketBy`.
+    *
+    * Restart needs NO rebuild — unlike the Bloom sinks the store IS
+    * the state (there is no driver-held structure to reconstruct);
+    * a restarted query just keeps landing batches. Centroids drift as
+    * batches accumulate; [[graft.similarity.Similarity
+    * .ivfDriftReport]] over [[liveAnnIndex]] is the standing
+    * re-train trigger, and re-training means re-building the store
+    * from the corpus (centroids are part of the index's identity).
+    *
+    * Readers: [[liveAnnIndex]] + [[graft.similarity.Similarity
+    * .ivfTopKOverIndexFrame]] (vector store) or
+    * [[graft.similarity.Similarity.ivfPqTopK]] (code store). At fixed
+    * centroids the landed store is row-identical to a from-scratch
+    * batch build over the union of all batches (spec-pinned), so
+    * readers need no streaming-specific handling.
+    */
+  def annIndexMaintenanceSink(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, indexDir: String, checkpointDir: String,
+      codebooks: Option[DataFrame] = None, roundTo: Int = 4)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lock = new Object
+    foreachBatchSink(vecs, checkpointDir, outputMode = "append") {
+      (batch, _) =>
+        lock.synchronized(graft.core.CacheScope.withScope {
+          landAnnBatch(batch, idCol, vecCol, cents, codebooks,
+            indexDir, roundTo)
+        })
+    }
+  }
+
+  private[streaming] def landAnnBatch(
+      batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebooks: Option[DataFrame],
+      indexDir: String, roundTo: Int): Unit = {
+    // order-independent content key: wrapped sums commute, so the key
+    // is invariant to partitioning and delivery order; two independent
+    // hash folds + the count give 128 effective bits (see scaladoc)
+    val keyRow = batch.agg(
+      count(lit(1)).as("n"),
+      sum(xxhash64(col(idCol))).as("h1"),
+      sum(xxhash64(col(idCol), lit("graft_ann_salt"))).as("h2")).head()
+    if (keyRow.getLong(0) > 0L) {
+      val key = f"b${keyRow.getLong(0)}_${keyRow.getLong(1)}%016x" +
+        f"_${keyRow.getLong(2)}%016x"
+      graft.similarity.Similarity
+        .annIndexRows(batch, idCol, vecCol, cents, codebooks, roundTo)
+        .withColumn("__batch", lit(key))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "snappy")
+        .partitionBy("__batch", "centroid_id")
+        .parquet(indexDir)
+    }
+  }
+
+  /** The standing index over an [[annIndexMaintenanceSink]] store,
+    * in the layout [[graft.similarity.Similarity
+    * .ivfTopKOverIndexFrame]] (vector store) / [[graft.similarity
+    * .Similarity.ivfPqTopK]] (code store, `codes` column) read —
+    * `__batch` is the store's replay unit, not part of the index.
+    */
+  def liveAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).drop("__batch")
+
   /** Streaming SCD-2 dimension maintenance: lands each micro-batch of
     * keyed attribute observations into the versioned dimension at
     * `path` via [[graft.transform.StarSchemaBuilder

@@ -281,9 +281,16 @@ object TextAnalysis {
     *    sequences) followed by a continuation-byte code point
     *    (`U+0080`–`U+00BF`), the "Ã©"/"Â " signature.
     *
-    * The patterns are mutually non-overlapping (distinct first code
-    * points), so the counts are exact and independent — the
-    * [[piiIncidence]] argument.
+    * Each count is an independent single scan, and the scans CAN
+    * overlap on one class of characters: the `double_enc` continuation
+    * range `U+0080`–`U+00BF` contains the whole C1 range, so a
+    * sequence like `U+00C2 U+0085` contributes to BOTH `c1_chars` and
+    * `double_enc` — per-signature totals are per-signature evidence
+    * counts, not a partition of the corrupt characters (`n_flagged`,
+    * which ORs the signatures per document, is unaffected). That is
+    * the useful semantics: a C1 byte after a UTF-8 lead byte is
+    * evidence for both diagnoses, and dropping it from either would
+    * under-report that signature.
     */
   val mojibakePatterns: Seq[(String, String)] = Seq(
     "repl_chars" -> "\\uFFFD",

@@ -79,4 +79,21 @@ class LabelNoiseSpec extends SparkSpec {
     assert(r.groupBy("label").count().collect()
       .forall(_.getLong(1) == 2L))
   }
+
+  test("a ragged corpus (vector length != label dimension) fails " +
+      "loudly instead of emitting null-distance ranked rows") {
+    val e = Seq(
+      (1L, Array(0f, 0f), 0),
+      (2L, Array(1f, 1f), 0),
+      (3L, Array(2f), 0)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      Similarity.labelNoiseScreen(e, "vec_id", "embedding", "label",
+        topK = 3).collect()
+    }
+    // the raise_error message names the offending row
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("ragged vector")))
+  }
 }
