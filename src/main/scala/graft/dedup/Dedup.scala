@@ -1462,4 +1462,101 @@ object Dedup {
       .where(col("rank") <= topK)
       .select("id_a", "id_b", "shingle", "df", "rank")
   }
+
+  /** Per-document novelty vs a REFERENCE corpus — the memorization /
+    * freshness audit: for each document, how many of its distinct
+    * word-`n`-shingles already occur ANYWHERE in `ref`. The per-doc
+    * aggregate complement of the q64-style pairwise contamination
+    * report (which counts doc×benchmark overlap CELLS): eval-set novelty
+    * ("is this benchmark already in the training data"), dedup-policy
+    * tuning ("how much of the new crawl is old"), and memorization
+    * screens all read this one number per document.
+    *
+    * Scale shape: both sides collapse to distinct (id, shingle) /
+    * distinct shingle rows ([[graft.text.TextAnalysis
+    * .explodeShingles]] — one shuffle each, map-side combined); the
+    * membership test is a LEFT SEMI join keyed on the shingle (no
+    * payload carry, no fan-out — the reference set is a set, never a
+    * pair generator), and the per-doc rollup regroups shingle-count
+    * rows. Nothing in the plan is ever pairwise. Documents with
+    * fewer than `n` words have no shingles and report (0, 0, null).
+    *
+    * Returns `(id, n_shingles, n_seen, novelty_frac)` where
+    * `novelty_frac = 1 − n_seen/n_shingles` rounded to 6 (null when
+    * the document has no shingles).
+    */
+  def noveltyScreen(
+      docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
+    val sh = graft.text.TextAnalysis
+      .explodeShingles(docs, idCol, textCol, n)
+    val refSh = graft.text.TextAnalysis
+      .explodeShingles(ref.select(lit(0L).as("__rid"),
+        col(refTextCol)), "__rid", refTextCol, n)
+      .select("shingle").distinct()
+    val seen = sh.join(refSh, Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_seen"))
+    val totals = sh.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(seen, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        round(lit(1.0) - coalesce(col("n_seen"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("novelty_frac"))
+  }
+
+  /** LSH parameter planner — the S-curve audit a (bands, rows) choice
+    * should be read against BEFORE a 100 TB banding run: for each
+    * candidate configuration and each Jaccard similarity on a
+    * `gridStep` grid, the probability that a pair with that
+    * similarity becomes an LSH candidate, `p = 1 − (1 − s^r)^b`
+    * (Broder/LSH standard), plus each grid point's false-positive /
+    * false-negative classification against `threshold` (candidate
+    * mass below the threshold = wasted verify work; missed mass above
+    * it = recall loss — [[lshRecallAudit]] then measures the real
+    * corpus against the curve's prediction).
+    *
+    * Cross-engine exactness without `pow`: `s^r` and `(1−s^r)^b`
+    * evaluate as LEFT-FOLD multiplication chains (`aggregate` over
+    * `sequence`) — IEEE multiplication in a fixed order is
+    * bit-deterministic, where `pow(double, double)` is
+    * library-dependent in its last ulp; grid points are
+    * `k·gridStep/1000` with integer k, identical doubles in any
+    * engine. The whole table is `|configs| × grid` literal-lattice
+    * rows — a driver-free constant-size plan.
+    *
+    * Returns `(bands, rows_per_band, s_milli, p_candidate,
+    * false_positive, false_negative)`, `p_candidate` rounded to 6.
+    */
+  def lshPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)], threshold: Double,
+      gridStepMilli: Int = 50): DataFrame = {
+    require(configs.nonEmpty, "at least one (bands, rows) config")
+    require(gridStepMilli >= 1 && gridStepMilli <= 500,
+      "gridStepMilli in [1, 500]")
+    import spark.implicits._
+    val cfg = configs.toDF("bands", "rows_per_band")
+    val grid = cfg.select(col("bands"), col("rows_per_band"),
+      explode(sequence(lit(gridStepMilli), lit(1000 - gridStepMilli),
+        lit(gridStepMilli))).as("s_milli"))
+    val s = col("s_milli").cast("double") / 1000.0
+    val sr = aggregate(sequence(lit(1), col("rows_per_band")),
+      lit(1.0), (acc, _) => acc * s)
+    val miss = aggregate(sequence(lit(1), col("bands")),
+      lit(1.0), (acc, _) => acc * (lit(1.0) - sr))
+    grid
+      .withColumn("p_candidate", round(lit(1.0) - miss, 6))
+      .withColumn("false_positive",
+        (s < threshold) && col("p_candidate") >= 0.5)
+      .withColumn("false_negative",
+        (s >= threshold) && col("p_candidate") < 0.5)
+      .select(col("bands"), col("rows_per_band"), col("s_milli"),
+        col("p_candidate"),
+        col("false_positive").cast("int").as("false_positive"),
+        col("false_negative").cast("int").as("false_negative"))
+  }
 }

@@ -37,6 +37,8 @@ private[graft] object DedupRegistry {
     "q218_split_leakage" -> (splitLeakageQ _),
     "q222_incremental_cc" -> (incrementalCcQ _),
     "q226_pair_evidence" -> (pairEvidenceQ _),
+    "q228_novelty_screen" -> (noveltyScreenQ _),
+    "q229_lsh_plan" -> (lshPlanQ _),
     "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
     "q21_doc_fingerprints" -> (docFingerprints _),
     "q22_exact_dup_stats" -> (exactDupStats _),
@@ -605,6 +607,56 @@ private[graft] object DedupRegistry {
            FROM shared JOIN dfreq USING (shingle))
          SELECT id_a, id_b, shingle, df, rank FROM ranked
          WHERE rank <= 3 ORDER BY id_a, id_b, rank""",
+    // per-doc distinct-shingle membership against the benchmark leg's
+    // shingle SET; null novelty for shingle-less docs
+    "q228_novelty_screen" ->
+      s"""$oracleShingleCte,
+         refsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+         corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM corp
+                 GROUP BY doc_id),
+         seen AS (
+           SELECT doc_id, count(*) AS n_seen FROM corp
+           JOIN refsh USING (shingle) GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(t.n_shingles, 0) AS n_shingles,
+           coalesce(sn.n_seen, 0) AS n_seen,
+           CASE WHEN t.n_shingles IS NULL THEN NULL
+             ELSE round(1.0 - coalesce(sn.n_seen, 0)
+               / CAST(t.n_shingles AS DOUBLE), 6) END AS novelty_frac
+         FROM documents d
+         LEFT JOIN tot t ON t.doc_id = d.doc_id
+         LEFT JOIN seen sn ON sn.doc_id = d.doc_id
+         WHERE d.doc_id % 10 <> 0
+         ORDER BY d.doc_id""",
+    // the same left-fold multiplication chains as the engine: products
+    // of identical IEEE factors are grouping-independent, so both
+    // engines produce bit-identical doubles without pow()
+    "q229_lsh_plan" ->
+      """WITH cfg(bands, rows_per_band) AS (
+           VALUES (2, 8), (4, 4), (8, 2), (16, 1)),
+         g AS (SELECT bands, rows_per_band,
+             unnest(generate_series(50, 950, 50)) AS s_milli FROM cfg),
+         p AS (
+           SELECT bands, rows_per_band, s_milli,
+             CAST(s_milli AS DOUBLE) / 1000.0 AS s,
+             list_aggregate(list_transform(
+               generate_series(1, rows_per_band),
+               x -> CAST(s_milli AS DOUBLE) / 1000.0), 'product') AS sr
+           FROM g),
+         p2 AS (
+           SELECT bands, rows_per_band, s_milli, s,
+             round(1.0 - list_aggregate(list_transform(
+               generate_series(1, bands), x -> 1.0 - sr), 'product'), 6)
+               AS p_candidate
+           FROM p)
+         SELECT bands, rows_per_band, CAST(s_milli AS INT) AS s_milli,
+           p_candidate,
+           CAST(s < 0.8 AND p_candidate >= 0.5 AS INT)
+             AS false_positive,
+           CAST(s >= 0.8 AND p_candidate < 0.5 AS INT)
+             AS false_negative
+         FROM p2 ORDER BY bands, rows_per_band, s_milli""",
     "q24_minhash_lsh_pairs" ->
       s"""$oracleShingleCte,
          $oracleMinhashCtes,
@@ -768,6 +820,35 @@ private[graft] object DedupRegistry {
         n = 3, topK = 3)
       .orderBy("id_a", "id_b", "rank")
   }
+
+  /** Per-document novelty vs the benchmark split
+    * ([[Dedup.noveltyScreen]]): for every non-benchmark document, the
+    * fraction of its distinct 3-shingles NOT already present anywhere
+    * in the benchmark leg (doc_id % 10 = 0, the q103 split) — the
+    * per-doc memorization/freshness aggregate next to q64's pairwise
+    * contamination cells.
+    */
+  private[graft] def noveltyScreenQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.noveltyScreen(
+        d.where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        d.where(col("doc_id") % 10 === 0), "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** LSH parameter planner ([[Dedup.lshPlan]]): the candidate-
+    * probability S-curves of the four 16-hash (bands × rows) splits
+    * against the q23/q24 Jaccard-0.8 near-dup threshold — the table
+    * that says (2,8) is precision-leaning and (16,1) recall-leaning
+    * BEFORE any banding run. Pure closed-form lattice; multiplication
+    * folds instead of `pow`, so the oracle reproduces every double
+    * bit-for-bit.
+    */
+  private[graft] def lshPlanQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshPlan(s, Seq((2, 8), (4, 4), (8, 2), (16, 1)),
+        threshold = 0.8, gridStepMilli = 50)
+      .orderBy("bands", "rows_per_band", "s_milli")
 
   /** Exact n-gram CONTAINMENT pairs ([[Dedup.ngramContainmentPairs]]):
     * |A∩B| / min(|A|, |B|) ≥ 0.6 over the q23 inverted index — the
