@@ -2577,6 +2577,125 @@ object Analytics {
     (labels, converged)
   }
 
+  /** Synchronous label propagation (LPA) community detection — the
+    * cheap community cut between [[kCore]]'s density slice and
+    * [[graft.dedup.ConnectedComponents]]'s reachability classes: every
+    * node starts as its own label, and each round every node adopts
+    * the MOST COMMON label among its neighbors (ties → the smallest
+    * label; isolated label states impossible — every node in an edge
+    * has neighbors). Communities are dense neighborhoods that out-vote
+    * their boundary, which CC (one bridge merges everything) and
+    * k-core (a fixed global k) both miss.
+    *
+    * Determinism is the design constraint, as everywhere in this
+    * registry: updates are SYNCHRONOUS (all nodes switch on the same
+    * round's labels — asynchronous LPA is schedule-dependent) and the
+    * per-node vote argmax is pinned by (count desc, label asc), so a
+    * fixed `rounds` run is a pure function of the edge set and the
+    * DuckDB oracle can unroll it round by round. Fixed rounds rather
+    * than a convergence test on purpose: sync LPA can 2-cycle on
+    * bipartite-ish structures (the known oscillation), so "run k
+    * rounds" IS the published stopping rule for the sync variant.
+    *
+    * Scale shape: per round, one join of the (node-partitioned)
+    * adjacency against the one-row-per-node label frame, one
+    * (node, label) grouped count (map-side combined — a hub's votes
+    * pre-aggregate per partition), and one per-node argmax window over
+    * groups bounded by the node's DISTINCT neighbor-label count
+    * (≤ degree, shrinking as communities coalesce). Labels
+    * `localCheckpoint` per round to truncate the iterative lineage —
+    * the [[kCore]] treatment. No driver-side data, rounds fixed.
+    *
+    * Returns `(node, community)` — `community` is the round-`rounds`
+    * label (a member node id; NOT canonicalized to the component
+    * minimum, communities are finer than components).
+    */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val und = edges.select(
+        col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .distinct()
+    val adj = und
+      .select(col("__a").as("node"), col("__b").as("nbr"))
+      .union(und.select(col("__b"), col("__a")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("community", col("node"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val votes = adj
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy("node", "community")
+        .agg(count(lit(1)).as("__votes"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("__votes").desc, col("community").asc)
+      labels = votes
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        .select("node", "community")
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
+
+  /** Functional-dependency audit — the schema-profiling question "does
+    * column A determine column B" answered with exact counts, for a
+    * declared list of candidate FDs: per (determinant, dependent)
+    * pair, the number of determinant groups, the groups carrying MORE
+    * than one distinct dependent value (FD violations), and the row
+    * mass inside violating groups. The audit that catches a
+    * denormalization drifting out of sync, a surrogate key silently
+    * losing uniqueness, or an upstream join fanning out — before a
+    * downstream `first(dep)` silently picks an arbitrary value.
+    *
+    * Null semantics: rows with a null determinant are excluded (SQL
+    * grouping would conflate them into one spurious group); null
+    * dependents COUNT as a distinct value against non-null ones
+    * (a group holding `x` and null does NOT determine its dependent)
+    * — counted via `count(distinct dep) + max(dep is null)`, exact.
+    *
+    * Scale shape: one grouped aggregation per declared pair
+    * (map-side combined; distinct-dependent state is per-group and
+    * the violation test needs only "≥ 2", never the value list), each
+    * collapsing to a ONE-ROW summary — the pairs then union into a
+    * |pairs|-row report. Cost is |pairs| shuffles of group-count
+    * rows; nothing is ever pairwise across rows.
+    *
+    * Returns `(determinant, dependent, n_groups, n_violating_groups,
+    * n_rows, n_violating_rows, fd_holds)` ordered as declared.
+    */
+  def fdAudit(
+      df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "at least one (determinant, dependent) pair")
+    pairs.map { case (det, dep) =>
+      df.where(col(det).isNotNull)
+        .groupBy(col(det))
+        .agg((countDistinct(col(dep)) +
+            max(when(col(dep).isNull, 1L).otherwise(0L))).as("__nd"),
+          count(lit(1)).as("__n"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(col("__n")).as("n_rows"),
+          sum(when(col("__nd") > 1, col("__n")).otherwise(0L))
+            .as("n_violating_rows"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_groups"), col("n_violating_groups"), col("n_rows"),
+          col("n_violating_rows"),
+          (col("n_violating_groups") === 0).cast("int").as("fd_holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Benford first-significant-digit audit — the forensic-accounting
     * screen for fabricated or mis-binned amounts: per group, the
     * observed distribution of the leading digit of an exact integer

@@ -29,6 +29,7 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     "q183_link_prediction" -> (linkPredictionQ _),
     "q220_join_forecast" -> (joinForecastQ _),
     "q221_k_core" -> (kCoreQ _),
+    "q230_label_propagation" -> (labelPropagationQ _),
   )
 
   private[graft] def graphOracleSql: Map[String, String] = Map(
@@ -184,7 +185,65 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
          FROM j CROSS JOIN t
          ORDER BY out_rows DESC, key LIMIT 15""",
     "q221_k_core" -> kCoreOracle,
+    "q230_label_propagation" -> lpaOracle,
   )
+
+  /** The q230 sync-LPA rounds unrolled: per round, neighbor-label
+    * votes and the (count desc, label asc) argmax — the engine's
+    * pinned tie-break, so 3 fixed rounds replay exactly.
+    */
+  private def lpaOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""v$i AS (
+           SELECT adj.node, l.community, count(*) AS c
+           FROM adj JOIN l${i - 1} l ON l.node = adj.nbr
+           GROUP BY 1, 2),
+         l$i AS MATERIALIZED (
+           SELECT node, community FROM (
+             SELECT node, community, row_number() OVER (
+               PARTITION BY node ORDER BY c DESC, community ASC) AS rn
+             FROM v$i) z WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         WHERE year(l_shipdate) = 1995),
+       e0 AS MATERIALIZED (
+         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+           greatest(a.l_partkey, b.l_partkey) AS b
+         FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+       adj AS MATERIALIZED (
+         SELECT a AS node, b AS nbr FROM e0
+         UNION ALL SELECT b, a FROM e0),
+       l0 AS MATERIALIZED (
+         SELECT node, node AS community FROM (
+           SELECT node FROM adj GROUP BY node) z),
+       $rounds
+       SELECT node, community FROM l3 ORDER BY node"""
+  }
+
+  /** Sync label-propagation communities over the 1995 co-purchase
+    * slice ([[Analytics.labelPropagation]]): 3 fixed synchronous
+    * rounds (the published stopping rule for the deterministic sync
+    * variant — it can 2-cycle, so rounds are part of the contract),
+    * tie-breaks pinned (count desc, label asc). The community cut
+    * between q221's density slice and q222's reachability classes,
+    * on the same bounded-density edge set.
+    */
+  private[graft] def labelPropagationQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(year(col("l_shipdate").cast("date")) === 1995)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.join(
+        li.select(col("l_orderkey"), col("l_partkey").as("__pk2")),
+        Seq("l_orderkey"))
+      .where(col("l_partkey") < col("__pk2"))
+      .select(col("l_partkey").as("pa"), col("__pk2").as("pb"))
+    Analytics.labelPropagation(edges, "pa", "pb", rounds = 3)
+      .orderBy("node")
+  }
 
   /** The q221 peel unrolled: round i keeps nodes with degree ≥ 4 in
     * e(i−1) and restricts the edges to them. Peeling is monotone, so

@@ -78,6 +78,7 @@ private[graft] trait AnalyticsCore {
     "q96_lineitem_profile" -> (lineitemProfile _),
     "q97_cdc_apply" -> (cdcApplySummary _),
     "q99_order_fanout" -> (orderFanoutHistogram _),
+    "q231_fd_audit" -> (fdAuditQ _),
   )
 
   private[graft] def coreOracleSql: Map[String, String] = Map(
@@ -1137,6 +1138,30 @@ private[graft] trait AnalyticsCore {
              ON o_orderkey = l_orderkey)
          SELECT fanout, count(*) AS n_orders
          FROM per GROUP BY fanout ORDER BY fanout""",
+    // one grouped aggregate per declared pair; null dependents count
+    // as a distinct value via the max(is-null) term, exactly the
+    // engine's arithmetic
+    "q231_fd_audit" -> Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderdate", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority"))
+      .map { case (det, dep) =>
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+            count(*) AS n_groups,
+            CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_violating_groups,
+            CAST(sum(n) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+              AS n_violating_rows,
+            CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+              THEN 1 ELSE 0 END AS INT) AS fd_holds
+          FROM (
+            SELECT count(DISTINCT $dep)
+                + max(CASE WHEN $dep IS NULL THEN 1 ELSE 0 END) AS nd,
+              count(*) AS n
+            FROM orders WHERE $det IS NOT NULL GROUP BY $det) g"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY determinant, dependent"),
     // leading digit from the decimal rendering of exact cents
     // BIGINTs (a DOUBLE rendering would be engine-dependent); the
     // Benford shares are the engine's own double literals so the
@@ -1516,6 +1541,21 @@ private[graft] trait AnalyticsCore {
     * damped stationary distribution of the q86 transition chain in
     * exact 1e9 fixed-point units — "where does a session settle".
     */
+  /** Functional-dependency audit over orders
+    * ([[Analytics.fdAudit]]): four declared candidate FDs — the
+    * unique-key sanity check (o_orderkey → o_custkey holds by
+    * construction) against three denormalization-style candidates
+    * that real order data violates. Exact group/row counts; |pairs|
+    * one-row aggregates unioned.
+    */
+  private[graft] def fdAuditQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.fdAudit(t(s, dir, "orders"), Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderdate", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority")))
+      .orderBy("determinant", "dependent")
+
   /** Part co-purchase graph: two parts are adjacent iff some order
     * contains both. The self-join fans out per order as
     * `lines·(lines−1)/2` — bounded by the order-size domain (≤ ~7 in
