@@ -1106,6 +1106,42 @@ object Analytics {
       .select((df.columns.map(col) :+ col(bucketCol)).toIndexedSeq: _*)
   }
 
+  /** Adaptive `ntile(k)` per group — the [[graft.dedup
+    * .ConnectedComponents]] `componentsAuto` treatment applied to
+    * bucketing: ONE cheap probe (max group size over the grouped
+    * counts — group-domain-sized, map-side combined) picks the path.
+    * Groups at or under `smallGroupLimit` rows sort in a plain
+    * per-group `ntile` window (one task per group is FINE when the
+    * group fits a task — the two-pass machinery's three exchanges and
+    * two persists are pure overhead there, measured ~1s per measure
+    * on q180's 15k-customer frame); anything larger takes
+    * [[ntileByRange]]'s two-pass range form, whose no-single-task
+    * shape is what survives a 100× group. Both paths produce Spark's
+    * exact ntile bucket arithmetic, so the choice is invisible to
+    * results (and to the oracle).
+    *
+    * The probe is an ACTION — callers should persist `df` first when
+    * it is expensive (the q180 registry query does).
+    */
+  def ntileByRangeAdaptive(
+      df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+      k: Int, bucketCol: String,
+      smallGroupLimit: Long = 4000000L,
+      numPartitions: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val maxGroup = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val biggest = if (maxGroup.isNullAt(0)) 0L else maxGroup.getLong(0)
+    if (biggest <= smallGroupLimit) {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(orderBy: _*)
+      df.withColumn(bucketCol, ntile(k).over(w))
+    } else {
+      ntileByRange(df, groupCols, orderBy, k, bucketCol, numPartitions)
+    }
+  }
+
   /** Resample an irregular per-entity time series onto a fixed grid
     * with forward fill — the gap-filling operator every downstream
     * window/trend computation assumes (pandas `resample().mean()
@@ -2696,6 +2732,81 @@ object Analytics {
     }.reduce(_ unionByName _)
   }
 
+  /** Newman modularity of a community labeling — the quality score
+    * that closes the community-detection loop ([[labelPropagation]]
+    * proposes, modularity judges): per community,
+    * `q_c = e_c/m − (d_c/2m)²` — internal-edge share minus the share
+    * a degree-preserving random graph would give it. Positive
+    * contributions mean denser-than-chance; Σ q_c is the labeling's
+    * modularity Q ∈ [−0.5, 1].
+    *
+    * Exact integer arithmetic end-to-end: with m total undirected
+    * edges, `q_c·4m² = 4·m·e_c − d_c²` is an exact integer identity,
+    * so each community's contribution is computed as
+    * `(4·m·e_c − d_c²)·1e6 div 4m²` in DECIMAL(38,0) (products of two
+    * edge-count-sized BIGINTs overflow 2^63 at ~10⁹ edges — decimal
+    * carries them exactly; the micro result is BIGINT again).
+    * Contributions can be NEGATIVE (sparser than chance); integer
+    * division truncates TOWARD ZERO in BOTH engines (Spark
+    * IntegralDivide and DuckDB `//` agree on negatives — verified;
+    * this is the registry's one site where a negative `div` operand
+    * is load-bearing), so each community's µ-value is
+    * exact-to-truncation and Σ contributions tracks the real Q
+    * within |communities| µ-units.
+    *
+    * Scale shape: one join of the canonical edge list against the
+    * labels per endpoint (node-keyed), one community-keyed count for
+    * e_c (only same-community edges survive the filter), one for d_c
+    * — every aggregate map-side combined, output community-sized.
+    *
+    * Returns `(community, n_nodes, internal_edges, degree_sum,
+    * q_contrib_micro)`; unlabeled endpoints fail loudly via an inner
+    * join count contract — callers label every node (the
+    * [[labelPropagation]] output does by construction).
+    */
+  def modularityScore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val und = edges.select(
+        col(srcCol).cast("long").as("__x"),
+        col(dstCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .distinct()
+      .transform(graft.core.CacheScope.disk)
+    val lab = labels.select(col("node"), col("community"))
+    val labeled = und
+      .join(lab.select(col("node").as("__a"),
+        col("community").as("__ca")), Seq("__a"))
+      .join(lab.select(col("node").as("__b"),
+        col("community").as("__cb")), Seq("__b"))
+      .transform(graft.core.CacheScope.disk)
+    val m = labeled.agg(count(lit(1)).as("__m"))
+    val eIn = labeled.where(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val deg = labeled
+      .select(col("__a").as("node"), col("__ca").as("community"))
+      .union(labeled.select(col("__b"), col("__cb")))
+      .groupBy("node", "community")
+      .agg(count(lit(1)).as("__d"))
+    val dSum = deg.groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("degree_sum"))
+    dSum.join(eIn, Seq("community"), "left")
+      .withColumn("internal_edges",
+        coalesce(col("internal_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib_micro",
+        expr("cast((4 * cast(__m as decimal(38,0)) * internal_edges" +
+          " - cast(degree_sum as decimal(38,0)) * degree_sum)" +
+          " * 1000000 div (4 * cast(__m as decimal(38,0)) * __m)" +
+          " as long)"))
+      .select("community", "n_nodes", "internal_edges", "degree_sum",
+        "q_contrib_micro")
+  }
+
   /** Benford first-significant-digit audit — the forensic-accounting
     * screen for fabricated or mis-binned amounts: per group, the
     * observed distribution of the leading digit of an exact integer
@@ -3641,6 +3752,105 @@ object Analytics {
           / col("__rv").cast("double"), 6).as("boot_mean"),
         round(element_at(col("__rs"), col("__lo")), 6).as("ci_lo"),
         round(element_at(col("__rs"), col("__hi")), 6).as("ci_hi"))
+  }
+
+  /** Wilson score interval per group — the small-sample-honest
+    * confidence bounds for a conversion/defect/success RATE (the
+    * Wald ±z√(p(1−p)/n) interval collapses to zero width at p∈{0,1}
+    * and goes negative near the edges; Wilson is the standard fix a
+    * rate dashboard should ship). Per group: trials, successes, the
+    * raw rate, and the z-score interval
+    * `(p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)`.
+    *
+    * Cross-engine exactness: the formula uses only +, −, ×, ÷ and
+    * `sqrt` — ALL correctly-rounded IEEE-754 core operations — over
+    * values derived from exact integer counts, so engine and oracle
+    * produce bit-identical doubles with no quantization step needed
+    * (`pow`/`ln`, which are NOT correctly rounded, never appear; the
+    * [[graft.dedup.Dedup.lshPlan]] argument). One map-side-combined
+    * grouped count; output is group-domain-sized.
+    *
+    * Returns `(groupCols…, n, successes, rate, wilson_lo, wilson_hi)`
+    * rounded to 6; zero-trial groups cannot occur (a group exists only
+    * through its rows).
+    */
+  def wilsonRates(
+      df: DataFrame, groupCols: Seq[String], success: Column,
+      z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(z > 0, "z must be positive")
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    g.select(groupCols.map(col) ++ Seq(
+      col("n"), col("successes"),
+      round(p, 6).as("rate"),
+      round((center - half) / denom, 6).as("wilson_lo"),
+      round((center + half) / denom, 6).as("wilson_hi")): _*)
+  }
+
+  /** Empirical-Bayes (beta-binomial) rate shrinkage — the fix for
+    * ranking groups by a rate when group sizes vary wildly: a 2/2
+    * seller must not outrank a 950/1000 one. A Beta(α, β) prior is
+    * fit to the BETWEEN-group rate spread by method of moments
+    * (`α+β = m(1−m)/v − 1`), and each group's estimate shrinks toward
+    * the prior mean by exactly as much as its evidence is thin:
+    * `(s + α)/(n + α + β)`.
+    *
+    * Determinism: group counts are exact integers; the prior moments
+    * fold the SORTED rate array (collect to one group-domain-sized
+    * array, `sort_array`, then a sequential `aggregate` fold — the
+    * [[bootstrapRatioCI]] treatment), so even the float summation
+    * order is pinned and an oracle replays it with the same left
+    * fold. The collect is bounded by the GROUP DOMAIN (a rate table,
+    * never row data). Degenerate priors fall back loudly-by-value:
+    * v = 0 (all rates equal) or a non-positive `α+β` (spread wider
+    * than binomial allows — MoM invalid) yield null shrunk rates and
+    * a zero `prior_strength`, leaving raw rates authoritative.
+    *
+    * Returns `(group, n, successes, rate, shrunk_rate, prior_mean,
+    * prior_strength)` rounded to 6.
+    */
+  def ebShrinkRates(
+      df: DataFrame, groupCol: String, success: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+      .transform(graft.core.CacheScope.disk)
+    val rates = g.select(
+      (col("successes").cast("double") / col("n").cast("double"))
+        .as("__p"))
+    val prior = rates
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .select(col("__ps"), size(col("__ps")).as("__k"))
+      .withColumn("__m",
+        aggregate(col("__ps"), lit(0.0), (a, x) => a + x)
+          / col("__k").cast("double"))
+      .withColumn("__v",
+        when(col("__k") < 2, lit(0.0)).otherwise(
+          aggregate(col("__ps"), lit(0.0),
+            (a, x) => a + (x - col("__m")) * (x - col("__m")))
+            / (col("__k") - 1).cast("double")))
+      .withColumn("__s",
+        when(col("__v") > 0,
+          col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0)
+          .otherwise(lit(null).cast("double")))
+      .select(col("__m"), when(col("__s") > 0, col("__s")).as("__s"))
+    g.crossJoin(broadcast(prior))
+      .select(col("group"), col("n"), col("successes"),
+        round(col("successes").cast("double") / col("n").cast("double"),
+          6).as("rate"),
+        round((col("successes").cast("double") + col("__s") * col("__m"))
+          / (col("n").cast("double") + col("__s")), 6).as("shrunk_rate"),
+        round(col("__m"), 6).as("prior_mean"),
+        round(coalesce(col("__s"), lit(0.0)), 6).as("prior_strength"))
   }
 
   /** Qini uplift curve over caller-supplied score bins: per bin

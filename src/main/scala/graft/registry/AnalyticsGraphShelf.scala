@@ -30,6 +30,7 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     "q220_join_forecast" -> (joinForecastQ _),
     "q221_k_core" -> (kCoreQ _),
     "q230_label_propagation" -> (labelPropagationQ _),
+    "q235_modularity" -> (modularityQ _),
   )
 
   private[graft] def graphOracleSql: Map[String, String] = Map(
@@ -186,13 +187,39 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
          ORDER BY out_rows DESC, key LIMIT 15""",
     "q221_k_core" -> kCoreOracle,
     "q230_label_propagation" -> lpaOracle,
+    "q235_modularity" -> modularityOracle,
   )
 
-  /** The q230 sync-LPA rounds unrolled: per round, neighbor-label
-    * votes and the (count desc, label asc) argmax — the engine's
-    * pinned tie-break, so 3 fixed rounds replay exactly.
+  /** Modularity of the q230 communities ([[Analytics
+    * .modularityScore]] over [[Analytics.labelPropagation]]'s
+    * 3-round labels on the same 1995 co-purchase slice): per
+    * community, the exact-integer µ-unit contribution
+    * q_c = e_c/m − (d_c/2m)² — the score that says whether LPA's cut
+    * beats a degree-preserving random graph.
     */
-  private def lpaOracle: String = {
+  private[graft] def modularityQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(year(col("l_shipdate").cast("date")) === 1995)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.join(
+        li.select(col("l_orderkey"), col("l_partkey").as("__pk2")),
+        Seq("l_orderkey"))
+      .where(col("l_partkey") < col("__pk2"))
+      .select(col("l_partkey").as("pa"), col("__pk2").as("pb"))
+      .transform(graft.core.CacheScope.disk)
+    val labels = Analytics.labelPropagation(edges, "pa", "pb",
+      rounds = 3)
+    Analytics.modularityScore(edges, "pa", "pb", labels)
+      .orderBy("community")
+  }
+
+  /** The q230 sync-LPA chain as CTEs (shared with q235's modularity
+    * replay): per round, neighbor-label votes and the (count desc,
+    * label asc) argmax — the engine's pinned tie-break, so 3 fixed
+    * rounds replay exactly. Final labels in CTE `l3`.
+    */
+  private def lpaCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"""v$i AS (
            SELECT adj.node, l.community, count(*) AS c
@@ -204,7 +231,7 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
                PARTITION BY node ORDER BY c DESC, community ASC) AS rn
              FROM v$i) z WHERE rn = 1)"""
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
+    s"""li AS MATERIALIZED (
          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
          WHERE year(l_shipdate) = 1995),
        e0 AS MATERIALIZED (
@@ -219,9 +246,48 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
        l0 AS MATERIALIZED (
          SELECT node, node AS community FROM (
            SELECT node FROM adj GROUP BY node) z),
-       $rounds
-       SELECT node, community FROM l3 ORDER BY node"""
+       $rounds"""
   }
+
+  private def lpaOracle: String =
+    s"""WITH $lpaCtes
+       SELECT node, community FROM l3 ORDER BY node"""
+
+  /** q235: the q230 chain to `l3`, then the exact-integer modularity
+    * identity q_c·4m² = 4·m·e_c − d_c² in HUGEINT (negative
+    * contributions truncate toward zero in both engines).
+    */
+  private def modularityOracle: String =
+    s"""WITH $lpaCtes,
+       lab AS MATERIALIZED (SELECT node, community FROM l3),
+       led AS MATERIALIZED (
+         SELECT e0.a, e0.b, la.community AS ca, lb.community AS cb
+         FROM e0 JOIN lab la ON la.node = e0.a
+         JOIN lab lb ON lb.node = e0.b),
+       mm AS (SELECT count(*) AS m FROM led),
+       ein AS (
+         SELECT ca AS community, count(*) AS internal_edges
+         FROM led WHERE ca = cb GROUP BY 1),
+       nd AS (
+         SELECT node, community, count(*) AS d FROM (
+           SELECT a AS node, ca AS community FROM led
+           UNION ALL SELECT b, cb FROM led) z
+         GROUP BY node, community),
+       ds AS (
+         SELECT community, count(*) AS n_nodes,
+           CAST(sum(d) AS BIGINT) AS degree_sum
+         FROM nd GROUP BY community)
+       SELECT ds.community, ds.n_nodes,
+         coalesce(ein.internal_edges, 0) AS internal_edges,
+         ds.degree_sum,
+         CAST((4 * CAST(mm.m AS HUGEINT)
+             * coalesce(ein.internal_edges, 0)
+           - CAST(ds.degree_sum AS HUGEINT) * ds.degree_sum)
+           * 1000000
+           // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT)
+           AS q_contrib_micro
+       FROM ds LEFT JOIN ein USING (community) CROSS JOIN mm
+       ORDER BY ds.community"""
 
   /** Sync label-propagation communities over the 1995 co-purchase
     * slice ([[Analytics.labelPropagation]]): 3 fixed synchronous

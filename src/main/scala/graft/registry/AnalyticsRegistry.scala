@@ -1578,11 +1578,14 @@ private[graft] trait AnalyticsCore {
     * score rules. Quintiles are SEGMENT-RELATIVE (within
     * `c_mktsegment`): scores stay comparable among peers with the same
     * buying pattern, and the quintile machinery rides
-    * [[Analytics.ntileByRange]] over a real group key — two-pass range
-    * ranking with no single-task global window and no constant-group
-    * plan degeneration (a global quintile under a literal group folds
-    * the rank joins into cartesians; q165's epoch order documents the
-    * one sanctioned constant-group site). Monetary sums in exact
+    * [[Analytics.ntileByRangeAdaptive]] over a real group key — the
+    * size probe picks the plain per-segment window at this corpus's
+    * group sizes (the r13-measured ~1 s/measure two-pass overhead was
+    * pure waste on a 15k-row frame) and falls back to the two-pass
+    * range form for groups that outgrow a task, so there is still no
+    * unconditional single-task global window and no constant-group
+    * plan degeneration (q165's epoch order documents the one
+    * sanctioned constant-group site). Monetary sums in exact
     * integer cents; the anchor date is the corpus max, a broadcast
     * one-row frame; ties break on `o_custkey`, so every bucket edge is
     * deterministic cross-engine.
@@ -1616,8 +1619,8 @@ private[graft] trait AnalyticsCore {
         ("__fb", Seq(col("frequency").desc, col("o_custkey").asc)),
         ("__mb", Seq(col("__mcents").desc, col("o_custkey").asc)))
       .foldLeft(rfm) { case (d, (b, ord)) =>
-        Analytics.ntileByRange(d, Seq("c_mktsegment"), ord, k = 5,
-          bucketCol = b)
+        Analytics.ntileByRangeAdaptive(d, Seq("c_mktsegment"), ord,
+          k = 5, bucketCol = b)
       }
       .withColumn("__r", lit(6) - col("__rb"))
       .withColumn("__f", lit(6) - col("__fb"))

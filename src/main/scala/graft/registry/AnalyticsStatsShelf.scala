@@ -52,9 +52,72 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q215_msprt_monitor" -> (msprtQ _),
     "q216_brand_bradley_terry" -> (brandBtQ _),
     "q219_kmv_overlap" -> (kmvOverlapQ _),
+    "q232_wilson_rates" -> (wilsonRatesQ _),
+    "q233_eb_shrinkage" -> (ebShrinkageQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // +,-,*,/ and sqrt are correctly-rounded IEEE ops, so the Wilson
+    // bounds match the engine bit-for-bit with no quantization
+    "q232_wilson_rates" ->
+      """WITH g AS (
+           SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS successes
+           FROM orders GROUP BY 1),
+         c AS (
+           SELECT o_orderpriority, n, successes,
+             CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd
+           FROM g)
+         SELECT o_orderpriority, n, successes,
+           round(p, 6) AS rate,
+           round((p + (1.96 * 1.96) / (2.0 * nd)
+               - 1.96 * sqrt(p * (1.0 - p) / nd
+                 + (1.96 * 1.96) / (4.0 * nd * nd)))
+             / (1.0 + (1.96 * 1.96) / nd), 6) AS wilson_lo,
+           round((p + (1.96 * 1.96) / (2.0 * nd)
+               + 1.96 * sqrt(p * (1.0 - p) / nd
+                 + (1.96 * 1.96) / (4.0 * nd * nd)))
+             / (1.0 + (1.96 * 1.96) / nd), 6) AS wilson_hi
+         FROM c ORDER BY o_orderpriority""",
+    // the prior moments fold the SORTED rate list with the same left
+    // fold the engine runs (list_reduce's first-element init equals
+    // the engine's 0.0+x1 exactly)
+    "q233_eb_shrinkage" ->
+      """WITH g AS (
+           SELECT o_custkey AS grp, count(*) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS successes
+           FROM orders GROUP BY 1),
+         ps AS (
+           SELECT list_sort(list(
+             CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))) AS l,
+             count(*) AS k
+           FROM g),
+         m AS (
+           SELECT l, k,
+             list_reduce(l, (a, x) -> a + x) / CAST(k AS DOUBLE) AS m
+           FROM ps),
+         v AS (
+           SELECT k, m,
+             CASE WHEN k < 2 THEN 0.0 ELSE
+               list_reduce(list_transform(l, x -> (x - m) * (x - m)),
+                 (a, y) -> a + y) / CAST(k - 1 AS DOUBLE) END AS v
+           FROM m),
+         pr AS (
+           SELECT m,
+             CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+               THEN m * (1.0 - m) / v - 1.0 ELSE NULL END AS s
+           FROM v)
+         SELECT g.grp AS "group", g.n, g.successes,
+           round(CAST(g.successes AS DOUBLE) / CAST(g.n AS DOUBLE), 6)
+             AS rate,
+           round((CAST(g.successes AS DOUBLE) + pr.s * pr.m)
+             / (CAST(g.n AS DOUBLE) + pr.s), 6) AS shrunk_rate,
+           round(pr.m, 6) AS prior_mean,
+           round(coalesce(pr.s, 0.0), 6) AS prior_strength
+         FROM g CROSS JOIN pr ORDER BY g.grp""",
     "q160_calibration_report" ->
       s"""$oracleMetricsCte,
          b AS (
@@ -1724,4 +1787,27 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     graft.operators.Analytics.poissonThresholds
       .map(t => s"(CASE WHEN $u >= $t THEN 1 ELSE 0 END)")
       .mkString(" + ")
+
+  /** Wilson bounds for per-priority fulfillment rates
+    * ([[Analytics.wilsonRates]]): only correctly-rounded IEEE ops
+    * (+ − × ÷ sqrt) over exact counts, so no quantization is needed
+    * for bit-equality with the oracle.
+    */
+  private[graft] def wilsonRatesQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.wilsonRates(t(s, dir, "orders"), Seq("o_orderpriority"),
+        col("o_orderstatus") === "F", z = 1.96)
+      .orderBy("o_orderpriority")
+
+  /** Empirical-Bayes shrinkage of per-customer fulfillment rates
+    * ([[Analytics.ebShrinkRates]], beta-binomial method-of-moments
+    * prior): the 2/2-vs-950/1000 ranking fix.
+    * The prior moments fold the SORTED customer-rate array, so the
+    * float summation order is pinned for the oracle replay.
+    */
+  private[graft] def ebShrinkageQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.ebShrinkRates(t(s, dir, "orders"), "o_custkey",
+        col("o_orderstatus") === "F")
+      .orderBy("group")
 }

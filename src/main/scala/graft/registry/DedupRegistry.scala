@@ -39,6 +39,7 @@ private[graft] object DedupRegistry {
     "q226_pair_evidence" -> (pairEvidenceQ _),
     "q228_novelty_screen" -> (noveltyScreenQ _),
     "q229_lsh_plan" -> (lshPlanQ _),
+    "q234_sorted_neighborhood" -> (sortedNeighborhoodQ _),
     "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
     "q21_doc_fingerprints" -> (docFingerprints _),
     "q22_exact_dup_stats" -> (exactDupStats _),
@@ -629,6 +630,22 @@ private[graft] object DedupRegistry {
          LEFT JOIN seen sn ON sn.doc_id = d.doc_id
          WHERE d.doc_id % 10 <> 0
          ORDER BY d.doc_id""",
+    // rank = global (key, id) row_number; the banded-bucket join
+    // collapses to the plain rank-gap predicate; levenshtein is an
+    // integer, identical in both engines
+    "q234_sorted_neighborhood" ->
+      """WITH r AS (
+           SELECT p_partkey AS id, p_name AS key,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+           FROM part WHERE p_name IS NOT NULL)
+         SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a,
+           b.key AS key_b,
+           CAST(levenshtein(a.key, b.key) AS INT) AS dist,
+           b.rnk - a.rnk AS rank_gap
+         FROM r a JOIN r b
+           ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5
+         WHERE levenshtein(a.key, b.key) <= 2
+         ORDER BY id_a, id_b""",
     // the same left-fold multiplication chains as the engine: products
     // of identical IEEE factors are grouping-independent, so both
     // engines produce bit-identical doubles without pow()
@@ -836,6 +853,19 @@ private[graft] object DedupRegistry {
         d.where(col("doc_id") % 10 === 0), "text", n = 3)
       .orderBy("doc_id")
   }
+
+  /** Sorted-neighborhood blocking over part names
+    * ([[Dedup.sortedNeighborhoodPairs]]): each part compared to its 5
+    * successors in (p_name, p_partkey) sort order, verified at
+    * levenshtein ≤ 2 — the third candidate-generation family next to
+    * q23's inverted index and q126's SymSpell deletion blocks, on the
+    * same fuzzy-name data.
+    */
+  private[graft] def sortedNeighborhoodQ(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(t(s, dir, "part"), "p_partkey",
+        "p_name", window = 5, maxDist = 2)
+      .orderBy("id_a", "id_b")
 
   /** LSH parameter planner ([[Dedup.lshPlan]]): the candidate-
     * probability S-curves of the four 16-hash (bands × rows) splits
