@@ -4020,4 +4020,176 @@ object Analytics {
       round(when(varXN > 0 && varYN > 0,
         (covN * covN) / (varXN * varYN)), 6).as("rho2"))
   }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * measure that survives what breaks Pearson: outliers (a single
+    * 10⁶× price row saturates covariance; ranks cap its leverage at
+    * "largest") and nonlinear-but-monotone relations (quantity vs
+    * revenue is multiplicative — Pearson under-reads it, Spearman
+    * sees the monotone map exactly).
+    *
+    * Exact integer core: average-tie ranks per variable come from the
+    * per-distinct-value cumulative shape (counts per (group, value),
+    * running sum over values — never a per-row window), in HALF-UNITS
+    * so ties stay integral (`rank2 = 2·cum_before + t + 1`); rows
+    * join their two rank2 values back by (group, value). Pearson on
+    * rank2 is then all-integer until one final division:
+    * Σ rank2 per variable is the closed form `n(n+1)` (rank sums are
+    * invariant under tie-averaging), and Σ rank2², Σ rank2x·rank2y
+    * accumulate in DECIMAL(38,0) (a 2·10⁹-row group's products pass
+    * 2^63). `ρ = (n·Sxy − SxSy) / √((n·Sxx − Sx²)(n·Syy − Sy²))`
+    * evaluates the exact decimal numerators in double only at the
+    * division — bit-reproducible across engines. (The halving scale
+    * factors cancel: rank2 = 2·rank applied to BOTH variables leaves
+    * ρ unchanged.)
+    *
+    * Degenerate groups (all x tied or all y tied — zero rank
+    * variance) emit null ρ rather than 0/0.
+    *
+    * Scale shape: two (group, value)-keyed grouped counts with
+    * group-partitioned running sums over DISTINCT values (bounded by
+    * distinct-value counts), two row-frame joins keyed (group,
+    * value), one map-side-combined group aggregate. Output is
+    * group-domain-sized.
+    *
+    * Returns `(group…, n, rho)`.
+    */
+  def spearmanCorr(
+      df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val rows = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y")): _*)
+      .transform(graft.core.CacheScope.disk)
+    def rank2Of(vcol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(vcol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(groupCols.map(col) :+ col(vcol): _*)
+        .agg(count(lit(1)).as("__t"))
+        .withColumn(out,
+          lit(2L) * coalesce(sum(col("__t")).over(w), lit(0L)) +
+            col("__t") + lit(1L))
+        .drop("__t")
+    }
+    val withRanks = rows
+      .join(rank2Of("__x", "__rx"), groupCols :+ "__x")
+      .join(rank2Of("__y", "__ry"), groupCols :+ "__y")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg = withRanks.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__rx")) * dec(col("__ry"))).as("__sxy"),
+        sum(dec(col("__rx")) * dec(col("__rx"))).as("__sxx"),
+        sum(dec(col("__ry")) * dec(col("__ry"))).as("__syy"))
+    // Σ rank2 = n(n+1) exactly, both variables (cast before the
+    // product — a 3·10⁹-row group's n(n+1) passes 2^63)
+    val s = dec(col("n")) * (dec(col("n")) + lit(1L))
+    val nDec = dec(col("n"))
+    val covN = (nDec * col("__sxy") - s * s).cast("double")
+    val varX = (nDec * col("__sxx") - s * s).cast("double")
+    val varY = (nDec * col("__syy") - s * s).cast("double")
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      round(when(varX > 0.0 && varY > 0.0,
+        covN / sqrt(varX * varY)), 6).as("rho")): _*)
+  }
+
+  /** Fixed-point integer HITS (hubs & authorities) over a DIRECTED
+    * distinct edge list — the bipartite-role sibling of [[pageRank]]:
+    * `iters` synchronous rounds of `h(u) = Σ_{u→v} a(v)` then
+    * `a(v) = Σ_{u→v} h(u)`, each side L1-normalized to 1e12
+    * fixed-point units after its half-round. On a purchase graph
+    * customers score as hubs (they point at many good suppliers) and
+    * suppliers as authorities (pointed at by many good customers) —
+    * the two-sided "who matters" ranking PageRank's single score
+    * conflates.
+    *
+    * Exactness contract: scores live in BIGINT 1e12 units (init
+    * `1e12 div n` per node — sides renormalize to Σ ≤ 1e12 every
+    * half-round, so every per-node raw sum is ≤ 1e12); the
+    * normalization `raw·1e12 div total` computes through
+    * DECIMAL(38,0) (the numerator is ~1e24 — past 2^63; Spark's
+    * IntegralDivide returns BIGINT, truncation toward zero, matching
+    * DuckDB HUGEINT `//` exactly), and the raw-sum TOTAL also
+    * accumulates in DECIMAL(38,0) (Σ_v indeg(v)·a(v) overflows BIGINT
+    * at hub degrees ~10⁷). Results are bit-identical across engines
+    * and partitionings. L1 rather than the classical L2 norm on
+    * purpose: the L1 total is an exact integer sum (L2 needs a
+    * square root — no longer integer-exact), and normalization
+    * choice does not change the RANKING either way.
+    *
+    * Mass semantics ([[pageRank]]'s dangling note, adapted): nodes
+    * with no out-edges have h = 0, nodes with no in-edges have a = 0
+    * — their previous-round mass leaves the system at the next
+    * normalization (HITS concentrates mass on the connected core;
+    * that is the algorithm, not a leak). Per-round `div` floors drop
+    * < n units/round.
+    *
+    * Scale shape: the edge list persists once, repartitioned+sorted
+    * on `__src` (and a dst-keyed twin) so each half-round's join
+    * re-sorts only the score side; per-node sums are map-side
+    * combined; totals ride a broadcast one-row frame; per-round
+    * lineage truncates via `localCheckpoint`. Per-round shuffle of
+    * the contribution aggregate is inherent, as in [[pageRank]].
+    *
+    * Returns `(node, hub_scaled, auth_scaled)` — one row per node in
+    * the edge list's node universe.
+    */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    val scale = 1000000000000L // 1e12 fixed-point unit
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+      .transform(graft.core.CacheScope.disk)
+    // src-sorted and dst-sorted twins: each half-round joins scores on
+    // ONE side; pre-sorting both orientations keeps every round's
+    // per-edge join a sort-merge against cached order
+    val bySrc = e.repartition(col("__src"))
+      .sortWithinPartitions("__src")
+      .transform(graft.core.CacheScope.disk)
+    val byDst = e.repartition(col("__dst"))
+      .sortWithinPartitions("__dst")
+      .transform(graft.core.CacheScope.disk)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst"))).distinct()
+      .transform(graft.core.CacheScope.disk)
+    val n = nodes.count()
+    // renormalize `raw` (node-keyed sums) to Σ = scale in exact
+    // decimal arithmetic; nodes absent from `raw` score 0
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(
+        sum(col("__raw").cast("decimal(38,0)")).as("__tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          coalesce(
+            expr(s"(cast(__raw as decimal(38,0)) * $scale) div __tot"),
+            lit(0L)).as(outCol))
+        .localCheckpoint()
+    }
+    var auth = nodes.select(col("node"),
+      lit(scale / n).as("auth_scaled")).localCheckpoint()
+    var hub = auth.select(col("node"), col("auth_scaled").as("hub_scaled"))
+    for (_ <- 1 to iters) {
+      val hraw = bySrc
+        .join(auth.select(col("node").as("__dst"),
+          col("auth_scaled").as("__s")), Seq("__dst"))
+        .groupBy(col("__src").as("node"))
+        .agg(sum(col("__s")).as("__raw"))
+      hub = normalized(hraw, "hub_scaled")
+      val araw = byDst
+        .join(hub.select(col("node").as("__src"),
+          col("hub_scaled").as("__s")), Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__s")).as("__raw"))
+      auth = normalized(araw, "auth_scaled")
+    }
+    hub.join(auth, Seq("node"))
+  }
 }

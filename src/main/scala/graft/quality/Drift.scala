@@ -167,6 +167,97 @@ object Drift {
       when(oneSided, lit(true)).otherwise(ksD > thr).as("drifted")): _*)
   }
 
+  /** Mann–Whitney U rank-sum test between two snapshots, per group —
+    * the rank-based sibling of [[ksTest]]: where KS asks "did the
+    * SHAPE change anywhere", MW-U asks "did values systematically
+    * SHIFT up or down" — the right alarm for a feed whose median
+    * creeps while its spread stays put (KS is weak exactly there).
+    *
+    * Exact integer core: ranks come from the [[ksTest]] per-distinct-
+    * value cumulative shape (counts per (group, value), running sums
+    * ordered by value — never a per-row window), held in HALF-UNITS so
+    * ties stay integral: a distinct value spanning positions
+    * `[c+1, c+t]` has average rank `(2c + t + 1)/2`, so `rank2 = 2c +
+    * t + 1` is BIGINT-exact and the baseline rank-sum doubles to
+    * `R1_2 = Σ cb·rank2`. `U1 = R1 − n1(n1+1)/2` is emitted in half
+    * units (`u_half = R1_2 − n1(n1+1)`, exact; `u = u_half/2` as a
+    * rounded double for reading). The normal approximation
+    * `z = (U1 − n1n2/2) / σ` uses the tie-corrected variance
+    * `σ² = n1n2/12·((n+1) − Σ(t³−t)/(n(n−1)))` — every Σ is an exact
+    * BIGINT/DECIMAL identity before the one double division, so z is
+    * bit-reproducible across engines (`t³` accumulates in
+    * DECIMAL(38,0): a fully-tied million-row group overflows 2^63).
+    *
+    * One-sided groups (all rows in one snapshot) follow the
+    * [[ksTest]] contract: strongest-possible drift — `drifted = true`,
+    * null z. Degenerate σ = 0 (every value tied, or n < 2) likewise
+    * yields null z and `drifted = false` (no evidence of SHIFT — a
+    * constant column that changed VALUE is a ksTest catch).
+    *
+    * Scale shape, identical to [[ksTest]]: per-(group, value) counts
+    * (map-side combined), a group-partitioned running sum over
+    * DISTINCT values (bounded by the group's distinct-value count,
+    * not its row count), one group-sized aggregate. `drifted` flags
+    * `|z| > zAlpha` (default 1.96, two-sided 5%).
+    *
+    * Returns `(group…, n_base, n_cur, u_half, u, z, drifted)`.
+    */
+  def mannWhitneyU(
+      baseline: DataFrame, current: DataFrame, valueCol: String,
+      groupCols: Seq[String], zAlpha: Double = 1.96): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tag = (df: DataFrame, b: Int) => df
+      .where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        col(valueCol).cast("double").as("__v"), lit(b).as("__b")): _*)
+    val per = tag(baseline, 1).unionByName(tag(current, 0))
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__b")).cast("long").as("__cb"),
+        sum(lit(1) - col("__b")).cast("long").as("__cc"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("__cb") + col("__cc")
+    val cum = per
+      // positions before this value's tie block, within the group
+      .withColumn("__c", coalesce(sum(t).over(w), lit(0L)))
+      .withColumn("__rank2", lit(2L) * col("__c") + t + lit(1L))
+    val agg = cum.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("__cb")).as("n_base"),
+        sum(col("__cc")).as("n_cur"),
+        sum(col("__cb") * col("__rank2")).as("__r1_2"),
+        // tie correction Σ(t³ − t) — cast BEFORE multiplying: t³ of a
+        // fully-tied multi-million-row group overflows BIGINT, so the
+        // cube must be computed in decimal, not merely stored there
+        sum(t.cast("decimal(38,0)") * t.cast("decimal(38,0)") *
+          t.cast("decimal(38,0)") - t.cast("decimal(38,0)"))
+          .as("__ties"))
+    val n1 = col("n_base")
+    val n2 = col("n_cur")
+    val nn = n1 + n2
+    val oneSided = n1 === 0L || n2 === 0L
+    val uHalf = col("__r1_2") - n1 * (n1 + lit(1L))
+    val nD = nn.cast("double")
+    val sigma2 = (n1 * n2).cast("double") / 12.0 *
+      ((nn + lit(1L)).cast("double") -
+        col("__ties").cast("double") / (nD * (nD - 1.0)))
+    val z = (uHalf.cast("double") / 2.0 -
+      (n1 * n2).cast("double") / 2.0) / sqrt(sigma2)
+    val zSafe = when(oneSided || nn < 2L || sigma2 <= 0.0,
+      lit(null).cast("double")).otherwise(z)
+    agg.select(groupCols.map(col) ++ Seq(
+      n1, n2,
+      when(oneSided, lit(null).cast("long")).otherwise(uHalf)
+        .as("u_half"),
+      when(oneSided, lit(null).cast("double"))
+        .otherwise(round(uHalf.cast("double") / 2.0, 1)).as("u"),
+      round(zSafe, 6).as("z"),
+      when(oneSided, lit(true))
+        .otherwise(coalesce(abs(zSafe) > zAlpha, lit(false)))
+        .as("drifted")): _*)
+  }
+
   /** Mergeable per-shard quantile sketches
     * ([[graft.expressions.KllQuantile]]): per (group cols × shard) a
     * KLL sketch of `value` plus an exact count — the quantile row of

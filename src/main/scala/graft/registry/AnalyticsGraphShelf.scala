@@ -31,6 +31,7 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     "q221_k_core" -> (kCoreQ _),
     "q230_label_propagation" -> (labelPropagationQ _),
     "q235_modularity" -> (modularityQ _),
+    "q236_purchase_hits" -> (purchaseHitsQ _),
   )
 
   private[graft] def graphOracleSql: Map[String, String] = Map(
@@ -60,6 +61,48 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
          ${(1 to 6).map(iter).mkString(",\n         ")}
          SELECT node, CAST(r AS BIGINT) AS rank_scaled
          FROM r6 ORDER BY node"""
+    },
+    // HITS unrolled: per round a hub half (sum authorities over
+    // out-edges, L1-renormalize to 1e12 via HUGEINT //) then an
+    // authority half; HUGEINT // matches Spark's DECIMAL(38,0) div
+    // (both truncate, all values positive)
+    "q236_purchase_hits" -> {
+      // MATERIALIZED: each round's frames are referenced 2-3 times
+      // (next half-round + the totals subquery); without the hint
+      // DuckDB may re-inline the whole unrolled chain per reference,
+      // which is exponential in rounds over the edge relation
+      def half(k: Int, out: String, in: String, eKey: String,
+          sKey: String): String =
+        s"""${out}${k}r AS MATERIALIZED (
+           SELECT co.$eKey AS node, sum($in.s) AS raw
+           FROM co JOIN $in ON $in.node = co.$sKey GROUP BY 1),
+         ${out}$k AS MATERIALIZED (
+           SELECT n2.node, coalesce(CAST(
+             CAST(${out}${k}r.raw AS HUGEINT) * 1000000000000
+               // (SELECT sum(CAST(raw AS HUGEINT)) FROM ${out}${k}r)
+             AS BIGINT), 0) AS s
+           FROM nodes n2
+           LEFT JOIN ${out}${k}r ON ${out}${k}r.node = n2.node)"""
+      def round(k: Int): String = {
+        val prevA = if (k == 1) "a0" else s"a${k - 1}"
+        half(k, "h", prevA, "src", "dst") + ",\n         " +
+          half(k, "a", s"h$k", "dst", "src")
+      }
+      s"""WITH co AS MATERIALIZED (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         nodes AS MATERIALIZED (
+           SELECT src AS node FROM co UNION SELECT dst FROM co),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         a0 AS (SELECT node,
+           1000000000000 // (SELECT n FROM nn) AS s FROM nodes),
+         ${(1 to 3).map(round).mkString(",\n         ")}
+         SELECT n2.node, h3.s AS hub_scaled, a3.s AS auth_scaled
+         FROM nodes n2
+         JOIN h3 ON h3.node = n2.node
+         JOIN a3 ON a3.node = n2.node
+         ORDER BY n2.node"""
     },
     // lag windows replay the trigram walk; support = distinct users
     "q178_markov_stationary" -> {
@@ -447,5 +490,29 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
       .select(col("l_partkey").as("pa"), col("__pk2").as("pb"))
     Analytics.kCore(edges, "pa", "pb", k = 4, maxRounds = 12)
       ._1.orderBy("node")
+  }
+
+  /** Hubs & authorities on the DIRECTED purchase graph
+    * ([[Analytics.hits]]): customer → supplier edges from the q154
+    * co-purchase relation, kept one-directional so the two roles
+    * separate — customers score as hubs (breadth of good suppliers
+    * bought from), suppliers as authorities (bought from by good
+    * hubs) — where q154's symmetrized PageRank folds both into one
+    * centrality. 3 rounds, every score in exact 1e12 fixed-point
+    * units (oracle unrolls each half-round through HUGEINT).
+    */
+  private[graft] def purchaseHitsQ(s: SparkSession, dir: String): DataFrame = {
+    val co = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    // no caller-side .distinct(): hits normalizes (distinct +
+    // persist) itself, the q154 treatment
+    Analytics.hits(co, "src", "dst", iters = 3)
+      .orderBy("node")
   }
 }

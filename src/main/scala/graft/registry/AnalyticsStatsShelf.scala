@@ -54,9 +54,106 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q219_kmv_overlap" -> (kmvOverlapQ _),
     "q232_wilson_rates" -> (wilsonRatesQ _),
     "q233_eb_shrinkage" -> (ebShrinkageQ _),
+    "q237_value_mw_drift" -> (mwDriftQ _),
+    "q238_qty_price_spearman" -> (spearmanQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // MW-U replay: per-distinct-value counts -> half-unit average
+    // ranks via the cumulative window -> exact BIGINT rank sum and
+    // HUGEINT tie cubes -> the one double formula, op order mirrored
+    "q237_value_mw_drift" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CASE WHEN event_id % 2 = 0 AND event_type = 'purchase'
+               THEN value * 1.1 ELSE value END AS v,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
+           FROM events WHERE value IS NOT NULL),
+         per AS (
+           SELECT event_type, v, CAST(sum(b) AS BIGINT) AS cb,
+             CAST(sum(1 - b) AS BIGINT) AS cc
+           FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, cb, cc, cb + cc AS t,
+             coalesce(sum(cb + cc) OVER (PARTITION BY event_type
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS c
+           FROM per),
+         r AS (SELECT event_type, cb, t, 2 * c + t + 1 AS rank2
+           FROM cum),
+         agg AS (
+           SELECT event_type,
+             CAST(sum(cb) AS BIGINT) AS n1,
+             CAST(sum(t - cb) AS BIGINT) AS n2,
+             CAST(sum(cb * rank2) AS BIGINT) AS r12,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+           FROM r GROUP BY 1),
+         f AS (
+           SELECT event_type, n1, n2, r12 - n1 * (n1 + 1) AS u_half,
+             CAST(n1 * n2 AS DOUBLE) / 12.0
+               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                 - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+                   * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS sigma2
+           FROM agg)
+         SELECT event_type, n1 AS n_base, n2 AS n_cur, u_half,
+           round(CAST(u_half AS DOUBLE) / 2.0, 1) AS u,
+           round((CAST(u_half AS DOUBLE) / 2.0
+             - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2), 6) AS z,
+           CAST(abs((CAST(u_half AS DOUBLE) / 2.0
+             - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2)) > 1.96
+             AS INTEGER) AS drifted
+         FROM f ORDER BY event_type""",
+    // Spearman replay: half-unit tie-averaged ranks per variable,
+    // Pearson on ranks through HUGEINT, one double division at the
+    // end (HUGEINT->DOUBLE and DECIMAL->DOUBLE both round-to-nearest
+    // of the same exact integer)
+    "q238_qty_price_spearman" ->
+      """WITH rws AS (
+           SELECT l_returnflag AS g, l_quantity AS x,
+             l_extendedprice AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         rx AS (SELECT g, x, count(*) AS t FROM rws GROUP BY 1, 2),
+         rx2 AS (
+           SELECT g, x, 2 * coalesce(sum(t) OVER (PARTITION BY g
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) + t + 1 AS r
+           FROM rx),
+         ry AS (SELECT g, y, count(*) AS t FROM rws GROUP BY 1, 2),
+         ry2 AS (
+           SELECT g, y, 2 * coalesce(sum(t) OVER (PARTITION BY g
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) + t + 1 AS r
+           FROM ry),
+         j AS (
+           SELECT rws.g, rx2.r AS rx, ry2.r AS ry
+           FROM rws
+           JOIN rx2 ON rx2.g = rws.g AND rx2.x = rws.x
+           JOIN ry2 ON ry2.g = rws.g AND ry2.y = rws.y),
+         a AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+             sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+             sum(CAST(ry AS HUGEINT) * ry) AS syy
+           FROM j GROUP BY 1),
+         f AS (
+           SELECT g, n, CAST(n AS HUGEINT) * (n + 1) AS s,
+             sxy, sxx, syy
+           FROM a),
+         v AS (
+           SELECT g, n,
+             CAST(n AS HUGEINT) * sxy - s * s AS covn,
+             CAST(n AS HUGEINT) * sxx - s * s AS varx,
+             CAST(n AS HUGEINT) * syy - s * s AS vary
+           FROM f)
+         SELECT g AS l_returnflag, n,
+           CASE WHEN CAST(varx AS DOUBLE) > 0.0
+               AND CAST(vary AS DOUBLE) > 0.0
+             THEN round(CAST(covn AS DOUBLE)
+               / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6)
+             END AS rho
+         FROM v ORDER BY g""",
     // +,-,*,/ and sqrt are correctly-rounded IEEE ops, so the Wilson
     // bounds match the engine bit-for-bit with no quantization
     "q232_wilson_rates" ->
@@ -1341,6 +1438,37 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         round(col("threshold"), 6).as("threshold"), col("drifted"))
       .orderBy("o_orderpriority")
   }
+
+  /** Mann–Whitney U drift ([[graft.quality.Drift.mannWhitneyU]]) on
+    * the q164 synthetic split (odd event ids = baseline, even =
+    * current) with a 10% upward shift injected into `purchase`
+    * values — the rank test flags the SHIFTED type and clears the
+    * others, the location-drift reading KS blurs. Half-unit ranks
+    * and tie cubes exact; one mirrored double formula for z.
+    */
+  private[graft] def mwDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val base = e.where(col("event_id") % 2 === 1)
+    val cur = e.where(col("event_id") % 2 === 0)
+      .withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 1.1)
+          .otherwise(col("value")))
+    graft.quality.Drift.mannWhitneyU(base, cur, "value",
+        Seq("event_type"))
+      .withColumn("drifted", col("drifted").cast("int"))
+      .orderBy("event_type")
+  }
+
+  /** Spearman rank correlation ([[Analytics.spearmanCorr]]) of
+    * quantity vs extended price per return flag — the monotone
+    * association Pearson under-reads on a multiplicative relation
+    * with heavy ties (quantities are small integers: the tie-average
+    * half-unit rank machinery is load-bearing, not a corner case).
+    */
+  private[graft] def spearmanQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.spearmanCorr(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", Seq("l_returnflag"))
+      .orderBy("l_returnflag")
 
   /** Benford first-digit audit ([[Analytics.benfordAudit]]): leading-
     * digit distribution of order totals (exact cents) per order

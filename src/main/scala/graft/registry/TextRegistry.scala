@@ -40,6 +40,9 @@ private[graft] object TextRegistry {
     "q224_mojibake_report" -> (mojibakeReportQ _),
     "q225_unigram_lm" -> (unigramLmTrainQ _),
     "q227_unigram_fertility" -> (unigramFertilityQ _),
+    "q239_pmi_collocations" -> (pmiCollocationsQ _),
+    "q240_lexical_diversity" -> (lexicalDiversityQ _),
+    "q241_lang_divergence" -> (langDivergenceQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -673,6 +676,100 @@ private[graft] object TextRegistry {
            CAST(len(regexp_extract_all(red, '<(EMAIL|PHONE|SSN)>'))
              AS INT) AS n_pii
          FROM r ORDER BY doc_id""",
+    // PMI through exact HUGEINT products; ordering by the rounded
+    // pmi is safe because both engines compute identical doubles
+    "q239_pmi_collocations" ->
+      """WITH wd AS (
+           SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+         uni AS (
+           SELECT w, count(*) AS nw
+           FROM (SELECT unnest(ws) AS w FROM wd) GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(len(ws)) AS BIGINT) AS n_uni,
+             CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS n_bi
+           FROM wd),
+         b AS (
+           SELECT ws[i] AS w1, ws[i+1] AS w2 FROM wd,
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+               AS i) t),
+         p AS (
+           SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY 1, 2
+           HAVING count(*) >= 5),
+         j AS (
+           SELECT p.w1, p.w2, p.n_pair,
+             CAST(u1.nw AS BIGINT) AS n_w1,
+             CAST(u2.nw AS BIGINT) AS n_w2
+           FROM p
+           JOIN uni u1 ON u1.w = p.w1
+           JOIN uni u2 ON u2.w = p.w2)
+         SELECT w1, w2, n_pair, n_w1, n_w2,
+           round(ln(
+             CAST(CAST(n_pair AS HUGEINT) * n_uni * n_uni AS DOUBLE)
+             / CAST(CAST(n_bi AS HUGEINT) * n_w1 * n_w2 AS DOUBLE)),
+             6) AS pmi
+         FROM j, tot
+         ORDER BY pmi DESC, w1, w2 LIMIT 50""",
+    // entropy identity H = ln n − (Σ c·ln c)/n with the per-word
+    // term floor-µ-quantized before the (order-free) sum
+    "q240_lexical_diversity" ->
+      """WITH c AS (
+           SELECT doc_id, w, count(*) AS c FROM (
+             SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             FROM documents)
+           GROUP BY 1, 2),
+         d AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+               * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))
+               AS BIGINT) AS clnc
+           FROM c GROUP BY 1)
+         SELECT doc_id, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS ttr,
+           round(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+             AS hapax_frac,
+           round(ln(CAST(n_tokens AS DOUBLE))
+             - (CAST(clnc AS DOUBLE) / 1000000.0)
+               / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+           round(CASE WHEN n_tokens > 1 THEN
+             (ln(CAST(n_tokens AS DOUBLE))
+               - (CAST(clnc AS DOUBLE) / 1000000.0)
+                 / CAST(n_tokens AS DOUBLE))
+             / ln(CAST(n_tokens AS DOUBLE)) END, 6) AS norm_entropy
+         FROM d ORDER BY doc_id""",
+    // KL terms nano-quantized before the order-free integer sum;
+    // floor truncates toward −∞ identically on the negative terms
+    "q241_lang_divergence" ->
+      """WITH lw AS (
+           SELECT lang, w, count(*) AS clw FROM (
+             SELECT lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             FROM documents)
+           GROUP BY 1, 2),
+         lt AS (SELECT lang, CAST(sum(clw) AS BIGINT) AS nl
+           FROM lw GROUP BY 1),
+         cw AS (SELECT w, CAST(sum(clw) AS BIGINT) AS cww
+           FROM lw GROUP BY 1),
+         nt AS (SELECT CAST(sum(cww) AS BIGINT) AS n FROM cw),
+         t AS (
+           SELECT lw.lang, lw.clw,
+             CAST(floor(CAST(lw.clw AS DOUBLE) / CAST(lt.nl AS DOUBLE)
+               * ln(CAST(CAST(lw.clw AS HUGEINT) * nt.n AS DOUBLE)
+                 / CAST(CAST(lt.nl AS HUGEINT) * cw.cww AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS tn
+           FROM lw
+           JOIN cw ON cw.w = lw.w
+           JOIN lt ON lt.lang = lw.lang, nt)
+         SELECT lang, CAST(sum(clw) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(tn) AS BIGINT) AS kl_nano,
+           round(CAST(sum(tn) AS DOUBLE) / 1000000000.0, 6) AS kl
+         FROM t GROUP BY 1 ORDER BY lang""",
     "q44_top_bigrams" ->
       """WITH w AS (
            SELECT doc_id,
@@ -1018,6 +1115,33 @@ private[graft] object TextRegistry {
         TextAnalysis.piiCount(red).cast("int").as("n_pii"))
       .orderBy("doc_id")
   }
+
+  /** PMI collocations ([[TextAnalysis.pmiCollocations]]): the
+    * association-strength upgrade of q44's raw-count bigram top-15 —
+    * a pair seen 30 times from two rare words outranks "the value"
+    * seen 300 times. Count floor 5, top-50 by (pmi desc, w1, w2);
+    * ordering is cross-engine-safe because the pmi doubles are
+    * bit-identical (one ln over exact DECIMAL/HUGEINT products).
+    */
+  private[graft] def pmiCollocationsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(docs(s, dir), "text",
+      minPairCount = 5, topK = 50)
+
+  /** Lexical diversity ([[TextAnalysis.lexicalDiversity]]): per-doc
+    * TTR / hapax share / word-distribution entropy with the
+    * µ-quantized order-free Σ c·ln c.
+    */
+  private[graft] def lexicalDiversityQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Per-language unigram KL divergence from the corpus distribution
+    * ([[TextAnalysis.langUnigramDivergence]]), nano-quantized
+    * order-free term sum.
+    */
+  private[graft] def langDivergenceQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langUnigramDivergence(docs(s, dir), "lang", "text")
+      .orderBy("lang")
 
   /** Corpus-level collocation mining: top-15 adjacent word bigrams.
     * One explode + one shuffle; the n-gram assembly stays in codegen.

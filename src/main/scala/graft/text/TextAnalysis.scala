@@ -1495,4 +1495,175 @@ object TextAnalysis {
         round(col("__lnsum") / col("k").cast("double"), 6)
           .as("mean_log_excess"))
   }
+
+  /** Top-k adjacent-word collocations by pointwise mutual information
+    * — the phrase detector behind tokenizer-vocabulary seeding and
+    * boilerplate discovery: `PMI(x,y) = ln(p(x,y) / (p(x)p(y)))` with
+    * `p(x,y) = n_xy/N_bi` over adjacent pairs and `p(x) = n_x/N_uni`
+    * over unigrams, so `PMI = ln(n_xy·N_uni² / (N_bi·n_x·n_y))` —
+    * one ln over a ratio of exact integer products (numerator and
+    * denominator each accumulate in DECIMAL(38,0): N_uni² alone
+    * passes 2^63 at ~3·10⁹ tokens), hence bit-identical doubles
+    * across engines, which is what makes ORDERING by PMI
+    * deterministic cross-engine (ties broken (w1, w2)).
+    *
+    * `minPairCount` is load-bearing, not cosmetic: raw PMI is
+    * maximized by pairs seen once (ln(N) for two hapaxes), so the
+    * count floor is the standard Church–Hanks guard that keeps the
+    * report about repeated phrases instead of noise.
+    *
+    * Scale shape: one map-side-combined unigram count, one bigram
+    * count pre-filtered by `minPairCount` BEFORE the two
+    * unigram-side joins (word-keyed, never pairwise beyond adjacent
+    * pairs that actually occur), corpus totals on broadcast one-row
+    * frames, top-k via TakeOrderedAndProject.
+    *
+    * Returns `(w1, w2, n_pair, n_w1, n_w2, pmi)`, top `topK` by
+    * (pmi desc, w1, w2).
+    */
+  def pmiCollocations(
+      df: DataFrame, textCol: String, minPairCount: Int = 5,
+      topK: Int = 50): DataFrame = {
+    require(minPairCount >= 2, "minPairCount must be >= 2 (raw PMI " +
+      "over singletons is hapax noise by construction)")
+    require(topK >= 1 && topK <= 10000, "topK in [1, 10000]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val uni = df.select(explode(words(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__nw"))
+      .transform(graft.core.CacheScope.disk)
+    val totals = df.select(
+        size(words(col(textCol))).as("__k"))
+      .agg(sum(col("__k")).as("__n_uni"),
+        sum(greatest(col("__k") - 1, lit(0))).as("__n_bi"))
+    val pairs = df
+      .select(explode(bigrams(col(textCol))).as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairCount)
+      .withColumn("w1", split(col("__bg"), " ").getItem(0))
+      .withColumn("w2", split(col("__bg"), " ").getItem(1))
+    pairs
+      .join(uni.select(col("__w").as("w1"), col("__nw").as("n_w1")),
+        Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("__nw").as("n_w2")),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"),
+        round(log(
+          (dec(col("n_pair")) * dec(col("__n_uni")) *
+            dec(col("__n_uni"))).cast("double") /
+          (dec(col("__n_bi")) * dec(col("n_w1")) *
+            dec(col("n_w2"))).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** Per-document lexical-diversity report — the cheap gibberish /
+    * boilerplate screen that reads a document's own word
+    * distribution: token and type counts, type-token ratio, hapax
+    * share, and the Shannon entropy of the word distribution with
+    * its normalized form `H / ln(n_tokens)` (1 = every token
+    * distinct, → 0 = one word repeated; both gibberish generators
+    * and template boilerplate sit at the extremes real prose
+    * avoids).
+    *
+    * Entropy is computed by the identity `H = ln n − (Σ c·ln c)/n`
+    * (c = per-word counts), with each word's `c·ln c` term
+    * quantized to floor-micro-units BEFORE the sum — so the
+    * aggregation is an exact, ORDER-FREE integer sum (float sums
+    * over per-group word sets would be summation-order-dependent
+    * across engines and partitionings; the µ-floor of bit-identical
+    * doubles is not). Bias is < one µ-unit per distinct word,
+    * bounded and documented. The same quantize-then-sum treatment as
+    * q153/q160/q171.
+    *
+    * Scale shape: one (doc, word) grouped count (map-side combined),
+    * one doc-keyed aggregate; state bounded by per-doc vocabulary.
+    * Docs with zero tokens are absent (nothing to judge — the
+    * [[repetitionSignals]] contract).
+    *
+    * Returns `(id, n_tokens, n_types, ttr, hapax_frac, entropy,
+    * norm_entropy)`; `norm_entropy` is null for single-token docs
+    * (ln 1 = 0 denominator).
+    */
+  def lexicalDiversity(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("__id"),
+        explode(words(col(textCol))).as("__w"))
+      .groupBy("__id", "__w").agg(count(lit(1)).as("__c"))
+    val perDoc = counts.groupBy("__id")
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("__hapax"),
+        sum(floor(col("__c").cast("double") *
+          log(col("__c").cast("double")) * 1000000.0).cast("long"))
+          .as("__clnc_micro"))
+    val nD = col("n_tokens").cast("double")
+    val h = log(nD) - (col("__clnc_micro").cast("double") / 1000000.0) / nD
+    perDoc.select(col("__id").as(idCol), col("n_tokens"),
+      col("n_types"),
+      round(col("n_types").cast("double") / nD, 6).as("ttr"),
+      round(col("__hapax").cast("double") /
+        col("n_types").cast("double"), 6).as("hapax_frac"),
+      round(h, 6).as("entropy"),
+      round(when(col("n_tokens") > 1L, h / log(nD)), 6)
+        .as("norm_entropy"))
+  }
+
+  /** Per-language KL divergence of the language's unigram word
+    * distribution from the whole corpus's — the "which slice speaks
+    * differently" screen behind mixture re-weighting and
+    * contamination triage (a language whose divergence collapses
+    * toward 0 is losing its identity to cross-lingual boilerplate;
+    * one that spikes has topical drift).
+    *
+    * `KL(lang ‖ corpus) = Σ_w (c_lw/n_l)·ln(c_lw·N / (n_l·c_w))` —
+    * every ratio a single ln over exact integer products (through
+    * DECIMAL(38,0); `c_lw·N` passes 2^63 at ~3·10⁹-token corpora),
+    * and each word's term FLOOR-quantized to nano-units (1e9) before
+    * the per-language sum, making the aggregation an exact
+    * order-free integer sum — the [[lexicalDiversity]] treatment at
+    * finer grain (KL terms can be very small; nano-units keep the
+    * per-term bias negligible against vocabulary-sized term counts).
+    * Terms are NEGATIVE for under-represented words; `floor`
+    * truncates toward −∞ identically in both engines. Every word of
+    * the language is by construction in the corpus (c_w ≥ c_lw > 0)
+    * — no smoothing needed, the divergence is finite.
+    *
+    * Scale shape: one (lang, word) count, one word-keyed corpus
+    * count joined word-to-word (map-side combined on both sides),
+    * language totals by one more grouped sum, final per-language
+    * aggregate — language-domain-sized output, nothing pairwise.
+    *
+    * Returns `(lang, n_tokens, n_types, kl_nano, kl)` ordered by
+    * caller.
+    */
+  def langUnigramDivergence(
+      df: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lw = df.select(col(langCol).as("lang"),
+        explode(words(col(textCol))).as("__w"))
+      .groupBy("lang", "__w").agg(count(lit(1)).as("__clw"))
+      .transform(graft.core.CacheScope.disk)
+    val lTot = lw.groupBy("lang").agg(sum(col("__clw")).as("__nl"))
+    val cw = lw.groupBy("__w").agg(sum(col("__clw")).as("__cw"))
+    val nTot = cw.agg(sum(col("__cw")).as("__n"))
+    val term = lw
+      .join(cw, Seq("__w"))
+      .join(lTot, Seq("lang"))
+      .crossJoin(broadcast(nTot))
+      .select(col("lang"), col("__clw"),
+        floor(col("__clw").cast("double") / col("__nl").cast("double") *
+          log((dec(col("__clw")) * dec(col("__n"))).cast("double") /
+            (dec(col("__nl")) * dec(col("__cw"))).cast("double")) *
+          1000000000.0).cast("long").as("__t_nano"))
+    term.groupBy("lang")
+      .agg(sum(col("__clw")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__t_nano")).as("kl_nano"))
+      .withColumn("kl",
+        round(col("kl_nano").cast("double") / 1000000000.0, 6))
+  }
 }
