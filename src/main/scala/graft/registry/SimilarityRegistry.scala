@@ -36,6 +36,8 @@ private[graft] object SimilarityRegistry {
     "q173_mmr_rerank" -> (mmrRerankQ _),
     "q175_retrieval_pipeline" -> (retrievalPipelineQ _),
     "q223_label_noise" -> (labelNoiseQ _),
+    "q242_embedding_gram" -> (embeddingGramQ _),
+    "q243_centroid_silhouette" -> (centroidSilhouetteQ _),
     "q27_embedding_neardup" -> (embeddingNeardup _),
     "q207_matryoshka_audit" -> (matryoshkaAuditQ _),
     "q210_ivf_balance" -> (ivfBalanceQ _),
@@ -53,6 +55,83 @@ private[graft] object SimilarityRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // micro-quantized components, HUGEINT-exact moment sums, one
+    // double division per reported cell (positions 0-based like
+    // posexplode)
+    "q242_embedding_gram" ->
+      """WITH q AS (
+           SELECT list_transform(embedding, x ->
+             CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+             AS qs
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         cells AS (
+           SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.j - 1 AS INT) AS j,
+             qs[a.i] AS qi, qs[b.j] AS qj
+           FROM q,
+             LATERAL (SELECT unnest(generate_series(1, len(qs))) AS i) a,
+             LATERAL (SELECT unnest(generate_series(1, len(qs))) AS j) b
+           WHERE b.j >= a.i),
+         g AS (
+           SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(qi AS HUGEINT) * qj) AS sij,
+             sum(CAST(qi AS HUGEINT)) AS si,
+             sum(CAST(qj AS HUGEINT)) AS sj
+           FROM cells GROUP BY 1, 2)
+         SELECT i, j, n,
+           round(CAST(sij AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1e12), 6) + 0.0 AS gram,
+           round(CAST(CAST(n AS HUGEINT) * sij - si * sj AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6) + 0.0
+             AS cov
+         FROM g ORDER BY i, j""",
+    // the labelNoiseScreen offset-integer scheme; distances are
+    // order-free integer sums, then two correctly-rounded sqrts and
+    // one mirrored s-formula per row, µ-floored before the label sum
+    "q243_centroid_silhouette" ->
+      """WITH me AS MATERIALIZED (
+           SELECT label, vec_id AS id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)
+                 + 16777216) AS m
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0
+             AND label IS NOT NULL),
+         mc AS (
+           SELECT label, id, t.i, m[t.i] AS mv FROM me,
+             LATERAL (SELECT unnest(generate_series(1, len(m))) AS i) t),
+         cent AS (
+           SELECT label, i, sum(mv) // count(*) AS c
+           FROM mc GROUP BY 1, 2),
+         d2 AS (
+           SELECT mc.label, mc.id, cent.label AS cand,
+             sum((mc.mv - cent.c) * (mc.mv - cent.c)) AS sq
+           FROM mc JOIN cent ON cent.i = mc.i
+           GROUP BY 1, 2, 3),
+         pr AS (
+           SELECT label, id,
+             max(CASE WHEN cand = label THEN sq END) AS a2,
+             min(CASE WHEN cand <> label THEN sq END) AS b2
+           FROM d2 GROUP BY 1, 2),
+         sc AS (
+           SELECT label,
+             CASE WHEN b2 IS NULL THEN NULL
+               WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+                 sqrt(CAST(b2 AS DOUBLE))) = 0.0 THEN
+                 CAST(0 AS BIGINT)
+               ELSE CAST(floor(
+                 (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                   / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                     sqrt(CAST(b2 AS DOUBLE)))
+                 * 1000000.0) AS BIGINT) END AS s_micro,
+             a2
+           FROM pr)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a2) // count(*) AS BIGINT) AS mean_sq_own,
+           CAST(sum(s_micro) AS BIGINT) AS silhouette_micro_sum,
+           round((CAST(sum(s_micro) AS DOUBLE) / 1000000.0)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_silhouette
+         FROM sc GROUP BY 1 ORDER BY label""",
     // replays labelNoiseScreen's offset-integer arithmetic: elements
     // quantize to floor(x·1e4)+2^24 (positive sums → `//` == engine
     // `div`), centroids/means/ratios are BIGINT floor divisions
@@ -1856,6 +1935,25 @@ private[graft] object SimilarityRegistry {
     Similarity.labelNoiseScreen(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", topK = 5)
       .orderBy("label", "rank")
+
+  /** Upper-tri Gram + covariance of the embedding corpus
+    * ([[Similarity.embeddingGram]]): d(d+1)/2 cells from chained
+    * generators, micro-quantized decimal-exact moments, shuffle
+    * bounded by partitions×d² partials.
+    */
+  private[graft] def embeddingGramQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingGram(t(s, dir, "embeddings"), "embedding")
+      .orderBy("i", "j")
+
+  /** Centroid-silhouette label-health audit
+    * ([[Similarity.centroidSilhouette]]): the O(n·L) silhouette
+    * variant over the labeled embedding corpus — offset-integer
+    * distances, µ-floored per-row scores, label-domain output.
+    */
+  private[graft] def centroidSilhouetteQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidSilhouette(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+      .orderBy("label")
 
   /** Embedding-distribution drift between labels: per-label mean
     * embedding (posexplode + partial-agg vector mean, rounded for

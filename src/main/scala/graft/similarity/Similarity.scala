@@ -2058,4 +2058,146 @@ object Similarity {
       .map("%02x".format(_)).mkString
     if ("02468ace".indexOf(hex.charAt(0)) >= 0) 1.0 else -1.0
   }
+
+  /** Upper-triangular Gram / covariance matrix of an embedding
+    * column — the d×d second-moment summary behind whitening, PCA
+    * and redundancy audits (a near-rank-deficient Gram means the
+    * embedding spends dimensions on noise; off-diagonal covariance
+    * structure is what Matryoshka truncation q207 destroys when it
+    * cuts correlated dims).
+    *
+    * Exactness: components quantize ONCE to `floor(x·1e6)` micro
+    * units, products accumulate in DECIMAL(38,0) (a 1e9-row corpus
+    * of unit-scale values reaches ~1e21 — past 2^63), and the
+    * reported `gram`/`cov` are single double divisions of exact
+    * decimals — bit-identical cross-engine. `cov·n²` uses the
+    * integer identity `n·Σqᵢqⱼ − Σqᵢ·Σqⱼ`.
+    *
+    * Scale shape: NO self-join — each vector expands to its own
+    * d(d+1)/2 upper-tri component pairs via chained generators
+    * (posexplode on i, then j ≥ i from the carried array), and the
+    * (i, j) aggregation is map-side combined, so the shuffle carries
+    * at most `partitions × d²` partial rows regardless of corpus
+    * size. Per-(i,j) `n` is emitted so ragged corpora are VISIBLE
+    * (cells disagree on n) rather than silently mixed.
+    *
+    * Returns `(i, j, n, gram, cov)` for j ≥ i: `gram` =
+    * (Σ qᵢqⱼ)/(n·1e12) (the E[xᵢxⱼ] estimate in original units),
+    * `cov` the centered version.
+    */
+  def embeddingGram(
+      embeddings: DataFrame, vecCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val qv = embeddings
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+        .as("__q"))
+    val cells = qv
+      .select(posexplode(col("__q")).as(Seq("i", "qi")), col("__q"))
+      .select(col("i"), col("qi"),
+        posexplode(col("__q")).as(Seq("j", "qj")))
+      .where(col("j") >= col("i"))
+    cells.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("qi")) * dec(col("qj"))).as("__sij"),
+        sum(dec(col("qi"))).as("__si"),
+        sum(dec(col("qj"))).as("__sj"))
+      .select(col("i"), col("j"), col("n"),
+        // + 0.0 canonicalizes IEEE −0.0 to +0.0 (Spark's BigDecimal
+        // round already loses the zero sign; DuckDB's C round keeps
+        // it — normalize BOTH sides identically)
+        (round(col("__sij").cast("double") /
+          (col("n").cast("double") * 1e12), 6) + lit(0.0)).as("gram"),
+        (round((dec(col("n")) * col("__sij") -
+            col("__si") * col("__sj")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * 1e12), 6)
+          + lit(0.0)).as("cov"))
+  }
+
+  /** Centroid-silhouette clustering audit for a labeled embedding
+    * corpus — per label, the mean of the per-vector silhouette
+    * `s = (b − a)/max(a, b)` with `a` = distance to the OWN label
+    * centroid and `b` = distance to the nearest OTHER label centroid
+    * (the O(n·L) centroid variant of the O(n²) classic — the only
+    * form that survives a 100 TB corpus, and the standard label-set
+    * health readout: mean s near 0 means labels overlap in embedding
+    * space; negative means vectors sit closer to a rival class).
+    *
+    * Exactness, the [[labelNoiseScreen]] scheme: elements quantize
+    * once to offset units `floor(x·1e4) + 2^24` (offset keeps cell
+    * sums positive so `div` = floor; it cancels in the subtraction),
+    * centroids are `Σ div n` integers, squared distances are exact
+    * order-free BIGINT array folds, and only then does each row take
+    * TWO correctly-rounded doubles (√a², √b²) into one mirrored
+    * s-formula, floor-µ-quantized before the per-label mean — so the
+    * per-label aggregation is again an exact integer sum. Ragged
+    * vectors fail loudly (raise_error, the labelNoiseScreen
+    * contract). A single-label corpus has no `b` → null silhouette.
+    * Coincident centroids (a = b = 0) score s = 0.
+    *
+    * Scale shape: centroid cells are labels×dim (corpus-independent),
+    * the L-row centroid table broadcasts, each corpus row folds
+    * against all L centroid arrays in ONE scan (no per-element join),
+    * and the (row, label) frame aggregates by row then by label —
+    * map-side combined, label-domain-sized output.
+    *
+    * Returns `(label, n, mean_sq_own, silhouette_micro_sum,
+    * mean_silhouette)` ordered by caller.
+    */
+  def centroidSilhouette(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val offset = 16777216L // 2^24 — the labelNoiseScreen offset
+    val me = embeddings
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"), col(idCol).as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1e4)) + lit(offset))
+          .as("__m"))
+      .transform(graft.core.CacheScope.disk)
+    val cents = me
+      .select(col("label"), posexplode(col("__m")).as(Seq("pos", "m")))
+      .groupBy("label", "pos")
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("__pc"))
+      .select(col("label").as("cand_label"),
+        transform(col("__pc"), p => p.getField("c")).as("__cv"))
+    val d2 = me.crossJoin(broadcast(cents))
+      .select(col("label"), col("id"), col("cand_label"),
+        when(size(col("__m")) =!= size(col("__cv")),
+          raise_error(concat(
+            lit("centroidSilhouette: ragged vector for id "), col("id"),
+            lit(" — size "), size(col("__m")).cast("string"),
+            lit(" vs label dimension "),
+            size(col("__cv")).cast("string"))).cast("long"))
+          .otherwise(
+            aggregate(zip_with(col("__m"), col("__cv"),
+              (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x)).as("sq"))
+    val perRow = d2.groupBy("label", "id")
+      .agg(
+        max(when(col("cand_label") === col("label"), col("sq")))
+          .as("__a2"),
+        min(when(col("cand_label") =!= col("label"), col("sq")))
+          .as("__b2"))
+    val aD = sqrt(col("__a2").cast("double"))
+    val bD = sqrt(col("__b2").cast("double"))
+    val s = when(col("__b2").isNull, lit(null).cast("double"))
+      .when(greatest(aD, bD) === 0.0, lit(0.0))
+      .otherwise((bD - aD) / greatest(aD, bD))
+    val scored = perRow
+      .withColumn("__s_micro", floor(s * lit(1000000.0)).cast("long"))
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(__a2) div count(1)").as("mean_sq_own"),
+        sum(col("__s_micro")).as("silhouette_micro_sum"),
+        (round((sum(col("__s_micro")).cast("double") / 1000000.0) /
+          count(lit(1)).cast("double"), 6) + lit(0.0))
+          .as("mean_silhouette"))
+  }
 }

@@ -142,6 +142,11 @@ class PlanGateSpec extends SparkSpec {
     // frame feeds three consumers (two merge legs + the final join)
     "q219_kmv_overlap" -> 3,
     "q92_type_weekday_chi2" -> 1,
+    // the broadcast build side is the per-label centroid-array table
+    // (one row per label — bounded by label DOMAIN, a grouped
+    // aggregate the static bound can't see); the corpus leg folds
+    // against all L centroids in one scan by design
+    "q243_centroid_silhouette" -> 1,
     "q59_token_shards" -> 1,
     "q73_training_shards" -> 1,
     "q158_negative_samples" -> 1,
