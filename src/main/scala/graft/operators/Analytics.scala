@@ -4021,6 +4021,136 @@ object Analytics {
         (covN * covN) / (varXN * varYN)), 6).as("rho2"))
   }
 
+  /** Zero-filled per-type bucket counts: every type's [min, max]
+    * bucket range densified (a silent hour is c = 0, not a missing
+    * row — skipping gaps would splice distant buckets together and
+    * corrupt every lag statistic). Shared by [[autocorrelation]] and
+    * [[burstiness]]; the [[crossCorrelation]] grid, per type.
+    */
+  private def bucketCounts(
+      df: DataFrame, tsCol: String, typeCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val micros = bucketSeconds * 1000000L
+    val cnt = df
+      .where(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(typeCol).as("__ty"),
+        expr(s"unix_micros($tsCol) div $micros").as("__idx"))
+      .groupBy("__ty", "__idx").agg(count(lit(1)).as("__c"))
+    cnt.groupBy("__ty")
+      .agg(min(col("__idx")).as("__lo"), max(col("__idx")).as("__hi"))
+      .select(col("__ty"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__idx"))
+      .join(cnt, Seq("__ty", "__idx"), "left")
+      .select(col("__ty"), col("__idx"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+  }
+
+  /** Per-type autocorrelation of bucketed event counts at lags
+    * 1..maxLag — [[crossCorrelation]] turned on a single series: the
+    * seasonality/self-excitation readout (a daily cycle spikes lag
+    * 24 on hourly buckets; retry storms decay geometrically from lag
+    * 1) that decides resampling windows and anomaly baselines.
+    *
+    * Exactness — unlike [[crossCorrelation]]'s float `corr`, the ACF
+    * here is an exact integer identity until ONE double division:
+    * with n buckets and count sum S, `r_k·(den·n²) = num_k·n²` where
+    * `num_k·n² = Σ_{t≤n−k} (n·c_t − S)(n·c_{t+k} − S)` and
+    * `den·n² = Σ_t (n·c_t − S)²` — both DECIMAL(38,0) sums of exact
+    * products (mean-centering multiplied through by n, so no
+    * rational mean ever materializes). Order-free integer sums →
+    * bit-identical cross-engine. Constant series (den = 0) emit null
+    * r. Buckets are ZERO-FILLED over each type's [min, max] range
+    * (gap-skipping would corrupt every lag alignment).
+    *
+    * Scale shape: one bucketed count (map-side combined), one
+    * per-type grid explode, the lag fan-out (grid × maxLag rows)
+    * joined back on (type, idx+lag) — equi-join, never pairwise over
+    * events — and per-(type, lag) aggregates; per-type one-row
+    * moment frames broadcast. Output is types × lags.
+    *
+    * Returns `(event_type, lag, n_buckets, n_pairs, r)`.
+    */
+  def autocorrelation(
+      df: DataFrame, tsCol: String, typeCol: String,
+      bucketSeconds: Long = 3600L, maxLag: Int = 6): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxLag >= 1 && maxLag <= 512, "maxLag in [1, 512]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val grid = bucketCounts(df, tsCol, typeCol, bucketSeconds)
+      .transform(graft.core.CacheScope.disk)
+    val moments = grid.groupBy("__ty")
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("__q"))
+    // den·n² = Σ(n·c − S)² = n²Q − 2nS·S + nS² = n·(n·Q − S²)
+    val den = dec(col("__n")) *
+      (dec(col("__n")) * col("__q") - dec(col("__s")) * dec(col("__s")))
+    val lagged = grid
+      .select(col("__ty"), col("__idx"), col("__c"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("__jidx", col("__idx") + col("lag"))
+      .join(grid.select(col("__ty"), col("__idx").as("__jidx"),
+        col("__c").as("__c2")), Seq("__ty", "__jidx"))
+    lagged
+      .join(broadcast(moments), Seq("__ty"))
+      .groupBy(col("__ty"), col("lag"))
+      .agg(max(col("__n")).as("n_buckets"),
+        count(lit(1)).as("n_pairs"),
+        sum((dec(col("__n")) * dec(col("__c")) - dec(col("__s"))) *
+          (dec(col("__n")) * dec(col("__c2")) - dec(col("__s"))))
+          .as("__num"),
+        max(den).as("__den"))
+      .select(col("__ty").as("event_type"), col("lag"),
+        col("n_buckets"), col("n_pairs"),
+        round(when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double")),
+          6).as("r"))
+  }
+
+  /** Per-type burstiness of bucketed event counts — the Fano factor
+    * `var/mean` (1 = Poisson; ≫ 1 = clumped arrivals; < 1 =
+    * regular/paced) and the Goh–Barabási burstiness
+    * `B = (σ − μ)/(σ + μ)` ∈ (−1, 1) — the two standard "is this
+    * stream machine-like or bursty" numbers behind rate-limit
+    * sizing and bot screening, over the same zero-filled grid as
+    * [[autocorrelation]].
+    *
+    * Exactness: with n buckets, S = Σc, Q = Σc² (DECIMAL-exact),
+    * sample variance multiplies through as `(n·Q − S²)/(n(n−1))` and
+    * `fano = (n·Q − S²)/((n−1)·S)` — each one double division of
+    * exact decimals; σ is one correctly-rounded sqrt and B one
+    * mirrored formula. Degenerate cases are null: fano for S = 0,
+    * both for n < 2, B when σ + μ = 0.
+    *
+    * Scale shape: one map-side-combined bucketed count, the per-type
+    * grid explode, one type-domain-sized aggregate.
+    *
+    * Returns `(event_type, n_buckets, n_events, mean_rate, fano,
+    * burstiness)`.
+    */
+  def burstiness(
+      df: DataFrame, tsCol: String, typeCol: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = bucketCounts(df, tsCol, typeCol, bucketSeconds)
+      .groupBy("__ty")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("__c")).as("n_events"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("__q"))
+    val n = col("n_buckets")
+    val s = col("n_events")
+    val varNum = (dec(n) * col("__q") - dec(s) * dec(s)).cast("double")
+    val mean = s.cast("double") / n.cast("double")
+    val variance = varNum / (n.cast("double") * (n.cast("double") - 1.0))
+    val sigma = sqrt(variance)
+    m.select(col("__ty").as("event_type"), n, s,
+      round(mean, 6).as("mean_rate"),
+      round(when(n > 1 && s > 0,
+        varNum / ((n.cast("double") - 1.0) * s.cast("double"))), 6)
+        .as("fano"),
+      round(when(n > 1 && sigma + mean > 0.0,
+        (sigma - mean) / (sigma + mean)), 6).as("burstiness"))
+  }
+
   /** Spearman rank correlation per group — the monotone-association
     * measure that survives what breaks Pearson: outliers (a single
     * 10⁶× price row saturates covariance; ranks cap its leverage at

@@ -56,9 +56,97 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q233_eb_shrinkage" -> (ebShrinkageQ _),
     "q237_value_mw_drift" -> (mwDriftQ _),
     "q238_qty_price_spearman" -> (spearmanQ _),
+    "q244_event_acf" -> (eventAcfQ _),
+    "q245_event_burstiness" -> (eventBurstinessQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // exact-integer ACF: zero-filled grid, lag equi-join, HUGEINT
+    // moment identities (num·n² and den·n² = n(nQ − S²)), one double
+    // division — mirrors the engine's DECIMAL(38,0) arithmetic
+    "q244_event_acf" ->
+      """WITH e AS (
+           SELECT event_type AS ty,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS idx
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         cnt AS (SELECT ty, idx, CAST(count(*) AS BIGINT) AS c
+           FROM e GROUP BY 1, 2),
+         rng AS (SELECT ty, min(idx) AS lo, max(idx) AS hi
+           FROM cnt GROUP BY 1),
+         gs AS (
+           SELECT ty, unnest(generate_series(lo, hi)) AS idx
+           FROM rng),
+         grid AS MATERIALIZED (
+           SELECT gs.ty, gs.idx, coalesce(cnt.c, 0) AS c
+           FROM gs LEFT JOIN cnt
+             ON cnt.ty = gs.ty AND cnt.idx = gs.idx),
+         mom AS (
+           SELECT ty, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             sum(CAST(c AS HUGEINT) * c) AS q
+           FROM grid GROUP BY 1),
+         lagged AS (
+           SELECT g.ty, l.lag, g.c AS c1, g2.c AS c2
+           FROM grid g,
+             LATERAL (SELECT unnest(generate_series(1, 6)) AS lag) l
+           JOIN grid g2 ON g2.ty = g.ty AND g2.idx = g.idx + l.lag),
+         agg AS (
+           SELECT lg.ty, lg.lag, max(m.n) AS n_buckets,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum((CAST(m.n AS HUGEINT) * lg.c1 - m.s)
+               * (CAST(m.n AS HUGEINT) * lg.c2 - m.s)) AS num,
+             max(CAST(m.n AS HUGEINT)
+               * (CAST(m.n AS HUGEINT) * m.q
+                 - CAST(m.s AS HUGEINT) * m.s)) AS den
+           FROM lagged lg JOIN mom m ON m.ty = lg.ty
+           GROUP BY 1, 2)
+         SELECT ty AS event_type, CAST(lag AS INT) AS lag, n_buckets,
+           n_pairs,
+           round(CASE WHEN den > 0 THEN
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS r
+         FROM agg ORDER BY event_type, lag""",
+    // Fano = (nQ − S²)/((n−1)S), burstiness = (σ−μ)/(σ+μ), both one
+    // double step over HUGEINT-exact moments; formula order mirrored
+    "q245_event_burstiness" ->
+      """WITH e AS (
+           SELECT event_type AS ty,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS idx
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         cnt AS (SELECT ty, idx, CAST(count(*) AS BIGINT) AS c
+           FROM e GROUP BY 1, 2),
+         rng AS (SELECT ty, min(idx) AS lo, max(idx) AS hi
+           FROM cnt GROUP BY 1),
+         gs AS (
+           SELECT ty, unnest(generate_series(lo, hi)) AS idx
+           FROM rng),
+         grid AS (
+           SELECT gs.ty, gs.idx, coalesce(cnt.c, 0) AS c
+           FROM gs LEFT JOIN cnt
+             ON cnt.ty = gs.ty AND cnt.idx = gs.idx),
+         mom AS (
+           SELECT ty, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             sum(CAST(c AS HUGEINT) * c) AS q
+           FROM grid GROUP BY 1),
+         f AS (
+           SELECT ty, n, s,
+             CAST(CAST(n AS HUGEINT) * q
+               - CAST(s AS HUGEINT) * s AS DOUBLE) AS varnum,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+           FROM mom),
+         g2 AS (
+           SELECT ty, n, s, varnum, mean,
+             sqrt(varnum / (CAST(n AS DOUBLE)
+               * (CAST(n AS DOUBLE) - 1.0))) AS sigma
+           FROM f)
+         SELECT ty AS event_type, n AS n_buckets, s AS n_events,
+           round(mean, 6) AS mean_rate,
+           round(CASE WHEN n > 1 AND s > 0 THEN
+             varnum / ((CAST(n AS DOUBLE) - 1.0) * CAST(s AS DOUBLE))
+             END, 6) AS fano,
+           round(CASE WHEN n > 1 AND sigma + mean > 0.0 THEN
+             (sigma - mean) / (sigma + mean) END, 6) AS burstiness
+         FROM g2 ORDER BY event_type""",
     // MW-U replay: per-distinct-value counts -> half-unit average
     // ranks via the cumulative window -> exact BIGINT rank sum and
     // HUGEINT tie cubes -> the one double formula, op order mirrored
@@ -1458,6 +1546,26 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .withColumn("drifted", col("drifted").cast("int"))
       .orderBy("event_type")
   }
+
+  /** Hourly-count autocorrelation at lags 1–6 per event type
+    * ([[Analytics.autocorrelation]]): the exact-integer ACF (the
+    * mean-centering multiplied through by n so every sum is a
+    * DECIMAL-exact product sum) over zero-filled hourly buckets —
+    * q174's cross-correlation turned on each series itself.
+    */
+  private[graft] def eventAcfQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.autocorrelation(events(s, dir), "ts", "event_type",
+        bucketSeconds = 3600L, maxLag = 6)
+      .orderBy("event_type", "lag")
+
+  /** Fano factor + Goh–Barabási burstiness per event type
+    * ([[Analytics.burstiness]]) over the same zero-filled hourly
+    * grid — the "Poisson or clumped" readout.
+    */
+  private[graft] def eventBurstinessQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.burstiness(events(s, dir), "ts", "event_type",
+        bucketSeconds = 3600L)
+      .orderBy("event_type")
 
   /** Spearman rank correlation ([[Analytics.spearmanCorr]]) of
     * quantity vs extended price per return flag — the monotone
