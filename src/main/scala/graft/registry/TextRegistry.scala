@@ -43,6 +43,7 @@ private[graft] object TextRegistry {
     "q239_pmi_collocations" -> (pmiCollocationsQ _),
     "q240_lexical_diversity" -> (lexicalDiversityQ _),
     "q241_lang_divergence" -> (langDivergenceQ _),
+    "q246_retrieval_eval" -> (retrievalEvalQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -770,6 +771,54 @@ private[graft] object TextRegistry {
            CAST(sum(tn) AS BIGINT) AS kl_nano,
            round(CAST(sum(tn) AS DOUBLE) / 1000000000.0, 6) AS kl
          FROM t GROUP BY 1 ORDER BY lang""",
+    // eval wraps the SHARED q171 oracle as a subquery; DCG terms are
+    // nano-floored before the (order-free) per-query sums, nDCG is a
+    // ratio of two quantized sums
+    "q246_retrieval_eval" -> {
+      val dcg = (rel: String, rank: String) =>
+        s"""CAST(floor(CAST((1 << $rel) - 1 AS DOUBLE)
+           / (ln(CAST($rank AS DOUBLE) + 1.0) / ln(2.0))
+           * 1000000000.0) AS BIGINT)"""
+      s"""WITH res AS (
+           SELECT query_id AS qid, doc_id AS did, rank
+           FROM ($oracleBm25Sql) WHERE doc_id <> query_id),
+         qm AS (
+           SELECT doc_id AS qid, source AS qsrc, lang AS qlang
+           FROM documents WHERE doc_id < 5),
+         qr AS (
+           SELECT qm.qid, d.doc_id AS did,
+             CASE WHEN d.source = qm.qsrc THEN 2 ELSE 1 END AS rel
+           FROM documents d JOIN qm ON d.lang = qm.qlang
+           WHERE d.doc_id <> qm.qid),
+         ideal AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n_rel,
+             sum(CASE WHEN irank <= 10 THEN
+               ${dcg("rel", "irank")} ELSE 0 END) AS idcg
+           FROM (SELECT qid, rel, row_number() OVER (
+               PARTITION BY qid ORDER BY rel DESC, did ASC) AS irank
+             FROM qr)
+           GROUP BY 1),
+         per AS (
+           SELECT r.qid,
+             CAST(sum(CASE WHEN qr.rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             min(CASE WHEN qr.rel IS NOT NULL THEN r.rank END) AS fr,
+             sum(CASE WHEN qr.rel IS NOT NULL THEN
+               ${dcg("qr.rel", "r.rank")} ELSE 0 END) AS dcg
+           FROM res r
+           LEFT JOIN qr ON qr.qid = r.qid AND qr.did = r.did
+           GROUP BY 1)
+         SELECT p.qid AS query_id, i.n_rel, p.n_hit,
+           round(CAST(p.n_hit AS DOUBLE) / 10.0, 6) AS p_at_k,
+           round(CAST(p.n_hit AS DOUBLE) / CAST(i.n_rel AS DOUBLE), 6)
+             AS r_at_k,
+           round(coalesce(1.0 / CAST(p.fr AS DOUBLE), 0.0), 6) AS rr,
+           round(CASE WHEN i.idcg > 0 THEN
+             CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) END, 6)
+             AS ndcg
+         FROM per p JOIN ideal i ON i.qid = p.qid
+         ORDER BY query_id"""
+    },
     "q44_top_bigrams" ->
       """WITH w AS (
            SELECT doc_id,
@@ -1142,6 +1191,37 @@ private[graft] object TextRegistry {
   private[graft] def langDivergenceQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langUnigramDivergence(docs(s, dir), "lang", "text")
       .orderBy("lang")
+
+  /** Retrieval scorecard ([[graft.similarity.Similarity
+    * .rankingEval]]) of the q171 BM25 search against metadata
+    * relevance: rel 2 = same (source, lang) as the query doc, rel 1 =
+    * same lang (an equi-join on lang — positive judgments only, no
+    * pair enumeration), self-matches excluded from BOTH sides (the
+    * trivial rank-1 hit would read as quality). P@10 divides by the
+    * contracted k, trec_eval-style.
+    */
+  private[graft] def retrievalEvalQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val results = graft.text.TfIdf.bm25Search(d, "doc_id", "text",
+        d.where(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", "text", k = 10, maxDf = 400L)
+      .where(col("doc_id") =!= col("query_id"))
+    val q = d.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("source").as("__qsrc"),
+        col("lang"))
+    val qrels = d
+      .select(col("doc_id").as("did"), col("source").as("__src"),
+        col("lang"))
+      .join(broadcast(q), Seq("lang"))
+      .where(col("did") =!= col("qid"))
+      .select(col("qid"), col("did"),
+        when(col("__src") === col("__qsrc"), 2).otherwise(1).as("rel"))
+    graft.similarity.Similarity.rankingEval(results,
+        "query_id", "doc_id", "rank", qrels, "qid", "did", "rel",
+        k = 10)
+      .orderBy("query_id")
+  }
 
   /** Corpus-level collocation mining: top-15 adjacent word bigrams.
     * One explode + one shuffle; the n-gram assembly stays in codegen.

@@ -2059,6 +2059,80 @@ object Similarity {
     if ("02468ace".indexOf(hex.charAt(0)) >= 0) 1.0 else -1.0
   }
 
+  /** Ranked-retrieval evaluation against graded relevance judgments
+    * — precision@k, recall@k, reciprocal rank, and nDCG@k per query:
+    * the scorecard that closes the retrieval loop (q171 BM25, q175
+    * RAG stack, the ANN shelf) the way recall audits close the ANN
+    * loop — without it, "search works" is an anecdote.
+    *
+    * Exactness: ranks and relevance grades are integers; gains are
+    * `2^rel − 1` (exact shifts); each DCG term
+    * `gain / (ln(rank+1)/ln 2)` is one mirrored double expression
+    * floor-nano-quantized BEFORE the per-query sum — the order-free
+    * integer-sum treatment (lexicalDiversity, q153/q171) — and nDCG
+    * is the ratio of two quantized sums, so every metric is
+    * bit-identical cross-engine. RR is an exact `1/first-hit-rank`
+    * (0.0 when no hit — the MRR convention); P@k divides by the
+    * CONTRACTED k, not the retrieved count (a query returning fewer
+    * than k rows is penalized, as in trec_eval).
+    *
+    * The ideal-DCG ranking sorts judgments (rel desc, doc asc) per
+    * query — a window bounded by the query's judgment count, the
+    * qrel-table shape, never corpus-sized.
+    *
+    * Scale shape: results pre-filtered to rank ≤ k, one (query,
+    * doc)-keyed left join against positive judgments, two per-query
+    * aggregates (map-side combined) joined query-to-query. Output is
+    * query-domain-sized.
+    *
+    * Returns `(<qIdCol>, n_rel, n_hit, p_at_k, r_at_k, rr, ndcg)`;
+    * `r_at_k`/`ndcg` are null for queries with no judgments.
+    */
+  def rankingEval(
+      results: DataFrame, qIdCol: String, docIdCol: String,
+      rankCol: String, qrels: DataFrame, relQIdCol: String,
+      relDocIdCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, "k in [1, 10000]")
+    val res = results.select(col(qIdCol).as("__qid"),
+        col(docIdCol).as("__did"), col(rankCol).cast("int").as("__rank"))
+      .where(col("__rank") <= k)
+    val qr = qrels.select(col(relQIdCol).as("__qid"),
+        col(relDocIdCol).as("__did"), col(relCol).cast("int").as("__rel"))
+      .where(col("__rel") > 0)
+      .transform(graft.core.CacheScope.disk)
+    def dcgNano(relName: String, rankName: String): Column =
+      floor((expr(s"shiftleft(CAST(1 AS BIGINT), $relName)") - lit(1L))
+        .cast("double") /
+        (log(col(rankName).cast("double") + lit(1.0)) / log(lit(2.0))) *
+        lit(1000000000.0)).cast("long")
+    val wIdeal = Window.partitionBy(col("__qid"))
+      .orderBy(col("__rel").desc, col("__did").asc)
+    val ideal = qr.withColumn("__irank", row_number().over(wIdeal))
+      .groupBy("__qid")
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("__irank") <= k,
+          dcgNano("__rel", "__irank")).otherwise(0L))
+          .as("__idcg"))
+    val per = res.join(qr, Seq("__qid", "__did"), "left")
+      .groupBy("__qid")
+      .agg(
+        sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        min(when(col("__rel").isNotNull, col("__rank"))).as("__fr"),
+        sum(when(col("__rel").isNotNull,
+          dcgNano("__rel", "__rank")).otherwise(0L))
+          .as("__dcg"))
+    per.join(ideal, Seq("__qid"), "left")
+      .select(col("__qid").as(qIdCol), col("n_rel"), col("n_hit"),
+        round(col("n_hit").cast("double") / k.toDouble, 6).as("p_at_k"),
+        round(col("n_hit").cast("double") /
+          col("n_rel").cast("double"), 6).as("r_at_k"),
+        round(coalesce(lit(1.0) / col("__fr").cast("double"), lit(0.0)),
+          6).as("rr"),
+        round(when(col("__idcg") > 0L,
+          col("__dcg").cast("double") / col("__idcg").cast("double")),
+          6).as("ndcg"))
+  }
+
   /** Upper-triangular Gram / covariance matrix of an embedding
     * column — the d×d second-moment summary behind whitening, PCA
     * and redundancy audits (a near-rank-deficient Gram means the
