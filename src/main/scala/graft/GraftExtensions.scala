@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, BloomShard, DotProduct, UnicodeNormalize, ZOrderKey}
+import graft.expressions.{BloomMightContain, BloomShard, DotProduct, JaroWinkler, UnicodeNormalize, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_normalize(string, form) -> string` — codegen'd Unicode
   *     normalization (NFC/NFD/NFKC/NFKD)
   *     ([[graft.expressions.UnicodeNormalize]]).
+  *   - `graft_jaro_winkler(string, string) -> double` — codegen'd
+  *     Jaro–Winkler similarity, bit-compatible with DuckDB's
+  *     `jaro_winkler_similarity` ([[graft.expressions.JaroWinkler]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -69,6 +72,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_normalize expects 2 arguments, got ${children.size}")
         UnicodeNormalize(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(
+        classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_jaro_winkler expects 2 arguments, got ${children.size}")
+        JaroWinkler(children.head, children(1))
       }))
   }
 }

@@ -1535,8 +1535,125 @@ object Dedup {
   def sortedNeighborhoodPairs(
       df: DataFrame, idCol: String, keyCol: String,
       window: Int, maxDist: Int): DataFrame = {
-    require(window >= 1, "window must be positive")
     require(maxDist >= 0, "maxDist must be non-negative")
+    sortedNeighborhoodCandidates(df, idCol, keyCol, window)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("dist"), col("rank_gap"))
+  }
+
+  /** [[sortedNeighborhoodPairs]] with the Jaro–Winkler verify instead
+    * of Levenshtein — the name-matching variant: JW's prefix boost
+    * and agreement reading fit person/part NAMES (where the head of
+    * the string is the stable part) better than raw edit distance,
+    * and the sort-order blocking co-locates exactly the shared-prefix
+    * candidates JW scores highest. Verification is the codegen'd
+    * [[graft.expressions.JaroWinkler]] — bit-compatible with
+    * DuckDB's `jaro_winkler_similarity`, so the threshold filter
+    * can't flip cross-engine. Same ≤ n·window candidate bound.
+    *
+    * Returns `(id_a, id_b, key_a, key_b, jw, rank_gap)` with
+    * `jw ≥ minSim`, `jw` rounded to 6.
+    */
+  def sortedNeighborhoodPairsJw(
+      df: DataFrame, idCol: String, keyCol: String,
+      window: Int, minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, "minSim in (0, 1]")
+    sortedNeighborhoodCandidates(df, idCol, keyCol, window)
+      .withColumn("__jw",
+        expr("graft_jaro_winkler(key_a, key_b)"))
+      .where(col("__jw") >= minSim)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        round(col("__jw"), 6).as("jw"), col("rank_gap"))
+  }
+
+  /** Fellegi–Sunter agreement weights from a labeled pair sample —
+    * the calibration step that turns ad-hoc field comparisons into
+    * principled record-linkage scores: for each declared field,
+    * `m = P(agree | match)` and `u = P(agree | non-match)` estimated
+    * from the labeled pairs (Laplace-smoothed `(a + 0.5)/(n + 1)` so
+    * a field that always/never agrees still yields finite weights),
+    * and the log-likelihood-ratio weights `w_agree = ln(m/u)`,
+    * `w_disagree = ln((1−m)/(1−u))` — sum a pair's field weights and
+    * you have its linkage score; fields whose w_agree ≈ 0 are
+    * USELESS comparators and can be dropped from the blocking
+    * pipeline (that audit is the point of the table).
+    *
+    * Agreement is null-safe equality (`<=>`) of the two records'
+    * field values — both-null agrees, one-null disagrees, the SQL
+    * semantics a survivorship pipeline needs.
+    *
+    * Exactness: agreement counts are exact BIGINTs from one pass
+    * over the joined pairs; m and u are single double divisions of
+    * `count + 0.5` forms and each weight is one ln of their ratio —
+    * mirrored op order, bit-identical cross-engine.
+    *
+    * Scale shape: the pair frame joins the record table twice by id
+    * (key-partitioned equi-joins), then ONE aggregation computes
+    * every field's four counts in the same pass (a column per field,
+    * not a scan per field); output is |fields| rows via the
+    * [[graft.operators.Analytics.fdAudit]] union pattern applied to
+    * one-row frames.
+    *
+    * Returns `(field, n_match, n_nonmatch, m, u, w_agree,
+    * w_disagree)` in declaration order.
+    */
+  def fellegiSunterWeights(
+      pairs: DataFrame, idACol: String, idBCol: String,
+      matchCol: String, records: DataFrame, idCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field")
+    val recA = records.select((col(idCol).as("__ida") +:
+      fields.map(f => col(f).as("__a_" + f))): _*)
+    val recB = records.select((col(idCol).as("__idb") +:
+      fields.map(f => col(f).as("__b_" + f))): _*)
+    val joined = pairs
+      .select(col(idACol).as("__ida"), col(idBCol).as("__idb"),
+        col(matchCol).cast("boolean").as("__m"))
+      .join(recA, Seq("__ida"))
+      .join(recB, Seq("__idb"))
+      .transform(graft.core.CacheScope.disk)
+    val aggCols = fields.flatMap { f =>
+      val agree = (col("__a_" + f) <=> col("__b_" + f)).cast("long")
+      Seq(
+        sum(when(col("__m"), agree).otherwise(0L)).as("__am_" + f),
+        sum(when(!col("__m"), agree).otherwise(0L)).as("__au_" + f))
+    } ++ Seq(
+      sum(when(col("__m"), 1L).otherwise(0L)).as("__nm"),
+      sum(when(!col("__m"), 1L).otherwise(0L)).as("__nu"))
+    // one-row frame, persisted so the per-field selects below don't
+    // re-run the aggregation once per field
+    val counts = joined.agg(aggCols.head, aggCols.tail: _*)
+      .transform(graft.core.CacheScope.disk)
+    fields.map { f =>
+      val m = (col("__am_" + f).cast("double") + lit(0.5)) /
+        (col("__nm").cast("double") + lit(1.0))
+      val u = (col("__au_" + f).cast("double") + lit(0.5)) /
+        (col("__nu").cast("double") + lit(1.0))
+      counts.select(
+        lit(f).as("field"),
+        col("__nm").as("n_match"),
+        col("__nu").as("n_nonmatch"),
+        round(m, 6).as("m"),
+        round(u, 6).as("u"),
+        round(log(m / u), 6).as("w_agree"),
+        round(log((lit(1.0) - m) / (lit(1.0) - u)), 6)
+          .as("w_disagree"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The shared sorted-neighborhood candidate generator: global
+    * range-exchange rank on (key, id), bucket-banded self-join —
+    * each row probes its own and the next `(rank−1) div window`
+    * bucket, so candidates are ≤ n·window BY CONSTRUCTION. Verify
+    * strategies plug in downstream ([[sortedNeighborhoodPairs]]
+    * levenshtein, [[sortedNeighborhoodPairsJw]] Jaro–Winkler).
+    */
+  private def sortedNeighborhoodCandidates(
+      df: DataFrame, idCol: String, keyCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, "window must be positive")
     val ranked = graft.operators.Analytics.rankByRange(
         df.select(col(idCol).as("__id"), col(keyCol).as("__key"))
           .where(col("__key").isNotNull)
@@ -1555,10 +1672,8 @@ object Dedup {
     probes.join(right, Seq("__b2"))
       .where(col("__r2") > col("__r1") &&
         col("__r2") - col("__r1") <= window)
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
-      .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
-        col("dist"), (col("__r2") - col("__r1")).as("rank_gap"))
+        (col("__r2") - col("__r1")).as("rank_gap"))
   }
 
   /** LSH parameter planner — the S-curve audit a (bands, rows) choice

@@ -4021,6 +4021,90 @@ object Analytics {
         (covN * covN) / (varXN * varYN)), 6).as("rho2"))
   }
 
+  /** Split-conformal prediction bands with held-out coverage — the
+    * distribution-free uncertainty wrapper every "predict a number"
+    * pipeline should ship with: on a CALIBRATION split, residuals
+    * against a per-group mean predictor; the band half-width `q̂` is
+    * the `⌈(n+1)(1−α)⌉`-th smallest calibration residual (the
+    * finite-sample-valid split-conformal quantile — NOT the naive
+    * (1−α) empirical quantile, whose coverage undershoots); on the
+    * TEST split, the fraction of rows whose residual ≤ q̂ — which
+    * conformal theory guarantees ≥ 1−α in expectation, and the
+    * table verifies empirically per group.
+    *
+    * Exactness: values are quantized by the CALLER to integer units
+    * (`valueCents`), the predictor is the calibration-group integer
+    * mean (`Σ div n` — positive floor division, the labelNoiseScreen
+    * contract), residuals are exact BIGINTs, the order statistic is
+    * "smallest residual with cumulative count ≥ k" over the
+    * per-distinct-residual cumulative shape (the ksTest machinery —
+    * bounded by distinct residual values, never a per-row window),
+    * and `k = ⌈(n+1)(1000−alphaMilli)/1000⌉` in pure integer ceiling
+    * division. Coverage is one double division of exact counts.
+    * Everything cross-engine bit-identical.
+    *
+    * A group whose calibration is too small (`k > n`) has an
+    * INFINITE conformal band — q̂ and coverage are null and
+    * `degenerate = 1` (the honest answer; clamping to the max
+    * residual would claim coverage the theory doesn't give). Groups
+    * present only in test are absent (no predictor).
+    *
+    * Scale shape: two grouped aggregates (means, then residual
+    * counts, map-side combined), one group-partitioned running sum
+    * over distinct residuals, broadcast q̂ per group, one test-side
+    * count. Output is group-domain-sized.
+    *
+    * Returns `(group…, n_cal, n_test, pred, q_hat, coverage,
+    * degenerate)` — `pred`/`q_hat` in the caller's integer units.
+    */
+  def conformalCoverage(
+      cal: DataFrame, test: DataFrame, valueCents: Column,
+      groupCols: Seq[String], alphaMilli: Int = 100): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999,
+      "alphaMilli in [1, 999]")
+    require(groupCols.nonEmpty, "at least one group column")
+    val gcols = groupCols.map(col)
+    val calV = cal.select(gcols :+ valueCents.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .transform(graft.core.CacheScope.disk)
+    val pred = calV.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_cal"), sum(col("__v")).as("__s"))
+      .withColumn("pred", expr("__s div n_cal"))
+      .drop("__s")
+      .transform(graft.core.CacheScope.disk)
+    val resid = calV.join(pred, groupCols)
+      .select(gcols :+ abs(col("__v") - col("pred")).as("__r"): _*)
+      .groupBy(gcols :+ col("__r"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = expr(s"((n_cal + 1) * (1000 - $alphaMilli) + 999) div 1000")
+    val qhat = resid
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(pred, groupCols)
+      .where(col("__cum") >= k)
+      .groupBy(gcols: _*)
+      .agg(min(col("__r")).as("q_hat"))
+    val testR = test
+      .select(gcols :+ valueCents.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .join(pred, groupCols)
+      .join(qhat, groupCols, "left")
+      .groupBy(gcols: _*)
+      .agg(max(col("n_cal")).as("n_cal"), max(col("pred")).as("pred"),
+        count(lit(1)).as("n_test"),
+        max(col("q_hat")).as("q_hat"),
+        sum(when(abs(col("__v") - col("pred")) <= col("q_hat"), 1L)
+          .otherwise(0L)).as("__cov"))
+    testR.select(gcols ++ Seq(
+      col("n_cal"), col("n_test"), col("pred"),
+      col("q_hat"),
+      round(when(col("q_hat").isNotNull,
+        col("__cov").cast("double") / col("n_test").cast("double")), 6)
+        .as("coverage"),
+      col("q_hat").isNull.cast("int").as("degenerate")): _*)
+  }
+
   /** Zero-filled per-type bucket counts: every type's [min, max]
     * bucket range densified (a silent hour is c = 0, not a missing
     * row — skipping gaps would splice distant buckets together and

@@ -58,9 +58,53 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q238_qty_price_spearman" -> (spearmanQ _),
     "q244_event_acf" -> (eventAcfQ _),
     "q245_event_burstiness" -> (eventBurstinessQ _),
+    "q249_conformal_coverage" -> (conformalQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // cents-exact residuals, the ksTest cumulative order statistic,
+    // integer ceiling k; the one double step is the coverage ratio
+    "q249_conformal_coverage" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+             o_orderkey % 2 = 1 AS is_cal
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         p AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
+             CAST(sum(v) AS BIGINT) AS s
+           FROM o WHERE is_cal GROUP BY 1),
+         p2 AS (SELECT g, n_cal, CAST(s // n_cal AS BIGINT) AS pred
+           FROM p),
+         res AS (
+           SELECT o.g, abs(o.v - p2.pred) AS r
+           FROM o JOIN p2 ON p2.g = o.g WHERE o.is_cal),
+         rc AS (SELECT g, r, count(*) AS c FROM res GROUP BY 1, 2),
+         cm AS (
+           SELECT g, r, sum(c) OVER (PARTITION BY g ORDER BY r
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM rc),
+         qh AS (
+           SELECT cm.g, min(cm.r) AS q_hat
+           FROM cm JOIN p2 ON p2.g = cm.g
+           WHERE cm.cum >= ((p2.n_cal + 1) * 900 + 999) // 1000
+           GROUP BY 1),
+         tst AS (
+           SELECT o.g, abs(o.v - p2.pred) AS r, p2.n_cal, p2.pred
+           FROM o JOIN p2 ON p2.g = o.g WHERE NOT o.is_cal),
+         agg AS (
+           SELECT tst.g, max(tst.n_cal) AS n_cal,
+             CAST(count(*) AS BIGINT) AS n_test,
+             max(tst.pred) AS pred, max(qh.q_hat) AS q_hat,
+             CAST(sum(CASE WHEN tst.r <= qh.q_hat THEN 1 ELSE 0 END)
+               AS BIGINT) AS cov
+           FROM tst LEFT JOIN qh ON qh.g = tst.g GROUP BY 1)
+         SELECT g AS o_orderpriority, n_cal, n_test, pred, q_hat,
+           round(CASE WHEN q_hat IS NOT NULL THEN
+             CAST(cov AS DOUBLE) / CAST(n_test AS DOUBLE) END, 6)
+             AS coverage,
+           CAST(q_hat IS NULL AS INT) AS degenerate
+         FROM agg ORDER BY g""",
     // exact-integer ACF: zero-filled grid, lag equi-join, HUGEINT
     // moment identities (num·n² and den·n² = n(nQ − S²)), one double
     // division — mirrors the engine's DECIMAL(38,0) arithmetic
@@ -1545,6 +1589,23 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         Seq("event_type"))
       .withColumn("drifted", col("drifted").cast("int"))
       .orderBy("event_type")
+  }
+
+  /** Split-conformal 90% bands per priority
+    * ([[Analytics.conformalCoverage]]): odd orders calibrate a
+    * cents-exact group-mean predictor and the ⌈(n+1)·0.9⌉-th
+    * smallest residual; even orders verify the guaranteed ≥ 0.9
+    * coverage empirically. All integer until the one coverage
+    * division.
+    */
+  private[graft] def conformalQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").where(col("o_totalprice").isNotNull)
+    Analytics.conformalCoverage(
+        o.where(col("o_orderkey") % 2 === 1),
+        o.where(col("o_orderkey") % 2 === 0),
+        floor(col("o_totalprice") * 100),
+        Seq("o_orderpriority"), alphaMilli = 100)
+      .orderBy("o_orderpriority")
   }
 
   /** Hourly-count autocorrelation at lags 1–6 per event type

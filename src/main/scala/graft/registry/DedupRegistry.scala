@@ -40,6 +40,8 @@ private[graft] object DedupRegistry {
     "q228_novelty_screen" -> (noveltyScreenQ _),
     "q229_lsh_plan" -> (lshPlanQ _),
     "q234_sorted_neighborhood" -> (sortedNeighborhoodQ _),
+    "q247_jaro_winkler_pairs" -> (jaroWinklerPairsQ _),
+    "q248_fs_weights" -> (fsWeightsQ _),
     "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
     "q21_doc_fingerprints" -> (docFingerprints _),
     "q22_exact_dup_stats" -> (exactDupStats _),
@@ -646,6 +648,67 @@ private[graft] object DedupRegistry {
            ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5
          WHERE levenshtein(a.key, b.key) <= 2
          ORDER BY id_a, id_b""",
+    // exact agreement counts over the q234 candidate pairs; m/u are
+    // Laplace-smoothed single divisions and each weight one mirrored
+    // ln — null-safe equality is IS NOT DISTINCT FROM
+    "q248_fs_weights" -> {
+      val fieldBlock = (f: String) => {
+        val m = s"((CAST(am_$f AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0))"
+        val u = s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+        s"""SELECT '$f' AS field, nm AS n_match, nu AS n_nonmatch,
+           round($m, 6) AS m, round($u, 6) AS u,
+           round(ln($m / $u), 6) AS w_agree,
+           round(ln((1.0 - $m) / (1.0 - $u)), 6) AS w_disagree
+         FROM c"""
+      }
+      val fields = Seq("p_brand", "p_type", "p_size", "p_retailprice")
+      val agg = fields.map(f =>
+        s"""CAST(sum(CASE WHEN m AND (a_$f IS NOT DISTINCT FROM b_$f)
+             THEN 1 ELSE 0 END) AS BIGINT) AS am_$f,
+           CAST(sum(CASE WHEN NOT m AND (a_$f IS NOT DISTINCT FROM b_$f)
+             THEN 1 ELSE 0 END) AS BIGINT) AS au_$f""").mkString(",\n           ")
+      val sel = fields.map(f =>
+        s"pa.$f AS a_$f, pb.$f AS b_$f").mkString(", ")
+      s"""WITH r AS (
+           SELECT p_partkey AS id, p_name AS key,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+           FROM part WHERE p_name IS NOT NULL),
+         pr AS (
+           SELECT a.id AS ida, b.id AS idb,
+             levenshtein(a.key, b.key) <= 2 AS m
+           FROM r a JOIN r b
+             ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5),
+         j AS (
+           SELECT pr.m, $sel
+           FROM pr
+           JOIN part pa ON pa.p_partkey = pr.ida
+           JOIN part pb ON pb.p_partkey = pr.idb),
+         c AS (
+           SELECT
+             CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+             CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT)
+               AS nu,
+           $agg
+           FROM j)
+         ${fields.map(fieldBlock).mkString("\n         UNION ALL\n         ")}
+         ORDER BY field"""
+    },
+    // the engine's graft_jaro_winkler reproduces DuckDB's own
+    // jaro_winkler_similarity bit-for-bit (spec-pinned), so the
+    // threshold filter and the rounded score both agree exactly
+    "q247_jaro_winkler_pairs" ->
+      """WITH r AS (
+           SELECT p_partkey AS id, p_name AS key,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+           FROM part WHERE p_name IS NOT NULL)
+         SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a,
+           b.key AS key_b,
+           round(jaro_winkler_similarity(a.key, b.key), 6) AS jw,
+           b.rnk - a.rnk AS rank_gap
+         FROM r a JOIN r b
+           ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5
+         WHERE jaro_winkler_similarity(a.key, b.key) >= 0.94
+         ORDER BY id_a, id_b""",
     // the same left-fold multiplication chains as the engine: products
     // of identical IEEE factors are grouping-independent, so both
     // engines produce bit-identical doubles without pow()
@@ -866,6 +929,41 @@ private[graft] object DedupRegistry {
     Dedup.sortedNeighborhoodPairs(t(s, dir, "part"), "p_partkey",
         "p_name", window = 5, maxDist = 2)
       .orderBy("id_a", "id_b")
+
+  /** q234's blocking with the Jaro–Winkler verify
+    * ([[Dedup.sortedNeighborhoodPairsJw]], the codegen'd
+    * [[graft.expressions.JaroWinkler]]): prefix-boosted name
+    * agreement ≥ 0.94 instead of edit distance ≤ 2 — catches the
+    * long-name variants levenshtein's absolute bound rejects, and
+    * the DuckDB oracle scores with ITS OWN jaro_winkler_similarity
+    * (the expression is bit-compatible by construction, spec-pinned
+    * against 3,600 real pairs).
+    */
+  private[graft] def jaroWinklerPairsQ(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairsJw(t(s, dir, "part"), "p_partkey",
+        "p_name", window = 5, minSim = 0.94)
+      .orderBy("id_a", "id_b")
+
+  /** Fellegi–Sunter weight calibration
+    * ([[Dedup.fellegiSunterWeights]]) on the q234 blocking: every
+    * sorted-neighborhood candidate pair labeled by the levenshtein-≤2
+    * verify, then per-field m/u probabilities and log-likelihood
+    * weights for brand/type/size/retailprice — the audit that says
+    * which fields actually separate matches from neighbors-by-sort
+    * accident.
+    */
+  private[graft] def fsWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val pairs = Dedup.sortedNeighborhoodPairs(part, "p_partkey",
+        "p_name", window = 5, maxDist = 1000)
+      .select(col("id_a"), col("id_b"),
+        (col("dist") <= 2).cast("int").as("is_match"))
+    Dedup.fellegiSunterWeights(pairs, "id_a", "id_b", "is_match",
+        part, "p_partkey",
+        Seq("p_brand", "p_type", "p_size", "p_retailprice"))
+      .orderBy("field")
+  }
 
   /** LSH parameter planner ([[Dedup.lshPlan]]): the candidate-
     * probability S-curves of the four 16-hash (bands × rows) splits
