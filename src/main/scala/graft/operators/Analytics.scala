@@ -4021,6 +4021,90 @@ object Analytics {
         (covN * covN) / (varXN * varYN)), 6).as("rho2"))
   }
 
+  /** Theil-T inequality index with exact within/between
+    * decomposition — the concentration reading q89's Gini can't
+    * give: Theil is ADDITIVELY DECOMPOSABLE, `T = Σ_g s_g·T_g +
+    * T_between` (s_g the group's value share), so the table answers
+    * "is spend concentration a within-segment phenomenon or a
+    * between-segment one" exactly — the question a mixture-rebalance
+    * or key-salting decision actually needs.
+    *
+    * Exactness: values arrive as caller-quantized integer units;
+    * every ratio inside a ln is exact (`x/μ_g = x·n_g/S_g`,
+    * `s_g/p_g = S_g·n / (S·n_g)` — HUGEINT/DECIMAL products, one
+    * double division), each per-row / per-group term is
+    * floor-nano-quantized BEFORE its sum (the order-free
+    * integer-aggregation treatment), and the reported identity
+    * `T_total = Σ s_g·T_g + T_between` is checked by construction:
+    * `theil` on the total row IS that sum of quantized parts, so the
+    * decomposition is exact to the artifact, not to float luck.
+    * Non-positive values are excluded (ln domain — Theil is defined
+    * on positive quantities); the excluded count is visible as
+    * n-vs-input-rows.
+    *
+    * Scale shape: one grouped sum (map-side combined), per-row terms
+    * against broadcast group moments, one more grouped sum;
+    * between-group terms are group-domain-sized. Output: one row per
+    * group plus a `__total__` row carrying the decomposition.
+    *
+    * Returns `(group, n, value_sum, theil, theil_between,
+    * theil_within_weighted)` — the last two null except on
+    * `__total__`.
+    */
+  def theilDecomposition(
+      df: DataFrame, groupCol: String, valueCents: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = df
+      .select(col(groupCol).cast("string").as("__g"),
+        valueCents.cast("long").as("__x"))
+      .where(col("__x").isNotNull && col("__x") > 0 &&
+        col("__g").isNotNull)
+      .transform(graft.core.CacheScope.disk)
+    val grp = rows.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+      .transform(graft.core.CacheScope.disk)
+    val tot = grp.agg(sum(col("__n")).as("__nt"), sum(col("__s")).as("__st"))
+    // per-row term of T_g: (x/μ_g)·ln(x/μ_g), μ_g = S_g/n_g — the
+    // ratio exact as x·n_g/S_g
+    val r = (dec(col("__x")) * dec(col("__n"))).cast("double") /
+      col("__s").cast("double")
+    val withinNano = rows.join(grp, Seq("__g"))
+      .select(col("__g"),
+        floor(r * log(r) * lit(1000000000.0)).cast("long").as("__t"))
+      .groupBy("__g").agg(sum(col("__t")).as("__w_nano"))
+    val per = grp.join(withinNano, Seq("__g"))
+      .crossJoin(broadcast(tot))
+      .transform(graft.core.CacheScope.disk)
+    // T_g = (Σ terms)/n_g; group share s_g = S_g/S; between term =
+    // s_g·ln(s_g/p_g) with s_g/p_g = S_g·n/(S·n_g) exact
+    val tg = (col("__w_nano").cast("double") / 1000000000.0) /
+      col("__n").cast("double")
+    val sg = col("__s").cast("double") / col("__st").cast("double")
+    val ratio = (dec(col("__s")) * dec(col("__nt"))).cast("double") /
+      (dec(col("__st")) * dec(col("__n"))).cast("double")
+    val parts = per.select(col("__g"),
+      col("__n"), col("__s"),
+      floor(sg * tg * lit(1000000000.0)).cast("long").as("__sw_nano"),
+      floor(sg * log(ratio) * lit(1000000000.0)).cast("long")
+        .as("__b_nano"),
+      round(tg, 6).as("theil"))
+    val groupsOut = parts.select(col("__g").as(groupCol),
+      col("__n").as("n"), col("__s").as("value_sum"), col("theil"),
+      lit(null).cast("double").as("theil_between"),
+      lit(null).cast("double").as("theil_within_weighted"))
+    val totalOut = parts
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("value_sum"),
+        sum(col("__sw_nano")).as("__sw"), sum(col("__b_nano")).as("__b"))
+      .select(lit("__total__").as(groupCol), col("n"), col("value_sum"),
+        round((col("__sw") + col("__b")).cast("double") / 1000000000.0,
+          6).as("theil"),
+        round(col("__b").cast("double") / 1000000000.0, 6)
+          .as("theil_between"),
+        round(col("__sw").cast("double") / 1000000000.0, 6)
+          .as("theil_within_weighted"))
+    groupsOut.unionByName(totalOut)
+  }
+
   /** Split-conformal prediction bands with held-out coverage — the
     * distribution-free uncertainty wrapper every "predict a number"
     * pipeline should ship with: on a CALIBRATION split, residuals

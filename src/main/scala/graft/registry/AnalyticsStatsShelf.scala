@@ -59,9 +59,60 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q244_event_acf" -> (eventAcfQ _),
     "q245_event_burstiness" -> (eventBurstinessQ _),
     "q249_conformal_coverage" -> (conformalQ _),
+    "q250_theil_decomposition" -> (theilQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // nano-floored Theil terms before every (order-free) sum; the
+    // total row's T is BY CONSTRUCTION the sum of its quantized parts
+    "q250_theil_decomposition" ->
+      """WITH sp AS (
+           SELECT c_mktsegment AS g,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY g, o_custkey),
+         rws AS (SELECT g, x FROM sp
+           WHERE x IS NOT NULL AND x > 0 AND g IS NOT NULL),
+         grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+           FROM rws GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(s) AS BIGINT) AS st FROM grp),
+         wn AS (
+           SELECT r.g, CAST(sum(CAST(floor(
+             (CAST(CAST(r.x AS HUGEINT) * grp.n AS DOUBLE)
+               / CAST(grp.s AS DOUBLE))
+             * ln(CAST(CAST(r.x AS HUGEINT) * grp.n AS DOUBLE)
+               / CAST(grp.s AS DOUBLE))
+             * 1000000000.0) AS BIGINT)) AS BIGINT) AS w_nano
+           FROM rws r JOIN grp ON grp.g = r.g GROUP BY 1),
+         parts AS (
+           SELECT grp.g, grp.n, grp.s,
+             CAST(floor((CAST(grp.s AS DOUBLE) / CAST(tot.st AS DOUBLE))
+               * ((CAST(wn.w_nano AS DOUBLE) / 1000000000.0)
+                 / CAST(grp.n AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS sw_nano,
+             CAST(floor((CAST(grp.s AS DOUBLE) / CAST(tot.st AS DOUBLE))
+               * ln(CAST(CAST(grp.s AS HUGEINT) * tot.nt AS DOUBLE)
+                 / CAST(CAST(tot.st AS HUGEINT) * grp.n AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS b_nano,
+             round((CAST(wn.w_nano AS DOUBLE) / 1000000000.0)
+               / CAST(grp.n AS DOUBLE), 6) AS theil
+           FROM grp JOIN wn ON wn.g = grp.g, tot)
+         SELECT g AS c_mktsegment, n, s AS value_sum, theil,
+           CAST(NULL AS DOUBLE) AS theil_between,
+           CAST(NULL AS DOUBLE) AS theil_within_weighted
+         FROM parts
+         UNION ALL
+         SELECT '__total__', CAST(sum(n) AS BIGINT),
+           CAST(sum(s) AS BIGINT),
+           round(CAST(sum(sw_nano) + sum(b_nano) AS DOUBLE)
+             / 1000000000.0, 6),
+           round(CAST(sum(b_nano) AS DOUBLE) / 1000000000.0, 6),
+           round(CAST(sum(sw_nano) AS DOUBLE) / 1000000000.0, 6)
+         FROM parts
+         ORDER BY c_mktsegment""",
     // cents-exact residuals, the ksTest cumulative order statistic,
     // integer ceiling k; the one double step is the coverage ratio
     "q249_conformal_coverage" ->
@@ -1589,6 +1640,22 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         Seq("event_type"))
       .withColumn("drifted", col("drifted").cast("int"))
       .orderBy("event_type")
+  }
+
+  /** Theil-T spend inequality by market segment
+    * ([[Analytics.theilDecomposition]]): per-customer spend cents,
+    * per-segment Theil plus the exact within/between decomposition
+    * on the `__total__` row — q89's Gini question answered
+    * decomposably.
+    */
+  private[graft] def theilQ(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(sum(floor(col("o_totalprice") * 100)).as("cents"))
+    Analytics.theilDecomposition(spend, "c_mktsegment", col("cents"))
+      .orderBy("c_mktsegment")
   }
 
   /** Split-conformal 90% bands per priority

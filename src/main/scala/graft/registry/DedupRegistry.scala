@@ -42,6 +42,7 @@ private[graft] object DedupRegistry {
     "q234_sorted_neighborhood" -> (sortedNeighborhoodQ _),
     "q247_jaro_winkler_pairs" -> (jaroWinklerPairsQ _),
     "q248_fs_weights" -> (fsWeightsQ _),
+    "q251_dedup_sensitivity" -> (dedupSensitivityQ _),
     "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
     "q21_doc_fingerprints" -> (docFingerprints _),
     "q22_exact_dup_stats" -> (exactDupStats _),
@@ -648,6 +649,29 @@ private[graft] object DedupRegistry {
            ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5
          WHERE levenshtein(a.key, b.key) <= 2
          ORDER BY id_a, id_b""",
+    // the q23 exact pair join at 0.5, bucketed over the literal
+    // threshold grid; the unrounded jaccard doubles are identical
+    // rationals in both engines, so grid comparisons cannot flip
+    "q251_dedup_sensitivity" ->
+      s"""$oracleShingleCte,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pj AS (
+           SELECT ida, idb,
+             CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS j
+           FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+         g AS (SELECT unnest(generate_series(50, 95, 5)) AS t_centi)
+         SELECT CAST(g.t_centi AS INT) AS t_centi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT idb) AS BIGINT) AS n_docs_flagged
+         FROM pj JOIN g ON pj.j >= CAST(g.t_centi AS DOUBLE) / 100.0
+         GROUP BY 1 ORDER BY 1""",
     // exact agreement counts over the q234 candidate pairs; m/u are
     // Laplace-smoothed single divisions and each weight one mirrored
     // ln — null-safe equality is IS NOT DISTINCT FROM
@@ -944,6 +968,28 @@ private[graft] object DedupRegistry {
     Dedup.sortedNeighborhoodPairsJw(t(s, dir, "part"), "p_partkey",
         "p_name", window = 5, minSim = 0.94)
       .orderBy("id_a", "id_b")
+
+  /** Dedup threshold-sensitivity curve: the q23 exact-Jaccard pair
+    * machinery run once at 0.5, then bucketed over a 0.50–0.95
+    * threshold grid — pairs surviving each threshold and the
+    * keep-lowest-id removal proxy (distinct higher ids). The
+    * knob-tuning table read BEFORE committing a 100 TB dedup pass to
+    * one threshold: where the pair count collapses is where the
+    * corpus's duplication structure actually lives. (The removal
+    * count is the standard pre-transitivity PROXY — exact removal
+    * needs the q83 connected-components census per threshold.)
+    */
+  private[graft] def dedupSensitivityQ(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = Some(10))
+      .select(col("id_b"), col("jaccard"),
+        explode(sequence(lit(50), lit(95), lit(5))).as("t_centi"))
+      .where(col("jaccard") >= col("t_centi").cast("double") / 100.0)
+      .groupBy("t_centi")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_docs_flagged"))
+      .orderBy("t_centi")
 
   /** Fellegi–Sunter weight calibration
     * ([[Dedup.fellegiSunterWeights]]) on the q234 blocking: every
