@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, BloomShard, DotProduct, JaroWinkler, UnicodeNormalize, ZOrderKey}
+import graft.expressions.{BloomMightContain, BloomShard, DamerauLevenshtein, DotProduct, JaroWinkler, UnicodeNormalize, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_jaro_winkler(string, string) -> double` — codegen'd
   *     Jaro–Winkler similarity, bit-compatible with DuckDB's
   *     `jaro_winkler_similarity` ([[graft.expressions.JaroWinkler]]).
+  *   - `graft_damerau_levenshtein(string, string) -> int` — codegen'd
+  *     unrestricted Damerau–Levenshtein distance, matching DuckDB's
+  *     `damerau_levenshtein`
+  *     ([[graft.expressions.DamerauLevenshtein]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -72,6 +76,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_normalize expects 2 arguments, got ${children.size}")
         UnicodeNormalize(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_damerau_levenshtein"),
+      new ExpressionInfo(
+        classOf[DamerauLevenshtein].getName, "graft_damerau_levenshtein"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_damerau_levenshtein expects 2 arguments, " +
+            s"got ${children.size}")
+        DamerauLevenshtein(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_jaro_winkler"),

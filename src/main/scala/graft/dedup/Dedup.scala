@@ -1643,6 +1643,32 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** [[sortedNeighborhoodPairs]] with the UNRESTRICTED
+    * Damerau–Levenshtein verify ([[graft.expressions
+    * .DamerauLevenshtein]], integer-exact and matching DuckDB's
+    * `damerau_levenshtein`): an adjacent transposition costs 1, so
+    * `maxDist` units of slack land exactly where keyboard typos do —
+    * plain `levenshtein` charges the swap 2 and rejects the
+    * commonest true match at the same bound. Both distances are
+    * emitted, so the report shows what DL buys per pair. Same ≤
+    * n·window candidate bound as the levenshtein variant.
+    *
+    * Returns `(id_a, id_b, key_a, key_b, dl, lev, rank_gap)` with
+    * `dl ≤ maxDist` (and always `dl ≤ lev`).
+    */
+  def sortedNeighborhoodPairsDl(
+      df: DataFrame, idCol: String, keyCol: String,
+      window: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    sortedNeighborhoodCandidates(df, idCol, keyCol, window)
+      .withColumn("dl",
+        expr("graft_damerau_levenshtein(key_a, key_b)"))
+      .where(col("dl") <= maxDist)
+      .withColumn("lev", levenshtein(col("key_a"), col("key_b")))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("dl"), col("lev"), col("rank_gap"))
+  }
+
   /** The shared sorted-neighborhood candidate generator: global
     * range-exchange rank on (key, id), bucket-banded self-join —
     * each row probes its own and the next `(rank−1) div window`

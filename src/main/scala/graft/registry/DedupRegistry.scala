@@ -43,6 +43,7 @@ private[graft] object DedupRegistry {
     "q247_jaro_winkler_pairs" -> (jaroWinklerPairsQ _),
     "q248_fs_weights" -> (fsWeightsQ _),
     "q251_dedup_sensitivity" -> (dedupSensitivityQ _),
+    "q252_damerau_pairs" -> (damerauPairsQ _),
     "q155_merge_survivorship" -> (mergeSurvivorshipQ _),
     "q21_doc_fingerprints" -> (docFingerprints _),
     "q22_exact_dup_stats" -> (exactDupStats _),
@@ -649,6 +650,22 @@ private[graft] object DedupRegistry {
            ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5
          WHERE levenshtein(a.key, b.key) <= 2
          ORDER BY id_a, id_b""",
+    // the engine's graft_damerau_levenshtein matches DuckDB's
+    // damerau_levenshtein (both unrestricted Lowrance-Wagner)
+    "q252_damerau_pairs" ->
+      """WITH r AS (
+           SELECT p_partkey AS id, p_name AS key,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+           FROM part WHERE p_name IS NOT NULL)
+         SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a,
+           b.key AS key_b,
+           CAST(damerau_levenshtein(a.key, b.key) AS INT) AS dl,
+           CAST(levenshtein(a.key, b.key) AS INT) AS lev,
+           b.rnk - a.rnk AS rank_gap
+         FROM r a JOIN r b
+           ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5
+         WHERE damerau_levenshtein(a.key, b.key) <= 2
+         ORDER BY id_a, id_b""",
     // the q23 exact pair join at 0.5, bucketed over the literal
     // threshold grid; the unrounded jaccard doubles are identical
     // rationals in both engines, so grid comparisons cannot flip
@@ -967,6 +984,21 @@ private[graft] object DedupRegistry {
       s: SparkSession, dir: String): DataFrame =
     Dedup.sortedNeighborhoodPairsJw(t(s, dir, "part"), "p_partkey",
         "p_name", window = 5, minSim = 0.94)
+      .orderBy("id_a", "id_b")
+
+  /** q234's blocking with the unrestricted Damerau–Levenshtein
+    * verify ([[Dedup.sortedNeighborhoodPairsDl]]) at the same bound
+    * — transposition-tolerant matching: every q234 pair survives
+    * (dl ≤ lev) and swapped-word variants levenshtein priced out at
+    * 2 now pass at 1; the emitted (dl, lev) pair shows the delta.
+    * The oracle verifies with DuckDB's own `damerau_levenshtein`
+    * (both are the unrestricted Lowrance–Wagner form — spec-pinned
+    * on the dl("ca","abc") = 2 disagreement case OSA gets wrong).
+    */
+  private[graft] def damerauPairsQ(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairsDl(t(s, dir, "part"), "p_partkey",
+        "p_name", window = 5, maxDist = 2)
       .orderBy("id_a", "id_b")
 
   /** Dedup threshold-sensitivity curve: the q23 exact-Jaccard pair
