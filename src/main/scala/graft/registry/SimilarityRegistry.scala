@@ -38,6 +38,7 @@ private[graft] object SimilarityRegistry {
     "q223_label_noise" -> (labelNoiseQ _),
     "q242_embedding_gram" -> (embeddingGramQ _),
     "q243_centroid_silhouette" -> (centroidSilhouetteQ _),
+    "q253_embedding_anisotropy" -> (anisotropyQ _),
     "q27_embedding_neardup" -> (embeddingNeardup _),
     "q207_matryoshka_audit" -> (matryoshkaAuditQ _),
     "q210_ivf_balance" -> (ivfBalanceQ _),
@@ -85,6 +86,71 @@ private[graft] object SimilarityRegistry {
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6) + 0.0
              AS cov
          FROM g ORDER BY i, j""",
+    // the sum-vector identity through HUGEINT: mean pairwise dot =
+    // (||S||^2 - sum ||v||^2) / (n(n-1)), one double division
+    "q253_embedding_anisotropy" ->
+      """WITH me AS MATERIALIZED (
+           SELECT CAST(label AS VARCHAR) AS g,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS q
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0
+             AND label IS NOT NULL),
+         rws AS MATERIALIZED (
+           SELECT g, q,
+             CAST(list_aggregate(list_transform(q, x -> x * x), 'sum')
+               AS BIGINT) AS nsq
+           FROM me),
+         rws2 AS MATERIALIZED (
+           SELECT g, q, nsq,
+             CAST(floor(sqrt(CAST(nsq AS DOUBLE))) AS BIGINT) AS nm
+           FROM rws),
+         cells AS (
+           SELECT g, t.i, sum(CAST(q[t.i] AS HUGEINT)) AS sv
+           FROM rws2,
+             LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) t
+           GROUP BY 1, 2),
+         ssq AS (SELECT g, sum(sv * sv) AS ssq FROM cells GROUP BY 1),
+         ragg AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(nsq AS HUGEINT)) AS snsq,
+             CAST(sum(nm) AS BIGINT) AS snorm
+           FROM rws2 GROUP BY 1),
+         cellsa AS (
+           SELECT t.i, sum(CAST(q[t.i] AS HUGEINT)) AS sv
+           FROM rws2,
+             LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) t
+           GROUP BY 1),
+         ssqa AS (SELECT sum(sv * sv) AS ssq FROM cellsa),
+         ragga AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(nsq AS HUGEINT)) AS snsq,
+             CAST(sum(nm) AS BIGINT) AS snorm
+           FROM rws2),
+         u AS (
+           SELECT r.g AS label, r.n, r.snsq, r.snorm, s.ssq
+           FROM ragg r JOIN ssq s ON s.g = r.g
+           UNION ALL
+           SELECT '__all__', n, snsq, snorm,
+             (SELECT ssq FROM ssqa)
+           FROM ragga)
+         SELECT label, n,
+           round((CAST(snorm AS DOUBLE) / 1000000.0)
+             / CAST(n AS DOUBLE), 6) AS mean_norm,
+           round(CASE WHEN n > 1 THEN
+             CAST(ssq - snsq AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) / 1e12
+             END, 6) AS mean_pairwise_dot,
+           round(CASE WHEN n > 1 THEN
+             (CAST(ssq - snsq AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) / 1e12)
+             / (((CAST(snorm AS DOUBLE) / 1000000.0)
+               / CAST(n AS DOUBLE))
+               * ((CAST(snorm AS DOUBLE) / 1000000.0)
+                 / CAST(n AS DOUBLE)))
+             END, 6) AS mean_cos
+         FROM u ORDER BY label""",
     // the labelNoiseScreen offset-integer scheme; distances are
     // order-free integer sums, then two correctly-rounded sqrts and
     // one mirrored s-formula per row, µ-floored before the label sum
@@ -1944,6 +2010,16 @@ private[graft] object SimilarityRegistry {
   private[graft] def embeddingGramQ(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingGram(t(s, dir, "embeddings"), "embedding")
       .orderBy("i", "j")
+
+  /** Embedding anisotropy/collapse audit
+    * ([[Similarity.embeddingAnisotropy]]): per-label + `__all__`
+    * mean norm and EXACT mean pairwise dot via `‖Σv‖² − Σ‖v‖²` —
+    * the O(n·d) form of the O(n²) collapse check.
+    */
+  private[graft] def anisotropyQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingAnisotropy(t(s, dir, "embeddings"),
+        "embedding", "label")
+      .orderBy("label")
 
   /** Centroid-silhouette label-health audit
     * ([[Similarity.centroidSilhouette]]): the O(n·L) silhouette

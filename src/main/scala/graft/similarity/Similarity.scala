@@ -2059,6 +2059,77 @@ object Similarity {
     if ("02468ace".indexOf(hex.charAt(0)) >= 0) 1.0 else -1.0
   }
 
+  /** Embedding anisotropy / collapse audit — per label and for the
+    * whole corpus: mean vector norm and the EXACT mean pairwise dot
+    * product via the sum-vector identity
+    * `Σ_{i≠j} ⟨vᵢ,vⱼ⟩ = ‖Σv‖² − Σ‖v‖²` — an O(n·d) computation of
+    * an O(n²) quantity, which is what makes the standard
+    * representation-collapse check (mean cosine between random pairs
+    * drifting toward 1 during contrastive training) runnable on a
+    * 100 TB corpus at all. A healthy isotropic embedding has mean
+    * pairwise cosine near 0; a collapsing one climbs.
+    *
+    * Exactness: components quantize once to `floor(x·1e6)` micro
+    * units; per-row `‖q‖²` is an order-free integer array fold
+    * (BIGINT — micro² × dim headroom to ~2·10⁵-dim unit vectors);
+    * per-dimension sum-vector components and `‖S‖²` accumulate in
+    * DECIMAL(38,0); the mean pairwise dot is ONE double division of
+    * exact decimals; `mean_norm` µ-floors each row's
+    * correctly-rounded sqrt before an integer sum. The cosine proxy
+    * `mpd / mean_norm²` is a mirrored expression of those two.
+    *
+    * Scale shape: one corpus scan for the row folds (map-side
+    * combined), one posexplode whose aggregation is (label × dim)
+    * cells — corpus-independent state — and a label-domain output
+    * plus one `__all__` row computed by the same two aggregations
+    * ungrouped. n < 2 groups emit null pairwise stats.
+    *
+    * Returns `(label, n, mean_norm, mean_pairwise_dot, mean_cos)`.
+    */
+  def embeddingAnisotropy(
+      embeddings: DataFrame, vecCol: String, labelCol: String)
+      : DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val me = embeddings
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("__g"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("__q"))
+      .transform(graft.core.CacheScope.disk)
+    val rows = me.select(col("__g"),
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + x * x)
+          .as("__nsq"),
+        col("__q"))
+      .withColumn("__norm_micro",
+        floor(sqrt(col("__nsq").cast("double"))).cast("long"))
+      .transform(graft.core.CacheScope.disk)
+    def summarize(grouped: Boolean): DataFrame = {
+      val key: Column = if (grouped) col("__g") else lit("__all__")
+      val rowAgg = rows.groupBy(key.as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("__nsq"))).as("__snsq"),
+          sum(col("__norm_micro")).as("__snorm"))
+      val cellAgg = rows
+        .select(key.as("label"), posexplode(col("__q")).as(Seq("p", "v")))
+        .groupBy("label", "p").agg(sum(dec(col("v"))).as("__sv"))
+        .groupBy("label").agg(sum(col("__sv") * col("__sv")).as("__ssq"))
+      rowAgg.join(cellAgg, Seq("label"))
+    }
+    val both = summarize(grouped = true)
+      .unionByName(summarize(grouped = false))
+    val nD = col("n").cast("double")
+    val meanNorm = (col("__snorm").cast("double") / 1000000.0) / nD
+    val mpd = (col("__ssq") - col("__snsq")).cast("double") /
+      (dec(col("n")) * (dec(col("n")) - lit(1L))).cast("double") / 1e12
+    both.select(col("label"), col("n"),
+      round(meanNorm, 6).as("mean_norm"),
+      round(when(col("n") > 1L, mpd), 6).as("mean_pairwise_dot"),
+      round(when(col("n") > 1L, mpd / (meanNorm * meanNorm)), 6)
+        .as("mean_cos"))
+  }
+
   /** Ranked-retrieval evaluation against graded relevance judgments
     * — precision@k, recall@k, reciprocal rank, and nDCG@k per query:
     * the scorecard that closes the retrieval loop (q171 BM25, q175
