@@ -205,7 +205,6 @@ object Drift {
   def mannWhitneyU(
       baseline: DataFrame, current: DataFrame, valueCol: String,
       groupCols: Seq[String], zAlpha: Double = 1.96): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tag = (df: DataFrame, b: Int) => df
       .where(col(valueCol).isNotNull)
       .select(groupCols.map(col) ++ Seq(
@@ -214,6 +213,42 @@ object Drift {
       .groupBy(groupCols.map(col) :+ col("__v"): _*)
       .agg(sum(col("__b")).cast("long").as("__cb"),
         sum(lit(1) - col("__b")).cast("long").as("__cc"))
+    mannWhitneyUCore(per, groupCols, zAlpha)
+  }
+
+  /** [[mannWhitneyU]] from PRE-AGGREGATED per-distinct-value counts —
+    * the entry a standing count store feeds (the streaming
+    * maintenance sink lands `(group…, value, n)` shards; their merge
+    * plus a baseline count frame IS the test's sufficient statistic,
+    * so the monitor never rescans raw history). Both inputs carry
+    * `groupCols ++ (valueCol, countCol)`; rows with non-positive
+    * counts are ignored. Identical output contract to
+    * [[mannWhitneyU]] — equality is spec-pinned.
+    */
+  def mannWhitneyUFromCounts(
+      baseCounts: DataFrame, curCounts: DataFrame, valueCol: String,
+      countCol: String, groupCols: Seq[String],
+      zAlpha: Double = 1.96): DataFrame = {
+    val side = (df: DataFrame, isBase: Boolean) => df
+      .where(col(valueCol).isNotNull && col(countCol) > 0)
+      .select(groupCols.map(col) ++ Seq(
+        col(valueCol).cast("double").as("__v"),
+        (if (isBase) col(countCol) else lit(0L)).cast("long").as("__cb"),
+        (if (isBase) lit(0L) else col(countCol)).cast("long")
+          .as("__cc")): _*)
+    val per = side(baseCounts, true).unionByName(side(curCounts, false))
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__cb")).as("__cb"), sum(col("__cc")).as("__cc"))
+    mannWhitneyUCore(per, groupCols, zAlpha)
+  }
+
+  /** Shared MW-U tail over the `(group…, __v, __cb, __cc)`
+    * per-distinct-value count frame.
+    */
+  private def mannWhitneyUCore(
+      per: DataFrame, groupCols: Seq[String],
+      zAlpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

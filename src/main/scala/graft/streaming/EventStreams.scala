@@ -686,6 +686,66 @@ object EventStreams {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$newStoreDir/batch_id=0")
 
+  /** Streaming Mann–Whitney drift maintenance — the drift family's
+    * rank-test leg (the CUSUM stream watches a level against a FIXED
+    * target; this watches the whole CURRENT distribution against a
+    * baseline SNAPSHOT): each micro-batch lands its per-(group,
+    * value) count shard under `batch_id=<id>` with OVERWRITE
+    * (checkpoint replay rewrites the same shard — idempotent), and
+    * the live monitor merges the store into the test's sufficient
+    * statistic via [[graft.quality.Drift.mannWhitneyUFromCounts]] —
+    * equality with the batch [[graft.quality.Drift.mannWhitneyU]]
+    * over the union of all batches is spec-pinned, and since the
+    * whole test is integer-exact half-unit ranks, stream == batch
+    * needs no float argument (the q205 CUSUM-twin contract).
+    *
+    * State: per batch, one row per (group, DISTINCT value) — the
+    * count-shard shape every sketch sink here lands; the monitor
+    * never rescans raw history.
+    */
+  def mwDriftMaintenanceSink(
+      stream: DataFrame, valueCol: String, groupCols: Seq[String],
+      storeDir: String, checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpointDir, outputMode = "append") {
+      (batch, id) =>
+        landMwCountShard(batch, id, valueCol, groupCols, storeDir)
+    }
+
+  private[streaming] def landMwCountShard(
+      batch: DataFrame, id: Long, valueCol: String,
+      groupCols: Seq[String], storeDir: String): Unit =
+    batch
+      .where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        col(valueCol).cast("double").as("value"): _*)
+      .groupBy(groupCols.map(col) :+ col("value"): _*)
+      .agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch_id=$id")
+
+  /** The live MW drift report over a [[mwDriftMaintenanceSink]]
+    * store vs a baseline snapshot: merge the store's shards (counts
+    * are additive), count the baseline the same way, run the
+    * counts-based test.
+    */
+  def liveMwDrift(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      baseline: DataFrame, valueCol: String, groupCols: Seq[String],
+      zAlpha: Double = 1.96): DataFrame = {
+    val cur = spark.read.parquet(storeDir)
+      .groupBy(groupCols.map(col) :+ col("value"): _*)
+      .agg(sum(col("n")).as("n"))
+    val base = baseline
+      .where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        col(valueCol).cast("double").as("value"): _*)
+      .groupBy(groupCols.map(col) :+ col("value"): _*)
+      .agg(count(lit(1)).as("n"))
+    graft.quality.Drift.mannWhitneyUFromCounts(base, cur,
+      "value", "n", groupCols, zAlpha)
+  }
+
   /** Streaming count-min-sketch maintenance: each micro-batch lands
     * its own [[graft.quality.CountMin.cmsShards]] grid under
     * `batch_id=<id>` with OVERWRITE (replay-idempotent); the live
