@@ -2105,20 +2105,35 @@ object Similarity {
       .withColumn("__norm_micro",
         floor(sqrt(col("__nsq").cast("double"))).cast("long"))
       .transform(graft.core.CacheScope.disk)
-    def summarize(grouped: Boolean): DataFrame = {
-      val key: Column = if (grouped) col("__g") else lit("__all__")
-      val rowAgg = rows.groupBy(key.as("label"))
+    val grouped = {
+      val rowAgg = rows.groupBy(col("__g").as("label"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("__nsq"))).as("__snsq"),
           sum(col("__norm_micro")).as("__snorm"))
       val cellAgg = rows
-        .select(key.as("label"), posexplode(col("__q")).as(Seq("p", "v")))
+        .select(col("__g").as("label"),
+          posexplode(col("__q")).as(Seq("p", "v")))
         .groupBy("label", "p").agg(sum(dec(col("v"))).as("__sv"))
         .groupBy("label").agg(sum(col("__sv") * col("__sv")).as("__ssq"))
       rowAgg.join(cellAgg, Seq("label"))
     }
-    val both = summarize(grouped = true)
-      .unionByName(summarize(grouped = false))
+    // the __all__ leg is two UNGROUPED aggregates crossJoined — each
+    // one row by plan shape (not by a literal group key, which the
+    // plan gate cannot prove bounded and the planner turns into an
+    // unbounded-build nested-loop join)
+    val global = {
+      val rowAgg = rows.agg(count(lit(1)).as("n"),
+        sum(dec(col("__nsq"))).as("__snsq"),
+        sum(col("__norm_micro")).as("__snorm"))
+      val cellAgg = rows
+        .select(posexplode(col("__q")).as(Seq("p", "v")))
+        .groupBy("p").agg(sum(dec(col("v"))).as("__sv"))
+        .agg(sum(col("__sv") * col("__sv")).as("__ssq"))
+      rowAgg.crossJoin(broadcast(cellAgg))
+        .select(lit("__all__").as("label"), col("n"), col("__snsq"),
+          col("__snorm"), col("__ssq"))
+    }
+    val both = grouped.unionByName(global)
     val nD = col("n").cast("double")
     val meanNorm = (col("__snorm").cast("double") / 1000000.0) / nD
     val mpd = (col("__ssq") - col("__snsq")).cast("double") /
