@@ -48,13 +48,16 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
              JOIN deg ON deg.a = e.a
              GROUP BY e.b) s$k ON s$k.node = n2.node)"""
       }
-      s"""WITH co AS (
+      s"""WITH co AS MATERIALIZED (
            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
              's' || CAST(l_suppkey AS VARCHAR) AS b
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         e AS (SELECT a, b FROM co UNION SELECT b, a FROM co),
-         deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
-         nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+         e AS MATERIALIZED (
+           SELECT a, b FROM co UNION SELECT b, a FROM co),
+         deg AS MATERIALIZED (
+           SELECT a, count(*) AS d FROM e GROUP BY a),
+         nodes AS MATERIALIZED (
+           SELECT a AS node FROM e UNION SELECT b FROM e),
          nn AS (SELECT count(*) AS n FROM nodes),
          r0 AS (SELECT node,
            1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
