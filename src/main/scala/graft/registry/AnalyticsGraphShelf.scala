@@ -32,6 +32,7 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     "q230_label_propagation" -> (labelPropagationQ _),
     "q235_modularity" -> (modularityQ _),
     "q236_purchase_hits" -> (purchaseHitsQ _),
+    "q254_centrality_agreement" -> (centralityAgreementQ _),
   )
 
   private[graft] def graphOracleSql: Map[String, String] = Map(
@@ -64,6 +65,102 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
          ${(1 to 6).map(iter).mkString(",\n         ")}
          SELECT node, CAST(r AS BIGINT) AS rank_scaled
          FROM r6 ORDER BY node"""
+    },
+    // q154's PageRank chain + q236's HITS chain over the same co
+    // relation, joined on supplier nodes, then the q238 Spearman
+    // machinery on the two exact integer score columns
+    "q254_centrality_agreement" -> {
+      def prIter(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""r$k AS (
+           SELECT n2.node, (150000000000 // (SELECT n FROM nn))
+               + coalesce(s$k.c, 0) AS r
+           FROM nodes n2 LEFT JOIN (
+             SELECT e.b AS node,
+               sum((850 * p.r) // (1000 * deg.d)) AS c
+             FROM e JOIN $prev p ON p.node = e.a
+             JOIN deg ON deg.a = e.a
+             GROUP BY e.b) s$k ON s$k.node = n2.node)"""
+      }
+      def half(k: Int, out: String, in: String, eKey: String,
+          sKey: String): String =
+        s"""${out}${k}r AS MATERIALIZED (
+           SELECT co.$eKey AS node, sum($in.s) AS raw
+           FROM co JOIN $in ON $in.node = co.$sKey GROUP BY 1),
+         ${out}$k AS MATERIALIZED (
+           SELECT n2.node, coalesce(CAST(
+             CAST(${out}${k}r.raw AS HUGEINT) * 1000000000000
+               // (SELECT sum(CAST(raw AS HUGEINT)) FROM ${out}${k}r)
+             AS BIGINT), 0) AS s
+           FROM nodes n2
+           LEFT JOIN ${out}${k}r ON ${out}${k}r.node = n2.node)"""
+      def hitsRound(k: Int): String = {
+        val prevA = if (k == 1) "a0" else s"a${k - 1}"
+        half(k, "h", prevA, "src", "dst") + ",\n         " +
+          half(k, "a", s"h$k", "dst", "src")
+      }
+      s"""WITH co AS MATERIALIZED (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (
+           SELECT src AS a, dst AS b FROM co
+           UNION SELECT dst, src FROM co),
+         deg AS MATERIALIZED (
+           SELECT a, count(*) AS d FROM e GROUP BY a),
+         nodes AS MATERIALIZED (
+           SELECT a AS node FROM e UNION SELECT b FROM e),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node,
+           1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+         ${(1 to 6).map(prIter).mkString(",\n         ")},
+         a0 AS (SELECT node,
+           1000000000000 // (SELECT n FROM nn) AS s FROM nodes),
+         ${(1 to 3).map(hitsRound).mkString(",\n         ")},
+         j AS MATERIALIZED (
+           SELECT r6.node, CAST(r6.r AS BIGINT) AS x, a3.s AS y
+           FROM r6 JOIN a3 ON a3.node = r6.node
+           WHERE r6.node LIKE 's%'),
+         rx AS (SELECT x, count(*) AS t FROM j GROUP BY 1),
+         rx2 AS (
+           SELECT x, 2 * coalesce(sum(t) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + t + 1 AS r
+           FROM rx),
+         ry AS (SELECT y, count(*) AS t FROM j GROUP BY 1),
+         ry2 AS (
+           SELECT y, 2 * coalesce(sum(t) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + t + 1 AS r
+           FROM ry),
+         jj AS (
+           SELECT rx2.r AS rkx, ry2.r AS rky
+           FROM j
+           JOIN rx2 ON rx2.x = j.x
+           JOIN ry2 ON ry2.y = j.y),
+         ag AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rkx AS HUGEINT) * rky) AS sxy,
+             sum(CAST(rkx AS HUGEINT) * rkx) AS sxx,
+             sum(CAST(rky AS HUGEINT) * rky) AS syy
+           FROM jj),
+         f AS (
+           SELECT n, CAST(n AS HUGEINT) * (n + 1) AS s2,
+             sxy, sxx, syy
+           FROM ag),
+         v AS (
+           SELECT n,
+             CAST(n AS HUGEINT) * sxy - s2 * s2 AS covn,
+             CAST(n AS HUGEINT) * sxx - s2 * s2 AS varx,
+             CAST(n AS HUGEINT) * syy - s2 * s2 AS vary
+           FROM f)
+         SELECT 'suppliers' AS node_set, n,
+           CASE WHEN CAST(varx AS DOUBLE) > 0.0
+               AND CAST(vary AS DOUBLE) > 0.0
+             THEN round(CAST(covn AS DOUBLE)
+               / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6)
+             END AS rho
+         FROM v"""
     },
     // HITS unrolled: per round a hub half (sum authorities over
     // out-edges, L1-renormalize to 1e12 via HUGEINT //) then an
@@ -493,6 +590,39 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
       .select(col("l_partkey").as("pa"), col("__pk2").as("pb"))
     Analytics.kCore(edges, "pa", "pb", k = 4, maxRounds = 12)
       ._1.orderBy("node")
+  }
+
+  /** Do the two centralities agree? — Spearman rank correlation
+    * between q154's symmetrized PageRank and q236's directed HITS
+    * authority over the SUPPLIER nodes: a three-operator composition
+    * ([[Analytics.pageRank]] + [[Analytics.hits]] +
+    * [[Analytics.spearmanCorr]]) in one lazy plan, the q175
+    * composition discipline on the graph shelf. A high ρ says the
+    * cheap single-score PageRank suffices for supplier ranking; a
+    * low one says the bipartite role structure carries real extra
+    * signal. Both centralities are exact fixed-point integers, so
+    * the rank test inherits full cross-engine determinism.
+    */
+  private[graft] def centralityAgreementQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val co = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val sym = co.union(
+      co.select(col("dst").as("src"), col("src").as("dst")))
+    val pr = Analytics.pageRank(sym, "src", "dst", iters = 6)
+    val h = Analytics.hits(co, "src", "dst", iters = 3)
+    val j = pr.join(h, Seq("node"))
+      .where(col("node").startsWith("s"))
+      .withColumn("node_set", lit("suppliers"))
+    Analytics.spearmanCorr(j, "rank_scaled", "auth_scaled",
+        Seq("node_set"))
+      .orderBy("node_set")
   }
 
   /** Hubs & authorities on the DIRECTED purchase graph

@@ -142,6 +142,12 @@ class PlanGateSpec extends SparkSpec {
     // frame feeds three consumers (two merge legs + the final join)
     "q219_kmv_overlap" -> 3,
     "q92_type_weekday_chi2" -> 1,
+    // spearmanCorr under a CONSTANT group: the optimizer folds the
+    // literal out of the two rank windows' partition specs, leaving
+    // "global" windows whose input is the per-distinct-score count
+    // frame — supplier-domain-bounded by construction (the q158/q165
+    // rankByRange shape)
+    "q254_centrality_agreement" -> 2,
     // the broadcast build side is the per-label centroid-array table
     // (one row per label — bounded by label DOMAIN, a grouped
     // aggregate the static bound can't see); the corpus leg folds
