@@ -4105,6 +4105,60 @@ object Analytics {
     groupsOut.unionByName(totalOut)
   }
 
+  /** Gini concentration index per group — the bounded-[0,1) sibling
+    * of [[theilDecomposition]] (and the Lorenz-curve summary behind
+    * the q190 HHI shelf): for each group, `G = (2·Σᵢ i·xᵢ −
+    * (n+1)·Σx) / (n·Σx)` over the values sorted ascending within the
+    * group (1-based index `i`). The index form is exactly the mean
+    * absolute difference / 2μ identity, but computable in one ranked
+    * pass instead of an O(n²) pair join.
+    *
+    * Exactness: values are caller-quantized integers (`valueCents`);
+    * the per-group sorted index comes from [[rankByRange]] (the
+    * two-pass range-partitioned rank — no single-task per-group
+    * window sort, the q180/q212 scale shape) ordered by `(value,
+    * id)`; `Σ i·x` is invariant under permutations of tied values,
+    * so the id tie-break only pins run-to-run determinism of the
+    * intermediate, not the result. Numerator and denominator are
+    * exact DECIMAL(38,0) products of BIGINT aggregates (the
+    * joinSizeForecast overflow treatment); the ONE double step is
+    * the final division before `round(…, 6)` — cross-engine
+    * reproducible since both engines round the same exact integers
+    * to nearest double.
+    *
+    * Contract: negative and null values and null groups are
+    * excluded; zeros participate (they stretch the Lorenz curve —
+    * excluding them would understate concentration). A group whose
+    * value sum is 0 gets a null gini (undefined, not 0). Output is
+    * group-domain-sized: (groupCol, n, value_sum, gini).
+    *
+    * Scale shape: one rank (two range exchanges + broadcast-sized
+    * offset join, from rankByRange) + one grouped aggregate with
+    * map-side combine. No per-row windows, no collects.
+    */
+  def giniConcentration(
+      df: DataFrame, groupCol: String, valueCents: Column,
+      idCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = df
+      .select(col(groupCol).cast("string").as("__g"),
+        valueCents.cast("long").as("__x"), idCol.as("__gid"))
+      .where(col("__x").isNotNull && col("__x") >= 0 &&
+        col("__g").isNotNull)
+    val ranked = rankByRange(rows, Seq("__g"),
+      Seq(col("__x").asc, col("__gid").asc), "__i")
+    ranked.groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("value_sum"),
+        sum(dec(col("__i")) * dec(col("__x"))).as("__sxr"))
+      .select(col("__g").as(groupCol), col("n"), col("value_sum"),
+        when(col("value_sum") > 0,
+          round(
+            (dec(lit(2)) * col("__sxr") -
+              dec(col("n") + 1) * dec(col("value_sum"))).cast("double") /
+            (dec(col("n")) * dec(col("value_sum"))).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("gini"))
+  }
+
   /** Split-conformal prediction bands with held-out coverage — the
     * distribution-free uncertainty wrapper every "predict a number"
     * pipeline should ship with: on a CALIBRATION split, residuals

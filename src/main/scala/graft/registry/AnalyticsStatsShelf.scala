@@ -60,9 +60,39 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q245_event_burstiness" -> (eventBurstinessQ _),
     "q249_conformal_coverage" -> (conformalQ _),
     "q250_theil_decomposition" -> (theilQ _),
+    "q255_gini_segments" -> (giniQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // exact sorted-index Gini: Σ i·x is tie-permutation-invariant, so
+    // the ck tie-break pins only the intermediate; HUGEINT products,
+    // one double division before round(…, 6)
+    "q255_gini_segments" ->
+      """WITH sp AS (
+           SELECT c_mktsegment AS g, o_custkey AS ck,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY g, o_custkey),
+         rws AS (SELECT g, ck, x FROM sp
+           WHERE x IS NOT NULL AND x >= 0 AND g IS NOT NULL),
+         rk AS (SELECT g, x,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY x, ck)
+               AS BIGINT) AS i
+           FROM rws),
+         agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS sxr
+           FROM rk GROUP BY 1)
+         SELECT g AS c_mktsegment, n, s AS value_sum,
+           CASE WHEN s > 0 THEN
+             round(CAST(2 * sxr
+                 - (CAST(n AS HUGEINT) + 1) * CAST(s AS HUGEINT)
+               AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * CAST(s AS HUGEINT)
+                 AS DOUBLE), 6)
+           ELSE NULL END AS gini
+         FROM agg ORDER BY c_mktsegment""",
     // nano-floored Theil terms before every (order-free) sum; the
     // total row's T is BY CONSTRUCTION the sum of its quantized parts
     "q250_theil_decomposition" ->
@@ -1655,6 +1685,23 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .groupBy("c_custkey", "c_mktsegment")
       .agg(sum(floor(col("o_totalprice") * 100)).as("cents"))
     Analytics.theilDecomposition(spend, "c_mktsegment", col("cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Gini concentration of customer spend per market segment
+    * ([[Analytics.giniConcentration]]): the bounded [0,1) Lorenz
+    * summary beside q250's Theil and q190's HHI — exact sorted-index
+    * numerator over cents via the two-pass rankByRange, one double
+    * division at the end.
+    */
+  private[graft] def giniQ(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(sum(floor(col("o_totalprice") * 100)).as("cents"))
+    Analytics.giniConcentration(spend, "c_mktsegment", col("cents"),
+        col("c_custkey"))
       .orderBy("c_mktsegment")
   }
 
