@@ -4409,11 +4409,14 @@ object Analytics {
   def spearmanCorr(
       df: DataFrame, xCol: String, yCol: String,
       groupCols: Seq[String]): DataFrame = {
+    // rank on the NATIVE value — casting to double first would merge
+    // distinct integral values above 2^53 (BIGINT fixed-point scores
+    // like q254's 1e12-unit centralities are the realistic input), and
+    // ranks only need the column's own ordering, never its arithmetic
     val rows = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(groupCols.map(col) ++ Seq(
-        col(xCol).cast("double").as("__x"),
-        col(yCol).cast("double").as("__y")): _*)
+        col(xCol).as("__x"), col(yCol).as("__y")): _*)
       .transform(graft.core.CacheScope.disk)
     def rank2Of(vcol: String, out: String): DataFrame = {
       val w = Window.partitionBy(groupCols.map(col): _*)

@@ -261,7 +261,12 @@ object Drift {
       .agg(
         sum(col("__cb")).as("n_base"),
         sum(col("__cc")).as("n_cur"),
-        sum(col("__cb") * col("__rank2")).as("__r1_2"),
+        // rank sum Σ cb·rank2 — cast BEFORE multiplying, same rule as
+        // the tie cubes below: a single cb·rank2 product of a heavily
+        // tied billion-row group passes 2^63, and the group SUM wraps
+        // BIGINT around ~2·10⁹ rows even without ties
+        sum(col("__cb").cast("decimal(38,0)") *
+          col("__rank2").cast("decimal(38,0)")).as("__r1_2"),
         // tie correction Σ(t³ − t) — cast BEFORE multiplying: t³ of a
         // fully-tied multi-million-row group overflows BIGINT, so the
         // cube must be computed in decimal, not merely stored there
@@ -272,19 +277,29 @@ object Drift {
     val n2 = col("n_cur")
     val nn = n1 + n2
     val oneSided = n1 === 0L || n2 === 0L
-    val uHalf = col("__r1_2") - n1 * (n1 + lit(1L))
+    // exact in decimal throughout (n1·(n1+1) also passes 2^63 past
+    // ~3·10⁹ baseline rows); the OUTPUT u_half column stays BIGINT —
+    // u_half = 2U ≤ 2·n1·n2, in-range for any group a single report
+    // row can describe, and changing the column type would break every
+    // downstream schema
+    val uHalf = col("__r1_2") -
+      n1.cast("decimal(38,0)") * (n1 + lit(1L)).cast("decimal(38,0)")
     val nD = nn.cast("double")
-    val sigma2 = (n1 * n2).cast("double") / 12.0 *
+    // n1·n2 also passes 2^63 for two ~3·10⁹-row sides — multiply in
+    // decimal, round to double once (same value as long→double where
+    // both are defined)
+    val n12 = (n1.cast("decimal(38,0)") * n2.cast("decimal(38,0)"))
+      .cast("double")
+    val sigma2 = n12 / 12.0 *
       ((nn + lit(1L)).cast("double") -
         col("__ties").cast("double") / (nD * (nD - 1.0)))
-    val z = (uHalf.cast("double") / 2.0 -
-      (n1 * n2).cast("double") / 2.0) / sqrt(sigma2)
+    val z = (uHalf.cast("double") / 2.0 - n12 / 2.0) / sqrt(sigma2)
     val zSafe = when(oneSided || nn < 2L || sigma2 <= 0.0,
       lit(null).cast("double")).otherwise(z)
     agg.select(groupCols.map(col) ++ Seq(
       n1, n2,
-      when(oneSided, lit(null).cast("long")).otherwise(uHalf)
-        .as("u_half"),
+      when(oneSided, lit(null).cast("long"))
+        .otherwise(uHalf.cast("long")).as("u_half"),
       when(oneSided, lit(null).cast("double"))
         .otherwise(round(uHalf.cast("double") / 2.0, 1)).as("u"),
       round(zSafe, 6).as("z"),

@@ -808,15 +808,18 @@ private[graft] object TextRegistry {
            FROM res r
            LEFT JOIN qr ON qr.qid = r.qid AND qr.did = r.did
            GROUP BY 1)
-         SELECT p.qid AS query_id, i.n_rel, p.n_hit,
-           round(CAST(p.n_hit AS DOUBLE) / 10.0, 6) AS p_at_k,
-           round(CAST(p.n_hit AS DOUBLE) / CAST(i.n_rel AS DOUBLE), 6)
-             AS r_at_k,
+         SELECT coalesce(p.qid, i.qid) AS query_id, i.n_rel,
+           coalesce(p.n_hit, 0) AS n_hit,
+           round(CAST(coalesce(p.n_hit, 0) AS DOUBLE) / 10.0, 6)
+             AS p_at_k,
+           round(CAST(coalesce(p.n_hit, 0) AS DOUBLE)
+             / CAST(i.n_rel AS DOUBLE), 6) AS r_at_k,
            round(coalesce(1.0 / CAST(p.fr AS DOUBLE), 0.0), 6) AS rr,
            round(CASE WHEN i.idcg > 0 THEN
-             CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) END, 6)
+             CAST(coalesce(p.dcg, 0) AS DOUBLE)
+               / CAST(i.idcg AS DOUBLE) END, 6)
              AS ndcg
-         FROM per p JOIN ideal i ON i.qid = p.qid
+         FROM per p FULL OUTER JOIN ideal i ON i.qid = p.qid
          ORDER BY query_id"""
     },
     "q44_top_bigrams" ->

@@ -2166,10 +2166,12 @@ object Similarity {
     * query — a window bounded by the query's judgment count, the
     * qrel-table shape, never corpus-sized.
     *
-    * Scale shape: results pre-filtered to rank ≤ k, one (query,
-    * doc)-keyed left join against positive judgments, two per-query
-    * aggregates (map-side combined) joined query-to-query. Output is
-    * query-domain-sized.
+    * Scale shape: results pre-filtered to rank ≤ k, judgments deduped
+    * on (query, doc) with max-rel, one (query, doc)-keyed left join
+    * against positive judgments, two per-query aggregates (map-side
+    * combined) full-outer-joined query-to-query. Output covers the
+    * UNION of the results' and the judgments' query domains — a
+    * judged query that retrieved nothing scores 0, not absent.
     *
     * Returns `(<qIdCol>, n_rel, n_hit, p_at_k, r_at_k, rr, ndcg)`;
     * `r_at_k`/`ndcg` are null for queries with no judgments.
@@ -2182,9 +2184,14 @@ object Similarity {
     val res = results.select(col(qIdCol).as("__qid"),
         col(docIdCol).as("__did"), col(rankCol).cast("int").as("__rank"))
       .where(col("__rank") <= k)
+    // dedupe on (query, doc) — duplicate judgment rows would otherwise
+    // double-count n_hit and DCG through the left join below (and make
+    // the ideal ranking nondeterministic); max-rel is the trec_eval
+    // "most generous judgment wins" convention
     val qr = qrels.select(col(relQIdCol).as("__qid"),
         col(relDocIdCol).as("__did"), col(relCol).cast("int").as("__rel"))
       .where(col("__rel") > 0)
+      .groupBy("__qid", "__did").agg(max(col("__rel")).as("__rel"))
       .transform(graft.core.CacheScope.disk)
     def dcgNano(relName: String, rankName: String): Column =
       floor((expr(s"shiftleft(CAST(1 AS BIGINT), $relName)") - lit(1L))
@@ -2207,15 +2214,22 @@ object Similarity {
         sum(when(col("__rel").isNotNull,
           dcgNano("__rel", "__rank")).otherwise(0L))
           .as("__dcg"))
-    per.join(ideal, Seq("__qid"), "left")
-      .select(col("__qid").as(qIdCol), col("n_rel"), col("n_hit"),
-        round(col("n_hit").cast("double") / k.toDouble, 6).as("p_at_k"),
-        round(col("n_hit").cast("double") /
+    // FULL outer: the query domain is results ∪ qrels. A judged query
+    // that retrieved ZERO rows must score 0 (trec_eval includes it —
+    // dropping it silently inflates every macro-average computed over
+    // this table); a retrieved query with no judgments keeps null
+    // n_rel/r_at_k/ndcg (unjudged, not wrong).
+    val hit = coalesce(col("n_hit"), lit(0L))
+    per.join(ideal, Seq("__qid"), "full_outer")
+      .select(col("__qid").as(qIdCol), col("n_rel"), hit.as("n_hit"),
+        round(hit.cast("double") / k.toDouble, 6).as("p_at_k"),
+        round(hit.cast("double") /
           col("n_rel").cast("double"), 6).as("r_at_k"),
         round(coalesce(lit(1.0) / col("__fr").cast("double"), lit(0.0)),
           6).as("rr"),
         round(when(col("__idcg") > 0L,
-          col("__dcg").cast("double") / col("__idcg").cast("double")),
+          coalesce(col("__dcg"), lit(0L)).cast("double") /
+            col("__idcg").cast("double")),
           6).as("ndcg"))
   }
 

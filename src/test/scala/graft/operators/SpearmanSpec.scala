@@ -74,4 +74,21 @@ class SpearmanSpec extends SparkSpec {
     assert(run(base)("g") === Some(1.0))
     assert(run(spiked)("g") === Some(1.0)) // still top rank — unmoved
   }
+
+  test("BIGINT values above 2^53 rank on the native value: adjacent " +
+      "longs that collide as doubles stay distinct") {
+    // 2^60 and 2^60+1 are the same double; ranking on the native long
+    // must still see the second as strictly larger. x inverts their
+    // order vs y → a real rank difference only native ranking detects.
+    val big = 1L << 60
+    val df = Seq(
+      ("g", big, big + 1), ("g", big + 1, big), ("g", 0L, 0L))
+      .toDF("g", "x", "y")
+    val out = Analytics.spearmanCorr(df, "x", "y", Seq("g")).collect()(0)
+    assert(out.getAs[Long]("n") === 3L)
+    // native ranks: x = (2,3,1) vs y = (3,2,1) → rho = 1/2 exactly;
+    // a double-cast rank would tie the two big values on both sides
+    // and read rho = 1
+    assert(out.getAs[Double]("rho") === 0.5)
+  }
 }

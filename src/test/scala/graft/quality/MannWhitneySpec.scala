@@ -68,6 +68,25 @@ class MannWhitneySpec extends SparkSpec {
     assert(r.getAs[Long]("u_half") === 2L * 6 - 2 * 3)
   }
 
+  test("billions-scale counts stay exact: the rank sum and n1(n1+1) " +
+      "compute in decimal, past 2^63") {
+    // via the pre-aggregated entry: 4e9 baseline rows all at value 1,
+    // 4e9 current rows all at value 2. The rank-sum product
+    // cb·rank2 = 4e9·(4e9+1) ≈ 1.6e19 exceeds Long.MaxValue — the old
+    // BIGINT accumulation wrapped (or threw under ANSI); in decimal
+    // the complete separation lands exactly at u_half = 0.
+    val n = 4_000_000_000L
+    val base = Seq(("g", 1.0, n)).toDF("g", "v", "c")
+    val cur = Seq(("g", 2.0, n)).toDF("g", "v", "c")
+    val r = Drift.mannWhitneyUFromCounts(base, cur, "v", "c", Seq("g"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_base") === n)
+    assert(r.getAs[Long]("u_half") === 0L)
+    assert(r.getAs[Double]("u") === 0.0)
+    assert(r.getAs[Double]("z") < -1000.0) // complete separation
+    assert(r.getAs[Boolean]("drifted"))
+  }
+
   test("symmetry: swapping the samples negates z") {
     val a = Seq(1.0, 3.0, 5.0, 7.0)
     val b = Seq(2.0, 4.0, 6.0, 8.0)

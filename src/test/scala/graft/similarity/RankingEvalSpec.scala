@@ -75,6 +75,36 @@ class RankingEvalSpec extends SparkSpec {
     assert(r2.getAs[Double]("p_at_k") === 0.0)
   }
 
+  test("a judged query that retrieved NOTHING scores 0, not absent " +
+      "— trec_eval includes it in the macro-average") {
+    val out = eval(
+      Seq((1L, 10L, 1)),
+      Seq((1L, 10L, 1), (2L, 20L, 2), (2L, 21L, 1)))
+    assert(out.contains(2L))
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_rel") === 2L)
+    assert(r2.getAs[Long]("n_hit") === 0L)
+    assert(r2.getAs[Double]("p_at_k") === 0.0)
+    assert(r2.getAs[Double]("r_at_k") === 0.0)
+    assert(r2.getAs[Double]("rr") === 0.0)
+    assert(r2.getAs[Double]("ndcg") === 0.0)
+  }
+
+  test("duplicate (query, doc) judgment rows don't double-count " +
+      "n_hit or DCG; max rel wins") {
+    val clean = eval(
+      Seq((1L, 10L, 1), (1L, 11L, 2)),
+      Seq((1L, 10L, 2), (1L, 11L, 1)))
+    val dup = eval(
+      Seq((1L, 10L, 1), (1L, 11L, 2)),
+      Seq((1L, 10L, 2), (1L, 10L, 1), (1L, 10L, 2), (1L, 11L, 1)))
+    val (c, d) = (clean(1L), dup(1L))
+    for (f <- Seq("n_rel", "n_hit"))
+      assert(d.getAs[Long](f) === c.getAs[Long](f), f)
+    for (f <- Seq("p_at_k", "r_at_k", "rr", "ndcg"))
+      assert(d.getAs[Double](f) === c.getAs[Double](f), f)
+  }
+
   test("the k cutoff applies to BOTH legs: hits past k don't count " +
       "and the ideal truncates") {
     // 4 relevant docs, k = 2: recall caps at 2/4 even for a perfect
