@@ -1,0 +1,2138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistics / experimentation / ML-evaluation operators.
+  * Split from [[Analytics]] (round 15); member bodies are unchanged —
+  * this trait is self-typed to and mixed back into the same object, so
+  * every reference (the shelf's calls into core helpers like
+  * `rankByRange`, and every external `Analytics.<member>` call site)
+  * resolves exactly as before.
+  */
+private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
+
+  /** Pearson χ² test of independence between two categorical columns:
+    * one grouped count of the contingency table, marginals re-derived
+    * from it (grouped again on each axis — cells, not rows), expected
+    * counts E = rowTot·colTot/N, χ² = Σ(O−E)²/E over observed cells
+    * PLUS the structurally-zero cells' E (a zero observed cell still
+    * contributes E; dropping it would understate χ²) — handled by
+    * cross-joining the two marginal sets, which is marginal-sized, not
+    * data-sized. Returns one row: (chi2, dof, n).
+    *
+    * Scale: the corpus is touched once (the contingency count);
+    * everything after operates on |A|×|B| cells.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the ONE corpus-touching pass; persisted because the marginals,
+    // N, the dof levels, and the cell join all read it (the repo's
+    // multi-consumer persist convention)
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .transform(graft.core.CacheScope.disk)
+    val rowTot = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+      .withColumnRenamed("__a", "__ra_key")
+    val colTot = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+      .withColumnRenamed("__b", "__cb_key")
+    val n = cells.agg(sum("__o").as("__n"))
+    // null-safe join back: a null category level is a level like any
+    // other — an equi-join would zero its observed counts while its
+    // mass still inflated the marginals (a silently wrong statistic)
+    val full = rowTot.crossJoin(colTot).crossJoin(n)
+      .join(cells,
+        col("__ra_key") <=> col("__a") && col("__cb_key") <=> col("__b"),
+        "left")
+      .select(col("__ra"), col("__cb"), col("__n"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__cb").cast("double") /
+          col("__n").cast("double"))
+    // dof levels from the (persisted, cell-sized) contingency table —
+    // one bounded action, no corpus re-scan
+    val lv = cells.agg(
+      count_distinct(struct(col("__a"))).as("la"),
+      count_distinct(struct(col("__b"))).as("lb")).head()
+    val dof = ((lv.getLong(0) - 1) * (lv.getLong(1) - 1)).toInt
+    full.agg(
+      sum(pow(col("__o").cast("double") - col("__e"), 2) / col("__e"))
+        .as("chi2"),
+      first(col("__n")).as("n"))
+      .select(round(col("chi2"), 4).as("chi2"),
+        lit(dof).as("dof"), col("n"))
+  }
+
+  /** Delete-one-group jackknife for a RATIO metric `Σnum / Σden` —
+    * the standard-error machinery ratio metrics need (revenue per
+    * unit, CTR, cost per token): per-row CLT doesn't apply to a ratio
+    * of sums, but the delete-one-bucket pseudo-estimates do (Efron &
+    * Stein; the production form of every large-scale experimentation
+    * platform's "bucketed jackknife"). Rows land in `buckets` hash
+    * buckets; θ₍ᵢ₎ = ratio with bucket i removed; SE =
+    * √((B−1)/B · Σ(θ₍ᵢ₎ − θ̄)²).
+    *
+    * Exactness: per-bucket sums are exact longs; each θ₍ᵢ₎ quantizes
+    * to `floor(scale·(S−sᵢ)/(D−dᵢ))` (one double division of two
+    * exact longs, then floor — deterministic cross-engine), so the
+    * jackknife mean and the squared deviations are EXACT integer
+    * arithmetic; doubles reappear only in the final rendered columns.
+    * `scale` is the caller's quantization contract — pick it so
+    * θ·scale ≲ 1e15 AND the expected bucket deviation × scale stays
+    * under √(2⁶³⁻¹/B) (a cents-per-unit ratio ~1e5 wants 1e4, a CTR
+    * ~1e-2 wants 1e9; quantization noise ≤ 1/scale per
+    * pseudo-estimate, orders below any admissible SE). The bound is
+    * enforced LOUD, not silent: an over-cap deviation raises
+    * (re-bucket or rescale) instead of wrapping the squared sum.
+    *
+    * Shape: one map-side-combined aggregation to B bucket rows, then
+    * everything downstream is B-sized (B ≤ 1024 enforced — the
+    * B×B-free construction: θ₍ᵢ₎ needs only the bucket's own sums and
+    * the broadcast totals). Buckets with D−dᵢ = 0 would be a
+    * degenerate resample — rejected loud (pick more/fewer buckets)
+    * rather than silently skipped, which would bias the SE.
+    *
+    * Returns one row: `(n_buckets, theta, theta_jack, se)`.
+    */
+  def jackknifeRatio(
+      df: DataFrame, numCol: Column, denCol: Column,
+      bucketKey: Column, buckets: Int = 32,
+      scale: Double = 1e6): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024, "buckets in [2, 1024]")
+    require(scale >= 1.0 && scale <= 1e12, "scale in [1, 1e12]")
+    val b = df.select(
+        (conv(substring(md5(concat(lit("jk:"),
+          bucketKey.cast("string"))), 1, 8), 16, 10).cast("long")
+          % buckets).as("__b"),
+        numCol.cast("long").as("__n"), denCol.cast("long").as("__d"))
+      .groupBy("__b")
+      .agg(sum(col("__n")).as("__sn"), sum(col("__d")).as("__sd"))
+    val tot = b.agg(sum(col("__sn")).as("__tn"),
+      sum(col("__sd")).as("__td"), count(lit(1)).as("__nb"))
+    val pseudo = b.crossJoin(broadcast(tot))
+      .withColumn("__theta_i",
+        floor(lit(scale) * (col("__tn") - col("__sn")).cast("double")
+          / (col("__td") - col("__sd")).cast("double")).cast("long"))
+    // pseudo feeds the mean AND the deviation pass: persist, or the
+    // bucket aggregation re-executes per consumer
+    val p = pseudo.select(col("__theta_i"),
+        ((col("__td") - col("__sd")) === 0).as("__degen"),
+        col("__tn"), col("__td"))
+      .transform(graft.core.CacheScope.disk)
+    val mean = p.agg(count(lit(1)).as("__nb"),
+        sum(when(col("__degen"), 1L).otherwise(0L)).as("__ndegen"),
+        sum(col("__theta_i")).as("__sum_ti"))
+      .select(col("__nb"), col("__ndegen"),
+        expr("__sum_ti div __nb").as("__tbar"))
+    // √(2⁶³−1 / B): the per-deviation bound under which the squared
+    // sum provably fits BIGINT
+    val devCap = math.sqrt(Long.MaxValue.toDouble / buckets).toLong
+    p.crossJoin(broadcast(mean))
+      .withColumn("__dev", col("__theta_i") - col("__tbar"))
+      .agg(max(col("__nb")).as("n_buckets"),
+        max(col("__ndegen")).as("__ndegen"),
+        max(col("__tbar")).as("__tbar"),
+        max(abs(col("__dev"))).as("__maxdev"),
+        sum(col("__dev") * col("__dev")).as("__ss"),
+        max(col("__tn")).as("__tn"), max(col("__td")).as("__td"))
+      .select(
+        col("n_buckets"),
+        round(col("__tn").cast("double")
+          / col("__td").cast("double"), 9).as("theta"),
+        round(col("__tbar").cast("double") / scale, 9).as("theta_jack"),
+        when(col("__ndegen") > 0,
+          raise_error(lit("jackknifeRatio: a delete-one bucket " +
+            "empties the denominator; adjust buckets")).cast("double"))
+          .when(col("__maxdev") > devCap,
+            raise_error(lit("jackknifeRatio: bucket deviation " +
+              "overflows the exact squared sum; rescale the metric " +
+              "or use fewer buckets")).cast("double"))
+          .otherwise(round(
+            // ss·(B−1) can exceed BIGINT even when ss fits: multiply
+            // in double (the oracle spells the identical form)
+            sqrt(col("__ss").cast("double")
+              * (col("n_buckets") - 1).cast("double")
+              / col("n_buckets").cast("double")) / scale, 9)).as("se"))
+  }
+
+  /** Lagged cross-correlation of two event streams: Pearson
+    * correlation of series A's per-bucket counts against series B's
+    * counts `lag` buckets later, for every lag in [−maxLag, maxLag] —
+    * the lead/lag screen ("does signup activity LEAD purchase
+    * activity, and by how many hours?") behind alerting and
+    * attribution hypotheses. A positive-lag peak means A leads B.
+    *
+    * Shape: events collapse map-side to one row per time bucket
+    * (conditional counts — cost scales with event volume once, then
+    * everything downstream is BUCKET-sized: span/width rows, not
+    * events); the full bucket grid is generated from the min/max
+    * scalar so silent gaps count as zeros instead of vanishing from
+    * the alignment (the resample lesson); the (2·maxLag+1) lags
+    * attach by one generated column and one self-join on
+    * `idx + lag` — (2k+1)·buckets rows total, one aggregation.
+    * Zero-variance windows yield null correlation (both engines'
+    * convention). Output: (lag, n_buckets, corr).
+    */
+  def crossCorrelation(
+      df: DataFrame, tsCol: String, typeCol: String,
+      typeA: String, typeB: String, bucketSeconds: Long = 3600L,
+      maxLag: Int = 6): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val micros = bucketSeconds * 1000000L
+    val cnt = df
+      .where(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div $micros").as("__idx"),
+        col(typeCol).as("__t"))
+      .groupBy("__idx")
+      .agg(sum(when(col("__t") === typeA, 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__t") === typeB, 1L).otherwise(0L)).as("__b"))
+    val bounds = cnt.agg(min(col("__idx")).as("__lo"),
+      max(col("__idx")).as("__hi"))
+    val grid = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__idx"))
+      .join(cnt, Seq("__idx"), "left")
+      .select(col("__idx"), coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+      .transform(graft.core.CacheScope.disk)
+    val lagged = grid
+      .select(col("__idx"), col("__a"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .withColumn("__bidx", col("__idx") + col("lag"))
+      .join(grid.select(col("__idx").as("__bidx"), col("__b")),
+        Seq("__bidx"))
+    lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_buckets"),
+        corr(col("__a").cast("double"), col("__b").cast("double"))
+          .as("corr"))
+  }
+
+  /** Two-proportion z-test of every group against the pooled rest —
+    * the A/B-flavored segment screen ("is this segment's conversion
+    * rate different from everyone else's?") run as ONE aggregation:
+    * per group the success count and size, the complement derived
+    * from broadcast grand totals, z = (p_g − p_r) /
+    * √(p̂(1−p̂)(1/n_g + 1/n_r)) with p̂ the pooled rate, and
+    * `significant` at the two-sided threshold `zAlpha`.
+    *
+    * All inputs to the float math are exact longs from one grouped
+    * count (map-side combined) plus one broadcast one-row total, so
+    * results are deterministic under any partitioning; groups where a
+    * variance term degenerates (empty complement, pooled rate 0 or 1)
+    * emit null z rather than ±∞.
+    */
+  def proportionTest(
+      df: DataFrame, groupCol: String, success: Column,
+      zAlpha: Double = 1.96): DataFrame = {
+    val per = df
+      .where(col(groupCol).isNotNull && success.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(success.cast("int").cast("long")).as("successes"))
+    val tot = per.agg(sum(col("n")).as("__tn"),
+      sum(col("successes")).as("__ts"))
+    val joined = per.crossJoin(broadcast(tot))
+      .withColumn("__nr", col("__tn") - col("n"))
+      .withColumn("__sr", col("__ts") - col("successes"))
+    val pg = col("successes").cast("double") / col("n")
+    val pr = col("__sr").cast("double") / col("__nr")
+    val pp = col("__ts").cast("double") / col("__tn")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n") + lit(1.0) / col("__nr")))
+    val z = when(col("__nr") > 0 && col("__ts") > 0 &&
+        col("__ts") < col("__tn"), (pg - pr) / se)
+    joined.select(col(groupCol), col("n"), col("successes"),
+      pg.as("rate"), pr.as("rate_rest"), z.as("z"),
+      (abs(z) > lit(zAlpha)).as("significant"))
+  }
+
+  /** KMV (k-minimum-values) audience-overlap audit: pairwise distinct
+    * INTERSECTION estimates between groups from mergeable bottom-k
+    * hash sketches — the set operation HLL cannot do — verified
+    * in-query against the exact intersection (the q46/q177
+    * sketch-honesty pattern; md5 is fixed, so the `within_tol` flag
+    * is deterministic, not flaky).
+    *
+    * Sketch: per group, the k smallest 60-bit md5 values over
+    * DISTINCT members (ties on h broken by member id — md5 collisions
+    * at 60 bits are possible in principle, ordering stays total);
+    * estimate = (k−1)·2⁶⁰/θ_k, exact when the group holds < k
+    * members. Union sketches merge by k-smallest-of-union
+    * (bottom-k is closed under union — the mergeability that makes
+    * this a SHARDED sketch at 100 TB); intersection by
+    * inclusion–exclusion, clamped at 0.
+    *
+    * Shape: one distinct (the data-sized stage, cached), per-group
+    * bottom-k windows (partitioned), pair enumeration over the
+    * group-DOMAIN (the q78 intended triangle — allowlisted), merges
+    * by two equi-joins, and the exact audit legs are id-equi
+    * self-joins. Error ~1.3/√k of the union size; `tolFrac` sets the
+    * audit band (default 3/√k).
+    */
+  def kmvOverlap(
+      df: DataFrame, groupCol: String, idCol: String,
+      k: Int = 256, tolFrac: Double = -1.0): DataFrame = {
+    require(k >= 16 && k <= 4096, "k in [16, 4096]")
+    val tol = if (tolFrac > 0) tolFrac else 3.0 / math.sqrt(k.toDouble)
+    val m = 1152921504606846976L // 2^60
+    val distinct = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(idCol).cast("string").as("__id"))
+      .where(col("__g").isNotNull && col("__id").isNotNull)
+      .distinct()
+      .withColumn("__h",
+        conv(substring(md5(col("__id")), 1, 15), 16, 10).cast("long"))
+      .transform(graft.core.CacheScope.disk)
+    val w = Window.partitionBy("__g")
+      .orderBy(col("__h").asc, col("__id").asc)
+    val sketch = distinct
+      .withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+      .select(col("__g"), col("__h"), col("__id"))
+      .transform(graft.core.CacheScope.disk)
+    val sizes = distinct.groupBy("__g").agg(count(lit(1)).as("__exact"))
+      .transform(graft.core.CacheScope.disk)
+    def estimate(nCol: Column, thetaCol: Column): Column =
+      when(nCol < k, nCol.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(m.toDouble)
+          / thetaCol.cast("double"))
+    val perGroup = sketch.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), max("__h").as("__theta"))
+      .join(sizes, Seq("__g"))
+      .select(col("__g"), col("__exact"),
+        estimate(col("__exact"), col("__theta")).as("__est"))
+      .transform(graft.core.CacheScope.disk)
+    // group-domain pair enumeration (bounded by the label domain,
+    // not provable from plan shape — allowlisted like q78)
+    val pairs = perGroup.select(col("__g").as("__ga"),
+        col("__exact").as("__ea"), col("__est").as("__esta"))
+      .join(perGroup.select(col("__g").as("__gb"),
+        col("__exact").as("__eb"), col("__est").as("__estb")),
+        col("__ga") < col("__gb"))
+    val mA = pairs.select(col("__ga"), col("__gb"))
+      .join(sketch.withColumnRenamed("__g", "__ga"), Seq("__ga"))
+    val mB = pairs.select(col("__ga"), col("__gb"))
+      .join(sketch.withColumnRenamed("__g", "__gb"), Seq("__gb"))
+    val merged = mA.select(col("__ga"), col("__gb"), col("__h"), col("__id"))
+      .union(mB.select(col("__ga"), col("__gb"), col("__h"), col("__id")))
+      .dropDuplicates("__ga", "__gb", "__h", "__id")
+    val wu = Window.partitionBy("__ga", "__gb")
+      .orderBy(col("__h").asc, col("__id").asc)
+    val unions = merged.withColumn("__r", row_number().over(wu))
+      .groupBy("__ga", "__gb")
+      .agg(count(lit(1)).as("__un"),
+        max(when(col("__r") === k, col("__h"))).as("__utheta"))
+    val exactInt = distinct.select(col("__g").as("__ga"), col("__id"))
+      .join(distinct.select(col("__g").as("__gb"), col("__id")),
+        Seq("__id"))
+      .where(col("__ga") < col("__gb"))
+      .groupBy("__ga", "__gb").agg(count(lit(1)).as("__xint"))
+    pairs
+      .join(unions, Seq("__ga", "__gb"))
+      .join(exactInt, Seq("__ga", "__gb"), "left")
+      .select(col("__ga"), col("__gb"), col("__ea"), col("__eb"),
+        coalesce(col("__xint"), lit(0L)).as("__xi"),
+        (col("__ea") + col("__eb") - coalesce(col("__xint"), lit(0L)))
+          .as("__xu"),
+        col("__esta"), col("__estb"),
+        when(col("__un") < k, col("__un").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(m.toDouble)
+            / col("__utheta").cast("double")).as("__estu"))
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        col("__ea").as("exact_a"), col("__eb").as("exact_b"),
+        col("__xi").as("exact_intersection"),
+        col("__xu").as("exact_union"),
+        round(col("__esta"), 4).as("est_a"),
+        round(col("__estb"), 4).as("est_b"),
+        round(col("__estu"), 4).as("est_union"),
+        round(greatest(col("__esta") + col("__estb") - col("__estu"),
+          lit(0.0)), 4).as("est_intersection"),
+        (abs(greatest(col("__esta") + col("__estb") - col("__estu"),
+            lit(0.0)) - col("__xi").cast("double")) <=
+          lit(tol) * col("__xu").cast("double") + lit(2.0))
+          .cast("int").as("within_tol"))
+  }
+
+  /** Bradley–Terry preference strengths — the pairwise-comparison
+    * ranking model behind RLHF reward data, match outcomes, and A/B
+    * preference panels: k rounds of the MM fixed point
+    * pᵢ ← Wᵢ / Σⱼ mᵢⱼ/(pᵢ+pⱼ), normalized to mean 1 each round.
+    *
+    * Exactness (the [[markovStationary]] treatment): strengths live
+    * in 1e6-unit BIGINTs; every per-pair denominator term quantizes
+    * by `(m·S²) div (Pᵢ+Pⱼ)` BEFORE the per-item sum, and the update
+    * and normalization are floor divisions — so the fixed point is
+    * bit-identical across engines, partitionings and cluster sizes.
+    * Positive-operand `div` (truncation) equals SQL `//` (floor), so
+    * an oracle replays it verbatim. Int64 contract: per-pair
+    * comparison counts m must satisfy m·10¹² < 2⁶³ (m < 9·10⁶ —
+    * pre-aggregate or sample heavier panels).
+    *
+    * Shape: comparisons collapse map-side to the pair matrix (the
+    * only data-sized stage); each round is two joins + one
+    * aggregation over item/pair-domain-sized frames, lineage cut per
+    * round by localCheckpoint. Items that never win floor at strength
+    * 1 micro-unit (exactly-zero would divide a later pair by zero).
+    */
+  def bradleyTerry(
+      comparisons: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    val scale = 1000000L
+    val s2 = scale * scale
+    val c = comparisons
+      .select(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .where(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+      .groupBy("__w", "__l").agg(count(lit(1)).as("__n"))
+      .transform(graft.core.CacheScope.disk)
+    val pairs = c.select(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"), col("__n"))
+      .groupBy("__a", "__b").agg(sum("__n").as("__m"))
+      .transform(graft.core.CacheScope.disk)
+    val wins = c.groupBy(col("__w").as("item"))
+      .agg(sum("__n").as("__wn"))
+    val items = c.select(col("__w").as("item"))
+      .union(c.select(col("__l"))).distinct()
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("__wn"), lit(0L)).as("wins"))
+      .transform(graft.core.CacheScope.disk)
+    val nItems = items.count()
+    val ncomp = pairs.select(col("__a").as("item"), col("__m"))
+      .union(pairs.select(col("__b"), col("__m")))
+      .groupBy("item").agg(sum("__m").as("n_comparisons"))
+      .transform(graft.core.CacheScope.disk)
+    var p = items.select(col("item"), lit(scale).as("__p"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withP = pairs
+        .join(p.select(col("item").as("__a"), col("__p").as("__pa")),
+          Seq("__a"))
+        .join(p.select(col("item").as("__b"), col("__p").as("__pb")),
+          Seq("__b"))
+        .withColumn("__t", expr(s"(__m * ${s2}L) div (__pa + __pb)"))
+      val denom = withP.select(col("__a").as("item"), col("__t"))
+        .union(withP.select(col("__b"), col("__t")))
+        .groupBy("item").agg(sum("__t").as("__d"))
+      val updated = items.join(denom, Seq("item"), "left")
+        .select(col("item"),
+          when(col("__d").isNotNull && col("wins") > 0,
+            expr(s"(wins * ${s2}L) div __d")).otherwise(lit(0L))
+            .as("__p0"))
+      val tot = updated.agg(sum("__p0").as("__tot"))
+      p = updated.crossJoin(broadcast(tot))
+        .select(col("item"),
+          greatest(
+            expr(s"(__p0 * ${nItems}L * ${scale}L) div __tot"),
+            lit(1L)).as("__p"))
+        .localCheckpoint()
+    }
+    items.join(ncomp, Seq("item"), "left")
+      .join(p, Seq("item"))
+      .select(col("item"), col("wins"),
+        coalesce(col("n_comparisons"), lit(0L)).as("n_comparisons"),
+        col("__p").as("strength_micro"),
+        round(col("__p").cast("double") / scale, 6).as("strength"))
+  }
+
+  /** Mixture-SPRT sequential monitor (Johari et al., "Peeking at A/B
+    * tests") — the always-valid alternative to fixed-horizon tests:
+    * per group, the cumulative conversion evidence at every period as
+    * the Gaussian-mixture likelihood ratio
+    * Λₙ = √(σ²/(σ²+n·τ²)) · exp(n²τ²(x̄−p₀)² / (2σ²(σ²+n·τ²)))
+    * with the always-valid p-value min(1, 1/max_{m≤n} Λₘ) —
+    * monotone, so "look every period" costs no α.
+    *
+    * Determinism: n and successes are exact BIGINT running sums
+    * (rows-frame windows over a per-period pre-aggregation); x̄ and
+    * the LOG likelihood ratio recompute per row from those integers
+    * with literal σ², τ², p₀ in both engines. The statistic is
+    * carried in LOG space on purpose: raw Λ reaches 10²⁰⁺ where
+    * `round(·, 4)` can no longer absorb a 1-ulp exp() wobble, while
+    * log Λ stays O(10¹) and the p-value exp(−max log Λ) is in [0, 1]
+    * — both round-stable.
+    *
+    * Shape: rows collapse map-side to (group, period) counts; the
+    * windows run over period-count-sized frames. One data-sized
+    * shuffle.
+    */
+  def msprtMonitor(
+      df: DataFrame, groupCol: String, periodCol: Column,
+      labelCol: Column, p0: Double, tau2: Double,
+      alpha: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1, "p0 in (0, 1)")
+    require(tau2 > 0, "tau2 must be positive")
+    val s2 = p0 * (1.0 - p0)
+    val base = df.select(col(groupCol).as("__g"),
+        periodCol.cast("long").as("__p"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__p").isNotNull && col("__y").isNotNull)
+      .groupBy("__g", "__p")
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__s"))
+    val w = Window.partitionBy("__g").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nD = col("__cn").cast("double")
+    val xbar = col("__cs").cast("double") / nD
+    val llam = lit(0.5) * log(lit(s2) / (lit(s2) + nD * lit(tau2))) +
+      ((nD * nD * lit(tau2) * (xbar - lit(p0)) * (xbar - lit(p0)))
+        / (lit(2.0) * lit(s2) * (lit(s2) + nD * lit(tau2))))
+    base
+      .withColumn("__cn", sum("__c").over(w))
+      .withColumn("__cs", sum("__s").over(w))
+      .withColumn("__ll", llam)
+      .withColumn("__llmax", max(col("__ll")).over(w))
+      .select(col("__g").as(groupCol), col("__p").as("period"),
+        col("__cn").as("n_cum"), col("__cs").as("pos_cum"),
+        round(xbar, 6).as("rate"),
+        round(col("__ll"), 4).as("log_lambda"),
+        round(least(lit(1.0), exp(lit(0.0) - col("__llmax"))), 6)
+          .as("always_valid_p"),
+        (least(lit(1.0), exp(lit(0.0) - col("__llmax"))) < alpha)
+          .cast("int").as("rejected_by_now"))
+  }
+
+  /** Benford first-significant-digit audit — the forensic-accounting
+    * screen for fabricated or mis-binned amounts: per group, the
+    * observed distribution of the leading digit of an exact integer
+    * amount vs Benford's law (P(d) = log10(1 + 1/d)), with the
+    * per-digit deviation and the group's chi-square statistic.
+    *
+    * `amountCol` must be a positive BIGINT (amounts pre-scaled to
+    * cents by the caller) — the leading digit is the first character
+    * of the decimal rendering of an integer, which both the engine
+    * and any SQL oracle produce identically; extracting the digit
+    * from a DOUBLE rendering would be engine-dependent (scientific
+    * notation cutoffs differ). Non-positive / null amounts are
+    * excluded and reported per group as `n_excluded`.
+    *
+    * Shape: one grouped count per (group, digit) — map-side combined,
+    * ≤10 rows per group out — densified against a (group × digit)
+    * grid (group-count-sized generate + one small join) so absent
+    * digits report exact zero counts. Chi-square re-aggregates the
+    * 9-row frame per group: cost is group-count-sized, not
+    * data-sized. At 100 TB this is one shuffle of ≤10·|groups| rows.
+    */
+  def benfordAudit(
+      df: DataFrame, groupCol: String, amountCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        amountCol.cast("long").as("__v"))
+      .withColumn("__d",
+        when(col("__v") > 0,
+          substring(col("__v").cast("string"), 1, 1).cast("int")))
+    val counts = base
+      .groupBy(col("__g"), col("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .transform(graft.core.CacheScope.disk)
+    val perGroup = counts.groupBy("__g")
+      .agg(sum(when(col("__d").isNotNull, col("__n")).otherwise(0L))
+          .as("__tot"),
+        sum(when(col("__d").isNull, col("__n")).otherwise(0L))
+          .as("__nexcl"))
+    // densify: every group gets all nine digit rows, absent → 0
+    val longDigits = perGroup
+      .select(col("__g"), col("__tot"), col("__nexcl"),
+        explode(sequence(lit(1), lit(9))).as("digit"))
+      .join(counts.where(col("__d").isNotNull)
+          .withColumnRenamed("__d", "digit"),
+        Seq("__g", "digit"), "left")
+      .select(col("__g"), col("digit"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        col("__nexcl").as("n_excluded"), col("__tot"))
+    val withTotal = longDigits
+    // expected share is a literal per digit: log10(1+1/d) spelled as
+    // an exact double literal so the oracle can repeat it verbatim
+    val expectedShare = (1 to 9)
+      .map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val expCol = (1 to 9).foldLeft(lit(null).cast("double")) {
+      case (acc, d) =>
+        when(col("digit") === d, lit(expectedShare(d))).otherwise(acc)
+    }
+    val perDigit = withTotal
+      .withColumn("__exp", expCol * col("__tot").cast("double"))
+      .transform(graft.core.CacheScope.disk)
+    val chi = perDigit.groupBy(col("__g"))
+      .agg(sum((col("n").cast("double") - col("__exp"))
+          * (col("n").cast("double") - col("__exp")) / col("__exp"))
+        .as("__chi2"))
+    perDigit.join(broadcast(chi), Seq("__g"))
+      .select(col("__g").as(groupCol), col("digit"), col("n"),
+        col("n_excluded"),
+        round(col("__exp"), 4).as("expected_n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"),
+        round(col("__chi2"), 4).as("chi2"))
+  }
+
+  /** Market-concentration report per group: Herfindahl–Hirschman
+    * index, top-1/top-3 entity share, and effective number of
+    * entities (1/HHI) over an exact integer value column (cents).
+    *
+    * Exactness: entity shares quantize to micro-units
+    * (s_i = floor(1e6·v_i / Σv), BIGINT), so Σs_i² ≤ (Σs_i)² ≤ 1e12
+    * fits BIGINT exactly regardless of data scale — the HHI is a
+    * deterministic integer ratio, not an order-dependent double sum.
+    * Top-k shares ride the same quantized units via a rank window.
+    *
+    * Shape: one grouped sum per (group, entity) — map-side combined —
+    * then one window rank and one re-aggregation per group, all over
+    * entity-count-sized frames. Entities with non-positive totals are
+    * kept (their share floors at ≤ 0 momentum toward 0); null
+    * entities are excluded.
+    */
+  def concentrationReport(
+      df: DataFrame, groupCol: String, entityCol: String,
+      valueCol: Column): DataFrame = {
+    val sums = df
+      .where(col(entityCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(entityCol).as("__e"))
+      .agg(sum(valueCol.cast("long")).as("__v"))
+    val tot = sums.groupBy("__g")
+      .agg(sum(col("__v")).as("__tv"), count(lit(1)).as("__ne"))
+    val shares = sums.join(broadcast(tot), Seq("__g"))
+      .withColumn("__s",
+        floor(lit(1000000L) * col("__v").cast("double")
+          / col("__tv").cast("double")).cast("long"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__g"))
+          .orderBy(col("__v").desc, col("__e"))))
+    shares.groupBy(col("__g"))
+      .agg(max(col("__ne")).as("n_entities"),
+        sum(col("__s") * col("__s")).as("__hhi2"),
+        max(when(col("__rk") === 1, col("__s"))).as("__top1"),
+        sum(when(col("__rk") <= 3, col("__s")).otherwise(0L))
+          .as("__top3"))
+      .select(col("__g").as(groupCol), col("n_entities"),
+        round(col("__top1").cast("double") / 1e6, 6).as("top1_share"),
+        round(col("__top3").cast("double") / 1e6, 6).as("top3_share"),
+        round(col("__hhi2").cast("double") / 1e12, 6).as("hhi"),
+        round(lit(1e12) / col("__hhi2").cast("double"), 4)
+          .as("effective_n"))
+  }
+
+  /** Kaplan–Meier survival curve per group: at each distinct event
+    * time t, the number at risk, events, censorings, and the product-
+    * limit survival estimate S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ).
+    *
+    * Determinism across engines: every input to the float math is an
+    * exact integer (at-risk and event counts from one grouped count +
+    * a window), each step factor (nᵢ−dᵢ)/nᵢ is ONE correctly-rounded
+    * IEEE division, and the running product is an explicit ordered
+    * left fold over the group's factor array — IEEE multiply is
+    * correctly rounded, so any engine folding the same factors in the
+    * same order produces bit-identical doubles (no exp/log detour,
+    * whose transcendental rounding is engine-specific).
+    *
+    * Shape: events collapse to one row per (group, time) map-side;
+    * at-risk counts come from a running sum window over that
+    * timepoint frame (timepoint-sized, not subject-sized); the fold
+    * materializes one sorted factor array per group and computes the
+    * k running products by prefix-slice folds — O(k) memory and
+    * O(k²) multiplies per group, guarded by `maxTimepoints`
+    * (default 10⁴ ≈ 27 years of daily granularity: 10⁸ multiplies
+    * worst-case, sub-second). Subjects, however, are unbounded:
+    * nothing upstream of the timepoint collapse holds per-subject
+    * state.
+    */
+  def kaplanMeier(
+      df: DataFrame, groupCol: String, durationCol: Column,
+      eventCol: Column, maxTimepoints: Int = 10000): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"))
+      .where(col("__t").isNotNull && col("__t") >= 0)
+    val byTime = base.groupBy("__g", "__t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
+    val w = Window.partitionBy("__g").orderBy("__t")
+    // at risk at t = subjects whose duration >= t = group total minus
+    // everything that left strictly before t
+    val risked = byTime
+      .withColumn("__tot", sum(col("__d") + col("__c"))
+        .over(Window.partitionBy("__g")))
+      .withColumn("__gone", coalesce(
+        sum(col("__d") + col("__c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", col("__tot") - col("__gone"))
+      .withColumn("__f",
+        (col("__n") - col("__d")).cast("double")
+          / col("__n").cast("double"))
+    // one sorted row-array per group; running product i = left fold
+    // of the first i factors (slice is 1-based)
+    val grouped = risked.groupBy(col("__g"))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__n"),
+        col("__d"), col("__c"), col("__f")))).as("__rows"))
+      .withColumn("__rows",
+        when(size(col("__rows")) > maxTimepoints,
+          raise_error(lit("kaplanMeier: distinct event times per " +
+            "group exceed maxTimepoints; coarsen the duration " +
+            "granularity")).cast("array<struct<__t:bigint," +
+            "__n:bigint,__d:bigint,__c:bigint,__f:double>>"))
+          .otherwise(col("__rows")))
+    grouped
+      .select(col("__g"), posexplode(col("__rows")).as(Seq("__i", "__r")),
+        col("__rows"))
+      .withColumn("__surv",
+        aggregate(
+          slice(col("__rows").getField("__f"), lit(1), col("__i") + 1),
+          lit(1.0d), (acc, x) => acc * x))
+      .select(col("__g").as(groupCol), col("__r.__t").as("t"),
+        col("__r.__n").as("n_at_risk"), col("__r.__d").as("n_events"),
+        col("__r.__c").as("n_censored"),
+        round(col("__surv"), 6).as("survival"))
+  }
+
+  /** Exact ROC-AUC per group via the Mann–Whitney U statistic: the
+    * probability a random positive outscores a random negative, ties
+    * counting half — the rank-sum identity, never the O(n²) pair join.
+    *
+    * Exactness: rows collapse to one per (group, distinct score) with
+    * positive/negative counts (map-side combined), a running window
+    * sum gives each tie block the negatives strictly below it, and
+    * `U·2 = Σ np·(2·negBelow + nn)` stays in BIGINT (the `+nn` term IS
+    * the tie half-credit, doubled). AUC and the Gini index (2·AUC−1)
+    * are each ONE double division at the end — the only float math.
+    * Degenerate groups (no positives or no negatives) report null AUC
+    * rather than an IEEE Infinity/NaN that would poison a downstream
+    * aggregate.
+    *
+    * Shape: one grouped count (full shuffle, map-side combined) to
+    * distinct-score-sized frames, then a per-group window and a
+    * re-aggregation over those — cost scales with distinct scores,
+    * not rows. At 100 TB with a continuous score the distinct-score
+    * frame is still row-sized worst-case; pre-quantizing the score
+    * (e.g. to 1e-6) bounds it with negligible AUC movement.
+    */
+  def rocAuc(
+      df: DataFrame, groupCol: String, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        scoreCol.as("__s"), labelCol.cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val byScore = base.groupBy("__g", "__s")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__nn"))
+    val w = Window.partitionBy("__g").orderBy("__s")
+    val u = byScore
+      .withColumn("__below", coalesce(
+        sum(col("__nn")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy("__g")
+      .agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__below") + col("__nn")))
+          .as("__u2"))
+    u.select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(col("__u2").cast("double")
+          / (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double")), 6)).as("auc"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(col("__u2").cast("double")
+          / (col("n_pos").cast("double") * col("n_neg").cast("double"))
+          - lit(1.0), 6)).as("gini_idx"))
+  }
+
+  /** Per-group decile gains/lift table — the model-evaluation ranking
+    * report: within each group, units ranked by score descending are
+    * cut into `buckets` equal-frequency bins (ntile; ties broken by
+    * `tieCol` so the cut is deterministic and engine-portable), and
+    * each bin reports its response rate, cumulative capture of the
+    * group's responders ("gain"), and lift vs the group's base rate.
+    *
+    * Exactness: every statistic is a ratio of BIGINT counts — ONE
+    * double division each at the end. ntile's fill rule (the first
+    * `n mod buckets` bins get the extra row) is identical in Spark
+    * and ANSI SQL engines, so the binning itself is exact.
+    *
+    * Shape: the ntile window is PARTITIONED by group (a global cut
+    * would be one unbounded single-task window — the shape
+    * `rankByRange` exists to avoid; callers wanting a whole-
+    * population table pass a constant group at their own scale), then
+    * one grouped count to a (groups × buckets)-sized frame and
+    * windows over its ≤ `buckets` rows per group. One scan, one
+    * data-sized shuffle.
+    */
+  def gainsTable(
+      df: DataFrame, groupCol: String, scoreCol: Column,
+      labelCol: Column, tieCol: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "gainsTable: need at least 2 buckets")
+    val base = df.select(col(groupCol).as("__g"), scoreCol.as("__s"),
+        labelCol.cast("boolean").as("__y"), tieCol.as("__id"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__b", ntile(buckets).over(
+        Window.partitionBy("__g").orderBy(col("__s").desc, col("__id"))))
+    val per = base.groupBy(col("__g"), col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+    val w = Window.partitionBy("__g").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("__g").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cp", sum(col("n_pos")).over(w))
+      .withColumn("__tn", sum(col("n")).over(tot))
+      .withColumn("__tp", sum(col("n_pos")).over(tot))
+      .select(col("__g").as(groupCol), col("bucket"), col("n"),
+        col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("response_rate"),
+        round(col("__cp").cast("double") / col("__tp").cast("double"), 6)
+          .as("cum_gain"),
+        round((col("n_pos").cast("double") / col("n").cast("double"))
+          / (col("__tp").cast("double") / col("__tn").cast("double")), 6)
+          .as("lift"),
+        round((col("__cp").cast("double") / col("__cn").cast("double"))
+          / (col("__tp").cast("double") / col("__tn").cast("double")), 6)
+          .as("cum_lift"))
+  }
+
+  /** CUSUM level-shift detection per group over a dense integer
+    * period grid: row counts per (group, period), gaps zero-filled
+    * (the resample lesson — a silent month IS a signal), deviations
+    * from the group mean accumulated one-sidedly in both directions,
+    * with a √mean-scaled decision threshold.
+    *
+    * Exactness: the recurrence S⁺ᵢ = max(0, S⁺ᵢ₋₁ + dᵢ) is computed
+    * by its prefix identity S⁺ᵢ = csᵢ − min(0, min_{j≤i} csⱼ) — pure
+    * window functions, no sequential fold. Deviations are scaled to
+    * whole units `dᵢ = n·cᵢ − Σc` (BIGINT; exact mean-centering with
+    * no division), so the entire accumulation is integer; the final
+    * report divides by n once. Needs `periods · Σcount < 2⁶³` —
+    * ~9·10¹⁸ row-periods, comfortably above any monthly grid.
+    *
+    * Shape: rows collapse map-side to (group, period) counts; the
+    * dense grid generates from a group-sized bounds frame; windows
+    * run over period-count-sized frames per group. At 100 TB the
+    * only data-sized stage is the first grouped count.
+    */
+  def cusumShift(
+      df: DataFrame, groupCol: String, periodCol: Column,
+      threshold: Double = 5.0): DataFrame = {
+    val counts = df.select(col(groupCol).as("__g"),
+        periodCol.cast("long").as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+    val bounds = counts.groupBy("__g")
+      .agg(min("__p").as("__lo"), max("__p").as("__hi"))
+    val grid = bounds.select(col("__g"),
+      explode(sequence(col("__lo"), col("__hi"))).as("__p"))
+    val dense = grid.join(counts, Seq("__g", "__p"), "left")
+      .select(col("__g"), col("__p"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = dense.groupBy("__g")
+      .agg(sum("__c").as("__tot"), count(lit(1)).as("__n"))
+    val w = Window.partitionBy("__g").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val stepped = dense.join(broadcast(tot), Seq("__g"))
+      .withColumn("__d", col("__c") * col("__n") - col("__tot"))
+      .withColumn("__cs", sum(col("__d")).over(w))
+      .withColumn("__sp",
+        col("__cs") - least(min(col("__cs")).over(w), lit(0L)))
+      .withColumn("__sn",
+        greatest(max(col("__cs")).over(w), lit(0L)) - col("__cs"))
+    val h = lit(threshold) * sqrt(col("__tot").cast("double")
+      / col("__n").cast("double"))
+    stepped.select(col("__g").as(groupCol), col("__p").as("period"),
+      col("__c").as("n"),
+      round(col("__sp").cast("double") / col("__n").cast("double"), 4)
+        .as("cusum_pos"),
+      round(col("__sn").cast("double") / col("__n").cast("double"), 4)
+        .as("cusum_neg"),
+      (col("__sp").cast("double") / col("__n").cast("double") > h)
+        .cast("int").as("shift_up"),
+      (col("__sn").cast("double") / col("__n").cast("double") > h)
+        .cast("int").as("shift_down"))
+  }
+
+  /** Fixed-target CUSUM per group — the STREAMABLE variant of
+    * [[cusumShift]]: deviations accumulate against a caller-supplied
+    * reference rate (`targetMilli` milli-events per period) instead
+    * of the realized mean, so the statistic needs no second pass over
+    * the data and a streaming monitor can maintain it with O(1) state
+    * per group ([[graft.streaming.EventStreams.cusumStream]] is the
+    * twin; the spec pins row equality).
+    *
+    * Fully integer: dᵢ = 1000·cᵢ − targetMilli, the prefix identity
+    * gives both one-sided sums in BIGINT, and the decision compares
+    * against `hMilli` exactly — no floats anywhere, so batch and
+    * stream agree bit-for-bit by construction.
+    *
+    * Same dense-grid shape as [[cusumShift]]: gap periods are zeros,
+    * grid spans the group's observed min..max period.
+    */
+  def cusumFixedTarget(
+      df: DataFrame, groupCol: String, periodCol: Column,
+      targetMilli: Long, hMilli: Long): DataFrame = {
+    val counts = df.select(col(groupCol).as("__g"),
+        periodCol.cast("long").as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+    val bounds = counts.groupBy("__g")
+      .agg(min("__p").as("__lo"), max("__p").as("__hi"))
+    val dense = bounds
+      .select(col("__g"), explode(sequence(col("__lo"), col("__hi")))
+        .as("__p"))
+      .join(counts, Seq("__g", "__p"), "left")
+      .select(col("__g"), col("__p"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val w = Window.partitionBy("__g").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense
+      .withColumn("__cs",
+        sum(col("__c") * lit(1000L) - lit(targetMilli)).over(w))
+      .withColumn("__sp",
+        col("__cs") - least(min(col("__cs")).over(w), lit(0L)))
+      .withColumn("__sn",
+        greatest(max(col("__cs")).over(w), lit(0L)) - col("__cs"))
+      .select(col("__g").as(groupCol), col("__p").as("period"),
+        col("__c").as("n"),
+        col("__sp").as("cusum_pos_milli"),
+        col("__sn").as("cusum_neg_milli"),
+        (col("__sp") > hMilli).cast("int").as("shift_up"),
+        (col("__sn") > hMilli).cast("int").as("shift_down"))
+  }
+
+  /** Single change-point locator per group (binary segmentation,
+    * first split): the CUSUM-bridge argmax
+    * t* = argmax_t |cs_t − t·Σc/n| over the dense period grid —
+    * WHERE the level most plausibly shifted, complementing
+    * [[cusumShift]]'s WHETHER/WHEN-detected. Emits the split index,
+    * its period, the before/after means, and the bridge height both
+    * raw and √S̄-scaled.
+    *
+    * Exactness: the bridge numerator B_t = |n·cs_t − t·S| is pure
+    * BIGINT (needs periods²·Σc < 2⁶³ — any monthly grid qualifies),
+    * so the argmax and its smallest-t tie-break are engine-exact via
+    * one `min_by((−B, t))` aggregate; the means and the scaled height
+    * divide once at the end.
+    *
+    * Shape: identical to [[cusumShift]] — map-side-combined counts,
+    * group-sized grid generation, one per-group window pass, one
+    * argmax aggregate. The only data-sized stage is the first count.
+    */
+  def changePoint(
+      df: DataFrame, groupCol: String, periodCol: Column): DataFrame = {
+    val counts = df.select(col(groupCol).as("__g"),
+        periodCol.cast("long").as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+    val bounds = counts.groupBy("__g")
+      .agg(min("__p").as("__lo"), max("__p").as("__hi"))
+    val dense = bounds
+      .select(col("__g"), explode(sequence(col("__lo"), col("__hi")))
+        .as("__p"))
+      .join(counts, Seq("__g", "__p"), "left")
+      .select(col("__g"), col("__p"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val ord = Window.partitionBy("__g").orderBy("__p")
+    val full = Window.partitionBy("__g")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bridged = dense
+      .withColumn("__t", row_number().over(ord).cast("long"))
+      .withColumn("__cs", sum(col("__c"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", count(lit(1)).over(full))
+      .withColumn("__s", sum(col("__c")).over(full))
+      .withColumn("__b",
+        abs(col("__n") * col("__cs") - col("__t") * col("__s")))
+      .where(col("__t") < col("__n")) // a split needs both sides
+    bridged.groupBy("__g")
+      .agg(max(col("__n")).as("n_periods"), max(col("__s")).as("total_n"),
+        min_by(struct(col("__t"), col("__p"), col("__cs"), col("__b")),
+          struct((col("__b") * -1).as("nb"), col("__t"))).as("__best"))
+      .select(col("__g").as(groupCol), col("n_periods"), col("total_n"),
+        col("__best.__t").as("split_index"),
+        col("__best.__p").as("change_period"),
+        round(col("__best.__cs").cast("double")
+          / col("__best.__t").cast("double"), 4).as("before_mean"),
+        round((col("total_n") - col("__best.__cs")).cast("double")
+          / (col("n_periods") - col("__best.__t")).cast("double"), 4)
+          .as("after_mean"),
+        round(col("__best.__b").cast("double")
+          / col("n_periods").cast("double"), 4).as("bridge_height"),
+        round((col("__best.__b").cast("double")
+            / col("n_periods").cast("double"))
+          / sqrt(col("total_n").cast("double")
+            / col("n_periods").cast("double")), 6).as("bridge_scaled"))
+  }
+
+  /** Day-of-week seasonal profile per group over a dense calendar:
+    * daily row counts (gap days are zeros — a silent Sunday IS part of
+    * the Sunday profile), the per-weekday mean, and how many days
+    * deviate from their weekday's mean by more than `sigma`·√mean
+    * (the Poisson-scaled anomaly screen).
+    *
+    * Exactness: weekday means are ratios of BIGINT sums; the anomaly
+    * predicate compares `|c − s/n|` against `sigma·√(s/n)` — every
+    * operand one correctly-rounded IEEE op from exact integers, so
+    * the flag is engine-deterministic. Weekday derives from the epoch
+    * day (`(epochDay + 3) mod 7`, 0 = Monday) — calendar-library-free
+    * and portable.
+    *
+    * Shape: rows collapse map-side to (group, day); the dense grid
+    * generates from a group-sized bounds frame; the weekday profile
+    * is a (groups × 7)-row aggregate broadcast back onto the day
+    * frame for flagging, then re-aggregated. The only data-sized
+    * stage is the first grouped count.
+    */
+  def seasonalProfile(
+      df: DataFrame, groupCol: String, dateCol: Column,
+      sigma: Double = 3.0): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val counts = df.select(col(groupCol).as("__g"),
+        datediff(dateCol.cast("date"), epoch).cast("long").as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+    val bounds = counts.groupBy("__g")
+      .agg(min("__p").as("__lo"), max("__p").as("__hi"))
+    val dense = bounds
+      .select(col("__g"), explode(sequence(col("__lo"), col("__hi")))
+        .as("__p"))
+      .join(counts, Seq("__g", "__p"), "left")
+      .select(col("__g"), col("__p"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+      .withColumn("__dow", pmod(col("__p") + 3, lit(7)))
+    val profile = dense.groupBy("__g", "__dow")
+      .agg(count(lit(1)).as("__nd"), sum("__c").as("__s"))
+    val mean = col("__s").cast("double") / col("__nd").cast("double")
+    val flagged = dense.join(broadcast(profile), Seq("__g", "__dow"))
+      .withColumn("__dev", abs(col("__c").cast("double") - mean))
+      .withColumn("__anom",
+        (col("__dev") > lit(sigma) * sqrt(mean)).cast("long"))
+    flagged.groupBy("__g", "__dow")
+      .agg(max(col("__nd")).as("n_days"), max(col("__s")).as("total"),
+        sum(col("__anom")).as("n_anomalies"),
+        max(col("__dev")).as("__maxdev"))
+      .select(col("__g").as(groupCol), col("__dow").as("dow"),
+        col("n_days"), col("total"),
+        round(col("total").cast("double")
+          / col("n_days").cast("double"), 4).as("dow_mean"),
+        col("n_anomalies"),
+        round(col("__maxdev"), 4).as("max_abs_residual"))
+  }
+
+  /** Weight-of-evidence / information-value report over a pre-binned
+    * feature — the classic scorecard screen: per bin, the smoothed
+    * log-odds of the positive class vs the population, and the bin's
+    * IV contribution; the total IV (the feature's screening score)
+    * rides every row.
+    *
+    * Binning is the CALLER's column (fixed-width, a hash, a lookup —
+    * anything shuffle-free); an equal-frequency cut would be a global
+    * sort window, exactly the shape the plan gate exists to block.
+    * Laplace smoothing (`smooth` added per bin, `smooth`·bins to each
+    * total) keeps one-class bins finite without dropping them.
+    *
+    * Exactness: counts are BIGINT; shares and the `ln` ratio are
+    * computed once per bin from exact integers. The IV total is a
+    * ≤bins-sized double sum rounded to 6 — the benford-chi² pattern.
+    *
+    * Shape: one map-side-combined grouped count to a bins-sized
+    * frame; totals are a one-row broadcast; everything after is
+    * bins-sized.
+    */
+  def binnedWoe(
+      df: DataFrame, binCol: Column, labelCol: Column,
+      smooth: Double = 0.5): DataFrame = {
+    val base = df.select(binCol.cast("long").as("bin"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("bin").isNotNull && col("__y").isNotNull)
+    val per = base.groupBy("bin")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"))
+    val tot = per.agg(sum("n_pos").as("__tp"), sum("n_neg").as("__tn"),
+      count(lit(1)).as("__nb"))
+    val ps = (col("n_pos").cast("double") + lit(smooth)) /
+      (col("__tp").cast("double") + lit(smooth) * col("__nb").cast("double"))
+    val ns = (col("n_neg").cast("double") + lit(smooth)) /
+      (col("__tn").cast("double") + lit(smooth) * col("__nb").cast("double"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("__woe", log(ps / ns))
+      .withColumn("__iv", (ps - ns) * col("__woe"))
+    val iv = scored.agg(sum("__iv").as("__ivt"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        round(col("__woe"), 6).as("woe"),
+        round(col("__iv"), 6).as("iv_term"),
+        round(col("__ivt"), 6).as("iv_total"))
+  }
+
+  /** Cohen's kappa inter-annotator agreement: the confusion matrix of
+    * two label columns plus chance-corrected agreement, computed as
+    * the exact integer ratio κ = (N·D − S) / (N² − S) where D is the
+    * diagonal count and S = Σₖ rowₖ·colₖ — ONE double division, no
+    * intermediate float probabilities.
+    *
+    * Output: one row per observed (label_a, label_b) cell with its
+    * count, plus the scalar columns (n, po, pe, kappa) repeated on
+    * every row — the benford-chi² shape, so the full matrix and the
+    * statistic travel in one frame.
+    *
+    * Shape: one grouped count to a K²-sized cell frame (map-side
+    * combined); margins and scalars aggregate from the cells, never
+    * re-scanning the data; K² is label-domain-bounded so every join
+    * is broadcast.
+    */
+  def cohenKappa(
+      df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val cells = df.select(labelA.cast("string").as("label_a"),
+        labelB.cast("string").as("label_b"))
+      .where(col("label_a").isNotNull && col("label_b").isNotNull)
+      .groupBy("label_a", "label_b").agg(count(lit(1)).as("n"))
+      .transform(graft.core.CacheScope.disk)
+    val rows = cells.groupBy("label_a").agg(sum("n").as("__r"))
+    val cols_ = cells.groupBy("label_b").agg(sum("n").as("__c"))
+    val chance = rows.join(cols_, col("label_a") === col("label_b"))
+      .agg(sum(col("__r") * col("__c")).as("__s"))
+    val scal = cells.agg(sum("n").as("__n"),
+        sum(when(col("label_a") === col("label_b"), col("n"))
+          .otherwise(0L)).as("__d"))
+      .crossJoin(broadcast(chance))
+      .select(col("__n"), col("__d"), coalesce(col("__s"), lit(0L)).as("__s"))
+    cells.crossJoin(broadcast(scal))
+      .select(col("label_a"), col("label_b"), col("n"),
+        col("__n").as("n_total"),
+        round(col("__d").cast("double") / col("__n").cast("double"), 6)
+          .as("po"),
+        round(col("__s").cast("double")
+          / (col("__n").cast("double") * col("__n").cast("double")), 6)
+          .as("pe"),
+        round((col("__n").cast("double") * col("__d").cast("double")
+            - col("__s").cast("double"))
+          / (col("__n").cast("double") * col("__n").cast("double")
+            - col("__s").cast("double")), 6).as("kappa"))
+  }
+
+  /** Categorical-association report between two columns: χ², Cramér's
+    * V, mutual information (nats), and both uncertainty coefficients
+    * (Theil's U) — the feature-redundancy screen run before one-hot
+    * explosion or leakage hunts.
+    *
+    * χ² uses the sparse identity χ² = N·(Σ_{n>0} n²/(r·c) − 1), so
+    * zero cells never need densifying — no distinct×distinct grid,
+    * no cross join, cost is observed-cell-sized. MI sums only over
+    * observed cells by definition. Entropies come from the margin
+    * frames. Every count is BIGINT; the double sums are cell-count-
+    * sized and rounded (benford-chi² pattern).
+    *
+    * Shape: one grouped count to the cell frame, margins aggregate
+    * from it, cells join margins on their labels (broadcast — margins
+    * are domain-sized), scalars ride one-row broadcasts. One data-
+    * sized shuffle total.
+    */
+  def associationReport(
+      df: DataFrame, colA: Column, colB: Column): DataFrame = {
+    val cells = df.select(colA.cast("string").as("__a"),
+        colB.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .transform(graft.core.CacheScope.disk)
+    val ra = cells.groupBy("__a").agg(sum("__n").as("__r"))
+      .transform(graft.core.CacheScope.disk)
+    val cb = cells.groupBy("__b").agg(sum("__n").as("__c"))
+      .transform(graft.core.CacheScope.disk)
+    val n = cells.agg(sum("__n").as("__tt"),
+      count(lit(1)).as("__cells"))
+    val nA = ra.agg(count(lit(1)).as("__ra"))
+    val nB = cb.agg(count(lit(1)).as("__cb"))
+    val joined = cells
+      .join(broadcast(ra), Seq("__a"))
+      .join(broadcast(cb), Seq("__b"))
+      .crossJoin(broadcast(n))
+    val nD = col("__n").cast("double")
+    val ND = col("__tt").cast("double")
+    val rD = col("__r").cast("double")
+    val cD = col("__c").cast("double")
+    val sums = joined.agg(
+      sum(nD * nD / (rD * cD)).as("__chiTerm"),
+      sum((nD / ND) * log(nD * ND / (rD * cD))).as("__mi"))
+    val hA = ra.crossJoin(broadcast(n))
+      .agg(sum((col("__r").cast("double") / col("__tt").cast("double"))
+        * log(col("__tt").cast("double") / col("__r").cast("double")))
+        .as("__ha"))
+    val hB = cb.crossJoin(broadcast(n))
+      .agg(sum((col("__c").cast("double") / col("__tt").cast("double"))
+        * log(col("__tt").cast("double") / col("__c").cast("double")))
+        .as("__hb"))
+    n.crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+      .crossJoin(broadcast(sums))
+      .crossJoin(broadcast(hA)).crossJoin(broadcast(hB))
+      .select(col("__tt").as("n"), col("__ra").as("levels_a"),
+        col("__cb").as("levels_b"),
+        round(ND * (col("__chiTerm") - lit(1.0)), 4).as("chi2"),
+        round(sqrt((col("__chiTerm") - lit(1.0))
+          / (least(col("__ra"), col("__cb")) - lit(1L)).cast("double")), 6)
+          .as("cramers_v"),
+        round(col("__mi"), 6).as("mi_nats"),
+        round(col("__mi") / col("__ha"), 6).as("u_a_given_b"),
+        round(col("__mi") / col("__hb"), 6).as("u_b_given_a"))
+  }
+
+  /** Isotonic (monotone non-decreasing) calibration over pre-binned
+    * scores, per group — pool-adjacent-violators WITHOUT the
+    * sequential pooling loop: the min-max identity
+    * `iso_i = max_{k≤i} min_{j≥i} avg(k..j)` over interval averages
+    * of prefix sums. O(B³) arithmetic per group in one expression —
+    * distributed PAV with no driver round-trips, exact because every
+    * interval average is ONE division of BIGINT prefix-sum
+    * differences and min/max over those doubles is order-free.
+    *
+    * Binning is the CALLER's column (same contract as [[binnedWoe]]).
+    * Bin count per group is guarded by `maxBins` (default 256:
+    * ≤ 2^24 multiplies per group, sub-second; calibration bins in
+    * practice are ≤ 100) via the kaplanMeier raise_error pattern.
+    *
+    * Shape: one map-side-combined grouped count to a (group × bin)
+    * frame, one sorted array per group, pure expression arithmetic,
+    * posexplode back to rows. The only data-sized stage is the first
+    * count.
+    */
+  def isotonicCalibration(
+      df: DataFrame, groupCol: String, binCol: Column,
+      labelCol: Column, maxBins: Int = 256): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        binCol.cast("long").as("__b"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__b").isNotNull && col("__y").isNotNull)
+    val bins = base.groupBy("__g", "__b")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    val grouped = bins.groupBy("__g")
+      .agg(sort_array(collect_list(struct(col("__b"), col("__n"),
+        col("__p")))).as("__rows"))
+      .withColumn("__rows",
+        when(size(col("__rows")) > maxBins,
+          raise_error(lit("isotonicCalibration: bins per group " +
+            "exceed maxBins; coarsen the binning")).cast(
+            "array<struct<__b:bigint,__n:bigint,__p:bigint>>"))
+          .otherwise(col("__rows")))
+      .withColumn("__len", size(col("__rows")))
+    // prefix sums with a leading 0 so element_at(cp, k) = cp_{k-1}
+    // under 1-based k (the interval (k..j) average needs cp_j − cp_{k−1})
+    def prefix(field: String) = concat(array(lit(0L)),
+      transform(sequence(lit(1), col("__len")), i =>
+        aggregate(slice(col("__rows").getField(field), lit(1), i),
+          lit(0L), (acc, x) => acc + x)))
+    val withPrefix = grouped
+      .withColumn("__cn", prefix("__n"))
+      .withColumn("__cp", prefix("__p"))
+    val iso = transform(sequence(lit(1), col("__len")), i =>
+      array_max(transform(sequence(lit(1), i), k =>
+        array_min(transform(sequence(i, col("__len")), j =>
+          (element_at(col("__cp"), j + 1) - element_at(col("__cp"), k))
+            .cast("double")
+            / (element_at(col("__cn"), j + 1) - element_at(col("__cn"), k))
+            .cast("double"))))))
+    withPrefix.withColumn("__iso", iso)
+      .select(col("__g"), posexplode(col("__rows")).as(Seq("__i", "__r")),
+        col("__iso"))
+      .select(col("__g").as(groupCol), col("__r.__b").as("bin"),
+        col("__r.__n").as("n"), col("__r.__p").as("n_pos"),
+        round(col("__r.__p").cast("double")
+          / col("__r.__n").cast("double"), 6).as("raw_rate"),
+        round(element_at(col("__iso"), col("__i") + 1), 6)
+          .as("iso_rate"))
+  }
+
+  /** Simpson's-paradox screen: a binary-cohort rate difference
+    * overall vs within every stratum, flagging strata whose
+    * difference REVERSES the aggregate's sign — the aggregation-
+    * reversal audit run before any cohort comparison ships.
+    *
+    * Exactness: rates are ratios of BIGINT counts (one division
+    * each); the reversal flag multiplies two exact differences'
+    * signs. Strata where either cohort is empty report null rates
+    * and flag 0 (no evidence, not a reversal).
+    *
+    * Shape: one map-side-combined grouped count per stratum plus one
+    * ungrouped aggregate for the overall row (a one-row broadcast
+    * cross join — the plan gate's allowed scalar shape). One scan,
+    * one shuffle.
+    */
+  def simpsonScreen(
+      df: DataFrame, cohortCol: Column, stratumCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.select(cohortCol.cast("boolean").as("__a"),
+        stratumCol.cast("string").as("__s"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__a").isNotNull && col("__y").isNotNull &&
+        col("__s").isNotNull)
+    val aggs = Seq(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__a") && col("__y"), 1L).otherwise(0L)).as("pos_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__a") && col("__y"), 1L).otherwise(0L)).as("pos_b"))
+    val strata = base.groupBy(col("__s")).agg(aggs.head, aggs.tail: _*)
+    val overall = base.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_a").as("__ona"), col("pos_a").as("__opa"),
+        col("n_b").as("__onb"), col("pos_b").as("__opb"))
+    def rate(p: Column, n: Column) =
+      when(n > 0, p.cast("double") / n.cast("double"))
+    val joined = strata.crossJoin(broadcast(overall))
+      .withColumn("__ra", rate(col("pos_a"), col("n_a")))
+      .withColumn("__rb", rate(col("pos_b"), col("n_b")))
+      .withColumn("__ora", rate(col("__opa"), col("__ona")))
+      .withColumn("__orb", rate(col("__opb"), col("__onb")))
+      .withColumn("__d", col("__ra") - col("__rb"))
+      .withColumn("__od", col("__ora") - col("__orb"))
+    joined.select(col("__s").as("stratum"),
+      col("n_a"), col("pos_a"), col("n_b"), col("pos_b"),
+      round(col("__ra"), 6).as("rate_a"),
+      round(col("__rb"), 6).as("rate_b"),
+      round(col("__d"), 6).as("diff"),
+      round(col("__od"), 6).as("overall_diff"),
+      coalesce((col("__d") * col("__od") < 0).cast("int"), lit(0))
+        .as("reversal"))
+  }
+
+  /** Hash-randomization test for a two-cohort mean difference: R
+    * deterministic pseudo-random relabelings of the per-unit values
+    * (md5-keyed Bernoulli assignment — the approximate permutation
+    * test, group sizes free, the standard large-sample variant), the
+    * observed difference's rank among them, and the resulting
+    * p-value (1 + #extreme)/(R_valid + 1).
+    *
+    * Determinism across engines: assignment is
+    * `int(md5(salt:r:unit)[0:8], 16) mod 2` — the Carter-Wegman md5
+    * pattern every dedup family here uses, byte-identical in any
+    * engine with md5. Per-replica means divide exact BIGINT sums
+    * once; the extremeness comparison compares identically-built
+    * doubles. Replicas that draw an empty side are excluded from
+    * both numerator and denominator (`r_valid`).
+    *
+    * Shape: units collapse map-side to one row each (data-sized);
+    * the replica frame is units × R (the documented cost — R
+    * bounds it, default 199) aggregating straight down to R rows.
+    * No global sort, no window.
+    */
+  def permutationTest(
+      df: DataFrame, unitCol: Column, valueCol: Column,
+      cohortCol: Column, replicas: Int = 199,
+      salt: String = "perm"): DataFrame = {
+    val units = df.select(unitCol.cast("string").as("__u"),
+        valueCol.cast("long").as("__v"),
+        cohortCol.cast("boolean").as("__a"))
+      .where(col("__u").isNotNull && col("__a").isNotNull)
+      .groupBy("__u", "__a").agg(sum("__v").as("__v"))
+    val obs = units.agg(
+        sum(when(col("__a"), col("__v")).otherwise(0L)).as("__sa"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__a"), col("__v")).otherwise(0L)).as("__sb"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
+      .select(col("__na"), col("__nb"),
+        (col("__sa").cast("double") / col("__na").cast("double")
+          - col("__sb").cast("double") / col("__nb").cast("double"))
+          .as("__obs"))
+    val assigned = units
+      .select(col("__u"), col("__v"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .withColumn("__flip",
+        conv(substring(md5(concat_ws(":", lit(salt), col("__r"),
+          col("__u"))), 1, 8), 16, 10).cast("long") % 2)
+    val perReplica = assigned.groupBy("__r")
+      .agg(sum(when(col("__flip") === 0, col("__v")).otherwise(0L))
+          .as("__sa"),
+        sum(when(col("__flip") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__flip") === 1, col("__v")).otherwise(0L))
+          .as("__sb"),
+        sum(when(col("__flip") === 1, 1L).otherwise(0L)).as("__nb"))
+      .where(col("__na") > 0 && col("__nb") > 0)
+      .select((col("__sa").cast("double") / col("__na").cast("double")
+        - col("__sb").cast("double") / col("__nb").cast("double"))
+        .as("__d"))
+    val tally = perReplica.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("r_valid"),
+        sum((abs(col("__d")) >= abs(col("__obs"))).cast("long"))
+          .as("n_extreme"))
+    obs.crossJoin(broadcast(tally))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__obs"), 4).as("obs_diff"),
+        col("r_valid"), col("n_extreme"),
+        round((col("n_extreme").cast("double") + lit(1.0))
+          / (col("r_valid").cast("double") + lit(1.0)), 6)
+          .as("p_value"))
+  }
+
+  /** Cumulative Poisson(1) CDF thresholds scaled to 32-bit integer
+    * space: weight = #{k : u ≥ T_k} for a 32-bit md5 uniform u — the
+    * Poisson-bootstrap draw as PURE INTEGER comparisons (no float
+    * compare, no RNG state). Interpolated verbatim into the SQL
+    * oracle so both engines draw identical weights.
+    */
+  private[graft] val poissonThresholds: Seq[Long] =
+    (0 to 8).map { k =>
+      val cdf = (0 to k).map { i =>
+        var fi = 1.0; (1 to i).foreach(j => fi *= j)
+        math.exp(-1.0) / fi
+      }.sum
+      (cdf * 4294967296.0).toLong
+    }
+
+  /** Poisson bootstrap confidence interval for a pooled ratio metric
+    * (Σnum/Σden — revenue per order, CTR, cost per token): R
+    * deterministic replicates where each unit's weight is a
+    * Poisson(1) draw keyed by md5(salt:r:unit) — the bootstrap that
+    * needs NO resampling shuffle (Chamandy et al., "Estimating
+    * uncertainty for massive data streams"), so it runs as one
+    * R-fan-out aggregation at any scale.
+    *
+    * Determinism: weights are integer threshold-counts over the
+    * 32-bit md5 value ([[poissonThresholds]] — no float compare);
+    * each replicate's ratio is ONE division of exact BIGINT weighted
+    * sums; the CI bounds are order statistics of the sorted replicate
+    * array picked by exact integer index (ceil(α/2·R)), and the
+    * bootstrap mean folds the SORTED array so even its rounding is
+    * engine-identical. Zero-denominator replicates drop from the
+    * order statistics (`r_valid` reports the survivors).
+    *
+    * Shape: units collapse map-side; the replica frame is units × R
+    * (the documented, R-bounded cost) aggregating straight to R
+    * rows; the final fold is one ≤R-element array. R ≤ 999 guard
+    * keeps the array driver-friendly.
+    */
+  def bootstrapRatioCI(
+      df: DataFrame, unitCol: Column, numCol: Column, denCol: Column,
+      replicas: Int = 199, alpha: Double = 0.05,
+      salt: String = "boot"): DataFrame = {
+    require(replicas >= 19 && replicas <= 999,
+      "replicas must be in [19, 999]")
+    require(alpha > 0 && alpha < 0.5, "alpha must be in (0, 0.5)")
+    val units = df.select(unitCol.cast("string").as("__u"),
+        numCol.cast("long").as("__num"), denCol.cast("long").as("__den"))
+      .where(col("__u").isNotNull)
+      .groupBy("__u")
+      .agg(sum("__num").as("__num"), sum("__den").as("__den"))
+    val obs = units.agg(sum("__num").as("__tn"), sum("__den").as("__td"),
+        count(lit(1)).as("__nu"))
+      .select(col("__nu"), (col("__tn").cast("double")
+        / col("__td").cast("double")).as("__obs"))
+    val u32 = conv(substring(md5(concat_ws(":", lit(salt), col("__r"),
+      col("__u"))), 1, 8), 16, 10).cast("long")
+    val weight = poissonThresholds
+      .map(t => when(u32 >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val perReplica = units
+      .select(col("__u"), col("__num"), col("__den"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .withColumn("__w", weight)
+      .groupBy("__r")
+      .agg(sum(col("__w") * col("__num")).as("__wn"),
+        sum(col("__w") * col("__den")).as("__wd"))
+      .where(col("__wd") > 0)
+      .select((col("__wn").cast("double") / col("__wd").cast("double"))
+        .as("__ratio"))
+    val folded = perReplica
+      .agg(sort_array(collect_list(col("__ratio"))).as("__rs"))
+      .select(col("__rs"), size(col("__rs")).as("__rv"))
+      .withColumn("__lo", greatest(
+        ceil(lit(alpha / 2) * col("__rv")).cast("int"), lit(1)))
+      .withColumn("__hi",
+        ceil(lit(1.0 - alpha / 2) * col("__rv")).cast("int"))
+    obs.crossJoin(broadcast(folded))
+      .select(col("__nu").as("n_units"),
+        col("__rv").cast("long").as("r_valid"),
+        round(col("__obs"), 6).as("obs_ratio"),
+        round(aggregate(col("__rs"), lit(0.0), (a, x) => a + x)
+          / col("__rv").cast("double"), 6).as("boot_mean"),
+        round(element_at(col("__rs"), col("__lo")), 6).as("ci_lo"),
+        round(element_at(col("__rs"), col("__hi")), 6).as("ci_hi"))
+  }
+
+  /** Wilson score interval per group — the small-sample-honest
+    * confidence bounds for a conversion/defect/success RATE (the
+    * Wald ±z√(p(1−p)/n) interval collapses to zero width at p∈{0,1}
+    * and goes negative near the edges; Wilson is the standard fix a
+    * rate dashboard should ship). Per group: trials, successes, the
+    * raw rate, and the z-score interval
+    * `(p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)`.
+    *
+    * Cross-engine exactness: the formula uses only +, −, ×, ÷ and
+    * `sqrt` — ALL correctly-rounded IEEE-754 core operations — over
+    * values derived from exact integer counts, so engine and oracle
+    * produce bit-identical doubles with no quantization step needed
+    * (`pow`/`ln`, which are NOT correctly rounded, never appear; the
+    * [[graft.dedup.Dedup.lshPlan]] argument). One map-side-combined
+    * grouped count; output is group-domain-sized.
+    *
+    * Returns `(groupCols…, n, successes, rate, wilson_lo, wilson_hi)`
+    * rounded to 6; zero-trial groups cannot occur (a group exists only
+    * through its rows).
+    */
+  def wilsonRates(
+      df: DataFrame, groupCols: Seq[String], success: Column,
+      z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(z > 0, "z must be positive")
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    g.select(groupCols.map(col) ++ Seq(
+      col("n"), col("successes"),
+      round(p, 6).as("rate"),
+      round((center - half) / denom, 6).as("wilson_lo"),
+      round((center + half) / denom, 6).as("wilson_hi")): _*)
+  }
+
+  /** Empirical-Bayes (beta-binomial) rate shrinkage — the fix for
+    * ranking groups by a rate when group sizes vary wildly: a 2/2
+    * seller must not outrank a 950/1000 one. A Beta(α, β) prior is
+    * fit to the BETWEEN-group rate spread by method of moments
+    * (`α+β = m(1−m)/v − 1`), and each group's estimate shrinks toward
+    * the prior mean by exactly as much as its evidence is thin:
+    * `(s + α)/(n + α + β)`.
+    *
+    * Determinism: group counts are exact integers; the prior moments
+    * fold the SORTED rate array (collect to one group-domain-sized
+    * array, `sort_array`, then a sequential `aggregate` fold — the
+    * [[bootstrapRatioCI]] treatment), so even the float summation
+    * order is pinned and an oracle replays it with the same left
+    * fold. The collect is bounded by the GROUP DOMAIN (a rate table,
+    * never row data). Degenerate priors fall back loudly-by-value:
+    * v = 0 (all rates equal) or a non-positive `α+β` (spread wider
+    * than binomial allows — MoM invalid) yield null shrunk rates and
+    * a zero `prior_strength`, leaving raw rates authoritative.
+    *
+    * Returns `(group, n, successes, rate, shrunk_rate, prior_mean,
+    * prior_strength)` rounded to 6.
+    */
+  def ebShrinkRates(
+      df: DataFrame, groupCol: String, success: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+      .transform(graft.core.CacheScope.disk)
+    val rates = g.select(
+      (col("successes").cast("double") / col("n").cast("double"))
+        .as("__p"))
+    val prior = rates
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .select(col("__ps"), size(col("__ps")).as("__k"))
+      .withColumn("__m",
+        aggregate(col("__ps"), lit(0.0), (a, x) => a + x)
+          / col("__k").cast("double"))
+      .withColumn("__v",
+        when(col("__k") < 2, lit(0.0)).otherwise(
+          aggregate(col("__ps"), lit(0.0),
+            (a, x) => a + (x - col("__m")) * (x - col("__m")))
+            / (col("__k") - 1).cast("double")))
+      .withColumn("__s",
+        when(col("__v") > 0,
+          col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0)
+          .otherwise(lit(null).cast("double")))
+      .select(col("__m"), when(col("__s") > 0, col("__s")).as("__s"))
+    g.crossJoin(broadcast(prior))
+      .select(col("group"), col("n"), col("successes"),
+        round(col("successes").cast("double") / col("n").cast("double"),
+          6).as("rate"),
+        round((col("successes").cast("double") + col("__s") * col("__m"))
+          / (col("n").cast("double") + col("__s")), 6).as("shrunk_rate"),
+        round(col("__m"), 6).as("prior_mean"),
+        round(coalesce(col("__s"), lit(0.0)), 6).as("prior_strength"))
+  }
+
+  /** Qini uplift curve over caller-supplied score bins: per bin
+    * (descending score), treated/control counts and responders, the
+    * bin's uplift, and the cumulative Qini coefficient
+    * Q_k = Rt_k − Rc_k·(Nt_k/Nc_k) — the incremental-response audit
+    * a targeting model ships with.
+    *
+    * Bins are the caller's shuffle-free column (the [[binnedWoe]]
+    * contract); cumulative sums run as ONE sorted-array fold per the
+    * kaplanMeier pattern (no unpartitioned window — the plan-gate
+    * shape), guarded by `maxBins`. Counts are BIGINT; uplift and
+    * Qini divide once per row.
+    */
+  def qiniCurve(
+      df: DataFrame, binCol: Column, treatedCol: Column,
+      labelCol: Column, maxBins: Int = 256): DataFrame = {
+    val base = df.select(binCol.cast("long").as("__b"),
+        treatedCol.cast("boolean").as("__t"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__b").isNotNull && col("__t").isNotNull &&
+        col("__y").isNotNull)
+    val bins = base.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+      sum(when(col("__t") && col("__y"), 1L).otherwise(0L)).as("__rt"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+      sum(when(!col("__t") && col("__y"), 1L).otherwise(0L)).as("__rc"))
+    val grouped = bins
+      .agg(sort_array(collect_list(struct((col("__b") * -1).as("__nb"),
+        col("__b"), col("__nt"), col("__rt"), col("__nc"), col("__rc"))))
+        .as("__rows"))
+      .withColumn("__rows",
+        when(size(col("__rows")) > maxBins,
+          raise_error(lit("qiniCurve: bins exceed maxBins; coarsen " +
+            "the binning")).cast("array<struct<__nb:bigint," +
+            "__b:bigint,__nt:bigint,__rt:bigint,__nc:bigint," +
+            "__rc:bigint>>"))
+          .otherwise(col("__rows")))
+    def prefix(field: String) =
+      transform(sequence(lit(1), size(col("__rows"))), i =>
+        aggregate(slice(col("__rows").getField(field), lit(1), i),
+          lit(0L), (acc, x) => acc + x))
+    val withCums = grouped
+      .withColumn("__cnt", prefix("__nt"))
+      .withColumn("__crt", prefix("__rt"))
+      .withColumn("__cnc", prefix("__nc"))
+      .withColumn("__crc", prefix("__rc"))
+    def at(c: String) = element_at(col(c), col("__i") + 1)
+    withCums
+      .select(posexplode(col("__rows")).as(Seq("__i", "__row")),
+        col("__cnt"), col("__crt"), col("__cnc"), col("__crc"))
+      .select(col("__row.__b").as("bin"),
+        col("__row.__nt").as("n_treated"),
+        col("__row.__rt").as("r_treated"),
+        col("__row.__nc").as("n_control"),
+        col("__row.__rc").as("r_control"),
+        round(when(col("__row.__nt") > 0 && col("__row.__nc") > 0,
+          col("__row.__rt").cast("double")
+            / col("__row.__nt").cast("double")
+          - col("__row.__rc").cast("double")
+            / col("__row.__nc").cast("double")), 6).as("uplift"),
+        round(when(at("__cnc") > 0,
+          at("__crt").cast("double") - at("__crc").cast("double")
+            * (at("__cnt").cast("double") / at("__cnc").cast("double"))),
+          4).as("cum_qini"))
+  }
+
+  /** Disparate-impact (four-fifths rule) audit: per group, the
+    * positive-outcome rate and its ratio to the most-favored group's
+    * rate, with the EEOC 80 % flag decided by EXACT cross-
+    * multiplication — `5·p_g·N < 4·P·n_g` over BIGINTs, so a group
+    * sitting on the boundary can't flip with the engine's float
+    * rounding. The most-favored group is the micro-quantized rate
+    * argmax (ties to the smaller group name) and rides a one-row
+    * broadcast.
+    *
+    * Shape: one map-side-combined grouped count + one bounded argmax
+    * aggregate; everything after is group-count-sized. Empty-group
+    * division can't occur (groups come from observed rows).
+    */
+  def disparateImpact(
+      df: DataFrame, groupCol: String, labelCol: Column): DataFrame = {
+    val per = df.select(col(groupCol).cast("string").as("__g"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__g").isNotNull && col("__y").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      .transform(graft.core.CacheScope.disk)
+    val withRm = per.withColumn("__rm",
+      floor(lit(1000000L) * col("n_pos").cast("double")
+        / col("n").cast("double")).cast("long"))
+    val mx = withRm.agg(max("__rm").as("__mx"))
+    val best = withRm.crossJoin(broadcast(mx))
+      .where(col("__rm") === col("__mx"))
+      .agg(min_by(struct(col("n").as("bn"), col("n_pos").as("bp")),
+        col("__g")).as("__b"))
+      .select(col("__b.bn").as("__bn"), col("__b.bp").as("__bp"))
+    per.crossJoin(broadcast(best))
+      .select(col("__g").as(groupCol), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        round((col("n_pos").cast("double") * col("__bn").cast("double"))
+          / (col("n").cast("double") * col("__bp").cast("double")), 6)
+          .as("impact_ratio"),
+        (lit(5L) * col("n_pos") * col("__bn") <
+          lit(4L) * col("__bp") * col("n")).cast("int")
+          .as("four_fifths_flag"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust a per-unit
+    * experiment metric by its pre-period covariate,
+    * ŷ = ȳ_arm − θ·(x̄_arm − x̄), θ = cov(x,y)/var(x) pooled — the
+    * standard A/B sensitivity lift; ρ² is the variance removed.
+    *
+    * Determinism: every moment (Σx, Σy, Σx², Σy², Σxy, n) is an exact
+    * BIGINT from integer-valued unit metrics — the caller's Int64
+    * contract: pick units (cents, dollars) so Σx·y fits long — and θ,
+    * ρ², and the adjusted means are fixed arithmetic over those longs
+    * (long→double conversion is correctly rounded, so any engine
+    * computing the same shapes from the same longs agrees bit-for-
+    * bit). No order-dependent float summation anywhere.
+    *
+    * Shape: ONE ungrouped aggregate (pooled moments, one-row
+    * broadcast) + one per-arm aggregate off the same scan shape.
+    * Degenerate var(x) = 0 reports null θ/adjusted means rather than
+    * an IEEE artifact.
+    */
+  def cuped(
+      df: DataFrame, cohortCol: Column, preCol: Column,
+      postCol: Column): DataFrame = {
+    val base = df.select(cohortCol.cast("boolean").as("__a"),
+        preCol.cast("long").as("__x"), postCol.cast("long").as("__y"))
+      .where(col("__a").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+    val pooled = base.agg(count(lit(1)).as("__n"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val arms = base.groupBy(col("__a"))
+      .agg(count(lit(1)).as("n"), sum("__x").as("__ax"),
+        sum("__y").as("__ay"))
+    val nD = col("__n").cast("double")
+    // NB: continuation lines must not START with the minus (Scala's
+    // semicolon inference would end the expression at the line break
+    // and silently discard the subtraction)
+    val covN = (nD * col("__sxy").cast("double")) -
+      (col("__sx").cast("double") * col("__sy").cast("double"))
+    val varXN = (nD * col("__sxx").cast("double")) -
+      (col("__sx").cast("double") * col("__sx").cast("double"))
+    val varYN = (nD * col("__syy").cast("double")) -
+      (col("__sy").cast("double") * col("__sy").cast("double"))
+    val theta = when(varXN > 0, covN / varXN)
+    val joined = arms.crossJoin(broadcast(pooled))
+      .withColumn("__theta", theta)
+      .withColumn("__mx", col("__ax").cast("double") / col("n").cast("double"))
+      .withColumn("__my", col("__ay").cast("double") / col("n").cast("double"))
+      .withColumn("__gx", col("__sx").cast("double") / nD)
+    joined.select(col("__a").cast("int").as("cohort"),
+      col("n"),
+      round(col("__mx"), 4).as("mean_pre"),
+      round(col("__my"), 4).as("mean_post"),
+      round(col("__my") - col("__theta") * (col("__mx") - col("__gx")), 4)
+        .as("adjusted_mean"),
+      round(col("__theta"), 6).as("theta"),
+      round(when(varXN > 0 && varYN > 0,
+        (covN * covN) / (varXN * varYN)), 6).as("rho2"))
+  }
+
+  /** Theil-T inequality index with exact within/between
+    * decomposition — the concentration reading q89's Gini can't
+    * give: Theil is ADDITIVELY DECOMPOSABLE, `T = Σ_g s_g·T_g +
+    * T_between` (s_g the group's value share), so the table answers
+    * "is spend concentration a within-segment phenomenon or a
+    * between-segment one" exactly — the question a mixture-rebalance
+    * or key-salting decision actually needs.
+    *
+    * Exactness: values arrive as caller-quantized integer units;
+    * every ratio inside a ln is exact (`x/μ_g = x·n_g/S_g`,
+    * `s_g/p_g = S_g·n / (S·n_g)` — HUGEINT/DECIMAL products, one
+    * double division), each per-row / per-group term is
+    * floor-nano-quantized BEFORE its sum (the order-free
+    * integer-aggregation treatment), and the reported identity
+    * `T_total = Σ s_g·T_g + T_between` is checked by construction:
+    * `theil` on the total row IS that sum of quantized parts, so the
+    * decomposition is exact to the artifact, not to float luck.
+    * Non-positive values are excluded (ln domain — Theil is defined
+    * on positive quantities); the excluded count is visible as
+    * n-vs-input-rows.
+    *
+    * Scale shape: one grouped sum (map-side combined), per-row terms
+    * against broadcast group moments, one more grouped sum;
+    * between-group terms are group-domain-sized. Output: one row per
+    * group plus a `__total__` row carrying the decomposition.
+    *
+    * Returns `(group, n, value_sum, theil, theil_between,
+    * theil_within_weighted)` — the last two null except on
+    * `__total__`.
+    */
+  def theilDecomposition(
+      df: DataFrame, groupCol: String, valueCents: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = df
+      .select(col(groupCol).cast("string").as("__g"),
+        valueCents.cast("long").as("__x"))
+      .where(col("__x").isNotNull && col("__x") > 0 &&
+        col("__g").isNotNull)
+      .transform(graft.core.CacheScope.disk)
+    val grp = rows.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+      .transform(graft.core.CacheScope.disk)
+    val tot = grp.agg(sum(col("__n")).as("__nt"), sum(col("__s")).as("__st"))
+    // per-row term of T_g: (x/μ_g)·ln(x/μ_g), μ_g = S_g/n_g — the
+    // ratio exact as x·n_g/S_g
+    val r = (dec(col("__x")) * dec(col("__n"))).cast("double") /
+      col("__s").cast("double")
+    val withinNano = rows.join(grp, Seq("__g"))
+      .select(col("__g"),
+        floor(r * log(r) * lit(1000000000.0)).cast("long").as("__t"))
+      .groupBy("__g").agg(sum(col("__t")).as("__w_nano"))
+    val per = grp.join(withinNano, Seq("__g"))
+      .crossJoin(broadcast(tot))
+      .transform(graft.core.CacheScope.disk)
+    // T_g = (Σ terms)/n_g; group share s_g = S_g/S; between term =
+    // s_g·ln(s_g/p_g) with s_g/p_g = S_g·n/(S·n_g) exact
+    val tg = (col("__w_nano").cast("double") / 1000000000.0) /
+      col("__n").cast("double")
+    val sg = col("__s").cast("double") / col("__st").cast("double")
+    val ratio = (dec(col("__s")) * dec(col("__nt"))).cast("double") /
+      (dec(col("__st")) * dec(col("__n"))).cast("double")
+    val parts = per.select(col("__g"),
+      col("__n"), col("__s"),
+      floor(sg * tg * lit(1000000000.0)).cast("long").as("__sw_nano"),
+      floor(sg * log(ratio) * lit(1000000000.0)).cast("long")
+        .as("__b_nano"),
+      round(tg, 6).as("theil"))
+    val groupsOut = parts.select(col("__g").as(groupCol),
+      col("__n").as("n"), col("__s").as("value_sum"), col("theil"),
+      lit(null).cast("double").as("theil_between"),
+      lit(null).cast("double").as("theil_within_weighted"))
+    val totalOut = parts
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("value_sum"),
+        sum(col("__sw_nano")).as("__sw"), sum(col("__b_nano")).as("__b"))
+      .select(lit("__total__").as(groupCol), col("n"), col("value_sum"),
+        round((col("__sw") + col("__b")).cast("double") / 1000000000.0,
+          6).as("theil"),
+        round(col("__b").cast("double") / 1000000000.0, 6)
+          .as("theil_between"),
+        round(col("__sw").cast("double") / 1000000000.0, 6)
+          .as("theil_within_weighted"))
+    groupsOut.unionByName(totalOut)
+  }
+
+  /** Gini concentration index per group — the bounded-[0,1) sibling
+    * of [[theilDecomposition]] (and the Lorenz-curve summary behind
+    * the q190 HHI shelf): for each group, `G = (2·Σᵢ i·xᵢ −
+    * (n+1)·Σx) / (n·Σx)` over the values sorted ascending within the
+    * group (1-based index `i`). The index form is exactly the mean
+    * absolute difference / 2μ identity, but computable in one ranked
+    * pass instead of an O(n²) pair join.
+    *
+    * Exactness: values are caller-quantized integers (`valueCents`);
+    * the per-group sorted index comes from [[rankByRange]] (the
+    * two-pass range-partitioned rank — no single-task per-group
+    * window sort, the q180/q212 scale shape) ordered by `(value,
+    * id)`; `Σ i·x` is invariant under permutations of tied values,
+    * so the id tie-break only pins run-to-run determinism of the
+    * intermediate, not the result. Numerator and denominator are
+    * exact DECIMAL(38,0) products of BIGINT aggregates (the
+    * joinSizeForecast overflow treatment); the ONE double step is
+    * the final division before `round(…, 6)` — cross-engine
+    * reproducible since both engines round the same exact integers
+    * to nearest double.
+    *
+    * Contract: negative and null values and null groups are
+    * excluded; zeros participate (they stretch the Lorenz curve —
+    * excluding them would understate concentration). A group whose
+    * value sum is 0 gets a null gini (undefined, not 0). Output is
+    * group-domain-sized: (groupCol, n, value_sum, gini).
+    *
+    * Scale shape: one rank (two range exchanges + broadcast-sized
+    * offset join, from rankByRange) + one grouped aggregate with
+    * map-side combine. No per-row windows, no collects.
+    */
+  def giniConcentration(
+      df: DataFrame, groupCol: String, valueCents: Column,
+      idCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = df
+      .select(col(groupCol).cast("string").as("__g"),
+        valueCents.cast("long").as("__x"), idCol.as("__gid"))
+      .where(col("__x").isNotNull && col("__x") >= 0 &&
+        col("__g").isNotNull)
+    val ranked = rankByRange(rows, Seq("__g"),
+      Seq(col("__x").asc, col("__gid").asc), "__i")
+    ranked.groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("value_sum"),
+        sum(dec(col("__i")) * dec(col("__x"))).as("__sxr"))
+      .select(col("__g").as(groupCol), col("n"), col("value_sum"),
+        when(col("value_sum") > 0,
+          round(
+            (dec(lit(2)) * col("__sxr") -
+              dec(col("n") + 1) * dec(col("value_sum"))).cast("double") /
+            (dec(col("n")) * dec(col("value_sum"))).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("gini"))
+  }
+
+  /** Split-conformal prediction bands with held-out coverage — the
+    * distribution-free uncertainty wrapper every "predict a number"
+    * pipeline should ship with: on a CALIBRATION split, residuals
+    * against a per-group mean predictor; the band half-width `q̂` is
+    * the `⌈(n+1)(1−α)⌉`-th smallest calibration residual (the
+    * finite-sample-valid split-conformal quantile — NOT the naive
+    * (1−α) empirical quantile, whose coverage undershoots); on the
+    * TEST split, the fraction of rows whose residual ≤ q̂ — which
+    * conformal theory guarantees ≥ 1−α in expectation, and the
+    * table verifies empirically per group.
+    *
+    * Exactness: values are quantized by the CALLER to integer units
+    * (`valueCents`), the predictor is the calibration-group integer
+    * mean (`Σ div n` — positive floor division, the labelNoiseScreen
+    * contract), residuals are exact BIGINTs, the order statistic is
+    * "smallest residual with cumulative count ≥ k" over the
+    * per-distinct-residual cumulative shape (the ksTest machinery —
+    * bounded by distinct residual values, never a per-row window),
+    * and `k = ⌈(n+1)(1000−alphaMilli)/1000⌉` in pure integer ceiling
+    * division. Coverage is one double division of exact counts.
+    * Everything cross-engine bit-identical.
+    *
+    * A group whose calibration is too small (`k > n`) has an
+    * INFINITE conformal band — q̂ and coverage are null and
+    * `degenerate = 1` (the honest answer; clamping to the max
+    * residual would claim coverage the theory doesn't give). Groups
+    * present only in test are absent (no predictor).
+    *
+    * Scale shape: two grouped aggregates (means, then residual
+    * counts, map-side combined), one group-partitioned running sum
+    * over distinct residuals, broadcast q̂ per group, one test-side
+    * count. Output is group-domain-sized.
+    *
+    * Returns `(group…, n_cal, n_test, pred, q_hat, coverage,
+    * degenerate)` — `pred`/`q_hat` in the caller's integer units.
+    */
+  def conformalCoverage(
+      cal: DataFrame, test: DataFrame, valueCents: Column,
+      groupCols: Seq[String], alphaMilli: Int = 100): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999,
+      "alphaMilli in [1, 999]")
+    require(groupCols.nonEmpty, "at least one group column")
+    val gcols = groupCols.map(col)
+    val calV = cal.select(gcols :+ valueCents.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .transform(graft.core.CacheScope.disk)
+    val pred = calV.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_cal"), sum(col("__v")).as("__s"))
+      .withColumn("pred", expr("__s div n_cal"))
+      .drop("__s")
+      .transform(graft.core.CacheScope.disk)
+    val resid = calV.join(pred, groupCols)
+      .select(gcols :+ abs(col("__v") - col("pred")).as("__r"): _*)
+      .groupBy(gcols :+ col("__r"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = expr(s"((n_cal + 1) * (1000 - $alphaMilli) + 999) div 1000")
+    val qhat = resid
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(pred, groupCols)
+      .where(col("__cum") >= k)
+      .groupBy(gcols: _*)
+      .agg(min(col("__r")).as("q_hat"))
+    val testR = test
+      .select(gcols :+ valueCents.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .join(pred, groupCols)
+      .join(qhat, groupCols, "left")
+      .groupBy(gcols: _*)
+      .agg(max(col("n_cal")).as("n_cal"), max(col("pred")).as("pred"),
+        count(lit(1)).as("n_test"),
+        max(col("q_hat")).as("q_hat"),
+        sum(when(abs(col("__v") - col("pred")) <= col("q_hat"), 1L)
+          .otherwise(0L)).as("__cov"))
+    testR.select(gcols ++ Seq(
+      col("n_cal"), col("n_test"), col("pred"),
+      col("q_hat"),
+      round(when(col("q_hat").isNotNull,
+        col("__cov").cast("double") / col("n_test").cast("double")), 6)
+        .as("coverage"),
+      col("q_hat").isNull.cast("int").as("degenerate")): _*)
+  }
+
+  /** Zero-filled per-type bucket counts: every type's [min, max]
+    * bucket range densified (a silent hour is c = 0, not a missing
+    * row — skipping gaps would splice distant buckets together and
+    * corrupt every lag statistic). Shared by [[autocorrelation]] and
+    * [[burstiness]]; the [[crossCorrelation]] grid, per type.
+    */
+  private def bucketCounts(
+      df: DataFrame, tsCol: String, typeCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val micros = bucketSeconds * 1000000L
+    val cnt = df
+      .where(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(typeCol).as("__ty"),
+        expr(s"unix_micros($tsCol) div $micros").as("__idx"))
+      .groupBy("__ty", "__idx").agg(count(lit(1)).as("__c"))
+    cnt.groupBy("__ty")
+      .agg(min(col("__idx")).as("__lo"), max(col("__idx")).as("__hi"))
+      .select(col("__ty"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__idx"))
+      .join(cnt, Seq("__ty", "__idx"), "left")
+      .select(col("__ty"), col("__idx"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+  }
+
+  /** Per-type autocorrelation of bucketed event counts at lags
+    * 1..maxLag — [[crossCorrelation]] turned on a single series: the
+    * seasonality/self-excitation readout (a daily cycle spikes lag
+    * 24 on hourly buckets; retry storms decay geometrically from lag
+    * 1) that decides resampling windows and anomaly baselines.
+    *
+    * Exactness — unlike [[crossCorrelation]]'s float `corr`, the ACF
+    * here is an exact integer identity until ONE double division:
+    * with n buckets and count sum S, `r_k·(den·n²) = num_k·n²` where
+    * `num_k·n² = Σ_{t≤n−k} (n·c_t − S)(n·c_{t+k} − S)` and
+    * `den·n² = Σ_t (n·c_t − S)²` — both DECIMAL(38,0) sums of exact
+    * products (mean-centering multiplied through by n, so no
+    * rational mean ever materializes). Order-free integer sums →
+    * bit-identical cross-engine. Constant series (den = 0) emit null
+    * r. Buckets are ZERO-FILLED over each type's [min, max] range
+    * (gap-skipping would corrupt every lag alignment).
+    *
+    * Scale shape: one bucketed count (map-side combined), one
+    * per-type grid explode, the lag fan-out (grid × maxLag rows)
+    * joined back on (type, idx+lag) — equi-join, never pairwise over
+    * events — and per-(type, lag) aggregates; per-type one-row
+    * moment frames broadcast. Output is types × lags.
+    *
+    * Returns `(event_type, lag, n_buckets, n_pairs, r)`.
+    */
+  def autocorrelation(
+      df: DataFrame, tsCol: String, typeCol: String,
+      bucketSeconds: Long = 3600L, maxLag: Int = 6): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxLag >= 1 && maxLag <= 512, "maxLag in [1, 512]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val grid = bucketCounts(df, tsCol, typeCol, bucketSeconds)
+      .transform(graft.core.CacheScope.disk)
+    val moments = grid.groupBy("__ty")
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("__q"))
+    // den·n² = Σ(n·c − S)² = n²Q − 2nS·S + nS² = n·(n·Q − S²)
+    val den = dec(col("__n")) *
+      (dec(col("__n")) * col("__q") - dec(col("__s")) * dec(col("__s")))
+    val lagged = grid
+      .select(col("__ty"), col("__idx"), col("__c"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("__jidx", col("__idx") + col("lag"))
+      .join(grid.select(col("__ty"), col("__idx").as("__jidx"),
+        col("__c").as("__c2")), Seq("__ty", "__jidx"))
+    lagged
+      .join(broadcast(moments), Seq("__ty"))
+      .groupBy(col("__ty"), col("lag"))
+      .agg(max(col("__n")).as("n_buckets"),
+        count(lit(1)).as("n_pairs"),
+        sum((dec(col("__n")) * dec(col("__c")) - dec(col("__s"))) *
+          (dec(col("__n")) * dec(col("__c2")) - dec(col("__s"))))
+          .as("__num"),
+        max(den).as("__den"))
+      .select(col("__ty").as("event_type"), col("lag"),
+        col("n_buckets"), col("n_pairs"),
+        round(when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double")),
+          6).as("r"))
+  }
+
+  /** Per-type burstiness of bucketed event counts — the Fano factor
+    * `var/mean` (1 = Poisson; ≫ 1 = clumped arrivals; < 1 =
+    * regular/paced) and the Goh–Barabási burstiness
+    * `B = (σ − μ)/(σ + μ)` ∈ (−1, 1) — the two standard "is this
+    * stream machine-like or bursty" numbers behind rate-limit
+    * sizing and bot screening, over the same zero-filled grid as
+    * [[autocorrelation]].
+    *
+    * Exactness: with n buckets, S = Σc, Q = Σc² (DECIMAL-exact),
+    * sample variance multiplies through as `(n·Q − S²)/(n(n−1))` and
+    * `fano = (n·Q − S²)/((n−1)·S)` — each one double division of
+    * exact decimals; σ is one correctly-rounded sqrt and B one
+    * mirrored formula. Degenerate cases are null: fano for S = 0,
+    * both for n < 2, B when σ + μ = 0.
+    *
+    * Scale shape: one map-side-combined bucketed count, the per-type
+    * grid explode, one type-domain-sized aggregate.
+    *
+    * Returns `(event_type, n_buckets, n_events, mean_rate, fano,
+    * burstiness)`.
+    */
+  def burstiness(
+      df: DataFrame, tsCol: String, typeCol: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = bucketCounts(df, tsCol, typeCol, bucketSeconds)
+      .groupBy("__ty")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("__c")).as("n_events"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("__q"))
+    val n = col("n_buckets")
+    val s = col("n_events")
+    val varNum = (dec(n) * col("__q") - dec(s) * dec(s)).cast("double")
+    val mean = s.cast("double") / n.cast("double")
+    val variance = varNum / (n.cast("double") * (n.cast("double") - 1.0))
+    val sigma = sqrt(variance)
+    m.select(col("__ty").as("event_type"), n, s,
+      round(mean, 6).as("mean_rate"),
+      round(when(n > 1 && s > 0,
+        varNum / ((n.cast("double") - 1.0) * s.cast("double"))), 6)
+        .as("fano"),
+      round(when(n > 1 && sigma + mean > 0.0,
+        (sigma - mean) / (sigma + mean)), 6).as("burstiness"))
+  }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * measure that survives what breaks Pearson: outliers (a single
+    * 10⁶× price row saturates covariance; ranks cap its leverage at
+    * "largest") and nonlinear-but-monotone relations (quantity vs
+    * revenue is multiplicative — Pearson under-reads it, Spearman
+    * sees the monotone map exactly).
+    *
+    * Exact integer core: average-tie ranks per variable come from the
+    * per-distinct-value cumulative shape (counts per (group, value),
+    * running sum over values — never a per-row window), in HALF-UNITS
+    * so ties stay integral (`rank2 = 2·cum_before + t + 1`); rows
+    * join their two rank2 values back by (group, value). Pearson on
+    * rank2 is then all-integer until one final division:
+    * Σ rank2 per variable is the closed form `n(n+1)` (rank sums are
+    * invariant under tie-averaging), and Σ rank2², Σ rank2x·rank2y
+    * accumulate in DECIMAL(38,0) (a 2·10⁹-row group's products pass
+    * 2^63). `ρ = (n·Sxy − SxSy) / √((n·Sxx − Sx²)(n·Syy − Sy²))`
+    * evaluates the exact decimal numerators in double only at the
+    * division — bit-reproducible across engines. (The halving scale
+    * factors cancel: rank2 = 2·rank applied to BOTH variables leaves
+    * ρ unchanged.)
+    *
+    * Degenerate groups (all x tied or all y tied — zero rank
+    * variance) emit null ρ rather than 0/0.
+    *
+    * Scale shape: two (group, value)-keyed grouped counts with
+    * group-partitioned running sums over DISTINCT values (bounded by
+    * distinct-value counts), two row-frame joins keyed (group,
+    * value), one map-side-combined group aggregate. Output is
+    * group-domain-sized.
+    *
+    * Returns `(group…, n, rho)`.
+    */
+  def spearmanCorr(
+      df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    // rank on the NATIVE value — casting to double first would merge
+    // distinct integral values above 2^53 (BIGINT fixed-point scores
+    // like q254's 1e12-unit centralities are the realistic input), and
+    // ranks only need the column's own ordering, never its arithmetic
+    val rows = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        col(xCol).as("__x"), col(yCol).as("__y")): _*)
+      .transform(graft.core.CacheScope.disk)
+    def rank2Of(vcol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(vcol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(groupCols.map(col) :+ col(vcol): _*)
+        .agg(count(lit(1)).as("__t"))
+        .withColumn(out,
+          lit(2L) * coalesce(sum(col("__t")).over(w), lit(0L)) +
+            col("__t") + lit(1L))
+        .drop("__t")
+    }
+    val withRanks = rows
+      .join(rank2Of("__x", "__rx"), groupCols :+ "__x")
+      .join(rank2Of("__y", "__ry"), groupCols :+ "__y")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg = withRanks.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__rx")) * dec(col("__ry"))).as("__sxy"),
+        sum(dec(col("__rx")) * dec(col("__rx"))).as("__sxx"),
+        sum(dec(col("__ry")) * dec(col("__ry"))).as("__syy"))
+    // Σ rank2 = n(n+1) exactly, both variables (cast before the
+    // product — a 3·10⁹-row group's n(n+1) passes 2^63)
+    val s = dec(col("n")) * (dec(col("n")) + lit(1L))
+    val nDec = dec(col("n"))
+    val covN = (nDec * col("__sxy") - s * s).cast("double")
+    val varX = (nDec * col("__sxx") - s * s).cast("double")
+    val varY = (nDec * col("__syy") - s * s).cast("double")
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      round(when(varX > 0.0 && varY > 0.0,
+        covN / sqrt(varX * varY)), 6).as("rho")): _*)
+  }
+}
