@@ -107,23 +107,117 @@ object Multimodal {
       .when(colorType === 3, 1).when(colorType === 4, 2)
       .when(colorType === 6, 4).otherwise(lit(null).cast("int"))
 
+  /** SOF (start-of-frame) marker set: C0–CF minus C4 (DHT), C8 (JPG
+    * extension), CC (DAC) — every baseline / progressive / lossless
+    * frame-header variant carries the same (precision, height, width,
+    * components) payload layout (ITU T.81 §B.2.2).
+    */
+  private val jpegSofMarkers: Seq[Long] =
+    Seq(0xC0L, 0xC1L, 0xC2L, 0xC3L, 0xC5L, 0xC6L, 0xC7L,
+      0xC9L, 0xCAL, 0xCBL, 0xCDL, 0xCEL, 0xCFL)
+
+  /** Bounded JPEG segment walk to the SOF frame header — JPEG is the
+    * one major image format whose dimensions live at a VARIABLE
+    * position (after APPn/EXIF/comment/table segments of data-dependent
+    * length), so the cheap metadata path needs a walk, not a fixed
+    * offset. Expressed as one `aggregate()` fold over `maxSegments`
+    * steps: each step reads the 2-byte marker at the running offset and
+    * either captures the SOF payload, skips the segment by its declared
+    * length, steps over fill bytes / standalone markers, or dies (lost
+    * sync, SOS/EOI before any SOF, truncation). Pure native expression
+    * — no UDF, no codec; the higher-order fold itself is not
+    * whole-stage-codegen'd, so project it ONCE into a struct column and
+    * extract fields from that (the two-step select below and in the
+    * registry; CollapseProject leaves non-cheap expressions
+    * un-duplicated).
+    *
+    * Truncation contract matches the fixed-offset formats: every read
+    * is length-gated, so a payload cut mid-segment yields state 2
+    * (dead), never a misread. `maxSegments` bounds work per row; real
+    * files carry well under 32 pre-SOF segments (JFIF header, EXIF,
+    * ICC, a few quant/Huffman tables — each is ONE segment regardless
+    * of byte size).
+    *
+    * Returns the [[imageHeaderMeta]] output struct directly — built in
+    * the fold's `finish` lambda, where the final state is a bound
+    * variable, so the walk evaluates ONCE per row no matter how many
+    * fields the caller extracts.
+    */
+  private[multimodal] def jpegSofScan(
+      bin: Column, maxSegments: Int = 32): Column = {
+    val len = length(bin).cast("long")
+    def byteAt(off: Column): Column = beUIntAt(bin, off.cast("int"), 1)
+    val nul = lit(null).cast("long")
+    def mk(off: Column, w: Column, h: Column, depth: Column,
+        ncomp: Column, st: Column): Column =
+      struct(off.cast("long").as("off"), w.cast("long").as("w"),
+        h.cast("long").as("h"), depth.cast("long").as("depth"),
+        ncomp.cast("long").as("ncomp"), st.cast("int").as("st"))
+    def advance(off: Column): Column =
+      mk(off, nul, nul, nul, nul, lit(0))
+    val isJpeg = upper(hex(substring(bin, 1, 3))) === "FFD8FF"
+    val init = mk(lit(3L), nul, nul, nul, nul,
+      when(isJpeg, lit(0)).otherwise(lit(2)))
+    aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      init,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val dead = mk(off, nul, nul, nul, nul, lit(2))
+        val b0 = byteAt(off)
+        val b1 = byteAt(off + 1)
+        val segLen = beUIntAt(bin, (off + 2).cast("int"), 2)
+        // SOF payload: len(2) precision(1) height(2) width(2) ncomp(1)
+        val found = mk(off,
+          beUIntAt(bin, (off + 7).cast("int"), 2),
+          beUIntAt(bin, (off + 5).cast("int"), 2),
+          byteAt(off + 4), byteAt(off + 9), lit(1))
+        when(acc.getField("st") =!= 0, acc)
+          .when(len < off + 1, dead) // marker pair truncated
+          .when(b0 =!= 0xFFL, dead) // lost marker sync
+          .when(b1 === 0xFFL, advance(off + 1)) // fill byte
+          .when(b1.isin(jpegSofMarkers: _*),
+            when(len >= off + 9, found).otherwise(dead))
+          // entropy data (SOS) or EOI before any SOF: malformed
+          .when(b1 === 0xDAL || b1 === 0xD9L, dead)
+          // standalone markers (TEM, RSTn) carry no length field
+          .when((b1 >= 0xD0L && b1 <= 0xD7L) || b1 === 0x01L,
+            advance(off + 2))
+          .when(len >= off + 3 && segLen >= 2L,
+            advance(off + 2L + segLen))
+          .otherwise(dead)
+      },
+      acc => {
+        val ok = acc.getField("st") === 1
+        struct(lit("jpeg").as("format"),
+          when(ok, acc.getField("w")).as("width"),
+          when(ok, acc.getField("h")).as("height"),
+          when(ok, acc.getField("depth")).cast("int").as("bit_depth"),
+          when(ok, acc.getField("ncomp")).cast("int").as("channels"))
+      })
+  }
+
   /** Decode image dimensions/depth from the container header as a pure
-    * column expression — no codec, stays inside whole-stage codegen, so
-    * metadata extraction over billions of payloads is a straight
-    * columnar scan. Returns struct(format, width, height, bit_depth,
-    * channels); nulls for unrecognized payloads.
+    * column expression — no codec; PNG/GIF/BMP reads stay inside
+    * whole-stage codegen and the JPEG branch is a bounded native
+    * [[jpegSofScan]] fold, so metadata extraction over billions of
+    * payloads is a straight columnar scan either way. Returns
+    * struct(format, width, height, bit_depth, channels); nulls for
+    * unrecognized payloads.
     *
     * Formats: PNG (IHDR is mandated to be the first chunk: width BE
     * bytes 17-20, height 21-24, bit depth 25, color type 26), GIF
     * (logical screen LE uint16 at 7/9), BMP (BITMAPINFOHEADER LE int32
-    * at 19/23). JPEG dimensions live in a variable-position SOF segment
-    * — a header walk, not a fixed offset — so JPEG goes through the
-    * batch decoder [[decodeImageFeatures]] instead.
+    * at 19/23), JPEG (SOF segment walk — width/height BE uint16,
+    * bit_depth = sample precision, channels = component count; a JPEG
+    * whose SOF is malformed or past the walk budget keeps format
+    * "jpeg" with null dims, the PNG truncation treatment).
     */
   def imageHeaderMeta(bin: Column): Column = {
     val mime = sniffMime(bin)
     val fmt = when(mime === "image/png", "png")
       .when(mime === "image/gif", "gif")
+      .when(mime === "image/jpeg", "jpeg")
       .when(upper(hex(substring(bin, 1, 2))) === "424D", "bmp")
     // a payload truncated mid-header must yield null fields, not a
     // bogus value parsed from however many bytes remain: substring
@@ -150,9 +244,14 @@ object Multimodal {
       .when(isBmp, leUInt(bin, 29, 2))
     val channels = when(isPng, pngChannels(beUInt(bin, 26, 1)))
       .when(isGif, lit(3))
-    struct(fmt.as("format"), width.as("width"), height.as("height"),
-      bitDepth.cast("int").as("bit_depth"), channels.cast("int")
-        .as("channels"))
+    // whole-struct branch: the JPEG walk builds its own output struct
+    // (field types matched to the fixed-offset branch), evaluated only
+    // on jpeg-mime rows and only once per row
+    when(mime === "image/jpeg", jpegSofScan(bin))
+      .otherwise(
+        struct(fmt.as("format"), width.as("width"), height.as("height"),
+          bitDepth.cast("int").as("bit_depth"), channels.cast("int")
+            .as("channels")))
   }
 
   /** WAV (RIFF/WAVE, canonical PCM layout with the fmt chunk at byte

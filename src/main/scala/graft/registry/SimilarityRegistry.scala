@@ -46,6 +46,7 @@ private[graft] object SimilarityRegistry {
     "q29_ann_ivf" -> (annIvf _),
     "q30_binary_fingerprints" -> (binaryFingerprints _),
     "q38_png_header_decode" -> (pngHeaderDecode _),
+    "q256_jpeg_header_decode" -> (jpegHeaderDecode _),
     "q39_image_pixel_stats" -> (imagePixelStats _),
     "q40_ann_kmedians" -> (annIvfKmedians _),
     "q47_wav_roundtrip" -> (wavRoundtrip _),
@@ -1269,6 +1270,19 @@ private[graft] object SimilarityRegistry {
                    WHEN doc_id % 3 = 1 THEN 3
                    ELSE 4 END AS INT) AS channels
          FROM documents ORDER BY doc_id""",
+    // q256: same deal as q38 — the oracle recomputes the fields from
+    // the doc_id formulas; Spark must round-trip them through actual
+    // JPEG bytes INCLUDING the variable-length COM segment the SOF
+    // walk has to step over
+    "q256_jpeg_header_decode" ->
+      """SELECT doc_id,
+         'jpeg' AS format,
+         CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+         CAST(doc_id % 48 + 8 AS BIGINT) AS height,
+         CAST(8 AS INT) AS bit_depth,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT)
+           AS channels
+         FROM documents ORDER BY doc_id""",
     // q39: DuckDB has no image codec, but it doesn't need one — the
     // synthetic PNG's pixel (x,y) is fixed arithmetic of (x,y,seed)
     // (Multimodal.syntheticPng), so the oracle reconstructs the channel
@@ -2072,6 +2086,44 @@ private[graft] object SimilarityRegistry {
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // sig + IHDR
       lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
       lit("08"), lpad(hex(colorType), 2, "0"), lit("000000"))
+    docs(s, dir)
+      .select(id, Multimodal.imageHeaderMeta(unhex(headerHex)).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.channels").as("channels"))
+      .orderBy("doc_id")
+  }
+
+  /** JPEG twin of [[pngHeaderDecode]] — but where PNG dims sit at a
+    * FIXED offset, the JPEG SOF frame header sits after a
+    * data-dependent prefix, so this exercises the
+    * [[Multimodal.jpegSofScan]] segment walk: each doc's synthetic
+    * header carries a COM segment whose length varies with doc_id
+    * (0–10 padding bytes), the SOF marker alternates baseline
+    * C0 / progressive C2, and channels alternate 3 / 1. Headers are
+    * BUILT from doc_id formulas as pure column expressions
+    * (hex-assemble + unhex) and DECODED back by the walk; the oracle
+    * computes the formulas directly, so an encode OR walk bug — e.g.
+    * mis-stepping the variable-length segment — breaks the hash.
+    */
+  private[graft] def jpegHeaderDecode(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val w = (id % 64 + 16).cast("long")
+    val h = (id % 48 + 8).cast("long")
+    val ncomp = when(id % 5 === 0, 1).otherwise(3)
+    val pad = (id % 11).cast("int")
+    val sofMarker = when(id % 2 === 0, lit("C0")).otherwise(lit("C2"))
+    val headerHex = concat(
+      // SOI + APP0/JFIF (16-byte segment, standard payload)
+      lit("FFD8" + "FFE00010" + "4A46494600010100000100010000"),
+      // COM segment: variable-length padding ('x' × (id % 11))
+      lit("FFFE"), lpad(hex(pad + 2), 4, "0"), repeat(lit("78"), pad),
+      // SOF: len = 8 + 3·ncomp, precision 8, height, width, ncomp,
+      // then ncomp×3 component-spec filler bytes
+      lit("FF"), sofMarker, lpad(hex(lit(8) + ncomp * 3), 4, "0"),
+      lit("08"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lpad(hex(ncomp), 2, "0"), repeat(lit("001100"), ncomp))
     docs(s, dir)
       .select(id, Multimodal.imageHeaderMeta(unhex(headerHex)).as("m"))
       .select(id, col("m.format").as("format"),

@@ -182,6 +182,98 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getAs[Double]("rms") == 5000.0)
   }
 
+  // --- JPEG SOF walk ------------------------------------------------ //
+
+  /** Assemble a JPEG byte stream from (marker, payload) segments —
+    * length field (payload + 2) computed here, SOI/EOI not included.
+    */
+  private def jpegBytes(segments: (Int, Array[Byte])*): Array[Byte] = {
+    val body = segments.flatMap { case (m, p) =>
+      Array(0xFF.toByte, m.toByte,
+        ((p.length + 2) >> 8).toByte, ((p.length + 2) & 0xFF).toByte) ++ p
+    }
+    Array(0xFF.toByte, 0xD8.toByte) ++ body
+  }
+
+  private def sofPayload(w: Int, h: Int, prec: Int, ncomp: Int) =
+    Array(prec.toByte, (h >> 8).toByte, (h & 0xFF).toByte,
+      (w >> 8).toByte, (w & 0xFF).toByte, ncomp.toByte)
+
+  private val jfifApp0 = // standard 16-byte APP0 payload ("JFIF\0"...)
+    "JFIF".getBytes("ASCII") ++ Array.fill[Byte](10)(0)
+
+  test("imageHeaderMeta walks JPEG segments to SOF0: dims, precision, " +
+      "channels — through a variable-length comment segment") {
+    val jpg = jpegBytes(
+      (0xE0, jfifApp0),
+      (0xFE, "a comment of odd length!".getBytes("ASCII")), // COM
+      (0xDB, Array.fill[Byte](65)(1)), // DQT
+      (0xC0, sofPayload(w = 637, h = 421, prec = 8, ncomp = 3)))
+    val out = binDf((1, jpg))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.getAs[String]("format") == "jpeg")
+    assert(out.getAs[Long]("width") == 637L)
+    assert(out.getAs[Long]("height") == 421L)
+    assert(out.getAs[Int]("bit_depth") == 8)
+    assert(out.getAs[Int]("channels") == 3)
+  }
+
+  test("progressive SOF2 and 12-bit grayscale decode the same way") {
+    val jpg = jpegBytes(
+      (0xE0, jfifApp0),
+      (0xC2, sofPayload(w = 99, h = 1024, prec = 12, ncomp = 1)))
+    val out = binDf((1, jpg))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.getAs[String]("format") == "jpeg")
+    assert(out.getAs[Long]("width") == 99L)
+    assert(out.getAs[Long]("height") == 1024L)
+    assert(out.getAs[Int]("bit_depth") == 12)
+    assert(out.getAs[Int]("channels") == 1)
+  }
+
+  test("JPEG walk guards: truncation mid-segment, SOS before SOF, " +
+      "lost sync, and DHT C4 is NOT a frame header") {
+    val good = jpegBytes(
+      (0xE0, jfifApp0),
+      (0xC0, sofPayload(320, 240, 8, 3)))
+    val truncated = good.take(good.length - 9) // cut into the SOF
+    val sosFirst = jpegBytes(
+      (0xE0, jfifApp0), (0xDA, Array[Byte](1, 1, 0))) // straight to scan
+    val lostSync = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xE0.toByte, 0x00, 0x05, 1, 2, 3, /* then garbage */ 0x12, 0x34)
+    // a C4 (DHT) segment whose payload RESEMBLES an SOF must be
+    // skipped by length, not captured
+    val dhtNotSof = jpegBytes(
+      (0xC4, sofPayload(11, 22, 8, 3)),
+      (0xC0, sofPayload(320, 240, 8, 3)))
+    val out = binDf(
+      (1, truncated), (2, sosFirst), (3, lostSync), (4, dhtNotSof))
+      .select(col("id"),
+        Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("id", "m.*").orderBy("id").collect()
+    for (i <- 0 to 2) {
+      assert(out(i).getAs[String]("format") == "jpeg", s"row $i")
+      assert(out(i).isNullAt(out(i).fieldIndex("width")), s"row $i")
+      assert(out(i).isNullAt(out(i).fieldIndex("channels")), s"row $i")
+    }
+    assert(out(3).getAs[Long]("width") == 320L)
+    assert(out(3).getAs[Long]("height") == 240L)
+  }
+
+  test("JPEG fill bytes (FF padding before a marker) are stepped over") {
+    val sof = Array(0xFF.toByte, 0xC0.toByte, 0x00.toByte,
+      0x08.toByte) ++ sofPayload(64, 32, 8, 3)
+    val jpg = Array(0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++ sof // 2 fill bytes
+    val out = binDf((1, jpg))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.getAs[Long]("width") == 64L)
+    assert(out.getAs[Long]("height") == 32L)
+  }
+
   test("imageHeaderMeta yields nulls for unrecognized payloads") {
     val out = binDf((1, "not an image".getBytes))
       .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
