@@ -605,14 +605,19 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     */
   private[graft] def centralityAgreementQ(
       s: SparkSession, dir: String): DataFrame = {
-    val co = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        Seq("o_orderkey"))
-      .select(
-        concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    // persist the shared edge frame ONCE (the q180 treatment): both
+    // centrality legs — PageRank over the symmetrized union AND HITS
+    // over the directed edges — read it, and without the persist each
+    // leg re-runs the orders⋈lineitem derivation (the union twice)
+    val co = graft.core.CacheScope.disk(
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+          Seq("o_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst")))
     val sym = co.union(
       co.select(col("dst").as("src"), col("src").as("dst")))
     val pr = Analytics.pageRank(sym, "src", "dst", iters = 6)
