@@ -1536,11 +1536,48 @@ object Dedup {
       df: DataFrame, idCol: String, keyCol: String,
       window: Int, maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    sortedNeighborhoodCandidates(df, idCol, keyCol, window)
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
-      .where(col("dist") <= maxDist)
+    sortedNeighborhoodScored(df, idCol, keyCol, window, "levenshtein")
+      .where(col("score") <= maxDist)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
-        col("dist"), col("rank_gap"))
+        col("score").cast("int").as("dist"), col("rank_gap"))
+  }
+
+  /** Scorer names accepted by [[sortedNeighborhoodScored]], in the
+    * order a sensitivity sweep would compare them.
+    */
+  val snScorers: Seq[String] =
+    Seq("levenshtein", "damerau_levenshtein", "jaro_winkler")
+
+  /** The scorer-parameterized sorted-neighborhood entry point: ALL
+    * banded candidates (≤ n·window by construction — see
+    * [[sortedNeighborhoodCandidates]]) scored by the named verifier,
+    * with ONE stable output schema across scorers —
+    * `(id_a, id_b, key_a, key_b, score, rank_gap)`, `score` always a
+    * double of the scorer's native value (edit-distance counts for
+    * the Levenshtein family, similarity in [0,1] for Jaro–Winkler).
+    * This is the generic surface a threshold-sensitivity analysis
+    * (the q251 shape) sweeps WITHOUT special-casing columns per
+    * scorer; the three thresholded variants
+    * ([[sortedNeighborhoodPairs]] / [[sortedNeighborhoodPairsDl]] /
+    * [[sortedNeighborhoodPairsJw]]) are thin filters over this, so
+    * every scorer shares the one candidate generator and the one
+    * codegen'd verify join. Note the threshold DIRECTION is the
+    * scorer's: distances keep small scores, similarities keep large.
+    */
+  def sortedNeighborhoodScored(
+      df: DataFrame, idCol: String, keyCol: String,
+      window: Int, scorer: String): DataFrame = {
+    val score = scorer match {
+      case "levenshtein" => levenshtein(col("key_a"), col("key_b"))
+      case "damerau_levenshtein" =>
+        expr("graft_damerau_levenshtein(key_a, key_b)")
+      case "jaro_winkler" => expr("graft_jaro_winkler(key_a, key_b)")
+      case other => throw new IllegalArgumentException(
+        s"unknown scorer '$other' (one of ${snScorers.mkString(", ")})")
+    }
+    sortedNeighborhoodCandidates(df, idCol, keyCol, window)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        score.cast("double").as("score"), col("rank_gap"))
   }
 
   /** [[sortedNeighborhoodPairs]] with the Jaro–Winkler verify instead
@@ -1560,12 +1597,10 @@ object Dedup {
       df: DataFrame, idCol: String, keyCol: String,
       window: Int, minSim: Double): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, "minSim in (0, 1]")
-    sortedNeighborhoodCandidates(df, idCol, keyCol, window)
-      .withColumn("__jw",
-        expr("graft_jaro_winkler(key_a, key_b)"))
-      .where(col("__jw") >= minSim)
+    sortedNeighborhoodScored(df, idCol, keyCol, window, "jaro_winkler")
+      .where(col("score") >= minSim)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
-        round(col("__jw"), 6).as("jw"), col("rank_gap"))
+        round(col("score"), 6).as("jw"), col("rank_gap"))
   }
 
   /** Fellegi–Sunter agreement weights from a labeled pair sample —
@@ -1660,21 +1695,20 @@ object Dedup {
       df: DataFrame, idCol: String, keyCol: String,
       window: Int, maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    sortedNeighborhoodCandidates(df, idCol, keyCol, window)
-      .withColumn("dl",
-        expr("graft_damerau_levenshtein(key_a, key_b)"))
-      .where(col("dl") <= maxDist)
+    sortedNeighborhoodScored(df, idCol, keyCol, window,
+        "damerau_levenshtein")
+      .where(col("score") <= maxDist)
       .withColumn("lev", levenshtein(col("key_a"), col("key_b")))
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
-        col("dl"), col("lev"), col("rank_gap"))
+        col("score").cast("int").as("dl"), col("lev"), col("rank_gap"))
   }
 
   /** The shared sorted-neighborhood candidate generator: global
     * range-exchange rank on (key, id), bucket-banded self-join —
     * each row probes its own and the next `(rank−1) div window`
     * bucket, so candidates are ≤ n·window BY CONSTRUCTION. Verify
-    * strategies plug in downstream ([[sortedNeighborhoodPairs]]
-    * levenshtein, [[sortedNeighborhoodPairsJw]] Jaro–Winkler).
+    * strategies plug in downstream through the scorer-parameterized
+    * [[sortedNeighborhoodScored]].
     */
   private def sortedNeighborhoodCandidates(
       df: DataFrame, idCol: String, keyCol: String,

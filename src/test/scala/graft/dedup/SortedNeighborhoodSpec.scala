@@ -50,6 +50,38 @@ class SortedNeighborhoodSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborhoodScored: one stable schema for every scorer, " +
+      "and each thresholded variant equals a plain filter over it") {
+    val cols = Seq("id_a", "id_b", "key_a", "key_b", "score", "rank_gap")
+    for (sc <- Dedup.snScorers) {
+      val scored = Dedup.sortedNeighborhoodScored(
+        recs, "id", "name", window = 3, scorer = sc)
+      assert(scored.columns.toSeq === cols, sc)
+      assert(scored.schema("score").dataType.typeName === "double", sc)
+    }
+    // the same candidate set is scored by every scorer (one generator)
+    val counts = Dedup.snScorers.map(sc =>
+      Dedup.sortedNeighborhoodScored(recs, "id", "name", 3, sc).count())
+    assert(counts.distinct.size === 1)
+    // wrappers == filter over scored (keys only; values spot-checked)
+    val viaScored = Dedup.sortedNeighborhoodScored(
+        recs, "id", "name", 3, "levenshtein")
+      .where(col("score") <= 2).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaWrapper = Dedup.sortedNeighborhoodPairs(
+        recs, "id", "name", 3, 2).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaScored === viaWrapper)
+    val jwScored = Dedup.sortedNeighborhoodScored(
+        recs, "id", "name", 3, "jaro_winkler")
+      .where(col("score") >= 0.9).count()
+    assert(jwScored ===
+      Dedup.sortedNeighborhoodPairsJw(recs, "id", "name", 3, 0.9).count())
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodScored(recs, "id", "name", 3, "cosine")
+    }
+  }
+
   test("rank_gap is within [1, window] and dist within [0, maxDist]; " +
       "null keys are dropped") {
     val withNull = recs.unionByName(
