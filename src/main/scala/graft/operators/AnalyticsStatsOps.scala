@@ -2135,4 +2135,88 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
       round(when(varX > 0.0 && varY > 0.0,
         covN / sqrt(varX * varY)), 6).as("rho")): _*)
   }
+
+  /** Kendall τ-b rank correlation per group — the concordance sibling
+    * of [[spearmanCorr]]: of all row pairs, how many order the same
+    * way on x and y vs opposite ways, with the tie-corrected
+    * denominator `τ_b = (C − D) / √((n₀ − t_x)(n₀ − t_y))`. τ reads as
+    * a probability difference (P[concordant] − P[discordant]) where
+    * Spearman's ρ reads as a rank-linear fit — τ is the one reviewers
+    * ask for on ordinal×ordinal data.
+    *
+    * Scale contract — BOUNDED VALUE DOMAINS: the input collapses to
+    * the (x, y) contingency table per group, and concordant /
+    * discordant counts come from the CELL-pair self-join, so cost is
+    * |cells|² per group and INDEPENDENT of the row count n. That is
+    * the right trade for ordinal data (grades, buckets, small integer
+    * measures — the realistic τ input); for continuous x/y with
+    * row-count-sized distinct domains use [[spearmanCorr]], whose
+    * running-sum shape stays distinct-value-linear. The cells frame is
+    * persisted once and feeds the pair join, both marginals, and the
+    * group totals.
+    *
+    * Exactness: every count is an exact BIGINT; pair products
+    * `n_a·n_b` and the tie/total terms `Σ t(t−1)`, `n(n−1)` compute in
+    * DECIMAL(38,0) (they pass 2^63 past ~3·10⁹ rows per group —
+    * the [[graft.quality.Drift.mannWhitneyU]] rule); τ_b is ONE double
+    * division of exact decimals, bit-identical cross-engine. The
+    * doubled identity `τ_b = 2(C−D)/√((n(n−1) − Σt_x(t_x−1))·(…_y))`
+    * avoids any /2 on the way. Degenerate groups (all x tied or all y
+    * tied) emit null.
+    *
+    * Returns `(group…, n, n_cells, tau_b)`.
+    */
+  def kendallTauB(
+      df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col) ++ Seq(
+        col(xCol).as("__x"), col(yCol).as("__y")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .transform(graft.core.CacheScope.disk)
+    // cell-pair join: each unordered cell pair once (lexicographic
+    // (x, y) order), classified concordant / discordant; pairs tied
+    // on either axis contribute to neither count
+    val a = cells.select(groupCols.map(col) ++ Seq(
+      col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__n").as("__na")): _*)
+    val b = cells.select(groupCols.map(col) ++ Seq(
+      col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__n").as("__nb")): _*)
+    val pairs = a.join(b, groupCols)
+      .where(col("__xa") < col("__xb") ||
+        (col("__xa") === col("__xb") && col("__ya") < col("__yb")))
+    val cd = pairs.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__xa") < col("__xb") && col("__ya") < col("__yb"),
+          dec(col("__na")) * dec(col("__nb"))).otherwise(lit(0L)
+            .cast("decimal(38,0)"))).as("__c"),
+        sum(when(col("__xa") < col("__xb") && col("__ya") > col("__yb"),
+          dec(col("__na")) * dec(col("__nb"))).otherwise(lit(0L)
+            .cast("decimal(38,0)"))).as("__d"))
+    def tiePairs2(vcol: String, out: String): DataFrame =
+      cells.groupBy(groupCols.map(col) :+ col(vcol): _*)
+        .agg(sum(col("__n")).as("__t"))
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(dec(col("__t")) * (dec(col("__t")) - lit(1L)))
+          .as(out))
+    val totals = cells.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_cells"))
+    val joined = totals
+      .join(cd, groupCols.toSeq, "left")
+      .join(tiePairs2("__x", "__tx2"), groupCols)
+      .join(tiePairs2("__y", "__ty2"), groupCols)
+    val n02 = dec(col("n")) * (dec(col("n")) - lit(1L))
+    val denX = (n02 - col("__tx2")).cast("double")
+    val denY = (n02 - col("__ty2")).cast("double")
+    val num = (coalesce(col("__c"), lit(0).cast("decimal(38,0)")) -
+      coalesce(col("__d"), lit(0).cast("decimal(38,0)")))
+      .cast("double") * 2.0
+    joined.select(groupCols.map(col) ++ Seq(
+      col("n"), col("n_cells"),
+      round(when(denX > 0.0 && denY > 0.0,
+        num / sqrt(denX * denY)), 6).as("tau_b")): _*)
+  }
 }

@@ -61,6 +61,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q249_conformal_coverage" -> (conformalQ _),
     "q250_theil_decomposition" -> (theilQ _),
     "q255_gini_segments" -> (giniQ _),
+    "q257_qty_price_kendall" -> (kendallQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
@@ -367,6 +368,55 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
                / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6)
              END AS rho
          FROM v ORDER BY g""",
+    // contingency-cell τ-b: exact HUGEINT concordant/discordant/tie
+    // counts from the cell-pair join, one mirrored double division
+    "q257_qty_price_kendall" ->
+      """WITH r AS (
+           SELECT l_returnflag AS g, CAST(l_quantity AS INT) AS x,
+             CAST(floor(l_extendedprice / 10000) AS INT) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         cells AS (
+           SELECT g, x, y, CAST(count(*) AS BIGINT) AS n
+           FROM r GROUP BY 1, 2, 3),
+         cd AS (
+           SELECT a.g,
+             sum(CASE WHEN a.x < b.x AND a.y < b.y
+               THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS c,
+             sum(CASE WHEN a.x < b.x AND a.y > b.y
+               THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS d
+           FROM cells a JOIN cells b ON a.g = b.g
+             AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+           GROUP BY a.g),
+         tx AS (
+           SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS tx2 FROM
+             (SELECT g, x, CAST(sum(n) AS BIGINT) AS t
+              FROM cells GROUP BY 1, 2) GROUP BY g),
+         ty AS (
+           SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS ty2 FROM
+             (SELECT g, y, CAST(sum(n) AS BIGINT) AS t
+              FROM cells GROUP BY 1, 2) GROUP BY g),
+         tot AS (
+           SELECT g, CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells
+           FROM cells GROUP BY g),
+         f AS (
+           SELECT tot.g, tot.n, tot.n_cells,
+             CAST(CAST(tot.n AS HUGEINT) * (tot.n - 1) - tx.tx2
+               AS DOUBLE) AS denx,
+             CAST(CAST(tot.n AS HUGEINT) * (tot.n - 1) - ty.ty2
+               AS DOUBLE) AS deny,
+             CAST(coalesce(cd.c, 0) - coalesce(cd.d, 0) AS DOUBLE)
+               * 2.0 AS num
+           FROM tot
+           LEFT JOIN cd ON cd.g = tot.g
+           JOIN tx ON tx.g = tot.g
+           JOIN ty ON ty.g = tot.g)
+         SELECT g AS l_returnflag, n, n_cells,
+           CASE WHEN denx > 0.0 AND deny > 0.0
+             THEN round(num / sqrt(denx * deny), 6) END AS tau_b
+         FROM f ORDER BY g""",
     // +,-,*,/ and sqrt are correctly-rounded IEEE ops, so the Wilson
     // bounds match the engine bit-for-bit with no quantization
     "q232_wilson_rates" ->
@@ -1741,6 +1791,23 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.burstiness(events(s, dir), "ts", "event_type",
         bucketSeconds = 3600L)
       .orderBy("event_type")
+
+  /** Kendall τ-b ([[Analytics.kendallTauB]]) between quantity and the
+    * 10k-wide extended-price band per return flag — the concordance
+    * reading beside q238's Spearman on the same relationship: both
+    * axes are SMALL bounded integer domains (quantity 1–50, ~11 price
+    * bands), exactly the ordinal×ordinal shape where the contingency
+    * cell-pair method is row-count-free. Exact integer C/D/tie
+    * counts, one double division.
+    */
+  private[graft] def kendallQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("int").as("qty"),
+      floor(col("l_extendedprice") / 10000).cast("int")
+        .as("price_band"))
+    Analytics.kendallTauB(li, "qty", "price_band", Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+  }
 
   /** Spearman rank correlation ([[Analytics.spearmanCorr]]) of
     * quantity vs extended price per return flag — the monotone

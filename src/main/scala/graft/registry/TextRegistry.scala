@@ -44,6 +44,8 @@ private[graft] object TextRegistry {
     "q240_lexical_diversity" -> (lexicalDiversityQ _),
     "q241_lang_divergence" -> (langDivergenceQ _),
     "q246_retrieval_eval" -> (retrievalEvalQ _),
+    "q258_chao1_richness" -> (chao1RichnessQ _),
+    "q259_retrieval_macro" -> (retrievalMacroQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -109,6 +111,60 @@ private[graft] object TextRegistry {
            CAST(score_micro AS BIGINT) AS score_micro,
            CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** Shared per-query retrieval-eval oracle (q246; q259 wraps it):
+    * DCG terms nano-floored before the order-free per-query sums,
+    * full-outer query domain with zero-coalesced metrics for
+    * judged-but-unretrieved queries.
+    */
+  private[graft] def oracleRetrievalEvalSql: String = {
+    val dcg = (rel: String, rank: String) =>
+        s"""CAST(floor(CAST((1 << $rel) - 1 AS DOUBLE)
+           / (ln(CAST($rank AS DOUBLE) + 1.0) / ln(2.0))
+           * 1000000000.0) AS BIGINT)"""
+      s"""WITH res AS (
+           SELECT query_id AS qid, doc_id AS did, rank
+           FROM ($oracleBm25Sql) WHERE doc_id <> query_id),
+         qm AS (
+           SELECT doc_id AS qid, source AS qsrc, lang AS qlang
+           FROM documents WHERE doc_id < 5),
+         qr AS (
+           SELECT qm.qid, d.doc_id AS did,
+             CASE WHEN d.source = qm.qsrc THEN 2 ELSE 1 END AS rel
+           FROM documents d JOIN qm ON d.lang = qm.qlang
+           WHERE d.doc_id <> qm.qid),
+         ideal AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n_rel,
+             sum(CASE WHEN irank <= 10 THEN
+               ${dcg("rel", "irank")} ELSE 0 END) AS idcg
+           FROM (SELECT qid, rel, row_number() OVER (
+               PARTITION BY qid ORDER BY rel DESC, did ASC) AS irank
+             FROM qr)
+           GROUP BY 1),
+         per AS (
+           SELECT r.qid,
+             CAST(sum(CASE WHEN qr.rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             min(CASE WHEN qr.rel IS NOT NULL THEN r.rank END) AS fr,
+             sum(CASE WHEN qr.rel IS NOT NULL THEN
+               ${dcg("qr.rel", "r.rank")} ELSE 0 END) AS dcg
+           FROM res r
+           LEFT JOIN qr ON qr.qid = r.qid AND qr.did = r.did
+           GROUP BY 1)
+         SELECT coalesce(p.qid, i.qid) AS query_id, i.n_rel,
+           coalesce(p.n_hit, 0) AS n_hit,
+           round(CAST(coalesce(p.n_hit, 0) AS DOUBLE) / 10.0, 6)
+             AS p_at_k,
+           round(CAST(coalesce(p.n_hit, 0) AS DOUBLE)
+             / CAST(i.n_rel AS DOUBLE), 6) AS r_at_k,
+           round(coalesce(1.0 / CAST(p.fr AS DOUBLE), 0.0), 6) AS rr,
+           round(CASE WHEN i.idcg > 0 THEN
+             CAST(coalesce(p.dcg, 0) AS DOUBLE)
+               / CAST(i.idcg AS DOUBLE) END, 6)
+             AS ndcg
+         FROM per p FULL OUTER JOIN ideal i ON i.qid = p.qid
+         ORDER BY query_id"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q124_unigram_lm_quality" ->
@@ -774,54 +830,68 @@ private[graft] object TextRegistry {
     // eval wraps the SHARED q171 oracle as a subquery; DCG terms are
     // nano-floored before the (order-free) per-query sums, nDCG is a
     // ratio of two quantized sums
-    "q246_retrieval_eval" -> {
-      val dcg = (rel: String, rank: String) =>
-        s"""CAST(floor(CAST((1 << $rel) - 1 AS DOUBLE)
-           / (ln(CAST($rank AS DOUBLE) + 1.0) / ln(2.0))
-           * 1000000000.0) AS BIGINT)"""
-      s"""WITH res AS (
-           SELECT query_id AS qid, doc_id AS did, rank
-           FROM ($oracleBm25Sql) WHERE doc_id <> query_id),
-         qm AS (
-           SELECT doc_id AS qid, source AS qsrc, lang AS qlang
-           FROM documents WHERE doc_id < 5),
-         qr AS (
-           SELECT qm.qid, d.doc_id AS did,
-             CASE WHEN d.source = qm.qsrc THEN 2 ELSE 1 END AS rel
-           FROM documents d JOIN qm ON d.lang = qm.qlang
-           WHERE d.doc_id <> qm.qid),
-         ideal AS (
-           SELECT qid, CAST(count(*) AS BIGINT) AS n_rel,
-             sum(CASE WHEN irank <= 10 THEN
-               ${dcg("rel", "irank")} ELSE 0 END) AS idcg
-           FROM (SELECT qid, rel, row_number() OVER (
-               PARTITION BY qid ORDER BY rel DESC, did ASC) AS irank
-             FROM qr)
-           GROUP BY 1),
-         per AS (
-           SELECT r.qid,
-             CAST(sum(CASE WHEN qr.rel IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_hit,
-             min(CASE WHEN qr.rel IS NOT NULL THEN r.rank END) AS fr,
-             sum(CASE WHEN qr.rel IS NOT NULL THEN
-               ${dcg("qr.rel", "r.rank")} ELSE 0 END) AS dcg
-           FROM res r
-           LEFT JOIN qr ON qr.qid = r.qid AND qr.did = r.did
-           GROUP BY 1)
-         SELECT coalesce(p.qid, i.qid) AS query_id, i.n_rel,
-           coalesce(p.n_hit, 0) AS n_hit,
-           round(CAST(coalesce(p.n_hit, 0) AS DOUBLE) / 10.0, 6)
-             AS p_at_k,
-           round(CAST(coalesce(p.n_hit, 0) AS DOUBLE)
-             / CAST(i.n_rel AS DOUBLE), 6) AS r_at_k,
-           round(coalesce(1.0 / CAST(p.fr AS DOUBLE), 0.0), 6) AS rr,
-           round(CASE WHEN i.idcg > 0 THEN
-             CAST(coalesce(p.dcg, 0) AS DOUBLE)
-               / CAST(i.idcg AS DOUBLE) END, 6)
-             AS ndcg
-         FROM per p FULL OUTER JOIN ideal i ON i.qid = p.qid
-         ORDER BY query_id"""
-    },
+    "q246_retrieval_eval" -> oracleRetrievalEvalSql,
+    // macro scorecard over the SAME per-query eval: nano-quantized
+    // order-free metric sums over judged queries, mirrored
+    // (sum / n_judged) / 1e9 chains
+    "q259_retrieval_macro" ->
+      s"""WITH base AS ($oracleRetrievalEvalSql),
+         m AS (
+           SELECT
+             CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(sum(CASE WHEN n_rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_judged,
+             CAST(sum(CASE WHEN n_rel IS NOT NULL AND n_hit = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_hit,
+             CAST(sum(CASE WHEN n_rel IS NOT NULL THEN
+               CAST(floor(p_at_k * 1000000000.0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS sp,
+             CAST(sum(CASE WHEN n_rel IS NOT NULL THEN
+               CAST(floor(r_at_k * 1000000000.0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS sr,
+             CAST(sum(CASE WHEN n_rel IS NOT NULL THEN
+               CAST(floor(rr * 1000000000.0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS srr,
+             CAST(sum(CASE WHEN n_rel IS NOT NULL THEN
+               CAST(floor(coalesce(ndcg, 0.0) * 1000000000.0)
+                 AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS snd
+           FROM base)
+         SELECT n_queries, n_judged, n_zero_hit,
+           round(CAST(sp AS DOUBLE) / CAST(n_judged AS DOUBLE)
+             / 1000000000.0, 6) AS mean_p_at_k,
+           round(CAST(sr AS DOUBLE) / CAST(n_judged AS DOUBLE)
+             / 1000000000.0, 6) AS mean_r_at_k,
+           round(CAST(srr AS DOUBLE) / CAST(n_judged AS DOUBLE)
+             / 1000000000.0, 6) AS mrr,
+           round(CAST(snd AS DOUBLE) / CAST(n_judged AS DOUBLE)
+             / 1000000000.0, 6) AS mean_ndcg
+         FROM m""",
+
+    // exact t/f1/f2/n integers; chao1 and coverage each one mirrored
+    // double expression (f1(f1-1) through HUGEINT)
+    "q258_chao1_richness" ->
+      """WITH w AS (
+           SELECT lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+               FROM w GROUP BY 1, 2),
+         g AS (
+           SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+           FROM c GROUP BY 1)
+         SELECT lang, n_tokens, n_types, f1, f2,
+           round(CAST(n_types AS DOUBLE)
+             + CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE)
+               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 4) AS chao1,
+           round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS coverage
+         FROM g ORDER BY lang""",
     "q44_top_bigrams" ->
       """WITH w AS (
            SELECT doc_id,
@@ -1225,6 +1295,45 @@ private[graft] object TextRegistry {
         k = 10)
       .orderBy("query_id")
   }
+
+  /** Macro-averaged scorecard ([[graft.similarity.Similarity
+    * .rankingEvalMacro]]) over the q246 per-query retrieval eval —
+    * the one-row corpus reading (mean P@10 / R@10, MRR, mean nDCG
+    * over judged queries, plus the judged-but-zero-hit count the
+    * advisor-flagged domain fix made visible). Same inputs as q246.
+    */
+  private[graft] def retrievalMacroQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val results = graft.text.TfIdf.bm25Search(d, "doc_id", "text",
+        d.where(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", "text", k = 10, maxDf = 400L)
+      .where(col("doc_id") =!= col("query_id"))
+    val q = d.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("source").as("__qsrc"),
+        col("lang"))
+    val qrels = d
+      .select(col("doc_id").as("did"), col("source").as("__src"),
+        col("lang"))
+      .join(broadcast(q), Seq("lang"))
+      .where(col("did") =!= col("qid"))
+      .select(col("qid"), col("did"),
+        when(col("__src") === col("__qsrc"), 2).otherwise(1).as("rel"))
+    graft.similarity.Similarity.rankingEvalMacro(results,
+      "query_id", "doc_id", "rank", qrels, "qid", "did", "rel",
+      k = 10)
+  }
+
+  /** Chao1 vocabulary richness per language
+    * ([[TextAnalysis.vocabularyRichness]]): is each language slice's
+    * vocabulary saturated (chao1 ≈ observed types) or would more data
+    * still grow it — the datasheet row mixture re-weighting reads.
+    * Exact type/singleton/doubleton counts, mirrored double Chao1 and
+    * Good–Turing coverage.
+    */
+  private[graft] def chao1RichnessQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabularyRichness(docs(s, dir), "lang", "text")
+      .orderBy("lang")
 
   /** Corpus-level collocation mining: top-15 adjacent word bigrams.
     * One explode + one shuffle; the n-gram assembly stays in codegen.

@@ -2233,6 +2233,56 @@ object Similarity {
           6).as("ndcg"))
   }
 
+  /** Macro-averaged retrieval scorecard over [[rankingEval]] — the
+    * one-row corpus summary (mean P@k / R@k, MRR, mean nDCG) that the
+    * per-query table feeds: macro means run over JUDGED queries (the
+    * trec_eval convention), which is only honest because
+    * [[rankingEval]] emits zero-score rows for judged queries that
+    * retrieved nothing — without those rows every mean here silently
+    * inflates. `n_zero_hit` reports exactly that failure mode's size.
+    *
+    * Exactness: each per-query metric FLOOR-quantizes to nano-units
+    * (1e9) before the sum — the order-free BIGINT-sum treatment
+    * (lexicalDiversity, q153) — and each mean is the mirrored double
+    * chain `(Σnano / n_judged) / 1e9` rounded 6, so the macro row is
+    * bit-identical cross-engine regardless of aggregation order.
+    *
+    * Scale shape: [[rankingEval]]'s query-domain-sized output folds
+    * to ONE row via a map-side-combined aggregate.
+    *
+    * Returns one row `(n_queries, n_judged, n_zero_hit, mean_p_at_k,
+    * mean_r_at_k, mrr, mean_ndcg)`; means are null when no query is
+    * judged.
+    */
+  def rankingEvalMacro(
+      results: DataFrame, qIdCol: String, docIdCol: String,
+      rankCol: String, qrels: DataFrame, relQIdCol: String,
+      relDocIdCol: String, relCol: String, k: Int): DataFrame = {
+    val per = rankingEval(results, qIdCol, docIdCol, rankCol,
+      qrels, relQIdCol, relDocIdCol, relCol, k)
+    val judged = col("n_rel").isNotNull
+    def nano(c: Column): Column =
+      floor(c * lit(1000000000.0)).cast("long")
+    def mean(sumCol: Column): Column =
+      round(sumCol.cast("double") /
+        col("n_judged").cast("double") / lit(1000000000.0), 6)
+    per.agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(judged, 1L).otherwise(0L)).as("n_judged"),
+        sum(when(judged && col("n_hit") === 0L, 1L).otherwise(0L))
+          .as("n_zero_hit"),
+        sum(when(judged, nano(col("p_at_k"))).otherwise(0L)).as("__p"),
+        sum(when(judged, nano(col("r_at_k"))).otherwise(0L)).as("__r"),
+        sum(when(judged, nano(col("rr"))).otherwise(0L)).as("__rr"),
+        sum(when(judged, nano(coalesce(col("ndcg"), lit(0.0))))
+          .otherwise(0L)).as("__nd"))
+      .select(col("n_queries"), col("n_judged"), col("n_zero_hit"),
+        mean(col("__p")).as("mean_p_at_k"),
+        mean(col("__r")).as("mean_r_at_k"),
+        mean(col("__rr")).as("mrr"),
+        mean(col("__nd")).as("mean_ndcg"))
+  }
+
   /** Upper-triangular Gram / covariance matrix of an embedding
     * column — the d×d second-moment summary behind whitening, PCA
     * and redundancy audits (a near-rank-deficient Gram means the

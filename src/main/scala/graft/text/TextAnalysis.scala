@@ -1612,6 +1612,52 @@ object TextAnalysis {
         .as("norm_entropy"))
   }
 
+  /** Chao1 vocabulary-richness estimate per group — how many word
+    * types a slice REALLY has, counting the ones not yet sampled:
+    * observed types `t`, singleton types `f1`, doubleton types `f2`,
+    * and the bias-corrected Chao1 `t + f1(f1−1)/(2(f2+1))` (Chao
+    * 1984, Colwell's bias-corrected form — defined even at f2 = 0),
+    * plus the Good–Turing sample coverage `1 − f1/n`. The
+    * corpus-datasheet row that says whether a language/source slice's
+    * vocabulary is saturated (chao1 ≈ t, coverage → 1) or badly
+    * under-sampled (chao1 ≫ t) — i.e. whether MORE data from this
+    * source would still grow the vocab, the question mixture
+    * re-weighting keeps asking.
+    *
+    * Exactness: t, f1, f2, n are exact BIGINTs from one (group, word)
+    * count; `f1(f1−1)` computes in DECIMAL(38,0) (a 3·10⁹-singleton
+    * group passes 2^63); chao1 and coverage are each ONE mirrored
+    * double expression of exact integers — bit-identical
+    * cross-engine with no quantization.
+    *
+    * Scale shape: one (group, word) grouped count (map-side
+    * combined), one group rollup. Output is group-domain-sized;
+    * nothing is corpus-sized after the first combine.
+    *
+    * Returns `(<groupCol>, n_tokens, n_types, f1, f2, chao1,
+    * coverage)`.
+    */
+  def vocabularyRichness(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gw = df
+      .select(col(groupCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(groupCol), col("__w")).agg(count(lit(1)).as("__c"))
+    gw.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("f1"), col("f2"),
+        round(col("n_types").cast("double") +
+          (dec(col("f1")) * (dec(col("f1")) - lit(1L))).cast("double") /
+            (lit(2.0) * (col("f2").cast("double") + 1.0)), 4)
+          .as("chao1"),
+        round(lit(1.0) - col("f1").cast("double") /
+          col("n_tokens").cast("double"), 6).as("coverage"))
+  }
+
   /** Per-language KL divergence of the language's unigram word
     * distribution from the whole corpus's — the "which slice speaks
     * differently" screen behind mixture re-weighting and

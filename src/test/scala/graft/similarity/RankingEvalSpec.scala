@@ -105,6 +105,25 @@ class RankingEvalSpec extends SparkSpec {
       assert(d.getAs[Double](f) === c.getAs[Double](f), f)
   }
 
+  test("rankingEvalMacro: means run over judged queries only, " +
+      "zero-retrieval judged queries drag them down, unjudged don't") {
+    // q1: perfect single hit; q2: judged, retrieved nothing;
+    // q3: retrieved but unjudged (excluded from every mean)
+    val out = Similarity.rankingEvalMacro(
+      Seq((1L, 10L, 1), (3L, 30L, 1)).toDF("qid", "did", "rank"),
+      "qid", "did", "rank",
+      Seq((1L, 10L, 1), (2L, 20L, 1)).toDF("q", "d", "rel"),
+      "q", "d", "rel", k = 1).head()
+    assert(out.getAs[Long]("n_queries") === 3L)
+    assert(out.getAs[Long]("n_judged") === 2L)
+    assert(out.getAs[Long]("n_zero_hit") === 1L)
+    // judged metrics: q1 all 1.0, q2 all 0.0 → means 0.5
+    assert(out.getAs[Double]("mean_p_at_k") === 0.5)
+    assert(out.getAs[Double]("mean_r_at_k") === 0.5)
+    assert(out.getAs[Double]("mrr") === 0.5)
+    assert(out.getAs[Double]("mean_ndcg") === 0.5)
+  }
+
   test("the k cutoff applies to BOTH legs: hits past k don't count " +
       "and the ideal truncates") {
     // 4 relevant docs, k = 2: recall caps at 2/4 even for a perfect
