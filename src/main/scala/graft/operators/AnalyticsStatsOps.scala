@@ -1354,6 +1354,146 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
           .as("p_value"))
   }
 
+  /** Per-group [[permutationTest]] — the segment SCREEN: one
+    * hash-randomization mean-difference test per group, all groups in
+    * one plan (grouped aggregates replace the single test's global
+    * ones; the observed/tally joins are group-keyed instead of
+    * broadcast one-rows). The flip draw stays keyed
+    * `md5(salt:r:unit)` WITHOUT the group — a unit appearing in
+    * several segments flips consistently, which leaves every
+    * segment's test marginally exact and keeps the assignment frame
+    * one hash per (unit, replica).
+    *
+    * Emits the exact rational p-value's two integer legs
+    * (`n_extreme`, `r_valid`) alongside the rounded `p_value`, so a
+    * multiple-testing step ([[bhSelect]]) can compare p-values in
+    * EXACT integer arithmetic — the screen→select composition is
+    * float-free end to end. Groups whose every replica drew an empty
+    * side report null r_valid/p_value.
+    *
+    * Scale shape: units collapse map-side to one row per (group,
+    * unit, cohort); the replica frame is that × R (R-bounded,
+    * default 199) aggregating to groups × R rows; everything after
+    * is group-domain-sized.
+    *
+    * Returns `(group…, n_a, n_b, obs_diff, r_valid, n_extreme,
+    * p_value)`.
+    */
+  def permutationTests(
+      df: DataFrame, groupCols: Seq[String], unitCol: Column,
+      valueCol: Column, cohortCol: Column, replicas: Int = 199,
+      salt: String = "perm"): DataFrame = {
+    val units = df.select(groupCols.map(col) ++ Seq(
+        unitCol.cast("string").as("__u"),
+        valueCol.cast("long").as("__v"),
+        cohortCol.cast("boolean").as("__a")): _*)
+      .where(col("__u").isNotNull && col("__a").isNotNull)
+      .groupBy(groupCols.map(col) ++ Seq(col("__u"), col("__a")): _*)
+      .agg(sum("__v").as("__v"))
+      .transform(graft.core.CacheScope.disk)
+    val obs = units.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__a"), col("__v")).otherwise(0L)).as("__sa"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__a"), col("__v")).otherwise(0L)).as("__sb"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
+      .select(groupCols.map(col) ++ Seq(col("__na"), col("__nb"),
+        (col("__sa").cast("double") / col("__na").cast("double")
+          - col("__sb").cast("double") / col("__nb").cast("double"))
+          .as("__obs")): _*)
+    val assigned = units
+      .select(groupCols.map(col) ++ Seq(col("__u"), col("__v"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r")): _*)
+      .withColumn("__flip",
+        conv(substring(md5(concat_ws(":", lit(salt), col("__r"),
+          col("__u"))), 1, 8), 16, 10).cast("long") % 2)
+    val perReplica = assigned
+      .groupBy(groupCols.map(col) :+ col("__r"): _*)
+      .agg(sum(when(col("__flip") === 0, col("__v")).otherwise(0L))
+          .as("__sa"),
+        sum(when(col("__flip") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__flip") === 1, col("__v")).otherwise(0L))
+          .as("__sb"),
+        sum(when(col("__flip") === 1, 1L).otherwise(0L)).as("__nb"))
+      .where(col("__na") > 0 && col("__nb") > 0)
+      .select(groupCols.map(col) :+
+        (col("__sa").cast("double") / col("__na").cast("double")
+          - col("__sb").cast("double") / col("__nb").cast("double"))
+          .as("__d"): _*)
+    val tally = perReplica
+      .join(obs.select(groupCols.map(col) :+ col("__obs"): _*),
+        groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("r_valid"),
+        sum((abs(col("__d")) >= abs(col("__obs"))).cast("long"))
+          .as("n_extreme"))
+    obs.join(tally, groupCols.toSeq, "left")
+      .select(groupCols.map(col) ++ Seq(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__obs"), 4).as("obs_diff"),
+        col("r_valid"), col("n_extreme"),
+        round((col("n_extreme").cast("double") + lit(1.0))
+          / (col("r_valid").cast("double") + lit(1.0)), 6)
+          .as("p_value")): _*)
+  }
+
+  /** Benjamini–Hochberg step-up selection at FDR level
+    * `alphaMilli/1000` over EXACT rational p-values `pNum/pDen` (e.g.
+    * [[permutationTests]]' `(n_extreme+1, r_valid+1)`) — the
+    * multiple-testing control a segment screen needs before anyone
+    * acts on it: testing 10,000 segments at α = 0.05 hands you ~500
+    * false alarms; BH bounds the FALSE-DISCOVERY RATE instead. Ranks
+    * p ascending (ties broken by idCols) and selects every test up to
+    * the largest k with `p_(k) ≤ k·α/m`.
+    *
+    * Exactness: the step-up comparison is pure integer
+    * cross-multiplication — `pNum·m·1000 ≤ k·alphaMilli·pDen` — so
+    * the selection boundary can never flip on a float ulp (bound:
+    * products stay under 2^63 for pNum, pDen ≤ ~10⁶ and m ≤ ~10⁹,
+    * any realistic screen). The rank itself orders by p as a double,
+    * exact for small-integer rationals (distinct rationals with
+    * denominators ≤ ~2²⁶ map to distinct doubles).
+    *
+    * Scale shape: input is test-domain-sized (one row per segment),
+    * never data-sized; the rank is the range-exchange two-pass
+    * [[rankByRange]] (no single-task global window), m and k_max are
+    * one-row broadcasts.
+    *
+    * Returns `(id…, p_value, rank, bh_critical, selected)` ordered by
+    * caller; `bh_critical = k·α/m`, `selected` 1/0.
+    */
+  def bhSelect(
+      tests: DataFrame, idCols: Seq[String], pNumCol: Column,
+      pDenCol: Column, alphaMilli: Int): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999,
+      "alphaMilli in [1, 999]")
+    val t = tests.select(idCols.map(col) ++ Seq(
+        pNumCol.cast("long").as("__pn"),
+        pDenCol.cast("long").as("__pd")): _*)
+      .where(col("__pn").isNotNull && col("__pd") > 0L)
+      .withColumn("__p",
+        col("__pn").cast("double") / col("__pd").cast("double"))
+      .withColumn("__g", lit(1))
+    val ranked = rankByRange(t, Seq("__g"),
+        col("__p").asc +: idCols.map(col(_).asc), "__k")
+      .transform(graft.core.CacheScope.disk)
+    val m = ranked.agg(count(lit(1)).as("__m"))
+    val withM = ranked.crossJoin(broadcast(m))
+    val pass = col("__pn") * col("__m") * lit(1000L) <=
+      col("__k") * lit(alphaMilli.toLong) * col("__pd")
+    val kmax = withM.where(pass)
+      .agg(max(col("__k")).as("__kmax"))
+    withM.crossJoin(broadcast(kmax))
+      .select(idCols.map(col) ++ Seq(
+        round(col("__p"), 6).as("p_value"),
+        col("__k").as("rank"),
+        round((col("__k") * lit(alphaMilli.toLong)).cast("double") /
+          (col("__m") * lit(1000L)).cast("double"), 6)
+          .as("bh_critical"),
+        (col("__k") <= coalesce(col("__kmax"), lit(0L))).cast("int")
+          .as("selected")): _*)
+  }
+
   /** Cumulative Poisson(1) CDF thresholds scaled to 32-bit integer
     * space: weight = #{k : u ≥ T_k} for a 32-bit md5 uniform u — the
     * Poisson-bootstrap draw as PURE INTEGER comparisons (no float
@@ -1788,6 +1928,96 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
         round(col("__sw").cast("double") / 1000000000.0, 6)
           .as("theil_within_weighted"))
     groupsOut.unionByName(totalOut)
+  }
+
+  /** Mantel–Haenszel stratified 2×2 analysis — the INFERENTIAL
+    * complement of [[simpsonScreen]]: where the screen flags strata
+    * whose effect direction reverses the pooled one, MH answers "what
+    * is the common exposure→outcome odds ratio AFTER adjusting for
+    * the stratification, and is it significant" (the
+    * Cochran–Mantel–Haenszel χ², 1 dof). Pooling raw counts instead
+    * is exactly how Simpson's paradox manufactures effects; MH is
+    * the standard fix.
+    *
+    * Exactness: per-stratum counts a/b/c/d are exact BIGINTs; every
+    * pooled term is an integer-division micro-quantization —
+    * `⌊a·d·10⁶/n⌋` (MH numerator R), `⌊b·c·10⁶/n⌋` (S),
+    * `⌊r1·c1·10⁶/n⌋` (expectation), `⌊r1·r2·c1·c2·10⁶/(n²(n−1))⌋`
+    * (variance) — computed through DECIMAL(38,0) and summed as exact
+    * BIGINTs (order-free), with ONE double division each for or_mh
+    * and the χ². Truncation toward zero is identical in Spark's
+    * IntegralDivide and DuckDB HUGEINT `//` (all operands
+    * non-negative here). Bound: the variance product r1·r2·c1·c2·10⁶
+    * stays inside 38 digits for strata up to ~3·10⁷ rows — size
+    * strata as segments, not lifetime corpora.
+    *
+    * Scale shape: ONE grouped count over the data (map-side
+    * combined), then stratum-domain-sized arithmetic and a one-row
+    * total. Output: one row per stratum (its own 2×2 and odds ratio)
+    * plus a `__total__` row carrying or_mh and cmh_chi2.
+    *
+    * Returns `(<stratumCol>, a, b, c, d, odds_ratio, or_mh,
+    * cmh_chi2)`.
+    */
+  def mantelHaenszel(
+      df: DataFrame, stratumCol: String, exposure: Column,
+      outcome: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = df
+      .select(col(stratumCol).cast("string").as("__s"),
+        exposure.cast("boolean").as("__e"),
+        outcome.cast("boolean").as("__o"))
+      .where(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__o").isNotNull)
+      .groupBy("__s")
+      .agg(
+        sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("d"))
+      .transform(graft.core.CacheScope.disk)
+    val micro = lit(1000000L)
+    val terms = per.select(col("__s"), col("a"), col("b"), col("c"),
+      col("d"),
+      expr("(CAST(a AS DECIMAL(38,0)) * d * 1000000) div " +
+        "(a + b + c + d)").as("__r_mu"),
+      expr("(CAST(b AS DECIMAL(38,0)) * c * 1000000) div " +
+        "(a + b + c + d)").as("__s_mu"),
+      // expectation and variance of `a` under the stratum-margins
+      // hypergeometric null, micro-quantized by integral division
+      expr("(CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000) div " +
+        "(a + b + c + d)").as("__e_mu"),
+      expr("CASE WHEN a + b + c + d > 1 THEN " +
+        "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)" +
+        " * 1000000) div (CAST(a + b + c + d AS DECIMAL(38,0))" +
+        " * (a + b + c + d) * (a + b + c + d - 1)) " +
+        "ELSE CAST(0 AS BIGINT) END").as("__v_mu"))
+    val strataOut = terms.select(col("__s").as(stratumCol),
+      col("a"), col("b"), col("c"), col("d"),
+      round(when(col("b") * col("c") > 0L,
+        (dec(col("a")) * dec(col("d"))).cast("double") /
+          (dec(col("b")) * dec(col("c"))).cast("double")), 6)
+        .as("odds_ratio"),
+      lit(null).cast("double").as("or_mh"),
+      lit(null).cast("double").as("cmh_chi2"))
+    val totalOut = terms
+      .agg(sum(col("a")).as("a"), sum(col("b")).as("b"),
+        sum(col("c")).as("c"), sum(col("d")).as("d"),
+        sum(col("__r_mu")).as("__r"), sum(col("__s_mu")).as("__ss"),
+        sum(dec(col("a")) * micro).as("__a_mu"),
+        sum(col("__e_mu")).as("__e"), sum(col("__v_mu")).as("__v"))
+      .select(lit("__total__").as(stratumCol),
+        col("a"), col("b"), col("c"), col("d"),
+        lit(null).cast("double").as("odds_ratio"),
+        round(when(col("__ss") > 0L,
+          col("__r").cast("double") / col("__ss").cast("double")), 6)
+          .as("or_mh"),
+        round(when(col("__v") > 0L,
+          ((col("__a_mu") - col("__e")) * (col("__a_mu") - col("__e")))
+            .cast("double") /
+            (lit(1000000.0) * col("__v").cast("double"))), 6)
+          .as("cmh_chi2"))
+    strataOut.unionByName(totalOut)
   }
 
   /** Gini concentration index per group — the bounded-[0,1) sibling

@@ -167,6 +167,74 @@ object Drift {
       when(oneSided, lit(true)).otherwise(ksD > thr).as("drifted")): _*)
   }
 
+  /** Exact two-sample Cramér–von Mises statistic per group — the
+    * third member of the drift family: where [[ksTest]] reads only
+    * the single worst CDF gap and [[mannWhitneyU]] only a location
+    * shift, CvM integrates the SQUARED gap over the whole pooled
+    * sample, so it flags distributed, many-small-gaps drift both
+    * siblings under-read (e.g. a variance change symmetric about the
+    * median). `T = n·m/(n+m)² · Σ_points (F_n(x) − G_m(x))²`, flagged
+    * against the asymptotic α = 0.05 critical value 0.461 by default.
+    *
+    * Exactness: the per-distinct-value gap is the exact integer
+    * `D = i·m − j·n` (inclusive cumulative counts, the ksTest shape),
+    * and `Σ t·D²` accumulates in DECIMAL(38,0), so
+    * `T = Σ t·D² / (n·m·(n+m)²)` is ONE double division of exact
+    * decimals — bit-identical cross-engine. Bound: `t·D² ≤ n³m²`
+    * stays inside 38 digits for groups up to ~10⁷ rows per side
+    * (past that the decimal overflows to null rather than misreads —
+    * size drift windows, not lifetime corpora, into a single group).
+    *
+    * Scale shape and one-sided contract identical to [[ksTest]]:
+    * per-(group, value) map-side counts, one running window over
+    * DISTINCT values, one grouped aggregate; one-sided groups flag
+    * `drifted` with null T.
+    *
+    * Returns `(group…, n_base, n_cur, cvm_t, drifted)`.
+    */
+  def cvmTest(
+      baseline: DataFrame, current: DataFrame, valueCol: String,
+      groupCols: Seq[String], threshold: Double = 0.461): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tag = (df: DataFrame, b: Int) => df
+      .where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        col(valueCol).cast("double").as("__v"), lit(b).as("__b")): _*)
+    val per = tag(baseline, 1).unionByName(tag(current, 0))
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__b")).cast("long").as("__cb"),
+        sum(lit(1) - col("__b")).cast("long").as("__cc"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val cum = per
+      .withColumn("__i", sum(col("__cb")).over(w))
+      .withColumn("__j", sum(col("__cc")).over(w))
+      .withColumn("__n1", sum(col("__cb")).over(wAll))
+      .withColumn("__n2", sum(col("__cc")).over(wAll))
+    val gap = dec(col("__i")) * dec(col("__n2")) -
+      dec(col("__j")) * dec(col("__n1"))
+    val agg = cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n1")).as("n_base"), max(col("__n2")).as("n_cur"),
+        sum(dec(col("__cb") + col("__cc")) * gap * gap).as("__s"))
+    val n1 = col("n_base")
+    val n2 = col("n_cur")
+    val oneSided = n1 === 0L || n2 === 0L
+    val denom = (dec(n1) * dec(n2) * dec(n1 + n2) * dec(n1 + n2))
+      .cast("double")
+    val t = col("__s").cast("double") / denom
+    agg.select(groupCols.map(col) ++ Seq(
+      n1, n2,
+      when(oneSided, lit(null).cast("double"))
+        .otherwise(round(t, 6)).as("cvm_t"),
+      when(oneSided, lit(true)).otherwise(t > threshold)
+        .as("drifted")): _*)
+  }
+
   /** Mann–Whitney U rank-sum test between two snapshots, per group —
     * the rank-based sibling of [[ksTest]]: where KS asks "did the
     * SHAPE change anywhere", MW-U asks "did values systematically

@@ -62,6 +62,9 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q250_theil_decomposition" -> (theilQ _),
     "q255_gini_segments" -> (giniQ _),
     "q257_qty_price_kendall" -> (kendallQ _),
+    "q260_segment_fdr_screen" -> (segmentFdrQ _),
+    "q261_cvm_drift" -> (cvmDriftQ _),
+    "q263_mantel_haenszel" -> (mantelHaenszelQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
@@ -368,6 +371,77 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
                / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6)
              END AS rho
          FROM v ORDER BY g""",
+    // per-group q201 machinery (md5-keyed flips, exact BIGINT unit
+    // sums, one mirrored double per replica) + an INTEGER
+    // cross-multiplied BH step-up — the float-free selection boundary
+    "q260_segment_fdr_screen" ->
+      """WITH e AS (
+           SELECT event_type AS g, user_id,
+             CAST(floor(value * (CASE WHEN user_id % 2 = 0
+                 AND event_type = 'purchase' THEN 2.0 ELSE 1.0 END)
+               * 100) AS BIGINT) AS v,
+             (user_id % 2 = 0) AS a
+           FROM events WHERE value IS NOT NULL),
+         units AS (
+           SELECT g, CAST(user_id AS VARCHAR) AS u, a,
+             CAST(sum(v) AS BIGINT) AS v
+           FROM e GROUP BY 1, 2, 3),
+         ob AS (SELECT g,
+             CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN NOT a THEN v ELSE 0 END) AS BIGINT)
+               AS sb,
+             CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+           FROM units GROUP BY g),
+         obs AS (SELECT g, na, nb,
+             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS obsd
+           FROM ob),
+         asg AS (
+           SELECT g, u, v, r,
+             CAST(('0x' || substr(md5('q260' || ':'
+               || CAST(r AS VARCHAR) || ':' || u), 1, 8)) AS BIGINT)
+               % 2 AS flip
+           FROM units, LATERAL (SELECT
+             unnest(generate_series(0, 98)) AS r) t),
+         per AS (
+           SELECT g, r,
+             CAST(sum(CASE WHEN flip = 0 THEN v ELSE 0 END)
+               AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN flip = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS na,
+             CAST(sum(CASE WHEN flip = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN flip = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb
+           FROM asg GROUP BY g, r),
+         d AS (SELECT g, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS d
+               FROM per WHERE na > 0 AND nb > 0),
+         tl AS (SELECT d.g, CAST(count(*) AS BIGINT) AS r_valid,
+                CAST(sum(CASE WHEN abs(d.d) >= abs(obs.obsd)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+                FROM d JOIN obs ON obs.g = d.g GROUP BY d.g),
+         tests AS (
+           SELECT obs.g, tl.n_extreme + 1 AS pn, tl.r_valid + 1 AS pd
+           FROM obs JOIN tl ON tl.g = obs.g),
+         rk AS (
+           SELECT g, pn, pd,
+             CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) AS p,
+             CAST(row_number() OVER (ORDER BY
+               CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE), g)
+               AS BIGINT) AS k
+           FROM tests),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM rk),
+         km AS (SELECT max(k) AS kmax FROM rk, mm
+                WHERE pn * m * 1000 <= k * 50 * pd)
+         SELECT g AS event_type, round(p, 6) AS p_value, k AS rank,
+           round(CAST(k * 50 AS DOUBLE) / CAST(m * 1000 AS DOUBLE), 6)
+             AS bh_critical,
+           CAST(CASE WHEN k <= coalesce(km.kmax, 0) THEN 1 ELSE 0 END
+             AS INT) AS selected
+         FROM rk, mm, km ORDER BY event_type""",
     // contingency-cell τ-b: exact HUGEINT concordant/discordant/tie
     // counts from the cell-pair join, one mirrored double division
     "q257_qty_price_kendall" ->
@@ -500,6 +574,118 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     // exact-regime KLL == the inclusive order statistic: smallest
     // value whose cumulative fraction >= rank (cume_dist replay);
     // ranks 0.5/0.75 are exact binary doubles on both engines
+    // exact 2×2 counts per stratum; every pooled term an integral-
+    // division micro-quantization (HUGEINT //, non-negative operands
+    // — truncation identical to Spark's IntegralDivide), one double
+    // division each for or_mh and the χ²
+    "q263_mantel_haenszel" ->
+      """WITH r AS (
+           SELECT c_mktsegment AS s,
+             (o_orderpriority = '1-URGENT') AS e,
+             (o_orderstatus = 'F') AS o
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         per AS (
+           SELECT s,
+             CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+           FROM r GROUP BY s),
+         t AS (
+           SELECT s, a, b, c, d,
+             (CAST(a AS HUGEINT) * d * 1000000) // (a + b + c + d)
+               AS rmu,
+             (CAST(b AS HUGEINT) * c * 1000000) // (a + b + c + d)
+               AS smu,
+             (CAST(a + b AS HUGEINT) * (a + c) * 1000000)
+               // (a + b + c + d) AS emu,
+             CASE WHEN a + b + c + d > 1 THEN
+               (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+                 * 1000000)
+               // (CAST(a + b + c + d AS HUGEINT) * (a + b + c + d)
+                 * (a + b + c + d - 1))
+               ELSE 0 END AS vmu
+           FROM per),
+         strata AS (
+           SELECT s AS st, a, b, c, d,
+             CASE WHEN b * c > 0 THEN
+               round(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                 / CAST(CAST(b AS HUGEINT) * c AS DOUBLE), 6) END
+               AS odds_ratio,
+             CAST(NULL AS DOUBLE) AS or_mh,
+             CAST(NULL AS DOUBLE) AS cmh_chi2
+           FROM t),
+         tot AS (
+           SELECT '__total__' AS st,
+             CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
+             CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d,
+             CAST(NULL AS DOUBLE) AS odds_ratio,
+             CASE WHEN sum(smu) > 0 THEN
+               round(CAST(sum(rmu) AS DOUBLE)
+                 / CAST(sum(smu) AS DOUBLE), 6) END AS or_mh,
+             CASE WHEN sum(vmu) > 0 THEN
+               round(CAST((sum(CAST(a AS HUGEINT) * 1000000)
+                   - sum(emu))
+                 * (sum(CAST(a AS HUGEINT) * 1000000) - sum(emu))
+                 AS DOUBLE)
+                 / (1000000.0 * CAST(sum(vmu) AS DOUBLE)), 6) END
+               AS cmh_chi2
+           FROM t)
+         SELECT st AS c_mktsegment, a, b, c, d, odds_ratio, or_mh,
+           cmh_chi2
+         FROM (SELECT * FROM strata UNION ALL SELECT * FROM tot)
+         ORDER BY c_mktsegment""",
+    // the q164 CTE machinery with the squared-gap HUGEINT sum in
+    // place of the supremum; T = Σ t·(i·m − j·n)² / (nm(n+m)²), one
+    // mirrored double division
+    "q261_cvm_drift" ->
+      """WITH base AS (
+           SELECT o_orderpriority AS g, o_totalprice AS v
+           FROM orders WHERE o_orderkey % 2 = 1),
+         cur AS (
+           SELECT o_orderpriority AS g,
+             CASE WHEN o_orderpriority = '1-URGENT'
+               THEN o_totalprice * 1.10 ELSE o_totalprice END AS v
+           FROM orders WHERE o_orderkey % 2 = 0),
+         u AS (
+           SELECT g, v, 1 AS b FROM base
+           UNION ALL SELECT g, v, 0 FROM cur),
+         per AS (
+           SELECT g, v, CAST(sum(b) AS BIGINT) AS cb,
+             CAST(sum(1 - b) AS BIGINT) AS cc
+           FROM u GROUP BY g, v),
+         cum AS (
+           SELECT g, cb, cc,
+             CAST(sum(cb) OVER w AS BIGINT) AS i,
+             CAST(sum(cc) OVER w AS BIGINT) AS j,
+             CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS n1,
+             CAST(sum(cc) OVER (PARTITION BY g) AS BIGINT) AS n2
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         agg AS (
+           SELECT g, max(n1) AS n_base, max(n2) AS n_cur,
+             sum(CAST(cb + cc AS HUGEINT)
+               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1)
+               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1))
+               AS s
+           FROM cum GROUP BY g)
+         SELECT g AS o_orderpriority, n_base, n_cur,
+           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+             ELSE round(CAST(s AS DOUBLE)
+               / CAST(CAST(n_base AS HUGEINT) * n_cur
+                 * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE), 6)
+             END AS cvm_t,
+           CAST(CASE WHEN n_base = 0 OR n_cur = 0 THEN 1
+             WHEN CAST(s AS DOUBLE)
+               / CAST(CAST(n_base AS HUGEINT) * n_cur
+                 * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE)
+               > 0.461 THEN 1 ELSE 0 END AS INT) AS drifted
+         FROM agg ORDER BY o_orderpriority""",
     "q164_ks_drift" ->
       """WITH base AS (
            SELECT o_orderpriority AS g, o_totalprice AS v
@@ -1702,6 +1888,46 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .orderBy("o_orderpriority")
   }
 
+  /** Mantel–Haenszel adjusted odds ratio + CMH χ²
+    * ([[Analytics.mantelHaenszel]]) of urgent-priority → order-status-F
+    * across market-segment strata — the inferential complement of
+    * q200's Simpson screen on the same stratification shape: the
+    * segment-adjusted common effect a pooled 2×2 would confound.
+    * Exact per-stratum counts, integral-division micro terms, one
+    * double division each for or_mh and χ².
+    */
+  private[graft] def mantelHaenszelQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "orders").join(t(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    Analytics.mantelHaenszel(j, "c_mktsegment",
+        col("o_orderpriority") === "1-URGENT",
+        col("o_orderstatus") === "F")
+      .orderBy("c_mktsegment")
+  }
+
+  /** Cramér–von Mises drift ([[graft.quality.Drift.cvmTest]]) on the
+    * q164 split shape (odd orders = baseline, even = current) with a
+    * 1.10× shift planted into URGENT prices — twice q164's 1.05×,
+    * which sits exactly AT the KS detection boundary at sf0.01
+    * (D = 0.0499 vs threshold 0.0498); the stronger plant puts the
+    * CvM statistic clearly past its asymptotic 0.461 bar, so the
+    * query exhibits a flagged group next to four cleanly-null ones.
+    * Exact integer gap sums in DECIMAL(38,0), one double division.
+    */
+  private[graft] def cvmDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.where(col("o_orderkey") % 2 === 1)
+    val cur = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice") * 1.10).otherwise(col("o_totalprice")))
+    graft.quality.Drift.cvmTest(base, cur, "o_totalprice",
+        Seq("o_orderpriority"))
+      .withColumn("drifted", col("drifted").cast("int"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Mann–Whitney U drift ([[graft.quality.Drift.mannWhitneyU]]) on
     * the q164 synthetic split (odd event ids = baseline, even =
     * current) with a 10% upward shift injected into `purchase`
@@ -1791,6 +2017,32 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.burstiness(events(s, dir), "ts", "event_type",
         bucketSeconds = 3600L)
       .orderBy("event_type")
+
+  /** Segment screen with FDR control ([[Analytics.permutationTests]]
+    * → [[Analytics.bhSelect]]): one hash-randomization test per event
+    * type for a cohort mean-value difference (unit = user, cohort =
+    * even user_id, a 2× shift planted into even users' `purchase`
+    * values), then Benjamini–Hochberg step-up at α = 0.05 over the
+    * exact rational p-values — the screen→select composition every
+    * many-segment monitor needs, float-free at the selection
+    * boundary. 99 replicas keep the replica fan-out (units × R)
+    * oracle-friendly.
+    */
+  private[graft] def segmentFdrQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val mult = when(col("user_id") % 2 === 0 &&
+      col("event_type") === "purchase", 2.0).otherwise(1.0)
+    val tests = Analytics.permutationTests(
+      e.withColumn("__cents",
+        floor(col("value") * mult * 100).cast("long")),
+      Seq("event_type"), col("user_id"), col("__cents"),
+      col("user_id") % 2 === 0, replicas = 99, salt = "q260")
+    Analytics.bhSelect(tests
+        .withColumn("__pn", col("n_extreme") + 1L)
+        .withColumn("__pd", col("r_valid") + 1L),
+        Seq("event_type"), col("__pn"), col("__pd"), alphaMilli = 50)
+      .orderBy("event_type")
+  }
 
   /** Kendall τ-b ([[Analytics.kendallTauB]]) between quantity and the
     * 10k-wide extended-price band per return flag — the concordance

@@ -46,6 +46,7 @@ private[graft] object TextRegistry {
     "q246_retrieval_eval" -> (retrievalEvalQ _),
     "q258_chao1_richness" -> (chao1RichnessQ _),
     "q259_retrieval_macro" -> (retrievalMacroQ _),
+    "q262_vocab_overlap" -> (vocabOverlapQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -868,6 +869,31 @@ private[graft] object TextRegistry {
              / 1000000000.0, 6) AS mean_ndcg
          FROM m""",
 
+    // exact distinct-type counts; jaccard/containments single double
+    // divisions
+    "q262_vocab_overlap" ->
+      """WITH t AS (
+           SELECT DISTINCT g, w FROM (
+             SELECT CAST(lang AS VARCHAR) AS g,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             FROM documents WHERE lang IS NOT NULL)),
+         sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+                FROM t GROUP BY g),
+         c AS (
+           SELECT a.g AS ga, b.g AS gb,
+             CAST(count(*) AS BIGINT) AS n_common
+           FROM t a JOIN t b ON a.w = b.w AND a.g < b.g
+           GROUP BY 1, 2)
+         SELECT c.ga AS group_a, c.gb AS group_b,
+           sa.n AS n_a, sb.n AS n_b, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 6) AS jaccard,
+           round(CAST(c.n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+             AS contain_a,
+           round(CAST(c.n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 6)
+             AS contain_b
+         FROM c JOIN sz sa ON sa.g = c.ga JOIN sz sb ON sb.g = c.gb
+         ORDER BY group_a, group_b""",
     // exact t/f1/f2/n integers; chao1 and coverage each one mirrored
     // double expression (f1(f1-1) through HUGEINT)
     "q258_chao1_richness" ->
@@ -1323,6 +1349,17 @@ private[graft] object TextRegistry {
       "query_id", "doc_id", "rank", qrels, "qid", "did", "rel",
       k = 10)
   }
+
+  /** Pairwise language vocabulary overlap
+    * ([[TextAnalysis.vocabOverlap]]): exact shared-type counts,
+    * Jaccard and both containments for every language pair — the
+    * cross-lingual boilerplate screen next to q258's per-language
+    * richness. Word-keyed self-join of the distinct (lang, word)
+    * frame, |vocab|·G²-bounded.
+    */
+  private[graft] def vocabOverlapQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabOverlap(docs(s, dir), "lang", "text")
+      .orderBy("group_a", "group_b")
 
   /** Chao1 vocabulary richness per language
     * ([[TextAnalysis.vocabularyRichness]]): is each language slice's

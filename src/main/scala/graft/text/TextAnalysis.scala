@@ -1658,6 +1658,55 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("coverage"))
   }
 
+  /** Exact pairwise vocabulary overlap between groups — the
+    * type-SET reading beside [[vocabularyRichness]]'s size and
+    * [[langUnigramDivergence]]'s distribution: for every group pair,
+    * the shared-type count, Jaccard, and both containments. High
+    * cross-language containment is the boilerplate/code-switching
+    * alarm (one slice's vocabulary living inside another's); the
+    * q219 KMV overlap estimates this shape for UNBOUNDED id domains —
+    * vocabularies are type-domain-sized, so here it is exact.
+    *
+    * Scale shape: the corpus collapses to distinct (group, word) rows
+    * (map-side combined); the pair counts come from the word-keyed
+    * SELF-JOIN of that frame — each word contributes
+    * (groups-containing-it choose 2) rows, so the join output is
+    * bounded by |vocab|·G², never corpus-sized, and nothing is ever
+    * document-pairwise. Group sizes broadcast back onto the
+    * group-pair-domain output.
+    *
+    * Returns `(group_a, group_b, n_a, n_b, n_common, jaccard,
+    * contain_a, contain_b)` for group_a < group_b; Jaccard/
+    * containments are single double divisions of exact counts.
+    */
+  def vocabOverlap(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val types = df
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(words(col(textCol))).as("__w"))
+      .where(col("__g").isNotNull)
+      .distinct()
+      .transform(graft.core.CacheScope.disk)
+    val sizes = types.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val common = types
+      .join(types.select(col("__g").as("__g2"), col("__w")), Seq("__w"))
+      .where(col("__g") < col("__g2"))
+      .groupBy("__g", "__g2").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("__g"), col("__n").as("n_a")), Seq("__g"))
+      .join(sizes.select(col("__g").as("__g2"), col("__n").as("n_b")),
+        Seq("__g2"))
+      .select(col("__g").as("group_a"), col("__g2").as("group_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_common").cast("double") / col("n_a").cast("double"),
+          6).as("contain_a"),
+        round(col("n_common").cast("double") / col("n_b").cast("double"),
+          6).as("contain_b"))
+  }
+
   /** Per-language KL divergence of the language's unigram word
     * distribution from the whole corpus's — the "which slice speaks
     * differently" screen behind mixture re-weighting and
