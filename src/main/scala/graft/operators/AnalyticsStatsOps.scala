@@ -1930,6 +1930,79 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
     groupsOut.unionByName(totalOut)
   }
 
+  /** Holt linear-trend forecast (double exponential smoothing) per
+    * group — the one-step-ahead "where is this series heading"
+    * reading [[ewma]]'s level-only smoothing can't give (a steady
+    * ramp reads as constant lag in EWMA; Holt carries an explicit
+    * trend state): `l ← (α·x + (1000−α)(l+t))/1000`,
+    * `t ← (β·(l−l_prev) + (1000−β)t)/1000` with milli-unit integer
+    * smoothing weights, initialized `l₀ = x₀, t₀ = 0`; the h-step
+    * forecast is `l + h·t`.
+    *
+    * Exactness: the recursion is integer-valued throughout — each
+    * update is ONE mirrored `floor((a·x + b·s)/1000)` where the
+    * double intermediate is exact for |cents| below ~2^49 (≈ $5.6
+    * billion per bucket — document the bound, don't feed lifetime
+    * totals), and floor-toward-−∞ is engine-identical, so level,
+    * trend, and every forecast are exact BIGINTs cross-engine.
+    *
+    * Scale shape: one (group, bucket) map-side-combined sum, then
+    * ONE collect_list per group bounded by the group's BUCKET count
+    * (a time-bucketed series — days/hours — never row-count-sized;
+    * that bound is the caller's contract), folded by a single
+    * `aggregate` expression. Output is group-domain-sized.
+    *
+    * Returns `(group…, n_buckets, level, trend, forecast_1,
+    * forecast_2, forecast_3)` — all cents BIGINTs.
+    */
+  def holtForecast(
+      df: DataFrame, groupCols: Seq[String], bucket: Column,
+      valueCents: Column, alphaMilli: Int = 300,
+      betaMilli: Int = 100): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999, "alphaMilli in [1,999]")
+    require(betaMilli >= 1 && betaMilli <= 999, "betaMilli in [1,999]")
+    val perBucket = df
+      .select(groupCols.map(col) ++ Seq(bucket.as("__b"),
+        valueCents.cast("long").as("__x")): _*)
+      .where(col("__b").isNotNull && col("__x").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__x")).as("__x"))
+    val series = perBucket
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(
+        sort_array(collect_list(struct(col("__b"), col("__x")))),
+        s => s.getField("__x")).as("__xs"))
+    def step(num: Column): Column =
+      floor(num / lit(1000.0)).cast("long")
+    val folded = series.select(groupCols.map(col) :+ aggregate(
+      col("__xs"),
+      struct(lit(0L).as("l"), lit(0L).as("t"), lit(0).as("i")),
+      (acc, x) => {
+        val l = acc.getField("l")
+        val t = acc.getField("t")
+        val i = acc.getField("i")
+        val lNew = step(lit(alphaMilli.toDouble) * x.cast("double") +
+          lit((1000 - alphaMilli).toDouble) * (l + t).cast("double"))
+        val tNew = step(lit(betaMilli.toDouble) *
+          (lNew - l).cast("double") +
+          lit((1000 - betaMilli).toDouble) * t.cast("double"))
+        struct(
+          when(i === 0, x).otherwise(lNew).as("l"),
+          when(i === 0, lit(0L)).otherwise(tNew).as("t"),
+          (i + lit(1)).as("i"))
+      }).as("__st"): _*)
+    folded.select(groupCols.map(col) ++ Seq(
+      col("__st").getField("i").cast("long").as("n_buckets"),
+      col("__st").getField("l").as("level"),
+      col("__st").getField("t").as("trend"),
+      (col("__st").getField("l") + col("__st").getField("t"))
+        .as("forecast_1"),
+      (col("__st").getField("l") + lit(2L) * col("__st").getField("t"))
+        .as("forecast_2"),
+      (col("__st").getField("l") + lit(3L) * col("__st").getField("t"))
+        .as("forecast_3")): _*)
+  }
+
   /** Mantel–Haenszel stratified 2×2 analysis — the INFERENTIAL
     * complement of [[simpsonScreen]]: where the screen flags strata
     * whose effect direction reverses the pooled one, MH answers "what

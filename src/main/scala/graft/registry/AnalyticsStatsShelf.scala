@@ -65,6 +65,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q260_segment_fdr_screen" -> (segmentFdrQ _),
     "q261_cvm_drift" -> (cvmDriftQ _),
     "q263_mantel_haenszel" -> (mantelHaenszelQ _),
+    "q265_holt_forecast" -> (holtForecastQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
@@ -574,6 +575,43 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     // exact-regime KLL == the inclusive order statistic: smallest
     // value whose cumulative fraction >= rank (cume_dist replay);
     // ranks 0.5/0.75 are exact binary doubles on both engines
+    // the integer Holt recursion replayed as a recursive CTE; the
+    // mirrored step floor((a·x + b·(l+t))/1000) is exact below 2^49
+    // cents per bucket, so every emitted column is an exact BIGINT
+    "q265_holt_forecast" ->
+      """WITH RECURSIVE x AS (
+           SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         idx AS (
+           SELECT g, x, CAST(row_number() OVER (
+             PARTITION BY g ORDER BY day) AS BIGINT) AS i
+           FROM x),
+         rec AS (
+           SELECT g, CAST(1 AS BIGINT) AS i, x AS l,
+             CAST(0 AS BIGINT) AS t
+           FROM idx WHERE i = 1
+           UNION ALL
+           SELECT r.g, r.i + 1,
+             CAST(floor((300.0 * CAST(n.x AS DOUBLE)
+               + 700.0 * CAST(r.l + r.t AS DOUBLE)) / 1000.0)
+               AS BIGINT) AS l,
+             CAST(floor((100.0 * CAST(
+                 CAST(floor((300.0 * CAST(n.x AS DOUBLE)
+                   + 700.0 * CAST(r.l + r.t AS DOUBLE)) / 1000.0)
+                   AS BIGINT) - r.l AS DOUBLE)
+               + 900.0 * CAST(r.t AS DOUBLE)) / 1000.0) AS BIGINT)
+               AS t
+           FROM rec r JOIN idx n ON n.g = r.g AND n.i = r.i + 1),
+         fin AS (
+           SELECT g, i, l, t, row_number() OVER (
+             PARTITION BY g ORDER BY i DESC) AS rn
+           FROM rec)
+         SELECT g AS event_type, i AS n_buckets, l AS level,
+           t AS trend, l + t AS forecast_1, l + 2 * t AS forecast_2,
+           l + 3 * t AS forecast_3
+         FROM fin WHERE rn = 1 ORDER BY event_type""",
     // exact 2×2 counts per stratum; every pooled term an integral-
     // division micro-quantization (HUGEINT //, non-negative operands
     // — truncation identical to Spark's IntegralDivide), one double
@@ -1886,6 +1924,19 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         col("ks_scaled"), round(col("ks_d"), 6).as("ks_d"),
         round(col("threshold"), 6).as("threshold"), col("drifted"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Holt linear-trend forecast ([[Analytics.holtForecast]]) of daily
+    * event value per event type (α = 0.3, β = 0.1 in milli units) —
+    * level, trend, and the 1/2/3-step-ahead forecasts, all exact
+    * cents BIGINTs from the mirrored integer recursion (oracle
+    * replays it as a recursive CTE).
+    */
+  private[graft] def holtForecastQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    Analytics.holtForecast(e, Seq("event_type"),
+        to_date(col("ts")), floor(col("value") * 100).cast("long"))
+      .orderBy("event_type")
   }
 
   /** Mantel–Haenszel adjusted odds ratio + CMH χ²

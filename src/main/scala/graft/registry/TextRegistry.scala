@@ -47,6 +47,7 @@ private[graft] object TextRegistry {
     "q258_chao1_richness" -> (chao1RichnessQ _),
     "q259_retrieval_macro" -> (retrievalMacroQ _),
     "q262_vocab_overlap" -> (vocabOverlapQ _),
+    "q264_token_drift" -> (tokenDriftQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -869,6 +870,48 @@ private[graft] object TextRegistry {
              / 1000000000.0, 6) AS mean_ndcg
          FROM m""",
 
+    // exact BIGINT counts, HUGEINT determinant, one mirrored double
+    // chain ((det·det)·N)/(((r1·r2)·ta)·tb) rounded 4 — a RANKING
+    // score; top-k ties break on the token
+    "q264_token_drift" ->
+      """WITH wa AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS token
+           FROM documents WHERE doc_id % 2 = 0),
+         wb AS (
+           SELECT unnest(regexp_extract_all(
+             lower(text || ' drifttoken'), '[a-z0-9]+')) AS token
+           FROM documents WHERE doc_id % 2 = 1),
+         ca_ AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_base
+                 FROM wa GROUP BY 1),
+         cb_ AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_cur
+                 FROM wb GROUP BY 1),
+         j AS (
+           SELECT coalesce(ca_.token, cb_.token) AS token,
+             coalesce(cnt_base, 0) AS cnt_base,
+             coalesce(cnt_cur, 0) AS cnt_cur
+           FROM ca_ FULL OUTER JOIN cb_ ON ca_.token = cb_.token),
+         t AS (SELECT CAST(sum(cnt_base) AS BIGINT) AS ta,
+                 CAST(sum(cnt_cur) AS BIGINT) AS tb FROM j),
+         s AS (
+           SELECT token, cnt_base, cnt_cur,
+             CASE WHEN CAST(cnt_base + cnt_cur AS DOUBLE)
+                 * CAST((ta - cnt_base) + (tb - cnt_cur) AS DOUBLE)
+                 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) > 0.0 THEN
+               round(CAST(CAST(cnt_base AS HUGEINT) * (tb - cnt_cur)
+                   - CAST(cnt_cur AS HUGEINT) * (ta - cnt_base)
+                   AS DOUBLE)
+                 * CAST(CAST(cnt_base AS HUGEINT) * (tb - cnt_cur)
+                   - CAST(cnt_cur AS HUGEINT) * (ta - cnt_base)
+                   AS DOUBLE)
+                 * CAST(ta + tb AS DOUBLE)
+                 / (CAST(cnt_base + cnt_cur AS DOUBLE)
+                   * CAST((ta - cnt_base) + (tb - cnt_cur) AS DOUBLE)
+                   * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 4)
+             END AS chi2
+           FROM j, t)
+         SELECT token, cnt_base, cnt_cur, chi2 FROM s
+         ORDER BY chi2 DESC NULLS LAST, token ASC LIMIT 20""",
     // exact distinct-type counts; jaccard/containments single double
     // divisions
     "q262_vocab_overlap" ->
@@ -1348,6 +1391,23 @@ private[graft] object TextRegistry {
     graft.similarity.Similarity.rankingEvalMacro(results,
       "query_id", "doc_id", "rank", qrels, "qid", "did", "rel",
       k = 10)
+  }
+
+  /** Token-drift leaderboard ([[TextAnalysis.tokenDriftLeaderboard]])
+    * between the even-doc "baseline crawl" and the odd-doc "current
+    * crawl" with a planted ` drifttoken` appended to every current
+    * document — the planted token must TOP the χ² board by
+    * construction (present in exactly half the corpus on one side
+    * only), with the rest of the top-20 reading real sampling
+    * variation between the halves.
+    */
+  private[graft] def tokenDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.tokenDriftLeaderboard(
+      d.where(col("doc_id") % 2 === 0),
+      d.where(col("doc_id") % 2 === 1)
+        .withColumn("text", concat(col("text"), lit(" drifttoken"))),
+      "text", k = 20)
   }
 
   /** Pairwise language vocabulary overlap

@@ -1658,6 +1658,62 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("coverage"))
   }
 
+  /** Token-frequency drift leaderboard between two corpus snapshots —
+    * "which words' RATES changed most" between crawls/versions, the
+    * vocabulary-resolution sibling of the distribution-level drift
+    * tests: per token the 2×2 table (its count vs all other tokens,
+    * baseline vs current) scored by the 1-dof χ² statistic
+    * `N(ad−bc)²/(r1·r2·c1·c2)`, top-k by χ². A new boilerplate
+    * string, a template change, or an injection shows up here by
+    * NAME, where ksTest/cvmTest only say "something moved".
+    *
+    * Determinism: a, b, c, d are exact BIGINTs; `ad−bc` computes in
+    * DECIMAL(38,0) (exact to ~10¹⁹-token sides), then ONE mirrored
+    * double chain `(ad−bc)²·N / (r1·r2·c1·c2)` — χ² is a ranking
+    * score here, rounded to 4; the top-k order ties break on the
+    * token. The limit plans as TakeOrderedAndProject (per-partition
+    * heaps — no global sort).
+    *
+    * Scale shape: two (token) grouped counts (map-side combined),
+    * one full-outer token-keyed join, two one-row total broadcasts —
+    * vocabulary-sized throughout.
+    *
+    * Returns top-k `(token, cnt_base, cnt_cur, chi2)` by χ² desc.
+    */
+  def tokenDriftLeaderboard(
+      baseline: DataFrame, current: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 10000, "k in [1, 10000]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(out))
+    val a = counts(baseline, "cnt_base")
+    val b = counts(current, "cnt_cur")
+    val joined = a.join(b, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_base"), lit(0L)).as("cnt_base"),
+        coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+      .transform(graft.core.CacheScope.disk)
+    val tot = joined.agg(sum(col("cnt_base")).as("__ta"),
+      sum(col("cnt_cur")).as("__tb"))
+    val wa = col("cnt_base")
+    val wb = col("cnt_cur")
+    val oa = col("__ta") - wa // other tokens, baseline side
+    val ob = col("__tb") - wb
+    val det = dec(wa) * dec(ob) - dec(wb) * dec(oa)
+    val nTot = (col("__ta") + col("__tb")).cast("double")
+    val denom = (wa + wb).cast("double") * (oa + ob).cast("double") *
+      col("__ta").cast("double") * col("__tb").cast("double")
+    val chi2 = when(denom > 0.0,
+      det.cast("double") * det.cast("double") * nTot / denom)
+    joined.crossJoin(broadcast(tot))
+      .select(col("token"), col("cnt_base"), col("cnt_cur"),
+        round(chi2, 4).as("chi2"))
+      .orderBy(col("chi2").desc_nulls_last, col("token").asc)
+      .limit(k)
+  }
+
   /** Exact pairwise vocabulary overlap between groups — the
     * type-SET reading beside [[vocabularyRichness]]'s size and
     * [[langUnigramDivergence]]'s distribution: for every group pair,
