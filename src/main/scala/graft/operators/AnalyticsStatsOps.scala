@@ -1959,38 +1959,94 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
       df: DataFrame, groupCols: Seq[String], bucket: Column,
       valueCents: Column, alphaMilli: Int = 300,
       betaMilli: Int = 100): DataFrame = {
-    require(alphaMilli >= 1 && alphaMilli <= 999, "alphaMilli in [1,999]")
-    require(betaMilli >= 1 && betaMilli <= 999, "betaMilli in [1,999]")
-    val perBucket = df
-      .select(groupCols.map(col) ++ Seq(bucket.as("__b"),
-        valueCents.cast("long").as("__x")): _*)
-      .where(col("__b").isNotNull && col("__x").isNotNull)
-      .groupBy(groupCols.map(col) :+ col("__b"): _*)
-      .agg(sum(col("__x")).as("__x"))
-    val series = perBucket
-      .groupBy(groupCols.map(col): _*)
-      .agg(transform(
-        sort_array(collect_list(struct(col("__b"), col("__x")))),
-        s => s.getField("__x")).as("__xs"))
-    def step(num: Column): Column =
-      floor(num / lit(1000.0)).cast("long")
-    val folded = series.select(groupCols.map(col) :+ aggregate(
+    val series = holtSeries(df, groupCols, bucket, valueCents)
+    holtEmit(groupCols, series.select(groupCols.map(col) :+ holtFold(
       col("__xs"),
       struct(lit(0L).as("l"), lit(0L).as("t"), lit(0).as("i")),
-      (acc, x) => {
-        val l = acc.getField("l")
-        val t = acc.getField("t")
-        val i = acc.getField("i")
-        val lNew = step(lit(alphaMilli.toDouble) * x.cast("double") +
-          lit((1000 - alphaMilli).toDouble) * (l + t).cast("double"))
-        val tNew = step(lit(betaMilli.toDouble) *
-          (lNew - l).cast("double") +
-          lit((1000 - betaMilli).toDouble) * t.cast("double"))
-        struct(
-          when(i === 0, x).otherwise(lNew).as("l"),
-          when(i === 0, lit(0L)).otherwise(tNew).as("t"),
-          (i + lit(1)).as("i"))
-      }).as("__st"): _*)
+      alphaMilli, betaMilli).as("__st"): _*))
+  }
+
+  /** Resume [[holtForecast]] from a STANDING state instead of
+    * rescanning history — the incremental form: `state` is a prior
+    * holt output (`group…, n_buckets, level, trend`) and `df` carries
+    * only the NEW buckets, which must all sort AFTER the buckets the
+    * state consumed (the caller's watermark contract — a standing
+    * daily monitor appends whole days, exactly this shape). Because
+    * the recursion is a left fold, resume(state(prefix), suffix) ==
+    * full(prefix ++ suffix) EXACTLY — the spec pins the equality, so
+    * a monitor never re-reads history to extend a forecast.
+    *
+    * Groups in `state` with no new buckets pass through unchanged;
+    * groups appearing only in `df` are NEW series and initialize
+    * exactly as [[holtForecast]] does.
+    */
+  def holtResume(
+      state: DataFrame, df: DataFrame, groupCols: Seq[String],
+      bucket: Column, valueCents: Column, alphaMilli: Int = 300,
+      betaMilli: Int = 100): DataFrame = {
+    val series = holtSeries(df, groupCols, bucket, valueCents)
+    val st = state.select(groupCols.map(col) ++ Seq(
+      col("level").as("__l0"), col("trend").as("__t0"),
+      col("n_buckets").cast("int").as("__i0")): _*)
+    val joined = series.join(st, groupCols.toSeq, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        coalesce(col("__xs"), array().cast("array<long>")).as("__xs"),
+        coalesce(col("__l0"), lit(0L)).as("__l0"),
+        coalesce(col("__t0"), lit(0L)).as("__t0"),
+        coalesce(col("__i0"), lit(0)).as("__i0")): _*)
+    holtEmit(groupCols, joined.select(groupCols.map(col) :+ holtFold(
+      col("__xs"),
+      struct(col("__l0").as("l"), col("__t0").as("t"),
+        col("__i0").as("i")),
+      alphaMilli, betaMilli).as("__st"): _*))
+  }
+
+  /** Per-(group, bucket) sums collected into the bucket-ordered value
+    * array the Holt fold consumes.
+    */
+  private def holtSeries(
+      df: DataFrame, groupCols: Seq[String], bucket: Column,
+      valueCents: Column): DataFrame = df
+    .select(groupCols.map(col) ++ Seq(bucket.as("__b"),
+      valueCents.cast("long").as("__x")): _*)
+    .where(col("__b").isNotNull && col("__x").isNotNull)
+    .groupBy(groupCols.map(col) :+ col("__b"): _*)
+    .agg(sum(col("__x")).as("__x"))
+    .groupBy(groupCols.map(col): _*)
+    .agg(transform(
+      sort_array(collect_list(struct(col("__b"), col("__x")))),
+      s => s.getField("__x")).as("__xs"))
+
+  /** The Holt left fold over a value array from an arbitrary
+    * (l, t, i) state — shared verbatim by [[holtForecast]] (zero
+    * state) and [[holtResume]] (standing state), which is WHY
+    * resume == full holds bit-for-bit.
+    */
+  private def holtFold(
+      xs: Column, init: Column, alphaMilli: Int,
+      betaMilli: Int): Column = {
+    require(alphaMilli >= 1 && alphaMilli <= 999, "alphaMilli in [1,999]")
+    require(betaMilli >= 1 && betaMilli <= 999, "betaMilli in [1,999]")
+    def step(num: Column): Column =
+      floor(num / lit(1000.0)).cast("long")
+    aggregate(xs, init, (acc, x) => {
+      val l = acc.getField("l")
+      val t = acc.getField("t")
+      val i = acc.getField("i")
+      val lNew = step(lit(alphaMilli.toDouble) * x.cast("double") +
+        lit((1000 - alphaMilli).toDouble) * (l + t).cast("double"))
+      val tNew = step(lit(betaMilli.toDouble) *
+        (lNew - l).cast("double") +
+        lit((1000 - betaMilli).toDouble) * t.cast("double"))
+      struct(
+        when(i === 0, x).otherwise(lNew).as("l"),
+        when(i === 0, lit(0L)).otherwise(tNew).as("t"),
+        (i + lit(1)).as("i"))
+    })
+  }
+
+  private def holtEmit(
+      groupCols: Seq[String], folded: DataFrame): DataFrame =
     folded.select(groupCols.map(col) ++ Seq(
       col("__st").getField("i").cast("long").as("n_buckets"),
       col("__st").getField("l").as("level"),
@@ -2001,7 +2057,6 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
         .as("forecast_2"),
       (col("__st").getField("l") + lit(3L) * col("__st").getField("t"))
         .as("forecast_3")): _*)
-  }
 
   /** Mantel–Haenszel stratified 2×2 analysis — the INFERENTIAL
     * complement of [[simpsonScreen]]: where the screen flags strata

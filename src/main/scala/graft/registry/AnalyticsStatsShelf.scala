@@ -66,7 +66,48 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q261_cvm_drift" -> (cvmDriftQ _),
     "q263_mantel_haenszel" -> (mantelHaenszelQ _),
     "q265_holt_forecast" -> (holtForecastQ _),
+    "q268_holt_resume" -> (holtResumeQ _),
   )
+
+  /** Shared Holt recursion oracle (q265; q268 resumes to the same
+    * answer): the integer recursion replayed as a recursive CTE; the
+    * mirrored step floor((a·x + b·(l+t))/1000) is exact below 2^49
+    * cents per bucket, so every emitted column is an exact BIGINT.
+    */
+  private[graft] val oracleHoltSql: String =
+    """WITH RECURSIVE x AS (
+           SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         idx AS (
+           SELECT g, x, CAST(row_number() OVER (
+             PARTITION BY g ORDER BY day) AS BIGINT) AS i
+           FROM x),
+         rec AS (
+           SELECT g, CAST(1 AS BIGINT) AS i, x AS l,
+             CAST(0 AS BIGINT) AS t
+           FROM idx WHERE i = 1
+           UNION ALL
+           SELECT r.g, r.i + 1,
+             CAST(floor((300.0 * CAST(n.x AS DOUBLE)
+               + 700.0 * CAST(r.l + r.t AS DOUBLE)) / 1000.0)
+               AS BIGINT) AS l,
+             CAST(floor((100.0 * CAST(
+                 CAST(floor((300.0 * CAST(n.x AS DOUBLE)
+                   + 700.0 * CAST(r.l + r.t AS DOUBLE)) / 1000.0)
+                   AS BIGINT) - r.l AS DOUBLE)
+               + 900.0 * CAST(r.t AS DOUBLE)) / 1000.0) AS BIGINT)
+               AS t
+           FROM rec r JOIN idx n ON n.g = r.g AND n.i = r.i + 1),
+         fin AS (
+           SELECT g, i, l, t, row_number() OVER (
+             PARTITION BY g ORDER BY i DESC) AS rn
+           FROM rec)
+         SELECT g AS event_type, i AS n_buckets, l AS level,
+           t AS trend, l + t AS forecast_1, l + 2 * t AS forecast_2,
+           l + 3 * t AS forecast_3
+         FROM fin WHERE rn = 1 ORDER BY event_type"""
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
     // exact sorted-index Gini: Σ i·x is tie-permutation-invariant, so
@@ -578,40 +619,10 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     // the integer Holt recursion replayed as a recursive CTE; the
     // mirrored step floor((a·x + b·(l+t))/1000) is exact below 2^49
     // cents per bucket, so every emitted column is an exact BIGINT
-    "q265_holt_forecast" ->
-      """WITH RECURSIVE x AS (
-           SELECT event_type AS g, CAST(ts AS DATE) AS day,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-               AS x
-           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-         idx AS (
-           SELECT g, x, CAST(row_number() OVER (
-             PARTITION BY g ORDER BY day) AS BIGINT) AS i
-           FROM x),
-         rec AS (
-           SELECT g, CAST(1 AS BIGINT) AS i, x AS l,
-             CAST(0 AS BIGINT) AS t
-           FROM idx WHERE i = 1
-           UNION ALL
-           SELECT r.g, r.i + 1,
-             CAST(floor((300.0 * CAST(n.x AS DOUBLE)
-               + 700.0 * CAST(r.l + r.t AS DOUBLE)) / 1000.0)
-               AS BIGINT) AS l,
-             CAST(floor((100.0 * CAST(
-                 CAST(floor((300.0 * CAST(n.x AS DOUBLE)
-                   + 700.0 * CAST(r.l + r.t AS DOUBLE)) / 1000.0)
-                   AS BIGINT) - r.l AS DOUBLE)
-               + 900.0 * CAST(r.t AS DOUBLE)) / 1000.0) AS BIGINT)
-               AS t
-           FROM rec r JOIN idx n ON n.g = r.g AND n.i = r.i + 1),
-         fin AS (
-           SELECT g, i, l, t, row_number() OVER (
-             PARTITION BY g ORDER BY i DESC) AS rn
-           FROM rec)
-         SELECT g AS event_type, i AS n_buckets, l AS level,
-           t AS trend, l + t AS forecast_1, l + 2 * t AS forecast_2,
-           l + 3 * t AS forecast_3
-         FROM fin WHERE rn = 1 ORDER BY event_type""",
+    "q265_holt_forecast" -> oracleHoltSql,
+    // resume == full-recompute by the left-fold identity, so the
+    // incremental query shares the SAME recursive-CTE oracle
+    "q268_holt_resume" -> oracleHoltSql,
     // exact 2×2 counts per stratum; every pooled term an integral-
     // division micro-quantization (HUGEINT //, non-negative operands
     // — truncation identical to Spark's IntegralDivide), one double
@@ -1936,6 +1947,25 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     val e = events(s, dir).where(col("value").isNotNull)
     Analytics.holtForecast(e, Seq("event_type"),
         to_date(col("ts")), floor(col("value") * 100).cast("long"))
+      .orderBy("event_type")
+  }
+
+  /** Incremental Holt ([[Analytics.holtResume]]): a standing state
+    * built from the first 20 days resumes over the remaining days and
+    * lands EXACTLY where q265's full recompute lands (the left-fold
+    * identity; the oracle IS q265's full recursive CTE) — the
+    * never-rescan-history form of the forecast monitor.
+    */
+  private[graft] def holtResumeQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val cents = floor(col("value") * 100).cast("long")
+    val cut = lit("2024-01-21").cast("date")
+    val state = Analytics.holtForecast(
+      e.where(to_date(col("ts")) < cut), Seq("event_type"),
+      to_date(col("ts")), cents)
+    Analytics.holtResume(state,
+        e.where(to_date(col("ts")) >= cut), Seq("event_type"),
+        to_date(col("ts")), cents)
       .orderBy("event_type")
   }
 

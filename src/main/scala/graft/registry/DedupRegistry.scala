@@ -49,6 +49,7 @@ private[graft] object DedupRegistry {
     "q22_exact_dup_stats" -> (exactDupStats _),
     "q23_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "q24_minhash_lsh_pairs" -> (minhashLshPairs _),
+    "q267_source_dup_matrix" -> (sourceDupMatrixQ _),
     "q25_simhash_fingerprints" -> (simhashFingerprints _),
     "q26_simhash_pairs" -> (simhashPairs _),
     "q31_corpus_prep" -> (corpusPrep _),
@@ -784,6 +785,39 @@ private[graft] object DedupRegistry {
          ${oracleJaccardSelect(
         "JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id",
         includeCommon = false)}""",
+    // the q24 pair machinery rolled up to a source×source matrix;
+    // mean jaccard is a nano-quantized order-free sum, max order-free
+    "q267_source_dup_matrix" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         pr AS (
+           SELECT ida, idb,
+             round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4)
+               AS j
+           FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+             >= 0.8),
+         lab AS (
+           SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b, j
+           FROM pr
+           JOIN documents da ON da.doc_id = ida
+           JOIN documents db ON db.doc_id = idb)
+         SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(floor(j * 1000000.0) AS BIGINT))
+               AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS avg_jaccard,
+           max(j) AS max_jaccard
+         FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b""",
     "q25_simhash_fingerprints" ->
       s"""$oracleSimhashCte
          SELECT doc_id, simhash_hex FROM sh ORDER BY doc_id""",
@@ -1360,6 +1394,43 @@ private[graft] object DedupRegistry {
     Dedup.dedupAgainstBloom(corpus, batch, "text", "doc_id", bloom)
       .agg(count(lit(1)).as("n_new"),
         round(sum(col("doc_id").cast("double")), 1).as("id_sum"))
+  }
+
+  /** Cross-source near-duplication matrix: the q24 verified MinHash
+    * pairs labeled by each side's `source` and rolled up to a
+    * source×source table — WHICH sources copy WHICH (mirror sites,
+    * syndication, scraped re-posts) before anyone deletes a terabyte
+    * by source-level policy. Pair labels canonicalize
+    * (least, greatest) so the matrix is upper-triangular including
+    * the diagonal (within-source redundancy). Mean jaccard is a
+    * nano-quantized order-free sum; max is order-free by nature.
+    * Scale shape: the pair frame (already banded/verified, never
+    * corpus²) joins the doc→source projection twice by id.
+    */
+  private[graft] def sourceDupMatrixQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"),
+        col("source").as("__sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"),
+        col("source").as("__sb")), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        round(col("jaccard"), 4).as("__j"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("__j") * 1000000.0).cast("long")).as("__jn"),
+        max(col("__j")).as("max_jaccard"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("__jn").cast("double") /
+          col("n_pairs").cast("double") / 1000000.0, 6)
+          .as("avg_jaccard"),
+        col("max_jaccard"))
+      .orderBy("source_a", "source_b")
   }
 
   /** Dedup audit: size histogram of the verified near-dup clusters

@@ -19,6 +19,7 @@ private[graft] object SamplingRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_temperature_mixture" -> (temperatureMixture _),
+    "q266_effective_sample_size" -> (essQ _),
     "q156_epoch_allocation" -> (epochAllocationQ _),
     "q158_negative_samples" -> (negativeSamplesQ _),
     "q165_epoch_order" -> (epochOrderQ _),
@@ -64,6 +65,28 @@ private[graft] object SamplingRegistry {
       .orderBy("fold", "o_orderpriority")
 
   def oracleSql: Map[String, String] = Map(
+    // exact token-count weights; Σw, Σw² through HUGEINT; ess/deff
+    // each one mirrored double division
+    "q266_effective_sample_size" ->
+      """WITH w AS (
+           SELECT lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS BIGINT) AS w
+           FROM documents),
+         g AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS w_sum,
+             sum(CAST(w AS HUGEINT) * w) AS w2
+           FROM w WHERE w IS NOT NULL AND w >= 0 GROUP BY lang)
+         SELECT lang, n, w_sum,
+           CASE WHEN w2 > 0 THEN
+             round(CAST(CAST(w_sum AS HUGEINT) * w_sum AS DOUBLE)
+               / CAST(w2 AS DOUBLE), 4) END AS ess,
+           CASE WHEN w_sum > 0 THEN
+             round(CAST(CAST(n AS HUGEINT) * w2 AS DOUBLE)
+               / CAST(CAST(w_sum AS HUGEINT) * w_sum AS DOUBLE), 6)
+             END AS deff
+         FROM g ORDER BY lang""",
     "q107_temperature_mixture" ->
       """WITH g AS (
            SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
@@ -461,6 +484,20 @@ private[graft] object SamplingRegistry {
     * repetition factor q/p that [[graft.sampling.Sampling.mixture]]
     * consumes. FP-order-sensitive quantities rounded at 6.
     */
+  /** Kish effective sample size
+    * ([[graft.sampling.Sampling.effectiveSampleSize]]) of documents
+    * weighted by their token count, per language — "if we draw docs
+    * proportional to length, how many equal-weight docs is each
+    * language slice actually worth". Exact integer weights (token
+    * counts), DECIMAL moment sums, one mirrored double division each
+    * for ess and deff.
+    */
+  private[graft] def essQ(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.effectiveSampleSize(
+        docs(s, dir), Seq("lang"),
+        size(graft.text.TextAnalysis.words(col("text"))).cast("long"))
+      .orderBy("lang")
+
   private[graft] def temperatureMixture(
       s: SparkSession, dir: String): DataFrame =
     graft.sampling.Sampling.temperatureWeights(

@@ -533,4 +533,49 @@ object Sampling {
       .select(col("__user").as(userCol), col("__item").as(itemCol),
         col("__slot").as("draw_slot"), col("__rk").as("neg_rank"))
   }
+
+  /** Effective sample size and design effect under unit weights —
+    * Kish's `ESS = (Σw)² / Σw²`, `deff = n·Σw² / (Σw)²`: how many
+    * EQUAL-WEIGHT units a weighted sample is actually worth. The
+    * honesty check for every weighted-mixture design on this shelf
+    * (temperature weights, source caps, quality-proportional draws):
+    * a slice whose deff is 3 delivers a third of its row count in
+    * statistical information, and variance estimates that ignore it
+    * are overconfident by exactly that factor.
+    *
+    * Exactness: weights are caller-quantized non-negative integers
+    * (micro-units for fractional weights); Σw and Σw² accumulate
+    * through DECIMAL(38,0) (a 10⁹-row group of 10⁶-scale weights
+    * reaches ~10²¹), and ESS / deff are each ONE mirrored double
+    * division of exact decimals — bit-identical cross-engine. Rows
+    * with null or negative weight are dropped; zero weights
+    * participate (they dilute nothing — w and w² are both 0).
+    *
+    * Scale shape: one map-side-combined grouped aggregate. Output is
+    * group-domain-sized.
+    *
+    * Returns `(group…, n, w_sum, ess, deff)`; null ess/deff for
+    * zero-total-weight groups.
+    */
+  def effectiveSampleSize(
+      df: DataFrame, groupCols: Seq[String],
+      weight: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg = df
+      .select(groupCols.map(col) :+ weight.cast("long").as("__w"): _*)
+      .where(col("__w").isNotNull && col("__w") >= 0L)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w")).as("w_sum"),
+        sum(dec(col("__w")) * dec(col("__w"))).as("__w2"))
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n"), col("w_sum"),
+      round(when(col("__w2") > 0L,
+        (dec(col("w_sum")) * dec(col("w_sum"))).cast("double") /
+          col("__w2").cast("double")), 4).as("ess"),
+      round(when(col("w_sum") > 0L,
+        (dec(col("n")) * col("__w2")).cast("double") /
+          (dec(col("w_sum")) * dec(col("w_sum"))).cast("double")), 6)
+        .as("deff")): _*)
+  }
 }

@@ -50,6 +50,44 @@ class HoltForecastSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("trend") - 100L) < 40L)
   }
 
+  test("holtResume(state(prefix), suffix) == holtForecast(full) for " +
+      "every split point — the left-fold identity") {
+    val xs = Seq(100L, 90L, 120L, 80L, 60L, 40L, 55L, 20L)
+    def df(part: Seq[(Long, Int)]) =
+      part.map { case (x, i) => ("g", i, x) }.toDF("g", "day", "cents")
+    val full = Analytics.holtForecast(df(xs.zipWithIndex),
+      Seq("g"), col("day"), col("cents"), 300, 100).head()
+    for (cut <- 1 until xs.size) {
+      val state = Analytics.holtForecast(
+        df(xs.zipWithIndex.take(cut)), Seq("g"), col("day"),
+        col("cents"), 300, 100)
+      val resumed = Analytics.holtResume(state,
+        df(xs.zipWithIndex.drop(cut)), Seq("g"), col("day"),
+        col("cents"), 300, 100).head()
+      for (f <- Seq("n_buckets", "level", "trend", "forecast_3"))
+        assert(resumed.getAs[Long](f) === full.getAs[Long](f),
+          s"cut=$cut field=$f")
+    }
+  }
+
+  test("holtResume: stateless new groups init like holtForecast, and " +
+      "state-only groups pass through unchanged") {
+    val state = Analytics.holtForecast(
+      Seq(("old", 0, 50L), ("old", 1, 60L)).toDF("g", "day", "cents"),
+      Seq("g"), col("day"), col("cents"), 300, 100)
+    val out = Analytics.holtResume(state,
+        Seq(("new", 2, 99L)).toDF("g", "day", "cents"),
+        Seq("g"), col("day"), col("cents"), 300, 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("new").getAs[Long]("level") === 99L)
+    assert(out("new").getAs[Long]("trend") === 0L)
+    assert(out("new").getAs[Long]("n_buckets") === 1L)
+    val oldState = state.head()
+    assert(out("old").getAs[Long]("level") ===
+      oldState.getAs[Long]("level"))
+    assert(out("old").getAs[Long]("n_buckets") === 2L)
+  }
+
   test("a single bucket reports its value with zero trend; bucket " +
       "values aggregate before the recursion") {
     val r = run(Seq(777L))
