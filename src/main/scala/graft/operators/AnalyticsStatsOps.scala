@@ -2001,6 +2001,73 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
       alphaMilli, betaMilli).as("__st"): _*))
   }
 
+  /** Theil–Sen robust trend per group — the median of all pairwise
+    * slopes over a BUCKETED series: the outlier-proof answer to "what
+    * is this series' underlying rate" that OLS loses to one bad day
+    * and [[holtForecast]] partially smooths into its state (its
+    * breakdown point is ~29% contaminated buckets). Intercept is the
+    * median residual `y − slope·x` at the chosen slope.
+    *
+    * Exactness: per-bucket sums are exact BIGINTs; each slope is ONE
+    * double division of exact longs and each median is an exact order
+    * statistic of the sorted slope array (odd: the middle; even: the
+    * mean of the two middles — one more double op), all mirrored.
+    *
+    * Scale contract — BUCKETED SERIES: the pair join is bucket² per
+    * group (30 daily buckets → 435 slope pairs; the collect_list is
+    * pair-count-bounded). This is the [[kendallTauB]] trade: bounded
+    * domains buy row-count independence; don't feed row-level
+    * timestamps, feed the time buckets a monitor actually tracks.
+    *
+    * Returns `(group…, n_buckets, n_pairs, slope, intercept)`; null
+    * slope for single-bucket groups.
+    */
+  def theilSenTrend(
+      df: DataFrame, groupCols: Seq[String], bucketIdx: Column,
+      valueCents: Column): DataFrame = {
+    val per = df
+      .select(groupCols.map(col) ++ Seq(
+        bucketIdx.cast("long").as("__bx"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__bx").isNotNull && col("__y").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__bx"): _*)
+      .agg(sum(col("__y")).as("__y"))
+      .transform(graft.core.CacheScope.disk)
+    val b = per.select(groupCols.map(col) ++ Seq(
+      col("__bx").as("__bx2"), col("__y").as("__y2")): _*)
+    val slopes = per.join(b, groupCols)
+      .where(col("__bx") < col("__bx2"))
+      .select(groupCols.map(col) :+
+        ((col("__y2") - col("__y")).cast("double") /
+          (col("__bx2") - col("__bx")).cast("double")).as("__s"): _*)
+    def medianOf(sorted: Column, n: Column): Column = {
+      val odd = element_at(sorted, ((n + lit(1L)) / lit(2L)).cast("int"))
+      val evn = (element_at(sorted, (n / lit(2L)).cast("int")) +
+        element_at(sorted, (n / lit(2L) + lit(1L)).cast("int"))) / 2.0
+      when(n % 2L === 1L, odd).otherwise(evn)
+    }
+    val med = slopes.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("__s"))).as("__ss"))
+      .select(groupCols.map(col) ++ Seq(col("n_pairs"),
+        medianOf(col("__ss"), col("n_pairs")).as("__slope")): _*)
+    val withSlope = per.join(med, groupCols.toSeq, "left")
+      .select(groupCols.map(col) ++ Seq(col("n_pairs"), col("__slope"),
+        (col("__y").cast("double") -
+          col("__slope") * col("__bx").cast("double")).as("__r")): _*)
+    withSlope.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        first(col("n_pairs")).as("n_pairs"),
+        first(col("__slope")).as("__slope"),
+        sort_array(collect_list(col("__r"))).as("__rs"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_buckets"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        round(col("__slope"), 6).as("slope"),
+        round(medianOf(col("__rs"), col("n_buckets")), 4)
+          .as("intercept")): _*)
+  }
+
   /** Per-(group, bucket) sums collected into the bucket-ordered value
     * array the Holt fold consumes.
     */

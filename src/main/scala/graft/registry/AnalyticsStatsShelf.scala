@@ -67,6 +67,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q263_mantel_haenszel" -> (mantelHaenszelQ _),
     "q265_holt_forecast" -> (holtForecastQ _),
     "q268_holt_resume" -> (holtResumeQ _),
+    "q269_theil_sen_trend" -> (theilSenQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -619,6 +620,53 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     // the integer Holt recursion replayed as a recursive CTE; the
     // mirrored step floor((a·x + b·(l+t))/1000) is exact below 2^49
     // cents per bucket, so every emitted column is an exact BIGINT
+    // bucket-sum points, every slope ONE double division of exact
+    // longs, medians as exact order statistics of the sorted lists
+    "q269_theil_sen_trend" ->
+      """WITH x AS (
+           SELECT event_type AS g,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS bx,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         sl AS (
+           SELECT a.g,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.bx - a.bx AS DOUBLE)
+               AS s
+           FROM x a JOIN x b ON a.g = b.g AND a.bx < b.bx),
+         m AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+             list(s ORDER BY s) AS ss
+           FROM sl GROUP BY g),
+         ms AS (
+           SELECT g, n_pairs,
+             CASE WHEN n_pairs % 2 = 1
+               THEN ss[CAST((n_pairs + 1) // 2 AS INT)]
+               ELSE (ss[CAST(n_pairs // 2 AS INT)]
+                 + ss[CAST(n_pairs // 2 + 1 AS INT)]) / 2.0 END
+               AS slope
+           FROM m),
+         r AS (
+           SELECT x.g,
+             CAST(x.y AS DOUBLE) - ms.slope * CAST(x.bx AS DOUBLE)
+               AS r,
+             ms.n_pairs, ms.slope
+           FROM x LEFT JOIN ms ON ms.g = x.g),
+         f AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS nb,
+             any_value(n_pairs) AS n_pairs, any_value(slope) AS slope,
+             list(r ORDER BY r) FILTER (WHERE r IS NOT NULL) AS rs
+           FROM r GROUP BY g)
+         SELECT g AS event_type, nb AS n_buckets,
+           coalesce(n_pairs, 0) AS n_pairs,
+           round(slope, 6) AS slope,
+           round(CASE WHEN nb % 2 = 1
+             THEN rs[CAST((nb + 1) // 2 AS INT)]
+             ELSE (rs[CAST(nb // 2 AS INT)]
+               + rs[CAST(nb // 2 + 1 AS INT)]) / 2.0 END, 4)
+             AS intercept
+         FROM f ORDER BY event_type""",
     "q265_holt_forecast" -> oracleHoltSql,
     // resume == full-recompute by the left-fold identity, so the
     // incremental query shares the SAME recursive-CTE oracle
@@ -1947,6 +1995,21 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     val e = events(s, dir).where(col("value").isNotNull)
     Analytics.holtForecast(e, Seq("event_type"),
         to_date(col("ts")), floor(col("value") * 100).cast("long"))
+      .orderBy("event_type")
+  }
+
+  /** Theil–Sen robust daily trend ([[Analytics.theilSenTrend]]) of
+    * event value per event type — the outlier-proof rate reading
+    * beside q265's Holt state (one corrupted day can't move the
+    * median-of-slopes); x is the day index from 2024-01-01, y the
+    * day's exact cents sum. Bounded bucket² pair join, exact order
+    * statistics, mirrored double slopes.
+    */
+  private[graft] def theilSenQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    Analytics.theilSenTrend(e, Seq("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")),
+        floor(col("value") * 100).cast("long"))
       .orderBy("event_type")
   }
 

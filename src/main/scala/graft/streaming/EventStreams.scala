@@ -746,6 +746,56 @@ object EventStreams {
       "value", "n", groupCols, zAlpha)
   }
 
+  /** Streaming Holt-forecast maintenance: each micro-batch lands its
+    * per-(group, bucket) value-cents SUMS under `batch_id=<id>` with
+    * OVERWRITE (replay-idempotent). Holt's (level, trend) state is
+    * NOT additive — folding it per batch would bake in arrival order
+    * — but the per-bucket sums ARE the recursion's sufficient
+    * statistic, so the store keeps those (bounded by buckets touched,
+    * never row count) and [[liveHoltForecast]] folds the merged,
+    * bucket-ordered series on read via
+    * [[graft.operators.Analytics.holtForecast]]. Same philosophy as
+    * [[mwDriftMaintenanceSink]]: maintain the additive statistic,
+    * compute the order-sensitive answer at read time. Late rows for
+    * an old bucket land in a NEW shard and merge into the right
+    * bucket on read — the fold re-runs, so lateness never corrupts
+    * state (the [[graft.operators.Analytics.holtResume]] fast path
+    * is for callers who CAN guarantee the watermark).
+    */
+  def holtMaintenanceSink(
+      stream: DataFrame, groupCols: Seq[String], bucketCol: String,
+      valueCents: Column, storeDir: String, checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpointDir, outputMode = "append") {
+      (batch, id) =>
+        landHoltBucketShard(batch, id, groupCols, bucketCol,
+          valueCents, storeDir)
+    }
+
+  private[streaming] def landHoltBucketShard(
+      batch: DataFrame, id: Long, groupCols: Seq[String],
+      bucketCol: String, valueCents: Column, storeDir: String): Unit =
+    batch
+      .select(groupCols.map(col) ++ Seq(col(bucketCol).as("bucket"),
+        valueCents.cast("long").as("x")): _*)
+      .where(col("bucket").isNotNull && col("x").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("x")).as("x"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch_id=$id")
+
+  /** The live Holt forecast over a [[holtMaintenanceSink]] store:
+    * merge the shards' per-bucket sums (additive) and fold the
+    * recursion — bit-equal to the batch forecast over the union.
+    */
+  def liveHoltForecast(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      groupCols: Seq[String], alphaMilli: Int = 300,
+      betaMilli: Int = 100): DataFrame =
+    graft.operators.Analytics.holtForecast(
+      spark.read.parquet(storeDir), groupCols, col("bucket"),
+      col("x"), alphaMilli, betaMilli)
+
   /** Streaming count-min-sketch maintenance: each micro-batch lands
     * its own [[graft.quality.CountMin.cmsShards]] grid under
     * `batch_id=<id>` with OVERWRITE (replay-idempotent); the live
