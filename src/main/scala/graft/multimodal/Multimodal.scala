@@ -741,6 +741,46 @@ object Multimodal {
         math.floorMod(id, 7).toInt)
     }
 
+  /** JPEG variant of [[synthesizeTestImages]] — REAL JDK JPEG encoder
+    * output (SOI, JFIF APP0, quantization and Huffman tables, baseline
+    * SOF0, entropy-coded scan), the bytes a crawl corpus actually
+    * carries: the validation target for [[jpegSofScan]]'s marker walk
+    * beyond hand-assembled headers. Dimension formulas match
+    * [[synthesizeTestImages]]; pixel content is lossy-coded so only
+    * HEADER fields are oracle material.
+    */
+  def synthesizeTestJpegs(
+      df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame =
+    synthesizeImagesWith(df, idCol, batchSize) { id =>
+      syntheticJpeg(
+        (math.floorMod(id, 24) + 8).toInt,
+        (math.floorMod(id, 16) + 8).toInt,
+        math.floorMod(id, 7).toInt)
+    }
+
+  /** [[syntheticPng]]'s pixel formulas through the JDK JPEG encoder. */
+  def syntheticJpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + seed) % 256
+        val g = (y * 11 + seed * 3) % 256
+        val b = (x + y + seed * 5) % 256
+        row(x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      im.setRGB(0, y, w, 1, row, 0, w)
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", out)
+    out.toByteArray
+  }
+
   /** TEXTURED variant of [[synthesizeTestImages]] for perceptual-hash
     * pipelines: same dimension classes, but pixel formulas whose mod-256
     * wraparound oscillates within pooling cells, so pooled luma — and

@@ -47,6 +47,7 @@ private[graft] object SimilarityRegistry {
     "q30_binary_fingerprints" -> (binaryFingerprints _),
     "q38_png_header_decode" -> (pngHeaderDecode _),
     "q256_jpeg_header_decode" -> (jpegHeaderDecode _),
+    "q270_jpeg_real_roundtrip" -> (jpegRealRoundtrip _),
     "q39_image_pixel_stats" -> (imagePixelStats _),
     "q40_ann_kmedians" -> (annIvfKmedians _),
     "q47_wav_roundtrip" -> (wavRoundtrip _),
@@ -1283,6 +1284,17 @@ private[graft] object SimilarityRegistry {
          CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT)
            AS channels
          FROM documents ORDER BY doc_id""",
+    // q270: the walk must recover the synthesis formulas from REAL
+    // JDK-encoder bytes; bit_depth 8 / channels 3 are the baseline
+    // RGB encoder's fixed SOF0 fields
+    "q270_jpeg_real_roundtrip" ->
+      """SELECT doc_id,
+         'jpeg' AS format,
+         CAST(doc_id % 24 + 8 AS BIGINT) AS width,
+         CAST(doc_id % 16 + 8 AS BIGINT) AS height,
+         CAST(8 AS INT) AS bit_depth,
+         CAST(3 AS INT) AS channels
+         FROM documents ORDER BY doc_id""",
     // q39: DuckDB has no image codec, but it doesn't need one — the
     // synthetic PNG's pixel (x,y) is fixed arithmetic of (x,y,seed)
     // (Multimodal.syntheticPng), so the oracle reconstructs the channel
@@ -2127,6 +2139,27 @@ private[graft] object SimilarityRegistry {
     docs(s, dir)
       .select(id, Multimodal.imageHeaderMeta(unhex(headerHex)).as("m"))
       .select(id, col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.channels").as("channels"))
+      .orderBy("doc_id")
+  }
+
+  /** The q256 walk against REAL encoder bytes: synthesize an actual
+    * JPEG per doc_id (JDK encoder — JFIF APP0, quant/Huffman tables,
+    * baseline SOF0, entropy scan), then read its dimensions back with
+    * [[Multimodal.imageHeaderMeta]]'s SOF marker walk. q256 proved the
+    * walk on hand-assembled headers with adversarial variable-length
+    * segments; this proves it on the byte layout a real crawl corpus
+    * carries. The oracle recomputes the dimension formulas directly —
+    * a walk mis-step over any real segment breaks the hash.
+    */
+  private[graft] def jpegRealRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val jpgs = Multimodal.synthesizeTestJpegs(
+      docs(s, dir).select("doc_id"), "doc_id")
+    jpgs.select(col("id").as("doc_id"),
+        Multimodal.imageHeaderMeta(col("png")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.bit_depth").as("bit_depth"),
         col("m.channels").as("channels"))

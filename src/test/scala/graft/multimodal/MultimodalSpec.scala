@@ -262,6 +262,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3).getAs[Long]("height") == 240L)
   }
 
+  test("the SOF walk reads REAL JDK-encoder JPEGs: JFIF + tables + " +
+      "baseline SOF0, any dimensions") {
+    val out = binDf(
+      (1, Multimodal.syntheticJpeg(31, 9, seed = 2)),
+      (2, Multimodal.syntheticJpeg(8, 23, seed = 5)))
+      .select(col("id"),
+        Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("id", "m.*").orderBy("id").collect()
+    assert(out(0).getAs[String]("format") == "jpeg")
+    assert(out(0).getAs[Long]("width") == 31L)
+    assert(out(0).getAs[Long]("height") == 9L)
+    assert(out(0).getAs[Int]("bit_depth") == 8)
+    assert(out(0).getAs[Int]("channels") == 3)
+    assert(out(1).getAs[Long]("width") == 8L)
+    assert(out(1).getAs[Long]("height") == 23L)
+  }
+
   test("JPEG fill bytes (FF padding before a marker) are stepped over") {
     val sof = Array(0xFF.toByte, 0xC0.toByte, 0x00.toByte,
       0x08.toByte) ++ sofPayload(64, 32, 8, 3)
