@@ -1708,6 +1708,94 @@ object Analytics extends AnalyticsStatsOps with AnalyticsGraphOps {
         col("conversion_ts"), col("touch_id"), col("touch_ts"),
         col("touch_rank"), col("n_touches"), col("credit_milli"))
 
+  /** Shapley-value channel attribution — the coalition-game reading
+    * that completes the attribution family ([[linearAttribution]]
+    * splits evenly, [[positionAttribution]] by position; Shapley
+    * credits each channel its AVERAGE marginal lift over every
+    * ordering): per user the SET of touched channels and a converted
+    * flag; each coalition's value v(T) is its users' empirical
+    * conversion rate (unobserved coalitions contribute v = 0, the
+    * empirical convention — when all 2^k coalitions are observed,
+    * Σφ telescopes to v(all) − v(∅)); channel i's credit is
+    * `φ_i = Σ_{T ⊆ C∖{i}} |T|!(k−1−|T|)!/k! · (v(T∪{i}) − v(T))`.
+    *
+    * Determinism: each v is ONE mirrored double division of exact
+    * counts; each lattice term's rate DIFFERENCE nano-floors to a
+    * BIGINT before the integer weight multiply, so the per-channel
+    * sum is an exact order-free integer sum with one final mirrored
+    * `/k!/1e9` division — bit-identical cross-engine.
+    *
+    * Scale contract — BOUNDED CHANNEL SET: the coalition lattice is
+    * 2^(k−1)·k rows built on the driver from the ≤ `maxChannels`
+    * collected distinct channels (the documented bounded collect —
+    * the BPE-vocab pattern); users collapse map-side to one
+    * set-keyed row, coalition stats to ≤ 2^k rows. Row count never
+    * reaches the lattice.
+    *
+    * Returns `(channel, n_users, n_conv, shapley)` — `n_users`/
+    * `n_conv` count users whose set CONTAINS the channel.
+    */
+  def shapleyAttribution(
+      df: DataFrame, userCol: Column, channelCol: Column,
+      converted: Column, maxChannels: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perUser = df
+      .select(userCol.as("__u"), channelCol.cast("string").as("__ch"),
+        converted.cast("boolean").as("__cv"))
+      .where(col("__u").isNotNull)
+      .groupBy("__u")
+      .agg(sort_array(collect_set(col("__ch"))).as("__set"),
+        max(coalesce(col("__cv"), lit(false))).cast("long").as("__conv"))
+      .transform(graft.core.CacheScope.disk)
+    val setStats = perUser
+      .groupBy(concat_ws("|", col("__set")).as("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__c"))
+    val channels = perUser
+      .select(explode(col("__set")).as("__ch")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(channels.nonEmpty, "no channels observed")
+    require(channels.size <= maxChannels,
+      s"${channels.size} channels exceed maxChannels=$maxChannels " +
+        "(the 2^k coalition lattice must stay bounded)")
+    val k = channels.size
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val kFact = fact(k)
+    // lattice rows: (channel, without-key, with-key, |T|!·(k−1−|T|)!)
+    val lattice = (for {
+      i <- channels
+      rest = channels.filterNot(_ == i)
+      bits <- 0 until (1 << (k - 1))
+      t = rest.zipWithIndex.collect {
+        case (c, j) if (bits & (1 << j)) != 0 => c
+      }
+    } yield (i, t.mkString("|"), (t :+ i).sorted.mkString("|"),
+      fact(t.size) * fact(k - 1 - t.size)))
+      .toDF("channel", "__tk", "__tik", "__w")
+    val vOf = setStats.select(col("__k"),
+      (col("__c").cast("double") / col("__n").cast("double"))
+        .as("__v"))
+    val terms = lattice
+      .join(vOf.select(col("__k").as("__tik"), col("__v").as("__va")),
+        Seq("__tik"), "left")
+      .join(vOf.select(col("__k").as("__tk"), col("__v").as("__vb")),
+        Seq("__tk"), "left")
+      .select(col("channel"),
+        (floor((coalesce(col("__va"), lit(0.0)) -
+          coalesce(col("__vb"), lit(0.0))) * lit(1000000000.0))
+          .cast("long") * col("__w")).as("__term"))
+    val phi = terms.groupBy("channel")
+      .agg(sum(col("__term")).as("__s"))
+    val touched = perUser
+      .select(explode(col("__set")).as("channel"), col("__conv"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_users"), sum(col("__conv")).as("n_conv"))
+    touched.join(phi, Seq("channel"))
+      .select(col("channel"), col("n_users"), col("n_conv"),
+        round(col("__s").cast("double") / lit(kFact.toDouble) /
+          lit(1000000000.0), 6).as("shapley"))
+  }
+
   /** Frequent contiguous event sequences (n-gram sequence mining):
     * every length-`n` run of consecutive states within a key's
     * time-ordered stream, counted by the number of DISTINCT keys that

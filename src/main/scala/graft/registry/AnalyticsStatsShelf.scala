@@ -68,6 +68,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q265_holt_forecast" -> (holtForecastQ _),
     "q268_holt_resume" -> (holtResumeQ _),
     "q269_theil_sen_trend" -> (theilSenQ _),
+    "q271_shapley_attribution" -> (shapleyQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -620,6 +621,64 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     // the integer Holt recursion replayed as a recursive CTE; the
     // mirrored step floor((a·x + b·(l+t))/1000) is exact below 2^49
     // cents per bucket, so every emitted column is an exact BIGINT
+    // the coalition lattice is GENERATED (32 VALUES rows for the 4
+    // known channels); v's are one double division each, lattice-term
+    // differences nano-floored before the exact integer-weighted sum
+    "q271_shapley_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+      val k = channels.size
+      val rows = (for {
+        i <- channels
+        rest = channels.filterNot(_ == i)
+        bits <- 0 until (1 << (k - 1))
+        t = rest.zipWithIndex.collect {
+          case (c, j) if (bits & (1 << j)) != 0 => c
+        }
+      } yield s"('$i', '${t.mkString("|")}', " +
+        s"'${(t :+ i).sorted.mkString("|")}', " +
+        s"${fact(t.size) * fact(k - 1 - t.size)})")
+        .mkString(",\n           ")
+      s"""WITH r AS (
+           SELECT user_id,
+             CASE WHEN event_type <> 'purchase' THEN event_type END
+               AS ch,
+             (event_type = 'purchase') AS cv
+           FROM events WHERE event_id % 29 = 0),
+         pu AS (
+           SELECT user_id,
+             coalesce(list_sort(list(DISTINCT ch)
+               FILTER (WHERE ch IS NOT NULL)), []) AS st,
+             max(CASE WHEN cv THEN 1 ELSE 0 END) AS conv
+           FROM r GROUP BY user_id),
+         pk AS (SELECT coalesce(array_to_string(st, '|'), '') AS k,
+                st, conv
+           FROM pu),
+         ss AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(conv) AS BIGINT) AS c FROM pk GROUP BY k),
+         vv AS (SELECT k, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS v
+                FROM ss),
+         lat(channel, tk, tik, w) AS (VALUES
+           $rows),
+         t AS (
+           SELECT lat.channel,
+             CAST(floor((coalesce(va.v, 0.0) - coalesce(vb.v, 0.0))
+               * 1000000000.0) AS BIGINT) * lat.w AS term
+           FROM lat
+           LEFT JOIN vv va ON va.k = lat.tik
+           LEFT JOIN vv vb ON vb.k = lat.tk),
+         phi AS (SELECT channel, CAST(sum(term) AS BIGINT) AS s1
+                 FROM t GROUP BY channel),
+         nu AS (
+           SELECT ch2 AS channel, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_conv
+           FROM (SELECT unnest(st) AS ch2, conv FROM pk) GROUP BY 1)
+         SELECT nu.channel, nu.n_users, nu.n_conv,
+           round(CAST(phi.s1 AS DOUBLE) / ${fact(k)}.0
+             / 1000000000.0, 6) AS shapley
+         FROM nu JOIN phi ON phi.channel = nu.channel
+         ORDER BY 1"""
+    },
     // bucket-sum points, every slope ONE double division of exact
     // longs, medians as exact order statistics of the sorted lists
     "q269_theil_sen_trend" ->
@@ -1996,6 +2055,25 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.holtForecast(e, Seq("event_type"),
         to_date(col("ts")), floor(col("value") * 100).cast("long"))
       .orderBy("event_type")
+  }
+
+  /** Shapley channel attribution ([[Analytics.shapleyAttribution]]):
+    * the coalition-game credit for the four non-purchase event types
+    * toward purchase conversion — the average-marginal-lift reading
+    * beside q188's position heuristic. Per-user touch sets, empirical
+    * coalition values, nano-floored lattice terms with exact integer
+    * weights, one mirrored /k!/1e9 division.
+    */
+  private[graft] def shapleyQ(s: SparkSession, dir: String): DataFrame = {
+    // deterministic 1/29 event subsample: with every event kept, all
+    // users touch all channels and convert (v ≡ 1 — a degenerate
+    // lattice); the thinned journeys vary both touch sets and
+    // conversion, which is the shape the estimator exists for
+    val e = events(s, dir).where(col("event_id") % 29 === 0)
+    Analytics.shapleyAttribution(e, col("user_id"),
+        when(col("event_type") =!= "purchase", col("event_type")),
+        col("event_type") === "purchase")
+      .orderBy("channel")
   }
 
   /** Theil–Sen robust daily trend ([[Analytics.theilSenTrend]]) of
