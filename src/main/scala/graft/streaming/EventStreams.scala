@@ -796,6 +796,19 @@ object EventStreams {
       spark.read.parquet(storeDir), groupCols, col("bucket"),
       col("x"), alphaMilli, betaMilli)
 
+  /** Theil–Sen robust trend over the SAME [[holtMaintenanceSink]]
+    * store — the point of storing the additive per-bucket statistic
+    * instead of any one monitor's state: one standing store serves
+    * every bucket-series consumer. Buckets must be numeric (the
+    * slope's x axis); same bit-equal-to-batch contract.
+    */
+  def liveTheilSenTrend(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      groupCols: Seq[String]): DataFrame =
+    graft.operators.Analytics.theilSenTrend(
+      spark.read.parquet(storeDir), groupCols, col("bucket"),
+      col("x"))
+
   /** Streaming count-min-sketch maintenance: each micro-batch lands
     * its own [[graft.quality.CountMin.cmsShards]] grid under
     * `batch_id=<id>` with OVERWRITE (replay-idempotent); the live

@@ -45,6 +45,16 @@ class HoltSinkSpec extends SparkSpec {
       EventStreams.landHoltBucketShard(b1.toDF("g", "day", "cents"),
         0L, Seq("g"), "day", col("cents"), store)
       assert(live === first)
+      // the SAME store serves the Theil-Sen monitor, bit-equal to
+      // its batch form — the point of storing the additive statistic
+      val liveTs = EventStreams.liveTheilSenTrend(spark, store,
+        Seq("g")).collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val wantTs = Analytics.theilSenTrend(
+        (b1 ++ b2).toDF("g", "day", "cents"), Seq("g"), col("day"),
+        col("cents")).collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(liveTs === wantTs)
     } finally q.stop()
   }
 }
