@@ -262,6 +262,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3).getAs[Long]("height") == 240L)
   }
 
+  test("a JPEG whose SOF sits past the 32-segment walk budget yields " +
+      "null dims (format kept), not an infinite walk or a misread") {
+    val manyComments = (1 to 40).map(i =>
+      (0xFE, s"c$i".getBytes("ASCII"))) // 40 COM segments before SOF
+    val jpg = jpegBytes(manyComments :+
+      ((0xC0, sofPayload(64, 32, 8, 3))): _*)
+    val out = binDf((1, jpg))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.getAs[String]("format") == "jpeg")
+    assert(out.isNullAt(out.fieldIndex("width")))
+    // within budget the same stream decodes
+    val okJpg = jpegBytes(manyComments.take(20) :+
+      ((0xC0, sofPayload(64, 32, 8, 3))): _*)
+    val ok = binDf((1, okJpg))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(ok.getAs[Long]("width") == 64L)
+  }
+
   test("the SOF walk reads REAL JDK-encoder JPEGs: JFIF + tables + " +
       "baseline SOF0, any dimensions") {
     val out = binDf(
