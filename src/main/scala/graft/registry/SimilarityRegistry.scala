@@ -43,6 +43,7 @@ private[graft] object SimilarityRegistry {
     "q207_matryoshka_audit" -> (matryoshkaAuditQ _),
     "q210_ivf_balance" -> (ivfBalanceQ _),
     "q28_ann_bruteforce" -> (annBruteForce _),
+    "q272_rank_agreement" -> (rankAgreementQ _),
     "q29_ann_ivf" -> (annIvf _),
     "q30_binary_fingerprints" -> (binaryFingerprints _),
     "q38_png_header_decode" -> (pngHeaderDecode _),
@@ -244,6 +245,72 @@ private[graft] object SimilarityRegistry {
     // replays quantizeInt8's exact arithmetic: q_i = round(x_i /
     // (max|x|/127)); codes are small exact integers, so the cosine —
     // scales cancel — matches the Spark side bit-for-bit at 4 decimals
+    // the q28 + q105 ranking chains joined on (query, neighbor);
+    // RBO terms are integral divisions of exact HUGEINT products —
+    // c_d = 9^(d-1)·10^(10-d), D = 10^10 − 9^10 — matching the
+    // operator's DECIMAL(38,0) arithmetic bit-for-bit
+    "q272_rank_agreement" -> {
+      def pow(b: Long, e: Int): Long =
+        (1 to e).foldLeft(1L)((acc, _) => acc * b)
+      val cs = (1 to 10).map(d => pow(9, d - 1) * pow(10, 10 - d))
+      val dBig = pow(10, 10) - pow(9, 10)
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT qid, e.vec_id AS nid, ${oracleCos("qv", "e.v")} AS sim
+           FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+         fa AS (
+           SELECT qid, nid, rank FROM (
+             SELECT qid, nid, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT)
+               AS rank
+             FROM s) WHERE rank <= 10),
+         qz AS (
+           SELECT vec_id,
+             CASE WHEN coalesce(
+                 list_max(list_transform(v, x -> abs(x))), 0.0) = 0.0
+               THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> round(x /
+                 (list_max(list_transform(v, y -> abs(y))) / 127.0)))
+             END AS qv
+           FROM e),
+         q2 AS (SELECT vec_id AS qid, qv FROM qz WHERE vec_id < 10),
+         s2 AS (
+           SELECT qid, z.vec_id AS nid,
+             ${oracleCos("q2.qv", "z.qv")} AS sim
+           FROM q2 CROSS JOIN qz z WHERE qid <> z.vec_id),
+         fb AS (
+           SELECT qid, nid, rank FROM (
+             SELECT qid, nid, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT)
+               AS rank
+             FROM s2) WHERE rank <= 10),
+         m AS (
+           SELECT fa.qid, greatest(fa.rank, fb.rank) AS mr
+           FROM fa JOIN fb ON fb.qid = fa.qid AND fb.nid = fa.nid),
+         dd AS (SELECT qid, unnest(generate_series(mr, 10)) AS d
+                FROM m),
+         xd AS (SELECT qid, d, CAST(count(*) AS BIGINT) AS x
+                FROM dd GROUP BY 1, 2),
+         tt AS (
+           SELECT qid,
+             (CAST(x AS HUGEINT)
+               * ([${cs.mkString(",")}])[CAST(d AS INT)]
+               * 1000000000) // (CAST(d AS HUGEINT) * $dBig) AS t,
+             CASE WHEN d = 10 THEN x END AS nc
+           FROM xd),
+         agg AS (SELECT qid, CAST(sum(t) AS BIGINT) AS s1,
+                 max(nc) AS nc FROM tt GROUP BY qid),
+         dom AS (SELECT DISTINCT qid FROM fa
+                 UNION SELECT DISTINCT qid FROM fb)
+         SELECT dom.qid AS query_id,
+           CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_common,
+           round(CAST(coalesce(agg.s1, 0) AS DOUBLE) / 1000000000.0, 6)
+             AS rbo
+         FROM dom LEFT JOIN agg ON agg.qid = dom.qid
+         ORDER BY query_id"""
+    },
     "q105_ann_int8" ->
       s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1563,6 +1630,29 @@ private[graft] object SimilarityRegistry {
     * the exact quantization arithmetic, so ranks, ties and rounded
     * sims are engine-identical.
     */
+  /** Rank-biased overlap ([[Similarity.rankBiasedOverlap]], RBO@10,
+    * p = 9/10) between q28's full-precision cosine top-10 and q105's
+    * int8-quantized top-10 per query — quantization fidelity in RANK
+    * space: the recall audits say whether the right neighbors
+    * survive; RBO says whether they survive in the right ORDER, and
+    * weights the top of the list where a reranker's candidates come
+    * from. Exact rational weights, integral-division terms — no
+    * float anywhere before the final /1e9.
+    */
+  private[graft] def rankAgreementQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val full = Similarity.bruteForceTopKAgg(
+      e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+    val q8 = Similarity.quantizeInt8(e, "embedding")
+      .select(col("vec_id"), col("embedding_q"))
+    val int8 = Similarity.bruteForceTopKAgg(
+      q8.where(col("vec_id") < 10), q8, "vec_id", "embedding_q",
+      k = 10)
+    Similarity.rankBiasedOverlap(full, int8, "query_id",
+        "neighbor_id", "rank", k = 10)
+      .orderBy("query_id")
+  }
+
   private[graft] def annInt8(s: SparkSession, dir: String): DataFrame = {
     val q = Similarity.quantizeInt8(emb(s, dir), "embedding")
       .select(col("vec_id"), col("embedding_q"))

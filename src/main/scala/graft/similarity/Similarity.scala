@@ -2233,6 +2233,75 @@ object Similarity {
           6).as("ndcg"))
   }
 
+  /** Rank-biased overlap (RBO@k) between two top-k rankings per query
+    * — retriever AGREEMENT without judgments, completing the eval
+    * shelf next to [[rankingEval]]'s against-judgments scorecard: for
+    * each depth d, the fraction of the two depth-d prefixes shared,
+    * weighted geometrically (persistence p) and normalized by
+    * `1 − p^k` so identical rankings score exactly 1. "Do my BM25 and
+    * dense retrievers even agree, and at the top or only in the
+    * tail?" — the question asked before any fusion (q90 RRF) is
+    * worth running.
+    *
+    * Exactness: p is the RATIONAL pNum/pDen, so every weight is the
+    * exact integer `c_d = pNum^(d−1)·(pDen−pNum)·pDen^(k−d)` over
+    * `D = pDen^k − pNum^k`, and each depth's contribution
+    * `⌊X_d·c_d·10⁹ / (d·D)⌋` is an integral division of exact
+    * DECIMAL(38,0) products — the per-query sum is an order-free
+    * BIGINT sum with ONE final /10⁹; no float anywhere. (Bounds:
+    * pDen ≤ 10, k ≤ 20 keep products inside 38 digits.)
+    *
+    * Scale shape: one (query, id)-keyed equi-join of the two rank
+    * frames, a ≤ k-wide explode per matched pair, one grouped sum —
+    * everything bounded by queries × k. Queries present in either
+    * ranking but sharing nothing score 0, not absent. Ranks must be
+    * 1..k within each query (the caller's contract — both frames
+    * come from top-k operators that guarantee it).
+    *
+    * Returns `(<qCol>, n_common, rbo)` — `n_common` = |A_k ∩ B_k|.
+    */
+  def rankBiasedOverlap(
+      a: DataFrame, b: DataFrame, qCol: String, idCol: String,
+      rankCol: String, k: Int, pNum: Int = 9,
+      pDen: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 20, "k in [1, 20]")
+    require(pNum >= 1 && pNum < pDen && pDen <= 10,
+      "persistence p = pNum/pDen with 1 <= pNum < pDen <= 10")
+    def pow(base: Long, e: Int): Long =
+      (1 to e).foldLeft(1L)((acc, _) => acc * base)
+    val cs = (1 to k).map(d =>
+      pow(pNum, d - 1) * (pDen - pNum) * pow(pDen, k - d))
+    val dBig = pow(pDen, k) - pow(pNum, k)
+    def side(df: DataFrame, out: String): DataFrame = df
+      .select(col(qCol).as("__q"), col(idCol).as("__i"),
+        col(rankCol).cast("int").as(out))
+      .where(col(out).between(1, k))
+    val ra = side(a, "__ra").transform(graft.core.CacheScope.disk)
+    val rb = side(b, "__rb").transform(graft.core.CacheScope.disk)
+    val matches = ra.join(rb, Seq("__q", "__i"))
+      .select(col("__q"),
+        greatest(col("__ra"), col("__rb")).as("__m"))
+    val terms = matches
+      .select(col("__q"), explode(sequence(col("__m"), lit(k)))
+        .as("__d"))
+      .groupBy("__q", "__d").agg(count(lit(1)).as("__x"))
+      .select(col("__q"),
+        expr(s"(CAST(__x AS DECIMAL(38,0)) * element_at(" +
+          s"array(${cs.mkString("L,")}L), __d) * 1000000000) div " +
+          s"(CAST(__d AS DECIMAL(38,0)) * ${dBig}L)").as("__t"),
+        when(col("__d") === k, col("__x")).otherwise(lit(null))
+          .as("__nc"))
+      .groupBy("__q")
+      .agg(sum(col("__t")).as("__s"), max(col("__nc")).as("__nc"))
+    val domain = ra.select(col("__q"))
+      .unionByName(rb.select(col("__q"))).distinct()
+    domain.join(terms, Seq("__q"), "left")
+      .select(col("__q").as(qCol),
+        coalesce(col("__nc"), lit(0L)).as("n_common"),
+        round(coalesce(col("__s"), lit(0L)).cast("double") /
+          lit(1000000000.0), 6).as("rbo"))
+  }
+
   /** Macro-averaged retrieval scorecard over [[rankingEval]] — the
     * one-row corpus summary (mean P@k / R@k, MRR, mean nDCG) that the
     * per-query table feeds: macro means run over JUDGED queries (the
