@@ -2355,11 +2355,12 @@ private[graft] trait AnalyticsCore {
 
 /** The assembled analytics registry: core + stats + graph shelves. */
 private[graft] object AnalyticsRegistry
-    extends AnalyticsCore with AnalyticsStatsShelf with AnalyticsGraphShelf {
+    extends AnalyticsCore with AnalyticsStatsShelf
+    with AnalyticsDriftShelf with AnalyticsGraphShelf {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ statsQueries ++ graphQueries
+    coreQueries ++ statsQueries ++ driftQueries ++ graphQueries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ statsOracleSql ++ graphOracleSql
+    coreOracleSql ++ statsOracleSql ++ driftOracleSql ++ graphOracleSql
 }

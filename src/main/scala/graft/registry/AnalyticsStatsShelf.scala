@@ -24,7 +24,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
 
   private[graft] def statsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_calibration_report" -> (calibrationReportQ _),
-    "q164_ks_drift" -> (ksDriftQ _),
     "q181_robust_outliers" -> (robustOutliersQ _),
     "q186_jackknife_ratio" -> (jackknifeRatioQ _),
     "q187_l_diversity" -> (lDiversityQ _),
@@ -34,82 +33,29 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q191_kaplan_meier" -> (kaplanMeierQ _),
     "q192_roc_auc" -> (rocAucQ _),
     "q193_gains_lift" -> (gainsLiftQ _),
-    "q194_cusum_shift" -> (cusumShiftQ _),
-    "q195_seasonal_dow" -> (seasonalDowQ _),
     "q196_price_woe" -> (priceWoeQ _),
     "q197_quality_kappa" -> (qualityKappaQ _),
     "q198_segment_priority_assoc" -> (segmentPriorityAssocQ _),
     "q199_isotonic_calibration" -> (isotonicCalibrationQ _),
     "q200_simpson_screen" -> (simpsonScreenQ _),
-    "q201_permutation_test" -> (permutationTestQ _),
     "q203_cuped_adjustment" -> (cupedQ _),
-    "q205_cusum_monitor" -> (cusumFixedQ _),
-    "q206_change_point" -> (changePointQ _),
     "q208_bootstrap_ci" -> (bootstrapCiQ _),
     "q209_qini_uplift" -> (qiniUpliftQ _),
     "q211_conversion_delay" -> (conversionDelayQ _),
     "q214_disparate_impact" -> (disparateImpactQ _),
-    "q215_msprt_monitor" -> (msprtQ _),
     "q216_brand_bradley_terry" -> (brandBtQ _),
     "q219_kmv_overlap" -> (kmvOverlapQ _),
     "q232_wilson_rates" -> (wilsonRatesQ _),
     "q233_eb_shrinkage" -> (ebShrinkageQ _),
-    "q237_value_mw_drift" -> (mwDriftQ _),
     "q238_qty_price_spearman" -> (spearmanQ _),
-    "q244_event_acf" -> (eventAcfQ _),
-    "q245_event_burstiness" -> (eventBurstinessQ _),
     "q249_conformal_coverage" -> (conformalQ _),
     "q250_theil_decomposition" -> (theilQ _),
     "q255_gini_segments" -> (giniQ _),
     "q257_qty_price_kendall" -> (kendallQ _),
     "q260_segment_fdr_screen" -> (segmentFdrQ _),
-    "q261_cvm_drift" -> (cvmDriftQ _),
     "q263_mantel_haenszel" -> (mantelHaenszelQ _),
-    "q265_holt_forecast" -> (holtForecastQ _),
-    "q268_holt_resume" -> (holtResumeQ _),
-    "q269_theil_sen_trend" -> (theilSenQ _),
     "q271_shapley_attribution" -> (shapleyQ _),
   )
-
-  /** Shared Holt recursion oracle (q265; q268 resumes to the same
-    * answer): the integer recursion replayed as a recursive CTE; the
-    * mirrored step floor((a·x + b·(l+t))/1000) is exact below 2^49
-    * cents per bucket, so every emitted column is an exact BIGINT.
-    */
-  private[graft] val oracleHoltSql: String =
-    """WITH RECURSIVE x AS (
-           SELECT event_type AS g, CAST(ts AS DATE) AS day,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-               AS x
-           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-         idx AS (
-           SELECT g, x, CAST(row_number() OVER (
-             PARTITION BY g ORDER BY day) AS BIGINT) AS i
-           FROM x),
-         rec AS (
-           SELECT g, CAST(1 AS BIGINT) AS i, x AS l,
-             CAST(0 AS BIGINT) AS t
-           FROM idx WHERE i = 1
-           UNION ALL
-           SELECT r.g, r.i + 1,
-             CAST(floor((300.0 * CAST(n.x AS DOUBLE)
-               + 700.0 * CAST(r.l + r.t AS DOUBLE)) / 1000.0)
-               AS BIGINT) AS l,
-             CAST(floor((100.0 * CAST(
-                 CAST(floor((300.0 * CAST(n.x AS DOUBLE)
-                   + 700.0 * CAST(r.l + r.t AS DOUBLE)) / 1000.0)
-                   AS BIGINT) - r.l AS DOUBLE)
-               + 900.0 * CAST(r.t AS DOUBLE)) / 1000.0) AS BIGINT)
-               AS t
-           FROM rec r JOIN idx n ON n.g = r.g AND n.i = r.i + 1),
-         fin AS (
-           SELECT g, i, l, t, row_number() OVER (
-             PARTITION BY g ORDER BY i DESC) AS rn
-           FROM rec)
-         SELECT g AS event_type, i AS n_buckets, l AS level,
-           t AS trend, l + t AS forecast_1, l + 2 * t AS forecast_2,
-           l + 3 * t AS forecast_3
-         FROM fin WHERE rn = 1 ORDER BY event_type"""
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
     // exact sorted-index Gini: Σ i·x is tie-permutation-invariant, so
@@ -234,136 +180,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
              AS coverage,
            CAST(q_hat IS NULL AS INT) AS degenerate
          FROM agg ORDER BY g""",
-    // exact-integer ACF: zero-filled grid, lag equi-join, HUGEINT
-    // moment identities (num·n² and den·n² = n(nQ − S²)), one double
-    // division — mirrors the engine's DECIMAL(38,0) arithmetic
-    "q244_event_acf" ->
-      """WITH e AS (
-           SELECT event_type AS ty,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS idx
-           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-         cnt AS (SELECT ty, idx, CAST(count(*) AS BIGINT) AS c
-           FROM e GROUP BY 1, 2),
-         rng AS (SELECT ty, min(idx) AS lo, max(idx) AS hi
-           FROM cnt GROUP BY 1),
-         gs AS (
-           SELECT ty, unnest(generate_series(lo, hi)) AS idx
-           FROM rng),
-         grid AS MATERIALIZED (
-           SELECT gs.ty, gs.idx, coalesce(cnt.c, 0) AS c
-           FROM gs LEFT JOIN cnt
-             ON cnt.ty = gs.ty AND cnt.idx = gs.idx),
-         mom AS (
-           SELECT ty, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(c) AS BIGINT) AS s,
-             sum(CAST(c AS HUGEINT) * c) AS q
-           FROM grid GROUP BY 1),
-         lagged AS (
-           SELECT g.ty, l.lag, g.c AS c1, g2.c AS c2
-           FROM grid g,
-             LATERAL (SELECT unnest(generate_series(1, 6)) AS lag) l
-           JOIN grid g2 ON g2.ty = g.ty AND g2.idx = g.idx + l.lag),
-         agg AS (
-           SELECT lg.ty, lg.lag, max(m.n) AS n_buckets,
-             CAST(count(*) AS BIGINT) AS n_pairs,
-             sum((CAST(m.n AS HUGEINT) * lg.c1 - m.s)
-               * (CAST(m.n AS HUGEINT) * lg.c2 - m.s)) AS num,
-             max(CAST(m.n AS HUGEINT)
-               * (CAST(m.n AS HUGEINT) * m.q
-                 - CAST(m.s AS HUGEINT) * m.s)) AS den
-           FROM lagged lg JOIN mom m ON m.ty = lg.ty
-           GROUP BY 1, 2)
-         SELECT ty AS event_type, CAST(lag AS INT) AS lag, n_buckets,
-           n_pairs,
-           round(CASE WHEN den > 0 THEN
-             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS r
-         FROM agg ORDER BY event_type, lag""",
-    // Fano = (nQ − S²)/((n−1)S), burstiness = (σ−μ)/(σ+μ), both one
-    // double step over HUGEINT-exact moments; formula order mirrored
-    "q245_event_burstiness" ->
-      """WITH e AS (
-           SELECT event_type AS ty,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS idx
-           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-         cnt AS (SELECT ty, idx, CAST(count(*) AS BIGINT) AS c
-           FROM e GROUP BY 1, 2),
-         rng AS (SELECT ty, min(idx) AS lo, max(idx) AS hi
-           FROM cnt GROUP BY 1),
-         gs AS (
-           SELECT ty, unnest(generate_series(lo, hi)) AS idx
-           FROM rng),
-         grid AS (
-           SELECT gs.ty, gs.idx, coalesce(cnt.c, 0) AS c
-           FROM gs LEFT JOIN cnt
-             ON cnt.ty = gs.ty AND cnt.idx = gs.idx),
-         mom AS (
-           SELECT ty, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(c) AS BIGINT) AS s,
-             sum(CAST(c AS HUGEINT) * c) AS q
-           FROM grid GROUP BY 1),
-         f AS (
-           SELECT ty, n, s,
-             CAST(CAST(n AS HUGEINT) * q
-               - CAST(s AS HUGEINT) * s AS DOUBLE) AS varnum,
-             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
-           FROM mom),
-         g2 AS (
-           SELECT ty, n, s, varnum, mean,
-             sqrt(varnum / (CAST(n AS DOUBLE)
-               * (CAST(n AS DOUBLE) - 1.0))) AS sigma
-           FROM f)
-         SELECT ty AS event_type, n AS n_buckets, s AS n_events,
-           round(mean, 6) AS mean_rate,
-           round(CASE WHEN n > 1 AND s > 0 THEN
-             varnum / ((CAST(n AS DOUBLE) - 1.0) * CAST(s AS DOUBLE))
-             END, 6) AS fano,
-           round(CASE WHEN n > 1 AND sigma + mean > 0.0 THEN
-             (sigma - mean) / (sigma + mean) END, 6) AS burstiness
-         FROM g2 ORDER BY event_type""",
-    // MW-U replay: per-distinct-value counts -> half-unit average
-    // ranks via the cumulative window -> exact BIGINT rank sum and
-    // HUGEINT tie cubes -> the one double formula, op order mirrored
-    "q237_value_mw_drift" ->
-      """WITH ev AS (
-           SELECT event_type,
-             CASE WHEN event_id % 2 = 0 AND event_type = 'purchase'
-               THEN value * 1.1 ELSE value END AS v,
-             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
-           FROM events WHERE value IS NOT NULL),
-         per AS (
-           SELECT event_type, v, CAST(sum(b) AS BIGINT) AS cb,
-             CAST(sum(1 - b) AS BIGINT) AS cc
-           FROM ev GROUP BY 1, 2),
-         cum AS (
-           SELECT event_type, cb, cc, cb + cc AS t,
-             coalesce(sum(cb + cc) OVER (PARTITION BY event_type
-               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), 0) AS c
-           FROM per),
-         r AS (SELECT event_type, cb, t, 2 * c + t + 1 AS rank2
-           FROM cum),
-         agg AS (
-           SELECT event_type,
-             CAST(sum(cb) AS BIGINT) AS n1,
-             CAST(sum(t - cb) AS BIGINT) AS n2,
-             CAST(sum(cb * rank2) AS BIGINT) AS r12,
-             sum(CAST(t AS HUGEINT) * t * t - t) AS ties
-           FROM r GROUP BY 1),
-         f AS (
-           SELECT event_type, n1, n2, r12 - n1 * (n1 + 1) AS u_half,
-             CAST(n1 * n2 AS DOUBLE) / 12.0
-               * (CAST(n1 + n2 + 1 AS DOUBLE)
-                 - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
-                   * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS sigma2
-           FROM agg)
-         SELECT event_type, n1 AS n_base, n2 AS n_cur, u_half,
-           round(CAST(u_half AS DOUBLE) / 2.0, 1) AS u,
-           round((CAST(u_half AS DOUBLE) / 2.0
-             - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2), 6) AS z,
-           CAST(abs((CAST(u_half AS DOUBLE) / 2.0
-             - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2)) > 1.96
-             AS INTEGER) AS drifted
-         FROM f ORDER BY event_type""",
     // Spearman replay: half-unit tie-averaged ranks per variable,
     // Pearson on ranks through HUGEINT, one double division at the
     // end (HUGEINT->DOUBLE and DECIMAL->DOUBLE both round-to-nearest
@@ -679,57 +495,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
          FROM nu JOIN phi ON phi.channel = nu.channel
          ORDER BY 1"""
     },
-    // bucket-sum points, every slope ONE double division of exact
-    // longs, medians as exact order statistics of the sorted lists
-    "q269_theil_sen_trend" ->
-      """WITH x AS (
-           SELECT event_type AS g,
-             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-               AS BIGINT) AS bx,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-               AS y
-           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-         sl AS (
-           SELECT a.g,
-             CAST(b.y - a.y AS DOUBLE) / CAST(b.bx - a.bx AS DOUBLE)
-               AS s
-           FROM x a JOIN x b ON a.g = b.g AND a.bx < b.bx),
-         m AS (
-           SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
-             list(s ORDER BY s) AS ss
-           FROM sl GROUP BY g),
-         ms AS (
-           SELECT g, n_pairs,
-             CASE WHEN n_pairs % 2 = 1
-               THEN ss[CAST((n_pairs + 1) // 2 AS INT)]
-               ELSE (ss[CAST(n_pairs // 2 AS INT)]
-                 + ss[CAST(n_pairs // 2 + 1 AS INT)]) / 2.0 END
-               AS slope
-           FROM m),
-         r AS (
-           SELECT x.g,
-             CAST(x.y AS DOUBLE) - ms.slope * CAST(x.bx AS DOUBLE)
-               AS r,
-             ms.n_pairs, ms.slope
-           FROM x LEFT JOIN ms ON ms.g = x.g),
-         f AS (
-           SELECT g, CAST(count(*) AS BIGINT) AS nb,
-             any_value(n_pairs) AS n_pairs, any_value(slope) AS slope,
-             list(r ORDER BY r) FILTER (WHERE r IS NOT NULL) AS rs
-           FROM r GROUP BY g)
-         SELECT g AS event_type, nb AS n_buckets,
-           coalesce(n_pairs, 0) AS n_pairs,
-           round(slope, 6) AS slope,
-           round(CASE WHEN nb % 2 = 1
-             THEN rs[CAST((nb + 1) // 2 AS INT)]
-             ELSE (rs[CAST(nb // 2 AS INT)]
-               + rs[CAST(nb // 2 + 1 AS INT)]) / 2.0 END, 4)
-             AS intercept
-         FROM f ORDER BY event_type""",
-    "q265_holt_forecast" -> oracleHoltSql,
-    // resume == full-recompute by the left-fold identity, so the
-    // incremental query shares the SAME recursive-CTE oracle
-    "q268_holt_resume" -> oracleHoltSql,
     // exact 2×2 counts per stratum; every pooled term an integral-
     // division micro-quantization (HUGEINT //, non-negative operands
     // — truncation identical to Spark's IntegralDivide), one double
@@ -795,95 +560,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            cmh_chi2
          FROM (SELECT * FROM strata UNION ALL SELECT * FROM tot)
          ORDER BY c_mktsegment""",
-    // the q164 CTE machinery with the squared-gap HUGEINT sum in
-    // place of the supremum; T = Σ t·(i·m − j·n)² / (nm(n+m)²), one
-    // mirrored double division
-    "q261_cvm_drift" ->
-      """WITH base AS (
-           SELECT o_orderpriority AS g, o_totalprice AS v
-           FROM orders WHERE o_orderkey % 2 = 1),
-         cur AS (
-           SELECT o_orderpriority AS g,
-             CASE WHEN o_orderpriority = '1-URGENT'
-               THEN o_totalprice * 1.10 ELSE o_totalprice END AS v
-           FROM orders WHERE o_orderkey % 2 = 0),
-         u AS (
-           SELECT g, v, 1 AS b FROM base
-           UNION ALL SELECT g, v, 0 FROM cur),
-         per AS (
-           SELECT g, v, CAST(sum(b) AS BIGINT) AS cb,
-             CAST(sum(1 - b) AS BIGINT) AS cc
-           FROM u GROUP BY g, v),
-         cum AS (
-           SELECT g, cb, cc,
-             CAST(sum(cb) OVER w AS BIGINT) AS i,
-             CAST(sum(cc) OVER w AS BIGINT) AS j,
-             CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS n1,
-             CAST(sum(cc) OVER (PARTITION BY g) AS BIGINT) AS n2
-           FROM per
-           WINDOW w AS (PARTITION BY g ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         agg AS (
-           SELECT g, max(n1) AS n_base, max(n2) AS n_cur,
-             sum(CAST(cb + cc AS HUGEINT)
-               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1)
-               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1))
-               AS s
-           FROM cum GROUP BY g)
-         SELECT g AS o_orderpriority, n_base, n_cur,
-           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
-             ELSE round(CAST(s AS DOUBLE)
-               / CAST(CAST(n_base AS HUGEINT) * n_cur
-                 * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE), 6)
-             END AS cvm_t,
-           CAST(CASE WHEN n_base = 0 OR n_cur = 0 THEN 1
-             WHEN CAST(s AS DOUBLE)
-               / CAST(CAST(n_base AS HUGEINT) * n_cur
-                 * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE)
-               > 0.461 THEN 1 ELSE 0 END AS INT) AS drifted
-         FROM agg ORDER BY o_orderpriority""",
-    "q164_ks_drift" ->
-      """WITH base AS (
-           SELECT o_orderpriority AS g, o_totalprice AS v
-           FROM orders WHERE o_orderkey % 2 = 1),
-         cur AS (
-           SELECT o_orderpriority AS g,
-             CASE WHEN o_orderpriority = '1-URGENT'
-               THEN o_totalprice * 1.05 ELSE o_totalprice END AS v
-           FROM orders WHERE o_orderkey % 2 = 0),
-         u AS (
-           SELECT g, v, 1 AS b FROM base
-           UNION ALL SELECT g, v, 0 FROM cur),
-         per AS (
-           SELECT g, v, sum(b) AS cb, sum(1 - b) AS cc
-           FROM u GROUP BY g, v),
-         cum AS (
-           SELECT g,
-             sum(cb) OVER w AS i, sum(cc) OVER w AS j,
-             sum(cb) OVER (PARTITION BY g) AS n1,
-             sum(cc) OVER (PARTITION BY g) AS n2
-           FROM per
-           WINDOW w AS (PARTITION BY g ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         agg AS (
-           SELECT g, max(n1) AS n_base, max(n2) AS n_cur,
-             max(abs(i * n2 - j * n1)) AS ks_scaled
-           FROM cum GROUP BY g)
-         SELECT g AS o_orderpriority,
-           CAST(n_base AS BIGINT) AS n_base,
-           CAST(n_cur AS BIGINT) AS n_cur,
-           CAST(ks_scaled AS BIGINT) AS ks_scaled,
-           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
-             ELSE round(CAST(ks_scaled AS DOUBLE) / (n_base * n_cur),
-               6) END AS ks_d,
-           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
-             ELSE round(1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
-               / (n_base * n_cur)), 6) END AS threshold,
-           CASE WHEN n_base = 0 OR n_cur = 0 THEN TRUE
-             ELSE CAST(ks_scaled AS DOUBLE) / (n_base * n_cur) >
-               1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
-                 / (n_base * n_cur)) END AS drifted
-         FROM agg ORDER BY o_orderpriority""",
     // exact counts under the float z; pooled variance, two-sided
     "q181_robust_outliers" ->
       """WITH med AS (
@@ -1174,97 +850,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
              / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
              AS cum_lift
          FROM cum ORDER BY 1, 2""",
-    // dense month grid (gaps are zeros); deviations scaled to whole
-    // units n·c − Σc so the one-sided accumulations stay BIGINT; the
-    // prefix identity replaces the sequential max(0, ·) recurrence
-    "q194_cusum_shift" ->
-      """WITH b AS (
-           SELECT o_orderpriority AS g,
-             year(CAST(o_orderdate AS DATE)) * 12
-               + month(CAST(o_orderdate AS DATE)) - 1 AS p
-           FROM orders),
-         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
-         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
-                    FROM c GROUP BY g),
-         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
-                    AS BIGINT) AS p FROM bounds),
-         dense AS (
-           SELECT grid.g, grid.p,
-             CAST(coalesce(c.c, 0) AS BIGINT) AS c
-           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
-         tt AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot,
-                count(*) AS n FROM dense GROUP BY g),
-         st AS (
-           SELECT dense.g, dense.p, dense.c, tt.tot, tt.n,
-             CAST(sum(dense.c * tt.n - tt.tot) OVER (
-               PARTITION BY dense.g ORDER BY dense.p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cs
-           FROM dense JOIN tt USING (g)),
-         sm AS (
-           SELECT g, p, c, tot, n, cs,
-             cs - least(CAST(min(cs) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT), 0) AS sp,
-             greatest(CAST(max(cs) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT), 0) - cs AS sn
-           FROM st)
-         SELECT g AS o_orderpriority,
-           CAST(CAST(floor(p / 12.0) AS BIGINT) AS VARCHAR) || '-'
-             || lpad(CAST((p % 12) + 1 AS VARCHAR), 2, '0') AS month,
-           c AS n,
-           round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 4)
-             AS cusum_pos,
-           round(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE), 4)
-             AS cusum_neg,
-           CAST(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
-             > 5.0 * sqrt(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
-             AS INT) AS shift_up,
-           CAST(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)
-             > 5.0 * sqrt(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
-             AS INT) AS shift_down
-         FROM sm ORDER BY 1, 2""",
-    // dense calendar (gap days are zeros in their weekday's profile);
-    // weekday from epoch-day arithmetic, calendar-library-free; the
-    // anomaly predicate compares doubles built identically from exact
-    // integers
-    "q195_seasonal_dow" ->
-      """WITH b AS (
-           SELECT o_orderstatus AS g,
-             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
-               AS BIGINT) AS p
-           FROM orders),
-         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
-         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
-                    FROM c GROUP BY g),
-         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
-                    AS BIGINT) AS p FROM bounds),
-         dense AS (
-           SELECT grid.g, grid.p,
-             CAST(coalesce(c.c, 0) AS BIGINT) AS c,
-             (grid.p + 3) % 7 AS dow
-           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
-         prof AS (SELECT g, dow, count(*) AS nd,
-                  CAST(sum(c) AS BIGINT) AS s
-                  FROM dense GROUP BY 1, 2),
-         fl AS (
-           SELECT dense.g, dense.dow, prof.nd, prof.s,
-             abs(CAST(dense.c AS DOUBLE)
-               - CAST(prof.s AS DOUBLE) / CAST(prof.nd AS DOUBLE))
-               AS dev
-           FROM dense JOIN prof
-             ON prof.g = dense.g AND prof.dow = dense.dow)
-         SELECT g AS o_orderstatus, dow,
-           CAST(max(nd) AS BIGINT) AS n_days,
-           CAST(max(s) AS BIGINT) AS total,
-           round(CAST(max(s) AS DOUBLE) / CAST(max(nd) AS DOUBLE), 4)
-             AS dow_mean,
-           CAST(sum(CASE WHEN dev > 3.0 * sqrt(CAST(s AS DOUBLE)
-             / CAST(nd AS DOUBLE)) THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_anomalies,
-           round(max(dev), 4) AS max_abs_residual
-         FROM fl GROUP BY 1, 2 ORDER BY 1, 2""",
     // caller-supplied fixed-width bins (no global sort window);
     // Laplace 0.5 smoothing keeps one-class bins finite; the IV total
     // is a bins-sized rounded double sum
@@ -1451,61 +1036,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            CAST(coalesce((ra - rb) * (ora - orb) < 0, FALSE) AS INT)
              AS reversal
          FROM x ORDER BY 1""",
-    // md5-keyed Bernoulli relabelings (the Carter-Wegman pattern all
-    // dedup families use) — byte-identical assignment in any engine
-    // with md5; per-replica means divide exact BIGINT sums once
-    "q201_permutation_test" ->
-      """WITH u0 AS (
-           SELECT CAST(o_custkey AS VARCHAR) AS u,
-             (c_mktsegment = 'BUILDING') AS a,
-             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
-         units AS (SELECT u, a, CAST(sum(v) AS BIGINT) AS v
-                   FROM u0 GROUP BY 1, 2),
-         ob AS (SELECT
-           CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS BIGINT) AS sa,
-           CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
-           CAST(sum(CASE WHEN NOT a THEN v ELSE 0 END) AS BIGINT)
-             AS sb,
-           CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
-             AS nb
-           FROM units),
-         obs AS (SELECT na, nb,
-           CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
-             - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS obsd
-           FROM ob),
-         asg AS (
-           SELECT u, v, r,
-             CAST(('0x' || substr(md5('q201' || ':'
-               || CAST(r AS VARCHAR) || ':' || u), 1, 8)) AS BIGINT)
-               % 2 AS flip
-           FROM units, LATERAL (SELECT
-             unnest(generate_series(0, 198)) AS r) t),
-         per AS (
-           SELECT r,
-             CAST(sum(CASE WHEN flip = 0 THEN v ELSE 0 END)
-               AS BIGINT) AS sa,
-             CAST(sum(CASE WHEN flip = 0 THEN 1 ELSE 0 END)
-               AS BIGINT) AS na,
-             CAST(sum(CASE WHEN flip = 1 THEN v ELSE 0 END)
-               AS BIGINT) AS sb,
-             CAST(sum(CASE WHEN flip = 1 THEN 1 ELSE 0 END)
-               AS BIGINT) AS nb
-           FROM asg GROUP BY r),
-         d AS (SELECT CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
-               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS d
-               FROM per WHERE na > 0 AND nb > 0),
-         tl AS (SELECT count(*) AS r_valid,
-                CAST(sum(CASE WHEN abs(d.d) >= abs(obs.obsd)
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
-                FROM d CROSS JOIN obs)
-         SELECT obs.na AS n_a, obs.nb AS n_b,
-           round(obs.obsd, 4) AS obs_diff,
-           tl.r_valid, tl.n_extreme,
-           round((CAST(tl.n_extreme AS DOUBLE) + 1.0)
-             / (CAST(tl.r_valid AS DOUBLE) + 1.0), 6) AS p_value
-         FROM obs CROSS JOIN tl""",
     // every moment an exact BIGINT (whole-dollar units keep sum(x*y)
     // inside long); θ, ρ² and the adjusted means are fixed arithmetic
     // over those longs — long→double conversion is correctly rounded,
@@ -1563,90 +1093,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            round(CASE WHEN varxn > 0 AND varyn > 0
              THEN (covn * covn) / (varxn * varyn) END, 6) AS rho2
          FROM calc ORDER BY cohort""",
-    // the all-integer streamable CUSUM: d = 1000·c − target, both
-    // one-sided sums by the prefix identity, decision vs hMilli —
-    // no floats, so the streaming twin is bit-equal by construction
-    "q205_cusum_monitor" ->
-      """WITH b AS (
-           SELECT event_type AS g,
-             CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) AS p
-           FROM events),
-         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
-         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
-                    FROM c GROUP BY g),
-         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
-                    AS BIGINT) AS p FROM bounds),
-         dense AS (
-           SELECT grid.g, grid.p,
-             CAST(coalesce(c.c, 0) AS BIGINT) AS c
-           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
-         st AS (
-           SELECT g, p, c,
-             CAST(sum(c * 1000 - 16000) OVER (PARTITION BY g
-               ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
-               AND CURRENT ROW) AS BIGINT) AS cs
-           FROM dense),
-         sm AS (
-           SELECT g, p, c, cs,
-             cs - least(CAST(min(cs) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT), 0) AS sp,
-             greatest(CAST(max(cs) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT), 0) - cs AS sn
-           FROM st)
-         SELECT g AS event_type, p AS period, c AS n,
-           sp AS cusum_pos_milli, sn AS cusum_neg_milli,
-           CAST(sp > 60000 AS INT) AS shift_up,
-           CAST(sn > 60000 AS INT) AS shift_down
-         FROM sm ORDER BY 1, 2""",
-    // bridge numerator |n·cs_t − t·S| is pure BIGINT: the argmax and
-    // its smallest-t tie-break replay exactly; means divide once
-    "q206_change_point" ->
-      """WITH b AS (
-           SELECT o_orderpriority AS g,
-             year(CAST(o_orderdate AS DATE)) * 12
-               + month(CAST(o_orderdate AS DATE)) - 1 AS p
-           FROM orders),
-         c AS (SELECT g, p, count(*) AS c FROM b GROUP BY 1, 2),
-         bounds AS (SELECT g, min(p) AS lo, max(p) AS hi
-                    FROM c GROUP BY g),
-         grid AS (SELECT g, CAST(unnest(generate_series(lo, hi))
-                    AS BIGINT) AS p FROM bounds),
-         dense AS (
-           SELECT grid.g, grid.p,
-             CAST(coalesce(c.c, 0) AS BIGINT) AS c
-           FROM grid LEFT JOIN c ON c.g = grid.g AND c.p = grid.p),
-         br AS (
-           SELECT g, p,
-             CAST(row_number() OVER (PARTITION BY g ORDER BY p)
-               AS BIGINT) AS t,
-             CAST(sum(c) OVER (PARTITION BY g ORDER BY p
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cs,
-             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
-             CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS s
-           FROM dense),
-         ranked AS (
-           SELECT g, p, t, cs, n, s, abs(n * cs - t * s) AS bb,
-             row_number() OVER (PARTITION BY g
-               ORDER BY abs(n * cs - t * s) DESC, t ASC) AS rk
-           FROM br WHERE t < n)
-         SELECT g AS o_orderpriority, n AS n_periods, s AS total_n,
-           t AS split_index,
-           CAST(CAST(floor(p / 12.0) AS BIGINT) AS VARCHAR) || '-'
-             || lpad(CAST((p % 12) + 1 AS VARCHAR), 2, '0')
-             AS change_month,
-           round(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE), 4)
-             AS before_mean,
-           round(CAST(s - cs AS DOUBLE) / CAST(n - t AS DOUBLE), 4)
-             AS after_mean,
-           round(CAST(bb AS DOUBLE) / CAST(n AS DOUBLE), 4)
-             AS bridge_height,
-           round((CAST(bb AS DOUBLE) / CAST(n AS DOUBLE))
-             / sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-             AS bridge_scaled
-         FROM ranked WHERE rk = 1 ORDER BY 1""",
     // Poisson(1) weights as integer threshold-counts over the 32-bit
     // md5; replicate ratios are one division of exact weighted sums;
     // CI bounds are order statistics picked by exact integer index;
@@ -1772,51 +1218,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
              AS impact_ratio,
            CAST(5 * p * bn < 4 * bp * n AS INT) AS four_fifths_flag
          FROM per CROSS JOIN best ORDER BY 1""",
-    // log-space mixture SPRT: exact BIGINT running sums, literal
-    // σ²/τ²/p₀ spelled from the same doubles as the engine; log Λ is
-    // O(10) so round(·,4) absorbs library ulp wobble where raw Λ
-    // (up to 1e20+) would not
-    "q215_msprt_monitor" ->
-      s"""WITH b AS (
-           SELECT o_orderpriority AS g,
-             year(CAST(o_orderdate AS DATE)) * 12
-               + month(CAST(o_orderdate AS DATE)) - 1 AS p,
-             (o_totalprice > 150000.0) AS y
-           FROM orders),
-         c AS (SELECT g, p, count(*) AS c,
-               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS s
-               FROM b GROUP BY 1, 2),
-         r AS (SELECT g, p,
-           CAST(sum(c) OVER (PARTITION BY g ORDER BY p ROWS BETWEEN
-             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
-           CAST(sum(s) OVER (PARTITION BY g ORDER BY p ROWS BETWEEN
-             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
-           FROM c),
-         l AS (SELECT g, p, cn, cs,
-           0.5 * ln(${0.33 * (1.0 - 0.33)}
-               / (${0.33 * (1.0 - 0.33)}
-                 + CAST(cn AS DOUBLE) * 0.0025))
-             + (CAST(cn AS DOUBLE) * CAST(cn AS DOUBLE) * 0.0025
-                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) - 0.33)
-                 * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) - 0.33))
-               / (2.0 * ${0.33 * (1.0 - 0.33)}
-                 * (${0.33 * (1.0 - 0.33)}
-                   + CAST(cn AS DOUBLE) * 0.0025)) AS ll
-           FROM r),
-         m AS (SELECT g, p, cn, cs, ll,
-           max(ll) OVER (PARTITION BY g ORDER BY p ROWS BETWEEN
-             UNBOUNDED PRECEDING AND CURRENT ROW) AS llmax
-           FROM l)
-         SELECT g AS o_orderpriority,
-           CAST(CAST(floor(p / 12.0) AS BIGINT) AS VARCHAR) || '-'
-             || lpad(CAST((p % 12) + 1 AS VARCHAR), 2, '0') AS month,
-           cn AS n_cum, cs AS pos_cum,
-           round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS rate,
-           round(ll, 4) AS log_lambda,
-           round(least(1.0, exp(0.0 - llmax)), 6) AS always_valid_p,
-           CAST(least(1.0, exp(0.0 - llmax)) < 0.05 AS INT)
-             AS rejected_by_now
-         FROM m ORDER BY 1, 2""",
     // basket-duel comparisons → 8 exact MM rounds; see btRound for
     // the integer-division mirroring argument
     "q216_brand_bradley_terry" ->
@@ -2021,42 +1422,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .orderBy("bin")
   }
 
-  /** Exact per-group KS drift test ([[graft.quality.Drift.ksTest]])
-    * on a deterministically perturbed split: odd orderkeys are the
-    * baseline, even the current batch with '1-URGENT' prices inflated
-    * 5 % (the q162/q144 seeding treatment — the detector must flag
-    * exactly that segment while fixed-bin PSI's shape stays put for
-    * the rest). `ks_scaled` is the exact BIGINT supremum; `ks_d` and
-    * the threshold are single float ops over exact longs.
-    */
-  private[graft] def ksDriftQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val base = o.where(col("o_orderkey") % 2 === 1)
-    val cur = o.where(col("o_orderkey") % 2 === 0)
-      .withColumn("o_totalprice",
-        when(col("o_orderpriority") === "1-URGENT",
-          col("o_totalprice") * 1.05).otherwise(col("o_totalprice")))
-    graft.quality.Drift.ksTest(base, cur, "o_totalprice",
-        Seq("o_orderpriority"))
-      .select(col("o_orderpriority"), col("n_base"), col("n_cur"),
-        col("ks_scaled"), round(col("ks_d"), 6).as("ks_d"),
-        round(col("threshold"), 6).as("threshold"), col("drifted"))
-      .orderBy("o_orderpriority")
-  }
-
-  /** Holt linear-trend forecast ([[Analytics.holtForecast]]) of daily
-    * event value per event type (α = 0.3, β = 0.1 in milli units) —
-    * level, trend, and the 1/2/3-step-ahead forecasts, all exact
-    * cents BIGINTs from the mirrored integer recursion (oracle
-    * replays it as a recursive CTE).
-    */
-  private[graft] def holtForecastQ(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir).where(col("value").isNotNull)
-    Analytics.holtForecast(e, Seq("event_type"),
-        to_date(col("ts")), floor(col("value") * 100).cast("long"))
-      .orderBy("event_type")
-  }
-
   /** Shapley channel attribution ([[Analytics.shapleyAttribution]]):
     * the coalition-game credit for the four non-purchase event types
     * toward purchase conversion — the average-marginal-lift reading
@@ -2076,40 +1441,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .orderBy("channel")
   }
 
-  /** Theil–Sen robust daily trend ([[Analytics.theilSenTrend]]) of
-    * event value per event type — the outlier-proof rate reading
-    * beside q265's Holt state (one corrupted day can't move the
-    * median-of-slopes); x is the day index from 2024-01-01, y the
-    * day's exact cents sum. Bounded bucket² pair join, exact order
-    * statistics, mirrored double slopes.
-    */
-  private[graft] def theilSenQ(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir).where(col("value").isNotNull)
-    Analytics.theilSenTrend(e, Seq("event_type"),
-        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")),
-        floor(col("value") * 100).cast("long"))
-      .orderBy("event_type")
-  }
-
-  /** Incremental Holt ([[Analytics.holtResume]]): a standing state
-    * built from the first 20 days resumes over the remaining days and
-    * lands EXACTLY where q265's full recompute lands (the left-fold
-    * identity; the oracle IS q265's full recursive CTE) — the
-    * never-rescan-history form of the forecast monitor.
-    */
-  private[graft] def holtResumeQ(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir).where(col("value").isNotNull)
-    val cents = floor(col("value") * 100).cast("long")
-    val cut = lit("2024-01-21").cast("date")
-    val state = Analytics.holtForecast(
-      e.where(to_date(col("ts")) < cut), Seq("event_type"),
-      to_date(col("ts")), cents)
-    Analytics.holtResume(state,
-        e.where(to_date(col("ts")) >= cut), Seq("event_type"),
-        to_date(col("ts")), cents)
-      .orderBy("event_type")
-  }
-
   /** Mantel–Haenszel adjusted odds ratio + CMH χ²
     * ([[Analytics.mantelHaenszel]]) of urgent-priority → order-status-F
     * across market-segment strata — the inferential complement of
@@ -2126,48 +1457,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         col("o_orderpriority") === "1-URGENT",
         col("o_orderstatus") === "F")
       .orderBy("c_mktsegment")
-  }
-
-  /** Cramér–von Mises drift ([[graft.quality.Drift.cvmTest]]) on the
-    * q164 split shape (odd orders = baseline, even = current) with a
-    * 1.10× shift planted into URGENT prices — twice q164's 1.05×,
-    * which sits exactly AT the KS detection boundary at sf0.01
-    * (D = 0.0499 vs threshold 0.0498); the stronger plant puts the
-    * CvM statistic clearly past its asymptotic 0.461 bar, so the
-    * query exhibits a flagged group next to four cleanly-null ones.
-    * Exact integer gap sums in DECIMAL(38,0), one double division.
-    */
-  private[graft] def cvmDriftQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val base = o.where(col("o_orderkey") % 2 === 1)
-    val cur = o.where(col("o_orderkey") % 2 === 0)
-      .withColumn("o_totalprice",
-        when(col("o_orderpriority") === "1-URGENT",
-          col("o_totalprice") * 1.10).otherwise(col("o_totalprice")))
-    graft.quality.Drift.cvmTest(base, cur, "o_totalprice",
-        Seq("o_orderpriority"))
-      .withColumn("drifted", col("drifted").cast("int"))
-      .orderBy("o_orderpriority")
-  }
-
-  /** Mann–Whitney U drift ([[graft.quality.Drift.mannWhitneyU]]) on
-    * the q164 synthetic split (odd event ids = baseline, even =
-    * current) with a 10% upward shift injected into `purchase`
-    * values — the rank test flags the SHIFTED type and clears the
-    * others, the location-drift reading KS blurs. Half-unit ranks
-    * and tie cubes exact; one mirrored double formula for z.
-    */
-  private[graft] def mwDriftQ(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-    val base = e.where(col("event_id") % 2 === 1)
-    val cur = e.where(col("event_id") % 2 === 0)
-      .withColumn("value",
-        when(col("event_type") === "purchase", col("value") * 1.1)
-          .otherwise(col("value")))
-    graft.quality.Drift.mannWhitneyU(base, cur, "value",
-        Seq("event_type"))
-      .withColumn("drifted", col("drifted").cast("int"))
-      .orderBy("event_type")
   }
 
   /** Theil-T spend inequality by market segment
@@ -2219,26 +1508,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         Seq("o_orderpriority"), alphaMilli = 100)
       .orderBy("o_orderpriority")
   }
-
-  /** Hourly-count autocorrelation at lags 1–6 per event type
-    * ([[Analytics.autocorrelation]]): the exact-integer ACF (the
-    * mean-centering multiplied through by n so every sum is a
-    * DECIMAL-exact product sum) over zero-filled hourly buckets —
-    * q174's cross-correlation turned on each series itself.
-    */
-  private[graft] def eventAcfQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.autocorrelation(events(s, dir), "ts", "event_type",
-        bucketSeconds = 3600L, maxLag = 6)
-      .orderBy("event_type", "lag")
-
-  /** Fano factor + Goh–Barabási burstiness per event type
-    * ([[Analytics.burstiness]]) over the same zero-filled hourly
-    * grid — the "Poisson or clumped" readout.
-    */
-  private[graft] def eventBurstinessQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.burstiness(events(s, dir), "ts", "event_type",
-        bucketSeconds = 3600L)
-      .orderBy("event_type")
 
   /** Segment screen with FDR control ([[Analytics.permutationTests]]
     * → [[Analytics.bhSelect]]): one hash-randomization test per event
@@ -2375,39 +1644,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .orderBy("c_mktsegment", "bucket")
   }
 
-  /** CUSUM level-shift screen ([[Analytics.cusumShift]]): monthly
-    * order counts per priority on a dense month grid (gap months are
-    * zeros), one-sided cumulative deviations from the priority's mean
-    * with a √mean-scaled decision threshold — the monitoring chart
-    * behind "did volume step-change, and when?". The accumulation is
-    * exact BIGINT via the `n·cᵢ − Σc` scaling; the prefix identity
-    * S⁺ᵢ = csᵢ − min(0, min_{j≤i} csⱼ) replaces the sequential
-    * recurrence with window functions.
-    */
-  private[graft] def cusumShiftQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(col("o_orderpriority"),
-      (year(col("o_orderdate").cast("date")) * 12
-        + month(col("o_orderdate").cast("date")) - 1).as("__m"))
-    Analytics.cusumShift(o, "o_orderpriority", col("__m"))
-      .select(col("o_orderpriority"),
-        concat(floor(col("period") / 12).cast("string"), lit("-"),
-          lpad(((col("period") % 12) + 1).cast("string"), 2, "0"))
-          .as("month"),
-        col("n"), col("cusum_pos"), col("cusum_neg"),
-        col("shift_up"), col("shift_down"))
-      .orderBy("o_orderpriority", "month")
-  }
-
-  /** Day-of-week seasonal profile ([[Analytics.seasonalProfile]]):
-    * daily order counts per status on a dense calendar (gap days are
-    * zeros), the per-weekday mean, and Poisson-scaled (3σ) anomaly
-    * days — the weekly-rhythm baseline behind volume monitoring.
-    */
-  private[graft] def seasonalDowQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.seasonalProfile(t(s, dir, "orders"), "o_orderstatus",
-        col("o_orderdate"))
-      .orderBy("o_orderstatus", "dow")
-
   /** Weight-of-evidence / information-value scorecard screen
     * ([[Analytics.binnedWoe]]): fixed-width price bins of order totals
     * scored against the urgent/high label — the shuffle-free binning
@@ -2481,24 +1717,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         col("o_totalprice") > 150000.0)
       .orderBy("stratum")
 
-  /** Hash-randomization test ([[Analytics.permutationTest]]): does
-    * BUILDING out-spend MACHINERY per customer beyond chance? 199
-    * md5-keyed relabelings of per-customer exact-cents spend, the
-    * observed mean difference ranked among them — the
-    * cluster-randomized significance check with no RNG state.
-    */
-  private[graft] def permutationTestQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.permutationTest(
-        t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")),
-            col("o_custkey") === col("c_custkey"))
-          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
-        col("o_custkey"),
-        round(col("o_totalprice") * 100, 0).cast("long"),
-        col("c_mktsegment") === "BUILDING",
-        replicas = 199, salt = "q201")
-
   /** CUPED variance reduction ([[Analytics.cuped]]): per-customer
     * post-1999 spend adjusted by pre-1999 spend (whole dollars — the
     * Int64 moment contract), BUILDING vs MACHINERY as the two arms —
@@ -2522,39 +1740,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         coalesce(col("__y"), lit(0L)).as("__y"))
     Analytics.cuped(units, col("__a"), col("__x"), col("__y"))
       .orderBy("cohort")
-  }
-
-  /** Fixed-target CUSUM monitor ([[Analytics.cusumFixedTarget]]):
-    * event counts per 6-hour bucket per type against a fixed
-    * 16-events-per-bucket reference — the all-integer, O(1)-state
-    * form whose streaming twin
-    * ([[graft.streaming.EventStreams.cusumStream]]) emits
-    * bit-identical rows as the watermark closes each bucket.
-    */
-  private[graft] def cusumFixedQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.cusumFixedTarget(events(s, dir), "event_type",
-        floor(unix_micros(col("ts")) / lit(21600000000L)).cast("long"),
-        targetMilli = 16000L, hMilli = 60000L)
-      .orderBy("event_type", "period")
-
-  /** Change-point locator ([[Analytics.changePoint]]): the CUSUM-
-    * bridge argmax over monthly order counts per priority — WHERE the
-    * level most plausibly shifted; the bridge numerator is exact
-    * BIGINT so the split and its tie-break replay bit-for-bit.
-    */
-  private[graft] def changePointQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(col("o_orderpriority"),
-      (year(col("o_orderdate").cast("date")) * 12
-        + month(col("o_orderdate").cast("date")) - 1).as("__m"))
-    Analytics.changePoint(o, "o_orderpriority", col("__m"))
-      .select(col("o_orderpriority"), col("n_periods"), col("total_n"),
-        col("split_index"),
-        concat(floor(col("change_period") / 12).cast("string"),
-          lit("-"), lpad(((col("change_period") % 12) + 1)
-            .cast("string"), 2, "0")).as("change_month"),
-        col("before_mean"), col("after_mean"),
-        col("bridge_height"), col("bridge_scaled"))
-      .orderBy("o_orderpriority")
   }
 
   /** Poisson bootstrap CI ([[Analytics.bootstrapRatioCI]]): the
@@ -2637,28 +1822,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         col("o_custkey").isNotNull.as("__y"))
     Analytics.disparateImpact(labeled, "c_mktsegment", col("__y"))
       .orderBy("c_mktsegment")
-  }
-
-  /** Always-valid sequential monitor ([[Analytics.msprtMonitor]]):
-    * monthly big-order share per priority against p₀ = 0.33 — the
-    * peeking-safe test whose p-value can be read EVERY period without
-    * α inflation; the statistic rides in log space so rounding stays
-    * engine-stable at any evidence level.
-    */
-  private[graft] def msprtQ(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(col("o_orderpriority"),
-      (year(col("o_orderdate").cast("date")) * 12
-        + month(col("o_orderdate").cast("date")) - 1).as("__m"),
-      (col("o_totalprice") > 150000.0).as("__y"))
-    Analytics.msprtMonitor(o, "o_orderpriority", col("__m"),
-        col("__y"), p0 = 0.33, tau2 = 0.0025)
-      .select(col("o_orderpriority"),
-        concat(floor(col("period") / 12).cast("string"), lit("-"),
-          lpad(((col("period") % 12) + 1).cast("string"), 2, "0"))
-          .as("month"),
-        col("n_cum"), col("pos_cum"), col("rate"), col("log_lambda"),
-        col("always_valid_p"), col("rejected_by_now"))
-      .orderBy("o_orderpriority", "month")
   }
 
   /** Bradley–Terry brand strengths ([[Analytics.bradleyTerry]]):
