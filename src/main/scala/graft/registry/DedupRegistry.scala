@@ -50,6 +50,7 @@ private[graft] object DedupRegistry {
     "q23_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "q24_minhash_lsh_pairs" -> (minhashLshPairs _),
     "q267_source_dup_matrix" -> (sourceDupMatrixQ _),
+    "q273_dedup_monitor_suite" -> (dedupMonitorSuiteQ _),
     "q25_simhash_fingerprints" -> (simhashFingerprints _),
     "q26_simhash_pairs" -> (simhashPairs _),
     "q31_corpus_prep" -> (corpusPrep _),
@@ -787,6 +788,70 @@ private[graft] object DedupRegistry {
         includeCommon = false)}""",
     // the q24 pair machinery rolled up to a source×source matrix;
     // mean jaccard is a nano-quantized order-free sum, max order-free
+    // one pairs CTE (the q24/q267 chain) reused by all three report
+    // legs: recursive CC histogram, source matrix (round-then-quantize
+    // like q267), threshold curve on the unrounded j like q251
+    "q273_dedup_monitor_suite" ->
+      s"""WITH RECURSIVE $oracleShingleCtes,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         pr AS (
+           SELECT ida, idb,
+             CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS j
+           FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+             >= 0.8),
+         edges AS (SELECT ida AS a, idb AS b FROM pr
+                   UNION SELECT idb, ida FROM pr),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         labels AS (
+           SELECT a AS id, least(a, min(b)) AS comp
+           FROM reach GROUP BY a),
+         csizes AS (
+           SELECT comp, count(*) AS cluster_size
+           FROM labels GROUP BY comp),
+         hist AS (
+           SELECT 'cluster_histogram' AS report,
+             CAST(cluster_size AS VARCHAR) AS key_a, '' AS key_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST((cluster_size - 1) * count(*) AS DOUBLE) AS metric
+           FROM csizes GROUP BY cluster_size),
+         lab AS (
+           SELECT least(da.source, db.source) AS key_a,
+             greatest(da.source, db.source) AS key_b,
+             round(j, 4) AS j
+           FROM pr
+           JOIN documents da ON da.doc_id = ida
+           JOIN documents db ON db.doc_id = idb),
+         mat AS (
+           SELECT 'source_matrix' AS report, key_a, key_b,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(floor(j * 1000000.0) AS BIGINT))
+                 AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS metric
+           FROM lab GROUP BY key_a, key_b),
+         g AS (SELECT unnest(generate_series(80, 95, 5)) AS t),
+         curve AS (
+           SELECT 'threshold_curve' AS report,
+             CAST(CAST(t AS INT) AS VARCHAR) AS key_a, '' AS key_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT idb) AS DOUBLE) AS metric
+           FROM pr JOIN g ON pr.j >= CAST(t AS DOUBLE) / 100.0
+           GROUP BY t)
+         SELECT * FROM hist
+         UNION ALL SELECT * FROM mat
+         UNION ALL SELECT * FROM curve
+         ORDER BY report, key_a, key_b""",
     "q267_source_dup_matrix" ->
       s"""$oracleShingleCte,
          $oracleMinhashCtes,
@@ -1431,6 +1496,74 @@ private[graft] object DedupRegistry {
           .as("avg_jaccard"),
         col("max_jaccard"))
       .orderBy("source_a", "source_b")
+  }
+
+  /** Standing near-dup monitor suite — the production composition of
+    * the dedup shelf's three standing reports (VERDICT r15 task 1):
+    * the q24 MinHash-LSH band→verify pass runs ONCE into a persisted
+    * verified-pairs frame, and the cluster-size histogram (q83 shape),
+    * source×source duplication matrix (q152/q267 shape) and
+    * threshold-sensitivity curve (q251 shape, over the verified
+    * 0.80–0.95 band) all fan out from that one frame in one lazy
+    * plan — at 100 TB nobody runs the LSH chain once per report.
+    * Output is the unified monitor schema (report, key_a, key_b, n,
+    * metric); a plan spec pins the single banding pass structurally.
+    * Scale: identical to q24 (the only pairwise generator is the
+    * banded self-join); the three report legs are candidate-sized.
+    */
+  private[graft] def dedupMonitorSuiteQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .transform(graft.core.CacheScope.disk)
+    // leg 1: verified-cluster size histogram (q83 shape); the CC
+    // iteration materializes `pairs`, so the later legs hit cache
+    val labels = graft.dedup.ConnectedComponents
+      .componentsAuto(pairs, "id_a", "id_b")._1
+    val hist = labels.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("__n"))
+      .select(lit("cluster_histogram").as("report"),
+        col("cluster_size").cast("string").as("key_a"),
+        lit("").as("key_b"),
+        col("__n").cast("long").as("n"),
+        ((col("cluster_size") - 1) * col("__n"))
+          .cast("double").as("metric"))
+    // leg 2: source×source matrix (q267 shape; nano-quantized mean)
+    val src = d.select(col("doc_id"), col("source"))
+    val matrix = pairs
+      .join(src.select(col("doc_id").as("id_a"),
+        col("source").as("__sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"),
+        col("source").as("__sb")), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("key_a"),
+        greatest(col("__sa"), col("__sb")).as("key_b"),
+        round(col("jaccard"), 4).as("__j"))
+      .groupBy("key_a", "key_b")
+      .agg(count(lit(1)).as("__np"),
+        sum(floor(col("__j") * 1000000.0).cast("long")).as("__jn"))
+      .select(lit("source_matrix").as("report"),
+        col("key_a"), col("key_b"),
+        col("__np").cast("long").as("n"),
+        round(col("__jn").cast("double") /
+          col("__np").cast("double") / 1000000.0, 6).as("metric"))
+    // leg 3: threshold-sensitivity curve across the verified band
+    // (q251 shape, on the UNROUNDED jaccard like the verify filter)
+    val curve = pairs
+      .select(col("id_b"), col("jaccard"),
+        explode(sequence(lit(80), lit(95), lit(5))).as("__t"))
+      .where(col("jaccard") >= col("__t").cast("double") / 100.0)
+      .groupBy("__t")
+      .agg(count(lit(1)).as("__np"),
+        countDistinct(col("id_b")).as("__f"))
+      .select(lit("threshold_curve").as("report"),
+        col("__t").cast("string").as("key_a"), lit("").as("key_b"),
+        col("__np").cast("long").as("n"),
+        col("__f").cast("double").as("metric"))
+    hist.unionByName(matrix).unionByName(curve)
+      .orderBy("report", "key_a", "key_b")
   }
 
   /** Dedup audit: size histogram of the verified near-dup clusters
