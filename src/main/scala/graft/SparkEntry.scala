@@ -34,6 +34,7 @@ object SparkEntry {
     graft.registry.TextRegistry.queries ++
     graft.registry.DedupRegistry.queries ++
     graft.registry.SimilarityRegistry.queries ++
+    graft.registry.MultimodalRegistry.queries ++
     graft.registry.SamplingRegistry.queries
 
   def oracleSql: Map[String, String] =
@@ -42,5 +43,6 @@ object SparkEntry {
     graft.registry.TextRegistry.oracleSql ++
     graft.registry.DedupRegistry.oracleSql ++
     graft.registry.SimilarityRegistry.oracleSql ++
+    graft.registry.MultimodalRegistry.oracleSql ++
     graft.registry.SamplingRegistry.oracleSql
 }

@@ -37,6 +37,9 @@ object Multimodal {
     when(magic.startsWith("89504E47"), "image/png")
       .when(magic.startsWith("FFD8FF"), "image/jpeg")
       .when(magic.startsWith("47494638"), "image/gif")
+      // RIFF containers dispatch on the form type at bytes 9-12
+      .when(magic.startsWith("52494646") &&
+        upper(hex(substring(bin, 9, 4))) === "57454250", "image/webp")
       .when(magic.startsWith("52494646"), "audio/wav") // RIFF container
       .when(magic.startsWith("664C6143"), "audio/flac")
       .when(magic.startsWith("00000018") || magic.startsWith("00000020"),
@@ -197,6 +200,64 @@ object Multimodal {
       })
   }
 
+  /** WebP (RIFF container) header decode across all three VP8 chunk
+    * flavors — the last major crawl-image format without a cheap
+    * metadata path; dimensions live at a DIFFERENT offset and encoding
+    * in each (RIFF spec + VP8/VP8L bitstream specs, WebP container
+    * spec):
+    *   - "VP8 " (lossy): key-frame start code 9D 01 2A at payload
+    *     byte 3, then width/height as LE uint16 whose low 14 bits are
+    *     the pixel size (top 2 bits are the rescale hint); YUV 4:2:0,
+    *     3 channels.
+    *   - "VP8L" (lossless): signature byte 2F, then ONE LE uint32
+    *     packing width−1 (14 bits), height−1 (14 bits), an
+    *     alpha-is-used hint (1 bit), version (3 bits).
+    *   - "VP8X" (extended): 1 flags byte (bit 4 = alpha), 3 reserved
+    *     bytes, then canvas width−1 / height−1 as LE uint24.
+    * Pure fixed-offset expressions (the chunk of interest is mandated
+    * first in the container), whole-stage-codegen-friendly like the
+    * PNG/GIF/BMP branches; every read is length-gated so truncated
+    * payloads yield format "webp" with null dims, never a misread.
+    * bit_depth is 8 for every VP8 family bitstream.
+    */
+  private[multimodal] def webpHeaderMeta(bin: Column): Column = {
+    val len = length(bin)
+    val fourcc = upper(hex(substring(bin, 13, 4)))
+    val nulL = lit(null).cast("long")
+    // VP8 lossy: payload at 21; frame tag 3B, start code at 24-26,
+    // LE16 width/height codes at 27/29 (low 14 bits = pixels)
+    val isV8 = fourcc === "56503820" && len >= 30 &&
+      upper(hex(substring(bin, 24, 3))) === "9D012A"
+    val v8w = leUInt(bin, 27, 2).bitwiseAND(lit(0x3FFFL))
+    val v8h = leUInt(bin, 29, 2).bitwiseAND(lit(0x3FFFL))
+    // VP8L lossless: signature 2F at 21, packed LE uint32 at 22-25
+    val isV8l = fourcc === "5650384C" && len >= 25 &&
+      upper(hex(substring(bin, 21, 1))) === "2F"
+    val v8lBits = leUInt(bin, 22, 4)
+    val v8lw = v8lBits.bitwiseAND(lit(0x3FFFL)) + 1L
+    val v8lh = shiftright(v8lBits, 14).bitwiseAND(lit(0x3FFFL)) + 1L
+    val v8lAlpha = shiftright(v8lBits, 28).bitwiseAND(lit(1L))
+    // VP8X extended: flags at 21 (bit 4 = alpha), LE24 canvas
+    // width−1 / height−1 at 25/28
+    val isV8x = fourcc === "56503858" && len >= 30
+    val v8xAlpha = shiftright(leUInt(bin, 21, 1), 4).bitwiseAND(lit(1L))
+    val v8xw = leUInt(bin, 25, 3) + 1L
+    val v8xh = leUInt(bin, 28, 3) + 1L
+    val width = when(isV8, v8w).when(isV8l, v8lw).when(isV8x, v8xw)
+      .otherwise(nulL)
+    val height = when(isV8, v8h).when(isV8l, v8lh).when(isV8x, v8xh)
+      .otherwise(nulL)
+    val known = isV8 || isV8l || isV8x
+    val channels = when(isV8, lit(3L))
+      .when(isV8l, lit(3L) + v8lAlpha)
+      .when(isV8x, lit(3L) + v8xAlpha)
+      .otherwise(nulL)
+    struct(lit("webp").as("format"),
+      width.as("width"), height.as("height"),
+      when(known, lit(8)).cast("int").as("bit_depth"),
+      channels.cast("int").as("channels"))
+  }
+
   /** Decode image dimensions/depth from the container header as a pure
     * column expression — no codec; PNG/GIF/BMP reads stay inside
     * whole-stage codegen and the JPEG branch is a bounded native
@@ -248,6 +309,7 @@ object Multimodal {
     // (field types matched to the fixed-offset branch), evaluated only
     // on jpeg-mime rows and only once per row
     when(mime === "image/jpeg", jpegSofScan(bin))
+      .when(mime === "image/webp", webpHeaderMeta(bin))
       .otherwise(
         struct(fmt.as("format"), width.as("width"), height.as("height"),
           bitDepth.cast("int").as("bit_depth"), channels.cast("int")

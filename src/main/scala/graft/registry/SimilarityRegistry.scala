@@ -23,7 +23,6 @@ private[graft] object SimilarityRegistry {
     "q113_ann_ivfpq" -> (annIvfPq _),
     "q116_ann_ivfrpq" -> (annIvfRpq _),
     "q117_ann_recall_audit" -> (annRecallAuditQ _),
-    "q122_image_dhash_pairs" -> (imageDHashPairs _),
     "q123_srp_neardup" -> (srpNearDupPairs _),
     "q127_srp_dedup_incremental" -> (srpDedupIncremental _),
     "q138_ann_recall_audit_sampled" -> (annRecallAuditSampledQ _),
@@ -32,7 +31,6 @@ private[graft] object SimilarityRegistry {
     "q144_semantic_decontamination" -> (semanticDecontamination _),
     "q146_corpus_cluster_map" -> (corpusClusterMap _),
     "q159_kcenter_select" -> (kcenterSelectQ _),
-    "q169_audio_ehash_dedup" -> (audioEhashDedupQ _),
     "q173_mmr_rerank" -> (mmrRerankQ _),
     "q175_retrieval_pipeline" -> (retrievalPipelineQ _),
     "q223_label_noise" -> (labelNoiseQ _),
@@ -45,14 +43,7 @@ private[graft] object SimilarityRegistry {
     "q28_ann_bruteforce" -> (annBruteForce _),
     "q272_rank_agreement" -> (rankAgreementQ _),
     "q29_ann_ivf" -> (annIvf _),
-    "q30_binary_fingerprints" -> (binaryFingerprints _),
-    "q38_png_header_decode" -> (pngHeaderDecode _),
-    "q256_jpeg_header_decode" -> (jpegHeaderDecode _),
-    "q270_jpeg_real_roundtrip" -> (jpegRealRoundtrip _),
-    "q39_image_pixel_stats" -> (imagePixelStats _),
     "q40_ann_kmedians" -> (annIvfKmedians _),
-    "q47_wav_roundtrip" -> (wavRoundtrip _),
-    "q63_video_meta" -> (videoMeta _),
     "q72_semantic_dedup" -> (semanticDedupCensus _),
     "q78_centroid_drift" -> (labelCentroidDrift _),
     "q90_hybrid_rank_fusion" -> (hybridRankFusion _),
@@ -551,52 +542,6 @@ private[graft] object SimilarityRegistry {
            round(CAST(count(vr.nid) AS DOUBLE) / count(*), 4) AS recall
          FROM br LEFT JOIN vr ON vr.qid = br.qid AND vr.nid = br.nid
          GROUP BY br.qid ORDER BY query_id""",
-    // full decode→pool→hash replay in integer arithmetic: synthetic
-    // pixels are (x,y,seed) formulas (q39), milli-luma sums are
-    // integers, dHash bits compare averages by cross-multiplication —
-    // no float anywhere. All-pairs scoring matches the engine's banded
-    // join because 4×16 banding is exact at distance <= 3.
-    "q122_image_dhash_pairs" ->
-      """WITH p AS (
-           SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS w,
-             CAST(doc_id % 16 + 8 AS INT) AS h,
-             CAST(doc_id % 336 AS INT) AS seed
-           FROM documents),
-         xs AS (SELECT doc_id, w, h, seed, unnest(range(w)) AS x FROM p),
-         px AS (SELECT doc_id, w, h, seed, x,
-                  unnest(range(h)) AS y FROM xs),
-         lum AS (
-           SELECT doc_id,
-             least(y * 8 // h, 7) AS cy, least(x * 9 // w, 8) AS cx,
-             299 * ((x*(37 + 13*(seed%5)) + y*(23 + 7*(seed%3)) + seed)
-                 % 256)
-               + 587 * ((x*x*(seed%4 + 1) + y*29 + 2*seed) % 256)
-               + 114 * ((x*53 + y*41 + x*y + 5*seed) % 256) AS ml
-           FROM px),
-         cells AS (
-           SELECT doc_id, cy, cx, sum(ml) AS s, count(*) AS c
-           FROM lum GROUP BY 1, 2, 3),
-         bits AS (
-           SELECT l.doc_id, l.cy, l.cx,
-             CASE WHEN r.s * l.c > l.s * r.c THEN 1 ELSE 0 END AS bit
-           FROM cells l JOIN cells r
-             ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
-           WHERE l.cx < 8),
-         hs AS (
-           SELECT doc_id,
-             sum(CASE WHEN cy < 4 THEN
-               bit * (CAST(1 AS BIGINT) << (31 - (cy*8 + cx)))
-               ELSE 0 END) AS hi,
-             sum(CASE WHEN cy >= 4 THEN
-               bit * (CAST(1 AS BIGINT) << (31 - ((cy-4)*8 + cx)))
-               ELSE 0 END) AS lo
-           FROM bits GROUP BY doc_id)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-             AS INT) AS hamming
-         FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-         ORDER BY id_a, id_b""",
     // full SRP replay: perturb, quantize (the q105 CTE), project onto
     // 64 md5-derived sign rows (integer-valued terms -> exact sums),
     // pack bits, score batch-vs-corpus at hamming <= 3, verify cosine
@@ -951,33 +896,6 @@ private[graft] object SimilarityRegistry {
             .mkString("\n         ")}
          ORDER BY round"""
     },
-    // closed-form hash replay: window means reduce to the seed-mixed
-    // envelope multipliers, so bit w compares two integer terms; gain
-    // cancels — batch hashes equal corpus hashes per id
-    "q169_audio_ehash_dedup" -> {
-      def mul(w: String): String =
-        s"(doc_id + ($w)*($w)*(1 + doc_id % 31) + (doc_id // 7) * ($w)) % 9"
-      s"""WITH bits AS (
-           SELECT doc_id, w,
-             CASE WHEN ${mul("w + 1")} > ${mul("w")}
-               THEN 1 ELSE 0 END AS bit
-           FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS w
-                 FROM documents)),
-         hs AS (
-           SELECT doc_id,
-             sum(CASE WHEN w < 32 THEN
-               bit * (CAST(1 AS BIGINT) << (31 - w)) ELSE 0 END) AS hi,
-             sum(CASE WHEN w >= 32 THEN
-               bit * (CAST(1 AS BIGINT) << (63 - w)) ELSE 0 END) AS lo
-           FROM bits GROUP BY doc_id),
-         b AS (SELECT doc_id, hi, lo FROM hs WHERE doc_id % 5 = 0)
-         SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
-           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-             AS INT) AS hamming
-         FROM hs a JOIN b ON bit_count(xor(a.hi, b.hi))
-           + bit_count(xor(a.lo, b.lo)) <= 3
-         ORDER BY corpus_id, batch_id"""
-    },
     // 8 unrolled greedy rounds: argmax of the micro-quantized
     // objective, running max-cosine updated against each new pick
     "q173_mmr_rerank" -> {
@@ -1317,82 +1235,6 @@ private[graft] object SimilarityRegistry {
            FROM s)
          SELECT qid AS query_id, nid AS neighbor_id, sim, rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
-    "q30_binary_fingerprints" ->
-      """SELECT doc_id,
-         'application/octet-stream' AS mime,
-         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         md5(text) AS fingerprint,
-         CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks
-         FROM documents ORDER BY doc_id""",
-    // q38: the oracle recomputes the header fields straight from the
-    // doc_id formulas — Spark must round-trip them through actual PNG
-    // header bytes (hex-assemble → unhex → parse), so an encode or
-    // decode defect on either side breaks the match.
-    "q38_png_header_decode" ->
-      """SELECT doc_id,
-         'png' AS format,
-         CAST(doc_id % 64 + 16 AS BIGINT) AS width,
-         CAST(doc_id % 48 + 8 AS BIGINT) AS height,
-         CAST(8 AS INT) AS bit_depth,
-         CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                   WHEN doc_id % 3 = 1 THEN 3
-                   ELSE 4 END AS INT) AS channels
-         FROM documents ORDER BY doc_id""",
-    // q256: same deal as q38 — the oracle recomputes the fields from
-    // the doc_id formulas; Spark must round-trip them through actual
-    // JPEG bytes INCLUDING the variable-length COM segment the SOF
-    // walk has to step over
-    "q256_jpeg_header_decode" ->
-      """SELECT doc_id,
-         'jpeg' AS format,
-         CAST(doc_id % 64 + 16 AS BIGINT) AS width,
-         CAST(doc_id % 48 + 8 AS BIGINT) AS height,
-         CAST(8 AS INT) AS bit_depth,
-         CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT)
-           AS channels
-         FROM documents ORDER BY doc_id""",
-    // q270: the walk must recover the synthesis formulas from REAL
-    // JDK-encoder bytes; bit_depth 8 / channels 3 are the baseline
-    // RGB encoder's fixed SOF0 fields
-    "q270_jpeg_real_roundtrip" ->
-      """SELECT doc_id,
-         'jpeg' AS format,
-         CAST(doc_id % 24 + 8 AS BIGINT) AS width,
-         CAST(doc_id % 16 + 8 AS BIGINT) AS height,
-         CAST(8 AS INT) AS bit_depth,
-         CAST(3 AS INT) AS channels
-         FROM documents ORDER BY doc_id""",
-    // q39: DuckDB has no image codec, but it doesn't need one — the
-    // synthetic PNG's pixel (x,y) is fixed arithmetic of (x,y,seed)
-    // (Multimodal.syntheticPng), so the oracle reconstructs the channel
-    // sums in closed form: r = x*7+seed and b = x+y+5*seed never wrap
-    // at these dims (≤216, ≤82 < 256); g = (y*11+3*seed) % 256 can wrap
-    // → summed per-y via a list comprehension. The REAL cast replays
-    // the decoder's double→float truncation bit-for-bit.
-    "q39_image_pixel_stats" ->
-      """WITH p AS (
-           SELECT doc_id,
-             CAST(doc_id % 24 + 8 AS INT) AS width,
-             CAST(doc_id % 16 + 8 AS INT) AS height,
-             doc_id % 7 AS seed
-           FROM documents),
-         s AS (
-           SELECT doc_id, width, height,
-             height * (7 * width * (width-1) // 2 + width * seed)
-               AS sum_r,
-             width * list_sum([ (y*11 + 3*seed) % 256
-               FOR y IN range(0, CAST(height AS BIGINT)) ]) AS sum_g,
-             width * height * 5 * seed + height * (width*(width-1) // 2)
-               + width * (height*(height-1) // 2) AS sum_b
-           FROM p)
-         SELECT doc_id, width, height,
-           round(CAST(CAST(CAST(sum_r AS DOUBLE) / (width*height) / 255.0
-             AS REAL) AS DOUBLE), 4) AS mean_r,
-           round(CAST(CAST(CAST(sum_g AS DOUBLE) / (width*height) / 255.0
-             AS REAL) AS DOUBLE), 4) AS mean_g,
-           round(CAST(CAST(CAST(sum_b AS DOUBLE) / (width*height) / 255.0
-             AS REAL) AS DOUBLE), 4) AS mean_b
-         FROM s ORDER BY doc_id""",
     "q40_ann_kmedians" ->
       s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1447,32 +1289,6 @@ private[graft] object SimilarityRegistry {
            FROM s)
          SELECT qid AS query_id, nid AS neighbor_id, sim, rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
-    // analytic roundtrip: the synthesized square wave's RMS and peak
-    // are exactly its amplitude, so the oracle needs no audio codec
-    "q47_wav_roundtrip" ->
-      """SELECT doc_id,
-         CAST(1 AS INT) AS channels,
-         CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
-         CAST(400 + (doc_id % 5) * 200 AS BIGINT) AS n_samples,
-         CAST(1000 + (doc_id % 20) * 1500 AS INT) AS peak,
-         CAST(1000 + (doc_id % 20) * 1500 AS DOUBLE) AS rms
-         FROM documents ORDER BY doc_id""",
-    "q63_video_meta" ->
-      """WITH v AS (
-           SELECT doc_id,
-             CAST(doc_id % 3 * 300 + 600 AS BIGINT) AS timescale,
-             CAST((doc_id % 50 + 1) * 600 AS BIGINT) AS duration_ticks
-           FROM documents),
-         d AS (
-           SELECT *, CAST(duration_ticks AS DOUBLE) / timescale AS dur
-           FROM v)
-         SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
-           timescale, duration_ticks,
-           round(dur, 4) AS duration_sec,
-           CAST(8 AS INT) AS n_frames,
-           round(dur * 1 / 16.0, 4) AS first_ts,
-           round(dur * 15 / 16.0, 4) AS last_ts
-         FROM d ORDER BY doc_id""",
     "q72_semantic_dedup" ->
       s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1575,6 +1391,7 @@ private[graft] object SimilarityRegistry {
     * (query, partition), not every scored candidate); result-identical
     * to the window form, which the spec asserts.
     */
+
   /** Matryoshka truncation audit: top-10 cosine neighbors computed on
     * the FULL 64-dim embeddings vs the first-16-dims prefix — the
     * overlap@k that tells a retrieval stack whether prefix-truncated
@@ -1630,6 +1447,7 @@ private[graft] object SimilarityRegistry {
     * the exact quantization arithmetic, so ranks, ties and rounded
     * sims are engine-identical.
     */
+
   /** Rank-biased overlap ([[Similarity.rankBiasedOverlap]], RBO@10,
     * p = 9/10) between q28's full-precision cosine top-10 and q105's
     * int8-quantized top-10 per query — quantization fidelity in RANK
@@ -1698,58 +1516,6 @@ private[graft] object SimilarityRegistry {
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
-  }
-
-  /** Audio codec roundtrip: synthesize a REAL PCM16 WAV per document
-    * (square wave parameterized by doc_id), decode it back through the
-    * batch PCM parser, and emit signal stats. Every sample of a square
-    * wave is ±amplitude, so decoded RMS and peak both equal the
-    * amplitude EXACTLY — the oracle recomputes them analytically from
-    * doc_id without any audio stack.
-    */
-  private[graft] def wavRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val wavs = Multimodal.synthesizeTestWavs(
-      docs(s, dir).select("doc_id"), "doc_id")
-    Multimodal.decodeWavStats(wavs, "id", "wav")
-      .select(col("id").as("doc_id"), col("channels"), col("sample_rate"),
-        col("n_samples"), col("peak"), round(col("rms"), 4).as("rms"))
-      .orderBy("doc_id")
-  }
-
-  /** MP4 metadata roundtrip (the q38 pattern for VIDEO): a synthetic
-    * ISO-BMFF header per doc_id — 20-byte ftyp(isom) + moov + mvhd v0
-    * with formula-driven timescale/duration — is ENCODED as hex and
-    * DECODED back by [[Multimodal.videoHeaderMeta]] (dynamic box
-    * offsets, pure expressions), then frame-sample midpoint
-    * timestamps are planned from the decoded duration. The oracle
-    * computes the same formulas directly, so any encode OR decode bug
-    * breaks the hash match.
-    */
-  private[graft] def videoMeta(s: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val timescale = (id % 3 * 300 + 600).cast("long")
-    val ticks = ((id % 50 + 1) * 600).cast("long")
-    val headerHex = concat(
-      lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"),
-      lit("00000074" + "6D6F6F76"), // moov size + type
-      lit("0000006C" + "6D766864" + "00" + "000000" // mvhd v0 + flags
-        + "00000000" + "00000000"), // creation + modification
-      lpad(hex(timescale), 8, "0"), lpad(hex(ticks), 8, "0"))
-    val n = 8
-    docs(s, dir)
-      .select(id, Multimodal.videoHeaderMeta(unhex(headerHex)).as("m"))
-      .select(id, col("m.format").as("format"), col("m.brand").as("brand"),
-        col("m.timescale").as("timescale"),
-        col("m.duration_ticks").as("duration_ticks"),
-        round(col("m.duration_sec"), 4).as("duration_sec"),
-        Multimodal.frameSampleTimestamps(col("m.duration_sec"), n)
-          .as("__ts"))
-      .select(col("doc_id"), col("format"), col("brand"),
-        col("timescale"), col("duration_ticks"), col("duration_sec"),
-        size(col("__ts")).as("n_frames"),
-        element_at(col("__ts"), 1).as("first_ts"),
-        element_at(col("__ts"), n).as("last_ts"))
-      .orderBy("doc_id")
   }
 
   /** Product-quantized ANN ([[Similarity.pqTrainCodebooks]] /
@@ -1967,6 +1733,7 @@ private[graft] object SimilarityRegistry {
     * that decides re-center vs re-train. Builds are
     * overwrite-then-append so in-session reruns stay deterministic.
     */
+
   /** Reap `graft_q139_*_<pid>` warehouse locations whose pid is no
     * longer alive: a crashed or killed run never reaches its own
     * same-pid cleanup, and without this its index/codebook tables
@@ -2157,149 +1924,6 @@ private[graft] object SimilarityRegistry {
     Similarity.centroidDrift(emb(s, dir), "label", "embedding")
       .orderBy("group_a", "group_b")
 
-  /** Multimodal plumbing over binary payloads (text bytes here; the
-    * same path carries image/audio blobs).
-    */
-  private[graft] def binaryFingerprints(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("bin"))
-      .select(
-        col("doc_id"),
-        Multimodal.sniffMime(col("bin")).as("mime"),
-        length(col("bin")).cast("long").as("byte_len"),
-        md5(col("bin")).as("fingerprint"),
-        Multimodal.chunkCount(col("bin"), 256).as("n_chunks"))
-      .orderBy("doc_id")
-
-  /** Multimodal header decode, end-to-end through real bytes: PNG
-    * headers are BUILT from doc_id formulas as pure column expressions
-    * (hex-assemble + unhex), then DECODED back by
-    * [[Multimodal.imageHeaderMeta]] — also pure expressions, all
-    * whole-stage codegen. The oracle computes the same formulas
-    * directly, so any encode OR decode bug breaks the hash match.
-    */
-  private[graft] def pngHeaderDecode(s: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val w = (id % 64 + 16).cast("long")
-    val h = (id % 48 + 8).cast("long")
-    val colorType = when(id % 3 === 0, 0)
-      .when(id % 3 === 1, 2).otherwise(6)
-    val headerHex = concat(
-      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // sig + IHDR
-      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
-      lit("08"), lpad(hex(colorType), 2, "0"), lit("000000"))
-    docs(s, dir)
-      .select(id, Multimodal.imageHeaderMeta(unhex(headerHex)).as("m"))
-      .select(id, col("m.format").as("format"),
-        col("m.width").as("width"), col("m.height").as("height"),
-        col("m.bit_depth").as("bit_depth"),
-        col("m.channels").as("channels"))
-      .orderBy("doc_id")
-  }
-
-  /** JPEG twin of [[pngHeaderDecode]] — but where PNG dims sit at a
-    * FIXED offset, the JPEG SOF frame header sits after a
-    * data-dependent prefix, so this exercises the
-    * [[Multimodal.jpegSofScan]] segment walk: each doc's synthetic
-    * header carries a COM segment whose length varies with doc_id
-    * (0–10 padding bytes), the SOF marker alternates baseline
-    * C0 / progressive C2, and channels alternate 3 / 1. Headers are
-    * BUILT from doc_id formulas as pure column expressions
-    * (hex-assemble + unhex) and DECODED back by the walk; the oracle
-    * computes the formulas directly, so an encode OR walk bug — e.g.
-    * mis-stepping the variable-length segment — breaks the hash.
-    */
-  private[graft] def jpegHeaderDecode(s: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val w = (id % 64 + 16).cast("long")
-    val h = (id % 48 + 8).cast("long")
-    val ncomp = when(id % 5 === 0, 1).otherwise(3)
-    val pad = (id % 11).cast("int")
-    val sofMarker = when(id % 2 === 0, lit("C0")).otherwise(lit("C2"))
-    val headerHex = concat(
-      // SOI + APP0/JFIF (16-byte segment, standard payload)
-      lit("FFD8" + "FFE00010" + "4A46494600010100000100010000"),
-      // COM segment: variable-length padding ('x' × (id % 11))
-      lit("FFFE"), lpad(hex(pad + 2), 4, "0"), repeat(lit("78"), pad),
-      // SOF: len = 8 + 3·ncomp, precision 8, height, width, ncomp,
-      // then ncomp×3 component-spec filler bytes
-      lit("FF"), sofMarker, lpad(hex(lit(8) + ncomp * 3), 4, "0"),
-      lit("08"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
-      lpad(hex(ncomp), 2, "0"), repeat(lit("001100"), ncomp))
-    docs(s, dir)
-      .select(id, Multimodal.imageHeaderMeta(unhex(headerHex)).as("m"))
-      .select(id, col("m.format").as("format"),
-        col("m.width").as("width"), col("m.height").as("height"),
-        col("m.bit_depth").as("bit_depth"),
-        col("m.channels").as("channels"))
-      .orderBy("doc_id")
-  }
-
-  /** The q256 walk against REAL encoder bytes: synthesize an actual
-    * JPEG per doc_id (JDK encoder — JFIF APP0, quant/Huffman tables,
-    * baseline SOF0, entropy scan), then read its dimensions back with
-    * [[Multimodal.imageHeaderMeta]]'s SOF marker walk. q256 proved the
-    * walk on hand-assembled headers with adversarial variable-length
-    * segments; this proves it on the byte layout a real crawl corpus
-    * carries. The oracle recomputes the dimension formulas directly —
-    * a walk mis-step over any real segment breaks the hash.
-    */
-  private[graft] def jpegRealRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val jpgs = Multimodal.synthesizeTestJpegs(
-      docs(s, dir).select("doc_id"), "doc_id")
-    jpgs.select(col("id").as("doc_id"),
-        Multimodal.imageHeaderMeta(col("png")).as("m"))
-      .select(col("doc_id"), col("m.format").as("format"),
-        col("m.width").as("width"), col("m.height").as("height"),
-        col("m.bit_depth").as("bit_depth"),
-        col("m.channels").as("channels"))
-      .orderBy("doc_id")
-  }
-
-  /** REAL codec roundtrip at table scale: synthesize a PNG per doc_id
-    * (JDK encoder), decode it back with the batched pixel decoder, and
-    * emit dims + mean channel stats. The synthetic pixels are
-    * closed-form in (x, y, seed), so the oracle reconstructs the
-    * channel means analytically (the q47 square-wave treatment) — no
-    * image codec needed on the DuckDB side.
-    */
-  private[graft] def imagePixelStats(s: SparkSession, dir: String): DataFrame = {
-    val imgs = Multimodal.synthesizeTestImages(
-      docs(s, dir).select("doc_id"), "doc_id")
-    Multimodal.decodeImageFeatures(imgs, "id", "png", grid = 2)
-      .select(col("id").as("doc_id"),
-        col("width"), col("height"),
-        round(element_at(col("features"), 5).cast("double"), 4)
-          .as("mean_r"),
-        round(element_at(col("features"), 6).cast("double"), 4)
-          .as("mean_g"),
-        round(element_at(col("features"), 7).cast("double"), 4)
-          .as("mean_b"))
-      .orderBy("doc_id")
-  }
-
-  /** Image perceptual near-dup ([[Multimodal.imageDHash]] +
-    * [[Dedup.hammingBandedPairs]]): 64-bit dHash over a 9×8
-    * integer-pooled luma grid, banded Hamming join at distance ≤ 3 —
-    * exact by pigeonhole, so the oracle can score ALL pairs and still
-    * match. The multimodal dedup path: re-encoded/resized copies of an
-    * image land within a few bits while distinct images scatter.
-    * Synthetic TEXTURED images are arithmetic of (x, y, seed) (the q39
-    * construction with oscillating formulas), so the whole
-    * decode→pool→hash→pair chain replays in SQL with integer
-    * exactness (milli-luma sums, cross-multiplied averages); ids
-    * agreeing mod 336 are identical images (hamming 0).
-    */
-  private[graft] def imageDHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val imgs = Multimodal.synthesizeTexturedImages(
-      docs(s, dir).select("doc_id"), "doc_id")
-    Dedup.hammingBandedPairs(
-        Multimodal.imageDHash(imgs, "id", "png"),
-        "id", "dhash_hi", "dhash_lo", maxDist = 3)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy("id_a", "id_b")
-  }
-
   /** Embedding near-dup via hyperplane LSH ([[Similarity.srpSketch]]
     * over int8 codes + [[Dedup.hammingBandedPairs]]): a batch of
     * slightly-perturbed copies (re-encoded embeddings drift) probes
@@ -2369,35 +1993,6 @@ private[graft] object SimilarityRegistry {
     Similarity.kCenterSelect(emb(s, dir), "vec_id", "embedding", k = 8)
       .select(col("round"), col("vec_id"), col("d2_at_selection"))
       .orderBy("round")
-
-  /** Audio perceptual near-dup ([[Multimodal.audioEHash]] +
-    * [[Dedup.hammingBandedMatches]]): synthesized envelope WAVs per
-    * document, a batch of every-5th re-synthesized at DOUBLE gain —
-    * same recording, different volume — probed against the corpus at
-    * Hamming ≤ 3. The hash is exact integer arithmetic end to end
-    * (Σ|sample| per window, cross-multiplied mean comparisons), so
-    * gain-scaled copies match at Hamming 0 by construction and the
-    * whole decode→pool→hash→band chain replays closed-form from the
-    * synthesis parameters (the q39/q122 analytic-oracle treatment).
-    * Fourth fingerprint family on the shared banded machinery.
-    */
-  private[graft] def audioEhashDedupQ(s: SparkSession, dir: String): DataFrame = {
-    val ids = docs(s, dir).select(col("doc_id"))
-    val corpusHash = Multimodal.audioEHash(
-      Multimodal.synthesizeEnvelopeWavs(ids, "doc_id", ampScale = 1),
-      "id", "wav")
-    val batchHash = Multimodal.audioEHash(
-      Multimodal.synthesizeEnvelopeWavs(
-        ids.where(col("doc_id") % 5 === 0), "doc_id", ampScale = 2),
-      "id", "wav")
-    Dedup.hammingBandedMatches(
-        corpusHash.select(col("id"), col("ahash_hi"), col("ahash_lo")),
-        batchHash.select(col("id"), col("ahash_hi"), col("ahash_lo")),
-        "id", "ahash_hi", "ahash_lo", maxDist = 3)
-      .select(col("corpus_id"), col("batch_id"),
-        col("hamming").cast("int").as("hamming"))
-      .orderBy("corpus_id", "batch_id")
-  }
 
   /** MMR diverse reranking ([[Similarity.mmrRerank]]): the top-20
     * cosine candidates for audit query 0, reranked to 8 results
@@ -2500,6 +2095,7 @@ private[graft] object SimilarityRegistry {
   }
 
   /** Cosine in double precision over the embeddings arrays. */
+
   /** One PQ block's oracle chain (mirrors [[graft.similarity
     * .Similarity.pqTrainCodebooks]] for block `b`): sub-vector slice →
     * hash-init c0 → two cosine-assign/median-refine rounds → dense
