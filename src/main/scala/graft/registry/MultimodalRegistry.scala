@@ -23,9 +23,79 @@ private[graft] object MultimodalRegistry {
     "q39_image_pixel_stats" -> (imagePixelStats _),
     "q47_wav_roundtrip" -> (wavRoundtrip _),
     "q63_video_meta" -> (videoMeta _),
+    "q274_webp_header_decode" -> (webpHeaderDecode _),
   )
 
+  /** Little-endian hex of a column value, n bytes — for assembling
+    * RIFF test payloads in pure SQL.
+    */
+  private def leHex(v: Column, n: Int): Column =
+    concat((0 until n).map(i =>
+      lpad(hex(shiftright(v.cast("long"), 8 * i)
+        .bitwiseAND(lit(0xFFL))), 2, "0")): _*)
+
+  /** WebP header decode across all three VP8 chunk flavors
+    * ([[Multimodal.webpHeaderMeta]] via the [[Multimodal
+    * .imageHeaderMeta]] mime dispatch): each doc_id synthesizes a
+    * container in its doc_id%3 flavor — "VP8 " (lossy: key-frame
+    * start code, masked LE16 dims), "VP8L" (lossless: one packed
+    * LE32 carrying width−1/height−1/alpha-hint) or "VP8X" (extended:
+    * flags byte + LE24 canvas dims−1) — with dimensions spanning the
+    * multi-byte range (width to 315, height to 207), so a flavor
+    * mix-up or endianness/mask slip breaks the oracle hash. Channels
+    * prove the alpha path: 3 for VP8, 3+alpha for VP8L/VP8X.
+    */
+  private[graft] def webpHeaderDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val w = (id % 300 + 16).cast("long")
+    val h = (id % 200 + 8).cast("long")
+    val alpha = (id % 2).cast("long")
+    val flavor = id % 3
+    // "VP8 ": frame tag (key frame, bit 0 of byte 0 clear), start
+    // code 9D 01 2A, LE16 width/height codes (scale bits 0)
+    val vp8 = concat(lit("56503820"), leHex(lit(10L), 4),
+      lit("D00A00" + "9D012A"), leHex(w, 2), leHex(h, 2))
+    // "VP8L": signature 2F + packed LE32
+    // (width−1) | (height−1)<<14 | alpha<<28
+    val v8lBits = (w - 1) + (h - 1) * lit(16384L) +
+      alpha * lit(268435456L)
+    val vp8l = concat(lit("5650384C"), leHex(lit(5L), 4),
+      lit("2F"), leHex(v8lBits, 4))
+    // "VP8X": flags (bit 4 = alpha), 3 reserved bytes, LE24 dims−1
+    val vp8x = concat(lit("56503858"), leHex(lit(10L), 4),
+      when(alpha === 1, lit("10")).otherwise(lit("00")),
+      lit("000000"), leHex(w - 1, 3), leHex(h - 1, 3))
+    val chunk = when(flavor === 0, vp8)
+      .when(flavor === 1, vp8l).otherwise(vp8x)
+    // RIFF size = "WEBP"(4) + chunk header(8) + payload
+    val riffSize = when(flavor === 1, lit(17L)).otherwise(lit(22L))
+    val fileHex = concat(lit("52494646"), leHex(riffSize, 4),
+      lit("57454250"), chunk)
+    docs(s, dir)
+      .select(id, Multimodal.imageHeaderMeta(unhex(fileHex)).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.channels").as("channels"))
+      .orderBy("doc_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q274: the q38/q256 treatment for WebP — the oracle recomputes
+    // every field from the doc_id formulas; Spark must round-trip
+    // them through actual RIFF bytes across ALL THREE VP8 chunk
+    // flavors (dimensions live at different offsets and encodings:
+    // masked LE16, packed LE32, LE24-minus-one)
+    "q274_webp_header_decode" ->
+      """SELECT doc_id,
+         'webp' AS format,
+         CAST(doc_id % 300 + 16 AS BIGINT) AS width,
+         CAST(doc_id % 200 + 8 AS BIGINT) AS height,
+         CAST(8 AS INT) AS bit_depth,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 3
+                   ELSE 3 + doc_id % 2 END AS INT) AS channels
+         FROM documents ORDER BY doc_id""",
     // full decode→pool→hash replay in integer arithmetic: synthetic
     // pixels are (x,y,seed) formulas (q39), milli-luma sums are
     // integers, dHash bits compare averages by cross-multiplication —

@@ -540,4 +540,112 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute)
     assert(brute.nonEmpty, "fixture should contain identical-image pairs")
   }
+
+  // ---- WebP (RIFF / VP8 / VP8L / VP8X) ---------------------------- //
+
+  /** Assemble a WebP container: RIFF size + "WEBP" + one chunk. */
+  private def webpBytes(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + 8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(4 + 8 + payload.length)
+      .put("WEBP".getBytes("ASCII"))
+      .put(fourcc.getBytes("ASCII")).putInt(payload.length)
+      .put(payload)
+    bb.array()
+  }
+
+  test("sniffMime splits the RIFF container by form type: WEBP vs WAVE") {
+    val webp = webpBytes("VP8L", Array[Byte](0x2F, 0, 0, 0, 0))
+    val out = binDf((1, webp), (2, riffMagic))
+      .select(col("id"), Multimodal.sniffMime(col("content")).as("mime"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "image/webp")
+    assert(out(1).getString(1) == "audio/wav")
+  }
+
+  test("webp VP8 lossy: dims from the masked LE16 codes — the 2-bit " +
+      "rescale hint in the top bits must NOT leak into the size") {
+    // width 300 with xscale 2 (code 300 | 2<<14), height 7, scale 0
+    val bb = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(Array[Byte](0xD0.toByte, 0x0A, 0x00)) // key-frame tag
+      .put(Array[Byte](0x9D.toByte, 0x01, 0x2A)) // start code
+      .putShort((300 | (2 << 14)).toShort).putShort(7.toShort)
+    val out = binDf((1, webpBytes("VP8 ", bb.array())))
+      .select(Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("m.*").head()
+    assert(out.getAs[String]("format") == "webp")
+    assert(out.getAs[Long]("width") == 300L)
+    assert(out.getAs[Long]("height") == 7L)
+    assert(out.getAs[Int]("bit_depth") == 8)
+    assert(out.getAs[Int]("channels") == 3)
+  }
+
+  test("webp VP8L lossless: width-1/height-1/alpha unpack from the one " +
+      "LE32; alpha hint lifts channels to 4") {
+    def packed(w: Int, h: Int, alpha: Int): Array[Byte] = {
+      val bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+      val bb = java.nio.ByteBuffer.allocate(5)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(0x2F.toByte).putInt(bits)
+      bb.array()
+    }
+    val out = binDf(
+      (1, webpBytes("VP8L", packed(16383, 1, 0))),
+      (2, webpBytes("VP8L", packed(2, 16000, 1))))
+      .select(col("id"), Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("id", "m.*").orderBy("id").collect()
+    assert(out(0).getAs[Long]("width") == 16383L)
+    assert(out(0).getAs[Long]("height") == 1L)
+    assert(out(0).getAs[Int]("channels") == 3)
+    assert(out(1).getAs[Long]("width") == 2L)
+    assert(out(1).getAs[Long]("height") == 16000L)
+    assert(out(1).getAs[Int]("channels") == 4)
+  }
+
+  test("webp VP8X extended: LE24 canvas dims are minus-one coded and " +
+      "the alpha flag is bit 4 of the flags byte") {
+    def vp8x(w: Int, h: Int, flags: Int): Array[Byte] = {
+      val p = new Array[Byte](10)
+      p(0) = flags.toByte
+      p(4) = ((w - 1) & 0xFF).toByte
+      p(5) = (((w - 1) >> 8) & 0xFF).toByte
+      p(6) = (((w - 1) >> 16) & 0xFF).toByte
+      p(7) = ((h - 1) & 0xFF).toByte
+      p(8) = (((h - 1) >> 8) & 0xFF).toByte
+      p(9) = (((h - 1) >> 16) & 0xFF).toByte
+      p
+    }
+    val out = binDf(
+      (1, webpBytes("VP8X", vp8x(70000, 300, 0x10))),
+      (2, webpBytes("VP8X", vp8x(1, 1, 0x0E)))) // ICC/EXIF/XMP, no alpha
+      .select(col("id"), Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("id", "m.*").orderBy("id").collect()
+    assert(out(0).getAs[Long]("width") == 70000L)
+    assert(out(0).getAs[Long]("height") == 300L)
+    assert(out(0).getAs[Int]("channels") == 4)
+    assert(out(1).getAs[Long]("width") == 1L)
+    assert(out(1).getAs[Long]("height") == 1L)
+    assert(out(1).getAs[Int]("channels") == 3)
+  }
+
+  test("webp guards: truncation mid-header, missing VP8 start code, and " +
+      "an unknown chunk fourcc all yield format webp with null dims") {
+    val goodL = webpBytes("VP8L", Array[Byte](0x2F, 9, 0, 0, 0))
+    val truncated = goodL.take(goodL.length - 2) // cut into the LE32
+    val noStartCode = webpBytes("VP8 ", Array[Byte](
+      0xD0.toByte, 0x0A, 0x00, 0x00, 0x01, 0x2A, 10, 0, 10, 0))
+    val unknown = webpBytes("ANMF", new Array[Byte](10))
+    val out = binDf((1, truncated), (2, noStartCode), (3, unknown))
+      .select(col("id"), Multimodal.imageHeaderMeta(col("content")).as("m"))
+      .select("id", "m.*").orderBy("id").collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("format") == "webp", r.toString)
+      assert(r.isNullAt(r.fieldIndex("width")), r.toString)
+      assert(r.isNullAt(r.fieldIndex("height")), r.toString)
+      assert(r.isNullAt(r.fieldIndex("bit_depth")), r.toString)
+      assert(r.isNullAt(r.fieldIndex("channels")), r.toString)
+    }
+  }
 }
