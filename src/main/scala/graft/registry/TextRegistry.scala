@@ -65,6 +65,7 @@ private[graft] object TextRegistry {
     "q81_adaptive_quality_floor" -> (adaptiveQualityFloorByLang _),
     "q91_top_keyword_histogram" -> (topKeywordHistogram _),
     "q98_langid_metrics" -> (langIdMetrics _),
+    "q275_lang_classifier" -> (langClassifierQ _),
   )
 
   /** The q171 BM25 oracle, shared verbatim with q176: the
@@ -1135,6 +1136,7 @@ private[graft] object TextRegistry {
            FROM scored)
          SELECT keyword, count(*) AS n_docs
          FROM top WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+    "q275_lang_classifier" -> oracleLangClfSql,
     "q98_langid_metrics" ->
       s"""$oracleLangScores,
          act AS (SELECT lang AS language, count(*) AS n_actual
@@ -1671,6 +1673,63 @@ private[graft] object TextRegistry {
       .orderBy("language")
   }
 
+  /** Trained language classifier vs the marker heuristic
+    * ([[graft.text.LangClassifier]]): one-vs-rest hard-sigmoid
+    * logistic regression over hashed unigram+bigram presence features,
+    * trained in-engine on the even-doc_id split with exact-integer
+    * updates (3 epochs, 512 buckets, lr 0.01 — every weight
+    * SQL-replayable), then scored on the odd split in the q98 shape
+    * with the marker heuristic's correct count alongside. On this
+    * corpus the labels carry little lexical signal, so the honest win
+    * is calibration: the trained bias learns the class priors and
+    * never wastes a prediction on "unknown", beating the
+    * markers-or-bust heuristic on total correct.
+    */
+  private[graft] def langClassifierQ(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.text.LangClassifier
+    val d = docs(s, dir)
+    val trainDf = d.where(col("doc_id") % 2 === 0)
+    val testDf = d.where(col("doc_id") % 2 === 1)
+    val wts = LangClassifier.train(trainDf, "doc_id", "text", "lang",
+        Seq("en", "de", "es", "fr", "zh"),
+        numBuckets = 512, epochs = 3, lrMilli = 10)
+      .transform(graft.core.CacheScope.disk)
+    val pm = LangClassifier
+      .predict(testDf, "doc_id", "text", wts, numBuckets = 512)
+      .select(col("doc_id"), col("lang"), col("predicted"))
+      .transform(graft.core.CacheScope.disk)
+    val mk = TextAnalysis.langIdStaged(testDf, "text")
+      .select(col("lang"), col("predicted").as("__marker"))
+    val actual = pm.groupBy(col("lang").as("language"))
+      .agg(count(lit(1)).as("n_actual"))
+    val predicted = pm.groupBy(col("predicted").as("language"))
+      .agg(count(lit(1)).as("n_predicted"))
+    val correct = pm.where(col("lang") === col("predicted"))
+      .groupBy(col("lang").as("language"))
+      .agg(count(lit(1)).as("n_correct"))
+    val markerCorrect = mk.where(col("lang") === col("__marker"))
+      .groupBy(col("lang").as("language"))
+      .agg(count(lit(1)).as("n_correct_marker"))
+    val prec = col("n_correct").cast("double") /
+      nullif(col("n_predicted").cast("double"), lit(0.0))
+    val rec = col("n_correct").cast("double") /
+      nullif(col("n_actual").cast("double"), lit(0.0))
+    actual
+      .join(predicted, Seq("language"), "full_outer")
+      .join(correct, Seq("language"), "left")
+      .join(markerCorrect, Seq("language"), "left")
+      .select(col("language"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        coalesce(col("n_correct_marker"), lit(0L))
+          .as("n_correct_marker"))
+      .withColumn("precision", round(prec, 6))
+      .withColumn("recall", round(rec, 6))
+      .orderBy("language")
+  }
+
   /** Most-characteristic keyword per document (argmax tf-idf via
     * `min_by` over a composite ordering struct — partial+final agg,
     * no per-document window sort) histogrammed over the corpus.
@@ -2014,6 +2073,113 @@ private[graft] object TextRegistry {
   }
 
   private[graft] val oracleLangScores: String = "WITH " + oracleLangCtes("documents")
+
+  /** q275 oracle: full replay of the hard-sigmoid logistic trainer
+    * ([[graft.text.LangClassifier]]) — the GD epochs unroll as
+    * generated CTE blocks (the q216 btRound pattern). Every quantity
+    * is exact: features are md5-hashed presence buckets, σ in
+    * nano-units is clamp(5·10⁸ + ⌊z/4⌋, 0, 10⁹) with the /4 exact in
+    * doubles, the weight step replays Scala's floorDiv via the
+    * shifted-nonnegative integer division (g·lr + OFF·D) // D − OFF.
+    */
+  private[graft] val oracleLangClfSql: String = {
+    val B = 512
+    val lr = 10L
+    val off = 1000000L * lr
+    def epoch(i: Int): String =
+      s"""z$i AS (
+           SELECT f.doc_id, w.l, CAST(sum(w.w) AS BIGINT) AS z
+           FROM feat f JOIN w${i - 1} w ON f.b = w.b GROUP BY 1, 2),
+         d$i AS (
+           SELECT lab.doc_id, langs.l,
+             CAST(CASE WHEN lab.lang = langs.l
+                 THEN 1000000000 ELSE 0 END
+               - least(1000000000, greatest(0, 500000000 +
+                 CAST(floor(CAST(coalesce(z.z, 0) AS DOUBLE) / 4.0)
+                   AS BIGINT))) AS BIGINT) AS d
+           FROM lab CROSS JOIN langs
+           LEFT JOIN z$i z ON z.doc_id = lab.doc_id
+             AND z.l = langs.l),
+         g$i AS (
+           SELECT d.l, f.b, CAST(sum(d.d) AS BIGINT) AS g
+           FROM feat f JOIN d$i d ON f.doc_id = d.doc_id
+           GROUP BY 1, 2),
+         w$i AS (
+           SELECT w.l, w.b,
+             CAST(w.w + (g.g * $lr + $off * (1000 * nn.n))
+               // (1000 * nn.n) - $off AS BIGINT) AS w
+           FROM w${i - 1} w JOIN g$i g ON w.l = g.l AND w.b = g.b,
+             nn)"""
+    s"""WITH tok AS (
+           SELECT doc_id, lang, doc_id % 2 = 0 AS tr, $oracleWords AS ws
+           FROM documents),
+         grams AS (
+           SELECT doc_id, tr, unnest(list_concat(ws,
+             [ws[i] || ' ' || ws[i + 1]
+               FOR i IN generate_series(1, len(ws) - 1)])) AS g
+           FROM tok),
+         fb AS (
+           SELECT DISTINCT doc_id, tr,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $B AS b
+           FROM grams
+           UNION SELECT DISTINCT doc_id, tr, -1 FROM tok),
+         feat AS (SELECT doc_id, b FROM fb WHERE tr),
+         featT AS (SELECT doc_id, b FROM fb WHERE NOT tr),
+         lab AS (SELECT doc_id, lang FROM documents
+                 WHERE doc_id % 2 = 0),
+         langs(l) AS (VALUES ('en'), ('de'), ('es'), ('fr'), ('zh')),
+         nn AS (SELECT count(*) AS n FROM lab),
+         w0 AS (
+           SELECT langs.l, db.b, CAST(0 AS BIGINT) AS w
+           FROM langs, (SELECT DISTINCT b FROM feat) db),
+         ${(1 to 3).map(epoch).mkString(",\n         ")},
+         oddd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         zt AS (
+           SELECT f.doc_id, w.l, CAST(sum(w.w) AS BIGINT) AS z
+           FROM featT f JOIN w3 w ON f.b = w.b GROUP BY 1, 2),
+         ntok AS (SELECT doc_id, len(ws) AS nt FROM tok WHERE NOT tr),
+         ranked AS (
+           SELECT o.doc_id, o.lang, langs.l, nt,
+             row_number() OVER (PARTITION BY o.doc_id
+               ORDER BY coalesce(z.z, 0) DESC,
+                 CASE langs.l WHEN 'zh' THEN 5 WHEN 'en' THEN 4
+                   WHEN 'de' THEN 3 WHEN 'es' THEN 2 ELSE 1 END DESC)
+               AS rn
+           FROM oddd o CROSS JOIN langs
+           JOIN ntok USING (doc_id)
+           LEFT JOIN zt z ON z.doc_id = o.doc_id AND z.l = langs.l),
+         mp AS (
+           SELECT doc_id, lang,
+             CASE WHEN nt = 0 THEN 'unknown' ELSE l END AS predicted
+           FROM ranked WHERE rn = 1),
+         ${oracleLangCtes("oddd")},
+         mk AS (SELECT lang, predicted AS marker FROM p),
+         act AS (SELECT lang AS language, count(*) AS n_actual
+                 FROM oddd GROUP BY 1),
+         prd AS (SELECT predicted AS language, count(*) AS n_predicted
+                 FROM mp GROUP BY 1),
+         cor AS (SELECT lang AS language, count(*) AS n_correct
+                 FROM mp WHERE lang = predicted GROUP BY 1),
+         mc AS (SELECT lang AS language, count(*) AS n_correct_marker
+                 FROM mk WHERE lang = marker GROUP BY 1),
+         j AS (
+           SELECT coalesce(act.language, prd.language) AS language,
+             coalesce(n_actual, 0) AS n_actual,
+             coalesce(n_predicted, 0) AS n_predicted,
+             coalesce(n_correct, 0) AS n_correct,
+             coalesce(n_correct_marker, 0) AS n_correct_marker
+           FROM act FULL OUTER JOIN prd USING (language)
+           LEFT JOIN cor USING (language)
+           LEFT JOIN mc USING (language))
+         SELECT language, n_actual, n_predicted, n_correct,
+           n_correct_marker,
+           round(CAST(n_correct AS DOUBLE)
+             / nullif(CAST(n_predicted AS DOUBLE), 0.0), 6)
+             AS precision,
+           round(CAST(n_correct AS DOUBLE)
+             / nullif(CAST(n_actual AS DOUBLE), 0.0), 6) AS recall
+         FROM j ORDER BY language"""
+  }
 
   /** Unigram-LM trainer ([[graft.text.UnigramLm.train]]): 2 hard-EM
     * rounds over the corpus's distinct-word table, 60-piece vocabulary
