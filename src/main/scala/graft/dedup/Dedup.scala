@@ -744,6 +744,42 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** b-bit MinHash Jaccard estimator (Li & König's b-bit minwise
+    * hashing) over precomputed [[minhashSignatures]]: keep only the
+    * LOWEST b bits of each of the k signature components — the 64-bit
+    * registers compress 64/b-fold (b=1: a 16-hash signature fits in
+    * TWO BYTES), the storage trade that makes standing sketch tables
+    * for billion-document corpora cheap. Truncated registers agree by
+    * chance 2^-b of the time, so the collision-corrected estimate is
+    * Ĵ = (A − 2^-b) / (1 − 2^-b) (the uniform-register approximation
+    * of the exact C₁₂ correction — exact as register distributions
+    * flatten, i.e. large shingle domains), clamped at 0 and computed
+    * as ONE double division of exact integers
+    * (agree·2^b − k) / (k·(2^b − 1)), so the oracle replays it
+    * bit-for-bit. Same two id-keyed hash joins as
+    * [[minhashJaccardEstimate]]; pair-domain output.
+    */
+  def bbitMinhashEstimate(
+      pairs: DataFrame, signatures: DataFrame, idCol: String,
+      numHashes: Int = 16, b: Int = 1, roundTo: Int = 4): DataFrame = {
+    require(b >= 1 && b <= 16, "b must be in [1, 16]")
+    val mask = lit((1L << b) - 1)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"__sa.h$i").bitwiseAND(mask) ===
+        col(s"__sb.h$i").bitwiseAND(mask), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val k = numHashes.toLong
+    val pow = 1L << b
+    val est = greatest(lit(0.0),
+      (agree * pow - k).cast("double") /
+        lit((k * (pow - 1)).toDouble))
+    pairs.select("id_a", "id_b")
+      .join(signatures.as("__sa"), col("id_a") === col(s"__sa.$idCol"))
+      .join(signatures.as("__sb"), col("id_b") === col(s"__sb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        round(est, roundTo).as(s"est_b$b"))
+  }
+
   /** LSH candidate pairs from banded signatures: band j is the md5 of
     * the concatenated signature rows in that band; documents sharing
     * any band hash become candidates. bands × rowsPerBand must equal

@@ -121,18 +121,36 @@ object Drift {
     * shuffle on the group key. Output: (group, n_base, n_cur,
     * ks_scaled, ks_d, threshold, drifted).
     */
-  def ksTest(
+  /** Per-(group, DISTINCT value) two-snapshot counts — the shared
+    * sufficient statistic of the whole two-sample family ([[ksTest]],
+    * [[cvmTest]], [[mannWhitneyU]] all start here): `__cb` baseline
+    * rows at the value, `__cc` current rows. Collapses duplicates
+    * map-side; output is bounded by value cardinality, not row count.
+    */
+  private def pairedCounts(
       baseline: DataFrame, current: DataFrame, valueCol: String,
-      groupCols: Seq[String], cAlpha: Double = 1.358): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      groupCols: Seq[String]): DataFrame = {
     val tag = (df: DataFrame, b: Int) => df
       .where(col(valueCol).isNotNull)
       .select(groupCols.map(col) ++ Seq(
         col(valueCol).cast("double").as("__v"), lit(b).as("__b")): _*)
-    val per = tag(baseline, 1).unionByName(tag(current, 0))
+    tag(baseline, 1).unionByName(tag(current, 0))
       .groupBy(groupCols.map(col) :+ col("__v"): _*)
       .agg(sum(col("__b")).cast("long").as("__cb"),
         sum(lit(1) - col("__b")).cast("long").as("__cc"))
+  }
+
+  def ksTest(
+      baseline: DataFrame, current: DataFrame, valueCol: String,
+      groupCols: Seq[String], cAlpha: Double = 1.358): DataFrame =
+    ksTestCore(
+      pairedCounts(baseline, current, valueCol, groupCols),
+      groupCols, cAlpha)
+
+  private def ksTestCore(
+      per: DataFrame, groupCols: Seq[String],
+      cAlpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -194,17 +212,16 @@ object Drift {
     */
   def cvmTest(
       baseline: DataFrame, current: DataFrame, valueCol: String,
-      groupCols: Seq[String], threshold: Double = 0.461): DataFrame = {
+      groupCols: Seq[String], threshold: Double = 0.461): DataFrame =
+    cvmTestCore(
+      pairedCounts(baseline, current, valueCol, groupCols),
+      groupCols, threshold)
+
+  private def cvmTestCore(
+      per: DataFrame, groupCols: Seq[String],
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val tag = (df: DataFrame, b: Int) => df
-      .where(col(valueCol).isNotNull)
-      .select(groupCols.map(col) ++ Seq(
-        col(valueCol).cast("double").as("__v"), lit(b).as("__b")): _*)
-    val per = tag(baseline, 1).unionByName(tag(current, 0))
-      .groupBy(groupCols.map(col) :+ col("__v"): _*)
-      .agg(sum(col("__b")).cast("long").as("__cb"),
-        sum(lit(1) - col("__b")).cast("long").as("__cc"))
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -272,16 +289,38 @@ object Drift {
     */
   def mannWhitneyU(
       baseline: DataFrame, current: DataFrame, valueCol: String,
-      groupCols: Seq[String], zAlpha: Double = 1.96): DataFrame = {
-    val tag = (df: DataFrame, b: Int) => df
-      .where(col(valueCol).isNotNull)
-      .select(groupCols.map(col) ++ Seq(
-        col(valueCol).cast("double").as("__v"), lit(b).as("__b")): _*)
-    val per = tag(baseline, 1).unionByName(tag(current, 0))
-      .groupBy(groupCols.map(col) :+ col("__v"): _*)
-      .agg(sum(col("__b")).cast("long").as("__cb"),
-        sum(lit(1) - col("__b")).cast("long").as("__cc"))
-    mannWhitneyUCore(per, groupCols, zAlpha)
+      groupCols: Seq[String], zAlpha: Double = 1.96): DataFrame =
+    mannWhitneyUCore(
+      pairedCounts(baseline, current, valueCol, groupCols),
+      groupCols, zAlpha)
+
+  /** The whole two-sample drift family over ONE pass: the shared
+    * per-(group, distinct value) count frame is computed and persisted
+    * once, and KS (worst single CDF gap), CvM (integrated squared
+    * gap) and Mann-Whitney (location shift) all read it — the
+    * production monitoring shape: at warehouse scale the three tests
+    * cost one scan-and-count of each snapshot, not three. Output one
+    * row per group: (group…, n_base, n_cur, ks_d, ks_drifted, cvm_t,
+    * cvm_drifted, mw_z, mw_drifted); each statistic keeps its own
+    * one-sided/degenerate-null contract from the standalone test.
+    */
+  def driftPanel(
+      baseline: DataFrame, current: DataFrame, valueCol: String,
+      groupCols: Seq[String], cAlpha: Double = 1.358,
+      cvmThreshold: Double = 0.461, zAlpha: Double = 1.96): DataFrame = {
+    val per = pairedCounts(baseline, current, valueCol, groupCols)
+      .transform(graft.core.CacheScope.disk)
+    val gc = groupCols.map(col)
+    val ks = ksTestCore(per, groupCols, cAlpha)
+      .select(gc ++ Seq(col("n_base"), col("n_cur"),
+        col("ks_d"), col("drifted").as("ks_drifted")): _*)
+    val cvm = cvmTestCore(per, groupCols, cvmThreshold)
+      .select(gc ++ Seq(col("cvm_t"),
+        col("drifted").as("cvm_drifted")): _*)
+    val mw = mannWhitneyUCore(per, groupCols, zAlpha)
+      .select(gc ++ Seq(col("z").as("mw_z"),
+        col("drifted").as("mw_drifted")): _*)
+    ks.join(cvm, groupCols).join(mw, groupCols)
   }
 
   /** [[mannWhitneyU]] from PRE-AGGREGATED per-distinct-value counts —

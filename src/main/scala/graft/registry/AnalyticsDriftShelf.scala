@@ -32,6 +32,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q265_holt_forecast" -> (holtForecastQ _),
     "q268_holt_resume" -> (holtResumeQ _),
     "q269_theil_sen_trend" -> (theilSenQ _),
+    "q277_drift_panel" -> (driftPanelQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -303,6 +304,96 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                  * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE)
                > 0.461 THEN 1 ELSE 0 END AS INT) AS drifted
          FROM agg ORDER BY o_orderpriority""",
+    // one shared per-(group, value) counts CTE feeds all three test
+    // chains — the exact q164/q261/q237 math, joined on the group
+    "q277_drift_panel" ->
+      """WITH base AS (
+           SELECT o_orderpriority AS g, o_totalprice AS v
+           FROM orders WHERE o_orderkey % 2 = 1),
+         cur AS (
+           SELECT o_orderpriority AS g,
+             CASE WHEN o_orderpriority = '1-URGENT'
+               THEN o_totalprice * 1.10 ELSE o_totalprice END AS v
+           FROM orders WHERE o_orderkey % 2 = 0),
+         u AS (
+           SELECT g, v, 1 AS b FROM base
+           UNION ALL SELECT g, v, 0 FROM cur),
+         per AS (
+           SELECT g, v, CAST(sum(b) AS BIGINT) AS cb,
+             CAST(sum(1 - b) AS BIGINT) AS cc
+           FROM u GROUP BY g, v),
+         cum AS (
+           SELECT g, cb, cc,
+             CAST(sum(cb) OVER w AS BIGINT) AS i,
+             CAST(sum(cc) OVER w AS BIGINT) AS j,
+             CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS n1,
+             CAST(sum(cc) OVER (PARTITION BY g) AS BIGINT) AS n2
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         kagg AS (
+           SELECT g, max(n1) AS n_base, max(n2) AS n_cur,
+             max(abs(i * n2 - j * n1)) AS ks_scaled,
+             sum(CAST(cb + cc AS HUGEINT)
+               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1)
+               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1))
+               AS s
+           FROM cum GROUP BY g),
+         ks AS (
+           SELECT g, n_base, n_cur,
+             CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+               ELSE round(CAST(ks_scaled AS DOUBLE)
+                 / (n_base * n_cur), 6) END AS ks_d,
+             CAST(CASE WHEN n_base = 0 OR n_cur = 0 THEN 1
+               WHEN CAST(ks_scaled AS DOUBLE) / (n_base * n_cur) >
+                 1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
+                   / (n_base * n_cur)) THEN 1 ELSE 0 END AS INT)
+               AS ks_drifted,
+             CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+               ELSE round(CAST(s AS DOUBLE)
+                 / CAST(CAST(n_base AS HUGEINT) * n_cur
+                   * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE),
+                 6) END AS cvm_t,
+             CAST(CASE WHEN n_base = 0 OR n_cur = 0 THEN 1
+               WHEN CAST(s AS DOUBLE)
+                 / CAST(CAST(n_base AS HUGEINT) * n_cur
+                   * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE)
+                 > 0.461 THEN 1 ELSE 0 END AS INT) AS cvm_drifted
+           FROM kagg),
+         mcum AS (
+           SELECT g, cb, cb + cc AS t,
+             coalesce(sum(cb + cc) OVER (PARTITION BY g
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS c
+           FROM per),
+         mr AS (SELECT g, cb, t, 2 * c + t + 1 AS rank2 FROM mcum),
+         magg AS (
+           SELECT g,
+             CAST(sum(cb) AS BIGINT) AS n1,
+             CAST(sum(t - cb) AS BIGINT) AS n2,
+             CAST(sum(cb * rank2) AS BIGINT) AS r12,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+           FROM mr GROUP BY g),
+         mf AS (
+           SELECT g, n1, n2, r12 - n1 * (n1 + 1) AS u_half,
+             CAST(n1 * n2 AS DOUBLE) / 12.0
+               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                 - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+                   * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS sigma2
+           FROM magg),
+         mw AS (
+           SELECT g,
+             round((CAST(u_half AS DOUBLE) / 2.0
+               - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2), 6)
+               AS mw_z,
+             CAST(abs((CAST(u_half AS DOUBLE) / 2.0
+               - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2)) > 1.96
+               AS INT) AS mw_drifted
+           FROM mf)
+         SELECT g AS o_orderpriority, n_base, n_cur, ks_d, ks_drifted,
+           cvm_t, cvm_drifted, mw_z, mw_drifted
+         FROM ks JOIN mw USING (g)
+         ORDER BY o_orderpriority""",
     "q164_ks_drift" ->
       """WITH base AS (
            SELECT o_orderpriority AS g, o_totalprice AS v
@@ -630,6 +721,33 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     * the rest). `ks_scaled` is the exact BIGINT supremum; `ks_d` and
     * the threshold are single float ops over exact longs.
     */
+  /** The composed drift panel ([[graft.quality.Drift.driftPanel]] —
+    * the q273 treatment for the drift shelf): KS, Cramér–von Mises
+    * and Mann–Whitney over the q261 split (odd orders = baseline,
+    * even = current with the urgent segment shifted ×1.10), all three
+    * from ONE persisted per-(group, distinct value) count frame — at
+    * warehouse scale the monitoring suite costs one scan-and-count,
+    * not one per test. A plan spec pins the single shared pass.
+    */
+  private[graft] def driftPanelQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.where(col("o_orderkey") % 2 === 1)
+    val cur = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice") * 1.10).otherwise(col("o_totalprice")))
+    graft.quality.Drift.driftPanel(base, cur, "o_totalprice",
+        Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_base"), col("n_cur"),
+        round(col("ks_d"), 6).as("ks_d"),
+        col("ks_drifted").cast("int").as("ks_drifted"),
+        col("cvm_t"),
+        col("cvm_drifted").cast("int").as("cvm_drifted"),
+        col("mw_z"),
+        col("mw_drifted").cast("int").as("mw_drifted"))
+      .orderBy("o_orderpriority")
+  }
+
   private[graft] def ksDriftQ(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val base = o.where(col("o_orderkey") % 2 === 1)

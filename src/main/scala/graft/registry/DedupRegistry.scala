@@ -26,6 +26,7 @@ private[graft] object DedupRegistry {
     "q118_lsh_recall_audit" -> (lshRecallAuditQ _),
     "q119_ngram_containment" -> (ngramContainmentPairs _),
     "q120_minhash_jaccard_est" -> (minhashJaccardEst _),
+    "q276_bbit_minhash" -> (bbitMinhashEst _),
     "q121_containment_incremental" -> (containmentIncremental _),
     "q126_entity_resolution" -> (entityResolution _),
     "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
@@ -219,6 +220,22 @@ private[graft] object DedupRegistry {
          ORDER BY id_a, id_b""",
     // Broder estimator: per candidate pair, the fraction of the 16
     // Carter-Wegman signature components that agree
+    // the 1-bit estimate replays (agree·2 − 16)/16 over the masked
+    // low bits — exact integers into one division, clamped at 0
+    "q276_bbit_minhash" ->
+      s"""$oracleShingleCte,
+         $oracleMinhashCtes
+         SELECT c.ida AS id_a, c.idb AS id_b,
+           round((${(0 until 16).map(i =>
+        s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")}) / 16.0, 4) AS est_jaccard,
+           round(greatest(0.0, CAST((${(0 until 16).map(i =>
+        s"(CASE WHEN (a.h$i & 1) = (b.h$i & 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")}) * 2 - 16 AS DOUBLE) / 16.0), 4) AS est_b1
+         FROM cands c
+         JOIN sigs a ON a.doc_id = c.ida
+         JOIN sigs b ON b.doc_id = c.idb
+         ORDER BY id_a, id_b""",
     "q120_minhash_jaccard_est" ->
       s"""$oracleShingleCte,
          $oracleMinhashCtes
@@ -1184,6 +1201,28 @@ private[graft] object DedupRegistry {
     val cands = Dedup.lshCandidates(sigs, "doc_id",
       bands = 4, rowsPerBand = 4)
     Dedup.minhashJaccardEstimate(cands, sigs, "doc_id", numHashes = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** b-bit MinHash compression audit ([[Dedup.bbitMinhashEstimate]]):
+    * the q120 estimate and its 1-bit-register sibling side by side
+    * over the q24 LSH candidates — what Jaccard resolution survives
+    * compressing the standing sketch table 64× (two bytes per
+    * 16-hash signature). One signature pass feeds banding and both
+    * estimators; all scoring is signature-only (shingle sets never
+    * touched).
+    */
+  private[graft] def bbitMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+        n = 3, numHashes = 16)
+      .transform(graft.core.CacheScope.disk)
+    val cands = Dedup.lshCandidates(sigs, "doc_id",
+        bands = 4, rowsPerBand = 4)
+      .transform(graft.core.CacheScope.disk)
+    Dedup.minhashJaccardEstimate(cands, sigs, "doc_id", numHashes = 16)
+      .join(Dedup.bbitMinhashEstimate(cands, sigs, "doc_id",
+        numHashes = 16, b = 1), Seq("id_a", "id_b"))
       .orderBy("id_a", "id_b")
   }
 
