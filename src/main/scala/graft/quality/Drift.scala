@@ -335,7 +335,20 @@ object Drift {
   def mannWhitneyUFromCounts(
       baseCounts: DataFrame, curCounts: DataFrame, valueCol: String,
       countCol: String, groupCols: Seq[String],
-      zAlpha: Double = 1.96): DataFrame = {
+      zAlpha: Double = 1.96): DataFrame =
+    mannWhitneyUCore(
+      pairedCountsFromCounts(baseCounts, curCounts, valueCol,
+        countCol, groupCols),
+      groupCols, zAlpha)
+
+  /** [[pairedCounts]] from PRE-AGGREGATED per-distinct-value counts
+    * (the standing count-store shape): counts are additive, so a
+    * shard-merged store frame and a raw recount produce the identical
+    * sufficient statistic.
+    */
+  private def pairedCountsFromCounts(
+      baseCounts: DataFrame, curCounts: DataFrame, valueCol: String,
+      countCol: String, groupCols: Seq[String]): DataFrame = {
     val side = (df: DataFrame, isBase: Boolean) => df
       .where(col(valueCol).isNotNull && col(countCol) > 0)
       .select(groupCols.map(col) ++ Seq(
@@ -343,10 +356,37 @@ object Drift {
         (if (isBase) col(countCol) else lit(0L)).cast("long").as("__cb"),
         (if (isBase) lit(0L) else col(countCol)).cast("long")
           .as("__cc")): _*)
-    val per = side(baseCounts, true).unionByName(side(curCounts, false))
+    side(baseCounts, true).unionByName(side(curCounts, false))
       .groupBy(groupCols.map(col) :+ col("__v"): _*)
       .agg(sum(col("__cb")).as("__cb"), sum(col("__cc")).as("__cc"))
-    mannWhitneyUCore(per, groupCols, zAlpha)
+  }
+
+  /** [[driftPanel]] from PRE-AGGREGATED per-distinct-value counts —
+    * what a [[graft.streaming.EventStreams.mwDriftMaintenanceSink]]
+    * store feeds: ONE standing (group…, value, n) store is the
+    * sufficient statistic for the whole two-sample family, so the
+    * same shards serve KS, CvM and MW without ever rescanning raw
+    * history. Identical output contract to [[driftPanel]]; counts
+    * additivity means shard-merged input ≡ raw recount input.
+    */
+  def driftPanelFromCounts(
+      baseCounts: DataFrame, curCounts: DataFrame, valueCol: String,
+      countCol: String, groupCols: Seq[String], cAlpha: Double = 1.358,
+      cvmThreshold: Double = 0.461, zAlpha: Double = 1.96): DataFrame = {
+    val per = pairedCountsFromCounts(baseCounts, curCounts, valueCol,
+        countCol, groupCols)
+      .transform(graft.core.CacheScope.disk)
+    val gc = groupCols.map(col)
+    val ks = ksTestCore(per, groupCols, cAlpha)
+      .select(gc ++ Seq(col("n_base"), col("n_cur"),
+        col("ks_d"), col("drifted").as("ks_drifted")): _*)
+    val cvm = cvmTestCore(per, groupCols, cvmThreshold)
+      .select(gc ++ Seq(col("cvm_t"),
+        col("drifted").as("cvm_drifted")): _*)
+    val mw = mannWhitneyUCore(per, groupCols, zAlpha)
+      .select(gc ++ Seq(col("z").as("mw_z"),
+        col("drifted").as("mw_drifted")): _*)
+    ks.join(cvm, groupCols).join(mw, groupCols)
   }
 
   /** Shared MW-U tail over the `(group…, __v, __cb, __cc)`

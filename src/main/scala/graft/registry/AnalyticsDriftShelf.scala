@@ -33,6 +33,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q268_holt_resume" -> (holtResumeQ _),
     "q269_theil_sen_trend" -> (theilSenQ _),
     "q277_drift_panel" -> (driftPanelQ _),
+    "q278_drift_panel_store" -> (driftPanelStoreQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -304,6 +305,91 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                  * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE)
                > 0.461 THEN 1 ELSE 0 END AS INT) AS drifted
          FROM agg ORDER BY o_orderpriority""",
+    // the oracle is the RAW two-sample panel: the engine's
+    // shard-merged count path must land on the identical statistics
+    "q278_drift_panel_store" ->
+      """WITH ev AS (
+           SELECT event_type AS g,
+             CASE WHEN event_id % 2 = 0 AND event_type = 'purchase'
+               THEN value * 1.1 ELSE value END AS v,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
+           FROM events WHERE value IS NOT NULL),
+         per AS (
+           SELECT g, v, CAST(sum(b) AS BIGINT) AS cb,
+             CAST(sum(1 - b) AS BIGINT) AS cc
+           FROM ev GROUP BY g, v),
+         cum AS (
+           SELECT g, cb, cc,
+             CAST(sum(cb) OVER w AS BIGINT) AS i,
+             CAST(sum(cc) OVER w AS BIGINT) AS j,
+             CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS n1,
+             CAST(sum(cc) OVER (PARTITION BY g) AS BIGINT) AS n2
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         kagg AS (
+           SELECT g, max(n1) AS n_base, max(n2) AS n_cur,
+             max(abs(i * n2 - j * n1)) AS ks_scaled,
+             sum(CAST(cb + cc AS HUGEINT)
+               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1)
+               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1))
+               AS s
+           FROM cum GROUP BY g),
+         ks AS (
+           SELECT g, n_base, n_cur,
+             CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+               ELSE round(CAST(ks_scaled AS DOUBLE)
+                 / (n_base * n_cur), 6) END AS ks_d,
+             CAST(CASE WHEN n_base = 0 OR n_cur = 0 THEN 1
+               WHEN CAST(ks_scaled AS DOUBLE) / (n_base * n_cur) >
+                 1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
+                   / (n_base * n_cur)) THEN 1 ELSE 0 END AS INT)
+               AS ks_drifted,
+             CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+               ELSE round(CAST(s AS DOUBLE)
+                 / CAST(CAST(n_base AS HUGEINT) * n_cur
+                   * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE),
+                 6) END AS cvm_t,
+             CAST(CASE WHEN n_base = 0 OR n_cur = 0 THEN 1
+               WHEN CAST(s AS DOUBLE)
+                 / CAST(CAST(n_base AS HUGEINT) * n_cur
+                   * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE)
+                 > 0.461 THEN 1 ELSE 0 END AS INT) AS cvm_drifted
+           FROM kagg),
+         mcum AS (
+           SELECT g, cb, cb + cc AS t,
+             coalesce(sum(cb + cc) OVER (PARTITION BY g
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS c
+           FROM per),
+         mr AS (SELECT g, cb, t, 2 * c + t + 1 AS rank2 FROM mcum),
+         magg AS (
+           SELECT g,
+             CAST(sum(cb) AS BIGINT) AS n1,
+             CAST(sum(t - cb) AS BIGINT) AS n2,
+             CAST(sum(cb * rank2) AS BIGINT) AS r12,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+           FROM mr GROUP BY g),
+         mf AS (
+           SELECT g, n1, n2, r12 - n1 * (n1 + 1) AS u_half,
+             CAST(n1 * n2 AS DOUBLE) / 12.0
+               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                 - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+                   * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS sigma2
+           FROM magg),
+         mw AS (
+           SELECT g,
+             round((CAST(u_half AS DOUBLE) / 2.0
+               - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2), 6)
+               AS mw_z,
+             CAST(abs((CAST(u_half AS DOUBLE) / 2.0
+               - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2)) > 1.96
+               AS INT) AS mw_drifted
+           FROM mf)
+         SELECT g AS event_type, n_base, n_cur, ks_d, ks_drifted,
+           cvm_t, cvm_drifted, mw_z, mw_drifted
+         FROM ks JOIN mw USING (g)
+         ORDER BY event_type""",
     // one shared per-(group, value) counts CTE feeds all three test
     // chains — the exact q164/q261/q237 math, joined on the group
     "q277_drift_panel" ->
@@ -746,6 +832,49 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
         col("mw_z"),
         col("mw_drifted").cast("int").as("mw_drifted"))
       .orderBy("o_orderpriority")
+  }
+
+  /** The drift panel fed from the STANDING COUNT STORE path
+    * ([[graft.quality.Drift.driftPanelFromCounts]], the q268
+    * resume==recompute treatment): the current side arrives as two
+    * separately-counted shard halves (event_id ≡ 0 / 2 mod 4, the
+    * shapes a [[graft.streaming.EventStreams.mwDriftMaintenanceSink]]
+    * store lands per batch) merged by additive count sum — and the
+    * result must equal the raw two-sample panel, which is exactly
+    * what the oracle computes. q237's events split and purchase
+    * shift; one value-count store serves all three alarms.
+    */
+  private[graft] def driftPanelStoreQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val base = e.where(col("event_id") % 2 === 1)
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        col("value").cast("double").as("value"))
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("n"))
+    val curRaw = e.where(col("event_id") % 2 === 0)
+      .withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 1.1)
+          .otherwise(col("value")))
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        col("value").cast("double").as("value"), col("event_id"))
+    // two count shards, merged additively — the store-read shape
+    val shard = (m: Int) => curRaw.where(col("event_id") % 4 === m)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("n"))
+    val cur = shard(0).unionByName(shard(2))
+      .groupBy("event_type", "value").agg(sum(col("n")).as("n"))
+    graft.quality.Drift.driftPanelFromCounts(base, cur, "value", "n",
+        Seq("event_type"))
+      .select(col("event_type"), col("n_base"), col("n_cur"),
+        round(col("ks_d"), 6).as("ks_d"),
+        col("ks_drifted").cast("int").as("ks_drifted"),
+        col("cvm_t"),
+        col("cvm_drifted").cast("int").as("cvm_drifted"),
+        col("mw_z"),
+        col("mw_drifted").cast("int").as("mw_drifted"))
+      .orderBy("event_type")
   }
 
   private[graft] def ksDriftQ(s: SparkSession, dir: String): DataFrame = {

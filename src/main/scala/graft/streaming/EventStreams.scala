@@ -746,6 +746,34 @@ object EventStreams {
       "value", "n", groupCols, zAlpha)
   }
 
+  /** The live THREE-ALARM drift panel over the same
+    * [[mwDriftMaintenanceSink]] store: the per-(group, value) count
+    * shards are the sufficient statistic for the whole two-sample
+    * family, so one standing store serves KS, Cramér–von Mises and
+    * Mann–Whitney at once via
+    * [[graft.quality.Drift.driftPanelFromCounts]] — no second sink,
+    * no raw-history rescan (the cf681d1 one-store-many-monitors
+    * pattern, lifted from the bucket-sum store to the value-count
+    * store).
+    */
+  def liveDriftPanel(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      baseline: DataFrame, valueCol: String, groupCols: Seq[String],
+      cAlpha: Double = 1.358, cvmThreshold: Double = 0.461,
+      zAlpha: Double = 1.96): DataFrame = {
+    val cur = spark.read.parquet(storeDir)
+      .groupBy(groupCols.map(col) :+ col("value"): _*)
+      .agg(sum(col("n")).as("n"))
+    val base = baseline
+      .where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        col(valueCol).cast("double").as("value"): _*)
+      .groupBy(groupCols.map(col) :+ col("value"): _*)
+      .agg(count(lit(1)).as("n"))
+    graft.quality.Drift.driftPanelFromCounts(base, cur, "value", "n",
+      groupCols, cAlpha, cvmThreshold, zAlpha)
+  }
+
   /** Streaming Holt-forecast maintenance: each micro-batch lands its
     * per-(group, bucket) value-cents SUMS under `batch_id=<id>` with
     * OVERWRITE (replay-idempotent). Holt's (level, trend) state is

@@ -64,4 +64,31 @@ class MwDriftSinkSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
     assert(got === want)
   }
+
+  test("liveDriftPanel: the SAME store serves all three alarms and " +
+      "equals the batch panel over the union") {
+    implicit val sql = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_panel_store").toString + "/mw"
+    val in = MemoryStream[(String, Double)]
+    val q = EventStreams.mwDriftMaintenanceSink(
+      in.toDF().toDF("grp", "v"), "v", Seq("grp"), store,
+      java.nio.file.Files.createTempDirectory("graft_panel_ckpt")
+        .toString)
+    val b1 = Seq(("g", 2.0), ("g", 4.0), ("h", 10.5))
+    val b2 = Seq(("g", 6.0), ("g", 6.0), ("h", 12.0))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      graft.core.CacheScope.withScope {
+        val live = EventStreams.liveDriftPanel(spark, store, baseline,
+          "v", Seq("grp")).collect()
+          .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+        val want = Drift.driftPanel(baseline,
+          (b1 ++ b2).toDF("grp", "v"), "v", Seq("grp")).collect()
+          .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+        assert(live === want) // KS/CvM/MW all bit-equal off one store
+      }
+    } finally q.stop()
+  }
 }
