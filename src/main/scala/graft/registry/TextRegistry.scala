@@ -66,6 +66,7 @@ private[graft] object TextRegistry {
     "q91_top_keyword_histogram" -> (topKeywordHistogram _),
     "q98_langid_metrics" -> (langIdMetrics _),
     "q275_lang_classifier" -> (langClassifierQ _),
+    "q279_lang_classifier_resume" -> (langClassifierResumeQ _),
   )
 
   /** The q171 BM25 oracle, shared verbatim with q176: the
@@ -1137,6 +1138,7 @@ private[graft] object TextRegistry {
          SELECT keyword, count(*) AS n_docs
          FROM top WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
     "q275_lang_classifier" -> oracleLangClfSql,
+    "q279_lang_classifier_resume" -> oracleLangClfResumeSql,
     "q98_langid_metrics" ->
       s"""$oracleLangScores,
          act AS (SELECT lang AS language, count(*) AS n_actual
@@ -1730,6 +1732,29 @@ private[graft] object TextRegistry {
       .orderBy("language")
   }
 
+  /** Incremental model maintenance
+    * ([[graft.text.LangClassifier.trainResume]]) proven against the
+    * full retrain: q275's trainer run for 2 epochs, its weight table
+    * stored, then ONE more epoch resumed from the table — and the
+    * emitted weights must equal the 3-epoch oracle chain bit-for-bit
+    * (each epoch is a pure function of the previous table, the
+    * holtResume sequential-fold identity). The output here is the
+    * RAW weight table, so this query also pins q275's training
+    * arithmetic directly, not just through the scorecard.
+    */
+  private[graft] def langClassifierResumeQ(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.text.LangClassifier
+    val trainDf = docs(s, dir).where(col("doc_id") % 2 === 0)
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val w2 = LangClassifier.train(trainDf, "doc_id", "text", "lang",
+        langs, numBuckets = 512, epochs = 2, lrMilli = 10)
+      .transform(graft.core.CacheScope.disk)
+    LangClassifier.trainResume(trainDf, "doc_id", "text", "lang",
+        langs, w2, numBuckets = 512, moreEpochs = 1, lrMilli = 10)
+      .orderBy("lang", "bucket")
+  }
+
   /** Most-characteristic keyword per document (argmax tf-idf via
     * `min_by` over a composite ordering struct — partial+final agg,
     * no per-document window sort) histogrammed over the corpus.
@@ -2082,7 +2107,18 @@ private[graft] object TextRegistry {
     * doubles, the weight step replays Scala's floorDiv via the
     * shifted-nonnegative integer division (g·lr + OFF·D) // D − OFF.
     */
-  private[graft] val oracleLangClfSql: String = {
+  private[graft] def oracleLangClfSql: String =
+    oracleLangClf(oracleLangClfPredictAndScore)
+
+  /** q279's oracle: the SAME trained weight table, emitted directly —
+    * resume(2 epochs, +1) must equal the 3-epoch chain bit-for-bit.
+    */
+  private[graft] def oracleLangClfResumeSql: String = oracleLangClf(
+    """
+         SELECT l AS lang, b AS bucket, w AS w_nano FROM w3
+         ORDER BY lang, bucket""")
+
+  private[graft] def oracleLangClf(finish: String): String = {
     val B = 512
     val lr = 10L
     val off = 1000000L * lr
@@ -2132,7 +2168,11 @@ private[graft] object TextRegistry {
          w0 AS (
            SELECT langs.l, db.b, CAST(0 AS BIGINT) AS w
            FROM langs, (SELECT DISTINCT b FROM feat) db),
-         ${(1 to 3).map(epoch).mkString(",\n         ")},
+         ${(1 to 3).map(epoch).mkString(",\n         ")}$finish"""
+  }
+
+  private[graft] def oracleLangClfPredictAndScore: String =
+    s""",
          oddd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
          zt AS (
            SELECT f.doc_id, w.l, CAST(sum(w.w) AS BIGINT) AS z
@@ -2179,7 +2219,6 @@ private[graft] object TextRegistry {
            round(CAST(n_correct AS DOUBLE)
              / nullif(CAST(n_actual AS DOUBLE), 0.0), 6) AS recall
          FROM j ORDER BY language"""
-  }
 
   /** Unigram-LM trainer ([[graft.text.UnigramLm.train]]): 2 hard-EM
     * rounds over the corpus's distinct-word table, 60-piece vocabulary

@@ -69,7 +69,33 @@ object LangClassifier {
   def train(
       df: DataFrame, idCol: String, textCol: String, labelCol: String,
       langs: Seq[String], numBuckets: Int = 512, epochs: Int = 3,
-      lrMilli: Int = 10): DataFrame = {
+      lrMilli: Int = 10): DataFrame =
+    trainLoop(df, idCol, textCol, labelCol, langs, numBuckets, epochs,
+      lrMilli, Map.empty)
+
+  /** Resume training from a standing weight table for `moreEpochs` —
+    * identical to training init-epochs + moreEpochs from scratch over
+    * the same corpus, because each epoch is a pure function of
+    * (previous weights, feature frame): the sequential-fold identity
+    * that makes the nightly "+1 epoch from the stored table" path
+    * exact (the holtResume treatment for the model trainer). The
+    * standing table is bounded (langs·(buckets+1)) so the driver
+    * collect is the same bounded read each epoch already does.
+    */
+  def trainResume(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      langs: Seq[String], weights: DataFrame, numBuckets: Int = 512,
+      moreEpochs: Int = 1, lrMilli: Int = 10): DataFrame = {
+    val w0 = weights.select("lang", "bucket", "w_nano").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    trainLoop(df, idCol, textCol, labelCol, langs, numBuckets,
+      moreEpochs, lrMilli, w0)
+  }
+
+  private def trainLoop(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      langs: Seq[String], numBuckets: Int, epochs: Int, lrMilli: Int,
+      init: Map[(String, Long), Long]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val feats = hashedNgramFeatures(df, idCol, textCol, numBuckets)
@@ -84,8 +110,9 @@ object LangClassifier {
     val langsDf = langs.toDF("__l")
     // weight state lives on the driver between epochs (bounded:
     // langs·(buckets+1) entries), broadcast back down each epoch
-    var w = Map.empty[(String, Long), Long].withDefaultValue(0L)
-    var wDf = Seq.empty[(String, Long, Long)].toDF("__wl", "__wb", "__wv")
+    var w = init.withDefaultValue(0L)
+    var wDf = init.toSeq.map { case ((l, b), v) => (l, b, v) }
+      .toDF("__wl", "__wb", "__wv")
     for (_ <- 1 to epochs) {
       val z = feats
         .join(broadcast(wDf), col("bucket") === col("__wb"))

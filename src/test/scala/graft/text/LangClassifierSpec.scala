@@ -96,4 +96,25 @@ class LangClassifierSpec extends SparkSpec {
         s"model $model should beat marker $marker on the odd split")
     }
   }
+
+  test("resume == full retrain at every split point (the sequential-" +
+      "fold identity q279 relies on)") {
+    graft.core.CacheScope.withScope {
+      val docs = corpus((1 to 40).map(i =>
+        (i.toLong, if (i % 4 == 0) "de" else "en",
+          s"foo bar word${i % 5} baz qux")): _*)
+      val langs = Seq("en", "de")
+      def full(e: Int) = LangClassifier
+        .train(docs, "doc_id", "text", "lang", langs,
+          numBuckets = 32, epochs = e, lrMilli = 10)
+      val want = full(4).orderBy("lang", "bucket").collect().toSeq
+      for (split <- 1 to 3) {
+        val got = LangClassifier.trainResume(docs, "doc_id", "text",
+            "lang", langs, full(split), numBuckets = 32,
+            moreEpochs = 4 - split, lrMilli = 10)
+          .orderBy("lang", "bucket").collect().toSeq
+        assert(got === want, s"resume from epoch $split diverged")
+      }
+    }
+  }
 }
