@@ -27,6 +27,7 @@ private[graft] object DedupRegistry {
     "q119_ngram_containment" -> (ngramContainmentPairs _),
     "q120_minhash_jaccard_est" -> (minhashJaccardEst _),
     "q276_bbit_minhash" -> (bbitMinhashEst _),
+    "q280_dedup_capture_recapture" -> (dedupCaptureRecaptureQ _),
     "q121_containment_incremental" -> (containmentIncremental _),
     "q126_entity_resolution" -> (entityResolution _),
     "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
@@ -220,6 +221,49 @@ private[graft] object DedupRegistry {
          ORDER BY id_a, id_b""",
     // Broder estimator: per candidate pair, the fraction of the 16
     // Carter-Wegman signature components that agree
+    // both capture chains replayed (minhash verify at 0.8, simhash
+    // hamming <= 3 all-pairs — exact by pigeonhole vs the banded
+    // engine), Chapman as one integral division of exact counts
+    "q280_dedup_capture_recapture" ->
+      s"""WITH $oracleShingleCtes,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         mh AS (
+           SELECT ida, idb FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+             >= 0.8),
+         ${oracleSimhashCtes("s")},
+         sp AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM sshp a JOIN sshp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) <= 3),
+         c AS (
+           SELECT
+             (SELECT count(*) FROM mh) AS n1,
+             (SELECT count(*) FROM sp) AS n2,
+             (SELECT count(*) FROM mh JOIN sp USING (ida, idb)) AS m),
+         f AS (
+           SELECT n1, n2, m,
+             CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+               AS BIGINT) AS nhat
+           FROM c)
+         SELECT CAST(n1 AS BIGINT) AS n_minhash,
+           CAST(n2 AS BIGINT) AS n_simhash,
+           CAST(m AS BIGINT) AS n_overlap,
+           nhat AS chapman_total,
+           round(CAST(n1 AS DOUBLE)
+             / nullif(CAST(nhat AS DOUBLE), 0.0), 6) AS recall_minhash,
+           round(CAST(n2 AS DOUBLE)
+             / nullif(CAST(nhat AS DOUBLE), 0.0), 6) AS recall_simhash
+         FROM f""",
     // the 1-bit estimate replays (agree·2 − 16)/16 over the masked
     // low bits — exact integers into one division, clamped at 0
     "q276_bbit_minhash" ->
@@ -1204,6 +1248,46 @@ private[graft] object DedupRegistry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Capture–recapture coverage audit of the near-dup detectors: the
+    * q24 MinHash-LSH verified pairs and the q26 SimHash hamming-≤3
+    * pairs are two imperfect "captures" of the same underlying
+    * duplicate-pair population, so their overlap prices what NEITHER
+    * caught — Chapman's estimator N̂ = ⌊(n₁+1)(n₂+1)/(m+1)⌋ − 1 and
+    * the implied per-detector recall n_i/N̂. The honest caveat is in
+    * the independence assumption: both detectors key on lexical
+    * overlap, so positively-correlated misses bias N̂ LOW — the
+    * number reads as "at least this many pairs exist", which is
+    * exactly the direction a dedup-QA gate needs. All counts exact;
+    * Chapman is one integral division; recalls one double division
+    * each. Both pair generators are the banded/blocked machinery —
+    * nothing here is all-pairs.
+    */
+  private[graft] def dedupCaptureRecaptureQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val mh = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select("id_a", "id_b")
+      .transform(graft.core.CacheScope.disk)
+    val sp = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b")
+      .transform(graft.core.CacheScope.disk)
+    val nhat = expr("(CAST(n_minhash + 1 AS DECIMAL(38,0)) * " +
+      "(n_simhash + 1)) div (n_overlap + 1) - 1").cast("long")
+    mh.agg(count(lit(1)).as("n_minhash"))
+      .crossJoin(sp.agg(count(lit(1)).as("n_simhash")))
+      .crossJoin(mh.join(sp, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap")))
+      .select(col("n_minhash"), col("n_simhash"), col("n_overlap"),
+        nhat.as("chapman_total"),
+        round(col("n_minhash").cast("double") /
+          nullif(nhat.cast("double"), lit(0.0)), 6)
+          .as("recall_minhash"),
+        round(col("n_simhash").cast("double") /
+          nullif(nhat.cast("double"), lit(0.0)), 6)
+          .as("recall_simhash"))
+  }
+
   /** b-bit MinHash compression audit ([[Dedup.bbitMinhashEstimate]]):
     * the q120 estimate and its 1-bit-register sibling side by side
     * over the q24 LSH candidates — what Jaccard resolution survives
@@ -1825,7 +1909,11 @@ private[graft] object DedupRegistry {
        ORDER BY id_a, id_b"""
 
   /** TF-weighted SimHash CTE: identical bit math to Dedup.simhash. */
-  private[graft] val oracleSimhashCte: String = {
+  /** The simhash replay with PREFIXED CTE names, composable next to
+    * the shingle chain (whose `sh` name the unprefixed form collides
+    * with); final CTE `${p}shp` carries (doc_id, simhash_hex, hi, lo).
+    */
+  private[graft] def oracleSimhashCtes(p: String): String = {
     def bit(i: Int) =
       s"((CAST(('0x' || substr(h, ${i / 4 + 1}, 1)) AS BIGINT) >> ${3 - i % 4}) & 1)"
     val sums = (0 until 64)
@@ -1837,17 +1925,21 @@ private[graft] object DedupRegistry {
         .mkString(" + ")
       s"substr('0123456789abcdef', 1 + ($v), 1)"
     }.mkString(" || ")
-    s"""WITH toks AS (
+    s"""${p}toks AS (
        SELECT doc_id, unnest($oracleWords) AS token FROM documents),
-       th AS (SELECT doc_id, md5(token) AS h FROM toks),
-       sums AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
-       sh AS (SELECT doc_id, $hexDigits AS simhash_hex FROM sums),
-       shp AS (
+       ${p}th AS (SELECT doc_id, md5(token) AS h FROM ${p}toks),
+       ${p}sums AS (SELECT doc_id, $sums FROM ${p}th GROUP BY doc_id),
+       ${p}sh AS (SELECT doc_id, $hexDigits AS simhash_hex
+         FROM ${p}sums),
+       ${p}shp AS (
          SELECT doc_id, simhash_hex,
            CAST(('0x' || substr(simhash_hex, 1, 8)) AS BIGINT) AS hi,
            CAST(('0x' || substr(simhash_hex, 9, 8)) AS BIGINT) AS lo
-         FROM sh)"""
+         FROM ${p}sh)"""
   }
+
+  private[graft] val oracleSimhashCte: String =
+    "WITH " + oracleSimhashCtes("")
 
   /** Content-chunking CTE replay ([[graft.text.TextAnalysis
     * .chunkByContent]], the q109 construction) over `src` (a relation
