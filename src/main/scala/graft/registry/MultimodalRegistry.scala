@@ -72,8 +72,13 @@ private[graft] object MultimodalRegistry {
     val riffSize = when(flavor === 1, lit(17L)).otherwise(lit(22L))
     val fileHex = concat(lit("52494646"), leHex(riffSize, 4),
       lit("57454250"), chunk)
+    // stage the assembled bytes behind a projection: the decode tree
+    // reads the payload ~15 times (mime sniff + per-field offsets),
+    // and inlined it would re-evaluate the whole hex assembly per
+    // read — the q256 "project once, extract after" rule
     docs(s, dir)
-      .select(id, Multimodal.imageHeaderMeta(unhex(fileHex)).as("m"))
+      .select(id, unhex(fileHex).as("__bin"))
+      .select(id, Multimodal.imageHeaderMeta(col("__bin")).as("m"))
       .select(id, col("m.format").as("format"),
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.bit_depth").as("bit_depth"),
@@ -357,7 +362,8 @@ private[graft] object MultimodalRegistry {
       lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
       lit("08"), lpad(hex(colorType), 2, "0"), lit("000000"))
     docs(s, dir)
-      .select(id, Multimodal.imageHeaderMeta(unhex(headerHex)).as("m"))
+      .select(id, unhex(headerHex).as("__bin"))
+      .select(id, Multimodal.imageHeaderMeta(col("__bin")).as("m"))
       .select(id, col("m.format").as("format"),
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.bit_depth").as("bit_depth"),
@@ -395,7 +401,8 @@ private[graft] object MultimodalRegistry {
       lit("08"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
       lpad(hex(ncomp), 2, "0"), repeat(lit("001100"), ncomp))
     docs(s, dir)
-      .select(id, Multimodal.imageHeaderMeta(unhex(headerHex)).as("m"))
+      .select(id, unhex(headerHex).as("__bin"))
+      .select(id, Multimodal.imageHeaderMeta(col("__bin")).as("m"))
       .select(id, col("m.format").as("format"),
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.bit_depth").as("bit_depth"),
