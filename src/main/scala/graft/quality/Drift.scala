@@ -389,6 +389,75 @@ object Drift {
     ks.join(cvm, groupCols).join(mw, groupCols)
   }
 
+  /** Wilcoxon signed-rank test per group — the PAIRED sibling of
+    * [[mannWhitneyU]]: where MW compares two independent snapshots,
+    * this scores matched before/after pairs (the same key measured
+    * twice — a re-crawled document's quality, a customer's spend in
+    * two periods), which removes between-key variance and flags
+    * shifts MW's pooled ranks dilute.
+    *
+    * Input: one row per pair carrying `baseCol` and `curCol`. Zero
+    * differences drop (the standard Wilcoxon treatment); |d| ranks
+    * are tie-averaged HALF-UNIT integers from the per-distinct-|d|
+    * cumulative shape (the [[mannWhitneyU]] rank machinery — counts
+    * per (group, |d|), never a per-row window), so
+    * W⁺·2 = Σ_{d>0} rank2 is an exact BIGINT; the normal
+    * approximation z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    * is ONE mirrored double formula with the tie cubes exact in
+    * DECIMAL(38,0). Groups whose every difference is zero are ABSENT
+    * (no usable pairs — nothing to test); a degenerate σ² ≤ 0 (all
+    * |d| in one tie block) emits null z with drifted = false.
+    *
+    * Returns `(group…, n_pairs, n_zero, w_plus_half, z, drifted)`.
+    * Scale: one pair-keyed aggregate to build differences, one
+    * grouped count per distinct |d| (bounded by value cardinality),
+    * one group-sized aggregate.
+    */
+  def wilcoxonSignedRank(
+      pairs: DataFrame, baseCol: String, curCol: String,
+      groupCols: Seq[String], zAlpha: Double = 1.96): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (col(curCol).cast("double") - col(baseCol).cast("double"))
+      .as("__d")
+    val rows = pairs
+      .where(col(baseCol).isNotNull && col(curCol).isNotNull)
+      .select(groupCols.map(col) :+ d: _*)
+    val zeros = rows.where(col("__d") === 0.0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_zero"))
+    val per = rows.where(col("__d") =!= 0.0)
+      .groupBy(groupCols.map(col) :+ abs(col("__d")).as("__ad"): _*)
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__d") > 0.0, 1L).otherwise(0L)).as("__tp"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__ad").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = per
+      .withColumn("__c", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .withColumn("__rank2", lit(2L) * col("__c") + col("__t") + 1L)
+    val agg = cum.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__t")).as("n_pairs"),
+        sum(dec(col("__tp")) * dec(col("__rank2"))).as("__w2"),
+        sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+          dec(col("__t"))).as("__ties"))
+    val n = col("n_pairs")
+    val nD = n.cast("double")
+    val mu = nD * (nD + 1.0) / 4.0
+    val sigma2 = nD * (nD + 1.0) * (nD * 2.0 + 1.0) / 24.0 -
+      col("__ties").cast("double") / 48.0
+    val z = (col("__w2").cast("double") / 2.0 - mu) / sqrt(sigma2)
+    val zSafe = when(n < 1L || sigma2 <= 0.0,
+      lit(null).cast("double")).otherwise(z)
+    agg
+      .join(zeros, groupCols, "left")
+      .select(groupCols.map(col) ++ Seq(
+        n, coalesce(col("n_zero"), lit(0L)).as("n_zero"),
+        col("__w2").cast("long").as("w_plus_half"),
+        round(zSafe, 6).as("z"),
+        coalesce(abs(zSafe) > zAlpha, lit(false)).as("drifted")): _*)
+  }
+
   /** Shared MW-U tail over the `(group…, __v, __cb, __cc)`
     * per-distinct-value count frame.
     */

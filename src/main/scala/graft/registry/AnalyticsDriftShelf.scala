@@ -34,6 +34,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q269_theil_sen_trend" -> (theilSenQ _),
     "q277_drift_panel" -> (driftPanelQ _),
     "q278_drift_panel_store" -> (driftPanelStoreQ _),
+    "q281_wilcoxon_paired" -> (wilcoxonPairedQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -305,6 +306,61 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                  * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE)
                > 0.461 THEN 1 ELSE 0 END AS INT) AS drifted
          FROM agg ORDER BY o_orderpriority""",
+    // the q237 rank machinery on |d| with signs: half-unit tie-
+    // averaged ranks, HUGEINT rank sums and tie cubes, one mirrored
+    // double z; exact-cents differences so d is integer-exact
+    "q281_wilcoxon_paired" ->
+      """WITH sp AS (
+           SELECT c_mktsegment AS g,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS b,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+               + (o_orderkey % 7 - 3)
+               + CASE WHEN c_mktsegment = 'BUILDING'
+                 THEN CAST(floor(o_totalprice) AS BIGINT)
+                 ELSE 0 END AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         pr AS (
+           SELECT g, CAST(c AS DOUBLE) - CAST(b AS DOUBLE) AS d
+           FROM sp),
+         nz AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_zero
+           FROM pr WHERE d = 0 GROUP BY g),
+         per AS (
+           SELECT g, abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp
+           FROM pr WHERE d <> 0 GROUP BY g, abs(d)),
+         cum AS (
+           SELECT g, t, tp,
+             coalesce(sum(t) OVER (PARTITION BY g ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c
+           FROM per),
+         r AS (SELECT g, t, tp, 2 * c + t + 1 AS rank2 FROM cum),
+         agg AS (
+           SELECT g, CAST(sum(t) AS BIGINT) AS n_pairs,
+             sum(CAST(tp AS HUGEINT) * rank2) AS w2,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+           FROM r GROUP BY g),
+         f AS (
+           SELECT g, n_pairs, w2,
+             CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+               / 4.0 AS mu,
+             CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+               * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0
+               - CAST(ties AS DOUBLE) / 48.0 AS sigma2
+           FROM agg)
+         SELECT g AS c_mktsegment, n_pairs,
+           coalesce(n_zero, 0) AS n_zero,
+           CAST(w2 AS BIGINT) AS w_plus_half,
+           CASE WHEN n_pairs < 1 OR sigma2 <= 0 THEN NULL
+             ELSE round((CAST(w2 AS DOUBLE) / 2.0 - mu) / sqrt(sigma2),
+               6) END AS z,
+           CAST(CASE WHEN n_pairs < 1 OR sigma2 <= 0 THEN 0
+             WHEN abs((CAST(w2 AS DOUBLE) / 2.0 - mu) / sqrt(sigma2))
+               > 1.96 THEN 1 ELSE 0 END AS INT) AS drifted
+         FROM f LEFT JOIN nz USING (g)
+         ORDER BY c_mktsegment""",
     // the oracle is the RAW two-sample panel: the engine's
     // shard-merged count path must land on the identical statistics
     "q278_drift_panel_store" ->
@@ -875,6 +931,36 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
         col("mw_z"),
         col("mw_drifted").cast("int").as("mw_drifted"))
       .orderBy("event_type")
+  }
+
+  /** PAIRED drift ([[graft.quality.Drift.wilcoxonSignedRank]]): each
+    * order RE-MEASURED — the same key twice, so between-key variance
+    * cancels entirely — per market segment: the "current" reading is
+    * the exact cents plus deterministic symmetric noise
+    * (o_orderkey mod 7 − 3, mean zero, zeros drop as the Wilcoxon
+    * contract), plus a planted +1% creep on the BUILDING segment.
+    * The paired test flags BUILDING decisively while the clean
+    * segments stay null-ish — exactly the small within-key shift the
+    * pooled two-sample tests (q277) dilute below their thresholds.
+    */
+  private[graft] def wilcoxonPairedQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val noise = col("o_orderkey") % 7 - 3
+    val creep = when(col("c_mktsegment") === "BUILDING",
+      floor(col("o_totalprice")).cast("long")).otherwise(0L)
+    val pairs = o
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        cents.as("base_cents"),
+        (cents + noise + creep).as("cur_cents"))
+    graft.quality.Drift.wilcoxonSignedRank(pairs,
+        "base_cents", "cur_cents", Seq("c_mktsegment"))
+      .withColumn("drifted", col("drifted").cast("int"))
+      .orderBy("c_mktsegment")
   }
 
   private[graft] def ksDriftQ(s: SparkSession, dir: String): DataFrame = {
