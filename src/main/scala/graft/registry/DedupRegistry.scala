@@ -28,6 +28,7 @@ private[graft] object DedupRegistry {
     "q120_minhash_jaccard_est" -> (minhashJaccardEst _),
     "q276_bbit_minhash" -> (bbitMinhashEst _),
     "q280_dedup_capture_recapture" -> (dedupCaptureRecaptureQ _),
+    "q282_detector_disagreement" -> (detectorDisagreementQ _),
     "q121_containment_incremental" -> (containmentIncremental _),
     "q126_entity_resolution" -> (entityResolution _),
     "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
@@ -221,6 +222,48 @@ private[graft] object DedupRegistry {
          ORDER BY id_a, id_b""",
     // Broder estimator: per candidate pair, the fraction of the 16
     // Carter-Wegman signature components that agree
+    // the q280 chains emitted at pair level: inner join = both,
+    // anti joins = each detector's exclusive catches
+    "q282_detector_disagreement" ->
+      s"""WITH $oracleShingleCtes,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         mh AS (
+           SELECT ida, idb,
+             round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4)
+               AS jaccard
+           FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+             >= 0.8),
+         ${oracleSimhashCtes("s")},
+         sp AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(bit_count(xor(a.hi, b.hi))
+               + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+           FROM sshp a JOIN sshp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) <= 3)
+         SELECT 'both' AS verdict, mh.ida AS id_a, mh.idb AS id_b,
+           jaccard, hamming
+         FROM mh JOIN sp ON mh.ida = sp.ida AND mh.idb = sp.idb
+         UNION ALL
+         SELECT 'minhash_only', ida, idb, jaccard,
+           CAST(NULL AS INT)
+         FROM mh WHERE NOT EXISTS (SELECT 1 FROM sp
+           WHERE sp.ida = mh.ida AND sp.idb = mh.idb)
+         UNION ALL
+         SELECT 'simhash_only', ida, idb, CAST(NULL AS DOUBLE),
+           hamming
+         FROM sp WHERE NOT EXISTS (SELECT 1 FROM mh
+           WHERE mh.ida = sp.ida AND mh.idb = sp.idb)
+         ORDER BY verdict, id_a, id_b""",
     // both capture chains replayed (minhash verify at 0.8, simhash
     // hamming <= 3 all-pairs — exact by pigeonhole vs the banded
     // engine), Chapman as one integral division of exact counts
@@ -1286,6 +1329,45 @@ private[graft] object DedupRegistry {
         round(col("n_simhash").cast("double") /
           nullif(nhat.cast("double"), lit(0.0)), 6)
           .as("recall_simhash"))
+  }
+
+  /** The q280 audit's actionable drill-down: the pair-level REVIEW
+    * QUEUE of detector disagreements — near-dup pairs the MinHash
+    * verify caught but SimHash missed (reordered/paraphrase-shaped
+    * duplication SimHash's bag-of-words sums blur) and vice versa
+    * (token-swap variants whose Jaccard dips under 0.8 while the
+    * weighted bit profile barely moves), next to the agreed pairs,
+    * each with whatever evidence its detector(s) produced. This is
+    * the table a threshold-tuning decision reads; q280 prices its
+    * size. Same banded/blocked generators; anti/inner joins on the
+    * pair key are pair-domain-sized.
+    */
+  private[graft] def detectorDisagreementQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val keys = Seq("id_a", "id_b")
+    val mh = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .transform(graft.core.CacheScope.disk)
+    val sp = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+      .transform(graft.core.CacheScope.disk)
+    val both = mh.join(sp, keys)
+      .select(lit("both").as("verdict"), col("id_a"), col("id_b"),
+        col("jaccard"), col("hamming"))
+    val mhOnly = mh.join(sp, keys, "left_anti")
+      .select(lit("minhash_only").as("verdict"), col("id_a"),
+        col("id_b"), col("jaccard"),
+        lit(null).cast("int").as("hamming"))
+    val spOnly = sp.join(mh, keys, "left_anti")
+      .select(lit("simhash_only").as("verdict"), col("id_a"),
+        col("id_b"), lit(null).cast("double").as("jaccard"),
+        col("hamming"))
+    both.unionByName(mhOnly).unionByName(spOnly)
+      .orderBy("verdict", "id_a", "id_b")
   }
 
   /** b-bit MinHash compression audit ([[Dedup.bbitMinhashEstimate]]):
