@@ -34,7 +34,26 @@ private[graft] object SamplingRegistry {
     "q73_training_shards" -> (trainingShards _),
     "q212_stratified_kfold" -> (kfoldAuditQ _),
     "q217_padding_waste" -> (paddingWasteQ _),
+    "q283_pps_ht_estimate" -> (ppsHtQ _),
   )
+
+  /** PPS + Horvitz–Thompson corpus estimation
+    * ([[graft.sampling.Sampling.ppsHorvitzThompson]]): one global
+    * token-weighted Poisson sample (expected 100 docs) and the
+    * inverse-probability per-source doc-count / token-total
+    * estimates it supports, beside the true totals — the
+    * "monitor the corpus from a standing sample" audit. The
+    * inclusion test and inverse probabilities are exact integer
+    * arithmetic, so the oracle replays the draw bit-for-bit.
+    */
+  private[graft] def ppsHtQ(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.ppsHorvitzThompson(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("__tok")),
+        "doc_id", "__tok", Seq("source"), expectedK = 100,
+        salt = "q283")
+      .orderBy("source")
 
   /** Padding-waste / packing-win report
     * ([[graft.sampling.Packing.paddingWasteReport]]): at candidate
@@ -65,6 +84,37 @@ private[graft] object SamplingRegistry {
       .orderBy("fold", "o_orderpriority")
 
   def oracleSql: Map[String, String] = Map(
+    // the draw replays exactly: inclusion is the integer cross-
+    // multiplication h32·W < k·w·2^32, inverse probabilities are
+    // micro-quantized integral divisions, sums order-free
+    "q283_pps_ht_estimate" ->
+      s"""WITH r AS (
+           SELECT source, doc_id,
+             CAST(len($oracleWords) AS BIGINT) AS w
+           FROM documents WHERE len($oracleWords) > 0),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS totw FROM r),
+         s AS (
+           SELECT r.source, r.w, tot.totw,
+             CAST(('0x' || substr(md5('q283' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+           FROM r, tot),
+         m AS (
+           SELECT source, w, totw,
+             h32 * totw < 100 * 4294967296 * w AS insample,
+             CASE WHEN 100 * w >= totw THEN CAST(1000000 AS HUGEINT)
+               ELSE (CAST(totw AS HUGEINT) * 1000000) // (100 * w)
+               END AS ipm
+           FROM s)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(w) AS BIGINT) AS total_weight,
+           CAST(sum(CASE WHEN insample THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           round(CAST(sum(CASE WHEN insample THEN ipm ELSE 0 END)
+             AS DOUBLE) / 1e6, 4) AS ht_rows,
+           round(CAST(sum(CASE WHEN insample THEN ipm * w ELSE 0 END)
+             AS DOUBLE) / 1e6, 4) AS ht_weight
+         FROM m GROUP BY source ORDER BY source""",
     // exact token-count weights; Σw, Σw² through HUGEINT; ess/deff
     // each one mirrored double division
     "q266_effective_sample_size" ->

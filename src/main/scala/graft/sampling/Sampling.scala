@@ -427,6 +427,72 @@ object Sampling {
       (col("__alloc") === col("__cap")).as("capped"))
   }
 
+  /** PPS Poisson sample + Horvitz–Thompson estimation: include each
+    * row with probability proportional to its weight
+    * (p_i = min(1, k·w_i/W), expected sample size k), then estimate
+    * per-group row counts and weight totals from the SAMPLE alone via
+    * inverse-probability weighting — the survey-sampling answer to
+    * "report corpus statistics without scanning the corpus": at
+    * 100 TB the standing sample is what monitoring reads, and HT
+    * correction is what makes its totals unbiased rather than
+    * sample-composition artifacts.
+    *
+    * Exactness, cross-engine: the inclusion test never touches a
+    * float — row i is sampled iff h32·W < k·w_i·2³², where h32 is the
+    * md5-first-8-hex integer (the [[hashFraction]] family), an exact
+    * BIGINT cross-multiplication (p_i = 1 rows satisfy it for every
+    * h32 by construction). Inverse probabilities are micro-quantized
+    * integral divisions ⌊W·10⁶/(k·w_i)⌋ (p < 1) or exactly 10⁶
+    * (p = 1), summed order-free — in DECIMAL(38,0), since a single
+    * 1/p_min can reach W·10⁶/k and the group sum multiplies that by
+    * the sample. One final /10⁶ per output column, rounded to 4.
+    *
+    * Rows with non-positive weight have p = 0 and are OUTSIDE the
+    * estimable domain — excluded from the true totals too (the
+    * comparison must be like-for-like). Output per group: true
+    * n_rows/total_weight (for the audit; a production monitor would
+    * omit them) beside n_sampled, ht_rows, ht_weight.
+    *
+    * Scale: one global weight-total aggregate (broadcast back), one
+    * filter, one grouped aggregate — the corpus is never shuffled.
+    */
+  def ppsHorvitzThompson(
+      df: DataFrame, idCol: String, weightCol: String,
+      groupCols: Seq[String], expectedK: Int,
+      salt: String = "pps"): DataFrame = {
+    require(expectedK >= 1, "expectedK must be positive")
+    val w = col(weightCol).cast("long")
+    val rows = df.where(w.isNotNull && w > 0)
+      .select(groupCols.map(col) ++ Seq(col(idCol).as("__id"),
+        w.as("__w")): _*)
+    val tot = rows.agg(sum(col("__w")).as("__totw"))
+    val h32 = conv(substring(md5(concat(lit(salt),
+      col("__id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val inSample = h32 * col("__totw") <
+      lit(expectedK.toLong * 4294967296L) * col("__w")
+    val invPMicro = when(
+      lit(expectedK.toLong) * col("__w") >= col("__totw"),
+      lit(1000000L).cast("decimal(38,0)"))
+      .otherwise(expr(s"(CAST(__totw AS DECIMAL(38,0)) * 1000000) " +
+        s"div ($expectedK * __w)").cast("decimal(38,0)"))
+    rows.crossJoin(broadcast(tot))
+      .withColumn("__in", inSample)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__w")).as("total_weight"),
+        sum(when(col("__in"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("__in"), invPMicro)
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__hr"),
+        sum(when(col("__in"),
+          invPMicro * col("__w").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__hw"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_rows"), col("total_weight"), col("n_sampled"),
+        round(col("__hr").cast("double") / 1e6, 4).as("ht_rows"),
+        round(col("__hw").cast("double") / 1e6, 4).as("ht_weight")): _*)
+  }
+
   /** Deterministic epoch shuffle + worker sharding: the global
     * training-data order for epoch `e` — a reproducible permutation
     * (md5(salt‖epoch‖id) ranks, different per epoch, identical across
