@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Paired/ordered inference operators added round 16: McNemar's test
+  * (paired binary detectors), Mann–Kendall (monotonic-trend
+  * significance — the test companion of [[AnalyticsStatsOps.theilSenTrend]]'s
+  * slope estimate), Cochran–Armitage (dose–response trend in
+  * proportions across ordered categories), and the Benford first-digit
+  * conformance audit. All follow the shelf's exactness discipline:
+  * counts and test-statistic numerators are exact integers (DECIMAL
+  * casts BEFORE any product that could pass 2^63), doubles appear only
+  * in one final mirrored division/sqrt per emitted statistic.
+  */
+private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
+
+  /** McNemar's test for two PAIRED binary detectors over the same
+    * items: did detector A and detector B fire at different marginal
+    * rates? Only the discordant cells carry signal — b = A-only,
+    * c = B-only; χ² = (b−c)²/(b+c) and the continuity-corrected
+    * variant (|b−c|−1)²/(b+c), each exact-integer in the numerator
+    * with one double division. `differs` uses the corrected statistic
+    * against χ²₀.₀₅,₁ = 3.841.
+    *
+    * Scale: one grouped count over the item frame — the contingency
+    * cells, not the items, flow past the aggregation. The classic use
+    * here is comparing dedup detectors on their candidate-pair union
+    * (q284): the input is already the pair frame, so the test adds one
+    * shuffle on the group keys.
+    */
+  def mcnemar(
+      df: DataFrame, groupCols: Seq[String], aCol: String, bCol: String,
+      chi2Alpha: Double = 3.841): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(a && b, 1L).otherwise(0L)).as("n_both"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n_b_only"))
+    val nb = col("n_a_only")
+    val nc = col("n_b_only")
+    val disc = nb + nc
+    // (b−c)² in decimal: b of a trillion-pair corpus squares past 2^63
+    val chi2 = (dec(nb - nc) * dec(nb - nc)).cast("double") /
+      disc.cast("double")
+    val ccNum = greatest(abs(nb - nc) - 1L, lit(0L))
+    val chi2cc = (dec(ccNum) * dec(ccNum)).cast("double") /
+      disc.cast("double")
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_both"), nb, nc,
+      when(disc === 0L, lit(null).cast("double"))
+        .otherwise(round(chi2, 6)).as("chi2"),
+      when(disc === 0L, lit(null).cast("double"))
+        .otherwise(round(chi2cc, 6)).as("chi2_cc"),
+      coalesce(
+        when(disc === 0L, lit(false)).otherwise(chi2cc > chi2Alpha),
+        lit(false)).cast("int").as("differs")): _*)
+  }
+
+  /** Mann–Kendall monotonic-trend test per group over a bucketed
+    * series: S = Σ_{i<j} sign(y_j − y_i) on the bucket sums, the
+    * tie-corrected variance numerator
+    * varNum = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (Var(S) = varNum/18),
+    * Kendall's τ_a = 2S/(n(n−1)), and the continuity-corrected
+    * z = (S∓1)/√(varNum/18). The inferential companion of
+    * [[AnalyticsStatsOps.theilSenTrend]]: the slope says HOW FAST,
+    * this says WHETHER the monotone trend is real.
+    *
+    * Exactness: S, varNum, and every count are exact integers (the
+    * cubic tie terms computed in DECIMAL before the sum); τ and z are
+    * each one mirrored double division. Scale: the pair join is
+    * buckets² per group — buckets are DAYS (or another coarse grain),
+    * so a 10-year daily series is ~6.7M pairs per group, shuffled on
+    * the group key only; the corpus itself is touched once by the
+    * bucket-sum aggregation. The n³-sized varNum stays well inside
+    * BIGINT to ~10⁶ buckets per group (documented Int64 contract).
+    */
+  def mannKendall(
+      df: DataFrame, groupCols: Seq[String], bucketIdx: Column,
+      valueCents: Column, zAlpha: Double = 1.96): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = df
+      .select(groupCols.map(col) ++ Seq(
+        bucketIdx.cast("long").as("__bx"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__bx").isNotNull && col("__y").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__bx"): _*)
+      .agg(sum(col("__y")).as("__y"))
+      .transform(graft.core.CacheScope.disk)
+    val counts = per.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"))
+    val b = per.select(groupCols.map(col) ++ Seq(
+      col("__bx").as("__bx2"), col("__y").as("__y2")): _*)
+    val s = per.join(b, groupCols)
+      .where(col("__bx") < col("__bx2"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(when(col("__y2") > col("__y"), 1L)
+        .when(col("__y2") < col("__y"), -1L).otherwise(0L))
+        .as("s_stat"))
+    val t = col("__t")
+    val ties = per.groupBy(groupCols.map(col) :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(dec(t) * dec(t - 1L) * dec(t * 2L + 5L)).as("__ties"))
+    val n = col("n_buckets")
+    val varNum = (dec(n) * dec(n - 1L) * dec(n * 2L + 5L) -
+      coalesce(col("__ties"), lit(0L).cast("decimal(38,0)")))
+      .cast("long")
+    val sv = coalesce(col("s_stat"), lit(0L))
+    val sD = sv.cast("double")
+    val sd = sqrt(col("var_num").cast("double") / 18.0)
+    val z = when(sv > 0L, (sD - 1.0) / sd)
+      .when(sv < 0L, (sD + 1.0) / sd)
+      .otherwise(lit(0.0))
+    val zSafe = when(col("var_num") <= 0L, lit(null).cast("double"))
+      .otherwise(z)
+    val tau = sD * 2.0 / (n.cast("double") * (n.cast("double") - 1.0))
+    counts
+      .join(s, groupCols, "left")
+      .join(ties, groupCols, "left")
+      .withColumn("var_num", varNum)
+      .select(groupCols.map(col) ++ Seq(
+        n, sv.as("s_stat"), col("var_num"),
+        when(n < 2L, lit(null).cast("double"))
+          .otherwise(round(tau, 6)).as("tau"),
+        round(zSafe, 6).as("z"),
+        coalesce(abs(zSafe) > zAlpha, lit(false)).cast("int")
+          .as("trending")): _*)
+  }
+
+  /** Cochran–Armitage trend-in-proportions test per group: across
+    * ordered dose levels w with nᵢ items and rᵢ successes each, is
+    * the success rate monotonically drifting with the dose?
+    * T·N = N·Σwrᵢ − R·Σwnᵢ (exact), Var(T·N) =
+    * R(N−R)(N·Σw²nᵢ − (Σwnᵢ)²)/(N−1), z = num/√var — every moment an
+    * exact integer (DECIMAL products), one mirrored double division +
+    * sqrt. The binary-outcome sibling of [[mannKendall]]: that one
+    * tests a measured series, this one a conversion ladder (the
+    * "does quality-bucket rank predict rejection rate" reading).
+    *
+    * Scale: one grouped count to the (group, dose) level table —
+    * everything after is level-cardinality-sized.
+    */
+  def cochranArmitage(
+      df: DataFrame, groupCols: Seq[String], doseCol: Column,
+      flagCol: Column, zAlpha: Double = 1.96): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lvl = df
+      .select(groupCols.map(col) ++ Seq(
+        doseCol.cast("long").as("__w"),
+        flagCol.cast("long").as("__f")): _*)
+      .where(col("__w").isNotNull && col("__f").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__w"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__f")).as("__r"))
+    val w = col("__w")
+    val agg = lvl.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__r")).as("n_pos"),
+        sum(dec(w) * dec(col("__n"))).as("__swn"),
+        sum(dec(w) * dec(col("__r"))).as("__swr"),
+        sum(dec(w) * dec(w) * dec(col("__n"))).as("__sw2n"),
+        count(lit(1)).as("n_levels"))
+    val nD = col("n").cast("decimal(38,0)")
+    val rD = col("n_pos").cast("decimal(38,0)")
+    val num = (nD * col("__swr") - rD * col("__swn")).cast("double")
+    val varD = ((rD * (nD - rD)) *
+      (nD * col("__sw2n") - col("__swn") * col("__swn")))
+      .cast("double") / (col("n") - 1L).cast("double")
+    val z = num / sqrt(varD)
+    val zSafe = when(col("n") < 2L || col("n_pos") === 0L ||
+        col("n_pos") === col("n") || col("n_levels") < 2L,
+      lit(null).cast("double")).otherwise(z)
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n"), col("n_pos"), col("n_levels"),
+      round(zSafe, 6).as("z"),
+      coalesce(abs(zSafe) > zAlpha, lit(false)).cast("int")
+        .as("trending")): _*)
+  }
+
+  /** Benford first-significant-digit conformance per group over a
+    * positive integer (cents) column: observed digit shares vs
+    * log₁₀(1 + 1/d), Pearson χ² against the Benford expectation, and
+    * the mean absolute deviation of the shares. The fast screen for
+    * FABRICATED or template-generated numeric columns in a mixed-
+    * provenance corpus — synthetic uniform amounts flunk it while
+    * organically-grown multiplicative totals pass.
+    *
+    * Determinism: the leading digit is the first character of the
+    * integer's decimal string (no float log in the hot path); the
+    * nine expected shares are FIXED literals shared with the oracle;
+    * each digit's χ²/MAD term is floor-µ-quantized before the
+    * order-free integer sum, so the emitted doubles are exact
+    * divisions of exact sums. Zero-count digits still contribute
+    * their expected mass (the digit frame is a 9-row literal cross
+    * join, cell-sized). `benford_ok` is χ² ≤ 15.507 (χ²₀.₀₅,₈).
+    *
+    * Scale: one grouped count to (group, digit) — 9 cells per group.
+    */
+  def benfordAudit(
+      df: DataFrame, groupCols: Seq[String], cents: Column,
+      chi2Alpha: Double = 15.507): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df
+      .select(groupCols.map(col) :+ cents.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull && col("__v") > 0L)
+      .withColumn("__d", substring(col("__v").cast("string"), 1, 1)
+        .cast("int"))
+      .groupBy(groupCols.map(col) :+ col("__d"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val expected = benfordShares.toSeq.toDF("__d", "__p")
+    // every group × all nine digits: zero observed cells still carry
+    // their expected mass (dropping them understates χ², the chiSquare
+    // treatment)
+    val keys = obs.select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(expected))
+    val full = keys.join(obs, groupCols :+ "__d", "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val tot = full.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__o")).as("n"))
+    val e = col("n").cast("double") * col("__p")
+    val oD = col("__o").cast("double")
+    val chiTerm = (oD - e) * (oD - e) / e
+    val madTerm = abs(oD / col("n").cast("double") - col("__p"))
+    full.join(tot, groupCols)
+      .withColumn("__chi_u", floor(chiTerm * 1e6).cast("long"))
+      .withColumn("__mad_u", floor(madTerm * 1e9).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        first(col("n")).as("n"),
+        sum(col("__chi_u")).as("__chi_s"),
+        sum(col("__mad_u")).as("__mad_s"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        round(col("__chi_s").cast("double") / 1e6, 6).as("chi2"),
+        round(col("__mad_s").cast("double") / 1e9 / 9.0, 6).as("mad"),
+        (col("__chi_s").cast("double") / 1e6 <= chi2Alpha).cast("int")
+          .as("benford_ok")): _*)
+  }
+
+  /** The nine Benford shares log₁₀(1 + 1/d), pinned as literals so the
+    * engine and the DuckDB oracle consume bit-identical constants.
+    */
+  val benfordShares: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+}

@@ -29,6 +29,7 @@ private[graft] object DedupRegistry {
     "q276_bbit_minhash" -> (bbitMinhashEst _),
     "q280_dedup_capture_recapture" -> (dedupCaptureRecaptureQ _),
     "q282_detector_disagreement" -> (detectorDisagreementQ _),
+    "q284_mcnemar_detectors" -> (mcnemarDetectorsQ _),
     "q121_containment_incremental" -> (containmentIncremental _),
     "q126_entity_resolution" -> (entityResolution _),
     "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
@@ -264,6 +265,59 @@ private[graft] object DedupRegistry {
          FROM sp WHERE NOT EXISTS (SELECT 1 FROM mh
            WHERE mh.ida = sp.ida AND mh.idb = sp.idb)
          ORDER BY verdict, id_a, id_b""",
+    // the q280 capture chains reduced to the McNemar cells: discordant
+    // counts exact, (b−c)² in HUGEINT, one double division per χ²
+    "q284_mcnemar_detectors" ->
+      s"""WITH $oracleShingleCtes,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         mh AS (
+           SELECT ida, idb FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+             >= 0.8),
+         ${oracleSimhashCtes("s")},
+         sp AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM sshp a JOIN sshp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) <= 3),
+         cells AS (
+           SELECT
+             (SELECT count(*) FROM mh JOIN sp USING (ida, idb))
+               AS n11,
+             (SELECT count(*) FROM mh WHERE NOT EXISTS (
+               SELECT 1 FROM sp
+               WHERE sp.ida = mh.ida AND sp.idb = mh.idb)) AS b,
+             (SELECT count(*) FROM sp WHERE NOT EXISTS (
+               SELECT 1 FROM mh
+               WHERE mh.ida = sp.ida AND mh.idb = sp.idb)) AS c),
+         f AS (
+           SELECT n11, b, c,
+             (CAST(b AS HUGEINT) - c) * (CAST(b AS HUGEINT) - c)
+               AS num,
+             greatest(abs(CAST(b AS HUGEINT) - c) - 1, 0)
+               * greatest(abs(CAST(b AS HUGEINT) - c) - 1, 0)
+               AS num_cc
+           FROM cells)
+         SELECT CAST(n11 AS BIGINT) AS n_both,
+           CAST(b AS BIGINT) AS n_minhash_only,
+           CAST(c AS BIGINT) AS n_simhash_only,
+           CASE WHEN b + c = 0 THEN NULL
+             ELSE round(CAST(num AS DOUBLE) / (b + c), 6) END AS chi2,
+           CASE WHEN b + c = 0 THEN NULL
+             ELSE round(CAST(num_cc AS DOUBLE) / (b + c), 6)
+             END AS chi2_cc,
+           CAST(CASE WHEN b + c = 0 THEN 0
+             WHEN CAST(num_cc AS DOUBLE) / (b + c) > 3.841 THEN 1
+             ELSE 0 END AS INT) AS differs
+         FROM f""",
     // both capture chains replayed (minhash verify at 0.8, simhash
     // hamming <= 3 all-pairs — exact by pigeonhole vs the banded
     // engine), Chapman as one integral division of exact counts
@@ -1368,6 +1422,33 @@ private[graft] object DedupRegistry {
         col("hamming"))
     both.unionByName(mhOnly).unionByName(spOnly)
       .orderBy("verdict", "id_a", "id_b")
+  }
+
+  /** McNemar's test ([[Analytics.mcnemar]]) over the q280 detector
+    * pair: do MinHash-LSH and SimHash fire at DIFFERENT marginal rates
+    * on the candidate-pair union? q282 lists the disagreements and
+    * q280 estimates the un-caught population; this is the inferential
+    * verdict on whether the two detectors' coverage differs at all —
+    * the report read before retiring one of a redundant detector
+    * pair. Only the discordant counts carry signal; both χ² variants
+    * are exact-integer numerators over one double division.
+    */
+  private[graft] def mcnemarDetectorsQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val keys = Seq("id_a", "id_b")
+    val mh = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_minhash"))
+    val sp = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_simhash"))
+    val flags = mh.join(sp, keys, "full_outer")
+      .select(coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
+        coalesce(col("by_simhash"), lit(false)).as("by_simhash"))
+    graft.operators.Analytics.mcnemar(flags, Seq.empty,
+        "by_minhash", "by_simhash")
+      .withColumnRenamed("n_a_only", "n_minhash_only")
+      .withColumnRenamed("n_b_only", "n_simhash_only")
   }
 
   /** b-bit MinHash compression audit ([[Dedup.bbitMinhashEstimate]]):
