@@ -35,6 +35,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q277_drift_panel" -> (driftPanelQ _),
     "q278_drift_panel_store" -> (driftPanelStoreQ _),
     "q281_wilcoxon_paired" -> (wilcoxonPairedQ _),
+    "q285_mann_kendall" -> (mannKendallQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -361,6 +362,54 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                > 1.96 THEN 1 ELSE 0 END AS INT) AS drifted
          FROM f LEFT JOIN nz USING (g)
          ORDER BY c_mktsegment""",
+    // daily-sum self-join replays S exactly; tie cubes and the n³
+    // variance numerator in HUGEINT; τ and z one mirrored division
+    "q285_mann_kendall" ->
+      """WITH x AS (
+           SELECT event_type AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value * 100 * (1.0 +
+                 CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE)
+                   / 10.0)) AS BIGINT)
+               ELSE CAST(floor(value * 100) AS BIGINT) END)
+               AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         n AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+           FROM x GROUP BY g),
+         s AS (
+           SELECT a.g, CAST(sum(CASE WHEN b.y > a.y THEN 1
+             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM x a JOIN x b ON a.g = b.g AND a.day < b.day
+           GROUP BY a.g),
+         ties AS (
+           SELECT g, sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+             AS ties
+           FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t
+             FROM x GROUP BY g, y) GROUP BY g),
+         f AS (
+           SELECT n.g, n.n, coalesce(s.s, 0) AS s,
+             CAST(CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5)
+               - coalesce(ties.ties, 0) AS BIGINT) AS var_num
+           FROM n LEFT JOIN s ON s.g = n.g
+           LEFT JOIN ties ON ties.g = n.g),
+         fz AS (
+           SELECT g, n, s, var_num,
+             CASE WHEN var_num <= 0 THEN NULL
+               WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                 / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+               WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                 / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+               ELSE 0.0 END AS z
+           FROM f)
+         SELECT g AS event_type, n AS n_buckets, s AS s_stat, var_num,
+           CASE WHEN n < 2 THEN NULL
+             ELSE round(CAST(s AS DOUBLE) * 2.0
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+             END AS tau,
+           round(z, 6) AS z,
+           CAST(coalesce(abs(z) > 1.96, FALSE) AS INT) AS trending
+         FROM fz ORDER BY event_type""",
     // the oracle is the RAW two-sample panel: the engine's
     // shard-merged count path must land on the identical statistics
     "q278_drift_panel_store" ->
@@ -998,6 +1047,31 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     * day's exact cents sum. Bounded bucket² pair join, exact order
     * statistics, mirrored double slopes.
     */
+  /** Mann–Kendall monotonic-trend test ([[Analytics.mannKendall]]) of
+    * daily event value per event type — WHETHER the trend q269's
+    * Theil–Sen slope measures is statistically real. A deterministic
+    * +day/10 proportional growth is planted on the purchase type (the
+    * cents floor re-seeded by the oracle), so the test must flag
+    * purchase with a decisively positive τ; the un-planted types
+    * report whatever the corpus actually does (at sf0.001 the error
+    * type genuinely drifts down — the test reads it honestly).
+    * S and the tie-corrected variance numerator are exact integers;
+    * τ_a and the continuity-corrected z are each one mirrored double
+    * division.
+    */
+  private[graft] def mannKendallQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val cents = when(col("event_type") === "purchase",
+      floor(col("value") * 100 *
+        (lit(1.0) + day.cast("double") / 10.0)))
+      .otherwise(floor(col("value") * 100))
+      .cast("long")
+    Analytics.mannKendall(e, Seq("event_type"), day, cents)
+      .orderBy("event_type")
+  }
+
   private[graft] def theilSenQ(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).where(col("value").isNotNull)
     Analytics.theilSenTrend(e, Seq("event_type"),
