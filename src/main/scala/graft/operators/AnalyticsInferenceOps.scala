@@ -243,6 +243,69 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
           .as("benford_ok")): _*)
   }
 
+  /** Page–Hinkley sequential change detection per group over a
+    * bucketed measured series: each bucket's mean (µ-quantized) is
+    * compared against the RUNNING mean of the series so far, the
+    * slack-discounted deviations accumulate, and the alarm fires when
+    * the cumulative sum rises `lambdaMicro` above its own running
+    * minimum. The measured-value sibling of
+    * [[AnalyticsStatsOps.cusumFixedTarget]]: CUSUM monitors an event
+    * RATE against a fixed target, this monitors a value LEVEL against
+    * its own history — no reference rate to configure, so it fits a
+    * metric whose baseline is unknown up front.
+    *
+    * PH_t = m_t − min_{s≤t} m_s with
+    * m_t = Σ_{i≤t} (x̄ᵢµ − floor(Sᵢµ/i) − δµ): every quantity after
+    * the two mirrored floor-divisions (bucket mean, running mean) is
+    * an exact BIGINT, so the whole trace — including the alarm bucket
+    * — replays bit-for-bit in any engine with IEEE doubles. The
+    * running-min identity is the same window trick the CUSUM shelf
+    * uses: no recursion, no UDF, one window pass per group.
+    *
+    * Scale: one grouped aggregation to (group, bucket), one window
+    * over buckets per group. Int64 contract: per-bucket cents × 10⁶
+    * must stay inside 2⁵³ for the quantization to be exact
+    * (≈ $90M/bucket — pass coarser units past that).
+    */
+  def pageHinkley(
+      df: DataFrame, groupCols: Seq[String], bucketIdx: Column,
+      valueCents: Column, deltaMicro: Long, lambdaMicro: Long): DataFrame = {
+    val per = df
+      .select(groupCols.map(col) ++ Seq(
+        bucketIdx.cast("long").as("__bx"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__bx").isNotNull && col("__y").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__bx"): _*)
+      .agg(sum(col("__y")).as("__s"), count(lit(1)).as("__c"))
+      // bucket mean in µ-cents: multiply AFTER the double cast (the
+      // Holt treatment) so the long product can't wrap
+      .withColumn("__x", floor(col("__s").cast("double") * 1e6 /
+        col("__c").cast("double")).cast("long"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__bx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ord = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__bx"))
+    val traced = per
+      .withColumn("__t", row_number().over(ord).cast("long"))
+      .withColumn("__cum", sum(col("__x")).over(w))
+      .withColumn("__term", col("__x") -
+        floor(col("__cum").cast("double") / col("__t").cast("double"))
+          .cast("long") - lit(deltaMicro))
+      .withColumn("__m", sum(col("__term")).over(w))
+      // the running min includes the current row, so PH_t ≥ 0 always
+      .withColumn("__ph", col("__m") - min(col("__m")).over(w))
+    traced.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("__ph")).as("ph_max"),
+        min(when(col("__ph") >= lambdaMicro, col("__bx")))
+          .as("alarm_bucket"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_buckets"), col("ph_max"), col("alarm_bucket"),
+        col("alarm_bucket").isNotNull.cast("int").as("alarmed")): _*)
+  }
+
   /** The nine Benford shares log₁₀(1 + 1/d), pinned as literals so the
     * engine and the DuckDB oracle consume bit-identical constants.
     */

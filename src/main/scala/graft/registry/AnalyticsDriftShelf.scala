@@ -36,6 +36,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q278_drift_panel_store" -> (driftPanelStoreQ _),
     "q281_wilcoxon_paired" -> (wilcoxonPairedQ _),
     "q285_mann_kendall" -> (mannKendallQ _),
+    "q286_page_hinkley" -> (pageHinkleyQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -410,6 +411,51 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
            round(z, 6) AS z,
            CAST(coalesce(abs(z) > 1.96, FALSE) AS INT) AS trending
          FROM fz ORDER BY event_type""",
+    // the PH trace replayed: bucket mean and running mean are the
+    // two mirrored floor-divisions, everything after is BIGINT; the
+    // running-min window identity needs no recursion
+    "q286_page_hinkley" ->
+      """WITH per AS (
+           SELECT event_type AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS bx,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               AND CAST(ts AS DATE) >= DATE '2024-01-21'
+               THEN CAST(floor(value * 100 * 1.5) AS BIGINT)
+               ELSE CAST(floor(value * 100) AS BIGINT) END)
+               AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         x AS (
+           SELECT g, bx, CAST(floor(CAST(s AS DOUBLE) * 1000000.0
+             / CAST(c AS DOUBLE)) AS BIGINT) AS x
+           FROM per),
+         tr AS (
+           SELECT g, bx, x,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY bx)
+               AS BIGINT) AS t,
+             CAST(sum(x) OVER (PARTITION BY g ORDER BY bx)
+               AS BIGINT) AS cum
+           FROM x),
+         tm AS (
+           SELECT g, bx,
+             x - CAST(floor(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE))
+               AS BIGINT) - 500000000 AS term
+           FROM tr),
+         m AS (
+           SELECT g, bx, CAST(sum(term) OVER (
+             PARTITION BY g ORDER BY bx) AS BIGINT) AS m
+           FROM tm),
+         ph AS (
+           SELECT g, bx, m - min(m) OVER (
+             PARTITION BY g ORDER BY bx) AS ph
+           FROM m)
+         SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(ph) AS BIGINT) AS ph_max,
+           CAST(min(CASE WHEN ph >= 12000000000 THEN bx END)
+             AS BIGINT) AS alarm_bucket,
+           CAST(CASE WHEN min(CASE WHEN ph >= 12000000000 THEN bx END)
+             IS NOT NULL THEN 1 ELSE 0 END AS INT) AS alarmed
+         FROM ph GROUP BY g ORDER BY event_type""",
     // the oracle is the RAW two-sample panel: the engine's
     // shard-merged count path must land on the identical statistics
     "q278_drift_panel_store" ->
@@ -1069,6 +1115,31 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
       .otherwise(floor(col("value") * 100))
       .cast("long")
     Analytics.mannKendall(e, Seq("event_type"), day, cents)
+      .orderBy("event_type")
+  }
+
+  /** Page–Hinkley change detection ([[Analytics.pageHinkley]]) of the
+    * daily mean event value per event type — the self-calibrating
+    * level monitor beside q205's fixed-target CUSUM: no reference
+    * rate to configure, the series is tested against its own running
+    * mean with δ = 500 cents of slack and a λ = 12 000-cent alarm
+    * budget. A ×1.5 step is planted on purchase values from
+    * 2024-01-21 (re-seeded by the oracle); the monitor must alarm on
+    * purchase within the shifted window at every SF while the clean
+    * types stay quiet. The whole trace is exact BIGINTs after two
+    * mirrored floor-divisions.
+    */
+  private[graft] def pageHinkleyQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val cents = when(col("event_type") === "purchase" &&
+        to_date(col("ts")) >= lit("2024-01-21").cast("date"),
+      floor(col("value") * 100 * 1.5))
+      .otherwise(floor(col("value") * 100))
+      .cast("long")
+    Analytics.pageHinkley(e, Seq("event_type"), day, cents,
+        deltaMicro = 500000000L, lambdaMicro = 12000000000L)
       .orderBy("event_type")
   }
 
