@@ -55,9 +55,53 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q260_segment_fdr_screen" -> (segmentFdrQ _),
     "q263_mantel_haenszel" -> (mantelHaenszelQ _),
     "q271_shapley_attribution" -> (shapleyQ _),
+    "q287_cochran_armitage" -> (cochranArmitageQ _),
   )
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // level table exact, all five moments in HUGEINT, one mirrored
+    // division + sqrt for z; the planted MACHINERY ladder re-seeded
+    "q287_cochran_armitage" ->
+      """WITH b AS (
+           SELECT c_mktsegment AS g,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CASE WHEN c_mktsegment = 'MACHINERY'
+               THEN CASE WHEN o_orderkey % 100 < 10
+                 + 6 * CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                 THEN 1 ELSE 0 END
+               ELSE CASE WHEN o_orderkey % 100 < 10 THEN 1 ELSE 0 END
+               END AS f
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         lvl AS (
+           SELECT g, w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(f) AS BIGINT) AS r
+           FROM b GROUP BY g, w),
+         agg AS (
+           SELECT g, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS n_pos,
+             sum(CAST(w AS HUGEINT) * n) AS swn,
+             sum(CAST(w AS HUGEINT) * r) AS swr,
+             sum(CAST(w AS HUGEINT) * w * n) AS sw2n,
+             CAST(count(*) AS BIGINT) AS n_levels
+           FROM lvl GROUP BY g),
+         f AS (
+           SELECT g, n, n_pos, n_levels,
+             CAST(CAST(n AS HUGEINT) * swr
+               - CAST(n_pos AS HUGEINT) * swn AS DOUBLE) AS num,
+             CAST((CAST(n_pos AS HUGEINT) * (n - n_pos))
+               * (CAST(n AS HUGEINT) * sw2n - swn * swn) AS DOUBLE)
+               / CAST(n - 1 AS DOUBLE) AS vard
+           FROM agg),
+         z AS (
+           SELECT g, n, n_pos, n_levels,
+             CASE WHEN n < 2 OR n_pos = 0 OR n_pos = n
+               OR n_levels < 2 THEN NULL
+               ELSE num / sqrt(vard) END AS z
+           FROM f)
+         SELECT g AS c_mktsegment, n, n_pos, n_levels,
+           round(z, 6) AS z,
+           CAST(coalesce(abs(z) > 1.96, FALSE) AS INT) AS trending
+         FROM z ORDER BY c_mktsegment""",
     // exact sorted-index Gini: Σ i·x is tie-permutation-invariant, so
     // the ck tie-break pins only the intermediate; HUGEINT products,
     // one double division before round(…, 6)
@@ -1913,6 +1957,33 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.wilsonRates(t(s, dir, "orders"), Seq("o_orderpriority"),
         col("o_orderstatus") === "F", z = 1.96)
       .orderBy("o_orderpriority")
+
+  /** Cochran–Armitage trend-in-proportions ([[Analytics.cochranArmitage]])
+    * across the five order-priority levels per market segment: is the
+    * flag rate climbing with the priority ladder? A deterministic
+    * dose-response (rate 10% + 6%·level) is planted on the MACHINERY
+    * segment via orderkey arithmetic the oracle re-seeds; the other
+    * segments carry the flat 10% base rate, so the test must flag
+    * MACHINERY decisively (z = 3.96 at sf0.001, 9.10 at sf0.01); the
+    * flat segments read as the sample actually falls (orderkey mod
+    * isn't perfectly uniform per cell at a few hundred rows). Every
+    * moment is an exact integer; z is one mirrored division + sqrt.
+    */
+  private[graft] def cochranArmitageQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = substring(col("o_orderpriority"), 1, 1).cast("long")
+    val flag = when(col("c_mktsegment") === "MACHINERY",
+      col("o_orderkey") % 100 < lit(10L) + w * 6L)
+      .otherwise(col("o_orderkey") % 100 < 10L)
+    val joined = o.join(broadcast(c),
+      col("o_custkey") === col("c_custkey"))
+    Analytics.cochranArmitage(joined, Seq("c_mktsegment"), w,
+        flag.cast("long"))
+      .orderBy("c_mktsegment")
+  }
 
   /** Empirical-Bayes shrinkage of per-customer fulfillment rates
     * ([[Analytics.ebShrinkRates]], beta-binomial method-of-moments
