@@ -48,6 +48,7 @@ private[graft] object TextRegistry {
     "q259_retrieval_macro" -> (retrievalMacroQ _),
     "q262_vocab_overlap" -> (vocabOverlapQ _),
     "q264_token_drift" -> (tokenDriftQ _),
+    "q288_heaps_law" -> (heapsLawQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -803,6 +804,60 @@ private[graft] object TextRegistry {
                  / CAST(n_tokens AS DOUBLE))
              / ln(CAST(n_tokens AS DOUBLE)) END, 6) AS norm_entropy
          FROM d ORDER BY doc_id""",
+    // value-sliced checkpoints via integer floor division; first-doc
+    // vocabulary counts; nano-quantized ln points into exact OLS sums
+    "q288_heaps_law" ->
+      s"""WITH tok AS (
+           SELECT doc_id, $oracleWords AS ws
+           FROM documents WHERE text IS NOT NULL),
+         pd AS (
+           SELECT doc_id, CAST(len(ws) AS BIGINT) AS ntok FROM tok),
+         bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+           FROM pd),
+         cps AS (
+           SELECT k AS checkpoint,
+             lo - 1 + ((hi - lo + 1) * k) // 12 AS b
+           FROM bounds, (SELECT unnest(generate_series(1, 12)) AS k) t),
+         curve AS (
+           SELECT checkpoint, b, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS cum_tokens
+           FROM cps JOIN pd ON pd.doc_id <= cps.b GROUP BY 1, 2),
+         fd AS (
+           SELECT w, min(doc_id) AS fdoc FROM (
+             SELECT doc_id, unnest(ws) AS w FROM tok) GROUP BY w),
+         vv AS (
+           SELECT checkpoint, CAST(count(*) AS BIGINT) AS vocab
+           FROM cps JOIN fd ON fd.fdoc <= cps.b GROUP BY 1),
+         pts AS (
+           SELECT c.checkpoint, c.b, c.n_docs, c.cum_tokens, v.vocab
+           FROM curve c JOIN vv v USING (checkpoint)),
+         q AS (
+           SELECT CAST(floor(ln(CAST(cum_tokens AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(vocab AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS yq
+           FROM pts WHERE cum_tokens > 0 AND vocab > 0),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(xq) AS BIGINT) AS sx,
+             CAST(sum(yq) AS BIGINT) AS sy,
+             sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+             sum(CAST(xq AS HUGEINT) * xq) AS sxx FROM q),
+         fit AS (
+           SELECT CASE WHEN m < 2 THEN NULL
+             ELSE CAST(CAST(m AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(CAST(m AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS beta,
+             m, sx, sy FROM s),
+         fin AS (
+           SELECT beta, CASE WHEN beta IS NULL THEN NULL
+             ELSE exp(((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+               / CAST(m AS DOUBLE)) / 1000000000.0) END AS kc
+           FROM fit)
+         SELECT checkpoint, b AS boundary_doc, n_docs, cum_tokens,
+           vocab, round(beta, 6) AS beta, round(kc, 4) AS k_coef
+         FROM pts, fin ORDER BY checkpoint""",
     // KL terms nano-quantized before the order-free integer sum;
     // floor truncates toward −∞ identically on the negative terms
     "q241_lang_divergence" ->
@@ -1329,6 +1384,16 @@ private[graft] object TextRegistry {
   private[graft] def lexicalDiversityQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lexicalDiversity(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** Heaps'-law vocabulary-growth fit ([[TextAnalysis.heapsLawFit]]):
+    * 12 doc-id-boundary checkpoints of cumulative tokens vs
+    * cumulative vocabulary (a word counts from its FIRST doc — one
+    * grouped min, no token-level window) plus the log–log OLS β and
+    * K. The growth-curve complement of q258's Chao1 point estimate.
+    */
+  private[graft] def heapsLawQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsLawFit(docs(s, dir), "doc_id", "text")
+      .orderBy("checkpoint")
 
   /** Per-language unigram KL divergence from the corpus distribution
     * ([[TextAnalysis.langUnigramDivergence]]), nano-quantized

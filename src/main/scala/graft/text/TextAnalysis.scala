@@ -1817,4 +1817,91 @@ object TextAnalysis {
       .withColumn("kl",
         round(col("kl_nano").cast("double") / 1000000000.0, 6))
   }
+
+  /** Heaps'-law vocabulary-growth fit V(n) = K·n^β over the corpus in
+    * doc-id order: the growth-curve reading beside Chao1's point
+    * estimate — β well below 1 means the vocabulary is saturating, β
+    * near 1 means more data keeps buying new types (the "will more
+    * data still grow this vocab" datasheet row, with the CURVE to
+    * show for it). Emits one row per checkpoint (cumulative tokens,
+    * cumulative vocabulary at that doc-id boundary) plus the fitted
+    * β and K from a log–log least squares over the checkpoints.
+    *
+    * Mechanics: checkpoint boundaries are doc-id-VALUE slices
+    * (lo−1 + ⌊(hi−lo+1)·k/K⌋ — integer floor division, no global
+    * row-number sort, so no single-partition window anywhere); the
+    * cumulative vocabulary at a boundary is the count of words whose
+    * FIRST doc id is ≤ the boundary — one grouped min per word, one
+    * broadcast join against the K-row boundary frame, never a
+    * token-level window. ln-points are floor-nano-quantized before
+    * the (order-free) integer OLS sums; β and ln K are each one
+    * mirrored double expression.
+    *
+    * Scale: two corpus-order scans (per-doc token counts; the
+    * word→first-doc aggregation), both reducing immediately to doc-
+    * and vocab-sized frames; everything after is K-row arithmetic.
+    */
+  def heapsLawFit(
+      docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 12): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perDoc = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        tokenCount(col(textCol)).cast("long").as("__ntok"))
+      .transform(graft.core.CacheScope.disk)
+    val bounds = perDoc.agg(min(col("__id")).as("__lo"),
+      max(col("__id")).as("__hi"))
+    val cps = docs.sparkSession.range(1, checkpoints + 1)
+      .toDF("checkpoint")
+      .crossJoin(bounds)
+      .select(col("checkpoint"),
+        expr(s"__lo - 1 + ((__hi - __lo + 1) * checkpoint) " +
+          s"div $checkpoints").as("boundary_doc"))
+    val curve = perDoc.join(broadcast(cps),
+        col("__id") <= col("boundary_doc"))
+      .groupBy("checkpoint", "boundary_doc")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("cum_tokens"))
+    val firstDoc = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        explode(words(col(textCol))).as("__w"))
+      .groupBy("__w").agg(min(col("__id")).as("__fdoc"))
+    val vocab = firstDoc.join(broadcast(cps),
+        col("__fdoc") <= col("boundary_doc"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("vocab"))
+    val pts = curve.join(vocab, Seq("checkpoint"))
+      .transform(graft.core.CacheScope.disk)
+    val quant = pts
+      .where(col("cum_tokens") > 0L && col("vocab") > 0L)
+      .select(
+        floor(log(col("cum_tokens").cast("double")) * 1e9)
+          .cast("long").as("__xq"),
+        floor(log(col("vocab").cast("double")) * 1e9)
+          .cast("long").as("__yq"))
+    val sums = quant.agg(
+      count(lit(1)).as("__m"),
+      sum(col("__xq")).as("__sx"),
+      sum(col("__yq")).as("__sy"),
+      sum(dec(col("__xq")) * dec(col("__yq"))).as("__sxy"),
+      sum(dec(col("__xq")) * dec(col("__xq"))).as("__sxx"))
+    val mD = col("__m").cast("decimal(38,0)")
+    val beta = (mD * col("__sxy") - dec(col("__sx")) * dec(col("__sy")))
+      .cast("double") /
+      (mD * col("__sxx") - dec(col("__sx")) * dec(col("__sx")))
+        .cast("double")
+    val fit = sums.select(
+      when(col("__m") < 2L, lit(null).cast("double"))
+        .otherwise(beta).as("__beta"),
+      col("__m"), col("__sx"), col("__sy"))
+      .select(col("__beta"),
+        when(col("__beta").isNull, lit(null).cast("double"))
+          .otherwise(exp(((col("__sy").cast("double") -
+            col("__beta") * col("__sx").cast("double")) /
+            col("__m").cast("double")) / 1e9)).as("__k"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("checkpoint"), col("boundary_doc"), col("n_docs"),
+        col("cum_tokens"), col("vocab"),
+        round(col("__beta"), 6).as("beta"),
+        round(col("__k"), 4).as("k_coef"))
+  }
 }
