@@ -49,6 +49,7 @@ private[graft] object TextRegistry {
     "q262_vocab_overlap" -> (vocabOverlapQ _),
     "q264_token_drift" -> (tokenDriftQ _),
     "q288_heaps_law" -> (heapsLawQ _),
+    "q289_simpson_diversity" -> (simpsonDiversityQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -858,6 +859,32 @@ private[graft] object TextRegistry {
          SELECT checkpoint, b AS boundary_doc, n_docs, cum_tokens,
            vocab, round(beta, 6) AS beta, round(kc, 4) AS k_coef
          FROM pts, fin ORDER BY checkpoint""",
+    // repeat-pair numerator Σc(c−1) exact in HUGEINT; one mirrored
+    // division per ratio
+    "q289_simpson_diversity" ->
+      s"""WITH wc AS (
+           SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT lang, unnest($oracleWords) AS w
+             FROM documents WHERE text IS NOT NULL)
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(CAST(c AS HUGEINT) * (c - 1)) AS lnum,
+             CAST(max(c) AS BIGINT) AS maxc
+           FROM wc GROUP BY 1)
+         SELECT lang, n_tokens, n_types,
+           CASE WHEN n_tokens < 2 THEN NULL
+             ELSE round(CAST(lnum AS DOUBLE)
+               / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1)
+                 AS DOUBLE), 6) END AS simpson,
+           CASE WHEN n_tokens < 2 OR lnum = 0 THEN NULL
+             ELSE round(CAST(CAST(n_tokens AS HUGEINT)
+                 * (n_tokens - 1) AS DOUBLE)
+               / CAST(lnum AS DOUBLE), 4) END AS inv_simpson,
+           round(CAST(maxc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS berger_parker
+         FROM agg ORDER BY lang""",
     // KL terms nano-quantized before the order-free integer sum;
     // floor truncates toward −∞ identically on the negative terms
     "q241_lang_divergence" ->
@@ -1394,6 +1421,15 @@ private[graft] object TextRegistry {
   private[graft] def heapsLawQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.heapsLawFit(docs(s, dir), "doc_id", "text")
       .orderBy("checkpoint")
+
+  /** Simpson diversity / Berger–Parker dominance per language
+    * ([[TextAnalysis.simpsonDiversity]]): the concentration row of
+    * the language datasheet — exact-integer repeat-pair numerators,
+    * one mirrored division per emitted ratio.
+    */
+  private[graft] def simpsonDiversityQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.simpsonDiversity(docs(s, dir), "lang", "text")
+      .orderBy("lang")
 
   /** Per-language unigram KL divergence from the corpus distribution
     * ([[TextAnalysis.langUnigramDivergence]]), nano-quantized

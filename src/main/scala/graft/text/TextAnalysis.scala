@@ -1818,6 +1818,49 @@ object TextAnalysis {
         round(col("kl_nano").cast("double") / 1000000000.0, 6))
   }
 
+  /** Simpson diversity of the word distribution per group: the
+    * probability two randomly drawn tokens are the SAME type
+    * (λ = Σc(c−1)/N(N−1), exact by construction — no squared-share
+    * float sums), its inverse (the "effective vocabulary size" — how
+    * many equally-common types would look this concentrated), and
+    * Berger–Parker dominance (the single most common type's share).
+    * The concentration row of the per-language datasheet: Chao1
+    * (q258) says how many types exist, Heaps (q288) whether more are
+    * coming, this says how UNEVENLY the mass sits on them — a
+    * template-y source shows a high λ long before dedup would.
+    *
+    * Every numerator is an exact integer (c(c−1) summed in DECIMAL);
+    * the three emitted ratios are one mirrored double division each.
+    * Scale: one token-level grouped count, then group-cardinality
+    * arithmetic.
+    */
+  def simpsonDiversity(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wc = df.where(col(textCol).isNotNull)
+      .select(col(groupCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val agg = wc.groupBy(col(groupCol))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(dec(col("__c")) * dec(col("__c") - 1L)).as("__lnum"),
+        max(col("__c")).as("__maxc"))
+    val n = col("n_tokens")
+    val pairs = (dec(n) * dec(n - 1L)).cast("double")
+    val simpson = col("__lnum").cast("double") / pairs
+    val inv = pairs / col("__lnum").cast("double")
+    agg.select(col(groupCol), n, col("n_types"),
+      when(n < 2L, lit(null).cast("double"))
+        .otherwise(round(simpson, 6)).as("simpson"),
+      when(n < 2L || col("__lnum") === 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(inv, 4)).as("inv_simpson"),
+      round(col("__maxc").cast("double") / n.cast("double"), 6)
+        .as("berger_parker"))
+  }
+
   /** Heaps'-law vocabulary-growth fit V(n) = K·n^β over the corpus in
     * doc-id order: the growth-curve reading beside Chao1's point
     * estimate — β well below 1 means the vocabulary is saturating, β
