@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * (paired binary detectors), Mann–Kendall (monotonic-trend
   * significance — the test companion of [[AnalyticsStatsOps.theilSenTrend]]'s
   * slope estimate), Cochran–Armitage (dose–response trend in
-  * proportions across ordered categories), and the Benford first-digit
-  * conformance audit. All follow the shelf's exactness discipline:
+  * proportions across ordered categories), and Page–Hinkley
+  * sequential change detection. All follow the shelf's exactness
+  * discipline:
   * counts and test-statistic numerators are exact integers (DECIMAL
   * casts BEFORE any product that could pass 2^63), doubles appear only
   * in one final mirrored division/sqrt per emitted statistic.
@@ -182,67 +183,6 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         .as("trending")): _*)
   }
 
-  /** Benford first-significant-digit conformance per group over a
-    * positive integer (cents) column: observed digit shares vs
-    * log₁₀(1 + 1/d), Pearson χ² against the Benford expectation, and
-    * the mean absolute deviation of the shares. The fast screen for
-    * FABRICATED or template-generated numeric columns in a mixed-
-    * provenance corpus — synthetic uniform amounts flunk it while
-    * organically-grown multiplicative totals pass.
-    *
-    * Determinism: the leading digit is the first character of the
-    * integer's decimal string (no float log in the hot path); the
-    * nine expected shares are FIXED literals shared with the oracle;
-    * each digit's χ²/MAD term is floor-µ-quantized before the
-    * order-free integer sum, so the emitted doubles are exact
-    * divisions of exact sums. Zero-count digits still contribute
-    * their expected mass (the digit frame is a 9-row literal cross
-    * join, cell-sized). `benford_ok` is χ² ≤ 15.507 (χ²₀.₀₅,₈).
-    *
-    * Scale: one grouped count to (group, digit) — 9 cells per group.
-    */
-  def benfordAudit(
-      df: DataFrame, groupCols: Seq[String], cents: Column,
-      chi2Alpha: Double = 15.507): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val obs = df
-      .select(groupCols.map(col) :+ cents.cast("long").as("__v"): _*)
-      .where(col("__v").isNotNull && col("__v") > 0L)
-      .withColumn("__d", substring(col("__v").cast("string"), 1, 1)
-        .cast("int"))
-      .groupBy(groupCols.map(col) :+ col("__d"): _*)
-      .agg(count(lit(1)).as("__o"))
-    val expected = benfordShares.toSeq.toDF("__d", "__p")
-    // every group × all nine digits: zero observed cells still carry
-    // their expected mass (dropping them understates χ², the chiSquare
-    // treatment)
-    val keys = obs.select(groupCols.map(col): _*).distinct()
-      .crossJoin(broadcast(expected))
-    val full = keys.join(obs, groupCols :+ "__d", "left")
-      .withColumn("__o", coalesce(col("__o"), lit(0L)))
-    val tot = full.groupBy(groupCols.map(col): _*)
-      .agg(sum(col("__o")).as("n"))
-    val e = col("n").cast("double") * col("__p")
-    val oD = col("__o").cast("double")
-    val chiTerm = (oD - e) * (oD - e) / e
-    val madTerm = abs(oD / col("n").cast("double") - col("__p"))
-    full.join(tot, groupCols)
-      .withColumn("__chi_u", floor(chiTerm * 1e6).cast("long"))
-      .withColumn("__mad_u", floor(madTerm * 1e9).cast("long"))
-      .groupBy(groupCols.map(col): _*)
-      .agg(
-        first(col("n")).as("n"),
-        sum(col("__chi_u")).as("__chi_s"),
-        sum(col("__mad_u")).as("__mad_s"))
-      .select(groupCols.map(col) ++ Seq(
-        col("n"),
-        round(col("__chi_s").cast("double") / 1e6, 6).as("chi2"),
-        round(col("__mad_s").cast("double") / 1e9 / 9.0, 6).as("mad"),
-        (col("__chi_s").cast("double") / 1e6 <= chi2Alpha).cast("int")
-          .as("benford_ok")): _*)
-  }
-
   /** Page–Hinkley sequential change detection per group over a
     * bucketed measured series: each bucket's mean (µ-quantized) is
     * compared against the RUNNING mean of the series so far, the
@@ -306,13 +246,4 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         col("alarm_bucket").isNotNull.cast("int").as("alarmed")): _*)
   }
 
-  /** The nine Benford shares log₁₀(1 + 1/d), pinned as literals so the
-    * engine and the DuckDB oracle consume bit-identical constants.
-    */
-  val benfordShares: Seq[(Int, Double)] = Seq(
-    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
-    3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
-    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
-    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
-    9 -> 0.04575749056067514)
 }
