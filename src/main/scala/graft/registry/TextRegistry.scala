@@ -50,6 +50,7 @@ private[graft] object TextRegistry {
     "q264_token_drift" -> (tokenDriftQ _),
     "q288_heaps_law" -> (heapsLawQ _),
     "q289_simpson_diversity" -> (simpsonDiversityQ _),
+    "q290_selection_curve" -> (selectionCurveQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -859,6 +860,39 @@ private[graft] object TextRegistry {
          SELECT checkpoint, b AS boundary_doc, n_docs, cum_tokens,
            vocab, round(beta, 6) AS beta, round(kc, 4) AS k_coef
          FROM pts, fin ORDER BY checkpoint""",
+    // the replayed quality score ranks the corpus; ntile(10) shares
+    // Spark's bucket arithmetic; md5 groups label exact dups; the
+    // mean score is µ-floored per row before the order-free sum
+    "q290_selection_curve" ->
+      s"""$oracleMetricsCte,
+         h AS (
+           SELECT doc_id, n_chars, quality, md5(text) AS hh
+           FROM q WHERE text IS NOT NULL),
+         dc AS (SELECT hh, count(*) AS c FROM h GROUP BY hh),
+         lab AS (
+           SELECT doc_id, n_chars, quality,
+             CASE WHEN c >= 2 THEN 1 ELSE 0 END AS dup
+           FROM h JOIN dc USING (hh)),
+         nt AS (
+           SELECT doc_id, n_chars, quality, dup,
+             ntile(10) OVER (ORDER BY quality DESC, doc_id)
+               AS decile
+           FROM lab)
+         SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dup) AS BIGINT) AS n_dups,
+           round(CAST(sum(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+             6) AS dup_rate,
+           round(CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS short_rate,
+           round(CAST(sum(n_chars) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS mean_chars,
+           round(CAST(sum(CAST(floor(quality * 1000000.0) AS BIGINT))
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+             AS mean_score,
+           round(min(quality), 6) AS min_score,
+           round(max(quality), 6) AS max_score
+         FROM nt GROUP BY decile ORDER BY decile""",
     // repeat-pair numerator Σc(c−1) exact in HUGEINT; one mirrored
     // division per ratio
     "q289_simpson_diversity" ->
@@ -1421,6 +1455,59 @@ private[graft] object TextRegistry {
   private[graft] def heapsLawQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.heapsLawFit(docs(s, dir), "doc_id", "text")
       .orderBy("checkpoint")
+
+  /** Quality-selection tradeoff curve: rank the corpus by the
+    * composite quality score (exact global deciles via
+    * [[Analytics.ntileByRangeAdaptive]] — the two-pass range form at
+    * scale, never a single-task global sort) and report, per decile,
+    * what a "keep the top X%" policy actually retains: exact-dup
+    * membership (md5 groups), short-doc share, mean length, and the
+    * score band. The report read before setting a quality floor —
+    * q81 picks a per-language cutoff, this shows the whole curve.
+    * Mean score is µ-floored per row before the order-free sum.
+    */
+  private[graft] def selectionCurveQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).where(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.qualityScore(col("text")).as("__score"),
+        md5(col("text").cast("binary")).as("__h"))
+      .transform(graft.core.CacheScope.disk)
+    val dupCounts = scored.groupBy("__h")
+      .agg(count(lit(1)).as("__c"))
+    val lab = scored.join(dupCounts, Seq("__h"))
+      .withColumn("__dup", (col("__c") >= 2L).cast("long"))
+      .withColumn("__all", lit("all"))
+    val deciled = Analytics.ntileByRangeAdaptive(
+      lab.select(col("__all"), col("doc_id"), col("n_chars"),
+        col("__score"), col("__dup")),
+      Seq("__all"),
+      Seq(col("__score").desc, col("doc_id").asc),
+      k = 10, bucketCol = "decile")
+    deciled.groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__dup")).as("n_dups"),
+        sum(when(col("n_chars") < 200L, 1L).otherwise(0L))
+          .as("__nshort"),
+        sum(col("n_chars")).as("__chars"),
+        sum(floor(col("__score") * 1000000.0).cast("long"))
+          .as("__sq"),
+        min(col("__score")).as("__mn"),
+        max(col("__score")).as("__mx"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("__nshort").cast("double") /
+          col("n_docs").cast("double"), 6).as("short_rate"),
+        round(col("__chars").cast("double") /
+          col("n_docs").cast("double"), 4).as("mean_chars"),
+        round(col("__sq").cast("double") /
+          col("n_docs").cast("double") / 1000000.0, 6)
+          .as("mean_score"),
+        round(col("__mn"), 6).as("min_score"),
+        round(col("__mx"), 6).as("max_score"))
+      .orderBy("decile")
+  }
 
   /** Simpson diversity / Berger–Parker dominance per language
     * ([[TextAnalysis.simpsonDiversity]]): the concentration row of
