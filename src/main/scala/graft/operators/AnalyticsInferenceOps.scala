@@ -209,6 +209,28 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
     */
   def pageHinkley(
       df: DataFrame, groupCols: Seq[String], bucketIdx: Column,
+      valueCents: Column, deltaMicro: Long, lambdaMicro: Long): DataFrame =
+    pageHinkleyTrace(df, groupCols, bucketIdx, valueCents, deltaMicro,
+        lambdaMicro)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("ph_micro")).as("ph_max"),
+        min(when(col("alarmed") === 1, col("bucket")))
+          .as("alarm_bucket"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_buckets"), col("ph_max"), col("alarm_bucket"),
+        col("alarm_bucket").isNotNull.cast("int").as("alarmed")): _*)
+
+  /** The per-bucket PH trace behind [[pageHinkley]] — exposed so the
+    * streaming twin ([[graft.streaming.EventStreams.pageHinkleyStream]])
+    * can pin row-equality against the batch plan. One row per
+    * OBSERVED bucket (a value series has no zero-fill: an absent day
+    * has no mean, unlike the CUSUM count grid): the bucket's µ-mean,
+    * the PH statistic, and whether it sits at or above `lambdaMicro`.
+    */
+  def pageHinkleyTrace(
+      df: DataFrame, groupCols: Seq[String], bucketIdx: Column,
       valueCents: Column, deltaMicro: Long, lambdaMicro: Long): DataFrame = {
     val per = df
       .select(groupCols.map(col) ++ Seq(
@@ -226,7 +248,7 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
       .rowsBetween(Window.unboundedPreceding, 0)
     val ord = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__bx"))
-    val traced = per
+    per
       .withColumn("__t", row_number().over(ord).cast("long"))
       .withColumn("__cum", sum(col("__x")).over(w))
       .withColumn("__term", col("__x") -
@@ -235,15 +257,10 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
       .withColumn("__m", sum(col("__term")).over(w))
       // the running min includes the current row, so PH_t ≥ 0 always
       .withColumn("__ph", col("__m") - min(col("__m")).over(w))
-    traced.groupBy(groupCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n_buckets"),
-        max(col("__ph")).as("ph_max"),
-        min(when(col("__ph") >= lambdaMicro, col("__bx")))
-          .as("alarm_bucket"))
       .select(groupCols.map(col) ++ Seq(
-        col("n_buckets"), col("ph_max"), col("alarm_bucket"),
-        col("alarm_bucket").isNotNull.cast("int").as("alarmed")): _*)
+        col("__bx").as("bucket"), col("__c").as("n"),
+        col("__x").as("x_micro"), col("__ph").as("ph_micro"),
+        (col("__ph") >= lambdaMicro).cast("int").as("alarmed")): _*)
   }
 
 }

@@ -1411,6 +1411,96 @@ object EventStreams {
       }
   }
 
+  case class PhTick(group: String, ts: java.sql.Timestamp, cents: Long)
+  case class PhPoint(
+      group: String, bucket: Long, n: Long, x_micro: Long,
+      ph_micro: Long, alarmed: Int)
+  case class PhState(
+      hasClosed: Boolean, lastClosed: Long, t: Long, cum: Long,
+      m: Long, minM: Long, open: Map[Long, (Long, Long)])
+
+  /** Streaming twin of
+    * [[graft.operators.Analytics.pageHinkleyTrace]] — the
+    * self-calibrating level monitor: per group, value cents
+    * accumulate per `periodSec` bucket, and when the watermark closes
+    * a bucket its µ-mean enters the Page–Hinkley recursion (running
+    * mean, slack discount, running-min gap). Emitted rows are final
+    * and bit-equal to the batch trace over the arrived events: the
+    * bucket mean and running mean use the SAME two IEEE double
+    * floor-divisions the batch plan does, and everything else is
+    * BIGINT.
+    *
+    * Unlike [[cusumStream]]'s count grid, a value series has no
+    * zero-fill — an absent bucket has no mean — so only OBSERVED
+    * buckets emit, which also keeps state O(open buckets): the
+    * (t, Σx, m, min m) recursion seed plus (sum, count) for buckets
+    * the watermark hasn't passed. Late ticks into a closed bucket
+    * drop (the row is final). Quiet groups close pending buckets via
+    * event-time timeout when other traffic advances the watermark.
+    */
+  def pageHinkleyStream(
+      events: Dataset[PhTick], periodSec: Long, deltaMicro: Long,
+      lambdaMicro: Long, watermark: String = "2 hours"): Dataset[PhPoint] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    require(periodSec > 0, "periodSec must be positive")
+    val pUs = periodSec * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[PhState, PhPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (g, it, state) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          def us(t: java.sql.Timestamp): Long = {
+            val i = t.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          val prev = state.getOption.getOrElse(
+            PhState(hasClosed = false, 0L, 0L, 0L, 0L, Long.MaxValue,
+              Map.empty))
+          val incoming = it.map(e => (us(e.ts) / pUs, e.cents))
+            .filter { case (b, _) => !prev.hasClosed || b > prev.lastClosed }
+            .toSeq
+          val open = incoming.foldLeft(prev.open) { case (m2, (b, c)) =>
+            val (s0, n0) = m2.getOrElse(b, (0L, 0L))
+            m2.updated(b, (s0 + c, n0 + 1L))
+          }
+          // a bucket closes when the watermark passes its END
+          val closable = wmUs / pUs - 1L
+          val toClose = open.keys.filter(_ <= closable).toSeq.sorted
+          var t = prev.t; var cum = prev.cum
+          var m = prev.m; var minM = prev.minM
+          val out = toClose.map { b =>
+            val (s, n) = open(b)
+            // the batch plan's two mirrored floor-divisions, on the
+            // same IEEE doubles
+            val x = math.floor(s.toDouble * 1e6 / n.toDouble).toLong
+            t += 1L; cum += x
+            val mean = math.floor(cum.toDouble / t.toDouble).toLong
+            m += x - mean - deltaMicro
+            minM = math.min(minM, m)
+            val ph = m - minM
+            PhPoint(g, b, n, x, ph, if (ph >= lambdaMicro) 1 else 0)
+          }
+          val closedAny = prev.hasClosed || out.nonEmpty
+          val lastClosed = if (out.nonEmpty) out.last.bucket
+            else prev.lastClosed
+          val kept = open.filter { case (q, _) =>
+            !closedAny || q > lastClosed }
+          state.update(PhState(closedAny, lastClosed, t, cum, m, minM,
+            kept))
+          if (kept.nonEmpty) {
+            // wake when the earliest pending bucket can close
+            // (event-time timeouts fire strictly AFTER the timestamp)
+            val wmMs = state.getCurrentWatermarkMs()
+            val nextEndMs = (kept.keys.min + 1L) * periodSec * 1000L
+            state.setTimeoutTimestamp(math.max(wmMs + 1L, nextEndMs - 1L))
+          }
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserTotals(
       user_id: Long, n_events: Long, sum_value: Double, n_purchases: Long)
