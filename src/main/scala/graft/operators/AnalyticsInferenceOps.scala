@@ -183,6 +183,93 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         .as("trending")): _*)
   }
 
+  /** χ²₀.₀₅ critical values for df 1..10, pinned as literals shared
+    * verbatim with the DuckDB oracle (a [[kruskalWallis]] group's
+    * threshold depends on its own category count).
+    */
+  val chi2Crit05: Seq[(Int, Double)] = Seq(
+    1 -> 3.841459, 2 -> 5.991465, 3 -> 7.814728, 4 -> 9.487729,
+    5 -> 11.070498, 6 -> 12.591587, 7 -> 14.06714, 8 -> 15.507313,
+    9 -> 16.918978, 10 -> 18.307038)
+
+  /** Kruskal–Wallis rank test per group: do ANY of the k categories'
+    * value distributions differ? The k-sample generalization of the
+    * Mann–Whitney machinery ([[graft.quality.Drift.mannWhitneyU]]):
+    * pooled tie-averaged half-unit ranks from per-(group, value)
+    * counts (rank2 = 2·before + t + 1, shared by every category at a
+    * tied value), per-category rank sums R2ᵢ exact in DECIMAL, then
+    * H = 3·Σ R2ᵢ²/nᵢ / (N(N+1)) − 3(N+1) with the tie correction
+    * C = 1 − Σ(t³−t)/(N³−N) and H' = H/C. The per-category χ² terms
+    * are mirrored doubles µ-floored into DECIMAL before the
+    * order-free sum; `differs` compares H' against the pinned
+    * χ²₀.₀₅ critical value for the group's own dof = k−1 (null H'
+    * or dof > 10 → 0).
+    *
+    * Scale: one grouped count to (group, category, value) cells, one
+    * window over the (group, value) totals — value-domain-sized, not
+    * row-sized — then category-cardinality arithmetic.
+    */
+  def kruskalWallis(
+      df: DataFrame, groupCols: Seq[String], catCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df
+      .select(groupCols.map(col) ++ Seq(
+        catCol.as("__cat"), valueCol.cast("long").as("__v")): _*)
+      .where(col("__cat").isNotNull && col("__v").isNotNull)
+      .groupBy(groupCols.map(col) ++ Seq(col("__cat"), col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .transform(graft.core.CacheScope.disk)
+    val perV = cells.groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__c")).as("__tv"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("__before", coalesce(sum(col("__tv")).over(w), lit(0L)))
+      .withColumn("__rank2", lit(2L) * col("__before") + col("__tv") + 1L)
+    val perCat = cells
+      .join(ranked, groupCols :+ "__v")
+      .groupBy(groupCols.map(col) :+ col("__cat"): _*)
+      .agg(sum(col("__c")).as("__ni"),
+        sum(dec(col("__c")) * dec(col("__rank2"))).as("__r2"))
+    // per-category χ² term, mirrored doubles µ-floored into DECIMAL
+    // (R2² of a billion-row group passes 2^63 — the term must live in
+    // decimal, and floor(double) only re-enters integers via decimal)
+    val term = floor(col("__r2").cast("double") *
+      col("__r2").cast("double") / col("__ni").cast("double") * 1e6)
+      .cast("decimal(38,0)")
+    val sums = perCat
+      .withColumn("__term", term)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__ni")).as("n"),
+        count(lit(1)).as("n_cats"),
+        sum(col("__term")).as("__terms"))
+    val ties = perV.groupBy(groupCols.map(col): _*)
+      .agg(sum(dec(col("__tv")) * dec(col("__tv")) * dec(col("__tv")) -
+        dec(col("__tv"))).as("__ties"))
+    val nD = col("n").cast("double")
+    val h = lit(3.0) * (col("__terms").cast("double") / 1e6) /
+      (nD * (nD + 1.0)) - lit(3.0) * (nD + 1.0)
+    val c = lit(1.0) - col("__ties").cast("double") /
+      (nD * nD * nD - nD)
+    val hSafe = when(col("n") < 2L || col("n_cats") < 2L,
+      lit(null).cast("double")).otherwise(h)
+    val hAdj = when(hSafe.isNull || c <= 0.0,
+      lit(null).cast("double")).otherwise(hSafe / c)
+    val dof = (col("n_cats") - 1L).cast("int")
+    val crit = chi2Crit05.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, v)) => when(dof === d, lit(v)).otherwise(acc)
+    }
+    sums.join(ties, groupCols)
+      .select(groupCols.map(col) ++ Seq(
+        col("n"), col("n_cats"), dof.as("dof"),
+        round(hSafe, 6).as("h"),
+        round(hAdj, 6).as("h_adj"),
+        coalesce(hAdj > crit, lit(false)).cast("int")
+          .as("differs")): _*)
+  }
+
   /** Page–Hinkley sequential change detection per group over a
     * bucketed measured series: each bucket's mean (µ-quantized) is
     * compared against the RUNNING mean of the series so far, the

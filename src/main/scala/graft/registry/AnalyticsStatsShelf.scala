@@ -56,9 +56,82 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q263_mantel_haenszel" -> (mantelHaenszelQ _),
     "q271_shapley_attribution" -> (shapleyQ _),
     "q287_cochran_armitage" -> (cochranArmitageQ _),
+    "q291_kruskal_wallis" -> (kruskalWallisQ _),
   )
 
+  /** The engine's pinned χ²₀.₀₅ critical values as a DuckDB CASE over
+    * dof — interpolating [[Analytics.chi2Crit05]] guarantees the
+    * oracle consumes bit-identical double literals.
+    */
+  private[graft] val chi2CritCaseSql: String =
+    "CASE dof " + graft.operators.Analytics.chi2Crit05
+      .map { case (d, v) => s"WHEN $d THEN $v" }.mkString(" ") + " END"
+
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // pooled tie-averaged rank2 off the (g, v) totals window;
+    // per-category χ² terms µ-floored into HUGEINT before the
+    // order-free sum; tie-corrected H'; dof-keyed pinned critical
+    "q291_kruskal_wallis" ->
+      s"""WITH b AS (
+           SELECT c_mktsegment AS g, o_orderpriority AS cat,
+             CASE WHEN c_mktsegment = 'MACHINERY'
+               THEN CAST(floor(o_totalprice * 100 * (1.0 +
+                 CAST(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                   AS DOUBLE) * 0.05)) AS BIGINT)
+               ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+               END AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (
+           SELECT g, cat, v, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3),
+         perv AS (
+           SELECT g, v, CAST(sum(c) AS BIGINT) AS tv
+           FROM cells GROUP BY 1, 2),
+         rk AS (
+           SELECT g, v, tv,
+             coalesce(sum(tv) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bef
+           FROM perv),
+         r2 AS (SELECT g, v, 2 * bef + tv + 1 AS rank2 FROM rk),
+         pc AS (
+           SELECT cells.g, cat, CAST(sum(c) AS BIGINT) AS ni,
+             sum(CAST(c AS HUGEINT) * rank2) AS rr
+           FROM cells JOIN r2 ON r2.g = cells.g AND r2.v = cells.v
+           GROUP BY 1, 2),
+         terms AS (
+           SELECT g, ni,
+             CAST(floor(CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE)
+               / CAST(ni AS DOUBLE) * 1000000.0) AS HUGEINT) AS term
+           FROM pc),
+         s AS (
+           SELECT g, CAST(sum(ni) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cats,
+             sum(term) AS terms
+           FROM terms GROUP BY g),
+         tt AS (
+           SELECT g, sum(CAST(tv AS HUGEINT) * tv * tv - tv) AS ties
+           FROM perv GROUP BY g),
+         f AS (
+           SELECT s.g, n, n_cats, CAST(n_cats - 1 AS INT) AS dof,
+             CASE WHEN n < 2 OR n_cats < 2 THEN NULL
+               ELSE 3.0 * (CAST(terms AS DOUBLE) / 1000000.0)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0) END AS h,
+             1.0 - CAST(ties AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+           FROM s JOIN tt ON tt.g = s.g),
+         ff AS (
+           SELECT g, n, n_cats, dof, h,
+             CASE WHEN h IS NULL OR corr <= 0.0 THEN NULL
+               ELSE h / corr END AS h_adj
+           FROM f)
+         SELECT g AS c_mktsegment, n, n_cats, dof, round(h, 6) AS h,
+           round(h_adj, 6) AS h_adj,
+           CAST(coalesce(h_adj > $chi2CritCaseSql, FALSE) AS INT)
+             AS differs
+         FROM ff ORDER BY c_mktsegment""",
     // level table exact, all five moments in HUGEINT, one mirrored
     // division + sqrt for z; the planted MACHINERY ladder re-seeded
     "q287_cochran_armitage" ->
@@ -1982,6 +2055,34 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       col("o_custkey") === col("c_custkey"))
     Analytics.cochranArmitage(joined, Seq("c_mktsegment"), w,
         flag.cast("long"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Kruskal–Wallis k-sample rank test ([[Analytics.kruskalWallis]]):
+    * within each market segment, do the five order-priority levels
+    * differ in total-price distribution AT ALL? The any-difference
+    * complement of q287's directional dose test, on the same planted
+    * MACHINERY ladder (a +5%·level multiplicative shift the oracle
+    * re-seeds): MACHINERY's H' lands far past the dof-4 critical
+    * value while the flat segments stay under it. Pooled tie-averaged
+    * ranks from (segment, priority, cents) cells — value-domain-sized
+    * windows, category-sized arithmetic after.
+    */
+  private[graft] def kruskalWallisQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = substring(col("o_orderpriority"), 1, 1).cast("long")
+    val cents = when(col("c_mktsegment") === "MACHINERY",
+      floor(col("o_totalprice") * 100 *
+        (lit(1.0) + w.cast("double") * 0.05)))
+      .otherwise(floor(col("o_totalprice") * 100))
+      .cast("long")
+    val joined = o.join(broadcast(c),
+      col("o_custkey") === col("c_custkey"))
+    Analytics.kruskalWallis(joined, Seq("c_mktsegment"),
+        col("o_orderpriority"), cents)
       .orderBy("c_mktsegment")
   }
 
