@@ -413,6 +413,68 @@ object Drift {
     * grouped count per distinct |d| (bounded by value cardinality),
     * one group-sized aggregate.
     */
+  /** Cohen's d / Hedges' g effect size between two snapshots per
+    * group — the MAGNITUDE axis the drift panel's tests don't carry:
+    * at corpus scale every real shift is "significant", and the
+    * decision input is whether it is MATERIAL (|d| ≥ `dThreshold`,
+    * default 0.2 = the conventional small-effect floor). Reports the
+    * standardized mean difference, its small-sample-corrected g, and
+    * the 1.96·se confidence band.
+    *
+    * Exactness: each side reduces to exact integer moments (n, Σx,
+    * Σx² with the square computed in DECIMAL before the sum); d, g
+    * and the band are one mirrored double formula over those moments.
+    * Groups present on only one side are absent (no comparison).
+    * Scale: one grouped aggregation per side, group-sized arithmetic
+    * after.
+    */
+  def cohensD(
+      base: DataFrame, cur: DataFrame, cents: Column,
+      groupCols: Seq[String], dThreshold: Double = 0.2): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def moments(df: DataFrame, tag: String): DataFrame = df
+      .select(groupCols.map(col) :+ cents.cast("long").as("__x"): _*)
+      .where(col("__x").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(col("__x")).as(s"__s_$tag"),
+        sum(dec(col("__x")) * dec(col("__x"))).as(s"__q_$tag"))
+    val nb = col("n_base"); val nc = col("n_cur")
+    val nbD = nb.cast("double"); val ncD = nc.cast("double")
+    val meanB = col("__s_base").cast("double") / nbD
+    val meanC = col("__s_cur").cast("double") / ncD
+    // n·Σx² − (Σx)² stays exact in decimal; the variance is one
+    // mirrored division of it
+    def varOf(tag: String, n: Column, nD: Column): Column =
+      (dec(n) * col(s"__q_$tag") -
+        dec(col(s"__s_$tag")) * dec(col(s"__s_$tag"))).cast("double") /
+        (nD * (nD - 1.0))
+    val s2b = varOf("base", nb, nbD)
+    val s2c = varOf("cur", nc, ncD)
+    val pooled = ((nbD - 1.0) * s2b + (ncD - 1.0) * s2c) /
+      (nbD + ncD - 2.0)
+    val d = (meanC - meanB) / sqrt(pooled)
+    val g = d * (lit(1.0) - lit(3.0) / ((nbD + ncD) * 4.0 - 9.0))
+    val se = sqrt((nbD + ncD) / (nbD * ncD) +
+      d * d / ((nbD + ncD) * 2.0))
+    val ok = nb >= 2L && nc >= 2L && pooled > 0.0
+    val dSafe = when(ok, d).otherwise(lit(null).cast("double"))
+    moments(base, "base").join(moments(cur, "cur"), groupCols)
+      .select(groupCols.map(col) ++ Seq(
+        nb, nc,
+        round(meanB, 4).as("mean_base"),
+        round(meanC, 4).as("mean_cur"),
+        round(dSafe, 6).as("d"),
+        round(when(ok, g).otherwise(lit(null).cast("double")), 6)
+          .as("g"),
+        round(when(ok, d - lit(1.96) * se)
+          .otherwise(lit(null).cast("double")), 6).as("ci_lo"),
+        round(when(ok, d + lit(1.96) * se)
+          .otherwise(lit(null).cast("double")), 6).as("ci_hi"),
+        coalesce(abs(dSafe) >= dThreshold, lit(false)).cast("int")
+          .as("material")): _*)
+  }
+
   def wilcoxonSignedRank(
       pairs: DataFrame, baseCol: String, curCol: String,
       groupCols: Seq[String], zAlpha: Double = 1.96): DataFrame = {

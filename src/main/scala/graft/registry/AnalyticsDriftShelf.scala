@@ -37,6 +37,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q281_wilcoxon_paired" -> (wilcoxonPairedQ _),
     "q285_mann_kendall" -> (mannKendallQ _),
     "q286_page_hinkley" -> (pageHinkleyQ _),
+    "q292_effect_size" -> (effectSizeQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -456,6 +457,74 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
            CAST(CASE WHEN min(CASE WHEN ph >= 12000000000 THEN bx END)
              IS NOT NULL THEN 1 ELSE 0 END AS INT) AS alarmed
          FROM ph GROUP BY g ORDER BY event_type""",
+    // exact integer moments per side (squares in HUGEINT before the
+    // sum); d/g/band one mirrored double formula; the 1-URGENT +10%
+    // plant re-seeded
+    "q292_effect_size" ->
+      """WITH v AS (
+           SELECT o_orderpriority AS g, o_orderkey % 2 AS side,
+             CAST(floor((CASE WHEN o_orderkey % 2 = 0
+               AND o_orderpriority = '1-URGENT'
+               THEN o_totalprice * 1.10 ELSE o_totalprice END) * 100)
+               AS BIGINT) AS x
+           FROM orders),
+         mb AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(x) AS BIGINT) AS sb,
+             sum(CAST(x AS HUGEINT) * x) AS qb
+           FROM v WHERE side = 1 GROUP BY g),
+         mc AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS nc,
+             CAST(sum(x) AS BIGINT) AS sc,
+             sum(CAST(x AS HUGEINT) * x) AS qc
+           FROM v WHERE side = 0 GROUP BY g),
+         f AS (
+           SELECT mb.g, nb, nc,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS meanb,
+             CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS meanc,
+             CAST(CAST(nb AS HUGEINT) * qb
+                 - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))
+               AS s2b,
+             CAST(CAST(nc AS HUGEINT) * qc
+                 - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+               / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0))
+               AS s2c
+           FROM mb JOIN mc ON mc.g = mb.g),
+         dd AS (
+           SELECT g, nb, nc, meanb, meanc,
+             (meanc - meanb) / sqrt(
+               ((CAST(nb AS DOUBLE) - 1.0) * s2b
+                 + (CAST(nc AS DOUBLE) - 1.0) * s2c)
+               / (CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE) - 2.0)) AS d,
+             ((CAST(nb AS DOUBLE) - 1.0) * s2b
+               + (CAST(nc AS DOUBLE) - 1.0) * s2c)
+               / (CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE) - 2.0)
+               AS pooled
+           FROM f),
+         ee AS (
+           SELECT g, nb, nc, meanb, meanc, pooled, d,
+             d * (1.0 - 3.0 / ((CAST(nb AS DOUBLE)
+               + CAST(nc AS DOUBLE)) * 4.0 - 9.0)) AS gh,
+             sqrt((CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE))
+                 / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE))
+               + d * d / ((CAST(nb AS DOUBLE)
+                 + CAST(nc AS DOUBLE)) * 2.0)) AS se
+           FROM dd)
+         SELECT g AS o_orderpriority, nb AS n_base, nc AS n_cur,
+           round(meanb, 4) AS mean_base, round(meanc, 4) AS mean_cur,
+           CASE WHEN nb < 2 OR nc < 2 OR pooled <= 0 THEN NULL
+             ELSE round(d, 6) END AS d,
+           CASE WHEN nb < 2 OR nc < 2 OR pooled <= 0 THEN NULL
+             ELSE round(gh, 6) END AS g,
+           CASE WHEN nb < 2 OR nc < 2 OR pooled <= 0 THEN NULL
+             ELSE round(d - 1.96 * se, 6) END AS ci_lo,
+           CASE WHEN nb < 2 OR nc < 2 OR pooled <= 0 THEN NULL
+             ELSE round(d + 1.96 * se, 6) END AS ci_hi,
+           CAST(coalesce(abs(CASE WHEN nb < 2 OR nc < 2
+               OR pooled <= 0 THEN NULL ELSE d END) >= 0.2, FALSE)
+             AS INT) AS material
+         FROM ee ORDER BY o_orderpriority""",
     // the oracle is the RAW two-sample panel: the engine's
     // shard-merged count path must land on the identical statistics
     "q278_drift_panel_store" ->
@@ -966,6 +1035,26 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     * warehouse scale the monitoring suite costs one scan-and-count,
     * not one per test. A plan spec pins the single shared pass.
     */
+  /** Effect size of the q277 drift ([[graft.quality.Drift.cohensD]]):
+    * the panel says the planted 1-URGENT +10% shift is SIGNIFICANT;
+    * this says whether it is MATERIAL — Cohen's d / Hedges' g with a
+    * 1.96·se band over the same orderkey-parity split, exact cents
+    * moments into one mirrored double formula. At corpus scale
+    * everything is significant; the d threshold is what a deletion
+    * or retraining decision actually reads.
+    */
+  private[graft] def effectSizeQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.where(col("o_orderkey") % 2 === 1)
+    val cur = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice") * 1.10).otherwise(col("o_totalprice")))
+    graft.quality.Drift.cohensD(base, cur,
+        floor(col("o_totalprice") * 100), Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+
   private[graft] def driftPanelQ(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val base = o.where(col("o_orderkey") % 2 === 1)
