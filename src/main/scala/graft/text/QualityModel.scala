@@ -126,6 +126,55 @@ object QualityModel {
     * bin; null scores or labels are excluded (reported upstream by
     * completeness rules, not silently binned).
     */
+  /** ROC-AUC of a score against a binary label, per group — the
+    * ranking-power companion of [[calibrationReport]]'s honesty check:
+    * calibration says the score's VALUES mean what they claim, AUC
+    * says its ORDER separates the classes. Computed by the exact
+    * Mann–Whitney rank identity — scores micro-floored, pooled
+    * tie-averaged half-unit ranks from per-(group, score) counts,
+    * AUC = (R2₊ − n₊(n₊+1)) / (2·n₊·n₋) — every numerator an exact
+    * integer (DECIMAL products), one mirrored double division; Gini
+    * = 2·AUC − 1 from the same division. Groups with a single class
+    * emit null (nothing to separate).
+    *
+    * Scale: one grouped count to (group, score) cells, one window
+    * over them (score-domain-sized), group-sized arithmetic after.
+    */
+  def rocAuc(
+      df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+      label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sc = df.where(scoreCol.isNotNull && label.isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        floor(scoreCol * 1000000.0).cast("long").as("__s"),
+        label.cast("int").cast("long").as("__p")): _*)
+    val per = sc.groupBy(groupCols.map(col) :+ col("__s"): _*)
+      .agg(sum(col("__p")).as("__cp"),
+        (count(lit(1)) - sum(col("__p"))).as("__cn"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("__cp") + col("__cn")
+    val ranked = per
+      .withColumn("__bef", coalesce(sum(t).over(w), lit(0L)))
+      .withColumn("__rank2", lit(2L) * col("__bef") + t + 1L)
+    val agg = ranked.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__cp")).as("n_pos"),
+        sum(col("__cn")).as("n_neg"),
+        sum(dec(col("__cp")) * dec(col("__rank2"))).as("__r2p"))
+    val np = col("n_pos"); val nn = col("n_neg")
+    val auc = (col("__r2p") - dec(np) * dec(np + 1L)).cast("double") /
+      (dec(np) * dec(nn) * lit(2L).cast("decimal(38,0)"))
+        .cast("double")
+    val aucSafe = when(np === 0L || nn === 0L,
+      lit(null).cast("double")).otherwise(auc)
+    agg.select(groupCols.map(col) ++ Seq(
+      np, nn,
+      round(aucSafe, 6).as("auc"),
+      round(aucSafe * 2.0 - 1.0, 6).as("gini")): _*)
+  }
+
   def calibrationReport(
       df: DataFrame, scoreCol: String, label: Column,
       bins: Int = 10): DataFrame = {
