@@ -51,6 +51,7 @@ private[graft] object TextRegistry {
     "q288_heaps_law" -> (heapsLawQ _),
     "q289_simpson_diversity" -> (simpsonDiversityQ _),
     "q290_selection_curve" -> (selectionCurveQ _),
+    "q294_dirichlet_ql" -> (dirichletQlQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -860,6 +861,57 @@ private[graft] object TextRegistry {
          SELECT checkpoint, b AS boundary_doc, n_docs, cum_tokens,
            vocab, round(beta, 6) AS beta, round(kc, 4) AS k_coef
          FROM pts, fin ORDER BY checkpoint""",
+    // matching-postings candidates, nano-floored per-term lls and
+    // the closed-form length norm; |q| counts df-surviving terms
+    "q294_dirichlet_ql" ->
+      s"""WITH tf AS (
+           SELECT doc_id, w AS token, count(*) AS tf FROM (
+             SELECT doc_id, unnest($oracleWords) AS w FROM documents)
+           GROUP BY 1, 2),
+         lens AS (
+           SELECT doc_id, len($oracleWords) AS len FROM documents),
+         coll AS (SELECT CAST(sum(tf) AS BIGINT) AS ctot FROM tf),
+         cf AS (
+           SELECT token, CAST(sum(tf) AS BIGINT) AS cf
+           FROM tf GROUP BY token HAVING count(*) <= 400),
+         qt AS (
+           SELECT qid, token, cf FROM (
+             SELECT doc_id AS qid,
+               unnest(list_distinct($oracleWords)) AS token
+             FROM documents WHERE doc_id < 5)
+           JOIN cf USING (token)),
+         ql AS (SELECT qid, CAST(count(*) AS BIGINT) AS qlen
+           FROM qt GROUP BY qid),
+         mt AS (
+           SELECT qid, tf.doc_id,
+             CAST(floor(
+               ln(CAST(1.0 AS DOUBLE) + CAST(tf AS DOUBLE)
+                 * CAST(ctot AS DOUBLE)
+                 / (CAST(100.0 AS DOUBLE) * CAST(cf AS DOUBLE)))
+               * 1000000000) AS BIGINT) AS tm
+           FROM qt JOIN tf USING (token), coll),
+         agg AS (
+           SELECT qid, doc_id, CAST(sum(tm) AS BIGINT) AS mt
+           FROM mt GROUP BY 1, 2),
+         sc AS (
+           SELECT qid, agg.doc_id,
+             mt + CAST(floor(
+               ln(CAST(100.0 AS DOUBLE)
+                 / (CAST(len AS DOUBLE) + CAST(100.0 AS DOUBLE)))
+               * CAST(qlen AS DOUBLE) * 1000000000) AS BIGINT)
+               AS score_micro
+           FROM agg
+           JOIN lens ON lens.doc_id = agg.doc_id
+           JOIN ql USING (qid)),
+         r AS (
+           SELECT qid, doc_id, score_micro, row_number() OVER (
+             PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)
+             AS rank
+           FROM sc)
+         SELECT qid AS query_id, doc_id,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     // the replayed quality score ranks the corpus; ntile(10) shares
     // Spark's bucket arithmetic; md5 groups label exact dups; the
     // mean score is µ-floored per row before the order-free sum
@@ -1455,6 +1507,22 @@ private[graft] object TextRegistry {
   private[graft] def heapsLawQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.heapsLawFit(docs(s, dir), "doc_id", "text")
       .orderBy("checkpoint")
+
+  /** Dirichlet query-likelihood retrieval
+    * ([[graft.text.TfIdf.dirichletQlSearch]]) over the q171 query
+    * set — the language-model ranker beside BM25 (the two classical
+    * lexical families; q90's RRF can fuse them): matching-terms-only
+    * candidates with the closed-form length norm, µ = 100, same
+    * df-cap and nano-floored exact accumulation as the BM25 path.
+    */
+  private[graft] def dirichletQlQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.text.TfIdf.dirichletQlSearch(d, "doc_id", "text",
+        d.where(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", "text", k = 10, mu = 100.0, maxDf = 400L)
+      .orderBy("query_id", "rank")
+  }
 
   /** Quality-selection tradeoff curve: rank the corpus by the
     * composite quality score (exact global deciles via

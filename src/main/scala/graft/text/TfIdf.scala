@@ -187,4 +187,69 @@ object TfIdf {
     bm25ScoreCore(tf, lens, idCol, queries, qIdCol, qTextCol,
       k, k1, b, maxDf)
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval — the language-
+    * model ranker beside [[bm25Search]] (the second classical lexical
+    * family; RRF fusion of the two is the standard robustness play):
+    * score(q,d) = Σ_{t∈q∩d} ln(1 + tf·|C|/(µ·cf_t)) + |q|·ln(µ/(len_d+µ)),
+    * the computationally convenient form where only MATCHING terms
+    * generate candidates (absent terms fold into the closed-form
+    * length norm), so candidate cost is posting-mass-bounded exactly
+    * like BM25 — never corpus × queries.
+    *
+    * Same scale/exactness discipline as [[bm25Search]]: a `maxDf`
+    * cap prunes stopword fan-out (capped terms leave BOTH the match
+    * sum and the |q| norm count, so semantics stay consistent — |q|
+    * counts the query's corpus-matched surviving terms); per-term
+    * scores and the per-doc norm are nano-floored BIGINTs, so
+    * accumulation, ranking, and tie-breaks replay exactly.
+    *
+    * Output: (query id, doc id, `score_micro`, `rank`). Scores are
+    * negative (log-likelihoods) — comparable within a query only.
+    */
+  def dirichletQlSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, mu: Double = 100.0, maxDf: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(docs, idCol, textCol)
+      .transform(graft.core.CacheScope.disk)
+    val lens = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__len"))
+    val coll = tf.agg(sum(col("tf")).as("__ctot"))
+    val cf = tf.groupBy("token")
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val qTerms = queries.select(col(qIdCol).as("__qid"),
+        explode(array_distinct(
+          TextAnalysis.words(col(qTextCol)))).as("token"))
+      .join(cf, Seq("token"))
+      .transform(graft.core.CacheScope.disk)
+    val qLens = qTerms.groupBy("__qid")
+      .agg(count(lit(1)).as("__qlen"))
+    val matched = qTerms
+      .join(tf, Seq("token"))
+      .crossJoin(broadcast(coll))
+      .withColumn("__term_micro",
+        floor(log(lit(1.0) + col("tf").cast("double") *
+          col("__ctot").cast("double") /
+          (lit(mu) * col("cf").cast("double"))) *
+          lit(1000000000L)).cast("long"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__term_micro")).as("__match"))
+    val scored = matched
+      .join(lens, Seq(idCol))
+      .join(qLens, Seq("__qid"))
+      .withColumn("__norm_micro",
+        floor(log(lit(mu) / (col("__len").cast("double") + lit(mu))) *
+          col("__qlen").cast("double") * lit(1000000000L))
+          .cast("long"))
+      .withColumn("score_micro", col("__match") + col("__norm_micro"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(qIdCol), col(idCol),
+        col("score_micro"), col("rank"))
+  }
 }
