@@ -1545,7 +1545,12 @@ private[graft] object TextRegistry {
     val lab = scored.join(dupCounts, Seq("__h"))
       .withColumn("__dup", (col("__c") >= 2L).cast("long"))
       .withColumn("__all", lit("all"))
-    val deciled = Analytics.ntileByRangeAdaptive(
+    // the two-pass range form unconditionally (not the adaptive
+    // probe): the probe's small-corpus branch is a genuine global
+    // window over the corpus, which the plan gate rightly rejects —
+    // this form's only global window is the offset stitch over the
+    // per-range-slice count frame (the q158/q165 pinned shape)
+    val deciled = Analytics.ntileByRange(
       lab.select(col("__all"), col("doc_id"), col("n_chars"),
         col("__score"), col("__dup")),
       Seq("__all"),

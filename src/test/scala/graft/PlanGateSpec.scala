@@ -156,7 +156,12 @@ class PlanGateSpec extends SparkSpec {
     "q59_token_shards" -> 1,
     "q73_training_shards" -> 1,
     "q158_negative_samples" -> 1,
-    "q165_epoch_order" -> 1)
+    "q165_epoch_order" -> 1,
+    // ntileByRange's offset stitch under the CONSTANT "__all" group
+    // (the q158/q165 rankByRange shape): the folded-"global" window
+    // reads the per-range-slice count frame, ≤ numShufflePartitions
+    // rows by construction
+    "q290_selection_curve" -> 1)
 
   test("every registry query plans free of cartesian products, " +
       "unbounded nested-loop joins, and unbounded global windows " +
