@@ -475,6 +475,91 @@ object Drift {
           .as("material")): _*)
   }
 
+  /** Brown–Forsythe variance-shift test between two snapshots per
+    * group — the VARIANCE axis of the drift family: MW reads location,
+    * KS/CvM read shape, this reads spread (a mean-preserving widening
+    * is invisible to all three MW-style alarms). Robust by
+    * construction: the one-way F runs on |x − median| deviations, so
+    * heavy tails don't masquerade as variance shifts the way they do
+    * under Levene's mean-centered form.
+    *
+    * Exactness: each side's median comes from the per-(group, value)
+    * count frame (2·median = lower + upper middle values — exact
+    * BIGINTs, even-n safe); deviations are the exact integers
+    * |2x − 2·med|; each side reduces to exact (n, Σz, Σz²) moments
+    * (squares in DECIMAL), and with exactly TWO sides the F formula
+    * is one mirrored double expression — no cross-side float
+    * accumulation exists to order. F compares against χ²₀.₀₅,₁
+    * (the k=2 large-sample bound).
+    *
+    * Scale: one grouped count per side (value-domain-sized frames),
+    * one window over values per (group, side), group-sized
+    * arithmetic after. Returns (group…, n_base, n_cur, med2_base,
+    * med2_cur, f, var_drifted).
+    */
+  def brownForsythe(
+      base: DataFrame, cur: DataFrame, cents: Column,
+      groupCols: Seq[String], fAlpha: Double = 3.841459): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def sideStats(df: DataFrame, tag: String): DataFrame = {
+      val per = df
+        .select(groupCols.map(col) :+ cents.cast("long").as("__v"): _*)
+        .where(col("__v").isNotNull)
+        .groupBy(groupCols.map(col) :+ col("__v"): _*)
+        .agg(count(lit(1)).as("__c"))
+        .transform(graft.core.CacheScope.disk)
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("__v").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val n = per.groupBy(groupCols.map(col): _*)
+        .agg(sum(col("__c")).as("__n"))
+      // exact integer middle ranks: lower = floor((n+1)/2),
+      // upper = floor(n/2)+1 (equal when n is odd)
+      val cum = per.withColumn("__cum", sum(col("__c")).over(w))
+        .join(n, groupCols)
+        .withColumn("__lo",
+          floor((col("__n") + 1L).cast("double") / 2.0).cast("long"))
+        .withColumn("__hi",
+          floor(col("__n").cast("double") / 2.0).cast("long") + 1L)
+      val med2 = cum.groupBy(groupCols.map(col): _*)
+        .agg(
+          first(col("__n")).as(s"n_$tag"),
+          (min(when(col("__cum") >= col("__lo"), col("__v"))) +
+            min(when(col("__cum") >= col("__hi"), col("__v"))))
+            .as(s"med2_$tag"))
+      // deviation moments in doubled units: z = |2v − med2| exact
+      val z = abs(col("__v") * 2L - col(s"med2_$tag"))
+      per.join(med2, groupCols)
+        .groupBy(groupCols.map(col): _*)
+        .agg(
+          first(col(s"n_$tag")).as(s"n_$tag"),
+          first(col(s"med2_$tag")).as(s"med2_$tag"),
+          sum(dec(col("__c")) * dec(z)).as(s"__s_$tag"),
+          sum(dec(col("__c")) * dec(z) * dec(z)).as(s"__q_$tag"))
+    }
+    val joined = sideStats(base, "base")
+      .join(sideStats(cur, "cur"), groupCols)
+    val nb = col("n_base"); val nc = col("n_cur")
+    val nbD = nb.cast("double"); val ncD = nc.cast("double")
+    val sb = col("__s_base").cast("double")
+    val sc = col("__s_cur").cast("double")
+    val qb = col("__q_base").cast("double")
+    val qc = col("__q_cur").cast("double")
+    val nD = nbD + ncD
+    val ssb = sb * sb / nbD + sc * sc / ncD -
+      (sb + sc) * (sb + sc) / nD
+    val ssw = (qb - sb * sb / nbD) + (qc - sc * sc / ncD)
+    val f = ssb * (nD - 2.0) / ssw
+    val ok = nb >= 2L && nc >= 2L && ssw > 0.0
+    val fSafe = when(ok, f).otherwise(lit(null).cast("double"))
+    joined.select(groupCols.map(col) ++ Seq(
+      nb, nc, col("med2_base"), col("med2_cur"),
+      round(fSafe, 6).as("f"),
+      coalesce(fSafe > fAlpha, lit(false)).cast("int")
+        .as("var_drifted")): _*)
+  }
+
   def wilcoxonSignedRank(
       pairs: DataFrame, baseCol: String, curCol: String,
       groupCols: Seq[String], zAlpha: Double = 1.96): DataFrame = {

@@ -38,6 +38,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q285_mann_kendall" -> (mannKendallQ _),
     "q286_page_hinkley" -> (pageHinkleyQ _),
     "q292_effect_size" -> (effectSizeQ _),
+    "q295_variance_drift" -> (varianceDriftQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -457,6 +458,67 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
            CAST(CASE WHEN min(CASE WHEN ph >= 12000000000 THEN bx END)
              IS NOT NULL THEN 1 ELSE 0 END AS INT) AS alarmed
          FROM ph GROUP BY g ORDER BY event_type""",
+    // count-frame medians (2·med = lower + upper middles, exact),
+    // |2x − med2| deviation moments in HUGEINT, one mirrored F;
+    // the mean-preserving 2-HIGH widening re-seeded
+    "q295_variance_drift" ->
+      """WITH v AS (
+           SELECT o_orderpriority AS g, o_orderkey % 2 AS side,
+             CAST(floor((CASE WHEN o_orderkey % 2 = 0
+               AND o_orderpriority = '2-HIGH'
+               THEN o_totalprice * (CASE WHEN o_orderkey % 4 = 0
+                 THEN 1.6 ELSE 0.4 END)
+               ELSE o_totalprice END) * 100) AS BIGINT) AS x
+           FROM orders),
+         per AS (
+           SELECT g, side, x, CAST(count(*) AS BIGINT) AS c
+           FROM v GROUP BY 1, 2, 3),
+         n AS (SELECT g, side, CAST(sum(c) AS BIGINT) AS n
+           FROM per GROUP BY 1, 2),
+         cum AS (
+           SELECT per.g, per.side, x, c, n,
+             CAST(sum(c) OVER (PARTITION BY per.g, per.side
+               ORDER BY x) AS BIGINT) AS cum
+           FROM per JOIN n ON n.g = per.g AND n.side = per.side),
+         med AS (
+           SELECT g, side, max(n) AS n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN x END)
+               + min(CASE WHEN cum >= n // 2 + 1 THEN x END) AS med2
+           FROM cum GROUP BY 1, 2),
+         mom AS (
+           SELECT per.g, per.side, max(med.n) AS n, max(med2) AS med2,
+             sum(CAST(c AS HUGEINT) * abs(2 * x - med2)) AS s,
+             sum(CAST(c AS HUGEINT) * abs(2 * x - med2)
+               * abs(2 * x - med2)) AS q
+           FROM per JOIN med ON med.g = per.g AND med.side = per.side
+           GROUP BY 1, 2),
+         j AS (
+           SELECT b.g, b.n AS nb, c2.n AS nc,
+             b.med2 AS m2b, c2.med2 AS m2c,
+             CAST(b.s AS DOUBLE) AS sb, CAST(c2.s AS DOUBLE) AS sc,
+             CAST(b.q AS DOUBLE) AS qb, CAST(c2.q AS DOUBLE) AS qc
+           FROM mom b JOIN mom c2 ON c2.g = b.g
+             AND b.side = 1 AND c2.side = 0),
+         ff AS (
+           SELECT g, nb, nc, m2b, m2c,
+             (sb * sb / CAST(nb AS DOUBLE)
+               + sc * sc / CAST(nc AS DOUBLE)
+               - (sb + sc) * (sb + sc)
+                 / (CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE)))
+             * ((CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE)) - 2.0)
+             / ((qb - sb * sb / CAST(nb AS DOUBLE))
+               + (qc - sc * sc / CAST(nc AS DOUBLE))) AS f,
+             (qb - sb * sb / CAST(nb AS DOUBLE))
+               + (qc - sc * sc / CAST(nc AS DOUBLE)) AS ssw
+           FROM j)
+         SELECT g AS o_orderpriority, nb AS n_base, nc AS n_cur,
+           m2b AS med2_base, m2c AS med2_cur,
+           CASE WHEN nb < 2 OR nc < 2 OR ssw <= 0 THEN NULL
+             ELSE round(f, 6) END AS f,
+           CAST(coalesce((CASE WHEN nb < 2 OR nc < 2 OR ssw <= 0
+             THEN NULL ELSE f END) > 3.841459, FALSE) AS INT)
+             AS var_drifted
+         FROM ff ORDER BY o_orderpriority""",
     // exact integer moments per side (squares in HUGEINT before the
     // sum); d/g/band one mirrored double formula; the 1-URGENT +10%
     // plant re-seeded
@@ -1051,6 +1113,30 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
         when(col("o_orderpriority") === "1-URGENT",
           col("o_totalprice") * 1.10).otherwise(col("o_totalprice")))
     graft.quality.Drift.cohensD(base, cur,
+        floor(col("o_totalprice") * 100), Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Variance drift ([[graft.quality.Drift.brownForsythe]]): the
+    * spread axis the q277 panel lacks — a deterministic
+    * MEAN-PRESERVING widening is planted on 2-HIGH (cur prices
+    * ×1.6 / ×0.4 alternating by orderkey mod 4, re-seeded by the
+    * oracle), the shift the location alarms are structurally blind
+    * to. Robust |x − median| deviations; exact medians and moments;
+    * one mirrored F with exactly two sides, so no cross-side float
+    * accumulation exists to order.
+    */
+  private[graft] def varianceDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.where(col("o_orderkey") % 2 === 1)
+    val cur = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === "2-HIGH",
+          col("o_totalprice") *
+            when(col("o_orderkey") % 4 === 0, lit(1.6))
+              .otherwise(lit(0.4)))
+          .otherwise(col("o_totalprice")))
+    graft.quality.Drift.brownForsythe(base, cur,
         floor(col("o_totalprice") * 100), Seq("o_orderpriority"))
       .orderBy("o_orderpriority")
   }
