@@ -340,6 +340,96 @@ object Multimodal {
   def beUIntAt(bin: Column, off: Column, n: Int): Column =
     conv(hex(bin.substr(off, lit(n))), 16, 10).cast("long")
 
+  /** [[leUInt]] at a COLUMN offset (TIFF's IFD position is data). */
+  def leUIntAt(bin: Column, off: Column, n: Int): Column =
+    (0 until n).map { i =>
+      conv(hex(bin.substr(off + i, lit(1))), 16, 10).cast("long") *
+        lit(1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** Endian-selected unsigned int at a column offset — TIFF carries
+    * its own byte order in the header, so every subsequent read
+    * dispatches on it.
+    */
+  private def uIntAt(
+      bin: Column, off: Column, n: Int, le: Column): Column =
+    when(le, leUIntAt(bin, off, n)).otherwise(beUIntAt(bin, off, n))
+
+  /** TIFF/EXIF IFD0 metadata as a pure column expression:
+    * struct(format, byte_order, n_entries, width, height,
+    * orientation, bits_per_sample). The LAST common crawl-image
+    * metadata shape after PNG/GIF/BMP/WebP/JPEG — and the one that
+    * carries ORIENTATION, which perceptual dedup (dHash) must
+    * normalize by or rotated copies of the same photo read as
+    * distinct.
+    *
+    * The walk is real TIFF, not a fixed offset: byte order from the
+    * `II`/`MM` header (every later read dispatches on it), the 42
+    * magic check, the IFD0 position read from the header (a data
+    * value — arbitrary pre-IFD padding is legal), then a bounded
+    * [[org.apache.spark.sql.functions.aggregate]] fold over at most
+    * `maxEntries` 12-byte directory entries reading SHORT(3)/LONG(4)
+    * values (inline in the first bytes of the value field, per spec)
+    * for ImageWidth 0x0100, ImageLength 0x0101, BitsPerSample 0x0102
+    * and Orientation 0x0112; unknown tags skip, other value types
+    * are ignored rather than misread. Truncation at ANY read (header,
+    * count, entry) yields nulls, never garbage — the
+    * [[jpegSofScan]] guard discipline. Orientation defaults to 1
+    * (top-left) when the tag is absent, per the EXIF convention.
+    *
+    * Scale: a fixed-size expression tree per row — no UDF, no codec,
+    * stays inside whole-stage codegen like the other header decoders.
+    */
+  def tiffHeaderMeta(bin: Column, maxEntries: Int = 16): Column = {
+    val len = length(bin).cast("long")
+    val order = upper(hex(substring(bin, 1, 2)))
+    val le = order === "4949"
+    val isTiff = (le || order === "4D4D") && len >= 8L &&
+      uIntAt(bin, lit(3), 2, le) === 42L
+    val ifd = uIntAt(bin, lit(5), 4, le) // 0-based from file start
+    val countOk = isTiff && len >= ifd + 2L
+    val nEntries = when(countOk, uIntAt(bin, ifd + 1L, 2, le))
+    val nul = lit(null).cast("long")
+    val init = struct(nul.as("w"), nul.as("h"), nul.as("o"),
+      nul.as("bps"))
+    aggregate(
+      sequence(lit(0), lit(maxEntries - 1)),
+      init,
+      (acc, i) => {
+        val base = ifd + 3L + i.cast("long") * 12L
+        val inIfd = nEntries.isNotNull && i.cast("long") < nEntries &&
+          len >= base + 11L
+        val tag = uIntAt(bin, base, 2, le)
+        val typ = uIntAt(bin, base + 2L, 2, le)
+        // SHORT and LONG values sit inline, left-justified in the
+        // 4-byte value field; other types would need the offset
+        // indirection — ignored, not misread
+        val v = when(typ === 3L, uIntAt(bin, base + 8L, 2, le))
+          .when(typ === 4L, uIntAt(bin, base + 8L, 4, le))
+        def pick(t: Long, cur: Column): Column =
+          when(inIfd && tag === t && v.isNotNull && cur.isNull, v)
+            .otherwise(cur)
+        struct(
+          pick(0x0100L, acc.getField("w")).as("w"),
+          pick(0x0101L, acc.getField("h")).as("h"),
+          pick(0x0112L, acc.getField("o")).as("o"),
+          pick(0x0102L, acc.getField("bps")).as("bps"))
+      },
+      acc => {
+        val ok = countOk
+        struct(
+          when(ok, lit("tiff")).as("format"),
+          when(ok, when(le, "II").otherwise("MM")).as("byte_order"),
+          when(ok, nEntries).cast("int").as("n_entries"),
+          when(ok, acc.getField("w")).as("width"),
+          when(ok, acc.getField("h")).as("height"),
+          when(ok, coalesce(acc.getField("o"), lit(1L))).cast("int")
+            .as("orientation"),
+          when(ok, acc.getField("bps")).cast("int")
+            .as("bits_per_sample"))
+      })
+  }
+
   /** MP4/ISO-BMFF video metadata as a pure column expression:
     * struct(format, brand, timescale, duration_ticks, duration_sec).
     * Walks the two fixed leading boxes — `ftyp` (size read from the

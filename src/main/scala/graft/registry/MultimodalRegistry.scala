@@ -24,7 +24,70 @@ private[graft] object MultimodalRegistry {
     "q47_wav_roundtrip" -> (wavRoundtrip _),
     "q63_video_meta" -> (videoMeta _),
     "q274_webp_header_decode" -> (webpHeaderDecode _),
+    "q296_tiff_header_decode" -> (tiffHeaderDecode _),
   )
+
+  /** Big-endian hex of a column value, n bytes. */
+  private def beHexN(v: Column, n: Int): Column =
+    lpad(hex(v.cast("long")), n * 2, "0")
+
+  /** Endian-selected hex of a column value, n bytes — TIFF payloads
+    * carry their own byte order, so the test payload builder swaps
+    * per row.
+    */
+  private def eHex(v: Column, n: Int, le: Column): Column =
+    when(le, leHex(v, n)).otherwise(beHexN(v, n))
+
+  /** TIFF/EXIF IFD0 decode ([[Multimodal.tiffHeaderMeta]]) over
+    * synthesized payloads that exercise the walk, not an offset:
+    * byte order ALTERNATES per doc (II/MM — every read dispatches),
+    * the IFD sits after doc_id-dependent padding (its position is
+    * read from the header, never assumed), width's type alternates
+    * SHORT/LONG, a decoy tag precedes the wanted ones, and every
+    * 17th payload is truncated mid-header (must null, never
+    * misread). The oracle is the closed form of the same doc_id
+    * arithmetic — the hash proves the byte walk end to end.
+    */
+  private[graft] def tiffHeaderDecode(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val le = id % 2 === 0
+    val pad = (id % 9).cast("int")
+    val w = (id % 640 + 16).cast("long")
+    val h = ((id * 7) % 480 + 16).cast("long")
+    val orient = (id % 8 + 1).cast("long")
+    val wideW = id % 3 === 0 // width as LONG instead of SHORT
+    def entryShort(tag: Int, v: Column, leC: Column): Column = concat(
+      eHex(lit(tag), 2, leC), eHex(lit(3), 2, leC),
+      eHex(lit(1), 4, leC), eHex(v, 2, leC), lit("0000"))
+    def entryLong(tag: Int, v: Column, leC: Column): Column = concat(
+      eHex(lit(tag), 2, leC), eHex(lit(4), 2, leC),
+      eHex(lit(1), 4, leC), eHex(v, 4, leC))
+    val ifdOff = (lit(8) + pad).cast("long")
+    val full = concat(
+      when(le, lit("49492A00")).otherwise(lit("4D4D002A")),
+      eHex(ifdOff, 4, le),
+      repeat(lit("00"), pad),
+      eHex(lit(5), 2, le), // entry count
+      entryLong(0x00FE, lit(0L), le), // decoy: NewSubfileType
+      when(wideW, entryLong(0x0100, w, le))
+        .otherwise(entryShort(0x0100, w, le)),
+      entryShort(0x0101, h, le),
+      entryShort(0x0102, lit(8L), le),
+      entryShort(0x0112, orient, le),
+      lit("00000000")) // no next IFD
+    val payload = when(id % 17 === 0, substring(full, 1, 12))
+      .otherwise(full)
+    docs(s, dir)
+      .select(id, unhex(payload).as("__bin"))
+      .select(id, Multimodal.tiffHeaderMeta(col("__bin")).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.byte_order").as("byte_order"),
+        col("m.n_entries").as("n_entries"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.orientation").as("orientation"),
+        col("m.bits_per_sample").as("bits_per_sample"))
+      .orderBy("doc_id")
+  }
 
   /** Little-endian hex of a column value, n bytes — for assembling
     * RIFF test payloads in pure SQL.
@@ -87,6 +150,26 @@ private[graft] object MultimodalRegistry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // closed form of the payload builder's doc_id arithmetic — the
+    // hash proves the endian-dispatched IFD walk, not an offset
+    "q296_tiff_header_decode" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 'tiff' END
+             AS format,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+             WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+             AS byte_order,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 5 END
+             AS INT) AS n_entries,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE doc_id % 640 + 16 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE (doc_id * 7) % 480 + 16 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE doc_id % 8 + 1 END AS INT) AS orientation,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 8 END
+             AS INT) AS bits_per_sample
+         FROM documents ORDER BY doc_id""",
     // q274: the q38/q256 treatment for WebP — the oracle recomputes
     // every field from the doc_id formulas; Spark must round-trip
     // them through actual RIFF bytes across ALL THREE VP8 chunk
