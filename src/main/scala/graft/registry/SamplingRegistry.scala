@@ -35,6 +35,7 @@ private[graft] object SamplingRegistry {
     "q212_stratified_kfold" -> (kfoldAuditQ _),
     "q217_padding_waste" -> (paddingWasteQ _),
     "q283_pps_ht_estimate" -> (ppsHtQ _),
+    "q297_neyman_allocation" -> (neymanAllocationQ _),
   )
 
   /** PPS + Horvitz–Thompson corpus estimation
@@ -54,6 +55,30 @@ private[graft] object SamplingRegistry {
         "doc_id", "__tok", Seq("source"), expectedK = 100,
         salt = "q283")
       .orderBy("source")
+
+  /** Neyman vs proportional allocation
+    * ([[graft.sampling.Sampling.neymanAllocation]]) of a 1000-row
+    * inspection budget across market segments by order-value spread:
+    * FURNITURE's values are deterministically tripled (the oracle
+    * re-seeds it), so its stratum std triples and the optimal
+    * allocation gives it ~3× its proportional share — the
+    * measure-the-corpus-not-the-easy-part reading. Exact integer
+    * moments, mirrored sqrt/quotas, largest-remainder integerization
+    * summing exactly to the budget.
+    */
+  private[graft] def neymanAllocationQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val factor = when(col("c_mktsegment") === "FURNITURE", lit(3.0))
+      .otherwise(lit(1.0))
+    graft.sampling.Sampling.neymanAllocation(
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", floor(col("o_totalprice") * factor * 100),
+        budget = 1000L)
+      .orderBy("c_mktsegment")
+  }
 
   /** Padding-waste / packing-win report
     * ([[graft.sampling.Packing.paddingWasteReport]]): at candidate
@@ -84,6 +109,72 @@ private[graft] object SamplingRegistry {
       .orderBy("fold", "o_orderpriority")
 
   def oracleSql: Map[String, String] = Map(
+    // exact stratum moments in HUGEINT, mirrored sqrt/quotas, and the
+    // largest-remainder rank replayed with the same tie-break
+    "q297_neyman_allocation" ->
+      """WITH v AS (
+           SELECT c_mktsegment AS stratum,
+             CAST(floor(o_totalprice
+               * (CASE WHEN c_mktsegment = 'FURNITURE'
+                 THEN 3.0 ELSE 1.0 END) * 100) AS BIGINT) AS x
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         st AS (
+           SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(x) AS BIGINT) AS s,
+             sum(CAST(x AS HUGEINT) * x) AS q
+           FROM v GROUP BY stratum),
+         ww AS (
+           SELECT stratum, n_rows,
+             sqrt(CAST(CAST(n_rows AS HUGEINT) * q
+                 - CAST(s AS HUGEINT) * s AS DOUBLE)
+               / (CAST(n_rows AS DOUBLE)
+                 * (CAST(n_rows AS DOUBLE) - 1.0))) AS std
+           FROM st),
+         wn AS (
+           SELECT stratum, n_rows, std,
+             CASE WHEN n_rows < 2 THEN 0.0
+               ELSE CAST(n_rows AS DOUBLE) * std END AS w_neyman,
+             CAST(n_rows AS DOUBLE) AS w_prop
+           FROM ww),
+         wn2 AS (
+           SELECT stratum, n_rows, std,
+             CASE WHEN (SELECT sum(w_neyman) FROM wn) > 0.0
+               THEN w_neyman ELSE w_prop END AS w_neyman, w_prop
+           FROM wn),
+         ney AS (
+           SELECT stratum, n_rows, std, w_prop,
+             1000.0 * w_neyman / (SELECT sum(w_neyman) FROM wn2)
+               AS quota
+           FROM wn2),
+         neyr AS (
+           SELECT stratum, n_rows, std, w_prop,
+             CAST(floor(quota) AS BIGINT) AS flo,
+             row_number() OVER (ORDER BY quota - floor(quota) DESC,
+               stratum ASC) AS rk
+           FROM ney),
+         neyf AS (
+           SELECT stratum, n_rows, std, w_prop,
+             flo + CASE WHEN rk <= 1000 - (SELECT sum(flo) FROM neyr)
+               THEN 1 ELSE 0 END AS n_neyman
+           FROM neyr),
+         pr AS (
+           SELECT stratum, n_rows, std, n_neyman,
+             1000.0 * w_prop / (SELECT sum(w_prop) FROM neyf)
+               AS quota
+           FROM neyf),
+         prr AS (
+           SELECT stratum, n_rows, std, n_neyman,
+             CAST(floor(quota) AS BIGINT) AS flo,
+             row_number() OVER (ORDER BY quota - floor(quota) DESC,
+               stratum ASC) AS rk
+           FROM pr)
+         SELECT stratum AS c_mktsegment, n_rows,
+           CASE WHEN n_rows < 2 THEN NULL ELSE round(std, 4) END
+             AS std,
+           CAST(n_neyman AS BIGINT) AS n_neyman,
+           CAST(flo + CASE WHEN rk <= 1000 - (SELECT sum(flo)
+             FROM prr) THEN 1 ELSE 0 END AS BIGINT) AS n_prop
+         FROM prr ORDER BY c_mktsegment""",
     // the draw replays exactly: inclusion is the integer cross-
     // multiplication h32·W < k·w·2^32, inverse probabilities are
     // micro-quantized integral divisions, sums order-free

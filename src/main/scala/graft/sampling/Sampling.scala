@@ -623,6 +623,83 @@ object Sampling {
     * Returns `(group…, n, w_sum, ess, deff)`; null ess/deff for
     * zero-total-weight groups.
     */
+  /** Neyman (optimal) allocation for a stratified sample: given a
+    * total budget n, allocate nₕ ∝ Nₕ·Sₕ — strata that are big AND
+    * internally varied get the samples; a huge homogeneous stratum
+    * needs few. The variance-optimal counterpart of the proportional
+    * allocation (also emitted, for the comparison the design review
+    * actually reads): under a fixed label/inspection budget this is
+    * the difference between measuring the corpus and measuring the
+    * easy part of it.
+    *
+    * Integerization is the largest-remainder (Hamilton) method with
+    * a deterministic tie-break (remainder desc, stratum asc), so the
+    * allocations sum EXACTLY to the budget and replay exactly: Sₕ
+    * comes from exact integer moments (n·Σx² − (Σx)², squares in
+    * DECIMAL) through one mirrored sqrt, quotas are mirrored doubles,
+    * and the rounding is rank arithmetic. Degenerate strata (n < 2
+    * or zero variance) carry weight 0 — they need 0 optimal samples
+    * beyond what proportional gives; if EVERY stratum is degenerate
+    * the Neyman column falls back to the proportional one.
+    *
+    * Scale: one grouped aggregation to the stratum table; everything
+    * after is stratum-cardinality arithmetic (windows included).
+    */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: String, valueCents: Column,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = valueCents.cast("long")
+    val strata = df.where(x.isNotNull)
+      .select(col(stratumCol).as("stratum"), x.as("__x"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__x")).as("__s"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__q"))
+      .transform(graft.core.CacheScope.disk)
+    val nD = col("n_rows").cast("double")
+    val varNum = (dec(col("n_rows")) * col("__q") -
+      dec(col("__s")) * dec(col("__s"))).cast("double")
+    val std = sqrt(varNum / (nD * (nD - 1.0)))
+    val w = when(col("n_rows") < 2L, lit(0.0))
+      .otherwise(nD * std)
+    def hamilton(tag: String)(in: DataFrame): DataFrame = {
+      val tot = in.agg(sum(col(s"__w_$tag")).as(s"__tot_$tag"))
+      val quota = lit(budget.toDouble) * col(s"__w_$tag") /
+        col(s"__tot_$tag")
+      val ranked = in.crossJoin(broadcast(tot))
+        .withColumn(s"__flo_$tag", floor(quota).cast("long"))
+        .withColumn(s"__rem_$tag", quota - floor(quota))
+        // global window over the STRATUM frame — bounded by the
+        // stratum domain, not the data (pinned in PlanGateSpec)
+        .withColumn(s"__rk_$tag", row_number().over(
+          Window.orderBy(col(s"__rem_$tag").desc,
+            col("stratum").asc)))
+      val short = ranked.agg(
+        (lit(budget) - sum(col(s"__flo_$tag"))).as(s"__short_$tag"))
+      ranked.crossJoin(broadcast(short))
+        .withColumn(s"n_$tag",
+          col(s"__flo_$tag") +
+            when(col(s"__rk_$tag") <= col(s"__short_$tag"), 1L)
+              .otherwise(0L))
+    }
+    val weighted = strata
+      .withColumn("__w_neyman", w)
+      .withColumn("__w_prop", nD)
+    // all-degenerate corpus: fall back to proportional weights
+    val anyW = weighted.agg(sum(col("__w_neyman")).as("__wsum"))
+    val base = weighted.crossJoin(broadcast(anyW))
+      .withColumn("__w_neyman",
+        when(col("__wsum") > 0.0, col("__w_neyman"))
+          .otherwise(col("__w_prop")))
+    val withNeyman = hamilton("neyman")(base)
+    val withBoth = hamilton("prop")(withNeyman)
+    withBoth.select(col("stratum").as(stratumCol), col("n_rows"),
+      round(when(col("n_rows") < 2L, lit(null).cast("double"))
+        .otherwise(std), 4).as("std"),
+      col("n_neyman"), col("n_prop"))
+  }
+
   def effectiveSampleSize(
       df: DataFrame, groupCols: Seq[String],
       weight: Column): DataFrame = {

@@ -161,7 +161,11 @@ class PlanGateSpec extends SparkSpec {
     // (the q158/q165 rankByRange shape): the folded-"global" window
     // reads the per-range-slice count frame, ≤ numShufflePartitions
     // rows by construction
-    "q290_selection_curve" -> 1)
+    "q290_selection_curve" -> 1,
+    // Hamilton largest-remainder ranks (one per allocation column)
+    // over the STRATUM frame — a grouped aggregate bounded by the
+    // segment domain, which the static bound can't see
+    "q297_neyman_allocation" -> 2)
 
   test("every registry query plans free of cartesian products, " +
       "unbounded nested-loop joins, and unbounded global windows " +
