@@ -560,6 +560,47 @@ object Drift {
         .as("var_drifted")): _*)
   }
 
+  /** Equal-exposure rate (count) drift per group — the axis every
+    * value-conditioned alarm misses: a group whose event RATE
+    * collapsed but whose per-event value distribution is unchanged
+    * reads clean on KS/CvM/MW/effect-size, and THIS is the alarm
+    * that fires. Under equal exposure the conditional score test is
+    * z = (c₂ − c₁)/√(c₁ + c₂) — exact integers into one mirrored
+    * division — plus the rate ratio with its log-scale 1.96 band
+    * (mirrored doubles over the exact counts). Groups empty on one
+    * side report ratio null (the z still reads the imbalance).
+    *
+    * Scale: one grouped count per side; group-sized arithmetic.
+    */
+  def rateRatio(
+      base: DataFrame, cur: DataFrame, groupCols: Seq[String],
+      zAlpha: Double = 1.96): DataFrame = {
+    def cnt(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as(s"n_$tag"))
+    val c1 = col("n_base").cast("double")
+    val c2 = col("n_cur").cast("double")
+    val z = (c2 - c1) / sqrt(c1 + c2)
+    val zSafe = when(col("n_base") + col("n_cur") === 0L,
+      lit(null).cast("double")).otherwise(z)
+    val rr = c2 / c1
+    val se = sqrt(lit(1.0) / c1 + lit(1.0) / c2)
+    val rrOk = col("n_base") > 0L && col("n_cur") > 0L
+    cnt(base, "base").join(cnt(cur, "cur"), groupCols, "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_base"), col("n_cur"),
+        round(when(rrOk, rr).otherwise(lit(null).cast("double")), 4)
+          .as("rate_ratio"),
+        round(when(rrOk, exp(log(rr) - lit(1.96) * se))
+          .otherwise(lit(null).cast("double")), 4).as("ci_lo"),
+        round(when(rrOk, exp(log(rr) + lit(1.96) * se))
+          .otherwise(lit(null).cast("double")), 4).as("ci_hi"),
+        round(zSafe, 6).as("z"),
+        coalesce(abs(zSafe) > zAlpha, lit(false)).cast("int")
+          .as("rate_drifted")): _*)
+  }
+
   def wilcoxonSignedRank(
       pairs: DataFrame, baseCol: String, curCol: String,
       groupCols: Seq[String], zAlpha: Double = 1.96): DataFrame = {

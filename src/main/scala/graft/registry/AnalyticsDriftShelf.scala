@@ -39,6 +39,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q286_page_hinkley" -> (pageHinkleyQ _),
     "q292_effect_size" -> (effectSizeQ _),
     "q295_variance_drift" -> (varianceDriftQ _),
+    "q298_rate_drift" -> (rateDriftQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -458,6 +459,44 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
            CAST(CASE WHEN min(CASE WHEN ph >= 12000000000 THEN bx END)
              IS NOT NULL THEN 1 ELSE 0 END AS INT) AS alarmed
          FROM ph GROUP BY g ORDER BY event_type""",
+    // exact counts into one mirrored score z and the log-scale band;
+    // the 60% error-side drop re-seeded
+    "q298_rate_drift" ->
+      """WITH b AS (
+           SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_base
+           FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+         c AS (
+           SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_cur
+           FROM events WHERE event_id % 2 = 0
+             AND NOT (event_type = 'error'
+               AND event_id % 10 IN (0, 2, 4))
+           GROUP BY 1),
+         f AS (
+           SELECT coalesce(b.g, c.g) AS g,
+             coalesce(n_base, 0) AS n_base,
+             coalesce(n_cur, 0) AS n_cur
+           FROM b FULL OUTER JOIN c ON b.g = c.g),
+         z AS (
+           SELECT g, n_base, n_cur,
+             CASE WHEN n_base + n_cur = 0 THEN NULL
+               ELSE (CAST(n_cur AS DOUBLE) - CAST(n_base AS DOUBLE))
+                 / sqrt(CAST(n_base AS DOUBLE)
+                   + CAST(n_cur AS DOUBLE)) END AS z,
+             CASE WHEN n_base > 0 AND n_cur > 0
+               THEN CAST(n_cur AS DOUBLE) / CAST(n_base AS DOUBLE)
+               END AS rr,
+             CASE WHEN n_base > 0 AND n_cur > 0
+               THEN sqrt(1.0 / CAST(n_base AS DOUBLE)
+                 + 1.0 / CAST(n_cur AS DOUBLE)) END AS se
+           FROM f)
+         SELECT g AS event_type, n_base, n_cur,
+           round(rr, 4) AS rate_ratio,
+           round(exp(ln(rr) - 1.96 * se), 4) AS ci_lo,
+           round(exp(ln(rr) + 1.96 * se), 4) AS ci_hi,
+           round(z, 6) AS z,
+           CAST(coalesce(abs(z) > 1.96, FALSE) AS INT)
+             AS rate_drifted
+         FROM z ORDER BY event_type""",
     // count-frame medians (2·med = lower + upper middles, exact),
     // |2x − med2| deviation moments in HUGEINT, one mirrored F;
     // the mean-preserving 2-HIGH widening re-seeded
@@ -1139,6 +1178,25 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     graft.quality.Drift.brownForsythe(base, cur,
         floor(col("o_totalprice") * 100), Seq("o_orderpriority"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Rate (count) drift ([[graft.quality.Drift.rateRatio]]): the
+    * axis every value-conditioned alarm misses — 60% of the error
+    * type's current-side events are deterministically dropped
+    * (event_id mod arithmetic the oracle re-seeds), a collapse the
+    * KS/CvM/MW/effect-size family cannot see because the surviving
+    * events' VALUES are untouched. The equal-exposure score test
+    * reads it at z = −3.45 (sf0.001) / −16.2 (sf0.01) while clean
+    * types sit within ±1.6.
+    */
+  private[graft] def rateDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val base = e.where(col("event_id") % 2 === 1)
+    val cur = e.where(col("event_id") % 2 === 0 &&
+      !(col("event_type") === "error" &&
+        (col("event_id") % 10).isin(0, 2, 4)))
+    graft.quality.Drift.rateRatio(base, cur, Seq("event_type"))
+      .orderBy("event_type")
   }
 
   private[graft] def driftPanelQ(s: SparkSession, dir: String): DataFrame = {
