@@ -413,6 +413,148 @@ object Drift {
     * grouped count per distinct |d| (bounded by value cardinality),
     * one group-sized aggregate.
     */
+  /** The COMPLETE drift one-pager off ONE count frame: KS (worst CDF
+    * gap), CvM (integrated squared gap), Mann–Whitney (location),
+    * Cohen's d (magnitude), Brown–Forsythe (variance) and the
+    * equal-exposure rate test — six axes, one persisted
+    * per-(group, distinct cents) count frame, computed from ONE
+    * tagged-union scan of the two snapshots. Every axis is a
+    * DERIVATION from the shared frame: the panel cores read it
+    * directly; the rate test is its count sums; the effect size's
+    * moments are Σv·c and Σv²·c; the medians and |x − med|
+    * deviation moments are count-window identities. At warehouse
+    * scale the whole page costs one scan-and-count per snapshot —
+    * nobody runs six scans — and the same frame is the shape a
+    * standing count store maintains incrementally.
+    *
+    * Exactness discipline inherited from every constituent: exact
+    * integer sufficient statistics (DECIMAL products), one mirrored
+    * double formula per emitted statistic, each axis keeping its
+    * standalone null/one-sided contract.
+    */
+  def driftOnePager(
+      base: DataFrame, cur: DataFrame, cents: Column,
+      groupCols: Seq[String], cAlpha: Double = 1.358,
+      cvmThreshold: Double = 0.461, zAlpha: Double = 1.96,
+      dThreshold: Double = 0.2, fAlpha: Double = 3.841459): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tag = (df: DataFrame, b: Int) => df
+      .select(groupCols.map(col) :+ cents.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .withColumn("__b", lit(b))
+    val per = tag(base, 1).unionByName(tag(cur, 0))
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__b")).cast("long").as("__cb"),
+        sum(lit(1) - col("__b")).cast("long").as("__cc"))
+      .transform(graft.core.CacheScope.disk)
+    val gc = groupCols.map(col)
+    // panel legs: the q277 cores on the shared frame
+    val ks = ksTestCore(per, groupCols, cAlpha)
+      .select(gc ++ Seq(col("n_base"), col("n_cur"),
+        round(col("ks_d"), 6).as("ks_d"),
+        col("drifted").cast("int").as("ks_drifted")): _*)
+    val cvm = cvmTestCore(per, groupCols, cvmThreshold)
+      .select(gc ++ Seq(round(col("cvm_t"), 6).as("cvm_t"),
+        col("drifted").cast("int").as("cvm_drifted")): _*)
+    val mw = mannWhitneyUCore(per, groupCols, zAlpha)
+      .select(gc ++ Seq(col("z").as("mw_z"),
+        col("drifted").cast("int").as("mw_drifted")): _*)
+    // shared side totals (also the rate test's whole input)
+    val tot = per.groupBy(gc: _*)
+      .agg(sum(col("__cb")).as("__nb"), sum(col("__cc")).as("__nc"))
+      .transform(graft.core.CacheScope.disk)
+    val nbD = col("__nb").cast("double")
+    val ncD = col("__nc").cast("double")
+    val rateZ = (ncD - nbD) / sqrt(nbD + ncD)
+    val rateZSafe = when(col("__nb") + col("__nc") === 0L,
+      lit(null).cast("double")).otherwise(rateZ)
+    val rrOk = col("__nb") > 0L && col("__nc") > 0L
+    val rate = tot.select(gc ++ Seq(
+      round(when(rrOk, ncD / nbD)
+        .otherwise(lit(null).cast("double")), 4).as("rate_ratio"),
+      round(rateZSafe, 6).as("rate_z"),
+      coalesce(abs(rateZSafe) > zAlpha, lit(false)).cast("int")
+        .as("rate_drifted")): _*)
+    // effect-size leg: the cohensD moments as count-frame sums
+    val mom = per.groupBy(gc: _*)
+      .agg(
+        sum(col("__cb")).as("__enb"), sum(col("__cc")).as("__enc"),
+        sum(dec(col("__v")) * dec(col("__cb"))).as("__sb"),
+        sum(dec(col("__v")) * dec(col("__cc"))).as("__sc"),
+        sum(dec(col("__v")) * dec(col("__v")) * dec(col("__cb")))
+          .as("__qb"),
+        sum(dec(col("__v")) * dec(col("__v")) * dec(col("__cc")))
+          .as("__qc"))
+    val enbD = col("__enb").cast("double")
+    val encD = col("__enc").cast("double")
+    val s2b = (dec(col("__enb")) * col("__qb") -
+      dec(col("__sb")) * dec(col("__sb"))).cast("double") /
+      (enbD * (enbD - 1.0))
+    val s2c = (dec(col("__enc")) * col("__qc") -
+      dec(col("__sc")) * dec(col("__sc"))).cast("double") /
+      (encD * (encD - 1.0))
+    val pooled = ((enbD - 1.0) * s2b + (encD - 1.0) * s2c) /
+      (enbD + encD - 2.0)
+    val dVal = (col("__sc").cast("double") / encD -
+      col("__sb").cast("double") / enbD) / sqrt(pooled)
+    val dOk = col("__enb") >= 2L && col("__enc") >= 2L && pooled > 0.0
+    val dSafe = when(dOk, dVal).otherwise(lit(null).cast("double"))
+    val effect = mom.select(gc ++ Seq(
+      round(dSafe, 6).as("d"),
+      coalesce(abs(dSafe) >= dThreshold, lit(false)).cast("int")
+        .as("d_material")): _*)
+    // Brown–Forsythe leg: medians and deviation moments off the frame
+    val w = Window.partitionBy(gc: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum2 = per
+      .withColumn("__ib", sum(col("__cb")).over(w))
+      .withColumn("__ic", sum(col("__cc")).over(w))
+      .join(tot, groupCols)
+    val med = cum2.groupBy(gc: _*)
+      .agg(
+        (min(when(col("__ib") >=
+            floor((col("__nb") + 1L).cast("double") / 2.0)
+              .cast("long"), col("__v"))) +
+          min(when(col("__ib") >=
+            floor(col("__nb").cast("double") / 2.0).cast("long") + 1L,
+            col("__v")))).as("__m2b"),
+        (min(when(col("__ic") >=
+            floor((col("__nc") + 1L).cast("double") / 2.0)
+              .cast("long"), col("__v"))) +
+          min(when(col("__ic") >=
+            floor(col("__nc").cast("double") / 2.0).cast("long") + 1L,
+            col("__v")))).as("__m2c"))
+    val zb = abs(col("__v") * 2L - col("__m2b"))
+    val zc = abs(col("__v") * 2L - col("__m2c"))
+    val dev = per.join(med, groupCols)
+      .groupBy(gc: _*)
+      .agg(
+        sum(dec(col("__cb")) * dec(zb)).as("__zsb"),
+        sum(dec(col("__cb")) * dec(zb) * dec(zb)).as("__zqb"),
+        sum(dec(col("__cc")) * dec(zc)).as("__zsc"),
+        sum(dec(col("__cc")) * dec(zc) * dec(zc)).as("__zqc"))
+      .join(tot, groupCols)
+    val sb = col("__zsb").cast("double")
+    val sc = col("__zsc").cast("double")
+    val qb = col("__zqb").cast("double")
+    val qc = col("__zqc").cast("double")
+    val nD = nbD + ncD
+    val ssb = sb * sb / nbD + sc * sc / ncD -
+      (sb + sc) * (sb + sc) / nD
+    val ssw = (qb - sb * sb / nbD) + (qc - sc * sc / ncD)
+    val fVal = ssb * (nD - 2.0) / ssw
+    val fOk = col("__nb") >= 2L && col("__nc") >= 2L && ssw > 0.0
+    val fSafe = when(fOk, fVal).otherwise(lit(null).cast("double"))
+    val bf = dev.select(gc ++ Seq(
+      round(fSafe, 6).as("bf_f"),
+      coalesce(fSafe > fAlpha, lit(false)).cast("int")
+        .as("var_drifted")): _*)
+    ks.join(cvm, groupCols).join(mw, groupCols)
+      .join(effect, groupCols).join(bf, groupCols)
+      .join(rate, groupCols)
+  }
+
   /** Cohen's d / Hedges' g effect size between two snapshots per
     * group — the MAGNITUDE axis the drift panel's tests don't carry:
     * at corpus scale every real shift is "significant", and the
