@@ -270,6 +270,94 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
           .as("differs")): _*)
   }
 
+  /** Bonferroni-adjusted two-sided z critical values for m = k(k−1)/2
+    * pairwise comparisons (α = 0.05), pinned as literals shared
+    * verbatim with the DuckDB oracle — [[dunnPosthoc]]'s significance
+    * threshold depends on the group's own comparison count.
+    */
+  val zBonf05: Seq[(Int, Double)] = Seq(
+    1 -> 1.9599639845400536, 3 -> 2.3939797998185104,
+    6 -> 2.638257273476751, 10 -> 2.8070337683438114,
+    15 -> 2.9351994688666982, 21 -> 3.038074304924211,
+    28 -> 3.123734630323846, 36 -> 3.1969502291312533,
+    45 -> 3.260767488420533)
+
+  /** Dunn's post-hoc test after [[kruskalWallis]]: the omnibus says
+    * SOME category differs — this says WHICH PAIRS, on the same
+    * pooled tie-averaged ranks (never per-pair re-ranking, which
+    * would change the question): z_ij = (R̄ᵢ − R̄ⱼ) / √(V·(1/nᵢ+1/nⱼ))
+    * with the tie-corrected V = (N(N+1) − Σ(t³−t)/(N−1))/12, and
+    * significance against the Bonferroni critical value pinned for
+    * the group's own m = k(k−1)/2 comparisons (null for k > 10).
+    *
+    * Exactness: rank sums R2ᵢ and tie cubes exact in DECIMAL, mean
+    * ranks and z one mirrored double formula. Scale: the same cell
+    * frames as [[kruskalWallis]], plus a category×category pair join
+    * — category-domain-bounded, never data-sized.
+    */
+  def dunnPosthoc(
+      df: DataFrame, groupCols: Seq[String], catCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df
+      .select(groupCols.map(col) ++ Seq(
+        catCol.as("__cat"), valueCol.cast("long").as("__v")): _*)
+      .where(col("__cat").isNotNull && col("__v").isNotNull)
+      .groupBy(groupCols.map(col) ++ Seq(col("__cat"), col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .transform(graft.core.CacheScope.disk)
+    val perV = cells.groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__c")).as("__tv"))
+      .transform(graft.core.CacheScope.disk)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("__before", coalesce(sum(col("__tv")).over(w), lit(0L)))
+      .withColumn("__rank2", lit(2L) * col("__before") + col("__tv") + 1L)
+    val perCat = cells
+      .join(ranked, groupCols :+ "__v")
+      .groupBy(groupCols.map(col) :+ col("__cat"): _*)
+      .agg(sum(col("__c")).as("__ni"),
+        sum(dec(col("__c")) * dec(col("__rank2"))).as("__r2"))
+      .transform(graft.core.CacheScope.disk)
+    val gTot = perV.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__tv")).as("__n"),
+        sum(dec(col("__tv")) * dec(col("__tv")) * dec(col("__tv")) -
+          dec(col("__tv"))).as("__ties"))
+      .join(perCat.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("__k")), groupCols)
+    val a = perCat.select(groupCols.map(col) ++ Seq(
+      col("__cat").as("cat_a"), col("__ni").as("n_a"),
+      col("__r2").as("__r2a")): _*)
+    val b = perCat.select(groupCols.map(col) ++ Seq(
+      col("__cat").as("cat_b"), col("__ni").as("n_b"),
+      col("__r2").as("__r2b")): _*)
+    val pairs = a.join(b, groupCols)
+      .where(col("cat_a") < col("cat_b"))
+      .join(gTot, groupCols)
+    val nD = col("__n").cast("double")
+    // mean ranks from half-unit rank sums
+    val ra = col("__r2a").cast("double") / 2.0 / col("n_a").cast("double")
+    val rb = col("__r2b").cast("double") / 2.0 / col("n_b").cast("double")
+    val vTies = (nD * (nD + 1.0) -
+      col("__ties").cast("double") / (nD - 1.0)) / 12.0
+    val z = (ra - rb) / sqrt(vTies *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    val ok = col("__n") >= 2L && vTies > 0.0
+    val zSafe = when(ok, z).otherwise(lit(null).cast("double"))
+    val m = (col("__k") * (col("__k") - 1L) / lit(2L)).cast("long")
+    val crit = zBonf05.foldLeft(lit(null).cast("double")) {
+      case (acc, (mm, v)) => when(m === mm.toLong, lit(v)).otherwise(acc)
+    }
+    pairs.select(groupCols.map(col) ++ Seq(
+      col("cat_a"), col("cat_b"), col("n_a"), col("n_b"),
+      round(zSafe, 6).as("z"),
+      coalesce(abs(zSafe) > crit, lit(false)).cast("int")
+        .as("significant")): _*)
+  }
+
   /** Page–Hinkley sequential change detection per group over a
     * bucketed measured series: each bucket's mean (µ-quantized) is
     * compared against the RUNNING mean of the series so far, the

@@ -58,7 +58,16 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q287_cochran_armitage" -> (cochranArmitageQ _),
     "q291_kruskal_wallis" -> (kruskalWallisQ _),
     "q293_quality_auc" -> (qualityAucQ _),
+    "q300_dunn_posthoc" -> (dunnPosthocQ _),
   )
+
+  /** The engine's pinned Bonferroni z critical values as a DuckDB
+    * CASE over m — interpolating [[Analytics.zBonf05]] guarantees
+    * bit-identical double literals.
+    */
+  private[graft] val zBonfCaseSql: String =
+    "CASE m " + graft.operators.Analytics.zBonf05
+      .map { case (m, v) => s"WHEN $m THEN $v" }.mkString(" ") + " END"
 
   /** The engine's pinned χ²₀.₀₅ critical values as a DuckDB CASE over
     * dof — interpolating [[Analytics.chi2Crit05]] guarantees the
@@ -107,6 +116,70 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            round(auc, 6) AS auc,
            round(auc * 2.0 - 1.0, 6) AS gini
          FROM f ORDER BY source""",
+    // the q291 rank machinery carried to pairwise mean-rank z's;
+    // the Bonferroni critical keyed by the group's own m
+    "q300_dunn_posthoc" ->
+      s"""WITH b AS (
+           SELECT c_mktsegment AS g, o_orderpriority AS cat,
+             CASE WHEN c_mktsegment = 'MACHINERY'
+               THEN CAST(floor(o_totalprice * 100 * (1.0 +
+                 CAST(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                   AS DOUBLE) * 0.05)) AS BIGINT)
+               ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+               END AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (
+           SELECT g, cat, v, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3),
+         perv AS (
+           SELECT g, v, CAST(sum(c) AS BIGINT) AS tv
+           FROM cells GROUP BY 1, 2),
+         rk AS (
+           SELECT g, v, tv,
+             coalesce(sum(tv) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bef
+           FROM perv),
+         r2 AS (SELECT g, v, 2 * bef + tv + 1 AS rank2 FROM rk),
+         pc AS (
+           SELECT cells.g, cat, CAST(sum(c) AS BIGINT) AS ni,
+             sum(CAST(c AS HUGEINT) * rank2) AS rr
+           FROM cells JOIN r2 ON r2.g = cells.g AND r2.v = cells.v
+           GROUP BY 1, 2),
+         gt AS (
+           SELECT g, CAST(sum(tv) AS BIGINT) AS n,
+             sum(CAST(tv AS HUGEINT) * tv * tv - tv) AS ties
+           FROM perv GROUP BY g),
+         gk AS (SELECT g, CAST(count(*) AS BIGINT) AS k
+           FROM pc GROUP BY g),
+         prs AS (
+           SELECT a.g, a.cat AS cat_a, b2.cat AS cat_b,
+             a.ni AS n_a, b2.ni AS n_b, a.rr AS r2a, b2.rr AS r2b
+           FROM pc a JOIN pc b2 ON b2.g = a.g AND a.cat < b2.cat),
+         zz AS (
+           SELECT prs.g, cat_a, cat_b, n_a, n_b,
+             CASE WHEN n < 2 OR (CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) + 1.0)
+                 - CAST(ties AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - 1.0)) / 12.0 <= 0.0
+               THEN NULL
+               ELSE (CAST(r2a AS DOUBLE) / 2.0 / CAST(n_a AS DOUBLE)
+                 - CAST(r2b AS DOUBLE) / 2.0 / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) + 1.0)
+                   - CAST(ties AS DOUBLE)
+                     / (CAST(n AS DOUBLE) - 1.0)) / 12.0
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))) END AS z,
+             CAST(k * (k - 1) // 2 AS BIGINT) AS m
+           FROM prs
+           JOIN gt ON gt.g = prs.g
+           JOIN gk ON gk.g = prs.g)
+         SELECT g AS c_mktsegment, cat_a, cat_b, n_a, n_b,
+           round(z, 6) AS z,
+           CAST(coalesce(abs(z) > $zBonfCaseSql, FALSE) AS INT)
+             AS significant
+         FROM zz ORDER BY c_mktsegment, cat_a, cat_b""",
     // pooled tie-averaged rank2 off the (g, v) totals window;
     // per-category χ² terms µ-floored into HUGEINT before the
     // order-free sum; tie-corrected H'; dof-keyed pinned critical
@@ -2143,6 +2216,32 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.kruskalWallis(joined, Seq("c_mktsegment"),
         col("o_orderpriority"), cents)
       .orderBy("c_mktsegment")
+  }
+
+  /** Dunn's post-hoc ([[Analytics.dunnPosthoc]]) after q291's
+    * Kruskal–Wallis omnibus, on the same planted MACHINERY ladder:
+    * the omnibus says MACHINERY's priorities differ — this says
+    * WHICH PAIRS, on the same pooled ranks, Bonferroni-guarded at
+    * the group's own m = 10 comparisons. The extreme-dose pairs
+    * (1-URGENT vs 5-LOW) light up; adjacent doses don't — the
+    * drill-down a segment owner actually reads.
+    */
+  private[graft] def dunnPosthocQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = substring(col("o_orderpriority"), 1, 1).cast("long")
+    val cents = when(col("c_mktsegment") === "MACHINERY",
+      floor(col("o_totalprice") * 100 *
+        (lit(1.0) + w.cast("double") * 0.05)))
+      .otherwise(floor(col("o_totalprice") * 100))
+      .cast("long")
+    val joined = o.join(broadcast(c),
+      col("o_custkey") === col("c_custkey"))
+    Analytics.dunnPosthoc(joined, Seq("c_mktsegment"),
+        col("o_orderpriority"), cents)
+      .orderBy("c_mktsegment", "cat_a", "cat_b")
   }
 
   /** Empirical-Bayes shrinkage of per-customer fulfillment rates
