@@ -437,8 +437,6 @@ object Drift {
       groupCols: Seq[String], cAlpha: Double = 1.358,
       cvmThreshold: Double = 0.461, zAlpha: Double = 1.96,
       dThreshold: Double = 0.2, fAlpha: Double = 3.841459): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     val tag = (df: DataFrame, b: Int) => df
       .select(groupCols.map(col) :+ cents.cast("long").as("__v"): _*)
       .where(col("__v").isNotNull)
@@ -448,6 +446,52 @@ object Drift {
       .agg(sum(col("__b")).cast("long").as("__cb"),
         sum(lit(1) - col("__b")).cast("long").as("__cc"))
       .transform(graft.core.CacheScope.disk)
+    driftOnePagerCore(per, groupCols, cAlpha, cvmThreshold, zAlpha,
+      dThreshold, fAlpha)
+  }
+
+  /** [[driftOnePager]] from PRE-AGGREGATED per-distinct-cents counts
+    * — what a standing count store feeds (the
+    * [[driftPanelFromCounts]] contract extended to all six axes):
+    * ONE `(group…, cents, n)` store is the sufficient statistic for
+    * the ENTIRE page — distribution tests, effect size, variance
+    * test and rate alarm included, because moments and medians are
+    * count-frame identities. Counts additivity means shard-merged
+    * input ≡ raw recount input; rows with non-positive counts are
+    * ignored. Identical output contract to [[driftOnePager]].
+    */
+  def driftOnePagerFromCounts(
+      baseCounts: DataFrame, curCounts: DataFrame, valueCol: String,
+      countCol: String, groupCols: Seq[String], cAlpha: Double = 1.358,
+      cvmThreshold: Double = 0.461, zAlpha: Double = 1.96,
+      dThreshold: Double = 0.2, fAlpha: Double = 3.841459): DataFrame = {
+    val side = (df: DataFrame, isBase: Boolean) => df
+      .where(col(valueCol).isNotNull && col(countCol) > 0)
+      .select(groupCols.map(col) ++ Seq(
+        col(valueCol).cast("long").as("__v"),
+        (if (isBase) col(countCol) else lit(0L)).cast("long")
+          .as("__cb"),
+        (if (isBase) lit(0L) else col(countCol)).cast("long")
+          .as("__cc")): _*)
+    val per = side(baseCounts, true).unionByName(side(curCounts, false))
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__cb")).as("__cb"), sum(col("__cc")).as("__cc"))
+      .transform(graft.core.CacheScope.disk)
+    driftOnePagerCore(per, groupCols, cAlpha, cvmThreshold, zAlpha,
+      dThreshold, fAlpha)
+  }
+
+  /** The six-axis derivation shared by [[driftOnePager]] (raw
+    * snapshots) and [[driftOnePagerFromCounts]] (standing store):
+    * everything reads the one persisted `(group…, __v, __cb, __cc)`
+    * frame.
+    */
+  private def driftOnePagerCore(
+      per: DataFrame, groupCols: Seq[String], cAlpha: Double,
+      cvmThreshold: Double, zAlpha: Double, dThreshold: Double,
+      fAlpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val gc = groupCols.map(col)
     // panel legs: the q277 cores on the shared frame
     val ks = ksTestCore(per, groupCols, cAlpha)

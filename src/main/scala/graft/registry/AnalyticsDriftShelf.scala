@@ -41,6 +41,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q295_variance_drift" -> (varianceDriftQ _),
     "q298_rate_drift" -> (rateDriftQ _),
     "q299_drift_one_pager" -> (driftOnePagerQ _),
+    "q301_one_pager_store" -> (onePagerStoreQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -460,6 +461,210 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
            CAST(CASE WHEN min(CASE WHEN ph >= 12000000000 THEN bx END)
              IS NOT NULL THEN 1 ELSE 0 END AS INT) AS alarmed
          FROM ph GROUP BY g ORDER BY event_type""",
+    // the oracle is the RAW two-sample six-axis page: the engine's
+    // shard-merged store path must land on identical statistics
+    "q301_one_pager_store" ->
+      """WITH b0 AS (
+           SELECT event_type AS g,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+         c0 AS (
+           SELECT event_type AS g,
+             CAST(floor((CASE WHEN event_type = 'purchase'
+               THEN value * 1.1 ELSE value END) * 100) AS BIGINT) AS v
+           FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+         u AS (
+           SELECT g, v, 1 AS b FROM b0
+           UNION ALL SELECT g, v, 0 FROM c0),
+         per AS (
+           SELECT g, v, CAST(sum(b) AS BIGINT) AS cb,
+             CAST(sum(1 - b) AS BIGINT) AS cc
+           FROM u GROUP BY g, v),
+         cum AS (
+           SELECT g, cb, cc,
+             CAST(sum(cb) OVER w AS BIGINT) AS i,
+             CAST(sum(cc) OVER w AS BIGINT) AS j,
+             CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS n1,
+             CAST(sum(cc) OVER (PARTITION BY g) AS BIGINT) AS n2
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         kagg AS (
+           SELECT g, max(n1) AS n_base, max(n2) AS n_cur,
+             max(abs(i * n2 - j * n1)) AS ks_scaled,
+             sum(CAST(cb + cc AS HUGEINT)
+               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1)
+               * (CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1))
+               AS s
+           FROM cum GROUP BY g),
+         ks AS (
+           SELECT g, n_base, n_cur,
+             CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+               ELSE round(CAST(ks_scaled AS DOUBLE)
+                 / (n_base * n_cur), 6) END AS ks_d,
+             CAST(CASE WHEN n_base = 0 OR n_cur = 0 THEN 1
+               WHEN CAST(ks_scaled AS DOUBLE) / (n_base * n_cur) >
+                 1.358 * sqrt(CAST(n_base + n_cur AS DOUBLE)
+                   / (n_base * n_cur)) THEN 1 ELSE 0 END AS INT)
+               AS ks_drifted,
+             CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+               ELSE round(CAST(s AS DOUBLE)
+                 / CAST(CAST(n_base AS HUGEINT) * n_cur
+                   * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE),
+                 6) END AS cvm_t,
+             CAST(CASE WHEN n_base = 0 OR n_cur = 0 THEN 1
+               WHEN CAST(s AS DOUBLE)
+                 / CAST(CAST(n_base AS HUGEINT) * n_cur
+                   * (n_base + n_cur) * (n_base + n_cur) AS DOUBLE)
+                 > 0.461 THEN 1 ELSE 0 END AS INT) AS cvm_drifted
+           FROM kagg),
+         mcum AS (
+           SELECT g, cb, cb + cc AS t,
+             coalesce(sum(cb + cc) OVER (PARTITION BY g
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS c
+           FROM per),
+         mr AS (SELECT g, cb, t, 2 * c + t + 1 AS rank2 FROM mcum),
+         magg AS (
+           SELECT g,
+             CAST(sum(cb) AS BIGINT) AS n1,
+             CAST(sum(t - cb) AS BIGINT) AS n2,
+             CAST(sum(cb * rank2) AS BIGINT) AS r12,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+           FROM mr GROUP BY g),
+         mf AS (
+           SELECT g, n1, n2, r12 - n1 * (n1 + 1) AS u_half,
+             CAST(n1 * n2 AS DOUBLE) / 12.0
+               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                 - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+                   * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS sigma2
+           FROM magg),
+         mw AS (
+           SELECT g,
+             round((CAST(u_half AS DOUBLE) / 2.0
+               - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2), 6)
+               AS mw_z,
+             CAST(abs((CAST(u_half AS DOUBLE) / 2.0
+               - CAST(n1 * n2 AS DOUBLE) / 2.0) / sqrt(sigma2)) > 1.96
+               AS INT) AS mw_drifted
+           FROM mf),
+         tot AS (
+           SELECT g, CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(sum(cc) AS BIGINT) AS nc
+           FROM per GROUP BY g),
+         rate AS (
+           SELECT g,
+             round(CASE WHEN nb > 0 AND nc > 0
+               THEN CAST(nc AS DOUBLE) / CAST(nb AS DOUBLE) END, 4)
+               AS rate_ratio,
+             round(CASE WHEN nb + nc = 0 THEN NULL
+               ELSE (CAST(nc AS DOUBLE) - CAST(nb AS DOUBLE))
+                 / sqrt(CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE)) END,
+               6) AS rate_z,
+             CAST(coalesce(abs(CASE WHEN nb + nc = 0 THEN NULL
+               ELSE (CAST(nc AS DOUBLE) - CAST(nb AS DOUBLE))
+                 / sqrt(CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE)) END)
+               > 1.96, FALSE) AS INT) AS rate_drifted
+           FROM tot),
+         mom AS (
+           SELECT g, CAST(sum(cb) AS BIGINT) AS enb,
+             CAST(sum(cc) AS BIGINT) AS enc,
+             sum(CAST(v AS HUGEINT) * cb) AS sb,
+             sum(CAST(v AS HUGEINT) * cc) AS sc,
+             sum(CAST(v AS HUGEINT) * v * cb) AS qb,
+             sum(CAST(v AS HUGEINT) * v * cc) AS qc
+           FROM per GROUP BY g),
+         eff0 AS (
+           SELECT g, enb, enc,
+             CAST(CAST(enb AS HUGEINT) * qb
+                 - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+               / (CAST(enb AS DOUBLE) * (CAST(enb AS DOUBLE) - 1.0))
+               AS s2b,
+             CAST(CAST(enc AS HUGEINT) * qc
+                 - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+               / (CAST(enc AS DOUBLE) * (CAST(enc AS DOUBLE) - 1.0))
+               AS s2c,
+             CAST(sb AS DOUBLE) AS sbd, CAST(sc AS DOUBLE) AS scd
+           FROM mom),
+         eff1 AS (
+           SELECT g, enb, enc,
+             ((CAST(enb AS DOUBLE) - 1.0) * s2b
+               + (CAST(enc AS DOUBLE) - 1.0) * s2c)
+               / (CAST(enb AS DOUBLE) + CAST(enc AS DOUBLE) - 2.0)
+               AS pooled,
+             scd / CAST(enc AS DOUBLE) - sbd / CAST(enb AS DOUBLE)
+               AS meandiff
+           FROM eff0),
+         eff AS (
+           SELECT g,
+             round(CASE WHEN enb < 2 OR enc < 2 OR pooled <= 0
+               THEN NULL ELSE meandiff / sqrt(pooled) END, 6) AS d,
+             CAST(coalesce(abs(CASE WHEN enb < 2 OR enc < 2
+               OR pooled <= 0 THEN NULL
+               ELSE meandiff / sqrt(pooled) END) >= 0.2, FALSE)
+               AS INT) AS d_material
+           FROM eff1),
+         med AS (
+           SELECT c2.g,
+             min(CASE WHEN i >= (nb + 1) // 2 THEN v END)
+               + min(CASE WHEN i >= nb // 2 + 1 THEN v END) AS m2b,
+             min(CASE WHEN j >= (nc + 1) // 2 THEN v END)
+               + min(CASE WHEN j >= nc // 2 + 1 THEN v END) AS m2c
+           FROM (SELECT g, v,
+               CAST(sum(cb) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS i,
+               CAST(sum(cc) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS j
+             FROM per) c2
+           JOIN tot ON tot.g = c2.g
+           GROUP BY c2.g),
+         dev AS (
+           SELECT per.g,
+             sum(CAST(cb AS HUGEINT) * abs(2 * v - m2b)) AS zsb,
+             sum(CAST(cb AS HUGEINT) * abs(2 * v - m2b)
+               * abs(2 * v - m2b)) AS zqb,
+             sum(CAST(cc AS HUGEINT) * abs(2 * v - m2c)) AS zsc,
+             sum(CAST(cc AS HUGEINT) * abs(2 * v - m2c)
+               * abs(2 * v - m2c)) AS zqc
+           FROM per JOIN med ON med.g = per.g
+           GROUP BY per.g),
+         bff AS (
+           SELECT dev.g,
+             (CAST(zsb AS DOUBLE) * CAST(zsb AS DOUBLE)
+                 / CAST(nb AS DOUBLE)
+               + CAST(zsc AS DOUBLE) * CAST(zsc AS DOUBLE)
+                 / CAST(nc AS DOUBLE)
+               - (CAST(zsb AS DOUBLE) + CAST(zsc AS DOUBLE))
+                 * (CAST(zsb AS DOUBLE) + CAST(zsc AS DOUBLE))
+                 / (CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE)))
+             * ((CAST(nb AS DOUBLE) + CAST(nc AS DOUBLE)) - 2.0)
+             / ((CAST(zqb AS DOUBLE) - CAST(zsb AS DOUBLE)
+                 * CAST(zsb AS DOUBLE) / CAST(nb AS DOUBLE))
+               + (CAST(zqc AS DOUBLE) - CAST(zsc AS DOUBLE)
+                 * CAST(zsc AS DOUBLE) / CAST(nc AS DOUBLE))) AS f,
+             (CAST(zqb AS DOUBLE) - CAST(zsb AS DOUBLE)
+                 * CAST(zsb AS DOUBLE) / CAST(nb AS DOUBLE))
+               + (CAST(zqc AS DOUBLE) - CAST(zsc AS DOUBLE)
+                 * CAST(zsc AS DOUBLE) / CAST(nc AS DOUBLE)) AS ssw,
+             nb, nc
+           FROM dev JOIN tot ON tot.g = dev.g),
+         bf AS (
+           SELECT g,
+             round(CASE WHEN nb < 2 OR nc < 2 OR ssw <= 0 THEN NULL
+               ELSE f END, 6) AS bf_f,
+             CAST(coalesce((CASE WHEN nb < 2 OR nc < 2 OR ssw <= 0
+               THEN NULL ELSE f END) > 3.841459, FALSE) AS INT)
+               AS var_drifted
+           FROM bff)
+         SELECT ks.g AS event_type, n_base, n_cur, ks_d,
+           ks_drifted, cvm_t, cvm_drifted, mw_z, mw_drifted,
+           d, d_material, bf_f, var_drifted, rate_ratio, rate_z,
+           rate_drifted
+         FROM ks JOIN mw ON mw.g = ks.g JOIN eff ON eff.g = ks.g
+         JOIN bf ON bf.g = ks.g JOIN rate ON rate.g = ks.g
+         ORDER BY event_type""",
     // ONE count CTE feeds all six axes: the q277 ks/cvm/mw blocks,
     // the q292 effect moments, the q295 median/deviation machinery
     // and the q298 rate z — the three plants re-seeded
@@ -1440,6 +1645,44 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     graft.quality.Drift.driftOnePager(base, cur,
         floor(col("o_totalprice") * 100), Seq("o_orderpriority"))
       .orderBy("o_orderpriority")
+  }
+
+  /** The six-axis one-pager fed from the STANDING COUNT STORE path
+    * ([[graft.quality.Drift.driftOnePagerFromCounts]], the q278
+    * resume==recompute treatment extended to the whole page): the
+    * current side arrives as two separately-counted shard halves
+    * (event_id ≡ 0 / 2 mod 4) merged by additive count sum, and the
+    * result must equal the raw two-sample page — which is exactly
+    * what the oracle computes. One (group, cents, n) store is the
+    * sufficient statistic for ALL six axes: distribution tests,
+    * effect size, variance and rate included, because moments and
+    * medians are count-frame identities. q278's events split and
+    * purchase ×1.1 plant, in exact cents.
+    */
+  private[graft] def onePagerStoreQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val base = e.where(col("event_id") % 2 === 1)
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "cents")
+      .agg(count(lit(1)).as("n"))
+    val curRaw = e.where(col("event_id") % 2 === 0)
+      .withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 1.1)
+          .otherwise(col("value")))
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("event_id"))
+    // two count shards, merged additively — the store-read shape
+    val shard = (m: Int) => curRaw.where(col("event_id") % 4 === m)
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("n"))
+    val cur = shard(0).unionByName(shard(2))
+      .groupBy("event_type", "cents").agg(sum(col("n")).as("n"))
+    graft.quality.Drift.driftOnePagerFromCounts(base, cur, "cents",
+        "n", Seq("event_type"))
+      .orderBy("event_type")
   }
 
   private[graft] def driftPanelQ(s: SparkSession, dir: String): DataFrame = {

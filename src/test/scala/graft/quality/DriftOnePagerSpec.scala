@@ -62,6 +62,28 @@ class DriftOnePagerSpec extends SparkSpec {
     }
   }
 
+  test("the standing-store path equals the raw path row-for-row: " +
+      "shard-merged counts are the same sufficient statistic " +
+      "(q301's contract)") {
+    graft.core.CacheScope.withScope {
+      import org.apache.spark.sql.functions.{count => cnt, lit, sum}
+      val b = side(baseRows: _*); val c = side(curRows: _*)
+      val raw = Drift.driftOnePager(b, c, col("x"), Seq("g"))
+        .orderBy("g").collect().toSeq
+      val bc = b.groupBy("g", "x").agg(cnt(lit(1)).as("n"))
+      // current side as two arbitrary shard halves, merged additively
+      val s1 = c.where(col("x") % 2 === 0)
+        .groupBy("g", "x").agg(cnt(lit(1)).as("n"))
+      val s2 = c.where(col("x") % 2 === 1)
+        .groupBy("g", "x").agg(cnt(lit(1)).as("n"))
+      val cc = s1.unionByName(s2).groupBy("g", "x")
+        .agg(sum(col("n")).as("n"))
+      val store = Drift.driftOnePagerFromCounts(bc, cc, "x", "n",
+        Seq("g")).orderBy("g").collect().toSeq
+      assert(store == raw)
+    }
+  }
+
   test("q299 on the real corpus (sf0.001): each plant fires exactly " +
       "its own axis — variance (mean-preserved, d stays quiet) on " +
       "2-HIGH, rate-only on 5-LOW, clean rows all-zero") {
