@@ -133,6 +133,82 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
           .as("trending")): _*)
   }
 
+  /** Seasonal Mann–Kendall (Hirsch–Slack) per group: [[mannKendall]]
+    * computed WITHIN each season and combined — S = Σ Sₛ,
+    * varNum = Σ varNumₛ (seasons are disjoint samples, so variances
+    * add) — which cancels any periodic pattern exactly: a weekly
+    * cycle contributes ZERO to every within-season sign because the
+    * cycle's multiplier is constant inside a season, while plain MK
+    * would mix cycle phases into the pair signs. The trend test to
+    * run on anything with a day-of-week shape, i.e. every event
+    * series.
+    *
+    * Same exactness as [[mannKendall]] (S and varNum exact through
+    * DECIMAL, one mirrored z); the pair join is per-(group, season)
+    * — (buckets/seasons)² each — strictly smaller than plain MK's.
+    */
+  def seasonalMannKendall(
+      df: DataFrame, groupCols: Seq[String], seasonCol: Column,
+      bucketIdx: Column, valueCents: Column,
+      zAlpha: Double = 1.96): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = df
+      .select(groupCols.map(col) ++ Seq(
+        seasonCol.cast("long").as("__se"),
+        bucketIdx.cast("long").as("__bx"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__se").isNotNull && col("__bx").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(groupCols.map(col) ++ Seq(col("__se"), col("__bx")): _*)
+      .agg(sum(col("__y")).as("__y"))
+      .transform(graft.core.CacheScope.disk)
+    val counts = per.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col("__se")).as("n_seasons"),
+        count(lit(1)).as("n_buckets"))
+    val b = per.select(groupCols.map(col) ++ Seq(
+      col("__se"), col("__bx").as("__bx2"), col("__y").as("__y2")): _*)
+    val joinKeys = groupCols :+ "__se"
+    val s = per.join(b, joinKeys)
+      .where(col("__bx") < col("__bx2"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(when(col("__y2") > col("__y"), 1L)
+        .when(col("__y2") < col("__y"), -1L).otherwise(0L))
+        .as("s_stat"))
+    val t = col("__t")
+    val seasonN = per.groupBy(groupCols.map(col) :+ col("__se"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val seasonTies = per
+      .groupBy(groupCols.map(col) ++ Seq(col("__se"), col("__y")): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(groupCols.map(col) :+ col("__se"): _*)
+      .agg(sum(dec(t) * dec(t - 1L) * dec(t * 2L + 5L)).as("__ties"))
+    val n = col("__n")
+    val varNum = seasonN
+      .join(seasonTies, joinKeys, "left")
+      .withColumn("__vn",
+        dec(n) * dec(n - 1L) * dec(n * 2L + 5L) -
+          coalesce(col("__ties"), lit(0L).cast("decimal(38,0)")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__vn")).cast("long").as("var_num"))
+    val sv = coalesce(col("s_stat"), lit(0L))
+    val sD = sv.cast("double")
+    val sd = sqrt(col("var_num").cast("double") / 18.0)
+    val z = when(sv > 0L, (sD - 1.0) / sd)
+      .when(sv < 0L, (sD + 1.0) / sd)
+      .otherwise(lit(0.0))
+    val zSafe = when(col("var_num") <= 0L, lit(null).cast("double"))
+      .otherwise(z)
+    counts
+      .join(s, groupCols, "left")
+      .join(varNum, groupCols)
+      .select(groupCols.map(col) ++ Seq(
+        col("n_seasons"), col("n_buckets"), sv.as("s_stat"),
+        col("var_num"),
+        round(zSafe, 6).as("z"),
+        coalesce(abs(zSafe) > zAlpha, lit(false)).cast("int")
+          .as("trending")): _*)
+  }
+
   /** Cochran–Armitage trend-in-proportions test per group: across
     * ordered dose levels w with nᵢ items and rᵢ successes each, is
     * the success rate monotonically drifting with the dose?

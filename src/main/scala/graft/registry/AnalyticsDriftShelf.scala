@@ -42,6 +42,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q298_rate_drift" -> (rateDriftQ _),
     "q299_drift_one_pager" -> (driftOnePagerQ _),
     "q301_one_pager_store" -> (onePagerStoreQ _),
+    "q302_seasonal_mk" -> (seasonalMkQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -414,6 +415,64 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
              END AS tau,
            round(z, 6) AS z,
+           CAST(coalesce(abs(z) > 1.96, FALSE) AS INT) AS trending
+         FROM fz ORDER BY event_type""",
+    // within-season pair signs and per-season variance numerators
+    // summed; the cycle×growth cents floor re-seeded; z one mirrored
+    // division
+    "q302_seasonal_mk" ->
+      """WITH x AS (
+           SELECT event_type AS g,
+             (CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS se,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+             CAST(sum(CAST(floor(value * 100
+               * (1.0 + CAST((CAST(ts AS DATE) - DATE '2024-01-01')
+                 % 7 AS DOUBLE) * 0.2)
+               * (CASE WHEN event_type = 'purchase'
+                 THEN 1.0 + CAST(CAST(ts AS DATE) - DATE '2024-01-01'
+                   AS DOUBLE) / 5.0 ELSE 1.0 END)) AS BIGINT))
+               AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         cnts AS (
+           SELECT g, CAST(count(DISTINCT se) AS BIGINT) AS n_seasons,
+             CAST(count(*) AS BIGINT) AS n_buckets
+           FROM x GROUP BY g),
+         s AS (
+           SELECT a.g, CAST(sum(CASE WHEN b.y > a.y THEN 1
+             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM x a JOIN x b ON a.g = b.g AND a.se = b.se
+             AND a.day < b.day
+           GROUP BY a.g),
+         sn AS (SELECT g, se, CAST(count(*) AS BIGINT) AS n
+           FROM x GROUP BY 1, 2),
+         st AS (
+           SELECT g, se, sum(CAST(t AS HUGEINT) * (t - 1)
+             * (2 * t + 5)) AS ties
+           FROM (SELECT g, se, y, CAST(count(*) AS BIGINT) AS t
+             FROM x GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         vn AS (
+           SELECT sn.g,
+             CAST(sum(CAST(sn.n AS HUGEINT) * (sn.n - 1)
+               * (2 * sn.n + 5) - coalesce(st.ties, 0)) AS BIGINT)
+               AS var_num
+           FROM sn LEFT JOIN st ON st.g = sn.g AND st.se = sn.se
+           GROUP BY sn.g),
+         f AS (
+           SELECT cnts.g, n_seasons, n_buckets,
+             coalesce(s.s, 0) AS s, var_num
+           FROM cnts LEFT JOIN s ON s.g = cnts.g
+           JOIN vn ON vn.g = cnts.g),
+         fz AS (
+           SELECT g, n_seasons, n_buckets, s, var_num,
+             CASE WHEN var_num <= 0 THEN NULL
+               WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                 / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+               WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                 / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+               ELSE 0.0 END AS z
+           FROM f)
+         SELECT g AS event_type, n_seasons, n_buckets, s AS s_stat,
+           var_num, round(z, 6) AS z,
            CAST(coalesce(abs(z) > 1.96, FALSE) AS INT) AS trending
          FROM fz ORDER BY event_type""",
     // the PH trace replayed: bucket mean and running mean are the
@@ -1859,6 +1918,29 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
       .cast("long")
     Analytics.pageHinkley(e, Seq("event_type"), day, cents,
         deltaMicro = 500000000L, lambdaMicro = 12000000000L)
+      .orderBy("event_type")
+  }
+
+  /** Seasonal Mann–Kendall ([[Analytics.seasonalMannKendall]]) of
+    * daily event value per event type, season = day mod 7: a STRONG
+    * deterministic weekly cycle (×(1 + dow·0.2)) is painted over
+    * EVERY type — constant within each season, so it cancels exactly
+    * in the within-season signs — and a +day/5 purchase growth is
+    * planted on top. The test must flag purchase through the cycle;
+    * the integer day arithmetic makes the season split mirror
+    * exactly in the oracle (no engine-dependent dayofweek origins).
+    */
+  private[graft] def seasonalMkQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val cycle = lit(1.0) + (day % 7).cast("double") * 0.2
+    val growth = when(col("event_type") === "purchase",
+      lit(1.0) + day.cast("double") / 5.0).otherwise(lit(1.0))
+    val cents = floor(col("value") * 100 * cycle * growth)
+      .cast("long")
+    Analytics.seasonalMannKendall(e, Seq("event_type"), day % 7,
+        day, cents)
       .orderBy("event_type")
   }
 
