@@ -62,6 +62,52 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         lit(false)).cast("int").as("differs")): _*)
   }
 
+  /** Cochran's Q test for k PAIRED binary detectors over the same
+    * items — [[mcnemar]]'s generalization past two: do ANY of the k
+    * detectors fire at different marginal rates?
+    * Q = (k−1)(k·ΣGⱼ² − T²)/(k·T − ΣLᵢ²) with Gⱼ the per-detector
+    * totals, Lᵢ the per-item flag counts, T their common sum —
+    * EVERY term an exact integer (DECIMAL products), one double
+    * division, compared against the pinned χ² critical for
+    * dof = k−1 ([[chi2Crit05]]). All-concordant data (every Lᵢ ∈
+    * {0, k}) has zero denominator — null Q, no evidence either way.
+    *
+    * Scale: one aggregation over the item frame (the per-item Lᵢ²
+    * fold rides it) — detector-count arithmetic after.
+    */
+  def cochranQ(
+      df: DataFrame, groupCols: Seq[String], flagCols: Seq[String]): DataFrame = {
+    require(flagCols.size >= 2, "need at least two detectors")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val k = flagCols.size
+    val flags = flagCols.map(f => col(f).cast("boolean").cast("long"))
+    val l = flags.reduce(_ + _)
+    val aggCols = Seq(sum(dec(l) * dec(l)).as("__l2")) ++
+      flags.zip(flagCols).map { case (f, name) =>
+        sum(f).as(s"g_$name")
+      }
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_items"), aggCols: _*)
+    val gs = flagCols.map(f => col(s"g_$f"))
+    val tTot = gs.reduce(_ + _)
+    val g2 = gs.map(g => dec(g) * dec(g)).reduce(_ + _)
+    val num = (lit(k - 1).cast("decimal(38,0)") *
+      (lit(k).cast("decimal(38,0)") * g2 - dec(tTot) * dec(tTot)))
+      .cast("double")
+    val den = (lit(k).cast("decimal(38,0)") * dec(tTot) - col("__l2"))
+      .cast("double")
+    val q = num / den
+    val qSafe = when(den <= 0.0, lit(null).cast("double")).otherwise(q)
+    val crit = chi2Crit05.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, v)) => when(lit(k - 1) === d, lit(v)).otherwise(acc)
+    }
+    agg.select(groupCols.map(col) ++ Seq(col("n_items")) ++ gs ++ Seq(
+      round(qSafe, 6).as("q"),
+      lit(k - 1).as("dof"),
+      coalesce(qSafe > crit, lit(false)).cast("int")
+        .as("differs")): _*)
+  }
+
   /** Mann–Kendall monotonic-trend test per group over a bucketed
     * series: S = Σ_{i<j} sign(y_j − y_i) on the bucket sums, the
     * tie-corrected variance numerator

@@ -30,6 +30,7 @@ private[graft] object DedupRegistry {
     "q280_dedup_capture_recapture" -> (dedupCaptureRecaptureQ _),
     "q282_detector_disagreement" -> (detectorDisagreementQ _),
     "q284_mcnemar_detectors" -> (mcnemarDetectorsQ _),
+    "q303_cochran_q" -> (cochranQDetectorsQ _),
     "q121_containment_incremental" -> (containmentIncremental _),
     "q126_entity_resolution" -> (entityResolution _),
     "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
@@ -265,6 +266,80 @@ private[graft] object DedupRegistry {
          FROM sp WHERE NOT EXISTS (SELECT 1 FROM mh
            WHERE mh.ida = sp.ida AND mh.idb = sp.idb)
          ORDER BY verdict, id_a, id_b""",
+    // three capture chains (exact-verify, simhash, 1-bit est) over
+    // the pair union; all Q terms exact in HUGEINT, one division
+    "q303_cochran_q" ->
+      s"""WITH $oracleShingleCtes,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         mh AS (
+           SELECT ida, idb FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+             >= 0.8),
+         ${oracleSimhashCtes("s")},
+         sp AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM sshp a JOIN sshp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) <= 3),
+         bb AS (
+           SELECT c.ida, c.idb
+           FROM cands c
+           JOIN sigs a ON a.doc_id = c.ida
+           JOIN sigs b ON b.doc_id = c.idb
+           WHERE round(greatest(0.0, CAST((${(0 until 16).map(i =>
+        s"(CASE WHEN (a.h$i & 1) = (b.h$i & 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")}) * 2 - 16 AS DOUBLE) / 16.0), 4) >= 0.5),
+         pu AS (
+           SELECT DISTINCT ida, idb FROM (
+             SELECT ida, idb FROM mh
+             UNION ALL SELECT ida, idb FROM sp
+             UNION ALL SELECT ida, idb FROM bb)),
+         fl AS (
+           SELECT pu.ida, pu.idb,
+             CASE WHEN EXISTS (SELECT 1 FROM mh
+               WHERE mh.ida = pu.ida AND mh.idb = pu.idb)
+               THEN 1 ELSE 0 END AS fm,
+             CASE WHEN EXISTS (SELECT 1 FROM sp
+               WHERE sp.ida = pu.ida AND sp.idb = pu.idb)
+               THEN 1 ELSE 0 END AS fs,
+             CASE WHEN EXISTS (SELECT 1 FROM bb
+               WHERE bb.ida = pu.ida AND bb.idb = pu.idb)
+               THEN 1 ELSE 0 END AS fb
+           FROM pu),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(fm) AS BIGINT) AS g1,
+             CAST(sum(fs) AS BIGINT) AS g2,
+             CAST(sum(fb) AS BIGINT) AS g3,
+             sum(CAST(fm + fs + fb AS HUGEINT)
+               * (fm + fs + fb)) AS l2
+           FROM fl),
+         f AS (
+           SELECT n_items, g1, g2, g3,
+             CAST(2 * (3 * (CAST(g1 AS HUGEINT) * g1
+               + CAST(g2 AS HUGEINT) * g2 + CAST(g3 AS HUGEINT) * g3)
+               - CAST(g1 + g2 + g3 AS HUGEINT) * (g1 + g2 + g3))
+               AS DOUBLE) AS num,
+             CAST(3 * CAST(g1 + g2 + g3 AS HUGEINT) - l2 AS DOUBLE)
+               AS den
+           FROM agg)
+         SELECT n_items, g1 AS g_by_minhash, g2 AS g_by_simhash,
+           g3 AS g_by_bbit,
+           CASE WHEN den <= 0 THEN NULL
+             ELSE round(num / den, 6) END AS q,
+           CAST(2 AS INT) AS dof,
+           CAST(coalesce((CASE WHEN den <= 0 THEN NULL
+             ELSE num / den END) > 5.991465, FALSE) AS INT)
+             AS differs
+         FROM f""",
     // the q280 capture chains reduced to the McNemar cells: discordant
     // counts exact, (b−c)² in HUGEINT, one double division per χ²
     "q284_mcnemar_detectors" ->
@@ -1449,6 +1524,43 @@ private[graft] object DedupRegistry {
         "by_minhash", "by_simhash")
       .withColumnRenamed("n_a_only", "n_minhash_only")
       .withColumnRenamed("n_b_only", "n_simhash_only")
+  }
+
+  /** Cochran's Q over THREE detectors ([[Analytics.cochranQ]]):
+    * q284's McNemar verdict generalized to the full detector bench —
+    * MinHash-LSH (exact verify ≥ 0.8), SimHash (hamming ≤ 3), and
+    * the 1-bit-compressed MinHash (est ≥ 0.5 on the same banded
+    * candidates) — do ANY of the three fire at different marginal
+    * rates on the candidate-pair union? The omnibus read before the
+    * pairwise McNemars; every Q term an exact integer into one
+    * division, dof-2 pinned critical.
+    */
+  private[graft] def cochranQDetectorsQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val keys = Seq("id_a", "id_b")
+    val mh = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_minhash"))
+    val sp = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_simhash"))
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+        n = 3, numHashes = 16)
+      .transform(graft.core.CacheScope.disk)
+    val bb = Dedup.bbitMinhashEstimate(
+        Dedup.lshCandidates(sigs, "doc_id", bands = 4,
+          rowsPerBand = 4),
+        sigs, "doc_id", numHashes = 16, b = 1)
+      .where(col("est_b1") >= 0.5)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_bbit"))
+    val flags = mh.join(sp, keys, "full_outer")
+      .join(bb, keys, "full_outer")
+      .select(
+        coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
+        coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
+        coalesce(col("by_bbit"), lit(false)).as("by_bbit"))
+    graft.operators.Analytics.cochranQ(flags, Seq.empty,
+      Seq("by_minhash", "by_simhash", "by_bbit"))
   }
 
   /** b-bit MinHash compression audit ([[Dedup.bbitMinhashEstimate]]):
