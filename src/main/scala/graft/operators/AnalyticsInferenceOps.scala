@@ -255,6 +255,80 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
           .as("trending")): _*)
   }
 
+  /** Wald–Wolfowitz runs test per group over a bucketed series:
+    * is the sequence of above/below-median signs RANDOM, or does it
+    * clump? The serial-dependence axis none of the point tests read —
+    * a slow regime oscillation leaves every marginal distribution
+    * identical while collapsing the run count. Signs come from the
+    * exact integers 2x − med2 (the count-frame median identity;
+    * exact-median buckets drop, the classical contract); R counts
+    * sign changes via one ordered window; E[R] = 2n₁n₂/n + 1 and
+    * Var[R] = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) are one mirrored double
+    * formula over exact counts.
+    *
+    * Scale: one grouped bucket-sum, one value-ordered window for the
+    * median, one bucket-ordered window for the runs — all
+    * bucket-domain-sized.
+    */
+  def runsTest(
+      df: DataFrame, groupCols: Seq[String], bucketIdx: Column,
+      valueCents: Column, zAlpha: Double = 1.96): DataFrame = {
+    val per = df
+      .select(groupCols.map(col) ++ Seq(
+        bucketIdx.cast("long").as("__bx"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__bx").isNotNull && col("__y").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__bx"): _*)
+      .agg(sum(col("__y")).as("__y"))
+      .transform(graft.core.CacheScope.disk)
+    // exact 2·median off the per-(group, value) counts
+    val counts = per.groupBy(groupCols.map(col) :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__y").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = per.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val med = counts.withColumn("__cum", sum(col("__c")).over(wv))
+      .join(n, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg((min(when(col("__cum") >=
+          floor((col("__n") + 1L).cast("double") / 2.0).cast("long"),
+          col("__y"))) +
+        min(when(col("__cum") >=
+          floor(col("__n").cast("double") / 2.0).cast("long") + 1L,
+          col("__y")))).as("__m2"))
+    val signed = per.join(med, groupCols)
+      .withColumn("__s", col("__y") * 2L - col("__m2"))
+      .where(col("__s") =!= 0L)
+      .withColumn("__sg", (col("__s") > 0L).cast("int"))
+    val wb = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__bx").asc)
+    val runs = signed
+      .withColumn("__prev", lag(col("__sg"), 1).over(wb))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("__sg").cast("long")).as("n_above"),
+        (sum(when(col("__prev").isNull ||
+          col("__prev") =!= col("__sg"), 1L).otherwise(0L)))
+          .as("n_runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = (col("n_kept") - col("n_above")).cast("double")
+    val nD = col("n_kept").cast("double")
+    val eR = lit(2.0) * n1 * n2 / nD + 1.0
+    val varR = lit(2.0) * n1 * n2 *
+      (lit(2.0) * n1 * n2 - nD) / (nD * nD * (nD - 1.0))
+    val z = (col("n_runs").cast("double") - eR) / sqrt(varR)
+    val ok = col("n_kept") >= 2L && n1 > 0.0 && n2 > 0.0 && varR > 0.0
+    val zSafe = when(ok, z).otherwise(lit(null).cast("double"))
+    runs.select(groupCols.map(col) ++ Seq(
+      col("n_kept"), col("n_above"), col("n_runs"),
+      round(zSafe, 6).as("z"),
+      coalesce(abs(zSafe) > zAlpha, lit(false)).cast("int")
+        .as("clumped")): _*)
+  }
+
   /** Cochran–Armitage trend-in-proportions test per group: across
     * ordered dose levels w with nᵢ items and rᵢ successes each, is
     * the success rate monotonically drifting with the dose?

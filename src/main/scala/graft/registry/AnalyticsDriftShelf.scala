@@ -43,6 +43,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q299_drift_one_pager" -> (driftOnePagerQ _),
     "q301_one_pager_store" -> (onePagerStoreQ _),
     "q302_seasonal_mk" -> (seasonalMkQ _),
+    "q304_runs_test" -> (runsTestQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -417,6 +418,65 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
            round(z, 6) AS z,
            CAST(coalesce(abs(z) > 1.96, FALSE) AS INT) AS trending
          FROM fz ORDER BY event_type""",
+    // count-frame median, exact 2y − m2 signs, one lag window for
+    // the run count, one mirrored z; the block oscillation re-seeded
+    "q304_runs_test" ->
+      """WITH x AS (
+           SELECT event_type AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                 AND ((CAST(ts AS DATE) - DATE '2024-01-01') // 10)
+                   % 2 = 0
+               THEN CAST(floor(value * 100 * 5.0) AS BIGINT)
+               ELSE CAST(floor(value * 100) AS BIGINT) END)
+               AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         cnt AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c
+           FROM x GROUP BY 1, 2),
+         n AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+           FROM x GROUP BY g),
+         med AS (
+           SELECT c2.g,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN y END)
+               + min(CASE WHEN cum >= n // 2 + 1 THEN y END) AS m2
+           FROM (SELECT g, y, CAST(sum(c) OVER (
+               PARTITION BY g ORDER BY y) AS BIGINT) AS cum
+             FROM cnt) c2
+           JOIN n ON n.g = c2.g GROUP BY c2.g),
+         sg AS (
+           SELECT x.g, day,
+             CASE WHEN 2 * y - m2 > 0 THEN 1 ELSE 0 END AS s
+           FROM x JOIN med ON med.g = x.g WHERE 2 * y - m2 <> 0),
+         rr AS (
+           SELECT g, s, lag(s) OVER (PARTITION BY g ORDER BY day)
+             AS p
+           FROM sg),
+         agg AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(s) AS BIGINT) AS n_above,
+             CAST(sum(CASE WHEN p IS NULL OR p <> s THEN 1 ELSE 0
+               END) AS BIGINT) AS n_runs
+           FROM rr GROUP BY g),
+         f AS (
+           SELECT g, n_kept, n_above, n_runs,
+             CAST(n_above AS DOUBLE) AS n1,
+             CAST(n_kept - n_above AS DOUBLE) AS n2,
+             CAST(n_kept AS DOUBLE) AS nd
+           FROM agg),
+         z AS (
+           SELECT g, n_kept, n_above, n_runs,
+             CASE WHEN n_kept < 2 OR n1 <= 0 OR n2 <= 0
+                 OR 2.0 * n1 * n2 * (2.0 * n1 * n2 - nd)
+                   / (nd * nd * (nd - 1.0)) <= 0 THEN NULL
+               ELSE (CAST(n_runs AS DOUBLE)
+                 - (2.0 * n1 * n2 / nd + 1.0))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - nd)
+                   / (nd * nd * (nd - 1.0))) END AS z
+           FROM f)
+         SELECT g AS event_type, n_kept, n_above, n_runs,
+           round(z, 6) AS z,
+           CAST(coalesce(abs(z) > 1.96, FALSE) AS INT) AS clumped
+         FROM z ORDER BY event_type""",
     // within-season pair signs and per-season variance numerators
     // summed; the cycle×growth cents floor re-seeded; z one mirrored
     // division
@@ -1941,6 +2001,27 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
       .cast("long")
     Analytics.seasonalMannKendall(e, Seq("event_type"), day % 7,
         day, cents)
+      .orderBy("event_type")
+  }
+
+  /** Runs test ([[Analytics.runsTest]]) on daily event values per
+    * type: the serial-dependence axis — a planted slow REGIME
+    * oscillation (purchase ×5 in alternating 10-day blocks) leaves
+    * each day's marginal distribution reasonable but collapses the
+    * above/below-median sign sequence (the 10-day low block is one
+    * single run) where ~16 runs are expected; the clean types' day-to-day noise reads as random.
+    * Signs from exact 2x − med2 integers, one mirrored z.
+    */
+  private[graft] def runsTestQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val cents = when(col("event_type") === "purchase" &&
+        (day / lit(10)).cast("long") % 2 === 0,
+      floor(col("value") * 100 * 5.0))
+      .otherwise(floor(col("value") * 100))
+      .cast("long")
+    Analytics.runsTest(e, Seq("event_type"), day, cents)
       .orderBy("event_type")
   }
 
