@@ -634,4 +634,101 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         (col("__ph") >= lambdaMicro).cast("int").as("alarmed")): _*)
   }
 
+  /** Friedman rank test per group: across b complete blocks (e.g.
+    * days), are the k treatments' (e.g. event types') values
+    * CONSISTENTLY ordered, after removing every block-level effect?
+    * The blocked companion of [[kruskalWallis]] — KW pools all rows
+    * and a day-level shift (a campaign day, a fleet outage) reads as
+    * fake treatment signal; Friedman ranks WITHIN each block, so
+    * anything that moves a whole day cancels by construction.
+    *
+    * Only complete blocks (all k treatments present) enter — the
+    * classical contract; `n_blocks` reports how many survived. Ranks
+    * are tie-averaged half-units kept as exact 2·rank integers
+    * (rank2 = 2·before + t + 1 off per-(block, value) counts), and
+    * the tie-corrected statistic reduces to a ratio of two exact
+    * integers in those doubled units:
+    * Q = (k−1)·Σⱼ(R2ⱼ − b(k+1))² / (Σᵢⱼ rank2ᵢⱼ² − b·k·(k+1)²),
+    * one double division at the end. `differs` compares against the
+    * pinned χ²₀.₀₅ critical value for dof = k−1 (dof > 10 → 0).
+    *
+    * Scale: one grouped sum to (group, block, treatment) cells —
+    * block-domain-sized, not row-sized — one within-block window for
+    * the ranks, then treatment-cardinality arithmetic. The cell frame
+    * is the only shuffle that grows with time, and it grows by one
+    * row per (block, treatment).
+    */
+  def friedmanTest(
+      df: DataFrame, groupCols: Seq[String], blockCol: Column,
+      catCol: Column, valueCents: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gc = groupCols.map(col)
+    val cells = df
+      .select(gc ++ Seq(blockCol.cast("long").as("__b"),
+        catCol.as("__cat"), valueCents.cast("long").as("__y")): _*)
+      .where(col("__b").isNotNull && col("__cat").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(gc ++ Seq(col("__b"), col("__cat")): _*)
+      .agg(sum(col("__y")).as("__y"))
+      .transform(graft.core.CacheScope.disk)
+    val k = cells.groupBy(gc: _*)
+      .agg(countDistinct(col("__cat")).as("__k"))
+    val complete = cells
+      .join(k, groupCols)
+      .withColumn("__bk", count(lit(1)).over(
+        Window.partitionBy(gc :+ col("__b"): _*)))
+      .where(col("__bk") === col("__k"))
+    // tie-averaged doubled ranks within each block: per-(block, y)
+    // tie counts, then rank2 = 2·(# strictly below) + ties + 1
+    val tieC = complete.groupBy(gc ++ Seq(col("__b"), col("__y")): _*)
+      .agg(count(lit(1)).as("__t"))
+    val wv = Window.partitionBy(gc :+ col("__b"): _*)
+      .orderBy(col("__y").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = tieC
+      .withColumn("__before", coalesce(sum(col("__t")).over(wv), lit(0L)))
+      .withColumn("__rank2", lit(2L) * col("__before") + col("__t") + 1L)
+    val withRanks = complete
+      .join(ranked.select(gc ++ Seq(col("__b"), col("__y"),
+        col("__rank2")): _*), groupCols ++ Seq("__b", "__y"))
+    val perCat = withRanks
+      .groupBy(gc :+ col("__cat"): _*)
+      .agg(sum(col("__rank2")).as("__r2"),
+        sum(dec(col("__rank2")) * dec(col("__rank2"))).as("__q2"),
+        count(lit(1)).as("__bcat"))
+    // k and b are needed BEFORE the Σⱼ(R2ⱼ − b(k+1))² sum — one
+    // group-sized pass for them, joined back (complete blocks make
+    // every category's block count identical, so first() is exact)
+    val kb = perCat.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_cats"),
+        first(col("__bcat")).as("n_blocks"),
+        sum(col("__q2")).as("__sq2"))
+    val totals = perCat
+      .join(kb, groupCols)
+      .withColumn("__dev", dec(col("__r2")) -
+        dec(col("n_blocks")) * (dec(col("n_cats")) + lit(1)))
+      .groupBy(gc: _*)
+      .agg(first(col("n_cats")).as("n_cats"),
+        first(col("n_blocks")).as("n_blocks"),
+        first(col("__sq2")).as("__sq2"),
+        sum(col("__dev") * col("__dev")).as("__num"))
+    val b = col("n_blocks").cast("decimal(38,0)")
+    val kc = col("n_cats").cast("decimal(38,0)")
+    val den = (col("__sq2") - b * kc * (kc + 1) * (kc + 1))
+      .cast("double")
+    val num = ((kc - 1) * col("__num")).cast("double")
+    val qStat = when(col("n_blocks") < 2L || col("n_cats") < 2L ||
+        den <= 0.0, lit(null).cast("double"))
+      .otherwise(num / den)
+    val dof = (col("n_cats") - 1L).cast("int")
+    val crit = chi2Crit05.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, v)) => when(dof === d, lit(v)).otherwise(acc)
+    }
+    totals.select(gc ++ Seq(
+      col("n_blocks"), col("n_cats"), dof.as("dof"),
+      round(qStat, 6).as("q"),
+      coalesce(qStat > crit, lit(false)).cast("int")
+        .as("differs")): _*)
+  }
+
 }

@@ -661,6 +661,67 @@ object Drift {
           .as("material")): _*)
   }
 
+  /** Welch's unequal-variance t-test between two snapshots per
+    * group — the parametric location axis [[cohensD]] deliberately
+    * does not decide: d reports MAGNITUDE (is the shift material?),
+    * this reports EVIDENCE (is the shift real given each side's own
+    * variance?). Welch's form matters precisely when the two
+    * snapshots have different spreads — a variance widening alongside
+    * a mean shift makes the pooled-variance t anticonservative, while
+    * t = (x̄c − x̄b)/√(s²b/nb + s²c/nc) stays calibrated. Also emits
+    * the Welch–Satterthwaite df; at corpus-scale n the df is far past
+    * 30, so the decision compares |t| against the normal `zAlpha`
+    * (the classical large-sample reading, noted here because the
+    * flag is NOT a small-sample t-table lookup).
+    *
+    * Exactness: each side reduces to exact integer moments (n, Σx,
+    * Σx² with the square computed in DECIMAL before the sum); t and
+    * df are one mirrored double formula over those moments — no
+    * cross-row float accumulation exists to order. Groups present on
+    * only one side are absent (no comparison).
+    * Scale: one grouped aggregation per side, group-sized arithmetic
+    * after — the same two-scan shape as [[cohensD]], and the moments
+    * are mergeable, so a standing monitor keeps (n, Σx, Σx²) per
+    * shard and never rescans history.
+    */
+  def welchT(
+      base: DataFrame, cur: DataFrame, cents: Column,
+      groupCols: Seq[String], zAlpha: Double = 1.96): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def moments(df: DataFrame, tag: String): DataFrame = df
+      .select(groupCols.map(col) :+ cents.cast("long").as("__x"): _*)
+      .where(col("__x").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(col("__x")).as(s"__s_$tag"),
+        sum(dec(col("__x")) * dec(col("__x"))).as(s"__q_$tag"))
+    val nb = col("n_base"); val nc = col("n_cur")
+    val nbD = nb.cast("double"); val ncD = nc.cast("double")
+    val meanB = col("__s_base").cast("double") / nbD
+    val meanC = col("__s_cur").cast("double") / ncD
+    def varOf(tag: String, n: Column, nD: Column): Column =
+      (dec(n) * col(s"__q_$tag") -
+        dec(col(s"__s_$tag")) * dec(col(s"__s_$tag"))).cast("double") /
+        (nD * (nD - 1.0))
+    val vb = varOf("base", nb, nbD) / nbD
+    val vc = varOf("cur", nc, ncD) / ncD
+    val tStat = (meanC - meanB) / sqrt(vb + vc)
+    val df = (vb + vc) * (vb + vc) /
+      (vb * vb / (nbD - 1.0) + vc * vc / (ncD - 1.0))
+    val ok = nb >= 2L && nc >= 2L && (vb + vc) > 0.0
+    val tSafe = when(ok, tStat).otherwise(lit(null).cast("double"))
+    moments(base, "base").join(moments(cur, "cur"), groupCols)
+      .select(groupCols.map(col) ++ Seq(
+        nb, nc,
+        round(meanB, 4).as("mean_base"),
+        round(meanC, 4).as("mean_cur"),
+        round(tSafe, 6).as("t"),
+        round(when(ok, df).otherwise(lit(null).cast("double")), 4)
+          .as("df"),
+        coalesce(abs(tSafe) > zAlpha, lit(false)).cast("int")
+          .as("shifted")): _*)
+  }
+
   /** Brown–Forsythe variance-shift test between two snapshots per
     * group — the VARIANCE axis of the drift family: MW reads location,
     * KS/CvM read shape, this reads spread (a mean-preserving widening

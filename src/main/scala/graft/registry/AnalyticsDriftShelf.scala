@@ -44,6 +44,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q301_one_pager_store" -> (onePagerStoreQ _),
     "q302_seasonal_mk" -> (seasonalMkQ _),
     "q304_runs_test" -> (runsTestQ _),
+    "q305_welch_ttest" -> (welchTQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -1162,6 +1163,56 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                OR pooled <= 0 THEN NULL ELSE d END) >= 0.2, FALSE)
              AS INT) AS material
          FROM ee ORDER BY o_orderpriority""",
+    // exact per-side moments; Welch t + Satterthwaite df as one
+    // mirrored double formula; both plants re-seeded
+    "q305_welch_ttest" ->
+      """WITH v AS (
+           SELECT o_orderpriority AS g, o_orderkey % 2 AS side,
+             CAST(floor((CASE
+               WHEN o_orderkey % 2 = 0 AND o_orderpriority = '1-URGENT'
+                 THEN o_totalprice * 1.25
+               WHEN o_orderkey % 2 = 0 AND o_orderpriority = '2-HIGH'
+                 THEN o_totalprice * (CASE WHEN o_orderkey % 4 = 0
+                   THEN 1.6 ELSE 0.4 END)
+               ELSE o_totalprice END) * 100) AS BIGINT) AS x
+           FROM orders),
+         mb AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(x) AS BIGINT) AS sb,
+             sum(CAST(x AS HUGEINT) * x) AS qb
+           FROM v WHERE side = 1 GROUP BY g),
+         mc AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS nc,
+             CAST(sum(x) AS BIGINT) AS sc,
+             sum(CAST(x AS HUGEINT) * x) AS qc
+           FROM v WHERE side = 0 GROUP BY g),
+         f AS (
+           SELECT mb.g, nb, nc,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS meanb,
+             CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS meanc,
+             CAST(CAST(nb AS HUGEINT) * qb
+                 - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))
+               / CAST(nb AS DOUBLE) AS vb,
+             CAST(CAST(nc AS HUGEINT) * qc
+                 - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+               / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0))
+               / CAST(nc AS DOUBLE) AS vc
+           FROM mb JOIN mc ON mc.g = mb.g),
+         dd AS (
+           SELECT g, nb, nc, meanb, meanc,
+             CASE WHEN nb < 2 OR nc < 2 OR vb + vc <= 0 THEN NULL
+               ELSE (meanc - meanb) / sqrt(vb + vc) END AS t,
+             CASE WHEN nb < 2 OR nc < 2 OR vb + vc <= 0 THEN NULL
+               ELSE (vb + vc) * (vb + vc)
+                 / (vb * vb / (CAST(nb AS DOUBLE) - 1.0)
+                   + vc * vc / (CAST(nc AS DOUBLE) - 1.0)) END AS df
+           FROM f)
+         SELECT g AS o_orderpriority, nb AS n_base, nc AS n_cur,
+           round(meanb, 4) AS mean_base, round(meanc, 4) AS mean_cur,
+           round(t, 6) AS t, round(df, 4) AS df,
+           CAST(coalesce(abs(t) > 1.96, FALSE) AS INT) AS shifted
+         FROM dd ORDER BY o_orderpriority""",
     // the oracle is the RAW two-sample panel: the engine's
     // shard-merged count path must land on the identical statistics
     "q278_drift_panel_store" ->
@@ -2023,6 +2074,32 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
       .cast("long")
     Analytics.runsTest(e, Seq("event_type"), day, cents)
       .orderBy("event_type")
+  }
+
+  /** Welch's t ([[graft.quality.Drift.welchT]]) on the q292 split
+    * shape with BOTH drift axes planted at once: 1-URGENT cur prices
+    * ×1.25 (a location shift Welch flags at every SF) and 2-HIGH cur prices
+    * ×1.6/×0.4 alternating by orderkey mod 4 (the q295
+    * mean-preserving variance widening — the plant that makes the
+    * POOLED t anticonservative; Welch's per-side variances absorb it
+    * and the location flag stays quiet). Exact per-side (n, Σx, Σx²)
+    * moments, one mirrored t + Welch–Satterthwaite df.
+    */
+  private[graft] def welchTQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.where(col("o_orderkey") % 2 === 1)
+    val cur = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice") * 1.25)
+        .when(col("o_orderpriority") === "2-HIGH",
+          col("o_totalprice") *
+            when(col("o_orderkey") % 4 === 0, lit(1.6))
+              .otherwise(lit(0.4)))
+        .otherwise(col("o_totalprice")))
+    graft.quality.Drift.welchT(base, cur,
+        floor(col("o_totalprice") * 100), Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
   }
 
   private[graft] def theilSenQ(s: SparkSession, dir: String): DataFrame = {

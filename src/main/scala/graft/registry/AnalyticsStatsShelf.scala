@@ -59,6 +59,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q291_kruskal_wallis" -> (kruskalWallisQ _),
     "q293_quality_auc" -> (qualityAucQ _),
     "q300_dunn_posthoc" -> (dunnPosthocQ _),
+    "q306_friedman_test" -> (friedmanQ _),
   )
 
   /** The engine's pinned Bonferroni z critical values as a DuckDB
@@ -244,6 +245,77 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            CAST(coalesce(h_adj > $chi2CritCaseSql, FALSE) AS INT)
              AS differs
          FROM ff ORDER BY c_mktsegment""",
+    // complete blocks only; tie-averaged doubled ranks within each
+    // (segment, day) block; Q as a ratio of two exact integers in
+    // doubled-rank units; both plants re-seeded
+    "q306_friedman_test" ->
+      s"""WITH cell AS (
+           SELECT concat('seg', CAST(user_id % 3 AS VARCHAR)) AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS b,
+             event_type AS cat,
+             CAST(sum(CAST(floor(value * 100
+               * (CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01')
+                   % 7 = 0 THEN 3.0 ELSE 1.0 END)
+               * (CASE WHEN user_id % 3 = 0
+                   AND event_type = 'purchase'
+                   THEN 2.5 ELSE 1.0 END)) AS BIGINT)) AS BIGINT) AS y
+           FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL
+             AND event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2, 3),
+         kk AS (
+           SELECT g, CAST(count(DISTINCT cat) AS BIGINT) AS k
+           FROM cell GROUP BY g),
+         bk AS (
+           SELECT g, b, CAST(count(*) AS BIGINT) AS nb
+           FROM cell GROUP BY 1, 2),
+         complete AS (
+           SELECT cell.g, cell.b, cat, y
+           FROM cell JOIN kk ON kk.g = cell.g
+           JOIN bk ON bk.g = cell.g AND bk.b = cell.b
+           WHERE bk.nb = kk.k),
+         tie AS (
+           SELECT g, b, y, CAST(count(*) AS BIGINT) AS t
+           FROM complete GROUP BY 1, 2, 3),
+         rk AS (
+           SELECT g, b, y, 2 * coalesce(CAST(sum(t) OVER (
+               PARTITION BY g, b ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) + t + 1 AS rank2
+           FROM tie),
+         wr AS (
+           SELECT c.g, c.cat, rank2
+           FROM complete c JOIN rk
+             ON rk.g = c.g AND rk.b = c.b AND rk.y = c.y),
+         pc AS (
+           SELECT g, cat, CAST(sum(rank2) AS BIGINT) AS r2,
+             sum(CAST(rank2 AS HUGEINT) * rank2) AS q2,
+             CAST(count(*) AS BIGINT) AS bcat
+           FROM wr GROUP BY 1, 2),
+         kb AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_cats,
+             max(bcat) AS n_blocks, sum(q2) AS sq2
+           FROM pc GROUP BY g),
+         tot AS (
+           SELECT pc.g, n_cats, n_blocks, sq2,
+             sum(CAST(r2 - n_blocks * (n_cats + 1) AS HUGEINT)
+               * (r2 - n_blocks * (n_cats + 1))) AS num
+           FROM pc JOIN kb ON kb.g = pc.g GROUP BY 1, 2, 3, 4),
+         fin AS (
+           SELECT g, n_blocks, n_cats,
+             CAST(n_cats - 1 AS INT) AS dof,
+             CASE WHEN n_blocks < 2 OR n_cats < 2
+                 OR CAST(sq2 - n_blocks * n_cats * (n_cats + 1)
+                   * (n_cats + 1) AS DOUBLE) <= 0 THEN NULL
+               ELSE CAST((n_cats - 1) * num AS DOUBLE)
+                 / CAST(sq2 - n_blocks * n_cats * (n_cats + 1)
+                   * (n_cats + 1) AS DOUBLE) END AS q
+           FROM tot)
+         SELECT g AS segment, n_blocks, n_cats, dof,
+           round(q, 6) AS q,
+           CAST(coalesce(q > $chi2CritCaseSql, FALSE) AS INT)
+             AS differs
+         FROM fin ORDER BY segment""",
     // level table exact, all five moments in HUGEINT, one mirrored
     // division + sqrt for z; the planted MACHINERY ladder re-seeded
     "q287_cochran_armitage" ->
@@ -2255,4 +2327,28 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.ebShrinkRates(t(s, dir, "orders"), "o_custkey",
         col("o_orderstatus") === "F")
       .orderBy("group")
+
+  /** Friedman test ([[Analytics.friedmanTest]]) per user segment:
+    * blocks = days, treatments = event types, cell = daily value
+    * sum. TWO plants prove the blocked design: a ×3 whole-day shock
+    * on every 7th day (all segments — a block-level effect Friedman
+    * must be structurally BLIND to, where pooled-rank KW would read
+    * it as signal), and a ×2.5 purchase boost in seg0 only, the
+    * within-block consistent ordering that does fire. seg1/seg2 stay
+    * quiet — daily type sums are exchangeable there.
+    */
+  private[graft] def friedmanQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull &&
+      col("user_id").isNotNull)
+    val seg = concat(lit("seg"), (col("user_id") % 3).cast("string"))
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val shock = when(day % 7 === 0, lit(3.0)).otherwise(lit(1.0))
+    val boost = when(col("user_id") % 3 === 0 &&
+      col("event_type") === "purchase", lit(2.5)).otherwise(lit(1.0))
+    val cents = floor(col("value") * 100 * shock * boost).cast("long")
+    Analytics.friedmanTest(e.withColumn("segment", seg),
+        Seq("segment"), day, col("event_type"), cents)
+      .orderBy("segment")
+  }
 }
