@@ -52,6 +52,8 @@ private[graft] object TextRegistry {
     "q289_simpson_diversity" -> (simpsonDiversityQ _),
     "q290_selection_curve" -> (selectionCurveQ _),
     "q294_dirichlet_ql" -> (dirichletQlQ _),
+    "q307_richness_panel" -> (richnessPanelQ _),
+    "q308_zipf_fit" -> (zipfFitQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -1131,6 +1133,81 @@ private[graft] object TextRegistry {
            round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
              AS coverage
          FROM g ORDER BY lang""",
+    // exact N/V/V1/V2/S2 off one (lang, word) count (squares in
+    // HUGEINT); each statistic one mirrored double expression
+    "q307_richness_panel" ->
+      s"""WITH w AS (
+           SELECT lang, unnest($oracleWords) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+               FROM w GROUP BY 1, 2),
+         g AS (
+           SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v2,
+             sum(CAST(c AS HUGEINT) * c) AS s2
+           FROM c GROUP BY 1)
+         SELECT lang, n_tokens, n_types, v1, v2,
+           CASE WHEN n_tokens < 2 THEN NULL
+             ELSE round(10000.0
+               * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+               6) END AS yule_k,
+           CASE WHEN n_tokens < 2 OR n_types < 1 THEN NULL
+             ELSE round(ln(CAST(n_types AS DOUBLE))
+               / ln(CAST(n_tokens AS DOUBLE)), 6) END AS herdan_c,
+           CASE WHEN v1 < 1 THEN NULL
+             ELSE round(2.0 * CAST(v2 AS DOUBLE)
+               / CAST(v1 AS DOUBLE), 6) END AS gt_c1_star
+         FROM g ORDER BY lang""",
+    // total-order ranks (count DESC, token ASC), nano-quantized ln
+    // points into exact OLS sums — the q288 discipline
+    "q308_zipf_fit" ->
+      s"""WITH c AS (
+           SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT lang, unnest($oracleWords) AS tok
+             FROM documents WHERE text IS NOT NULL)
+           GROUP BY 1, 2),
+         top AS (
+           SELECT lang, c, row_number() OVER (
+             PARTITION BY lang ORDER BY c DESC, tok ASC) AS r
+           FROM c QUALIFY r <= 100),
+         q AS (
+           SELECT lang,
+             CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000000.0)
+               AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000.0)
+               AS BIGINT) AS yq
+           FROM top),
+         s AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(xq) AS BIGINT) AS sx,
+             CAST(sum(yq) AS BIGINT) AS sy,
+             sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+             sum(CAST(xq AS HUGEINT) * xq) AS sxx
+           FROM q GROUP BY lang),
+         fit AS (
+           SELECT lang, m,
+             CAST(CAST(m AS HUGEINT) * sxx
+               - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den,
+             CAST(CAST(m AS HUGEINT) * sxy
+               - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+           FROM s),
+         fin AS (
+           SELECT lang, m,
+             CASE WHEN m < 2 OR den <= 0 THEN NULL
+               ELSE num / den END AS slope,
+             CASE WHEN m < 2 OR den <= 0 THEN NULL
+               ELSE exp(((syd - (num / den) * sxd)
+                 / CAST(m AS DOUBLE)) / 1000000000.0) END AS kc
+           FROM fit)
+         SELECT lang, m AS n_points, round(slope, 6) AS slope,
+           round(kc, 4) AS k_coef
+         FROM fin ORDER BY lang""",
     "q44_top_bigrams" ->
       """WITH w AS (
            SELECT doc_id,
@@ -1695,6 +1772,27 @@ private[graft] object TextRegistry {
     */
   private[graft] def chao1RichnessQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabularyRichness(docs(s, dir), "lang", "text")
+      .orderBy("lang")
+
+  /** Yule's K / Herdan's C / GT-smoothed hapax value per language
+    * ([[TextAnalysis.richnessPanel]]) — the size-invariant
+    * repeat-structure scalars next to q258's unseen-mass row: K
+    * compares slices of different volume directly (TTR can't), C is
+    * the point estimate of q288's Heaps β, and c₁* is the SGT
+    * discount LM smoothing consumes. All exact integers into one
+    * mirrored expression each.
+    */
+  private[graft] def richnessPanelQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.richnessPanel(docs(s, dir), "lang", "text")
+      .orderBy("lang")
+
+  /** Zipf rank–frequency slope per language
+    * ([[TextAnalysis.zipfFit]], top-100 tokens, total-order ranks,
+    * nano-quantized ln points into exact OLS sums — the q288
+    * discipline on the OTHER power law).
+    */
+  private[graft] def zipfFitQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(docs(s, dir), "lang", "text", topK = 100)
       .orderBy("lang")
 
   /** Corpus-level collocation mining: top-15 adjacent word bigrams.

@@ -1658,6 +1658,110 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("coverage"))
   }
 
+  /** Repetition-structure richness panel per group — the
+    * frequency-spectrum scalars [[vocabularyRichness]]'s f1/f2 pair
+    * cannot carry: Yule's K = 10⁴·(Σc² − N)/N² (the repeat-rate
+    * constant — size-invariant where TTR collapses with N, so two
+    * slices of very different volume compare directly; high K = a
+    * template-y, boilerplate-heavy slice), Herdan's C = ln V/ln N
+    * (the log-log vocabulary exponent, the point estimate of q288's
+    * fitted Heaps β), and the Good–Turing smoothed hapax count
+    * c₁* = 2·V₂/V₁ (what a word seen ONCE is really worth in expected
+    * future frequency — the SGT row LM smoothing actually consumes;
+    * chao1's coverage reports the MASS of unseen types, this reports
+    * the discounted VALUE of the seen-once ones).
+    *
+    * Exactness: N, V, V₁, V₂ and S₂ = Σc² are exact integers off one
+    * (group, word) count (squares in DECIMAL before the sum); each
+    * emitted statistic is one mirrored double expression — no
+    * quantization anywhere.
+    * Scale: one (group, word) grouped count (map-side combined), one
+    * group rollup; output is group-domain-sized.
+    */
+  def richnessPanel(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gw = df
+      .select(col(groupCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(groupCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val agg = gw.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("v2"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("__s2"))
+    val nD = col("n_tokens").cast("double")
+    val yule = lit(10000.0) * (col("__s2").cast("double") - nD) /
+      (nD * nD)
+    agg.select(col(groupCol), col("n_tokens"), col("n_types"),
+      col("v1"), col("v2"),
+      round(when(col("n_tokens") >= 2L, yule)
+        .otherwise(lit(null).cast("double")), 6).as("yule_k"),
+      round(when(col("n_tokens") >= 2L && col("n_types") >= 1L,
+          log(col("n_types").cast("double")) / log(nD))
+        .otherwise(lit(null).cast("double")), 6).as("herdan_c"),
+      round(when(col("v1") >= 1L,
+          lit(2.0) * col("v2").cast("double") /
+            col("v1").cast("double"))
+        .otherwise(lit(null).cast("double")), 6).as("gt_c1_star"))
+  }
+
+  /** Zipf rank–frequency fit per group: the least-squares slope of
+    * ln(freq) on ln(rank) over the top-`topK` tokens — the OTHER
+    * power law next to Heaps' (q288: vocabulary vs corpus size; this:
+    * frequency vs rank inside the vocabulary). A natural-language
+    * slice sits near −1; templated/boilerplate text flattens the head
+    * (slope → 0 over the top ranks) and spam with pathological repeat
+    * structure steepens it — the datasheet row that reads "is this
+    * slice's token distribution SHAPED like language".
+    *
+    * Determinism: ranks are row_number over (count DESC, token ASC) —
+    * a total order, so the top-K set and every (rank, freq) point are
+    * unique. Exactness: the (ln rank, ln freq) points are
+    * nano-quantized into exact integer OLS sums (the q288
+    * discipline), one mirrored double division for the slope and
+    * intercept.
+    * Scale: one (group, word) count, one per-group top-K window over
+    * the count frame (vocabulary-domain-sized, never row-sized), then
+    * K-sized arithmetic per group.
+    */
+  def zipfFit(
+      df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val gw = df
+      .select(col(groupCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(groupCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col("__w").asc)
+    val top = gw.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= topK)
+    val xq = floor(log(col("__r").cast("double")) * 1e9).cast("long")
+    val yq = floor(log(col("__c").cast("double")) * 1e9).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sums = top
+      .select(col(groupCol), xq.as("__xq"), yq.as("__yq"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__xq")).as("__sx"), sum(col("__yq")).as("__sy"),
+        sum(dec(col("__xq")) * dec(col("__yq"))).as("__sxy"),
+        sum(dec(col("__xq")) * dec(col("__xq"))).as("__sxx"))
+    val m = col("n_points").cast("decimal(38,0)")
+    val den = (m * col("__sxx") - dec(col("__sx")) * dec(col("__sx")))
+      .cast("double")
+    val slope = (m * col("__sxy") - dec(col("__sx")) * dec(col("__sy")))
+      .cast("double") / den
+    val ok = col("n_points") >= 2L && den > 0.0
+    val slopeSafe = when(ok, slope).otherwise(lit(null).cast("double"))
+    // intercept exp((Σy − β·Σx)/m / 1e9) = the fitted rank-1 frequency
+    val kCoef = exp(((col("__sy").cast("double") -
+      slope * col("__sx").cast("double")) /
+      col("n_points").cast("double")) / 1e9)
+    sums.select(col(groupCol), col("n_points"),
+      round(slopeSafe, 6).as("slope"),
+      round(when(ok, kCoef).otherwise(lit(null).cast("double")), 4)
+        .as("k_coef"))
+  }
+
   /** Token-frequency drift leaderboard between two corpus snapshots —
     * "which words' RATES changed most" between crawls/versions, the
     * vocabulary-resolution sibling of the distribution-level drift
