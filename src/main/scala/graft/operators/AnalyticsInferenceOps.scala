@@ -634,6 +634,147 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         (col("__ph") >= lambdaMicro).cast("int").as("alarmed")): _*)
   }
 
+  /** Fleiss' κ multi-rater agreement per group over k binary raters
+    * (detectors) on shared subjects: [[cochranQ]] asks "do the
+    * raters' marginal RATES differ?" — this asks the complementary
+    * "how much do they AGREE item-by-item beyond chance?" (three
+    * detectors can have identical rates and still disagree on every
+    * single item; Q reads clean, κ reads 0). For binary categories
+    * each subject reduces to s = #raters-flagging: Pᵢ =
+    * (s² + (k−s)² − k)/(k(k−1)), P̄ₑ = p₁² + p₀², κ =
+    * (P̄ − P̄ₑ)/(1 − P̄ₑ). `substantial` flags κ ≥ 0.61 (the
+    * Landis–Koch lower bound for "substantial").
+    *
+    * Exactness: the only corpus-sized reductions are N, Σs and
+    * Σ(s² + (k−s)²) — exact integers (squares in DECIMAL); κ is one
+    * mirrored double formula. All-one-category input (1 − P̄ₑ ≤ 0)
+    * guards κ to null.
+    *
+    * Domain note: called on a flagged-UNION frame (the review-queue
+    * shape — subjects someone flagged), κ deliberately EXCLUDES the
+    * all-quiet subjects that would inflate agreement; state the
+    * subject frame when reporting.
+    */
+  def fleissKappa(
+      df: DataFrame, groupCols: Seq[String], rateCols: Seq[String],
+      substantialAt: Double = 0.61): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val k = rateCols.size
+    val s = rateCols.map(c => col(c).cast("boolean").cast("long"))
+      .reduce(_ + _)
+    val gc = groupCols.map(col)
+    val agg = df
+      .select(gc :+ s.as("__s"): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__s")).as("__s1"),
+        sum(dec(col("__s")) * dec(col("__s")) +
+          dec(lit(k.toLong) - col("__s")) *
+            dec(lit(k.toLong) - col("__s"))).as("__sq"))
+    val nD = col("n_items").cast("double")
+    val kD = lit(k.toDouble)
+    val pbar = (col("__sq").cast("double") - kD * nD) /
+      ((kD * (kD - 1.0)) * nD)
+    val p1 = col("__s1").cast("double") / (kD * nD)
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    val kap = (pbar - pe) / (lit(1.0) - pe)
+    val kapSafe = when(lit(1.0) - pe <= 0.0 || col("n_items") < 1L,
+      lit(null).cast("double")).otherwise(kap)
+    agg.select(gc ++ Seq(
+      col("n_items"), lit(k).as("n_raters"),
+      round(p1, 6).as("p_flag"),
+      round(pbar, 6).as("p_bar"),
+      round(pe, 6).as("p_e"),
+      round(kapSafe, 6).as("kappa"),
+      coalesce(kapSafe >= substantialAt, lit(false)).cast("int")
+        .as("substantial")): _*)
+  }
+
+  /** Durbin–Watson serial-correlation test per group over a bucketed
+    * series: after fitting the LINEAR TREND, do the residuals still
+    * remember their neighbors? The parametric companion of
+    * [[runsTest]] — runs reads sign clumping around the median (trend
+    * itself trips it), DW detrends FIRST and then reads lag-1
+    * autocorrelation in what remains, so a clean steady drift scores
+    * DW ≈ 2 here while a regime oscillation survives the detrend and
+    * drags DW toward 0. d = Σ(eᵢ−eᵢ₋₁)²/Σeᵢ², in [0,4]; 2 = no
+    * autocorrelation; the flag fires outside [dLo, 4−dLo]
+    * (conservative fixed bounds, the classical table's safe side).
+    * Also emits the lag-1 residual autocorrelation ρ̂ ≈ 1 − d/2.
+    *
+    * Exactness: the bucket sums are exact integers; slope and
+    * intercept are each ONE mirrored double division of exact
+    * HUGEINT/DECIMAL OLS moments; each residual is a per-row double
+    * expression of those two scalars (no accumulation), micro-floored
+    * to an exact integer BEFORE the Σe² / Σ(Δe)² sums — the
+    * quantize-before-sum discipline, so both engines sum identical
+    * integers in any order. One final double division for d.
+    *
+    * Scale: one grouped bucket-sum (bucket-domain-sized), one
+    * group-sized OLS join, one bucket-ordered window for the lag —
+    * nothing row-sized past the first combine.
+    */
+  def durbinWatson(
+      df: DataFrame, groupCols: Seq[String], bucketIdx: Column,
+      valueCents: Column, dLo: Double = 1.5): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gc = groupCols.map(col)
+    val per = df
+      .select(gc ++ Seq(bucketIdx.cast("long").as("__x"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(gc :+ col("__x"): _*)
+      .agg(sum(col("__y")).as("__y"))
+      .transform(graft.core.CacheScope.disk)
+    val ols = per.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"))
+      .withColumn("__den",
+        (dec(col("n_buckets")) * col("__sxx") -
+          dec(col("__sx")) * dec(col("__sx"))).cast("double"))
+      .withColumn("__b",
+        (dec(col("n_buckets")) * col("__sxy") -
+          dec(col("__sx")) * dec(col("__sy"))).cast("double") /
+          col("__den"))
+      .withColumn("__a",
+        (col("__sy").cast("double") -
+          col("__b") * col("__sx").cast("double")) /
+          col("n_buckets").cast("double"))
+    val res = per.join(
+        ols.select(gc ++ Seq(col("n_buckets"), col("__den"),
+          col("__b"), col("__a")): _*), groupCols)
+      .withColumn("__eq",
+        floor((col("__y").cast("double") - col("__a") -
+          col("__b") * col("__x").cast("double")) * 1e6)
+          .cast("decimal(38,0)"))
+    val wb = Window.partitionBy(gc: _*).orderBy(col("__x").asc)
+    val agg = res
+      .withColumn("__prev", lag(col("__eq"), 1).over(wb))
+      .groupBy(gc: _*)
+      .agg(first(col("n_buckets")).as("n_buckets"),
+        first(col("__den")).as("__den"),
+        first(col("__b")).as("__b"),
+        sum(col("__eq") * col("__eq")).as("__se2"),
+        sum(when(col("__prev").isNotNull,
+          (col("__eq") - col("__prev")) * (col("__eq") - col("__prev")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__sd2"))
+    val d = col("__sd2").cast("double") / col("__se2").cast("double")
+    val ok = col("n_buckets") >= 3L && col("__den") > 0.0 &&
+      col("__se2").cast("double") > 0.0
+    val dSafe = when(ok, d).otherwise(lit(null).cast("double"))
+    agg.select(gc ++ Seq(
+      col("n_buckets"),
+      round(when(col("__den") > 0.0, col("__b"))
+        .otherwise(lit(null).cast("double")), 6).as("slope"),
+      round(dSafe, 6).as("dw"),
+      round(when(ok, lit(1.0) - d / 2.0)
+        .otherwise(lit(null).cast("double")), 6).as("rho1"),
+      coalesce(dSafe < dLo || dSafe > lit(4.0) - dLo, lit(false))
+        .cast("int").as("autocorrelated")): _*)
+  }
+
   /** Friedman rank test per group: across b complete blocks (e.g.
     * days), are the k treatments' (e.g. event types') values
     * CONSISTENTLY ordered, after removing every block-level effect?

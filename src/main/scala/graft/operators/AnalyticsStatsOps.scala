@@ -63,6 +63,112 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
         lit(dof).as("dof"), col("n"))
   }
 
+  /** Categorical association panel per pair key: the FOUR measures a
+    * feature-audit actually wants side by side, all off one
+    * contingency count. χ² answers "is there any dependence at this
+    * n"; Cramér's V = √(χ²/(N·min(r−1,c−1))) normalizes it to [0,1]
+    * so pairs with different table shapes compare; mutual information
+    * I(X;Y) (nats) is the model-facing version of the same question;
+    * and Theil's U is the ASYMMETRIC normalization U(Y|X) = I/H(Y) vs
+    * U(X|Y) = I/H(X) — "knowing X, what fraction of Y's entropy
+    * disappears" — the direction V deliberately erases (a
+    * many-to-one mapping scores U(Y|X) = 1 while U(X|Y) < 1).
+    *
+    * Input is a LONG frame (pairCol, x, y) so one corpus scan can
+    * feed any number of audited pairs (build it with an
+    * explode(array(struct…)) projection). χ² includes
+    * structurally-zero cells' E via the within-pair marginal join
+    * (the [[chiSquare]] contract); MI's 0·ln 0 cells drop exactly.
+    * Every per-cell term is micro/nano-floored to an exact integer
+    * BEFORE the sum (quantize-before-sum — unlike [[chiSquare]]'s
+    * 4-decimal rounding this panel emits 6 decimals, so cross-engine
+    * float accumulation order must not exist). One mirrored double
+    * expression per emitted statistic at the end.
+    *
+    * Scale: ONE grouped count touches the rows; marginals, grids and
+    * entropies are cell-/level-domain-sized. Null levels are levels
+    * (null-safe joins), matching [[chiSquare]].
+    */
+  def categoricalAssociation(
+      df: DataFrame, pairCol: String, xCol: String, yCol: String)
+      : DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.groupBy(col(pairCol).as("__p"),
+        col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__o"))
+      .transform(graft.core.CacheScope.disk)
+    val rx = cells.groupBy(col("__p"), col("__x"))
+      .agg(sum(col("__o")).as("__ra"))
+    val cy = cells.groupBy(col("__p"), col("__y"))
+      .agg(sum(col("__o")).as("__cb"))
+    val n = cells.groupBy(col("__p")).agg(sum(col("__o")).as("__n"))
+    val lv = cells.groupBy(col("__p"))
+      .agg(count_distinct(struct(col("__x"))).as("levels_x"),
+        count_distinct(struct(col("__y"))).as("levels_y"))
+    // χ² over the FULL grid (zero cells contribute E)
+    val cellsR = cells.select(col("__p").as("__cp"),
+      col("__x").as("__cx"), col("__y").as("__cy"),
+      col("__o").as("__co"))
+    val grid = rx.withColumnRenamed("__x", "__xk")
+      .join(cy.withColumnRenamed("__y", "__yk")
+          .withColumnRenamed("__p", "__p2"),
+        col("__p") === col("__p2"))
+      .join(n, Seq("__p"))
+      .join(cellsR,
+        col("__cp") === col("__p") &&
+          col("__xk") <=> col("__cx") && col("__yk") <=> col("__cy"),
+        "left")
+      .select(col("__p"), col("__ra"), col("__cb"), col("__n"),
+        coalesce(col("__co"), lit(0L)).as("__o"))
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__cb").cast("double") /
+          col("__n").cast("double"))
+      .withColumn("__t", floor(
+        (col("__o").cast("double") - col("__e")) *
+          (col("__o").cast("double") - col("__e")) / col("__e") * 1e6)
+        .cast("decimal(38,0)"))
+    val chi2 = grid.groupBy(col("__p"))
+      .agg(sum(col("__t")).as("__chi2m"))
+    // MI over observed cells: (o/N)·ln(o·N/(ra·cb)), nano-floored
+    val mi = cells
+      .join(rx, Seq("__p", "__x")).join(cy, Seq("__p", "__y"))
+      .join(n, Seq("__p"))
+      .withColumn("__t", floor(
+        col("__o").cast("double") / col("__n").cast("double") *
+          log((dec(col("__o")) * dec(col("__n"))).cast("double") /
+            (dec(col("__ra")) * dec(col("__cb"))).cast("double")) * 1e9)
+        .cast("decimal(38,0)"))
+      .groupBy(col("__p")).agg(sum(col("__t")).as("__min"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.join(n, Seq("__p"))
+        .withColumn("__t", floor(
+          col(cnt).cast("double") / col("__n").cast("double") *
+            log(col(cnt).cast("double") / col("__n").cast("double")) *
+            1e9).cast("decimal(38,0)"))
+        .groupBy(col("__p")).agg((-sum(col("__t"))).as(out))
+    val hx = entropy(rx, "__ra", "__hxn")
+    val hy = entropy(cy, "__cb", "__hyn")
+    val miD = col("__min").cast("double") / 1e9
+    val hxD = col("__hxn").cast("double") / 1e9
+    val hyD = col("__hyn").cast("double") / 1e9
+    val chi2D = col("__chi2m").cast("double") / 1e6
+    val minDim = least(col("levels_x"), col("levels_y")) - lit(1L)
+    val vOk = col("__n") > 0L && minDim > 0L && chi2D >= 0.0
+    n.join(lv, Seq("__p")).join(chi2, Seq("__p"))
+      .join(mi, Seq("__p")).join(hx, Seq("__p")).join(hy, Seq("__p"))
+      .select(col("__p").as(pairCol), col("__n").as("n"),
+        col("levels_x"), col("levels_y"),
+        round(chi2D, 6).as("chi2"),
+        round(when(vOk, sqrt(chi2D /
+            (col("__n").cast("double") * minDim.cast("double"))))
+          .otherwise(lit(null).cast("double")), 6).as("cramers_v"),
+        round(miD, 6).as("mi_nats"),
+        round(when(hyD > 0.0, miD / hyD)
+          .otherwise(lit(null).cast("double")), 6).as("u_y_given_x"),
+        round(when(hxD > 0.0, miD / hxD)
+          .otherwise(lit(null).cast("double")), 6).as("u_x_given_y"))
+  }
+
   /** Delete-one-group jackknife for a RATIO metric `Σnum / Σden` —
     * the standard-error machinery ratio metrics need (revenue per
     * unit, CTR, cost per token): per-row CLT doesn't apply to a ratio

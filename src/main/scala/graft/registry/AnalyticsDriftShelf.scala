@@ -45,6 +45,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q302_seasonal_mk" -> (seasonalMkQ _),
     "q304_runs_test" -> (runsTestQ _),
     "q305_welch_ttest" -> (welchTQ _),
+    "q309_durbin_watson" -> (durbinWatsonQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -1163,6 +1164,77 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                OR pooled <= 0 THEN NULL ELSE d END) >= 0.2, FALSE)
              AS INT) AS material
          FROM ee ORDER BY o_orderpriority""",
+    // exact OLS moments, one mirrored division each for slope and
+    // intercept, residuals micro-floored BEFORE the Σe²/Σ(Δe)² sums
+    "q309_durbin_watson" ->
+      """WITH daily AS (
+           SELECT event_type AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS d,
+             CAST(floor(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+               AS m
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         x AS (
+           SELECT g, d,
+             CASE WHEN g = 'purchase' AND (d // 10) % 2 = 0
+                 THEN m * 5
+               WHEN g = 'view'
+                 THEN CAST(floor(CAST(m AS DOUBLE)
+                   * (1.0 + CAST(d AS DOUBLE) * 0.05)) AS BIGINT)
+               ELSE m END AS y
+           FROM daily),
+         ols AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(d AS HUGEINT) * y) AS sxy,
+             sum(CAST(d AS HUGEINT) * d) AS sxx
+           FROM x GROUP BY g),
+         ab AS (
+           SELECT g, n, sx, sy,
+             CAST(CAST(n AS HUGEINT) * sxx
+               - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den,
+             CAST(CAST(n AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS b
+           FROM ols),
+         ab2 AS (
+           SELECT g, n, den, b,
+             (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+           FROM ab),
+         eq AS (
+           SELECT x.g, d, n, den, b,
+             CAST(floor((CAST(y AS DOUBLE) - a - b
+               * CAST(d AS DOUBLE)) * 1000000.0) AS HUGEINT) AS e
+           FROM x JOIN ab2 ON ab2.g = x.g),
+         lg AS (
+           SELECT g, e, lag(e) OVER (PARTITION BY g ORDER BY d) AS p,
+             n, den, b
+           FROM eq),
+         agg AS (
+           SELECT g, CAST(max(n) AS BIGINT) AS n_buckets,
+             max(den) AS den, max(b) AS b,
+             sum(e * e) AS se2,
+             sum(CASE WHEN p IS NULL THEN CAST(0 AS HUGEINT)
+               ELSE (e - p) * (e - p) END) AS sd2
+           FROM lg GROUP BY g),
+         fin AS (
+           SELECT g, n_buckets,
+             CASE WHEN den > 0 THEN round(b, 6) END AS slope,
+             CASE WHEN n_buckets >= 3 AND den > 0
+                 AND CAST(se2 AS DOUBLE) > 0
+               THEN CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE)
+               END AS dw
+           FROM agg)
+         SELECT g AS event_type, n_buckets, slope,
+           round(dw, 6) AS dw,
+           round(CASE WHEN dw IS NULL THEN NULL
+             ELSE 1.0 - dw / 2.0 END, 6) AS rho1,
+           CAST(coalesce(dw < 1.2 OR dw > 2.8, FALSE) AS INT)
+             AS autocorrelated
+         FROM fin ORDER BY event_type""",
     // exact per-side moments; Welch t + Satterthwaite df as one
     // mirrored double formula; both plants re-seeded
     "q305_welch_ttest" ->
@@ -2100,6 +2172,47 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     graft.quality.Drift.welchT(base, cur,
         floor(col("o_totalprice") * 100), Seq("o_orderpriority"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Durbin–Watson ([[Analytics.durbinWatson]]) on daily event values
+    * per type, the detrend-then-read companion of q304's runs test,
+    * with plants chosen to SEPARATE the two: purchase carries q304's
+    * 10-day regime oscillation (survives the linear detrend, drags
+    * DW toward 0 — both alarms fire), while view carries a clean
+    * ×(1 + 0.05·day) linear ramp — the runs test calls that clumped
+    * (first half below median, second half above = 2 runs) but DW
+    * detrends it away and reads the leftover noise as white
+    * (dw ≈ 2, quiet). Residuals micro-floored before the sums.
+    */
+  private[graft] def durbinWatsonQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    // daily MEANS, not sums: the day-to-day event-count fluctuation
+    // is white noise that at small SF drowns the regime plant in a
+    // sum series; the mean series carries the same regime signal at
+    // every SF (floor(Σcents/n) — one double division of two exact
+    // longs, deterministic cross-engine)
+    val daily = e
+      .groupBy(col("event_type"), day.as("__d"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("event_type"), col("__d"),
+        floor(col("__s").cast("double") / col("__n").cast("double"))
+          .cast("long").as("__m"))
+    val cents = when(col("event_type") === "purchase" &&
+        (col("__d") / lit(10)).cast("long") % 2 === 0,
+      col("__m") * 5L)
+      .when(col("event_type") === "view",
+        floor(col("__m").cast("double") *
+          (lit(1.0) + col("__d").cast("double") * 0.05)).cast("long"))
+      .otherwise(col("__m"))
+    // n = 30 buckets puts the DW null sd near 2/sqrt(n) ~ 0.37, so
+    // the quiet band is widened to (1.2, 2.8) — clean types sit in
+    // it at all three SFs; the regime plant lands 0.27-1.03
+    Analytics.durbinWatson(daily, Seq("event_type"), col("__d"),
+        cents, dLo = 1.2)
+      .orderBy("event_type")
   }
 
   private[graft] def theilSenQ(s: SparkSession, dir: String): DataFrame = {

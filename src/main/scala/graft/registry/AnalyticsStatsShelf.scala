@@ -60,6 +60,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q293_quality_auc" -> (qualityAucQ _),
     "q300_dunn_posthoc" -> (dunnPosthocQ _),
     "q306_friedman_test" -> (friedmanQ _),
+    "q310_assoc_panel" -> (assocPanelQ _),
   )
 
   /** The engine's pinned Bonferroni z critical values as a DuckDB
@@ -245,6 +246,100 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            CAST(coalesce(h_adj > $chi2CritCaseSql, FALSE) AS INT)
              AS differs
          FROM ff ORDER BY c_mktsegment""",
+    // one long-frame scan; full-grid χ² (zero cells contribute E),
+    // MI/entropy terms nano-floored before order-free integer sums;
+    // one mirrored double expression per statistic
+    "q310_assoc_panel" ->
+      """WITH base AS (
+           SELECT pair, x, y FROM (
+             SELECT event_type,
+               CAST(CAST(dayofweek(ts) AS INT) + 1 AS VARCHAR) AS dw,
+               CASE WHEN (CASE WHEN event_type = 'purchase'
+                   THEN value * 2.2 ELSE value END) < 25
+                 THEN 'low'
+                 WHEN (CASE WHEN event_type = 'purchase'
+                   THEN value * 2.2 ELSE value END) < 50
+                 THEN 'mid' ELSE 'high' END AS bucket
+             FROM events
+             WHERE value IS NOT NULL AND event_type IS NOT NULL
+               AND ts IS NOT NULL) t,
+           LATERAL (VALUES ('type_x_dow', event_type, dw),
+             ('type_x_bucket', event_type, bucket)) v(pair, x, y)),
+         cells AS (
+           SELECT pair, x, y, CAST(count(*) AS BIGINT) AS o
+           FROM base GROUP BY 1, 2, 3),
+         rx AS (SELECT pair, x, CAST(sum(o) AS BIGINT) AS ra
+           FROM cells GROUP BY 1, 2),
+         cy AS (SELECT pair, y, CAST(sum(o) AS BIGINT) AS cb
+           FROM cells GROUP BY 1, 2),
+         nt AS (SELECT pair, CAST(sum(o) AS BIGINT) AS n
+           FROM cells GROUP BY 1),
+         lv AS (
+           SELECT pair, CAST(count(DISTINCT x) AS BIGINT) AS lx,
+             CAST(count(DISTINCT y) AS BIGINT) AS ly
+           FROM cells GROUP BY 1),
+         grid AS (
+           SELECT rx.pair, ra, cb, n, coalesce(o, 0) AS o
+           FROM rx JOIN cy ON cy.pair = rx.pair
+           JOIN nt ON nt.pair = rx.pair
+           LEFT JOIN cells ON cells.pair = rx.pair
+             AND cells.x = rx.x AND cells.y = cy.y),
+         chi AS (
+           SELECT pair, sum(CAST(floor(
+             (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE)
+               * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE)
+               * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+               / CAST(n AS DOUBLE)) * 1000000.0) AS HUGEINT))
+             AS chi2m
+           FROM grid GROUP BY pair),
+         mi AS (
+           SELECT c.pair, sum(CAST(floor(
+             CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+             * ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE)
+               / CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE))
+             * 1000000000.0) AS HUGEINT)) AS mim
+           FROM cells c
+           JOIN rx ON rx.pair = c.pair AND rx.x = c.x
+           JOIN cy ON cy.pair = c.pair AND cy.y = c.y
+           JOIN nt ON nt.pair = c.pair
+           GROUP BY c.pair),
+         hx AS (
+           SELECT rx.pair, -sum(CAST(floor(
+             CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)
+             * ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000000.0) AS HUGEINT)) AS hxn
+           FROM rx JOIN nt ON nt.pair = rx.pair GROUP BY rx.pair),
+         hy AS (
+           SELECT cy.pair, -sum(CAST(floor(
+             CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)
+             * ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000000.0) AS HUGEINT)) AS hyn
+           FROM cy JOIN nt ON nt.pair = cy.pair GROUP BY cy.pair),
+         fin AS (
+           SELECT nt.pair, n, lx, ly,
+             CAST(chi2m AS DOUBLE) / 1000000.0 AS chi2,
+             CAST(mim AS DOUBLE) / 1000000000.0 AS mi,
+             CAST(hxn AS DOUBLE) / 1000000000.0 AS hx,
+             CAST(hyn AS DOUBLE) / 1000000000.0 AS hy
+           FROM nt JOIN lv ON lv.pair = nt.pair
+           JOIN chi ON chi.pair = nt.pair
+           JOIN mi ON mi.pair = nt.pair
+           JOIN hx ON hx.pair = nt.pair
+           JOIN hy ON hy.pair = nt.pair)
+         SELECT pair, n, lx AS levels_x, ly AS levels_y,
+           round(chi2, 6) AS chi2,
+           CASE WHEN n > 0 AND least(lx, ly) - 1 > 0 AND chi2 >= 0
+             THEN round(sqrt(chi2 / (CAST(n AS DOUBLE)
+               * CAST(least(lx, ly) - 1 AS DOUBLE))), 6) END
+             AS cramers_v,
+           round(mi, 6) AS mi_nats,
+           CASE WHEN hy > 0 THEN round(mi / hy, 6) END
+             AS u_y_given_x,
+           CASE WHEN hx > 0 THEN round(mi / hx, 6) END
+             AS u_x_given_y
+         FROM fin ORDER BY pair""",
     // complete blocks only; tie-averaged doubled ranks within each
     // (segment, day) block; Q as a ratio of two exact integers in
     // doubled-rank units; both plants re-seeded
@@ -2350,5 +2445,35 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.friedmanTest(e.withColumn("segment", seg),
         Seq("segment"), day, col("event_type"), cents)
       .orderBy("segment")
+  }
+
+  /** Categorical association panel
+    * ([[Analytics.categoricalAssociation]]) over two audited pairs
+    * from ONE corpus scan (the explode(array(struct…)) long-frame
+    * shape): event_type × weekday — independent by generator, the
+    * near-zero V/U baseline — against event_type × value-bucket with
+    * a ×2.2 purchase plant that drags purchase mass into the `high`
+    * bucket: χ² says "dependent", V ≈ 0.3 says "moderately", and the
+    * ASYMMETRY shows in U — knowing the bucket tells you little about
+    * which of 5 types fired, knowing the type collapses much more of
+    * the 3-level bucket's entropy.
+    */
+  private[graft] def assocPanelQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull &&
+      col("event_type").isNotNull && col("ts").isNotNull)
+    val vb = when(col("event_type") === "purchase",
+      col("value") * 2.2).otherwise(col("value"))
+    val bucket = when(vb < 25.0, "low").when(vb < 50.0, "mid")
+      .otherwise("high")
+    val dow = dayofweek(col("ts")).cast("string")
+    val long = e.select(explode(array(
+        struct(lit("type_x_dow").as("pair"),
+          col("event_type").as("x"), dow.as("y")),
+        struct(lit("type_x_bucket").as("pair"),
+          col("event_type").as("x"), bucket.as("y")))).as("r"))
+      .select(col("r.pair").as("pair"), col("r.x").as("x"),
+        col("r.y").as("y"))
+    Analytics.categoricalAssociation(long, "pair", "x", "y")
+      .orderBy("pair")
   }
 }

@@ -31,6 +31,7 @@ private[graft] object DedupRegistry {
     "q282_detector_disagreement" -> (detectorDisagreementQ _),
     "q284_mcnemar_detectors" -> (mcnemarDetectorsQ _),
     "q303_cochran_q" -> (cochranQDetectorsQ _),
+    "q311_fleiss_kappa" -> (fleissKappaDetectorsQ _),
     "q121_containment_incremental" -> (containmentIncremental _),
     "q126_entity_resolution" -> (entityResolution _),
     "q128_keepbest_near_dedup" -> (keepBestNearDedup _),
@@ -340,6 +341,80 @@ private[graft] object DedupRegistry {
              ELSE num / den END) > 5.991465, FALSE) AS INT)
              AS differs
          FROM f""",
+    // the q303 flags frame with the Fleiss tail: N, Σs and
+    // Σ(s²+(3−s)²) exact, κ one mirrored double formula
+    "q311_fleiss_kappa" ->
+      s"""WITH $oracleShingleCtes,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         mh AS (
+           SELECT ida, idb FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+             >= 0.8),
+         ${oracleSimhashCtes("s")},
+         sp AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM sshp a JOIN sshp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) <= 3),
+         bb AS (
+           SELECT c.ida, c.idb
+           FROM cands c
+           JOIN sigs a ON a.doc_id = c.ida
+           JOIN sigs b ON b.doc_id = c.idb
+           WHERE round(greatest(0.0, CAST((${(0 until 16).map(i =>
+        s"(CASE WHEN (a.h$i & 1) = (b.h$i & 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")}) * 2 - 16 AS DOUBLE) / 16.0), 4) >= 0.5),
+         pu AS (
+           SELECT DISTINCT ida, idb FROM (
+             SELECT ida, idb FROM mh
+             UNION ALL SELECT ida, idb FROM sp
+             UNION ALL SELECT ida, idb FROM bb)),
+         fl AS (
+           SELECT pu.ida, pu.idb,
+             CASE WHEN EXISTS (SELECT 1 FROM mh
+               WHERE mh.ida = pu.ida AND mh.idb = pu.idb)
+               THEN 1 ELSE 0 END AS fm,
+             CASE WHEN EXISTS (SELECT 1 FROM sp
+               WHERE sp.ida = pu.ida AND sp.idb = pu.idb)
+               THEN 1 ELSE 0 END AS fs,
+             CASE WHEN EXISTS (SELECT 1 FROM bb
+               WHERE bb.ida = pu.ida AND bb.idb = pu.idb)
+               THEN 1 ELSE 0 END AS fb
+           FROM pu),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(fm + fs + fb) AS BIGINT) AS s1,
+             sum(CAST(fm + fs + fb AS HUGEINT) * (fm + fs + fb)
+               + CAST(3 - fm - fs - fb AS HUGEINT)
+                 * (3 - fm - fs - fb)) AS sq
+           FROM fl),
+         f AS (
+           SELECT n, s1,
+             (CAST(sq AS DOUBLE) - 3.0 * CAST(n AS DOUBLE))
+               / (6.0 * CAST(n AS DOUBLE)) AS pbar,
+             CAST(s1 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) AS p1
+           FROM agg),
+         g AS (
+           SELECT n, pbar, p1,
+             p1 * p1 + (1.0 - p1) * (1.0 - p1) AS pe
+           FROM f)
+         SELECT n AS n_items, CAST(3 AS INT) AS n_raters,
+           round(p1, 6) AS p_flag, round(pbar, 6) AS p_bar,
+           round(pe, 6) AS p_e,
+           CASE WHEN 1.0 - pe <= 0 OR n < 1 THEN NULL
+             ELSE round((pbar - pe) / (1.0 - pe), 6) END AS kappa,
+           CAST(coalesce((CASE WHEN 1.0 - pe <= 0 OR n < 1 THEN NULL
+             ELSE (pbar - pe) / (1.0 - pe) END) >= 0.61, FALSE)
+             AS INT) AS substantial
+         FROM g""",
     // the q280 capture chains reduced to the McNemar cells: discordant
     // counts exact, (b−c)² in HUGEINT, one double division per χ²
     "q284_mcnemar_detectors" ->
@@ -1560,6 +1635,44 @@ private[graft] object DedupRegistry {
         coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
         coalesce(col("by_bbit"), lit(false)).as("by_bbit"))
     graft.operators.Analytics.cochranQ(flags, Seq.empty,
+      Seq("by_minhash", "by_simhash", "by_bbit"))
+  }
+
+  /** Fleiss' κ ([[graft.operators.Analytics.fleissKappa]]) over the
+    * q303 three-detector union frame — the AGREEMENT companion of
+    * q303's rate test: Cochran's Q on these detectors asks whether
+    * MinHash/SimHash/b-bit fire at the same rate; κ asks whether they
+    * fire on the SAME pairs. The subject frame is the flagged union
+    * (the review queue q282 drains), so κ reads agreement among
+    * pairs someone flagged — the all-quiet pairs that would inflate
+    * it are excluded by construction (see the operator's domain
+    * note). Same one-signature-pass chain as q303.
+    */
+  private[graft] def fleissKappaDetectorsQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val keys = Seq("id_a", "id_b")
+    val mh = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_minhash"))
+    val sp = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_simhash"))
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+        n = 3, numHashes = 16)
+      .transform(graft.core.CacheScope.disk)
+    val bb = Dedup.bbitMinhashEstimate(
+        Dedup.lshCandidates(sigs, "doc_id", bands = 4,
+          rowsPerBand = 4),
+        sigs, "doc_id", numHashes = 16, b = 1)
+      .where(col("est_b1") >= 0.5)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_bbit"))
+    val flags = mh.join(sp, keys, "full_outer")
+      .join(bb, keys, "full_outer")
+      .select(
+        coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
+        coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
+        coalesce(col("by_bbit"), lit(false)).as("by_bbit"))
+    graft.operators.Analytics.fleissKappa(flags, Seq.empty,
       Seq("by_minhash", "by_simhash", "by_bbit"))
   }
 
