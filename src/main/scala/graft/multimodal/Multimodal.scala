@@ -321,6 +321,65 @@ object Multimodal {
     * data_bytes). Pure expression; non-canonical chunk orders return
     * nulls (batch-decoder territory).
     */
+  /** GZIP member header/trailer decode (RFC 1952) as pure
+    * expressions — the container metadata path for compressed crawl
+    * artifacts (WARC.gz members, .jsonl.gz shards): what a shard
+    * inventory needs WITHOUT inflating anything. Fixed prefix (magic
+    * 1F 8B, CM = 08 deflate, FLG, MTIME LE32, XFL, OS), then the
+    * VARIABLE-position walk the FLG bits dictate: FEXTRA's XLEN LE16
+    * payload shifts FNAME, FNAME is zero-terminated (read via one
+    * column-offset `substr` + split at NUL, capped at 128 bytes —
+    * longer names truncate rather than scan). The trailer reads from
+    * the END (CRC32 LE32 at len−7, ISIZE = uncompressed size mod 2³²
+    * at len−3) — the "how big does this shard inflate" column that
+    * drives decompression-stage partition planning. The deflate body
+    * itself is never touched.
+    *
+    * Length-gated like every decoder here (min 18 = header 10 +
+    * trailer 8): truncated or non-gzip payloads yield all-null
+    * fields, never a misread. Returns struct(format, mtime, os, xfl,
+    * has_extra, xlen, fname, header_len, isize, crc32).
+    */
+  def gzipMeta(bin: Column): Column = {
+    val len = length(bin)
+    val isGz = len >= 18 &&
+      upper(hex(substring(bin, 1, 3))) === "1F8B08"
+    val flg = leUInt(bin, 4, 1)
+    val hasExtra = flg.bitwiseAND(lit(4L)) =!= 0L
+    val hasName = flg.bitwiseAND(lit(8L)) =!= 0L
+    val xlen = when(hasExtra, leUInt(bin, 11, 2)).otherwise(lit(0L))
+    val nameOff = lit(11L) +
+      when(hasExtra, lit(2L) + xlen).otherwise(lit(0L))
+    // ISO-8859-1, not UTF-8: the 128-byte read window deliberately
+    // overruns into the deflate body, whose bytes need not be valid
+    // UTF-8 (Spark's strict decode would throw); latin-1 maps every
+    // byte, the NUL split discards the overrun, and RFC 1952 mandates
+    // FNAME be latin-1 anyway
+    val fname = when(hasName,
+      substring_index(
+        decode(bin.substr(nameOff, lit(128L)), "ISO-8859-1"),
+        "\u0000", 1))
+      .otherwise(lit(null).cast("string"))
+    val headerLen = nameOff - 1L +
+      when(hasName, length(fname) + 1L).otherwise(lit(0L))
+    val nulL = lit(null).cast("long")
+    def gated(c: Column): Column = when(isGz, c).otherwise(nulL)
+    struct(
+      when(isGz, lit("gzip")).otherwise(lit(null).cast("string"))
+        .as("format"),
+      gated(leUInt(bin, 5, 4)).as("mtime"),
+      gated(leUInt(bin, 10, 1)).as("os"),
+      gated(leUInt(bin, 9, 1)).as("xfl"),
+      when(isGz, hasExtra.cast("int")).otherwise(lit(null).cast("int"))
+        .as("has_extra"),
+      gated(xlen).as("xlen"),
+      when(isGz, fname).otherwise(lit(null).cast("string"))
+        .as("fname"),
+      gated(headerLen).as("header_len"),
+      gated(leUIntAt(bin, len - 3L, 4)).as("isize"),
+      gated(leUIntAt(bin, len - 7L, 4)).as("crc32"))
+  }
+
   def wavHeaderMeta(bin: Column): Column = {
     // 44 = canonical header through the data-chunk size; shorter
     // payloads are truncated and must yield nulls, not misreads

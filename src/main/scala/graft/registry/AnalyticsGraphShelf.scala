@@ -33,9 +33,61 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     "q235_modularity" -> (modularityQ _),
     "q236_purchase_hits" -> (purchaseHitsQ _),
     "q254_centrality_agreement" -> (centralityAgreementQ _),
+    "q313_textrank_keywords" -> (textrankKeywordsQ _),
   )
 
   private[graft] def graphOracleSql: Map[String, String] = Map(
+    // the q154 exact-integer PageRank chain over the stopword-pruned
+    // adjacent-token graph; lang-scoped nodes; top-10 total order
+    "q313_textrank_keywords" -> {
+      def iter(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""r$k AS (
+           SELECT n2.node, (150000000000 // (SELECT n FROM nn))
+               + coalesce(s$k.c, 0) AS r
+           FROM nodes n2 LEFT JOIN (
+             SELECT e.b AS node,
+               sum((850 * p.r) // (1000 * deg.d)) AS c
+             FROM e JOIN $prev p ON p.node = e.a
+             JOIN deg ON deg.a = e.a
+             GROUP BY e.b) s$k ON s$k.node = n2.node)"""
+      }
+      s"""WITH tok AS MATERIALIZED (
+           SELECT lang, doc_id, $oracleWords AS ws
+           FROM documents
+           WHERE text IS NOT NULL AND lang IS NOT NULL),
+         bi0 AS (
+           SELECT lang || '|' || ws[i] AS a,
+             lang || '|' || ws[i + 1] AS b,
+             ws[i] AS w1, ws[i + 1] AS w2
+           FROM tok, LATERAL (SELECT unnest(
+             generate_series(1, len(ws) - 1)) AS i) t),
+         bi AS (
+           SELECT a, b FROM bi0
+           WHERE w1 <> w2 AND w1 NOT IN ($oracleStopList)
+             AND w2 NOT IN ($oracleStopList)),
+         e AS MATERIALIZED (
+           SELECT a, b FROM bi UNION SELECT b, a FROM bi),
+         deg AS MATERIALIZED (
+           SELECT a, count(*) AS d FROM e GROUP BY a),
+         nodes AS MATERIALIZED (
+           SELECT a AS node FROM e UNION SELECT b FROM e),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node,
+           1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+         ${(1 to 6).map(iter).mkString(",\n         ")},
+         fin AS (
+           SELECT split_part(node, '|', 1) AS lang,
+             split_part(node, '|', 2) AS token,
+             CAST(r AS BIGINT) AS rank_scaled,
+             CAST(row_number() OVER (
+               PARTITION BY split_part(node, '|', 1)
+               ORDER BY r DESC, split_part(node, '|', 2) ASC)
+               AS BIGINT) AS pos
+           FROM r6)
+         SELECT lang, token, rank_scaled, pos
+         FROM fin WHERE pos <= 10 ORDER BY lang, pos"""
+    },
     "q154_supplier_pagerank" -> {
       def iter(k: Int): String = {
         val prev = if (k == 1) "r0" else s"r${k - 1}"
@@ -539,6 +591,55 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     * result hashes identically on any engine, partitioning, or
     * cluster size.
     */
+  /** TextRank keyword extraction per language: PageRank over the
+    * token co-occurrence graph (Mihalcea & Tarau 2004 — the graph
+    * reading of "which words does this corpus keep organizing itself
+    * around", a frequency-independent alternative to q58's TF-IDF and
+    * q77's heavy hitters: a token that co-occurs with MANY DISTINCT
+    * well-connected tokens outranks one that merely repeats). Nodes
+    * are lang-scoped tokens (`lang|token` — the languages' graphs are
+    * disconnected components of one global PageRank, same teleport
+    * pool, so one operator call serves all five); edges are distinct
+    * adjacent-token pairs with any stopword-touching or self-loop
+    * bigram dropped; ranks are [[Analytics.pageRank]]'s exact-integer
+    * iteration (×10¹² scale, floor-divided damping — zero float
+    * drift for the oracle to chase). Top-10 per language by
+    * (rank DESC, token ASC), a total order.
+    *
+    * Scale: the edge frame is vocabulary²-bounded but DISTINCT
+    * co-occurrence-bounded in practice (language bigram graphs are
+    * sparse); the iteration shuffles edge-frame-sized frames 6 times
+    * — the q154 cost shape, not corpus-sized.
+    */
+  private[graft] def textrankKeywordsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val toks = docs(s, dir)
+      .where(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), col("doc_id"),
+        posexplode(TextAnalysis.words(col("text")))
+          .as(Seq("pos", "w")))
+    val wnd = Window.partitionBy(col("lang"), col("doc_id"))
+      .orderBy(col("pos"))
+    val stops = TextAnalysis.stopwords
+    val bi = toks
+      .withColumn("nx", lead(col("w"), 1).over(wnd))
+      .where(col("nx").isNotNull && col("w") =!= col("nx") &&
+        !col("w").isin(stops: _*) && !col("nx").isin(stops: _*))
+      .select(concat(col("lang"), lit("|"), col("w")).as("a"),
+        concat(col("lang"), lit("|"), col("nx")).as("b"))
+    val edges = bi.union(bi.select(col("b").as("a"), col("a").as("b")))
+    val ranks = Analytics.pageRank(edges, "a", "b", iters = 6)
+    val parts = split(col("node"), "\\|", 2)
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("rank_scaled").desc, col("token").asc)
+    ranks
+      .select(parts.getItem(0).as("lang"), parts.getItem(1).as("token"),
+        col("rank_scaled"))
+      .withColumn("pos", row_number().over(byLang).cast("long"))
+      .where(col("pos") <= 10L)
+      .orderBy("lang", "pos")
+  }
+
   private[graft] def supplierPagerankQ(s: SparkSession, dir: String): DataFrame = {
     val co = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))

@@ -25,7 +25,52 @@ private[graft] object MultimodalRegistry {
     "q63_video_meta" -> (videoMeta _),
     "q274_webp_header_decode" -> (webpHeaderDecode _),
     "q296_tiff_header_decode" -> (tiffHeaderDecode _),
+    "q312_gzip_meta" -> (gzipMetaDecode _),
   )
+
+  /** GZIP member metadata ([[Multimodal.gzipMeta]]): each doc_id
+    * synthesizes an RFC 1952 member in its doc_id%3 flavor — bare
+    * header, FNAME, or FEXTRA+FNAME — so the name and trailer sit at
+    * VARIABLE positions the FLG-bit walk must find (xlen = id%5+2
+    * pads the extra field, the name embeds the id). Every 13th id is
+    * truncated after the magic: the length gate must yield all-null,
+    * never a misread. The oracle is the closed form of the id
+    * arithmetic — the hash proves the walk recovers every planted
+    * field, including the from-the-END trailer reads (CRC32/ISIZE).
+    */
+  private[graft] def gzipMetaDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val flavor = id % 3
+    val name = concat(lit("f"), id.cast("string"), lit(".txt"))
+    val xlen = (id % 5 + 2).cast("long")
+    val extraHex = concat(leHex(xlen, 2),
+      lit("414141414141").substr(lit(1), (xlen * 2).cast("int")))
+    val flgHex = when(flavor === 0, "00").when(flavor === 1, "08")
+      .otherwise("0C")
+    val mtime = lit(1700000000L) + id
+    val os = (id % 14).cast("long")
+    val xfl = when(id % 2 === 0, lit(2L)).otherwise(lit(4L))
+    val crc = (id * lit(2654435761L)) % lit(4294967296L)
+    val isize = id * 7L + 4L
+    val fileHex = concat(lit("1F8B08"), flgHex, leHex(mtime, 4),
+      leHex(xfl, 1), leHex(os, 1),
+      when(flavor === 2, extraHex).otherwise(lit("")),
+      when(flavor >= 1, concat(hex(name), lit("00")))
+        .otherwise(lit("")),
+      lit("41424344"), leHex(crc, 4), leHex(isize, 4))
+    val hexCol = when(id % 13 === 0, lit("1F8B08")).otherwise(fileHex)
+    docs(s, dir)
+      .select(id, unhex(hexCol).as("__bin"))
+      .select(id, Multimodal.gzipMeta(col("__bin")).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.mtime").as("mtime"), col("m.os").as("os"),
+        col("m.xfl").as("xfl"), col("m.has_extra").as("has_extra"),
+        col("m.xlen").as("xlen"), col("m.fname").as("fname"),
+        col("m.header_len").as("header_len"),
+        col("m.isize").as("isize"), col("m.crc32").as("crc32"))
+      .orderBy("doc_id")
+  }
 
   /** Big-endian hex of a column value, n bytes. */
   private def beHexN(v: Column, n: Int): Column =
@@ -150,6 +195,40 @@ private[graft] object MultimodalRegistry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // closed form of the gzip builder's doc_id arithmetic — the hash
+    // proves the FLG-bit walk and the from-the-end trailer reads
+    "q312_gzip_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'gzip' END
+             AS format,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 1700000000 + doc_id END AS BIGINT) AS mtime,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id % 14 END AS BIGINT) AS os,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             WHEN doc_id % 2 = 0 THEN 2 ELSE 4 END AS BIGINT) AS xfl,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INT)
+             AS has_extra,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             WHEN doc_id % 3 = 2 THEN doc_id % 5 + 2 ELSE 0 END
+             AS BIGINT) AS xlen,
+           CASE WHEN doc_id % 13 = 0 OR doc_id % 3 = 0 THEN NULL
+             ELSE 'f' || CAST(doc_id AS VARCHAR) || '.txt' END
+             AS fname,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 10
+               + (CASE WHEN doc_id % 3 = 2
+                   THEN 2 + doc_id % 5 + 2 ELSE 0 END)
+               + (CASE WHEN doc_id % 3 >= 1
+                   THEN 6 + len(CAST(doc_id AS VARCHAR)) ELSE 0 END)
+             END AS BIGINT) AS header_len,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id * 7 + 4 END AS BIGINT) AS isize,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE (doc_id * 2654435761) % 4294967296 END AS BIGINT)
+             AS crc32
+         FROM documents ORDER BY doc_id""",
     // closed form of the payload builder's doc_id arithmetic — the
     // hash proves the endian-dispatched IFD walk, not an offset
     "q296_tiff_header_decode" ->
