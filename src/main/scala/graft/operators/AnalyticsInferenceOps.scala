@@ -634,6 +634,148 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         (col("__ph") >= lambdaMicro).cast("int").as("alarmed")): _*)
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test per group: across
+    * k ORDERED dose levels, do values trend monotonically WITH the
+    * dose? The measured-outcome sibling of [[cochranArmitage]]
+    * (which reads a binary rate along the ladder) and the sharper
+    * question next to [[kruskalWallis]]'s omnibus: KW spends power on
+    * every permutation of "some dose differs"; JT bets on the
+    * ordering and wins that power back when the alternative really is
+    * monotone — the "does quality-bucket rank predict the metric"
+    * reading. J = Σᵢ<ⱼ Uᵢⱼ over dose pairs, each Uᵢⱼ the
+    * Mann–Whitney count of (lower-dose value < higher-dose value)
+    * with exact tie half-credit.
+    *
+    * Exactness: doubled units throughout — J2 = Σ cⱼ(v)·(2·cbᵢ(v) +
+    * cᵢ(v)) over the dense (value × dose) grid is an exact DECIMAL
+    * integer, E2 = (N² − Σnᵢ²)/2 likewise; z = (J2 − E2)/(2σ) with
+    * the classical no-tie σ² = (N²(2N+3) − Σnᵢ²(2nᵢ+3))/72 (heavy
+    * ties overstate σ slightly — conservative; the statistic itself
+    * carries exact tie credit).
+    *
+    * Scale: one (group, dose, value) count; the dense grid is
+    * |values|·k rows (value-domain-sized, never row-sized); the
+    * dose-pair join multiplies by k²/2 — k is a handful of ordered
+    * buckets by construction.
+    */
+  def jonckheereTerpstra(
+      df: DataFrame, groupCols: Seq[String], doseCol: Column,
+      valueCents: Column, zAlpha: Double = 1.96): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gc = groupCols.map(col)
+    val cells = df
+      .select(gc ++ Seq(doseCol.cast("long").as("__w"),
+        valueCents.cast("long").as("__v")): _*)
+      .where(col("__w").isNotNull && col("__v").isNotNull)
+      .groupBy(gc ++ Seq(col("__w"), col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .transform(graft.core.CacheScope.disk)
+    val vals = cells.select(gc :+ col("__v"): _*).distinct()
+    val doses = cells.select(gc :+ col("__w"): _*).distinct()
+    val grid = vals.join(doses, groupCols)
+      .join(cells, groupCols ++ Seq("__w", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val wv = Window.partitionBy(gc :+ col("__w"): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCb = grid
+      .withColumn("__cb", coalesce(sum(col("__c")).over(wv), lit(0L)))
+      .transform(graft.core.CacheScope.disk)
+    val hi = withCb.select(
+      gc ++ Seq(col("__v"), col("__w").as("__wj"),
+        col("__c").as("__cj")): _*)
+    val j2 = withCb.join(hi,
+        groupCols ++ Seq("__v")
+          // (groupCols ++ v) equi-keys; the dose inequality below
+          ).where(col("__w") < col("__wj"))
+      .groupBy(gc: _*)
+      .agg(sum(dec(col("__cj")) *
+        (dec(col("__cb")) * 2 + dec(col("__c")))).as("__j2"))
+    val perDose = cells.groupBy(gc :+ col("__w"): _*)
+      .agg(sum(col("__c")).as("__ni"))
+    val moments = perDose.groupBy(gc: _*)
+      .agg(sum(col("__ni")).as("n"),
+        count(lit(1)).as("n_doses"),
+        sum(dec(col("__ni")) * dec(col("__ni"))).as("__sn2"),
+        sum(dec(col("__ni")) * dec(col("__ni")) *
+          (dec(col("__ni")) * 2 + 3)).as("__sn23"))
+    val nD = col("n").cast("decimal(38,0)")
+    val e2 = (nD * nD - col("__sn2")).cast("double") / 2.0
+    val varJ = ((nD * nD * (nD * 2 + 3)) - col("__sn23"))
+      .cast("double") / 72.0
+    val z = (col("__j2").cast("double") - e2) /
+      (lit(2.0) * sqrt(varJ))
+    val ok = col("n") >= 2L && col("n_doses") >= 2L && varJ > 0.0
+    val zSafe = when(ok, z).otherwise(lit(null).cast("double"))
+    j2.join(moments, groupCols)
+      .select(gc ++ Seq(
+        col("n"), col("n_doses"),
+        col("__j2").cast("long").as("j2"),
+        round(zSafe, 6).as("z"),
+        coalesce(zSafe > zAlpha, lit(false)).cast("int")
+          .as("trending")): _*)
+  }
+
+  /** Cronbach's α scale reliability per group: do the k item columns
+    * (sub-scores of a composite) measure ONE construct, or is the
+    * composite adding noise to signal? α = k/(k−1)·(1 − Σσᵢ²/σₜ²)
+    * with σₜ² the variance of the item SUM — the audit a composite
+    * quality score owes its consumers: α near 1 says the items
+    * co-vary (one underlying quality axis), α near 0 says the
+    * composite is averaging unrelated things, negative α says items
+    * point in OPPOSITE directions (a sign error in one component).
+    *
+    * Exactness: with items as exact longs, each variance numerator
+    * nQᵢ − Sᵢ² is an exact DECIMAL integer and the n(n−1)
+    * denominators CANCEL in Σσᵢ²/σₜ², so α is k/(k−1)·(1 − one
+    * double division of two exact integers) — no quantization, no
+    * accumulation order. Rows with any null item drop (complete-case,
+    * the classical contract).
+    *
+    * Scale: ONE grouped aggregation over the rows (2k+3 mergeable
+    * moments); group-sized arithmetic after. The moments are
+    * shard-mergeable, so a standing reliability monitor never
+    * rescans history.
+    */
+  def cronbachAlpha(
+      df: DataFrame, groupCols: Seq[String],
+      items: Seq[(String, Column)]): DataFrame = {
+    require(items.size >= 2, "cronbachAlpha needs >= 2 items")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val k = items.size
+    val gc = groupCols.map(col)
+    val proj = df.select(gc ++ items.map { case (n, c) =>
+      c.cast("long").as(s"__i_$n") }: _*)
+      .where(items.map(i => col(s"__i_${i._1}").isNotNull)
+        .reduce(_ && _))
+      .withColumn("__t", items.map(i => col(s"__i_${i._1}"))
+        .reduce(_ + _))
+    val aggs =
+      items.flatMap { case (n, _) => Seq(
+        sum(col(s"__i_$n")).as(s"__s_$n"),
+        sum(dec(col(s"__i_$n")) * dec(col(s"__i_$n"))).as(s"__q_$n"))
+      } ++ Seq(
+        sum(col("__t")).as("__st"),
+        sum(dec(col("__t")) * dec(col("__t"))).as("__qt"))
+    val agg = proj.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast("decimal(38,0)")
+    def varNum(s: String, q: String): Column =
+      nD * col(q) - dec(col(s)) * dec(col(s))
+    val sumItemVar = items.map { case (n, _) =>
+      varNum(s"__s_$n", s"__q_$n") }.reduce(_ + _)
+    val totVar = varNum("__st", "__qt")
+    val ratio = sumItemVar.cast("double") / totVar.cast("double")
+    val alpha = lit(k.toDouble / (k - 1.0)) * (lit(1.0) - ratio)
+    val ok = col("n") >= 2L && totVar.cast("double") > 0.0
+    agg.select(gc ++ Seq(
+      col("n"), lit(k).as("k_items"),
+      round(when(ok, ratio).otherwise(lit(null).cast("double")), 6)
+        .as("var_ratio"),
+      round(when(ok, alpha).otherwise(lit(null).cast("double")), 6)
+        .as("alpha")): _*)
+  }
+
   /** Fleiss' κ multi-rater agreement per group over k binary raters
     * (detectors) on shared subjects: [[cochranQ]] asks "do the
     * raters' marginal RATES differ?" — this asks the complementary

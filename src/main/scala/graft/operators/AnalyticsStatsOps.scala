@@ -740,6 +740,67 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
     * nothing upstream of the timepoint collapse holds per-subject
     * state.
     */
+  /** Nelson–Aalen cumulative-hazard estimator per group — the
+    * additive companion of [[kaplanMeier]]: KM multiplies survival
+    * factors (and one zero risk-set factor floors the whole tail),
+    * NA sums hazard increments H(t) = Σ dᵢ/nᵢ, the quantity that is
+    * (a) unbiased in small risk sets, (b) mergeable across strata,
+    * and (c) what a hazard-RATE reading actually wants ("how much
+    * failure pressure accumulated by day t", not "what fraction
+    * survives"). Also emits the Breslow survival exp(−H) (always ≥
+    * the KM curve — the spec pins the inequality) and the
+    * Σdᵢ/nᵢ² standard error.
+    *
+    * Exactness: the risk-set frame is the exact-integer
+    * [[kaplanMeier]] machinery; each hazard increment dᵢ/nᵢ is one
+    * double division of two exact longs nano-floored BEFORE the
+    * running sum (quantize-before-sum, so the cumulative column is an
+    * exact integer both engines agree on at every t); exp/sqrt render
+    * at the end. Unlike KM's running PRODUCT (a per-row array fold),
+    * the running SUM is one ordinary window — cheaper by the length
+    * of the curve.
+    *
+    * Scale: per-(group, t) counts map-side combined; one ordered
+    * window per group over DISTINCT times; nothing row-sized after
+    * the first combine.
+    */
+  def nelsonAalen(
+      df: DataFrame, groupCol: String, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"))
+      .where(col("__t").isNotNull && col("__t") >= 0)
+    val byTime = base.groupBy("__g", "__t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
+    val w = Window.partitionBy("__g").orderBy("__t")
+    val risked = byTime
+      .withColumn("__tot", sum(col("__d") + col("__c"))
+        .over(Window.partitionBy("__g")))
+      .withColumn("__gone", coalesce(
+        sum(col("__d") + col("__c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", col("__tot") - col("__gone"))
+      .withColumn("__h", floor(col("__d").cast("double") /
+        col("__n").cast("double") * 1e9).cast("decimal(38,0)"))
+      .withColumn("__v", floor(col("__d").cast("double") /
+        (col("__n").cast("double") * col("__n").cast("double")) * 1e12)
+        .cast("decimal(38,0)"))
+    val cum = risked
+      .withColumn("__hc", sum(col("__h"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__vc", sum(col("__v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    cum.select(col("__g").as(groupCol), col("__t").as("t"),
+      col("__n").as("n_at_risk"), col("__d").as("n_events"),
+      col("__c").as("n_censored"),
+      round(col("__hc").cast("double") / 1e9, 6).as("cum_hazard"),
+      round(exp(-(col("__hc").cast("double") / 1e9)), 6)
+        .as("survival_na"),
+      round(sqrt(col("__vc").cast("double") / 1e12), 6).as("se"))
+  }
+
   def kaplanMeier(
       df: DataFrame, groupCol: String, durationCol: Column,
       eventCol: Column, maxTimepoints: Int = 10000): DataFrame = {

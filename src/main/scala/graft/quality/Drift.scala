@@ -252,6 +252,80 @@ object Drift {
         .as("drifted")): _*)
   }
 
+  /** Anderson–Darling two-sample test between two snapshots, per
+    * group — the third member of the ECDF-gap family and the
+    * TAIL-WEIGHTED one: KS reads the single worst gap (center-heavy
+    * by construction), CvM integrates the squared gap uniformly,
+    * AD divides each gap by B(N−B) so the SAME absolute gap counts
+    * ~N²/4 ÷ B(N−B) times more in the tails — the alarm for a feed
+    * whose body is stable while its extremes quietly shift (price
+    * caps, outlier filters, truncation bugs). Discrete/tied form
+    * (Scholz–Stephens 1987, k = 2): A² = Σⱼ lⱼ·(N·Mⱼ − n₁·Bⱼ)² /
+    * (Bⱼ(N−Bⱼ)) / (n₁n₂) over distinct pooled values (the last
+    * block, B = N, contributes zero and is excluded). Under H₀
+    * E[A²] = 1; `drifted` compares against `threshold` (default
+    * 2.492, the asymptotic 5% point of the one-sample A² law — the
+    * standard conservative proxy for k = 2).
+    *
+    * Exactness: Mⱼ/Bⱼ/lⱼ and the gap numerator are exact DECIMAL
+    * integers off the shared per-(group, distinct value) count frame;
+    * each term's one division is micro-floored to an integer BEFORE
+    * the order-free sum (quantize-before-sum — the numerator square
+    * passes 2^53, so the term is double-rounded identically on both
+    * engines), then one mirrored double division by n₁n₂.
+    * One-sided groups (a snapshot empty) report null A² and
+    * drifted = true, the [[ksTest]] contract.
+    *
+    * Scale shape, identical to [[ksTest]]/[[cvmTest]]: per-(group,
+    * value) counts map-side combined, one running sum over DISTINCT
+    * values, one group-sized aggregate.
+    */
+  def adTest(
+      baseline: DataFrame, current: DataFrame, valueCol: String,
+      groupCols: Seq[String], threshold: Double = 2.492): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = pairedCounts(baseline, current, valueCol, groupCols)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val cum = per
+      .withColumn("__i", sum(col("__cb")).over(w))
+      .withColumn("__j", sum(col("__cc")).over(w))
+      .withColumn("__n1", sum(col("__cb")).over(wAll))
+      .withColumn("__n2", sum(col("__cc")).over(wAll))
+      .withColumn("__bt", col("__i") + col("__j"))
+      .withColumn("__nt", col("__n1") + col("__n2"))
+    val numD = (dec(col("__nt")) * dec(col("__i")) -
+      dec(col("__n1")) * dec(col("__bt"))).cast("double")
+    val denD = col("__bt").cast("double") *
+      (col("__nt") - col("__bt")).cast("double")
+    // the B = N block is excluded by ZEROING, not filtering — a
+    // single-distinct-value group must still emit its row (a2 = 0)
+    val term = when(col("__bt") < col("__nt"),
+      floor((col("__cb") + col("__cc")).cast("double") *
+        numD * numD / denD * 1e6))
+      .otherwise(lit(0.0)).cast("decimal(38,0)")
+    val agg = cum
+      .withColumn("__term", term)
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n1")).as("n_base"), max(col("__n2")).as("n_cur"),
+        sum(col("__term")).as("__s"))
+    val n1 = col("n_base"); val n2 = col("n_cur")
+    val oneSided = n1 === 0L || n2 === 0L
+    val a2 = col("__s").cast("double") / 1e6 /
+      (n1.cast("double") * n2.cast("double"))
+    agg.select(groupCols.map(col) ++ Seq(
+      n1, n2,
+      when(oneSided, lit(null).cast("double"))
+        .otherwise(round(a2, 6)).as("a2"),
+      when(oneSided, lit(true)).otherwise(a2 > threshold)
+        .as("drifted")): _*)
+  }
+
   /** Mann–Whitney U rank-sum test between two snapshots, per group —
     * the rank-based sibling of [[ksTest]]: where KS asks "did the
     * SHAPE change anywhere", MW-U asks "did values systematically
@@ -597,6 +671,110 @@ object Drift {
     ks.join(cvm, groupCols).join(mw, groupCols)
       .join(effect, groupCols).join(bf, groupCols)
       .join(rate, groupCols)
+  }
+
+  /** Classical additive seasonal decomposition per group over a
+    * bucketed series: y = trend + seasonal + residual with trend the
+    * CENTERED period-length moving average and seasonal the per-phase
+    * mean of the detrended values — the decomposition that turns
+    * "daily volume wiggles" into three columns a monitor can alarm on
+    * separately (Holt/CUSUM watch the trend, the q302 seasonal-MK
+    * watches the seasonal AXIS, and the residual is what the q304/
+    * q309 serial tests should really be fed). Buckets without a full
+    * centered window report null trend/seasonal/residual (the
+    * classical edge contract — no padding invention).
+    *
+    * Exactness: bucket sums are exact longs; trend is
+    * floor(window-sum / period) (one mirrored double division +
+    * floor); the per-phase seasonal is floor(Σ detrended / count)
+    * (floor toward −∞ on BOTH engines — detrended values go
+    * negative); residual is exact integer subtraction of the two.
+    * Scale: one grouped bucket-sum, one bucket-ordered window, one
+    * phase-domain aggregation joined back — nothing row-sized past
+    * the first combine.
+    */
+  def seasonalDecompose(
+      df: DataFrame, groupCols: Seq[String], bucketIdx: Column,
+      valueCents: Column, period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      "seasonalDecompose: odd period required (centered window)")
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val half = period / 2
+    val per = df
+      .select(gc ++ Seq(bucketIdx.cast("long").as("__b"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__b").isNotNull && col("__y").isNotNull)
+      .groupBy(gc :+ col("__b"): _*)
+      .agg(sum(col("__y")).as("__y"))
+      .transform(graft.core.CacheScope.disk)
+    val wb = Window.partitionBy(gc: _*).orderBy(col("__b").asc)
+      .rowsBetween(-half, half)
+    // a full centered window: exactly `period` CONSECUTIVE buckets
+    // (row count alone would accept gapped series)
+    val trended = per
+      .withColumn("__cnt", count(lit(1)).over(wb))
+      .withColumn("__span",
+        max(col("__b")).over(wb) - min(col("__b")).over(wb))
+      .withColumn("__trend",
+        when(col("__cnt") === period && col("__span") === (period - 1),
+          floor(sum(col("__y")).over(wb).cast("double") /
+            lit(period.toDouble)).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("__det", col("__y") - col("__trend"))
+    val seasonal = trended
+      .where(col("__det").isNotNull)
+      .groupBy(gc :+ (col("__b") % period).as("__ph"): _*)
+      .agg(floor(sum(col("__det")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("__seas"))
+    val seasR = seasonal.select(
+      groupCols.map(g => col(g).as(s"__g_$g")) ++
+        Seq(col("__ph"), col("__seas")): _*)
+    trended
+      .join(seasR,
+        groupCols.map(g => col(g) === col(s"__g_$g"))
+          .foldLeft((col("__b") % period) === col("__ph"))(_ && _),
+        "left")
+      .select(gc ++ Seq(
+        col("__b").as("bucket"), col("__y").as("value"),
+        col("__trend").as("trend"),
+        when(col("__trend").isNotNull, col("__seas"))
+          .otherwise(lit(null).cast("long")).as("seasonal"),
+        when(col("__trend").isNotNull, col("__det") - col("__seas"))
+          .otherwise(lit(null).cast("long")).as("residual")): _*)
+  }
+
+  /** Cliff's δ ordinal effect size between two snapshots per group —
+    * the nonparametric MAGNITUDE companion of [[cohensD]] exactly as
+    * [[mannWhitneyU]] is the nonparametric companion of the t-test:
+    * δ = P(cur > base) − P(base > cur) ∈ [−1, 1] reads dominance
+    * directly, with no variance to pool and no normality story —
+    * heavy tails and outliers that inflate d's denominator (hiding a
+    * real shift) leave δ untouched. `magnitude` buckets |δ| at the
+    * conventional 0.147 / 0.33 / 0.474 bounds (Romano et al. 2006).
+    *
+    * Exactness: δ = 1 − u_half/(n₁n₂) off [[mannWhitneyU]]'s exact
+    * half-unit rank identity (ties split exactly, never enumerated
+    * pairwise) — one double division of exact integers. Same
+    * count-frame scale shape as every two-sample test here.
+    */
+  def cliffsDelta(
+      base: DataFrame, cur: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val mw = mannWhitneyU(base, cur, valueCol, groupCols)
+    val nn = col("n_base").cast("double") * col("n_cur").cast("double")
+    val delta = lit(1.0) - col("u_half").cast("double") / nn
+    val ok = col("n_base") > 0L && col("n_cur") > 0L
+    val dSafe = when(ok, delta).otherwise(lit(null).cast("double"))
+    val mag = when(dSafe.isNull, lit(null).cast("string"))
+      .when(abs(dSafe) < 0.147, "negligible")
+      .when(abs(dSafe) < 0.33, "small")
+      .when(abs(dSafe) < 0.474, "medium")
+      .otherwise(lit("large"))
+    mw.select(groupCols.map(col) ++ Seq(
+      col("n_base"), col("n_cur"),
+      round(dSafe, 6).as("delta"),
+      mag.as("magnitude")): _*)
   }
 
   /** Cohen's d / Hedges' g effect size between two snapshots per

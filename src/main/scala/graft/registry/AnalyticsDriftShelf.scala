@@ -46,6 +46,9 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q304_runs_test" -> (runsTestQ _),
     "q305_welch_ttest" -> (welchTQ _),
     "q309_durbin_watson" -> (durbinWatsonQ _),
+    "q315_ad_drift" -> (adDriftQ _),
+    "q317_cliffs_delta" -> (cliffsDeltaQ _),
+    "q318_seasonal_decompose" -> (seasonalDecomposeQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -1164,6 +1167,145 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                OR pooled <= 0 THEN NULL ELSE d END) >= 0.2, FALSE)
              AS INT) AS material
          FROM ee ORDER BY o_orderpriority""",
+    // centered-MA trend (full consecutive window only), per-phase
+    // floor-mean seasonal, exact-integer residual; plant re-seeded
+    "q318_seasonal_decompose" ->
+      """WITH dm AS (
+           SELECT event_type AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS b,
+             CAST(floor(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+               AS m
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         per AS (
+           SELECT g, b,
+             CASE WHEN g = 'view'
+               THEN CAST(floor(CAST(m AS DOUBLE)
+                 * (1.0 + CAST(b AS DOUBLE) * 0.02)
+                 * (CASE WHEN b % 7 = 5 THEN 2.5 ELSE 1.0 END))
+                 AS BIGINT)
+               ELSE m END AS y
+           FROM dm),
+         tr AS (
+           SELECT g, b, y,
+             count(*) OVER w AS cnt,
+             max(b) OVER w - min(b) OVER w AS span,
+             sum(y) OVER w AS s7
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY b
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         tt AS (
+           SELECT g, b, y,
+             CASE WHEN cnt = 7 AND span = 6
+               THEN CAST(floor(CAST(s7 AS DOUBLE) / 7.0) AS BIGINT)
+               END AS trend
+           FROM tr),
+         dd AS (SELECT g, b, y, trend, y - trend AS det FROM tt),
+         se AS (
+           SELECT g, b % 7 AS ph,
+             CAST(floor(CAST(sum(det) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seas
+           FROM dd WHERE det IS NOT NULL GROUP BY 1, 2)
+         SELECT dd.g AS event_type, b AS bucket, y AS value, trend,
+           CASE WHEN trend IS NOT NULL THEN seas END AS seasonal,
+           CASE WHEN trend IS NOT NULL THEN det - seas END
+             AS residual
+         FROM dd LEFT JOIN se ON se.g = dd.g AND se.ph = dd.b % 7
+         ORDER BY 1, 2""",
+    // the q237 rank-identity chain through u_half, then
+    // delta = 1 - u_half/(n1*n2) and the pinned magnitude bounds
+    "q317_cliffs_delta" ->
+      """WITH ev AS (
+           SELECT o_orderpriority AS g, o_orderkey % 2 AS b,
+             CASE WHEN o_orderkey % 2 = 0
+               AND o_orderpriority = '1-URGENT'
+               THEN o_totalprice * 2.0 ELSE o_totalprice END AS v
+           FROM orders),
+         per AS (
+           SELECT g, v, CAST(sum(b) AS BIGINT) AS cb,
+             CAST(sum(1 - b) AS BIGINT) AS cc
+           FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT g, cb, cc, cb + cc AS t,
+             coalesce(sum(cb + cc) OVER (PARTITION BY g
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS c
+           FROM per),
+         r AS (SELECT g, cb, t, 2 * c + t + 1 AS rank2 FROM cum),
+         agg AS (
+           SELECT g,
+             CAST(sum(cb) AS BIGINT) AS n1,
+             CAST(sum(t - cb) AS BIGINT) AS n2,
+             CAST(sum(cb * rank2) AS BIGINT) AS r12
+           FROM r GROUP BY 1),
+         f AS (
+           SELECT g, n1, n2,
+             CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+               ELSE 1.0 - CAST(r12 - n1 * (n1 + 1) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END
+               AS delta
+           FROM agg)
+         SELECT g AS o_orderpriority, n1 AS n_base, n2 AS n_cur,
+           round(delta, 6) AS delta,
+           CASE WHEN delta IS NULL THEN NULL
+             WHEN abs(delta) < 0.147 THEN 'negligible'
+             WHEN abs(delta) < 0.33 THEN 'small'
+             WHEN abs(delta) < 0.474 THEN 'medium'
+             ELSE 'large' END AS magnitude
+         FROM f ORDER BY o_orderpriority""",
+    // the CvM count-frame chain with the AD tail weighting: exact
+    // integer gaps, per-term division micro-floored before the
+    // order-free sum, one mirrored division by n1*n2; B = N zeroed
+    "q315_ad_drift" ->
+      """WITH v AS (
+           SELECT o_orderpriority AS g, o_orderkey % 2 AS side,
+             CASE WHEN o_orderkey % 2 = 0
+                 AND o_orderpriority = '1-URGENT'
+                 AND o_totalprice > 300000.0
+               THEN CAST(floor(o_totalprice * 1.3 * 100) AS BIGINT)
+               ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+               END AS x
+           FROM orders),
+         per AS (
+           SELECT g, CAST(x AS DOUBLE) AS v,
+             CAST(sum(side) AS BIGINT) AS cb,
+             CAST(sum(1 - side) AS BIGINT) AS cc
+           FROM v GROUP BY 1, 2),
+         cum AS (
+           SELECT g, cb, cc,
+             sum(cb) OVER (PARTITION BY g ORDER BY v) AS i,
+             sum(cc) OVER (PARTITION BY g ORDER BY v) AS j,
+             sum(cb) OVER (PARTITION BY g) AS n1,
+             sum(cc) OVER (PARTITION BY g) AS n2
+           FROM per),
+         t AS (
+           SELECT g, n1, n2,
+             CASE WHEN i + j < n1 + n2 THEN
+               CAST(floor(CAST(cb + cc AS DOUBLE)
+                 * CAST(CAST(n1 + n2 AS HUGEINT) * i
+                     - CAST(n1 AS HUGEINT) * (i + j) AS DOUBLE)
+                 * CAST(CAST(n1 + n2 AS HUGEINT) * i
+                     - CAST(n1 AS HUGEINT) * (i + j) AS DOUBLE)
+                 / (CAST(i + j AS DOUBLE)
+                   * CAST(n1 + n2 - i - j AS DOUBLE))
+                 * 1000000.0) AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END AS term
+           FROM cum),
+         agg AS (
+           SELECT g, CAST(max(n1) AS BIGINT) AS n_base,
+             CAST(max(n2) AS BIGINT) AS n_cur,
+             sum(term) AS s
+           FROM t GROUP BY g)
+         SELECT g AS o_orderpriority, n_base, n_cur,
+           CASE WHEN n_base = 0 OR n_cur = 0 THEN NULL
+             ELSE round(CAST(s AS DOUBLE) / 1000000.0
+               / (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE)), 6)
+             END AS a2,
+           CAST(CASE WHEN n_base = 0 OR n_cur = 0 THEN TRUE
+             ELSE CAST(s AS DOUBLE) / 1000000.0
+               / (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE))
+               > 3.88 END AS INT) AS drifted
+         FROM agg ORDER BY o_orderpriority""",
     // exact OLS moments, one mirrored division each for slope and
     // intercept, residuals micro-floored BEFORE the Σe²/Σ(Δe)² sums
     "q309_durbin_watson" ->
@@ -2171,6 +2313,90 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
         .otherwise(col("o_totalprice")))
     graft.quality.Drift.welchT(base, cur,
         floor(col("o_totalprice") * 100), Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Additive seasonal decomposition
+    * ([[graft.quality.Drift.seasonalDecompose]], period 7) of daily
+    * MEAN event values per type, with a compound plant on view: a
+    * ×(1 + 0.02·day) ramp AND a ×2.5 every-phase-5 weekly spike —
+    * the shape that confuses single-axis monitors (the ramp inflates
+    * the spike's absolute size over time) and that the decomposition
+    * separates: trend recovers the ramp, the phase-5 seasonal cell
+    * carries the spike, and the residual is the series the serial
+    * tests (q304/q309) should actually be fed. Centered-MA edges
+    * null by contract.
+    */
+  private[graft] def seasonalDecomposeQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    // daily MEANS (the q309 rationale): event-count fluctuation is
+    // white noise that at small SF buries the weekly plant in a sum
+    // series; the mean series carries it at every SF
+    val daily = e
+      .groupBy(col("event_type"), day.as("__d"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("event_type"), col("__d"),
+        floor(col("__s").cast("double") / col("__n").cast("double"))
+          .cast("long").as("__m"))
+    val cents = when(col("event_type") === "view",
+      floor(col("__m").cast("double") *
+        (lit(1.0) + col("__d").cast("double") * 0.02) *
+        when(col("__d") % 7 === 5, lit(2.5)).otherwise(lit(1.0)))
+        .cast("long"))
+      .otherwise(col("__m"))
+    graft.quality.Drift.seasonalDecompose(daily, Seq("event_type"),
+        col("__d"), cents, period = 7)
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Cliff's δ ([[graft.quality.Drift.cliffsDelta]]) on the q292
+    * split shape with a ×2 URGENT price plant: δ = 0.50 — literally
+    * "a current-side URGENT order beats a baseline one 75% of the
+    * time" — lands in the `large` bucket at every SF while the clean
+    * priorities read negligible. The ordinal magnitude next to q292's
+    * standardized d: when a feed's tails are heavy, d's pooled-sd
+    * denominator inflates and hides a real shift; δ reads pure
+    * dominance off the same rank identity MW uses and doesn't move.
+    */
+  private[graft] def cliffsDeltaQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.where(col("o_orderkey") % 2 === 1)
+    val cur = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice") * 2.0).otherwise(col("o_totalprice")))
+    graft.quality.Drift.cliffsDelta(base, cur, "o_totalprice",
+        Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Anderson–Darling drift ([[graft.quality.Drift.adTest]]) on the
+    * q164/q261 split shape with a TAIL-ONLY plant: only URGENT cur
+    * prices already above $400k get ×1.3 — the body of the
+    * distribution is untouched, exactly where KS's single-worst-gap
+    * reading is weakest and AD's B(N−B) tail weighting is the point.
+    * The bar is 3.88 (the asymptotic 1% point, not the default 5%):
+    * tail statistics on thin slices are noisy, and 5-LOW's natural
+    * sf0.001 tail difference (A² = 2.87) calibrates the quiet side.
+    */
+  private[graft] def adDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100)
+        .cast("long"))
+    val base = o.where(col("o_orderkey") % 2 === 1)
+    val cur = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("cents",
+        when(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 300000.0,
+          floor(col("o_totalprice") * 1.3 * 100).cast("long"))
+          .otherwise(col("cents")))
+    graft.quality.Drift.adTest(base, cur, "cents",
+        Seq("o_orderpriority"), threshold = 3.88)
+      .withColumn("drifted", col("drifted").cast("int"))
       .orderBy("o_orderpriority")
   }
 

@@ -61,6 +61,9 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q300_dunn_posthoc" -> (dunnPosthocQ _),
     "q306_friedman_test" -> (friedmanQ _),
     "q310_assoc_panel" -> (assocPanelQ _),
+    "q316_nelson_aalen" -> (nelsonAalenQ _),
+    "q319_jonckheere" -> (jonckheereQ _),
+    "q320_brier_decomposition" -> (brierDecompositionQ _),
   )
 
   /** The engine's pinned Bonferroni z critical values as a DuckDB
@@ -1172,6 +1175,177 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            round(list_reduce(fl.fs[1:rn.i], (x, y) -> x * y), 6)
              AS survival
          FROM rn JOIN fl USING (g) ORDER BY 1, 2""",
+    // exact micro-unit Brier numerator; per-bin rel/res numerators
+    // divided once and nano-floored before order-free sums
+    "q320_brier_decomposition" ->
+      s"""$oracleMetricsCte,
+         rws AS (
+           SELECT source AS g,
+             least(CAST(floor(quality * 10) AS INT), 9) AS bin,
+             CAST(floor(quality * 1000000) AS BIGINT) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+           FROM q
+           WHERE quality IS NOT NULL AND lang IS NOT NULL
+             AND text IS NOT NULL),
+         pb AS (
+           SELECT g, bin, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(p) AS BIGINT) AS sp,
+             CAST(sum(o) AS BIGINT) AS so,
+             sum(CAST(p - o * 1000000 AS HUGEINT)
+               * (p - o * 1000000)) AS sq
+           FROM rws GROUP BY 1, 2),
+         tt AS (
+           SELECT g, CAST(sum(nk) AS BIGINT) AS n,
+             CAST(sum(so) AS BIGINT) AS sot, sum(sq) AS sqt
+           FROM pb GROUP BY 1),
+         terms AS (
+           SELECT pb.g, n, sot, sqt,
+             CAST(floor(
+               CAST(CAST(sp AS HUGEINT) - CAST(so AS HUGEINT)
+                 * 1000000 AS DOUBLE)
+               * CAST(CAST(sp AS HUGEINT) - CAST(so AS HUGEINT)
+                 * 1000000 AS DOUBLE)
+               / CAST(nk AS DOUBLE)) AS HUGEINT) AS rel,
+             CAST(floor(
+               CAST(CAST(so AS HUGEINT) * n - CAST(sot AS HUGEINT)
+                 * nk AS DOUBLE)
+               * CAST(CAST(so AS HUGEINT) * n - CAST(sot AS HUGEINT)
+                 * nk AS DOUBLE)
+               / (CAST(nk AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n AS DOUBLE))
+               * 1000000000000.0) AS HUGEINT) AS res
+           FROM pb JOIN tt ON tt.g = pb.g),
+         ag AS (
+           SELECT g, max(n) AS n, max(sot) AS sot, max(sqt) AS sqt,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             sum(rel) AS rels, sum(res) AS ress
+           FROM terms GROUP BY g),
+         f AS (
+           SELECT g, n, n_bins,
+             CAST(sqt AS DOUBLE) / 1000000000000.0
+               / CAST(n AS DOUBLE) AS brier,
+             CAST(rels AS DOUBLE) / 1000000000000.0
+               / CAST(n AS DOUBLE) AS rel,
+             CAST(ress AS DOUBLE) / 1000000000000.0
+               / CAST(n AS DOUBLE) AS res,
+             CAST(sot AS DOUBLE) / CAST(n AS DOUBLE) AS obar
+           FROM ag)
+         SELECT g AS source, n, n_bins,
+           round(brier, 6) AS brier,
+           round(rel, 6) AS reliability,
+           round(res, 6) AS resolution,
+           round(obar * (1.0 - obar), 6) AS uncertainty,
+           round(brier - (rel - res + obar * (1.0 - obar)), 6)
+             AS wb_gap
+         FROM f ORDER BY source""",
+    // dense (value x dose) grid with per-dose cumulative-below
+    // counts; J2 exact in doubled units with tie half-credit; the
+    // classical no-tie variance, one mirrored z
+    "q319_jonckheere" ->
+      """WITH b AS (
+           SELECT c_mktsegment AS g,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CASE WHEN c_mktsegment = 'MACHINERY'
+               THEN CAST(floor(o_totalprice * 100 * (1.0 +
+                 CAST(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                   AS DOUBLE) * 0.05)) AS BIGINT)
+               ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+               END AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (
+           SELECT g, w, v, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3),
+         vals AS (SELECT DISTINCT g, v FROM cells),
+         doses AS (SELECT DISTINCT g, w FROM cells),
+         grid AS (
+           SELECT vals.g, vals.v, doses.w, coalesce(c, 0) AS c
+           FROM vals JOIN doses ON doses.g = vals.g
+           LEFT JOIN cells ON cells.g = vals.g
+             AND cells.v = vals.v AND cells.w = doses.w),
+         cbf AS (
+           SELECT g, v, w, c,
+             coalesce(sum(c) OVER (PARTITION BY g, w ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+           FROM grid),
+         jj AS (
+           SELECT a.g,
+             sum(CAST(b2.c AS HUGEINT) * (2 * a.cb + a.c)) AS j2
+           FROM cbf a JOIN cbf b2
+             ON b2.g = a.g AND b2.v = a.v AND a.w < b2.w
+           GROUP BY 1),
+         pd AS (
+           SELECT g, w, CAST(sum(c) AS BIGINT) AS ni
+           FROM cells GROUP BY 1, 2),
+         mo AS (
+           SELECT g, CAST(sum(ni) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS nd,
+             sum(CAST(ni AS HUGEINT) * ni) AS sn2,
+             sum(CAST(ni AS HUGEINT) * ni * (2 * ni + 3)) AS sn23
+           FROM pd GROUP BY 1),
+         f AS (
+           SELECT mo.g, n, nd, j2,
+             CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE) / 2.0
+               AS e2,
+             CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23
+               AS DOUBLE) / 72.0 AS varj
+           FROM mo JOIN jj ON jj.g = mo.g)
+         SELECT g AS c_mktsegment, n, nd AS n_doses,
+           CAST(j2 AS BIGINT) AS j2,
+           CASE WHEN n < 2 OR nd < 2 OR varj <= 0 THEN NULL
+             ELSE round((CAST(j2 AS DOUBLE) - e2)
+               / (2.0 * sqrt(varj)), 6) END AS z,
+           CAST(coalesce((CASE WHEN n < 2 OR nd < 2 OR varj <= 0
+               THEN NULL ELSE (CAST(j2 AS DOUBLE) - e2)
+                 / (2.0 * sqrt(varj)) END) > 1.96, FALSE) AS INT)
+             AS trending
+         FROM f ORDER BY g""",
+    // the q191 risk-set chain with the additive tail: increments
+    // nano-floored before the running sum, exp/sqrt render-only
+    "q316_nelson_aalen" ->
+      """WITH pc AS (
+           SELECT c_mktsegment AS g, o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS f,
+             max(CAST(o_orderdate AS DATE)) AS l
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         mx AS (SELECT max(l) AS mx FROM pc),
+         subj AS (
+           SELECT g, date_diff('day', f, l) AS t,
+             (l < mx - 90) AS e
+           FROM pc CROSS JOIN mx),
+         bt AS (
+           SELECT g, t,
+             CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM subj GROUP BY 1, 2),
+         rk AS (
+           SELECT g, t, d, c,
+             CAST(sum(d + c) OVER (PARTITION BY g) AS BIGINT)
+               - CAST(coalesce(sum(d + c) OVER (PARTITION BY g
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n
+           FROM bt),
+         q AS (
+           SELECT g, t, d, c, n,
+             CAST(floor(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+               * 1000000000.0) AS HUGEINT) AS h,
+             CAST(floor(CAST(d AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               * 1000000000000.0) AS HUGEINT) AS v
+           FROM rk),
+         cu AS (
+           SELECT g, t, n, d, c,
+             sum(h) OVER (PARTITION BY g ORDER BY t) AS hc,
+             sum(v) OVER (PARTITION BY g ORDER BY t) AS vc
+           FROM q)
+         SELECT g AS c_mktsegment, t, n AS n_at_risk, d AS n_events,
+           c AS n_censored,
+           round(CAST(hc AS DOUBLE) / 1000000000.0, 6) AS cum_hazard,
+           round(exp(-(CAST(hc AS DOUBLE) / 1000000000.0)), 6)
+             AS survival_na,
+           round(sqrt(CAST(vc AS DOUBLE) / 1000000000000.0), 6) AS se
+         FROM cu ORDER BY 1, 2""",
     // distinct-score collapse + rank-sum identity: U·2 stays integer
     // (the +nn term is the doubled tie half-credit); AUC and Gini are
     // one double division each
@@ -1818,6 +1992,26 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .orderBy("bin")
   }
 
+  /** Murphy decomposition of the Brier score
+    * ([[graft.text.QualityModel.brierDecomposition]]) for the q293
+    * task (quality score vs is-English, per source): q160's ECE says
+    * the bins are off by X; this splits the TOTAL error into the
+    * miscalibration q199's isotonic pass could fix (reliability),
+    * the discrimination no recalibration can add (resolution), and
+    * the base-rate floor (uncertainty) — with the within-bin
+    * remainder emitted (`wb_gap`) so the identity is audited, not
+    * asserted.
+    */
+  private[graft] def brierDecompositionQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .where(col("text").isNotNull && col("lang").isNotNull)
+    graft.text.QualityModel.brierDecomposition(d, Seq("source"),
+        TextAnalysis.qualityScore(col("text")),
+        col("lang") === "en")
+      .orderBy("source")
+  }
+
   /** Language-bias audit of the composite quality score, per source
     * ([[graft.text.QualityModel.rocAuc]] against the is-English
     * label): a quality filter that implicitly ranks one language
@@ -2025,6 +2219,29 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         datediff(col("__last"), col("__first")).as("__dur"),
         (col("__last") < date_sub(col("__mx"), 90)).as("__event"))
     Analytics.kaplanMeier(subjects, "c_mktsegment",
+        col("__dur"), col("__event"))
+      .orderBy("c_mktsegment", "t")
+  }
+
+  /** Nelson–Aalen cumulative hazard ([[Analytics.nelsonAalen]]) on
+    * q191's exact churn-subject frame — the additive hazard reading
+    * next to the KM survival curve: increments nano-floored before
+    * the running sum, Breslow survival exp(−H) ≥ KM at every t (the
+    * spec pins it), Σd/n² standard error alongside.
+    */
+  private[graft] def nelsonAalenQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+    val perCust = o.groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("__first"),
+        max(col("o_orderdate").cast("date")).as("__last"))
+    val mx = perCust.agg(max(col("__last")).as("__mx"))
+    val subjects = perCust.crossJoin(broadcast(mx))
+      .select(col("c_mktsegment"),
+        datediff(col("__last"), col("__first")).as("__dur"),
+        (col("__last") < date_sub(col("__mx"), 90)).as("__event"))
+    Analytics.nelsonAalen(subjects, "c_mktsegment",
         col("__dur"), col("__event"))
       .orderBy("c_mktsegment", "t")
   }
@@ -2409,6 +2626,30 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.dunnPosthoc(joined, Seq("c_mktsegment"),
         col("o_orderpriority"), cents)
       .orderBy("c_mktsegment", "cat_a", "cat_b")
+  }
+
+  /** Jonckheere–Terpstra ([[Analytics.jonckheereTerpstra]]) on
+    * q291's exact MACHINERY dose ladder — the ORDERED question next
+    * to KW's omnibus: KW asks "do any priorities differ" and spends
+    * power on every permutation; JT bets the alternative is monotone
+    * in the priority digit and reads the same plant with a sharper
+    * z. MACHINERY fires, the un-planted segments stay quiet.
+    */
+  private[graft] def jonckheereQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = substring(col("o_orderpriority"), 1, 1).cast("long")
+    val cents = when(col("c_mktsegment") === "MACHINERY",
+      floor(col("o_totalprice") * 100 *
+        (lit(1.0) + w.cast("double") * 0.05)))
+      .otherwise(floor(col("o_totalprice") * 100))
+      .cast("long")
+    val joined = o.join(broadcast(c),
+      col("o_custkey") === col("c_custkey"))
+    Analytics.jonckheereTerpstra(joined, Seq("c_mktsegment"),
+        w, cents)
+      .orderBy("c_mktsegment")
   }
 
   /** Empirical-Bayes shrinkage of per-customer fulfillment rates

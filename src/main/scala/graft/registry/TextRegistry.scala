@@ -54,6 +54,7 @@ private[graft] object TextRegistry {
     "q294_dirichlet_ql" -> (dirichletQlQ _),
     "q307_richness_panel" -> (richnessPanelQ _),
     "q308_zipf_fit" -> (zipfFitQ _),
+    "q314_quality_reliability" -> (qualityReliabilityQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -721,6 +722,49 @@ private[graft] object TextRegistry {
            round(stop, 4) AS stop_ratio,
            round(quality, 4) AS quality
          FROM q ORDER BY doc_id""",
+    // the q19 components micro-floored into exact per-lang moments;
+    // n(n-1) cancels, so alpha is 1.5*(1 - one integer division)
+    "q314_quality_reliability" ->
+      s"""$oracleMetricsCte,
+         items AS (
+           SELECT lang,
+             CAST(floor(least(CAST(1.0 AS DOUBLE),
+               CAST(tokens AS DOUBLE) / 100.0) * 1000000.0)
+               AS BIGINT) AS vol,
+             CAST(floor((1.0 - least(CAST(1.0 AS DOUBLE),
+               coalesce(punct, 0.0) * 5.0)) * 1000000.0)
+               AS BIGINT) AS clean,
+             CAST(floor(least(CAST(1.0 AS DOUBLE),
+               coalesce(stop, 0.0) * 5.0) * 1000000.0)
+               AS BIGINT) AS stp
+           FROM m WHERE text IS NOT NULL AND lang IS NOT NULL),
+         ag AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vol) AS BIGINT) AS sv,
+             sum(CAST(vol AS HUGEINT) * vol) AS qv,
+             CAST(sum(clean) AS BIGINT) AS sc,
+             sum(CAST(clean AS HUGEINT) * clean) AS qc,
+             CAST(sum(stp) AS BIGINT) AS ss,
+             sum(CAST(stp AS HUGEINT) * stp) AS qs,
+             CAST(sum(vol + clean + stp) AS BIGINT) AS st,
+             sum(CAST(vol + clean + stp AS HUGEINT)
+               * (vol + clean + stp)) AS qt
+           FROM items GROUP BY lang),
+         f AS (
+           SELECT lang, n,
+             CAST(CAST(n AS HUGEINT) * qv - CAST(sv AS HUGEINT) * sv
+               + CAST(n AS HUGEINT) * qc - CAST(sc AS HUGEINT) * sc
+               + CAST(n AS HUGEINT) * qs - CAST(ss AS HUGEINT) * ss
+               AS DOUBLE) AS snum,
+             CAST(CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st
+               AS DOUBLE) AS tnum
+           FROM ag)
+         SELECT lang, n, CAST(3 AS INT) AS k_items,
+           CASE WHEN n < 2 OR tnum <= 0 THEN NULL
+             ELSE round(snum / tnum, 6) END AS var_ratio,
+           CASE WHEN n < 2 OR tnum <= 0 THEN NULL
+             ELSE round(1.5 * (1.0 - snum / tnum), 6) END AS alpha
+         FROM f ORDER BY lang""",
     "q20_lang_id_facets" ->
       s"""$oracleLangScores
          SELECT lang, predicted, count(*) AS n
@@ -1794,6 +1838,33 @@ private[graft] object TextRegistry {
   private[graft] def zipfFitQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfFit(docs(s, dir), "lang", "text", topK = 100)
       .orderBy("lang")
+
+  /** Cronbach's α ([[Analytics.cronbachAlpha]]) over the q19 quality
+    * score's own three components (volume, punctuation-cleanliness,
+    * stopword-density) per language — the audit the composite owes
+    * its consumers: does 0.5·vol + 0.25·clean + 0.25·stop average
+    * ONE quality axis on this slice, or three unrelated signals?
+    * Items micro-floored per doc; α is k/(k−1)·(1 − one division of
+    * two exact integers) because the n(n−1) denominators cancel.
+    */
+  private[graft] def qualityReliabilityQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(col("text").isNotNull &&
+      col("lang").isNotNull)
+    val tokens = TextAnalysis.tokenCount(col("text")).cast("double")
+    val vol = least(lit(1.0), tokens / 100.0)
+    val punct = coalesce(TextAnalysis.punctRatio(col("text")),
+      lit(0.0))
+    val clean = lit(1.0) - least(lit(1.0), punct * 5.0)
+    val stop = least(lit(1.0),
+      coalesce(TextAnalysis.stopwordRatio(col("text")), lit(0.0)) *
+        5.0)
+    graft.operators.Analytics.cronbachAlpha(d, Seq("lang"), Seq(
+        "vol" -> floor(vol * 1e6),
+        "clean" -> floor(clean * 1e6),
+        "stop" -> floor(stop * 1e6)))
+      .orderBy("lang")
+  }
 
   /** Corpus-level collocation mining: top-15 adjacent word bigrams.
     * One explode + one shuffle; the n-gram assembly stays in codegen.

@@ -204,4 +204,81 @@ object QualityModel {
           (col("n_positive").cast("double") / col("n"))) *
           col("n") / col("__total")).as("ece_contrib"))
   }
+
+  /** Murphy decomposition of the Brier score per group:
+    * Brier = reliability − resolution + uncertainty (+ the within-bin
+    * variance the binned form leaves behind, emitted as `wb_gap` so
+    * the identity is AUDITABLE, not asserted). The calibration
+    * reading [[calibrationReport]]'s ECE can't give: ECE says "the
+    * bins are off by X on average"; this says how much of the score's
+    * total error is MISCALIBRATION (reliability — fixable by
+    * isotonic/Platt recalibration, q199's job) vs missing
+    * DISCRIMINATION (low resolution — no recalibration can help, the
+    * model needs features) vs irreducible base-rate noise
+    * (uncertainty).
+    *
+    * Exactness: scores micro-floored, so the raw Brier numerator
+    * Σ(p_µ − o·10⁶)² is an exact DECIMAL integer; the per-bin
+    * reliability/resolution numerators are exact integers divided
+    * once per bin and nano-floored before the order-free sums; one
+    * mirrored double division each at the end.
+    * Scale: one row pass (grouped moments), bin-domain arithmetic
+    * after — same shape as [[calibrationReport]].
+    */
+  def brierDecomposition(
+      df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+      label: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gc = groupCols.map(col)
+    val s = scoreCol.cast("double")
+    val rows = df
+      .where(s.isNotNull && label.isNotNull)
+      .select(gc ++ Seq(
+        least(floor(s * bins).cast("int"), lit(bins - 1)).as("__bin"),
+        floor(s * 1000000L).cast("long").as("__p"),
+        label.cast("int").cast("long").as("__o")): _*)
+    val perBin = rows.groupBy(gc :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__nk"),
+        sum(col("__p")).as("__sp"),
+        sum(col("__o")).as("__so"),
+        sum((dec(col("__p")) - dec(col("__o")) * 1000000L) *
+          (dec(col("__p")) - dec(col("__o")) * 1000000L))
+          .as("__sq"))
+    val tot = perBin.groupBy(gc: _*)
+      .agg(sum(col("__nk")).as("n"), sum(col("__so")).as("__sot"),
+        sum(col("__sq")).as("__sqt"))
+    val joined = perBin.join(tot, groupCols)
+    // reliability numerator per bin: (Sp − So·1e6)²/n_k in µ² units
+    val relNum = (dec(col("__sp")) - dec(col("__so")) * 1000000L)
+    val relTerm = floor(relNum.cast("double") * relNum.cast("double") /
+      col("__nk").cast("double")).cast("decimal(38,0)")
+    // resolution numerator per bin: (So_k·N − So·n_k)²/(n_k·N²) in
+    // label units — scaled to µ² (×1e12) before the floor
+    val resNum = (dec(col("__so")) * dec(col("n")) -
+      dec(col("__sot")) * dec(col("__nk")))
+    val resTerm = floor(resNum.cast("double") * resNum.cast("double") /
+      (col("__nk").cast("double") * col("n").cast("double") *
+        col("n").cast("double")) * 1e12).cast("decimal(38,0)")
+    val agg = joined
+      .withColumn("__rel", relTerm).withColumn("__res", resTerm)
+      .groupBy(gc: _*)
+      .agg(first(col("n")).as("n"), first(col("__sot")).as("__sot"),
+        first(col("__sqt")).as("__sqt"),
+        count(lit(1)).as("n_bins"),
+        sum(col("__rel")).as("__rels"), sum(col("__res")).as("__ress"))
+    val nD = col("n").cast("double")
+    val brier = col("__sqt").cast("double") / 1e12 / nD
+    val rel = col("__rels").cast("double") / 1e12 / nD
+    val res = col("__ress").cast("double") / 1e12 / nD
+    val obar = col("__sot").cast("double") / nD
+    val unc = obar * (lit(1.0) - obar)
+    agg.select(gc ++ Seq(
+      col("n"), col("n_bins"),
+      round(brier, 6).as("brier"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(unc, 6).as("uncertainty"),
+      round(brier - (rel - res + unc), 6).as("wb_gap")): _*)
+  }
 }
