@@ -673,6 +673,77 @@ object Drift {
       .join(rate, groupCols)
   }
 
+  /** Gumbel block-maxima fit per group — the EXTREME-value reading
+    * the mean/median monitors structurally cannot give: capacity
+    * planning asks "what daily maximum should we provision for over
+    * the next year", and the answer comes from the distribution of
+    * BLOCK MAXIMA, which converges to Gumbel for light-tailed
+    * parents (Fisher–Tippett). Method-of-moments fit over the
+    * per-bucket maxima: β̂ = s·√6/π, µ̂ = m̄ − γ·β̂, return level
+    * x_T = µ̂ + β̂·(−ln(−ln(1 − 1/T))) per requested period. The
+    * block-maxima sibling of q204's Hill index (that one estimates
+    * the heavy-tail exponent from upper order statistics; this one
+    * assumes the light-tailed domain and prices its extremes).
+    *
+    * Exactness: block maxima are exact longs (max of exact cents);
+    * (n, Σm, Σm²) moments exact in DECIMAL; the Gumbel constants
+    * (γ, √6/π, each period's Gumbel variate) are computed ONCE on
+    * the driver and embedded as double literals in BOTH engines — so
+    * the only runtime float ops are correctly-rounded +·/√ over
+    * exact moments, bit-identical cross-engine.
+    * Scale: one grouped max (map-side combined, bucket-domain-sized),
+    * one group rollup.
+    */
+  def gumbelBlockMaxima(
+      df: DataFrame, groupCols: Seq[String], bucketIdx: Column,
+      valueCents: Column,
+      returnPeriods: Seq[Int] = Seq(30, 365)): DataFrame = {
+    require(returnPeriods.nonEmpty && returnPeriods.forall(_ >= 2),
+      "return periods must be >= 2 blocks")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gc = groupCols.map(col)
+    val bm = df
+      .select(gc ++ Seq(bucketIdx.cast("long").as("__b"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__b").isNotNull && col("__y").isNotNull)
+      .groupBy(gc :+ col("__b"): _*)
+      .agg(max(col("__y")).as("__m"))
+    val agg = bm.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_blocks"),
+        max(col("__m")).as("max_seen"),
+        sum(col("__m")).as("__s"),
+        sum(dec(col("__m")) * dec(col("__m"))).as("__q"))
+    val nD = col("n_blocks").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val varN = (dec(col("n_blocks")) * col("__q") -
+      dec(col("__s")) * dec(col("__s"))).cast("double") /
+      (nD * (nD - 1.0))
+    val beta = sqrt(varN) * lit(Drift.gumbelSqrt6OverPi)
+    val mu = mean - lit(Drift.eulerGamma) * beta
+    val ok = col("n_blocks") >= 2L && varN > 0.0
+    def safe(c: Column): Column =
+      round(when(ok, c).otherwise(lit(null).cast("double")), 4)
+    val rls = returnPeriods.map { t =>
+      safe(mu + beta * lit(Drift.gumbelVariate(t))).as(s"rl_$t") }
+    agg.select(gc ++ Seq(
+      col("n_blocks"), col("max_seen"),
+      round(mean, 4).as("mean_max"),
+      safe(mu).as("mu"), safe(beta).as("beta")) ++ rls: _*)
+  }
+
+  /** Euler–Mascheroni constant — the Gumbel MoM location shift. */
+  val eulerGamma: Double = 0.5772156649015329
+  /** √6/π — the Gumbel MoM scale factor; computed once, embedded as
+    * the same literal in the engine plan and the oracle SQL.
+    */
+  val gumbelSqrt6OverPi: Double = math.sqrt(6.0) / math.Pi
+  /** The Gumbel standard variate −ln(−ln(1 − 1/T)) for a return
+    * period of T blocks; driver-computed so both engines consume one
+    * literal.
+    */
+  def gumbelVariate(t: Int): Double =
+    -math.log(-math.log(1.0 - 1.0 / t))
+
   /** Classical additive seasonal decomposition per group over a
     * bucketed series: y = trend + seasonal + residual with trend the
     * CENTERED period-length moving average and seasonal the per-phase

@@ -49,6 +49,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q315_ad_drift" -> (adDriftQ _),
     "q317_cliffs_delta" -> (cliffsDeltaQ _),
     "q318_seasonal_decompose" -> (seasonalDecomposeQ _),
+    "q321_gumbel_maxima" -> (gumbelMaximaQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -1167,6 +1168,49 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                OR pooled <= 0 THEN NULL ELSE d END) >= 0.2, FALSE)
              AS INT) AS material
          FROM ee ORDER BY o_orderpriority""",
+    // exact block-max moments; Gumbel constants are the SAME driver
+    // doubles interpolated into both engines; +*/sqrt mirrored
+    "q321_gumbel_maxima" -> {
+      val c6pi = graft.quality.Drift.gumbelSqrt6OverPi
+      val gam = graft.quality.Drift.eulerGamma
+      val k30 = graft.quality.Drift.gumbelVariate(30)
+      val k365 = graft.quality.Drift.gumbelVariate(365)
+      s"""WITH bm AS (
+           SELECT event_type AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS b,
+             max(CAST(floor(value * 100) AS BIGINT)) AS m
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         mo AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(max(m) AS BIGINT) AS mx,
+             CAST(sum(m) AS BIGINT) AS s,
+             sum(CAST(m AS HUGEINT) * m) AS q
+           FROM bm GROUP BY 1),
+         f AS (
+           SELECT g, n, mx,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(CAST(n AS HUGEINT) * q
+               - CAST(s AS HUGEINT) * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
+           FROM mo),
+         gbeta AS (
+           SELECT g, n, mx, mean, v, sqrt(v) * $c6pi AS beta
+           FROM f),
+         gmu AS (
+           SELECT g, n, mx, mean, v, beta, mean - $gam * beta AS mu
+           FROM gbeta)
+         SELECT g AS event_type, n AS n_blocks, mx AS max_seen,
+           round(mean, 4) AS mean_max,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+             ELSE round(mu, 4) END AS mu,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+             ELSE round(beta, 4) END AS beta,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+             ELSE round(mu + beta * $k30, 4) END AS rl_30,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+             ELSE round(mu + beta * $k365, 4) END AS rl_365
+         FROM gmu ORDER BY event_type"""
+    },
     // centered-MA trend (full consecutive window only), per-phase
     // floor-mean seasonal, exact-integer residual; plant re-seeded
     "q318_seasonal_decompose" ->
@@ -2314,6 +2358,26 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     graft.quality.Drift.welchT(base, cur,
         floor(col("o_totalprice") * 100), Seq("o_orderpriority"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Gumbel block-maxima capacity fit
+    * ([[graft.quality.Drift.gumbelBlockMaxima]]) on daily max event
+    * values per type — "what single-event daily maximum should this
+    * type's pipeline be provisioned for over a month / a year",
+    * the extreme-value reading the mean/median monitors cannot give
+    * and the block-maxima sibling of q204's Hill tail index. The
+    * Gumbel constants are driver-computed literals shared verbatim
+    * with the oracle, so both engines run identical float ops over
+    * exact moments.
+    */
+  private[graft] def gumbelMaximaQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    graft.quality.Drift.gumbelBlockMaxima(e, Seq("event_type"),
+        day, floor(col("value") * 100).cast("long"),
+        returnPeriods = Seq(30, 365))
+      .orderBy("event_type")
   }
 
   /** Additive seasonal decomposition

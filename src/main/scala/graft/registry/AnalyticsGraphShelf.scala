@@ -34,9 +34,53 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     "q236_purchase_hits" -> (purchaseHitsQ _),
     "q254_centrality_agreement" -> (centralityAgreementQ _),
     "q313_textrank_keywords" -> (textrankKeywordsQ _),
+    "q322_assortativity" -> (assortativityQ _),
   )
 
   private[graft] def graphOracleSql: Map[String, String] = Map(
+    // exact endpoint-degree moments over both-direction edges; one
+    // mirrored double formula for Newman's r
+    "q322_assortativity" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey),
+         deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+             SELECT pa AS node FROM e
+             UNION ALL SELECT pb FROM e)
+           GROUP BY node),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+         d2 AS (
+           SELECT pa AS a, pb AS b FROM e
+           UNION ALL SELECT pb, pa FROM e),
+         j AS (
+           SELECT da.degree AS dx, db.degree AS dy
+           FROM d2
+           JOIN deg da ON da.node = d2.a
+           JOIN deg db ON db.node = d2.b),
+         mo AS (
+           SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+             sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+             sum(CAST(dy AS HUGEINT) * dy) AS syy
+           FROM j),
+         f AS (
+           SELECT m,
+             CAST(CAST(m AS HUGEINT) * sxy
+               - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+             CAST(CAST(m AS HUGEINT) * sxx
+               - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS vx,
+             CAST(CAST(m AS HUGEINT) * syy
+               - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vy
+           FROM mo)
+         SELECT nn.n_nodes, m // 2 AS n_edges,
+           CASE WHEN m = 0 OR vx <= 0 OR vy <= 0 THEN NULL
+             ELSE round(num / sqrt(vx * vy), 6) END AS assortativity
+         FROM f, nn""",
     // the q154 exact-integer PageRank chain over the stopword-pruned
     // adjacent-token graph; lang-scoped nodes; top-10 total order
     "q313_textrank_keywords" -> {
@@ -547,6 +591,18 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
       s: SparkSession, dir: String): DataFrame =
     Analytics.triangleCounts(coPurchaseEdges(s, dir), "pa", "pb")
       .orderBy("node")
+
+  /** Degree assortativity ([[Analytics.degreeAssortativity]]) of the
+    * part co-purchase graph — the one scalar that predicts the q179/
+    * q31 component structure's failure mode before components run:
+    * TPC-H's random-basket graph reads near 0 (neutral attachment),
+    * the calibration point; a real catalog's staple-anchored baskets
+    * read strongly negative (hub-and-spoke — degree caps are safe),
+    * a dedup cluster graph reads positive (chains percolate).
+    */
+  private[graft] def assortativityQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.degreeAssortativity(coPurchaseEdges(s, dir), "pa", "pb")
 
   /** RA link prediction over the 1995 co-shipment slice: exact RA
     * costs Σ deg(w)² wedges, QUADRATIC in co-occurrence density — on

@@ -55,6 +55,8 @@ private[graft] object TextRegistry {
     "q307_richness_panel" -> (richnessPanelQ _),
     "q308_zipf_fit" -> (zipfFitQ _),
     "q314_quality_reliability" -> (qualityReliabilityQ _),
+    "q323_good_turing_table" -> (goodTuringTableQ _),
+    "q324_rocchio_prf" -> (rocchioPrfQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -1177,6 +1179,135 @@ private[graft] object TextRegistry {
            round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
              AS coverage
          FROM g ORDER BY lang""",
+    // the q171 CTE chain twice: pass-1 top-5 feedback, exact-integer
+    // expansion vote (anti-joined against original terms), pass 2 in
+    // half-unit micros (2x original + 1x expansion)
+    "q324_rocchio_prf" ->
+      s"""WITH tf AS (
+           SELECT doc_id, w AS token, count(*) AS tf FROM (
+             SELECT doc_id, unnest($oracleWords) AS w FROM documents)
+           GROUP BY 1, 2),
+         lens AS (
+           SELECT doc_id, len($oracleWords) AS len FROM documents),
+         stats AS (
+           SELECT count(*) AS n,
+             CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+           FROM lens),
+         dfq AS (
+           SELECT token, count(*) AS df FROM tf
+           GROUP BY token HAVING count(*) <= 400),
+         qt AS (
+           SELECT doc_id AS qid, unnest(list_distinct($oracleWords))
+             AS token
+           FROM documents WHERE doc_id < 5),
+         sc1 AS (
+           SELECT qid, tf.doc_id,
+             CAST(floor(
+               ln(CAST(1 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
+                 / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * len / avgdl))
+               * 1000000000) AS BIGINT) AS tm
+           FROM qt
+           JOIN tf USING (token) JOIN dfq USING (token)
+           JOIN lens ON lens.doc_id = tf.doc_id, stats),
+         agg1 AS (
+           SELECT qid, doc_id, sum(tm) AS score
+           FROM sc1 GROUP BY 1, 2),
+         fb AS (
+           SELECT qid, doc_id FROM (
+             SELECT qid, doc_id, row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id ASC)
+               AS rank
+             FROM agg1) WHERE rank <= 5),
+         votes AS (
+           SELECT fb.qid, tf.token,
+             CAST(sum(tf * CAST(floor(
+               ln(CAST(1 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
+                 / (df + CAST(0.5 AS DOUBLE)))
+               * 1000000) AS BIGINT)) AS BIGINT) AS mass
+           FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+           JOIN dfq USING (token), stats
+           GROUP BY 1, 2),
+         votesx AS (
+           SELECT v.qid, v.token, v.mass FROM votes v
+           ANTI JOIN qt ON qt.qid = v.qid AND qt.token = v.token),
+         expn AS (
+           SELECT qid, token FROM (
+             SELECT qid, token, row_number() OVER (
+               PARTITION BY qid ORDER BY mass DESC, token ASC) AS r
+             FROM votesx) WHERE r <= 5),
+         nexp AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n_exp_terms
+           FROM expn GROUP BY 1),
+         sc2a AS (
+           SELECT qid, tf.doc_id, 2 * CAST(floor(
+               ln(CAST(1 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
+                 / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * len / avgdl))
+               * 1000000000) AS BIGINT) AS tm
+           FROM qt
+           JOIN tf USING (token) JOIN dfq USING (token)
+           JOIN lens ON lens.doc_id = tf.doc_id, stats),
+         sc2b AS (
+           SELECT qid, tf.doc_id, CAST(floor(
+               ln(CAST(1 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
+                 / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * len / avgdl))
+               * 1000000000) AS BIGINT) AS tm
+           FROM expn
+           JOIN tf USING (token) JOIN dfq USING (token)
+           JOIN lens ON lens.doc_id = tf.doc_id, stats),
+         merged AS (
+           SELECT qid, doc_id, CAST(sum(tm) AS BIGINT) AS s FROM (
+             SELECT qid, doc_id, tm FROM sc2a
+             UNION ALL SELECT qid, doc_id, tm FROM sc2b)
+           GROUP BY 1, 2),
+         fin AS (
+           SELECT qid, doc_id, s, row_number() OVER (
+             PARTITION BY qid ORDER BY s DESC, doc_id ASC) AS rank
+           FROM merged)
+         SELECT fin.qid AS query_id, fin.doc_id,
+           fin.s AS score_half_micro, CAST(fin.rank AS INT) AS rank,
+           coalesce(nexp.n_exp_terms, 0) AS n_exp_terms
+         FROM fin LEFT JOIN nexp ON nexp.qid = fin.qid
+         WHERE fin.rank <= 10
+         ORDER BY query_id, rank""",
+    // exact bigram counts-of-counts; c* and mass one mirrored
+    // division each; absent V_{c+1} is an honest null
+    "q323_good_turing_table" ->
+      s"""WITH b AS (
+           SELECT lang, ws[i] || ' ' || ws[i + 1] AS bg FROM (
+             SELECT lang, $oracleWords AS ws
+             FROM documents WHERE text IS NOT NULL),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+             AS i) t),
+         c AS (
+           SELECT lang, bg, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2),
+         sp AS (
+           SELECT lang, c, CAST(count(*) AS BIGINT) AS vc
+           FROM c GROUP BY 1, 2),
+         n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+           FROM c GROUP BY 1),
+         nx AS (SELECT lang, c - 1 AS c, vc AS vnext FROM sp)
+         SELECT sp.lang, sp.c AS c, sp.vc AS v_c,
+           CASE WHEN nx.vnext IS NULL OR sp.vc = 0 THEN NULL
+             ELSE round(CAST(sp.c + 1 AS DOUBLE)
+               * CAST(nx.vnext AS DOUBLE)
+               / CAST(sp.vc AS DOUBLE), 6) END AS c_star,
+           round(CAST(sp.c AS DOUBLE) * CAST(sp.vc AS DOUBLE)
+             / CAST(n.n AS DOUBLE), 6) AS mass_share
+         FROM sp
+         LEFT JOIN nx ON nx.lang = sp.lang AND nx.c = sp.c
+         JOIN n ON n.lang = sp.lang
+         WHERE sp.c <= 8
+         ORDER BY sp.lang, sp.c""",
     // exact N/V/V1/V2/S2 off one (lang, word) count (squares in
     // HUGEINT); each statistic one mirrored double expression
     "q307_richness_panel" ->
@@ -1838,6 +1969,39 @@ private[graft] object TextRegistry {
   private[graft] def zipfFitQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfFit(docs(s, dir), "lang", "text", topK = 100)
       .orderBy("lang")
+
+  /** Rocchio pseudo-relevance feedback
+    * ([[graft.text.TfIdf.rocchioPrfSearch]]) on the q171 query set —
+    * the query-EXPANSION leg completing the retrieval stack: top-5
+    * BM25 feedback docs vote expansion terms by exact Σ tf·⌊idf·10⁶⌋
+    * mass, the top-5 non-original terms join the query, and pass 2
+    * scores 2·BM25(original) + 1·BM25(expansion) in half-unit micros
+    * (α = 1, β = 0.5 as exact integers). The df cap (400) prunes
+    * stop-like terms out of both the vote and the probes.
+    */
+  private[graft] def rocchioPrfQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.text.TfIdf.rocchioPrfSearch(d, "doc_id", "text",
+        d.where(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", "text", k = 10, fbDocs = 5, fbTerms = 5,
+        maxDf = 400L)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Good–Turing bigram frequency spectrum per language
+    * ([[TextAnalysis.goodTuringTable]], c ≤ 8) — the table Katz/SGT
+    * smoothing consumes and the empirical discount check (c* < c on
+    * low counts): unigrams here are spectrum-empty below c = 9 (31
+    * types, ~115 uses each — q307's v1 = 0 row says so), so the
+    * classical bigram domain carries the smoothing story, exactly
+    * where Katz used it.
+    */
+  private[graft] def goodTuringTableQ(
+      s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.goodTuringTable(docs(s, dir), "lang", "text",
+        maxC = 8, ngram = 2)
+      .orderBy("lang", "c")
 
   /** Cronbach's α ([[Analytics.cronbachAlpha]]) over the q19 quality
     * score's own three components (volume, punctuation-cleanliness,

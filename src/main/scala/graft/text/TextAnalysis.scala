@@ -1706,6 +1706,53 @@ object TextAnalysis {
         .otherwise(lit(null).cast("double")), 6).as("gt_c1_star"))
   }
 
+  /** Good–Turing frequency-spectrum table per group: for each low
+    * count c ≤ `maxC`, the number of types seen exactly c times
+    * (V_c), the GT-smoothed count c* = (c+1)·V_{c+1}/V_c — what a
+    * c-times-seen word is WORTH in expected future frequency, the
+    * row LM smoothing actually consumes ([[richnessPanel]] carries
+    * only the c = 1 scalar) — and the probability mass the spectrum
+    * row holds (c·V_c/N). The whole table is the input to
+    * simple-GT/Katz smoothing and the empirical check that the
+    * corpus obeys the c* < c discount low counts should show.
+    *
+    * Exactness: V_c and N are exact integers off one (group, word)
+    * count; c* and the mass share are one mirrored double division
+    * each (c* null when V_c or V_{c+1} is 0 — an honest gap, not a
+    * smoothed invention).
+    * Scale: one (group, word) count (map-side combined), one
+    * (group, c) rollup — output is group×maxC rows.
+    */
+  def goodTuringTable(
+      df: DataFrame, groupCol: String, textCol: String,
+      maxC: Int = 8, ngram: Int = 1): DataFrame = {
+    require(maxC >= 1, "maxC >= 1")
+    require(ngram == 1 || ngram == 2, "ngram in {1, 2}")
+    val toks =
+      if (ngram == 2) bigrams(col(textCol)) else words(col(textCol))
+    val gw = df
+      .select(col(groupCol), explode(toks).as("__w"))
+      .groupBy(col(groupCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .transform(graft.core.CacheScope.disk)
+    val spectrum = gw.groupBy(col(groupCol), col("__c"))
+      .agg(count(lit(1)).as("__vc"))
+    val n = gw.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("__n"))
+    val nextV = spectrum.select(col(groupCol),
+      (col("__c") - 1L).as("__c"), col("__vc").as("__vnext"))
+    spectrum
+      .where(col("__c") <= maxC)
+      .join(nextV, Seq(groupCol, "__c"), "left")
+      .join(n, Seq(groupCol))
+      .select(col(groupCol), col("__c").as("c"), col("__vc").as("v_c"),
+        round(when(col("__vnext").isNotNull && col("__vc") > 0L,
+          (col("__c") + 1L).cast("double") *
+            col("__vnext").cast("double") / col("__vc").cast("double"))
+          .otherwise(lit(null).cast("double")), 6).as("c_star"),
+        round(col("__c").cast("double") * col("__vc").cast("double") /
+          col("__n").cast("double"), 6).as("mass_share"))
+  }
+
   /** Zipf rank–frequency fit per group: the least-squares slope of
     * ln(freq) on ln(rank) over the top-`topK` tokens — the OTHER
     * power law next to Heaps' (q288: vocabulary vs corpus size; this:

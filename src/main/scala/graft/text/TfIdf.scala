@@ -252,4 +252,116 @@ object TfIdf {
       .select(col("__qid").as(qIdCol), col(idCol),
         col("score_micro"), col("rank"))
   }
+
+  /** Rocchio-style pseudo-relevance-feedback BM25 search — the
+    * query-EXPANSION leg that completes the retrieval stack next to
+    * RRF (fuse rankers), MMR (diversify results) and the RAG chain:
+    * pass 1 retrieves `fbDocs` pseudo-relevant docs per query with
+    * plain BM25; the feedback docs VOTE for expansion terms by
+    * Σ tf·idf mass (original query terms and df-capped terms
+    * excluded); the top `fbTerms` terms by (mass DESC, token ASC) —
+    * a total order — join the query; pass 2 scores
+    * 2·BM25(original terms) + 1·BM25(expansion terms) in HALF-UNIT
+    * micros (the classic α = 1, β = 0.5 Rocchio weighting as exact
+    * integer arithmetic — no float mixing between the two legs).
+    *
+    * Exactness: both passes use the [[bm25Search]] per-term
+    * micro-floor discipline; the expansion vote is Σ tf·⌊idf·10⁶⌋ —
+    * exact longs — so term SELECTION (the only thresholded step)
+    * cannot flip cross-engine. Scale: pass 1 is posting-mass-bounded
+    * as ever; the vote joins |queries|·fbDocs doc ids back to the tf
+    * frame (a semi-join-sized probe); pass 2 adds ≤ fbTerms terms
+    * per query to the posting probe.
+    *
+    * Output: (query id, doc id, `score_half_micro`, `rank`) for the
+    * top `k` — plus `n_exp_terms` carried per query so a report can
+    * see how much expansion actually happened.
+    */
+  def rocchioPrfSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, fbDocs: Int = 5, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(docs, idCol, textCol)
+      .transform(graft.core.CacheScope.disk)
+    val lens = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__len"))
+      .transform(graft.core.CacheScope.disk)
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      (sum(col("__len")).cast("double") / count(lit(1)))
+        .as("__avgdl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .transform(graft.core.CacheScope.disk)
+    val qTermSet = queries.select(col(qIdCol).as("__qid"),
+        explode(array_distinct(
+          TextAnalysis.words(col(qTextCol)))).as("token"))
+      .transform(graft.core.CacheScope.disk)
+    def pass(qTerms: DataFrame, weightCol: Column,
+        cut: Option[Int]): DataFrame = {
+      val scored = qTerms
+        .join(tf.join(dfreq, "token"), Seq("token"))
+        .join(lens, Seq(idCol))
+        .crossJoin(broadcast(stats))
+        .withColumn("__idf",
+          log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))))
+        .withColumn("__term_micro",
+          floor(col("__idf") *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("__len") / col("__avgdl"))) *
+            lit(1000000000L)).cast("long"))
+        .groupBy(col("__qid"), col(idCol))
+        .agg(sum(col("__term_micro") * weightCol).as("score_micro"))
+      cut match {
+        case Some(n) =>
+          val w = Window.partitionBy(col("__qid"))
+            .orderBy(col("score_micro").desc, col(idCol).asc)
+          scored.withColumn("rank", row_number().over(w))
+            .where(col("rank") <= n)
+        case None => scored
+      }
+    }
+    val fb = pass(qTermSet, lit(1L), Some(fbDocs))
+      .select(col("__qid"), col(idCol))
+      .transform(graft.core.CacheScope.disk)
+    // expansion vote: Σ tf·⌊idf·1e6⌋ over the feedback docs, original
+    // query terms excluded, total-order top-fbTerms
+    val idf6 = floor(log(lit(1.0) +
+      (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      lit(1000000L)).cast("long")
+    val votes = fb
+      .join(tf, Seq(idCol))
+      .join(dfreq, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__w", col("tf") * idf6)
+      .groupBy(col("__qid"), col("token"))
+      .agg(sum(col("__w")).as("__mass"))
+      .join(qTermSet.withColumn("__orig", lit(1)),
+        Seq("__qid", "token"), "left_anti")
+    val wv = Window.partitionBy(col("__qid"))
+      .orderBy(col("__mass").desc, col("token").asc)
+    val expansion = votes.withColumn("__r", row_number().over(wv))
+      .where(col("__r") <= fbTerms)
+      .select(col("__qid"), col("token"))
+      .transform(graft.core.CacheScope.disk)
+    val nExp = expansion.groupBy("__qid")
+      .agg(count(lit(1)).as("n_exp_terms"))
+    // pass 2 in half-units: 2·orig + 1·expansion
+    val both = pass(qTermSet, lit(2L), None)
+      .unionByName(pass(expansion, lit(1L), None))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("score_micro")).as("score_half_micro"))
+    val w2 = Window.partitionBy(col("__qid"))
+      .orderBy(col("score_half_micro").desc, col(idCol).asc)
+    both.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .join(nExp, Seq("__qid"), "left")
+      .na.fill(0L, Seq("n_exp_terms"))
+      .select(col("__qid").as(qIdCol), col(idCol),
+        col("score_half_micro"), col("rank"), col("n_exp_terms"))
+  }
 }
