@@ -380,6 +380,60 @@ object Multimodal {
       gated(leUIntAt(bin, len - 7L, 4)).as("crc32"))
   }
 
+  /** ZIP archive inventory decode (EOCD + first central-directory
+    * entry) as pure expressions — [[gzipMeta]]'s sibling for the
+    * other ubiquitous crawl container. The End-Of-Central-Directory
+    * record is found FROM THE END (no-comment layout: the last 22
+    * bytes), carrying the entry count and the central directory's
+    * size and offset — the three numbers a shard planner needs
+    * before deciding to open anything. The CD offset is DATA, so the
+    * first entry's fields (compression method, compressed and
+    * uncompressed sizes, file name) are column-offset reads
+    * ([[leUIntAt]]) through it — the same variable-position
+    * discipline as the TIFF IFD walk. Nothing is decompressed.
+    *
+    * Length/signature-gated: payloads without the PK♣♠ EOCD magic at
+    * the no-comment position (including truncations and
+    * commented archives — batch-decoder territory, documented) yield
+    * all-null fields, never a misread.
+    */
+  def zipEocdMeta(bin: Column): Column = {
+    val len = length(bin).cast("long")
+    val eocd = len - 21L // 1-based offset of the EOCD record
+    val isZip = len >= 22L &&
+      upper(hex(substring(bin, 1, 2))) === "504B" &&
+      upper(hex(bin.substr(eocd, lit(4)))) === "504B0506"
+    val nEntries = leUIntAt(bin, eocd + 10L, 2)
+    val cdSize = leUIntAt(bin, eocd + 12L, 4)
+    val cdOff = leUIntAt(bin, eocd + 16L, 4) // 0-based per spec
+    val cd = cdOff + 1L // to 1-based
+    val cdOk = isZip && nEntries >= 1L &&
+      upper(hex(bin.substr(cd, lit(4)))) === "504B0102"
+    val method = leUIntAt(bin, cd + 10L, 2)
+    val crc = leUIntAt(bin, cd + 16L, 4)
+    val csize = leUIntAt(bin, cd + 20L, 4)
+    val usize = leUIntAt(bin, cd + 24L, 4)
+    val nameLen = leUIntAt(bin, cd + 28L, 2)
+    val name = decode(
+      bin.substr(cd + 46L, least(nameLen, lit(128L)).cast("int")),
+      "ISO-8859-1")
+    val nulL = lit(null).cast("long")
+    def gated(c: Column): Column = when(isZip, c).otherwise(nulL)
+    def cdGated(c: Column): Column = when(cdOk, c).otherwise(nulL)
+    struct(
+      when(isZip, lit("zip")).otherwise(lit(null).cast("string"))
+        .as("format"),
+      gated(nEntries).as("n_entries"),
+      gated(cdSize).as("cd_size"),
+      gated(cdOff).as("cd_offset"),
+      when(cdOk, name).otherwise(lit(null).cast("string"))
+        .as("first_name"),
+      cdGated(method).as("first_method"),
+      cdGated(csize).as("first_csize"),
+      cdGated(usize).as("first_usize"),
+      cdGated(crc).as("first_crc32"))
+  }
+
   def wavHeaderMeta(bin: Column): Column = {
     // 44 = canonical header through the data-chunk size; shorter
     // payloads are truncated and must yield nulls, not misreads

@@ -700,7 +700,6 @@ object Drift {
       returnPeriods: Seq[Int] = Seq(30, 365)): DataFrame = {
     require(returnPeriods.nonEmpty && returnPeriods.forall(_ >= 2),
       "return periods must be >= 2 blocks")
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     val gc = groupCols.map(col)
     val bm = df
       .select(gc ++ Seq(bucketIdx.cast("long").as("__b"),
@@ -708,6 +707,35 @@ object Drift {
       .where(col("__b").isNotNull && col("__y").isNotNull)
       .groupBy(gc :+ col("__b"): _*)
       .agg(max(col("__y")).as("__m"))
+    gumbelFitCore(bm, groupCols, returnPeriods)
+  }
+
+  /** [[gumbelBlockMaxima]] off a STANDING per-(group, bucket) max
+    * store — max is the mergeable statistic, so shard rows landed by
+    * any ingest tree merge by one more max and the fit lands exactly
+    * where the raw recompute lands (the q278/q301 one-store pattern
+    * for the extremes monitor: history is never rescanned, each
+    * day's shard just lands its maxima).
+    */
+  def gumbelFromBlockMaxima(
+      shards: DataFrame, groupCols: Seq[String], bucketCol: String,
+      maxCol: String,
+      returnPeriods: Seq[Int] = Seq(30, 365)): DataFrame = {
+    val gc = groupCols.map(col)
+    val bm = shards
+      .select(gc ++ Seq(col(bucketCol).cast("long").as("__b"),
+        col(maxCol).cast("long").as("__m")): _*)
+      .where(col("__b").isNotNull && col("__m").isNotNull)
+      .groupBy(gc :+ col("__b"): _*)
+      .agg(max(col("__m")).as("__m"))
+    gumbelFitCore(bm, groupCols, returnPeriods)
+  }
+
+  private def gumbelFitCore(
+      bm: DataFrame, groupCols: Seq[String],
+      returnPeriods: Seq[Int]): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gc = groupCols.map(col)
     val agg = bm.groupBy(gc: _*)
       .agg(count(lit(1)).as("n_blocks"),
         max(col("__m")).as("max_seen"),

@@ -50,6 +50,7 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
     "q317_cliffs_delta" -> (cliffsDeltaQ _),
     "q318_seasonal_decompose" -> (seasonalDecomposeQ _),
     "q321_gumbel_maxima" -> (gumbelMaximaQ _),
+    "q327_gumbel_store" -> (gumbelStoreQ _),
   )
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
@@ -1168,6 +1169,49 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
                OR pooled <= 0 THEN NULL ELSE d END) >= 0.2, FALSE)
              AS INT) AS material
          FROM ee ORDER BY o_orderpriority""",
+    // the q321 oracle VERBATIM: the shard-merged max store must
+    // reproduce the raw fit exactly (max is mergeable)
+    "q327_gumbel_store" -> {
+      val c6pi = graft.quality.Drift.gumbelSqrt6OverPi
+      val gam = graft.quality.Drift.eulerGamma
+      val k30 = graft.quality.Drift.gumbelVariate(30)
+      val k365 = graft.quality.Drift.gumbelVariate(365)
+      s"""WITH bm AS (
+           SELECT event_type AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS b,
+             max(CAST(floor(value * 100) AS BIGINT)) AS m
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         mo AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(max(m) AS BIGINT) AS mx,
+             CAST(sum(m) AS BIGINT) AS s,
+             sum(CAST(m AS HUGEINT) * m) AS q
+           FROM bm GROUP BY 1),
+         f AS (
+           SELECT g, n, mx,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(CAST(n AS HUGEINT) * q
+               - CAST(s AS HUGEINT) * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
+           FROM mo),
+         gbeta AS (
+           SELECT g, n, mx, mean, v, sqrt(v) * $c6pi AS beta
+           FROM f),
+         gmu AS (
+           SELECT g, n, mx, mean, v, beta, mean - $gam * beta AS mu
+           FROM gbeta)
+         SELECT g AS event_type, n AS n_blocks, mx AS max_seen,
+           round(mean, 4) AS mean_max,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+             ELSE round(mu, 4) END AS mu,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+             ELSE round(beta, 4) END AS beta,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+             ELSE round(mu + beta * $k30, 4) END AS rl_30,
+           CASE WHEN n < 2 OR v <= 0 THEN NULL
+             ELSE round(mu + beta * $k365, 4) END AS rl_365
+         FROM gmu ORDER BY event_type"""
+    },
     // exact block-max moments; Gumbel constants are the SAME driver
     // doubles interpolated into both engines; +*/sqrt mirrored
     "q321_gumbel_maxima" -> {
@@ -2376,6 +2420,30 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
       lit("2024-01-01").cast("date"))
     graft.quality.Drift.gumbelBlockMaxima(e, Seq("event_type"),
         day, floor(col("value") * 100).cast("long"),
+        returnPeriods = Seq(30, 365))
+      .orderBy("event_type")
+  }
+
+  /** q321's Gumbel fit off a STANDING block-max store
+    * ([[graft.quality.Drift.gumbelFromBlockMaxima]]): the corpus
+    * lands as two separately-pre-maxed shard halves (odd/even event
+    * ids — the ingest-tree shape), merged by one more max. Max is
+    * the mergeable statistic, so the shard path must land EXACTLY on
+    * q321's raw fit — the oracle IS q321's oracle text; the extremes
+    * monitor never rescans history, each day's shard just lands its
+    * maxima (the q278/q301 one-store pattern).
+    */
+  private[graft] def gumbelStoreQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    def shard(p: Int): DataFrame = e
+      .where(col("event_id") % 2 === p)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(max(floor(col("value") * 100).cast("long")).as("day_max"))
+    val store = shard(0).unionByName(shard(1))
+    graft.quality.Drift.gumbelFromBlockMaxima(store,
+        Seq("event_type"), "day", "day_max",
         returnPeriods = Seq(30, 365))
       .orderBy("event_type")
   }

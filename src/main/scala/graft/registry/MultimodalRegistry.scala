@@ -26,7 +26,60 @@ private[graft] object MultimodalRegistry {
     "q274_webp_header_decode" -> (webpHeaderDecode _),
     "q296_tiff_header_decode" -> (tiffHeaderDecode _),
     "q312_gzip_meta" -> (gzipMetaDecode _),
+    "q325_zip_eocd" -> (zipEocdDecode _),
   )
+
+  /** ZIP EOCD + first-central-directory-entry inventory
+    * ([[Multimodal.zipEocdMeta]]): each doc_id synthesizes an archive
+    * with a variable-length local section (so the CD offset — which
+    * the decoder must READ, not assume — moves with doc_id%7), a CD
+    * entry embedding the id in its name/method/sizes/CRC, and the
+    * EOCD claiming doc_id%3+1 entries. Every 13th id truncates after
+    * the magic: all-null, never a misread. Closed-form oracle; the
+    * hash proves the from-the-end EOCD read AND the data-dependent
+    * CD jump.
+    */
+  private[graft] def zipEocdDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val j = (id % 7 + 1).cast("int")
+    val junk = concat(lit("504B0304"),
+      lit("4C4C4C4C4C4C4C").substr(lit(1), j * 2))
+    val name = concat(lit("f"), id.cast("string"), lit(".txt"))
+    val nameLen = length(name).cast("long")
+    val method = when(id % 2 === 0, lit(0L)).otherwise(lit(8L))
+    val crc = (id * lit(2654435761L)) % lit(4294967296L)
+    val csize = id * 3L + 1L
+    val usize = id * 5L + 2L
+    val cdHex = concat(lit("504B0102"), lit("14001400"),
+      lit("0000"), leHex(method, 2), lit("00000000"),
+      leHex(crc, 4), leHex(csize, 4), leHex(usize, 4),
+      leHex(nameLen, 2),
+      lit("0000" + "0000" + "0000" + "0000" + "00000000" +
+        "00000000"),
+      hex(name))
+    val entries = (id % 3 + 1).cast("long")
+    val cdSize = lit(46L) + nameLen
+    val cdOff = lit(4L) + (id % 7 + 1).cast("long")
+    val eocdHex = concat(lit("504B0506"), lit("0000" + "0000"),
+      leHex(entries, 2), leHex(entries, 2),
+      leHex(cdSize, 4), leHex(cdOff, 4), lit("0000"))
+    val fileHex = when(id % 13 === 0, lit("504B"))
+      .otherwise(concat(junk, cdHex, eocdHex))
+    docs(s, dir)
+      .select(id, unhex(fileHex).as("__bin"))
+      .select(id, Multimodal.zipEocdMeta(col("__bin")).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.n_entries").as("n_entries"),
+        col("m.cd_size").as("cd_size"),
+        col("m.cd_offset").as("cd_offset"),
+        col("m.first_name").as("first_name"),
+        col("m.first_method").as("first_method"),
+        col("m.first_csize").as("first_csize"),
+        col("m.first_usize").as("first_usize"),
+        col("m.first_crc32").as("first_crc32"))
+      .orderBy("doc_id")
+  }
 
   /** GZIP member metadata ([[Multimodal.gzipMeta]]): each doc_id
     * synthesizes an RFC 1952 member in its doc_id%3 flavor — bare
@@ -195,6 +248,34 @@ private[graft] object MultimodalRegistry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // closed form of the zip builder's doc_id arithmetic — the hash
+    // proves the from-the-end EOCD read and the data-dependent CD
+    // jump (the offset moves with doc_id%7)
+    "q325_zip_eocd" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'zip' END
+             AS format,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id % 3 + 1 END AS BIGINT) AS n_entries,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 46 + 5 + len(CAST(doc_id AS VARCHAR)) END
+             AS BIGINT) AS cd_size,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 5 + doc_id % 7 END AS BIGINT) AS cd_offset,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 'f' || CAST(doc_id AS VARCHAR) || '.txt' END
+             AS first_name,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             WHEN doc_id % 2 = 0 THEN 0 ELSE 8 END AS BIGINT)
+             AS first_method,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id * 3 + 1 END AS BIGINT) AS first_csize,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id * 5 + 2 END AS BIGINT) AS first_usize,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE (doc_id * 2654435761) % 4294967296 END AS BIGINT)
+             AS first_crc32
+         FROM documents ORDER BY doc_id""",
     // closed form of the gzip builder's doc_id arithmetic — the hash
     // proves the FLG-bit walk and the from-the-end trailer reads
     "q312_gzip_meta" ->

@@ -57,6 +57,7 @@ private[graft] object TextRegistry {
     "q314_quality_reliability" -> (qualityReliabilityQ _),
     "q323_good_turing_table" -> (goodTuringTableQ _),
     "q324_rocchio_prf" -> (rocchioPrfQ _),
+    "q326_smoothing_ab" -> (smoothingAbQ _),
     "q18_text_stats" -> (textStats _),
     "q19_doc_quality" -> (docQuality _),
     "q20_lang_id_facets" -> (langIdFacets _),
@@ -130,14 +131,21 @@ private[graft] object TextRegistry {
     * full-outer query domain with zero-coalesced metrics for
     * judged-but-unretrieved queries.
     */
-  private[graft] def oracleRetrievalEvalSql: String = {
+  private[graft] def oracleRetrievalEvalSql: String =
+    oracleRetrievalEvalSqlFor(oracleBm25Sql)
+
+  /** The q246 eval chain over ANY ranked-results subquery emitting
+    * (query_id, doc_id, rank) — q326 runs it once per ranker.
+    */
+  private[graft] def oracleRetrievalEvalSqlFor(
+      resultsSql: String): String = {
     val dcg = (rel: String, rank: String) =>
         s"""CAST(floor(CAST((1 << $rel) - 1 AS DOUBLE)
            / (ln(CAST($rank AS DOUBLE) + 1.0) / ln(2.0))
            * 1000000000.0) AS BIGINT)"""
       s"""WITH res AS (
            SELECT query_id AS qid, doc_id AS did, rank
-           FROM ($oracleBm25Sql) WHERE doc_id <> query_id),
+           FROM ($resultsSql) WHERE doc_id <> query_id),
          qm AS (
            SELECT doc_id AS qid, source AS qsrc, lang AS qlang
            FROM documents WHERE doc_id < 5),
@@ -178,6 +186,59 @@ private[graft] object TextRegistry {
          FROM per p FULL OUTER JOIN ideal i ON i.qid = p.qid
          ORDER BY query_id"""
   }
+
+  /** The q294 Dirichlet-QL ranked-results oracle, shared with q326's
+    * smoothing A/B (the eval chain swaps this in for the BM25 one).
+    */
+  private[graft] val oracleDirichletQlSql: String =
+    s"""WITH tf AS (
+           SELECT doc_id, w AS token, count(*) AS tf FROM (
+             SELECT doc_id, unnest($oracleWords) AS w FROM documents)
+           GROUP BY 1, 2),
+         lens AS (
+           SELECT doc_id, len($oracleWords) AS len FROM documents),
+         coll AS (SELECT CAST(sum(tf) AS BIGINT) AS ctot FROM tf),
+         cf AS (
+           SELECT token, CAST(sum(tf) AS BIGINT) AS cf
+           FROM tf GROUP BY token HAVING count(*) <= 400),
+         qt AS (
+           SELECT qid, token, cf FROM (
+             SELECT doc_id AS qid,
+               unnest(list_distinct($oracleWords)) AS token
+             FROM documents WHERE doc_id < 5)
+           JOIN cf USING (token)),
+         ql AS (SELECT qid, CAST(count(*) AS BIGINT) AS qlen
+           FROM qt GROUP BY qid),
+         mt AS (
+           SELECT qid, tf.doc_id,
+             CAST(floor(
+               ln(CAST(1.0 AS DOUBLE) + CAST(tf AS DOUBLE)
+                 * CAST(ctot AS DOUBLE)
+                 / (CAST(100.0 AS DOUBLE) * CAST(cf AS DOUBLE)))
+               * 1000000000) AS BIGINT) AS tm
+           FROM qt JOIN tf USING (token), coll),
+         agg AS (
+           SELECT qid, doc_id, CAST(sum(tm) AS BIGINT) AS mt
+           FROM mt GROUP BY 1, 2),
+         sc AS (
+           SELECT qid, agg.doc_id,
+             mt + CAST(floor(
+               ln(CAST(100.0 AS DOUBLE)
+                 / (CAST(len AS DOUBLE) + CAST(100.0 AS DOUBLE)))
+               * CAST(qlen AS DOUBLE) * 1000000000) AS BIGINT)
+               AS score_micro
+           FROM agg
+           JOIN lens ON lens.doc_id = agg.doc_id
+           JOIN ql USING (qid)),
+         r AS (
+           SELECT qid, doc_id, score_micro, row_number() OVER (
+             PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)
+             AS rank
+           FROM sc)
+         SELECT qid AS query_id, doc_id,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] = Map(
     "q124_unigram_lm_quality" ->
@@ -911,55 +972,7 @@ private[graft] object TextRegistry {
          FROM pts, fin ORDER BY checkpoint""",
     // matching-postings candidates, nano-floored per-term lls and
     // the closed-form length norm; |q| counts df-surviving terms
-    "q294_dirichlet_ql" ->
-      s"""WITH tf AS (
-           SELECT doc_id, w AS token, count(*) AS tf FROM (
-             SELECT doc_id, unnest($oracleWords) AS w FROM documents)
-           GROUP BY 1, 2),
-         lens AS (
-           SELECT doc_id, len($oracleWords) AS len FROM documents),
-         coll AS (SELECT CAST(sum(tf) AS BIGINT) AS ctot FROM tf),
-         cf AS (
-           SELECT token, CAST(sum(tf) AS BIGINT) AS cf
-           FROM tf GROUP BY token HAVING count(*) <= 400),
-         qt AS (
-           SELECT qid, token, cf FROM (
-             SELECT doc_id AS qid,
-               unnest(list_distinct($oracleWords)) AS token
-             FROM documents WHERE doc_id < 5)
-           JOIN cf USING (token)),
-         ql AS (SELECT qid, CAST(count(*) AS BIGINT) AS qlen
-           FROM qt GROUP BY qid),
-         mt AS (
-           SELECT qid, tf.doc_id,
-             CAST(floor(
-               ln(CAST(1.0 AS DOUBLE) + CAST(tf AS DOUBLE)
-                 * CAST(ctot AS DOUBLE)
-                 / (CAST(100.0 AS DOUBLE) * CAST(cf AS DOUBLE)))
-               * 1000000000) AS BIGINT) AS tm
-           FROM qt JOIN tf USING (token), coll),
-         agg AS (
-           SELECT qid, doc_id, CAST(sum(tm) AS BIGINT) AS mt
-           FROM mt GROUP BY 1, 2),
-         sc AS (
-           SELECT qid, agg.doc_id,
-             mt + CAST(floor(
-               ln(CAST(100.0 AS DOUBLE)
-                 / (CAST(len AS DOUBLE) + CAST(100.0 AS DOUBLE)))
-               * CAST(qlen AS DOUBLE) * 1000000000) AS BIGINT)
-               AS score_micro
-           FROM agg
-           JOIN lens ON lens.doc_id = agg.doc_id
-           JOIN ql USING (qid)),
-         r AS (
-           SELECT qid, doc_id, score_micro, row_number() OVER (
-             PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC)
-             AS rank
-           FROM sc)
-         SELECT qid AS query_id, doc_id,
-           CAST(score_micro AS BIGINT) AS score_micro,
-           CAST(rank AS INT) AS rank
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q294_dirichlet_ql" -> oracleDirichletQlSql,
     // the replayed quality score ranks the corpus; ntile(10) shares
     // Spark's bucket arithmetic; md5 groups label exact dups; the
     // mean score is µ-floored per row before the order-free sum
@@ -1179,6 +1192,48 @@ private[graft] object TextRegistry {
            round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
              AS coverage
          FROM g ORDER BY lang""",
+    // the q259 macro chain once per ranker (BM25 / Dirichlet-QL),
+    // tagged and unioned — same qrels, same nano-floor discipline
+    "q326_smoothing_ab" -> {
+      def leg(sys: String, resultsSql: String): String =
+        s"""SELECT '$sys' AS system, n_queries, n_judged, n_zero_hit,
+           mean_p_at_k, mean_r_at_k, mrr, mean_ndcg FROM (
+           WITH base AS (${oracleRetrievalEvalSqlFor(resultsSql)}),
+           m AS (
+             SELECT
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN n_rel IS NOT NULL THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_judged,
+               CAST(sum(CASE WHEN n_rel IS NOT NULL AND n_hit = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_hit,
+               CAST(sum(CASE WHEN n_rel IS NOT NULL THEN
+                 CAST(floor(p_at_k * 1000000000.0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS sp,
+               CAST(sum(CASE WHEN n_rel IS NOT NULL THEN
+                 CAST(floor(r_at_k * 1000000000.0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS sr,
+               CAST(sum(CASE WHEN n_rel IS NOT NULL THEN
+                 CAST(floor(rr * 1000000000.0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS srr,
+               CAST(sum(CASE WHEN n_rel IS NOT NULL THEN
+                 CAST(floor(coalesce(ndcg, 0.0) * 1000000000.0)
+                   AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS snd
+             FROM base)
+           SELECT n_queries, n_judged, n_zero_hit,
+             round(CAST(sp AS DOUBLE) / CAST(n_judged AS DOUBLE)
+               / 1000000000.0, 6) AS mean_p_at_k,
+             round(CAST(sr AS DOUBLE) / CAST(n_judged AS DOUBLE)
+               / 1000000000.0, 6) AS mean_r_at_k,
+             round(CAST(srr AS DOUBLE) / CAST(n_judged AS DOUBLE)
+               / 1000000000.0, 6) AS mrr,
+             round(CAST(snd AS DOUBLE) / CAST(n_judged AS DOUBLE)
+               / 1000000000.0, 6) AS mean_ndcg
+           FROM m)"""
+      leg("bm25", oracleBm25Sql) + "\n         UNION ALL " +
+        leg("dirichlet_ql", oracleDirichletQlSql) +
+        "\n         ORDER BY system"
+    },
     // the q171 CTE chain twice: pass-1 top-5 feedback, exact-integer
     // expansion vote (anti-joined against original terms), pass 2 in
     // half-unit micros (2x original + 1x expansion)
@@ -1969,6 +2024,47 @@ private[graft] object TextRegistry {
   private[graft] def zipfFitQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfFit(docs(s, dir), "lang", "text", topK = 100)
       .orderBy("lang")
+
+  /** The lexical-smoothing A/B the retrieval stack owes its tuner:
+    * BM25 and Dirichlet-QL (µ = 100) run the SAME q246/q259 judgment
+    * protocol side by side, one macro scorecard row per system — the
+    * "which ranker wins on THIS corpus" table that decides the
+    * default before anyone reaches for fusion. Same query set, same
+    * qrels, same df cap; every eval term keeps the q246 nano-floor
+    * discipline, so the comparison cannot be an artifact of float
+    * accumulation order.
+    */
+  private[graft] def smoothingAbQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val queries = d.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val q = d.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("source").as("__qsrc"),
+        col("lang"))
+    val qrels = d
+      .select(col("doc_id").as("did"), col("source").as("__src"),
+        col("lang"))
+      .join(broadcast(q), Seq("lang"))
+      .where(col("did") =!= col("qid"))
+      .select(col("qid"), col("did"),
+        when(col("__src") === col("__qsrc"), 2).otherwise(1).as("rel"))
+      .transform(graft.core.CacheScope.disk)
+    def leg(name: String, results: DataFrame): DataFrame =
+      graft.similarity.Similarity.rankingEvalMacro(
+          results.where(col("doc_id") =!= col("query_id")),
+          "query_id", "doc_id", "rank", qrels, "qid", "did", "rel",
+          k = 10)
+        .select(lit(name).as("system") +: Seq("n_queries",
+          "n_judged", "n_zero_hit", "mean_p_at_k", "mean_r_at_k",
+          "mrr", "mean_ndcg").map(col): _*)
+    leg("bm25", graft.text.TfIdf.bm25Search(d, "doc_id", "text",
+        queries, "query_id", "text", k = 10, maxDf = 400L))
+      .unionByName(leg("dirichlet_ql",
+        graft.text.TfIdf.dirichletQlSearch(d, "doc_id", "text",
+          queries, "query_id", "text", k = 10, mu = 100.0,
+          maxDf = 400L)))
+      .orderBy("system")
+  }
 
   /** Rocchio pseudo-relevance feedback
     * ([[graft.text.TfIdf.rocchioPrfSearch]]) on the q171 query set —

@@ -61,6 +61,23 @@ class GumbelSpec extends SparkSpec {
     assert(out.isNullAt(4) && out.isNullAt(6))
   }
 
+  test("store == raw: shard-landed per-bucket maxima merged by one " +
+      "more max land on the identical fit (q327's contract)") {
+    val rows = (1L to 12L).map(i => ("g", i, 100L + (i * 53L) % 300L))
+    val raw = Drift.gumbelBlockMaxima(series(rows: _*), Seq("g"),
+      col("b"), col("y"), Seq(30)).head()
+    // two shard halves, each pre-maxed (here trivially, one row per
+    // bucket per shard with overlapping buckets split across shards)
+    val shardRows = rows.zipWithIndex.map { case ((g, b, y), i) =>
+      (g, b, y - (if (i % 2 == 0) 7L else 0L)) } ++ rows
+    val store = series(shardRows: _*)
+      .withColumnRenamed("b", "bucket")
+      .withColumnRenamed("y", "day_max")
+    val merged = Drift.gumbelFromBlockMaxima(store, Seq("g"),
+      "bucket", "day_max", Seq(30)).head()
+    assert(merged == raw)
+  }
+
   test("q321 on the real corpus: every type's rl_365 exceeds rl_30 " +
       "exceeds the mean max, and the year-level sits within a " +
       "plausible band of the observed 30-day max") {
