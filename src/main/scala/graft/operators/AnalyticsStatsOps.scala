@@ -2571,7 +2571,21 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
     */
   def autocorrelation(
       df: DataFrame, tsCol: String, typeCol: String,
-      bucketSeconds: Long = 3600L, maxLag: Int = 6): DataFrame = {
+      bucketSeconds: Long = 3600L, maxLag: Int = 6): DataFrame =
+    acfRaw(df, tsCol, typeCol, bucketSeconds, maxLag)
+      .select(col("__ty").as("event_type"), col("lag"),
+        col("n_buckets"), col("n_pairs"),
+        round(when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double")),
+          6).as("r"))
+
+  /** The [[autocorrelation]] core pre-rounding: per (type, lag) the
+    * exact DECIMAL numerator/denominator — shared with [[ljungBox]],
+    * whose statistic must consume the UNROUNDED rₖ.
+    */
+  private def acfRaw(
+      df: DataFrame, tsCol: String, typeCol: String,
+      bucketSeconds: Long, maxLag: Int): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     require(maxLag >= 1 && maxLag <= 512, "maxLag in [1, 512]")
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -2598,11 +2612,56 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
           (dec(col("__n")) * dec(col("__c2")) - dec(col("__s"))))
           .as("__num"),
         max(den).as("__den"))
-      .select(col("__ty").as("event_type"), col("lag"),
-        col("n_buckets"), col("n_pairs"),
-        round(when(col("__den") > 0,
-          col("__num").cast("double") / col("__den").cast("double")),
-          6).as("r"))
+  }
+
+  /** Ljung–Box portmanteau test per type over the [[autocorrelation]]
+    * machinery: is the bucket-count series white noise ACROSS the
+    * first h lags jointly? The multi-lag omnibus beside the lag-1
+    * readings (DW reads residual lag-1, runs reads sign clumping —
+    * a seasonal process with a ZERO lag-1 correlation sails past
+    * both and lights up here). Q_LB = n(n+2)·Σₖ rₖ²/(n−k) against
+    * the pinned χ²₀.₀₅ critical for dof = h.
+    *
+    * Exactness: rₖ's numerator/denominator stay the exact DECIMAL
+    * identities of the ACF core (never the rounded display value);
+    * each lag's rₖ²/(n−k) term is one mirrored double expression
+    * nano-floored before the order-free per-type sum; one final
+    * mirrored multiplication. Zero-variance series (den = 0) emit
+    * null.
+    * Scale: identical to [[autocorrelation]] — the lag fan-out is
+    * grid × h equi-joined, never pairwise.
+    */
+  def ljungBox(
+      df: DataFrame, tsCol: String, typeCol: String,
+      bucketSeconds: Long = 3600L, maxLag: Int = 6): DataFrame = {
+    val raw = acfRaw(df, tsCol, typeCol, bucketSeconds, maxLag)
+    val rk = col("__num").cast("double") / col("__den").cast("double")
+    val nD = col("n_buckets").cast("double")
+    val term = when(col("__den") > 0,
+      floor(rk * rk / (nD - col("lag").cast("double")) * 1e9)
+        .cast("decimal(38,0)"))
+      .otherwise(lit(null).cast("decimal(38,0)"))
+    val agg = raw
+      .withColumn("__t", term)
+      .groupBy(col("__ty"))
+      .agg(max(col("n_buckets")).as("n_buckets"),
+        count(lit(1)).as("n_lags"),
+        sum(col("__t")).as("__ts"),
+        sum(when(col("__t").isNull, 1L).otherwise(0L)).as("__bad"))
+    val lb = (col("n_buckets").cast("double") *
+      (col("n_buckets").cast("double") + 2.0)) *
+      (col("__ts").cast("double") / 1e9)
+    val ok = col("__bad") === 0L && col("n_buckets") >= 2L
+    val lbSafe = when(ok, lb).otherwise(lit(null).cast("double"))
+    val dof = col("n_lags").cast("int")
+    val crit = chi2Crit05.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, v)) => when(dof === d, lit(v)).otherwise(acc)
+    }
+    agg.select(col("__ty").as("event_type"),
+      col("n_buckets"), col("n_lags"),
+      round(lbSafe, 6).as("lb"),
+      coalesce(lbSafe > crit, lit(false)).cast("int")
+        .as("serially_dependent"))
   }
 
   /** Per-type burstiness of bucketed event counts — the Fano factor
