@@ -792,10 +792,17 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("__vc", sum(col("__v"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    // the cumulative hazard is emitted in its EXACT nano units (the
+    // q241 kl_nano convention): a nano-integer sum divided by 1e9
+    // can land exactly on a 6-decimal rounding boundary, where the
+    // JVM (BigDecimal HALF_UP on the decimal string) and DuckDB
+    // (binary half-away) disagree by one ulp — sf0.1 hit it once in
+    // 5,390 rows. exp/sqrt outputs are irrational and never sit on a
+    // boundary, so the rendered survival/se columns stay safe.
     cum.select(col("__g").as(groupCol), col("__t").as("t"),
       col("__n").as("n_at_risk"), col("__d").as("n_events"),
       col("__c").as("n_censored"),
-      round(col("__hc").cast("double") / 1e9, 6).as("cum_hazard"),
+      col("__hc").cast("long").as("cum_hazard_nano"),
       round(exp(-(col("__hc").cast("double") / 1e9)), 6)
         .as("survival_na"),
       round(sqrt(col("__vc").cast("double") / 1e12), 6).as("se"))

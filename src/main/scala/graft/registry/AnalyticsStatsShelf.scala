@@ -1341,7 +1341,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            FROM q)
          SELECT g AS c_mktsegment, t, n AS n_at_risk, d AS n_events,
            c AS n_censored,
-           round(CAST(hc AS DOUBLE) / 1000000000.0, 6) AS cum_hazard,
+           CAST(hc AS BIGINT) AS cum_hazard_nano,
            round(exp(-(CAST(hc AS DOUBLE) / 1000000000.0)), 6)
              AS survival_na,
            round(sqrt(CAST(vc AS DOUBLE) / 1000000000000.0), 6) AS se

@@ -25,18 +25,16 @@ class NelsonAalenSpec extends SparkSpec {
       "H = 1/3 then 1/3 + 1/2") {
     val out = na(("g", 1L, true), ("g", 2L, true), ("g", 3L, false))
       .orderBy("t").collect()
-    assert(out(0).getDouble(5) ==
-      BigDecimal(1.0 / 3.0).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble)
-    // nano-floor: 1/3 -> 333333333, 1/2 -> 500000000; sum/1e9
-    assert(out(1).getDouble(5) == 0.833333)
+    // nano-floor: 1/3 -> 333333333, 1/2 -> 500000000 (exact units)
+    assert(out(0).getLong(5) == 333333333L)
+    assert(out(1).getLong(5) == 833333333L)
     assert(out(2).getLong(2) == 1L && out(2).getLong(4) == 1L)
-    assert(out(2).getDouble(5) == 0.833333) // censoring adds nothing
+    assert(out(2).getLong(5) == 833333333L) // censoring adds nothing
   }
 
   test("pure censoring: zero hazard at every timepoint") {
     val out = na(("g", 1L, false), ("g", 2L, false)).collect()
-    assert(out.forall(_.getDouble(5) == 0.0))
+    assert(out.forall(_.getLong(5) == 0L))
     assert(out.forall(_.getDouble(6) == 1.0))
   }
 
