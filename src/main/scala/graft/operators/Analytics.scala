@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * aggregates as partial+final hash aggregation.
   */
 object Analytics extends AnalyticsStatsOps with AnalyticsGraphOps
-    with AnalyticsInferenceOps {
+    with AnalyticsInferenceOps with AnalyticsSurvivalOps {
 
   /** Top-k rows by a column, descending, nulls last — pandas
     * `df.nlargest(k, col)` (collect_earthquakes.py:55). Ties broken by

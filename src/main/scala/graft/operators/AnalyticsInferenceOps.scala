@@ -1014,4 +1014,178 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         .as("differs")): _*)
   }
 
+  /** Generalized ESD (Rosner) outlier screen per group: `rounds`
+    * iterations of "find the most extreme studentized deviation,
+    * report it, remove it, recompute" — the multi-outlier procedure
+    * that survives masking (a second outlier inflating the sd that
+    * hides the first; one Grubbs pass misses it, the remove-and-
+    * recompute rounds don't). Emits the test statistic
+    * Rᵢ = max|x − x̄|/s per round with the removed point; comparing
+    * against λᵢ criticals needs t-quantiles — a consumer-side table
+    * lookup on (n, i), deliberately not baked in.
+    *
+    * Exactness: the extreme point is chosen by the EXACT integer
+    * deviation |x·n − S| (decimal products — no float enters the
+    * ordering), ties broken (value, key) for a total order; Rᵢ is one
+    * double expression over exact longs/decimals per round.
+    *
+    * Scale: each round is one grouped aggregate + one broadcast-sized
+    * join + one window over the group — `rounds` is a small constant
+    * (default 3), so the lazy plan is k stacked single-shuffle passes,
+    * the BPE-trainer discipline. Values stay row-sized; no collect.
+    */
+  def generalizedEsd(
+      df: DataFrame, groupCol: String, valueCents: Column,
+      keyCol: Column, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    var cur = df.select(col(groupCol).as("__g"),
+        valueCents.cast("long").as("__v"), keyCol.as("__k"))
+      .where(col("__v").isNotNull)
+    val outs = (1 to rounds).map { i =>
+      val stats = cur.groupBy("__g")
+        .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+          sum(dec(col("__v")) * dec(col("__v"))).as("__q"))
+      val joined = cur.join(stats, "__g")
+        .withColumn("__dev",
+          abs(dec(col("__v")) * dec(col("__n")) - dec(col("__s"))))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__g").orderBy(col("__dev").desc,
+            col("__v").asc, col("__k").asc)))
+      val nD = col("__n").cast("double")
+      val sD = col("__s").cast("double")
+      val qD = col("__q").cast("double")
+      val devD = col("__dev").cast("double")
+      val r = (devD / nD) / sqrt((nD * qD - sD * sD) /
+        (nD * (nD - lit(1.0d))))
+      val top = joined.where(col("__rn") === 1 && col("__n") > 2)
+        .select(col("__g"), lit(i.toLong).as("round"), col("__n").as("n"),
+          col("__v").as("removed_cents"), round(r, 6).as("r_stat"))
+      cur = joined.where(col("__rn") =!= 1)
+        .select(col("__g"), col("__v"), col("__k"))
+      top
+    }
+    outs.reduce(_ unionByName _)
+      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** Mood's median test per stratum: do the k samples share a common
+    * median? Counts above/not-above the stratum's pooled lower median
+    * M (the exact ⌈n/2⌉-th order statistic — no interpolation, so
+    * both engines pick the same value) form a k×2 table scored by
+    * Pearson's χ² against the margin products. The robust k-sample
+    * location read when [[kruskalWallis]]'s rank machinery is more
+    * than the question needs — only the side of the median matters,
+    * so a 1000× value outlier moves nothing.
+    *
+    * Exactness: M comes from a distinct-value cumulative count (never
+    * a subject-sized sort window); cell counts are exact longs; each
+    * cell's (O−E)²/E is nano-floored before the order-free stratum
+    * sum and the statistic is EMITTED in exact nano units (the q316
+    * boundary lesson — a rational χ² can land exactly on a rounding
+    * boundary; the nano integer can't disagree).
+    *
+    * Scale: one grouped count to the distinct-value frame, one
+    * running window over it per stratum, one grouped count per
+    * (stratum, sample), then table-sized arithmetic.
+    */
+  def moodMedianTest(
+      df: DataFrame, strataCol: String, sampleCol: Column,
+      valueCents: Column): DataFrame = {
+    val base = df.select(col(strataCol).as("__s"),
+        sampleCol.as("__c"), valueCents.cast("long").as("__v"))
+      .where(col("__v").isNotNull && col("__c").isNotNull)
+      .transform(graft.core.CacheScope.disk)
+    val byVal = base.groupBy("__s", "__v")
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy("__s").orderBy("__v")
+    val med = byVal
+      .withColumn("__cum",
+        sum(col("__cnt")).over(w.rowsBetween(
+          Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__cnt"))
+        .over(Window.partitionBy("__s")))
+      .where(col("__cum") * 2 >= col("__n") + 1)
+      .groupBy("__s")
+      .agg(min(col("__v")).as("__m"), max(col("__n")).as("__n"))
+    val cells = base.join(med, "__s")
+      .groupBy(col("__s"), col("__c"))
+      .agg(sum(when(col("__v") > col("__m"), 1L).otherwise(0L))
+        .as("__a"),
+        sum(when(col("__v") <= col("__m"), 1L).otherwise(0L))
+        .as("__b"))
+    val margins = cells
+      .withColumn("__ca", sum(col("__a"))
+        .over(Window.partitionBy("__s")))
+      .withColumn("__cb", sum(col("__b"))
+        .over(Window.partitionBy("__s")))
+      .withColumn("__k", count(lit(1))
+        .over(Window.partitionBy("__s")))
+    val nD = (col("__ca") + col("__cb")).cast("double")
+    val rD = (col("__a") + col("__b")).cast("double")
+    def cellNano(o: Column, c: Column): Column = {
+      val e = rD * c.cast("double") / nD
+      when(e > 0,
+        floor(lit(1e9) * (o.cast("double") - e) *
+          (o.cast("double") - e) / e).cast("long")).otherwise(lit(0L))
+    }
+    margins
+      .withColumn("__chi", cellNano(col("__a"), col("__ca")) +
+        cellNano(col("__b"), col("__cb")))
+      .groupBy(col("__s"))
+      .agg(max(col("__k")).as("n_samples"),
+        max(col("__ca") + col("__cb")).as("n"),
+        sum(col("__chi")).as("chi2_nano"))
+      .join(med.select(col("__s"), col("__m").as("median_cents")), "__s")
+      .select(col("__s").as(strataCol), col("median_cents"),
+        col("n_samples"), col("n"), col("chi2_nano"),
+        (col("n_samples") - 1L).as("dof"))
+  }
+
+  /** Two-proportion power analysis per group: from the observed
+    * baseline rate p₁ (exact counts), the required sample size per
+    * arm to detect each absolute lift δ at two-sided α = 0.05 with
+    * 80% power — n = (z_α·√(2p̄q̄) + z_β·√(p₁q₁ + p₂q₂))² / δ², the
+    * standard normal-approximation design formula. The planning
+    * companion of [[AnalyticsStatsOps.proportionTest]] (which judges
+    * the experiment after the fact): every monitored rate gets a
+    * "how long must the A/B run" row before anyone flips a flag.
+    *
+    * Exactness: p₁ is one division of exact longs; z constants are
+    * pinned public literals (1.959964, 0.841621); each n is one fixed
+    * double expression → ceil → long (both engines run the identical
+    * IEEE sequence). Lifts that would push p₂ past 1 emit null.
+    *
+    * Scale: one grouped count, then a constant-width literal explode —
+    * group-count-sized everything.
+    */
+  def powerAnalysis(
+      df: DataFrame, groupCol: String, successCol: Column,
+      lifts: Seq[Double] = Seq(0.01, 0.02, 0.05),
+      zAlpha: Double = 1.959964, zBeta: Double = 0.841621): DataFrame = {
+    val agg = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(successCol.cast("boolean"), 1L).otherwise(0L))
+          .as("successes"))
+    val p1 = col("successes").cast("double") /
+      col("trials").cast("double")
+    val lifted = agg.select(col("__g"), col("trials"),
+        col("successes"),
+        explode(array(lifts.map(lit): _*)).as("lift"))
+    val p2 = p1 + col("lift")
+    val pBar = (p1 + p2) / lit(2.0d)
+    val nArm = ceil(
+      (lit(zAlpha) * sqrt(lit(2.0d) * pBar * (lit(1.0d) - pBar)) +
+        lit(zBeta) * sqrt(p1 * (lit(1.0d) - p1) +
+          p2 * (lit(1.0d) - p2))) *
+      (lit(zAlpha) * sqrt(lit(2.0d) * pBar * (lit(1.0d) - pBar)) +
+        lit(zBeta) * sqrt(p1 * (lit(1.0d) - p1) +
+          p2 * (lit(1.0d) - p2))) /
+      (col("lift") * col("lift"))).cast("long")
+    lifted.select(col("__g").as(groupCol), col("trials"),
+      col("successes"), round(p1, 6).as("baseline_rate"),
+      col("lift"),
+      when(p2 < 1.0d, nArm).as("n_per_arm"))
+  }
+
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival-comparison, multi-rater-agreement and calibration
+  * goodness-of-fit operators (round 16, second wave). Self-typed to
+  * and mixed back into [[Analytics]], so callers see one object.
+  *
+  * Shared discipline (the kaplanMeier/nelsonAalen conventions): every
+  * input to float math is an exact integer from grouped counts +
+  * windows; per-step double increments are nano-floored BEFORE any
+  * running sum (quantize-before-sum, so both engines sum identical
+  * longs); rendered statistics are one fixed sequence of IEEE ops over
+  * those exact integers, written identically in the DuckDB oracle.
+  */
+private[graft] trait AnalyticsSurvivalOps { this: Analytics.type =>
+
+  /** Two-group log-rank (Mantel–Cox) test per stratum: does group 1's
+    * survival curve differ from group 0's?  At each event time t with
+    * d events total and n at risk (n₁ in group 1): O₁ += d₁,
+    * E₁ += d·n₁/n, V += d·n₁·n₀·(n−d) / (n²·(n−1)); the statistic is
+    * χ² = (O₁−E₁)²/V on 1 df — the canonical A/B read over the
+    * [[kaplanMeier]]/[[nelsonAalen]] churn curves.
+    *
+    * Exactness: risk sets are exact longs from one grouped count per
+    * (stratum, group, t) collapsed to one row per (stratum, t), with
+    * per-group at-risk counts from running windows over that
+    * timepoint frame (the [[kaplanMeier]] shape — nothing
+    * subject-sized survives the first combine). The E₁ and V
+    * increments are each ONE double expression over exact longs,
+    * nano-floored before the stratum sum; χ² renders from the two
+    * nano sums at the end.
+    *
+    * Scale: timepoint-frame-sized windows per stratum; subjects
+    * unbounded. Zero-variance strata (one group empty, or every
+    * event time has n≤1) report null χ² rather than an IEEE NaN.
+    */
+  def logRank(
+      df: DataFrame, strataCol: String, group1Col: Column,
+      durationCol: Column, eventCol: Column): DataFrame = {
+    val base = df.select(col(strataCol).as("__s"),
+        group1Col.cast("boolean").as("__g1"),
+        durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"))
+      .where(col("__t").isNotNull && col("__t") >= 0 &&
+        col("__g1").isNotNull)
+    val byTime = base.groupBy("__s", "__g1", "__t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
+    // one row per (stratum, t) with both groups' leave counts
+    val perTime = byTime.groupBy("__s", "__t")
+      .agg(
+        sum(when(col("__g1"), col("__d")).otherwise(0L)).as("__d1"),
+        sum(when(col("__g1"), col("__c")).otherwise(0L)).as("__c1"),
+        sum(when(!col("__g1"), col("__d")).otherwise(0L)).as("__d0"),
+        sum(when(!col("__g1"), col("__c")).otherwise(0L)).as("__c0"))
+    val w = Window.partitionBy("__s").orderBy("__t")
+    val whole = Window.partitionBy("__s")
+    val risked = perTime
+      .withColumn("__tot1", sum(col("__d1") + col("__c1")).over(whole))
+      .withColumn("__tot0", sum(col("__d0") + col("__c0")).over(whole))
+      .withColumn("__gone1", coalesce(sum(col("__d1") + col("__c1"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__gone0", coalesce(sum(col("__d0") + col("__c0"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n1", col("__tot1") - col("__gone1"))
+      .withColumn("__n0", col("__tot0") - col("__gone0"))
+      .withColumn("__n", col("__n1") + col("__n0"))
+      .withColumn("__d", col("__d1") + col("__d0"))
+      .where(col("__d") >= 1)
+    val dD = col("__d").cast("double")
+    val n1D = col("__n1").cast("double")
+    val n0D = col("__n0").cast("double")
+    val nD = col("__n").cast("double")
+    val incs = risked
+      .withColumn("__e1", floor(lit(1e9) * dD * n1D / nD).cast("long"))
+      .withColumn("__v", when(col("__n") > 1,
+        floor(lit(1e9) * dD * n1D * n0D *
+            (nD - dD) / (nD * nD * (nD - lit(1.0d))))
+          .cast("long")).otherwise(lit(0L)))
+    val agg0 = incs.groupBy(col("__s"))
+      .agg(max(col("__tot1")).as("n1"), max(col("__tot0")).as("n0"),
+        sum(col("__d1")).as("o1"), sum(col("__e1")).as("e1_nano"),
+        sum(col("__v")).as("var_nano"))
+    val diff = col("o1").cast("double") -
+      col("e1_nano").cast("double") / lit(1e9)
+    agg0.select(col("__s").as(strataCol), col("n1"), col("n0"),
+      col("o1"), col("e1_nano"), col("var_nano"),
+      when(col("var_nano") > 0,
+        round(diff * diff / (col("var_nano").cast("double") / lit(1e9)),
+          4)).as("chi2"))
+  }
+
+  /** Krippendorff's alpha (nominal metric, complete ratings) per
+    * group: chance-corrected agreement among m raters over N units,
+    * 1 − D_o/D_e from the coincidence matrix. With every unit rated
+    * by all m raters: D_o = Σ_u X_u/(m−1) where X_u = ordered
+    * disagreeing rater pairs in unit u, and D_e = Σ_{c≠k} n_c·n_k
+    * /(n−1) with n = m·N total values — so
+    * α = 1 − (n−1)·ΣX_u / ((m−1)·(n² − Σ_c n_c²)).
+    * [[AnalyticsInferenceOps.fleissKappa]]'s chance model fixes the
+    * per-category marginals; alpha's coincidence model is the one
+    * that stays comparable across corpora with different rater
+    * counts — the standard annotation-quality gate for labeled
+    * training data.
+    *
+    * Exactness: X_u is an integer expression per unit (pairwise
+    * inequality count ×2), category totals n_c come from one
+    * explode+count, and α is one double expression over the exact
+    * longs at the end. n² stays exact in double below n ≈ 9·10⁷
+    * values per group; beyond that move the two products to
+    * decimal(38,0) — noted rather than paid, since a 100 TB corpus
+    * is rated in strata anyway.
+    *
+    * Scale: one narrow projection per unit (no shuffle), one
+    * explode → grouped count (category-sized), one final group-by.
+    */
+  def krippendorffAlpha(
+      df: DataFrame, groupCol: String, raters: Seq[Column]): DataFrame = {
+    require(raters.length >= 2, "krippendorffAlpha needs >= 2 raters")
+    val m = raters.length
+    val rated = df.select(col(groupCol).as("__g") +:
+      raters.zipWithIndex.map { case (r, i) =>
+        r.cast("long").as(s"__r$i") }: _*)
+      .where((0 until m).map(i => col(s"__r$i").isNotNull)
+        .reduce(_ && _))
+    // ordered disagreeing pairs in the unit = 2 * count of unordered
+    // unequal pairs among the m ratings
+    val disag = (for {
+      i <- 0 until m; j <- (i + 1) until m
+    } yield when(col(s"__r$i") =!= col(s"__r$j"), 2L).otherwise(0L))
+      .reduce(_ + _)
+    val units = rated.withColumn("__x", disag)
+    val doNum = units.groupBy("__g")
+      .agg(count(lit(1)).as("n_units"), sum(col("__x")).as("do_pairs"))
+    val values = units.select(col("__g"),
+        explode(array((0 until m).map(i => col(s"__r$i")): _*))
+          .as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__nc"))
+    val deNum = values.groupBy("__g")
+      .agg(sum(col("__nc")).as("__n"),
+        sum(col("__nc") * col("__nc")).as("__nc2"))
+    val nD = col("__n").cast("double")
+    val dePairs = nD * nD - col("__nc2").cast("double")
+    doNum.join(deNum, "__g")
+      .select(col("__g").as(groupCol), col("n_units"),
+        col("do_pairs"),
+        when(dePairs > 0, round(
+          lit(1.0d) - (nD - lit(1.0d)) *
+            col("do_pairs").cast("double") /
+            (lit((m - 1).toDouble) * dePairs), 6)).as("alpha"))
+  }
+
+  /** Hosmer–Lemeshow calibration table per group: rows ranked by a
+    * probability-like score into `bins` equal-count buckets
+    * (deterministic ntile over (score, tie-break)), each bucket
+    * comparing observed positives vs the sum of predicted
+    * probabilities — χ² contribution (O−E)²/(E·(1−E/n)) per bucket,
+    * the grouped calibration read next to
+    * [[AnalyticsStatsOps.isotonicCalibration]]'s monotone fit.
+    *
+    * Exactness: the score is nano-floored PER ROW before any sum
+    * (pass a pure-rational score — one division, no exp — so both
+    * engines floor the same double); bucket sums are exact longs;
+    * each bucket's E, gap and χ² contribution are one double
+    * expression at the end. Degenerate buckets (E=0 or E=n) emit a
+    * null contribution rather than an IEEE Infinity.
+    *
+    * Scale: one ntile window per group (a sort — the price of
+    * equal-count calibration bins; fixed-width binning via
+    * [[AnalyticsStatsOps.binnedWoe]] is the shuffle-free
+    * alternative), then a bucket-sized aggregate.
+    */
+  def hosmerLemeshow(
+      df: DataFrame, groupCol: String, scoreCol: Column,
+      labelCol: Column, tieCol: Column, bins: Int = 10): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        floor(scoreCol.cast("double") * lit(1e9)).cast("long")
+          .as("__sn"),
+        labelCol.cast("boolean").as("__y"), tieCol.as("__tie"))
+      .where(col("__sn").isNotNull && col("__y").isNotNull)
+    val binned = base.withColumn("__b",
+      ntile(bins).over(Window.partitionBy("__g")
+        .orderBy(col("__sn"), col("__tie"))))
+    val perBin = binned.groupBy("__g", "__b")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("obs_pos"),
+        sum(col("__sn")).as("__esum"))
+    val nD = col("n").cast("double")
+    val e = col("__esum").cast("double") / lit(1e9)
+    val gap = col("obs_pos").cast("double") - e
+    perBin.select(col("__g").as(groupCol),
+      col("__b").cast("long").as("bin"),
+      col("n"), col("obs_pos"),
+      round(e, 4).as("exp_pos"),
+      when(e > 0 && e < nD,
+        round(gap * gap / (e * (lit(1.0d) - e / nD)), 4))
+        .as("hl_contrib"))
+  }
+}

@@ -1,0 +1,430 @@
+package graft.registry
+
+import graft.operators.Analytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.registry.RegistryBase._
+
+/** Survival-comparison / multi-rater-agreement / calibration shelf
+  * (round 16, second wave): the log-rank test over the q191 churn
+  * frame, Krippendorff's alpha over three document annotators, and
+  * the Hosmer–Lemeshow calibration table. Mixed into
+  * [[AnalyticsRegistry]]; conventions: see [[graft.SparkEntry]].
+  */
+private[graft] trait AnalyticsSurvivalShelf extends AnalyticsCore {
+
+  private[graft] def survivalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_log_rank" -> (logRankQ _),
+    "q330_krippendorff_alpha" -> (krippendorffQ _),
+    "q331_hosmer_lemeshow" -> (hosmerLemeshowQ _),
+    "q332_generalized_esd" -> (generalizedEsdQ _),
+    "q333_mood_median" -> (moodMedianQ _),
+    "q334_power_analysis" -> (powerAnalysisQ _),
+  )
+
+  /** Generalized ESD outlier screen ([[Analytics.generalizedEsd]]):
+    * three remove-and-recompute rounds over event values per type —
+    * the masking-proof top-outlier report for the value monitor.
+    * Extremes chosen by exact integer deviation, (value, event_id)
+    * tie-broken.
+    */
+  private[graft] def generalizedEsdQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.generalizedEsd(
+        events(s, dir).where(col("value").isNotNull),
+        "event_type", floor(col("value") * 100).cast("long"),
+        col("event_id"), rounds = 3)
+      .orderBy("event_type", "round")
+
+  /** Mood's median test ([[Analytics.moodMedianTest]]): within each
+    * event type, do the seven day-phases (epoch-anchored, engine-
+    * neutral `(days since 2024-01-01) mod 7`) share a common value
+    * median? The outlier-immune weekday-location read beside q195's
+    * seasonal profile; χ² emitted in exact nano units.
+    */
+  private[graft] def moodMedianQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    Analytics.moodMedianTest(e,
+        "event_type",
+        pmod(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")), lit(7)),
+        floor(col("value") * 100).cast("long"))
+      .orderBy("event_type")
+  }
+
+  /** Two-proportion power analysis ([[Analytics.powerAnalysis]]):
+    * per order status, the observed urgent/high share as the
+    * baseline rate and the per-arm sample size needed to detect
+    * +1/+2/+5 pp lifts at α=0.05 / 80% power — the design table
+    * before any experiment ships.
+    */
+  private[graft] def powerAnalysisQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.powerAnalysis(t(s, dir, "orders"), "o_orderstatus",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .orderBy("o_orderstatus", "lift")
+
+  /** Two-group log-rank test ([[Analytics.logRank]]) on the exact
+    * q191/q316 churn-subject frame, split within each market segment
+    * by account-balance sign: do delinquent (negative-balance)
+    * customers churn on a different curve? O₁/E₁/V accumulate in
+    * exact nano units; χ² renders once per stratum.
+    */
+  private[graft] def logRankQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+    val perCust = o.groupBy(col("c_mktsegment"),
+        (col("c_acctbal") >= 0).as("__g1"), col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("__first"),
+        max(col("o_orderdate").cast("date")).as("__last"))
+    val mx = perCust.agg(max(col("__last")).as("__mx"))
+    val subjects = perCust.crossJoin(broadcast(mx))
+      .select(col("c_mktsegment"), col("__g1"),
+        datediff(col("__last"), col("__first")).as("__dur"),
+        (col("__last") < date_sub(col("__mx"), 90)).as("__event"))
+    Analytics.logRank(subjects, "c_mktsegment", col("__g1"),
+        col("__dur"), col("__event"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Krippendorff's alpha ([[Analytics.krippendorffAlpha]]) per
+    * language over three cheap document annotators, each rating a
+    * quality tier 0/1/2: length (n_chars cuts), lexical diversity
+    * (distinct-token ratio — integer cross-multiplied, no float
+    * thresholds), and mean token length (non-space chars per token,
+    * same integer discipline). The annotation-quality gate a labeled
+    * training corpus ships with.
+    */
+  private[graft] def krippendorffQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .where(col("text").isNotNull && col("lang").isNotNull)
+      .withColumn("__tk", size(split(col("text"), " ")).cast("long"))
+      .withColumn("__dt",
+        size(array_distinct(split(col("text"), " "))).cast("long"))
+      .withColumn("__cs",
+        length(translate(col("text"), " ", "")).cast("long"))
+    val rA = when(col("n_chars") < 250, 0L)
+      .when(col("n_chars") < 400, 1L).otherwise(2L)
+    val rB = when(col("__dt") * 1000 < col("__tk") * 420, 0L)
+      .when(col("__dt") * 1000 < col("__tk") * 580, 1L).otherwise(2L)
+    val rC = when(col("__cs") * 1000 < col("__tk") * 4430, 0L)
+      .when(col("__cs") * 1000 < col("__tk") * 4590, 1L).otherwise(2L)
+    Analytics.krippendorffAlpha(d, "lang", Seq(rA, rB, rC))
+      .orderBy("lang")
+  }
+
+  /** Hosmer–Lemeshow decile calibration ([[Analytics.hosmerLemeshow]])
+    * of a rational price-based score p/(p+200k) against the
+    * urgent/high label, per order status — the grouped
+    * goodness-of-fit read next to q293's ROC-AUC (discrimination) and
+    * the isotonic fit (recalibration). Scores nano-floored per row
+    * before any sum.
+    */
+  private[graft] def hosmerLemeshowQ(s: SparkSession, dir: String): DataFrame = {
+    val p = col("o_totalprice").cast("double")
+    Analytics.hosmerLemeshow(t(s, dir, "orders"), "o_orderstatus",
+        p / (p + lit(200000.0)),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        col("o_orderkey"), bins = 10)
+      .orderBy("o_orderstatus", "bin")
+  }
+
+  private[graft] def survivalOracleSql: Map[String, String] = Map(
+    // the q191 churn CTE split by balance sign; E1/V increments
+    // nano-floored before the stratum sums, one double chi2 at the end
+    "q329_log_rank" ->
+      """WITH pc AS (
+           SELECT c_mktsegment AS s, (c_acctbal >= 0) AS g1, o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS f,
+             max(CAST(o_orderdate AS DATE)) AS l
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2, 3),
+         mx AS (SELECT max(l) AS mx FROM pc),
+         subj AS (
+           SELECT s, g1, date_diff('day', f, l) AS t,
+             (l < mx - 90) AS e
+           FROM pc CROSS JOIN mx),
+         bt AS (
+           SELECT s, g1, t,
+             CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM subj GROUP BY 1, 2, 3),
+         pt AS (
+           SELECT s, t,
+             CAST(sum(CASE WHEN g1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN g1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN NOT g1 THEN d ELSE 0 END) AS BIGINT)
+               AS d0,
+             CAST(sum(CASE WHEN NOT g1 THEN c ELSE 0 END) AS BIGINT)
+               AS c0
+           FROM bt GROUP BY 1, 2),
+         rk AS (
+           SELECT s, t, d1, d0,
+             CAST(sum(d1 + c1) OVER (PARTITION BY s) AS BIGINT)
+               AS tot1,
+             CAST(sum(d0 + c0) OVER (PARTITION BY s) AS BIGINT)
+               AS tot0,
+             CAST(sum(d1 + c1) OVER (PARTITION BY s) AS BIGINT)
+               - CAST(coalesce(sum(d1 + c1) OVER (PARTITION BY s
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+             CAST(sum(d0 + c0) OVER (PARTITION BY s) AS BIGINT)
+               - CAST(coalesce(sum(d0 + c0) OVER (PARTITION BY s
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n0
+           FROM pt),
+         rk2 AS (
+           SELECT s, tot1, tot0, d1, n1, n0,
+             n1 + n0 AS n, d1 + d0 AS d
+           FROM rk WHERE d1 + d0 >= 1),
+         inc AS (
+           SELECT s, tot1, tot0, d1,
+             CAST(floor(1e9 * CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) AS BIGINT) AS e1,
+             CASE WHEN n > 1 THEN
+               CAST(floor(1e9 * CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 * CAST(n0 AS DOUBLE)
+                 * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0))) AS BIGINT)
+             ELSE 0 END AS v
+           FROM rk2),
+         ag AS (
+           SELECT s, max(tot1) AS n1, max(tot0) AS n0,
+             CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(e1) AS BIGINT) AS e1_nano,
+             CAST(sum(v) AS BIGINT) AS var_nano
+           FROM inc GROUP BY s)
+         SELECT s AS c_mktsegment, n1, n0, o1, e1_nano, var_nano,
+           CASE WHEN var_nano > 0 THEN
+             round((CAST(o1 AS DOUBLE) - CAST(e1_nano AS DOUBLE) / 1e9)
+               * (CAST(o1 AS DOUBLE) - CAST(e1_nano AS DOUBLE) / 1e9)
+               / (CAST(var_nano AS DOUBLE) / 1e9), 4)
+           END AS chi2
+         FROM ag ORDER BY c_mktsegment""",
+    // integer-tier raters (cross-multiplied thresholds, no float);
+    // alpha = 1 - (n-1)*do / (2*(n^2 - sum nc^2)) in one double pass
+    "q330_krippendorff_alpha" ->
+      """WITH d AS (
+           SELECT lang, n_chars,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS tk,
+             CAST(length(list_distinct(string_split(text, ' ')))
+               AS BIGINT) AS dt,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS cs
+           FROM documents
+           WHERE text IS NOT NULL AND lang IS NOT NULL),
+         r AS (
+           SELECT lang,
+             CASE WHEN n_chars < 250 THEN 0
+               WHEN n_chars < 400 THEN 1 ELSE 2 END AS r0,
+             CASE WHEN dt * 1000 < tk * 420 THEN 0
+               WHEN dt * 1000 < tk * 580 THEN 1 ELSE 2 END AS r1,
+             CASE WHEN cs * 1000 < tk * 4430 THEN 0
+               WHEN cs * 1000 < tk * 4590 THEN 1 ELSE 2 END AS r2
+           FROM d),
+         u AS (
+           SELECT lang, r0, r1, r2,
+             CAST(CASE WHEN r0 <> r1 THEN 2 ELSE 0 END
+               + CASE WHEN r0 <> r2 THEN 2 ELSE 0 END
+               + CASE WHEN r1 <> r2 THEN 2 ELSE 0 END AS BIGINT) AS x
+           FROM r),
+         don AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(x) AS BIGINT) AS do_pairs
+           FROM u GROUP BY 1),
+         vals AS (
+           SELECT lang, unnest([r0, r1, r2]) AS v FROM u),
+         nc AS (
+           SELECT lang, v, CAST(count(*) AS BIGINT) AS c
+           FROM vals GROUP BY 1, 2),
+         de AS (
+           SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * c) AS BIGINT) AS nc2
+           FROM nc GROUP BY 1)
+         SELECT don.lang, n_units, do_pairs,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(nc2 AS DOUBLE) > 0 THEN
+             round(1.0 - (CAST(n AS DOUBLE) - 1.0)
+               * CAST(do_pairs AS DOUBLE)
+               / (2.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(nc2 AS DOUBLE))), 6)
+           END AS alpha
+         FROM don JOIN de USING (lang) ORDER BY lang""",
+    // score nano-floored per row BEFORE the bucket sums (the
+    // quantize-before-sum rule); deterministic ntile on (score, key)
+    "q331_hosmer_lemeshow" ->
+      """WITH b AS (
+           SELECT o_orderstatus AS g,
+             CAST(floor(CAST(o_totalprice AS DOUBLE)
+               / (CAST(o_totalprice AS DOUBLE) + 200000.0) * 1e9)
+               AS BIGINT) AS sn,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS y,
+             o_orderkey AS tie
+           FROM orders),
+         nt AS (
+           SELECT g, sn, y, ntile(10) OVER (
+             PARTITION BY g ORDER BY sn, tie) AS bin
+           FROM b),
+         pb AS (
+           SELECT g, bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS obs_pos,
+             CAST(sum(sn) AS BIGINT) AS esum
+           FROM nt GROUP BY 1, 2)
+         SELECT g AS o_orderstatus, bin, n, obs_pos,
+           round(CAST(esum AS DOUBLE) / 1e9, 4) AS exp_pos,
+           CASE WHEN CAST(esum AS DOUBLE) / 1e9 > 0
+               AND CAST(esum AS DOUBLE) / 1e9 < CAST(n AS DOUBLE) THEN
+             round((CAST(obs_pos AS DOUBLE)
+                 - CAST(esum AS DOUBLE) / 1e9)
+               * (CAST(obs_pos AS DOUBLE) - CAST(esum AS DOUBLE) / 1e9)
+               / ((CAST(esum AS DOUBLE) / 1e9)
+                 * (1.0 - CAST(esum AS DOUBLE) / 1e9
+                   / CAST(n AS DOUBLE))), 4)
+           END AS hl_contrib
+         FROM pb ORDER BY o_orderstatus, bin""",
+    // three unrolled remove-and-recompute rounds; extreme picked by
+    // the exact HUGEINT deviation |v*n - s|, (value, key) tie-broken
+    "q332_generalized_esd" -> {
+      def round(i: Int): String = {
+        val (c, s, r, o, cn) = (s"c$i", s"s$i", s"r$i", s"o$i", s"c${i + 1}")
+        s"""$s AS (
+             SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS q
+             FROM $c GROUP BY g),
+           $r AS (
+             SELECT $c.g, v, k, n, s, q,
+               abs(CAST(v AS HUGEINT) * n - s) AS dev,
+               row_number() OVER (PARTITION BY $c.g
+                 ORDER BY abs(CAST(v AS HUGEINT) * n - s) DESC,
+                   v ASC, k ASC) AS rn
+             FROM $c JOIN $s USING (g)),
+           $o AS (
+             SELECT g, CAST($i AS BIGINT) AS round, n,
+               v AS removed_cents,
+               round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
+                 6) AS r_stat
+             FROM $r WHERE rn = 1 AND n > 2),
+           $cn AS (SELECT g, v, k FROM $r WHERE rn <> 1)"""
+      }
+      s"""WITH c1 AS (
+           SELECT event_type AS g,
+             CAST(floor(value * 100) AS BIGINT) AS v,
+             event_id AS k
+           FROM events WHERE value IS NOT NULL),
+         ${round(1)},
+         ${round(2)},
+         ${round(3)}
+         SELECT g AS event_type, round, n, removed_cents, r_stat
+         FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+           UNION ALL SELECT * FROM o3)
+         ORDER BY event_type, round"""
+    },
+    // pooled lower median from the distinct-value cumulative frame;
+    // per-cell (O-E)^2/E nano-floored before the order-free sum
+    "q333_mood_median" ->
+      """WITH b AS (
+           SELECT event_type AS s,
+             ((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               % 7) + 7) % 7 AS c,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         bv AS (
+           SELECT s, v, CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY 1, 2),
+         cum AS (
+           SELECT s, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY s ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY s) AS BIGINT) AS n
+           FROM bv),
+         med AS (
+           SELECT s, min(v) AS m, max(n) AS n
+           FROM cum WHERE cum * 2 >= n + 1 GROUP BY s),
+         cells AS (
+           SELECT b.s, c,
+             CAST(sum(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN v <= m THEN 1 ELSE 0 END) AS BIGINT)
+               AS bb
+           FROM b JOIN med USING (s) GROUP BY 1, 2),
+         mg AS (
+           SELECT s, c, a, bb,
+             CAST(sum(a) OVER (PARTITION BY s) AS BIGINT) AS ca,
+             CAST(sum(bb) OVER (PARTITION BY s) AS BIGINT) AS cb,
+             CAST(count(*) OVER (PARTITION BY s) AS BIGINT) AS k
+           FROM cells),
+         chi AS (
+           SELECT s, k, ca + cb AS n,
+             (CASE WHEN CAST(a + bb AS DOUBLE) * CAST(ca AS DOUBLE)
+                 / CAST(ca + cb AS DOUBLE) > 0 THEN
+               CAST(floor(1e9 * (CAST(a AS DOUBLE)
+                   - CAST(a + bb AS DOUBLE) * CAST(ca AS DOUBLE)
+                     / CAST(ca + cb AS DOUBLE))
+                 * (CAST(a AS DOUBLE)
+                   - CAST(a + bb AS DOUBLE) * CAST(ca AS DOUBLE)
+                     / CAST(ca + cb AS DOUBLE))
+                 / (CAST(a + bb AS DOUBLE) * CAST(ca AS DOUBLE)
+                   / CAST(ca + cb AS DOUBLE))) AS BIGINT)
+             ELSE 0 END)
+             + (CASE WHEN CAST(a + bb AS DOUBLE) * CAST(cb AS DOUBLE)
+                 / CAST(ca + cb AS DOUBLE) > 0 THEN
+               CAST(floor(1e9 * (CAST(bb AS DOUBLE)
+                   - CAST(a + bb AS DOUBLE) * CAST(cb AS DOUBLE)
+                     / CAST(ca + cb AS DOUBLE))
+                 * (CAST(bb AS DOUBLE)
+                   - CAST(a + bb AS DOUBLE) * CAST(cb AS DOUBLE)
+                     / CAST(ca + cb AS DOUBLE))
+                 / (CAST(a + bb AS DOUBLE) * CAST(cb AS DOUBLE)
+                   / CAST(ca + cb AS DOUBLE))) AS BIGINT)
+             ELSE 0 END) AS x
+           FROM mg),
+         ag AS (
+           SELECT s, max(k) AS n_samples, max(n) AS n,
+             CAST(sum(x) AS BIGINT) AS chi2_nano
+           FROM chi GROUP BY s)
+         SELECT ag.s AS event_type, med.m AS median_cents,
+           n_samples, ag.n, chi2_nano, n_samples - 1 AS dof
+         FROM ag JOIN med ON ag.s = med.s
+         ORDER BY event_type""",
+    // pinned z literals; the design formula is one fixed IEEE
+    // sequence over exact counts, ceil'd to BIGINT
+    "q334_power_analysis" ->
+      """WITH a AS (
+           SELECT o_orderstatus AS g, CAST(count(*) AS BIGINT)
+               AS trials,
+             CAST(sum(CASE WHEN o_orderpriority IN
+               ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+               AS successes
+           FROM orders GROUP BY 1),
+         l AS (
+           SELECT g, trials, successes,
+             unnest([0.01, 0.02, 0.05]) AS lift
+           FROM a),
+         p AS (
+           SELECT g, trials, successes, lift,
+             CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS p1,
+             CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) + lift
+               AS p2
+           FROM l),
+         f AS (
+           SELECT g, trials, successes, lift, p1, p2,
+             (p1 + p2) / 2.0 AS pbar
+           FROM p)
+         SELECT g AS o_orderstatus, trials, successes,
+           round(p1, 6) AS baseline_rate, lift,
+           CASE WHEN p2 < 1.0 THEN
+             CAST(ceil(
+               (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                 + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               * (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                 + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               / (lift * lift)) AS BIGINT)
+           END AS n_per_arm
+         FROM f ORDER BY o_orderstatus, lift""",
+  )
+}
