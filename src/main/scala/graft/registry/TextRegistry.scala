@@ -15,10 +15,11 @@ import graft.registry.RegistryBase._
   * Conventions: see [[graft.SparkEntry]]. Split from the original
   * single-file registry; member bodies are unchanged.
   */
-private[graft] object TextRegistry extends TextRetrievalShelf {
+private[graft] object TextRegistry extends TextRetrievalShelf
+    with TextMiningShelf {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    retrievalQueries ++ Map(
+    retrievalQueries ++ miningQueries ++ Map(
     "q124_unigram_lm_quality" -> (unigramLmQuality _),
     "q133_collapse_repeats" -> (collapseRepeatRuns _),
     "q140_fused_quality_pass" -> (fusedQualityPassQ _),
@@ -74,7 +75,7 @@ private[graft] object TextRegistry extends TextRetrievalShelf {
   )
 
   def oracleSql: Map[String, String] =
-    retrievalOracleSql ++ Map(
+    retrievalOracleSql ++ miningOracleSql ++ Map(
     "q124_unigram_lm_quality" ->
       s"""WITH t AS (
            SELECT doc_id, unnest($oracleWords) AS w FROM documents),

@@ -2098,4 +2098,168 @@ object TextAnalysis {
         round(col("__beta"), 6).as("beta"),
         round(col("__k"), 4).as("k_coef"))
   }
+
+  /** Dunning log-likelihood (G²) collocations — the PMI board's
+    * ([[pmiCollocations]]) statistically-honest sibling: PMI over-
+    * rewards rare pairs (two hapaxes that co-occur once max it out);
+    * G² weights evidence by VOLUME, scoring the full 2×2 bigram
+    * table a/b/c/d (pair / w1-other / other-w2 / neither) with
+    * 2·Σ O·ln(O·N / (row·col)) — zero cells contribute zero. Margins
+    * here are bigram-POSITION counts (w1-as-first, w2-as-second),
+    * the table the test actually wants, not unigram totals.
+    *
+    * Exactness: all eight table inputs are exact longs from three
+    * grouped counts over ONE persisted bigram-token frame; each term
+    * is o·ln((o·N)/(row·col)) — one ln per term over exact-int
+    * doubles, mirrored order, round 6 at the end (the q239 rationale:
+    * both engines produce identical doubles for identical ln args).
+    *
+    * Scale: the bigram frame shuffles once per grouping
+    * (pair/first/second) — distinct-bigram-sized after; the final
+    * board is one TakeOrderedAndProject.
+    */
+  def dunningCollocations(
+      df: DataFrame, textCol: String, minPairCount: Int = 5,
+      topK: Int = 50): DataFrame = {
+    require(minPairCount >= 2, "minPairCount must be >= 2")
+    require(topK >= 1 && topK <= 10000, "topK in [1, 10000]")
+    val bi = df
+      .select(explode(bigrams(col(textCol))).as("__bg"))
+      .select(split(col("__bg"), " ").getItem(0).as("w1"),
+        split(col("__bg"), " ").getItem(1).as("w2"))
+      .transform(graft.core.CacheScope.disk)
+    val pair = bi.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairCount)
+    val firsts = bi.groupBy("w1").agg(count(lit(1)).as("n_w1_first"))
+    val seconds = bi.groupBy("w2").agg(count(lit(1)).as("n_w2_second"))
+    val tot = bi.agg(count(lit(1)).as("__n"))
+    val joined = pair
+      .join(firsts, Seq("w1"))
+      .join(seconds, Seq("w2"))
+      .crossJoin(broadcast(tot))
+    val nD = col("__n").cast("double")
+    val aD = col("n_pair").cast("double")
+    val r1D = col("n_w1_first").cast("double")
+    val c1D = col("n_w2_second").cast("double")
+    val bD = r1D - aD
+    val cD = c1D - aD
+    val dD = nD - r1D - c1D + aD
+    def term(o: Column, row: Column, colN: Column): Column =
+      when(o > 0, o * log(o * nD / (row * colN))).otherwise(lit(0.0d))
+    val g2 = lit(2.0d) * (term(aD, r1D, c1D) +
+      term(bD, r1D, nD - c1D) + term(cD, nD - r1D, c1D) +
+      term(dD, nD - r1D, nD - c1D))
+    joined.select(col("w1"), col("w2"), col("n_pair"),
+        col("n_w1_first"), col("n_w2_second"), round(g2, 6).as("g2"))
+      .orderBy(col("g2").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** Flesch readability per group: reading-ease
+    * 206.835 − 1.015·(W/S) − 84.6·(Y/W) and Flesch–Kincaid grade
+    * 0.39·(W/S) + 11.8·(Y/W) − 15.59 over corpus-level word (W),
+    * sentence (S) and syllable (Y) totals. Syllables are the
+    * standard vowel-group heuristic (`[aeiouy]+` runs); sentences
+    * are `[.!?]+` runs floored at one per document — on punctuation-
+    * free corpora every document honestly reads as one long
+    * sentence, which is exactly what the metric should say.
+    *
+    * Exactness: three exact-long counters per group (one regexp
+    * pass each — no shuffle beyond the grouped sum), then each score
+    * is one fixed double expression, round 4.
+    */
+  def readabilityScores(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val per = df.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        size(regexp_extract_all(t, lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("__w"),
+        greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0)))
+          .cast("long"), lit(1L)).as("__s"),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("__y"))
+    val agg = per.groupBy("__g")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_sentences"),
+        sum(col("__y")).as("n_syllables"))
+    val wD = col("n_words").cast("double")
+    val sD = col("n_sentences").cast("double")
+    val yD = col("n_syllables").cast("double")
+    agg.select(col("__g").as(groupCol), col("n_docs"),
+      col("n_words"), col("n_sentences"), col("n_syllables"),
+      when(col("n_words") > 0,
+        round(lit(206.835d) - lit(1.015d) * (wD / sD) -
+          lit(84.6d) * (yD / wD), 4)).as("flesch"),
+      when(col("n_words") > 0,
+        round(lit(0.39d) * (wD / sD) + lit(11.8d) * (yD / wD) -
+          lit(15.59d), 4)).as("fk_grade"))
+  }
+
+  /** RAKE keyword extraction over a corpus: candidate phrases are
+    * maximal stopword-free token runs (split at [[stopwords]]);
+    * each word scores degree/frequency (degree = Σ lengths of the
+    * phrase occurrences containing it — co-occurrence weight;
+    * frequency = its occurrence count inside phrases) and a phrase
+    * scores the sum of its members' scores — the classic
+    * co-occurrence-graph keyword ranker, corpus-level.
+    *
+    * Exactness: runs are identified by the pos − rank trick (explode
+    * with position, filter stopwords, run id = pos − row_number per
+    * doc — pure integer), phrases rebuilt by an ordered array fold;
+    * word scores are floor(10⁶·degree/freq) longs BEFORE the phrase
+    * sum (quantize-before-sum), so the board ranks by an exact
+    * integer.
+    *
+    * Scale: one explode (row per token), one window per document
+    * (partition = doc, the natural key), grouped counts at
+    * distinct-word and distinct-phrase size; the board is one
+    * TakeOrderedAndProject. No pairwise joins anywhere — the
+    * co-occurrence graph is implicit in the degree sum.
+    */
+  def rakeKeywords(
+      df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 25): DataFrame = {
+    require(topK >= 1 && topK <= 10000, "topK in [1, 10000]")
+    val toks = df
+      .select(col(idCol).as("__id"),
+        posexplode(words(col(textCol))).as(Seq("__p", "__w")))
+      .where(!col("__w").isInCollection(stopwords))
+      .withColumn("__run", col("__p") - row_number().over(
+        Window.partitionBy("__id").orderBy("__p")))
+    // one row per phrase OCCURRENCE, members in order
+    val occs = toks.groupBy("__id", "__run")
+      .agg(sort_array(collect_list(struct(col("__p"), col("__w"))))
+        .as("__m"))
+      .select(col("__id"), col("__m").getField("__w").as("__ws"),
+        size(col("__m")).cast("long").as("__len"))
+      .withColumn("__phrase", array_join(col("__ws"), " "))
+      .transform(graft.core.CacheScope.disk)
+    // word stats over phrase occurrences: freq + degree
+    val wordStats = occs
+      .select(explode(col("__ws")).as("__w"), col("__len"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .withColumn("__score",
+        floor(lit(1e6) * col("__deg").cast("double") /
+          col("__freq").cast("double")).cast("long"))
+    // phrase score = Σ member word scores; members re-derived from
+    // the DISTINCT phrase string (a word repeated in a phrase counts
+    // each time), so the sum is one exact long per distinct phrase
+    val phraseCounts = occs.groupBy("__phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val members = phraseCounts
+      .select(col("__phrase"),
+        explode(split(col("__phrase"), " ")).as("__w"))
+    val phraseScores = members
+      .join(wordStats.select(col("__w"), col("__score")), Seq("__w"))
+      .groupBy("__phrase")
+      .agg(sum(col("__score")).as("score_micro"))
+    phraseCounts.join(phraseScores, Seq("__phrase"))
+      .select(col("__phrase").as("phrase"), col("n_occurrences"),
+        col("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+      .limit(topK)
+  }
 }
