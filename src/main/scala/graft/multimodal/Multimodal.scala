@@ -434,6 +434,137 @@ object Multimodal {
       cdGated(crc).as("first_crc32"))
   }
 
+  /** FLAC STREAMINFO decode as pure expressions — the lossless-audio
+    * sibling of [[wavHeaderMeta]]: the fLaC magic, a first metadata
+    * block asserted to be STREAMINFO (type 0, length 34), then the
+    * fixed-position fields including the 64-bit packed group
+    * `sampleRate(20) | channels−1(3) | bits−1(5) | totalSamples(36)`
+    * — read as two 32-bit big-endian halves and reassembled with
+    * shifts/masks (one 8-byte `conv` could overflow signed Long).
+    * The 16-byte raw-PCM MD5 signature is emitted as hex — the
+    * content-address a dedup pass wants WITHOUT decoding any frame.
+    * Length/signature-gated: non-FLAC and truncated payloads yield
+    * all-null fields, never a misread.
+    */
+  def flacHeaderMeta(bin: Column): Column = {
+    val isFlac = length(bin) >= 42 &&
+      upper(hex(substring(bin, 1, 4))) === "664C6143" &&
+      beUInt(bin, 5, 1).bitwiseAND(lit(0x7FL)) === 0L &&
+      beUInt(bin, 6, 3) === 34L
+    val hi = beUInt(bin, 19, 4)
+    val lo = beUInt(bin, 23, 4)
+    val nulL = lit(null).cast("long")
+    def gated(c: Column): Column = when(isFlac, c).otherwise(nulL)
+    def gatedI(c: Column): Column =
+      when(isFlac, c).otherwise(lit(null).cast("int"))
+    struct(
+      when(isFlac, lit("flac")).otherwise(lit(null).cast("string"))
+        .as("format"),
+      gated(beUInt(bin, 9, 2)).as("min_blocksize"),
+      gated(beUInt(bin, 11, 2)).as("max_blocksize"),
+      gated(beUInt(bin, 13, 3)).as("min_framesize"),
+      gated(beUInt(bin, 16, 3)).as("max_framesize"),
+      gated(shiftright(hi, 12)).as("sample_rate"),
+      gatedI((shiftright(hi, 9).bitwiseAND(lit(7L)) + 1L)
+        .cast("int")).as("channels"),
+      gatedI((shiftright(hi, 4).bitwiseAND(lit(31L)) + 1L)
+        .cast("int")).as("bits_per_sample"),
+      gated(hi.bitwiseAND(lit(15L)) * lit(4294967296L) + lo)
+        .as("total_samples"),
+      when(isFlac, lower(hex(substring(bin, 27, 16))))
+        .otherwise(lit(null).cast("string")).as("md5_hex"))
+  }
+
+  /** POSIX ustar tar-entry header decode as pure expressions — the
+    * archive format whose numbers are ASCII OCTAL: every numeric
+    * field is a NUL/space-padded octal string, so the walk is
+    * substring → trim → `conv(_, 8, 10)` rather than byte
+    * reassembly. `entry_bytes` (header + data rounded up to the
+    * 512-byte block) is the shard planner's number: summing it over
+    * a listing prices a sequential sweep without opening anything.
+    * Gated on the `ustar` magic at offset 257 and the full 512-byte
+    * header being present; anything else yields all-null.
+    */
+  def tarHeaderMeta(bin: Column): Column = {
+    val isTar = length(bin) >= 512 &&
+      upper(hex(substring(bin, 258, 5))) === "7573746172"
+    def asciiZ(off: Int, n: Int): Column = substring_index(
+      decode(substring(bin, off, n), "ISO-8859-1"), "\u0000", 1)
+    def octal(off: Int, n: Int): Column =
+      conv(trim(asciiZ(off, n)), 8, 10).cast("long")
+    val size = octal(125, 12)
+    val nulL = lit(null).cast("long")
+    def gated(c: Column): Column = when(isTar, c).otherwise(nulL)
+    def gatedS(c: Column): Column =
+      when(isTar, c).otherwise(lit(null).cast("string"))
+    struct(
+      when(isTar, lit("tar")).otherwise(lit(null).cast("string"))
+        .as("format"),
+      gatedS(asciiZ(1, 100)).as("name"),
+      gated(octal(101, 8)).as("mode"),
+      gated(octal(109, 8)).as("uid"),
+      gated(octal(117, 8)).as("gid"),
+      gated(size).as("size"),
+      gated(octal(137, 12)).as("mtime"),
+      gated(octal(149, 8)).as("checksum"),
+      gatedS(decode(substring(bin, 157, 1), "ISO-8859-1"))
+        .as("typeflag"),
+      gatedS(asciiZ(266, 32)).as("uname"),
+      // header block + data rounded up to 512: (size+511) >> 9 << 9
+      gated(lit(512L) +
+        shiftleft(shiftright(size + 511L, 9), 9)).as("entry_bytes"))
+  }
+
+  /** MPEG-1 Layer III (MP3) first-frame header decode as pure
+    * expressions: the 11-bit sync word, version/layer gates, then
+    * the bitrate INDEX and samplerate INDEX resolved through the
+    * spec's lookup tables as literal CASE chains (the driver-literal
+    * discipline — the tables are constants of the format, not data).
+    * `frame_bytes = ⌊144·bitrate/sampleRate⌋ + padding` prices the
+    * frame walk; both engines compute the same mirrored double
+    * division. Free-format (index 0) and the reserved index 15 /
+    * reserved samplerate 3 yield null bitrate/samplerate and a null
+    * frame size — gated, never misread.
+    */
+  def mp3FrameMeta(bin: Column): Column = {
+    val b2 = beUInt(bin, 2, 1)
+    val isMp3 = length(bin) >= 4 &&
+      beUInt(bin, 1, 1) === 0xFFL &&
+      b2.bitwiseAND(lit(0xE0L)) === 0xE0L &&
+      b2.bitwiseAND(lit(0x18L)) === 0x18L &&
+      b2.bitwiseAND(lit(0x06L)) === 0x02L
+    val b3 = beUInt(bin, 3, 1)
+    val brIdx = shiftright(b3, 4)
+    val srIdx = shiftright(b3, 2).bitwiseAND(lit(3L))
+    val pad = shiftright(b3, 1).bitwiseAND(lit(1L))
+    val mode = shiftright(beUInt(bin, 4, 1), 6)
+    val kbps = Seq(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L,
+      160L, 192L, 224L, 256L, 320L)
+    val bitrate = kbps.zipWithIndex.foldLeft(
+      lit(null).cast("long")) { case (acc, (kb, i)) =>
+        when(brIdx === (i + 1).toLong, lit(kb)).otherwise(acc)
+      }
+    val srate = when(srIdx === 0L, 44100L).when(srIdx === 1L, 48000L)
+      .when(srIdx === 2L, 32000L).otherwise(lit(null).cast("long"))
+    val frameBytes = floor(
+      (lit(144L) * bitrate * 1000L).cast("double") /
+        srate.cast("double")).cast("long") + pad
+    val nulL = lit(null).cast("long")
+    def gated(c: Column): Column = when(isMp3, c).otherwise(nulL)
+    struct(
+      when(isMp3, lit("mp3")).otherwise(lit(null).cast("string"))
+        .as("format"),
+      gated(bitrate).as("bitrate_kbps"),
+      gated(srate).as("sample_rate"),
+      when(isMp3, pad.cast("int")).otherwise(lit(null).cast("int"))
+        .as("padding"),
+      when(isMp3,
+        when(mode === 0L, "stereo").when(mode === 1L, "joint_stereo")
+          .when(mode === 2L, "dual_channel").otherwise("mono"))
+        .otherwise(lit(null).cast("string")).as("channel_mode"),
+      gated(frameBytes).as("frame_bytes"))
+  }
+
   def wavHeaderMeta(bin: Column): Column = {
     // 44 = canonical header through the data-chunk size; shorter
     // payloads are truncated and must yield nulls, not misreads

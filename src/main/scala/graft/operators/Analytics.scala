@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * latest-per-group window as one shuffle on the group key, and grouped
   * aggregates as partial+final hash aggregation.
   */
-object Analytics extends AnalyticsStatsOps with AnalyticsGraphOps
-    with AnalyticsInferenceOps with AnalyticsSurvivalOps {
+object Analytics extends AnalyticsStatsOps with AnalyticsTimeSeriesOps
+    with AnalyticsGraphOps with AnalyticsInferenceOps
+    with AnalyticsSurvivalOps {
 
   /** Top-k rows by a column, descending, nulls last — pandas
     * `df.nlargest(k, col)` (collect_earthquakes.py:55). Ties broken by

@@ -280,6 +280,80 @@ object Drift {
     * value) counts map-side combined, one running sum over DISTINCT
     * values, one group-sized aggregate.
     */
+  /** Exact two-sample 1-Wasserstein (earth-mover) distance per
+    * group — the fourth member of the ECDF-gap family, and the one
+    * in VALUE units: [[ksTest]] reads the single worst gap,
+    * [[cvmTest]]/[[adTest]] integrate squared gaps over the pooled
+    * COUNT measure, W₁ integrates |F_n − G_m| over the VALUE axis
+    * (`W₁ = ∫|F_n(x) − G_m(x)|dx = Σ_k |F(v_k) − G(v_k)| ·
+    * (v_{k+1} − v_k)` over sorted distinct pooled values), so its
+    * magnitude is directly actionable — "the average row moved 124
+    * cents" — which makes it the standard distribution-shift metric
+    * for training-data monitoring where "did it drift" needs a
+    * units-bearing answer, not a p-value.
+    *
+    * Exactness: `valueCol` must be integer-valued (cents, micros —
+    * the caller quantizes; fractional values still compute but lose
+    * the cross-engine guarantee). The per-segment term is the exact
+    * integer `|i·m − j·n| · Δv` accumulated in DECIMAL(38,0) (i, j
+    * inclusive cumulative counts, the [[ksTest]] shape; Δv the gap
+    * to the NEXT distinct value, so the final segment contributes
+    * zero by construction — there i·m = j·n), and `W₁ = Σ/(n·m)` is
+    * ONE double division of exact decimals — bit-identical
+    * cross-engine. Bound: `|i·m − j·n|·Δv ≤ n·m·range`, inside 38
+    * digits for any realistic snapshot (10⁹ rows a side over a
+    * 10¹²-unit range still fits).
+    *
+    * No distribution-free null law exists for W₁ (its scale is the
+    * data's), so `drifted` compares against a caller-set `threshold`
+    * in the SAME units as the value column — the business bar ("alarm
+    * past 50 cents"), which is exactly how W₁ is used in production
+    * monitors. One-sided groups (a snapshot empty) report null W₁
+    * and drifted = true, the [[ksTest]] contract.
+    *
+    * Scale shape identical to [[ksTest]]: per-(group, value) counts
+    * map-side combined, one ordered window over DISTINCT values per
+    * group (`lead` supplies Δv on the same sort), one group-sized
+    * aggregate. Returns `(group…, n_base, n_cur, w1, drifted)`.
+    */
+  def wassersteinTest(
+      baseline: DataFrame, current: DataFrame, valueCol: String,
+      groupCols: Seq[String], threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = pairedCounts(baseline, current, valueCol, groupCols)
+    val wOrd = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc)
+    val w = wOrd
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val cum = per
+      .withColumn("__i", sum(col("__cb")).over(w))
+      .withColumn("__j", sum(col("__cc")).over(w))
+      .withColumn("__n1", sum(col("__cb")).over(wAll))
+      .withColumn("__n2", sum(col("__cc")).over(wAll))
+      .withColumn("__dv", lead(col("__v"), 1).over(wOrd) - col("__v"))
+    val gap = dec(col("__i")) * dec(col("__n2")) -
+      dec(col("__j")) * dec(col("__n1"))
+    val agg = cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n1")).as("n_base"), max(col("__n2")).as("n_cur"),
+        sum(when(col("__dv").isNotNull, abs(gap) * dec(col("__dv")))
+          .otherwise(dec(lit(0)))).as("__s"))
+    val n1 = col("n_base")
+    val n2 = col("n_cur")
+    val oneSided = n1 === 0L || n2 === 0L
+    val w1 = col("__s").cast("double") /
+      (dec(n1) * dec(n2)).cast("double")
+    agg.select(groupCols.map(col) ++ Seq(
+      n1, n2,
+      when(oneSided, lit(null).cast("double"))
+        .otherwise(round(w1, 6)).as("w1"),
+      when(oneSided, lit(true)).otherwise(w1 > threshold)
+        .as("drifted")): _*)
+  }
+
   def adTest(
       baseline: DataFrame, current: DataFrame, valueCol: String,
       groupCols: Seq[String], threshold: Double = 2.492): DataFrame = {

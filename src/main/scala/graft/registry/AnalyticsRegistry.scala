@@ -2356,14 +2356,14 @@ private[graft] trait AnalyticsCore {
 /** The assembled analytics registry: core + stats + graph shelves. */
 private[graft] object AnalyticsRegistry
     extends AnalyticsCore with AnalyticsStatsShelf
-    with AnalyticsDriftShelf with AnalyticsGraphShelf
-    with AnalyticsSurvivalShelf {
+    with AnalyticsDriftShelf with AnalyticsTimeSeriesShelf
+    with AnalyticsGraphShelf with AnalyticsSurvivalShelf {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ statsQueries ++ driftQueries ++ graphQueries ++
-      survivalQueries
+    coreQueries ++ statsQueries ++ driftQueries ++ tsQueries ++
+      graphQueries ++ survivalQueries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ statsOracleSql ++ driftOracleSql ++
-      graphOracleSql ++ survivalOracleSql
+      tsOracleSql ++ graphOracleSql ++ survivalOracleSql
 }

@@ -64,6 +64,10 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q316_nelson_aalen" -> (nelsonAalenQ _),
     "q319_jonckheere" -> (jonckheereQ _),
     "q320_brier_decomposition" -> (brierDecompositionQ _),
+    "q339_breslow_day" -> (breslowDayQ _),
+    "q340_srm_check" -> (srmQ _),
+    "q341_avg_precision" -> (avgPrecisionQ _),
+    "q342_threshold_scorecard" -> (thresholdScorecardQ _),
   )
 
   /** The engine's pinned Bonferroni z critical values as a DuckDB
@@ -1884,8 +1888,247 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
                + 2.0 AS INT) AS within_tol
          FROM prs JOIN unx USING (ga, gb) LEFT JOIN xi USING (ga, gb)
          ORDER BY 1, 2""",
-    // the forecast identity itself: inner-equi-join output = Σ_k
-    // cl(k)·cr(k); counts/products BIGINT, positive `div` == `//`
+    // q263's count CTE + the BD replay: ψ̂ from the same HUGEINT
+    // micro divisions, the margin-box quadratic root and variance as
+    // a fixed-order mirrored double chain, each χ² term micro-
+    // FLOORED before the sum, one division by 10⁶ at the end
+    "q339_breslow_day" ->
+      """WITH r AS (
+           SELECT c_mktsegment AS s,
+             (o_orderpriority = '1-URGENT') AS e,
+             (o_orderstatus = 'F') OR (c_mktsegment = 'BUILDING'
+               AND o_orderpriority = '1-URGENT'
+               AND o_orderkey % 3 = 0) AS o
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         per AS (
+           SELECT s,
+             CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+           FROM r GROUP BY s),
+         psi AS (
+           SELECT CAST(sum((CAST(a AS HUGEINT) * d * 1000000)
+               // (a + b + c + d)) AS DOUBLE)
+             / CAST(sum((CAST(b AS HUGEINT) * c * 1000000)
+               // (a + b + c + d)) AS DOUBLE) AS psi
+           FROM per),
+         q AS (
+           SELECT per.*, psi.psi,
+             CAST(a + b AS DOUBLE) AS n1, CAST(c + d AS DOUBLE) AS n2,
+             CAST(a + c AS DOUBLE) AS m1,
+             (a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0)
+               AS valid
+           FROM per CROSS JOIN psi),
+         e1 AS (
+           SELECT *, 1.0 - psi AS qa,
+             (n2 - m1) + psi * (n1 + m1) AS qb,
+             -(psi * n1 * m1) AS qc
+           FROM q),
+         e2 AS (SELECT *, qb * qb - 4.0 * qa * qc AS disc FROM e1),
+         e3 AS (
+           SELECT *, (-qb + sqrt(disc)) / (2.0 * qa) AS r1,
+             (-qb - sqrt(disc)) / (2.0 * qa) AS r2,
+             greatest(0.0, m1 - n2) AS lo, least(n1, m1) AS hi
+           FROM e2),
+         e4 AS (
+           SELECT *, CASE WHEN abs(qa) < 1e-12 THEN -(qc / qb)
+             WHEN r1 >= lo - 1e-9 AND r1 <= hi + 1e-9 THEN r1
+             ELSE r2 END AS ea
+           FROM e3),
+         e5 AS (
+           SELECT *, 1.0 / (1.0 / ea + 1.0 / (n1 - ea)
+               + 1.0 / (m1 - ea) + 1.0 / (n2 - m1 + ea)) AS vr,
+             CAST(a AS DOUBLE) - ea AS dnum
+           FROM e4),
+         t AS (
+           SELECT s, a, b, c, d, valid,
+             CASE WHEN valid THEN ea END AS ea,
+             CASE WHEN valid THEN
+               CAST(floor((dnum * dnum / vr) * 1000000.0) AS BIGINT)
+               ELSE 0 END AS tmu,
+             CASE WHEN valid THEN
+               CAST(floor(dnum * 1000000.0) AS BIGINT)
+               ELSE 0 END AS dmu,
+             CASE WHEN valid THEN
+               CAST(floor(vr * 1000000.0) AS BIGINT)
+               ELSE 0 END AS vmu
+           FROM e5),
+         strata AS (
+           SELECT s AS st, a, b, c, d,
+             CASE WHEN b * c > 0 THEN
+               round(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                 / CAST(CAST(b AS HUGEINT) * c AS DOUBLE), 6) END
+               AS odds_ratio,
+             round(ea, 4) AS expected_a,
+             CAST(NULL AS DOUBLE) AS bd_chi2,
+             CAST(NULL AS DOUBLE) AS bd_chi2_tarone,
+             CAST(NULL AS BIGINT) AS df,
+             CAST(NULL AS INT) AS heterogeneous
+           FROM t),
+         tot AS (
+           SELECT '__total__' AS st,
+             CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
+             CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d,
+             CAST(NULL AS DOUBLE) AS odds_ratio,
+             CAST(NULL AS DOUBLE) AS expected_a,
+             round(CAST(sum(tmu) AS DOUBLE) / 1000000.0, 6)
+               AS bd_chi2,
+             round(CASE WHEN sum(vmu) > 0 THEN
+               CAST(sum(tmu) AS DOUBLE) / 1000000.0
+                 - (CAST(sum(dmu) AS DOUBLE) / 1000000.0)
+                 * (CAST(sum(dmu) AS DOUBLE) / 1000000.0)
+                 / (CAST(sum(vmu) AS DOUBLE) / 1000000.0) END, 6)
+               AS bd_chi2_tarone,
+             greatest(CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END)
+               AS BIGINT) - 1, 0) AS df,
+             CAST(CASE WHEN CAST(sum(tmu) AS DOUBLE) / 1000000.0
+               > 9.488 THEN 1 ELSE 0 END AS INT) AS heterogeneous
+           FROM t)
+         SELECT st AS c_mktsegment, a, b, c, d, odds_ratio,
+           expected_a, bd_chi2, bd_chi2_tarone, df, heterogeneous
+         FROM (SELECT * FROM strata UNION ALL SELECT * FROM tot)
+         ORDER BY c_mktsegment""",
+    // all-integer GOF: each arm's (n·W − nt·w)²·10⁶ div (nt·w·W)
+    // term is an exact HUGEINT integral division; one Σ/10⁶
+    "q340_srm_check" ->
+      """WITH d AS (
+           SELECT event_type AS g,
+             CAST(event_id % 2 AS VARCHAR) AS arm
+           FROM events
+           WHERE NOT (event_type = 'purchase' AND event_id % 4 = 1)),
+         counts AS (
+           SELECT g, arm, CAST(count(*) AS BIGINT) AS n
+           FROM d GROUP BY 1, 2),
+         arms AS (SELECT * FROM (VALUES ('0', CAST(1 AS BIGINT)),
+           ('1', CAST(1 AS BIGINT))) AS v(arm, w)),
+         grps AS (SELECT DISTINCT g FROM counts),
+         f AS (
+           SELECT grps.g, arms.arm, arms.w,
+             coalesce(counts.n, 0) AS n
+           FROM grps CROSS JOIN arms
+           LEFT JOIN counts ON counts.g = grps.g
+             AND counts.arm = arms.arm),
+         tt AS (
+           SELECT g, arm, w, n,
+             CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS nt
+           FROM f),
+         terms AS (
+           SELECT *, CASE WHEN nt > 0 THEN
+             (CAST(n AS HUGEINT) * 2 - CAST(nt AS HUGEINT) * w)
+               * (CAST(n AS HUGEINT) * 2 - CAST(nt AS HUGEINT) * w)
+               * 1000000 // (CAST(nt AS HUGEINT) * w * 2)
+             ELSE 0 END AS tmu
+           FROM tt),
+         fin AS (
+           SELECT g, arm, w, n, nt,
+             CAST(sum(tmu) OVER (PARTITION BY g) AS DOUBLE)
+               / 1000000.0 AS chi2
+           FROM terms)
+         SELECT g AS event_type, arm, n AS n_arm,
+           round(CAST(nt AS DOUBLE) * w / 2.0, 2) AS expected_arm,
+           round(chi2, 6) AS srm_chi2, CAST(1 AS BIGINT) AS df,
+           CAST(CASE WHEN chi2 > 3.841 THEN 1 ELSE 0 END AS INT)
+             AS mismatch
+         FROM fin ORDER BY event_type, arm""",
+    // the q192 ranking frame; each step's ΔTP·TP·10⁶ // (TP+FP) is
+    // an exact HUGEINT integral division, one Σ/(10⁶·P) at the end
+    "q341_avg_precision" ->
+      """WITH b AS (
+           SELECT o_orderstatus AS g, o_totalprice AS s,
+             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
+           FROM orders),
+         per AS (
+           SELECT g, s,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+           FROM b GROUP BY 1, 2),
+         cum AS (
+           SELECT g, np, nn,
+             CAST(sum(np) OVER w AS BIGINT) AS tp,
+             CAST(sum(nn) OVER w AS BIGINT) AS fp
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (
+           SELECT g, np, nn,
+             (CAST(np AS HUGEINT) * tp * 1000000) // (tp + fp) AS tmu
+           FROM cum),
+         agg AS (
+           SELECT g, CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg, sum(tmu) AS smu
+           FROM t GROUP BY g)
+         SELECT g AS o_orderstatus, n_pos, n_neg,
+           CASE WHEN n_pos > 0 THEN
+             round(CAST(smu AS DOUBLE)
+               / (1000000.0 * CAST(n_pos AS DOUBLE)), 6) END
+             AS avg_precision,
+           CASE WHEN n_pos + n_neg > 0 THEN
+             round(CAST(n_pos AS DOUBLE)
+               / CAST(n_pos + n_neg AS DOUBLE), 6) END AS prevalence
+         FROM agg ORDER BY o_orderstatus""",
+    // same frame; argmax over the exact F1-nano / J·PN lattices with
+    // score-desc tie-break, mirrored double display metrics
+    "q342_threshold_scorecard" ->
+      """WITH b AS (
+           SELECT o_orderstatus AS g, o_totalprice AS s,
+             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
+           FROM orders),
+         per AS (
+           SELECT g, s,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+           FROM b GROUP BY 1, 2),
+         cum AS (
+           SELECT g, s, np, nn,
+             CAST(sum(np) OVER w AS BIGINT) AS tp,
+             CAST(sum(nn) OVER w AS BIGINT) AS fp,
+             CAST(sum(np) OVER (PARTITION BY g) AS BIGINT) AS p,
+             CAST(sum(nn) OVER (PARTITION BY g) AS BIGINT) AS n
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         m AS (
+           SELECT g, s, tp, fp, p, n, p - tp AS fn, n - fp AS tn,
+             (CAST(tp AS HUGEINT) * 2 * 1000000000)
+               // (2 * tp + fp + (p - tp)) AS f1n,
+             CAST(tp AS HUGEINT) * n + CAST(n - fp AS HUGEINT) * p
+               - CAST(p AS HUGEINT) * n AS jpn
+           FROM cum),
+         rk AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY g
+               ORDER BY f1n DESC, s DESC) AS rf,
+             row_number() OVER (PARTITION BY g
+               ORDER BY jpn DESC, s DESC) AS rj
+           FROM m),
+         u AS (
+           SELECT 'max_f1' AS criterion, * FROM rk WHERE rf = 1
+           UNION ALL
+           SELECT 'max_j' AS criterion, * FROM rk WHERE rj = 1)
+         SELECT g AS o_orderstatus, criterion, s AS threshold,
+           tp, fp, fn, tn,
+           round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+             / CAST(tp + fp AS DOUBLE) END, 6) AS "precision",
+           round(CASE WHEN p > 0 THEN CAST(tp AS DOUBLE)
+             / CAST(p AS DOUBLE) END, 6) AS recall,
+           round(CAST(f1n AS DOUBLE) / 1000000000.0, 6) AS f1,
+           round(CASE WHEN p > 0 AND n > 0 THEN CAST(jpn AS DOUBLE)
+             / CAST(CAST(p AS HUGEINT) * n AS DOUBLE) END, 6)
+             AS youden_j,
+           round(CASE WHEN sqrt(CAST(CAST(tp + fp AS HUGEINT)
+               * (tp + (p - tp)) * ((n - fp) + fp)
+               * ((n - fp) + (p - tp)) AS DOUBLE)) > 0.0 THEN
+             CAST(CAST(tp AS HUGEINT) * (n - fp)
+               - CAST(fp AS HUGEINT) * (p - tp) AS DOUBLE)
+             / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + (p - tp))
+               * ((n - fp) + fp) * ((n - fp) + (p - tp)) AS DOUBLE))
+             END, 6) AS mcc
+         FROM u ORDER BY o_orderstatus, criterion""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -2717,4 +2960,80 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.categoricalAssociation(long, "pair", "x", "y")
       .orderBy("pair")
   }
+
+  /** Breslow–Day homogeneity screen ([[Analytics.breslowDay]]) on
+    * q263's stratified 2×2 frame (stratum = market segment, exposure
+    * = URGENT priority, outcome = F status) with heterogeneity
+    * PLANTED: BUILDING's exposed rows with orderkey ≡ 0 (mod 3) have
+    * their outcome forced true, lifting that stratum's odds ratio
+    * far above the others' — the test must call the pooled q263
+    * or_mh unrepresentative (heterogeneous = 1 against χ²₀.₀₅,₄ =
+    * 9.488). ψ̂ from micro-quantized integral divisions; the root /
+    * variance chain is a fixed-order mirrored double formula; each
+    * stratum's χ² term micro-floored before the sum.
+    */
+  private[graft] def breslowDayQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "orders").join(t(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    val planted = col("o_orderstatus") === "F" ||
+      (col("c_mktsegment") === "BUILDING" &&
+        col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 3 === 0)
+    Analytics.breslowDay(j, "c_mktsegment",
+        col("o_orderpriority") === "1-URGENT", planted,
+        criticalValue = 9.488)
+      .withColumn("heterogeneous", col("heterogeneous").cast("int"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Sample-ratio-mismatch gate ([[Analytics.srmCheck]]): events
+    * hashed 50/50 by event-id parity, with an assignment bug PLANTED
+    * on purchase (odd ids ≡ 1 mod 4 dropped — a crashing variant
+    * eating a quarter of one arm's purchase traffic). The planted
+    * type must flag against χ²₀.₀₅,₁ = 3.841; the other types read
+    * their genuine parity imbalance honestly. All-integer χ² via
+    * micro-quantized integral division (quantize-before-sum); the
+    * ONE double step is the final Σ/10⁶.
+    */
+  private[graft] def srmQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(!(col("event_type") === "purchase" &&
+      col("event_id") % 4 === 1))
+    Analytics.srmCheck(e, Seq("event_type"),
+        (col("event_id") % 2).cast("string"),
+        Seq("0" -> 1L, "1" -> 1L), criticalValue = 3.841)
+      .withColumn("mismatch", col("mismatch").cast("int"))
+      .orderBy("event_type", "arm")
+  }
+
+  /** Average precision ([[Analytics.averagePrecision]]) on q192's
+    * exact frame (score = total price, label = urgent/high priority,
+    * grouped by order status) — the prevalence-weighted companion
+    * the AUC reading needs when positives are rare: same ranking,
+    * same groups, the metric that collapses when the TOP of the
+    * ranking is polluted. Micro-quantized integral-division step
+    * terms; one mirrored double division.
+    */
+  private[graft] def avgPrecisionQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.averagePrecision(t(s, dir, "orders"), "o_orderstatus",
+        col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .orderBy("o_orderstatus")
+
+  /** Operating-point selection ([[Analytics.thresholdScorecard]])
+    * on the same q192/q341 frame: the exact max-F1 and max-Youden-J
+    * price cuts per order status with the full confusion matrix and
+    * the derived metrics at each cut — "the model ranks well; where
+    * do we draw the line?". Argmax over exact integer lattices
+    * (nano-quantized F1, J on the P·N scale), score-descending
+    * tie-break; MCC's √ of an exact DECIMAL product is correctly
+    * rounded on both engines.
+    */
+  private[graft] def thresholdScorecardQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.thresholdScorecard(t(s, dir, "orders"),
+        "o_orderstatus", col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .orderBy("o_orderstatus", "criterion")
 }

@@ -27,7 +27,147 @@ private[graft] object MultimodalRegistry {
     "q296_tiff_header_decode" -> (tiffHeaderDecode _),
     "q312_gzip_meta" -> (gzipMetaDecode _),
     "q325_zip_eocd" -> (zipEocdDecode _),
+    "q343_flac_header_decode" -> (flacHeaderDecode _),
+    "q344_tar_header_decode" -> (tarHeaderDecode _),
+    "q345_mp3_frame_decode" -> (mp3FrameDecode _),
   )
+
+  /** FLAC STREAMINFO decode ([[Multimodal.flacHeaderMeta]]): each
+    * doc_id synthesizes a fLaC header whose 64-bit packed group
+    * (rate/channels/bits/total-samples) embeds id arithmetic,
+    * including a >2³² total-samples plant on every 5th id so the
+    * 36-bit reassembly across the two 32-bit halves is proven, and
+    * the 16-byte MD5 signature carries a closed-form byte pattern.
+    * Every 13th id truncates after the magic — all-null, never a
+    * misread. Closed-form oracle.
+    */
+  private[graft] def flacHeaderDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sr = (id % 12 + 1) * 4000
+    val ch = id % 2 + 1
+    val bits = (id % 3) * 4 + 8
+    val total = id * 1000 + 7
+    val minF = id % 100 + 14
+    val maxF = id % 1000 + 500
+    val crc = (id * lit(2654435761L)) % lit(4294967296L)
+    val md5Hex = repeat(beHexN(crc, 4), 4)
+    val hiTop = when(id % 5 === 0, 3L).otherwise(0L)
+    val hi = sr.cast("long") * 4096L + (ch - 1).cast("long") * 512L +
+      (bits - 1).cast("long") * 16L + hiTop
+    val fileHex = concat(lit("664C6143"), lit("80"), lit("000022"),
+      lit("1000"), lit("1000"), beHexN(minF, 3), beHexN(maxF, 3),
+      beHexN(hi, 4), beHexN(total, 4), md5Hex)
+    val payload = when(id % 13 === 0, lit("664C6143"))
+      .otherwise(fileHex)
+    docs(s, dir)
+      .select(id, unhex(payload).as("__bin"))
+      .select(id, Multimodal.flacHeaderMeta(col("__bin")).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.min_blocksize").as("min_blocksize"),
+        col("m.max_blocksize").as("max_blocksize"),
+        col("m.min_framesize").as("min_framesize"),
+        col("m.max_framesize").as("max_framesize"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.bits_per_sample").as("bits_per_sample"),
+        col("m.total_samples").as("total_samples"),
+        col("m.md5_hex").as("md5_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** POSIX ustar header decode ([[Multimodal.tarHeaderMeta]]): each
+    * doc_id synthesizes a full 512-byte header whose octal fields
+    * (mode/uid/gid/size/mtime/checksum) embed id arithmetic in the
+    * spec's NUL/space-padded ASCII-octal layout — the hash proves
+    * the substring→trim→conv(_, 8, 10) walk, the 512-rounded
+    * `entry_bytes` planner number, and the dir-typeflag variant on
+    * every 10th id. Every 13th id truncates to the name field alone
+    * — all-null, never a misread. Closed-form oracle.
+    */
+  private[graft] def tarHeaderDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val name = concat(lit("f"), id.cast("string"), lit(".txt"))
+    def padded(strHex: Column, field: Int, used: Column): Column =
+      concat(strHex, repeat(lit("00"),
+        (lit(field) - used).cast("int")))
+    def octField(v: Column, digits: Int): Column =
+      concat(hex(lpad(conv(v.cast("string"), 10, 8), digits, "0")),
+        lit("00"))
+    val mode = lit(384L) + id % 64
+    val uid = id % 1000
+    val gid = (id * 3) % 1000
+    val size = id * 3 + 5
+    val mtime = lit(1700000000L) + id
+    val chksum = (id * 7) % 262144
+    val typeflag = when(id % 10 === 0, lit("35")).otherwise(lit("30"))
+    val uname = concat(lit("u"), (id % 10).cast("string"))
+    val fileHex = concat(
+      padded(hex(name), 100, length(name)),       // name
+      octField(mode, 7),                          // mode (8)
+      octField(uid, 7),                           // uid (8)
+      octField(gid, 7),                           // gid (8)
+      octField(size, 11),                         // size (12)
+      octField(mtime, 11),                        // mtime (12)
+      concat(hex(lpad(conv(chksum.cast("string"), 10, 8), 6, "0")),
+        lit("0020")),                             // chksum "%06o\0 "
+      typeflag,                                   // typeflag (1)
+      repeat(lit("00"), 100),                     // linkname
+      lit("757374617200"), lit("3030"),           // magic+version
+      padded(hex(uname), 32, length(uname)),      // uname
+      repeat(lit("00"), 32),                      // gname
+      repeat(lit("00"), 8), repeat(lit("00"), 8), // dev major/minor
+      repeat(lit("00"), 155),                     // prefix
+      repeat(lit("00"), 12))                      // block padding
+    val payload = when(id % 13 === 0,
+      padded(hex(name), 100, length(name))).otherwise(fileHex)
+    docs(s, dir)
+      .select(id, unhex(payload).as("__bin"))
+      .select(id, Multimodal.tarHeaderMeta(col("__bin")).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.name").as("name"), col("m.mode").as("mode"),
+        col("m.uid").as("uid"), col("m.gid").as("gid"),
+        col("m.size").as("size"), col("m.mtime").as("mtime"),
+        col("m.checksum").as("checksum"),
+        col("m.typeflag").as("typeflag"),
+        col("m.uname").as("uname"),
+        col("m.entry_bytes").as("entry_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** MPEG-1 Layer III frame header decode
+    * ([[Multimodal.mp3FrameMeta]]): each doc_id synthesizes a sync
+    * header cycling through all 14 bitrate indexes, the 3 valid
+    * samplerate indexes, both padding bits and all 4 channel modes —
+    * the hash proves the spec-table CASE resolution and the mirrored
+    * ⌊144·kbps·1000/rate⌋+pad frame pricing. Every 13th id truncates
+    * after the sync byte — all-null, never a misread. Closed-form
+    * oracle carrying the same literal tables.
+    */
+  private[graft] def mp3FrameDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val brIdx = id % 14 + 1
+    val srIdx = id % 3
+    val pad = id % 2
+    val mode = id % 4
+    val b3 = brIdx * 16 + srIdx * 4 + pad * 2
+    val b4 = mode * 64
+    val fileHex = concat(lit("FFFB"), beHexN(b3, 1), beHexN(b4, 1),
+      lit("00112233445566"))
+    val payload = when(id % 13 === 0, lit("FF")).otherwise(fileHex)
+    docs(s, dir)
+      .select(id, unhex(payload).as("__bin"))
+      .select(id, Multimodal.mp3FrameMeta(col("__bin")).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.bitrate_kbps").as("bitrate_kbps"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.padding").as("padding"),
+        col("m.channel_mode").as("channel_mode"),
+        col("m.frame_bytes").as("frame_bytes"))
+      .orderBy("doc_id")
+  }
 
   /** ZIP EOCD + first-central-directory-entry inventory
     * ([[Multimodal.zipEocdMeta]]): each doc_id synthesizes an archive
@@ -519,6 +659,101 @@ private[graft] object MultimodalRegistry {
            round(dur * 1 / 16.0, 4) AS first_ts,
            round(dur * 15 / 16.0, 4) AS last_ts
          FROM d ORDER BY doc_id""",
+    // closed form of the STREAMINFO builder's doc_id arithmetic —
+    // the hash proves the two-half 36-bit reassembly (the every-5th
+    // plant crosses 2^32) and the 16-byte MD5 hex read
+    "q343_flac_header_decode" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'flac' END
+             AS format,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 4096 END
+             AS BIGINT) AS min_blocksize,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 4096 END
+             AS BIGINT) AS max_blocksize,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id % 100 + 14 END AS BIGINT) AS min_framesize,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id % 1000 + 500 END AS BIGINT) AS max_framesize,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE (doc_id % 12 + 1) * 4000 END AS BIGINT)
+             AS sample_rate,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id % 2 + 1 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE (doc_id % 3) * 4 + 8 END AS INT) AS bits_per_sample,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id * 1000 + 7 + CASE WHEN doc_id % 5 = 0
+               THEN 12884901888 ELSE 0 END END AS BIGINT)
+             AS total_samples,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE lower(repeat(lpad(to_hex(
+               (doc_id * 2654435761) % 4294967296), 8, '0'), 4)) END
+             AS md5_hex
+         FROM documents ORDER BY doc_id""",
+    // closed form of the ustar builder's doc_id arithmetic — the
+    // hash proves the ASCII-octal conv walk and the 512-block
+    // entry_bytes planner number
+    "q344_tar_header_decode" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'tar' END
+             AS format,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 'f' || CAST(doc_id AS VARCHAR) || '.txt' END
+             AS name,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 384 + doc_id % 64 END AS BIGINT) AS mode,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id % 1000 END AS BIGINT) AS uid,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE (doc_id * 3) % 1000 END AS BIGINT) AS gid,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id * 3 + 5 END AS BIGINT) AS size,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 1700000000 + doc_id END AS BIGINT) AS mtime,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE (doc_id * 7) % 262144 END AS BIGINT) AS checksum,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+             WHEN doc_id % 10 = 0 THEN '5' ELSE '0' END AS typeflag,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 'u' || CAST(doc_id % 10 AS VARCHAR) END AS uname,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 512 + ((doc_id * 3 + 5 + 511) // 512) * 512 END
+             AS BIGINT) AS entry_bytes
+         FROM documents ORDER BY doc_id""",
+    // closed form of the frame builder's doc_id arithmetic carrying
+    // the same MPEG-1 Layer III literal tables; frame_bytes is the
+    // same mirrored double floor-division on both engines
+    "q345_mp3_frame_decode" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE doc_id % 14 + 1
+               WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+               WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+               WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+               WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+               WHEN 13 THEN 256 ELSE 320 END AS br,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS sr,
+             doc_id % 2 AS pad, doc_id % 4 AS md
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'mp3' END
+             AS format,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE br END
+             AS BIGINT) AS bitrate_kbps,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE sr END
+             AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE pad END
+             AS INT) AS padding,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+             WHEN md = 0 THEN 'stereo' WHEN md = 1 THEN 'joint_stereo'
+             WHEN md = 2 THEN 'dual_channel' ELSE 'mono' END
+             AS channel_mode,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE CAST(floor(CAST(144 * br * 1000 AS DOUBLE)
+               / CAST(sr AS DOUBLE)) AS BIGINT) + pad END AS BIGINT)
+             AS frame_bytes
+         FROM p ORDER BY doc_id""",
   )
 
   /** Audio codec roundtrip: synthesize a REAL PCM16 WAV per document
