@@ -1188,4 +1188,212 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
       when(p2 < 1.0d, nArm).as("n_per_arm"))
   }
 
+  /** Difference-in-differences estimator per group — the
+    * observational-causal workhorse [[cuped]]'s experiment shelf
+    * lacks: when assignment was NOT randomized (a feature shipped to
+    * one cohort, a policy changed on one date), the treated group's
+    * pre→post change is corrected by the control group's pre→post
+    * change, so any shared trend (seasonality, inflation, product
+    * growth) cancels and what remains estimates the treatment
+    * effect — under the parallel-trends assumption, which is why the
+    * four cell means are emitted for inspection, not just the
+    * difference.
+    *
+    * Exactness: the four (treat × post) cells aggregate to exact
+    * BIGINT sums/counts; each mean is ONE mirrored double division,
+    * and `did = (m_t1 − m_t0) − (m_c1 − m_c0)` is a fixed-order
+    * double expression over the four — bit-identical cross-engine.
+    * A group missing any cell reports null did (no counterfactual to
+    * difference). One grouped aggregate, map-side combined; output
+    * is group-domain-sized.
+    *
+    * Returns `(group…, n_ctl_pre, n_ctl_post, n_treat_pre,
+    * n_treat_post, mean_ctl_pre, mean_ctl_post, mean_treat_pre,
+    * mean_treat_post, did)` (means and did in the value's units,
+    * rounded to 4).
+    */
+  def diffInDiff(
+      df: DataFrame, groupCols: Seq[String], treat: Column,
+      post: Column, valueCents: Column): DataFrame = {
+    val gc = groupCols.map(col)
+    val base = df.select(gc ++ Seq(treat.cast("boolean").as("__t"),
+        post.cast("boolean").as("__p"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__y").isNotNull)
+    def cellN(t: Boolean, p: Boolean): Column =
+      sum(when(col("__t") === t && col("__p") === p, 1L)
+        .otherwise(0L))
+    def cellS(t: Boolean, p: Boolean): Column =
+      sum(when(col("__t") === t && col("__p") === p, col("__y"))
+        .otherwise(0L))
+    val agg = base.groupBy(gc: _*).agg(
+      cellN(t = false, p = false).as("n_ctl_pre"),
+      cellN(t = false, p = true).as("n_ctl_post"),
+      cellN(t = true, p = false).as("n_treat_pre"),
+      cellN(t = true, p = true).as("n_treat_post"),
+      cellS(t = false, p = false).as("__s_c0"),
+      cellS(t = false, p = true).as("__s_c1"),
+      cellS(t = true, p = false).as("__s_t0"),
+      cellS(t = true, p = true).as("__s_t1"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / col(n).cast("double")
+    val complete = col("n_ctl_pre") > 0L && col("n_ctl_post") > 0L &&
+      col("n_treat_pre") > 0L && col("n_treat_post") > 0L
+    val did = (mean("__s_t1", "n_treat_post") -
+      mean("__s_t0", "n_treat_pre")) -
+      (mean("__s_c1", "n_ctl_post") - mean("__s_c0", "n_ctl_pre"))
+    agg.select(gc ++ Seq(
+      col("n_ctl_pre"), col("n_ctl_post"), col("n_treat_pre"),
+      col("n_treat_post"),
+      round(when(col("n_ctl_pre") > 0L,
+        mean("__s_c0", "n_ctl_pre")), 4).as("mean_ctl_pre"),
+      round(when(col("n_ctl_post") > 0L,
+        mean("__s_c1", "n_ctl_post")), 4).as("mean_ctl_post"),
+      round(when(col("n_treat_pre") > 0L,
+        mean("__s_t0", "n_treat_pre")), 4).as("mean_treat_pre"),
+      round(when(col("n_treat_post") > 0L,
+        mean("__s_t1", "n_treat_post")), 4).as("mean_treat_post"),
+      round(when(complete, did), 4).as("did")): _*)
+  }
+
+  /** Page's L trend test per group — [[friedmanTest]]'s ORDERED
+    * alternative: Friedman asks "do the k treatments differ at
+    * all?"; Page asks "do they increase in a PRE-SPECIFIED dose
+    * order?" (`L = Σ_j j·R_j` over within-block treatment ranks,
+    * dose index j from `doseCol`'s natural order), which has far
+    * more power when the alternative is monotone — price tiers,
+    * model-size ladders, dosage steps. Only blocks containing every
+    * dose participate (the Friedman completeness rule).
+    *
+    * Exactness: ranks are tie-averaged HALF-UNIT integers (the
+    * doubled-rank device shared with [[friedmanTest]]), so
+    * `L2 = Σ j·R2_j` and `E2 = b·k(k+1)²/2` are exact BIGINTs
+    * (`k(k+1)²` is always even); the z statistic
+    * `(L2 − E2) / (2·√(b·k²(k+1)(k²−1)/144))` is one mirrored double
+    * chain over exact integers (the no-tie variance, the standard
+    * practice under light ties). `increasing` flags z > zCrit.
+    *
+    * Scale shape: one (group, block, dose)-grained aggregate, the
+    * [[friedmanTest]] tie-rank windows over block-sized frames, one
+    * group-sized reduce. Returns `(group…, n_blocks, n_doses, l2,
+    * z, increasing)`.
+    */
+  def pageTrendTest(
+      df: DataFrame, groupCols: Seq[String], blockCol: Column,
+      doseCol: Column, valueCents: Column,
+      zCrit: Double = 1.645): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gc = groupCols.map(col)
+    val cells = df
+      .select(gc ++ Seq(blockCol.cast("long").as("__b"),
+        doseCol.cast("long").as("__dose"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__b").isNotNull && col("__dose").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(gc ++ Seq(col("__b"), col("__dose")): _*)
+      .agg(sum(col("__y")).as("__y"))
+      .transform(graft.core.CacheScope.disk)
+    val k = cells.groupBy(gc: _*)
+      .agg(countDistinct(col("__dose")).as("__k"))
+    val complete = cells
+      .join(k, groupCols)
+      .withColumn("__bk", count(lit(1)).over(
+        Window.partitionBy(gc :+ col("__b"): _*)))
+      .where(col("__bk") === col("__k"))
+    // dose index j = rank of the dose among the group's distinct
+    // doses (domain-sized window)
+    val doseIdx = complete.select(gc :+ col("__dose"): _*).distinct()
+      .withColumn("__j", row_number().over(
+        Window.partitionBy(gc: _*).orderBy(col("__dose").asc)))
+    // tie-averaged doubled ranks within each block (the friedmanTest
+    // device)
+    val tieC = complete
+      .groupBy(gc ++ Seq(col("__b"), col("__y")): _*)
+      .agg(count(lit(1)).as("__t"))
+    val wv = Window.partitionBy(gc :+ col("__b"): _*)
+      .orderBy(col("__y").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = tieC
+      .withColumn("__before",
+        coalesce(sum(col("__t")).over(wv), lit(0L)))
+      .withColumn("__rank2", lit(2L) * col("__before") + col("__t")
+        + 1L)
+    val withRanks = complete
+      .join(ranked.select(gc ++ Seq(col("__b"), col("__y"),
+        col("__rank2")): _*), groupCols ++ Seq("__b", "__y"))
+      .join(doseIdx, groupCols :+ "__dose")
+    val totals = withRanks.groupBy(gc: _*)
+      .agg(countDistinct(col("__b")).as("n_blocks"),
+        max(col("__k")).as("n_doses"),
+        sum(dec(col("__j")) * dec(col("__rank2"))).as("__l2"))
+    val b = col("n_blocks").cast("double")
+    val kd = col("n_doses").cast("double")
+    val e2 = (dec(col("n_blocks")) * dec(col("n_doses")) *
+      (dec(col("n_doses")) + lit(1)) * (dec(col("n_doses")) + lit(1)))
+      .cast("double") / 2.0
+    val varL = b * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0
+    val z = (col("__l2").cast("double") - e2) /
+      (lit(2.0) * sqrt(varL))
+    val ok = col("n_blocks") >= 2L && col("n_doses") >= 3L
+    totals.select(gc ++ Seq(
+      col("n_blocks"), col("n_doses"),
+      col("__l2").cast("long").as("l2"),
+      round(when(ok, z), 6).as("z"),
+      when(ok, (z > zCrit).cast("int")).otherwise(lit(null)
+        .cast("int")).as("increasing")): _*)
+  }
+
+  /** UCB1 allocation scores per group — the deterministic bandit
+    * policy next to the [[msprtMonitor]]/[[powerAnalysis]] shelf:
+    * given each arm's pull count and mean reward, the next pull goes
+    * to `argmax mean_i + c·√(2·ln N / n_i)` (Auer et al. 2002) — the
+    * optimism bonus shrinks as an arm is explored, so allocation
+    * shifts from exploration to exploitation with a proven
+    * logarithmic regret bound. Unlike Thompson sampling it needs NO
+    * randomness, which is what makes it replayable from warehouse
+    * counts: this operator IS the policy, computed from the event
+    * log. `scaleCents` calibrates the bonus to the reward's range
+    * (UCB1's [0,1] theory scaled to cents); arms never pulled would
+    * have an infinite bonus — they are emitted with null score and
+    * `chosen` preempted to them (play each arm once first, the
+    * canonical initialization).
+    *
+    * Exactness: counts/sums exact; mean is one mirrored double
+    * division; the bonus is a fixed-order mirrored double chain
+    * (ln and √ correctly rounded on both engines); the argmax
+    * row_number orders by the shared score double with an arm-name
+    * tie-break. Returns `(group…, arm, n_pulls, mean_reward,
+    * ucb_score, chosen)` — one `chosen = 1` row per group.
+    */
+  def ucb1Allocation(
+      df: DataFrame, groupCols: Seq[String], armCol: Column,
+      rewardCents: Column, scaleCents: Double): DataFrame = {
+    val gc = groupCols.map(col)
+    val per = df
+      .select(gc ++ Seq(armCol.cast("string").as("arm"),
+        rewardCents.cast("long").as("__y")): _*)
+      .where(col("arm").isNotNull && col("__y").isNotNull)
+      .groupBy(gc :+ col("arm"): _*)
+      .agg(count(lit(1)).as("n_pulls"), sum(col("__y")).as("__s"))
+    val wAll = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val withN = per.withColumn("__bign",
+      sum(col("n_pulls")).over(wAll))
+    val mean = col("__s").cast("double") / col("n_pulls")
+      .cast("double")
+    val score = mean + lit(scaleCents) *
+      sqrt(lit(2.0) * log(col("__bign").cast("double")) /
+        col("n_pulls").cast("double"))
+    val scored = withN
+      .withColumn("mean_reward", round(mean, 4))
+      .withColumn("__score", when(col("n_pulls") > 0L, score))
+    val pick = row_number().over(Window.partitionBy(gc: _*)
+      .orderBy(col("__score").desc_nulls_first, col("arm").asc))
+    scored.select(gc ++ Seq(col("arm"), col("n_pulls"),
+      col("mean_reward"),
+      round(col("__score"), 4).as("ucb_score"),
+      (pick === 1).cast("int").as("chosen")): _*)
+  }
 }

@@ -199,4 +199,83 @@ private[graft] trait AnalyticsSurvivalOps { this: Analytics.type =>
         round(gap * gap / (e * (lit(1.0d) - e / nD)), 4))
         .as("hl_contrib"))
   }
+
+  /** Weibull fit by median-rank regression per group — the
+    * parametric summary next to [[kaplanMeier]]'s curve: failure
+    * times plotted as `ln(−ln(1−F_i))` against `ln(t_i)` with
+    * Bernard's median ranks `F_i = (i − 0.3)/(n + 0.4)` are linear
+    * iff the times are Weibull, and the OLS slope IS the shape k
+    * (< 1 infant mortality, ≈ 1 memoryless, > 1 wear-out) with scale
+    * `η = exp(x̄ − ȳ/k)` — the classic reliability-engineering
+    * reading ("is our fulfillment delay memoryless or aging?").
+    *
+    * Exactness: the q308 zipfFit discipline — both plot coordinates
+    * are nano-FLOORED (`⌊ln(·)·10⁹⌋`) into exact longs before the
+    * OLS sums accumulate in DECIMAL(38,0), so slope and intercept
+    * are each one mirrored double division over exact integers.
+    * Rank assignment under tied times is sum-invariant (tied rows
+    * share x, so Σxy/Σy don't depend on which tied row takes which
+    * rank) — the ranks come from the per-distinct-time count frame,
+    * never a row-sized window: cumulative-count B before each
+    * distinct time, then `posexplode(sequence)` fans the tie block
+    * back out to ranks B+1..B+c distributedly.
+    *
+    * Scale shape: one (group, time) grouped count (map-side
+    * combined), one window over DISTINCT times per group, a
+    * sequence-explode back to failure-sized rows with no ordering
+    * requirement, one group-sized aggregate. Non-positive times are
+    * excluded (ln); groups with < 3 distinct times report nulls.
+    *
+    * Returns `(group…, n_fail, shape, scale)`.
+    */
+  def weibullFit(
+      df: DataFrame, groupCols: Seq[String], timeCol: Column)
+      : DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gc = groupCols.map(col)
+    val per = df
+      .select(gc :+ timeCol.cast("long").as("__t"): _*)
+      .where(col("__t").isNotNull && col("__t") > 0L)
+      .groupBy(gc :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col("__t").asc)
+    val wAll = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val cum = per
+      .withColumn("__before", coalesce(sum(col("__c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__mdist", count(lit(1)).over(wAll))
+    val fanned = cum
+      .withColumn("__off", explode(sequence(lit(1L), col("__c"))))
+      .withColumn("__i", col("__before") + col("__off"))
+    val f = (col("__i").cast("double") - 0.3) /
+      (col("__n").cast("double") + 0.4)
+    val xq = floor(log(col("__t").cast("double")) * 1e9).cast("long")
+    val yq = floor(log(-log(lit(1.0) - f)) * 1e9).cast("long")
+    val sums = fanned
+      .select(gc ++ Seq(xq.as("__xq"), yq.as("__yq"),
+        col("__mdist")): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_fail"),
+        max(col("__mdist")).as("__md"),
+        sum(col("__xq")).as("__sx"), sum(col("__yq")).as("__sy"),
+        sum(dec(col("__xq")) * dec(col("__yq"))).as("__sxy"),
+        sum(dec(col("__xq")) * dec(col("__xq"))).as("__sxx"))
+    val m = col("n_fail").cast("decimal(38,0)")
+    val den = (m * col("__sxx") - dec(col("__sx")) * dec(col("__sx")))
+      .cast("double")
+    val slope = (m * col("__sxy") -
+      dec(col("__sx")) * dec(col("__sy"))).cast("double") / den
+    val ok = col("__md") >= 3L && den > 0.0
+    val xbar = col("__sx").cast("double") /
+      col("n_fail").cast("double") / 1e9
+    val ybar = col("__sy").cast("double") /
+      col("n_fail").cast("double") / 1e9
+    val scale = exp(xbar - ybar / slope)
+    sums.select(gc ++ Seq(col("n_fail"),
+      round(when(ok, slope), 6).as("shape"),
+      round(when(ok && slope > 0.0, scale), 4).as("scale")): _*)
+  }
 }

@@ -2357,13 +2357,15 @@ private[graft] trait AnalyticsCore {
 private[graft] object AnalyticsRegistry
     extends AnalyticsCore with AnalyticsStatsShelf
     with AnalyticsDriftShelf with AnalyticsTimeSeriesShelf
-    with AnalyticsGraphShelf with AnalyticsSurvivalShelf {
+    with AnalyticsGraphShelf with AnalyticsSurvivalShelf
+    with AnalyticsInferenceShelf {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ statsQueries ++ driftQueries ++ tsQueries ++
-      graphQueries ++ survivalQueries
+      graphQueries ++ survivalQueries ++ inferenceQueries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ statsOracleSql ++ driftOracleSql ++
-      tsOracleSql ++ graphOracleSql ++ survivalOracleSql
+      tsOracleSql ++ graphOracleSql ++ survivalOracleSql ++
+      inferenceOracleSql
 }

@@ -15,34 +15,26 @@ import graft.registry.RegistryBase._
   * Conventions: see [[graft.SparkEntry]]. Split from the original
   * single-file registry; member bodies are unchanged.
   */
-/** Statistics / experimentation / ML-evaluation shelf — query builders plus their DuckDB oracles.
-  * Split from AnalyticsRegistry (round 14); member bodies are
-  * unchanged — this trait is mixed back into the same object, so
+/** Statistics shelf — rank/correlation tests, concentration and
+  * robust-outlier reports, richness/agreement panels, plus their
+  * DuckDB oracles. Split from AnalyticsRegistry (round 14); the
+  * experimentation / model-evaluation / causal family moved on to
+  * [[AnalyticsInferenceShelf]] (round 16 third wave). Member bodies
+  * are unchanged — this trait is mixed back into the same object, so
   * every reference resolves exactly as before.
   */
 private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
 
   private[graft] def statsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q160_calibration_report" -> (calibrationReportQ _),
     "q181_robust_outliers" -> (robustOutliersQ _),
     "q186_jackknife_ratio" -> (jackknifeRatioQ _),
     "q187_l_diversity" -> (lDiversityQ _),
-    "q188_position_attribution" -> (positionAttributionQ _),
     "q189_benford_audit" -> (benfordAuditQ _),
     "q190_spend_concentration" -> (spendConcentrationQ _),
     "q191_kaplan_meier" -> (kaplanMeierQ _),
-    "q192_roc_auc" -> (rocAucQ _),
-    "q193_gains_lift" -> (gainsLiftQ _),
-    "q196_price_woe" -> (priceWoeQ _),
-    "q197_quality_kappa" -> (qualityKappaQ _),
     "q198_segment_priority_assoc" -> (segmentPriorityAssocQ _),
-    "q199_isotonic_calibration" -> (isotonicCalibrationQ _),
-    "q200_simpson_screen" -> (simpsonScreenQ _),
-    "q203_cuped_adjustment" -> (cupedQ _),
     "q208_bootstrap_ci" -> (bootstrapCiQ _),
-    "q209_qini_uplift" -> (qiniUpliftQ _),
     "q211_conversion_delay" -> (conversionDelayQ _),
-    "q214_disparate_impact" -> (disparateImpactQ _),
     "q216_brand_bradley_terry" -> (brandBtQ _),
     "q219_kmv_overlap" -> (kmvOverlapQ _),
     "q232_wilson_rates" -> (wilsonRatesQ _),
@@ -53,21 +45,13 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q255_gini_segments" -> (giniQ _),
     "q257_qty_price_kendall" -> (kendallQ _),
     "q260_segment_fdr_screen" -> (segmentFdrQ _),
-    "q263_mantel_haenszel" -> (mantelHaenszelQ _),
-    "q271_shapley_attribution" -> (shapleyQ _),
     "q287_cochran_armitage" -> (cochranArmitageQ _),
     "q291_kruskal_wallis" -> (kruskalWallisQ _),
-    "q293_quality_auc" -> (qualityAucQ _),
     "q300_dunn_posthoc" -> (dunnPosthocQ _),
     "q306_friedman_test" -> (friedmanQ _),
     "q310_assoc_panel" -> (assocPanelQ _),
     "q316_nelson_aalen" -> (nelsonAalenQ _),
     "q319_jonckheere" -> (jonckheereQ _),
-    "q320_brier_decomposition" -> (brierDecompositionQ _),
-    "q339_breslow_day" -> (breslowDayQ _),
-    "q340_srm_check" -> (srmQ _),
-    "q341_avg_precision" -> (avgPrecisionQ _),
-    "q342_threshold_scorecard" -> (thresholdScorecardQ _),
   )
 
   /** The engine's pinned Bonferroni z critical values as a DuckDB
@@ -87,44 +71,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .map { case (d, v) => s"WHEN $d THEN $v" }.mkString(" ") + " END"
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
-    // the replayed quality score micro-floored, MW rank identity,
-    // one mirrored division for AUC and Gini
-    "q293_quality_auc" ->
-      s"""$oracleMetricsCte,
-         sc AS (
-           SELECT source,
-             CAST(floor(quality * 1000000.0) AS BIGINT) AS s,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-           FROM q WHERE text IS NOT NULL AND lang IS NOT NULL),
-         per AS (
-           SELECT source, s, CAST(sum(pos) AS BIGINT) AS cp,
-             CAST(count(*) - sum(pos) AS BIGINT) AS cn
-           FROM sc GROUP BY 1, 2),
-         cum AS (
-           SELECT source, cp, cn,
-             coalesce(sum(cp + cn) OVER (PARTITION BY source ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS bef
-           FROM per),
-         r AS (SELECT source, cp, cn, 2 * bef + (cp + cn) + 1
-             AS rank2 FROM cum),
-         agg AS (
-           SELECT source, CAST(sum(cp) AS BIGINT) AS np,
-             CAST(sum(cn) AS BIGINT) AS nn,
-             sum(CAST(cp AS HUGEINT) * rank2) AS r2p
-           FROM r GROUP BY source),
-         f AS (
-           SELECT source, np, nn,
-             CASE WHEN np = 0 OR nn = 0 THEN NULL
-               ELSE CAST(r2p - CAST(np AS HUGEINT) * (np + 1)
-                 AS DOUBLE)
-                 / CAST(CAST(np AS HUGEINT) * nn * 2 AS DOUBLE)
-               END AS auc
-           FROM agg)
-         SELECT source, np AS n_pos, nn AS n_neg,
-           round(auc, 6) AS auc,
-           round(auc * 2.0 - 1.0, 6) AS gini
-         FROM f ORDER BY source""",
     // the q291 rank machinery carried to pairwise mean-rank z's;
     // the Bonferroni critical keyed by the group's own m
     "q300_dunn_posthoc" ->
@@ -815,154 +761,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            round(pr.m, 6) AS prior_mean,
            round(coalesce(pr.s, 0.0), 6) AS prior_strength
          FROM g CROSS JOIN pr ORDER BY g.grp""",
-    "q160_calibration_report" ->
-      s"""$oracleMetricsCte,
-         b AS (
-           SELECT least(CAST(floor(quality * 10) AS INT), 9) AS bin,
-             CAST(floor(quality * 1000000) AS BIGINT) AS micro,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-           FROM q WHERE quality IS NOT NULL AND lang IS NOT NULL),
-         g AS (
-           SELECT bin, count(*) AS n, sum(micro) AS sm,
-             sum(pos) AS np
-           FROM b GROUP BY bin),
-         t AS (SELECT sum(n) AS tot FROM g)
-         SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
-           CAST(np AS BIGINT) AS n_positive,
-           round(CAST(sm AS DOUBLE) / (n * 1000000), 6) AS mean_score,
-           round(CAST(np AS DOUBLE) / n, 6) AS frac_positive,
-           round(abs(CAST(sm AS DOUBLE) / (n * 1000000)
-             - CAST(np AS DOUBLE) / n) * n / tot, 6) AS ece_contrib
-         FROM g, t ORDER BY bin""",
-    // exact-regime KLL == the inclusive order statistic: smallest
-    // value whose cumulative fraction >= rank (cume_dist replay);
-    // ranks 0.5/0.75 are exact binary doubles on both engines
-    // the integer Holt recursion replayed as a recursive CTE; the
-    // mirrored step floor((a·x + b·(l+t))/1000) is exact below 2^49
-    // cents per bucket, so every emitted column is an exact BIGINT
-    // the coalition lattice is GENERATED (32 VALUES rows for the 4
-    // known channels); v's are one double division each, lattice-term
-    // differences nano-floored before the exact integer-weighted sum
-    "q271_shapley_attribution" -> {
-      val channels = Seq("click", "error", "signup", "view")
-      def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
-      val k = channels.size
-      val rows = (for {
-        i <- channels
-        rest = channels.filterNot(_ == i)
-        bits <- 0 until (1 << (k - 1))
-        t = rest.zipWithIndex.collect {
-          case (c, j) if (bits & (1 << j)) != 0 => c
-        }
-      } yield s"('$i', '${t.mkString("|")}', " +
-        s"'${(t :+ i).sorted.mkString("|")}', " +
-        s"${fact(t.size) * fact(k - 1 - t.size)})")
-        .mkString(",\n           ")
-      s"""WITH r AS (
-           SELECT user_id,
-             CASE WHEN event_type <> 'purchase' THEN event_type END
-               AS ch,
-             (event_type = 'purchase') AS cv
-           FROM events WHERE event_id % 29 = 0),
-         pu AS (
-           SELECT user_id,
-             coalesce(list_sort(list(DISTINCT ch)
-               FILTER (WHERE ch IS NOT NULL)), []) AS st,
-             max(CASE WHEN cv THEN 1 ELSE 0 END) AS conv
-           FROM r GROUP BY user_id),
-         pk AS (SELECT coalesce(array_to_string(st, '|'), '') AS k,
-                st, conv
-           FROM pu),
-         ss AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(conv) AS BIGINT) AS c FROM pk GROUP BY k),
-         vv AS (SELECT k, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS v
-                FROM ss),
-         lat(channel, tk, tik, w) AS (VALUES
-           $rows),
-         t AS (
-           SELECT lat.channel,
-             CAST(floor((coalesce(va.v, 0.0) - coalesce(vb.v, 0.0))
-               * 1000000000.0) AS BIGINT) * lat.w AS term
-           FROM lat
-           LEFT JOIN vv va ON va.k = lat.tik
-           LEFT JOIN vv vb ON vb.k = lat.tk),
-         phi AS (SELECT channel, CAST(sum(term) AS BIGINT) AS s1
-                 FROM t GROUP BY channel),
-         nu AS (
-           SELECT ch2 AS channel, CAST(count(*) AS BIGINT) AS n_users,
-             CAST(sum(conv) AS BIGINT) AS n_conv
-           FROM (SELECT unnest(st) AS ch2, conv FROM pk) GROUP BY 1)
-         SELECT nu.channel, nu.n_users, nu.n_conv,
-           round(CAST(phi.s1 AS DOUBLE) / ${fact(k)}.0
-             / 1000000000.0, 6) AS shapley
-         FROM nu JOIN phi ON phi.channel = nu.channel
-         ORDER BY 1"""
-    },
-    // exact 2×2 counts per stratum; every pooled term an integral-
-    // division micro-quantization (HUGEINT //, non-negative operands
-    // — truncation identical to Spark's IntegralDivide), one double
-    // division each for or_mh and the χ²
-    "q263_mantel_haenszel" ->
-      """WITH r AS (
-           SELECT c_mktsegment AS s,
-             (o_orderpriority = '1-URGENT') AS e,
-             (o_orderstatus = 'F') AS o
-           FROM orders JOIN customer ON o_custkey = c_custkey),
-         per AS (
-           SELECT s,
-             CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT)
-               AS a,
-             CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
-               AS BIGINT) AS b,
-             CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
-               AS BIGINT) AS c,
-             CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
-               AS BIGINT) AS d
-           FROM r GROUP BY s),
-         t AS (
-           SELECT s, a, b, c, d,
-             (CAST(a AS HUGEINT) * d * 1000000) // (a + b + c + d)
-               AS rmu,
-             (CAST(b AS HUGEINT) * c * 1000000) // (a + b + c + d)
-               AS smu,
-             (CAST(a + b AS HUGEINT) * (a + c) * 1000000)
-               // (a + b + c + d) AS emu,
-             CASE WHEN a + b + c + d > 1 THEN
-               (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
-                 * 1000000)
-               // (CAST(a + b + c + d AS HUGEINT) * (a + b + c + d)
-                 * (a + b + c + d - 1))
-               ELSE 0 END AS vmu
-           FROM per),
-         strata AS (
-           SELECT s AS st, a, b, c, d,
-             CASE WHEN b * c > 0 THEN
-               round(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
-                 / CAST(CAST(b AS HUGEINT) * c AS DOUBLE), 6) END
-               AS odds_ratio,
-             CAST(NULL AS DOUBLE) AS or_mh,
-             CAST(NULL AS DOUBLE) AS cmh_chi2
-           FROM t),
-         tot AS (
-           SELECT '__total__' AS st,
-             CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
-             CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d,
-             CAST(NULL AS DOUBLE) AS odds_ratio,
-             CASE WHEN sum(smu) > 0 THEN
-               round(CAST(sum(rmu) AS DOUBLE)
-                 / CAST(sum(smu) AS DOUBLE), 6) END AS or_mh,
-             CASE WHEN sum(vmu) > 0 THEN
-               round(CAST((sum(CAST(a AS HUGEINT) * 1000000)
-                   - sum(emu))
-                 * (sum(CAST(a AS HUGEINT) * 1000000) - sum(emu))
-                 AS DOUBLE)
-                 / (1000000.0 * CAST(sum(vmu) AS DOUBLE)), 6) END
-               AS cmh_chi2
-           FROM t)
-         SELECT st AS c_mktsegment, a, b, c, d, odds_ratio, or_mh,
-           cmh_chi2
-         FROM (SELECT * FROM strata UNION ALL SELECT * FROM tot)
-         ORDER BY c_mktsegment""",
     // exact counts under the float z; pooled variance, two-sided
     "q181_robust_outliers" ->
       """WITH med AS (
@@ -1037,36 +835,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows,
            dc < 3 AS violates
          FROM cls GROUP BY dc ORDER BY distinct_sensitive""",
-    // q167's pairing CTEs with the 40/20/40 credit policy; middle
-    // remainder on rank n-1, every conversion sums to 1000 exactly
-    "q188_position_attribution" ->
-      """WITH c AS (
-           SELECT user_id, ts AS cts, event_id AS cid FROM events
-           WHERE event_type = 'purchase'),
-         t AS (
-           SELECT user_id, ts AS tts, event_id AS tid FROM events
-           WHERE event_type IN ('view', 'click')),
-         p AS (
-           SELECT c.user_id, cid, cts, tid, tts
-           FROM c JOIN t USING (user_id)
-           WHERE tts <= cts AND tts > cts - INTERVAL 2 HOUR),
-         r AS (
-           SELECT user_id, cid, tid,
-             count(*) OVER (PARTITION BY user_id, cid) AS n_touches,
-             row_number() OVER (PARTITION BY user_id, cid
-               ORDER BY tts, tid) AS touch_rank
-           FROM p)
-         SELECT user_id, cid AS conversion_id, tid AS touch_id,
-           CAST(touch_rank AS INT) AS touch_rank,
-           CAST(n_touches AS BIGINT) AS n_touches,
-           CAST(CASE WHEN n_touches = 1 THEN 1000
-                WHEN n_touches = 2 THEN 500
-                WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400
-                ELSE 200 // (n_touches - 2)
-                  + CASE WHEN touch_rank = n_touches - 1
-                    THEN 200 % (n_touches - 2) ELSE 0 END
-                END AS BIGINT) AS credit_milli
-         FROM r ORDER BY conversion_id, touch_rank""",
     // resource-allocation index in exact micro-units: per-center
     // weight 1e6 // deg, summed as BIGINT — no libm in the score
     "q189_benford_audit" ->
@@ -1179,69 +947,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            round(list_reduce(fl.fs[1:rn.i], (x, y) -> x * y), 6)
              AS survival
          FROM rn JOIN fl USING (g) ORDER BY 1, 2""",
-    // exact micro-unit Brier numerator; per-bin rel/res numerators
-    // divided once and nano-floored before order-free sums
-    "q320_brier_decomposition" ->
-      s"""$oracleMetricsCte,
-         rws AS (
-           SELECT source AS g,
-             least(CAST(floor(quality * 10) AS INT), 9) AS bin,
-             CAST(floor(quality * 1000000) AS BIGINT) AS p,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
-           FROM q
-           WHERE quality IS NOT NULL AND lang IS NOT NULL
-             AND text IS NOT NULL),
-         pb AS (
-           SELECT g, bin, CAST(count(*) AS BIGINT) AS nk,
-             CAST(sum(p) AS BIGINT) AS sp,
-             CAST(sum(o) AS BIGINT) AS so,
-             sum(CAST(p - o * 1000000 AS HUGEINT)
-               * (p - o * 1000000)) AS sq
-           FROM rws GROUP BY 1, 2),
-         tt AS (
-           SELECT g, CAST(sum(nk) AS BIGINT) AS n,
-             CAST(sum(so) AS BIGINT) AS sot, sum(sq) AS sqt
-           FROM pb GROUP BY 1),
-         terms AS (
-           SELECT pb.g, n, sot, sqt,
-             CAST(floor(
-               CAST(CAST(sp AS HUGEINT) - CAST(so AS HUGEINT)
-                 * 1000000 AS DOUBLE)
-               * CAST(CAST(sp AS HUGEINT) - CAST(so AS HUGEINT)
-                 * 1000000 AS DOUBLE)
-               / CAST(nk AS DOUBLE)) AS HUGEINT) AS rel,
-             CAST(floor(
-               CAST(CAST(so AS HUGEINT) * n - CAST(sot AS HUGEINT)
-                 * nk AS DOUBLE)
-               * CAST(CAST(so AS HUGEINT) * n - CAST(sot AS HUGEINT)
-                 * nk AS DOUBLE)
-               / (CAST(nk AS DOUBLE) * CAST(n AS DOUBLE)
-                 * CAST(n AS DOUBLE))
-               * 1000000000000.0) AS HUGEINT) AS res
-           FROM pb JOIN tt ON tt.g = pb.g),
-         ag AS (
-           SELECT g, max(n) AS n, max(sot) AS sot, max(sqt) AS sqt,
-             CAST(count(*) AS BIGINT) AS n_bins,
-             sum(rel) AS rels, sum(res) AS ress
-           FROM terms GROUP BY g),
-         f AS (
-           SELECT g, n, n_bins,
-             CAST(sqt AS DOUBLE) / 1000000000000.0
-               / CAST(n AS DOUBLE) AS brier,
-             CAST(rels AS DOUBLE) / 1000000000000.0
-               / CAST(n AS DOUBLE) AS rel,
-             CAST(ress AS DOUBLE) / 1000000000000.0
-               / CAST(n AS DOUBLE) AS res,
-             CAST(sot AS DOUBLE) / CAST(n AS DOUBLE) AS obar
-           FROM ag)
-         SELECT g AS source, n, n_bins,
-           round(brier, 6) AS brier,
-           round(rel, 6) AS reliability,
-           round(res, 6) AS resolution,
-           round(obar * (1.0 - obar), 6) AS uncertainty,
-           round(brier - (rel - res + obar * (1.0 - obar)), 6)
-             AS wb_gap
-         FROM f ORDER BY source""",
     // dense (value x dose) grid with per-dose cumulative-below
     // counts; J2 exact in doubled units with tie half-credit; the
     // classical no-tie variance, one mirrored z
@@ -1350,142 +1055,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
              AS survival_na,
            round(sqrt(CAST(vc AS DOUBLE) / 1000000000000.0), 6) AS se
          FROM cu ORDER BY 1, 2""",
-    // distinct-score collapse + rank-sum identity: U·2 stays integer
-    // (the +nn term is the doubled tie half-credit); AUC and Gini are
-    // one double division each
-    "q192_roc_auc" ->
-      """WITH b AS (
-           SELECT o_orderstatus AS g, o_totalprice AS s,
-             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
-           FROM orders),
-         bs AS (
-           SELECT g, s,
-             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
-             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
-           FROM b GROUP BY 1, 2),
-         wb AS (
-           SELECT g, np, nn,
-             CAST(coalesce(sum(nn) OVER (PARTITION BY g ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS below
-           FROM bs),
-         u AS (
-           SELECT g, CAST(sum(np) AS BIGINT) AS n_pos,
-             CAST(sum(nn) AS BIGINT) AS n_neg,
-             CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
-           FROM wb GROUP BY g)
-         SELECT g AS o_orderstatus, n_pos, n_neg,
-           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-             round(CAST(u2 AS DOUBLE)
-               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
-               6) END AS auc,
-           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-             round(CAST(u2 AS DOUBLE)
-               / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0,
-               6) END AS gini_idx
-         FROM u ORDER BY 1""",
-    // ntile's fill rule (first n mod b bins take the extra row) is
-    // ANSI-identical; every statistic is a ratio of exact counts
-    "q193_gains_lift" ->
-      """WITH lab AS (
-           SELECT c_mktsegment, c_acctbal, c_custkey,
-             (c_custkey IN (SELECT o_custkey FROM orders
-                WHERE o_orderpriority = '1-URGENT')) AS y
-           FROM customer),
-         b AS (
-           SELECT c_mktsegment AS g,
-             CAST(ntile(10) OVER (PARTITION BY c_mktsegment
-               ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bucket,
-             y
-           FROM lab),
-         per AS (
-           SELECT g, bucket, count(*) AS n,
-             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-           FROM b GROUP BY 1, 2),
-         cum AS (
-           SELECT g, bucket, n, n_pos,
-             CAST(sum(n) OVER (PARTITION BY g ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cn,
-             CAST(sum(n_pos) OVER (PARTITION BY g ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cp,
-             CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS tn,
-             CAST(sum(n_pos) OVER (PARTITION BY g) AS BIGINT) AS tp
-           FROM per)
-         SELECT g AS c_mktsegment, bucket, n, n_pos,
-           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
-             AS response_rate,
-           round(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6)
-             AS cum_gain,
-           round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
-             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift,
-           round((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
-             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
-             AS cum_lift
-         FROM cum ORDER BY 1, 2""",
-    // caller-supplied fixed-width bins (no global sort window);
-    // Laplace 0.5 smoothing keeps one-class bins finite; the IV total
-    // is a bins-sized rounded double sum
-    "q196_price_woe" ->
-      """WITH b AS (
-           SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bin,
-             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
-           FROM orders),
-         per AS (SELECT bin,
-           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-           CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-           FROM b GROUP BY 1),
-         tt AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
-                CAST(sum(n_neg) AS BIGINT) AS tn, count(*) AS nb
-                FROM per),
-         sc AS (
-           SELECT per.bin, per.n_pos, per.n_neg,
-             (CAST(n_pos AS DOUBLE) + 0.5)
-               / (CAST(tp AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS ps,
-             (CAST(n_neg AS DOUBLE) + 0.5)
-               / (CAST(tn AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS ns
-           FROM per CROSS JOIN tt),
-         w AS (SELECT bin, n_pos, n_neg, ln(ps / ns) AS woe,
-               (ps - ns) * ln(ps / ns) AS iv FROM sc),
-         ivt AS (SELECT CAST(sum(iv) AS DOUBLE) AS ivt FROM w)
-         SELECT bin, n_pos, n_neg, round(woe, 6) AS woe,
-           round(iv, 6) AS iv_term, round(ivt, 6) AS iv_total
-         FROM w CROSS JOIN ivt ORDER BY bin""",
-    // κ = (N·D − S)/(N² − S): every operand an exact BIGINT, one
-    // double division per statistic; the metrics CTEs replay the
-    // engine's quality/token formulas verbatim
-    "q197_quality_kappa" ->
-      (oracleMetricsCte + """,
-         lab AS (
-           SELECT CASE WHEN quality >= 0.6 THEN 'hi'
-                       WHEN quality >= 0.3 THEN 'mid'
-                       ELSE 'lo' END AS label_a,
-                  CASE WHEN tokens >= 120 THEN 'hi'
-                       WHEN tokens >= 40 THEN 'mid'
-                       ELSE 'lo' END AS label_b
-           FROM q),
-         cells AS (SELECT label_a, label_b, count(*) AS n
-                   FROM lab GROUP BY 1, 2),
-         r AS (SELECT label_a, CAST(sum(n) AS BIGINT) AS r
-               FROM cells GROUP BY 1),
-         c AS (SELECT label_b, CAST(sum(n) AS BIGINT) AS c
-               FROM cells GROUP BY 1),
-         s AS (SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS s
-               FROM r JOIN c ON r.label_a = c.label_b),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
-               CAST(sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)
-                 AS BIGINT) AS d
-               FROM cells)
-         SELECT cells.label_a, cells.label_b, cells.n, t.nt AS n_total,
-           round(CAST(d AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS po,
-           round(CAST(s AS DOUBLE)
-             / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)), 6) AS pe,
-           round((CAST(nt AS DOUBLE) * CAST(d AS DOUBLE)
-               - CAST(s AS DOUBLE))
-             / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
-               - CAST(s AS DOUBLE)), 6) AS kappa
-         FROM cells CROSS JOIN t CROSS JOIN s ORDER BY 1, 2"""),
     // sparse χ² identity N·(Σ n²/(r·c) − 1) — no zero-cell grid; MI
     // and entropies sum only observed cells/margins
     "q198_segment_priority_assoc" ->
@@ -1526,147 +1095,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            round(mi / hb, 6) AS u_b_given_a
          FROM t CROSS JOIN na CROSS JOIN nb CROSS JOIN sums
            CROSS JOIN ha CROSS JOIN hb""",
-    // PAV via the min-max identity over interval averages of BIGINT
-    // prefix sums — every average is one division, min/max over
-    // doubles is order-free, so the fit is engine-deterministic
-    "q199_isotonic_calibration" ->
-      """WITH b AS (
-           SELECT o_orderstatus AS g,
-             CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bin,
-             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
-           FROM orders),
-         bins AS (SELECT g, bin, count(*) AS n,
-           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
-           FROM b GROUP BY 1, 2),
-         arr AS (
-           SELECT g, list(bin ORDER BY bin) AS bs,
-             list(n ORDER BY bin) AS ns, list(p ORDER BY bin) AS ps,
-             count(*) AS len
-           FROM bins GROUP BY g),
-         pre AS (
-           SELECT g, bs, ns, ps, len,
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(1, len), i ->
-                 CAST(list_reduce(ns[1:i], (a, x) -> a + x)
-                   AS BIGINT))) AS cn,
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(1, len), i ->
-                 CAST(list_reduce(ps[1:i], (a, x) -> a + x)
-                   AS BIGINT))) AS cp
-           FROM arr),
-         iso AS (
-           SELECT g, bs, ns, ps, len, cn, cp,
-             list_transform(generate_series(1, len), i ->
-               list_max(list_transform(generate_series(1, i), k ->
-                 list_min(list_transform(generate_series(i, len), j ->
-                   CAST(cp[j + 1] - cp[k] AS DOUBLE)
-                     / CAST(cn[j + 1] - cn[k] AS DOUBLE)))))) AS iso
-           FROM pre)
-         SELECT g AS o_orderstatus, bs[i] AS bin, ns[i] AS n,
-           ps[i] AS n_pos,
-           round(CAST(ps[i] AS DOUBLE) / CAST(ns[i] AS DOUBLE), 6)
-             AS raw_rate,
-           round(iso[i], 6) AS iso_rate
-         FROM iso, LATERAL (SELECT unnest(generate_series(1, len))
-           AS i) t
-         ORDER BY 1, 2""",
-    // rates are one division of exact counts each; the reversal flag
-    // multiplies two exact differences' signs; empty-cohort strata
-    // report null rates and flag 0
-    "q200_simpson_screen" ->
-      """WITH b AS (
-           SELECT (c_mktsegment = 'BUILDING') AS a,
-             o_orderpriority AS s, (o_totalprice > 150000.0) AS y
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
-         st AS (SELECT s,
-           CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-           CAST(sum(CASE WHEN a AND y THEN 1 ELSE 0 END) AS BIGINT)
-             AS pos_a,
-           CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_b,
-           CAST(sum(CASE WHEN (NOT a) AND y THEN 1 ELSE 0 END)
-             AS BIGINT) AS pos_b
-           FROM b GROUP BY s),
-         ov AS (SELECT CAST(sum(n_a) AS BIGINT) AS ona,
-                CAST(sum(pos_a) AS BIGINT) AS opa,
-                CAST(sum(n_b) AS BIGINT) AS onb,
-                CAST(sum(pos_b) AS BIGINT) AS opb FROM st),
-         x AS (
-           SELECT st.*,
-             CASE WHEN n_a > 0 THEN CAST(pos_a AS DOUBLE)
-               / CAST(n_a AS DOUBLE) END AS ra,
-             CASE WHEN n_b > 0 THEN CAST(pos_b AS DOUBLE)
-               / CAST(n_b AS DOUBLE) END AS rb,
-             CASE WHEN ona > 0 THEN CAST(opa AS DOUBLE)
-               / CAST(ona AS DOUBLE) END AS ora,
-             CASE WHEN onb > 0 THEN CAST(opb AS DOUBLE)
-               / CAST(onb AS DOUBLE) END AS orb
-           FROM st CROSS JOIN ov)
-         SELECT s AS stratum, n_a, pos_a, n_b, pos_b,
-           round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
-           round(ra - rb, 6) AS diff,
-           round(ora - orb, 6) AS overall_diff,
-           CAST(coalesce((ra - rb) * (ora - orb) < 0, FALSE) AS INT)
-             AS reversal
-         FROM x ORDER BY 1""",
-    // every moment an exact BIGINT (whole-dollar units keep sum(x*y)
-    // inside long); θ, ρ² and the adjusted means are fixed arithmetic
-    // over those longs — long→double conversion is correctly rounded,
-    // so both engines agree bit-for-bit
-    "q203_cuped_adjustment" ->
-      """WITH cust AS (
-           SELECT c_custkey, (c_mktsegment = 'BUILDING') AS a
-           FROM customer
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
-         po AS (
-           SELECT o_custkey,
-             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
-               < DATE '1999-01-01'
-               THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
-               AS BIGINT) AS x,
-             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
-               >= DATE '1999-01-01'
-               THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
-               AS BIGINT) AS y
-           FROM orders GROUP BY 1),
-         units AS (
-           SELECT cust.a, coalesce(po.x, 0) AS x,
-             coalesce(po.y, 0) AS y
-           FROM cust LEFT JOIN po ON c_custkey = o_custkey),
-         pooled AS (SELECT count(*) AS n,
-           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-           CAST(sum(x * x) AS BIGINT) AS sxx,
-           CAST(sum(y * y) AS BIGINT) AS syy,
-           CAST(sum(x * y) AS BIGINT) AS sxy FROM units),
-         arms AS (SELECT a, count(*) AS n,
-           CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
-           FROM units GROUP BY a),
-         calc AS (
-           SELECT arms.a, arms.n,
-             CAST(arms.ax AS DOUBLE) / CAST(arms.n AS DOUBLE) AS mx,
-             CAST(arms.ay AS DOUBLE) / CAST(arms.n AS DOUBLE) AS my,
-             CAST(pooled.sx AS DOUBLE) / CAST(pooled.n AS DOUBLE)
-               AS gx,
-             CAST(pooled.n AS DOUBLE) * CAST(pooled.sxy AS DOUBLE)
-               - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sy AS DOUBLE)
-               AS covn,
-             CAST(pooled.n AS DOUBLE) * CAST(pooled.sxx AS DOUBLE)
-               - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sx AS DOUBLE)
-               AS varxn,
-             CAST(pooled.n AS DOUBLE) * CAST(pooled.syy AS DOUBLE)
-               - CAST(pooled.sy AS DOUBLE) * CAST(pooled.sy AS DOUBLE)
-               AS varyn
-           FROM arms CROSS JOIN pooled)
-         SELECT CAST(a AS INT) AS cohort, n,
-           round(mx, 4) AS mean_pre, round(my, 4) AS mean_post,
-           round(my - (CASE WHEN varxn > 0 THEN covn / varxn END)
-             * (mx - gx), 4) AS adjusted_mean,
-           round(CASE WHEN varxn > 0 THEN covn / varxn END, 6)
-             AS theta,
-           round(CASE WHEN varxn > 0 AND varyn > 0
-             THEN (covn * covn) / (varxn * varyn) END, 6) AS rho2
-         FROM calc ORDER BY cohort""",
     // Poisson(1) weights as integer threshold-counts over the 32-bit
     // md5; replicate ratios are one division of exact weighted sums;
     // CI bounds are order statistics picked by exact integer index;
@@ -1708,47 +1136,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            round(rs[lo], 6) AS ci_lo,
            round(rs[hi], 6) AS ci_hi
          FROM ob CROSS JOIN idx""",
-    // counts BIGINT; uplift and Qini divide once per row; cumulative
-    // sums descend the score bins
-    "q209_qini_uplift" ->
-      """WITH lab AS (
-           SELECT CAST(floor(c_acctbal / 1100.0) AS BIGINT) AS b,
-             (c_mktsegment = 'BUILDING') AS t,
-             (c_custkey IN (SELECT o_custkey FROM orders
-                WHERE o_orderpriority = '1-URGENT')) AS y
-           FROM customer
-           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
-         bins AS (SELECT b,
-           CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-           CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT)
-             AS rt,
-           CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
-             AS nc,
-           CAST(sum(CASE WHEN (NOT t) AND y THEN 1 ELSE 0 END)
-             AS BIGINT) AS rc
-           FROM lab GROUP BY b),
-         cum AS (
-           SELECT b, nt, rt, nc, rc,
-             CAST(sum(nt) OVER (ORDER BY b DESC ROWS BETWEEN
-               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt,
-             CAST(sum(rt) OVER (ORDER BY b DESC ROWS BETWEEN
-               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS crt,
-             CAST(sum(nc) OVER (ORDER BY b DESC ROWS BETWEEN
-               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnc,
-             CAST(sum(rc) OVER (ORDER BY b DESC ROWS BETWEEN
-               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS crc
-           FROM bins)
-         SELECT b AS bin, nt AS n_treated, rt AS r_treated,
-           nc AS n_control, rc AS r_control,
-           round(CASE WHEN nt > 0 AND nc > 0 THEN
-             CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
-             - CAST(rc AS DOUBLE) / CAST(nc AS DOUBLE) END, 6)
-             AS uplift,
-           round(CASE WHEN cnc > 0 THEN CAST(crt AS DOUBLE)
-             - CAST(crc AS DOUBLE)
-               * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) END, 4)
-             AS cum_qini
-         FROM cum ORDER BY bin DESC""",
     // the q48 pair CTE + quantile_cont over exact integer micros —
     // delays divide to seconds once at the end
     "q211_conversion_delay" ->
@@ -1766,32 +1153,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            round(quantile_cont(delay_us, 0.9) / 1e6, 4) AS p90_sec,
            round(quantile_cont(delay_us, 0.99) / 1e6, 4) AS p99_sec
          FROM j GROUP BY day ORDER BY day""",
-    // the four-fifths flag is exact cross-multiplication over
-    // BIGINTs; the most-favored group is the micro-quantized rate
-    // argmax, smallest name on ties
-    "q214_disparate_impact" ->
-      """WITH lab AS (
-           SELECT c_mktsegment AS g,
-             (c_custkey IN (SELECT o_custkey FROM orders
-                WHERE o_orderpriority = '1-URGENT')) AS y
-           FROM customer),
-         per AS (SELECT g, count(*) AS n,
-                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
-                   AS p
-                 FROM lab GROUP BY g),
-         rm AS (SELECT g, n, p,
-                CAST(floor(1000000 * CAST(p AS DOUBLE)
-                  / CAST(n AS DOUBLE)) AS BIGINT) AS rm FROM per),
-         mx AS (SELECT max(rm) AS mx FROM rm),
-         best AS (SELECT n AS bn, p AS bp FROM rm CROSS JOIN mx
-                  WHERE rm = mx ORDER BY g LIMIT 1)
-         SELECT per.g AS c_mktsegment, per.n, per.p AS n_pos,
-           round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
-           round((CAST(p AS DOUBLE) * CAST(bn AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(bp AS DOUBLE)), 6)
-             AS impact_ratio,
-           CAST(5 * p * bn < 4 * bp * n AS INT) AS four_fifths_flag
-         FROM per CROSS JOIN best ORDER BY 1""",
     // basket-duel comparisons → 8 exact MM rounds; see btRound for
     // the integer-division mirroring argument
     "q216_brand_bradley_terry" ->
@@ -1888,247 +1249,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
                + 2.0 AS INT) AS within_tol
          FROM prs JOIN unx USING (ga, gb) LEFT JOIN xi USING (ga, gb)
          ORDER BY 1, 2""",
-    // q263's count CTE + the BD replay: ψ̂ from the same HUGEINT
-    // micro divisions, the margin-box quadratic root and variance as
-    // a fixed-order mirrored double chain, each χ² term micro-
-    // FLOORED before the sum, one division by 10⁶ at the end
-    "q339_breslow_day" ->
-      """WITH r AS (
-           SELECT c_mktsegment AS s,
-             (o_orderpriority = '1-URGENT') AS e,
-             (o_orderstatus = 'F') OR (c_mktsegment = 'BUILDING'
-               AND o_orderpriority = '1-URGENT'
-               AND o_orderkey % 3 = 0) AS o
-           FROM orders JOIN customer ON o_custkey = c_custkey),
-         per AS (
-           SELECT s,
-             CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT)
-               AS a,
-             CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
-               AS BIGINT) AS b,
-             CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
-               AS BIGINT) AS c,
-             CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
-               AS BIGINT) AS d
-           FROM r GROUP BY s),
-         psi AS (
-           SELECT CAST(sum((CAST(a AS HUGEINT) * d * 1000000)
-               // (a + b + c + d)) AS DOUBLE)
-             / CAST(sum((CAST(b AS HUGEINT) * c * 1000000)
-               // (a + b + c + d)) AS DOUBLE) AS psi
-           FROM per),
-         q AS (
-           SELECT per.*, psi.psi,
-             CAST(a + b AS DOUBLE) AS n1, CAST(c + d AS DOUBLE) AS n2,
-             CAST(a + c AS DOUBLE) AS m1,
-             (a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0)
-               AS valid
-           FROM per CROSS JOIN psi),
-         e1 AS (
-           SELECT *, 1.0 - psi AS qa,
-             (n2 - m1) + psi * (n1 + m1) AS qb,
-             -(psi * n1 * m1) AS qc
-           FROM q),
-         e2 AS (SELECT *, qb * qb - 4.0 * qa * qc AS disc FROM e1),
-         e3 AS (
-           SELECT *, (-qb + sqrt(disc)) / (2.0 * qa) AS r1,
-             (-qb - sqrt(disc)) / (2.0 * qa) AS r2,
-             greatest(0.0, m1 - n2) AS lo, least(n1, m1) AS hi
-           FROM e2),
-         e4 AS (
-           SELECT *, CASE WHEN abs(qa) < 1e-12 THEN -(qc / qb)
-             WHEN r1 >= lo - 1e-9 AND r1 <= hi + 1e-9 THEN r1
-             ELSE r2 END AS ea
-           FROM e3),
-         e5 AS (
-           SELECT *, 1.0 / (1.0 / ea + 1.0 / (n1 - ea)
-               + 1.0 / (m1 - ea) + 1.0 / (n2 - m1 + ea)) AS vr,
-             CAST(a AS DOUBLE) - ea AS dnum
-           FROM e4),
-         t AS (
-           SELECT s, a, b, c, d, valid,
-             CASE WHEN valid THEN ea END AS ea,
-             CASE WHEN valid THEN
-               CAST(floor((dnum * dnum / vr) * 1000000.0) AS BIGINT)
-               ELSE 0 END AS tmu,
-             CASE WHEN valid THEN
-               CAST(floor(dnum * 1000000.0) AS BIGINT)
-               ELSE 0 END AS dmu,
-             CASE WHEN valid THEN
-               CAST(floor(vr * 1000000.0) AS BIGINT)
-               ELSE 0 END AS vmu
-           FROM e5),
-         strata AS (
-           SELECT s AS st, a, b, c, d,
-             CASE WHEN b * c > 0 THEN
-               round(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
-                 / CAST(CAST(b AS HUGEINT) * c AS DOUBLE), 6) END
-               AS odds_ratio,
-             round(ea, 4) AS expected_a,
-             CAST(NULL AS DOUBLE) AS bd_chi2,
-             CAST(NULL AS DOUBLE) AS bd_chi2_tarone,
-             CAST(NULL AS BIGINT) AS df,
-             CAST(NULL AS INT) AS heterogeneous
-           FROM t),
-         tot AS (
-           SELECT '__total__' AS st,
-             CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
-             CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d,
-             CAST(NULL AS DOUBLE) AS odds_ratio,
-             CAST(NULL AS DOUBLE) AS expected_a,
-             round(CAST(sum(tmu) AS DOUBLE) / 1000000.0, 6)
-               AS bd_chi2,
-             round(CASE WHEN sum(vmu) > 0 THEN
-               CAST(sum(tmu) AS DOUBLE) / 1000000.0
-                 - (CAST(sum(dmu) AS DOUBLE) / 1000000.0)
-                 * (CAST(sum(dmu) AS DOUBLE) / 1000000.0)
-                 / (CAST(sum(vmu) AS DOUBLE) / 1000000.0) END, 6)
-               AS bd_chi2_tarone,
-             greatest(CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END)
-               AS BIGINT) - 1, 0) AS df,
-             CAST(CASE WHEN CAST(sum(tmu) AS DOUBLE) / 1000000.0
-               > 9.488 THEN 1 ELSE 0 END AS INT) AS heterogeneous
-           FROM t)
-         SELECT st AS c_mktsegment, a, b, c, d, odds_ratio,
-           expected_a, bd_chi2, bd_chi2_tarone, df, heterogeneous
-         FROM (SELECT * FROM strata UNION ALL SELECT * FROM tot)
-         ORDER BY c_mktsegment""",
-    // all-integer GOF: each arm's (n·W − nt·w)²·10⁶ div (nt·w·W)
-    // term is an exact HUGEINT integral division; one Σ/10⁶
-    "q340_srm_check" ->
-      """WITH d AS (
-           SELECT event_type AS g,
-             CAST(event_id % 2 AS VARCHAR) AS arm
-           FROM events
-           WHERE NOT (event_type = 'purchase' AND event_id % 4 = 1)),
-         counts AS (
-           SELECT g, arm, CAST(count(*) AS BIGINT) AS n
-           FROM d GROUP BY 1, 2),
-         arms AS (SELECT * FROM (VALUES ('0', CAST(1 AS BIGINT)),
-           ('1', CAST(1 AS BIGINT))) AS v(arm, w)),
-         grps AS (SELECT DISTINCT g FROM counts),
-         f AS (
-           SELECT grps.g, arms.arm, arms.w,
-             coalesce(counts.n, 0) AS n
-           FROM grps CROSS JOIN arms
-           LEFT JOIN counts ON counts.g = grps.g
-             AND counts.arm = arms.arm),
-         tt AS (
-           SELECT g, arm, w, n,
-             CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS nt
-           FROM f),
-         terms AS (
-           SELECT *, CASE WHEN nt > 0 THEN
-             (CAST(n AS HUGEINT) * 2 - CAST(nt AS HUGEINT) * w)
-               * (CAST(n AS HUGEINT) * 2 - CAST(nt AS HUGEINT) * w)
-               * 1000000 // (CAST(nt AS HUGEINT) * w * 2)
-             ELSE 0 END AS tmu
-           FROM tt),
-         fin AS (
-           SELECT g, arm, w, n, nt,
-             CAST(sum(tmu) OVER (PARTITION BY g) AS DOUBLE)
-               / 1000000.0 AS chi2
-           FROM terms)
-         SELECT g AS event_type, arm, n AS n_arm,
-           round(CAST(nt AS DOUBLE) * w / 2.0, 2) AS expected_arm,
-           round(chi2, 6) AS srm_chi2, CAST(1 AS BIGINT) AS df,
-           CAST(CASE WHEN chi2 > 3.841 THEN 1 ELSE 0 END AS INT)
-             AS mismatch
-         FROM fin ORDER BY event_type, arm""",
-    // the q192 ranking frame; each step's ΔTP·TP·10⁶ // (TP+FP) is
-    // an exact HUGEINT integral division, one Σ/(10⁶·P) at the end
-    "q341_avg_precision" ->
-      """WITH b AS (
-           SELECT o_orderstatus AS g, o_totalprice AS s,
-             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
-           FROM orders),
-         per AS (
-           SELECT g, s,
-             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
-             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
-           FROM b GROUP BY 1, 2),
-         cum AS (
-           SELECT g, np, nn,
-             CAST(sum(np) OVER w AS BIGINT) AS tp,
-             CAST(sum(nn) OVER w AS BIGINT) AS fp
-           FROM per
-           WINDOW w AS (PARTITION BY g ORDER BY s DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         t AS (
-           SELECT g, np, nn,
-             (CAST(np AS HUGEINT) * tp * 1000000) // (tp + fp) AS tmu
-           FROM cum),
-         agg AS (
-           SELECT g, CAST(sum(np) AS BIGINT) AS n_pos,
-             CAST(sum(nn) AS BIGINT) AS n_neg, sum(tmu) AS smu
-           FROM t GROUP BY g)
-         SELECT g AS o_orderstatus, n_pos, n_neg,
-           CASE WHEN n_pos > 0 THEN
-             round(CAST(smu AS DOUBLE)
-               / (1000000.0 * CAST(n_pos AS DOUBLE)), 6) END
-             AS avg_precision,
-           CASE WHEN n_pos + n_neg > 0 THEN
-             round(CAST(n_pos AS DOUBLE)
-               / CAST(n_pos + n_neg AS DOUBLE), 6) END AS prevalence
-         FROM agg ORDER BY o_orderstatus""",
-    // same frame; argmax over the exact F1-nano / J·PN lattices with
-    // score-desc tie-break, mirrored double display metrics
-    "q342_threshold_scorecard" ->
-      """WITH b AS (
-           SELECT o_orderstatus AS g, o_totalprice AS s,
-             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
-           FROM orders),
-         per AS (
-           SELECT g, s,
-             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
-             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
-           FROM b GROUP BY 1, 2),
-         cum AS (
-           SELECT g, s, np, nn,
-             CAST(sum(np) OVER w AS BIGINT) AS tp,
-             CAST(sum(nn) OVER w AS BIGINT) AS fp,
-             CAST(sum(np) OVER (PARTITION BY g) AS BIGINT) AS p,
-             CAST(sum(nn) OVER (PARTITION BY g) AS BIGINT) AS n
-           FROM per
-           WINDOW w AS (PARTITION BY g ORDER BY s DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         m AS (
-           SELECT g, s, tp, fp, p, n, p - tp AS fn, n - fp AS tn,
-             (CAST(tp AS HUGEINT) * 2 * 1000000000)
-               // (2 * tp + fp + (p - tp)) AS f1n,
-             CAST(tp AS HUGEINT) * n + CAST(n - fp AS HUGEINT) * p
-               - CAST(p AS HUGEINT) * n AS jpn
-           FROM cum),
-         rk AS (
-           SELECT *,
-             row_number() OVER (PARTITION BY g
-               ORDER BY f1n DESC, s DESC) AS rf,
-             row_number() OVER (PARTITION BY g
-               ORDER BY jpn DESC, s DESC) AS rj
-           FROM m),
-         u AS (
-           SELECT 'max_f1' AS criterion, * FROM rk WHERE rf = 1
-           UNION ALL
-           SELECT 'max_j' AS criterion, * FROM rk WHERE rj = 1)
-         SELECT g AS o_orderstatus, criterion, s AS threshold,
-           tp, fp, fn, tn,
-           round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
-             / CAST(tp + fp AS DOUBLE) END, 6) AS "precision",
-           round(CASE WHEN p > 0 THEN CAST(tp AS DOUBLE)
-             / CAST(p AS DOUBLE) END, 6) AS recall,
-           round(CAST(f1n AS DOUBLE) / 1000000000.0, 6) AS f1,
-           round(CASE WHEN p > 0 AND n > 0 THEN CAST(jpn AS DOUBLE)
-             / CAST(CAST(p AS HUGEINT) * n AS DOUBLE) END, 6)
-             AS youden_j,
-           round(CASE WHEN sqrt(CAST(CAST(tp + fp AS HUGEINT)
-               * (tp + (p - tp)) * ((n - fp) + fp)
-               * ((n - fp) + (p - tp)) AS DOUBLE)) > 0.0 THEN
-             CAST(CAST(tp AS HUGEINT) * (n - fp)
-               - CAST(fp AS HUGEINT) * (p - tp) AS DOUBLE)
-             / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + (p - tp))
-               * ((n - fp) + fp) * ((n - fp) + (p - tp)) AS DOUBLE))
-             END, 6) AS mcc
-         FROM u ORDER BY o_orderstatus, criterion""",
   )
 
   /** The nine Benford shares log10(1 + 1/d) as the engine's own
@@ -2199,118 +1319,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .select(col("distinct_sensitive"), col("n_classes"),
         col("n_rows"), col("violates"))
       .orderBy("distinct_sensitive")
-
-  /** U-shaped (40/20/40) attribution over the q167 conversion/touch
-    * setup ([[Analytics.positionAttribution]]).
-    */
-  private[graft] def positionAttributionQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-    Analytics.positionAttribution(
-        e.where(col("event_type") === "purchase"),
-        e.where(col("event_type").isin("view", "click")),
-        "user_id", "ts", "event_id", windowDuration = "2 hours")
-      .select(col("user_id"), col("conversion_id"), col("touch_id"),
-        col("touch_rank"), col("n_touches"), col("credit_milli"))
-      .orderBy("conversion_id", "touch_rank")
-  }
-
-  /** Calibration (reliability) report
-    * ([[graft.text.QualityModel.calibrationReport]]) of the composite
-    * quality score against the is-English slice: per decile bin the
-    * mean predicted score vs the empirical rate, the gap, and the ECE
-    * contribution — integer micro-unit sums keep every emitted double
-    * a single exact-long division.
-    */
-  private[graft] def calibrationReportQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .withColumn("__score", TextAnalysis.qualityScore(col("text")))
-    graft.text.QualityModel.calibrationReport(d, "__score",
-        col("lang") === "en", bins = 10)
-      .select(col("bin"), col("n"), col("n_positive"),
-        round(col("mean_score"), 6).as("mean_score"),
-        round(col("frac_positive"), 6).as("frac_positive"),
-        round(col("ece_contrib"), 6).as("ece_contrib"))
-      .orderBy("bin")
-  }
-
-  /** Murphy decomposition of the Brier score
-    * ([[graft.text.QualityModel.brierDecomposition]]) for the q293
-    * task (quality score vs is-English, per source): q160's ECE says
-    * the bins are off by X; this splits the TOTAL error into the
-    * miscalibration q199's isotonic pass could fix (reliability),
-    * the discrimination no recalibration can add (resolution), and
-    * the base-rate floor (uncertainty) — with the within-bin
-    * remainder emitted (`wb_gap`) so the identity is audited, not
-    * asserted.
-    */
-  private[graft] def brierDecompositionQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .where(col("text").isNotNull && col("lang").isNotNull)
-    graft.text.QualityModel.brierDecomposition(d, Seq("source"),
-        TextAnalysis.qualityScore(col("text")),
-        col("lang") === "en")
-      .orderBy("source")
-  }
-
-  /** Language-bias audit of the composite quality score, per source
-    * ([[graft.text.QualityModel.rocAuc]] against the is-English
-    * label): a quality filter that implicitly ranks one language
-    * higher silently skews the training mixture when a single floor
-    * is applied corpus-wide. AUC ≈ 0.5 means no bias; here the
-    * per-source AUCs scatter 0.2–0.7 around it, i.e. the heuristic
-    * score is NOT an English classifier in disguise — the reading
-    * that justifies q81's per-language (not global) floor. Exact
-    * Mann–Whitney rank identity over micro-floored scores; one
-    * mirrored division for AUC, Gini from the same division.
-    */
-  private[graft] def qualityAucQ(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .where(col("text").isNotNull && col("lang").isNotNull)
-    graft.text.QualityModel.rocAuc(d, Seq("source"),
-        TextAnalysis.qualityScore(col("text")),
-        col("lang") === "en")
-      .orderBy("source")
-  }
-
-  /** Shapley channel attribution ([[Analytics.shapleyAttribution]]):
-    * the coalition-game credit for the four non-purchase event types
-    * toward purchase conversion — the average-marginal-lift reading
-    * beside q188's position heuristic. Per-user touch sets, empirical
-    * coalition values, nano-floored lattice terms with exact integer
-    * weights, one mirrored /k!/1e9 division.
-    */
-  private[graft] def shapleyQ(s: SparkSession, dir: String): DataFrame = {
-    // deterministic 1/29 event subsample: with every event kept, all
-    // users touch all channels and convert (v ≡ 1 — a degenerate
-    // lattice); the thinned journeys vary both touch sets and
-    // conversion, which is the shape the estimator exists for
-    val e = events(s, dir).where(col("event_id") % 29 === 0)
-    Analytics.shapleyAttribution(e, col("user_id"),
-        when(col("event_type") =!= "purchase", col("event_type")),
-        col("event_type") === "purchase")
-      .orderBy("channel")
-  }
-
-  /** Mantel–Haenszel adjusted odds ratio + CMH χ²
-    * ([[Analytics.mantelHaenszel]]) of urgent-priority → order-status-F
-    * across market-segment strata — the inferential complement of
-    * q200's Simpson screen on the same stratification shape: the
-    * segment-adjusted common effect a pooled 2×2 would confound.
-    * Exact per-stratum counts, integral-division micro terms, one
-    * double division each for or_mh and χ².
-    */
-  private[graft] def mantelHaenszelQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val j = t(s, dir, "orders").join(t(s, dir, "customer"),
-      col("o_custkey") === col("c_custkey"))
-    Analytics.mantelHaenszel(j, "c_mktsegment",
-        col("o_orderpriority") === "1-URGENT",
-        col("o_orderstatus") === "F")
-      .orderBy("c_mktsegment")
-  }
 
   /** Theil-T spend inequality by market segment
     * ([[Analytics.theilDecomposition]]): per-customer spend cents,
@@ -2489,65 +1497,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .orderBy("c_mktsegment", "t")
   }
 
-  /** Exact ROC-AUC ([[Analytics.rocAuc]]): can an order's total price
-    * rank its priority? Per order status, the Mann–Whitney AUC of
-    * `o_totalprice` as a score for the urgent/high label — the
-    * rank-sum identity over distinct scores, never the O(n²) pair
-    * join; ties count half in exact BIGINT.
-    */
-  private[graft] def rocAucQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.rocAuc(t(s, dir, "orders"), "o_orderstatus",
-        col("o_totalprice"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .orderBy("o_orderstatus")
-
-  /** Per-segment decile gains/lift table ([[Analytics.gainsTable]]):
-    * customers ranked by account balance within each market segment,
-    * response = placed at least one 1-URGENT order — the campaign-
-    * targeting report (capture curve + lift vs the segment base rate),
-    * every statistic a ratio of exact counts.
-    */
-  private[graft] def gainsLiftQ(s: SparkSession, dir: String): DataFrame = {
-    val urgent = t(s, dir, "orders")
-      .where(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey")).distinct()
-    val scored = t(s, dir, "customer")
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"),
-        col("o_custkey").isNotNull.as("__y"))
-    Analytics.gainsTable(scored, "c_mktsegment", col("c_acctbal"),
-        col("__y"), col("c_custkey"), buckets = 10)
-      .orderBy("c_mktsegment", "bucket")
-  }
-
-  /** Weight-of-evidence / information-value scorecard screen
-    * ([[Analytics.binnedWoe]]): fixed-width price bins of order totals
-    * scored against the urgent/high label — the shuffle-free binning
-    * (an equal-frequency cut would be a global sort window), smoothed
-    * log-odds per bin, IV total on every row.
-    */
-  private[graft] def priceWoeQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.binnedWoe(t(s, dir, "orders"),
-        floor(col("o_totalprice") / 30000.0).cast("long"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .orderBy("bin")
-
-  /** Cohen's kappa inter-annotator agreement
-    * ([[Analytics.cohenKappa]]): the composite quality score vs a
-    * token-count-only annotator, both cut to hi/mid/lo tiers — does
-    * the cheap labeler agree with the full one beyond chance? κ is an
-    * exact integer ratio (N·D − S)/(N² − S).
-    */
-  private[graft] def qualityKappaQ(s: SparkSession, dir: String): DataFrame = {
-    val q = TextAnalysis.qualityScore(col("text"))
-    val tk = TextAnalysis.tokenCount(col("text"))
-    val labeled = docs(s, dir).select(
-      when(q >= 0.6, "hi").when(q >= 0.3, "mid").otherwise("lo").as("a"),
-      when(tk >= 120, "hi").when(tk >= 40, "mid").otherwise("lo").as("b"))
-    Analytics.cohenKappa(labeled, col("a"), col("b"))
-      .orderBy("label_a", "label_b")
-  }
-
   /** Categorical association screen ([[Analytics.associationReport]]):
     * market segment × order priority — χ² via the sparse identity
     * N·(Σ n²/(r·c) − 1) (zero cells need no densifying grid),
@@ -2561,62 +1510,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         .join(broadcast(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey")),
       col("c_mktsegment"), col("o_orderpriority"))
-
-  /** Isotonic calibration ([[Analytics.isotonicCalibration]]): the
-    * urgent/high rate per fixed-width price bin, PAV-fitted monotone
-    * non-decreasing via the min-max identity
-    * max_{k≤i} min_{j≥i} avg(k..j) — distributed pool-adjacent-
-    * violators with no sequential pooling loop, per order status.
-    */
-  private[graft] def isotonicCalibrationQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.isotonicCalibration(t(s, dir, "orders"), "o_orderstatus",
-        floor(col("o_totalprice") / 30000.0).cast("long"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .orderBy("o_orderstatus", "bin")
-
-  /** Simpson's-paradox screen ([[Analytics.simpsonScreen]]):
-    * big-order rate of BUILDING vs MACHINERY customers, overall and
-    * within each order priority — strata whose difference reverses
-    * the aggregate's sign get flagged before anyone ships the
-    * aggregate.
-    */
-  private[graft] def simpsonScreenQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.simpsonScreen(
-        t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")),
-            col("o_custkey") === col("c_custkey"))
-          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
-        col("c_mktsegment") === "BUILDING",
-        col("o_orderpriority"),
-        col("o_totalprice") > 150000.0)
-      .orderBy("stratum")
-
-  /** CUPED variance reduction ([[Analytics.cuped]]): per-customer
-    * post-1999 spend adjusted by pre-1999 spend (whole dollars — the
-    * Int64 moment contract), BUILDING vs MACHINERY as the two arms —
-    * the A/B sensitivity lift with θ = cov/var from exact integer
-    * moments.
-    */
-  private[graft] def cupedQ(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer")
-      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-      .select(col("c_custkey"),
-        (col("c_mktsegment") === "BUILDING").as("__a"))
-    val cut = to_date(lit("1999-01-01"))
-    val po = t(s, dir, "orders").groupBy(col("o_custkey"))
-      .agg(sum(when(col("o_orderdate").cast("date") < cut,
-          floor(col("o_totalprice"))).otherwise(0L)).as("__x"),
-        sum(when(col("o_orderdate").cast("date") >= cut,
-          floor(col("o_totalprice"))).otherwise(0L)).as("__y"))
-    val units = cust
-      .join(po, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("__a"), coalesce(col("__x"), lit(0L)).as("__x"),
-        coalesce(col("__y"), lit(0L)).as("__y"))
-    Analytics.cuped(units, col("__a"), col("__x"), col("__y"))
-      .orderBy("cohort")
-  }
 
   /** Poisson bootstrap CI ([[Analytics.bootstrapRatioCI]]): the
     * average order value (Σ spend / Σ orders over per-customer
@@ -2632,26 +1525,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         lit(1L).as("__den")),
       col("__u"), col("__num"), col("__den"),
       replicas = 199, salt = "q208")
-
-  /** Qini uplift curve ([[Analytics.qiniCurve]]): does targeting
-    * high-balance customers create incremental urgent-order response
-    * in BUILDING (treated) vs MACHINERY (control)? Fixed-width
-    * balance bins descending, cumulative Qini per bin — the
-    * incremental-response audit for a targeting policy.
-    */
-  private[graft] def qiniUpliftQ(s: SparkSession, dir: String): DataFrame = {
-    val urgent = t(s, dir, "orders")
-      .where(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey")).distinct()
-    val scored = t(s, dir, "customer")
-      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
-      .select(floor(col("c_acctbal") / 1100.0).cast("long").as("__b"),
-        (col("c_mktsegment") === "BUILDING").as("__t"),
-        col("o_custkey").isNotNull.as("__y"))
-    Analytics.qiniCurve(scored, col("__b"), col("__t"), col("__y"))
-      .orderBy(col("bin").desc)
-  }
 
   /** Conversion-latency SLA report: view→purchase delays from the
     * streaming interval join's batch twin, exact interpolated
@@ -2679,25 +1552,6 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         round(col("p90") / 1e6, 4).as("p90_sec"),
         round(col("p99") / 1e6, 4).as("p99_sec"))
       .orderBy("day")
-  }
-
-  /** Disparate-impact audit ([[Analytics.disparateImpact]]):
-    * urgent-order rates by market segment, each group's impact ratio
-    * vs the most-favored segment, with the EEOC four-fifths flag
-    * decided by exact BIGINT cross-multiplication — a boundary group
-    * can't flip with float rounding.
-    */
-  private[graft] def disparateImpactQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val urgent = t(s, dir, "orders")
-      .where(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey")).distinct()
-    val labeled = t(s, dir, "customer")
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("c_mktsegment"),
-        col("o_custkey").isNotNull.as("__y"))
-    Analytics.disparateImpact(labeled, "c_mktsegment", col("__y"))
-      .orderBy("c_mktsegment")
   }
 
   /** Bradley–Terry brand strengths ([[Analytics.bradleyTerry]]):
@@ -2960,80 +1814,4 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.categoricalAssociation(long, "pair", "x", "y")
       .orderBy("pair")
   }
-
-  /** Breslow–Day homogeneity screen ([[Analytics.breslowDay]]) on
-    * q263's stratified 2×2 frame (stratum = market segment, exposure
-    * = URGENT priority, outcome = F status) with heterogeneity
-    * PLANTED: BUILDING's exposed rows with orderkey ≡ 0 (mod 3) have
-    * their outcome forced true, lifting that stratum's odds ratio
-    * far above the others' — the test must call the pooled q263
-    * or_mh unrepresentative (heterogeneous = 1 against χ²₀.₀₅,₄ =
-    * 9.488). ψ̂ from micro-quantized integral divisions; the root /
-    * variance chain is a fixed-order mirrored double formula; each
-    * stratum's χ² term micro-floored before the sum.
-    */
-  private[graft] def breslowDayQ(
-      s: SparkSession, dir: String): DataFrame = {
-    val j = t(s, dir, "orders").join(t(s, dir, "customer"),
-      col("o_custkey") === col("c_custkey"))
-    val planted = col("o_orderstatus") === "F" ||
-      (col("c_mktsegment") === "BUILDING" &&
-        col("o_orderpriority") === "1-URGENT" &&
-        col("o_orderkey") % 3 === 0)
-    Analytics.breslowDay(j, "c_mktsegment",
-        col("o_orderpriority") === "1-URGENT", planted,
-        criticalValue = 9.488)
-      .withColumn("heterogeneous", col("heterogeneous").cast("int"))
-      .orderBy("c_mktsegment")
-  }
-
-  /** Sample-ratio-mismatch gate ([[Analytics.srmCheck]]): events
-    * hashed 50/50 by event-id parity, with an assignment bug PLANTED
-    * on purchase (odd ids ≡ 1 mod 4 dropped — a crashing variant
-    * eating a quarter of one arm's purchase traffic). The planted
-    * type must flag against χ²₀.₀₅,₁ = 3.841; the other types read
-    * their genuine parity imbalance honestly. All-integer χ² via
-    * micro-quantized integral division (quantize-before-sum); the
-    * ONE double step is the final Σ/10⁶.
-    */
-  private[graft] def srmQ(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir).where(!(col("event_type") === "purchase" &&
-      col("event_id") % 4 === 1))
-    Analytics.srmCheck(e, Seq("event_type"),
-        (col("event_id") % 2).cast("string"),
-        Seq("0" -> 1L, "1" -> 1L), criticalValue = 3.841)
-      .withColumn("mismatch", col("mismatch").cast("int"))
-      .orderBy("event_type", "arm")
-  }
-
-  /** Average precision ([[Analytics.averagePrecision]]) on q192's
-    * exact frame (score = total price, label = urgent/high priority,
-    * grouped by order status) — the prevalence-weighted companion
-    * the AUC reading needs when positives are rare: same ranking,
-    * same groups, the metric that collapses when the TOP of the
-    * ranking is polluted. Micro-quantized integral-division step
-    * terms; one mirrored double division.
-    */
-  private[graft] def avgPrecisionQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.averagePrecision(t(s, dir, "orders"), "o_orderstatus",
-        col("o_totalprice"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .orderBy("o_orderstatus")
-
-  /** Operating-point selection ([[Analytics.thresholdScorecard]])
-    * on the same q192/q341 frame: the exact max-F1 and max-Youden-J
-    * price cuts per order status with the full confusion matrix and
-    * the derived metrics at each cut — "the model ranks well; where
-    * do we draw the line?". Argmax over exact integer lattices
-    * (nano-quantized F1, J on the P·N scale), score-descending
-    * tie-break; MCC's √ of an exact DECIMAL product is correctly
-    * rounded on both engines.
-    */
-  private[graft] def thresholdScorecardQ(
-      s: SparkSession, dir: String): DataFrame =
-    Analytics.thresholdScorecard(t(s, dir, "orders"),
-        "o_orderstatus", col("o_totalprice"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .orderBy("o_orderstatus", "criterion")
 }

@@ -20,7 +20,25 @@ private[graft] trait AnalyticsSurvivalShelf extends AnalyticsCore {
     "q332_generalized_esd" -> (generalizedEsdQ _),
     "q333_mood_median" -> (moodMedianQ _),
     "q334_power_analysis" -> (powerAnalysisQ _),
+    "q347_weibull_fit" -> (weibullFitQ _),
   )
+
+  /** Weibull median-rank fit ([[Analytics.weibullFit]]) of the
+    * order-to-ship delay (days + 1) per order priority — is
+    * fulfillment memoryless (shape ≈ 1), infant-mortality (< 1) or
+    * aging (> 1), and what is its characteristic delay η? The
+    * parametric reliability read beside q191's Kaplan–Meier curve
+    * and q316's cumulative hazard. Nano-floored ln plot coordinates
+    * into exact OLS sums (the q308 discipline).
+    */
+  private[graft] def weibullFitQ(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    val days = datediff(to_date(col("l_shipdate")),
+      to_date(col("o_orderdate"))) + 1
+    Analytics.weibullFit(j, Seq("o_orderpriority"), days)
+      .orderBy("o_orderpriority")
+  }
 
   /** Generalized ESD outlier screen ([[Analytics.generalizedEsd]]):
     * three remove-and-recompute rounds over event values per type —
@@ -426,5 +444,57 @@ private[graft] trait AnalyticsSurvivalShelf extends AnalyticsCore {
                / (lift * lift)) AS BIGINT)
            END AS n_per_arm
          FROM f ORDER BY o_orderstatus, lift""",
+    // median-rank regression replay: the oracle ranks rows directly
+    // (tie order is sum-invariant — tied rows share x), nano-floors
+    // both ln plot coordinates, and mirrors the exact-OLS slope and
+    // the exp intercept chain
+    "q347_weibull_fit" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS g,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE)) + 1 AS BIGINT) AS t
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         p AS (SELECT g, t FROM b WHERE t IS NOT NULL AND t > 0),
+         md AS (SELECT g, CAST(count(DISTINCT t) AS BIGINT) AS md
+                FROM p GROUP BY g),
+         r AS (
+           SELECT g, t,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY t)
+               AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+           FROM p),
+         q AS (
+           SELECT g,
+             CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000000.0)
+               AS BIGINT) AS xq,
+             CAST(floor(ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+               / (CAST(n AS DOUBLE) + 0.4))) * 1000000000.0)
+               AS BIGINT) AS yq
+           FROM r),
+         s AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_fail,
+             CAST(sum(xq) AS BIGINT) AS sx,
+             CAST(sum(yq) AS BIGINT) AS sy,
+             sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+             sum(CAST(xq AS HUGEINT) * xq) AS sxx
+           FROM q GROUP BY g),
+         f AS (
+           SELECT s.g, s.n_fail, md.md,
+             CAST(CAST(s.n_fail AS HUGEINT) * s.sxx
+               - CAST(s.sx AS HUGEINT) * s.sx AS DOUBLE) AS den,
+             CAST(CAST(s.n_fail AS HUGEINT) * s.sxy
+               - CAST(s.sx AS HUGEINT) * s.sy AS DOUBLE) AS num,
+             CAST(s.sx AS DOUBLE) / CAST(s.n_fail AS DOUBLE)
+               / 1000000000.0 AS xbar,
+             CAST(s.sy AS DOUBLE) / CAST(s.n_fail AS DOUBLE)
+               / 1000000000.0 AS ybar
+           FROM s JOIN md ON md.g = s.g)
+         SELECT g AS o_orderpriority, n_fail,
+           round(CASE WHEN md >= 3 AND den > 0.0 THEN num / den END,
+             6) AS shape,
+           round(CASE WHEN md >= 3 AND den > 0.0
+               AND num / den > 0.0 THEN
+             exp(xbar - ybar / (num / den)) END, 4) AS scale
+         FROM f ORDER BY o_orderpriority""",
   )
 }

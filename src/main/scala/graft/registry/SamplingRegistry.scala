@@ -36,7 +36,33 @@ private[graft] object SamplingRegistry {
     "q217_padding_waste" -> (paddingWasteQ _),
     "q283_pps_ht_estimate" -> (ppsHtQ _),
     "q297_neyman_allocation" -> (neymanAllocationQ _),
+    "q350_ratio_estimate" -> (ratioEstimateQ _),
   )
+
+  /** Ratio estimation ([[graft.sampling.Sampling.ratioEstimator]]):
+    * per-customer spend (the expensive measured target) observed
+    * only on the custkey ≡ 0 (mod 7) sample, expanded through the
+    * fully-known order COUNT auxiliary — Cochran's estimator beside
+    * q283's inverse-probability one, with the ratio-residual SE. At
+    * 100 TB this is "price the census from the measured slice":
+    * counts are free from metadata, spend needs the scan. Sums
+    * exact; R̂ one mirrored division; residual squares micro-floored
+    * before the sum.
+    */
+  private[graft] def ratioEstimateQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("__x"),
+        sum(floor(col("o_totalprice") * 100)).cast("long")
+          .as("__y"))
+    graft.sampling.Sampling.ratioEstimator(perCust,
+        Seq("c_mktsegment"),
+        col("c_custkey") % 7 === 0, col("__x"), col("__y"))
+      .orderBy("c_mktsegment")
+  }
 
   /** PPS + Horvitz–Thompson corpus estimation
     * ([[graft.sampling.Sampling.ppsHorvitzThompson]]): one global
@@ -547,6 +573,56 @@ private[graft] object SamplingRegistry {
              / CAST(((kept_tokens + max_len - 1) // max_len) * max_len
                AS DOUBLE), 6) AS packed_utilization
          FROM g ORDER BY max_len""",
+    // exact per-customer (count, spend) frame; R̂ one mirrored
+    // division, residual squares micro-floored before the sum, the
+    // SRS variance chain a fixed-order double expression
+    "q350_ratio_estimate" ->
+      """WITH pc AS (
+           SELECT c_custkey AS id, c_mktsegment AS g,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         pop AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(x) AS BIGINT) AS x_pop
+           FROM pc GROUP BY g),
+         ss AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_sample,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy
+           FROM pc WHERE id % 7 = 0 GROUP BY g),
+         sr AS (
+           SELECT *, CASE WHEN sx > 0 THEN CAST(sy AS DOUBLE)
+             / CAST(sx AS DOUBLE) END AS r
+           FROM ss),
+         res AS (
+           SELECT pc.g, CAST(sum(CAST(floor(
+               (CAST(pc.y AS DOUBLE) - sr.r * CAST(pc.x AS DOUBLE))
+               * (CAST(pc.y AS DOUBLE) - sr.r * CAST(pc.x AS DOUBLE)))
+               AS BIGINT)) AS BIGINT) AS se2
+           FROM pc JOIN sr ON sr.g = pc.g
+           WHERE pc.id % 7 = 0 GROUP BY pc.g),
+         j AS (
+           SELECT pop.g, pop.n_pop, pop.x_pop, sr.n_sample, sr.sx,
+             sr.r, res.se2
+           FROM pop LEFT JOIN sr ON sr.g = pop.g
+           LEFT JOIN res ON res.g = pop.g)
+         SELECT g AS c_mktsegment, n_pop,
+           coalesce(n_sample, 0) AS n_sample, x_pop,
+           round(CASE WHEN n_sample >= 2 AND sx > 0 THEN r END, 6)
+             AS ratio,
+           round(CASE WHEN n_sample >= 2 AND sx > 0 THEN
+             r * CAST(x_pop AS DOUBLE) END, 4) AS y_hat,
+           round(CASE WHEN n_sample >= 2 AND sx > 0 THEN
+             sqrt(CAST(n_pop AS DOUBLE) * CAST(n_pop AS DOUBLE)
+               * (1.0 - CAST(n_sample AS DOUBLE)
+                 / CAST(n_pop AS DOUBLE))
+               * (CAST(se2 AS DOUBLE)
+                 / (CAST(n_sample AS DOUBLE) - 1.0))
+               / CAST(n_sample AS DOUBLE)) END, 4) AS se
+         FROM j ORDER BY c_mktsegment""",
   )
 
   /** Deterministic hash-based train/val/test split over orders — pure

@@ -721,4 +721,70 @@ object Sampling {
           (dec(col("w_sum")) * dec(col("w_sum"))).cast("double")), 6)
         .as("deff")): _*)
   }
+
+  /** Ratio estimator per group — the survey-sampling expansion
+    * beside [[ppsHorvitzThompson]]: when the target y is measured
+    * only on a SAMPLE but a correlated auxiliary x is known for the
+    * WHOLE population (bytes on disk vs tokens after cleaning, order
+    * count vs spend), `Ŷ_ratio = (Σ_s y / Σ_s x) · X_pop` beats the
+    * plain expansion by exactly the y–x correlation — the classical
+    * Cochran result and the standard way a 100 TB census is priced
+    * from a 0.1 % measured slice. The SRS variance estimate
+    * `v(Ŷ) = N²(1 − n/N)·s²_e/n` over the ratio residuals
+    * `e_i = y_i − R̂·x_i` is emitted beside the point estimate.
+    *
+    * Exactness: all sums/counts are exact BIGINTs; R̂ is ONE
+    * mirrored double division; each residual SQUARE is computed from
+    * that shared R̂ and FLOORED to an integer before the order-free
+    * sum (quantize-before-sum at a 1-unit² quantum — residuals are
+    * in the caller's value units, e.g. cents, where e² already
+    * dwarfs 1; a micro quantum would overflow BIGINT at e ~ 10⁸),
+    * then the variance chain is a fixed-order mirrored double
+    * expression. Two group-sized passes over the sample (R̂ first,
+    * residuals against it), one over the population for X — all
+    * map-side combined.
+    *
+    * Returns `(group…, n_pop, n_sample, x_pop, ratio, y_hat, se)`;
+    * groups whose sample Σx is 0 or with n < 2 report nulls.
+    */
+  def ratioEstimator(
+      df: DataFrame, groupCols: Seq[String], sampled: Column,
+      xCol: Column, yCol: Column): DataFrame = {
+    val gc = groupCols.map(col)
+    val base = df.select(gc ++ Seq(
+        sampled.cast("boolean").as("__in"),
+        xCol.cast("long").as("__x"), yCol.cast("long").as("__y")): _*)
+      .where(col("__x").isNotNull && col("__in").isNotNull)
+      .transform(graft.core.CacheScope.disk)
+    val pop = base.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_pop"), sum(col("__x")).as("x_pop"))
+    val sSums = base.where(col("__in") && col("__y").isNotNull)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_sample"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"))
+      .withColumn("__r", when(col("__sx") > 0L,
+        col("__sy").cast("double") / col("__sx").cast("double")))
+    val resid = base.where(col("__in") && col("__y").isNotNull)
+      .join(sSums.select(gc :+ col("__r"): _*), groupCols)
+      .withColumn("__e", col("__y").cast("double") -
+        col("__r") * col("__x").cast("double"))
+      .withColumn("__e2",
+        floor(col("__e") * col("__e")).cast("long"))
+      .groupBy(gc: _*)
+      .agg(sum(col("__e2")).as("__se2"))
+    val joined = pop.join(sSums, groupCols, "left")
+      .join(resid, groupCols, "left")
+    val n = col("n_sample").cast("double")
+    val nPop = col("n_pop").cast("double")
+    val yHat = col("__r") * col("x_pop").cast("double")
+    val s2e = col("__se2").cast("double") / (n - 1.0)
+    val vHat = nPop * nPop * (lit(1.0) - n / nPop) * s2e / n
+    val ok = col("n_sample") >= 2L && col("__sx") > 0L
+    joined.select(gc ++ Seq(
+      col("n_pop"), coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+      col("x_pop"),
+      round(when(ok, col("__r")), 6).as("ratio"),
+      round(when(ok, yHat), 4).as("y_hat"),
+      round(when(ok, sqrt(vHat)), 4).as("se")): _*)
+  }
 }
