@@ -565,6 +565,81 @@ object Multimodal {
       gated(frameBytes).as("frame_bytes"))
   }
 
+  /** WARC record header decode as pure expressions — the container
+    * the large public crawls actually ship: a `WARC/x.y` version
+    * line, RFC-822-style named headers, then `\r\n\r\n` and the
+    * payload. The decode reads ONLY the header block (split at the
+    * first blank line — never the payload, which at crawl scale is
+    * the other 99.9 % of the bytes), extracting the fields a shard
+    * planner and a URL-dedup pass need: record type, target URI,
+    * date, content length (the skip distance to the next record)
+    * and record id. Header names match case-insensitively (the spec
+    * allows any case); values are anchored to their own line.
+    * Payloads without the WARC/ magic or a terminated header block
+    * yield all-null — truncation-gated like every decoder here.
+    */
+  def warcHeaderMeta(bin: Column): Column = {
+    val text = decode(substring(bin, 1, 4096), "ISO-8859-1")
+    val isWarc = length(bin) >= 12 &&
+      upper(hex(substring(bin, 1, 5))) === "574152432F" &&
+      text.contains("\r\n\r\n")
+    val header = substring_index(text, "\r\n\r\n", 1)
+    def field(name: String): Column = {
+      val v = regexp_extract(header,
+        "(?im)^" + name + ":[ \\t]*([^\\r\\n]*)", 1)
+      when(v === "", lit(null).cast("string")).otherwise(v)
+    }
+    def gatedS(c: Column): Column =
+      when(isWarc, c).otherwise(lit(null).cast("string"))
+    struct(
+      when(isWarc, lit("warc")).otherwise(lit(null).cast("string"))
+        .as("format"),
+      gatedS(regexp_extract(header, "^WARC/([0-9.]+)", 1))
+        .as("version"),
+      gatedS(field("WARC-Type")).as("warc_type"),
+      gatedS(field("WARC-Target-URI")).as("target_uri"),
+      gatedS(field("WARC-Date")).as("warc_date"),
+      when(isWarc, field("Content-Length").cast("long"))
+        .otherwise(lit(null).cast("long")).as("content_length"),
+      gatedS(field("WARC-Record-ID")).as("record_id"),
+      when(isWarc, (length(header) + 4L).cast("long"))
+        .otherwise(lit(null).cast("long")).as("header_len"))
+  }
+
+  /** PDF shell decode as pure expressions — version from the `%PDF-`
+    * magic and the cross-reference bootstrap from the FILE TAIL (the
+    * `startxref\n<offset>\n%%EOF` trailer every reader starts from):
+    * whether the document is well-terminated and where its xref
+    * table lives, without parsing a single object. The from-the-end
+    * read is the gzip-trailer discipline — at crawl scale the tail
+    * bytes are all a triage pass touches. Payloads without the magic
+    * or the `%%EOF` terminator yield all-null.
+    */
+  def pdfShellMeta(bin: Column): Column = {
+    val len = length(bin).cast("long")
+    val isPdf = len >= 32L &&
+      upper(hex(substring(bin, 1, 5))) === "255044462D"
+    val tail = decode(bin.substr(greatest(lit(1L), len - 63L),
+      lit(64)), "ISO-8859-1")
+    val hasEof = tail.contains("%%EOF")
+    val xref = regexp_extract(tail,
+      "(?s).*startxref\\s+(\\d+)\\s*%%EOF", 1)
+    val version = regexp_extract(
+      decode(substring(bin, 1, 16), "ISO-8859-1"),
+      "^%PDF-([0-9.]+)", 1)
+    val ok = isPdf && hasEof
+    struct(
+      when(ok, lit("pdf")).otherwise(lit(null).cast("string"))
+        .as("format"),
+      when(ok, version).otherwise(lit(null).cast("string"))
+        .as("version"),
+      when(ok && xref =!= "", xref.cast("long"))
+        .otherwise(lit(null).cast("long")).as("startxref"),
+      when(isPdf, hasEof.cast("int"))
+        .otherwise(lit(null).cast("int")).as("has_eof"),
+      when(ok, len).otherwise(lit(null).cast("long")).as("bytes"))
+  }
+
   def wavHeaderMeta(bin: Column): Column = {
     // 44 = canonical header through the data-chunk size; shorter
     // payloads are truncated and must yield nulls, not misreads

@@ -88,6 +88,83 @@ private[graft] trait AnalyticsGraphOps { this: Analytics.type =>
     ranks
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport
+    * restricted to a SEED set: instead of "globally important
+    * nodes", the ranks answer "important *relative to these seeds*"
+    * (random walks restart at the seeds, so mass concentrates in
+    * their neighborhood) — the standard recommendation / related-
+    * entity primitive: seed a user's purchases, read off the
+    * co-purchase neighborhood by relevance.
+    *
+    * Exactness, the [[pageRank]] scheme verbatim: ranks live in 1e12
+    * fixed-point units; seeds share the teleport mass by integral
+    * division (`(1000−damping)·scale/1000 div nSeeds`, driver longs);
+    * per-edge contributions are `(damping·rank) div (1000·deg)`
+    * integral divisions summed order-free — every iteration is
+    * BIGINT-exact and bit-identical cross-engine. Initial mass:
+    * `scale div nSeeds` on each seed, 0 elsewhere.
+    *
+    * Scale shape identical to [[pageRank]]: the normalized edge list
+    * persists once partitioned+sorted on the join key, each round is
+    * one join + grouped sum + localCheckpoint; `seeds` (one `node`
+    * column) is deduped and broadcast into the rank frame. Seeds
+    * absent from the graph still receive their teleport share (they
+    * hold mass and leak none — the honest reading when a seed has no
+    * edges yet).
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int = 6, damping: Int = 850)
+      : DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping >= 0 && damping <= 1000, "damping is per-mill")
+    val scale = 1000000000000L
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+      .transform(graft.core.CacheScope.disk)
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val edged = e.join(deg, Seq("__src"))
+      .repartition(col("__src"))
+      .sortWithinPartitions("__src")
+      .transform(graft.core.CacheScope.disk)
+    val seedSet = seeds.select(col(seeds.columns.head).as("node"))
+      .where(col("node").isNotNull).distinct()
+      .transform(graft.core.CacheScope.disk)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .union(seedSet.select(col("node"))).distinct()
+      .transform(graft.core.CacheScope.disk)
+    val nSeeds = seedSet.count()
+    require(nSeeds >= 1, "need at least one seed node")
+    val teleport = ((1000L - damping) * scale / 1000L) / nSeeds
+    val seeded = nodes.join(
+        seedSet.withColumn("__isSeed", lit(true)), Seq("node"),
+        "left")
+      .withColumn("__isSeed",
+        coalesce(col("__isSeed"), lit(false)))
+      .transform(graft.core.CacheScope.disk)
+    var ranks = seeded.select(col("node"),
+      when(col("__isSeed"), lit(scale / nSeeds)).otherwise(lit(0L))
+        .as("rank_scaled")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edged
+        .join(ranks.select(col("node").as("__src"),
+          col("rank_scaled")), Seq("__src"))
+        .select(col("__dst").as("node"),
+          expr(s"($damping * rank_scaled) div (1000 * __deg)")
+            .as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+      ranks = seeded.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__isSeed"), lit(teleport)).otherwise(lit(0L)) +
+            coalesce(col("__in"), lit(0L))).as("rank_scaled"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Stationary distribution of a finite Markov chain by damped power
     * iteration — [[pageRank]] generalized to WEIGHTED transitions:
     * given transition counts `(from, to, cnt)` (e.g. a

@@ -732,4 +732,86 @@ private[graft] trait AnalyticsTimeSeriesOps { this: Analytics.type =>
       round(when(n > 1 && sigma + mean > 0.0,
         (sigma - mean) / (sigma + mean)), 6).as("burstiness"))
   }
+
+  /** Forecast-baseline scorecard per group — the M-competition
+    * discipline the [[holtForecast]] monitor owes its consumers:
+    * before any model forecast is trusted, it must beat the free
+    * baselines on a holdout, measured in MASE (error relative to the
+    * in-sample naive error — the only scale-free metric that
+    * compares across groups with different volumes). Buckets
+    * `[0, cutBucket)` are training; `[cutBucket, endBucket]` is the
+    * holdout, scored one-step-rolling (forecasts use actual previous
+    * values, the standard sNaive evaluation): naive = y(t−1),
+    * seasonal-naive = y(t−season). The grid is ZERO-FILLED over
+    * `[0, endBucket]` — missing buckets are real zeros to a volume
+    * monitor, not holes.
+    *
+    * Exactness: the bucket sums, absolute errors, squared errors and
+    * the in-sample naive error sum are all exact BIGINTs off the
+    * zero-filled grid; each reported metric is ONE mirrored double
+    * division (MASE cross-multiplies the two exact sums:
+    * `Σe·n_train / (Σe_insample·n_test)`), so every number is
+    * bit-identical cross-engine.
+    *
+    * Scale shape: one grouped bucket sum (map-side combined), a
+    * per-group sequence-explode grid join (bucket-domain-sized), two
+    * lag windows over the per-group grid, one group-sized reduce.
+    *
+    * Returns `(group…, n_test, mae_naive, rmse_naive, mase_naive,
+    * mae_snaive, rmse_snaive, mase_snaive)`.
+    */
+  def forecastBaselines(
+      df: DataFrame, groupCols: Seq[String], bucket: Column,
+      valueCents: Column, cutBucket: Int, endBucket: Int,
+      season: Int): DataFrame = {
+    require(season >= 1 && cutBucket > season,
+      "cutBucket must exceed season")
+    require(endBucket >= cutBucket, "empty holdout")
+    val gc = groupCols.map(col)
+    val sums = df
+      .select(gc ++ Seq(bucket.cast("long").as("__b"),
+        valueCents.cast("long").as("__y")): _*)
+      .where(col("__b").isNotNull && col("__y").isNotNull &&
+        col("__b") >= 0L && col("__b") <= endBucket.toLong)
+      .groupBy(gc :+ col("__b"): _*)
+      .agg(sum(col("__y")).as("__y"))
+    val grid = sums.select(gc: _*).distinct()
+      .withColumn("__b", explode(sequence(lit(0L),
+        lit(endBucket.toLong))))
+      .join(sums, groupCols :+ "__b", "left")
+      .withColumn("__y", coalesce(col("__y"), lit(0L)))
+    val w = Window.partitionBy(gc: _*).orderBy(col("__b").asc)
+    val lagged = grid
+      .withColumn("__l1", lag(col("__y"), 1).over(w))
+      .withColumn("__ls", lag(col("__y"), season).over(w))
+    val isTrain = col("__b") >= 1L && col("__b") < cutBucket.toLong
+    val isTest = col("__b") >= cutBucket.toLong
+    val e1 = abs(col("__y") - col("__l1"))
+    val eS = abs(col("__y") - col("__ls"))
+    val agg = lagged.groupBy(gc: _*)
+      .agg(
+        sum(when(isTest, 1L).otherwise(0L)).as("n_test"),
+        sum(when(isTrain, 1L).otherwise(0L)).as("__n_tr"),
+        sum(when(isTrain, e1).otherwise(0L)).as("__d"),
+        sum(when(isTest, e1).otherwise(0L)).as("__e1"),
+        sum(when(isTest, e1 * e1).otherwise(0L)).as("__q1"),
+        sum(when(isTest, eS).otherwise(0L)).as("__es"),
+        sum(when(isTest, eS * eS).otherwise(0L)).as("__qs"))
+    val nT = col("n_test").cast("double")
+    def mase(e: String): Column =
+      when(col("__d") > 0L,
+        (col(e).cast("decimal(38,0)") * col("__n_tr"))
+          .cast("double") /
+          (col("__d").cast("decimal(38,0)") * col("n_test"))
+            .cast("double"))
+    agg.select(gc ++ Seq(col("n_test"),
+      round(col("__e1").cast("double") / nT, 4).as("mae_naive"),
+      round(sqrt(col("__q1").cast("double") / nT), 4)
+        .as("rmse_naive"),
+      round(mase("__e1"), 6).as("mase_naive"),
+      round(col("__es").cast("double") / nT, 4).as("mae_snaive"),
+      round(sqrt(col("__qs").cast("double") / nT), 4)
+        .as("rmse_snaive"),
+      round(mase("__es"), 6).as("mase_snaive")): _*)
+  }
 }

@@ -35,7 +35,36 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     "q254_centrality_agreement" -> (centralityAgreementQ _),
     "q313_textrank_keywords" -> (textrankKeywordsQ _),
     "q322_assortativity" -> (assortativityQ _),
+    "q352_personalized_pagerank" -> (personalizedPagerankQ _),
   )
+
+  /** Personalized PageRank ([[Analytics.personalizedPageRank]]) over
+    * q154's co-purchase bipartite graph, seeded at the s_suppkey ≡ 1
+    * (mod 7) supplier cohort — "which customers and suppliers are
+    * important RELATIVE to this cohort", the related-entity /
+    * recommendation read next to q154's global ranks. Same 1e12
+    * fixed-point integral-division iteration; the teleport mass
+    * splits over the seeds by integer division, non-seeds hold only
+    * pass-through mass.
+    */
+  private[graft] def personalizedPagerankQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val co = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+    val edges = co.union(co.select(col("b").as("a"), col("a").as("b")))
+    val seeds = t(s, dir, "supplier")
+      .where(col("s_suppkey") % 7 === 1)
+      .select(concat(lit("s"), col("s_suppkey").cast("string"))
+        .as("node"))
+    Analytics.personalizedPageRank(edges, "a", "b", seeds, iters = 6)
+      .orderBy("node")
+  }
 
   private[graft] def graphOracleSql: Map[String, String] = Map(
     // exact endpoint-degree moments over both-direction edges; one
@@ -427,6 +456,50 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     "q221_k_core" -> kCoreOracle,
     "q230_label_propagation" -> lpaOracle,
     "q235_modularity" -> modularityOracle,
+    // q154's fixed-point iteration with the teleport restricted to
+    // the seed cohort: seeds get 10^12//nseeds initial mass and
+    // 15·10^10//nseeds per round, non-seeds only pass-through
+    "q352_personalized_pagerank" -> {
+      def iter(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""r$k AS (
+           SELECT n2.node, CASE WHEN sd.node IS NOT NULL
+               THEN (150000000000 // (SELECT n FROM ns))
+               ELSE 0 END
+             + coalesce(s$k.c, 0) AS r
+           FROM nodes n2
+           LEFT JOIN seeds sd ON sd.node = n2.node
+           LEFT JOIN (
+             SELECT e.b AS node,
+               sum((850 * p.r) // (1000 * deg.d)) AS c
+             FROM e JOIN $prev p ON p.node = e.a
+             JOIN deg ON deg.a = e.a
+             GROUP BY e.b) s$k ON s$k.node = n2.node)"""
+      }
+      s"""WITH co AS MATERIALIZED (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+             's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (
+           SELECT a, b FROM co UNION SELECT b, a FROM co),
+         deg AS MATERIALIZED (
+           SELECT a, count(*) AS d FROM e GROUP BY a),
+         seeds AS MATERIALIZED (
+           SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+           FROM supplier WHERE s_suppkey % 7 = 1),
+         nodes AS MATERIALIZED (
+           SELECT a AS node FROM e UNION SELECT b FROM e
+           UNION SELECT node FROM seeds),
+         ns AS (SELECT count(*) AS n FROM seeds),
+         r0 AS (
+           SELECT n2.node, CASE WHEN sd.node IS NOT NULL
+             THEN 1000000000000 // (SELECT n FROM ns)
+             ELSE 0 END AS r
+           FROM nodes n2 LEFT JOIN seeds sd ON sd.node = n2.node),
+         ${(1 to 6).map(iter).mkString(",\n         ")}
+         SELECT node, CAST(r AS BIGINT) AS rank_scaled
+         FROM r6 ORDER BY node"""
+    },
   )
 
   /** Modularity of the q230 communities ([[Analytics

@@ -38,7 +38,26 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
     "q321_gumbel_maxima" -> (gumbelMaximaQ _),
     "q327_gumbel_store" -> (gumbelStoreQ _),
     "q328_ljung_box" -> (ljungBoxQ _),
+    "q354_forecast_baselines" -> (forecastBaselinesQ _),
   )
+
+  /** Forecast-baseline scorecard ([[Analytics.forecastBaselines]]):
+    * daily event cents per type, days 0–20 train / 21–29 holdout,
+    * one-step-rolling naive vs seasonal-naive with MAE/RMSE/MASE —
+    * the bar q265's Holt must clear before its forecasts are
+    * trusted, in the only metric (MASE) that compares across types
+    * with different volumes. Exact error sums off the zero-filled
+    * grid; each metric one mirrored division.
+    */
+  private[graft] def forecastBaselinesQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    Analytics.forecastBaselines(e, Seq("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")),
+        floor(col("value") * 100).cast("long"),
+        cutBucket = 21, endBucket = 29, season = 7)
+      .orderBy("event_type")
+  }
 
   /** Shared Holt recursion oracle (q265; q268 resumes to the same
     * answer): the integer recursion replayed as a recursive CTE; the
@@ -940,6 +959,64 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
            CAST(least(1.0, exp(0.0 - llmax)) < 0.05 AS INT)
              AS rejected_by_now
          FROM m ORDER BY 1, 2""",
+    // zero-filled daily grid, two lag reads, exact error sums;
+    // MASE cross-multiplies the two exact sums, one division each
+    "q354_forecast_baselines" ->
+      """WITH d AS (
+           SELECT event_type AS g,
+             CAST(date_diff('day', DATE '2024-01-01',
+               CAST(ts AS DATE)) AS BIGINT) AS b,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS y
+           FROM events WHERE value IS NOT NULL
+             AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               BETWEEN 0 AND 29
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT g.g, gs.b, coalesce(d.y, 0) AS y
+           FROM (SELECT DISTINCT g FROM d) g
+           CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS b) gs
+           LEFT JOIN d ON d.g = g.g AND d.b = gs.b),
+         lagged AS (
+           SELECT g, b, y,
+             lag(y, 1) OVER (PARTITION BY g ORDER BY b) AS l1,
+             lag(y, 7) OVER (PARTITION BY g ORDER BY b) AS ls
+           FROM grid),
+         agg AS (
+           SELECT g,
+             CAST(sum(CASE WHEN b >= 21 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+             CAST(sum(CASE WHEN b >= 1 AND b < 21 THEN 1 ELSE 0 END)
+               AS BIGINT) AS ntr,
+             CAST(sum(CASE WHEN b >= 1 AND b < 21 THEN abs(y - l1)
+               ELSE 0 END) AS BIGINT) AS dsum,
+             CAST(sum(CASE WHEN b >= 21 THEN abs(y - l1) ELSE 0 END)
+               AS BIGINT) AS e1,
+             CAST(sum(CASE WHEN b >= 21 THEN abs(y - l1) * abs(y - l1)
+               ELSE 0 END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN b >= 21 THEN abs(y - ls) ELSE 0 END)
+               AS BIGINT) AS es,
+             CAST(sum(CASE WHEN b >= 21 THEN abs(y - ls) * abs(y - ls)
+               ELSE 0 END) AS BIGINT) AS qs
+           FROM lagged GROUP BY g)
+         SELECT g AS event_type, n_test,
+           round(CAST(e1 AS DOUBLE) / CAST(n_test AS DOUBLE), 4)
+             AS mae_naive,
+           round(sqrt(CAST(q1 AS DOUBLE) / CAST(n_test AS DOUBLE)), 4)
+             AS rmse_naive,
+           round(CASE WHEN dsum > 0 THEN
+             CAST(CAST(e1 AS HUGEINT) * ntr AS DOUBLE)
+             / CAST(CAST(dsum AS HUGEINT) * n_test AS DOUBLE) END, 6)
+             AS mase_naive,
+           round(CAST(es AS DOUBLE) / CAST(n_test AS DOUBLE), 4)
+             AS mae_snaive,
+           round(sqrt(CAST(qs AS DOUBLE) / CAST(n_test AS DOUBLE)), 4)
+             AS rmse_snaive,
+           round(CASE WHEN dsum > 0 THEN
+             CAST(CAST(es AS HUGEINT) * ntr AS DOUBLE)
+             / CAST(CAST(dsum AS HUGEINT) * n_test AS DOUBLE) END, 6)
+             AS mase_snaive
+         FROM agg ORDER BY event_type""",
   )
 
   /** Holt linear-trend forecast ([[Analytics.holtForecast]]) of daily

@@ -66,9 +66,69 @@ private[graft] object DedupRegistry {
     "q71_dup_chunk_fraction" -> (dupChunkFraction _),
     "q74_bloom_incremental" -> (bloomIncrementalDedup _),
     "q83_neardup_histogram" -> (nearDupClusterHistogram _),
+    "q355_url_canonicalize" -> (urlCanonicalizeQ _),
   )
 
+  /** URL canonicalization dedup ([[graft.text.Web.canonicalizeUrl]]):
+    * each doc_id synthesizes a messy crawl URL — case-varied scheme
+    * and host, the http :80 / https :443 default ports, tracking
+    * params, shuffled param order, fragments — in two host families
+    * plus a malformed shape every 13th id, and the canonical form
+    * collapses the equivalence classes the frontier must dedup on.
+    * `dup_count` (a window over the canonical form) is the dedup
+    * read; malformed URLs canonicalize to null and group together as
+    * the quarantine bucket. Pure regexp/array algebra, closed-form
+    * oracle.
+    */
+  private[graft] def urlCanonicalizeQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val scheme = when(id % 3 === 0, "HTTP").otherwise(lit("http"))
+    val host = concat(
+      when(id % 2 === 0, "Example").otherwise(lit("example")),
+      (id % 20).cast("string"), lit(".com"))
+    val port = when(id % 4 === 0, ":80").otherwise(lit(""))
+    val path = concat(lit("/p"), (id % 6).cast("string"))
+    val query = when(id % 2 === 0,
+      concat(lit("?utm_source=x&b=2&a="), (id % 5).cast("string")))
+      .otherwise(concat(lit("?b=2&a="), (id % 5).cast("string")))
+    val frag = when(id % 5 === 0, "#sec").otherwise(lit(""))
+    val familyA = concat(scheme, lit("://"), host, port, path,
+      query, frag)
+    val familyB = concat(lit("HTTPS://Api"), (id % 20).cast("string"),
+      lit(".io:443"))
+    val raw = when(id % 13 === 0,
+        concat(lit("not-a-url-"), id.cast("string")))
+      .when(id % 11 === 0, familyB)
+      .otherwise(familyA)
+    val out = docs(s, dir)
+      .select(id, graft.text.Web.canonicalizeUrl(raw).as("canonical"))
+    out
+      .withColumn("dup_count",
+        count(lit(1)).over(Window.partitionBy(col("canonical"))))
+      .orderBy("doc_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // closed form of the messy-URL builder's id arithmetic; the
+    // null-canonical quarantine bucket windows together on both
+    // engines
+    "q355_url_canonicalize" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+               WHEN doc_id % 11 = 0 THEN
+                 'https://api' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.io/'
+               ELSE 'http://example' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.com/p' || CAST(doc_id % 6 AS VARCHAR)
+                 || '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2'
+             END AS canonical
+           FROM documents)
+         SELECT doc_id, canonical,
+           CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+             AS dup_count
+         FROM c ORDER BY doc_id""",
     // the QUALIFY window replays the Spark side's benchmark-DF cap:
     // shingles in >1 benchmark doc drop BEFORE the join
     "q103_contamination_capped" ->

@@ -30,7 +30,91 @@ private[graft] object MultimodalRegistry {
     "q343_flac_header_decode" -> (flacHeaderDecode _),
     "q344_tar_header_decode" -> (tarHeaderDecode _),
     "q345_mp3_frame_decode" -> (mp3FrameDecode _),
+    "q356_warc_meta" -> (warcMetaDecode _),
+    "q357_pdf_shell" -> (pdfShellDecode _),
   )
+
+  /** WARC record header decode ([[Multimodal.warcHeaderMeta]]): each
+    * doc_id synthesizes a spec-layout record — version line, five
+    * named headers (one case-flipped on even ids to prove the
+    * case-insensitive match), blank line, payload — and the decode
+    * must recover every field plus the header_len skip distance
+    * WITHOUT touching the payload. Every 13th id has no blank line
+    * (a truncated record): all-null, never a misread. Closed-form
+    * oracle including the header_len length arithmetic.
+    */
+  private[graft] def warcMetaDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val wtype = when(id % 3 === 0, "response")
+      .when(id % 3 === 1, "request").otherwise(lit("metadata"))
+    val uri = concat(lit("https://site"), (id % 50).cast("string"),
+      lit(".com/page"), id.cast("string"))
+    val date = concat(lit("2024-03-"),
+      lpad((id % 28 + 1).cast("string"), 2, "0"),
+      lit("T12:00:00Z"))
+    val clen = (id * 7 + 100).cast("string")
+    val rid = concat(lit("<urn:uuid:"), id.cast("string"), lit(">"))
+    val typeName = when(id % 2 === 0, "warc-type")
+      .otherwise(lit("WARC-Type"))
+    val rec = concat(
+      lit("WARC/1.0\r\n"),
+      typeName, lit(": "), wtype, lit("\r\n"),
+      lit("WARC-Target-URI: "), uri, lit("\r\n"),
+      lit("WARC-Date: "), date, lit("\r\n"),
+      lit("Content-Length: "), clen, lit("\r\n"),
+      lit("WARC-Record-ID: "), rid, lit("\r\n"),
+      lit("\r\n"),
+      lit("payload-bytes-not-to-be-read"))
+    val truncated = concat(lit("WARC/1.0\r\n"),
+      lit("WARC-Type: "), wtype, lit("\r\n"))
+    val payload = encode(
+      when(id % 13 === 0, truncated).otherwise(rec), "ISO-8859-1")
+    docs(s, dir)
+      .select(id, payload.as("__bin"))
+      .select(id, Multimodal.warcHeaderMeta(col("__bin")).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.version").as("version"),
+        col("m.warc_type").as("warc_type"),
+        col("m.target_uri").as("target_uri"),
+        col("m.warc_date").as("warc_date"),
+        col("m.content_length").as("content_length"),
+        col("m.record_id").as("record_id"),
+        col("m.header_len").as("header_len"))
+      .orderBy("doc_id")
+  }
+
+  /** PDF shell decode ([[Multimodal.pdfShellMeta]]): each doc_id
+    * synthesizes a `%PDF-1.x` shell with a variable-length body and
+    * the `startxref\\n<offset>\\n%%EOF` trailer — version read from
+    * the head, the xref bootstrap read FROM THE END (the
+    * gzip-trailer discipline). Every 13th id lacks the %%EOF
+    * terminator (has_eof = 0, format null — a truncated download);
+    * every 17th isn't a PDF at all (all-null). Closed-form oracle.
+    */
+  private[graft] def pdfShellDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val xref = (id * 3 + 9).cast("string")
+    val body = repeat(lit("x"), (id % 50 + 40).cast("int"))
+    val full = concat(lit("%PDF-1."), (id % 8).cast("string"),
+      lit("\n"), body, lit("\nstartxref\n"), xref, lit("\n%%EOF"))
+    val noEof = concat(lit("%PDF-1."), (id % 8).cast("string"),
+      lit("\n"), body)
+    val notPdf = concat(lit("%!PS-Adobe "), body)
+    val payload = encode(
+      when(id % 17 === 0, notPdf)
+        .when(id % 13 === 0, noEof).otherwise(full), "ISO-8859-1")
+    docs(s, dir)
+      .select(id, payload.as("__bin"))
+      .select(id, Multimodal.pdfShellMeta(col("__bin")).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.version").as("version"),
+        col("m.startxref").as("startxref"),
+        col("m.has_eof").as("has_eof"),
+        col("m.bytes").as("bytes"))
+      .orderBy("doc_id")
+  }
 
   /** FLAC STREAMINFO decode ([[Multimodal.flacHeaderMeta]]): each
     * doc_id synthesizes a fLaC header whose 64-bit packed group
@@ -754,6 +838,62 @@ private[graft] object MultimodalRegistry {
                / CAST(sr AS DOUBLE)) AS BIGINT) + pad END AS BIGINT)
              AS frame_bytes
          FROM p ORDER BY doc_id""",
+    // closed form of the record builder's id arithmetic; header_len
+    // is the builder's own length arithmetic (111 + value lengths,
+    // +2 for the blank-line offset)
+    "q356_warc_meta" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'response'
+               WHEN doc_id % 3 = 1 THEN 'request'
+               ELSE 'metadata' END AS wtype,
+             'https://site' || CAST(doc_id % 50 AS VARCHAR)
+               || '.com/page' || CAST(doc_id AS VARCHAR) AS uri,
+             '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2,
+               '0') || 'T12:00:00Z' AS wdate,
+             CAST(doc_id * 7 + 100 AS VARCHAR) AS clen,
+             '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS rid
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'warc' END
+             AS format,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE '1.0' END
+             AS version,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE wtype END
+             AS warc_type,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE uri END
+             AS target_uri,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE wdate END
+             AS warc_date,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE doc_id * 7 + 100 END AS BIGINT) AS content_length,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE rid END
+             AS record_id,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE 113 + len(wtype) + len(uri) + len(clen) + len(rid)
+             END AS BIGINT) AS header_len
+         FROM p ORDER BY doc_id""",
+    // closed form of the shell builder's id arithmetic; every 13th
+    // id is a PDF missing its %%EOF (has_eof 0, format null), every
+    // 17th not a PDF at all (all-null)
+    "q357_pdf_shell" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0 THEN NULL
+             ELSE 'pdf' END AS format,
+           CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0 THEN NULL
+             ELSE '1.' || CAST(doc_id % 8 AS VARCHAR) END AS version,
+           CAST(CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0
+             THEN NULL ELSE doc_id * 3 + 9 END AS BIGINT)
+             AS startxref,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+             WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS INT)
+             AS has_eof,
+           CAST(CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0
+             THEN NULL
+             ELSE 26 + (doc_id % 50 + 40)
+               + len(CAST(doc_id * 3 + 9 AS VARCHAR)) END AS BIGINT)
+             AS bytes
+         FROM documents ORDER BY doc_id""",
   )
 
   /** Audio codec roundtrip: synthesize a REAL PCM16 WAV per document

@@ -35,6 +35,7 @@ private[graft] object SimilarityRegistry {
     "q175_retrieval_pipeline" -> (retrievalPipelineQ _),
     "q223_label_noise" -> (labelNoiseQ _),
     "q242_embedding_gram" -> (embeddingGramQ _),
+    "q353_embedding_cka" -> (embeddingCkaQ _),
     "q243_centroid_silhouette" -> (centroidSilhouetteQ _),
     "q253_embedding_anisotropy" -> (anisotropyQ _),
     "q27_embedding_neardup" -> (embeddingNeardup _),
@@ -80,6 +81,70 @@ private[graft] object SimilarityRegistry {
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6) + 0.0
              AS cov
          FROM g ORDER BY i, j""",
+    // the q242 cell machinery at MILLI quantization over z = x ++ y:
+    // centered cells n·Σqq − Σq·Σq exact HUGEINT, block sums of
+    // their squares (upper-tri off-diagonals doubled), one mirrored
+    // Sxy/(√Sxx·√Syy); run per synthetic version and unioned
+    "q353_embedding_cka" -> {
+      def one(label: String, yExpr: String): String =
+        s"""SELECT '$label' AS version, n, d_x, d_y, cka FROM (
+           WITH base AS (
+             SELECT list_transform(embedding, v ->
+                 CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))
+                 AS qx,
+               list_transform(range(1, len(embedding) + 1), j ->
+                 CAST(floor(CAST(($yExpr) AS DOUBLE) * 1000.0)
+                   AS BIGINT)) AS qy,
+               len(embedding) AS dx
+             FROM embeddings
+             WHERE embedding IS NOT NULL AND len(embedding) > 0),
+           zz AS (
+             SELECT list_concat(qx, qy) AS z, dx, len(qy) AS dy
+             FROM base),
+           cells AS (
+             SELECT CAST(a.i - 1 AS INT) AS i,
+               CAST(b.j - 1 AS INT) AS j,
+               z[a.i] AS qi, z[b.j] AS qj, dx, dy
+             FROM zz,
+               LATERAL (SELECT unnest(generate_series(1, len(z)))
+                 AS i) a,
+               LATERAL (SELECT unnest(generate_series(1, len(z)))
+                 AS j) b
+             WHERE b.j >= a.i),
+           g AS (
+             SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+               max(dx) AS dx, max(dy) AS dy,
+               sum(CAST(qi AS HUGEINT) * qj) AS sij,
+               sum(CAST(qi AS HUGEINT)) AS si,
+               sum(CAST(qj AS HUGEINT)) AS sj
+             FROM cells GROUP BY 1, 2),
+           c AS (
+             SELECT *, CAST(n AS HUGEINT) * sij - si * sj AS cij
+             FROM g),
+           blocks AS (
+             SELECT max(n) AS n, max(dx) AS d_x, max(dy) AS d_y,
+               sum(CASE WHEN j < dx THEN cij * cij
+                 * (CASE WHEN i = j THEN 1 ELSE 2 END)
+                 ELSE 0 END) AS sxx,
+               sum(CASE WHEN i < dx AND j >= dx THEN cij * cij
+                 ELSE 0 END) AS sxy,
+               sum(CASE WHEN i >= dx THEN cij * cij
+                 * (CASE WHEN i = j THEN 1 ELSE 2 END)
+                 ELSE 0 END) AS syy
+             FROM c)
+           SELECT n, CAST(d_x AS INT) AS d_x, CAST(d_y AS INT) AS d_y,
+             round(CASE WHEN sxx > 0 AND syy > 0 THEN
+               CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE))
+                 * sqrt(CAST(syy AS DOUBLE))) END, 6) AS cka
+           FROM blocks)"""
+      val rotY = "CASE WHEN (j - 1) % 2 = 0 " +
+        "THEN embedding[len(embedding) - j + 1] " +
+        "ELSE -embedding[len(embedding) - j + 1] END"
+      val cutY = "CASE WHEN j - 1 < 32 THEN embedding[j] " +
+        "ELSE CAST(0.0 AS FLOAT) END"
+      one("orthogonal", rotY) + "\n         UNION ALL\n         " +
+        one("truncated32", cutY) + "\n         ORDER BY version"
+    },
     // the sum-vector identity through HUGEINT: mean pairwise dot =
     // (||S||^2 - sum ||v||^2) / (n(n-1)), one double division
     "q253_embedding_anisotropy" ->
@@ -1893,6 +1958,35 @@ private[graft] object SimilarityRegistry {
   private[graft] def embeddingGramQ(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingGram(t(s, dir, "embeddings"), "embedding")
       .orderBy("i", "j")
+
+  /** Linear CKA re-embedding audit ([[Similarity.linearCka]]): the
+    * corpus embedding against two synthetic "new encoder versions" —
+    * an ORTHOGONAL one (dims reversed, alternate signs flipped; CKA
+    * must read ≈ 1, the invariance that makes CKA the right metric
+    * where raw cosine would read garbage) and a TRUNCATING one (top
+    * 32 of 64 dims zeroed; CKA reads the geometry actually lost) —
+    * the go/no-go table a re-embedding migration reads before
+    * swapping indexes.
+    */
+  private[graft] def embeddingCkaQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val rot = e.withColumn("version_vec", expr(
+      "transform(embedding, (v, i) -> CASE WHEN i % 2 = 0 " +
+        "THEN element_at(embedding, size(embedding) - i) " +
+        "ELSE -element_at(embedding, size(embedding) - i) END)"))
+    val cut = e.withColumn("version_vec", expr(
+      "transform(embedding, (v, i) -> CASE WHEN i < 32 THEN v " +
+        "ELSE CAST(0.0 AS FLOAT) END)"))
+    Similarity.linearCka(rot, "embedding", "version_vec")
+      .withColumn("version", lit("orthogonal"))
+      .unionByName(
+        Similarity.linearCka(cut, "embedding", "version_vec")
+          .withColumn("version", lit("truncated32")))
+      .select(col("version"), col("n"), col("d_x"), col("d_y"),
+        col("cka"))
+      .orderBy("version")
+  }
 
   /** Embedding anisotropy/collapse audit
     * ([[Similarity.embeddingAnisotropy]]): per-label + `__all__`

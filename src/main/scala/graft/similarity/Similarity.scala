@@ -2408,6 +2408,84 @@ object Similarity {
           + lit(0.0)).as("cov"))
   }
 
+  /** Linear CKA (centered kernel alignment) between two embedding
+    * VERSIONS over the same rows — the "did the new encoder preserve
+    * the old geometry" audit a re-embedding migration runs before
+    * swapping indexes: CKA = ‖X̄ᵀȲ‖²_F / (‖X̄ᵀX̄‖_F·‖ȲᵀȲ‖_F) over
+    * column-centered features (Kornblith et al. 2019, the feature-
+    * space form — O(n·d²), never the O(n²) Gram form), invariant to
+    * orthogonal transforms and isotropic scaling: a rotated/permuted
+    * re-embedding scores 1, a dimension-dropping one scores < 1 by
+    * exactly the geometry it lost.
+    *
+    * Exactness, the [[embeddingGram]] scheme at MILLI quantization
+    * (the centered cross-products are SQUARED, so micro units would
+    * push n·Σqq past DECIMAL(38,0) at corpus scale; both engines
+    * replay the same quantized integers, so the cross-engine
+    * guarantee is unaffected): components quantize once to
+    * `floor(x·1e3)`, the paired vector z = x ⧺ y feeds ONE upper-tri
+    * (i ≤ j) cell fan-out, each centered cell is the exact integer
+    * `n·Σqᵢqⱼ − Σqᵢ·Σqⱼ`, block sums (XX / XY / YY, off-diagonals
+    * doubled) accumulate its SQUARE in DECIMAL(38,0), and CKA is one
+    * mirrored double chain `Sxy / (√Sxx·√Syy)`.
+    *
+    * Scale shape: one fan-out of (2d)(2d+1)/2 cells per row,
+    * map-side combined to a d²-domain frame, then one single-row
+    * reduce — corpus-size-independent state, no joins. Ragged or
+    * null vectors are excluded as a PAIR (both versions must be
+    * present). Returns one row `(n, d_x, d_y, cka)`.
+    */
+  def linearCka(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = (c: Column) => transform(c,
+      x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        size(col(xCol)) > 0 && size(col(yCol)) > 0)
+      .select(q(col(xCol)).as("__qx"), q(col(yCol)).as("__qy"),
+        size(col(xCol)).as("__dx"), size(col(yCol)).as("__dy"))
+    val cells = base
+      .select(concat(col("__qx"), col("__qy")).as("__z"),
+        col("__dx"), col("__dy"))
+      .select(col("__dx"), col("__dy"),
+        posexplode(col("__z")).as(Seq("i", "qi")), col("__z"))
+      .select(col("__dx"), col("__dy"), col("i"), col("qi"),
+        posexplode(col("__z")).as(Seq("j", "qj")))
+      .where(col("j") >= col("i"))
+    val perCell = cells.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        max(col("__dx")).as("__dx"), max(col("__dy")).as("__dy"),
+        sum(dec(col("qi")) * dec(col("qj"))).as("__sij"),
+        sum(dec(col("qi"))).as("__si"),
+        sum(dec(col("qj"))).as("__sj"))
+    val cij = dec(col("n")) * col("__sij") -
+      col("__si") * col("__sj")
+    val dx = col("__dx")
+    val isXX = col("j") < dx
+    val isXY = col("i") < dx && col("j") >= dx
+    // off-diagonal upper-tri cells of the symmetric XX / YY blocks
+    // stand for two matrix entries; every XY cell is its own entry
+    val mult = when(col("i") === col("j"), lit(1)).otherwise(lit(2))
+    val agg = perCell
+      .withColumn("__c2", cij * cij)
+      .agg(max(col("n")).as("n"),
+        max(col("__dx")).as("d_x"), max(col("__dy")).as("d_y"),
+        sum(when(isXX, col("__c2") * mult).otherwise(dec(lit(0))))
+          .as("__sxx"),
+        sum(when(isXY, col("__c2")).otherwise(dec(lit(0))))
+          .as("__sxy"),
+        sum(when(!isXX && !isXY, col("__c2") * mult)
+          .otherwise(dec(lit(0)))).as("__syy"))
+    val cka = col("__sxy").cast("double") /
+      (sqrt(col("__sxx").cast("double")) *
+        sqrt(col("__syy").cast("double")))
+    agg.select(col("n"), col("d_x").cast("int").as("d_x"),
+      col("d_y").cast("int").as("d_y"),
+      round(when(col("__sxx") > 0 && col("__syy") > 0, cka), 6)
+        .as("cka"))
+  }
+
   /** Centroid-silhouette clustering audit for a labeled embedding
     * corpus — per label, the mean of the per-vector silhouette
     * `s = (b − a)/max(a, b)` with `a` = distance to the OWN label
