@@ -140,8 +140,8 @@ private[graft] trait AnalyticsGraphOps { this: Analytics.type =>
     require(nSeeds >= 1, "need at least one seed node")
     val teleport = ((1000L - damping) * scale / 1000L) / nSeeds
     val seeded = nodes.join(
-        seedSet.withColumn("__isSeed", lit(true)), Seq("node"),
-        "left")
+        broadcast(seedSet.withColumn("__isSeed", lit(true))),
+        Seq("node"), "left")
       .withColumn("__isSeed",
         coalesce(col("__isSeed"), lit(false)))
       .transform(graft.core.CacheScope.disk)
