@@ -733,6 +733,85 @@ private[graft] trait AnalyticsTimeSeriesOps { this: Analytics.type =>
         (sigma - mean) / (sigma + mean)), 6).as("burstiness"))
   }
 
+  /** Holt–Winters additive seasonal forecast per group — the
+    * seasonal completion of [[holtForecast]]: level, trend AND an
+    * m-slot seasonal state updated by the classic triple recursion
+    * (`l' = α(x − s_j) + (1−α)(l+t)`, `t' = β(l'−l) + (1−β)t`,
+    * `s_j' = γ(x − l') + (1−γ)s_j`, j the bucket's season slot), so
+    * a weekly-cycled volume series forecasts next MONDAY from Monday
+    * state — where plain Holt averages the cycle away and q354's
+    * seasonal-naive can't learn a trend through it.
+    *
+    * Exactness, the [[holtForecast]] discipline verbatim: milli-unit
+    * smoothing weights, every step `⌊num/1000⌋` over exact longs, so
+    * the whole state is exact BIGINTs and the oracle replays the
+    * fold as a generated recursive CTE bit-for-bit. Initialization
+    * is the monitor convention, not an R-ets replication (documented
+    * so the oracle pins it): first observation seeds the level,
+    * trend 0, seasonals learned FROM ZERO by the γ recursion — after
+    * a few cycles the slots carry the pattern; the emitted state
+    * makes convergence inspectable.
+    *
+    * Scale shape identical to [[holtForecast]]: one grouped bucket
+    * sum, one per-group sorted array fold (bucket-domain-sized —
+    * a group's history must fit an array, the explicit contract of
+    * the Holt family), group-domain output. Returns `(group…,
+    * n_buckets, level, trend, s0…s{m−1}, forecast_1/2/3)` where
+    * `forecast_h = level + h·trend + s_{(n+h−1) mod m}`.
+    */
+  def holtWintersForecast(
+      df: DataFrame, groupCols: Seq[String], bucket: Column,
+      valueCents: Column, alphaMilli: Int = 300, betaMilli: Int = 100,
+      gammaMilli: Int = 200, season: Int = 7): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999, "alpha in [1,999]")
+    require(betaMilli >= 1 && betaMilli <= 999, "beta in [1,999]")
+    require(gammaMilli >= 1 && gammaMilli <= 999, "gamma in [1,999]")
+    require(season >= 2 && season <= 64, "season in [2,64]")
+    val series = holtSeries(df, groupCols, bucket, valueCents)
+    def step(num: Column): Column =
+      floor(num / lit(1000.0)).cast("long")
+    val init = struct(lit(0L).as("l"), lit(0L).as("t"),
+      array_repeat(lit(0L), season).as("s"), lit(0).as("i"))
+    val folded = series.select(groupCols.map(col) :+
+      aggregate(col("__xs"), init, (acc, x) => {
+        val l = acc.getField("l")
+        val t = acc.getField("t")
+        val s = acc.getField("s")
+        val i = acc.getField("i")
+        val j = i % season
+        val sj = element_at(s, j + 1)
+        val lNew = step(lit(alphaMilli.toDouble) *
+          (x - sj).cast("double") +
+          lit((1000 - alphaMilli).toDouble) * (l + t).cast("double"))
+        val tNew = step(lit(betaMilli.toDouble) *
+          (lNew - l).cast("double") +
+          lit((1000 - betaMilli).toDouble) * t.cast("double"))
+        val sNew = step(lit(gammaMilli.toDouble) *
+          (x - lNew).cast("double") +
+          lit((1000 - gammaMilli).toDouble) * sj.cast("double"))
+        val sArr = transform(s,
+          (v, idx) => when(idx === j, sNew).otherwise(v))
+        struct(
+          when(i === 0, x).otherwise(lNew).as("l"),
+          when(i === 0, lit(0L)).otherwise(tNew).as("t"),
+          when(i === 0, s).otherwise(sArr).as("s"),
+          (i + lit(1)).as("i"))
+      }).as("__st"): _*)
+    val st = col("__st")
+    val n = st.getField("i")
+    def slot(h: Int): Column =
+      element_at(st.getField("s"), ((n + lit(h - 1)) % season) + 1)
+    folded.select(groupCols.map(col) ++ Seq(
+      n.cast("long").as("n_buckets"),
+      st.getField("l").as("level"),
+      st.getField("t").as("trend")) ++
+      (0 until season).map(k =>
+        element_at(st.getField("s"), k + 1).as(s"s$k")) ++
+      (1 to 3).map(h =>
+        (st.getField("l") + lit(h.toLong) * st.getField("t") +
+          slot(h)).as(s"forecast_$h")): _*)
+  }
+
   /** Forecast-baseline scorecard per group — the M-competition
     * discipline the [[holtForecast]] monitor owes its consumers:
     * before any model forecast is trusted, it must beat the free

@@ -39,7 +39,29 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
     "q327_gumbel_store" -> (gumbelStoreQ _),
     "q328_ljung_box" -> (ljungBoxQ _),
     "q354_forecast_baselines" -> (forecastBaselinesQ _),
+    "q360_holt_winters" -> (holtWintersQ _),
   )
+
+  /** Holt–Winters additive forecast
+    * ([[Analytics.holtWintersForecast]]): daily event cents per type
+    * with a deterministic weekly cycle painted on (the q302 paint —
+    * ×(1 + (day mod 7)·0.1), re-seeded by the oracle) so the
+    * seasonal slots are learnable and the 1/2/3-step forecasts carry
+    * them — the seasonal completion of q265's Holt state against
+    * q354's baselines. Exact milli-unit triple recursion; the oracle
+    * replays the fold as a generated recursive CTE carrying all
+    * seven seasonal columns.
+    */
+  private[graft] def holtWintersQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val cents = floor(col("value") * 100 *
+      (lit(1.0) + (day % 7).cast("double") * 0.1)).cast("long")
+    Analytics.holtWintersForecast(e, Seq("event_type"), day, cents)
+      .orderBy("event_type")
+  }
 
   /** Forecast-baseline scorecard ([[Analytics.forecastBaselines]]):
     * daily event cents per type, days 0–20 train / 21–29 holdout,
@@ -99,7 +121,67 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
            l + 3 * t AS forecast_3
          FROM fin WHERE rn = 1 ORDER BY event_type"""
 
+  /** Generated Holt–Winters recursive-CTE oracle (q360): the Holt
+    * oracle's shape carrying seven seasonal columns; the slot CASE,
+    * the duplicated l′ subexpression inside t′/s′ (recursive CTEs
+    * cannot alias-reference within a row) and the final forecast
+    * CASEs are string-generated so the milli-unit arithmetic mirrors
+    * [[Analytics.holtWintersForecast]] token for token.
+    */
+  private[graft] val oracleHwSql: String = {
+    val sj = "(CASE r.i % 7 " + (0 until 7)
+      .map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
+    val lNew = s"CAST(floor((300.0 * CAST(n.x - $sj AS DOUBLE) " +
+      "+ 700.0 * CAST(r.l + r.t AS DOUBLE)) / 1000.0) AS BIGINT)"
+    val tNew = s"CAST(floor((100.0 * CAST($lNew - r.l AS DOUBLE) " +
+      "+ 900.0 * CAST(r.t AS DOUBLE)) / 1000.0) AS BIGINT)"
+    val sNew = s"CAST(floor((200.0 * CAST(n.x - $lNew AS DOUBLE) " +
+      s"+ 800.0 * CAST($sj AS DOUBLE)) / 1000.0) AS BIGINT)"
+    val sCols = (0 until 7).map(k =>
+      s"CASE WHEN r.i % 7 = $k THEN $sNew ELSE r.s$k END AS s$k")
+      .mkString(",\n             ")
+    val sInit = (0 until 7).map(k => s"CAST(0 AS BIGINT) AS s$k")
+      .mkString(", ")
+    def fc(h: Int): String =
+      s"l + $h * t + (CASE (i + ${h - 1}) % 7 " + (0 until 7)
+        .map(k => s"WHEN $k THEN s$k").mkString(" ") +
+        s" END) AS forecast_$h"
+    s"""WITH RECURSIVE x AS (
+           SELECT event_type AS g,
+             CAST(date_diff('day', DATE '2024-01-01',
+               CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(floor(value * 100 * (1.0
+               + CAST(date_diff('day', DATE '2024-01-01',
+                   CAST(ts AS DATE)) % 7 AS DOUBLE) * 0.1))
+               AS BIGINT)) AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         idx AS (
+           SELECT g, x, CAST(row_number() OVER (
+             PARTITION BY g ORDER BY day) AS BIGINT) AS i
+           FROM x),
+         rec AS (
+           SELECT g, CAST(1 AS BIGINT) AS i, x AS l,
+             CAST(0 AS BIGINT) AS t, $sInit
+           FROM idx WHERE i = 1
+           UNION ALL
+           SELECT r.g, r.i + 1,
+             $lNew AS l,
+             $tNew AS t,
+             $sCols
+           FROM rec r JOIN idx n ON n.g = r.g AND n.i = r.i + 1),
+         fin AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY g ORDER BY i DESC) AS rn
+           FROM rec)
+         SELECT g AS event_type, i AS n_buckets, l AS level,
+           t AS trend,
+           ${(0 until 7).map(k => s"s$k").mkString(", ")},
+           ${fc(1)}, ${fc(2)}, ${fc(3)}
+         FROM fin WHERE rn = 1 ORDER BY event_type"""
+  }
+
   private[graft] def tsOracleSql: Map[String, String] = Map(
+    "q360_holt_winters" -> oracleHwSql,
     // exact-integer ACF: zero-filled grid, lag equi-join, HUGEINT
     // moment identities (num·n² and den·n² = n(nQ − S²)), one double
     // division — mirrors the engine's DECIMAL(38,0) arithmetic

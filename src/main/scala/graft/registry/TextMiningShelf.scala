@@ -16,7 +16,129 @@ private[graft] trait TextMiningShelf {
     "q335_dunning_llr" -> (dunningQ _),
     "q336_readability" -> (readabilityQ _),
     "q337_rake_keywords" -> (rakeQ _),
+    "q358_html_extract" -> (htmlExtractQ _),
+    "q359_registrable_domains" -> (registrableDomainsQ _),
+    "q361_crawl_ingest_rollup" -> (crawlIngestQ _),
   )
+
+  /** Composed crawl-ingest rollup — the q273/q175 composition
+    * treatment for the crawl shelf: page wrap → [[graft.text.Web
+    * .htmlToText]] extraction → [[graft.text.Web.canonicalizeUrl]] →
+    * [[graft.text.Web.registrableDomain]] → per-domain quality
+    * rollup, ALL IN ONE LAZY PLAN over one scan of the corpus (at
+    * 100 TB nobody runs ingest as four passes). Per registrable
+    * domain: page count, distinct canonical URLs (the frontier's
+    * dedup numerator), extracted chars, and the mean text-to-markup
+    * density (exact char sums, ONE division). Malformed URLs land in
+    * the null-domain quarantine row with the same stats.
+    */
+  private[graft] def crawlIngestQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><script>var x = 1;</script>" +
+        "<style>.c{x:1}</style></head><body>" +
+        "<nav><a>Home</a>|<a>About</a></nav><h1>Doc "),
+      id.cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit(" &amp; extras &lt;ok&gt;</p><!-- hidden -->" +
+        "<footer>(c) site</footer></body></html>"))
+    val scheme = when(id % 3 === 0, "HTTP").otherwise(lit("http"))
+    val hostRaw = concat(
+      when(id % 2 === 0, "Example").otherwise(lit("example")),
+      (id % 20).cast("string"), lit(".com"))
+    val port = when(id % 4 === 0, ":80").otherwise(lit(""))
+    val path = concat(lit("/p"), (id % 6).cast("string"))
+    val query = when(id % 2 === 0,
+      concat(lit("?utm_source=x&b=2&a="), (id % 5).cast("string")))
+      .otherwise(concat(lit("?b=2&a="), (id % 5).cast("string")))
+    val frag = when(id % 5 === 0, "#sec").otherwise(lit(""))
+    val familyA = concat(scheme, lit("://"), hostRaw, port, path,
+      query, frag)
+    val familyB = concat(lit("HTTPS://Api"), (id % 20).cast("string"),
+      lit(".io:443"))
+    val raw = when(id % 13 === 0,
+        concat(lit("not-a-url-"), id.cast("string")))
+      .when(id % 11 === 0, familyB)
+      .otherwise(familyA)
+    val canon = graft.text.Web.canonicalizeUrl(raw)
+    val canonHost = substring_index(
+      regexp_extract(canon, "^[a-z0-9+.-]+://([^/?#]*)", 1), ":", 1)
+    docs(s, dir).where(col("text").isNotNull)
+      .select(id,
+        graft.text.Web.htmlToText(html).as("extracted"),
+        length(html).as("__n_raw"),
+        canon.as("canonical"),
+        graft.text.Web.registrableDomain(canonHost).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("canonical")).as("n_unique_urls"),
+        sum(length(col("extracted"))).as("chars_extracted"),
+        round(sum(length(col("extracted"))).cast("double") /
+          sum(col("__n_raw")).cast("double"), 6).as("mean_density"))
+      .orderBy("domain")
+  }
+
+  /** HTML-to-text extraction ([[graft.text.Web.htmlToText]]): each
+    * document wrapped in a crawl-shaped page (script + style blocks,
+    * nav, a comment, entity-escaped punctuation) and stripped back
+    * to text as one pure expression chain — script/style contents
+    * must vanish, tags become word boundaries, entities decode,
+    * whitespace folds. `density` (extracted/raw chars) is the
+    * text-to-markup quality signal boilerplate classifiers consume.
+    * The oracle replays the identical RE2-safe regexp chain.
+    */
+  private[graft] def htmlExtractQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><script>var x = 1;</script>" +
+        "<style>.c{x:1}</style></head><body>" +
+        "<nav><a>Home</a>|<a>About</a></nav><h1>Doc "),
+      id.cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit(" &amp; extras &lt;ok&gt;</p><!-- hidden -->" +
+        "<footer>(c) site</footer></body></html>"))
+    docs(s, dir).where(col("text").isNotNull)
+      .select(id,
+        graft.text.Web.htmlToText(html).as("extracted"),
+        length(html).as("n_raw"))
+      .select(id, col("extracted"), col("n_raw"),
+        length(col("extracted")).as("n_extracted"),
+        round(length(col("extracted")).cast("double") /
+          col("n_raw").cast("double"), 6).as("density"))
+      .orderBy("doc_id")
+  }
+
+  /** Registrable-domain rollup ([[graft.text.Web
+    * .registrableDomain]]): synthesized crawl hosts across generic
+    * and multi-part-suffix families (plus a dotless localhost shape
+    * that must land in the null quarantine bucket), grouped to the
+    * per-site counts a frontier's politeness budgeting and
+    * per-domain caps key on. Closed-form oracle.
+    */
+  private[graft] def registrableDomainsQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val base = when(id % 5 === 0,
+        concat(lit("mart"), (id % 4).cast("string"), lit(".com")))
+      .when(id % 5 === 1,
+        concat(lit("shop"), (id % 4).cast("string"), lit(".co.uk")))
+      .when(id % 5 === 2,
+        concat(lit("site"), (id % 4).cast("string"), lit(".com.au")))
+      .when(id % 5 === 3,
+        concat(lit("svc"), (id % 4).cast("string"), lit(".ne.jp")))
+      .otherwise(
+        concat(lit("app"), (id % 4).cast("string"), lit(".io")))
+    val host = when(id % 13 === 0, lit("localhost"))
+      .otherwise(concat(lit("sub"), (id % 3).cast("string"),
+        lit("."), base))
+    docs(s, dir)
+      .select(graft.text.Web.registrableDomain(host).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("domain")
+  }
 
   /** Dunning G² collocation board
     * ([[TextAnalysis.dunningCollocations]]) over the corpus — the
@@ -167,5 +289,117 @@ private[graft] trait TextMiningShelf {
          SELECT pc.phrase, n_occurrences, score_micro
          FROM pc JOIN ps USING (phrase)
          ORDER BY score_micro DESC, phrase LIMIT 25""",
+    // replays the IDENTICAL RE2-safe regexp chain (script → style →
+    // comments → tags → entities with amp LAST → whitespace) over
+    // the same synthesized page; density one mirrored division
+    "q358_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><script>var x = 1;</script>'
+               || '<style>.c{x:1}</style></head><body>'
+               || '<nav><a>Home</a>|<a>About</a></nav><h1>Doc '
+               || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+               || ' &amp; extras &lt;ok&gt;</p><!-- hidden -->'
+               || '<footer>(c) site</footer></body></html>' AS html
+           FROM documents WHERE text IS NOT NULL),
+         s1 AS (SELECT doc_id, len(html) AS n_raw,
+           regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+           FROM h),
+         s2 AS (SELECT doc_id, n_raw, regexp_replace(t,
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, n_raw, regexp_replace(t,
+           '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id, n_raw, regexp_replace(t,
+           '<[^>]+>', ' ', 'g') AS t FROM s3),
+         s5 AS (SELECT doc_id, n_raw,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+           FROM s4),
+         s6 AS (SELECT doc_id, n_raw,
+           trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+           FROM s5)
+         SELECT doc_id, extracted, CAST(n_raw AS INT) AS n_raw,
+           CAST(len(extracted) AS INT) AS n_extracted,
+           round(CAST(len(extracted) AS DOUBLE)
+             / CAST(n_raw AS DOUBLE), 6) AS density
+         FROM s6 ORDER BY doc_id""",
+    // closed form of the host builder's id arithmetic; localhost
+    // lands in the null quarantine bucket
+    "q359_registrable_domains" ->
+      """WITH d AS (
+           SELECT CASE WHEN doc_id % 13 = 0 THEN NULL
+             WHEN doc_id % 5 = 0 THEN
+               'mart' || CAST(doc_id % 4 AS VARCHAR) || '.com'
+             WHEN doc_id % 5 = 1 THEN
+               'shop' || CAST(doc_id % 4 AS VARCHAR) || '.co.uk'
+             WHEN doc_id % 5 = 2 THEN
+               'site' || CAST(doc_id % 4 AS VARCHAR) || '.com.au'
+             WHEN doc_id % 5 = 3 THEN
+               'svc' || CAST(doc_id % 4 AS VARCHAR) || '.ne.jp'
+             ELSE 'app' || CAST(doc_id % 4 AS VARCHAR) || '.io'
+             END AS domain
+           FROM documents)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_rows
+         FROM d GROUP BY domain ORDER BY domain NULLS FIRST""",
+    // ONE grouped pass over the q358 extraction chain joined to the
+    // q355/q359 closed forms; density one mirrored division
+    "q361_crawl_ingest_rollup" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><script>var x = 1;</script>'
+               || '<style>.c{x:1}</style></head><body>'
+               || '<nav><a>Home</a>|<a>About</a></nav><h1>Doc '
+               || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+               || ' &amp; extras &lt;ok&gt;</p><!-- hidden -->'
+               || '<footer>(c) site</footer></body></html>' AS html
+           FROM documents WHERE text IS NOT NULL),
+         s1 AS (SELECT doc_id, len(html) AS n_raw,
+           regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+           FROM h),
+         s2 AS (SELECT doc_id, n_raw, regexp_replace(t,
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, n_raw, regexp_replace(t,
+           '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id, n_raw, regexp_replace(t,
+           '<[^>]+>', ' ', 'g') AS t FROM s3),
+         s5 AS (SELECT doc_id, n_raw,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+           FROM s4),
+         s6 AS (SELECT doc_id, n_raw,
+           trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+           FROM s5),
+         c AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+               WHEN doc_id % 11 = 0 THEN
+                 'https://api' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.io/'
+               ELSE 'http://example' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.com/p' || CAST(doc_id % 6 AS VARCHAR)
+                 || '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2'
+             END AS canonical,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+               WHEN doc_id % 11 = 0 THEN
+                 'api' || CAST(doc_id % 20 AS VARCHAR) || '.io'
+               ELSE 'example' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.com'
+             END AS domain
+           FROM documents WHERE text IS NOT NULL),
+         j AS (
+           SELECT s6.doc_id, s6.extracted, s6.n_raw, c.canonical,
+             c.domain
+           FROM s6 JOIN c USING (doc_id))
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(DISTINCT canonical) AS BIGINT)
+             AS n_unique_urls,
+           CAST(sum(len(extracted)) AS BIGINT) AS chars_extracted,
+           round(CAST(sum(len(extracted)) AS DOUBLE)
+             / CAST(sum(n_raw) AS DOUBLE), 6) AS mean_density
+         FROM j GROUP BY domain ORDER BY domain NULLS FIRST""",
   )
 }

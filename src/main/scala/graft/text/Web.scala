@@ -57,4 +57,73 @@ object Web {
     when(scheme =!= "" && host =!= "", canon)
       .otherwise(lit(null).cast("string"))
   }
+
+  /** Strip HTML to text as ONE pure column expression — the first
+    * transform every crawl corpus goes through: script and style
+    * blocks removed WITH their contents, comments removed, remaining
+    * tags replaced by spaces (so `<td>a</td><td>b</td>` doesn't fuse
+    * words), the five ubiquitous entities decoded, and whitespace
+    * collapsed. Deliberately NOT a boilerplate remover — nav/footer
+    * TEXT survives; removing repeated boilerplate is the line-dedup
+    * family's job (q134/q135), which consumes this op's output.
+    *
+    * Every pattern is RE2-safe (no backreferences, no lookaround),
+    * so the DuckDB oracle replays the identical chain and extracted
+    * text — and anything hashed from it — is bit-identical
+    * cross-engine. Fixed step order (documented here, mirrored
+    * there): script → style → comments → tags → entities (amp LAST,
+    * so `&amp;lt;` decodes to the literal `&lt;` the author wrote,
+    * not a tag) → whitespace.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Multi-label public suffixes the [[registrableDomain]] heuristic
+    * recognizes — a pinned subset of the Public Suffix List covering
+    * the dominant ccTLD second-level registries; the full PSL is a
+    * data file a production frontier would broadcast, with exactly
+    * this lookup shape.
+    */
+  val multiPartSuffixes: Seq[String] = Seq("co.uk", "org.uk",
+    "ac.uk", "gov.uk", "com.au", "net.au", "org.au", "co.jp",
+    "ne.jp", "com.br", "com.cn", "co.in", "co.kr", "com.mx")
+
+  /** Registrable domain (eTLD+1) of a hostname — the key crawl
+    * politeness, per-site caps ([[graft.sampling.Sampling]]'s
+    * sourceCap shape) and domain-level dedup group on:
+    * `a.b.example.co.uk → example.co.uk`, `x.example.com →
+    * example.com`. One regexp alternation over the pinned
+    * [[multiPartSuffixes]] (longest match first by construction —
+    * the multi-part branch is tried before the generic two-label
+    * fall-through), null for hosts without a dot or with an empty
+    * label. IP literals are returned whole (a dotted IPv4 is its own
+    * "site").
+    */
+  def registrableDomain(host: Column): Column = {
+    val h = lower(host)
+    val isIp = h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+    val alts = multiPartSuffixes.map(_.replace(".", "\\."))
+      .mkString("|")
+    val multi = regexp_extract(h,
+      "(^|\\.)([^.]+\\.(" + alts + "))$", 2)
+    val generic = regexp_extract(h, "(^|\\.)([^.]+\\.[^.]+)$", 2)
+    when(h.isNull, lit(null).cast("string"))
+      .when(isIp, h)
+      .when(multi =!= "", multi)
+      .when(generic =!= "", generic)
+      .otherwise(lit(null).cast("string"))
+  }
 }

@@ -109,4 +109,38 @@ class WebCrawlSpec extends SparkSpec {
     val rn = decodeOne(notPdf, Multimodal.pdfShellMeta)
     assert(rn.isNullAt(rn.fieldIndex("has_eof")))
   }
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(Web.htmlToText(col("h")).as("t"))
+      .collect()(0).getString(0)
+
+  test("htmlToText: scripts/styles vanish WITH contents, tags " +
+      "become word boundaries, entities decode, whitespace folds") {
+    val html = "<html><head><script>var x = '<p>not text</p>';" +
+      "</script><style>.c { color: red }</style></head><body>" +
+      "<nav><a href='/'>Home</a>|<a>About</a></nav>\n" +
+      "<h1>Title</h1>\n<table><tr><td>a</td><td>b</td></tr></table>" +
+      "<p>Fish &amp; chips &lt;cheap&gt;&nbsp;daily</p>" +
+      "<!-- hidden <b>comment</b> -->" +
+      "</body></html>"
+    assert(extract(html) ==
+      "Home | About Title a b Fish & chips <cheap> daily")
+  }
+
+  test("htmlToText: double-escaped entities decode ONE level — " +
+      "&amp;lt; is the literal &lt; the author wrote") {
+    assert(extract("<p>&amp;lt;tag&amp;gt;</p>") == "&lt;tag&gt;")
+  }
+
+  test("registrableDomain: multi-part public suffixes keep three " +
+      "labels, generic hosts keep two, IPs pass whole") {
+    val hosts = Seq("a.b.example.co.uk", "x.example.com",
+      "EXAMPLE.COM", "shop.com.au", "deep.sub.site.ne.jp",
+      "localhost", "10.1.2.3", "example.io")
+    val got = hosts.toDF("h")
+      .select(Web.registrableDomain(col("h")).as("d")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("example.co.uk", "example.com", "example.com",
+      "shop.com.au", "site.ne.jp", null, "10.1.2.3", "example.io"))
+  }
 }
