@@ -165,7 +165,13 @@ class PlanGateSpec extends SparkSpec {
     // Hamilton largest-remainder ranks (one per allocation column)
     // over the STRATUM frame — a grouped aggregate bounded by the
     // segment domain, which the static bound can't see
-    "q297_neyman_allocation" -> 2)
+    "q297_neyman_allocation" -> 2,
+    // the class × sensitive-value grid: the broadcast build side is
+    // the per-distinct-value count frame — bounded by the LOW-
+    // CARDINALITY sensitive domain (the documented t-closeness
+    // contract: bucketed salaries, status codes), a grouped
+    // aggregate the static bound can't see
+    "q349_t_closeness" -> 1)
 
   test("every registry query plans free of cartesian products, " +
       "unbounded nested-loop joins, and unbounded global windows " +
