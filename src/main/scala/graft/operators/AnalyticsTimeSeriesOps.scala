@@ -768,35 +768,54 @@ private[graft] trait AnalyticsTimeSeriesOps { this: Analytics.type =>
     require(gammaMilli >= 1 && gammaMilli <= 999, "gamma in [1,999]")
     require(season >= 2 && season <= 64, "season in [2,64]")
     val series = holtSeries(df, groupCols, bucket, valueCents)
-    def step(num: Column): Column =
-      floor(num / lit(1000.0)).cast("long")
     val init = struct(lit(0L).as("l"), lit(0L).as("t"),
       array_repeat(lit(0L), season).as("s"), lit(0).as("i"))
     val folded = series.select(groupCols.map(col) :+
-      aggregate(col("__xs"), init, (acc, x) => {
-        val l = acc.getField("l")
-        val t = acc.getField("t")
-        val s = acc.getField("s")
-        val i = acc.getField("i")
-        val j = i % season
-        val sj = element_at(s, j + 1)
-        val lNew = step(lit(alphaMilli.toDouble) *
-          (x - sj).cast("double") +
-          lit((1000 - alphaMilli).toDouble) * (l + t).cast("double"))
-        val tNew = step(lit(betaMilli.toDouble) *
-          (lNew - l).cast("double") +
-          lit((1000 - betaMilli).toDouble) * t.cast("double"))
-        val sNew = step(lit(gammaMilli.toDouble) *
-          (x - lNew).cast("double") +
-          lit((1000 - gammaMilli).toDouble) * sj.cast("double"))
-        val sArr = transform(s,
-          (v, idx) => when(idx === j, sNew).otherwise(v))
-        struct(
-          when(i === 0, x).otherwise(lNew).as("l"),
-          when(i === 0, lit(0L)).otherwise(tNew).as("t"),
-          when(i === 0, s).otherwise(sArr).as("s"),
-          (i + lit(1)).as("i"))
-      }).as("__st"): _*)
+      hwFold(col("__xs"), init, alphaMilli, betaMilli, gammaMilli,
+        season).as("__st"): _*)
+    hwEmit(groupCols, folded, season)
+  }
+
+  /** The Holt–Winters left fold from an arbitrary (l, t, s, i)
+    * state — shared verbatim by [[holtWintersForecast]] (zero state)
+    * and [[holtWintersResume]] (standing state), which is WHY
+    * resume == full holds bit-for-bit (the [[holtFold]] identity
+    * with a seasonal array).
+    */
+  private def hwFold(
+      xs: Column, init: Column, alphaMilli: Int, betaMilli: Int,
+      gammaMilli: Int, season: Int): Column = {
+    def step(num: Column): Column =
+      floor(num / lit(1000.0)).cast("long")
+    aggregate(xs, init, (acc, x) => {
+      val l = acc.getField("l")
+      val t = acc.getField("t")
+      val s = acc.getField("s")
+      val i = acc.getField("i")
+      val j = i % season
+      val sj = element_at(s, j + 1)
+      val lNew = step(lit(alphaMilli.toDouble) *
+        (x - sj).cast("double") +
+        lit((1000 - alphaMilli).toDouble) * (l + t).cast("double"))
+      val tNew = step(lit(betaMilli.toDouble) *
+        (lNew - l).cast("double") +
+        lit((1000 - betaMilli).toDouble) * t.cast("double"))
+      val sNew = step(lit(gammaMilli.toDouble) *
+        (x - lNew).cast("double") +
+        lit((1000 - gammaMilli).toDouble) * sj.cast("double"))
+      val sArr = transform(s,
+        (v, idx) => when(idx === j, sNew).otherwise(v))
+      struct(
+        when(i === 0, x).otherwise(lNew).as("l"),
+        when(i === 0, lit(0L)).otherwise(tNew).as("t"),
+        when(i === 0, s).otherwise(sArr).as("s"),
+        (i + lit(1)).as("i"))
+    })
+  }
+
+  private def hwEmit(
+      groupCols: Seq[String], folded: DataFrame, season: Int)
+      : DataFrame = {
     val st = col("__st")
     val n = st.getField("i")
     def slot(h: Int): Column =
@@ -810,6 +829,40 @@ private[graft] trait AnalyticsTimeSeriesOps { this: Analytics.type =>
       (1 to 3).map(h =>
         (st.getField("l") + lit(h.toLong) * st.getField("t") +
           slot(h)).as(s"forecast_$h")): _*)
+  }
+
+  /** Incremental Holt–Winters: resume the triple recursion over new
+    * buckets from a STANDING state table (a [[holtWintersForecast]]
+    * output) and land EXACTLY where the full recompute lands — the
+    * [[holtResume]] left-fold identity extended to the seasonal
+    * array, so a daily monitor folds yesterday's buckets into
+    * yesterday's state instead of rescanning history. Groups present
+    * in the state but with no new buckets pass through unchanged;
+    * groups appearing only in the new data fold from the zero state
+    * (they ARE their own full history). Output schema identical to
+    * [[holtWintersForecast]].
+    */
+  def holtWintersResume(
+      state: DataFrame, df: DataFrame, groupCols: Seq[String],
+      bucket: Column, valueCents: Column, alphaMilli: Int = 300,
+      betaMilli: Int = 100, gammaMilli: Int = 200, season: Int = 7)
+      : DataFrame = {
+    val series = holtSeries(df, groupCols, bucket, valueCents)
+    val stateSel = state.select(groupCols.map(col) ++ Seq(
+      col("level").as("__l0"), col("trend").as("__t0"),
+      array((0 until season).map(k => col(s"s$k")): _*).as("__s0"),
+      col("n_buckets").cast("int").as("__i0")): _*)
+    val joined = series.join(stateSel, groupCols, "full")
+    val init = struct(
+      coalesce(col("__l0"), lit(0L)).as("l"),
+      coalesce(col("__t0"), lit(0L)).as("t"),
+      coalesce(col("__s0"), array_repeat(lit(0L), season)).as("s"),
+      coalesce(col("__i0"), lit(0)).as("i"))
+    val folded = joined.select(groupCols.map(col) :+
+      hwFold(coalesce(col("__xs"), array().cast("array<bigint>")),
+        init, alphaMilli, betaMilli, gammaMilli, season)
+        .as("__st"): _*)
+    hwEmit(groupCols, folded, season)
   }
 
   /** Forecast-baseline scorecard per group — the M-competition

@@ -40,7 +40,29 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
     "q328_ljung_box" -> (ljungBoxQ _),
     "q354_forecast_baselines" -> (forecastBaselinesQ _),
     "q360_holt_winters" -> (holtWintersQ _),
+    "q362_holt_winters_resume" -> (holtWintersResumeQ _),
   )
+
+  /** Incremental Holt–Winters ([[Analytics.holtWintersResume]]): a
+    * standing state built from the first 20 days resumes over the
+    * remaining days and lands EXACTLY where q360's full recompute
+    * lands — the q268 left-fold identity extended to the seasonal
+    * array (the oracle IS q360's full recursive CTE). The
+    * never-rescan-history form of the seasonal forecast monitor.
+    */
+  private[graft] def holtWintersResumeQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val cents = floor(col("value") * 100 *
+      (lit(1.0) + (day % 7).cast("double") * 0.1)).cast("long")
+    val state = Analytics.holtWintersForecast(
+      e.where(day < 21), Seq("event_type"), day, cents)
+    Analytics.holtWintersResume(state, e.where(day >= 21),
+        Seq("event_type"), day, cents)
+      .orderBy("event_type")
+  }
 
   /** Holt–Winters additive forecast
     * ([[Analytics.holtWintersForecast]]): daily event cents per type
@@ -182,6 +204,9 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
 
   private[graft] def tsOracleSql: Map[String, String] = Map(
     "q360_holt_winters" -> oracleHwSql,
+    // resume == full-recompute by the left-fold identity, so the
+    // incremental query shares the SAME recursive-CTE oracle
+    "q362_holt_winters_resume" -> oracleHwSql,
     // exact-integer ACF: zero-filled grid, lag equi-join, HUGEINT
     // moment identities (num·n² and den·n² = n(nQ − S²)), one double
     // division — mirrors the engine's DECIMAL(38,0) arithmetic

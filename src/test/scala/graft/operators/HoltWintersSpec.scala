@@ -76,6 +76,27 @@ class HoltWintersSpec extends SparkSpec {
     assert(r.getAs[Long]("s0") - r.getAs[Long]("s4") > 5000L)
   }
 
+  test("resume == full recompute at EVERY split point — the " +
+      "left-fold identity with the seasonal array") {
+    val xs = (0 until 23).map(t =>
+      8000L + 13L * t + pattern(t % 7) + (t % 5) * 7L)
+    val df = xs.zipWithIndex.map { case (x, t) => ("g", t.toLong, x) }
+      .toDF("g", "b", "x")
+    val full = Analytics.holtWintersForecast(df, Seq("g"), col("b"),
+      col("x"), season = 7).collect()(0)
+    for (cut <- Seq(1, 6, 7, 8, 15, 22)) {
+      val state = Analytics.holtWintersForecast(
+        df.where(col("b") < cut), Seq("g"), col("b"), col("x"),
+        season = 7)
+      val resumed = Analytics.holtWintersResume(state,
+        df.where(col("b") >= cut), Seq("g"), col("b"), col("x"),
+        season = 7).collect()(0)
+      for (f <- full.schema.fieldNames.filter(_ != "g"))
+        assert(resumed.getAs[Long](f) == full.getAs[Long](f),
+          s"cut=$cut field=$f")
+    }
+  }
+
   test("a cycle-free series degrades to plain Holt's level/trend " +
       "read with near-zero seasonals") {
     val xs = (0 until 28).map(t => 5000L + 20L * t)
