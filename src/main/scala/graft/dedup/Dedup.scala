@@ -831,7 +831,32 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    lshDetectorFrames(df, idCol, textCol, n, numHashes, bands,
+      threshold).verified
+
+  /** The [[minhashLshPairs]] chain with its SHARED intermediates
+    * exposed — the composition handle for audit suites that need the
+    * signature table and the banded candidates NEXT TO the verified
+    * pairs without re-running the shingle scan or the signature
+    * aggregation per consumer (capture–recapture, McNemar, Cochran's
+    * Q, Fleiss' κ, the b-bit compression estimate all read these
+    * same three frames). `signatures` and `candidates` are the
+    * byte-identical outputs of [[minhashSignatures]] /
+    * [[lshCandidates]] (same md5 family), already persisted via
+    * [[graft.core.CacheScope.disk]]; `verified` is exactly the
+    * [[minhashLshPairs]] result. One shingle scan, one signature
+    * build, one banding pass — no matter how many consumers fan out.
+    */
+  final case class LshDetectorFrames(
+      signatures: DataFrame, candidates: DataFrame,
+      verified: DataFrame)
+
+  /** See [[LshDetectorFrames]]. */
+  def lshDetectorFrames(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.8): LshDetectorFrames = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // RAW shingle occurrences — projection + generate only, NO
     // corpus-wide distinct: min-aggregation is duplicate-insensitive,
@@ -866,8 +891,10 @@ object Dedup {
       .distinct()
       .transform(graft.core.CacheScope.disk)
     val sizes = shCand.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
-    exactJaccardVerify(shCand, sizes, cands, idCol, threshold)
+    val verified = exactJaccardVerify(shCand, sizes, cands, idCol,
+        threshold)
       .select("id_a", "id_b", "jaccard")
+    LshDetectorFrames(sigs, cands, verified)
   }
 
   /** Build the standing LSH index for incremental NEAR-dup dedup:

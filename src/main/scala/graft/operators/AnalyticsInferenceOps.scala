@@ -1354,10 +1354,14 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
     * randomness, which is what makes it replayable from warehouse
     * counts: this operator IS the policy, computed from the event
     * log. `scaleCents` calibrates the bonus to the reward's range
-    * (UCB1's [0,1] theory scaled to cents); arms never pulled would
-    * have an infinite bonus — they are emitted with null score and
-    * `chosen` preempted to them (play each arm once first, the
-    * canonical initialization).
+    * (UCB1's [0,1] theory scaled to cents). The arm domain IS the
+    * observed event log: arms are derived by grouping the events, so
+    * every emitted arm has `n_pulls >= 1` by construction. An arm
+    * that has never been pulled simply does not appear — callers who
+    * need the canonical play-each-arm-once initialization must seed
+    * the log with one row per arm before calling this (the
+    * null-score guard below is defensive only and cannot fire on
+    * the grouped domain).
     *
     * Exactness: counts/sums exact; mean is one mirrored double
     * division; the bonus is a fixed-order mirrored double chain

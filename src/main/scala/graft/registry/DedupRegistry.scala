@@ -57,6 +57,7 @@ private[graft] object DedupRegistry {
     "q24_minhash_lsh_pairs" -> (minhashLshPairs _),
     "q267_source_dup_matrix" -> (sourceDupMatrixQ _),
     "q273_dedup_monitor_suite" -> (dedupMonitorSuiteQ _),
+    "q363_detector_audit_suite" -> (detectorAuditSuiteQ _),
     "q25_simhash_fingerprints" -> (simhashFingerprints _),
     "q26_simhash_pairs" -> (simhashPairs _),
     "q31_corpus_prep" -> (corpusPrep _),
@@ -571,6 +572,220 @@ private[graft] object DedupRegistry {
            round(CAST(n2 AS DOUBLE)
              / nullif(CAST(nhat AS DOUBLE), 0.0), 6) AS recall_simhash
          FROM f""",
+    // the composed suite: ONE shared CTE scaffold (shingles,
+    // signatures, candidates, verified mh, simhash sp, 1-bit bb,
+    // pair union fl with per-detector evidence), five audit legs
+    // melted to (report, key_a, key_b, n, metric) — each leg's
+    // formulas verbatim from its standalone oracle
+    "q363_detector_audit_suite" ->
+      s"""WITH $oracleShingleCtes,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         mh AS (
+           SELECT ida, idb,
+             round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 4)
+               AS j
+           FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+             >= 0.8),
+         ${oracleSimhashCtes("s")},
+         sp AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(bit_count(xor(a.hi, b.hi))
+               + bit_count(xor(a.lo, b.lo)) AS INT) AS hm
+           FROM sshp a JOIN sshp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) <= 3),
+         bb AS (
+           SELECT c.ida, c.idb
+           FROM cands c
+           JOIN sigs a ON a.doc_id = c.ida
+           JOIN sigs b ON b.doc_id = c.idb
+           WHERE round(greatest(0.0, CAST((${(0 until 16).map(i =>
+        s"(CASE WHEN (a.h$i & 1) = (b.h$i & 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")}) * 2 - 16 AS DOUBLE) / 16.0), 4) >= 0.5),
+         pu AS (
+           SELECT DISTINCT ida, idb FROM (
+             SELECT ida, idb FROM mh
+             UNION ALL SELECT ida, idb FROM sp
+             UNION ALL SELECT ida, idb FROM bb)),
+         fl AS (
+           SELECT pu.ida, pu.idb, mh.j, sp.hm,
+             CASE WHEN mh.ida IS NOT NULL THEN 1 ELSE 0 END AS fm,
+             CASE WHEN sp.ida IS NOT NULL THEN 1 ELSE 0 END AS fs,
+             CASE WHEN bb.ida IS NOT NULL THEN 1 ELSE 0 END AS fb
+           FROM pu
+           LEFT JOIN mh ON mh.ida = pu.ida AND mh.idb = pu.idb
+           LEFT JOIN sp ON sp.ida = pu.ida AND sp.idb = pu.idb
+           LEFT JOIN bb ON bb.ida = pu.ida AND bb.idb = pu.idb),
+         cap AS (
+           SELECT sum(fm) AS n1, sum(fs) AS n2, sum(fm * fs) AS m
+           FROM fl),
+         capf AS (
+           SELECT n1, n2, m,
+             CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+               AS BIGINT) AS nhat
+           FROM cap),
+         mc AS (
+           SELECT sum(fm * fs) AS n11,
+             sum(CASE WHEN fm = 1 AND fs = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN fm = 0 AND fs = 1 THEN 1 ELSE 0 END) AS c
+           FROM fl WHERE fm = 1 OR fs = 1),
+         mcf AS (
+           SELECT n11, b, c,
+             (CAST(b AS HUGEINT) - c) * (CAST(b AS HUGEINT) - c)
+               AS num,
+             greatest(abs(CAST(b AS HUGEINT) - c) - 1, 0)
+               * greatest(abs(CAST(b AS HUGEINT) - c) - 1, 0)
+               AS num_cc
+           FROM mc),
+         cqa AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(fm) AS BIGINT) AS g1,
+             CAST(sum(fs) AS BIGINT) AS g2,
+             CAST(sum(fb) AS BIGINT) AS g3,
+             sum(CAST(fm + fs + fb AS HUGEINT)
+               * (fm + fs + fb)) AS l2
+           FROM fl),
+         cqf AS (
+           SELECT n_items, g1, g2, g3,
+             CAST(2 * (3 * (CAST(g1 AS HUGEINT) * g1
+               + CAST(g2 AS HUGEINT) * g2 + CAST(g3 AS HUGEINT) * g3)
+               - CAST(g1 + g2 + g3 AS HUGEINT) * (g1 + g2 + g3))
+               AS DOUBLE) AS num,
+             CAST(3 * CAST(g1 + g2 + g3 AS HUGEINT) - l2 AS DOUBLE)
+               AS den
+           FROM cqa),
+         fka AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(fm + fs + fb) AS BIGINT) AS s1,
+             sum(CAST(fm + fs + fb AS HUGEINT) * (fm + fs + fb)
+               + CAST(3 - fm - fs - fb AS HUGEINT)
+                 * (3 - fm - fs - fb)) AS sq
+           FROM fl),
+         fkf AS (
+           SELECT n, s1,
+             (CAST(sq AS DOUBLE) - 3.0 * CAST(n AS DOUBLE))
+               / (6.0 * CAST(n AS DOUBLE)) AS pbar,
+             CAST(s1 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) AS p1
+           FROM fka),
+         fkg AS (
+           SELECT n, pbar, p1,
+             p1 * p1 + (1.0 - p1) * (1.0 - p1) AS pe
+           FROM fkf)
+         SELECT * FROM (
+         SELECT 'capture_recapture' AS report, 'n_minhash' AS key_a,
+           '' AS key_b, CAST(n1 AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS metric FROM capf
+         UNION ALL
+         SELECT 'capture_recapture', 'n_simhash', '',
+           CAST(n2 AS BIGINT), CAST(NULL AS DOUBLE) FROM capf
+         UNION ALL
+         SELECT 'capture_recapture', 'n_overlap', '',
+           CAST(m AS BIGINT), CAST(NULL AS DOUBLE) FROM capf
+         UNION ALL
+         SELECT 'capture_recapture', 'chapman_total', '', nhat,
+           CAST(NULL AS DOUBLE) FROM capf
+         UNION ALL
+         SELECT 'capture_recapture', 'recall_minhash', '',
+           CAST(NULL AS BIGINT),
+           round(CAST(n1 AS DOUBLE)
+             / nullif(CAST(nhat AS DOUBLE), 0.0), 6) FROM capf
+         UNION ALL
+         SELECT 'capture_recapture', 'recall_simhash', '',
+           CAST(NULL AS BIGINT),
+           round(CAST(n2 AS DOUBLE)
+             / nullif(CAST(nhat AS DOUBLE), 0.0), 6) FROM capf
+         UNION ALL
+         SELECT 'queue',
+           CASE WHEN fm = 1 AND fs = 1 THEN 'both'
+             WHEN fm = 1 THEN 'minhash_only'
+             ELSE 'simhash_only' END,
+           CAST(ida AS VARCHAR) || ':' || CAST(idb AS VARCHAR),
+           CAST(hm AS BIGINT), CAST(j AS DOUBLE)
+         FROM fl WHERE fm = 1 OR fs = 1
+         UNION ALL
+         SELECT 'mcnemar', 'n_both', '', CAST(n11 AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM mcf
+         UNION ALL
+         SELECT 'mcnemar', 'n_minhash_only', '', CAST(b AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM mcf
+         UNION ALL
+         SELECT 'mcnemar', 'n_simhash_only', '', CAST(c AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM mcf
+         UNION ALL
+         SELECT 'mcnemar', 'differs', '',
+           CAST(CASE WHEN b + c = 0 THEN 0
+             WHEN CAST(num_cc AS DOUBLE) / (b + c) > 3.841 THEN 1
+             ELSE 0 END AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM mcf
+         UNION ALL
+         SELECT 'mcnemar', 'chi2', '', CAST(NULL AS BIGINT),
+           CASE WHEN b + c = 0 THEN NULL
+             ELSE round(CAST(num AS DOUBLE) / (b + c), 6) END
+         FROM mcf
+         UNION ALL
+         SELECT 'mcnemar', 'chi2_cc', '', CAST(NULL AS BIGINT),
+           CASE WHEN b + c = 0 THEN NULL
+             ELSE round(CAST(num_cc AS DOUBLE) / (b + c), 6) END
+         FROM mcf
+         UNION ALL
+         SELECT 'cochran_q', 'n_items', '', n_items,
+           CAST(NULL AS DOUBLE) FROM cqf
+         UNION ALL
+         SELECT 'cochran_q', 'g_by_minhash', '', g1,
+           CAST(NULL AS DOUBLE) FROM cqf
+         UNION ALL
+         SELECT 'cochran_q', 'g_by_simhash', '', g2,
+           CAST(NULL AS DOUBLE) FROM cqf
+         UNION ALL
+         SELECT 'cochran_q', 'g_by_bbit', '', g3,
+           CAST(NULL AS DOUBLE) FROM cqf
+         UNION ALL
+         SELECT 'cochran_q', 'dof', '', CAST(2 AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM cqf
+         UNION ALL
+         SELECT 'cochran_q', 'differs', '',
+           CAST(coalesce((CASE WHEN den <= 0 THEN NULL
+             ELSE num / den END) > 5.991465, FALSE) AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM cqf
+         UNION ALL
+         SELECT 'cochran_q', 'q', '', CAST(NULL AS BIGINT),
+           CASE WHEN den <= 0 THEN NULL
+             ELSE round(num / den, 6) END FROM cqf
+         UNION ALL
+         SELECT 'fleiss_kappa', 'n_items', '', n,
+           CAST(NULL AS DOUBLE) FROM fkg
+         UNION ALL
+         SELECT 'fleiss_kappa', 'n_raters', '', CAST(3 AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM fkg
+         UNION ALL
+         SELECT 'fleiss_kappa', 'substantial', '',
+           CAST(coalesce((CASE WHEN 1.0 - pe <= 0 OR n < 1 THEN NULL
+             ELSE (pbar - pe) / (1.0 - pe) END) >= 0.61, FALSE)
+             AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM fkg
+         UNION ALL
+         SELECT 'fleiss_kappa', 'p_flag', '', CAST(NULL AS BIGINT),
+           round(p1, 6) FROM fkg
+         UNION ALL
+         SELECT 'fleiss_kappa', 'p_bar', '', CAST(NULL AS BIGINT),
+           round(pbar, 6) FROM fkg
+         UNION ALL
+         SELECT 'fleiss_kappa', 'p_e', '', CAST(NULL AS BIGINT),
+           round(pe, 6) FROM fkg
+         UNION ALL
+         SELECT 'fleiss_kappa', 'kappa', '', CAST(NULL AS BIGINT),
+           CASE WHEN 1.0 - pe <= 0 OR n < 1 THEN NULL
+             ELSE round((pbar - pe) / (1.0 - pe), 6) END FROM fkg)
+         ORDER BY report, key_a, key_b""",
     // the 1-bit estimate replays (agree·2 − 16)/16 over the masked
     // low bits — exact integers into one division, clamped at 0
     "q276_bbit_minhash" ->
@@ -2134,6 +2349,130 @@ private[graft] object DedupRegistry {
         col("__np").cast("long").as("n"),
         col("__f").cast("double").as("metric"))
     hist.unionByName(matrix).unionByName(curve)
+      .orderBy("report", "key_a", "key_b")
+  }
+
+  /** Composed detector-audit suite (VERDICT r16 task 1): the five
+    * standing detector audits — capture–recapture (q280), the
+    * disagreement review queue (q282), McNemar (q284), Cochran's Q
+    * (q303) and Fleiss' κ (q311) — emitted from ONE pass over the
+    * shared detector frames instead of five re-runs of the same two
+    * chains. [[graft.dedup.Dedup.lshDetectorFrames]] runs the
+    * shingle scan / signature build / banding ONCE (persisted);
+    * SimHash runs its one token pass; the b-bit estimate reads the
+    * same signatures+candidates; and a single cached three-flag
+    * pair-union frame (with each detector's evidence) feeds every
+    * audit leg. Output is the unified melted monitor schema
+    * `(report, key_a, key_b, n, metric)` — scalar verdicts as
+    * stat-per-row, the queue leg at pair level with hamming in `n`
+    * and jaccard in `metric`. Each leg's numbers equal its
+    * standalone query's (spec-pinned); a plan spec pins ONE shingle
+    * scan and ONE signature build structurally. Scale: identical to
+    * q24 + q26 (the only pairwise generators are the banded
+    * self-joins); every audit leg is pair-domain-sized reads of the
+    * one cached flags frame.
+    */
+  private[graft] def detectorAuditSuiteQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val keys = Seq("id_a", "id_b")
+    val fr = Dedup.lshDetectorFrames(d, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, threshold = 0.8)
+    val mh = fr.verified
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("__j"),
+        lit(true).as("by_minhash"))
+    val sp = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("__h"),
+        lit(true).as("by_simhash"))
+    val bb = Dedup.bbitMinhashEstimate(fr.candidates, fr.signatures,
+        "doc_id", numHashes = 16, b = 1)
+      .where(col("est_b1") >= 0.5)
+      .select(col("id_a"), col("id_b"), lit(true).as("by_bbit"))
+    val flags = mh.join(sp, keys, "full_outer")
+      .join(bb, keys, "full_outer")
+      .select(col("id_a"), col("id_b"), col("__j"), col("__h"),
+        coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
+        coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
+        coalesce(col("by_bbit"), lit(false)).as("by_bbit"))
+      .transform(graft.core.CacheScope.disk)
+    // melt a 1-row verdict frame into stat-per-row form: longs into
+    // `n`, doubles into `metric` — ONE pass per family, the explode
+    // fans the single row out without re-running its aggregate
+    def melt(one: DataFrame, report: String,
+        longs: Seq[String], dbls: Seq[String]): DataFrame = {
+      val entries =
+        longs.map(c => struct(lit(c).as("key_a"),
+          col(c).cast("long").as("n"),
+          lit(null).cast("double").as("metric"))) ++
+        dbls.map(c => struct(lit(c).as("key_a"),
+          lit(null).cast("long").as("n"),
+          col(c).cast("double").as("metric")))
+      one.select(explode(array(entries: _*)).as("e"))
+        .select(lit(report).as("report"), col("e.key_a").as("key_a"),
+          lit("").as("key_b"), col("e.n").as("n"),
+          col("e.metric").as("metric"))
+    }
+    // leg 1: capture–recapture (q280 numbers; Chapman integral)
+    val nhat = expr("(CAST(n_minhash + 1 AS DECIMAL(38,0)) * " +
+      "(n_simhash + 1)) div (n_overlap + 1) - 1").cast("long")
+    val cap = flags.agg(
+        sum(col("by_minhash").cast("long")).as("n_minhash"),
+        sum(col("by_simhash").cast("long")).as("n_simhash"),
+        sum((col("by_minhash") && col("by_simhash")).cast("long"))
+          .as("n_overlap"))
+      .select(col("n_minhash"), col("n_simhash"), col("n_overlap"),
+        nhat.as("chapman_total"),
+        round(col("n_minhash").cast("double") /
+          nullif(nhat.cast("double"), lit(0.0)), 6)
+          .as("recall_minhash"),
+        round(col("n_simhash").cast("double") /
+          nullif(nhat.cast("double"), lit(0.0)), 6)
+          .as("recall_simhash"))
+    val capLeg = melt(cap, "capture_recapture",
+      Seq("n_minhash", "n_simhash", "n_overlap", "chapman_total"),
+      Seq("recall_minhash", "recall_simhash"))
+    // leg 2: the pair-level disagreement queue (q282 rows): verdict
+    // in key_a, the pair key in key_b, hamming in n, jaccard in
+    // metric — evidence null exactly where its detector didn't fire
+    val queueLeg = flags
+      .where(col("by_minhash") || col("by_simhash"))
+      .select(lit("queue").as("report"),
+        when(col("by_minhash") && col("by_simhash"), lit("both"))
+          .when(col("by_minhash"), lit("minhash_only"))
+          .otherwise(lit("simhash_only")).as("key_a"),
+        concat(col("id_a").cast("string"), lit(":"),
+          col("id_b").cast("string")).as("key_b"),
+        col("__h").cast("long").as("n"),
+        col("__j").cast("double").as("metric"))
+    // legs 3–5: the inferential verdicts, each the OPERATOR run on
+    // the restricted cached flags frame — formulas stay owned by
+    // graft.operators.Analytics, domains match the standalone queries
+    val mcLeg = melt(
+      graft.operators.Analytics.mcnemar(
+        flags.where(col("by_minhash") || col("by_simhash")),
+        Seq.empty, "by_minhash", "by_simhash")
+        .withColumnRenamed("n_a_only", "n_minhash_only")
+        .withColumnRenamed("n_b_only", "n_simhash_only"),
+      "mcnemar",
+      Seq("n_both", "n_minhash_only", "n_simhash_only", "differs"),
+      Seq("chi2", "chi2_cc"))
+    val cqLeg = melt(
+      graft.operators.Analytics.cochranQ(flags, Seq.empty,
+        Seq("by_minhash", "by_simhash", "by_bbit")),
+      "cochran_q",
+      Seq("n_items", "g_by_minhash", "g_by_simhash", "g_by_bbit",
+        "dof", "differs"),
+      Seq("q"))
+    val fkLeg = melt(
+      graft.operators.Analytics.fleissKappa(flags, Seq.empty,
+        Seq("by_minhash", "by_simhash", "by_bbit")),
+      "fleiss_kappa",
+      Seq("n_items", "n_raters", "substantial"),
+      Seq("p_flag", "p_bar", "p_e", "kappa"))
+    capLeg.unionByName(queueLeg).unionByName(mcLeg)
+      .unionByName(cqLeg).unionByName(fkLeg)
       .orderBy("report", "key_a", "key_b")
   }
 

@@ -318,7 +318,7 @@ private[graft] trait TextMiningShelf {
              '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
            FROM s4),
          s6 AS (SELECT doc_id, n_raw,
-           trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+           trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS extracted
            FROM s5)
          SELECT doc_id, extracted, CAST(n_raw AS INT) AS n_raw,
            CAST(len(extracted) AS INT) AS n_extracted,
@@ -371,7 +371,7 @@ private[graft] trait TextMiningShelf {
              '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
            FROM s4),
          s6 AS (SELECT doc_id, n_raw,
-           trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+           trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS extracted
            FROM s5),
          c AS (
            SELECT doc_id,

@@ -2431,20 +2431,36 @@ object Similarity {
     *
     * Scale shape: one fan-out of (2d)(2d+1)/2 cells per row,
     * map-side combined to a d²-domain frame, then one single-row
-    * reduce — corpus-size-independent state, no joins. Ragged or
-    * null vectors are excluded as a PAIR (both versions must be
-    * present). Returns one row `(n, d_x, d_y, cka)`.
+    * reduce — corpus-size-independent state, no joins beyond one
+    * scalar broadcast. Null/empty vectors are excluded as a PAIR
+    * (both versions must be present), and the ragged-exclusion
+    * contract is ENFORCED: only rows whose vector lengths equal the
+    * corpus max (per side) participate — a shorter vector would
+    * shift the z = x ⧺ y cell indices and corrupt the block sums,
+    * so it is dropped, not mis-summed. Returns one row
+    * `(n, d_x, d_y, cka)`.
     */
   def linearCka(
       df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val q = (c: Column) => transform(c,
       x => floor(x.cast("double") * lit(1000.0)).cast("long"))
-    val base = df
+    val present = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull &&
         size(col(xCol)) > 0 && size(col(yCol)) > 0)
       .select(q(col(xCol)).as("__qx"), q(col(yCol)).as("__qy"),
         size(col(xCol)).as("__dx"), size(col(yCol)).as("__dy"))
+    // enforce the ragged-exclusion contract: a row whose vector
+    // lengths differ from the corpus max would shift the z = x ⧺ y
+    // cell indices and the dx block boundary, silently corrupting
+    // the XX/XY/YY block sums — keep only full-dimension pairs
+    // (one scalar aggregate broadcast, corpus-size-independent)
+    val maxDims = present.agg(max(col("__dx")).as("__mx"),
+      max(col("__dy")).as("__my"))
+    val base = present.crossJoin(broadcast(maxDims))
+      .where(col("__dx") === col("__mx") &&
+        col("__dy") === col("__my"))
+      .drop("__mx", "__my")
     val cells = base
       .select(concat(col("__qx"), col("__qy")).as("__z"),
         col("__dx"), col("__dy"))

@@ -88,7 +88,9 @@ object Web {
     val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
       replace(c, lit(e), lit(r))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit class, not \s: Java \s includes vertical tab \x0B,
+    // RE2 \s does not — the explicit set is identical in both
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
   }
 
   /** Multi-label public suffixes the [[registrableDomain]] heuristic

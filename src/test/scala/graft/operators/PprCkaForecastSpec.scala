@@ -79,6 +79,20 @@ class PprCkaForecastSpec extends SparkSpec {
     assert(r.getAs[Int]("d_x") == 8 && r.getAs[Int]("d_y") == 8)
   }
 
+  test("linearCka: ragged rows are EXCLUDED, not mis-summed — " +
+      "adding short vectors leaves the result identical") {
+    val xs = vecs(40, 8)
+    val clean = xs.zip(xs).toDF("x", "y")
+    val ragged = (xs.zip(xs) ++ Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(3.0f), Array(3.0f, 4.0f, 5.0f)))).toDF("x", "y")
+    val a = Similarity.linearCka(clean, "x", "y").collect()(0)
+    val b = Similarity.linearCka(ragged, "x", "y").collect()(0)
+    assert(a.getAs[Long]("n") == 40L && b.getAs[Long]("n") == 40L)
+    assert(a.getAs[Double]("cka") == b.getAs[Double]("cka"))
+    assert(b.getAs[Int]("d_x") == 8 && b.getAs[Int]("d_y") == 8)
+  }
+
   test("forecastBaselines: hand-computed MASE on a planted series — " +
       "seasonal-naive nails a pure weekly cycle, naive pays for it") {
     // y(t) = 100 if t mod 7 == 0 else 10; cut 14, end 20, season 7
