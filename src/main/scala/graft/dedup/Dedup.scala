@@ -897,6 +897,127 @@ object Dedup {
     LshDetectorFrames(sigs, cands, verified)
   }
 
+  /** The standing near-dup PAIR STORE — the sufficient statistic
+    * that makes the detector audits (capture–recapture, McNemar,
+    * Cochran's Q, Fleiss' κ, the disagreement queue) a standing
+    * monitor instead of a corpus rescan. Three append-only tables:
+    *
+    *   - `signatures` (id, h0..h{k−1}): 16 longs per document —
+    *     banding reads these, never text.
+    *   - `shingles` (id, shingle): the per-document DISTINCT
+    *     xxhash64'd shingle set — the exact-Jaccard verify's
+    *     sufficient statistic, so verification of new candidate
+    *     pairs never re-shingles old documents' text. Token-scale
+    *     storage, the same trade the BM25 index shards make.
+    *   - `pairs` (id_a, id_b, jaccard): the verified pairs.
+    *
+    * The md5 signature family is deterministic, so signatures and
+    * shingles never change once landed; a pair (a, b) is generated
+    * exactly once — by the batch that completes it (the one the
+    * LATER of a, b arrives in) — so the unioned store after any
+    * sequence of [[pairStoreDelta]] appends equals the
+    * [[minhashLshPairs]] full rebuild bit-for-bit (spec-pinned at
+    * every split point, the append == rebuild discipline the ANN
+    * index and the drift count stores already carry).
+    */
+  final case class PairStore(
+      signatures: DataFrame, shingles: DataFrame, pairs: DataFrame)
+
+  /** An empty [[PairStore]] with the right schemas — the prior for
+    * the first [[pairStoreDelta]] batch.
+    */
+  def emptyPairStore(
+      spark: org.apache.spark.sql.SparkSession, idCol: String,
+      numHashes: Int = 16): PairStore = {
+    import org.apache.spark.sql.types._
+    val sigSchema = StructType(StructField(idCol, LongType) +:
+      (0 until numHashes).map(i => StructField(s"h$i", LongType)))
+    val shSchema = StructType(Seq(StructField(idCol, LongType),
+      StructField("shingle", LongType)))
+    val pairSchema = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType),
+      StructField("jaccard", DoubleType)))
+    PairStore(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        sigSchema),
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        shSchema),
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        pairSchema))
+  }
+
+  /** One incremental batch against a standing [[PairStore]]: compute
+    * the batch's signature and shingle shards, generate ONLY the
+    * candidate pairs that touch the batch (batch bands ⋈ standing ∪
+    * batch bands — old×old pairs are already in the store and are
+    * never re-generated), exact-verify them against the standing
+    * shingle store, and return the DELTA shard (the three frames a
+    * maintenance sink lands under `batch_id=<id>`). Merge with
+    * [[mergePairStore]] for the updated standing store.
+    *
+    * Deterministic and replay-idempotent: the same batch over the
+    * same prior store lands byte-identical shards (md5/xxhash64
+    * families), so a checkpoint replay OVERWRITE rewrites what the
+    * crashed attempt wrote. Scale: batch-sized signature/shingle
+    * work + one (band, sig)-keyed join of the batch's bands against
+    * the standing band projection + candidate-sized verification —
+    * per-batch cost never rescans the corpus.
+    */
+  def pairStoreDelta(
+      prior: PairStore, batch: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 8, threshold: Double = 0.8): PairStore = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val shRaw = TextAnalysis
+      .explodeShinglesRaw(batch, idCol, textCol, n)
+      .transform(graft.core.CacheScope.disk)
+    val sigAggs = minhashAggs(numHashes)
+    val batchSigs = shRaw.select(shingleHashHalves(idCol): _*)
+      .groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
+      .transform(graft.core.CacheScope.disk)
+    val batchShingles = shRaw
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+      .transform(graft.core.CacheScope.disk)
+    // candidates touching the batch: batch bands join (prior ∪
+    // batch) bands; canonicalize (least, greatest) and dedupe so a
+    // same-batch pair arriving via both sides lands once
+    val allSigs = prior.signatures.unionByName(batchSigs)
+    val batchBands = bandedSignatures(batchSigs, idCol, bands,
+      rowsPerBand)
+    val allBands = bandedSignatures(allSigs, idCol, bands,
+      rowsPerBand)
+    val cands = batchBands
+      .select(col(idCol).as("__new"), col("band"), col("sig"))
+      .join(allBands.select(col(idCol).as("__other"), col("band"),
+        col("sig")), Seq("band", "sig"))
+      .where(col("__new") =!= col("__other"))
+      .select(least(col("__new"), col("__other")).as("id_a"),
+        greatest(col("__new"), col("__other")).as("id_b"))
+      .distinct()
+      .transform(graft.core.CacheScope.disk)
+    val allShingles = prior.shingles.unionByName(batchShingles)
+      .transform(graft.core.CacheScope.disk)
+    val sizes = allShingles.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"))
+    val newPairs = exactJaccardVerify(allShingles, sizes, cands,
+        idCol, threshold)
+      .select("id_a", "id_b", "jaccard")
+    PairStore(batchSigs, batchShingles, newPairs)
+  }
+
+  /** Additive merge of a standing [[PairStore]] with a
+    * [[pairStoreDelta]] shard (or of any two disjoint stores).
+    */
+  def mergePairStore(a: PairStore, b: PairStore): PairStore =
+    PairStore(a.signatures.unionByName(b.signatures),
+      a.shingles.unionByName(b.shingles),
+      a.pairs.unionByName(b.pairs))
+
   /** Build the standing LSH index for incremental NEAR-dup dedup:
     * the corpus's banded signature table (id, band, sig), computed
     * once and reused by every [[nearDupMatches]] batch — the

@@ -785,6 +785,100 @@ object Multimodal {
         .as("duration_sec"))
   }
 
+  /** Bounded ISO-BMFF child-box scan: starting at 1-based `start`,
+    * read each box's (size, type) header, skip `size` bytes to the
+    * next sibling, and return the position of the FIRST box whose
+    * type matches `typeHex` — or null if none is found within
+    * `maxChildren` siblings, the `end` boundary, or the payload. The
+    * [[tiffHeaderMeta]] fold discipline applied to box containers:
+    * a fixed-size expression tree (no UDF, whole-stage codegen),
+    * every read gated on the full span being present, and a
+    * malformed size (< 8 — including the size-0 "to end of file"
+    * form, batch-decoder territory) bails to null rather than
+    * walking in place.
+    */
+  private def findChildBox(
+      bin: Column, start: Column, end: Column, typeHex: String,
+      maxChildren: Int): Column = {
+    val len = length(bin).cast("long")
+    val init = struct(start.cast("long").as("pos"),
+      lit(null).cast("long").as("hit"))
+    aggregate(
+      sequence(lit(0), lit(maxChildren - 1)),
+      init,
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val hit = acc.getField("hit")
+        val can = hit.isNull && pos.isNotNull &&
+          pos + 7L <= end && pos + 7L <= len
+        val size = beUIntAt(bin, pos, 4)
+        val typ = upper(hex(bin.substr(pos + 4L, lit(4))))
+        val isHit = can && typ === typeHex
+        val sane = size >= 8L
+        struct(
+          when(hit.isNotNull || isHit, pos)
+            .when(!can || !sane, lit(null).cast("long"))
+            .otherwise(pos + size).as("pos"),
+          coalesce(hit, when(isHit, pos)).as("hit"))
+      },
+      acc => acc.getField("hit"))
+  }
+
+  /** AVIF/HEIF image metadata as a pure column expression:
+    * struct(format, brand, width, height) — the modern crawl-image
+    * shape after PNG/GIF/BMP/WebP/JPEG/TIFF ([[imageHeaderMeta]],
+    * [[tiffHeaderMeta]]). Dimensions live in the `ispe`
+    * (ImageSpatialExtents) property, reached by the real ISO-BMFF
+    * chain `ftyp` → `meta` → `iprp` → `ipco` → `ispe`
+    * (ISO/IEC 23008-12): the `meta` FullBox follows `ftyp` (its size
+    * read from the header, so any brand/compat list works), `iprp`
+    * is found by a bounded [[findChildBox]] walk over meta's
+    * children (hdlr/pitm/iloc/iinf sit before it in real encoder
+    * output — the walk SKIPS them by size, no fixed offsets),
+    * `ipco` is iprp's first child per spec, and a second bounded
+    * walk over ipco's properties finds `ispe` wherever the encoder
+    * put it (colr/pixi/av1C routinely precede it). Truncation at
+    * ANY read yields nulls, never misreads — the [[jpegSofScan]] /
+    * [[tiffHeaderMeta]] guard discipline. Brands: `avif` reads as
+    * format "avif"; `heic`/`heix`/`mif1` as "heif"; anything else
+    * is not this family (nulls).
+    */
+  def avifHeaderMeta(bin: Column): Column = {
+    val len = length(bin).cast("long")
+    val isFtyp = upper(hex(substring(bin, 5, 4))) === "66747970" &&
+      len >= 16L
+    val brand = decode(substring(bin, 9, 4), "UTF-8")
+    val format = when(isFtyp && brand === "avif", lit("avif"))
+      .when(isFtyp && (brand === "heic" || brand === "heix" ||
+        brand === "mif1"), lit("heif"))
+    val ftypSize = beUInt(bin, 1, 4)
+    val metaPos = (ftypSize + 1L).cast("long")
+    val metaSize = beUIntAt(bin, metaPos, 4)
+    val metaOk = format.isNotNull && len >= metaPos + 11L &&
+      upper(hex(bin.substr(metaPos + 4L, lit(4)))) === "6D657461" &&
+      metaSize >= 12L
+    val metaEnd = metaPos + metaSize // 1-based exclusive
+    // meta is a FullBox: children start after 12 header bytes
+    val iprpPos = when(metaOk, findChildBox(bin, metaPos + 12L,
+      metaEnd, "69707270", maxChildren = 8))
+    // ipco is ItemPropertiesBox's first child per 23008-12 §9.3
+    val ipcoPos = iprpPos + 8L
+    val ipcoSize = beUIntAt(bin, ipcoPos, 4)
+    val ipcoOk = iprpPos.isNotNull && len >= ipcoPos + 7L &&
+      upper(hex(bin.substr(ipcoPos + 4L, lit(4)))) === "6970636F" &&
+      ipcoSize >= 8L
+    val ispePos = when(ipcoOk, findChildBox(bin, ipcoPos + 8L,
+      ipcoPos + ipcoSize, "69737065", maxChildren = 8))
+    // ispe FullBox: ver/flags(4) + width(4) + height(4) = 20 bytes
+    val ispeOk = ispePos.isNotNull && len >= ispePos + 19L &&
+      beUIntAt(bin, ispePos, 4) >= 20L
+    struct(
+      format.as("format"),
+      when(format.isNotNull, brand).as("brand"),
+      when(ispeOk, beUIntAt(bin, ispePos + 12L, 4)).as("width"),
+      when(ispeOk, beUIntAt(bin, ispePos + 16L, 4)).as("height"))
+  }
+
   /** Deterministic frame-sample plan: `n` timestamps at the midpoints
     * of `n` equal intervals over the clip — the selection step of
     * frame sampling, as a pure array expression (rounded to 4

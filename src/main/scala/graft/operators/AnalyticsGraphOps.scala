@@ -231,6 +231,116 @@ private[graft] trait AnalyticsGraphOps { this: Analytics.type =>
     pi
   }
 
+  /** Markov removal-effect attribution over a conversion chain —
+    * the model-based answer to "which channel actually drives
+    * conversions" (Anderl et al. 2014's removal-effect reading of
+    * first-order attribution, the standard alternative to
+    * last-touch): for each channel c, re-run the chain with c's
+    * OUTGOING traffic redirected to the dropout state (walkers
+    * reaching c are lost; nothing else renormalizes) and price c by
+    * how much conversion it takes with it. Channel attribution
+    * shares are the normalized removal effects.
+    *
+    * Conversion probability is VALUE ITERATION truncated at `iters`
+    * steps — v(s) = P(absorb in `convState` within `iters` hops
+    * from s), v(conv) ≡ 1, v(drop) ≡ 0 — a deterministic,
+    * engine-replayable contract (the within-K reading; geometric
+    * convergence makes K = 12 indistinguishable from ∞ on session
+    * chains, and BOTH engines compute the same K).
+    *
+    * Exactness, the [[markovStationary]] fixed-point scheme at MICRO
+    * units: edge probabilities `p = (n·1e6) div row_total` (full
+    * chain's totals — removal never renormalizes), each update
+    * `v'(s) = (Σ p·v) div 1e6` an exact BIGINT identity (p·v ≤
+    * 1e12, channel-domain fan-in keeps the sum far under 2⁶³), so
+    * every v is bit-identical cross-engine; `effect_micro =
+    * v_full(start) − v_c(start)` is an exact long and the emitted
+    * ratios are ONE mirrored division each.
+    *
+    * Scale: the chain lives on the post-aggregation channel domain —
+    * the variant expansion (one chain copy per removed channel) is a
+    * domain-bounded cross join and the iteration is `iters` joins of
+    * domain²-sized frames; nothing row-sized after the transition
+    * count. Returns one row per channel:
+    * `(channel, conv_micro_full, conv_micro_removed, effect_micro,
+    * removal_effect, attribution)`.
+    */
+  def markovRemovalEffect(
+      trans: DataFrame, fromCol: String, toCol: String,
+      cntCol: String, startState: String, convState: String,
+      dropState: String, iters: Int = 12): DataFrame = {
+    require(iters >= 1 && iters <= 32, "iters in [1, 32]")
+    val scale = 1000000L
+    val t = trans
+      .select(col(fromCol).as("__f"), col(toCol).as("__t"),
+        col(cntCol).cast("long").as("__n"))
+      .where(col("__f").isNotNull && col("__t").isNotNull &&
+        col("__n") > 0)
+      .groupBy("__f", "__t").agg(sum(col("__n")).as("__n"))
+      .transform(graft.core.CacheScope.disk)
+    val tot = t.groupBy("__f").agg(sum(col("__n")).as("__tot"))
+    val edges = t.join(tot, Seq("__f"))
+      .select(col("__f"), col("__t"),
+        expr(s"(__n * $scale) div __tot").as("__p"))
+      .transform(graft.core.CacheScope.disk)
+    val states = t.select(col("__f").as("state"))
+      .union(t.select(col("__t"))).distinct()
+      .transform(graft.core.CacheScope.disk)
+    // variant domain: one removed-channel chain per channel, plus
+    // the intact chain tagged __none (start/conv/drop are not
+    // removable — they ARE the funnel)
+    val variants = states
+      .where(!col("state").isin(startState, convState, dropState))
+      .select(col("state").as("__rm"))
+      .union(states.limit(1).select(lit("__none").as("__rm")))
+      .transform(graft.core.CacheScope.disk)
+    val ve = broadcast(variants).crossJoin(edges)
+      .where(col("__f") =!= col("__rm"))
+      .transform(graft.core.CacheScope.disk)
+    val vs = broadcast(variants).crossJoin(states)
+      .transform(graft.core.CacheScope.disk)
+    var v = vs.select(col("__rm"), col("state"),
+      when(col("state") === convState, lit(scale)).otherwise(lit(0L))
+        .as("__v")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ve
+        .join(v.select(col("__rm"), col("state").as("__t"),
+          col("__v")), Seq("__rm", "__t"))
+        .groupBy(col("__rm"), col("__f").as("state"))
+        .agg(sum(expr("__p * __v")).as("__s"))
+      v = vs.join(contrib, Seq("__rm", "state"), "left")
+        .select(col("__rm"), col("state"),
+          when(col("state") === convState, lit(scale))
+            .when(col("state") === dropState, lit(0L))
+            .otherwise(coalesce(expr(s"__s div $scale"), lit(0L)))
+            .as("__v"))
+        .localCheckpoint()
+    }
+    val atStart = v.where(col("state") === startState)
+    // exactly one __none row exists; the no-grouping aggregate makes
+    // the scalar shape PROVABLE to the plan gate (max of one value)
+    val full = atStart.where(col("__rm") === "__none")
+      .agg(max(col("__v")).as("__full"))
+    val per = atStart.where(col("__rm") =!= "__none")
+      .select(col("__rm").as("channel"),
+        col("__v").as("conv_micro_removed"))
+      .crossJoin(broadcast(full))
+      .withColumn("effect_micro",
+        col("__full") - col("conv_micro_removed"))
+      .transform(graft.core.CacheScope.disk)
+    val totEff = per.agg(sum(col("effect_micro")).as("__te"))
+    per.crossJoin(broadcast(totEff))
+      .select(col("channel"),
+        col("__full").as("conv_micro_full"),
+        col("conv_micro_removed"), col("effect_micro"),
+        round(col("effect_micro").cast("double") /
+          nullif(col("__full").cast("double"), lit(0.0)), 6)
+          .as("removal_effect"),
+        round(col("effect_micro").cast("double") /
+          nullif(col("__te").cast("double"), lit(0.0)), 6)
+          .as("attribution"))
+  }
+
   /** Per-node triangle count and local clustering coefficient over an
     * UNDIRECTED simple graph given as an edge list (either direction;
     * duplicate / self edges tolerated and dropped).

@@ -1014,6 +1014,100 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         .as("differs")): _*)
   }
 
+  /** Kendall's coefficient of concordance W per group: across b
+    * JUDGES (detectors, segments, annotators) each scoring the same
+    * k ITEMS, how close is the panel to one shared ranking? The
+    * agreement companion of [[friedmanTest]] — Friedman asks "do the
+    * items differ at all", W answers "and how concordant are the
+    * judges", on the identity W = Q/(b·(k−1)) with Q the
+    * tie-corrected Friedman statistic, so W ∈ [0, 1] with 1 = every
+    * judge orders the items identically. The multi-judge
+    * generalization of the two-rater κ family (q311's Fleiss reads
+    * binary flags; W reads full rankings).
+    *
+    * Only complete judges (all k items scored) enter — the classical
+    * complete-block contract shared with [[friedmanTest]]. Exactness,
+    * the Friedman scheme verbatim: tie-averaged doubled ranks
+    * (rank2 = 2·before + t + 1, exact integers), Σⱼ(R2ⱼ − b(k+1))²
+    * and the tie-corrected denominator Σrank2² − b·k·(k+1)² exact in
+    * DECIMAL(38,0); W = num/(b·den) and Q = (k−1)·num/den are each
+    * ONE double division. `significant` compares Q against the
+    * pinned χ²₀.₀₅ critical for dof = k−1.
+    *
+    * Scale: identical to [[friedmanTest]] — one grouped sum to
+    * (group, judge, item) cells, one within-judge window for ranks,
+    * item-cardinality arithmetic after.
+    */
+  def kendallW(
+      df: DataFrame, groupCols: Seq[String], judgeCol: Column,
+      itemCol: Column, valueCents: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gc = groupCols.map(col)
+    val cells = df
+      .select(gc ++ Seq(judgeCol.cast("string").as("__b"),
+        itemCol.as("__cat"), valueCents.cast("long").as("__y")): _*)
+      .where(col("__b").isNotNull && col("__cat").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(gc ++ Seq(col("__b"), col("__cat")): _*)
+      .agg(sum(col("__y")).as("__y"))
+      .transform(graft.core.CacheScope.disk)
+    val k = cells.groupBy(gc: _*)
+      .agg(countDistinct(col("__cat")).as("__k"))
+    val complete = cells
+      .join(k, groupCols)
+      .withColumn("__bk", count(lit(1)).over(
+        Window.partitionBy(gc :+ col("__b"): _*)))
+      .where(col("__bk") === col("__k"))
+    val tieC = complete.groupBy(gc ++ Seq(col("__b"), col("__y")): _*)
+      .agg(count(lit(1)).as("__t"))
+    val wv = Window.partitionBy(gc :+ col("__b"): _*)
+      .orderBy(col("__y").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = tieC
+      .withColumn("__before", coalesce(sum(col("__t")).over(wv), lit(0L)))
+      .withColumn("__rank2", lit(2L) * col("__before") + col("__t") + 1L)
+    val withRanks = complete
+      .join(ranked.select(gc ++ Seq(col("__b"), col("__y"),
+        col("__rank2")): _*), groupCols ++ Seq("__b", "__y"))
+    val perCat = withRanks
+      .groupBy(gc :+ col("__cat"): _*)
+      .agg(sum(col("__rank2")).as("__r2"),
+        sum(dec(col("__rank2")) * dec(col("__rank2"))).as("__q2"),
+        count(lit(1)).as("__bcat"))
+    val kb = perCat.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_items"),
+        first(col("__bcat")).as("n_judges"),
+        sum(col("__q2")).as("__sq2"))
+    val totals = perCat
+      .join(kb, groupCols)
+      .withColumn("__dev", dec(col("__r2")) -
+        dec(col("n_judges")) * (dec(col("n_items")) + lit(1)))
+      .groupBy(gc: _*)
+      .agg(first(col("n_items")).as("n_items"),
+        first(col("n_judges")).as("n_judges"),
+        first(col("__sq2")).as("__sq2"),
+        sum(col("__dev") * col("__dev")).as("__num"))
+    val b = col("n_judges").cast("decimal(38,0)")
+    val kc = col("n_items").cast("decimal(38,0)")
+    val den = (col("__sq2") - b * kc * (kc + 1) * (kc + 1))
+      .cast("double")
+    val ok = col("n_judges") >= 2L && col("n_items") >= 2L &&
+      den > 0.0
+    val w = when(ok, col("__num").cast("double") /
+      (col("n_judges").cast("double") * den))
+    val qStat = when(ok, ((kc - 1) * col("__num")).cast("double") / den)
+    val dof = (col("n_items") - 1L).cast("int")
+    val crit = chi2Crit05.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, v)) => when(dof === d, lit(v)).otherwise(acc)
+    }
+    totals.select(gc ++ Seq(
+      col("n_judges"), col("n_items"), dof.as("dof"),
+      round(w, 6).as("w"),
+      round(qStat, 6).as("q"),
+      coalesce(qStat > crit, lit(false)).cast("int")
+        .as("significant")): _*)
+  }
+
   /** Generalized ESD (Rosner) outlier screen per group: `rounds`
     * iterations of "find the most extreme studentized deviation,
     * report it, remove it, recompute" — the multi-outlier procedure

@@ -748,6 +748,100 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
         round(col("__surv"), 6).as("survival"))
   }
 
+  /** Restricted mean survival time — the AREA under the
+    * [[kaplanMeier]] step curve up to a horizon τ: the average
+    * event-free time a subject accrues in the first τ days, the
+    * single-number summary a retention/SLA report quotes when the
+    * median never falls (S(τ) > 0.5) and hazard ratios are
+    * uninterpretable under non-proportionality. Completes the
+    * survival shelf: KM (q191) draws the curve, Nelson–Aalen (q316)
+    * the hazard, log-rank (q329) tests it, Weibull (q347) fits it —
+    * RMST prices it.
+    *
+    * Construction: S is the right-continuous KM step function —
+    * S = 1 on [0, t₁), then the running product through tᵢ on
+    * [tᵢ, tᵢ₊₁). RMST(τ) = min(t₁, τ)·1 + Σᵢ Sᵢ·(min(tᵢ₊₁, τ) −
+    * tᵢ)⁺ with tₖ₊₁ = τ for the last step.
+    *
+    * Exactness: the survival fold is the SAME ordered double product
+    * as [[kaplanMeier]] (bit-identical cross-engine — each factor one
+    * correctly-rounded IEEE division, `aggregate`/`list_reduce` fold
+    * in the same order); each step's survival then quantizes ONCE to
+    * `floor(S·1e9)` nano units, widths are exact day longs, and the
+    * area accumulates as an exact BIGINT in nano·days —
+    * `rmst_nano` is the integer contract (the q241/q316 convention:
+    * no 6-decimal boundary for engines to disagree on), `rmst_days`
+    * its one mirrored unrounded division by 1e9 (identical doubles
+    * both engines, so safe without a round).
+    *
+    * Scale: identical to [[kaplanMeier]] (per-(group, t) counts
+    * map-side combined, one sorted array per group bounded by
+    * `maxTimepoints`), plus a lead window and a per-group sum over
+    * the distinct-time-sized frame — nothing row-sized after the
+    * first combine.
+    */
+  def rmst(
+      df: DataFrame, groupCol: String, durationCol: Column,
+      eventCol: Column, tau: Long,
+      maxTimepoints: Int = 10000): DataFrame = {
+    require(tau > 0, "tau must be a positive duration")
+    // [[kaplanMeier]]'s emitted `survival` is rounded for display;
+    // the area needs the raw fold, so this re-derives the identical
+    // chain (distinct-time-sized — the re-derivation is cheap, and
+    // sharing would fork the emitted-schema contract)
+    val base = df.select(col(groupCol).as("__g"),
+        durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"))
+      .where(col("__t").isNotNull && col("__t") >= 0)
+    val byTime = base.groupBy("__g", "__t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
+    val w = Window.partitionBy("__g").orderBy("__t")
+    val risked = byTime
+      .withColumn("__tot", sum(col("__d") + col("__c"))
+        .over(Window.partitionBy("__g")))
+      .withColumn("__gone", coalesce(
+        sum(col("__d") + col("__c"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", col("__tot") - col("__gone"))
+      .withColumn("__f",
+        (col("__n") - col("__d")).cast("double")
+          / col("__n").cast("double"))
+    val grouped = risked.groupBy(col("__g"))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__f"))))
+        .as("__rows"))
+      .withColumn("__rows",
+        when(size(col("__rows")) > maxTimepoints,
+          raise_error(lit("rmst: distinct event times per group " +
+            "exceed maxTimepoints; coarsen the duration " +
+            "granularity"))
+            .cast("array<struct<__t:bigint,__f:double>>"))
+          .otherwise(col("__rows")))
+    val stepped = grouped
+      .select(col("__g"),
+        posexplode(col("__rows")).as(Seq("__i", "__r")),
+        col("__rows"))
+      .withColumn("__surv",
+        aggregate(
+          slice(col("__rows").getField("__f"), lit(1), col("__i") + 1),
+          lit(1.0d), (acc, x) => acc * x))
+      .select(col("__g"), col("__r.__t").as("__t"), col("__surv"))
+    val lw = Window.partitionBy("__g").orderBy("__t")
+    val segs = stepped
+      .withColumn("__nt",
+        coalesce(lead(col("__t"), 1).over(lw), lit(tau)))
+      .withColumn("__w",
+        greatest(lit(0L), least(col("__nt"), lit(tau)) - col("__t")))
+      .withColumn("__sn", floor(col("__surv") * 1e9).cast("long"))
+    segs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_times"),
+        (least(min(col("__t")), lit(tau)) * lit(1000000000L) +
+          sum(col("__sn") * col("__w"))).as("rmst_nano"))
+      .select(col("__g").as(groupCol), lit(tau).as("tau"),
+        col("n_times"), col("rmst_nano"),
+        (col("rmst_nano").cast("double") / 1e9).as("rmst_days"))
+  }
+
   /** Exact ROC-AUC per group via the Mann–Whitney U statistic: the
     * probability a random positive outscores a random negative, ties
     * counting half — the rank-sum identity, never the O(n²) pair join.

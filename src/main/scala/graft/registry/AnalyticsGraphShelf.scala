@@ -25,6 +25,7 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
   private[graft] def graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_supplier_pagerank" -> (supplierPagerankQ _),
     "q178_markov_stationary" -> (markovStationaryQ _),
+    "q369_markov_removal" -> (markovRemovalQ _),
     "q179_part_triangles" -> (partTrianglesQ _),
     "q183_link_prediction" -> (linkPredictionQ _),
     "q220_join_forecast" -> (joinForecastQ _),
@@ -330,6 +331,92 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
          ORDER BY n2.node"""
     },
     // lag windows replay the trigram walk; support = distinct users
+    // journey truncation (first purchase) + START/CONV/DROP edges,
+    // then 12 unrolled value-iteration CTEs per removed-channel
+    // variant (the q178 generated-CTE device at micro units); the
+    // ratios mirror the engine's two exact-long divisions
+    "q369_markov_removal" -> {
+      def step(k: Int): String =
+        s"""ck$k AS (
+             SELECT e.rm, e.f AS state,
+               CAST(sum(e.p * p.v) // 1000000 AS BIGINT) AS nv
+             FROM ve e JOIN v${k - 1} p
+               ON p.rm = e.rm AND p.state = e.t2
+             GROUP BY 1, 2),
+           v$k AS (
+             SELECT vs.rm, vs.state,
+               CASE WHEN vs.state = 'CONV' THEN 1000000
+                 WHEN vs.state = 'DROP' THEN 0
+                 ELSE coalesce(c.nv, 0) END AS v
+             FROM vs LEFT JOIN ck$k c
+               ON c.rm = vs.rm AND c.state = vs.state)"""
+      s"""WITH rn AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             AND ts IS NOT NULL),
+         cut AS (
+           SELECT user_id, min(rn) AS cut FROM rn
+           WHERE event_type = 'purchase' GROUP BY user_id),
+         kept AS (
+           SELECT rn.user_id,
+             CASE WHEN rn.event_type = 'purchase' THEN 'CONV'
+               ELSE rn.event_type END AS st, rn.rn
+           FROM rn LEFT JOIN cut ON cut.user_id = rn.user_id
+           WHERE cut.cut IS NULL OR rn.rn <= cut.cut),
+         sq AS (
+           SELECT user_id, st, rn,
+             lag(st) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
+             lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+           FROM kept),
+         tr AS (
+           SELECT coalesce(prev, 'START') AS f, st AS t2 FROM sq
+           UNION ALL
+           SELECT st, 'DROP' FROM sq
+           WHERE nxt IS NULL AND st <> 'CONV'),
+         c AS (SELECT f, t2, count(*) AS n FROM tr GROUP BY 1, 2),
+         tt AS (SELECT f, sum(n) AS tot FROM c GROUP BY f),
+         e0 AS (
+           SELECT c.f, c.t2, (c.n * 1000000) // tot AS p
+           FROM c JOIN tt USING (f)),
+         st AS (
+           SELECT DISTINCT state FROM (
+             SELECT f AS state FROM c
+             UNION ALL SELECT t2 FROM c)),
+         vr AS (
+           SELECT state AS rm FROM st
+           WHERE state NOT IN ('START', 'CONV', 'DROP')
+           UNION ALL SELECT '__none'),
+         ve AS (
+           SELECT vr.rm, e0.f, e0.t2, e0.p
+           FROM vr CROSS JOIN e0 WHERE e0.f <> vr.rm),
+         vs AS (SELECT vr.rm, st.state FROM vr CROSS JOIN st),
+         v0 AS (
+           SELECT rm, state,
+             CASE WHEN state = 'CONV' THEN 1000000 ELSE 0 END AS v
+           FROM vs),
+         ${(1 to 12).map(step).mkString(",\n         ")},
+         fz AS (
+           SELECT max(v) AS fullv FROM v12
+           WHERE rm = '__none' AND state = 'START'),
+         pe AS (
+           SELECT rm AS channel, v AS conv_micro_removed, fullv,
+             fullv - v AS effect
+           FROM v12 CROSS JOIN fz
+           WHERE rm <> '__none' AND state = 'START'),
+         te AS (SELECT sum(effect) AS tote FROM pe)
+         SELECT channel, CAST(fullv AS BIGINT) AS conv_micro_full,
+           CAST(conv_micro_removed AS BIGINT) AS conv_micro_removed,
+           CAST(effect AS BIGINT) AS effect_micro,
+           round(CAST(effect AS DOUBLE)
+             / nullif(CAST(fullv AS DOUBLE), 0.0), 6)
+             AS removal_effect,
+           round(CAST(effect AS DOUBLE)
+             / nullif(CAST(tote AS DOUBLE), 0.0), 6) AS attribution
+         FROM pe CROSS JOIN te ORDER BY channel"""
+    },
     "q178_markov_stationary" -> {
       def step(k: Int): String =
         s"""ck$k AS (
@@ -700,6 +787,52 @@ private[graft] trait AnalyticsGraphShelf extends AnalyticsCore {
     Analytics.resourceAllocationScores(edges,
         "pa", "pb", k = 50, maxCenterDeg = 1024)
       .orderBy(col("ra_micro").desc, col("node_a"), col("node_b"))
+  }
+
+  /** Markov removal-effect attribution
+    * ([[Analytics.markovRemovalEffect]]) over user journey chains:
+    * each user's events ordered by (ts, event_id), truncated at the
+    * FIRST purchase (mapped to the CONV absorber; non-converting
+    * journeys absorb to DROP), START → first-event edges in front —
+    * the q178 transition counts re-read as a conversion funnel.
+    * Each non-purchase event type is priced by re-running the chain
+    * with its outgoing traffic redirected to DROP; 12-step value
+    * iteration in exact micro fixed-point, replayed by the oracle's
+    * unrolled CTEs (the q178 device).
+    */
+  private[graft] def markovRemovalQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("event_type").isNotNull &&
+      col("user_id").isNotNull && col("ts").isNotNull)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val rn = e.select(col("user_id"), col("event_type"),
+      row_number().over(w).as("__rn"))
+    val cut = rn.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("__rn")).as("__cut"))
+    val kept = rn.join(cut, Seq("user_id"), "left")
+      .where(col("__cut").isNull || col("__rn") <= col("__cut"))
+      .select(col("user_id"), col("__rn"),
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")).as("__state"))
+    val w2 = Window.partitionBy("user_id").orderBy("__rn")
+    val seq2 = kept
+      .withColumn("__prev", lag(col("__state"), 1).over(w2))
+      .withColumn("__next", lead(col("__state"), 1).over(w2))
+      .transform(graft.core.CacheScope.disk)
+    val mid = seq2.select(
+      coalesce(col("__prev"), lit("START")).as("from_state"),
+      col("__state").as("to_state"))
+    val tail = seq2
+      .where(col("__next").isNull && col("__state") =!= "CONV")
+      .select(col("__state").as("from_state"),
+        lit("DROP").as("to_state"))
+    val trans = mid.unionByName(tail)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    Analytics.markovRemovalEffect(trans, "from_state", "to_state",
+        "n", startState = "START", convState = "CONV",
+        dropState = "DROP", iters = 12)
+      .orderBy("channel")
   }
 
   private[graft] def markovStationaryQ(

@@ -32,6 +32,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q189_benford_audit" -> (benfordAuditQ _),
     "q190_spend_concentration" -> (spendConcentrationQ _),
     "q191_kaplan_meier" -> (kaplanMeierQ _),
+    "q364_rmst" -> (rmstQ _),
     "q198_segment_priority_assoc" -> (segmentPriorityAssocQ _),
     "q208_bootstrap_ci" -> (bootstrapCiQ _),
     "q211_conversion_delay" -> (conversionDelayQ _),
@@ -49,6 +50,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q291_kruskal_wallis" -> (kruskalWallisQ _),
     "q300_dunn_posthoc" -> (dunnPosthocQ _),
     "q306_friedman_test" -> (friedmanQ _),
+    "q367_kendall_w" -> (kendallWQ _),
     "q310_assoc_panel" -> (assocPanelQ _),
     "q316_nelson_aalen" -> (nelsonAalenQ _),
     "q319_jonckheere" -> (jonckheereQ _),
@@ -364,6 +366,77 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            CAST(coalesce(q > $chi2CritCaseSql, FALSE) AS INT)
              AS differs
          FROM fin ORDER BY segment""",
+    // the q306 doubled-rank machinery with judges = segments over
+    // priority spend cells; W and Q each one division of exact
+    // HUGEINT sums, significance off the same pinned criticals
+    "q367_kendall_w" ->
+      s"""WITH cell AS (
+           SELECT o_orderstatus AS g, c_mktsegment AS b,
+             o_orderpriority AS cat,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2, 3),
+         kk AS (
+           SELECT g, CAST(count(DISTINCT cat) AS BIGINT) AS k
+           FROM cell GROUP BY g),
+         bk AS (
+           SELECT g, b, CAST(count(*) AS BIGINT) AS nb
+           FROM cell GROUP BY 1, 2),
+         complete AS (
+           SELECT cell.g, cell.b, cat, y
+           FROM cell JOIN kk ON kk.g = cell.g
+           JOIN bk ON bk.g = cell.g AND bk.b = cell.b
+           WHERE bk.nb = kk.k),
+         tie AS (
+           SELECT g, b, y, CAST(count(*) AS BIGINT) AS t
+           FROM complete GROUP BY 1, 2, 3),
+         rk AS (
+           SELECT g, b, y, 2 * coalesce(CAST(sum(t) OVER (
+               PARTITION BY g, b ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) + t + 1 AS rank2
+           FROM tie),
+         wr AS (
+           SELECT c.g, c.cat, rank2
+           FROM complete c JOIN rk
+             ON rk.g = c.g AND rk.b = c.b AND rk.y = c.y),
+         pc AS (
+           SELECT g, cat, CAST(sum(rank2) AS BIGINT) AS r2,
+             sum(CAST(rank2 AS HUGEINT) * rank2) AS q2,
+             CAST(count(*) AS BIGINT) AS bcat
+           FROM wr GROUP BY 1, 2),
+         kb AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_items,
+             max(bcat) AS n_judges, sum(q2) AS sq2
+           FROM pc GROUP BY g),
+         tot AS (
+           SELECT pc.g, n_items, n_judges, sq2,
+             sum(CAST(r2 - n_judges * (n_items + 1) AS HUGEINT)
+               * (r2 - n_judges * (n_items + 1))) AS num
+           FROM pc JOIN kb ON kb.g = pc.g GROUP BY 1, 2, 3, 4),
+         fin AS (
+           SELECT g, n_judges, n_items,
+             CAST(n_items - 1 AS INT) AS dof,
+             CASE WHEN n_judges < 2 OR n_items < 2
+                 OR CAST(sq2 - n_judges * n_items * (n_items + 1)
+                   * (n_items + 1) AS DOUBLE) <= 0 THEN NULL
+               ELSE CAST(num AS DOUBLE)
+                 / (CAST(n_judges AS DOUBLE)
+                   * CAST(sq2 - n_judges * n_items * (n_items + 1)
+                     * (n_items + 1) AS DOUBLE)) END AS w,
+             CASE WHEN n_judges < 2 OR n_items < 2
+                 OR CAST(sq2 - n_judges * n_items * (n_items + 1)
+                   * (n_items + 1) AS DOUBLE) <= 0 THEN NULL
+               ELSE CAST((n_items - 1) * num AS DOUBLE)
+                 / CAST(sq2 - n_judges * n_items * (n_items + 1)
+                   * (n_items + 1) AS DOUBLE) END AS q
+           FROM tot)
+         SELECT g AS o_orderstatus, n_judges, n_items, dof,
+           round(w, 6) AS w, round(q, 6) AS q,
+           CAST(coalesce(q > $chi2CritCaseSql, FALSE) AS INT)
+             AS significant
+         FROM fin ORDER BY o_orderstatus""",
     // level table exact, all five moments in HUGEINT, one mirrored
     // division + sqrt for z; the planted MACHINERY ladder re-seeded
     "q287_cochran_armitage" ->
@@ -947,6 +1020,60 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
            round(list_reduce(fl.fs[1:rn.i], (x, y) -> x * y), 6)
              AS survival
          FROM rn JOIN fl USING (g) ORDER BY 1, 2""",
+    // the q191 fold, each step floor-quantized to nano ONCE, area
+    // = head segment + Σ s_nano·(clipped width) exact in BIGINT;
+    // rmst_days one mirrored unrounded division
+    "q364_rmst" ->
+      """WITH pc AS (
+           SELECT c_mktsegment AS g, o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS f,
+             max(CAST(o_orderdate AS DATE)) AS l
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         mx AS (SELECT max(l) AS mx FROM pc),
+         subj AS (
+           SELECT g, date_diff('day', f, l) AS t,
+             (l < mx - 90) AS e
+           FROM pc CROSS JOIN mx),
+         bt AS (
+           SELECT g, t,
+             CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM subj GROUP BY 1, 2),
+         rk AS (
+           SELECT g, t, d, c,
+             CAST(sum(d + c) OVER (PARTITION BY g) AS BIGINT)
+               - CAST(coalesce(sum(d + c) OVER (PARTITION BY g
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n
+           FROM bt),
+         fl AS (
+           SELECT g, list(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)
+             ORDER BY t) AS fs
+           FROM rk GROUP BY g),
+         rn AS (
+           SELECT rk.*, CAST(row_number() OVER (PARTITION BY g
+             ORDER BY t) AS INT) AS i
+           FROM rk),
+         sv AS (
+           SELECT rn.g, rn.t,
+             list_reduce(fl.fs[1:rn.i], (x, y) -> x * y) AS s
+           FROM rn JOIN fl USING (g)),
+         seg AS (
+           SELECT g, t,
+             coalesce(lead(t) OVER (PARTITION BY g ORDER BY t), 365)
+               AS nt,
+             CAST(floor(s * 1e9) AS BIGINT) AS sn
+           FROM sv),
+         agg AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_times,
+             least(min(t), 365) * 1000000000
+               + sum(sn * greatest(0, least(nt, 365) - t)) AS nano
+           FROM seg GROUP BY g)
+         SELECT g AS c_mktsegment, CAST(365 AS BIGINT) AS tau,
+           n_times, CAST(nano AS BIGINT) AS rmst_nano,
+           CAST(nano AS DOUBLE) / 1e9 AS rmst_days
+         FROM agg ORDER BY c_mktsegment""",
     // dense (value x dose) grid with per-dose cumulative-below
     // counts; J2 exact in doubled units with tie half-credit; the
     // classical no-tie variance, one mirrored z
@@ -1474,6 +1601,32 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .orderBy("c_mktsegment", "t")
   }
 
+  /** Restricted mean survival time ([[Analytics.rmst]]) on q191's
+    * exact churn-subject frame at τ = 365 days: the average
+    * retained days a customer accrues in their first year, per
+    * segment — the single-number summary of the q191 curve
+    * (VERDICT r16 task 4, completing the survival shelf). The area
+    * accumulates as an exact BIGINT in nano·days over the same
+    * double fold q191's oracle replays; `rmst_days` is one
+    * mirrored unrounded division.
+    */
+  private[graft] def rmstQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+    val perCust = o.groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("__first"),
+        max(col("o_orderdate").cast("date")).as("__last"))
+    val mx = perCust.agg(max(col("__last")).as("__mx"))
+    val subjects = perCust.crossJoin(broadcast(mx))
+      .select(col("c_mktsegment"),
+        datediff(col("__last"), col("__first")).as("__dur"),
+        (col("__last") < date_sub(col("__mx"), 90)).as("__event"))
+    Analytics.rmst(subjects, "c_mktsegment",
+        col("__dur"), col("__event"), tau = 365L)
+      .orderBy("c_mktsegment")
+  }
+
   /** Nelson–Aalen cumulative hazard ([[Analytics.nelsonAalen]]) on
     * q191's exact churn-subject frame — the additive hazard reading
     * next to the KM survival curve: increments nano-floored before
@@ -1770,6 +1923,26 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     * within-block consistent ordering that does fire. seg1/seg2 stay
     * quiet — daily type sums are exchangeable there.
     */
+  /** Kendall's W ([[Analytics.kendallW]]) per order status: do the
+    * five market segments (judges) agree on the spend ORDERING of
+    * the five order priorities (items)? The agreement read next to
+    * q306's Friedman verdict — same cells (judge × item exact-cent
+    * spend sums), same doubled-rank machinery, W = Q/(b(k−1)).
+    * TPC-H spend is priority-uniform by generator, so segments'
+    * orderings are near-random and W sits close to 0 — the honest
+    * no-concordance baseline a detector-panel W would be read
+    * against.
+    */
+  private[graft] def kendallWQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+    Analytics.kendallW(o, Seq("o_orderstatus"),
+        col("c_mktsegment"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100))
+      .orderBy("o_orderstatus")
+  }
+
   private[graft] def friedmanQ(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).where(col("value").isNotNull &&
       col("user_id").isNotNull)

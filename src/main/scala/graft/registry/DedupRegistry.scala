@@ -58,6 +58,7 @@ private[graft] object DedupRegistry {
     "q267_source_dup_matrix" -> (sourceDupMatrixQ _),
     "q273_dedup_monitor_suite" -> (dedupMonitorSuiteQ _),
     "q363_detector_audit_suite" -> (detectorAuditSuiteQ _),
+    "q366_pair_store_audit" -> (pairStoreAuditQ _),
     "q25_simhash_fingerprints" -> (simhashFingerprints _),
     "q26_simhash_pairs" -> (simhashPairs _),
     "q31_corpus_prep" -> (corpusPrep _),
@@ -109,6 +110,50 @@ private[graft] object DedupRegistry {
         count(lit(1)).over(Window.partitionBy(col("canonical"))))
       .orderBy("doc_id")
   }
+
+  /** q280's full-rebuild capture-recapture SQL — shared verbatim by
+    * q366 (the store-read audit must reproduce these numbers exactly).
+    */
+  private[graft] val oracleCaptureRecaptureSql: String =
+    s"""WITH $oracleShingleCtes,
+         $oracleMinhashCtes,
+         common AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+           GROUP BY 1, 2),
+         mh AS (
+           SELECT ida, idb FROM common
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+             >= 0.8),
+         ${oracleSimhashCtes("s")},
+         sp AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb
+           FROM sshp a JOIN sshp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) <= 3),
+         c AS (
+           SELECT
+             (SELECT count(*) FROM mh) AS n1,
+             (SELECT count(*) FROM sp) AS n2,
+             (SELECT count(*) FROM mh JOIN sp USING (ida, idb)) AS m),
+         f AS (
+           SELECT n1, n2, m,
+             CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+               AS BIGINT) AS nhat
+           FROM c)
+         SELECT CAST(n1 AS BIGINT) AS n_minhash,
+           CAST(n2 AS BIGINT) AS n_simhash,
+           CAST(m AS BIGINT) AS n_overlap,
+           nhat AS chapman_total,
+           round(CAST(n1 AS DOUBLE)
+             / nullif(CAST(nhat AS DOUBLE), 0.0), 6) AS recall_minhash,
+           round(CAST(n2 AS DOUBLE)
+             / nullif(CAST(nhat AS DOUBLE), 0.0), 6) AS recall_simhash
+         FROM f"""
 
   def oracleSql: Map[String, String] = Map(
     // closed form of the messy-URL builder's id arithmetic; the
@@ -532,46 +577,11 @@ private[graft] object DedupRegistry {
     // both capture chains replayed (minhash verify at 0.8, simhash
     // hamming <= 3 all-pairs — exact by pigeonhole vs the banded
     // engine), Chapman as one integral division of exact counts
-    "q280_dedup_capture_recapture" ->
-      s"""WITH $oracleShingleCtes,
-         $oracleMinhashCtes,
-         common AS (
-           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle
-             AND a.doc_id < b.doc_id
-           JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
-           GROUP BY 1, 2),
-         mh AS (
-           SELECT ida, idb FROM common
-           JOIN sizes sa ON sa.doc_id = ida
-           JOIN sizes sb ON sb.doc_id = idb
-           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
-             >= 0.8),
-         ${oracleSimhashCtes("s")},
-         sp AS (
-           SELECT a.doc_id AS ida, b.doc_id AS idb
-           FROM sshp a JOIN sshp b ON a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.hi, b.hi))
-             + bit_count(xor(a.lo, b.lo)) <= 3),
-         c AS (
-           SELECT
-             (SELECT count(*) FROM mh) AS n1,
-             (SELECT count(*) FROM sp) AS n2,
-             (SELECT count(*) FROM mh JOIN sp USING (ida, idb)) AS m),
-         f AS (
-           SELECT n1, n2, m,
-             CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
-               AS BIGINT) AS nhat
-           FROM c)
-         SELECT CAST(n1 AS BIGINT) AS n_minhash,
-           CAST(n2 AS BIGINT) AS n_simhash,
-           CAST(m AS BIGINT) AS n_overlap,
-           nhat AS chapman_total,
-           round(CAST(n1 AS DOUBLE)
-             / nullif(CAST(nhat AS DOUBLE), 0.0), 6) AS recall_minhash,
-           round(CAST(n2 AS DOUBLE)
-             / nullif(CAST(nhat AS DOUBLE), 0.0), 6) AS recall_simhash
-         FROM f""",
+    "q280_dedup_capture_recapture" -> oracleCaptureRecaptureSql,
+    // the store-read audit must reproduce the REBUILD's numbers
+    // exactly (append == rebuild): q366's oracle IS q280's
+    // full-rebuild SQL, verbatim by reference
+    "q366_pair_store_audit" -> oracleCaptureRecaptureSql,
     // the composed suite: ONE shared CTE scaffold (shingles,
     // signatures, candidates, verified mh, simhash sp, 1-bit bb,
     // pair union fl with per-detector evidence), five audit legs
@@ -1794,6 +1804,15 @@ private[graft] object DedupRegistry {
     val sp = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b")
       .transform(graft.core.CacheScope.disk)
+    captureRecapture(mh, sp)
+  }
+
+  /** The Chapman capture–recapture tail over two detector pair
+    * frames — shared by q280 (frames from the full LSH rebuild) and
+    * q366 (the MinHash frame read from the standing pair store).
+    */
+  private def captureRecapture(
+      mh: DataFrame, sp: DataFrame): DataFrame = {
     val nhat = expr("(CAST(n_minhash + 1 AS DECIMAL(38,0)) * " +
       "(n_simhash + 1)) div (n_overlap + 1) - 1").cast("long")
     mh.agg(count(lit(1)).as("n_minhash"))
@@ -1808,6 +1827,37 @@ private[graft] object DedupRegistry {
         round(col("n_simhash").cast("double") /
           nullif(nhat.cast("double"), lit(0.0)), 6)
           .as("recall_simhash"))
+  }
+
+  /** The q280 capture–recapture audit read from the STANDING PAIR
+    * STORE ([[graft.dedup.Dedup.PairStore]], VERDICT r16 task 3):
+    * the corpus arrives as three sequential ingest batches
+    * (doc_id mod 3), each [[graft.dedup.Dedup.pairStoreDelta]]
+    * deriving only the pairs its batch completes against the
+    * standing signature/shingle tables, and the audit's MinHash side
+    * reads the merged store's pair table — never re-running the LSH
+    * chain. The oracle is q280's full-rebuild SQL VERBATIM: the
+    * store path must reproduce the rebuild's numbers exactly (the
+    * append == rebuild identity, spec-pinned at every batch
+    * boundary). This is what makes the q363 audit suite a standing
+    * monitor at 100 TB — per-ingest delta cost, store-read audits.
+    */
+  private[graft] def pairStoreAuditQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = (0 to 2).foldLeft(
+        Dedup.emptyPairStore(s, "doc_id", numHashes = 16)) {
+      (st, k) =>
+        Dedup.mergePairStore(st, Dedup.pairStoreDelta(st,
+          d.where(col("doc_id") % 3 === k), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.8))
+    }
+    val mh = store.pairs.select("id_a", "id_b")
+      .transform(graft.core.CacheScope.disk)
+    val sp = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b")
+      .transform(graft.core.CacheScope.disk)
+    captureRecapture(mh, sp)
   }
 
   /** The q280 audit's actionable drill-down: the pair-level REVIEW

@@ -32,7 +32,58 @@ private[graft] object MultimodalRegistry {
     "q345_mp3_frame_decode" -> (mp3FrameDecode _),
     "q356_warc_meta" -> (warcMetaDecode _),
     "q357_pdf_shell" -> (pdfShellDecode _),
+    "q365_avif_header_decode" -> (avifHeaderDecode _),
   )
+
+  /** AVIF/HEIF dimension decode ([[Multimodal.avifHeaderMeta]]):
+    * each doc_id synthesizes a real ISO-BMFF layout — ftyp (avif,
+    * heic on every 10th id), then a meta FullBox whose children are
+    * a REAL 33-byte hdlr the walk must skip by size, then
+    * iprp → ipco with a 16-byte pixi property BEFORE ispe (so both
+    * bounded walks prove they skip siblings, not read fixed
+    * offsets) — with the ispe width/height carrying id arithmetic.
+    * Every 13th id truncates mid-ispe (after the width field):
+    * format/brand still read, dimensions gate to null. Every 17th
+    * id is an `isom` ftyp — not the still-image family, all null.
+    * Closed-form oracle.
+    */
+  private[graft] def avifHeaderDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val brandHex = when(id % 17 === 0, lit("69736F6D"))     // isom
+      .when(id % 10 === 0, lit("68656963"))                 // heic
+      .otherwise(lit("61766966"))                           // avif
+    val ftyp = concat(lit("0000001066747970"), brandHex,
+      lit("00000000"))
+    val hdlr = concat(lit("0000002168646C72"), lit("00000000"),
+      lit("00000000"), lit("70696374"),
+      lit("00" * 12), lit("00"))
+    val pixi = lit("0000001070697869" + "00000000" + "03" + "080808")
+    val width = lit(100L) + id % 900
+    val height = lit(50L) + (id * 3) % 700
+    val ispeHead = lit("0000001469737065" + "00000000")
+    val ispe = concat(ispeHead, lpad(hex(width), 8, "0"),
+      lpad(hex(height), 8, "0"))
+    // ipco = 8 + 16 + 20 = 44; iprp = 8 + 44 = 52;
+    // meta = 12 + 33 + 52 = 97 (0x61)
+    val ipcoHead = lit("0000002C6970636F")
+    val iprpHead = lit("0000003469707270")
+    val metaHead = lit("000000616D657461" + "00000000")
+    val full = concat(ftyp, metaHead, hdlr, iprpHead, ipcoHead,
+      pixi, ispe)
+    // truncated: cut right after the ispe width field
+    val cut = concat(ftyp, metaHead, hdlr, iprpHead, ipcoHead,
+      pixi, ispeHead, lpad(hex(width), 8, "0"))
+    val payload = when(id % 13 === 0 && id % 17 =!= 0, cut)
+      .otherwise(full)
+    docs(s, dir)
+      .select(id, unhex(payload).as("__bin"))
+      .select(id, Multimodal.avifHeaderMeta(col("__bin")).as("m"))
+      .select(id, col("m.format").as("format"),
+        col("m.brand").as("brand"), col("m.width").as("width"),
+        col("m.height").as("height"))
+      .orderBy("doc_id")
+  }
 
   /** WARC record header decode ([[Multimodal.warcHeaderMeta]]): each
     * doc_id synthesizes a spec-layout record — version line, five
@@ -893,6 +944,24 @@ private[graft] object MultimodalRegistry {
              ELSE 26 + (doc_id % 50 + 40)
                + len(CAST(doc_id * 3 + 9 AS VARCHAR)) END AS BIGINT)
              AS bytes
+         FROM documents ORDER BY doc_id""",
+    // closed form of the ISO-BMFF builder's id arithmetic; every
+    // 13th id truncates mid-ispe (dims null, identity intact),
+    // every 17th is an isom brand (not this family, all-null)
+    "q365_avif_header_decode" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+             WHEN doc_id % 10 = 0 THEN 'heif' ELSE 'avif' END
+             AS format,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+             WHEN doc_id % 10 = 0 THEN 'heic' ELSE 'avif' END
+             AS brand,
+           CAST(CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0
+             THEN NULL ELSE 100 + doc_id % 900 END AS BIGINT)
+             AS width,
+           CAST(CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0
+             THEN NULL ELSE 50 + (doc_id * 3) % 700 END AS BIGINT)
+             AS height
          FROM documents ORDER BY doc_id""",
   )
 

@@ -2,6 +2,7 @@ package graft.registry
 
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.registry.RegistryBase._
 
@@ -19,7 +20,104 @@ private[graft] trait TextMiningShelf {
     "q358_html_extract" -> (htmlExtractQ _),
     "q359_registrable_domains" -> (registrableDomainsQ _),
     "q361_crawl_ingest_rollup" -> (crawlIngestQ _),
+    "q368_robots_directives" -> (robotsQ _),
+    "q370_politeness_shards" -> (politenessShardsQ _),
   )
+
+  /** Per-domain politeness shard plan — the frontier-budgeting
+    * composition over the crawl shelf (q359's registrable domains +
+    * q368's crawl-delay arithmetic): per registrable domain, page
+    * count and the domain's crawl-delay give `load = n_pages·delay`
+    * (seconds to drain at one polite fetcher), and domains snake
+    * into 8 fetcher shards by load rank (rank r → shard r mod 16
+    * folded, the LPT-flavored interleave) so no shard hoards the
+    * heavy domains — ALL as windows and arithmetic in one lazy
+    * plan, no driver loop. The null-domain quarantine (localhost)
+    * stays visible in shard −1. `shard_load` prices each fetcher's
+    * drain time; the spec pins the snake's balance bound.
+    */
+  private[graft] def politenessShardsQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val base = when(id % 5 === 0,
+        concat(lit("mart"), (id % 4).cast("string"), lit(".com")))
+      .when(id % 5 === 1,
+        concat(lit("shop"), (id % 4).cast("string"), lit(".co.uk")))
+      .when(id % 5 === 2,
+        concat(lit("site"), (id % 4).cast("string"), lit(".com.au")))
+      .when(id % 5 === 3,
+        concat(lit("svc"), (id % 4).cast("string"), lit(".ne.jp")))
+      .otherwise(
+        concat(lit("app"), (id % 4).cast("string"), lit(".io")))
+    val host = when(id % 13 === 0, lit("localhost"))
+      .otherwise(concat(lit("sub"), (id % 3).cast("string"),
+        lit("."), base))
+    val perDomain = docs(s, dir)
+      .select(id,
+        graft.text.Web.registrableDomain(host).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"),
+        min(id).as("__did"))
+      .withColumn("crawl_delay", lit(1L) + col("__did") % 9)
+      .withColumn("load", col("n_pages") * col("crawl_delay"))
+    val nShards = 8
+    val rk = row_number().over(Window
+      .orderBy(col("load").desc, col("domain").asc)) - 1
+    val fold = rk % (2 * nShards)
+    val shard = when(col("domain").isNull, lit(-1))
+      .otherwise(when(fold < nShards, fold)
+        .otherwise(lit(2 * nShards - 1) - fold))
+    // the global rank window reads the DOMAIN-sized frame (a grouped
+    // aggregate, bounded by the registrable-domain domain — the q78
+    // plan-gate reading), never the page rows
+    val planned = perDomain
+      .withColumn("shard", shard.cast("int"))
+    planned
+      .withColumn("shard_load",
+        sum(col("load")).over(Window.partitionBy("shard")))
+      .select(col("domain"), col("n_pages"), col("crawl_delay"),
+        col("load"), col("shard"), col("shard_load"))
+      .orderBy("shard", "domain")
+  }
+
+  /** robots.txt directive parse ([[graft.text.Web
+    * .robotsDirectives]]): each doc_id synthesizes a realistic
+    * policy file — a comment header, a `*` group (disallow, an
+    * allow with an INLINE comment, crawl-delay; the disallow
+    * case-flipped on even ids to prove case-insensitive fields), a
+    * second group that on every 7th id opens with TWO consecutive
+    * user-agent lines (one group, not two — the REP run rule), a
+    * colon-less junk line on every 13th id (ignored, never
+    * misread), and a global sitemap (grp null). Closed-form oracle
+    * over the builder's id arithmetic.
+    */
+  private[graft] def robotsQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val txt = concat(
+      lit("# crawl policy "), id.cast("string"), lit("\n"),
+      lit("User-agent: *\n"),
+      when(id % 2 === 0, "DISALLOW: /private\n")
+        .otherwise(lit("Disallow: /private\n")),
+      lit("Allow: /private/p"), (id % 5).cast("string"),
+      lit(" # reviewed\n"),
+      lit("Crawl-delay: "), (lit(1L) + id % 9).cast("string"),
+      lit("\n\n"),
+      when(id % 7 === 0, "User-agent: bot-a\nUser-agent: bot-b\n")
+        .otherwise(concat(lit("User-agent: bot-"),
+          (id % 3).cast("string"), lit("\n"))),
+      lit("Disallow: /tmp"), (id % 4).cast("string"), lit("\n"),
+      when(id % 13 === 0, "junk line without colon\n")
+        .otherwise(lit("")),
+      lit("Sitemap: https://site"), id.cast("string"),
+      lit(".example/map.xml"))
+    docs(s, dir)
+      .select(id, graft.text.Web.robotsDirectives(txt).as("d"))
+      .select(id, posexplode(col("d")).as(Seq("idx", "e")))
+      .select(id, col("idx").cast("int").as("idx"),
+        col("e.grp").as("grp"), col("e.field").as("field"),
+        col("e.value").as("value"))
+      .orderBy("doc_id", "idx")
+  }
 
   /** Composed crawl-ingest rollup — the q273/q175 composition
     * treatment for the crawl shelf: page wrap → [[graft.text.Web
@@ -171,6 +269,85 @@ private[graft] trait TextMiningShelf {
       topK = 25)
 
   private[graft] def miningOracleSql: Map[String, String] = Map(
+    // closed form of the q359 host builder (subN strips, base stays);
+    // snake allocation replayed with NULLS FIRST pinned to Spark's
+    // asc null order; shard_load a per-shard window sum
+    "q370_politeness_shards" ->
+      """WITH dom AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+               WHEN doc_id % 5 = 0
+                 THEN 'mart' || CAST(doc_id % 4 AS VARCHAR) || '.com'
+               WHEN doc_id % 5 = 1
+                 THEN 'shop' || CAST(doc_id % 4 AS VARCHAR)
+                   || '.co.uk'
+               WHEN doc_id % 5 = 2
+                 THEN 'site' || CAST(doc_id % 4 AS VARCHAR)
+                   || '.com.au'
+               WHEN doc_id % 5 = 3
+                 THEN 'svc' || CAST(doc_id % 4 AS VARCHAR)
+                   || '.ne.jp'
+               ELSE 'app' || CAST(doc_id % 4 AS VARCHAR) || '.io'
+               END AS domain
+           FROM documents),
+         pd AS (
+           SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+             min(doc_id) AS did
+           FROM dom GROUP BY domain),
+         pl AS (
+           SELECT domain, n_pages,
+             CAST(1 + did % 9 AS BIGINT) AS crawl_delay,
+             CAST(n_pages * (1 + did % 9) AS BIGINT) AS load
+           FROM pd),
+         rk AS (
+           SELECT *, row_number() OVER (
+             ORDER BY load DESC, domain ASC NULLS FIRST) - 1 AS r
+           FROM pl),
+         sh AS (
+           SELECT domain, n_pages, crawl_delay, load,
+             CAST(CASE WHEN domain IS NULL THEN -1
+               WHEN r % 16 < 8 THEN r % 16
+               ELSE 15 - (r % 16) END AS INT) AS shard
+           FROM rk)
+         SELECT domain, n_pages, crawl_delay, load, shard,
+           CAST(sum(load) OVER (PARTITION BY shard) AS BIGINT)
+             AS shard_load
+         FROM sh ORDER BY shard, domain NULLS FIRST""",
+    // closed form of the robots builder: fixed first-group rows,
+    // variant-dependent second-group indices (the 7-mod double
+    // user-agent run shifts later rows by one), junk line emits
+    // nothing, sitemap grp NULL
+    "q368_robots_directives" ->
+      """WITH d AS (SELECT doc_id FROM documents)
+         SELECT doc_id, CAST(idx AS INT) AS idx,
+           CAST(grp AS INT) AS grp, field, value FROM (
+           SELECT doc_id, 0 AS idx, 1 AS grp,
+             'user-agent' AS field, '*' AS value FROM d
+           UNION ALL
+           SELECT doc_id, 1, 1, 'disallow', '/private' FROM d
+           UNION ALL
+           SELECT doc_id, 2, 1, 'allow',
+             '/private/p' || CAST(doc_id % 5 AS VARCHAR) FROM d
+           UNION ALL
+           SELECT doc_id, 3, 1, 'crawl-delay',
+             CAST(1 + doc_id % 9 AS VARCHAR) FROM d
+           UNION ALL
+           SELECT doc_id, 4, 2, 'user-agent',
+             CASE WHEN doc_id % 7 = 0 THEN 'bot-a'
+               ELSE 'bot-' || CAST(doc_id % 3 AS VARCHAR) END FROM d
+           UNION ALL
+           SELECT doc_id, 5, 2, 'user-agent', 'bot-b'
+           FROM d WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 6 ELSE 5 END,
+             2, 'disallow', '/tmp' || CAST(doc_id % 4 AS VARCHAR)
+           FROM d
+           UNION ALL
+           SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 7 ELSE 6 END,
+             NULL, 'sitemap', 'https://site'
+               || CAST(doc_id AS VARCHAR) || '.example/map.xml'
+           FROM d)
+         ORDER BY doc_id, idx""",
     // the q239 bigram CTE with position-count margins; each G² term
     // one ln over exact-int doubles, zero cells contribute zero
     "q335_dunning_llr" ->

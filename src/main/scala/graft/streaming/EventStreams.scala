@@ -686,6 +686,70 @@ object EventStreams {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$newStoreDir/batch_id=0")
 
+  /** Streaming near-dup PAIR-STORE maintenance
+    * ([[graft.dedup.Dedup.PairStore]]): each micro-batch of documents
+    * lands its signature shard, its distinct-shingle-hash shard, and
+    * the verified pairs the batch COMPLETES (batch bands against the
+    * standing band projection — old×old pairs are never re-derived)
+    * under `batch_id=<id>` with OVERWRITE. The delta is a
+    * deterministic function of (prior store, batch) over md5/xxhash64
+    * families, so checkpoint replay rewrites byte-identical shards —
+    * the [[mwDriftMaintenanceSink]] idempotency argument. The unioned
+    * store equals the [[graft.dedup.Dedup.minhashLshPairs]] full
+    * rebuild at every batch boundary (spec-pinned), which is what
+    * lets the q363 detector audits read a standing table instead of
+    * re-running the LSH chain per report.
+    */
+  def pairStoreMaintenanceSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      storeDir: String, checkpointDir: String, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.8)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(docs, checkpointDir, outputMode = "append") {
+      (batch, id) =>
+        landPairStoreShard(batch, id, idCol, textCol, storeDir, n,
+          numHashes, bands, threshold)
+    }
+
+  private[graft] def landPairStoreShard(
+      batch: DataFrame, id: Long, idCol: String, textCol: String,
+      storeDir: String, n: Int, numHashes: Int, bands: Int,
+      threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val empty = graft.dedup.Dedup.emptyPairStore(spark, idCol,
+      numHashes)
+    // prior = shards landed by batches < id; the batch_id partition
+    // column filters out this batch's own crashed half-write on a
+    // checkpoint replay
+    def readOr(sub: String, fallback: DataFrame): DataFrame =
+      try spark.read.parquet(s"$storeDir/$sub")
+        .where(col("batch_id") =!= id).drop("batch_id")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        fallback }
+    val prior = graft.dedup.Dedup.PairStore(
+      readOr("sigs", empty.signatures),
+      readOr("shingles", empty.shingles),
+      empty.pairs) // pairs aren't an input to the delta
+    val delta = graft.dedup.Dedup.pairStoreDelta(prior, batch,
+      idCol, textCol, n, numHashes, bands, threshold)
+    delta.signatures.write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/sigs/batch_id=$id")
+    delta.shingles.write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/shingles/batch_id=$id")
+    delta.pairs.write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/pairs/batch_id=$id")
+  }
+
+  /** The standing verified-pair table over a
+    * [[pairStoreMaintenanceSink]] store — the frame the detector
+    * audits read.
+    */
+  def livePairStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/pairs")
+      .select("id_a", "id_b", "jaccard")
+
   /** Streaming Mann–Whitney drift maintenance — the drift family's
     * rank-test leg (the CUSUM stream watches a level against a FIXED
     * target; this watches the whole CURRENT distribution against a

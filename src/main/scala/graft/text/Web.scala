@@ -114,6 +114,59 @@ object Web {
     * label. IP literals are returned whole (a dotted IPv4 is its own
     * "site").
     */
+  /** robots.txt directives as ONE pure array-fold expression — the
+    * crawl-politeness read next to [[registrableDomain]]: the per-
+    * domain policy a frontier parses once and broadcasts. Returns
+    * `array<struct<grp int, field string, value string>>` in file
+    * order, with REP (RFC 9309) group semantics: consecutive
+    * `User-agent` lines open ONE group (grp increments only on the
+    * first of a run), `Allow`/`Disallow`/`Crawl-delay` lines attach
+    * to the current group and close its agent run, `Sitemap` is
+    * global (grp null), comments (`#…`) strip before parsing, field
+    * names match case-insensitively, and lines without a colon are
+    * ignored — never misread. Matching/merging of groups per crawler
+    * agent is the consumer's job (the PSL-subset reading of scope:
+    * the parse IS the operator; wildcard path evaluation is a policy
+    * layer).
+    *
+    * Scale: one `aggregate` fold over the line array per document —
+    * no UDF, no regex backtracking (the only regex is the comment
+    * strip), whole-stage codegen like the header decoders.
+    */
+  def robotsDirectives(txt: Column): Column = {
+    val entryType = "array<struct<grp:int,field:string,value:string>>"
+    val init = struct(lit(0).as("grp"), lit(false).as("inAgents"),
+      array().cast(entryType).as("out"))
+    aggregate(
+      split(txt, "\n"),
+      init,
+      (acc, line) => {
+        val stripped = trim(regexp_replace(line, "#.*", ""))
+        val hasColon = instr(stripped, ":") > 0
+        val field = lower(trim(substring_index(stripped, ":", 1)))
+        val value = trim(stripped.substr(
+          instr(stripped, ":") + 1, length(stripped)))
+        val isAgent = hasColon && field === "user-agent"
+        val isRule = hasColon &&
+          field.isin("allow", "disallow", "crawl-delay")
+        val isSitemap = hasColon && field === "sitemap"
+        val grp = when(isAgent && !acc.getField("inAgents"),
+          acc.getField("grp") + 1).otherwise(acc.getField("grp"))
+        val entry = struct(
+          when(isSitemap, lit(null).cast("int")).otherwise(grp)
+            .as("grp"),
+          field.as("field"), value.as("value"))
+        struct(
+          grp.as("grp"),
+          when(isAgent, lit(true)).when(isRule, lit(false))
+            .otherwise(acc.getField("inAgents")).as("inAgents"),
+          when(isAgent || isRule || isSitemap,
+            concat(acc.getField("out"), array(entry)))
+            .otherwise(acc.getField("out")).as("out"))
+      },
+      acc => acc.getField("out"))
+  }
+
   def registrableDomain(host: Column): Column = {
     val h = lower(host)
     val isIp = h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")

@@ -171,7 +171,11 @@ class PlanGateSpec extends SparkSpec {
     // CARDINALITY sensitive domain (the documented t-closeness
     // contract: bucketed salaries, status codes), a grouped
     // aggregate the static bound can't see
-    "q349_t_closeness" -> 1)
+    "q349_t_closeness" -> 1,
+    // the snake-allocation rank window: a global window whose input
+    // is the per-registrable-domain aggregate — bounded by the
+    // domain DOMAIN (the q78/q349 reading), never the page rows
+    "q370_politeness_shards" -> 1)
 
   test("every registry query plans free of cartesian products, " +
       "unbounded nested-loop joins, and unbounded global windows " +
