@@ -1494,4 +1494,80 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
       round(col("__score"), 4).as("ucb_score"),
       (pick === 1).cast("int").as("chosen")): _*)
   }
+
+  /** Stratified inverse-propensity-weighted (IPW) treatment-effect
+    * estimate — the workhorse observational-causal estimator next to
+    * [[diffInDiff]]: within each confounder stratum the propensity is
+    * the exact treated share ê_s = n1_s/n_s, and the Hájek-normalized
+    * IPW means are
+    *   μ̂₁ = Σ_s Σ_{treated}(y/ê_s) / Σ_s Σ_{treated}(1/ê_s),
+    *   μ̂₀ the control mirror on 1−ê_s.
+    * With stratum-constant propensities the weighted sums collapse
+    * exactly: Σ_{treated∈s} y/ê_s = sy1_s·n_s/n1_s and the Hájek
+    * denominator telescopes to Σ_s n_s — so the estimator computes as
+    * per-stratum exact integer contributions with NO per-row weight
+    * float, and (by that same collapse) coincides with the classic
+    * stratification estimator Σ n_s·(ȳ1_s − ȳ0_s)/N. Positivity is
+    * enforced structurally: strata with no treated or no control rows
+    * can't contribute (their weight is undefined) and are emitted
+    * with `in_support = 0` so the analyst sees what the estimate
+    * ignores.
+    *
+    * Output: one row per stratum — (stratum, n, n1, e_micro,
+    * mu1_cents, mu0_cents, ate_cents, in_support) where the mus are
+    * exact floor divisions of stratum sums — plus one `__ALL` row
+    * whose mus are the Hájek-IPW estimates over the supported strata
+    * (T1 = Σ sy1·n div n1 quantized per stratum BEFORE the sum, the
+    * house quantize-before-sum discipline) and whose ate_cents is
+    * their exact difference.
+    *
+    * Scale: one grouped pass builds the (stratum) cells — map-side
+    * combined, cell-domain-sized everything after; the `__ALL` row is
+    * a cell-domain aggregation. No window, no join against the corpus.
+    */
+  def ipwAte(
+      df: DataFrame, strataCols: Seq[String], treated: Column,
+      yCents: Column): DataFrame = {
+    require(strataCols.nonEmpty, "ipwAte: need at least one stratum column")
+    val stratum = concat_ws("|",
+      strataCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
+    val cells = df
+      .select(stratum.as("stratum"),
+        treated.cast("boolean").as("__t"),
+        yCents.cast("long").as("__y"))
+      .where(col("__t").isNotNull && col("__y").isNotNull)
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("__sy1"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("__sy0"))
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("in_support",
+        (col("n1") > 0L && col("n0") > 0L).cast("int"))
+    val per = cells.select(col("stratum"), col("n"), col("n1"),
+      expr("(n1 * 1000000) div n").as("e_micro"),
+      when(col("n1") > 0L, expr("__sy1 div n1")).as("mu1_cents"),
+      when(col("n0") > 0L, expr("__sy0 div n0")).as("mu0_cents"),
+      when(col("in_support") === 1,
+        expr("(__sy1 div n1) - (__sy0 div n0)")).as("ate_cents"),
+      col("in_support"))
+    // per-stratum contributions in DECIMAL(38,0): sy1·n at petabyte
+    // stratum sizes overflows BIGINT long before the cells do
+    val total = cells.where(col("in_support") === 1)
+      .agg(sum(col("n")).as("__nt"),
+        sum(col("n1")).as("__n1t"),
+        sum(expr("(CAST(__sy1 AS DECIMAL(38,0)) * n) div n1"))
+          .as("__t1"),
+        sum(expr("(CAST(__sy0 AS DECIMAL(38,0)) * n) div n0"))
+          .as("__t0"))
+      .select(lit("__ALL").as("stratum"), col("__nt").as("n"),
+        col("__n1t").as("n1"),
+        expr("(__n1t * 1000000) div __nt").as("e_micro"),
+        expr("CAST(__t1 div __nt AS BIGINT)").as("mu1_cents"),
+        expr("CAST(__t0 div __nt AS BIGINT)").as("mu0_cents"),
+        expr("CAST((__t1 div __nt) - (__t0 div __nt) AS BIGINT)")
+          .as("ate_cents"),
+        lit(1).as("in_support"))
+    per.unionByName(total).orderBy("stratum")
+  }
 }

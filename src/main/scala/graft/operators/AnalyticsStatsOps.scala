@@ -2595,4 +2595,162 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
       round(when(denX > 0.0 && denY > 0.0,
         num / sqrt(denX * denY)), 6).as("tau_b")): _*)
   }
+
+  /** Hill tail-index estimator per group (Hill 1975): over the top-m
+    * order statistics of a positive value column,
+    * `H = (1/m)·Σ_{i≤m} ln(x_(i) / x_(m+1))` and the tail exponent
+    * `α = 1/H` — the standard "how heavy is this distribution's
+    * tail" reading (α ≈ 1–2 = very heavy Pareto tail, α large =
+    * thin). The panel row a spend/latency/doc-length monitor needs
+    * next to q255's Gini (concentration) and q189's Benford (digit
+    * shape): those say "unequal"; Hill says HOW FAST the tail decays.
+    *
+    * Exactness: each order statistic's ln is nano-floored once
+    * (`floor(ln x · 1e9)`, the q308 device — safe because the ln
+    * call is mirrored token-for-token in the oracle), the excess sum
+    * `Σ lnq_(i) − m·lnq_(m+1)` is an exact BIGINT, `hill_nano` is one
+    * exact integer division by m, and α is ONE mirrored double
+    * division `1e9 / hill_nano`. Ranks are row_number over
+    * (value DESC, tiebreak ASC) — a total order, so the top-m SET is
+    * unique even under value ties (the excess sum only reads values,
+    * so tie ORDER never changes the result).
+    *
+    * Scale shape: one grouped count (map-side combined), one
+    * group-partitioned rank window that only RANKS (no payload
+    * carry; groups are the parallelism unit — the [[labelNoiseScreen]]
+    * trade), a group-domain-sized join, and m-bounded arithmetic per
+    * group. At 100 TB, pre-filter the corpus to values above a coarse
+    * per-group quantile before ranking — the window then sorts the
+    * tail candidates, not the corpus; m itself is a constant.
+    *
+    * Degenerate guards: groups need n ≥ 2 (m_used = min(m, n−1) ≥ 1);
+    * a group whose top m+1 values are all EQUAL has excess sum 0 —
+    * hill_nano 0 and α null rather than ∞.
+    */
+  def hillTailIndex(
+      df: DataFrame, groupCol: String, valueCol: Column,
+      tieCol: Column, m: Int = 100): DataFrame = {
+    require(m >= 1, "hillTailIndex: m must be >= 1")
+    val base = df
+      .select(col(groupCol), valueCol.cast("long").as("__x"),
+        tieCol.as("__tb"))
+      .where(col(groupCol).isNotNull && col("__x").isNotNull &&
+        col("__x") > 0L)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__x").desc, col("__tb").asc)
+    val ranked = base.withColumn("__rk", row_number().over(w))
+      .withColumn("__lnq",
+        floor(log(col("__x").cast("double")) * 1e9).cast("long"))
+    val counts = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2L)
+      .withColumn("m_used", least(lit(m.toLong), col("n") - 1L))
+    ranked.join(counts, Seq(groupCol))
+      .where(col("__rk") <= col("m_used") + 1L)
+      .groupBy(col(groupCol), col("n"), col("m_used"))
+      .agg(
+        sum(when(col("__rk") <= col("m_used"), col("__lnq"))
+          .otherwise(lit(0L))).as("__s"),
+        max(when(col("__rk") === col("m_used") + 1L, col("__x")))
+          .as("x_tail"),
+        max(when(col("__rk") === col("m_used") + 1L, col("__lnq")))
+          .as("__lnk"))
+      .withColumn("hill_nano",
+        expr("(__s - m_used * __lnk) div m_used"))
+      .select(col(groupCol), col("n"), col("m_used"), col("x_tail"),
+        col("hill_nano"),
+        round(when(col("hill_nano") > 0L,
+          lit(1e9) / col("hill_nano").cast("double")), 6).as("alpha"))
+  }
+
+  /** Quantile (pinball-loss) regression by slope-grid search: fit
+    * `y ~ a + b·x` at each requested quantile τ by scoring every
+    * candidate slope b from a caller-fixed grid — for a FIXED slope
+    * the optimal intercept is exactly the τ-order-statistic of the
+    * residuals y − b·x (the pinball loss in a is a piecewise-linear
+    * convex function whose minimum sits at the ⌈τ·n⌉-th smallest
+    * residual), so the 2-D fit collapses to |grid| 1-D exact
+    * problems. The conditional-quantile trend line OLS can't give:
+    * "how does the 90th-percentile order value drift over time" is a
+    * different line than the mean's, and the difference (τ=0.9 slope
+    * vs τ=0.1 slope) is a dispersion-drift monitor.
+    *
+    * Exactness, end to end: residuals `y·1e6 − b_micro·x` are exact
+    * BIGINTs; the intercept is an order statistic (exact — ties don't
+    * matter because equal residuals give the same value at rank k);
+    * the pinball loss decomposes into `τ·(S − n·a) − 100·(S_< −
+    * n_<·a)` where S/S_</n_< are exact DECIMAL(38,0) conditional sums
+    * of residuals strictly below a — no per-row float ever. The
+    * reported avg_loss is ONE mirrored division of the exact loss by
+    * `100·1e6·n`.
+    *
+    * Scale shape: the corpus crosses only the SLOPE grid (a
+    * broadcast domain-bounded cross — |slopes|·rows, never
+    * rows²); the residual frame is persisted and read by the rank
+    * window (slope-partitioned, rank-only), the order-statistic
+    * probe, and the loss aggregation; taus join in at the
+    * group-domain level. Loss aggregation is map-side combinable;
+    * the argmin per τ is a |grid|-sized min_by.
+    */
+  def quantileRegPinball(
+      df: DataFrame, xCol: Column, yCentsCol: Column,
+      tausPct: Seq[Int], slopesMicro: Seq[Long]): DataFrame = {
+    require(tausPct.nonEmpty && tausPct.forall(t => t > 0 && t < 100),
+      "quantileRegPinball: taus must be in (0, 100)")
+    require(slopesMicro.nonEmpty, "quantileRegPinball: empty grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .select(xCol.cast("long").as("__x"),
+        yCentsCol.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val slopes = broadcast(
+      slopesMicro.toDF("slope_micro").as("__slopes"))
+    val resid = rows.crossJoin(slopes)
+      .select(col("slope_micro"),
+        (col("__y") * lit(1000000L) - col("slope_micro") * col("__x"))
+          .as("__r"))
+      .transform(graft.core.CacheScope.disk)
+    val wr = Window.partitionBy(col("slope_micro"))
+      .orderBy(col("__r").asc)
+    val ranked = resid.withColumn("__rk", row_number().over(wr))
+    val n1 = resid.groupBy("slope_micro")
+      .agg(count(lit(1)).as("n"))
+    val taus = broadcast(tausPct.toDF("tau_pct"))
+    // k = ceil(tau·n/100) without floats: (tau·n + 99) div 100
+    // (join keys renamed: kTab/aTab share resid's lineage, and a
+    // same-attribute condition would trip DetectAmbiguousSelfJoin)
+    val kTab = n1.crossJoin(taus)
+      .withColumn("__k", expr("(tau_pct * n + 99) div 100"))
+      .withColumnRenamed("slope_micro", "__ks")
+    val aTab = ranked
+      .join(kTab,
+        col("slope_micro") === col("__ks") &&
+          col("__rk") === col("__k"))
+      .select(col("slope_micro").as("__as"), col("tau_pct"),
+        col("n"), col("__r").as("__a"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val losses = resid
+      .join(broadcast(aTab), col("slope_micro") === col("__as"))
+      .groupBy(col("slope_micro"), col("tau_pct"), col("n"),
+        col("__a"))
+      .agg(sum(dec(col("__r"))).as("__s"),
+        sum(when(col("__r") < col("__a"), dec(col("__r")))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__sl"),
+        sum(when(col("__r") < col("__a"), 1L).otherwise(0L))
+          .as("__nl"))
+      .withColumn("__loss",
+        dec(col("tau_pct")) * (col("__s") - dec(col("n")) * dec(col("__a"))) -
+          dec(lit(100L)) *
+            (col("__sl") - dec(col("__nl")) * dec(col("__a"))))
+    losses
+      .groupBy(col("tau_pct"), col("n"))
+      .agg(min(struct(col("__loss"), col("slope_micro"), col("__a")))
+        .as("__best"))
+      .select(col("tau_pct"), col("n"),
+        col("__best.slope_micro").as("slope_micro"),
+        expr("__best.__a div 1000000").as("intercept_cents"),
+        round(col("__best.__loss").cast("double") /
+          (col("n").cast("double") * 1e8), 6).as("avg_loss"))
+  }
 }

@@ -44,9 +44,60 @@ private[graft] trait AnalyticsInferenceShelf extends AnalyticsCore {
     "q340_srm_check" -> (srmQ _),
     "q341_avg_precision" -> (avgPrecisionQ _),
     "q342_threshold_scorecard" -> (thresholdScorecardQ _),
+    "q372_ipw_ate" -> (ipwAteQ _),
   )
 
   private[graft] def inferenceOracleSql: Map[String, String] = Map(
+    // per-stratum exact integer cells; the __ALL row's Hájek-IPW sums
+    // quantize per stratum BEFORE summing (HUGEINT mirror of the
+    // engine's DECIMAL(38,0) contributions); all operands positive so
+    // // == div
+    "q372_ipw_ate" ->
+      """WITH b AS (
+           SELECT coalesce(CAST(c_mktsegment AS VARCHAR), 'null')
+               || '|' || coalesce(CAST(o_orderstatus AS VARCHAR), 'null')
+               AS stratum,
+             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_totalprice IS NOT NULL),
+         c AS (
+           SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS sy1,
+             CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT)
+               AS sy0
+           FROM b WHERE t IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+         c2 AS (
+           SELECT *, n - n1 AS n0,
+             CASE WHEN n1 > 0 AND n - n1 > 0 THEN 1 ELSE 0 END
+               AS in_support
+           FROM c),
+         per AS (
+           SELECT stratum, n, n1,
+             (n1 * 1000000) // n AS e_micro,
+             CASE WHEN n1 > 0 THEN sy1 // n1 END AS mu1_cents,
+             CASE WHEN n0 > 0 THEN sy0 // n0 END AS mu0_cents,
+             CASE WHEN in_support = 1
+               THEN (sy1 // n1) - (sy0 // n0) END AS ate_cents,
+             in_support
+           FROM c2),
+         tot AS (
+           SELECT sum(n) AS nt, sum(n1) AS n1t,
+             sum((CAST(sy1 AS HUGEINT) * n) // n1) AS t1,
+             sum((CAST(sy0 AS HUGEINT) * n) // n0) AS t0
+           FROM c2 WHERE in_support = 1),
+         tr AS (
+           SELECT '__ALL' AS stratum, CAST(nt AS BIGINT) AS n,
+             CAST(n1t AS BIGINT) AS n1,
+             CAST((n1t * 1000000) // nt AS BIGINT) AS e_micro,
+             CAST(t1 // nt AS BIGINT) AS mu1_cents,
+             CAST(t0 // nt AS BIGINT) AS mu0_cents,
+             CAST((t1 // nt) - (t0 // nt) AS BIGINT) AS ate_cents,
+             1 AS in_support
+           FROM tot)
+         SELECT * FROM per UNION ALL SELECT * FROM tr
+         ORDER BY stratum""",
     // four exact (treat × post) cell sums per type; each mean ONE
     // mirrored double division, did a fixed-order double expression
     "q346_diff_in_diff" ->
@@ -1520,4 +1571,23 @@ private[graft] trait AnalyticsInferenceShelf extends AnalyticsCore {
         "o_orderstatus", col("o_totalprice"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .orderBy("o_orderstatus", "criterion")
+
+  /** Stratified IPW treatment effect ([[Analytics.ipwAte]]) of
+    * urgent/high order priority on order value, confounder-adjusted
+    * by (market segment × order status) — the observational
+    * counterpart to q346's diff-in-diff on the same tables: exact
+    * per-stratum propensities and means in integer cents, positivity
+    * surfaced per stratum (`in_support`), and the `__ALL` row the
+    * Hájek-normalized IPW estimate with per-stratum contributions
+    * quantized before the sum.
+    */
+  private[graft] def ipwAteQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.ipwAte(
+        t(s, dir, "orders")
+          .where(col("o_totalprice").isNotNull)
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey")),
+        Seq("c_mktsegment", "o_orderstatus"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        floor(col("o_totalprice") * 100))
 }

@@ -54,6 +54,8 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q310_assoc_panel" -> (assocPanelQ _),
     "q316_nelson_aalen" -> (nelsonAalenQ _),
     "q319_jonckheere" -> (jonckheereQ _),
+    "q373_quantile_reg" -> (quantileRegQ _),
+    "q374_hill_tail" -> (hillTailQ _),
   )
 
   /** The engine's pinned Bonferroni z critical values as a DuckDB
@@ -73,6 +75,101 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .map { case (d, v) => s"WHEN $d THEN $v" }.mkString(" ") + " END"
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // residuals y·1e6 − b·x are exact BIGINTs (and strictly positive
+    // at this data — min price cents·1e6 dominates |slope|·max days —
+    // so // == div everywhere); intercept = the ⌈τn⌉-th smallest
+    // residual; loss decomposes into exact conditional HUGEINT sums
+    "q373_quantile_reg" -> {
+      val slopes = (-5 to 5).map(i => (i * 1000000L).toString)
+        .mkString(", ")
+      s"""WITH r AS (
+           SELECT date_diff('day', DATE '1992-01-01',
+               CAST(o_orderdate AS DATE)) AS x,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         g AS (SELECT CAST(unnest([$slopes]) AS BIGINT) AS slope_micro),
+         res AS (
+           SELECT slope_micro, y * 1000000 - slope_micro * x AS rr
+           FROM r CROSS JOIN g),
+         rk AS (
+           SELECT slope_micro, rr,
+             row_number() OVER (PARTITION BY slope_micro ORDER BY rr)
+               AS rk
+           FROM res),
+         n1 AS (SELECT slope_micro, CAST(count(*) AS BIGINT) AS n
+                FROM res GROUP BY 1),
+         t AS (SELECT CAST(unnest([10, 50, 90]) AS INT) AS tau_pct),
+         k AS (
+           SELECT slope_micro, n, tau_pct,
+             (tau_pct * n + 99) // 100 AS kk
+           FROM n1 CROSS JOIN t),
+         a AS (
+           SELECT k.slope_micro, k.tau_pct, k.n, rk.rr AS aa
+           FROM k JOIN rk ON rk.slope_micro = k.slope_micro
+             AND rk.rk = k.kk),
+         l AS (
+           SELECT res.slope_micro, a.tau_pct, a.n, a.aa,
+             sum(CAST(res.rr AS HUGEINT)) AS s,
+             sum(CASE WHEN res.rr < a.aa THEN CAST(res.rr AS HUGEINT)
+               ELSE 0 END) AS sl,
+             sum(CASE WHEN res.rr < a.aa THEN 1 ELSE 0 END) AS nl
+           FROM res JOIN a ON a.slope_micro = res.slope_micro
+           GROUP BY 1, 2, 3, 4),
+         loss AS (
+           SELECT tau_pct, n, slope_micro, aa,
+             CAST(tau_pct AS HUGEINT) * (s - CAST(n AS HUGEINT) * aa)
+               - 100 * (sl - CAST(nl AS HUGEINT) * aa) AS loss
+           FROM l),
+         best AS (
+           SELECT tau_pct, n, slope_micro, aa, loss,
+             row_number() OVER (PARTITION BY tau_pct
+               ORDER BY loss, slope_micro) AS pick
+           FROM loss)
+         SELECT tau_pct, n, slope_micro,
+           aa // 1000000 AS intercept_cents,
+           round(CAST(loss AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 100000000.0), 6) AS avg_loss
+         FROM best WHERE pick = 1 ORDER BY tau_pct"""
+    },
+    // one nano-floored ln per order statistic; the excess sum is
+    // non-negative by construction (top-m values ≥ the threshold), so
+    // // == div
+    "q374_hill_tail" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS x,
+             o_orderkey AS tb
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL
+             AND o_totalprice IS NOT NULL
+             AND CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+         rk AS (
+           SELECT g, x,
+             CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000000.0)
+               AS BIGINT) AS lnq,
+             row_number() OVER (PARTITION BY g
+               ORDER BY x DESC, tb ASC) AS rk
+           FROM b),
+         cn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b
+                GROUP BY 1 HAVING count(*) >= 2),
+         cm AS (SELECT g, n, least(100, n - 1) AS m_used FROM cn),
+         agg AS (
+           SELECT rk.g, cm.n, cm.m_used,
+             CAST(sum(CASE WHEN rk <= m_used THEN lnq ELSE 0 END)
+               AS BIGINT) AS s,
+             max(CASE WHEN rk = m_used + 1 THEN x END) AS x_tail,
+             max(CASE WHEN rk = m_used + 1 THEN lnq END) AS lnk
+           FROM rk JOIN cm ON cm.g = rk.g
+           WHERE rk <= m_used + 1
+           GROUP BY 1, 2, 3)
+         SELECT g AS o_orderpriority, n, m_used, x_tail,
+           (s - m_used * lnk) // m_used AS hill_nano,
+           round(CASE WHEN (s - m_used * lnk) // m_used > 0
+             THEN 1000000000.0
+               / CAST((s - m_used * lnk) // m_used AS DOUBLE)
+             END, 6) AS alpha
+         FROM agg ORDER BY o_orderpriority""",
     // the q291 rank machinery carried to pairwise mean-rank z's;
     // the Bonferroni critical keyed by the group's own m
     "q300_dunn_posthoc" ->
@@ -1987,4 +2084,36 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     Analytics.categoricalAssociation(long, "pair", "x", "y")
       .orderBy("pair")
   }
+
+  /** Quantile-regression trend lines ([[Analytics.quantileRegPinball]])
+    * of order value (cents) on order age (days since 1992-01-01) at
+    * τ ∈ {10, 50, 90}%, slope grid ±5 cents/day in 1-cent steps —
+    * the conditional-quantile drift monitor: diverging τ=90 and τ=10
+    * slopes mean the SPREAD of order values is drifting even when the
+    * median line is flat.
+    */
+  private[graft] def quantileRegQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.quantileRegPinball(
+        t(s, dir, "orders")
+          .where(col("o_orderdate").isNotNull &&
+            col("o_totalprice").isNotNull),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")),
+        floor(col("o_totalprice") * 100),
+        tausPct = Seq(10, 50, 90),
+        slopesMicro = (-5 to 5).map(_ * 1000000L))
+      .orderBy("tau_pct")
+
+  /** Hill tail-index panel ([[Analytics.hillTailIndex]]) of order
+    * value per priority class, m = 100 top order statistics — the
+    * tail-decay reading beside q255's Gini on the same spend data:
+    * α ≈ 1–2 flags a Pareto-heavy tail where mean-based capacity
+    * planning breaks.
+    */
+  private[graft] def hillTailQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.hillTailIndex(
+        t(s, dir, "orders").where(col("o_totalprice").isNotNull),
+        "o_orderpriority", floor(col("o_totalprice") * 100),
+        col("o_orderkey"), m = 100)
+      .orderBy("o_orderpriority")
 }

@@ -37,6 +37,7 @@ private[graft] object SamplingRegistry {
     "q283_pps_ht_estimate" -> (ppsHtQ _),
     "q297_neyman_allocation" -> (neymanAllocationQ _),
     "q350_ratio_estimate" -> (ratioEstimateQ _),
+    "q371_dsir_weights" -> (dsirWeightsQ _),
   )
 
   /** Ratio estimation ([[graft.sampling.Sampling.ratioEstimator]]):
@@ -135,6 +136,50 @@ private[graft] object SamplingRegistry {
       .orderBy("fold", "o_orderpriority")
 
   def oracleSql: Map[String, String] = Map(
+    // the engine's md5 bucket device; every ln nano-floored once per
+    // bucket/total so λ and the doc weights are exact BIGINTs; the
+    // per-token average is FLOOR division on both sides (w_nano can
+    // be negative — DuckDB's // floors, and the engine mirrors floor
+    // via pmod, NOT truncating div)
+    "q371_dsir_weights" ->
+      s"""WITH toks AS (
+           SELECT doc_id, coalesce(lang = 'en', false) AS tgt,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256 AS b
+           FROM (
+             SELECT doc_id, lang, unnest($oracleWords) AS w
+             FROM documents WHERE text IS NOT NULL)),
+         pb AS (
+           SELECT b,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+               AS tb,
+             CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT)
+               AS rb
+           FROM toks GROUP BY 1),
+         tt AS (
+           SELECT CAST(sum(tb) AS BIGINT) AS t,
+             CAST(sum(rb) AS BIGINT) AS r
+           FROM pb),
+         lam AS (
+           SELECT b,
+             CAST(floor(ln(CAST(tb + 1 AS DOUBLE)) * 1000000000.0)
+                 AS BIGINT)
+               - CAST(floor(ln(CAST(t + 256 AS DOUBLE))
+                 * 1000000000.0) AS BIGINT)
+               - CAST(floor(ln(CAST(rb + 1 AS DOUBLE))
+                 * 1000000000.0) AS BIGINT)
+               + CAST(floor(ln(CAST(r + 256 AS DOUBLE))
+                 * 1000000000.0) AS BIGINT) AS lam
+           FROM pb CROSS JOIN tt),
+         sc AS (
+           SELECT doc_id, CAST(tgt AS INT) AS is_target,
+             CAST(count(*) AS BIGINT) AS tokens,
+             CAST(sum(lam) AS BIGINT) AS w_nano
+           FROM toks JOIN lam USING (b)
+           GROUP BY doc_id, tgt)
+         SELECT doc_id, is_target, tokens, w_nano,
+           w_nano // tokens AS avg_lr_nano
+         FROM sc
+         ORDER BY avg_lr_nano DESC, doc_id LIMIT 40""",
     // exact stratum moments in HUGEINT, mirrored sqrt/quotas, and the
     // largest-remainder rank replayed with the same tie-break
     "q297_neyman_allocation" ->
@@ -888,4 +933,15 @@ private[graft] object SamplingRegistry {
       .select(col("doc_id"), col("order_idx"), col("worker"),
         col("worker_pos"))
       .orderBy("order_idx")
+
+  /** DSIR importance weights ([[graft.sampling.Sampling.dsirWeights]])
+    * toward the English slice of the documents table: the top-40
+    * documents by per-token hashed-unigram log-likelihood ratio — the
+    * published "select raw data shaped like my curated set" recipe,
+    * scored here with λ exact to the nano-ln unit on both engines.
+    */
+  private[graft] def dsirWeightsQ(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampling.dsirWeights(
+      docs(s, dir), "doc_id", "text",
+      targetFlag = col("lang") === "en", buckets = 256, topK = 40)
 }

@@ -48,9 +48,72 @@ private[graft] object SimilarityRegistry {
     "q72_semantic_dedup" -> (semanticDedupCensus _),
     "q78_centroid_drift" -> (labelCentroidDrift _),
     "q90_hybrid_rank_fusion" -> (hybridRankFusion _),
+    "q375_grid_dbscan" -> (gridDbscanQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // micro-quantized coordinates, sign-correct floor-div cell ids,
+    // exact BIGINT eps-ball test; components by recursive reach over
+    // the (small, density-bounded) core–core edge list, labels = min
+    // member id — the engine's min-label fixpoint
+    "q375_grid_dbscan" ->
+      """WITH RECURSIVE pts AS (
+           SELECT vec_id AS id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+               AS BIGINT) AS qx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0)
+               AS BIGINT) AS qy
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) >= 2),
+         ep AS (
+           SELECT 352000 // CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+             AS BIGINT) AS e
+           FROM pts),
+         cl AS (
+           SELECT pts.*, e,
+             CAST((qx - ((qx % e) + e) % e) / e AS BIGINT) AS cx,
+             CAST((qy - ((qy % e) + e) % e) / e AS BIGINT) AS cy
+           FROM pts CROSS JOIN ep),
+         nb AS (
+           SELECT a.id AS ia, b.id AS ib
+           FROM cl a JOIN cl b
+             ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+               AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+           WHERE (a.qx - b.qx) * (a.qx - b.qx)
+               + (a.qy - b.qy) * (a.qy - b.qy) <= a.e * a.e),
+         deg AS (
+           SELECT ia AS id, CAST(count(*) AS BIGINT) AS n_neighbors
+           FROM nb GROUP BY 1),
+         core AS (SELECT id FROM deg WHERE n_neighbors >= 5),
+         ce AS (
+           SELECT ia, ib FROM nb
+           JOIN core c1 ON c1.id = ia
+           JOIN core c2 ON c2.id = ib
+           WHERE ia < ib),
+         e2 AS (SELECT ia AS a, ib AS b FROM ce
+                UNION SELECT ib, ia FROM ce),
+         reach(a, b) AS (
+           SELECT a, b FROM e2
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+         cmin AS (SELECT a AS id, min(b) AS mb FROM reach GROUP BY 1),
+         clab AS (
+           SELECT core.id,
+             least(coalesce(cmin.mb, core.id), core.id) AS cluster
+           FROM core LEFT JOIN cmin ON cmin.id = core.id),
+         blab AS (
+           SELECT nb.ia AS id, min(clab.cluster) AS cluster
+           FROM nb JOIN clab ON clab.id = nb.ib
+           WHERE nb.ia NOT IN (SELECT id FROM core)
+           GROUP BY 1),
+         lab AS (SELECT * FROM clab UNION ALL SELECT * FROM blab)
+         SELECT deg.id AS vec_id, deg.n_neighbors,
+           CASE WHEN core.id IS NOT NULL THEN 1 ELSE 0 END AS is_core,
+           coalesce(lab.cluster, -1) AS cluster
+         FROM deg
+         LEFT JOIN core ON core.id = deg.id
+         LEFT JOIN lab ON lab.id = deg.id
+         ORDER BY vec_id""",
     // micro-quantized components, HUGEINT-exact moment sums, one
     // double division per reported cell (positions 0-based like
     // posexplode)
@@ -2280,4 +2343,18 @@ private[graft] object SimilarityRegistry {
            sum(CASE WHEN i >= 32 AND s > 0 THEN
              CAST(1 AS BIGINT) << CAST(63 - i AS INT) ELSE 0 END) AS lo
          FROM sb GROUP BY id)"""
+
+  /** Grid-blocked DBSCAN ([[graft.similarity.DensityCluster
+    * .gridDbscan]]) over embedding dims (0, 1): density clusters +
+    * per-point noise verdicts with the √n-adaptive eps (so the query
+    * sits at the same percolation working point at every SF) and
+    * minPts = 5. The density cut beside the centroid family
+    * (q40/q243): arbitrary-shape clusters, explicit noise.
+    */
+  private[graft] def gridDbscanQ(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.DensityCluster.gridDbscan(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dimX = 0, dimY = 1, epsMicro = 0L, minPts = 5)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
 }

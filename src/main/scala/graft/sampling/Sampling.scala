@@ -787,4 +787,73 @@ object Sampling {
       round(when(ok, yHat), 4).as("y_hat"),
       round(when(ok, sqrt(vHat)), 4).as("se")): _*)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-unigram profile looks like a
+    * TARGET slice rather than the rest of the corpus. Two
+    * add-1-smoothed bag-of-hashed-ngrams models — target vs raw —
+    * give per-bucket log-likelihood ratios
+    * `λ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))`; a document's
+    * importance weight is the count-weighted sum of its tokens' λ.
+    * This is THE published cheap recipe for "get me more data shaped
+    * like my curated set" at crawl scale — the selection step before
+    * the engine's mixture/temperature samplers take over.
+    *
+    * Exactness: every ln is nano-floored ONCE per bucket/total
+    * (`floor(ln·1e9)`, the q308 device, mirrored token-for-token in
+    * the oracle), so λ is an exact BIGINT and every document weight
+    * is an exact BIGINT sum; `avg_lr_nano` (per-token weight — the
+    * ranking key, length-debiased) is one exact integer division.
+    * Hash buckets are the engine's md5 device (first 8 hex chars →
+    * BIGINT, mod B) — engine-portable by construction.
+    *
+    * Scale shape: ONE token explode persisted and read twice (the
+    * bucket-count pass and the per-doc scoring pass); the λ table is
+    * B rows (a broadcast); doc scores are one map-side-combinable
+    * grouped sum; top-k plans as TakeOrderedAndProject. Nothing
+    * row²; nothing driver-side. At 100 TB the λ table is still B
+    * rows — the model "trains" in one aggregation.
+    */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetFlag: Column, buckets: Int = 256,
+      topK: Int = 40): DataFrame = {
+    require(buckets >= 2, "dsirWeights: need >= 2 buckets")
+    val toks = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        coalesce(targetFlag.cast("boolean"), lit(false)).as("__tgt"),
+        explode(graft.text.TextAnalysis.words(col(textCol))).as("__w"))
+      .select(col(idCol), col("__tgt"),
+        pmod(conv(substring(md5(col("__w")), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("__b"))
+      .transform(graft.core.CacheScope.disk)
+    val perBucket = toks.groupBy("__b")
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tb"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__rb"))
+    val totals = perBucket
+      .agg(sum(col("__tb")).as("__tt"), sum(col("__rb")).as("__rt"))
+    val nanoLn = (c: Column) =>
+      floor(log(c.cast("double")) * 1e9).cast("long")
+    val lam = perBucket.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (nanoLn(col("__tb") + 1L) -
+          nanoLn(col("__tt") + lit(buckets.toLong)) -
+          nanoLn(col("__rb") + 1L) +
+          nanoLn(col("__rt") + lit(buckets.toLong))).as("__lam"))
+    toks
+      .join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol), col("__tgt"))
+      .agg(count(lit(1)).as("tokens"), sum(col("__lam")).as("w_nano"))
+      .select(col(idCol), col("__tgt").cast("int").as("is_target"),
+        col("tokens"), col("w_nano"),
+        // FLOOR division (w_nano may be negative; `div` truncates
+        // toward zero, the oracle's // floors): subtract the
+        // non-negative pmod remainder, then the / is exact
+        ((col("w_nano") - pmod(col("w_nano"), col("tokens"))) /
+          col("tokens")).cast("long").as("avg_lr_nano"))
+      .orderBy(col("avg_lr_nano").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }
