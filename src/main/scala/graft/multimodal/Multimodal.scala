@@ -1566,4 +1566,53 @@ object Multimodal {
       when(col("luma_sums").isNotNull, half(0)).as("dhash_hi"),
       when(col("luma_sums").isNotNull, half(32)).as("dhash_lo"))
   }
+
+  /** ICO/CUR container decode (the favicon format crawls meet on
+    * every site root): ICONDIR header — reserved LE u16 (must be 0),
+    * type LE u16 (1 icon / 2 cursor), image count LE u16 — then one
+    * 16-byte ICONDIRENTRY per image at FIXED offsets 6+16i: width u8,
+    * height u8 (0 encodes 256 — the spec's one trap), color count,
+    * reserved, planes LE u16, bit depth LE u16, resource byte length
+    * LE u32, image data offset LE u32.
+    *
+    * Pure column expression, the TIFF/WebP discipline: entry offsets
+    * are compile-time constants (the walk is a `maxImages`-bounded
+    * unrolled array, filtered to `idx < count`), every entry is gated
+    * on its full 16 bytes being present so truncation degrades to
+    * fewer entries — never an error — and an invalid header (nonzero
+    * reserved, unknown type, zero count, < 6 bytes) nulls the whole
+    * struct. Returns
+    * `struct(format 'ico'|'cur'|null, n_images, images: array of
+    * struct(img_idx, width, height, bpp, bytes_in_res, img_offset))`.
+    */
+  def icoMeta(bin: Column, maxImages: Int = 4): Column = {
+    require(maxImages >= 1, "icoMeta: maxImages must be >= 1")
+    val len = length(bin).cast("long")
+    val reserved = leUInt(bin, 1, 2)
+    val typ = leUInt(bin, 3, 2)
+    val cnt = leUInt(bin, 5, 2)
+    val valid = len >= 6L && reserved === 0L &&
+      (typ === 1L || typ === 2L) && cnt >= 1L
+    val entries = (0 until maxImages).map { i =>
+      val base = 7 + 16 * i // 1-based
+      val present = lit(i.toLong) < cnt && len >= lit(base + 15L)
+      val raw8 = (off: Int) => leUInt(bin, off, 1)
+      when(present, struct(
+        lit(i).as("img_idx"),
+        when(raw8(base) === 0L, 256L).otherwise(raw8(base))
+          .as("width"),
+        when(raw8(base + 1) === 0L, 256L).otherwise(raw8(base + 1))
+          .as("height"),
+        leUInt(bin, base + 6, 2).as("bpp"),
+        leUInt(bin, base + 8, 4).as("bytes_in_res"),
+        leUInt(bin, base + 12, 4).as("img_offset")))
+    }
+    val images = filter(array(entries: _*), e => e.isNotNull)
+    struct(
+      when(valid, when(typ === 1L, "ico").otherwise("cur"))
+        .as("format"),
+      when(valid, cnt).as("n_images"),
+      when(valid, images)
+        .otherwise(slice(array(entries: _*), 1, 0)).as("images"))
+  }
 }

@@ -1570,4 +1570,64 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
         lit(1).as("in_support"))
     per.unionByName(total).orderBy("stratum")
   }
+
+  /** Iterative proportional fitting (IPF / raking, Deming & Stephan
+    * 1940): calibrate a sample's (row × column) cell weights so the
+    * weighted margins match caller-supplied population targets — the
+    * survey-weighting standard, and the training-data-mixture tool
+    * for "reweight my sample so source × language margins match the
+    * target recipe" next to [[graft.sampling.Sampling.mixture]].
+    * Alternating half-steps scale each row band to its row target,
+    * then each column band to its column target; the procedure
+    * converges geometrically to the max-entropy table with the
+    * required margins whenever the sample supports them.
+    *
+    * Exact micro fixed-point (the q369 iteration discipline): weights
+    * live in micro units, every half-step is
+    * `w' = (w · target · 1e6) div Σw_band` computed in DECIMAL(38,0)
+    * (petabyte band sums overflow BIGINT) and floored back to a micro
+    * long — bit-identical cross-engine, so an unrolled-CTE oracle
+    * replays the whole iteration. After the final (column) half-step
+    * the column margins are exact to one floor residue per cell; row
+    * margins carry the usual IPF iteration error.
+    *
+    * Scale shape: ONE grouped pass builds the cell table; every
+    * iteration after is cell-domain-sized (a band-keyed grouped sum +
+    * two broadcast-able margin joins per half-step), checkpointed per
+    * half-step so the plan depth stays constant. Margins must cover
+    * the sample's levels (inner joins — an uncovered level is a
+    * caller error surfaced by the cell disappearing, pinned in spec).
+    */
+  def ipfRaking(
+      sample: DataFrame, rowCol: String, colCol: String,
+      rowMargins: DataFrame, colMargins: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "ipfRaking: iters must be >= 1")
+    val cells0 = sample
+      .where(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("n_sample"))
+      .withColumn("__w", col("n_sample") * lit(1000000L))
+    val rm = broadcast(rowMargins
+      .select(col(rowCol), col("target").cast("long").as("__rt")))
+    val cm = broadcast(colMargins
+      .select(col(colCol), col("target").cast("long").as("__ct")))
+    var cells = cells0.join(rm, Seq(rowCol)).join(cm, Seq(colCol))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters; axis <- Seq(rowCol, colCol)) {
+      val t = if (axis == rowCol) "__rt" else "__ct"
+      val sums = cells.groupBy(col(axis))
+        .agg(sum(col("__w").cast("decimal(38,0)")).as("__sm"))
+      cells = cells.join(sums, Seq(axis))
+        .withColumn("__w", expr(
+          s"CAST((CAST(__w AS DECIMAL(38,0)) * $t * 1000000) " +
+            "div __sm AS BIGINT)"))
+        .drop("__sm")
+        .localCheckpoint(true)
+    }
+    cells.select(col(rowCol), col(colCol), col("n_sample"),
+      col("__w").as("w_micro"),
+      round(col("__w").cast("double") /
+        (col("n_sample").cast("double") * 1e6), 6).as("weight_ratio"))
+  }
 }

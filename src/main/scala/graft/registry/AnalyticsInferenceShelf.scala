@@ -45,9 +45,46 @@ private[graft] trait AnalyticsInferenceShelf extends AnalyticsCore {
     "q341_avg_precision" -> (avgPrecisionQ _),
     "q342_threshold_scorecard" -> (thresholdScorecardQ _),
     "q372_ipw_ate" -> (ipwAteQ _),
+    "q377_ipf_raking" -> (ipfRakingQ _),
   )
 
   private[graft] def inferenceOracleSql: Map[String, String] = Map(
+    // the q369 unrolled-iteration device: 6 generated half-step CTEs,
+    // each w' = (w·target·1e6) // Σw_band exact in HUGEINT — the
+    // engine's DECIMAL(38,0) mirror; all operands positive
+    "q377_ipf_raking" -> {
+      def half(k: Int): String = {
+        val (ax, m) = if (k % 2 == 1) ("i", "rm") else ("j", "cm")
+        s"""w$k AS (
+           SELECT w.i, w.j,
+             CAST((CAST(w.w AS HUGEINT) * m.target * 1000000)
+               // s.sm AS BIGINT) AS w
+           FROM w${k - 1} w
+           JOIN (SELECT $ax, CAST(sum(w) AS HUGEINT) AS sm
+                 FROM w${k - 1} GROUP BY 1) s ON s.$ax = w.$ax
+           JOIN $m m ON m.$ax = w.$ax)"""
+      }
+      s"""WITH base AS (
+           SELECT c_mktsegment AS i, o_orderstatus AS j,
+             o_orderkey AS k
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment IS NOT NULL
+             AND o_orderstatus IS NOT NULL),
+         rm AS (SELECT i, CAST(count(*) AS BIGINT) AS target
+                FROM base GROUP BY 1),
+         cm AS (SELECT j, CAST(count(*) AS BIGINT) AS target
+                FROM base GROUP BY 1),
+         sc AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n
+                FROM base WHERE k % 2 = 1 GROUP BY 1, 2),
+         w0 AS (SELECT i, j, n * 1000000 AS w FROM sc),
+         ${(1 to 6).map(half).mkString(",\n         ")}
+         SELECT w6.i AS c_mktsegment, w6.j AS o_orderstatus,
+           sc.n AS n_sample, w6.w AS w_micro,
+           round(CAST(w6.w AS DOUBLE)
+             / (CAST(sc.n AS DOUBLE) * 1000000.0), 6) AS weight_ratio
+         FROM w6 JOIN sc ON sc.i = w6.i AND sc.j = w6.j
+         ORDER BY 1, 2"""
+    },
     // per-stratum exact integer cells; the __ALL row's Hájek-IPW sums
     // quantize per stratum BEFORE summing (HUGEINT mirror of the
     // engine's DECIMAL(38,0) contributions); all operands positive so
@@ -1590,4 +1627,27 @@ private[graft] trait AnalyticsInferenceShelf extends AnalyticsCore {
         Seq("c_mktsegment", "o_orderstatus"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
         floor(col("o_totalprice") * 100))
+
+  /** Survey raking ([[Analytics.ipfRaking]]): calibrate the odd-key
+    * half-sample's (segment × status) weights so both margins match
+    * the FULL table's — the weighting move a panel/sample pipeline
+    * runs before any estimate, and the mixture-calibration tool for
+    * matching a training-data recipe's source × language margins.
+    * 3 full iterations; weights land near the ~2× half-sample scale
+    * with the exact-micro half-step arithmetic the oracle replays.
+    */
+  private[graft] def ipfRakingQ(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isNotNull &&
+        col("o_orderstatus").isNotNull)
+    val rm = base.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("target"))
+    val cm = base.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("target"))
+    Analytics.ipfRaking(base.where(col("o_orderkey") % 2 === 1),
+        "c_mktsegment", "o_orderstatus", rm, cm, iters = 3)
+      .orderBy("c_mktsegment", "o_orderstatus")
+  }
 }

@@ -33,7 +33,61 @@ private[graft] object MultimodalRegistry {
     "q356_warc_meta" -> (warcMetaDecode _),
     "q357_pdf_shell" -> (pdfShellDecode _),
     "q365_avif_header_decode" -> (avifHeaderDecode _),
+    "q379_ico_header_decode" -> (icoHeaderDecode _),
   )
+
+  /** ICO/CUR favicon decode ([[Multimodal.icoMeta]]): each doc_id
+    * synthesizes an ICONDIR — cursor type on every 17th id, an
+    * INVALID nonzero reserved field on every 23rd, two directory
+    * entries on every 5th, and a truncation cutting the LAST entry's
+    * bytes mid-field on every 13th (so the header and earlier
+    * entries still read; a 1-entry truncated icon yields a
+    * no-images row via explode_outer). Entry fields carry id
+    * arithmetic, width/height exercising the 0-means-256 rule
+    * whenever the id lands on a 256 boundary. Closed-form oracle.
+    */
+  private[graft] def icoHeaderDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val bad = id % 23 === 0
+    val cur = id % 17 === 0
+    val cnt = when(id % 5 === 0, 2L).otherwise(1L)
+    val trunc = id % 13 === 0
+    def leHex(v: Column, n: Int): Column = concat((0 until n).map {
+      k => lpad(hex(pmod(shiftright(v, 8 * k), lit(256L))), 2, "0")
+    }: _*)
+    def entry(i: Int): Column = concat(
+      leHex(pmod(id + 37L * i, lit(256L)), 1),
+      leHex(pmod(id * 3L + 11L * i, lit(256L)), 1),
+      lit("0000"), lit("0100"),
+      leHex(when((id + i) % 7 === 0, 8L).otherwise(32L), 2),
+      leHex(lit(1000L) + pmod(id, lit(997L)) + i, 4),
+      leHex(lit(6L) + cnt * 16L + lit(i * 1000L), 4))
+    val header = concat(
+      when(bad, lit("0100")).otherwise(lit("0000")),
+      when(cur, lit("0200")).otherwise(lit("0100")),
+      leHex(cnt, 2))
+    val full = concat(header, entry(0),
+      when(cnt === 2L, entry(1)).otherwise(lit("")))
+    // truncation keeps 2·(6+16·cnt−9) hex chars = 32·cnt − 6: the
+    // header plus all but the final 9 bytes of the LAST entry
+    val hx = when(trunc,
+      full.substr(lit(1), (lit(32L) * cnt - 6L).cast("int")))
+      .otherwise(full)
+    val m = Multimodal.icoMeta(unhex(hx), maxImages = 4)
+    docs(s, dir).select(id, m.as("__m"))
+      .select(id, col("__m.format").as("format"),
+        col("__m.n_images").as("n_images"),
+        explode_outer(col("__m.images")).as("__img"))
+      .select(id, col("format"), col("n_images"),
+        col("__img.img_idx").as("img_idx"),
+        col("__img.width").as("width"),
+        col("__img.height").as("height"),
+        col("__img.bpp").as("bpp"),
+        col("__img.bytes_in_res").as("bytes_in_res"),
+        col("__img.img_offset").as("img_offset"))
+      .orderBy("doc_id", "img_idx")
+  }
 
   /** AVIF/HEIF dimension decode ([[Multimodal.avifHeaderMeta]]):
     * each doc_id synthesizes a real ISO-BMFF layout — ftyp (avif,
@@ -523,6 +577,49 @@ private[graft] object MultimodalRegistry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // closed form of the planted ICONDIR: per-image rows for every
+    // complete entry (truncation drops the LAST entry), one
+    // null-image row for invalid headers and truncated-to-empty
+    // icons; NULLS FIRST pinned to Spark's asc null order
+    "q379_ico_header_decode" ->
+      """WITH d AS (
+           SELECT doc_id, (doc_id % 23 = 0) AS bad,
+             (doc_id % 17 = 0) AS cur,
+             CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS cnt,
+             (doc_id % 13 = 0) AS trunc
+           FROM documents),
+         imgs AS (
+           SELECT doc_id,
+             CASE WHEN cur THEN 'cur' ELSE 'ico' END AS format,
+             CAST(cnt AS BIGINT) AS n_images,
+             CAST(i AS INT) AS img_idx,
+             CAST(CASE WHEN (doc_id + 37 * i) % 256 = 0 THEN 256
+               ELSE (doc_id + 37 * i) % 256 END AS BIGINT) AS width,
+             CAST(CASE WHEN (doc_id * 3 + 11 * i) % 256 = 0 THEN 256
+               ELSE (doc_id * 3 + 11 * i) % 256 END AS BIGINT)
+               AS height,
+             CAST(CASE WHEN (doc_id + i) % 7 = 0 THEN 8 ELSE 32 END
+               AS BIGINT) AS bpp,
+             CAST(1000 + doc_id % 997 + i AS BIGINT) AS bytes_in_res,
+             CAST(6 + 16 * cnt + i * 1000 AS BIGINT) AS img_offset
+           FROM d, LATERAL (SELECT unnest(generate_series(0, cnt - 1))
+             AS i) g
+           WHERE NOT bad AND NOT (trunc AND i = cnt - 1)),
+         empty AS (
+           SELECT doc_id,
+             CASE WHEN bad THEN NULL
+               WHEN cur THEN 'cur' ELSE 'ico' END AS format,
+             CASE WHEN bad THEN NULL
+               ELSE CAST(cnt AS BIGINT) END AS n_images,
+             CAST(NULL AS INT) AS img_idx,
+             CAST(NULL AS BIGINT) AS width,
+             CAST(NULL AS BIGINT) AS height,
+             CAST(NULL AS BIGINT) AS bpp,
+             CAST(NULL AS BIGINT) AS bytes_in_res,
+             CAST(NULL AS BIGINT) AS img_offset
+           FROM d WHERE bad OR (trunc AND cnt = 1))
+         SELECT * FROM imgs UNION ALL SELECT * FROM empty
+         ORDER BY doc_id, img_idx NULLS FIRST""",
     // closed form of the zip builder's doc_id arithmetic — the hash
     // proves the from-the-end EOCD read and the data-dependent CD
     // jump (the offset moves with doc_id%7)

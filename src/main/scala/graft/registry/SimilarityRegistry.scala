@@ -49,9 +49,63 @@ private[graft] object SimilarityRegistry {
     "q78_centroid_drift" -> (labelCentroidDrift _),
     "q90_hybrid_rank_fusion" -> (hybridRankFusion _),
     "q375_grid_dbscan" -> (gridDbscanQ _),
+    "q376_knn_shapley" -> (knnShapleyQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // exact BIGINT squared-L2 over micro-quantized elements (rid
+    // tie-break); each recurrence term divides the POSITIVE 1e9
+    // magnitude first (// == div) then applies the ±1 sign; the
+    // suffix window IS the Jia et al. recurrence
+    "q376_knn_shapley" ->
+      """WITH pts AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0
+             AND label IS NOT NULL),
+         tst AS (SELECT vec_id AS tid, label AS ty, qv AS tv
+                 FROM pts WHERE vec_id % 10 = 0),
+         trn AS (SELECT vec_id AS rid, label AS ry, qv AS rv
+                 FROM pts WHERE vec_id % 10 <> 0),
+         pairs AS (
+           SELECT tid, ty, rid, ry,
+             list_sum(list_transform(range(1, len(tv) + 1),
+               i -> (tv[i] - rv[i]) * (tv[i] - rv[i]))) AS d2
+           FROM tst CROSS JOIN trn),
+         rk AS (
+           SELECT tid, ty, rid, ry,
+             row_number() OVER (PARTITION BY tid ORDER BY d2, rid)
+               AS rk,
+             count(*) OVER (PARTITION BY tid) AS nt
+           FROM pairs),
+         c AS (
+           SELECT tid, rid, rk,
+             CASE WHEN rk = nt
+               THEN (CASE WHEN ry = ty THEN 1 ELSE 0 END)
+                 * (1000000000 // nt)
+               ELSE ((CASE WHEN ry = ty THEN 1 ELSE 0 END)
+                   - (CASE WHEN lead(ry) OVER (PARTITION BY tid
+                       ORDER BY rk) = ty THEN 1 ELSE 0 END))
+                 * (1000000000 // greatest(5, rk)) END AS cterm
+           FROM rk),
+         s AS (
+           SELECT tid, rid,
+             CAST(sum(cterm) OVER (PARTITION BY tid ORDER BY rk
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS s_nano
+           FROM c),
+         agg AS (
+           SELECT rid AS vec_id, CAST(count(*) AS BIGINT) AS n_tests,
+             CAST(sum(s_nano) AS BIGINT) AS shap_sum_nano
+           FROM s GROUP BY 1)
+         SELECT vec_id, n_tests, shap_sum_nano,
+           round(CAST(shap_sum_nano AS DOUBLE)
+             / (CAST(n_tests AS DOUBLE) * 1000000000.0), 6) + 0.0
+             AS shap
+         FROM agg ORDER BY vec_id""",
     // micro-quantized coordinates, sign-correct floor-div cell ids,
     // exact BIGINT eps-ball test; components by recursive reach over
     // the (small, density-bounded) core–core edge list, labels = min
@@ -2355,6 +2409,22 @@ private[graft] object SimilarityRegistry {
     graft.similarity.DensityCluster.gridDbscan(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         dimX = 0, dimY = 1, epsMicro = 0L, minPts = 5)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  /** Exact KNN-Shapley data valuation
+    * ([[graft.similarity.DataValuation.knnShapley]]): every 10th
+    * vector plays the evaluation sample, the rest are valued at
+    * K = 5. With this table's UNLEARNABLE labels (KNN accuracy ==
+    * the 1/|labels| chance rate) the panel's honest reading is
+    * values hovering near zero — the q367-style null baseline; the
+    * spec's clustered fixture proves the discrimination (mislabeled
+    * point negative) the synthetic corpus can't show.
+    */
+  private[graft] def knnShapleyQ(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.DataValuation.knnShapley(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        testFlag = col("vec_id") % 10 === 0, k = 5)
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
 }

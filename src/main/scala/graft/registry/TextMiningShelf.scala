@@ -22,7 +22,50 @@ private[graft] trait TextMiningShelf {
     "q361_crawl_ingest_rollup" -> (crawlIngestQ _),
     "q368_robots_directives" -> (robotsQ _),
     "q370_politeness_shards" -> (politenessShardsQ _),
+    "q378_pii_audit" -> (piiAuditQ _),
   )
+
+  /** Per-source PII exposure audit: payment-card candidates (maximal
+    * 13–19 digit runs, [[graft.text.TextAnalysis.ccCandidates]])
+    * validated by the Luhn mod-10 checksum
+    * ([[graft.text.TextAnalysis.luhnValid]]), plus email and SSN
+    * pattern counts — the scrub-gate datasheet row a training-data
+    * pipeline reads before release. A valid card is planted on every
+    * 37th document and a checksum-FAILING 16-digit run on every 41st,
+    * so the candidates-vs-valid split is exercised by construction;
+    * natural digit runs in the corpus land in `cc_candidates` and
+    * are (almost always) rejected by the checksum. One scan,
+    * map-side-combinable aggregation; the Luhn fold is a codegen'd
+    * array aggregate, no UDF.
+    */
+  private[graft] def piiAuditQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val d = docs(s, dir)
+      .where(col("text").isNotNull && col("source").isNotNull)
+    val t2 = concat(col("text"),
+      when(col("doc_id") % 37 === 0, lit(" card 4532015112830366"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 41 === 0, lit(" card 1234567812345678"))
+        .otherwise(lit("")))
+    val cands = TextAnalysis.ccCandidates(t2)
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    d.select(col("source"), size(cands).as("__cn"),
+        size(filter(cands, c => TextAnalysis.luhnValid(c)))
+          .as("__ln"),
+        size(regexp_extract_all(t2, lit(emailRe), lit(0))).as("__em"),
+        size(regexp_extract_all(t2, lit(ssnRe), lit(0))).as("__sn"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__cn").cast("long")).as("cc_candidates"),
+        sum(col("__ln").cast("long")).as("cc_valid"),
+        sum(col("__em").cast("long")).as("emails"),
+        sum(col("__sn").cast("long")).as("ssns"))
+      .withColumn("cc_per_1000_docs",
+        round(col("cc_valid").cast("double") * 1000.0 /
+          col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
 
   /** Per-domain politeness shard plan — the frontier-budgeting
     * composition over the crawl shelf (q359's registrable domains +
@@ -269,6 +312,47 @@ private[graft] trait TextMiningShelf {
       topK = 25)
 
   private[graft] def miningOracleSql: Map[String, String] = Map(
+    // maximal-digit-run candidates (no lookaround — RE2-portable),
+    // the Luhn fold replayed as a list_transform over 1-based char
+    // positions with the identical (len − i) % 2 parity
+    "q378_pii_audit" ->
+      """WITH b AS (
+           SELECT source,
+             text
+               || CASE WHEN doc_id % 37 = 0
+                 THEN ' card 4532015112830366' ELSE '' END
+               || CASE WHEN doc_id % 41 = 0
+                 THEN ' card 1234567812345678' ELSE '' END AS t2
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+         c AS (
+           SELECT source,
+             list_filter(regexp_extract_all(t2, '[0-9]+'),
+               x -> length(x) BETWEEN 13 AND 19) AS cands,
+             len(regexp_extract_all(t2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS emails,
+             len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b'))
+               AS ssns
+           FROM b),
+         l AS (
+           SELECT source, len(cands) AS cand_n, emails, ssns,
+             len(list_filter(cands, s ->
+               list_sum(list_transform(range(1, length(s) + 1), i ->
+                 CASE WHEN (length(s) - i) % 2 = 1
+                   THEN CASE WHEN 2 * CAST(s[i] AS INT) > 9
+                     THEN 2 * CAST(s[i] AS INT) - 9
+                     ELSE 2 * CAST(s[i] AS INT) END
+                   ELSE CAST(s[i] AS INT) END)) % 10 = 0)) AS luhn_n
+           FROM c)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(cand_n) AS BIGINT) AS cc_candidates,
+           CAST(sum(luhn_n) AS BIGINT) AS cc_valid,
+           CAST(sum(emails) AS BIGINT) AS emails,
+           CAST(sum(ssns) AS BIGINT) AS ssns,
+           round(CAST(sum(luhn_n) AS DOUBLE) * 1000.0
+             / CAST(count(*) AS DOUBLE), 6) AS cc_per_1000_docs
+         FROM l GROUP BY 1 ORDER BY 1""",
     // closed form of the q359 host builder (subN strips, base stays);
     // snake allocation replayed with NULLS FIRST pinned to Spark's
     // asc null order; shard_load a per-shard window sum

@@ -2262,4 +2262,36 @@ object TextAnalysis {
       .orderBy(col("score_micro").desc, col("phrase").asc)
       .limit(topK)
   }
+
+  /** Payment-card candidate strings: MAXIMAL digit runs of plausible
+    * PAN length (13–19, ISO/IEC 7812). Extracting `[0-9]+` runs and
+    * filtering by length is deliberately lookaround-free — RE2 (the
+    * oracle's regex engine) has no lookbehind, and a bare
+    * `[0-9]{13,19}` would false-positive on prefixes of longer runs.
+    * Pure column expression.
+    */
+  def ccCandidates(c: Column): Column =
+    filter(regexp_extract_all(c, lit("[0-9]+"), lit(0)),
+      s => length(s).between(13, 19))
+
+  /** Luhn checksum validity (ISO/IEC 7812 mod-10) of a digit string —
+    * the check that separates real card numbers from arbitrary digit
+    * runs (exactly 1 in 10 random runs passes; see LuhnSpec's
+    * systematic family). Doubles every second digit from the RIGHT
+    * (position parity via `(len − i) % 2`, identical 1-based
+    * arithmetic in DuckDB), folds >9 back by −9, sums in one codegen'd
+    * `aggregate`. False for null/empty/sub-13-digit input.
+    */
+  def luhnValid(digits: Column): Column = {
+    val len = length(digits)
+    val total = aggregate(
+      sequence(lit(1), coalesce(len, lit(0))),
+      lit(0L),
+      (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("long")
+        acc + when(pmod(len - i, lit(2)) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    coalesce(len >= 13 && pmod(total, lit(10L)) === 0, lit(false))
+  }
 }

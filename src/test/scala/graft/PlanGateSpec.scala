@@ -175,7 +175,11 @@ class PlanGateSpec extends SparkSpec {
     // the snake-allocation rank window: a global window whose input
     // is the per-registrable-domain aggregate — bounded by the
     // domain DOMAIN (the q78/q349 reading), never the page rows
-    "q370_politeness_shards" -> 1)
+    "q370_politeness_shards" -> 1,
+    // |eval-sample| × |train| scored pairs — the q28 brute-force ANN
+    // trade; the Jia et al. recurrence needs each test point's FULLY
+    // sorted training neighborhood (at scale: ANN candidate lists)
+    "q376_knn_shapley" -> 1)
 
   test("every registry query plans free of cartesian products, " +
       "unbounded nested-loop joins, and unbounded global windows " +
