@@ -74,8 +74,14 @@ private[graft] object MultimodalRegistry {
     val hx = when(trunc,
       full.substr(lit(1), (lit(32L) * cnt - 6L).cast("int")))
       .otherwise(full)
-    val m = Multimodal.icoMeta(unhex(hx), maxImages = 4)
-    docs(s, dir).select(id, m.as("__m"))
+    // stage the assembled bytes AND the decoded struct each behind a
+    // projection (the q256/q274 "project once, extract after" rule):
+    // icoMeta reads the payload ~40 times, and the field extraction
+    // reads the struct 3+ times — inlined, the hex assembly would
+    // re-evaluate at every read
+    docs(s, dir).select(id, unhex(hx).as("__bin"))
+      .select(id, Multimodal.icoMeta(col("__bin"), maxImages = 4)
+        .as("__m"))
       .select(id, col("__m.format").as("format"),
         col("__m.n_images").as("n_images"),
         explode_outer(col("__m.images")).as("__img"))
