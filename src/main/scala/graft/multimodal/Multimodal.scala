@@ -1615,4 +1615,67 @@ object Multimodal {
       when(valid, images)
         .otherwise(slice(array(entries: _*), 1, 0)).as("images"))
   }
+
+  /** Syncsafe 28-bit unsigned int at a 1-based Column offset — ID3v2's
+    * size encoding (4 bytes of 7 bits each, high bit always clear, so
+    * a size never fakes an MPEG frame-sync 0xFF).
+    */
+  def ssUIntAt(bin: Column, off: Column): Column =
+    (0 until 4).map { i =>
+      beUIntAt(bin, off + i, 1) * lit(1L << (7 * (3 - i)))
+    }.reduce(_ + _)
+
+  /** ID3v2 tag decode (the metadata block in front of most MP3s —
+    * [[mp3FrameMeta]] reads the audio behind it): "ID3" magic,
+    * version, the ALWAYS-syncsafe header size, then a bounded walk
+    * over the first `maxFrames` frames — 4-char id, frame size
+    * (syncsafe in v2.4, plain big-endian in v2.3 — the versioned
+    * branch real decoders get wrong), 2 flag bytes, and for text
+    * frames with encoding byte 0 the Latin-1 payload.
+    *
+    * Pure column expression, the box-walk discipline: the running
+    * frame offset is a Column (each hop adds 10 + the previous
+    * frame's size), every read is length-gated, a zero/invalid frame
+    * id (padding) ends the walk, and truncation degrades to fewer
+    * frames. Returns `struct(ver_major, tag_size, frames:
+    * array<struct<frame_idx, frame_id, size, text>>)`; `text` is null
+    * for non-text encodings.
+    */
+  def id3Meta(bin: Column, maxFrames: Int = 3): Column = {
+    val len = length(bin).cast("long")
+    val valid = len >= 10L &&
+      upper(hex(substring(bin, 1, 3))) === "494433" &&
+      beUInt(bin, 4, 1).between(2L, 4L)
+    val ver = beUInt(bin, 4, 1)
+    val tagSize = ssUIntAt(bin, lit(7L))
+    def frameId(off: Column): Column = decode(
+      bin.substr(off, lit(4)), "UTF-8")
+    def frameSize(off: Column): Column =
+      when(ver === 4L, ssUIntAt(bin, off + 4L))
+        .otherwise(beUIntAt(bin, off + 4L, 4))
+    // unrolled bounded walk: offsets chain through the sizes
+    val offs = (0 until maxFrames).scanLeft(lit(11L): Column) {
+      (off, _) => off + 10L + frameSize(off)
+    }.take(maxFrames)
+    val frames = offs.zipWithIndex.map { case (off, i) =>
+      val idOk = len >= off + 9L &&
+        frameId(off).rlike("^[A-Z0-9]{4}$")
+      val size = frameSize(off)
+      val bodyOk = idOk && size >= 1L && len >= off + 9L + size
+      val isText = frameId(off).startsWith("T") &&
+        beUIntAt(bin, off + 10L, 1) === 0L
+      when(bodyOk, struct(
+        lit(i).as("frame_idx"),
+        frameId(off).as("frame_id"),
+        size.as("size"),
+        when(isText, decode(bin.substr(off + 11L, (size - 1L)
+          .cast("int")), "UTF-8")).as("text")))
+    }
+    val arr = filter(array(frames: _*), f => f.isNotNull)
+    struct(
+      when(valid, ver).as("ver_major"),
+      when(valid, tagSize).as("tag_size"),
+      when(valid, arr)
+        .otherwise(slice(array(frames: _*), 1, 0)).as("frames"))
+  }
 }

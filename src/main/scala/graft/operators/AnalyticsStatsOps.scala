@@ -2753,4 +2753,50 @@ private[graft] trait AnalyticsStatsOps { this: Analytics.type =>
         round(col("__best.__loss").cast("double") /
           (col("n").cast("double") * 1e8), 6).as("avg_loss"))
   }
+
+  /** Quantile normalization — map every group's distribution onto the
+    * POOLED distribution (the batch-effect correction standard:
+    * microarray's classic move, and a training-data pipeline's
+    * "remove per-source scale drift while preserving each source's
+    * rank order"). A row at within-group rank r (of n_g) maps to the
+    * pooled order statistic at position ⌈r·N/n_g⌉ — the exact
+    * integer-arithmetic quantile transform, no interpolation, no
+    * floats anywhere.
+    *
+    * Scale shape: both ranks come from [[rankByRange]]'s two-pass
+    * range-partitioned machinery — the within-group rank under the
+    * real group, the pooled rank under the constant `__all` group
+    * (the q158/q165/q290 shape, plan-gate pinned) — so no
+    * single-task global window ever sorts the corpus. One broadcast
+    * one-row total, group-domain size join, and ONE equi-join from
+    * target position to the pooled order-statistic frame.
+    *
+    * Requires a globally unique `tieCol` so both orders are total
+    * (ranks deterministic under value ties). Returns the input id,
+    * group, value, and `mapped` — the pooled-scale value.
+    */
+  def quantileNormalize(
+      df: DataFrame, idCol: String, groupCol: String,
+      valueCol: Column, tieCol: Column): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol),
+        valueCol.cast("long").as("value"), tieCol.as("__tb"))
+      .where(col(groupCol).isNotNull && col("value").isNotNull)
+    val ranked = rankByRange(base, Seq(groupCol),
+      Seq(col("value").asc, col("__tb").asc), "__r")
+    val sizes = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"))
+    val total = base.agg(count(lit(1)).as("__nt"))
+    val pooled = rankByRange(
+        base.select(col("value").as("__pv"), col("__tb").as("__ptb"))
+          .withColumn("__all", lit("all")),
+        Seq("__all"), Seq(col("__pv").asc, col("__ptb").asc), "__pos")
+      .select(col("__pos"), col("__pv"))
+    ranked
+      .join(sizes, Seq(groupCol))
+      .crossJoin(broadcast(total))
+      .withColumn("__pos", expr("(__r * __nt + __ng - 1) div __ng"))
+      .join(pooled, Seq("__pos"))
+      .select(col(idCol), col(groupCol), col("value"),
+        col("__pv").as("mapped"))
+  }
 }

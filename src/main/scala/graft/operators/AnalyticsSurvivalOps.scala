@@ -278,4 +278,98 @@ private[graft] trait AnalyticsSurvivalOps { this: Analytics.type =>
       round(when(ok, slope), 6).as("shape"),
       round(when(ok && slope > 0.0, scale), 4).as("scale")): _*)
   }
+
+  /** Aalen–Johansen cumulative incidence under two COMPETING risks —
+    * the estimator that replaces 1−KM when subjects can fail in more
+    * than one way (convert vs churn, dedup-drop vs quality-drop):
+    * treating cause 2 as censoring inflates cause 1's incidence;
+    * Aalen–Johansen prices each cause against the ALL-CAUSE survival,
+    * so `cif1 + cif2 + S = 1` at every step (up to float rounding).
+    *
+    *   CIF_k(tᵢ) = Σ_{j≤i} S(tⱼ₋)·d_k(tⱼ)/n(tⱼ),
+    *   S = all-cause Kaplan–Meier.
+    *
+    * Determinism: S(t−) is the q191 scalar running-product device
+    * (a left fold of the sorted survival factors, seed 1.0 —
+    * IEEE-exact against the oracle's seedless `list_reduce`), and
+    * each CIF term S(t−)·d_k/n is nano-floored ONCE and the running
+    * CIF is a cumulative sum of exact longs — order-free, so no
+    * assumption about either engine's window-sum addition order (the
+    * nelsonAalen `__h` discipline). (A single struct-accumulator
+    * fold would be tighter — but DuckDB 1.0's `list_reduce` silently
+    * corrupts struct accumulators from the third element on, so the
+    * oracle CANNOT replay it; see the probe in this op's history.)
+    *
+    * Scale shape: one grouped (group, t) count, the [[kaplanMeier]]
+    * at-risk windows, one per-group sorted factor array (guarded by
+    * `maxTimepoints` — distinct TIMES, not rows), index-sliced scalar
+    * folds, two group-partitioned running sums.
+    * `causeCol`: 0 = censored, 1 / 2 = the competing causes.
+    */
+  def aalenJohansen(
+      df: DataFrame, groupCol: String, durationCol: Column,
+      causeCol: Column, maxTimepoints: Int = 10000): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        durationCol.cast("long").as("__t"),
+        causeCol.cast("int").as("__k"))
+      .where(col("__t").isNotNull && col("__t") >= 0 &&
+        col("__k").isin(0, 1, 2))
+    val byTime = base.groupBy("__g", "__t")
+      .agg(sum(when(col("__k") === 1, 1L).otherwise(0L)).as("__d1"),
+        sum(when(col("__k") === 2, 1L).otherwise(0L)).as("__d2"),
+        sum(when(col("__k") === 0, 1L).otherwise(0L)).as("__c"))
+    val w = Window.partitionBy("__g").orderBy("__t")
+    val leave = col("__d1") + col("__d2") + col("__c")
+    val risked = byTime
+      .withColumn("__tot",
+        sum(leave).over(Window.partitionBy("__g")))
+      .withColumn("__gone", coalesce(sum(leave)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", col("__tot") - col("__gone"))
+      .withColumn("__f",
+        (col("__n") - col("__d1") - col("__d2")).cast("double") /
+          col("__n").cast("double"))
+      .withColumn("__h1",
+        col("__d1").cast("double") / col("__n").cast("double"))
+      .withColumn("__h2",
+        col("__d2").cast("double") / col("__n").cast("double"))
+    val fl = risked.groupBy(col("__g"))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__f"))))
+        .as("__fts"))
+      .withColumn("__fts",
+        when(size(col("__fts")) > maxTimepoints,
+          raise_error(lit("aalenJohansen: distinct event times per " +
+            "group exceed maxTimepoints; coarsen the duration " +
+            "granularity")).cast("array<struct<__t:bigint," +
+            "__f:double>>"))
+          .otherwise(col("__fts")))
+      .select(col("__g"),
+        transform(col("__fts"), r => r.getField("__f")).as("__fs"))
+    val wi = Window.partitionBy("__g").orderBy("__t")
+    val wCum = wi.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    risked
+      .withColumn("__i", row_number().over(wi))
+      .join(fl, Seq("__g"))
+      .withColumn("__sprev",
+        aggregate(slice(col("__fs"), lit(1), col("__i") - 1),
+          lit(1.0d), (acc, x) => acc * x))
+      .withColumn("__surv",
+        aggregate(slice(col("__fs"), lit(1), col("__i")),
+          lit(1.0d), (acc, x) => acc * x))
+      .withColumn("__t1n",
+        floor(col("__sprev") * col("__h1") * 1e9).cast("long"))
+      .withColumn("__t2n",
+        floor(col("__sprev") * col("__h2") * 1e9).cast("long"))
+      .select(col("__g").as(groupCol), col("__t").as("t"),
+        col("__n").as("n_at_risk"),
+        col("__d1").as("n_cause1"), col("__d2").as("n_cause2"),
+        col("__c").as("n_censored"),
+        round(col("__surv"), 6).as("survival"),
+        // EXACT nano units (the kaplanMeier cum_hazard_nano lesson:
+        // a nano sum / 1e9 can land exactly on a 6-decimal rounding
+        // boundary where the engines' half-up disagree by one ulp)
+        sum(col("__t1n")).over(wCum).as("cif1_nano"),
+        sum(col("__t2n")).over(wCum).as("cif2_nano"))
+  }
 }

@@ -1387,4 +1387,91 @@ object Drift {
           .as("q_sketch"))
       .select(groupCols.map(col) ++ Seq(lit(shardId).as("__shard"),
         col("n"), col("q_sketch")): _*)
+
+  /** Entropic optimal transport between two categorical distributions
+    * (Sinkhorn–Knopp, Cuturi 2013) with a caller-supplied cell cost —
+    * the drift reading the whole divergence shelf can't give: PSI/KS/
+    * χ² say "mass moved", the transport PLAN says mass moved FROM
+    * category i TO category j and prices it by the cost matrix (for
+    * ordinal categories, |i−j| makes the earth-mover reading exact).
+    * Sinkhorn is IPF ([[graft.operators.Analytics.ipfRaking]]) on the
+    * Gibbs kernel K = exp(−c/ε): alternately scale rows to P and
+    * columns to Q.
+    *
+    * Exact micro fixed-point: the ONLY transcendental is the kernel
+    * itself, quantized ONCE per cell (`floor(exp(−c/ε)·1e6)` —
+    * mirrored token-for-token); masses quantize to micro shares; each
+    * half-step is `u' = (p·1e12) div Σⱼ K·v` (resp. v'), all exact
+    * BIGINT/DECIMAL — so the oracle replays the iteration as
+    * generated CTEs and every u, v, plan cell, and the OT cost are
+    * bit-identical. Positive operands throughout (div == floor).
+    *
+    * Scale shape: two grouped scans build the marginal counts;
+    * everything after lives on the |A|×|B| cell domain (the kernel, 6
+    * half-steps of domain-sized joins, the plan/cost assembly).
+    *
+    * `src`/`dst`: (label, cnt) frames; `costOf(i, j)` must be a pure
+    * Column arithmetic over the two label columns (mirrorable in
+    * SQL). Returns per-cell rows with the transport plan in micro
+    * mass units plus the global `ot_cost_micro` (Σ plan·cost,
+    * cost-weighted micro mass).
+    */
+  def sinkhornTransport(
+      src: DataFrame, dst: DataFrame,
+      costOf: (Column, Column) => Column,
+      epsInverse: Int = 2, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "sinkhornTransport: iters must be >= 1")
+    val p = src.select(col("label").as("__i"),
+      col("cnt").cast("long").as("__pc"))
+    val q = dst.select(col("label").as("__j"),
+      col("cnt").cast("long").as("__qc"))
+    val pt = p.agg(sum(col("__pc")).as("__ptot"))
+    val qt = q.agg(sum(col("__qc")).as("__qtot"))
+    val pm = p.crossJoin(broadcast(pt))
+      .select(col("__i"), expr("(__pc * 1000000) div __ptot")
+        .as("__p"))
+    val qm = q.crossJoin(broadcast(qt))
+      .select(col("__j"), expr("(__qc * 1000000) div __qtot")
+        .as("__q"))
+    val cells = pm.crossJoin(qm)
+      .withColumn("__c", costOf(col("__i"), col("__j")).cast("long"))
+      .withColumn("__kk",
+        floor(exp(-col("__c").cast("double") * epsInverse) * 1e6)
+          .cast("long"))
+      .localCheckpoint(true)
+    var u = pm.select(col("__i"), lit(1000000L).as("__u"))
+    var v = qm.select(col("__j"), lit(1000000L).as("__v"))
+    // cells already carries __p/__q from the marginal cross — no
+    // re-join against pm/qm (it would duplicate the columns)
+    for (_ <- 1 to iters) {
+      u = cells.join(v, Seq("__j"))
+        .groupBy(col("__i"), col("__p"))
+        .agg(sum(col("__kk").cast("decimal(38,0)") * col("__v"))
+          .as("__kv"))
+        .select(col("__i"), expr(
+          "CAST((CAST(__p AS DECIMAL(38,0)) * 1000000000000) " +
+            "div __kv AS BIGINT)").as("__u"))
+        .localCheckpoint(true)
+      v = cells.join(u, Seq("__i"))
+        .groupBy(col("__j"), col("__q"))
+        .agg(sum(col("__kk").cast("decimal(38,0)") * col("__u"))
+          .as("__ku"))
+        .select(col("__j"), expr(
+          "CAST((CAST(__q AS DECIMAL(38,0)) * 1000000000000) " +
+            "div __ku AS BIGINT)").as("__v"))
+        .localCheckpoint(true)
+    }
+    val plan = cells.join(u, Seq("__i")).join(v, Seq("__j"))
+      .withColumn("__plan", expr(
+        "((CAST(__u AS DECIMAL(38,0)) * __kk div 1000000) * __v) " +
+          "div 1000000"))
+      .withColumn("__pc2",
+        (col("__plan") * col("__c")).cast("decimal(38,0)"))
+    val total = plan.agg(sum(col("__pc2")).as("__tc"))
+    plan.crossJoin(broadcast(total))
+      .select(col("__i").as("src_label"), col("__j").as("dst_label"),
+        col("__c").as("cost"),
+        col("__plan").cast("long").as("plan_micro"),
+        expr("CAST(__tc AS BIGINT)").as("ot_cost_micro"))
+  }
 }

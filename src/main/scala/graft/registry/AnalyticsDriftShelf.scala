@@ -20,6 +20,7 @@ import graft.registry.RegistryBase._
 private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
 
   private[graft] def driftQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q380_sinkhorn_transport" -> (sinkhornQ _),
     "q164_ks_drift" -> (ksDriftQ _),
     "q201_permutation_test" -> (permutationTestQ _),
     "q237_value_mw_drift" -> (mwDriftQ _),
@@ -39,6 +40,68 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
   )
 
   private[graft] def driftOracleSql: Map[String, String] = Map(
+    // the kernel is the ONLY transcendental, quantized once per cell;
+    // u/v half-steps replayed as generated CTEs (the q369/q377
+    // device) — (mass·1e12) // Σ K·v exact in HUGEINT throughout
+    "q380_sinkhorn_transport" -> {
+      def uStep(k: Int): String =
+        s"""u$k AS (
+           SELECT cells.i,
+             CAST((CAST(pm.p AS HUGEINT) * 1000000000000)
+               // sum(CAST(kk AS HUGEINT) * v${k - 1}.v) AS BIGINT)
+               AS u
+           FROM cells JOIN v${k - 1} USING (j)
+           JOIN pm ON pm.i = cells.i
+           GROUP BY cells.i, pm.p)"""
+      def vStep(k: Int): String =
+        s"""v$k AS (
+           SELECT cells.j,
+             CAST((CAST(qm.q AS HUGEINT) * 1000000000000)
+               // sum(CAST(kk AS HUGEINT) * u$k.u) AS BIGINT) AS v
+           FROM cells JOIN u$k USING (i)
+           JOIN qm ON qm.j = cells.j
+           GROUP BY cells.j, qm.q)"""
+      s"""WITH o AS (
+           SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE)
+             AS d
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL
+             AND o_orderdate IS NOT NULL),
+         pc AS (SELECT pr AS i, CAST(count(*) AS BIGINT) AS c
+                FROM o WHERE d < DATE '1995-06-01' GROUP BY 1),
+         qc AS (SELECT pr AS j, CAST(count(*) AS BIGINT) AS c
+                FROM o WHERE d >= DATE '1995-06-01' GROUP BY 1),
+         pt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM pc),
+         qt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM qc),
+         pm AS (SELECT i, (c * 1000000) // t AS p
+                FROM pc CROSS JOIN pt),
+         qm AS (SELECT j, (c * 1000000) // t AS q
+                FROM qc CROSS JOIN qt),
+         cc AS (
+           SELECT i, j,
+             abs(CAST(substr(i, 1, 1) AS BIGINT)
+               - CAST(substr(j, 1, 1) AS BIGINT)) AS c
+           FROM pm CROSS JOIN qm),
+         cells AS (
+           SELECT i, j, c,
+             CAST(floor(exp(-CAST(c AS DOUBLE) * 2) * 1000000.0)
+               AS BIGINT) AS kk
+           FROM cc),
+         v0 AS (SELECT j, CAST(1000000 AS BIGINT) AS v FROM qm),
+         ${(1 to 3).map(k => uStep(k) + ",\n         " + vStep(k))
+          .mkString(",\n         ")},
+         plan AS (
+           SELECT cells.i, cells.j, cells.c,
+             ((CAST(u3.u AS HUGEINT) * kk // 1000000) * v3.v)
+               // 1000000 AS pl
+           FROM cells JOIN u3 ON u3.i = cells.i
+           JOIN v3 ON v3.j = cells.j),
+         tot AS (SELECT sum(pl * c) AS tc FROM plan)
+         SELECT i AS src_label, j AS dst_label, c AS cost,
+           CAST(pl AS BIGINT) AS plan_micro,
+           CAST(tc AS BIGINT) AS ot_cost_micro
+         FROM plan CROSS JOIN tot ORDER BY 1, 2"""
+    },
     // MW-U replay: per-distinct-value counts -> half-unit average
     // ranks via the cumulative window -> exact BIGINT rank sum and
     // HUGEINT tie cubes -> the one double formula, op order mirrored
@@ -1656,5 +1719,27 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
       .withColumnRenamed("w1", "w1_cents")
       .withColumn("drifted", col("drifted").cast("int"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Entropic optimal transport ([[Drift.sinkhornTransport]]) between
+    * the priority-class mix of pre- and post-1995-06 orders, ordinal
+    * cost |i−j| over the class digits — the WHERE-did-the-mass-move
+    * plan beside q338's 1-D Wasserstein: near-uniform mixes transport
+    * almost everything on the diagonal (cost 0) and `ot_cost_micro`
+    * reads ≈ the earth-mover distance in micro mass·class units.
+    */
+  private[graft] def sinkhornQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .where(col("o_orderpriority").isNotNull &&
+        col("o_orderdate").isNotNull)
+    def marg(cond: Column) = o.where(cond)
+      .groupBy(col("o_orderpriority").as("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val half = to_date(col("o_orderdate")) < lit("1995-06-01")
+    graft.quality.Drift.sinkhornTransport(
+        marg(half), marg(!half),
+        (i, j) => abs(substring(i, 1, 1).cast("long") -
+          substring(j, 1, 1).cast("long")))
+      .orderBy("src_label", "dst_label")
   }
 }

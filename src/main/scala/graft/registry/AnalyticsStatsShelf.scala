@@ -56,6 +56,7 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
     "q319_jonckheere" -> (jonckheereQ _),
     "q373_quantile_reg" -> (quantileRegQ _),
     "q374_hill_tail" -> (hillTailQ _),
+    "q382_quantile_norm" -> (quantileNormQ _),
   )
 
   /** The engine's pinned Bonferroni z critical values as a DuckDB
@@ -75,6 +76,32 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
       .map { case (d, v) => s"WHEN $d THEN $v" }.mkString(" ") + " END"
 
   private[graft] def statsOracleSql: Map[String, String] = Map(
+    // exact integer quantile transform: within-group rank r of n_g
+    // maps to the pooled order statistic at ⌈r·N/n_g⌉ — all ranks
+    // total orders (value, key), all arithmetic BIGINT
+    "q382_quantile_norm" ->
+      """WITH b AS (
+           SELECT o_orderkey AS k, c_mktsegment AS g,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_totalprice IS NOT NULL
+             AND c_mktsegment IS NOT NULL),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY g
+             ORDER BY v, k) AS BIGINT) AS rr
+           FROM b),
+         s AS (SELECT g, CAST(count(*) AS BIGINT) AS ng
+               FROM b GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM b),
+         p AS (
+           SELECT CAST(row_number() OVER (ORDER BY v, k) AS BIGINT)
+             AS pos, v AS pv
+           FROM b)
+         SELECT r.k AS o_orderkey, r.g AS c_mktsegment,
+           r.v AS value, p.pv AS mapped
+         FROM r JOIN s USING (g) CROSS JOIN t
+         JOIN p ON p.pos = (r.rr * t.nt + s.ng - 1) // s.ng
+         ORDER BY o_orderkey""",
     // residuals y·1e6 − b·x are exact BIGINTs (and strictly positive
     // at this data — min price cents·1e6 dominates |slope|·max days —
     // so // == div everywhere); intercept = the ⌈τn⌉-th smallest
@@ -2116,4 +2143,23 @@ private[graft] trait AnalyticsStatsShelf extends AnalyticsCore {
         "o_orderpriority", floor(col("o_totalprice") * 100),
         col("o_orderkey"), m = 100)
       .orderBy("o_orderpriority")
+
+  /** Quantile normalization ([[Analytics.quantileNormalize]]) of
+    * order values onto the pooled all-segment distribution — the
+    * batch-effect correction standard, ranked with [[Analytics
+    * .rankByRange]] on both legs (the pooled leg under the constant
+    * `__all` group, plan-gate pinned) so no single-task window ever
+    * sorts the corpus.
+    */
+  private[graft] def quantileNormQ(
+      s: SparkSession, dir: String): DataFrame =
+    Analytics.quantileNormalize(
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .where(col("o_totalprice").isNotNull &&
+            col("c_mktsegment").isNotNull),
+        "o_orderkey", "c_mktsegment",
+        floor(col("o_totalprice") * 100), col("o_orderkey"))
+      .orderBy("o_orderkey")
 }

@@ -21,7 +21,47 @@ private[graft] trait AnalyticsSurvivalShelf extends AnalyticsCore {
     "q333_mood_median" -> (moodMedianQ _),
     "q334_power_analysis" -> (powerAnalysisQ _),
     "q347_weibull_fit" -> (weibullFitQ _),
+    "q381_aalen_johansen" -> (aalenJohansenQ _),
   )
+
+  /** Aalen–Johansen competing-risks incidence
+    * ([[Analytics.aalenJohansen]]): per user, time from first event
+    * to whichever of PURCHASE (cause 1) or ERROR (cause 2) strikes
+    * first — same-day ties resolve to purchase — censored at the
+    * global horizon otherwise; cohorts = user-id parity. cif1 + cif2
+    * + survival ≡ 1 at every step; treating errors as mere censoring
+    * (the 1−KM mistake) would overstate purchase incidence exactly
+    * where the error hazard is high.
+    */
+  private[graft] def aalenJohansenQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("__d"),
+        col("event_type"))
+    val perUser = e.groupBy("user_id")
+      .agg(min(col("__d")).as("__f"),
+        min(when(col("event_type") === "purchase", col("__d")))
+          .as("__fp"),
+        min(when(col("event_type") === "error", col("__d")))
+          .as("__fe"))
+    val horizon = e.agg(max(col("__d")).as("__mx"))
+    val subj = perUser.crossJoin(broadcast(horizon))
+      .select((col("user_id") % 2).cast("int").as("cohort"),
+        when(col("__fp").isNotNull &&
+            (col("__fe").isNull || col("__fp") <= col("__fe")),
+          datediff(col("__fp"), col("__f")))
+          .when(col("__fe").isNotNull,
+            datediff(col("__fe"), col("__f")))
+          .otherwise(datediff(col("__mx"), col("__f"))).as("t"),
+        when(col("__fp").isNotNull &&
+            (col("__fe").isNull || col("__fp") <= col("__fe")), 1)
+          .when(col("__fe").isNotNull, 2)
+          .otherwise(0).as("cause"))
+    Analytics.aalenJohansen(subj, "cohort", col("t"), col("cause"))
+      .orderBy("cohort", "t")
+  }
 
   /** Weibull median-rank fit ([[Analytics.weibullFit]]) of the
     * order-to-ship delay (days + 1) per order priority — is
@@ -147,6 +187,78 @@ private[graft] trait AnalyticsSurvivalShelf extends AnalyticsCore {
   }
 
   private[graft] def survivalOracleSql: Map[String, String] = Map(
+    // the q191 scalar running-product device for S(t−) (DuckDB 1.0's
+    // list_reduce corrupts STRUCT accumulators from the 3rd element —
+    // so survival and the CIFs decompose into scalar folds); each CIF
+    // term nano-floored once, cumulated as exact longs (order-free)
+    "q381_aalen_johansen" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, event_type
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+         pu AS (
+           SELECT user_id, min(d) AS f,
+             min(CASE WHEN event_type = 'purchase' THEN d END) AS fp,
+             min(CASE WHEN event_type = 'error' THEN d END) AS fe
+           FROM e GROUP BY 1),
+         mx AS (SELECT max(d) AS mx FROM e),
+         subj AS (
+           SELECT CAST(user_id % 2 AS INT) AS g,
+             CASE WHEN fp IS NOT NULL
+                 AND (fe IS NULL OR fp <= fe)
+               THEN date_diff('day', f, fp)
+               WHEN fe IS NOT NULL THEN date_diff('day', f, fe)
+               ELSE date_diff('day', f, mx) END AS t,
+             CASE WHEN fp IS NOT NULL
+                 AND (fe IS NULL OR fp <= fe) THEN 1
+               WHEN fe IS NOT NULL THEN 2 ELSE 0 END AS k
+           FROM pu CROSS JOIN mx),
+         bt AS (
+           SELECT g, t,
+             CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d2,
+             CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+           FROM subj GROUP BY 1, 2),
+         rk AS (
+           SELECT g, t, d1, d2, c,
+             CAST(sum(d1 + d2 + c) OVER (PARTITION BY g) AS BIGINT)
+               - CAST(coalesce(sum(d1 + d2 + c) OVER (PARTITION BY g
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n
+           FROM bt),
+         fl AS (
+           SELECT g, list(CAST(n - d1 - d2 AS DOUBLE)
+             / CAST(n AS DOUBLE) ORDER BY t) AS fs
+           FROM rk GROUP BY g),
+         rn AS (
+           SELECT rk.*, CAST(row_number() OVER (PARTITION BY g
+             ORDER BY t) AS INT) AS i
+           FROM rk),
+         terms AS (
+           SELECT rn.g, rn.t, rn.n, rn.d1, rn.d2, rn.c,
+             list_reduce(fl.fs[1:rn.i], (x, y) -> x * y) AS surv,
+             CASE WHEN rn.i = 1 THEN CAST(1.0 AS DOUBLE)
+               ELSE list_reduce(fl.fs[1:rn.i - 1], (x, y) -> x * y)
+               END AS sprev
+           FROM rn JOIN fl USING (g))
+         SELECT g AS cohort, t, n AS n_at_risk, d1 AS n_cause1,
+           d2 AS n_cause2, c AS n_censored,
+           round(surv, 6) AS survival,
+           CAST(sum(CAST(floor(sprev
+               * (CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0) AS BIGINT))
+             OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cif1_nano,
+           CAST(sum(CAST(floor(sprev
+               * (CAST(d2 AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0) AS BIGINT))
+             OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cif2_nano
+         FROM terms ORDER BY cohort, t""",
     // the q191 churn CTE split by balance sign; E1/V increments
     // nano-floored before the stratum sums, one double chi2 at the end
     "q329_log_rank" ->

@@ -34,7 +34,63 @@ private[graft] object MultimodalRegistry {
     "q357_pdf_shell" -> (pdfShellDecode _),
     "q365_avif_header_decode" -> (avifHeaderDecode _),
     "q379_ico_header_decode" -> (icoHeaderDecode _),
+    "q383_id3_tag_decode" -> (id3TagDecode _),
   )
+
+  /** ID3v2 tag decode ([[Multimodal.id3Meta]]): each doc_id plants a
+    * 3-frame tag — TIT2/TPE1/TALB Latin-1 text frames with id
+    * arithmetic in the payloads. Every 29th id is v2.4, whose TIT2
+    * text is right-padded to 130 chars so its SYNCSAFE frame size
+    * (0x00000103) genuinely differs from the v2.3 big-endian
+    * encoding — the versioned size branch is load-bearing, not
+    * decorative. Every 11th id truncates 5 bytes into the second
+    * frame (first frame survives, the walk stops); every 19th is not
+    * an ID3 stream at all. Closed-form oracle.
+    */
+  private[graft] def id3TagDecode(
+      s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val bad = id % 19 === 0
+    val v4 = id % 29 === 0
+    val trunc = id % 11 === 0
+    def beHex(v: Column): Column = lpad(hex(v), 8, "0")
+    def ssHex(v: Column): Column = concat((3 to 0 by -1).map { k =>
+      lpad(hex(pmod(shiftright(v, 7 * k), lit(128L))), 2, "0")
+    }: _*)
+    val t1 = when(v4, rpad(concat(lit("trk"), id.cast("string")),
+      130, "x")).otherwise(concat(lit("trk"), id.cast("string")))
+    val t2 = concat(lit("artist"), (id % 50).cast("string"))
+    val t3 = concat(lit("alb"), (id % 20).cast("string"))
+    def sz(t: Column): Column = length(t).cast("long") + 1L
+    def szHex(t: Column): Column =
+      when(v4, ssHex(sz(t))).otherwise(beHex(sz(t)))
+    def frame(fid: String, t: Column): Column = concat(
+      lit(fid.map(c => f"${c.toInt}%02X").mkString), szHex(t),
+      lit("0000"), lit("00"), hex(t))
+    val framesLen = sz(t1) + sz(t2) + sz(t3) + 30L
+    val header = concat(lit("494433"),
+      when(v4, lit("04")).otherwise(lit("03")), lit("00"), lit("00"),
+      ssHex(framesLen))
+    val full = concat(header,
+      frame("TIT2", t1), frame("TPE1", t2), frame("TALB", t3))
+    val bodyHex = when(bad, lit("4D5033206E6F742049443321"))
+      .otherwise(when(trunc,
+        // 10-byte header + full first frame + 5 bytes of the second
+        full.substr(lit(1), ((lit(25L) + sz(t1)) * 2L).cast("int")))
+        .otherwise(full))
+    docs(s, dir).select(id, unhex(bodyHex).as("__bin"))
+      .select(id, Multimodal.id3Meta(col("__bin"), maxFrames = 3)
+        .as("__m"))
+      .select(id, col("__m.ver_major").as("ver_major"),
+        col("__m.tag_size").as("tag_size"),
+        explode_outer(col("__m.frames")).as("__f"))
+      .select(id, col("ver_major"), col("tag_size"),
+        col("__f.frame_idx").as("frame_idx"),
+        col("__f.frame_id").as("frame_id"),
+        col("__f.size").as("size"),
+        col("__f.text").as("text"))
+      .orderBy("doc_id", "frame_idx")
+  }
 
   /** ICO/CUR favicon decode ([[Multimodal.icoMeta]]): each doc_id
     * synthesizes an ICONDIR — cursor type on every 17th id, an
@@ -583,6 +639,52 @@ private[graft] object MultimodalRegistry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // closed form of the planted ID3 tag: truncation keeps frame 0
+    // only; the v2.4/v2.3 size-encoding difference is invisible here
+    // BECAUSE the decode normalizes it — the engine reads syncsafe
+    // vs big-endian bytes and lands on the same integers
+    "q383_id3_tag_decode" ->
+      """WITH d AS (
+           SELECT doc_id, (doc_id % 19 = 0) AS bad,
+             (doc_id % 29 = 0) AS v4, (doc_id % 11 = 0) AS trunc
+           FROM documents),
+         tx AS (
+           SELECT *,
+             CASE WHEN v4
+               THEN rpad('trk' || CAST(doc_id AS VARCHAR), 130, 'x')
+               ELSE 'trk' || CAST(doc_id AS VARCHAR) END AS t1,
+             'artist' || CAST(doc_id % 50 AS VARCHAR) AS t2,
+             'alb' || CAST(doc_id % 20 AS VARCHAR) AS t3
+           FROM d),
+         sz AS (
+           SELECT *, length(t1) + 1 AS s1, length(t2) + 1 AS s2,
+             length(t3) + 1 AS s3
+           FROM tx),
+         frames AS (
+           SELECT doc_id,
+             CAST(CASE WHEN v4 THEN 4 ELSE 3 END AS BIGINT)
+               AS ver_major,
+             CAST(s1 + s2 + s3 + 30 AS BIGINT) AS tag_size,
+             CAST(i AS INT) AS frame_idx,
+             CASE i WHEN 0 THEN 'TIT2' WHEN 1 THEN 'TPE1'
+               ELSE 'TALB' END AS frame_id,
+             CAST(CASE i WHEN 0 THEN s1 WHEN 1 THEN s2 ELSE s3 END
+               AS BIGINT) AS size,
+             CASE i WHEN 0 THEN t1 WHEN 1 THEN t2 ELSE t3 END
+               AS text
+           FROM sz, LATERAL (SELECT unnest(generate_series(0,
+             CASE WHEN trunc THEN 0 ELSE 2 END)) AS i) g
+           WHERE NOT bad),
+         empty AS (
+           SELECT doc_id, CAST(NULL AS BIGINT) AS ver_major,
+             CAST(NULL AS BIGINT) AS tag_size,
+             CAST(NULL AS INT) AS frame_idx,
+             CAST(NULL AS VARCHAR) AS frame_id,
+             CAST(NULL AS BIGINT) AS size,
+             CAST(NULL AS VARCHAR) AS text
+           FROM d WHERE bad)
+         SELECT * FROM frames UNION ALL SELECT * FROM empty
+         ORDER BY doc_id, frame_idx NULLS FIRST""",
     // closed form of the planted ICONDIR: per-image rows for every
     // complete entry (truncation drops the LAST entry), one
     // null-image row for invalid headers and truncated-to-empty
