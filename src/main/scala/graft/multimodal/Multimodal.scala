@@ -1626,56 +1626,76 @@ object Multimodal {
     }.reduce(_ + _)
 
   /** ID3v2 tag decode (the metadata block in front of most MP3s —
-    * [[mp3FrameMeta]] reads the audio behind it): "ID3" magic,
-    * version, the ALWAYS-syncsafe header size, then a bounded walk
-    * over the first `maxFrames` frames — 4-char id, frame size
-    * (syncsafe in v2.4, plain big-endian in v2.3 — the versioned
-    * branch real decoders get wrong), 2 flag bytes, and for text
-    * frames with encoding byte 0 the Latin-1 payload.
+    * the audio sits behind it): "ID3" magic, version, the
+    * ALWAYS-syncsafe header size, then a bounded walk over the first
+    * `maxFrames` frames — 4-char id, frame size (syncsafe in v2.4,
+    * plain big-endian in v2.3 — the versioned branch real decoders
+    * get wrong), 2 flag bytes, and for text frames with encoding
+    * byte 0 the Latin-1 payload.
     *
-    * Pure column expression, the box-walk discipline: the running
-    * frame offset is a Column (each hop adds 10 + the previous
-    * frame's size), every read is length-gated, a zero/invalid frame
-    * id (padding) ends the walk, and truncation degrades to fewer
-    * frames. Returns `struct(ver_major, tag_size, frames:
-    * array<struct<frame_idx, frame_id, size, text>>)`; `text` is null
-    * for non-text encodings.
+    * DataFrame-level on purpose: each hop's offset and size are
+    * STAGED as named columns (referenced many times downstream, so
+    * CollapseProject keeps the projections), where a pure-Column
+    * unrolled walk would re-embed every previous hop's tree in every
+    * read — the expression blow-up that shipped q383's first cut
+    * with 3.6 MiB task binaries and a flat ~4 s of per-plan codegen.
+    * Every read is length-gated; a padding/garbage frame id ends the
+    * walk; truncation degrades to fewer frames.
+    *
+    * Adds `ver_major`, `tag_size`, and `frames:
+    * array<struct<frame_idx, frame_id, size, text>>` to `df`
+    * (temporary `__id3_*` columns dropped); `text` is null for
+    * non-text encodings; invalid headers null ver/size and empty the
+    * array.
     */
-  def id3Meta(bin: Column, maxFrames: Int = 3): Column = {
+  def id3Frames(
+      df: DataFrame, binCol: String, maxFrames: Int = 3): DataFrame = {
+    require(maxFrames >= 1, "id3Frames: maxFrames must be >= 1")
+    val bin = col(binCol)
     val len = length(bin).cast("long")
+    val ver = beUInt(bin, 4, 1)
     val valid = len >= 10L &&
       upper(hex(substring(bin, 1, 3))) === "494433" &&
-      beUInt(bin, 4, 1).between(2L, 4L)
-    val ver = beUInt(bin, 4, 1)
-    val tagSize = ssUIntAt(bin, lit(7L))
+      ver.between(2L, 4L)
     def frameId(off: Column): Column = decode(
       bin.substr(off, lit(4)), "UTF-8")
-    def frameSize(off: Column): Column =
-      when(ver === 4L, ssUIntAt(bin, off + 4L))
-        .otherwise(beUIntAt(bin, off + 4L, 4))
-    // unrolled bounded walk: offsets chain through the sizes
-    val offs = (0 until maxFrames).scanLeft(lit(11L): Column) {
-      (off, _) => off + 10L + frameSize(off)
-    }.take(maxFrames)
-    val frames = offs.zipWithIndex.map { case (off, i) =>
+    var out = df
+      .withColumn("__id3_ver", when(valid, ver))
+      .withColumn("__id3_ts", when(valid, ssUIntAt(bin, lit(7L))))
+      .withColumn("__id3_off_0", lit(11L))
+    for (i <- 0 until maxFrames) {
+      val off = col(s"__id3_off_$i")
+      out = out
+        .withColumn(s"__id3_sz_$i",
+          when(col("__id3_ver") === 4L, ssUIntAt(bin, off + 4L))
+            .otherwise(beUIntAt(bin, off + 4L, 4)))
+      val size = col(s"__id3_sz_$i")
       val idOk = len >= off + 9L &&
         frameId(off).rlike("^[A-Z0-9]{4}$")
-      val size = frameSize(off)
       val bodyOk = idOk && size >= 1L && len >= off + 9L + size
       val isText = frameId(off).startsWith("T") &&
         beUIntAt(bin, off + 10L, 1) === 0L
-      when(bodyOk, struct(
-        lit(i).as("frame_idx"),
-        frameId(off).as("frame_id"),
-        size.as("size"),
-        when(isText, decode(bin.substr(off + 11L, (size - 1L)
-          .cast("int")), "UTF-8")).as("text")))
+      out = out
+        .withColumn(s"__id3_fr_$i", when(bodyOk, struct(
+          lit(i).as("frame_idx"),
+          frameId(off).as("frame_id"),
+          size.as("size"),
+          when(isText, decode(bin.substr(off + 11L,
+            (size - 1L).cast("int")), "UTF-8")).as("text"))))
+        .withColumn(s"__id3_off_${i + 1}", off + 10L + size)
     }
-    val arr = filter(array(frames: _*), f => f.isNotNull)
-    struct(
-      when(valid, ver).as("ver_major"),
-      when(valid, tagSize).as("tag_size"),
-      when(valid, arr)
-        .otherwise(slice(array(frames: _*), 1, 0)).as("frames"))
+    val frames = (0 until maxFrames).map(i => col(s"__id3_fr_$i"))
+    val temps = Seq("__id3_ver", "__id3_ts") ++
+      (0 to maxFrames).map(i => s"__id3_off_$i") ++
+      (0 until maxFrames).flatMap(i =>
+        Seq(s"__id3_sz_$i", s"__id3_fr_$i"))
+    out
+      .withColumn("ver_major", col("__id3_ver"))
+      .withColumn("tag_size", col("__id3_ts"))
+      .withColumn("frames",
+        when(col("__id3_ver").isNotNull,
+          filter(array(frames: _*), f => f.isNotNull))
+          .otherwise(slice(array(frames: _*), 1, 0)))
+      .drop(temps: _*)
   }
 }

@@ -78,12 +78,11 @@ private[graft] object MultimodalRegistry {
         // 10-byte header + full first frame + 5 bytes of the second
         full.substr(lit(1), ((lit(25L) + sz(t1)) * 2L).cast("int")))
         .otherwise(full))
-    docs(s, dir).select(id, unhex(bodyHex).as("__bin"))
-      .select(id, Multimodal.id3Meta(col("__bin"), maxFrames = 3)
-        .as("__m"))
-      .select(id, col("__m.ver_major").as("ver_major"),
-        col("__m.tag_size").as("tag_size"),
-        explode_outer(col("__m.frames")).as("__f"))
+    Multimodal.id3Frames(
+        docs(s, dir).select(id, unhex(bodyHex).as("__bin")), "__bin",
+        maxFrames = 3)
+      .select(id, col("ver_major"), col("tag_size"),
+        explode_outer(col("frames")).as("__f"))
       .select(id, col("ver_major"), col("tag_size"),
         col("__f.frame_idx").as("frame_idx"),
         col("__f.frame_id").as("frame_id"),

@@ -38,9 +38,10 @@ class Id3Spec extends SparkSpec {
     val frame = df(
       StructType(Seq(StructField("hx", StringType))),
       hexes.map(Row(_)))
-    frame.select(Multimodal.id3Meta(unhex(col("hx")), 3).as("m"))
-      .select(col("m.ver_major").as("ver"),
-        col("m.tag_size").as("ts"), col("m.frames").as("fs"))
+    Multimodal.id3Frames(
+        frame.select(unhex(col("hx")).as("bin")), "bin", 3)
+      .select(col("ver_major").as("ver"),
+        col("tag_size").as("ts"), col("frames").as("fs"))
       .collect()
   }
 
