@@ -372,4 +372,111 @@ private[graft] trait AnalyticsSurvivalOps { this: Analytics.type =>
         sum(col("__t1n")).over(wCum).as("cif1_nano"),
         sum(col("__t2n")).over(wCum).as("cif2_nano"))
   }
+
+  /** Cox proportional-hazards fit (single covariate, Breslow ties,
+    * TWO Newton–Raphson steps from β = 0) — THE survival regression:
+    * how does the hazard scale per unit of x, as a multiplicative
+    * hazard ratio e^β, without choosing a baseline hazard shape
+    * (Weibull q347 must; Cox doesn't). Two steps from 0 carry Newton
+    * within O((Δ)³) of the optimum for the near-quadratic partial
+    * likelihoods real covariates give — and the fit is the
+    * DOCUMENTED contract (the q275 trainer discipline: the iteration
+    * count is part of the estimator's definition, replayed exactly
+    * by the oracle).
+    *
+    * Breslow partial-likelihood derivatives at β:
+    *   grad = Σ_events x_i − Σ_times d_t·(S1/S0)
+    *   hess = Σ_times d_t·(S2/S0 − (S1/S0)²),
+    *   S_k(t) = Σ_{t_j ≥ t} x_j^k·e^{βx_j}.
+    *
+    * Exactness: x is an exact MILLI integer; per-row e^{βx}·x^k
+    * terms are nano-floored ONCE (every float op mirrored
+    * token-for-token, so the floored longs are identical
+    * cross-engine); S_k are
+    * suffix sums of exact longs over the per-distinct-time frame;
+    * each time's grad/hess contribution is ONE mirrored double chain
+    * floored to nano; β quantizes to nano between steps so step 2
+    * evaluates e^{βx} from the identical double on both engines.
+    *
+    * Scale shape: one grouped (group, time) pass, two suffix windows
+    * over distinct-time rows, group-domain joins carrying β — the
+    * corpus is scanned once per Newton step. Groups are independent
+    * fits.
+    */
+  def coxPh(
+      df: DataFrame, groupCol: String, durationCol: Column,
+      eventCol: Column, xMilli: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"),
+        xMilli.cast("long").as("__x"))
+      .where(col("__t").isNotNull && col("__t") >= 0 &&
+        col("__x").isNotNull)
+      .transform(graft.core.CacheScope.disk)
+    val wSuf = Window.partitionBy("__g").orderBy("__t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    /** (grad_nano, hess_nano) per group at the given β column
+      * (joined on __g; pass a lit-0.0 frame for step 0).
+      */
+    def derivs(beta: DataFrame, tag: String): DataFrame = {
+      val x = col("__x").cast("double") / 1000.0
+      val w = exp(col("__b") * x)
+      val rows = base.join(beta, Seq("__g"))
+        .withColumn("__wn", floor(w * 1e9).cast("long"))
+        .withColumn("__xwn", floor(x * w * 1e9).cast("long"))
+        .withColumn("__x2wn", floor(x * x * w * 1e9).cast("long"))
+      val byTime = rows.groupBy("__g", "__t")
+        .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+          sum(when(col("__e"), col("__x")).otherwise(0L)).as("__sxe"),
+          sum(col("__wn")).as("__w0"), sum(col("__xwn")).as("__w1"),
+          sum(col("__x2wn")).as("__w2"))
+      val suf = byTime
+        .withColumn("__s0", sum(col("__w0")).over(wSuf))
+        .withColumn("__s1", sum(col("__w1")).over(wSuf))
+        .withColumn("__s2", sum(col("__w2")).over(wSuf))
+      val r1 = col("__s1").cast("double") / col("__s0").cast("double")
+      val r2 = col("__s2").cast("double") / col("__s0").cast("double")
+      suf.groupBy("__g")
+        .agg(
+          sum(col("__sxe")).as("__sxev"),
+          sum(when(col("__d") > 0L,
+            floor(col("__d").cast("double") * r1 * 1e9).cast("long"))
+            .otherwise(0L)).as("__gsub"),
+          sum(when(col("__d") > 0L,
+            floor(col("__d").cast("double") * (r2 - r1 * r1) * 1e9)
+              .cast("long")).otherwise(0L)).as("__h"),
+          sum(col("__d")).as("__nev"))
+        .select(col("__g"),
+          (col("__sxev") * lit(1000000L) - col("__gsub"))
+            .as(s"__g$tag"),
+          col("__h").as(s"__h$tag"), col("__nev"))
+    }
+
+    val b0 = base.select(col("__g")).distinct()
+      .withColumn("__b", lit(0.0d))
+    val d0 = derivs(b0, "0")
+    // β₁ = grad₀/hess₀, nano-quantized so step 2's e^{βx} is the
+    // identical double on both engines
+    val b1 = d0.select(col("__g"),
+      when(col("__h0") > 0L,
+        floor(col("__g0").cast("double") / col("__h0").cast("double")
+          * 1e9).cast("long")).otherwise(lit(0L)).as("__b1n"))
+    val d1 = derivs(
+      b1.select(col("__g"),
+        (col("__b1n").cast("double") / 1e9).as("__b")), "1")
+    d0.join(b1, Seq("__g")).join(d1.drop("__nev"), Seq("__g"))
+      .select(col("__g").as(groupCol), col("__nev").as("n_events"),
+        col("__b1n").as("beta1_nano"),
+        when(col("__h1") > 0L,
+          col("__b1n") +
+            floor(col("__g1").cast("double") /
+              col("__h1").cast("double") * 1e9).cast("long"))
+          .as("beta_nano"))
+      // β in EXACT nano units (the cum_hazard_nano boundary lesson);
+      // e^β is irrational — never on a rounding boundary — so the
+      // readable hazard ratio is safe to round
+      .withColumn("hazard_ratio",
+        round(exp(col("beta_nano").cast("double") / 1e9), 6))
+  }
 }

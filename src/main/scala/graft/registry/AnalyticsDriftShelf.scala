@@ -21,6 +21,8 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
 
   private[graft] def driftQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q380_sinkhorn_transport" -> (sinkhornQ _),
+    "q385_hbos_outliers" -> (hbosQ _),
+    "q386_mahalanobis_outliers" -> (mahalanobisQ _),
     "q164_ks_drift" -> (ksDriftQ _),
     "q201_permutation_test" -> (permutationTestQ _),
     "q237_value_mw_drift" -> (mwDriftQ _),
@@ -40,6 +42,85 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
   )
 
   private[graft] def driftOracleSql: Map[String, String] = Map(
+    // exact integer binning ((v−min)·bins div span+1), nano-floored
+    // lns per (feature, bin), exact BIGINT score sums — the ranking
+    // never touches a float
+    "q385_hbos_outliers" ->
+      """WITH b AS (
+           SELECT o_orderkey AS id,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price,
+             CAST(date_diff('day', DATE '1992-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day_,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS balance
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+             AND c_acctbal IS NOT NULL),
+         lng AS (
+           SELECT id, 'price' AS f, price AS v FROM b
+           UNION ALL SELECT id, 'day', day_ FROM b
+           UNION ALL SELECT id, 'balance', balance FROM b),
+         rg AS (
+           SELECT f, min(v) AS mn, max(v) AS mx,
+             CAST(count(*) AS BIGINT) AS n
+           FROM lng WHERE v IS NOT NULL GROUP BY 1),
+         binned AS (
+           SELECT id, lng.f, ((v - mn) * 20) // (mx - mn + 1) AS bn
+           FROM lng JOIN rg USING (f) WHERE v IS NOT NULL),
+         bc AS (SELECT f, bn, CAST(count(*) AS BIGINT) AS c
+                FROM binned GROUP BY 1, 2),
+         lt AS (
+           SELECT f, bn,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000000.0)
+                 AS BIGINT)
+               - CAST(floor(ln(CAST(c * 20 AS DOUBLE))
+                 * 1000000000.0) AS BIGINT) AS lterm
+           FROM bc JOIN rg USING (f))
+         SELECT id AS o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(lterm) AS BIGINT) AS hbos_nano
+         FROM binned JOIN lt USING (f, bn)
+         GROUP BY 1 ORDER BY hbos_nano DESC, o_orderkey LIMIT 40""",
+    // exact HUGEINT centered moments; dx = n·x − Σx clears the mean
+    // division; one mirrored double chain per row
+    "q386_mahalanobis_outliers" ->
+      """WITH b AS (
+           SELECT o_orderkey AS id,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS x,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL),
+         m AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM b),
+         c AS (
+           SELECT n, sx, sy, n * sxx - sx * sx AS cxx,
+             n * sxy - sx * sy AS cxy, n * syy - sy * sy AS cyy
+           FROM m),
+         sc AS (
+           SELECT b.id, b.x, b.y,
+             CAST(c.cxx AS DOUBLE) * CAST(c.cyy AS DOUBLE)
+               - CAST(c.cxy AS DOUBLE) * CAST(c.cxy AS DOUBLE)
+               AS det,
+             CAST(c.cyy AS DOUBLE)
+                 * (CAST(c.n * b.x - c.sx AS DOUBLE)
+                   * CAST(c.n * b.x - c.sx AS DOUBLE))
+               - 2.0 * CAST(c.cxy AS DOUBLE)
+                 * (CAST(c.n * b.x - c.sx AS DOUBLE)
+                   * CAST(c.n * b.y - c.sy AS DOUBLE))
+               + CAST(c.cxx AS DOUBLE)
+                 * (CAST(c.n * b.y - c.sy AS DOUBLE)
+                   * CAST(c.n * b.y - c.sy AS DOUBLE)) AS num,
+             CAST(c.n AS DOUBLE) AS nd
+           FROM b CROSS JOIN c)
+         SELECT id AS o_orderkey, x, y,
+           round(CASE WHEN det > 0.0
+             THEN num * (nd - 1.0) / (det * nd) END, 6) AS d2
+         FROM sc ORDER BY d2 DESC NULLS LAST, o_orderkey LIMIT 40""",
     // the kernel is the ONLY transcendental, quantized once per cell;
     // u/v half-steps replayed as generated CTEs (the q369/q377
     // device) — (mass·1e12) // Σ K·v exact in HUGEINT throughout
@@ -1720,6 +1801,45 @@ private[graft] trait AnalyticsDriftShelf extends AnalyticsCore {
       .withColumn("drifted", col("drifted").cast("int"))
       .orderBy("o_orderpriority")
   }
+
+  /** HBOS anomaly top-k ([[graft.quality.Anomaly.hbosTopK]]) over
+    * three order features (value cents, order-day index, customer
+    * balance cents): the rows whose per-feature histogram bins are
+    * jointly thinnest — the cheap independence-assuming screen in
+    * front of [[mahalanobisQ]]'s correlation-aware read. Scores are
+    * exact nano-ln sums, so the ranking is float-free.
+    */
+  private[graft] def hbosQ(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Anomaly.hbosTopK(
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("o_totalprice").isNotNull &&
+          col("o_orderdate").isNotNull && col("c_acctbal").isNotNull),
+      "o_orderkey",
+      Seq(
+        "price" -> floor(col("o_totalprice") * 100),
+        "day" -> datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01")).cast("long"),
+        "balance" -> floor(col("c_acctbal") * 100)),
+      bins = 20, topK = 40)
+
+  /** Exact 2-D Mahalanobis top-k
+    * ([[graft.quality.Anomaly.mahalanobis2d]]) on (order value,
+    * customer balance) cents: the orders whose price–balance
+    * COMBINATION is unusual even when each margin is ordinary —
+    * exact DECIMAL moments, one mirrored division per row.
+    */
+  private[graft] def mahalanobisQ(
+      s: SparkSession, dir: String): DataFrame =
+    graft.quality.Anomaly.mahalanobis2d(
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("o_totalprice").isNotNull &&
+          col("c_acctbal").isNotNull),
+      "o_orderkey", floor(col("o_totalprice") * 100),
+      floor(col("c_acctbal") * 100), topK = 40)
 
   /** Entropic optimal transport ([[Drift.sinkhornTransport]]) between
     * the priority-class mix of pre- and post-1995-06 orders, ordinal

@@ -22,7 +22,35 @@ private[graft] trait AnalyticsSurvivalShelf extends AnalyticsCore {
     "q334_power_analysis" -> (powerAnalysisQ _),
     "q347_weibull_fit" -> (weibullFitQ _),
     "q381_aalen_johansen" -> (aalenJohansenQ _),
+    "q384_cox_ph" -> (coxPhQ _),
   )
+
+  /** Cox proportional hazards ([[Analytics.coxPh]]) on the q191
+    * churn frame per segment: does a customer's account balance
+    * (covariate x = whole dollars / 1000) scale the churn hazard?
+    * Two documented Newton steps, Breslow ties; β in exact nano
+    * units, e^β the readable hazard ratio. On TPC-H's independent
+    * generators the true β is ≈ 0 — the null-result baseline, with
+    * the spec's planted-hazard fixture proving the estimator moves
+    * when the hazard really does scale with x.
+    */
+  private[graft] def coxPhQ(s: SparkSession, dir: String): DataFrame = {
+    val pc = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("g"), col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("f"),
+        max(to_date(col("o_orderdate"))).as("l"),
+        max(col("c_acctbal")).as("bal"))
+    val mx = pc.agg(max(col("l")).as("mx"))
+    val subj = pc.crossJoin(broadcast(mx))
+      .select(col("g"), datediff(col("l"), col("f")).as("t"),
+        (col("l") < date_sub(col("mx"), 90)).as("e"),
+        floor(col("bal")).as("x"))
+    Analytics.coxPh(subj, "g", col("t"), col("e"), col("x"))
+      .withColumnRenamed("g", "c_mktsegment")
+      .orderBy("c_mktsegment")
+  }
 
   /** Aalen–Johansen competing-risks incidence
     * ([[Analytics.aalenJohansen]]): per user, time from first event
@@ -187,6 +215,95 @@ private[graft] trait AnalyticsSurvivalShelf extends AnalyticsCore {
   }
 
   private[graft] def survivalOracleSql: Map[String, String] = Map(
+    // the two Newton steps replayed as generated CTE blocks (the
+    // q369/q377 device): per-row e^{βx}·x^k terms nano-floored with
+    // every float op token-identical, suffix risk-set sums exact
+    // longs, per-time contributions floored once, β nano-quantized
+    // between the steps
+    "q384_cox_ph" -> {
+      def step(tag: String, beta: String): String = {
+        val x = "(CAST(s.x AS DOUBLE) / 1000.0)"
+        val w = s"exp(b.b * $x)"
+        s"""rw$tag AS (
+           SELECT s.g, s.t, s.e, s.x,
+             CAST(floor($w * 1000000000.0) AS BIGINT) AS wn,
+             CAST(floor($x * $w * 1000000000.0) AS BIGINT) AS xwn,
+             CAST(floor($x * $x * $w * 1000000000.0) AS BIGINT)
+               AS x2wn
+           FROM subj s JOIN $beta b ON b.g = s.g),
+         bt$tag AS (
+           SELECT g, t,
+             CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN e THEN x ELSE 0 END) AS BIGINT)
+               AS sxe,
+             CAST(sum(wn) AS BIGINT) AS w0,
+             CAST(sum(xwn) AS BIGINT) AS w1,
+             CAST(sum(x2wn) AS BIGINT) AS w2
+           FROM rw$tag GROUP BY 1, 2),
+         sf$tag AS (
+           SELECT g, t, d, sxe,
+             CAST(sum(w0) OVER sfx AS BIGINT) AS s0,
+             CAST(sum(w1) OVER sfx AS BIGINT) AS s1,
+             CAST(sum(w2) OVER sfx AS BIGINT) AS s2
+           FROM bt$tag
+           WINDOW sfx AS (PARTITION BY g ORDER BY t ROWS BETWEEN
+             CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         dv$tag AS (
+           SELECT g,
+             CAST(sum(sxe) AS BIGINT) * 1000000
+               - CAST(sum(CASE WHEN d > 0 THEN
+                   CAST(floor(CAST(d AS DOUBLE)
+                     * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                     * 1000000000.0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS gg,
+             CAST(sum(CASE WHEN d > 0 THEN
+                 CAST(floor(CAST(d AS DOUBLE)
+                   * ((CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                     - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)))
+                   * 1000000000.0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS hh,
+             CAST(sum(d) AS BIGINT) AS nev
+           FROM sf$tag GROUP BY g)"""
+      }
+      s"""WITH pc AS (
+           SELECT c_mktsegment AS g, o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS f,
+             max(CAST(o_orderdate AS DATE)) AS l,
+             max(c_acctbal) AS bal
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         mx AS (SELECT max(l) AS mx FROM pc),
+         subj AS (
+           SELECT g, date_diff('day', f, l) AS t, (l < mx - 90) AS e,
+             CAST(floor(bal) AS BIGINT) AS x
+           FROM pc CROSS JOIN mx),
+         b0 AS (SELECT DISTINCT g, CAST(0.0 AS DOUBLE) AS b
+                FROM subj),
+         ${step("0", "b0")},
+         b1 AS (
+           SELECT g, CASE WHEN hh > 0 THEN
+               CAST(floor(CAST(gg AS DOUBLE) / CAST(hh AS DOUBLE)
+                 * 1000000000.0) AS BIGINT)
+             ELSE 0 END AS b1n
+           FROM dv0),
+         b1f AS (SELECT g, CAST(b1n AS DOUBLE) / 1000000000.0 AS b
+                 FROM b1),
+         ${step("1", "b1f")},
+         fin AS (
+           SELECT b1.g AS c_mktsegment, dv0.nev AS n_events,
+             b1.b1n AS beta1_nano,
+             CASE WHEN dv1.hh > 0 THEN b1.b1n
+               + CAST(floor(CAST(dv1.gg AS DOUBLE)
+                 / CAST(dv1.hh AS DOUBLE) * 1000000000.0) AS BIGINT)
+               END AS beta_nano
+           FROM b1 JOIN dv0 ON dv0.g = b1.g
+           JOIN dv1 ON dv1.g = b1.g)
+         SELECT c_mktsegment, n_events, beta1_nano, beta_nano,
+           round(exp(CAST(beta_nano AS DOUBLE) / 1000000000.0), 6)
+             AS hazard_ratio
+         FROM fin ORDER BY c_mktsegment"""
+    },
     // the q191 scalar running-product device for S(t−) (DuckDB 1.0's
     // list_reduce corrupts STRUCT accumulators from the 3rd element —
     // so survival and the CIFs decompose into scalar folds); each CIF

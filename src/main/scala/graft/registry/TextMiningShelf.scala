@@ -23,7 +23,22 @@ private[graft] trait TextMiningShelf {
     "q368_robots_directives" -> (robotsQ _),
     "q370_politeness_shards" -> (politenessShardsQ _),
     "q378_pii_audit" -> (piiAuditQ _),
+    "q387_soundex_blocks" -> (soundexBlocksQ _),
   )
+
+  /** Phonetic confusion blocks ([[graft.text.Phonetic
+    * .soundexBlocks]]) over the part-name vocabulary: distinct words
+    * keyed by simplified Soundex, blocks ranked by distinct-word
+    * count with sorted member lists — the entity-resolution blocking
+    * key in action (pair scoring would run within blocks only, the
+    * bounded-pair discipline).
+    */
+  private[graft] def soundexBlocksQ(
+      s: SparkSession, dir: String): DataFrame =
+    graft.text.Phonetic.soundexBlocks(
+      t(s, dir, "part").select(
+        explode(TextAnalysis.words(col("p_name"))).as("__w")),
+      col("__w"), topK = 30)
 
   /** Per-source PII exposure audit: payment-card candidates (maximal
     * 13–19 digit runs, [[graft.text.TextAnalysis.ccCandidates]])
@@ -312,6 +327,39 @@ private[graft] trait TextMiningShelf {
       topK = 25)
 
   private[graft] def miningOracleSql: Map[String, String] = Map(
+    // the published Soundex table replayed step for step: translate,
+    // adjacent-run collapse via positional compare, zero-drop,
+    // LETTER + 3 pad — no engine built-in on either side
+    "q387_soundex_blocks" ->
+      """WITH w0 AS (
+           SELECT unnest(regexp_extract_all(lower(p_name),
+             '[a-z0-9]+')) AS w
+           FROM part),
+         wc AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS n FROM w0
+           WHERE regexp_full_match(w, '[a-z]+') GROUP BY 1),
+         cs AS (
+           SELECT w, n, translate(w, 'abcdefghijklmnopqrstuvwxyz',
+             '01230120022455012623010202') AS c
+           FROM wc),
+         col_ AS (
+           SELECT w, n,
+             array_to_string(list_transform(
+               range(2, greatest(length(c), 2) + 1), i ->
+                 CASE WHEN i <= length(c) AND c[i] <> c[i-1]
+                   THEN c[i] ELSE '' END), '') AS tl
+           FROM cs),
+         keyed AS (
+           SELECT w, n,
+             upper(substr(w, 1, 1))
+               || rpad(substr(replace(tl, '0', ''), 1, 3), 3, '0')
+               AS soundex
+           FROM col_)
+         SELECT soundex, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n) AS BIGINT) AS n_occurrences,
+           string_agg(w, ', ' ORDER BY w) AS members
+         FROM keyed GROUP BY 1
+         ORDER BY n_words DESC, soundex LIMIT 30""",
     // maximal-digit-run candidates (no lookaround — RE2-portable),
     // the Luhn fold replayed as a list_transform over 1-based char
     // positions with the identical (len − i) % 2 parity
