@@ -1630,4 +1630,54 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
       round(col("__w").cast("double") /
         (col("n_sample").cast("double") * 1e6), 6).as("weight_ratio"))
   }
+
+  /** Hodges–Lehmann shift estimator per group: the MEDIAN of all
+    * pairwise differences b − a between two samples — the robust
+    * "how much did the level move" companion to the Mann–Whitney
+    * test (q237 says WHETHER it moved; this says BY HOW MUCH, in the
+    * original units, immune to the outliers that drag a
+    * difference-of-means). Exact end to end: differences are exact
+    * longs and the median is the house ⌈(n+1)/2⌉-th order statistic
+    * (the q333 device: first value whose doubled cumulative count
+    * reaches n+1 — the upper median on even counts) over the grouped
+    * difference distribution — no floats anywhere.
+    *
+    * Caller contract (the pair discipline): input rows must be
+    * DOMAIN-BOUNDED cells — daily/bucket aggregates, never raw
+    * events — because the per-group pair frame is |A|·|B|. The join
+    * itself is group-keyed; the caller bounds the blow-up by what it
+    * aggregates first (the q333/q178 shape).
+    */
+  def hodgesLehmannShift(
+      df: DataFrame, groupCols: Seq[String], sideB: Column,
+      valueCents: Column): DataFrame = {
+    val gc = groupCols.map(col)
+    val base = df.select(gc ++ Seq(sideB.cast("boolean").as("__sb"),
+        valueCents.cast("long").as("__v")): _*)
+      .where(col("__sb").isNotNull && col("__v").isNotNull)
+    val a = base.where(!col("__sb"))
+      .select(gc :+ col("__v").as("__va"): _*)
+    val b = base.where(col("__sb"))
+      .select(gc :+ col("__v").as("__vb"): _*)
+    val diffs = a.join(b, groupCols)
+      .groupBy(gc :+ (col("__vb") - col("__va")).as("__d"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(gc: _*).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gc: _*)
+    val hl = diffs
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__np", sum(col("__c")).over(wAll))
+      .where(col("__cum") * 2 >= col("__np") + 1)
+      .groupBy(gc: _*)
+      .agg(min(col("__d")).as("hl_shift_cents"),
+        max(col("__np")).as("n_pairs"))
+    val sizes = base.groupBy(gc: _*)
+      .agg(sum(when(!col("__sb"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__sb"), 1L).otherwise(0L)).as("n_b"))
+    sizes.join(hl, groupCols, "left")
+      .select(gc ++ Seq(col("n_a"), col("n_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("hl_shift_cents")): _*)
+  }
 }

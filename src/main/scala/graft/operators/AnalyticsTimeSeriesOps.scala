@@ -946,4 +946,47 @@ private[graft] trait AnalyticsTimeSeriesOps { this: Analytics.type =>
         .as("rmse_snaive"),
       round(mase("__es"), 6).as("mase_snaive")): _*)
   }
+
+  /** Count-data overdispersion panel per group: the dispersion index
+    * D = s²/x̄ (Poisson ⇒ D ≈ 1; D ≫ 1 = clumped arrivals) and the
+    * method-of-moments negative-binomial fit r = x̄²/(s² − x̄),
+    * p = x̄/s² — the distributional verdict a rate monitor needs
+    * BEFORE alerting off Poisson bands that clumped traffic would
+    * trip constantly. Input rows are count cells (e.g. per-day event
+    * counts — the caller aggregates first).
+    *
+    * Exactness: one grouped pass of exact moments (n, Σv, Σv² in
+    * DECIMAL(38,0)); every reported statistic is FLOOR-quantized from
+    * one mirrored double chain (milli for the mean/r, micro for
+    * D/p) — floors, not rounds, so no value ever sits on a rounding
+    * boundary. `r/p` null when s² ≤ x̄ (under- or equi-dispersed —
+    * the NB fit does not exist there).
+    */
+  def overdispersion(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val gc = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = df.select(gc :+ valueCol.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s"),
+        sum(dec(col("__v")) * dec(col("__v"))).as("__q"))
+      .where(col("n") >= 2L)
+    val nD = col("n").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val vr = (nD * col("__q").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double")) /
+      (nD * (nD - 1.0))
+    val over = vr > mean
+    m.select(gc ++ Seq(col("n"),
+      col("__s").as("total"),
+      floor(mean * 1e3).cast("long").as("mean_milli"),
+      when(mean > 0.0, floor(vr / mean * 1e6).cast("long"))
+        .as("dispersion_micro"),
+      when(over, floor(mean * mean / (vr - mean) * 1e3).cast("long"))
+        .as("nb_r_milli"),
+      when(over, floor(mean / vr * 1e6).cast("long"))
+        .as("nb_p_micro")): _*)
+  }
 }

@@ -46,9 +46,59 @@ private[graft] trait AnalyticsInferenceShelf extends AnalyticsCore {
     "q342_threshold_scorecard" -> (thresholdScorecardQ _),
     "q372_ipw_ate" -> (ipwAteQ _),
     "q377_ipf_raking" -> (ipfRakingQ _),
+    "q389_hodges_lehmann" -> (hodgesLehmannQ _),
   )
 
   private[graft] def inferenceOracleSql: Map[String, String] = Map(
+    // pairwise day-cell differences (domain-bounded), the house
+    // order-statistic median (first doubled-cumulative ≥ n+1) —
+    // exact integers only
+    "q389_hodges_lehmann" ->
+      """WITH e AS (
+           SELECT event_type,
+             (CAST(ts AS DATE) >= DATE '2024-01-15') AS post,
+             CAST(ts AS DATE) AS day_,
+             CAST(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+                 AND event_type = 'purchase'
+               THEN floor(value * 100 * 1.25)
+               ELSE floor(value * 100) END AS BIGINT) AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+             AND ts IS NOT NULL),
+         daily AS (
+           SELECT event_type, post, day_,
+             CAST(floor(CAST(sum(v) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+           FROM e GROUP BY 1, 2, 3),
+         a AS (SELECT event_type, m AS va FROM daily WHERE NOT post),
+         b AS (SELECT event_type, m AS vb FROM daily WHERE post),
+         d AS (
+           SELECT a.event_type, vb - va AS dd,
+             CAST(count(*) AS BIGINT) AS c
+           FROM a JOIN b USING (event_type) GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, dd, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY dd
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cm,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+               AS np
+           FROM d),
+         hl AS (
+           SELECT event_type, min(dd) AS hl_shift_cents,
+             max(np) AS n_pairs
+           FROM cum WHERE cm * 2 >= np + 1 GROUP BY 1),
+         sz AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN post THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+           FROM daily GROUP BY 1)
+         SELECT sz.event_type, n_a, n_b,
+           coalesce(n_pairs, 0) AS n_pairs, hl_shift_cents
+         FROM sz LEFT JOIN hl USING (event_type)
+         ORDER BY event_type""",
     // the q369 unrolled-iteration device: 6 generated half-step CTEs,
     // each w' = (w·target·1e6) // Σw_band exact in HUGEINT — the
     // engine's DECIMAL(38,0) mirror; all operands positive
@@ -1649,5 +1699,33 @@ private[graft] trait AnalyticsInferenceShelf extends AnalyticsCore {
     Analytics.ipfRaking(base.where(col("o_orderkey") % 2 === 1),
         "c_mktsegment", "o_orderstatus", rm, cm, iters = 3)
       .orderBy("c_mktsegment", "o_orderstatus")
+  }
+
+  /** Hodges–Lehmann level shift ([[Analytics.hodgesLehmannShift]])
+    * between pre- and post-2024-01-15 DAILY MEAN event values per
+    * type, with q346's ×1.25 purchase plant in the post period — the
+    * robust "by how much did the level move" beside q237's
+    * Mann–Whitney verdict on the same split. Day cells bound the
+    * pair frame (the op's domain-bounded contract); the median of
+    * pairwise differences is the house exact order-statistic median.
+    */
+  private[graft] def hodgesLehmannQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull &&
+      col("event_type").isNotNull && col("ts").isNotNull)
+    val post = to_date(col("ts")) >= lit("2024-01-15").cast("date")
+    val cents = when(post && col("event_type") === "purchase",
+      floor(col("value") * 100 * 1.25))
+      .otherwise(floor(col("value") * 100)).cast("long")
+    val daily = e
+      .groupBy(col("event_type"), post.as("__post"),
+        to_date(col("ts")).as("__day"))
+      .agg(sum(cents).as("__s"), count(lit(1)).as("__n"))
+      .select(col("event_type"), col("__post"),
+        floor(col("__s").cast("double") / col("__n").cast("double"))
+          .cast("long").as("__m"))
+    Analytics.hodgesLehmannShift(daily, Seq("event_type"),
+        col("__post"), col("__m"))
+      .orderBy("event_type")
   }
 }

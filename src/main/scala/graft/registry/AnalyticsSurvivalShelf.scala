@@ -529,47 +529,22 @@ private[graft] trait AnalyticsSurvivalShelf extends AnalyticsCore {
                    / CAST(n AS DOUBLE))), 4)
            END AS hl_contrib
          FROM pb ORDER BY o_orderstatus, bin""",
-    // three unrolled remove-and-recompute rounds; extreme picked by
-    // the exact HUGEINT deviation |v*n - s|, (value, key) tie-broken
-    "q332_generalized_esd" -> {
-      def round(i: Int): String = {
-        val (c, s, r, o, cn) = (s"c$i", s"s$i", s"r$i", s"o$i", s"c${i + 1}")
-        s"""$s AS (
-             SELECT g, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(v) AS BIGINT) AS s,
-               sum(CAST(v AS HUGEINT) * v) AS q
-             FROM $c GROUP BY g),
-           $r AS (
-             SELECT $c.g, v, k, n, s, q,
-               abs(CAST(v AS HUGEINT) * n - s) AS dev,
-               row_number() OVER (PARTITION BY $c.g
-                 ORDER BY abs(CAST(v AS HUGEINT) * n - s) DESC,
-                   v ASC, k ASC) AS rn
-             FROM $c JOIN $s USING (g)),
-           $o AS (
-             SELECT g, CAST($i AS BIGINT) AS round, n,
-               v AS removed_cents,
-               round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
-                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
-                 6) AS r_stat
-             FROM $r WHERE rn = 1 AND n > 2),
-           $cn AS (SELECT g, v, k FROM $r WHERE rn <> 1)"""
-      }
+    // three unrolled remove-and-recompute rounds ([[RegistryBase
+    // .esdRoundSql]]); extreme picked by the exact HUGEINT deviation
+    // |v*n - s|, (value, key) tie-broken
+    "q332_generalized_esd" ->
       s"""WITH c1 AS (
            SELECT event_type AS g,
              CAST(floor(value * 100) AS BIGINT) AS v,
              event_id AS k
            FROM events WHERE value IS NOT NULL),
-         ${round(1)},
-         ${round(2)},
-         ${round(3)}
+         ${esdRoundSql(1)},
+         ${esdRoundSql(2)},
+         ${esdRoundSql(3)}
          SELECT g AS event_type, round, n, removed_cents, r_stat
          FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
            UNION ALL SELECT * FROM o3)
-         ORDER BY event_type, round"""
-    },
+         ORDER BY event_type, round""",
     // pooled lower median from the distinct-value cumulative frame;
     // per-cell (O-E)^2/E nano-floored before the order-free sum
     "q333_mood_median" ->

@@ -35,6 +35,8 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
     "q304_runs_test" -> (runsTestQ _),
     "q309_durbin_watson" -> (durbinWatsonQ _),
     "q318_seasonal_decompose" -> (seasonalDecomposeQ _),
+    "q388_sh_esd" -> (shEsdQ _),
+    "q390_overdispersion" -> (overdispersionQ _),
     "q321_gumbel_maxima" -> (gumbelMaximaQ _),
     "q327_gumbel_store" -> (gumbelStoreQ _),
     "q328_ljung_box" -> (ljungBoxQ _),
@@ -732,6 +734,102 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
     },
     // centered-MA trend (full consecutive window only), per-phase
     // floor-mean seasonal, exact-integer residual; plant re-seeded
+    // q318's seasonal CTEs (with the day-33 purchase spike) feeding
+    // the shared ESD rounds ([[RegistryBase.esdRoundSql]]) on the
+    // residual column — the whole composition replayed in one chain
+    "q388_sh_esd" ->
+      s"""WITH dm AS (
+           SELECT event_type AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS b,
+             CAST(floor(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+               AS m
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         per0 AS (
+           SELECT g, b,
+             CASE WHEN g = 'view'
+               THEN CAST(floor(CAST(m AS DOUBLE)
+                 * (1.0 + CAST(b AS DOUBLE) * 0.02)
+                 * (CASE WHEN b % 7 = 5 THEN 2.5 ELSE 1.0 END))
+                 AS BIGINT)
+               ELSE m END AS y0
+           FROM dm),
+         per AS (
+           SELECT g, b,
+             CASE WHEN g = 'purchase' AND b = 33 THEN y0 * 6
+               ELSE y0 END AS y
+           FROM per0),
+         tr AS (
+           SELECT g, b, y,
+             count(*) OVER w AS cnt,
+             max(b) OVER w - min(b) OVER w AS span,
+             sum(y) OVER w AS s7
+           FROM per
+           WINDOW w AS (PARTITION BY g ORDER BY b
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         tt AS (
+           SELECT g, b, y,
+             CASE WHEN cnt = 7 AND span = 6
+               THEN CAST(floor(CAST(s7 AS DOUBLE) / 7.0) AS BIGINT)
+               END AS trend
+           FROM tr),
+         dd AS (SELECT g, b, y, trend, y - trend AS det FROM tt),
+         se AS (
+           SELECT g, b % 7 AS ph,
+             CAST(floor(CAST(sum(det) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seas
+           FROM dd WHERE det IS NOT NULL GROUP BY 1, 2),
+         c1 AS (
+           SELECT dd.g, CAST(det - seas AS BIGINT) AS v, b AS k
+           FROM dd LEFT JOIN se ON se.g = dd.g AND se.ph = dd.b % 7
+           WHERE trend IS NOT NULL),
+         ${esdRoundSql(1)},
+         ${esdRoundSql(2)},
+         ${esdRoundSql(3)}
+         SELECT g AS event_type, round, n, removed_cents, r_stat
+         FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+           UNION ALL SELECT * FROM o3)
+         ORDER BY event_type, round""",
+    // exact moments; every statistic FLOOR-quantized from one
+    // mirrored chain — no rounding boundary anywhere
+    "q390_overdispersion" ->
+      """WITH daily AS (
+           SELECT event_type AS g,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS d,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         x AS (
+           SELECT g, d,
+             CASE WHEN g = 'click' AND ((d % 3) + 3) % 3 = 0
+               THEN c * 2 ELSE c END AS y
+           FROM daily),
+         m AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS q
+           FROM x GROUP BY 1 HAVING count(*) >= 2),
+         f AS (
+           SELECT g, n, s,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               AS vr
+           FROM m)
+         SELECT g AS event_type, n, s AS total,
+           CAST(floor(mean * 1000.0) AS BIGINT) AS mean_milli,
+           CASE WHEN mean > 0.0 THEN
+             CAST(floor(vr / mean * 1000000.0) AS BIGINT) END
+             AS dispersion_micro,
+           CASE WHEN vr > mean THEN
+             CAST(floor(mean * mean / (vr - mean) * 1000.0)
+               AS BIGINT) END AS nb_r_milli,
+           CASE WHEN vr > mean THEN
+             CAST(floor(mean / vr * 1000000.0) AS BIGINT) END
+             AS nb_p_micro
+         FROM f ORDER BY event_type""",
     "q318_seasonal_decompose" ->
       """WITH dm AS (
            SELECT event_type AS g,
@@ -1310,6 +1408,64 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
     * tests (q304/q309) should actually be fed. Centered-MA edges
     * null by contract.
     */
+  /** Seasonal-hybrid ESD (the Twitter AnomalyDetection composition:
+    * Hochenbaum et al. 2017) — q318's seasonal decomposition strips
+    * trend and weekly shape, q332's generalized ESD then hunts
+    * outliers in the RESIDUALS, where a spike no longer hides behind
+    * the pattern. One lazy plan over the q318 machinery with an
+    * extra ×6 spike planted on day 33 of the purchase series: the
+    * raw-value ESD would burn its rounds on the 'view' weekly peaks;
+    * the residual ESD pulls the planted spike first.
+    */
+  private[graft] def shEsdQ(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("value").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val daily = e
+      .groupBy(col("event_type"), day.as("__d"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("event_type"), col("__d"),
+        floor(col("__s").cast("double") / col("__n").cast("double"))
+          .cast("long").as("__m"))
+    val cents = when(col("event_type") === "view",
+      floor(col("__m").cast("double") *
+        (lit(1.0) + col("__d").cast("double") * 0.02) *
+        when(col("__d") % 7 === 5, lit(2.5)).otherwise(lit(1.0)))
+        .cast("long"))
+      .otherwise(col("__m"))
+    val spiked = when(col("event_type") === "purchase" &&
+      col("__d") === 33, cents * 6L).otherwise(cents)
+    val dec = graft.quality.Drift.seasonalDecompose(daily,
+      Seq("event_type"), col("__d"), spiked, period = 7)
+    Analytics.generalizedEsd(
+        dec.where(col("residual").isNotNull),
+        "event_type", col("residual"), col("bucket"), rounds = 3)
+      .orderBy("event_type", "round")
+  }
+
+  /** Count-data overdispersion panel ([[Analytics.overdispersion]])
+    * over daily event counts per type, with a clumping plant (click
+    * counts double on every 3rd day): Poisson-ish types read
+    * dispersion ≈ 1e6 micro and a null NB fit; the clumped type
+    * reads D ≫ 1 with the method-of-moments (r, p) a rate monitor
+    * would band with.
+    */
+  private[graft] def overdispersionQ(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date"))
+    val daily = e.groupBy(col("event_type"), day.as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("event_type"), col("__d"),
+        when(col("event_type") === "click" && col("__d") % 3 === 0,
+          col("__c") * 2L).otherwise(col("__c")).as("__y"))
+    Analytics.overdispersion(daily, Seq("event_type"), col("__y"))
+      .orderBy("event_type")
+  }
+
   private[graft] def seasonalDecomposeQ(
       s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).where(col("value").isNotNull)

@@ -192,6 +192,39 @@ private[graft] object RegistryBase {
          JOIN keep1 USING (doc_id)
          WHERE d.doc_id NOT IN (SELECT doc_id FROM drops))"""
 
+  /** One generalized-ESD remove-and-recompute round as CTEs (the
+    * q332 device, shared with q388's seasonal-hybrid composition):
+    * reads candidate rows from `c\$i (g, v, k)`, emits the round's
+    * extreme to `o\$i` and the survivors to `c\${i+1}`. Extreme
+    * picked by the exact HUGEINT deviation |v·n − s|, (value, key)
+    * tie-broken.
+    */
+  private[graft] def esdRoundSql(i: Int): String = {
+    val (c, s, r, o, cn) = (s"c$i", s"s$i", s"r$i", s"o$i", s"c${i + 1}")
+    s"""$s AS (
+         SELECT g, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS s,
+           sum(CAST(v AS HUGEINT) * v) AS q
+         FROM $c GROUP BY g),
+       $r AS (
+         SELECT $c.g, v, k, n, s, q,
+           abs(CAST(v AS HUGEINT) * n - s) AS dev,
+           row_number() OVER (PARTITION BY $c.g
+             ORDER BY abs(CAST(v AS HUGEINT) * n - s) DESC,
+               v ASC, k ASC) AS rn
+         FROM $c JOIN $s USING (g)),
+       $o AS (
+         SELECT g, CAST($i AS BIGINT) AS round, n,
+           v AS removed_cents,
+           round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
+             6) AS r_stat
+         FROM $r WHERE rn = 1 AND n > 2),
+       $cn AS (SELECT g, v, k FROM $r WHERE rn <> 1)"""
+  }
+
   /** Language-ID CTEs (marker scores → precedence argmax), composable
     * over any source relation carrying a `text` column; `p` passes all
     * source columns through plus `predicted`.
