@@ -1155,6 +1155,12 @@ private[graft] trait AnalyticsInferenceOps { this: Analytics.type =>
       val top = joined.where(col("__rn") === 1 && col("__n") > 2)
         .select(col("__g"), lit(i.toLong).as("round"), col("__n").as("n"),
           col("__v").as("removed_cents"), round(r, 6).as("r_stat"))
+      // NOT checkpointed between rounds on purpose: each round's
+      // re-execution of the previous rounds' (group-domain-sized)
+      // ranking is cheaper than materializing survivors — measured
+      // on q332, where a per-round localCheckpoint DOUBLED the
+      // query. Callers with an EXPENSIVE input persist it first
+      // (q388 caches its seasonal-decomposition residuals).
       cur = joined.where(col("__rn") =!= 1)
         .select(col("__g"), col("__v"), col("__k"))
       top

@@ -1438,8 +1438,12 @@ private[graft] trait AnalyticsTimeSeriesShelf extends AnalyticsCore {
       col("__d") === 33, cents * 6L).otherwise(cents)
     val dec = graft.quality.Drift.seasonalDecompose(daily,
       Seq("event_type"), col("__d"), spiked, period = 7)
+    // persist the residual frame: the ESD rounds (and their ranking
+    // windows) read it repeatedly; without this the whole seasonal
+    // chain re-executes per consumer
     Analytics.generalizedEsd(
-        dec.where(col("residual").isNotNull),
+        dec.where(col("residual").isNotNull)
+          .transform(graft.core.CacheScope.disk),
         "event_type", col("residual"), col("bucket"), rounds = 3)
       .orderBy("event_type", "round")
   }
