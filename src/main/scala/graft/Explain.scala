@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-audit utility: print the AQE-final executed plan of one
-  * `SparkEntry.queries` entry. Usage:
+/** Plan-audit utility: print one `SparkEntry.queries` entry's
+  * `.explain("formatted")` plan (the pre-execution physical plan —
+  * Exchange count, join strategy, PushedFilters/ReadSchema) followed by
+  * the AQE-final executed plan. Usage:
   * `runMain graft.Explain <queryName> <sfDir>`
   */
 object Explain {
@@ -14,6 +16,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
+    println("=== explain(\"formatted\") (" + name + ") ===")
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     // dev/debug harness only (never on a query path): materializing on
     // the driver is what forces the AQE-final executedPlan we print
     df.collect()

@@ -863,13 +863,18 @@ private[graft] trait AnalyticsGraphOps { this: Analytics.type =>
       lit(scale / n).as("auth_scaled")).localCheckpoint()
     var hub = auth.select(col("node"), col("auth_scaled").as("hub_scaled"))
     for (_ <- 1 to iters) {
-      val hraw = bySrc
+      // hub half-round joins ON __dst (gathering auth of the edge's
+      // destination), so it must read the dst-sorted twin; the auth
+      // half-round joins ON __src and reads the src-sorted one. (The
+      // twins were swapped until r17 — each half-round re-shuffled the
+      // whole edge list instead of only the node-sized score frame.)
+      val hraw = byDst
         .join(auth.select(col("node").as("__dst"),
           col("auth_scaled").as("__s")), Seq("__dst"))
         .groupBy(col("__src").as("node"))
         .agg(sum(col("__s")).as("__raw"))
       hub = normalized(hraw, "hub_scaled")
-      val araw = byDst
+      val araw = bySrc
         .join(hub.select(col("node").as("__src"),
           col("hub_scaled").as("__s")), Seq("__src"))
         .groupBy(col("__dst").as("node"))
