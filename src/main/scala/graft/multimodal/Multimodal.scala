@@ -23,6 +23,19 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default `useCache=true` backs EVERY `read`/`write` with
+    * a temp FILE on disk — one create+delete per image row, which (a)
+    * is pure overhead for the KB-sized in-memory payloads decoded here
+    * and (b) couples decode latency to the scratch disk's state (in
+    * long bench sessions the same decode measured 3× slower than
+    * isolated purely from temp-file churn). Memory caching is strictly
+    * better at these payload sizes; set once per JVM (driver AND, via
+    * this object's executor-side classload in the mapPartitions decode
+    * paths, every executor). Results are unaffected — this is an I/O
+    * strategy flag, not a codec option.
+    */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Metadata struct carried next to every binary payload. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("mime", StringType),
